@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run each oracle SQL in
+DuckDB against the testdata parquet tables, compare (sorted rows, columns
+sorted by name) against the Spark parquet written by graft.Verify.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+"""
+import sys, json, glob, os
+import duckdb
+import pyarrow.parquet as pq
+
+TABLES = ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]
+
+def norm(v):
+    if isinstance(v, float):
+        return round(v, 9)
+    if isinstance(v, list):
+        return tuple(norm(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, norm(x)) for k, x in v.items()))
+    return v
+
+def rows_of(table):
+    cols = sorted(table.column_names)
+    data = [table.column(c).to_pylist() for c in cols]
+    return cols, sorted(tuple(norm(v) for v in row) for row in zip(*data))
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_ok = n_bad = n_rowsonly = 0
+    for name in sorted(oracle):
+        spark_files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not spark_files:
+            print(f"MISSING spark output: {name}"); n_bad += 1; continue
+        sp = pq.read_table(spark_files[0])
+        try:
+            du = con.execute(oracle[name]).arrow()
+        except Exception as e:
+            print(f"ORACLE-ERR {name}: {e}"); n_bad += 1; continue
+        sc, sr = rows_of(sp)
+        dc, dr = rows_of(du)
+        if sc != dc:
+            print(f"COLS-MISMATCH {name}: spark={sc} duck={dc}"); n_bad += 1
+        elif sr != dr:
+            print(f"ROWS-MISMATCH {name}: spark {len(sr)} rows vs duck {len(dr)}")
+            for a, b in list(zip(sr, dr))[:3]:
+                if a != b: print(f"   spark={a}\n    duck={b}")
+            if len(sr) != len(dr):
+                only_s = [r for r in sr[:5] if r not in dr[:100]]
+                print(f"   sample spark-only: {only_s[:2]}")
+            n_bad += 1
+        else:
+            print(f"OK {name} ({len(sr)} rows)"); n_ok += 1
+        # schema dump for eyeballing type drift
+        st = {f.name: str(f.type) for f in sp.schema}
+        dt = {f.name: str(f.type) for f in du.schema}
+        if st != dt:
+            print(f"   (schema note {name}: spark={st} duck={dt})")
+    # rows-only queries (no oracle)
+    for p in sorted(glob.glob(f"{out_dir}/*/")):
+        name = p.rstrip("/").split("/")[-1]
+        if name not in oracle:
+            files = glob.glob(f"{p}/*.parquet")
+            nr = pq.read_table(files[0]).num_rows if files else -1
+            print(f"ROWS-ONLY {name}: {nr} rows" + (" (EMPTY!)" if nr <= 0 else ""))
+            n_rowsonly += 1
+    print(f"\n{n_ok} ok, {n_bad} bad, {n_rowsonly} rows-only")
+    return 1 if n_bad else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

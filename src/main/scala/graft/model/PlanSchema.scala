@@ -47,17 +47,27 @@ object PlanSchema {
     StructField("planType", StringType),
     StructField("creationDate", StringType)))
 
-  /** Validation rules distilled from plan-schema.json: `required` lists per
-    * node + the `^(.*)$` string pattern (vacuous — kept for shape) and
-    * integer-typed cost fields (type errors surface as nulls after cast). */
+  /** Validation rules distilled from plan-schema.json: the exact `required`
+    * arrays per node (root `plan-schema.json:7-15`; costShare nodes
+    * `:21-27` and linkedPlanServices items' planserviceCostShares; items
+    * `:87-93`; linkedService `:99-105`) + the `^(.*)$` string pattern
+    * (vacuous — kept for shape) and integer-typed cost fields (type errors
+    * surface as nulls after cast). */
   val requiredPaths: Seq[String] = Seq(
-    "objectId", "objectType", "_org", "planType", "creationDate",
-    "planCostShares", "planCostShares.objectId", "planCostShares.objectType",
-    "planCostShares.deductible", "planCostShares.copay")
+    "planCostShares", "linkedPlanServices",
+    "_org", "objectId", "objectType", "planType", "creationDate",
+    "planCostShares.deductible", "planCostShares._org",
+    "planCostShares.copay", "planCostShares.objectId",
+    "planCostShares.objectType")
 
-  /** Paths inside each linkedPlanServices element that must be non-null. */
+  /** Paths inside each linkedPlanServices element that must be non-null
+    * (items, linkedService, and planserviceCostShares `required` arrays). */
   val requiredInPlanService: Seq[String] = Seq(
-    "objectId", "objectType", "linkedService", "planserviceCostShares",
-    "linkedService.objectId", "linkedService.name",
-    "planserviceCostShares.objectId", "planserviceCostShares.copay")
+    "linkedService", "planserviceCostShares",
+    "_org", "objectId", "objectType",
+    "linkedService._org", "linkedService.objectId",
+    "linkedService.objectType", "linkedService.name",
+    "planserviceCostShares.deductible", "planserviceCostShares._org",
+    "planserviceCostShares.copay", "planserviceCostShares.objectId",
+    "planserviceCostShares.objectType")
 }

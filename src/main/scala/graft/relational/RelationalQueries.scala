@@ -105,15 +105,16 @@ object RelationalQueries {
       |  AND l_discount BETWEEN 0.02 AND 0.04 AND l_quantity < 24""".stripMargin
 
   // ---------------------------------------------------------------- q3
-  /** 3-way join + grouped top-k (TPC-H Q3 shape). customer is the small
-    * side of the first join; Catalyst/AQE broadcasts it under the default
-    * 10 MB threshold at any SF where customers fit (dim-like). */
+  /** 3-way join + grouped top-k (TPC-H Q3 shape). customer scales with SF,
+    * so no broadcast hint — AQE picks broadcast vs shuffle from runtime
+    * stats (filtered size), which stays correct at the 100 TB design point
+    * where a forced multi-GB broadcast would OOM. */
   private def q3JoinTopk(s: SparkSession, d: String): DataFrame = {
     val c = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
     val o = t(s, d, "orders").filter(col("o_orderdate").cast("date") < lit("1997-01-01").cast("date"))
     val l = t(s, d, "lineitem").filter(col("l_shipdate").cast("date") > lit("1997-01-01").cast("date"))
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("o_orderdate"), col("o_orderpriority"))
       .agg(dbl(sum(m(col("l_extendedprice")) * (oneM - pct(col("l_discount"))))).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
@@ -379,13 +380,14 @@ object RelationalQueries {
 
   // ---------------------------------------------------------------- q18
   /** 6-way join (TPC-H Q5 shape): fact-fact join on orderkey shuffles once;
-    * every dimension (customer at this ratio, supplier, nation, region)
-    * rides broadcasts. */
+    * fixed-cardinality dims (nation, region) ride explicit broadcasts;
+    * SF-scaling tables (customer, supplier) are left to AQE so the plan
+    * survives scale-up without forcing multi-GB broadcasts. */
   private def q18MultiJoin(s: SparkSession, d: String): DataFrame =
     t(s, d, "lineitem")
       .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
       .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(t(s, d, "supplier")),
+      .join(t(s, d, "supplier"),
         col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))

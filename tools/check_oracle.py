@@ -13,13 +13,16 @@ TABLES = ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]
 
 def norm(v):
+    # None → (0,) sentinel so mixed None/value columns stay totally ordered
+    if v is None:
+        return (0,)
     if isinstance(v, float):
-        return round(v, 9)
+        return (1, round(v, 9))
     if isinstance(v, list):
-        return tuple(norm(x) for x in v)
+        return (1, tuple(norm(x) for x in v))
     if isinstance(v, dict):
-        return tuple(sorted((k, norm(x)) for k, x in v.items()))
-    return v
+        return (1, tuple(sorted((k, norm(x)) for k, x in v.items())))
+    return (1, v)
 
 def rows_of(table):
     cols = sorted(table.column_names)

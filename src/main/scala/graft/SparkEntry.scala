@@ -2,7 +2,10 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.relational.RelationalQueries
+import graft.docs.DocQueries
+import graft.ext.{DedupQueries, Multimodal, Similarity, TextQueries}
+import graft.relational.{RelationalQueries, RelationalQueries2}
+import graft.stream.IndexPipeline
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,12 +19,17 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     RelationalQueries.queries("q3_join_topk")(spark, "/root/testdata/sf0.001")
 
-  /** One per implemented operator from SURVEY.md §2. */
+  /** One per implemented operator from SURVEY.md §2 (+ north-star
+    * extensions: text analysis, dedup, similarity, multimodal, streaming). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries
+    RelationalQueries.queries ++ RelationalQueries2.queries ++
+      DocQueries.queries ++ TextQueries.queries ++ DedupQueries.queries ++
+      Similarity.queries ++ Multimodal.queries ++ IndexPipeline.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → weaker rows-only check. */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracle
+    RelationalQueries.oracle ++ RelationalQueries2.oracle ++
+      DocQueries.oracle ++ TextQueries.oracle ++ DedupQueries.oracle ++
+      Similarity.oracle ++ Multimodal.oracle ++ IndexPipeline.oracle
 }

@@ -19,4 +19,13 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events` with its nanosecond parquet timestamp read portably: Spark 4
+    * rejects TIMESTAMP(NANOS) outright, so read it as a raw Long and expose
+    * both the nanos and a derived microseconds column (`ts_us`). */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts_us", org.apache.spark.sql.functions.expr("ts DIV 1000"))
+  }
 }

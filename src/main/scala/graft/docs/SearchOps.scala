@@ -1,0 +1,54 @@
+package graft.docs
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** C — the search surface (SURVEY §2 Q1-Q6), re-expressed as Column
+  * builders over the denormalized document table (the engine's analogue of
+  * the `planindex` Elasticsearch index maintained by P3-P5).
+  *
+  * The reference's de-facto query language is the five canonical Kibana
+  * queries in `README.md:67-147`; each maps to a declarative predicate that
+  * Catalyst pushes into the scan:
+  *
+  *   - Q1 match_all          → no predicate (full scan)
+  *   - Q2 nested match       → `exists(arr, _.path == v)`; inner_hits =
+  *                             `filter(arr, pred)` projection
+  *   - Q3 wildcard           → glob→`LIKE` translation
+  *   - Q4 nested wildcard    → `exists(arr, _.path LIKE p)` (`.keyword`
+  *                             semantics = raw string compare = `LIKE`)
+  *   - Q5 numeric range      → `between(lo, hi)`
+  *   - Q6 full-text match    → tokenized `array_contains` (the analyzer
+  *                             chain proper lives in graft.ext.TextAnalysis)
+  */
+object SearchOps {
+
+  /** ES/glob wildcard → SQL LIKE pattern: `*`→`%`, `?`→`_`, with SQL
+    * wildcard characters in the glob escaped (`README.md:96-127`). */
+  def globToLike(glob: String): String =
+    glob.flatMap {
+      case '*' => "%"
+      case '?' => "_"
+      case '%' => "\\%"
+      case '_' => "\\_"
+      case '\\' => "\\\\"
+      case c => c.toString
+    }
+
+  /** Q3/Q4 — wildcard match on a keyword field. */
+  def wildcard(c: Column, glob: String): Column = c.like(globToLike(glob))
+
+  /** Q5 — inclusive numeric range (`gte`/`lte`, `README.md:136-141`). */
+  def range(c: Column, lo: Long, hi: Long): Column = c.between(lo, hi)
+
+  /** Q2 — nested match: does SOME element of `arr` satisfy `pred`? */
+  def nestedMatch(arr: Column, pred: Column => Column): Column = exists(arr, pred)
+
+  /** Q2 inner_hits — project the matching nested elements
+    * (`README.md:84-93`: ES re-extracts the matching children). */
+  def innerHits(arr: Column, pred: Column => Column): Column = filter(arr, pred)
+
+  /** Q6 — tokenized full-text term match (whitespace analyzer). */
+  def tokenMatch(text: Column, term: String): Column =
+    array_contains(split(lower(text), "\\s+"), term.toLowerCase)
+}

@@ -1,0 +1,328 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import TextFunctions._
+
+/** Deduplication operators over the `documents` / `embeddings` tables —
+  * exact, MinHash+LSH, SimHash, blocked n-gram Jaccard, and
+  * embedding-cosine near-dup (the north-star training-data extensions;
+  * the reference deduplicates only by objectId overwrite, SURVEY §2 P4).
+  *
+  * The test corpus has no duplicates, so each query first derives a
+  * corpus-with-planted-dups (exact copies / first-token-dropped near-copies
+  * / perturbed vectors) with engine-portable arithmetic, then runs the real
+  * pipeline. The planting is part of the query so the DuckDB oracle can
+  * replay it; the pipelines themselves never depend on it.
+  *
+  * Scale shapes (the point of each design):
+  *   - exact: one hash-groupBy — a single shuffle on the content hash.
+  *   - MinHash+LSH: shingle explode → per-doc signature (one groupBy) →
+  *     band explode → bucket join. Candidate pairs ∝ colliding docs, never
+  *     the O(n²) cross join.
+  *   - SimHash: per-doc 32-bit signature via one groupBy; banding the bits
+  *     (4×8) gives hamming-LSH buckets — again no cross join.
+  *   - n-gram Jaccard: exhaustive only WITHIN small blocks (lang, source) —
+  *     the classic blocking escape hatch when LSH recall isn't wanted.
+  *   - embedding near-dup: random-hyperplane LSH bands prefilter, exact
+  *     cosine on survivors only.
+  */
+object DedupQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Documents ∪ planted near-duplicates: every `doc_id % 7 == 0` doc gets
+    * a copy (id + 1000000) with the first token dropped; every
+    * `doc_id % 13 == 0` doc gets an EXACT copy (id + 2000000). */
+  private def planted(s: SparkSession, d: String): DataFrame = {
+    val base = Tables(s, d, "documents").select(col("doc_id"), col("text"), col("lang"), col("source"))
+    val near = base.filter(col("doc_id") % 7 === 0).select(
+      (col("doc_id") + 1000000L).as("doc_id"),
+      expr("substring(text, instr(text, ' ') + 1)").as("text"),
+      col("lang"), col("source"))
+    val exact = base.filter(col("doc_id") % 13 === 0).select(
+      (col("doc_id") + 2000000L).as("doc_id"), col("text"), col("lang"), col("source"))
+    base.unionByName(near).unionByName(exact)
+  }
+
+  private val PlantedSql =
+    """SELECT doc_id, text, lang, source FROM documents
+      |UNION ALL
+      |SELECT doc_id + 1000000, substr(text, strpos(text, ' ') + 1), lang, source
+      |FROM documents WHERE doc_id % 7 = 0
+      |UNION ALL
+      |SELECT doc_id + 2000000, text, lang, source FROM documents WHERE doc_id % 13 = 0""".stripMargin
+
+  // ---------------------------------------------------------------- dd1
+  /** Exact dedup: groupBy(md5(text)), keep the smallest doc_id per content
+    * group. One shuffle on the content hash at any scale. */
+  private def dd1(s: SparkSession, d: String): DataFrame =
+    planted(s, d)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .groupBy()
+      .agg(
+        count(lit(1)).as("n_unique"),
+        sum(col("n_copies")).as("n_total"),
+        sum(col("n_copies") - 1).as("n_removed"),
+        sum(when(col("n_copies") > 1, 1L).otherwise(0L)).as("n_dup_groups"),
+        min(col("keep_id")).as("min_keep"),
+        max(col("keep_id")).as("max_keep"))
+
+  private val dd1Sql =
+    s"""WITH corpus AS ($PlantedSql),
+       |g AS (SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
+       |             COUNT(*) AS n_copies
+       |      FROM corpus GROUP BY md5(text))
+       |SELECT COUNT(*) AS n_unique, CAST(SUM(n_copies) AS BIGINT) AS n_total,
+       |       CAST(SUM(n_copies - 1) AS BIGINT) AS n_removed,
+       |       CAST(SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
+       |       MIN(keep_id) AS min_keep, MAX(keep_id) AS max_keep
+       |FROM g""".stripMargin
+
+  // ---------------------------------------------------------------- dd2
+  /** MinHash + LSH near-dedup: 3-token shingles → 12-perm MinHash signature
+    * → 4 bands × 3 rows → bucket-join candidates → exact Jaccard verify
+    * (integer n_inter/n_union, threshold 0.6). */
+  private def dd2(s: SparkSession, d: String): DataFrame = {
+    val corpus = planted(s, d)
+    // distinct (doc, shingle-hash < p) rows
+    val sh = corpus.select(col("doc_id"),
+        explode(shingles(tokens(col("text")), 3)).as("shingle"))
+      .select(col("doc_id"), (stableHash32(col("shingle")) % MinhashPrime).as("h"))
+      .distinct()
+    // 12-column MinHash signature per doc
+    val mhCols = MinhashParams.zipWithIndex.map { case ((a, b), i) =>
+      min(perm(col("h"), a, b)).as(s"mh$i") }
+    val sig = sh.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
+    // 4 bands × 3 rows; band signature = joined minhash triple
+    val bands = (0 until 4).map { bnd =>
+      sig.select(col("doc_id"), lit(bnd).as("band"),
+        concat_ws("-", (0 until 3).map(r => col(s"mh${bnd * 3 + r}")): _*).as("sig"))
+    }.reduce(_ unionAll _)
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+    // exact Jaccard verify on the shingle sets of candidates only
+    val sa = sh.select(col("doc_id").as("a"), col("h"))
+    val sb = sh.select(col("doc_id").as("b"), col("h"))
+    val inter = cand.join(sa, "a").join(sb, Seq("b", "h"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_inter"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n_sh", "na"), "a")
+      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n_sh", "nb"), "b")
+      .select(col("a"), col("b"), col("n_inter"),
+        (col("na") + col("nb") - col("n_inter")).as("n_union"))
+      .filter(col("n_inter") * 10 >= col("n_union") * 6)
+      .orderBy(col("a"), col("b"))
+  }
+
+  private def mhTermsSql: String = MinhashParams.zipWithIndex.map { case ((a, b), i) =>
+    s"MIN((h % ${MinhashPrime} * $a + $b) % ${MinhashPrime}) AS mh$i" }.mkString(",\n    ")
+
+  private def bandsSql: String = (0 until 4).map { bnd =>
+    val triple = (0 until 3).map(r => s"mh${bnd * 3 + r}").mkString(", ")
+    s"SELECT doc_id, $bnd AS band, concat_ws('-', $triple) AS sig FROM sig"
+  }.mkString("\n  UNION ALL ")
+
+  private val dd2Sql =
+    s"""WITH corpus AS ($PlantedSql),
+       |toks AS (SELECT doc_id,
+       |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS tk
+       |  FROM corpus),
+       |sh AS (SELECT DISTINCT doc_id,
+       |    CAST(('0x' || substr(md5(sg), 1, 8)) AS BIGINT) % ${MinhashPrime} AS h
+       |  FROM (SELECT doc_id,
+       |          concat_ws(' ', tk[CAST(i AS INTEGER)], tk[CAST(i AS INTEGER)+1], tk[CAST(i AS INTEGER)+2]) AS sg
+       |        FROM toks, unnest(range(1, len(tk) - 1)) AS t(i))),
+       |sig AS (SELECT doc_id,
+       |    $mhTermsSql
+       |  FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  $bandsSql),
+       |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+       |inter AS (SELECT a, b, COUNT(*) AS n_inter
+       |  FROM cand JOIN sh sa ON sa.doc_id = a JOIN sh sb ON sb.doc_id = b AND sb.h = sa.h
+       |  GROUP BY a, b),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id)
+       |SELECT a, b, n_inter, za.n_sh + zb.n_sh - n_inter AS n_union
+       |FROM inter JOIN sizes za ON za.doc_id = a JOIN sizes zb ON zb.doc_id = b
+       |WHERE n_inter * 10 >= (za.n_sh + zb.n_sh - n_inter) * 6
+       |ORDER BY a, b""".stripMargin
+
+  // ---------------------------------------------------------------- dd3
+  /** SimHash near-dedup: 32-bit signature from distinct token hashes,
+    * 4 byte-bands as hamming-LSH buckets, pairs with hamming ≤ 6. */
+  private def dd3(s: SparkSession, d: String): DataFrame = {
+    val corpus = planted(s, d)
+    val th = corpus.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), stableHash32(col("tok")).as("h")).distinct()
+    val bitSums = (0 until 32).map { j =>
+      sum(when(shiftright(col("h"), j) % 2 === 1, 1L).otherwise(-1L)).as(s"s$j") }
+    val simhash = (0 until 32).map { j =>
+      when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)) }.reduce(_ + _)
+    val sig = th.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), simhash.as("simhash"))
+    val bands = (0 until 4).map { bnd =>
+      sig.select(col("doc_id"), col("simhash"), lit(bnd).as("band"),
+        (shiftright(col("simhash"), bnd * 8) % 256).as("bv"))
+    }.reduce(_ unionAll _)
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      // ≤2 of 32 bits: the corpus shares one small vocabulary, so looser
+      // thresholds flag half the corpus as near-dups (67k pairs at ≤6)
+      .filter(col("hamming") <= 2)
+      .orderBy(col("a"), col("b"))
+  }
+
+  private def simTermsSql: String = (0 until 32).map { j =>
+    s"SUM(CASE WHEN (h >> $j) % 2 = 1 THEN 1 ELSE -1 END) AS s$j" }.mkString(",\n    ")
+
+  private def simValSql: String = (0 until 32).map { j =>
+    s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END" }.mkString(" + ")
+
+  private def simBandsSql: String = (0 until 4).map { bnd =>
+    s"SELECT doc_id, simhash, $bnd AS band, (simhash >> ${bnd * 8}) % 256 AS bv FROM sig"
+  }.mkString("\n  UNION ALL ")
+
+  private val dd3Sql =
+    s"""WITH corpus AS ($PlantedSql),
+       |th AS (SELECT DISTINCT doc_id,
+       |    CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h
+       |  FROM (SELECT doc_id,
+       |          unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS tok
+       |        FROM corpus)),
+       |sums AS (SELECT doc_id,
+       |    $simTermsSql
+       |  FROM th GROUP BY doc_id),
+       |sig AS (SELECT doc_id, $simValSql AS simhash FROM sums),
+       |bands AS (
+       |  $simBandsSql)
+       |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+       |  CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming
+       |FROM bands x JOIN bands y
+       |  ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id
+       |WHERE bit_count(xor(x.simhash, y.simhash)) <= 2
+       |ORDER BY a, b""".stripMargin
+
+  // ---------------------------------------------------------------- dd4
+  /** Blocked n-gram Jaccard: exhaustive token-bigram Jaccard, but ONLY
+    * within (lang, source) blocks — pair count is Σ block² not corpus². */
+  private def dd4(s: SparkSession, d: String): DataFrame = {
+    val corpus = planted(s, d)
+    val bg = corpus.select(col("doc_id"), col("lang"), col("source"),
+        explode(shingles(tokens(col("text")), 2)).as("bigram"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        stableHash32(col("bigram")).as("h"))
+      .distinct()
+    val sizes = bg.groupBy(col("doc_id")).agg(count(lit(1)).as("n_bg"))
+    val inter = bg.as("x").join(bg.as("y"),
+        col("x.lang") === col("y.lang") && col("x.source") === col("y.source") &&
+          col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n_bg", "na"), "a")
+      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n_bg", "nb"), "b")
+      .select(col("a"), col("b"), col("n_inter"),
+        (col("na") + col("nb") - col("n_inter")).as("n_union"))
+      .filter(col("n_inter") * 2 >= col("n_union"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  private val dd4Sql =
+    s"""WITH corpus AS ($PlantedSql),
+       |toks AS (SELECT doc_id, lang, source,
+       |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS tk
+       |  FROM corpus),
+       |bg AS (SELECT DISTINCT doc_id, lang, source,
+       |    CAST(('0x' || substr(md5(sg), 1, 8)) AS BIGINT) AS h
+       |  FROM (SELECT doc_id, lang, source,
+       |          concat_ws(' ', tk[CAST(i AS INTEGER)], tk[CAST(i AS INTEGER)+1]) AS sg
+       |        FROM toks, unnest(range(1, len(tk))) AS t(i))),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_bg FROM bg GROUP BY doc_id),
+       |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS n_inter
+       |  FROM bg x JOIN bg y
+       |    ON x.lang = y.lang AND x.source = y.source AND x.h = y.h
+       |   AND x.doc_id < y.doc_id
+       |  GROUP BY x.doc_id, y.doc_id)
+       |SELECT a, b, n_inter, za.n_bg + zb.n_bg - n_inter AS n_union
+       |FROM inter JOIN sizes za ON za.doc_id = a JOIN sizes zb ON zb.doc_id = b
+       |WHERE n_inter * 2 >= za.n_bg + zb.n_bg - n_inter
+       |ORDER BY a, b""".stripMargin
+
+  // ---------------------------------------------------------------- dd5
+  /** Embedding-cosine near-dup: plant perturbed copies (v' = 1.001·v +
+    * 0.0005, exact double arithmetic), prefilter with 16-plane hyperplane
+    * LSH in 4 bands, exact cosine ≥ 0.999 on candidates only. */
+  private def dd5(s: SparkSession, d: String): DataFrame = {
+    val base = Tables(s, d, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val pert = base.filter(col("vec_id") % 11 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("v"), x => x * 1.001 + 0.0005).as("v"))
+    val vecs = base.unionByName(pert)
+    val withSig = vecs.select(col("vec_id"), col("v"), Similarity.lshSig(col("v")).as("sig"))
+    val bands = (0 until 4).map { bnd =>
+      withSig.select(col("vec_id"), col("v"), lit(bnd).as("band"),
+        (shiftright(col("sig"), bnd * 4) % 16).as("bv"))
+    }.reduce(_ unionAll _)
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("x.v").as("va"),
+        col("y.vec_id").as("b"), col("y.v").as("vb"))
+      .dropDuplicates("a", "b")
+    cand.select(col("a"), col("b"), Similarity.cosine(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= 0.999)
+      .orderBy(col("a"), col("b"))
+  }
+
+  private val dd5Sql =
+    s"""WITH base AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |vecs AS (
+       |  SELECT vec_id, v FROM base
+       |  UNION ALL
+       |  SELECT vec_id + 1000000, list_transform(v, x -> x * 1.001 + 0.0005)
+       |  FROM base WHERE vec_id % 11 = 0),
+       |sig AS (SELECT vec_id, v, ${Similarity.lshSigSql("v")} AS sig FROM vecs),
+       |bands AS (
+       |  ${(0 until 4).map(b => s"SELECT vec_id, v, $b AS band, (sig >> ${b * 4}) % 16 AS bv FROM sig").mkString("\n  UNION ALL ")}),
+       |cand AS (SELECT x.vec_id AS a, any_value(x.v) AS va,
+       |                y.vec_id AS b, any_value(y.v) AS vb
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bv = y.bv AND x.vec_id < y.vec_id
+       |  GROUP BY x.vec_id, y.vec_id)
+       |SELECT a, b, ${Similarity.cosineSql("va", "vb")} AS cos
+       |FROM cand
+       |WHERE ${Similarity.cosineSql("va", "vb")} >= 0.999
+       |ORDER BY a, b""".stripMargin
+
+  // ---------------------------------------------------------------- registry
+
+  val queries: Map[String, Q] = Map(
+    "dd1_exact_dedup" -> dd1 _,
+    "dd2_minhash_lsh" -> dd2 _,
+    "dd3_simhash" -> dd3 _,
+    "dd4_ngram_jaccard" -> dd4 _,
+    "dd5_embed_neardup" -> dd5 _)
+
+  val oracle: Map[String, String] = Map(
+    "dd1_exact_dedup" -> dd1Sql,
+    "dd2_minhash_lsh" -> dd2Sql,
+    "dd3_simhash" -> dd3Sql,
+    "dd4_ngram_jaccard" -> dd4Sql,
+    "dd5_embed_neardup" -> dd5Sql)
+}

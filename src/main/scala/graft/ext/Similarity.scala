@@ -1,0 +1,148 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+import TextFunctions.planeWeight
+
+/** Similarity search over the `embeddings` table (`Array[Float]` column) —
+  * brute-force cosine top-k as the correctness baseline, random-hyperplane
+  * LSH bucketing as the 100 TB path (north-star extension; absent from the
+  * reference, whose only "similarity" is ES relevance, SURVEY §2 C).
+  *
+  * All vector math is double fold-left (`aggregate`) in a fixed order so
+  * the DuckDB oracle (sequential `list_reduce`) is bit-identical — no
+  * rounding anywhere.
+  *
+  * Scale shapes:
+  *   - brute force: queries × corpus — only sane when the query side is
+  *     broadcast-small; the plan broadcasts it explicitly.
+  *   - LSH: per-vector 16-bit signature (one projection pass), 4×4-bit
+  *     bands → bucket equi-join. Corpus side shuffles once on (band,
+  *     bucket); candidate count ∝ bucket collisions, never |corpus|².
+  *     An IVF variant would swap the signature for a coarse-centroid id —
+  *     same join shape.
+  */
+object Similarity {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Sequential fold-left dot product — order-matched with the oracle. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, z) => acc + z)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** 16-bit random-hyperplane signature of a double-array column. */
+  def lshSig(v: Column): Column =
+    (0 until 16).map { p =>
+      val proj = aggregate(sequence(lit(0), size(v) - 1), lit(0.0),
+        (acc, i) => acc + element_at(v, i + 1) * planeWeight(p, i))
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** DuckDB mirror of `dot` — sequential list_reduce from a 0.0 seed. */
+  def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0, list_transform(list_zip($a, $b), z -> z[1] * z[2])), (acc, x) -> acc + x)"
+
+  def cosineSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+
+  /** DuckDB mirror of `lshSig`. */
+  def lshSigSql(v: String): String =
+    (0 until 16).map { p =>
+      val w = s"(CAST((1103515245 * (${p.toLong * 97L} + i + 1) + 12345) % 1000003 - 500001 AS DOUBLE) / 500001.0)"
+      val proj = s"list_reduce(list_prepend(0.0, list_transform(range(0, len($v)), i -> $v[CAST(i + 1 AS INTEGER)] * $w)), (acc, x) -> acc + x)"
+      s"(CASE WHEN $proj >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  private def vecs(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "embeddings")
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+
+  private val VecsSql =
+    "SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings"
+
+  // ---------------------------------------------------------------- s1
+  /** Brute-force cosine top-k: every `vec_id % 50 == 0` vector queries the
+    * whole corpus; top-5 by (cosine desc, id asc), self excluded. */
+  private def s1(s: SparkSession, d: String): DataFrame = {
+    val all = vecs(s, d)
+    val q = all.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val scored = all.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        cosine(col("qv"), col("v")).as("cos"))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"), col("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  private val s1Sql =
+    s"""WITH vecs AS ($VecsSql),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM vecs WHERE vec_id % 50 = 0),
+       |scored AS (
+       |  SELECT q_id, vec_id AS n_id, ${cosineSql("qv", "v")} AS cos
+       |  FROM vecs CROSS JOIN q WHERE vec_id <> q_id)
+       |SELECT q_id, rank, n_id, cos FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+       |  FROM scored) WHERE rank <= 5
+       |ORDER BY q_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------- s2
+  /** LSH-bucketed ANN: same queries, but neighbors come only from vectors
+    * sharing ≥ 1 of the 4 signature bands — the scale path. Top-3 by exact
+    * cosine among candidates. */
+  private def s2(s: SparkSession, d: String): DataFrame = {
+    val all = vecs(s, d).select(col("vec_id"), col("v"), lshSig(col("v")).as("sig"))
+    val bands = (0 until 4).map { bnd =>
+      all.select(col("vec_id"), col("v"), lit(bnd).as("band"),
+        (shiftright(col("sig"), bnd * 4) % 16).as("bv"))
+    }.reduce(_ unionAll _)
+    val qb = bands.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("band"), col("bv"))
+    val cand = bands.join(qb,
+        Seq("band", "bv")).filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("qv"), col("vec_id").as("n_id"), col("v"))
+      .dropDuplicates("q_id", "n_id")
+    cand.select(col("q_id"), col("n_id"), cosine(col("qv"), col("v")).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"), col("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  private val s2Sql =
+    s"""WITH vecs AS ($VecsSql),
+       |sigs AS (SELECT vec_id, v, ${lshSigSql("v")} AS sig FROM vecs),
+       |bands AS (
+       |  ${(0 until 4).map(b => s"SELECT vec_id, v, $b AS band, (sig >> ${b * 4}) % 16 AS bv FROM sigs").mkString("\n  UNION ALL ")}),
+       |cand AS (
+       |  SELECT q.vec_id AS q_id, any_value(q.v) AS qv,
+       |         x.vec_id AS n_id, any_value(x.v) AS nv
+       |  FROM bands x JOIN bands q ON x.band = q.band AND x.bv = q.bv
+       |  WHERE q.vec_id % 50 = 0 AND x.vec_id <> q.vec_id
+       |  GROUP BY q.vec_id, x.vec_id)
+       |SELECT q_id, rank, n_id, cos FROM (
+       |  SELECT q_id, n_id, ${cosineSql("qv", "nv")} AS cos,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ${cosineSql("qv", "nv")} DESC, n_id) AS rank
+       |  FROM cand) WHERE rank <= 3
+       |ORDER BY q_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------- registry
+
+  val queries: Map[String, Q] = Map(
+    "s1_cosine_topk" -> s1 _,
+    "s2_lsh_ann" -> s2 _)
+
+  val oracle: Map[String, String] = Map(
+    "s1_cosine_topk" -> s1Sql,
+    "s2_lsh_ann" -> s2Sql)
+}

@@ -1,0 +1,68 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Shared text/hash primitives for the training-data-pipeline operators
+  * (dedup, similarity, text analysis — the scale extensions named in
+  * BASELINE.json's north_star; the reference itself has no text pipeline,
+  * SURVEY §2 D).
+  *
+  * Every primitive here is chosen to be **bit-reproducible in any SQL
+  * engine** (the DuckDB oracle replays the same arithmetic):
+  *
+  *   - `tokens`: whitespace split, empties dropped.
+  *   - `stableHash32`: first 8 hex chars of md5 as an unsigned 32-bit value
+  *     in a long — md5 is engine-independent, so every downstream sketch
+  *     (MinHash perms, SimHash bits, LSH planes) is deterministic
+  *     everywhere. Deliberately NOT Spark's `xxhash64` (fast but
+  *     Spark-private semantics → un-oracle-able).
+  *
+  * Scale shape: all pure column expressions — codegen'd, no UDFs, no
+  * driver-side state; they ride whole-stage codegen inside whatever
+  * operator uses them.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens, empty strings removed. */
+  def tokens(c: Column): Column =
+    filter(split(c, "\\s+"), t => t =!= "")
+
+  /** Engine-portable 32-bit hash in [0, 2^32) as a long. */
+  def stableHash32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** MinHash permutation `(a*h + b) mod p` — `h` must already be < p so the
+    * product stays < 2^62 (no overflow divergence between engines). */
+  val MinhashPrime = 1000000007L
+  def perm(h: Column, a: Long, b: Long): Column =
+    (h % MinhashPrime * lit(a) + lit(b)) % MinhashPrime
+
+  /** The (a, b) parameter pairs of the MinHash permutation family — small
+    * fixed odd multipliers; any fixed family works, this one is shared with
+    * the oracle SQL verbatim. */
+  val MinhashParams: Seq[(Long, Long)] = Seq(
+    (131L, 7L), (137L, 11L), (139L, 13L), (149L, 17L),
+    (151L, 19L), (157L, 23L), (163L, 29L), (167L, 31L),
+    (173L, 37L), (179L, 41L), (181L, 43L), (191L, 47L))
+
+  /** Word n-gram shingles: `n`-token windows joined by a single space.
+    * Pure array expression; the `when` guard matters — Spark's
+    * `sequence(1, 0)` DESCENDS to [1, 0] rather than yielding [], which
+    * would probe past the array on short inputs. */
+  def shingles(toks: Column, n: Int): Column = {
+    val count = size(toks) - (n - 1)
+    when(count < 1, array().cast(org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType)))
+      .otherwise(transform(sequence(lit(1), count), i =>
+        concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
+  }
+
+  /** Deterministic pseudo-random hyperplane weight for LSH plane `p`,
+    * dimension `d`: an LCG step mapped to [-1, 1). Exact integer arithmetic
+    * (< 2^62) then one exact double division — identical in any engine. */
+  def planeWeight(p: Int, d: Column): Column = {
+    val m = (lit(1103515245L) * (lit(p.toLong * 97L) + d + 1L) + 12345L) % 1000003L
+    (m - 500001L).cast("double") / lit(500001.0)
+  }
+}

@@ -1,0 +1,208 @@
+package graft.relational
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Relational surface, part 2 — grouping-set/cube, pivot, event-time
+  * sessionization, as-of join, and exact percentiles (SURVEY §2D
+  * dispositions that round 1 left to built-ins, now exercised as declared
+  * queries so the driver's oracle locks them).
+  *
+  * Oracle-parity rules are RelationalQueries' (decimal-cast sums, total
+  * ORDER BY, IEEE-deterministic per-row math).
+  */
+object RelationalQueries2 {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def m(c: Column): Column = c.cast(DecimalType(12, 2))
+  private def dbl(c: Column): Column = c.cast(DecimalType(28, 6)).cast("double")
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
+
+  // ---------------------------------------------------------------- q21
+  /** CUBE grouping sets over (mktsegment, nation) — all four grouping
+    * combinations in one pass (Spark expands to a single shuffle). */
+  private def q21(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer")
+      .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .cube(col("c_mktsegment"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"), dbl(sum(m(col("c_acctbal")))).as("total_bal"))
+      .orderBy(col("c_mktsegment").asc_nulls_first, col("n_name").asc_nulls_first)
+
+  private val q21Sql =
+    """SELECT c_mktsegment, n_name, COUNT(*) AS n_cust,
+      |  CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(28,6)) AS DOUBLE) AS total_bal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY CUBE (c_mktsegment, n_name)
+      |ORDER BY c_mktsegment ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- q22
+  /** Pivot: order counts per nation × priority — Spark `pivot` with an
+    * explicit value list (no extra distinct-scan), equivalent to manual
+    * CASE aggregation; one shuffle on the groupBy key. */
+  private def q22(s: SparkSession, d: String): DataFrame = {
+    val pris = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    t(s, d, "orders")
+      .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .pivot(col("o_orderpriority"), pris)
+      .agg(count(lit(1)))
+      .select(col("n_name"),
+        coalesce(col("1-URGENT"), lit(0L)).as("p_urgent"),
+        coalesce(col("2-HIGH"), lit(0L)).as("p_high"),
+        coalesce(col("3-MEDIUM"), lit(0L)).as("p_medium"),
+        coalesce(col("4-NOT SPECIFIED"), lit(0L)).as("p_notspec"),
+        coalesce(col("5-LOW"), lit(0L)).as("p_low"))
+      .orderBy(col("n_name"))
+  }
+
+  private val q22Sql =
+    """SELECT n_name,
+      |  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS p_urgent,
+      |  CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS p_high,
+      |  CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS p_medium,
+      |  CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS p_notspec,
+      |  CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS p_low
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  // ---------------------------------------------------------------- q23
+  /** Event-time sessionization (gaps-and-islands): per-user sessions split
+    * at >30-min gaps — lag + cumulative-sum window, then per-session and
+    * per-user aggregation. All windows partition by user_id: one shuffle,
+    * no cross-user data movement, scales with user count. */
+  private def q23(s: SparkSession, d: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts_us").as("us"))
+    val flagged = ev.select(col("user_id"), col("event_id"), col("us"),
+      when(col("us") - lag(col("us"), 1).over(wOrd) > 30L * 60 * 1000000, 1L)
+        .otherwise(0L).as("new_sess"))
+    val sess = flagged.select(col("user_id"), col("us"),
+      sum(col("new_sess")).over(wOrd).as("sess_id"))
+    sess.groupBy(col("user_id"), col("sess_id"))
+      .agg(count(lit(1)).as("n_events"),
+        ((max(col("us")) - min(col("us"))) / lit(1000000L)).cast("long").as("dur_sec"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"),
+        max(col("n_events")).as("max_sess_events"),
+        sum(col("dur_sec")).as("total_dur_sec"))
+      .orderBy(col("user_id"))
+  }
+
+  private val q23Sql =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+      |flagged AS (
+      |  SELECT user_id, event_id, us,
+      |    CASE WHEN us - LAG(us, 1) OVER (PARTITION BY user_id ORDER BY us, event_id)
+      |              > 30 * 60 * 1000000 THEN 1 ELSE 0 END AS new_sess
+      |  FROM ev),
+      |sess AS (
+      |  SELECT user_id, us,
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id) AS sess_id
+      |  FROM flagged),
+      |per_sess AS (
+      |  SELECT user_id, sess_id, COUNT(*) AS n_events,
+      |    (MAX(us) - MIN(us)) // 1000000 AS dur_sec
+      |  FROM sess GROUP BY user_id, sess_id)
+      |SELECT user_id, COUNT(*) AS n_sessions,
+      |  CAST(SUM(n_events) AS BIGINT) AS n_events,
+      |  MAX(n_events) AS max_sess_events,
+      |  CAST(SUM(dur_sec) AS BIGINT) AS total_dur_sec
+      |FROM per_sess GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- q24
+  /** As-of join: each purchase event picks the latest view event of the
+    * same user at-or-before its time. Spark has no as-of operator, so it is
+    * composed as the scalable union-and-window trick — tag both streams,
+    * one window pass per user — instead of a range join (which would
+    * explode to |purchases|×|views| pairs before filtering at scale). */
+  private def q24(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("user_id"), col("event_id"),
+      col("ts_us").as("us"), col("event_type"), col("value"))
+    // side 0 = view (the reference stream), side 1 = purchase (the probe):
+    // at equal us, view sorts first, so a simultaneous view IS visible.
+    val tagged = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("us"), lit(0).as("side"), col("event_id"), col("value"))
+      .unionByName(ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("us"), lit(1).as("side"), col("event_id"), col("value")))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("side"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val joined = tagged.select(
+      col("user_id"), col("us"), col("side"), col("event_id"), col("value"),
+      last(when(col("side") === 0, col("event_id")), ignoreNulls = true).over(w).as("view_id"),
+      last(when(col("side") === 0, col("us")), ignoreNulls = true).over(w).as("view_us"))
+    joined.filter(col("side") === 1)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("value").as("purchase_value"), col("view_id"),
+        ((col("us") - col("view_us")) / lit(1000000L)).cast("long").as("lag_sec"))
+      .orderBy(col("purchase_id"))
+  }
+
+  private val q24Sql =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us, event_type, value FROM events),
+      |tagged AS (
+      |  SELECT user_id, us, 0 AS side, event_id, value FROM ev WHERE event_type = 'view'
+      |  UNION ALL
+      |  SELECT user_id, us, 1 AS side, event_id, value FROM ev WHERE event_type = 'purchase'),
+      |joined AS (
+      |  SELECT user_id, us, side, event_id, value,
+      |    LAST_VALUE(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY us, side, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS view_id,
+      |    LAST_VALUE(CASE WHEN side = 0 THEN us END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY us, side, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS view_us
+      |  FROM tagged)
+      |SELECT event_id AS purchase_id, user_id, value AS purchase_value,
+      |  view_id, (us - view_us) // 1000000 AS lag_sec
+      |FROM joined WHERE side = 1 ORDER BY purchase_id""".stripMargin
+
+  // ---------------------------------------------------------------- q25
+  /** Exact percentiles (binary-exact fractions over integer inputs, so the
+    * linear interpolation is IEEE-exact in any engine). Spark computes all
+    * three in one aggregation pass. */
+  private def q25(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(CAST(l_quantity AS BIGINT), 0.25)").as("p25"),
+        expr("percentile(CAST(l_quantity AS BIGINT), 0.5)").as("p50"),
+        expr("percentile(CAST(l_quantity AS BIGINT), 0.75)").as("p75"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  private val q25Sql =
+    """SELECT l_returnflag,
+      |  quantile_cont(CAST(l_quantity AS BIGINT), 0.25) AS p25,
+      |  quantile_cont(CAST(l_quantity AS BIGINT), 0.5) AS p50,
+      |  quantile_cont(CAST(l_quantity AS BIGINT), 0.75) AS p75,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- registry
+
+  val queries: Map[String, Q] = Map(
+    "q21_cube" -> q21 _,
+    "q22_pivot" -> q22 _,
+    "q23_sessionize" -> q23 _,
+    "q24_asof_join" -> q24 _,
+    "q25_percentiles" -> q25 _)
+
+  val oracle: Map[String, String] = Map(
+    "q21_cube" -> q21Sql,
+    "q22_pivot" -> q22Sql,
+    "q23_sessionize" -> q23Sql,
+    "q24_asof_join" -> q24Sql,
+    "q25_percentiles" -> q25Sql)
+}

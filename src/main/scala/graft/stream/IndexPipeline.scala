@@ -1,0 +1,132 @@
+package graft.stream
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.Tables
+
+/** P1–P5 — the reference's async indexing pipeline (SURVEY §2 B), rebuilt
+  * as Structured Streaming: a mutation log is consumed in micro-batches and
+  * merged into a last-write-wins state table keyed by entity id.
+  *
+  * Reference semantics upgraded, not copied: RabbitMQ's non-durable queue
+  * gives at-most-once delivery (`BdiDemoApplication.java:23`, listener
+  * swallows errors `IndexingListener.java:53-57`); checkpointing + an
+  * idempotent merge give exactly-once here. SAVE upserts the latest record
+  * per key (`IndexingListener.java:115-125` — ES PUT by id), DELETE
+  * tombstones it (`:127-131`).
+  *
+  * Scale shape: each micro-batch merge is `(state ∪ batch) → max-seq per
+  * key` — one shuffle on the key; state lives in a keyed columnar table
+  * (at cluster scale: bucketed by key hash so the merge join never
+  * re-shuffles the big side; never collected to the driver).
+  */
+object IndexPipeline {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** The `events` table as a mutation log: `event_id` = sequence number,
+    * `user_id` = entity key, 'error' events = DELETE, all else SAVE. */
+  def mutationLog(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(
+      col("event_id").as("seq"),
+      col("user_id").as("key"),
+      when(col("event_type") === "error", "DELETE").otherwise("SAVE").as("op"),
+      col("event_type"), col("value"))
+
+  /** Merge one micro-batch into `state`: keep the max-seq record per key.
+    * Pure DataFrame→DataFrame so the batch path reuses it verbatim. */
+  def merge(state: DataFrame, batch: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("key")).orderBy(col("seq").desc)
+    val counted = batch.groupBy(col("key")).agg(
+      max(col("seq")).as("b_seq"), count(lit(1)).as("b_n"))
+    val latest = batch.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+      .join(counted, "key")
+      .select(col("key"), col("seq"), col("op"), col("event_type"),
+        col("value"), col("b_n").as("n_events"))
+    state.unionByName(latest)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_total", sum(col("n_events")).over(Window.partitionBy(col("key"))))
+      .filter(col("rn") === 1)
+      .select(col("key"), col("seq"), col("op"), col("event_type"),
+        col("value"), col("n_total").as("n_events"))
+  }
+
+  /** Run the whole log through the streaming pipeline in `nFiles`
+    * micro-batches (Trigger.AvailableNow + maxFilesPerTrigger=1) and
+    * return the final state: live (non-tombstoned) entities. */
+  def run(s: SparkSession, d: String, nFiles: Int = 4): DataFrame = {
+    val base = Files.createTempDirectory("graft-stream-")
+    val srcDir = base.resolve("log").toString
+    val ckDir = base.resolve("ck").toString
+    val stateDir = base.resolve("state")
+
+    // Stage the log as nFiles files split by seq range — deterministic
+    // micro-batch boundaries (file order = lexicographic part-file name).
+    val log = mutationLog(s, d)
+    val maxSeq = log.agg(max(col("seq"))).head().getLong(0) + 1
+    (0 until nFiles).foreach { i =>
+      log.filter(floor(col("seq") * nFiles / maxSeq) === i)
+        .coalesce(1).write.parquet(s"$srcDir/b$i")
+    }
+
+    var state: DataFrame = s.createDataFrame(
+      s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "key BIGINT, seq BIGINT, op STRING, event_type STRING, value DOUBLE, n_events BIGINT"))
+
+    val stream = s.readStream
+      .schema(log.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$srcDir/b*")
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // Persist state per batch (exactly-once: version dir per batch id,
+        // idempotent on replay).
+        val out = stateDir.resolve(s"v$batchId").toString
+        merge(state, batch).write.mode("overwrite").parquet(out)
+        state = s.read.parquet(out)
+        ()
+      }
+      .start()
+    stream.awaitTermination()
+
+    val result = state.filter(col("op") =!= "DELETE")
+      .select(col("key").as("user_id"), col("seq").as("last_event_id"),
+        col("event_type").as("last_type"), col("value").as("last_value"),
+        col("n_events"))
+      .orderBy(col("user_id"))
+      .localCheckpoint(true) // materialize before the temp dir is deleted
+    deleteRecursively(base)
+    result
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+
+  // ---------------------------------------------------------------- st1
+  private def st1(s: SparkSession, d: String): DataFrame = run(s, d)
+
+  private val st1Sql =
+    """WITH latest AS (
+      |  SELECT user_id, event_id, event_type, value,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn,
+      |    COUNT(*) OVER (PARTITION BY user_id) AS n_events
+      |  FROM events)
+      |SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+      |  value AS last_value, CAST(n_events AS BIGINT) AS n_events
+      |FROM latest WHERE rn = 1 AND event_type <> 'error'
+      |ORDER BY user_id""".stripMargin
+
+  val queries: Map[String, Q] = Map("st1_stream_upsert" -> st1 _)
+  val oracle: Map[String, String] = Map("st1_stream_upsert" -> st1Sql)
+}

@@ -1,0 +1,223 @@
+package graft.docs
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.model.PlanSchema
+
+/** Unit coverage for the document engine against the canonical plan
+  * document shape (the reference's `usecase.json` content: one plan, two
+  * planservices — SURVEY §5, FIXTURES.md §1). */
+class DocEngineSpec extends SparkSpec {
+
+  /** The canonical sample document as a JSON literal (same content as the
+    * reference's usecase.json fixture). */
+  val planJson: String =
+    """{"planCostShares":{"deductible":2000,"_org":"example.com","copay":23,
+      |"objectId":"1234vxc2324sdf-501","objectType":"membercostshare"},
+      |"linkedPlanServices":[
+      |{"linkedService":{"_org":"example.com","objectId":"1234520xvc30asdf-502",
+      |"objectType":"service","name":"Yearly physical"},
+      |"planserviceCostShares":{"deductible":10,"_org":"example.com","copay":0,
+      |"objectId":"1234512xvc1314asdfs-503","objectType":"membercostshare"},
+      |"_org":"example.com","objectId":"27283xvx9asdff-504","objectType":"planservice"},
+      |{"linkedService":{"_org":"example.com","objectId":"1234520xvc30sfs-505",
+      |"objectType":"service","name":"well baby"},
+      |"planserviceCostShares":{"deductible":10,"_org":"example.com","copay":175,
+      |"objectId":"1234512xvc1314sdfsd-506","objectType":"membercostshare"},
+      |"_org":"example.com","objectId":"27283xvx9sdf-507","objectType":"planservice"}],
+      |"_org":"example.com","objectId":"12xvxc345ssdsds-508","objectType":"plan",
+      |"planType":"inNetwork","creationDate":"12-12-2017"}""".stripMargin.replace("\n", "")
+
+  def docsDf(jsons: String*): DataFrame = {
+    import spark.implicits._
+    spark.read.schema(PlanSchema.plan).json(jsons.toDS).select(struct(
+      PlanSchema.plan.fields.toSeq.map(f => col(f.name)): _*).as("doc"))
+  }
+
+  lazy val docs: DataFrame = docsDf(planJson)
+  lazy val sh: Shredded = Shredder.shred(docs)
+
+  test("shred produces the 8 entity rows with reference key/tag format") {
+    val ents = sh.entities.select("key", "type_tag").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(ents === Set(
+      ("plan_12xvxc345ssdsds-508", "plan"),
+      ("planCostShares_1234vxc2324sdf-501", "planCostShares"),
+      ("planservice_27283xvx9asdff-504", "planservice"),
+      ("planservice_27283xvx9sdf-507", "planservice"),
+      ("linkedService_1234520xvc30asdf-502", "linkedService"),
+      ("linkedService_1234520xvc30sfs-505", "linkedService"),
+      ("planserviceCostShares_1234512xvc1314asdfs-503", "planserviceCostShares"),
+      ("planserviceCostShares_1234512xvc1314sdfsd-506", "planserviceCostShares")))
+  }
+
+  test("shred produces the 6 edge rows with array ordinals") {
+    val edges = sh.edges.collect().map(r =>
+      (r.getString(0), r.getString(1), Option(r.get(2)), r.getString(3))).toSet
+    assert(edges === Set(
+      ("plan_12xvxc345ssdsds-508", "planCostShares", None, "planCostShares_1234vxc2324sdf-501"),
+      ("plan_12xvxc345ssdsds-508", "linkedPlanServices", Some(0), "planservice_27283xvx9asdff-504"),
+      ("plan_12xvxc345ssdsds-508", "linkedPlanServices", Some(1), "planservice_27283xvx9sdf-507"),
+      ("planservice_27283xvx9asdff-504", "linkedService", None, "linkedService_1234520xvc30asdf-502"),
+      ("planservice_27283xvx9asdff-504", "planserviceCostShares", None, "planserviceCostShares_1234512xvc1314asdfs-503"),
+      ("planservice_27283xvx9sdf-507", "linkedService", None, "linkedService_1234520xvc30sfs-505"),
+      ("planservice_27283xvx9sdf-507", "planserviceCostShares", None, "planserviceCostShares_1234512xvc1314sdfsd-506")))
+  }
+
+  test("round-trip: assemble(shred(doc)) == doc, including array order") {
+    val back = Assembler.assemble(sh, PlanSchema.plan, "plan")
+    val orig = docs.select(to_json(CanonicalJson.canonicalize(col("doc"), PlanSchema.plan))).head.getString(0)
+    val rt = back.select(to_json(CanonicalJson.canonicalize(col("doc"), PlanSchema.plan))).head.getString(0)
+    assert(rt === orig)
+    val names = back.select(transform(col("doc.linkedPlanServices"),
+      x => x.getField("linkedService").getField("name"))).head.getSeq[String](0)
+    assert(names === Seq("Yearly physical", "well baby"))
+  }
+
+  test("empty array round-trips as empty (not null), null stays null") {
+    val emptyArr = planJson.replace(
+      """"linkedPlanServices":[{"linkedService"""",
+      """"ignored":[{"linkedService"""")
+    // emptyArr now has no linkedPlanServices key at all → null; also build one with []
+    val withEmpty = docsDf(planJson.substring(0, planJson.indexOf("\"linkedPlanServices\"")) +
+      "\"linkedPlanServices\":[]," +
+      planJson.substring(planJson.indexOf("\"_org\":\"example.com\",\"objectId\":\"12xvxc")))
+    val sh2 = Shredder.shred(withEmpty)
+    val back = Assembler.assemble(sh2, PlanSchema.plan, "plan")
+    val arr = back.select(col("doc.linkedPlanServices")).head
+    assert(!arr.isNullAt(0) && arr.getSeq[Row](0).isEmpty)
+
+    val shNull = Shredder.shred(docsDf(emptyArr))
+    val backNull = Assembler.assemble(shNull, PlanSchema.plan, "plan")
+    assert(backNull.select(col("doc.linkedPlanServices")).head.isNullAt(0))
+  }
+
+  test("merge-patch: scalar overwrite, same-id struct replace, array upsert moves to end, insert") {
+    val patchJson =
+      """{"planCostShares":{"deductible":99,"_org":"example.com","copay":77,
+        |"objectId":"1234vxc2324sdf-501","objectType":"membercostshare"},
+        |"linkedPlanServices":[
+        |{"linkedService":{"_org":"example.com","objectId":"1234520xvc30asdf-502",
+        |"objectType":"service","name":"PATCHED physical"},
+        |"planserviceCostShares":{"deductible":1,"_org":"example.com","copay":2,
+        |"objectId":"1234512xvc1314asdfs-503","objectType":"membercostshare"},
+        |"_org":"example.com","objectId":"27283xvx9asdff-504","objectType":"planservice"},
+        |{"linkedService":{"_org":"example.com","objectId":"svc-new","objectType":"service","name":"brand new"},
+        |"planserviceCostShares":{"deductible":3,"_org":"example.com","copay":4,
+        |"objectId":"pcs-new","objectType":"membercostshare"},
+        |"_org":"example.com","objectId":"ps-new","objectType":"planservice"}],
+        |"objectId":"12xvxc345ssdsds-508","objectType":"plan","planType":"outNetwork"}""".stripMargin.replace("\n", "")
+    val merged = MergePatch(docs, docsDf(patchJson), PlanSchema.plan)
+    assert(merged.count() === 1)
+    val row = merged.select(
+      col("doc.planType"), col("doc.creationDate"), col("doc._org"),
+      col("doc.planCostShares.deductible"),
+      transform(col("doc.linkedPlanServices"), x => x.getField("objectId"))).head
+    assert(row.getString(0) === "outNetwork")          // scalar overwritten
+    assert(row.getString(1) === "12-12-2017")          // absent in patch → kept
+    assert(row.getString(2) === "example.com")         // absent in patch → kept
+    assert(row.getLong(3) === 99L)                     // same-id struct replaced
+    // array upsert: -507 kept in place; -504 removed and re-appended; ps-new appended
+    assert(row.getSeq[String](4) === Seq("27283xvx9sdf-507", "27283xvx9asdff-504", "ps-new"))
+  }
+
+  test("merge-patch inserts unknown root objectId") {
+    val insert = planJson.replace("12xvxc345ssdsds-508", "brand-new-plan-1")
+    val merged = MergePatch(docs, docsDf(insert), PlanSchema.plan)
+    assert(merged.count() === 2)
+  }
+
+  test("cascade delete removes exactly the reachable closure") {
+    val roots = spark.createDataFrame(Seq(Tuple1("planservice_27283xvx9asdff-504"))).toDF("key")
+    val after = Mutations.cascadeDelete(sh, roots, Mutations.depth(PlanSchema.plan))
+    val keys = after.entities.select("key").collect().map(_.getString(0)).toSet
+    assert(keys === Set(
+      "plan_12xvxc345ssdsds-508",
+      "planCostShares_1234vxc2324sdf-501",
+      "planservice_27283xvx9sdf-507",
+      "linkedService_1234520xvc30sfs-505",
+      "planserviceCostShares_1234512xvc1314sdfsd-506"))
+    assert(after.edges.filter(col("parent_key") === "planservice_27283xvx9asdff-504").count() === 0)
+  }
+
+  test("etag is content-addressed: stable under field reordering, changes on content change") {
+    // Same content, different key order in the JSON text.
+    val reordered =
+      """{"creationDate":"12-12-2017","planType":"inNetwork","objectType":"plan",
+        |"objectId":"12xvxc345ssdsds-508","_org":"example.com"}""".stripMargin.replace("\n", "")
+    val base =
+      """{"_org":"example.com","objectId":"12xvxc345ssdsds-508","objectType":"plan",
+        |"planType":"inNetwork","creationDate":"12-12-2017"}""".stripMargin.replace("\n", "")
+    val changed = base.replace("inNetwork", "outNetwork")
+    val Seq(e1, e2, e3) = docsDf(reordered, base, changed)
+      .select(CanonicalJson.etag(col("doc"), PlanSchema.plan)).collect().toSeq.map(_.getLong(0))
+    assert(e1 === e2)
+    assert(e1 !== e3)
+  }
+
+  test("etag guard admits matching If-Match and rejects stale") {
+    val current = docs.select(
+      concat(col("doc.objectType"), lit("_"), col("doc.objectId")).as("key"),
+      CanonicalJson.etag(col("doc"), PlanSchema.plan).as("etag"))
+    val good = current.select(col("key"), col("etag").as("if_match"))
+    val stale = current.select(col("key"), (col("etag") + 1).as("if_match"))
+    val (ok1, bad1) = Mutations.etagGuard(good, current)
+    val (ok2, bad2) = Mutations.etagGuard(stale, current)
+    assert(ok1.count() === 1 && bad1.count() === 0)
+    assert(ok2.count() === 0 && bad2.count() === 1)
+  }
+
+  test("validator quarantines missing required fields") {
+    val bad = planJson.replace("\"planType\":\"inNetwork\",", "")
+    val (valid, quarantine) = Validator.validate(docsDf(planJson, bad))
+    assert(valid.count() === 1)
+    val errs = quarantine.select(explode(col("errors"))).collect().map(_.getString(0)).toSet
+    assert(errs === Set("missing required: planType"))
+  }
+
+  test("validator flags missing fields inside linkedPlanServices elements") {
+    val bad = planJson.replace("\"objectId\":\"27283xvx9asdff-504\",", "")
+    val (_, quarantine) = Validator.validate(docsDf(bad))
+    val errs = quarantine.select(explode(col("errors"))).collect().map(_.getString(0)).toSet
+    assert(errs.contains("missing required: linkedPlanServices[].objectId"))
+  }
+
+  test("glob translation handles *, ? and escapes SQL wildcards") {
+    assert(SearchOps.globToLike("example*") === "example%")
+    assert(SearchOps.globToLike("Year*") === "Year%")
+    assert(SearchOps.globToLike("a?c") === "a_c")
+    assert(SearchOps.globToLike("50%_x*") === "50\\%\\_x%")
+    import spark.implicits._
+    val df = Seq("example.com", "sample.com", "exam_le.com").toDF("s")
+    assert(df.filter(SearchOps.wildcard(col("s"), "example*")).count() === 1)
+    assert(df.filter(SearchOps.wildcard(col("s"), "exam_le*")).count() === 1)
+  }
+
+  test("canonical search queries Q1-Q5 over the sample doc") {
+    val assembledDocs = Assembler.assemble(sh, PlanSchema.plan, "plan")
+    assert(assembledDocs.count() === 1) // Q1 match_all
+    // Q2 nested match on linkedService.objectId (README.md:79-95)
+    assert(assembledDocs.filter(SearchOps.nestedMatch(col("doc.linkedPlanServices"),
+      x => x.getField("linkedService").getField("objectId") === "1234520xvc30asdf-502")).count() === 1)
+    // inner_hits projects exactly the matching element
+    val hits = assembledDocs.select(SearchOps.innerHits(col("doc.linkedPlanServices"),
+      x => x.getField("linkedService").getField("objectId") === "1234520xvc30asdf-502").as("h"))
+      .select(size(col("h"))).head.getInt(0)
+    assert(hits === 1)
+    // Q3 wildcard on _org (README.md:96-108)
+    assert(assembledDocs.filter(SearchOps.wildcard(col("doc._org"), "example*")).count() === 1)
+    assert(assembledDocs.filter(SearchOps.wildcard(col("doc._org"), "nomatch*")).count() === 0)
+    // Q4 nested wildcard on keyword name (README.md:109-127)
+    assert(assembledDocs.filter(SearchOps.nestedMatch(col("doc.linkedPlanServices"),
+      x => SearchOps.wildcard(x.getField("linkedService").getField("name"), "Year*"))).count() === 1)
+    // Q5 numeric range on copay (README.md:128-147)
+    assert(assembledDocs.filter(SearchOps.range(col("doc.planCostShares.copay"), 20, 35)).count() === 1)
+    assert(assembledDocs.filter(SearchOps.range(col("doc.planCostShares.copay"), 30, 35)).count() === 0)
+    // Q6 tokenized match
+    assert(docs.filter(SearchOps.tokenMatch(
+      element_at(col("doc.linkedPlanServices"), 1).getField("linkedService").getField("name"),
+      "yearly")).count() === 1)
+  }
+}

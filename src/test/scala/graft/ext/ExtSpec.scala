@@ -1,0 +1,103 @@
+package graft.ext
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.stream.IndexPipeline
+
+/** Unit coverage for the training-data-pipeline extensions: hash bridge,
+  * shingles, cosine/LSH, dedup invariants, decode stub, stream merge.
+  * (End-to-end values are locked by the DuckDB oracle; these specs pin the
+  * local semantics that the oracle can't isolate.) */
+class ExtSpec extends SparkSpec {
+
+  import TextFunctions._
+
+  private lazy val sf = "/root/testdata/sf0.001"
+
+  test("stableHash32 matches the md5-prefix contract") {
+    // md5('hello') = 5d41402a... → 0x5d41402a = 1564557354
+    val Row(h: Long) = spark.range(1)
+      .select(stableHash32(lit("hello"))).head()
+    assert(h === 1564557354L)
+  }
+
+  test("shingles produces n-k+1 space-joined n-grams in order") {
+    val df = spark.range(1).select(
+      shingles(split(lit("a b c d"), " "), 3).as("sh"))
+    assert(df.head().getSeq[String](0) === Seq("a b c", "b c d"))
+    val short = spark.range(1).select(
+      shingles(split(lit("a b"), " "), 3).as("sh"))
+    assert(short.head().getSeq[String](0) === Seq.empty[String])
+  }
+
+  test("cosine: self-similarity is 1, orthogonal is 0") {
+    val df = spark.sql(
+      """SELECT array(1.0D, 2.0D, 3.0D) AS a,
+        |       array(-2.0D, 1.0D, 0.0D) AS b""".stripMargin)
+    val Row(self: Double, orth: Double) = df.select(
+      Similarity.cosine(col("a"), col("a")),
+      Similarity.cosine(col("a"), col("b"))).head()
+    assert(math.abs(self - 1.0) < 1e-12)
+    assert(math.abs(orth) < 1e-12)
+  }
+
+  test("lshSig: identical vectors collide, signature is 16-bit") {
+    val df = spark.sql(
+      "SELECT array(0.5D, -0.25D, 0.125D, 1.0D) AS v")
+    val Row(s1: Long) = df.select(Similarity.lshSig(col("v"))).head()
+    val Row(s2: Long) = df.select(Similarity.lshSig(col("v"))).head()
+    assert(s1 === s2 && s1 >= 0 && s1 < (1L << 16))
+  }
+
+  test("exact dedup removes planted exact copies only") {
+    val r = DedupQueries.queries("dd1_exact_dedup")(spark, sf).head()
+    val (nUnique, nTotal, nRemoved) =
+      (r.getAs[Long]("n_unique"), r.getAs[Long]("n_total"), r.getAs[Long]("n_removed"))
+    assert(nTotal > nUnique) // planted copies exist
+    assert(nRemoved === nTotal - nUnique)
+  }
+
+  test("minhash-lsh finds every planted near-dup pair") {
+    // every doc_id%7==0 doc has a first-token-dropped copy at id+1000000:
+    // jaccard well above 0.6 → must be found (LSH recall on planted pairs).
+    val pairs = DedupQueries.queries("dd2_minhash_lsh")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    val docs = graft.Tables(spark, sf, "documents")
+      .select(col("doc_id")).collect().map(_.getLong(0)).filter(_ % 7 == 0)
+    assert(docs.nonEmpty)
+    docs.foreach { id => assert(pairs.contains((id, id + 1000000L)), s"missing pair for $id") }
+  }
+
+  test("decode stub: chunk means are byte-exact") {
+    val fs = Multimodal.media(spark, sf).filter(col("doc_id") === 0)
+      .mapPartitions(Multimodal.fakeDecode)(
+        org.apache.spark.sql.Encoders.product[Multimodal.MediaFeatures])
+      .head()
+    val text = graft.Tables(spark, sf, "documents")
+      .filter(col("doc_id") === 0).select(col("text")).head().getString(0)
+    val bytes = text.getBytes("UTF-8")
+    val q = bytes.length / 4
+    val f0 = bytes.slice(0, q).map(_ & 0xff).sum.toDouble / q
+    assert(fs.n_bytes === bytes.length.toLong)
+    assert(math.abs(fs.f0 - f0) < 1e-12)
+  }
+
+  test("stream merge is last-write-wins with cumulative counts") {
+    import spark.implicits._
+    val state = Seq((1L, 10L, "SAVE", "view", 1.0, 3L))
+      .toDF("key", "seq", "op", "event_type", "value", "n_events")
+    val batch = Seq(
+      (1L, 11L, "SAVE", "click", 2.0, 0L),
+      (1L, 12L, "DELETE", "error", 3.0, 0L),
+      (2L, 13L, "SAVE", "view", 4.0, 0L))
+      .toDF("key", "seq", "op", "event_type", "value", "n_events")
+    val merged = IndexPipeline.merge(state, batch.drop("n_events"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(merged(1L).getAs[Long]("seq") === 12L) // latest wins
+    assert(merged(1L).getAs[String]("op") === "DELETE") // tombstoned
+    assert(merged(1L).getAs[Long]("n_events") === 5L) // 3 + 2 in batch
+    assert(merged(2L).getAs[Long]("n_events") === 1L)
+  }
+}

@@ -12,14 +12,22 @@ import org.apache.spark.sql.types._
   * edge table against the child entities, `collect_list(struct(ord, node))`
   * + `sort_array` to restore array order (the reference keeps order by
   * key-array position, `PlanService.java:52-66`), and a `struct(...)` to
-  * rebuild the node. A single-document GET (M4 point lookup) is the same
-  * plan with `rootKeys` filtered to one key — Parquet min/max and partition
-  * pruning reduce it to a point read; no plan changes between "read one doc"
-  * and "read all docs".
+  * rebuild the node.
   *
-  * Scale shape: each level is an equi-join on `key` (shuffle co-partitioned)
-  * plus one aggregation per array field — O(levels) shuffles total,
-  * independent of corpus size, vs the reference's O(nodes) round-trips.
+  * Two execution shapes from one plan builder:
+  *   - full-corpus assembly (`rootKeys = None`, the indexing/search-build
+  *     path): every level is restricted by `type_tag` pushdown filters
+  *     only — no key-set joins, no distincts; O(levels) equi-joins total.
+  *   - point/subset reads (`rootKeys = Some(keys)`, M4): the key set is
+  *     threaded down the recursion so each level touches only reachable
+  *     rows — with pushed-down key predicates, partition pruning makes a
+  *     single-doc GET a point read. No plan changes between "read one doc"
+  *     and "read all docs".
+  *
+  * Scale shape: each level is an equi-join on `key` (shuffle
+  * co-partitioned) plus one aggregation per array field — O(levels)
+  * shuffles total, independent of corpus size, vs the reference's O(nodes)
+  * round-trips.
   */
 object Assembler {
 
@@ -27,35 +35,60 @@ object Assembler {
     * Returns `(key, doc)` with `doc` matching `schema` exactly. */
   def assemble(sh: Shredded, schema: StructType, rootTag: String,
                rootKeys: Option[DataFrame] = None): DataFrame = {
-    val keys = rootKeys.getOrElse(
-      sh.entities.filter(col("type_tag") === rootTag).select(col("key")))
-    nodesFor(sh, keys, schema).select(col("key"), col("node").as("doc"))
+    val roots = sh.entities.filter(col("type_tag") === rootTag)
+    val restricted = rootKeys match {
+      case Some(k) => roots.join(
+        k.select(col("key").as("__k")).distinct(), col("key") === col("__k"))
+        .drop("__k")
+      case None => roots
+    }
+    nodesFor(restricted, sh, schema, restrict = rootKeys.isDefined)
+      .select(col("key"), col("node").as("doc"))
   }
 
-  /** Rebuild the nodes whose keys are in `keys` (single column `key`). */
-  private def nodesFor(sh: Shredded, keys: DataFrame, schema: StructType): DataFrame = {
+  /** Rebuild the nodes present in `base` (rows of `entities` already
+    * restricted to this level). `restrict` = thread key-sets downward
+    * (subset read); false = full corpus, children restricted by tag/join
+    * only. */
+  private def nodesFor(base: DataFrame, sh: Shredded, schema: StructType,
+                       restrict: Boolean): DataFrame = {
     val scalars = Shredder.scalarFields(schema)
-    val scalarSchema = StructType(scalars)
-    val k = keys.select(col("key").as("__k")).distinct()
-    val base = sh.entities.join(k, col("key") === col("__k"))
-      .select(col("key"), from_json(col("json"), scalarSchema).as("scal"))
+    val parsed = base.select(col("key"),
+      from_json(col("json"), StructType(scalars)).as("scal"))
 
-    // One (key, <field>) frame per nested field, joined back at the end.
     val nested: Seq[(StructField, DataFrame)] = schema.fields.toSeq.flatMap { f =>
       f.dataType match {
         case sub: StructType =>
-          val e = sh.edges.filter(col("field") === f.name)
-            .join(k, col("parent_key") === col("__k"))
+          // Object-valued field: children are tagged with the FIELD NAME
+          // (Shredder/PlanService.java:36) → exact type_tag restriction.
+          val e0 = sh.edges.filter(col("field") === f.name)
             .select(col("parent_key"), col("child_key"))
-          val children = nodesFor(sh, e.select(col("child_key").as("key")), sub)
+          val e = if (restrict)
+            e0.join(base.select(col("key").as("__pk")), col("parent_key") === col("__pk"))
+              .drop("__pk")
+          else e0
+          val childBase0 = sh.entities.filter(col("type_tag") === f.name)
+          val childBase = if (restrict)
+            childBase0.join(e.select(col("child_key").as("__ck")).distinct(),
+              col("key") === col("__ck")).drop("__ck")
+          else childBase0
+          val children = nodesFor(childBase, sh, sub, restrict)
           Some(f -> e.join(children, e("child_key") === children("key"))
             .select(col("parent_key").as("key"), col("node").as(f.name)))
         case ArrayType(sub: StructType, _) =>
-          val e = sh.edges.filter(col("field") === f.name)
-            .join(k, col("parent_key") === col("__k"))
+          // Array elements are tagged with their objectType (data-driven):
+          // restrict children via the edge child-keys (the reachable set).
+          val e0 = sh.edges.filter(col("field") === f.name)
             .select(col("parent_key"), col("ord"), col("child_key"))
-          val children = nodesFor(sh,
-            e.filter(col("child_key").isNotNull).select(col("child_key").as("key")), sub)
+          val e = if (restrict)
+            e0.join(base.select(col("key").as("__pk")), col("parent_key") === col("__pk"))
+              .drop("__pk")
+          else e0
+          val childBase = sh.entities.join(
+            e.filter(col("child_key").isNotNull)
+              .select(col("child_key").as("__ck")).distinct(),
+            col("key") === col("__ck")).drop("__ck")
+          val children = nodesFor(childBase, sh, sub, restrict)
           // Left join keeps the empty-array marker rows (ord/child NULL);
           // they are dropped after the sort, leaving a genuinely empty array.
           val joined = e.join(children, e("child_key") === children("key"), "left")
@@ -69,7 +102,7 @@ object Assembler {
       }
     }
 
-    val joined = nested.foldLeft(base) { case (acc, (f, df)) => acc.join(df, Seq("key"), "left") }
+    val joined = nested.foldLeft(parsed) { case (acc, (f, df)) => acc.join(df, Seq("key"), "left") }
     val docCol: Column = struct(schema.fields.toSeq.map { f =>
       f.dataType match {
         case _: StructType => col(f.name).as(f.name)

@@ -374,6 +374,13 @@ object DocQueries {
       .orderBy(col("type_tag"))
   }
 
+  /** Materialized intermediate for multi-reference consumers: Assembler's
+    * recursion references its input Shredded once per schema node — an
+    * unpersisted mutation output would recompute the whole mutation per
+    * reference (~10×). */
+  private def persisted(sh: Shredded): Shredded =
+    Shredded(sh.entities.persist(), sh.edges.persist())
+
   private val d12Sql =
     s"""WITH o AS $O, keep AS (SELECT * FROM customer WHERE c_nationkey <> 3),
        |ko AS (SELECT o.* FROM o JOIN keep ON o_custkey = c_custkey)
@@ -433,7 +440,7 @@ object DocQueries {
         lit("plan").as("objectType"),
         lit("REPLACED").as("planType"),
         lit("01-01-2021").as("creationDate")).as("doc"))
-    val after = Mutations.replace(sh, replacements, mdepth)
+    val after = persisted(Mutations.replace(sh, replacements, mdepth))
     Assembler.assemble(after, schema, "plan").select(
       col("doc.objectId").as("object_id"),
       col("doc.planType").as("plan_type"),
@@ -458,7 +465,12 @@ object DocQueries {
     * it types scalars too). */
   private def d15(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val jsonDs = PlanDocs.docs(s, d).select(to_json(col("doc")).as("j")).as[String]
+    // Inference needs a sample, not the corpus: serializing + re-parsing
+    // every document scales linearly for a schema that stabilizes after a
+    // handful of rows (the reference infers from ONE instance,
+    // IndexingListener.java:86).
+    val jsonDs = PlanDocs.docs(s, d).limit(512)
+      .select(to_json(col("doc")).as("j")).as[String]
     val inferred = s.read.json(jsonDs).schema
     s.createDataFrame(inferred.fields.toSeq.map(f => (f.name, f.dataType.simpleString)))
       .toDF("field_name", "spark_type")
@@ -476,9 +488,68 @@ object DocQueries {
       |  ('planType', 'string')
       |) AS t(field_name, spark_type) ORDER BY field_name""".stripMargin
 
+  // ---------------------------------------------------------------- d16
+  /** Search-DSL compiler — a composed AST (bool/wildcard/range/nested, the
+    * ES-surface equivalent) compiled by SearchQuery to one predicate:
+    * (org-1* AND copay∈[10,19]) OR (some service named `Service 3*`),
+    * AND NOT planType term 'building'. */
+  private def d16(s: SparkSession, d: String): DataFrame = {
+    import SearchQuery._
+    val ast: SearchQuery = And(
+      Or(
+        And(Wildcard(Seq("_org"), "org-1*.example.com"),
+          Range(Seq("planCostShares", "copay"), 10, 19)),
+        NestedWildcard(Seq("linkedPlanServices"), Seq("linkedService", "name"), "Service 3*")),
+      Not(TermMatch(Seq("planType"), "building")))
+    assembled(s, d)
+      .filter(SearchQuery.compile(ast, col("doc")))
+      .select(col("doc.objectId").as("object_id"), col("doc._org").as("org"),
+        col("doc.planCostShares.copay").as("copay"), col("doc.planType").as("plan_type"))
+      .orderBy(col("object_id"))
+  }
+
+  private val d16Sql =
+    s"""SELECT 'plan-' || ${ck("c_custkey")} AS object_id,
+       |  'org-' || ${ck("c_nationkey")} || '.example.com' AS org,
+       |  c_custkey % 50 AS copay, c_mktsegment AS plan_type
+       |FROM customer
+       |WHERE ((('org-' || ${ck("c_nationkey")} || '.example.com' LIKE 'org-1%.example.com')
+       |        AND c_custkey % 50 BETWEEN 10 AND 19)
+       |   OR EXISTS (SELECT 1 FROM $O o WHERE o.o_custkey = c_custkey
+       |              AND 'Service ' || o_orderpriority LIKE 'Service 3%'))
+       |  AND NOT (lower(c_mktsegment) = 'building')
+       |ORDER BY object_id""".stripMargin
+
+  // ---------------------------------------------------------------- d17
+  /** M7 conditional mutations — the If-Match guard: requests carrying the
+    * current content etag are accepted, stale ones rejected with the
+    * engine's 412 (`PlanController.java:156-165`). Deterministic split:
+    * custkey % 4 == 0 requests carry the live etag, the rest a perturbed
+    * one. The oracle checks the exact accept/reject partition. */
+  private def d17(s: SparkSession, d: String): DataFrame = {
+    val current = assembled(s, d).select(col("key"),
+      CanonicalJson.etag(col("doc"), schema).as("etag"))
+    val requests = current.select(col("key"),
+      when(col("key").substr(lit(11), lit(99)).cast("long") % 4 === 0, col("etag"))
+        .otherwise(col("etag") + 1L).as("if_match"))
+    val (accepted, rejected) = Mutations.etagGuard(requests, current)
+    accepted.select(lit("accepted").as("outcome"), col("key"))
+      .unionAll(rejected.select(lit("rejected").as("outcome"), col("key")))
+      .groupBy(col("outcome")).agg(count(lit(1)).as("n"))
+      .orderBy(col("outcome"))
+  }
+
+  private val d17Sql =
+    """SELECT 'accepted' AS outcome, COUNT(*) AS n FROM customer WHERE c_custkey % 4 = 0
+      |UNION ALL
+      |SELECT 'rejected', COUNT(*) FROM customer WHERE c_custkey % 4 <> 0
+      |ORDER BY outcome""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
+    "d16_search_dsl" -> d16 _,
+    "d17_etag_guard" -> d17 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
     "d3_roundtrip" -> d3 _,
@@ -496,6 +567,8 @@ object DocQueries {
     "d15_mapping_inference" -> d15 _)
 
   val oracle: Map[String, String] = Map(
+    "d16_search_dsl" -> d16Sql,
+    "d17_etag_guard" -> d17Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,
     "d3_roundtrip" -> d3Sql,

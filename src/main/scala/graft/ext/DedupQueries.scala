@@ -88,11 +88,15 @@ object DedupQueries {
     * (integer n_inter/n_union, threshold 0.6). */
   private def dd2(s: SparkSession, d: String): DataFrame = {
     val corpus = planted(s, d)
-    // distinct (doc, shingle-hash < p) rows
+    // distinct (doc, shingle-hash < p) rows; the dedup is per-row
+    // (array_distinct before the explode) so no global shuffle is spent on
+    // it, and the frame is persisted — the signature build and BOTH sides
+    // of the Jaccard verify consume it.
     val sh = corpus.select(col("doc_id"),
-        explode(shingles(tokens(col("text")), 3)).as("shingle"))
+        explode(array_distinct(shingles(tokens(col("text")), 3))).as("shingle"))
       .select(col("doc_id"), (stableHash32(col("shingle")) % MinhashPrime).as("h"))
-      .distinct()
+      .distinct() // hash collisions across distinct shingles
+      .persist()
     // 12-column MinHash signature per doc
     val mhCols = MinhashParams.zipWithIndex.map { case ((a, b), i) =>
       min(perm(col("h"), a, b)).as(s"mh$i") }
@@ -221,10 +225,11 @@ object DedupQueries {
   private def dd4(s: SparkSession, d: String): DataFrame = {
     val corpus = planted(s, d)
     val bg = corpus.select(col("doc_id"), col("lang"), col("source"),
-        explode(shingles(tokens(col("text")), 2)).as("bigram"))
+        explode(array_distinct(shingles(tokens(col("text")), 2))).as("bigram"))
       .select(col("doc_id"), col("lang"), col("source"),
         stableHash32(col("bigram")).as("h"))
       .distinct()
+      .persist()
     val sizes = bg.groupBy(col("doc_id")).agg(count(lit(1)).as("n_bg"))
     val inter = bg.as("x").join(bg.as("y"),
         col("x.lang") === col("y.lang") && col("x.source") === col("y.source") &&
@@ -266,24 +271,33 @@ object DedupQueries {
     * 0.0005, exact double arithmetic), prefilter with 16-plane hyperplane
     * LSH in 4 bands, exact cosine ≥ 0.999 on candidates only. */
   private def dd5(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.ensure(s)
+    import graft.functions.GraftFunctions.vecDot
     val base = Tables(s, d, "embeddings")
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
     val pert = base.filter(col("vec_id") % 11 === 0)
       .select((col("vec_id") + 1000000L).as("vec_id"),
         transform(col("v"), x => x * 1.001 + 0.0005).as("v"))
     val vecs = base.unionByName(pert)
-    val withSig = vecs.select(col("vec_id"), col("v"), Similarity.lshSig(col("v")).as("sig"))
+      .withColumn("nrm", sqrt(vecDot(col("v"), col("v"))))
+    val withSig = vecs.withColumn("sig", Similarity.lshSig(col("v"))).persist()
+    // Narrow band rows (ids only): the ~|collisions| candidate pairs are
+    // deduped BEFORE the 64-double vectors are joined back in — the wide
+    // arrays never ride the quadratic part of the shuffle.
     val bands = (0 until 4).map { bnd =>
-      withSig.select(col("vec_id"), col("v"), lit(bnd).as("band"),
+      withSig.select(col("vec_id"), lit(bnd).as("band"),
         (shiftright(col("sig"), bnd * 4) % 16).as("bv"))
     }.reduce(_ unionAll _)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
           col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("a"), col("x.v").as("va"),
-        col("y.vec_id").as("b"), col("y.v").as("vb"))
-      .dropDuplicates("a", "b")
-    cand.select(col("a"), col("b"), Similarity.cosine(col("va"), col("vb")).as("cos"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+      .distinct()
+    val va = withSig.select(col("vec_id").as("a"), col("v").as("va"), col("nrm").as("na"))
+    val vb = withSig.select(col("vec_id").as("b"), col("v").as("vb"), col("nrm").as("nb"))
+    cand.join(va, "a").join(vb, "b")
+      .select(col("a"), col("b"),
+        (vecDot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
       .filter(col("cos") >= 0.999)
       .orderBy(col("a"), col("b"))
   }
@@ -293,21 +307,24 @@ object DedupQueries {
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),
        |vecs AS (
-       |  SELECT vec_id, v FROM base
-       |  UNION ALL
-       |  SELECT vec_id + 1000000, list_transform(v, x -> x * 1.001 + 0.0005)
-       |  FROM base WHERE vec_id % 11 = 0),
-       |sig AS (SELECT vec_id, v, ${Similarity.lshSigSql("v")} AS sig FROM vecs),
+       |  SELECT vec_id, v,
+       |    sqrt(${Similarity.dotSql("v", "v")}) AS nrm
+       |  FROM (
+       |    SELECT vec_id, v FROM base
+       |    UNION ALL
+       |    SELECT vec_id + 1000000, list_transform(v, x -> x * 1.001 + 0.0005)
+       |    FROM base WHERE vec_id % 11 = 0)),
+       |sig AS (SELECT vec_id, v, nrm, ${Similarity.lshSigSql("v")} AS sig FROM vecs),
        |bands AS (
-       |  ${(0 until 4).map(b => s"SELECT vec_id, v, $b AS band, (sig >> ${b * 4}) % 16 AS bv FROM sig").mkString("\n  UNION ALL ")}),
-       |cand AS (SELECT x.vec_id AS a, any_value(x.v) AS va,
-       |                y.vec_id AS b, any_value(y.v) AS vb
+       |  ${(0 until 4).map(b => s"SELECT vec_id, v, nrm, $b AS band, (sig >> ${b * 4}) % 16 AS bv FROM sig").mkString("\n  UNION ALL ")}),
+       |cand AS (SELECT x.vec_id AS a, any_value(x.v) AS va, any_value(x.nrm) AS na,
+       |                y.vec_id AS b, any_value(y.v) AS vb, any_value(y.nrm) AS nb
        |  FROM bands x JOIN bands y
        |    ON x.band = y.band AND x.bv = y.bv AND x.vec_id < y.vec_id
        |  GROUP BY x.vec_id, y.vec_id)
-       |SELECT a, b, ${Similarity.cosineSql("va", "vb")} AS cos
+       |SELECT a, b, ${Similarity.dotSql("va", "vb")} / (na * nb) AS cos
        |FROM cand
-       |WHERE ${Similarity.cosineSql("va", "vb")} >= 0.999
+       |WHERE ${Similarity.dotSql("va", "vb")} / (na * nb) >= 0.999
        |ORDER BY a, b""".stripMargin
 
   // ---------------------------------------------------------------- registry

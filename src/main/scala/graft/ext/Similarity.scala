@@ -5,43 +5,49 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
-import TextFunctions.planeWeight
+import graft.functions.GraftFunctions
+import graft.functions.GraftFunctions.vecDot
 
 /** Similarity search over the `embeddings` table (`Array[Float]` column) —
   * brute-force cosine top-k as the correctness baseline, random-hyperplane
   * LSH bucketing as the 100 TB path (north-star extension; absent from the
   * reference, whose only "similarity" is ES relevance, SURVEY §2 C).
   *
-  * All vector math is double fold-left (`aggregate`) in a fixed order so
-  * the DuckDB oracle (sequential `list_reduce`) is bit-identical — no
-  * rounding anywhere.
+  * Vector math runs through the native codegen'd `vec_dot` expression
+  * (graft.functions.VecDot) — sequential fold-left order, so the DuckDB
+  * oracle (sequential `list_reduce`) is bit-identical with no rounding.
+  * Norms are computed ONCE per vector and carried through the joins (the
+  * naive per-pair `dot/(√dot·√dot)` does 3 folds per pair; this does 1).
   *
   * Scale shapes:
   *   - brute force: queries × corpus — only sane when the query side is
   *     broadcast-small; the plan broadcasts it explicitly.
-  *   - LSH: per-vector 16-bit signature (one projection pass), 4×4-bit
-  *     bands → bucket equi-join. Corpus side shuffles once on (band,
-  *     bucket); candidate count ∝ bucket collisions, never |corpus|².
-  *     An IVF variant would swap the signature for a coarse-centroid id —
-  *     same join shape.
+  *   - LSH: per-vector 16-bit signature (16 codegen'd dots against literal
+  *     hyperplane arrays), 4×4-bit bands → bucket equi-join. Corpus side
+  *     shuffles once on (band, bucket); candidate count ∝ bucket
+  *     collisions, never |corpus|². An IVF variant would swap the
+  *     signature for a coarse-centroid id — same join shape.
   */
 object Similarity {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** Sequential fold-left dot product — order-matched with the oracle. */
+  /** Sequential fold-left dot product via composed built-ins — the
+    * reference implementation `vec_dot` is verified against (kept for
+    * tests/fallback; the hot paths use the native expression). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, z) => acc + z)
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
-  /** 16-bit random-hyperplane signature of a double-array column. */
-  def lshSig(v: Column): Column =
+  /** 16-bit random-hyperplane signature: 16 codegen'd dots against literal
+    * weight arrays (LCG-derived, engine-portable — TextFunctions). */
+  def lshSig(v: Column, dims: Int = 64): Column =
     (0 until 16).map { p =>
-      val proj = aggregate(sequence(lit(0), size(v) - 1), lit(0.0),
-        (acc, i) => acc + element_at(v, i + 1) * planeWeight(p, i))
-      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+      val w = array((0 until dims).map(d =>
+        lit(TextFunctions.planeWeightValue(p, d))): _*)
+      when(vecDot(v, w) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** DuckDB mirror of `dot` — sequential list_reduce from a 0.0 seed. */
@@ -51,7 +57,7 @@ object Similarity {
   def cosineSql(a: String, b: String): String =
     s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
 
-  /** DuckDB mirror of `lshSig`. */
+  /** DuckDB mirror of `lshSig` — recomputes the same LCG weights inline. */
   def lshSigSql(v: String): String =
     (0 until 16).map { p =>
       val w = s"(CAST((1103515245 * (${p.toLong * 97L} + i + 1) + 12345) % 1000003 - 500001 AS DOUBLE) / 500001.0)"
@@ -59,24 +65,31 @@ object Similarity {
       s"(CASE WHEN $proj >= 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
-  private def vecs(s: SparkSession, d: String): DataFrame =
+  /** Corpus with per-vector norm — computed once, joined everywhere. */
+  private def vecs(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.ensure(s)
     Tables(s, d, "embeddings")
       .select(col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(vecDot(col("v"), col("v"))))
+  }
 
   private val VecsSql =
-    "SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings"
+    """SELECT vec_id, label, v, sqrt(list_reduce(list_prepend(0.0,
+      |    list_transform(list_zip(v, v), z -> z[1] * z[2])), (acc, x) -> acc + x)) AS nrm
+      |FROM (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |      FROM embeddings)""".stripMargin
 
   // ---------------------------------------------------------------- s1
   /** Brute-force cosine top-k: every `vec_id % 50 == 0` vector queries the
     * whole corpus; top-5 by (cosine desc, id asc), self excluded. */
   private def s1(s: SparkSession, d: String): DataFrame = {
     val all = vecs(s, d)
-    val q = all.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val q = all.select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      .filter(col("q_id") % 50 === 0)
     val scored = all.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
-        cosine(col("qv"), col("v")).as("cos"))
+        (vecDot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos"))
     scored.withColumn("rank", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))))
       .filter(col("rank") <= 5)
@@ -86,9 +99,9 @@ object Similarity {
 
   private val s1Sql =
     s"""WITH vecs AS ($VecsSql),
-       |q AS (SELECT vec_id AS q_id, v AS qv FROM vecs WHERE vec_id % 50 = 0),
+       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM vecs WHERE vec_id % 50 = 0),
        |scored AS (
-       |  SELECT q_id, vec_id AS n_id, ${cosineSql("qv", "v")} AS cos
+       |  SELECT q_id, vec_id AS n_id, ${dotSql("qv", "v")} / (qn * nrm) AS cos
        |  FROM vecs CROSS JOIN q WHERE vec_id <> q_id)
        |SELECT q_id, rank, n_id, cos FROM (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
@@ -100,18 +113,20 @@ object Similarity {
     * sharing ≥ 1 of the 4 signature bands — the scale path. Top-3 by exact
     * cosine among candidates. */
   private def s2(s: SparkSession, d: String): DataFrame = {
-    val all = vecs(s, d).select(col("vec_id"), col("v"), lshSig(col("v")).as("sig"))
+    val all = vecs(s, d).withColumn("sig", lshSig(col("v")))
     val bands = (0 until 4).map { bnd =>
-      all.select(col("vec_id"), col("v"), lit(bnd).as("band"),
+      all.select(col("vec_id"), col("v"), col("nrm"), lit(bnd).as("band"),
         (shiftright(col("sig"), bnd * 4) % 16).as("bv"))
     }.reduce(_ unionAll _)
     val qb = bands.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("band"), col("bv"))
-    val cand = bands.join(qb,
-        Seq("band", "bv")).filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("qv"), col("vec_id").as("n_id"), col("v"))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
+        col("band"), col("bv"))
+    val cand = bands.join(qb, Seq("band", "bv")).filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("qv"), col("qn"),
+        col("vec_id").as("n_id"), col("v"), col("nrm"))
       .dropDuplicates("q_id", "n_id")
-    cand.select(col("q_id"), col("n_id"), cosine(col("qv"), col("v")).as("cos"))
+    cand.select(col("q_id"), col("n_id"),
+        (vecDot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))))
       .filter(col("rank") <= 3)
@@ -121,18 +136,18 @@ object Similarity {
 
   private val s2Sql =
     s"""WITH vecs AS ($VecsSql),
-       |sigs AS (SELECT vec_id, v, ${lshSigSql("v")} AS sig FROM vecs),
+       |sigs AS (SELECT vec_id, v, nrm, ${lshSigSql("v")} AS sig FROM vecs),
        |bands AS (
-       |  ${(0 until 4).map(b => s"SELECT vec_id, v, $b AS band, (sig >> ${b * 4}) % 16 AS bv FROM sigs").mkString("\n  UNION ALL ")}),
+       |  ${(0 until 4).map(b => s"SELECT vec_id, v, nrm, $b AS band, (sig >> ${b * 4}) % 16 AS bv FROM sigs").mkString("\n  UNION ALL ")}),
        |cand AS (
-       |  SELECT q.vec_id AS q_id, any_value(q.v) AS qv,
-       |         x.vec_id AS n_id, any_value(x.v) AS nv
+       |  SELECT q.vec_id AS q_id, any_value(q.v) AS qv, any_value(q.nrm) AS qn,
+       |         x.vec_id AS n_id, any_value(x.v) AS nv, any_value(x.nrm) AS nn
        |  FROM bands x JOIN bands q ON x.band = q.band AND x.bv = q.bv
        |  WHERE q.vec_id % 50 = 0 AND x.vec_id <> q.vec_id
        |  GROUP BY q.vec_id, x.vec_id)
        |SELECT q_id, rank, n_id, cos FROM (
-       |  SELECT q_id, n_id, ${cosineSql("qv", "nv")} AS cos,
-       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ${cosineSql("qv", "nv")} DESC, n_id) AS rank
+       |  SELECT q_id, n_id, ${dotSql("qv", "nv")} / (qn * nn) AS cos,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ${dotSql("qv", "nv")} / (qn * nn) DESC, n_id) AS rank
        |  FROM cand) WHERE rank <= 3
        |ORDER BY q_id, rank""".stripMargin
 

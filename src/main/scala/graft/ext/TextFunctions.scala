@@ -65,4 +65,11 @@ object TextFunctions {
     val m = (lit(1103515245L) * (lit(p.toLong * 97L) + d + 1L) + 12345L) % 1000003L
     (m - 500001L).cast("double") / lit(500001.0)
   }
+
+  /** Scala-side evaluation of `planeWeight` — identical arithmetic, used to
+    * bake literal hyperplane arrays into codegen'd `vec_dot` calls. */
+  def planeWeightValue(p: Int, d: Int): Double = {
+    val m = (1103515245L * (p.toLong * 97L + d + 1L) + 12345L) % 1000003L
+    (m - 500001L).toDouble / 500001.0
+  }
 }

@@ -190,6 +190,24 @@ object RelationalQueries2 {
       |  COUNT(*) AS n
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------- q26
+  /** JSON functions over a JSON-string column (`events.props`): extraction,
+    * typed cast, aggregation by extracted value — per-row codegen'd path
+    * functions, no shuffle until the final groupBy. */
+  private def q26(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy((col("k") % 10).as("k_mod"))
+      .agg(count(lit(1)).as("n"), min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"), countDistinct(col("k")).as("n_distinct"))
+      .orderBy(col("k_mod"))
+
+  private val q26Sql =
+    """SELECT k % 10 AS k_mod, COUNT(*) AS n, MIN(k) AS min_k, MAX(k) AS max_k,
+      |  COUNT(DISTINCT k) AS n_distinct
+      |FROM (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+      |GROUP BY k % 10 ORDER BY k_mod""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -197,12 +215,14 @@ object RelationalQueries2 {
     "q22_pivot" -> q22 _,
     "q23_sessionize" -> q23 _,
     "q24_asof_join" -> q24 _,
-    "q25_percentiles" -> q25 _)
+    "q25_percentiles" -> q25 _,
+    "q26_json_fns" -> q26 _)
 
   val oracle: Map[String, String] = Map(
     "q21_cube" -> q21Sql,
     "q22_pivot" -> q22Sql,
     "q23_sessionize" -> q23Sql,
     "q24_asof_join" -> q24Sql,
-    "q25_percentiles" -> q25Sql)
+    "q25_percentiles" -> q25Sql,
+    "q26_json_fns" -> q26Sql)
 }

@@ -127,6 +127,67 @@ object IndexPipeline {
       |FROM latest WHERE rn = 1 AND event_type <> 'error'
       |ORDER BY user_id""".stripMargin
 
-  val queries: Map[String, Q] = Map("st1_stream_upsert" -> st1 _)
-  val oracle: Map[String, String] = Map("st1_stream_upsert" -> st1Sql)
+  // ---------------------------------------------------------------- st2
+  /** Event-time windowed streaming aggregation: tumbling 6-hour windows per
+    * event type with a 1-hour watermark, micro-batched over the staged log.
+    *
+    * Complete output mode — with Trigger.AvailableNow the watermark only
+    * closes windows the final batch has moved past; complete mode emits the
+    * full windowed state so the batch oracle (GROUP BY epoch-aligned
+    * bucket) matches exactly. The decimal-cast sum keeps the value total
+    * order-independent across micro-batch boundaries. */
+  private def st2(s: SparkSession, d: String): DataFrame = {
+    val base = Files.createTempDirectory("graft-stream2-")
+    val srcDir = base.resolve("log").toString
+    val ckDir = base.resolve("ck").toString
+    val nFiles = 3
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("ts_us"), col("event_type"), col("value"))
+    val maxId = ev.agg(max(col("event_id"))).head().getLong(0) + 1
+    (0 until nFiles).foreach { i =>
+      ev.filter(floor(col("event_id") * nFiles / maxId) === i)
+        .coalesce(1).write.parquet(s"$srcDir/b$i")
+    }
+    val qname = s"st2_windowed_${System.nanoTime()}"
+    val stream = s.readStream
+      .schema(ev.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$srcDir/b*")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(12, 2))).as("total_dec"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(qname)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckDir)
+      .start()
+    stream.awaitTermination()
+    val out = s.table(qname)
+      .select(
+        col("window.start").cast("long").as("win_start"),
+        col("event_type"), col("n"),
+        col("total_dec").cast(org.apache.spark.sql.types.DecimalType(28, 6))
+          .cast("double").as("total"))
+      .orderBy(col("win_start"), col("event_type"))
+      .localCheckpoint(true)
+    deleteRecursively(base)
+    out
+  }
+
+  private val st2Sql =
+    """SELECT epoch_us(ts) // 21600000000 * 21600 AS win_start, event_type,
+      |  COUNT(*) AS n,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(28,6)) AS DOUBLE) AS total
+      |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "st1_stream_upsert" -> st1 _,
+    "st2_stream_window" -> st2 _)
+  val oracle: Map[String, String] = Map(
+    "st1_stream_upsert" -> st1Sql,
+    "st2_stream_window" -> st2Sql)
 }

@@ -32,6 +32,19 @@ class ExtSpec extends SparkSpec {
     assert(short.head().getSeq[String](0) === Seq.empty[String])
   }
 
+  test("vec_dot native expression is bit-identical to the composed fold") {
+    graft.functions.GraftFunctions.ensure(spark)
+    val df = graft.Tables(spark, sf, "embeddings")
+      .select(col("vec_id"),
+        org.apache.spark.sql.functions.transform(col("embedding"), x => x.cast("double")).as("v"))
+      .limit(50)
+    val cmp = df.select(
+      graft.functions.GraftFunctions.vecDot(col("v"), col("v")).as("native"),
+      Similarity.dot(col("v"), col("v")).as("composed"))
+    // exact equality: both are sequential fold-left double sums
+    assert(cmp.filter(col("native") =!= col("composed")).count() === 0)
+  }
+
   test("cosine: self-similarity is 1, orthogonal is 0") {
     val df = spark.sql(
       """SELECT array(1.0D, 2.0D, 3.0D) AS a,
@@ -44,6 +57,7 @@ class ExtSpec extends SparkSpec {
   }
 
   test("lshSig: identical vectors collide, signature is 16-bit") {
+    graft.functions.GraftFunctions.ensure(spark)
     val df = spark.sql(
       "SELECT array(0.5D, -0.25D, 0.125D, 1.0D) AS v")
     val Row(s1: Long) = df.select(Similarity.lshSig(col("v"))).head()

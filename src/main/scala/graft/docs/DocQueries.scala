@@ -126,9 +126,12 @@ object DocQueries {
   /** M4 point lookup — the reassembly plan filtered to one root key; the
     * pushed-down key predicate makes this a pruned point read at any scale. */
   private def d4(s: SparkSession, d: String): DataFrame = {
-    val one = PlanDocs.docs(s, d).sparkSession
-      .createDataFrame(Seq(Tuple1("plan_plan-42"))).toDF("key")
-    Assembler.assemble(shredded(s, d), schema, "plan", Some(one)).select(
+    // the key arrives as a literal predicate (not a joined 1-row frame) so
+    // it pushes into the entity scan — min/max + dictionary pruning make
+    // this a point read at any scale
+    val sh = shredded(s, d)
+    val one = sh.entities.filter(col("key") === "plan_plan-42").select(col("key"))
+    Assembler.assemble(sh, schema, "plan", Some(one)).select(
       col("doc.objectId").as("object_id"),
       col("doc.planType").as("plan_type"),
       size(col("doc.linkedPlanServices")).as("n_services"),

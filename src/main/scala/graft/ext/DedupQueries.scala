@@ -274,7 +274,7 @@ object DedupQueries {
     graft.functions.GraftFunctions.ensure(s)
     import graft.functions.GraftFunctions.vecDot
     val base = Tables(s, d, "embeddings")
-      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val pert = base.filter(col("vec_id") % 11 === 0)
       .select((col("vec_id") + 1000000L).as("vec_id"),
         transform(col("v"), x => x * 1.001 + 0.0005).as("v"))

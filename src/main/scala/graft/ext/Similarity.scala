@@ -70,7 +70,7 @@ object Similarity {
     GraftFunctions.ensure(s)
     Tables(s, d, "embeddings")
       .select(col("vec_id"), col("label"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
+        col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(vecDot(col("v"), col("v"))))
   }
 

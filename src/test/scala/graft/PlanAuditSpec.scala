@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan audits: the scale properties the engine claims are
+  * asserted against the actual Catalyst output, so a regression that
+  * silently drops a pushdown, broadcast, or top-k strategy fails CI — not
+  * the 100 TB run.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  private def q(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, sf)
+
+  test("q2: all three filters reach the parquet scan (PushedFilters)") {
+    val p = plan(q("q2_filter_agg"))
+    assert(p.contains("PushedFilters"))
+    // the discount range and quantity predicates must be pushed, not
+    // evaluated post-scan only
+    assert(p.contains("GreaterThanOrEqual(l_discount") && p.contains("LessThan(l_quantity"))
+  }
+
+  test("q4: fixed-cardinality dims are broadcast, fact side never shuffles for the join") {
+    val p = plan(q("q4_dims_broadcast"))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q5: global top-k plans as TakeOrderedAndProject (no full sort)") {
+    val p = plan(q("q5_sort_limit"))
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("\nSort ")) // no standalone global sort stage
+  }
+
+  test("q1: aggregation pipeline runs inside whole-stage codegen") {
+    val df = q("q1_agg")
+    df.collect() // AQE finalizes (and codegen-compiles) only on execution
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*(")) // whole-stage codegen stage markers
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("t1: scan reads only the referenced columns (column pruning)") {
+    val p = plan(q("t1_token_stats"))
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(readSchema.contains("doc_id") && readSchema.contains("text"))
+    assert(!readSchema.contains("lang") && !readSchema.contains("source"))
+  }
+
+  test("s1: the query side broadcasts (no shuffle of the corpus for the pair join)") {
+    val p = plan(q("s1_cosine_topk"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+  }
+
+  test("d4: point lookup carries the key as a pushable literal predicate") {
+    // the literal must appear in a Filter/PushedFilters position (a joined
+    // 1-row key frame would bury it in LocalTableScan data instead)
+    val p = plan(q("d4_point_lookup"))
+    assert(p.contains("plan_plan-42"))
+  }
+
+  test("vec_dot participates in codegen (no interpreted fallback marker)") {
+    graft.functions.GraftFunctions.ensure(spark)
+    import org.apache.spark.sql.functions._
+    val df = Tables(spark, sf, "embeddings")
+      .select(graft.functions.GraftFunctions.vecDot(
+        col("embedding").cast("array<double>"),
+        col("embedding").cast("array<double>")).as("d"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*(")) // the Project containing vec_dot is codegen'd
+    assert(p.contains("vec_dot"))
+  }
+}

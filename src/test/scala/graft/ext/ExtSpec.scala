@@ -36,7 +36,7 @@ class ExtSpec extends SparkSpec {
     graft.functions.GraftFunctions.ensure(spark)
     val df = graft.Tables(spark, sf, "embeddings")
       .select(col("vec_id"),
-        org.apache.spark.sql.functions.transform(col("embedding"), x => x.cast("double")).as("v"))
+        org.apache.spark.sql.functions.col("embedding").cast("array<double>").as("v"))
       .limit(50)
     val cmp = df.select(
       graft.functions.GraftFunctions.vecDot(col("v"), col("v")).as("native"),

@@ -548,11 +548,43 @@ object DocQueries {
       |SELECT 'rejected', COUNT(*) FROM customer WHERE c_custkey % 4 <> 0
       |ORDER BY outcome""".stripMargin
 
+  // ---------------------------------------------------------------- d18
+  /** M5 prefix scan — the reference discovers a node's outgoing edges with
+    * a Redis `KEYS {key}_*` glob over the whole keyspace
+    * (`PlanService.java:106`); here the edge table makes it an equi-filter
+    * on `parent_key` (pushed to the scan), plus the general glob form as a
+    * `startswith` predicate. */
+  private def d18(s: SparkSession, d: String): DataFrame =
+    shredded(s, d).edges
+      .filter(col("parent_key") === "plan_plan-7" ||
+        col("parent_key").startsWith("planservice_ps-10"))
+      .select(col("parent_key"), col("field"), col("ord"), col("child_key"))
+      .orderBy(col("parent_key"), col("field"), col("ord"), col("child_key"))
+
+  private val d18Sql =
+    s"""WITH o AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) - 1 AS INTEGER) AS ord
+       |           FROM orders WHERE o_custkey % 113 <> 0),
+       |edges AS (
+       |  SELECT 'plan_plan-' || ${ck("c_custkey")} AS parent_key, 'planCostShares' AS field,
+       |         CAST(NULL AS INTEGER) AS ord, 'planCostShares_cs-' || ${ck("c_custkey")} AS child_key FROM customer
+       |  UNION ALL SELECT 'plan_plan-' || ${ck("o_custkey")}, 'linkedPlanServices', ord,
+       |         'planservice_ps-' || ${ck("o_orderkey")} FROM o
+       |  UNION ALL SELECT 'plan_plan-' || ${ck("c_custkey")}, 'linkedPlanServices',
+       |         CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR) FROM customer WHERE c_custkey % 113 = 0
+       |  UNION ALL SELECT 'planservice_ps-' || ${ck("o_orderkey")}, 'linkedService',
+       |         CAST(NULL AS INTEGER), 'linkedService_svc-' || ${ck("o_orderkey")} FROM o
+       |  UNION ALL SELECT 'planservice_ps-' || ${ck("o_orderkey")}, 'planserviceCostShares',
+       |         CAST(NULL AS INTEGER), 'planserviceCostShares_pcs-' || ${ck("o_orderkey")} FROM o)
+       |SELECT parent_key, field, ord, child_key FROM edges
+       |WHERE parent_key = 'plan_plan-7' OR starts_with(parent_key, 'planservice_ps-10')
+       |ORDER BY parent_key, field, ord, child_key""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
     "d16_search_dsl" -> d16 _,
     "d17_etag_guard" -> d17 _,
+    "d18_prefix_scan" -> d18 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
     "d3_roundtrip" -> d3 _,
@@ -572,6 +604,7 @@ object DocQueries {
   val oracle: Map[String, String] = Map(
     "d16_search_dsl" -> d16Sql,
     "d17_etag_guard" -> d17Sql,
+    "d18_prefix_scan" -> d18Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,
     "d3_roundtrip" -> d3Sql,

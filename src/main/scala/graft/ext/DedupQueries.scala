@@ -167,12 +167,11 @@ object DedupQueries {
     val corpus = planted(s, d)
     val th = corpus.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .select(col("doc_id"), stableHash32(col("tok")).as("h")).distinct()
-    val bitSums = (0 until 32).map { j =>
-      sum(when(shiftright(col("h"), j) % 2 === 1, 1L).otherwise(-1L)).as(s"s$j") }
-    val simhash = (0 until 32).map { j =>
-      when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)) }.reduce(_ + _)
-    val sig = th.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), simhash.as("simhash"))
+    // custom typed Aggregator (UDAF surface): per-bit votes accumulate
+    // map-side, one 32-long buffer per group crosses the shuffle
+    val simhashUdaf = udaf(graft.functions.SimHashAgg)
+    val sig = th.groupBy(col("doc_id"))
+      .agg(simhashUdaf(col("h")).as("simhash"))
     val bands = (0 until 4).map { bnd =>
       sig.select(col("doc_id"), col("simhash"), lit(bnd).as("band"),
         (shiftright(col("simhash"), bnd * 8) % 256).as("bv"))

@@ -579,12 +579,66 @@ object DocQueries {
        |WHERE parent_key = 'plan_plan-7' OR starts_with(parent_key, 'planservice_ps-10')
        |ORDER BY parent_key, field, ord, child_key""".stripMargin
 
+  // ---------------------------------------------------------------- d19
+  /** M2 sink shape — entity tables written `partitionBy(type_tag)` (SURVEY
+    * §2 M2: "write partitionBy(objectType) Parquet") and read back with a
+    * partition-pruning filter: the scan lists ONE directory regardless of
+    * corpus size. */
+  private def d19(s: SparkSession, d: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft-entities-").toString
+    shredded(s, d).entities.write.mode("overwrite")
+      .partitionBy("type_tag").parquet(out)
+    val pruned = s.read.parquet(out).filter(col("type_tag") === "planservice")
+    val res = pruned.agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("key")).as("n_keys"))
+      .select(col("n_rows"), col("n_keys"))
+    val materialized = res.localCheckpoint(true)
+    val p = java.nio.file.Paths.get(out)
+    java.nio.file.Files.walk(p)
+      .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(f => java.nio.file.Files.delete(f))
+    materialized
+  }
+
+  private val d19Sql =
+    s"""WITH o AS $O
+       |SELECT COUNT(*) AS n_rows, COUNT(DISTINCT 'planservice_ps-' || ${ck("o_orderkey")}) AS n_keys
+       |FROM o""".stripMargin
+
+  // ---------------------------------------------------------------- d20
+  /** Search pagination — ES-style sort + from/size over search hits:
+    * deterministic total order, windowed offset. (Global offset is
+    * inherently a single-point operation; the sort itself is the scalable
+    * part — range-partitioned, no driver collect.) */
+  private def d20(s: SparkSession, d: String): DataFrame = {
+    val hits = assembled(s, d)
+      .filter(SearchOps.range(col("doc.planCostShares.copay"), 10, 40))
+      .select(col("doc.objectId").as("object_id"),
+        col("doc.planCostShares.copay").as("copay"))
+    hits.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("copay").desc, col("object_id"))))
+      .filter(col("rn") > 10 && col("rn") <= 25)
+      .select(col("rn").cast("long").as("rn"), col("object_id"), col("copay"))
+      .orderBy(col("rn"))
+  }
+
+  private val d20Sql =
+    s"""SELECT rn, object_id, copay FROM (
+       |  SELECT 'plan-' || ${ck("c_custkey")} AS object_id, c_custkey % 50 AS copay,
+       |    ROW_NUMBER() OVER (ORDER BY c_custkey % 50 DESC, 'plan-' || ${ck("c_custkey")}) AS rn
+       |  FROM customer WHERE c_custkey % 50 BETWEEN 10 AND 40)
+       |WHERE rn > 10 AND rn <= 25 ORDER BY rn""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
     "d16_search_dsl" -> d16 _,
     "d17_etag_guard" -> d17 _,
     "d18_prefix_scan" -> d18 _,
+    "d19_partitioned_sink" -> d19 _,
+    "d20_search_paged" -> d20 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
     "d3_roundtrip" -> d3 _,
@@ -605,6 +659,8 @@ object DocQueries {
     "d16_search_dsl" -> d16Sql,
     "d17_etag_guard" -> d17Sql,
     "d18_prefix_scan" -> d18Sql,
+    "d19_partitioned_sink" -> d19Sql,
+    "d20_search_paged" -> d20Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,
     "d3_roundtrip" -> d3Sql,

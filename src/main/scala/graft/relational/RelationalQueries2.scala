@@ -208,9 +208,25 @@ object RelationalQueries2 {
       |FROM (SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
       |GROUP BY k % 10 ORDER BY k_mod""".stripMargin
 
+  // ---------------------------------------------------------------- q27
+  /** Approximate distinct (HyperLogLog++): THE cardinality operator at
+    * 100 TB — fixed-size sketches merge map-side, so the shuffle carries
+    * one sketch per group instead of the distinct values. Sketch internals
+    * are engine-specific, so this query has NO oracle entry (the driver
+    * records a rows-only check); ExtSpec bounds its error against the
+    * exact count instead. */
+  private def q27(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+      .orderBy(col("l_returnflag"))
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
+    "q27_approx_distinct" -> q27 _,
     "q21_cube" -> q21 _,
     "q22_pivot" -> q22 _,
     "q23_sessionize" -> q23 _,

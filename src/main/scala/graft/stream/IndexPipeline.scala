@@ -184,10 +184,92 @@ object IndexPipeline {
       |  CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(28,6)) AS DOUBLE) AS total
       |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
 
+  // ---------------------------------------------------------------- st3
+  /** Arbitrary stateful streaming via `mapGroupsWithState`: the
+    * last-write-wins entity state held IN the streaming operator (per-key
+    * state store) instead of a foreachBatch-merged table — the
+    * `KeyValueGroupedDataset` custom-state surface. Emits the state per key
+    * per batch; the final row per key is the answer (same oracle semantics
+    * as st1).
+    *
+    * Scale shape: state is one small case class per key in the state store
+    * (RocksDB at cluster scale), partitioned by key hash — no global
+    * state, no driver involvement. */
+  private def st3(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.GroupState
+
+    val base = Files.createTempDirectory("graft-stream3-")
+    val srcDir = base.resolve("log").toString
+    val ckDir = base.resolve("ck").toString
+    val log = mutationLog(s, d)
+    val maxSeq = log.agg(max(col("seq"))).head().getLong(0) + 1
+    val nFiles = 3
+    (0 until nFiles).foreach { i =>
+      log.filter(floor(col("seq") * nFiles / maxSeq) === i)
+        .coalesce(1).write.parquet(s"$srcDir/b$i")
+    }
+
+    def update(key: Long, events: Iterator[EntityEvent],
+               state: GroupState[EntityState]): EntityState = {
+      val prior = state.getOption.getOrElse(EntityState(key, -1L, "", "", 0.0, 0L))
+      // fold the batch: max-seq record wins, counts accumulate
+      val next = events.foldLeft(prior) { (acc, e) =>
+        val n = acc.n_events + 1
+        if (e.seq > acc.seq)
+          EntityState(key, e.seq, e.op, e.event_type, e.value, n)
+        else acc.copy(n_events = n)
+      }
+      state.update(next)
+      next
+    }
+
+    val qname = s"st3_state_${System.nanoTime()}"
+    val stream = s.readStream
+      .schema(log.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$srcDir/b*")
+      .as[EntityEvent]
+      .groupByKey(_.key)
+      .mapGroupsWithState(update _)
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(qname)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckDir)
+      .start()
+    stream.awaitTermination()
+
+    // update mode emits one row per touched key per batch — latest wins
+    val w = Window.partitionBy(col("key")).orderBy(col("seq").desc, col("n_events").desc)
+    val out = s.table(qname)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .filter(col("op") =!= "DELETE")
+      .select(col("key").as("user_id"), col("seq").as("last_event_id"),
+        col("event_type").as("last_type"), col("value").as("last_value"),
+        col("n_events"))
+      .orderBy(col("user_id"))
+      .localCheckpoint(true)
+    deleteRecursively(base)
+    out
+  }
+
+  private val st3Sql = st1Sql // identical last-write-wins semantics
+
   val queries: Map[String, Q] = Map(
     "st1_stream_upsert" -> st1 _,
-    "st2_stream_window" -> st2 _)
+    "st2_stream_window" -> st2 _,
+    "st3_stream_mgws" -> st3 _)
   val oracle: Map[String, String] = Map(
     "st1_stream_upsert" -> st1Sql,
-    "st2_stream_window" -> st2Sql)
+    "st2_stream_window" -> st2Sql,
+    "st3_stream_mgws" -> st3Sql)
 }
+
+/** Mutation-log row (st3's typed view of `mutationLog`). */
+case class EntityEvent(seq: Long, key: Long, op: String, event_type: String, value: Double)
+
+/** Per-key streaming state: the latest record + cumulative event count. */
+case class EntityState(key: Long, seq: Long, op: String, event_type: String,
+                       value: Double, n_events: Long)

@@ -98,6 +98,20 @@ class ExtSpec extends SparkSpec {
     assert(math.abs(fs.f0 - f0) < 1e-12)
   }
 
+  test("approx_count_distinct is within its rsd bound of exact (q27 has no oracle)") {
+    val approx = graft.relational.RelationalQueries2.queries("q27_approx_distinct")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = graft.Tables(spark, sf, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("o"), countDistinct(col("l_partkey")).as("p"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    exact.foreach { case (k, (eo, ep)) =>
+      val (ao, ap) = approx(k)
+      assert(math.abs(ao - eo).toDouble / eo < 0.1, s"$k orders: $ao vs $eo")
+      assert(math.abs(ap - ep).toDouble / ep < 0.1, s"$k parts: $ap vs $ep")
+    }
+  }
+
   test("stream merge is last-write-wins with cumulative counts") {
     import spark.implicits._
     val state = Seq((1L, 10L, "SAVE", "view", 1.0, 3L))

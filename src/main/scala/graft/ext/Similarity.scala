@@ -151,13 +151,67 @@ object Similarity {
        |  FROM cand) WHERE rank <= 3
        |ORDER BY q_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- s3
+  /** IVF-style ANN: coarse quantization with a fixed centroid set
+    * (`vec_id % 97 == 0` vectors stand in for trained centroids —
+    * deterministic, so the oracle can replay the assignment). Every vector
+    * is assigned to its nearest centroid (one |corpus|×|centroids| scored
+    * pass — the IVF build); queries probe ONLY their own cell.
+    *
+    * Scale shape vs s2: the inverted-file cell is a join key exactly like
+    * the LSH bucket, but cell count/balance is controlled by the centroid
+    * set rather than hash geometry — the standard trade at 100 TB (train
+    * centroids on a sample, partition the corpus by cell id, co-locate
+    * probes). */
+  private def s3(s: SparkSession, d: String): DataFrame = {
+    val all = vecs(s, d)
+    val cents = all.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val assign = all.join(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("nrm"), col("c_id"),
+        (vecDot(col("v"), col("cv")) / (col("nrm") * col("cn"))).as("score"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("c_id"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("c_id").as("cell"))
+    val q = assign.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"), col("cell"))
+    q.join(assign, Seq("cell")).filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        (vecDot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"), col("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  private val s3Sql =
+    s"""WITH vecs AS ($VecsSql),
+       |cents AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM vecs WHERE vec_id % 97 = 0),
+       |assign AS (
+       |  SELECT vec_id, v, nrm, c_id AS cell FROM (
+       |    SELECT vec_id, v, nrm, c_id,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id
+       |        ORDER BY ${dotSql("v", "cv")} / (nrm * cn) DESC, c_id) AS rn
+       |    FROM vecs CROSS JOIN cents) WHERE rn = 1),
+       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, cell FROM assign WHERE vec_id % 50 = 0)
+       |SELECT q_id, rank, n_id, cos FROM (
+       |  SELECT q_id, x.vec_id AS n_id, ${dotSql("qv", "x.v")} / (qn * x.nrm) AS cos,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY ${dotSql("qv", "x.v")} / (qn * x.nrm) DESC, x.vec_id) AS rank
+       |  FROM q JOIN assign x ON q.cell = x.cell AND x.vec_id <> q.q_id)
+       |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
     "s1_cosine_topk" -> s1 _,
-    "s2_lsh_ann" -> s2 _)
+    "s2_lsh_ann" -> s2 _,
+    "s3_ivf_ann" -> s3 _)
 
   val oracle: Map[String, String] = Map(
     "s1_cosine_topk" -> s1Sql,
-    "s2_lsh_ann" -> s2Sql)
+    "s2_lsh_ann" -> s2Sql,
+    "s3_ivf_ann" -> s3Sql)
 }

@@ -190,15 +190,51 @@ object TextQueries {
       |       CAST(SUM(fp) AS BIGINT) AS sum_fp
       |FROM fps GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t5
+  /** Text normalization: case-fold, strip punctuation, squeeze whitespace —
+    * the canonicalization pass every dedup/quality pipeline runs first.
+    * The corpus is already clean, so the query dirties it deterministically
+    * (uppercased prefix + injected punctuation) and asserts the normalizer
+    * restores the original content hash. Pure per-row map, no shuffle. */
+  private def t5(s: SparkSession, d: String): DataFrame = {
+    val dirty = concat(upper(substring(col("text"), 1, 10)), lit("!! "),
+      substring(col("text"), 11, 1000000), lit(" ??"))
+    val norm = (c: Column) => trim(
+      regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
+    docs(s, d).select(
+      col("doc_id"),
+      md5(norm(dirty)).as("norm_hash"),
+      when(md5(norm(dirty)) === md5(norm(col("text"))), 1L).otherwise(0L).as("restored"),
+      length(norm(dirty)).cast("long").as("norm_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t5Sql =
+    """WITH t AS (
+      |  SELECT doc_id, text,
+      |    upper(substr(text, 1, 10)) || '!! ' || substr(text, 11, 1000000) || ' ??' AS dirty
+      |  FROM documents),
+      |n AS (
+      |  SELECT doc_id,
+      |    trim(regexp_replace(regexp_replace(lower(dirty), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS nd,
+      |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS nt
+      |  FROM t)
+      |SELECT doc_id, md5(nd) AS norm_hash,
+      |  CASE WHEN md5(nd) = md5(nt) THEN 1 ELSE 0 END AS restored,
+      |  length(nd) AS norm_len
+      |FROM n ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
+    "t5_normalize" -> t5 _,
     "t1_token_stats" -> t1 _,
     "t2_quality" -> t2 _,
     "t3_langid" -> t3 _,
     "t4_fingerprint" -> t4 _)
 
   val oracle: Map[String, String] = Map(
+    "t5_normalize" -> t5Sql,
     "t1_token_stats" -> t1Sql,
     "t2_quality" -> t2Sql,
     "t3_langid" -> t3Sql,

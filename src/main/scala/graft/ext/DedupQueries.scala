@@ -88,14 +88,17 @@ object DedupQueries {
     * (integer n_inter/n_union, threshold 0.6). */
   private def dd2(s: SparkSession, d: String): DataFrame = {
     val corpus = planted(s, d)
-    // distinct (doc, shingle-hash < p) rows; the dedup is per-row
-    // (array_distinct before the explode) so no global shuffle is spent on
-    // it, and the frame is persisted — the signature build and BOTH sides
-    // of the Jaccard verify consume it.
+    // distinct (doc, shingle-hash < p) rows, persisted — the signature
+    // build and BOTH sides of the Jaccard verify consume it. Shingles are
+    // hashed by combining per-TOKEN hashes arithmetically (|tokens| md5s)
+    // rather than hashing each shingle string (n× the md5s plus 1.7M
+    // string builds — measured 3× slower). Dedup happens only in the
+    // post-explode distinct: a per-row array_distinct first is
+    // O(shingles²) interpreted compares per doc, slower than the shuffle
+    // it avoids.
     val sh = corpus.select(col("doc_id"),
-        explode(array_distinct(shingles(tokens(col("text")), 3))).as("shingle"))
-      .select(col("doc_id"), (stableHash32(col("shingle")) % MinhashPrime).as("h"))
-      .distinct() // hash collisions across distinct shingles
+        explode(shingleHashes(tokenHashes(tokens(col("text"))), 3)).as("h"))
+      .distinct()
       .persist()
     // 12-column MinHash signature per doc
     val mhCols = MinhashParams.zipWithIndex.map { case ((a, b), i) =>
@@ -135,14 +138,12 @@ object DedupQueries {
 
   private val dd2Sql =
     s"""WITH corpus AS ($PlantedSql),
-       |toks AS (SELECT doc_id,
-       |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS tk
+       |th AS (SELECT doc_id,
+       |    list_transform(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''),
+       |      t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % ${MinhashPrime}) AS hs
        |  FROM corpus),
-       |sh AS (SELECT DISTINCT doc_id,
-       |    CAST(('0x' || substr(md5(sg), 1, 8)) AS BIGINT) % ${MinhashPrime} AS h
-       |  FROM (SELECT doc_id,
-       |          concat_ws(' ', tk[CAST(i AS INTEGER)], tk[CAST(i AS INTEGER)+1], tk[CAST(i AS INTEGER)+2]) AS sg
-       |        FROM toks, unnest(range(1, len(tk) - 1)) AS t(i))),
+       |sh AS (SELECT DISTINCT doc_id, ${TextFunctions.shingleHashSql("hs", 3)} AS h
+       |  FROM th, unnest(range(1, len(hs) - 1)) AS t(i)),
        |sig AS (SELECT doc_id,
        |    $mhTermsSql
        |  FROM sh GROUP BY doc_id),
@@ -224,9 +225,7 @@ object DedupQueries {
   private def dd4(s: SparkSession, d: String): DataFrame = {
     val corpus = planted(s, d)
     val bg = corpus.select(col("doc_id"), col("lang"), col("source"),
-        explode(array_distinct(shingles(tokens(col("text")), 2))).as("bigram"))
-      .select(col("doc_id"), col("lang"), col("source"),
-        stableHash32(col("bigram")).as("h"))
+        explode(shingleHashes(tokenHashes(tokens(col("text"))), 2)).as("h"))
       .distinct()
       .persist()
     val sizes = bg.groupBy(col("doc_id")).agg(count(lit(1)).as("n_bg"))
@@ -246,14 +245,12 @@ object DedupQueries {
 
   private val dd4Sql =
     s"""WITH corpus AS ($PlantedSql),
-       |toks AS (SELECT doc_id, lang, source,
-       |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS tk
+       |th AS (SELECT doc_id, lang, source,
+       |    list_transform(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''),
+       |      t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % ${MinhashPrime}) AS hs
        |  FROM corpus),
-       |bg AS (SELECT DISTINCT doc_id, lang, source,
-       |    CAST(('0x' || substr(md5(sg), 1, 8)) AS BIGINT) AS h
-       |  FROM (SELECT doc_id, lang, source,
-       |          concat_ws(' ', tk[CAST(i AS INTEGER)], tk[CAST(i AS INTEGER)+1]) AS sg
-       |        FROM toks, unnest(range(1, len(tk))) AS t(i))),
+       |bg AS (SELECT DISTINCT doc_id, lang, source, ${TextFunctions.shingleHashSql("hs", 2)} AS h
+       |  FROM th, unnest(range(1, len(hs))) AS t(i)),
        |sizes AS (SELECT doc_id, COUNT(*) AS n_bg FROM bg GROUP BY doc_id),
        |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS n_inter
        |  FROM bg x JOIN bg y

@@ -66,6 +66,31 @@ object TextFunctions {
     (m - 500001L).cast("double") / lit(500001.0)
   }
 
+  /** Per-token stable hashes, reduced mod the MinHash prime — hashing at
+    * the TOKEN level (|tokens| md5s) instead of the shingle level
+    * (|tokens|×n md5s + string builds); shingle hashes combine these
+    * arithmetically. */
+  def tokenHashes(toks: Column): Column =
+    transform(toks, t => stableHash32(t) % MinhashPrime)
+
+  /** n-gram shingle hashes from a token-hash array: polynomial combination
+    * `fold(acc*131 + h) mod p` over each n-window — exact long arithmetic
+    * (values < p·131 + p < 2^38), identical in any engine. */
+  def shingleHashes(hs: Column, n: Int): Column = {
+    val count = size(hs) - (n - 1)
+    when(count < 1, array().cast(org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType)))
+      .otherwise(transform(sequence(lit(1), count), i =>
+        (1 until n).foldLeft(element_at(hs, i))((acc, j) =>
+          (acc * 131L + element_at(hs, i + j)) % MinhashPrime)))
+  }
+
+  /** DuckDB mirror of `shingleHashes` for window position `i` (1-based)
+    * over hash-list column `hs`. */
+  def shingleHashSql(hs: String, n: Int): String =
+    (1 until n).foldLeft(s"$hs[CAST(i AS INTEGER)]")((acc, j) =>
+      s"(($acc) * 131 + $hs[CAST(i AS INTEGER) + $j]) % $MinhashPrime")
+
   /** Scala-side evaluation of `planeWeight` — identical arithmetic, used to
     * bake literal hyperplane arrays into codegen'd `vec_dot` calls. */
   def planeWeightValue(p: Int, d: Int): Double = {

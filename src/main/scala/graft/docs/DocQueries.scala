@@ -631,6 +631,67 @@ object DocQueries {
        |  FROM customer WHERE c_custkey % 50 BETWEEN 10 AND 40)
        |WHERE rn > 10 AND rn <= 25 ORDER BY rn""".stripMargin
 
+  // ---------------------------------------------------------------- d21
+  /** Schema-driven generality: shred + reassemble a SECOND document shape
+    * (order → customer struct + orderline array) that shares nothing with
+    * the plan schema but the objectId/objectType envelope. The shredder
+    * and assembler walk the runtime schema (SURVEY §7.4 "dynamic schema...
+    * two modes, shared shredder") — no plan-specific code anywhere. */
+  private def d21(s: SparkSession, d: String): DataFrame = {
+    val o = graft.Tables(s, d, "orders").filter(col("o_orderkey") % 19 === 0)
+    val c = graft.Tables(s, d, "customer")
+    val l = graft.Tables(s, d, "lineitem")
+      .join(o.select(col("o_orderkey").as("ok")), col("l_orderkey") === col("ok"))
+      // synthetic lineitem repeats l_linenumber within an order; objectIds
+      // must be unique per entity (same id ⇒ same entity under the
+      // reference's key-addressed store), so number the lines explicitly
+      .withColumn("ln", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("l_orderkey"))
+          .orderBy(col("l_linenumber"), col("l_quantity"), col("l_partkey"))))
+    val lines = l.select(col("l_orderkey"),
+        struct(col("ln").as("k"),
+          struct(lit("example.com").as("_org"),
+            concat(lit("line-"), col("l_orderkey").cast("string"),
+              lit("-"), col("ln").cast("string")).as("objectId"),
+            lit("orderline").as("objectType"),
+            col("l_quantity").cast("long").as("qty")).as("v")).as("kv"))
+      .groupBy(col("l_orderkey"))
+      .agg(transform(sort_array(collect_list(col("kv"))), x => x("v")).as("lines"))
+    val docs = o.join(c, col("o_custkey") === col("c_custkey"))
+      .join(lines, col("o_orderkey") === col("l_orderkey"))
+      .select(struct(
+        struct(lit("example.com").as("_org"),
+          concat(lit("cust-"), col("c_custkey").cast("string")).as("objectId"),
+          lit("customer").as("objectType"),
+          col("c_name").as("name")).as("customer"),
+        col("lines"),
+        lit("example.com").as("_org"),
+        concat(lit("ord-"), col("o_orderkey").cast("string")).as("objectId"),
+        lit("order").as("objectType"),
+        col("o_orderstatus").as("status")).as("doc"))
+    val orderSchema = docs.schema("doc").dataType.asInstanceOf[StructType]
+    val back = Assembler.assemble(Shredder.shred(docs), orderSchema, "order")
+    back.select(
+      col("doc.objectId").as("object_id"),
+      col("doc.status").as("status"),
+      col("doc.customer.name").as("cust_name"),
+      size(col("doc.lines")).cast("long").as("n_lines"),
+      aggregate(col("doc.lines"), lit(0L),
+        (acc, x) => acc + x.getField("qty")).as("sum_qty"))
+      .orderBy(col("object_id"))
+  }
+
+  private val d21Sql =
+    """WITH o AS (SELECT * FROM orders WHERE o_orderkey % 19 = 0),
+      |agg AS (SELECT l_orderkey, COUNT(*) AS n_lines,
+      |          CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      |        FROM lineitem JOIN o ON l_orderkey = o_orderkey GROUP BY l_orderkey)
+      |SELECT 'ord-' || CAST(o_orderkey AS VARCHAR) AS object_id,
+      |  o_orderstatus AS status, c_name AS cust_name, n_lines, sum_qty
+      |FROM o JOIN customer ON o_custkey = c_custkey
+      |  JOIN agg ON agg.l_orderkey = o_orderkey
+      |ORDER BY object_id""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -639,6 +700,7 @@ object DocQueries {
     "d18_prefix_scan" -> d18 _,
     "d19_partitioned_sink" -> d19 _,
     "d20_search_paged" -> d20 _,
+    "d21_generic_shred" -> d21 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
     "d3_roundtrip" -> d3 _,
@@ -661,6 +723,7 @@ object DocQueries {
     "d18_prefix_scan" -> d18Sql,
     "d19_partitioned_sink" -> d19Sql,
     "d20_search_paged" -> d20Sql,
+    "d21_generic_shred" -> d21Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,
     "d3_roundtrip" -> d3Sql,

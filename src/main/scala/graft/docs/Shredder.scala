@@ -67,8 +67,12 @@ object Shredder {
     val (ents, edgs) = walk(nodes, schema)
     val emptyEdges = docs.sparkSession.createDataFrame(
       docs.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row], edgeSchema)
+    // One row per key: the reference's Redis SET is idempotent per key
+    // (`PlanService.java:78-82`), so a child shared by many parents (e.g.
+    // one customer in many order docs) stores once — without this, every
+    // reassembly join fans out by the duplicate count.
     Shredded(
-      ents.reduce(_ unionAll _),
+      ents.reduce(_ unionAll _).dropDuplicates("key"),
       edgs.foldLeft(emptyEdges)(_ unionAll _))
   }
 

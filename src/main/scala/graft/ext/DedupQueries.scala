@@ -90,14 +90,16 @@ object DedupQueries {
     val corpus = planted(s, d)
     // distinct (doc, shingle-hash < p) rows, persisted — the signature
     // build and BOTH sides of the Jaccard verify consume it. Shingles are
-    // hashed by combining per-TOKEN hashes arithmetically (|tokens| md5s)
-    // rather than hashing each shingle string (n× the md5s plus 1.7M
-    // string builds — measured 3× slower). Dedup happens only in the
-    // post-explode distinct: a per-row array_distinct first is
-    // O(shingles²) interpreted compares per doc, slower than the shuffle
-    // it avoids.
-    val sh = corpus.select(col("doc_id"),
-        explode(shingleHashes(tokenHashes(tokens(col("text"))), 3)).as("h"))
+    // hashed by combining per-TOKEN hashes arithmetically; the token-hash
+    // array MUST be materialized (persist) before the shingle transform —
+    // a lambda's `element_at(hs, i)` closes over the full `hs` expression
+    // tree, so without the boundary every window element re-runs the md5
+    // transform of the whole token list (measured 36 s vs 2 s at sf0.1).
+    val th = corpus
+      .select(col("doc_id"), tokenHashes(tokens(col("text"))).as("hs"))
+      .persist()
+    val sh = th.select(col("doc_id"),
+        explode(shingleHashes(col("hs"), 3)).as("h"))
       .distinct()
       .persist()
     // 12-column MinHash signature per doc
@@ -224,8 +226,13 @@ object DedupQueries {
     * within (lang, source) blocks — pair count is Σ block² not corpus². */
   private def dd4(s: SparkSession, d: String): DataFrame = {
     val corpus = planted(s, d)
-    val bg = corpus.select(col("doc_id"), col("lang"), col("source"),
-        explode(shingleHashes(tokenHashes(tokens(col("text"))), 2)).as("h"))
+    // same materialization boundary as dd2 (see comment there)
+    val th = corpus
+      .select(col("doc_id"), col("lang"), col("source"),
+        tokenHashes(tokens(col("text"))).as("hs"))
+      .persist()
+    val bg = th.select(col("doc_id"), col("lang"), col("source"),
+        explode(shingleHashes(col("hs"), 2)).as("h"))
       .distinct()
       .persist()
     val sizes = bg.groupBy(col("doc_id")).agg(count(lit(1)).as("n_bg"))

@@ -169,6 +169,25 @@ class DocEngineSpec extends SparkSpec {
     assert(ok2.count() === 0 && bad2.count() === 1)
   }
 
+  test("malformed raw JSON lands in the corrupt-record quarantine, valid rows parse") {
+    // M1 ingest of untrusted bytes: from_json PERMISSIVE mode nulls the
+    // struct for unparseable input — the engine's 400 for broken bodies,
+    // one stage before schema validation catches shape violations.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val raw = Seq(
+      planJson.replaceAll("\\s+", " "),
+      """{"not json""",
+      """[1,2,3]""").toDF("body")
+    val parsed = raw.select(col("body"),
+      from_json(col("body"), graft.model.PlanSchema.plan).as("doc"))
+    val ok = parsed.filter(col("doc").isNotNull && col("doc.objectId").isNotNull)
+    val corrupt = parsed.filter(col("doc").isNull || col("doc.objectId").isNull)
+    assert(ok.count() === 1)
+    assert(corrupt.count() === 2)
+    assert(ok.head().getStruct(1).getAs[String]("objectId") === "12xvxc345ssdsds-508")
+  }
+
   test("validator quarantines missing required fields") {
     val bad = planJson.replace("\"planType\":\"inNetwork\",", "")
     val (valid, quarantine) = Validator.validate(docsDf(planJson, bad))

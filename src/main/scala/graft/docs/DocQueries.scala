@@ -692,6 +692,31 @@ object DocQueries {
       |  JOIN agg ON agg.l_orderkey = o_orderkey
       |ORDER BY object_id""".stripMargin
 
+  // ---------------------------------------------------------------- d22
+  /** Inference-mode ingest (SURVEY §7.4 "dynamic schema ... two modes,
+    * shared shredder"): raw JSON strings → inferred schema (P3, no declared
+    * StructType anywhere) → parse → the SAME shredder → entity counts per
+    * tag. The declared-schema mode (d1/d5) and this mode share every
+    * operator downstream of the parse. */
+  private def d22(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val raw = PlanDocs.docs(s, d).select(to_json(col("doc")).as("j")).persist()
+    val inferred = s.read.json(raw.limit(512).as[String]).schema
+    val docs = raw.select(from_json(col("j"), inferred).as("doc"))
+    Shredder.shred(docs).entities
+      .groupBy(col("type_tag")).agg(count(lit(1)).as("n"))
+      .orderBy(col("type_tag"))
+  }
+
+  private val d22Sql =
+    s"""WITH o AS $O
+       |SELECT 'linkedService' AS type_tag, COUNT(*) AS n FROM o
+       |UNION ALL SELECT 'plan', COUNT(*) FROM customer
+       |UNION ALL SELECT 'planCostShares', COUNT(*) FROM customer
+       |UNION ALL SELECT 'planservice', COUNT(*) FROM o
+       |UNION ALL SELECT 'planserviceCostShares', COUNT(*) FROM o
+       |ORDER BY type_tag""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -701,6 +726,7 @@ object DocQueries {
     "d19_partitioned_sink" -> d19 _,
     "d20_search_paged" -> d20 _,
     "d21_generic_shred" -> d21 _,
+    "d22_inferred_shred" -> d22 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
     "d3_roundtrip" -> d3 _,
@@ -724,6 +750,7 @@ object DocQueries {
     "d19_partitioned_sink" -> d19Sql,
     "d20_search_paged" -> d20Sql,
     "d21_generic_shred" -> d21Sql,
+    "d22_inferred_shred" -> d22Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,
     "d3_roundtrip" -> d3Sql,

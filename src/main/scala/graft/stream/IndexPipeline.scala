@@ -257,14 +257,81 @@ object IndexPipeline {
 
   private val st3Sql = st1Sql // identical last-write-wins semantics
 
+  // ---------------------------------------------------------------- st4
+  /** Streaming session windows: per-user sessions split at >30-min
+    * event-time gaps, built with the native `session_window` stateful
+    * operator — sessions MERGE across micro-batch boundaries (an event in
+    * batch 3 can bridge two sessions opened in batch 1), which is the
+    * part the batch gaps-and-islands form (q23) cannot exercise.
+    * Complete output mode emits the final session state. */
+  private def st4(s: SparkSession, d: String): DataFrame = {
+    val base = Files.createTempDirectory("graft-stream4-")
+    val srcDir = base.resolve("log").toString
+    val ckDir = base.resolve("ck").toString
+    val nFiles = 3
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("ts_us"), col("user_id"))
+    val maxId = ev.agg(max(col("event_id"))).head().getLong(0) + 1
+    (0 until nFiles).foreach { i =>
+      ev.filter(floor(col("event_id") * nFiles / maxId) === i)
+        .coalesce(1).write.parquet(s"$srcDir/b$i")
+    }
+    val qname = s"st4_sessions_${System.nanoTime()}"
+    val stream = s.readStream
+      .schema(ev.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$srcDir/b*")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(qname)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckDir)
+      .start()
+    stream.awaitTermination()
+    val out = s.table(qname)
+      .select(col("user_id"),
+        col("session_window.start").cast("long").as("sess_start"),
+        col("session_window.end").cast("long").as("sess_end"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("sess_start"))
+      .localCheckpoint(true)
+    deleteRecursively(base)
+    out
+  }
+
+  private val st4Sql =
+    """WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+      |flagged AS (
+      |  SELECT user_id, us, event_id,
+      |    CASE WHEN us - LAG(us, 1) OVER (PARTITION BY user_id ORDER BY us, event_id)
+      |              > 30 * 60 * 1000000 THEN 1 ELSE 0 END AS new_sess
+      |  FROM ev),
+      |sess AS (
+      |  SELECT user_id, us,
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id) AS sess_id
+      |  FROM flagged)
+      |SELECT user_id,
+      |  MIN(us) // 1000000 AS sess_start,
+      |  (MAX(us) + 30 * 60 * 1000000) // 1000000 AS sess_end,
+      |  COUNT(*) AS n_events
+      |FROM sess GROUP BY user_id, sess_id
+      |ORDER BY user_id, sess_start""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "st1_stream_upsert" -> st1 _,
     "st2_stream_window" -> st2 _,
-    "st3_stream_mgws" -> st3 _)
+    "st3_stream_mgws" -> st3 _,
+    "st4_stream_sessions" -> st4 _)
   val oracle: Map[String, String] = Map(
     "st1_stream_upsert" -> st1Sql,
     "st2_stream_window" -> st2Sql,
-    "st3_stream_mgws" -> st3Sql)
+    "st3_stream_mgws" -> st3Sql,
+    "st4_stream_sessions" -> st4Sql)
 }
 
 /** Mutation-log row (st3's typed view of `mutationLog`). */

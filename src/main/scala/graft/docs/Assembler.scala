@@ -84,10 +84,18 @@ object Assembler {
             e0.join(base.select(col("key").as("__pk")), col("parent_key") === col("__pk"))
               .drop("__pk")
           else e0
-          val childBase = sh.entities.join(
-            e.filter(col("child_key").isNotNull)
-              .select(col("child_key").as("__ck")).distinct(),
-            col("key") === col("__ck")).drop("__ck")
+          // Full-corpus mode needs NO key-set restriction: the inner join
+          // on child_key below already selects exactly the element
+          // entities (keys embed the tag, so no cross-type collisions),
+          // and a distinct-join here would add an edge-table shuffle +
+          // dedup per array level. Only subset reads thread the key set.
+          val childBase =
+            if (restrict)
+              sh.entities.join(
+                e.filter(col("child_key").isNotNull)
+                  .select(col("child_key").as("__ck")).distinct(),
+                col("key") === col("__ck")).drop("__ck")
+            else sh.entities
           val children = nodesFor(childBase, sh, sub, restrict)
           // Left join keeps the empty-array marker rows (ord/child NULL);
           // they are dropped after the sort, leaving a genuinely empty array.

@@ -25,25 +25,44 @@ object DocQueries {
   private val O = "(SELECT * FROM orders WHERE o_custkey % 113 <> 0)"
   private def ck(c: String) = s"CAST($c AS VARCHAR)"
 
-  /** Shredded/assembled corpora memoized per (session, dir) and persisted:
-    * every registry query starts from the same two tables, and the driver's
-    * Verify/Bench run all of them in one session — recomputing the
-    * multi-level shred/assemble plan per query would redo identical work
-    * 15×. (At cluster scale this is "write the shredded tables once, read
-    * them everywhere" — here MEMORY_AND_DISK persist stands in.) */
+  /** Shared corpora (docs → shredded → assembled) memoized per (session,
+    * dir) and materialized to temp PARQUET, not executor cache: every
+    * registry query starts from these tables, the shred/assemble plan
+    * references its input once per schema node (≈10×), and a
+    * MEMORY_AND_DISK persist demonstrably falls out of cache under the
+    * dedup queries' memory pressure (d16 was 60 s over "cached" data in
+    * round 2). Writing once and re-reading parquet is the literal cluster
+    * architecture — "write the shredded tables once, read them everywhere"
+    * — and gives every consumer real scans with pushdown + pruning. */
   private val memo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), AnyRef]
 
+  /** Write `df` to a session-temp parquet dir and read it back. */
+  private[docs] def mat(s: SparkSession, tag: String)(df: => DataFrame): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft-$tag-")
+    dir.toFile.deleteOnExit()
+    df.write.mode("overwrite").parquet(dir.toString)
+    s.read.parquet(dir.toString)
+  }
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    memo.getOrElseUpdate((s, d, "docs"),
+      mat(s, "docs")(PlanDocs.docs(s, d))).asInstanceOf[DataFrame]
+
   private def shredded(s: SparkSession, d: String): Shredded =
     memo.getOrElseUpdate((s, d, "shredded"), {
-      val sh = Shredder.shred(PlanDocs.docs(s, d))
-      Shredded(sh.entities.persist(), sh.edges.persist())
+      val sh = Shredder.shred(docs(s, d))
+      Shredded(mat(s, "entities")(sh.entities), mat(s, "edges")(sh.edges))
     }).asInstanceOf[Shredded]
 
   private def assembled(s: SparkSession, d: String): DataFrame =
     memo.getOrElseUpdate((s, d, "assembled"),
-      Assembler.assemble(shredded(s, d), schema, "plan").persist())
+      mat(s, "assembled")(Assembler.assemble(shredded(s, d), schema, "plan")))
       .asInstanceOf[DataFrame]
+
+  /** Materialize the shared corpora up front (Verify/Bench call this once
+    * before fanning out queries). */
+  def warm(s: SparkSession, d: String): Unit = { assembled(s, d); () }
 
   // ---------------------------------------------------------------- d1
   /** M2 shred — entity rows: key = `{tag}_{objectId}` with the reference's
@@ -149,8 +168,7 @@ object DocQueries {
   /** M1 validation — inject required-field violations, emit the quarantine
     * (per-row error strings = the batch engine's HTTP 400). */
   private def d5(s: SparkSession, d: String): DataFrame = {
-    val docs = PlanDocs.docs(s, d)
-    val broken = docs.select(struct(
+    val broken = docs(s, d).select(struct(
       when(col("doc.objectId").substr(lit(6), lit(99)).cast("long") % 89 === 0,
         struct(
           col("doc.planCostShares.deductible").as("deductible"),
@@ -471,8 +489,9 @@ object DocQueries {
     // Inference needs a sample, not the corpus: serializing + re-parsing
     // every document scales linearly for a schema that stabilizes after a
     // handful of rows (the reference infers from ONE instance,
-    // IndexingListener.java:86).
-    val jsonDs = PlanDocs.docs(s, d).limit(512)
+    // IndexingListener.java:86). Sampling from the materialized corpus
+    // parquet makes the limit a cheap partial scan.
+    val jsonDs = docs(s, d).limit(512)
       .select(to_json(col("doc")).as("j")).as[String]
     val inferred = s.read.json(jsonDs).schema
     s.createDataFrame(inferred.fields.toSeq.map(f => (f.name, f.dataType.simpleString)))
@@ -700,10 +719,14 @@ object DocQueries {
     * operator downstream of the parse. */
   private def d22(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val raw = PlanDocs.docs(s, d).select(to_json(col("doc")).as("j")).persist()
+    val raw = docs(s, d).select(to_json(col("doc")).as("j")).persist()
     val inferred = s.read.json(raw.limit(512).as[String]).schema
-    val docs = raw.select(from_json(col("j"), inferred).as("doc"))
-    Shredder.shred(docs).entities
+    // The PARSED frame must be materialized, not just the raw strings:
+    // Shredder references its input once per schema subtree (~10×), and an
+    // unpersisted from_json would re-parse the whole corpus per branch
+    // (348 s at sf0.1 in round 2).
+    val parsed = raw.select(from_json(col("j"), inferred).as("doc")).persist()
+    Shredder.shred(parsed).entities
       .groupBy(col("type_tag")).agg(count(lit(1)).as("n"))
       .orderBy(col("type_tag"))
   }
@@ -717,6 +740,107 @@ object DocQueries {
        |UNION ALL SELECT 'planserviceCostShares', COUNT(*) FROM o
        |ORDER BY type_tag""".stripMargin
 
+  // ---------------------------------------------------------------- d23
+  /** Q6 analyzed `match` with relevance — the reference's ES `match` form
+    * analyzes the field text and ranks by `_score` (`README.md:85-90`).
+    * The query "SERVICE 3-medium!" is analyzed (lowercase/strip/stop/stem,
+    * graft.ext.TextAnalysis) to [service, 3, medium]; each nested service
+    * name is analyzed the same way; a document's score = Σ over its
+    * service elements of the number of query terms the element's analyzed
+    * name contains (integer — exact in any engine). Docs rank by (score
+    * desc, objectId): plans heavy in 3-MEDIUM services surface first.
+    * Top-k via ORDER BY + LIMIT (TakeOrderedAndProject). */
+  private def d23(s: SparkSession, d: String): DataFrame = {
+    import graft.ext.TextAnalysis
+    val terms = TextAnalysis.analyzeQuery("SERVICE 3-medium!")
+    val score = aggregate(col("doc.linkedPlanServices"), lit(0L), (acc, x) => {
+      val an = TextAnalysis.analyze(x.getField("linkedService").getField("name"))
+      acc + terms.map(t => when(array_contains(an, t), 1L).otherwise(0L))
+        .reduce(_ + _)
+    })
+    assembled(s, d)
+      .select(col("doc.objectId").as("object_id"), score.as("score"))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("object_id"))
+      .limit(15)
+  }
+
+  private val d23Sql = {
+    import graft.ext.TextAnalysis
+    val an = TextAnalysis.analyzeSql("'Service ' || o_orderpriority")
+    val terms = TextAnalysis.analyzeQuery("SERVICE 3-medium!")
+      .map(t => s"CASE WHEN list_contains($an, '$t') THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH o AS $O,
+       |hits AS (SELECT o_custkey, CAST(SUM($terms) AS BIGINT) AS score
+       |         FROM o GROUP BY o_custkey)
+       |SELECT 'plan-' || ${ck("c_custkey")} AS object_id, score
+       |FROM customer JOIN hits ON c_custkey = o_custkey
+       |WHERE score > 0
+       |ORDER BY score DESC, object_id LIMIT 15""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- d24
+  /** Q5 nested range through the DSL — compiles the `NestedRange` AST node
+    * (the one branch of the search DSL round 2 left unexercised): docs
+    * where SOME planservice deductible ∈ [100, 250], excluding org-2. */
+  private def d24(s: SparkSession, d: String): DataFrame = {
+    import SearchQuery._
+    val ast: SearchQuery = And(
+      NestedRange(Seq("linkedPlanServices"),
+        Seq("planserviceCostShares", "deductible"), 100, 250),
+      Not(Wildcard(Seq("_org"), "org-2*")))
+    assembled(s, d)
+      .filter(SearchQuery.compile(ast, col("doc")))
+      .select(col("doc.objectId").as("object_id"),
+        size(col("doc.linkedPlanServices")).as("n_services"))
+      .orderBy(col("object_id"))
+  }
+
+  private val d24Sql =
+    s"""WITH o AS $O
+       |SELECT 'plan-' || ${ck("c_custkey")} AS object_id,
+       |  CAST((SELECT COUNT(*) FROM o WHERE o_custkey = c_custkey) AS INTEGER) AS n_services
+       |FROM customer
+       |WHERE EXISTS (SELECT 1 FROM o WHERE o_custkey = c_custkey
+       |              AND o_orderkey % 1000 BETWEEN 100 AND 250)
+       |  AND NOT ('org-' || ${ck("c_nationkey")} || '.example.com' LIKE 'org-2%')
+       |ORDER BY object_id""".stripMargin
+
+  // ---------------------------------------------------------------- d25
+  /** M7 read-side conditional — `If-None-Match` 304 (`PlanController
+    * .java:127-131`): a GET carrying the document's current etag is
+    * answered 304 Not Modified (no body); a stale etag gets 200 + body.
+    * Deterministic split: custkey % 3 == 0 requests carry the live etag.
+    * Output proves both the partition and that bodies ship only on 200
+    * (body_hashes counts distinct planType payloads returned). */
+  private def d25(s: SparkSession, d: String): DataFrame = {
+    val current = assembled(s, d).select(col("key"),
+      col("doc.planType").as("body"),
+      CanonicalJson.etag(col("doc"), schema).as("etag"))
+    val requests = current.select(col("key"),
+      when(col("key").substr(lit(11), lit(99)).cast("long") % 3 === 0, col("etag"))
+        .otherwise(col("etag") + 1L).as("if_none_match"))
+    val joined = requests.join(current, Seq("key"))
+    val notModified = joined.filter(col("if_none_match") === col("etag"))
+      .select(lit("304_not_modified").as("outcome"), col("key"),
+        lit(null).cast("string").as("body"))
+    val ok = joined.filter(col("if_none_match") =!= col("etag"))
+      .select(lit("200_ok").as("outcome"), col("key"), col("body"))
+    notModified.unionAll(ok)
+      .groupBy(col("outcome"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("body")).as("body_kinds"))
+      .orderBy(col("outcome"))
+  }
+
+  private val d25Sql =
+    """SELECT '200_ok' AS outcome, COUNT(*) AS n,
+      |       COUNT(DISTINCT c_mktsegment) AS body_kinds
+      |FROM customer WHERE c_custkey % 3 <> 0
+      |UNION ALL
+      |SELECT '304_not_modified', COUNT(*), 0 FROM customer WHERE c_custkey % 3 = 0
+      |ORDER BY outcome""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -727,6 +851,9 @@ object DocQueries {
     "d20_search_paged" -> d20 _,
     "d21_generic_shred" -> d21 _,
     "d22_inferred_shred" -> d22 _,
+    "d23_match_relevance" -> d23 _,
+    "d24_search_nested_range" -> d24 _,
+    "d25_if_none_match" -> d25 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
     "d3_roundtrip" -> d3 _,
@@ -751,6 +878,9 @@ object DocQueries {
     "d20_search_paged" -> d20Sql,
     "d21_generic_shred" -> d21Sql,
     "d22_inferred_shred" -> d22Sql,
+    "d23_match_relevance" -> d23Sql,
+    "d24_search_nested_range" -> d24Sql,
+    "d25_if_none_match" -> d25Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,
     "d3_roundtrip" -> d3Sql,

@@ -164,20 +164,29 @@ object DedupQueries {
        |ORDER BY a, b""".stripMargin
 
   // ---------------------------------------------------------------- dd3
-  /** SimHash near-dedup: 32-bit signature from distinct token hashes,
-    * 4 byte-bands as hamming-LSH buckets, pairs with hamming ≤ 6. */
+  /** SimHash near-dedup: 60-bit signature over distinct token-BIGRAM
+    * features (stableHash60 — the widest md5 prefix a signed 64-bit cast
+    * holds in every engine), 6 bands × 10 bits as hamming-LSH buckets,
+    * pairs with hamming ≤ 5. Pigeonhole: ≤5 differing bits across 6 bands
+    * leaves at least one band clean, so banding has EXACT recall at this
+    * threshold. Bigram (not unigram) features matter on a
+    * shared-vocabulary corpus: the test documents draw ~23 of 31 shared
+    * words each, so unigram SETS are near-identical across unrelated docs
+    * (round 2's 11k false pairs) — positional bigrams restore feature
+    * diversity (unrelated hamming ≈ 15-30, planted copies ≈ 0-3). */
   private def dd3(s: SparkSession, d: String): DataFrame = {
     val corpus = planted(s, d)
-    val th = corpus.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .select(col("doc_id"), stableHash32(col("tok")).as("h")).distinct()
+    val th = corpus
+      .select(col("doc_id"), explode(shingles(tokens(col("text")), 2)).as("bg"))
+      .select(col("doc_id"), stableHash60(col("bg")).as("h")).distinct()
     // custom typed Aggregator (UDAF surface): per-bit votes accumulate
-    // map-side, one 32-long buffer per group crosses the shuffle
+    // map-side, one 60-long buffer per group crosses the shuffle
     val simhashUdaf = udaf(graft.functions.SimHashAgg)
     val sig = th.groupBy(col("doc_id"))
       .agg(simhashUdaf(col("h")).as("simhash"))
-    val bands = (0 until 4).map { bnd =>
+    val bands = (0 until 6).map { bnd =>
       sig.select(col("doc_id"), col("simhash"), lit(bnd).as("band"),
-        (shiftright(col("simhash"), bnd * 8) % 256).as("bv"))
+        (shiftright(col("simhash"), bnd * 10) % 1024).as("bv"))
     }.reduce(_ unionAll _)
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
@@ -185,29 +194,30 @@ object DedupQueries {
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
       .distinct()
-      // ≤2 of 32 bits: the corpus shares one small vocabulary, so looser
-      // thresholds flag half the corpus as near-dups (67k pairs at ≤6)
-      .filter(col("hamming") <= 2)
+      .filter(col("hamming") <= 5)
       .orderBy(col("a"), col("b"))
   }
 
-  private def simTermsSql: String = (0 until 32).map { j =>
+  private def simTermsSql: String = (0 until 60).map { j =>
     s"SUM(CASE WHEN (h >> $j) % 2 = 1 THEN 1 ELSE -1 END) AS s$j" }.mkString(",\n    ")
 
-  private def simValSql: String = (0 until 32).map { j =>
+  private def simValSql: String = (0 until 60).map { j =>
     s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END" }.mkString(" + ")
 
-  private def simBandsSql: String = (0 until 4).map { bnd =>
-    s"SELECT doc_id, simhash, $bnd AS band, (simhash >> ${bnd * 8}) % 256 AS bv FROM sig"
+  private def simBandsSql: String = (0 until 6).map { bnd =>
+    s"SELECT doc_id, simhash, $bnd AS band, (simhash >> ${bnd * 10}) % 1024 AS bv FROM sig"
   }.mkString("\n  UNION ALL ")
 
   private val dd3Sql =
     s"""WITH corpus AS ($PlantedSql),
        |th AS (SELECT DISTINCT doc_id,
-       |    CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h
+       |    CAST(('0x' || substr(md5(bg), 1, 15)) AS BIGINT) AS h
        |  FROM (SELECT doc_id,
-       |          unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS tok
-       |        FROM corpus)),
+       |          toks[CAST(i AS INTEGER)] || ' ' || toks[CAST(i AS INTEGER) + 1] AS bg
+       |        FROM (SELECT doc_id,
+       |                list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+       |              FROM corpus),
+       |        unnest(range(1, len(toks))) AS t(i))),
        |sums AS (SELECT doc_id,
        |    $simTermsSql
        |  FROM th GROUP BY doc_id),
@@ -218,12 +228,20 @@ object DedupQueries {
        |  CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming
        |FROM bands x JOIN bands y
        |  ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id
-       |WHERE bit_count(xor(x.simhash, y.simhash)) <= 2
+       |WHERE bit_count(xor(x.simhash, y.simhash)) <= 5
        |ORDER BY a, b""".stripMargin
 
   // ---------------------------------------------------------------- dd4
-  /** Blocked n-gram Jaccard: exhaustive token-bigram Jaccard, but ONLY
-    * within (lang, source) blocks — pair count is Σ block² not corpus². */
+  /** Blocked n-gram Jaccard: token-bigram Jaccard within (lang, source)
+    * blocks, with a DOCUMENT-FREQUENCY filter on the candidate join —
+    * bigrams present in more than max(1%, 5 docs) of their block are
+    * vocabulary, not evidence, and generate no candidate pairs (the
+    * shared-bigram self-join otherwise approaches block² when the corpus
+    * shares one vocabulary: 250 s at sf0.1 in round 2, and a scale-killer
+    * at 100 TB). Verification stays EXACT on the full bigram sets — only
+    * candidate generation is pruned; a true near-dup pair shares its
+    * pair-unique bigrams (df = 2), so recall for actual duplicates is
+    * unaffected. All arithmetic integer so the oracle mirrors bit-exactly. */
   private def dd4(s: SparkSession, d: String): DataFrame = {
     val corpus = planted(s, d)
     // same materialization boundary as dd2 (see comment there)
@@ -236,11 +254,26 @@ object DedupQueries {
       .distinct()
       .persist()
     val sizes = bg.groupBy(col("doc_id")).agg(count(lit(1)).as("n_bg"))
-    val inter = bg.as("x").join(bg.as("y"),
+    val nblock = bg.groupBy(col("lang"), col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    // rare = bigrams allowed to vote for candidates: df*100 <= max(500, n)
+    // (integer form of "df <= max(5, 1% of block)" — no float rounding)
+    val rare = bg.groupBy(col("lang"), col("source"), col("h"))
+      .agg(count(lit(1)).as("df"))
+      .join(nblock, Seq("lang", "source"))
+      .filter(col("df") * 100 <= greatest(lit(500L), col("n_docs")))
+      .select(col("lang"), col("source"), col("h"))
+    val cbg = bg.join(rare, Seq("lang", "source", "h"))
+      .select(col("doc_id"), col("lang"), col("source"), col("h"))
+    val cand = cbg.as("x").join(cbg.as("y"),
         col("x.lang") === col("y.lang") && col("x.source") === col("y.source") &&
           col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .agg(count(lit(1)).as("n_inter"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+    // exact Jaccard on the FULL bigram sets of the surviving candidates
+    val sa = bg.select(col("doc_id").as("a"), col("h"))
+    val sb = bg.select(col("doc_id").as("b"), col("h"))
+    val inter = cand.join(sa, "a").join(sb, Seq("b", "h"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_inter"))
     inter
       .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n_bg", "na"), "a")
       .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n_bg", "nb"), "b")
@@ -259,11 +292,21 @@ object DedupQueries {
        |bg AS (SELECT DISTINCT doc_id, lang, source, ${TextFunctions.shingleHashSql("hs", 2)} AS h
        |  FROM th, unnest(range(1, len(hs))) AS t(i)),
        |sizes AS (SELECT doc_id, COUNT(*) AS n_bg FROM bg GROUP BY doc_id),
-       |inter AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS n_inter
-       |  FROM bg x JOIN bg y
+       |nblock AS (SELECT lang, source, COUNT(DISTINCT doc_id) AS n_docs
+       |  FROM bg GROUP BY lang, source),
+       |rare AS (SELECT f.lang, f.source, f.h FROM
+       |    (SELECT lang, source, h, COUNT(*) AS df FROM bg GROUP BY lang, source, h) f
+       |  JOIN nblock nb ON f.lang = nb.lang AND f.source = nb.source
+       |  WHERE f.df * 100 <= GREATEST(500, nb.n_docs)),
+       |cbg AS (SELECT bg.doc_id, bg.lang, bg.source, bg.h FROM bg
+       |  JOIN rare r ON bg.lang = r.lang AND bg.source = r.source AND bg.h = r.h),
+       |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM cbg x JOIN cbg y
        |    ON x.lang = y.lang AND x.source = y.source AND x.h = y.h
-       |   AND x.doc_id < y.doc_id
-       |  GROUP BY x.doc_id, y.doc_id)
+       |   AND x.doc_id < y.doc_id),
+       |inter AS (SELECT a, b, COUNT(*) AS n_inter
+       |  FROM cand JOIN bg sa ON sa.doc_id = a JOIN bg sb ON sb.doc_id = b AND sb.h = sa.h
+       |  GROUP BY a, b)
        |SELECT a, b, n_inter, za.n_bg + zb.n_bg - n_inter AS n_union
        |FROM inter JOIN sizes za ON za.doc_id = a JOIN sizes zb ON zb.doc_id = b
        |WHERE n_inter * 2 >= za.n_bg + zb.n_bg - n_inter

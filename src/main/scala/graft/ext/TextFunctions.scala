@@ -32,6 +32,13 @@ object TextFunctions {
   def stableHash32(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
+  /** Engine-portable 60-bit hash in [0, 2^60) as a long — 15 hex chars of
+    * md5, the widest prefix that can never overflow a SIGNED 64-bit cast
+    * in any engine (16 chars could exceed 2^63-1). Used by SimHash, where
+    * 32 bits over a shared vocabulary yields mostly-colliding signatures. */
+  def stableHash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** MinHash permutation `(a*h + b) mod p` — `h` must already be < p so the
     * product stays < 2^62 (no overflow divergence between engines). */
   val MinhashPrime = 1000000007L

@@ -224,10 +224,55 @@ object TextQueries {
       |  length(nd) AS norm_len
       |FROM n ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t6
+  /** Analyzed full-text relevance — the reference's ES `match` + `_score`
+    * semantics (`README.md:85-90`) with a fully specified analyzer
+    * (TextAnalysis: lowercase/strip/stop/stem) and an all-integer
+    * TF×IDF-shaped score `Σ tf·(N−df)` so ranking is bit-reproducible.
+    * The query exercises every analyzer stage: "The" is a stopword,
+    * "DUP-merge" strips to two tokens, "queries" stems to "query".
+    *
+    * Scale shape: df is a term-count aggregate (broadcast-sized — bounded
+    * by query terms), scoring one equi-join + groupBy on doc_id, and
+    * top-k is ORDER BY + LIMIT (TakeOrderedAndProject, no global sort). */
+  private val T6Query = "The DUP-merge queries!"
+
+  private def t6(s: SparkSession, d: String): DataFrame = {
+    val terms = TextAnalysis.analyzeQuery(T6Query) // dup, merge, query
+    val tf = docs(s, d)
+      .select(col("doc_id"), explode(TextAnalysis.analyze(col("text"))).as("t"))
+      .filter(col("t").isin(terms: _*))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val n = docs(s, d).agg(count(lit(1)).as("n_docs"))
+    tf.join(broadcast(dfreq), "t").crossJoin(broadcast(n))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf") * (col("n_docs") - col("df"))).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  private val t6Sql = {
+    val termList = TextAnalysis.analyzeQuery(T6Query)
+      .map(t => s"'$t'").mkString("(", ",", ")")
+    s"""WITH an AS (
+       |  SELECT doc_id, unnest(${TextAnalysis.analyzeSql("text")}) AS t
+       |  FROM documents),
+       |tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM an
+       |  WHERE t IN $termList GROUP BY doc_id, t),
+       |dfreq AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+       |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+       |SELECT doc_id, CAST(SUM(tf * (n_docs - df)) AS BIGINT) AS score
+       |FROM tf JOIN dfreq USING (t) CROSS JOIN n
+       |GROUP BY doc_id
+       |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+  }
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
     "t5_normalize" -> t5 _,
+    "t6_relevance" -> t6 _,
     "t1_token_stats" -> t1 _,
     "t2_quality" -> t2 _,
     "t3_langid" -> t3 _,
@@ -235,6 +280,7 @@ object TextQueries {
 
   val oracle: Map[String, String] = Map(
     "t5_normalize" -> t5Sql,
+    "t6_relevance" -> t6Sql,
     "t1_token_stats" -> t1Sql,
     "t2_quality" -> t2Sql,
     "t3_langid" -> t3Sql,

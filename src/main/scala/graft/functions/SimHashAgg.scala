@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 
-/** Typed `Aggregator` computing a 32-bit SimHash from token hashes — the
+/** Typed `Aggregator` computing a 60-bit SimHash from token hashes — the
   * engine's custom-UDAF surface (SURVEY §2D: `Aggregator[IN,BUF,OUT]` for
   * custom aggs), used by the dd3 dedup query.
   *
@@ -14,13 +14,18 @@ import org.apache.spark.sql.expressions.Aggregator
   * partitions cannot change the result — the property that makes a
   * parallel UDAF deterministic.
   *
-  * Scale shape: constant 32-long buffer per group, partial aggregation on
+  * Scale shape: constant 60-long buffer per group, partial aggregation on
   * the map side — the shuffle carries one small buffer per (group,
   * partition), never the token rows.
+  *
+  * 60 bits (not the classic 64): the token hash is the first 15 hex chars
+  * of md5 — the widest prefix that a SIGNED 64-bit cast can hold in every
+  * engine, so the DuckDB oracle reproduces it exactly (TextFunctions
+  * .stableHash60).
   */
 object SimHashAgg extends Aggregator[Long, Array[Long], Long] {
 
-  val Bits = 32
+  val Bits = 60
 
   override def zero: Array[Long] = new Array[Long](Bits)
 

@@ -65,6 +65,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("plan_plan-42"))
   }
 
+  test("full-corpus assembly plans no distinct (Deduplicate) over materialized tables") {
+    // The indexing/search-build path assembles from the materialized
+    // shredded tables; a distinct-join on array-child keys would add an
+    // edge-table shuffle + dedup per array level (round-2 VERDICT #4).
+    import org.apache.spark.sql.functions.col
+    val sh0 = graft.docs.Shredder.shred(graft.docs.PlanDocs.docs(spark, sf))
+    def mat(df: DataFrame, tag: String): DataFrame = {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-audit-$tag-")
+      dir.toFile.deleteOnExit()
+      df.write.mode("overwrite").parquet(dir.toString)
+      spark.read.parquet(dir.toString)
+    }
+    val sh = graft.docs.Shredded(mat(sh0.entities, "ent"), mat(sh0.edges, "edg"))
+    val asm = graft.docs.Assembler.assemble(sh, graft.model.PlanSchema.plan, "plan")
+    assert(!asm.queryExecution.optimizedPlan.toString.contains("Deduplicate"))
+    // and the point-read path (restrict=true) still works over the same tables
+    val one = sh.entities.filter(col("key") === "plan_plan-1").select(col("key"))
+    assert(graft.docs.Assembler.assemble(sh, graft.model.PlanSchema.plan, "plan", Some(one)).count() == 1L)
+  }
+
   test("vec_dot participates in codegen (no interpreted fallback marker)") {
     graft.functions.GraftFunctions.ensure(spark)
     import org.apache.spark.sql.functions._

@@ -84,6 +84,20 @@ class ExtSpec extends SparkSpec {
     docs.foreach { id => assert(pairs.contains((id, id + 1000000L)), s"missing pair for $id") }
   }
 
+  test("simhash finds every planted exact copy and planted pairs dominate") {
+    val rows = DedupQueries.queries("dd3_simhash")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Int]("hamming")))
+    val pairs = rows.map(t => (t._1, t._2)).toSet
+    val exacts = graft.Tables(spark, sf, "documents")
+      .select(col("doc_id")).collect().map(_.getLong(0)).filter(_ % 13 == 0)
+    assert(exacts.nonEmpty)
+    // exact copies have hamming 0 → banding recall is exact, must all appear
+    exacts.foreach { id => assert(pairs.contains((id, id + 2000000L)), s"missing exact pair $id") }
+    // the signature separates: planted pairs outnumber organic near-dups
+    val planted = rows.count(t => t._2 - t._1 == 1000000L || t._2 - t._1 == 2000000L)
+    assert(planted * 2 > rows.length, s"planted $planted of ${rows.length}")
+  }
+
   test("decode stub: chunk means are byte-exact") {
     val fs = Multimodal.media(spark, sf).filter(col("doc_id") === 0)
       .mapPartitions(Multimodal.fakeDecode)(

@@ -223,10 +223,63 @@ object RelationalQueries2 {
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
       .orderBy(col("l_returnflag"))
 
+  // ---------------------------------------------------------------- q28
+  /** Range (interval) join via BIN BUCKETING — the operator Spark lacks
+    * natively: probe rows (lineitem ship events) joined to time intervals
+    * (maintenance windows derived from orders) on `lo <= t <= hi`.
+    *
+    * The naive plan is a BroadcastNestedLoopJoin — O(|probe|·|intervals|)
+    * comparisons, a scale-killer. Composing built-ins instead (preference
+    * (a) over a custom operator): pick the bin width = the MAXIMUM interval
+    * length, explode each interval to the ≤2 bins it can overlap, map each
+    * probe to its single bin, equi-join on the bin, then apply the exact
+    * range predicate as a post-join filter. The join becomes a hash join
+    * on `bin` — one shuffle, candidates ∝ rows per bin, never the cross
+    * product. Each (interval, probe) pair meets in exactly the probe's own
+    * bin, so no dedup is needed. All bin arithmetic on integer epoch
+    * microseconds — exact in any engine.
+    */
+  private def q28(s: SparkSession, d: String): DataFrame = {
+    val binW = 72L * 3600 * 1000000 // 72 h in µs = max interval length
+    val iv = t(s, d, "orders").filter(col("o_orderkey") % 37 === 0)
+      // parquet timestamps read as TIMESTAMP_NTZ; the session is pinned to
+      // UTC so the cast matches DuckDB's naive epoch_us exactly
+      .select(col("o_orderkey").as("iv_id"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("lo"))
+      .withColumn("hi", col("lo") + (col("iv_id") % 72 + 1) * 3600L * 1000000)
+    val probes = t(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"),
+        unix_micros(col("l_shipdate").cast("timestamp")).as("ts"))
+    val ivB = iv.withColumn("bin",
+      explode(sequence(floor(col("lo") / binW), floor(col("hi") / binW))))
+    val prB = probes.withColumn("bin", floor(col("ts") / binW))
+    ivB.join(prB, Seq("bin"))
+      .filter(col("ts") >= col("lo") && col("ts") <= col("hi"))
+      .groupBy(col("iv_id"))
+      .agg(count(lit(1)).as("n_hits"),
+        dbl(sum(m(col("l_quantity")))).as("sum_qty"),
+        min(col("l_orderkey")).as("min_ok"),
+        max(col("l_orderkey")).as("max_ok"))
+      .orderBy(col("iv_id"))
+  }
+
+  private val q28Sql =
+    """WITH iv AS (
+      |  SELECT o_orderkey AS iv_id, epoch_us(o_orderdate) AS lo,
+      |    epoch_us(o_orderdate) + (o_orderkey % 72 + 1) * 3600 * 1000000 AS hi
+      |  FROM orders WHERE o_orderkey % 37 = 0)
+      |SELECT iv_id, COUNT(*) AS n_hits,
+      |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(28,6)) AS DOUBLE) AS sum_qty,
+      |  MIN(l_orderkey) AS min_ok, MAX(l_orderkey) AS max_ok
+      |FROM iv JOIN lineitem
+      |  ON epoch_us(l_shipdate) BETWEEN lo AND hi
+      |GROUP BY iv_id ORDER BY iv_id""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
     "q27_approx_distinct" -> q27 _,
+    "q28_range_join" -> q28 _,
     "q21_cube" -> q21 _,
     "q22_pivot" -> q22 _,
     "q23_sessionize" -> q23 _,
@@ -235,6 +288,7 @@ object RelationalQueries2 {
     "q26_json_fns" -> q26 _)
 
   val oracle: Map[String, String] = Map(
+    "q28_range_join" -> q28Sql,
     "q21_cube" -> q21Sql,
     "q22_pivot" -> q22Sql,
     "q23_sessionize" -> q23Sql,

@@ -65,6 +65,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("plan_plan-42"))
   }
 
+  test("q28: bin-bucketed range join plans as a hash/merge equi-join, not nested-loop") {
+    val p = plan(q("q28_range_join"))
+    assert(!p.contains("NestedLoop"), "range join degenerated to a nested-loop cross product")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"))
+  }
+
+  test("s1/s2: per-group top-k rank filter gets the WindowGroupLimit bounded-heap pass") {
+    // row_number + rank<=k must plan the group-limit operator (per-group
+    // heaps before the full sort) — the property that makes per-query ANN
+    // ranking shuffle only k rows per group at scale.
+    assert(plan(q("s1_cosine_topk")).contains("WindowGroupLimit"))
+    assert(plan(q("s2_lsh_ann")).contains("WindowGroupLimit"))
+  }
+
   test("full-corpus assembly plans no distinct (Deduplicate) over materialized tables") {
     // The indexing/search-build path assembles from the materialized
     // shredded tables; a distinct-join on array-child keys would add an

@@ -84,6 +84,30 @@ class ExtSpec extends SparkSpec {
     docs.foreach { id => assert(pairs.contains((id, id + 1000000L)), s"missing pair for $id") }
   }
 
+  test("analyzer: the Column chain and the query-side Scala chain agree") {
+    // t6/d23 compare analyzed FIELD text (Column chain) against analyzed
+    // QUERY terms (Scala chain evaluated at plan-build time) — the two
+    // implementations must tokenize/stop/stem identically or matches
+    // silently miss. Property-checked over seeded random strings that
+    // exercise every stemmer branch and stopwords.
+    import spark.implicits._
+    import graft.ext.TextAnalysis
+    val rnd = new scala.util.Random(42)
+    val words = Seq("The", "queries", "MATCHES", "dup-merge", "bases", "boss",
+      "bus", "ties", "eies", "aies", "goes", "trees", "Data!", "a", "of", "x")
+    val samples = (0 until 200).map { _ =>
+      (0 until rnd.nextInt(8)).map(_ => words(rnd.nextInt(words.size)))
+        .mkString(" ") + (if (rnd.nextBoolean()) "?!" else "")
+    }
+    val viaColumn = samples.toDF("s")
+      .select(TextAnalysis.analyze(col("s")).as("t"))
+      .collect().map(_.getSeq[String](0).toList)
+    val viaScala = samples.map(s => TextAnalysis.analyzeQuery(s).toList)
+    viaColumn.zip(viaScala).zip(samples).foreach { case ((c, sc), raw) =>
+      assert(c === sc, s"analyzer mismatch on '$raw'")
+    }
+  }
+
   test("simhash finds every planted exact copy and planted pairs dominate") {
     val rows = DedupQueries.queries("dd3_simhash")(spark, sf)
       .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Int]("hamming")))

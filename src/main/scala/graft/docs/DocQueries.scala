@@ -841,6 +841,43 @@ object DocQueries {
       |SELECT '304_not_modified', COUNT(*), 0 FROM customer WHERE c_custkey % 3 = 0
       |ORDER BY outcome""".stripMargin
 
+  // ---------------------------------------------------------------- d26
+  /** ES/Kibana JSON surface end-to-end — the reference's README query 4
+    * form VERBATIM (nested wildcard with `.keyword` + `inner_hits`,
+    * `README.md:109-127`), parsed by `SearchQuery.fromJson` against the
+    * document schema and compiled to the same pushable predicate as the
+    * hand-built AST. A reference user's existing Kibana query bodies run
+    * unchanged; only the value is corpus-local (`Service 1*`). */
+  private def d26(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "query": {
+        |    "nested": {
+        |      "path": "linkedPlanServices.linkedService",
+        |      "query": {
+        |        "wildcard": {
+        |          "linkedPlanServices.linkedService.name.keyword": {
+        |            "value": "Service 1*"
+        |          }
+        |        }
+        |      },
+        |      "inner_hits": {}
+        |    }
+        |  }
+        |}""".stripMargin
+    val ast = SearchQuery.fromJson(body, schema)
+    assembled(s, d)
+      .filter(SearchQuery.compile(ast, col("doc")))
+      .select(col("doc.objectId").as("object_id"))
+      .orderBy(col("object_id"))
+  }
+
+  private val d26Sql =
+    s"""SELECT 'plan-' || ${ck("c_custkey")} AS object_id FROM customer
+       |WHERE EXISTS (SELECT 1 FROM $O o WHERE o.o_custkey = c_custkey
+       |              AND 'Service ' || o_orderpriority LIKE 'Service 1%')
+       |ORDER BY object_id""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -854,6 +891,7 @@ object DocQueries {
     "d23_match_relevance" -> d23 _,
     "d24_search_nested_range" -> d24 _,
     "d25_if_none_match" -> d25 _,
+    "d26_es_json_query" -> d26 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
     "d3_roundtrip" -> d3 _,
@@ -881,6 +919,7 @@ object DocQueries {
     "d23_match_relevance" -> d23Sql,
     "d24_search_nested_range" -> d24Sql,
     "d25_if_none_match" -> d25Sql,
+    "d26_es_json_query" -> d26Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,
     "d3_roundtrip" -> d3Sql,

@@ -40,6 +40,129 @@ object SearchQuery {
   private def field(root: Column, path: Seq[String]): Column =
     path.foldLeft(root)((c, f) => c.getField(f))
 
+  // ------------------------------------------------------------ ES JSON
+
+  /** Parse the reference's Kibana/ES query JSON (`README.md:67-147` — its
+    * de-facto query language) into the AST, so a reference user can run
+    * their existing query bodies verbatim.
+    *
+    * Supported forms (everything the reference README exercises, plus
+    * `bool`/`term` for composition): `match_all`, `match`, `term`,
+    * `wildcard` (with the ES `{"value": …}` object or a bare string, and
+    * `.keyword` path suffixes), `range` (`gte`/`lte`), `nested` (the
+    * wrapper is transparent for the predicate — field paths are absolute
+    * in ES — and `inner_hits` projection is SearchOps.innerHits, applied
+    * separately), and `bool` (`must` → And, `should` → Or, `must_not` →
+    * Not; the must+should interaction is simplified to conjunction).
+    *
+    * ES `nested.path` names any nested *mapping object* — the reference
+    * maps structs AND arrays as `nested` (`IndexingListener.java:71-96`)
+    * — so array-ness cannot be read off the query. The parser resolves it
+    * from the document schema: the first path component typed ArrayType
+    * splits the path into (arrayPath, elementField) → Nested* nodes;
+    * struct-only paths compile to plain field access (README query 5:
+    * `nested` over `planCostShares` is just `planCostShares.copay`).
+    */
+  def fromJson(body: String, schema: org.apache.spark.sql.types.StructType): SearchQuery = {
+    import org.json4s._
+    val q = org.json4s.jackson.JsonMethods.parse(body) \ "query"
+    require(q != JNothing, "ES query body must contain a top-level \"query\"")
+    parseNode(q, schema)
+  }
+
+  private def parseNode(jv: org.json4s.JValue,
+                        schema: org.apache.spark.sql.types.StructType): SearchQuery = {
+    import org.json4s._
+    def asLong(v: JValue): Long = v match {
+      case JInt(i) => i.toLong
+      case JLong(l) => l
+      case JDecimal(d) => d.toLong
+      case JDouble(d) => d.toLong
+      case JString(s) => s.toLong
+      case other => throw new IllegalArgumentException(s"not numeric: $other")
+    }
+    def asString(v: JValue): String = v match {
+      case JString(s) => s
+      case JInt(i) => i.toString
+      case other => throw new IllegalArgumentException(s"not a string: $other")
+    }
+    def path(p: String): Seq[String] =
+      p.stripSuffix(".keyword").split('.').toSeq
+    def children(v: JValue): Seq[JValue] = v match {
+      case JArray(xs) => xs
+      case JNothing => Nil
+      case single => Seq(single)
+    }
+    jv match {
+      case JObject(List(("match_all", _))) => MatchAll
+      case JObject(List(("nested", JObject(fields)))) =>
+        // transparent wrapper: inner field paths are absolute in ES
+        val inner = fields.collectFirst { case ("query", q) => q }
+          .getOrElse(throw new IllegalArgumentException("nested without query"))
+        parseNode(inner, schema)
+      case JObject(List(("bool", JObject(fields)))) =>
+        val f = fields.toMap
+        val musts = children(f.getOrElse("must", JNothing)).map(parseNode(_, schema))
+        val shoulds = children(f.getOrElse("should", JNothing)).map(parseNode(_, schema))
+        val nots = children(f.getOrElse("must_not", JNothing)).map(parseNode(_, schema))
+        val parts = musts ++
+          (if (shoulds.nonEmpty) Seq(if (shoulds.size == 1) shoulds.head else Or(shoulds: _*)) else Nil) ++
+          nots.map(Not)
+        if (parts.isEmpty) MatchAll
+        else if (parts.size == 1) parts.head
+        else And(parts: _*)
+      case JObject(List((op @ ("match" | "term"), JObject(List((p, spec)))))) =>
+        val value = spec match {
+          case JObject(f) => f.toMap.get("query").orElse(f.toMap.get("value"))
+            .map(asString).getOrElse(throw new IllegalArgumentException(s"$op needs query/value"))
+          case v => asString(v)
+        }
+        splitArrayPath(path(p), schema) match {
+          case (Nil, full) if op == "match" => TermMatch(full, value)
+          case (Nil, full) => Wildcard(full, value) // term = untokenized exact
+          case (arr, rest) => NestedTerm(arr, rest, value)
+        }
+      case JObject(List(("wildcard", JObject(List((p, spec)))))) =>
+        val glob = spec match {
+          case JObject(f) => f.toMap.get("value").map(asString)
+            .getOrElse(throw new IllegalArgumentException("wildcard needs value"))
+          case v => asString(v)
+        }
+        splitArrayPath(path(p), schema) match {
+          case (Nil, full) => Wildcard(full, glob)
+          case (arr, rest) => NestedWildcard(arr, rest, glob)
+        }
+      case JObject(List(("range", JObject(List((p, JObject(bounds))))))) =>
+        val b = bounds.toMap
+        val lo = b.get("gte").map(asLong).getOrElse(Long.MinValue)
+        val hi = b.get("lte").map(asLong).getOrElse(Long.MaxValue)
+        splitArrayPath(path(p), schema) match {
+          case (Nil, full) => Range(full, lo, hi)
+          case (arr, rest) => NestedRange(arr, rest, lo, hi)
+        }
+      case other => throw new IllegalArgumentException(s"unsupported ES query node: $other")
+    }
+  }
+
+  /** Split a dotted field path at its first ArrayType component:
+    * `(arrayPath, fieldWithinElement)`; `(Nil, path)` when no array. */
+  private def splitArrayPath(p: Seq[String],
+                             schema: org.apache.spark.sql.types.StructType): (Seq[String], Seq[String]) = {
+    import org.apache.spark.sql.types._
+    var dt: DataType = schema
+    p.zipWithIndex.foreach { case (f, i) =>
+      dt match {
+        case st: StructType => st.fields.find(_.name == f).map(_.dataType) match {
+          case Some(ArrayType(elem, _)) => return (p.take(i + 1), p.drop(i + 1))
+          case Some(other) => dt = other
+          case None => return (Nil, p)
+        }
+        case _ => return (Nil, p)
+      }
+    }
+    (Nil, p)
+  }
+
   /** Compile the AST to a boolean Column over document column `doc`. */
   def compile(q: SearchQuery, doc: Column): Column = q match {
     case MatchAll => lit(true)

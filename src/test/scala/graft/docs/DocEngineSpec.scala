@@ -239,4 +239,43 @@ class DocEngineSpec extends SparkSpec {
       element_at(col("doc.linkedPlanServices"), 1).getField("linkedService").getField("name"),
       "yearly")).count() === 1)
   }
+
+  test("the five README Kibana query bodies parse and match the canonical doc VERBATIM") {
+    import SearchQuery._
+    // README.md:70-147 — copied verbatim (values included: the canonical
+    // fixture IS usecase.json, so every query matches it).
+    val bodies = Seq(
+      """{"query": {"match_all": {}}}""" -> MatchAll,
+      """{"query": {"nested": {"path": "linkedPlanServices.linkedService",
+        |  "query": {"match": {"linkedPlanServices.linkedService.objectId": "1234520xvc30asdf-502"}},
+        |  "inner_hits": {}}}}""".stripMargin ->
+        NestedTerm(Seq("linkedPlanServices"), Seq("linkedService", "objectId"), "1234520xvc30asdf-502"),
+      """{"query": {"wildcard": {"_org": {"value": "example*"}}}}""" ->
+        Wildcard(Seq("_org"), "example*"),
+      """{"query": {"nested": {"path": "linkedPlanServices.linkedService",
+        |  "query": {"wildcard": {"linkedPlanServices.linkedService.name.keyword": {"value": "Year*"}}},
+        |  "inner_hits": {}}}}""".stripMargin ->
+        NestedWildcard(Seq("linkedPlanServices"), Seq("linkedService", "name"), "Year*"),
+      """{"query": {"nested": {"path": "planCostShares",
+        |  "query": {"range": {"planCostShares.copay": {"gte": 20, "lte": 35}}},
+        |  "inner_hits": {}}}}""".stripMargin ->
+        Range(Seq("planCostShares", "copay"), 20, 35))
+    val assembledDocs = Assembler.assemble(sh, PlanSchema.plan, "plan")
+    bodies.foreach { case (body, expectedAst) =>
+      val ast = SearchQuery.fromJson(body, PlanSchema.plan)
+      assert(ast === expectedAst, s"AST mismatch for: $body")
+      assert(assembledDocs.filter(SearchQuery.compile(ast, col("doc"))).count() === 1,
+        s"query failed to match the canonical doc: $body")
+    }
+    // bool composition + non-matching value → excluded
+    val boolBody =
+      """{"query": {"bool": {
+        |  "must": [{"wildcard": {"_org": {"value": "example*"}}}],
+        |  "must_not": [{"match": {"planType": "outnetwork"}}]}}}""".stripMargin
+    assert(assembledDocs.filter(
+      SearchQuery.compile(SearchQuery.fromJson(boolBody, PlanSchema.plan), col("doc"))).count() === 1)
+    val noMatch = """{"query": {"wildcard": {"_org": {"value": "nomatch*"}}}}"""
+    assert(assembledDocs.filter(
+      SearchQuery.compile(SearchQuery.fromJson(noMatch, PlanSchema.plan), col("doc"))).count() === 0)
+  }
 }

@@ -94,6 +94,14 @@ class PlanAuditSpec extends SparkSpec {
     val sh = graft.docs.Shredded(mat(sh0.entities, "ent"), mat(sh0.edges, "edg"))
     val asm = graft.docs.Assembler.assemble(sh, graft.model.PlanSchema.plan, "plan")
     assert(!asm.queryExecution.optimizedPlan.toString.contains("Deduplicate"))
+    // "O(levels) shuffles, fixed by the schema": the plan-schema assembly
+    // is 7 shuffle exchanges (3 struct joins, 1 array join + 1 ordered
+    // collect, root stitches) regardless of corpus size — pin the bound so
+    // a regression that adds a per-level distinct/repartition fails here
+    val p = asm.queryExecution.executedPlan.toString
+    val shuffles = "Exchange".r.findAllIn(p).length -
+      "BroadcastExchange".r.findAllIn(p).length
+    assert(shuffles <= 8, s"assembly now plans $shuffles shuffle exchanges")
     // and the point-read path (restrict=true) still works over the same tables
     val one = sh.entities.filter(col("key") === "plan_plan-1").select(col("key"))
     assert(graft.docs.Assembler.assemble(sh, graft.model.PlanSchema.plan, "plan", Some(one)).count() == 1L)

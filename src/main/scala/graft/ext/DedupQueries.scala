@@ -176,14 +176,22 @@ object DedupQueries {
     * diversity (unrelated hamming ≈ 15-30, planted copies ≈ 0-3). */
   private def dd3(s: SparkSession, d: String): DataFrame = {
     val corpus = planted(s, d)
-    val th = corpus
-      .select(col("doc_id"), explode(shingles(tokens(col("text")), 2)).as("bg"))
+    // same materialization boundary as dd2 (see comment there): without the
+    // persist, the shingle lambda's `element_at(toks, i)` closes over the
+    // full tokens() expression and re-splits the document per bigram —
+    // O(tokens²) per doc (measured 50 s vs ~4 s at sf0.1)
+    val tk = corpus.select(col("doc_id"), tokens(col("text")).as("toks")).persist()
+    val th = tk
+      .select(col("doc_id"), explode(shingles(col("toks"), 2)).as("bg"))
       .select(col("doc_id"), stableHash60(col("bg")).as("h")).distinct()
     // custom typed Aggregator (UDAF surface): per-bit votes accumulate
     // map-side, one 60-long buffer per group crosses the shuffle
     val simhashUdaf = udaf(graft.functions.SimHashAgg)
+    // persisted: one narrow row per doc, but BOTH sides of the band
+    // self-join consume it — without the boundary the whole sketch runs twice
     val sig = th.groupBy(col("doc_id"))
       .agg(simhashUdaf(col("h")).as("simhash"))
+      .persist()
     val bands = (0 until 6).map { bnd =>
       sig.select(col("doc_id"), col("simhash"), lit(bnd).as("band"),
         (shiftright(col("simhash"), bnd * 10) % 1024).as("bv"))

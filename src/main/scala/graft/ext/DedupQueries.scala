@@ -121,13 +121,14 @@ object DedupQueries {
     val inter = cand.join(sa, "a").join(sb, Seq("b", "h"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_inter"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    inter
+    val res = inter
       .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n_sh", "na"), "a")
       .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n_sh", "nb"), "b")
       .select(col("a"), col("b"), col("n_inter"),
         (col("na") + col("nb") - col("n_inter")).as("n_union"))
       .filter(col("n_inter") * 10 >= col("n_union") * 6)
       .orderBy(col("a"), col("b"))
+    graft.Eager.finish(res, th, sh)
   }
 
   private def mhTermsSql: String = MinhashParams.zipWithIndex.map { case ((a, b), i) =>
@@ -196,7 +197,7 @@ object DedupQueries {
       sig.select(col("doc_id"), col("simhash"), lit(bnd).as("band"),
         (shiftright(col("simhash"), bnd * 10) % 1024).as("bv"))
     }.reduce(_ unionAll _)
-    bands.as("x").join(bands.as("y"),
+    val res = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
@@ -204,6 +205,7 @@ object DedupQueries {
       .distinct()
       .filter(col("hamming") <= 5)
       .orderBy(col("a"), col("b"))
+    graft.Eager.finish(res, tk, sig)
   }
 
   private def simTermsSql: String = (0 until 60).map { j =>
@@ -282,13 +284,14 @@ object DedupQueries {
     val sb = bg.select(col("doc_id").as("b"), col("h"))
     val inter = cand.join(sa, "a").join(sb, Seq("b", "h"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_inter"))
-    inter
+    val res = inter
       .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n_bg", "na"), "a")
       .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n_bg", "nb"), "b")
       .select(col("a"), col("b"), col("n_inter"),
         (col("na") + col("nb") - col("n_inter")).as("n_union"))
       .filter(col("n_inter") * 2 >= col("n_union"))
       .orderBy(col("a"), col("b"))
+    graft.Eager.finish(res, th, bg)
   }
 
   private val dd4Sql =
@@ -349,11 +352,12 @@ object DedupQueries {
       .distinct()
     val va = withSig.select(col("vec_id").as("a"), col("v").as("va"), col("nrm").as("na"))
     val vb = withSig.select(col("vec_id").as("b"), col("v").as("vb"), col("nrm").as("nb"))
-    cand.join(va, "a").join(vb, "b")
+    val res = cand.join(va, "a").join(vb, "b")
       .select(col("a"), col("b"),
         (vecDot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
       .filter(col("cos") >= 0.999)
       .orderBy(col("a"), col("b"))
+    graft.Eager.finish(res, withSig)
   }
 
   private val dd5Sql =

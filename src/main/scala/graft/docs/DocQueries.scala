@@ -37,10 +37,10 @@ object DocQueries {
   private val memo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), AnyRef]
 
-  /** Write `df` to a session-temp parquet dir and read it back. */
+  /** Write `df` to a session-temp parquet dir (removed recursively at JVM
+    * exit — graft.TempDirs) and read it back. */
   private[docs] def mat(s: SparkSession, tag: String)(df: => DataFrame): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory(s"graft-$tag-")
-    dir.toFile.deleteOnExit()
+    val dir = graft.TempDirs.create(s"graft-$tag-")
     df.write.mode("overwrite").parquet(dir.toString)
     s.read.parquet(dir.toString)
   }
@@ -462,12 +462,13 @@ object DocQueries {
         lit("REPLACED").as("planType"),
         lit("01-01-2021").as("creationDate")).as("doc"))
     val after = persisted(Mutations.replace(sh, replacements, mdepth))
-    Assembler.assemble(after, schema, "plan").select(
+    val res = Assembler.assemble(after, schema, "plan").select(
       col("doc.objectId").as("object_id"),
       col("doc.planType").as("plan_type"),
       size(col("doc.linkedPlanServices")).as("n_services"),
       col("doc.planCostShares.copay").as("cs_copay"))
       .orderBy(col("object_id"))
+    graft.Eager.finish(res, after.entities, after.edges)
   }
 
   private val d14Sql =
@@ -612,7 +613,7 @@ object DocQueries {
         count(lit(1)).as("n_rows"),
         countDistinct(col("key")).as("n_keys"))
       .select(col("n_rows"), col("n_keys"))
-    val materialized = res.localCheckpoint(true)
+    val materialized = graft.Eager.pin(res)
     val p = java.nio.file.Paths.get(out)
     java.nio.file.Files.walk(p)
       .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
@@ -726,9 +727,10 @@ object DocQueries {
     // unpersisted from_json would re-parse the whole corpus per branch
     // (348 s at sf0.1 in round 2).
     val parsed = raw.select(from_json(col("j"), inferred).as("doc")).persist()
-    Shredder.shred(parsed).entities
+    val res = Shredder.shred(parsed).entities
       .groupBy(col("type_tag")).agg(count(lit(1)).as("n"))
       .orderBy(col("type_tag"))
+    graft.Eager.finish(res, raw, parsed)
   }
 
   private val d22Sql =

@@ -112,26 +112,43 @@ object Similarity {
   /** LSH-bucketed ANN: same queries, but neighbors come only from vectors
     * sharing ≥ 1 of the 4 signature bands — the scale path. Top-3 by exact
     * cosine among candidates. */
-  private def s2(s: SparkSession, d: String): DataFrame = {
-    val all = vecs(s, d).withColumn("sig", lshSig(col("v")))
+  /** Un-pinned s2 plan + the persisted signature frame it reads, exposed
+    * for plan audits (the public query pins the answer and releases the
+    * persist via Eager.finish, leaving a LocalRelation with no plan to
+    * audit). dd5's shape (DedupQueries.scala): compute the 16-dot signature
+    * ONCE and persist it; band-join on narrow (id, band, bv) rows only;
+    * dedup the candidate pairs; join the 64-double vectors back AFTER the
+    * dedup — the wide arrays never ride the quadratic part of the shuffle,
+    * and the signature is never recomputed per band branch (round 3 did
+    * both, ~8 signature recomputations of the whole corpus). */
+  private[graft] def s2Plan(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val all = vecs(s, d).withColumn("sig", lshSig(col("v"))).persist()
     val bands = (0 until 4).map { bnd =>
-      all.select(col("vec_id"), col("v"), col("nrm"), lit(bnd).as("band"),
+      all.select(col("vec_id"), lit(bnd).as("band"),
         (shiftright(col("sig"), bnd * 4) % 16).as("bv"))
     }.reduce(_ unionAll _)
     val qb = bands.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
-        col("band"), col("bv"))
-    val cand = bands.join(qb, Seq("band", "bv")).filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("qv"), col("qn"),
-        col("vec_id").as("n_id"), col("v"), col("nrm"))
-      .dropDuplicates("q_id", "n_id")
-    cand.select(col("q_id"), col("n_id"),
+      .select(col("vec_id").as("q_id"), col("band"), col("bv"))
+    val cand = bands.join(qb, Seq("band", "bv"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"))
+      .distinct()
+    val qv = all.select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val nv = all.select(col("vec_id").as("n_id"), col("v"), col("nrm"))
+    val res = cand.join(qv, "q_id").join(nv, "n_id")
+      .select(col("q_id"), col("n_id"),
         (vecDot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))))
       .filter(col("rank") <= 3)
       .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"), col("cos"))
       .orderBy(col("q_id"), col("rank"))
+    (res, all)
+  }
+
+  private def s2(s: SparkSession, d: String): DataFrame = {
+    val (res, all) = s2Plan(s, d)
+    graft.Eager.finish(res, all)
   }
 
   private val s2Sql =

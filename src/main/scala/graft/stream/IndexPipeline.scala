@@ -104,9 +104,9 @@ object IndexPipeline {
         col("event_type").as("last_type"), col("value").as("last_value"),
         col("n_events"))
       .orderBy(col("user_id"))
-      .localCheckpoint(true) // materialize before the temp dir is deleted
+    val pinned = graft.Eager.pin(result) // materialize before the temp dir is deleted
     deleteRecursively(base)
-    result
+    pinned
   }
 
   private def deleteRecursively(p: Path): Unit =
@@ -173,9 +173,10 @@ object IndexPipeline {
         col("total_dec").cast(org.apache.spark.sql.types.DecimalType(28, 6))
           .cast("double").as("total"))
       .orderBy(col("win_start"), col("event_type"))
-      .localCheckpoint(true)
+      
+    val pinned = graft.Eager.pin(out)
     deleteRecursively(base)
-    out
+    pinned
   }
 
   private val st2Sql =
@@ -250,9 +251,10 @@ object IndexPipeline {
         col("event_type").as("last_type"), col("value").as("last_value"),
         col("n_events"))
       .orderBy(col("user_id"))
-      .localCheckpoint(true)
+      
+    val pinned = graft.Eager.pin(out)
     deleteRecursively(base)
-    out
+    pinned
   }
 
   private val st3Sql = st1Sql // identical last-write-wins semantics
@@ -299,9 +301,10 @@ object IndexPipeline {
         col("session_window.end").cast("long").as("sess_end"),
         col("n_events"))
       .orderBy(col("user_id"), col("sess_start"))
-      .localCheckpoint(true)
+      
+    val pinned = graft.Eager.pin(out)
     deleteRecursively(base)
-    out
+    pinned
   }
 
   private val st4Sql =

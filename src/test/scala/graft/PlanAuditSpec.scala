@@ -76,7 +76,30 @@ class PlanAuditSpec extends SparkSpec {
     // heaps before the full sort) — the property that makes per-query ANN
     // ranking shuffle only k rows per group at scale.
     assert(plan(q("s1_cosine_topk")).contains("WindowGroupLimit"))
-    assert(plan(q("s2_lsh_ann")).contains("WindowGroupLimit"))
+    val (s2, sig) = graft.ext.Similarity.s2Plan(spark, sf)
+    try assert(plan(s2).contains("WindowGroupLimit"))
+    finally sig.unpersist(true)
+  }
+
+  test("s2: the LSH candidate band-join carries no array column") {
+    // dd5's narrow shape: the (band, bv) bucket join and the candidate
+    // dedup move (id, band, bv) rows only; the 64-double vectors join back
+    // AFTER the quadratic part. An array column in any band-join output
+    // means the wide vectors are riding the collision shuffle again.
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.types.ArrayType
+    val (s2, sig) = graft.ext.Similarity.s2Plan(spark, sf)
+    try {
+      val opt = s2.queryExecution.optimizedPlan
+      val bandJoins = opt.collect {
+        case j: Join if j.condition.exists(_.references.exists(_.name == "band")) => j
+      }
+      assert(bandJoins.nonEmpty, "expected a (band, bv) bucket equi-join")
+      bandJoins.foreach { j =>
+        assert(!j.output.exists(_.dataType.isInstanceOf[ArrayType]),
+          s"band join output carries an array column: ${j.output.map(_.name)}")
+      }
+    } finally sig.unpersist(true)
   }
 
   test("full-corpus assembly plans no distinct (Deduplicate) over materialized tables") {
@@ -86,8 +109,7 @@ class PlanAuditSpec extends SparkSpec {
     import org.apache.spark.sql.functions.col
     val sh0 = graft.docs.Shredder.shred(graft.docs.PlanDocs.docs(spark, sf))
     def mat(df: DataFrame, tag: String): DataFrame = {
-      val dir = java.nio.file.Files.createTempDirectory(s"graft-audit-$tag-")
-      dir.toFile.deleteOnExit()
+      val dir = graft.TempDirs.create(s"graft-audit-$tag-")
       df.write.mode("overwrite").parquet(dir.toString)
       spark.read.parquet(dir.toString)
     }

@@ -40,8 +40,7 @@ class SkewSpec extends SparkSpec {
     val schema = docs.schema("doc").dataType.asInstanceOf[StructType]
     val sh0 = Shredder.shred(docs)
     def mat(df: org.apache.spark.sql.DataFrame, tag: String) = {
-      val dir = java.nio.file.Files.createTempDirectory(s"graft-skew-$tag-")
-      dir.toFile.deleteOnExit()
+      val dir = graft.TempDirs.create(s"graft-skew-$tag-")
       df.write.mode("overwrite").parquet(dir.toString)
       spark.read.parquet(dir.toString)
     }

@@ -880,6 +880,47 @@ object DocQueries {
        |              AND 'Service ' || o_orderpriority LIKE 'Service 1%')
        |ORDER BY object_id""".stripMargin
 
+  // ---------------------------------------------------------------- d27
+  /** ES JSON `inner_hits` end-to-end — the reference's README query 2 form
+    * VERBATIM (nested match + `inner_hits`, `README.md:79-95`; only the
+    * objectId value is corpus-local): the response carries the matching
+    * documents AND the matched nested children re-extracted from the
+    * array, the way ES returns them. The children projection is a pure
+    * array-filter expression (SearchOps.innerHits) — no join, no extra
+    * scan. */
+  private def d27(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "query": {
+        |    "nested": {
+        |      "path": "linkedPlanServices.linkedService",
+        |      "query": {
+        |        "match": {
+        |          "linkedPlanServices.linkedService.objectId": "svc-7"
+        |        }
+        |      },
+        |      "inner_hits": {}
+        |    }
+        |  }
+        |}""".stripMargin
+    val parsed = SearchQuery.parseBody(body, schema)
+    val (wp, inner) = parsed.hits.head
+    assembled(s, d)
+      .filter(SearchQuery.compile(parsed.query, col("doc")))
+      .select(col("doc.objectId").as("object_id"),
+        explode(SearchQuery.innerHitCol(wp, inner, col("doc"))).as("hit"))
+      .select(col("object_id"),
+        col("hit.linkedService.objectId").as("hit_svc_id"))
+      .orderBy(col("object_id"), col("hit_svc_id"))
+  }
+
+  private val d27Sql =
+    s"""WITH o AS $O
+       |SELECT 'plan-' || ${ck("o_custkey")} AS object_id,
+       |       'svc-' || ${ck("o_orderkey")} AS hit_svc_id
+       |FROM o WHERE o_orderkey = 7
+       |ORDER BY object_id, hit_svc_id""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -894,6 +935,7 @@ object DocQueries {
     "d24_search_nested_range" -> d24 _,
     "d25_if_none_match" -> d25 _,
     "d26_es_json_query" -> d26 _,
+    "d27_es_inner_hits" -> d27 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
     "d3_roundtrip" -> d3 _,
@@ -922,6 +964,7 @@ object DocQueries {
     "d24_search_nested_range" -> d24Sql,
     "d25_if_none_match" -> d25Sql,
     "d26_es_json_query" -> d26Sql,
+    "d27_es_inner_hits" -> d27Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,
     "d3_roundtrip" -> d3Sql,

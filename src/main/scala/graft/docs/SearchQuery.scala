@@ -63,15 +63,27 @@ object SearchQuery {
     * struct-only paths compile to plain field access (README query 5:
     * `nested` over `planCostShares` is just `planCostShares.copay`).
     */
-  def fromJson(body: String, schema: org.apache.spark.sql.types.StructType): SearchQuery = {
+  /** A fully-parsed ES body: the filter AST plus every `inner_hits`
+    * request carried by a `nested` wrapper — `(wrapperPath, innerQuery)`,
+    * compiled to a matched-children array column by [[innerHitCol]]
+    * (`README.md:84-93`: ES re-extracts the matching children). */
+  final case class Parsed(query: SearchQuery, hits: Seq[(Seq[String], SearchQuery)])
+
+  def fromJson(body: String, schema: org.apache.spark.sql.types.StructType): SearchQuery =
+    parseBody(body, schema).query
+
+  def parseBody(body: String, schema: org.apache.spark.sql.types.StructType): Parsed = {
     import org.json4s._
     val q = org.json4s.jackson.JsonMethods.parse(body) \ "query"
     require(q != JNothing, "ES query body must contain a top-level \"query\"")
-    parseNode(q, schema)
+    val hits = scala.collection.mutable.ListBuffer.empty[(Seq[String], SearchQuery)]
+    val ast = parseNode(q, schema, hits)
+    Parsed(ast, hits.toList)
   }
 
   private def parseNode(jv: org.json4s.JValue,
-                        schema: org.apache.spark.sql.types.StructType): SearchQuery = {
+                        schema: org.apache.spark.sql.types.StructType,
+                        hits: scala.collection.mutable.ListBuffer[(Seq[String], SearchQuery)]): SearchQuery = {
     import org.json4s._
     def asLong(v: JValue): Long = v match {
       case JInt(i) => i.toLong
@@ -96,17 +108,35 @@ object SearchQuery {
     jv match {
       case JObject(List(("match_all", _))) => MatchAll
       case JObject(List(("nested", JObject(fields)))) =>
-        // transparent wrapper: inner field paths are absolute in ES
+        // transparent wrapper for the predicate: inner field paths are
+        // absolute in ES. An `inner_hits` key records a matched-children
+        // projection request against the wrapper path.
         val inner = fields.collectFirst { case ("query", q) => q }
           .getOrElse(throw new IllegalArgumentException("nested without query"))
-        parseNode(inner, schema)
+        val ast = parseNode(inner, schema, hits)
+        if (fields.exists(_._1 == "inner_hits")) {
+          val wrapperPath = fields.collectFirst { case ("path", p) => path(asString(p)) }
+            .getOrElse(throw new IllegalArgumentException("nested without path"))
+          hits += ((wrapperPath, ast))
+        }
+        ast
       case JObject(List(("bool", JObject(fields)))) =>
         val f = fields.toMap
-        val musts = children(f.getOrElse("must", JNothing)).map(parseNode(_, schema))
-        val shoulds = children(f.getOrElse("should", JNothing)).map(parseNode(_, schema))
-        val nots = children(f.getOrElse("must_not", JNothing)).map(parseNode(_, schema))
+        val musts = children(f.getOrElse("must", JNothing)).map(parseNode(_, schema, hits))
+        val shoulds = children(f.getOrElse("should", JNothing)).map(parseNode(_, schema, hits))
+        val nots = children(f.getOrElse("must_not", JNothing)).map(parseNode(_, schema, hits))
+        // ES semantics: with at least one `must`/`filter` clause present,
+        // `minimum_should_match` defaults to 0 — `should` only boosts
+        // scores and must NOT filter the hit set. It filters (as a
+        // disjunction) only when it stands alone, or when the body pins
+        // minimum_should_match >= 1 explicitly.
+        val msm = f.get("minimum_should_match").map(asLong).getOrElse(
+          if (musts.isEmpty) 1L else 0L)
+        require(msm <= 1,
+          s"minimum_should_match=$msm unsupported (only 0 and 1)")
+        val shouldFilters = shoulds.nonEmpty && msm >= 1
         val parts = musts ++
-          (if (shoulds.nonEmpty) Seq(if (shoulds.size == 1) shoulds.head else Or(shoulds: _*)) else Nil) ++
+          (if (shouldFilters) Seq(if (shoulds.size == 1) shoulds.head else Or(shoulds: _*)) else Nil) ++
           nots.map(Not)
         if (parts.isEmpty) MatchAll
         else if (parts.size == 1) parts.head
@@ -134,6 +164,12 @@ object SearchQuery {
         }
       case JObject(List(("range", JObject(List((p, JObject(bounds))))))) =>
         val b = bounds.toMap
+        // Reject bound forms this engine does not implement rather than
+        // silently widening the range: {"gt": 5} parsed as unbounded-below
+        // would return a SUPERSET of the correct rows.
+        val unsupported = b.keySet -- Set("gte", "lte")
+        require(unsupported.isEmpty,
+          s"unsupported range bound(s) ${unsupported.mkString(", ")} on $p (only gte/lte)")
         val lo = b.get("gte").map(asLong).getOrElse(Long.MinValue)
         val hi = b.get("lte").map(asLong).getOrElse(Long.MaxValue)
         splitArrayPath(path(p), schema) match {
@@ -179,4 +215,23 @@ object SearchQuery {
     case Or(qs @ _*) => qs.map(compile(_, doc)).reduce(_ || _)
     case Not(sub) => !compile(sub, doc)
   }
+
+  /** Compile one `inner_hits` request to an array Column of the matching
+    * nested children (`README.md:84-93`). For a query over an array path
+    * (Nested* nodes) the hits are the elements satisfying the per-element
+    * predicate; for a struct-path `nested` wrapper (the reference maps
+    * structs as `nested` too — README query 5 over `planCostShares`) the
+    * hit is the struct itself when the predicate holds, as a 0/1-element
+    * array. Both are pure expressions — no join, no shuffle. */
+  def innerHitCol(wrapperPath: Seq[String], inner: SearchQuery, doc: Column): Column =
+    inner match {
+      case NestedTerm(ap, f, v) =>
+        SearchOps.innerHits(field(doc, ap), x => field(x, f) === lit(v))
+      case NestedWildcard(ap, f, g) =>
+        SearchOps.innerHits(field(doc, ap), x => SearchOps.wildcard(field(x, f), g))
+      case NestedRange(ap, f, lo, hi) =>
+        SearchOps.innerHits(field(doc, ap), x => field(x, f).between(lo, hi))
+      case other =>
+        SearchOps.innerHits(array(field(doc, wrapperPath)), _ => compile(other, doc))
+    }
 }

@@ -278,4 +278,72 @@ class DocEngineSpec extends SparkSpec {
     assert(assembledDocs.filter(
       SearchQuery.compile(SearchQuery.fromJson(noMatch, PlanSchema.plan), col("doc"))).count() === 0)
   }
+
+  test("bool should is a scoring boost, not a filter, when must is present (ES minimum_should_match=0)") {
+    import SearchQuery._
+    val assembledDocs = Assembler.assemble(sh, PlanSchema.plan, "plan")
+    // should clause matches nothing; ES still returns the must hit set
+    val body =
+      """{"query": {"bool": {
+        |  "must": [{"wildcard": {"_org": {"value": "example*"}}}],
+        |  "should": [{"match": {"planType": "nosuchtype"}}]}}}""".stripMargin
+    assert(SearchQuery.fromJson(body, PlanSchema.plan) === Wildcard(Seq("_org"), "example*"))
+    assert(assembledDocs.filter(
+      SearchQuery.compile(SearchQuery.fromJson(body, PlanSchema.plan), col("doc"))).count() === 1)
+    // explicit minimum_should_match: 1 restores the filtering disjunction
+    val pinned =
+      """{"query": {"bool": {
+        |  "must": [{"wildcard": {"_org": {"value": "example*"}}}],
+        |  "should": [{"match": {"planType": "nosuchtype"}}],
+        |  "minimum_should_match": 1}}}""".stripMargin
+    assert(assembledDocs.filter(
+      SearchQuery.compile(SearchQuery.fromJson(pinned, PlanSchema.plan), col("doc"))).count() === 0)
+    // should alone still filters (ES default minimum_should_match=1)
+    val alone =
+      """{"query": {"bool": {"should": [{"match": {"planType": "nosuchtype"}}]}}}"""
+    assert(assembledDocs.filter(
+      SearchQuery.compile(SearchQuery.fromJson(alone, PlanSchema.plan), col("doc"))).count() === 0)
+    // minimum_should_match > 1 is not implemented — reject, never mis-filter
+    val msm2 =
+      """{"query": {"bool": {"should": [{"match": {"planType": "a"}},
+        |  {"match": {"planType": "b"}}], "minimum_should_match": 2}}}""".stripMargin
+    assertThrows[IllegalArgumentException](SearchQuery.fromJson(msm2, PlanSchema.plan))
+  }
+
+  test("range rejects unsupported bound keys instead of silently widening") {
+    val gt = """{"query": {"range": {"planCostShares.copay": {"gt": 5}}}}"""
+    assertThrows[IllegalArgumentException](SearchQuery.fromJson(gt, PlanSchema.plan))
+    val typo = """{"query": {"range": {"planCostShares.copay": {"gte": 5, "lta": 9}}}}"""
+    assertThrows[IllegalArgumentException](SearchQuery.fromJson(typo, PlanSchema.plan))
+  }
+
+  test("inner_hits re-extracts the matched nested children from the JSON surface") {
+    import org.apache.spark.sql.functions.explode
+    val assembledDocs = Assembler.assemble(sh, PlanSchema.plan, "plan")
+    // README query 2 verbatim: array-path nested match — the hit is the ONE
+    // planservice element whose linkedService has the requested objectId
+    val q2 =
+      """{"query": {"nested": {"path": "linkedPlanServices.linkedService",
+        |  "query": {"match": {"linkedPlanServices.linkedService.objectId": "1234520xvc30asdf-502"}},
+        |  "inner_hits": {}}}}""".stripMargin
+    val p2 = SearchQuery.parseBody(q2, PlanSchema.plan)
+    assert(p2.hits.size === 1)
+    val (wp2, in2) = p2.hits.head
+    val hits2 = assembledDocs.filter(SearchQuery.compile(p2.query, col("doc")))
+      .select(explode(SearchQuery.innerHitCol(wp2, in2, col("doc"))).as("hit"))
+      .select(col("hit.linkedService.objectId")).collect().map(_.getString(0))
+    assert(hits2.toSeq === Seq("1234520xvc30asdf-502"))
+    // README query 5 verbatim: struct-path nested wrapper — the hit is the
+    // planCostShares struct itself when the range matches
+    val q5 =
+      """{"query": {"nested": {"path": "planCostShares",
+        |  "query": {"range": {"planCostShares.copay": {"gte": 20, "lte": 35}}},
+        |  "inner_hits": {}}}}""".stripMargin
+    val p5 = SearchQuery.parseBody(q5, PlanSchema.plan)
+    val (wp5, in5) = p5.hits.head
+    val hits5 = assembledDocs.filter(SearchQuery.compile(p5.query, col("doc")))
+      .select(explode(SearchQuery.innerHitCol(wp5, in5, col("doc"))).as("hit"))
+      .select(col("hit.objectId")).collect().map(_.getString(0))
+    assert(hits5.length === 1)
+  }
 }

@@ -252,8 +252,11 @@ object DedupQueries {
     * candidate generation is pruned; a true near-dup pair shares its
     * pair-unique bigrams (df = 2), so recall for actual duplicates is
     * unaffected. All arithmetic integer so the oracle mirrors bit-exactly. */
-  private def dd4(s: SparkSession, d: String): DataFrame = {
-    val corpus = planted(s, d)
+  /** The dd4 pipeline over any (doc_id, text, lang, source) corpus,
+    * exposed for direct testing (the heavy-duplication recall case can't
+    * be staged in the shared planted corpus). Returns the un-pinned result
+    * plus the persisted intermediates the caller must release. */
+  private[graft] def ngramJaccardPairs(corpus: DataFrame): (DataFrame, Seq[DataFrame]) = {
     // same materialization boundary as dd2 (see comment there)
     val th = corpus
       .select(col("doc_id"), col("lang"), col("source"),
@@ -273,8 +276,23 @@ object DedupQueries {
       .join(nblock, Seq("lang", "source"))
       .filter(col("df") * 100 <= greatest(lit(500L), col("n_docs")))
       .select(col("lang"), col("source"), col("h"))
+    // MinHash-style recall floor: each doc's 3 minimum bigram hashes are
+    // exempt from the df prune. A doc duplicated k > max(5, 1%·block)
+    // times has ALL its bigrams at df ≥ k — the df filter alone would
+    // prune the entire cluster into zero candidate pairs (the dominant
+    // case in web-scale dedup). Copies share identical bigram sets, hence
+    // identical min-3 hashes, so every duplicate cluster still collides;
+    // near-dups collide on a min-hash with probability ≈ their Jaccard.
+    // Cost: ≤ 3 extra candidate rows per doc — O(n), never quadratic.
+    val exempt = bg
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("h"))))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("lang"), col("source"), col("h"))
     val cbg = bg.join(rare, Seq("lang", "source", "h"))
       .select(col("doc_id"), col("lang"), col("source"), col("h"))
+      .union(exempt).distinct()
     val cand = cbg.as("x").join(cbg.as("y"),
         col("x.lang") === col("y.lang") && col("x.source") === col("y.source") &&
           col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
@@ -291,7 +309,12 @@ object DedupQueries {
         (col("na") + col("nb") - col("n_inter")).as("n_union"))
       .filter(col("n_inter") * 2 >= col("n_union"))
       .orderBy(col("a"), col("b"))
-    graft.Eager.finish(res, th, bg)
+    (res, Seq(th, bg))
+  }
+
+  private def dd4(s: SparkSession, d: String): DataFrame = {
+    val (res, cached) = ngramJaccardPairs(planted(s, d))
+    graft.Eager.finish(res, cached: _*)
   }
 
   private val dd4Sql =
@@ -309,8 +332,14 @@ object DedupQueries {
        |    (SELECT lang, source, h, COUNT(*) AS df FROM bg GROUP BY lang, source, h) f
        |  JOIN nblock nb ON f.lang = nb.lang AND f.source = nb.source
        |  WHERE f.df * 100 <= GREATEST(500, nb.n_docs)),
+       |exempt AS (SELECT doc_id, lang, source, h FROM (
+       |    SELECT doc_id, lang, source, h,
+       |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h) AS rn FROM bg)
+       |  WHERE rn <= 3),
        |cbg AS (SELECT bg.doc_id, bg.lang, bg.source, bg.h FROM bg
-       |  JOIN rare r ON bg.lang = r.lang AND bg.source = r.source AND bg.h = r.h),
+       |  JOIN rare r ON bg.lang = r.lang AND bg.source = r.source AND bg.h = r.h
+       |  UNION
+       |  SELECT doc_id, lang, source, h FROM exempt),
        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
        |  FROM cbg x JOIN cbg y
        |    ON x.lang = y.lang AND x.source = y.source AND x.h = y.h

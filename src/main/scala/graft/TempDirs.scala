@@ -24,7 +24,11 @@ object TempDirs {
   }
 
   def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p))
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
-        .forEach(f => Files.delete(f))
+    if (Files.exists(p)) {
+      // Files.walk is AutoCloseable and holds directory handles — close it
+      // or repeated calls in a long session leak file descriptors.
+      val s = Files.walk(p)
+      try s.sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+      finally s.close()
+    }
 }

@@ -29,6 +29,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // One-time ICU collation class-init, single-partition — see
+    // Bench.warmCollation (32 threads racing the initializer stalled d16
+    // by minutes, nondeterministically).
+    Bench.warmCollation(spark)
     new java.io.File(outDir).mkdirs()
     // Build docs → shredded → assembled once, sequentially, before the
     // parallel phase: ~15 queries read these tables. (Skipped when a local

@@ -396,11 +396,18 @@ object DocQueries {
   }
 
   /** Materialized intermediate for multi-reference consumers: Assembler's
-    * recursion references its input Shredded once per schema node — an
-    * unpersisted mutation output would recompute the whole mutation per
-    * reference (~10×). */
-  private def persisted(sh: Shredded): Shredded =
-    Shredded(sh.entities.persist(), sh.edges.persist())
+    * recursion references its input Shredded once per schema node (~10×).
+    * A lazy `persist()` is NOT enough — until some action materializes the
+    * cache, every reference recomputes the whole upstream mutation
+    * (reachability expansion with 4 distincts), and under memory pressure
+    * the blocks can drop mid-query (d14 measured 217 s vs ~5 s for the same
+    * assembly over materialized inputs in r4). Writing to parquet and
+    * reading back — the same `mat()` boundary the shared corpora use, and
+    * the reference's own semantics (replace persists the shredded state,
+    * `PlanService.java:202-215`) — gives the assembler real re-scannable
+    * tables with pushdown, and leaves nothing pinned in the storage pool. */
+  private def materialized(s: SparkSession, tag: String, sh: Shredded): Shredded =
+    Shredded(mat(s, s"$tag-entities")(sh.entities), mat(s, s"$tag-edges")(sh.edges))
 
   private val d12Sql =
     s"""WITH o AS $O, keep AS (SELECT * FROM customer WHERE c_nationkey <> 3),
@@ -461,14 +468,13 @@ object DocQueries {
         lit("plan").as("objectType"),
         lit("REPLACED").as("planType"),
         lit("01-01-2021").as("creationDate")).as("doc"))
-    val after = persisted(Mutations.replace(sh, replacements, mdepth))
-    val res = Assembler.assemble(after, schema, "plan").select(
+    val after = materialized(s, "d14", Mutations.replace(sh, replacements, mdepth))
+    Assembler.assemble(after, schema, "plan").select(
       col("doc.objectId").as("object_id"),
       col("doc.planType").as("plan_type"),
       size(col("doc.linkedPlanServices")).as("n_services"),
       col("doc.planCostShares.copay").as("cs_copay"))
       .orderBy(col("object_id"))
-    graft.Eager.finish(res, after.entities, after.edges)
   }
 
   private val d14Sql =
@@ -921,6 +927,129 @@ object DocQueries {
        |FROM o WHERE o_orderkey = 7
        |ORDER BY object_id, hit_svc_id""".stripMargin
 
+  // ---------------------------------------------------------------- d28
+  /** ES range with EXCLUSIVE bounds (`gt`/`lt` — the first edit a Kibana
+    * user makes to the README's `gte`/`lte` body, `README.md:128-147`) plus
+    * a bool `filter` clause (non-scoring must — same hit set as `must`,
+    * `SearchQuery` compiles both into the conjunction). */
+  private def d28(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "query": {
+        |    "bool": {
+        |      "filter": [
+        |        { "range": { "planCostShares.copay": { "gt": 10, "lt": 20 } } }
+        |      ],
+        |      "must": [
+        |        { "wildcard": { "_org": "org-1*" } }
+        |      ]
+        |    }
+        |  }
+        |}""".stripMargin
+    val ast = SearchQuery.fromJson(body, schema)
+    assembled(s, d)
+      .filter(SearchQuery.compile(ast, col("doc")))
+      .select(col("doc.objectId").as("object_id"),
+        col("doc.planCostShares.copay").as("copay"),
+        col("doc._org").as("org"))
+      .orderBy(col("object_id"))
+  }
+
+  private val d28Sql =
+    s"""SELECT 'plan-' || ${ck("c_custkey")} AS object_id,
+       |  c_custkey % 50 AS copay,
+       |  'org-' || ${ck("c_nationkey")} || '.example.com' AS org
+       |FROM customer
+       |WHERE c_custkey % 50 > 10 AND c_custkey % 50 < 20
+       |  AND 'org-' || ${ck("c_nationkey")} || '.example.com' LIKE 'org-1%'
+       |ORDER BY object_id""".stripMargin
+
+  // ---------------------------------------------------------------- d29
+  /** ES bool `should` with `minimum_should_match: 2` — N-of-M clause
+    * satisfaction, compiled as a sum of boolean casts ≥ N (one linear pass,
+    * stays a single pushable predicate; no 2^M disjunction expansion). */
+  private def d29(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "query": {
+        |    "bool": {
+        |      "should": [
+        |        { "wildcard": { "_org": "org-1*" } },
+        |        { "range": { "planCostShares.copay": { "gte": 25 } } },
+        |        { "match": { "planType": "BUILDING" } }
+        |      ],
+        |      "minimum_should_match": 2
+        |    }
+        |  }
+        |}""".stripMargin
+    val ast = SearchQuery.fromJson(body, schema)
+    assembled(s, d)
+      .filter(SearchQuery.compile(ast, col("doc")))
+      .select(col("doc.objectId").as("object_id"),
+        col("doc._org").as("org"),
+        col("doc.planCostShares.copay").as("copay"),
+        col("doc.planType").as("plan_type"))
+      .orderBy(col("object_id"))
+  }
+
+  private val d29Sql =
+    s"""SELECT 'plan-' || ${ck("c_custkey")} AS object_id,
+       |  'org-' || ${ck("c_nationkey")} || '.example.com' AS org,
+       |  c_custkey % 50 AS copay, c_mktsegment AS plan_type
+       |FROM customer
+       |WHERE (CASE WHEN 'org-' || ${ck("c_nationkey")} || '.example.com' LIKE 'org-1%' THEN 1 ELSE 0 END
+       |     + CASE WHEN c_custkey % 50 >= 25 THEN 1 ELSE 0 END
+       |     + CASE WHEN lower(c_mktsegment) = 'building' THEN 1 ELSE 0 END) >= 2
+       |ORDER BY object_id""".stripMargin
+
+  // ---------------------------------------------------------------- d30
+  /** ES `bool` INSIDE a `nested` wrapper, with `inner_hits` — the composed
+    * form d26/d27 don't reach. Semantics matter here: ES evaluates the
+    * inner bool against EACH nested element (one element must satisfy name
+    * ∧ deductible-range — not one element per clause), and `inner_hits`
+    * returns exactly those elements. SearchQuery.NestedCompound binds both
+    * leaves to the same element; the hits projection is the same
+    * per-element predicate under `filter()` — pure expressions, no join. */
+  private def d30(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "query": {
+        |    "nested": {
+        |      "path": "linkedPlanServices",
+        |      "query": {
+        |        "bool": {
+        |          "must": [
+        |            { "wildcard": { "linkedPlanServices.linkedService.name.keyword": { "value": "Service 1*" } } },
+        |            { "range": { "linkedPlanServices.planserviceCostShares.deductible": { "gte": 100, "lte": 300 } } }
+        |          ]
+        |        }
+        |      },
+        |      "inner_hits": {}
+        |    }
+        |  }
+        |}""".stripMargin
+    val parsed = SearchQuery.parseBody(body, schema)
+    val (wp, inner) = parsed.hits.head
+    assembled(s, d)
+      .filter(SearchQuery.compile(parsed.query, col("doc")))
+      .select(col("doc.objectId").as("object_id"),
+        explode(SearchQuery.innerHitCol(wp, inner, col("doc"))).as("hit"))
+      .select(col("object_id"),
+        col("hit.linkedService.objectId").as("hit_svc_id"),
+        col("hit.planserviceCostShares.deductible").as("hit_deductible"))
+      .orderBy(col("object_id"), col("hit_svc_id"))
+  }
+
+  private val d30Sql =
+    s"""WITH o AS $O
+       |SELECT 'plan-' || ${ck("o_custkey")} AS object_id,
+       |       'svc-' || ${ck("o_orderkey")} AS hit_svc_id,
+       |       o_orderkey % 1000 AS hit_deductible
+       |FROM o
+       |WHERE 'Service ' || o_orderpriority LIKE 'Service 1%'
+       |  AND o_orderkey % 1000 BETWEEN 100 AND 300
+       |ORDER BY object_id, hit_svc_id""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -936,6 +1065,9 @@ object DocQueries {
     "d25_if_none_match" -> d25 _,
     "d26_es_json_query" -> d26 _,
     "d27_es_inner_hits" -> d27 _,
+    "d28_search_range_excl" -> d28 _,
+    "d29_search_msm" -> d29 _,
+    "d30_es_bool_inner_hits" -> d30 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
     "d3_roundtrip" -> d3 _,
@@ -965,6 +1097,9 @@ object DocQueries {
     "d25_if_none_match" -> d25Sql,
     "d26_es_json_query" -> d26Sql,
     "d27_es_inner_hits" -> d27Sql,
+    "d28_search_range_excl" -> d28Sql,
+    "d29_search_msm" -> d29Sql,
+    "d30_es_bool_inner_hits" -> d30Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,
     "d3_roundtrip" -> d3Sql,

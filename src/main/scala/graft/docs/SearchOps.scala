@@ -41,6 +41,17 @@ object SearchOps {
   /** Q5 — inclusive numeric range (`gte`/`lte`, `README.md:136-141`). */
   def range(c: Column, lo: Long, hi: Long): Column = c.between(lo, hi)
 
+  /** Q5 with per-bound exclusivity (ES `gt`/`lt`). Both conjuncts are
+    * simple comparisons against literals — pushdown-eligible either way. */
+  def range(c: Column, lo: Long, hi: Long, loIncl: Boolean, hiIncl: Boolean): Column =
+    (if (loIncl) c >= lo else c > lo) && (if (hiIncl) c <= hi else c < hi)
+
+  /** ES `minimum_should_match` = n of the given clauses — a sum of boolean
+    * casts compared to n (one linear pass, no 2^M expansion). */
+  def atLeast(n: Int, preds: Seq[Column]): Column =
+    if (n > preds.size) lit(false)
+    else preds.map(_.cast("int")).reduce(_ + _) >= lit(n)
+
   /** Q2 — nested match: does SOME element of `arr` satisfy `pred`? */
   def nestedMatch(arr: Column, pred: Column => Column): Column = exists(arr, pred)
 

@@ -22,20 +22,36 @@ object SearchQuery {
   case object MatchAll extends SearchQuery
   /** Q3/Q4 — glob wildcard on a (possibly nested-scalar) field path. */
   final case class Wildcard(path: Seq[String], glob: String) extends SearchQuery
-  /** Q5 — inclusive numeric range on a field path. */
-  final case class Range(path: Seq[String], lo: Long, hi: Long) extends SearchQuery
+  /** Q5 — numeric range on a field path; bounds are inclusive by default
+    * (ES `gte`/`lte`) with per-bound exclusivity for `gt`/`lt`. */
+  final case class Range(path: Seq[String], lo: Long, hi: Long,
+                         loIncl: Boolean = true, hiIncl: Boolean = true) extends SearchQuery
   /** Q2 — SOME element of the array field matches `field == value`. */
   final case class NestedTerm(arrayPath: Seq[String], field: Seq[String], value: String) extends SearchQuery
   /** Q4 — SOME element of the array field matches a glob on `field`. */
   final case class NestedWildcard(arrayPath: Seq[String], field: Seq[String], glob: String) extends SearchQuery
-  /** Q5 nested — SOME element's numeric `field` is within [lo, hi]. */
-  final case class NestedRange(arrayPath: Seq[String], field: Seq[String], lo: Long, hi: Long) extends SearchQuery
+  /** Q5 nested — SOME element's numeric `field` is within the bounds. */
+  final case class NestedRange(arrayPath: Seq[String], field: Seq[String], lo: Long, hi: Long,
+                               loIncl: Boolean = true, hiIncl: Boolean = true) extends SearchQuery
   /** Q6 — whitespace-tokenized term match on a text field. */
   final case class TermMatch(path: Seq[String], term: String) extends SearchQuery
   /** ES bool must / should / must_not. */
   final case class And(qs: SearchQuery*) extends SearchQuery
   final case class Or(qs: SearchQuery*) extends SearchQuery
   final case class Not(q: SearchQuery) extends SearchQuery
+  /** ES bool `should` with `minimum_should_match` = n ≥ 2: at least n of
+    * `qs` hold. Compiles as a sum of boolean casts — one pass over the
+    * clauses, no combinatorial expansion. n > qs.size matches nothing
+    * (ES's behavior for an unsatisfiable msm). */
+  final case class AtLeast(n: Int, qs: Seq[SearchQuery]) extends SearchQuery
+  /** ES `nested` wrapper whose inner query is COMPOSED (bool/must_not/…):
+    * SOME element of `arrayPath` satisfies the whole inner predicate.
+    * This is materially different from compiling the composition at
+    * document level — `nested{bool{must:[A,B]}}` requires ONE element
+    * satisfying A∧B, not one element for A and another for B (each nested
+    * element is its own Lucene document in ES). Single-leaf inner queries
+    * don't need the wrapper: ∃x.P(x) is already what Nested* compiles to. */
+  final case class NestedCompound(arrayPath: Seq[String], inner: SearchQuery) extends SearchQuery
 
   private def field(root: Column, path: Seq[String]): Column =
     path.foldLeft(root)((c, f) => c.getField(f))
@@ -108,36 +124,54 @@ object SearchQuery {
     jv match {
       case JObject(List(("match_all", _))) => MatchAll
       case JObject(List(("nested", JObject(fields)))) =>
-        // transparent wrapper for the predicate: inner field paths are
-        // absolute in ES. An `inner_hits` key records a matched-children
-        // projection request against the wrapper path.
+        // Wrapper is transparent for single-leaf inner queries (inner field
+        // paths are absolute in ES; Nested* already compiles to ∃element).
+        // A COMPOSED inner query must bind all its element-level leaves to
+        // the SAME element — NestedCompound. An `inner_hits` key records a
+        // matched-children projection request against the wrapper path.
         val inner = fields.collectFirst { case ("query", q) => q }
           .getOrElse(throw new IllegalArgumentException("nested without query"))
-        val ast = parseNode(inner, schema, hits)
-        if (fields.exists(_._1 == "inner_hits")) {
-          val wrapperPath = fields.collectFirst { case ("path", p) => path(asString(p)) }
-            .getOrElse(throw new IllegalArgumentException("nested without path"))
-          hits += ((wrapperPath, ast))
+        val wrapperPath = fields.collectFirst { case ("path", p) => path(asString(p)) }
+          .getOrElse(throw new IllegalArgumentException("nested without path"))
+        val parsedInner = parseNode(inner, schema, hits)
+        val ast = (parsedInner, wrapperArray(wrapperPath, parsedInner)) match {
+          case (_: NestedTerm | _: NestedWildcard | _: NestedRange, _) => parsedInner
+          case (compound, Some(ap)) => NestedCompound(ap, compound)
+          case (structOrDocLevel, None) => structOrDocLevel
         }
+        if (fields.exists(_._1 == "inner_hits")) hits += ((wrapperPath, ast))
         ast
       case JObject(List(("bool", JObject(fields)))) =>
         val f = fields.toMap
+        // Reject bool clauses this engine does not implement rather than
+        // silently dropping them: {"bool":{"fliter":[...]}} parsed as
+        // MatchAll would return a SUPERSET of the correct rows (the same
+        // honesty rule as the range-bound validation below).
+        val unknown = f.keySet --
+          Set("must", "filter", "should", "must_not", "minimum_should_match", "boost")
+        require(unknown.isEmpty,
+          s"unsupported bool clause(s): ${unknown.mkString(", ")}")
         val musts = children(f.getOrElse("must", JNothing)).map(parseNode(_, schema, hits))
+        // ES `filter` = non-scoring `must`: same conjunction, only the
+        // (rank-time) score contribution differs, so for the hit SET the
+        // compilation is identical.
+        val filters = children(f.getOrElse("filter", JNothing)).map(parseNode(_, schema, hits))
         val shoulds = children(f.getOrElse("should", JNothing)).map(parseNode(_, schema, hits))
         val nots = children(f.getOrElse("must_not", JNothing)).map(parseNode(_, schema, hits))
         // ES semantics: with at least one `must`/`filter` clause present,
         // `minimum_should_match` defaults to 0 — `should` only boosts
-        // scores and must NOT filter the hit set. It filters (as a
-        // disjunction) only when it stands alone, or when the body pins
-        // minimum_should_match >= 1 explicitly.
+        // scores and must NOT filter the hit set. It filters only when it
+        // stands alone (default msm=1), or when the body pins
+        // minimum_should_match >= 1 explicitly (n >= 2 = n-of-M).
         val msm = f.get("minimum_should_match").map(asLong).getOrElse(
-          if (musts.isEmpty) 1L else 0L)
-        require(msm <= 1,
-          s"minimum_should_match=$msm unsupported (only 0 and 1)")
-        val shouldFilters = shoulds.nonEmpty && msm >= 1
-        val parts = musts ++
-          (if (shouldFilters) Seq(if (shoulds.size == 1) shoulds.head else Or(shoulds: _*)) else Nil) ++
-          nots.map(Not)
+          if (musts.isEmpty && filters.isEmpty) 1L else 0L)
+        require(msm >= 0 && msm <= Int.MaxValue, s"bad minimum_should_match: $msm")
+        val shouldPart =
+          if (shoulds.isEmpty || msm <= 0) Nil
+          else if (msm == 1L)
+            Seq(if (shoulds.size == 1) shoulds.head else Or(shoulds: _*))
+          else Seq(AtLeast(msm.toInt, shoulds))
+        val parts = musts ++ filters ++ shouldPart ++ nots.map(Not)
         if (parts.isEmpty) MatchAll
         else if (parts.size == 1) parts.head
         else And(parts: _*)
@@ -165,16 +199,25 @@ object SearchQuery {
       case JObject(List(("range", JObject(List((p, JObject(bounds))))))) =>
         val b = bounds.toMap
         // Reject bound forms this engine does not implement rather than
-        // silently widening the range: {"gt": 5} parsed as unbounded-below
-        // would return a SUPERSET of the correct rows.
-        val unsupported = b.keySet -- Set("gte", "lte")
+        // silently widening the range: an ignored bound key would return a
+        // SUPERSET of the correct rows. `boost`/`format` are rank/parse
+        // hints with no effect on an integer hit set.
+        val unsupported = b.keySet -- Set("gte", "lte", "gt", "lt", "boost")
         require(unsupported.isEmpty,
-          s"unsupported range bound(s) ${unsupported.mkString(", ")} on $p (only gte/lte)")
-        val lo = b.get("gte").map(asLong).getOrElse(Long.MinValue)
-        val hi = b.get("lte").map(asLong).getOrElse(Long.MaxValue)
+          s"unsupported range bound(s) ${unsupported.mkString(", ")} on $p (gte/lte/gt/lt)")
+        require(!(b.contains("gte") && b.contains("gt")),
+          s"range on $p has both gte and gt")
+        require(!(b.contains("lte") && b.contains("lt")),
+          s"range on $p has both lte and lt")
+        val (lo, loIncl) = b.get("gte").map(v => (asLong(v), true))
+          .orElse(b.get("gt").map(v => (asLong(v), false)))
+          .getOrElse((Long.MinValue, true))
+        val (hi, hiIncl) = b.get("lte").map(v => (asLong(v), true))
+          .orElse(b.get("lt").map(v => (asLong(v), false)))
+          .getOrElse((Long.MaxValue, true))
         splitArrayPath(path(p), schema) match {
-          case (Nil, full) => Range(full, lo, hi)
-          case (arr, rest) => NestedRange(arr, rest, lo, hi)
+          case (Nil, full) => Range(full, lo, hi, loIncl, hiIncl)
+          case (arr, rest) => NestedRange(arr, rest, lo, hi, loIncl, hiIncl)
         }
       case other => throw new IllegalArgumentException(s"unsupported ES query node: $other")
     }
@@ -203,35 +246,81 @@ object SearchQuery {
   def compile(q: SearchQuery, doc: Column): Column = q match {
     case MatchAll => lit(true)
     case Wildcard(p, g) => SearchOps.wildcard(field(doc, p), g)
-    case Range(p, lo, hi) => SearchOps.range(field(doc, p), lo, hi)
+    case Range(p, lo, hi, li, hc) => SearchOps.range(field(doc, p), lo, hi, li, hc)
     case NestedTerm(ap, f, v) =>
       SearchOps.nestedMatch(field(doc, ap), x => field(x, f) === lit(v))
     case NestedWildcard(ap, f, g) =>
       SearchOps.nestedMatch(field(doc, ap), x => SearchOps.wildcard(field(x, f), g))
-    case NestedRange(ap, f, lo, hi) =>
-      SearchOps.nestedMatch(field(doc, ap), x => field(x, f).between(lo, hi))
+    case NestedRange(ap, f, lo, hi, li, hc) =>
+      SearchOps.nestedMatch(field(doc, ap), x => SearchOps.range(field(x, f), lo, hi, li, hc))
     case TermMatch(p, t) => SearchOps.tokenMatch(field(doc, p), t)
     case And(qs @ _*) => qs.map(compile(_, doc)).reduce(_ && _)
     case Or(qs @ _*) => qs.map(compile(_, doc)).reduce(_ || _)
     case Not(sub) => !compile(sub, doc)
+    case AtLeast(n, qs) => SearchOps.atLeast(n, qs.map(compile(_, doc)))
+    case NestedCompound(ap, inner) =>
+      SearchOps.nestedMatch(field(doc, ap), x => perElement(inner, ap, x, doc))
   }
+
+  /** The array path a `nested` wrapper iterates: the (unique) Nested*
+    * arrayPath in `q` that prefixes the wrapper's `path` value — ES allows
+    * the path to extend INTO the element (`linkedPlanServices.linkedService`
+    * names the struct inside each array element, README query 2/4). None
+    * for struct-path wrappers / document-level inner queries. */
+  private def wrapperArray(wrapperPath: Seq[String], q: SearchQuery): Option[Seq[String]] = {
+    def aps(q: SearchQuery): Set[Seq[String]] = q match {
+      case NestedTerm(ap, _, _) => Set(ap)
+      case NestedWildcard(ap, _, _) => Set(ap)
+      case NestedRange(ap, _, _, _, _, _) => Set(ap)
+      case NestedCompound(ap, _) => Set(ap)
+      case And(qs @ _*) => qs.flatMap(aps).toSet
+      case Or(qs @ _*) => qs.flatMap(aps).toSet
+      case Not(sub) => aps(sub)
+      case AtLeast(_, qs) => qs.flatMap(aps).toSet
+      case _ => Set.empty
+    }
+    val within = aps(q).filter(ap => wrapperPath.startsWith(ap))
+    require(within.size <= 1,
+      s"nested wrapper over $wrapperPath spans multiple arrays: $within")
+    within.headOption
+  }
+
+  /** Evaluate `q` against ONE element `x` of the array at `ap`: leaves on
+    * the wrapper array test the element (ES nested semantics — each element
+    * is its own document), any other leaf is element-independent and
+    * compiles at document level. */
+  private def perElement(q: SearchQuery, ap: Seq[String], x: Column, doc: Column): Column =
+    q match {
+      case NestedTerm(p, f, v) if p == ap => field(x, f) === lit(v)
+      case NestedWildcard(p, f, g) if p == ap => SearchOps.wildcard(field(x, f), g)
+      case NestedRange(p, f, lo, hi, li, hc) if p == ap =>
+        SearchOps.range(field(x, f), lo, hi, li, hc)
+      case And(qs @ _*) => qs.map(perElement(_, ap, x, doc)).reduce(_ && _)
+      case Or(qs @ _*) => qs.map(perElement(_, ap, x, doc)).reduce(_ || _)
+      case Not(sub) => !perElement(sub, ap, x, doc)
+      case AtLeast(n, qs) => SearchOps.atLeast(n, qs.map(perElement(_, ap, x, doc)))
+      case other => compile(other, doc) // constant w.r.t. the element
+    }
 
   /** Compile one `inner_hits` request to an array Column of the matching
     * nested children (`README.md:84-93`). For a query over an array path
-    * (Nested* nodes) the hits are the elements satisfying the per-element
-    * predicate; for a struct-path `nested` wrapper (the reference maps
-    * structs as `nested` too — README query 5 over `planCostShares`) the
-    * hit is the struct itself when the predicate holds, as a 0/1-element
-    * array. Both are pure expressions — no join, no shuffle. */
+    * (any Nested* leaf on `wrapperPath`) the hits are the elements
+    * satisfying the PER-ELEMENT predicate — composed inner queries
+    * (`bool` inside the `nested` wrapper) evaluate each boolean leaf
+    * against the element, matching ES, where every nested element is its
+    * own Lucene document; leaves on other paths are element-independent
+    * and compile at document level. For a struct-path `nested` wrapper
+    * (the reference maps structs as `nested` too — README query 5 over
+    * `planCostShares`) the hit is the struct itself when the predicate
+    * holds, as a 0/1-element array. All pure expressions — no join, no
+    * shuffle. */
   def innerHitCol(wrapperPath: Seq[String], inner: SearchQuery, doc: Column): Column =
-    inner match {
-      case NestedTerm(ap, f, v) =>
-        SearchOps.innerHits(field(doc, ap), x => field(x, f) === lit(v))
-      case NestedWildcard(ap, f, g) =>
-        SearchOps.innerHits(field(doc, ap), x => SearchOps.wildcard(field(x, f), g))
-      case NestedRange(ap, f, lo, hi) =>
-        SearchOps.innerHits(field(doc, ap), x => field(x, f).between(lo, hi))
-      case other =>
-        SearchOps.innerHits(array(field(doc, wrapperPath)), _ => compile(other, doc))
+    (inner, wrapperArray(wrapperPath, inner)) match {
+      case (NestedCompound(ap, sub), _) =>
+        SearchOps.innerHits(field(doc, ap), x => perElement(sub, ap, x, doc))
+      case (_, Some(ap)) =>
+        SearchOps.innerHits(field(doc, ap), x => perElement(inner, ap, x, doc))
+      case (_, None) =>
+        SearchOps.innerHits(array(field(doc, wrapperPath)), _ => compile(inner, doc))
     }
 }

@@ -129,6 +129,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(graft.docs.Assembler.assemble(sh, graft.model.PlanSchema.plan, "plan", Some(one)).count() == 1L)
   }
 
+  test("d14: the replaced corpus assembles from parquet scans, not a mutation lineage") {
+    // d14's assembler references the replaced Shredded ~9× (once per schema
+    // node). Round 4 measured 217 s because the input was a LAZY persist()
+    // over the reachability-expansion lineage — each reference recomputed
+    // the whole mutation. The fix writes the replaced tables through the
+    // parquet mat() boundary; pin it so the boundary can't silently regress:
+    // every leaf of d14's plan must be a file scan or a literal, never an
+    // in-memory cache or a live mutation subtree.
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    import org.apache.spark.sql.catalyst.plans.logical.{LeafNode, LocalRelation, OneRowRelation}
+    val leaves = q("d14_replace").queryExecution.optimizedPlan.collectLeaves()
+    val offending = leaves.filterNot {
+      case _: LogicalRelation => true // parquet file scan
+      case _: LocalRelation | _: OneRowRelation => true // literal inputs
+      case _ => false
+    }
+    assert(offending.isEmpty,
+      s"d14 reads non-materialized inputs: ${offending.map(_.nodeName)}")
+  }
+
   test("vec_dot participates in codegen (no interpreted fallback marker)") {
     graft.functions.GraftFunctions.ensure(spark)
     import org.apache.spark.sql.functions._

@@ -303,18 +303,103 @@ class DocEngineSpec extends SparkSpec {
       """{"query": {"bool": {"should": [{"match": {"planType": "nosuchtype"}}]}}}"""
     assert(assembledDocs.filter(
       SearchQuery.compile(SearchQuery.fromJson(alone, PlanSchema.plan), col("doc"))).count() === 0)
-    // minimum_should_match > 1 is not implemented — reject, never mis-filter
-    val msm2 =
-      """{"query": {"bool": {"should": [{"match": {"planType": "a"}},
-        |  {"match": {"planType": "b"}}], "minimum_should_match": 2}}}""".stripMargin
-    assertThrows[IllegalArgumentException](SearchQuery.fromJson(msm2, PlanSchema.plan))
   }
 
-  test("range rejects unsupported bound keys instead of silently widening") {
-    val gt = """{"query": {"range": {"planCostShares.copay": {"gt": 5}}}}"""
-    assertThrows[IllegalArgumentException](SearchQuery.fromJson(gt, PlanSchema.plan))
+  test("minimum_should_match >= 2 compiles to n-of-m clause satisfaction") {
+    import SearchQuery._
+    val assembledDocs = Assembler.assemble(sh, PlanSchema.plan, "plan")
+    def msmBody(n: Int) =
+      s"""{"query": {"bool": {"should": [
+         |  {"wildcard": {"_org": {"value": "example*"}}},
+         |  {"range": {"planCostShares.copay": {"gte": 20, "lte": 35}}},
+         |  {"match": {"planType": "nosuchtype"}}],
+         |  "minimum_should_match": $n}}}""".stripMargin
+    // canonical doc satisfies exactly 2 of the 3 shoulds (copay=23,
+    // _org=example.com, planType=inNetwork)
+    assert(SearchQuery.fromJson(msmBody(2), PlanSchema.plan).isInstanceOf[AtLeast])
+    assert(assembledDocs.filter(
+      SearchQuery.compile(SearchQuery.fromJson(msmBody(2), PlanSchema.plan), col("doc"))).count() === 1)
+    assert(assembledDocs.filter(
+      SearchQuery.compile(SearchQuery.fromJson(msmBody(3), PlanSchema.plan), col("doc"))).count() === 0)
+    // msm beyond the clause count is unsatisfiable (ES behavior), not an error
+    assert(assembledDocs.filter(
+      SearchQuery.compile(SearchQuery.fromJson(msmBody(4), PlanSchema.plan), col("doc"))).count() === 0)
+  }
+
+  test("bool filter clause is a non-scoring must; unknown bool keys are rejected") {
+    import SearchQuery._
+    val assembledDocs = Assembler.assemble(sh, PlanSchema.plan, "plan")
+    // filter narrows the hit set exactly like must
+    val filterHit =
+      """{"query": {"bool": {"filter": [{"wildcard": {"_org": {"value": "example*"}}}]}}}"""
+    assert(SearchQuery.fromJson(filterHit, PlanSchema.plan) === Wildcard(Seq("_org"), "example*"))
+    val filterMiss =
+      """{"query": {"bool": {"filter": [{"match": {"planType": "nosuchtype"}}]}}}"""
+    assert(assembledDocs.filter(
+      SearchQuery.compile(SearchQuery.fromJson(filterMiss, PlanSchema.plan), col("doc"))).count() === 0)
+    // filter present => should defaults to msm=0 (boost-only), same as must
+    val filterPlusShould =
+      """{"query": {"bool": {
+        |  "filter": [{"wildcard": {"_org": {"value": "example*"}}}],
+        |  "should": [{"match": {"planType": "nosuchtype"}}]}}}""".stripMargin
+    assert(assembledDocs.filter(
+      SearchQuery.compile(SearchQuery.fromJson(filterPlusShould, PlanSchema.plan), col("doc"))).count() === 1)
+    // a misspelled/unsupported clause must never silently become MatchAll
+    val typo = """{"query": {"bool": {"fliter": [{"match_all": {}}]}}}"""
+    assertThrows[IllegalArgumentException](SearchQuery.fromJson(typo, PlanSchema.plan))
+  }
+
+  test("range gt/lt compile to exclusive bounds; bad bound keys still rejected") {
+    import SearchQuery._
+    val assembledDocs = Assembler.assemble(sh, PlanSchema.plan, "plan")
+    def cnt(body: String): Long = assembledDocs.filter(
+      SearchQuery.compile(SearchQuery.fromJson(body, PlanSchema.plan), col("doc"))).count()
+    // canonical doc: planCostShares.copay = 23
+    assert(SearchQuery.fromJson(
+      """{"query": {"range": {"planCostShares.copay": {"gt": 5, "lt": 23}}}}""",
+      PlanSchema.plan) === Range(Seq("planCostShares", "copay"), 5, 23, loIncl = false, hiIncl = false))
+    assert(cnt("""{"query": {"range": {"planCostShares.copay": {"gt": 22}}}}""") === 1)
+    assert(cnt("""{"query": {"range": {"planCostShares.copay": {"gt": 23}}}}""") === 0)
+    assert(cnt("""{"query": {"range": {"planCostShares.copay": {"lt": 24}}}}""") === 1)
+    assert(cnt("""{"query": {"range": {"planCostShares.copay": {"lt": 23}}}}""") === 0)
+    assert(cnt("""{"query": {"range": {"planCostShares.copay": {"gt": 22, "lte": 23}}}}""") === 1)
     val typo = """{"query": {"range": {"planCostShares.copay": {"gte": 5, "lta": 9}}}}"""
     assertThrows[IllegalArgumentException](SearchQuery.fromJson(typo, PlanSchema.plan))
+    val both = """{"query": {"range": {"planCostShares.copay": {"gte": 5, "gt": 9}}}}"""
+    assertThrows[IllegalArgumentException](SearchQuery.fromJson(both, PlanSchema.plan))
+  }
+
+  test("bool inside nested binds all leaves to the SAME element (ES nested semantics)") {
+    import SearchQuery._
+    val assembledDocs = Assembler.assemble(sh, PlanSchema.plan, "plan")
+    // canonical doc elements: (name "Yearly physical", psCS.copay 0) and
+    // (name "well baby", psCS.copay 175). Name matches element 1 only,
+    // copay range matches element 2 only — a document-level conjunction of
+    // two exists() would WRONGLY match; per-element conjunction must not.
+    def nestedBool(glob: String, gte: Long) =
+      s"""{"query": {"nested": {"path": "linkedPlanServices",
+         |  "query": {"bool": {"must": [
+         |    {"wildcard": {"linkedPlanServices.linkedService.name.keyword": {"value": "$glob"}}},
+         |    {"range": {"linkedPlanServices.planserviceCostShares.copay": {"gte": $gte}}}]}},
+         |  "inner_hits": {}}}}""".stripMargin
+    val crossElement = SearchQuery.fromJson(nestedBool("Year*", 100), PlanSchema.plan)
+    assert(crossElement.isInstanceOf[NestedCompound])
+    assert(assembledDocs.filter(SearchQuery.compile(crossElement, col("doc"))).count() === 0)
+    // same element satisfies both -> matches, and inner_hits returns
+    // exactly that element
+    val p = SearchQuery.parseBody(nestedBool("well*", 100), PlanSchema.plan)
+    val (wp, in) = p.hits.head
+    val hits = assembledDocs.filter(SearchQuery.compile(p.query, col("doc")))
+      .select(explode(SearchQuery.innerHitCol(wp, in, col("doc"))).as("hit"))
+      .select(col("hit.linkedService.name")).collect().map(_.getString(0))
+    assert(hits.toSeq === Seq("well baby"))
+    // must_not inside nested is per-element too: SOME element NOT named well* => matches
+    val notBody =
+      """{"query": {"nested": {"path": "linkedPlanServices",
+        |  "query": {"bool": {"must_not": [
+        |    {"wildcard": {"linkedPlanServices.linkedService.name.keyword": {"value": "well*"}}}]}}}}}""".stripMargin
+    assert(assembledDocs.filter(SearchQuery.compile(
+      SearchQuery.fromJson(notBody, PlanSchema.plan), col("doc"))).count() === 1)
   }
 
   test("inner_hits re-extracts the matched nested children from the JSON surface") {

@@ -1050,6 +1050,153 @@ object DocQueries {
        |  AND o_orderkey % 1000 BETWEEN 100 AND 300
        |ORDER BY object_id, hit_svc_id""".stripMargin
 
+  // ---------------------------------------------------------------- d31
+  /** ES bool `should` as a RANKING signal — with `must` present, should
+    * clauses don't filter (msm=0, d16/d29 lock the hit set) but they boost
+    * `_score`; users sort by it. Score = satisfied-clause count
+    * (SearchQuery.scoreCol — integer, engine-exact; BM25 weighting is not
+    * oracle-reproducible). Top-k by (score desc, id) via ORDER BY + LIMIT. */
+  private def d31(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "query": {
+        |    "bool": {
+        |      "must": [ { "match": { "planType": "BUILDING" } } ],
+        |      "should": [
+        |        { "range": { "planCostShares.copay": { "gte": 25 } } },
+        |        { "wildcard": { "_org": "org-1*" } },
+        |        { "nested": {
+        |            "path": "linkedPlanServices.linkedService",
+        |            "query": { "wildcard": { "linkedPlanServices.linkedService.name.keyword": { "value": "Service 3*" } } } } }
+        |      ]
+        |    }
+        |  }
+        |}""".stripMargin
+    val parsed = SearchQuery.parseBody(body, schema)
+    assembled(s, d)
+      .filter(SearchQuery.compile(parsed.query, col("doc")))
+      .select(col("doc.objectId").as("object_id"),
+        SearchQuery.scoreCol(parsed, col("doc")).as("score"))
+      .orderBy(col("score").desc, col("object_id"))
+      .limit(20)
+  }
+
+  private val d31Sql =
+    s"""WITH o AS $O
+       |SELECT 'plan-' || ${ck("c_custkey")} AS object_id,
+       |  CAST(CASE WHEN c_custkey % 50 >= 25 THEN 1 ELSE 0 END
+       |     + CASE WHEN 'org-' || ${ck("c_nationkey")} || '.example.com' LIKE 'org-1%' THEN 1 ELSE 0 END
+       |     + CASE WHEN EXISTS (SELECT 1 FROM o WHERE o_custkey = c_custkey
+       |                         AND 'Service ' || o_orderpriority LIKE 'Service 3%') THEN 1 ELSE 0 END
+       |    AS BIGINT) AS score
+       |FROM customer
+       |WHERE lower(c_mktsegment) = 'building'
+       |ORDER BY score DESC, object_id LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- d32
+  /** ES `terms` — keyword membership, top-level and through an array path.
+    * Both compile to `In` predicates (pushdown-eligible); the nested form
+    * is ∃element with `name` in the list. */
+  private def d32(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "query": {
+        |    "bool": {
+        |      "must": [
+        |        { "terms": { "planType": ["BUILDING", "MACHINERY"] } },
+        |        { "terms": { "linkedPlanServices.linkedService.name.keyword": ["Service 1-URGENT", "Service 5-LOW"] } }
+        |      ]
+        |    }
+        |  }
+        |}""".stripMargin
+    val ast = SearchQuery.fromJson(body, schema)
+    assembled(s, d)
+      .filter(SearchQuery.compile(ast, col("doc")))
+      .select(col("doc.objectId").as("object_id"),
+        col("doc.planType").as("plan_type"))
+      .orderBy(col("object_id"))
+  }
+
+  private val d32Sql =
+    s"""WITH o AS $O
+       |SELECT 'plan-' || ${ck("c_custkey")} AS object_id, c_mktsegment AS plan_type
+       |FROM customer
+       |WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+       |  AND EXISTS (SELECT 1 FROM o WHERE o_custkey = c_custkey
+       |              AND 'Service ' || o_orderpriority IN ('Service 1-URGENT', 'Service 5-LOW'))
+       |ORDER BY object_id""".stripMargin
+
+  // ---------------------------------------------------------------- d33
+  /** ES `exists` under `must_not` — the empty-array subtlety: ES indexes
+    * NO value for `[]`, so `exists` on `linkedPlanServices` is false both
+    * for the %113 withheld plans AND for customers with no orders at all;
+    * `must_not exists` finds exactly the plans with a present-but-empty
+    * services array. Plus a literal `prefix` on the keyword `_org`. */
+  private def d33(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "query": {
+        |    "bool": {
+        |      "must": [ { "prefix": { "_org": { "value": "org-1" } } } ],
+        |      "must_not": [ { "exists": { "field": "linkedPlanServices" } } ]
+        |    }
+        |  }
+        |}""".stripMargin
+    val ast = SearchQuery.fromJson(body, schema)
+    assembled(s, d)
+      .filter(SearchQuery.compile(ast, col("doc")))
+      .select(col("doc.objectId").as("object_id"),
+        col("doc._org").as("org"))
+      .orderBy(col("object_id"))
+  }
+
+  private val d33Sql =
+    s"""SELECT 'plan-' || ${ck("c_custkey")} AS object_id,
+       |  'org-' || ${ck("c_nationkey")} || '.example.com' AS org
+       |FROM customer
+       |WHERE 'org-' || ${ck("c_nationkey")} || '.example.com' LIKE 'org-1%'
+       |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+       |                  AND o_custkey % 113 <> 0)
+       |ORDER BY object_id""".stripMargin
+
+  // ---------------------------------------------------------------- d34
+  /** ES `match_phrase` through an array path (consecutive analyzed tokens:
+    * "4-not specified" matches `Service 4-NOT SPECIFIED` but "service
+    * specified" would not) composed with a nested `prefix`. The two leaves
+    * are NOT under one `nested` wrapper, so — per ES — they may be
+    * satisfied by DIFFERENT array elements: each compiles to its own
+    * document-level ∃. */
+  private def d34(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "query": {
+        |    "bool": {
+        |      "must": [
+        |        { "match_phrase": { "linkedPlanServices.linkedService.name": "4-not specified" } },
+        |        { "prefix": { "linkedPlanServices.linkedService.name.keyword": "Service 2" } }
+        |      ]
+        |    }
+        |  }
+        |}""".stripMargin
+    val ast = SearchQuery.fromJson(body, schema)
+    assembled(s, d)
+      .filter(SearchQuery.compile(ast, col("doc")))
+      .select(col("doc.objectId").as("object_id"),
+        size(col("doc.linkedPlanServices")).as("n_services"))
+      .orderBy(col("object_id"))
+  }
+
+  private val d34Sql =
+    s"""WITH o AS $O
+       |SELECT 'plan-' || ${ck("c_custkey")} AS object_id,
+       |  (SELECT COUNT(*) FROM o WHERE o_custkey = c_custkey) AS n_services
+       |FROM customer
+       |WHERE EXISTS (SELECT 1 FROM o WHERE o_custkey = c_custkey
+       |        AND ' ' || lower('Service ' || o_orderpriority) || ' ' LIKE '% 4-not specified %')
+       |  AND EXISTS (SELECT 1 FROM o WHERE o_custkey = c_custkey
+       |        AND 'Service ' || o_orderpriority LIKE 'Service 2%')
+       |ORDER BY object_id""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -1068,6 +1215,10 @@ object DocQueries {
     "d28_search_range_excl" -> d28 _,
     "d29_search_msm" -> d29 _,
     "d30_es_bool_inner_hits" -> d30 _,
+    "d31_should_boost" -> d31 _,
+    "d32_search_terms" -> d32 _,
+    "d33_search_exists" -> d33 _,
+    "d34_search_phrase_prefix" -> d34 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
     "d3_roundtrip" -> d3 _,
@@ -1100,6 +1251,10 @@ object DocQueries {
     "d28_search_range_excl" -> d28Sql,
     "d29_search_msm" -> d29Sql,
     "d30_es_bool_inner_hits" -> d30Sql,
+    "d31_should_boost" -> d31Sql,
+    "d32_search_terms" -> d32Sql,
+    "d33_search_exists" -> d33Sql,
+    "d34_search_phrase_prefix" -> d34Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,
     "d3_roundtrip" -> d3Sql,

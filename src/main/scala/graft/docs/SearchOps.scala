@@ -52,6 +52,36 @@ object SearchOps {
     if (n > preds.size) lit(false)
     else preds.map(_.cast("int")).reduce(_ + _) >= lit(n)
 
+  /** ES `terms` — keyword membership in a literal value list. Compiles to
+    * an `In` predicate — pushdown-eligible like any hand-written `isin`. */
+  def termsIn(c: Column, values: Seq[String]): Column = c.isin(values: _*)
+
+  /** ES `prefix` — LITERAL prefix on a keyword field (no glob characters;
+    * `startsWith` maps to the `StringStartsWith` pushdown filter). */
+  def prefix(c: Column, v: String): Column = c.startsWith(v)
+
+  /** ES `exists` — the field has an indexed value. ES indexes NOTHING for
+    * an empty array, so for array fields `exists` requires non-empty, not
+    * just non-null (the reference's empty-`linkedPlanServices` plans are
+    * exactly this case). */
+  def existsField(c: Column, isArray: Boolean): Column =
+    if (isArray) c.isNotNull && size(c) > 0 else c.isNotNull
+
+  /** ES `match_phrase` — the analyzed tokens of `phrase` appear
+    * CONSECUTIVELY in the analyzed text. Whitespace analyzer: normalize
+    * both sides to single-space-joined lowercase tokens and test padded
+    * containment (tokens contain no spaces, so ` a b ` ⊆ ` … ` is exactly
+    * consecutive-token adjacency — no false substring hits across token
+    * boundaries). Pure string expressions, codegen-friendly. */
+  def phraseMatch(text: Column, phrase: String): Column = {
+    val norm = phrase.toLowerCase.trim.split("\\s+").mkString(" ")
+    contains(
+      concat(lit(" "),
+        array_join(filter(split(lower(text), "\\s+"), t => length(t) > 0), " "),
+        lit(" ")),
+      lit(s" $norm "))
+  }
+
   /** Q2 — nested match: does SOME element of `arr` satisfy `pred`? */
   def nestedMatch(arr: Column, pred: Column => Column): Column = exists(arr, pred)
 

@@ -35,6 +35,20 @@ object SearchQuery {
                                loIncl: Boolean = true, hiIncl: Boolean = true) extends SearchQuery
   /** Q6 — whitespace-tokenized term match on a text field. */
   final case class TermMatch(path: Seq[String], term: String) extends SearchQuery
+  /** ES `terms` — exact membership in a value list (keyword semantics). */
+  final case class TermsIn(path: Seq[String], values: Seq[String]) extends SearchQuery
+  final case class NestedTermsIn(arrayPath: Seq[String], field: Seq[String], values: Seq[String]) extends SearchQuery
+  /** ES `exists` — the field is present: non-null, and for array fields
+    * NON-EMPTY (ES indexes no value for `[]`, so `exists` treats an empty
+    * array as missing). */
+  final case class ExistsField(path: Seq[String], isArray: Boolean) extends SearchQuery
+  final case class NestedExistsField(arrayPath: Seq[String], field: Seq[String]) extends SearchQuery
+  /** ES `prefix` — literal (unescaped) prefix on a keyword field. */
+  final case class Prefix(path: Seq[String], value: String) extends SearchQuery
+  final case class NestedPrefix(arrayPath: Seq[String], field: Seq[String], value: String) extends SearchQuery
+  /** ES `match_phrase` — the analyzed tokens appear CONSECUTIVELY. */
+  final case class MatchPhrase(path: Seq[String], phrase: String) extends SearchQuery
+  final case class NestedMatchPhrase(arrayPath: Seq[String], field: Seq[String], phrase: String) extends SearchQuery
   /** ES bool must / should / must_not. */
   final case class And(qs: SearchQuery*) extends SearchQuery
   final case class Or(qs: SearchQuery*) extends SearchQuery
@@ -64,8 +78,10 @@ object SearchQuery {
     *
     * Supported forms (everything the reference README exercises, plus
     * `bool`/`term` for composition): `match_all`, `match`, `term`,
-    * `wildcard` (with the ES `{"value": …}` object or a bare string, and
-    * `.keyword` path suffixes), `range` (`gte`/`lte`), `nested` (the
+    * `terms` (keyword membership), `exists` (empty arrays are MISSING, as
+    * in ES), `prefix` (literal), `match_phrase` (consecutive analyzed
+    * tokens), `wildcard` (with the ES `{"value": …}` object or a bare
+    * string, and `.keyword` path suffixes), `range` (`gte`/`lte`), `nested` (the
     * wrapper is transparent for the predicate — field paths are absolute
     * in ES — and `inner_hits` projection is SearchOps.innerHits, applied
     * separately), and `bool` (`must` → And, `should` → Or, `must_not` →
@@ -79,11 +95,15 @@ object SearchQuery {
     * struct-only paths compile to plain field access (README query 5:
     * `nested` over `planCostShares` is just `planCostShares.copay`).
     */
-  /** A fully-parsed ES body: the filter AST plus every `inner_hits`
-    * request carried by a `nested` wrapper — `(wrapperPath, innerQuery)`,
-    * compiled to a matched-children array column by [[innerHitCol]]
-    * (`README.md:84-93`: ES re-extracts the matching children). */
-  final case class Parsed(query: SearchQuery, hits: Seq[(Seq[String], SearchQuery)])
+  /** A fully-parsed ES body: the filter AST, every `inner_hits` request
+    * carried by a `nested` wrapper — `(wrapperPath, innerQuery)`, compiled
+    * to a matched-children array column by [[innerHitCol]] (`README.md:
+    * 84-93`: ES re-extracts the matching children) — and the top-level
+    * bool's `should` clauses, kept for ranking: with `must`/`filter`
+    * present, ES `should` does not filter (msm=0) but still BOOSTS
+    * `_score`; [[scoreCol]] exposes that as clause-count relevance. */
+  final case class Parsed(query: SearchQuery, hits: Seq[(Seq[String], SearchQuery)],
+                          shoulds: Seq[SearchQuery] = Nil)
 
   def fromJson(body: String, schema: org.apache.spark.sql.types.StructType): SearchQuery =
     parseBody(body, schema).query
@@ -94,8 +114,30 @@ object SearchQuery {
     require(q != JNothing, "ES query body must contain a top-level \"query\"")
     val hits = scala.collection.mutable.ListBuffer.empty[(Seq[String], SearchQuery)]
     val ast = parseNode(q, schema, hits)
-    Parsed(ast, hits.toList)
+    // Top-level should clauses, re-parsed for scoring (a scratch buffer so
+    // an inner_hits inside a should is not recorded twice).
+    val shoulds = q match {
+      case JObject(List(("bool", JObject(fields)))) =>
+        val scratch = scala.collection.mutable.ListBuffer.empty[(Seq[String], SearchQuery)]
+        (fields.toMap.getOrElse("should", JNothing) match {
+          case JArray(xs) => xs
+          case JNothing => Nil
+          case single => Seq(single)
+        }).map(parseNode(_, schema, scratch))
+      case _ => Nil
+    }
+    Parsed(ast, hits.toList, shoulds.toList)
   }
+
+  /** `_score` for bool queries: 1 point per satisfied top-level `should`
+    * clause — the ES behavior that `should` under `must`/`filter` ranks
+    * without filtering. Integer clause-count relevance, NOT BM25: exact in
+    * any engine (same design as the analyzed-match score, d23), and a pure
+    * expression over the document column — no shuffle, rank with
+    * ORDER BY + LIMIT (TakeOrderedAndProject). */
+  def scoreCol(p: Parsed, doc: Column): Column =
+    if (p.shoulds.isEmpty) lit(0L)
+    else p.shoulds.map(q => compile(q, doc).cast("long")).reduce(_ + _)
 
   private def parseNode(jv: org.json4s.JValue,
                         schema: org.apache.spark.sql.types.StructType,
@@ -219,6 +261,41 @@ object SearchQuery {
           case (Nil, full) => Range(full, lo, hi, loIncl, hiIncl)
           case (arr, rest) => NestedRange(arr, rest, lo, hi, loIncl, hiIncl)
         }
+      case JObject(List(("terms", JObject(List((p, JArray(vs))))))) =>
+        val values = vs.map(asString)
+        require(values.nonEmpty, s"terms on $p needs a non-empty value list")
+        splitArrayPath(path(p), schema) match {
+          case (Nil, full) => TermsIn(full, values)
+          case (arr, rest) => NestedTermsIn(arr, rest, values)
+        }
+      case JObject(List(("exists", JObject(fields)))) =>
+        val p = fields.collectFirst { case ("field", v) => path(asString(v)) }
+          .getOrElse(throw new IllegalArgumentException("exists needs a \"field\" key"))
+        splitArrayPath(p, schema) match {
+          case (Nil, full) => ExistsField(full, isArray = false)
+          case (arr, Nil) => ExistsField(arr, isArray = true) // the array itself: [] is missing in ES
+          case (arr, rest) => NestedExistsField(arr, rest)
+        }
+      case JObject(List(("prefix", JObject(List((p, spec)))))) =>
+        val v = spec match {
+          case JObject(f) => f.toMap.get("value").map(asString)
+            .getOrElse(throw new IllegalArgumentException("prefix needs value"))
+          case other => asString(other)
+        }
+        splitArrayPath(path(p), schema) match {
+          case (Nil, full) => Prefix(full, v)
+          case (arr, rest) => NestedPrefix(arr, rest, v)
+        }
+      case JObject(List(("match_phrase", JObject(List((p, spec)))))) =>
+        val v = spec match {
+          case JObject(f) => f.toMap.get("query").map(asString)
+            .getOrElse(throw new IllegalArgumentException("match_phrase needs query"))
+          case other => asString(other)
+        }
+        splitArrayPath(path(p), schema) match {
+          case (Nil, full) => MatchPhrase(full, v)
+          case (arr, rest) => NestedMatchPhrase(arr, rest, v)
+        }
       case other => throw new IllegalArgumentException(s"unsupported ES query node: $other")
     }
   }
@@ -254,6 +331,18 @@ object SearchQuery {
     case NestedRange(ap, f, lo, hi, li, hc) =>
       SearchOps.nestedMatch(field(doc, ap), x => SearchOps.range(field(x, f), lo, hi, li, hc))
     case TermMatch(p, t) => SearchOps.tokenMatch(field(doc, p), t)
+    case TermsIn(p, vs) => SearchOps.termsIn(field(doc, p), vs)
+    case NestedTermsIn(ap, f, vs) =>
+      SearchOps.nestedMatch(field(doc, ap), x => SearchOps.termsIn(field(x, f), vs))
+    case ExistsField(p, isArr) => SearchOps.existsField(field(doc, p), isArr)
+    case NestedExistsField(ap, f) =>
+      SearchOps.nestedMatch(field(doc, ap), x => field(x, f).isNotNull)
+    case Prefix(p, v) => SearchOps.prefix(field(doc, p), v)
+    case NestedPrefix(ap, f, v) =>
+      SearchOps.nestedMatch(field(doc, ap), x => SearchOps.prefix(field(x, f), v))
+    case MatchPhrase(p, v) => SearchOps.phraseMatch(field(doc, p), v)
+    case NestedMatchPhrase(ap, f, v) =>
+      SearchOps.nestedMatch(field(doc, ap), x => SearchOps.phraseMatch(field(x, f), v))
     case And(qs @ _*) => qs.map(compile(_, doc)).reduce(_ && _)
     case Or(qs @ _*) => qs.map(compile(_, doc)).reduce(_ || _)
     case Not(sub) => !compile(sub, doc)
@@ -272,6 +361,10 @@ object SearchQuery {
       case NestedTerm(ap, _, _) => Set(ap)
       case NestedWildcard(ap, _, _) => Set(ap)
       case NestedRange(ap, _, _, _, _, _) => Set(ap)
+      case NestedTermsIn(ap, _, _) => Set(ap)
+      case NestedExistsField(ap, _) => Set(ap)
+      case NestedPrefix(ap, _, _) => Set(ap)
+      case NestedMatchPhrase(ap, _, _) => Set(ap)
       case NestedCompound(ap, _) => Set(ap)
       case And(qs @ _*) => qs.flatMap(aps).toSet
       case Or(qs @ _*) => qs.flatMap(aps).toSet
@@ -295,6 +388,10 @@ object SearchQuery {
       case NestedWildcard(p, f, g) if p == ap => SearchOps.wildcard(field(x, f), g)
       case NestedRange(p, f, lo, hi, li, hc) if p == ap =>
         SearchOps.range(field(x, f), lo, hi, li, hc)
+      case NestedTermsIn(p, f, vs) if p == ap => SearchOps.termsIn(field(x, f), vs)
+      case NestedExistsField(p, f) if p == ap => field(x, f).isNotNull
+      case NestedPrefix(p, f, v) if p == ap => SearchOps.prefix(field(x, f), v)
+      case NestedMatchPhrase(p, f, v) if p == ap => SearchOps.phraseMatch(field(x, f), v)
       case And(qs @ _*) => qs.map(perElement(_, ap, x, doc)).reduce(_ && _)
       case Or(qs @ _*) => qs.map(perElement(_, ap, x, doc)).reduce(_ || _)
       case Not(sub) => !perElement(sub, ap, x, doc)

@@ -276,19 +276,33 @@ object DedupQueries {
       .join(nblock, Seq("lang", "source"))
       .filter(col("df") * 100 <= greatest(lit(500L), col("n_docs")))
       .select(col("lang"), col("source"), col("h"))
-    // MinHash-style recall floor: each doc's 3 minimum bigram hashes are
-    // exempt from the df prune. A doc duplicated k > max(5, 1%·block)
-    // times has ALL its bigrams at df ≥ k — the df filter alone would
-    // prune the entire cluster into zero candidate pairs (the dominant
-    // case in web-scale dedup). Copies share identical bigram sets, hence
-    // identical min-3 hashes, so every duplicate cluster still collides;
-    // near-dups collide on a min-hash with probability ≈ their Jaccard.
-    // Cost: ≤ 3 extra candidate rows per doc — O(n), never quadratic.
-    val exempt = bg
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("doc_id")).orderBy(col("h"))))
-      .filter(col("rn") <= 3)
+    // MinHash recall floor: each doc's arg-min bigram under THREE
+    // independent permutations is exempt from the df prune. A doc
+    // duplicated k > max(5, 1%·block) times has ALL its bigrams at df ≥ k
+    // — the df filter alone would prune the entire cluster into zero
+    // candidate pairs (the dominant case in web-scale dedup). Copies share
+    // identical bigram sets, hence identical arg-mins, so every duplicate
+    // cluster still collides; near-dups collide on some min with
+    // probability ≈ 1-(1-J)³. Independent permutations (true MinHash), NOT
+    // one fixed hash order: under a single order, a block-common bigram
+    // that happens to hash lowest is the min of EVERY doc containing it,
+    // and the cbg self-join on that shared hash re-creates the block²
+    // candidate blowup the df prune exists to kill. Under random-like
+    // permutations a df-heavy bigram is a doc's arg-min with probability
+    // ~1/|doc bigrams|, so the expected extra load stays ~3 rows/doc —
+    // a recall floor, not a hard cost ceiling (pathological blocks remain
+    // data-dependent; the exact-Jaccard verify keeps correctness either
+    // way). Ties keep every tied bigram in both engines (no arbitrary
+    // pick to diverge on).
+    val pw = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val exemptPerms = TextFunctions.MinhashParams.take(3)
+    val withPerms = exemptPerms.zipWithIndex.foldLeft(bg) {
+      case (df, ((a, b), i)) =>
+        df.withColumn(s"p$i", TextFunctions.perm(col("h"), a, b))
+          .withColumn(s"m$i", min(col(s"p$i")).over(pw))
+    }
+    val exempt = withPerms
+      .filter(exemptPerms.indices.map(i => col(s"p$i") === col(s"m$i")).reduce(_ || _))
       .select(col("doc_id"), col("lang"), col("source"), col("h"))
     val cbg = bg.join(rare, Seq("lang", "source", "h"))
       .select(col("doc_id"), col("lang"), col("source"), col("h"))
@@ -312,6 +326,15 @@ object DedupQueries {
     (res, Seq(th, bg))
   }
 
+  /** The dd4 exempt-channel permutations in DuckDB SQL — byte-identical
+    * arithmetic to `TextFunctions.perm` (h < p, so the product stays below
+    * 2^62 in both engines). */
+  private val exemptPermSql: Seq[String] =
+    TextFunctions.MinhashParams.take(3).zipWithIndex.map { case ((a, b), i) =>
+      val p = s"(h % $MinhashPrime * $a + $b) % $MinhashPrime"
+      s"$p AS p$i, MIN($p) OVER (PARTITION BY doc_id) AS m$i"
+    }
+
   private def dd4(s: SparkSession, d: String): DataFrame = {
     val (res, cached) = ngramJaccardPairs(planted(s, d))
     graft.Eager.finish(res, cached: _*)
@@ -333,9 +356,10 @@ object DedupQueries {
        |  JOIN nblock nb ON f.lang = nb.lang AND f.source = nb.source
        |  WHERE f.df * 100 <= GREATEST(500, nb.n_docs)),
        |exempt AS (SELECT doc_id, lang, source, h FROM (
-       |    SELECT doc_id, lang, source, h,
-       |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h) AS rn FROM bg)
-       |  WHERE rn <= 3),
+       |    SELECT doc_id, lang, source, h, ${exemptPermSql.mkString(",\n      ")}
+       |    FROM bg)
+       |  WHERE ${TextFunctions.MinhashParams.take(3).indices
+                   .map(i => s"p$i = m$i").mkString(" OR ")}),
        |cbg AS (SELECT bg.doc_id, bg.lang, bg.source, bg.h FROM bg
        |  JOIN rare r ON bg.lang = r.lang AND bg.source = r.source AND bg.h = r.h
        |  UNION

@@ -21,10 +21,13 @@ import graft.Tables
   * per key (`IndexingListener.java:115-125` — ES PUT by id), DELETE
   * tombstones it (`:127-131`).
   *
-  * Scale shape: each micro-batch merge is `(state ∪ batch) → max-seq per
-  * key` — one shuffle on the key; state lives in a keyed columnar table
-  * (at cluster scale: bucketed by key hash so the merge join never
-  * re-shuffles the big side; never collected to the driver).
+  * Scale shape: state lives in a table BUCKETED by key hash; each
+  * micro-batch is reduced to one row per key (map-side-combinable
+  * `max_by`), shuffled once into the bucket layout, and merged with a
+  * co-partitioned full-outer join — the big (state) side never
+  * re-shuffles, batch after batch, which is the property that matters
+  * when state is 100 TB and a micro-batch is megabytes. Asserted by
+  * BucketedJoinSpec ("state merge does not re-shuffle the state side").
   */
 object IndexPipeline {
 
@@ -39,33 +42,53 @@ object IndexPipeline {
       when(col("event_type") === "error", "DELETE").otherwise("SAVE").as("op"),
       col("event_type"), col("value"))
 
-  /** Merge one micro-batch into `state`: keep the max-seq record per key.
-    * Pure DataFrame→DataFrame so the batch path reuses it verbatim. */
+  /** Merge one micro-batch into `state`: keep the max-seq record per key,
+    * accumulating per-key event counts. Pure DataFrame→DataFrame so the
+    * batch path reuses it verbatim.
+    *
+    * Shape: the batch collapses to one row per key with a single
+    * `max_by` aggregation (partial/map-side combinable — no window sort),
+    * then a full-outer equi-join picks the newer record per key. A JOIN,
+    * not union+window, deliberately: when `state` is a table bucketed by
+    * `key`, the join is co-partitioned and only the batch side shuffles —
+    * union+window would re-shuffle the whole state every batch. */
   def merge(state: DataFrame, batch: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("key")).orderBy(col("seq").desc)
-    val counted = batch.groupBy(col("key")).agg(
-      max(col("seq")).as("b_seq"), count(lit(1)).as("b_n"))
-    val latest = batch.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1).drop("rn")
-      .join(counted, "key")
-      .select(col("key"), col("seq"), col("op"), col("event_type"),
-        col("value"), col("b_n").as("n_events"))
-    state.unionByName(latest)
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n_total", sum(col("n_events")).over(Window.partitionBy(col("key"))))
-      .filter(col("rn") === 1)
-      .select(col("key"), col("seq"), col("op"), col("event_type"),
-        col("value"), col("n_total").as("n_events"))
+    val latest = batch.groupBy(col("key")).agg(
+      max_by(struct(col("seq"), col("op"), col("event_type"), col("value")),
+        col("seq")).as("r"),
+      count(lit(1)).as("n_events"))
+      .select(col("key"), col("r.seq").as("seq"), col("r.op").as("op"),
+        col("r.event_type").as("event_type"), col("r.value").as("value"),
+        col("n_events"))
+    state.as("s").join(latest.as("b"), Seq("key"), "full_outer")
+      .select(col("key"),
+        when(col("b.seq").isNotNull &&
+            (col("s.seq").isNull || col("b.seq") >= col("s.seq")),
+          struct(col("b.seq").as("seq"), col("b.op").as("op"),
+            col("b.event_type").as("event_type"), col("b.value").as("value")))
+          .otherwise(struct(col("s.seq").as("seq"), col("s.op").as("op"),
+            col("s.event_type").as("event_type"), col("s.value").as("value")))
+          .as("r"),
+        (coalesce(col("s.n_events"), lit(0L)) +
+          coalesce(col("b.n_events"), lit(0L))).as("n_total"))
+      .select(col("key"), col("r.seq").as("seq"), col("r.op").as("op"),
+        col("r.event_type").as("event_type"), col("r.value").as("value"),
+        col("n_total").as("n_events"))
   }
 
   /** Run the whole log through the streaming pipeline in `nFiles`
     * micro-batches (Trigger.AvailableNow + maxFilesPerTrigger=1) and
-    * return the final state: live (non-tombstoned) entities. */
-  def run(s: SparkSession, d: String, nFiles: Int = 4): DataFrame = {
+    * return the final state: live (non-tombstoned) entities.
+    *
+    * State is a catalog table BUCKETED by `key` (versioned per batch id —
+    * exactly-once: a replayed batch overwrites its own version). Each
+    * batch's merge therefore reads the state side already hash-partitioned
+    * on the join key: only the micro-batch shuffles, and the merge output
+    * lands back in the same bucket layout. */
+  def run(s: SparkSession, d: String, nFiles: Int = 4, buckets: Int = 32): DataFrame = {
     val base = Files.createTempDirectory("graft-stream-")
     val srcDir = base.resolve("log").toString
     val ckDir = base.resolve("ck").toString
-    val stateDir = base.resolve("state")
 
     // Stage the log as nFiles files split by seq range — deterministic
     // micro-batch boundaries (file order = lexicographic part-file name).
@@ -76,10 +99,21 @@ object IndexPipeline {
         .coalesce(1).write.parquet(s"$srcDir/b$i")
     }
 
-    var state: DataFrame = s.createDataFrame(
+    val runId = java.util.UUID.randomUUID().toString.replace("-", "")
+    def tbl(v: String) = s"st1_state_${runId}_$v"
+    val created = scala.collection.mutable.ListBuffer[String]()
+    def writeState(df: DataFrame, v: String): String = {
+      val name = tbl(v)
+      df.write.mode("overwrite").bucketBy(buckets, "key").sortBy("key")
+        .saveAsTable(name)
+      created += name
+      name
+    }
+    var stateTable = writeState(s.createDataFrame(
       s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType.fromDDL(
-        "key BIGINT, seq BIGINT, op STRING, event_type STRING, value DOUBLE, n_events BIGINT"))
+        "key BIGINT, seq BIGINT, op STRING, event_type STRING, value DOUBLE, n_events BIGINT")),
+      "init")
 
     val stream = s.readStream
       .schema(log.schema)
@@ -89,22 +123,19 @@ object IndexPipeline {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", ckDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // Persist state per batch (exactly-once: version dir per batch id,
-        // idempotent on replay).
-        val out = stateDir.resolve(s"v$batchId").toString
-        merge(state, batch).write.mode("overwrite").parquet(out)
-        state = s.read.parquet(out)
+        stateTable = writeState(merge(s.table(stateTable), batch), s"v$batchId")
         ()
       }
       .start()
     stream.awaitTermination()
 
-    val result = state.filter(col("op") =!= "DELETE")
+    val result = s.table(stateTable).filter(col("op") =!= "DELETE")
       .select(col("key").as("user_id"), col("seq").as("last_event_id"),
         col("event_type").as("last_type"), col("value").as("last_value"),
         col("n_events"))
       .orderBy(col("user_id"))
-    val pinned = graft.Eager.pin(result) // materialize before the temp dir is deleted
+    val pinned = graft.Eager.pin(result) // materialize before state is dropped
+    created.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
     deleteRecursively(base)
     pinned
   }

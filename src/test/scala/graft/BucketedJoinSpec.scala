@@ -45,4 +45,54 @@ class BucketedJoinSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS bucketed_edges")
     }
   }
+
+  test("stream state merge does not re-shuffle the bucketed state side") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+
+    val stateTbl = "st1_audit_state"
+    spark.sql(s"DROP TABLE IF EXISTS $stateTbl")
+    Seq((1L, 10L, "SAVE", "view", 1.0, 3L), (3L, 9L, "SAVE", "click", 5.0, 1L))
+      .toDF("key", "seq", "op", "event_type", "value", "n_events")
+      .write.bucketBy(8, "key").sortBy("key").saveAsTable(stateTbl)
+    val batch = Seq(
+      (1L, 11L, "SAVE", "click", 2.0),
+      (1L, 12L, "DELETE", "error", 3.0),
+      (2L, 13L, "SAVE", "view", 4.0))
+      .toDF("key", "seq", "op", "event_type", "value")
+
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val merged = graft.stream.IndexPipeline.merge(spark.table(stateTbl), batch)
+      // semantics unchanged: last write wins, counts accumulate
+      val rows = merged.collect().map(r => r.getLong(0) -> r).toMap
+      assert(rows(1L).getAs[Long]("seq") === 12L)
+      assert(rows(1L).getAs[String]("op") === "DELETE")
+      assert(rows(1L).getAs[Long]("n_events") === 5L)
+      assert(rows(2L).getAs[Long]("n_events") === 1L)
+      assert(rows(3L).getAs[Long]("seq") === 9L) // untouched key survives
+      // the 100 TB property: the state scan is bucketed and sits under NO
+      // shuffle exchange — only the (small) batch side moves
+      val plan = merged.queryExecution.executedPlan
+      def stateScans(p: org.apache.spark.sql.execution.SparkPlan) = p.collect {
+        case f: FileSourceScanExec
+          if f.tableIdentifier.exists(_.table == stateTbl) => f
+      }
+      val scans = stateScans(plan)
+      assert(scans.nonEmpty, "state table scan not found in plan")
+      assert(scans.forall(_.bucketedScan), "state scan lost its bucketing")
+      plan.collect { case e: ShuffleExchangeExec => e }.foreach { e =>
+        assert(stateScans(e).isEmpty,
+          s"state side re-shuffled:\n$plan")
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.sql(s"DROP TABLE IF EXISTS $stateTbl")
+    }
+  }
 }

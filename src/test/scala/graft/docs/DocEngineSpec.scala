@@ -369,6 +369,47 @@ class DocEngineSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](SearchQuery.fromJson(both, PlanSchema.plan))
   }
 
+  test("terms / exists / prefix / match_phrase parse and match with ES semantics") {
+    import SearchQuery._
+    val assembledDocs = Assembler.assemble(sh, PlanSchema.plan, "plan")
+    def cnt(body: String): Long = assembledDocs.filter(
+      SearchQuery.compile(SearchQuery.fromJson(body, PlanSchema.plan), col("doc"))).count()
+    // terms: keyword membership, top-level and through the array path
+    assert(SearchQuery.fromJson(
+      """{"query": {"terms": {"planType": ["inNetwork", "outNetwork"]}}}""",
+      PlanSchema.plan) === TermsIn(Seq("planType"), Seq("inNetwork", "outNetwork")))
+    assert(cnt("""{"query": {"terms": {"planType": ["inNetwork", "outNetwork"]}}}""") === 1)
+    assert(cnt("""{"query": {"terms": {"planType": ["outNetwork"]}}}""") === 0)
+    assert(cnt(
+      """{"query": {"terms": {"linkedPlanServices.linkedService.name.keyword": ["well baby", "nope"]}}}""") === 1)
+    assertThrows[IllegalArgumentException](SearchQuery.fromJson(
+      """{"query": {"terms": {"planType": []}}}""", PlanSchema.plan))
+    // prefix: LITERAL — '*' is just a character, not a glob
+    assert(cnt("""{"query": {"prefix": {"_org": {"value": "example"}}}}""") === 1)
+    assert(cnt("""{"query": {"prefix": {"_org": "example*"}}}""") === 0)
+    assert(cnt("""{"query": {"prefix": {"linkedPlanServices.linkedService.name.keyword": "Yearly"}}}""") === 1)
+    assert(cnt("""{"query": {"prefix": {"linkedPlanServices.linkedService.name.keyword": "early"}}}""") === 0)
+    // match_phrase: tokens must be CONSECUTIVE (and analyzed: lowercased)
+    assert(cnt("""{"query": {"match_phrase": {"linkedPlanServices.linkedService.name": "yearly physical"}}}""") === 1)
+    assert(cnt("""{"query": {"match_phrase": {"linkedPlanServices.linkedService.name": "physical yearly"}}}""") === 0)
+    assert(cnt("""{"query": {"match_phrase": {"planType": "innetwork"}}}""") === 1)
+    // exists: ES indexes NO value for [], so an empty array is missing
+    val emptyArrayDoc =
+      """{"planCostShares":{"deductible":1,"_org":"example.com","copay":1,
+        |"objectId":"cs-empty","objectType":"membercostshare"},
+        |"linkedPlanServices":[],"_org":"other.org","objectId":"plan-empty",
+        |"objectType":"plan","planType":"inNetwork","creationDate":"12-12-2017"}"""
+        .stripMargin.replace("\n", "")
+    val two = docsDf(planJson, emptyArrayDoc)
+    def cnt2(body: String): Long = two.filter(
+      SearchQuery.compile(SearchQuery.fromJson(body, PlanSchema.plan), col("doc"))).count()
+    assert(cnt2("""{"query": {"exists": {"field": "planType"}}}""") === 2)
+    assert(cnt2("""{"query": {"exists": {"field": "linkedPlanServices"}}}""") === 1)
+    assert(cnt2("""{"query": {"bool": {"must_not": [{"exists": {"field": "linkedPlanServices"}}]}}}""") === 1)
+    // exists through the array path: SOME element carries the field
+    assert(cnt2("""{"query": {"exists": {"field": "linkedPlanServices.linkedService.name"}}}""") === 1)
+  }
+
   test("bool inside nested binds all leaves to the SAME element (ES nested semantics)") {
     import SearchQuery._
     val assembledDocs = Assembler.assemble(sh, PlanSchema.plan, "plan")

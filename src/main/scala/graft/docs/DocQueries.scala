@@ -1197,6 +1197,44 @@ object DocQueries {
        |        AND 'Service ' || o_orderpriority LIKE 'Service 2%')
        |ORDER BY object_id""".stripMargin
 
+  // ---------------------------------------------------------------- d35
+  /** A COMPLETE ES search request executed verbatim — `query` + `sort`
+    * (by `_score` then tiebreak) + `from`/`size` pagination + `_source`
+    * projection, through [[SearchExec.search]]. The page plans as
+    * `TakeOrderedAndProject` (bounded heap of from+size rows), not a
+    * global sort or a corpus-wide row_number window — deep pages cost
+    * O(page depth), never O(corpus). */
+  private def d35(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "query": {
+        |    "bool": {
+        |      "must": [ { "range": { "planCostShares.copay": { "gte": 10, "lte": 40 } } } ],
+        |      "should": [
+        |        { "match": { "planType": "BUILDING" } },
+        |        { "wildcard": { "_org": "org-1*" } }
+        |      ]
+        |    }
+        |  },
+        |  "sort": [ { "_score": { "order": "desc" } }, { "objectId": { "order": "asc" } } ],
+        |  "from": 5,
+        |  "size": 15,
+        |  "_source": ["objectId", "planType", "planCostShares.copay"]
+        |}""".stripMargin
+    SearchExec.search(assembled(s, d), "doc", body, schema)
+  }
+
+  private val d35Sql =
+    s"""SELECT rn, score, "objectId", "planType", "planCostShares_copay" FROM (
+       |  SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, "objectId" ASC) AS rn FROM (
+       |    SELECT 'plan-' || ${ck("c_custkey")} AS "objectId", c_mktsegment AS "planType",
+       |      c_custkey % 50 AS "planCostShares_copay",
+       |      CAST(CASE WHEN lower(c_mktsegment) = 'building' THEN 1 ELSE 0 END
+       |         + CASE WHEN 'org-' || ${ck("c_nationkey")} || '.example.com' LIKE 'org-1%' THEN 1 ELSE 0 END
+       |        AS BIGINT) AS score
+       |    FROM customer WHERE c_custkey % 50 BETWEEN 10 AND 40))
+       |WHERE rn > 5 AND rn <= 20 ORDER BY rn""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -1219,6 +1257,7 @@ object DocQueries {
     "d32_search_terms" -> d32 _,
     "d33_search_exists" -> d33 _,
     "d34_search_phrase_prefix" -> d34 _,
+    "d35_es_full_body" -> d35 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
     "d3_roundtrip" -> d3 _,
@@ -1255,6 +1294,7 @@ object DocQueries {
     "d32_search_terms" -> d32Sql,
     "d33_search_exists" -> d33Sql,
     "d34_search_phrase_prefix" -> d34Sql,
+    "d35_es_full_body" -> d35Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,
     "d3_roundtrip" -> d3Sql,

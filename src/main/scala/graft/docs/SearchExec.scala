@@ -1,0 +1,62 @@
+package graft.docs
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Execute a COMPLETE ES search body — `query` + `sort` + `from`/`size` +
+  * `_source` — over the assembled document table, the way the reference's
+  * search endpoint does against its Elasticsearch index
+  * (`README.md:67-147` bodies are the de-facto request language).
+  *
+  * Scale shape: pagination is `ORDER BY … LIMIT from+size` — Spark plans
+  * that as `TakeOrderedAndProject` (per-partition bounded heaps + one
+  * driver-side merge of `from+size` rows), NOT a global sort and NOT a
+  * global row_number window. The subsequent offset drop runs on the
+  * already-bounded page — at most `from+size` rows — so deep paging cost
+  * grows with the page depth, never with the corpus (the same reason ES
+  * caps `from+size` at 10k: the bounded heap IS the contract).
+  */
+object SearchExec {
+
+  private def field(root: Column, path: Seq[String]): Column =
+    path.foldLeft(root)((c, f) => c.getField(f))
+
+  /** Run `body` (a verbatim Kibana/ES JSON search request) against `docs`.
+    *
+    * Output: one row per hit, in hit order — `rn` (1-based global hit
+    * position), `score` (satisfied-`should` count — present when the body
+    * sorts by `_score`), then one column per `_source` path (named by the
+    * path with dots → underscores; the whole doc column when `_source` is
+    * absent). Deterministic output requires the body's `sort` to be a
+    * total order (same contract as ES, which otherwise breaks ties by
+    * internal doc id).
+    */
+  def search(docs: DataFrame, docCol: String,
+             body: String, schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val b = SearchQuery.parseFullBody(body, schema)
+    val doc = col(docCol)
+    val needScore = b.sorts.exists(_.isScore)
+    val hits0 = docs.filter(SearchQuery.compile(b.parsed.query, doc))
+    val hits = if (needScore)
+      hits0.withColumn("score", SearchQuery.scoreCol(b.parsed, doc))
+    else hits0
+    val sortCols = b.sorts.map { k =>
+      val c = if (k.isScore) col("score") else field(doc, k.path)
+      if (k.asc) c.asc else c.desc
+    }
+    require(sortCols.nonEmpty, "search body needs a sort (ES default _score-only order is not deterministic)")
+    // TakeOrderedAndProject: bounded heap per partition, from+size rows total.
+    val page = hits.orderBy(sortCols: _*).limit(b.from + b.size)
+    // Offset within the bounded page: the window runs over ≤ from+size rows.
+    val w = org.apache.spark.sql.expressions.Window.orderBy(sortCols: _*)
+    val numbered = page.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") > b.from)
+    val sourceCols = b.source match {
+      case Some(paths) => paths.map(p => field(doc, p).as(p.mkString("_")))
+      case None => Seq(doc)
+    }
+    val scoreCols = if (needScore) Seq(col("score")) else Nil
+    numbered.select((col("rn") +: scoreCols) ++ sourceCols: _*)
+      .orderBy(col("rn"))
+  }
+}

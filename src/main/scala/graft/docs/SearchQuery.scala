@@ -129,6 +129,70 @@ object SearchQuery {
     Parsed(ast, hits.toList, shoulds.toList)
   }
 
+  /** One ES `sort` entry: a field path (or `_score`) with a direction. */
+  final case class SortKey(path: Seq[String], asc: Boolean, isScore: Boolean)
+
+  /** A COMPLETE ES search body: the parsed `query` plus the request-level
+    * keys a real Kibana body carries — `sort` (field or `_score` entries,
+    * ES defaults: `_score` desc when absent), `from`/`size` pagination
+    * (ES defaults 0/10), and `_source` include paths. Executed by
+    * [[SearchExec.search]]. */
+  final case class FullBody(parsed: Parsed, sorts: Seq[SortKey],
+                            from: Int, size: Int,
+                            source: Option[Seq[Seq[String]]])
+
+  /** Parse a complete ES search body — `query` + `sort`/`from`/`size`/
+    * `_source`. Unknown request-level keys are REJECTED (same honesty rule
+    * as bool clauses: a silently-dropped `sort` or `size` returns the
+    * wrong rows in the wrong order). */
+  def parseFullBody(body: String, schema: org.apache.spark.sql.types.StructType): FullBody = {
+    import org.json4s._
+    val root = org.json4s.jackson.JsonMethods.parse(body) match {
+      case JObject(fields) => fields.toMap
+      case other => throw new IllegalArgumentException(s"ES body must be an object: $other")
+    }
+    val unknown = root.keySet -- Set("query", "sort", "from", "size", "_source")
+    require(unknown.isEmpty, s"unsupported ES body key(s): ${unknown.mkString(", ")}")
+    def asInt(v: JValue): Int = v match {
+      case JInt(i) => i.toInt
+      case JLong(l) => l.toInt
+      case JString(s) => s.toInt
+      case other => throw new IllegalArgumentException(s"not an int: $other")
+    }
+    def fieldPath(p: String): Seq[String] = p.stripSuffix(".keyword").split('.').toSeq
+    def sortKey(name: String, asc: Boolean): SortKey =
+      if (name == "_score") SortKey(Nil, asc, isScore = true)
+      else SortKey(fieldPath(name), asc, isScore = false)
+    val sorts = root.getOrElse("sort", JNothing) match {
+      case JNothing => Nil
+      case JArray(entries) => entries.map {
+        case JString(name) => sortKey(name, asc = name != "_score") // bare _score = desc (ES)
+        case JObject(List((name, JString(dir)))) => sortKey(name, dir == "asc")
+        case JObject(List((name, JObject(opts)))) =>
+          val dir = opts.toMap.get("order").map {
+            case JString(d) => d
+            case other => throw new IllegalArgumentException(s"bad sort order: $other")
+          }.getOrElse("asc")
+          require(dir == "asc" || dir == "desc", s"bad sort order $dir on $name")
+          sortKey(name, dir == "asc")
+        case other => throw new IllegalArgumentException(s"unsupported sort entry: $other")
+      }
+      case single => throw new IllegalArgumentException(s"sort must be an array: $single")
+    }
+    val from = root.get("from").map(asInt).getOrElse(0)
+    val size = root.get("size").map(asInt).getOrElse(10) // ES default page
+    require(from >= 0 && size >= 0, s"bad from/size: $from/$size")
+    val source = root.get("_source").map {
+      case JArray(paths) => paths.map {
+        case JString(p) => fieldPath(p)
+        case other => throw new IllegalArgumentException(s"bad _source path: $other")
+      }
+      case JString(p) => Seq(fieldPath(p))
+      case other => throw new IllegalArgumentException(s"unsupported _source form: $other")
+    }
+    FullBody(parseBody(body, schema), sorts, from, size, source)
+  }
+
   /** `_score` for bool queries: 1 point per satisfied top-level `should`
     * clause — the ES behavior that `should` under `must`/`filter` ranks
     * without filtering. Integer clause-count relevance, NOT BM25: exact in

@@ -129,6 +129,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(graft.docs.Assembler.assemble(sh, graft.model.PlanSchema.plan, "plan", Some(one)).count() == 1L)
   }
 
+  test("d35: ES from/size pagination plans as TakeOrderedAndProject, not a global sort") {
+    // The full-body executor's page must be a bounded heap of from+size
+    // rows (the ES 10k-cap contract); a corpus-wide Sort or a row_number
+    // window over unbounded input would be O(corpus) per page.
+    val p = plan(q("d35_es_full_body"))
+    assert(p.contains("TakeOrderedAndProject"))
+    val globalSorts = p.linesIterator.count(l =>
+      l.contains(" Sort ") && !l.contains("TakeOrdered"))
+    assert(globalSorts <= 1, // the ≤from+size-row page may sort locally
+      s"unexpected global sort stages in:\n$p")
+  }
+
   test("d14: the replaced corpus assembles from parquet scans, not a mutation lineage") {
     // d14's assembler references the replaced Shredded ~9× (once per schema
     // node). Round 4 measured 217 s because the input was a LAZY persist()

@@ -1235,6 +1235,70 @@ object DocQueries {
        |    FROM customer WHERE c_custkey % 50 BETWEEN 10 AND 40))
        |WHERE rn > 5 AND rn <= 20 ORDER BY rn""".stripMargin
 
+  // ---------------------------------------------------------------- d36
+  /** ES `terms` bucket agg with metric sub-aggs — the shape behind every
+    * Kibana dashboard panel — compiled to ONE hash aggregation (map-side
+    * partial combine, one shuffle on the bucket key) + top-N bucket order
+    * (doc_count desc, key asc). Exact where ES is approximate: ES merges
+    * per-shard top-`shard_size` lists and documents the doc_count error;
+    * the groupBy sees every row for a key after the shuffle. */
+  private def d36(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "size": 0,
+        |  "query": { "range": { "planCostShares.copay": { "gte": 5 } } },
+        |  "aggs": {
+        |    "by_type": {
+        |      "terms": { "field": "planType", "size": 3 },
+        |      "aggs": {
+        |        "avg_copay": { "avg": { "field": "planCostShares.copay" } },
+        |        "max_deductible": { "max": { "field": "planCostShares.deductible" } }
+        |      }
+        |    }
+        |  }
+        |}""".stripMargin
+    EsAggs.run(assembled(s, d), "doc", body, schema)
+  }
+
+  private val d36Sql =
+    s"""SELECT key, doc_count, avg_copay, max_deductible FROM (
+       |  SELECT c_mktsegment AS key, CAST(COUNT(*) AS BIGINT) AS doc_count,
+       |    AVG(c_custkey % 50) AS avg_copay,
+       |    CAST(MAX(c_nationkey * 100) AS BIGINT) AS max_deductible
+       |  FROM customer WHERE c_custkey % 50 >= 5
+       |  GROUP BY 1)
+       |ORDER BY doc_count DESC, key ASC LIMIT 3""".stripMargin
+
+  // ---------------------------------------------------------------- d37
+  /** ES `histogram` bucket agg — fixed-interval bins over a numeric doc
+    * field (`floor(v/interval)·interval` keys, ES bucket-key order), with
+    * `value_count` and `sum` sub-aggs. Same one-shuffle groupBy shape as
+    * d36; bin count is bounded by the value domain, never the corpus. */
+  private def d37(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "size": 0,
+        |  "aggs": {
+        |    "copay_hist": {
+        |      "histogram": { "field": "planCostShares.copay", "interval": 10 },
+        |      "aggs": {
+        |        "n_ids": { "value_count": { "field": "objectId" } },
+        |        "sum_deductible": { "sum": { "field": "planCostShares.deductible" } }
+        |      }
+        |    }
+        |  }
+        |}""".stripMargin
+    EsAggs.run(assembled(s, d), "doc", body, schema)
+  }
+
+  private val d37Sql =
+    s"""SELECT CAST((c_custkey % 50) // 10 * 10 AS BIGINT) AS key,
+       |  CAST(COUNT(*) AS BIGINT) AS doc_count,
+       |  CAST(COUNT(*) AS BIGINT) AS n_ids,
+       |  CAST(SUM(c_nationkey * 100) AS DOUBLE) AS sum_deductible
+       |FROM customer
+       |GROUP BY 1 ORDER BY key""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -1258,6 +1322,8 @@ object DocQueries {
     "d33_search_exists" -> d33 _,
     "d34_search_phrase_prefix" -> d34 _,
     "d35_es_full_body" -> d35 _,
+    "d36_es_terms_agg" -> d36 _,
+    "d37_es_histogram" -> d37 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
     "d3_roundtrip" -> d3 _,
@@ -1295,6 +1361,8 @@ object DocQueries {
     "d33_search_exists" -> d33Sql,
     "d34_search_phrase_prefix" -> d34Sql,
     "d35_es_full_body" -> d35Sql,
+    "d36_es_terms_agg" -> d36Sql,
+    "d37_es_histogram" -> d37Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,
     "d3_roundtrip" -> d3Sql,

@@ -366,8 +366,8 @@ object SearchQuery {
 
   /** Split a dotted field path at its first ArrayType component:
     * `(arrayPath, fieldWithinElement)`; `(Nil, path)` when no array. */
-  private def splitArrayPath(p: Seq[String],
-                             schema: org.apache.spark.sql.types.StructType): (Seq[String], Seq[String]) = {
+  private[docs] def splitArrayPath(p: Seq[String],
+                                   schema: org.apache.spark.sql.types.StructType): (Seq[String], Seq[String]) = {
     import org.apache.spark.sql.types._
     var dt: DataType = schema
     p.zipWithIndex.foreach { case (f, i) =>

@@ -268,9 +268,152 @@ object TextQueries {
        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
   }
 
+  // ---------------------------------------------------------------- t7
+  /** Deterministic train/validation/test split — the assignment every
+    * training pipeline needs before anything else. Bucket =
+    * `stableHash32(doc_id ‖ salt) mod 100`; 90/5/5. The properties that
+    * matter at 100 TB: pure per-row map (no shuffle, no stored state), the
+    * split is re-derivable from the id alone on any engine (md5 — no
+    * Spark-private hash), and the salt versions the split without touching
+    * data. */
+  private def t7(s: SparkSession, d: String): DataFrame = {
+    val bucket = (stableHash32(concat(col("doc_id").cast("string"), lit(":v1")))
+      % 100).cast("long")
+    docs(s, d).select(
+      col("doc_id"),
+      bucket.as("bucket"),
+      when(bucket < 90, "train").when(bucket < 95, "validation")
+        .otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t7Sql =
+    """WITH b AS (
+      |  SELECT doc_id,
+      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':v1'), 1, 8)) AS BIGINT) % 100 AS bucket
+      |  FROM documents)
+      |SELECT doc_id, bucket,
+      |  CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'validation'
+      |       ELSE 'test' END AS split
+      |FROM b ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- t8
+  /** PII scrubbing — regex redaction of emails and phone numbers. The raw
+    * synthetic corpus carries no PII, so the query plants a deterministic
+    * contact line per document first (making the scrub's work visible and
+    * oracle-checkable), then redacts and PROVES totality: `n_residual`
+    * re-runs both detectors on the scrubbed text and must be 0.
+    * Patterns stick to character classes + bounded repetition — identical
+    * semantics in Java regex (Spark) and RE2 (DuckDB). Pure per-row map:
+    * no shuffle, rides whole-stage codegen. */
+  private val EmailRe = "[a-z0-9._]+@[a-z0-9.]+\\.[a-z]{2,}"
+  private val PhoneRe = "\\+[0-9][-0-9 ()]{7,}[0-9]"
+
+  private def t8(s: SparkSession, d: String): DataFrame = {
+    val contact = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@mail.example.org or +1 (555) 010-"),
+      (col("doc_id") % 10000L).cast("string"))
+    val scrubbed = regexp_replace(
+      regexp_replace(contact, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
+    docs(s, d).select(
+      col("doc_id"),
+      regexp_count(contact, lit(EmailRe)).cast("long").as("n_email"),
+      regexp_count(contact, lit(PhoneRe)).cast("long").as("n_phone"),
+      (regexp_count(scrubbed, lit(EmailRe)) +
+        regexp_count(scrubbed, lit(PhoneRe))).cast("long").as("n_residual"),
+      stableHash32(scrubbed).as("scrub_hash"),
+      length(scrubbed).cast("long").as("n_chars_scrubbed"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t8Sql =
+    s"""WITH aug AS (
+       |  SELECT doc_id,
+       |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+       |         || '@mail.example.org or +1 (555) 010-'
+       |         || CAST(doc_id % 10000 AS VARCHAR) AS contact
+       |  FROM documents),
+       |scr AS (
+       |  SELECT doc_id, contact,
+       |    regexp_replace(regexp_replace(contact, '$EmailRe', '<EMAIL>', 'g'),
+       |                   '$PhoneRe', '<PHONE>', 'g') AS scrubbed
+       |  FROM aug)
+       |SELECT doc_id,
+       |  len(regexp_extract_all(contact, '$EmailRe')) AS n_email,
+       |  len(regexp_extract_all(contact, '$PhoneRe')) AS n_phone,
+       |  len(regexp_extract_all(scrubbed, '$EmailRe'))
+       |    + len(regexp_extract_all(scrubbed, '$PhoneRe')) AS n_residual,
+       |  CAST(('0x' || substr(md5(scrubbed), 1, 8)) AS BIGINT) AS scrub_hash,
+       |  length(scrubbed) AS n_chars_scrubbed
+       |FROM scr ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- t9
+  /** Benchmark-contamination check — flag corpus documents sharing ≥ 3
+    * distinct 8-token shingles with an eval-set item (here: the first 200
+    * chars of every 97th document, simulating an eval set drawn from the
+    * same web crawl). This is the decontamination join every training
+    * pipeline runs before releasing a dataset.
+    *
+    * Scale shape: both sides reduce to (id, shingle-hash) rows — narrow,
+    * distinct-ed BEFORE the join so a repeated shingle can't fan out; one
+    * shuffle each side on the hash; the benchmark side is tiny (eval sets
+    * are thousands of items, not billions) so at cluster scale the join
+    * broadcasts. Overlap count then groups on the (doc, bench) pair. */
+  private def t9(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d)
+    // Materialization boundary (same disease dd2/dd3 document): without the
+    // persist, shingleHashes' element_at(hs, i+j) closes over the whole
+    // tokenHashes(tokens(text)) expression and re-md5s every token per
+    // shingle element — O(tokens²) hashing per doc (measured 12 s vs ~2 s
+    // on the 500-doc corpus). Persist the narrow (id, hash-array) rows;
+    // released via Eager.finish.
+    val th = base
+      .select(col("doc_id"), tokenHashes(tokens(col("text"))).as("hs")).persist()
+    val bth = base.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("bench_id"),
+        tokenHashes(tokens(col("text").substr(1, 200))).as("hs")).persist()
+    val corpus = th.select(col("doc_id"),
+      explode(array_distinct(shingleHashes(col("hs"), 8))).as("g"))
+    val bench = bth.select(col("bench_id"),
+      explode(array_distinct(shingleHashes(col("hs"), 8))).as("g"))
+    val res = corpus.join(bench, "g")
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 3)
+      .orderBy(col("doc_id"), col("bench_id"))
+    graft.Eager.finish(res, th, bth)
+  }
+
+  private val t9Sql = {
+    val sh = TextFunctions.shingleHashSql("hs", 8)
+    s"""WITH th AS (
+       |  SELECT doc_id,
+       |    list_transform(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''),
+       |      t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % ${MinhashPrime}) AS hs
+       |  FROM documents),
+       |corpus AS (SELECT DISTINCT doc_id, $sh AS g
+       |  FROM th, unnest(range(1, len(hs) - 6)) AS t(i)),
+       |bth AS (
+       |  SELECT doc_id AS bench_id,
+       |    list_transform(list_filter(regexp_split_to_array(substr(text, 1, 200), '\\s+'), x -> x <> ''),
+       |      t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % ${MinhashPrime}) AS hs
+       |  FROM documents WHERE doc_id % 97 = 0),
+       |bench AS (SELECT DISTINCT bench_id, $sh AS g
+       |  FROM bth, unnest(range(1, len(hs) - 6)) AS t(i))
+       |SELECT c.doc_id, b.bench_id, COUNT(*) AS n_shared
+       |FROM corpus c JOIN bench b ON c.g = b.g
+       |GROUP BY c.doc_id, b.bench_id
+       |HAVING COUNT(*) >= 3
+       |ORDER BY doc_id, bench_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
+    "t7_split" -> t7 _,
+    "t8_pii_scrub" -> t8 _,
+    "t9_contamination" -> t9 _,
     "t5_normalize" -> t5 _,
     "t6_relevance" -> t6 _,
     "t1_token_stats" -> t1 _,
@@ -279,6 +422,9 @@ object TextQueries {
     "t4_fingerprint" -> t4 _)
 
   val oracle: Map[String, String] = Map(
+    "t7_split" -> t7Sql,
+    "t8_pii_scrub" -> t8Sql,
+    "t9_contamination" -> t9Sql,
     "t5_normalize" -> t5Sql,
     "t6_relevance" -> t6Sql,
     "t1_token_stats" -> t1Sql,

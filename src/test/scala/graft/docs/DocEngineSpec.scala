@@ -410,6 +410,45 @@ class DocEngineSpec extends SparkSpec {
     assert(cnt2("""{"query": {"exists": {"field": "linkedPlanServices.linkedService.name"}}}""") === 1)
   }
 
+  test("ES aggs bodies compile to groupBy: terms, histogram, global metrics; bad bodies rejected") {
+    val assembledDocs = Assembler.assemble(sh, PlanSchema.plan, "plan")
+    // terms bucket + metric sub-aggs over the canonical doc
+    val terms =
+      """{"size": 0, "aggs": {"by_type": {"terms": {"field": "planType"},
+        |  "aggs": {"avg_copay": {"avg": {"field": "planCostShares.copay"}},
+        |           "max_ded": {"max": {"field": "planCostShares.deductible"}}}}}}""".stripMargin
+    val tRow = EsAggs.run(assembledDocs, "doc", terms, PlanSchema.plan).collect()
+    assert(tRow.length === 1)
+    assert(tRow(0).getAs[String]("key") === "inNetwork")
+    assert(tRow(0).getAs[Long]("doc_count") === 1L)
+    assert(tRow(0).getAs[Double]("avg_copay") === 23.0)
+    assert(tRow(0).getAs[Long]("max_ded") === 2000L)
+    // histogram bins by floor(v/interval)*interval
+    val hist =
+      """{"aggs": {"h": {"histogram": {"field": "planCostShares.copay", "interval": 10}}}}"""
+    val hRow = EsAggs.run(assembledDocs, "doc", hist, PlanSchema.plan).collect()
+    assert(hRow.length === 1 && hRow(0).getAs[Long]("key") === 20L)
+    // global metrics (no bucket), with a filtering query
+    val global =
+      """{"query": {"match_all": {}},
+        |"aggs": {"n": {"value_count": {"field": "objectId"}},
+        |         "sum_copay": {"sum": {"field": "planCostShares.copay"}}}}""".stripMargin
+    val gRow = EsAggs.run(assembledDocs, "doc", global, PlanSchema.plan).collect()
+    assert(gRow(0).getAs[Long]("n") === 1L && gRow(0).getAs[Double]("sum_copay") === 23.0)
+    // rejections: no aggs key, unknown metric kind, array-crossing field
+    assertThrows[IllegalArgumentException](
+      EsAggs.parse("""{"size": 0}""", PlanSchema.plan))
+    assertThrows[IllegalArgumentException](EsAggs.parse(
+      """{"aggs": {"p": {"percentiles": {"field": "planCostShares.copay"}}}}""",
+      PlanSchema.plan))
+    assertThrows[IllegalArgumentException](EsAggs.parse(
+      """{"aggs": {"x": {"avg": {"field": "linkedPlanServices.planserviceCostShares.copay"}}}}""",
+      PlanSchema.plan))
+    assertThrows[IllegalArgumentException](EsAggs.parse(
+      """{"aggs": {"t": {"terms": {"field": "planType"}, "order": "count"}}}""",
+      PlanSchema.plan))
+  }
+
   test("bool inside nested binds all leaves to the SAME element (ES nested semantics)") {
     import SearchQuery._
     val assembledDocs = Assembler.assemble(sh, PlanSchema.plan, "plan")

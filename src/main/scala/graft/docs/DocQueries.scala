@@ -1299,6 +1299,85 @@ object DocQueries {
        |FROM customer
        |GROUP BY 1 ORDER BY key""".stripMargin
 
+  // ---------------------------------------------------------------- d38
+  /** ES `nested` agg — the unit of aggregation becomes the array ELEMENT
+    * (each nested element is its own doc in ES: `doc_count` counts
+    * services, metric fields resolve inside the element). Compiles to
+    * explode → one hash aggregation; no join. Here: per-service-name
+    * bucket stats across all BUILDING plans. */
+  private def d38(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "size": 0,
+        |  "query": { "match": { "planType": "BUILDING" } },
+        |  "aggs": {
+        |    "services": {
+        |      "nested": { "path": "linkedPlanServices" },
+        |      "aggs": {
+        |        "by_name": {
+        |          "terms": { "field": "linkedPlanServices.linkedService.name.keyword", "size": 5 },
+        |          "aggs": {
+        |            "avg_copay": { "avg": { "field": "linkedPlanServices.planserviceCostShares.copay" } },
+        |            "max_deductible": { "max": { "field": "linkedPlanServices.planserviceCostShares.deductible" } }
+        |          }
+        |        }
+        |      }
+        |    }
+        |  }
+        |}""".stripMargin
+    EsAggs.run(assembled(s, d), "doc", body, schema)
+  }
+
+  private val d38Sql =
+    s"""WITH o AS $O
+       |SELECT key, doc_count, avg_copay, max_deductible FROM (
+       |  SELECT 'Service ' || o_orderpriority AS key,
+       |    CAST(COUNT(*) AS BIGINT) AS doc_count,
+       |    AVG(o_custkey % 200) AS avg_copay,
+       |    CAST(MAX(o_orderkey % 1000) AS BIGINT) AS max_deductible
+       |  FROM o JOIN customer ON o_custkey = c_custkey
+       |  WHERE lower(c_mktsegment) = 'building'
+       |  GROUP BY 1)
+       |ORDER BY doc_count DESC, key ASC LIMIT 5""".stripMargin
+
+  // ---------------------------------------------------------------- d39
+  /** ES `multi_match` — one query string against several fields
+    * (best_fields flavor: OR of per-field matches, each following the
+    * single-field `match` semantics: tokenized top-level, exact through
+    * array paths), composed under a bool with a range. */
+  private def d39(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "query": {
+        |    "bool": {
+        |      "must": [
+        |        { "multi_match": { "query": "BUILDING",
+        |            "fields": ["planType", "linkedPlanServices.linkedService.name"] } },
+        |        { "range": { "planCostShares.copay": { "gte": 30 } } }
+        |      ]
+        |    }
+        |  }
+        |}""".stripMargin
+    val ast = SearchQuery.fromJson(body, schema)
+    assembled(s, d)
+      .filter(SearchQuery.compile(ast, col("doc")))
+      .select(col("doc.objectId").as("object_id"),
+        col("doc.planType").as("plan_type"),
+        col("doc.planCostShares.copay").as("copay"))
+      .orderBy(col("object_id"))
+  }
+
+  private val d39Sql =
+    s"""WITH o AS $O
+       |SELECT 'plan-' || ${ck("c_custkey")} AS object_id,
+       |  c_mktsegment AS plan_type, c_custkey % 50 AS copay
+       |FROM customer
+       |WHERE (lower(c_mktsegment) = 'building'
+       |   OR EXISTS (SELECT 1 FROM o WHERE o_custkey = c_custkey
+       |              AND 'Service ' || o_orderpriority = 'BUILDING'))
+       |  AND c_custkey % 50 >= 30
+       |ORDER BY object_id""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -1324,6 +1403,8 @@ object DocQueries {
     "d35_es_full_body" -> d35 _,
     "d36_es_terms_agg" -> d36 _,
     "d37_es_histogram" -> d37 _,
+    "d38_es_nested_agg" -> d38 _,
+    "d39_es_multi_match" -> d39 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
     "d3_roundtrip" -> d3 _,
@@ -1363,6 +1444,8 @@ object DocQueries {
     "d35_es_full_body" -> d35Sql,
     "d36_es_terms_agg" -> d36Sql,
     "d37_es_histogram" -> d37Sql,
+    "d38_es_nested_agg" -> d38Sql,
+    "d39_es_multi_match" -> d39Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,
     "d3_roundtrip" -> d3Sql,

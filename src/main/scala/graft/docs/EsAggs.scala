@@ -11,9 +11,18 @@ import org.apache.spark.sql.types.StructType
   * Scope (v1, loudly rejected beyond it): at top level either ONE bucket
   * agg — `terms` (count-desc top-N buckets) or `histogram` (fixed
   * `interval` bins) — carrying any number of metric sub-aggs, or a flat
-  * set of metric aggs (global aggregation). Metrics: `avg`, `sum`, `min`,
-  * `max`, `value_count`. Field paths may not cross an array (ES requires
-  * a `nested` agg context there — not implemented).
+  * set of metric aggs (global aggregation), optionally inside ONE
+  * `nested` context agg. Metrics: `avg`, `sum`, `min`, `max`,
+  * `value_count`. Field paths may not cross an array UNLESS the body
+  * switches into that array with a `nested` agg (exactly ES's rule: a
+  * nested-mapped field is only aggregable from a nested context).
+  *
+  * A `nested` agg over an array path changes the unit of aggregation to
+  * the array ELEMENTS (each nested element is its own Lucene doc in ES —
+  * `doc_count` counts elements, metric fields resolve inside the
+  * element), compiled as `explode(array)` before the groupBy. A `nested`
+  * agg over a struct path (the reference maps structs as `nested` too —
+  * `IndexingListener.java:71-96`) is a no-op context switch, as in ES.
   *
   * Output is the relational rendering of ES's bucket list: one row per
   * bucket — `key`, `doc_count`, then one column per metric agg named by
@@ -22,15 +31,18 @@ import org.apache.spark.sql.types.StructType
   *
   * Scale shape: one hash aggregation — partial (map-side) combine, one
   * shuffle on the bucket key, and for `terms` a TakeOrderedAndProject of
-  * the top `size` buckets. NOTE a semantic upgrade over ES: ES terms aggs
-  * are APPROXIMATE (per-shard top `shard_size` then merge — documented
-  * doc_count error); this engine's top-N is exact, because the groupBy
-  * sees all rows for a key after the shuffle.
+  * the top `size` buckets; a `nested` context adds a generate (explode)
+  * before the partial agg, never a join. NOTE a semantic upgrade over
+  * ES: ES terms aggs are APPROXIMATE (per-shard top `shard_size` then
+  * merge — documented doc_count error); this engine's top-N is exact,
+  * because the groupBy sees all rows for a key after the shuffle.
   */
 object EsAggs {
 
   sealed trait Agg
-  /** `avg` | `sum` | `min` | `max` | `value_count` over a field path. */
+  /** `avg` | `sum` | `min` | `max` | `value_count` over a field path
+    * (relative to the aggregation context: document root, or the array
+    * element inside a `nested` agg). */
   final case class Metric(kind: String, path: Seq[String]) extends Agg
   /** ES `terms` bucket agg: top-`size` keys by doc_count desc, key asc. */
   final case class Terms(path: Seq[String], size: Int) extends Agg
@@ -38,6 +50,7 @@ object EsAggs {
   final case class Histogram(path: Seq[String], interval: Long) extends Agg
 
   final case class Request(query: SearchQuery,
+                           nestedPath: Option[Seq[String]],
                            bucket: Option[Agg],
                            metrics: Seq[(String, Metric)])
 
@@ -58,25 +71,14 @@ object EsAggs {
       .getOrElse(SearchQuery.MatchAll)
     val aggsJ = root.get("aggs").orElse(root.get("aggregations"))
       .getOrElse(throw new IllegalArgumentException("aggs body needs an \"aggs\" key"))
-    val named = aggsJ match {
+
+    def namedOf(jv: JValue): List[(String, JValue)] = jv match {
       case JObject(fields) => fields
       case other => throw new IllegalArgumentException(s"aggs must be an object: $other")
     }
-    require(named.nonEmpty, "aggs object is empty")
-
-    def fieldPath(spec: JValue, kind: String): Seq[String] = {
-      val p = spec match {
-        case JObject(f) => f.toMap.get("field") match {
-          case Some(JString(s)) => s
-          case _ => throw new IllegalArgumentException(s"$kind agg needs a \"field\"")
-        }
-        case other => throw new IllegalArgumentException(s"bad $kind agg spec: $other")
-      }
-      val path = p.stripSuffix(".keyword").split('.').toSeq
-      val (arr, _) = SearchQuery.splitArrayPath(path, schema)
-      require(arr.isEmpty,
-        s"agg field $p crosses array $arr — ES needs a nested agg there (not implemented)")
-      path
+    def asString(v: JValue): String = v match {
+      case JString(s) => s
+      case other => throw new IllegalArgumentException(s"not a string: $other")
     }
     def num(spec: JValue, key: String, kind: String): Option[Long] = spec match {
       case JObject(f) => f.toMap.get(key).map {
@@ -88,41 +90,98 @@ object EsAggs {
       }
       case _ => None
     }
-    def parseMetrics(entries: List[(String, JValue)]): Seq[(String, Metric)] =
+    /** Resolve an agg `field` against the context: document root (ctx =
+      * None, array crossing rejected) or a nested array (ctx =
+      * Some((declaredNestedPath, arrayPath)) — ES paths are absolute, so
+      * require the declared prefix and strip the ARRAY prefix to the
+      * element-relative remainder; the two differ when `nested.path`
+      * extends into the element, README-query-2 style). */
+    def fieldPath(spec: JValue, kind: String,
+                  ctx: Option[(Seq[String], Seq[String])]): Seq[String] = {
+      val p = spec match {
+        case JObject(f) => f.toMap.get("field") match {
+          case Some(JString(s)) => s
+          case _ => throw new IllegalArgumentException(s"$kind agg needs a \"field\"")
+        }
+        case other => throw new IllegalArgumentException(s"bad $kind agg spec: $other")
+      }
+      val path = p.stripSuffix(".keyword").split('.').toSeq
+      ctx match {
+        case None =>
+          val (arr, _) = SearchQuery.splitArrayPath(path, schema)
+          require(arr.isEmpty,
+            s"agg field $p crosses array ${arr.mkString(".")} — switch context with a nested agg first")
+          path
+        case Some((np, arr)) =>
+          require(path.startsWith(np),
+            s"agg field $p is outside the nested context ${np.mkString(".")}")
+          path.drop(arr.length)
+      }
+    }
+    def parseMetrics(entries: List[(String, JValue)],
+                     ctx: Option[(Seq[String], Seq[String])]): Seq[(String, Metric)] =
       entries.map {
         case (name, JObject(List((kind, spec)))) if metricKinds(kind) =>
-          name -> Metric(kind, fieldPath(spec, kind))
+          name -> Metric(kind, fieldPath(spec, kind, ctx))
         case (name, other) =>
           throw new IllegalArgumentException(
             s"unsupported metric agg $name: $other (supported: ${metricKinds.mkString("/")})")
       }
+    /** One bucket agg (+ metric sub-aggs) or flat metrics, in context. */
+    def parseLevel(named: List[(String, JValue)],
+                   ctx: Option[(Seq[String], Seq[String])]): (Option[Agg], Seq[(String, Metric)]) =
+      named match {
+        case List((_, JObject(bucketFields))) if bucketFields.exists {
+          case (k, _) => k == "terms" || k == "histogram"
+        } =>
+          val bf = bucketFields.toMap
+          val extraneous = bf.keySet -- Set("terms", "histogram", "aggs", "aggregations")
+          require(extraneous.isEmpty,
+            s"unsupported bucket agg key(s): ${extraneous.mkString(", ")}")
+          val bucket = bf.get("terms").map { spec =>
+            Terms(fieldPath(spec, "terms", ctx),
+              num(spec, "size", "terms").map(_.toInt).getOrElse(10)) // ES default
+          }.orElse(bf.get("histogram").map { spec =>
+            val interval = num(spec, "interval", "histogram")
+              .getOrElse(throw new IllegalArgumentException("histogram needs interval"))
+            require(interval > 0, s"histogram interval must be > 0: $interval")
+            Histogram(fieldPath(spec, "histogram", ctx), interval)
+          }).get
+          val subs = bf.get("aggs").orElse(bf.get("aggregations")) match {
+            case Some(JObject(fields)) => parseMetrics(fields, ctx)
+            case Some(other) => throw new IllegalArgumentException(s"bad sub-aggs: $other")
+            case None => Nil
+          }
+          (Some(bucket), subs)
+        case metricsOnly => (None, parseMetrics(metricsOnly, ctx))
+      }
 
-    named match {
-      // one bucket agg, with optional metric sub-aggs
-      case List((_, JObject(bucketFields))) if bucketFields.exists {
-        case (k, _) => k == "terms" || k == "histogram"
-      } =>
-        val bf = bucketFields.toMap
-        val extraneous = bf.keySet -- Set("terms", "histogram", "aggs", "aggregations")
+    namedOf(aggsJ) match {
+      // a nested context agg wrapping the real aggregation
+      case List((_, JObject(nestedFields))) if nestedFields.exists(_._1 == "nested") =>
+        val nf = nestedFields.toMap
+        val extraneous = nf.keySet -- Set("nested", "aggs", "aggregations")
         require(extraneous.isEmpty,
-          s"unsupported bucket agg key(s): ${extraneous.mkString(", ")}")
-        val bucket = bf.get("terms").map { spec =>
-          Terms(fieldPath(spec, "terms"),
-            num(spec, "size", "terms").map(_.toInt).getOrElse(10)) // ES default
-        }.orElse(bf.get("histogram").map { spec =>
-          val interval = num(spec, "interval", "histogram")
-            .getOrElse(throw new IllegalArgumentException("histogram needs interval"))
-          require(interval > 0, s"histogram interval must be > 0: $interval")
-          Histogram(fieldPath(spec, "histogram"), interval)
-        }).get
-        val subs = bf.get("aggs").orElse(bf.get("aggregations")) match {
-          case Some(JObject(fields)) => parseMetrics(fields)
-          case Some(other) => throw new IllegalArgumentException(s"bad sub-aggs: $other")
-          case None => Nil
+          s"unsupported nested agg key(s): ${extraneous.mkString(", ")}")
+        val pathStr = nf("nested") match {
+          case JObject(pf) => pf.toMap.get("path").map(asString)
+            .getOrElse(throw new IllegalArgumentException("nested agg needs a \"path\""))
+          case other => throw new IllegalArgumentException(s"bad nested spec: $other")
         }
-        Request(query, Some(bucket), subs)
-      // flat metric aggs (global aggregation)
-      case metricsOnly => Request(query, None, parseMetrics(metricsOnly))
+        val np = pathStr.split('.').toSeq
+        val inner = nf.get("aggs").orElse(nf.get("aggregations"))
+          .map(namedOf).getOrElse(throw new IllegalArgumentException("nested agg needs sub-aggs"))
+        SearchQuery.splitArrayPath(np, schema) match {
+          case (Nil, _) => // struct path (reference maps structs nested too): no-op context
+            val (bucket, metrics) = parseLevel(inner, None)
+            Request(query, None, bucket, metrics)
+          case (arr, _) => // array path (may extend into the element, README-query-2 style)
+            val (bucket, metrics) = parseLevel(inner, Some((np, arr)))
+            Request(query, Some(arr), bucket, metrics)
+        }
+      case named =>
+        val (bucket, metrics) = parseLevel(named, None)
+        Request(query, None, bucket, metrics)
     }
   }
 
@@ -130,30 +189,36 @@ object EsAggs {
   def run(docs: DataFrame, docCol: String, body: String, schema: StructType): DataFrame = {
     val req = parse(body, schema)
     val doc = col(docCol)
-    def f(p: Seq[String]): Column = p.foldLeft(doc)((c, n) => c.getField(n))
+    def field(root: Column, p: Seq[String]): Column =
+      p.foldLeft(root)((c, n) => c.getField(n))
     val filtered = docs.filter(SearchQuery.compile(req.query, doc))
+    // nested context: the unit of aggregation becomes the array element
+    val (rows, ctx) = req.nestedPath match {
+      case Some(np) => (filtered.select(explode(field(doc, np)).as("el")), col("el"))
+      case None => (filtered, doc)
+    }
     def metricCol(name: String, m: Metric): Column = (m.kind match {
-      case "avg" => avg(f(m.path)).cast("double")
-      case "sum" => sum(f(m.path)).cast("double") // ES sum is a double
-      case "min" => min(f(m.path))
-      case "max" => max(f(m.path))
-      case "value_count" => count(f(m.path))
+      case "avg" => avg(field(ctx, m.path)).cast("double")
+      case "sum" => sum(field(ctx, m.path)).cast("double") // ES sum is a double
+      case "min" => min(field(ctx, m.path))
+      case "max" => max(field(ctx, m.path))
+      case "value_count" => count(field(ctx, m.path))
     }).as(name)
     val metricCols = req.metrics.map { case (n, m) => metricCol(n, m) }
     req.bucket match {
       case Some(Terms(p, size)) =>
-        filtered.groupBy(f(p).as("key"))
+        rows.groupBy(field(ctx, p).as("key"))
           .agg(count(lit(1)).as("doc_count"), metricCols: _*)
           .orderBy(col("doc_count").desc, col("key").asc) // ES bucket order
           .limit(size)
       case Some(Histogram(p, interval)) =>
-        filtered
-          .groupBy((floor(f(p) / interval.toDouble) * interval).cast("long").as("key"))
+        rows
+          .groupBy((floor(field(ctx, p) / interval.toDouble) * interval).cast("long").as("key"))
           .agg(count(lit(1)).as("doc_count"), metricCols: _*)
           .orderBy(col("key"))
       case None =>
         require(metricCols.nonEmpty, "aggs body has no aggregations")
-        filtered.agg(count(lit(1)).as("doc_count"), metricCols: _*)
+        rows.agg(count(lit(1)).as("doc_count"), metricCols: _*)
     }
   }
 }

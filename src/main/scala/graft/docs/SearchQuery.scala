@@ -325,6 +325,28 @@ object SearchQuery {
           case (Nil, full) => Range(full, lo, hi, loIncl, hiIncl)
           case (arr, rest) => NestedRange(arr, rest, lo, hi, loIncl, hiIncl)
         }
+      case JObject(List(("multi_match", JObject(fields)))) =>
+        // ES multi_match, best_fields flavor: the query matched against
+        // each listed field, OR-composed. Per-field semantics follow the
+        // single-field `match` above (tokenized top-level, exact-equality
+        // through array paths).
+        val f = fields.toMap
+        val unknown = f.keySet -- Set("query", "fields")
+        require(unknown.isEmpty,
+          s"unsupported multi_match key(s): ${unknown.mkString(", ")} (query/fields)")
+        val q = f.get("query").map(asString)
+          .getOrElse(throw new IllegalArgumentException("multi_match needs query"))
+        val flds = f.get("fields") match {
+          case Some(JArray(xs)) if xs.nonEmpty => xs.map(asString)
+          case _ => throw new IllegalArgumentException("multi_match needs a non-empty fields array")
+        }
+        val parts = flds.map { p0 =>
+          splitArrayPath(path(p0), schema) match {
+            case (Nil, full) => TermMatch(full, q)
+            case (arr, rest) => NestedTerm(arr, rest, q)
+          }
+        }
+        if (parts.size == 1) parts.head else Or(parts: _*)
       case JObject(List(("terms", JObject(List((p, JArray(vs))))))) =>
         val values = vs.map(asString)
         require(values.nonEmpty, s"terms on $p needs a non-empty value list")

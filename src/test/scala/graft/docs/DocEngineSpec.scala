@@ -447,6 +447,54 @@ class DocEngineSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](EsAggs.parse(
       """{"aggs": {"t": {"terms": {"field": "planType"}, "order": "count"}}}""",
       PlanSchema.plan))
+    // nested agg: the unit of aggregation becomes the array ELEMENT
+    val nested =
+      """{"size": 0, "aggs": {"svc": {"nested": {"path": "linkedPlanServices"},
+        |  "aggs": {"by_name": {"terms": {"field": "linkedPlanServices.linkedService.name.keyword"},
+        |    "aggs": {"avg_copay": {"avg": {"field": "linkedPlanServices.planserviceCostShares.copay"}}}}}}}}""".stripMargin
+    val nRows = EsAggs.run(assembledDocs, "doc", nested, PlanSchema.plan).collect()
+    assert(nRows.length === 2) // two service elements = two name buckets
+    assert(nRows.map(_.getAs[String]("key")).toSet === Set("Yearly physical", "well baby"))
+    assert(nRows.forall(_.getAs[Long]("doc_count") === 1L))
+    // element-level metric: copays are 0 and 175, one element per bucket
+    assert(nRows.map(_.getAs[Double]("avg_copay")).toSet === Set(0.0, 175.0))
+    // nested agg over a struct path is a no-op context switch (ES ditto)
+    val structNested =
+      """{"aggs": {"cs": {"nested": {"path": "planCostShares"},
+        |  "aggs": {"max_ded": {"max": {"field": "planCostShares.deductible"}}}}}}""".stripMargin
+    assert(EsAggs.run(assembledDocs, "doc", structNested, PlanSchema.plan)
+      .collect()(0).getAs[Long]("max_ded") === 2000L)
+    // a field outside the declared nested context is rejected
+    assertThrows[IllegalArgumentException](EsAggs.parse(
+      """{"aggs": {"svc": {"nested": {"path": "linkedPlanServices"},
+        |  "aggs": {"bad": {"avg": {"field": "planCostShares.copay"}}}}}}""".stripMargin,
+      PlanSchema.plan))
+  }
+
+  test("multi_match ORs the query across fields with per-field match semantics") {
+    import SearchQuery._
+    val assembledDocs = Assembler.assemble(sh, PlanSchema.plan, "plan")
+    val body =
+      """{"query": {"multi_match": {"query": "inNetwork",
+        |  "fields": ["planType", "linkedPlanServices.linkedService.name"]}}}""".stripMargin
+    assert(SearchQuery.fromJson(body, PlanSchema.plan) ===
+      Or(TermMatch(Seq("planType"), "inNetwork"),
+        NestedTerm(Seq("linkedPlanServices"), Seq("linkedService", "name"), "inNetwork")))
+    assert(assembledDocs.filter(
+      SearchQuery.compile(SearchQuery.fromJson(body, PlanSchema.plan), col("doc"))).count() === 1)
+    // second field alone also hits (exact-equality through the array path)
+    val viaName =
+      """{"query": {"multi_match": {"query": "well baby",
+        |  "fields": ["planType", "linkedPlanServices.linkedService.name"]}}}""".stripMargin
+    assert(assembledDocs.filter(
+      SearchQuery.compile(SearchQuery.fromJson(viaName, PlanSchema.plan), col("doc"))).count() === 1)
+    val miss =
+      """{"query": {"multi_match": {"query": "nosuch", "fields": ["planType", "_org"]}}}"""
+    assert(assembledDocs.filter(
+      SearchQuery.compile(SearchQuery.fromJson(miss, PlanSchema.plan), col("doc"))).count() === 0)
+    assertThrows[IllegalArgumentException](SearchQuery.fromJson(
+      """{"query": {"multi_match": {"query": "x", "fields": [], "type": "phrase"}}}""",
+      PlanSchema.plan))
   }
 
   test("bool inside nested binds all leaves to the SAME element (ES nested semantics)") {

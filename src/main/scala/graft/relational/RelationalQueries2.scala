@@ -277,7 +277,47 @@ object RelationalQueries2 {
 
   // ---------------------------------------------------------------- registry
 
+  // ---------------------------------------------------------------- q29
+  /** CSV source/sink round-trip — the interchange format every ingest
+    * pipeline still meets. Writes a frame whose string column embeds the
+    * three CSV hazards (comma, double-quote, leading space) plus an
+    * exact-decimal money column, reads it back with an explicit schema,
+    * and aggregates: `n_text_ok` counts rows whose string survived
+    * byte-exactly (re-derived from the key, so any quoting/escaping loss
+    * shows up as a count drop, which the oracle — computed without any
+    * CSV hop — would expose). Decimal, not double, crosses the text
+    * boundary: decimal text is exact by construction.
+    *
+    * Scale shape: CSV write/read is an embarrassingly parallel scan —
+    * one file per partition, no shuffle until the final aggregate. CSV
+    * reads get no pushdown/pruning (flat text) — the reason the engine's
+    * canonical storage is parquet and CSV appears only at the edges. */
+  private def q29(s: SparkSession, d: String): DataFrame = {
+    def note(key: Column): Column =
+      concat(lit("p,\"q\" "), key.cast("string"), lit(" end"))
+    val src = t(s, d, "orders").select(
+      col("o_orderkey"),
+      m(col("o_totalprice")).as("price"),
+      note(col("o_orderkey")).as("note"))
+    val dir = graft.TempDirs.create("graft-csv-").toString
+    src.write.mode("overwrite").option("header", "true").csv(dir)
+    val back = s.read.option("header", "true").schema(src.schema).csv(dir)
+    back.agg(
+      count(lit(1)).as("n_rows"),
+      dbl(sum(col("price"))).as("total_price"),
+      count(when(col("note") === note(col("o_orderkey")), 1)).as("n_text_ok"),
+      countDistinct(col("o_orderkey")).as("n_keys"))
+  }
+
+  private val q29Sql =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(28,6)) AS DOUBLE) AS total_price,
+      |  CAST(COUNT(*) AS BIGINT) AS n_text_ok,
+      |  CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys
+      |FROM orders""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q29_csv_roundtrip" -> q29 _,
     "q27_approx_distinct" -> q27 _,
     "q28_range_join" -> q28 _,
     "q21_cube" -> q21 _,
@@ -288,6 +328,7 @@ object RelationalQueries2 {
     "q26_json_fns" -> q26 _)
 
   val oracle: Map[String, String] = Map(
+    "q29_csv_roundtrip" -> q29Sql,
     "q28_range_join" -> q28Sql,
     "q21_cube" -> q21Sql,
     "q22_pivot" -> q22Sql,

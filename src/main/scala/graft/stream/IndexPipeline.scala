@@ -356,12 +356,91 @@ object IndexPipeline {
       |FROM sess GROUP BY user_id, sess_id
       |ORDER BY user_id, sess_start""".stripMargin
 
+  // ---------------------------------------------------------------- st5
+  /** Streaming deduplication — `dropDuplicatesWithinWatermark` turns an
+    * at-least-once upstream into exactly-once delivery, the ingest-side
+    * twin of the batch dedup family (dd1–dd5): every 5th event is
+    * re-delivered 2 h later (a retrying producer), files are staged in
+    * event-time order so re-deliveries genuinely cross micro-batch
+    * boundaries, and the key state suppresses them.
+    *
+    * Determinism argument (why the planted shape always dedups): a
+    * re-delivery lands at most 2 h after its original, and state for a key
+    * only expires once the watermark (max seen ts − 6 h) passes the
+    * original's ts — but the original is never more than 2 h older than
+    * anything in the re-delivery's batch prefix, so its state is alive.
+    * The duplicate row differs ONLY in ts, so whichever copy a same-batch
+    * dedup keeps, the aggregated output is identical.
+    *
+    * Scale shape: dedup state is per-key in the state store (RocksDB at
+    * cluster scale), partitioned by key hash — one shuffle per batch on
+    * the dedup key; watermark expiry bounds the state to the re-delivery
+    * horizon, NOT the stream's lifetime (the property that matters when
+    * ingest runs for months). */
+  private def st5(s: SparkSession, d: String): DataFrame = {
+    val base = Files.createTempDirectory("graft-stream5-")
+    val srcDir = base.resolve("log").toString
+    val ckDir = base.resolve("ck").toString
+    val nFiles = 3
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("ts_us"), col("event_type"), col("value"))
+    val dups = ev.filter(col("event_id") % 5 === 0)
+      .withColumn("ts_us", col("ts_us") + lit(7200000000L)) // +2 h
+    val log = ev.unionByName(dups)
+    // stage by EVENT TIME so a re-delivery lands in a later file than its
+    // original whenever the +2 h crosses a file boundary
+    val (mn, mx) = {
+      val r = log.agg(min(col("ts_us")), max(col("ts_us"))).head()
+      (r.getLong(0), r.getLong(1) + 1)
+    }
+    (0 until nFiles).foreach { i =>
+      log.filter(floor((col("ts_us") - mn) * nFiles / (mx - mn)) === i)
+        .coalesce(1).write.parquet(s"$srcDir/b$i")
+    }
+    val qname = s"st5_dedup_${System.nanoTime()}"
+    val stream = s.readStream
+      .schema(log.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$srcDir/b*")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "6 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(qname)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckDir)
+      .start()
+    stream.awaitTermination()
+    val out = s.table(qname)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(12, 2)))
+          .cast(org.apache.spark.sql.types.DecimalType(28, 6))
+          .cast("double").as("total"))
+      .orderBy(col("event_type"))
+    val pinned = graft.Eager.pin(out)
+    deleteRecursively(base)
+    pinned
+  }
+
+  /** The oracle is the duplicate-free truth: re-deliveries carry the same
+    * event_id, so exactly-once delivery must reproduce plain GROUP BY over
+    * the original events table. */
+  private val st5Sql =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(28,6)) AS DOUBLE) AS total
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "st5_stream_dedup" -> st5 _,
     "st1_stream_upsert" -> st1 _,
     "st2_stream_window" -> st2 _,
     "st3_stream_mgws" -> st3 _,
     "st4_stream_sessions" -> st4 _)
   val oracle: Map[String, String] = Map(
+    "st5_stream_dedup" -> st5Sql,
     "st1_stream_upsert" -> st1Sql,
     "st2_stream_window" -> st2Sql,
     "st3_stream_mgws" -> st3Sql,

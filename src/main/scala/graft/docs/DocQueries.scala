@@ -1378,6 +1378,47 @@ object DocQueries {
        |  AND c_custkey % 50 >= 30
        |ORDER BY object_id""".stripMargin
 
+  // ---------------------------------------------------------------- d40
+  /** ES `search_after` — keyset deep pagination, the form ES forces past
+    * the 10k from/size window. Compiles to a lexicographic strictly-after
+    * predicate on the sort tuple (pushdown-eligible) + a bounded heap of
+    * exactly `size` rows: page N costs what page 1 costs, where from/size
+    * must heap from+size rows. Same scored query as d35; the cursor is
+    * (score=1, objectId="plan-30"). */
+  private def d40(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "query": {
+        |    "bool": {
+        |      "must": [ { "range": { "planCostShares.copay": { "gte": 10, "lte": 40 } } } ],
+        |      "should": [
+        |        { "match": { "planType": "BUILDING" } },
+        |        { "wildcard": { "_org": "org-1*" } }
+        |      ]
+        |    }
+        |  },
+        |  "sort": [ { "_score": { "order": "desc" } }, { "objectId": { "order": "asc" } } ],
+        |  "search_after": [1, "plan-30"],
+        |  "size": 15,
+        |  "_source": ["objectId", "planType", "planCostShares.copay"]
+        |}""".stripMargin
+    SearchExec.search(assembled(s, d), "doc", body, schema)
+  }
+
+  private val d40Sql =
+    s"""SELECT ROW_NUMBER() OVER (ORDER BY score DESC, "objectId" ASC) AS rn,
+       |       score, "objectId", "planType", "planCostShares_copay" FROM (
+       |  SELECT * FROM (
+       |    SELECT 'plan-' || ${ck("c_custkey")} AS "objectId", c_mktsegment AS "planType",
+       |      c_custkey % 50 AS "planCostShares_copay",
+       |      CAST(CASE WHEN lower(c_mktsegment) = 'building' THEN 1 ELSE 0 END
+       |         + CASE WHEN 'org-' || ${ck("c_nationkey")} || '.example.com' LIKE 'org-1%' THEN 1 ELSE 0 END
+       |        AS BIGINT) AS score
+       |    FROM customer WHERE c_custkey % 50 BETWEEN 10 AND 40)
+       |  WHERE score < 1 OR (score = 1 AND "objectId" > 'plan-30')
+       |  ORDER BY score DESC, "objectId" ASC LIMIT 15)
+       |ORDER BY rn""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -1405,6 +1446,7 @@ object DocQueries {
     "d37_es_histogram" -> d37 _,
     "d38_es_nested_agg" -> d38 _,
     "d39_es_multi_match" -> d39 _,
+    "d40_es_search_after" -> d40 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
     "d3_roundtrip" -> d3 _,
@@ -1446,6 +1488,7 @@ object DocQueries {
     "d37_es_histogram" -> d37Sql,
     "d38_es_nested_agg" -> d38Sql,
     "d39_es_multi_match" -> d39Sql,
+    "d40_es_search_after" -> d40Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,
     "d3_roundtrip" -> d3Sql,

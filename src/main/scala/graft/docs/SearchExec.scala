@@ -45,8 +45,31 @@ object SearchExec {
       if (k.asc) c.asc else c.desc
     }
     require(sortCols.nonEmpty, "search body needs a sort (ES default _score-only order is not deterministic)")
+    // search_after: keyset pagination — a lexicographic strictly-after
+    // predicate on the sort tuple, then top-`size`. The 100 TB form of
+    // deep paging: page N costs exactly what page 1 costs (a pushdown-
+    // eligible filter + a bounded heap of `size` rows), where from/size
+    // must heap from+size rows. This is why ES tells users to switch to
+    // search_after past the 10k window.
+    val afterFiltered = b.searchAfter match {
+      case Some(vals) =>
+        val keyed = b.sorts.zip(vals).map { case (k, v) =>
+          val c = if (k.isScore) col("score") else field(doc, k.path)
+          (c, k.asc, lit(v))
+        }
+        val after = keyed.indices.map { i =>
+          val strict = {
+            val (c, asc, v) = keyed(i)
+            if (asc) c > v else c < v
+          }
+          keyed.take(i).map { case (c, _, v) => c === v }
+            .foldRight(strict)(_ && _)
+        }.reduce(_ || _)
+        hits.filter(after)
+      case None => hits
+    }
     // TakeOrderedAndProject: bounded heap per partition, from+size rows total.
-    val page = hits.orderBy(sortCols: _*).limit(b.from + b.size)
+    val page = afterFiltered.orderBy(sortCols: _*).limit(b.from + b.size)
     // Offset within the bounded page: the window runs over ≤ from+size rows.
     val w = org.apache.spark.sql.expressions.Window.orderBy(sortCols: _*)
     val numbered = page.withColumn("rn", row_number().over(w).cast("long"))

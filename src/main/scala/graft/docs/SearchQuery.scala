@@ -135,10 +135,12 @@ object SearchQuery {
   /** A COMPLETE ES search body: the parsed `query` plus the request-level
     * keys a real Kibana body carries — `sort` (field or `_score` entries,
     * ES defaults: `_score` desc when absent), `from`/`size` pagination
-    * (ES defaults 0/10), and `_source` include paths. Executed by
-    * [[SearchExec.search]]. */
+    * (ES defaults 0/10), `search_after` keyset pagination (one value per
+    * sort key; mutually exclusive with `from`, as in ES), and `_source`
+    * include paths. Executed by [[SearchExec.search]]. */
   final case class FullBody(parsed: Parsed, sorts: Seq[SortKey],
                             from: Int, size: Int,
+                            searchAfter: Option[Seq[Any]],
                             source: Option[Seq[Seq[String]]])
 
   /** Parse a complete ES search body — `query` + `sort`/`from`/`size`/
@@ -151,7 +153,7 @@ object SearchQuery {
       case JObject(fields) => fields.toMap
       case other => throw new IllegalArgumentException(s"ES body must be an object: $other")
     }
-    val unknown = root.keySet -- Set("query", "sort", "from", "size", "_source")
+    val unknown = root.keySet -- Set("query", "sort", "from", "size", "_source", "search_after")
     require(unknown.isEmpty, s"unsupported ES body key(s): ${unknown.mkString(", ")}")
     def asInt(v: JValue): Int = v match {
       case JInt(i) => i.toInt
@@ -190,7 +192,23 @@ object SearchQuery {
       case JString(p) => Seq(fieldPath(p))
       case other => throw new IllegalArgumentException(s"unsupported _source form: $other")
     }
-    FullBody(parseBody(body, schema), sorts, from, size, source)
+    val searchAfter = root.get("search_after").map {
+      case JArray(vs) => vs.map[Any] {
+        case JString(x) => x
+        case JInt(i) => i.toLong
+        case JLong(l) => l
+        case JDouble(dd) => dd
+        case JDecimal(dd) => dd.toDouble
+        case other => throw new IllegalArgumentException(s"bad search_after value: $other")
+      }
+      case other => throw new IllegalArgumentException(s"search_after must be an array: $other")
+    }
+    searchAfter.foreach { sa =>
+      require(from == 0, "search_after cannot be combined with from (ES rejects it too)")
+      require(sa.size == sorts.size,
+        s"search_after needs one value per sort key (${sorts.size}), got ${sa.size}")
+    }
+    FullBody(parseBody(body, schema), sorts, from, size, searchAfter, source)
   }
 
   /** `_score` for bool queries: 1 point per satisfied top-level `should`

@@ -471,6 +471,26 @@ class DocEngineSpec extends SparkSpec {
       PlanSchema.plan))
   }
 
+  test("search_after validates arity and excludes from; pages are cursor-consistent") {
+    val assembledDocs = Assembler.assemble(sh, PlanSchema.plan, "plan")
+    // arity: one value per sort key
+    assertThrows[IllegalArgumentException](SearchQuery.parseFullBody(
+      """{"query": {"match_all": {}}, "sort": [{"objectId": "asc"}],
+        |"search_after": ["a", "b"], "size": 5}""".stripMargin, PlanSchema.plan))
+    // from + search_after is rejected (as in ES)
+    assertThrows[IllegalArgumentException](SearchQuery.parseFullBody(
+      """{"query": {"match_all": {}}, "sort": [{"objectId": "asc"}],
+        |"search_after": ["a"], "from": 3, "size": 5}""".stripMargin, PlanSchema.plan))
+    // cursor strictly after the only doc's objectId → empty page;
+    // cursor before it → the doc
+    def page(after: String) = SearchExec.search(assembledDocs, "doc",
+      s"""{"query": {"match_all": {}}, "sort": [{"objectId": "asc"}],
+         |"search_after": ["$after"], "size": 5,
+         |"_source": ["objectId"]}""".stripMargin, PlanSchema.plan).collect()
+    assert(page("12xvxc345ssdsds-508").isEmpty)
+    assert(page("0").map(_.getAs[String]("objectId")).toSeq === Seq("12xvxc345ssdsds-508"))
+  }
+
   test("multi_match ORs the query across fields with per-field match semantics") {
     import SearchQuery._
     val assembledDocs = Assembler.assemble(sh, PlanSchema.plan, "plan")

@@ -1419,6 +1419,50 @@ object DocQueries {
        |  ORDER BY score DESC, "objectId" ASC LIMIT 15)
        |ORDER BY rn""".stripMargin
 
+  // ---------------------------------------------------------------- d41
+  /** Two-level ES bucket aggs — Kibana's "split series": terms(planType,
+    * top-3 by parent doc_count) split by histogram(copay, 10), with a
+    * metric at the leaf. One hash aggregation on the composite key does
+    * all corpus-sized work; parent counts / top-N run as windows over the
+    * bucket table (|buckets| rows). Output is the flat leaf rendering:
+    * parent key + parent doc_count, child key + leaf doc_count + leaf
+    * metrics, in ES bucket order. */
+  private def d41(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "size": 0,
+        |  "aggs": {
+        |    "by_type": {
+        |      "terms": { "field": "planType", "size": 3 },
+        |      "aggs": {
+        |        "copay_hist": {
+        |          "histogram": { "field": "planCostShares.copay", "interval": 10 },
+        |          "aggs": {
+        |            "avg_deductible": { "avg": { "field": "planCostShares.deductible" } }
+        |          }
+        |        }
+        |      }
+        |    }
+        |  }
+        |}""".stripMargin
+    EsAggs.run(assembled(s, d), "doc", body, schema)
+  }
+
+  private val d41Sql =
+    s"""WITH leaf AS (
+       |  SELECT c_mktsegment AS key,
+       |    CAST((c_custkey % 50) // 10 * 10 AS BIGINT) AS key2,
+       |    CAST(COUNT(*) AS BIGINT) AS doc_count2,
+       |    AVG(c_nationkey * 100) AS avg_deductible
+       |  FROM customer GROUP BY 1, 2),
+       |par AS (SELECT *,
+       |    CAST(SUM(doc_count2) OVER (PARTITION BY key) AS BIGINT) AS doc_count
+       |  FROM leaf),
+       |rk AS (SELECT *, DENSE_RANK() OVER (ORDER BY doc_count DESC, key) AS prank FROM par)
+       |SELECT key, doc_count, key2, doc_count2, avg_deductible
+       |FROM rk WHERE prank <= 3
+       |ORDER BY doc_count DESC, key, key2""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -1447,6 +1491,7 @@ object DocQueries {
     "d38_es_nested_agg" -> d38 _,
     "d39_es_multi_match" -> d39 _,
     "d40_es_search_after" -> d40 _,
+    "d41_es_split_series" -> d41 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
     "d3_roundtrip" -> d3 _,
@@ -1489,6 +1534,7 @@ object DocQueries {
     "d38_es_nested_agg" -> d38Sql,
     "d39_es_multi_match" -> d39Sql,
     "d40_es_search_after" -> d40Sql,
+    "d41_es_split_series" -> d41Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,
     "d3_roundtrip" -> d3Sql,

@@ -8,14 +8,15 @@ import org.apache.spark.sql.types.StructType
   * panel is a terms/histogram bucket agg with metric sub-aggs), compiled
   * to a single `groupBy().agg()`.
   *
-  * Scope (v1, loudly rejected beyond it): at top level either ONE bucket
-  * agg — `terms` (count-desc top-N buckets) or `histogram` (fixed
-  * `interval` bins) — carrying any number of metric sub-aggs, or a flat
-  * set of metric aggs (global aggregation), optionally inside ONE
-  * `nested` context agg. Metrics: `avg`, `sum`, `min`, `max`,
-  * `value_count`. Field paths may not cross an array UNLESS the body
-  * switches into that array with a `nested` agg (exactly ES's rule: a
-  * nested-mapped field is only aggregable from a nested context).
+  * Scope (loudly rejected beyond it): up to TWO bucket levels — `terms`
+  * (count-desc top-N buckets) or `histogram` (fixed `interval` bins),
+  * optionally split by a second bucket agg (the Kibana "split series"
+  * shape) — with metric sub-aggs at the leaf level, or a flat set of
+  * metric aggs (global aggregation); optionally inside ONE `nested`
+  * context agg. Metrics: `avg`, `sum`, `min`, `max`, `value_count`.
+  * Field paths may not cross an array UNLESS the body switches into that
+  * array with a `nested` agg (exactly ES's rule: a nested-mapped field is
+  * only aggregable from a nested context).
   *
   * A `nested` agg over an array path changes the unit of aggregation to
   * the array ELEMENTS (each nested element is its own Lucene doc in ES —
@@ -49,10 +50,20 @@ object EsAggs {
   /** ES `histogram` bucket agg: `floor(v / interval) * interval` bins. */
   final case class Histogram(path: Seq[String], interval: Long) extends Agg
 
+  /** A bucket level: the bucket agg, its metric sub-aggs, and at most one
+    * sub-bucket level (Kibana "split series" — terms × terms/histogram).
+    * Depth is capped at two bucket levels; a level with a sub-bucket
+    * carries no metrics of its own (parse rejects mixing). */
+  final case class Buckets(bucket: Agg, metrics: Seq[(String, Metric)],
+                           sub: Option[Buckets])
+
   final case class Request(query: SearchQuery,
                            nestedPath: Option[Seq[String]],
-                           bucket: Option[Agg],
-                           metrics: Seq[(String, Metric)])
+                           tree: Either[Seq[(String, Metric)], Buckets]) {
+    /** Back-compat views used by single-level callers/tests. */
+    def bucket: Option[Agg] = tree.toOption.map(_.bucket)
+    def metrics: Seq[(String, Metric)] = tree.fold(identity, _.metrics)
+  }
 
   private val metricKinds = Set("avg", "sum", "min", "max", "value_count")
 
@@ -127,9 +138,9 @@ object EsAggs {
           throw new IllegalArgumentException(
             s"unsupported metric agg $name: $other (supported: ${metricKinds.mkString("/")})")
       }
-    /** One bucket agg (+ metric sub-aggs) or flat metrics, in context. */
-    def parseLevel(named: List[(String, JValue)],
-                   ctx: Option[(Seq[String], Seq[String])]): (Option[Agg], Seq[(String, Metric)]) =
+    /** A bucket-level tree (≤ 2 levels) or flat metrics, in context. */
+    def parseTree(named: List[(String, JValue)],
+                  ctx: Option[(Seq[String], Seq[String])]): Either[Seq[(String, Metric)], Buckets] =
       named match {
         case List((_, JObject(bucketFields))) if bucketFields.exists {
           case (k, _) => k == "terms" || k == "histogram"
@@ -147,13 +158,18 @@ object EsAggs {
             require(interval > 0, s"histogram interval must be > 0: $interval")
             Histogram(fieldPath(spec, "histogram", ctx), interval)
           }).get
-          val subs = bf.get("aggs").orElse(bf.get("aggregations")) match {
-            case Some(JObject(fields)) => parseMetrics(fields, ctx)
+          bf.get("aggs").orElse(bf.get("aggregations")) match {
+            case None => Right(Buckets(bucket, Nil, None))
+            case Some(JObject(fields)) => parseTree(fields, ctx) match {
+              case Left(ms) => Right(Buckets(bucket, ms, None))
+              case Right(inner) =>
+                require(inner.sub.isEmpty,
+                  "aggs nesting deeper than two bucket levels is not implemented")
+                Right(Buckets(bucket, Nil, Some(inner)))
+            }
             case Some(other) => throw new IllegalArgumentException(s"bad sub-aggs: $other")
-            case None => Nil
           }
-          (Some(bucket), subs)
-        case metricsOnly => (None, parseMetrics(metricsOnly, ctx))
+        case metricsOnly => Left(parseMetrics(metricsOnly, ctx))
       }
 
     namedOf(aggsJ) match {
@@ -173,15 +189,12 @@ object EsAggs {
           .map(namedOf).getOrElse(throw new IllegalArgumentException("nested agg needs sub-aggs"))
         SearchQuery.splitArrayPath(np, schema) match {
           case (Nil, _) => // struct path (reference maps structs nested too): no-op context
-            val (bucket, metrics) = parseLevel(inner, None)
-            Request(query, None, bucket, metrics)
+            Request(query, None, parseTree(inner, None))
           case (arr, _) => // array path (may extend into the element, README-query-2 style)
-            val (bucket, metrics) = parseLevel(inner, Some((np, arr)))
-            Request(query, Some(arr), bucket, metrics)
+            Request(query, Some(arr), parseTree(inner, Some((np, arr))))
         }
       case named =>
-        val (bucket, metrics) = parseLevel(named, None)
-        Request(query, None, bucket, metrics)
+        Request(query, None, parseTree(named, None))
     }
   }
 
@@ -204,21 +217,56 @@ object EsAggs {
       case "max" => max(field(ctx, m.path))
       case "value_count" => count(field(ctx, m.path))
     }).as(name)
-    val metricCols = req.metrics.map { case (n, m) => metricCol(n, m) }
-    req.bucket match {
-      case Some(Terms(p, size)) =>
-        rows.groupBy(field(ctx, p).as("key"))
-          .agg(count(lit(1)).as("doc_count"), metricCols: _*)
-          .orderBy(col("doc_count").desc, col("key").asc) // ES bucket order
-          .limit(size)
-      case Some(Histogram(p, interval)) =>
-        rows
-          .groupBy((floor(field(ctx, p) / interval.toDouble) * interval).cast("long").as("key"))
-          .agg(count(lit(1)).as("doc_count"), metricCols: _*)
-          .orderBy(col("key"))
-      case None =>
-        require(metricCols.nonEmpty, "aggs body has no aggregations")
-        rows.agg(count(lit(1)).as("doc_count"), metricCols: _*)
+    def keyCol(b: Agg): Column = b match {
+      case Terms(p, _) => field(ctx, p)
+      case Histogram(p, interval) =>
+        (floor(field(ctx, p) / interval.toDouble) * interval).cast("long")
+      case m: Metric => throw new IllegalStateException(s"not a bucket agg: $m")
+    }
+    req.tree match {
+      case Left(ms) =>
+        require(ms.nonEmpty, "aggs body has no aggregations")
+        rows.agg(count(lit(1)).as("doc_count"), ms.map((metricCol _).tupled): _*)
+      case Right(Buckets(b, ms, None)) =>
+        val grouped = rows.groupBy(keyCol(b).as("key"))
+          .agg(count(lit(1)).as("doc_count"), ms.map((metricCol _).tupled): _*)
+        b match {
+          case Terms(_, size) =>
+            grouped.orderBy(col("doc_count").desc, col("key").asc).limit(size) // ES bucket order
+          case _ => grouped.orderBy(col("key"))
+        }
+      case Right(Buckets(b1, _, Some(Buckets(b2, ms2, _)))) =>
+        // Two-level split: ONE hash aggregation on the composite key
+        // (corpus-sized work ends here), then parent counts / top-N /
+        // child top-N as windows over the BUCKET table — |buckets| rows,
+        // bounded by key cardinality, never by the corpus.
+        val leaf = rows.groupBy(keyCol(b1).as("key"), keyCol(b2).as("key2"))
+          .agg(count(lit(1)).as("doc_count2"), ms2.map((metricCol _).tupled): _*)
+        val wp = org.apache.spark.sql.expressions.Window.partitionBy(col("key"))
+        var out = leaf.withColumn("doc_count", sum(col("doc_count2")).over(wp))
+        b1 match {
+          case Terms(_, size1) =>
+            // dense_rank over (count, key): rows of one parent share a rank
+            out = out.withColumn("_prank", dense_rank().over(
+                org.apache.spark.sql.expressions.Window
+                  .orderBy(col("doc_count").desc, col("key").asc)))
+              .filter(col("_prank") <= size1).drop("_prank")
+          case _ => ()
+        }
+        b2 match {
+          case Terms(_, size2) =>
+            out = out.withColumn("_crank", row_number().over(
+                wp.orderBy(col("doc_count2").desc, col("key2").asc)))
+              .filter(col("_crank") <= size2).drop("_crank")
+          case _ => ()
+        }
+        val childOrder = b2 match {
+          case Terms(_, _) => Seq(col("doc_count2").desc, col("key2").asc)
+          case _ => Seq(col("key2").asc)
+        }
+        out.select(Seq(col("key"), col("doc_count"), col("key2"), col("doc_count2"))
+            ++ ms2.map { case (n, _) => col(n) }: _*)
+          .orderBy(Seq(col("doc_count").desc, col("key").asc) ++ childOrder: _*)
     }
   }
 }

@@ -469,6 +469,28 @@ class DocEngineSpec extends SparkSpec {
       """{"aggs": {"svc": {"nested": {"path": "linkedPlanServices"},
         |  "aggs": {"bad": {"avg": {"field": "planCostShares.copay"}}}}}}""".stripMargin,
       PlanSchema.plan))
+    // two-level split series: nested context, terms split by terms with a
+    // child top-N — both elements share objectType 'planservice' (one
+    // parent), split into two name buckets; size=1 keeps the count-desc,
+    // key-asc first child only
+    val split =
+      """{"aggs": {"svc": {"nested": {"path": "linkedPlanServices"},
+        |  "aggs": {"by_type": {"terms": {"field": "linkedPlanServices.objectType"},
+        |    "aggs": {"by_name": {"terms": {"field": "linkedPlanServices.linkedService.name.keyword", "size": 1},
+        |      "aggs": {"n": {"value_count": {"field": "linkedPlanServices.objectId"}}}}}}}}}}""".stripMargin
+    val sRows = EsAggs.run(assembledDocs, "doc", split, PlanSchema.plan).collect()
+    assert(sRows.length === 1)
+    assert(sRows(0).getAs[String]("key") === "planservice")
+    assert(sRows(0).getAs[Long]("doc_count") === 2L) // parent counts BOTH elements
+    assert(sRows(0).getAs[String]("key2") === "Yearly physical") // tie → key asc
+    assert(sRows(0).getAs[Long]("doc_count2") === 1L)
+    assert(sRows(0).getAs[Long]("n") === 1L)
+    // three bucket levels rejected
+    assertThrows[IllegalArgumentException](EsAggs.parse(
+      """{"aggs": {"a": {"terms": {"field": "planType"},
+        |  "aggs": {"b": {"terms": {"field": "_org"},
+        |    "aggs": {"c": {"terms": {"field": "objectType"}}}}}}}}""".stripMargin,
+      PlanSchema.plan))
   }
 
   test("search_after validates arity and excludes from; pages are cursor-consistent") {

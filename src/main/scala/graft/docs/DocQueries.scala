@@ -1463,6 +1463,42 @@ object DocQueries {
        |FROM rk WHERE prank <= 3
        |ORDER BY doc_count DESC, key, key2""".stripMargin
 
+  // ---------------------------------------------------------------- d42
+  /** ES `regexp` (ANCHORED, Lucene-style whole-value match — `^(?:…)$`,
+    * not SQL substring rlike) composed with `must_not ids` (the engine's
+    * `_id` is the document objectId). The pattern keeps to character
+    * classes + literals so any regex engine agrees. */
+  private def d42(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "query": {
+        |    "bool": {
+        |      "must": [
+        |        { "regexp": { "_org": "org-1[0-9]\\.example\\.com" } }
+        |      ],
+        |      "must_not": [
+        |        { "ids": { "values": ["plan-115", "plan-217", "plan-319"] } }
+        |      ]
+        |    }
+        |  }
+        |}""".stripMargin
+    val ast = SearchQuery.fromJson(body, schema)
+    assembled(s, d)
+      .filter(SearchQuery.compile(ast, col("doc")))
+      .select(col("doc.objectId").as("object_id"),
+        col("doc._org").as("org"))
+      .orderBy(col("object_id"))
+  }
+
+  private val d42Sql =
+    s"""SELECT 'plan-' || ${ck("c_custkey")} AS object_id,
+       |  'org-' || ${ck("c_nationkey")} || '.example.com' AS org
+       |FROM customer
+       |WHERE regexp_full_match('org-' || ${ck("c_nationkey")} || '.example.com',
+       |        'org-1[0-9]\\.example\\.com')
+       |  AND 'plan-' || ${ck("c_custkey")} NOT IN ('plan-115', 'plan-217', 'plan-319')
+       |ORDER BY object_id""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -1492,6 +1528,7 @@ object DocQueries {
     "d39_es_multi_match" -> d39 _,
     "d40_es_search_after" -> d40 _,
     "d41_es_split_series" -> d41 _,
+    "d42_es_ids_regexp" -> d42 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
     "d3_roundtrip" -> d3 _,
@@ -1535,6 +1572,7 @@ object DocQueries {
     "d39_es_multi_match" -> d39Sql,
     "d40_es_search_after" -> d40Sql,
     "d41_es_split_series" -> d41Sql,
+    "d42_es_ids_regexp" -> d42Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,
     "d3_roundtrip" -> d3Sql,

@@ -82,6 +82,12 @@ object SearchOps {
       lit(s" $norm "))
   }
 
+  /** ES `regexp` — ANCHORED full-value regex (ES/Lucene semantics: the
+    * pattern must match the whole keyword value, unlike SQL rlike's
+    * substring search — hence the `^(?:…)$` wrap). */
+  def regexMatch(c: Column, pattern: String): Column =
+    c.rlike(s"^(?:$pattern)$$")
+
   /** Q2 — nested match: does SOME element of `arr` satisfy `pred`? */
   def nestedMatch(arr: Column, pred: Column => Column): Column = exists(arr, pred)
 

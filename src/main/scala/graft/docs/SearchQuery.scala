@@ -49,6 +49,10 @@ object SearchQuery {
   /** ES `match_phrase` — the analyzed tokens appear CONSECUTIVELY. */
   final case class MatchPhrase(path: Seq[String], phrase: String) extends SearchQuery
   final case class NestedMatchPhrase(arrayPath: Seq[String], field: Seq[String], phrase: String) extends SearchQuery
+  /** ES `regexp` — ANCHORED regex on a keyword field (ES/Lucene regexps
+    * must match the whole value; compiled as `^(?:…)$` rlike). */
+  final case class Regexp(path: Seq[String], pattern: String) extends SearchQuery
+  final case class NestedRegexp(arrayPath: Seq[String], field: Seq[String], pattern: String) extends SearchQuery
   /** ES bool must / should / must_not. */
   final case class And(qs: SearchQuery*) extends SearchQuery
   final case class Or(qs: SearchQuery*) extends SearchQuery
@@ -390,6 +394,23 @@ object SearchQuery {
           case (Nil, full) => Prefix(full, v)
           case (arr, rest) => NestedPrefix(arr, rest, v)
         }
+      case JObject(List(("ids", JObject(fields)))) =>
+        // ES `ids` — the engine's _id is the document objectId.
+        val values = fields.toMap.get("values") match {
+          case Some(JArray(vs)) if vs.nonEmpty => vs.map(asString)
+          case _ => throw new IllegalArgumentException("ids needs a non-empty values array")
+        }
+        TermsIn(Seq("objectId"), values)
+      case JObject(List(("regexp", JObject(List((p, spec)))))) =>
+        val pat = spec match {
+          case JObject(f) => f.toMap.get("value").map(asString)
+            .getOrElse(throw new IllegalArgumentException("regexp needs value"))
+          case other => asString(other)
+        }
+        splitArrayPath(path(p), schema) match {
+          case (Nil, full) => Regexp(full, pat)
+          case (arr, rest) => NestedRegexp(arr, rest, pat)
+        }
       case JObject(List(("match_phrase", JObject(List((p, spec)))))) =>
         val v = spec match {
           case JObject(f) => f.toMap.get("query").map(asString)
@@ -447,6 +468,9 @@ object SearchQuery {
     case MatchPhrase(p, v) => SearchOps.phraseMatch(field(doc, p), v)
     case NestedMatchPhrase(ap, f, v) =>
       SearchOps.nestedMatch(field(doc, ap), x => SearchOps.phraseMatch(field(x, f), v))
+    case Regexp(p, pat) => SearchOps.regexMatch(field(doc, p), pat)
+    case NestedRegexp(ap, f, pat) =>
+      SearchOps.nestedMatch(field(doc, ap), x => SearchOps.regexMatch(field(x, f), pat))
     case And(qs @ _*) => qs.map(compile(_, doc)).reduce(_ && _)
     case Or(qs @ _*) => qs.map(compile(_, doc)).reduce(_ || _)
     case Not(sub) => !compile(sub, doc)
@@ -469,6 +493,7 @@ object SearchQuery {
       case NestedExistsField(ap, _) => Set(ap)
       case NestedPrefix(ap, _, _) => Set(ap)
       case NestedMatchPhrase(ap, _, _) => Set(ap)
+      case NestedRegexp(ap, _, _) => Set(ap)
       case NestedCompound(ap, _) => Set(ap)
       case And(qs @ _*) => qs.flatMap(aps).toSet
       case Or(qs @ _*) => qs.flatMap(aps).toSet
@@ -496,6 +521,7 @@ object SearchQuery {
       case NestedExistsField(p, f) if p == ap => field(x, f).isNotNull
       case NestedPrefix(p, f, v) if p == ap => SearchOps.prefix(field(x, f), v)
       case NestedMatchPhrase(p, f, v) if p == ap => SearchOps.phraseMatch(field(x, f), v)
+      case NestedRegexp(p, f, pat) if p == ap => SearchOps.regexMatch(field(x, f), pat)
       case And(qs @ _*) => qs.map(perElement(_, ap, x, doc)).reduce(_ && _)
       case Or(qs @ _*) => qs.map(perElement(_, ap, x, doc)).reduce(_ || _)
       case Not(sub) => !perElement(sub, ap, x, doc)

@@ -141,6 +141,23 @@ class PlanAuditSpec extends SparkSpec {
       s"unexpected global sort stages in:\n$p")
   }
 
+  test("d36: ES terms agg is ONE shuffle with map-side partial combine") {
+    val p = plan(q("d36_es_terms_agg"))
+    assert(p.contains("partial_count"), "no map-side partial aggregation")
+    val exchanges = p.linesIterator.count(_.matches("\\(\\d+\\) Exchange.*"))
+    assert(exchanges === 1, s"expected exactly 1 shuffle, got $exchanges:\n$p")
+    assert(p.contains("TakeOrderedAndProject")) // top-N buckets, no global sort
+  }
+
+  test("d40: search_after pages as a filter + size-bounded TakeOrderedAndProject") {
+    val p = plan(q("d40_es_search_after"))
+    assert(p.contains("TakeOrderedAndProject"))
+    // corpus side must not shuffle; the rn window over the ≤size-row page
+    // may add one single-partition exchange, nothing more
+    val exchanges = p.linesIterator.count(_.matches("\\(\\d+\\) Exchange.*"))
+    assert(exchanges <= 1, s"keyset paging must not shuffle the corpus:\n$p")
+  }
+
   test("d14: the replaced corpus assembles from parquet scans, not a mutation lineage") {
     // d14's assembler references the replaced Shredded ~9× (once per schema
     // node). Round 4 measured 217 s because the input was a LAZY persist()

@@ -393,6 +393,13 @@ class DocEngineSpec extends SparkSpec {
     assert(cnt("""{"query": {"match_phrase": {"linkedPlanServices.linkedService.name": "yearly physical"}}}""") === 1)
     assert(cnt("""{"query": {"match_phrase": {"linkedPlanServices.linkedService.name": "physical yearly"}}}""") === 0)
     assert(cnt("""{"query": {"match_phrase": {"planType": "innetwork"}}}""") === 1)
+    // regexp: ANCHORED whole-value match (ES/Lucene), not substring rlike
+    assert(cnt("""{"query": {"regexp": {"_org": "example\\.[a-z]+"}}}""") === 1)
+    assert(cnt("""{"query": {"regexp": {"_org": "example"}}}""") === 0)
+    assert(cnt("""{"query": {"regexp": {"linkedPlanServices.linkedService.name.keyword": "[Ww]ell .*"}}}""") === 1)
+    // ids: the engine's _id is objectId
+    assert(cnt("""{"query": {"ids": {"values": ["12xvxc345ssdsds-508", "nope"]}}}""") === 1)
+    assert(cnt("""{"query": {"ids": {"values": ["nope"]}}}""") === 0)
     // exists: ES indexes NO value for [], so an empty array is missing
     val emptyArrayDoc =
       """{"planCostShares":{"deductible":1,"_org":"example.com","copay":1,

@@ -36,7 +36,7 @@ object DedupQueries {
   /** Documents ∪ planted near-duplicates: every `doc_id % 7 == 0` doc gets
     * a copy (id + 1000000) with the first token dropped; every
     * `doc_id % 13 == 0` doc gets an EXACT copy (id + 2000000). */
-  private def planted(s: SparkSession, d: String): DataFrame = {
+  private[graft] def planted(s: SparkSession, d: String): DataFrame = {
     val base = Tables(s, d, "documents").select(col("doc_id"), col("text"), col("lang"), col("source"))
     val near = base.filter(col("doc_id") % 7 === 0).select(
       (col("doc_id") + 1000000L).as("doc_id"),
@@ -340,7 +340,9 @@ object DedupQueries {
     graft.Eager.finish(res, cached: _*)
   }
 
-  private val dd4Sql =
+  /** dd4's verified-pair query WITHOUT the final ORDER BY — reused as a
+    * nested CTE by dd6's cluster resolution. */
+  private val pairsCoreSql =
     s"""WITH corpus AS ($PlantedSql),
        |th AS (SELECT doc_id, lang, source,
        |    list_transform(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''),
@@ -373,8 +375,88 @@ object DedupQueries {
        |  GROUP BY a, b)
        |SELECT a, b, n_inter, za.n_bg + zb.n_bg - n_inter AS n_union
        |FROM inter JOIN sizes za ON za.doc_id = a JOIN sizes zb ON zb.doc_id = b
-       |WHERE n_inter * 2 >= za.n_bg + zb.n_bg - n_inter
-       |ORDER BY a, b""".stripMargin
+       |WHERE n_inter * 2 >= za.n_bg + zb.n_bg - n_inter""".stripMargin
+
+  private val dd4Sql = s"$pairsCoreSql\nORDER BY a, b"
+
+  // ---------------------------------------------------------------- dd6
+  /** Dedup CLUSTER RESOLUTION — the step every real pipeline runs after
+    * pair finding: candidate pairs form a graph; connected components are
+    * the duplicate clusters; one canonical document (min doc_id) survives
+    * per cluster. Without it a triangle {A,B,C} deduped pairwise can drop
+    * all three, or keep two.
+    *
+    * Components via K rounds of min-label propagation — each round is one
+    * self-contained `join + groupBy-min` over the EDGE list (candidate
+    * pairs, orders of magnitude smaller than the corpus), the standard
+    * cluster-scale formulation (large-star/small-star refines the same
+    * idea). K is FIXED (not run-to-fixpoint) so the computation is a
+    * deterministic dataflow reproducible in any engine — the oracle runs
+    * the identical K rounds — and K = 3 ≥ the planted cluster diameter
+    * (2: near-dup and exact copy meet through their original), with slack
+    * for coincidental chains. At 100 TB, K grows like the log of the
+    * largest plausible chain, still a handful of edge-set shuffles. */
+  private def dd6(s: SparkSession, d: String): DataFrame = {
+    val (pairs0, cached) = ngramJaccardPairs(planted(s, d))
+    // The edge list is tiny (verified duplicate pairs); the label frames
+    // are tinier. Each round is materialized EAGERLY (count) — an
+    // iterative dataflow left lazy stacks all K rounds plus the whole
+    // pair pipeline into one job and re-optimizes the union of lineages.
+    // Iteration boundary = a STORAGE materialization (write parquet, read
+    // back), the same mat() pattern the document corpus uses and the
+    // literal cluster architecture for iterative graph algorithms
+    // (checkpoint the label table per round). Executor-cache persists are
+    // NOT enough here: each round references the previous one twice
+    // (directly + through the neighbor-min), and when cache substitution
+    // misses, lineage re-executes with ~3× growth per round (measured
+    // 1.7 / 5 / 35 / 97 s across the 3 rounds + final read).
+    def matIter(tag: String)(df: DataFrame): DataFrame = {
+      val dir = graft.TempDirs.create(s"graft-dd6-$tag-")
+      df.write.mode("overwrite").parquet(dir.toString)
+      df.sparkSession.read.parquet(dir.toString)
+    }
+    // mat the pair list BEFORE the symmetric union: both branches then
+    // read the parquet instead of re-running the candidate/verify joins
+    val ab = matIter("pairs")(pairs0.select(col("a"), col("b")))
+    val edges = ab.unionByName(ab.select(col("b").as("a"), col("a").as("b")))
+    var lbl = matIter("seed")(
+      edges.select(col("a").as("id")).distinct()
+        .select(col("id"), col("id").as("lbl")))
+    (1 to 3).foreach { i =>
+      val nbrMin = edges.join(lbl.select(col("id").as("b"), col("lbl").as("nlbl")), "b")
+        .groupBy(col("a")).agg(min(col("nlbl")).as("nbr_lbl"))
+      lbl = matIter(s"round$i")(
+        lbl.join(nbrMin.withColumnRenamed("a", "id"), Seq("id"), "left")
+          .select(col("id"),
+            least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl")))
+    }
+    val res = lbl.groupBy(col("lbl").as("cluster_id"))
+      .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_member"))
+      .orderBy(col("cluster_id"))
+    graft.Eager.finish(res, cached: _*)
+  }
+
+  /** The oracle runs the IDENTICAL 3 rounds (layered CTEs, no recursion),
+    * so both engines compute the same deterministic dataflow. */
+  private val dd6Sql = {
+    def round(prev: String, out: String): String =
+      s"""$out AS (
+         |  SELECT n.id, LEAST(n.lbl, COALESCE(MIN(lb.lbl), n.lbl)) AS lbl
+         |  FROM $prev n
+         |  LEFT JOIN e ON e.a = n.id
+         |  LEFT JOIN $prev lb ON lb.id = e.b
+         |  GROUP BY n.id, n.lbl)""".stripMargin
+    s"""WITH pairs AS ($pairsCoreSql),
+       |e AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+       |nodes AS (SELECT DISTINCT a AS id FROM e),
+       |l0 AS (SELECT id, id AS lbl FROM nodes),
+       |${round("l0", "l1")},
+       |${round("l1", "l2")},
+       |${round("l2", "l3")}
+       |SELECT lbl AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+       |  MAX(id) AS max_member
+       |FROM l3 GROUP BY lbl ORDER BY cluster_id""".stripMargin
+  }
 
   // ---------------------------------------------------------------- dd5
   /** Embedding-cosine near-dup: plant perturbed copies (v' = 1.001·v +
@@ -445,12 +527,14 @@ object DedupQueries {
     "dd2_minhash_lsh" -> dd2 _,
     "dd3_simhash" -> dd3 _,
     "dd4_ngram_jaccard" -> dd4 _,
-    "dd5_embed_neardup" -> dd5 _)
+    "dd5_embed_neardup" -> dd5 _,
+    "dd6_dedup_clusters" -> dd6 _)
 
   val oracle: Map[String, String] = Map(
     "dd1_exact_dedup" -> dd1Sql,
     "dd2_minhash_lsh" -> dd2Sql,
     "dd3_simhash" -> dd3Sql,
     "dd4_ngram_jaccard" -> dd4Sql,
-    "dd5_embed_neardup" -> dd5Sql)
+    "dd5_embed_neardup" -> dd5Sql,
+    "dd6_dedup_clusters" -> dd6Sql)
 }

@@ -79,6 +79,44 @@ class DocPropertySpec extends SparkSpec {
     assert(after.edges.count() === 0)
   }
 
+  test("pagination consistency: from/size pages and search_after cursors tile the full sort") {
+    // Property: concatenating successive pages — whether addressed by
+    // offset (from/size) or by cursor (search_after on the previous
+    // page's last sort tuple) — reproduces the full ordered hit list,
+    // with no row lost, duplicated, or reordered at page boundaries.
+    val docs = corpus(37, seed = 7L)
+    val full = docs
+      .orderBy(col("doc.planCostShares.copay").desc, col("doc.objectId").asc)
+      .select(col("doc.objectId").as("id"), col("doc.planCostShares.copay").as("copay"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    def body(extra: String) =
+      s"""{"query": {"match_all": {}},
+         |"sort": [{"planCostShares.copay": {"order": "desc"}}, {"objectId": "asc"}],
+         |$extra
+         |"_source": ["objectId", "planCostShares.copay"]}""".stripMargin
+    // offset pages of 10
+    val byOffset = (0 until 4).flatMap { pg =>
+      SearchExec.search(docs, "doc", body(s""""from": ${pg * 10}, "size": 10,"""),
+          PlanSchema.plan)
+        .collect().map(r => (r.getAs[String]("objectId"), r.getAs[Long]("planCostShares_copay")))
+    }
+    assert(byOffset === full)
+    // cursor pages of 10: search_after = last (copay, objectId) seen
+    var cursor: Option[(Long, String)] = None
+    val byCursor = scala.collection.mutable.ListBuffer.empty[(String, Long)]
+    var go = true
+    while (go) {
+      val after = cursor.map { case (c, id) => s""""search_after": [$c, "$id"],""" }.getOrElse("")
+      val page = SearchExec.search(docs, "doc", body(s"""$after "size": 10,"""),
+          PlanSchema.plan)
+        .collect().map(r => (r.getAs[String]("objectId"), r.getAs[Long]("planCostShares_copay")))
+      byCursor ++= page
+      go = page.length == 10
+      if (go) cursor = Some((page.last._2, page.last._1))
+    }
+    assert(byCursor.toSeq === full)
+  }
+
   test("cascade-delete precision: deleting one root leaves the others intact") {
     val docs = corpus(10, 11L)
     val sh = Shredder.shred(docs)

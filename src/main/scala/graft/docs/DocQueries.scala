@@ -633,19 +633,23 @@ object DocQueries {
        |FROM o""".stripMargin
 
   // ---------------------------------------------------------------- d20
-  /** Search pagination — ES-style sort + from/size over search hits:
-    * deterministic total order, windowed offset. (Global offset is
-    * inherently a single-point operation; the sort itself is the scalable
-    * part — range-partitioned, no driver collect.) */
+  /** Search pagination — ES-style sort + from/size over search hits with
+    * a deterministic total order. The page is `ORDER BY … LIMIT from+size`
+    * — a TakeOrderedAndProject bounded heap (per-partition top-25, one
+    * driver merge) — and the offset drops inside that ≤25-row page, so
+    * the row_number window never sees the corpus (same shape as
+    * SearchExec, d35; this used to be a corpus-wide window, the one
+    * single-point the round-4 audit flagged). */
   private def d20(s: SparkSession, d: String): DataFrame = {
     val hits = assembled(s, d)
       .filter(SearchOps.range(col("doc.planCostShares.copay"), 10, 40))
       .select(col("doc.objectId").as("object_id"),
         col("doc.planCostShares.copay").as("copay"))
-    hits.withColumn("rn", row_number().over(
+    hits.orderBy(col("copay").desc, col("object_id")).limit(25)
+      .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window
           .orderBy(col("copay").desc, col("object_id"))))
-      .filter(col("rn") > 10 && col("rn") <= 25)
+      .filter(col("rn") > 10)
       .select(col("rn").cast("long").as("rn"), col("object_id"), col("copay"))
       .orderBy(col("rn"))
   }

@@ -129,16 +129,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(graft.docs.Assembler.assemble(sh, graft.model.PlanSchema.plan, "plan", Some(one)).count() == 1L)
   }
 
-  test("d35: ES from/size pagination plans as TakeOrderedAndProject, not a global sort") {
-    // The full-body executor's page must be a bounded heap of from+size
-    // rows (the ES 10k-cap contract); a corpus-wide Sort or a row_number
-    // window over unbounded input would be O(corpus) per page.
-    val p = plan(q("d35_es_full_body"))
-    assert(p.contains("TakeOrderedAndProject"))
-    val globalSorts = p.linesIterator.count(l =>
-      l.contains(" Sort ") && !l.contains("TakeOrdered"))
-    assert(globalSorts <= 1, // the ≤from+size-row page may sort locally
-      s"unexpected global sort stages in:\n$p")
+  test("d35/d20: from/size pagination plans as TakeOrderedAndProject, not a global sort") {
+    // The pagination page must be a bounded heap of from+size rows (the
+    // ES 10k-cap contract); a corpus-wide Sort or a row_number window
+    // over unbounded input would be O(corpus) per page.
+    Seq("d35_es_full_body", "d20_search_paged").foreach { name =>
+      val p = plan(q(name))
+      assert(p.contains("TakeOrderedAndProject"), s"$name lost the bounded heap")
+      val globalSorts = p.linesIterator.count(l =>
+        l.contains(" Sort ") && !l.contains("TakeOrdered"))
+      assert(globalSorts <= 1, // the ≤from+size-row page may sort locally
+        s"unexpected global sort stages in $name:\n$p")
+    }
   }
 
   test("d36: ES terms agg is ONE shuffle with map-side partial combine") {

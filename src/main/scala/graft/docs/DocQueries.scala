@@ -1503,6 +1503,41 @@ object DocQueries {
        |  AND 'plan-' || ${ck("c_custkey")} NOT IN ('plan-115', 'plan-217', 'plan-319')
        |ORDER BY object_id""".stripMargin
 
+  // ---------------------------------------------------------------- d43
+  /** ES `fuzzy` — a typo'd unanalyzed term within `fuzziness` edits
+    * ("BULDING" → BUILDING at distance 1), composed with a nested fuzzy
+    * through the array path ("Service 1-URGENT" with a dropped letter).
+    * Levenshtein both sides; Spark's 3-arg form bounds the computation at
+    * the threshold. */
+  private def d43(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "query": {
+        |    "bool": {
+        |      "must": [
+        |        { "fuzzy": { "planType": { "value": "BULDING", "fuzziness": 1 } } },
+        |        { "fuzzy": { "linkedPlanServices.linkedService.name.keyword": { "value": "Service 1-URGNT", "fuzziness": 2 } } }
+        |      ]
+        |    }
+        |  }
+        |}""".stripMargin
+    val ast = SearchQuery.fromJson(body, schema)
+    assembled(s, d)
+      .filter(SearchQuery.compile(ast, col("doc")))
+      .select(col("doc.objectId").as("object_id"),
+        col("doc.planType").as("plan_type"))
+      .orderBy(col("object_id"))
+  }
+
+  private val d43Sql =
+    s"""WITH o AS $O
+       |SELECT 'plan-' || ${ck("c_custkey")} AS object_id, c_mktsegment AS plan_type
+       |FROM customer
+       |WHERE levenshtein(c_mktsegment, 'BULDING') <= 1
+       |  AND EXISTS (SELECT 1 FROM o WHERE o_custkey = c_custkey
+       |              AND levenshtein('Service ' || o_orderpriority, 'Service 1-URGNT') <= 2)
+       |ORDER BY object_id""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -1533,6 +1568,7 @@ object DocQueries {
     "d40_es_search_after" -> d40 _,
     "d41_es_split_series" -> d41 _,
     "d42_es_ids_regexp" -> d42 _,
+    "d43_es_fuzzy" -> d43 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
     "d3_roundtrip" -> d3 _,
@@ -1577,6 +1613,7 @@ object DocQueries {
     "d40_es_search_after" -> d40Sql,
     "d41_es_split_series" -> d41Sql,
     "d42_es_ids_regexp" -> d42Sql,
+    "d43_es_fuzzy" -> d43Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,
     "d3_roundtrip" -> d3Sql,

@@ -169,6 +169,13 @@ object EsAggs {
             }
             case Some(other) => throw new IllegalArgumentException(s"bad sub-aggs: $other")
           }
+        case mixed if mixed.size > 1 && mixed.exists {
+          case (_, JObject(f)) => f.exists { case (k, _) => k == "terms" || k == "histogram" }
+          case _ => false
+        } =>
+          throw new IllegalArgumentException(
+            "a level mixing metric aggs with a bucket agg is not implemented " +
+              "(attach metrics to the LEAF bucket level)")
         case metricsOnly => Left(parseMetrics(metricsOnly, ctx))
       }
 

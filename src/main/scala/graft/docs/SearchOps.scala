@@ -88,6 +88,13 @@ object SearchOps {
   def regexMatch(c: Column, pattern: String): Column =
     c.rlike(s"^(?:$pattern)$$")
 
+  /** ES `fuzzy` — unanalyzed term within `fuzziness` edits. Levenshtein
+    * (ES uses Damerau — transpositions count 1 there, 2 here; documented
+    * divergence, same metric in the oracle). `levenshtein`'s 3-arg form
+    * bounds the computation at the threshold. */
+  def fuzzyMatch(c: Column, v: String, fuzziness: Int): Column =
+    levenshtein(c, lit(v), fuzziness) >= 0 // 3-arg form returns -1 past the bound
+
   /** Q2 — nested match: does SOME element of `arr` satisfy `pred`? */
   def nestedMatch(arr: Column, pred: Column => Column): Column = exists(arr, pred)
 

@@ -53,6 +53,12 @@ object SearchQuery {
     * must match the whole value; compiled as `^(?:…)$` rlike). */
   final case class Regexp(path: Seq[String], pattern: String) extends SearchQuery
   final case class NestedRegexp(arrayPath: Seq[String], field: Seq[String], pattern: String) extends SearchQuery
+  /** ES `fuzzy` — unanalyzed term within `fuzziness` edits (Damerau in
+    * Lucene; plain Levenshtein here — documented, and identical in the
+    * oracle). Integer fuzziness only; AUTO is rejected. */
+  final case class Fuzzy(path: Seq[String], value: String, fuzziness: Int) extends SearchQuery
+  final case class NestedFuzzy(arrayPath: Seq[String], field: Seq[String],
+                               value: String, fuzziness: Int) extends SearchQuery
   /** ES bool must / should / must_not. */
   final case class And(qs: SearchQuery*) extends SearchQuery
   final case class Or(qs: SearchQuery*) extends SearchQuery
@@ -401,6 +407,30 @@ object SearchQuery {
           case _ => throw new IllegalArgumentException("ids needs a non-empty values array")
         }
         TermsIn(Seq("objectId"), values)
+      case JObject(List(("fuzzy", JObject(List((p, spec)))))) =>
+        val (value, fz) = spec match {
+          case JObject(f) =>
+            val m = f.toMap
+            val unknown = m.keySet -- Set("value", "fuzziness")
+            require(unknown.isEmpty,
+              s"unsupported fuzzy key(s): ${unknown.mkString(", ")} (value/fuzziness)")
+            val v = m.get("value").map(asString)
+              .getOrElse(throw new IllegalArgumentException("fuzzy needs value"))
+            val fuzz = m.get("fuzziness") match {
+              case None => 1
+              case Some(JInt(i)) => i.toInt
+              case Some(JString(s)) if s.forall(_.isDigit) => s.toInt
+              case Some(other) => throw new IllegalArgumentException(
+                s"only integer fuzziness is supported (AUTO is not): $other")
+            }
+            (v, fuzz)
+          case v => (asString(v), 1)
+        }
+        require(fz >= 0, s"negative fuzziness: $fz")
+        splitArrayPath(path(p), schema) match {
+          case (Nil, full) => Fuzzy(full, value, fz)
+          case (arr, rest) => NestedFuzzy(arr, rest, value, fz)
+        }
       case JObject(List(("regexp", JObject(List((p, spec)))))) =>
         val pat = spec match {
           case JObject(f) => f.toMap.get("value").map(asString)
@@ -471,6 +501,9 @@ object SearchQuery {
     case Regexp(p, pat) => SearchOps.regexMatch(field(doc, p), pat)
     case NestedRegexp(ap, f, pat) =>
       SearchOps.nestedMatch(field(doc, ap), x => SearchOps.regexMatch(field(x, f), pat))
+    case Fuzzy(p, v, fz) => SearchOps.fuzzyMatch(field(doc, p), v, fz)
+    case NestedFuzzy(ap, f, v, fz) =>
+      SearchOps.nestedMatch(field(doc, ap), x => SearchOps.fuzzyMatch(field(x, f), v, fz))
     case And(qs @ _*) => qs.map(compile(_, doc)).reduce(_ && _)
     case Or(qs @ _*) => qs.map(compile(_, doc)).reduce(_ || _)
     case Not(sub) => !compile(sub, doc)
@@ -494,6 +527,7 @@ object SearchQuery {
       case NestedPrefix(ap, _, _) => Set(ap)
       case NestedMatchPhrase(ap, _, _) => Set(ap)
       case NestedRegexp(ap, _, _) => Set(ap)
+      case NestedFuzzy(ap, _, _, _) => Set(ap)
       case NestedCompound(ap, _) => Set(ap)
       case And(qs @ _*) => qs.flatMap(aps).toSet
       case Or(qs @ _*) => qs.flatMap(aps).toSet
@@ -522,6 +556,7 @@ object SearchQuery {
       case NestedPrefix(p, f, v) if p == ap => SearchOps.prefix(field(x, f), v)
       case NestedMatchPhrase(p, f, v) if p == ap => SearchOps.phraseMatch(field(x, f), v)
       case NestedRegexp(p, f, pat) if p == ap => SearchOps.regexMatch(field(x, f), pat)
+      case NestedFuzzy(p, f, v, fz) if p == ap => SearchOps.fuzzyMatch(field(x, f), v, fz)
       case And(qs @ _*) => qs.map(perElement(_, ap, x, doc)).reduce(_ && _)
       case Or(qs @ _*) => qs.map(perElement(_, ap, x, doc)).reduce(_ || _)
       case Not(sub) => !perElement(sub, ap, x, doc)

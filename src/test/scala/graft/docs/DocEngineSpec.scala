@@ -393,6 +393,13 @@ class DocEngineSpec extends SparkSpec {
     assert(cnt("""{"query": {"match_phrase": {"linkedPlanServices.linkedService.name": "yearly physical"}}}""") === 1)
     assert(cnt("""{"query": {"match_phrase": {"linkedPlanServices.linkedService.name": "physical yearly"}}}""") === 0)
     assert(cnt("""{"query": {"match_phrase": {"planType": "innetwork"}}}""") === 1)
+    // fuzzy: unanalyzed term within `fuzziness` edits; AUTO rejected
+    assert(cnt("""{"query": {"fuzzy": {"planType": {"value": "inNetwerk", "fuzziness": 1}}}}""") === 1)
+    assert(cnt("""{"query": {"fuzzy": {"planType": {"value": "inNetwerks", "fuzziness": 1}}}}""") === 0)
+    assert(cnt("""{"query": {"fuzzy": {"linkedPlanServices.linkedService.name.keyword": {"value": "wall baby", "fuzziness": 1}}}}""") === 1)
+    assertThrows[IllegalArgumentException](SearchQuery.fromJson(
+      """{"query": {"fuzzy": {"planType": {"value": "x", "fuzziness": "AUTO"}}}}""",
+      PlanSchema.plan))
     // regexp: ANCHORED whole-value match (ES/Lucene), not substring rlike
     assert(cnt("""{"query": {"regexp": {"_org": "example\\.[a-z]+"}}}""") === 1)
     assert(cnt("""{"query": {"regexp": {"_org": "example"}}}""") === 0)
@@ -498,6 +505,12 @@ class DocEngineSpec extends SparkSpec {
         |  "aggs": {"b": {"terms": {"field": "_org"},
         |    "aggs": {"c": {"terms": {"field": "objectType"}}}}}}}}""".stripMargin,
       PlanSchema.plan))
+    // mixing metrics with a bucket at one level is rejected with intent
+    val mixedErr = intercept[IllegalArgumentException](EsAggs.parse(
+      """{"aggs": {"m": {"avg": {"field": "planCostShares.copay"}},
+        |  "b": {"terms": {"field": "planType"}}}}""".stripMargin,
+      PlanSchema.plan))
+    assert(mixedErr.getMessage.contains("LEAF bucket level"))
   }
 
   test("search_after validates arity and excludes from; pages are cursor-consistent") {

@@ -1538,6 +1538,45 @@ object DocQueries {
        |              AND levenshtein('Service ' || o_orderpriority, 'Service 1-URGNT') <= 2)
        |ORDER BY object_id""".stripMargin
 
+  // ---------------------------------------------------------------- d44
+  /** ES date_histogram shape — fixed-interval time buckets (6 h in
+    * epoch-micros) over the EVENTS table, demonstrating the aggs executor
+    * is corpus-agnostic: any table becomes a "doc" table under one struct
+    * wrap. Epoch-scale keys are exactly why Histogram bins use integer
+    * floor-division — double division misrounds at bucket boundaries past
+    * the 53-bit mantissa. Metrics avoid double SUM (addition order is
+    * partition-dependent); count + max are exact in any engine. */
+  private def d44(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.Tables.events(s, d)
+      .select(struct(col("event_id"), col("ts_us"), col("user_id"),
+        col("event_type"), col("value")).as("doc"))
+    val evSchema = ev.schema("doc").dataType.asInstanceOf[StructType]
+    val body =
+      """{
+        |  "size": 0,
+        |  "query": { "term": { "event_type": "click" } },
+        |  "aggs": {
+        |    "by_6h": {
+        |      "histogram": { "field": "ts_us", "interval": 21600000000 },
+        |      "aggs": {
+        |        "n_users": { "value_count": { "field": "user_id" } },
+        |        "max_value": { "max": { "field": "value" } }
+        |      }
+        |    }
+        |  }
+        |}""".stripMargin
+    EsAggs.run(ev, "doc", body, evSchema)
+  }
+
+  private val d44Sql =
+    """WITH e AS (SELECT epoch_us(ts) AS ts_us, user_id, value
+      |           FROM events WHERE event_type = 'click')
+      |SELECT CAST(ts_us - (ts_us % 21600000000) AS BIGINT) AS key,
+      |  CAST(COUNT(*) AS BIGINT) AS doc_count,
+      |  CAST(COUNT(user_id) AS BIGINT) AS n_users,
+      |  MAX(value) AS max_value
+      |FROM e GROUP BY 1 ORDER BY key""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -1569,6 +1608,7 @@ object DocQueries {
     "d41_es_split_series" -> d41 _,
     "d42_es_ids_regexp" -> d42 _,
     "d43_es_fuzzy" -> d43 _,
+    "d44_es_date_histogram" -> d44 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
     "d3_roundtrip" -> d3 _,
@@ -1614,6 +1654,7 @@ object DocQueries {
     "d41_es_split_series" -> d41Sql,
     "d42_es_ids_regexp" -> d42Sql,
     "d43_es_fuzzy" -> d43Sql,
+    "d44_es_date_histogram" -> d44Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,
     "d3_roundtrip" -> d3Sql,

@@ -227,7 +227,11 @@ object EsAggs {
     def keyCol(b: Agg): Column = b match {
       case Terms(p, _) => field(ctx, p)
       case Histogram(p, interval) =>
-        (floor(field(ctx, p) / interval.toDouble) * interval).cast("long")
+        // floor(v/interval)*interval in PURE INTEGER arithmetic: double
+        // division misrounds at bucket boundaries once values outgrow the
+        // 53-bit mantissa's exact range (epoch-micros timestamps do).
+        // pmod keeps ES's floor semantics for negative values too.
+        (field(ctx, p) - pmod(field(ctx, p), lit(interval))).cast("long")
       case m: Metric => throw new IllegalStateException(s"not a bucket agg: $m")
     }
     req.tree match {

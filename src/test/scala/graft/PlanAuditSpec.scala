@@ -143,6 +143,17 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("ES terms/prefix/range predicates push into the parquet scan as nested-field filters") {
+    // the search surface's scale claim: compiled ES queries are ordinary
+    // Catalyst predicates, so In / StringStartsWith / range bounds on
+    // nested doc fields reach PushedFilters (and ReadSchema prunes)
+    assert(plan(q("d32_search_terms")).contains("In(doc.planType"))
+    assert(plan(q("d33_search_exists")).contains("StringStartsWith(doc._org,org-1)"))
+    val d35 = plan(q("d35_es_full_body"))
+    assert(d35.contains("GreaterThanOrEqual(doc.planCostShares.copay,10)"))
+    assert(d35.contains("LessThanOrEqual(doc.planCostShares.copay,40)"))
+  }
+
   test("d36: ES terms agg is ONE shuffle with map-side partial combine") {
     val p = plan(q("d36_es_terms_agg"))
     assert(p.contains("partial_count"), "no map-side partial aggregation")

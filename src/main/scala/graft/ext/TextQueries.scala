@@ -408,9 +408,44 @@ object TextQueries {
        |ORDER BY doc_id, bench_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- t10
+  /** Domain-mixture sampling — downsample each language toward a target
+    * mixture (the data-mixing step before training). Per-language keep
+    * rate = target/n_lang, applied as EXACT integer hash-Bernoulli:
+    * `md5hash(id‖salt) mod n_lang < target` holds with probability
+    * exactly target/n_lang, no float thresholds to diverge on. Rates come
+    * from one tiny per-language aggregate (broadcast); selection is a
+    * per-row map — no shuffle of the corpus, re-derivable from the id,
+    * and languages outside the target mix drop to zero. (Bernoulli, so
+    * realized counts carry binomial noise around the target — the
+    * standard trade against an exact-count global sort.) */
+  private val MixTargets = Seq("en" -> 120L, "de" -> 50L, "fr" -> 50L)
+
+  private def t10(s: SparkSession, d: String): DataFrame = {
+    val targets = MixTargets.foldLeft(lit(0L)) { case (acc, (l, t)) =>
+      when(col("lang") === l, t).otherwise(acc)
+    }
+    val counts = docs(s, d).groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    docs(s, d).join(broadcast(counts), "lang")
+      .filter(stableHash32(concat(col("doc_id").cast("string"), lit(":mix")))
+        % col("n_lang") < targets)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t10Sql = {
+    val cases = MixTargets.map { case (l, t) => s"WHEN '$l' THEN $t" }.mkString(" ")
+    s"""WITH n AS (SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY lang)
+       |SELECT doc_id, lang FROM documents JOIN n USING (lang)
+       |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 8)) AS BIGINT)
+       |        % n_lang < CASE lang $cases ELSE 0 END
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
+    "t10_domain_mix" -> t10 _,
     "t7_split" -> t7 _,
     "t8_pii_scrub" -> t8 _,
     "t9_contamination" -> t9 _,
@@ -422,6 +457,7 @@ object TextQueries {
     "t4_fingerprint" -> t4 _)
 
   val oracle: Map[String, String] = Map(
+    "t10_domain_mix" -> t10Sql,
     "t7_split" -> t7Sql,
     "t8_pii_scrub" -> t8Sql,
     "t9_contamination" -> t9Sql,

@@ -433,13 +433,92 @@ object IndexPipeline {
       |  CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(28,6)) AS DOUBLE) AS total
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- st6
+  /** Stream-stream INNER JOIN with watermarks — event attribution: every
+    * `error` within one hour AFTER a `click` by the same user. Both sides
+    * are unbounded streams; the time-interval join condition plus
+    * watermarks on BOTH sides is what lets Spark expire join state (a
+    * click can only match errors up to 1 h later, so once the error-side
+    * watermark passes click.ts + 1 h the click's state is dropped) —
+    * without the bound, stream-stream join state grows forever. Inner
+    * join emits each match exactly once as it forms; the final per-user
+    * aggregate runs batch-side on the sink table.
+    *
+    * Scale shape: join state is keyed by user in the state store
+    * (RocksDB at cluster scale), partitioned by the equi-key — one
+    * shuffle per batch per side; state size is bounded by the 1 h event-
+    * time window, not by stream lifetime. */
+  private def st6(s0: SparkSession, d: String): DataFrame = {
+    // Isolated session (shared SparkContext, own SQLConf): stream-stream
+    // join state lives in shuffle-partition-many store instances PER SIDE
+    // PER BATCH — at 32 partitions that is 32×4×3 tiny state files plus
+    // fsyncs for a 10k-row log. 8 partitions carry the same semantics at
+    // a quarter of the fixed cost; the conf change must not leak into the
+    // 100-query session, hence newSession.
+    val s = s0.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", 8)
+    val base = Files.createTempDirectory("graft-stream6-")
+    val srcDir = base.resolve("log").toString
+    val ckDir = base.resolve("ck").toString
+    val nFiles = 3
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("ts_us"), col("user_id"), col("event_type"))
+    val maxId = ev.agg(max(col("event_id"))).head().getLong(0) + 1
+    (0 until nFiles).foreach { i =>
+      ev.filter(floor(col("event_id") * nFiles / maxId) === i)
+        .coalesce(1).write.parquet(s"$srcDir/b$i")
+    }
+    def stream(tpe: String, alias: String) = s.readStream
+      .schema(ev.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$srcDir/b*")
+      .filter(col("event_type") === tpe)
+      .select(col("event_id").as(s"${alias}_id"), col("user_id").as(s"${alias}_user"),
+        timestamp_micros(col("ts_us")).as(s"${alias}_ts"))
+      .withWatermark(s"${alias}_ts", "1 hour")
+    val joined = stream("click", "c").join(stream("error", "e"),
+      col("c_user") === col("e_user") &&
+        col("e_ts") >= col("c_ts") &&
+        col("e_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"))
+    val qname = s"st6_join_${System.nanoTime()}"
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(qname)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckDir)
+      .start()
+    q.awaitTermination()
+    val out = s.table(qname)
+      .groupBy(col("c_user").as("user_id"))
+      .agg(count(lit(1)).as("n_attributed"),
+        min(col("c_id")).as("first_click"),
+        max(col("e_id")).as("last_error"))
+      .orderBy(col("user_id"))
+    val pinned = graft.Eager.pin(out)
+    deleteRecursively(base)
+    pinned
+  }
+
+  /** Oracle: the same attribution join in plain SQL over the full log. */
+  private val st6Sql =
+    """WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type FROM events)
+      |SELECT c.user_id, CAST(COUNT(*) AS BIGINT) AS n_attributed,
+      |  MIN(c.event_id) AS first_click, MAX(x.event_id) AS last_error
+      |FROM e c JOIN e x
+      |  ON c.user_id = x.user_id AND c.event_type = 'click' AND x.event_type = 'error'
+      | AND x.ts_us >= c.ts_us AND x.ts_us <= c.ts_us + 3600000000
+      |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "st6_stream_join" -> st6 _,
     "st5_stream_dedup" -> st5 _,
     "st1_stream_upsert" -> st1 _,
     "st2_stream_window" -> st2 _,
     "st3_stream_mgws" -> st3 _,
     "st4_stream_sessions" -> st4 _)
   val oracle: Map[String, String] = Map(
+    "st6_stream_join" -> st6Sql,
     "st5_stream_dedup" -> st5Sql,
     "st1_stream_upsert" -> st1Sql,
     "st2_stream_window" -> st2Sql,

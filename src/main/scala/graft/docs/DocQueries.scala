@@ -1577,6 +1577,46 @@ object DocQueries {
       |  MAX(value) AS max_value
       |FROM e GROUP BY 1 ORDER BY key""".stripMargin
 
+  // ---------------------------------------------------------------- d45
+  /** ES scoring wrappers, hit-set honest: `constant_score` (filter
+    * verbatim — only scoring changes) around `dis_max` (union — differs
+    * from bool/should only in scoring the union by max instead of sum),
+    * over a multi-token analyzed `match` ("building machinery" = OR of
+    * per-token matches, ES's default operator). */
+  private def d45(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "query": {
+        |    "constant_score": {
+        |      "filter": {
+        |        "dis_max": {
+        |          "queries": [
+        |            { "match": { "planType": { "query": "building machinery", "operator": "or" } } },
+        |            { "prefix": { "_org": "org-2" } }
+        |          ]
+        |        }
+        |      }
+        |    }
+        |  }
+        |}""".stripMargin
+    val ast = SearchQuery.fromJson(body, schema)
+    assembled(s, d)
+      .filter(SearchQuery.compile(ast, col("doc")))
+      .select(col("doc.objectId").as("object_id"),
+        col("doc.planType").as("plan_type"),
+        col("doc._org").as("org"))
+      .orderBy(col("object_id"))
+  }
+
+  private val d45Sql =
+    s"""SELECT 'plan-' || ${ck("c_custkey")} AS object_id,
+       |  c_mktsegment AS plan_type,
+       |  'org-' || ${ck("c_nationkey")} || '.example.com' AS org
+       |FROM customer
+       |WHERE lower(c_mktsegment) IN ('building', 'machinery')
+       |   OR 'org-' || ${ck("c_nationkey")} || '.example.com' LIKE 'org-2%'
+       |ORDER BY object_id""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -1609,6 +1649,7 @@ object DocQueries {
     "d42_es_ids_regexp" -> d42 _,
     "d43_es_fuzzy" -> d43 _,
     "d44_es_date_histogram" -> d44 _,
+    "d45_es_score_wrappers" -> d45 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
     "d3_roundtrip" -> d3 _,
@@ -1655,6 +1696,7 @@ object DocQueries {
     "d42_es_ids_regexp" -> d42Sql,
     "d43_es_fuzzy" -> d43Sql,
     "d44_es_date_histogram" -> d44Sql,
+    "d45_es_score_wrappers" -> d45Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,
     "d3_roundtrip" -> d3Sql,

@@ -310,13 +310,32 @@ object SearchQuery {
         else if (parts.size == 1) parts.head
         else And(parts: _*)
       case JObject(List((op @ ("match" | "term"), JObject(List((p, spec)))))) =>
-        val value = spec match {
-          case JObject(f) => f.toMap.get("query").orElse(f.toMap.get("value"))
-            .map(asString).getOrElse(throw new IllegalArgumentException(s"$op needs query/value"))
-          case v => asString(v)
+        val (value, andOp) = spec match {
+          case JObject(f) =>
+            val m = f.toMap
+            val unknown = m.keySet -- Set("query", "value", "operator", "boost")
+            require(unknown.isEmpty,
+              s"unsupported $op key(s) on $p: ${unknown.mkString(", ")}")
+            val v = m.get("query").orElse(m.get("value")).map(asString)
+              .getOrElse(throw new IllegalArgumentException(s"$op needs query/value"))
+            val operator = m.get("operator").map(asString).getOrElse("or")
+            require(operator == "or" || operator == "and", s"bad operator: $operator")
+            require(op == "match" || !m.contains("operator"), "term takes no operator")
+            (v, operator == "and")
+          case v => (asString(v), false)
         }
         splitArrayPath(path(p), schema) match {
-          case (Nil, full) if op == "match" => TermMatch(full, value)
+          case (Nil, full) if op == "match" =>
+            // ES analyzes the query string: multi-token queries are an OR
+            // of per-token matches by default, AND under operator=and. A
+            // single TermMatch with an embedded space would match nothing.
+            val terms = value.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+              .map(TermMatch(full, _))
+            terms match {
+              case Seq(one) => one
+              case Nil => throw new IllegalArgumentException(s"match on $p has an empty query")
+              case many => if (andOp) And(many: _*) else Or(many: _*)
+            }
           case (Nil, full) => Wildcard(full, value) // term = untokenized exact
           case (arr, rest) => NestedTerm(arr, rest, value)
         }
@@ -352,6 +371,28 @@ object SearchQuery {
         splitArrayPath(path(p), schema) match {
           case (Nil, full) => Range(full, lo, hi, loIncl, hiIncl)
           case (arr, rest) => NestedRange(arr, rest, lo, hi, loIncl, hiIncl)
+        }
+      case JObject(List(("constant_score", JObject(fields)))) =>
+        // Hit set = the wrapped filter verbatim (constant_score only
+        // changes scoring, which this engine models as clause counts).
+        val f = fields.toMap
+        val unknown = f.keySet -- Set("filter", "boost")
+        require(unknown.isEmpty,
+          s"unsupported constant_score key(s): ${unknown.mkString(", ")}")
+        parseNode(f.getOrElse("filter",
+          throw new IllegalArgumentException("constant_score needs a filter")), schema, hits)
+      case JObject(List(("dis_max", JObject(fields)))) =>
+        // Hit set = union of the sub-queries (dis_max differs from bool
+        // should only in how it SCORES the union — max vs sum).
+        val f = fields.toMap
+        val unknown = f.keySet -- Set("queries", "tie_breaker", "boost")
+        require(unknown.isEmpty,
+          s"unsupported dis_max key(s): ${unknown.mkString(", ")}")
+        f.get("queries") match {
+          case Some(JArray(qs)) if qs.nonEmpty =>
+            val parts = qs.map(parseNode(_, schema, hits))
+            if (parts.size == 1) parts.head else Or(parts: _*)
+          case _ => throw new IllegalArgumentException("dis_max needs a non-empty queries array")
         }
       case JObject(List(("multi_match", JObject(fields)))) =>
         // ES multi_match, best_fields flavor: the query matched against

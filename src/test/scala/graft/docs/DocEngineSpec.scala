@@ -513,6 +513,35 @@ class DocEngineSpec extends SparkSpec {
     assert(mixedErr.getMessage.contains("LEAF bucket level"))
   }
 
+  test("match analyzes multi-token queries (or/and operators); constant_score and dis_max wrap hit sets") {
+    import SearchQuery._
+    val assembledDocs = Assembler.assemble(sh, PlanSchema.plan, "plan")
+    def cnt(body: String): Long = assembledDocs.filter(
+      SearchQuery.compile(SearchQuery.fromJson(body, PlanSchema.plan), col("doc"))).count()
+    // multi-token match = OR of per-token matches (ES default operator)
+    assert(SearchQuery.fromJson(
+      """{"query": {"match": {"planType": "innetwork missing"}}}""", PlanSchema.plan) ===
+      Or(TermMatch(Seq("planType"), "innetwork"), TermMatch(Seq("planType"), "missing")))
+    assert(cnt("""{"query": {"match": {"planType": "innetwork missing"}}}""") === 1)
+    // operator=and requires every token
+    assert(cnt("""{"query": {"match": {"planType": {"query": "innetwork missing", "operator": "and"}}}}""") === 0)
+    assert(cnt("""{"query": {"match": {"planType": {"query": "innetwork", "operator": "and"}}}}""") === 1)
+    // unknown match keys are rejected, not silently ignored
+    assertThrows[IllegalArgumentException](SearchQuery.fromJson(
+      """{"query": {"match": {"planType": {"query": "x", "fuzziness": 1}}}}""", PlanSchema.plan))
+    // constant_score = the filter's hit set; dis_max = union of queries
+    assert(cnt(
+      """{"query": {"constant_score": {"filter": {"match": {"planType": "innetwork"}}}}}""") === 1)
+    assert(cnt(
+      """{"query": {"dis_max": {"queries": [
+        |  {"match": {"planType": "nosuchtype"}},
+        |  {"prefix": {"_org": "example"}}]}}}""".stripMargin) === 1)
+    assertThrows[IllegalArgumentException](SearchQuery.fromJson(
+      """{"query": {"dis_max": {"queries": []}}}""", PlanSchema.plan))
+    assertThrows[IllegalArgumentException](SearchQuery.fromJson(
+      """{"query": {"constant_score": {"query": {"match_all": {}}}}}""", PlanSchema.plan))
+  }
+
   test("search_after validates arity and excludes from; pages are cursor-consistent") {
     val assembledDocs = Assembler.assemble(sh, PlanSchema.plan, "plan")
     // arity: one value per sort key

@@ -1617,6 +1617,36 @@ object DocQueries {
        |   OR 'org-' || ${ck("c_nationkey")} || '.example.com' LIKE 'org-2%'
        |ORDER BY object_id""".stripMargin
 
+  // ---------------------------------------------------------------- d46
+  /** ES nested sort — order plans by their CHEAPEST service deductible
+    * (`mode: min` reduces the array's element values to one sort key, a
+    * per-row `transform` + `array_min`, no explode/join), missing values
+    * (empty service arrays) last as in ES, objectId tiebreak, first page
+    * of 12 through the bounded-heap executor. */
+  private def d46(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "query": { "match_all": {} },
+        |  "sort": [
+        |    { "linkedPlanServices.planserviceCostShares.deductible": { "order": "asc", "mode": "min" } },
+        |    { "objectId": "asc" }
+        |  ],
+        |  "size": 12,
+        |  "_source": ["objectId"]
+        |}""".stripMargin
+    SearchExec.search(assembled(s, d), "doc", body, schema)
+  }
+
+  private val d46Sql =
+    s"""WITH o AS $O,
+       |m AS (SELECT o_custkey AS ck, MIN(o_orderkey % 1000) AS min_ded FROM o GROUP BY 1),
+       |s AS (SELECT 'plan-' || ${ck("c_custkey")} AS "objectId", m.min_ded
+       |      FROM customer LEFT JOIN m ON m.ck = c_custkey),
+       |page AS (SELECT * FROM s ORDER BY min_ded ASC NULLS LAST, "objectId" ASC LIMIT 12)
+       |SELECT ROW_NUMBER() OVER (ORDER BY min_ded ASC NULLS LAST, "objectId" ASC) AS rn,
+       |       "objectId"
+       |FROM page ORDER BY rn""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -1650,6 +1680,7 @@ object DocQueries {
     "d43_es_fuzzy" -> d43 _,
     "d44_es_date_histogram" -> d44 _,
     "d45_es_score_wrappers" -> d45 _,
+    "d46_es_nested_sort" -> d46 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
     "d3_roundtrip" -> d3 _,
@@ -1697,6 +1728,7 @@ object DocQueries {
     "d43_es_fuzzy" -> d43Sql,
     "d44_es_date_histogram" -> d44Sql,
     "d45_es_score_wrappers" -> d45Sql,
+    "d46_es_nested_sort" -> d46Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,
     "d3_roundtrip" -> d3Sql,

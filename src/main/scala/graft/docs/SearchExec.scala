@@ -40,9 +40,22 @@ object SearchExec {
     val hits = if (needScore)
       hits0.withColumn("score", SearchQuery.scoreCol(b.parsed, doc))
     else hits0
+    /** A sort key as a value Column: plain field access, or — for an
+      * array path — ES's nested sort: reduce the element values to one
+      * key with the declared mode (`array_min`/`array_max` over a
+      * per-element transform; empty arrays yield NULL = "missing"). */
+    def keyValue(k: SearchQuery.SortKey): Column =
+      if (k.isScore) col("score")
+      else SearchQuery.splitArrayPath(k.path, schema) match {
+        case (Nil, full) => field(doc, full)
+        case (arr, rest) =>
+          val elems = transform(field(doc, arr), x => field(x, rest))
+          if (k.mode.contains("max")) array_max(elems) else array_min(elems)
+      }
     val sortCols = b.sorts.map { k =>
-      val c = if (k.isScore) col("score") else field(doc, k.path)
-      if (k.asc) c.asc else c.desc
+      val c = keyValue(k)
+      // ES sorts missing values LAST by default, both directions
+      if (k.asc) c.asc_nulls_last else c.desc_nulls_last
     }
     require(sortCols.nonEmpty, "search body needs a sort (ES default _score-only order is not deterministic)")
     // search_after: keyset pagination — a lexicographic strictly-after
@@ -54,8 +67,7 @@ object SearchExec {
     val afterFiltered = b.searchAfter match {
       case Some(vals) =>
         val keyed = b.sorts.zip(vals).map { case (k, v) =>
-          val c = if (k.isScore) col("score") else field(doc, k.path)
-          (c, k.asc, lit(v))
+          (keyValue(k), k.asc, lit(v))
         }
         val after = keyed.indices.map { i =>
           val strict = {

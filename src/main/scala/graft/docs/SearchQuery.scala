@@ -139,8 +139,11 @@ object SearchQuery {
     Parsed(ast, hits.toList, shoulds.toList)
   }
 
-  /** One ES `sort` entry: a field path (or `_score`) with a direction. */
-  final case class SortKey(path: Seq[String], asc: Boolean, isScore: Boolean)
+  /** One ES `sort` entry: a field path (or `_score`) with a direction.
+    * `mode` (min/max) is REQUIRED when the path crosses an array — ES's
+    * nested-sort reduction of many element values to one sort key. */
+  final case class SortKey(path: Seq[String], asc: Boolean, isScore: Boolean,
+                           mode: Option[String] = None)
 
   /** A COMPLETE ES search body: the parsed `query` plus the request-level
     * keys a real Kibana body carries — `sort` (field or `_score` entries,
@@ -181,15 +184,29 @@ object SearchQuery {
         case JString(name) => sortKey(name, asc = name != "_score") // bare _score = desc (ES)
         case JObject(List((name, JString(dir)))) => sortKey(name, dir == "asc")
         case JObject(List((name, JObject(opts)))) =>
-          val dir = opts.toMap.get("order").map {
+          val m = opts.toMap
+          val unknown = m.keySet -- Set("order", "mode")
+          require(unknown.isEmpty,
+            s"unsupported sort option(s) on $name: ${unknown.mkString(", ")}")
+          val dir = m.get("order").map {
             case JString(d) => d
             case other => throw new IllegalArgumentException(s"bad sort order: $other")
           }.getOrElse("asc")
           require(dir == "asc" || dir == "desc", s"bad sort order $dir on $name")
-          sortKey(name, dir == "asc")
+          val mode = m.get("mode").map {
+            case JString(md) if md == "min" || md == "max" => md
+            case other => throw new IllegalArgumentException(
+              s"unsupported sort mode on $name: $other (min/max)")
+          }
+          sortKey(name, dir == "asc").copy(mode = mode)
         case other => throw new IllegalArgumentException(s"unsupported sort entry: $other")
       }
       case single => throw new IllegalArgumentException(s"sort must be an array: $single")
+    }
+    sorts.filterNot(_.isScore).foreach { k =>
+      val (arr, _) = splitArrayPath(k.path, schema)
+      require(arr.isEmpty || k.mode.nonEmpty,
+        s"sort on array path ${k.path.mkString(".")} needs a mode (min/max) — ES nested sort")
     }
     val from = root.get("from").map(asInt).getOrElse(0)
     val size = root.get("size").map(asInt).getOrElse(10) // ES default page

@@ -552,6 +552,18 @@ class DocEngineSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](SearchQuery.parseFullBody(
       """{"query": {"match_all": {}}, "sort": [{"objectId": "asc"}],
         |"search_after": ["a"], "from": 3, "size": 5}""".stripMargin, PlanSchema.plan))
+    // sorting on an array path requires a nested-sort mode (min/max)
+    assertThrows[IllegalArgumentException](SearchQuery.parseFullBody(
+      """{"query": {"match_all": {}}, "size": 5,
+        |"sort": [{"linkedPlanServices.planserviceCostShares.copay": "asc"}]}""".stripMargin,
+      PlanSchema.plan))
+    // with mode, the reduced key sorts: canonical doc copays are 0 and 175
+    val byMin = SearchExec.search(assembledDocs, "doc",
+      """{"query": {"match_all": {}}, "size": 5,
+        |"sort": [{"linkedPlanServices.planserviceCostShares.copay": {"order": "desc", "mode": "max"}},
+        |         {"objectId": "asc"}],
+        |"_source": ["objectId"]}""".stripMargin, PlanSchema.plan).collect()
+    assert(byMin.length === 1 && byMin(0).getAs[Long]("rn") === 1L)
     // cursor strictly after the only doc's objectId → empty page;
     // cursor before it → the doc
     def page(after: String) = SearchExec.search(assembledDocs, "doc",

@@ -428,7 +428,13 @@ object SearchQuery {
         }
         val parts = flds.map { p0 =>
           splitArrayPath(path(p0), schema) match {
-            case (Nil, full) => TermMatch(full, q)
+            case (Nil, full) =>
+              // same analysis as single-field match: multi-token query =
+              // OR of per-token matches
+              val terms = q.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+                .map(TermMatch(full, _))
+              require(terms.nonEmpty, "multi_match has an empty query")
+              if (terms.size == 1) terms.head else Or(terms: _*)
             case (arr, rest) => NestedTerm(arr, rest, q)
           }
         }

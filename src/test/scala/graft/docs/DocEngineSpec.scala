@@ -595,6 +595,12 @@ class DocEngineSpec extends SparkSpec {
       """{"query": {"multi_match": {"query": "nosuch", "fields": ["planType", "_org"]}}}"""
     assert(assembledDocs.filter(
       SearchQuery.compile(SearchQuery.fromJson(miss, PlanSchema.plan), col("doc"))).count() === 0)
+    // multi-token multi_match analyzes per token on top-level fields,
+    // same as single-field match
+    val multiTok =
+      """{"query": {"multi_match": {"query": "nosuch innetwork", "fields": ["planType"]}}}"""
+    assert(assembledDocs.filter(
+      SearchQuery.compile(SearchQuery.fromJson(multiTok, PlanSchema.plan), col("doc"))).count() === 1)
     assertThrows[IllegalArgumentException](SearchQuery.fromJson(
       """{"query": {"multi_match": {"query": "x", "fields": [], "type": "phrase"}}}""",
       PlanSchema.plan))

@@ -1647,6 +1647,40 @@ object DocQueries {
        |       "objectId"
        |FROM page ORDER BY rn""".stripMargin
 
+  // ---------------------------------------------------------------- d47
+  /** ES `collapse` — one best hit per field value (here: the top-copay
+    * plan per planType), chosen by the request's sort order. Compiles to
+    * a rank-1 filter that Catalyst plans as WindowGroupLimit — a bounded
+    * per-group heap BEFORE the shuffle — so collapsing moves one row per
+    * group, never the corpus. */
+  private def d47(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "query": { "range": { "planCostShares.copay": { "gte": 10 } } },
+        |  "collapse": { "field": "planType" },
+        |  "sort": [
+        |    { "planCostShares.copay": { "order": "desc" } },
+        |    { "objectId": "asc" }
+        |  ],
+        |  "size": 10,
+        |  "_source": ["objectId", "planType", "planCostShares.copay"]
+        |}""".stripMargin
+    SearchExec.search(assembled(s, d), "doc", body, schema)
+  }
+
+  private val d47Sql =
+    s"""SELECT ROW_NUMBER() OVER (ORDER BY "planCostShares_copay" DESC, "objectId") AS rn,
+       |       "objectId", "planType", "planCostShares_copay" FROM (
+       |  SELECT * FROM (
+       |    SELECT 'plan-' || ${ck("c_custkey")} AS "objectId",
+       |      c_mktsegment AS "planType", c_custkey % 50 AS "planCostShares_copay",
+       |      ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+       |        ORDER BY c_custkey % 50 DESC, 'plan-' || ${ck("c_custkey")}) AS cr
+       |    FROM customer WHERE c_custkey % 50 >= 10)
+       |  WHERE cr = 1
+       |  ORDER BY "planCostShares_copay" DESC, "objectId" LIMIT 10)
+       |ORDER BY rn""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -1681,6 +1715,7 @@ object DocQueries {
     "d44_es_date_histogram" -> d44 _,
     "d45_es_score_wrappers" -> d45 _,
     "d46_es_nested_sort" -> d46 _,
+    "d47_es_collapse" -> d47 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
     "d3_roundtrip" -> d3 _,
@@ -1729,6 +1764,7 @@ object DocQueries {
     "d44_es_date_histogram" -> d44Sql,
     "d45_es_score_wrappers" -> d45Sql,
     "d46_es_nested_sort" -> d46Sql,
+    "d47_es_collapse" -> d47Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,
     "d3_roundtrip" -> d3Sql,

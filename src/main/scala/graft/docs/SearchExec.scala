@@ -58,6 +58,18 @@ object SearchExec {
       if (k.asc) c.asc_nulls_last else c.desc_nulls_last
     }
     require(sortCols.nonEmpty, "search body needs a sort (ES default _score-only order is not deterministic)")
+    // collapse: one best hit per field value, chosen by the sort order —
+    // a rank-1 filter, which Catalyst plans as WindowGroupLimit (bounded
+    // per-group heap BEFORE the shuffle), so collapsing a 100 TB corpus
+    // moves one row per group, not the corpus.
+    val collapsed = b.collapse match {
+      case Some(p) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(field(doc, p)).orderBy(sortCols: _*)
+        hits.withColumn("_cr", row_number().over(w))
+          .filter(col("_cr") === 1).drop("_cr")
+      case None => hits
+    }
     // search_after: keyset pagination — a lexicographic strictly-after
     // predicate on the sort tuple, then top-`size`. The 100 TB form of
     // deep paging: page N costs exactly what page 1 costs (a pushdown-
@@ -77,8 +89,8 @@ object SearchExec {
           keyed.take(i).map { case (c, _, v) => c === v }
             .foldRight(strict)(_ && _)
         }.reduce(_ || _)
-        hits.filter(after)
-      case None => hits
+        collapsed.filter(after)
+      case None => collapsed
     }
     // TakeOrderedAndProject: bounded heap per partition, from+size rows total.
     val page = afterFiltered.orderBy(sortCols: _*).limit(b.from + b.size)

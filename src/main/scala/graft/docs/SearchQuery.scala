@@ -154,7 +154,8 @@ object SearchQuery {
   final case class FullBody(parsed: Parsed, sorts: Seq[SortKey],
                             from: Int, size: Int,
                             searchAfter: Option[Seq[Any]],
-                            source: Option[Seq[Seq[String]]])
+                            source: Option[Seq[Seq[String]]],
+                            collapse: Option[Seq[String]] = None)
 
   /** Parse a complete ES search body — `query` + `sort`/`from`/`size`/
     * `_source`. Unknown request-level keys are REJECTED (same honesty rule
@@ -166,7 +167,8 @@ object SearchQuery {
       case JObject(fields) => fields.toMap
       case other => throw new IllegalArgumentException(s"ES body must be an object: $other")
     }
-    val unknown = root.keySet -- Set("query", "sort", "from", "size", "_source", "search_after")
+    val unknown = root.keySet --
+      Set("query", "sort", "from", "size", "_source", "search_after", "collapse")
     require(unknown.isEmpty, s"unsupported ES body key(s): ${unknown.mkString(", ")}")
     def asInt(v: JValue): Int = v match {
       case JInt(i) => i.toInt
@@ -235,7 +237,20 @@ object SearchQuery {
       require(sa.size == sorts.size,
         s"search_after needs one value per sort key (${sorts.size}), got ${sa.size}")
     }
-    FullBody(parseBody(body, schema), sorts, from, size, searchAfter, source)
+    val collapse = root.get("collapse").map {
+      case JObject(cf) => cf.toMap.get("field") match {
+        case Some(JString(p)) =>
+          val cp = fieldPath(p)
+          val (arr, _) = splitArrayPath(cp, schema)
+          require(arr.isEmpty, s"collapse field $p crosses array ${arr.mkString(".")}")
+          cp
+        case _ => throw new IllegalArgumentException("collapse needs a \"field\"")
+      }
+      case other => throw new IllegalArgumentException(s"bad collapse: $other")
+    }
+    require(collapse.isEmpty || searchAfter.isEmpty,
+      "collapse with search_after is not implemented (cursor would apply pre-collapse)")
+    FullBody(parseBody(body, schema), sorts, from, size, searchAfter, source, collapse)
   }
 
   /** `_score` for bool queries: 1 point per satisfied top-level `should`

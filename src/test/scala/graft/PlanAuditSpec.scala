@@ -154,6 +154,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(d35.contains("LessThanOrEqual(doc.planCostShares.copay,40)"))
   }
 
+  test("d47: ES collapse plans as WindowGroupLimit (per-group bounded heap)") {
+    val p = plan(q("d47_es_collapse"))
+    assert(p.contains("WindowGroupLimit"),
+      s"collapse's rank-1 filter lost the group-limit pass:\n$p")
+  }
+
   test("d36: ES terms agg is ONE shuffle with map-side partial combine") {
     val p = plan(q("d36_es_terms_agg"))
     assert(p.contains("partial_count"), "no map-side partial aggregation")

@@ -564,6 +564,11 @@ class DocEngineSpec extends SparkSpec {
         |         {"objectId": "asc"}],
         |"_source": ["objectId"]}""".stripMargin, PlanSchema.plan).collect()
     assert(byMin.length === 1 && byMin(0).getAs[Long]("rn") === 1L)
+    // collapse + search_after is rejected (cursor would apply pre-collapse)
+    assertThrows[IllegalArgumentException](SearchQuery.parseFullBody(
+      """{"query": {"match_all": {}}, "sort": [{"objectId": "asc"}],
+        |"collapse": {"field": "planType"},
+        |"search_after": ["a"], "size": 5}""".stripMargin, PlanSchema.plan))
     // cursor strictly after the only doc's objectId → empty page;
     // cursor before it → the doc
     def page(after: String) = SearchExec.search(assembledDocs, "doc",

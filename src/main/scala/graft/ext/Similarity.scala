@@ -222,13 +222,44 @@ object Similarity {
 
   // ---------------------------------------------------------------- registry
 
+  // ---------------------------------------------------------------- s4
+  /** ANN recall measurement — "measure, don't guess" as an operator: per
+    * query, how many of the LSH path's top-3 (s2) appear in brute-force
+    * ground truth's top-3 (s1). This is the metric every ANN deployment
+    * tracks before trusting the approximate path at scale; here it is a
+    * declared, oracle-checked query (integer counts — no float compare).
+    * Cost: both pipelines once + one join on narrow (q_id, n_id) pairs. */
+  private def s4(s: SparkSession, d: String): DataFrame = {
+    val truth = s1(s, d).filter(col("rank") <= 3).select(col("q_id"), col("n_id"))
+    val approx = s2(s, d).select(col("q_id"), col("n_id"))
+    val hits = approx.join(truth, Seq("q_id", "n_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+    truth.select(col("q_id")).distinct()
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("n_hit"), lit(0L)).as("recall3_of_3"))
+      .orderBy(col("q_id"))
+  }
+
+  private val s4Sql =
+    s"""WITH t0 AS ($s1Sql),
+       |a AS ($s2Sql),
+       |truth AS (SELECT q_id, n_id FROM t0 WHERE rank <= 3),
+       |hits AS (SELECT truth.q_id, COUNT(*) AS n_hit
+       |  FROM a JOIN truth ON a.q_id = truth.q_id AND a.n_id = truth.n_id
+       |  GROUP BY truth.q_id)
+       |SELECT q.q_id, CAST(COALESCE(n_hit, 0) AS BIGINT) AS recall3_of_3
+       |FROM (SELECT DISTINCT q_id FROM truth) q LEFT JOIN hits USING (q_id)
+       |ORDER BY q_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "s1_cosine_topk" -> s1 _,
     "s2_lsh_ann" -> s2 _,
-    "s3_ivf_ann" -> s3 _)
+    "s3_ivf_ann" -> s3 _,
+    "s4_ann_recall" -> s4 _)
 
   val oracle: Map[String, String] = Map(
     "s1_cosine_topk" -> s1Sql,
     "s2_lsh_ann" -> s2Sql,
-    "s3_ivf_ann" -> s3Sql)
+    "s3_ivf_ann" -> s3Sql,
+    "s4_ann_recall" -> s4Sql)
 }

@@ -1681,6 +1681,268 @@ object DocQueries {
        |  ORDER BY "planCostShares_copay" DESC, "objectId" LIMIT 10)
        |ORDER BY rn""".stripMargin
 
+  // ---------------------------------------------------------------- d48
+  /** ES terms-agg `order` + `min_doc_count` — the Kibana "Top N by
+    * metric" panel: buckets ranked by a METRIC SUB-AGG (not doc_count),
+    * ties by key, buckets under the doc_count floor pruned BEFORE the
+    * top-N. Unknown order targets are rejected at parse (a typo'd metric
+    * name silently falling back to doc_count order would return the wrong
+    * panel). Same one-shuffle hash-agg plan as d36 — ordering is a
+    * |buckets|-row sort after the corpus-sized work. */
+  private def d48(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "size": 0,
+        |  "query": { "range": { "planCostShares.copay": { "gte": 5 } } },
+        |  "aggs": {
+        |    "by_type": {
+        |      "terms": { "field": "planType", "size": 4,
+        |                 "order": { "avg_copay": "desc" }, "min_doc_count": 2 },
+        |      "aggs": {
+        |        "avg_copay": { "avg": { "field": "planCostShares.copay" } }
+        |      }
+        |    }
+        |  }
+        |}""".stripMargin
+    EsAggs.run(assembled(s, d), "doc", body, schema)
+  }
+
+  private val d48Sql =
+    s"""SELECT key, doc_count, avg_copay FROM (
+       |  SELECT c_mktsegment AS key, CAST(COUNT(*) AS BIGINT) AS doc_count,
+       |    AVG(c_custkey % 50) AS avg_copay
+       |  FROM customer WHERE c_custkey % 50 >= 5
+       |  GROUP BY 1 HAVING COUNT(*) >= 2)
+       |ORDER BY avg_copay DESC, key ASC LIMIT 4""".stripMargin
+
+  // ---------------------------------------------------------------- d49
+  /** ES `cardinality` metric agg — Kibana's "Unique Count", the most-used
+    * metric — under a `_key`-ordered terms bucket. EXACT distinct count
+    * (ES's is HLL-approximate with documented error; exact is the same
+    * upgrade as the exact terms top-N — the engine's HLL sketch itself is
+    * q27). Two distinct-counts in one pass plan as a single hash
+    * aggregation with expand — still one shuffle. */
+  private def d49(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "size": 0,
+        |  "aggs": {
+        |    "by_type": {
+        |      "terms": { "field": "planType", "size": 10, "order": { "_key": "asc" } },
+        |      "aggs": {
+        |        "uniq_orgs": { "cardinality": { "field": "_org" } },
+        |        "uniq_copays": { "cardinality": { "field": "planCostShares.copay" } }
+        |      }
+        |    }
+        |  }
+        |}""".stripMargin
+    EsAggs.run(assembled(s, d), "doc", body, schema)
+  }
+
+  private val d49Sql =
+    s"""SELECT c_mktsegment AS key, CAST(COUNT(*) AS BIGINT) AS doc_count,
+       |  CAST(COUNT(DISTINCT 'org-' || ${ck("c_nationkey")} || '.example.com') AS BIGINT) AS uniq_orgs,
+       |  CAST(COUNT(DISTINCT c_custkey % 50) AS BIGINT) AS uniq_copays
+       |FROM customer GROUP BY 1 ORDER BY key ASC LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- d50
+  /** ES `query_string` — the Kibana search-bar syntax, compiled by
+    * [[QueryString]] into the SAME AST leaves as the JSON DSL (so every
+    * clause inherits pushdown). Exercises grouping, AND/OR/NOT
+    * precedence, trailing-star prefix, a NOT'd prefix, and a quoted
+    * phrase through an array path — mixed into a bool with a range, the
+    * way a dashboard pins a time/numeric filter under the search bar. */
+  private def d50(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "query": {
+        |    "bool": {
+        |      "must": [
+        |        { "query_string": { "query": "(planType:BUILDING OR planType:MACHINERY) AND _org:org-1* AND NOT objectId:plan-11* AND linkedPlanServices.linkedService.name:\"Service 1-URGENT\"" } },
+        |        { "range": { "planCostShares.copay": { "gte": 5 } } }
+        |      ]
+        |    }
+        |  }
+        |}""".stripMargin
+    val ast = SearchQuery.fromJson(body, schema)
+    assembled(s, d)
+      .filter(SearchQuery.compile(ast, col("doc")))
+      .select(col("doc.objectId").as("object_id"),
+        col("doc.planType").as("plan_type"),
+        col("doc._org").as("org"))
+      .orderBy(col("object_id"))
+  }
+
+  private val d50Sql =
+    s"""WITH o AS $O
+       |SELECT 'plan-' || ${ck("c_custkey")} AS object_id,
+       |  c_mktsegment AS plan_type,
+       |  'org-' || ${ck("c_nationkey")} || '.example.com' AS org
+       |FROM customer
+       |WHERE lower(c_mktsegment) IN ('building', 'machinery')
+       |  AND 'org-' || ${ck("c_nationkey")} || '.example.com' LIKE 'org-1%'
+       |  AND NOT ('plan-' || ${ck("c_custkey")} LIKE 'plan-11%')
+       |  AND EXISTS (SELECT 1 FROM o WHERE o_custkey = c_custkey
+       |              AND lower('Service ' || o_orderpriority) = 'service 1-urgent')
+       |  AND c_custkey % 50 >= 5
+       |ORDER BY object_id""".stripMargin
+
+  // ---------------------------------------------------------------- d51
+  /** ES `date_histogram` with `calendar_interval` — Kibana time-series
+    * panels' default bucketing. WEEK buckets via `date_trunc` over the
+    * events timestamps: ISO weeks start Monday, so the bucket boundaries
+    * provably differ from any epoch-anchored fixed 7-day bin (epoch day 0
+    * was a Thursday) — this is the calendar arithmetic d44's fixed
+    * integer intervals can't express. Session pinned UTC in both mains so
+    * truncation matches the oracle's naive timestamps exactly. */
+  private def d51(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.Tables.events(s, d)
+      .select(struct(col("event_id"), timestamp_micros(col("ts_us")).as("ts"),
+        col("user_id"), col("event_type"), col("value")).as("doc"))
+    val evSchema = ev.schema("doc").dataType.asInstanceOf[StructType]
+    val body =
+      """{
+        |  "size": 0,
+        |  "query": { "term": { "event_type": "purchase" } },
+        |  "aggs": {
+        |    "by_week": {
+        |      "date_histogram": { "field": "ts", "calendar_interval": "week" },
+        |      "aggs": {
+        |        "uniq_users": { "cardinality": { "field": "user_id" } },
+        |        "max_value": { "max": { "field": "value" } }
+        |      }
+        |    }
+        |  }
+        |}""".stripMargin
+    EsAggs.run(ev, "doc", body, evSchema)
+  }
+
+  private val d51Sql =
+    """WITH e AS (SELECT CAST(date_trunc('week', ts) AS DATE) AS key, user_id, value
+      |           FROM events WHERE event_type = 'purchase')
+      |SELECT key, CAST(COUNT(*) AS BIGINT) AS doc_count,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS uniq_users,
+      |  MAX(value) AS max_value
+      |FROM e GROUP BY 1 ORDER BY key""".stripMargin
+
+  // ---------------------------------------------------------------- d52
+  /** ES `filters` bucket agg — one NAMED bucket per predicate (documents
+    * land in EVERY matching bucket, zero-doc buckets stay present), each
+    * predicate a full DSL query. Compiled as ONE conditional aggregation
+    * — `sum(when(pred))` / `avg(when(pred, v))` per bucket — so the plan
+    * is a single global partial+final agg with NO groupBy shuffle at all;
+    * the buckets unfold from one result row in body order. */
+  private def d52(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "size": 0,
+        |  "aggs": {
+        |    "cases": {
+        |      "filters": {
+        |        "filters": {
+        |          "building_cheap": { "bool": { "must": [
+        |            { "match": { "planType": "BUILDING" } },
+        |            { "range": { "planCostShares.copay": { "lt": 10 } } } ] } },
+        |          "org1": { "prefix": { "_org": "org-1" } },
+        |          "no_services": { "bool": { "must_not": [
+        |            { "exists": { "field": "linkedPlanServices" } } ] } }
+        |        }
+        |      },
+        |      "aggs": {
+        |        "avg_copay": { "avg": { "field": "planCostShares.copay" } },
+        |        "max_deductible": { "max": { "field": "planCostShares.deductible" } }
+        |      }
+        |    }
+        |  }
+        |}""".stripMargin
+    EsAggs.run(assembled(s, d), "doc", body, schema)
+  }
+
+  private val d52Sql =
+    s"""SELECT 'building_cheap' AS key, CAST(COUNT(*) AS BIGINT) AS doc_count,
+       |  AVG(c_custkey % 50) AS avg_copay,
+       |  CAST(MAX(c_nationkey * 100) AS BIGINT) AS max_deductible
+       |FROM customer WHERE lower(c_mktsegment) = 'building' AND c_custkey % 50 < 10
+       |UNION ALL
+       |SELECT 'org1', CAST(COUNT(*) AS BIGINT), AVG(c_custkey % 50),
+       |  CAST(MAX(c_nationkey * 100) AS BIGINT)
+       |FROM customer WHERE 'org-' || ${ck("c_nationkey")} || '.example.com' LIKE 'org-1%'
+       |UNION ALL
+       |SELECT 'no_services', CAST(COUNT(*) AS BIGINT), AVG(c_custkey % 50),
+       |  CAST(MAX(c_nationkey * 100) AS BIGINT)
+       |FROM customer WHERE c_custkey % 113 = 0""".stripMargin
+
+  // ---------------------------------------------------------------- d53
+  /** ES `range` bucket agg — `from` INCLUSIVE / `to` EXCLUSIVE (the ES
+    * contract), open ends, buckets in body order keyed `from-to`. Same
+    * one-pass conditional-aggregation shape as d52 (no groupBy shuffle);
+    * overlapping ranges would simply count documents twice, as ES does. */
+  private def d53(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "size": 0,
+        |  "query": { "match": { "planType": "HOUSEHOLD" } },
+        |  "aggs": {
+        |    "copay_ranges": {
+        |      "range": { "field": "planCostShares.copay",
+        |                 "ranges": [ { "to": 10 }, { "from": 10, "to": 25 },
+        |                             { "from": 25, "to": 40 }, { "from": 40 } ] },
+        |      "aggs": {
+        |        "n_orgs": { "cardinality": { "field": "_org" } }
+        |      }
+        |    }
+        |  }
+        |}""".stripMargin
+    EsAggs.run(assembled(s, d), "doc", body, schema)
+  }
+
+  private val d53Sql = {
+    def block(key: String, cond: String) =
+      s"""SELECT '$key' AS key, CAST(COUNT(*) AS BIGINT) AS doc_count,
+         |  CAST(COUNT(DISTINCT 'org-' || ${ck("c_nationkey")} || '.example.com') AS BIGINT) AS n_orgs
+         |FROM customer WHERE lower(c_mktsegment) = 'household' AND $cond""".stripMargin
+    Seq(
+      block("*-10", "c_custkey % 50 < 10"),
+      block("10-25", "c_custkey % 50 >= 10 AND c_custkey % 50 < 25"),
+      block("25-40", "c_custkey % 50 >= 25 AND c_custkey % 50 < 40"),
+      block("40-*", "c_custkey % 50 >= 40")).mkString("\nUNION ALL\n")
+  }
+
+  // ---------------------------------------------------------------- d54
+  /** ES default sort — a body with NO `sort` key ranks by `_score` desc
+    * (ES's default), objectId-tiebroken for determinism: d35's request
+    * minus its sort clause returns the same deterministic ranked page.
+    * This is what lets the reference README's bodies (none carry a sort)
+    * run VERBATIM through the full-body executor. */
+  private def d54(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "query": {
+        |    "bool": {
+        |      "must": [ { "range": { "planCostShares.copay": { "gte": 10, "lte": 40 } } } ],
+        |      "should": [
+        |        { "match": { "planType": "BUILDING" } },
+        |        { "wildcard": { "_org": "org-1*" } }
+        |      ]
+        |    }
+        |  },
+        |  "size": 12,
+        |  "_source": ["objectId", "planType", "planCostShares.copay"]
+        |}""".stripMargin
+    SearchExec.search(assembled(s, d), "doc", body, schema)
+  }
+
+  private val d54Sql =
+    s"""SELECT rn, score, "objectId", "planType", "planCostShares_copay" FROM (
+       |  SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, "objectId" ASC) AS rn FROM (
+       |    SELECT 'plan-' || ${ck("c_custkey")} AS "objectId", c_mktsegment AS "planType",
+       |      c_custkey % 50 AS "planCostShares_copay",
+       |      CAST(CASE WHEN lower(c_mktsegment) = 'building' THEN 1 ELSE 0 END
+       |         + CASE WHEN 'org-' || ${ck("c_nationkey")} || '.example.com' LIKE 'org-1%' THEN 1 ELSE 0 END
+       |        AS BIGINT) AS score
+       |    FROM customer WHERE c_custkey % 50 BETWEEN 10 AND 40))
+       |WHERE rn <= 12 ORDER BY rn""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -1716,6 +1978,13 @@ object DocQueries {
     "d45_es_score_wrappers" -> d45 _,
     "d46_es_nested_sort" -> d46 _,
     "d47_es_collapse" -> d47 _,
+    "d48_es_terms_order" -> d48 _,
+    "d49_es_cardinality" -> d49 _,
+    "d50_es_query_string" -> d50 _,
+    "d51_es_calendar_hist" -> d51 _,
+    "d52_es_filters_agg" -> d52 _,
+    "d53_es_range_agg" -> d53 _,
+    "d54_es_default_sort" -> d54 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
     "d3_roundtrip" -> d3 _,
@@ -1765,6 +2034,13 @@ object DocQueries {
     "d45_es_score_wrappers" -> d45Sql,
     "d46_es_nested_sort" -> d46Sql,
     "d47_es_collapse" -> d47Sql,
+    "d48_es_terms_order" -> d48Sql,
+    "d49_es_cardinality" -> d49Sql,
+    "d50_es_query_string" -> d50Sql,
+    "d51_es_calendar_hist" -> d51Sql,
+    "d52_es_filters_agg" -> d52Sql,
+    "d53_es_range_agg" -> d53Sql,
+    "d54_es_default_sort" -> d54Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,
     "d3_roundtrip" -> d3Sql,

@@ -1,0 +1,169 @@
+package graft.docs
+
+import org.apache.spark.sql.types.StructType
+
+/** The Kibana search-bar syntax (ES `query_string`), compiled into the
+  * existing [[SearchQuery]] AST — no new leaf types, so everything the
+  * grammar produces inherits the leaves' pushdown/pruning behavior.
+  *
+  * Supported subset (everything else is REJECTED loudly — the engine's
+  * no-silent-superset rule):
+  *
+  *   - `field:value`      — analyzed single-term match (TermMatch /
+  *                          NestedTerm through array paths)
+  *   - `field:"a phrase"` — consecutive-token phrase (MatchPhrase)
+  *   - `field:val*`       — trailing-star prefix (Prefix — pushes down as
+  *                          StringStartsWith); any other `*`/`?` placement
+  *                          compiles to the glob Wildcard
+  *   - `field:*`          — field exists (ES semantics for a bare star)
+  *   - `AND` / `OR` / `NOT` (UPPERCASE, as ES requires), standard
+  *     precedence NOT > AND > OR, parentheses for grouping
+  *   - adjacency (two clauses with no operator) uses the body's
+  *     `default_operator` (ES default: OR)
+  *
+  * Bare terms (no `field:`) need a default field, which this engine does
+  * not implement — rejected with a message saying so.
+  */
+object QueryString {
+
+  import SearchQuery._
+
+  private sealed trait Tok
+  private case object LP extends Tok
+  private case object RP extends Tok
+  private case object AndTok extends Tok
+  private case object OrTok extends Tok
+  private case object NotTok extends Tok
+  private final case class ClauseTok(field: String, value: String, phrase: Boolean) extends Tok
+
+  private def lex(q: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    val n = q.length
+    while (i < n) {
+      val c = q(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '(') { out += LP; i += 1 }
+      else if (c == ')') { out += RP; i += 1 }
+      else {
+        // one atom: runs to whitespace/paren, honoring quoted segments
+        val sb = new StringBuilder
+        var done = false
+        while (i < n && !done) {
+          q(i) match {
+            case '"' =>
+              val close = q.indexOf('"', i + 1)
+              require(close >= 0, s"unterminated quote in query_string at offset $i")
+              sb.append(q.substring(i, close + 1)); i = close + 1
+            case w if w.isWhitespace => done = true
+            case '(' | ')' => done = true
+            case ch => sb.append(ch); i += 1
+          }
+        }
+        sb.toString match {
+          case "AND" => out += AndTok
+          case "OR" => out += OrTok
+          case "NOT" => out += NotTok
+          case atom =>
+            val ci = atom.indexOf(':')
+            require(ci > 0,
+              s"query_string clause must be field:value — bare term \"$atom\" needs a " +
+                "default field, which is not implemented")
+            val f = atom.substring(0, ci)
+            val v = atom.substring(ci + 1)
+            require(v.nonEmpty, s"query_string clause \"$atom\" has an empty value")
+            if (v.length >= 2 && v.startsWith("\"") && v.endsWith("\""))
+              out += ClauseTok(f, v.substring(1, v.length - 1), phrase = true)
+            else {
+              require(!v.contains('"'), s"misplaced quote in query_string clause \"$atom\"")
+              out += ClauseTok(f, v, phrase = false)
+            }
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** Parse `q` into the AST. `defaultAnd` = the body's
+    * `default_operator` is `and` (adjacency binds as AND at AND
+    * precedence; the ES default OR binds at OR precedence). */
+  def parse(q: String, schema: StructType, defaultAnd: Boolean = false): SearchQuery = {
+    val toks = lex(q)
+    require(toks.nonEmpty, "query_string is empty")
+    var pos = 0
+    def peek: Option[Tok] = if (pos < toks.length) Some(toks(pos)) else None
+    def startsPrimary(t: Tok): Boolean = t match {
+      case LP | NotTok | _: ClauseTok => true
+      case _ => false
+    }
+    def orExpr(): SearchQuery = {
+      var left = andExpr()
+      var go = true
+      while (go) peek match {
+        case Some(OrTok) => pos += 1; left = Or(left, andExpr())
+        case Some(t) if !defaultAnd && startsPrimary(t) => left = Or(left, andExpr())
+        case _ => go = false
+      }
+      left
+    }
+    def andExpr(): SearchQuery = {
+      var left = unary()
+      var go = true
+      while (go) peek match {
+        case Some(AndTok) => pos += 1; left = And(left, unary())
+        case Some(t) if defaultAnd && startsPrimary(t) => left = And(left, unary())
+        case _ => go = false
+      }
+      left
+    }
+    def unary(): SearchQuery = peek match {
+      case Some(NotTok) => pos += 1; Not(unary())
+      case _ => primary()
+    }
+    def primary(): SearchQuery = peek match {
+      case Some(LP) =>
+        pos += 1
+        val inner = orExpr()
+        require(peek.contains(RP), s"unbalanced parentheses in query_string at token $pos")
+        pos += 1
+        inner
+      case Some(ClauseTok(f, v, phrase)) => pos += 1; leaf(f, v, phrase, schema)
+      case other => throw new IllegalArgumentException(
+        s"query_string expected a clause or group, got $other")
+    }
+    val ast = orExpr()
+    require(pos == toks.length,
+      s"query_string has trailing tokens from position $pos: ${toks.drop(pos).mkString(" ")}")
+    ast
+  }
+
+  private def leaf(f: String, v: String, phrase: Boolean, schema: StructType): SearchQuery = {
+    // path resolution identical to the JSON DSL's (schema-driven array
+    // split, `.keyword` suffix transparent)
+    val p = f.stripSuffix(".keyword").split('.').toSeq
+    splitArrayPath(p, schema) match {
+      case (Nil, full) =>
+        if (phrase) MatchPhrase(full, v)
+        else if (v == "*") ExistsField(full, isArray = false)
+        else if (v.contains('*') || v.contains('?')) {
+          if (v.endsWith("*") && !v.dropRight(1).exists(ch => ch == '*' || ch == '?'))
+            Prefix(full, v.dropRight(1))
+          else Wildcard(full, v)
+        }
+        else TermMatch(full, v) // analyzed single-term match
+      case (arr, Nil) if v == "*" => ExistsField(arr, isArray = true)
+      case (arr, rest) =>
+        if (phrase) NestedMatchPhrase(arr, rest, v)
+        else if (v == "*") NestedExistsField(arr, rest)
+        else if (v.contains('*') || v.contains('?')) {
+          if (v.endsWith("*") && !v.dropRight(1).exists(ch => ch == '*' || ch == '?'))
+            NestedPrefix(arr, rest, v.dropRight(1))
+          else NestedWildcard(arr, rest, v)
+        }
+        // analyzed element match, same as the JSON DSL's `match` through
+        // an array path; an explicit `.keyword` keeps exact equality
+        else if (f.endsWith(".keyword")) NestedTerm(arr, rest, v)
+        else NestedTokenMatch(arr, rest, v)
+    }
+  }
+}

@@ -29,13 +29,26 @@ object SearchExec {
     * path with dots → underscores; the whole doc column when `_source` is
     * absent). Deterministic output requires the body's `sort` to be a
     * total order (same contract as ES, which otherwise breaks ties by
-    * internal doc id).
+    * internal doc id); a body with NO sort gets ES's default `_score`
+    * desc order with an objectId tiebreak.
     */
   def search(docs: DataFrame, docCol: String,
              body: String, schema: org.apache.spark.sql.types.StructType): DataFrame = {
     val b = SearchQuery.parseFullBody(body, schema)
     val doc = col(docCol)
-    val needScore = b.sorts.exists(_.isScore)
+    // ES default when the body has no sort: _score desc. ES breaks score
+    // ties by internal doc id; this engine has no hidden id, so the
+    // deterministic equivalent is an objectId tiebreak — required to
+    // exist, loudly, rather than returning a nondeterministic page.
+    val sorts =
+      if (b.sorts.nonEmpty) b.sorts
+      else {
+        require(schema.fieldNames.contains("objectId"),
+          "body has no sort; the default _score order needs an objectId field for a deterministic tiebreak")
+        Seq(SearchQuery.SortKey(Nil, asc = false, isScore = true),
+          SearchQuery.SortKey(Seq("objectId"), asc = true, isScore = false))
+      }
+    val needScore = sorts.exists(_.isScore)
     val hits0 = docs.filter(SearchQuery.compile(b.parsed.query, doc))
     val hits = if (needScore)
       hits0.withColumn("score", SearchQuery.scoreCol(b.parsed, doc))
@@ -52,12 +65,11 @@ object SearchExec {
           val elems = transform(field(doc, arr), x => field(x, rest))
           if (k.mode.contains("max")) array_max(elems) else array_min(elems)
       }
-    val sortCols = b.sorts.map { k =>
+    val sortCols = sorts.map { k =>
       val c = keyValue(k)
       // ES sorts missing values LAST by default, both directions
       if (k.asc) c.asc_nulls_last else c.desc_nulls_last
     }
-    require(sortCols.nonEmpty, "search body needs a sort (ES default _score-only order is not deterministic)")
     // collapse: one best hit per field value, chosen by the sort order —
     // a rank-1 filter, which Catalyst plans as WindowGroupLimit (bounded
     // per-group heap BEFORE the shuffle), so collapsing a 100 TB corpus
@@ -78,7 +90,7 @@ object SearchExec {
     // search_after past the 10k window.
     val afterFiltered = b.searchAfter match {
       case Some(vals) =>
-        val keyed = b.sorts.zip(vals).map { case (k, v) =>
+        val keyed = sorts.zip(vals).map { case (k, v) =>
           (keyValue(k), k.asc, lit(v))
         }
         val after = keyed.indices.map { i =>

@@ -47,10 +47,14 @@ object SearchOps {
     (if (loIncl) c >= lo else c > lo) && (if (hiIncl) c <= hi else c < hi)
 
   /** ES `minimum_should_match` = n of the given clauses — a sum of boolean
-    * casts compared to n (one linear pass, no 2^M expansion). */
+    * casts compared to n (one linear pass, no 2^M expansion). Each cast is
+    * coalesced to 0: a clause whose predicate evaluates to NULL (missing /
+    * null field) counts as UNMATCHED, as in ES — without the coalesce one
+    * NULL clause would nullify the whole sum and drop a document that
+    * satisfies >= n other clauses. */
   def atLeast(n: Int, preds: Seq[Column]): Column =
     if (n > preds.size) lit(false)
-    else preds.map(_.cast("int")).reduce(_ + _) >= lit(n)
+    else preds.map(p => coalesce(p.cast("int"), lit(0))).reduce(_ + _) >= lit(n)
 
   /** ES `terms` — keyword membership in a literal value list. Compiles to
     * an `In` predicate — pushdown-eligible like any hand-written `isin`. */

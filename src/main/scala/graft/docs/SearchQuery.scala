@@ -28,6 +28,10 @@ object SearchQuery {
                          loIncl: Boolean = true, hiIncl: Boolean = true) extends SearchQuery
   /** Q2 — SOME element of the array field matches `field == value`. */
   final case class NestedTerm(arrayPath: Seq[String], field: Seq[String], value: String) extends SearchQuery
+  /** Q6 nested — SOME element's ANALYZED `field` contains the analyzed
+    * `term` (ES `match` on a nested text field; an explicit `.keyword`
+    * path keeps NestedTerm's exact equality instead). */
+  final case class NestedTokenMatch(arrayPath: Seq[String], field: Seq[String], term: String) extends SearchQuery
   /** Q4 — SOME element of the array field matches a glob on `field`. */
   final case class NestedWildcard(arrayPath: Seq[String], field: Seq[String], glob: String) extends SearchQuery
   /** Q5 nested — SOME element's numeric `field` is within the bounds. */
@@ -258,10 +262,22 @@ object SearchQuery {
     * without filtering. Integer clause-count relevance, NOT BM25: exact in
     * any engine (same design as the analyzed-match score, d23), and a pure
     * expression over the document column — no shuffle, rank with
-    * ORDER BY + LIMIT (TakeOrderedAndProject). */
+    * ORDER BY + LIMIT (TakeOrderedAndProject). Each clause is coalesced to
+    * 0 so a NULL predicate (missing/null field) contributes nothing, as in
+    * ES — otherwise one NULL clause would nullify `_score` and sort the
+    * document as missing instead of counting its satisfied clauses. */
   def scoreCol(p: Parsed, doc: Column): Column =
     if (p.shoulds.isEmpty) lit(0L)
-    else p.shoulds.map(q => compile(q, doc).cast("long")).reduce(_ + _)
+    else p.shoulds.map(q => coalesce(compile(q, doc).cast("long"), lit(0L))).reduce(_ + _)
+
+  /** Parse ONE ES query node (not a full body) — the form a `filters`
+    * agg's bucket values take. inner_hits inside such nodes are dropped
+    * (a bucket predicate has no hit list to project into). */
+  private[docs] def parseQueryNode(jv: org.json4s.JValue,
+                                   schema: org.apache.spark.sql.types.StructType): SearchQuery = {
+    val scratch = scala.collection.mutable.ListBuffer.empty[(Seq[String], SearchQuery)]
+    parseNode(jv, schema, scratch)
+  }
 
   private def parseNode(jv: org.json4s.JValue,
                         schema: org.apache.spark.sql.types.StructType,
@@ -301,7 +317,7 @@ object SearchQuery {
           .getOrElse(throw new IllegalArgumentException("nested without path"))
         val parsedInner = parseNode(inner, schema, hits)
         val ast = (parsedInner, wrapperArray(wrapperPath, parsedInner)) match {
-          case (_: NestedTerm | _: NestedWildcard | _: NestedRange, _) => parsedInner
+          case (_: NestedTerm | _: NestedTokenMatch | _: NestedWildcard | _: NestedRange, _) => parsedInner
           case (compound, Some(ap)) => NestedCompound(ap, compound)
           case (structOrDocLevel, None) => structOrDocLevel
         }
@@ -369,7 +385,24 @@ object SearchQuery {
               case many => if (andOp) And(many: _*) else Or(many: _*)
             }
           case (Nil, full) => Wildcard(full, value) // term = untokenized exact
-          case (arr, rest) => NestedTerm(arr, rest, value)
+          case (arr, rest) if op == "match" && !p.endsWith(".keyword") =>
+            // ES analyzes `match` through array paths too: BOTH sides are
+            // analyzed, so each query token matches by tokenized
+            // containment WITHIN the element (NestedTokenMatch), not by
+            // whole-string equality — a multi-token query compiled to
+            // equality would silently return a near-empty set. operator=or
+            // needs SOME element per token; operator=and binds every token
+            // to the SAME element (NestedCompound — ES nested scoping).
+            // An explicit `.keyword` path opts back into exact equality.
+            val tokens = value.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+            tokens match {
+              case Nil => throw new IllegalArgumentException(s"match on $p has an empty query")
+              case Seq(one) => NestedTokenMatch(arr, rest, one)
+              case many =>
+                val leaves = many.map(NestedTokenMatch(arr, rest, _))
+                if (andOp) NestedCompound(arr, And(leaves: _*)) else Or(leaves: _*)
+            }
+          case (arr, rest) => NestedTerm(arr, rest, value) // term / .keyword = untokenized exact
         }
       case JObject(List(("wildcard", JObject(List((p, spec)))))) =>
         val glob = spec match {
@@ -442,15 +475,20 @@ object SearchQuery {
           case _ => throw new IllegalArgumentException("multi_match needs a non-empty fields array")
         }
         val parts = flds.map { p0 =>
+          val terms = q.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+          require(terms.nonEmpty, "multi_match has an empty query")
           splitArrayPath(path(p0), schema) match {
             case (Nil, full) =>
               // same analysis as single-field match: multi-token query =
               // OR of per-token matches
-              val terms = q.trim.split("\\s+").toSeq.filter(_.nonEmpty)
-                .map(TermMatch(full, _))
-              require(terms.nonEmpty, "multi_match has an empty query")
-              if (terms.size == 1) terms.head else Or(terms: _*)
-            case (arr, rest) => NestedTerm(arr, rest, q)
+              val tms = terms.map(TermMatch(full, _))
+              if (tms.size == 1) tms.head else Or(tms: _*)
+            case (arr, rest) if !p0.endsWith(".keyword") =>
+              // analyzed through array paths too (same as single-field
+              // match above; best_fields has no operator key → OR)
+              val tms = terms.map(NestedTokenMatch(arr, rest, _))
+              if (tms.size == 1) tms.head else Or(tms: _*)
+            case (arr, rest) => NestedTerm(arr, rest, q) // .keyword = exact
           }
         }
         if (parts.size == 1) parts.head else Or(parts: _*)
@@ -520,6 +558,19 @@ object SearchQuery {
           case (Nil, full) => Regexp(full, pat)
           case (arr, rest) => NestedRegexp(arr, rest, pat)
         }
+      case JObject(List(("query_string", JObject(fields)))) =>
+        // The Kibana search-bar syntax, compiled by QueryString into the
+        // SAME AST leaves as the JSON DSL (grammar subset documented
+        // there; everything outside it is rejected loudly).
+        val f = fields.toMap
+        val unknown = f.keySet -- Set("query", "default_operator")
+        require(unknown.isEmpty,
+          s"unsupported query_string key(s): ${unknown.mkString(", ")} (query/default_operator)")
+        val qs = f.get("query").map(asString)
+          .getOrElse(throw new IllegalArgumentException("query_string needs a query"))
+        val defOp = f.get("default_operator").map(asString).map(_.toLowerCase).getOrElse("or")
+        require(defOp == "or" || defOp == "and", s"bad default_operator: $defOp")
+        QueryString.parse(qs, schema, defaultAnd = defOp == "and")
       case JObject(List(("match_phrase", JObject(List((p, spec)))))) =>
         val v = spec match {
           case JObject(f) => f.toMap.get("query").map(asString)
@@ -560,6 +611,8 @@ object SearchQuery {
     case Range(p, lo, hi, li, hc) => SearchOps.range(field(doc, p), lo, hi, li, hc)
     case NestedTerm(ap, f, v) =>
       SearchOps.nestedMatch(field(doc, ap), x => field(x, f) === lit(v))
+    case NestedTokenMatch(ap, f, t) =>
+      SearchOps.nestedMatch(field(doc, ap), x => SearchOps.tokenMatch(field(x, f), t))
     case NestedWildcard(ap, f, g) =>
       SearchOps.nestedMatch(field(doc, ap), x => SearchOps.wildcard(field(x, f), g))
     case NestedRange(ap, f, lo, hi, li, hc) =>
@@ -599,6 +652,7 @@ object SearchQuery {
   private def wrapperArray(wrapperPath: Seq[String], q: SearchQuery): Option[Seq[String]] = {
     def aps(q: SearchQuery): Set[Seq[String]] = q match {
       case NestedTerm(ap, _, _) => Set(ap)
+      case NestedTokenMatch(ap, _, _) => Set(ap)
       case NestedWildcard(ap, _, _) => Set(ap)
       case NestedRange(ap, _, _, _, _, _) => Set(ap)
       case NestedTermsIn(ap, _, _) => Set(ap)
@@ -627,6 +681,7 @@ object SearchQuery {
   private def perElement(q: SearchQuery, ap: Seq[String], x: Column, doc: Column): Column =
     q match {
       case NestedTerm(p, f, v) if p == ap => field(x, f) === lit(v)
+      case NestedTokenMatch(p, f, t) if p == ap => SearchOps.tokenMatch(field(x, f), t)
       case NestedWildcard(p, f, g) if p == ap => SearchOps.wildcard(field(x, f), g)
       case NestedRange(p, f, lo, hi, li, hc) if p == ap =>
         SearchOps.range(field(x, f), lo, hi, li, hc)

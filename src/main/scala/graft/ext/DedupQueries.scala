@@ -340,17 +340,24 @@ object DedupQueries {
     * everywhere": the expensive pair pipeline runs a single time per
     * session (the same shared-artifact pattern as DocQueries' corpora);
     * whoever asks first pays, everyone else scans parquet. */
+  /** A once-only holder: TrieMap.getOrElseUpdate may evaluate its thunk in
+    * TWO racing threads (Verify fans queries out in parallel — dd4 and dd6
+    * both ask for the pairs), but only ONE holder wins the putIfAbsent and
+    * everyone forces THAT holder's lazy val, so the expensive pipeline runs
+    * at most once per (session, dir). */
+  private final class Memo(thunk: () => DataFrame) { lazy val value: DataFrame = thunk() }
+
   private val pairsMemo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Memo]
 
   private def verifiedPairs(s: SparkSession, d: String): DataFrame =
-    pairsMemo.getOrElseUpdate((s, d), {
+    pairsMemo.getOrElseUpdate((s, d), new Memo(() => {
       val (res, cached) = ngramJaccardPairs(planted(s, d))
       val dir = graft.TempDirs.create("graft-dd-pairs-")
       res.write.mode("overwrite").parquet(dir.toString)
       cached.foreach(_.unpersist(false))
       s.read.parquet(dir.toString)
-    })
+    })).value
 
   private def dd4(s: SparkSession, d: String): DataFrame =
     verifiedPairs(s, d).orderBy(col("a"), col("b"))

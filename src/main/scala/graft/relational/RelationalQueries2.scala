@@ -211,17 +211,35 @@ object RelationalQueries2 {
   // ---------------------------------------------------------------- q27
   /** Approximate distinct (HyperLogLog++): THE cardinality operator at
     * 100 TB — fixed-size sketches merge map-side, so the shuffle carries
-    * one sketch per group instead of the distinct values. Sketch internals
-    * are engine-specific, so this query has NO oracle entry (the driver
-    * records a rows-only check); ExtSpec bounds its error against the
-    * exact count instead. */
+    * one sketch per group instead of the distinct values. Raw sketch
+    * estimates are engine-specific, so they can't be hash-compared to a
+    * DuckDB oracle; instead the query emits the EXACT distinct counts
+    * (oracle-checked) plus `hll_within_bound` — the HLL estimates tested
+    * in-query against those exact counts at 5× the configured rsd (0.02 →
+    * ±10%, generous: HLL++ at rsd 0.02 is overwhelmingly within ±6%).
+    * The oracle asserts the same column is TRUE, so the sketch path is
+    * exercised AND gated, not merely rows-counted; ExtSpec bounds the
+    * error more tightly. */
   private def q27(s: SparkSession, d: String): DataFrame =
     t(s, d, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
-        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("_ao"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("_ap"))
+      .select(col("l_returnflag"), col("exact_orders"), col("exact_parts"),
+        (abs(col("_ao") - col("exact_orders")) <= col("exact_orders") * 0.10 &&
+          abs(col("_ap") - col("exact_parts")) <= col("exact_parts") * 0.10)
+          .as("hll_within_bound"))
       .orderBy(col("l_returnflag"))
+
+  private val q27Sql =
+    """SELECT l_returnflag,
+      |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+      |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+      |  TRUE AS hll_within_bound
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------- q28
   /** Range (interval) join via BIN BUCKETING — the operator Spark lacks
@@ -329,6 +347,7 @@ object RelationalQueries2 {
 
   val oracle: Map[String, String] = Map(
     "q29_csv_roundtrip" -> q29Sql,
+    "q27_approx_distinct" -> q27Sql,
     "q28_range_join" -> q28Sql,
     "q21_cube" -> q21Sql,
     "q22_pivot" -> q22Sql,

@@ -109,35 +109,40 @@ object IndexPipeline {
       created += name
       name
     }
-    var stateTable = writeState(s.createDataFrame(
-      s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType.fromDDL(
-        "key BIGINT, seq BIGINT, op STRING, event_type STRING, value DOUBLE, n_events BIGINT")),
-      "init")
+    // The state tables and temp dir are dropped in a finally: a failed
+    // stream or merge must not leak catalog tables (they'd shadow the next
+    // run's names for the rest of the session) or the on-disk staging.
+    try {
+      var stateTable = writeState(s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "key BIGINT, seq BIGINT, op STRING, event_type STRING, value DOUBLE, n_events BIGINT")),
+        "init")
 
-    val stream = s.readStream
-      .schema(log.schema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(s"$srcDir/b*")
-      .writeStream
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation", ckDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        stateTable = writeState(merge(s.table(stateTable), batch), s"v$batchId")
-        ()
-      }
-      .start()
-    stream.awaitTermination()
+      val stream = s.readStream
+        .schema(log.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$srcDir/b*")
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckDir)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          stateTable = writeState(merge(s.table(stateTable), batch), s"v$batchId")
+          ()
+        }
+        .start()
+      stream.awaitTermination()
 
-    val result = s.table(stateTable).filter(col("op") =!= "DELETE")
-      .select(col("key").as("user_id"), col("seq").as("last_event_id"),
-        col("event_type").as("last_type"), col("value").as("last_value"),
-        col("n_events"))
-      .orderBy(col("user_id"))
-    val pinned = graft.Eager.pin(result) // materialize before state is dropped
-    created.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
-    deleteRecursively(base)
-    pinned
+      val result = s.table(stateTable).filter(col("op") =!= "DELETE")
+        .select(col("key").as("user_id"), col("seq").as("last_event_id"),
+          col("event_type").as("last_type"), col("value").as("last_value"),
+          col("n_events"))
+        .orderBy(col("user_id"))
+      graft.Eager.pin(result) // materialize before state is dropped
+    } finally {
+      created.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+      deleteRecursively(base)
+    }
   }
 
   private def deleteRecursively(p: Path): Unit =

@@ -249,7 +249,7 @@ class DocEngineSpec extends SparkSpec {
       """{"query": {"nested": {"path": "linkedPlanServices.linkedService",
         |  "query": {"match": {"linkedPlanServices.linkedService.objectId": "1234520xvc30asdf-502"}},
         |  "inner_hits": {}}}}""".stripMargin ->
-        NestedTerm(Seq("linkedPlanServices"), Seq("linkedService", "objectId"), "1234520xvc30asdf-502"),
+        NestedTokenMatch(Seq("linkedPlanServices"), Seq("linkedService", "objectId"), "1234520xvc30asdf-502"),
       """{"query": {"wildcard": {"_org": {"value": "example*"}}}}""" ->
         Wildcard(Seq("_org"), "example*"),
       """{"query": {"nested": {"path": "linkedPlanServices.linkedService",
@@ -587,10 +587,12 @@ class DocEngineSpec extends SparkSpec {
         |  "fields": ["planType", "linkedPlanServices.linkedService.name"]}}}""".stripMargin
     assert(SearchQuery.fromJson(body, PlanSchema.plan) ===
       Or(TermMatch(Seq("planType"), "inNetwork"),
-        NestedTerm(Seq("linkedPlanServices"), Seq("linkedService", "name"), "inNetwork")))
+        NestedTokenMatch(Seq("linkedPlanServices"), Seq("linkedService", "name"), "inNetwork")))
     assert(assembledDocs.filter(
       SearchQuery.compile(SearchQuery.fromJson(body, PlanSchema.plan), col("doc"))).count() === 1)
-    // second field alone also hits (exact-equality through the array path)
+    // second field alone also hits — a multi-token query is ANALYZED
+    // through the array path (per-token containment within an element,
+    // like ES on a nested text field), not whole-string equality
     val viaName =
       """{"query": {"multi_match": {"query": "well baby",
         |  "fields": ["planType", "linkedPlanServices.linkedService.name"]}}}""".stripMargin

@@ -675,4 +675,193 @@ class DocEngineSpec extends SparkSpec {
       .select(col("hit.objectId")).collect().map(_.getString(0))
     assert(hits5.length === 1)
   }
+
+  /** A six-doc corpus for bucket-ordering tests: planTypes A×2 (copays
+    * 10, 20), B×3 (30, 40, 50), C×1 (99). */
+  private def variant(id: String, ptype: String, copay: Int): String =
+    planJson.replace("12xvxc345ssdsds-508", id)
+      .replace("\"planType\":\"inNetwork\"", s""""planType":"$ptype"""")
+      .replace("\"copay\":23", s""""copay":$copay""")
+
+  private lazy val corpus: DataFrame = docsDf(
+    variant("a1", "typeA", 10), variant("a2", "typeA", 20),
+    variant("b1", "typeB", 30), variant("b2", "typeB", 40), variant("b3", "typeB", 50),
+    variant("c1", "typeC", 99))
+
+  test("terms order targets a metric sub-agg / _key / _count; min_doc_count prunes; bad targets rejected") {
+    // order by the avg metric desc, C's singleton bucket pruned by min_doc_count
+    val byMetric =
+      """{"size": 0, "aggs": {"t": {"terms": {"field": "planType", "size": 10,
+        |  "order": {"avg_copay": "desc"}, "min_doc_count": 2},
+        |  "aggs": {"avg_copay": {"avg": {"field": "planCostShares.copay"}}}}}}""".stripMargin
+    val m = EsAggs.run(corpus, "doc", byMetric, PlanSchema.plan).collect()
+    assert(m.map(r => (r.getAs[String]("key"), r.getAs[Long]("doc_count"),
+      r.getAs[Double]("avg_copay"))).toSeq === Seq(("typeB", 3L, 40.0), ("typeA", 2L, 15.0)))
+    // _key desc
+    val byKey =
+      """{"aggs": {"t": {"terms": {"field": "planType", "order": {"_key": "desc"}}}}}"""
+    assert(EsAggs.run(corpus, "doc", byKey, PlanSchema.plan).collect()
+      .map(_.getAs[String]("key")).toSeq === Seq("typeC", "typeB", "typeA"))
+    // _count asc (ties impossible here)
+    val byCount =
+      """{"aggs": {"t": {"terms": {"field": "planType", "order": {"_count": "asc"}}}}}"""
+    assert(EsAggs.run(corpus, "doc", byCount, PlanSchema.plan).collect()
+      .map(_.getAs[String]("key")).toSeq === Seq("typeC", "typeA", "typeB"))
+    // unknown order target is rejected (not silently count-ordered)
+    val badTarget = intercept[IllegalArgumentException](EsAggs.parse(
+      """{"aggs": {"t": {"terms": {"field": "planType", "order": {"nope": "desc"}},
+        |  "aggs": {"avg_copay": {"avg": {"field": "planCostShares.copay"}}}}}}""".stripMargin,
+      PlanSchema.plan))
+    assert(badTarget.getMessage.contains("order target"))
+    // unknown terms spec key is rejected (a typo'd order would reorder silently)
+    assertThrows[IllegalArgumentException](EsAggs.parse(
+      """{"aggs": {"t": {"terms": {"field": "planType", "shard_size": 5}}}}""",
+      PlanSchema.plan))
+    // two-level split: parent _key order applies to the parent ranking
+    val split =
+      """{"aggs": {"t": {"terms": {"field": "planType", "size": 2, "order": {"_key": "desc"}},
+        |  "aggs": {"h": {"histogram": {"field": "planCostShares.copay", "interval": 50}}}}}}""".stripMargin
+    val sRows = EsAggs.run(corpus, "doc", split, PlanSchema.plan).collect()
+    assert(sRows.map(_.getAs[String]("key")).distinct.toSeq === Seq("typeC", "typeB"))
+  }
+
+  test("cardinality metric is exact distinct count, global and per bucket") {
+    val global =
+      """{"aggs": {"uniq_types": {"cardinality": {"field": "planType"}},
+        |  "uniq_orgs": {"cardinality": {"field": "_org"}}}}""".stripMargin
+    val g = EsAggs.run(corpus, "doc", global, PlanSchema.plan).collect()(0)
+    assert(g.getAs[Long]("uniq_types") === 3L && g.getAs[Long]("uniq_orgs") === 1L)
+    val perBucket =
+      """{"aggs": {"t": {"terms": {"field": "planType", "order": {"_key": "asc"}},
+        |  "aggs": {"uniq_copays": {"cardinality": {"field": "planCostShares.copay"}}}}}}""".stripMargin
+    assert(EsAggs.run(corpus, "doc", perBucket, PlanSchema.plan).collect()
+      .map(r => (r.getAs[String]("key"), r.getAs[Long]("uniq_copays"))).toSeq ===
+      Seq(("typeA", 2L), ("typeB", 3L), ("typeC", 1L)))
+  }
+
+  test("filters agg keeps zero-doc buckets in body order; range agg is from-inclusive/to-exclusive") {
+    val filters =
+      """{"size": 0, "aggs": {"c": {"filters": {"filters": {
+        |  "isA": {"match": {"planType": "typeA"}},
+        |  "none": {"match": {"planType": "zzz"}},
+        |  "cheap": {"range": {"planCostShares.copay": {"lt": 25}}}}},
+        |  "aggs": {"avg_copay": {"avg": {"field": "planCostShares.copay"}}}}}}""".stripMargin
+    val f = EsAggs.run(corpus, "doc", filters, PlanSchema.plan).collect()
+    assert(f.map(r => (r.getAs[String]("key"), r.getAs[Long]("doc_count"))).toSeq ===
+      Seq(("isA", 2L), ("none", 0L), ("cheap", 2L))) // body order, zero-doc present
+    assert(f(1).isNullAt(f(1).fieldIndex("avg_copay"))) // empty bucket metric = null
+    assert(f(2).getAs[Double]("avg_copay") === 15.0)
+    // range: copay 30 lands in [30,40), copay 40 in [40,*) — to is EXCLUSIVE
+    val ranges =
+      """{"aggs": {"r": {"range": {"field": "planCostShares.copay",
+        |  "ranges": [{"to": 30}, {"from": 30, "to": 40}, {"from": 40}]}}}}""".stripMargin
+    assert(EsAggs.run(corpus, "doc", ranges, PlanSchema.plan).collect()
+      .map(r => (r.getAs[String]("key"), r.getAs[Long]("doc_count"))).toSeq ===
+      Seq(("*-30", 2L), ("30-40", 1L), ("40-*", 3L)))
+    // sub-buckets under filters/range rejected; filters inside nested rejected
+    assertThrows[IllegalArgumentException](EsAggs.parse(
+      """{"aggs": {"c": {"filters": {"filters": {"a": {"match_all": {}}}},
+        |  "aggs": {"t": {"terms": {"field": "planType"}}}}}}""".stripMargin,
+      PlanSchema.plan))
+    assertThrows[IllegalArgumentException](EsAggs.parse(
+      """{"aggs": {"n": {"nested": {"path": "linkedPlanServices"},
+        |  "aggs": {"c": {"filters": {"filters": {"a": {"match_all": {}}}}}}}}}""".stripMargin,
+      PlanSchema.plan))
+  }
+
+  test("date_histogram calendar_interval buckets by real calendar units; fixed intervals rejected") {
+    import spark.implicits._
+    val df = Seq(("e1", "2024-01-15"), ("e2", "2024-01-31"), ("e3", "2024-02-01"))
+      .toDF("id", "d")
+      .select(struct(col("id"), to_date(col("d")).as("day")).as("doc"))
+    val sch = df.schema("doc").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    val monthly =
+      """{"aggs": {"m": {"date_histogram": {"field": "day", "calendar_interval": "month"}}}}"""
+    assert(EsAggs.run(df, "doc", monthly, sch).collect()
+      .map(r => (r.getAs[java.sql.Date]("key").toString, r.getAs[Long]("doc_count"))).toSeq ===
+      Seq(("2024-01-01", 2L), ("2024-02-01", 1L)))
+    // weeks start Monday: 2024-01-15 IS a Monday; 01-31 (Wed) and 02-01
+    // (Thu) both truncate to Monday 01-29 — a boundary NO epoch-anchored
+    // fixed 7-day bin reproduces
+    val weekly =
+      """{"aggs": {"w": {"date_histogram": {"field": "day", "calendar_interval": "week"}}}}"""
+    assert(EsAggs.run(df, "doc", weekly, sch).collect()
+      .map(r => (r.getAs[java.sql.Date]("key").toString, r.getAs[Long]("doc_count"))).toSeq ===
+      Seq(("2024-01-15", 1L), ("2024-01-29", 2L)))
+    // fixed_interval and unknown units are rejected, not coerced
+    assertThrows[IllegalArgumentException](EsAggs.parse(
+      """{"aggs": {"m": {"date_histogram": {"field": "day", "fixed_interval": "30d"}}}}""", sch))
+    assertThrows[IllegalArgumentException](EsAggs.parse(
+      """{"aggs": {"m": {"date_histogram": {"field": "day", "calendar_interval": "fortnight"}}}}""", sch))
+  }
+
+  test("query_string compiles the Kibana search-bar grammar into the existing AST") {
+    import SearchQuery._
+    // precedence: AND binds tighter than OR; NOT tighter than AND
+    assert(QueryString.parse("planType:x OR planType:y AND NOT _org:z", PlanSchema.plan) ===
+      Or(TermMatch(Seq("planType"), "x"),
+        And(TermMatch(Seq("planType"), "y"), Not(TermMatch(Seq("_org"), "z")))))
+    // grouping, trailing-* prefix, mid-string wildcard, exists, phrase, .keyword
+    assert(QueryString.parse("(planType:x OR planType:y) AND _org:exam*", PlanSchema.plan) ===
+      And(Or(TermMatch(Seq("planType"), "x"), TermMatch(Seq("planType"), "y")),
+        Prefix(Seq("_org"), "exam")))
+    assert(QueryString.parse("_org:ex*le.com", PlanSchema.plan) ===
+      Wildcard(Seq("_org"), "ex*le.com"))
+    assert(QueryString.parse("planType:*", PlanSchema.plan) ===
+      ExistsField(Seq("planType"), isArray = false))
+    assert(QueryString.parse("linkedPlanServices.linkedService.name:\"well baby\"", PlanSchema.plan) ===
+      NestedMatchPhrase(Seq("linkedPlanServices"), Seq("linkedService", "name"), "well baby"))
+    assert(QueryString.parse("linkedPlanServices.linkedService.name.keyword:Yearly", PlanSchema.plan) ===
+      NestedTerm(Seq("linkedPlanServices"), Seq("linkedService", "name"), "Yearly"))
+    assert(QueryString.parse("linkedPlanServices.linkedService.name:baby", PlanSchema.plan) ===
+      NestedTokenMatch(Seq("linkedPlanServices"), Seq("linkedService", "name"), "baby"))
+    // adjacency = default_operator (ES default OR; and opt-in)
+    assert(QueryString.parse("planType:x planType:y", PlanSchema.plan) ===
+      Or(TermMatch(Seq("planType"), "x"), TermMatch(Seq("planType"), "y")))
+    assert(QueryString.parse("planType:x planType:y", PlanSchema.plan, defaultAnd = true) ===
+      And(TermMatch(Seq("planType"), "x"), TermMatch(Seq("planType"), "y")))
+    // rejections: bare term, unbalanced parens, empty value
+    assert(intercept[IllegalArgumentException](
+      QueryString.parse("loneterm", PlanSchema.plan)).getMessage.contains("default field"))
+    assertThrows[IllegalArgumentException](QueryString.parse("(planType:x", PlanSchema.plan))
+    assertThrows[IllegalArgumentException](QueryString.parse("planType:", PlanSchema.plan))
+    // end-to-end through the JSON DSL against the fixture
+    val assembledDocs = Assembler.assemble(sh, PlanSchema.plan, "plan")
+    def cnt(body: String): Long = assembledDocs.filter(
+      SearchQuery.compile(SearchQuery.fromJson(body, PlanSchema.plan), col("doc"))).count()
+    assert(cnt("""{"query": {"query_string": {"query":
+      "planType:inNetwork AND linkedPlanServices.linkedService.name:\"well baby\""}}}""") === 1)
+    assert(cnt("""{"query": {"query_string": {"query":
+      "planType:inNetwork AND NOT _org:example*"}}}""") === 0)
+    // unknown query_string keys rejected
+    assertThrows[IllegalArgumentException](SearchQuery.fromJson(
+      """{"query": {"query_string": {"query": "planType:x", "analyzer": "std"}}}""",
+      PlanSchema.plan))
+  }
+
+  test("a body with no sort defaults to _score desc with objectId tiebreak") {
+    val body =
+      """{"query": {"bool": {"must": [{"match_all": {}}],
+        |  "should": [{"match": {"planType": "typeB"}}]}},
+        |  "size": 6, "_source": ["objectId"]}""".stripMargin
+    val rows = SearchExec.search(corpus, "doc", body, PlanSchema.plan).collect()
+    assert(rows.map(_.getAs[String]("objectId")).toSeq ===
+      Seq("b1", "b2", "b3", "a1", "a2", "c1")) // score 1 first, then objectId asc
+    assert(rows.map(_.getAs[Long]("score")).toSeq === Seq(1L, 1L, 1L, 0L, 0L, 0L))
+  }
+
+  test("match with operator=and through an array path binds every token to the SAME element") {
+    val assembledDocs = Assembler.assemble(sh, PlanSchema.plan, "plan")
+    def cnt(body: String): Long = assembledDocs.filter(
+      SearchQuery.compile(SearchQuery.fromJson(body, PlanSchema.plan), col("doc"))).count()
+    // "Yearly physical" element carries both tokens → and matches
+    assert(cnt("""{"query": {"match": {"linkedPlanServices.linkedService.name":
+      {"query": "yearly physical", "operator": "and"}}}}""") === 1)
+    // tokens split across DIFFERENT elements ("Yearly physical" / "well baby") → and fails
+    assert(cnt("""{"query": {"match": {"linkedPlanServices.linkedService.name":
+      {"query": "yearly baby", "operator": "and"}}}}""") === 0)
+    // ... but or matches
+    assert(cnt("""{"query": {"match": {"linkedPlanServices.linkedService.name":
+      {"query": "yearly baby", "operator": "or"}}}}""") === 1)
+  }
 }

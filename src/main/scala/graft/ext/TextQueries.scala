@@ -442,10 +442,80 @@ object TextQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- t11
+  /** BM25-shaped relevance — t6's TF×IDF upgraded with document-length
+    * normalization and TF saturation, the two properties that make BM25
+    * the default ranking function: a term occurring twice in a 40-token
+    * document should NOT outrank one occurrence in a 4-token document.
+    *
+    * All-INTEGER fixed-point so the DuckDB oracle reproduces it
+    * bit-exactly (including the RANKING, which a doubles formulation
+    * cannot guarantee under partial-aggregation reorder): with k1 = 1.2
+    * and b = 0.75 scaled ×100 (k1s = 120, bs = 75), avgdl = T/N (T =
+    * corpus token count), the per-term BM25 core
+    *
+    *   tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *
+    * multiplied through by 10000·T becomes the integer ratio
+    *
+    *   (N−df) · tf · 220 · 100 · T  DIV  (10000·T·tf + 3000·T + 9000·dl·N)
+    *
+    * (220 = k1s+100, 3000 = k1s·(100−bs), 9000 = k1s·bs), floor-divided
+    * identically by Spark's `DIV` and DuckDB's `//`. idf keeps t6's
+    * integer (N−df) shape. Products stay < 2^62 to ~10⁴ docs × 10⁶
+    * tokens per shard-group — and the oracle's HUGEINT→BIGINT cast turns
+    * any overflow into a loud failure, not a wrong answer.
+    *
+    * Scale shape identical to t6: analysis is per-row expressions, df and
+    * corpus stats are broadcast-sized aggregates, scoring one equi-join +
+    * one groupBy, top-k via TakeOrderedAndProject. */
+  private val T11Query = "The DUP-merge queries!" // analyzes to dup, merge, query
+
+  private def t11(s: SparkSession, d: String): DataFrame = {
+    val terms = TextAnalysis.analyzeQuery(T11Query)
+    val base = docs(s, d).select(col("doc_id"), TextAnalysis.analyze(col("text")).as("ts"))
+    val dl = base.select(col("doc_id"), size(col("ts")).cast("long").as("dl"))
+    val tf = base.select(col("doc_id"), explode(col("ts")).as("t"))
+      .filter(col("t").isin(terms: _*))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val stats = base.agg(count(lit(1)).as("n_docs"),
+      sum(size(col("ts")).cast("long")).as("tt"))
+    tf.join(broadcast(dfreq), "t").join(dl, "doc_id").crossJoin(broadcast(stats))
+      .withColumn("num", (col("n_docs") - col("df")) * col("tf") * lit(220L) * lit(100L) * col("tt"))
+      .withColumn("den", lit(10000L) * col("tt") * col("tf") +
+        lit(3000L) * col("tt") + lit(9000L) * col("dl") * col("n_docs"))
+      .withColumn("score_t", expr("num DIV den"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("score_t")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  private val t11Sql = {
+    val termList = TextAnalysis.analyzeQuery(T11Query)
+      .map(t => s"'$t'").mkString("(", ",", ")")
+    s"""WITH an AS (
+       |  SELECT doc_id, ${TextAnalysis.analyzeSql("text")} AS ts FROM documents),
+       |dl AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl FROM an),
+       |tok AS (SELECT doc_id, unnest(ts) AS t FROM an),
+       |tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok
+       |  WHERE t IN $termList GROUP BY doc_id, t),
+       |dfreq AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+       |stats AS (SELECT COUNT(*) AS n_docs, CAST(SUM(len(ts)) AS BIGINT) AS tt FROM an)
+       |SELECT doc_id, CAST(SUM(
+       |    ((n_docs - df) * tf * 220 * 100 * tt)
+       |    // (10000 * tt * tf + 3000 * tt + 9000 * dl * n_docs)
+       |  ) AS BIGINT) AS score
+       |FROM tf JOIN dfreq USING (t) JOIN dl USING (doc_id) CROSS JOIN stats
+       |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+  }
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
     "t10_domain_mix" -> t10 _,
+    "t11_bm25" -> t11 _,
     "t7_split" -> t7 _,
     "t8_pii_scrub" -> t8 _,
     "t9_contamination" -> t9 _,
@@ -458,6 +528,7 @@ object TextQueries {
 
   val oracle: Map[String, String] = Map(
     "t10_domain_mix" -> t10Sql,
+    "t11_bm25" -> t11Sql,
     "t7_split" -> t7Sql,
     "t8_pii_scrub" -> t8Sql,
     "t9_contamination" -> t9Sql,

@@ -154,8 +154,18 @@ class ExtSpec extends SparkSpec {
     assert(math.abs(fs.f0 - f0) < 1e-12)
   }
 
-  test("approx_count_distinct is within its rsd bound of exact (q27 has no oracle)") {
-    val approx = graft.relational.RelationalQueries2.queries("q27_approx_distinct")(spark, sf)
+  test("q27: exact distinct counts carry an in-query HLL error-bound gate; raw estimates within rsd") {
+    // the registry query's gate column must hold on every group (it is
+    // what the DuckDB oracle asserts TRUE against)
+    val rows = graft.relational.RelationalQueries2.queries("q27_approx_distinct")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[Boolean]("hll_within_bound")))
+    // and the raw HLL estimates (not emitted by the query) stay within a
+    // tighter 10% of exact
+    val approx = graft.Tables(spark, sf, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("o"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("p"))
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     val exact = graft.Tables(spark, sf, "lineitem")
       .groupBy(col("l_returnflag"))
@@ -166,6 +176,37 @@ class ExtSpec extends SparkSpec {
       assert(math.abs(ao - eo).toDouble / eo < 0.1, s"$k orders: $ao vs $eo")
       assert(math.abs(ap - ep).toDouble / ep < 0.1, s"$k parts: $ap vs $ep")
     }
+  }
+
+  test("bm25 ranks a short exact doc above a long high-tf doc where raw tf-idf does not") {
+    import spark.implicits._
+    // Length-skewed fixture: docA has ONE hit in 4 tokens, docB TWO hits
+    // in 40 tokens, docC none (so idf = N - df = 1, not 0). Raw TF×IDF
+    // (t6's shape) ranks B first on tf alone; BM25's length norm ranks A
+    // first. Constants mirror t11: k1s=120, bs=75.
+    val filler = Seq.fill(38)("filler").mkString(" ")
+    val df = Seq((1L, "target alpha beta gamma"),
+      (2L, s"target target $filler"),
+      (3L, "nothing here at all")).toDF("doc_id", "text")
+    val base = df.select(col("doc_id"), graft.ext.TextAnalysis.analyze(col("text")).as("ts"))
+    val dl = base.select(col("doc_id"), size(col("ts")).cast("long").as("dl"))
+    val tf = base.select(col("doc_id"), explode(col("ts")).as("t"))
+      .filter(col("t") === "target")
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val stats = base.agg(count(lit(1)).as("n_docs"), sum(size(col("ts")).cast("long")).as("tt"))
+    val scored = tf.join(dfreq, "t").join(dl, "doc_id").crossJoin(stats)
+      .withColumn("raw", col("tf") * (col("n_docs") - col("df"))) // t6's integer tf-idf
+      .withColumn("num", (col("n_docs") - col("df")) * col("tf") * lit(220L) * lit(100L) * col("tt"))
+      .withColumn("den", lit(10000L) * col("tt") * col("tf") +
+        lit(3000L) * col("tt") + lit(9000L) * col("dl") * col("n_docs"))
+      .withColumn("bm25", expr("num DIV den"))
+      .select(col("doc_id"), col("raw"), col("bm25"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val (rawA, bmA) = scored(1L)
+    val (rawB, bmB) = scored(2L)
+    assert(rawB > rawA, s"raw tf-idf must prefer the high-tf long doc: $rawB vs $rawA")
+    assert(bmA > bmB, s"bm25 must prefer the short exact doc: $bmA vs $bmB")
   }
 
   test("stream merge is last-write-wins with cumulative counts") {

@@ -209,4 +209,62 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("*(")) // the Project containing vec_dot is codegen'd
     assert(p.contains("vec_dot"))
   }
+
+  test("d48: metric-ordered terms agg keeps the one-shuffle hash-agg shape") {
+    // ordering by a metric sub-agg reorders the |buckets|-row table, never
+    // the corpus: still exactly one shuffle and a bounded top-N
+    val p = plan(q("d48_es_terms_order"))
+    assert(p.contains("partial_count"), "no map-side partial aggregation")
+    val exchanges = p.linesIterator.count(_.matches("\\(\\d+\\) Exchange.*"))
+    assert(exchanges === 1, s"expected exactly 1 shuffle, got $exchanges:\n$p")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("d52/d53: filters/range aggs are ONE conditional aggregation, no bucket-key shuffle") {
+    // d52 (avg/max metrics): exactly one Exchange — the global agg's
+    // partial→final gather of a handful of rows. A groupBy on an exploded
+    // bucket key would add a corpus-sized hash shuffle on top.
+    val p52 = plan(q("d52_es_filters_agg"))
+    assert(p52.contains("partial_"), "d52 lost map-side partial combine")
+    val ex52 = p52.linesIterator.count(_.matches("\\(\\d+\\) Exchange.*"))
+    assert(ex52 === 1, s"d52: expected the single global-agg gather, got $ex52:\n$p52")
+    // d53 adds a cardinality metric: exact distinct plans the standard
+    // two-phase shape (map-side dedup via Expand, then the gather) — one
+    // extra Exchange carrying DISTINCT tuples, never raw corpus rows.
+    val p53 = plan(q("d53_es_range_agg"))
+    assert(p53.contains("partial_"), "d53 lost map-side partial combine")
+    val ex53 = p53.linesIterator.count(_.matches("\\(\\d+\\) Exchange.*"))
+    assert(ex53 <= 2, s"d53: expected ≤2 exchanges (distinct pre-agg + gather), got $ex53:\n$p53")
+    assert(p53.contains("Expand"), "d53's exact distinct lost its map-side dedup phase")
+  }
+
+  test("d51: calendar date_histogram keys by date_trunc, one shuffle beyond the distinct pre-agg") {
+    val p = plan(q("d51_es_calendar_hist"))
+    assert(p.toLowerCase.contains("date_trunc") || p.contains("truncTimestamp"),
+      s"calendar bucket key must be date_trunc, not integer bins:\n$p")
+    // uniq_users (exact cardinality) adds the distinct pre-agg exchange,
+    // same two-phase shape as d53. Count only corpus-scale hash shuffles:
+    // the final orderBy adds a rangepartitioning Exchange over the
+    // |buckets|-row result, which is not a scale concern.
+    val hashExchanges = p.linesIterator.sliding(3).count { w =>
+      w.head.matches("\\(\\d+\\) Exchange.*") &&
+        w.drop(1).exists(_.contains("hashpartitioning"))
+    }
+    assert(hashExchanges <= 2, s"expected ≤2 hash shuffles, got $hashExchanges:\n$p")
+  }
+
+  test("d54: the default-_score page still plans as TakeOrderedAndProject") {
+    val p = plan(q("d54_es_default_sort"))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"sort-less body must page through the bounded heap:\n$p")
+  }
+
+  test("d50: query_string leaves push into the parquet scan") {
+    // the grammar compiles to the same AST leaves as the JSON DSL, so the
+    // prefix clause must reach PushedFilters like any hand-written filter
+    val p = plan(q("d50_es_query_string"))
+    assert(p.contains("PushedFilters"))
+    assert(p.contains("StringStartsWith") || p.contains("org-1"),
+      s"query_string prefix clause did not push down:\n$p")
+  }
 }

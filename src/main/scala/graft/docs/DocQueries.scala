@@ -1943,6 +1943,258 @@ object DocQueries {
        |    FROM customer WHERE c_custkey % 50 BETWEEN 10 AND 40))
        |WHERE rn <= 12 ORDER BY rn""".stripMargin
 
+  // ---------------------------------------------------------------- d55
+  /** ES `stats` metric agg — Kibana's five-in-one metric (count/min/max/
+    * avg/sum), rendered as five `<name>_*` columns from ONE aggregation
+    * pass (no extra shuffle vs a single metric). `count` counts VALUES,
+    * not documents, per the ES contract. */
+  private def d55(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "size": 0,
+        |  "query": { "match": { "planType": "BUILDING" } },
+        |  "aggs": {
+        |    "copay_stats": { "stats": { "field": "planCostShares.copay" } },
+        |    "ded_stats": { "stats": { "field": "planCostShares.deductible" } }
+        |  }
+        |}""".stripMargin
+    EsAggs.run(assembled(s, d), "doc", body, schema)
+  }
+
+  private val d55Sql =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS doc_count,
+      |  CAST(COUNT(*) AS BIGINT) AS copay_stats_count,
+      |  CAST(MIN(c_custkey % 50) AS BIGINT) AS copay_stats_min,
+      |  CAST(MAX(c_custkey % 50) AS BIGINT) AS copay_stats_max,
+      |  AVG(c_custkey % 50) AS copay_stats_avg,
+      |  CAST(SUM(c_custkey % 50) AS DOUBLE) AS copay_stats_sum,
+      |  CAST(COUNT(*) AS BIGINT) AS ded_stats_count,
+      |  CAST(MIN(c_nationkey * 100) AS BIGINT) AS ded_stats_min,
+      |  CAST(MAX(c_nationkey * 100) AS BIGINT) AS ded_stats_max,
+      |  AVG(c_nationkey * 100) AS ded_stats_avg,
+      |  CAST(SUM(c_nationkey * 100) AS DOUBLE) AS ded_stats_sum
+      |FROM customer WHERE lower(c_mktsegment) = 'building'""".stripMargin
+
+  // ---------------------------------------------------------------- d56
+  /** ES `percentiles` metric agg under a terms bucket — EXACT
+    * linear-interpolated percentiles (ES's TDigest is approximate; the
+    * same documented upgrade as the exact terms top-N / cardinality).
+    * Percents restricted to binary-exact fractions (25/50/75) so the
+    * interpolation arithmetic is IEEE-identical in any engine (the q25
+    * device). */
+  private def d56(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "size": 0,
+        |  "aggs": {
+        |    "by_type": {
+        |      "terms": { "field": "planType", "size": 10, "order": { "_key": "asc" } },
+        |      "aggs": {
+        |        "copay_pct": { "percentiles": { "field": "planCostShares.copay",
+        |                                        "percents": [25, 50, 75] } }
+        |      }
+        |    }
+        |  }
+        |}""".stripMargin
+    EsAggs.run(assembled(s, d), "doc", body, schema)
+  }
+
+  private val d56Sql =
+    """SELECT c_mktsegment AS key, CAST(COUNT(*) AS BIGINT) AS doc_count,
+      |  quantile_cont(CAST(c_custkey % 50 AS BIGINT), 0.25) AS copay_pct_p25,
+      |  quantile_cont(CAST(c_custkey % 50 AS BIGINT), 0.5) AS copay_pct_p50,
+      |  quantile_cont(CAST(c_custkey % 50 AS BIGINT), 0.75) AS copay_pct_p75
+      |FROM customer GROUP BY 1 ORDER BY key ASC LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- d57
+  /** ES `missing` bucket agg — the bucket of documents with NO indexed
+    * value for the field. On the array field `linkedPlanServices` that is
+    * null OR EMPTY (ES indexes nothing for `[]` — the d33 `exists`
+    * subtlety, inverted), i.e. the %113 withheld plans plus customers
+    * with no orders. Metric sub-aggs compute over the missing bucket via
+    * the same one-pass conditional aggregation as `filters`. */
+  private def d57(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "size": 0,
+        |  "aggs": {
+        |    "no_services": {
+        |      "missing": { "field": "linkedPlanServices" },
+        |      "aggs": {
+        |        "avg_copay": { "avg": { "field": "planCostShares.copay" } },
+        |        "max_ded": { "max": { "field": "planCostShares.deductible" } }
+        |      }
+        |    }
+        |  }
+        |}""".stripMargin
+    EsAggs.run(assembled(s, d), "doc", body, schema)
+  }
+
+  private val d57Sql =
+    """SELECT 'missing' AS key, CAST(COUNT(*) AS BIGINT) AS doc_count,
+      |  AVG(c_custkey % 50) AS avg_copay,
+      |  CAST(MAX(c_nationkey * 100) AS BIGINT) AS max_ded
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |                  AND o_custkey % 113 <> 0)""".stripMargin
+
+  // ---------------------------------------------------------------- d58
+  /** ES `composite` agg — the ONLY ES agg that can page through ALL
+    * buckets (Kibana/exports use it to walk high-cardinality keys): all
+    * key tuples in deterministic source order, `size` per page, resumed
+    * by the `after` cursor. One hash aggregation + a lexicographic
+    * after-filter on the BUCKET table + a bounded top-`size` page — at
+    * 100 TB each page is one pass, state-free between pages. */
+  private def d58(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "size": 0,
+        |  "aggs": {
+        |    "pages": {
+        |      "composite": {
+        |        "size": 6,
+        |        "sources": [
+        |          { "plan_type": { "terms": { "field": "planType" } } },
+        |          { "copay": { "terms": { "field": "planCostShares.copay" } } }
+        |        ],
+        |        "after": { "plan_type": "BUILDING", "copay": 30 }
+        |      },
+        |      "aggs": {
+        |        "max_ded": { "max": { "field": "planCostShares.deductible" } }
+        |      }
+        |    }
+        |  }
+        |}""".stripMargin
+    EsAggs.run(assembled(s, d), "doc", body, schema)
+  }
+
+  private val d58Sql =
+    """SELECT plan_type, copay, doc_count, max_ded FROM (
+      |  SELECT c_mktsegment AS plan_type, c_custkey % 50 AS copay,
+      |    CAST(COUNT(*) AS BIGINT) AS doc_count,
+      |    CAST(MAX(c_nationkey * 100) AS BIGINT) AS max_ded
+      |  FROM customer GROUP BY 1, 2)
+      |WHERE plan_type > 'BUILDING' OR (plan_type = 'BUILDING' AND copay > 30)
+      |ORDER BY plan_type ASC, copay ASC LIMIT 6""".stripMargin
+
+  // ---------------------------------------------------------------- d59
+  /** ES pipeline aggs — `cumulative_sum` + `derivative` over a calendar
+    * day histogram, then a `bucket_selector` prune: the Kibana TSVB
+    * shapes. Pipelines are a second pass over the |buckets|-row table
+    * (windows in key order / filters), NEVER the corpus; declaration
+    * order matters (cum/deriv see the FULL series, the selector prunes
+    * afterwards). Targets are integer (`_count`) so the running sum is
+    * exact in any engine. */
+  private def d59(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.Tables.events(s, d)
+      .select(struct(col("event_id"), timestamp_micros(col("ts_us")).as("ts"),
+        col("user_id"), col("event_type"), col("value")).as("doc"))
+    val evSchema = ev.schema("doc").dataType.asInstanceOf[StructType]
+    val body =
+      """{
+        |  "size": 0,
+        |  "query": { "term": { "event_type": "view" } },
+        |  "aggs": {
+        |    "by_day": {
+        |      "date_histogram": { "field": "ts", "calendar_interval": "day" },
+        |      "aggs": {
+        |        "peak": { "max": { "field": "value" } },
+        |        "cum_events": { "cumulative_sum": { "buckets_path": "_count" } },
+        |        "delta": { "derivative": { "buckets_path": "_count" } },
+        |        "busy": { "bucket_selector": { "buckets_path": { "n": "_count" },
+        |                                       "script": "params.n > 60" } }
+        |      }
+        |    }
+        |  }
+        |}""".stripMargin
+    EsAggs.run(ev, "doc", body, evSchema)
+  }
+
+  private val d59Sql =
+    """WITH b AS (
+      |  SELECT CAST(date_trunc('day', ts) AS DATE) AS key,
+      |    CAST(COUNT(*) AS BIGINT) AS doc_count, MAX(value) AS peak
+      |  FROM events WHERE event_type = 'view' GROUP BY 1),
+      |p AS (
+      |  SELECT *,
+      |    CAST(SUM(doc_count) OVER (ORDER BY key ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_events,
+      |    doc_count - LAG(doc_count) OVER (ORDER BY key ASC) AS delta
+      |  FROM b)
+      |SELECT key, doc_count, peak, cum_events, delta
+      |FROM p WHERE doc_count > 60 ORDER BY key ASC""".stripMargin
+
+  // ---------------------------------------------------------------- d60
+  /** ES `top_hits` sub-agg — the top documents of EACH bucket (the Kibana
+    * "latest per group" panel), one row per (bucket, hit). Scale shape:
+    * bucket selection on the aggregated table (broadcast back), then ONE
+    * window partitioned by key ranks hits (WindowGroupLimit) — no
+    * corpus-global ordering. The explicit sort is tie-broken by the
+    * `_source` columns (objectId is unique → total order). */
+  private def d60(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "size": 0,
+        |  "aggs": {
+        |    "by_type": {
+        |      "terms": { "field": "planType", "size": 5, "order": { "_key": "asc" } },
+        |      "aggs": {
+        |        "top": { "top_hits": { "size": 2,
+        |                               "sort": [ { "planCostShares.copay": "desc" } ],
+        |                               "_source": ["objectId", "planCostShares.copay"] } }
+        |      }
+        |    }
+        |  }
+        |}""".stripMargin
+    EsAggs.run(assembled(s, d), "doc", body, schema)
+  }
+
+  private val d60Sql =
+    s"""SELECT key, doc_count, rank, "objectId", "planCostShares_copay" FROM (
+       |  SELECT c_mktsegment AS key,
+       |    CAST(COUNT(*) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS doc_count,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+       |      ORDER BY c_custkey % 50 DESC, 'plan-' || ${ck("c_custkey")} ASC) AS BIGINT) AS rank,
+       |    'plan-' || ${ck("c_custkey")} AS "objectId",
+       |    c_custkey % 50 AS "planCostShares_copay"
+       |  FROM customer)
+       |WHERE rank <= 2 ORDER BY key ASC, rank ASC""".stripMargin
+
+  // ---------------------------------------------------------------- d61
+  /** ES `significant_terms` — terms over-represented in the query's hit
+    * set (foreground) vs the WHOLE corpus, JLH-scored
+    * (`(fgPct-bgPct)*(fgPct/bgPct)`). The aggregation runs UNFILTERED
+    * with a conditional foreground count (one corpus shuffle); totals are
+    * a global window over the |terms|-row bucket table. The score is a
+    * fixed sequence of IEEE double ops over exact integers — bit-identical
+    * in any engine. */
+  private def d61(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "size": 0,
+        |  "query": { "range": { "planCostShares.copay": { "gte": 25 } } },
+        |  "aggs": {
+        |    "hot_types": { "significant_terms": { "field": "planType", "size": 3 } }
+        |  }
+        |}""".stripMargin
+    EsAggs.run(assembled(s, d), "doc", body, schema)
+  }
+
+  private val d61Sql =
+    """WITH g AS (
+      |  SELECT c_mktsegment AS key,
+      |    CAST(SUM(CASE WHEN c_custkey % 50 >= 25 THEN 1 ELSE 0 END) AS BIGINT) AS doc_count,
+      |    CAST(COUNT(*) AS BIGINT) AS bg_count
+      |  FROM customer GROUP BY 1),
+      |t AS (
+      |  SELECT *, CAST(SUM(doc_count) OVER () AS BIGINT) AS ft,
+      |    CAST(SUM(bg_count) OVER () AS BIGINT) AS bt
+      |  FROM g)
+      |SELECT key, doc_count, bg_count,
+      |  (CAST(doc_count AS DOUBLE) / ft - CAST(bg_count AS DOUBLE) / bt)
+      |    * ((CAST(doc_count AS DOUBLE) / ft) / (CAST(bg_count AS DOUBLE) / bt)) AS score
+      |FROM t WHERE doc_count > 0 ORDER BY score DESC, key ASC LIMIT 3""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -1985,6 +2237,13 @@ object DocQueries {
     "d52_es_filters_agg" -> d52 _,
     "d53_es_range_agg" -> d53 _,
     "d54_es_default_sort" -> d54 _,
+    "d55_es_stats" -> d55 _,
+    "d56_es_percentiles" -> d56 _,
+    "d57_es_missing" -> d57 _,
+    "d58_es_composite" -> d58 _,
+    "d59_es_pipeline" -> d59 _,
+    "d60_es_top_hits" -> d60 _,
+    "d61_es_significant_terms" -> d61 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
     "d3_roundtrip" -> d3 _,
@@ -2041,6 +2300,13 @@ object DocQueries {
     "d52_es_filters_agg" -> d52Sql,
     "d53_es_range_agg" -> d53Sql,
     "d54_es_default_sort" -> d54Sql,
+    "d55_es_stats" -> d55Sql,
+    "d56_es_percentiles" -> d56Sql,
+    "d57_es_missing" -> d57Sql,
+    "d58_es_composite" -> d58Sql,
+    "d59_es_pipeline" -> d59Sql,
+    "d60_es_top_hits" -> d60Sql,
+    "d61_es_significant_terms" -> d61Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,
     "d3_roundtrip" -> d3Sql,

@@ -41,12 +41,18 @@ import org.apache.spark.sql.types.StructType
 object EsAggs {
 
   sealed trait Agg
-  /** `avg` | `sum` | `min` | `max` | `value_count` | `cardinality` over a
-    * field path (relative to the aggregation context: document root, or
-    * the array element inside a `nested` agg). `cardinality` is EXACT
-    * distinct count — a documented upgrade over ES's HLL approximation
-    * (same note as the exact terms top-N). */
-  final case class Metric(kind: String, path: Seq[String]) extends Agg
+  /** `avg` | `sum` | `min` | `max` | `value_count` | `cardinality` |
+    * `stats` | `percentiles` over a field path (relative to the
+    * aggregation context: document root, or the array element inside a
+    * `nested` agg). `cardinality` is EXACT distinct count — a documented
+    * upgrade over ES's HLL approximation (same note as the exact terms
+    * top-N). `stats` renders as five columns (`<name>_count/_min/_max/
+    * _avg/_sum`); `percentiles` as one `<name>_p<P>` column per percent —
+    * EXACT linear-interpolated percentiles (ES's are TDigest-approximate;
+    * same upgrade note), `percents` defaulting to ES's
+    * [1, 5, 25, 50, 75, 95, 99]. */
+  final case class Metric(kind: String, path: Seq[String],
+                          percents: Seq[Double] = Nil) extends Agg
   /** ES `terms` bucket agg: top-`size` buckets. Default ES order =
     * doc_count desc, key asc; `order` overrides it with `_key`, `_count`,
     * or a metric sub-agg NAME (validated at parse — unknown targets are
@@ -73,13 +79,61 @@ object EsAggs {
     * as `filters`. */
   final case class RangeAgg(path: Seq[String],
                             ranges: Seq[(Option[Long], Option[Long])]) extends Agg
+  /** ES `missing` bucket agg — the ONE bucket of documents carrying no
+    * value for the field (null scalar; null OR empty array — ES indexes
+    * nothing for an empty array, the same rule as `exists`). Same
+    * conditional-aggregation shape as `filters`. */
+  final case class MissingAgg(path: Seq[String], isArray: Boolean) extends Agg
+  /** One `composite` source: output column name, terms field, direction. */
+  final case class CompositeSource(name: String, path: Seq[String], asc: Boolean)
+  /** ES `composite` agg — THE scalable bucket pagination: all buckets in
+    * deterministic key order, `size` per page, resumed with `after` (the
+    * last key tuple of the previous page). Unlike `terms` there is no
+    * top-N and no approximation pressure: each page is one hash
+    * aggregation + a lexicographic key filter + a bounded top-`size` —
+    * the only ES agg that can walk 10^9 buckets. */
+  final case class CompositeAgg(sources: Seq[CompositeSource], size: Int,
+                                after: Option[Seq[Any]]) extends Agg
+  /** ES `significant_terms` — terms of `field` over-represented in the
+    * query's hit set (foreground) vs the WHOLE corpus (background),
+    * scored by JLH: `(fgPct - bgPct) * (fgPct / bgPct)`. */
+  final case class SignificantTerms(path: Seq[String], size: Int) extends Agg
+  /** ES `top_hits` sub-agg — the top `size` DOCUMENTS of each bucket by an
+    * explicit sort, rendered as one row per (bucket, hit). Determinism:
+    * the explicit sort is tie-broken by every `_source` column ascending
+    * (callers include a unique field, e.g. objectId). */
+  final case class TopHits(size: Int, sorts: Seq[(Seq[String], Boolean)],
+                           source: Seq[Seq[String]])
+
+  /** Pipeline aggs — second-pass computations over the COMPLETED bucket
+    * list (|buckets| rows, never the corpus), applied in declaration
+    * order. `buckets_path` targets `_count` or a single-column metric /
+    * earlier-pipeline name of the same level. */
+  sealed trait Pipeline
+  /** `cumulative_sum` in bucket-key order (histogram parents only, ES's
+    * own restriction — terms order is not a time axis). */
+  final case class CumulativeSum(name: String, target: String) extends Pipeline
+  /** `derivative`: bucket value minus the previous bucket's, null in the
+    * first bucket (ES omits it there). Histogram parents only. */
+  final case class Derivative(name: String, target: String) extends Pipeline
+  /** `bucket_selector` with the one script shape Kibana emits:
+    * `params.<p> <op> <literal>` — anything richer is rejected loudly. */
+  final case class BucketSelector(param: String, target: String,
+                                  op: String, rhs: Double) extends Pipeline
+  /** `bucket_sort`: reorder + `from`/`size`-truncate the bucket list. */
+  final case class BucketSort(sorts: Seq[(String, Boolean)], from: Int,
+                              size: Option[Int]) extends Pipeline
 
   /** A bucket level: the bucket agg, its metric sub-aggs, and at most one
     * sub-bucket level (Kibana "split series" — terms × terms/histogram).
     * Depth is capped at two bucket levels; a level with a sub-bucket
-    * carries no metrics of its own (parse rejects mixing). */
+    * carries no metrics of its own (parse rejects mixing). Pipelines and
+    * `top_hits` attach only to a single-level keyed bucket (validated at
+    * parse); a level with `top_hits` carries nothing else. */
   final case class Buckets(bucket: Agg, metrics: Seq[(String, Metric)],
-                           sub: Option[Buckets])
+                           sub: Option[Buckets],
+                           pipelines: Seq[Pipeline] = Nil,
+                           topHits: Option[TopHits] = None)
 
   final case class Request(query: SearchQuery,
                            nestedPath: Option[Seq[String]],
@@ -89,13 +143,31 @@ object EsAggs {
     def metrics: Seq[(String, Metric)] = tree.fold(identity, _.metrics)
   }
 
-  private val metricKinds = Set("avg", "sum", "min", "max", "value_count", "cardinality")
+  private val metricKinds = Set("avg", "sum", "min", "max", "value_count",
+    "cardinality", "stats", "percentiles")
+
+  /** ES default percentiles (the TDigest defaults; ours are exact). */
+  private val defaultPercents = Seq(1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0)
 
   private val calendarIntervals =
     Set("minute", "hour", "day", "week", "month", "quarter", "year")
 
   private val bucketKinds =
-    Set("terms", "histogram", "date_histogram", "filters", "range")
+    Set("terms", "histogram", "date_histogram", "filters", "range",
+      "missing", "composite", "significant_terms")
+
+  private val pipelineKinds =
+    Set("cumulative_sum", "derivative", "bucket_selector", "bucket_sort")
+
+  /** Column names a metric renders to (`stats`/`percentiles` fan out). */
+  private def metricNames(name: String, m: Metric): Seq[String] = m.kind match {
+    case "stats" => Seq("count", "min", "max", "avg", "sum").map(s => s"${name}_$s")
+    case "percentiles" => m.percents.map(p => s"${name}_p${fmtPercent(p)}")
+    case _ => Seq(name)
+  }
+
+  private def fmtPercent(p: Double): String =
+    if (p == p.floor) p.toLong.toString else p.toString.replace('.', '_')
 
   def parse(body: String, schema: StructType): Request = {
     import org.json4s._
@@ -137,8 +209,8 @@ object EsAggs {
       * require the declared prefix and strip the ARRAY prefix to the
       * element-relative remainder; the two differ when `nested.path`
       * extends into the element, README-query-2 style). */
-    def fieldPath(spec: JValue, kind: String,
-                  ctx: Option[(Seq[String], Seq[String])]): Seq[String] = {
+    /** The raw `field` path of an agg spec, un-resolved (no array check). */
+    def fieldPath0(spec: JValue, kind: String): Seq[String] = {
       val p = spec match {
         case JObject(f) => f.toMap.get("field") match {
           case Some(JString(s)) => s
@@ -146,16 +218,20 @@ object EsAggs {
         }
         case other => throw new IllegalArgumentException(s"bad $kind agg spec: $other")
       }
-      val path = p.stripSuffix(".keyword").split('.').toSeq
+      p.stripSuffix(".keyword").split('.').toSeq
+    }
+    def fieldPath(spec: JValue, kind: String,
+                  ctx: Option[(Seq[String], Seq[String])]): Seq[String] = {
+      val path = fieldPath0(spec, kind)
       ctx match {
         case None =>
           val (arr, _) = SearchQuery.splitArrayPath(path, schema)
           require(arr.isEmpty,
-            s"agg field $p crosses array ${arr.mkString(".")} — switch context with a nested agg first")
+            s"agg field ${path.mkString(".")} crosses array ${arr.mkString(".")} — switch context with a nested agg first")
           path
         case Some((np, arr)) =>
           require(path.startsWith(np),
-            s"agg field $p is outside the nested context ${np.mkString(".")}")
+            s"agg field ${path.mkString(".")} is outside the nested context ${np.mkString(".")}")
           path.drop(arr.length)
       }
     }
@@ -163,7 +239,24 @@ object EsAggs {
                      ctx: Option[(Seq[String], Seq[String])]): Seq[(String, Metric)] =
       entries.map {
         case (name, JObject(List((kind, spec)))) if metricKinds(kind) =>
-          name -> Metric(kind, fieldPath(spec, kind, ctx))
+          // strict spec keys: a typo'd/unsupported option (e.g. `missing`)
+          // silently ignored would compute a DIFFERENT aggregate
+          val allowed = if (kind == "percentiles") Set("field", "percents") else Set("field")
+          val m = checkSpecKeys(spec, kind, allowed)
+          val percents = if (kind != "percentiles") Nil else m.get("percents") match {
+            case None => defaultPercents
+            case Some(JArray(ps)) if ps.nonEmpty => ps.map {
+              case JInt(i) => i.toDouble
+              case JLong(l) => l.toDouble
+              case JDouble(d) => d
+              case JDecimal(d) => d.toDouble
+              case other => throw new IllegalArgumentException(s"bad percent: $other")
+            }
+            case Some(other) => throw new IllegalArgumentException(
+              s"percentiles.percents must be a non-empty array: $other")
+          }
+          percents.foreach(p => require(p >= 0 && p <= 100, s"percent out of range: $p"))
+          name -> Metric(kind, fieldPath(spec, kind, ctx), percents)
         case (name, other) =>
           throw new IllegalArgumentException(
             s"unsupported metric agg $name: $other (supported: ${metricKinds.mkString("/")})")
@@ -268,43 +361,248 @@ object EsAggs {
               case _ => throw new IllegalArgumentException("range agg needs a non-empty ranges array")
             }
             RangeAgg(fieldPath(spec, "range", ctx), ranges)
-          }).get
-          val tree = bf.get("aggs").orElse(bf.get("aggregations")) match {
-            case None => Buckets(bucket, Nil, None)
-            case Some(JObject(fields)) => parseTree(fields, ctx) match {
-              case Left(ms) => Buckets(bucket, ms, None)
-              case Right(inner) =>
-                require(inner.sub.isEmpty,
-                  "aggs nesting deeper than two bucket levels is not implemented")
-                Buckets(bucket, Nil, Some(inner))
+          }).orElse(bf.get("missing").map { spec =>
+            checkSpecKeys(spec, "missing", Set("field"))
+            // resolve with array awareness: `missing` ON an array field
+            // means null-or-empty (ES indexes nothing for []); a path
+            // CROSSING an array still needs a nested context first
+            ctx match {
+              case Some((np, arr)) =>
+                val p = fieldPath(spec, "missing", ctx)
+                MissingAgg(p, isArray = false)
+              case None =>
+                val p = fieldPath0(spec, "missing")
+                SearchQuery.splitArrayPath(p, schema) match {
+                  case (Nil, full) => MissingAgg(full, isArray = false)
+                  case (arr, rest) if rest.isEmpty => MissingAgg(arr, isArray = true)
+                  case (arr, _) => throw new IllegalArgumentException(
+                    s"missing field ${p.mkString(".")} crosses array ${arr.mkString(".")} — switch context with a nested agg first")
+                }
             }
+          }).orElse(bf.get("composite").map { spec =>
+            require(ctx.isEmpty, "composite agg inside a nested context is not implemented")
+            val m = checkSpecKeys(spec, "composite", Set("sources", "size", "after"))
+            val sources = m.get("sources") match {
+              case Some(JArray(srcs)) if srcs.nonEmpty => srcs.map {
+                case JObject(List((name, JObject(List(("terms", tspec)))))) =>
+                  val tm = checkSpecKeys(tspec, "composite terms source", Set("field", "order"))
+                  val asc = tm.get("order") match {
+                    case None | Some(JString("asc")) => true
+                    case Some(JString("desc")) => false
+                    case Some(other) => throw new IllegalArgumentException(
+                      s"bad composite source order: $other")
+                  }
+                  CompositeSource(name, fieldPath(tspec, "composite source", ctx), asc)
+                case other => throw new IllegalArgumentException(
+                  s"unsupported composite source (terms sources only): $other")
+              }
+              case _ => throw new IllegalArgumentException(
+                "composite needs a non-empty sources array")
+            }
+            require(sources.map(_.name).distinct.size == sources.size,
+              "composite source names must be distinct")
+            val after = m.get("after").map {
+              case JObject(av) =>
+                val byName = av.toMap
+                require(byName.keySet == sources.map(_.name).toSet,
+                  s"after must carry exactly the source keys ${sources.map(_.name).mkString(", ")}")
+                sources.map(s => byName(s.name) match {
+                  case JString(v) => v: Any
+                  case JInt(i) => i.toLong: Any
+                  case JLong(l) => l: Any
+                  case other => throw new IllegalArgumentException(s"bad after value: $other")
+                })
+              case other => throw new IllegalArgumentException(s"bad after: $other")
+            }
+            CompositeAgg(sources, num(spec, "size", "composite").map(_.toInt).getOrElse(10), after)
+          }).orElse(bf.get("significant_terms").map { spec =>
+            require(ctx.isEmpty, "significant_terms inside a nested context is not implemented")
+            checkSpecKeys(spec, "significant_terms", Set("field", "size"))
+            SignificantTerms(fieldPath(spec, "significant_terms", ctx),
+              num(spec, "size", "significant_terms").map(_.toInt).getOrElse(10))
+          }).get
+          // Split the sub-agg entries: pipeline aggs and top_hits attach
+          // to THIS level; the rest are metrics or one sub-bucket level.
+          val subEntries = bf.get("aggs").orElse(bf.get("aggregations")) match {
+            case None => Nil
+            case Some(JObject(fields)) => fields
             case Some(other) => throw new IllegalArgumentException(s"bad sub-aggs: $other")
           }
+          val (pipeEntries, rest) = subEntries.partition {
+            case (_, JObject(List((k, _)))) => pipelineKinds(k)
+            case _ => false
+          }
+          val (thEntries, metricOrSub) = rest.partition {
+            case (_, JObject(List((k, _)))) => k == "top_hits"
+            case _ => false
+          }
+          def parsePipeline(e: (String, JValue)): Pipeline = e match {
+            case (name, JObject(List(("cumulative_sum", spec)))) =>
+              val m = checkSpecKeys(spec, "cumulative_sum", Set("buckets_path"))
+              CumulativeSum(name, asString(m.getOrElse("buckets_path",
+                throw new IllegalArgumentException("cumulative_sum needs buckets_path"))))
+            case (name, JObject(List(("derivative", spec)))) =>
+              val m = checkSpecKeys(spec, "derivative", Set("buckets_path"))
+              Derivative(name, asString(m.getOrElse("buckets_path",
+                throw new IllegalArgumentException("derivative needs buckets_path"))))
+            case (_, JObject(List(("bucket_selector", spec)))) =>
+              val m = checkSpecKeys(spec, "bucket_selector", Set("buckets_path", "script"))
+              val (param, target) = m.get("buckets_path") match {
+                case Some(JObject(List((p, t)))) => (p, asString(t))
+                case other => throw new IllegalArgumentException(
+                  s"bucket_selector needs a single-entry buckets_path object: $other")
+              }
+              val script = m.get("script").map(asString).getOrElse(
+                throw new IllegalArgumentException("bucket_selector needs a script"))
+              val Re = """params\.(\w+)\s*(>=|<=|==|!=|>|<)\s*(-?\d+(?:\.\d+)?)""".r
+              script.trim match {
+                case Re(p, op, rhs) =>
+                  require(p == param,
+                    s"script references params.$p but buckets_path defines $param")
+                  BucketSelector(param, target, op, rhs.toDouble)
+                case other => throw new IllegalArgumentException(
+                  s"unsupported bucket_selector script (only `params.<p> <op> <number>`): $other")
+              }
+            case (_, JObject(List(("bucket_sort", spec)))) =>
+              val m = checkSpecKeys(spec, "bucket_sort", Set("sort", "size", "from"))
+              val sorts = m.get("sort") match {
+                case Some(JArray(ss)) => ss.map {
+                  case JObject(List((t, JString(dir)))) =>
+                    require(dir == "asc" || dir == "desc", s"bad bucket_sort direction: $dir")
+                    (t, dir == "asc")
+                  case JObject(List((t, JObject(List(("order", JString(dir))))))) =>
+                    require(dir == "asc" || dir == "desc", s"bad bucket_sort direction: $dir")
+                    (t, dir == "asc")
+                  case other => throw new IllegalArgumentException(s"bad bucket_sort sort entry: $other")
+                }
+                case None => Nil
+                case Some(other) => throw new IllegalArgumentException(s"bad bucket_sort sort: $other")
+              }
+              BucketSort(sorts, num(spec, "from", "bucket_sort").map(_.toInt).getOrElse(0),
+                num(spec, "size", "bucket_sort").map(_.toInt))
+            case (name, other) =>
+              throw new IllegalArgumentException(s"bad pipeline agg $name: $other")
+          }
+          val pipelines = pipeEntries.map(parsePipeline)
+          val topHits: Option[TopHits] = thEntries match {
+            case Nil => None
+            case List((_, JObject(List(("top_hits", spec))))) =>
+              require(ctx.isEmpty, "top_hits inside a nested context is not implemented")
+              val m = checkSpecKeys(spec, "top_hits", Set("size", "sort", "_source"))
+              def pth(s: String) = s.stripSuffix(".keyword").split('.').toSeq
+              val sorts = m.get("sort") match {
+                case Some(JArray(ss)) if ss.nonEmpty => ss.map {
+                  case JObject(List((f, JString(dir)))) =>
+                    require(dir == "asc" || dir == "desc", s"bad top_hits sort direction: $dir")
+                    (pth(f), dir == "asc")
+                  case JObject(List((f, JObject(List(("order", JString(dir))))))) =>
+                    require(dir == "asc" || dir == "desc", s"bad top_hits sort direction: $dir")
+                    (pth(f), dir == "asc")
+                  case other => throw new IllegalArgumentException(s"bad top_hits sort entry: $other")
+                }
+                case _ => throw new IllegalArgumentException(
+                  "top_hits needs an explicit sort (deterministic hit ranking)")
+              }
+              val source = m.get("_source") match {
+                case Some(JArray(fs)) if fs.nonEmpty => fs.map(v => pth(asString(v)))
+                case _ => throw new IllegalArgumentException(
+                  "top_hits needs an explicit _source field list")
+              }
+              (sorts.map(_._1) ++ source).foreach { pp =>
+                val (arr, _) = SearchQuery.splitArrayPath(pp, schema)
+                require(arr.isEmpty,
+                  s"top_hits field ${pp.mkString(".")} crosses array ${arr.mkString(".")}")
+              }
+              Some(TopHits(num(spec, "size", "top_hits").map(_.toInt).getOrElse(3), sorts, source))
+            case _ => throw new IllegalArgumentException("at most one top_hits per level")
+          }
+          val tree = parseTree(metricOrSub, ctx) match {
+            case Left(ms) => Buckets(bucket, ms, None, pipelines, topHits)
+            case Right(inner) =>
+              require(inner.sub.isEmpty,
+                "aggs nesting deeper than two bucket levels is not implemented")
+              Buckets(bucket, Nil, Some(inner), pipelines, topHits)
+          }
           // Validate terms order targets against what the level can sort
-          // by; reject (don't ignore) anything else.
-          def checkOrder(b: Agg, metricNames: Set[String], where: String): Unit = b match {
+          // by; reject (don't ignore) anything else. Multi-column metrics
+          // (stats/percentiles) are not a sortable target.
+          def checkOrder(b: Agg, ms: Map[String, Metric], where: String): Unit = b match {
             case Terms(_, _, Some((target, _)), _) =>
-              require(target == "_key" || target == "_count" || metricNames(target),
+              require(target == "_key" || target == "_count" || ms.contains(target),
                 s"terms order target \"$target\" is not _key/_count or a metric sub-agg of $where " +
-                  s"(metrics: ${if (metricNames.isEmpty) "none" else metricNames.toSeq.sorted.mkString(", ")})")
+                  s"(metrics: ${if (ms.isEmpty) "none" else ms.keys.toSeq.sorted.mkString(", ")})")
+              require(target == "_key" || target == "_count" ||
+                (ms(target).kind != "stats" && ms(target).kind != "percentiles"),
+                s"terms order target \"$target\" is a multi-column ${ms(target).kind} metric")
             case _ => ()
           }
           tree.sub match {
-            case None => checkOrder(tree.bucket, tree.metrics.map(_._1).toSet, "this level")
+            case None => checkOrder(tree.bucket, tree.metrics.toMap, "this level")
             case Some(child) =>
-              checkOrder(tree.bucket, Set.empty, "the parent level (which carries no metrics)")
-              checkOrder(child.bucket, child.metrics.map(_._1).toSet, "the child level")
+              checkOrder(tree.bucket, Map.empty, "the parent level (which carries no metrics)")
+              checkOrder(child.bucket, child.metrics.toMap, "the child level")
               child.bucket match {
-                case _: FiltersAgg | _: RangeAgg => throw new IllegalArgumentException(
-                  "filters/range as the CHILD bucket level is not implemented")
+                case _: FiltersAgg | _: RangeAgg | _: MissingAgg | _: CompositeAgg |
+                     _: SignificantTerms => throw new IllegalArgumentException(
+                  "filters/range/missing/composite/significant_terms as the CHILD bucket level is not implemented")
                 case _ => ()
               }
           }
           (bucket, tree.sub) match {
-            case (_: FiltersAgg | _: RangeAgg, Some(_)) =>
+            case (_: FiltersAgg | _: RangeAgg | _: MissingAgg | _: CompositeAgg |
+                  _: SignificantTerms, Some(_)) =>
               throw new IllegalArgumentException(
-                "sub-bucket levels under filters/range aggs are not implemented")
+                "sub-bucket levels under filters/range/missing/composite/significant_terms aggs are not implemented")
             case _ => ()
+          }
+          bucket match {
+            case _: SignificantTerms =>
+              require(tree.metrics.isEmpty && pipelines.isEmpty && topHits.isEmpty,
+                "sub-aggs under significant_terms are not implemented")
+            case _ => ()
+          }
+          // pipeline / top_hits attachment rules
+          if (pipelines.nonEmpty || topHits.nonEmpty)
+            require(tree.sub.isEmpty,
+              "pipelines/top_hits on a level with a sub-bucket level are not implemented")
+          topHits.foreach { _ =>
+            require(tree.metrics.isEmpty && pipelines.isEmpty,
+              "a top_hits level carries no other sub-aggs")
+            bucket match {
+              case _: Terms | _: Histogram | _: DateHistogram => ()
+              case other => throw new IllegalArgumentException(
+                s"top_hits under ${other.getClass.getSimpleName} is not implemented")
+            }
+          }
+          val levelMetrics = tree.metrics.toMap
+          def checkTarget(target: String, earlier: Set[String], allowKey: Boolean): Unit =
+            require(target == "_count" || (allowKey && target == "_key") || earlier(target) ||
+              levelMetrics.get(target).exists(m => m.kind != "stats" && m.kind != "percentiles"),
+              s"buckets_path \"$target\" is not _count${if (allowKey) "/_key" else ""}, a " +
+                "single-column metric, or an earlier pipeline of this level")
+          def requireKeyed(kind: String): Unit = bucket match {
+            case _: Terms | _: Histogram | _: DateHistogram => ()
+            case other => throw new IllegalArgumentException(
+              s"$kind under ${other.getClass.getSimpleName} is not implemented")
+          }
+          def requireHist(kind: String): Unit = bucket match {
+            case _: Histogram | _: DateHistogram => ()
+            case _ => throw new IllegalArgumentException(
+              s"$kind needs a histogram/date_histogram parent (ES restriction)")
+          }
+          pipelines.foldLeft(Set.empty[String]) { (earlier, p) =>
+            p match {
+              case CumulativeSum(n, t) =>
+                requireHist("cumulative_sum"); checkTarget(t, earlier, allowKey = false); earlier + n
+              case Derivative(n, t) =>
+                requireHist("derivative"); checkTarget(t, earlier, allowKey = false); earlier + n
+              case BucketSelector(_, t, _, _) =>
+                requireKeyed("bucket_selector"); checkTarget(t, earlier, allowKey = false); earlier
+              case BucketSort(sorts, _, _) =>
+                requireKeyed("bucket_sort")
+                sorts.foreach { case (t, _) => checkTarget(t, earlier, allowKey = true) }
+                earlier
+            }
           }
           Right(tree)
         case mixed if mixed.size > 1 && mixed.exists {
@@ -355,25 +653,39 @@ object EsAggs {
       case Some(np) => (filtered.select(explode(field(doc, np)).as("el")), col("el"))
       case None => (filtered, doc)
     }
-    /** A metric column, optionally CONDITIONAL on `pred` (the filters/
-      * range one-pass shape: `avg(when(pred, v))` — aggregate functions
-      * ignore NULLs, so the when() IS the bucket membership). */
-    def metricCol(name: String, m: Metric, pred: Option[Column] = None): Column = {
+    val W = org.apache.spark.sql.expressions.Window
+    /** The column(s) of one metric agg, optionally CONDITIONAL on `pred`
+      * (the filters/range one-pass shape: `avg(when(pred, v))` — aggregate
+      * functions ignore NULLs, so the when() IS the bucket membership).
+      * `stats`/`percentiles` fan out to several columns (metricNames). */
+    def metricCols(name: String, m: Metric, pred: Option[Column] = None): Seq[Column] = {
       val v = pred match {
         case Some(p) => when(p, field(ctx, m.path))
         case None => field(ctx, m.path)
       }
-      (m.kind match {
-        case "avg" => avg(v).cast("double")
-        case "sum" => sum(v).cast("double") // ES sum is a double
-        case "min" => min(v)
-        case "max" => max(v)
-        case "value_count" => count(v)
-        // EXACT distinct count (ES cardinality is HLL-approximate — the
-        // documented upgrade, same as the exact terms top-N); the engine's
-        // HLL sketch itself is q27/approxDistinct.
-        case "cardinality" => count_distinct(v)
-      }).as(name)
+      m.kind match {
+        case "stats" =>
+          // ES stats = the five basics in ONE pass (count of VALUES)
+          Seq(count(v).as(s"${name}_count"), min(v).as(s"${name}_min"),
+            max(v).as(s"${name}_max"), avg(v).cast("double").as(s"${name}_avg"),
+            sum(v).cast("double").as(s"${name}_sum"))
+        case "percentiles" =>
+          // EXACT linear-interpolated percentiles (DuckDB quantile_cont
+          // reproduces them bit-for-bit; ES TDigest is approximate)
+          m.percents.map(p =>
+            percentile(v, lit(p / 100.0)).as(s"${name}_p${fmtPercent(p)}"))
+        case kind => Seq((kind match {
+          case "avg" => avg(v).cast("double")
+          case "sum" => sum(v).cast("double") // ES sum is a double
+          case "min" => min(v)
+          case "max" => max(v)
+          case "value_count" => count(v)
+          // EXACT distinct count (ES cardinality is HLL-approximate — the
+          // documented upgrade, same as the exact terms top-N); the
+          // engine's HLL sketch itself is q27/approxDistinct.
+          case "cardinality" => count_distinct(v)
+        }).as(name))
+      }
     }
     def keyCol(b: Agg): Column = b match {
       case Terms(p, _, _, _) => field(ctx, p)
@@ -410,44 +722,162 @@ object EsAggs {
     def condBuckets(buckets: Seq[(String, Column)], ms: Seq[(String, Metric)]): DataFrame = {
       val aggCols = buckets.zipWithIndex.flatMap { case ((_, pred), i) =>
         sum(when(pred, 1L).otherwise(0L)).cast("long").as(s"_dc_$i") +:
-          ms.map { case (n, m) => metricCol(s"_m${i}_$n", m, Some(pred)) }
+          ms.flatMap { case (n, m) => metricCols(s"_m${i}_$n", m, Some(pred)) }
       }
       val one = rows.agg(aggCols.head, aggCols.tail: _*)
+      val outNames = ms.flatMap { case (n, m) => metricNames(n, m) }
       val bucketStructs = buckets.zipWithIndex.map { case ((key, _), i) =>
         struct(lit(key).as("key") +: col(s"_dc_$i").as("doc_count") +:
-          ms.map { case (n, _) => col(s"_m${i}_$n").as(n) }: _*)
+          outNames.map(fn => col(s"_m${i}_$fn").as(fn)): _*)
       }
       one.select(explode(array(bucketStructs: _*)).as("_b")).select(col("_b.*"))
     }
     req.tree match {
       case Left(ms) =>
         require(ms.nonEmpty, "aggs body has no aggregations")
-        rows.agg(count(lit(1)).as("doc_count"), ms.map { case (n, m) => metricCol(n, m) }: _*)
-      case Right(Buckets(FiltersAgg(bs), ms, None)) =>
+        rows.agg(count(lit(1)).as("doc_count"),
+          ms.flatMap { case (n, m) => metricCols(n, m) }: _*)
+      case Right(Buckets(FiltersAgg(bs), ms, None, Nil, None)) =>
         condBuckets(bs.map { case (n, q) => n -> SearchQuery.compile(q, ctx) }, ms)
-      case Right(Buckets(RangeAgg(p, rs), ms, None)) =>
+      case Right(Buckets(RangeAgg(p, rs), ms, None, Nil, None)) =>
         val v = field(ctx, p)
         condBuckets(rs.map { case (lo, hi) =>
           val key = s"${lo.map(_.toString).getOrElse("*")}-${hi.map(_.toString).getOrElse("*")}"
           val pred = (lo.map(v >= _).toSeq ++ hi.map(v < _).toSeq).reduce(_ && _)
           key -> pred
         }, ms)
-      case Right(Buckets(b, ms, None)) =>
+      case Right(Buckets(MissingAgg(p, isArr), ms, None, Nil, None)) =>
+        // the one bucket of value-less documents; for an array field ES's
+        // "no indexed value" includes the empty array (same as `exists`)
+        val c0 = field(ctx, p)
+        condBuckets(Seq("missing" -> (if (isArr) c0.isNull || size(c0) === 0 else c0.isNull)), ms)
+      case Right(Buckets(c: CompositeAgg, ms, None, Nil, None)) =>
+        // one hash aggregation on the composite key; `after` is a
+        // lexicographic key-tuple filter over the bucket table and the
+        // page is a bounded TakeOrderedAndProject — the agg that can walk
+        // ALL buckets at 100 TB, one page per pass. Documents with a null
+        // key value are skipped (ES's missing_bucket:false default).
+        val keyCols = c.sources.map(s => field(ctx, s.path).as(s.name))
+        val nonNull = c.sources.map(s => field(ctx, s.path).isNotNull).reduce(_ && _)
+        var g = rows.filter(nonNull).groupBy(keyCols: _*)
+          .agg(count(lit(1)).as("doc_count"),
+            ms.flatMap { case (n, m) => metricCols(n, m) }: _*)
+        c.after.foreach { vals =>
+          val afterPred = c.sources.zip(vals).foldRight(lit(false)) { case ((src, v), rest) =>
+            val k = col(src.name)
+            val beyond = if (src.asc) k > lit(v) else k < lit(v)
+            beyond || (k === lit(v) && rest)
+          }
+          g = g.filter(afterPred)
+        }
+        g.orderBy(c.sources.map(s => if (s.asc) col(s.name).asc else col(s.name).desc): _*)
+          .limit(c.size)
+      case Right(Buckets(SignificantTerms(p, topN), _, None, _, _)) =>
+        // foreground = the query's hit set; background = the WHOLE corpus,
+        // so the aggregation runs UNFILTERED with a conditional foreground
+        // count — one corpus shuffle; the totals are a global window over
+        // the |terms|-row bucket table (the same bounded-table pattern as
+        // the two-level split), and JLH scores the lift.
+        val fgPred = SearchQuery.compile(req.query, doc)
+        val t = field(doc, p)
+        val g = docs.groupBy(t.as("key")).agg(
+          sum(when(fgPred, 1L).otherwise(0L)).cast("long").as("doc_count"),
+          count(lit(1)).cast("long").as("bg_count"))
+        val wAll = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+        val fgPct = col("doc_count").cast("double") / col("_fg_total")
+        val bgPct = col("bg_count").cast("double") / col("_bg_total")
+        g.withColumn("_fg_total", sum(col("doc_count")).over(wAll))
+          .withColumn("_bg_total", sum(col("bg_count")).over(wAll))
+          .filter(col("doc_count") > 0)
+          .withColumn("score", (fgPct - bgPct) * (fgPct / bgPct))
+          .drop("_fg_total", "_bg_total")
+          .orderBy(col("score").desc, col("key").asc)
+          .limit(topN)
+      case Right(Buckets(bk, Nil, None, Nil, Some(th))) =>
+        // top_hits: bucket selection happens on the AGGREGATED bucket
+        // table (terms top-N → N rows, broadcast back to the corpus),
+        // then ONE window partitioned by key ranks hits inside each
+        // selected bucket (WindowGroupLimit) — no corpus-global ordering.
+        val bucketTable = rows.groupBy(keyCol(bk).as("key"))
+          .agg(count(lit(1)).cast("long").as("doc_count"))
+        val (selected, bucketOrder) = bk match {
+          case Terms(_, size, order, minDoc) =>
+            val pruned = if (minDoc > 1L) bucketTable.filter(col("doc_count") >= minDoc)
+              else bucketTable
+            val ord = termsOrder(order, col("doc_count"), col("key"))
+            (pruned.orderBy(ord: _*).limit(size), ord)
+          case _ => (bucketTable, Seq(col("key").asc))
+        }
+        val srcNames = th.source.map(_.mkString("_"))
+        val srcCols = th.source.zip(srcNames).map { case (p, n) => field(ctx, p).as(n) }
+        val sortCols = th.sorts.zipWithIndex.map { case ((p, _), i) => field(ctx, p).as(s"_s$i") }
+        val hits = rows.select(keyCol(bk).as("key") +: (srcCols ++ sortCols): _*)
+          .join(broadcast(selected), "key")
+        val ord = th.sorts.zipWithIndex.map { case ((_, asc), i) =>
+          if (asc) col(s"_s$i").asc_nulls_last else col(s"_s$i").desc_nulls_last
+        } ++ srcNames.map(col(_).asc) // documented determinism tiebreak
+        hits.withColumn("rank",
+            row_number().over(W.partitionBy(col("key")).orderBy(ord: _*)))
+          .filter(col("rank") <= th.size)
+          .select(col("key") +: col("doc_count") +: col("rank") +: srcNames.map(col): _*)
+          .orderBy(bucketOrder :+ col("rank").asc: _*)
+      case Right(Buckets(b, ms, None, pipes, None)) =>
         val grouped = rows.groupBy(keyCol(b).as("key"))
-          .agg(count(lit(1)).as("doc_count"), ms.map { case (n, m) => metricCol(n, m) }: _*)
+          .agg(count(lit(1)).as("doc_count"),
+            ms.flatMap { case (n, m) => metricCols(n, m) }: _*)
+        var table = grouped
+        var finalOrder: Seq[Column] = Seq(col("key").asc)
         b match {
           case Terms(_, size, order, minDoc) =>
-            val pruned = if (minDoc > 1L) grouped.filter(col("doc_count") >= minDoc) else grouped
-            pruned.orderBy(termsOrder(order, col("doc_count"), col("key")): _*).limit(size)
-          case _ => grouped.orderBy(col("key"))
+            if (minDoc > 1L) table = table.filter(col("doc_count") >= minDoc)
+            finalOrder = termsOrder(order, col("doc_count"), col("key"))
+            table = table.orderBy(finalOrder: _*).limit(size)
+          case _ => ()
         }
-      case Right(Buckets(b1, _, Some(Buckets(b2, ms2, _)))) =>
+        // pipeline aggs: a |buckets|-row second pass in declaration order
+        // — windows/filters over the bucket table, never the corpus (ES
+        // computes them on the response's bucket list too)
+        def tcol(t: String): Column =
+          if (t == "_count") col("doc_count") else if (t == "_key") col("key") else col(t)
+        val keyW = W.orderBy(col("key").asc)
+        pipes.foreach {
+          case CumulativeSum(n, t) =>
+            table = table.withColumn(n,
+              sum(tcol(t)).over(keyW.rowsBetween(W.unboundedPreceding, W.currentRow)))
+          case Derivative(n, t) =>
+            table = table.withColumn(n, tcol(t) - lag(tcol(t), 1).over(keyW))
+          case BucketSelector(_, t, op, rhs) =>
+            val c0 = tcol(t)
+            table = table.filter(op match {
+              case ">" => c0 > rhs
+              case ">=" => c0 >= rhs
+              case "<" => c0 < rhs
+              case "<=" => c0 <= rhs
+              case "==" => c0 === rhs
+              case "!=" => c0 =!= rhs
+            })
+          case BucketSort(sorts, from, sz) =>
+            val ord = sorts.map { case (t, asc) =>
+              if (asc) tcol(t).asc_nulls_last else tcol(t).desc_nulls_last
+            } :+ col("key").asc
+            finalOrder = ord
+            if (from > 0 || sz.nonEmpty) {
+              val rn = row_number().over(W.orderBy(ord: _*))
+              table = table.withColumn("_bsrn", rn)
+                .filter(col("_bsrn") > from &&
+                  sz.map(z => col("_bsrn") <= from + z).getOrElse(lit(true)))
+                .drop("_bsrn")
+            }
+        }
+        table.orderBy(finalOrder: _*)
+      case Right(Buckets(b1, _, Some(Buckets(b2, ms2, _, _, _)), Nil, None)) =>
         // Two-level split: ONE hash aggregation on the composite key
         // (corpus-sized work ends here), then parent counts / top-N /
         // child top-N as windows over the BUCKET table — |buckets| rows,
         // bounded by key cardinality, never by the corpus.
         val leaf = rows.groupBy(keyCol(b1).as("key"), keyCol(b2).as("key2"))
-          .agg(count(lit(1)).as("doc_count2"), ms2.map { case (n, m) => metricCol(n, m) }: _*)
+          .agg(count(lit(1)).as("doc_count2"),
+            ms2.flatMap { case (n, m) => metricCols(n, m) }: _*)
         val wp = org.apache.spark.sql.expressions.Window.partitionBy(col("key"))
         // Parent doc_count BEFORE any child pruning (ES: a child-level
         // min_doc_count does not change the parent's count).
@@ -476,8 +906,10 @@ object EsAggs {
           case _ => ()
         }
         out.select(Seq(col("key"), col("doc_count"), col("key2"), col("doc_count2"))
-            ++ ms2.map { case (n, _) => col(n) }: _*)
+            ++ ms2.flatMap { case (n, m) => metricNames(n, m) }.map(col): _*)
           .orderBy(parentOrder ++ childOrder: _*)
+      case Right(other) =>
+        throw new IllegalStateException(s"unplannable aggs tree (parse should have rejected it): $other")
     }
   }
 }

@@ -462,8 +462,8 @@ object SearchQuery {
       case JObject(List(("multi_match", JObject(fields)))) =>
         // ES multi_match, best_fields flavor: the query matched against
         // each listed field, OR-composed. Per-field semantics follow the
-        // single-field `match` above (tokenized top-level, exact-equality
-        // through array paths).
+        // single-field `match` above: tokenized everywhere, including
+        // through array paths (`.keyword` opts back into exact equality).
         val f = fields.toMap
         val unknown = f.keySet -- Set("query", "fields")
         require(unknown.isEmpty,

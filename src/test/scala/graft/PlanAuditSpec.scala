@@ -259,6 +259,42 @@ class PlanAuditSpec extends SparkSpec {
       s"sort-less body must page through the bounded heap:\n$p")
   }
 
+  test("d58: composite paging is one hash aggregation + a bounded TakeOrderedAndProject") {
+    // the after-cursor is a filter on the BUCKET table; the page is a
+    // bounded heap — no global sort of anything corpus-sized
+    val p = plan(q("d58_es_composite"))
+    assert(p.contains("partial_count"), "composite lost map-side partial aggregation")
+    assert(p.contains("TakeOrderedAndProject"), s"composite page must be a bounded heap:\n$p")
+    val hashExchanges = p.linesIterator.sliding(3).count { w =>
+      w.head.matches("\\(\\d+\\) Exchange.*") &&
+        w.drop(1).exists(_.contains("hashpartitioning"))
+    }
+    assert(hashExchanges === 1, s"expected exactly 1 hash shuffle, got $hashExchanges:\n$p")
+  }
+
+  test("d60: top_hits ranks via WindowGroupLimit after a broadcast bucket join") {
+    // bucket selection happens on the |buckets|-row aggregated table and
+    // is broadcast back; the per-bucket rank must plan as WindowGroupLimit
+    // (partial per partition), never a corpus-global window
+    val p = plan(q("d60_es_top_hits"))
+    assert(p.contains("WindowGroupLimit"), s"top_hits rank must be group-limited:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"selected buckets must broadcast back to the corpus:\n$p")
+  }
+
+  test("d61: significant_terms is ONE corpus shuffle; totals ride the bucket table") {
+    val p = plan(q("d61_es_significant_terms"))
+    assert(p.contains("partial_"), "significant_terms lost map-side partial combine")
+    // corpus-scale work: exactly the one hashpartitioning shuffle on the
+    // term key; the totals window and top-N act on |terms| rows
+    val hashExchanges = p.linesIterator.sliding(3).count { w =>
+      w.head.matches("\\(\\d+\\) Exchange.*") &&
+        w.drop(1).exists(_.contains("hashpartitioning"))
+    }
+    assert(hashExchanges === 1, s"expected exactly 1 hash shuffle, got $hashExchanges:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-N must be a bounded heap:\n$p")
+  }
+
   test("d50: query_string leaves push into the parquet scan") {
     // the grammar compiles to the same AST leaves as the JSON DSL, so the
     // prefix clause must reach PushedFilters like any hand-written filter

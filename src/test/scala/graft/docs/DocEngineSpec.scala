@@ -453,8 +453,12 @@ class DocEngineSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](
       EsAggs.parse("""{"size": 0}""", PlanSchema.plan))
     assertThrows[IllegalArgumentException](EsAggs.parse(
-      """{"aggs": {"p": {"percentiles": {"field": "planCostShares.copay"}}}}""",
+      """{"aggs": {"p": {"median_absolute_deviation": {"field": "planCostShares.copay"}}}}""",
       PlanSchema.plan))
+    // percentiles without explicit percents = the ES defaults
+    assert(EsAggs.parse(
+      """{"aggs": {"p": {"percentiles": {"field": "planCostShares.copay"}}}}""",
+      PlanSchema.plan).metrics.head._2.percents === Seq(1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0))
     assertThrows[IllegalArgumentException](EsAggs.parse(
       """{"aggs": {"x": {"avg": {"field": "linkedPlanServices.planserviceCostShares.copay"}}}}""",
       PlanSchema.plan))
@@ -766,6 +770,161 @@ class DocEngineSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](EsAggs.parse(
       """{"aggs": {"n": {"nested": {"path": "linkedPlanServices"},
         |  "aggs": {"c": {"filters": {"filters": {"a": {"match_all": {}}}}}}}}}""".stripMargin,
+      PlanSchema.plan))
+  }
+
+  test("stats fans out to five exact columns; percentiles interpolate exactly; bad metric specs rejected") {
+    // copays: 10, 20, 30, 40, 50, 99
+    val body =
+      """{"size": 0, "aggs": {
+        |  "s": {"stats": {"field": "planCostShares.copay"}},
+        |  "p": {"percentiles": {"field": "planCostShares.copay", "percents": [25, 50, 75]}}}}""".stripMargin
+    val r = EsAggs.run(corpus, "doc", body, PlanSchema.plan).collect()(0)
+    assert(r.getAs[Long]("s_count") === 6L)
+    assert(r.getAs[Long]("s_min") === 10L)
+    assert(r.getAs[Long]("s_max") === 99L)
+    assert(r.getAs[Double]("s_avg") === 249.0 / 6)
+    assert(r.getAs[Double]("s_sum") === 249.0)
+    // linear interpolation at rank p*(n-1): 1.25 → 22.5, 2.5 → 35, 3.75 → 47.5
+    assert(r.getAs[Double]("p_p25") === 22.5)
+    assert(r.getAs[Double]("p_p50") === 35.0)
+    assert(r.getAs[Double]("p_p75") === 47.5)
+    // a multi-column metric is not a sortable terms order target
+    assertThrows[IllegalArgumentException](EsAggs.parse(
+      """{"aggs": {"t": {"terms": {"field": "planType", "order": {"st": "desc"}},
+        |  "aggs": {"st": {"stats": {"field": "planCostShares.copay"}}}}}}""".stripMargin,
+      PlanSchema.plan))
+    // unknown metric option rejected (ignoring `missing` would change the value)
+    assertThrows[IllegalArgumentException](EsAggs.parse(
+      """{"aggs": {"m": {"avg": {"field": "planCostShares.copay", "missing": 0}}}}""",
+      PlanSchema.plan))
+    // out-of-range percent rejected
+    assertThrows[IllegalArgumentException](EsAggs.parse(
+      """{"aggs": {"p": {"percentiles": {"field": "planCostShares.copay", "percents": [150]}}}}""",
+      PlanSchema.plan))
+  }
+
+  test("missing agg counts null scalars and null-or-empty arrays") {
+    import spark.implicits._
+    val df = Seq(
+      ("m1", Some(5L), Seq("x")),
+      ("m2", None, Seq.empty[String]),
+      ("m3", Some(7L), Seq("y", "z")))
+      .toDF("id", "v", "tags")
+      .select(struct(col("id"), col("v"), col("tags")).as("doc"))
+    val sch = df.schema("doc").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    val scalarMissing =
+      """{"aggs": {"mm": {"missing": {"field": "v"},
+        |  "aggs": {"n_ids": {"value_count": {"field": "id"}}}}}}""".stripMargin
+    val s = EsAggs.run(df, "doc", scalarMissing, sch).collect()(0)
+    assert((s.getAs[String]("key"), s.getAs[Long]("doc_count"), s.getAs[Long]("n_ids")) ===
+      ("missing", 1L, 1L))
+    // array field: the EMPTY array is missing too (ES indexes nothing for [])
+    val arrayMissing = """{"aggs": {"mm": {"missing": {"field": "tags"}}}}"""
+    assert(EsAggs.run(df, "doc", arrayMissing, sch).collect()(0).getAs[Long]("doc_count") === 1L)
+  }
+
+  test("composite agg pages all buckets in source order with an after cursor") {
+    val page =
+      """{"size": 0, "aggs": {"pg": {"composite": {
+        |  "size": 3,
+        |  "sources": [
+        |    {"pt": {"terms": {"field": "planType"}}},
+        |    {"cp": {"terms": {"field": "planCostShares.copay"}}}],
+        |  "after": {"pt": "typeA", "cp": 20}}}}}""".stripMargin
+    assert(EsAggs.run(corpus, "doc", page, PlanSchema.plan).collect()
+      .map(r => (r.getAs[String]("pt"), r.getAs[Long]("cp"), r.getAs[Long]("doc_count"))).toSeq ===
+      Seq(("typeB", 30L, 1L), ("typeB", 40L, 1L), ("typeB", 50L, 1L)))
+    // the next page resumes exactly where this one ended
+    val lastPage = page.replace(""""after": {"pt": "typeA", "cp": 20}""",
+      """"after": {"pt": "typeB", "cp": 50}""")
+    assert(EsAggs.run(corpus, "doc", lastPage, PlanSchema.plan).collect()
+      .map(r => (r.getAs[String]("pt"), r.getAs[Long]("cp"))).toSeq === Seq(("typeC", 99L)))
+    // a desc source inverts both the order and the cursor direction
+    val desc =
+      """{"aggs": {"pg": {"composite": {"size": 2,
+        |  "sources": [{"cp": {"terms": {"field": "planCostShares.copay", "order": "desc"}}}],
+        |  "after": {"cp": 50}}}}}""".stripMargin
+    assert(EsAggs.run(corpus, "doc", desc, PlanSchema.plan).collect()
+      .map(_.getAs[Long]("cp")).toSeq === Seq(40L, 30L))
+    // after keys must match the sources exactly
+    assertThrows[IllegalArgumentException](EsAggs.parse(
+      """{"aggs": {"pg": {"composite": {"sources": [{"pt": {"terms": {"field": "planType"}}}],
+        |  "after": {"wrong": 1}}}}}""".stripMargin, PlanSchema.plan))
+    // sub-bucket levels under composite rejected
+    assertThrows[IllegalArgumentException](EsAggs.parse(
+      """{"aggs": {"pg": {"composite": {"sources": [{"pt": {"terms": {"field": "planType"}}}]},
+        |  "aggs": {"t": {"terms": {"field": "planType"}}}}}}""".stripMargin, PlanSchema.plan))
+  }
+
+  test("pipeline aggs run over the bucket list in declaration order; wrong parents/targets rejected") {
+    // copay bins of 20: 0→1, 20→2, 40→2, 80→1; cum 1,3,5,6; deriv null,1,0,-1
+    val hist =
+      """{"size": 0, "aggs": {"h": {"histogram": {"field": "planCostShares.copay", "interval": 20},
+        |  "aggs": {
+        |    "cum": {"cumulative_sum": {"buckets_path": "_count"}},
+        |    "dlt": {"derivative": {"buckets_path": "_count"}},
+        |    "sel": {"bucket_selector": {"buckets_path": {"n": "_count"}, "script": "params.n >= 2"}}}}}}""".stripMargin
+    val h = EsAggs.run(corpus, "doc", hist, PlanSchema.plan).collect()
+    assert(h.map(r => (r.getAs[Long]("key"), r.getAs[Long]("doc_count"), r.getAs[Long]("cum"),
+      Option(r.getAs[java.lang.Long]("dlt")).map(_.toLong))).toSeq ===
+      Seq((20L, 2L, 3L, Some(1L)), (40L, 2L, 5L, Some(0L))))
+    // bucket_sort reorders and truncates the final bucket list
+    val bs =
+      """{"size": 0, "aggs": {"t": {"terms": {"field": "planType", "size": 10, "order": {"_key": "asc"}},
+        |  "aggs": {"bs": {"bucket_sort": {"sort": [{"_count": "desc"}], "size": 2}}}}}}""".stripMargin
+    assert(EsAggs.run(corpus, "doc", bs, PlanSchema.plan).collect()
+      .map(r => (r.getAs[String]("key"), r.getAs[Long]("doc_count"))).toSeq ===
+      Seq(("typeB", 3L), ("typeA", 2L)))
+    // cumulative_sum needs a histogram parent (ES restriction)
+    assertThrows[IllegalArgumentException](EsAggs.parse(
+      """{"aggs": {"t": {"terms": {"field": "planType"},
+        |  "aggs": {"c": {"cumulative_sum": {"buckets_path": "_count"}}}}}}""".stripMargin,
+      PlanSchema.plan))
+    // unknown buckets_path target rejected
+    assertThrows[IllegalArgumentException](EsAggs.parse(
+      """{"aggs": {"h": {"histogram": {"field": "planCostShares.copay", "interval": 20},
+        |  "aggs": {"c": {"cumulative_sum": {"buckets_path": "nope"}}}}}}""".stripMargin,
+      PlanSchema.plan))
+    // only the one Kibana script shape is supported — reject loudly beyond it
+    assertThrows[IllegalArgumentException](EsAggs.parse(
+      """{"aggs": {"h": {"histogram": {"field": "planCostShares.copay", "interval": 20},
+        |  "aggs": {"s": {"bucket_selector": {"buckets_path": {"n": "_count"},
+        |    "script": "params.n > params.m"}}}}}}""".stripMargin,
+      PlanSchema.plan))
+  }
+
+  test("top_hits ranks documents inside each bucket; sort is mandatory") {
+    val body =
+      """{"size": 0, "aggs": {"t": {"terms": {"field": "planType", "size": 5, "order": {"_key": "asc"}},
+        |  "aggs": {"top": {"top_hits": {"size": 1,
+        |    "sort": [{"planCostShares.copay": "desc"}], "_source": ["objectId"]}}}}}}""".stripMargin
+    assert(EsAggs.run(corpus, "doc", body, PlanSchema.plan).collect()
+      .map(r => (r.getAs[String]("key"), r.getAs[Long]("doc_count"),
+        r.getAs[Int]("rank"), r.getAs[String]("objectId"))).toSeq ===
+      Seq(("typeA", 2L, 1, "a2"), ("typeB", 3L, 1, "b3"), ("typeC", 1L, 1, "c1")))
+    // no sort → rejected (a nondeterministic hit list is a wrong hit list)
+    assertThrows[IllegalArgumentException](EsAggs.parse(
+      """{"aggs": {"t": {"terms": {"field": "planType"},
+        |  "aggs": {"top": {"top_hits": {"size": 1, "_source": ["objectId"]}}}}}}""".stripMargin,
+      PlanSchema.plan))
+  }
+
+  test("significant_terms scores foreground lift against the unfiltered corpus") {
+    // fg = copay >= 30 → typeB×3 + typeC×1; ft=4 bt=6
+    // JLH: typeB (3/4 - 3/6)*(3/4 / (3/6)) = 0.375; typeC (1/4 - 1/6)*(1/4 / (1/6)) = 0.125
+    val body =
+      """{"size": 0, "query": {"range": {"planCostShares.copay": {"gte": 30}}},
+        |  "aggs": {"sig": {"significant_terms": {"field": "planType", "size": 5}}}}""".stripMargin
+    val r = EsAggs.run(corpus, "doc", body, PlanSchema.plan).collect()
+    assert(r.map(x => (x.getAs[String]("key"), x.getAs[Long]("doc_count"),
+      x.getAs[Long]("bg_count"))).toSeq === Seq(("typeB", 3L, 3L), ("typeC", 1L, 1L)))
+    assert(r(0).getAs[Double]("score") === 0.375)
+    assert(r(1).getAs[Double]("score") === 0.125)
+    // sub-aggs under significant_terms rejected
+    assertThrows[IllegalArgumentException](EsAggs.parse(
+      """{"aggs": {"sig": {"significant_terms": {"field": "planType"},
+        |  "aggs": {"a": {"avg": {"field": "planCostShares.copay"}}}}}}""".stripMargin,
       PlanSchema.plan))
   }
 

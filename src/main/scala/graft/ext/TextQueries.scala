@@ -511,11 +511,96 @@ object TextQueries {
        |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
   }
 
+  // ---------------------------------------------------------------- t12
+  /** Sequence packing — the concat-and-chunk shape LM pretraining actually
+    * uses: within each language shard, documents in doc_id order are
+    * conceptually concatenated and cut into fixed 256-token training
+    * sequences; each document spans `first_seq..last_seq` (crossing a cut
+    * is fine — that's how packing avoids padding waste). Pure prefix-sum:
+    * ONE shuffle on the shard key (the window partition), integer
+    * floor-division for the chunk ids — no per-sequence explode, so the
+    * output stays one row per document at any scale. At 100 TB the shard
+    * key would be (lang, file-split) to bound partition width; the
+    * algorithm is unchanged. */
+  private def t12(s: SparkSession, d: String): DataFrame = {
+    val C = 256L
+    val base = docs(s, d).select(col("doc_id"), col("lang"),
+      size(tokens(col("text"))).cast("long").as("n_tok"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base
+      .withColumn("tok_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("first_seq", expr(s"tok_before DIV $C"))
+      .withColumn("last_seq", expr(s"(tok_before + greatest(n_tok, 1L) - 1L) DIV $C"))
+      .withColumn("n_seqs", col("last_seq") - col("first_seq") + lit(1L))
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
+  private val t12Sql =
+    """WITH b AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |c AS (
+      |  SELECT *, CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_before
+      |  FROM b)
+      |SELECT doc_id, lang, n_tok, tok_before,
+      |  tok_before // 256 AS first_seq,
+      |  (tok_before + greatest(n_tok, 1) - 1) // 256 AS last_seq,
+      |  (tok_before + greatest(n_tok, 1) - 1) // 256 - tok_before // 256 + 1 AS n_seqs
+      |FROM c ORDER BY lang, doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- t13
+  /** Repetition / boilerplate detection — the Gopher-style duplicate
+    * n-gram fractions: the share of a document's 2-grams and 3-grams that
+    * are repeats of an earlier occurrence, in exact parts-per-thousand
+    * fixed point, plus the >15% 3-gram-repeat filter flag. Everything is
+    * per-row array arithmetic (no shuffle at all — a single scan at any
+    * scale); the token array is persisted NARROW first so the shingle
+    * lambda closes over a materialized column, not the tokenizer
+    * expression (the dd2 recompute lesson). */
+  private def t13(s: SparkSession, d: String): DataFrame = {
+    val tk = docs(s, d).select(col("doc_id"), tokens(col("text")).as("toks")).persist()
+    def gramCols(n: Int): Seq[Column] = {
+      val g = shingles(col("toks"), n)
+      Seq(size(g).cast("long").as(s"_t$n"),
+        size(array_distinct(g)).cast("long").as(s"_u$n"))
+    }
+    val res = tk.select(col("doc_id") +: size(col("toks")).cast("long").as("n_tok") +:
+        (gramCols(2) ++ gramCols(3)): _*)
+      // integer DIV, not Column./ (always-double division would round)
+      .withColumn("dup2_pm", expr("(_t2 - _u2) * 1000L DIV greatest(_t2, 1L)"))
+      .withColumn("dup3_pm", expr("(_t3 - _u3) * 1000L DIV greatest(_t3, 1L)"))
+      .withColumn("repetitive", (col("dup3_pm") > 150L).cast("int"))
+      .select("doc_id", "n_tok", "dup2_pm", "dup3_pm", "repetitive")
+      .orderBy(col("doc_id"))
+    graft.Eager.finish(res, tk)
+  }
+
+  private val t13Sql =
+    """WITH tk AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS toks
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok,
+      |    list_transform(range(1, len(toks)), i -> array_to_string(toks[i:i+1], ' ')) AS g2,
+      |    list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' ')) AS g3
+      |  FROM tk)
+      |SELECT doc_id, n_tok,
+      |  CAST((len(g2) - len(list_distinct(g2))) * 1000 // greatest(len(g2), 1) AS BIGINT) AS dup2_pm,
+      |  CAST((len(g3) - len(list_distinct(g3))) * 1000 // greatest(len(g3), 1) AS BIGINT) AS dup3_pm,
+      |  CAST(CASE WHEN (len(g3) - len(list_distinct(g3))) * 1000 // greatest(len(g3), 1) > 150
+      |    THEN 1 ELSE 0 END AS INTEGER) AS repetitive
+      |FROM g ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
     "t10_domain_mix" -> t10 _,
     "t11_bm25" -> t11 _,
+    "t12_seq_pack" -> t12 _,
+    "t13_repetition" -> t13 _,
     "t7_split" -> t7 _,
     "t8_pii_scrub" -> t8 _,
     "t9_contamination" -> t9 _,
@@ -529,6 +614,8 @@ object TextQueries {
   val oracle: Map[String, String] = Map(
     "t10_domain_mix" -> t10Sql,
     "t11_bm25" -> t11Sql,
+    "t12_seq_pack" -> t12Sql,
+    "t13_repetition" -> t13Sql,
     "t7_split" -> t7Sql,
     "t8_pii_scrub" -> t8Sql,
     "t9_contamination" -> t9Sql,

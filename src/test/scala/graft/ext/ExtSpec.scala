@@ -209,6 +209,48 @@ class ExtSpec extends SparkSpec {
     assert(bmA > bmB, s"bm25 must prefer the short exact doc: $bmA vs $bmB")
   }
 
+  test("sequence packing is gapless per shard; repetition fractions match an independent recomputation") {
+    // t12: concat-and-chunk invariants that the oracle can't isolate —
+    // no token is lost between documents (gapless prefix sum), chunk ids
+    // are exact floor-division, and the last chunk covers the shard total.
+    val pack = TextQueries.queries("t12_seq_pack")(spark, sf).collect()
+    pack.groupBy(_.getAs[String]("lang")).foreach { case (_, rows0) =>
+      val rows = rows0.sortBy(_.getAs[Long]("doc_id"))
+      rows.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("tok_before") ===
+            a.getAs[Long]("tok_before") + a.getAs[Long]("n_tok"))
+        case _ => ()
+      }
+      val last = rows.last
+      val total = last.getAs[Long]("tok_before") + last.getAs[Long]("n_tok")
+      assert(rows.map(_.getAs[Long]("last_seq")).max === (total - 1) / 256)
+      rows.foreach { r =>
+        assert(r.getAs[Long]("first_seq") === r.getAs[Long]("tok_before") / 256)
+        assert(r.getAs[Long]("n_seqs") ===
+          r.getAs[Long]("last_seq") - r.getAs[Long]("first_seq") + 1)
+      }
+    }
+    // t13: the engine's dup-n-gram fractions vs a from-scratch Scala
+    // recomputation (independent of both Spark expressions and DuckDB)
+    val rep = TextQueries.queries("t13_repetition")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val texts = graft.Tables(spark, sf, "documents").select("doc_id", "text")
+      .orderBy("doc_id").limit(10).collect()
+    assert(texts.nonEmpty)
+    texts.foreach { tr =>
+      val toks = tr.getAs[String]("text").split("\\s+").filter(_.nonEmpty).toSeq
+      def dup(n: Int): Long = {
+        val g = toks.sliding(n).filter(_.length == n).map(_.mkString(" ")).toSeq
+        if (g.isEmpty) 0L else (g.size - g.distinct.size).toLong * 1000L / g.size
+      }
+      val r = rep(tr.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("dup2_pm") === dup(2), s"doc ${tr.getAs[Long]("doc_id")} 2-gram")
+      assert(r.getAs[Long]("dup3_pm") === dup(3), s"doc ${tr.getAs[Long]("doc_id")} 3-gram")
+      assert(r.getAs[Int]("repetitive") === (if (dup(3) > 150) 1 else 0))
+    }
+  }
+
   test("stream merge is last-write-wins with cumulative counts") {
     import spark.implicits._
     val state = Seq((1L, 10L, "SAVE", "view", 1.0, 3L))

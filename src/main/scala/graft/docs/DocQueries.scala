@@ -2195,6 +2195,85 @@ object DocQueries {
       |    * ((CAST(doc_count AS DOUBLE) / ft) / (CAST(bg_count AS DOUBLE) / bt)) AS score
       |FROM t WHERE doc_count > 0 ORDER BY score DESC, key ASC LIMIT 3""".stripMargin
 
+  // ---------------------------------------------------------------- d62
+  /** ES `min_doc_count: 0` — ZERO-FILLED date_histogram buckets: Kibana
+    * time-series panels rely on gap filling, and the derivative computed
+    * here is only correct BECAUSE the empty days exist as zero buckets (a
+    * gappy series would difference across the gap). The bucket table is
+    * left-joined onto the full `sequence(min, max, 1 day)` key range; the
+    * two references to the aggregation collapse to one corpus pass via
+    * ReuseExchange (plan-audited). */
+  private def d62(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.Tables.events(s, d)
+      .select(struct(col("event_id"), timestamp_micros(col("ts_us")).as("ts"),
+        col("user_id"), col("event_type"), col("value")).as("doc"))
+    val evSchema = ev.schema("doc").dataType.asInstanceOf[StructType]
+    val body =
+      """{
+        |  "size": 0,
+        |  "query": { "bool": { "must": [
+        |    { "term": { "event_type": "purchase" } },
+        |    { "range": { "user_id": { "lte": 3 } } } ] } },
+        |  "aggs": {
+        |    "by_day": {
+        |      "date_histogram": { "field": "ts", "calendar_interval": "day",
+        |                          "min_doc_count": 0 },
+        |      "aggs": {
+        |        "peak": { "max": { "field": "value" } },
+        |        "delta": { "derivative": { "buckets_path": "_count" } }
+        |      }
+        |    }
+        |  }
+        |}""".stripMargin
+    EsAggs.run(ev, "doc", body, evSchema)
+  }
+
+  private val d62Sql =
+    """WITH b AS (
+      |  SELECT CAST(date_trunc('day', ts) AS DATE) AS key,
+      |    CAST(COUNT(*) AS BIGINT) AS doc_count, MAX(value) AS peak
+      |  FROM events WHERE event_type = 'purchase' AND user_id <= 3 GROUP BY 1),
+      |r AS (
+      |  SELECT CAST(unnest(generate_series(
+      |    (SELECT MIN(key) FROM b), (SELECT MAX(key) FROM b), INTERVAL 1 DAY)) AS DATE) AS key),
+      |f AS (
+      |  SELECT r.key, COALESCE(b.doc_count, 0) AS doc_count, b.peak
+      |  FROM r LEFT JOIN b ON r.key = b.key)
+      |SELECT key, doc_count, peak,
+      |  doc_count - LAG(doc_count) OVER (ORDER BY key ASC) AS delta
+      |FROM f ORDER BY key ASC""".stripMargin
+
+  // ---------------------------------------------------------------- d63
+  /** ES `global` agg — escapes the query context: the body carries a
+    * query (which scopes the HITS), but the global agg's metrics
+    * aggregate the WHOLE corpus. The Kibana "percent of total"
+    * denominator. One unfiltered aggregation; the relational rendering
+    * returns the aggs row (hits are a separate projection, as
+    * everywhere). */
+  private def d63(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "size": 0,
+        |  "query": { "match": { "planType": "BUILDING" } },
+        |  "aggs": {
+        |    "all_docs": {
+        |      "global": {},
+        |      "aggs": {
+        |        "avg_copay_total": { "avg": { "field": "planCostShares.copay" } },
+        |        "n_orgs_total": { "cardinality": { "field": "_org" } }
+        |      }
+        |    }
+        |  }
+        |}""".stripMargin
+    EsAggs.run(assembled(s, d), "doc", body, schema)
+  }
+
+  private val d63Sql =
+    s"""SELECT CAST(COUNT(*) AS BIGINT) AS doc_count,
+       |  AVG(c_custkey % 50) AS avg_copay_total,
+       |  CAST(COUNT(DISTINCT 'org-' || ${ck("c_nationkey")} || '.example.com') AS BIGINT) AS n_orgs_total
+       |FROM customer""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -2244,6 +2323,8 @@ object DocQueries {
     "d59_es_pipeline" -> d59 _,
     "d60_es_top_hits" -> d60 _,
     "d61_es_significant_terms" -> d61 _,
+    "d62_es_empty_buckets" -> d62 _,
+    "d63_es_global" -> d63 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
     "d3_roundtrip" -> d3 _,
@@ -2307,6 +2388,8 @@ object DocQueries {
     "d59_es_pipeline" -> d59Sql,
     "d60_es_top_hits" -> d60Sql,
     "d61_es_significant_terms" -> d61Sql,
+    "d62_es_empty_buckets" -> d62Sql,
+    "d63_es_global" -> d63Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,
     "d3_roundtrip" -> d3Sql,

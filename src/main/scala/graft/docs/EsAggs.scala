@@ -61,13 +61,18 @@ object EsAggs {
   final case class Terms(path: Seq[String], size: Int,
                          order: Option[(String, Boolean)] = None,
                          minDocCount: Long = 1L) extends Agg
-  /** ES `histogram` bucket agg: `floor(v / interval) * interval` bins. */
-  final case class Histogram(path: Seq[String], interval: Long) extends Agg
+  /** ES `histogram` bucket agg: `floor(v / interval) * interval` bins.
+    * `minDocCount = 0` ZERO-FILLS the empty bins between the observed
+    * min and max keys (the Kibana gap-filling contract — a derivative
+    * over a gappy series is wrong without it); `> 1` prunes. */
+  final case class Histogram(path: Seq[String], interval: Long,
+                             minDocCount: Long = 1L) extends Agg
   /** ES `date_histogram` with `calendar_interval` — variable-length
     * calendar buckets (month/quarter/year/week/day/hour/minute) via
     * `date_trunc`, keyed by the bucket's start DATE-or-TIMESTAMP
     * (rendered as the truncated value; ES returns its epoch millis). */
-  final case class DateHistogram(path: Seq[String], interval: String) extends Agg
+  final case class DateHistogram(path: Seq[String], interval: String,
+                                 minDocCount: Long = 1L) extends Agg
   /** ES `filters` bucket agg — one NAMED bucket per predicate (a document
     * lands in EVERY bucket it matches). Compiled as ONE conditional
     * aggregation (`sum(case when pred)` per bucket) — zero-doc buckets
@@ -94,6 +99,10 @@ object EsAggs {
     * the only ES agg that can walk 10^9 buckets. */
   final case class CompositeAgg(sources: Seq[CompositeSource], size: Int,
                                 after: Option[Seq[Any]]) extends Agg
+  /** ES `global` bucket agg — ESCAPES the query context: its sub-aggs
+    * aggregate the WHOLE corpus even when the body carries a query (the
+    * Kibana "percent of total" device). One unfiltered global agg. */
+  case object GlobalAgg extends Agg
   /** ES `significant_terms` — terms of `field` over-represented in the
     * query's hit set (foreground) vs the WHOLE corpus (background),
     * scored by JLH: `(fgPct - bgPct) * (fgPct / bgPct)`. */
@@ -154,7 +163,7 @@ object EsAggs {
 
   private val bucketKinds =
     Set("terms", "histogram", "date_histogram", "filters", "range",
-      "missing", "composite", "significant_terms")
+      "missing", "composite", "significant_terms", "global")
 
   private val pipelineKinds =
     Set("cumulative_sum", "derivative", "bucket_selector", "bucket_sort")
@@ -306,16 +315,18 @@ object EsAggs {
               parseOrder(m),
               num(spec, "min_doc_count", "terms").getOrElse(1L))
           }.orElse(bf.get("histogram").map { spec =>
-            checkSpecKeys(spec, "histogram", Set("field", "interval"))
+            checkSpecKeys(spec, "histogram", Set("field", "interval", "min_doc_count"))
             val interval = num(spec, "interval", "histogram")
               .getOrElse(throw new IllegalArgumentException("histogram needs interval"))
             require(interval > 0, s"histogram interval must be > 0: $interval")
-            Histogram(fieldPath(spec, "histogram", ctx), interval)
+            Histogram(fieldPath(spec, "histogram", ctx), interval,
+              num(spec, "min_doc_count", "histogram").getOrElse(1L))
           }).orElse(bf.get("date_histogram").map { spec =>
             // calendar_interval ONLY: fixed intervals belong to `histogram`
             // over an epoch column; silently coercing a fixed_interval to a
             // calendar unit would put rows in the wrong buckets.
-            val m = checkSpecKeys(spec, "date_histogram", Set("field", "calendar_interval"))
+            val m = checkSpecKeys(spec, "date_histogram",
+              Set("field", "calendar_interval", "min_doc_count"))
             val unit = m.get("calendar_interval") match {
               case Some(JString(u)) if calendarIntervals(u) => u
               case Some(other) => throw new IllegalArgumentException(
@@ -323,7 +334,8 @@ object EsAggs {
               case None => throw new IllegalArgumentException(
                 "date_histogram needs calendar_interval (fixed intervals: use histogram on an epoch column)")
             }
-            DateHistogram(fieldPath(spec, "date_histogram", ctx), unit)
+            DateHistogram(fieldPath(spec, "date_histogram", ctx), unit,
+              num(spec, "min_doc_count", "date_histogram").getOrElse(1L))
           }).orElse(bf.get("filters").map { spec =>
             require(ctx.isEmpty, "filters agg inside a nested context is not implemented")
             val m = checkSpecKeys(spec, "filters", Set("filters"))
@@ -415,6 +427,13 @@ object EsAggs {
               case other => throw new IllegalArgumentException(s"bad after: $other")
             }
             CompositeAgg(sources, num(spec, "size", "composite").map(_.toInt).getOrElse(10), after)
+          }).orElse(bf.get("global").map { spec =>
+            require(ctx.isEmpty, "global agg inside a nested context is not implemented")
+            spec match {
+              case JObject(Nil) => GlobalAgg
+              case other => throw new IllegalArgumentException(
+                s"global takes an empty object: $other")
+            }
           }).orElse(bf.get("significant_terms").map { spec =>
             require(ctx.isEmpty, "significant_terms inside a nested context is not implemented")
             checkSpecKeys(spec, "significant_terms", Set("field", "size"))
@@ -543,16 +562,25 @@ object EsAggs {
               checkOrder(child.bucket, child.metrics.toMap, "the child level")
               child.bucket match {
                 case _: FiltersAgg | _: RangeAgg | _: MissingAgg | _: CompositeAgg |
-                     _: SignificantTerms => throw new IllegalArgumentException(
-                  "filters/range/missing/composite/significant_terms as the CHILD bucket level is not implemented")
+                     _: SignificantTerms | GlobalAgg => throw new IllegalArgumentException(
+                  "filters/range/missing/composite/significant_terms/global as the CHILD bucket level is not implemented")
+                case _ => ()
+              }
+              // zero-fill / pruning on split-series histogram levels is
+              // not wired — reject rather than silently ignore
+              Seq(tree.bucket, child.bucket).foreach {
+                case Histogram(_, _, md) if md != 1L => throw new IllegalArgumentException(
+                  "histogram min_doc_count on a two-level split is not implemented")
+                case DateHistogram(_, _, md) if md != 1L => throw new IllegalArgumentException(
+                  "date_histogram min_doc_count on a two-level split is not implemented")
                 case _ => ()
               }
           }
           (bucket, tree.sub) match {
             case (_: FiltersAgg | _: RangeAgg | _: MissingAgg | _: CompositeAgg |
-                  _: SignificantTerms, Some(_)) =>
+                  _: SignificantTerms | GlobalAgg, Some(_)) =>
               throw new IllegalArgumentException(
-                "sub-bucket levels under filters/range/missing/composite/significant_terms aggs are not implemented")
+                "sub-bucket levels under filters/range/missing/composite/significant_terms/global aggs are not implemented")
             case _ => ()
           }
           bucket match {
@@ -689,13 +717,13 @@ object EsAggs {
     }
     def keyCol(b: Agg): Column = b match {
       case Terms(p, _, _, _) => field(ctx, p)
-      case Histogram(p, interval) =>
+      case Histogram(p, interval, _) =>
         // floor(v/interval)*interval in PURE INTEGER arithmetic: double
         // division misrounds at bucket boundaries once values outgrow the
         // 53-bit mantissa's exact range (epoch-micros timestamps do).
         // pmod keeps ES's floor semantics for negative values too.
         (field(ctx, p) - pmod(field(ctx, p), lit(interval))).cast("long")
-      case DateHistogram(p, unit) =>
+      case DateHistogram(p, unit, _) =>
         // date_trunc is calendar arithmetic (month lengths, leap years,
         // ISO week starts) — the thing fixed-interval floor division
         // can't express. Day-or-coarser buckets render as DATE keys;
@@ -821,10 +849,44 @@ object EsAggs {
           .filter(col("rank") <= th.size)
           .select(col("key") +: col("doc_count") +: col("rank") +: srcNames.map(col): _*)
           .orderBy(bucketOrder :+ col("rank").asc: _*)
+      case Right(Buckets(GlobalAgg, ms, None, Nil, None)) =>
+        // escapes the query context: aggregates the UNFILTERED corpus
+        // even when the body carries a query (ES "percent of total")
+        docs.agg(count(lit(1)).as("doc_count"),
+          ms.flatMap { case (n, m) => metricCols(n, m) }: _*)
       case Right(Buckets(b, ms, None, pipes, None)) =>
         val grouped = rows.groupBy(keyCol(b).as("key"))
           .agg(count(lit(1)).as("doc_count"),
             ms.flatMap { case (n, m) => metricCols(n, m) }: _*)
+        /** min_doc_count = 0: zero-fill the empty bins between the
+          * observed min and max keys — the Kibana gap-filling contract,
+          * and the thing that makes a downstream derivative/
+          * cumulative_sum correct over gaps. Each bucket emits the key
+          * range up to (exclusive) its successor (`lead` + `sequence` +
+          * explode), so the fill is derived from the bucket table in ONE
+          * pass — no second corpus aggregation, no join; the only added
+          * work is a |buckets|-row window. */
+        def zeroFill(step: Column): DataFrame = {
+          val names = ms.flatMap { case (n, m) => metricNames(n, m) }
+          val wk = W.orderBy(col("key").asc)
+          grouped.withColumn("_next", lead(col("key"), 1).over(wk))
+            .select(Seq(col("key").as("_okey"), col("_next"), col("doc_count").as("_dc")) ++
+              names.map(n => col(n).as(s"_m_$n")) :+
+              explode(sequence(col("key"), coalesce(col("_next"), col("key")), step)).as("key"): _*)
+            .filter(col("_next").isNull || col("key") =!= col("_next"))
+            .select(col("key") +:
+              when(col("key") === col("_okey"), col("_dc")).otherwise(lit(0L)).as("doc_count") +:
+              names.map(n => when(col("key") === col("_okey"), col(s"_m_$n")).as(n)): _*)
+        }
+        def calStep(unit: String): Column = expr(unit match {
+          case "minute" => "interval 1 minute"
+          case "hour" => "interval 1 hour"
+          case "day" => "interval 1 day"
+          case "week" => "interval 7 days" // keys are week-start dates
+          case "month" => "interval 1 month"
+          case "quarter" => "interval 3 months"
+          case "year" => "interval 1 year"
+        })
         var table = grouped
         var finalOrder: Seq[Column] = Seq(col("key").asc)
         b match {
@@ -832,6 +894,12 @@ object EsAggs {
             if (minDoc > 1L) table = table.filter(col("doc_count") >= minDoc)
             finalOrder = termsOrder(order, col("doc_count"), col("key"))
             table = table.orderBy(finalOrder: _*).limit(size)
+          case Histogram(_, interval, 0L) => table = zeroFill(lit(interval))
+          case DateHistogram(_, unit, 0L) => table = zeroFill(calStep(unit))
+          case Histogram(_, _, minDoc) if minDoc > 1L =>
+            table = table.filter(col("doc_count") >= minDoc)
+          case DateHistogram(_, _, minDoc) if minDoc > 1L =>
+            table = table.filter(col("doc_count") >= minDoc)
           case _ => ()
         }
         // pipeline aggs: a |buckets|-row second pass in declaration order

@@ -295,6 +295,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"top-N must be a bounded heap:\n$p")
   }
 
+  test("d62: zero-fill derives gap keys from the bucket table — ONE corpus aggregation, no join") {
+    // the fill is lead+sequence+explode over the |buckets|-row table:
+    // exactly one corpus-scale hash shuffle (the aggregation), no join
+    val p = plan(q("d62_es_empty_buckets"))
+    assert(p.contains("partial_count"), "zero-fill lost map-side partial aggregation")
+    val hashExchanges = p.linesIterator.sliding(3).count { w =>
+      w.head.matches("\\(\\d+\\) Exchange.*") &&
+        w.drop(1).exists(_.contains("hashpartitioning"))
+    }
+    assert(hashExchanges === 1, s"expected exactly 1 hash shuffle, got $hashExchanges:\n$p")
+    assert(!p.contains("Join"), s"zero-fill must not join:\n$p")
+  }
+
   test("d50: query_string leaves push into the parquet scan") {
     // the grammar compiles to the same AST leaves as the JSON DSL, so the
     // prefix clause must reach PushedFilters like any hand-written filter

@@ -954,6 +954,44 @@ class DocEngineSpec extends SparkSpec {
       """{"aggs": {"m": {"date_histogram": {"field": "day", "calendar_interval": "fortnight"}}}}""", sch))
   }
 
+  test("min_doc_count 0 zero-fills histogram gaps; global agg escapes the query context") {
+    import spark.implicits._
+    val df = Seq(("e1", "2024-01-15", 5L), ("e2", "2024-01-15", 4L), ("e3", "2024-01-18", 9L))
+      .toDF("id", "d", "v")
+      .select(struct(col("id"), to_date(col("d")).as("day"), col("v")).as("doc"))
+    val sch = df.schema("doc").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    val filled =
+      """{"aggs": {"h": {"date_histogram": {"field": "day", "calendar_interval": "day",
+        |  "min_doc_count": 0},
+        |  "aggs": {"mx": {"max": {"field": "v"}},
+        |           "dlt": {"derivative": {"buckets_path": "_count"}}}}}}""".stripMargin
+    val rows = EsAggs.run(df, "doc", filled, sch).collect()
+    assert(rows.map(r => (r.getAs[java.sql.Date]("key").toString, r.getAs[Long]("doc_count"),
+      Option(r.getAs[java.lang.Long]("mx")).map(_.toLong))).toSeq ===
+      Seq(("2024-01-15", 2L, Some(5L)), ("2024-01-16", 0L, None),
+        ("2024-01-17", 0L, None), ("2024-01-18", 1L, Some(9L))))
+    // the derivative differences the ZERO-FILLED series, not across gaps
+    assert(rows.map(r => Option(r.getAs[java.lang.Long]("dlt")).map(_.toLong)).toSeq ===
+      Seq(None, Some(-2L), Some(0L), Some(1L)))
+    // numeric histogram zero-fills too
+    val nh =
+      """{"aggs": {"h": {"histogram": {"field": "v", "interval": 2, "min_doc_count": 0}}}}"""
+    assert(EsAggs.run(df, "doc", nh, sch).collect()
+      .map(r => (r.getAs[Long]("key"), r.getAs[Long]("doc_count"))).toSeq ===
+      Seq((4L, 2L), (6L, 0L), (8L, 1L)))
+    // global agg ignores the query for its metrics (percent-of-total)
+    val g =
+      """{"query": {"term": {"id": "e1"}},
+        |"aggs": {"all": {"global": {}, "aggs": {"s": {"sum": {"field": "v"}}}}}}""".stripMargin
+    val gr = EsAggs.run(df, "doc", g, sch).collect()(0)
+    assert((gr.getAs[Long]("doc_count"), gr.getAs[Double]("s")) === (3L, 18.0))
+    // min_doc_count on a two-level split is rejected, not ignored
+    assertThrows[IllegalArgumentException](EsAggs.parse(
+      """{"aggs": {"t": {"terms": {"field": "planType"},
+        |  "aggs": {"h": {"histogram": {"field": "planCostShares.copay", "interval": 10,
+        |    "min_doc_count": 0}}}}}}""".stripMargin, PlanSchema.plan))
+  }
+
   test("query_string compiles the Kibana search-bar grammar into the existing AST") {
     import SearchQuery._
     // precedence: AND binds tighter than OR; NOT tighter than AND

@@ -334,7 +334,71 @@ object RelationalQueries2 {
       |  CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys
       |FROM orders""".stripMargin
 
+  // ---------------------------------------------------------------- q30
+  /** Explicit GROUPING SETS — the general form behind rollup (q11) and
+    * cube (q21): an arbitrary set list ((priority, status), (priority),
+    * ()) with `grouping_id` disambiguating which level a row belongs to
+    * (NULL-as-key vs NULL-as-subtotal). Spark expands the sets into ONE
+    * Expand + hash aggregation — one shuffle regardless of set count. */
+  private def q30(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderpriority"), col("o_orderstatus")),
+          Seq(col("o_orderpriority")), Seq.empty),
+        col("o_orderpriority"), col("o_orderstatus"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        dbl(sum(m(col("o_totalprice")))).as("total"))
+      .select(col("o_orderpriority"), col("o_orderstatus"), col("gid"), col("n"), col("total"))
+      .orderBy(col("gid"), col("o_orderpriority").asc_nulls_first,
+        col("o_orderstatus").asc_nulls_first)
+
+  private val q30Sql =
+    """SELECT o_orderpriority, o_orderstatus,
+      |  CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+      |  COUNT(*) AS n,
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(28,6)) AS DOUBLE) AS total
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
+      |ORDER BY gid, o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- q31
+  /** UNPIVOT (melt) — wide measure columns to (measure, value) rows, then
+    * a per-measure profile. Spark `unpivot` is a zero-shuffle Expand (4
+    * rows out per row in); the only shuffle is the final 4-group
+    * aggregate. Values go through the decimal cast BEFORE the melt so
+    * the per-measure sums are order-independent. */
+  private def q31(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        m(col("l_quantity")).as("l_quantity"),
+        m(col("l_extendedprice")).as("l_extendedprice"),
+        m(col("l_discount")).as("l_discount"),
+        m(col("l_tax")).as("l_tax"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+        "measure", "v")
+      .groupBy(col("measure"))
+      .agg(count(lit(1)).as("n"), dbl(min(col("v"))).as("v_min"),
+        dbl(max(col("v"))).as("v_max"), dbl(sum(col("v"))).as("v_sum"))
+      .orderBy(col("measure"))
+
+  private val q31Sql = {
+    def leg(c: String) =
+      s"SELECT '$c' AS measure, CAST($c AS DECIMAL(12,2)) AS v FROM lineitem"
+    s"""WITH u AS (
+       |${Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+           .map(leg).mkString("\nUNION ALL ")})
+       |SELECT measure, COUNT(*) AS n,
+       |  CAST(CAST(MIN(v) AS DECIMAL(28,6)) AS DOUBLE) AS v_min,
+       |  CAST(CAST(MAX(v) AS DECIMAL(28,6)) AS DOUBLE) AS v_max,
+       |  CAST(CAST(SUM(v) AS DECIMAL(28,6)) AS DOUBLE) AS v_sum
+       |FROM u GROUP BY measure ORDER BY measure""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q30_grouping_sets" -> q30 _,
+    "q31_unpivot" -> q31 _,
     "q29_csv_roundtrip" -> q29 _,
     "q27_approx_distinct" -> q27 _,
     "q28_range_join" -> q28 _,
@@ -346,6 +410,8 @@ object RelationalQueries2 {
     "q26_json_fns" -> q26 _)
 
   val oracle: Map[String, String] = Map(
+    "q30_grouping_sets" -> q30Sql,
+    "q31_unpivot" -> q31Sql,
     "q29_csv_roundtrip" -> q29Sql,
     "q27_approx_distinct" -> q27Sql,
     "q28_range_join" -> q28Sql,

@@ -515,7 +515,62 @@ object IndexPipeline {
       | AND x.ts_us >= c.ts_us AND x.ts_us <= c.ts_us + 3600000000
       |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin
 
+  // ---------------------------------------------------------------- st7
+  /** Stream-static enrichment join — the most common streaming-ETL shape:
+    * each micro-batch equi-joins a BROADCAST static dimension (nation)
+    * with NO streaming state at all (the static side re-resolves per
+    * batch; nothing is watermark-tracked, unlike the st6 stream-stream
+    * join). At 100 TB/day of stream this stays a map-side join as long as
+    * the dimension broadcasts — exactly how a cluster would enrich. */
+  private def st7(s: SparkSession, d: String): DataFrame = {
+    val base = Files.createTempDirectory("graft-stream7-")
+    val srcDir = base.resolve("log").toString
+    val ckDir = base.resolve("ck").toString
+    val nFiles = 3
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val maxId = ev.agg(max(col("event_id"))).head().getLong(0) + 1
+    (0 until nFiles).foreach { i =>
+      ev.filter(floor(col("event_id") * nFiles / maxId) === i)
+        .coalesce(1).write.parquet(s"$srcDir/b$i")
+    }
+    val dim = Tables(s, d, "nation").select(col("n_nationkey"), col("n_name"))
+    val qname = s"st7_static_join_${System.nanoTime()}"
+    val stream = s.readStream
+      .schema(ev.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$srcDir/b*")
+      .withColumn("nk", pmod(col("user_id"), lit(25L)))
+      .join(broadcast(dim), col("nk") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(12, 2))).as("total_dec"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(qname)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckDir)
+      .start()
+    stream.awaitTermination()
+    val out = s.table(qname)
+      .select(col("n_name"), col("n_events"),
+        col("total_dec").cast(org.apache.spark.sql.types.DecimalType(28, 6))
+          .cast("double").as("total"))
+      .orderBy(col("n_name"))
+    val pinned = graft.Eager.pin(out)
+    deleteRecursively(base)
+    pinned
+  }
+
+  private val st7Sql =
+    """SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(28,6)) AS DOUBLE) AS total
+      |FROM events JOIN nation ON user_id % 25 = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "st7_stream_static" -> st7 _,
     "st6_stream_join" -> st6 _,
     "st5_stream_dedup" -> st5 _,
     "st1_stream_upsert" -> st1 _,
@@ -523,6 +578,7 @@ object IndexPipeline {
     "st3_stream_mgws" -> st3 _,
     "st4_stream_sessions" -> st4 _)
   val oracle: Map[String, String] = Map(
+    "st7_stream_static" -> st7Sql,
     "st6_stream_join" -> st6Sql,
     "st5_stream_dedup" -> st5Sql,
     "st1_stream_upsert" -> st1Sql,

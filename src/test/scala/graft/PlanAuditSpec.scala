@@ -308,6 +308,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), s"zero-fill must not join:\n$p")
   }
 
+  test("q30/q31: grouping sets and unpivot are Expand + ONE aggregation shuffle, no join") {
+    for (name <- Seq("q30_grouping_sets", "q31_unpivot")) {
+      val p = plan(q(name))
+      assert(p.contains("Expand"), s"$name must expand, not self-union:\n$p")
+      assert(!p.contains("Join"), s"$name must not join:\n$p")
+      val hashExchanges = p.linesIterator.sliding(3).count { w =>
+        w.head.matches("\\(\\d+\\) Exchange.*") &&
+          w.drop(1).exists(_.contains("hashpartitioning"))
+      }
+      assert(hashExchanges === 1, s"$name: expected exactly 1 hash shuffle, got $hashExchanges:\n$p")
+    }
+  }
+
   test("d50: query_string leaves push into the parquet scan") {
     // the grammar compiles to the same AST leaves as the JSON DSL, so the
     // prefix clause must reach PushedFilters like any hand-written filter

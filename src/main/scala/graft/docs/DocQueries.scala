@@ -2274,6 +2274,170 @@ object DocQueries {
        |  CAST(COUNT(DISTINCT 'org-' || ${ck("c_nationkey")} || '.example.com') AS BIGINT) AS n_orgs_total
        |FROM customer""".stripMargin
 
+  // ---------------------------------------------------------------- d64
+  /** ES `weighted_avg` metric — `sum(value·weight) / sum(weight)` per
+    * bucket. Over integer fields both sums are exact, so the single
+    * double division is IEEE-identical in any engine. */
+  private def d64(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "size": 0,
+        |  "aggs": {
+        |    "by_type": {
+        |      "terms": { "field": "planType", "size": 10, "order": { "_key": "asc" } },
+        |      "aggs": {
+        |        "w_copay": { "weighted_avg": { "value": { "field": "planCostShares.copay" },
+        |                                       "weight": { "field": "planCostShares.deductible" } } }
+        |      }
+        |    }
+        |  }
+        |}""".stripMargin
+    EsAggs.run(assembled(s, d), "doc", body, schema)
+  }
+
+  private val d64Sql =
+    """SELECT c_mktsegment AS key, CAST(COUNT(*) AS BIGINT) AS doc_count,
+      |  CAST(SUM((c_custkey % 50) * (c_nationkey * 100)) AS DOUBLE)
+      |    / CAST(SUM(c_nationkey * 100) AS DOUBLE) AS w_copay
+      |FROM customer GROUP BY 1 ORDER BY key ASC LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- d65
+  /** ES `adjacency_matrix` — named filters plus every pairwise
+    * intersection (`a&b`), still ONE conditional aggregation pass over
+    * the corpus (the bucket count is quadratic in the FILTER count, not
+    * the data); doc_count-0 buckets are omitted, as in ES. */
+  private def d65(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "size": 0,
+        |  "aggs": {
+        |    "interactions": {
+        |      "adjacency_matrix": {
+        |        "filters": {
+        |          "building": { "match": { "planType": "BUILDING" } },
+        |          "org1": { "prefix": { "_org": "org-1" } },
+        |          "cheap": { "range": { "planCostShares.copay": { "lt": 10 } } }
+        |        }
+        |      },
+        |      "aggs": { "avg_copay": { "avg": { "field": "planCostShares.copay" } } }
+        |    }
+        |  }
+        |}""".stripMargin
+    EsAggs.run(assembled(s, d), "doc", body, schema).orderBy(col("key"))
+  }
+
+  private val d65Sql = {
+    val building = "lower(c_mktsegment) = 'building'"
+    val org1 = s"'org-' || ${ck("c_nationkey")} || '.example.com' LIKE 'org-1%'"
+    val cheap = "c_custkey % 50 < 10"
+    def block(key: String, cond: String) =
+      s"""SELECT '$key' AS key, CAST(COUNT(*) AS BIGINT) AS doc_count,
+         |  AVG(c_custkey % 50) AS avg_copay FROM customer WHERE $cond""".stripMargin
+    s"""SELECT * FROM (
+       |${Seq(
+          block("building", building), block("org1", org1), block("cheap", cheap),
+          block("building&org1", s"$building AND $org1"),
+          block("building&cheap", s"$building AND $cheap"),
+          block("org1&cheap", s"$org1 AND $cheap")).mkString("\nUNION ALL\n")})
+       |WHERE doc_count > 0 ORDER BY key""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- d66
+  /** ES `rare_terms` — the long-tail inverse of terms top-N: buckets at
+    * or below `max_doc_count`, count-ascending. ES's implementation is
+    * approximate (CuckooFilter false positives); this one is exact, the
+    * same documented upgrade as the exact terms/cardinality. */
+  private def d66(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "size": 0,
+        |  "aggs": {
+        |    "rare_copays": {
+        |      "rare_terms": { "field": "planCostShares.copay", "max_doc_count": 30 },
+        |      "aggs": { "n_orgs": { "cardinality": { "field": "_org" } } }
+        |    }
+        |  }
+        |}""".stripMargin
+    EsAggs.run(assembled(s, d), "doc", body, schema)
+  }
+
+  private val d66Sql =
+    s"""SELECT c_custkey % 50 AS key, CAST(COUNT(*) AS BIGINT) AS doc_count,
+       |  CAST(COUNT(DISTINCT 'org-' || ${ck("c_nationkey")} || '.example.com') AS BIGINT) AS n_orgs
+       |FROM customer GROUP BY 1 HAVING COUNT(*) <= 30
+       |ORDER BY doc_count ASC, key ASC""".stripMargin
+
+  // ---------------------------------------------------------------- d67
+  /** ES `date_range` bucket agg — from-inclusive/to-exclusive ISO date
+    * bounds over a timestamp field (midnight semantics), open ends, one
+    * conditional pass like `range`/`filters`. */
+  private def d67(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.Tables.events(s, d)
+      .select(struct(col("event_id"), timestamp_micros(col("ts_us")).as("ts"),
+        col("user_id"), col("event_type"), col("value")).as("doc"))
+    val evSchema = ev.schema("doc").dataType.asInstanceOf[StructType]
+    val body =
+      """{
+        |  "size": 0,
+        |  "query": { "term": { "event_type": "signup" } },
+        |  "aggs": {
+        |    "periods": {
+        |      "date_range": { "field": "ts",
+        |        "ranges": [ { "to": "2024-01-10" },
+        |                    { "from": "2024-01-10", "to": "2024-01-20" },
+        |                    { "from": "2024-01-20" } ] },
+        |      "aggs": {
+        |        "uniq_users": { "cardinality": { "field": "user_id" } },
+        |        "max_value": { "max": { "field": "value" } }
+        |      }
+        |    }
+        |  }
+        |}""".stripMargin
+    EsAggs.run(ev, "doc", body, evSchema)
+  }
+
+  private val d67Sql = {
+    def block(key: String, cond: String) =
+      s"""SELECT '$key' AS key, CAST(COUNT(*) AS BIGINT) AS doc_count,
+         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS uniq_users,
+         |  MAX(value) AS max_value
+         |FROM events WHERE event_type = 'signup' AND $cond""".stripMargin
+    Seq(
+      block("*-2024-01-10", "ts < DATE '2024-01-10'"),
+      block("2024-01-10-2024-01-20", "ts >= DATE '2024-01-10' AND ts < DATE '2024-01-20'"),
+      block("2024-01-20-*", "ts >= DATE '2024-01-20'")).mkString("\nUNION ALL\n")
+  }
+
+  // ---------------------------------------------------------------- d68
+  /** ES term suggester ("did you mean") — corrections for a misspelled
+    * token from the CORPUS VOCABULARY within edit distance 2, ranked the
+    * ES way: distance first, then document frequency, then the term.
+    * Scale shape: the vocabulary is one hash aggregation over the corpus
+    * (|vocab| ≪ corpus, like every df table here); the levenshtein scan
+    * runs over vocabulary rows only, and the result is a bounded heap.
+    * (ES walks an FST instead of scanning — same candidates, different
+    * index structure; exactness is identical.) */
+  private def d68(s: SparkSession, d: String): DataFrame = {
+    val input = "sart"
+    graft.Tables(s, d, "documents")
+      .select(explode(filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= "")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      .withColumn("dist", levenshtein(col("tok"), lit(input)))
+      .filter(col("dist") <= 2 && col("tok") =!= input)
+      .orderBy(col("dist").asc, col("freq").desc, col("tok").asc)
+      .limit(5)
+  }
+
+  private val d68Sql =
+    """WITH v AS (
+      |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+      |    SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+      |      x -> x <> '')) AS tok
+      |    FROM documents) GROUP BY tok)
+      |SELECT tok, freq, CAST(levenshtein(tok, 'sart') AS INTEGER) AS dist
+      |FROM v WHERE levenshtein(tok, 'sart') <= 2 AND tok <> 'sart'
+      |ORDER BY dist ASC, freq DESC, tok ASC LIMIT 5""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -2325,6 +2489,11 @@ object DocQueries {
     "d61_es_significant_terms" -> d61 _,
     "d62_es_empty_buckets" -> d62 _,
     "d63_es_global" -> d63 _,
+    "d64_es_weighted_avg" -> d64 _,
+    "d65_es_adjacency" -> d65 _,
+    "d66_es_rare_terms" -> d66 _,
+    "d67_es_date_range" -> d67 _,
+    "d68_es_suggest" -> d68 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
     "d3_roundtrip" -> d3 _,
@@ -2390,6 +2559,11 @@ object DocQueries {
     "d61_es_significant_terms" -> d61Sql,
     "d62_es_empty_buckets" -> d62Sql,
     "d63_es_global" -> d63Sql,
+    "d64_es_weighted_avg" -> d64Sql,
+    "d65_es_adjacency" -> d65Sql,
+    "d66_es_rare_terms" -> d66Sql,
+    "d67_es_date_range" -> d67Sql,
+    "d68_es_suggest" -> d68Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,
     "d3_roundtrip" -> d3Sql,

@@ -52,7 +52,8 @@ object EsAggs {
     * same upgrade note), `percents` defaulting to ES's
     * [1, 5, 25, 50, 75, 95, 99]. */
   final case class Metric(kind: String, path: Seq[String],
-                          percents: Seq[Double] = Nil) extends Agg
+                          percents: Seq[Double] = Nil,
+                          weightPath: Seq[String] = Nil) extends Agg
   /** ES `terms` bucket agg: top-`size` buckets. Default ES order =
     * doc_count desc, key asc; `order` overrides it with `_key`, `_count`,
     * or a metric sub-agg NAME (validated at parse — unknown targets are
@@ -89,6 +90,19 @@ object EsAggs {
     * nothing for an empty array, the same rule as `exists`). Same
     * conditional-aggregation shape as `filters`. */
   final case class MissingAgg(path: Seq[String], isArray: Boolean) extends Agg
+  /** ES `adjacency_matrix` — named filters plus their pairwise
+    * intersections (`a&b`), one conditional aggregation; empty
+    * intersection buckets are dropped, as in ES. */
+  final case class AdjacencyMatrix(buckets: Seq[(String, SearchQuery)]) extends Agg
+  /** ES `rare_terms` — the LONG TAIL: buckets with `doc_count <=
+    * max_doc_count`, ordered count-asc (the exact inverse of terms
+    * top-N; ES's is approximate via CuckooFilter, ours is exact — the
+    * same documented upgrade). */
+  final case class RareTerms(path: Seq[String], maxDocCount: Long) extends Agg
+  /** ES `date_range` bucket agg — from-inclusive/to-exclusive over ISO
+    * `yyyy-MM-dd` bounds (midnight semantics), open ends allowed. */
+  final case class DateRangeAgg(path: Seq[String],
+                                ranges: Seq[(Option[String], Option[String])]) extends Agg
   /** One `composite` source: output column name, terms field, direction. */
   final case class CompositeSource(name: String, path: Seq[String], asc: Boolean)
   /** ES `composite` agg — THE scalable bucket pagination: all buckets in
@@ -153,7 +167,7 @@ object EsAggs {
   }
 
   private val metricKinds = Set("avg", "sum", "min", "max", "value_count",
-    "cardinality", "stats", "percentiles")
+    "cardinality", "stats", "percentiles", "weighted_avg")
 
   /** ES default percentiles (the TDigest defaults; ours are exact). */
   private val defaultPercents = Seq(1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0)
@@ -163,7 +177,8 @@ object EsAggs {
 
   private val bucketKinds =
     Set("terms", "histogram", "date_histogram", "filters", "range",
-      "missing", "composite", "significant_terms", "global")
+      "missing", "composite", "significant_terms", "global",
+      "adjacency_matrix", "rare_terms", "date_range")
 
   private val pipelineKinds =
     Set("cumulative_sum", "derivative", "bucket_selector", "bucket_sort")
@@ -247,6 +262,14 @@ object EsAggs {
     def parseMetrics(entries: List[(String, JValue)],
                      ctx: Option[(Seq[String], Seq[String])]): Seq[(String, Metric)] =
       entries.map {
+        case (name, JObject(List(("weighted_avg", spec)))) =>
+          // ES shape: {"weighted_avg": {"value": {"field": v}, "weight": {"field": w}}}
+          val m = checkSpecKeys(spec, "weighted_avg", Set("value", "weight"))
+          val vPath = fieldPath(m.getOrElse("value",
+            throw new IllegalArgumentException("weighted_avg needs value")), "weighted_avg value", ctx)
+          val wPath = fieldPath(m.getOrElse("weight",
+            throw new IllegalArgumentException("weighted_avg needs weight")), "weighted_avg weight", ctx)
+          name -> Metric("weighted_avg", vPath, Nil, wPath)
         case (name, JObject(List((kind, spec)))) if metricKinds(kind) =>
           // strict spec keys: a typo'd/unsupported option (e.g. `missing`)
           // silently ignored would compute a DIFFERENT aggregate
@@ -427,6 +450,47 @@ object EsAggs {
               case other => throw new IllegalArgumentException(s"bad after: $other")
             }
             CompositeAgg(sources, num(spec, "size", "composite").map(_.toInt).getOrElse(10), after)
+          }).orElse(bf.get("adjacency_matrix").map { spec =>
+            require(ctx.isEmpty, "adjacency_matrix inside a nested context is not implemented")
+            val m = checkSpecKeys(spec, "adjacency_matrix", Set("filters"))
+            val inner = m.get("filters") match {
+              case Some(JObject(fs)) if fs.nonEmpty => fs
+              case _ => throw new IllegalArgumentException(
+                "adjacency_matrix needs a non-empty keyed \"filters\" object")
+            }
+            AdjacencyMatrix(inner.map { case (name, q0) =>
+              require(!name.contains("&"), s"adjacency_matrix filter name may not contain '&': $name")
+              name -> SearchQuery.parseQueryNode(q0, schema)
+            })
+          }).orElse(bf.get("rare_terms").map { spec =>
+            val m = checkSpecKeys(spec, "rare_terms", Set("field", "max_doc_count"))
+            val maxDc = num(spec, "max_doc_count", "rare_terms").getOrElse(1L)
+            require(maxDc >= 1, s"rare_terms max_doc_count must be >= 1: $maxDc")
+            RareTerms(fieldPath(spec, "rare_terms", ctx), maxDc)
+          }).orElse(bf.get("date_range").map { spec =>
+            val m = checkSpecKeys(spec, "date_range", Set("field", "ranges"))
+            val IsoDate = "\\d{4}-\\d{2}-\\d{2}".r
+            def bound(b: Map[String, JValue], k: String): Option[String] = b.get(k).map {
+              case JString(v) if IsoDate.matches(v) => v
+              case other => throw new IllegalArgumentException(
+                s"date_range $k must be an ISO yyyy-MM-dd string: $other")
+            }
+            val ranges = m.get("ranges") match {
+              case Some(JArray(rs)) if rs.nonEmpty => rs.map {
+                case JObject(bounds) =>
+                  val b = bounds.toMap
+                  val unknown = b.keySet -- Set("from", "to")
+                  require(unknown.isEmpty,
+                    s"unsupported date_range bound key(s): ${unknown.mkString(", ")} (from/to)")
+                  val lo = bound(b, "from")
+                  val hi = bound(b, "to")
+                  require(lo.nonEmpty || hi.nonEmpty, "date_range bucket needs from and/or to")
+                  (lo, hi)
+                case other => throw new IllegalArgumentException(s"bad date_range bucket: $other")
+              }
+              case _ => throw new IllegalArgumentException("date_range needs a non-empty ranges array")
+            }
+            DateRangeAgg(fieldPath(spec, "date_range", ctx), ranges)
           }).orElse(bf.get("global").map { spec =>
             require(ctx.isEmpty, "global agg inside a nested context is not implemented")
             spec match {
@@ -562,8 +626,9 @@ object EsAggs {
               checkOrder(child.bucket, child.metrics.toMap, "the child level")
               child.bucket match {
                 case _: FiltersAgg | _: RangeAgg | _: MissingAgg | _: CompositeAgg |
-                     _: SignificantTerms | GlobalAgg => throw new IllegalArgumentException(
-                  "filters/range/missing/composite/significant_terms/global as the CHILD bucket level is not implemented")
+                     _: SignificantTerms | GlobalAgg | _: AdjacencyMatrix | _: RareTerms |
+                     _: DateRangeAgg => throw new IllegalArgumentException(
+                  "only terms/histogram bucket aggs can be the CHILD of a two-level split")
                 case _ => ()
               }
               // zero-fill / pruning on split-series histogram levels is
@@ -578,9 +643,10 @@ object EsAggs {
           }
           (bucket, tree.sub) match {
             case (_: FiltersAgg | _: RangeAgg | _: MissingAgg | _: CompositeAgg |
-                  _: SignificantTerms | GlobalAgg, Some(_)) =>
+                  _: SignificantTerms | GlobalAgg | _: AdjacencyMatrix | _: RareTerms |
+                  _: DateRangeAgg, Some(_)) =>
               throw new IllegalArgumentException(
-                "sub-bucket levels under filters/range/missing/composite/significant_terms/global aggs are not implemented")
+                "sub-bucket levels under this bucket agg kind are not implemented")
             case _ => ()
           }
           bucket match {
@@ -692,6 +758,14 @@ object EsAggs {
         case None => field(ctx, m.path)
       }
       m.kind match {
+        case "weighted_avg" =>
+          // sum(v*w)/sum(w): over integer fields both sums are exact, so
+          // the one double division is IEEE-identical in any engine
+          val w0 = pred match {
+            case Some(p) => when(p, field(ctx, m.weightPath))
+            case None => field(ctx, m.weightPath)
+          }
+          Seq((sum(v * w0) / sum(w0)).as(name))
         case "stats" =>
           // ES stats = the five basics in ONE pass (count of VALUES)
           Seq(count(v).as(s"${name}_count"), min(v).as(s"${name}_min"),
@@ -717,6 +791,7 @@ object EsAggs {
     }
     def keyCol(b: Agg): Column = b match {
       case Terms(p, _, _, _) => field(ctx, p)
+      case RareTerms(p, _) => field(ctx, p)
       case Histogram(p, interval, _) =>
         // floor(v/interval)*interval in PURE INTEGER arithmetic: double
         // division misrounds at bucket boundaries once values outgrow the
@@ -772,6 +847,24 @@ object EsAggs {
         condBuckets(rs.map { case (lo, hi) =>
           val key = s"${lo.map(_.toString).getOrElse("*")}-${hi.map(_.toString).getOrElse("*")}"
           val pred = (lo.map(v >= _).toSeq ++ hi.map(v < _).toSeq).reduce(_ && _)
+          key -> pred
+        }, ms)
+      case Right(Buckets(AdjacencyMatrix(bs), ms, None, Nil, None)) =>
+        // singles in body order, then pairwise intersections a&b (i<j in
+        // body order); ES drops empty INTERSECTION buckets — and empty
+        // singles too in its response; we keep ES's exact contract:
+        // doc_count 0 buckets are omitted entirely
+        val compiled = bs.map { case (n, q0) => n -> SearchQuery.compile(q0, ctx) }
+        val pairs = for {
+          i <- compiled.indices; j <- compiled.indices if i < j
+        } yield (s"${compiled(i)._1}&${compiled(j)._1}", compiled(i)._2 && compiled(j)._2)
+        condBuckets(compiled ++ pairs, ms).filter(col("doc_count") > 0)
+      case Right(Buckets(DateRangeAgg(p, rs), ms, None, Nil, None)) =>
+        val v = field(ctx, p)
+        condBuckets(rs.map { case (lo, hi) =>
+          val key = s"${lo.getOrElse("*")}-${hi.getOrElse("*")}"
+          val pred = (lo.map(x => v >= to_date(lit(x))).toSeq ++
+            hi.map(x => v < to_date(lit(x))).toSeq).reduce(_ && _)
           key -> pred
         }, ms)
       case Right(Buckets(MissingAgg(p, isArr), ms, None, Nil, None)) =>
@@ -894,6 +987,10 @@ object EsAggs {
             if (minDoc > 1L) table = table.filter(col("doc_count") >= minDoc)
             finalOrder = termsOrder(order, col("doc_count"), col("key"))
             table = table.orderBy(finalOrder: _*).limit(size)
+          case RareTerms(_, maxDc) =>
+            // the long tail: everything AT OR BELOW the ceiling, count-asc
+            table = table.filter(col("doc_count") <= maxDc)
+            finalOrder = Seq(col("doc_count").asc, col("key").asc)
           case Histogram(_, interval, 0L) => table = zeroFill(lit(interval))
           case DateHistogram(_, unit, 0L) => table = zeroFill(calStep(unit))
           case Histogram(_, _, minDoc) if minDoc > 1L =>

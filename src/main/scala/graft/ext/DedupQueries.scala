@@ -540,7 +540,104 @@ object DedupQueries {
 
   // ---------------------------------------------------------------- registry
 
+  // ---------------------------------------------------------------- dd7
+  /** INCREMENTAL dedup — the production shape: a new batch (the planted
+    * ids ≥ 1e6) deduplicated AGAINST the existing corpus without ever
+    * re-comparing the corpus to itself. Layer 1: exact md5 equi-join
+    * batch→old. Layer 2: SimHash band join RESTRICTED to old×batch (the
+    * band predicate carries `x < 1e6 <= y`, so candidate volume scales
+    * with the batch, not the lake). Emits the per-batch-doc ingest
+    * decision: drop_exact / drop_near / keep.
+    *
+    * At 100 TB the old side's signatures are a precomputed index read
+    * from storage; here both sides share one signature pass (same sketch
+    * as dd3, persists released via Eager.finish). */
+  private def dd7(s: SparkSession, d: String): DataFrame = {
+    val Boundary = 1000000L
+    val corpus = planted(s, d)
+    val tk = corpus.select(col("doc_id"), tokens(col("text")).as("toks")).persist()
+    val th = tk
+      .select(col("doc_id"), explode(shingles(col("toks"), 2)).as("bg"))
+      .select(col("doc_id"), stableHash60(col("bg")).as("h")).distinct()
+    val simhashUdaf = udaf(graft.functions.SimHashAgg)
+    val sig = th.groupBy(col("doc_id"))
+      .agg(simhashUdaf(col("h")).as("simhash"))
+      .persist()
+    val bands = (0 until 6).map { bnd =>
+      sig.select(col("doc_id"), col("simhash"), lit(bnd).as("band"),
+        (shiftright(col("simhash"), bnd * 10) % 1024).as("bv"))
+    }.reduce(_ unionAll _)
+    val nearAgg = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < Boundary && col("y.doc_id") >= Boundary)
+      .select(col("x.doc_id").as("old_id"), col("y.doc_id").as("batch_id"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 5)
+      .groupBy(col("batch_id"))
+      .agg(count(lit(1)).as("n_near"), min(col("old_id")).as("near_src"))
+    val hashed = corpus.select(col("doc_id"), md5(col("text")).as("h"))
+    val exactAgg = hashed.filter(col("doc_id") >= Boundary).as("b")
+      .join(hashed.filter(col("doc_id") < Boundary).as("o"), col("b.h") === col("o.h"))
+      .select(col("b.doc_id").as("batch_id"), col("o.doc_id").as("old_id"))
+      .groupBy(col("batch_id"))
+      .agg(count(lit(1)).as("n_exact"), min(col("old_id")).as("exact_src"))
+    val res = corpus.filter(col("doc_id") >= Boundary)
+      .select(col("doc_id").as("batch_id"))
+      .join(exactAgg, Seq("batch_id"), "left")
+      .join(nearAgg, Seq("batch_id"), "left")
+      .select(col("batch_id"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"), col("exact_src"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"), col("near_src"),
+        when(coalesce(col("n_exact"), lit(0L)) > 0, "drop_exact")
+          .when(coalesce(col("n_near"), lit(0L)) > 0, "drop_near")
+          .otherwise("keep").as("verdict"))
+      .orderBy(col("batch_id"))
+    graft.Eager.finish(res, tk, sig)
+  }
+
+  private val dd7Sql =
+    s"""WITH corpus AS ($PlantedSql),
+       |th AS (SELECT DISTINCT doc_id,
+       |    CAST(('0x' || substr(md5(bg), 1, 15)) AS BIGINT) AS h
+       |  FROM (SELECT doc_id,
+       |          toks[CAST(i AS INTEGER)] || ' ' || toks[CAST(i AS INTEGER) + 1] AS bg
+       |        FROM (SELECT doc_id,
+       |                list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+       |              FROM corpus),
+       |        unnest(range(1, len(toks))) AS t(i))),
+       |sums AS (SELECT doc_id,
+       |    $simTermsSql
+       |  FROM th GROUP BY doc_id),
+       |sig AS (SELECT doc_id, $simValSql AS simhash FROM sums),
+       |bands AS (
+       |  $simBandsSql),
+       |near AS (
+       |  SELECT batch_id, CAST(COUNT(*) AS BIGINT) AS n_near, MIN(old_id) AS near_src
+       |  FROM (SELECT DISTINCT x.doc_id AS old_id, y.doc_id AS batch_id,
+       |          bit_count(xor(x.simhash, y.simhash)) AS hamming
+       |        FROM bands x JOIN bands y
+       |          ON x.band = y.band AND x.bv = y.bv
+       |         AND x.doc_id < 1000000 AND y.doc_id >= 1000000)
+       |  WHERE hamming <= 5 GROUP BY batch_id),
+       |ex AS (
+       |  SELECT b.doc_id AS batch_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+       |    MIN(o.doc_id) AS exact_src
+       |  FROM (SELECT doc_id, md5(text) AS h FROM corpus WHERE doc_id >= 1000000) b
+       |  JOIN (SELECT doc_id, md5(text) AS h FROM corpus WHERE doc_id < 1000000) o USING (h)
+       |  GROUP BY b.doc_id)
+       |SELECT batch_id,
+       |  COALESCE(n_exact, 0) AS n_exact, exact_src,
+       |  COALESCE(n_near, 0) AS n_near, near_src,
+       |  CASE WHEN COALESCE(n_exact, 0) > 0 THEN 'drop_exact'
+       |       WHEN COALESCE(n_near, 0) > 0 THEN 'drop_near'
+       |       ELSE 'keep' END AS verdict
+       |FROM (SELECT doc_id AS batch_id FROM corpus WHERE doc_id >= 1000000)
+       |LEFT JOIN ex USING (batch_id) LEFT JOIN near USING (batch_id)
+       |ORDER BY batch_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "dd7_incremental" -> dd7 _,
     "dd1_exact_dedup" -> dd1 _,
     "dd2_minhash_lsh" -> dd2 _,
     "dd3_simhash" -> dd3 _,
@@ -549,6 +646,7 @@ object DedupQueries {
     "dd6_dedup_clusters" -> dd6 _)
 
   val oracle: Map[String, String] = Map(
+    "dd7_incremental" -> dd7Sql,
     "dd1_exact_dedup" -> dd1Sql,
     "dd2_minhash_lsh" -> dd2Sql,
     "dd3_simhash" -> dd3Sql,

@@ -954,6 +954,38 @@ class DocEngineSpec extends SparkSpec {
       """{"aggs": {"m": {"date_histogram": {"field": "day", "calendar_interval": "fortnight"}}}}""", sch))
   }
 
+  test("weighted_avg, adjacency_matrix, rare_terms follow the ES contracts") {
+    // weighted_avg: equal weights (deductible 2000 everywhere) reduce to
+    // the plain mean — and the shape is sum(v*w)/sum(w)
+    val wa =
+      """{"size": 0, "aggs": {"t": {"terms": {"field": "planType", "size": 10, "order": {"_key": "asc"}},
+        |  "aggs": {"w": {"weighted_avg": {"value": {"field": "planCostShares.copay"},
+        |                                  "weight": {"field": "planCostShares.deductible"}}}}}}}""".stripMargin
+    assert(EsAggs.run(corpus, "doc", wa, PlanSchema.plan).collect()
+      .map(r => (r.getAs[String]("key"), r.getAs[Double]("w"))).toSeq ===
+      Seq(("typeA", 15.0), ("typeB", 40.0), ("typeC", 99.0)))
+    // adjacency_matrix: singles + pairwise intersections, empty
+    // intersections DROPPED (typeA ∩ expensive is empty)
+    val adj =
+      """{"size": 0, "aggs": {"m": {"adjacency_matrix": {"filters": {
+        |  "isA": {"match": {"planType": "typeA"}},
+        |  "expensive": {"range": {"planCostShares.copay": {"gte": 90}}},
+        |  "cheap": {"range": {"planCostShares.copay": {"lt": 25}}}}}}}}""".stripMargin
+    assert(EsAggs.run(corpus, "doc", adj, PlanSchema.plan).collect()
+      .map(r => (r.getAs[String]("key"), r.getAs[Long]("doc_count"))).toSet ===
+      Set(("isA", 2L), ("expensive", 1L), ("cheap", 2L), ("isA&cheap", 2L)))
+    // rare_terms: the long tail at or below the ceiling, count-ascending
+    val rare =
+      """{"size": 0, "aggs": {"r": {"rare_terms": {"field": "planType", "max_doc_count": 2}}}}"""
+    assert(EsAggs.run(corpus, "doc", rare, PlanSchema.plan).collect()
+      .map(r => (r.getAs[String]("key"), r.getAs[Long]("doc_count"))).toSeq ===
+      Seq(("typeC", 1L), ("typeA", 2L))) // typeB (3) is over the ceiling
+    // filter names may not contain the pair separator
+    assertThrows[IllegalArgumentException](EsAggs.parse(
+      """{"aggs": {"m": {"adjacency_matrix": {"filters": {"a&b": {"match_all": {}}}}}}}""",
+      PlanSchema.plan))
+  }
+
   test("min_doc_count 0 zero-fills histogram gaps; global agg escapes the query context") {
     import spark.implicits._
     val df = Seq(("e1", "2024-01-15", 5L), ("e2", "2024-01-15", 4L), ("e3", "2024-01-18", 9L))

@@ -251,6 +251,30 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("incremental dedup verdicts every planted copy against the old corpus only") {
+    val rows = DedupQueries.queries("dd7_incremental")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("batch_id")
+      val verdict = r.getAs[String]("verdict")
+      if (id >= 2000000L)
+        // exact copies of base docs MUST be caught by the hash layer
+        assert(verdict === "drop_exact", s"batch $id: $verdict")
+      // sources always point INTO the old corpus, never at batch ids
+      Seq("exact_src", "near_src").foreach { c =>
+        val v = r.getAs[java.lang.Long](c)
+        if (v != null) assert(v.longValue < 1000000L, s"$c points at a batch doc: $v")
+      }
+    }
+    // first-token-dropped near copies: hamming recall depends on doc
+    // length (a short doc loses a large bigram fraction), so the honest
+    // claim is MAJORITY caught, not totality — exactness lives in the
+    // hash layer above
+    val nears = rows.filter(r => r.getAs[Long]("batch_id") < 2000000L)
+    val caught = nears.count(_.getAs[String]("verdict") != "keep")
+    assert(caught * 2 > nears.length, s"near layer caught $caught of ${nears.length}")
+  }
+
   test("stream merge is last-write-wins with cumulative counts") {
     import spark.implicits._
     val state = Seq((1L, 10L, "SAVE", "view", 1.0, 3L))

@@ -9,14 +9,21 @@ import org.apache.spark.sql.types.StructType
   * to a single `groupBy().agg()`.
   *
   * Scope (loudly rejected beyond it): up to TWO bucket levels — `terms`
-  * (count-desc top-N buckets) or `histogram` (fixed `interval` bins),
-  * optionally split by a second bucket agg (the Kibana "split series"
-  * shape) — with metric sub-aggs at the leaf level, or a flat set of
-  * metric aggs (global aggregation); optionally inside ONE `nested`
-  * context agg. Metrics: `avg`, `sum`, `min`, `max`, `value_count`.
-  * Field paths may not cross an array UNLESS the body switches into that
-  * array with a `nested` agg (exactly ES's rule: a nested-mapped field is
-  * only aggregable from a nested context).
+  * (ordered/pruned top-N) or `histogram`/`date_histogram` (fixed or
+  * calendar bins, zero-fillable) split by a second terms/histogram level
+  * (the Kibana "split series" shape) — OR one single-level bucket agg of
+  * any supported kind: `filters`, `range`, `date_range`, `missing`,
+  * `adjacency_matrix`, `rare_terms`, `composite` (after-cursor
+  * pagination), `significant_terms`, `global`; with metric sub-aggs at
+  * the leaf level or a flat metric set, optionally inside ONE `nested`
+  * context agg. Metrics: `avg`, `sum`, `min`, `max`, `value_count`,
+  * `cardinality` (exact), `stats`, `percentiles` (exact), and
+  * `weighted_avg`. Pipeline aggs (`cumulative_sum`, `derivative`,
+  * `bucket_selector`, `bucket_sort`) and `top_hits` attach to a
+  * single-level keyed bucket. Field paths may not cross an array UNLESS
+  * the body switches into that array with a `nested` agg (exactly ES's
+  * rule: a nested-mapped field is only aggregable from a nested
+  * context).
   *
   * A `nested` agg over an array path changes the unit of aggregation to
   * the array ELEMENTS (each nested element is its own Lucene doc in ES —

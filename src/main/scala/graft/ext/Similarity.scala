@@ -251,13 +251,85 @@ object Similarity {
        |FROM (SELECT DISTINCT q_id FROM truth) q LEFT JOIN hits USING (q_id)
        |ORDER BY q_id""".stripMargin
 
+  // ---------------------------------------------------------------- s5
+  /** Scalar-quantized (SQ8) exact-scan ANN — the memory-bound path FAISS
+    * calls IndexScalarQuantizer: per-DIMENSION min/max bounds (one
+    * 64-group aggregation), each vector compressed to 8-bit codes (4×
+    * smaller than float32, 8× smaller than the double working set), then
+    * the same broadcast-query brute scan as s1 but on INTEGER code dot
+    * products — exact integer arithmetic end to end, so ranking is
+    * engine-bit-identical (no float accumulation anywhere).
+    *
+    * Scale shape: bounds = one tiny agg (64 rows, broadcast back);
+    * quantization is a pure map; the scan reads 1/4 the bytes of s1 at
+    * the same candidate count. At 100 TB this is why quantization exists:
+    * the scan is bandwidth-bound, and codes keep the working set in
+    * memory. */
+  private def s5(s: SparkSession, d: String): DataFrame = {
+    val all = vecs(s, d).select(col("vec_id"), col("v"))
+    val bounds = all.select(posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy(col("d")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    // dim-ordered bound arrays via array_sort (collect_list order is not
+    // deterministic under partial aggregation; the sort is)
+    val ba = bounds
+      .agg(array_sort(collect_list(struct(col("d"), col("mn"), col("mx")))).as("bs"))
+      .select(transform(col("bs"), b => b.getField("mn")).as("mns"),
+        transform(col("bs"), b => b.getField("mx")).as("mxs"))
+    val codes = all.crossJoin(broadcast(ba))
+      .select(col("vec_id"),
+        transform(col("v"), (x, i) => {
+          val mn = element_at(col("mns"), i + 1)
+          val mx = element_at(col("mxs"), i + 1)
+          when(mx === mn, lit(0L)).otherwise(
+            least(lit(255L), greatest(lit(0L),
+              floor(((x - mn) * lit(255.0)) / (mx - mn)).cast("long"))))
+        }).as("c"))
+    val q = codes.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("c").as("qc"))
+    val scored = codes.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        aggregate(zip_with(col("qc"), col("c"), (a, b) => a * b),
+          lit(0L), (acc, z) => acc + z).as("qdot"))
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("qdot").desc, col("n_id"))))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"), col("qdot"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  private val s5Sql = {
+    val el = "CAST(d + 1 AS INTEGER)"
+    s"""WITH vs AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |            FROM embeddings),
+       |b AS (SELECT d, MIN(v[$el]) AS mn, MAX(v[$el]) AS mx
+       |      FROM vs, range(0, 64) t(d) GROUP BY d),
+       |ba AS (SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs FROM b),
+       |codes AS (SELECT vec_id,
+       |    list_transform(range(0, 64), d -> CASE WHEN mxs[$el] = mns[$el] THEN 0
+       |      ELSE CAST(least(255, greatest(0,
+       |        floor(((v[$el] - mns[$el]) * 255.0) / (mxs[$el] - mns[$el])))) AS BIGINT)
+       |      END) AS c
+       |  FROM vs, ba),
+       |q AS (SELECT vec_id AS q_id, c AS qc FROM codes WHERE vec_id % 50 = 0),
+       |scored AS (SELECT q_id, vec_id AS n_id,
+       |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(list_zip(qc, c), z -> z[1] * z[2])), (acc, x) -> acc + x) AS BIGINT) AS qdot
+       |  FROM codes, q WHERE vec_id <> q_id)
+       |SELECT q_id, rank, n_id, qdot FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY qdot DESC, n_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "s5_sq_ann" -> s5 _,
     "s1_cosine_topk" -> s1 _,
     "s2_lsh_ann" -> s2 _,
     "s3_ivf_ann" -> s3 _,
     "s4_ann_recall" -> s4 _)
 
   val oracle: Map[String, String] = Map(
+    "s5_sq_ann" -> s5Sql,
     "s1_cosine_topk" -> s1Sql,
     "s2_lsh_ann" -> s2Sql,
     "s3_ivf_ann" -> s3Sql,

@@ -396,7 +396,52 @@ object RelationalQueries2 {
        |FROM u GROUP BY measure ORDER BY measure""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q32
+  /** Ordered string aggregation (LISTAGG/string_agg) — `collect_set` is
+    * unordered under partial aggregation, so determinism comes from
+    * `array_sort` BEFORE the join; one shuffle on the group key, the
+    * dimension broadcast. */
+  private def q32(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer")
+      .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(array_join(array_sort(collect_set(col("c_mktsegment"))), ",").as("segments"),
+        count(lit(1)).as("n_cust"))
+      .orderBy(col("n_name"))
+
+  private val q32Sql =
+    """SELECT n_name,
+      |  string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments,
+      |  COUNT(*) AS n_cust
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  // ---------------------------------------------------------------- q33
+  /** Correlated LATERAL subquery — top-2 customers per nation via a
+    * correlated ORDER BY ... LIMIT, the SQL:2016 lateral shape. Catalyst
+    * rewrites the correlation into a join + per-group limit rather than
+    * executing the subquery per row — the plan, not the syntax, is what
+    * runs at scale. */
+  private def q33(s: SparkSession, d: String): DataFrame =
+    s.sql(
+      s"""SELECT n_name, c_name, c_acctbal
+         |FROM parquet.`$d/nation.parquet` n,
+         |LATERAL (SELECT c_name, c_acctbal FROM parquet.`$d/customer.parquet` c
+         |         WHERE c.c_nationkey = n.n_nationkey
+         |         ORDER BY c_acctbal DESC, c_name LIMIT 2)
+         |ORDER BY n_name, c_acctbal DESC, c_name""".stripMargin)
+
+  private val q33Sql =
+    """SELECT n_name, c_name, c_acctbal
+      |FROM nation n,
+      |LATERAL (SELECT c_name, c_acctbal FROM customer c
+      |         WHERE c.c_nationkey = n.n_nationkey
+      |         ORDER BY c_acctbal DESC, c_name LIMIT 2) s
+      |ORDER BY n_name, c_acctbal DESC, c_name""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q32_string_agg" -> q32 _,
+    "q33_lateral" -> q33 _,
     "q30_grouping_sets" -> q30 _,
     "q31_unpivot" -> q31 _,
     "q29_csv_roundtrip" -> q29 _,
@@ -410,6 +455,8 @@ object RelationalQueries2 {
     "q26_json_fns" -> q26 _)
 
   val oracle: Map[String, String] = Map(
+    "q32_string_agg" -> q32Sql,
+    "q33_lateral" -> q33Sql,
     "q30_grouping_sets" -> q30Sql,
     "q31_unpivot" -> q31Sql,
     "q29_csv_roundtrip" -> q29Sql,

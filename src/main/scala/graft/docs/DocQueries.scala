@@ -2438,6 +2438,90 @@ object DocQueries {
       |FROM v WHERE levenshtein(tok, 'sart') <= 2 AND tok <> 'sart'
       |ORDER BY dist ASC, freq DESC, tok ASC LIMIT 5""".stripMargin
 
+  // ---------------------------------------------------------------- d69
+  /** ES `moving_fn` (trailing-window smoothing) + `serial_diff`
+    * (lag-n differencing) + `bucket_script` (cross-metric arithmetic) —
+    * the remaining Kibana TSVB pipeline shapes, over the daily calendar
+    * histogram. The moving average is rendered as exact integer
+    * window-sum / window-count (no float accumulation), the serial diff
+    * is pure integer, and the script ratio is one IEEE division. */
+  private def d69(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.Tables.events(s, d)
+      .select(struct(col("event_id"), timestamp_micros(col("ts_us")).as("ts"),
+        col("user_id"), col("event_type"), col("value")).as("doc"))
+    val evSchema = ev.schema("doc").dataType.asInstanceOf[StructType]
+    val body =
+      """{
+        |  "size": 0,
+        |  "query": { "term": { "event_type": "click" } },
+        |  "aggs": {
+        |    "by_day": {
+        |      "date_histogram": { "field": "ts", "calendar_interval": "day" },
+        |      "aggs": {
+        |        "uniq_users": { "cardinality": { "field": "user_id" } },
+        |        "smooth7": { "moving_fn": { "buckets_path": "_count", "window": 7,
+        |                                    "script": "MovingFunctions.unweightedAvg(values)" } },
+        |        "wow": { "serial_diff": { "buckets_path": "_count", "lag": 7 } },
+        |        "per_user": { "bucket_script": {
+        |          "buckets_path": { "n": "_count", "u": "uniq_users" },
+        |          "script": "params.n / params.u" } }
+        |      }
+        |    }
+        |  }
+        |}""".stripMargin
+    EsAggs.run(ev, "doc", body, evSchema)
+  }
+
+  private val d69Sql =
+    """WITH b AS (
+      |  SELECT CAST(date_trunc('day', ts) AS DATE) AS key,
+      |    CAST(COUNT(*) AS BIGINT) AS doc_count,
+      |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS uniq_users
+      |  FROM events WHERE event_type = 'click' GROUP BY 1)
+      |SELECT key, doc_count, uniq_users,
+      |  CAST(SUM(doc_count) OVER w7 AS DOUBLE) / COUNT(doc_count) OVER w7 AS smooth7,
+      |  doc_count - LAG(doc_count, 7) OVER (ORDER BY key ASC) AS wow,
+      |  CAST(doc_count AS DOUBLE) / uniq_users AS per_user
+      |FROM b
+      |WINDOW w7 AS (ORDER BY key ASC ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |ORDER BY key ASC""".stripMargin
+
+  // ---------------------------------------------------------------- d70
+  /** ES sibling `*_bucket` pipeline aggs — `sum_bucket`/`avg_bucket`/
+    * `max_bucket` beside a terms agg: the Kibana "overall average" line.
+    * ES renders them beside the bucket list; the relational frame
+    * repeats the value per row (a constant window over |buckets| rows —
+    * no extra corpus work). */
+  private def d70(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "size": 0,
+        |  "aggs": {
+        |    "by_type": {
+        |      "terms": { "field": "planType", "size": 10, "order": { "_key": "asc" } },
+        |      "aggs": {
+        |        "copay_sum": { "sum": { "field": "planCostShares.copay" } }
+        |      }
+        |    },
+        |    "total_docs": { "sum_bucket": { "buckets_path": "by_type>_count" } },
+        |    "avg_bucket_copay": { "avg_bucket": { "buckets_path": "by_type>copay_sum" } },
+        |    "busiest": { "max_bucket": { "buckets_path": "by_type>_count" } }
+        |  }
+        |}""".stripMargin
+    EsAggs.run(assembled(s, d), "doc", body, schema)
+  }
+
+  private val d70Sql =
+    """WITH b AS (
+      |  SELECT c_mktsegment AS key, CAST(COUNT(*) AS BIGINT) AS doc_count,
+      |    CAST(CAST(SUM(c_custkey % 50) AS BIGINT) AS DOUBLE) AS copay_sum
+      |  FROM customer GROUP BY 1)
+      |SELECT key, doc_count, copay_sum,
+      |  CAST(SUM(doc_count) OVER () AS BIGINT) AS total_docs,
+      |  CAST(SUM(copay_sum) OVER () AS DOUBLE) / COUNT(copay_sum) OVER () AS avg_bucket_copay,
+      |  MAX(doc_count) OVER () AS busiest
+      |FROM b ORDER BY key ASC LIMIT 10""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -2494,6 +2578,8 @@ object DocQueries {
     "d66_es_rare_terms" -> d66 _,
     "d67_es_date_range" -> d67 _,
     "d68_es_suggest" -> d68 _,
+    "d69_es_moving_fn" -> d69 _,
+    "d70_es_sibling_aggs" -> d70 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
     "d3_roundtrip" -> d3 _,
@@ -2564,6 +2650,8 @@ object DocQueries {
     "d66_es_rare_terms" -> d66Sql,
     "d67_es_date_range" -> d67Sql,
     "d68_es_suggest" -> d68Sql,
+    "d69_es_moving_fn" -> d69Sql,
+    "d70_es_sibling_aggs" -> d70Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,
     "d3_roundtrip" -> d3Sql,

@@ -153,6 +153,23 @@ object EsAggs {
   /** `bucket_sort`: reorder + `from`/`size`-truncate the bucket list. */
   final case class BucketSort(sorts: Seq[(String, Boolean)], from: Int,
                               size: Option[Int]) extends Pipeline
+  /** `moving_fn` with the one Kibana smoothing script
+    * (`MovingFunctions.unweightedAvg(values)`): trailing-window mean in
+    * key order, rendered as exact integer window-sum / window-count. */
+  final case class MovingAvg(name: String, target: String, window: Int) extends Pipeline
+  /** `serial_diff`: value minus the value `lag` buckets earlier. */
+  final case class SerialDiff(name: String, target: String, lag: Int) extends Pipeline
+  /** `bucket_script` with one binary op between two params
+    * (`params.a <op> params.b`) — the Kibana "ratio of two metrics"
+    * shape; anything richer is rejected loudly. */
+  final case class BucketScript(name: String, left: String, right: String,
+                                op: String) extends Pipeline
+
+  /** SIBLING pipeline aggs (`avg_bucket`/`sum_bucket`/`min_bucket`/
+    * `max_bucket`) — in ES they sit BESIDE the multi-bucket agg and emit
+    * one value over its whole bucket list; the relational rendering
+    * appends that value as a constant column on every bucket row. */
+  final case class Sibling(name: String, kind: String, target: String)
 
   /** A bucket level: the bucket agg, its metric sub-aggs, and at most one
     * sub-bucket level (Kibana "split series" — terms × terms/histogram).
@@ -163,7 +180,8 @@ object EsAggs {
   final case class Buckets(bucket: Agg, metrics: Seq[(String, Metric)],
                            sub: Option[Buckets],
                            pipelines: Seq[Pipeline] = Nil,
-                           topHits: Option[TopHits] = None)
+                           topHits: Option[TopHits] = None,
+                           siblings: Seq[Sibling] = Nil)
 
   final case class Request(query: SearchQuery,
                            nestedPath: Option[Seq[String]],
@@ -188,7 +206,11 @@ object EsAggs {
       "adjacency_matrix", "rare_terms", "date_range")
 
   private val pipelineKinds =
-    Set("cumulative_sum", "derivative", "bucket_selector", "bucket_sort")
+    Set("cumulative_sum", "derivative", "bucket_selector", "bucket_sort",
+      "moving_fn", "serial_diff", "bucket_script")
+
+  private val siblingKinds =
+    Set("avg_bucket", "sum_bucket", "min_bucket", "max_bucket")
 
   /** Column names a metric renders to (`stats`/`percentiles` fan out). */
   private def metricNames(name: String, m: Metric): Seq[String] = m.kind match {
@@ -553,6 +575,46 @@ object EsAggs {
                 case other => throw new IllegalArgumentException(
                   s"unsupported bucket_selector script (only `params.<p> <op> <number>`): $other")
               }
+            case (name, JObject(List(("moving_fn", spec)))) =>
+              val m = checkSpecKeys(spec, "moving_fn", Set("buckets_path", "window", "script"))
+              val script = m.get("script").map(asString).getOrElse(
+                throw new IllegalArgumentException("moving_fn needs a script"))
+              require(script.replaceAll("\\s", "") == "MovingFunctions.unweightedAvg(values)",
+                s"unsupported moving_fn script (only MovingFunctions.unweightedAvg(values)): $script")
+              val window = num(spec, "window", "moving_fn").map(_.toInt).getOrElse(
+                throw new IllegalArgumentException("moving_fn needs a window"))
+              require(window >= 1, s"moving_fn window must be >= 1: $window")
+              MovingAvg(name, asString(m.getOrElse("buckets_path",
+                throw new IllegalArgumentException("moving_fn needs buckets_path"))), window)
+            case (name, JObject(List(("serial_diff", spec)))) =>
+              val m = checkSpecKeys(spec, "serial_diff", Set("buckets_path", "lag"))
+              val lag = num(spec, "lag", "serial_diff").map(_.toInt).getOrElse(1)
+              require(lag >= 1, s"serial_diff lag must be >= 1: $lag")
+              SerialDiff(name, asString(m.getOrElse("buckets_path",
+                throw new IllegalArgumentException("serial_diff needs buckets_path"))), lag)
+            case (name, JObject(List(("bucket_script", spec)))) =>
+              val m = checkSpecKeys(spec, "bucket_script", Set("buckets_path", "script"))
+              val params = m.get("buckets_path") match {
+                case Some(JObject(ps)) if ps.nonEmpty => ps.map {
+                  case (k, JString(v)) => k -> v
+                  case other => throw new IllegalArgumentException(s"bad buckets_path entry: $other")
+                }.toMap
+                case other => throw new IllegalArgumentException(
+                  s"bucket_script needs a keyed buckets_path object: $other")
+              }
+              val script = m.get("script").map(asString).getOrElse(
+                throw new IllegalArgumentException("bucket_script needs a script"))
+              val Re = """params\.(\w+)\s*([-+*/])\s*params\.(\w+)""".r
+              script.trim match {
+                case Re(a, op, b) =>
+                  val (ta, tb) = (params.getOrElse(a, throw new IllegalArgumentException(
+                    s"script references params.$a, not in buckets_path")),
+                    params.getOrElse(b, throw new IllegalArgumentException(
+                      s"script references params.$b, not in buckets_path")))
+                  BucketScript(name, ta, tb, op)
+                case other => throw new IllegalArgumentException(
+                  s"unsupported bucket_script script (only `params.<a> <op> params.<b>`): $other")
+              }
             case (_, JObject(List(("bucket_sort", spec)))) =>
               val m = checkSpecKeys(spec, "bucket_sort", Set("sort", "size", "from"))
               val sorts = m.get("sort") match {
@@ -703,9 +765,62 @@ object EsAggs {
                 requireKeyed("bucket_sort")
                 sorts.foreach { case (t, _) => checkTarget(t, earlier, allowKey = true) }
                 earlier
+              case MovingAvg(n, t, _) =>
+                requireHist("moving_fn"); checkTarget(t, earlier, allowKey = false); earlier + n
+              case SerialDiff(n, t, _) =>
+                requireHist("serial_diff"); checkTarget(t, earlier, allowKey = false); earlier + n
+              case BucketScript(n, a0, b0, _) =>
+                requireKeyed("bucket_script")
+                checkTarget(a0, earlier, allowKey = false)
+                checkTarget(b0, earlier, allowKey = false)
+                earlier + n
             }
           }
           Right(tree)
+        case entries if entries.size > 1 && entries.exists {
+          case (_, JObject(List((k, _)))) => siblingKinds(k)
+          case _ => false
+        } && entries.count {
+          case (_, JObject(f)) => f.exists { case (k, _) => bucketKinds(k) }
+          case _ => false
+        } == 1 =>
+          val (sibEntries, rest) = entries.partition {
+            case (_, JObject(List((k, _)))) => siblingKinds(k)
+            case _ => false
+          }
+          require(rest.size == 1,
+            "sibling *_bucket aggs must sit beside exactly ONE multi-bucket agg")
+          val inner = parseTree(rest, ctx) match {
+            case Right(b) => b
+            case Left(_) => throw new IllegalArgumentException(
+              "sibling *_bucket aggs need a multi-bucket sibling")
+          }
+          val bucketName = rest.head._1
+          val lm = inner.metrics.toMap
+          val sibs = sibEntries.map {
+            case (name, JObject(List((kind, spec)))) =>
+              val m = checkSpecKeys(spec, kind, Set("buckets_path"))
+              val path = asString(m.getOrElse("buckets_path",
+                throw new IllegalArgumentException(s"$kind needs buckets_path")))
+              val parts = path.split(">")
+              require(parts.length == 2 && parts(0) == bucketName,
+                s"$kind buckets_path must be \"$bucketName>metric\" or \"$bucketName>_count\": $path")
+              val target = parts(1)
+              require(target == "_count" ||
+                lm.get(target).exists(mm => mm.kind != "stats" && mm.kind != "percentiles"),
+                s"$kind target \"$target\" is not _count or a single-column metric of $bucketName")
+              Sibling(name, kind, target)
+            case (name, other) =>
+              throw new IllegalArgumentException(s"bad sibling agg $name: $other")
+          }
+          require(inner.sub.isEmpty && inner.topHits.isEmpty,
+            "siblings beside a two-level or top_hits bucket agg are not implemented")
+          inner.bucket match {
+            case _: Terms | _: Histogram | _: DateHistogram | _: RareTerms => ()
+            case other => throw new IllegalArgumentException(
+              s"sibling *_bucket over ${other.getClass.getSimpleName} is not implemented")
+          }
+          Right(inner.copy(siblings = sibs))
         case mixed if mixed.size > 1 && mixed.exists {
           case (_, JObject(f)) => f.exists { case (k, _) => bucketKinds(k) }
           case _ => false
@@ -847,16 +962,16 @@ object EsAggs {
         require(ms.nonEmpty, "aggs body has no aggregations")
         rows.agg(count(lit(1)).as("doc_count"),
           ms.flatMap { case (n, m) => metricCols(n, m) }: _*)
-      case Right(Buckets(FiltersAgg(bs), ms, None, Nil, None)) =>
+      case Right(Buckets(FiltersAgg(bs), ms, None, Nil, None, Nil)) =>
         condBuckets(bs.map { case (n, q) => n -> SearchQuery.compile(q, ctx) }, ms)
-      case Right(Buckets(RangeAgg(p, rs), ms, None, Nil, None)) =>
+      case Right(Buckets(RangeAgg(p, rs), ms, None, Nil, None, Nil)) =>
         val v = field(ctx, p)
         condBuckets(rs.map { case (lo, hi) =>
           val key = s"${lo.map(_.toString).getOrElse("*")}-${hi.map(_.toString).getOrElse("*")}"
           val pred = (lo.map(v >= _).toSeq ++ hi.map(v < _).toSeq).reduce(_ && _)
           key -> pred
         }, ms)
-      case Right(Buckets(AdjacencyMatrix(bs), ms, None, Nil, None)) =>
+      case Right(Buckets(AdjacencyMatrix(bs), ms, None, Nil, None, Nil)) =>
         // singles in body order, then pairwise intersections a&b (i<j in
         // body order); ES drops empty INTERSECTION buckets — and empty
         // singles too in its response; we keep ES's exact contract:
@@ -866,7 +981,7 @@ object EsAggs {
           i <- compiled.indices; j <- compiled.indices if i < j
         } yield (s"${compiled(i)._1}&${compiled(j)._1}", compiled(i)._2 && compiled(j)._2)
         condBuckets(compiled ++ pairs, ms).filter(col("doc_count") > 0)
-      case Right(Buckets(DateRangeAgg(p, rs), ms, None, Nil, None)) =>
+      case Right(Buckets(DateRangeAgg(p, rs), ms, None, Nil, None, Nil)) =>
         val v = field(ctx, p)
         condBuckets(rs.map { case (lo, hi) =>
           val key = s"${lo.getOrElse("*")}-${hi.getOrElse("*")}"
@@ -874,12 +989,12 @@ object EsAggs {
             hi.map(x => v < to_date(lit(x))).toSeq).reduce(_ && _)
           key -> pred
         }, ms)
-      case Right(Buckets(MissingAgg(p, isArr), ms, None, Nil, None)) =>
+      case Right(Buckets(MissingAgg(p, isArr), ms, None, Nil, None, Nil)) =>
         // the one bucket of value-less documents; for an array field ES's
         // "no indexed value" includes the empty array (same as `exists`)
         val c0 = field(ctx, p)
         condBuckets(Seq("missing" -> (if (isArr) c0.isNull || size(c0) === 0 else c0.isNull)), ms)
-      case Right(Buckets(c: CompositeAgg, ms, None, Nil, None)) =>
+      case Right(Buckets(c: CompositeAgg, ms, None, Nil, None, Nil)) =>
         // one hash aggregation on the composite key; `after` is a
         // lexicographic key-tuple filter over the bucket table and the
         // page is a bounded TakeOrderedAndProject — the agg that can walk
@@ -900,7 +1015,7 @@ object EsAggs {
         }
         g.orderBy(c.sources.map(s => if (s.asc) col(s.name).asc else col(s.name).desc): _*)
           .limit(c.size)
-      case Right(Buckets(SignificantTerms(p, topN), _, None, _, _)) =>
+      case Right(Buckets(SignificantTerms(p, topN), _, None, _, _, _)) =>
         // foreground = the query's hit set; background = the WHOLE corpus,
         // so the aggregation runs UNFILTERED with a conditional foreground
         // count — one corpus shuffle; the totals are a global window over
@@ -921,7 +1036,7 @@ object EsAggs {
           .drop("_fg_total", "_bg_total")
           .orderBy(col("score").desc, col("key").asc)
           .limit(topN)
-      case Right(Buckets(bk, Nil, None, Nil, Some(th))) =>
+      case Right(Buckets(bk, Nil, None, Nil, Some(th), Nil)) =>
         // top_hits: bucket selection happens on the AGGREGATED bucket
         // table (terms top-N → N rows, broadcast back to the corpus),
         // then ONE window partitioned by key ranks hits inside each
@@ -949,12 +1064,12 @@ object EsAggs {
           .filter(col("rank") <= th.size)
           .select(col("key") +: col("doc_count") +: col("rank") +: srcNames.map(col): _*)
           .orderBy(bucketOrder :+ col("rank").asc: _*)
-      case Right(Buckets(GlobalAgg, ms, None, Nil, None)) =>
+      case Right(Buckets(GlobalAgg, ms, None, Nil, None, Nil)) =>
         // escapes the query context: aggregates the UNFILTERED corpus
         // even when the body carries a query (ES "percent of total")
         docs.agg(count(lit(1)).as("doc_count"),
           ms.flatMap { case (n, m) => metricCols(n, m) }: _*)
-      case Right(Buckets(b, ms, None, pipes, None)) =>
+      case Right(Buckets(b, ms, None, pipes, None, sibs)) =>
         val grouped = rows.groupBy(keyCol(b).as("key"))
           .agg(count(lit(1)).as("doc_count"),
             ms.flatMap { case (n, m) => metricCols(n, m) }: _*)
@@ -1028,6 +1143,22 @@ object EsAggs {
               case "==" => c0 === rhs
               case "!=" => c0 =!= rhs
             })
+          case MovingAvg(n, t, window) =>
+            // trailing-window mean as exact integer window-sum / count —
+            // no float accumulation, engine-bit-identical
+            val mw = keyW.rowsBetween(-(window - 1).toLong, W.currentRow)
+            table = table.withColumn(n,
+              sum(tcol(t)).over(mw).cast("double") / count(tcol(t)).over(mw))
+          case SerialDiff(n, t, lagN) =>
+            table = table.withColumn(n, tcol(t) - lag(tcol(t), lagN).over(keyW))
+          case BucketScript(n, a0, b0, op) =>
+            val (ca, cb) = (tcol(a0), tcol(b0))
+            table = table.withColumn(n, op match {
+              case "+" => ca + cb
+              case "-" => ca - cb
+              case "*" => ca * cb
+              case "/" => ca / cb // Spark and DuckDB both divide ints as doubles
+            })
           case BucketSort(sorts, from, sz) =>
             val ord = sorts.map { case (t, asc) =>
               if (asc) tcol(t).asc_nulls_last else tcol(t).desc_nulls_last
@@ -1041,8 +1172,22 @@ object EsAggs {
                 .drop("_bsrn")
             }
         }
+        // sibling *_bucket values: one constant column per sibling over
+        // the FINAL bucket list (|buckets| rows; ES renders them beside
+        // the list, a relational frame repeats them per row)
+        sibs.foreach { case Sibling(n, kind, t) =>
+          val wAll = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+          val c0 = tcol(t)
+          table = kind match {
+            case "sum_bucket" => table.withColumn(n, sum(c0).over(wAll))
+            case "min_bucket" => table.withColumn(n, min(c0).over(wAll))
+            case "max_bucket" => table.withColumn(n, max(c0).over(wAll))
+            case "avg_bucket" =>
+              table.withColumn(n, sum(c0).over(wAll).cast("double") / count(c0).over(wAll))
+          }
+        }
         table.orderBy(finalOrder: _*)
-      case Right(Buckets(b1, _, Some(Buckets(b2, ms2, _, _, _)), Nil, None)) =>
+      case Right(Buckets(b1, _, Some(Buckets(b2, ms2, _, _, _, _)), Nil, None, Nil)) =>
         // Two-level split: ONE hash aggregation on the composite key
         // (corpus-sized work ends here), then parent counts / top-N /
         // child top-N as windows over the BUCKET table — |buckets| rows,

@@ -894,6 +894,50 @@ class DocEngineSpec extends SparkSpec {
       PlanSchema.plan))
   }
 
+  test("moving_fn, serial_diff, bucket_script and sibling *_bucket aggs; wrong shapes rejected") {
+    // copay bins of 20 → counts 1, 2, 2, 1
+    val hist =
+      """{"size": 0, "aggs": {"h": {"histogram": {"field": "planCostShares.copay", "interval": 20},
+        |  "aggs": {
+        |    "sm": {"moving_fn": {"buckets_path": "_count", "window": 2,
+        |                         "script": "MovingFunctions.unweightedAvg(values)"}},
+        |    "sd": {"serial_diff": {"buckets_path": "_count", "lag": 2}},
+        |    "sq": {"bucket_script": {"buckets_path": {"a": "_count", "b": "_count"},
+        |                             "script": "params.a * params.b"}}}}}}""".stripMargin
+    val h = EsAggs.run(corpus, "doc", hist, PlanSchema.plan).collect()
+    assert(h.map(_.getAs[Double]("sm")).toSeq === Seq(1.0, 1.5, 2.0, 1.5))
+    assert(h.map(r => Option(r.getAs[java.lang.Long]("sd")).map(_.toLong)).toSeq ===
+      Seq(None, None, Some(1L), Some(-1L)))
+    assert(h.map(_.getAs[Long]("sq")).toSeq === Seq(1L, 4L, 4L, 1L))
+    // siblings beside a terms agg: constant columns over the bucket list
+    val sib =
+      """{"size": 0, "aggs": {
+        |  "t": {"terms": {"field": "planType", "size": 10, "order": {"_key": "asc"}}},
+        |  "total": {"sum_bucket": {"buckets_path": "t>_count"}},
+        |  "big": {"max_bucket": {"buckets_path": "t>_count"}}}}""".stripMargin
+    val srows = EsAggs.run(corpus, "doc", sib, PlanSchema.plan).collect()
+    assert(srows.map(r => (r.getAs[String]("key"), r.getAs[Long]("total"),
+      r.getAs[Long]("big"))).toSeq ===
+      Seq(("typeA", 6L, 3L), ("typeB", 6L, 3L), ("typeC", 6L, 3L)))
+    // moving_fn needs a histogram parent
+    assertThrows[IllegalArgumentException](EsAggs.parse(
+      """{"aggs": {"t": {"terms": {"field": "planType"},
+        |  "aggs": {"sm": {"moving_fn": {"buckets_path": "_count", "window": 2,
+        |    "script": "MovingFunctions.unweightedAvg(values)"}}}}}}""".stripMargin,
+      PlanSchema.plan))
+    // only the one moving_fn script is supported
+    assertThrows[IllegalArgumentException](EsAggs.parse(
+      """{"aggs": {"h": {"histogram": {"field": "planCostShares.copay", "interval": 20},
+        |  "aggs": {"sm": {"moving_fn": {"buckets_path": "_count", "window": 2,
+        |    "script": "MovingFunctions.max(values)"}}}}}}""".stripMargin,
+      PlanSchema.plan))
+    // sibling buckets_path must name its sibling bucket agg
+    assertThrows[IllegalArgumentException](EsAggs.parse(
+      """{"aggs": {"t": {"terms": {"field": "planType"}},
+        |  "x": {"sum_bucket": {"buckets_path": "wrong>_count"}}}}""".stripMargin,
+      PlanSchema.plan))
+  }
+
   test("top_hits ranks documents inside each bucket; sort is mandatory") {
     val body =
       """{"size": 0, "aggs": {"t": {"terms": {"field": "planType", "size": 5, "order": {"_key": "asc"}},

@@ -2522,6 +2522,47 @@ object DocQueries {
       |  MAX(doc_count) OVER () AS busiest
       |FROM b ORDER BY key ASC LIMIT 10""".stripMargin
 
+  // ---------------------------------------------------------------- d71
+  /** ES `extended_bounds` — pin the histogram's axis to an explicit range
+    * regardless of where the data sits (the Kibana time-picker contract):
+    * the grid-snapped bound keys are guaranteed as zero buckets (2-row
+    * full-outer join), and the interior fills through the same
+    * lead+sequence walk as d62. Here the data occupies January but the
+    * panel asks for Dec 29 – Feb 2: 36 buckets, leading/trailing zeros. */
+  private def d71(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.Tables.events(s, d)
+      .select(struct(col("event_id"), timestamp_micros(col("ts_us")).as("ts"),
+        col("user_id"), col("event_type"), col("value")).as("doc"))
+    val evSchema = ev.schema("doc").dataType.asInstanceOf[StructType]
+    val body =
+      """{
+        |  "size": 0,
+        |  "query": { "bool": { "must": [
+        |    { "term": { "event_type": "purchase" } },
+        |    { "range": { "user_id": { "lte": 3 } } } ] } },
+        |  "aggs": {
+        |    "by_day": {
+        |      "date_histogram": { "field": "ts", "calendar_interval": "day",
+        |                          "min_doc_count": 0,
+        |                          "extended_bounds": { "min": "2023-12-29", "max": "2024-02-02" } },
+        |      "aggs": { "peak": { "max": { "field": "value" } } }
+        |    }
+        |  }
+        |}""".stripMargin
+    EsAggs.run(ev, "doc", body, evSchema)
+  }
+
+  private val d71Sql =
+    """WITH b AS (
+      |  SELECT CAST(date_trunc('day', ts) AS DATE) AS key,
+      |    CAST(COUNT(*) AS BIGINT) AS doc_count, MAX(value) AS peak
+      |  FROM events WHERE event_type = 'purchase' AND user_id <= 3 GROUP BY 1),
+      |r AS (
+      |  SELECT CAST(unnest(generate_series(DATE '2023-12-29', DATE '2024-02-02',
+      |    INTERVAL 1 DAY)) AS DATE) AS key)
+      |SELECT r.key AS key, COALESCE(b.doc_count, 0) AS doc_count, b.peak
+      |FROM r LEFT JOIN b ON r.key = b.key ORDER BY 1 ASC""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -2580,6 +2621,7 @@ object DocQueries {
     "d68_es_suggest" -> d68 _,
     "d69_es_moving_fn" -> d69 _,
     "d70_es_sibling_aggs" -> d70 _,
+    "d71_es_extended_bounds" -> d71 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
     "d3_roundtrip" -> d3 _,
@@ -2652,6 +2694,7 @@ object DocQueries {
     "d68_es_suggest" -> d68Sql,
     "d69_es_moving_fn" -> d69Sql,
     "d70_es_sibling_aggs" -> d70Sql,
+    "d71_es_extended_bounds" -> d71Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,
     "d3_roundtrip" -> d3Sql,

@@ -74,13 +74,16 @@ object EsAggs {
     * min and max keys (the Kibana gap-filling contract — a derivative
     * over a gappy series is wrong without it); `> 1` prunes. */
   final case class Histogram(path: Seq[String], interval: Long,
-                             minDocCount: Long = 1L) extends Agg
+                             minDocCount: Long = 1L,
+                             offset: Long = 0L,
+                             extendedBounds: Option[(Long, Long)] = None) extends Agg
   /** ES `date_histogram` with `calendar_interval` — variable-length
     * calendar buckets (month/quarter/year/week/day/hour/minute) via
     * `date_trunc`, keyed by the bucket's start DATE-or-TIMESTAMP
     * (rendered as the truncated value; ES returns its epoch millis). */
   final case class DateHistogram(path: Seq[String], interval: String,
-                                 minDocCount: Long = 1L) extends Agg
+                                 minDocCount: Long = 1L,
+                                 extendedBounds: Option[(String, String)] = None) extends Agg
   /** ES `filters` bucket agg — one NAMED bucket per predicate (a document
     * lands in EVERY bucket it matches). Compiled as ONE conditional
     * aggregation (`sum(case when pred)` per bucket) — zero-doc buckets
@@ -367,18 +370,33 @@ object EsAggs {
               parseOrder(m),
               num(spec, "min_doc_count", "terms").getOrElse(1L))
           }.orElse(bf.get("histogram").map { spec =>
-            checkSpecKeys(spec, "histogram", Set("field", "interval", "min_doc_count"))
+            val hm = checkSpecKeys(spec, "histogram",
+              Set("field", "interval", "min_doc_count", "offset", "extended_bounds"))
             val interval = num(spec, "interval", "histogram")
               .getOrElse(throw new IllegalArgumentException("histogram needs interval"))
             require(interval > 0, s"histogram interval must be > 0: $interval")
-            Histogram(fieldPath(spec, "histogram", ctx), interval,
-              num(spec, "min_doc_count", "histogram").getOrElse(1L))
+            val offset = num(spec, "offset", "histogram").getOrElse(0L)
+            require(offset >= 0 && offset < interval,
+              s"histogram offset must be in [0, interval): $offset")
+            val minDc = num(spec, "min_doc_count", "histogram").getOrElse(1L)
+            val eb = hm.get("extended_bounds").map { ebSpec =>
+              val b = checkSpecKeys(ebSpec, "extended_bounds", Set("min", "max"))
+              require(minDc == 0L,
+                "extended_bounds without min_doc_count: 0 has no effect (ES rule) — set it explicitly")
+              (num(ebSpec, "min", "extended_bounds").getOrElse(
+                throw new IllegalArgumentException("extended_bounds needs min")),
+               num(ebSpec, "max", "extended_bounds").getOrElse(
+                throw new IllegalArgumentException("extended_bounds needs max")))
+            }
+            eb.foreach { case (lo, hi) => require(lo <= hi,
+              s"extended_bounds min > max: $lo > $hi") }
+            Histogram(fieldPath(spec, "histogram", ctx), interval, minDc, offset, eb)
           }).orElse(bf.get("date_histogram").map { spec =>
             // calendar_interval ONLY: fixed intervals belong to `histogram`
             // over an epoch column; silently coercing a fixed_interval to a
             // calendar unit would put rows in the wrong buckets.
             val m = checkSpecKeys(spec, "date_histogram",
-              Set("field", "calendar_interval", "min_doc_count"))
+              Set("field", "calendar_interval", "min_doc_count", "extended_bounds"))
             val unit = m.get("calendar_interval") match {
               case Some(JString(u)) if calendarIntervals(u) => u
               case Some(other) => throw new IllegalArgumentException(
@@ -386,8 +404,20 @@ object EsAggs {
               case None => throw new IllegalArgumentException(
                 "date_histogram needs calendar_interval (fixed intervals: use histogram on an epoch column)")
             }
-            DateHistogram(fieldPath(spec, "date_histogram", ctx), unit,
-              num(spec, "min_doc_count", "date_histogram").getOrElse(1L))
+            val dMinDc = num(spec, "min_doc_count", "date_histogram").getOrElse(1L)
+            val IsoD = "\\d{4}-\\d{2}-\\d{2}".r
+            val dEb = m.get("extended_bounds").map { ebSpec =>
+              val b = checkSpecKeys(ebSpec, "extended_bounds", Set("min", "max"))
+              require(dMinDc == 0L,
+                "extended_bounds without min_doc_count: 0 has no effect (ES rule) — set it explicitly")
+              def iso(k: String): String = b.get(k) match {
+                case Some(JString(v)) if IsoD.matches(v) => v
+                case other => throw new IllegalArgumentException(
+                  s"extended_bounds.$k must be an ISO yyyy-MM-dd string: $other")
+              }
+              (iso("min"), iso("max"))
+            }
+            DateHistogram(fieldPath(spec, "date_histogram", ctx), unit, dMinDc, dEb)
           }).orElse(bf.get("filters").map { spec =>
             require(ctx.isEmpty, "filters agg inside a nested context is not implemented")
             val m = checkSpecKeys(spec, "filters", Set("filters"))
@@ -703,9 +733,9 @@ object EsAggs {
               // zero-fill / pruning on split-series histogram levels is
               // not wired — reject rather than silently ignore
               Seq(tree.bucket, child.bucket).foreach {
-                case Histogram(_, _, md) if md != 1L => throw new IllegalArgumentException(
+                case Histogram(_, _, md, _, _) if md != 1L => throw new IllegalArgumentException(
                   "histogram min_doc_count on a two-level split is not implemented")
-                case DateHistogram(_, _, md) if md != 1L => throw new IllegalArgumentException(
+                case DateHistogram(_, _, md, _) if md != 1L => throw new IllegalArgumentException(
                   "date_histogram min_doc_count on a two-level split is not implemented")
                 case _ => ()
               }
@@ -914,13 +944,18 @@ object EsAggs {
     def keyCol(b: Agg): Column = b match {
       case Terms(p, _, _, _) => field(ctx, p)
       case RareTerms(p, _) => field(ctx, p)
-      case Histogram(p, interval, _) =>
+      case Histogram(p, interval, _, 0L, _) =>
         // floor(v/interval)*interval in PURE INTEGER arithmetic: double
         // division misrounds at bucket boundaries once values outgrow the
         // 53-bit mantissa's exact range (epoch-micros timestamps do).
         // pmod keeps ES's floor semantics for negative values too.
         (field(ctx, p) - pmod(field(ctx, p), lit(interval))).cast("long")
-      case DateHistogram(p, unit, _) =>
+      case hOff: Histogram =>
+        // offset bins: floor((v - offset) / interval) * interval + offset
+        // in the same pure integer arithmetic
+        val v0 = field(ctx, hOff.path) - lit(hOff.offset)
+        (v0 - pmod(v0, lit(hOff.interval)) + lit(hOff.offset)).cast("long")
+      case DateHistogram(p, unit, _, _) =>
         // date_trunc is calendar arithmetic (month lengths, leap years,
         // ISO week starts) — the thing fixed-interval floor division
         // can't express. Day-or-coarser buckets render as DATE keys;
@@ -1081,10 +1116,10 @@ object EsAggs {
           * explode), so the fill is derived from the bucket table in ONE
           * pass — no second corpus aggregation, no join; the only added
           * work is a |buckets|-row window. */
-        def zeroFill(step: Column): DataFrame = {
+        def zeroFill(t0: DataFrame, step: Column): DataFrame = {
           val names = ms.flatMap { case (n, m) => metricNames(n, m) }
           val wk = W.orderBy(col("key").asc)
-          grouped.withColumn("_next", lead(col("key"), 1).over(wk))
+          t0.withColumn("_next", lead(col("key"), 1).over(wk))
             .select(Seq(col("key").as("_okey"), col("_next"), col("doc_count").as("_dc")) ++
               names.map(n => col(n).as(s"_m_$n")) :+
               explode(sequence(col("key"), coalesce(col("_next"), col("key")), step)).as("key"): _*)
@@ -1092,6 +1127,18 @@ object EsAggs {
             .select(col("key") +:
               when(col("key") === col("_okey"), col("_dc")).otherwise(lit(0L)).as("doc_count") +:
               names.map(n => when(col("key") === col("_okey"), col(s"_m_$n")).as(n)): _*)
+        }
+        /** extended_bounds: guarantee the two (grid-snapped) bound keys
+          * exist as buckets — a 2-row full-outer join against the bucket
+          * table (metrics null, count zero-filled); the interior then
+          * fills via zeroFill's lead+sequence walk. This is how a Kibana
+          * panel pins its x-axis to the picker's range regardless of
+          * where the data starts. */
+        def extendBounds(t: DataFrame, loKey: Column, hiKey: Column): DataFrame = {
+          val edges = t.sparkSession.range(1)
+            .select(explode(array(loKey, hiKey)).as("key")).distinct()
+          edges.join(t, Seq("key"), "full_outer")
+            .withColumn("doc_count", coalesce(col("doc_count"), lit(0L)))
         }
         def calStep(unit: String): Column = expr(unit match {
           case "minute" => "interval 1 minute"
@@ -1113,11 +1160,26 @@ object EsAggs {
             // the long tail: everything AT OR BELOW the ceiling, count-asc
             table = table.filter(col("doc_count") <= maxDc)
             finalOrder = Seq(col("doc_count").asc, col("key").asc)
-          case Histogram(_, interval, 0L) => table = zeroFill(lit(interval))
-          case DateHistogram(_, unit, 0L) => table = zeroFill(calStep(unit))
-          case Histogram(_, _, minDoc) if minDoc > 1L =>
+          case Histogram(_, interval, 0L, off, eb) =>
+            eb.foreach { case (lo, hi) =>
+              // snap the literal bounds onto the bucket grid (parse-time
+              // constants — plain Long arithmetic)
+              def snap(x: Long) = x - java.lang.Math.floorMod(x - off, interval)
+              table = extendBounds(table, lit(snap(lo)), lit(snap(hi)))
+            }
+            table = zeroFill(table, lit(interval))
+          case DateHistogram(_, unit, 0L, eb) =>
+            eb.foreach { case (lo, hi) =>
+              def bcol(v: String) = {
+                val t0 = date_trunc(unit, to_date(lit(v)))
+                if (unit == "minute" || unit == "hour") t0 else t0.cast("date")
+              }
+              table = extendBounds(table, bcol(lo), bcol(hi))
+            }
+            table = zeroFill(table, calStep(unit))
+          case Histogram(_, _, minDoc, _, _) if minDoc > 1L =>
             table = table.filter(col("doc_count") >= minDoc)
-          case DateHistogram(_, _, minDoc) if minDoc > 1L =>
+          case DateHistogram(_, _, minDoc, _) if minDoc > 1L =>
             table = table.filter(col("doc_count") >= minDoc)
           case _ => ()
         }

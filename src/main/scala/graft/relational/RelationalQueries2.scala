@@ -439,7 +439,36 @@ object RelationalQueries2 {
       |         ORDER BY c_acctbal DESC, c_name LIMIT 2) s
       |ORDER BY n_name, c_acctbal DESC, c_name""".stripMargin
 
+  // ---------------------------------------------------------------- q34
+  /** Distribution window functions — ntile / percent_rank / cume_dist per
+    * segment (ranked by balance, key-tiebroken so the ordering is total).
+    * percent_rank = (rank-1)/(n-1) and cume_dist = rows≤cur / n are each
+    * ONE double division of exact integers — engine-bit-identical. One
+    * shuffle on the partition key. */
+  private def q34(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    t(s, d, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .filter(col("c_custkey") % 20 === 0)
+      .orderBy(col("c_custkey"))
+  }
+
+  private val q34Sql =
+    """SELECT c_custkey, c_mktsegment, c_acctbal, quartile, pr, cd FROM (
+      |  SELECT c_custkey, c_mktsegment, c_acctbal,
+      |    NTILE(4) OVER w AS quartile,
+      |    PERCENT_RANK() OVER w AS pr,
+      |    CUME_DIST() OVER w AS cd
+      |  FROM customer
+      |  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey))
+      |WHERE c_custkey % 20 = 0 ORDER BY c_custkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q34_dist_windows" -> q34 _,
     "q32_string_agg" -> q32 _,
     "q33_lateral" -> q33 _,
     "q30_grouping_sets" -> q30 _,
@@ -455,6 +484,7 @@ object RelationalQueries2 {
     "q26_json_fns" -> q26 _)
 
   val oracle: Map[String, String] = Map(
+    "q34_dist_windows" -> q34Sql,
     "q32_string_agg" -> q32Sql,
     "q33_lateral" -> q33Sql,
     "q30_grouping_sets" -> q30Sql,

@@ -1066,6 +1066,29 @@ class DocEngineSpec extends SparkSpec {
       """{"aggs": {"t": {"terms": {"field": "planType"},
         |  "aggs": {"h": {"histogram": {"field": "planCostShares.copay", "interval": 10,
         |    "min_doc_count": 0}}}}}}""".stripMargin, PlanSchema.plan))
+    // extended_bounds pins the axis beyond the data (bounds grid-snapped)
+    val eb =
+      """{"aggs": {"h": {"date_histogram": {"field": "day", "calendar_interval": "day",
+        |  "min_doc_count": 0,
+        |  "extended_bounds": {"min": "2024-01-13", "max": "2024-01-20"}}}}}""".stripMargin
+    assert(EsAggs.run(df, "doc", eb, sch).collect()
+      .map(r => (r.getAs[java.sql.Date]("key").toString, r.getAs[Long]("doc_count"))).toSeq ===
+      (13 to 20).map(d0 => (f"2024-01-$d0%02d", d0 match {
+        case 15 => 2L
+        case 18 => 1L
+        case _ => 0L
+      })))
+    // histogram offset shifts the bucket grid: values 5, 4, 9 with
+    // interval 5 offset 2 land in [2,7) [2,7) [7,12)
+    val off =
+      """{"aggs": {"h": {"histogram": {"field": "v", "interval": 5, "offset": 2}}}}"""
+    assert(EsAggs.run(df, "doc", off, sch).collect()
+      .map(r => (r.getAs[Long]("key"), r.getAs[Long]("doc_count"))).toSeq ===
+      Seq((2L, 2L), (7L, 1L)))
+    // extended_bounds without min_doc_count 0 is a silent no-op in spirit — rejected
+    assertThrows[IllegalArgumentException](EsAggs.parse(
+      """{"aggs": {"h": {"histogram": {"field": "planCostShares.copay", "interval": 10,
+        |  "extended_bounds": {"min": 0, "max": 100}}}}}""".stripMargin, PlanSchema.plan))
   }
 
   test("query_string compiles the Kibana search-bar grammar into the existing AST") {

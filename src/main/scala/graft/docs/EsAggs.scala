@@ -1058,7 +1058,7 @@ object EsAggs {
         // the two-level split), and JLH scores the lift.
         val fgPred = SearchQuery.compile(req.query, doc)
         val t = field(doc, p)
-        val g = docs.groupBy(t.as("key")).agg(
+        val g = docs.filter(t.isNotNull).groupBy(t.as("key")).agg(
           sum(when(fgPred, 1L).otherwise(0L)).cast("long").as("doc_count"),
           count(lit(1)).cast("long").as("bg_count"))
         val wAll = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
@@ -1076,7 +1076,7 @@ object EsAggs {
         // table (terms top-N → N rows, broadcast back to the corpus),
         // then ONE window partitioned by key ranks hits inside each
         // selected bucket (WindowGroupLimit) — no corpus-global ordering.
-        val bucketTable = rows.groupBy(keyCol(bk).as("key"))
+        val bucketTable = rows.filter(keyCol(bk).isNotNull).groupBy(keyCol(bk).as("key"))
           .agg(count(lit(1)).cast("long").as("doc_count"))
         val (selected, bucketOrder) = bk match {
           case Terms(_, size, order, minDoc) =>
@@ -1105,7 +1105,9 @@ object EsAggs {
         docs.agg(count(lit(1)).as("doc_count"),
           ms.flatMap { case (n, m) => metricCols(n, m) }: _*)
       case Right(Buckets(b, ms, None, pipes, None, sibs)) =>
-        val grouped = rows.groupBy(keyCol(b).as("key"))
+        // ES rule: a document with NO value for the bucket key lands in
+        // no bucket at all (the `missing` agg is the explicit catcher)
+        val grouped = rows.filter(keyCol(b).isNotNull).groupBy(keyCol(b).as("key"))
           .agg(count(lit(1)).as("doc_count"),
             ms.flatMap { case (n, m) => metricCols(n, m) }: _*)
         /** min_doc_count = 0: zero-fill the empty bins between the
@@ -1254,7 +1256,8 @@ object EsAggs {
         // (corpus-sized work ends here), then parent counts / top-N /
         // child top-N as windows over the BUCKET table — |buckets| rows,
         // bounded by key cardinality, never by the corpus.
-        val leaf = rows.groupBy(keyCol(b1).as("key"), keyCol(b2).as("key2"))
+        val leaf = rows.filter(keyCol(b1).isNotNull && keyCol(b2).isNotNull)
+          .groupBy(keyCol(b1).as("key"), keyCol(b2).as("key2"))
           .agg(count(lit(1)).as("doc_count2"),
             ms2.flatMap { case (n, m) => metricCols(n, m) }: _*)
         val wp = org.apache.spark.sql.expressions.Window.partitionBy(col("key"))

@@ -822,6 +822,12 @@ class DocEngineSpec extends SparkSpec {
     // array field: the EMPTY array is missing too (ES indexes nothing for [])
     val arrayMissing = """{"aggs": {"mm": {"missing": {"field": "tags"}}}}"""
     assert(EsAggs.run(df, "doc", arrayMissing, sch).collect()(0).getAs[Long]("doc_count") === 1L)
+    // ES rule: a doc with NO key value lands in NO bucket of a keyed agg
+    // (m2's v is null → only two buckets, no null-key row)
+    val terms = """{"aggs": {"t": {"terms": {"field": "v", "size": 10, "order": {"_key": "asc"}}}}}"""
+    assert(EsAggs.run(df, "doc", terms, sch).collect()
+      .map(r => (r.getAs[Long]("key"), r.getAs[Long]("doc_count"))).toSeq ===
+      Seq((5L, 1L), (7L, 1L)))
   }
 
   test("composite agg pages all buckets in source order with an after cursor") {

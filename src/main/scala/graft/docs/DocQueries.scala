@@ -2563,6 +2563,37 @@ object DocQueries {
       |SELECT r.key AS key, COALESCE(b.doc_count, 0) AS doc_count, b.peak
       |FROM r LEFT JOIN b ON r.key = b.key ORDER BY 1 ASC""".stripMargin
 
+  // ---------------------------------------------------------------- d72
+  /** ES `percentile_ranks` — the inverse percentile ("what percent of
+    * copays sit at or under 10/25/40?"), per terms bucket. EXACT: one
+    * integer count ratio per value and a single double multiply/divide
+    * (ES's TDigest interpolation is approximate — the same documented
+    * upgrade as percentiles/cardinality). */
+  private def d72(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "size": 0,
+        |  "aggs": {
+        |    "by_type": {
+        |      "terms": { "field": "planType", "size": 10, "order": { "_key": "asc" } },
+        |      "aggs": {
+        |        "copay_at": { "percentile_ranks": { "field": "planCostShares.copay",
+        |                                            "values": [10, 25, 40] } }
+        |      }
+        |    }
+        |  }
+        |}""".stripMargin
+    EsAggs.run(assembled(s, d), "doc", body, schema)
+  }
+
+  private val d72Sql = {
+    def rank(x: Int) =
+      s"CAST(SUM(CASE WHEN c_custkey % 50 <= $x THEN 1 ELSE 0 END) AS DOUBLE) * 100.0 / COUNT(*) AS copay_at_r$x"
+    s"""SELECT c_mktsegment AS key, CAST(COUNT(*) AS BIGINT) AS doc_count,
+       |  ${rank(10)}, ${rank(25)}, ${rank(40)}
+       |FROM customer GROUP BY 1 ORDER BY key ASC LIMIT 10""".stripMargin
+  }
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -2622,6 +2653,7 @@ object DocQueries {
     "d69_es_moving_fn" -> d69 _,
     "d70_es_sibling_aggs" -> d70 _,
     "d71_es_extended_bounds" -> d71 _,
+    "d72_es_percentile_ranks" -> d72 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
     "d3_roundtrip" -> d3 _,
@@ -2695,6 +2727,7 @@ object DocQueries {
     "d69_es_moving_fn" -> d69Sql,
     "d70_es_sibling_aggs" -> d70Sql,
     "d71_es_extended_bounds" -> d71Sql,
+    "d72_es_percentile_ranks" -> d72Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,
     "d3_roundtrip" -> d3Sql,

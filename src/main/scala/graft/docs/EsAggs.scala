@@ -195,7 +195,7 @@ object EsAggs {
   }
 
   private val metricKinds = Set("avg", "sum", "min", "max", "value_count",
-    "cardinality", "stats", "percentiles", "weighted_avg")
+    "cardinality", "stats", "percentiles", "percentile_ranks", "weighted_avg")
 
   /** ES default percentiles (the TDigest defaults; ours are exact). */
   private val defaultPercents = Seq(1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0)
@@ -219,6 +219,7 @@ object EsAggs {
   private def metricNames(name: String, m: Metric): Seq[String] = m.kind match {
     case "stats" => Seq("count", "min", "max", "avg", "sum").map(s => s"${name}_$s")
     case "percentiles" => m.percents.map(p => s"${name}_p${fmtPercent(p)}")
+    case "percentile_ranks" => m.percents.map(v => s"${name}_r${fmtPercent(v)}")
     case _ => Seq(name)
   }
 
@@ -305,9 +306,23 @@ object EsAggs {
         case (name, JObject(List((kind, spec)))) if metricKinds(kind) =>
           // strict spec keys: a typo'd/unsupported option (e.g. `missing`)
           // silently ignored would compute a DIFFERENT aggregate
-          val allowed = if (kind == "percentiles") Set("field", "percents") else Set("field")
+          val allowed = kind match {
+            case "percentiles" => Set("field", "percents")
+            case "percentile_ranks" => Set("field", "values")
+            case _ => Set("field")
+          }
           val m = checkSpecKeys(spec, kind, allowed)
-          val percents = if (kind != "percentiles") Nil else m.get("percents") match {
+          val percents = if (kind == "percentile_ranks") m.get("values") match {
+            case Some(JArray(vs)) if vs.nonEmpty => vs.map {
+              case JInt(i) => i.toDouble
+              case JLong(l) => l.toDouble
+              case JDouble(d0) => d0
+              case JDecimal(d0) => d0.toDouble
+              case other => throw new IllegalArgumentException(s"bad percentile_ranks value: $other")
+            }
+            case _ => throw new IllegalArgumentException(
+              "percentile_ranks needs a non-empty values array")
+          } else if (kind != "percentiles") Nil else m.get("percents") match {
             case None => defaultPercents
             case Some(JArray(ps)) if ps.nonEmpty => ps.map {
               case JInt(i) => i.toDouble
@@ -319,7 +334,8 @@ object EsAggs {
             case Some(other) => throw new IllegalArgumentException(
               s"percentiles.percents must be a non-empty array: $other")
           }
-          percents.foreach(p => require(p >= 0 && p <= 100, s"percent out of range: $p"))
+          if (kind == "percentiles")
+            percents.foreach(p => require(p >= 0 && p <= 100, s"percent out of range: $p"))
           name -> Metric(kind, fieldPath(spec, kind, ctx), percents)
         case (name, other) =>
           throw new IllegalArgumentException(
@@ -714,7 +730,7 @@ object EsAggs {
                 s"terms order target \"$target\" is not _key/_count or a metric sub-agg of $where " +
                   s"(metrics: ${if (ms.isEmpty) "none" else ms.keys.toSeq.sorted.mkString(", ")})")
               require(target == "_key" || target == "_count" ||
-                (ms(target).kind != "stats" && ms(target).kind != "percentiles"),
+                !Set("stats", "percentiles", "percentile_ranks")(ms(target).kind),
                 s"terms order target \"$target\" is a multi-column ${ms(target).kind} metric")
             case _ => ()
           }
@@ -770,7 +786,7 @@ object EsAggs {
           val levelMetrics = tree.metrics.toMap
           def checkTarget(target: String, earlier: Set[String], allowKey: Boolean): Unit =
             require(target == "_count" || (allowKey && target == "_key") || earlier(target) ||
-              levelMetrics.get(target).exists(m => m.kind != "stats" && m.kind != "percentiles"),
+              levelMetrics.get(target).exists(m => !Set("stats", "percentiles", "percentile_ranks")(m.kind)),
               s"buckets_path \"$target\" is not _count${if (allowKey) "/_key" else ""}, a " +
                 "single-column metric, or an earlier pipeline of this level")
           def requireKeyed(kind: String): Unit = bucket match {
@@ -837,7 +853,7 @@ object EsAggs {
                 s"$kind buckets_path must be \"$bucketName>metric\" or \"$bucketName>_count\": $path")
               val target = parts(1)
               require(target == "_count" ||
-                lm.get(target).exists(mm => mm.kind != "stats" && mm.kind != "percentiles"),
+                lm.get(target).exists(mm => !Set("stats", "percentiles", "percentile_ranks")(mm.kind)),
                 s"$kind target \"$target\" is not _count or a single-column metric of $bucketName")
               Sibling(name, kind, target)
             case (name, other) =>
@@ -928,6 +944,13 @@ object EsAggs {
           // reproduces them bit-for-bit; ES TDigest is approximate)
           m.percents.map(p =>
             percentile(v, lit(p / 100.0)).as(s"${name}_p${fmtPercent(p)}"))
+        case "percentile_ranks" =>
+          // inverse percentiles: the EXACT percent of values <= x (one
+          // integer count ratio and one double multiply/divide; ES's is
+          // TDigest-interpolated — same documented exactness upgrade)
+          m.percents.map(x =>
+            (sum(when(v <= lit(x), 1L).otherwise(0L)).cast("double") * lit(100.0) / count(v))
+              .as(s"${name}_r${fmtPercent(x)}"))
         case kind => Seq((kind match {
           case "avg" => avg(v).cast("double")
           case "sum" => sum(v).cast("double") // ES sum is a double

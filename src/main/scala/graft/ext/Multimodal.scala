@@ -147,13 +147,56 @@ object Multimodal {
 
   // ---------------------------------------------------------------- registry
 
+  // ---------------------------------------------------------------- m4
+  /** Modality budget accounting — what a training-data team actually
+    * tracks per modality: document count, raw bytes, ESTIMATED tokens
+    * under a declared per-modality cost model (images a flat 256
+    * tokens/doc, audio bytes÷1000 — the model is the documented contract,
+    * not a decode), and each modality's byte share in exact permille.
+    * Metadata-only: one aggregation over the meta struct, payloads never
+    * read (column pruning — the m1 property), then a 3-row window for the
+    * shares. */
+  private def m4(s: SparkSession, d: String): DataFrame = {
+    val g = media(s, d)
+      .groupBy(col("meta.fmt").as("fmt"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("meta.n_bytes")).as("total_bytes"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    g.withColumn("est_tokens",
+        when(col("fmt").isin("png", "jpeg"), lit(256L) * col("n_docs"))
+          .otherwise(expr("total_bytes DIV 1000")))
+      .withColumn("_tb", sum(col("total_bytes")).over(wAll))
+      .withColumn("share_pm", expr("total_bytes * 1000L DIV _tb"))
+      .drop("_tb")
+      .orderBy(col("fmt"))
+  }
+
+  private val m4Sql =
+    """WITH m AS (
+      |  SELECT CASE WHEN doc_id % 3 = 0 THEN 'png'
+      |              WHEN doc_id % 3 = 1 THEN 'jpeg' ELSE 'wav' END AS fmt,
+      |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+      |  FROM documents),
+      |g AS (
+      |  SELECT fmt, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(n_bytes) AS BIGINT) AS total_bytes
+      |  FROM m GROUP BY fmt)
+      |SELECT fmt, n_docs, total_bytes,
+      |  CASE WHEN fmt IN ('png', 'jpeg') THEN 256 * n_docs
+      |       ELSE total_bytes // 1000 END AS est_tokens,
+      |  total_bytes * 1000 // CAST(SUM(total_bytes) OVER () AS BIGINT) AS share_pm
+      |FROM g ORDER BY fmt""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "m1_media_meta" -> m1 _,
     "m2_decode_features" -> m2 _,
-    "m3_frame_sample" -> m3 _)
+    "m3_frame_sample" -> m3 _,
+    "m4_modality_budget" -> m4 _)
 
   val oracle: Map[String, String] = Map(
     "m1_media_meta" -> m1Sql,
     "m2_decode_features" -> m2Sql,
-    "m3_frame_sample" -> m3Sql)
+    "m3_frame_sample" -> m3Sql,
+    "m4_modality_budget" -> m4Sql)
 }

@@ -2483,7 +2483,7 @@ object DocQueries {
       |  doc_count - LAG(doc_count, 7) OVER (ORDER BY key ASC) AS wow,
       |  CAST(doc_count AS DOUBLE) / uniq_users AS per_user
       |FROM b
-      |WINDOW w7 AS (ORDER BY key ASC ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |WINDOW w7 AS (ORDER BY key ASC ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
       |ORDER BY key ASC""".stripMargin
 
   // ---------------------------------------------------------------- d70

@@ -381,10 +381,13 @@ object EsAggs {
             s"a bucket agg must have exactly one bucket type: ${bf.keySet.mkString(", ")}")
           val bucket = bf.get("terms").map { spec =>
             val m = checkSpecKeys(spec, "terms", Set("field", "size", "order", "min_doc_count"))
+            val tMinDc = num(spec, "min_doc_count", "terms").getOrElse(1L)
+            require(tMinDc >= 1,
+              "terms min_doc_count: 0 (zero-doc buckets for the whole term dictionary) is not implemented")
             Terms(fieldPath(spec, "terms", ctx),
               num(spec, "size", "terms").map(_.toInt).getOrElse(10), // ES default
               parseOrder(m),
-              num(spec, "min_doc_count", "terms").getOrElse(1L))
+              tMinDc)
           }.orElse(bf.get("histogram").map { spec =>
             val hm = checkSpecKeys(spec, "histogram",
               Set("field", "interval", "min_doc_count", "offset", "extended_bounds"))
@@ -719,6 +722,8 @@ object EsAggs {
             case Right(inner) =>
               require(inner.sub.isEmpty,
                 "aggs nesting deeper than two bucket levels is not implemented")
+              require(inner.pipelines.isEmpty && inner.topHits.isEmpty && inner.siblings.isEmpty,
+                "pipeline aggs / top_hits / sibling *_bucket aggs on the CHILD level of a two-level split are not implemented")
               Buckets(bucket, Nil, Some(inner), pipelines, topHits)
           }
           // Validate terms order targets against what the level can sort
@@ -778,7 +783,12 @@ object EsAggs {
             require(tree.metrics.isEmpty && pipelines.isEmpty,
               "a top_hits level carries no other sub-aggs")
             bucket match {
-              case _: Terms | _: Histogram | _: DateHistogram => ()
+              case _: Terms => ()
+              case Histogram(_, _, md, _, eb0) if md == 1L && eb0.isEmpty => ()
+              case DateHistogram(_, _, md, eb0) if md == 1L && eb0.isEmpty => ()
+              case _: Histogram | _: DateHistogram => throw new IllegalArgumentException(
+                "top_hits with histogram min_doc_count/extended_bounds is not implemented " +
+                  "(empty buckets have no hits)")
               case other => throw new IllegalArgumentException(
                 s"top_hits under ${other.getClass.getSimpleName} is not implemented")
             }
@@ -799,6 +809,24 @@ object EsAggs {
             case _ => throw new IllegalArgumentException(
               s"$kind needs a histogram/date_histogram parent (ES restriction)")
           }
+          // output-name hygiene: a metric/pipeline agg named like a
+          // reserved column (or another output) would silently overwrite
+          // it via withColumn — reject at parse, not at runtime
+          val reservedNames = Set("key", "doc_count", "key2", "doc_count2")
+          val outNames =
+            tree.metrics.flatMap { case (n0, mm) => metricNames(n0, mm) } ++
+              tree.sub.toSeq.flatMap(_.metrics.flatMap { case (n0, mm) => metricNames(n0, mm) }) ++
+              pipelines.collect {
+                case CumulativeSum(n0, _) => n0
+                case Derivative(n0, _) => n0
+                case MovingAvg(n0, _, _) => n0
+                case SerialDiff(n0, _, _) => n0
+                case BucketScript(n0, _, _, _) => n0
+              }
+          outNames.foreach(n0 => require(!reservedNames(n0),
+            s"agg name \"$n0\" collides with a reserved output column (${reservedNames.toSeq.sorted.mkString("/")})"))
+          require(outNames.distinct.size == outNames.size,
+            s"duplicate agg output names: ${outNames.diff(outNames.distinct).distinct.mkString(", ")}")
           pipelines.foldLeft(Set.empty[String]) { (earlier, p) =>
             p match {
               case CumulativeSum(n, t) =>
@@ -859,6 +887,11 @@ object EsAggs {
             case (name, other) =>
               throw new IllegalArgumentException(s"bad sibling agg $name: $other")
           }
+          val innerOut = Set("key", "doc_count") ++
+            inner.metrics.flatMap { case (n0, mm) => metricNames(n0, mm) }
+          sibs.foreach(sb => require(!innerOut(sb.name),
+            s"sibling agg name \"${sb.name}\" collides with a bucket output column"))
+          require(sibs.map(_.name).distinct.size == sibs.size, "duplicate sibling agg names")
           require(inner.sub.isEmpty && inner.topHits.isEmpty,
             "siblings beside a two-level or top_hits bucket agg are not implemented")
           inner.bucket match {
@@ -927,12 +960,16 @@ object EsAggs {
       }
       m.kind match {
         case "weighted_avg" =>
-          // sum(v*w)/sum(w): over integer fields both sums are exact, so
-          // the one double division is IEEE-identical in any engine
-          val w0 = pred match {
+          // sum(v*w)/sum(w) with the ES null contract: a document missing
+          // the VALUE contributes nothing at all (not even weight); a
+          // document missing the WEIGHT counts with weight 1. Over
+          // integer fields both sums are exact, so the one double
+          // division is IEEE-identical in any engine.
+          val wRaw = pred match {
             case Some(p) => when(p, field(ctx, m.weightPath))
             case None => field(ctx, m.weightPath)
           }
+          val w0 = when(v.isNotNull, coalesce(wRaw, lit(1L)))
           Seq((sum(v * w0) / sum(w0)).as(name))
         case "stats" =>
           // ES stats = the five basics in ONE pass (count of VALUES)
@@ -1232,8 +1269,10 @@ object EsAggs {
             })
           case MovingAvg(n, t, window) =>
             // trailing-window mean as exact integer window-sum / count —
-            // no float accumulation, engine-bit-identical
-            val mw = keyW.rowsBetween(-(window - 1).toLong, W.currentRow)
+            // no float accumulation, engine-bit-identical. ES shift=0
+            // semantics: the window is the last n values EXCLUDING the
+            // current bucket (so the first bucket has no value).
+            val mw = keyW.rowsBetween(-window.toLong, -1L)
             table = table.withColumn(n,
               sum(tcol(t)).over(mw).cast("double") / count(tcol(t)).over(mw))
           case SerialDiff(n, t, lagN) =>

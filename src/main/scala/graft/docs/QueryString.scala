@@ -97,14 +97,36 @@ object QueryString {
       case _ => false
     }
     def orExpr(): SearchQuery = {
-      var left = andExpr()
+      // Lucene level semantics, not binary association: every clause at
+      // this level is a SHOULD unless NOT-prefixed, and the prohibited
+      // clauses apply level-globally — `a NOT b` and `a OR NOT b` both
+      // mean (a) AND NOT (b), and `a NOT b OR c` means (a OR c) AND NOT
+      // (b). A left-assoc Or(a, Not(b)) would instead match almost the
+      // whole corpus.
+      val shoulds = scala.collection.mutable.ListBuffer.empty[SearchQuery]
+      val nots = scala.collection.mutable.ListBuffer.empty[SearchQuery]
+      def item(): Unit = peek match {
+        case Some(NotTok) => pos += 1; nots += andExpr()
+        case _ => shoulds += andExpr()
+      }
+      item()
       var go = true
       while (go) peek match {
-        case Some(OrTok) => pos += 1; left = Or(left, andExpr())
-        case Some(t) if !defaultAnd && startsPrimary(t) => left = Or(left, andExpr())
+        case Some(OrTok) => pos += 1; item()
+        case Some(t) if !defaultAnd && startsPrimary(t) => item()
         case _ => go = false
       }
-      left
+      val positive =
+        if (shoulds.isEmpty) None
+        else if (shoulds.size == 1) Some(shoulds.head)
+        else Some(Or(shoulds.toSeq: _*))
+      val negative = nots.toList.map(n => Not(n))
+      (positive, negative) match {
+        case (Some(p), Nil) => p
+        case (Some(p), ns) => And(p +: ns: _*)
+        case (None, n :: Nil) => n
+        case (None, ns) => And(ns: _*)
+      }
     }
     def andExpr(): SearchQuery = {
       var left = unary()

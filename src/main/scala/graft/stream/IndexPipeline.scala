@@ -536,7 +536,8 @@ object IndexPipeline {
     }
     val dim = Tables(s, d, "nation").select(col("n_nationkey"), col("n_name"))
     val qname = s"st7_static_join_${System.nanoTime()}"
-    val stream = s.readStream
+    try {
+      val stream = s.readStream
       .schema(ev.schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(s"$srcDir/b*")
@@ -552,15 +553,18 @@ object IndexPipeline {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", ckDir)
       .start()
-    stream.awaitTermination()
-    val out = s.table(qname)
-      .select(col("n_name"), col("n_events"),
-        col("total_dec").cast(org.apache.spark.sql.types.DecimalType(28, 6))
-          .cast("double").as("total"))
-      .orderBy(col("n_name"))
-    val pinned = graft.Eager.pin(out)
-    deleteRecursively(base)
-    pinned
+      stream.awaitTermination()
+      val out = s.table(qname)
+        .select(col("n_name"), col("n_events"),
+          col("total_dec").cast(org.apache.spark.sql.types.DecimalType(28, 6))
+            .cast("double").as("total"))
+        .orderBy(col("n_name"))
+      graft.Eager.pin(out)
+    } finally {
+      // a failed stream or read must not leak the staging dir/checkpoint
+      // (the same contract as run()'s finally)
+      deleteRecursively(base)
+    }
   }
 
   private val st7Sql =

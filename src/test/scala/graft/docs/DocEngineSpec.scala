@@ -911,7 +911,9 @@ class DocEngineSpec extends SparkSpec {
         |    "sq": {"bucket_script": {"buckets_path": {"a": "_count", "b": "_count"},
         |                             "script": "params.a * params.b"}}}}}}""".stripMargin
     val h = EsAggs.run(corpus, "doc", hist, PlanSchema.plan).collect()
-    assert(h.map(_.getAs[Double]("sm")).toSeq === Seq(1.0, 1.5, 2.0, 1.5))
+    // ES shift=0: the window EXCLUDES the current bucket — first is null
+    assert(h.map(r => Option(r.getAs[java.lang.Double]("sm")).map(_.toDouble)).toSeq ===
+      Seq(None, Some(1.0), Some(1.5), Some(2.0)))
     assert(h.map(r => Option(r.getAs[java.lang.Long]("sd")).map(_.toLong)).toSeq ===
       Seq(None, None, Some(1L), Some(-1L)))
     assert(h.map(_.getAs[Long]("sq")).toSeq === Seq(1L, 4L, 4L, 1L))
@@ -941,6 +943,54 @@ class DocEngineSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](EsAggs.parse(
       """{"aggs": {"t": {"terms": {"field": "planType"}},
         |  "x": {"sum_bucket": {"buckets_path": "wrong>_count"}}}}""".stripMargin,
+      PlanSchema.plan))
+  }
+
+  test("review regressions: NOT-clause level semantics, weighted_avg nulls, loud rejections") {
+    import spark.implicits._
+    // Lucene level semantics: `a NOT b` = a AND NOT b (a prohibited
+    // clause applies level-globally), NOT Or(a, Not(b))
+    val q1 = QueryString.parse("planType:typeA NOT objectId:a1", PlanSchema.plan)
+    val hits1 = corpus.filter(SearchQuery.compile(q1, col("doc")))
+      .select(col("doc.objectId")).collect().map(_.getString(0)).sorted
+    assert(hits1.toSeq === Seq("a2")) // typeA minus a1 — not "everything but a1"
+    // `a NOT b OR c` = (a OR c) AND NOT b
+    val q2 = QueryString.parse("planType:typeA NOT objectId:a1 planType:typeC",
+      PlanSchema.plan)
+    val hits2 = corpus.filter(SearchQuery.compile(q2, col("doc")))
+      .select(col("doc.objectId")).collect().map(_.getString(0)).sorted
+    assert(hits2.toSeq === Seq("a2", "c1"))
+    // weighted_avg ES null contract: value-missing docs contribute NOTHING
+    // (not even weight); weight-missing docs count with weight 1
+    val wdf = Seq((1L, Some(10L), Some(2L)), (2L, None, Some(3L)), (3L, Some(20L), None))
+      .toDF("id", "v", "w")
+      .select(struct(col("id"), col("v"), col("w")).as("doc"))
+    val wsch = wdf.schema("doc").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    val wa = """{"aggs": {"m": {"weighted_avg": {"value": {"field": "v"}, "weight": {"field": "w"}}}}}"""
+    // (10*2 + 20*1) / (2 + 1) = 40/3
+    assert(EsAggs.run(wdf, "doc", wa, wsch).collect()(0).getAs[Double]("m") === 40.0 / 3)
+    // child-level pipelines in a two-level split rejected, not dropped
+    assertThrows[IllegalArgumentException](EsAggs.parse(
+      """{"aggs": {"t": {"terms": {"field": "planType"},
+        |  "aggs": {"h": {"histogram": {"field": "planCostShares.copay", "interval": 10},
+        |    "aggs": {"d": {"derivative": {"buckets_path": "_count"}}}}}}}}""".stripMargin,
+      PlanSchema.plan))
+    // terms min_doc_count: 0 (whole-dictionary zero buckets) rejected
+    assertThrows[IllegalArgumentException](EsAggs.parse(
+      """{"aggs": {"t": {"terms": {"field": "planType", "min_doc_count": 0}}}}""",
+      PlanSchema.plan))
+    // an agg named like a reserved output column rejected (withColumn
+    // would silently overwrite doc_count)
+    assertThrows[IllegalArgumentException](EsAggs.parse(
+      """{"aggs": {"h": {"histogram": {"field": "planCostShares.copay", "interval": 10},
+        |  "aggs": {"doc_count": {"cumulative_sum": {"buckets_path": "_count"}}}}}}""".stripMargin,
+      PlanSchema.plan))
+    // top_hits over a zero-filled histogram rejected (empty buckets have no hits)
+    assertThrows[IllegalArgumentException](EsAggs.parse(
+      """{"aggs": {"h": {"histogram": {"field": "planCostShares.copay", "interval": 10,
+        |  "min_doc_count": 0},
+        |  "aggs": {"top": {"top_hits": {"size": 1, "sort": [{"objectId": "asc"}],
+        |    "_source": ["objectId"]}}}}}}""".stripMargin,
       PlanSchema.plan))
   }
 

@@ -2594,6 +2594,36 @@ object DocQueries {
        |FROM customer GROUP BY 1 ORDER BY key ASC LIMIT 10""".stripMargin
   }
 
+  // ---------------------------------------------------------------- d73
+  /** ES `multi_terms` — top buckets of a COMPOSITE key (planType × copay
+    * band via the _org suffix here: planType × org), doc_count desc. One
+    * hash aggregation on the joined key; the rendering is the
+    * `|`-joined field values (ES returns a key array). */
+  private def d73(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "size": 0,
+        |  "query": { "range": { "planCostShares.copay": { "gte": 25 } } },
+        |  "aggs": {
+        |    "by_type_org": {
+        |      "multi_terms": { "terms": [ { "field": "planType" }, { "field": "_org" } ],
+        |                       "size": 8 },
+        |      "aggs": {
+        |        "avg_copay": { "avg": { "field": "planCostShares.copay" } }
+        |      }
+        |    }
+        |  }
+        |}""".stripMargin
+    EsAggs.run(assembled(s, d), "doc", body, schema)
+  }
+
+  private val d73Sql =
+    s"""SELECT c_mktsegment || '|' || 'org-' || ${ck("c_nationkey")} || '.example.com' AS key,
+       |  CAST(COUNT(*) AS BIGINT) AS doc_count,
+       |  AVG(c_custkey % 50) AS avg_copay
+       |FROM customer WHERE c_custkey % 50 >= 25
+       |GROUP BY 1 ORDER BY doc_count DESC, key ASC LIMIT 8""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -2654,6 +2684,7 @@ object DocQueries {
     "d70_es_sibling_aggs" -> d70 _,
     "d71_es_extended_bounds" -> d71 _,
     "d72_es_percentile_ranks" -> d72 _,
+    "d73_es_multi_terms" -> d73 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
     "d3_roundtrip" -> d3 _,
@@ -2728,6 +2759,7 @@ object DocQueries {
     "d70_es_sibling_aggs" -> d70Sql,
     "d71_es_extended_bounds" -> d71Sql,
     "d72_es_percentile_ranks" -> d72Sql,
+    "d73_es_multi_terms" -> d73Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,
     "d3_roundtrip" -> d3Sql,

@@ -113,6 +113,12 @@ object EsAggs {
     * `yyyy-MM-dd` bounds (midnight semantics), open ends allowed. */
   final case class DateRangeAgg(path: Seq[String],
                                 ranges: Seq[(Option[String], Option[String])]) extends Agg
+  /** ES `multi_terms` — a terms agg over a COMPOSITE key (the newer
+    * Kibana "break down by multiple fields" panel): top-`size` buckets by
+    * doc_count desc, key rendered as the `|`-joined field values (ES
+    * returns a key array; one string column keeps the single-level
+    * machinery and the oracle trivial). */
+  final case class MultiTerms(paths: Seq[Seq[String]], size: Int) extends Agg
   /** One `composite` source: output column name, terms field, direction. */
   final case class CompositeSource(name: String, path: Seq[String], asc: Boolean)
   /** ES `composite` agg — THE scalable bucket pagination: all buckets in
@@ -206,7 +212,7 @@ object EsAggs {
   private val bucketKinds =
     Set("terms", "histogram", "date_histogram", "filters", "range",
       "missing", "composite", "significant_terms", "global",
-      "adjacency_matrix", "rare_terms", "date_range")
+      "adjacency_matrix", "rare_terms", "date_range", "multi_terms")
 
   private val pipelineKinds =
     Set("cumulative_sum", "derivative", "bucket_selector", "bucket_sort",
@@ -540,6 +546,16 @@ object EsAggs {
               require(!name.contains("&"), s"adjacency_matrix filter name may not contain '&': $name")
               name -> SearchQuery.parseQueryNode(q0, schema)
             })
+          }).orElse(bf.get("multi_terms").map { spec =>
+            val m = checkSpecKeys(spec, "multi_terms", Set("terms", "size"))
+            val paths = m.get("terms") match {
+              case Some(JArray(ts)) if ts.size >= 2 => ts.map { t0 =>
+                fieldPath(t0, "multi_terms term", ctx)
+              }
+              case _ => throw new IllegalArgumentException(
+                "multi_terms needs a terms array of >= 2 fields")
+            }
+            MultiTerms(paths, num(spec, "size", "multi_terms").map(_.toInt).getOrElse(10))
           }).orElse(bf.get("rare_terms").map { spec =>
             val m = checkSpecKeys(spec, "rare_terms", Set("field", "max_doc_count"))
             val maxDc = num(spec, "max_doc_count", "rare_terms").getOrElse(1L)
@@ -747,7 +763,7 @@ object EsAggs {
               child.bucket match {
                 case _: FiltersAgg | _: RangeAgg | _: MissingAgg | _: CompositeAgg |
                      _: SignificantTerms | GlobalAgg | _: AdjacencyMatrix | _: RareTerms |
-                     _: DateRangeAgg => throw new IllegalArgumentException(
+                     _: DateRangeAgg | _: MultiTerms => throw new IllegalArgumentException(
                   "only terms/histogram bucket aggs can be the CHILD of a two-level split")
                 case _ => ()
               }
@@ -764,7 +780,7 @@ object EsAggs {
           (bucket, tree.sub) match {
             case (_: FiltersAgg | _: RangeAgg | _: MissingAgg | _: CompositeAgg |
                   _: SignificantTerms | GlobalAgg | _: AdjacencyMatrix | _: RareTerms |
-                  _: DateRangeAgg, Some(_)) =>
+                  _: DateRangeAgg | _: MultiTerms, Some(_)) =>
               throw new IllegalArgumentException(
                 "sub-bucket levels under this bucket agg kind are not implemented")
             case _ => ()
@@ -1004,6 +1020,12 @@ object EsAggs {
     def keyCol(b: Agg): Column = b match {
       case Terms(p, _, _, _) => field(ctx, p)
       case RareTerms(p, _) => field(ctx, p)
+      case MultiTerms(ps, _) =>
+        // null-SAFE join deliberately NOT used: a doc missing ANY key
+        // field lands in no bucket (the keyed-agg missing rule) — the
+        // isNotNull guard on the concat result needs every part non-null,
+        // so concat (null-propagating), not concat_ws
+        concat(ps.flatMap(p0 => Seq(field(ctx, p0).cast("string"), lit("|"))).dropRight(1): _*)
       case Histogram(p, interval, _, 0L, _) =>
         // floor(v/interval)*interval in PURE INTEGER arithmetic: double
         // division misrounds at bucket boundaries once values outgrow the
@@ -1217,6 +1239,9 @@ object EsAggs {
           case Terms(_, size, order, minDoc) =>
             if (minDoc > 1L) table = table.filter(col("doc_count") >= minDoc)
             finalOrder = termsOrder(order, col("doc_count"), col("key"))
+            table = table.orderBy(finalOrder: _*).limit(size)
+          case MultiTerms(_, size) =>
+            finalOrder = Seq(col("doc_count").desc, col("key").asc)
             table = table.orderBy(finalOrder: _*).limit(size)
           case RareTerms(_, maxDc) =>
             // the long tail: everything AT OR BELOW the ceiling, count-asc

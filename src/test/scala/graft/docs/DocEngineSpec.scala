@@ -828,6 +828,15 @@ class DocEngineSpec extends SparkSpec {
     assert(EsAggs.run(df, "doc", terms, sch).collect()
       .map(r => (r.getAs[Long]("key"), r.getAs[Long]("doc_count"))).toSeq ===
       Seq((5L, 1L), (7L, 1L)))
+    // multi_terms: composite |-joined key; a doc missing ANY key part
+    // lands in no bucket (concat null-propagation is the point)
+    val mt = """{"aggs": {"t": {"multi_terms": {"terms": [{"field": "id"}, {"field": "v"}]}}}}"""
+    assert(EsAggs.run(df, "doc", mt, sch).collect()
+      .map(r => (r.getAs[String]("key"), r.getAs[Long]("doc_count"))).toSet ===
+      Set(("m1|5", 1L), ("m3|7", 1L))) // m2 (null v) excluded
+    // fewer than two fields rejected (that is just `terms`)
+    assertThrows[IllegalArgumentException](EsAggs.parse(
+      """{"aggs": {"t": {"multi_terms": {"terms": [{"field": "v"}]}}}}""", sch))
   }
 
   test("composite agg pages all buckets in source order with an after cursor") {

@@ -2618,11 +2618,82 @@ object DocQueries {
   }
 
   private val d73Sql =
-    s"""SELECT c_mktsegment || '|' || 'org-' || ${ck("c_nationkey")} || '.example.com' AS key,
-       |  CAST(COUNT(*) AS BIGINT) AS doc_count,
-       |  AVG(c_custkey % 50) AS avg_copay
-       |FROM customer WHERE c_custkey % 50 >= 25
-       |GROUP BY 1 ORDER BY doc_count DESC, key ASC LIMIT 8""".stripMargin
+    s"""WITH g AS (
+       |  SELECT c_mktsegment AS k1, 'org-' || ${ck("c_nationkey")} || '.example.com' AS k2,
+       |    CAST(COUNT(*) AS BIGINT) AS doc_count,
+       |    AVG(c_custkey % 50) AS avg_copay
+       |  FROM customer WHERE c_custkey % 50 >= 25 GROUP BY 1, 2)
+       |SELECT k1 || '|' || k2 AS key, doc_count, avg_copay
+       |FROM g ORDER BY doc_count DESC, k1 ASC, k2 ASC LIMIT 8""".stripMargin
+
+  // ---------------------------------------------------------------- d74
+  /** THREE-level bucket split — the Kibana data-table "split rows ×2"
+    * body: terms(planType) × terms(_org) × histogram(copay), metrics at
+    * the leaf. Still ONE corpus hash aggregation (on the full composite
+    * key); every per-level count/top-N is a window over the bucket table.
+    *
+    * The fixture nulls `_org` on every custkey%11 doc to pin the ES
+    * parent-count contract: a document with a planType but no _org value
+    * still counts in the planType bucket's doc_count (and its
+    * doc_count-ordered top-3 selection) — it just appears in no _org
+    * child bucket. */
+  private def d74(s: SparkSession, d: String): DataFrame = {
+    val base = assembled(s, d).select(struct(
+      col("doc.planCostShares").as("planCostShares"),
+      col("doc.linkedPlanServices").as("linkedPlanServices"),
+      when(col("doc.objectId").substr(lit(6), lit(99)).cast("long") % 11 === 0,
+        lit(null).cast("string")).otherwise(col("doc._org")).as("_org"),
+      col("doc.objectId").as("objectId"),
+      col("doc.objectType").as("objectType"),
+      col("doc.planType").as("planType"),
+      col("doc.creationDate").as("creationDate")).as("doc"))
+    val body =
+      """{
+        |  "size": 0,
+        |  "aggs": {
+        |    "by_type": {
+        |      "terms": { "field": "planType", "size": 3 },
+        |      "aggs": {
+        |        "by_org": {
+        |          "terms": { "field": "_org", "size": 4 },
+        |          "aggs": {
+        |            "copay_hist": {
+        |              "histogram": { "field": "planCostShares.copay", "interval": 25 },
+        |              "aggs": {
+        |                "avg_ded": { "avg": { "field": "planCostShares.deductible" } }
+        |              }
+        |            }
+        |          }
+        |        }
+        |      }
+        |    }
+        |  }
+        |}""".stripMargin
+    EsAggs.run(base, "doc", body, schema)
+  }
+
+  private val d74Sql =
+    s"""WITH base AS (
+       |  SELECT c_mktsegment AS key,
+       |    CASE WHEN c_custkey % 11 = 0 THEN NULL
+       |         ELSE 'org-' || ${ck("c_nationkey")} || '.example.com' END AS key2,
+       |    CAST((c_custkey % 50) // 25 * 25 AS BIGINT) AS key3,
+       |    c_nationkey * 100 AS ded
+       |  FROM customer),
+       |leaf AS (SELECT key, key2, key3, CAST(COUNT(*) AS BIGINT) AS doc_count3,
+       |    AVG(ded) AS avg_ded FROM base GROUP BY 1, 2, 3),
+       |l2 AS (SELECT *,
+       |    CAST(SUM(doc_count3) OVER (PARTITION BY key, key2) AS BIGINT) AS doc_count2,
+       |    CAST(SUM(doc_count3) OVER (PARTITION BY key) AS BIGINT) AS doc_count
+       |  FROM leaf),
+       |p AS (SELECT * FROM (SELECT *, DENSE_RANK() OVER (ORDER BY doc_count DESC, key) AS pr
+       |      FROM l2) WHERE pr <= 3),
+       |c AS (SELECT * FROM (SELECT *, DENSE_RANK() OVER (PARTITION BY key
+       |        ORDER BY doc_count2 DESC, key2) AS cr
+       |      FROM p WHERE key2 IS NOT NULL) WHERE cr <= 4)
+       |SELECT key, doc_count, key2, doc_count2, key3, doc_count3, avg_ded
+       |FROM c
+       |ORDER BY doc_count DESC, key, doc_count2 DESC, key2, key3""".stripMargin
 
   // ---------------------------------------------------------------- registry
 
@@ -2685,6 +2756,7 @@ object DocQueries {
     "d71_es_extended_bounds" -> d71 _,
     "d72_es_percentile_ranks" -> d72 _,
     "d73_es_multi_terms" -> d73 _,
+    "d74_es_three_level" -> d74 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
     "d3_roundtrip" -> d3 _,
@@ -2760,6 +2832,7 @@ object DocQueries {
     "d71_es_extended_bounds" -> d71Sql,
     "d72_es_percentile_ranks" -> d72Sql,
     "d73_es_multi_terms" -> d73Sql,
+    "d74_es_three_level" -> d74Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,
     "d3_roundtrip" -> d3Sql,

@@ -8,10 +8,11 @@ import org.apache.spark.sql.types.StructType
   * panel is a terms/histogram bucket agg with metric sub-aggs), compiled
   * to a single `groupBy().agg()`.
   *
-  * Scope (loudly rejected beyond it): up to TWO bucket levels — `terms`
+  * Scope (loudly rejected beyond it): up to THREE bucket levels — `terms`
   * (ordered/pruned top-N) or `histogram`/`date_histogram` (fixed or
-  * calendar bins, zero-fillable) split by a second terms/histogram level
-  * (the Kibana "split series" shape) — OR one single-level bucket agg of
+  * calendar bins, zero-fillable) split by up to two more terms/histogram
+  * levels (the Kibana "split series" / data-table "split rows ×2"
+  * shapes) — OR one single-level bucket agg of
   * any supported kind: `filters`, `range`, `date_range`, `missing`,
   * `adjacency_matrix`, `rare_terms`, `composite` (after-cursor
   * pagination), `significant_terms`, `global`; with metric sub-aggs at
@@ -182,7 +183,7 @@ object EsAggs {
 
   /** A bucket level: the bucket agg, its metric sub-aggs, and at most one
     * sub-bucket level (Kibana "split series" — terms × terms/histogram).
-    * Depth is capped at two bucket levels; a level with a sub-bucket
+    * Depth is capped at three bucket levels; a level with a sub-bucket
     * carries no metrics of its own (parse rejects mixing). Pipelines and
     * `top_hits` attach only to a single-level keyed bucket (validated at
     * parse); a level with `top_hits` carries nothing else. */
@@ -736,10 +737,13 @@ object EsAggs {
           val tree = parseTree(metricOrSub, ctx) match {
             case Left(ms) => Buckets(bucket, ms, None, pipelines, topHits)
             case Right(inner) =>
-              require(inner.sub.isEmpty,
-                "aggs nesting deeper than two bucket levels is not implemented")
+              // this check runs at EVERY recursion level, so the binding
+              // constraint is the outermost call's: at most THREE bucket
+              // levels total (the Kibana data-table "split rows ×2" body)
+              require(inner.sub.forall(_.sub.isEmpty),
+                "aggs nesting deeper than three bucket levels is not implemented")
               require(inner.pipelines.isEmpty && inner.topHits.isEmpty && inner.siblings.isEmpty,
-                "pipeline aggs / top_hits / sibling *_bucket aggs on the CHILD level of a two-level split are not implemented")
+                "pipeline aggs / top_hits / sibling *_bucket aggs on an inner level of a multi-level split are not implemented")
               Buckets(bucket, Nil, Some(inner), pipelines, topHits)
           }
           // Validate terms order targets against what the level can sort
@@ -755,25 +759,31 @@ object EsAggs {
                 s"terms order target \"$target\" is a multi-column ${ms(target).kind} metric")
             case _ => ()
           }
+          def levelsOf(t: Buckets): Seq[Buckets] = t +: t.sub.toSeq.flatMap(levelsOf)
           tree.sub match {
             case None => checkOrder(tree.bucket, tree.metrics.toMap, "this level")
-            case Some(child) =>
-              checkOrder(tree.bucket, Map.empty, "the parent level (which carries no metrics)")
-              checkOrder(child.bucket, child.metrics.toMap, "the child level")
-              child.bucket match {
+            case Some(_) =>
+              val chain = levelsOf(tree)
+              // only the LEAF carries metrics (construction guarantees a
+              // level with a sub has none), so only the leaf may order by
+              // a metric sub-agg
+              chain.init.foreach(l =>
+                checkOrder(l.bucket, Map.empty, "a non-leaf level (which carries no metrics)"))
+              checkOrder(chain.last.bucket, chain.last.metrics.toMap, "the leaf level")
+              chain.tail.foreach(_.bucket match {
                 case _: FiltersAgg | _: RangeAgg | _: MissingAgg | _: CompositeAgg |
                      _: SignificantTerms | GlobalAgg | _: AdjacencyMatrix | _: RareTerms |
                      _: DateRangeAgg | _: MultiTerms => throw new IllegalArgumentException(
-                  "only terms/histogram bucket aggs can be the CHILD of a two-level split")
+                  "only terms/histogram bucket aggs can be an inner level of a multi-level split")
                 case _ => ()
-              }
+              })
               // zero-fill / pruning on split-series histogram levels is
               // not wired — reject rather than silently ignore
-              Seq(tree.bucket, child.bucket).foreach {
+              chain.map(_.bucket).foreach {
                 case Histogram(_, _, md, _, _) if md != 1L => throw new IllegalArgumentException(
-                  "histogram min_doc_count on a two-level split is not implemented")
+                  "histogram min_doc_count on a multi-level split is not implemented")
                 case DateHistogram(_, _, md, _) if md != 1L => throw new IllegalArgumentException(
-                  "date_histogram min_doc_count on a two-level split is not implemented")
+                  "date_histogram min_doc_count on a multi-level split is not implemented")
                 case _ => ()
               }
           }
@@ -828,10 +838,9 @@ object EsAggs {
           // output-name hygiene: a metric/pipeline agg named like a
           // reserved column (or another output) would silently overwrite
           // it via withColumn — reject at parse, not at runtime
-          val reservedNames = Set("key", "doc_count", "key2", "doc_count2")
+          val reservedNames = Set("key", "doc_count", "key2", "doc_count2", "key3", "doc_count3")
           val outNames =
-            tree.metrics.flatMap { case (n0, mm) => metricNames(n0, mm) } ++
-              tree.sub.toSeq.flatMap(_.metrics.flatMap { case (n0, mm) => metricNames(n0, mm) }) ++
+            levelsOf(tree).flatMap(_.metrics.flatMap { case (n0, mm) => metricNames(n0, mm) }) ++
               pipelines.collect {
                 case CumulativeSum(n0, _) => n0
                 case Derivative(n0, _) => n0
@@ -1017,15 +1026,22 @@ object EsAggs {
         }).as(name))
       }
     }
+    /** Every window below this point runs over the BUCKET table —
+      * |buckets| rows, never the corpus — so they are single-partition BY
+      * DESIGN: the row count is bounded by the bucket-key cardinality
+      * (terms top-N / extended-bounds span / ES's own pipeline-agg
+      * restriction to histogram parents), not the corpus. WindowExec's
+      * "no partition defined" warning is therefore expected and
+      * suppressed in the test log4j config; partitioning by a constant
+      * key instead is NOT equivalent in practice — a literal is
+      * constant-folded out of the spec, and a non-foldable constant
+      * expression is projected per-window with a fresh exprId, defeating
+      * exchange reuse and adding a real shuffle per pipeline step. */
+    val bucketW = W.partitionBy()
+    val wAllBuckets = bucketW.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     def keyCol(b: Agg): Column = b match {
       case Terms(p, _, _, _) => field(ctx, p)
       case RareTerms(p, _) => field(ctx, p)
-      case MultiTerms(ps, _) =>
-        // null-SAFE join deliberately NOT used: a doc missing ANY key
-        // field lands in no bucket (the keyed-agg missing rule) — the
-        // isNotNull guard on the concat result needs every part non-null,
-        // so concat (null-propagating), not concat_ws
-        concat(ps.flatMap(p0 => Seq(field(ctx, p0).cast("string"), lit("|"))).dropRight(1): _*)
       case Histogram(p, interval, _, 0L, _) =>
         // floor(v/interval)*interval in PURE INTEGER arithmetic: double
         // division misrounds at bucket boundaries once values outgrow the
@@ -1135,24 +1151,44 @@ object EsAggs {
       case Right(Buckets(SignificantTerms(p, topN), _, None, _, _, _)) =>
         // foreground = the query's hit set; background = the WHOLE corpus,
         // so the aggregation runs UNFILTERED with a conditional foreground
-        // count — one corpus shuffle; the totals are a global window over
-        // the |terms|-row bucket table (the same bounded-table pattern as
-        // the two-level split), and JLH scores the lift.
+        // count — one corpus shuffle. ES's JLH denominators are the
+        // HIT-SET SIZE and the CORPUS DOC COUNT — not the field-bearing
+        // subsets — so the group-by keeps the null-key row: each document
+        // lands in exactly one bucket of the scalar key, making the
+        // window totals over the |terms|-row bucket table equal the true
+        // corpus/hit counts; the null-key row is dropped before scoring.
         val fgPred = SearchQuery.compile(req.query, doc)
         val t = field(doc, p)
-        val g = docs.filter(t.isNotNull).groupBy(t.as("key")).agg(
+        val g = docs.groupBy(t.as("key")).agg(
           sum(when(fgPred, 1L).otherwise(0L)).cast("long").as("doc_count"),
           count(lit(1)).cast("long").as("bg_count"))
-        val wAll = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
         val fgPct = col("doc_count").cast("double") / col("_fg_total")
         val bgPct = col("bg_count").cast("double") / col("_bg_total")
-        g.withColumn("_fg_total", sum(col("doc_count")).over(wAll))
-          .withColumn("_bg_total", sum(col("bg_count")).over(wAll))
-          .filter(col("doc_count") > 0)
+        g.withColumn("_fg_total", sum(col("doc_count")).over(wAllBuckets))
+          .withColumn("_bg_total", sum(col("bg_count")).over(wAllBuckets))
+          .filter(col("key").isNotNull && col("doc_count") > 0)
           .withColumn("score", (fgPct - bgPct) * (fgPct / bgPct))
           .drop("_fg_total", "_bg_total")
           .orderBy(col("score").desc, col("key").asc)
           .limit(topN)
+      case Right(Buckets(MultiTerms(ps, size0), ms, None, Nil, None, Nil)) =>
+        // composite-key terms: grouped by the COMPONENT columns (a '|'
+        // inside a value can NOT merge two distinct key tuples into one
+        // bucket), ordered doc_count desc then component-wise key asc —
+        // ES's key-array order. The joined string is rendered for display
+        // only, after grouping and ordering are settled. A doc missing
+        // ANY key field lands in no bucket (the keyed-agg missing rule).
+        val compNames = ps.indices.map(i => s"_k$i")
+        val nonNull = ps.map(p0 => field(ctx, p0).isNotNull).reduce(_ && _)
+        val outNames = ms.flatMap { case (nm, m) => metricNames(nm, m) }
+        rows.filter(nonNull)
+          .groupBy(ps.zip(compNames).map { case (p0, nm) => field(ctx, p0).as(nm) }: _*)
+          .agg(count(lit(1)).as("doc_count"),
+            ms.flatMap { case (nm, m) => metricCols(nm, m) }: _*)
+          .orderBy(col("doc_count").desc +: compNames.map(col(_).asc): _*)
+          .limit(size0)
+          .select(concat_ws("|", compNames.map(col(_).cast("string")): _*).as("key") +:
+            col("doc_count") +: outNames.map(col): _*)
       case Right(Buckets(bk, Nil, None, Nil, Some(th), Nil)) =>
         // top_hits: bucket selection happens on the AGGREGATED bucket
         // table (terms top-N → N rows, broadcast back to the corpus),
@@ -1202,7 +1238,7 @@ object EsAggs {
           * work is a |buckets|-row window. */
         def zeroFill(t0: DataFrame, step: Column): DataFrame = {
           val names = ms.flatMap { case (n, m) => metricNames(n, m) }
-          val wk = W.orderBy(col("key").asc)
+          val wk = bucketW.orderBy(col("key").asc)
           t0.withColumn("_next", lead(col("key"), 1).over(wk))
             .select(Seq(col("key").as("_okey"), col("_next"), col("doc_count").as("_dc")) ++
               names.map(n => col(n).as(s"_m_$n")) :+
@@ -1240,9 +1276,6 @@ object EsAggs {
             if (minDoc > 1L) table = table.filter(col("doc_count") >= minDoc)
             finalOrder = termsOrder(order, col("doc_count"), col("key"))
             table = table.orderBy(finalOrder: _*).limit(size)
-          case MultiTerms(_, size) =>
-            finalOrder = Seq(col("doc_count").desc, col("key").asc)
-            table = table.orderBy(finalOrder: _*).limit(size)
           case RareTerms(_, maxDc) =>
             // the long tail: everything AT OR BELOW the ceiling, count-asc
             table = table.filter(col("doc_count") <= maxDc)
@@ -1275,7 +1308,7 @@ object EsAggs {
         // computes them on the response's bucket list too)
         def tcol(t: String): Column =
           if (t == "_count") col("doc_count") else if (t == "_key") col("key") else col(t)
-        val keyW = W.orderBy(col("key").asc)
+        val keyW = bucketW.orderBy(col("key").asc)
         pipes.foreach {
           case CumulativeSum(n, t) =>
             table = table.withColumn(n,
@@ -1316,7 +1349,7 @@ object EsAggs {
             } :+ col("key").asc
             finalOrder = ord
             if (from > 0 || sz.nonEmpty) {
-              val rn = row_number().over(W.orderBy(ord: _*))
+              val rn = row_number().over(bucketW.orderBy(ord: _*))
               table = table.withColumn("_bsrn", rn)
                 .filter(col("_bsrn") > from &&
                   sz.map(z => col("_bsrn") <= from + z).getOrElse(lit(true)))
@@ -1327,7 +1360,7 @@ object EsAggs {
         // the FINAL bucket list (|buckets| rows; ES renders them beside
         // the list, a relational frame repeats them per row)
         sibs.foreach { case Sibling(n, kind, t) =>
-          val wAll = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+          val wAll = wAllBuckets
           val c0 = tcol(t)
           table = kind match {
             case "sum_bucket" => table.withColumn(n, sum(c0).over(wAll))
@@ -1338,45 +1371,62 @@ object EsAggs {
           }
         }
         table.orderBy(finalOrder: _*)
-      case Right(Buckets(b1, _, Some(Buckets(b2, ms2, _, _, _, _)), Nil, None, Nil)) =>
-        // Two-level split: ONE hash aggregation on the composite key
-        // (corpus-sized work ends here), then parent counts / top-N /
-        // child top-N as windows over the BUCKET table — |buckets| rows,
-        // bounded by key cardinality, never by the corpus.
-        val leaf = rows.filter(keyCol(b1).isNotNull && keyCol(b2).isNotNull)
-          .groupBy(keyCol(b1).as("key"), keyCol(b2).as("key2"))
-          .agg(count(lit(1)).as("doc_count2"),
-            ms2.flatMap { case (n, m) => metricCols(n, m) }: _*)
-        val wp = org.apache.spark.sql.expressions.Window.partitionBy(col("key"))
-        // Parent doc_count BEFORE any child pruning (ES: a child-level
-        // min_doc_count does not change the parent's count).
-        var out = leaf.withColumn("doc_count", sum(col("doc_count2")).over(wp))
-        var parentOrder = Seq(col("doc_count").desc, col("key").asc)
-        b1 match {
-          case Terms(_, size1, order1, minDoc1) =>
-            if (minDoc1 > 1L) out = out.filter(col("doc_count") >= minDoc1)
-            // parent order can only target _key/_count (the parent level
-            // carries no metrics — validated at parse)
-            parentOrder = termsOrder(order1, col("doc_count"), col("key"))
-            // dense_rank over the order: rows of one parent share a rank
-            out = out.withColumn("_prank", dense_rank().over(
-                org.apache.spark.sql.expressions.Window.orderBy(parentOrder: _*)))
-              .filter(col("_prank") <= size1).drop("_prank")
-          case _ => ()
+      case Right(b0 @ Buckets(_, _, Some(_), Nil, None, Nil)) =>
+        // Multi-level split (Kibana "split series" / "split rows ×2", 2-3
+        // levels): ONE hash aggregation on the full composite key —
+        // corpus-sized work ends there — then per-level counts, pruning
+        // and top-N as windows over the BUCKET table (|buckets| rows,
+        // bounded by key cardinality, never by the corpus).
+        //
+        // ES null semantics at depth: only the ROOT key excludes null-key
+        // documents from the aggregation. A document with a parent key
+        // but no CHILD-field value still counts in the parent bucket's
+        // doc_count (and therefore its min_doc_count pruning and
+        // doc_count-ordered top-N) — it just appears in no child bucket.
+        // The null-child rows ride the aggregation so the ancestor counts
+        // are right, then drop just before their own level's ranking. A
+        // parent whose documents ALL lack the child field keeps its ES
+        // bucket (with an empty child list) but yields no rows here — the
+        // flat leaf rendering has one row per leaf bucket.
+        def levelsOf(t: Buckets): Seq[Buckets] = t +: t.sub.toSeq.flatMap(levelsOf)
+        val lvls = levelsOf(b0)
+        val n = lvls.size
+        val leafMs = lvls.last.metrics
+        def kname(i: Int) = if (i == 0) "key" else s"key${i + 1}"
+        def dcname(i: Int) = if (i == 0) "doc_count" else s"doc_count${i + 1}"
+        def prefixW(i: Int) =
+          if (i == 0) bucketW else W.partitionBy((0 until i).map(j => col(kname(j))): _*)
+        val leaf = rows.filter(keyCol(lvls.head.bucket).isNotNull)
+          .groupBy(lvls.indices.map(i => keyCol(lvls(i).bucket).as(kname(i))): _*)
+          .agg(count(lit(1)).as(dcname(n - 1)),
+            leafMs.flatMap { case (nm, m) => metricCols(nm, m) }: _*)
+        // ancestor doc_counts: level-i count = sum of leaf counts over the
+        // level-i key prefix, null deeper keys INCLUDED (the parent-count
+        // contract above); computed BEFORE any pruning (ES: a child-level
+        // min_doc_count does not change the parent's count)
+        var out = lvls.indices.init.foldLeft(leaf) { (t, i) =>
+          t.withColumn(dcname(i), sum(col(dcname(n - 1))).over(prefixW(i + 1)))
         }
-        var childOrder = Seq(col("key2").asc)
-        b2 match {
-          case Terms(_, size2, order2, minDoc2) =>
-            if (minDoc2 > 1L) out = out.filter(col("doc_count2") >= minDoc2)
-            childOrder = termsOrder(order2, col("doc_count2"), col("key2"))
-            out = out.withColumn("_crank", row_number().over(
-                wp.orderBy(childOrder: _*)))
-              .filter(col("_crank") <= size2).drop("_crank")
-          case _ => ()
+        // top-down per level: drop this level's null-key rows (their
+        // ancestor-count duty is done), then min_doc_count prune + top-N
+        val levelOrders = lvls.indices.map { i =>
+          if (i > 0) out = out.filter(col(kname(i)).isNotNull)
+          lvls(i).bucket match {
+            case Terms(_, size0, order0, minDoc0) =>
+              if (minDoc0 > 1L) out = out.filter(col(dcname(i)) >= minDoc0)
+              val ord = termsOrder(order0, col(dcname(i)), col(kname(i)))
+              // non-leaf: rows of one bucket share all rank columns, so
+              // dense_rank selects whole buckets; leaf rows are unique
+              val rk = if (i == n - 1) row_number() else dense_rank()
+              out = out.withColumn("_rk", rk.over(prefixW(i).orderBy(ord: _*)))
+                .filter(col("_rk") <= size0).drop("_rk")
+              ord
+            case _ => Seq(col(kname(i)).asc)
+          }
         }
-        out.select(Seq(col("key"), col("doc_count"), col("key2"), col("doc_count2"))
-            ++ ms2.flatMap { case (n, m) => metricNames(n, m) }.map(col): _*)
-          .orderBy(parentOrder ++ childOrder: _*)
+        out.select(lvls.indices.flatMap(i => Seq(col(kname(i)), col(dcname(i))))
+            ++ leafMs.flatMap { case (nm, m) => metricNames(nm, m) }.map(col): _*)
+          .orderBy(levelOrders.flatten: _*)
       case Right(other) =>
         throw new IllegalStateException(s"unplannable aggs tree (parse should have rejected it): $other")
     }

@@ -106,7 +106,10 @@ object SearchExec {
     }
     // TakeOrderedAndProject: bounded heap per partition, from+size rows total.
     val page = afterFiltered.orderBy(sortCols: _*).limit(b.from + b.size)
-    // Offset within the bounded page: the window runs over ≤ from+size rows.
+    // Offset within the bounded page: the window runs over ≤ from+size
+    // rows (post-limit), single-partition by design — the bounded heap
+    // above caps the input, so the unpartitioned window is not a scale
+    // risk (WindowExec's warning for it is suppressed in the test config).
     val w = org.apache.spark.sql.expressions.Window.orderBy(sortCols: _*)
     val numbered = page.withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") > b.from)

@@ -282,15 +282,21 @@ class PlanAuditSpec extends SparkSpec {
       s"selected buckets must broadcast back to the corpus:\n$p")
   }
 
+  /** Count corpus-scale hash shuffles: Exchange nodes keyed by real
+    * columns. SinglePartition exchanges (the |buckets|-row window
+    * gathers) don't say `hashpartitioning` and are not counted. */
+  private def corpusHashExchanges(p: String): Int =
+    p.linesIterator.sliding(3).count { w =>
+      w.head.matches("\\(\\d+\\) Exchange.*") &&
+        w.drop(1).exists(_.contains("hashpartitioning"))
+    }
+
   test("d61: significant_terms is ONE corpus shuffle; totals ride the bucket table") {
     val p = plan(q("d61_es_significant_terms"))
     assert(p.contains("partial_"), "significant_terms lost map-side partial combine")
     // corpus-scale work: exactly the one hashpartitioning shuffle on the
     // term key; the totals window and top-N act on |terms| rows
-    val hashExchanges = p.linesIterator.sliding(3).count { w =>
-      w.head.matches("\\(\\d+\\) Exchange.*") &&
-        w.drop(1).exists(_.contains("hashpartitioning"))
-    }
+    val hashExchanges = corpusHashExchanges(p)
     assert(hashExchanges === 1, s"expected exactly 1 hash shuffle, got $hashExchanges:\n$p")
     assert(p.contains("TakeOrderedAndProject"), s"top-N must be a bounded heap:\n$p")
   }
@@ -300,10 +306,7 @@ class PlanAuditSpec extends SparkSpec {
     // exactly one corpus-scale hash shuffle (the aggregation), no join
     val p = plan(q("d62_es_empty_buckets"))
     assert(p.contains("partial_count"), "zero-fill lost map-side partial aggregation")
-    val hashExchanges = p.linesIterator.sliding(3).count { w =>
-      w.head.matches("\\(\\d+\\) Exchange.*") &&
-        w.drop(1).exists(_.contains("hashpartitioning"))
-    }
+    val hashExchanges = corpusHashExchanges(p)
     assert(hashExchanges === 1, s"expected exactly 1 hash shuffle, got $hashExchanges:\n$p")
     assert(!p.contains("Join"), s"zero-fill must not join:\n$p")
   }
@@ -319,6 +322,28 @@ class PlanAuditSpec extends SparkSpec {
       }
       assert(hashExchanges === 1, s"$name: expected exactly 1 hash shuffle, got $hashExchanges:\n$p")
     }
+  }
+
+  test("d74: three-level split is ONE corpus aggregation; level ranking rides the bucket table") {
+    val p = plan(q("d74_es_three_level"))
+    assert(p.contains("partial_count"), "three-level split lost map-side partial aggregation")
+    // Node ids in the formatted detail section increase from the scan
+    // upward, so "corpus side" = ids below the FINAL HashAggregate. The
+    // only shuffle there must be the partial→final gather on the full
+    // composite key; every later Exchange re-partitions the |buckets|-row
+    // bucket table for the per-level count/rank windows.
+    def ids(label: String): Seq[Int] =
+      ("\\((\\d+)\\) " + label).r.findAllMatchIn(p).map(_.group(1).toInt).toSeq
+    val ha = ids("HashAggregate")
+    assert(ha.size === 2, s"expected one partial+final aggregate pair, got $ha:\n$p")
+    val ex = ids("Exchange")
+    assert(ex.count(_ < ha.min) === 0, s"shuffle below the partial aggregate:\n$p")
+    assert(ex.count(i => i > ha.min && i < ha.max) === 1,
+      s"the corpus aggregation must be the single shuffle between partial and final:\n$p")
+    assert(ex.size <= 4, s"too many exchanges (${ex.size}) for a 3-level split:\n$p")
+    // and the corpus is read once — the ancestor counts come from windows
+    // over the aggregated table, never a second scan
+    assert(ids("Scan parquet").size === 1, s"expected a single corpus scan:\n$p")
   }
 
   test("d50: query_string leaves push into the parquet scan") {

@@ -503,11 +503,23 @@ class DocEngineSpec extends SparkSpec {
     assert(sRows(0).getAs[String]("key2") === "Yearly physical") // tie → key asc
     assert(sRows(0).getAs[Long]("doc_count2") === 1L)
     assert(sRows(0).getAs[Long]("n") === 1L)
-    // three bucket levels rejected
-    assertThrows[IllegalArgumentException](EsAggs.parse(
+    // three bucket levels parse (Kibana "split rows ×2"); FOUR rejected
+    EsAggs.parse(
       """{"aggs": {"a": {"terms": {"field": "planType"},
         |  "aggs": {"b": {"terms": {"field": "_org"},
         |    "aggs": {"c": {"terms": {"field": "objectType"}}}}}}}}""".stripMargin,
+      PlanSchema.plan)
+    assertThrows[IllegalArgumentException](EsAggs.parse(
+      """{"aggs": {"a": {"terms": {"field": "planType"},
+        |  "aggs": {"b": {"terms": {"field": "_org"},
+        |    "aggs": {"c": {"terms": {"field": "objectType"},
+        |      "aggs": {"e": {"terms": {"field": "objectId"}}}}}}}}}}""".stripMargin,
+      PlanSchema.plan))
+    // a NON-LEAF level may not order by a metric (metrics live at the leaf)
+    assertThrows[IllegalArgumentException](EsAggs.parse(
+      """{"aggs": {"a": {"terms": {"field": "planType", "order": {"m": "desc"}},
+        |  "aggs": {"b": {"terms": {"field": "_org"},
+        |    "aggs": {"m": {"avg": {"field": "planCostShares.copay"}}}}}}}}""".stripMargin,
       PlanSchema.plan))
     // mixing metrics with a bucket at one level is rejected with intent
     val mixedErr = intercept[IllegalArgumentException](EsAggs.parse(

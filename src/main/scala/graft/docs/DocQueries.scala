@@ -2695,6 +2695,229 @@ object DocQueries {
        |FROM c
        |ORDER BY doc_count DESC, key, doc_count2 DESC, key2, key3""".stripMargin
 
+  // ---------------------------------------------------------------- d75
+  /** `composite` with a `date_histogram` FIRST source — THE standard ES
+    * bulk-export body: walk every (day, event_type) bucket in key order,
+    * one page per request, resumed by the `after` cursor (here an ISO
+    * date + a terms value, landing mid-day-27). Same scale shape as d58:
+    * one hash aggregation + a lexicographic bucket-table filter + a
+    * bounded top-`size` page. */
+  private def d75(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.Tables.events(s, d)
+      .select(struct(col("event_id"), timestamp_micros(col("ts_us")).as("ts"),
+        col("user_id"), col("event_type"), col("value")).as("doc"))
+    val evSchema = ev.schema("doc").dataType.asInstanceOf[StructType]
+    val body =
+      """{
+        |  "size": 0,
+        |  "aggs": {
+        |    "pages": {
+        |      "composite": {
+        |        "size": 6,
+        |        "sources": [
+        |          { "day": { "date_histogram": { "field": "ts", "calendar_interval": "day" } } },
+        |          { "etype": { "terms": { "field": "event_type" } } }
+        |        ],
+        |        "after": { "day": "2024-01-27", "etype": "error" }
+        |      },
+        |      "aggs": {
+        |        "max_value": { "max": { "field": "value" } }
+        |      }
+        |    }
+        |  }
+        |}""".stripMargin
+    EsAggs.run(ev, "doc", body, evSchema)
+  }
+
+  private val d75Sql =
+    """WITH g AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type AS etype,
+      |    CAST(COUNT(*) AS BIGINT) AS doc_count, MAX(value) AS max_value
+      |  FROM events GROUP BY 1, 2)
+      |SELECT day, etype, doc_count, max_value FROM g
+      |WHERE day > DATE '2024-01-27' OR (day = DATE '2024-01-27' AND etype > 'error')
+      |ORDER BY day, etype LIMIT 6""".stripMargin
+
+  // ---------------------------------------------------------------- d76
+  /** `function_score` — relevance shaping beyond the base ranking: the
+    * filter+`weight` function form, matched weights combined by
+    * `score_mode: multiply`, folded into the clause-count base by
+    * `boost_mode: sum` (so the ranking provably differs from plain
+    * clause count: MACHINERY plans jump ahead regardless of their should
+    * matches, high-deductible ones are dragged down by the 0.5 weight).
+    * Pure per-row expression over the doc column — the page is still one
+    * TakeOrderedAndProject, no shuffle added. */
+  private def d76(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "query": {
+        |    "function_score": {
+        |      "query": {
+        |        "bool": {
+        |          "filter": [ { "range": { "planCostShares.copay": { "gte": 10 } } } ],
+        |          "should": [
+        |            { "term": { "planType": "BUILDING" } },
+        |            { "prefix": { "_org": { "value": "org-1" } } }
+        |          ]
+        |        }
+        |      },
+        |      "functions": [
+        |        { "filter": { "term": { "planType": "MACHINERY" } }, "weight": 3 },
+        |        { "filter": { "range": { "planCostShares.deductible": { "gte": 1500 } } },
+        |          "weight": 0.5 }
+        |      ],
+        |      "score_mode": "multiply",
+        |      "boost_mode": "sum"
+        |    }
+        |  },
+        |  "sort": [ { "_score": { "order": "desc" } }, { "objectId": { "order": "asc" } } ],
+        |  "size": 12,
+        |  "_source": ["objectId", "planType", "planCostShares.copay"]
+        |}""".stripMargin
+    SearchExec.search(assembled(s, d), "doc", body, schema)
+  }
+
+  private val d76Sql =
+    s"""SELECT rn, score, "objectId", "planType", "planCostShares_copay" FROM (
+       |  SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, "objectId" ASC) AS rn FROM (
+       |    SELECT 'plan-' || ${ck("c_custkey")} AS "objectId", c_mktsegment AS "planType",
+       |      c_custkey % 50 AS "planCostShares_copay",
+       |      CASE WHEN c_mktsegment = 'MACHINERY' OR c_nationkey * 100 >= 1500
+       |           THEN CAST(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+       |                   + CASE WHEN 'org-' || ${ck("c_nationkey")} || '.example.com' LIKE 'org-1%' THEN 1 ELSE 0 END
+       |                   AS DOUBLE)
+       |                + (CASE WHEN c_mktsegment = 'MACHINERY' THEN 3.0 ELSE 1.0 END
+       |                   * CASE WHEN c_nationkey * 100 >= 1500 THEN 0.5 ELSE 1.0 END)
+       |           ELSE CAST(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+       |                   + CASE WHEN 'org-' || ${ck("c_nationkey")} || '.example.com' LIKE 'org-1%' THEN 1 ELSE 0 END
+       |                   AS DOUBLE) END AS score
+       |    FROM customer WHERE c_custkey % 50 >= 10))
+       |WHERE rn <= 12 ORDER BY rn""".stripMargin
+
+  // ---------------------------------------------------------------- d77
+  /** `auto_date_histogram` — Kibana Lens's default time axis: the engine
+    * picks the interval for a target bucket count (default 10) from the
+    * calendar ladder via a 1-row min/max planning pass, then runs the
+    * zero-filled date_histogram. January's 30 days of events at target 10
+    * must resolve to WEEK buckets (day = 30 > 10, week = 5 ≤ 10) — the
+    * oracle pins both the choice (the constant `interval` column) and the
+    * week-truncated buckets. */
+  private def d77(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.Tables.events(s, d)
+      .select(struct(col("event_id"), timestamp_micros(col("ts_us")).as("ts"),
+        col("user_id"), col("event_type"), col("value")).as("doc"))
+    val evSchema = ev.schema("doc").dataType.asInstanceOf[StructType]
+    val body =
+      """{
+        |  "size": 0,
+        |  "query": { "term": { "event_type": "view" } },
+        |  "aggs": {
+        |    "over_time": {
+        |      "auto_date_histogram": { "field": "ts" },
+        |      "aggs": {
+        |        "uniq_users": { "cardinality": { "field": "user_id" } }
+        |      }
+        |    }
+        |  }
+        |}""".stripMargin
+    EsAggs.run(ev, "doc", body, evSchema)
+  }
+
+  private val d77Sql =
+    """SELECT CAST(date_trunc('week', ts) AS DATE) AS key,
+      |  CAST(COUNT(*) AS BIGINT) AS doc_count,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS uniq_users,
+      |  'week' AS "interval"
+      |FROM events WHERE event_type = 'view'
+      |GROUP BY 1 ORDER BY key""".stripMargin
+
+  // ---------------------------------------------------------------- d78
+  /** Sibling `stats_bucket` + `percentiles_bucket` — the distribution of
+    * a metric ACROSS the bucket list ("how even are my histogram bins"):
+    * five-stat fan-out and exact interpolated percentiles over the 5
+    * copay bins' doc_counts, rendered as constant columns beside each
+    * bucket row (d70's sibling shape). Percents 25/50/75 over n=5 hit
+    * exact interpolation points, so DuckDB's quantile_cont is
+    * bit-identical. */
+  private def d78(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "size": 0,
+        |  "aggs": {
+        |    "copay_hist": {
+        |      "histogram": { "field": "planCostShares.copay", "interval": 10 },
+        |      "aggs": {
+        |        "sum_ded": { "sum": { "field": "planCostShares.deductible" } }
+        |      }
+        |    },
+        |    "count_stats": { "stats_bucket": { "buckets_path": "copay_hist>_count" } },
+        |    "count_pct": { "percentiles_bucket": { "buckets_path": "copay_hist>_count",
+        |                                           "percents": [25, 50, 75] } }
+        |  }
+        |}""".stripMargin
+    EsAggs.run(assembled(s, d), "doc", body, schema)
+  }
+
+  private val d78Sql =
+    """WITH b AS (
+      |  SELECT CAST((c_custkey % 50) // 10 * 10 AS BIGINT) AS key,
+      |    CAST(COUNT(*) AS BIGINT) AS doc_count,
+      |    CAST(CAST(SUM(c_nationkey * 100) AS BIGINT) AS DOUBLE) AS sum_ded
+      |  FROM customer GROUP BY 1)
+      |SELECT key, doc_count, sum_ded,
+      |  COUNT(doc_count) OVER () AS count_stats_count,
+      |  MIN(doc_count) OVER () AS count_stats_min,
+      |  MAX(doc_count) OVER () AS count_stats_max,
+      |  CAST(SUM(doc_count) OVER () AS DOUBLE) / COUNT(doc_count) OVER () AS count_stats_avg,
+      |  CAST(SUM(doc_count) OVER () AS DOUBLE) AS count_stats_sum,
+      |  quantile_cont(doc_count, 0.25) OVER () AS count_pct_p25,
+      |  quantile_cont(doc_count, 0.50) OVER () AS count_pct_p50,
+      |  quantile_cont(doc_count, 0.75) OVER () AS count_pct_p75
+      |FROM b ORDER BY key""".stripMargin
+
+  // ---------------------------------------------------------------- d81
+  /** `boosting` — the other score-shaping wrapper: hits = `positive`
+    * (the `negative` query never filters), documents matching `negative`
+    * down-weighted by `negative_boost`. Compiles to the same shape as a
+    * one-function function_score with multiply/multiply modes. */
+  private def d81(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "query": {
+        |    "boosting": {
+        |      "positive": {
+        |        "bool": {
+        |          "should": [
+        |            { "prefix": { "_org": { "value": "org-1" } } },
+        |            { "range": { "planCostShares.copay": { "gte": 30 } } },
+        |            { "term": { "planType": "HOUSEHOLD" } }
+        |          ],
+        |          "minimum_should_match": 1
+        |        }
+        |      },
+        |      "negative": { "range": { "planCostShares.deductible": { "gte": 2000 } } },
+        |      "negative_boost": 0.25
+        |    }
+        |  },
+        |  "sort": [ { "_score": { "order": "desc" } }, { "objectId": { "order": "asc" } } ],
+        |  "size": 10,
+        |  "_source": ["objectId", "planType"]
+        |}""".stripMargin
+    SearchExec.search(assembled(s, d), "doc", body, schema)
+  }
+
+  private val d81Sql =
+    s"""SELECT rn, score, "objectId", "planType" FROM (
+       |  SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, "objectId" ASC) AS rn FROM (
+       |    SELECT 'plan-' || ${ck("c_custkey")} AS "objectId", c_mktsegment AS "planType",
+       |      CAST(CASE WHEN 'org-' || ${ck("c_nationkey")} || '.example.com' LIKE 'org-1%' THEN 1 ELSE 0 END
+       |         + CASE WHEN c_custkey % 50 >= 30 THEN 1 ELSE 0 END
+       |         + CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 ELSE 0 END AS DOUBLE)
+       |      * CASE WHEN c_nationkey * 100 >= 2000 THEN 0.25 ELSE 1.0 END AS score
+       |    FROM customer
+       |    WHERE 'org-' || ${ck("c_nationkey")} || '.example.com' LIKE 'org-1%'
+       |       OR c_custkey % 50 >= 30 OR c_mktsegment = 'HOUSEHOLD'))
+       |WHERE rn <= 10 ORDER BY rn""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -2757,6 +2980,11 @@ object DocQueries {
     "d72_es_percentile_ranks" -> d72 _,
     "d73_es_multi_terms" -> d73 _,
     "d74_es_three_level" -> d74 _,
+    "d75_es_composite_datehist" -> d75 _,
+    "d76_es_function_score" -> d76 _,
+    "d77_es_auto_datehist" -> d77 _,
+    "d78_es_stats_bucket" -> d78 _,
+    "d81_es_boosting" -> d81 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
     "d3_roundtrip" -> d3 _,
@@ -2833,6 +3061,11 @@ object DocQueries {
     "d72_es_percentile_ranks" -> d72Sql,
     "d73_es_multi_terms" -> d73Sql,
     "d74_es_three_level" -> d74Sql,
+    "d75_es_composite_datehist" -> d75Sql,
+    "d76_es_function_score" -> d76Sql,
+    "d77_es_auto_datehist" -> d77Sql,
+    "d78_es_stats_bucket" -> d78Sql,
+    "d81_es_boosting" -> d81Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,
     "d3_roundtrip" -> d3Sql,

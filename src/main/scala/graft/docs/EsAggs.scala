@@ -85,6 +85,21 @@ object EsAggs {
   final case class DateHistogram(path: Seq[String], interval: String,
                                  minDocCount: Long = 1L,
                                  extendedBounds: Option[(String, String)] = None) extends Agg
+  /** ES `auto_date_histogram` — Kibana Lens's default time axis: the
+    * engine picks the coarsest-necessary calendar interval so the bucket
+    * count stays at or under `targetBuckets` (ES default 10). Resolution
+    * is ES's own two-phase shape: a 1-row min/max aggregate (the
+    * coordinator planning pass), then the interval ladder is walked
+    * smallest-first — minute, hour, day, week, month, quarter, year —
+    * and the first unit whose span fits the target wins; the body then
+    * runs as a plain zero-filled `date_histogram` (contiguous axis, the
+    * Lens contract) with the chosen unit rendered as a constant
+    * `interval` column. Deviation from ES, documented: ES's ladder
+    * interleaves fixed multiples (5m/10m/30m/3h/12h/7d/3M) and multi-year
+    * rungs; this engine uses exactly its calendar units (`week` is ISO
+    * weeks, not epoch-anchored 7-day bins) and rejects spans that would
+    * need multi-year buckets loudly. */
+  final case class AutoDateHistogram(path: Seq[String], targetBuckets: Int) extends Agg
   /** ES `filters` bucket agg — one NAMED bucket per predicate (a document
     * lands in EVERY bucket it matches). Compiled as ONE conditional
     * aggregation (`sum(case when pred)` per bucket) — zero-doc buckets
@@ -120,8 +135,15 @@ object EsAggs {
     * returns a key array; one string column keeps the single-level
     * machinery and the oracle trivial). */
   final case class MultiTerms(paths: Seq[Seq[String]], size: Int) extends Agg
-  /** One `composite` source: output column name, terms field, direction. */
-  final case class CompositeSource(name: String, path: Seq[String], asc: Boolean)
+  /** One `composite` source: output column name, field, direction, and the
+    * bucketing kind — `terms` (raw value), `histogram` (fixed integer
+    * bins), or `date_histogram` (calendar bins, day-or-coarser: the
+    * after-cursor value for a date source is an ISO `yyyy-MM-dd` string,
+    * which has no sub-day form). The standard ES bulk-export body is a
+    * date_histogram first source walked page by page with `after`. */
+  final case class CompositeSource(name: String, path: Seq[String], asc: Boolean,
+                                   kind: String = "terms",
+                                   interval: Long = 0L, unit: String = "")
   /** ES `composite` agg — THE scalable bucket pagination: all buckets in
     * deterministic key order, `size` per page, resumed with `after` (the
     * last key tuple of the previous page). Unlike `terms` there is no
@@ -176,10 +198,17 @@ object EsAggs {
                                 op: String) extends Pipeline
 
   /** SIBLING pipeline aggs (`avg_bucket`/`sum_bucket`/`min_bucket`/
-    * `max_bucket`) — in ES they sit BESIDE the multi-bucket agg and emit
-    * one value over its whole bucket list; the relational rendering
-    * appends that value as a constant column on every bucket row. */
-  final case class Sibling(name: String, kind: String, target: String)
+    * `max_bucket`/`stats_bucket`/`percentiles_bucket`) — in ES they sit
+    * BESIDE the multi-bucket agg and emit one value (or value set) over
+    * its whole bucket list; the relational rendering appends those as
+    * constant columns on every bucket row. `stats_bucket` fans out to
+    * `<name>_count/_min/_max/_avg/_sum`; `percentiles_bucket` to one
+    * `<name>_p<P>` column per percent — EXACT linear-interpolated
+    * percentiles over the bucket list (ES's are TDigest-approximate,
+    * the same documented exactness upgrade as the `percentiles` metric),
+    * `percents` defaulting to ES's [1, 5, 25, 50, 75, 95, 99]. */
+  final case class Sibling(name: String, kind: String, target: String,
+                           percents: Seq[Double] = Nil)
 
   /** A bucket level: the bucket agg, its metric sub-aggs, and at most one
     * sub-bucket level (Kibana "split series" — terms × terms/histogram).
@@ -211,16 +240,25 @@ object EsAggs {
     Set("minute", "hour", "day", "week", "month", "quarter", "year")
 
   private val bucketKinds =
-    Set("terms", "histogram", "date_histogram", "filters", "range",
-      "missing", "composite", "significant_terms", "global",
-      "adjacency_matrix", "rare_terms", "date_range", "multi_terms")
+    Set("terms", "histogram", "date_histogram", "auto_date_histogram",
+      "filters", "range", "missing", "composite", "significant_terms",
+      "global", "adjacency_matrix", "rare_terms", "date_range", "multi_terms")
 
   private val pipelineKinds =
     Set("cumulative_sum", "derivative", "bucket_selector", "bucket_sort",
       "moving_fn", "serial_diff", "bucket_script")
 
   private val siblingKinds =
-    Set("avg_bucket", "sum_bucket", "min_bucket", "max_bucket")
+    Set("avg_bucket", "sum_bucket", "min_bucket", "max_bucket",
+      "stats_bucket", "percentiles_bucket")
+
+  /** Column names a sibling agg renders to (stats/percentiles fan out). */
+  private def siblingNames(sb: Sibling): Seq[String] = sb.kind match {
+    case "stats_bucket" =>
+      Seq("count", "min", "max", "avg", "sum").map(s => s"${sb.name}_$s")
+    case "percentiles_bucket" => sb.percents.map(p => s"${sb.name}_p${fmtPercent(p)}")
+    case _ => Seq(sb.name)
+  }
 
   /** Column names a metric renders to (`stats`/`percentiles` fan out). */
   private def metricNames(name: String, m: Metric): Seq[String] = m.kind match {
@@ -444,6 +482,11 @@ object EsAggs {
               (iso("min"), iso("max"))
             }
             DateHistogram(fieldPath(spec, "date_histogram", ctx), unit, dMinDc, dEb)
+          }).orElse(bf.get("auto_date_histogram").map { spec =>
+            val m = checkSpecKeys(spec, "auto_date_histogram", Set("field", "buckets"))
+            val target = num(spec, "buckets", "auto_date_histogram").map(_.toInt).getOrElse(10)
+            require(target >= 1, s"auto_date_histogram buckets must be >= 1: $target")
+            AutoDateHistogram(fieldPath(spec, "auto_date_histogram", ctx), target)
           }).orElse(bf.get("filters").map { spec =>
             require(ctx.isEmpty, "filters agg inside a nested context is not implemented")
             val m = checkSpecKeys(spec, "filters", Set("filters"))
@@ -502,36 +545,78 @@ object EsAggs {
           }).orElse(bf.get("composite").map { spec =>
             require(ctx.isEmpty, "composite agg inside a nested context is not implemented")
             val m = checkSpecKeys(spec, "composite", Set("sources", "size", "after"))
+            def srcOrder(sm: Map[String, JValue]): Boolean = sm.get("order") match {
+              case None | Some(JString("asc")) => true
+              case Some(JString("desc")) => false
+              case Some(other) => throw new IllegalArgumentException(
+                s"bad composite source order: $other")
+            }
             val sources = m.get("sources") match {
               case Some(JArray(srcs)) if srcs.nonEmpty => srcs.map {
-                case JObject(List((name, JObject(List(("terms", tspec)))))) =>
-                  val tm = checkSpecKeys(tspec, "composite terms source", Set("field", "order"))
-                  val asc = tm.get("order") match {
-                    case None | Some(JString("asc")) => true
-                    case Some(JString("desc")) => false
-                    case Some(other) => throw new IllegalArgumentException(
-                      s"bad composite source order: $other")
-                  }
-                  CompositeSource(name, fieldPath(tspec, "composite source", ctx), asc)
+                case JObject(List((name, JObject(List((skind, tspec)))))) => skind match {
+                  case "terms" =>
+                    val tm = checkSpecKeys(tspec, "composite terms source", Set("field", "order"))
+                    CompositeSource(name, fieldPath(tspec, "composite source", ctx), srcOrder(tm))
+                  case "histogram" =>
+                    val hm = checkSpecKeys(tspec, "composite histogram source",
+                      Set("field", "interval", "order"))
+                    val iv = num(tspec, "interval", "composite histogram source").getOrElse(
+                      throw new IllegalArgumentException("composite histogram source needs interval"))
+                    require(iv > 0, s"composite histogram interval must be > 0: $iv")
+                    CompositeSource(name, fieldPath(tspec, "composite source", ctx),
+                      srcOrder(hm), "histogram", iv)
+                  case "date_histogram" =>
+                    val dm = checkSpecKeys(tspec, "composite date_histogram source",
+                      Set("field", "calendar_interval", "order"))
+                    val unit = dm.get("calendar_interval") match {
+                      case Some(JString(u)) if calendarIntervals(u) => u
+                      case Some(other) => throw new IllegalArgumentException(
+                        s"unsupported composite calendar_interval: $other")
+                      case None => throw new IllegalArgumentException(
+                        "composite date_histogram source needs calendar_interval")
+                    }
+                    require(unit != "minute" && unit != "hour",
+                      "sub-day composite date_histogram sources are not implemented " +
+                        "(the after-cursor value is an ISO yyyy-MM-dd date)")
+                    CompositeSource(name, fieldPath(tspec, "composite source", ctx),
+                      srcOrder(dm), "date_histogram", 0L, unit)
+                  case other => throw new IllegalArgumentException(
+                    s"unsupported composite source kind: $other (terms/histogram/date_histogram)")
+                }
                 case other => throw new IllegalArgumentException(
-                  s"unsupported composite source (terms sources only): $other")
+                  s"bad composite source entry: $other")
               }
               case _ => throw new IllegalArgumentException(
                 "composite needs a non-empty sources array")
             }
             require(sources.map(_.name).distinct.size == sources.size,
               "composite source names must be distinct")
+            val IsoAfter = "\\d{4}-\\d{2}-\\d{2}".r
             val after = m.get("after").map {
               case JObject(av) =>
                 val byName = av.toMap
                 require(byName.keySet == sources.map(_.name).toSet,
                   s"after must carry exactly the source keys ${sources.map(_.name).mkString(", ")}")
-                sources.map(s => byName(s.name) match {
-                  case JString(v) => v: Any
-                  case JInt(i) => i.toLong: Any
-                  case JLong(l) => l: Any
-                  case other => throw new IllegalArgumentException(s"bad after value: $other")
-                })
+                sources.map { s =>
+                  val v: Any = byName(s.name) match {
+                    case JString(v0) => v0
+                    case JInt(i) => i.toLong
+                    case JLong(l) => l
+                    case other => throw new IllegalArgumentException(s"bad after value: $other")
+                  }
+                  (s.kind, v) match {
+                    case ("date_histogram", str: String) =>
+                      require(IsoAfter.matches(str),
+                        s"after.${s.name} must be an ISO yyyy-MM-dd date for a date_histogram source: $str")
+                    case ("date_histogram", other) => throw new IllegalArgumentException(
+                      s"after.${s.name} must be an ISO date string for a date_histogram source: $other")
+                    case ("histogram", _: Long) => ()
+                    case ("histogram", other) => throw new IllegalArgumentException(
+                      s"after.${s.name} must be numeric for a histogram source: $other")
+                    case _ => ()
+                  }
+                  v
+                }
               case other => throw new IllegalArgumentException(s"bad after: $other")
             }
             CompositeAgg(sources, num(spec, "size", "composite").map(_.toInt).getOrElse(10), after)
@@ -773,8 +858,9 @@ object EsAggs {
               chain.tail.foreach(_.bucket match {
                 case _: FiltersAgg | _: RangeAgg | _: MissingAgg | _: CompositeAgg |
                      _: SignificantTerms | GlobalAgg | _: AdjacencyMatrix | _: RareTerms |
-                     _: DateRangeAgg | _: MultiTerms => throw new IllegalArgumentException(
-                  "only terms/histogram bucket aggs can be an inner level of a multi-level split")
+                     _: DateRangeAgg | _: MultiTerms | _: AutoDateHistogram =>
+                  throw new IllegalArgumentException(
+                    "only terms/histogram bucket aggs can be an inner level of a multi-level split")
                 case _ => ()
               })
               // zero-fill / pruning on split-series histogram levels is
@@ -790,7 +876,7 @@ object EsAggs {
           (bucket, tree.sub) match {
             case (_: FiltersAgg | _: RangeAgg | _: MissingAgg | _: CompositeAgg |
                   _: SignificantTerms | GlobalAgg | _: AdjacencyMatrix | _: RareTerms |
-                  _: DateRangeAgg | _: MultiTerms, Some(_)) =>
+                  _: DateRangeAgg | _: MultiTerms | _: AutoDateHistogram, Some(_)) =>
               throw new IllegalArgumentException(
                 "sub-bucket levels under this bucket agg kind are not implemented")
             case _ => ()
@@ -826,19 +912,25 @@ object EsAggs {
               s"buckets_path \"$target\" is not _count${if (allowKey) "/_key" else ""}, a " +
                 "single-column metric, or an earlier pipeline of this level")
           def requireKeyed(kind: String): Unit = bucket match {
-            case _: Terms | _: Histogram | _: DateHistogram => ()
+            case _: Terms | _: Histogram | _: DateHistogram | _: AutoDateHistogram => ()
             case other => throw new IllegalArgumentException(
               s"$kind under ${other.getClass.getSimpleName} is not implemented")
           }
           def requireHist(kind: String): Unit = bucket match {
-            case _: Histogram | _: DateHistogram => ()
+            // auto_date_histogram resolves to a date_histogram before
+            // planning, so pipelines over the auto axis (Lens formulas)
+            // are legal
+            case _: Histogram | _: DateHistogram | _: AutoDateHistogram => ()
             case _ => throw new IllegalArgumentException(
               s"$kind needs a histogram/date_histogram parent (ES restriction)")
           }
           // output-name hygiene: a metric/pipeline agg named like a
           // reserved column (or another output) would silently overwrite
           // it via withColumn — reject at parse, not at runtime
-          val reservedNames = Set("key", "doc_count", "key2", "doc_count2", "key3", "doc_count3")
+          val reservedNames =
+            Set("key", "doc_count", "key2", "doc_count2", "key3", "doc_count3") ++
+              // auto_date_histogram appends its chosen unit as `interval`
+              (bucket match { case _: AutoDateHistogram => Set("interval"); case _ => Set.empty[String] })
           val outNames =
             levelsOf(tree).flatMap(_.metrics.flatMap { case (n0, mm) => metricNames(n0, mm) }) ++
               pipelines.collect {
@@ -898,7 +990,9 @@ object EsAggs {
           val lm = inner.metrics.toMap
           val sibs = sibEntries.map {
             case (name, JObject(List((kind, spec)))) =>
-              val m = checkSpecKeys(spec, kind, Set("buckets_path"))
+              val allowed = if (kind == "percentiles_bucket")
+                Set("buckets_path", "percents") else Set("buckets_path")
+              val m = checkSpecKeys(spec, kind, allowed)
               val path = asString(m.getOrElse("buckets_path",
                 throw new IllegalArgumentException(s"$kind needs buckets_path")))
               val parts = path.split(">")
@@ -908,15 +1002,29 @@ object EsAggs {
               require(target == "_count" ||
                 lm.get(target).exists(mm => !Set("stats", "percentiles", "percentile_ranks")(mm.kind)),
                 s"$kind target \"$target\" is not _count or a single-column metric of $bucketName")
-              Sibling(name, kind, target)
+              val percents = if (kind != "percentiles_bucket") Nil else m.get("percents") match {
+                case None => defaultPercents
+                case Some(JArray(ps)) if ps.nonEmpty => ps.map {
+                  case JInt(i) => i.toDouble
+                  case JLong(l) => l.toDouble
+                  case JDouble(d0) => d0
+                  case JDecimal(d0) => d0.toDouble
+                  case other => throw new IllegalArgumentException(s"bad percent: $other")
+                }
+                case Some(other) => throw new IllegalArgumentException(
+                  s"percentiles_bucket.percents must be a non-empty array: $other")
+              }
+              percents.foreach(p => require(p >= 0 && p <= 100, s"percent out of range: $p"))
+              Sibling(name, kind, target, percents)
             case (name, other) =>
               throw new IllegalArgumentException(s"bad sibling agg $name: $other")
           }
           val innerOut = Set("key", "doc_count") ++
             inner.metrics.flatMap { case (n0, mm) => metricNames(n0, mm) }
-          sibs.foreach(sb => require(!innerOut(sb.name),
-            s"sibling agg name \"${sb.name}\" collides with a bucket output column"))
-          require(sibs.map(_.name).distinct.size == sibs.size, "duplicate sibling agg names")
+          val sibOut = sibs.flatMap(siblingNames)
+          sibOut.foreach(n0 => require(!innerOut(n0),
+            s"sibling agg output column \"$n0\" collides with a bucket output column"))
+          require(sibOut.distinct.size == sibOut.size, "duplicate sibling agg output names")
           require(inner.sub.isEmpty && inner.topHits.isEmpty,
             "siblings beside a two-level or top_hits bucket agg are not implemented")
           inner.bucket match {
@@ -963,15 +1071,62 @@ object EsAggs {
 
   /** Run an ES aggs body against the document table. */
   def run(docs: DataFrame, docCol: String, body: String, schema: StructType): DataFrame = {
-    val req = parse(body, schema)
+    val req0 = parse(body, schema)
     val doc = col(docCol)
     def field(root: Column, p: Seq[String]): Column =
       p.foldLeft(root)((c, n) => c.getField(n))
-    val filtered = docs.filter(SearchQuery.compile(req.query, doc))
+    val filtered = docs.filter(SearchQuery.compile(req0.query, doc))
     // nested context: the unit of aggregation becomes the array element
-    val (rows, ctx) = req.nestedPath match {
+    val (rows, ctx) = req0.nestedPath match {
       case Some(np) => (filtered.select(explode(field(doc, np)).as("el")), col("el"))
       case None => (filtered, doc)
+    }
+    /** auto_date_histogram resolution: ES's own two-phase shape — ONE
+      * 1-row min/max aggregate over the hit set (the coordinator planning
+      * pass; the only driver-side value in the engine's agg paths), walk
+      * the calendar ladder smallest-first, substitute the winning unit as
+      * a zero-filled date_histogram. */
+    val (req, autoUnit): (Request, Option[String]) = req0.tree match {
+      case Right(b0 @ Buckets(AutoDateHistogram(p, target), _, None, _, None, _)) =>
+        val v = field(ctx, p)
+        val mm = rows.filter(v.isNotNull).agg(min(v), max(v)).head()
+        if (mm.isNullAt(0)) // empty hit set: any unit yields zero buckets
+          (req0.copy(tree = Right(b0.copy(bucket = DateHistogram(p, "day", 0L, None)))), Some("day"))
+        else {
+          import java.time.temporal.ChronoUnit
+          def toLdt(x: Any): java.time.LocalDateTime = x match {
+            case t: java.sql.Timestamp => t.toLocalDateTime
+            case d0: java.sql.Date => d0.toLocalDate.atStartOfDay
+            case other => throw new IllegalArgumentException(
+              s"auto_date_histogram needs a date/timestamp field, got $other")
+          }
+          val (lo, hi) = (toLdt(mm.get(0)), toLdt(mm.get(1)))
+          /** Bucket count for one calendar unit over [lo, hi]. */
+          def buckets(unit: String): Long = {
+            def monthsBetween = ChronoUnit.MONTHS.between(
+              lo.toLocalDate.withDayOfMonth(1), hi.toLocalDate.withDayOfMonth(1))
+            unit match {
+              case "minute" => ChronoUnit.MINUTES.between(
+                lo.truncatedTo(ChronoUnit.MINUTES), hi.truncatedTo(ChronoUnit.MINUTES)) + 1
+              case "hour" => ChronoUnit.HOURS.between(
+                lo.truncatedTo(ChronoUnit.HOURS), hi.truncatedTo(ChronoUnit.HOURS)) + 1
+              case "day" => ChronoUnit.DAYS.between(lo.toLocalDate, hi.toLocalDate) + 1
+              case "week" => ChronoUnit.WEEKS.between( // ISO week starts (Monday)
+                lo.toLocalDate.`with`(java.time.DayOfWeek.MONDAY),
+                hi.toLocalDate.`with`(java.time.DayOfWeek.MONDAY)) + 1
+              case "month" => monthsBetween + 1
+              case "quarter" => monthsBetween / 3 + 1
+              case "year" => ChronoUnit.YEARS.between(
+                lo.toLocalDate.withDayOfYear(1), hi.toLocalDate.withDayOfYear(1)) + 1
+            }
+          }
+          val ladder = Seq("minute", "hour", "day", "week", "month", "quarter", "year")
+          val unit = ladder.find(buckets(_) <= target).getOrElse(
+            throw new IllegalArgumentException(
+              s"auto_date_histogram span needs multi-year buckets to fit $target buckets — not implemented"))
+          (req0.copy(tree = Right(b0.copy(bucket = DateHistogram(p, unit, 0L, None)))), Some(unit))
+        }
+      case _ => (req0, None)
     }
     val W = org.apache.spark.sql.expressions.Window
     /** The column(s) of one metric agg, optionally CONDITIONAL on `pred`
@@ -1090,7 +1245,7 @@ object EsAggs {
       }
       one.select(explode(array(bucketStructs: _*)).as("_b")).select(col("_b.*"))
     }
-    req.tree match {
+    val result = req.tree match {
       case Left(ms) =>
         require(ms.nonEmpty, "aggs body has no aggregations")
         rows.agg(count(lit(1)).as("doc_count"),
@@ -1133,7 +1288,18 @@ object EsAggs {
         // page is a bounded TakeOrderedAndProject — the agg that can walk
         // ALL buckets at 100 TB, one page per pass. Documents with a null
         // key value are skipped (ES's missing_bucket:false default).
-        val keyCols = c.sources.map(s => field(ctx, s.path).as(s.name))
+        // per-source bucket expression: raw value, fixed integer bin, or
+        // calendar bin (day-or-coarser → DATE key, same as date_histogram)
+        def srcKey(s0: CompositeSource): Column = s0.kind match {
+          case "terms" => field(ctx, s0.path)
+          case "histogram" =>
+            val v = field(ctx, s0.path)
+            (v - pmod(v, lit(s0.interval))).cast("long")
+          case "date_histogram" => date_trunc(s0.unit, field(ctx, s0.path)).cast("date")
+        }
+        def afterLit(s0: CompositeSource, v: Any): Column =
+          if (s0.kind == "date_histogram") to_date(lit(v.toString)) else lit(v)
+        val keyCols = c.sources.map(s => srcKey(s).as(s.name))
         val nonNull = c.sources.map(s => field(ctx, s.path).isNotNull).reduce(_ && _)
         var g = rows.filter(nonNull).groupBy(keyCols: _*)
           .agg(count(lit(1)).as("doc_count"),
@@ -1141,8 +1307,9 @@ object EsAggs {
         c.after.foreach { vals =>
           val afterPred = c.sources.zip(vals).foldRight(lit(false)) { case ((src, v), rest) =>
             val k = col(src.name)
-            val beyond = if (src.asc) k > lit(v) else k < lit(v)
-            beyond || (k === lit(v) && rest)
+            val av = afterLit(src, v)
+            val beyond = if (src.asc) k > av else k < av
+            beyond || (k === av && rest)
           }
           g = g.filter(afterPred)
         }
@@ -1359,7 +1526,7 @@ object EsAggs {
         // sibling *_bucket values: one constant column per sibling over
         // the FINAL bucket list (|buckets| rows; ES renders them beside
         // the list, a relational frame repeats them per row)
-        sibs.foreach { case Sibling(n, kind, t) =>
+        sibs.foreach { case sb @ Sibling(n, kind, t, percents) =>
           val wAll = wAllBuckets
           val c0 = tcol(t)
           table = kind match {
@@ -1368,6 +1535,20 @@ object EsAggs {
             case "max_bucket" => table.withColumn(n, max(c0).over(wAll))
             case "avg_bucket" =>
               table.withColumn(n, sum(c0).over(wAll).cast("double") / count(c0).over(wAll))
+            case "stats_bucket" =>
+              // the five basics over the bucket list, same shapes as the
+              // stats metric (avg as exact sum/count, ES doubles)
+              table.withColumn(s"${n}_count", count(c0).over(wAll))
+                .withColumn(s"${n}_min", min(c0).over(wAll))
+                .withColumn(s"${n}_max", max(c0).over(wAll))
+                .withColumn(s"${n}_avg", sum(c0).over(wAll).cast("double") / count(c0).over(wAll))
+                .withColumn(s"${n}_sum", sum(c0).over(wAll).cast("double"))
+            case "percentiles_bucket" =>
+              // EXACT linear-interpolated percentiles over the |buckets|
+              // values (the percentile aggregate as a window function)
+              percents.foldLeft(table)((t0, p0) =>
+                t0.withColumn(s"${n}_p${fmtPercent(p0)}",
+                  percentile(c0, lit(p0 / 100.0)).over(wAll)))
           }
         }
         table.orderBy(finalOrder: _*)
@@ -1430,5 +1611,8 @@ object EsAggs {
       case Right(other) =>
         throw new IllegalStateException(s"unplannable aggs tree (parse should have rejected it): $other")
     }
+    // auto_date_histogram: surface the chosen unit the way ES's response
+    // carries `interval` — a constant column over the bucket rows
+    autoUnit.fold(result)(u => result.withColumn("interval", lit(u)))
   }
 }

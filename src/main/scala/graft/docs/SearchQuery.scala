@@ -117,7 +117,29 @@ object SearchQuery {
     * present, ES `should` does not filter (msm=0) but still BOOSTS
     * `_score`; [[scoreCol]] exposes that as clause-count relevance. */
   final case class Parsed(query: SearchQuery, hits: Seq[(Seq[String], SearchQuery)],
-                          shoulds: Seq[SearchQuery] = Nil)
+                          shoulds: Seq[SearchQuery] = Nil,
+                          shape: Option[ScoreShape] = None)
+
+  /** Score shaping parsed from a TOP-LEVEL `function_score` or `boosting`
+    * wrapper (the first tools reached for when tuning relevance beyond
+    * the base ranking). Only the filter+`weight` function form is
+    * implemented — `script_score`, `field_value_factor`, `random_score`
+    * and the decay functions are rejected loudly at parse. `boosting`
+    * compiles to the same shape: hit set = `positive` (ES: `negative`
+    * never filters), one function (`negative` filter, `negative_boost`
+    * weight) with multiply/multiply modes.
+    *
+    * Scoring follows ES's FunctionScoreQuery: each function whose filter
+    * matches contributes its weight; matching weights combine via
+    * `score_mode` (`multiply` | `sum`); the combined function score folds
+    * into the base score via `boost_mode` (`multiply` | `sum`). A
+    * document matching NO function keeps its base score unchanged. The
+    * base score is the engine's documented clause-count relevance
+    * ([[scoreCol]]), or 1 when the wrapped query has no `should` clauses
+    * (every match scores 1 — the `match_all` convention), so a weight
+    * can shape the ranking of a filter-only query. */
+  final case class ScoreShape(functions: Seq[(SearchQuery, Double)],
+                              scoreMode: String, boostMode: String)
 
   def fromJson(body: String, schema: org.apache.spark.sql.types.StructType): SearchQuery =
     parseBody(body, schema).query
@@ -126,21 +148,93 @@ object SearchQuery {
     import org.json4s._
     val q = org.json4s.jackson.JsonMethods.parse(body) \ "query"
     require(q != JNothing, "ES query body must contain a top-level \"query\"")
-    val hits = scala.collection.mutable.ListBuffer.empty[(Seq[String], SearchQuery)]
-    val ast = parseNode(q, schema, hits)
-    // Top-level should clauses, re-parsed for scoring (a scratch buffer so
-    // an inner_hits inside a should is not recorded twice).
-    val shoulds = q match {
-      case JObject(List(("bool", JObject(fields)))) =>
-        val scratch = scala.collection.mutable.ListBuffer.empty[(Seq[String], SearchQuery)]
-        (fields.toMap.getOrElse("should", JNothing) match {
-          case JArray(xs) => xs
-          case JNothing => Nil
-          case single => Seq(single)
-        }).map(parseNode(_, schema, scratch))
-      case _ => Nil
+    parseQueryRoot(q, schema)
+  }
+
+  /** Parse a top-level query value: a plain query node, or one
+    * `function_score`/`boosting` score-shaping wrapper (top-level ONLY —
+    * a wrapper nested inside bool is rejected by parseNode's exhaustive
+    * match, honestly, rather than scored wrong). */
+  private def parseQueryRoot(q: org.json4s.JValue,
+                             schema: org.apache.spark.sql.types.StructType): Parsed = {
+    import org.json4s._
+    def asDouble(v: JValue, what: String): Double = v match {
+      case JInt(i) => i.toDouble
+      case JLong(l) => l.toDouble
+      case JDouble(d) => d
+      case JDecimal(d) => d.toDouble
+      case other => throw new IllegalArgumentException(s"$what must be numeric: $other")
     }
-    Parsed(ast, hits.toList, shoulds.toList)
+    def mode(f: Map[String, JValue], key: String): String = f.get(key) match {
+      case None => "multiply" // ES default for both modes
+      case Some(JString(m)) if m == "multiply" || m == "sum" => m
+      case Some(other) => throw new IllegalArgumentException(
+        s"unsupported $key: $other (multiply/sum)")
+    }
+    q match {
+      case JObject(List(("function_score", JObject(fields)))) =>
+        val f = fields.toMap
+        val unknown = f.keySet -- Set("query", "functions", "score_mode", "boost_mode")
+        require(unknown.isEmpty,
+          s"unsupported function_score key(s): ${unknown.mkString(", ")} " +
+            "(only the query/functions[filter+weight]/score_mode/boost_mode form; " +
+            "script_score, field_value_factor, random_score and decay functions are not implemented)")
+        // ES default when `query` is absent: match_all
+        val inner = parseQueryRoot(
+          f.getOrElse("query", JObject(List(("match_all", JObject(Nil))))), schema)
+        require(inner.shape.isEmpty, "nested score-shaping wrappers are not implemented")
+        val fns = f.get("functions") match {
+          case Some(JArray(fs)) if fs.nonEmpty => fs.map {
+            case JObject(ff) =>
+              val fm = ff.toMap
+              val unknownF = fm.keySet -- Set("filter", "weight")
+              require(unknownF.isEmpty,
+                s"unsupported function_score function key(s): ${unknownF.mkString(", ")} " +
+                  "(only the filter + weight form is implemented)")
+              val w = asDouble(fm.getOrElse("weight", throw new IllegalArgumentException(
+                "each function_score function needs a weight")), "function_score weight")
+              // ES default when `filter` is absent: the function applies
+              // to every document (match_all)
+              val filt = fm.get("filter").map(parseQueryNode(_, schema)).getOrElse(MatchAll)
+              (filt, w)
+            case other => throw new IllegalArgumentException(
+              s"bad function_score function entry: $other")
+          }
+          case _ => throw new IllegalArgumentException(
+            "function_score needs a non-empty functions array")
+        }
+        inner.copy(shape = Some(ScoreShape(fns, mode(f, "score_mode"), mode(f, "boost_mode"))))
+      case JObject(List(("boosting", JObject(fields)))) =>
+        val f = fields.toMap
+        val unknown = f.keySet -- Set("positive", "negative", "negative_boost")
+        require(unknown.isEmpty, s"unsupported boosting key(s): ${unknown.mkString(", ")}")
+        val pos = parseQueryRoot(f.getOrElse("positive",
+          throw new IllegalArgumentException("boosting needs a positive query")), schema)
+        require(pos.shape.isEmpty, "nested score-shaping wrappers are not implemented")
+        val neg = parseQueryNode(f.getOrElse("negative",
+          throw new IllegalArgumentException("boosting needs a negative query")), schema)
+        val nb = asDouble(f.getOrElse("negative_boost",
+          throw new IllegalArgumentException("boosting needs negative_boost")), "negative_boost")
+        require(nb >= 0 && nb < 1, s"negative_boost must be in [0, 1): $nb (ES's down-weight contract)")
+        // hit set = positive only (negative never filters, only down-weights)
+        pos.copy(shape = Some(ScoreShape(Seq((neg, nb)), "multiply", "multiply")))
+      case _ =>
+        val hits = scala.collection.mutable.ListBuffer.empty[(Seq[String], SearchQuery)]
+        val ast = parseNode(q, schema, hits)
+        // Top-level should clauses, re-parsed for scoring (a scratch buffer
+        // so an inner_hits inside a should is not recorded twice).
+        val shoulds = q match {
+          case JObject(List(("bool", JObject(fields)))) =>
+            val scratch = scala.collection.mutable.ListBuffer.empty[(Seq[String], SearchQuery)]
+            (fields.toMap.getOrElse("should", JNothing) match {
+              case JArray(xs) => xs
+              case JNothing => Nil
+              case single => Seq(single)
+            }).map(parseNode(_, schema, scratch))
+          case _ => Nil
+        }
+        Parsed(ast, hits.toList, shoulds.toList)
+    }
   }
 
   /** One ES `sort` entry: a field path (or `_score`) with a direction.
@@ -266,9 +360,38 @@ object SearchQuery {
     * 0 so a NULL predicate (missing/null field) contributes nothing, as in
     * ES — otherwise one NULL clause would nullify `_score` and sort the
     * document as missing instead of counting its satisfied clauses. */
-  def scoreCol(p: Parsed, doc: Column): Column =
-    if (p.shoulds.isEmpty) lit(0L)
-    else p.shoulds.map(q => coalesce(compile(q, doc).cast("long"), lit(0L))).reduce(_ + _)
+  def scoreCol(p: Parsed, doc: Column): Column = {
+    def clauseCount: Column =
+      p.shoulds.map(q => coalesce(compile(q, doc).cast("long"), lit(0L))).reduce(_ + _)
+    p.shape match {
+      case None => if (p.shoulds.isEmpty) lit(0L) else clauseCount
+      case Some(sh) =>
+        // function_score / boosting: base is the clause-count relevance,
+        // or 1 for a should-less query (every match scores 1 — the
+        // match_all convention) so weights can shape a filter-only query.
+        // Matching functions combine via score_mode; the combined value
+        // folds into the base via boost_mode; a document matching NO
+        // function keeps its base score (ES FunctionScoreQuery contract).
+        // All arithmetic is IEEE double over integer-ish inputs, so the
+        // oracle reproduces it bit-for-bit.
+        val base = if (p.shoulds.isEmpty) lit(1.0) else clauseCount.cast("double")
+        val matched = sh.functions.map { case (q, w) =>
+          (coalesce(compile(q, doc), lit(false)), w)
+        }
+        val anyMatch = matched.map(_._1).reduce(_ || _)
+        val combined = sh.scoreMode match {
+          case "multiply" =>
+            matched.map { case (m, w) => when(m, lit(w)).otherwise(lit(1.0)) }.reduce(_ * _)
+          case "sum" =>
+            matched.map { case (m, w) => when(m, lit(w)).otherwise(lit(0.0)) }.reduce(_ + _)
+        }
+        val folded = sh.boostMode match {
+          case "multiply" => base * combined
+          case "sum" => base + combined
+        }
+        when(anyMatch, folded).otherwise(base)
+    }
+  }
 
   /** Parse ONE ES query node (not a full body) — the form a `filters`
     * agg's bucket values take. inner_hits inside such nodes are dropped

@@ -2918,6 +2918,111 @@ object DocQueries {
        |       OR c_custkey % 50 >= 30 OR c_mktsegment = 'HOUSEHOLD'))
        |WHERE rn <= 10 ORDER BY rn""".stripMargin
 
+  // ---------------------------------------------------------------- d79
+  /** `reverse_nested` — the nested-context escape hatch: bucket by a
+    * SERVICE-level field (unit = array element), then step back to PLAN
+    * grain inside each bucket: `plans` counts distinct parent documents
+    * with >= 1 matching service, and the metrics aggregate each parent
+    * ONCE (a plan with three 'Service 1-URGENT' services contributes one
+    * copay, not three). Two bounded hash aggs — (key, parent) then (key)
+    * — never a corpus-side distinct. */
+  private def d79(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "size": 0,
+        |  "query": { "term": { "planType": "HOUSEHOLD" } },
+        |  "aggs": {
+        |    "services": {
+        |      "nested": { "path": "linkedPlanServices" },
+        |      "aggs": {
+        |        "by_name": {
+        |          "terms": { "field": "linkedPlanServices.linkedService.name.keyword", "size": 5 },
+        |          "aggs": {
+        |            "plans": {
+        |              "reverse_nested": {},
+        |              "aggs": {
+        |                "avg_copay": { "avg": { "field": "planCostShares.copay" } },
+        |                "max_ded": { "max": { "field": "planCostShares.deductible" } }
+        |              }
+        |            }
+        |          }
+        |        }
+        |      }
+        |    }
+        |  }
+        |}""".stripMargin
+    EsAggs.run(assembled(s, d), "doc", body, schema)
+  }
+
+  private val d79Sql =
+    s"""WITH o AS $O, e AS (
+       |  SELECT 'Service ' || o_orderpriority AS key, c_custkey,
+       |    c_custkey % 50 AS copay, c_nationkey * 100 AS ded,
+       |    COUNT(*) AS el
+       |  FROM o JOIN customer ON o_custkey = c_custkey
+       |  WHERE c_mktsegment = 'HOUSEHOLD'
+       |  GROUP BY 1, 2, 3, 4)
+       |SELECT key, CAST(SUM(el) AS BIGINT) AS doc_count,
+       |  CAST(COUNT(*) AS BIGINT) AS plans,
+       |  AVG(copay) AS avg_copay, MAX(ded) AS max_ded
+       |FROM e GROUP BY key
+       |ORDER BY doc_count DESC, key ASC LIMIT 5""".stripMargin
+
+  // ---------------------------------------------------------------- d80
+  /** `sampler` + `significant_text` — the Discover "interesting words"
+    * panel over the documents corpus: tokens over-represented in a
+    * DETERMINISTIC 120-doc sample of the English hits vs the whole
+    * corpus, JLH-scored at doc-frequency grain (each doc contributes a
+    * token once). The sampler is the engine's reproducible stand-in for
+    * ES's score-ordered shard sample: smallest-md5-hash-first over a
+    * caller-named unique field (`hash_field`, an engine extension) —
+    * see `EsAggs.SignificantText`. */
+  private def d80(s: SparkSession, d: String): DataFrame = {
+    val dd = graft.Tables(s, d, "documents")
+      .select(struct(col("doc_id"), col("text"), col("lang"), col("source"),
+        col("n_chars")).as("doc"))
+    val ddSchema = dd.schema("doc").dataType.asInstanceOf[StructType]
+    val body =
+      """{
+        |  "size": 0,
+        |  "query": { "term": { "lang": "en" } },
+        |  "aggs": {
+        |    "sample": {
+        |      "sampler": { "shard_size": 120, "hash_field": "doc_id" },
+        |      "aggs": {
+        |        "keywords": { "significant_text": { "field": "text", "size": 10 } }
+        |      }
+        |    }
+        |  }
+        |}""".stripMargin
+    EsAggs.run(dd, "doc", body, ddSchema)
+  }
+
+  private val d80Sql = {
+    val toks = graft.ext.TextAnalysis.analyzeSql("text")
+    s"""WITH samp AS (
+       |  SELECT text FROM (
+       |    SELECT text, doc_id,
+       |      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+       |    FROM documents WHERE lang = 'en')
+       |  ORDER BY h, doc_id LIMIT 120),
+       |fg AS (
+       |  SELECT tok AS key, CAST(COUNT(*) AS BIGINT) AS doc_count FROM (
+       |    SELECT unnest(list_distinct($toks)) AS tok FROM samp)
+       |  GROUP BY 1),
+       |bg AS (
+       |  SELECT tok AS key, CAST(COUNT(*) AS BIGINT) AS bg_count FROM (
+       |    SELECT unnest(list_distinct($toks)) AS tok FROM documents)
+       |  GROUP BY 1),
+       |tot AS (SELECT (SELECT COUNT(*) FROM samp) AS ft,
+       |               (SELECT COUNT(*) FROM documents) AS bt)
+       |SELECT key, doc_count, bg_count,
+       |  (CAST(doc_count AS DOUBLE) / ft - CAST(bg_count AS DOUBLE) / bt)
+       |    * ((CAST(doc_count AS DOUBLE) / ft) / (CAST(bg_count AS DOUBLE) / bt)) AS score
+       |FROM fg JOIN bg USING (key), tot
+       |ORDER BY score DESC, key ASC LIMIT 10""".stripMargin
+  }
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -2984,6 +3089,8 @@ object DocQueries {
     "d76_es_function_score" -> d76 _,
     "d77_es_auto_datehist" -> d77 _,
     "d78_es_stats_bucket" -> d78 _,
+    "d79_es_reverse_nested" -> d79 _,
+    "d80_es_significant_text" -> d80 _,
     "d81_es_boosting" -> d81 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
@@ -3065,6 +3172,8 @@ object DocQueries {
     "d76_es_function_score" -> d76Sql,
     "d77_es_auto_datehist" -> d77Sql,
     "d78_es_stats_bucket" -> d78Sql,
+    "d79_es_reverse_nested" -> d79Sql,
+    "d80_es_significant_text" -> d80Sql,
     "d81_es_boosting" -> d81Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,

@@ -216,11 +216,40 @@ object EsAggs {
     * carries no metrics of its own (parse rejects mixing). Pipelines and
     * `top_hits` attach only to a single-level keyed bucket (validated at
     * parse); a level with `top_hits` carries nothing else. */
+  /** ES `reverse_nested` (empty-path form) — inside a `nested` context,
+    * step back to PARENT-document grain: its doc_count is the number of
+    * distinct parent docs with >= 1 element in the bucket, and its metric
+    * sub-aggs aggregate each such parent ONCE (fields resolve against the
+    * document root, outside the nested context). Compiled as a two-phase
+    * aggregation: one corpus-sized hash agg at (bucket key, parent id)
+    * grain — parent fields ride as first() (constant per parent) — then a
+    * bucket-key-grain agg derives the element doc_count (sum), the parent
+    * doc_count (count) and the parent metrics from the DEDUPED frame, so
+    * any metric kind (incl. exact percentiles) works at parent grain. */
+  final case class ReverseNested(name: String, metrics: Seq[(String, Metric)])
+
+  /** ES `significant_text` under a `sampler` — Discover's "interesting
+    * words" panel: analyzed tokens over-represented in (a sample of) the
+    * query's hit set vs the whole corpus, JLH-scored like
+    * [[SignificantTerms]] but at TOKEN grain with per-document term
+    * DEDUP (doc frequency, not term frequency).
+    *
+    * The sampler is this engine's deterministic stand-in for ES's
+    * score-ordered shard sample (which tie-breaks on internal Lucene doc
+    * ids — not reproducible relationally): the `shard_size` hits with the
+    * smallest 64-bit hash (first 8 md5 hex digits) of a caller-named
+    * unique `hash_field` — an engine-extension key, required, making the
+    * sample a rerunnable uniform draw. significant_text WITHOUT a sampler
+    * parent is rejected loudly (unbounded foreground analysis). */
+  final case class SignificantText(path: Seq[String], topN: Int,
+                                   sampleN: Int, hashField: Seq[String]) extends Agg
+
   final case class Buckets(bucket: Agg, metrics: Seq[(String, Metric)],
                            sub: Option[Buckets],
                            pipelines: Seq[Pipeline] = Nil,
                            topHits: Option[TopHits] = None,
-                           siblings: Seq[Sibling] = Nil)
+                           siblings: Seq[Sibling] = Nil,
+                           reverse: Option[ReverseNested] = None)
 
   final case class Request(query: SearchQuery,
                            nestedPath: Option[Seq[String]],
@@ -242,7 +271,8 @@ object EsAggs {
   private val bucketKinds =
     Set("terms", "histogram", "date_histogram", "auto_date_histogram",
       "filters", "range", "missing", "composite", "significant_terms",
-      "global", "adjacency_matrix", "rare_terms", "date_range", "multi_terms")
+      "significant_text", "global", "adjacency_matrix", "rare_terms",
+      "date_range", "multi_terms")
 
   private val pipelineKinds =
     Set("cumulative_sum", "derivative", "bucket_selector", "bucket_sort",
@@ -683,6 +713,10 @@ object EsAggs {
             checkSpecKeys(spec, "significant_terms", Set("field", "size"))
             SignificantTerms(fieldPath(spec, "significant_terms", ctx),
               num(spec, "size", "significant_terms").map(_.toInt).getOrElse(10))
+          }).orElse(bf.get("significant_text").map[Agg] { _ =>
+            throw new IllegalArgumentException(
+              "significant_text without a sampler parent is not implemented " +
+                "(unbounded foreground analysis — wrap it in a sampler)")
           }).get
           // Split the sub-agg entries: pipeline aggs and top_hits attach
           // to THIS level; the rest are metrics or one sub-bucket level.
@@ -695,8 +729,14 @@ object EsAggs {
             case (_, JObject(List((k, _)))) => pipelineKinds(k)
             case _ => false
           }
-          val (thEntries, metricOrSub) = rest.partition {
+          val (thEntries, rest2) = rest.partition {
             case (_, JObject(List((k, _)))) => k == "top_hits"
+            case _ => false
+          }
+          // a reverse_nested entry carries TWO keys (reverse_nested +
+          // aggs), so it is recognized by key presence, not single-key
+          val (rnEntries, metricOrSub) = rest2.partition {
+            case (_, JObject(fields)) => fields.exists(_._1 == "reverse_nested")
             case _ => false
           }
           def parsePipeline(e: (String, JValue)): Pipeline = e match {
@@ -819,16 +859,51 @@ object EsAggs {
               Some(TopHits(num(spec, "size", "top_hits").map(_.toInt).getOrElse(3), sorts, source))
             case _ => throw new IllegalArgumentException("at most one top_hits per level")
           }
+          val reverse: Option[ReverseNested] = rnEntries match {
+            case Nil => None
+            case List((name, JObject(fields))) =>
+              require(ctx.nonEmpty,
+                "reverse_nested outside a nested context (it steps BACK to the parent grain)")
+              val f = fields.toMap
+              val extraneous = f.keySet -- Set("reverse_nested", "aggs", "aggregations")
+              require(extraneous.isEmpty,
+                s"unsupported reverse_nested entry key(s): ${extraneous.mkString(", ")}")
+              f("reverse_nested") match {
+                case JObject(Nil) => ()
+                case other => throw new IllegalArgumentException(
+                  s"reverse_nested takes an empty object (partial un-nesting via a path is not implemented): $other")
+              }
+              val inner = f.get("aggs").orElse(f.get("aggregations")).map(namedOf).getOrElse(Nil)
+              // parent grain: metric fields resolve against the DOCUMENT ROOT
+              Some(ReverseNested(name, parseMetrics(inner, None)))
+            case _ => throw new IllegalArgumentException("at most one reverse_nested per level")
+          }
           val tree = parseTree(metricOrSub, ctx) match {
-            case Left(ms) => Buckets(bucket, ms, None, pipelines, topHits)
+            case Left(ms) =>
+              reverse.foreach { rn =>
+                require(bucket.isInstanceOf[Terms],
+                  "reverse_nested under this bucket agg kind is not implemented (terms only)")
+                require(ms.isEmpty,
+                  "element-grain metric aggs beside a reverse_nested at the same level are not implemented")
+                require(pipelines.isEmpty && topHits.isEmpty,
+                  "pipeline aggs / top_hits beside a reverse_nested are not implemented")
+                val outs = rn.name +: rn.metrics.flatMap { case (n0, mm) => metricNames(n0, mm) }
+                require(outs.distinct.size == outs.size, "duplicate reverse_nested output names")
+                outs.foreach(n0 => require(n0 != "key" && n0 != "doc_count",
+                  s"reverse_nested output \"$n0\" collides with a bucket output column"))
+              }
+              Buckets(bucket, ms, None, pipelines, topHits, reverse = reverse)
             case Right(inner) =>
+              require(reverse.isEmpty,
+                "reverse_nested on a multi-level split level is not implemented")
               // this check runs at EVERY recursion level, so the binding
               // constraint is the outermost call's: at most THREE bucket
               // levels total (the Kibana data-table "split rows ×2" body)
               require(inner.sub.forall(_.sub.isEmpty),
                 "aggs nesting deeper than three bucket levels is not implemented")
-              require(inner.pipelines.isEmpty && inner.topHits.isEmpty && inner.siblings.isEmpty,
-                "pipeline aggs / top_hits / sibling *_bucket aggs on an inner level of a multi-level split are not implemented")
+              require(inner.pipelines.isEmpty && inner.topHits.isEmpty && inner.siblings.isEmpty
+                  && inner.reverse.isEmpty,
+                "pipeline aggs / top_hits / sibling *_bucket / reverse_nested aggs on an inner level of a multi-level split are not implemented")
               Buckets(bucket, Nil, Some(inner), pipelines, topHits)
           }
           // Validate terms order targets against what the level can sort
@@ -1025,8 +1100,8 @@ object EsAggs {
           sibOut.foreach(n0 => require(!innerOut(n0),
             s"sibling agg output column \"$n0\" collides with a bucket output column"))
           require(sibOut.distinct.size == sibOut.size, "duplicate sibling agg output names")
-          require(inner.sub.isEmpty && inner.topHits.isEmpty,
-            "siblings beside a two-level or top_hits bucket agg are not implemented")
+          require(inner.sub.isEmpty && inner.topHits.isEmpty && inner.reverse.isEmpty,
+            "siblings beside a two-level, top_hits or reverse_nested bucket agg are not implemented")
           inner.bucket match {
             case _: Terms | _: Histogram | _: DateHistogram | _: RareTerms => ()
             case other => throw new IllegalArgumentException(
@@ -1044,6 +1119,40 @@ object EsAggs {
       }
 
     namedOf(aggsJ) match {
+      // sampler wrapper: a deterministic hash sample of the hit set,
+      // feeding exactly one significant_text (see [[SignificantText]])
+      case List((_, JObject(samplerFields))) if samplerFields.exists(_._1 == "sampler") =>
+        val f = samplerFields.toMap
+        val extraneous = f.keySet -- Set("sampler", "aggs", "aggregations")
+        require(extraneous.isEmpty,
+          s"unsupported sampler entry key(s): ${extraneous.mkString(", ")}")
+        val sm = checkSpecKeys(f("sampler"), "sampler", Set("shard_size", "hash_field"))
+        val n = num(f("sampler"), "shard_size", "sampler").map(_.toInt).getOrElse(100)
+        require(n >= 1, s"sampler shard_size must be >= 1: $n")
+        val hashF = sm.get("hash_field") match {
+          case Some(JString(hf)) =>
+            val p = hf.split('.').toSeq
+            val (arr, _) = SearchQuery.splitArrayPath(p, schema)
+            require(arr.isEmpty, s"sampler hash_field $hf crosses array ${arr.mkString(".")}")
+            p
+          case _ => throw new IllegalArgumentException(
+            "sampler needs hash_field (engine extension): ES's score-ordered, " +
+              "internal-doc-id-tie-broken sample is not reproducible relationally; this " +
+              "engine takes the shard_size hits with the smallest 64-bit hash of a " +
+              "caller-named unique field — a deterministic, rerunnable uniform draw")
+        }
+        val innerAggs = f.get("aggs").orElse(f.get("aggregations")).map(namedOf).getOrElse(
+          throw new IllegalArgumentException("sampler needs sub-aggs"))
+        innerAggs match {
+          case List((_, JObject(List(("significant_text", spec))))) =>
+            checkSpecKeys(spec, "significant_text", Set("field", "size"))
+            val p = fieldPath(spec, "significant_text", None)
+            val topN = num(spec, "size", "significant_text").map(_.toInt).getOrElse(10)
+            Request(query, None, Right(Buckets(SignificantText(p, topN, n, hashF), Nil, None)))
+          case other => throw new IllegalArgumentException(
+            s"only a single significant_text under sampler is implemented, got: " +
+              other.map(_._1).mkString(", "))
+        }
       // a nested context agg wrapping the real aggregation
       case List((_, JObject(nestedFields))) if nestedFields.exists(_._1 == "nested") =>
         val nf = nestedFields.toMap
@@ -1076,9 +1185,30 @@ object EsAggs {
     def field(root: Column, p: Seq[String]): Column =
       p.foldLeft(root)((c, n) => c.getField(n))
     val filtered = docs.filter(SearchQuery.compile(req0.query, doc))
+    /** Distinct document-root paths a reverse_nested's parent metrics
+      * read (weighted_avg reads two). */
+    def parentPaths(rn: ReverseNested): Seq[Seq[String]] =
+      rn.metrics.flatMap { case (_, m) =>
+        m.path +: (if (m.kind == "weighted_avg") Seq(m.weightPath) else Nil)
+      }.distinct
     // nested context: the unit of aggregation becomes the array element
     val (rows, ctx) = req0.nestedPath match {
-      case Some(np) => (filtered.select(explode(field(doc, np)).as("el")), col("el"))
+      case Some(np) =>
+        req0.tree.toOption.flatMap(_.reverse) match {
+          case Some(rn) =>
+            // reverse_nested: parent identity and the parent metric fields
+            // ride beside each exploded element — a narrow projection,
+            // never the whole parent struct. The id MUST be materialized
+            // in its own projection BELOW the generate: a select mixing
+            // monotonically_increasing_id() with explode() puts the
+            // Project ABOVE the Generate, assigning one id per ELEMENT.
+            val pf = parentPaths(rn).zipWithIndex
+              .map { case (p, i) => field(doc, p).as(s"_pf$i") }
+            val withId = filtered.withColumn("_pid", monotonically_increasing_id())
+            (withId.select(col("_pid") +: pf :+
+              explode(field(doc, np)).as("el"): _*), col("el"))
+          case None => (filtered.select(explode(field(doc, np)).as("el")), col("el"))
+        }
       case None => (filtered, doc)
     }
     /** auto_date_histogram resolution: ES's own two-phase shape — ONE
@@ -1087,7 +1217,7 @@ object EsAggs {
       * the calendar ladder smallest-first, substitute the winning unit as
       * a zero-filled date_histogram. */
     val (req, autoUnit): (Request, Option[String]) = req0.tree match {
-      case Right(b0 @ Buckets(AutoDateHistogram(p, target), _, None, _, None, _)) =>
+      case Right(b0 @ Buckets(AutoDateHistogram(p, target), _, None, _, None, _, _)) =>
         val v = field(ctx, p)
         val mm = rows.filter(v.isNotNull).agg(min(v), max(v)).head()
         if (mm.isNullAt(0)) // empty hit set: any unit yields zero buckets
@@ -1133,10 +1263,11 @@ object EsAggs {
       * (the filters/range one-pass shape: `avg(when(pred, v))` — aggregate
       * functions ignore NULLs, so the when() IS the bucket membership).
       * `stats`/`percentiles` fan out to several columns (metricNames). */
-    def metricCols(name: String, m: Metric, pred: Option[Column] = None): Seq[Column] = {
+    def metricCols(name: String, m: Metric, pred: Option[Column] = None,
+                   resolve: Seq[String] => Column = p => field(ctx, p)): Seq[Column] = {
       val v = pred match {
-        case Some(p) => when(p, field(ctx, m.path))
-        case None => field(ctx, m.path)
+        case Some(p) => when(p, resolve(m.path))
+        case None => resolve(m.path)
       }
       m.kind match {
         case "weighted_avg" =>
@@ -1146,8 +1277,8 @@ object EsAggs {
           // integer fields both sums are exact, so the one double
           // division is IEEE-identical in any engine.
           val wRaw = pred match {
-            case Some(p) => when(p, field(ctx, m.weightPath))
-            case None => field(ctx, m.weightPath)
+            case Some(p) => when(p, resolve(m.weightPath))
+            case None => resolve(m.weightPath)
           }
           val w0 = when(v.isNotNull, coalesce(wRaw, lit(1L)))
           Seq((sum(v * w0) / sum(w0)).as(name))
@@ -1250,16 +1381,16 @@ object EsAggs {
         require(ms.nonEmpty, "aggs body has no aggregations")
         rows.agg(count(lit(1)).as("doc_count"),
           ms.flatMap { case (n, m) => metricCols(n, m) }: _*)
-      case Right(Buckets(FiltersAgg(bs), ms, None, Nil, None, Nil)) =>
+      case Right(Buckets(FiltersAgg(bs), ms, None, Nil, None, Nil, None)) =>
         condBuckets(bs.map { case (n, q) => n -> SearchQuery.compile(q, ctx) }, ms)
-      case Right(Buckets(RangeAgg(p, rs), ms, None, Nil, None, Nil)) =>
+      case Right(Buckets(RangeAgg(p, rs), ms, None, Nil, None, Nil, None)) =>
         val v = field(ctx, p)
         condBuckets(rs.map { case (lo, hi) =>
           val key = s"${lo.map(_.toString).getOrElse("*")}-${hi.map(_.toString).getOrElse("*")}"
           val pred = (lo.map(v >= _).toSeq ++ hi.map(v < _).toSeq).reduce(_ && _)
           key -> pred
         }, ms)
-      case Right(Buckets(AdjacencyMatrix(bs), ms, None, Nil, None, Nil)) =>
+      case Right(Buckets(AdjacencyMatrix(bs), ms, None, Nil, None, Nil, None)) =>
         // singles in body order, then pairwise intersections a&b (i<j in
         // body order); ES drops empty INTERSECTION buckets — and empty
         // singles too in its response; we keep ES's exact contract:
@@ -1269,7 +1400,7 @@ object EsAggs {
           i <- compiled.indices; j <- compiled.indices if i < j
         } yield (s"${compiled(i)._1}&${compiled(j)._1}", compiled(i)._2 && compiled(j)._2)
         condBuckets(compiled ++ pairs, ms).filter(col("doc_count") > 0)
-      case Right(Buckets(DateRangeAgg(p, rs), ms, None, Nil, None, Nil)) =>
+      case Right(Buckets(DateRangeAgg(p, rs), ms, None, Nil, None, Nil, None)) =>
         val v = field(ctx, p)
         condBuckets(rs.map { case (lo, hi) =>
           val key = s"${lo.getOrElse("*")}-${hi.getOrElse("*")}"
@@ -1277,12 +1408,12 @@ object EsAggs {
             hi.map(x => v < to_date(lit(x))).toSeq).reduce(_ && _)
           key -> pred
         }, ms)
-      case Right(Buckets(MissingAgg(p, isArr), ms, None, Nil, None, Nil)) =>
+      case Right(Buckets(MissingAgg(p, isArr), ms, None, Nil, None, Nil, None)) =>
         // the one bucket of value-less documents; for an array field ES's
         // "no indexed value" includes the empty array (same as `exists`)
         val c0 = field(ctx, p)
         condBuckets(Seq("missing" -> (if (isArr) c0.isNull || size(c0) === 0 else c0.isNull)), ms)
-      case Right(Buckets(c: CompositeAgg, ms, None, Nil, None, Nil)) =>
+      case Right(Buckets(c: CompositeAgg, ms, None, Nil, None, Nil, None)) =>
         // one hash aggregation on the composite key; `after` is a
         // lexicographic key-tuple filter over the bucket table and the
         // page is a bounded TakeOrderedAndProject — the agg that can walk
@@ -1315,7 +1446,43 @@ object EsAggs {
         }
         g.orderBy(c.sources.map(s => if (s.asc) col(s.name).asc else col(s.name).desc): _*)
           .limit(c.size)
-      case Right(Buckets(SignificantTerms(p, topN), _, None, _, _, _)) =>
+      case Right(Buckets(SignificantText(p, topN, sampleN, hashF), Nil, None, Nil, None, Nil,
+                         None)) =>
+        // sampler + significant_text — Discover's "interesting words":
+        // foreground = the deterministic hash sample of the hit set (a
+        // bounded TakeOrderedAndProject over the 64-bit md5-prefix hash,
+        // tie-broken on the hash_field value itself), background = the
+        // WHOLE corpus. Each document contributes each analyzed token
+        // ONCE (doc frequency); JLH denominators are the SAMPLE size and
+        // the CORPUS doc count (two 1-row broadcast frames — the d61
+        // contract at token grain). Corpus-sized work is ONE explode +
+        // hash agg for the background vocabulary; the foreground side is
+        // bounded by shard_size, so it broadcasts into the vocab join.
+        val txt = field(doc, p)
+        val hf = field(doc, hashF).cast("string")
+        val h = conv(substring(md5(hf), 1, 8), 16, 10).cast("long")
+        val sampled = filtered
+          .select(h.as("_h"), hf.as("_hf"), txt.as("_txt"))
+          .orderBy(col("_h").asc, col("_hf").asc).limit(sampleN)
+          .persist()
+        val fgTok = sampled
+          .select(explode(array_distinct(graft.ext.TextAnalysis.analyze(col("_txt")))).as("key"))
+          .groupBy(col("key")).agg(count(lit(1)).cast("long").as("doc_count"))
+        val bgTok = docs
+          .select(explode(array_distinct(graft.ext.TextAnalysis.analyze(txt))).as("key"))
+          .groupBy(col("key")).agg(count(lit(1)).cast("long").as("bg_count"))
+        val totals = sampled.agg(count(lit(1)).cast("long").as("_ft"))
+          .crossJoin(docs.agg(count(lit(1)).cast("long").as("_bt")))
+        val fgPct = col("doc_count").cast("double") / col("_ft")
+        val bgPct = col("bg_count").cast("double") / col("_bt")
+        val scored = bgTok.join(broadcast(fgTok), Seq("key"))
+          .crossJoin(broadcast(totals))
+          .withColumn("score", (fgPct - bgPct) * (fgPct / bgPct))
+          .select(col("key"), col("doc_count"), col("bg_count"), col("score"))
+          .orderBy(col("score").desc, col("key").asc)
+          .limit(topN)
+        graft.Eager.finish(scored, sampled)
+      case Right(Buckets(SignificantTerms(p, topN), _, None, _, _, _, _)) =>
         // foreground = the query's hit set; background = the WHOLE corpus,
         // so the aggregation runs UNFILTERED with a conditional foreground
         // count — one corpus shuffle. ES's JLH denominators are the
@@ -1338,7 +1505,7 @@ object EsAggs {
           .drop("_fg_total", "_bg_total")
           .orderBy(col("score").desc, col("key").asc)
           .limit(topN)
-      case Right(Buckets(MultiTerms(ps, size0), ms, None, Nil, None, Nil)) =>
+      case Right(Buckets(MultiTerms(ps, size0), ms, None, Nil, None, Nil, None)) =>
         // composite-key terms: grouped by the COMPONENT columns (a '|'
         // inside a value can NOT merge two distinct key tuples into one
         // bucket), ordered doc_count desc then component-wise key asc —
@@ -1356,7 +1523,7 @@ object EsAggs {
           .limit(size0)
           .select(concat_ws("|", compNames.map(col(_).cast("string")): _*).as("key") +:
             col("doc_count") +: outNames.map(col): _*)
-      case Right(Buckets(bk, Nil, None, Nil, Some(th), Nil)) =>
+      case Right(Buckets(bk, Nil, None, Nil, Some(th), Nil, None)) =>
         // top_hits: bucket selection happens on the AGGREGATED bucket
         // table (terms top-N → N rows, broadcast back to the corpus),
         // then ONE window partitioned by key ranks hits inside each
@@ -1384,12 +1551,37 @@ object EsAggs {
           .filter(col("rank") <= th.size)
           .select(col("key") +: col("doc_count") +: col("rank") +: srcNames.map(col): _*)
           .orderBy(bucketOrder :+ col("rank").asc: _*)
-      case Right(Buckets(GlobalAgg, ms, None, Nil, None, Nil)) =>
+      case Right(Buckets(GlobalAgg, ms, None, Nil, None, Nil, None)) =>
         // escapes the query context: aggregates the UNFILTERED corpus
         // even when the body carries a query (ES "percent of total")
         docs.agg(count(lit(1)).as("doc_count"),
           ms.flatMap { case (n, m) => metricCols(n, m) }: _*)
-      case Right(Buckets(b, ms, None, pipes, None, sibs)) =>
+      case Right(Buckets(t @ Terms(_, size0, order0, minDoc0), Nil, None, Nil, None, Nil,
+                         Some(rn))) =>
+        // reverse_nested under terms: phase 1 is ONE corpus-sized hash agg
+        // at (bucket key, parent id) grain — parent fields are constant
+        // per group, so first() is deterministic; phase 2 re-aggregates
+        // the |keys × parents|-bounded frame per key: element doc_count =
+        // sum of per-parent element counts, the reverse_nested doc_count
+        // = row count (distinct parents with >= 1 element in the bucket),
+        // and every parent metric runs over the DEDUPED rows (each parent
+        // counted once — the ES contract), so any metric kind works.
+        val pp = parentPaths(rn)
+        val resolve: Seq[String] => Column = p => col(s"_pf${pp.indexOf(p)}")
+        val perParent = rows.filter(keyCol(t).isNotNull)
+          .groupBy(keyCol(t).as("key"), col("_pid"))
+          .agg(count(lit(1)).as("_el"),
+            pp.indices.map(i => first(col(s"_pf$i")).as(s"_pf$i")): _*)
+        val g = perParent.groupBy(col("key"))
+          .agg(sum(col("_el")).cast("long").as("doc_count"),
+            count(lit(1)).cast("long").as(rn.name) +:
+              rn.metrics.flatMap { case (n, m) => metricCols(n, m, None, resolve) }: _*)
+        val pruned = if (minDoc0 > 1L) g.filter(col("doc_count") >= minDoc0) else g
+        pruned.orderBy(termsOrder(order0, col("doc_count"), col("key")): _*)
+          .select(col("key") +: col("doc_count") +: col(rn.name) +:
+            rn.metrics.flatMap { case (n, m) => metricNames(n, m) }.map(col): _*)
+          .limit(size0)
+      case Right(Buckets(b, ms, None, pipes, None, sibs, None)) =>
         // ES rule: a document with NO value for the bucket key lands in
         // no bucket at all (the `missing` agg is the explicit catcher)
         val grouped = rows.filter(keyCol(b).isNotNull).groupBy(keyCol(b).as("key"))
@@ -1552,7 +1744,7 @@ object EsAggs {
           }
         }
         table.orderBy(finalOrder: _*)
-      case Right(b0 @ Buckets(_, _, Some(_), Nil, None, Nil)) =>
+      case Right(b0 @ Buckets(_, _, Some(_), Nil, None, Nil, None)) =>
         // Multi-level split (Kibana "split series" / "split rows ×2", 2-3
         // levels): ONE hash aggregation on the full composite key —
         // corpus-sized work ends there — then per-level counts, pruning

@@ -346,6 +346,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(ids("Scan parquet").size === 1, s"expected a single corpus scan:\n$p")
   }
 
+  test("d79: reverse_nested is two bounded hash aggs, one corpus scan, bounded-heap page") {
+    // phase 1 groups the exploded elements by (bucket key, parent id);
+    // phase 2 re-aggregates that bounded frame by key — exactly two
+    // corpus-scale hash shuffles, no corpus-side distinct, no join, and
+    // the terms page is a bounded heap
+    val p = plan(q("d79_es_reverse_nested"))
+    assert(p.contains("partial_count"), "reverse_nested lost map-side partial aggregation")
+    assert(!p.contains("Join"), s"reverse_nested must not join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"terms page must be a bounded heap:\n$p")
+    val hashExchanges = corpusHashExchanges(p)
+    assert(hashExchanges === 2,
+      s"expected the (key,parent) + (key) aggregation pair, got $hashExchanges:\n$p")
+    def ids(label: String): Seq[Int] =
+      ("\\((\\d+)\\) " + label).r.findAllMatchIn(p).map(_.group(1).toInt).toSeq
+    assert(ids("Scan parquet").size === 1, s"expected a single corpus scan:\n$p")
+  }
+
   test("d50: query_string leaves push into the parquet scan") {
     // the grammar compiles to the same AST leaves as the JSON DSL, so the
     // prefix clause must reach PushedFilters like any hand-written filter

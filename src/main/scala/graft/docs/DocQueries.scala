@@ -3023,6 +3023,160 @@ object DocQueries {
        |ORDER BY score DESC, key ASC LIMIT 10""".stripMargin
   }
 
+  // ---------------------------------------------------------------- d82
+  /** `function_score` with `field_value_factor` — numeric-field-driven
+    * relevance (boost cheap plans, popular docs, fresh content):
+    * `sqrt(2 * copay)` (sqrt is IEEE-correctly-rounded, so the oracle is
+    * bit-identical) summed with a conditional 1.5 weight, folded onto the
+    * clause-count base by `boost_mode: sum`. Still a pure per-row
+    * expression — the page is one TakeOrderedAndProject. */
+  private def d82(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "query": {
+        |    "function_score": {
+        |      "query": { "bool": {
+        |        "filter": [ { "range": { "planCostShares.copay": { "gte": 5 } } } ],
+        |        "should": [ { "term": { "planType": "AUTOMOBILE" } } ] } },
+        |      "functions": [
+        |        { "field_value_factor": { "field": "planCostShares.copay",
+        |            "factor": 2, "modifier": "sqrt", "missing": 0 } },
+        |        { "filter": { "term": { "planType": "MACHINERY" } }, "weight": 1.5 }
+        |      ],
+        |      "score_mode": "sum",
+        |      "boost_mode": "sum"
+        |    }
+        |  },
+        |  "sort": [ { "_score": { "order": "desc" } }, { "objectId": { "order": "asc" } } ],
+        |  "size": 15,
+        |  "_source": ["objectId", "planType", "planCostShares.copay"]
+        |}""".stripMargin
+    SearchExec.search(assembled(s, d), "doc", body, schema)
+  }
+
+  private val d82Sql =
+    s"""SELECT rn, score, "objectId", "planType", "planCostShares_copay" FROM (
+       |  SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, "objectId" ASC) AS rn FROM (
+       |    SELECT 'plan-' || ${ck("c_custkey")} AS "objectId", c_mktsegment AS "planType",
+       |      c_custkey % 50 AS "planCostShares_copay",
+       |      CAST(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END AS DOUBLE)
+       |        + (sqrt(2.0 * (c_custkey % 50))
+       |           + CASE WHEN c_mktsegment = 'MACHINERY' THEN 1.5 ELSE 0.0 END) AS score
+       |    FROM customer WHERE c_custkey % 50 >= 5))
+       |WHERE rn <= 15 ORDER BY rn""".stripMargin
+
+  // ---------------------------------------------------------------- d83
+  /** `filter` (singular) bucket agg — the Kibana "filter ratio" building
+    * block: one named sub-scope of the query context carrying its own
+    * metrics. Compiles to the single-bucket conditional-aggregation
+    * shape: NO shuffle at all, one partial+final global agg. */
+  private def d83(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "size": 0,
+        |  "query": { "range": { "planCostShares.copay": { "gte": 10 } } },
+        |  "aggs": {
+        |    "building": {
+        |      "filter": { "term": { "planType": "BUILDING" } },
+        |      "aggs": {
+        |        "avg_copay": { "avg": { "field": "planCostShares.copay" } },
+        |        "n_orgs": { "cardinality": { "field": "_org" } }
+        |      }
+        |    }
+        |  }
+        |}""".stripMargin
+    EsAggs.run(assembled(s, d), "doc", body, schema)
+  }
+
+  private val d83Sql =
+    """SELECT 'building' AS key,
+      |  CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS doc_count,
+      |  AVG(CASE WHEN c_mktsegment = 'BUILDING' THEN c_custkey % 50 END) AS avg_copay,
+      |  CAST(COUNT(DISTINCT CASE WHEN c_mktsegment = 'BUILDING'
+      |    THEN 'org-' || CAST(c_nationkey AS VARCHAR) || '.example.com' END) AS BIGINT) AS n_orgs
+      |FROM customer WHERE c_custkey % 50 >= 10""".stripMargin
+
+  // ---------------------------------------------------------------- d84
+  /** `composite` `missing_bucket: true` — the bulk-export body over data
+    * with gaps: documents missing the first source's value land in a
+    * NULL-keyed bucket ordered FIRST (asc), instead of silently vanishing
+    * from the export. The fixture nulls `_org` on every custkey%7 doc, so
+    * the first page is the null-org buckets followed by the earliest real
+    * orgs — pinning both the null grouping and the null-first order. */
+  private def d84(s: SparkSession, d: String): DataFrame = {
+    val base = assembled(s, d).select(struct(
+      col("doc.planCostShares").as("planCostShares"),
+      col("doc.linkedPlanServices").as("linkedPlanServices"),
+      when(col("doc.objectId").substr(lit(6), lit(99)).cast("long") % 7 === 0,
+        lit(null).cast("string")).otherwise(col("doc._org")).as("_org"),
+      col("doc.objectId").as("objectId"),
+      col("doc.objectType").as("objectType"),
+      col("doc.planType").as("planType"),
+      col("doc.creationDate").as("creationDate")).as("doc"))
+    val body =
+      """{
+        |  "size": 0,
+        |  "aggs": {
+        |    "export": {
+        |      "composite": {
+        |        "size": 8,
+        |        "sources": [
+        |          { "org": { "terms": { "field": "_org", "missing_bucket": true } } },
+        |          { "ptype": { "terms": { "field": "planType" } } }
+        |        ]
+        |      },
+        |      "aggs": {
+        |        "max_copay": { "max": { "field": "planCostShares.copay" } }
+        |      }
+        |    }
+        |  }
+        |}""".stripMargin
+    EsAggs.run(base, "doc", body, schema)
+  }
+
+  private val d84Sql =
+    """WITH b AS (
+      |  SELECT CASE WHEN c_custkey % 7 = 0 THEN NULL
+      |              ELSE 'org-' || CAST(c_nationkey AS VARCHAR) || '.example.com' END AS org,
+      |    c_mktsegment AS ptype, c_custkey % 50 AS copay
+      |  FROM customer)
+      |SELECT org, ptype, CAST(COUNT(*) AS BIGINT) AS doc_count, MAX(copay) AS max_copay
+      |FROM b GROUP BY 1, 2
+      |ORDER BY org ASC NULLS FIRST, ptype ASC LIMIT 8""".stripMargin
+
+  // ---------------------------------------------------------------- d85
+  /** terms `include`/`exclude` — Kibana's bucket-key filtering (focus a
+    * panel on a subset of orgs without changing the query): a fully-
+    * anchored include regex minus an exclude regex, applied to the
+    * |terms|-row bucket table BEFORE pruning and top-N — zero extra
+    * corpus work. */
+  private def d85(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "size": 0,
+        |  "aggs": {
+        |    "orgs": {
+        |      "terms": { "field": "_org", "size": 6,
+        |        "include": "org-1.*",
+        |        "exclude": ".*[37]\\.example\\.com" },
+        |      "aggs": { "sum_copay": { "sum": { "field": "planCostShares.copay" } } }
+        |    }
+        |  }
+        |}""".stripMargin
+    EsAggs.run(assembled(s, d), "doc", body, schema)
+  }
+
+  private val d85Sql =
+    """WITH b AS (
+      |  SELECT 'org-' || CAST(c_nationkey AS VARCHAR) || '.example.com' AS key,
+      |    c_custkey % 50 AS copay FROM customer)
+      |SELECT key, CAST(COUNT(*) AS BIGINT) AS doc_count,
+      |  CAST(CAST(SUM(copay) AS BIGINT) AS DOUBLE) AS sum_copay
+      |FROM b
+      |WHERE regexp_matches(key, '^(?:org-1.*)$')
+      |  AND NOT regexp_matches(key, '^(?:.*[37]\.example\.com)$')
+      |GROUP BY 1 ORDER BY doc_count DESC, key ASC LIMIT 6""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -3092,6 +3246,10 @@ object DocQueries {
     "d79_es_reverse_nested" -> d79 _,
     "d80_es_significant_text" -> d80 _,
     "d81_es_boosting" -> d81 _,
+    "d82_es_field_value_factor" -> d82 _,
+    "d83_es_filter_agg" -> d83 _,
+    "d84_es_composite_missing" -> d84 _,
+    "d85_es_terms_include" -> d85 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
     "d3_roundtrip" -> d3 _,
@@ -3175,6 +3333,10 @@ object DocQueries {
     "d79_es_reverse_nested" -> d79Sql,
     "d80_es_significant_text" -> d80Sql,
     "d81_es_boosting" -> d81Sql,
+    "d82_es_field_value_factor" -> d82Sql,
+    "d83_es_filter_agg" -> d83Sql,
+    "d84_es_composite_missing" -> d84Sql,
+    "d85_es_terms_include" -> d85Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,
     "d3_roundtrip" -> d3Sql,

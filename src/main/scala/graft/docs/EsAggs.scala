@@ -69,7 +69,9 @@ object EsAggs {
     * threshold BEFORE the top-N. */
   final case class Terms(path: Seq[String], size: Int,
                          order: Option[(String, Boolean)] = None,
-                         minDocCount: Long = 1L) extends Agg
+                         minDocCount: Long = 1L,
+                         include: Option[Either[String, Seq[String]]] = None,
+                         exclude: Option[Either[String, Seq[String]]] = None) extends Agg
   /** ES `histogram` bucket agg: `floor(v / interval) * interval` bins.
     * `minDocCount = 0` ZERO-FILLS the empty bins between the observed
     * min and max keys (the Kibana gap-filling contract — a derivative
@@ -141,9 +143,13 @@ object EsAggs {
     * after-cursor value for a date source is an ISO `yyyy-MM-dd` string,
     * which has no sub-day form). The standard ES bulk-export body is a
     * date_histogram first source walked page by page with `after`. */
+  /** `missingBucket`: ES `missing_bucket: true` — documents with a null
+    * value for this source land in a NULL-keyed bucket, ordered first on
+    * asc / last on desc (exactly Spark's default null ordering). */
   final case class CompositeSource(name: String, path: Seq[String], asc: Boolean,
                                    kind: String = "terms",
-                                   interval: Long = 0L, unit: String = "")
+                                   interval: Long = 0L, unit: String = "",
+                                   missingBucket: Boolean = false)
   /** ES `composite` agg — THE scalable bucket pagination: all buckets in
     * deterministic key order, `size` per page, resumed with `after` (the
     * last key tuple of the previous page). Unlike `terms` there is no
@@ -270,7 +276,7 @@ object EsAggs {
 
   private val bucketKinds =
     Set("terms", "histogram", "date_histogram", "auto_date_histogram",
-      "filters", "range", "missing", "composite", "significant_terms",
+      "filter", "filters", "range", "missing", "composite", "significant_terms",
       "significant_text", "global", "adjacency_matrix", "rare_terms",
       "date_range", "multi_terms")
 
@@ -445,7 +451,7 @@ object EsAggs {
     def parseTree(named: List[(String, JValue)],
                   ctx: Option[(Seq[String], Seq[String])]): Either[Seq[(String, Metric)], Buckets] =
       named match {
-        case List((_, JObject(bucketFields))) if bucketFields.exists {
+        case List((aggName, JObject(bucketFields))) if bucketFields.exists {
           case (k, _) => bucketKinds(k)
         } =>
           val bf = bucketFields.toMap
@@ -455,14 +461,28 @@ object EsAggs {
           require(bf.keySet.count(bucketKinds) == 1,
             s"a bucket agg must have exactly one bucket type: ${bf.keySet.mkString(", ")}")
           val bucket = bf.get("terms").map { spec =>
-            val m = checkSpecKeys(spec, "terms", Set("field", "size", "order", "min_doc_count"))
+            val m = checkSpecKeys(spec, "terms",
+              Set("field", "size", "order", "min_doc_count", "include", "exclude"))
             val tMinDc = num(spec, "min_doc_count", "terms").getOrElse(1L)
             require(tMinDc >= 1,
               "terms min_doc_count: 0 (zero-doc buckets for the whole term dictionary) is not implemented")
+            // include/exclude: a FULLY-ANCHORED regex (ES's regex contract)
+            // or an exact-value list; applied to the bucket keys before
+            // min_doc_count pruning and top-N selection
+            def incExc(key: String): Option[Either[String, Seq[String]]] = m.get(key).map {
+              case JString(re) => Left(re)
+              case JArray(vs) if vs.nonEmpty => Right(vs.map {
+                case JString(v) => v
+                case other => throw new IllegalArgumentException(s"bad terms $key value: $other")
+              })
+              case other => throw new IllegalArgumentException(
+                s"terms $key must be a regex string or a value array: $other")
+            }
             Terms(fieldPath(spec, "terms", ctx),
               num(spec, "size", "terms").map(_.toInt).getOrElse(10), // ES default
               parseOrder(m),
-              tMinDc)
+              tMinDc,
+              incExc("include"), incExc("exclude"))
           }.orElse(bf.get("histogram").map { spec =>
             val hm = checkSpecKeys(spec, "histogram",
               Set("field", "interval", "min_doc_count", "offset", "extended_bounds"))
@@ -517,6 +537,14 @@ object EsAggs {
             val target = num(spec, "buckets", "auto_date_histogram").map(_.toInt).getOrElse(10)
             require(target >= 1, s"auto_date_histogram buckets must be >= 1: $target")
             AutoDateHistogram(fieldPath(spec, "auto_date_histogram", ctx), target)
+          }).orElse(bf.get("filter").map { spec =>
+            // ES `filter` (singular) — ONE named sub-scope of the query
+            // context (the Kibana "filter ratio" building block): the spec
+            // IS the predicate; compiled as a single-bucket [[FiltersAgg]],
+            // so it inherits the one-pass conditional-aggregation shape
+            // (no shuffle at all). Rendered with key = the agg's name.
+            require(ctx.isEmpty, "filter agg inside a nested context is not implemented")
+            FiltersAgg(Seq(aggName -> SearchQuery.parseQueryNode(spec, schema)))
           }).orElse(bf.get("filters").map { spec =>
             require(ctx.isEmpty, "filters agg inside a nested context is not implemented")
             val m = checkSpecKeys(spec, "filters", Set("filters"))
@@ -581,23 +609,31 @@ object EsAggs {
               case Some(other) => throw new IllegalArgumentException(
                 s"bad composite source order: $other")
             }
+            def srcMissing(sm: Map[String, JValue]): Boolean = sm.get("missing_bucket") match {
+              case None | Some(JBool(false)) => false
+              case Some(JBool(true)) => true
+              case Some(other) => throw new IllegalArgumentException(
+                s"bad composite source missing_bucket: $other")
+            }
             val sources = m.get("sources") match {
               case Some(JArray(srcs)) if srcs.nonEmpty => srcs.map {
                 case JObject(List((name, JObject(List((skind, tspec)))))) => skind match {
                   case "terms" =>
-                    val tm = checkSpecKeys(tspec, "composite terms source", Set("field", "order"))
-                    CompositeSource(name, fieldPath(tspec, "composite source", ctx), srcOrder(tm))
+                    val tm = checkSpecKeys(tspec, "composite terms source",
+                      Set("field", "order", "missing_bucket"))
+                    CompositeSource(name, fieldPath(tspec, "composite source", ctx), srcOrder(tm),
+                      missingBucket = srcMissing(tm))
                   case "histogram" =>
                     val hm = checkSpecKeys(tspec, "composite histogram source",
-                      Set("field", "interval", "order"))
+                      Set("field", "interval", "order", "missing_bucket"))
                     val iv = num(tspec, "interval", "composite histogram source").getOrElse(
                       throw new IllegalArgumentException("composite histogram source needs interval"))
                     require(iv > 0, s"composite histogram interval must be > 0: $iv")
                     CompositeSource(name, fieldPath(tspec, "composite source", ctx),
-                      srcOrder(hm), "histogram", iv)
+                      srcOrder(hm), "histogram", iv, missingBucket = srcMissing(hm))
                   case "date_histogram" =>
                     val dm = checkSpecKeys(tspec, "composite date_histogram source",
-                      Set("field", "calendar_interval", "order"))
+                      Set("field", "calendar_interval", "order", "missing_bucket"))
                     val unit = dm.get("calendar_interval") match {
                       case Some(JString(u)) if calendarIntervals(u) => u
                       case Some(other) => throw new IllegalArgumentException(
@@ -609,7 +645,7 @@ object EsAggs {
                       "sub-day composite date_histogram sources are not implemented " +
                         "(the after-cursor value is an ISO yyyy-MM-dd date)")
                     CompositeSource(name, fieldPath(tspec, "composite source", ctx),
-                      srcOrder(dm), "date_histogram", 0L, unit)
+                      srcOrder(dm), "date_histogram", 0L, unit, missingBucket = srcMissing(dm))
                   case other => throw new IllegalArgumentException(
                     s"unsupported composite source kind: $other (terms/histogram/date_histogram)")
                 }
@@ -910,7 +946,7 @@ object EsAggs {
           // by; reject (don't ignore) anything else. Multi-column metrics
           // (stats/percentiles) are not a sortable target.
           def checkOrder(b: Agg, ms: Map[String, Metric], where: String): Unit = b match {
-            case Terms(_, _, Some((target, _)), _) =>
+            case Terms(_, _, Some((target, _)), _, _, _) =>
               require(target == "_key" || target == "_count" || ms.contains(target),
                 s"terms order target \"$target\" is not _key/_count or a metric sub-agg of $where " +
                   s"(metrics: ${if (ms.isEmpty) "none" else ms.keys.toSeq.sorted.mkString(", ")})")
@@ -1326,7 +1362,7 @@ object EsAggs {
     val bucketW = W.partitionBy()
     val wAllBuckets = bucketW.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     def keyCol(b: Agg): Column = b match {
-      case Terms(p, _, _, _) => field(ctx, p)
+      case Terms(p, _, _, _, _, _) => field(ctx, p)
       case RareTerms(p, _) => field(ctx, p)
       case Histogram(p, interval, _, 0L, _) =>
         // floor(v/interval)*interval in PURE INTEGER arithmetic: double
@@ -1431,15 +1467,22 @@ object EsAggs {
         def afterLit(s0: CompositeSource, v: Any): Column =
           if (s0.kind == "date_histogram") to_date(lit(v.toString)) else lit(v)
         val keyCols = c.sources.map(s => srcKey(s).as(s.name))
-        val nonNull = c.sources.map(s => field(ctx, s.path).isNotNull).reduce(_ && _)
-        var g = rows.filter(nonNull).groupBy(keyCols: _*)
+        // missing_bucket sources keep their null-keyed bucket (ordered
+        // first asc / last desc — Spark's default null ordering); the
+        // rest drop null-valued docs (ES's default)
+        val strictNull = c.sources.filterNot(_.missingBucket)
+          .map(s => field(ctx, s.path).isNotNull)
+        var g = strictNull.reduceOption(_ && _).fold(rows)(rows.filter)
+          .groupBy(keyCols: _*)
           .agg(count(lit(1)).as("doc_count"),
             ms.flatMap { case (n, m) => metricCols(n, m) }: _*)
         c.after.foreach { vals =>
           val afterPred = c.sources.zip(vals).foldRight(lit(false)) { case ((src, v), rest) =>
             val k = col(src.name)
             val av = afterLit(src, v)
-            val beyond = if (src.asc) k > av else k < av
+            // a null key sorts BEFORE any after value on asc (already
+            // paged past) and AFTER every value on desc (still to come)
+            val beyond = if (src.asc) k > av else k < av || k.isNull
             beyond || (k === av && rest)
           }
           g = g.filter(afterPred)
@@ -1531,7 +1574,9 @@ object EsAggs {
         val bucketTable = rows.filter(keyCol(bk).isNotNull).groupBy(keyCol(bk).as("key"))
           .agg(count(lit(1)).cast("long").as("doc_count"))
         val (selected, bucketOrder) = bk match {
-          case Terms(_, size, order, minDoc) =>
+          case Terms(_, size, order, minDoc, inc0, exc0) =>
+            require(inc0.isEmpty && exc0.isEmpty,
+              "terms include/exclude under top_hits is not implemented")
             val pruned = if (minDoc > 1L) bucketTable.filter(col("doc_count") >= minDoc)
               else bucketTable
             val ord = termsOrder(order, col("doc_count"), col("key"))
@@ -1556,8 +1601,10 @@ object EsAggs {
         // even when the body carries a query (ES "percent of total")
         docs.agg(count(lit(1)).as("doc_count"),
           ms.flatMap { case (n, m) => metricCols(n, m) }: _*)
-      case Right(Buckets(t @ Terms(_, size0, order0, minDoc0), Nil, None, Nil, None, Nil,
-                         Some(rn))) =>
+      case Right(Buckets(t @ Terms(_, size0, order0, minDoc0, inc0, exc0), Nil, None, Nil, None,
+                         Nil, Some(rn))) =>
+        require(inc0.isEmpty && exc0.isEmpty,
+          "terms include/exclude beside a reverse_nested is not implemented")
         // reverse_nested under terms: phase 1 is ONE corpus-sized hash agg
         // at (bucket key, parent id) grain — parent fields are constant
         // per group, so first() is deterministic; phase 2 re-aggregates
@@ -1631,7 +1678,16 @@ object EsAggs {
         var table = grouped
         var finalOrder: Seq[Column] = Seq(col("key").asc)
         b match {
-          case Terms(_, size, order, minDoc) =>
+          case Terms(_, size, order, minDoc, inc, exc) =>
+            // include/exclude act on the |terms|-row bucket table, before
+            // pruning and top-N (ES ordering of operations). ES regexes
+            // are fully anchored — rlike is not, so anchor explicitly.
+            def keyMatch(spec: Either[String, Seq[String]]): Column = spec match {
+              case Left(re) => col("key").cast("string").rlike(s"^(?:$re)$$")
+              case Right(vs) => col("key").cast("string").isin(vs: _*)
+            }
+            inc.foreach(i => table = table.filter(keyMatch(i)))
+            exc.foreach(e => table = table.filter(!keyMatch(e)))
             if (minDoc > 1L) table = table.filter(col("doc_count") >= minDoc)
             finalOrder = termsOrder(order, col("doc_count"), col("key"))
             table = table.orderBy(finalOrder: _*).limit(size)
@@ -1785,7 +1841,9 @@ object EsAggs {
         val levelOrders = lvls.indices.map { i =>
           if (i > 0) out = out.filter(col(kname(i)).isNotNull)
           lvls(i).bucket match {
-            case Terms(_, size0, order0, minDoc0) =>
+            case Terms(_, size0, order0, minDoc0, inc0, exc0) =>
+              require(inc0.isEmpty && exc0.isEmpty,
+                "terms include/exclude on a multi-level split is not implemented")
               if (minDoc0 > 1L) out = out.filter(col(dcname(i)) >= minDoc0)
               val ord = termsOrder(order0, col(dcname(i)), col(kname(i)))
               // non-leaf: rows of one bucket share all rank columns, so

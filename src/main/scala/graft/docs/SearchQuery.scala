@@ -122,24 +122,41 @@ object SearchQuery {
 
   /** Score shaping parsed from a TOP-LEVEL `function_score` or `boosting`
     * wrapper (the first tools reached for when tuning relevance beyond
-    * the base ranking). Only the filter+`weight` function form is
-    * implemented — `script_score`, `field_value_factor`, `random_score`
-    * and the decay functions are rejected loudly at parse. `boosting`
+    * the base ranking). The `filter`+`weight` and `field_value_factor`
+    * function forms are implemented — `script_score`, `random_score` and
+    * the decay functions are rejected loudly at parse. `boosting`
     * compiles to the same shape: hit set = `positive` (ES: `negative`
     * never filters), one function (`negative` filter, `negative_boost`
     * weight) with multiply/multiply modes.
     *
     * Scoring follows ES's FunctionScoreQuery: each function whose filter
-    * matches contributes its weight; matching weights combine via
-    * `score_mode` (`multiply` | `sum`); the combined function score folds
-    * into the base score via `boost_mode` (`multiply` | `sum`). A
-    * document matching NO function keeps its base score unchanged. The
-    * base score is the engine's documented clause-count relevance
-    * ([[scoreCol]]), or 1 when the wrapped query has no `should` clauses
-    * (every match scores 1 — the `match_all` convention), so a weight
-    * can shape the ranking of a filter-only query. */
-  final case class ScoreShape(functions: Seq[(SearchQuery, Double)],
+    * matches contributes its value (the weight, or for
+    * field_value_factor `modifier(factor * field) * weight`); matching
+    * values combine via `score_mode` (`multiply` | `sum`); the combined
+    * function score folds into the base score via `boost_mode`
+    * (`multiply` | `sum`). A document matching NO function keeps its
+    * base score unchanged. The base score is the engine's documented
+    * clause-count relevance ([[scoreCol]]), or 1 when the wrapped query
+    * has no `should` clauses (every match scores 1 — the `match_all`
+    * convention), so a weight can shape a filter-only query. */
+  final case class ScoreShape(functions: Seq[ScoreFn],
                               scoreMode: String, boostMode: String)
+
+  /** One function_score function: `filter` (MatchAll when absent) gates
+    * it, its value is `weight`, optionally scaled by a
+    * [[FieldValueFactor]]. */
+  final case class ScoreFn(filter: SearchQuery, weight: Double,
+                           fvf: Option[FieldValueFactor] = None)
+
+  /** ES `field_value_factor`: `modifier(factor * field)` as the function
+    * value. Modifiers: none/log1p/sqrt/square (sqrt is IEEE-correctly-
+    * rounded, so oracles reproduce it bit-for-bit; log1p agrees to well
+    * under the checker's 9-dp tolerance). The `missing` key is REQUIRED
+    * here (engine deviation, documented: ES raises a per-document runtime
+    * error on a missing field, which a set-oriented engine can't —
+    * the caller must state the substitute up front). */
+  final case class FieldValueFactor(path: Seq[String], factor: Double,
+                                    modifier: String, missing: Double)
 
   def fromJson(body: String, schema: org.apache.spark.sql.types.StructType): SearchQuery =
     parseBody(body, schema).query
@@ -177,8 +194,8 @@ object SearchQuery {
         val unknown = f.keySet -- Set("query", "functions", "score_mode", "boost_mode")
         require(unknown.isEmpty,
           s"unsupported function_score key(s): ${unknown.mkString(", ")} " +
-            "(only the query/functions[filter+weight]/score_mode/boost_mode form; " +
-            "script_score, field_value_factor, random_score and decay functions are not implemented)")
+            "(only the query/functions[filter+weight | field_value_factor]/score_mode/" +
+            "boost_mode form; script_score, random_score and decay functions are not implemented)")
         // ES default when `query` is absent: match_all
         val inner = parseQueryRoot(
           f.getOrElse("query", JObject(List(("match_all", JObject(Nil))))), schema)
@@ -187,16 +204,48 @@ object SearchQuery {
           case Some(JArray(fs)) if fs.nonEmpty => fs.map {
             case JObject(ff) =>
               val fm = ff.toMap
-              val unknownF = fm.keySet -- Set("filter", "weight")
+              val unknownF = fm.keySet -- Set("filter", "weight", "field_value_factor")
               require(unknownF.isEmpty,
                 s"unsupported function_score function key(s): ${unknownF.mkString(", ")} " +
-                  "(only the filter + weight form is implemented)")
-              val w = asDouble(fm.getOrElse("weight", throw new IllegalArgumentException(
-                "each function_score function needs a weight")), "function_score weight")
+                  "(only the filter/weight/field_value_factor forms are implemented)")
+              val fvf = fm.get("field_value_factor").map {
+                case JObject(fvFields) =>
+                  val fv = fvFields.toMap
+                  val unknownFv = fv.keySet -- Set("field", "factor", "modifier", "missing")
+                  require(unknownFv.isEmpty,
+                    s"unsupported field_value_factor key(s): ${unknownFv.mkString(", ")}")
+                  val fld = fv.get("field") match {
+                    case Some(JString(p)) => p.split('.').toSeq
+                    case _ => throw new IllegalArgumentException("field_value_factor needs field")
+                  }
+                  val (arr, _) = splitArrayPath(fld, schema)
+                  require(arr.isEmpty,
+                    s"field_value_factor field ${fld.mkString(".")} crosses array ${arr.mkString(".")}")
+                  val factor = fv.get("factor").map(asDouble(_, "field_value_factor factor"))
+                    .getOrElse(1.0)
+                  val modifier = fv.get("modifier") match {
+                    case None => "none"
+                    case Some(JString(m0)) if Set("none", "log1p", "sqrt", "square")(m0) => m0
+                    case Some(other) => throw new IllegalArgumentException(
+                      s"unsupported field_value_factor modifier: $other (none/log1p/sqrt/square)")
+                  }
+                  val missing = fv.get("missing").map(asDouble(_, "field_value_factor missing"))
+                    .getOrElse(throw new IllegalArgumentException(
+                      "field_value_factor needs missing (engine deviation: ES raises a " +
+                        "per-document runtime error on a missing field; state the substitute up front)"))
+                  FieldValueFactor(fld, factor, modifier, missing)
+                case other => throw new IllegalArgumentException(
+                  s"bad field_value_factor spec: $other")
+              }
+              val w = fm.get("weight").map(asDouble(_, "function_score weight")).getOrElse {
+                if (fvf.isEmpty) throw new IllegalArgumentException(
+                  "each function_score function needs a weight or a field_value_factor")
+                1.0
+              }
               // ES default when `filter` is absent: the function applies
               // to every document (match_all)
               val filt = fm.get("filter").map(parseQueryNode(_, schema)).getOrElse(MatchAll)
-              (filt, w)
+              ScoreFn(filt, w, fvf)
             case other => throw new IllegalArgumentException(
               s"bad function_score function entry: $other")
           }
@@ -217,7 +266,7 @@ object SearchQuery {
           throw new IllegalArgumentException("boosting needs negative_boost")), "negative_boost")
         require(nb >= 0 && nb < 1, s"negative_boost must be in [0, 1): $nb (ES's down-weight contract)")
         // hit set = positive only (negative never filters, only down-weights)
-        pos.copy(shape = Some(ScoreShape(Seq((neg, nb)), "multiply", "multiply")))
+        pos.copy(shape = Some(ScoreShape(Seq(ScoreFn(neg, nb)), "multiply", "multiply")))
       case _ =>
         val hits = scala.collection.mutable.ListBuffer.empty[(Seq[String], SearchQuery)]
         val ast = parseNode(q, schema, hits)
@@ -375,15 +424,30 @@ object SearchQuery {
         // All arithmetic is IEEE double over integer-ish inputs, so the
         // oracle reproduces it bit-for-bit.
         val base = if (p.shoulds.isEmpty) lit(1.0) else clauseCount.cast("double")
-        val matched = sh.functions.map { case (q, w) =>
-          (coalesce(compile(q, doc), lit(false)), w)
+        /** One function's value: the weight, scaled by the
+          * field_value_factor when present (null field → `missing`). */
+        def fnVal(fn: ScoreFn): Column = fn.fvf match {
+          case None => lit(fn.weight)
+          case Some(fv) =>
+            val raw = fv.path.foldLeft(doc)((c, n) => c.getField(n)).cast("double")
+            val scaled = lit(fv.factor) * coalesce(raw, lit(fv.missing))
+            val modded = fv.modifier match {
+              case "none" => scaled
+              case "log1p" => log1p(scaled)
+              case "sqrt" => sqrt(scaled)
+              case "square" => scaled * scaled
+            }
+            modded * lit(fn.weight)
+        }
+        val matched = sh.functions.map { fn =>
+          (coalesce(compile(fn.filter, doc), lit(false)), fnVal(fn))
         }
         val anyMatch = matched.map(_._1).reduce(_ || _)
         val combined = sh.scoreMode match {
           case "multiply" =>
-            matched.map { case (m, w) => when(m, lit(w)).otherwise(lit(1.0)) }.reduce(_ * _)
+            matched.map { case (m, w) => when(m, w).otherwise(lit(1.0)) }.reduce(_ * _)
           case "sum" =>
-            matched.map { case (m, w) => when(m, lit(w)).otherwise(lit(0.0)) }.reduce(_ + _)
+            matched.map { case (m, w) => when(m, w).otherwise(lit(0.0)) }.reduce(_ + _)
         }
         val folded = sh.boostMode match {
           case "multiply" => base * combined

@@ -3177,6 +3177,96 @@ object DocQueries {
       |  AND NOT regexp_matches(key, '^(?:.*[37]\.example\.com)$')
       |GROUP BY 1 ORDER BY doc_count DESC, key ASC LIMIT 6""".stripMargin
 
+  // ---------------------------------------------------------------- d86
+  /** `top_metrics` — Lens's "last value" column: per plan-type bucket,
+    * the copay/deductible of the 2 highest-objectId plans (the sort must
+    * be doc-unique for a deterministic rank — the top_hits honesty rule).
+    * Rides the top_hits machinery: broadcast selected buckets back, one
+    * WindowGroupLimit rank — no corpus-global ordering. */
+  private def d86(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "size": 0,
+        |  "aggs": {
+        |    "by_type": {
+        |      "terms": { "field": "planType", "size": 5 },
+        |      "aggs": {
+        |        "latest": { "top_metrics": {
+        |          "metrics": [ { "field": "planCostShares.copay" },
+        |                       { "field": "planCostShares.deductible" } ],
+        |          "sort": { "objectId": "desc" },
+        |          "size": 2 } }
+        |      }
+        |    }
+        |  }
+        |}""".stripMargin
+    EsAggs.run(assembled(s, d), "doc", body, schema)
+  }
+
+  private val d86Sql =
+    s"""WITH b AS (
+       |  SELECT c_mktsegment AS key, 'plan-' || ${ck("c_custkey")} AS oid,
+       |    c_custkey % 50 AS cop, c_nationkey * 100 AS ded FROM customer),
+       |sel AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS doc_count FROM b GROUP BY 1
+       |        ORDER BY doc_count DESC, key LIMIT 5),
+       |r AS (SELECT b.key, doc_count,
+       |        CAST(ROW_NUMBER() OVER (PARTITION BY b.key ORDER BY oid DESC) AS BIGINT) AS rank,
+       |        cop AS "planCostShares_copay", ded AS "planCostShares_deductible"
+       |      FROM b JOIN sel ON b.key = sel.key)
+       |SELECT * FROM r WHERE rank <= 2
+       |ORDER BY doc_count DESC, key ASC, rank ASC""".stripMargin
+
+  // ---------------------------------------------------------------- d87
+  /** `rescore` — second-pass re-ranking of the top window: the 30 best
+    * hits by base `_score` (clause count, objectId tiebreak) re-scored as
+    * `0.5 * base + 2 * rescore-clause-count` where the rescore query
+    * matches. Plans as bounded-heap top-30 → 30-row re-sort — the
+    * expensive query never runs a corpus-global reorder. */
+  private def d87(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "query": { "bool": {
+        |    "filter": [ { "range": { "planCostShares.copay": { "gte": 20 } } } ],
+        |    "should": [ { "term": { "planType": "HOUSEHOLD" } } ] } },
+        |  "rescore": {
+        |    "window_size": 30,
+        |    "query": {
+        |      "rescore_query": { "bool": { "should": [
+        |        { "range": { "planCostShares.copay": { "gte": 40 } } },
+        |        { "prefix": { "_org": { "value": "org-1" } } }
+        |      ] } },
+        |      "query_weight": 0.5,
+        |      "rescore_query_weight": 2
+        |    }
+        |  },
+        |  "size": 12,
+        |  "_source": ["objectId", "planType", "planCostShares.copay"]
+        |}""".stripMargin
+    SearchExec.search(assembled(s, d), "doc", body, schema)
+  }
+
+  private val d87Sql =
+    s"""WITH h AS (
+       |  SELECT 'plan-' || ${ck("c_custkey")} AS oid, c_mktsegment AS seg,
+       |    c_custkey % 50 AS cop,
+       |    'org-' || ${ck("c_nationkey")} || '.example.com' AS org
+       |  FROM customer WHERE c_custkey % 50 >= 20),
+       |w AS (
+       |  SELECT *, CAST(CASE WHEN seg = 'HOUSEHOLD' THEN 1 ELSE 0 END AS DOUBLE) AS base,
+       |    ROW_NUMBER() OVER (
+       |      ORDER BY CASE WHEN seg = 'HOUSEHOLD' THEN 1 ELSE 0 END DESC, oid ASC) AS wr
+       |  FROM h),
+       |win AS (
+       |  SELECT oid, seg, cop,
+       |    0.5 * base + CASE WHEN cop >= 40 OR org LIKE 'org-1%'
+       |      THEN 2.0 * (CASE WHEN cop >= 40 THEN 1 ELSE 0 END
+       |                + CASE WHEN org LIKE 'org-1%' THEN 1 ELSE 0 END)
+       |      ELSE 0.0 END AS score
+       |  FROM w WHERE wr <= 30)
+       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, oid ASC) AS BIGINT) AS rn, score,
+       |  oid AS "objectId", seg AS "planType", cop AS "planCostShares_copay"
+       |FROM win ORDER BY rn LIMIT 12""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -3250,6 +3340,8 @@ object DocQueries {
     "d83_es_filter_agg" -> d83 _,
     "d84_es_composite_missing" -> d84 _,
     "d85_es_terms_include" -> d85 _,
+    "d86_es_top_metrics" -> d86 _,
+    "d87_es_rescore" -> d87 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
     "d3_roundtrip" -> d3 _,
@@ -3337,6 +3429,8 @@ object DocQueries {
     "d83_es_filter_agg" -> d83Sql,
     "d84_es_composite_missing" -> d84Sql,
     "d85_es_terms_include" -> d85Sql,
+    "d86_es_top_metrics" -> d86Sql,
+    "d87_es_rescore" -> d87Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,
     "d3_roundtrip" -> d3Sql,

@@ -766,7 +766,7 @@ object EsAggs {
             case _ => false
           }
           val (thEntries, rest2) = rest.partition {
-            case (_, JObject(List((k, _)))) => k == "top_hits"
+            case (_, JObject(List((k, _)))) => k == "top_hits" || k == "top_metrics"
             case _ => false
           }
           // a reverse_nested entry carries TWO keys (reverse_nested +
@@ -893,6 +893,40 @@ object EsAggs {
                   s"top_hits field ${pp.mkString(".")} crosses array ${arr.mkString(".")}")
               }
               Some(TopHits(num(spec, "size", "top_hits").map(_.toInt).getOrElse(3), sorts, source))
+            case List((_, JObject(List(("top_metrics", spec))))) =>
+              // ES `top_metrics` (Lens "last value"): metric values from
+              // the top-sorted doc(s) of each bucket — exactly top_hits
+              // restricted to metric fields, so it rides the same
+              // broadcast-bucket + WindowGroupLimit machinery. ES allows
+              // a single sort only; it must be doc-unique here for a
+              // deterministic rank (same honesty rule as top_hits).
+              require(ctx.isEmpty, "top_metrics inside a nested context is not implemented")
+              val m = checkSpecKeys(spec, "top_metrics", Set("metrics", "sort", "size"))
+              def pth(s: String) = s.stripSuffix(".keyword").split('.').toSeq
+              val metricPaths = m.get("metrics") match {
+                case Some(JArray(fs)) if fs.nonEmpty => fs.map {
+                  case JObject(List(("field", JString(f)))) => pth(f)
+                  case other => throw new IllegalArgumentException(
+                    s"bad top_metrics metrics entry (need {\"field\": ...}): $other")
+                }
+                case Some(JObject(List(("field", JString(f))))) => Seq(pth(f))
+                case _ => throw new IllegalArgumentException(
+                  "top_metrics needs a non-empty metrics list")
+              }
+              val sort = m.get("sort") match {
+                case Some(JObject(List((f, JString(dir))))) =>
+                  require(dir == "asc" || dir == "desc", s"bad top_metrics sort direction: $dir")
+                  (pth(f), dir == "asc")
+                case other => throw new IllegalArgumentException(
+                  s"top_metrics needs a single {field: direction} sort: $other")
+              }
+              (sort._1 +: metricPaths).foreach { pp =>
+                val (arr, _) = SearchQuery.splitArrayPath(pp, schema)
+                require(arr.isEmpty,
+                  s"top_metrics field ${pp.mkString(".")} crosses array ${arr.mkString(".")}")
+              }
+              Some(TopHits(num(spec, "size", "top_metrics").map(_.toInt).getOrElse(1),
+                Seq(sort), metricPaths))
             case _ => throw new IllegalArgumentException("at most one top_hits per level")
           }
           val reverse: Option[ReverseNested] = rnEntries match {

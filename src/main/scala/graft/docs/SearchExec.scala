@@ -104,8 +104,29 @@ object SearchExec {
         collapsed.filter(after)
       case None => collapsed
     }
+    // rescore: the top window_size hits by base _score (a bounded
+    // TakeOrderedAndProject — never a corpus-global reorder), then the
+    // combined score replaces `score` and the window re-sorts (a
+    // window_size-row sort; the page is guaranteed to fit inside it by
+    // the parse-time from+size check). Non-window hits are gone — ES
+    // semantics below the window are "original order", but the page
+    // cannot reach them.
+    val rescored = b.rescore match {
+      case Some(rs) =>
+        val window = afterFiltered.orderBy(sortCols: _*).limit(rs.windowSize)
+        val rMatch = coalesce(SearchQuery.compile(rs.parsed.query, doc), lit(false))
+        // rescore_score = the rescore query's clause-count relevance, or 1
+        // for a should-less query (the ScoreShape base convention)
+        val rScore =
+          if (rs.parsed.shoulds.isEmpty) lit(1.0)
+          else SearchQuery.scoreCol(rs.parsed, doc).cast("double")
+        window.withColumn("score",
+          col("score").cast("double") * lit(rs.queryWeight) +
+            when(rMatch, rScore * lit(rs.rescoreQueryWeight)).otherwise(lit(0.0)))
+      case None => afterFiltered
+    }
     // TakeOrderedAndProject: bounded heap per partition, from+size rows total.
-    val page = afterFiltered.orderBy(sortCols: _*).limit(b.from + b.size)
+    val page = rescored.orderBy(sortCols: _*).limit(b.from + b.size)
     // Offset within the bounded page: the window runs over ≤ from+size
     // rows (post-limit), single-partition by design — the bounded heap
     // above caps the input, so the unpartitioned window is not a scale

@@ -302,7 +302,21 @@ object SearchQuery {
                             from: Int, size: Int,
                             searchAfter: Option[Seq[Any]],
                             source: Option[Seq[Seq[String]]],
-                            collapse: Option[Seq[String]] = None)
+                            collapse: Option[Seq[String]] = None,
+                            rescore: Option[Rescore] = None)
+
+  /** ES `rescore` — re-rank the top `window_size` hits with a secondary
+    * query: window score = `query_weight * _score` + (when the
+    * rescore_query matches) `rescore_query_weight * rescore_score`,
+    * where rescore_score is the rescore query's clause-count relevance
+    * (1 for a should-less query — the same convention as
+    * [[ScoreShape]]). Only the default `_score` order is rescorable (ES
+    * rejects rescore with explicit sorts too), and the page must fit
+    * inside the window (`from + size <= window_size`) so the engine can
+    * plan it as: bounded-heap top-window → window-sized re-sort — never
+    * a corpus-global reorder. */
+  final case class Rescore(windowSize: Int, parsed: Parsed,
+                           queryWeight: Double, rescoreQueryWeight: Double)
 
   /** Parse a complete ES search body — `query` + `sort`/`from`/`size`/
     * `_source`. Unknown request-level keys are REJECTED (same honesty rule
@@ -315,7 +329,7 @@ object SearchQuery {
       case other => throw new IllegalArgumentException(s"ES body must be an object: $other")
     }
     val unknown = root.keySet --
-      Set("query", "sort", "from", "size", "_source", "search_after", "collapse")
+      Set("query", "sort", "from", "size", "_source", "search_after", "collapse", "rescore")
     require(unknown.isEmpty, s"unsupported ES body key(s): ${unknown.mkString(", ")}")
     def asInt(v: JValue): Int = v match {
       case JInt(i) => i.toInt
@@ -397,7 +411,47 @@ object SearchQuery {
     }
     require(collapse.isEmpty || searchAfter.isEmpty,
       "collapse with search_after is not implemented (cursor would apply pre-collapse)")
-    FullBody(parseBody(body, schema), sorts, from, size, searchAfter, source, collapse)
+    val rescore = root.get("rescore").map {
+      case JObject(rf) =>
+        val m = rf.toMap
+        val unknownR = m.keySet -- Set("window_size", "query")
+        require(unknownR.isEmpty, s"unsupported rescore key(s): ${unknownR.mkString(", ")}")
+        val windowSize = m.get("window_size").map(asInt).getOrElse(10) // ES default
+        require(windowSize >= 1, s"rescore window_size must be >= 1: $windowSize")
+        val qm = m.get("query") match {
+          case Some(JObject(qf)) => qf.toMap
+          case _ => throw new IllegalArgumentException("rescore needs a query object")
+        }
+        val unknownQ = qm.keySet -- Set("rescore_query", "query_weight", "rescore_query_weight")
+        require(unknownQ.isEmpty,
+          s"unsupported rescore.query key(s): ${unknownQ.mkString(", ")}")
+        def asDbl(v: JValue, what: String): Double = v match {
+          case JInt(i) => i.toDouble
+          case JLong(l) => l.toDouble
+          case JDouble(d) => d
+          case JDecimal(d) => d.toDouble
+          case other => throw new IllegalArgumentException(s"$what must be numeric: $other")
+        }
+        val rParsed = parseQueryRoot(qm.getOrElse("rescore_query",
+          throw new IllegalArgumentException("rescore needs rescore_query")), schema)
+        require(rParsed.shape.isEmpty,
+          "score-shaping wrappers inside rescore_query are not implemented")
+        Rescore(windowSize, rParsed,
+          qm.get("query_weight").map(asDbl(_, "query_weight")).getOrElse(1.0),
+          qm.get("rescore_query_weight").map(asDbl(_, "rescore_query_weight")).getOrElse(1.0))
+      case other => throw new IllegalArgumentException(s"bad rescore: $other")
+    }
+    rescore.foreach { rs =>
+      require(sorts.isEmpty,
+        "rescore with an explicit sort is not implemented (ES rejects it too — " +
+          "rescore re-ranks the default _score order)")
+      require(searchAfter.isEmpty && collapse.isEmpty,
+        "rescore with search_after/collapse is not implemented")
+      require(from + size <= rs.windowSize,
+        s"the page (from + size = ${from + size}) must fit inside the rescore window " +
+          s"(${rs.windowSize}) — raise window_size")
+    }
+    FullBody(parseBody(body, schema), sorts, from, size, searchAfter, source, collapse, rescore)
   }
 
   /** `_score` for bool queries: 1 point per satisfied top-level `should`

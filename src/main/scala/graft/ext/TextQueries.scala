@@ -594,9 +594,54 @@ object TextQueries {
       |    THEN 1 ELSE 0 END AS INTEGER) AS repetitive
       |FROM g ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t14
+  /** Keyword extraction — per-document top-3 terms by df-normalized term
+    * frequency `tf * N / df` (the TF-IDF shape with the rational idf
+    * `N/df` in place of its log — a deliberately exact variant: `tf * N`
+    * is an integer product and the single IEEE division is correctly
+    * rounded, so scores AND ranking are bit-identical in any engine,
+    * where a log-based idf would be at the mercy of libm rounding).
+    * Corpus work: one (doc, term) aggregation, one |vocab| aggregation
+    * off its result, a term-keyed join back, and a per-doc rank-3 filter
+    * (WindowGroupLimit) — constant shuffle count at any scale. */
+  private def t14(s: SparkSession, d: String): DataFrame = {
+    val en = docs(s, d).filter(col("lang") === "en")
+    val tf = en.select(col("doc_id"),
+        explode(TextAnalysis.analyze(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).cast("long").as("tf"))
+      .persist()
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).cast("long").as("df"))
+    val n = en.agg(count(lit(1)).cast("long").as("_n"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("tok").asc)
+    val res = tf.join(df, "tok").crossJoin(broadcast(n))
+      .withColumn("score", (col("tf") * col("_n")).cast("double") / col("df"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("tok"), col("tf"), col("df"), col("score"))
+      .orderBy(col("doc_id"), col("rank"))
+    graft.Eager.finish(res, tf)
+  }
+
+  private val t14Sql =
+    s"""WITH d AS (SELECT doc_id, text FROM documents WHERE lang = 'en'),
+       |tok AS (SELECT doc_id, unnest(${TextAnalysis.analyzeSql("text")}) AS tok FROM d),
+       |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+       |df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
+       |sc AS (
+       |  SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+       |    CAST(tf.tf * n.n AS DOUBLE) / df.df AS score
+       |  FROM tf JOIN df USING (tok), n),
+       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+       |        ORDER BY score DESC, tok ASC) AS rank FROM sc)
+       |SELECT doc_id, CAST(rank AS BIGINT) AS rank, tok, tf, df, score
+       |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
+    "t14_keywords" -> t14 _,
     "t10_domain_mix" -> t10 _,
     "t11_bm25" -> t11 _,
     "t12_seq_pack" -> t12 _,
@@ -612,6 +657,7 @@ object TextQueries {
     "t4_fingerprint" -> t4 _)
 
   val oracle: Map[String, String] = Map(
+    "t14_keywords" -> t14Sql,
     "t10_domain_mix" -> t10Sql,
     "t11_bm25" -> t11Sql,
     "t12_seq_pack" -> t12Sql,

@@ -3267,6 +3267,118 @@ object DocQueries {
        |  oid AS "objectId", seg AS "planType", cop AS "planCostShares_copay"
        |FROM win ORDER BY rn LIMIT 12""".stripMargin
 
+  // ---------------------------------------------------------------- d88
+  /** terms `missing` — the Kibana "show missing values as a bucket"
+    * toggle: docs with no `_org` land in the `(none)` bucket, which
+    * competes in doc_count ranking like any other key (the fixture nulls
+    * every custkey%6 org, making `(none)` the TOP bucket). One coalesce
+    * on the bucket key — no extra pass. */
+  private def d88(s: SparkSession, d: String): DataFrame = {
+    val base = assembled(s, d).select(struct(
+      col("doc.planCostShares").as("planCostShares"),
+      col("doc.linkedPlanServices").as("linkedPlanServices"),
+      when(col("doc.objectId").substr(lit(6), lit(99)).cast("long") % 6 === 0,
+        lit(null).cast("string")).otherwise(col("doc._org")).as("_org"),
+      col("doc.objectId").as("objectId"),
+      col("doc.objectType").as("objectType"),
+      col("doc.planType").as("planType"),
+      col("doc.creationDate").as("creationDate")).as("doc"))
+    val body =
+      """{
+        |  "size": 0,
+        |  "aggs": {
+        |    "orgs": {
+        |      "terms": { "field": "_org", "size": 4, "missing": "(none)" },
+        |      "aggs": { "n_types": { "cardinality": { "field": "planType" } } }
+        |    }
+        |  }
+        |}""".stripMargin
+    EsAggs.run(base, "doc", body, schema)
+  }
+
+  private val d88Sql =
+    """WITH b AS (
+      |  SELECT COALESCE(CASE WHEN c_custkey % 6 = 0 THEN NULL
+      |    ELSE 'org-' || CAST(c_nationkey AS VARCHAR) || '.example.com' END,
+      |    '(none)') AS key, c_mktsegment AS pt
+      |  FROM customer)
+      |SELECT key, CAST(COUNT(*) AS BIGINT) AS doc_count,
+      |  CAST(COUNT(DISTINCT pt) AS BIGINT) AS n_types
+      |FROM b GROUP BY 1 ORDER BY doc_count DESC, key ASC LIMIT 4""".stripMargin
+
+  // ---------------------------------------------------------------- d89
+  /** `date_histogram` `fixed_interval` — the Kibana time axis below
+    * calendar grain (12-hour bins here): epoch-anchored integer floor
+    * arithmetic over micros, TIMESTAMP keys, exact-distinct user counts.
+    * Same one-shuffle shape as the calendar histogram. */
+  private def d89(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.Tables.events(s, d)
+      .select(struct(col("event_id"), timestamp_micros(col("ts_us")).as("ts"),
+        col("user_id"), col("event_type"), col("value")).as("doc"))
+    val evSchema = ev.schema("doc").dataType.asInstanceOf[StructType]
+    val body =
+      """{
+        |  "size": 0,
+        |  "query": { "term": { "event_type": "purchase" } },
+        |  "aggs": {
+        |    "per_12h": {
+        |      "date_histogram": { "field": "ts", "fixed_interval": "12h" },
+        |      "aggs": {
+        |        "max_value": { "max": { "field": "value" } },
+        |        "n_users": { "cardinality": { "field": "user_id" } }
+        |      }
+        |    }
+        |  }
+        |}""".stripMargin
+    EsAggs.run(ev, "doc", body, evSchema)
+  }
+
+  private val d89Sql =
+    """SELECT make_timestamp(epoch_us(ts) // 43200000000 * 43200000000) AS key,
+      |  CAST(COUNT(*) AS BIGINT) AS doc_count, MAX(value) AS max_value,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM events WHERE event_type = 'purchase'
+      |GROUP BY 1 ORDER BY key""".stripMargin
+
+  // ---------------------------------------------------------------- d90
+  /** `function_score` `linear` decay — "closest to target wins"
+    * relevance (the exact-arithmetic member of ES's decay family;
+    * gauss/exp ride libm exp and are a documented exactness boundary):
+    * copay nearest 25 scores highest, FURNITURE plans get a 1.25×
+    * bump, multiply/multiply modes over a filter-only base. */
+  private def d90(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "query": {
+        |    "function_score": {
+        |      "query": { "bool": { "filter": [ { "exists": { "field": "planType" } } ] } },
+        |      "functions": [
+        |        { "linear": { "planCostShares.copay": {
+        |            "origin": 25, "scale": 20, "missing": 0 } }, "weight": 4 },
+        |        { "filter": { "term": { "planType": "FURNITURE" } }, "weight": 1.25 }
+        |      ],
+        |      "score_mode": "multiply",
+        |      "boost_mode": "multiply"
+        |    }
+        |  },
+        |  "sort": [ { "_score": { "order": "desc" } }, { "objectId": { "order": "asc" } } ],
+        |  "size": 15,
+        |  "_source": ["objectId", "planType", "planCostShares.copay"]
+        |}""".stripMargin
+    SearchExec.search(assembled(s, d), "doc", body, schema)
+  }
+
+  private val d90Sql =
+    s"""SELECT rn, score, "objectId", "planType", "planCostShares_copay" FROM (
+       |  SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, "objectId" ASC) AS rn FROM (
+       |    SELECT 'plan-' || ${ck("c_custkey")} AS "objectId", c_mktsegment AS "planType",
+       |      c_custkey % 50 AS "planCostShares_copay",
+       |      1.0 * (((40.0 - greatest(0.0, abs(CAST(c_custkey % 50 AS DOUBLE) - 25.0) - 0.0))
+       |               / 40.0) * 4.0
+       |             * CASE WHEN c_mktsegment = 'FURNITURE' THEN 1.25 ELSE 1.0 END) AS score
+       |    FROM customer WHERE c_mktsegment IS NOT NULL))
+       |WHERE rn <= 15 ORDER BY rn""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -3342,6 +3454,9 @@ object DocQueries {
     "d85_es_terms_include" -> d85 _,
     "d86_es_top_metrics" -> d86 _,
     "d87_es_rescore" -> d87 _,
+    "d88_es_terms_missing" -> d88 _,
+    "d89_es_fixed_interval" -> d89 _,
+    "d90_es_linear_decay" -> d90 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
     "d3_roundtrip" -> d3 _,
@@ -3431,6 +3546,9 @@ object DocQueries {
     "d85_es_terms_include" -> d85Sql,
     "d86_es_top_metrics" -> d86Sql,
     "d87_es_rescore" -> d87Sql,
+    "d88_es_terms_missing" -> d88Sql,
+    "d89_es_fixed_interval" -> d89Sql,
+    "d90_es_linear_decay" -> d90Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,
     "d3_roundtrip" -> d3Sql,

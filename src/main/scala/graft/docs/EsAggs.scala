@@ -71,7 +71,8 @@ object EsAggs {
                          order: Option[(String, Boolean)] = None,
                          minDocCount: Long = 1L,
                          include: Option[Either[String, Seq[String]]] = None,
-                         exclude: Option[Either[String, Seq[String]]] = None) extends Agg
+                         exclude: Option[Either[String, Seq[String]]] = None,
+                         missing: Option[Any] = None) extends Agg
   /** ES `histogram` bucket agg: `floor(v / interval) * interval` bins.
     * `minDocCount = 0` ZERO-FILLS the empty bins between the observed
     * min and max keys (the Kibana gap-filling contract — a derivative
@@ -102,6 +103,13 @@ object EsAggs {
     * weeks, not epoch-anchored 7-day bins) and rejects spans that would
     * need multi-year buckets loudly. */
   final case class AutoDateHistogram(path: Seq[String], targetBuckets: Int) extends Agg
+  /** ES `date_histogram` with `fixed_interval` (e.g. "30m", "12h", "7d"):
+    * epoch-anchored fixed-width bins — pure integer floor arithmetic over
+    * epoch micros, keys rendered as TIMESTAMPs. Calendar intervals are
+    * [[DateHistogram]]; `min_doc_count: 0` zero-fill is implemented for
+    * calendar intervals only (rejected loudly here). */
+  final case class FixedDateHistogram(path: Seq[String], micros: Long,
+                                      minDocCount: Long = 1L) extends Agg
   /** ES `filters` bucket agg — one NAMED bucket per predicate (a document
     * lands in EVERY bucket it matches). Compiled as ONE conditional
     * aggregation (`sum(case when pred)` per bucket) — zero-doc buckets
@@ -462,7 +470,7 @@ object EsAggs {
             s"a bucket agg must have exactly one bucket type: ${bf.keySet.mkString(", ")}")
           val bucket = bf.get("terms").map { spec =>
             val m = checkSpecKeys(spec, "terms",
-              Set("field", "size", "order", "min_doc_count", "include", "exclude"))
+              Set("field", "size", "order", "min_doc_count", "include", "exclude", "missing"))
             val tMinDc = num(spec, "min_doc_count", "terms").getOrElse(1L)
             require(tMinDc >= 1,
               "terms min_doc_count: 0 (zero-doc buckets for the whole term dictionary) is not implemented")
@@ -478,11 +486,17 @@ object EsAggs {
               case other => throw new IllegalArgumentException(
                 s"terms $key must be a regex string or a value array: $other")
             }
+            val tMissing: Option[Any] = m.get("missing").map {
+              case JString(v) => v: Any
+              case JInt(i) => i.toLong: Any
+              case JLong(l) => l: Any
+              case other => throw new IllegalArgumentException(s"bad terms missing: $other")
+            }
             Terms(fieldPath(spec, "terms", ctx),
               num(spec, "size", "terms").map(_.toInt).getOrElse(10), // ES default
               parseOrder(m),
               tMinDc,
-              incExc("include"), incExc("exclude"))
+              incExc("include"), incExc("exclude"), tMissing)
           }.orElse(bf.get("histogram").map { spec =>
             val hm = checkSpecKeys(spec, "histogram",
               Set("field", "interval", "min_doc_count", "offset", "extended_bounds"))
@@ -506,17 +520,47 @@ object EsAggs {
               s"extended_bounds min > max: $lo > $hi") }
             Histogram(fieldPath(spec, "histogram", ctx), interval, minDc, offset, eb)
           }).orElse(bf.get("date_histogram").map { spec =>
-            // calendar_interval ONLY: fixed intervals belong to `histogram`
-            // over an epoch column; silently coercing a fixed_interval to a
-            // calendar unit would put rows in the wrong buckets.
             val m = checkSpecKeys(spec, "date_histogram",
-              Set("field", "calendar_interval", "min_doc_count", "extended_bounds"))
+              Set("field", "calendar_interval", "fixed_interval", "min_doc_count",
+                "extended_bounds"))
+            require(!(m.contains("calendar_interval") && m.contains("fixed_interval")),
+              "date_histogram takes calendar_interval OR fixed_interval, not both (ES rule)")
+            // fixed_interval: epoch-anchored integer bins, a separate node
+            // (calendar arithmetic and floor division put rows in
+            // DIFFERENT buckets — never coerce one to the other)
+            if (m.contains("fixed_interval")) {
+              val micros = m("fixed_interval") match {
+                case JString(iv) =>
+                  val FixedRe = "(\\d+)(ms|s|m|h|d)".r
+                  iv match {
+                    case FixedRe(n, u) =>
+                      val mult = u match {
+                        case "ms" => 1000L
+                        case "s" => 1000000L
+                        case "m" => 60L * 1000000L
+                        case "h" => 3600L * 1000000L
+                        case "d" => 86400L * 1000000L
+                      }
+                      n.toLong * mult
+                    case other => throw new IllegalArgumentException(
+                      s"bad fixed_interval: $other (<n>ms|s|m|h|d)")
+                  }
+                case other => throw new IllegalArgumentException(s"bad fixed_interval: $other")
+              }
+              require(micros > 0, "fixed_interval must be positive")
+              val fMinDc = num(spec, "min_doc_count", "date_histogram").getOrElse(1L)
+              require(fMinDc >= 1,
+                "min_doc_count: 0 zero-fill is implemented for calendar intervals only")
+              require(!m.contains("extended_bounds"),
+                "extended_bounds on a fixed_interval date_histogram is not implemented")
+              FixedDateHistogram(fieldPath(spec, "date_histogram", ctx), micros, fMinDc)
+            } else {
             val unit = m.get("calendar_interval") match {
               case Some(JString(u)) if calendarIntervals(u) => u
               case Some(other) => throw new IllegalArgumentException(
                 s"unsupported calendar_interval: $other (${calendarIntervals.toSeq.sorted.mkString("/")})")
               case None => throw new IllegalArgumentException(
-                "date_histogram needs calendar_interval (fixed intervals: use histogram on an epoch column)")
+                "date_histogram needs calendar_interval or fixed_interval")
             }
             val dMinDc = num(spec, "min_doc_count", "date_histogram").getOrElse(1L)
             val IsoD = "\\d{4}-\\d{2}-\\d{2}".r
@@ -532,6 +576,7 @@ object EsAggs {
               (iso("min"), iso("max"))
             }
             DateHistogram(fieldPath(spec, "date_histogram", ctx), unit, dMinDc, dEb)
+            }
           }).orElse(bf.get("auto_date_histogram").map { spec =>
             val m = checkSpecKeys(spec, "auto_date_histogram", Set("field", "buckets"))
             val target = num(spec, "buckets", "auto_date_histogram").map(_.toInt).getOrElse(10)
@@ -980,7 +1025,7 @@ object EsAggs {
           // by; reject (don't ignore) anything else. Multi-column metrics
           // (stats/percentiles) are not a sortable target.
           def checkOrder(b: Agg, ms: Map[String, Metric], where: String): Unit = b match {
-            case Terms(_, _, Some((target, _)), _, _, _) =>
+            case Terms(_, _, Some((target, _)), _, _, _, _) =>
               require(target == "_key" || target == "_count" || ms.contains(target),
                 s"terms order target \"$target\" is not _key/_count or a metric sub-agg of $where " +
                   s"(metrics: ${if (ms.isEmpty) "none" else ms.keys.toSeq.sorted.mkString(", ")})")
@@ -1013,6 +1058,8 @@ object EsAggs {
               chain.map(_.bucket).foreach {
                 case Histogram(_, _, md, _, _) if md != 1L => throw new IllegalArgumentException(
                   "histogram min_doc_count on a multi-level split is not implemented")
+                case FixedDateHistogram(_, _, md) if md != 1L => throw new IllegalArgumentException(
+                  "date_histogram min_doc_count on a multi-level split is not implemented")
                 case DateHistogram(_, _, md, _) if md != 1L => throw new IllegalArgumentException(
                   "date_histogram min_doc_count on a multi-level split is not implemented")
                 case _ => ()
@@ -1057,7 +1104,8 @@ object EsAggs {
               s"buckets_path \"$target\" is not _count${if (allowKey) "/_key" else ""}, a " +
                 "single-column metric, or an earlier pipeline of this level")
           def requireKeyed(kind: String): Unit = bucket match {
-            case _: Terms | _: Histogram | _: DateHistogram | _: AutoDateHistogram => ()
+            case _: Terms | _: Histogram | _: DateHistogram | _: AutoDateHistogram |
+                 _: FixedDateHistogram => ()
             case other => throw new IllegalArgumentException(
               s"$kind under ${other.getClass.getSimpleName} is not implemented")
           }
@@ -1065,7 +1113,8 @@ object EsAggs {
             // auto_date_histogram resolves to a date_histogram before
             // planning, so pipelines over the auto axis (Lens formulas)
             // are legal
-            case _: Histogram | _: DateHistogram | _: AutoDateHistogram => ()
+            case _: Histogram | _: DateHistogram | _: AutoDateHistogram |
+                 _: FixedDateHistogram => ()
             case _ => throw new IllegalArgumentException(
               s"$kind needs a histogram/date_histogram parent (ES restriction)")
           }
@@ -1396,7 +1445,10 @@ object EsAggs {
     val bucketW = W.partitionBy()
     val wAllBuckets = bucketW.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     def keyCol(b: Agg): Column = b match {
-      case Terms(p, _, _, _, _, _) => field(ctx, p)
+      case t0: Terms =>
+        // ES terms `missing`: docs with no key value land in the bucket
+        // of the substitute instead of vanishing (the keyed-agg rule)
+        t0.missing.fold(field(ctx, t0.path))(mv => coalesce(field(ctx, t0.path), lit(mv)))
       case RareTerms(p, _) => field(ctx, p)
       case Histogram(p, interval, _, 0L, _) =>
         // floor(v/interval)*interval in PURE INTEGER arithmetic: double
@@ -1409,6 +1461,12 @@ object EsAggs {
         // in the same pure integer arithmetic
         val v0 = field(ctx, hOff.path) - lit(hOff.offset)
         (v0 - pmod(v0, lit(hOff.interval)) + lit(hOff.offset)).cast("long")
+      case FixedDateHistogram(p, iv, _) =>
+        // epoch-anchored fixed bins in pure integer micros arithmetic;
+        // DATE fields widen to midnight-UTC timestamps (ES stores every
+        // date field as epoch millis — unix_micros itself won't coerce)
+        val us = unix_micros(field(ctx, p).cast("timestamp"))
+        timestamp_micros(us - pmod(us, lit(iv)))
       case DateHistogram(p, unit, _, _) =>
         // date_trunc is calendar arithmetic (month lengths, leap years,
         // ISO week starts) — the thing fixed-interval floor division
@@ -1608,7 +1666,7 @@ object EsAggs {
         val bucketTable = rows.filter(keyCol(bk).isNotNull).groupBy(keyCol(bk).as("key"))
           .agg(count(lit(1)).cast("long").as("doc_count"))
         val (selected, bucketOrder) = bk match {
-          case Terms(_, size, order, minDoc, inc0, exc0) =>
+          case Terms(_, size, order, minDoc, inc0, exc0, _) =>
             require(inc0.isEmpty && exc0.isEmpty,
               "terms include/exclude under top_hits is not implemented")
             val pruned = if (minDoc > 1L) bucketTable.filter(col("doc_count") >= minDoc)
@@ -1635,7 +1693,7 @@ object EsAggs {
         // even when the body carries a query (ES "percent of total")
         docs.agg(count(lit(1)).as("doc_count"),
           ms.flatMap { case (n, m) => metricCols(n, m) }: _*)
-      case Right(Buckets(t @ Terms(_, size0, order0, minDoc0, inc0, exc0), Nil, None, Nil, None,
+      case Right(Buckets(t @ Terms(_, size0, order0, minDoc0, inc0, exc0, _), Nil, None, Nil, None,
                          Nil, Some(rn))) =>
         require(inc0.isEmpty && exc0.isEmpty,
           "terms include/exclude beside a reverse_nested is not implemented")
@@ -1712,7 +1770,7 @@ object EsAggs {
         var table = grouped
         var finalOrder: Seq[Column] = Seq(col("key").asc)
         b match {
-          case Terms(_, size, order, minDoc, inc, exc) =>
+          case Terms(_, size, order, minDoc, inc, exc, _) =>
             // include/exclude act on the |terms|-row bucket table, before
             // pruning and top-N (ES ordering of operations). ES regexes
             // are fully anchored — rlike is not, so anchor explicitly.
@@ -1749,6 +1807,8 @@ object EsAggs {
           case Histogram(_, _, minDoc, _, _) if minDoc > 1L =>
             table = table.filter(col("doc_count") >= minDoc)
           case DateHistogram(_, _, minDoc, _) if minDoc > 1L =>
+            table = table.filter(col("doc_count") >= minDoc)
+          case FixedDateHistogram(_, _, minDoc) if minDoc > 1L =>
             table = table.filter(col("doc_count") >= minDoc)
           case _ => ()
         }
@@ -1875,7 +1935,7 @@ object EsAggs {
         val levelOrders = lvls.indices.map { i =>
           if (i > 0) out = out.filter(col(kname(i)).isNotNull)
           lvls(i).bucket match {
-            case Terms(_, size0, order0, minDoc0, inc0, exc0) =>
+            case Terms(_, size0, order0, minDoc0, inc0, exc0, _) =>
               require(inc0.isEmpty && exc0.isEmpty,
                 "terms include/exclude on a multi-level split is not implemented")
               if (minDoc0 > 1L) out = out.filter(col(dcname(i)) >= minDoc0)

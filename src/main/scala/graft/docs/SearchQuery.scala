@@ -144,9 +144,19 @@ object SearchQuery {
 
   /** One function_score function: `filter` (MatchAll when absent) gates
     * it, its value is `weight`, optionally scaled by a
-    * [[FieldValueFactor]]. */
+    * [[FieldValueFactor]] or a [[LinearDecay]]. */
   final case class ScoreFn(filter: SearchQuery, weight: Double,
-                           fvf: Option[FieldValueFactor] = None)
+                           fvf: Option[FieldValueFactor] = None,
+                           decay: Option[LinearDecay] = None)
+
+  /** ES `linear` decay: `max(0, (s - max(0, |v - origin| - offset)) / s)`
+    * with `s = scale / (1 - decay)` — the one decay kernel whose
+    * arithmetic is a fixed sequence of exact/correctly-rounded IEEE ops
+    * (gauss/exp decays ride libm's exp and are NOT implemented — a
+    * documented exactness boundary). `missing` is required, same engine
+    * deviation as [[FieldValueFactor]]. */
+  final case class LinearDecay(path: Seq[String], origin: Double, scale: Double,
+                               offset: Double, decay: Double, missing: Double)
 
   /** ES `field_value_factor`: `modifier(factor * field)` as the function
     * value. Modifiers: none/log1p/sqrt/square (sqrt is IEEE-correctly-
@@ -204,10 +214,11 @@ object SearchQuery {
           case Some(JArray(fs)) if fs.nonEmpty => fs.map {
             case JObject(ff) =>
               val fm = ff.toMap
-              val unknownF = fm.keySet -- Set("filter", "weight", "field_value_factor")
+              val unknownF = fm.keySet -- Set("filter", "weight", "field_value_factor", "linear")
               require(unknownF.isEmpty,
                 s"unsupported function_score function key(s): ${unknownF.mkString(", ")} " +
-                  "(only the filter/weight/field_value_factor forms are implemented)")
+                  "(only the filter/weight/field_value_factor/linear forms are implemented; " +
+                  "gauss/exp decays ride libm exp and are a documented exactness boundary)")
               val fvf = fm.get("field_value_factor").map {
                 case JObject(fvFields) =>
                   val fv = fvFields.toMap
@@ -237,15 +248,42 @@ object SearchQuery {
                 case other => throw new IllegalArgumentException(
                   s"bad field_value_factor spec: $other")
               }
+              val decay = fm.get("linear").map {
+                case JObject(List((fld, JObject(dFields)))) =>
+                  val dv = dFields.toMap
+                  val unknownD = dv.keySet -- Set("origin", "scale", "offset", "decay", "missing")
+                  require(unknownD.isEmpty,
+                    s"unsupported linear decay key(s): ${unknownD.mkString(", ")}")
+                  val p = fld.split('.').toSeq
+                  val (arr, _) = splitArrayPath(p, schema)
+                  require(arr.isEmpty, s"linear decay field $fld crosses array ${arr.mkString(".")}")
+                  def req(k: String): Double = dv.get(k).map(asDouble(_, s"linear decay $k"))
+                    .getOrElse(throw new IllegalArgumentException(s"linear decay needs $k"))
+                  val dec = dv.get("decay").map(asDouble(_, "linear decay decay")).getOrElse(0.5)
+                  require(dec > 0 && dec < 1, s"linear decay must be in (0, 1): $dec")
+                  val scale = req("scale")
+                  require(scale > 0, s"linear scale must be > 0: $scale")
+                  val missing = dv.get("missing").map(asDouble(_, "linear decay missing"))
+                    .getOrElse(throw new IllegalArgumentException(
+                      "linear decay needs missing (engine deviation: ES raises a per-document " +
+                        "runtime error on a missing field; state the substitute up front)"))
+                  LinearDecay(p, req("origin"), scale,
+                    dv.get("offset").map(asDouble(_, "linear decay offset")).getOrElse(0.0),
+                    dec, missing)
+                case other => throw new IllegalArgumentException(
+                  s"linear decay takes one {field: {origin, scale, ...}} entry: $other")
+              }
+              require(fvf.isEmpty || decay.isEmpty,
+                "a function_score function takes field_value_factor OR linear, not both")
               val w = fm.get("weight").map(asDouble(_, "function_score weight")).getOrElse {
-                if (fvf.isEmpty) throw new IllegalArgumentException(
-                  "each function_score function needs a weight or a field_value_factor")
+                if (fvf.isEmpty && decay.isEmpty) throw new IllegalArgumentException(
+                  "each function_score function needs a weight, a field_value_factor or a linear decay")
                 1.0
               }
               // ES default when `filter` is absent: the function applies
               // to every document (match_all)
               val filt = fm.get("filter").map(parseQueryNode(_, schema)).getOrElse(MatchAll)
-              ScoreFn(filt, w, fvf)
+              ScoreFn(filt, w, fvf, decay)
             case other => throw new IllegalArgumentException(
               s"bad function_score function entry: $other")
           }
@@ -479,10 +517,11 @@ object SearchQuery {
         // oracle reproduces it bit-for-bit.
         val base = if (p.shoulds.isEmpty) lit(1.0) else clauseCount.cast("double")
         /** One function's value: the weight, scaled by the
-          * field_value_factor when present (null field → `missing`). */
-        def fnVal(fn: ScoreFn): Column = fn.fvf match {
-          case None => lit(fn.weight)
-          case Some(fv) =>
+          * field_value_factor / linear decay when present (null field →
+          * the required `missing` substitute). */
+        def fnVal(fn: ScoreFn): Column = (fn.fvf, fn.decay) match {
+          case (None, None) => lit(fn.weight)
+          case (Some(fv), _) =>
             val raw = fv.path.foldLeft(doc)((c, n) => c.getField(n)).cast("double")
             val scaled = lit(fv.factor) * coalesce(raw, lit(fv.missing))
             val modded = fv.modifier match {
@@ -492,6 +531,12 @@ object SearchQuery {
               case "square" => scaled * scaled
             }
             modded * lit(fn.weight)
+          case (_, Some(ld)) =>
+            val raw = ld.path.foldLeft(doc)((c, n) => c.getField(n)).cast("double")
+            val v = coalesce(raw, lit(ld.missing))
+            val s = ld.scale / (1.0 - ld.decay) // parse-time constant
+            val dist = greatest(lit(0.0), abs(v - lit(ld.origin)) - lit(ld.offset))
+            greatest(lit(0.0), (lit(s) - dist) / lit(s)) * lit(fn.weight)
         }
         val matched = sh.functions.map { fn =>
           (coalesce(compile(fn.filter, doc), lit(false)), fnVal(fn))

@@ -1049,7 +1049,7 @@ class DocEngineSpec extends SparkSpec {
       PlanSchema.plan))
   }
 
-  test("date_histogram calendar_interval buckets by real calendar units; fixed intervals rejected") {
+  test("date_histogram: calendar_interval uses calendar units, fixed_interval epoch-anchored bins") {
     import spark.implicits._
     val df = Seq(("e1", "2024-01-15"), ("e2", "2024-01-31"), ("e3", "2024-02-01"))
       .toDF("id", "d")
@@ -1068,11 +1068,24 @@ class DocEngineSpec extends SparkSpec {
     assert(EsAggs.run(df, "doc", weekly, sch).collect()
       .map(r => (r.getAs[java.sql.Date]("key").toString, r.getAs[Long]("doc_count"))).toSeq ===
       Seq(("2024-01-15", 1L), ("2024-01-29", 2L)))
-    // fixed_interval and unknown units are rejected, not coerced
-    assertThrows[IllegalArgumentException](EsAggs.parse(
-      """{"aggs": {"m": {"date_histogram": {"field": "day", "fixed_interval": "30d"}}}}""", sch))
+    // fixed_interval 7d: epoch-anchored (1970-01-01 was a THURSDAY), so
+    // the same three dates land in THREE bins — 01-15 → Thu 01-11,
+    // 01-31 → Thu 01-25, 02-01 IS a Thursday bin boundary. The contrast
+    // with the Monday-anchored calendar week above is the reason the two
+    // interval kinds are separate nodes, never coerced.
+    val fixed7d =
+      """{"aggs": {"w": {"date_histogram": {"field": "day", "fixed_interval": "7d"}}}}"""
+    assert(EsAggs.run(df, "doc", fixed7d, sch).collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("key").toInstant.toString,
+        r.getAs[Long]("doc_count"))).toSeq ===
+      Seq(("2024-01-11T00:00:00Z", 1L), ("2024-01-25T00:00:00Z", 1L),
+        ("2024-02-01T00:00:00Z", 1L)))
+    // unknown units / both-interval bodies are rejected, not coerced
     assertThrows[IllegalArgumentException](EsAggs.parse(
       """{"aggs": {"m": {"date_histogram": {"field": "day", "calendar_interval": "fortnight"}}}}""", sch))
+    assertThrows[IllegalArgumentException](EsAggs.parse(
+      """{"aggs": {"m": {"date_histogram": {"field": "day",
+        |  "calendar_interval": "month", "fixed_interval": "7d"}}}}""".stripMargin, sch))
   }
 
   test("weighted_avg, adjacency_matrix, rare_terms follow the ES contracts") {

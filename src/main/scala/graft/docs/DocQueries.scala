@@ -3003,9 +3003,9 @@ object DocQueries {
     s"""WITH samp AS (
        |  SELECT text FROM (
        |    SELECT text, doc_id,
-       |      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+       |      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
        |    FROM documents WHERE lang = 'en')
-       |  ORDER BY h, doc_id LIMIT 120),
+       |  ORDER BY h, CAST(doc_id AS VARCHAR) LIMIT 120),
        |fg AS (
        |  SELECT tok AS key, CAST(COUNT(*) AS BIGINT) AS doc_count FROM (
        |    SELECT unnest(list_distinct($toks)) AS tok FROM samp)

@@ -251,7 +251,7 @@ object EsAggs {
     * The sampler is this engine's deterministic stand-in for ES's
     * score-ordered shard sample (which tie-breaks on internal Lucene doc
     * ids — not reproducible relationally): the `shard_size` hits with the
-    * smallest 64-bit hash (first 8 md5 hex digits) of a caller-named
+    * smallest 60-bit hash (first 15 md5 hex digits) of a caller-named
     * unique `hash_field` — an engine-extension key, required, making the
     * sample a rerunnable uniform draw. significant_text WITHOUT a sampler
     * parent is rejected loudly (unbounded foreground analysis). */
@@ -402,24 +402,14 @@ object EsAggs {
           }
           val m = checkSpecKeys(spec, kind, allowed)
           val percents = if (kind == "percentile_ranks") m.get("values") match {
-            case Some(JArray(vs)) if vs.nonEmpty => vs.map {
-              case JInt(i) => i.toDouble
-              case JLong(l) => l.toDouble
-              case JDouble(d0) => d0
-              case JDecimal(d0) => d0.toDouble
-              case other => throw new IllegalArgumentException(s"bad percentile_ranks value: $other")
-            }
+            case Some(JArray(vs)) if vs.nonEmpty =>
+              vs.map(SearchQuery.asDouble(_, "percentile_ranks value"))
             case _ => throw new IllegalArgumentException(
               "percentile_ranks needs a non-empty values array")
           } else if (kind != "percentiles") Nil else m.get("percents") match {
             case None => defaultPercents
-            case Some(JArray(ps)) if ps.nonEmpty => ps.map {
-              case JInt(i) => i.toDouble
-              case JLong(l) => l.toDouble
-              case JDouble(d) => d
-              case JDecimal(d) => d.toDouble
-              case other => throw new IllegalArgumentException(s"bad percent: $other")
-            }
+            case Some(JArray(ps)) if ps.nonEmpty =>
+              ps.map(SearchQuery.asDouble(_, "percent"))
             case Some(other) => throw new IllegalArgumentException(
               s"percentiles.percents must be a non-empty array: $other")
           }
@@ -713,9 +703,18 @@ object EsAggs {
                     case JString(v0) => v0
                     case JInt(i) => i.toLong
                     case JLong(l) => l
+                    // a page can end INSIDE the null-keyed bucket group of
+                    // a missing_bucket source — ES then emits null as that
+                    // source's cursor value, and the next page must resume
+                    // within the null group (not throw)
+                    case JNull =>
+                      require(s.missingBucket,
+                        s"after.${s.name} is null but the source has missing_bucket: false")
+                      null
                     case other => throw new IllegalArgumentException(s"bad after value: $other")
                   }
                   (s.kind, v) match {
+                    case (_, null) => ()
                     case ("date_histogram", str: String) =>
                       require(IsoAfter.matches(str),
                         s"after.${s.name} must be an ISO yyyy-MM-dd date for a date_histogram source: $str")
@@ -1198,13 +1197,8 @@ object EsAggs {
                 s"$kind target \"$target\" is not _count or a single-column metric of $bucketName")
               val percents = if (kind != "percentiles_bucket") Nil else m.get("percents") match {
                 case None => defaultPercents
-                case Some(JArray(ps)) if ps.nonEmpty => ps.map {
-                  case JInt(i) => i.toDouble
-                  case JLong(l) => l.toDouble
-                  case JDouble(d0) => d0
-                  case JDecimal(d0) => d0.toDouble
-                  case other => throw new IllegalArgumentException(s"bad percent: $other")
-                }
+                case Some(JArray(ps)) if ps.nonEmpty =>
+                  ps.map(SearchQuery.asDouble(_, "percent"))
                 case Some(other) => throw new IllegalArgumentException(
                   s"percentiles_bucket.percents must be a non-empty array: $other")
               }
@@ -1257,7 +1251,7 @@ object EsAggs {
           case _ => throw new IllegalArgumentException(
             "sampler needs hash_field (engine extension): ES's score-ordered, " +
               "internal-doc-id-tie-broken sample is not reproducible relationally; this " +
-              "engine takes the shard_size hits with the smallest 64-bit hash of a " +
+              "engine takes the shard_size hits with the smallest 60-bit hash of a " +
               "caller-named unique field — a deterministic, rerunnable uniform draw")
         }
         val innerAggs = f.get("aggs").orElse(f.get("aggregations")).map(namedOf).getOrElse(
@@ -1364,7 +1358,14 @@ object EsAggs {
                 lo.toLocalDate.`with`(java.time.DayOfWeek.MONDAY),
                 hi.toLocalDate.`with`(java.time.DayOfWeek.MONDAY)) + 1
               case "month" => monthsBetween + 1
-              case "quarter" => monthsBetween / 3 + 1
+              case "quarter" =>
+                // distance between QUARTER starts, not month starts:
+                // Mar-15..Apr-10 crosses Q1/Q2 (2 buckets) though only
+                // one month-start apart — month distance /3 undercounts
+                // and would break the <= target contract after zero-fill
+                def qStart(d0: java.time.LocalDate) =
+                  d0.withDayOfMonth(1).withMonth((d0.getMonthValue - 1) / 3 * 3 + 1)
+                ChronoUnit.MONTHS.between(qStart(lo.toLocalDate), qStart(hi.toLocalDate)) / 3 + 1
               case "year" => ChronoUnit.YEARS.between(
                 lo.toLocalDate.withDayOfYear(1), hi.toLocalDate.withDayOfYear(1)) + 1
             }
@@ -1571,11 +1572,19 @@ object EsAggs {
         c.after.foreach { vals =>
           val afterPred = c.sources.zip(vals).foldRight(lit(false)) { case ((src, v), rest) =>
             val k = col(src.name)
-            val av = afterLit(src, v)
-            // a null key sorts BEFORE any after value on asc (already
-            // paged past) and AFTER every value on desc (still to come)
-            val beyond = if (src.asc) k > av else k < av || k.isNull
-            beyond || (k === av && rest)
+            if (v == null) {
+              // cursor is INSIDE the null-keyed group of a missing_bucket
+              // source: on asc (nulls first) everything non-null is still
+              // to come; on desc (nulls last) only the null group remains
+              val beyond = if (src.asc) k.isNotNull else lit(false)
+              beyond || (k.isNull && rest)
+            } else {
+              val av = afterLit(src, v)
+              // a null key sorts BEFORE any after value on asc (already
+              // paged past) and AFTER every value on desc (still to come)
+              val beyond = if (src.asc) k > av else k < av || k.isNull
+              beyond || (k === av && rest)
+            }
           }
           g = g.filter(afterPred)
         }
@@ -1585,7 +1594,7 @@ object EsAggs {
                          None)) =>
         // sampler + significant_text — Discover's "interesting words":
         // foreground = the deterministic hash sample of the hit set (a
-        // bounded TakeOrderedAndProject over the 64-bit md5-prefix hash,
+        // bounded TakeOrderedAndProject over the 60-bit md5-prefix hash,
         // tie-broken on the hash_field value itself), background = the
         // WHOLE corpus. Each document contributes each analyzed token
         // ONCE (doc frequency); JLH denominators are the SAMPLE size and
@@ -1595,7 +1604,7 @@ object EsAggs {
         // bounded by shard_size, so it broadcasts into the vocab join.
         val txt = field(doc, p)
         val hf = field(doc, hashF).cast("string")
-        val h = conv(substring(md5(hf), 1, 8), 16, 10).cast("long")
+        val h = conv(substring(md5(hf), 1, 15), 16, 10).cast("long")
         val sampled = filtered
           .select(h.as("_h"), hf.as("_hf"), txt.as("_txt"))
           .orderBy(col("_h").asc, col("_hf").asc).limit(sampleN)

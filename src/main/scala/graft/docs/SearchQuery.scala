@@ -182,16 +182,23 @@ object SearchQuery {
     * `function_score`/`boosting` score-shaping wrapper (top-level ONLY —
     * a wrapper nested inside bool is rejected by parseNode's exhaustive
     * match, honestly, rather than scored wrong). */
-  private def parseQueryRoot(q: org.json4s.JValue,
-                             schema: org.apache.spark.sql.types.StructType): Parsed = {
+  /** The one JSON-number → Double coercion (bodies carry ints, longs and
+    * decimals interchangeably); every numeric body knob parses through
+    * here so a future tightening lands once. */
+  private[docs] def asDouble(v: org.json4s.JValue, what: String): Double = {
     import org.json4s._
-    def asDouble(v: JValue, what: String): Double = v match {
+    v match {
       case JInt(i) => i.toDouble
       case JLong(l) => l.toDouble
       case JDouble(d) => d
       case JDecimal(d) => d.toDouble
       case other => throw new IllegalArgumentException(s"$what must be numeric: $other")
     }
+  }
+
+  private def parseQueryRoot(q: org.json4s.JValue,
+                             schema: org.apache.spark.sql.types.StructType): Parsed = {
+    import org.json4s._
     def mode(f: Map[String, JValue], key: String): String = f.get(key) match {
       case None => "multiply" // ES default for both modes
       case Some(JString(m)) if m == "multiply" || m == "sum" => m
@@ -463,20 +470,13 @@ object SearchQuery {
         val unknownQ = qm.keySet -- Set("rescore_query", "query_weight", "rescore_query_weight")
         require(unknownQ.isEmpty,
           s"unsupported rescore.query key(s): ${unknownQ.mkString(", ")}")
-        def asDbl(v: JValue, what: String): Double = v match {
-          case JInt(i) => i.toDouble
-          case JLong(l) => l.toDouble
-          case JDouble(d) => d
-          case JDecimal(d) => d.toDouble
-          case other => throw new IllegalArgumentException(s"$what must be numeric: $other")
-        }
         val rParsed = parseQueryRoot(qm.getOrElse("rescore_query",
           throw new IllegalArgumentException("rescore needs rescore_query")), schema)
         require(rParsed.shape.isEmpty,
           "score-shaping wrappers inside rescore_query are not implemented")
         Rescore(windowSize, rParsed,
-          qm.get("query_weight").map(asDbl(_, "query_weight")).getOrElse(1.0),
-          qm.get("rescore_query_weight").map(asDbl(_, "rescore_query_weight")).getOrElse(1.0))
+          qm.get("query_weight").map(asDouble(_, "query_weight")).getOrElse(1.0),
+          qm.get("rescore_query_weight").map(asDouble(_, "rescore_query_weight")).getOrElse(1.0))
       case other => throw new IllegalArgumentException(s"bad rescore: $other")
     }
     rescore.foreach { rs =>
@@ -524,10 +524,17 @@ object SearchQuery {
           case (Some(fv), _) =>
             val raw = fv.path.foldLeft(doc)((c, n) => c.getField(n)).cast("double")
             val scaled = lit(fv.factor) * coalesce(raw, lit(fv.missing))
+            // ES errors per-document on log1p/sqrt of a negative value; a
+            // silent NaN would FLOAT BROKEN DOCS TO THE TOP of the page
+            // (NaN > every real double in Spark's sort), so reject loudly
+            // at execution like ES does rather than rank them wrong
+            def nonNeg(c: Column): Column = when(c < 0, raise_error(concat(
+              lit(s"field_value_factor ${fv.modifier} of a negative value: "),
+              c.cast("string")))).otherwise(c)
             val modded = fv.modifier match {
               case "none" => scaled
-              case "log1p" => log1p(scaled)
-              case "sqrt" => sqrt(scaled)
+              case "log1p" => log1p(nonNeg(scaled))
+              case "sqrt" => sqrt(nonNeg(scaled))
               case "square" => scaled * scaled
             }
             modded * lit(fn.weight)

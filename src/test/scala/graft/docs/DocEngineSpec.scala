@@ -1236,6 +1236,58 @@ class DocEngineSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("score")).toSeq === Seq(1L, 1L, 1L, 0L, 0L, 0L))
   }
 
+  test("review pins: auto quarter distance, composite null cursor, negative field_value_factor") {
+    import spark.implicits._
+    // auto_date_histogram counts QUARTER-START distance: Feb..Jul spans 3
+    // quarters (> target 2) though only 5 month-starts apart (the old
+    // months/3+1 = 2 would have picked quarter and rendered 3 buckets,
+    // breaking the <= target contract) — the ladder must fall to year
+    val dts = Seq(("e1", "2024-02-10"), ("e2", "2024-07-10")).toDF("id", "d")
+      .select(struct(col("id"), to_date(col("d")).as("day")).as("doc"))
+    val dtsSch = dts.schema("doc").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    val auto = """{"aggs": {"a": {"auto_date_histogram": {"field": "day", "buckets": 2}}}}"""
+    assert(EsAggs.run(dts, "doc", auto, dtsSch).collect()
+      .map(x => (x.getAs[java.sql.Date]("key").toString, x.getAs[Long]("doc_count"),
+        x.getAs[String]("interval"))).toSeq === Seq(("2024-01-01", 2L, "year")))
+
+    // composite missing_bucket: a page boundary INSIDE the null-keyed
+    // group emits a null cursor value — the next page must resume within
+    // the null group, not throw "bad after value"
+    val cd = Seq((Option.empty[String], "a"), (None, "b"), (None, "c"),
+      (Some("x"), "a"), (Some("x"), "b")).toDF("o", "p")
+      .select(struct(col("o").as("_org"), col("p").as("planType")).as("doc"))
+    val cdSch = cd.schema("doc").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    def page(after: String): Seq[(String, String)] = EsAggs.run(cd, "doc",
+      s"""{"size": 0, "aggs": {"c": {"composite": {"size": 2, "sources": [
+         |  {"org": {"terms": {"field": "_org", "missing_bucket": true}}},
+         |  {"ptype": {"terms": {"field": "planType"}}}]$after}}}}""".stripMargin,
+      cdSch).collect().map(x => (x.getAs[String]("org"), x.getAs[String]("ptype"))).toSeq
+    assert(page("") === Seq((null, "a"), (null, "b")))
+    assert(page(""", "after": {"org": null, "ptype": "b"}""") ===
+      Seq((null, "c"), ("x", "a")))
+    // null cursor on a strict (missing_bucket: false) source stays loud
+    assertThrows[IllegalArgumentException](EsAggs.parse(
+      """{"aggs": {"c": {"composite": {"sources": [
+        |  {"org": {"terms": {"field": "_org"}}}], "after": {"org": null}}}}}""".stripMargin,
+      cdSch))
+
+    // field_value_factor sqrt/log1p of a negative value rejects loudly at
+    // execution (ES errors per-document; a silent NaN would sort FIRST)
+    val fd = Seq(("d1", -5L), ("d2", 9L)).toDF("id", "bal")
+      .select(struct(col("id").as("objectId"), col("bal").as("balance")).as("doc"))
+    val fdSch = fd.schema("doc").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    val fsBody =
+      """{"query": {"function_score": {
+        |  "query": {"bool": {"filter": [{"exists": {"field": "balance"}}]}},
+        |  "functions": [{"field_value_factor": {
+        |    "field": "balance", "modifier": "sqrt", "missing": 0}}]}},
+        |  "size": 10, "_source": ["objectId"]}""".stripMargin
+    val e = intercept[Throwable](SearchExec.search(fd, "doc", fsBody, fdSch).collect())
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("field_value_factor sqrt of a negative value")))
+  }
+
   test("match with operator=and through an array path binds every token to the SAME element") {
     val assembledDocs = Assembler.assemble(sh, PlanSchema.plan, "plan")
     def cnt(body: String): Long = assembledDocs.filter(

@@ -538,6 +538,174 @@ object DedupQueries {
        |WHERE ${Similarity.dotSql("va", "vb")} / (na * nb) >= 0.999
        |ORDER BY a, b""".stripMargin
 
+  // ---------------------------------------------------------------- dd8
+  /** SemDeDup-style semantic dedup (Abbas et al., arXiv:2303.09540,
+    * public): k-means-cluster the embedding space, then drop
+    * near-identical vectors WITHIN each cluster only — the third
+    * candidate-generation strategy beside dd5's hyperplane LSH and dd4's
+    * attribute blocking, and the one real curation pipelines use when
+    * "duplicate" means semantic (same content re-encoded) rather than
+    * literal.
+    *
+    * EXACTNESS: the whole pipeline runs in INTEGER arithmetic so the
+    * DuckDB oracle reproduces every DISCRETE cluster assignment
+    * bit-for-bit — a doubles k-means would let a last-bit difference in
+    * partial-sum order flip a boundary vector's cluster and cascade.
+    * Embeddings quantize ONCE (`round(e · 2^12)`, identical
+    * ties-away-from-zero in both engines); distances are integer squared
+    * L2 (monotone in cosine on these unit-norm vectors); centroid means
+    * use `(s - s % n) div n` — exact on both engines regardless of sign
+    * convention because `s - s % n` is exactly divisible.
+    *
+    * Scale shape: centroids are O(k·dim) driver state (the MLlib k-means
+    * shape — same broadcast-sized-fact class as t3's language profiles),
+    * so each Lloyd round is ONE narrow posexplode + hash aggregation
+    * (map-side combinable on (cluster, i)) and assignment is a pure
+    * per-row map against centroid literals — no corpus join at all. The
+    * final within-cluster pair join is the SemDeDup contract: O(Σ cᵢ²)
+    * with k CHOSEN so cᵢ stays bounded (k ≈ n / target cluster size; the
+    * fixture uses k = 8 to keep the oracle tractable — at 100 TB k grows
+    * with the corpus and AQE splits any skewed cluster key).
+    *
+    * Each Lloyd round ends at a driver-collected k×dim table, so lineage
+    * resets per round (the dd6 iterative-loop lesson) without a storage
+    * boundary. Output: every vector's cluster plus `dropped_by` — the
+    * smallest same-cluster vec_id within τ, NULL for survivors (the
+    * keep-one-per-duplicate-group decision, derivable without connected
+    * components because τ-balls around the planted dups are disjoint). */
+  private val SemScale = 4096L // 2^12: |e| ≤ 0.53 → |q| ≤ ~2200, d² ≤ ~1.2e9
+  private val SemK = 8
+  private val SemTau = 100L // planted ±1 perturbation gives d² ≤ 64 < 100
+
+  /** Integer squared L2 — exact in any engine (products < 2^31, sums < 2^38). */
+  private def qdist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, z) => acc + z)
+
+  private def dd8(s: SparkSession, d: String): DataFrame = {
+    val (res, vecs) = dd8Plan(s, d)
+    graft.Eager.finish(res, vecs)
+  }
+
+  /** Un-pinned dd8 plan + its persisted vector frame, exposed for plan
+    * audits (the s2Plan pattern — the public query pins the answer into a
+    * LocalRelation, leaving nothing to audit). */
+  private[graft] def dd8Plan(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val base = Tables(s, d, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => round(x.cast("double") * SemScale).cast("long")).as("q"))
+    // plant near-dups in the QUANTIZED domain: component ±1 from the
+    // portable hash of (ORIGINAL id, index) — hash ≥ 0 so % 3 agrees
+    // between engines; total planted d² ≤ dim < τ. The id shift happens
+    // in a SECOND select: aliasing it beside the transform would make the
+    // lambda's vec_id resolve to the SHIFTED lateral alias (Spark 4
+    // lateral column aliases win over the child's column) while the
+    // oracle's unaliased projection keeps the source column.
+    val pert = base.filter(col("vec_id") % 9 === 0)
+      .select(col("vec_id"),
+        transform(col("q"), (x, i) => x + stableHash32(concat(
+          col("vec_id").cast("string"), lit(":"), i.cast("string"))) % 3 - 1).as("q"))
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("q"))
+    val vecs = base.unionByName(pert).persist()
+    // deterministic seeds: the k vectors with the smallest salted hash
+    // (rerunnable, engine-portable — the d80 sampling contract)
+    val seed0: Array[Seq[Long]] = vecs
+      .select(col("vec_id"), col("q"),
+        stableHash32(concat(col("vec_id").cast("string"), lit(":seed"))).as("_sh"))
+      .orderBy(col("_sh").asc, col("vec_id").asc).limit(SemK)
+      .collect().map(_.getSeq[Long](1))
+    /** Assignment is a pure map: least() over (d², cid) structs is the
+      * deterministic argmin (struct ordering breaks d² ties on cid). */
+    def assign(cents: Array[Seq[Long]]): DataFrame = {
+      val dists = cents.toSeq.zipWithIndex.map { case (cvec, cid) =>
+        struct(qdist(col("q"), typedLit(cvec)).as("d2"), lit(cid.toLong).as("cid"))
+      }
+      vecs.withColumn("cluster", least(dists: _*).getField("cid"))
+    }
+    /** One Lloyd update: integer centroid means; an emptied cluster keeps
+      * its previous centroid (mirrored in the oracle's LEFT JOIN). */
+    def update(cents: Array[Seq[Long]]): Array[Seq[Long]] = {
+      val rows = assign(cents)
+        .select(col("cluster"), posexplode(col("q")).as(Seq("i", "v")))
+        .groupBy(col("cluster"), col("i"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .select(col("cluster"), col("i"), expr("(s - (s % n)) div n").as("m"))
+        .collect()
+      val byCid = rows.groupBy(_.getLong(0))
+      (0 until SemK).map(cid => byCid.get(cid.toLong)
+        .map(_.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq)
+        .getOrElse(cents(cid))).toArray
+    }
+    val cFinal = update(update(seed0))
+    val asg = assign(cFinal).select(col("vec_id"), col("cluster"), col("q"))
+    val pa = asg.select(col("cluster"), col("vec_id").as("a"), col("q").as("qa"))
+    val pb = asg.select(col("cluster"), col("vec_id").as("b"), col("q").as("qb"))
+    val drops = pa.join(pb, "cluster")
+      .filter(col("a") < col("b") && qdist(col("qa"), col("qb")) <= SemTau)
+      .groupBy(col("b")).agg(min(col("a")).as("dropped_by"))
+    val res = asg.select(col("vec_id"), col("cluster"))
+      .join(drops, col("vec_id") === col("b"), "left")
+      .select(col("vec_id"), col("cluster"), col("dropped_by"))
+      .orderBy(col("vec_id"))
+    (res, vecs)
+  }
+
+  private val dd8Sql: String = {
+    val dim = 64
+    def d2(a: String, b: String) =
+      s"list_sum(list_transform(list_zip($a, $b), z -> (z[1] - z[2]) * (z[1] - z[2])))"
+    /** One assignment pass: vecs × centroids (k rows), argmin by (d², cid). */
+    def asgSql(cents: String, out: String) =
+      s"""$out AS (
+         |  SELECT vec_id, q, cid AS cluster FROM (
+         |    SELECT v.vec_id, v.q, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+         |        ORDER BY ${d2("v.q", "c.cq")}, c.cid) AS rn
+         |    FROM vecs v CROSS JOIN $cents c) WHERE rn = 1)"""
+    /** One Lloyd update from assignment `asg` over previous `prev`. */
+    def centSql(asg: String, prev: String, out: String) =
+      s"""${out}_m AS (
+         |  SELECT cluster, i, CAST((s - (s % n)) // n AS BIGINT) AS m FROM (
+         |    SELECT cluster, i, SUM(v) AS s, COUNT(*) AS n FROM (
+         |      SELECT cluster, i, q[CAST(i + 1 AS INTEGER)] AS v
+         |      FROM $asg, unnest(range(0, $dim)) AS t(i))
+         |    GROUP BY cluster, i)),
+         |${out}_l AS (
+         |  SELECT cluster AS cid, list(m ORDER BY i) AS cq FROM ${out}_m GROUP BY cluster),
+         |$out AS (
+         |  SELECT p.cid, COALESCE(l.cq, p.cq) AS cq
+         |  FROM $prev p LEFT JOIN ${out}_l l USING (cid))"""
+    s"""WITH base AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * $SemScale) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |vecs AS (
+       |  SELECT vec_id, q FROM base
+       |  UNION ALL
+       |  SELECT vec_id + 1000000,
+       |    list_transform(range(0, $dim), i -> q[CAST(i + 1 AS INTEGER)]
+       |      + CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) % 3 - 1)
+       |  FROM base WHERE vec_id % 9 = 0),
+       |c0 AS (
+       |  SELECT rn - 1 AS cid, q AS cq FROM (
+       |    SELECT vec_id, q, ROW_NUMBER() OVER (ORDER BY
+       |      CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':seed'), 1, 8)) AS BIGINT),
+       |      vec_id) AS rn
+       |    FROM vecs) WHERE rn <= $SemK),
+       |${asgSql("c0", "asg1")},
+       |${centSql("asg1", "c0", "c1")},
+       |${asgSql("c1", "asg2")},
+       |${centSql("asg2", "c1", "c2")},
+       |${asgSql("c2", "asg3")},
+       |drops AS (
+       |  SELECT y.vec_id AS b, MIN(x.vec_id) AS dropped_by
+       |  FROM asg3 x JOIN asg3 y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+       |  WHERE ${d2("x.q", "y.q")} <= $SemTau
+       |  GROUP BY y.vec_id)
+       |SELECT a.vec_id, a.cluster, d.dropped_by
+       |FROM asg3 a LEFT JOIN drops d ON a.vec_id = d.b
+       |ORDER BY a.vec_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- registry
 
   // ---------------------------------------------------------------- dd7
@@ -638,6 +806,7 @@ object DedupQueries {
 
   val queries: Map[String, Q] = Map(
     "dd7_incremental" -> dd7 _,
+    "dd8_semdedup" -> dd8 _,
     "dd1_exact_dedup" -> dd1 _,
     "dd2_minhash_lsh" -> dd2 _,
     "dd3_simhash" -> dd3 _,
@@ -647,6 +816,7 @@ object DedupQueries {
 
   val oracle: Map[String, String] = Map(
     "dd7_incremental" -> dd7Sql,
+    "dd8_semdedup" -> dd8Sql,
     "dd1_exact_dedup" -> dd1Sql,
     "dd2_minhash_lsh" -> dd2Sql,
     "dd3_simhash" -> dd3Sql,

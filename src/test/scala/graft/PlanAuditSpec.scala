@@ -102,6 +102,28 @@ class PlanAuditSpec extends SparkSpec {
     } finally sig.unpersist(true)
   }
 
+  test("dd8: semantic-dedup pair generation is cluster-bucketed, never cartesian") {
+    // SemDeDup's quadratic part must be an equi-join on the cluster key
+    // (O(Σ cᵢ²) with k scaling against cluster size) — a cartesian or
+    // nested-loop pair join is the O(n²) shape that dies at scale. The
+    // Lloyd rounds themselves run at construction time against driver-held
+    // centroid literals, so the audited plan must contain ONLY the pair
+    // join + the drops left-join — any extra join means assignment
+    // regressed from a pure map to a centroid-table join.
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val (res, vecs) = graft.ext.DedupQueries.dd8Plan(spark, sf)
+    try {
+      val opt = res.queryExecution.optimizedPlan
+      val joins = opt.collect { case j: Join => j }
+      assert(joins.size == 2, s"expected pair join + drops join, got ${joins.size}")
+      val planStr = opt.toString
+      assert(!planStr.contains("Cartesian") && !planStr.contains("BroadcastNestedLoop"),
+        "dd8 pair generation must stay an equi-join on cluster")
+      assert(joins.exists(_.condition.exists(_.references.exists(_.name == "cluster"))),
+        "expected the within-cluster pair equi-join")
+    } finally vecs.unpersist(true)
+  }
+
   test("full-corpus assembly plans no distinct (Deduplicate) over materialized tables") {
     // The indexing/search-build path assembles from the materialized
     // shredded tables; a distinct-join on array-child keys would add an

@@ -3379,6 +3379,54 @@ object DocQueries {
        |    FROM customer WHERE c_mktsegment IS NOT NULL))
        |WHERE rn <= 15 ORDER BY rn""".stripMargin
 
+  // ---------------------------------------------------------------- d91
+  /** `nested` agg INSIDE a terms split — the Kibana "metric on a child
+    * field with a split rows" body (the reference maps every sub-object
+    * `nested`, so ANY per-planType metric panel over service fields emits
+    * exactly this): terms on the doc-grain `planType`, element-grain
+    * avg/max/value_count over `linkedPlanServices`. doc_count stays
+    * parent docs; `svc` is the nested doc_count (elements). Executes as
+    * ONE hash aggregation with per-document higher-order-function
+    * partials — no explode (plan-pinned). */
+  private def d91(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "size": 0,
+        |  "aggs": {
+        |    "types": {
+        |      "terms": { "field": "planType", "size": 5 },
+        |      "aggs": {
+        |        "svc": {
+        |          "nested": { "path": "linkedPlanServices" },
+        |          "aggs": {
+        |            "avg_copay": { "avg": { "field": "linkedPlanServices.planserviceCostShares.copay" } },
+        |            "max_ded": { "max": { "field": "linkedPlanServices.planserviceCostShares.deductible" } },
+        |            "n_vals": { "value_count": { "field": "linkedPlanServices.planserviceCostShares.copay" } }
+        |          }
+        |        }
+        |      }
+        |    }
+        |  }
+        |}""".stripMargin
+    EsAggs.run(assembled(s, d), "doc", body, schema)
+  }
+
+  private val d91Sql =
+    s"""WITH o AS $O,
+       |par AS (SELECT c_custkey, c_mktsegment AS key FROM customer),
+       |el AS (SELECT p.key, o.o_custkey % 200 AS cop, o.o_orderkey % 1000 AS ded
+       |       FROM par p JOIN o ON o.o_custkey = p.c_custkey),
+       |d AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS doc_count FROM par GROUP BY key),
+       |m AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS svc,
+       |             CAST(SUM(cop) AS DOUBLE) / COUNT(cop) AS avg_copay,
+       |             CAST(MAX(ded) AS DOUBLE) AS max_ded,
+       |             CAST(COUNT(cop) AS BIGINT) AS n_vals
+       |      FROM el GROUP BY key)
+       |SELECT d.key, d.doc_count, COALESCE(m.svc, 0) AS svc, m.avg_copay, m.max_ded,
+       |       COALESCE(m.n_vals, 0) AS n_vals
+       |FROM d LEFT JOIN m USING (key)
+       |ORDER BY doc_count DESC, key ASC LIMIT 5""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -3457,6 +3505,7 @@ object DocQueries {
     "d88_es_terms_missing" -> d88 _,
     "d89_es_fixed_interval" -> d89 _,
     "d90_es_linear_decay" -> d90 _,
+    "d91_es_nested_metrics" -> d91 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
     "d3_roundtrip" -> d3 _,
@@ -3549,6 +3598,7 @@ object DocQueries {
     "d88_es_terms_missing" -> d88Sql,
     "d89_es_fixed_interval" -> d89Sql,
     "d90_es_linear_decay" -> d90Sql,
+    "d91_es_nested_metrics" -> d91Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,
     "d3_roundtrip" -> d3Sql,

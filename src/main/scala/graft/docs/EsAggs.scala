@@ -241,6 +241,17 @@ object EsAggs {
     * doc_count (count) and the parent metrics from the DEDUPED frame, so
     * any metric kind (incl. exact percentiles) works at parent grain. */
   final case class ReverseNested(name: String, metrics: Seq[(String, Metric)])
+  /** A `nested` agg INSIDE a document-grain bucket split — the Kibana
+    * "metric on a child field with a split" body (terms on a doc field,
+    * metrics over array elements). `metrics` paths are element-relative;
+    * `name` renders the nested doc_count column (elements, while the
+    * bucket's own doc_count stays parent docs — the ES contract).
+    * Restricted to per-document-combinable metric kinds so execution
+    * needs NO explode: each doc folds its elements with higher-order
+    * functions and the bucket aggregation combines the partials in the
+    * same single hash aggregation as the split itself. */
+  final case class NestedMetrics(name: String, arrayPath: Seq[String],
+                                 metrics: Seq[(String, Metric)])
 
   /** ES `significant_text` under a `sampler` — Discover's "interesting
     * words" panel: analyzed tokens over-represented in (a sample of) the
@@ -263,7 +274,8 @@ object EsAggs {
                            pipelines: Seq[Pipeline] = Nil,
                            topHits: Option[TopHits] = None,
                            siblings: Seq[Sibling] = Nil,
-                           reverse: Option[ReverseNested] = None)
+                           reverse: Option[ReverseNested] = None,
+                           nested: Option[NestedMetrics] = None)
 
   final case class Request(query: SearchQuery,
                            nestedPath: Option[Seq[String]],
@@ -815,8 +827,13 @@ object EsAggs {
           }
           // a reverse_nested entry carries TWO keys (reverse_nested +
           // aggs), so it is recognized by key presence, not single-key
-          val (rnEntries, metricOrSub) = rest2.partition {
+          val (rnEntries, rest3) = rest2.partition {
             case (_, JObject(fields)) => fields.exists(_._1 == "reverse_nested")
+            case _ => false
+          }
+          // likewise a nested agg (nested + aggs) as a CHILD of this level
+          val (nmEntries, metricOrSub) = rest3.partition {
+            case (_, JObject(fields)) => fields.exists(_._1 == "nested")
             case _ => false
           }
           def parsePipeline(e: (String, JValue)): Pipeline = e match {
@@ -992,6 +1009,40 @@ object EsAggs {
               Some(ReverseNested(name, parseMetrics(inner, None)))
             case _ => throw new IllegalArgumentException("at most one reverse_nested per level")
           }
+          val nestedM: Option[NestedMetrics] = nmEntries match {
+            case Nil => None
+            case List((name, JObject(fields))) =>
+              require(ctx.isEmpty,
+                "a nested agg under a bucket level inside an existing nested context is not implemented")
+              val f = fields.toMap
+              val extraneous = f.keySet -- Set("nested", "aggs", "aggregations")
+              require(extraneous.isEmpty,
+                s"unsupported nested agg entry key(s): ${extraneous.mkString(", ")}")
+              val pathStr = f("nested") match {
+                case JObject(pf) => pf.toMap.get("path").map(asString)
+                  .getOrElse(throw new IllegalArgumentException("nested agg needs a \"path\""))
+                case other => throw new IllegalArgumentException(s"bad nested spec: $other")
+              }
+              val np = pathStr.split('.').toSeq
+              val (arr, _) = SearchQuery.splitArrayPath(np, schema)
+              require(arr.nonEmpty,
+                s"nested path ${np.mkString(".")} under a bucket level does not cross an array " +
+                  "— struct fields are reachable as plain metrics")
+              val inner = f.get("aggs").orElse(f.get("aggregations")).map(namedOf)
+                .getOrElse(throw new IllegalArgumentException("nested agg needs sub-aggs"))
+              val ms0 = parseMetrics(inner, Some((np, arr)))
+              require(ms0.nonEmpty, "nested agg needs sub-aggs")
+              // per-document-combinable kinds only: each doc folds its own
+              // elements, the bucket agg combines partials — anything that
+              // needs the raw element multiset (percentiles, cardinality)
+              // would force an explode and is rejected loudly
+              ms0.foreach { case (n0, m0) =>
+                require(Set("avg", "sum", "min", "max", "value_count")(m0.kind),
+                  s"metric \"$n0\" (${m0.kind}) under a nested agg in a bucket level is not " +
+                    "implemented (avg/sum/min/max/value_count only)") }
+              Some(NestedMetrics(name, arr, ms0))
+            case _ => throw new IllegalArgumentException("at most one nested agg per level")
+          }
           val tree = parseTree(metricOrSub, ctx) match {
             case Left(ms) =>
               reverse.foreach { rn =>
@@ -1006,18 +1057,32 @@ object EsAggs {
                 outs.foreach(n0 => require(n0 != "key" && n0 != "doc_count",
                   s"reverse_nested output \"$n0\" collides with a bucket output column"))
               }
-              Buckets(bucket, ms, None, pipelines, topHits, reverse = reverse)
+              nestedM.foreach { nm =>
+                require(bucket.isInstanceOf[Terms],
+                  "a nested agg under this bucket agg kind is not implemented (terms only)")
+                require(ms.isEmpty,
+                  "document-grain metric aggs beside a nested agg at the same level are not implemented")
+                require(pipelines.isEmpty && topHits.isEmpty && reverse.isEmpty,
+                  "pipeline aggs / top_hits / reverse_nested beside a nested agg are not implemented")
+                val outs = nm.name +: nm.metrics.map(_._1)
+                require(outs.distinct.size == outs.size, "duplicate nested agg output names")
+                outs.foreach(n0 => require(n0 != "key" && n0 != "doc_count",
+                  s"nested agg output \"$n0\" collides with a bucket output column"))
+              }
+              Buckets(bucket, ms, None, pipelines, topHits, reverse = reverse, nested = nestedM)
             case Right(inner) =>
               require(reverse.isEmpty,
                 "reverse_nested on a multi-level split level is not implemented")
+              require(nestedM.isEmpty,
+                "a nested agg on a multi-level split level is not implemented")
               // this check runs at EVERY recursion level, so the binding
               // constraint is the outermost call's: at most THREE bucket
               // levels total (the Kibana data-table "split rows ×2" body)
               require(inner.sub.forall(_.sub.isEmpty),
                 "aggs nesting deeper than three bucket levels is not implemented")
               require(inner.pipelines.isEmpty && inner.topHits.isEmpty && inner.siblings.isEmpty
-                  && inner.reverse.isEmpty,
-                "pipeline aggs / top_hits / sibling *_bucket / reverse_nested aggs on an inner level of a multi-level split are not implemented")
+                  && inner.reverse.isEmpty && inner.nested.isEmpty,
+                "pipeline aggs / top_hits / sibling *_bucket / reverse_nested / nested aggs on an inner level of a multi-level split are not implemented")
               Buckets(bucket, Nil, Some(inner), pipelines, topHits)
           }
           // Validate terms order targets against what the level can sort
@@ -1213,8 +1278,9 @@ object EsAggs {
           sibOut.foreach(n0 => require(!innerOut(n0),
             s"sibling agg output column \"$n0\" collides with a bucket output column"))
           require(sibOut.distinct.size == sibOut.size, "duplicate sibling agg output names")
-          require(inner.sub.isEmpty && inner.topHits.isEmpty && inner.reverse.isEmpty,
-            "siblings beside a two-level, top_hits or reverse_nested bucket agg are not implemented")
+          require(inner.sub.isEmpty && inner.topHits.isEmpty && inner.reverse.isEmpty
+              && inner.nested.isEmpty,
+            "siblings beside a two-level, top_hits, reverse_nested or nested bucket agg are not implemented")
           inner.bucket match {
             case _: Terms | _: Histogram | _: DateHistogram | _: RareTerms => ()
             case other => throw new IllegalArgumentException(
@@ -1330,7 +1396,7 @@ object EsAggs {
       * the calendar ladder smallest-first, substitute the winning unit as
       * a zero-filled date_histogram. */
     val (req, autoUnit): (Request, Option[String]) = req0.tree match {
-      case Right(b0 @ Buckets(AutoDateHistogram(p, target), _, None, _, None, _, _)) =>
+      case Right(b0 @ Buckets(AutoDateHistogram(p, target), _, None, _, None, _, _, _)) =>
         val v = field(ctx, p)
         val mm = rows.filter(v.isNotNull).agg(min(v), max(v)).head()
         if (mm.isNullAt(0)) // empty hit set: any unit yields zero buckets
@@ -1510,16 +1576,16 @@ object EsAggs {
         require(ms.nonEmpty, "aggs body has no aggregations")
         rows.agg(count(lit(1)).as("doc_count"),
           ms.flatMap { case (n, m) => metricCols(n, m) }: _*)
-      case Right(Buckets(FiltersAgg(bs), ms, None, Nil, None, Nil, None)) =>
+      case Right(Buckets(FiltersAgg(bs), ms, None, Nil, None, Nil, None, None)) =>
         condBuckets(bs.map { case (n, q) => n -> SearchQuery.compile(q, ctx) }, ms)
-      case Right(Buckets(RangeAgg(p, rs), ms, None, Nil, None, Nil, None)) =>
+      case Right(Buckets(RangeAgg(p, rs), ms, None, Nil, None, Nil, None, None)) =>
         val v = field(ctx, p)
         condBuckets(rs.map { case (lo, hi) =>
           val key = s"${lo.map(_.toString).getOrElse("*")}-${hi.map(_.toString).getOrElse("*")}"
           val pred = (lo.map(v >= _).toSeq ++ hi.map(v < _).toSeq).reduce(_ && _)
           key -> pred
         }, ms)
-      case Right(Buckets(AdjacencyMatrix(bs), ms, None, Nil, None, Nil, None)) =>
+      case Right(Buckets(AdjacencyMatrix(bs), ms, None, Nil, None, Nil, None, None)) =>
         // singles in body order, then pairwise intersections a&b (i<j in
         // body order); ES drops empty INTERSECTION buckets — and empty
         // singles too in its response; we keep ES's exact contract:
@@ -1529,7 +1595,7 @@ object EsAggs {
           i <- compiled.indices; j <- compiled.indices if i < j
         } yield (s"${compiled(i)._1}&${compiled(j)._1}", compiled(i)._2 && compiled(j)._2)
         condBuckets(compiled ++ pairs, ms).filter(col("doc_count") > 0)
-      case Right(Buckets(DateRangeAgg(p, rs), ms, None, Nil, None, Nil, None)) =>
+      case Right(Buckets(DateRangeAgg(p, rs), ms, None, Nil, None, Nil, None, None)) =>
         val v = field(ctx, p)
         condBuckets(rs.map { case (lo, hi) =>
           val key = s"${lo.getOrElse("*")}-${hi.getOrElse("*")}"
@@ -1537,12 +1603,12 @@ object EsAggs {
             hi.map(x => v < to_date(lit(x))).toSeq).reduce(_ && _)
           key -> pred
         }, ms)
-      case Right(Buckets(MissingAgg(p, isArr), ms, None, Nil, None, Nil, None)) =>
+      case Right(Buckets(MissingAgg(p, isArr), ms, None, Nil, None, Nil, None, None)) =>
         // the one bucket of value-less documents; for an array field ES's
         // "no indexed value" includes the empty array (same as `exists`)
         val c0 = field(ctx, p)
         condBuckets(Seq("missing" -> (if (isArr) c0.isNull || size(c0) === 0 else c0.isNull)), ms)
-      case Right(Buckets(c: CompositeAgg, ms, None, Nil, None, Nil, None)) =>
+      case Right(Buckets(c: CompositeAgg, ms, None, Nil, None, Nil, None, None)) =>
         // one hash aggregation on the composite key; `after` is a
         // lexicographic key-tuple filter over the bucket table and the
         // page is a bounded TakeOrderedAndProject — the agg that can walk
@@ -1591,7 +1657,7 @@ object EsAggs {
         g.orderBy(c.sources.map(s => if (s.asc) col(s.name).asc else col(s.name).desc): _*)
           .limit(c.size)
       case Right(Buckets(SignificantText(p, topN, sampleN, hashF), Nil, None, Nil, None, Nil,
-                         None)) =>
+                         None, None)) =>
         // sampler + significant_text — Discover's "interesting words":
         // foreground = the deterministic hash sample of the hit set (a
         // bounded TakeOrderedAndProject over the 60-bit md5-prefix hash,
@@ -1626,7 +1692,7 @@ object EsAggs {
           .orderBy(col("score").desc, col("key").asc)
           .limit(topN)
         graft.Eager.finish(scored, sampled)
-      case Right(Buckets(SignificantTerms(p, topN), _, None, _, _, _, _)) =>
+      case Right(Buckets(SignificantTerms(p, topN), _, None, _, _, _, _, _)) =>
         // foreground = the query's hit set; background = the WHOLE corpus,
         // so the aggregation runs UNFILTERED with a conditional foreground
         // count — one corpus shuffle. ES's JLH denominators are the
@@ -1649,7 +1715,7 @@ object EsAggs {
           .drop("_fg_total", "_bg_total")
           .orderBy(col("score").desc, col("key").asc)
           .limit(topN)
-      case Right(Buckets(MultiTerms(ps, size0), ms, None, Nil, None, Nil, None)) =>
+      case Right(Buckets(MultiTerms(ps, size0), ms, None, Nil, None, Nil, None, None)) =>
         // composite-key terms: grouped by the COMPONENT columns (a '|'
         // inside a value can NOT merge two distinct key tuples into one
         // bucket), ordered doc_count desc then component-wise key asc —
@@ -1667,7 +1733,7 @@ object EsAggs {
           .limit(size0)
           .select(concat_ws("|", compNames.map(col(_).cast("string")): _*).as("key") +:
             col("doc_count") +: outNames.map(col): _*)
-      case Right(Buckets(bk, Nil, None, Nil, Some(th), Nil, None)) =>
+      case Right(Buckets(bk, Nil, None, Nil, Some(th), Nil, None, None)) =>
         // top_hits: bucket selection happens on the AGGREGATED bucket
         // table (terms top-N → N rows, broadcast back to the corpus),
         // then ONE window partitioned by key ranks hits inside each
@@ -1697,13 +1763,13 @@ object EsAggs {
           .filter(col("rank") <= th.size)
           .select(col("key") +: col("doc_count") +: col("rank") +: srcNames.map(col): _*)
           .orderBy(bucketOrder :+ col("rank").asc: _*)
-      case Right(Buckets(GlobalAgg, ms, None, Nil, None, Nil, None)) =>
+      case Right(Buckets(GlobalAgg, ms, None, Nil, None, Nil, None, None)) =>
         // escapes the query context: aggregates the UNFILTERED corpus
         // even when the body carries a query (ES "percent of total")
         docs.agg(count(lit(1)).as("doc_count"),
           ms.flatMap { case (n, m) => metricCols(n, m) }: _*)
       case Right(Buckets(t @ Terms(_, size0, order0, minDoc0, inc0, exc0, _), Nil, None, Nil, None,
-                         Nil, Some(rn))) =>
+                         Nil, Some(rn), None)) =>
         require(inc0.isEmpty && exc0.isEmpty,
           "terms include/exclude beside a reverse_nested is not implemented")
         // reverse_nested under terms: phase 1 is ONE corpus-sized hash agg
@@ -1729,7 +1795,43 @@ object EsAggs {
           .select(col("key") +: col("doc_count") +: col(rn.name) +:
             rn.metrics.flatMap { case (n, m) => metricNames(n, m) }.map(col): _*)
           .limit(size0)
-      case Right(Buckets(b, ms, None, pipes, None, sibs, None)) =>
+      case Right(Buckets(t @ Terms(_, size0, order0, minDoc0, inc0, exc0, _), Nil, None, Nil,
+                         None, Nil, None, Some(nm))) =>
+        require(inc0.isEmpty && exc0.isEmpty,
+          "terms include/exclude beside a nested agg is not implemented")
+        // nested metrics under a doc-grain terms split: every doc folds
+        // its OWN elements with higher-order functions (per-doc partial
+        // sums/mins/counts — deterministic array-order folds, identical
+        // in the oracle's list_reduce), and the ONE bucket hash
+        // aggregation combines the partials. No explode, no second
+        // shuffle: the plan is the same single-exchange shape as a plain
+        // terms agg, which is what survives a 100 TB corpus with
+        // million-element documents. doc_count stays PARENT docs; the
+        // nested agg's name column carries the element count (ES's
+        // nested doc_count contract).
+        val elems = field(ctx, nm.arrayPath)
+        def vals(m: Metric): Column =
+          filter(transform(elems, e => field(e, m.path).cast("double")), v => v.isNotNull)
+        val metricCols0: Seq[Column] = nm.metrics.map { case (n, m) =>
+          (m.kind match {
+            case "avg" =>
+              sum(aggregate(vals(m), lit(0.0), (a, x) => a + x)) / sum(size(vals(m)))
+            case "sum" => sum(aggregate(vals(m), lit(0.0), (a, x) => a + x))
+            case "min" => min(array_min(vals(m)))
+            case "max" => max(array_max(vals(m)))
+            case "value_count" => coalesce(sum(size(vals(m))), lit(0L)).cast("long")
+          }).as(n)
+        }
+        val g = rows.filter(keyCol(t).isNotNull)
+          .groupBy(keyCol(t).as("key"))
+          .agg(count(lit(1)).as("doc_count"),
+            coalesce(sum(size(elems)), lit(0L)).cast("long").as(nm.name) +: metricCols0: _*)
+        val pruned = if (minDoc0 > 1L) g.filter(col("doc_count") >= minDoc0) else g
+        pruned.orderBy(termsOrder(order0, col("doc_count"), col("key")): _*)
+          .select(col("key") +: col("doc_count") +: col(nm.name) +:
+            nm.metrics.map { case (n, _) => col(n) }: _*)
+          .limit(size0)
+      case Right(Buckets(b, ms, None, pipes, None, sibs, None, None)) =>
         // ES rule: a document with NO value for the bucket key lands in
         // no bucket at all (the `missing` agg is the explicit catcher)
         val grouped = rows.filter(keyCol(b).isNotNull).groupBy(keyCol(b).as("key"))
@@ -1903,7 +2005,7 @@ object EsAggs {
           }
         }
         table.orderBy(finalOrder: _*)
-      case Right(b0 @ Buckets(_, _, Some(_), Nil, None, Nil, None)) =>
+      case Right(b0 @ Buckets(_, _, Some(_), Nil, None, Nil, None, None)) =>
         // Multi-level split (Kibana "split series" / "split rows ×2", 2-3
         // levels): ONE hash aggregation on the full composite key —
         // corpus-sized work ends there — then per-level counts, pruning

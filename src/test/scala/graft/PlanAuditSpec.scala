@@ -102,6 +102,19 @@ class PlanAuditSpec extends SparkSpec {
     } finally sig.unpersist(true)
   }
 
+  test("d91: nested metrics under a terms split — one shuffle, NO explode") {
+    // element-grain metrics fold per-document with higher-order functions;
+    // a Generate (explode) in this plan means the corpus is being blown up
+    // to element grain before the aggregation — the shape that turns a
+    // million-element document corpus into an element-count shuffle.
+    val p = plan(q("d91_es_nested_metrics"))
+    assert(!p.contains("Generate"), s"nested metrics must not explode:\n$p")
+    assert(p.contains("partial_count"), "no map-side partial aggregation")
+    val exchanges = p.linesIterator.count(_.matches("\\(\\d+\\) Exchange.*"))
+    assert(exchanges === 1, s"expected exactly 1 shuffle, got $exchanges:\n$p")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
   test("dd8: semantic-dedup pair generation is cluster-bucketed, never cartesian") {
     // SemDeDup's quadratic part must be an equi-join on the cluster key
     // (O(Σ cᵢ²) with k scaling against cluster size) — a cartesian or

@@ -1236,6 +1236,41 @@ class DocEngineSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("score")).toSeq === Seq(1L, 1L, 1L, 0L, 0L, 0L))
   }
 
+  test("nested agg under a terms split: element metrics per parent bucket, ES contracts") {
+    import spark.implicits._
+    // doc a (type x): copays [10, 20, null]; doc b (type x): NO elements;
+    // doc c (type y): [5]. ES: bucket doc_count = parent docs, nested
+    // doc_count = elements, metrics skip null element values.
+    val df = Seq(
+      ("a", "x", Seq(Some(10L), Some(20L), None)),
+      ("b", "x", Seq.empty[Option[Long]]),
+      ("c", "y", Seq(Some(5L)))
+    ).toDF("id", "pt", "cops")
+      .select(struct(col("id"), col("pt"),
+        transform(col("cops"), v => struct(v.as("copay"))).as("els")).as("doc"))
+    val sch = df.schema("doc").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    val body =
+      """{"size": 0, "aggs": {"types": {"terms": {"field": "pt", "size": 10},
+        |  "aggs": {"e": {"nested": {"path": "els"},
+        |    "aggs": {"avg_cop": {"avg": {"field": "els.copay"}},
+        |             "n_cop": {"value_count": {"field": "els.copay"}}}}}}}}""".stripMargin
+    val r = EsAggs.run(df, "doc", body, sch).collect()
+      .map(x => (x.getAs[String]("key"), x.getAs[Long]("doc_count"), x.getAs[Long]("e"),
+        x.getAs[java.lang.Double]("avg_cop"), x.getAs[Long]("n_cop"))).toSeq
+    assert(r === Seq(("x", 2L, 3L, java.lang.Double.valueOf(15.0), 2L),
+      ("y", 1L, 1L, java.lang.Double.valueOf(5.0), 1L)))
+    // non-combinable metric kinds under the split's nested agg reject loudly
+    assertThrows[IllegalArgumentException](EsAggs.parse(
+      """{"aggs": {"t": {"terms": {"field": "pt"},
+        |  "aggs": {"e": {"nested": {"path": "els"},
+        |    "aggs": {"c": {"cardinality": {"field": "els.copay"}}}}}}}}""".stripMargin, sch))
+    // a nested path that crosses no array rejects (plain metrics reach it)
+    assertThrows[IllegalArgumentException](EsAggs.parse(
+      """{"aggs": {"t": {"terms": {"field": "pt"},
+        |  "aggs": {"e": {"nested": {"path": "id"}, "aggs": {"n": {"value_count": {"field": "id"}}}}}}}}""".stripMargin,
+      sch))
+  }
+
   test("review pins: auto quarter distance, composite null cursor, negative field_value_factor") {
     import spark.implicits._
     // auto_date_histogram counts QUARTER-START distance: Feb..Jul spans 3

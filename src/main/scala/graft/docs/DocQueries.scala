@@ -3427,6 +3427,80 @@ object DocQueries {
        |FROM d LEFT JOIN m USING (key)
        |ORDER BY doc_count DESC, key ASC LIMIT 5""".stripMargin
 
+  // ---------------------------------------------------------------- d92
+  /** ES terms agg accuracy fields (`show_term_doc_count_error: true`) —
+    * the response-level `sum_other_doc_count` that drives Kibana's
+    * "Other" bucket toggle, plus `doc_count_error_upper_bound`
+    * (constant 0: this engine aggregates exactly instead of merging
+    * per-shard top-`shard_size` lists — the same documented upgrade as
+    * exact cardinality). The total rides a |terms|-row window over the
+    * bucket table; no second corpus pass. */
+  private def d92(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "size": 0,
+        |  "aggs": {
+        |    "by_type": {
+        |      "terms": { "field": "planType", "size": 3, "show_term_doc_count_error": true },
+        |      "aggs": { "avg_copay": { "avg": { "field": "planCostShares.copay" } } }
+        |    }
+        |  }
+        |}""".stripMargin
+    EsAggs.run(assembled(s, d), "doc", body, schema)
+  }
+
+  private val d92Sql =
+    s"""WITH b AS (
+       |  SELECT c_mktsegment AS key, CAST(COUNT(*) AS BIGINT) AS doc_count,
+       |         AVG(c_custkey % 50) AS avg_copay
+       |  FROM customer GROUP BY 1),
+       |page AS (SELECT * FROM b ORDER BY doc_count DESC, key ASC LIMIT 3)
+       |SELECT key, doc_count, avg_copay,
+       |  CAST((SELECT SUM(doc_count) FROM b) - (SELECT SUM(doc_count) FROM page) AS BIGINT)
+       |    AS sum_other_doc_count,
+       |  CAST(0 AS BIGINT) AS doc_count_error_upper_bound
+       |FROM page ORDER BY doc_count DESC, key ASC""".stripMargin
+
+  // ---------------------------------------------------------------- d93
+  /** `date_histogram` with `time_zone` — the most-used real-world
+    * histogram option (every Kibana deployment off UTC sets it): day
+    * buckets whose boundaries fall on `America/New_York` midnights, keyed
+    * by the bucket start as a UTC instant (ES's epoch-millis key).
+    * Truncation happens on the LOCAL wall clock (`from_utc_timestamp` →
+    * `date_trunc` → `to_utc_timestamp`), so near-midnight events land in
+    * a different bucket than UTC truncation would put them — the thing
+    * the option exists for. Same one-shuffle hash-agg plan as d51. */
+  private def d93(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.Tables.events(s, d)
+      .select(struct(col("event_id"), timestamp_micros(col("ts_us")).as("ts"),
+        col("user_id"), col("event_type"), col("value")).as("doc"))
+    val evSchema = ev.schema("doc").dataType.asInstanceOf[StructType]
+    val body =
+      """{
+        |  "size": 0,
+        |  "query": { "term": { "event_type": "click" } },
+        |  "aggs": {
+        |    "by_local_day": {
+        |      "date_histogram": { "field": "ts", "calendar_interval": "day",
+        |                          "time_zone": "America/New_York" },
+        |      "aggs": { "max_value": { "max": { "field": "value" } },
+        |                "n_events": { "value_count": { "field": "event_id" } } }
+        |    }
+        |  }
+        |}""".stripMargin
+    EsAggs.run(ev, "doc", body, evSchema)
+  }
+
+  private val d93Sql =
+    """WITH e AS (
+      |  SELECT timezone('UTC', timezone('America/New_York',
+      |           date_trunc('day', timezone('America/New_York', timezone('UTC', ts))))) AS key,
+      |         value, event_id
+      |  FROM events WHERE event_type = 'click')
+      |SELECT key, CAST(COUNT(*) AS BIGINT) AS doc_count,
+      |  MAX(value) AS max_value, CAST(COUNT(event_id) AS BIGINT) AS n_events
+      |FROM e GROUP BY 1 ORDER BY key""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -3506,6 +3580,8 @@ object DocQueries {
     "d89_es_fixed_interval" -> d89 _,
     "d90_es_linear_decay" -> d90 _,
     "d91_es_nested_metrics" -> d91 _,
+    "d92_es_sum_other" -> d92 _,
+    "d93_es_time_zone" -> d93 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
     "d3_roundtrip" -> d3 _,
@@ -3599,6 +3675,8 @@ object DocQueries {
     "d89_es_fixed_interval" -> d89Sql,
     "d90_es_linear_decay" -> d90Sql,
     "d91_es_nested_metrics" -> d91Sql,
+    "d92_es_sum_other" -> d92Sql,
+    "d93_es_time_zone" -> d93Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,
     "d3_roundtrip" -> d3Sql,

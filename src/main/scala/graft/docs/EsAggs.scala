@@ -66,13 +66,22 @@ object EsAggs {
     * doc_count desc, key asc; `order` overrides it with `_key`, `_count`,
     * or a metric sub-agg NAME (validated at parse — unknown targets are
     * rejected, not ignored). `minDocCount` drops buckets below the
-    * threshold BEFORE the top-N. */
+    * threshold BEFORE the top-N. `showOther` (ES
+    * `show_term_doc_count_error: true`) surfaces the response-level
+    * accuracy fields of the ES terms agg as constant columns over the
+    * bucket rows: `sum_other_doc_count` (docs in buckets beyond the
+    * returned page — the count Kibana's "Other" toggle renders) and
+    * `doc_count_error_upper_bound`, which is 0 here — this engine
+    * aggregates exactly rather than merging per-shard top-`shard_size`
+    * lists, the same documented upgrade as exact cardinality and exact
+    * rare_terms. */
   final case class Terms(path: Seq[String], size: Int,
                          order: Option[(String, Boolean)] = None,
                          minDocCount: Long = 1L,
                          include: Option[Either[String, Seq[String]]] = None,
                          exclude: Option[Either[String, Seq[String]]] = None,
-                         missing: Option[Any] = None) extends Agg
+                         missing: Option[Any] = None,
+                         showOther: Boolean = false) extends Agg
   /** ES `histogram` bucket agg: `floor(v / interval) * interval` bins.
     * `minDocCount = 0` ZERO-FILLS the empty bins between the observed
     * min and max keys (the Kibana gap-filling contract — a derivative
@@ -84,10 +93,18 @@ object EsAggs {
   /** ES `date_histogram` with `calendar_interval` — variable-length
     * calendar buckets (month/quarter/year/week/day/hour/minute) via
     * `date_trunc`, keyed by the bucket's start DATE-or-TIMESTAMP
-    * (rendered as the truncated value; ES returns its epoch millis). */
+    * (rendered as the truncated value; ES returns its epoch millis).
+    * `tz` (ES `time_zone`): bucket boundaries fall on the named zone's
+    * calendar — truncate the LOCAL wall time, key by the bucket start
+    * converted back to a UTC instant (ES's epoch-millis key). tz keys
+    * always render as TIMESTAMPs (a zone-local day start is not a UTC
+    * date). Zero-fill/extended_bounds with a tz are rejected at parse:
+    * stepping UTC instants by fixed calendar intervals is wrong across
+    * DST transitions. */
   final case class DateHistogram(path: Seq[String], interval: String,
                                  minDocCount: Long = 1L,
-                                 extendedBounds: Option[(String, String)] = None) extends Agg
+                                 extendedBounds: Option[(String, String)] = None,
+                                 tz: Option[String] = None) extends Agg
   /** ES `auto_date_histogram` — Kibana Lens's default time axis: the
     * engine picks the coarsest-necessary calendar interval so the bucket
     * count stays at or under `targetBuckets` (ES default 10). Resolution
@@ -472,7 +489,8 @@ object EsAggs {
             s"a bucket agg must have exactly one bucket type: ${bf.keySet.mkString(", ")}")
           val bucket = bf.get("terms").map { spec =>
             val m = checkSpecKeys(spec, "terms",
-              Set("field", "size", "order", "min_doc_count", "include", "exclude", "missing"))
+              Set("field", "size", "order", "min_doc_count", "include", "exclude", "missing",
+                "show_term_doc_count_error"))
             val tMinDc = num(spec, "min_doc_count", "terms").getOrElse(1L)
             require(tMinDc >= 1,
               "terms min_doc_count: 0 (zero-doc buckets for the whole term dictionary) is not implemented")
@@ -494,11 +512,17 @@ object EsAggs {
               case JLong(l) => l: Any
               case other => throw new IllegalArgumentException(s"bad terms missing: $other")
             }
+            val tShowOther = m.get("show_term_doc_count_error") match {
+              case None | Some(JBool(false)) => false
+              case Some(JBool(true)) => true
+              case other => throw new IllegalArgumentException(
+                s"show_term_doc_count_error must be a boolean: $other")
+            }
             Terms(fieldPath(spec, "terms", ctx),
               num(spec, "size", "terms").map(_.toInt).getOrElse(10), // ES default
               parseOrder(m),
               tMinDc,
-              incExc("include"), incExc("exclude"), tMissing)
+              incExc("include"), incExc("exclude"), tMissing, tShowOther)
           }.orElse(bf.get("histogram").map { spec =>
             val hm = checkSpecKeys(spec, "histogram",
               Set("field", "interval", "min_doc_count", "offset", "extended_bounds"))
@@ -524,7 +548,7 @@ object EsAggs {
           }).orElse(bf.get("date_histogram").map { spec =>
             val m = checkSpecKeys(spec, "date_histogram",
               Set("field", "calendar_interval", "fixed_interval", "min_doc_count",
-                "extended_bounds"))
+                "extended_bounds", "time_zone"))
             require(!(m.contains("calendar_interval") && m.contains("fixed_interval")),
               "date_histogram takes calendar_interval OR fixed_interval, not both (ES rule)")
             // fixed_interval: epoch-anchored integer bins, a separate node
@@ -555,6 +579,9 @@ object EsAggs {
                 "min_doc_count: 0 zero-fill is implemented for calendar intervals only")
               require(!m.contains("extended_bounds"),
                 "extended_bounds on a fixed_interval date_histogram is not implemented")
+              require(!m.contains("time_zone"),
+                "time_zone on a fixed_interval date_histogram is not implemented " +
+                  "(epoch-anchored bins shift by the zone offset — use calendar_interval)")
               FixedDateHistogram(fieldPath(spec, "date_histogram", ctx), micros, fMinDc)
             } else {
             val unit = m.get("calendar_interval") match {
@@ -577,7 +604,22 @@ object EsAggs {
               }
               (iso("min"), iso("max"))
             }
-            DateHistogram(fieldPath(spec, "date_histogram", ctx), unit, dMinDc, dEb)
+            val dTz = m.get("time_zone").map {
+              case JString(z) =>
+                // validate eagerly (a bad id would otherwise surface as a
+                // mid-query executor exception); normalize nothing — ES
+                // accepts region ids and fixed offsets, ZoneId covers both
+                try { java.time.ZoneId.of(z); z }
+                catch { case _: java.time.DateTimeException =>
+                  throw new IllegalArgumentException(s"unknown time_zone: $z") }
+              case other => throw new IllegalArgumentException(s"bad time_zone: $other")
+            }
+            dTz.foreach { _ =>
+              require(dMinDc == 1L && dEb.isEmpty,
+                "time_zone with min_doc_count: 0 / extended_bounds is not implemented " +
+                  "(zero-fill steps UTC instants by fixed calendar intervals — wrong across DST)")
+            }
+            DateHistogram(fieldPath(spec, "date_histogram", ctx), unit, dMinDc, dEb, dTz)
             }
           }).orElse(bf.get("auto_date_histogram").map { spec =>
             val m = checkSpecKeys(spec, "auto_date_histogram", Set("field", "buckets"))
@@ -1089,7 +1131,7 @@ object EsAggs {
           // by; reject (don't ignore) anything else. Multi-column metrics
           // (stats/percentiles) are not a sortable target.
           def checkOrder(b: Agg, ms: Map[String, Metric], where: String): Unit = b match {
-            case Terms(_, _, Some((target, _)), _, _, _, _) =>
+            case Terms(_, _, Some((target, _)), _, _, _, _, _) =>
               require(target == "_key" || target == "_count" || ms.contains(target),
                 s"terms order target \"$target\" is not _key/_count or a metric sub-agg of $where " +
                   s"(metrics: ${if (ms.isEmpty) "none" else ms.keys.toSeq.sorted.mkString(", ")})")
@@ -1124,7 +1166,7 @@ object EsAggs {
                   "histogram min_doc_count on a multi-level split is not implemented")
                 case FixedDateHistogram(_, _, md) if md != 1L => throw new IllegalArgumentException(
                   "date_histogram min_doc_count on a multi-level split is not implemented")
-                case DateHistogram(_, _, md, _) if md != 1L => throw new IllegalArgumentException(
+                case DateHistogram(_, _, md, _, _) if md != 1L => throw new IllegalArgumentException(
                   "date_histogram min_doc_count on a multi-level split is not implemented")
                 case _ => ()
               }
@@ -1153,7 +1195,7 @@ object EsAggs {
             bucket match {
               case _: Terms => ()
               case Histogram(_, _, md, _, eb0) if md == 1L && eb0.isEmpty => ()
-              case DateHistogram(_, _, md, eb0) if md == 1L && eb0.isEmpty => ()
+              case DateHistogram(_, _, md, eb0, _) if md == 1L && eb0.isEmpty => ()
               case _: Histogram | _: DateHistogram => throw new IllegalArgumentException(
                 "top_hits with histogram min_doc_count/extended_bounds is not implemented " +
                   "(empty buckets have no hits)")
@@ -1534,13 +1576,21 @@ object EsAggs {
         // date field as epoch millis — unix_micros itself won't coerce)
         val us = unix_micros(field(ctx, p).cast("timestamp"))
         timestamp_micros(us - pmod(us, lit(iv)))
-      case DateHistogram(p, unit, _, _) =>
+      case DateHistogram(p, unit, _, _, tz) =>
         // date_trunc is calendar arithmetic (month lengths, leap years,
         // ISO week starts) — the thing fixed-interval floor division
         // can't express. Day-or-coarser buckets render as DATE keys;
-        // sub-day units keep the truncated TIMESTAMP.
-        val t = date_trunc(unit, field(ctx, p))
-        if (unit == "minute" || unit == "hour") t else t.cast("date")
+        // sub-day units keep the truncated TIMESTAMP. With a time_zone:
+        // truncate the LOCAL wall clock, key by the bucket start as a
+        // UTC instant (ES's epoch-millis key) — always a TIMESTAMP.
+        tz match {
+          case None =>
+            val t = date_trunc(unit, field(ctx, p))
+            if (unit == "minute" || unit == "hour") t else t.cast("date")
+          case Some(z) =>
+            val wall = from_utc_timestamp(field(ctx, p).cast("timestamp"), z)
+            to_utc_timestamp(date_trunc(unit, wall), z)
+        }
       case other => throw new IllegalStateException(s"not a keyed bucket agg: $other")
     }
     /** ES terms bucket order — default doc_count desc / key asc; `_key`,
@@ -1741,9 +1791,11 @@ object EsAggs {
         val bucketTable = rows.filter(keyCol(bk).isNotNull).groupBy(keyCol(bk).as("key"))
           .agg(count(lit(1)).cast("long").as("doc_count"))
         val (selected, bucketOrder) = bk match {
-          case Terms(_, size, order, minDoc, inc0, exc0, _) =>
+          case Terms(_, size, order, minDoc, inc0, exc0, _, so0) =>
             require(inc0.isEmpty && exc0.isEmpty,
               "terms include/exclude under top_hits is not implemented")
+            require(!so0,
+              "show_term_doc_count_error under top_hits is not implemented")
             val pruned = if (minDoc > 1L) bucketTable.filter(col("doc_count") >= minDoc)
               else bucketTable
             val ord = termsOrder(order, col("doc_count"), col("key"))
@@ -1768,10 +1820,12 @@ object EsAggs {
         // even when the body carries a query (ES "percent of total")
         docs.agg(count(lit(1)).as("doc_count"),
           ms.flatMap { case (n, m) => metricCols(n, m) }: _*)
-      case Right(Buckets(t @ Terms(_, size0, order0, minDoc0, inc0, exc0, _), Nil, None, Nil, None,
-                         Nil, Some(rn), None)) =>
+      case Right(Buckets(t @ Terms(_, size0, order0, minDoc0, inc0, exc0, _, so0), Nil, None, Nil,
+                         None, Nil, Some(rn), None)) =>
         require(inc0.isEmpty && exc0.isEmpty,
           "terms include/exclude beside a reverse_nested is not implemented")
+        require(!so0,
+          "show_term_doc_count_error beside a reverse_nested is not implemented")
         // reverse_nested under terms: phase 1 is ONE corpus-sized hash agg
         // at (bucket key, parent id) grain — parent fields are constant
         // per group, so first() is deterministic; phase 2 re-aggregates
@@ -1795,10 +1849,12 @@ object EsAggs {
           .select(col("key") +: col("doc_count") +: col(rn.name) +:
             rn.metrics.flatMap { case (n, m) => metricNames(n, m) }.map(col): _*)
           .limit(size0)
-      case Right(Buckets(t @ Terms(_, size0, order0, minDoc0, inc0, exc0, _), Nil, None, Nil,
+      case Right(Buckets(t @ Terms(_, size0, order0, minDoc0, inc0, exc0, _, so0), Nil, None, Nil,
                          None, Nil, None, Some(nm))) =>
         require(inc0.isEmpty && exc0.isEmpty,
           "terms include/exclude beside a nested agg is not implemented")
+        require(!so0,
+          "show_term_doc_count_error beside a nested agg is not implemented")
         // nested metrics under a doc-grain terms split: every doc folds
         // its OWN elements with higher-order functions (per-doc partial
         // sums/mins/counts — deterministic array-order folds, identical
@@ -1881,7 +1937,7 @@ object EsAggs {
         var table = grouped
         var finalOrder: Seq[Column] = Seq(col("key").asc)
         b match {
-          case Terms(_, size, order, minDoc, inc, exc, _) =>
+          case Terms(_, size, order, minDoc, inc, exc, _, showOther) =>
             // include/exclude act on the |terms|-row bucket table, before
             // pruning and top-N (ES ordering of operations). ES regexes
             // are fully anchored — rlike is not, so anchor explicitly.
@@ -1891,9 +1947,26 @@ object EsAggs {
             }
             inc.foreach(i => table = table.filter(keyMatch(i)))
             exc.foreach(e => table = table.filter(!keyMatch(e)))
+            if (showOther) {
+              require(pipes.isEmpty && sibs.isEmpty,
+                "show_term_doc_count_error beside pipeline/sibling aggs is not implemented")
+              // grand total over the (post-include/exclude) bucket table,
+              // BEFORE pruning: ES's sum_other counts every term not in
+              // the returned page, including min_doc_count casualties —
+              // a |terms|-row window, never a second corpus pass
+              table = table.withColumn("_all_dc", sum(col("doc_count")).over(wAllBuckets))
+            }
             if (minDoc > 1L) table = table.filter(col("doc_count") >= minDoc)
             finalOrder = termsOrder(order, col("doc_count"), col("key"))
             table = table.orderBy(finalOrder: _*).limit(size)
+            if (showOther)
+              // the page is ≤ size rows; both windows run on that page
+              table = table
+                .withColumn("sum_other_doc_count",
+                  (max(col("_all_dc")).over(wAllBuckets) -
+                    sum(col("doc_count")).over(wAllBuckets)).cast("long"))
+                .withColumn("doc_count_error_upper_bound", lit(0L))
+                .drop("_all_dc")
           case RareTerms(_, maxDc) =>
             // the long tail: everything AT OR BELOW the ceiling, count-asc
             table = table.filter(col("doc_count") <= maxDc)
@@ -1906,7 +1979,7 @@ object EsAggs {
               table = extendBounds(table, lit(snap(lo)), lit(snap(hi)))
             }
             table = zeroFill(table, lit(interval))
-          case DateHistogram(_, unit, 0L, eb) =>
+          case DateHistogram(_, unit, 0L, eb, None) =>
             eb.foreach { case (lo, hi) =>
               def bcol(v: String) = {
                 val t0 = date_trunc(unit, to_date(lit(v)))
@@ -1917,7 +1990,7 @@ object EsAggs {
             table = zeroFill(table, calStep(unit))
           case Histogram(_, _, minDoc, _, _) if minDoc > 1L =>
             table = table.filter(col("doc_count") >= minDoc)
-          case DateHistogram(_, _, minDoc, _) if minDoc > 1L =>
+          case DateHistogram(_, _, minDoc, _, _) if minDoc > 1L =>
             table = table.filter(col("doc_count") >= minDoc)
           case FixedDateHistogram(_, _, minDoc) if minDoc > 1L =>
             table = table.filter(col("doc_count") >= minDoc)
@@ -2046,9 +2119,11 @@ object EsAggs {
         val levelOrders = lvls.indices.map { i =>
           if (i > 0) out = out.filter(col(kname(i)).isNotNull)
           lvls(i).bucket match {
-            case Terms(_, size0, order0, minDoc0, inc0, exc0, _) =>
+            case Terms(_, size0, order0, minDoc0, inc0, exc0, _, so0) =>
               require(inc0.isEmpty && exc0.isEmpty,
                 "terms include/exclude on a multi-level split is not implemented")
+              require(!so0,
+                "show_term_doc_count_error on a multi-level split is not implemented")
               if (minDoc0 > 1L) out = out.filter(col(dcname(i)) >= minDoc0)
               val ord = termsOrder(order0, col(dcname(i)), col(kname(i)))
               // non-leaf: rows of one bucket share all rank columns, so

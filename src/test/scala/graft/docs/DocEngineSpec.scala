@@ -1271,6 +1271,68 @@ class DocEngineSpec extends SparkSpec {
       sch))
   }
 
+  test("terms show_term_doc_count_error: sum_other counts off-page and pruned terms, error is 0") {
+    import spark.implicits._
+    // a:4 b:3 c:2 d:1 — size 2 returns a,b; other = c+d = 3
+    val df = (Seq.fill(4)("a") ++ Seq.fill(3)("b") ++ Seq.fill(2)("c") ++ Seq("d"))
+      .zipWithIndex.map { case (k, i) => (i.toString, k) }.toDF("id", "kind")
+      .select(struct(col("id"), col("kind")).as("doc"))
+    val sch = df.schema("doc").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    def run(extra: String) = EsAggs.run(df, "doc",
+      s"""{"size": 0, "aggs": {"k": {"terms": {"field": "kind", "size": 2,
+         |  "show_term_doc_count_error": true$extra}}}}""".stripMargin, sch).collect()
+      .map(r => (r.getAs[String]("key"), r.getAs[Long]("doc_count"),
+        r.getAs[Long]("sum_other_doc_count"), r.getAs[Long]("doc_count_error_upper_bound")))
+    assert(run("").toSeq === Seq(("a", 4L, 3L, 0L), ("b", 3L, 3L, 0L)))
+    // min_doc_count casualties still count into sum_other (the ES total
+    // is all terms, not just the returned page): pruning c and d does
+    // not change other = 3
+    assert(run(""", "min_doc_count": 3""").toSeq === Seq(("a", 4L, 3L, 0L), ("b", 3L, 3L, 0L)))
+    // all buckets on the page → other = 0
+    val all = EsAggs.run(df, "doc",
+      """{"size": 0, "aggs": {"k": {"terms": {"field": "kind", "size": 10,
+        |  "show_term_doc_count_error": true}}}}""".stripMargin, sch).collect()
+    assert(all.forall(_.getAs[Long]("sum_other_doc_count") == 0L))
+  }
+
+  test("date_histogram time_zone: local-midnight buckets, DST-length days, parse guards") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // UTC instants around New York midnights and the Nov 3 2024 fall-back
+    // (EDT→EST: Nov 3 NY day runs 04:00Z..05:00Z next day — 25 hours)
+    val df = Seq(
+      ("e1", ts("2024-11-02 03:59:00")), // Nov 1 NY (before 04:00Z midnight)
+      ("e2", ts("2024-11-02 04:01:00")), // Nov 2 NY
+      ("e3", ts("2024-11-03 04:30:00")), // Nov 3 NY (EDT midnight passed)
+      ("e4", ts("2024-11-04 04:30:00")), // STILL Nov 3 NY — the 25-hour day
+      ("e5", ts("2024-11-04 05:30:00"))  // Nov 4 NY (EST midnight = 05:00Z)
+    ).toDF("id", "t").select(struct(col("id"), col("t")).as("doc"))
+    val sch = df.schema("doc").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    val r = EsAggs.run(df, "doc",
+      """{"size": 0, "aggs": {"d": {"date_histogram": {"field": "t",
+        |  "calendar_interval": "day", "time_zone": "America/New_York"}}}}""".stripMargin, sch)
+      .collect().map(x => (x.getAs[java.sql.Timestamp]("key").toString, x.getAs[Long]("doc_count")))
+    assert(r.toSeq === Seq(
+      ("2024-11-01 04:00:00.0", 1L), ("2024-11-02 04:00:00.0", 1L),
+      ("2024-11-03 04:00:00.0", 2L), ("2024-11-04 05:00:00.0", 1L)))
+    // a half-hour zone shifts hour buckets by 30 minutes
+    val rk = EsAggs.run(df, "doc",
+      """{"size": 0, "aggs": {"d": {"date_histogram": {"field": "t",
+        |  "calendar_interval": "hour", "time_zone": "Asia/Kolkata"}}}}""".stripMargin, sch)
+      .collect().map(_.getAs[java.sql.Timestamp]("key").toString)
+    assert(rk.head === "2024-11-02 03:30:00.0")
+    // parse guards: fixed_interval + tz, zero-fill + tz, unknown zone
+    assertThrows[IllegalArgumentException](EsAggs.parse(
+      """{"aggs": {"d": {"date_histogram": {"field": "t", "fixed_interval": "1d",
+        |  "time_zone": "America/New_York"}}}}""".stripMargin, sch))
+    assertThrows[IllegalArgumentException](EsAggs.parse(
+      """{"aggs": {"d": {"date_histogram": {"field": "t", "calendar_interval": "day",
+        |  "min_doc_count": 0, "time_zone": "America/New_York"}}}}""".stripMargin, sch))
+    assertThrows[IllegalArgumentException](EsAggs.parse(
+      """{"aggs": {"d": {"date_histogram": {"field": "t", "calendar_interval": "day",
+        |  "time_zone": "Mars/Olympus"}}}}""".stripMargin, sch))
+  }
+
   test("review pins: auto quarter distance, composite null cursor, negative field_value_factor") {
     import spark.implicits._
     // auto_date_histogram counts QUARTER-START distance: Feb..Jul spans 3

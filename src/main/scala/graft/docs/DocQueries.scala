@@ -3501,6 +3501,44 @@ object DocQueries {
       |  MAX(value) AS max_value, CAST(COUNT(event_id) AS BIGINT) AS n_events
       |FROM e GROUP BY 1 ORDER BY key""".stripMargin
 
+  // ---------------------------------------------------------------- d94
+  /** ES `highlight` — Discover's yellow-marker rendering: whole-field
+    * mode (`number_of_fragments: 0`), every occurrence of the query's
+    * terms for the field wrapped in `<em>` tags, case-insensitively on
+    * word boundaries. require_field_match pinned: rows selected only by
+    * the `_org` prefix clause carry NULL (ES omits the field for hits
+    * no clause on it matched). The wrap is a constant-pattern
+    * regexp_replace over the ≤ size-row page — highlighting costs the
+    * page, never the corpus. */
+  private def d94(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "query": { "bool": {
+        |      "should": [
+        |        { "match": { "planType": "building machinery" } },
+        |        { "prefix": { "_org": "org-2" } } ],
+        |      "minimum_should_match": 1 } },
+        |  "sort": [ { "objectId": { "order": "asc" } } ],
+        |  "size": 40,
+        |  "_source": ["objectId", "planType"],
+        |  "highlight": { "fields": { "planType": { "number_of_fragments": 0 } } }
+        |}""".stripMargin
+    SearchExec.search(assembled(s, d), "doc", body, schema)
+  }
+
+  private val d94Sql =
+    s"""SELECT rn, "objectId", "planType", "planType_highlight" FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY "objectId" ASC) AS BIGINT) AS rn FROM (
+       |    SELECT 'plan-' || ${ck("c_custkey")} AS "objectId", c_mktsegment AS "planType",
+       |      CASE WHEN regexp_matches(c_mktsegment, '(?i)\\b(?:building|machinery)\\b')
+       |           THEN regexp_replace(c_mktsegment, '(?i)\\b(?:building|machinery)\\b',
+       |                               '<em>\\0</em>', 'g')
+       |           ELSE NULL END AS "planType_highlight"
+       |    FROM customer
+       |    WHERE lower(c_mktsegment) IN ('building', 'machinery')
+       |       OR 'org-' || ${ck("c_nationkey")} || '.example.com' LIKE 'org-2%'))
+       |WHERE rn <= 40 ORDER BY rn""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -3582,6 +3620,7 @@ object DocQueries {
     "d91_es_nested_metrics" -> d91 _,
     "d92_es_sum_other" -> d92 _,
     "d93_es_time_zone" -> d93 _,
+    "d94_es_highlight" -> d94 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
     "d3_roundtrip" -> d3 _,
@@ -3677,6 +3716,7 @@ object DocQueries {
     "d91_es_nested_metrics" -> d91Sql,
     "d92_es_sum_other" -> d92Sql,
     "d93_es_time_zone" -> d93Sql,
+    "d94_es_highlight" -> d94Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,
     "d3_roundtrip" -> d3Sql,

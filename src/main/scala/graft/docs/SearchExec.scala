@@ -139,7 +139,22 @@ object SearchExec {
       case None => Seq(doc)
     }
     val scoreCols = if (needScore) Seq(col("score")) else Nil
-    numbered.select((col("rn") +: scoreCols) ++ sourceCols: _*)
+    // highlight: wrap every occurrence of the query's terms for the
+    // highlighted field (computed on the ≤ size-row PAGE, never the
+    // corpus). Terms are parse-time constants, so the pattern is one
+    // literal regex; a hit selected only by clauses on OTHER fields gets
+    // NULL (require_field_match — ES omits the field for such hits).
+    val highlightCols = b.highlight.toSeq.map { h =>
+      val terms = SearchQuery.highlightTerms(b.parsed.query, h.path)
+      def escTok(t: String): String = t.replaceAll("([\\\\.^$|?*+()\\[\\]{}])", "\\\\$1")
+      val alts = terms.map(_.trim.split("\\s+").map(escTok).mkString("\\s+"))
+      val pat = s"(?i)\\b(?:${alts.mkString("|")})\\b"
+      val v = field(doc, h.path).cast("string")
+      when(v.rlike(pat), regexp_replace(v, pat, h.pre + "$0" + h.post))
+        .otherwise(lit(null).cast("string"))
+        .as(h.path.mkString("_") + "_highlight")
+    }
+    numbered.select((col("rn") +: scoreCols) ++ sourceCols ++ highlightCols: _*)
       .orderBy(col("rn"))
   }
 }

@@ -348,7 +348,39 @@ object SearchQuery {
                             searchAfter: Option[Seq[Any]],
                             source: Option[Seq[Seq[String]]],
                             collapse: Option[Seq[String]] = None,
-                            rescore: Option[Rescore] = None)
+                            rescore: Option[Rescore] = None,
+                            highlight: Option[Highlight] = None)
+
+  /** ES `highlight` — whole-field mode (`number_of_fragments: 0`), one
+    * field, default `<em>`/`</em>` tags. The executor wraps every
+    * occurrence of the query's terms FOR THAT FIELD (require_field_match,
+    * the ES default); a hit selected only by clauses on other fields gets
+    * NULL (ES omits the field from `highlight` for such hits). Documented
+    * deviation: ES highlights via index token offsets, so a stemming
+    * analyzer also lights up inflected surface forms; this engine wraps
+    * the query's literal analyzed tokens with case-insensitive
+    * word-boundary matching — identical for the keyword-style fields the
+    * reference maps, and reproducible in ANSI SQL. */
+  final case class Highlight(path: Seq[String], pre: String, post: String)
+
+  /** The query terms that highlight `path` (require_field_match): tokens
+    * of `match`, values of `term`/`terms`, whole phrases of
+    * `match_phrase` targeting that exact field. Negated subtrees
+    * contribute nothing — a must_not clause never matches the hit, so ES
+    * never highlights from it. */
+  def highlightTerms(q: SearchQuery, path: Seq[String]): Seq[String] = {
+    def walk(q0: SearchQuery): Seq[String] = q0 match {
+      case TermMatch(p, t) if p == path => Seq(t)
+      case TermsIn(p, vs) if p == path => vs
+      case MatchPhrase(p, ph) if p == path => Seq(ph.trim).filter(_.nonEmpty)
+      case And(qs @ _*) => qs.flatMap(walk)
+      case Or(qs @ _*) => qs.flatMap(walk)
+      case AtLeast(_, qs) => qs.flatMap(walk)
+      case Not(_) => Nil
+      case _ => Nil
+    }
+    walk(q).distinct
+  }
 
   /** ES `rescore` — re-rank the top `window_size` hits with a secondary
     * query: window score = `query_weight * _score` + (when the
@@ -374,7 +406,8 @@ object SearchQuery {
       case other => throw new IllegalArgumentException(s"ES body must be an object: $other")
     }
     val unknown = root.keySet --
-      Set("query", "sort", "from", "size", "_source", "search_after", "collapse", "rescore")
+      Set("query", "sort", "from", "size", "_source", "search_after", "collapse", "rescore",
+        "highlight")
     require(unknown.isEmpty, s"unsupported ES body key(s): ${unknown.mkString(", ")}")
     def asInt(v: JValue): Int = v match {
       case JInt(i) => i.toInt
@@ -489,7 +522,54 @@ object SearchQuery {
         s"the page (from + size = ${from + size}) must fit inside the rescore window " +
           s"(${rs.windowSize}) — raise window_size")
     }
-    FullBody(parseBody(body, schema), sorts, from, size, searchAfter, source, collapse, rescore)
+    val highlight = root.get("highlight").map {
+      case JObject(hf) =>
+        val hm = hf.toMap
+        val unknownH = hm.keySet -- Set("fields", "pre_tags", "post_tags")
+        require(unknownH.isEmpty, s"unsupported highlight key(s): ${unknownH.mkString(", ")}")
+        def tagOf(k: String, dflt: String): String = hm.get(k).map {
+          case JArray(List(JString(t))) => t
+          case other => throw new IllegalArgumentException(
+            s"highlight $k must be a one-element string array: $other")
+        }.getOrElse(dflt)
+        val pre = tagOf("pre_tags", "<em>")
+        val post = tagOf("post_tags", "</em>")
+        // the tags splice into a regex REPLACEMENT string on both engines
+        require(!(pre + post).exists(c => c == '$' || c == '\\'),
+          "highlight tags containing $ or \\ are not implemented")
+        hm.get("fields") match {
+          case Some(JObject(List((f, fopts)))) =>
+            fopts match {
+              case JObject(fo) =>
+                val fm = fo.toMap
+                val unknownF = fm.keySet -- Set("number_of_fragments")
+                require(unknownF.isEmpty,
+                  s"unsupported highlight field option(s) on $f: ${unknownF.mkString(", ")}")
+                fm.get("number_of_fragments").foreach { n =>
+                  require(asInt(n) == 0,
+                    "only number_of_fragments: 0 (whole-field highlighting) is implemented")
+                }
+              case other => throw new IllegalArgumentException(s"bad highlight field spec: $other")
+            }
+            val hp = fieldPath(f)
+            val (arr, _) = splitArrayPath(hp, schema)
+            require(arr.isEmpty,
+              s"highlight on array path $f is not implemented (scalar fields only)")
+            Highlight(hp, pre, post)
+          case Some(other) => throw new IllegalArgumentException(
+            s"highlight.fields must carry exactly one field: $other")
+          case None => throw new IllegalArgumentException("highlight needs \"fields\"")
+        }
+      case other => throw new IllegalArgumentException(s"bad highlight: $other")
+    }
+    val fb = FullBody(parseBody(body, schema), sorts, from, size, searchAfter, source, collapse,
+      rescore, highlight)
+    highlight.foreach { h =>
+      require(highlightTerms(fb.parsed.query, h.path).nonEmpty,
+        s"highlight field ${h.path.mkString(".")} is targeted by no highlightable query clause " +
+          "(match / term / terms / match_phrase on that field)")
+    }
+    fb
   }
 
   /** `_score` for bool queries: 1 point per satisfied top-level `should`

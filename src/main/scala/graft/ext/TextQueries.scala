@@ -638,10 +638,61 @@ object TextQueries {
        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, tok, tf, df, score
        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- t15
+  /** RAG / training chunking — split every document into overlapping
+    * token windows (window 64, stride 48, 16-token overlap) with stable
+    * per-document chunk ids: the preprocessing step between a raw corpus
+    * and an embedding or context-window stage. Chunk COUNT is computed
+    * per row first (1 for short docs, else 1 + ceil((n-W)/S)), then ONE
+    * posexplode to chunk grain — the fan-out is the output itself, not an
+    * intermediate (contrast dd2's shingle lesson), and there is no
+    * shuffle at all: at 100 TB this is a single scan with bounded
+    * (~n_tok/S ×) row growth, embarrassingly parallel per partition. The
+    * token array is persisted narrow before the slice lambda so the
+    * per-chunk `slice` closes over a materialized column, not the
+    * tokenizer expression. */
+  private def t15(s: SparkSession, d: String): DataFrame = {
+    val W = 64L; val S = 48L
+    val tk = docs(s, d).select(col("doc_id"), tokens(col("text")).as("toks")).persist()
+    val res = tk
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .withColumn("n_chunks",
+        expr(s"CASE WHEN n_tok <= $W THEN 1L ELSE 1L + (n_tok - $W + $S - 1L) DIV $S END"))
+      .select(col("doc_id"), col("n_tok"), col("toks"),
+        posexplode(expr("array_repeat(1, CAST(n_chunks AS INT))")).as(Seq("chunk_id", "_one")))
+      .withColumn("_start", col("chunk_id") * lit(S))
+      .withColumn("chunk_tok", least(lit(W), col("n_tok") - col("_start")).cast("long"))
+      .withColumn("chunk_text",
+        array_join(slice(col("toks"), (col("_start") + lit(1)).cast("int"), lit(W.toInt)), " "))
+      .select("doc_id", "chunk_id", "n_tok", "chunk_tok", "chunk_text")
+      .orderBy(col("doc_id"), col("chunk_id"))
+    graft.Eager.finish(res, tk)
+  }
+
+  private val t15Sql =
+    """WITH tk AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS toks
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tok,
+      |    CASE WHEN len(toks) <= 64 THEN 1
+      |         ELSE 1 + (len(toks) - 64 + 47) // 48 END AS n_chunks
+      |  FROM tk),
+      |c AS (
+      |  SELECT doc_id, toks, n_tok, CAST(u.i AS INT) AS chunk_id,
+      |    CAST(u.i * 48 AS BIGINT) AS start
+      |  FROM b, UNNEST(generate_series(0, CAST(n_chunks - 1 AS BIGINT))) AS u(i))
+      |SELECT doc_id, chunk_id, n_tok,
+      |  least(64, n_tok - start) AS chunk_tok,
+      |  array_to_string(toks[CAST(start + 1 AS BIGINT):CAST(start + 64 AS BIGINT)], ' ')
+      |    AS chunk_text
+      |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
     "t14_keywords" -> t14 _,
+    "t15_chunking" -> t15 _,
     "t10_domain_mix" -> t10 _,
     "t11_bm25" -> t11 _,
     "t12_seq_pack" -> t12 _,
@@ -658,6 +709,7 @@ object TextQueries {
 
   val oracle: Map[String, String] = Map(
     "t14_keywords" -> t14Sql,
+    "t15_chunking" -> t15Sql,
     "t10_domain_mix" -> t10Sql,
     "t11_bm25" -> t11Sql,
     "t12_seq_pack" -> t12Sql,

@@ -1333,6 +1333,49 @@ class DocEngineSpec extends SparkSpec {
         |  "time_zone": "Mars/Olympus"}}}}""".stripMargin, sch))
   }
 
+  test("highlight: every occurrence wrapped, require_field_match null, tags, parse guards") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", "Gold plan with gold trim", "x"),
+      ("b", "silver plan", "match-me"),
+      ("c", "GOLD standard", "x")
+    ).toDF("objectId", "title", "tag")
+      .select(struct(col("objectId"), col("title"), col("tag")).as("doc"))
+    val sch = df.schema("doc").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    def run(body: String) = SearchExec.search(df, "doc", body, sch).collect()
+      .map(r => (r.getAs[String]("objectId"), r.getAs[String]("title_highlight")))
+    // both occurrences in one value wrapped, case preserved; the hit
+    // selected only by the clause on ANOTHER field gets NULL
+    val r = run(
+      """{"query": {"bool": {"should": [
+        |    {"match": {"title": "gold"}}, {"term": {"tag": {"value": "match-me"}}}],
+        |  "minimum_should_match": 1}},
+        | "sort": [{"objectId": "asc"}], "_source": ["objectId", "title"],
+        | "highlight": {"fields": {"title": {"number_of_fragments": 0}}}}""".stripMargin)
+    assert(r.toSeq === Seq(
+      ("a", "<em>Gold</em> plan with <em>gold</em> trim"),
+      ("b", null),
+      ("c", "<em>GOLD</em> standard")))
+    // match_phrase highlights the WHOLE phrase once; custom tags apply
+    val r2 = run(
+      """{"query": {"match_phrase": {"title": "gold standard"}},
+        | "sort": [{"objectId": "asc"}], "_source": ["objectId", "title"],
+        | "highlight": {"pre_tags": ["[["], "post_tags": ["]]"],
+        |   "fields": {"title": {}}}}""".stripMargin)
+    assert(r2.toSeq === Seq(("c", "[[GOLD standard]]")))
+    // parse guards: fragment counts, no clause on the field, $ in tags
+    assertThrows[IllegalArgumentException](SearchQuery.parseFullBody(
+      """{"query": {"match": {"title": "gold"}},
+        | "highlight": {"fields": {"title": {"number_of_fragments": 3}}}}""".stripMargin, sch))
+    assertThrows[IllegalArgumentException](SearchQuery.parseFullBody(
+      """{"query": {"match": {"title": "gold"}},
+        | "highlight": {"fields": {"tag": {}}}}""".stripMargin, sch))
+    assertThrows[IllegalArgumentException](SearchQuery.parseFullBody(
+      """{"query": {"match": {"title": "gold"}},
+        | "highlight": {"pre_tags": ["$1"], "post_tags": ["x"],
+        |   "fields": {"title": {}}}}""".stripMargin, sch))
+  }
+
   test("review pins: auto quarter distance, composite null cursor, negative field_value_factor") {
     import spark.implicits._
     // auto_date_histogram counts QUARTER-START distance: Feb..Jul spans 3

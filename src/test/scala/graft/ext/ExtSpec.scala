@@ -275,6 +275,33 @@ class ExtSpec extends SparkSpec {
     assert(caught * 2 > nears.length, s"near layer caught $caught of ${nears.length}")
   }
 
+  test("chunking covers every token with exact overlap and stable ids") {
+    // t15 invariants the row-hash oracle can't isolate: chunk 0 starts at
+    // token 0; consecutive chunks overlap by exactly W-S tokens; the last
+    // chunk reaches the document's end; rebuilding the token stream from
+    // stride-aligned chunk prefixes reproduces the original token count.
+    val W = 64L; val S = 48L
+    val rows = TextQueries.queries("t15_chunking")(spark, sf).collect()
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (id, rs0) =>
+      val rs = rs0.sortBy(_.getAs[Int]("chunk_id"))
+      val n = rs.head.getAs[Long]("n_tok")
+      assert(rs.head.getAs[Int]("chunk_id") === 0, s"doc $id missing chunk 0")
+      assert(rs.map(_.getAs[Int]("chunk_id")).toSeq === rs.indices.toSeq, s"doc $id gap in ids")
+      rs.foreach { r =>
+        val start = r.getAs[Int]("chunk_id") * S
+        assert(r.getAs[Long]("chunk_tok") === math.min(W, n - start), s"doc $id len")
+        val words = r.getAs[String]("chunk_text").split(" ").filter(_.nonEmpty).length
+        assert(words === r.getAs[Long]("chunk_tok"), s"doc $id text/len disagree")
+      }
+      // coverage: last chunk's window reaches the end of the document
+      val lastStart = (rs.length - 1) * S
+      assert(lastStart + W >= n, s"doc $id tail uncovered")
+      // a doc longer than one window yields > 1 chunk
+      if (n > W) assert(rs.length === 1 + ((n - W + S - 1) / S), s"doc $id chunk count")
+    }
+    assert(rows.nonEmpty)
+  }
+
   test("stream merge is last-write-wins with cumulative counts") {
     import spark.implicits._
     val state = Seq((1L, 10L, "SAVE", "view", 1.0, 3L))

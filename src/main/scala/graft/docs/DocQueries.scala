@@ -3539,6 +3539,105 @@ object DocQueries {
        |       OR 'org-' || ${ck("c_nationkey")} || '.example.com' LIKE 'org-2%'))
        |WHERE rn <= 40 ORDER BY rn""".stripMargin
 
+  // ---------------------------------------------------------------- d95
+  /** ES `phrase` suggester — "did you mean" over a whole phrase: per-term
+    * candidates within `max_edits: 2` (the direct_generator default),
+    * top-5 per position by term frequency, candidate PHRASES ranked by a
+    * Laplace-smoothed (α = 0.5, the ES default) bigram language model:
+    * `score = P(c₁)·P(c₂|c₁)` with `P(c₁) = (f₁+α)/(N+αV)` and
+    * `P(c₂|c₁) = (bi+α)/(f₁+αV)`.
+    *
+    * Scale shape: candidate generation is a SymSpell DELETION-BLOCK join,
+    * not a full-vocab edit-distance scan — every vocab term explodes to
+    * its ≤2-character-deletion variants once (bounded: O(len²) variants
+    * per term), the input's variants are a LITERAL `isin` filter pushed
+    * into that narrow table, and exact `levenshtein` verifies only the
+    * collided candidates (deletion blocking has full recall at max_edits:
+    * any ≤2-edit pair shares a variant). Unigram and bigram tables are
+    * one map-side-combinable aggregation each; the final cross of ≤5×≤5
+    * candidates rides 1-row broadcast stats frames. The naive form (d68's
+    * corpus-wide levenshtein) scans V rows per query term; this scans the
+    * collided block only — the difference between a suggester that works
+    * at 100 TB vocab and one that re-scans the dictionary per keystroke. */
+  private def d95(s: SparkSession, d: String): DataFrame = {
+    val (res, cached) = d95Plan(s, d)
+    graft.Eager.finish(res, cached: _*)
+  }
+
+  /** d95's un-pinned plan + its persisted intermediates — split out so
+    * PlanAuditSpec can explain the REAL plan (Eager.pin collapses the
+    * registry entry to a LocalRelation). Callers must unpersist. */
+  private[graft] def d95Plan(s: SparkSession, d: String): (DataFrame, Seq[org.apache.spark.sql.Dataset[_]]) = {
+    val inputTerms = Seq("sprk", "dat")
+    val maxEdits = 2
+    val perPos = 5
+    def dels(t: String): Seq[String] = t.indices.map(i => t.take(i) + t.drop(i + 1))
+    def inputVariants(t: String): Seq[String] =
+      (Seq(t) ++ dels(t) ++ dels(t).flatMap(dels)).distinct
+    val toksDoc = graft.Tables(s, d, "documents")
+      .select(filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= "").as("toks"))
+      .persist()
+    val uni = toksDoc.select(explode(col("toks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("freq")).persist()
+    val nv = uni.agg(sum(col("freq")).cast("long").as("n"), count(lit(1)).cast("long").as("v"))
+    val bi = toksDoc.filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> struct(toks[i-1] AS p, toks[i] AS c))"))
+        .as("pr"))
+      .select(col("pr.p").as("p"), col("pr.c").as("c"))
+      .groupBy("p", "c").agg(count(lit(1)).as("bfreq"))
+    // vocab deletion-variant block: tok + all 1- and 2-deletions
+    val vocabVars = uni.select(col("tok"), col("freq"), explode(expr(
+      """array_distinct(concat(
+        |  array(tok),
+        |  transform(sequence(0, length(tok) - 1),
+        |            i -> concat(substring(tok, 1, i), substring(tok, i + 2))),
+        |  flatten(transform(
+        |    transform(sequence(0, length(tok) - 1),
+        |              i -> concat(substring(tok, 1, i), substring(tok, i + 2))),
+        |    x -> transform(sequence(0, length(x) - 1),
+        |                   j -> concat(substring(x, 1, j), substring(x, j + 2)))))))"""
+        .stripMargin)).as("variant"))
+    val cands = inputTerms.zipWithIndex.map { case (term, i) =>
+      vocabVars.filter(col("variant").isin(inputVariants(term): _*))
+        .select(col("tok"), col("freq")).distinct()
+        .filter(levenshtein(col("tok"), lit(term)) <= maxEdits)
+        .orderBy(col("freq").desc, col("tok").asc).limit(perPos)
+        .select(col("tok").as(s"t$i"), col("freq").as(s"f$i"))
+    }
+    val res = cands(0).crossJoin(cands(1)).crossJoin(nv)
+      .join(bi, col("p") === col("t0") && col("c") === col("t1"), "left")
+      .select(
+        concat(col("t0"), lit(" "), col("t1")).as("text"),
+        (((col("f0") + lit(0.5)) / (col("n") + lit(0.5) * col("v"))) *
+          ((coalesce(col("bfreq"), lit(0L)) + lit(0.5)) / (col("f0") + lit(0.5) * col("v"))))
+          .as("score"))
+      .orderBy(col("score").desc, col("text").asc)
+      .limit(perPos)
+    (res, Seq(toksDoc, uni))
+  }
+
+  private val d95Sql =
+    """WITH tk AS (
+      |  SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+      |  FROM documents),
+      |uni AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq
+      |        FROM (SELECT unnest(toks) AS tok FROM tk) GROUP BY tok),
+      |nv AS (SELECT CAST(SUM(freq) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS v FROM uni),
+      |bi AS (SELECT p, c, CAST(COUNT(*) AS BIGINT) AS bfreq FROM (
+      |  SELECT toks[i] AS p, toks[i + 1] AS c
+      |  FROM tk, UNNEST(generate_series(1, len(toks) - 1)) AS u(i)
+      |  WHERE len(toks) >= 2) GROUP BY p, c),
+      |c0 AS (SELECT tok AS t0, freq AS f0 FROM uni WHERE levenshtein(tok, 'sprk') <= 2
+      |       ORDER BY freq DESC, tok ASC LIMIT 5),
+      |c1 AS (SELECT tok AS t1, freq AS f1 FROM uni WHERE levenshtein(tok, 'dat') <= 2
+      |       ORDER BY freq DESC, tok ASC LIMIT 5)
+      |SELECT t0 || ' ' || t1 AS text,
+      |  ((f0 + 0.5) / (n + 0.5 * v)) * ((COALESCE(bfreq, 0) + 0.5) / (f0 + 0.5 * v)) AS score
+      |FROM c0 CROSS JOIN c1 CROSS JOIN nv
+      |LEFT JOIN bi ON bi.p = t0 AND bi.c = t1
+      |ORDER BY score DESC, text ASC LIMIT 5""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -3621,6 +3720,7 @@ object DocQueries {
     "d92_es_sum_other" -> d92 _,
     "d93_es_time_zone" -> d93 _,
     "d94_es_highlight" -> d94 _,
+    "d95_es_phrase_suggest" -> d95 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
     "d3_roundtrip" -> d3 _,
@@ -3717,6 +3817,7 @@ object DocQueries {
     "d92_es_sum_other" -> d92Sql,
     "d93_es_time_zone" -> d93Sql,
     "d94_es_highlight" -> d94Sql,
+    "d95_es_phrase_suggest" -> d95Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,
     "d3_roundtrip" -> d3Sql,

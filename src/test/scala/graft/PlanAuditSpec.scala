@@ -115,6 +115,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("d95: phrase suggester crosses only bounded candidate frames, never the corpus") {
+    // the ≤5×≤5 candidate cross and the 1-row stats frame must plan as
+    // broadcast joins; a CartesianProduct in this plan means corpus-sized
+    // frames are being crossed. The suggestion page is a bounded heap.
+    val (res, cached) = graft.docs.DocQueries.d95Plan(spark, sf)
+    try {
+      val p = plan(res)
+      assert(!p.contains("CartesianProduct"), s"corpus-sized cross:\n$p")
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+        s"candidate cross should broadcast:\n$p")
+      assert(p.contains("TakeOrderedAndProject"))
+    } finally cached.foreach(_.unpersist(true))
+  }
+
   test("dd8: semantic-dedup pair generation is cluster-bucketed, never cartesian") {
     // SemDeDup's quadratic part must be an equi-join on the cluster key
     // (O(Σ cᵢ²) with k scaling against cluster size) — a cartesian or

@@ -3638,6 +3638,114 @@ object DocQueries {
       |LEFT JOIN bi ON bi.p = t0 AND bi.c = t1
       |ORDER BY score DESC, text ASC LIMIT 5""".stripMargin
 
+  // ---------------------------------------------------------------- d96
+  /** ES `more_like_this` — "find documents like this text": select the
+    * like-text's interesting terms (`min_term_freq: 2` within the text,
+    * corpus `min_doc_freq: 3`, top `max_query_terms: 8`), then match
+    * documents sharing at least `minimum_should_match: 30%` of them
+    * (ES percent → floor), scored by shared-term count.
+    *
+    * Documented deviation: ES ranks candidate terms by float TF-IDF;
+    * this engine ranks by the integer tuple (tf desc, df asc, term asc)
+    * — the same ordering wherever idf is monotone in 1/df, and exact in
+    * the oracle (the repo-wide integer-relevance convention; see
+    * TextAnalysis). Scale shape: the like-text is a literal, so term
+    * selection filters the corpus token aggregation with a pushed `isin`
+    * (a bounded block, not a vocab scan); the ≤8 selected terms ride a
+    * 1-row broadcast frame; per-doc scoring is one `array_intersect` on
+    * the document's own tokens — a single corpus scan, one shuffle
+    * nowhere. */
+  private def d96(s: SparkSession, d: String): DataFrame = {
+    val likeText = "spark batch stream batch window dup spark batch the a window"
+    val (minTf, minDf, maxTerms) = (2, 3, 8)
+    val likeTf: Map[String, Int] = likeText.toLowerCase.split("[^a-z0-9]+")
+      .filter(_.nonEmpty).groupBy(identity).view.mapValues(_.length).toMap
+    val likeTerms = likeTf.filter(_._2 >= minTf).keys.toSeq.sorted
+    val docsT = graft.Tables(s, d, "documents")
+      .select(col("doc_id"),
+        array_distinct(filter(split(lower(col("text")), "[^a-z0-9]+"), t => t =!= ""))
+          .as("toks"))
+    // corpus doc-freq ONLY for the like-terms (bounded block via isin)
+    val tfOf = likeTerms.map(t => t -> likeTf(t)).toMap
+    val dfT = docsT.select(explode(col("toks")).as("tok"))
+      .filter(col("tok").isin(likeTerms: _*))
+      .groupBy("tok").agg(count(lit(1)).cast("long").as("df"))
+      .filter(col("df") >= minDf)
+      .withColumn("tf", coalesce(
+        likeTerms.foldLeft(lit(null).cast("int")) { (acc, t) =>
+          when(col("tok") === t, lit(tfOf(t))).otherwise(acc) }, lit(0)))
+      .orderBy(col("tf").desc, col("df").asc, col("tok").asc)
+      .limit(maxTerms)
+    val sel = dfT.agg(sort_array(collect_list(col("tok"))).as("terms"))
+    res96(docsT, sel)
+  }
+
+  private def res96(docsT: DataFrame, sel: DataFrame): DataFrame =
+    docsT.crossJoin(broadcast(sel))
+      .withColumn("score", size(array_intersect(col("toks"), col("terms"))).cast("long"))
+      // ES minimum_should_match "30%": floor, and a no-op below 1
+      .filter(col("score") >= greatest(lit(1L), expr("size(terms) * 3 DIV 10")))
+      .select(col("doc_id"), col("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(10)
+
+  private val d96Sql =
+    """WITH tk AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+      |      x -> x <> '')) AS toks
+      |  FROM documents),
+      |liketf AS (
+      |  SELECT tok, CAST(COUNT(*) AS INT) AS tf FROM (
+      |    SELECT unnest(list_filter(regexp_split_to_array(
+      |      lower('spark batch stream batch window dup spark batch the a window'),
+      |      '[^a-z0-9]+'), x -> x <> '')) AS tok) GROUP BY tok HAVING COUNT(*) >= 2),
+      |seltf AS (
+      |  SELECT d.tok FROM (
+      |    SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM (
+      |      SELECT unnest(toks) AS tok FROM tk) WHERE tok IN (SELECT tok FROM liketf)
+      |    GROUP BY tok HAVING COUNT(*) >= 3) d
+      |  JOIN liketf l ON l.tok = d.tok
+      |  ORDER BY l.tf DESC, d.df ASC, d.tok ASC LIMIT 8),
+      |sel AS (SELECT list_sort(list(tok)) AS terms, CAST(len(list(tok)) AS BIGINT) AS n
+      |        FROM seltf)
+      |SELECT doc_id, CAST(len(list_intersect(toks, terms)) AS BIGINT) AS score
+      |FROM tk, sel
+      |WHERE len(list_intersect(toks, terms)) >= greatest(1, n * 3 // 10)
+      |ORDER BY score DESC, doc_id ASC LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- d97
+  /** ES `range` with DATE MATH bounds — the "that ISO week" body every
+    * Kibana time-picker shortcut emits: `"2024-01-10||-2d/d"` (two days
+    * back, rounded to midnight = Mon Jan 8) to `"2024-01-03||+12d/d"`
+    * (= Mon Jan 15, exclusive), resolved to TIMESTAMP literals at parse
+    * time and compiled to plain comparisons. `now` anchors are rejected
+    * loudly (a wall-clock anchor returns different rows per run — the
+    * engine's determinism contract); callers bind their own now. */
+  private def d97(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.Tables.events(s, d)
+      .select(struct(col("event_id"), timestamp_micros(col("ts_us")).as("ts"),
+        col("user_id"), col("event_type"), col("value")).as("doc"))
+    val evSchema = ev.schema("doc").dataType.asInstanceOf[StructType]
+    val body =
+      """{
+        |  "query": { "bool": { "must": [
+        |    { "range": { "ts": { "gte": "2024-01-10||-2d/d", "lt": "2024-01-03||+12d/d" } } },
+        |    { "term": { "event_type": "purchase" } } ] } }
+        |}""".stripMargin
+    val ast = SearchQuery.fromJson(body, evSchema)
+    ev.filter(SearchQuery.compile(ast, col("doc")))
+      .select(col("doc.event_id").as("event_id"), col("doc.user_id").as("user_id"),
+        col("doc.ts").as("ts"))
+      .orderBy(col("event_id"))
+  }
+
+  private val d97Sql =
+    """SELECT event_id, user_id, ts FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00' AND ts < TIMESTAMP '2024-01-15 00:00:00'
+      |  AND event_type = 'purchase'
+      |ORDER BY event_id""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -3721,6 +3829,8 @@ object DocQueries {
     "d93_es_time_zone" -> d93 _,
     "d94_es_highlight" -> d94 _,
     "d95_es_phrase_suggest" -> d95 _,
+    "d96_es_more_like_this" -> d96 _,
+    "d97_es_date_math" -> d97 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
     "d3_roundtrip" -> d3 _,
@@ -3818,6 +3928,8 @@ object DocQueries {
     "d93_es_time_zone" -> d93Sql,
     "d94_es_highlight" -> d94Sql,
     "d95_es_phrase_suggest" -> d95Sql,
+    "d96_es_more_like_this" -> d96Sql,
+    "d97_es_date_math" -> d97Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,
     "d3_roundtrip" -> d3Sql,

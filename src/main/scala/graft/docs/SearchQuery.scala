@@ -35,6 +35,20 @@ object SearchQuery {
   /** Q4 — SOME element of the array field matches a glob on `field`. */
   final case class NestedWildcard(arrayPath: Seq[String], field: Seq[String], glob: String) extends SearchQuery
   /** Q5 nested — SOME element's numeric `field` is within the bounds. */
+  /** ES `range` over a DATE/TIMESTAMP field with date-math bounds —
+    * `"2024-01-08||+1w/w"` anchored math (`||` splits an ISO anchor from
+    * `±N{y,M,w,d,h,m,s}` steps and an optional `/unit` round-down; `/w`
+    * rounds to the ISO Monday, as ES does). Bounds resolve to TIMESTAMP
+    * literals at parse time. `now`-anchored math is rejected loudly — a
+    * wall-clock anchor makes the hit set nondeterministic (re-running the
+    * query returns different rows), the same honesty rule as silently
+    * dropped clauses; callers bind their own "now" into the body.
+    * Rounding on `lte`/`gt` is rejected too: ES rounds those UP to the
+    * unit's end — support the half-open gte/lt form, which is what the
+    * round-down semantics make exact. */
+  final case class TsRange(path: Seq[String],
+                           lo: Option[java.sql.Timestamp], hi: Option[java.sql.Timestamp],
+                           loIncl: Boolean, hiIncl: Boolean) extends SearchQuery
   final case class NestedRange(arrayPath: Seq[String], field: Seq[String], lo: Long, hi: Long,
                                loIncl: Boolean = true, hiIncl: Boolean = true) extends SearchQuery
   /** Q6 — whitespace-tokenized term match on a text field. */
@@ -652,6 +666,58 @@ object SearchQuery {
     parseNode(jv, schema, scratch)
   }
 
+  /** Resolve an ES date-math string to a timestamp: `<ISO anchor>` or
+    * `<ISO anchor>||<±N{y,M,w,d,h,m,s}>*</unit>?`. The anchor is
+    * `yyyy-MM-dd` (midnight) or `yyyy-MM-dd'T'HH:mm:ss`; steps apply in
+    * order; a trailing `/unit` rounds DOWN (`/w` to the ISO Monday, as
+    * ES). `now` anchors are rejected — see [[TsRange]]. */
+  def resolveDateMath(s: String): java.sql.Timestamp = {
+    import java.time._
+    require(!s.startsWith("now"),
+      s"'now'-anchored date math is nondeterministic and not implemented: $s")
+    val (anchorStr, mathStr) = s.indexOf("||") match {
+      case -1 => (s, "")
+      case i => (s.take(i), s.drop(i + 2))
+    }
+    val anchor: LocalDateTime =
+      if (anchorStr.contains('T')) LocalDateTime.parse(anchorStr)
+      else LocalDate.parse(anchorStr).atStartOfDay()
+    val StepRe = "([+-])(\\d+)([yMwdhms])".r
+    val (steps, rounding) = mathStr.indexOf('/') match {
+      case -1 => (mathStr, None)
+      case i =>
+        require(i == mathStr.length - 2, s"rounding must be the final /unit: $s")
+        (mathStr.take(i), Some(mathStr.last))
+    }
+    val consumed = StepRe.findAllMatchIn(steps).map(_.matched).mkString
+    require(consumed == steps, s"bad date math steps in: $s")
+    val stepped = StepRe.findAllMatchIn(steps).foldLeft(anchor) { (t, m) =>
+      val n = m.group(2).toLong * (if (m.group(1) == "-") -1 else 1)
+      m.group(3) match {
+        case "y" => t.plusYears(n)
+        case "M" => t.plusMonths(n)
+        case "w" => t.plusWeeks(n)
+        case "d" => t.plusDays(n)
+        case "h" => t.plusHours(n)
+        case "m" => t.plusMinutes(n)
+        case "s" => t.plusSeconds(n)
+      }
+    }
+    val rounded = rounding.fold(stepped) {
+      case 'y' => stepped.toLocalDate.withDayOfYear(1).atStartOfDay()
+      case 'M' => stepped.toLocalDate.withDayOfMonth(1).atStartOfDay()
+      case 'w' => stepped.toLocalDate
+        .`with`(java.time.temporal.TemporalAdjusters.previousOrSame(DayOfWeek.MONDAY))
+        .atStartOfDay()
+      case 'd' => stepped.toLocalDate.atStartOfDay()
+      case 'h' => stepped.truncatedTo(temporal.ChronoUnit.HOURS)
+      case 'm' => stepped.truncatedTo(temporal.ChronoUnit.MINUTES)
+      case 's' => stepped.truncatedTo(temporal.ChronoUnit.SECONDS)
+      case u => throw new IllegalArgumentException(s"bad rounding unit /$u in: $s")
+    }
+    java.sql.Timestamp.valueOf(rounded)
+  }
+
   private def parseNode(jv: org.json4s.JValue,
                         schema: org.apache.spark.sql.types.StructType,
                         hits: scala.collection.mutable.ListBuffer[(Seq[String], SearchQuery)]): SearchQuery = {
@@ -789,6 +855,37 @@ object SearchQuery {
         }
       case JObject(List(("range", JObject(List((p, JObject(bounds))))))) =>
         val b = bounds.toMap
+        def isStr(k: String) = b.get(k).exists(_.isInstanceOf[JString])
+        if (Seq("gte", "lte", "gt", "lt").exists(isStr)) {
+          // string bounds = date math; mixing string and numeric bounds
+          // on one field is a body bug — reject rather than guess
+          val unsupported0 = b.keySet -- Set("gte", "lte", "gt", "lt", "boost", "format")
+          require(unsupported0.isEmpty,
+            s"unsupported range bound(s) ${unsupported0.mkString(", ")} on $p")
+          def bound(k: String): Option[java.sql.Timestamp] = b.get(k).map {
+            case JString(v) =>
+              val rounded = v.contains('/')
+              require(!(rounded && (k == "lte" || k == "gt")),
+                s"date-math rounding on $k is not implemented (ES rounds $k UP to the unit's " +
+                  "end — use the half-open gte/lt form)")
+              resolveDateMath(v)
+            case other => throw new IllegalArgumentException(
+              s"range on $p mixes date-math and numeric bounds: $k = $other")
+          }
+          require(!(b.contains("gte") && b.contains("gt")), s"range on $p has both gte and gt")
+          require(!(b.contains("lte") && b.contains("lt")), s"range on $p has both lte and lt")
+          val (tlo, tloIncl) = bound("gte").map((_, true))
+            .orElse(bound("gt").map((_, false))).map { case (t, i) => (Some(t), i) }
+            .getOrElse((None, true))
+          val (thi, thiIncl) = bound("lte").map((_, true))
+            .orElse(bound("lt").map((_, false))).map { case (t, i) => (Some(t), i) }
+            .getOrElse((None, true))
+          require(tlo.nonEmpty || thi.nonEmpty, s"range on $p has no bounds")
+          val (arr0, full0) = splitArrayPath(path(p), schema)
+          require(arr0.isEmpty,
+            s"date-math range on array path $p is not implemented (scalar fields only)")
+          TsRange(full0, tlo, thi, tloIncl, thiIncl)
+        } else {
         // Reject bound forms this engine does not implement rather than
         // silently widening the range: an ignored bound key would return a
         // SUPERSET of the correct rows. `boost`/`format` are rank/parse
@@ -809,6 +906,7 @@ object SearchQuery {
         splitArrayPath(path(p), schema) match {
           case (Nil, full) => Range(full, lo, hi, loIncl, hiIncl)
           case (arr, rest) => NestedRange(arr, rest, lo, hi, loIncl, hiIncl)
+        }
         }
       case JObject(List(("constant_score", JObject(fields)))) =>
         // Hit set = the wrapped filter verbatim (constant_score only
@@ -982,6 +1080,11 @@ object SearchQuery {
     case MatchAll => lit(true)
     case Wildcard(p, g) => SearchOps.wildcard(field(doc, p), g)
     case Range(p, lo, hi, li, hc) => SearchOps.range(field(doc, p), lo, hi, li, hc)
+    case TsRange(p, lo, hi, li, hc) =>
+      val v = field(doc, p)
+      val conds = lo.map(t => if (li) v >= lit(t) else v > lit(t)).toSeq ++
+        hi.map(t => if (hc) v <= lit(t) else v < lit(t))
+      conds.reduce(_ && _)
     case NestedTerm(ap, f, v) =>
       SearchOps.nestedMatch(field(doc, ap), x => field(x, f) === lit(v))
     case NestedTokenMatch(ap, f, t) =>

@@ -1376,6 +1376,31 @@ class DocEngineSpec extends SparkSpec {
         |   "fields": {"title": {}}}}""".stripMargin, sch))
   }
 
+  test("date math: step order, ISO-Monday weeks, month-end clamping, rejections") {
+    def ts(s0: String) = java.sql.Timestamp.valueOf(s0)
+    import SearchQuery.resolveDateMath
+    assert(resolveDateMath("2024-01-10") === ts("2024-01-10 00:00:00"))
+    assert(resolveDateMath("2024-01-10T06:30:15") === ts("2024-01-10 06:30:15"))
+    assert(resolveDateMath("2024-01-10||-2d/d") === ts("2024-01-08 00:00:00"))
+    assert(resolveDateMath("2024-01-03||+12d/d") === ts("2024-01-15 00:00:00"))
+    // /w rounds to the ISO Monday (2024-01-10 is a Wednesday)
+    assert(resolveDateMath("2024-01-10||/w") === ts("2024-01-08 00:00:00"))
+    assert(resolveDateMath("2024-01-08||/w") === ts("2024-01-08 00:00:00")) // Monday stays
+    // month arithmetic clamps to month end (Jan 31 + 1M = Feb 29 in 2024)
+    assert(resolveDateMath("2024-01-31||+1M") === ts("2024-02-29 00:00:00"))
+    assert(resolveDateMath("2024-03-15||/M") === ts("2024-03-01 00:00:00"))
+    assert(resolveDateMath("2024-03-15T10:20:30||+3h/h") === ts("2024-03-15 13:00:00"))
+    // rejections: now anchor, rounding on lte/gt, malformed steps
+    assertThrows[IllegalArgumentException](resolveDateMath("now-7d/d"))
+    assertThrows[IllegalArgumentException](resolveDateMath("2024-01-10||+1q"))
+    val sch = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType)))
+    assertThrows[IllegalArgumentException](SearchQuery.fromJson(
+      """{"query": {"range": {"ts": {"lte": "2024-01-10||/d"}}}}""", sch))
+    assertThrows[IllegalArgumentException](SearchQuery.fromJson(
+      """{"query": {"range": {"ts": {"gte": "2024-01-10||/d", "lt": 5}}}}""", sch))
+  }
+
   test("review pins: auto quarter distance, composite null cursor, negative field_value_factor") {
     import spark.implicits._
     // auto_date_histogram counts QUARTER-START distance: Feb..Jul spans 3

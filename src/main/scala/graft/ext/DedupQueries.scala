@@ -804,7 +804,78 @@ object DedupQueries {
        |LEFT JOIN ex USING (batch_id) LEFT JOIN near USING (batch_id)
        |ORDER BY batch_id""".stripMargin
 
+  // ---------------------------------------------------------------- dd9
+  /** Cross-SOURCE corpus overlap matrix — "how much does dataset A
+    * duplicate dataset B": for every source pair, the exact shingle-set
+    * Jaccard (parts-per-million) beside its union-MinHash estimate. The
+    * estimate is the 100 TB path: one distinct-(source, shingle) pass,
+    * one 12-permutation min-aggregation to a |sources|-row signature
+    * table, pairwise agreement on that TINY table — corpus-sized work
+    * ends at the signature build, so a 1000-source lake costs the same
+    * two shuffles as 20 sources. The exact columns are the trust metric
+    * (the s4 pattern): one equi-join on the shingle hash — never a
+    * cartesian — bounded by shingles shared across sources. Zero-overlap
+    * pairs stay present (LEFT join, zero-filled), est_ppm quantizes to
+    * twelfths (k = 12 permutations). */
+  private def dd9(s: SparkSession, d: String): DataFrame = {
+    val th = Tables(s, d, "documents")
+      .select(col("source"), tokenHashes(tokens(col("text"))).as("hs"))
+      .persist()
+    val sh = th.select(col("source"), explode(shingleHashes(col("hs"), 3)).as("h"))
+      .distinct().persist()
+    val mhCols = MinhashParams.zipWithIndex.map { case ((a, b), i) =>
+      min(perm(col("h"), a, b)).as(s"mh$i") }
+    val sig = sh.groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_sh"), mhCols: _*)
+    def side(p: String) = sig.columns.foldLeft(sig)((t, c) => t.withColumnRenamed(c, s"$p$c"))
+    val pairs = side("a_").join(side("b_"), col("a_source") < col("b_source"))
+    val agree = (0 until MinhashParams.size)
+      .map(i => when(col(s"a_mh$i") === col(s"b_mh$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val inter = sh.as("x").join(sh.as("y"),
+        col("x.h") === col("y.h") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("a"), col("y.source").as("b"))
+      .agg(count(lit(1)).cast("long").as("n_inter"))
+    val res = pairs
+      .select(col("a_source").as("a"), col("b_source").as("b"),
+        col("a_n_sh").as("n_a"), col("b_n_sh").as("n_b"), agree.as("n_agree"))
+      .join(inter, Seq("a", "b"), "left")
+      .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+      .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))
+      .withColumn("jac_ppm", expr("n_inter * 1000000L DIV n_union"))
+      .withColumn("est_ppm", expr(s"n_agree * 1000000L DIV ${MinhashParams.size}"))
+      .select("a", "b", "n_a", "n_b", "n_inter", "n_union", "jac_ppm", "n_agree", "est_ppm")
+      .orderBy(col("a"), col("b"))
+    graft.Eager.finish(res, th, sh)
+  }
+
+  private val dd9Sql =
+    s"""WITH th AS (SELECT source,
+       |    list_transform(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''),
+       |      t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % ${MinhashPrime}) AS hs
+       |  FROM documents),
+       |sh AS (SELECT DISTINCT source, ${TextFunctions.shingleHashSql("hs", 3)} AS h
+       |  FROM th, unnest(range(1, len(hs) - 1)) AS t(i)),
+       |sig AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sh,
+       |    $mhTermsSql
+       |  FROM sh GROUP BY source),
+       |pairs AS (SELECT x.source AS a, y.source AS b, x.n_sh AS n_a, y.n_sh AS n_b,
+       |    CAST(${(0 until 12).map(i =>
+                  s"CASE WHEN x.mh$i = y.mh$i THEN 1 ELSE 0 END").mkString(" + ")}
+       |      AS BIGINT) AS n_agree
+       |  FROM sig x JOIN sig y ON x.source < y.source),
+       |inter AS (SELECT x.source AS a, y.source AS b, CAST(COUNT(*) AS BIGINT) AS n_inter
+       |  FROM sh x JOIN sh y ON x.h = y.h AND x.source < y.source
+       |  GROUP BY 1, 2)
+       |SELECT a, b, n_a, n_b, COALESCE(n_inter, 0) AS n_inter,
+       |  n_a + n_b - COALESCE(n_inter, 0) AS n_union,
+       |  COALESCE(n_inter, 0) * 1000000 // (n_a + n_b - COALESCE(n_inter, 0)) AS jac_ppm,
+       |  n_agree, n_agree * 1000000 // 12 AS est_ppm
+       |FROM pairs LEFT JOIN inter USING (a, b)
+       |ORDER BY a, b""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "dd9_source_overlap" -> dd9 _,
     "dd7_incremental" -> dd7 _,
     "dd8_semdedup" -> dd8 _,
     "dd1_exact_dedup" -> dd1 _,
@@ -815,6 +886,7 @@ object DedupQueries {
     "dd6_dedup_clusters" -> dd6 _)
 
   val oracle: Map[String, String] = Map(
+    "dd9_source_overlap" -> dd9Sql,
     "dd7_incremental" -> dd7Sql,
     "dd8_semdedup" -> dd8Sql,
     "dd1_exact_dedup" -> dd1Sql,

@@ -573,7 +573,111 @@ object IndexPipeline {
       |FROM events JOIN nation ON user_id % 25 = n_nationkey
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  // ---------------------------------------------------------------- st8
+  /** Stream-stream LEFT OUTER interval join — click-to-error attribution
+    * where UNMATCHED clicks must still come out (null-padded) once the
+    * watermark proves no error can arrive: the shape behind "sessions
+    * that never converted" dashboards, and the semantics batch joins get
+    * for free but streams must EARN via state eviction.
+    *
+    * Two contracts this pins, both easy to get silently wrong:
+    * 1. The watermark only advances past the last real event if a late
+    *    sentinel row SURVIVES each side's event-type filter: Catalyst
+    *    pushes deterministic filters below the EventTimeWatermark node
+    *    into the scan, so a sentinel of a third type never reaches the
+    *    watermark operator and the final window of orphan clicks never
+    *    flushes (the stream quietly returns a SUBSET of the batch left
+    *    join — measured: the last click per user was missing). Hence one
+    *    sentinel PER SIDE, type-matching, carrying impossible user ids
+    *    (-1/-2, which also cannot join each other) that the final
+    *    aggregation drops.
+    * 2. The interval condition bounds e_ts RELATIVE TO c_ts on both
+    *    sides, which is what lets Spark evict click state at
+    *    `watermark - 1h` instead of holding it forever.
+    * With the sentinel, Spark's no-data final batch drains every
+    * orphan, so the result equals the batch LEFT JOIN exactly — the
+    * oracle is that batch join. State cost: watermark-bounded on both
+    * sides (2 h of events per side), independent of stream length. */
+  private def st8(s0: SparkSession, d: String): DataFrame = {
+    val s = s0.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", 8)
+    val base = Files.createTempDirectory("graft-stream8-")
+    val srcDir = base.resolve("log").toString
+    val ckDir = base.resolve("ck").toString
+    val nFiles = 3
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("ts_us"), col("user_id"), col("event_type"))
+    val agg0 = ev.agg(max(col("event_id")), max(col("ts_us"))).head()
+    val (maxId, maxTs) = (agg0.getLong(0) + 1, agg0.getLong(1))
+    (0 until nFiles).foreach { i =>
+      ev.filter(floor(col("event_id") * nFiles / maxId) === i)
+        .coalesce(1).write.parquet(s"$srcDir/b$i")
+    }
+    // flush sentinels: 3 h past the last real event, one per join side so
+    // each survives its side's (scan-pushed) type filter; the sentinel
+    // click itself stays in state at query end (the watermark never
+    // passes ITS eviction bound) — by design, it must not emit
+    import s.implicits._
+    Seq((-1L, maxTs + 3L * 3600L * 1000000L, -1L, "click"),
+        (-2L, maxTs + 3L * 3600L * 1000000L, -2L, "error"))
+      .toDF("event_id", "ts_us", "user_id", "event_type")
+      .coalesce(1).write.parquet(s"$srcDir/b$nFiles")
+    def stream(tpe: String, alias: String) = s.readStream
+      .schema(ev.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$srcDir/b*")
+      .select(col("event_id").as(s"${alias}_id"), col("user_id").as(s"${alias}_user"),
+        col("event_type").as(s"${alias}_type"),
+        timestamp_micros(col("ts_us")).as(s"${alias}_ts"))
+      .withWatermark(s"${alias}_ts", "1 hour")
+      .filter(col(s"${alias}_type") === tpe)
+      .drop(s"${alias}_type")
+    val joined = stream("click", "c").join(stream("error", "e"),
+      col("c_user") === col("e_user") &&
+        col("e_ts") >= col("c_ts") &&
+        col("e_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"),
+      "left_outer")
+    val qname = s"st8_left_join_${System.nanoTime()}"
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(qname)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckDir)
+      .start()
+    try q.awaitTermination() finally q.stop()
+    val out = s.table(qname)
+      .filter(col("c_user") >= 0L) // drop any sentinel residue
+      .groupBy(col("c_user").as("user_id"))
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        count(col("e_id")).cast("long").as("n_pairs"),
+        (count(lit(1)) - count(col("e_id"))).cast("long").as("n_orphans"),
+        min(col("c_id")).as("first_click"),
+        max(col("e_id")).as("last_error"))
+      .orderBy(col("user_id"))
+    val pinned = graft.Eager.pin(out)
+    s.catalog.dropTempView(qname)
+    deleteRecursively(base)
+    pinned
+  }
+
+  /** Oracle: the same attribution LEFT join in plain SQL over the log —
+    * the stream result must be the SET-EQUAL of this, orphans included. */
+  private val st8Sql =
+    """WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type FROM events),
+      |c AS (SELECT * FROM e WHERE event_type = 'click'),
+      |x AS (SELECT * FROM e WHERE event_type = 'error')
+      |SELECT c.user_id, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(COUNT(x.event_id) AS BIGINT) AS n_pairs,
+      |  CAST(COUNT(*) - COUNT(x.event_id) AS BIGINT) AS n_orphans,
+      |  MIN(c.event_id) AS first_click, MAX(x.event_id) AS last_error
+      |FROM c LEFT JOIN x
+      |  ON c.user_id = x.user_id
+      | AND x.ts_us >= c.ts_us AND x.ts_us <= c.ts_us + 3600000000
+      |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "st8_left_outer_join" -> st8 _,
     "st7_stream_static" -> st7 _,
     "st6_stream_join" -> st6 _,
     "st5_stream_dedup" -> st5 _,
@@ -582,6 +686,7 @@ object IndexPipeline {
     "st3_stream_mgws" -> st3 _,
     "st4_stream_sessions" -> st4 _)
   val oracle: Map[String, String] = Map(
+    "st8_left_outer_join" -> st8Sql,
     "st7_stream_static" -> st7Sql,
     "st6_stream_join" -> st6Sql,
     "st5_stream_dedup" -> st5Sql,

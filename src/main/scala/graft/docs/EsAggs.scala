@@ -618,6 +618,13 @@ object EsAggs {
               require(dMinDc == 1L && dEb.isEmpty,
                 "time_zone with min_doc_count: 0 / extended_bounds is not implemented " +
                   "(zero-fill steps UTC instants by fixed calendar intervals — wrong across DST)")
+              // a DST fall-back repeats a local wall hour: two distinct
+              // instants truncate to the SAME ambiguous local hour key and
+              // would merge into one bucket where ES keeps two — loud
+              // reject rather than a silent sub-day merge
+              require(unit != "minute" && unit != "hour",
+                "time_zone with sub-day calendar intervals is not implemented (the repeated " +
+                  "DST fall-back hour is ambiguous under wall-clock truncation)")
             }
             DateHistogram(fieldPath(spec, "date_histogram", ctx), unit, dMinDc, dEb, dTz)
             }
@@ -1871,7 +1878,11 @@ object EsAggs {
         val metricCols0: Seq[Column] = nm.metrics.map { case (n, m) =>
           (m.kind match {
             case "avg" =>
-              sum(aggregate(vals(m), lit(0.0), (a, x) => a + x)) / sum(size(vals(m)))
+              // guard the zero-value bucket: the per-doc partial is 0.0
+              // (not null), so an unguarded 0.0/0 division yields NaN
+              // where ES — and Spark's own avg — return NULL
+              when(sum(size(vals(m))) > 0L,
+                sum(aggregate(vals(m), lit(0.0), (a, x) => a + x)) / sum(size(vals(m))))
             case "sum" => sum(aggregate(vals(m), lit(0.0), (a, x) => a + x))
             case "min" => min(array_min(vals(m)))
             case "max" => max(array_max(vals(m)))

@@ -147,7 +147,11 @@ object SearchExec {
     val highlightCols = b.highlight.toSeq.map { h =>
       val terms = SearchQuery.highlightTerms(b.parsed.query, h.path)
       def escTok(t: String): String = t.replaceAll("([\\\\.^$|?*+()\\[\\]{}])", "\\\\$1")
-      val alts = terms.map(_.trim.split("\\s+").map(escTok).mkString("\\s+"))
+      // longest alternative FIRST: regex alternation is leftmost-preference,
+      // so "gold|gold standard" would wrap only "gold" inside the phrase —
+      // ES highlights the longest covering match
+      val alts = terms.sortBy(t => (-t.length, t))
+        .map(_.trim.split("\\s+").map(escTok).mkString("\\s+"))
       val pat = s"(?i)\\b(?:${alts.mkString("|")})\\b"
       val v = field(doc, h.path).cast("string")
       when(v.rlike(pat), regexp_replace(v, pat, h.pre + "$0" + h.post))

@@ -680,8 +680,13 @@ object SearchQuery {
       case i => (s.take(i), s.drop(i + 2))
     }
     val anchor: LocalDateTime =
-      if (anchorStr.contains('T')) LocalDateTime.parse(anchorStr)
-      else LocalDate.parse(anchorStr).atStartOfDay()
+      try {
+        if (anchorStr.contains('T')) LocalDateTime.parse(anchorStr)
+        else LocalDate.parse(anchorStr).atStartOfDay()
+      } catch {
+        case e: java.time.format.DateTimeParseException =>
+          throw new IllegalArgumentException(s"bad date-math anchor '$anchorStr' in: $s", e)
+      }
     val StepRe = "([+-])(\\d+)([yMwdhms])".r
     val (steps, rounding) = mathStr.indexOf('/') match {
       case -1 => (mathStr, None)
@@ -715,7 +720,11 @@ object SearchQuery {
       case 's' => stepped.truncatedTo(temporal.ChronoUnit.SECONDS)
       case u => throw new IllegalArgumentException(s"bad rounding unit /$u in: $s")
     }
-    java.sql.Timestamp.valueOf(rounded)
+    // UTC explicitly: Timestamp.valueOf(LocalDateTime) would interpret the
+    // wall time in the JVM DEFAULT zone, making the compiled literal (an
+    // instant) depend on where the driver runs — the nondeterminism this
+    // feature exists to reject
+    java.sql.Timestamp.from(rounded.toInstant(java.time.ZoneOffset.UTC))
   }
 
   private def parseNode(jv: org.json4s.JValue,
@@ -858,10 +867,29 @@ object SearchQuery {
         def isStr(k: String) = b.get(k).exists(_.isInstanceOf[JString])
         if (Seq("gte", "lte", "gt", "lt").exists(isStr)) {
           // string bounds = date math; mixing string and numeric bounds
-          // on one field is a body bug — reject rather than guess
-          val unsupported0 = b.keySet -- Set("gte", "lte", "gt", "lt", "boost", "format")
+          // on one field is a body bug — reject rather than guess.
+          // `format` is NOT ignorable here (unlike the numeric branch):
+          // ES parses the bound string per the format, so ignoring it
+          // could return a different hit set — loud reject.
+          val unsupported0 = b.keySet -- Set("gte", "lte", "gt", "lt", "boost")
           require(unsupported0.isEmpty,
-            s"unsupported range bound(s) ${unsupported0.mkString(", ")} on $p")
+            s"unsupported range bound(s) ${unsupported0.mkString(", ")} on $p " +
+              "(format on date-math bounds changes the parse — not implemented)")
+          // only date/timestamp fields take date-math bounds; a string
+          // bound on a keyword field is ES's lexicographic range, which
+          // this engine does not implement — reject with a typed message
+          // rather than dying inside the date parser
+          val (arrT, fullT) = splitArrayPath(path(p), schema)
+          require(arrT.isEmpty,
+            s"date-math range on array path $p is not implemented (scalar fields only)")
+          val ftype = fullT.foldLeft(schema: org.apache.spark.sql.types.DataType) {
+            case (st: org.apache.spark.sql.types.StructType, f) => st(f).dataType
+            case (other, f) => throw new IllegalArgumentException(s"bad path $f into $other")
+          }
+          require(ftype.isInstanceOf[org.apache.spark.sql.types.TimestampType] ||
+              ftype.isInstanceOf[org.apache.spark.sql.types.DateType],
+            s"string range bounds on non-date field $p ($ftype) are not implemented " +
+              "(ES lexicographic keyword ranges)")
           def bound(k: String): Option[java.sql.Timestamp] = b.get(k).map {
             case JString(v) =>
               val rounded = v.contains('/')
@@ -881,10 +909,7 @@ object SearchQuery {
             .orElse(bound("lt").map((_, false))).map { case (t, i) => (Some(t), i) }
             .getOrElse((None, true))
           require(tlo.nonEmpty || thi.nonEmpty, s"range on $p has no bounds")
-          val (arr0, full0) = splitArrayPath(path(p), schema)
-          require(arr0.isEmpty,
-            s"date-math range on array path $p is not implemented (scalar fields only)")
-          TsRange(full0, tlo, thi, tloIncl, thiIncl)
+          TsRange(fullT, tlo, thi, tloIncl, thiIncl)
         } else {
         // Reject bound forms this engine does not implement rather than
         // silently widening the range: an ignored bound key would return a

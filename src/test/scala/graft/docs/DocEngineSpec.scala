@@ -1259,6 +1259,12 @@ class DocEngineSpec extends SparkSpec {
         x.getAs[java.lang.Double]("avg_cop"), x.getAs[Long]("n_cop"))).toSeq
     assert(r === Seq(("x", 2L, 3L, java.lang.Double.valueOf(15.0), 2L),
       ("y", 1L, 1L, java.lang.Double.valueOf(5.0), 1L)))
+    // a bucket whose docs carry NO element values: avg is NULL (not NaN)
+    val dfY = Seq(("b2", "z", Seq.empty[Option[Long]])).toDF("id", "pt", "cops")
+      .select(struct(col("id"), col("pt"),
+        transform(col("cops"), v => struct(v.as("copay"))).as("els")).as("doc"))
+    val rz = EsAggs.run(dfY, "doc", body, sch).collect()
+    assert(rz.length === 1 && rz.head.getAs[java.lang.Double]("avg_cop") == null)
     // non-combinable metric kinds under the split's nested agg reject loudly
     assertThrows[IllegalArgumentException](EsAggs.parse(
       """{"aggs": {"t": {"terms": {"field": "pt"},
@@ -1315,15 +1321,21 @@ class DocEngineSpec extends SparkSpec {
     assert(r.toSeq === Seq(
       ("2024-11-01 04:00:00.0", 1L), ("2024-11-02 04:00:00.0", 1L),
       ("2024-11-03 04:00:00.0", 2L), ("2024-11-04 05:00:00.0", 1L)))
-    // a half-hour zone shifts hour buckets by 30 minutes
+    // a half-hour zone shifts week buckets by the zone offset (ISO Monday
+    // 00:00 IST = Sunday 18:30 UTC)
     val rk = EsAggs.run(df, "doc",
       """{"size": 0, "aggs": {"d": {"date_histogram": {"field": "t",
-        |  "calendar_interval": "hour", "time_zone": "Asia/Kolkata"}}}}""".stripMargin, sch)
+        |  "calendar_interval": "week", "time_zone": "Asia/Kolkata"}}}}""".stripMargin, sch)
       .collect().map(_.getAs[java.sql.Timestamp]("key").toString)
-    assert(rk.head === "2024-11-02 03:30:00.0")
-    // parse guards: fixed_interval + tz, zero-fill + tz, unknown zone
+    assert(rk.head === "2024-10-27 18:30:00.0")
+    // parse guards: fixed_interval + tz, zero-fill + tz, unknown zone,
+    // and sub-day + tz (the repeated DST fall-back hour is ambiguous
+    // under wall-clock truncation — would silently merge two ES buckets)
     assertThrows[IllegalArgumentException](EsAggs.parse(
       """{"aggs": {"d": {"date_histogram": {"field": "t", "fixed_interval": "1d",
+        |  "time_zone": "America/New_York"}}}}""".stripMargin, sch))
+    assertThrows[IllegalArgumentException](EsAggs.parse(
+      """{"aggs": {"d": {"date_histogram": {"field": "t", "calendar_interval": "hour",
         |  "time_zone": "America/New_York"}}}}""".stripMargin, sch))
     assertThrows[IllegalArgumentException](EsAggs.parse(
       """{"aggs": {"d": {"date_histogram": {"field": "t", "calendar_interval": "day",
@@ -1363,6 +1375,16 @@ class DocEngineSpec extends SparkSpec {
         | "highlight": {"pre_tags": ["[["], "post_tags": ["]]"],
         |   "fields": {"title": {}}}}""".stripMargin)
     assert(r2.toSeq === Seq(("c", "[[GOLD standard]]")))
+    // overlapping term + phrase: the LONGEST covering match wins (ES
+    // behavior) regardless of clause order in the body
+    val r3 = run(
+      """{"query": {"bool": {"should": [
+        |    {"match": {"title": "gold"}}, {"match_phrase": {"title": "gold standard"}}],
+        |  "minimum_should_match": 1}},
+        | "sort": [{"objectId": "asc"}], "_source": ["objectId", "title"],
+        | "highlight": {"fields": {"title": {}}}}""".stripMargin)
+    assert(r3.toMap.apply("c") === "<em>GOLD standard</em>")
+    assert(r3.toMap.apply("a") === "<em>Gold</em> plan with <em>gold</em> trim")
     // parse guards: fragment counts, no clause on the field, $ in tags
     assertThrows[IllegalArgumentException](SearchQuery.parseFullBody(
       """{"query": {"match": {"title": "gold"}},
@@ -1399,6 +1421,17 @@ class DocEngineSpec extends SparkSpec {
       """{"query": {"range": {"ts": {"lte": "2024-01-10||/d"}}}}""", sch))
     assertThrows[IllegalArgumentException](SearchQuery.fromJson(
       """{"query": {"range": {"ts": {"gte": "2024-01-10||/d", "lt": 5}}}}""", sch))
+    // format changes how ES parses the bound — reject, never ignore
+    assertThrows[IllegalArgumentException](SearchQuery.fromJson(
+      """{"query": {"range": {"ts": {"gte": "2024-03-02", "format": "yyyy-dd-MM"}}}}""", sch))
+    // a string bound on a keyword field is a lexicographic range (not
+    // date math) — typed rejection, not a DateTimeParseException
+    val sch2 = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.StringType)))
+    assertThrows[IllegalArgumentException](SearchQuery.fromJson(
+      """{"query": {"range": {"k": {"gte": "a", "lt": "m"}}}}""", sch2))
+    // malformed anchors surface as the engine's typed rejection too
+    assertThrows[IllegalArgumentException](SearchQuery.resolveDateMath("2024-13-45||/d"))
   }
 
   test("review pins: auto quarter distance, composite null cursor, negative field_value_factor") {

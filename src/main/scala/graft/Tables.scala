@@ -20,12 +20,25 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events` with its nanosecond parquet timestamp read portably: Spark 4
-    * rejects TIMESTAMP(NANOS) outright, so read it as a raw Long and expose
-    * both the nanos and a derived microseconds column (`ts_us`). */
+  /** `events` with its `ts` timestamp read portably — the driver has
+    * shipped this column as TIMESTAMP(NANOS) (which Spark 4 rejects unless
+    * read as a raw Long) and as TIMESTAMP(MICROS) (NTZ) in different
+    * corpus generations — exposing a uniform epoch-microseconds `ts_us`
+    * column that every downstream operator builds on. The session time
+    * zone is UTC in every entry point, so the NTZ→micros conversion is
+    * the identity wall-clock mapping DuckDB's oracle applies too. */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts_us", org.apache.spark.sql.functions.expr("ts DIV 1000"))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case LongType => // nanosecond int64: derive micros by integer floor
+        raw.withColumn("ts_us", expr("ts DIV 1000"))
+      case TimestampNTZType =>
+        raw.withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+      case _ => // TIMESTAMP (ltz) micros
+        raw.withColumn("ts_us", unix_micros(col("ts")))
+    }
   }
 }

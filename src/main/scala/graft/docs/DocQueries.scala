@@ -3746,6 +3746,81 @@ object DocQueries {
       |  AND event_type = 'purchase'
       |ORDER BY event_id""".stripMargin
 
+  // ---------------------------------------------------------------- d98
+  /** ES `extended_stats` — the dispersion metric behind Kibana's
+    * error-band visualizations: stats + sum_of_squares, POPULATION
+    * variance and σ-bounds (here sigma: 3), per terms bucket. Over the
+    * integer copay field both sums are exact longs, so every derived
+    * double (two divisions, one correctly-rounded sqrt, one
+    * multiply/add) is IEEE-identical to the oracle's same expression
+    * tree. Plan shape: unchanged from a plain terms agg — ONE hash
+    * aggregation, the extra columns are free map-side arithmetic. */
+  private def d98(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "size": 0,
+        |  "aggs": {
+        |    "by_type": {
+        |      "terms": { "field": "planType", "size": 10 },
+        |      "aggs": {
+        |        "copay_es": { "extended_stats": { "field": "planCostShares.copay", "sigma": 3 } }
+        |      }
+        |    }
+        |  }
+        |}""".stripMargin
+    EsAggs.run(assembled(s, d), "doc", body, schema)
+  }
+
+  private val d98Sql =
+    """WITH base AS (SELECT c_mktsegment AS key, CAST(c_custkey % 50 AS BIGINT) AS v
+      |  FROM customer),
+      |g AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS doc_count,
+      |    CAST(COUNT(v) AS BIGINT) AS copay_es_count,
+      |    MIN(v) AS copay_es_min, MAX(v) AS copay_es_max,
+      |    CAST(SUM(v) AS DOUBLE) / COUNT(v) AS copay_es_avg,
+      |    CAST(SUM(v) AS DOUBLE) AS copay_es_sum,
+      |    CAST(SUM(v*v) AS DOUBLE) AS copay_es_sum_of_squares,
+      |    CAST(SUM(v*v) AS DOUBLE) / COUNT(v)
+      |      - (CAST(SUM(v) AS DOUBLE) / COUNT(v)) * (CAST(SUM(v) AS DOUBLE) / COUNT(v))
+      |      AS copay_es_variance
+      |  FROM base GROUP BY key)
+      |SELECT key, doc_count, copay_es_count, copay_es_min, copay_es_max, copay_es_avg,
+      |  copay_es_sum, copay_es_sum_of_squares, copay_es_variance,
+      |  sqrt(copay_es_variance) AS copay_es_std_deviation,
+      |  copay_es_avg + 3.0 * sqrt(copay_es_variance) AS copay_es_std_deviation_bounds_upper,
+      |  copay_es_avg - 3.0 * sqrt(copay_es_variance) AS copay_es_std_deviation_bounds_lower
+      |FROM g ORDER BY doc_count DESC, key LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- d99
+  /** ES `median_absolute_deviation` — the robust dispersion metric
+    * (median of |v - median|), EXACT via linear-interpolated medians
+    * where ES is TDigest-approximate (documented upgrade, same as
+    * percentiles). Two-phase by nature: a 1-row median aggregate
+    * broadcast back over the corpus, then one global aggregation over
+    * the deviations — two corpus scans, no shuffle beyond two global
+    * partial+final aggs. */
+  private def d99(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "size": 0,
+        |  "aggs": {
+        |    "mad_ded": { "median_absolute_deviation": { "field": "planCostShares.deductible" } },
+        |    "med_ded": { "percentiles": { "field": "planCostShares.deductible", "percents": [50] } },
+        |    "avg_ded": { "avg": { "field": "planCostShares.deductible" } }
+        |  }
+        |}""".stripMargin
+    EsAggs.run(assembled(s, d), "doc", body, schema)
+  }
+
+  private val d99Sql =
+    """WITH base AS (SELECT CAST(c_nationkey * 100 AS BIGINT) AS v FROM customer),
+      |m AS (SELECT quantile_cont(v, 0.5) AS md FROM base)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS doc_count,
+      |  quantile_cont(abs(v - (SELECT md FROM m)), 0.5) AS mad_ded,
+      |  quantile_cont(v, 0.5) AS med_ded_p50,
+      |  AVG(v) AS avg_ded
+      |FROM base""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -3831,6 +3906,8 @@ object DocQueries {
     "d95_es_phrase_suggest" -> d95 _,
     "d96_es_more_like_this" -> d96 _,
     "d97_es_date_math" -> d97 _,
+    "d98_es_extended_stats" -> d98 _,
+    "d99_es_mad" -> d99 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
     "d3_roundtrip" -> d3 _,
@@ -3930,6 +4007,8 @@ object DocQueries {
     "d95_es_phrase_suggest" -> d95Sql,
     "d96_es_more_like_this" -> d96Sql,
     "d97_es_date_math" -> d97Sql,
+    "d98_es_extended_stats" -> d98Sql,
+    "d99_es_mad" -> d99Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,
     "d3_roundtrip" -> d3Sql,

@@ -61,7 +61,8 @@ object EsAggs {
     * [1, 5, 25, 50, 75, 95, 99]. */
   final case class Metric(kind: String, path: Seq[String],
                           percents: Seq[Double] = Nil,
-                          weightPath: Seq[String] = Nil) extends Agg
+                          weightPath: Seq[String] = Nil,
+                          sigma: Double = 2.0) extends Agg
   /** ES `terms` bucket agg: top-`size` buckets. Default ES order =
     * doc_count desc, key asc; `order` overrides it with `_key`, `_count`,
     * or a metric sub-agg NAME (validated at parse — unknown targets are
@@ -303,7 +304,13 @@ object EsAggs {
   }
 
   private val metricKinds = Set("avg", "sum", "min", "max", "value_count",
-    "cardinality", "stats", "percentiles", "percentile_ranks", "weighted_avg")
+    "cardinality", "stats", "percentiles", "percentile_ranks", "weighted_avg",
+    "extended_stats", "median_absolute_deviation")
+
+  /** Metric kinds that render MORE than one output column — not a valid
+    * terms-order / buckets_path / sibling target. */
+  private val multiColumnKinds =
+    Set("stats", "percentiles", "percentile_ranks", "extended_stats")
 
   /** ES default percentiles (the TDigest defaults; ours are exact). */
   private val defaultPercents = Seq(1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0)
@@ -336,6 +343,10 @@ object EsAggs {
   /** Column names a metric renders to (`stats`/`percentiles` fan out). */
   private def metricNames(name: String, m: Metric): Seq[String] = m.kind match {
     case "stats" => Seq("count", "min", "max", "avg", "sum").map(s => s"${name}_$s")
+    case "extended_stats" =>
+      Seq("count", "min", "max", "avg", "sum", "sum_of_squares", "variance",
+        "std_deviation", "std_deviation_bounds_upper", "std_deviation_bounds_lower")
+        .map(s => s"${name}_$s")
     case "percentiles" => m.percents.map(p => s"${name}_p${fmtPercent(p)}")
     case "percentile_ranks" => m.percents.map(v => s"${name}_r${fmtPercent(v)}")
     case _ => Seq(name)
@@ -427,9 +438,17 @@ object EsAggs {
           val allowed = kind match {
             case "percentiles" => Set("field", "percents")
             case "percentile_ranks" => Set("field", "values")
+            case "extended_stats" => Set("field", "sigma")
             case _ => Set("field")
           }
           val m = checkSpecKeys(spec, kind, allowed)
+          val sigma = if (kind != "extended_stats") 2.0 else m.get("sigma") match {
+            case None => 2.0 // ES default bounds = avg ± 2σ
+            case Some(v) =>
+              val s0 = SearchQuery.asDouble(v, "extended_stats sigma")
+              require(s0 >= 0, s"extended_stats sigma must be >= 0: $s0")
+              s0
+          }
           val percents = if (kind == "percentile_ranks") m.get("values") match {
             case Some(JArray(vs)) if vs.nonEmpty =>
               vs.map(SearchQuery.asDouble(_, "percentile_ranks value"))
@@ -444,7 +463,7 @@ object EsAggs {
           }
           if (kind == "percentiles")
             percents.foreach(p => require(p >= 0 && p <= 100, s"percent out of range: $p"))
-          name -> Metric(kind, fieldPath(spec, kind, ctx), percents)
+          name -> Metric(kind, fieldPath(spec, kind, ctx), percents, sigma = sigma)
         case (name, other) =>
           throw new IllegalArgumentException(
             s"unsupported metric agg $name: $other (supported: ${metricKinds.mkString("/")})")
@@ -1143,7 +1162,7 @@ object EsAggs {
                 s"terms order target \"$target\" is not _key/_count or a metric sub-agg of $where " +
                   s"(metrics: ${if (ms.isEmpty) "none" else ms.keys.toSeq.sorted.mkString(", ")})")
               require(target == "_key" || target == "_count" ||
-                !Set("stats", "percentiles", "percentile_ranks")(ms(target).kind),
+                !multiColumnKinds(ms(target).kind),
                 s"terms order target \"$target\" is a multi-column ${ms(target).kind} metric")
             case _ => ()
           }
@@ -1213,7 +1232,7 @@ object EsAggs {
           val levelMetrics = tree.metrics.toMap
           def checkTarget(target: String, earlier: Set[String], allowKey: Boolean): Unit =
             require(target == "_count" || (allowKey && target == "_key") || earlier(target) ||
-              levelMetrics.get(target).exists(m => !Set("stats", "percentiles", "percentile_ranks")(m.kind)),
+              levelMetrics.get(target).exists(m => !multiColumnKinds(m.kind)),
               s"buckets_path \"$target\" is not _count${if (allowKey) "/_key" else ""}, a " +
                 "single-column metric, or an earlier pipeline of this level")
           def requireKeyed(kind: String): Unit = bucket match {
@@ -1307,7 +1326,7 @@ object EsAggs {
                 s"$kind buckets_path must be \"$bucketName>metric\" or \"$bucketName>_count\": $path")
               val target = parts(1)
               require(target == "_count" ||
-                lm.get(target).exists(mm => !Set("stats", "percentiles", "percentile_ranks")(mm.kind)),
+                lm.get(target).exists(mm => !multiColumnKinds(mm.kind)),
                 s"$kind target \"$target\" is not _count or a single-column metric of $bucketName")
               val percents = if (kind != "percentiles_bucket") Nil else m.get("percents") match {
                 case None => defaultPercents
@@ -1522,6 +1541,31 @@ object EsAggs {
           Seq(count(v).as(s"${name}_count"), min(v).as(s"${name}_min"),
             max(v).as(s"${name}_max"), avg(v).cast("double").as(s"${name}_avg"),
             sum(v).cast("double").as(s"${name}_sum"))
+        case "extended_stats" =>
+          // ES extended_stats: stats + sum_of_squares, POPULATION variance
+          // (sos/n - mean², ES's own formula) and σ-bounds (avg ± sigma·σ,
+          // default 2). Over integer fields both sums are exact longs, so
+          // the double expressions — two divisions, one sqrt (correctly
+          // rounded), one multiply/add each — are IEEE-identical in any
+          // engine; the oracle writes the SAME expression tree.
+          val n = count(v)
+          val s1 = sum(v).cast("double")
+          val sos = sum(v * v).cast("double")
+          val mean = s1 / n
+          val variance = sos / n - mean * mean
+          val sd = sqrt(variance)
+          Seq(n.as(s"${name}_count"), min(v).as(s"${name}_min"),
+            max(v).as(s"${name}_max"), mean.as(s"${name}_avg"), s1.as(s"${name}_sum"),
+            sos.as(s"${name}_sum_of_squares"), variance.as(s"${name}_variance"),
+            sd.as(s"${name}_std_deviation"),
+            (mean + lit(m.sigma) * sd).as(s"${name}_std_deviation_bounds_upper"),
+            (mean - lit(m.sigma) * sd).as(s"${name}_std_deviation_bounds_lower"))
+        case "median_absolute_deviation" =>
+          // needs the hit-set median BEFORE the aggregation pass — only
+          // the flat-metric entry point plans that two-phase shape
+          throw new IllegalArgumentException(
+            "median_absolute_deviation inside bucket aggs is not implemented " +
+              "(flat metric set only — it needs a median pre-pass)")
         case "percentiles" =>
           // EXACT linear-interpolated percentiles (DuckDB quantile_cont
           // reproduces them bit-for-bit; ES TDigest is approximate)
@@ -1629,6 +1673,24 @@ object EsAggs {
       one.select(explode(array(bucketStructs: _*)).as("_b")).select(col("_b.*"))
     }
     val result = req.tree match {
+      case Left(ms) if ms.exists(_._2.kind == "median_absolute_deviation") =>
+        // ES `median_absolute_deviation`: median(|v - median(v)|) — EXACT
+        // (linear-interpolated medians; ES's is TDigest-approximate, the
+        // same documented upgrade as percentiles). Two-phase by nature:
+        // a 1-row median aggregate broadcast-joined back, then one global
+        // aggregation over the deviations — two corpus scans, zero
+        // shuffles beyond the two global partial+final aggs.
+        val mads = ms.zipWithIndex.filter(_._1._2.kind == "median_absolute_deviation")
+        val medCols = mads.map { case ((_, m), i) =>
+          percentile(field(ctx, m.path), lit(0.5)).as(s"_med$i") }
+        val meds = rows.agg(medCols.head, medCols.tail: _*)
+        rows.crossJoin(broadcast(meds))
+          .agg(count(lit(1)).as("doc_count"),
+            ms.zipWithIndex.flatMap { case ((n0, m), i) =>
+              if (m.kind == "median_absolute_deviation")
+                Seq(percentile(abs(field(ctx, m.path) - col(s"_med$i")), lit(0.5)).as(n0))
+              else metricCols(n0, m)
+            }: _*)
       case Left(ms) =>
         require(ms.nonEmpty, "aggs body has no aggregations")
         rows.agg(count(lit(1)).as("doc_count"),

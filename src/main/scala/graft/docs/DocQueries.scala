@@ -3821,6 +3821,88 @@ object DocQueries {
       |  AVG(v) AS avg_ded
       |FROM base""".stripMargin
 
+  // ---------------------------------------------------------------- d100
+  /** ES `normalize` pipeline agg — Lens's "percent of total" formula
+    * over a daily date_histogram (fraction of total events per day) plus
+    * a 0-1 rescale of a sum metric. Both are one |buckets|-row window +
+    * a single double division over exact integer sums — no second corpus
+    * pass, oracle-bit-identical. */
+  private def d100(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.Tables.events(s, d)
+      .select(struct(col("event_id"), timestamp_micros(col("ts_us")).as("ts"),
+        col("user_id"), col("event_type")).as("doc"))
+    val evSchema = ev.schema("doc").dataType.asInstanceOf[StructType]
+    val body =
+      """{
+        |  "size": 0,
+        |  "aggs": {
+        |    "daily": {
+        |      "date_histogram": { "field": "ts", "calendar_interval": "day" },
+        |      "aggs": {
+        |        "uid_sum": { "sum": { "field": "user_id" } },
+        |        "pct_of_total": { "normalize": { "buckets_path": "_count",
+        |                                         "method": "percent_of_sum" } },
+        |        "load_0_1": { "normalize": { "buckets_path": "uid_sum",
+        |                                     "method": "rescale_0_1" } }
+        |      }
+        |    }
+        |  }
+        |}""".stripMargin
+    EsAggs.run(ev, "doc", body, evSchema)
+  }
+
+  private val d100Sql =
+    """WITH g AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS key,
+      |    CAST(COUNT(*) AS BIGINT) AS doc_count,
+      |    CAST(SUM(user_id) AS DOUBLE) AS uid_sum
+      |  FROM events GROUP BY 1)
+      |SELECT key, doc_count, uid_sum,
+      |  CAST(doc_count AS DOUBLE) / SUM(doc_count) OVER () AS pct_of_total,
+      |  (uid_sum - MIN(uid_sum) OVER ()) / (MAX(uid_sum) OVER () - MIN(uid_sum) OVER ())
+      |    AS load_0_1
+      |FROM g ORDER BY key""".stripMargin
+
+  // ---------------------------------------------------------------- d101
+  /** ES `cumulative_cardinality` — "total distinct users to date", the
+    * retention-dashboard primitive. Exact (ES merges HLL sketches): one
+    * extra corpus aggregation at user grain derives each user's FIRST
+    * day, the per-day first-occurrence counts broadcast onto the bucket
+    * table, and a running sum yields the cumulative distinct count —
+    * unions don't sum, so this is the only shape that stays one-pass at
+    * 100 TB. */
+  private def d101(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.Tables.events(s, d)
+      .select(struct(col("event_id"), timestamp_micros(col("ts_us")).as("ts"),
+        col("user_id"), col("event_type")).as("doc"))
+    val evSchema = ev.schema("doc").dataType.asInstanceOf[StructType]
+    val body =
+      """{
+        |  "size": 0,
+        |  "aggs": {
+        |    "daily": {
+        |      "date_histogram": { "field": "ts", "calendar_interval": "day" },
+        |      "aggs": {
+        |        "users": { "cardinality": { "field": "user_id" } },
+        |        "users_to_date": { "cumulative_cardinality": { "buckets_path": "users" } }
+        |      }
+        |    }
+        |  }
+        |}""".stripMargin
+    EsAggs.run(ev, "doc", body, evSchema)
+  }
+
+  private val d101Sql =
+    """WITH g AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS key,
+      |    CAST(COUNT(*) AS BIGINT) AS doc_count,
+      |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users
+      |  FROM events GROUP BY 1),
+      |f AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS nw FROM (
+      |    SELECT user_id, MIN(CAST(date_trunc('day', ts) AS DATE)) AS key
+      |    FROM events GROUP BY user_id) GROUP BY key)
+      |SELECT g.key, g.doc_count, g.users,
+      |  CAST(SUM(COALESCE(f.nw, 0)) OVER (ORDER BY g.key) AS BIGINT) AS users_to_date
+      |FROM g LEFT JOIN f ON g.key = f.key ORDER BY g.key""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -3908,6 +3990,8 @@ object DocQueries {
     "d97_es_date_math" -> d97 _,
     "d98_es_extended_stats" -> d98 _,
     "d99_es_mad" -> d99 _,
+    "d100_es_normalize" -> d100 _,
+    "d101_es_cumulative_cardinality" -> d101 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
     "d3_roundtrip" -> d3 _,
@@ -4009,6 +4093,8 @@ object DocQueries {
     "d97_es_date_math" -> d97Sql,
     "d98_es_extended_stats" -> d98Sql,
     "d99_es_mad" -> d99Sql,
+    "d100_es_normalize" -> d100Sql,
+    "d101_es_cumulative_cardinality" -> d101Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,
     "d3_roundtrip" -> d3Sql,

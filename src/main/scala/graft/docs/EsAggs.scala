@@ -228,6 +228,28 @@ object EsAggs {
     * shape; anything richer is rejected loudly. */
   final case class BucketScript(name: String, left: String, right: String,
                                 op: String) extends Pipeline
+  /** ES `normalize` pipeline agg — Lens's "percent of total" / "0-1
+    * rescale" formula: each bucket's value normalized against the whole
+    * bucket list. Methods: `percent_of_sum` (value / Σ — ES returns the
+    * FRACTION, not ×100) and `rescale_0_1` ((v-min)/(max-min)); the
+    * remaining ES methods (`softmax`, `z-score`, `mean`) ride libm exp
+    * or interact with empty buckets ambiguously and are rejected loudly
+    * at parse. One |buckets|-row window, exact integer numerators, a
+    * single double division — oracle-bit-identical. */
+  final case class Normalize(name: String, target: String,
+                             method: String) extends Pipeline
+  /** ES `cumulative_cardinality` — "total distinct users to date", the
+    * retention-dashboard primitive. NOT derivable from per-bucket
+    * cardinalities (unions don't sum); computed exactly from the corpus
+    * as first-occurrence counts: group the field by value → min bucket
+    * key → per-bucket new-value counts → running sum over the bucket
+    * table (ES merges HLL sketches cumulatively — approximate; ours is
+    * exact, the same documented upgrade as `cardinality`). Costs one
+    * extra corpus aggregation at (value) grain + a |buckets|-row
+    * broadcast join; `buckets_path` must name a `cardinality` metric of
+    * the same level, and the parent histogram must not prune buckets
+    * (min_doc_count > 1 would silently drop first-occurrence mass). */
+  final case class CumulativeCardinality(name: String, target: String) extends Pipeline
 
   /** SIBLING pipeline aggs (`avg_bucket`/`sum_bucket`/`min_bucket`/
     * `max_bucket`/`stats_bucket`/`percentiles_bucket`) — in ES they sit
@@ -326,7 +348,8 @@ object EsAggs {
 
   private val pipelineKinds =
     Set("cumulative_sum", "derivative", "bucket_selector", "bucket_sort",
-      "moving_fn", "serial_diff", "bucket_script")
+      "moving_fn", "serial_diff", "bucket_script", "normalize",
+      "cumulative_cardinality")
 
   private val siblingKinds =
     Set("avg_bucket", "sum_bucket", "min_bucket", "max_bucket",
@@ -948,6 +971,21 @@ object EsAggs {
               require(lag >= 1, s"serial_diff lag must be >= 1: $lag")
               SerialDiff(name, asString(m.getOrElse("buckets_path",
                 throw new IllegalArgumentException("serial_diff needs buckets_path"))), lag)
+            case (name, JObject(List(("normalize", spec)))) =>
+              val m = checkSpecKeys(spec, "normalize", Set("buckets_path", "method"))
+              val method = m.get("method") match {
+                case Some(JString(mm)) if mm == "percent_of_sum" || mm == "rescale_0_1" => mm
+                case Some(other) => throw new IllegalArgumentException(
+                  s"unsupported normalize method: $other (percent_of_sum/rescale_0_1; " +
+                    "softmax/z-score/mean ride libm or are empty-bucket-ambiguous)")
+                case None => throw new IllegalArgumentException("normalize needs a method")
+              }
+              Normalize(name, asString(m.getOrElse("buckets_path",
+                throw new IllegalArgumentException("normalize needs buckets_path"))), method)
+            case (name, JObject(List(("cumulative_cardinality", spec)))) =>
+              val m = checkSpecKeys(spec, "cumulative_cardinality", Set("buckets_path"))
+              CumulativeCardinality(name, asString(m.getOrElse("buckets_path",
+                throw new IllegalArgumentException("cumulative_cardinality needs buckets_path"))))
             case (name, JObject(List(("bucket_script", spec)))) =>
               val m = checkSpecKeys(spec, "bucket_script", Set("buckets_path", "script"))
               val params = m.get("buckets_path") match {
@@ -1265,6 +1303,8 @@ object EsAggs {
                 case MovingAvg(n0, _, _) => n0
                 case SerialDiff(n0, _, _) => n0
                 case BucketScript(n0, _, _, _) => n0
+                case Normalize(n0, _, _) => n0
+                case CumulativeCardinality(n0, _) => n0
               }
           outNames.foreach(n0 => require(!reservedNames(n0),
             s"agg name \"$n0\" collides with a reserved output column (${reservedNames.toSeq.sorted.mkString("/")})"))
@@ -1290,6 +1330,27 @@ object EsAggs {
                 requireKeyed("bucket_script")
                 checkTarget(a0, earlier, allowKey = false)
                 checkTarget(b0, earlier, allowKey = false)
+                earlier + n
+              case Normalize(n, t, _) =>
+                requireKeyed("normalize"); checkTarget(t, earlier, allowKey = false); earlier + n
+              case CumulativeCardinality(n, t) =>
+                requireHist("cumulative_cardinality")
+                require(levelMetrics.get(t).exists(_.kind == "cardinality"),
+                  s"cumulative_cardinality buckets_path \"$t\" must name a cardinality " +
+                    "metric of this level (per-bucket counts don't union — the corpus pass " +
+                    "needs the field)")
+                bucket match {
+                  case Histogram(_, _, md, _, _) if md > 1L => throw new IllegalArgumentException(
+                    "cumulative_cardinality under a pruning histogram (min_doc_count > 1) is " +
+                      "not implemented (pruned buckets would silently drop first-occurrence mass)")
+                  case DateHistogram(_, _, md, _, _) if md > 1L => throw new IllegalArgumentException(
+                    "cumulative_cardinality under a pruning date_histogram (min_doc_count > 1) " +
+                      "is not implemented")
+                  case FixedDateHistogram(_, _, md) if md > 1L => throw new IllegalArgumentException(
+                    "cumulative_cardinality under a pruning date_histogram (min_doc_count > 1) " +
+                      "is not implemented")
+                  case _ => ()
+                }
                 earlier + n
             }
           }
@@ -2109,6 +2170,30 @@ object EsAggs {
               case "*" => ca * cb
               case "/" => ca / cb // Spark and DuckDB both divide ints as doubles
             })
+          case Normalize(n, t, method) =>
+            val c0 = tcol(t)
+            table = method match {
+              case "percent_of_sum" =>
+                // ES returns the FRACTION of the total (not ×100): exact
+                // integer numerator/denominator, ONE double division
+                table.withColumn(n, c0.cast("double") / sum(c0).over(wAllBuckets))
+              case "rescale_0_1" =>
+                table.withColumn(n, (c0 - min(c0).over(wAllBuckets)).cast("double") /
+                  (max(c0).over(wAllBuckets) - min(c0).over(wAllBuckets)))
+            }
+          case CumulativeCardinality(n, t) =>
+            // first-occurrence counts from the corpus (one aggregation at
+            // field-value grain), broadcast onto the bucket table, running
+            // sum in key order — see [[CumulativeCardinality]]
+            val m0 = ms.toMap.apply(t) // parse guarantees a cardinality metric
+            val vCol = field(ctx, m0.path)
+            val firsts = rows.filter(keyCol(b).isNotNull && vCol.isNotNull)
+              .groupBy(vCol.as("_ccv")).agg(min(keyCol(b)).as("key"))
+              .groupBy(col("key")).agg(count(lit(1)).as("_ccnew"))
+            table = table.join(broadcast(firsts), Seq("key"), "left")
+              .withColumn(n, sum(coalesce(col("_ccnew"), lit(0L)))
+                .over(keyW.rowsBetween(W.unboundedPreceding, W.currentRow)).cast("long"))
+              .drop("_ccnew")
           case BucketSort(sorts, from, sz) =>
             val ord = sorts.map { case (t, asc) =>
               if (asc) tcol(t).asc_nulls_last else tcol(t).desc_nulls_last

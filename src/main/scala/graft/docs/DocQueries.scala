@@ -3903,6 +3903,103 @@ object DocQueries {
       |  CAST(SUM(COALESCE(f.nw, 0)) OVER (ORDER BY g.key) AS BIGINT) AS users_to_date
       |FROM g LEFT JOIN f ON g.key = f.key ORDER BY g.key""".stripMargin
 
+  // ---------------------------------------------------------------- d102
+  /** `filters` with ES `other_bucket_key` — the catch-all bucket of
+    * documents matching NO named filter (the Kibana "Other" series).
+    * Still ONE conditional aggregation over the corpus: the other bucket
+    * is just the conjunction of the negated (null-coalesced) predicates
+    * — no extra pass, no shuffle at all. */
+  private def d102(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "size": 0,
+        |  "aggs": {
+        |    "tiers": {
+        |      "filters": {
+        |        "filters": {
+        |          "low_copay": { "range": { "planCostShares.copay": { "lt": 15 } } },
+        |          "building": { "term": { "planType": "BUILDING" } }
+        |        },
+        |        "other_bucket_key": "rest"
+        |      },
+        |      "aggs": {
+        |        "avg_ded": { "avg": { "field": "planCostShares.deductible" } }
+        |      }
+        |    }
+        |  }
+        |}""".stripMargin
+    EsAggs.run(assembled(s, d), "doc", body, schema)
+  }
+
+  private val d102Sql =
+    """WITH base AS (SELECT CAST(c_custkey % 50 AS BIGINT) AS copay, c_mktsegment AS pt,
+      |    CAST(c_nationkey * 100 AS BIGINT) AS ded FROM customer)
+      |SELECT 'low_copay' AS key, CAST(COUNT(*) FILTER (copay < 15) AS BIGINT) AS doc_count,
+      |  AVG(ded) FILTER (copay < 15) AS avg_ded FROM base
+      |UNION ALL
+      |SELECT 'building', CAST(COUNT(*) FILTER (pt = 'BUILDING') AS BIGINT),
+      |  AVG(ded) FILTER (pt = 'BUILDING') FROM base
+      |UNION ALL
+      |SELECT 'rest', CAST(COUNT(*) FILTER (NOT copay < 15 AND pt <> 'BUILDING') AS BIGINT),
+      |  AVG(ded) FILTER (NOT copay < 15 AND pt <> 'BUILDING') FROM base""".stripMargin
+
+  // ---------------------------------------------------------------- d103
+  /** Kibana "split chart by filters" — a `filters` parent with a
+    * `date_histogram` child and a conditional leaf metric: every series
+    * panel with a filter dropdown emits this body. ONE hash aggregation
+    * on the child day key carrying per-filter conditional counts and
+    * metrics; the filter unfold, per-filter totals and ordering are
+    * |child buckets|-row work. Parent doc_count follows the ES
+    * parent-count contract (null-child docs counted). */
+  private def d103(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.Tables.events(s, d)
+      .select(struct(col("event_id"), timestamp_micros(col("ts_us")).as("ts"),
+        col("user_id"), col("event_type")).as("doc"))
+    val evSchema = ev.schema("doc").dataType.asInstanceOf[StructType]
+    val body =
+      """{
+        |  "size": 0,
+        |  "aggs": {
+        |    "series": {
+        |      "filters": {
+        |        "filters": {
+        |          "purchases": { "term": { "event_type": "purchase" } },
+        |          "errors": { "term": { "event_type": "error" } },
+        |          "heavy_users": { "range": { "user_id": { "gte": 500 } } }
+        |        }
+        |      },
+        |      "aggs": {
+        |        "per_day": {
+        |          "date_histogram": { "field": "ts", "calendar_interval": "day" },
+        |          "aggs": {
+        |            "uid_max": { "max": { "field": "user_id" } }
+        |          }
+        |        }
+        |      }
+        |    }
+        |  }
+        |}""".stripMargin
+    EsAggs.run(ev, "doc", body, evSchema)
+  }
+
+  private val d103Sql =
+    """WITH base AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type, user_id
+      |  FROM events),
+      |f AS (
+      |  SELECT 0 AS ord, 'purchases' AS key, day AS key2,
+      |    CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS doc_count2,
+      |    MAX(user_id) FILTER (event_type = 'purchase') AS uid_max
+      |  FROM base GROUP BY day
+      |  UNION ALL
+      |  SELECT 1, 'errors', day, CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT),
+      |    MAX(user_id) FILTER (event_type = 'error') FROM base GROUP BY day
+      |  UNION ALL
+      |  SELECT 2, 'heavy_users', day, CAST(COUNT(*) FILTER (user_id >= 500) AS BIGINT),
+      |    MAX(user_id) FILTER (user_id >= 500) FROM base GROUP BY day)
+      |SELECT key, CAST(SUM(doc_count2) OVER (PARTITION BY key) AS BIGINT) AS doc_count,
+      |  key2, doc_count2, uid_max
+      |FROM f WHERE doc_count2 > 0 ORDER BY ord, key2""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -3992,6 +4089,8 @@ object DocQueries {
     "d99_es_mad" -> d99 _,
     "d100_es_normalize" -> d100 _,
     "d101_es_cumulative_cardinality" -> d101 _,
+    "d102_es_other_bucket" -> d102 _,
+    "d103_es_filters_split" -> d103 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
     "d3_roundtrip" -> d3 _,
@@ -4095,6 +4194,8 @@ object DocQueries {
     "d99_es_mad" -> d99Sql,
     "d100_es_normalize" -> d100Sql,
     "d101_es_cumulative_cardinality" -> d101Sql,
+    "d102_es_other_bucket" -> d102Sql,
+    "d103_es_filters_split" -> d103Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,
     "d3_roundtrip" -> d3Sql,

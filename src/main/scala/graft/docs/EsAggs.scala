@@ -131,8 +131,11 @@ object EsAggs {
   /** ES `filters` bucket agg — one NAMED bucket per predicate (a document
     * lands in EVERY bucket it matches). Compiled as ONE conditional
     * aggregation (`sum(case when pred)` per bucket) — zero-doc buckets
-    * are present with doc_count 0, exactly ES's keyed response. */
-  final case class FiltersAgg(buckets: Seq[(String, SearchQuery)]) extends Agg
+    * are present with doc_count 0, exactly ES's keyed response.
+    * `otherKey` (ES `other_bucket`/`other_bucket_key`): one extra bucket
+    * of the documents matching NO named filter, same conditional shape. */
+  final case class FiltersAgg(buckets: Seq[(String, SearchQuery)],
+                              otherKey: Option[String] = None) extends Agg
   /** ES `range` bucket agg — `from` INCLUSIVE, `to` EXCLUSIVE (the ES
     * contract), open ends allowed; buckets keyed `from-to` with `*` for an
     * open end, in body order. Same one-pass conditional-aggregation shape
@@ -685,15 +688,29 @@ object EsAggs {
             FiltersAgg(Seq(aggName -> SearchQuery.parseQueryNode(spec, schema)))
           }).orElse(bf.get("filters").map { spec =>
             require(ctx.isEmpty, "filters agg inside a nested context is not implemented")
-            val m = checkSpecKeys(spec, "filters", Set("filters"))
+            val m = checkSpecKeys(spec, "filters",
+              Set("filters", "other_bucket", "other_bucket_key"))
             val inner = m.get("filters") match {
               case Some(JObject(fs)) if fs.nonEmpty => fs
               case _ => throw new IllegalArgumentException(
                 "filters agg needs a non-empty keyed \"filters\" object")
             }
+            // other_bucket: true → the ES default key "_other_";
+            // other_bucket_key alone implies other_bucket: true (ES rule)
+            val otherKey = (m.get("other_bucket"), m.get("other_bucket_key")) match {
+              case (Some(JBool(false)), None) | (None, None) => None
+              case (Some(JBool(false)), Some(_)) => throw new IllegalArgumentException(
+                "other_bucket: false with other_bucket_key is contradictory")
+              case (_, Some(JString(k))) => Some(k)
+              case (Some(JBool(true)), None) => Some("_other_")
+              case (a, b0) => throw new IllegalArgumentException(
+                s"bad other_bucket/other_bucket_key: $a / $b0")
+            }
+            otherKey.foreach(k => require(!inner.exists(_._1 == k),
+              s"other_bucket_key \"$k\" collides with a named filter bucket"))
             FiltersAgg(inner.map { case (name, q) =>
               name -> SearchQuery.parseQueryNode(q, schema)
-            })
+            }, otherKey)
           }).orElse(bf.get("range").map { spec =>
             val m = checkSpecKeys(spec, "range", Set("field", "ranges"))
             val ranges = m.get("ranges") match {
@@ -1236,7 +1253,27 @@ object EsAggs {
               }
           }
           (bucket, tree.sub) match {
-            case (_: FiltersAgg | _: RangeAgg | _: MissingAgg | _: CompositeAgg |
+            case (fa: FiltersAgg, Some(child)) =>
+              // Kibana "split chart by filters": filters parent, ONE child
+              // bucket level (terms/histogram/date_histogram), metrics at
+              // the leaf — compiled as one conditional aggregation on the
+              // CHILD key (see run). Deeper nesting / other_bucket /
+              // terms-child include/exclude are rejected loudly.
+              require(child.sub.isEmpty,
+                "a filters split supports exactly one child bucket level")
+              require(fa.otherKey.isEmpty,
+                "other_bucket on a filters split parent is not implemented")
+              child.bucket match {
+                case Terms(_, _, _, _, inc, exc, _, so) =>
+                  require(inc.isEmpty && exc.isEmpty,
+                    "terms include/exclude under a filters split is not implemented")
+                  require(!so,
+                    "show_term_doc_count_error under a filters split is not implemented")
+                case _: Histogram | _: DateHistogram | _: FixedDateHistogram => ()
+                case other => throw new IllegalArgumentException(
+                  s"a filters split child of ${other.getClass.getSimpleName} is not implemented")
+              }
+            case (_: RangeAgg | _: MissingAgg | _: CompositeAgg |
                   _: SignificantTerms | GlobalAgg | _: AdjacencyMatrix | _: RareTerms |
                   _: DateRangeAgg | _: MultiTerms | _: AutoDateHistogram, Some(_)) =>
               throw new IllegalArgumentException(
@@ -1756,8 +1793,13 @@ object EsAggs {
         require(ms.nonEmpty, "aggs body has no aggregations")
         rows.agg(count(lit(1)).as("doc_count"),
           ms.flatMap { case (n, m) => metricCols(n, m) }: _*)
-      case Right(Buckets(FiltersAgg(bs), ms, None, Nil, None, Nil, None, None)) =>
-        condBuckets(bs.map { case (n, q) => n -> SearchQuery.compile(q, ctx) }, ms)
+      case Right(Buckets(FiltersAgg(bs, otherKey), ms, None, Nil, None, Nil, None, None)) =>
+        // NULL predicates (missing fields) are non-matches: coalesce to
+        // false so the other-bucket negation stays three-valued-honest
+        val named = bs.map { case (n, q) =>
+          n -> coalesce(SearchQuery.compile(q, ctx), lit(false)) }
+        val other = otherKey.map(k => k -> !named.map(_._2).reduce(_ || _)).toSeq
+        condBuckets(named ++ other, ms)
       case Right(Buckets(RangeAgg(p, rs), ms, None, Nil, None, Nil, None, None)) =>
         val v = field(ctx, p)
         condBuckets(rs.map { case (lo, hi) =>
@@ -2236,6 +2278,49 @@ object EsAggs {
           }
         }
         table.orderBy(finalOrder: _*)
+      case Right(Buckets(FiltersAgg(bs, None), Nil, Some(child), Nil, None, Nil, None, None)) =>
+        // Kibana "split chart by filters": filters parent × one child
+        // bucket level. ONE hash aggregation on the CHILD key carrying a
+        // conditional doc_count (+ conditional leaf metrics) per filter —
+        // corpus-sized work ends there; the F-way unfold, parent totals,
+        // and per-filter child top-N are |child buckets|-row windows.
+        // Parent doc_count keeps the ES parent-count contract: documents
+        // matching the filter but missing the child key ride the null-key
+        // row into the window total, then drop before ranking.
+        val preds = bs.map { case (_, q) =>
+          coalesce(SearchQuery.compile(q, ctx), lit(false)) }
+        val leafMs = child.metrics
+        val outNames = leafMs.flatMap { case (n, m) => metricNames(n, m) }
+        val aggCols = bs.indices.flatMap { i =>
+          sum(when(preds(i), 1L).otherwise(0L)).cast("long").as(s"_dc_$i") +:
+            leafMs.flatMap { case (n, m) => metricCols(s"_m${i}_$n", m, Some(preds(i))) }
+        }
+        val g = rows.groupBy(keyCol(child.bucket).as("key2"))
+          .agg(aggCols.head, aggCols.tail: _*)
+        val withTotals = bs.indices.foldLeft(g)((t, i) =>
+          t.withColumn(s"_tot_$i", sum(col(s"_dc_$i")).over(wAllBuckets).cast("long")))
+        val structs = bs.zipWithIndex.map { case ((name, _), i) =>
+          struct(lit(i).as("_ord") +: lit(name).as("key") +:
+            col(s"_tot_$i").as("doc_count") +: col(s"_dc_$i").as("doc_count2") +:
+            outNames.map(n => col(s"_m${i}_$n").as(n)): _*)
+        }
+        var out = withTotals.select(col("key2"), explode(array(structs: _*)).as("_b"))
+          .select(col("_b._ord").as("_ord") +: col("_b.key").as("key") +:
+            col("_b.doc_count").as("doc_count") +: col("key2") +:
+            col("_b.doc_count2").as("doc_count2") +:
+            outNames.map(n => col(s"_b.$n").as(n)): _*)
+          .filter(col("key2").isNotNull && col("doc_count2") > 0)
+        val childOrd = child.bucket match {
+          case Terms(_, size0, order0, minDoc0, _, _, _, _) =>
+            if (minDoc0 > 1L) out = out.filter(col("doc_count2") >= minDoc0)
+            val ord = termsOrder(order0, col("doc_count2"), col("key2"))
+            out = out.withColumn("_rk",
+                row_number().over(W.partitionBy(col("key")).orderBy(ord: _*)))
+              .filter(col("_rk") <= size0).drop("_rk")
+            ord
+          case _ => Seq(col("key2").asc)
+        }
+        out.orderBy(col("_ord").asc +: childOrd: _*).drop("_ord")
       case Right(b0 @ Buckets(_, _, Some(_), Nil, None, Nil, None, None)) =>
         // Multi-level split (Kibana "split series" / "split rows ×2", 2-3
         // levels): ONE hash aggregation on the full composite key —

@@ -4000,6 +4000,89 @@ object DocQueries {
       |  key2, doc_count2, uid_max
       |FROM f WHERE doc_count2 > 0 ORDER BY ord, key2""".stripMargin
 
+  // ---------------------------------------------------------------- d104
+  /** ES `terms_set` — "plans whose services cover at least 2 of these 3
+    * priority tiers": matching-term count (DISTINCT terms present in the
+    * multi-valued field) compared to `minimum_should_match`. Pure array
+    * expressions over the document column (`transform` +
+    * `array_intersect`) — no explode, no join; the filter rides the
+    * normal scan pushdown path. */
+  private def d104(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "query": {
+        |    "terms_set": {
+        |      "linkedPlanServices.linkedService.name": {
+        |        "terms": [ "Service 1-URGENT", "Service 2-HIGH", "Service 3-MEDIUM" ],
+        |        "minimum_should_match": 2
+        |      }
+        |    }
+        |  }
+        |}""".stripMargin
+    val ast = SearchQuery.fromJson(body, schema)
+    assembled(s, d).filter(SearchQuery.compile(ast, col("doc")))
+      .select(col("doc.objectId").as("objectId"), col("doc.planType").as("planType"))
+      .orderBy(col("objectId"))
+  }
+
+  private val d104Sql =
+    s"""WITH hits AS (
+       |  SELECT o_custkey, COUNT(DISTINCT o_orderpriority) AS m
+       |  FROM orders
+       |  WHERE o_custkey % 113 <> 0
+       |    AND o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
+       |  GROUP BY o_custkey)
+       |SELECT 'plan-' || ${ck("c_custkey")} AS "objectId", c_mktsegment AS "planType"
+       |FROM customer JOIN hits ON c_custkey = o_custkey
+       |WHERE m >= 2 ORDER BY "objectId"""".stripMargin
+
+  // ---------------------------------------------------------------- d105
+  /** ES `pinned` — curated results: the listed ids rank FIRST in exactly
+    * the body's order (a 1e9-based integer score ladder, above any
+    * clause count), organic hits follow by their own should-clause
+    * relevance; pinned docs match regardless of the organic filter (the
+    * ES contract). Still one scan + one TakeOrderedAndProject — the
+    * score override is a pure per-row expression. */
+  private def d105(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "query": {
+        |    "pinned": {
+        |      "ids": [ "plan-93", "plan-7", "plan-150" ],
+        |      "organic": {
+        |        "bool": {
+        |          "must": [ { "range": { "planCostShares.copay": { "gte": 35 } } } ],
+        |          "should": [
+        |            { "match": { "planType": "FURNITURE" } },
+        |            { "prefix": { "_org": { "value": "org-2" } } }
+        |          ]
+        |        }
+        |      }
+        |    }
+        |  },
+        |  "size": 8,
+        |  "_source": ["objectId", "planType"]
+        |}""".stripMargin
+    SearchExec.search(assembled(s, d), "doc", body, schema)
+  }
+
+  private val d105Sql =
+    s"""SELECT rn, score, "objectId", "planType" FROM (
+       |  SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, "objectId" ASC) AS rn FROM (
+       |    SELECT 'plan-' || ${ck("c_custkey")} AS "objectId", c_mktsegment AS "planType",
+       |      CAST(CASE 'plan-' || ${ck("c_custkey")}
+       |          WHEN 'plan-93' THEN 1000000002
+       |          WHEN 'plan-7' THEN 1000000001
+       |          WHEN 'plan-150' THEN 1000000000
+       |          ELSE CASE WHEN lower(c_mktsegment) = 'furniture' THEN 1 ELSE 0 END
+       |             + CASE WHEN 'org-' || ${ck("c_nationkey")} || '.example.com' LIKE 'org-2%'
+       |                    THEN 1 ELSE 0 END
+       |        END AS BIGINT) AS score
+       |    FROM customer
+       |    WHERE 'plan-' || ${ck("c_custkey")} IN ('plan-93', 'plan-7', 'plan-150')
+       |       OR c_custkey % 50 >= 35))
+       |WHERE rn <= 8 ORDER BY rn""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -4091,6 +4174,8 @@ object DocQueries {
     "d101_es_cumulative_cardinality" -> d101 _,
     "d102_es_other_bucket" -> d102 _,
     "d103_es_filters_split" -> d103 _,
+    "d104_es_terms_set" -> d104 _,
+    "d105_es_pinned" -> d105 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
     "d3_roundtrip" -> d3 _,
@@ -4196,6 +4281,8 @@ object DocQueries {
     "d101_es_cumulative_cardinality" -> d101Sql,
     "d102_es_other_bucket" -> d102Sql,
     "d103_es_filters_split" -> d103Sql,
+    "d104_es_terms_set" -> d104Sql,
+    "d105_es_pinned" -> d105Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,
     "d3_roundtrip" -> d3Sql,

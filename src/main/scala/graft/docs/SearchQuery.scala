@@ -55,6 +55,16 @@ object SearchQuery {
   final case class TermMatch(path: Seq[String], term: String) extends SearchQuery
   /** ES `terms` — exact membership in a value list (keyword semantics). */
   final case class TermsIn(path: Seq[String], values: Seq[String]) extends SearchQuery
+  /** ES `terms_set` — "at least N of these exact terms present in the
+    * multi-valued field": matching-term count = |terms ∩ field values|
+    * (DISTINCT terms, the ES contract — a term twice in the field counts
+    * once), compared per document to `minimum_should_match_field` (a
+    * numeric document field, Right) or a constant `minimum_should_match`
+    * (Left). An array-crossing path IS this engine's multi-valued-keyword
+    * mapping (`arrayPath` empty = scalar field, a 0/1-element set). */
+  final case class TermsSet(arrayPath: Seq[String], fieldPath: Seq[String],
+                            values: Seq[String],
+                            msm: Either[Long, Seq[String]]) extends SearchQuery
   final case class NestedTermsIn(arrayPath: Seq[String], field: Seq[String], values: Seq[String]) extends SearchQuery
   /** ES `exists` — the field is present: non-null, and for array fields
     * NON-EMPTY (ES indexes no value for `[]`, so `exists` treats an empty
@@ -132,7 +142,8 @@ object SearchQuery {
     * `_score`; [[scoreCol]] exposes that as clause-count relevance. */
   final case class Parsed(query: SearchQuery, hits: Seq[(Seq[String], SearchQuery)],
                           shoulds: Seq[SearchQuery] = Nil,
-                          shape: Option[ScoreShape] = None)
+                          shape: Option[ScoreShape] = None,
+                          pinned: Seq[String] = Nil)
 
   /** Score shaping parsed from a TOP-LEVEL `function_score` or `boosting`
     * wrapper (the first tools reached for when tuning relevance beyond
@@ -230,7 +241,7 @@ object SearchQuery {
         // ES default when `query` is absent: match_all
         val inner = parseQueryRoot(
           f.getOrElse("query", JObject(List(("match_all", JObject(Nil))))), schema)
-        require(inner.shape.isEmpty, "nested score-shaping wrappers are not implemented")
+        require(inner.shape.isEmpty && inner.pinned.isEmpty, "nested score-shaping/pinned wrappers are not implemented")
         val fns = f.get("functions") match {
           case Some(JArray(fs)) if fs.nonEmpty => fs.map {
             case JObject(ff) =>
@@ -312,13 +323,41 @@ object SearchQuery {
             "function_score needs a non-empty functions array")
         }
         inner.copy(shape = Some(ScoreShape(fns, mode(f, "score_mode"), mode(f, "boost_mode"))))
+      case JObject(List(("pinned", JObject(fields)))) =>
+        // ES `pinned` — curated results: the listed ids rank FIRST in
+        // exactly the given order, organic hits follow by their own
+        // score. Pinned docs match regardless of the organic query (the
+        // ES contract), so the hit set is ids OR organic; the score
+        // override lives in [[scoreCol]] (a 1e9-based ladder above any
+        // clause count — same relative-order contract as ES's 1.7e38
+        // pins). Combining with a score-shaping wrapper is rejected.
+        val f = fields.toMap
+        val unknown = f.keySet -- Set("ids", "organic")
+        require(unknown.isEmpty,
+          s"unsupported pinned key(s): ${unknown.mkString(", ")} (ids/organic; " +
+            "the docs form is not implemented)")
+        val ids = f.get("ids") match {
+          case Some(JArray(vs)) if vs.nonEmpty => vs.map {
+            case JString(v) => v
+            case other => throw new IllegalArgumentException(s"bad pinned id: $other")
+          }
+          case _ => throw new IllegalArgumentException("pinned needs a non-empty ids array")
+        }
+        require(ids.distinct.size == ids.size, "pinned ids must be distinct")
+        val organic = parseQueryRoot(f.getOrElse("organic",
+          throw new IllegalArgumentException("pinned needs an organic query")), schema)
+        require(organic.shape.isEmpty && organic.pinned.isEmpty,
+          "pinned over a score-shaping / pinned organic query is not implemented")
+        organic.copy(
+          query = Or(TermsIn(Seq("objectId"), ids), organic.query),
+          pinned = ids)
       case JObject(List(("boosting", JObject(fields)))) =>
         val f = fields.toMap
         val unknown = f.keySet -- Set("positive", "negative", "negative_boost")
         require(unknown.isEmpty, s"unsupported boosting key(s): ${unknown.mkString(", ")}")
         val pos = parseQueryRoot(f.getOrElse("positive",
           throw new IllegalArgumentException("boosting needs a positive query")), schema)
-        require(pos.shape.isEmpty, "nested score-shaping wrappers are not implemented")
+        require(pos.shape.isEmpty && pos.pinned.isEmpty, "nested score-shaping/pinned wrappers are not implemented")
         val neg = parseQueryNode(f.getOrElse("negative",
           throw new IllegalArgumentException("boosting needs a negative query")), schema)
         val nb = asDouble(f.getOrElse("negative_boost",
@@ -596,6 +635,18 @@ object SearchQuery {
     * ES — otherwise one NULL clause would nullify `_score` and sort the
     * document as missing instead of counting its satisfied clauses. */
   def scoreCol(p: Parsed, doc: Column): Column = {
+    val base = scoreCol0(p, doc)
+    if (p.pinned.isEmpty) base
+    else {
+      // pinned ladder: listed ids rank first IN LIST ORDER, all above any
+      // clause count (1e9 > any should-clause sum); organic hits keep
+      // their base score. Integer arithmetic — oracle-exact.
+      val pos = array_position(array(p.pinned.map(lit): _*), field(doc, Seq("objectId")))
+      when(pos > 0, lit(1000000000L) + lit(p.pinned.size.toLong) - pos).otherwise(base)
+    }
+  }
+
+  private def scoreCol0(p: Parsed, doc: Column): Column = {
     def clauseCount: Column =
       p.shoulds.map(q => coalesce(compile(q, doc).cast("long"), lit(0L))).reduce(_ + _)
     p.shape match {
@@ -1020,6 +1071,44 @@ object SearchQuery {
           case _ => throw new IllegalArgumentException("ids needs a non-empty values array")
         }
         TermsIn(Seq("objectId"), values)
+      case JObject(List(("terms_set", JObject(List((p, spec)))))) =>
+        val m = spec match {
+          case JObject(f) => f.toMap
+          case other => throw new IllegalArgumentException(s"bad terms_set spec: $other")
+        }
+        val unknown = m.keySet --
+          Set("terms", "minimum_should_match", "minimum_should_match_field")
+        require(unknown.isEmpty,
+          s"unsupported terms_set key(s): ${unknown.mkString(", ")} " +
+            "(terms + minimum_should_match or minimum_should_match_field; " +
+            "minimum_should_match_script is not implemented)")
+        val terms = m.get("terms") match {
+          case Some(JArray(vs)) if vs.nonEmpty => vs.map(asString)
+          case _ => throw new IllegalArgumentException("terms_set needs a non-empty terms array")
+        }
+        val msm: Either[Long, Seq[String]] =
+          (m.get("minimum_should_match"), m.get("minimum_should_match_field")) match {
+            case (Some(v), None) =>
+              val n = asDouble(v, "terms_set minimum_should_match").toLong
+              require(n >= 0, s"negative minimum_should_match: $n")
+              Left(n)
+            case (None, Some(JString(fp))) =>
+              val mp = path(fp)
+              splitArrayPath(mp, schema) match {
+                case (Nil, full) => Right(full)
+                case (arr, _) => throw new IllegalArgumentException(
+                  s"minimum_should_match_field $fp crosses array ${arr.mkString(".")}")
+              }
+            case _ => throw new IllegalArgumentException(
+              "terms_set needs exactly one of minimum_should_match / minimum_should_match_field")
+          }
+        splitArrayPath(path(p), schema) match {
+          case (Nil, full) => TermsSet(Nil, full, terms, msm)
+          case (arr, rest) =>
+            require(rest.nonEmpty,
+              s"terms_set on the array $p itself needs an element field path")
+            TermsSet(arr, rest, terms, msm)
+        }
       case JObject(List(("fuzzy", JObject(List((p, spec)))))) =>
         val (value, fz) = spec match {
           case JObject(f) =>
@@ -1120,6 +1209,16 @@ object SearchQuery {
       SearchOps.nestedMatch(field(doc, ap), x => SearchOps.range(field(x, f), lo, hi, li, hc))
     case TermMatch(p, t) => SearchOps.tokenMatch(field(doc, p), t)
     case TermsIn(p, vs) => SearchOps.termsIn(field(doc, p), vs)
+    case TermsSet(ap, f, vs, msm) =>
+      // |terms ∩ field values| >= per-doc minimum — pure array expressions
+      // (no explode): a doc with a null msm field never matches (ES rule)
+      val fieldVals =
+        if (ap.isEmpty) array(field(doc, f))
+        else transform(field(doc, ap), x => field(x, f))
+      val matches = size(array_intersect(array_distinct(fieldVals),
+        array(vs.map(lit): _*))).cast("long")
+      val needed = msm.fold(n => lit(n), p => field(doc, p).cast("long"))
+      matches >= needed
     case NestedTermsIn(ap, f, vs) =>
       SearchOps.nestedMatch(field(doc, ap), x => SearchOps.termsIn(field(x, f), vs))
     case ExistsField(p, isArr) => SearchOps.existsField(field(doc, p), isArr)

@@ -688,11 +688,46 @@ object TextQueries {
       |    AS chunk_text
       |FROM c ORDER BY doc_id, chunk_id""".stripMargin
 
+  // ---------------------------------------------------------------- t16
+  /** Stratified sampling with EXACT per-stratum quotas — the curation
+    * step every training-mix pipeline runs ("10% of each language,
+    * deterministically, rerunnable"). Each stratum's quota is the
+    * integer ceiling ⌈n/10⌉ (pure integer arithmetic — no float rate
+    * rounding drift), and membership is the quota-smallest stable hashes
+    * of the doc id (a seeded uniform draw: re-running, or growing other
+    * strata, never changes a stratum's picks — the property random()
+    * sampling lacks). One shuffle total: both windows (stratum count,
+    * hash rank) share the lang partitioning; at 100 TB a skewed stratum
+    * is one partition's sort, not a corpus sort. */
+  private def t16(s: SparkSession, d: String): DataFrame = {
+    val h = stableHash32(concat(col("doc_id").cast("string"), lit(":t16")))
+    val wAll = Window.partitionBy(col("lang"))
+    val w = wAll.orderBy(col("_h").asc, col("doc_id").asc)
+    docs(s, d).select(col("doc_id"), col("lang"), h.as("_h"))
+      .withColumn("n_lang", count(lit(1)).over(wAll))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= expr("(n_lang + 9) div 10"))
+      .select(col("doc_id"), col("lang"), col("rk"), col("n_lang"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  private val t16Sql =
+    """WITH b AS (SELECT doc_id, lang,
+      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':t16'), 1, 8)) AS BIGINT) AS h
+      |  FROM documents),
+      |r AS (SELECT doc_id, lang,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id) AS BIGINT) AS rk,
+      |    CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n_lang
+      |  FROM b)
+      |SELECT doc_id, lang, rk, n_lang FROM r
+      |WHERE rk <= (n_lang + 9) // 10 ORDER BY lang, rk""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
     "t14_keywords" -> t14 _,
     "t15_chunking" -> t15 _,
+    "t16_stratified_sample" -> t16 _,
     "t10_domain_mix" -> t10 _,
     "t11_bm25" -> t11 _,
     "t12_seq_pack" -> t12 _,
@@ -710,6 +745,7 @@ object TextQueries {
   val oracle: Map[String, String] = Map(
     "t14_keywords" -> t14Sql,
     "t15_chunking" -> t15Sql,
+    "t16_stratified_sample" -> t16Sql,
     "t10_domain_mix" -> t10Sql,
     "t11_bm25" -> t11Sql,
     "t12_seq_pack" -> t12Sql,

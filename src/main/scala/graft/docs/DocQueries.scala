@@ -4083,6 +4083,81 @@ object DocQueries {
        |       OR c_custkey % 50 >= 35))
        |WHERE rn <= 8 ORDER BY rn""".stripMargin
 
+  // ---------------------------------------------------------------- d106
+  /** `range` agg with CUSTOM bucket keys (ES `key` per range) — the
+    * Kibana tier-label body ("cheap"/"mid"/"premium" instead of
+    * "*-1000"). Same one-pass conditional aggregation as d53 — the keys
+    * are render-time constants. */
+  private def d106(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "size": 0,
+        |  "aggs": {
+        |    "tiers": {
+        |      "range": {
+        |        "field": "planCostShares.deductible",
+        |        "ranges": [
+        |          { "key": "cheap", "to": 800 },
+        |          { "key": "mid", "from": 800, "to": 1600 },
+        |          { "key": "premium", "from": 1600 }
+        |        ]
+        |      },
+        |      "aggs": {
+        |        "avg_copay": { "avg": { "field": "planCostShares.copay" } }
+        |      }
+        |    }
+        |  }
+        |}""".stripMargin
+    EsAggs.run(assembled(s, d), "doc", body, schema)
+  }
+
+  private val d106Sql =
+    """WITH base AS (SELECT CAST(c_nationkey * 100 AS BIGINT) AS ded,
+      |    CAST(c_custkey % 50 AS BIGINT) AS copay FROM customer)
+      |SELECT 'cheap' AS key, CAST(COUNT(*) FILTER (ded < 800) AS BIGINT) AS doc_count,
+      |  AVG(copay) FILTER (ded < 800) AS avg_copay FROM base
+      |UNION ALL
+      |SELECT 'mid', CAST(COUNT(*) FILTER (ded >= 800 AND ded < 1600) AS BIGINT),
+      |  AVG(copay) FILTER (ded >= 800 AND ded < 1600) FROM base
+      |UNION ALL
+      |SELECT 'premium', CAST(COUNT(*) FILTER (ded >= 1600) AS BIGINT),
+      |  AVG(copay) FILTER (ded >= 1600) FROM base""".stripMargin
+
+  // ---------------------------------------------------------------- d107
+  /** ES `match_bool_prefix` — search-as-you-type: all but the last
+    * analyzed term match as full tokens, the last as a token PREFIX;
+    * `operator: and` binds every clause to the SAME array element
+    * (nested scoping, like `match`). Pure per-element string
+    * expressions — no explode, no join. */
+  private def d107(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "query": {
+        |    "match_bool_prefix": {
+        |      "linkedPlanServices.linkedService.name": {
+        |        "query": "4-not spec",
+        |        "operator": "and"
+        |      }
+        |    }
+        |  }
+        |}""".stripMargin
+    val ast = SearchQuery.fromJson(body, schema)
+    assembled(s, d).filter(SearchQuery.compile(ast, col("doc")))
+      .select(col("doc.objectId").as("objectId"),
+        size(col("doc.linkedPlanServices")).as("n_services"))
+      .orderBy(col("objectId"))
+  }
+
+  private val d107Sql =
+    s"""WITH o AS $O
+       |SELECT 'plan-' || ${ck("c_custkey")} AS "objectId",
+       |  (SELECT COUNT(*) FROM o WHERE o_custkey = c_custkey) AS n_services
+       |FROM customer
+       |WHERE EXISTS (SELECT 1 FROM o WHERE o_custkey = c_custkey
+       |        AND ' ' || lower('Service ' || o_orderpriority) || ' ' LIKE '% 4-not %'
+       |        AND ' ' || lower('Service ' || o_orderpriority) || ' ' LIKE '% spec%')
+       |ORDER BY "objectId"""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -4176,6 +4251,8 @@ object DocQueries {
     "d103_es_filters_split" -> d103 _,
     "d104_es_terms_set" -> d104 _,
     "d105_es_pinned" -> d105 _,
+    "d106_es_range_keys" -> d106 _,
+    "d107_es_match_bool_prefix" -> d107 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
     "d3_roundtrip" -> d3 _,
@@ -4283,6 +4360,8 @@ object DocQueries {
     "d103_es_filters_split" -> d103Sql,
     "d104_es_terms_set" -> d104Sql,
     "d105_es_pinned" -> d105Sql,
+    "d106_es_range_keys" -> d106Sql,
+    "d107_es_match_bool_prefix" -> d107Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,
     "d3_roundtrip" -> d3Sql,

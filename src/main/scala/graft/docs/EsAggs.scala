@@ -137,11 +137,12 @@ object EsAggs {
   final case class FiltersAgg(buckets: Seq[(String, SearchQuery)],
                               otherKey: Option[String] = None) extends Agg
   /** ES `range` bucket agg — `from` INCLUSIVE, `to` EXCLUSIVE (the ES
-    * contract), open ends allowed; buckets keyed `from-to` with `*` for an
-    * open end, in body order. Same one-pass conditional-aggregation shape
-    * as `filters`. */
+    * contract), open ends allowed; buckets keyed by an optional custom
+    * `key` (the Kibana tier-label form) or the default `from-to` with `*`
+    * for an open end, in body order. Same one-pass
+    * conditional-aggregation shape as `filters`. */
   final case class RangeAgg(path: Seq[String],
-                            ranges: Seq[(Option[Long], Option[Long])]) extends Agg
+                            ranges: Seq[(Option[String], Option[Long], Option[Long])]) extends Agg
   /** ES `missing` bucket agg — the ONE bucket of documents carrying no
     * value for the field (null scalar; null OR empty array — ES indexes
     * nothing for an empty array, the same rule as `exists`). Same
@@ -717,9 +718,9 @@ object EsAggs {
               case Some(JArray(rs)) if rs.nonEmpty => rs.map {
                 case JObject(bounds) =>
                   val b = bounds.toMap
-                  val unknown = b.keySet -- Set("from", "to")
+                  val unknown = b.keySet -- Set("from", "to", "key")
                   require(unknown.isEmpty,
-                    s"unsupported range bound key(s): ${unknown.mkString(", ")} (from/to)")
+                    s"unsupported range bound key(s): ${unknown.mkString(", ")} (from/to/key)")
                   val lo = b.get("from").map {
                     case JInt(i) => i.toLong
                     case JLong(l) => l
@@ -730,12 +731,18 @@ object EsAggs {
                     case JLong(l) => l
                     case other => throw new IllegalArgumentException(s"bad range to: $other")
                   }
+                  val ck = b.get("key").map {
+                    case JString(k) => k
+                    case other => throw new IllegalArgumentException(s"bad range key: $other")
+                  }
                   require(lo.nonEmpty || hi.nonEmpty, "range bucket needs from and/or to")
-                  (lo, hi)
+                  (ck, lo, hi)
                 case other => throw new IllegalArgumentException(s"bad range bucket: $other")
               }
               case _ => throw new IllegalArgumentException("range agg needs a non-empty ranges array")
             }
+            require(ranges.flatMap(_._1).distinct.size == ranges.flatMap(_._1).size,
+              "duplicate range bucket keys")
             RangeAgg(fieldPath(spec, "range", ctx), ranges)
           }).orElse(bf.get("missing").map { spec =>
             checkSpecKeys(spec, "missing", Set("field"))
@@ -1802,8 +1809,9 @@ object EsAggs {
         condBuckets(named ++ other, ms)
       case Right(Buckets(RangeAgg(p, rs), ms, None, Nil, None, Nil, None, None)) =>
         val v = field(ctx, p)
-        condBuckets(rs.map { case (lo, hi) =>
-          val key = s"${lo.map(_.toString).getOrElse("*")}-${hi.map(_.toString).getOrElse("*")}"
+        condBuckets(rs.map { case (ck, lo, hi) =>
+          val key = ck.getOrElse(
+            s"${lo.map(_.toString).getOrElse("*")}-${hi.map(_.toString).getOrElse("*")}")
           val pred = (lo.map(v >= _).toSeq ++ hi.map(v < _).toSeq).reduce(_ && _)
           key -> pred
         }, ms)

@@ -109,4 +109,10 @@ object SearchOps {
   /** Q6 — tokenized full-text term match (whitespace analyzer). */
   def tokenMatch(text: Column, term: String): Column =
     array_contains(split(lower(text), "\\s+"), term.toLowerCase)
+
+  /** `match_bool_prefix`'s last-term semantics: SOME analyzed token
+    * starts with the (lowercased) prefix — the search-as-you-type
+    * contract. Pure array expression, codegen-friendly. */
+  def tokenPrefix(text: Column, prefix: String): Column =
+    exists(split(lower(text), "\\s+"), t => t.startsWith(prefix.toLowerCase))
 }

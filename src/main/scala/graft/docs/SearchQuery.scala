@@ -32,6 +32,11 @@ object SearchQuery {
     * `term` (ES `match` on a nested text field; an explicit `.keyword`
     * path keeps NestedTerm's exact equality instead). */
   final case class NestedTokenMatch(arrayPath: Seq[String], field: Seq[String], term: String) extends SearchQuery
+  /** `match_bool_prefix`'s last term: some analyzed token starts with the
+    * prefix (search-as-you-type; the full terms desugar to TermMatch). */
+  final case class TokenPrefix(path: Seq[String], value: String) extends SearchQuery
+  final case class NestedTokenPrefix(arrayPath: Seq[String], field: Seq[String],
+                                     value: String) extends SearchQuery
   /** Q4 — SOME element of the array field matches a glob on `field`. */
   final case class NestedWildcard(arrayPath: Seq[String], field: Seq[String], glob: String) extends SearchQuery
   /** Q5 nested — SOME element's numeric `field` is within the bounds. */
@@ -903,6 +908,43 @@ object SearchQuery {
             }
           case (arr, rest) => NestedTerm(arr, rest, value) // term / .keyword = untokenized exact
         }
+      case JObject(List(("match_bool_prefix", JObject(List((p, spec)))))) =>
+        // ES search-as-you-type: every analyzed term must/may match as a
+        // full token except the LAST, which matches as a token PREFIX.
+        // operator or/and follows the `match` contract (and binds every
+        // clause to the SAME element through an array path — nested
+        // scoping, like match).
+        val (value, andOp) = spec match {
+          case JObject(f) =>
+            val m = f.toMap
+            val unknown = m.keySet -- Set("query", "operator")
+            require(unknown.isEmpty,
+              s"unsupported match_bool_prefix key(s) on $p: ${unknown.mkString(", ")}")
+            val v = m.get("query").map(asString)
+              .getOrElse(throw new IllegalArgumentException("match_bool_prefix needs query"))
+            val operator = m.get("operator").map(asString).getOrElse("or")
+            require(operator == "or" || operator == "and", s"bad operator: $operator")
+            (v, operator == "and")
+          case v => (asString(v), false)
+        }
+        val toks = value.trim.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
+        require(toks.nonEmpty, s"match_bool_prefix on $p has an empty query")
+        splitArrayPath(path(p), schema) match {
+          case (Nil, full) =>
+            val leaves = toks.init.map(TermMatch(full, _)) :+ TokenPrefix(full, toks.last)
+            leaves match {
+              case Seq(one) => one
+              case many => if (andOp) And(many: _*) else Or(many: _*)
+            }
+          case (arr, rest) =>
+            val leaves = toks.init.map(NestedTokenMatch(arr, rest, _)) :+
+              NestedTokenPrefix(arr, rest, toks.last)
+            leaves match {
+              case Seq(one) => one
+              case many =>
+                if (andOp) NestedCompound(arr, And(many: _*)) else Or(many: _*)
+            }
+        }
       case JObject(List(("wildcard", JObject(List((p, spec)))))) =>
         val glob = spec match {
           case JObject(f) => f.toMap.get("value").map(asString)
@@ -1208,6 +1250,9 @@ object SearchQuery {
     case NestedRange(ap, f, lo, hi, li, hc) =>
       SearchOps.nestedMatch(field(doc, ap), x => SearchOps.range(field(x, f), lo, hi, li, hc))
     case TermMatch(p, t) => SearchOps.tokenMatch(field(doc, p), t)
+    case TokenPrefix(p, v) => SearchOps.tokenPrefix(field(doc, p), v)
+    case NestedTokenPrefix(ap, f, v) =>
+      SearchOps.nestedMatch(field(doc, ap), x => SearchOps.tokenPrefix(field(x, f), v))
     case TermsIn(p, vs) => SearchOps.termsIn(field(doc, p), vs)
     case TermsSet(ap, f, vs, msm) =>
       // |terms ∩ field values| >= per-doc minimum — pure array expressions
@@ -1253,6 +1298,7 @@ object SearchQuery {
     def aps(q: SearchQuery): Set[Seq[String]] = q match {
       case NestedTerm(ap, _, _) => Set(ap)
       case NestedTokenMatch(ap, _, _) => Set(ap)
+      case NestedTokenPrefix(ap, _, _) => Set(ap)
       case NestedWildcard(ap, _, _) => Set(ap)
       case NestedRange(ap, _, _, _, _, _) => Set(ap)
       case NestedTermsIn(ap, _, _) => Set(ap)
@@ -1282,6 +1328,7 @@ object SearchQuery {
     q match {
       case NestedTerm(p, f, v) if p == ap => field(x, f) === lit(v)
       case NestedTokenMatch(p, f, t) if p == ap => SearchOps.tokenMatch(field(x, f), t)
+      case NestedTokenPrefix(p, f, v) if p == ap => SearchOps.tokenPrefix(field(x, f), v)
       case NestedWildcard(p, f, g) if p == ap => SearchOps.wildcard(field(x, f), g)
       case NestedRange(p, f, lo, hi, li, hc) if p == ap =>
         SearchOps.range(field(x, f), lo, hi, li, hc)

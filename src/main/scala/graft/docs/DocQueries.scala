@@ -4158,6 +4158,69 @@ object DocQueries {
        |        AND ' ' || lower('Service ' || o_orderpriority) || ' ' LIKE '% spec%')
        |ORDER BY "objectId"""".stripMargin
 
+  // ---------------------------------------------------------------- d108
+  /** ES `boxplot` metric — the five-number summary per bucket, EXACT
+    * linear-interpolated quartiles (ES TDigest-approximate; documented
+    * upgrade). Same single-hash-agg plan as any metric set. */
+  private def d108(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "size": 0,
+        |  "aggs": {
+        |    "by_type": {
+        |      "terms": { "field": "planType", "size": 10 },
+        |      "aggs": {
+        |        "copay_box": { "boxplot": { "field": "planCostShares.copay" } }
+        |      }
+        |    }
+        |  }
+        |}""".stripMargin
+    EsAggs.run(assembled(s, d), "doc", body, schema)
+  }
+
+  private val d108Sql =
+    """WITH base AS (SELECT c_mktsegment AS key, CAST(c_custkey % 50 AS BIGINT) AS v
+      |  FROM customer)
+      |SELECT key, CAST(COUNT(*) AS BIGINT) AS doc_count,
+      |  MIN(v) AS copay_box_min,
+      |  quantile_cont(v, 0.25) AS copay_box_q1,
+      |  quantile_cont(v, 0.5) AS copay_box_q2,
+      |  quantile_cont(v, 0.75) AS copay_box_q3,
+      |  MAX(v) AS copay_box_max
+      |FROM base GROUP BY key ORDER BY doc_count DESC, key LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- d109
+  /** ES `rate` with `unit: day` under an ISO-week date_histogram — the
+    * Lens "normalize by unit" toggle: events-per-day for each week
+    * bucket. Calendar-aware (datediff of the bucket step — a month
+    * parent divides a 31-day January by 31), one double division over
+    * the exact bucket count. */
+  private def d109(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.Tables.events(s, d)
+      .select(struct(col("event_id"), timestamp_micros(col("ts_us")).as("ts"),
+        col("user_id"), col("event_type")).as("doc"))
+    val evSchema = ev.schema("doc").dataType.asInstanceOf[StructType]
+    val body =
+      """{
+        |  "size": 0,
+        |  "aggs": {
+        |    "weekly": {
+        |      "date_histogram": { "field": "ts", "calendar_interval": "week" },
+        |      "aggs": {
+        |        "per_day": { "rate": { "unit": "day" } }
+        |      }
+        |    }
+        |  }
+        |}""".stripMargin
+    EsAggs.run(ev, "doc", body, evSchema)
+  }
+
+  private val d109Sql =
+    """SELECT CAST(date_trunc('week', ts) AS DATE) AS key,
+      |  CAST(COUNT(*) AS BIGINT) AS doc_count,
+      |  CAST(COUNT(*) AS DOUBLE) / 7 AS per_day
+      |FROM events GROUP BY 1 ORDER BY key""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -4253,6 +4316,8 @@ object DocQueries {
     "d105_es_pinned" -> d105 _,
     "d106_es_range_keys" -> d106 _,
     "d107_es_match_bool_prefix" -> d107 _,
+    "d108_es_boxplot" -> d108 _,
+    "d109_es_rate" -> d109 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
     "d3_roundtrip" -> d3 _,
@@ -4362,6 +4427,8 @@ object DocQueries {
     "d105_es_pinned" -> d105Sql,
     "d106_es_range_keys" -> d106Sql,
     "d107_es_match_bool_prefix" -> d107Sql,
+    "d108_es_boxplot" -> d108Sql,
+    "d109_es_rate" -> d109Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,
     "d3_roundtrip" -> d3Sql,

@@ -254,6 +254,16 @@ object EsAggs {
     * the same level, and the parent histogram must not prune buckets
     * (min_doc_count > 1 would silently drop first-occurrence mass). */
   final case class CumulativeCardinality(name: String, target: String) extends Pipeline
+  /** ES `rate` under a calendar date_histogram — "per-day rate" of a
+    * month/quarter/week bucket (the Lens normalize-by-unit toggle).
+    * Value = target / days-in-bucket, CALENDAR-aware (a 31-day January
+    * divides by 31, a leap February by 29 — `datediff` of the bucket
+    * step). The bare ES body (`{"rate": {"unit": "day"}}`) rates the
+    * doc_count; `buckets_path` (engine extension, documented) rates an
+    * existing metric instead — ES's `field`/`mode` forms re-aggregate
+    * inside the metric and are rejected loudly. Only `unit: day` under a
+    * day-or-coarser calendar parent is implemented. */
+  final case class RateAgg(name: String, target: String) extends Pipeline
 
   /** SIBLING pipeline aggs (`avg_bucket`/`sum_bucket`/`min_bucket`/
     * `max_bucket`/`stats_bucket`/`percentiles_bucket`) — in ES they sit
@@ -331,12 +341,12 @@ object EsAggs {
 
   private val metricKinds = Set("avg", "sum", "min", "max", "value_count",
     "cardinality", "stats", "percentiles", "percentile_ranks", "weighted_avg",
-    "extended_stats", "median_absolute_deviation")
+    "extended_stats", "median_absolute_deviation", "boxplot")
 
   /** Metric kinds that render MORE than one output column — not a valid
     * terms-order / buckets_path / sibling target. */
   private val multiColumnKinds =
-    Set("stats", "percentiles", "percentile_ranks", "extended_stats")
+    Set("stats", "percentiles", "percentile_ranks", "extended_stats", "boxplot")
 
   /** ES default percentiles (the TDigest defaults; ours are exact). */
   private val defaultPercents = Seq(1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0)
@@ -353,7 +363,7 @@ object EsAggs {
   private val pipelineKinds =
     Set("cumulative_sum", "derivative", "bucket_selector", "bucket_sort",
       "moving_fn", "serial_diff", "bucket_script", "normalize",
-      "cumulative_cardinality")
+      "cumulative_cardinality", "rate")
 
   private val siblingKinds =
     Set("avg_bucket", "sum_bucket", "min_bucket", "max_bucket",
@@ -374,6 +384,8 @@ object EsAggs {
       Seq("count", "min", "max", "avg", "sum", "sum_of_squares", "variance",
         "std_deviation", "std_deviation_bounds_upper", "std_deviation_bounds_lower")
         .map(s => s"${name}_$s")
+    case "boxplot" =>
+      Seq("min", "q1", "q2", "q3", "max").map(s => s"${name}_$s")
     case "percentiles" => m.percents.map(p => s"${name}_p${fmtPercent(p)}")
     case "percentile_ranks" => m.percents.map(v => s"${name}_r${fmtPercent(v)}")
     case _ => Seq(name)
@@ -1010,6 +1022,14 @@ object EsAggs {
               val m = checkSpecKeys(spec, "cumulative_cardinality", Set("buckets_path"))
               CumulativeCardinality(name, asString(m.getOrElse("buckets_path",
                 throw new IllegalArgumentException("cumulative_cardinality needs buckets_path"))))
+            case (name, JObject(List(("rate", spec)))) =>
+              val m = checkSpecKeys(spec, "rate", Set("unit", "buckets_path"))
+              m.get("unit") match {
+                case Some(JString("day")) => ()
+                case other => throw new IllegalArgumentException(
+                  s"unsupported rate unit: $other (only day)")
+              }
+              RateAgg(name, m.get("buckets_path").map(asString).getOrElse("_count"))
             case (name, JObject(List(("bucket_script", spec)))) =>
               val m = checkSpecKeys(spec, "bucket_script", Set("buckets_path", "script"))
               val params = m.get("buckets_path") match {
@@ -1349,6 +1369,7 @@ object EsAggs {
                 case BucketScript(n0, _, _, _) => n0
                 case Normalize(n0, _, _) => n0
                 case CumulativeCardinality(n0, _) => n0
+                case RateAgg(n0, _) => n0
               }
           outNames.foreach(n0 => require(!reservedNames(n0),
             s"agg name \"$n0\" collides with a reserved output column (${reservedNames.toSeq.sorted.mkString("/")})"))
@@ -1394,6 +1415,15 @@ object EsAggs {
                     "cumulative_cardinality under a pruning date_histogram (min_doc_count > 1) " +
                       "is not implemented")
                   case _ => ()
+                }
+                earlier + n
+              case RateAgg(n, t) =>
+                checkTarget(t, earlier, allowKey = false)
+                bucket match {
+                  case DateHistogram(_, u, _, _, None) if u != "minute" && u != "hour" => ()
+                  case _ => throw new IllegalArgumentException(
+                    "rate needs a day-or-coarser calendar date_histogram parent without " +
+                      "time_zone (bucket length in days is the calendar step)")
                 }
                 earlier + n
             }
@@ -1665,6 +1695,17 @@ object EsAggs {
             sd.as(s"${name}_std_deviation"),
             (mean + lit(m.sigma) * sd).as(s"${name}_std_deviation_bounds_upper"),
             (mean - lit(m.sigma) * sd).as(s"${name}_std_deviation_bounds_lower"))
+        case "boxplot" =>
+          // ES boxplot (min, quartiles, max) — EXACT linear-interpolated
+          // quartiles (ES's are TDigest-approximate; same documented
+          // upgrade as percentiles), whiskers = min/max (ES's default
+          // 1.5-IQR whisker clamp reads the raw distribution and is not
+          // implemented; the five-number summary is the Lens panel).
+          Seq(min(v).as(s"${name}_min"),
+            percentile(v, lit(0.25)).as(s"${name}_q1"),
+            percentile(v, lit(0.5)).as(s"${name}_q2"),
+            percentile(v, lit(0.75)).as(s"${name}_q3"),
+            max(v).as(s"${name}_max"))
         case "median_absolute_deviation" =>
           // needs the hit-set median BEFORE the aggregation pass — only
           // the flat-metric entry point plans that two-phase shape
@@ -2244,6 +2285,14 @@ object EsAggs {
               .withColumn(n, sum(coalesce(col("_ccnew"), lit(0L)))
                 .over(keyW.rowsBetween(W.unboundedPreceding, W.currentRow)).cast("long"))
               .drop("_ccnew")
+          case RateAgg(n, t) =>
+            // calendar-aware day count: datediff over the bucket step
+            val unit = b match {
+              case DateHistogram(_, u, _, _, _) => u
+              case other => throw new IllegalStateException(s"rate parent: $other")
+            }
+            val days = datediff(to_date(col("key") + calStep(unit)), col("key"))
+            table = table.withColumn(n, tcol(t).cast("double") / days)
           case BucketSort(sorts, from, sz) =>
             val ord = sorts.map { case (t, asc) =>
               if (asc) tcol(t).asc_nulls_last else tcol(t).desc_nulls_last

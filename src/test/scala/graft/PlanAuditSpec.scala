@@ -420,4 +420,45 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("StringStartsWith") || p.contains("org-1"),
       s"query_string prefix clause did not push down:\n$p")
   }
+
+  test("d103: filters split is ONE corpus aggregation on the child key, no join") {
+    val p = plan(q("d103_es_filters_split"))
+    assert(p.contains("partial_"), "filters split lost map-side partial combine")
+    assert(!p.contains("Join"), s"filters split must not join:\n$p")
+    def ids(label: String): Seq[Int] =
+      ("\\((\\d+)\\) " + label).r.findAllMatchIn(p).map(_.group(1).toInt).toSeq
+    assert(ids("Scan parquet").size === 1, s"expected a single corpus scan:\n$p")
+    assert(ids("HashAggregate").size === 2,
+      s"expected one partial+final aggregate pair:\n$p")
+    // the F-way unfold (Generate) and per-filter windows act on the
+    // |child buckets|-row table, above the final aggregate
+    val ha = ids("HashAggregate")
+    // formatted ids increase from the scan upward: "above the final
+    // aggregate" = a LARGER node id
+    assert(ids("Generate").forall(_ > ha.max), s"unfold must sit above the final agg:\n$p")
+  }
+
+  test("d101: cumulative_cardinality's first-occurrence side broadcasts onto the bucket table") {
+    val p = plan(q("d101_es_cumulative_cardinality"))
+    // the firsts frame is |buckets| rows — it must broadcast, never
+    // shuffle the bucket table into a sort-merge join
+    assert(p.contains("BroadcastHashJoin"), s"firsts join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"bucket-table join degenerated to SMJ:\n$p")
+    def ids(label: String): Seq[Int] =
+      ("\\((\\d+)\\) " + label).r.findAllMatchIn(p).map(_.group(1).toInt).toSeq
+    // two corpus reads by design: the day histogram and the per-user
+    // first-day pass (Spark may also re-read for the exchange reuse
+    // fallback — allow 2, flag more)
+    assert(ids("Scan parquet").size <= 2, s"expected at most two corpus scans:\n$p")
+  }
+
+  test("t16: stratified sample runs both windows on ONE stratum shuffle") {
+    val p = plan(q("t16_stratified_sample"))
+    // count-per-stratum and hash-rank share the lang partitioning: one
+    // hashpartitioning exchange; the final orderBy adds a range exchange
+    val hashExchanges = corpusHashExchanges(p)
+    assert(hashExchanges === 1,
+      s"expected one stratum shuffle for both windows, got $hashExchanges:\n$p")
+    assert(p.contains("Window"), s"expected window operators:\n$p")
+  }
 }

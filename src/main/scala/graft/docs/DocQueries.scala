@@ -4221,6 +4221,45 @@ object DocQueries {
       |  CAST(COUNT(*) AS DOUBLE) / 7 AS per_day
       |FROM events GROUP BY 1 ORDER BY key""".stripMargin
 
+  // ---------------------------------------------------------------- d110
+  /** `significant_terms` with ES `background_filter` — "what market
+    * segments are over-represented among high-copay plans, COMPARED TO
+    * high-deductible plans" (the Discover compare-to-segment body). The
+    * background filter is a pushable corpus predicate; the JLH shape
+    * stays one corpus shuffle with window totals (d61). */
+  private def d110(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "size": 0,
+        |  "query": { "range": { "planCostShares.copay": { "gte": 40 } } },
+        |  "aggs": {
+        |    "seg": {
+        |      "significant_terms": {
+        |        "field": "planType",
+        |        "size": 3,
+        |        "background_filter": { "range": { "planCostShares.deductible": { "gte": 500 } } }
+        |      }
+        |    }
+        |  }
+        |}""".stripMargin
+    EsAggs.run(assembled(s, d), "doc", body, schema)
+  }
+
+  private val d110Sql =
+    """WITH g AS (
+      |  SELECT c_mktsegment AS key,
+      |    CAST(SUM(CASE WHEN c_custkey % 50 >= 40 THEN 1 ELSE 0 END) AS BIGINT) AS doc_count,
+      |    CAST(COUNT(*) AS BIGINT) AS bg_count
+      |  FROM customer WHERE c_nationkey * 100 >= 500 GROUP BY 1),
+      |t AS (
+      |  SELECT *, CAST(SUM(doc_count) OVER () AS BIGINT) AS ft,
+      |    CAST(SUM(bg_count) OVER () AS BIGINT) AS bt
+      |  FROM g)
+      |SELECT key, doc_count, bg_count,
+      |  (CAST(doc_count AS DOUBLE) / ft - CAST(bg_count AS DOUBLE) / bt)
+      |    * ((CAST(doc_count AS DOUBLE) / ft) / (CAST(bg_count AS DOUBLE) / bt)) AS score
+      |FROM t WHERE doc_count > 0 ORDER BY score DESC, key ASC LIMIT 3""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -4318,6 +4357,7 @@ object DocQueries {
     "d107_es_match_bool_prefix" -> d107 _,
     "d108_es_boxplot" -> d108 _,
     "d109_es_rate" -> d109 _,
+    "d110_es_background_filter" -> d110 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
     "d3_roundtrip" -> d3 _,
@@ -4429,6 +4469,7 @@ object DocQueries {
     "d107_es_match_bool_prefix" -> d107Sql,
     "d108_es_boxplot" -> d108Sql,
     "d109_es_rate" -> d109Sql,
+    "d110_es_background_filter" -> d110Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,
     "d3_roundtrip" -> d3Sql,

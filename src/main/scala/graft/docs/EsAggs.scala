@@ -193,9 +193,14 @@ object EsAggs {
     * Kibana "percent of total" device). One unfiltered global agg. */
   case object GlobalAgg extends Agg
   /** ES `significant_terms` — terms of `field` over-represented in the
-    * query's hit set (foreground) vs the WHOLE corpus (background),
-    * scored by JLH: `(fgPct - bgPct) * (fgPct / bgPct)`. */
-  final case class SignificantTerms(path: Seq[String], size: Int) extends Agg
+    * query's hit set (foreground) vs the background, scored by JLH:
+    * `(fgPct - bgPct) * (fgPct / bgPct)`. Background = the WHOLE corpus,
+    * or the subset matching `background_filter` when present (the
+    * Discover compare-to-segment body); the foreground is then the hit
+    * set WITHIN that background (fg ⊆ bg — the only shape under which
+    * JLH percentages are meaningful, and ES's documented usage). */
+  final case class SignificantTerms(path: Seq[String], size: Int,
+                                    bg: Option[SearchQuery] = None) extends Agg
   /** ES `top_hits` sub-agg — the top `size` DOCUMENTS of each bucket by an
     * explicit sort, rendered as one row per (bucket, hit). Determinism:
     * the explicit sort is tie-broken by every `_source` column ascending
@@ -929,9 +934,11 @@ object EsAggs {
             }
           }).orElse(bf.get("significant_terms").map { spec =>
             require(ctx.isEmpty, "significant_terms inside a nested context is not implemented")
-            checkSpecKeys(spec, "significant_terms", Set("field", "size"))
+            val sm = checkSpecKeys(spec, "significant_terms",
+              Set("field", "size", "background_filter"))
+            val bg = sm.get("background_filter").map(SearchQuery.parseQueryNode(_, schema))
             SignificantTerms(fieldPath(spec, "significant_terms", ctx),
-              num(spec, "size", "significant_terms").map(_.toInt).getOrElse(10))
+              num(spec, "size", "significant_terms").map(_.toInt).getOrElse(10), bg)
           }).orElse(bf.get("significant_text").map[Agg] { _ =>
             throw new IllegalArgumentException(
               "significant_text without a sampler parent is not implemented " +
@@ -1963,7 +1970,7 @@ object EsAggs {
           .orderBy(col("score").desc, col("key").asc)
           .limit(topN)
         graft.Eager.finish(scored, sampled)
-      case Right(Buckets(SignificantTerms(p, topN), _, None, _, _, _, _, _)) =>
+      case Right(Buckets(SignificantTerms(p, topN, bgQ), _, None, _, _, _, _, _)) =>
         // foreground = the query's hit set; background = the WHOLE corpus,
         // so the aggregation runs UNFILTERED with a conditional foreground
         // count — one corpus shuffle. ES's JLH denominators are the
@@ -1974,7 +1981,11 @@ object EsAggs {
         // corpus/hit counts; the null-key row is dropped before scoring.
         val fgPred = SearchQuery.compile(req.query, doc)
         val t = field(doc, p)
-        val g = docs.groupBy(t.as("key")).agg(
+        // background_filter restricts the aggregation base (a pushable
+        // filter — still one corpus shuffle); the conditional foreground
+        // count then automatically intersects fg with bg (fg ⊆ bg)
+        val bgDocs = bgQ.fold(docs)(q0 => docs.filter(SearchQuery.compile(q0, doc)))
+        val g = bgDocs.groupBy(t.as("key")).agg(
           sum(when(fgPred, 1L).otherwise(0L)).cast("long").as("doc_count"),
           count(lit(1)).cast("long").as("bg_count"))
         val fgPct = col("doc_count").cast("double") / col("_fg_total")

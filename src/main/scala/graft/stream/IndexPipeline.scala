@@ -676,8 +676,62 @@ object IndexPipeline {
       | AND x.ts_us >= c.ts_us AND x.ts_us <= c.ts_us + 3600000000
       |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin
 
+  // ---------------------------------------------------------------- st9
+  /** SLIDING (hopping) windows — 12 h windows advancing every 6 h, so
+    * each event lands in exactly TWO overlapping windows (Spark expands
+    * the membership list before the aggregation; state is bounded by the
+    * watermark exactly as for tumbling windows). The moving-average /
+    * smoothed-trend panel shape that tumbling windows can't express:
+    * adjacent windows share half their events. Same checkpointed
+    * micro-batch fixture as st2; at scale the only cost over tumbling is
+    * the duration/slide-factor row expansion before the partial agg. */
+  private def st9(s: SparkSession, d: String): DataFrame = {
+    val base = Files.createTempDirectory("graft-stream9-")
+    val srcDir = base.resolve("log").toString
+    val ckDir = base.resolve("ck").toString
+    val nFiles = 3
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("ts_us"), col("event_type"))
+    val maxId = ev.agg(max(col("event_id"))).head().getLong(0) + 1
+    (0 until nFiles).foreach { i =>
+      ev.filter(floor(col("event_id") * nFiles / maxId) === i)
+        .coalesce(1).write.parquet(s"$srcDir/b$i")
+    }
+    val qname = s"st9_sliding_${System.nanoTime()}"
+    val stream = s.readStream
+      .schema(ev.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$srcDir/b*")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "12 hours", "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(qname)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckDir)
+      .start()
+    stream.awaitTermination()
+    val out = s.table(qname)
+      .select(col("window.start").cast("long").as("win_start"),
+        col("event_type"), col("n"))
+      .orderBy(col("win_start"), col("event_type"))
+    val pinned = graft.Eager.pin(out)
+    deleteRecursively(base)
+    pinned
+  }
+
+  private val st9Sql =
+    """SELECT (epoch_us(ts) // 21600000000 - off) * 21600 AS win_start, event_type,
+      |  COUNT(*) AS n
+      |FROM events CROSS JOIN (SELECT unnest([0, 1]) AS off)
+      |GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "st8_left_outer_join" -> st8 _,
+    "st9_sliding_window" -> st9 _,
     "st7_stream_static" -> st7 _,
     "st6_stream_join" -> st6 _,
     "st5_stream_dedup" -> st5 _,
@@ -687,6 +741,7 @@ object IndexPipeline {
     "st4_stream_sessions" -> st4 _)
   val oracle: Map[String, String] = Map(
     "st8_left_outer_join" -> st8Sql,
+    "st9_sliding_window" -> st9Sql,
     "st7_stream_static" -> st7Sql,
     "st6_stream_join" -> st6Sql,
     "st5_stream_dedup" -> st5Sql,

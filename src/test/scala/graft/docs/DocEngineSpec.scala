@@ -453,7 +453,13 @@ class DocEngineSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](
       EsAggs.parse("""{"size": 0}""", PlanSchema.plan))
     assertThrows[IllegalArgumentException](EsAggs.parse(
-      """{"aggs": {"p": {"median_absolute_deviation": {"field": "planCostShares.copay"}}}}""",
+      """{"aggs": {"p": {"geo_centroid": {"field": "planCostShares.copay"}}}}""",
+      PlanSchema.plan))
+    // median_absolute_deviation is a flat metric only: inside a bucket agg
+    // it needs a median pre-pass and is rejected loudly at plan build
+    assertThrows[IllegalArgumentException](EsAggs.run(assembledDocs, "doc",
+      """{"aggs": {"t": {"terms": {"field": "planType"},
+        |  "aggs": {"m": {"median_absolute_deviation": {"field": "planCostShares.copay"}}}}}}""".stripMargin,
       PlanSchema.plan))
     // percentiles without explicit percents = the ES defaults
     assert(EsAggs.parse(
@@ -774,9 +780,21 @@ class DocEngineSpec extends SparkSpec {
     assert(EsAggs.run(corpus, "doc", ranges, PlanSchema.plan).collect()
       .map(r => (r.getAs[String]("key"), r.getAs[Long]("doc_count"))).toSeq ===
       Seq(("*-30", 2L), ("30-40", 1L), ("40-*", 3L)))
-    // sub-buckets under filters/range rejected; filters inside nested rejected
+    // a filters parent now takes ONE child bucket level (the Kibana
+    // split-by-filters body, d103) — but not a deeper split, and range
+    // still takes no sub-buckets
+    assert(EsAggs.parse(
+      """{"aggs": {"c": {"filters": {"filters": {"a": {"match_all": {}}}},
+        |  "aggs": {"t": {"terms": {"field": "planType"}}}}}}""".stripMargin,
+      PlanSchema.plan).tree.isRight)
     assertThrows[IllegalArgumentException](EsAggs.parse(
       """{"aggs": {"c": {"filters": {"filters": {"a": {"match_all": {}}}},
+        |  "aggs": {"t": {"terms": {"field": "planType"},
+        |    "aggs": {"u": {"terms": {"field": "_org"}}}}}}}}""".stripMargin,
+      PlanSchema.plan))
+    assertThrows[IllegalArgumentException](EsAggs.parse(
+      """{"aggs": {"c": {"range": {"field": "planCostShares.copay",
+        |    "ranges": [{"to": 30}]},
         |  "aggs": {"t": {"terms": {"field": "planType"}}}}}}""".stripMargin,
       PlanSchema.plan))
     assertThrows[IllegalArgumentException](EsAggs.parse(

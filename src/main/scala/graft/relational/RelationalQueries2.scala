@@ -467,7 +467,41 @@ object RelationalQueries2 {
       |  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey))
       |WHERE c_custkey % 20 = 0 ORDER BY c_custkey""".stripMargin
 
+  // ---------------------------------------------------------------- q35
+  /** Interval RANGE window frame — the trailing-24 h rolling aggregate
+    * per key (rate limiting, rolling load, anomaly baselines). The frame
+    * is a NUMERIC range over epoch micros, so the DataFrame API's
+    * `rangeBetween` expresses it directly (no interval literal needed)
+    * and both engines share the frame semantics exactly, ties (RANGE
+    * peers) included. The rolling sum goes through the exact
+    * decimal-cast bridge — a sliding double sum would depend on each
+    * engine's incremental-evaluation order. One shuffle on the partition
+    * key; the frame scan is sort-local per partition. */
+  private def q35(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ts_us"))
+      .rangeBetween(-86400000000L, 0L) // trailing 24 h in epoch micros
+    graft.Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), col("ts_us"), col("value"))
+      .select(col("event_id"), col("event_type"),
+        count(lit(1)).over(w).as("n_24h"),
+        dbl(sum(m(col("value"))).over(w)).as("sum_24h"))
+      .filter(col("event_id") % 97 === 0)
+      .orderBy(col("event_id"))
+  }
+
+  private val q35Sql =
+    """SELECT event_id, event_type, n_24h, sum_24h FROM (
+      |  SELECT event_id, event_type,
+      |    COUNT(*) OVER w AS n_24h,
+      |    CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DECIMAL(28,6)) AS DOUBLE)
+      |      AS sum_24h
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+      |               RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW))
+      |WHERE event_id % 97 = 0 ORDER BY event_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q35_range_frame" -> q35 _,
     "q34_dist_windows" -> q34 _,
     "q32_string_agg" -> q32 _,
     "q33_lateral" -> q33 _,
@@ -484,6 +518,7 @@ object RelationalQueries2 {
     "q26_json_fns" -> q26 _)
 
   val oracle: Map[String, String] = Map(
+    "q35_range_frame" -> q35Sql,
     "q34_dist_windows" -> q34Sql,
     "q32_string_agg" -> q32Sql,
     "q33_lateral" -> q33Sql,

@@ -4260,6 +4260,41 @@ object DocQueries {
       |    * ((CAST(doc_count AS DOUBLE) / ft) / (CAST(bg_count AS DOUBLE) / bt)) AS score
       |FROM t WHERE doc_count > 0 ORDER BY score DESC, key ASC LIMIT 3""".stripMargin
 
+  // ---------------------------------------------------------------- d111
+  /** `match_phrase` with `slop` — the sloppy phrase query ("service …
+    * specified" with one token between): Lucene's move-count metric over
+    * analyzed token positions, evaluated as a pure array expression per
+    * element (O(occ²) per row, no explode, no positional index). Here
+    * slop 1 admits exactly the one-token gap in "Service 4-NOT
+    * SPECIFIED"; slop 0 (plain match_phrase, d34) would not. */
+  private def d111(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "query": {
+        |    "match_phrase": {
+        |      "linkedPlanServices.linkedService.name": {
+        |        "query": "service specified",
+        |        "slop": 1
+        |      }
+        |    }
+        |  }
+        |}""".stripMargin
+    val ast = SearchQuery.fromJson(body, schema)
+    assembled(s, d).filter(SearchQuery.compile(ast, col("doc")))
+      .select(col("doc.objectId").as("objectId"),
+        size(col("doc.linkedPlanServices")).as("n_services"))
+      .orderBy(col("objectId"))
+  }
+
+  private val d111Sql =
+    s"""WITH o AS $O
+       |SELECT 'plan-' || ${ck("c_custkey")} AS "objectId",
+       |  (SELECT COUNT(*) FROM o WHERE o_custkey = c_custkey) AS n_services
+       |FROM customer
+       |WHERE EXISTS (SELECT 1 FROM o WHERE o_custkey = c_custkey
+       |        AND o_orderpriority = '4-NOT SPECIFIED')
+       |ORDER BY "objectId"""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -4358,6 +4393,7 @@ object DocQueries {
     "d108_es_boxplot" -> d108 _,
     "d109_es_rate" -> d109 _,
     "d110_es_background_filter" -> d110 _,
+    "d111_es_phrase_slop" -> d111 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
     "d3_roundtrip" -> d3 _,
@@ -4470,6 +4506,7 @@ object DocQueries {
     "d108_es_boxplot" -> d108Sql,
     "d109_es_rate" -> d109Sql,
     "d110_es_background_filter" -> d110Sql,
+    "d111_es_phrase_slop" -> d111Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,
     "d3_roundtrip" -> d3Sql,

@@ -115,4 +115,23 @@ object SearchOps {
     * contract. Pure array expression, codegen-friendly. */
   def tokenPrefix(text: Column, prefix: String): Column =
     exists(split(lower(text), "\\s+"), t => t.startsWith(prefix.toLowerCase))
+
+  /** Analyzed positions of `term` in `text` (0-based token indexes). */
+  private def tokenPositions(text: Column, term: String): Column =
+    filter(
+      transform(split(lower(text), "\\s+"),
+        (t, i) => when(t === lit(term.toLowerCase), i).otherwise(lit(-1))),
+      x => x >= 0)
+
+  /** Sloppy two-term phrase (Lucene move-count): an (a, b) position pair
+    * within `slop` moves — ordered gap g costs g (adjacent = 0),
+    * transposed costs distance + 1 (adjacent transposition = 2, ES's
+    * documented example). O(occ(a)·occ(b)) per row as a pure array
+    * expression — no explode, no positional index needed. */
+  def phraseSlop(text: Column, a: String, b: String, slop: Int): Column = {
+    val pa = tokenPositions(text, a)
+    val pb = tokenPositions(text, b)
+    exists(pa, x => exists(pb, y =>
+      when(y > x, y - x - 1 <= slop).otherwise(x - y + 1 <= slop)))
+  }
 }

@@ -82,6 +82,13 @@ object SearchQuery {
   /** ES `match_phrase` — the analyzed tokens appear CONSECUTIVELY. */
   final case class MatchPhrase(path: Seq[String], phrase: String) extends SearchQuery
   final case class NestedMatchPhrase(arrayPath: Seq[String], field: Seq[String], phrase: String) extends SearchQuery
+  /** `match_phrase` with `slop` (two terms): Lucene's move-count metric
+    * over token positions — ordered gap g costs g, transposition costs
+    * distance+1 ("b a" for query "a b" = 2, ES's documented example). */
+  final case class PhraseSlop(path: Seq[String], a: String, b: String,
+                              slop: Int) extends SearchQuery
+  final case class NestedPhraseSlop(arrayPath: Seq[String], field: Seq[String],
+                                    a: String, b: String, slop: Int) extends SearchQuery
   /** ES `regexp` — ANCHORED regex on a keyword field (ES/Lucene regexps
     * must match the whole value; compiled as `^(?:…)$` rlike). */
   final case class Regexp(path: Seq[String], pattern: String) extends SearchQuery
@@ -1199,14 +1206,39 @@ object SearchQuery {
         require(defOp == "or" || defOp == "and", s"bad default_operator: $defOp")
         QueryString.parse(qs, schema, defaultAnd = defOp == "and")
       case JObject(List(("match_phrase", JObject(List((p, spec)))))) =>
-        val v = spec match {
-          case JObject(f) => f.toMap.get("query").map(asString)
-            .getOrElse(throw new IllegalArgumentException("match_phrase needs query"))
-          case other => asString(other)
+        val (v, slop) = spec match {
+          case JObject(f) =>
+            val m = f.toMap
+            val unknown = m.keySet -- Set("query", "slop")
+            require(unknown.isEmpty,
+              s"unsupported match_phrase key(s) on $p: ${unknown.mkString(", ")}")
+            val q0 = m.get("query").map(asString)
+              .getOrElse(throw new IllegalArgumentException("match_phrase needs query"))
+            val sl = m.get("slop").map(asDouble(_, "match_phrase slop").toInt).getOrElse(0)
+            require(sl >= 0, s"negative slop: $sl")
+            (q0, sl)
+          case other => (asString(other), 0)
         }
-        splitArrayPath(path(p), schema) match {
-          case (Nil, full) => MatchPhrase(full, v)
-          case (arr, rest) => NestedMatchPhrase(arr, rest, v)
+        if (slop == 0)
+          splitArrayPath(path(p), schema) match {
+            case (Nil, full) => MatchPhrase(full, v)
+            case (arr, rest) => NestedMatchPhrase(arr, rest, v)
+          }
+        else {
+          // sloppy phrase: Lucene's move-count metric over token
+          // positions. TWO analyzed terms only (the common body; the
+          // n-term move metric is a per-row DP — rejected loudly, not
+          // approximated).
+          val toks = v.trim.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
+          require(toks.size == 2,
+            s"match_phrase slop supports exactly two analyzed terms, got ${toks.size} " +
+              "(the n-term move-count metric is not implemented)")
+          require(toks(0) != toks(1),
+            "match_phrase slop with a repeated term is not implemented")
+          splitArrayPath(path(p), schema) match {
+            case (Nil, full) => PhraseSlop(full, toks(0), toks(1), slop)
+            case (arr, rest) => NestedPhraseSlop(arr, rest, toks(0), toks(1), slop)
+          }
         }
       case other => throw new IllegalArgumentException(s"unsupported ES query node: $other")
     }
@@ -1275,6 +1307,9 @@ object SearchQuery {
     case MatchPhrase(p, v) => SearchOps.phraseMatch(field(doc, p), v)
     case NestedMatchPhrase(ap, f, v) =>
       SearchOps.nestedMatch(field(doc, ap), x => SearchOps.phraseMatch(field(x, f), v))
+    case PhraseSlop(p, a, b, sl) => SearchOps.phraseSlop(field(doc, p), a, b, sl)
+    case NestedPhraseSlop(ap, f, a, b, sl) =>
+      SearchOps.nestedMatch(field(doc, ap), x => SearchOps.phraseSlop(field(x, f), a, b, sl))
     case Regexp(p, pat) => SearchOps.regexMatch(field(doc, p), pat)
     case NestedRegexp(ap, f, pat) =>
       SearchOps.nestedMatch(field(doc, ap), x => SearchOps.regexMatch(field(x, f), pat))
@@ -1305,6 +1340,7 @@ object SearchQuery {
       case NestedExistsField(ap, _) => Set(ap)
       case NestedPrefix(ap, _, _) => Set(ap)
       case NestedMatchPhrase(ap, _, _) => Set(ap)
+      case NestedPhraseSlop(ap, _, _, _, _) => Set(ap)
       case NestedRegexp(ap, _, _) => Set(ap)
       case NestedFuzzy(ap, _, _, _) => Set(ap)
       case NestedCompound(ap, _) => Set(ap)
@@ -1336,6 +1372,8 @@ object SearchQuery {
       case NestedExistsField(p, f) if p == ap => field(x, f).isNotNull
       case NestedPrefix(p, f, v) if p == ap => SearchOps.prefix(field(x, f), v)
       case NestedMatchPhrase(p, f, v) if p == ap => SearchOps.phraseMatch(field(x, f), v)
+      case NestedPhraseSlop(p, f, a, b0, sl) if p == ap =>
+        SearchOps.phraseSlop(field(x, f), a, b0, sl)
       case NestedRegexp(p, f, pat) if p == ap => SearchOps.regexMatch(field(x, f), pat)
       case NestedFuzzy(p, f, v, fz) if p == ap => SearchOps.fuzzyMatch(field(x, f), v, fz)
       case And(qs @ _*) => qs.map(perElement(_, ap, x, doc)).reduce(_ && _)

@@ -710,6 +710,71 @@ class DocEngineSpec extends SparkSpec {
     variant("b1", "typeB", 30), variant("b2", "typeB", 40), variant("b3", "typeB", 50),
     variant("c1", "typeC", 99))
 
+  test("round-7 variants: phrase slop metric, terms_set msm field, pinned ladder, " +
+    "match_bool_prefix operators, extended_stats defaults") {
+    // Lucene move-count arithmetic, including the documented
+    // adjacent-transposition = 2 example
+    def slopHit(text: String, sl: Int): Boolean =
+      spark.range(1).select(SearchOps.phraseSlop(lit(text), "a", "b", sl).as("m"))
+        .head.getBoolean(0)
+    assert(slopHit("a b", 0))                 // adjacent, in order: cost 0
+    assert(!slopHit("a x b", 0) && slopHit("a x b", 1)) // one-token gap: cost 1
+    assert(!slopHit("b a", 1) && slopHit("b a", 2))     // transposed adjacent: cost 2
+    assert(!slopHit("b x a", 2) && slopHit("b x a", 3)) // transposed with gap: cost 3
+    // n-term slop and repeated-term slop are rejected, slop 0 falls back
+    assertThrows[IllegalArgumentException](SearchQuery.fromJson(
+      """{"query": {"match_phrase": {"planType": {"query": "x y z", "slop": 1}}}}""",
+      PlanSchema.plan))
+    assertThrows[IllegalArgumentException](SearchQuery.fromJson(
+      """{"query": {"match_phrase": {"planType": {"query": "x x", "slop": 1}}}}""",
+      PlanSchema.plan))
+
+    // terms_set with minimum_should_match_field: each doc carries TWO of
+    // the listed service names, so copay<=2 admits and copay=3 rejects
+    val tsCorpus = docsDf(variant("m1", "typeM", 1), variant("m2", "typeM", 3))
+    val ts = SearchQuery.fromJson(
+      """{"query": {"terms_set": {"linkedPlanServices.linkedService.name": {
+        |  "terms": ["Yearly physical", "well baby", "nope"],
+        |  "minimum_should_match_field": "planCostShares.copay"}}}}""".stripMargin,
+      PlanSchema.plan)
+    assert(tsCorpus.filter(SearchQuery.compile(ts, col("doc")))
+      .select(col("doc.objectId")).collect().map(_.getString(0)).toSeq === Seq("m1"))
+
+    // pinned: listed ids rank first IN ORDER, above any clause count;
+    // organic hits keep the clause-count score
+    val pinnedBody =
+      """{"query": {"pinned": {"ids": ["b2", "a1"],
+        |  "organic": {"bool": {"should": [{"match": {"planType": "typeB"}}]}}}}}""".stripMargin
+    val pp = SearchQuery.parseBody(pinnedBody, PlanSchema.plan)
+    val scored = corpus.filter(SearchQuery.compile(pp.query, col("doc")))
+      .select(col("doc.objectId").as("id"),
+        SearchQuery.scoreCol(pp, col("doc")).as("s"))
+      .orderBy(col("s").desc, col("id")).collect()
+    assert(scored.map(_.getString(0)).take(2).toSeq === Seq("b2", "a1"))
+    assert(scored.head.getLong(1) === 1000000001L && scored(1).getLong(1) === 1000000000L)
+    assert(scored.drop(2).forall(_.getLong(1) === 1L)) // organic typeB hits
+
+    // match_bool_prefix: or (default) hits via the last-term prefix
+    // alone; and requires every term in the SAME element
+    def mbp(op: String): Long = corpus.filter(SearchQuery.compile(SearchQuery.fromJson(
+      s"""{"query": {"match_bool_prefix": {"linkedPlanServices.linkedService.name": {
+         |  "query": "nope yea", "operator": "$op"}}}}""".stripMargin,
+      PlanSchema.plan), col("doc"))).count()
+    assert(mbp("or") === 6L && mbp("and") === 0L)
+
+    // extended_stats: default sigma 2, population variance over copays
+    val es = EsAggs.run(corpus, "doc",
+      """{"aggs": {"c": {"extended_stats": {"field": "planCostShares.copay"}}}}""",
+      PlanSchema.plan).collect()(0)
+    val vals = Seq(10.0, 20.0, 30.0, 40.0, 50.0, 99.0)
+    val mean = vals.sum / 6
+    val varP = vals.map(v => v * v).sum / 6 - mean * mean
+    assert(es.getAs[Long]("c_count") === 6L && es.getAs[Double]("c_avg") === mean)
+    assert(math.abs(es.getAs[Double]("c_variance") - varP) < 1e-9)
+    assert(math.abs(es.getAs[Double]("c_std_deviation_bounds_upper") -
+      (mean + 2 * math.sqrt(varP))) < 1e-9)
+  }
+
   test("terms order targets a metric sub-agg / _key / _count; min_doc_count prunes; bad targets rejected") {
     // order by the avg metric desc, C's singleton bucket pruned by min_doc_count
     val byMetric =

@@ -874,7 +874,81 @@ object DedupQueries {
        |FROM pairs LEFT JOIN inter USING (a, b)
        |ORDER BY a, b""".stripMargin
 
+  // ---------------------------------------------------------------- dd10
+  /** PARTIAL-duplication (containment) detection — the dedup class the
+    * whole-document pipelines (dd1-dd4) miss: two documents sharing a
+    * copy-pasted CHUNK while differing overall. Reuses t4's winnowing
+    * fingerprints (Schleimer et al.: any shared substring ≥ k+w-1 chars
+    * GUARANTEES a shared fingerprint — the recall floor MinHash lacks
+    * for containment), then an inverted-index join ON the fingerprint:
+    *
+    *   fingerprints → document frequency → drop fps in > 20 docs
+    *   (boilerplate — the fanout cap that bounds pairs per fp at C(20,2))
+    *   → self-join per fp → pair shared-count ≥ 8 → containment score
+    *   shared / min(|fp_a|, |fp_b|).
+    *
+    * 100 TB shape: every join keys on fp or doc_id (hash-partitioned,
+    * co-located after one shuffle each); candidate pairs ∝ shared-chunk
+    * mass, never O(n²); no broadcast of anything corpus-sized. */
+  private def dd10(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = Tables(s, d, "documents").select(
+      col("doc_id"), col("n_chars"),
+      posexplode(transform(
+        sequence(lit(1), greatest(col("n_chars").cast("int") - 7, lit(0))),
+        i => stableHash32(col("text").substr(i, lit(8))))).as(Seq("p", "h")))
+      .select(col("doc_id"), col("n_chars"), (col("p") + 1).as("pos"), col("h"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, 3)
+    val fps = grams
+      .select(col("doc_id"), col("n_chars"), col("pos"), min(col("h")).over(w).as("fp"))
+      .filter(col("pos") <= col("n_chars") - 7 - 3)
+      .select(col("doc_id"), col("fp")).distinct()
+      .persist()
+    val keep = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= 20).select(col("fp"))
+    val pf = fps.join(keep, "fp")
+    val pairs = pf.as("p1").join(pf.as("p2"), Seq("fp"))
+      .filter(col("p1.doc_id") < col("p2.doc_id"))
+      .groupBy(col("p1.doc_id").as("a"), col("p2.doc_id").as("b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= 8)
+    val cnt = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+    val res = pairs
+      .join(cnt.withColumnRenamed("doc_id", "a").withColumnRenamed("n_fp", "n_a"), "a")
+      .join(cnt.withColumnRenamed("doc_id", "b").withColumnRenamed("n_fp", "n_b"), "b")
+      .select(col("a"), col("b"), col("shared"),
+        (col("shared").cast("double") / least(col("n_a"), col("n_b"))).as("containment"))
+      .orderBy(col("shared").desc, col("a"), col("b"))
+    graft.Eager.finish(res, fps)
+  }
+
+  private val dd10Sql =
+    """WITH g AS (
+      |  SELECT doc_id, n_chars, CAST(i AS INTEGER) AS pos,
+      |    CAST(('0x' || substr(md5(substr(text, CAST(i AS INTEGER), 8)), 1, 8)) AS BIGINT) AS h
+      |  FROM documents, unnest(range(1, n_chars - 6)) AS t(i)),
+      |wmin AS (
+      |  SELECT doc_id, pos, n_chars,
+      |    MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+      |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      |  FROM g),
+      |fps AS (SELECT DISTINCT doc_id, fp FROM wmin WHERE pos <= n_chars - 7 - 3),
+      |keep AS (SELECT fp FROM (SELECT fp, COUNT(*) AS df FROM fps GROUP BY fp)
+      |         WHERE df BETWEEN 2 AND 20),
+      |pf AS (SELECT f.doc_id, f.fp FROM fps f JOIN keep USING (fp)),
+      |pairs AS (
+      |  SELECT p1.doc_id AS a, p2.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS shared
+      |  FROM pf p1 JOIN pf p2 USING (fp) WHERE p1.doc_id < p2.doc_id
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 8),
+      |cnt AS (SELECT doc_id, COUNT(*) AS n_fp FROM fps GROUP BY doc_id)
+      |SELECT a, b, shared,
+      |  CAST(shared AS DOUBLE) / least(ca.n_fp, cb.n_fp) AS containment
+      |FROM pairs JOIN cnt ca ON ca.doc_id = a JOIN cnt cb ON cb.doc_id = b
+      |ORDER BY shared DESC, a, b""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "dd10_containment" -> dd10 _,
     "dd9_source_overlap" -> dd9 _,
     "dd7_incremental" -> dd7 _,
     "dd8_semdedup" -> dd8 _,
@@ -886,6 +960,7 @@ object DedupQueries {
     "dd6_dedup_clusters" -> dd6 _)
 
   val oracle: Map[String, String] = Map(
+    "dd10_containment" -> dd10Sql,
     "dd9_source_overlap" -> dd9Sql,
     "dd7_incremental" -> dd7Sql,
     "dd8_semdedup" -> dd8Sql,

@@ -500,7 +500,36 @@ object RelationalQueries2 {
       |               RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW))
       |WHERE event_id % 97 = 0 ORDER BY event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q36
+  /** The SQL front door: ONE dialect-portable ANSI string (TPC-H Q5's
+    * local-supplier-volume shape, decimal-exact revenue) registered over
+    * temp views and executed verbatim by `spark.sql` — and, unchanged,
+    * by the DuckDB oracle. Proves a SQL-speaking user of the reference
+    * can run textual queries against this engine with no translation
+    * layer; Catalyst plans the six-table join with the same broadcast/
+    * AQE decisions as the DataFrame surface (nation/region broadcast,
+    * fact side never shuffled for them). */
+  private def q36(s: SparkSession, d: String): DataFrame = {
+    Seq("customer", "orders", "lineitem", "supplier", "nation", "region")
+      .foreach(n => t(s, d, n).createOrReplaceTempView(n))
+    s.sql(q36Sql)
+  }
+
+  private val q36Sql =
+    """SELECT n_name,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      |      * (CAST(1 AS DECIMAL(7,4)) - CAST(l_discount AS DECIMAL(7,4))))
+      |    AS DECIMAL(28,6)) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q36_sql_front_door" -> q36 _,
     "q35_range_frame" -> q35 _,
     "q34_dist_windows" -> q34 _,
     "q32_string_agg" -> q32 _,
@@ -518,6 +547,7 @@ object RelationalQueries2 {
     "q26_json_fns" -> q26 _)
 
   val oracle: Map[String, String] = Map(
+    "q36_sql_front_door" -> q36Sql,
     "q35_range_frame" -> q35Sql,
     "q34_dist_windows" -> q34Sql,
     "q32_string_agg" -> q32Sql,

@@ -321,7 +321,153 @@ object Similarity {
        |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------- s6
+  /** ES `knn` search section — the 8.x vector-search body (`field` /
+    * `query_vector` / `k` / `num_candidates` / one `filter` clause),
+    * parsed verbatim and executed as FILTERED exact top-k over the
+    * embeddings corpus: the label filter prunes BEFORE any vector math
+    * (pushable predicate), then one broadcast of the literal query
+    * vector, codegen'd `vec_dot`, and a bounded top-k — no shuffle
+    * beyond the k-row merge. `num_candidates` is accepted and recorded
+    * but the search is EXACT (a documented upgrade over ES's per-shard
+    * HNSW beam, same rule as exact cardinality); richer filters are
+    * rejected loudly. The query vector arrives as data (the ES client
+    * contract) — here read from vec 100 and inlined into the body. */
+  private def s6(s: SparkSession, d: String): DataFrame = {
+    val all = vecs(s, d)
+    val qv = all.filter(col("vec_id") === 100).select(col("v"))
+      .head().getSeq[Double](0)
+    val body =
+      s"""{"knn": {"field": "embedding", "query_vector": [${qv.mkString(",")}],
+         |"k": 5, "num_candidates": 500, "filter": {"term": {"label": 7}}}}""".stripMargin
+    import org.json4s._
+    val spec = org.json4s.jackson.JsonMethods.parse(body) \ "knn" match {
+      case JObject(f) => f.toMap
+      case other => throw new IllegalArgumentException(s"bad knn body: $other")
+    }
+    val unknown = spec.keySet -- Set("field", "query_vector", "k", "num_candidates", "filter")
+    require(unknown.isEmpty, s"unsupported knn key(s): ${unknown.mkString(", ")}")
+    require(spec.get("field").contains(JString("embedding")),
+      "knn field must be the embedding column")
+    val k = spec.get("k") match {
+      case Some(JInt(i)) => i.toInt
+      case other => throw new IllegalArgumentException(s"knn needs integer k: $other")
+    }
+    val nc = spec.get("num_candidates") match {
+      case None => k
+      case Some(JInt(i)) => i.toInt
+      case other => throw new IllegalArgumentException(s"bad num_candidates: $other")
+    }
+    require(nc >= k, s"num_candidates ($nc) must be >= k ($k) (ES rule)")
+    val qvParsed = spec("query_vector") match {
+      case JArray(xs) if xs.nonEmpty => xs.map {
+        case JDouble(x) => x
+        case JInt(x) => x.toDouble
+        case JDecimal(x) => x.toDouble
+        case other => throw new IllegalArgumentException(s"bad query_vector entry: $other")
+      }
+      case other => throw new IllegalArgumentException(s"bad query_vector: $other")
+    }
+    val filterCol = spec.get("filter").map {
+      case JObject(List(("term", JObject(List((fld, v)))))) =>
+        val value = v match {
+          case JInt(i) => lit(i.toLong)
+          case JString(str) => lit(str)
+          case JObject(List(("value", JInt(i)))) => lit(i.toLong)
+          case other => throw new IllegalArgumentException(s"bad knn filter term: $other")
+        }
+        col(fld) === value
+      case other => throw new IllegalArgumentException(
+        s"only a single term clause is implemented as a knn filter: $other")
+    }
+    val qn = math.sqrt(qvParsed.map(x => x * x).sum)
+    val qvCol = array(qvParsed.map(lit): _*)
+    val base = filterCol.fold(all)(all.filter)
+    base.select(col("vec_id").as("n_id"), col("label"),
+        (vecDot(qvCol, col("v")) / (lit(qn) * col("nrm"))).as("cos"))
+      .orderBy(col("cos").desc, col("n_id"))
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy().orderBy(col("cos").desc, col("n_id"))).cast("long"))
+      .select(col("rank"), col("n_id"), col("label"), col("cos"))
+      .orderBy(col("rank"))
+  }
+
+  private val s6Sql =
+    s"""WITH vecs AS ($VecsSql),
+       |q AS (SELECT v AS qv, nrm AS qn FROM vecs WHERE vec_id = 100),
+       |scored AS (
+       |  SELECT vec_id AS n_id, label, ${dotSql("qv", "v")} / (qn * nrm) AS cos
+       |  FROM vecs CROSS JOIN q WHERE label = 7)
+       |SELECT rank, n_id, label, cos FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, n_id) AS BIGINT) AS rank
+       |  FROM scored) WHERE rank <= 5 ORDER BY rank""".stripMargin
+
+  // ---------------------------------------------------------------- s7
+  /** Hybrid retrieval with RECIPROCAL RANK FUSION — ES 8.x's `rrf`
+    * retriever: a lexical ranked list (term-frequency relevance over the
+    * analyzed text) and a vector ranked list (cosine to the query
+    * vector), each bounded to its top `window` (20), fused by
+    * Σ 1/(rank_const + rank) with ES's default rank_const 60. Docs
+    * appearing in only one list get only that list's contribution (the
+    * RRF contract). Both source lists are bounded-heap top-k —
+    * corpus-scale work is one scan per modality; the fusion join touches
+    * ≤ 2·window rows. doc_id and vec_id share the id space (TESTDATA),
+    * which is what makes the fusion join an equi-join. */
+  private def s7(s: SparkSession, d: String): DataFrame = {
+    val terms = Seq("spark", "join", "window")
+    val lex = Tables(s, d, "documents")
+      .select(col("doc_id"),
+        size(filter(split(lower(col("text")), "\\s+"),
+          t => t.isin(terms.map(lit): _*))).cast("long").as("tf"))
+      .filter(col("tf") > 0)
+      .orderBy(col("tf").desc, col("doc_id")).limit(20)
+      .withColumn("lex_rank", row_number().over(
+        Window.partitionBy().orderBy(col("tf").desc, col("doc_id"))).cast("long"))
+    val all = vecs(s, d)
+    val q = all.filter(col("vec_id") === 42)
+      .select(col("v").as("qv"), col("nrm").as("qn"))
+    val vec = all.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= 42)
+      .select(col("vec_id").as("doc_id"),
+        (vecDot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos"))
+      .orderBy(col("cos").desc, col("doc_id")).limit(20)
+      .withColumn("vec_rank", row_number().over(
+        Window.partitionBy().orderBy(col("cos").desc, col("doc_id"))).cast("long"))
+    lex.join(vec, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("lex_rank"), col("vec_rank"),
+        (coalesce(lit(1.0) / (lit(60L) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60L) + col("vec_rank")), lit(0.0))).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  private val s7Sql =
+    s"""WITH lex0 AS (
+       |  SELECT doc_id, CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+       |      t -> t IN ('spark', 'join', 'window'))) AS BIGINT) AS tf
+       |  FROM documents),
+       |lex AS (
+       |  SELECT doc_id, tf, CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, doc_id) AS BIGINT)
+       |      AS lex_rank
+       |  FROM lex0 WHERE tf > 0 ORDER BY tf DESC, doc_id LIMIT 20),
+       |vecs AS ($VecsSql),
+       |q AS (SELECT v AS qv, nrm AS qn FROM vecs WHERE vec_id = 42),
+       |vec0 AS (
+       |  SELECT vec_id AS doc_id, ${dotSql("qv", "v")} / (qn * nrm) AS cos
+       |  FROM vecs CROSS JOIN q WHERE vec_id <> 42),
+       |vec AS (
+       |  SELECT doc_id, cos, CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS BIGINT)
+       |      AS vec_rank
+       |  FROM vec0 ORDER BY cos DESC, doc_id LIMIT 20)
+       |SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id, lex_rank, vec_rank,
+       |  COALESCE(1.0 / (60 + lex_rank), 0.0) + COALESCE(1.0 / (60 + vec_rank), 0.0) AS rrf
+       |FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+       |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "s6_es_knn" -> s6 _,
+    "s7_rrf_hybrid" -> s7 _,
     "s5_sq_ann" -> s5 _,
     "s1_cosine_topk" -> s1 _,
     "s2_lsh_ann" -> s2 _,
@@ -329,6 +475,8 @@ object Similarity {
     "s4_ann_recall" -> s4 _)
 
   val oracle: Map[String, String] = Map(
+    "s6_es_knn" -> s6Sql,
+    "s7_rrf_hybrid" -> s7Sql,
     "s5_sq_ann" -> s5Sql,
     "s1_cosine_topk" -> s1Sql,
     "s2_lsh_ann" -> s2Sql,

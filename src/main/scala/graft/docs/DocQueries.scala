@@ -4295,6 +4295,99 @@ object DocQueries {
        |        AND o_orderpriority = '4-NOT SPECIFIED')
        |ORDER BY "objectId"""".stripMargin
 
+  // ---------------------------------------------------------------- d112
+  /** ES `percolate` — REVERSE search (alerting/saved-searches): a set of
+    * registered query bodies is evaluated against every document, and
+    * each document reports which queries it matches. Every registered
+    * body compiles through the same `SearchQuery` parser as a forward
+    * search; the whole percolation is ONE corpus scan with N boolean
+    * columns and a constant-size unfold — no join, no shuffle at all
+    * (the shape that lets a million-document batch percolate against a
+    * saved-search registry in one pass). */
+  private def d112(s: SparkSession, d: String): DataFrame = {
+    val registered = Seq(
+      "q_high_copay" ->
+        """{"query": {"range": {"planCostShares.copay": {"gte": 45}}}}""",
+      "q_building_org1" ->
+        """{"query": {"bool": {"must": [
+          |  {"term": {"planType": "BUILDING"}},
+          |  {"prefix": {"_org": {"value": "org-1"}}}]}}}""".stripMargin,
+      "q_urgent_service" ->
+        """{"query": {"nested": {"path": "linkedPlanServices",
+          |  "query": {"match": {"linkedPlanServices.linkedService.name": "1-urgent"}}}}}""".stripMargin,
+      "q_no_services" ->
+        """{"query": {"bool": {"must_not": [{"exists": {"field": "linkedPlanServices"}}]}}}""")
+    val preds = registered.map { case (n, b) =>
+      n -> SearchQuery.compile(SearchQuery.fromJson(b, schema), col("doc")) }
+    assembled(s, d)
+      .select(col("doc.objectId").as("objectId"),
+        explode(array(preds.map { case (n, p) =>
+          when(coalesce(p, lit(false)), lit(n)).otherwise(lit(null).cast("string"))
+        }: _*)).as("query_id"))
+      .filter(col("query_id").isNotNull)
+      .orderBy(col("objectId"), col("query_id"))
+  }
+
+  private val d112Sql =
+    s"""WITH o AS $O,
+       |base AS (
+       |  SELECT 'plan-' || ${ck("c_custkey")} AS oid, c_custkey AS ck0,
+       |    CAST(c_custkey % 50 AS BIGINT) AS copay, c_mktsegment AS pt,
+       |    'org-' || ${ck("c_nationkey")} || '.example.com' AS org
+       |  FROM customer)
+       |SELECT oid AS "objectId", query_id FROM (
+       |  SELECT oid, 'q_high_copay' AS query_id FROM base WHERE copay >= 45
+       |  UNION ALL
+       |  SELECT oid, 'q_building_org1' FROM base
+       |  WHERE pt = 'BUILDING' AND org LIKE 'org-1%'
+       |  UNION ALL
+       |  SELECT oid, 'q_urgent_service' FROM base
+       |  WHERE EXISTS (SELECT 1 FROM o WHERE o_custkey = ck0
+       |          AND ' ' || lower('Service ' || o_orderpriority) || ' ' LIKE '% 1-urgent %')
+       |  UNION ALL
+       |  SELECT oid, 'q_no_services' FROM base
+       |  WHERE NOT EXISTS (SELECT 1 FROM o WHERE o_custkey = ck0))
+       |ORDER BY "objectId", query_id""".stripMargin
+
+  // ---------------------------------------------------------------- d112x_tmp
+  /** ES `moving_percentiles` — the trailing-window percentile band
+    * (anomaly baseline) along a daily axis: p50/p90 of the last 7 days'
+    * counts, current day excluded (ES shift-0 frame). EXACT
+    * linear-interpolated percentiles as window aggregates over the
+    * |buckets|-row table. */
+  private def d112x_tmp(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.Tables.events(s, d)
+      .select(struct(col("event_id"), timestamp_micros(col("ts_us")).as("ts"),
+        col("user_id"), col("event_type")).as("doc"))
+    val evSchema = ev.schema("doc").dataType.asInstanceOf[StructType]
+    val body =
+      """{
+        |  "size": 0,
+        |  "aggs": {
+        |    "daily": {
+        |      "date_histogram": { "field": "ts", "calendar_interval": "day" },
+        |      "aggs": {
+        |        "baseline": { "moving_percentiles": { "buckets_path": "_count",
+        |                                              "window": 7,
+        |                                              "percents": [50, 90] } }
+        |      }
+        |    }
+        |  }
+        |}""".stripMargin
+    EsAggs.run(ev, "doc", body, evSchema)
+  }
+
+  private val d112x_tmpSql =
+    """WITH g AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS key,
+      |    CAST(COUNT(*) AS BIGINT) AS doc_count
+      |  FROM events GROUP BY 1)
+      |SELECT key, doc_count,
+      |  quantile_cont(doc_count, 0.5) OVER w AS baseline_p50,
+      |  quantile_cont(doc_count, 0.9) OVER w AS baseline_p90
+      |FROM g
+      |WINDOW w AS (ORDER BY key ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+      |ORDER BY key""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -4394,6 +4487,8 @@ object DocQueries {
     "d109_es_rate" -> d109 _,
     "d110_es_background_filter" -> d110 _,
     "d111_es_phrase_slop" -> d111 _,
+    "d112_es_percolate" -> d112 _,
+    "d112x_tmp_es_moving_percentiles" -> d112x_tmp _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
     "d3_roundtrip" -> d3 _,
@@ -4507,6 +4602,8 @@ object DocQueries {
     "d109_es_rate" -> d109Sql,
     "d110_es_background_filter" -> d110Sql,
     "d111_es_phrase_slop" -> d111Sql,
+    "d112_es_percolate" -> d112Sql,
+    "d112x_tmp_es_moving_percentiles" -> d112x_tmpSql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,
     "d3_roundtrip" -> d3Sql,

@@ -269,6 +269,16 @@ object EsAggs {
     * inside the metric and are rejected loudly. Only `unit: day` under a
     * day-or-coarser calendar parent is implemented. */
   final case class RateAgg(name: String, target: String) extends Pipeline
+  /** ES `moving_percentiles` — trailing-window percentiles along the
+    * histogram axis (the anomaly-baseline band). EXACT
+    * linear-interpolated percentiles over the last `window` buckets
+    * EXCLUDING the current one (ES shift-0 semantics, same frame as
+    * `moving_fn`); ES reads the percents off the targeted TDigest
+    * percentiles agg — this engine takes an explicit `percents` key
+    * (documented deviation; default [50]) and targets any single-column
+    * value. */
+  final case class MovingPercentiles(name: String, target: String,
+                                     window: Int, percents: Seq[Double]) extends Pipeline
 
   /** SIBLING pipeline aggs (`avg_bucket`/`sum_bucket`/`min_bucket`/
     * `max_bucket`/`stats_bucket`/`percentiles_bucket`) — in ES they sit
@@ -368,7 +378,7 @@ object EsAggs {
   private val pipelineKinds =
     Set("cumulative_sum", "derivative", "bucket_selector", "bucket_sort",
       "moving_fn", "serial_diff", "bucket_script", "normalize",
-      "cumulative_cardinality", "rate")
+      "cumulative_cardinality", "rate", "moving_percentiles")
 
   private val siblingKinds =
     Set("avg_bucket", "sum_bucket", "min_bucket", "max_bucket",
@@ -1029,6 +1039,23 @@ object EsAggs {
               val m = checkSpecKeys(spec, "cumulative_cardinality", Set("buckets_path"))
               CumulativeCardinality(name, asString(m.getOrElse("buckets_path",
                 throw new IllegalArgumentException("cumulative_cardinality needs buckets_path"))))
+            case (name, JObject(List(("moving_percentiles", spec)))) =>
+              val m = checkSpecKeys(spec, "moving_percentiles",
+                Set("buckets_path", "window", "percents"))
+              val window = num(spec, "window", "moving_percentiles").map(_.toInt).getOrElse(
+                throw new IllegalArgumentException("moving_percentiles needs a window"))
+              require(window >= 1, s"moving_percentiles window must be >= 1: $window")
+              val ps = m.get("percents") match {
+                case None => Seq(50.0)
+                case Some(JArray(xs)) if xs.nonEmpty =>
+                  xs.map(SearchQuery.asDouble(_, "percent"))
+                case Some(other) => throw new IllegalArgumentException(
+                  s"moving_percentiles.percents must be a non-empty array: $other")
+              }
+              ps.foreach(p0 => require(p0 >= 0 && p0 <= 100, s"percent out of range: $p0"))
+              MovingPercentiles(name, asString(m.getOrElse("buckets_path",
+                throw new IllegalArgumentException("moving_percentiles needs buckets_path"))),
+                window, ps)
             case (name, JObject(List(("rate", spec)))) =>
               val m = checkSpecKeys(spec, "rate", Set("unit", "buckets_path"))
               m.get("unit") match {
@@ -1377,6 +1404,11 @@ object EsAggs {
                 case Normalize(n0, _, _) => n0
                 case CumulativeCardinality(n0, _) => n0
                 case RateAgg(n0, _) => n0
+              } ++
+              pipelines.flatMap {
+                case MovingPercentiles(n0, _, _, ps) =>
+                  ps.map(p0 => s"${n0}_p${fmtPercent(p0)}")
+                case _ => Nil
               }
           outNames.foreach(n0 => require(!reservedNames(n0),
             s"agg name \"$n0\" collides with a reserved output column (${reservedNames.toSeq.sorted.mkString("/")})"))
@@ -1432,6 +1464,9 @@ object EsAggs {
                     "rate needs a day-or-coarser calendar date_histogram parent without " +
                       "time_zone (bucket length in days is the calendar step)")
                 }
+                earlier + n
+              case MovingPercentiles(n, t, _, _) =>
+                requireHist("moving_percentiles"); checkTarget(t, earlier, allowKey = false)
                 earlier + n
             }
           }
@@ -2296,6 +2331,11 @@ object EsAggs {
               .withColumn(n, sum(coalesce(col("_ccnew"), lit(0L)))
                 .over(keyW.rowsBetween(W.unboundedPreceding, W.currentRow)).cast("long"))
               .drop("_ccnew")
+          case MovingPercentiles(n, t, window, ps) =>
+            // exact trailing-window percentiles, current bucket excluded
+            val mw = keyW.rowsBetween(-window.toLong, -1L)
+            ps.foreach(p0 => table = table.withColumn(s"${n}_p${fmtPercent(p0)}",
+              percentile(tcol(t), lit(p0 / 100.0)).over(mw)))
           case RateAgg(n, t) =>
             // calendar-aware day count: datediff over the bucket step
             val unit = b match {

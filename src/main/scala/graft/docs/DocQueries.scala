@@ -4349,13 +4349,13 @@ object DocQueries {
        |  WHERE NOT EXISTS (SELECT 1 FROM o WHERE o_custkey = ck0))
        |ORDER BY "objectId", query_id""".stripMargin
 
-  // ---------------------------------------------------------------- d112x_tmp
+  // ---------------------------------------------------------------- d113
   /** ES `moving_percentiles` — the trailing-window percentile band
     * (anomaly baseline) along a daily axis: p50/p90 of the last 7 days'
     * counts, current day excluded (ES shift-0 frame). EXACT
     * linear-interpolated percentiles as window aggregates over the
     * |buckets|-row table. */
-  private def d112x_tmp(s: SparkSession, d: String): DataFrame = {
+  private def d113(s: SparkSession, d: String): DataFrame = {
     val ev = graft.Tables.events(s, d)
       .select(struct(col("event_id"), timestamp_micros(col("ts_us")).as("ts"),
         col("user_id"), col("event_type")).as("doc"))
@@ -4377,7 +4377,7 @@ object DocQueries {
     EsAggs.run(ev, "doc", body, evSchema)
   }
 
-  private val d112x_tmpSql =
+  private val d113Sql =
     """WITH g AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS key,
       |    CAST(COUNT(*) AS BIGINT) AS doc_count
       |  FROM events GROUP BY 1)
@@ -4488,7 +4488,7 @@ object DocQueries {
     "d110_es_background_filter" -> d110 _,
     "d111_es_phrase_slop" -> d111 _,
     "d112_es_percolate" -> d112 _,
-    "d112x_tmp_es_moving_percentiles" -> d112x_tmp _,
+    "d113_es_moving_percentiles" -> d113 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
     "d3_roundtrip" -> d3 _,
@@ -4603,7 +4603,7 @@ object DocQueries {
     "d110_es_background_filter" -> d110Sql,
     "d111_es_phrase_slop" -> d111Sql,
     "d112_es_percolate" -> d112Sql,
-    "d112x_tmp_es_moving_percentiles" -> d112x_tmpSql,
+    "d113_es_moving_percentiles" -> d113Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,
     "d3_roundtrip" -> d3Sql,

@@ -3,7 +3,7 @@ package graft.stream
 import java.nio.file.{Files, Path, Paths}
 import java.util.Comparator
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -729,9 +729,75 @@ object IndexPipeline {
       |FROM events CROSS JOIN (SELECT unnest([0, 1]) AS off)
       |GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
 
+  // ---------------------------------------------------------------- st10
+  /** STREAMING PERCOLATION — the alerting pipeline: a registry of saved
+    * predicates evaluated against every event as it arrives; each match
+    * emits an (event, alert) row in the same micro-batch (append mode —
+    * alerts are immutable facts, no state at all). The registered
+    * predicates are ordinary pushable Column expressions, so at cluster
+    * scale this is a stateless map over the stream: a million events per
+    * second percolate against the whole registry in one pass with zero
+    * shuffles and zero state-store entries. Complements d112 (batch
+    * percolation through the full ES-body parser). */
+  private def st10(s: SparkSession, d: String): DataFrame = {
+    val base = Files.createTempDirectory("graft-stream10-")
+    val srcDir = base.resolve("log").toString
+    val ckDir = base.resolve("ck").toString
+    val nFiles = 3
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("ts_us"), col("event_type"), col("user_id"),
+        col("value"))
+    val maxId = ev.agg(max(col("event_id"))).head().getLong(0) + 1
+    (0 until nFiles).foreach { i =>
+      ev.filter(floor(col("event_id") * nFiles / maxId) === i)
+        .coalesce(1).write.parquet(s"$srcDir/b$i")
+    }
+    val registry: Seq[(String, (String => Column) => Column)] = Seq(
+      "a_error" -> (r => r("event_type") === "error"),
+      "a_big_value" -> (r => r("value") >= 99.0),
+      "a_vip_purchase" -> (r =>
+        r("event_type") === "purchase" && r("user_id") % 100 === 0))
+    val qname = s"st10_percolate_${System.nanoTime()}"
+    val src = s.readStream
+      .schema(ev.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$srcDir/b*")
+    val row: String => Column = col
+    val alerts = src.select(col("event_id"), col("user_id"),
+        explode(array(registry.map { case (n, p) =>
+          when(coalesce(p(row), lit(false)), lit(n)).otherwise(lit(null).cast("string"))
+        }: _*)).as("alert_id"))
+      .filter(col("alert_id").isNotNull)
+    val stream = alerts.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(qname)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckDir)
+      .start()
+    stream.awaitTermination()
+    val out = s.table(qname)
+      .orderBy(col("event_id"), col("alert_id"))
+    val pinned = graft.Eager.pin(out)
+    deleteRecursively(base)
+    pinned
+  }
+
+  private val st10Sql =
+    """SELECT event_id, user_id, alert_id FROM (
+      |  SELECT event_id, user_id, 'a_error' AS alert_id FROM events
+      |  WHERE event_type = 'error'
+      |  UNION ALL
+      |  SELECT event_id, user_id, 'a_big_value' FROM events WHERE value >= 99.0
+      |  UNION ALL
+      |  SELECT event_id, user_id, 'a_vip_purchase' FROM events
+      |  WHERE event_type = 'purchase' AND user_id % 100 = 0)
+      |ORDER BY event_id, alert_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "st8_left_outer_join" -> st8 _,
     "st9_sliding_window" -> st9 _,
+    "st10_percolate" -> st10 _,
     "st7_stream_static" -> st7 _,
     "st6_stream_join" -> st6 _,
     "st5_stream_dedup" -> st5 _,
@@ -742,6 +808,7 @@ object IndexPipeline {
   val oracle: Map[String, String] = Map(
     "st8_left_outer_join" -> st8Sql,
     "st9_sliding_window" -> st9Sql,
+    "st10_percolate" -> st10Sql,
     "st7_stream_static" -> st7Sql,
     "st6_stream_join" -> st6Sql,
     "st5_stream_dedup" -> st5Sql,

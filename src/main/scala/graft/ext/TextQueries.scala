@@ -722,12 +722,75 @@ object TextQueries {
       |SELECT doc_id, lang, rk, n_lang FROM r
       |WHERE rk <= (n_lang + 9) // 10 ORDER BY lang, rk""".stripMargin
 
+  // ---------------------------------------------------------------- t17
+  /** Gopher-style quality RULE BUNDLE (Rae et al. 2021 §A1.1 shape) —
+    * the per-rule breakdown a curation pipeline logs before dropping a
+    * document: word-count bounds, mean-word-length band, alphabetic-word
+    * fraction, distinct-stopword floor, each as its own boolean column
+    * plus the conjunction verdict (so downstream dashboards can
+    * attribute removal mass to individual rules — t2's scalar score
+    * can't). All integer counts + one division per ratio; single scan,
+    * no shuffle. */
+  private def t17(s: SparkSession, d: String): DataFrame = {
+    val stop = Seq("a", "the", "of", "and", "that")
+    docs(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_words"),
+        aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t)).as("sum_len"),
+        size(filter(col("toks"), t => t.rlike("^[a-z]+$"))).cast("long").as("n_alpha"),
+        size(array_intersect(array_distinct(col("toks")),
+          array(stop.map(lit): _*))).cast("long").as("n_stop_kinds"))
+      .select(col("doc_id"), col("n_words"),
+        (col("sum_len").cast("double") / col("n_words")).as("mean_word_len"),
+        (col("n_alpha").cast("double") / col("n_words")).as("alpha_frac"),
+        col("n_stop_kinds"),
+        (col("n_words") >= 50 && col("n_words") <= 100000).as("r_word_count"),
+        (col("sum_len").cast("double") / col("n_words") >= 3.0 &&
+          col("sum_len").cast("double") / col("n_words") <= 10.0).as("r_mean_len"),
+        (col("n_alpha").cast("double") / col("n_words") >= 0.8).as("r_alpha"),
+        (col("n_stop_kinds") >= 2).as("r_stop"))
+      .withColumn("keep",
+        col("r_word_count") && col("r_mean_len") && col("r_alpha") && col("r_stop"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t17Sql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id,
+      |    CAST(len(toks) AS BIGINT) AS n_words,
+      |    CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS sum_len,
+      |    CAST(len(list_filter(toks, x -> regexp_matches(x, '^[a-z]+$'))) AS BIGINT) AS n_alpha,
+      |    CAST(len(list_intersect(list_distinct(toks),
+      |      ['a', 'the', 'of', 'and', 'that'])) AS BIGINT) AS n_stop_kinds
+      |  FROM t)
+      |SELECT doc_id, n_words,
+      |  CAST(sum_len AS DOUBLE) / n_words AS mean_word_len,
+      |  CAST(n_alpha AS DOUBLE) / n_words AS alpha_frac,
+      |  n_stop_kinds,
+      |  n_words >= 50 AND n_words <= 100000 AS r_word_count,
+      |  CAST(sum_len AS DOUBLE) / n_words >= 3.0
+      |    AND CAST(sum_len AS DOUBLE) / n_words <= 10.0 AS r_mean_len,
+      |  CAST(n_alpha AS DOUBLE) / n_words >= 0.8 AS r_alpha,
+      |  n_stop_kinds >= 2 AS r_stop,
+      |  (n_words >= 50 AND n_words <= 100000)
+      |    AND (CAST(sum_len AS DOUBLE) / n_words >= 3.0
+      |         AND CAST(sum_len AS DOUBLE) / n_words <= 10.0)
+      |    AND CAST(n_alpha AS DOUBLE) / n_words >= 0.8
+      |    AND n_stop_kinds >= 2 AS keep
+      |FROM c ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
     "t14_keywords" -> t14 _,
     "t15_chunking" -> t15 _,
     "t16_stratified_sample" -> t16 _,
+    "t17_gopher_rules" -> t17 _,
     "t10_domain_mix" -> t10 _,
     "t11_bm25" -> t11 _,
     "t12_seq_pack" -> t12 _,
@@ -746,6 +809,7 @@ object TextQueries {
     "t14_keywords" -> t14Sql,
     "t15_chunking" -> t15Sql,
     "t16_stratified_sample" -> t16Sql,
+    "t17_gopher_rules" -> t17Sql,
     "t10_domain_mix" -> t10Sql,
     "t11_bm25" -> t11Sql,
     "t12_seq_pack" -> t12Sql,

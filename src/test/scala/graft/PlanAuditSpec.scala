@@ -452,6 +452,39 @@ class PlanAuditSpec extends SparkSpec {
     assert(ids("Scan parquet").size <= 2, s"expected at most two corpus scans:\n$p")
   }
 
+  test("s6: knn filter prunes before vector math; the page is a bounded heap") {
+    val p = plan(q("s6_es_knn"))
+    // the label predicate must reach the parquet scan — vector math only
+    // ever touches the filtered subset
+    assert(p.contains("PushedFilters") && p.contains("label"),
+      s"knn filter did not push down:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"knn top-k must be a bounded heap:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"knn must not shuffle-join:\n$p")
+  }
+
+  test("s7: both RRF source lists are bounded heaps; fusion joins only the bounded lists") {
+    val p = plan(q("s7_rrf_hybrid"))
+    val heaps = "TakeOrderedAndProject".r.findAllIn(p).length
+    assert(heaps >= 2, s"expected two bounded top-k lists, got $heaps:\n$p")
+    // a full-outer join cannot broadcast in Spark — the SortMergeJoin is
+    // fine BECAUSE its inputs are the two <=window-row heaps; what must
+    // never happen is a corpus-sized hash exchange feeding the fusion
+    val hashExchanges = corpusHashExchanges(p)
+    assert(hashExchanges === 0,
+      s"fusion must consume the bounded lists directly, got $hashExchanges hash shuffles:\n$p")
+  }
+
+  test("d112: percolation is one scan, no join, no aggregation shuffle") {
+    val p = plan(q("d112_es_percolate"))
+    assert(!p.contains("Join"), s"percolation must not join:\n$p")
+    def ids(label: String): Seq[Int] =
+      ("\\((\\d+)\\) " + label).r.findAllMatchIn(p).map(_.group(1).toInt).toSeq
+    assert(ids("Scan parquet").size === 1, s"expected a single corpus scan:\n$p")
+    // the only exchange is the final ORDER BY's range partitioning
+    val hashExchanges = corpusHashExchanges(p)
+    assert(hashExchanges === 0, s"percolation must not hash-shuffle:\n$p")
+  }
+
   test("t16: stratified sample runs both windows on ONE stratum shuffle") {
     val p = plan(q("t16_stratified_sample"))
     // count-per-stratum and hash-rank share the lang partitioning: one

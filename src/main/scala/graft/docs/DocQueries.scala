@@ -4388,6 +4388,69 @@ object DocQueries {
       |WINDOW w AS (ORDER BY key ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
       |ORDER BY key""".stripMargin
 
+  // ---------------------------------------------------------------- d114
+  /** FOUR-level bucket split — the deepest Kibana data-table body
+    * ("split rows ×3"): terms × terms × histogram × histogram with a
+    * leaf metric. Still ONE composite-key corpus aggregation (the same
+    * plan shape as d74 plus one more window column over the bucket
+    * table): depth changes the key width, never the number of corpus
+    * passes or shuffles. */
+  private def d114(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "size": 0,
+        |  "aggs": {
+        |    "by_type": {
+        |      "terms": { "field": "planType", "size": 3 },
+        |      "aggs": {
+        |        "by_org": {
+        |          "terms": { "field": "_org", "size": 4 },
+        |          "aggs": {
+        |            "copay_hist": {
+        |              "histogram": { "field": "planCostShares.copay", "interval": 25 },
+        |              "aggs": {
+        |                "ded_hist": {
+        |                  "histogram": { "field": "planCostShares.deductible",
+        |                                 "interval": 1000 },
+        |                  "aggs": {
+        |                    "max_ded": { "max": { "field": "planCostShares.deductible" } }
+        |                  }
+        |                }
+        |              }
+        |            }
+        |          }
+        |        }
+        |      }
+        |    }
+        |  }
+        |}""".stripMargin
+    EsAggs.run(assembled(s, d), "doc", body, schema)
+  }
+
+  private val d114Sql =
+    s"""WITH base AS (
+       |  SELECT c_mktsegment AS key,
+       |    'org-' || ${ck("c_nationkey")} || '.example.com' AS key2,
+       |    CAST((c_custkey % 50) // 25 * 25 AS BIGINT) AS key3,
+       |    CAST((c_nationkey * 100) // 1000 * 1000 AS BIGINT) AS key4,
+       |    CAST(c_nationkey * 100 AS BIGINT) AS ded
+       |  FROM customer),
+       |leaf AS (SELECT key, key2, key3, key4, CAST(COUNT(*) AS BIGINT) AS doc_count4,
+       |    MAX(ded) AS max_ded FROM base GROUP BY 1, 2, 3, 4),
+       |l3 AS (SELECT *,
+       |    CAST(SUM(doc_count4) OVER (PARTITION BY key, key2, key3) AS BIGINT) AS doc_count3,
+       |    CAST(SUM(doc_count4) OVER (PARTITION BY key, key2) AS BIGINT) AS doc_count2,
+       |    CAST(SUM(doc_count4) OVER (PARTITION BY key) AS BIGINT) AS doc_count
+       |  FROM leaf),
+       |p AS (SELECT * FROM (SELECT *, DENSE_RANK() OVER (ORDER BY doc_count DESC, key) AS pr
+       |      FROM l3) WHERE pr <= 3),
+       |c AS (SELECT * FROM (SELECT *, DENSE_RANK() OVER (PARTITION BY key
+       |        ORDER BY doc_count2 DESC, key2) AS cr
+       |      FROM p) WHERE cr <= 4)
+       |SELECT key, doc_count, key2, doc_count2, key3, doc_count3, key4, doc_count4, max_ded
+       |FROM c
+       |ORDER BY doc_count DESC, key, doc_count2 DESC, key2, key3, key4""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -4489,6 +4552,7 @@ object DocQueries {
     "d111_es_phrase_slop" -> d111 _,
     "d112_es_percolate" -> d112 _,
     "d113_es_moving_percentiles" -> d113 _,
+    "d114_es_four_level" -> d114 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
     "d3_roundtrip" -> d3 _,
@@ -4604,6 +4668,7 @@ object DocQueries {
     "d111_es_phrase_slop" -> d111Sql,
     "d112_es_percolate" -> d112Sql,
     "d113_es_moving_percentiles" -> d113Sql,
+    "d114_es_four_level" -> d114Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,
     "d3_roundtrip" -> d3Sql,

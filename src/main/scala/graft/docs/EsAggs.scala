@@ -8,11 +8,12 @@ import org.apache.spark.sql.types.StructType
   * panel is a terms/histogram bucket agg with metric sub-aggs), compiled
   * to a single `groupBy().agg()`.
   *
-  * Scope (loudly rejected beyond it): up to THREE bucket levels — `terms`
+  * Scope (loudly rejected beyond it): up to FOUR bucket levels — `terms`
   * (ordered/pruned top-N) or `histogram`/`date_histogram` (fixed or
-  * calendar bins, zero-fillable) split by up to two more terms/histogram
-  * levels (the Kibana "split series" / data-table "split rows ×2"
-  * shapes) — OR one single-level bucket agg of
+  * calendar bins, zero-fillable) split by up to three more terms/histogram
+  * levels (the Kibana "split series" / data-table "split rows ×3"
+  * shapes; one composite-key aggregation regardless of depth) — OR one
+  * single-level bucket agg of
   * any supported kind: `filters`, `range`, `date_range`, `missing`,
   * `adjacency_matrix`, `rare_terms`, `composite` (after-cursor
   * pagination), `significant_terms`, `global`; with metric sub-aggs at
@@ -295,7 +296,7 @@ object EsAggs {
 
   /** A bucket level: the bucket agg, its metric sub-aggs, and at most one
     * sub-bucket level (Kibana "split series" — terms × terms/histogram).
-    * Depth is capped at three bucket levels; a level with a sub-bucket
+    * Depth is capped at four bucket levels; a level with a sub-bucket
     * carries no metrics of its own (parse rejects mixing). Pipelines and
     * `top_hits` attach only to a single-level keyed bucket (validated at
     * parse); a level with `top_hits` carries nothing else. */
@@ -1260,10 +1261,10 @@ object EsAggs {
               require(nestedM.isEmpty,
                 "a nested agg on a multi-level split level is not implemented")
               // this check runs at EVERY recursion level, so the binding
-              // constraint is the outermost call's: at most THREE bucket
-              // levels total (the Kibana data-table "split rows ×2" body)
-              require(inner.sub.forall(_.sub.isEmpty),
-                "aggs nesting deeper than three bucket levels is not implemented")
+              // constraint is the outermost call's: at most FOUR bucket
+              // levels total (the Kibana data-table "split rows ×3" body)
+              require(inner.sub.forall(_.sub.forall(_.sub.isEmpty)),
+                "aggs nesting deeper than four bucket levels is not implemented")
               require(inner.pipelines.isEmpty && inner.topHits.isEmpty && inner.siblings.isEmpty
                   && inner.reverse.isEmpty && inner.nested.isEmpty,
                 "pipeline aggs / top_hits / sibling *_bucket / reverse_nested / nested aggs on an inner level of a multi-level split are not implemented")
@@ -1390,7 +1391,8 @@ object EsAggs {
           // reserved column (or another output) would silently overwrite
           // it via withColumn — reject at parse, not at runtime
           val reservedNames =
-            Set("key", "doc_count", "key2", "doc_count2", "key3", "doc_count3") ++
+            Set("key", "doc_count", "key2", "doc_count2", "key3", "doc_count3",
+        "key4", "doc_count4") ++
               // auto_date_histogram appends its chosen unit as `interval`
               (bucket match { case _: AutoDateHistogram => Set("interval"); case _ => Set.empty[String] })
           val outNames =

@@ -4451,6 +4451,43 @@ object DocQueries {
        |FROM c
        |ORDER BY doc_count DESC, key, doc_count2 DESC, key2, key3, key4""".stripMargin
 
+  // ---------------------------------------------------------------- d115
+  /** `track_total_hits: true` — the exact hit count beside the page (the
+    * "1,234 results" header every search UI renders; ES defaults to a
+    * 10k lower bound, this engine is exact — same documented upgrade as
+    * cardinality). One extra global count sharing the scan's pushed
+    * filters, broadcast onto the ≤size-row page. */
+  private def d115(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "query": {
+        |    "bool": {
+        |      "must": [ { "range": { "planCostShares.copay": { "gte": 20 } } } ],
+        |      "should": [ { "match": { "planType": "HOUSEHOLD" } } ]
+        |    }
+        |  },
+        |  "size": 5,
+        |  "_source": ["objectId", "planType"],
+        |  "track_total_hits": true
+        |}""".stripMargin
+    SearchExec.search(assembled(s, d), "doc", body, schema)
+  }
+
+  private val d115Sql =
+    s"""WITH hits AS (
+       |  SELECT 'plan-' || ${ck("c_custkey")} AS "objectId", c_mktsegment AS "planType",
+       |    CAST(CASE WHEN lower(c_mktsegment) = 'household' THEN 1 ELSE 0 END AS BIGINT)
+       |      AS score
+       |  FROM customer WHERE c_custkey % 50 >= 20),
+       |page AS (
+       |  SELECT rn, score, "objectId", "planType" FROM (
+       |    SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, "objectId" ASC) AS rn
+       |    FROM hits)
+       |  WHERE rn <= 5)
+       |SELECT rn, score, "objectId", "planType",
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM hits) AS total
+       |FROM page ORDER BY rn""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -4553,6 +4590,7 @@ object DocQueries {
     "d112_es_percolate" -> d112 _,
     "d113_es_moving_percentiles" -> d113 _,
     "d114_es_four_level" -> d114 _,
+    "d115_es_track_total" -> d115 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
     "d3_roundtrip" -> d3 _,
@@ -4669,6 +4707,7 @@ object DocQueries {
     "d112_es_percolate" -> d112Sql,
     "d113_es_moving_percentiles" -> d113Sql,
     "d114_es_four_level" -> d114Sql,
+    "d115_es_track_total" -> d115Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,
     "d3_roundtrip" -> d3Sql,

@@ -158,7 +158,14 @@ object SearchExec {
         .otherwise(lit(null).cast("string"))
         .as(h.path.mkString("_") + "_highlight")
     }
-    numbered.select((col("rn") +: scoreCols) ++ sourceCols ++ highlightCols: _*)
+    val paged = numbered.select((col("rn") +: scoreCols) ++ sourceCols ++ highlightCols: _*)
       .orderBy(col("rn"))
+    // track_total_hits: the EXACT hit count beside the page — one global
+    // count over the (post-collapse) hit set, broadcast onto the ≤size-row
+    // page. The count aggregation shares the scan's pushed filters; at
+    // 100 TB it is one extra partial+final count, never a second sort.
+    if (!b.trackTotalHits) paged
+    else paged.crossJoin(broadcast(
+      collapsed.agg(count(lit(1)).cast("long").as("total"))))
   }
 }

@@ -414,7 +414,8 @@ object SearchQuery {
                             source: Option[Seq[Seq[String]]],
                             collapse: Option[Seq[String]] = None,
                             rescore: Option[Rescore] = None,
-                            highlight: Option[Highlight] = None)
+                            highlight: Option[Highlight] = None,
+                            trackTotalHits: Boolean = false)
 
   /** ES `highlight` — whole-field mode (`number_of_fragments: 0`), one
     * field, default `<em>`/`</em>` tags. The executor wraps every
@@ -472,8 +473,18 @@ object SearchQuery {
     }
     val unknown = root.keySet --
       Set("query", "sort", "from", "size", "_source", "search_after", "collapse", "rescore",
-        "highlight")
+        "highlight", "track_total_hits")
     require(unknown.isEmpty, s"unsupported ES body key(s): ${unknown.mkString(", ")}")
+    // ES `track_total_hits: true` — the exact hit count alongside the page
+    // (ES defaults to a 10k lower bound; this engine only offers the exact
+    // variant, the same exactness upgrade as cardinality). An integer
+    // threshold form is rejected loudly rather than approximated.
+    val trackTotal = root.get("track_total_hits") match {
+      case None | Some(JBool(false)) => false
+      case Some(JBool(true)) => true
+      case Some(other) => throw new IllegalArgumentException(
+        s"track_total_hits threshold form is not implemented (true/false only): $other")
+    }
     def asInt(v: JValue): Int = v match {
       case JInt(i) => i.toInt
       case JLong(l) => l.toInt
@@ -628,7 +639,7 @@ object SearchQuery {
       case other => throw new IllegalArgumentException(s"bad highlight: $other")
     }
     val fb = FullBody(parseBody(body, schema), sorts, from, size, searchAfter, source, collapse,
-      rescore, highlight)
+      rescore, highlight, trackTotal)
     highlight.foreach { h =>
       require(highlightTerms(fb.parsed.query, h.path).nonEmpty,
         s"highlight field ${h.path.mkString(".")} is targeted by no highlightable query clause " +

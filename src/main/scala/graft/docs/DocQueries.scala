@@ -4488,6 +4488,37 @@ object DocQueries {
        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM hits) AS total
        |FROM page ORDER BY rn""".stripMargin
 
+  // ---------------------------------------------------------------- d116
+  /** ES `completion` suggester — search-box autocomplete: suggestions
+    * extending the typed prefix, ranked by weight then alphabetically.
+    * ES backs this with an in-memory FST and per-suggestion weights;
+    * the relational equivalent derives the suggestion dictionary from
+    * the corpus (distinct service names, weight = document frequency —
+    * the dictionary-build a real deployment runs offline) and serves the
+    * prefix from it: a pushable startsWith filter + one hash agg over
+    * matching names + a bounded top-N. The dictionary aggregation is
+    * the only corpus-scale work and it prunes to the prefix at the
+    * scan. */
+  private def d116(s: SparkSession, d: String): DataFrame = {
+    val prefix = "Service 3"
+    assembled(s, d)
+      .select(explode(col("doc.linkedPlanServices")).as("el"))
+      .select(col("el.linkedService.name").as("suggestion"))
+      .filter(col("suggestion").startsWith(prefix))
+      .groupBy(col("suggestion"))
+      .agg(count(lit(1)).as("weight"))
+      .orderBy(col("weight").desc, col("suggestion"))
+      .limit(5)
+  }
+
+  private val d116Sql =
+    s"""SELECT 'Service ' || o_orderpriority AS suggestion,
+       |  CAST(COUNT(*) AS BIGINT) AS weight
+       |FROM orders
+       |WHERE o_custkey % 113 <> 0
+       |  AND 'Service ' || o_orderpriority LIKE 'Service 3%'
+       |GROUP BY 1 ORDER BY weight DESC, suggestion LIMIT 5""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -4591,6 +4622,7 @@ object DocQueries {
     "d113_es_moving_percentiles" -> d113 _,
     "d114_es_four_level" -> d114 _,
     "d115_es_track_total" -> d115 _,
+    "d116_es_completion" -> d116 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
     "d3_roundtrip" -> d3 _,
@@ -4708,6 +4740,7 @@ object DocQueries {
     "d113_es_moving_percentiles" -> d113Sql,
     "d114_es_four_level" -> d114Sql,
     "d115_es_track_total" -> d115Sql,
+    "d116_es_completion" -> d116Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,
     "d3_roundtrip" -> d3Sql,

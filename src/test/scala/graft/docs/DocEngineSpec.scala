@@ -509,17 +509,19 @@ class DocEngineSpec extends SparkSpec {
     assert(sRows(0).getAs[String]("key2") === "Yearly physical") // tie → key asc
     assert(sRows(0).getAs[Long]("doc_count2") === 1L)
     assert(sRows(0).getAs[Long]("n") === 1L)
-    // three bucket levels parse (Kibana "split rows ×2"); FOUR rejected
+    // four bucket levels parse (Kibana "split rows ×3", d114); FIVE rejected
     EsAggs.parse(
       """{"aggs": {"a": {"terms": {"field": "planType"},
         |  "aggs": {"b": {"terms": {"field": "_org"},
-        |    "aggs": {"c": {"terms": {"field": "objectType"}}}}}}}}""".stripMargin,
+        |    "aggs": {"c": {"terms": {"field": "objectType"},
+        |      "aggs": {"e": {"terms": {"field": "objectId"}}}}}}}}}}""".stripMargin,
       PlanSchema.plan)
     assertThrows[IllegalArgumentException](EsAggs.parse(
       """{"aggs": {"a": {"terms": {"field": "planType"},
         |  "aggs": {"b": {"terms": {"field": "_org"},
         |    "aggs": {"c": {"terms": {"field": "objectType"},
-        |      "aggs": {"e": {"terms": {"field": "objectId"}}}}}}}}}}""".stripMargin,
+        |      "aggs": {"e": {"terms": {"field": "objectId"},
+        |        "aggs": {"f": {"terms": {"field": "creationDate"}}}}}}}}}}}}""".stripMargin,
       PlanSchema.plan))
     // a NON-LEAF level may not order by a metric (metrics live at the leaf)
     assertThrows[IllegalArgumentException](EsAggs.parse(

@@ -4519,6 +4519,60 @@ object DocQueries {
        |  AND 'Service ' || o_orderpriority LIKE 'Service 3%'
        |GROUP BY 1 ORDER BY weight DESC, suggestion LIMIT 5""".stripMargin
 
+  // ---------------------------------------------------------------- d117
+  /** Metrics at EVERY split level (the ES contract d74's leaf-only shape
+    * didn't cover): a parent-level `avg` beside the sub-bucket plus a
+    * leaf `max`. The parent metric is carried as leaf-grain partials in
+    * the SAME single aggregation and recombined as a window over the
+    * parent key — still one corpus pass at any depth; non-decomposable
+    * kinds at a non-leaf level are rejected loudly. */
+  private def d117(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "size": 0,
+        |  "aggs": {
+        |    "by_type": {
+        |      "terms": { "field": "planType", "size": 3 },
+        |      "aggs": {
+        |        "avg_copay": { "avg": { "field": "planCostShares.copay" } },
+        |        "by_org": {
+        |          "terms": { "field": "_org", "size": 4 },
+        |          "aggs": {
+        |            "max_ded": { "max": { "field": "planCostShares.deductible" } }
+        |          }
+        |        }
+        |      }
+        |    }
+        |  }
+        |}""".stripMargin
+    EsAggs.run(assembled(s, d), "doc", body, schema)
+  }
+
+  private val d117Sql =
+    s"""WITH base AS (
+       |  SELECT c_mktsegment AS key,
+       |    'org-' || ${ck("c_nationkey")} || '.example.com' AS key2,
+       |    CAST(c_custkey % 50 AS BIGINT) AS copay,
+       |    CAST(c_nationkey * 100 AS BIGINT) AS ded
+       |  FROM customer),
+       |leaf AS (SELECT key, key2, CAST(COUNT(*) AS BIGINT) AS doc_count2,
+       |    CAST(SUM(copay) AS BIGINT) AS cps, CAST(COUNT(copay) AS BIGINT) AS cpc,
+       |    MAX(ded) AS max_ded
+       |  FROM base GROUP BY 1, 2),
+       |l2 AS (SELECT *,
+       |    CAST(SUM(doc_count2) OVER (PARTITION BY key) AS BIGINT) AS doc_count,
+       |    CAST(SUM(cps) OVER (PARTITION BY key) AS DOUBLE)
+       |      / SUM(cpc) OVER (PARTITION BY key) AS avg_copay
+       |  FROM leaf),
+       |p AS (SELECT * FROM (SELECT *, DENSE_RANK() OVER (ORDER BY doc_count DESC, key) AS pr
+       |      FROM l2) WHERE pr <= 3),
+       |c AS (SELECT * FROM (SELECT *, DENSE_RANK() OVER (PARTITION BY key
+       |        ORDER BY doc_count2 DESC, key2) AS cr
+       |      FROM p) WHERE cr <= 4)
+       |SELECT key, doc_count, key2, doc_count2, avg_copay, max_ded
+       |FROM c
+       |ORDER BY doc_count DESC, key, doc_count2 DESC, key2""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -4623,6 +4677,7 @@ object DocQueries {
     "d114_es_four_level" -> d114 _,
     "d115_es_track_total" -> d115 _,
     "d116_es_completion" -> d116 _,
+    "d117_es_level_metrics" -> d117 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
     "d3_roundtrip" -> d3 _,
@@ -4741,6 +4796,7 @@ object DocQueries {
     "d114_es_four_level" -> d114Sql,
     "d115_es_track_total" -> d115Sql,
     "d116_es_completion" -> d116Sql,
+    "d117_es_level_metrics" -> d117Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,
     "d3_roundtrip" -> d3Sql,

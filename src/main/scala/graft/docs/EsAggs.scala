@@ -1228,7 +1228,29 @@ object EsAggs {
               Some(NestedMetrics(name, arr, ms0))
             case _ => throw new IllegalArgumentException("at most one nested agg per level")
           }
-          val tree = parseTree(metricOrSub, ctx) match {
+          // ES allows metric sub-aggs at EVERY level of a split, not just
+          // the leaf: partition this level's sub-entries into the (single)
+          // sub-bucket entry and its sibling metrics. Non-leaf metrics are
+          // restricted to the DECOMPOSABLE kinds (avg/sum/min/max/
+          // value_count) — they recombine exactly from leaf partials as
+          // bucket-table windows; percentiles/cardinality at a non-leaf
+          // level would need a second corpus pass and are rejected loudly.
+          val (subBucketEntries, parentMetricEntries) = metricOrSub.partition {
+            case (_, JObject(f)) => f.exists { case (k, _) => bucketKinds(k) }
+            case _ => false
+          }
+          val parentMs: Seq[(String, Metric)] =
+            if (subBucketEntries.size == 1 && parentMetricEntries.nonEmpty) {
+              val ms0 = parseMetrics(parentMetricEntries, ctx)
+              ms0.foreach { case (n0, m0) =>
+                require(Set("avg", "sum", "min", "max", "value_count")(m0.kind),
+                  s"metric \"$n0\" (${m0.kind}) at a non-leaf split level is not " +
+                    "implemented (decomposable kinds avg/sum/min/max/value_count only — " +
+                    "others need a second corpus pass)") }
+              ms0
+            } else Nil
+          val treeInput = if (parentMs.nonEmpty) subBucketEntries else metricOrSub
+          val tree = parseTree(treeInput, ctx) match {
             case Left(ms) =>
               reverse.foreach { rn =>
                 require(bucket.isInstanceOf[Terms],
@@ -1268,7 +1290,9 @@ object EsAggs {
               require(inner.pipelines.isEmpty && inner.topHits.isEmpty && inner.siblings.isEmpty
                   && inner.reverse.isEmpty && inner.nested.isEmpty,
                 "pipeline aggs / top_hits / sibling *_bucket / reverse_nested / nested aggs on an inner level of a multi-level split are not implemented")
-              Buckets(bucket, Nil, Some(inner), pipelines, topHits)
+              // a level with a sub-bucket may also carry (decomposable)
+              // metrics of its own — ES's per-level metric contract
+              Buckets(bucket, parentMs, Some(inner), pipelines, topHits)
           }
           // Validate terms order targets against what the level can sort
           // by; reject (don't ignore) anything else. Multi-column metrics
@@ -1288,11 +1312,12 @@ object EsAggs {
             case None => checkOrder(tree.bucket, tree.metrics.toMap, "this level")
             case Some(_) =>
               val chain = levelsOf(tree)
-              // only the LEAF carries metrics (construction guarantees a
-              // level with a sub has none), so only the leaf may order by
-              // a metric sub-agg
+              // only the leaf may order by a metric sub-agg: non-leaf
+              // metrics exist but are window-combined, not sortable keys
+              // (ordering a parent by one is not wired — reject, don't
+              // misorder)
               chain.init.foreach(l =>
-                checkOrder(l.bucket, Map.empty, "a non-leaf level (which carries no metrics)"))
+                checkOrder(l.bucket, Map.empty, "a non-leaf level (order by a non-leaf metric is not implemented)"))
               checkOrder(chain.last.bucket, chain.last.metrics.toMap, "the leaf level")
               chain.tail.foreach(_.bucket match {
                 case _: FiltersAgg | _: RangeAgg | _: MissingAgg | _: CompositeAgg |
@@ -1316,6 +1341,8 @@ object EsAggs {
           }
           (bucket, tree.sub) match {
             case (fa: FiltersAgg, Some(child)) =>
+              require(tree.metrics.isEmpty,
+                "metrics on the filters level of a filters split are not implemented")
               // Kibana "split chart by filters": filters parent, ONE child
               // bucket level (terms/histogram/date_histogram), metrics at
               // the leaf — compiled as one conditional aggregation on the
@@ -2456,16 +2483,51 @@ object EsAggs {
         def dcname(i: Int) = if (i == 0) "doc_count" else s"doc_count${i + 1}"
         def prefixW(i: Int) =
           if (i == 0) bucketW else W.partitionBy((0 until i).map(j => col(kname(j))): _*)
+        // non-leaf metrics (ES allows metric sub-aggs at every level):
+        // decomposable kinds only (parse-validated), carried as leaf-grain
+        // PARTIALS in the same single aggregation and recombined as
+        // windows over the level's key prefix — no second corpus pass.
+        val parentPartials: Seq[Column] = lvls.init.zipWithIndex.flatMap { case (lvl, i) =>
+          lvl.metrics.flatMap { case (nm, m) =>
+            val v = field(ctx, m.path)
+            m.kind match {
+              case "avg" => Seq(sum(v).as(s"_pp${i}_${nm}_s"), count(v).as(s"_pp${i}_${nm}_c"))
+              case "sum" => Seq(sum(v).as(s"_pp${i}_${nm}_s"))
+              case "min" => Seq(min(v).as(s"_pp${i}_${nm}_m"))
+              case "max" => Seq(max(v).as(s"_pp${i}_${nm}_m"))
+              case "value_count" => Seq(count(v).as(s"_pp${i}_${nm}_c"))
+            }
+          }
+        }
         val leaf = rows.filter(keyCol(lvls.head.bucket).isNotNull)
           .groupBy(lvls.indices.map(i => keyCol(lvls(i).bucket).as(kname(i))): _*)
           .agg(count(lit(1)).as(dcname(n - 1)),
-            leafMs.flatMap { case (nm, m) => metricCols(nm, m) }: _*)
+            leafMs.flatMap { case (nm, m) => metricCols(nm, m) } ++ parentPartials: _*)
         // ancestor doc_counts: level-i count = sum of leaf counts over the
         // level-i key prefix, null deeper keys INCLUDED (the parent-count
         // contract above); computed BEFORE any pruning (ES: a child-level
         // min_doc_count does not change the parent's count)
         var out = lvls.indices.init.foldLeft(leaf) { (t, i) =>
           t.withColumn(dcname(i), sum(col(dcname(n - 1))).over(prefixW(i + 1)))
+        }
+        // recombine non-leaf metrics from the leaf partials, BEFORE any
+        // pruning (same completeness contract as the ancestor counts:
+        // null-child rows still contribute their partials)
+        lvls.init.zipWithIndex.foreach { case (lvl, i) =>
+          lvl.metrics.foreach { case (nm, m) =>
+            val wI = prefixW(i + 1)
+            out = m.kind match {
+              case "avg" => out.withColumn(nm,
+                sum(col(s"_pp${i}_${nm}_s")).over(wI).cast("double") /
+                  sum(col(s"_pp${i}_${nm}_c")).over(wI))
+              case "sum" => out.withColumn(nm,
+                sum(col(s"_pp${i}_${nm}_s")).over(wI).cast("double"))
+              case "min" => out.withColumn(nm, min(col(s"_pp${i}_${nm}_m")).over(wI))
+              case "max" => out.withColumn(nm, max(col(s"_pp${i}_${nm}_m")).over(wI))
+              case "value_count" => out.withColumn(nm,
+                sum(col(s"_pp${i}_${nm}_c")).over(wI).cast("long"))
+            }
+          }
         }
         // top-down per level: drop this level's null-key rows (their
         // ancestor-count duty is done), then min_doc_count prune + top-N
@@ -2489,7 +2551,7 @@ object EsAggs {
           }
         }
         out.select(lvls.indices.flatMap(i => Seq(col(kname(i)), col(dcname(i))))
-            ++ leafMs.flatMap { case (nm, m) => metricNames(nm, m) }.map(col): _*)
+            ++ lvls.flatMap(_.metrics).flatMap { case (nm, m) => metricNames(nm, m) }.map(col): _*)
           .orderBy(levelOrders.flatten: _*)
       case Right(other) =>
         throw new IllegalStateException(s"unplannable aggs tree (parse should have rejected it): $other")

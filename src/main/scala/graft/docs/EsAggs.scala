@@ -161,7 +161,7 @@ object EsAggs {
   /** ES `date_range` bucket agg — from-inclusive/to-exclusive over ISO
     * `yyyy-MM-dd` bounds (midnight semantics), open ends allowed. */
   final case class DateRangeAgg(path: Seq[String],
-                                ranges: Seq[(Option[String], Option[String])]) extends Agg
+                                ranges: Seq[(Option[String], Option[String], Option[String])]) extends Agg
   /** ES `multi_terms` — a terms agg over a COMPOSITE key (the newer
     * Kibana "break down by multiple fields" panel): top-`size` buckets by
     * doc_count desc, key rendered as the `|`-joined field values (ES
@@ -924,17 +924,23 @@ object EsAggs {
               case Some(JArray(rs)) if rs.nonEmpty => rs.map {
                 case JObject(bounds) =>
                   val b = bounds.toMap
-                  val unknown = b.keySet -- Set("from", "to")
+                  val unknown = b.keySet -- Set("from", "to", "key")
                   require(unknown.isEmpty,
-                    s"unsupported date_range bound key(s): ${unknown.mkString(", ")} (from/to)")
+                    s"unsupported date_range bound key(s): ${unknown.mkString(", ")} (from/to/key)")
                   val lo = bound(b, "from")
                   val hi = bound(b, "to")
+                  val ck = b.get("key").map {
+                    case JString(k) => k
+                    case other => throw new IllegalArgumentException(s"bad date_range key: $other")
+                  }
                   require(lo.nonEmpty || hi.nonEmpty, "date_range bucket needs from and/or to")
-                  (lo, hi)
+                  (ck, lo, hi)
                 case other => throw new IllegalArgumentException(s"bad date_range bucket: $other")
               }
               case _ => throw new IllegalArgumentException("date_range needs a non-empty ranges array")
             }
+            require(ranges.flatMap(_._1).distinct.size == ranges.flatMap(_._1).size,
+              "duplicate date_range bucket keys")
             DateRangeAgg(fieldPath(spec, "date_range", ctx), ranges)
           }).orElse(bf.get("global").map { spec =>
             require(ctx.isEmpty, "global agg inside a nested context is not implemented")
@@ -1939,8 +1945,8 @@ object EsAggs {
         condBuckets(compiled ++ pairs, ms).filter(col("doc_count") > 0)
       case Right(Buckets(DateRangeAgg(p, rs), ms, None, Nil, None, Nil, None, None)) =>
         val v = field(ctx, p)
-        condBuckets(rs.map { case (lo, hi) =>
-          val key = s"${lo.getOrElse("*")}-${hi.getOrElse("*")}"
+        condBuckets(rs.map { case (ck, lo, hi) =>
+          val key = ck.getOrElse(s"${lo.getOrElse("*")}-${hi.getOrElse("*")}")
           val pred = (lo.map(x => v >= to_date(lit(x))).toSeq ++
             hi.map(x => v < to_date(lit(x))).toSeq).reduce(_ && _)
           key -> pred

@@ -764,6 +764,24 @@ class DocEngineSpec extends SparkSpec {
       PlanSchema.plan), col("doc"))).count()
     assert(mbp("or") === 6L && mbp("and") === 0L)
 
+    // date_range custom bucket keys render in place of from-to
+    val dated = spark.range(4).select(struct(col("id").as("event_id"),
+      date_add(to_date(lit("2024-01-01")), col("id").cast("int") * 10).as("ts")).as("doc"))
+    val datedSchema = dated.schema("doc").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val dr = EsAggs.run(dated, "doc",
+      """{"aggs": {"eras": {"date_range": {"field": "ts",
+        |  "ranges": [{"key": "early", "to": "2024-01-15"},
+        |             {"key": "late", "from": "2024-01-15"}]}}}}""".stripMargin,
+      datedSchema).collect()
+    assert(dr.map(r => (r.getAs[String]("key"), r.getAs[Long]("doc_count"))).toSeq ===
+      Seq(("early", 2L), ("late", 2L)))
+    assertThrows[IllegalArgumentException](EsAggs.parse(
+      """{"aggs": {"eras": {"date_range": {"field": "ts",
+        |  "ranges": [{"key": "x", "to": "2024-01-15"},
+        |             {"key": "x", "from": "2024-01-15"}]}}}}""".stripMargin,
+      datedSchema))
+
     // extended_stats: default sigma 2, population variance over copays
     val es = EsAggs.run(corpus, "doc",
       """{"aggs": {"c": {"extended_stats": {"field": "planCostShares.copay"}}}}""",

@@ -421,6 +421,20 @@ class PlanAuditSpec extends SparkSpec {
       s"query_string prefix clause did not push down:\n$p")
   }
 
+  test("d114/d117: four-level split and per-level metrics stay ONE corpus aggregation") {
+    for (name <- Seq("d114_es_four_level", "d117_es_level_metrics")) {
+      val p = plan(q(name))
+      def ids(label: String): Seq[Int] =
+        ("\\((\\d+)\\) " + label).r.findAllMatchIn(p).map(_.group(1).toInt).toSeq
+      assert(ids("Scan parquet").size === 1, s"$name: expected a single corpus scan:\n$p")
+      assert(ids("HashAggregate").size === 2,
+        s"$name: expected one partial+final aggregate pair:\n$p")
+      val ha = ids("HashAggregate")
+      assert(ids("Exchange").count(i => i > ha.min && i < ha.max) === 1,
+        s"$name: the corpus aggregation must be the single partial→final shuffle:\n$p")
+    }
+  }
+
   test("d103: filters split is ONE corpus aggregation on the child key, no join") {
     val p = plan(q("d103_es_filters_split"))
     assert(p.contains("partial_"), "filters split lost map-side partial combine")

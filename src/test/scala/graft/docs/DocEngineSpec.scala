@@ -712,6 +712,34 @@ class DocEngineSpec extends SparkSpec {
     variant("b1", "typeB", 30), variant("b2", "typeB", 40), variant("b3", "typeB", 50),
     variant("c1", "typeC", 99))
 
+  test("composite after-cursor pages TILE the full bucket list (no gap, no overlap)") {
+    // the flagship scalable agg's core contract: walking page by page
+    // reconstructs exactly the one-shot bucket list, in order
+    def body(size: Int, after: Option[(String, String)]): String = {
+      val afterStr = after.map { case (a, b) =>
+        s""", "after": {"pt": "$a", "org": "$b"}""" }.getOrElse("")
+      s"""{"aggs": {"pg": {"composite": {"size": $size, "sources": [
+         |  {"pt": {"terms": {"field": "planType"}}},
+         |  {"org": {"terms": {"field": "objectType"}}}]$afterStr},
+         |  "aggs": {"s": {"sum": {"field": "planCostShares.copay"}}}}}}""".stripMargin
+    }
+    def rows(b: String) = EsAggs.run(corpus, "doc", b, PlanSchema.plan).collect()
+      .map(r => (r.getAs[String]("pt"), r.getAs[String]("org"),
+        r.getAs[Long]("doc_count"), r.getAs[Double]("s"))).toSeq
+    val oneShot = rows(body(100, None))
+    assert(oneShot.size === 3) // typeA/typeB/typeC × plan
+    var pages = Seq.empty[(String, String, Long, Double)]
+    var cursor: Option[(String, String)] = None
+    var done = false
+    while (!done) {
+      val page = rows(body(2, cursor))
+      pages ++= page
+      if (page.size < 2) done = true
+      else cursor = Some((page.last._1, page.last._2))
+    }
+    assert(pages === oneShot, "paged walk must equal the one-shot bucket list")
+  }
+
   test("round-7 variants: phrase slop metric, terms_set msm field, pinned ladder, " +
     "match_bool_prefix operators, extended_stats defaults") {
     // Lucene move-count arithmetic, including the documented

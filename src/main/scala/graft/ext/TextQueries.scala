@@ -784,6 +784,47 @@ object TextQueries {
       |    AND n_stop_kinds >= 2 AS keep
       |FROM c ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t18
+  /** Corpus token-budget report per (lang, source) — the accounting table
+    * every training-mix decision reads: document and whitespace-token
+    * totals per cell, each cell's share of the corpus token budget, and
+    * the cumulative share in descending-token order (the "top cells
+    * cover X% of the budget" curve). One corpus aggregation at (lang,
+    * source) grain; the shares and the cumulative curve are
+    * |cells|-row windows. Exact integer sums, one double division per
+    * ratio. */
+  private def t18(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy()
+    val byTokens = w.orderBy(col("tokens").desc, col("lang"), col("source"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(s, d)
+      .select(col("lang"), col("source"), size(tokens(col("text"))).cast("long").as("tk"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("docs"), sum(col("tk")).as("tokens"))
+      .withColumn("share",
+        col("tokens").cast("double") /
+          sum(col("tokens")).over(w.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+      .withColumn("cum_share",
+        sum(col("tokens")).over(byTokens).cast("double") /
+          sum(col("tokens")).over(w.rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)))
+      .orderBy(col("tokens").desc, col("lang"), col("source"))
+  }
+
+  private val t18Sql =
+    """WITH c AS (
+      |  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS docs,
+      |    CAST(SUM(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')))
+      |      AS BIGINT) AS tokens
+      |  FROM documents GROUP BY 1, 2)
+      |SELECT lang, source, docs, tokens,
+      |  CAST(tokens AS DOUBLE) / SUM(tokens) OVER () AS share,
+      |  CAST(SUM(tokens) OVER (ORDER BY tokens DESC, lang, source
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    / SUM(tokens) OVER () AS cum_share
+      |FROM c ORDER BY tokens DESC, lang, source""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -791,6 +832,7 @@ object TextQueries {
     "t15_chunking" -> t15 _,
     "t16_stratified_sample" -> t16 _,
     "t17_gopher_rules" -> t17 _,
+    "t18_token_budget" -> t18 _,
     "t10_domain_mix" -> t10 _,
     "t11_bm25" -> t11 _,
     "t12_seq_pack" -> t12 _,
@@ -810,6 +852,7 @@ object TextQueries {
     "t15_chunking" -> t15Sql,
     "t16_stratified_sample" -> t16Sql,
     "t17_gopher_rules" -> t17Sql,
+    "t18_token_budget" -> t18Sql,
     "t10_domain_mix" -> t10Sql,
     "t11_bm25" -> t11Sql,
     "t12_seq_pack" -> t12Sql,

@@ -4573,6 +4573,36 @@ object DocQueries {
        |FROM c
        |ORDER BY doc_count DESC, key, doc_count2 DESC, key2""".stripMargin
 
+  // ---------------------------------------------------------------- d118
+  /** `histogram` with ES `hard_bounds` — the outlier-proof fixed axis:
+    * values outside [10, 40) are CLIPPED (land in no bucket), unlike
+    * extended_bounds which only widens. The clip is a pushable scan
+    * predicate, so at scale it PRUNES work rather than adding any. */
+  private def d118(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "size": 0,
+        |  "aggs": {
+        |    "copay_axis": {
+        |      "histogram": { "field": "planCostShares.copay", "interval": 10,
+        |                     "hard_bounds": { "min": 10, "max": 40 } },
+        |      "aggs": {
+        |        "avg_ded": { "avg": { "field": "planCostShares.deductible" } }
+        |      }
+        |    }
+        |  }
+        |}""".stripMargin
+    EsAggs.run(assembled(s, d), "doc", body, schema)
+  }
+
+  private val d118Sql =
+    """WITH base AS (SELECT CAST(c_custkey % 50 AS BIGINT) AS copay,
+      |    CAST(c_nationkey * 100 AS BIGINT) AS ded FROM customer
+      |  WHERE c_custkey % 50 >= 10 AND c_custkey % 50 < 40)
+      |SELECT copay // 10 * 10 AS key, CAST(COUNT(*) AS BIGINT) AS doc_count,
+      |  AVG(ded) AS avg_ded
+      |FROM base GROUP BY 1 ORDER BY key""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -4678,6 +4708,7 @@ object DocQueries {
     "d115_es_track_total" -> d115 _,
     "d116_es_completion" -> d116 _,
     "d117_es_level_metrics" -> d117 _,
+    "d118_es_hard_bounds" -> d118 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
     "d3_roundtrip" -> d3 _,
@@ -4797,6 +4828,7 @@ object DocQueries {
     "d115_es_track_total" -> d115Sql,
     "d116_es_completion" -> d116Sql,
     "d117_es_level_metrics" -> d117Sql,
+    "d118_es_hard_bounds" -> d118Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,
     "d3_roundtrip" -> d3Sql,

@@ -91,7 +91,8 @@ object EsAggs {
   final case class Histogram(path: Seq[String], interval: Long,
                              minDocCount: Long = 1L,
                              offset: Long = 0L,
-                             extendedBounds: Option[(Long, Long)] = None) extends Agg
+                             extendedBounds: Option[(Long, Long)] = None,
+                             hardBounds: Option[(Long, Long)] = None) extends Agg
   /** ES `date_histogram` with `calendar_interval` — variable-length
     * calendar buckets (month/quarter/year/week/day/hour/minute) via
     * `date_trunc`, keyed by the bucket's start DATE-or-TIMESTAMP
@@ -599,7 +600,8 @@ object EsAggs {
               incExc("include"), incExc("exclude"), tMissing, tShowOther)
           }.orElse(bf.get("histogram").map { spec =>
             val hm = checkSpecKeys(spec, "histogram",
-              Set("field", "interval", "min_doc_count", "offset", "extended_bounds"))
+              Set("field", "interval", "min_doc_count", "offset", "extended_bounds",
+                "hard_bounds"))
             val interval = num(spec, "interval", "histogram")
               .getOrElse(throw new IllegalArgumentException("histogram needs interval"))
             require(interval > 0, s"histogram interval must be > 0: $interval")
@@ -618,7 +620,24 @@ object EsAggs {
             }
             eb.foreach { case (lo, hi) => require(lo <= hi,
               s"extended_bounds min > max: $lo > $hi") }
-            Histogram(fieldPath(spec, "histogram", ctx), interval, minDc, offset, eb)
+            // hard_bounds CLIPS: documents outside [min, max) land in no
+            // bucket (ES's outlier-proof fixed axis); mutually exclusive
+            // with extended_bounds, as in ES
+            val hb = hm.get("hard_bounds").map { hbSpec =>
+              checkSpecKeys(hbSpec, "hard_bounds", Set("min", "max"))
+              (num(hbSpec, "min", "hard_bounds").getOrElse(
+                throw new IllegalArgumentException("hard_bounds needs min")),
+               num(hbSpec, "max", "hard_bounds").getOrElse(
+                throw new IllegalArgumentException("hard_bounds needs max")))
+            }
+            hb.foreach { case (lo, hi) => require(lo < hi,
+              s"hard_bounds min >= max: $lo >= $hi") }
+            require(eb.isEmpty || hb.isEmpty,
+              "histogram takes extended_bounds OR hard_bounds, not both (ES rule)")
+            require(minDc != 0L || hb.isEmpty,
+              "min_doc_count: 0 zero-fill WITHIN hard_bounds is not implemented — " +
+                "clip with hard_bounds or zero-fill with extended_bounds")
+            Histogram(fieldPath(spec, "histogram", ctx), interval, minDc, offset, eb, hb)
           }).orElse(bf.get("date_histogram").map { spec =>
             val m = checkSpecKeys(spec, "date_histogram",
               Set("field", "calendar_interval", "fixed_interval", "min_doc_count",
@@ -1336,7 +1355,9 @@ object EsAggs {
               // zero-fill / pruning on split-series histogram levels is
               // not wired — reject rather than silently ignore
               chain.map(_.bucket).foreach {
-                case Histogram(_, _, md, _, _) if md != 1L => throw new IllegalArgumentException(
+                case Histogram(_, _, _, _, _, Some(_)) => throw new IllegalArgumentException(
+                  "histogram hard_bounds on a multi-level split is not implemented")
+                case Histogram(_, _, md, _, _, _) if md != 1L => throw new IllegalArgumentException(
                   "histogram min_doc_count on a multi-level split is not implemented")
                 case FixedDateHistogram(_, _, md) if md != 1L => throw new IllegalArgumentException(
                   "date_histogram min_doc_count on a multi-level split is not implemented")
@@ -1364,6 +1385,8 @@ object EsAggs {
                     "terms include/exclude under a filters split is not implemented")
                   require(!so,
                     "show_term_doc_count_error under a filters split is not implemented")
+                case Histogram(_, _, _, _, _, Some(_)) => throw new IllegalArgumentException(
+                  "histogram hard_bounds under a filters split is not implemented")
                 case _: Histogram | _: DateHistogram | _: FixedDateHistogram => ()
                 case other => throw new IllegalArgumentException(
                   s"a filters split child of ${other.getClass.getSimpleName} is not implemented")
@@ -1390,7 +1413,7 @@ object EsAggs {
               "a top_hits level carries no other sub-aggs")
             bucket match {
               case _: Terms => ()
-              case Histogram(_, _, md, _, eb0) if md == 1L && eb0.isEmpty => ()
+              case Histogram(_, _, md, _, eb0, None) if md == 1L && eb0.isEmpty => ()
               case DateHistogram(_, _, md, eb0, _) if md == 1L && eb0.isEmpty => ()
               case _: Histogram | _: DateHistogram => throw new IllegalArgumentException(
                 "top_hits with histogram min_doc_count/extended_bounds is not implemented " +
@@ -1479,7 +1502,7 @@ object EsAggs {
                     "metric of this level (per-bucket counts don't union — the corpus pass " +
                     "needs the field)")
                 bucket match {
-                  case Histogram(_, _, md, _, _) if md > 1L => throw new IllegalArgumentException(
+                  case Histogram(_, _, md, _, _, _) if md > 1L => throw new IllegalArgumentException(
                     "cumulative_cardinality under a pruning histogram (min_doc_count > 1) is " +
                       "not implemented (pruned buckets would silently drop first-occurrence mass)")
                   case DateHistogram(_, _, md, _, _) if md > 1L => throw new IllegalArgumentException(
@@ -1833,7 +1856,7 @@ object EsAggs {
         // of the substitute instead of vanishing (the keyed-agg rule)
         t0.missing.fold(field(ctx, t0.path))(mv => coalesce(field(ctx, t0.path), lit(mv)))
       case RareTerms(p, _) => field(ctx, p)
-      case Histogram(p, interval, _, 0L, _) =>
+      case Histogram(p, interval, _, 0L, _, _) =>
         // floor(v/interval)*interval in PURE INTEGER arithmetic: double
         // division misrounds at bucket boundaries once values outgrow the
         // 53-bit mantissa's exact range (epoch-micros timestamps do).
@@ -2195,8 +2218,16 @@ object EsAggs {
           .limit(size0)
       case Right(Buckets(b, ms, None, pipes, None, sibs, None, None)) =>
         // ES rule: a document with NO value for the bucket key lands in
-        // no bucket at all (the `missing` agg is the explicit catcher)
-        val grouped = rows.filter(keyCol(b).isNotNull).groupBy(keyCol(b).as("key"))
+        // no bucket at all (the `missing` agg is the explicit catcher).
+        // hard_bounds CLIPS first: values outside [min, max) are ignored
+        // entirely (a pushable scan predicate — the outlier-proof axis).
+        val hbRows = b match {
+          case Histogram(p0, _, _, _, _, Some((lo, hi))) =>
+            val v0 = field(ctx, p0)
+            rows.filter(v0 >= lo && v0 < hi)
+          case _ => rows
+        }
+        val grouped = hbRows.filter(keyCol(b).isNotNull).groupBy(keyCol(b).as("key"))
           .agg(count(lit(1)).as("doc_count"),
             ms.flatMap { case (n, m) => metricCols(n, m) }: _*)
         /** min_doc_count = 0: zero-fill the empty bins between the
@@ -2277,7 +2308,7 @@ object EsAggs {
             // the long tail: everything AT OR BELOW the ceiling, count-asc
             table = table.filter(col("doc_count") <= maxDc)
             finalOrder = Seq(col("doc_count").asc, col("key").asc)
-          case Histogram(_, interval, 0L, off, eb) =>
+          case Histogram(_, interval, 0L, off, eb, None) =>
             eb.foreach { case (lo, hi) =>
               // snap the literal bounds onto the bucket grid (parse-time
               // constants — plain Long arithmetic)
@@ -2294,7 +2325,7 @@ object EsAggs {
               table = extendBounds(table, bcol(lo), bcol(hi))
             }
             table = zeroFill(table, calStep(unit))
-          case Histogram(_, _, minDoc, _, _) if minDoc > 1L =>
+          case Histogram(_, _, minDoc, _, _, _) if minDoc > 1L =>
             table = table.filter(col("doc_count") >= minDoc)
           case DateHistogram(_, _, minDoc, _, _) if minDoc > 1L =>
             table = table.filter(col("doc_count") >= minDoc)

@@ -188,13 +188,55 @@ object Multimodal {
       |  total_bytes * 1000 // CAST(SUM(total_bytes) OVER () AS BIGINT) AS share_pm
       |FROM g ORDER BY fmt""".stripMargin
 
+  // ---------------------------------------------------------------- m5
+  /** Exact MEDIA dedup by payload checksum — the first pass every
+    * multimodal pipeline runs (identical bytes re-crawled under new ids).
+    * The corpus has no natural dups, so the query plants them
+    * deterministically (every doc_id % 61 == 0 payload re-emitted under
+    * id + 100000 — a union, SQL-replayable), then dedups on the
+    * metadata checksum the ingest already computed: one hash-groupBy on
+    * the DIGEST (never the payload bytes — the shuffle carries 32-byte
+    * hashes, not megabyte blobs, the property that matters at 100 TB),
+    * keep-first by id, summary counts. */
+  private def m5(s: SparkSession, d: String): DataFrame = {
+    val base = media(s, d)
+    val planted = base.unionByName(
+      base.filter(col("doc_id") % 61 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000L))
+    planted
+      .groupBy(col("meta.checksum").as("checksum"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .groupBy()
+      .agg(
+        count(lit(1)).as("n_unique"),
+        sum(col("n_copies")).as("n_total"),
+        sum(col("n_copies") - 1).as("n_removed"),
+        sum(when(col("n_copies") > 1, 1L).otherwise(0L)).as("n_dup_groups"),
+        max(col("keep_id")).as("max_keep"))
+  }
+
+  private val m5Sql =
+    """WITH planted AS (
+      |  SELECT doc_id, md5(text) AS checksum FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, md5(text) FROM documents WHERE doc_id % 61 = 0),
+      |g AS (SELECT checksum, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      |      FROM planted GROUP BY checksum)
+      |SELECT COUNT(*) AS n_unique, CAST(SUM(n_copies) AS BIGINT) AS n_total,
+      |  CAST(SUM(n_copies - 1) AS BIGINT) AS n_removed,
+      |  CAST(SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
+      |  MAX(keep_id) AS max_keep
+      |FROM g""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "m5_media_dedup" -> m5 _,
     "m1_media_meta" -> m1 _,
     "m2_decode_features" -> m2 _,
     "m3_frame_sample" -> m3 _,
     "m4_modality_budget" -> m4 _)
 
   val oracle: Map[String, String] = Map(
+    "m5_media_dedup" -> m5Sql,
     "m1_media_meta" -> m1Sql,
     "m2_decode_features" -> m2Sql,
     "m3_frame_sample" -> m3Sql,

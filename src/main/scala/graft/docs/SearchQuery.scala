@@ -1299,7 +1299,10 @@ object SearchQuery {
     case TermsIn(p, vs) => SearchOps.termsIn(field(doc, p), vs)
     case TermsSet(ap, f, vs, msm) =>
       // |terms ∩ field values| >= per-doc minimum — pure array expressions
-      // (no explode): a doc with a null msm field never matches (ES rule)
+      // (no explode). A doc with a NULL msm field never matches — documented
+      // engine behavior (ES raises a per-document runtime error there,
+      // which a set-oriented engine can't; same deviation as
+      // field_value_factor's required missing)
       val fieldVals =
         if (ap.isEmpty) array(field(doc, f))
         else transform(field(doc, ap), x => field(x, f))

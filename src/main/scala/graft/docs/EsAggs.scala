@@ -1505,6 +1505,10 @@ object EsAggs {
                   case Histogram(_, _, md, _, _, _) if md > 1L => throw new IllegalArgumentException(
                     "cumulative_cardinality under a pruning histogram (min_doc_count > 1) is " +
                       "not implemented (pruned buckets would silently drop first-occurrence mass)")
+                  case Histogram(_, _, _, _, _, Some(_)) => throw new IllegalArgumentException(
+                    "cumulative_cardinality under a hard_bounds histogram is not implemented " +
+                      "(a value first seen outside the clipped range would be dropped, not " +
+                      "re-anchored to its first in-bounds bucket)")
                   case DateHistogram(_, _, md, _, _) if md > 1L => throw new IllegalArgumentException(
                     "cumulative_cardinality under a pruning date_histogram (min_doc_count > 1) " +
                       "is not implemented")

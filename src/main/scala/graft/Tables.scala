@@ -31,6 +31,11 @@ object Tables {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The NTZ→micros branch below is only the identity wall-clock mapping
+    // (the one DuckDB's oracle applies) when the session zone is UTC —
+    // enforce it HERE, not just in the Bench/Verify/test entry points, so
+    // a future entry point can't silently shift every events-derived ts_us.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = spark.read.parquet(s"$dir/events.parquet")
     raw.schema("ts").dataType match {
       case LongType => // nanosecond int64: derive micros by integer floor

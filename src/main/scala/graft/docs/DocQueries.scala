@@ -3950,7 +3950,10 @@ object DocQueries {
     * on the child day key carrying per-filter conditional counts and
     * metrics; the filter unfold, per-filter totals and ordering are
     * |child buckets|-row work. Parent doc_count follows the ES
-    * parent-count contract (null-child docs counted). */
+    * parent-count contract (null-child docs counted), and — as in ES,
+    * where `filters` always emits every named bucket — a filter whose
+    * child list is empty still renders one placeholder row (the
+    * `heavy_users` filter matches nothing at small SF). */
   private def d103(s: SparkSession, d: String): DataFrame = {
     val ev = graft.Tables.events(s, d)
       .select(struct(col("event_id"), timestamp_micros(col("ts_us")).as("ts"),
@@ -3996,9 +3999,18 @@ object DocQueries {
       |  UNION ALL
       |  SELECT 2, 'heavy_users', day, CAST(COUNT(*) FILTER (user_id >= 500) AS BIGINT),
       |    MAX(user_id) FILTER (user_id >= 500) FROM base GROUP BY day)
-      |SELECT key, CAST(SUM(doc_count2) OVER (PARTITION BY key) AS BIGINT) AS doc_count,
-      |  key2, doc_count2, uid_max
-      |FROM f WHERE doc_count2 > 0 ORDER BY ord, key2""".stripMargin
+      |, w AS (
+      |  SELECT ord, key, CAST(SUM(doc_count2) OVER (PARTITION BY key) AS BIGINT) AS doc_count,
+      |    key2, doc_count2, uid_max,
+      |    SUM(CASE WHEN doc_count2 > 0 THEN 1 ELSE 0 END) OVER (PARTITION BY key) AS surv,
+      |    ROW_NUMBER() OVER (PARTITION BY key ORDER BY key2) AS pn
+      |  FROM f)
+      |SELECT key, doc_count,
+      |  CASE WHEN surv = 0 THEN NULL ELSE key2 END AS key2,
+      |  CAST(CASE WHEN surv = 0 THEN 0 ELSE doc_count2 END AS BIGINT) AS doc_count2,
+      |  CASE WHEN surv = 0 THEN NULL ELSE uid_max END AS uid_max
+      |FROM w WHERE doc_count2 > 0 OR (surv = 0 AND pn = 1)
+      |ORDER BY ord, key2""".stripMargin
 
   // ---------------------------------------------------------------- d104
   /** ES `terms_set` — "plans whose services cover at least 2 of these 3
@@ -4575,9 +4587,11 @@ object DocQueries {
 
   // ---------------------------------------------------------------- d118
   /** `histogram` with ES `hard_bounds` — the outlier-proof fixed axis:
-    * values outside [10, 40) are CLIPPED (land in no bucket), unlike
-    * extended_bounds which only widens. The clip is a pushable scan
-    * predicate, so at scale it PRUNES work rather than adding any. */
+    * buckets whose KEY falls outside [10, 40] are CLIPPED (ES clips by
+    * the rounded bucket key, both ends inclusive — so key 40 keeps its
+    * whole [40, 50) population), unlike extended_bounds which only
+    * widens. The clip is a scan-stage predicate on the key expression,
+    * so at scale it PRUNES work rather than adding any. */
   private def d118(s: SparkSession, d: String): DataFrame = {
     val body =
       """{
@@ -4597,11 +4611,11 @@ object DocQueries {
 
   private val d118Sql =
     """WITH base AS (SELECT CAST(c_custkey % 50 AS BIGINT) AS copay,
-      |    CAST(c_nationkey * 100 AS BIGINT) AS ded FROM customer
-      |  WHERE c_custkey % 50 >= 10 AND c_custkey % 50 < 40)
+      |    CAST(c_nationkey * 100 AS BIGINT) AS ded FROM customer)
       |SELECT copay // 10 * 10 AS key, CAST(COUNT(*) AS BIGINT) AS doc_count,
       |  AVG(ded) AS avg_ded
-      |FROM base GROUP BY 1 ORDER BY key""".stripMargin
+      |FROM base WHERE copay // 10 * 10 BETWEEN 10 AND 40
+      |GROUP BY 1 ORDER BY key""".stripMargin
 
   // ---------------------------------------------------------------- registry
 

@@ -620,9 +620,11 @@ object EsAggs {
             }
             eb.foreach { case (lo, hi) => require(lo <= hi,
               s"extended_bounds min > max: $lo > $hi") }
-            // hard_bounds CLIPS: documents outside [min, max) land in no
-            // bucket (ES's outlier-proof fixed axis); mutually exclusive
-            // with extended_bounds, as in ES
+            // hard_bounds CLIPS by bucket KEY: buckets whose rounded key
+            // falls outside [min, max] — both ends inclusive, matching
+            // ES DoubleBounds.contain — are dropped with all their docs
+            // (ES's outlier-proof fixed axis); mutually exclusive with
+            // extended_bounds, as in ES
             val hb = hm.get("hard_bounds").map { hbSpec =>
               checkSpecKeys(hbSpec, "hard_bounds", Set("min", "max"))
               (num(hbSpec, "min", "hard_bounds").getOrElse(
@@ -2223,12 +2225,15 @@ object EsAggs {
       case Right(Buckets(b, ms, None, pipes, None, sibs, None, None)) =>
         // ES rule: a document with NO value for the bucket key lands in
         // no bucket at all (the `missing` agg is the explicit catcher).
-        // hard_bounds CLIPS first: values outside [min, max) are ignored
-        // entirely (a pushable scan predicate — the outlier-proof axis).
+        // hard_bounds CLIPS first — by the rounded bucket KEY, not the
+        // raw value (ES `DoubleBounds.contain` runs on the key, both ends
+        // inclusive), so a bucket whose key sits on `max` keeps ALL its
+        // documents even when their raw values exceed max. The filter is
+        // a scan-stage predicate on the key expression — still evaluated
+        // before the aggregation shuffle, so at scale it prunes work.
         val hbRows = b match {
-          case Histogram(p0, _, _, _, _, Some((lo, hi))) =>
-            val v0 = field(ctx, p0)
-            rows.filter(v0 >= lo && v0 < hi)
+          case Histogram(_, _, _, _, _, Some((lo, hi))) =>
+            rows.filter(keyCol(b) >= lo && keyCol(b) <= hi)
           case _ => rows
         }
         val grouped = hbRows.filter(keyCol(b).isNotNull).groupBy(keyCol(b).as("key"))
@@ -2482,15 +2487,32 @@ object EsAggs {
             col(s"_tot_$i").as("doc_count") +: col(s"_dc_$i").as("doc_count2") +:
             outNames.map(n => col(s"_m${i}_$n").as(n)): _*)
         }
+        // ES `filters` ALWAYS emits every named bucket (unlike terms) —
+        // a filter whose matches all lack the child key, or that matches
+        // nothing, still renders with its parent doc_count and an empty
+        // child list. Flat rendering: one placeholder row (key2 null,
+        // doc_count2 0, metrics null) per such filter, detected with a
+        // per-filter survivor count — |child buckets|-row windows only.
+        val surv = col("key2").isNotNull && col("doc_count2") > 0
         var out = withTotals.select(col("key2"), explode(array(structs: _*)).as("_b"))
           .select(col("_b._ord").as("_ord") +: col("_b.key").as("key") +:
             col("_b.doc_count").as("doc_count") +: col("key2") +:
             col("_b.doc_count2").as("doc_count2") +:
             outNames.map(n => col(s"_b.$n").as(n)): _*)
-          .filter(col("key2").isNotNull && col("doc_count2") > 0)
+          .withColumn("_ph",
+            sum(when(surv, 1L).otherwise(0L)).over(W.partitionBy(col("_ord"))) === 0L)
+          .withColumn("_pn", row_number().over(
+            W.partitionBy(col("_ord")).orderBy(col("key2").asc_nulls_first)))
+          .filter(surv || (col("_ph") && col("_pn") === 1)).drop("_pn")
+        out = out
+          .withColumn("key2", when(col("_ph"), lit(null)).otherwise(col("key2")))
+          .withColumn("doc_count2", when(col("_ph"), lit(0L)).otherwise(col("doc_count2")))
+        out = outNames.foldLeft(out)((t, n0) =>
+          t.withColumn(n0, when(col("_ph"), lit(null)).otherwise(col(n0))))
         val childOrd = child.bucket match {
           case Terms(_, size0, order0, minDoc0, _, _, _, _) =>
-            if (minDoc0 > 1L) out = out.filter(col("doc_count2") >= minDoc0)
+            if (minDoc0 > 1L)
+              out = out.filter(col("_ph") || col("doc_count2") >= minDoc0)
             val ord = termsOrder(order0, col("doc_count2"), col("key2"))
             out = out.withColumn("_rk",
                 row_number().over(W.partitionBy(col("key")).orderBy(ord: _*)))
@@ -2498,7 +2520,7 @@ object EsAggs {
             ord
           case _ => Seq(col("key2").asc)
         }
-        out.orderBy(col("_ord").asc +: childOrd: _*).drop("_ord")
+        out.orderBy(col("_ord").asc +: childOrd: _*).drop("_ord", "_ph")
       case Right(b0 @ Buckets(_, _, Some(_), Nil, None, Nil, None, None)) =>
         // Multi-level split (Kibana "split series" / "split rows ×2", 2-3
         // levels): ONE hash aggregation on the full composite key —

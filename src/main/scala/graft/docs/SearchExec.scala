@@ -161,11 +161,13 @@ object SearchExec {
     val paged = numbered.select((col("rn") +: scoreCols) ++ sourceCols ++ highlightCols: _*)
       .orderBy(col("rn"))
     // track_total_hits: the EXACT hit count beside the page — one global
-    // count over the (post-collapse) hit set, broadcast onto the ≤size-row
-    // page. The count aggregation shares the scan's pushed filters; at
-    // 100 TB it is one extra partial+final count, never a second sort.
+    // count over the PRE-collapse hit set (ES counts matching documents,
+    // not collapsed groups; `total.value` ignores `collapse` the same way
+    // it ignores pagination), broadcast onto the ≤size-row page. The
+    // count aggregation shares the scan's pushed filters; at 100 TB it is
+    // one extra partial+final count, never a second sort.
     if (!b.trackTotalHits) paged
     else paged.crossJoin(broadcast(
-      collapsed.agg(count(lit(1)).cast("long").as("total"))))
+      hits0.agg(count(lit(1)).cast("long").as("total"))))
   }
 }

@@ -193,16 +193,21 @@ object Multimodal {
     * multimodal pipeline runs (identical bytes re-crawled under new ids).
     * The corpus has no natural dups, so the query plants them
     * deterministically (every doc_id % 61 == 0 payload re-emitted under
-    * id + 100000 — a union, SQL-replayable), then dedups on the
+    * id + max(doc_id) + 1 — a union, SQL-replayable), then dedups on the
     * metadata checksum the ingest already computed: one hash-groupBy on
     * the DIGEST (never the payload bytes — the shuffle carries 32-byte
     * hashes, not megabyte blobs, the property that matters at 100 TB),
     * keep-first by id, summary counts. */
   private def m5(s: SparkSession, d: String): DataFrame = {
     val base = media(s, d)
+    // Planted ids shift by max(doc_id)+1 — NOT a constant — so they can
+    // never collide with a real id at any scale factor (a constant shift
+    // silently changes keep-first semantics once the corpus outgrows it,
+    // and both engines would share the bug). One 1-row broadcast.
+    val shift = broadcast(base.agg((max(col("doc_id")) + 1L).as("_shift")))
     val planted = base.unionByName(
-      base.filter(col("doc_id") % 61 === 0)
-        .withColumn("doc_id", col("doc_id") + 100000L))
+      base.filter(col("doc_id") % 61 === 0).crossJoin(shift)
+        .withColumn("doc_id", col("doc_id") + col("_shift")).drop("_shift"))
     planted
       .groupBy(col("meta.checksum").as("checksum"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
@@ -219,7 +224,8 @@ object Multimodal {
     """WITH planted AS (
       |  SELECT doc_id, md5(text) AS checksum FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 100000, md5(text) FROM documents WHERE doc_id % 61 = 0),
+      |  SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents), md5(text)
+      |  FROM documents WHERE doc_id % 61 = 0),
       |g AS (SELECT checksum, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
       |      FROM planted GROUP BY checksum)
       |SELECT COUNT(*) AS n_unique, CAST(SUM(n_copies) AS BIGINT) AS n_total,

@@ -1617,6 +1617,54 @@ class DocEngineSpec extends SparkSpec {
     assert(chain(e).exists(_.contains("field_value_factor sqrt of a negative value")))
   }
 
+  test("round-8 ADVICE contracts: pre-collapse total, key-clipped hard_bounds, " +
+    "empty named filters keep their bucket") {
+    // track_total_hits counts MATCHING DOCUMENTS, ignoring collapse (ES
+    // total.value semantics): 6 docs, 3 planTypes → 3 hits, total 6
+    val collapsedBody =
+      """{"query": {"range": {"planCostShares.copay": {"gte": 0}}},
+        |  "collapse": {"field": "planType"},
+        |  "sort": [{"planCostShares.copay": {"order": "desc"}}, {"objectId": "asc"}],
+        |  "size": 10, "_source": ["objectId"], "track_total_hits": true}""".stripMargin
+    val page = SearchExec.search(corpus, "doc", collapsedBody, PlanSchema.plan).collect()
+    assert(page.length === 3, "one hit per planType after collapse")
+    assert(page.forall(_.getAs[Long]("total") === 6L),
+      "total must count the PRE-collapse hit set (ES ignores collapse in total)")
+
+    // hard_bounds clips by rounded bucket KEY, both ends inclusive (ES
+    // DoubleBounds.contain): with interval 10 and bounds [15, 40], the
+    // copay-17 doc (key 10 < 15) drops even though its RAW value >= 15,
+    // while copay 40 and 49 (key 40 == max) stay even though raw >= 40
+    val hbCorpus = docsDf(variant("h1", "typeH", 17), variant("h2", "typeH", 40),
+      variant("h3", "typeH", 49), variant("h4", "typeH", 25))
+    val hbBody =
+      """{"size": 0, "aggs": {"axis": {"histogram": {
+        |  "field": "planCostShares.copay", "interval": 10,
+        |  "hard_bounds": {"min": 15, "max": 40}}}}}""".stripMargin
+    val hb = EsAggs.run(hbCorpus, "doc", hbBody, PlanSchema.plan).collect()
+      .map(r => (r.getAs[Long]("key"), r.getAs[Long]("doc_count"))).toSeq
+    assert(hb === Seq((20L, 1L), (40L, 2L)),
+      "key 10 clipped (key < min) despite raw 17 >= 15; key 40 kept (key == max) despite raw >= 40")
+
+    // a named filter whose matches all miss the child key — or that
+    // matches nothing — still emits its ES bucket: one placeholder row
+    // (child key null, child count 0, metrics null) with the parent count
+    val fBody =
+      """{"size": 0, "aggs": {"series": {
+        |  "filters": {"filters": {
+        |    "cheap": {"range": {"planCostShares.copay": {"lt": 30}}},
+        |    "impossible": {"range": {"planCostShares.copay": {"gte": 1000}}}}},
+        |  "aggs": {"by_type": {"terms": {"field": "planType"}}}}}}""".stripMargin
+    val fr = EsAggs.run(corpus, "doc", fBody, PlanSchema.plan).collect()
+      .map(r => (r.getAs[String]("key"), r.getAs[Long]("doc_count"),
+        r.getAs[String]("key2"), r.getAs[Long]("doc_count2")))
+    val imp = fr.filter(_._1 == "impossible")
+    assert(imp === Array(("impossible", 0L, null, 0L)),
+      "matches-nothing filter keeps its named bucket as a placeholder row")
+    assert(fr.filter(_._1 == "cheap").forall(r => r._3 != null && r._4 > 0),
+      "surviving filters render real child rows only")
+  }
+
   test("match with operator=and through an array path binds every token to the SAME element") {
     val assembledDocs = Assembler.assemble(sh, PlanSchema.plan, "plan")
     def cnt(body: String): Long = assembledDocs.filter(

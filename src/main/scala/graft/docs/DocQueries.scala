@@ -4617,6 +4617,181 @@ object DocQueries {
       |FROM base WHERE copay // 10 * 10 BETWEEN 10 AND 40
       |GROUP BY 1 ORDER BY key""".stripMargin
 
+  // ---------------------------------------------------------------- d119
+  /** `filters` agg INSIDE a `nested` context (+ other_bucket) — the
+    * element-grain "filter ratio" panel: named buckets of array ELEMENTS
+    * (each nested element is its own ES doc), with element-grain metrics.
+    * Still the flat-filters shape after the context switch: explode →
+    * ONE conditional global aggregation (no groupBy shuffle at all) —
+    * predicates compile per element (SearchQuery.compileInNested). */
+  private def d119(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "size": 0,
+        |  "aggs": {
+        |    "services": {
+        |      "nested": { "path": "linkedPlanServices" },
+        |      "aggs": {
+        |        "tiers": {
+        |          "filters": {
+        |            "other_bucket_key": "rest",
+        |            "filters": {
+        |              "urgent": { "term": { "linkedPlanServices.linkedService.name.keyword": "Service 1-URGENT" } },
+        |              "low": { "wildcard": { "linkedPlanServices.linkedService.name.keyword": "*LOW" } }
+        |            }
+        |          },
+        |          "aggs": {
+        |            "avg_copay": { "avg": { "field": "linkedPlanServices.planserviceCostShares.copay" } },
+        |            "max_ded": { "max": { "field": "linkedPlanServices.planserviceCostShares.deductible" } }
+        |          }
+        |        }
+        |      }
+        |    }
+        |  }
+        |}""".stripMargin
+    EsAggs.run(assembled(s, d), "doc", body, schema)
+  }
+
+  private val d119Sql =
+    s"""WITH o AS $O,
+       |e AS (SELECT 'Service ' || o_orderpriority AS name,
+       |        o_custkey % 200 AS copay, o_orderkey % 1000 AS ded FROM o)
+       |SELECT 'urgent' AS key,
+       |  CAST(COUNT(*) FILTER (name = 'Service 1-URGENT') AS BIGINT) AS doc_count,
+       |  AVG(copay) FILTER (name = 'Service 1-URGENT') AS avg_copay,
+       |  CAST(MAX(ded) FILTER (name = 'Service 1-URGENT') AS BIGINT) AS max_ded FROM e
+       |UNION ALL SELECT 'low',
+       |  CAST(COUNT(*) FILTER (name LIKE '%LOW') AS BIGINT),
+       |  AVG(copay) FILTER (name LIKE '%LOW'),
+       |  CAST(MAX(ded) FILTER (name LIKE '%LOW') AS BIGINT) FROM e
+       |UNION ALL SELECT 'rest',
+       |  CAST(COUNT(*) FILTER (NOT (name = 'Service 1-URGENT' OR name LIKE '%LOW')) AS BIGINT),
+       |  AVG(copay) FILTER (NOT (name = 'Service 1-URGENT' OR name LIKE '%LOW')),
+       |  CAST(MAX(ded) FILTER (NOT (name = 'Service 1-URGENT' OR name LIKE '%LOW')) AS BIGINT)
+       |FROM e""".stripMargin
+
+  // ---------------------------------------------------------------- d127
+  /** `composite` agg INSIDE a `nested` context — paging ELEMENT-grain
+    * buckets (terms × histogram sources over nested fields): the agg
+    * that can walk every service bucket of a 100 TB corpus one page per
+    * pass now also works at the element grain. Same shape: explode →
+    * one hash aggregation on the composite key, bounded page. */
+  private def d127(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "size": 0,
+        |  "aggs": {
+        |    "services": {
+        |      "nested": { "path": "linkedPlanServices" },
+        |      "aggs": {
+        |        "pg": {
+        |          "composite": { "size": 50, "sources": [
+        |            { "tier": { "terms": { "field": "linkedPlanServices.linkedService.name.keyword" } } },
+        |            { "copay_bin": { "histogram": { "field": "linkedPlanServices.planserviceCostShares.copay", "interval": 50 } } }
+        |          ] },
+        |          "aggs": {
+        |            "max_ded": { "max": { "field": "linkedPlanServices.planserviceCostShares.deductible" } }
+        |          }
+        |        }
+        |      }
+        |    }
+        |  }
+        |}""".stripMargin
+    EsAggs.run(assembled(s, d), "doc", body, schema)
+  }
+
+  private val d127Sql =
+    s"""WITH o AS $O,
+       |e AS (SELECT 'Service ' || o_orderpriority AS name,
+       |        o_custkey % 200 AS copay, o_orderkey % 1000 AS ded FROM o)
+       |SELECT name AS tier, copay // 50 * 50 AS copay_bin,
+       |  CAST(COUNT(*) AS BIGINT) AS doc_count, CAST(MAX(ded) AS BIGINT) AS max_ded
+       |FROM e GROUP BY 1, 2 ORDER BY tier, copay_bin LIMIT 50""".stripMargin
+
+  // ---------------------------------------------------------------- d128
+  /** `top_hits` INSIDE a `nested` context — "show the top services per
+    * tier" at the ELEMENT grain: terms buckets of nested elements, each
+    * rendering its top-2 elements by deductible. Same scale shape as the
+    * document-grain d71: bucket top-N on the aggregated table broadcast
+    * back, one WindowGroupLimit ranking — no corpus-global sort. */
+  private def d128(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "size": 0,
+        |  "aggs": {
+        |    "services": {
+        |      "nested": { "path": "linkedPlanServices" },
+        |      "aggs": {
+        |        "by_tier": {
+        |          "terms": { "field": "linkedPlanServices.linkedService.name.keyword", "size": 3 },
+        |          "aggs": {
+        |            "top": { "top_hits": { "size": 2,
+        |              "sort": [ { "linkedPlanServices.planserviceCostShares.deductible": "desc" } ],
+        |              "_source": ["linkedPlanServices.objectId",
+        |                          "linkedPlanServices.planserviceCostShares.deductible"] } }
+        |          }
+        |        }
+        |      }
+        |    }
+        |  }
+        |}""".stripMargin
+    EsAggs.run(assembled(s, d), "doc", body, schema)
+  }
+
+  private val d128Sql =
+    s"""WITH o AS $O,
+       |e AS (SELECT 'Service ' || o_orderpriority AS name,
+       |        'ps-' || ${ck("o_orderkey")} AS oid, o_orderkey % 1000 AS ded FROM o),
+       |b AS (SELECT name, CAST(COUNT(*) AS BIGINT) AS doc_count FROM e
+       |      GROUP BY 1 ORDER BY doc_count DESC, name LIMIT 3),
+       |h AS (SELECT e.name, b.doc_count,
+       |        ROW_NUMBER() OVER (PARTITION BY e.name ORDER BY e.ded DESC, e.oid ASC) AS rank,
+       |        e.oid, e.ded
+       |      FROM e JOIN b ON e.name = b.name)
+       |SELECT name AS key, doc_count, rank, oid AS "objectId",
+       |  CAST(ded AS BIGINT) AS "planserviceCostShares_deductible"
+       |FROM h WHERE rank <= 2
+       |ORDER BY doc_count DESC, key, rank""".stripMargin
+
+  // ---------------------------------------------------------------- d129
+  /** `significant_terms` INSIDE a `nested` context — "which services are
+    * over-represented among BUILDING plans": foreground/background both
+    * re-derive at the ELEMENT grain (ES counts nested docs). The fg flag
+    * is evaluated per DOCUMENT before the explode and rides beside each
+    * element, so the whole thing stays one corpus explode + one hash
+    * aggregation; JLH totals are a window over the |terms|-row table. */
+  private def d129(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "size": 0,
+        |  "query": { "match": { "planType": "BUILDING" } },
+        |  "aggs": {
+        |    "services": {
+        |      "nested": { "path": "linkedPlanServices" },
+        |      "aggs": {
+        |        "hot": { "significant_terms": {
+        |          "field": "linkedPlanServices.linkedService.name.keyword", "size": 3 } }
+        |      }
+        |    }
+        |  }
+        |}""".stripMargin
+    EsAggs.run(assembled(s, d), "doc", body, schema)
+  }
+
+  private val d129Sql =
+    s"""WITH o AS $O,
+       |e AS (SELECT 'Service ' || o_orderpriority AS name,
+       |        CASE WHEN lower(c_mktsegment) = 'building' THEN 1 ELSE 0 END AS fg
+       |      FROM o JOIN customer ON o_custkey = c_custkey),
+       |g AS (SELECT name AS key, CAST(SUM(fg) AS BIGINT) AS doc_count,
+       |        CAST(COUNT(*) AS BIGINT) AS bg_count FROM e GROUP BY 1),
+       |t AS (SELECT *, CAST(SUM(doc_count) OVER () AS BIGINT) AS ft,
+       |        CAST(SUM(bg_count) OVER () AS BIGINT) AS bt FROM g)
+       |SELECT key, doc_count, bg_count,
+       |  (CAST(doc_count AS DOUBLE) / ft - CAST(bg_count AS DOUBLE) / bt)
+       |    * ((CAST(doc_count AS DOUBLE) / ft) / (CAST(bg_count AS DOUBLE) / bt)) AS score
+       |FROM t WHERE doc_count > 0 ORDER BY score DESC, key ASC LIMIT 3""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -4723,6 +4898,10 @@ object DocQueries {
     "d116_es_completion" -> d116 _,
     "d117_es_level_metrics" -> d117 _,
     "d118_es_hard_bounds" -> d118 _,
+    "d119_es_nested_filters" -> d119 _,
+    "d127_es_nested_composite" -> d127 _,
+    "d128_es_nested_top_hits" -> d128 _,
+    "d129_es_nested_sig_terms" -> d129 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
     "d3_roundtrip" -> d3 _,
@@ -4843,6 +5022,10 @@ object DocQueries {
     "d116_es_completion" -> d116Sql,
     "d117_es_level_metrics" -> d117Sql,
     "d118_es_hard_bounds" -> d118Sql,
+    "d119_es_nested_filters" -> d119Sql,
+    "d127_es_nested_composite" -> d127Sql,
+    "d128_es_nested_top_hits" -> d128Sql,
+    "d129_es_nested_sig_terms" -> d129Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,
     "d3_roundtrip" -> d3Sql,

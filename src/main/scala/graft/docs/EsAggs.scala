@@ -462,21 +462,22 @@ object EsAggs {
       }
       p.stripSuffix(".keyword").split('.').toSeq
     }
-    def fieldPath(spec: JValue, kind: String,
-                  ctx: Option[(Seq[String], Seq[String])]): Seq[String] = {
-      val path = fieldPath0(spec, kind)
+    def resolvePath(path: Seq[String], kind: String,
+                    ctx: Option[(Seq[String], Seq[String])]): Seq[String] =
       ctx match {
         case None =>
           val (arr, _) = SearchQuery.splitArrayPath(path, schema)
           require(arr.isEmpty,
-            s"agg field ${path.mkString(".")} crosses array ${arr.mkString(".")} — switch context with a nested agg first")
+            s"$kind field ${path.mkString(".")} crosses array ${arr.mkString(".")} — switch context with a nested agg first")
           path
         case Some((np, arr)) =>
           require(path.startsWith(np),
-            s"agg field ${path.mkString(".")} is outside the nested context ${np.mkString(".")}")
+            s"$kind field ${path.mkString(".")} is outside the nested context ${np.mkString(".")}")
           path.drop(arr.length)
       }
-    }
+    def fieldPath(spec: JValue, kind: String,
+                  ctx: Option[(Seq[String], Seq[String])]): Seq[String] =
+      resolvePath(fieldPath0(spec, kind), "agg", ctx)
     def parseMetrics(entries: List[(String, JValue)],
                      ctx: Option[(Seq[String], Seq[String])]): Seq[(String, Metric)] =
       entries.map {
@@ -734,10 +735,10 @@ object EsAggs {
             // IS the predicate; compiled as a single-bucket [[FiltersAgg]],
             // so it inherits the one-pass conditional-aggregation shape
             // (no shuffle at all). Rendered with key = the agg's name.
-            require(ctx.isEmpty, "filter agg inside a nested context is not implemented")
+            // Inside a nested context the predicate is compiled per
+            // ELEMENT at exec (compileInNested) — parse stays schema-wide.
             FiltersAgg(Seq(aggName -> SearchQuery.parseQueryNode(spec, schema)))
           }).orElse(bf.get("filters").map { spec =>
-            require(ctx.isEmpty, "filters agg inside a nested context is not implemented")
             val m = checkSpecKeys(spec, "filters",
               Set("filters", "other_bucket", "other_bucket_key"))
             val inner = m.get("filters") match {
@@ -812,7 +813,9 @@ object EsAggs {
                 }
             }
           }).orElse(bf.get("composite").map { spec =>
-            require(ctx.isEmpty, "composite agg inside a nested context is not implemented")
+            // sources resolve through the ctx-aware fieldPath, so a
+            // composite inside a nested context pages ELEMENT-grain
+            // buckets — same one-hash-agg shape either way
             val m = checkSpecKeys(spec, "composite", Set("sources", "size", "after"))
             def srcOrder(sm: Map[String, JValue]): Boolean = sm.get("order") match {
               case None | Some(JString("asc")) => true
@@ -971,10 +974,14 @@ object EsAggs {
                 s"global takes an empty object: $other")
             }
           }).orElse(bf.get("significant_terms").map { spec =>
-            require(ctx.isEmpty, "significant_terms inside a nested context is not implemented")
             val sm = checkSpecKeys(spec, "significant_terms",
               Set("field", "size", "background_filter"))
             val bg = sm.get("background_filter").map(SearchQuery.parseQueryNode(_, schema))
+            // background_filter is a DOCUMENT-grain predicate; which
+            // grain ES applies inside a nested context is ambiguous —
+            // reject the combination rather than guess
+            require(ctx.isEmpty || bg.isEmpty,
+              "significant_terms background_filter inside a nested context is not implemented")
             SignificantTerms(fieldPath(spec, "significant_terms", ctx),
               num(spec, "size", "significant_terms").map(_.toInt).getOrElse(10), bg)
           }).orElse(bf.get("significant_text").map[Agg] { _ =>
@@ -1139,7 +1146,6 @@ object EsAggs {
           val topHits: Option[TopHits] = thEntries match {
             case Nil => None
             case List((_, JObject(List(("top_hits", spec))))) =>
-              require(ctx.isEmpty, "top_hits inside a nested context is not implemented")
               val m = checkSpecKeys(spec, "top_hits", Set("size", "sort", "_source"))
               def pth(s: String) = s.stripSuffix(".keyword").split('.').toSeq
               val sorts = m.get("sort") match {
@@ -1160,12 +1166,11 @@ object EsAggs {
                 case _ => throw new IllegalArgumentException(
                   "top_hits needs an explicit _source field list")
               }
-              (sorts.map(_._1) ++ source).foreach { pp =>
-                val (arr, _) = SearchQuery.splitArrayPath(pp, schema)
-                require(arr.isEmpty,
-                  s"top_hits field ${pp.mkString(".")} crosses array ${arr.mkString(".")}")
-              }
-              Some(TopHits(num(spec, "size", "top_hits").map(_.toInt).getOrElse(3), sorts, source))
+              // ctx-aware: inside a nested context the hits are ELEMENTS,
+              // so sort/_source paths resolve element-relative
+              Some(TopHits(num(spec, "size", "top_hits").map(_.toInt).getOrElse(3),
+                sorts.map { case (p, a) => (resolvePath(p, "top_hits", ctx), a) },
+                source.map(resolvePath(_, "top_hits", ctx))))
             case List((_, JObject(List(("top_metrics", spec))))) =>
               // ES `top_metrics` (Lens "last value"): metric values from
               // the top-sorted doc(s) of each bucket — exactly top_hits
@@ -1173,7 +1178,6 @@ object EsAggs {
               // broadcast-bucket + WindowGroupLimit machinery. ES allows
               // a single sort only; it must be doc-unique here for a
               // deterministic rank (same honesty rule as top_hits).
-              require(ctx.isEmpty, "top_metrics inside a nested context is not implemented")
               val m = checkSpecKeys(spec, "top_metrics", Set("metrics", "sort", "size"))
               def pth(s: String) = s.stripSuffix(".keyword").split('.').toSeq
               val metricPaths = m.get("metrics") match {
@@ -1193,13 +1197,9 @@ object EsAggs {
                 case other => throw new IllegalArgumentException(
                   s"top_metrics needs a single {field: direction} sort: $other")
               }
-              (sort._1 +: metricPaths).foreach { pp =>
-                val (arr, _) = SearchQuery.splitArrayPath(pp, schema)
-                require(arr.isEmpty,
-                  s"top_metrics field ${pp.mkString(".")} crosses array ${arr.mkString(".")}")
-              }
               Some(TopHits(num(spec, "size", "top_metrics").map(_.toInt).getOrElse(1),
-                Seq(sort), metricPaths))
+                Seq((resolvePath(sort._1, "top_metrics", ctx), sort._2)),
+                metricPaths.map(resolvePath(_, "top_metrics", ctx))))
             case _ => throw new IllegalArgumentException("at most one top_hits per level")
           }
           val reverse: Option[ReverseNested] = rnEntries match {
@@ -1907,6 +1907,14 @@ object EsAggs {
       case Some((metric, true)) => Seq(col(metric).asc_nulls_last, key.asc)
       case Some((metric, false)) => Seq(col(metric).desc_nulls_last, key.asc)
     }
+    /** A filter-agg predicate compiled at the current aggregation grain:
+      * the document root, or — inside a nested context — ONE array
+      * element (every leaf must bind to the context array; parent-field
+      * leaves reject loudly in compileInNested). */
+    def predCol(q0: SearchQuery): Column = req.nestedPath match {
+      case Some(np) => SearchQuery.compileInNested(q0, np, ctx)
+      case None => SearchQuery.compile(q0, ctx)
+    }
     /** filters/range: ONE conditional aggregation over the corpus — no
       * groupBy shuffle at all (a global partial+final agg), then the F
       * buckets unfold from the single result row in body order, zero-doc
@@ -1951,7 +1959,7 @@ object EsAggs {
         // NULL predicates (missing fields) are non-matches: coalesce to
         // false so the other-bucket negation stays three-valued-honest
         val named = bs.map { case (n, q) =>
-          n -> coalesce(SearchQuery.compile(q, ctx), lit(false)) }
+          n -> coalesce(predCol(q), lit(false)) }
         val other = otherKey.map(k => k -> !named.map(_._2).reduce(_ || _)).toSeq
         condBuckets(named ++ other, ms)
       case Right(Buckets(RangeAgg(p, rs), ms, None, Nil, None, Nil, None, None)) =>
@@ -2079,13 +2087,22 @@ object EsAggs {
         // window totals over the |terms|-row bucket table equal the true
         // corpus/hit counts; the null-key row is dropped before scoring.
         val fgPred = SearchQuery.compile(req.query, doc)
-        val t = field(doc, p)
         // background_filter restricts the aggregation base (a pushable
         // filter — still one corpus shuffle); the conditional foreground
         // count then automatically intersects fg with bg (fg ⊆ bg)
         val bgDocs = bgQ.fold(docs)(q0 => docs.filter(SearchQuery.compile(q0, doc)))
-        val g = bgDocs.groupBy(t.as("key")).agg(
-          sum(when(fgPred, 1L).otherwise(0L)).cast("long").as("doc_count"),
+        // Inside a nested context both sides re-derive at ELEMENT grain
+        // (ES counts nested docs): the fg flag is evaluated per DOCUMENT
+        // before the explode and rides beside each element, so fg/bg
+        // totals count elements of hit docs / of the whole corpus.
+        val (base, t) = req.nestedPath match {
+          case Some(np) =>
+            (bgDocs.select(fgPred.as("_fg"), explode(field(doc, np)).as("_el")),
+              field(col("_el"), p))
+          case None => (bgDocs.select(fgPred.as("_fg"), doc.as(docCol)), field(doc, p))
+        }
+        val g = base.groupBy(t.as("key")).agg(
+          sum(when(col("_fg"), 1L).otherwise(0L)).cast("long").as("doc_count"),
           count(lit(1)).cast("long").as("bg_count"))
         val fgPct = col("doc_count").cast("double") / col("_fg_total")
         val bgPct = col("bg_count").cast("double") / col("_bg_total")
@@ -2471,7 +2488,7 @@ object EsAggs {
         // matching the filter but missing the child key ride the null-key
         // row into the window total, then drop before ranking.
         val preds = bs.map { case (_, q) =>
-          coalesce(SearchQuery.compile(q, ctx), lit(false)) }
+          coalesce(predCol(q), lit(false)) }
         val leafMs = child.metrics
         val outNames = leafMs.flatMap { case (n, m) => metricNames(n, m) }
         val aggCols = bs.indices.flatMap { i =>

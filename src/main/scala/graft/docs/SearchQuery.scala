@@ -1397,6 +1397,45 @@ object SearchQuery {
       case other => compile(other, doc) // constant w.r.t. the element
     }
 
+  /** Compile `q` at the grain of ONE array element `x` of a nested-AGG
+    * context over the array at `ap` — the unit of aggregation after the
+    * context switch is the element, so leaves bound to the context array
+    * evaluate directly against it (each nested element is its own
+    * document in ES). Any other leaf — a document-root field or a
+    * different array — is rejected loudly: the parent document does not
+    * exist at this grain (ES silently matches nothing for a parent-field
+    * predicate inside a nested context; a reject is the honest rendering
+    * of a body that cannot mean what it says). */
+  private[docs] def compileInNested(q: SearchQuery, ap: Seq[String], x: Column): Column = {
+    def bad(leaf: SearchQuery): Nothing = throw new IllegalArgumentException(
+      s"filter inside the nested context ${ap.mkString(".")} references a field outside " +
+        s"the context ($leaf) — ES nested documents carry no parent fields, so the " +
+        "predicate could never match")
+    q match {
+      case MatchAll => lit(true)
+      case NestedTerm(p, f, v) if p == ap => field(x, f) === lit(v)
+      case NestedTokenMatch(p, f, t) if p == ap => SearchOps.tokenMatch(field(x, f), t)
+      case NestedTokenPrefix(p, f, v) if p == ap => SearchOps.tokenPrefix(field(x, f), v)
+      case NestedWildcard(p, f, g) if p == ap => SearchOps.wildcard(field(x, f), g)
+      case NestedRange(p, f, lo, hi, li, hc) if p == ap =>
+        SearchOps.range(field(x, f), lo, hi, li, hc)
+      case NestedTermsIn(p, f, vs) if p == ap => SearchOps.termsIn(field(x, f), vs)
+      case NestedExistsField(p, f) if p == ap => field(x, f).isNotNull
+      case NestedPrefix(p, f, v) if p == ap => SearchOps.prefix(field(x, f), v)
+      case NestedMatchPhrase(p, f, v) if p == ap => SearchOps.phraseMatch(field(x, f), v)
+      case NestedPhraseSlop(p, f, a, b0, sl) if p == ap =>
+        SearchOps.phraseSlop(field(x, f), a, b0, sl)
+      case NestedRegexp(p, f, pat) if p == ap => SearchOps.regexMatch(field(x, f), pat)
+      case NestedFuzzy(p, f, v, fz) if p == ap => SearchOps.fuzzyMatch(field(x, f), v, fz)
+      case NestedCompound(p, inner) if p == ap => compileInNested(inner, ap, x)
+      case And(qs @ _*) => qs.map(compileInNested(_, ap, x)).reduce(_ && _)
+      case Or(qs @ _*) => qs.map(compileInNested(_, ap, x)).reduce(_ || _)
+      case Not(sub) => !compileInNested(sub, ap, x)
+      case AtLeast(n, qs) => SearchOps.atLeast(n, qs.map(compileInNested(_, ap, x)))
+      case other => bad(other)
+    }
+  }
+
   /** Compile one `inner_hits` request to an array Column of the matching
     * nested children (`README.md:84-93`). For a query over an array path
     * (any Nested* leaf on `wrapperPath`) the hits are the elements

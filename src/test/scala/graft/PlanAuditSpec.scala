@@ -499,6 +499,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(hashExchanges === 0, s"percolation must not hash-shuffle:\n$p")
   }
 
+  test("d119: nested-context filters agg is one explode + one global agg, no join, no shuffle") {
+    val p = plan(q("d119_es_nested_filters"))
+    assert(!p.contains("Join"), s"nested filters must not join:\n$p")
+    assert(p.contains("Generate"), s"expected the nested explode:\n$p")
+    def ids(label: String): Seq[Int] =
+      ("\\((\\d+)\\) " + label).r.findAllMatchIn(p).map(_.group(1).toInt).toSeq
+    assert(ids("Scan parquet").size === 1, s"expected a single corpus scan:\n$p")
+    // a global (non-grouped) conditional aggregation: one partial+final
+    // pair, the only exchange between them is the 1-row single partition
+    assert(ids("HashAggregate").size === 2,
+      s"expected one partial+final aggregate pair:\n$p")
+    assert(corpusHashExchanges(p) === 0,
+      s"the global conditional agg must not hash-shuffle the corpus:\n$p")
+  }
+
+  test("d129: nested-context significant_terms is one explode + one hash agg, no join") {
+    val p = plan(q("d129_es_nested_sig_terms"))
+    assert(!p.contains("Join"), s"nested significant_terms must not join:\n$p")
+    assert(p.contains("Generate"), s"expected the nested explode:\n$p")
+    def ids(label: String): Seq[Int] =
+      ("\\((\\d+)\\) " + label).r.findAllMatchIn(p).map(_.group(1).toInt).toSeq
+    assert(ids("Scan parquet").size === 1, s"expected a single corpus scan:\n$p")
+    assert(corpusHashExchanges(p) === 1,
+      s"expected exactly the one bucket-key shuffle:\n$p")
+  }
+
   test("t16: stratified sample runs both windows on ONE stratum shuffle") {
     val p = plan(q("t16_stratified_sample"))
     // count-per-stratum and hash-rank share the lang partitioning: one

@@ -1665,6 +1665,44 @@ class DocEngineSpec extends SparkSpec {
       "surviving filters render real child rows only")
   }
 
+  test("round-8 nested-context bucket aggs: filter ratio, top_metrics, parent-field reject") {
+    // singular `filter` agg at the ELEMENT grain — the Kibana filter-ratio
+    // block after a nested context switch: 6 docs × 2 services = 12
+    // elements, 6 match the "Yearly" prefix, all with copay 0
+    val fBody =
+      """{"size": 0, "aggs": {"svc": {"nested": {"path": "linkedPlanServices"},
+        |  "aggs": {"phys": {
+        |    "filter": {"prefix": {"linkedPlanServices.linkedService.name.keyword": "Yearly"}},
+        |    "aggs": {"avg_copay": {"avg": {"field": "linkedPlanServices.planserviceCostShares.copay"}}}}}}}}""".stripMargin
+    val fr = EsAggs.run(corpus, "doc", fBody, PlanSchema.plan).collect()
+    assert(fr.length === 1)
+    assert(fr.head.getAs[String]("key") === "phys")
+    assert(fr.head.getAs[Long]("doc_count") === 6L)
+    assert(fr.head.getAs[Double]("avg_copay") === 0.0)
+
+    // top_metrics at the element grain: per-service-name "last value"
+    val tmBody =
+      """{"size": 0, "aggs": {"svc": {"nested": {"path": "linkedPlanServices"},
+        |  "aggs": {"by_name": {"terms": {"field": "linkedPlanServices.linkedService.name.keyword", "size": 2},
+        |    "aggs": {"last": {"top_metrics": {
+        |      "metrics": {"field": "linkedPlanServices.planserviceCostShares.copay"},
+        |      "sort": {"linkedPlanServices.objectId": "asc"}}}}}}}}}""".stripMargin
+    val tm = EsAggs.run(corpus, "doc", tmBody, PlanSchema.plan).collect()
+      .map(r => (r.getAs[String]("key"), r.getAs[Long]("doc_count"),
+        r.getAs[Long]("planserviceCostShares_copay"))).toSet
+    assert(tm === Set(("Yearly physical", 6L, 0L), ("well baby", 6L, 175L)))
+
+    // a parent-field predicate inside the nested context rejects loudly
+    // (ES nested docs carry no parent fields — it could never match)
+    val bad =
+      """{"size": 0, "aggs": {"svc": {"nested": {"path": "linkedPlanServices"},
+        |  "aggs": {"t": {"filter": {"term": {"planType": "typeA"}}}}}}}""".stripMargin
+    val e = intercept[IllegalArgumentException] {
+      EsAggs.run(corpus, "doc", bad, PlanSchema.plan).collect()
+    }
+    assert(e.getMessage.contains("nested context"))
+  }
+
   test("match with operator=and through an array path binds every token to the SAME element") {
     val assembledDocs = Assembler.assemble(sh, PlanSchema.plan, "plan")
     def cnt(body: String): Long = assembledDocs.filter(

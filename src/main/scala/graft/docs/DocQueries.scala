@@ -3342,8 +3342,8 @@ object DocQueries {
 
   // ---------------------------------------------------------------- d90
   /** `function_score` `linear` decay — "closest to target wins"
-    * relevance (the exact-arithmetic member of ES's decay family;
-    * gauss/exp ride libm exp and are a documented exactness boundary):
+    * relevance (the bit-exact-arithmetic member of ES's decay family;
+    * gauss/exp live in d120 under a documented ~1e-15 libm tolerance):
     * copay nearest 25 scores highest, FURNITURE plans get a 1.25×
     * bump, multiply/multiply modes over a filter-only base. */
   private def d90(s: SparkSession, d: String): DataFrame = {
@@ -4670,6 +4670,170 @@ object DocQueries {
        |  CAST(MAX(ded) FILTER (NOT (name = 'Service 1-URGENT' OR name LIKE '%LOW')) AS BIGINT)
        |FROM e""".stripMargin
 
+  // ---------------------------------------------------------------- d120
+  /** `function_score` `gauss` decay — ES's DEFAULT decay shape in every
+    * docs example ("nearby wins, far loses fast"): copay nearest 10
+    * (±3 offset plateau) scores highest under a bell curve. The kernel is
+    * `exp(dist²·ln(decay)/scale²)` with the constant folded at parse;
+    * libm exp/log are ≤1-ulp in every mainstream engine, so Spark and
+    * the DuckDB oracle agree to ~1e-15 on the [0,4] score — far inside
+    * the checker's 9-dp compare (documented tolerance; the linear kernel
+    * d90 stays the bit-exact member of the family). */
+  private def d120(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "query": {
+        |    "function_score": {
+        |      "query": { "bool": { "filter": [ { "exists": { "field": "planType" } } ] } },
+        |      "functions": [
+        |        { "gauss": { "planCostShares.copay": {
+        |            "origin": 10, "scale": 15, "offset": 3, "decay": 0.5,
+        |            "missing": 0 } }, "weight": 4 }
+        |      ],
+        |      "score_mode": "multiply",
+        |      "boost_mode": "multiply"
+        |    }
+        |  },
+        |  "sort": [ { "_score": { "order": "desc" } }, { "objectId": { "order": "asc" } } ],
+        |  "size": 12,
+        |  "_source": ["objectId", "planCostShares.copay"]
+        |}""".stripMargin
+    SearchExec.search(assembled(s, d), "doc", body, schema)
+  }
+
+  private val d120Sql =
+    s"""SELECT rn, score, "objectId", "planCostShares_copay" FROM (
+       |  SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, "objectId" ASC) AS rn FROM (
+       |    SELECT 'plan-' || ${ck("c_custkey")} AS "objectId",
+       |      c_custkey % 50 AS "planCostShares_copay",
+       |      1.0 * (EXP(
+       |        greatest(0.0, abs(CAST(c_custkey % 50 AS DOUBLE) - 10.0) - 3.0)
+       |          * greatest(0.0, abs(CAST(c_custkey % 50 AS DOUBLE) - 10.0) - 3.0)
+       |          * (LN(0.5) / (15.0 * 15.0))) * 4.0) AS score
+       |    FROM customer WHERE c_mktsegment IS NOT NULL))
+       |WHERE rn <= 12 ORDER BY rn""".stripMargin
+
+  /** Geo corpus — the schema has no native coordinates (FIXTURES.md §4),
+    * so plant a deterministic tenth-of-a-degree grid from the customer
+    * key (the m5/dd8 in-query planting pattern, SQL-replayable exactly):
+    * lat ∈ [-60, 60], lon ∈ [-180, 179.9]. Materialized to parquet so
+    * the geo_distance bounding box hits REAL pushed filters at the scan. */
+  private def geoDocs(s: SparkSession, d: String): DataFrame =
+    memo.getOrElseUpdate((s, d, "geo"),
+      mat(s, "geo")(graft.Tables(s, d, "customer").select(struct(
+        concat(lit("plan-"), col("c_custkey").cast("string")).as("objectId"),
+        struct(
+          (((col("c_custkey") * 37) % 1201 - 600).cast("double") / 10.0).as("lat"),
+          (((col("c_custkey") * 73) % 3600 - 1800).cast("double") / 10.0).as("lon")
+        ).as("location"),
+        col("c_mktsegment").as("planType"),
+        (col("c_custkey") % 50).as("copay")).as("doc")))).asInstanceOf[DataFrame]
+
+  private def geoSchema(df: DataFrame): StructType =
+    df.schema("doc").dataType.asInstanceOf[StructType]
+
+  private val geoLatSql = "CAST((c_custkey * 37) % 1201 - 600 AS DOUBLE) / 10.0"
+  private val geoLonSql = "CAST((c_custkey * 73) % 3600 - 1800 AS DOUBLE) / 10.0"
+
+  // ---------------------------------------------------------------- d121
+  /** ES `geo_distance` QUERY — "everything within 2000 km of here", the
+    * top geo request family. Compiles to a conservative lat/lon bounding
+    * BOX (plain numeric bounds — pushed to the parquet scan, plan-pinned,
+    * so most of the planet prunes at row-group grain without a single
+    * sin()) AND the haversine circle itself. Distance arithmetic is the
+    * same fixed IEEE op sequence as the DuckDB oracle (Geo.scala's
+    * documented ~1e-15 libm tolerance). */
+  private def d121(s: SparkSession, d: String): DataFrame = {
+    val geo = geoDocs(s, d)
+    val body =
+      """{
+        |  "query": { "geo_distance": { "distance": "2000km",
+        |                               "location": { "lat": 10.0, "lon": 20.0 } } }
+        |}""".stripMargin
+    val ast = SearchQuery.fromJson(body, geoSchema(geo))
+    geo.filter(SearchQuery.compile(ast, col("doc")))
+      .select(col("doc.objectId").as("objectId"),
+        col("doc.location.lat").as("lat"), col("doc.location.lon").as("lon"))
+      .orderBy(col("objectId"))
+  }
+
+  private val d121Sql =
+    s"""WITH pts AS (
+       |  SELECT 'plan-' || ${ck("c_custkey")} AS "objectId",
+       |    $geoLatSql AS lat, $geoLonSql AS lon
+       |  FROM customer)
+       |SELECT "objectId", lat, lon FROM pts
+       |WHERE ${Geo.haversineSql("lat", "lon", 10.0, 20.0)} <= 2000000.0
+       |ORDER BY "objectId"""".stripMargin
+
+  // ---------------------------------------------------------------- d122
+  /** ES `geotile_grid` agg — the Kibana map panel: web-mercator slippy
+    * tiles as buckets (key `"z/x/y"`), top-N by doc_count, with a metric
+    * per tile. ONE hash aggregation on the tile-key expression — the
+    * trig runs map-side once per row, the shuffle carries tile keys. */
+  private def d122(s: SparkSession, d: String): DataFrame = {
+    val geo = geoDocs(s, d)
+    val body =
+      """{
+        |  "size": 0,
+        |  "aggs": {
+        |    "tiles": {
+        |      "geotile_grid": { "field": "location", "precision": 4, "size": 15 },
+        |      "aggs": { "avg_copay": { "avg": { "field": "copay" } } }
+        |    }
+        |  }
+        |}""".stripMargin
+    EsAggs.run(geo, "doc", body, geoSchema(geo))
+  }
+
+  private val d122Sql =
+    s"""WITH pts AS (
+       |  SELECT $geoLatSql AS lat, $geoLonSql AS lon, c_custkey % 50 AS copay
+       |  FROM customer)
+       |SELECT ${Geo.tileKeySql("lat", "lon", 4)} AS key,
+       |  CAST(COUNT(*) AS BIGINT) AS doc_count, AVG(copay) AS avg_copay
+       |FROM pts GROUP BY 1 ORDER BY doc_count DESC, key ASC LIMIT 15""".stripMargin
+
+  // ---------------------------------------------------------------- d130
+  /** ES `geo_distance` AGG — concentric rings around an origin ("how
+    * far away are my customers"): the range-agg shape over ONE haversine
+    * column, every ring a conditional count off it — one global
+    * conditional aggregation, no shuffle, no second scan. */
+  private def d130(s: SparkSession, d: String): DataFrame = {
+    val geo = geoDocs(s, d)
+    val body =
+      """{
+        |  "size": 0,
+        |  "aggs": {
+        |    "rings": {
+        |      "geo_distance": {
+        |        "field": "location", "origin": { "lat": 0.0, "lon": 0.0 },
+        |        "unit": "km",
+        |        "ranges": [ { "to": 3000, "key": "near" },
+        |                    { "from": 3000, "to": 8000, "key": "mid" },
+        |                    { "from": 8000, "key": "far" } ]
+        |      },
+        |      "aggs": { "avg_copay": { "avg": { "field": "copay" } } }
+        |    }
+        |  }
+        |}""".stripMargin
+    EsAggs.run(geo, "doc", body, geoSchema(geo))
+  }
+
+  private val d130Sql = {
+    val dist = Geo.haversineSql("lat", "lon", 0.0, 0.0)
+    s"""WITH pts AS (
+       |  SELECT $geoLatSql AS lat, $geoLonSql AS lon, c_custkey % 50 AS copay
+       |  FROM customer)
+       |SELECT 'near' AS key, CAST(COUNT(*) FILTER ($dist < 3000000.0) AS BIGINT) AS doc_count,
+       |  AVG(copay) FILTER ($dist < 3000000.0) AS avg_copay FROM pts
+       |UNION ALL SELECT 'mid',
+       |  CAST(COUNT(*) FILTER ($dist >= 3000000.0 AND $dist < 8000000.0) AS BIGINT),
+       |  AVG(copay) FILTER ($dist >= 3000000.0 AND $dist < 8000000.0) FROM pts
+       |UNION ALL SELECT 'far', CAST(COUNT(*) FILTER ($dist >= 8000000.0) AS BIGINT),
+       |  AVG(copay) FILTER ($dist >= 8000000.0) FROM pts""".stripMargin
+  }
+
   // ---------------------------------------------------------------- d127
   /** `composite` agg INSIDE a `nested` context — paging ELEMENT-grain
     * buckets (terms × histogram sources over nested fields): the agg
@@ -4899,6 +5063,10 @@ object DocQueries {
     "d117_es_level_metrics" -> d117 _,
     "d118_es_hard_bounds" -> d118 _,
     "d119_es_nested_filters" -> d119 _,
+    "d120_es_gauss_decay" -> d120 _,
+    "d121_es_geo_distance" -> d121 _,
+    "d122_es_geotile_grid" -> d122 _,
+    "d130_es_geo_rings" -> d130 _,
     "d127_es_nested_composite" -> d127 _,
     "d128_es_nested_top_hits" -> d128 _,
     "d129_es_nested_sig_terms" -> d129 _,
@@ -5023,6 +5191,10 @@ object DocQueries {
     "d117_es_level_metrics" -> d117Sql,
     "d118_es_hard_bounds" -> d118Sql,
     "d119_es_nested_filters" -> d119Sql,
+    "d120_es_gauss_decay" -> d120Sql,
+    "d121_es_geo_distance" -> d121Sql,
+    "d122_es_geotile_grid" -> d122Sql,
+    "d130_es_geo_rings" -> d130Sql,
     "d127_es_nested_composite" -> d127Sql,
     "d128_es_nested_top_hits" -> d128Sql,
     "d129_es_nested_sig_terms" -> d129Sql,

@@ -159,6 +159,19 @@ object EsAggs {
     * top-N; ES's is approximate via CuckooFilter, ours is exact — the
     * same documented upgrade). */
   final case class RareTerms(path: Seq[String], maxDocCount: Long) extends Agg
+  /** ES `geo_distance` agg — concentric distance rings around an origin:
+    * the [[RangeAgg]] shape over a haversine distance column
+    * ([[Geo.haversineMeters]]). Bounds are meters, from-inclusive /
+    * to-exclusive like range. One conditional aggregation, no shuffle. */
+  final case class GeoDistanceAgg(path: Seq[String], lat: Double, lon: Double,
+                                  ranges: Seq[(Option[String], Option[Double], Option[Double])])
+    extends Agg
+  /** ES `geotile_grid` — web-mercator map tiles as buckets (every Kibana
+    * map panel): key = `"z/x/y"` ([[Geo.tileKey]]), top-`size` by
+    * doc_count desc then key asc (the terms ordering contract; ES's own
+    * geotile ordering is doc_count desc). One hash aggregation on the
+    * tile key. */
+  final case class GeotileGrid(path: Seq[String], precision: Int, size: Int) extends Agg
   /** ES `date_range` bucket agg — from-inclusive/to-exclusive over ISO
     * `yyyy-MM-dd` bounds (midnight semantics), open ends allowed. */
   final case class DateRangeAgg(path: Seq[String],
@@ -375,7 +388,7 @@ object EsAggs {
     Set("terms", "histogram", "date_histogram", "auto_date_histogram",
       "filter", "filters", "range", "missing", "composite", "significant_terms",
       "significant_text", "global", "adjacency_matrix", "rare_terms",
-      "date_range", "multi_terms")
+      "date_range", "multi_terms", "geo_distance", "geotile_grid")
 
   private val pipelineKinds =
     Set("cumulative_sum", "derivative", "bucket_selector", "bucket_sort",
@@ -794,6 +807,60 @@ object EsAggs {
             require(ranges.flatMap(_._1).distinct.size == ranges.flatMap(_._1).size,
               "duplicate range bucket keys")
             RangeAgg(fieldPath(spec, "range", ctx), ranges)
+          }).orElse(bf.get("geo_distance").map { spec =>
+            val m = checkSpecKeys(spec, "geo_distance",
+              Set("field", "origin", "ranges", "unit"))
+            val unitScale = m.get("unit") match {
+              case None | Some(JString("m")) => 1.0
+              case Some(JString("km")) => 1000.0
+              case Some(other) => throw new IllegalArgumentException(
+                s"unsupported geo_distance unit: $other (m/km)")
+            }
+            val (olat, olon) = m.get("origin") match {
+              case Some(JObject(pf)) =>
+                val pm = pf.toMap
+                val unknownP = pm.keySet -- Set("lat", "lon")
+                require(unknownP.isEmpty,
+                  s"unsupported geo origin key(s): ${unknownP.mkString(", ")}")
+                (SearchQuery.asDouble(pm.getOrElse("lat",
+                  throw new IllegalArgumentException("geo origin needs lat")), "geo lat"),
+                  SearchQuery.asDouble(pm.getOrElse("lon",
+                    throw new IllegalArgumentException("geo origin needs lon")), "geo lon"))
+              case _ => throw new IllegalArgumentException(
+                "geo_distance agg needs an origin {lat, lon} object " +
+                  "(string/array/geohash forms are not implemented)")
+            }
+            val ranges = m.get("ranges") match {
+              case Some(JArray(rs)) if rs.nonEmpty => rs.map {
+                case JObject(bounds) =>
+                  val b = bounds.toMap
+                  val unknown = b.keySet -- Set("from", "to", "key")
+                  require(unknown.isEmpty,
+                    s"unsupported geo_distance range key(s): ${unknown.mkString(", ")}")
+                  val lo = b.get("from").map(SearchQuery.asDouble(_, "geo range from") * unitScale)
+                  val hi = b.get("to").map(SearchQuery.asDouble(_, "geo range to") * unitScale)
+                  val ck = b.get("key").map {
+                    case JString(k) => k
+                    case other => throw new IllegalArgumentException(s"bad range key: $other")
+                  }
+                  require(lo.nonEmpty || hi.nonEmpty, "geo_distance range needs from and/or to")
+                  (ck, lo, hi)
+                case other => throw new IllegalArgumentException(s"bad geo_distance range: $other")
+              }
+              case _ => throw new IllegalArgumentException(
+                "geo_distance agg needs a non-empty ranges array")
+            }
+            require(ranges.flatMap(_._1).distinct.size == ranges.flatMap(_._1).size,
+              "duplicate geo_distance bucket keys")
+            GeoDistanceAgg(fieldPath(spec, "geo_distance", ctx), olat, olon, ranges)
+          }).orElse(bf.get("geotile_grid").map { spec =>
+            val m = checkSpecKeys(spec, "geotile_grid", Set("field", "precision", "size"))
+            val precision = num(spec, "precision", "geotile_grid").map(_.toInt).getOrElse(7)
+            require(precision >= 0 && precision <= 29,
+              s"geotile_grid precision out of range: $precision (0-29)")
+            val size0 = num(spec, "size", "geotile_grid").map(_.toInt).getOrElse(10000)
+            require(size0 >= 1, s"geotile_grid size must be >= 1: $size0")
+            GeotileGrid(fieldPath(spec, "geotile_grid", ctx), precision, size0)
           }).orElse(bf.get("missing").map { spec =>
             checkSpecKeys(spec, "missing", Set("field"))
             // resolve with array awareness: `missing` ON an array field
@@ -1349,7 +1416,8 @@ object EsAggs {
               chain.tail.foreach(_.bucket match {
                 case _: FiltersAgg | _: RangeAgg | _: MissingAgg | _: CompositeAgg |
                      _: SignificantTerms | GlobalAgg | _: AdjacencyMatrix | _: RareTerms |
-                     _: DateRangeAgg | _: MultiTerms | _: AutoDateHistogram =>
+                     _: DateRangeAgg | _: MultiTerms | _: AutoDateHistogram |
+                     _: GeoDistanceAgg | _: GeotileGrid =>
                   throw new IllegalArgumentException(
                     "only terms/histogram bucket aggs can be an inner level of a multi-level split")
                 case _ => ()
@@ -1395,7 +1463,8 @@ object EsAggs {
               }
             case (_: RangeAgg | _: MissingAgg | _: CompositeAgg |
                   _: SignificantTerms | GlobalAgg | _: AdjacencyMatrix | _: RareTerms |
-                  _: DateRangeAgg | _: MultiTerms | _: AutoDateHistogram, Some(_)) =>
+                  _: DateRangeAgg | _: MultiTerms | _: AutoDateHistogram |
+                  _: GeoDistanceAgg | _: GeotileGrid, Some(_)) =>
               throw new IllegalArgumentException(
                 "sub-bucket levels under this bucket agg kind are not implemented")
             case _ => ()
@@ -1970,6 +2039,28 @@ object EsAggs {
           val pred = (lo.map(v >= _).toSeq ++ hi.map(v < _).toSeq).reduce(_ && _)
           key -> pred
         }, ms)
+      case Right(Buckets(GeoDistanceAgg(p, la0, lo0, rs), ms, None, Nil, None, Nil, None, None)) =>
+        // concentric rings = the range shape over ONE haversine column:
+        // the trig runs once per row, every ring is a conditional count
+        // off it — one global conditional agg, no shuffle, no second scan
+        val d0 = Geo.haversineMeters(field(ctx, p :+ "lat"), field(ctx, p :+ "lon"), la0, lo0)
+        condBuckets(rs.map { case (ck, lo, hi) =>
+          val key = ck.getOrElse(
+            s"${lo.map(_.toString).getOrElse("*")}-${hi.map(_.toString).getOrElse("*")}")
+          val pred = (lo.map(d0 >= lit(_)).toSeq ++ hi.map(d0 < lit(_)).toSeq).reduce(_ && _)
+          key -> pred
+        }, ms)
+      case Right(Buckets(GeotileGrid(p, z, size0), ms, None, Nil, None, Nil, None, None)) =>
+        // one hash aggregation on the tile key (terms shape); a missing
+        // coordinate lands in no bucket (the keyed-agg missing rule)
+        val la = field(ctx, p :+ "lat")
+        val lo = field(ctx, p :+ "lon")
+        rows.filter(la.isNotNull && lo.isNotNull)
+          .groupBy(Geo.tileKey(la, lo, z).as("key"))
+          .agg(count(lit(1)).as("doc_count"),
+            ms.flatMap { case (n, m) => metricCols(n, m) }: _*)
+          .orderBy(col("doc_count").desc, col("key").asc)
+          .limit(size0)
       case Right(Buckets(AdjacencyMatrix(bs), ms, None, Nil, None, Nil, None, None)) =>
         // singles in body order, then pairwise intersections a&b (i<j in
         // body order); ES drops empty INTERSECTION buckets — and empty

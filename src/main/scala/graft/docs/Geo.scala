@@ -1,0 +1,66 @@
+package graft.docs
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Geodesic expressions shared by the `geo_distance` query, the
+  * `geo_distance` agg and the `geotile_grid` agg — pure column
+  * arithmetic (no UDF, whole-stage-codegen friendly).
+  *
+  * Distance is the haversine great-circle on an R = 6 371 000 m sphere.
+  * Documented deviation: ES/Lucene haversinMeters uses R ≈ 6 371 008.77 m
+  * (the mean radius) — a ≤ 1.4e-6 relative difference, far below the
+  * intent of any "within N km" request. The formula is the same fixed
+  * IEEE op sequence on the engine and the DuckDB oracle; libm
+  * sin/cos/asin/tan/log are ≤ 1-ulp in every mainstream implementation,
+  * so the two sides agree to ~1e-15 relative (the same documented
+  * tolerance as the d120 decay kernels).
+  *
+  * The corpus has no native coordinates (FIXTURES.md §4), so geo queries
+  * PLANT deterministic lat/lon from integer keys (the m5/dd8 pattern) —
+  * exact tenth-of-a-degree grid values, identically derivable in SQL.
+  */
+object Geo {
+  val EarthRadiusM = 6371000.0
+
+  /** Haversine meters between a (lat, lon) column pair and a fixed
+    * origin: `2R·asin(√(sin²(Δφ/2) + cosφ₀·cosφ·sin²(Δλ/2)))`. */
+  def haversineMeters(lat: Column, lon: Column, olat: Double, olon: Double): Column = {
+    val dphi = radians(lat - lit(olat)) / 2.0
+    val dlmb = radians(lon - lit(olon)) / 2.0
+    val a = sin(dphi) * sin(dphi) +
+      cos(radians(lit(olat))) * cos(radians(lat)) * sin(dlmb) * sin(dlmb)
+    lit(2.0 * EarthRadiusM) * asin(sqrt(a))
+  }
+
+  /** The identical formula as DuckDB SQL text, for oracle queries. */
+  def haversineSql(lat: String, lon: String, olat: Double, olon: Double): String =
+    s"(2.0 * 6371000.0) * ASIN(SQRT(" +
+      s"SIN(RADIANS($lat - $olat) / 2.0) * SIN(RADIANS($lat - $olat) / 2.0)" +
+      s" + COS(RADIANS($olat)) * COS(RADIANS($lat))" +
+      s" * SIN(RADIANS($lon - $olon) / 2.0) * SIN(RADIANS($lon - $olon) / 2.0)))"
+
+  /** Web-mercator slippy-tile key `"z/x/y"` (the ES geotile_grid bucket
+    * key) at a fixed zoom. Callers guarantee |lat| stays inside the
+    * mercator cap (85.05°) — ES clips at index time; planted corpus
+    * coordinates stay within ±60°. Exact-grid latitudes that land ON a
+    * tile boundary (e.g. lat 0) hit it exactly in both engines (ln(1)=0
+    * is exact), so the integer floor cannot disagree. */
+  def tileKey(lat: Column, lon: Column, z: Int): Column = {
+    val n = (1L << z).toDouble
+    val x = floor((lon + lit(180.0)) / lit(360.0) * lit(n)).cast("long")
+    val phi = radians(lat)
+    val y = floor((lit(1.0) - log(tan(phi) + lit(1.0) / cos(phi)) / lit(math.Pi))
+      / lit(2.0) * lit(n)).cast("long")
+    concat_ws("/", lit(z.toString), x.cast("string"), y.cast("string"))
+  }
+
+  /** The identical tile key as DuckDB SQL text. */
+  def tileKeySql(lat: String, lon: String, z: Int): String = {
+    val n = s"${(1L << z).toDouble}"
+    val x = s"CAST(FLOOR(($lon + 180.0) / 360.0 * $n) AS BIGINT)"
+    val y = s"CAST(FLOOR((1.0 - LN(TAN(RADIANS($lat)) + 1.0 / COS(RADIANS($lat))) / PI())" +
+      s" / 2.0 * $n) AS BIGINT)"
+    s"'$z' || '/' || CAST($x AS VARCHAR) || '/' || CAST($y AS VARCHAR)"
+  }
+}

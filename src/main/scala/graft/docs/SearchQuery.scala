@@ -22,6 +22,19 @@ object SearchQuery {
   case object MatchAll extends SearchQuery
   /** Q3/Q4 — glob wildcard on a (possibly nested-scalar) field path. */
   final case class Wildcard(path: Seq[String], glob: String) extends SearchQuery
+  /** ES `geo_distance` query: documents whose `path.lat`/`path.lon`
+    * point lies within `meters` of the origin, by haversine
+    * ([[Geo.haversineMeters]]; sphere radius and libm tolerance
+    * documented there). `latBox`/`lonBox` are a parse-time bounding-box
+    * pre-filter — a conservative SUPERSET of the circle in plain numeric
+    * bounds, so Parquet pushes it to the scan and prunes row groups
+    * BEFORE any trigonometry runs (the 100 TB shape: most of the planet
+    * is outside the circle and never costs a sin). Membership is always
+    * decided by the haversine itself; `lonBox` is None when the circle
+    * nears a pole or the antimeridian (the box would wrap). */
+  final case class GeoDistance(path: Seq[String], lat: Double, lon: Double,
+                               meters: Double, latBox: (Double, Double),
+                               lonBox: Option[(Double, Double)]) extends SearchQuery
   /** Q5 — numeric range on a field path; bounds are inclusive by default
     * (ES `gte`/`lte`) with per-bound exclusivity for `gt`/`lt`. */
   final case class Range(path: Seq[String], lo: Long, hi: Long,
@@ -159,9 +172,9 @@ object SearchQuery {
 
   /** Score shaping parsed from a TOP-LEVEL `function_score` or `boosting`
     * wrapper (the first tools reached for when tuning relevance beyond
-    * the base ranking). The `filter`+`weight` and `field_value_factor`
-    * function forms are implemented — `script_score`, `random_score` and
-    * the decay functions are rejected loudly at parse. `boosting`
+    * the base ranking). The `filter`+`weight`, `field_value_factor` and
+    * `linear`/`gauss`/`exp` decay forms are implemented — `script_score`
+    * and `random_score` are rejected loudly at parse. `boosting`
     * compiles to the same shape: hit set = `positive` (ES: `negative`
     * never filters), one function (`negative` filter, `negative_boost`
     * weight) with multiply/multiply modes.
@@ -181,19 +194,27 @@ object SearchQuery {
 
   /** One function_score function: `filter` (MatchAll when absent) gates
     * it, its value is `weight`, optionally scaled by a
-    * [[FieldValueFactor]] or a [[LinearDecay]]. */
+    * [[FieldValueFactor]] or a [[Decay]]. */
   final case class ScoreFn(filter: SearchQuery, weight: Double,
                            fvf: Option[FieldValueFactor] = None,
-                           decay: Option[LinearDecay] = None)
+                           decay: Option[Decay] = None)
 
-  /** ES `linear` decay: `max(0, (s - max(0, |v - origin| - offset)) / s)`
-    * with `s = scale / (1 - decay)` — the one decay kernel whose
-    * arithmetic is a fixed sequence of exact/correctly-rounded IEEE ops
-    * (gauss/exp decays ride libm's exp and are NOT implemented — a
-    * documented exactness boundary). `missing` is required, same engine
-    * deviation as [[FieldValueFactor]]. */
-  final case class LinearDecay(path: Seq[String], origin: Double, scale: Double,
-                               offset: Double, decay: Double, missing: Double)
+  /** ES decay kernels over `dist = max(0, |v - origin| - offset)`:
+    *  - `linear`: `max(0, (s - dist) / s)` with `s = scale / (1 - decay)`
+    *    — a fixed sequence of exact/correctly-rounded IEEE ops,
+    *    bit-identical in any engine.
+    *  - `exp`: `exp(dist · ln(decay) / scale)`.
+    *  - `gauss`: `exp(dist² · ln(decay) / scale²)` (ES's
+    *    `exp(-dist²/2σ²)`, `σ² = -scale²/(2·ln decay)`, folded).
+    * The exp/gauss kernels ride libm `exp`/`log` — correctly rounded to
+    * ≤1 ulp in every mainstream libm, so engines agree to ~1e-15 on the
+    * [0, 1] score: far inside the oracle's 9-dp compare, a DOCUMENTED
+    * tolerance rather than the bit-exactness the linear kernel gives.
+    * `missing` is required, same engine deviation as
+    * [[FieldValueFactor]]. */
+  final case class Decay(kind: String, path: Seq[String], origin: Double,
+                         scale: Double, offset: Double, decay: Double,
+                         missing: Double)
 
   /** ES `field_value_factor`: `modifier(factor * field)` as the function
     * value. Modifiers: none/log1p/sqrt/square (sqrt is IEEE-correctly-
@@ -258,11 +279,12 @@ object SearchQuery {
           case Some(JArray(fs)) if fs.nonEmpty => fs.map {
             case JObject(ff) =>
               val fm = ff.toMap
-              val unknownF = fm.keySet -- Set("filter", "weight", "field_value_factor", "linear")
+              val unknownF = fm.keySet --
+                Set("filter", "weight", "field_value_factor", "linear", "gauss", "exp")
               require(unknownF.isEmpty,
                 s"unsupported function_score function key(s): ${unknownF.mkString(", ")} " +
-                  "(only the filter/weight/field_value_factor/linear forms are implemented; " +
-                  "gauss/exp decays ride libm exp and are a documented exactness boundary)")
+                  "(the filter/weight/field_value_factor/linear/gauss/exp forms are implemented; " +
+                  "script_score and random_score are not)")
               val fvf = fm.get("field_value_factor").map {
                 case JObject(fvFields) =>
                   val fv = fvFields.toMap
@@ -292,36 +314,41 @@ object SearchQuery {
                 case other => throw new IllegalArgumentException(
                   s"bad field_value_factor spec: $other")
               }
-              val decay = fm.get("linear").map {
-                case JObject(List((fld, JObject(dFields)))) =>
-                  val dv = dFields.toMap
-                  val unknownD = dv.keySet -- Set("origin", "scale", "offset", "decay", "missing")
-                  require(unknownD.isEmpty,
-                    s"unsupported linear decay key(s): ${unknownD.mkString(", ")}")
-                  val p = fld.split('.').toSeq
-                  val (arr, _) = splitArrayPath(p, schema)
-                  require(arr.isEmpty, s"linear decay field $fld crosses array ${arr.mkString(".")}")
-                  def req(k: String): Double = dv.get(k).map(asDouble(_, s"linear decay $k"))
-                    .getOrElse(throw new IllegalArgumentException(s"linear decay needs $k"))
-                  val dec = dv.get("decay").map(asDouble(_, "linear decay decay")).getOrElse(0.5)
-                  require(dec > 0 && dec < 1, s"linear decay must be in (0, 1): $dec")
-                  val scale = req("scale")
-                  require(scale > 0, s"linear scale must be > 0: $scale")
-                  val missing = dv.get("missing").map(asDouble(_, "linear decay missing"))
-                    .getOrElse(throw new IllegalArgumentException(
-                      "linear decay needs missing (engine deviation: ES raises a per-document " +
-                        "runtime error on a missing field; state the substitute up front)"))
-                  LinearDecay(p, req("origin"), scale,
-                    dv.get("offset").map(asDouble(_, "linear decay offset")).getOrElse(0.0),
-                    dec, missing)
-                case other => throw new IllegalArgumentException(
-                  s"linear decay takes one {field: {origin, scale, ...}} entry: $other")
+              val decayKinds = Seq("linear", "gauss", "exp").filter(fm.contains)
+              require(decayKinds.size <= 1,
+                s"a function_score function takes ONE decay kernel, got: ${decayKinds.mkString(", ")}")
+              val decay = decayKinds.headOption.map { kind =>
+                fm(kind) match {
+                  case JObject(List((fld, JObject(dFields)))) =>
+                    val dv = dFields.toMap
+                    val unknownD = dv.keySet -- Set("origin", "scale", "offset", "decay", "missing")
+                    require(unknownD.isEmpty,
+                      s"unsupported $kind decay key(s): ${unknownD.mkString(", ")}")
+                    val p = fld.split('.').toSeq
+                    val (arr, _) = splitArrayPath(p, schema)
+                    require(arr.isEmpty, s"$kind decay field $fld crosses array ${arr.mkString(".")}")
+                    def req(k: String): Double = dv.get(k).map(asDouble(_, s"$kind decay $k"))
+                      .getOrElse(throw new IllegalArgumentException(s"$kind decay needs $k"))
+                    val dec = dv.get("decay").map(asDouble(_, s"$kind decay decay")).getOrElse(0.5)
+                    require(dec > 0 && dec < 1, s"$kind decay must be in (0, 1): $dec")
+                    val scale = req("scale")
+                    require(scale > 0, s"$kind scale must be > 0: $scale")
+                    val missing = dv.get("missing").map(asDouble(_, s"$kind decay missing"))
+                      .getOrElse(throw new IllegalArgumentException(
+                        s"$kind decay needs missing (engine deviation: ES raises a per-document " +
+                          "runtime error on a missing field; state the substitute up front)"))
+                    Decay(kind, p, req("origin"), scale,
+                      dv.get("offset").map(asDouble(_, s"$kind decay offset")).getOrElse(0.0),
+                      dec, missing)
+                  case other => throw new IllegalArgumentException(
+                    s"$kind decay takes one {field: {origin, scale, ...}} entry: $other")
+                }
               }
               require(fvf.isEmpty || decay.isEmpty,
-                "a function_score function takes field_value_factor OR linear, not both")
+                "a function_score function takes field_value_factor OR a decay kernel, not both")
               val w = fm.get("weight").map(asDouble(_, "function_score weight")).getOrElse {
                 if (fvf.isEmpty && decay.isEmpty) throw new IllegalArgumentException(
-                  "each function_score function needs a weight, a field_value_factor or a linear decay")
+                  "each function_score function needs a weight, a field_value_factor or a decay kernel")
                 1.0
               }
               // ES default when `filter` is absent: the function applies
@@ -709,9 +736,21 @@ object SearchQuery {
           case (_, Some(ld)) =>
             val raw = ld.path.foldLeft(doc)((c, n) => c.getField(n)).cast("double")
             val v = coalesce(raw, lit(ld.missing))
-            val s = ld.scale / (1.0 - ld.decay) // parse-time constant
             val dist = greatest(lit(0.0), abs(v - lit(ld.origin)) - lit(ld.offset))
-            greatest(lit(0.0), (lit(s) - dist) / lit(s)) * lit(fn.weight)
+            val kernel = ld.kind match {
+              case "linear" =>
+                val s = ld.scale / (1.0 - ld.decay) // parse-time constant
+                greatest(lit(0.0), (lit(s) - dist) / lit(s))
+              case "exp" =>
+                // exp(dist·λ), λ = ln(decay)/scale — λ folds to one
+                // parse-time double, the oracle parenthesizes the same way
+                exp(dist * lit(math.log(ld.decay) / ld.scale))
+              case "gauss" =>
+                // exp(dist²·λ), λ = ln(decay)/scale² (ES's exp(-d²/2σ²)
+                // with σ² = -scale²/(2·ln decay), constant-folded)
+                exp(dist * dist * lit(math.log(ld.decay) / (ld.scale * ld.scale)))
+            }
+            kernel * lit(fn.weight)
         }
         val matched = sh.functions.map { fn =>
           (coalesce(compile(fn.filter, doc), lit(false)), fnVal(fn))
@@ -973,6 +1012,61 @@ object SearchQuery {
           case (Nil, full) => Wildcard(full, glob)
           case (arr, rest) => NestedWildcard(arr, rest, glob)
         }
+      case JObject(List(("geo_distance", JObject(gdFields)))) =>
+        val f = gdFields.toMap
+        val distStr = f.get("distance") match {
+          case Some(JString(s)) => s
+          case _ => throw new IllegalArgumentException(
+            "geo_distance needs a \"distance\" string (e.g. \"500km\")")
+        }
+        val DistRe = "(\\d+(?:\\.\\d+)?)(km|m)".r
+        val meters = distStr match {
+          case DistRe(n, "km") => n.toDouble * 1000.0
+          case DistRe(n, "m") => n.toDouble
+          case other => throw new IllegalArgumentException(
+            s"unsupported geo_distance distance: $other (<number>km or <number>m)")
+        }
+        require(f.get("distance_type").forall(_ == JString("arc")),
+          "geo_distance distance_type plane is not implemented (arc/haversine only)")
+        val pointEntries = (f -- Set("distance", "distance_type")).toList
+        require(pointEntries.size == 1,
+          s"geo_distance takes distance + ONE field, got: " +
+            pointEntries.map(_._1).sorted.mkString(", "))
+        val (pName, pVal) = pointEntries.head
+        val gp = path(pName)
+        val (gArr, _) = splitArrayPath(gp, schema)
+        require(gArr.isEmpty,
+          s"geo_distance field $pName crosses array ${gArr.mkString(".")} — not implemented")
+        val (olat, olon) = pVal match {
+          case JObject(pf) =>
+            val pm = pf.toMap
+            val unknownP = pm.keySet -- Set("lat", "lon")
+            require(unknownP.isEmpty,
+              s"unsupported geo point key(s): ${unknownP.mkString(", ")} (lat/lon object only)")
+            (asDouble(pm.getOrElse("lat",
+              throw new IllegalArgumentException("geo point needs lat")), "geo lat"),
+              asDouble(pm.getOrElse("lon",
+                throw new IllegalArgumentException("geo point needs lon")), "geo lon"))
+          case other => throw new IllegalArgumentException(
+            s"geo_distance point must be a {lat, lon} object: $other " +
+              "(string/array/geohash point forms are not implemented)")
+        }
+        require(olat >= -90 && olat <= 90 && olon >= -180 && olon <= 180,
+          s"geo_distance origin out of range: $olat, $olon")
+        // conservative bounding box (5% margin over the min meters-per-
+        // degree): a SUPERSET of the circle, so it can only prune
+        val latDelta = meters / 110574.0 * 1.05
+        val latBox = (olat - latDelta, olat + latDelta)
+        val maxAbsLat = math.min(89.0, math.max(math.abs(latBox._1), math.abs(latBox._2)))
+        val cosMin = math.cos(math.toRadians(maxAbsLat))
+        val lonBox =
+          if (cosMin < 0.02) None // polar cap: every longitude qualifies
+          else {
+            val lonDelta = meters / (111320.0 * cosMin) * 1.05
+            if (olon - lonDelta < -180.0 || olon + lonDelta > 180.0) None // antimeridian wrap
+            else Some((olon - lonDelta, olon + lonDelta))
+          }
+        GeoDistance(gp, olat, olon, meters, latBox, lonBox)
       case JObject(List(("range", JObject(List((p, JObject(bounds))))))) =>
         val b = bounds.toMap
         def isStr(k: String) = b.get(k).exists(_.isInstanceOf[JString])
@@ -1278,6 +1372,14 @@ object SearchQuery {
   def compile(q: SearchQuery, doc: Column): Column = q match {
     case MatchAll => lit(true)
     case Wildcard(p, g) => SearchOps.wildcard(field(doc, p), g)
+    case GeoDistance(p, la0, lo0, m, (latLo, latHi), lonBox) =>
+      val la = field(doc, p :+ "lat")
+      val lo = field(doc, p :+ "lon")
+      // plain numeric box first (pushable; prunes before trigonometry),
+      // haversine decides membership
+      val box = la >= lit(latLo) && la <= lit(latHi) &&
+        lonBox.map { case (ll, lh) => lo >= lit(ll) && lo <= lit(lh) }.getOrElse(lit(true))
+      box && Geo.haversineMeters(la, lo, la0, lo0) <= lit(m)
     case Range(p, lo, hi, li, hc) => SearchOps.range(field(doc, p), lo, hi, li, hc)
     case TsRange(p, lo, hi, li, hc) =>
       val v = field(doc, p)

@@ -525,6 +525,27 @@ class PlanAuditSpec extends SparkSpec {
       s"expected exactly the one bucket-key shuffle:\n$p")
   }
 
+  test("d121: geo_distance bounding box reaches PushedFilters — pruning happens before trig") {
+    val p = plan(q("d121_es_geo_distance"))
+    // the conservative lat/lon box compiles to plain numeric bounds on
+    // the nested location fields; parquet nested pushdown carries them
+    // into the scan, so row groups outside the box never pay a sin()
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("location.lat") || pushed.contains("lat"),
+      s"geo box lost the scan pushdown:\n$p")
+    assert(!p.contains("Join"), s"geo_distance is a pure filter, no join:\n$p")
+  }
+
+  test("d122: geotile_grid is one hash aggregation on the tile key") {
+    val p = plan(q("d122_es_geotile_grid"))
+    assert(!p.contains("Join"), s"geotile_grid must not join:\n$p")
+    assert(p.contains("partial_"), "geotile_grid lost map-side partial combine")
+    def ids(label: String): Seq[Int] =
+      ("\\((\\d+)\\) " + label).r.findAllMatchIn(p).map(_.group(1).toInt).toSeq
+    assert(ids("Scan parquet").size === 1, s"expected a single corpus scan:\n$p")
+    assert(corpusHashExchanges(p) === 1, s"expected exactly the tile-key shuffle:\n$p")
+  }
+
   test("t16: stratified sample runs both windows on ONE stratum shuffle") {
     val p = plan(q("t16_stratified_sample"))
     // count-per-stratum and hash-rank share the lang partitioning: one

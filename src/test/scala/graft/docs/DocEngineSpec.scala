@@ -1703,6 +1703,43 @@ class DocEngineSpec extends SparkSpec {
     assert(e.getMessage.contains("nested context"))
   }
 
+  test("round-8 decay kernels: gauss/exp values match the closed form and rank " +
+    "differently from linear") {
+    // copays 10, 20, 30, 40, 50, 99 with origin 0, scale 30, decay 0.5:
+    // the three kernels agree at dist 0 and dist = scale (by construction
+    // kernel(scale) = decay) but BETWEEN them the bell/exponential/ramp
+    // shapes diverge — and past s = scale/(1-decay) = 60 linear hits 0
+    // while gauss/exp stay positive (copay 99 separates the families)
+    def scores(kind: String): Seq[(String, Double)] = {
+      val body =
+        s"""{"query": {"function_score": {
+           |  "query": {"bool": {"filter": [{"exists": {"field": "planType"}}]}},
+           |  "functions": [{"$kind": {"planCostShares.copay": {
+           |    "origin": 0, "scale": 30, "decay": 0.5, "missing": 0}}}]}},
+           |  "sort": [{"_score": "desc"}, {"objectId": "asc"}],
+           |  "size": 10, "_source": ["objectId"]}""".stripMargin
+      SearchExec.search(corpus, "doc", body, PlanSchema.plan).collect()
+        .map(r => (r.getAs[String]("objectId"), r.getAs[Double]("score"))).toSeq
+    }
+    val gauss = scores("gauss").toMap
+    val expS = scores("exp").toMap
+    val lin = scores("linear").toMap
+    def closeTo(a: Double, b: Double): Boolean = math.abs(a - b) < 1e-12
+    // closed forms at copay 30 (dist = scale): every kernel = decay = 0.5
+    assert(closeTo(gauss("b1"), 0.5) && closeTo(expS("b1"), 0.5) && closeTo(lin("b1"), 0.5))
+    // at copay 10: gauss exp(100·ln.5/900) ≈ .926, exp exp(10·ln.5/30) ≈ .794, linear 5/6
+    assert(closeTo(gauss("a1"), math.exp(100.0 * math.log(0.5) / 900.0)))
+    assert(closeTo(expS("a1"), math.exp(10.0 * math.log(0.5) / 30.0)))
+    assert(closeTo(lin("a1"), 50.0 / 60.0))
+    // the bell starts flat, the exponential drops immediately: gauss > exp
+    // near the origin, and the order vs linear differs per kernel
+    assert(gauss("a1") > expS("a1") && gauss("a1") > lin("a1") && expS("a1") < lin("a1"),
+      s"kernel shapes must diverge between origin and scale: " +
+        s"gauss=${gauss("a1")} exp=${expS("a1")} linear=${lin("a1")}")
+    // past s = 60: linear floors at 0, gauss/exp remain positive (copay 99)
+    assert(lin("c1") === 0.0 && gauss("c1") > 0.0 && expS("c1") > 0.0)
+  }
+
   test("match with operator=and through an array path binds every token to the SAME element") {
     val assembledDocs = Assembler.assemble(sh, PlanSchema.plan, "plan")
     def cnt(body: String): Long = assembledDocs.filter(

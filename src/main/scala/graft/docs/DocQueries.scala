@@ -4834,6 +4834,102 @@ object DocQueries {
        |  AVG(copay) FILTER ($dist >= 8000000.0) FROM pts""".stripMargin
   }
 
+  // ---------------------------------------------------------------- d123
+  /** Terms `include` (anchored regex) + `show_term_doc_count_error` on
+    * the INNER level of a multi-level split — the Kibana split-rows
+    * table with a term filter on the inner column. Include/exclude act
+    * on the bucket table before the level's pruning and top-N but AFTER
+    * ancestor counts are fixed (an excluded child never changes its
+    * parent's doc_count or rank); sum_other/error columns are per-parent
+    * windows over the bucket table. Still ONE corpus aggregation. */
+  private def d123(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.Tables.events(s, d)
+      .select(struct(col("event_id"), col("user_id"), col("event_type")).as("doc"))
+    val evSchema = ev.schema("doc").dataType.asInstanceOf[StructType]
+    val body =
+      """{
+        |  "size": 0,
+        |  "aggs": {
+        |    "types": {
+        |      "terms": { "field": "event_type", "size": 3 },
+        |      "aggs": {
+        |        "uids": {
+        |          "terms": { "field": "user_id", "size": 2,
+        |                     "include": "1[0-9][0-9]",
+        |                     "show_term_doc_count_error": true }
+        |        }
+        |      }
+        |    }
+        |  }
+        |}""".stripMargin
+    EsAggs.run(ev, "doc", body, evSchema)
+  }
+
+  private val d123Sql =
+    """WITH leaf AS (SELECT event_type AS key, user_id AS key2,
+      |    CAST(COUNT(*) AS BIGINT) AS doc_count2 FROM events GROUP BY 1, 2),
+      |l1 AS (SELECT *, CAST(SUM(doc_count2) OVER (PARTITION BY key) AS BIGINT) AS doc_count
+      |  FROM leaf),
+      |p AS (SELECT * FROM (SELECT *, DENSE_RANK() OVER (ORDER BY doc_count DESC, key) AS pr
+      |      FROM l1) WHERE pr <= 3),
+      |inc AS (SELECT * FROM p WHERE regexp_full_match(CAST(key2 AS VARCHAR), '1[0-9][0-9]')),
+      |tot AS (SELECT *, CAST(SUM(doc_count2) OVER (PARTITION BY key) AS BIGINT) AS all_dc
+      |  FROM inc),
+      |pg AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY key
+      |        ORDER BY doc_count2 DESC, key2) AS cr FROM tot) WHERE cr <= 2)
+      |SELECT key, doc_count, key2, doc_count2,
+      |  CAST(MAX(all_dc) OVER (PARTITION BY key)
+      |    - SUM(doc_count2) OVER (PARTITION BY key) AS BIGINT) AS sum_other_doc_count,
+      |  CAST(0 AS BIGINT) AS doc_count_error_upper_bound
+      |FROM pg ORDER BY doc_count DESC, key, doc_count2 DESC, key2""".stripMargin
+
+  // ---------------------------------------------------------------- d124
+  /** ES `intervals` query — ordered/gap-bounded proximity (the modern
+    * span-query replacement), with an `any_of` disjunction: docs where
+    * "scan … fast … table" appear IN ORDER wasting ≤ 2 positions, OR
+    * "vector"/"spark" are adjacent in either order. Neither arm is
+    * expressible as d111 phrase slop (slop pays for transpositions;
+    * `ordered` forbids them, `max_gaps` prices only wasted positions).
+    * Pure nested array expressions over analyzed positions — no explode,
+    * no join, the filter rides the normal scan path. */
+  private def d124(s: SparkSession, d: String): DataFrame = {
+    val docsT = graft.Tables(s, d, "documents")
+      .select(struct(col("doc_id"), col("text"), col("lang")).as("doc"))
+    val dSchema = docsT.schema("doc").dataType.asInstanceOf[StructType]
+    val body =
+      """{
+        |  "query": { "intervals": { "text": {
+        |    "any_of": { "intervals": [
+        |      { "match": { "query": "scan fast table", "ordered": true, "max_gaps": 2 } },
+        |      { "match": { "query": "vector spark", "max_gaps": 0 } }
+        |    ] } } } }
+        |}""".stripMargin
+    val ast = SearchQuery.fromJson(body, dSchema)
+    docsT.filter(SearchQuery.compile(ast, col("doc")))
+      .select(col("doc.doc_id").as("doc_id"), col("doc.lang").as("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val d124Sql = {
+    def pos(term: String) =
+      s"""list_filter(list_transform(string_split_regex(lower(text), '\\s+'),
+         |      (x, i) -> CASE WHEN x = '$term' THEN i - 1 ELSE -1 END), v -> v >= 0)""".stripMargin
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |    ${pos("scan")} AS p1,
+       |    ${pos("fast")} AS p2,
+       |    ${pos("table")} AS p3,
+       |    ${pos("vector")} AS p4,
+       |    ${pos("spark")} AS p5
+       |  FROM documents)
+       |SELECT doc_id, lang FROM t
+       |WHERE len(list_filter(p1, x -> len(list_filter(p2, y -> y > x AND
+       |        len(list_filter(p3, z -> z > y AND z - x + 1 - 3 <= 2)) > 0)) > 0)) > 0
+       |   OR len(list_filter(p4, x -> len(list_filter(p5, y ->
+       |        greatest(x, y) - least(x, y) + 1 - 2 <= 0)) > 0)) > 0
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- d127
   /** `composite` agg INSIDE a `nested` context — paging ELEMENT-grain
     * buckets (terms × histogram sources over nested fields): the agg
@@ -5066,6 +5162,8 @@ object DocQueries {
     "d120_es_gauss_decay" -> d120 _,
     "d121_es_geo_distance" -> d121 _,
     "d122_es_geotile_grid" -> d122 _,
+    "d123_es_deep_include" -> d123 _,
+    "d124_es_intervals" -> d124 _,
     "d130_es_geo_rings" -> d130 _,
     "d127_es_nested_composite" -> d127 _,
     "d128_es_nested_top_hits" -> d128 _,
@@ -5194,6 +5292,8 @@ object DocQueries {
     "d120_es_gauss_decay" -> d120Sql,
     "d121_es_geo_distance" -> d121Sql,
     "d122_es_geotile_grid" -> d122Sql,
+    "d123_es_deep_include" -> d123Sql,
+    "d124_es_intervals" -> d124Sql,
     "d130_es_geo_rings" -> d130Sql,
     "d127_es_nested_composite" -> d127Sql,
     "d128_es_nested_top_hits" -> d128Sql,

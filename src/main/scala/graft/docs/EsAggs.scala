@@ -2706,10 +2706,29 @@ object EsAggs {
           if (i > 0) out = out.filter(col(kname(i)).isNotNull)
           lvls(i).bucket match {
             case Terms(_, size0, order0, minDoc0, inc0, exc0, _, so0) =>
-              require(inc0.isEmpty && exc0.isEmpty,
-                "terms include/exclude on a multi-level split is not implemented")
-              require(!so0,
-                "show_term_doc_count_error on a multi-level split is not implemented")
+              // include/exclude at ANY level: a bucket-table filter on
+              // this level's key, applied — as in ES — before this
+              // level's min_doc_count and top-N but AFTER the ancestor
+              // counts were fixed (an excluded child never changes its
+              // parent's doc_count or rank). Dropping the rows also
+              // drops the excluded bucket's deeper descendants.
+              def keyMatch(spec: Either[String, Seq[String]]): Column = spec match {
+                case Left(re) => col(kname(i)).cast("string").rlike(s"^(?:$re)$$")
+                case Right(vs) => col(kname(i)).cast("string").isin(vs: _*)
+              }
+              inc0.foreach(s0 => out = out.filter(keyMatch(s0)))
+              exc0.foreach(s0 => out = out.filter(!keyMatch(s0)))
+              // show_term_doc_count_error at depth: per-PARENT response
+              // accuracy columns (each parent bucket's child terms agg
+              // reports its own sum_other). Leaf level only — a non-leaf
+              // sum_other would need once-per-bucket dedup windows that
+              // nothing renders; reject loudly instead of guessing.
+              require(!so0 || i == n - 1,
+                "show_term_doc_count_error on a NON-LEAF level of a multi-level split is not implemented")
+              // total BEFORE min_doc_count pruning (ES: sum_other counts
+              // the casualties too), after include/exclude — per parent
+              if (so0) out = out.withColumn("_all_dc",
+                sum(col(dcname(n - 1))).over(prefixW(n - 1)))
               if (minDoc0 > 1L) out = out.filter(col(dcname(i)) >= minDoc0)
               val ord = termsOrder(order0, col(dcname(i)), col(kname(i)))
               // non-leaf: rows of one bucket share all rank columns, so
@@ -2717,12 +2736,24 @@ object EsAggs {
               val rk = if (i == n - 1) row_number() else dense_rank()
               out = out.withColumn("_rk", rk.over(prefixW(i).orderBy(ord: _*)))
                 .filter(col("_rk") <= size0).drop("_rk")
+              if (so0) out = out
+                .withColumn("sum_other_doc_count",
+                  (max(col("_all_dc")).over(prefixW(n - 1)) -
+                    sum(col(dcname(n - 1))).over(prefixW(n - 1))).cast("long"))
+                .withColumn("doc_count_error_upper_bound", lit(0L))
+                .drop("_all_dc")
               ord
             case _ => Seq(col(kname(i)).asc)
           }
         }
+        val soCols = lvls.last.bucket match {
+          case t0: Terms if t0.showOther =>
+            Seq(col("sum_other_doc_count"), col("doc_count_error_upper_bound"))
+          case _ => Nil
+        }
         out.select(lvls.indices.flatMap(i => Seq(col(kname(i)), col(dcname(i))))
-            ++ lvls.flatMap(_.metrics).flatMap { case (nm, m) => metricNames(nm, m) }.map(col): _*)
+            ++ lvls.flatMap(_.metrics).flatMap { case (nm, m) => metricNames(nm, m) }.map(col)
+            ++ soCols: _*)
           .orderBy(levelOrders.flatten: _*)
       case Right(other) =>
         throw new IllegalStateException(s"unplannable aggs tree (parse should have rejected it): $other")

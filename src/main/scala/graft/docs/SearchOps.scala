@@ -134,4 +134,37 @@ object SearchOps {
     exists(pa, x => exists(pb, y =>
       when(y > x, y - x - 1 <= slop).otherwise(x - y + 1 <= slop)))
   }
+
+  /** ES `intervals` `match` rule (Lucene interval semantics over the
+    * whitespace analyzer): SOME assignment of one position per term
+    * whose minimal covering span wastes at most `maxGaps` non-term
+    * positions (`span - |terms| <= max_gaps`; `maxGaps < 0` = unbounded,
+    * the ES default), positions strictly increasing in term order when
+    * `ordered`. 1-3 DISTINCT terms (distinctness makes the positions
+    * automatically distinct — parse rejects repeats) as pure nested
+    * array expressions — O(∏ occurrences) per row, no explode, no
+    * positional index. This is the proximity shape the d111 phrase-slop
+    * move-count CANNOT express: slop pays for transpositions, while
+    * `ordered` forbids them outright and `max_gaps` prices only the
+    * wasted positions. */
+  def intervalMatch(text: Column, terms: Seq[String], ordered: Boolean, maxGaps: Int): Column = {
+    val ps = terms.map(tokenPositions(text, _))
+    def spanOk(lo: Column, hi: Column): Column =
+      if (maxGaps < 0) lit(true) else (hi - lo + lit(1) - lit(terms.size)) <= lit(maxGaps)
+    terms.size match {
+      case 1 => size(ps(0)) > 0
+      case 2 if ordered =>
+        exists(ps(0), x => exists(ps(1), y => y > x && spanOk(x, y)))
+      case 2 =>
+        exists(ps(0), x => exists(ps(1), y => spanOk(least(x, y), greatest(x, y))))
+      case 3 if ordered =>
+        exists(ps(0), x => exists(ps(1), y => y > x &&
+          exists(ps(2), z => z > y && spanOk(x, z))))
+      case 3 =>
+        exists(ps(0), x => exists(ps(1), y => exists(ps(2), z =>
+          spanOk(least(least(x, y), z), greatest(greatest(x, y), z)))))
+      case n => throw new IllegalArgumentException(
+        s"intervals match supports 1-3 terms, got $n") // parse re-checks
+    }
+  }
 }

@@ -35,6 +35,17 @@ object SearchQuery {
   final case class GeoDistance(path: Seq[String], lat: Double, lon: Double,
                                meters: Double, latBox: (Double, Double),
                                lonBox: Option[(Double, Double)]) extends SearchQuery
+  /** One rule of an ES `intervals` query: a `match` proximity rule
+    * (terms + `ordered` + `max_gaps`, [[SearchOps.intervalMatch]]) or an
+    * `any_of` disjunction of rules. `all_of`, the prefix/wildcard/fuzzy
+    * rules and the `containing`-family filters are rejected at parse. */
+  sealed trait IntervalRule
+  final case class IntervalMatch(terms: Seq[String], ordered: Boolean,
+                                 maxGaps: Int) extends IntervalRule
+  final case class IntervalAnyOf(rules: Seq[IntervalRule]) extends IntervalRule
+  /** ES `intervals` query — the modern span-query replacement: ordered /
+    * gap-bounded proximity over analyzed positions. */
+  final case class Intervals(path: Seq[String], rule: IntervalRule) extends SearchQuery
   /** Q5 — numeric range on a field path; bounds are inclusive by default
     * (ES `gte`/`lte`) with per-bound exclusivity for `gt`/`lt`. */
   final case class Range(path: Seq[String], lo: Long, hi: Long,
@@ -1012,6 +1023,51 @@ object SearchQuery {
           case (Nil, full) => Wildcard(full, glob)
           case (arr, rest) => NestedWildcard(arr, rest, glob)
         }
+      case JObject(List(("intervals", JObject(List((iField, iRule)))))) =>
+        val ip = path(iField)
+        val (iArr, iFull) = splitArrayPath(ip, schema)
+        require(iArr.isEmpty,
+          s"intervals on array path $iField is not implemented (scalar text fields only)")
+        def parseRule(rv: JValue): IntervalRule = rv match {
+          case JObject(List(("match", JObject(mf)))) =>
+            val m = mf.toMap
+            val unknown = m.keySet -- Set("query", "ordered", "max_gaps")
+            require(unknown.isEmpty,
+              s"unsupported intervals match key(s): ${unknown.mkString(", ")} " +
+                "(query/ordered/max_gaps; analyzer/use_field/filter are not implemented)")
+            val terms = m.get("query") match {
+              case Some(JString(s)) => s.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
+              case _ => throw new IllegalArgumentException("intervals match needs a query string")
+            }
+            require(terms.nonEmpty && terms.size <= 3,
+              s"intervals match supports 1-3 terms, got ${terms.size}")
+            require(terms.distinct.size == terms.size,
+              "repeated terms in an intervals match are not implemented " +
+                "(the one-position-per-term assignment would need distinctness tracking)")
+            val ordered = m.get("ordered") match {
+              case None | Some(JBool(false)) => false
+              case Some(JBool(true)) => true
+              case other => throw new IllegalArgumentException(
+                s"intervals ordered must be a boolean: $other")
+            }
+            val mg = m.get("max_gaps").map(asLong(_).toInt).getOrElse(-1) // ES default: unbounded
+            IntervalMatch(terms, ordered, mg)
+          case JObject(List(("any_of", JObject(af)))) =>
+            val a = af.toMap
+            val unknown = a.keySet -- Set("intervals")
+            require(unknown.isEmpty,
+              s"unsupported intervals any_of key(s): ${unknown.mkString(", ")} " +
+                "(a filter under any_of is not implemented)")
+            a.get("intervals") match {
+              case Some(JArray(rs)) if rs.nonEmpty => IntervalAnyOf(rs.map(parseRule))
+              case _ => throw new IllegalArgumentException(
+                "intervals any_of needs a non-empty intervals array")
+            }
+          case other => throw new IllegalArgumentException(
+            s"unsupported intervals rule: $other (match/any_of; all_of, prefix/wildcard/" +
+              "fuzzy rules and containing-family filters are not implemented)")
+        }
+        Intervals(iFull, parseRule(iRule))
       case JObject(List(("geo_distance", JObject(gdFields)))) =>
         val f = gdFields.toMap
         val distStr = f.get("distance") match {
@@ -1380,6 +1436,12 @@ object SearchQuery {
       val box = la >= lit(latLo) && la <= lit(latHi) &&
         lonBox.map { case (ll, lh) => lo >= lit(ll) && lo <= lit(lh) }.getOrElse(lit(true))
       box && Geo.haversineMeters(la, lo, la0, lo0) <= lit(m)
+    case Intervals(p, rule) =>
+      def rc(r: IntervalRule): Column = r match {
+        case IntervalMatch(ts, o, g) => SearchOps.intervalMatch(field(doc, p), ts, o, g)
+        case IntervalAnyOf(rs) => rs.map(rc).reduce(_ || _)
+      }
+      rc(rule)
     case Range(p, lo, hi, li, hc) => SearchOps.range(field(doc, p), lo, hi, li, hc)
     case TsRange(p, lo, hi, li, hc) =>
       val v = field(doc, p)

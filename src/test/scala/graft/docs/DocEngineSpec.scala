@@ -910,10 +910,12 @@ class DocEngineSpec extends SparkSpec {
         |    "ranges": [{"to": 30}]},
         |  "aggs": {"t": {"terms": {"field": "planType"}}}}}}""".stripMargin,
       PlanSchema.plan))
-    assertThrows[IllegalArgumentException](EsAggs.parse(
+    // round 8: a filters agg inside a nested context PARSES (element-grain
+    // buckets — the predicates compile per element at exec)
+    assert(EsAggs.parse(
       """{"aggs": {"n": {"nested": {"path": "linkedPlanServices"},
         |  "aggs": {"c": {"filters": {"filters": {"a": {"match_all": {}}}}}}}}}""".stripMargin,
-      PlanSchema.plan))
+      PlanSchema.plan).tree.isRight)
   }
 
   test("stats fans out to five exact columns; percentiles interpolate exactly; bad metric specs rejected") {
@@ -1738,6 +1740,44 @@ class DocEngineSpec extends SparkSpec {
         s"gauss=${gauss("a1")} exp=${expS("a1")} linear=${lin("a1")}")
     // past s = 60: linear floors at 0, gauss/exp remain positive (copay 99)
     assert(lin("c1") === 0.0 && gauss("c1") > 0.0 && expS("c1") > 0.0)
+  }
+
+  test("round-8 intervals: ordered forbids transpositions, max_gaps prices wasted " +
+    "positions, any_of unions rules") {
+    import spark.implicits._
+    val td = Seq(
+      ("t1", "alpha beta"),        // adjacent, in order
+      ("t2", "beta alpha"),        // adjacent, TRANSPOSED
+      ("t3", "alpha x y beta"),    // ordered, 2 wasted positions
+      ("t4", "alpha x y z beta"),  // ordered, 3 wasted positions
+      ("t5", "gamma delta")
+    ).toDF("id", "text").select(struct(col("id"), col("text")).as("doc"))
+    val sch = td.schema("doc").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    def ids(body: String): Seq[String] = {
+      val ast = SearchQuery.fromJson(body, sch)
+      td.filter(SearchQuery.compile(ast, col("doc")))
+        .select(col("doc.id")).collect().map(_.getString(0)).sorted.toSeq
+    }
+    // ordered: the transposed doc does NOT match (phrase slop 2 WOULD)
+    assert(ids("""{"query": {"intervals": {"text": {"match":
+      {"query": "alpha beta", "ordered": true, "max_gaps": 2}}}}}""") === Seq("t1", "t3"))
+    // unordered: transposition matches when adjacent
+    assert(ids("""{"query": {"intervals": {"text": {"match":
+      {"query": "alpha beta", "max_gaps": 0}}}}}""") === Seq("t1", "t2"))
+    // max_gaps unbounded by default
+    assert(ids("""{"query": {"intervals": {"text": {"match":
+      {"query": "alpha beta", "ordered": true}}}}}""") === Seq("t1", "t3", "t4"))
+    // any_of unions rules
+    assert(ids("""{"query": {"intervals": {"text": {"any_of": {"intervals": [
+      {"match": {"query": "alpha beta", "ordered": true, "max_gaps": 0}},
+      {"match": {"query": "gamma delta"}}]}}}}}""") === Seq("t1", "t5"))
+    // out-of-scope rules reject loudly
+    assertThrows[IllegalArgumentException](ids(
+      """{"query": {"intervals": {"text": {"all_of": {"intervals": []}}}}}"""))
+    assertThrows[IllegalArgumentException](ids(
+      """{"query": {"intervals": {"text": {"match": {"query": "a b c d"}}}}}"""))
+    assertThrows[IllegalArgumentException](ids(
+      """{"query": {"intervals": {"text": {"match": {"query": "a a"}}}}}"""))
   }
 
   test("match with operator=and through an array path binds every token to the SAME element") {

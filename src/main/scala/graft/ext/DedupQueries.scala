@@ -947,7 +947,122 @@ object DedupQueries {
       |FROM pairs JOIN cnt ca ON ca.doc_id = a JOIN cnt cb ON cb.doc_id = b
       |ORDER BY shared DESC, a, b""".stripMargin
 
+  // ---------------------------------------------------------------- dd11
+  /** Paragraph-grain dedup with containment ATTRIBUTION — dd10 answers
+    * "how much of B is inside A"; this answers "WHICH paragraph of B is
+    * WHICH paragraph of A": split every document into paragraphs, MinHash
+    * at paragraph grain, and emit the aligned (doc, para) ↔ (doc, para)
+    * pairs. The corpus has no newline boundaries, so the paragraph
+    * splitter is a fixed 25-token chunker (documented parameterization —
+    * swap in a `\n\n` splitter on a real corpus, the pipeline below is
+    * grain-agnostic). Planted containment: tokens 26-75 of every
+    * doc_id % 17 == 0 doc re-emitted as a new doc — EXACTLY the source's
+    * paragraphs 1 and 2, so the expected attribution is (src, 1) ↔
+    * (franken, 0) and (src, 2) ↔ (franken, 1).
+    *
+    * Scale shape = dd2's at paragraph grain: shingle explode → per-PARA
+    * signature (one groupBy) → band explode → bucket join; candidate
+    * pairs ∝ colliding paragraphs, exact Jaccard verify on candidates
+    * only — the plan never goes O(paragraphs²). */
+  private def dd11(s: SparkSession, d: String): DataFrame = {
+    val (res, th, sh) = dd11Plan(s, d)
+    graft.Eager.finish(res, th, sh)
+  }
+
+  /** dd11's plan pre-`Eager.pin`, exposed so PlanAuditSpec can inspect the
+    * real optimized join tree (pin collapses it to a LocalRelation). */
+  private[graft] def dd11Plan(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
+    val base = Tables(s, d, "documents").select(col("doc_id"), col("text"))
+    val franken = base.filter(col("doc_id") % 17 === 0).select(
+      (col("doc_id") + 3000000L).as("doc_id"),
+      concat_ws(" ", slice(split(col("text"), "\\s+"), 26, 50)).as("text"))
+    val corpus = base.unionByName(franken)
+    val toks = split(col("text"), "\\s+")
+    val paras = corpus.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), ((size(toks) - 1) / lit(25)).cast("int")),
+          i => slice(toks, i * lit(25) + 1, lit(25)))))
+      .withColumnRenamed("pos", "para").withColumnRenamed("col", "ptoks")
+      .filter(size(col("ptoks")) >= 2)
+    // same materialization boundary as dd2 (see comment there)
+    val th = paras.select(col("doc_id"), col("para"), tokenHashes(col("ptoks")).as("hs"))
+      .persist()
+    val sh = th.select(col("doc_id"), col("para"),
+        explode(shingleHashes(col("hs"), 2)).as("h"))
+      .distinct().persist()
+    val mhCols = MinhashParams.zipWithIndex.map { case ((a, b), i) =>
+      min(perm(col("h"), a, b)).as(s"mh$i") }
+    val sig = sh.groupBy(col("doc_id"), col("para")).agg(mhCols.head, mhCols.tail: _*)
+    val bands = (0 until 4).map { bnd =>
+      sig.select(col("doc_id"), col("para"), lit(bnd).as("band"),
+        concat_ws("-", (0 until 3).map(r => col(s"mh${bnd * 3 + r}")): _*).as("sig"))
+    }.reduce(_ unionAll _)
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("x.para").as("pa"),
+        col("y.doc_id").as("b"), col("y.para").as("pb")).distinct()
+    val sa = sh.select(col("doc_id").as("a"), col("para").as("pa"), col("h"))
+    val sb = sh.select(col("doc_id").as("b"), col("para").as("pb"), col("h"))
+    val inter = cand.join(sa, Seq("a", "pa")).join(sb, Seq("b", "pb", "h"))
+      .groupBy(col("a"), col("pa"), col("b"), col("pb"))
+      .agg(count(lit(1)).as("n_inter"))
+    val sizes = sh.groupBy(col("doc_id"), col("para")).agg(count(lit(1)).as("n_sh"))
+    val res = inter
+      .join(sizes.select(col("doc_id").as("a"), col("para").as("pa"),
+        col("n_sh").as("na")), Seq("a", "pa"))
+      .join(sizes.select(col("doc_id").as("b"), col("para").as("pb"),
+        col("n_sh").as("nb")), Seq("b", "pb"))
+      .select(col("a"), col("pa"), col("b"), col("pb"), col("n_inter"),
+        (col("na") + col("nb") - col("n_inter")).as("n_union"))
+      .filter(col("n_inter") * 10 >= col("n_union") * 6)
+      .orderBy(col("a"), col("pa"), col("b"), col("pb"))
+    (res, th, sh)
+  }
+
+  private val dd11Sql =
+    s"""WITH base AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 3000000,
+       |    array_to_string(list_slice(regexp_split_to_array(text, '\\s+'), 26, 75), ' ')
+       |  FROM documents WHERE doc_id % 17 = 0),
+       |t AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ts FROM base),
+       |p AS (SELECT doc_id, i AS para,
+       |    list_slice(ts, CAST(i * 25 + 1 AS INTEGER), CAST(i * 25 + 25 AS INTEGER)) AS ptoks
+       |  FROM t, unnest(range(0, (len(ts) - 1) // 25 + 1)) AS u(i)
+       |  WHERE len(list_slice(ts, CAST(i * 25 + 1 AS INTEGER), CAST(i * 25 + 25 AS INTEGER))) >= 2),
+       |th AS (SELECT doc_id, para,
+       |    list_transform(ptoks, x -> CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT) % ${MinhashPrime}) AS hs
+       |  FROM p),
+       |sh AS (SELECT DISTINCT doc_id, para, ${TextFunctions.shingleHashSql("hs", 2)} AS h
+       |  FROM th, unnest(range(1, len(hs))) AS t2(i)),
+       |sig AS (SELECT doc_id, para,
+       |    $mhTermsSql
+       |  FROM sh GROUP BY doc_id, para),
+       |bands AS (
+       |  ${(0 until 4).map { bnd =>
+            val triple = (0 until 3).map(r => s"mh${bnd * 3 + r}").mkString(", ")
+            s"SELECT doc_id, para, $bnd AS band, concat_ws('-', $triple) AS sig FROM sig"
+          }.mkString("\n  UNION ALL ")}),
+       |cand AS (SELECT DISTINCT x.doc_id AS a, x.para AS pa, y.doc_id AS b, y.para AS pb
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+       |inter AS (SELECT a, pa, b, pb, CAST(COUNT(*) AS BIGINT) AS n_inter
+       |  FROM cand
+       |  JOIN sh sa ON sa.doc_id = a AND sa.para = pa
+       |  JOIN sh sb ON sb.doc_id = b AND sb.para = pb AND sb.h = sa.h
+       |  GROUP BY a, pa, b, pb),
+       |sizes AS (SELECT doc_id, para, CAST(COUNT(*) AS BIGINT) AS n_sh
+       |  FROM sh GROUP BY doc_id, para)
+       |SELECT a, pa, b, pb, n_inter, za.n_sh + zb.n_sh - n_inter AS n_union
+       |FROM inter
+       |JOIN sizes za ON za.doc_id = a AND za.para = pa
+       |JOIN sizes zb ON zb.doc_id = b AND zb.para = pb
+       |WHERE n_inter * 10 >= (za.n_sh + zb.n_sh - n_inter) * 6
+       |ORDER BY a, pa, b, pb""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "dd11_paragraph_dedup" -> dd11 _,
     "dd10_containment" -> dd10 _,
     "dd9_source_overlap" -> dd9 _,
     "dd7_incremental" -> dd7 _,
@@ -960,6 +1075,7 @@ object DedupQueries {
     "dd6_dedup_clusters" -> dd6 _)
 
   val oracle: Map[String, String] = Map(
+    "dd11_paragraph_dedup" -> dd11Sql,
     "dd10_containment" -> dd10Sql,
     "dd9_source_overlap" -> dd9Sql,
     "dd7_incremental" -> dd7Sql,

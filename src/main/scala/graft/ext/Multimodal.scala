@@ -234,7 +234,100 @@ object Multimodal {
       |  MAX(keep_id) AS max_keep
       |FROM g""".stripMargin
 
+  // ---------------------------------------------------------------- m6
+  /** Perceptual media NEAR-dup (aHash over the decode-stub bytes) — the
+    * pass after m5's exact checksum dedup: re-ENCODES of the same media
+    * share no checksum but survive a perceptual hash. The stub aHash is
+    * the real algorithm's shape on fake pixels: 32 chunk sums over the
+    * payload ("pixel block means"), bit i set when chunk i is brighter
+    * than the whole (INTEGER cross-multiplication `sum_i·32 > total` —
+    * no doubles, bit-exact in any engine), giving a 32-bit hash.
+    *
+    * Near-dups are planted as single-byte re-encodes (first byte → 'z',
+    * id shifted by max+1 — SQL-replayable like m5), so each planted pair
+    * lands at hamming ≤ 3 almost surely.
+    *
+    * Scale shape (the dd3 hamming-band pattern): 4 bands × 8 bits; a
+    * pair within hamming ≤ 3 differs in ≤ 3 bands, so BY PIGEONHOLE it
+    * collides on at least one band — candidate recall is exactly 100%,
+    * which is why the DuckDB oracle may brute-force all pairs while the
+    * engine joins band buckets (pairs ∝ per-bucket density, never
+    * O(n²)). Verification (`bit_count(xor)`) runs on candidates only,
+    * riding the band join's carried hashes — no second join. */
+  private def m6(s: SparkSession, d: String): DataFrame = {
+    val base = media(s, d).select(col("doc_id"), col("payload").cast("string").as("text"))
+    val shift = broadcast(base.agg((max(col("doc_id")) + 1L).as("_shift")))
+    val planted = base.unionByName(
+      base.filter(col("doc_id") % 53 === 0).crossJoin(shift)
+        .withColumn("doc_id", col("doc_id") + col("_shift")).drop("_shift")
+        .withColumn("text", concat(lit("z"), expr("substring(text, 2)"))))
+    // Chunk sums via ONE posexplode + ONE hash aggregation with 32
+    // conditional sums — fully vectorized/codegen'd. (Two rejected
+    // shapes, kept for the record: per-chunk substr walks are O(len²) on
+    // UTF-8 — 4× slower; higher-order aggregate() lambdas evaluate
+    // interpreted per element — 30× slower.)
+    val codes = transform(split(col("text"), ""), c => ascii(c))
+    val ex = planted
+      .select(col("doc_id"), (length(col("text")) / 32).cast("long").as("q"),
+        posexplode(codes))
+      .filter(col("q") > 0 && col("pos") < col("q") * 32)
+      .withColumn("chunk", (col("pos") / col("q")).cast("int"))
+    val g = ex.groupBy(col("doc_id")).agg(
+      sum(when(col("chunk") === 0, col("col")).otherwise(0L)).as("s0"),
+      (1 until 32).map(i =>
+        sum(when(col("chunk") === i, col("col")).otherwise(0L)).as(s"s$i")): _*)
+    val sums = (0 until 32).map(i => coalesce(col(s"s$i"), lit(0L)))
+    val total = sums.reduce(_ + _)
+    val hash = sums.zipWithIndex.map { case (s0, i) =>
+      when(s0 * 32L > total, lit(1L << i)).otherwise(lit(0L)) }.reduce(_ + _)
+    // materialize the |docs|-row hash table to parquet so the band
+    // self-join scans it twice instead of recomputing the hash plan
+    // twice; short docs (q = 0) rejoin with hash 0 on both sides
+    val hdir = graft.TempDirs.create("graft-m6hash-")
+    planted.select(col("doc_id")).join(g, Seq("doc_id"), "left")
+      .select(col("doc_id"), hash.as("h"))
+      .write.mode("overwrite").parquet(hdir.toString)
+    val hashes = s.read.parquet(hdir.toString)
+    val bands = hashes.select(col("doc_id"), col("h"), explode(array(
+      (0 until 4).map(b => struct(lit(b).as("band"),
+        shiftright(col("h"), 8 * b).bitwiseAND(255).as("bv"))): _*)).as("bb"))
+      .select(col("doc_id"), col("h"), col("bb.band").as("band"), col("bb.bv").as("bv"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        bit_count(col("a.h").bitwiseXOR(col("b.h"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val m6Sql = {
+    val chunks = (0 until 32).map { i =>
+      s"COALESCE(list_sum(list_transform(range($i*q + 1, ($i+1)*q + 1), " +
+        s"j -> ascii(substr(text, CAST(j AS INTEGER), 1)))), 0)"
+    }
+    val total = chunks.mkString("(", " + ", ")")
+    val hashExpr = chunks.zipWithIndex.map { case (c, i) =>
+      s"CASE WHEN $c * 32 > $total THEN ${1L << i} ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH planted AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents), 'z' || substr(text, 2)
+       |  FROM documents WHERE doc_id % 53 = 0),
+       |q0 AS (SELECT doc_id, text, strlen(text) // 32 AS q FROM planted),
+       |h AS (SELECT doc_id, CAST(CASE WHEN q > 0 THEN $hashExpr ELSE 0 END AS BIGINT) AS h
+       |      FROM q0)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.h, b.h)) AS INTEGER) AS hamming
+       |FROM h a JOIN h b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.h, b.h)) <= 3
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "m6_media_neardup" -> m6 _,
     "m5_media_dedup" -> m5 _,
     "m1_media_meta" -> m1 _,
     "m2_decode_features" -> m2 _,
@@ -242,6 +335,7 @@ object Multimodal {
     "m4_modality_budget" -> m4 _)
 
   val oracle: Map[String, String] = Map(
+    "m6_media_neardup" -> m6Sql,
     "m5_media_dedup" -> m5Sql,
     "m1_media_meta" -> m1Sql,
     "m2_decode_features" -> m2Sql,

@@ -546,6 +546,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(corpusHashExchanges(p) === 1, s"expected exactly the tile-key shuffle:\n$p")
   }
 
+  test("dd11: paragraph dedup candidates come from band equi-joins, never a cartesian") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val (df, th, sh) = graft.ext.DedupQueries.dd11Plan(spark, sf)
+    try {
+      val opt = df.queryExecution.optimizedPlan
+      val joins = opt.collect { case j: Join => j }
+      assert(joins.nonEmpty)
+      joins.foreach(j => assert(j.condition.nonEmpty,
+        s"unconditioned join (cartesian) in the paragraph-dedup plan:\n$j"))
+      val bandJoins = opt.collect {
+        case j: Join if j.condition.exists(_.references.exists(_.name == "band")) => j
+      }
+      assert(bandJoins.nonEmpty, "expected the (band, sig) bucket equi-join")
+    } finally { th.unpersist(true); sh.unpersist(true) }
+  }
+
   test("t16: stratified sample runs both windows on ONE stratum shuffle") {
     val p = plan(q("t16_stratified_sample"))
     // count-per-stratum and hash-rank share the lang partitioning: one

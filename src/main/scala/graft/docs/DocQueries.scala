@@ -4930,6 +4930,128 @@ object DocQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- d125
+  /** `significant_terms` with the `chi_square` heuristic — the same
+    * one-shuffle bucket table as JLH (d61), scored by ES's NXY χ² over
+    * the disjoint-adjusted 2×2 contingency table (default
+    * include_negatives/background_is_superset; non-defaults reject).
+    * All-integer inputs through a fixed double op sequence. */
+  private def d125(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "size": 0,
+        |  "query": { "range": { "planCostShares.copay": { "gte": 25 } } },
+        |  "aggs": {
+        |    "hot_types": { "significant_terms": {
+        |      "field": "planType", "size": 3, "chi_square": {} } }
+        |  }
+        |}""".stripMargin
+    EsAggs.run(assembled(s, d), "doc", body, schema)
+  }
+
+  private val d125Sql =
+    """WITH g AS (
+      |  SELECT c_mktsegment AS key,
+      |    CAST(SUM(CASE WHEN c_custkey % 50 >= 25 THEN 1 ELSE 0 END) AS BIGINT) AS doc_count,
+      |    CAST(COUNT(*) AS BIGINT) AS bg_count
+      |  FROM customer GROUP BY 1),
+      |t AS (
+      |  SELECT *, CAST(SUM(doc_count) OVER () AS BIGINT) AS ft,
+      |    CAST(SUM(bg_count) OVER () AS BIGINT) AS bt
+      |  FROM g),
+      |c AS (
+      |  SELECT key, doc_count, bg_count,
+      |    CAST(doc_count AS DOUBLE) AS n11,
+      |    CAST(bg_count - doc_count AS DOUBLE) AS n01,
+      |    CAST(ft - doc_count AS DOUBLE) AS n10,
+      |    CAST(bt - ft AS DOUBLE) - CAST(bg_count - doc_count AS DOUBLE) AS n00,
+      |    CAST(bt AS DOUBLE) AS alln
+      |  FROM t)
+      |SELECT key, doc_count, bg_count,
+      |  alln * (n11 * n00 - n01 * n10) * (n11 * n00 - n01 * n10)
+      |    / ((n11 + n01) * (n11 + n10) * (n01 + n00) * (n10 + n00)) AS score
+      |FROM c WHERE doc_count > 0 ORDER BY score DESC, key ASC LIMIT 3""".stripMargin
+
+  // ---------------------------------------------------------------- d131
+  /** `significant_terms` with the `mutual_information` heuristic — the
+    * four-cell MI sum over the same table; log2 rides libm ln (the d120
+    * ~1e-15 documented tolerance, inside the oracle's 9-dp compare). */
+  private def d131(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "size": 0,
+        |  "query": { "range": { "planCostShares.copay": { "gte": 25 } } },
+        |  "aggs": {
+        |    "hot_types": { "significant_terms": {
+        |      "field": "planType", "size": 3,
+        |      "mutual_information": { "include_negatives": true } } }
+        |  }
+        |}""".stripMargin
+    EsAggs.run(assembled(s, d), "doc", body, schema)
+  }
+
+  private val d131Sql = {
+    def cell(nxy: String, rx: String, cy: String) =
+      s"CASE WHEN $nxy > 0 THEN ($nxy / alln) * (LN($nxy * alln / (($rx) * ($cy))) / LN(2.0)) ELSE 0.0 END"
+    """WITH g AS (
+      |  SELECT c_mktsegment AS key,
+      |    CAST(SUM(CASE WHEN c_custkey % 50 >= 25 THEN 1 ELSE 0 END) AS BIGINT) AS doc_count,
+      |    CAST(COUNT(*) AS BIGINT) AS bg_count
+      |  FROM customer GROUP BY 1),
+      |t AS (
+      |  SELECT *, CAST(SUM(doc_count) OVER () AS BIGINT) AS ft,
+      |    CAST(SUM(bg_count) OVER () AS BIGINT) AS bt
+      |  FROM g),
+      |c AS (
+      |  SELECT key, doc_count, bg_count,
+      |    CAST(doc_count AS DOUBLE) AS n11,
+      |    CAST(bg_count - doc_count AS DOUBLE) AS n01,
+      |    CAST(ft - doc_count AS DOUBLE) AS n10,
+      |    CAST(bt - ft AS DOUBLE) - CAST(bg_count - doc_count AS DOUBLE) AS n00,
+      |    CAST(bt AS DOUBLE) AS alln
+      |  FROM t)
+      |SELECT key, doc_count, bg_count,
+      |  """.stripMargin +
+      cell("n11", "n11 + n01", "n11 + n10") + "\n  + " +
+      cell("n01", "n11 + n01", "n01 + n00") + "\n  + " +
+      cell("n10", "n10 + n00", "n11 + n10") + "\n  + " +
+      cell("n00", "n10 + n00", "n01 + n00") + " AS score" +
+      """
+      |FROM c WHERE doc_count > 0 ORDER BY score DESC, key ASC LIMIT 3""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- d126
+  /** `categorize_text`-style log-pattern bucketing — token-skeleton
+    * templates (hex/digit runs masked) as bucket keys, a deterministic
+    * approximation of ES's ML categorizer (documented deviation, see
+    * EsAggs.CategorizeText). Log lines are synthesized in-query from
+    * events (the planting pattern — the corpus ships no log text). */
+  private def d126(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.Tables.events(s, d)
+      .select(struct(col("event_id"),
+        concat(lit("user "), col("user_id"), lit(" "), col("event_type"),
+          lit(" value "), floor(col("value")).cast("long")).as("msg")).as("doc"))
+    val evSchema = ev.schema("doc").dataType.asInstanceOf[StructType]
+    val body =
+      """{
+        |  "size": 0,
+        |  "aggs": {
+        |    "patterns": { "categorize_text": { "field": "msg", "size": 8 } }
+        |  }
+        |}""".stripMargin
+    EsAggs.run(ev, "doc", body, evSchema)
+  }
+
+  private val d126Sql =
+    """WITH m AS (
+      |  SELECT 'user ' || CAST(user_id AS VARCHAR) || ' ' || event_type ||
+      |    ' value ' || CAST(CAST(FLOOR(value) AS BIGINT) AS VARCHAR) AS msg
+      |  FROM events)
+      |SELECT regexp_replace(regexp_replace(msg, '\b0x[0-9a-fA-F]+\b', '<hex>', 'g'),
+      |    '[0-9]+', '<n>', 'g') AS key,
+      |  CAST(COUNT(*) AS BIGINT) AS doc_count
+      |FROM m GROUP BY 1 ORDER BY doc_count DESC, key ASC LIMIT 8""".stripMargin
+
   // ---------------------------------------------------------------- d127
   /** `composite` agg INSIDE a `nested` context — paging ELEMENT-grain
     * buckets (terms × histogram sources over nested fields): the agg
@@ -5164,6 +5286,9 @@ object DocQueries {
     "d122_es_geotile_grid" -> d122 _,
     "d123_es_deep_include" -> d123 _,
     "d124_es_intervals" -> d124 _,
+    "d125_es_chi_square" -> d125 _,
+    "d126_es_categorize_text" -> d126 _,
+    "d131_es_mutual_info" -> d131 _,
     "d130_es_geo_rings" -> d130 _,
     "d127_es_nested_composite" -> d127 _,
     "d128_es_nested_top_hits" -> d128 _,
@@ -5294,6 +5419,9 @@ object DocQueries {
     "d122_es_geotile_grid" -> d122Sql,
     "d123_es_deep_include" -> d123Sql,
     "d124_es_intervals" -> d124Sql,
+    "d125_es_chi_square" -> d125Sql,
+    "d126_es_categorize_text" -> d126Sql,
+    "d131_es_mutual_info" -> d131Sql,
     "d130_es_geo_rings" -> d130Sql,
     "d127_es_nested_composite" -> d127Sql,
     "d128_es_nested_top_hits" -> d128Sql,

@@ -172,6 +172,13 @@ object EsAggs {
     * geotile ordering is doc_count desc). One hash aggregation on the
     * tile key. */
   final case class GeotileGrid(path: Seq[String], precision: Int, size: Int) extends Agg
+  /** `categorize_text`-style log-pattern bucketing — a deterministic,
+    * oracle-portable approximation of ES's ML categorizer (DOCUMENTED
+    * DEVIATION: ES clusters by token-weight drift; this engine buckets
+    * by the token SKELETON — hex runs then digit runs masked to
+    * placeholders — which is the reproducible 80% of log triage).
+    * Top-`size` templates by doc_count, one hash aggregation. */
+  final case class CategorizeText(path: Seq[String], size: Int) extends Agg
   /** ES `date_range` bucket agg — from-inclusive/to-exclusive over ISO
     * `yyyy-MM-dd` bounds (midnight semantics), open ends allowed. */
   final case class DateRangeAgg(path: Seq[String],
@@ -213,9 +220,23 @@ object EsAggs {
     * or the subset matching `background_filter` when present (the
     * Discover compare-to-segment body); the foreground is then the hit
     * set WITHIN that background (fg ⊆ bg — the only shape under which
-    * JLH percentages are meaningful, and ES's documented usage). */
+    * JLH percentages are meaningful, and ES's documented usage).
+    *
+    * `heuristic` selects the scoring function over the same 2×2
+    * contingency table — all computed from the SAME one-shuffle bucket
+    * table, differing only in the |terms|-row score expression:
+    *  - "jlh" (ES default): `(fgPct - bgPct) * (fgPct / bgPct)`.
+    *  - "chi_square": ES's NXY χ² with the default include_negatives /
+    *    background_is_superset (both true): the superset counts are made
+    *    disjoint (`F−f`, `N−S`) and the classic
+    *    `all·(n11·n00 − n01·n10)² / ((n11+n01)(n11+n10)(n01+n00)(n10+n00))`
+    *    runs in doubles (long products would overflow at corpus scale).
+    *  - "mutual_information": Σ p(x,y)·log2(p(x,y)/(p(x)p(y))) over the
+    *    four cells (empty cells contribute 0), same disjoint adjustment;
+    *    log2 rides libm ln — the d120-documented ~1e-15 tolerance. */
   final case class SignificantTerms(path: Seq[String], size: Int,
-                                    bg: Option[SearchQuery] = None) extends Agg
+                                    bg: Option[SearchQuery] = None,
+                                    heuristic: String = "jlh") extends Agg
   /** ES `top_hits` sub-agg — the top `size` DOCUMENTS of each bucket by an
     * explicit sort, rendered as one row per (bucket, hit). Determinism:
     * the explicit sort is tie-broken by every `_source` column ascending
@@ -388,7 +409,8 @@ object EsAggs {
     Set("terms", "histogram", "date_histogram", "auto_date_histogram",
       "filter", "filters", "range", "missing", "composite", "significant_terms",
       "significant_text", "global", "adjacency_matrix", "rare_terms",
-      "date_range", "multi_terms", "geo_distance", "geotile_grid")
+      "date_range", "multi_terms", "geo_distance", "geotile_grid",
+      "categorize_text")
 
   private val pipelineKinds =
     Set("cumulative_sum", "derivative", "bucket_selector", "bucket_sort",
@@ -861,6 +883,11 @@ object EsAggs {
             val size0 = num(spec, "size", "geotile_grid").map(_.toInt).getOrElse(10000)
             require(size0 >= 1, s"geotile_grid size must be >= 1: $size0")
             GeotileGrid(fieldPath(spec, "geotile_grid", ctx), precision, size0)
+          }).orElse(bf.get("categorize_text").map { spec =>
+            checkSpecKeys(spec, "categorize_text", Set("field", "size"))
+            val size0 = num(spec, "size", "categorize_text").map(_.toInt).getOrElse(10)
+            require(size0 >= 1, s"categorize_text size must be >= 1: $size0")
+            CategorizeText(fieldPath(spec, "categorize_text", ctx), size0)
           }).orElse(bf.get("missing").map { spec =>
             checkSpecKeys(spec, "missing", Set("field"))
             // resolve with array awareness: `missing` ON an array field
@@ -1042,15 +1069,31 @@ object EsAggs {
             }
           }).orElse(bf.get("significant_terms").map { spec =>
             val sm = checkSpecKeys(spec, "significant_terms",
-              Set("field", "size", "background_filter"))
+              Set("field", "size", "background_filter",
+                "jlh", "chi_square", "mutual_information"))
             val bg = sm.get("background_filter").map(SearchQuery.parseQueryNode(_, schema))
             // background_filter is a DOCUMENT-grain predicate; which
             // grain ES applies inside a nested context is ambiguous —
             // reject the combination rather than guess
             require(ctx.isEmpty || bg.isEmpty,
               "significant_terms background_filter inside a nested context is not implemented")
+            val heuristics = Seq("jlh", "chi_square", "mutual_information").filter(sm.contains)
+            require(heuristics.size <= 1,
+              s"significant_terms takes ONE heuristic, got: ${heuristics.mkString(", ")}")
+            heuristics.headOption.foreach { h =>
+              // only the ES-default parameterization is implemented:
+              // include_negatives/background_is_superset both true (a
+              // silently-ignored false would return a DIFFERENT ranking);
+              // jlh takes an empty object, as in ES
+              val allowed = if (h == "jlh") Set.empty[String]
+                else Set("include_negatives", "background_is_superset")
+              val hp = checkSpecKeys(sm(h), h, allowed)
+              hp.foreach { case (k, v) => require(v == JBool(true),
+                s"significant_terms $h with $k: false is not implemented (ES default true only)") }
+            }
             SignificantTerms(fieldPath(spec, "significant_terms", ctx),
-              num(spec, "size", "significant_terms").map(_.toInt).getOrElse(10), bg)
+              num(spec, "size", "significant_terms").map(_.toInt).getOrElse(10), bg,
+              heuristics.headOption.getOrElse("jlh"))
           }).orElse(bf.get("significant_text").map[Agg] { _ =>
             throw new IllegalArgumentException(
               "significant_text without a sampler parent is not implemented " +
@@ -1417,7 +1460,7 @@ object EsAggs {
                 case _: FiltersAgg | _: RangeAgg | _: MissingAgg | _: CompositeAgg |
                      _: SignificantTerms | GlobalAgg | _: AdjacencyMatrix | _: RareTerms |
                      _: DateRangeAgg | _: MultiTerms | _: AutoDateHistogram |
-                     _: GeoDistanceAgg | _: GeotileGrid =>
+                     _: GeoDistanceAgg | _: GeotileGrid | _: CategorizeText =>
                   throw new IllegalArgumentException(
                     "only terms/histogram bucket aggs can be an inner level of a multi-level split")
                 case _ => ()
@@ -1464,7 +1507,7 @@ object EsAggs {
             case (_: RangeAgg | _: MissingAgg | _: CompositeAgg |
                   _: SignificantTerms | GlobalAgg | _: AdjacencyMatrix | _: RareTerms |
                   _: DateRangeAgg | _: MultiTerms | _: AutoDateHistogram |
-                  _: GeoDistanceAgg | _: GeotileGrid, Some(_)) =>
+                  _: GeoDistanceAgg | _: GeotileGrid | _: CategorizeText, Some(_)) =>
               throw new IllegalArgumentException(
                 "sub-bucket levels under this bucket agg kind are not implemented")
             case _ => ()
@@ -2061,6 +2104,18 @@ object EsAggs {
             ms.flatMap { case (n, m) => metricCols(n, m) }: _*)
           .orderBy(col("doc_count").desc, col("key").asc)
           .limit(size0)
+      case Right(Buckets(CategorizeText(p, size0), ms, None, Nil, None, Nil, None, None)) =>
+        // token-skeleton template as the bucket key (see the case class
+        // doc for the ES deviation): hex runs mask before digit runs so
+        // "0xdead12" never half-masks; one hash aggregation
+        val tpl = regexp_replace(regexp_replace(field(ctx, p).cast("string"),
+          lit("\\b0x[0-9a-fA-F]+\\b"), lit("<hex>")), lit("[0-9]+"), lit("<n>"))
+        rows.filter(field(ctx, p).isNotNull)
+          .groupBy(tpl.as("key"))
+          .agg(count(lit(1)).as("doc_count"),
+            ms.flatMap { case (n, m) => metricCols(n, m) }: _*)
+          .orderBy(col("doc_count").desc, col("key").asc)
+          .limit(size0)
       case Right(Buckets(AdjacencyMatrix(bs), ms, None, Nil, None, Nil, None, None)) =>
         // singles in body order, then pairwise intersections a&b (i<j in
         // body order); ES drops empty INTERSECTION buckets — and empty
@@ -2168,7 +2223,7 @@ object EsAggs {
           .orderBy(col("score").desc, col("key").asc)
           .limit(topN)
         graft.Eager.finish(scored, sampled)
-      case Right(Buckets(SignificantTerms(p, topN, bgQ), _, None, _, _, _, _, _)) =>
+      case Right(Buckets(SignificantTerms(p, topN, bgQ, heur), _, None, _, _, _, _, _)) =>
         // foreground = the query's hit set; background = the WHOLE corpus,
         // so the aggregation runs UNFILTERED with a conditional foreground
         // count — one corpus shuffle. ES's JLH denominators are the
@@ -2197,10 +2252,32 @@ object EsAggs {
           count(lit(1)).cast("long").as("bg_count"))
         val fgPct = col("doc_count").cast("double") / col("_fg_total")
         val bgPct = col("bg_count").cast("double") / col("_bg_total")
+        // alternative heuristics score the SAME 2×2 table (see the case
+        // class doc): superset counts made disjoint per ES's
+        // background_is_superset default, then χ² / MI in doubles
+        val n11 = col("doc_count").cast("double")
+        val n01 = (col("bg_count") - col("doc_count")).cast("double")
+        val n10 = (col("_fg_total") - col("doc_count")).cast("double")
+        val n00 = (col("_bg_total") - col("_fg_total") - n01).cast("double")
+        val all = col("_bg_total").cast("double")
+        val scoreCol = heur match {
+          case "jlh" => (fgPct - bgPct) * (fgPct / bgPct)
+          case "chi_square" =>
+            val d0 = n11 * n00 - n01 * n10
+            all * d0 * d0 /
+              ((n11 + n01) * (n11 + n10) * (n01 + n00) * (n10 + n00))
+          case "mutual_information" =>
+            def cell(nxy: Column, rx: Column, cy: Column): Column =
+              when(nxy > 0,
+                (nxy / all) * (log(nxy * all / (rx * cy)) / log(lit(2.0))))
+                .otherwise(lit(0.0))
+            cell(n11, n11 + n01, n11 + n10) + cell(n01, n11 + n01, n01 + n00) +
+              cell(n10, n10 + n00, n11 + n10) + cell(n00, n10 + n00, n01 + n00)
+        }
         g.withColumn("_fg_total", sum(col("doc_count")).over(wAllBuckets))
           .withColumn("_bg_total", sum(col("bg_count")).over(wAllBuckets))
           .filter(col("key").isNotNull && col("doc_count") > 0)
-          .withColumn("score", (fgPct - bgPct) * (fgPct / bgPct))
+          .withColumn("score", scoreCol)
           .drop("_fg_total", "_bg_total")
           .orderBy(col("score").desc, col("key").asc)
           .limit(topN)

@@ -4834,6 +4834,67 @@ object DocQueries {
        |  AVG(copay) FILTER ($dist >= 8000000.0) FROM pts""".stripMargin
   }
 
+  // ---------------------------------------------------------------- d132
+  /** ES `geo_bounding_box` query — the map-viewport filter: a PURE
+    * lat/lon range predicate (no trigonometry at all), so the whole
+    * query pushes to the scan. The cheapest member of the geo family
+    * and the one every map pan/zoom emits. */
+  private def d132(s: SparkSession, d: String): DataFrame = {
+    val geo = geoDocs(s, d)
+    val body =
+      """{
+        |  "query": { "geo_bounding_box": { "location": {
+        |    "top_left": { "lat": 45.0, "lon": -30.0 },
+        |    "bottom_right": { "lat": -10.0, "lon": 60.0 } } } }
+        |}""".stripMargin
+    val ast = SearchQuery.fromJson(body, geoSchema(geo))
+    geo.filter(SearchQuery.compile(ast, col("doc")))
+      .select(col("doc.objectId").as("objectId"),
+        col("doc.location.lat").as("lat"), col("doc.location.lon").as("lon"))
+      .orderBy(col("objectId"))
+  }
+
+  private val d132Sql =
+    s"""WITH pts AS (
+       |  SELECT 'plan-' || ${ck("c_custkey")} AS "objectId",
+       |    $geoLatSql AS lat, $geoLonSql AS lon
+       |  FROM customer)
+       |SELECT "objectId", lat, lon FROM pts
+       |WHERE lat <= 45.0 AND lat >= -10.0 AND lon >= -30.0 AND lon <= 60.0
+       |ORDER BY "objectId"""".stripMargin
+
+  // ---------------------------------------------------------------- d133
+  /** ES `geohash_grid` agg — geohash cells as map buckets (the other
+    * Kibana grid): base-32 cell ids from pure integer quantize-and-
+    * interleave bit arithmetic (no trig, bit-exact in any engine), one
+    * hash aggregation, top-N by doc_count. */
+  private def d133(s: SparkSession, d: String): DataFrame = {
+    val geo = geoDocs(s, d)
+    val body =
+      """{
+        |  "size": 0,
+        |  "aggs": {
+        |    "cells": {
+        |      "geohash_grid": { "field": "location", "precision": 2, "size": 12 },
+        |      "aggs": { "avg_copay": { "avg": { "field": "copay" } } }
+        |    }
+        |  }
+        |}""".stripMargin
+    EsAggs.run(geo, "doc", body, geoSchema(geo))
+  }
+
+  private val d133Sql = {
+    val (lonQ, latQ) = Geo.geohashQuantSql("lat", "lon", 2)
+    s"""WITH pts AS (
+       |  SELECT $geoLatSql AS lat, $geoLonSql AS lon, c_custkey % 50 AS copay
+       |  FROM customer),
+       |qz AS (SELECT lat, lon, copay, $lonQ AS lonc, $latQ AS latc FROM pts),
+       |iv AS (SELECT copay, ${Geo.geohashInterleaveSql("lonc", "latc", 2)} AS lonlat FROM qz)
+       |SELECT ${Geo.geohashSql("lonlat", 2)} AS key,
+       |  CAST(COUNT(*) AS BIGINT) AS doc_count, AVG(copay) AS avg_copay
+       |FROM iv GROUP BY 1 ORDER BY doc_count DESC, key ASC LIMIT 12""".stripMargin
+  }
+
   // ---------------------------------------------------------------- d123
   /** Terms `include` (anchored regex) + `show_term_doc_count_error` on
     * the INNER level of a multi-level split — the Kibana split-rows
@@ -5289,6 +5350,8 @@ object DocQueries {
     "d125_es_chi_square" -> d125 _,
     "d126_es_categorize_text" -> d126 _,
     "d131_es_mutual_info" -> d131 _,
+    "d132_es_geo_bbox" -> d132 _,
+    "d133_es_geohash_grid" -> d133 _,
     "d130_es_geo_rings" -> d130 _,
     "d127_es_nested_composite" -> d127 _,
     "d128_es_nested_top_hits" -> d128 _,
@@ -5422,6 +5485,8 @@ object DocQueries {
     "d125_es_chi_square" -> d125Sql,
     "d126_es_categorize_text" -> d126Sql,
     "d131_es_mutual_info" -> d131Sql,
+    "d132_es_geo_bbox" -> d132Sql,
+    "d133_es_geohash_grid" -> d133Sql,
     "d130_es_geo_rings" -> d130Sql,
     "d127_es_nested_composite" -> d127Sql,
     "d128_es_nested_top_hits" -> d128Sql,

@@ -172,6 +172,11 @@ object EsAggs {
     * geotile ordering is doc_count desc). One hash aggregation on the
     * tile key. */
   final case class GeotileGrid(path: Seq[String], precision: Int, size: Int) extends Agg
+  /** ES `geohash_grid` — geohash cells as buckets (the other Kibana map
+    * grid): key = the base-32 geohash string ([[Geo.geohash]] — pure
+    * integer bit arithmetic, no trig), top-`size` by doc_count desc then
+    * key asc. One hash aggregation on the cell id. */
+  final case class GeohashGrid(path: Seq[String], precision: Int, size: Int) extends Agg
   /** `categorize_text`-style log-pattern bucketing — a deterministic,
     * oracle-portable approximation of ES's ML categorizer (DOCUMENTED
     * DEVIATION: ES clusters by token-weight drift; this engine buckets
@@ -410,7 +415,7 @@ object EsAggs {
       "filter", "filters", "range", "missing", "composite", "significant_terms",
       "significant_text", "global", "adjacency_matrix", "rare_terms",
       "date_range", "multi_terms", "geo_distance", "geotile_grid",
-      "categorize_text")
+      "geohash_grid", "categorize_text")
 
   private val pipelineKinds =
     Set("cumulative_sum", "derivative", "bucket_selector", "bucket_sort",
@@ -883,6 +888,15 @@ object EsAggs {
             val size0 = num(spec, "size", "geotile_grid").map(_.toInt).getOrElse(10000)
             require(size0 >= 1, s"geotile_grid size must be >= 1: $size0")
             GeotileGrid(fieldPath(spec, "geotile_grid", ctx), precision, size0)
+          }).orElse(bf.get("geohash_grid").map { spec =>
+            val m = checkSpecKeys(spec, "geohash_grid", Set("field", "precision", "size"))
+            val precision = num(spec, "precision", "geohash_grid").map(_.toInt).getOrElse(5)
+            require(precision >= 1 && precision <= 6,
+              s"geohash_grid precision out of implemented range: $precision (1-6; " +
+                "7+ needs > 35 interleave bits per axis pair — not wired)")
+            val size0 = num(spec, "size", "geohash_grid").map(_.toInt).getOrElse(10000)
+            require(size0 >= 1, s"geohash_grid size must be >= 1: $size0")
+            GeohashGrid(fieldPath(spec, "geohash_grid", ctx), precision, size0)
           }).orElse(bf.get("categorize_text").map { spec =>
             checkSpecKeys(spec, "categorize_text", Set("field", "size"))
             val size0 = num(spec, "size", "categorize_text").map(_.toInt).getOrElse(10)
@@ -1460,7 +1474,8 @@ object EsAggs {
                 case _: FiltersAgg | _: RangeAgg | _: MissingAgg | _: CompositeAgg |
                      _: SignificantTerms | GlobalAgg | _: AdjacencyMatrix | _: RareTerms |
                      _: DateRangeAgg | _: MultiTerms | _: AutoDateHistogram |
-                     _: GeoDistanceAgg | _: GeotileGrid | _: CategorizeText =>
+                     _: GeoDistanceAgg | _: GeotileGrid | _: GeohashGrid |
+                     _: CategorizeText =>
                   throw new IllegalArgumentException(
                     "only terms/histogram bucket aggs can be an inner level of a multi-level split")
                 case _ => ()
@@ -1507,7 +1522,8 @@ object EsAggs {
             case (_: RangeAgg | _: MissingAgg | _: CompositeAgg |
                   _: SignificantTerms | GlobalAgg | _: AdjacencyMatrix | _: RareTerms |
                   _: DateRangeAgg | _: MultiTerms | _: AutoDateHistogram |
-                  _: GeoDistanceAgg | _: GeotileGrid | _: CategorizeText, Some(_)) =>
+                  _: GeoDistanceAgg | _: GeotileGrid | _: GeohashGrid |
+                  _: CategorizeText, Some(_)) =>
               throw new IllegalArgumentException(
                 "sub-bucket levels under this bucket agg kind are not implemented")
             case _ => ()
@@ -2100,6 +2116,16 @@ object EsAggs {
         val lo = field(ctx, p :+ "lon")
         rows.filter(la.isNotNull && lo.isNotNull)
           .groupBy(Geo.tileKey(la, lo, z).as("key"))
+          .agg(count(lit(1)).as("doc_count"),
+            ms.flatMap { case (n, m) => metricCols(n, m) }: _*)
+          .orderBy(col("doc_count").desc, col("key").asc)
+          .limit(size0)
+      case Right(Buckets(GeohashGrid(p, prec, size0), ms, None, Nil, None, Nil, None, None)) =>
+        // same shape as geotile_grid on a different cell id
+        val gla = field(ctx, p :+ "lat")
+        val glo = field(ctx, p :+ "lon")
+        rows.filter(gla.isNotNull && glo.isNotNull)
+          .groupBy(Geo.geohash(gla, glo, prec).as("key"))
           .agg(count(lit(1)).as("doc_count"),
             ms.flatMap { case (n, m) => metricCols(n, m) }: _*)
           .orderBy(col("doc_count").desc, col("key").asc)

@@ -55,6 +55,74 @@ object Geo {
     concat_ws("/", lit(z.toString), x.cast("string"), y.cast("string"))
   }
 
+  private val GeohashAlphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+  /** Geohash cell id at `precision` characters (the ES geohash_grid
+    * bucket key): longitude/latitude quantized to the cell grid and
+    * bit-interleaved MSB-first starting with longitude (the geohash
+    * spec), then base-32 rendered. Pure integer bit arithmetic — the
+    * quantization `floor((v + range) / span · 2^bits)` and the
+    * interleave are exact in any engine; no trigonometry at all. */
+  def geohash(lat: Column, lon: Column, precision: Int): Column = {
+    require(precision >= 1 && precision <= 6,
+      s"geohash precision out of implemented range: $precision (1-6)")
+    val totalBits = precision * 5
+    val lonBits = (totalBits + 1) / 2 // lon gets the extra bit on odd totals
+    val latBits = totalBits / 2
+    val lonQ = floor((lon + lit(180.0)) / lit(360.0) * lit((1L << lonBits).toDouble))
+      .cast("long")
+    val latQ = floor((lat + lit(90.0)) / lit(180.0) * lit((1L << latBits).toDouble))
+      .cast("long")
+    // clamp the +180/+90 exact-edge cell into range (geohash wraps it)
+    val lonC = least(lonQ, lit((1L << lonBits) - 1L))
+    val latC = least(latQ, lit((1L << latBits) - 1L))
+    // interleave MSB-first, lon first: bit k of the result (from MSB,
+    // k = 0 .. totalBits-1) is lon bit (lonBits-1-k/2) when k even,
+    // lat bit (latBits-1-k/2) when odd
+    val inter = (0 until totalBits).map { k =>
+      val src = if (k % 2 == 0) lonC else latC
+      val srcBit = (if (k % 2 == 0) lonBits else latBits) - 1 - k / 2
+      val outBit = totalBits - 1 - k
+      shiftleft(shiftright(src, srcBit).bitwiseAND(1L), outBit)
+    }.reduce(_ + _)
+    concat((0 until precision).map { c =>
+      val idx = shiftright(inter, 5 * (precision - 1 - c)).bitwiseAND(31L)
+      lit(GeohashAlphabet).substr(idx.cast("int") + 1, lit(1))
+    }: _*)
+  }
+
+  /** The identical geohash as DuckDB SQL text — a flat expression over
+    * the caller's `lat`/`lon` column names (the quantized/interleaved
+    * integers are inlined textually; callers keep it readable by staging
+    * lonc/latc/lonlat in CTE columns and passing THOSE names). */
+  def geohashSql(lonlat: String, precision: Int): String =
+    (0 until precision).map { c =>
+      s"substr('$GeohashAlphabet', CAST((($lonlat >> ${5 * (precision - 1 - c)}) & 31) + 1 AS INTEGER), 1)"
+    }.mkString(" || ")
+
+  /** The quantize+interleave integer (`lonlat` input of [[geohashSql]])
+    * as DuckDB SQL over staged `lonc`/`latc` quantized-integer columns. */
+  def geohashInterleaveSql(lonc: String, latc: String, precision: Int): String = {
+    val totalBits = precision * 5
+    val lonBits = (totalBits + 1) / 2
+    val latBits = totalBits / 2
+    (0 until totalBits).map { k =>
+      val src = if (k % 2 == 0) lonc else latc
+      val srcBit = (if (k % 2 == 0) lonBits else latBits) - 1 - k / 2
+      val outBit = totalBits - 1 - k
+      s"((($src >> $srcBit) & 1) << $outBit)"
+    }.mkString(" + ")
+  }
+
+  /** The quantized-longitude / quantized-latitude integers as DuckDB SQL. */
+  def geohashQuantSql(lat: String, lon: String, precision: Int): (String, String) = {
+    val totalBits = precision * 5
+    val lonBits = (totalBits + 1) / 2
+    val latBits = totalBits / 2
+    (s"LEAST(CAST(FLOOR(($lon + 180.0) / 360.0 * ${(1L << lonBits).toDouble}) AS BIGINT), ${(1L << lonBits) - 1})",
+      s"LEAST(CAST(FLOOR(($lat + 90.0) / 180.0 * ${(1L << latBits).toDouble}) AS BIGINT), ${(1L << latBits) - 1})")
+  }
+
   /** The identical tile key as DuckDB SQL text. */
   def tileKeySql(lat: String, lon: String, z: Int): String = {
     val n = s"${(1L << z).toDouble}"

@@ -39,6 +39,12 @@ object SearchQuery {
     * (terms + `ordered` + `max_gaps`, [[SearchOps.intervalMatch]]) or an
     * `any_of` disjunction of rules. `all_of`, the prefix/wildcard/fuzzy
     * rules and the `containing`-family filters are rejected at parse. */
+  /** ES `geo_bounding_box` query — a pure lat/lon range predicate (the
+    * map-viewport filter): fully pushable, no trigonometry at all.
+    * Boxes crossing the antimeridian (left > right) are rejected at
+    * parse rather than silently matching the complement. */
+  final case class GeoBoundingBox(path: Seq[String], top: Double, left: Double,
+                                  bottom: Double, right: Double) extends SearchQuery
   sealed trait IntervalRule
   final case class IntervalMatch(terms: Seq[String], ordered: Boolean,
                                  maxGaps: Int) extends IntervalRule
@@ -1023,6 +1029,35 @@ object SearchQuery {
           case (Nil, full) => Wildcard(full, glob)
           case (arr, rest) => NestedWildcard(arr, rest, glob)
         }
+      case JObject(List(("geo_bounding_box", JObject(List((bField, JObject(bSpec))))))) =>
+        val bp = path(bField)
+        val (bArr, bFull) = splitArrayPath(bp, schema)
+        require(bArr.isEmpty,
+          s"geo_bounding_box field $bField crosses array ${bArr.mkString(".")} — not implemented")
+        val bm = bSpec.toMap
+        val unknownB = bm.keySet -- Set("top_left", "bottom_right")
+        require(unknownB.isEmpty,
+          s"unsupported geo_bounding_box key(s): ${unknownB.mkString(", ")} " +
+            "(top_left/bottom_right {lat, lon} objects only)")
+        def corner(k: String): (Double, Double) = bm.get(k) match {
+          case Some(JObject(cf)) =>
+            val cm = cf.toMap
+            val unknownC = cm.keySet -- Set("lat", "lon")
+            require(unknownC.isEmpty,
+              s"unsupported geo corner key(s): ${unknownC.mkString(", ")}")
+            (asDouble(cm.getOrElse("lat",
+              throw new IllegalArgumentException(s"$k needs lat")), "geo lat"),
+              asDouble(cm.getOrElse("lon",
+                throw new IllegalArgumentException(s"$k needs lon")), "geo lon"))
+          case _ => throw new IllegalArgumentException(
+            s"geo_bounding_box needs a $k {lat, lon} object")
+        }
+        val (top, left) = corner("top_left")
+        val (bottom, right) = corner("bottom_right")
+        require(top >= bottom, s"geo_bounding_box top < bottom: $top < $bottom")
+        require(left <= right,
+          "geo_bounding_box crossing the antimeridian (left > right) is not implemented")
+        GeoBoundingBox(bFull, top, left, bottom, right)
       case JObject(List(("intervals", JObject(List((iField, iRule)))))) =>
         val ip = path(iField)
         val (iArr, iFull) = splitArrayPath(ip, schema)
@@ -1436,6 +1471,10 @@ object SearchQuery {
       val box = la >= lit(latLo) && la <= lit(latHi) &&
         lonBox.map { case (ll, lh) => lo >= lit(ll) && lo <= lit(lh) }.getOrElse(lit(true))
       box && Geo.haversineMeters(la, lo, la0, lo0) <= lit(m)
+    case GeoBoundingBox(p, top, left, bottom, right) =>
+      val la = field(doc, p :+ "lat")
+      val lo = field(doc, p :+ "lon")
+      la <= lit(top) && la >= lit(bottom) && lo >= lit(left) && lo <= lit(right)
     case Intervals(p, rule) =>
       def rc(r: IntervalRule): Column = r match {
         case IntervalMatch(ts, o, g) => SearchOps.intervalMatch(field(doc, p), ts, o, g)

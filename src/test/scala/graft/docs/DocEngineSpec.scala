@@ -1780,6 +1780,36 @@ class DocEngineSpec extends SparkSpec {
       """{"query": {"intervals": {"text": {"match": {"query": "a a"}}}}}"""))
   }
 
+  test("round-8 geo: geohash matches the canonical vector; bbox edges are inclusive") {
+    import spark.implicits._
+    // the textbook geohash test vector (57.64911, 10.40744 → u4pruy) plus
+    // origin/edge cells, evaluated through the engine's column expression
+    val pts = Seq((57.64911, 10.40744), (0.0, 0.0), (-90.0, -180.0), (89.99, 179.99))
+      .toDF("lat", "lon")
+    val got = pts.select(Geo.geohash(col("lat"), col("lon"), 6).as("gh"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got.head === "u4pruy")
+    assert(got(1) === "s00000") // equator/meridian corner cell
+    assert(got(2) === "000000") // south-west extreme
+    assert(got.forall(_.length == 6))
+    // geo_bounding_box: corners are INCLUSIVE on all four edges
+    val corner = Seq(("c1", 45.0, 60.0), ("c2", -10.0, -30.0), ("out", 45.1, 60.0))
+      .toDF("id", "la", "lo")
+      .select(struct(col("id"), struct(col("la").as("lat"), col("lo").as("lon")).as("location")).as("doc"))
+    val sch = corner.schema("doc").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    val ast = SearchQuery.fromJson(
+      """{"query": {"geo_bounding_box": {"location": {
+        |  "top_left": {"lat": 45.0, "lon": -30.0},
+        |  "bottom_right": {"lat": -10.0, "lon": 60.0}}}}}""".stripMargin, sch)
+    assert(corner.filter(SearchQuery.compile(ast, col("doc")))
+      .select(col("doc.id")).collect().map(_.getString(0)).sorted.toSeq === Seq("c1", "c2"))
+    // antimeridian-crossing boxes reject loudly
+    assertThrows[IllegalArgumentException](SearchQuery.fromJson(
+      """{"query": {"geo_bounding_box": {"location": {
+        |  "top_left": {"lat": 10.0, "lon": 170.0},
+        |  "bottom_right": {"lat": -10.0, "lon": -170.0}}}}}""".stripMargin, sch))
+  }
+
   test("match with operator=and through an array path binds every token to the SAME element") {
     val assembledDocs = Assembler.assemble(sh, PlanSchema.plan, "plan")
     def cnt(body: String): Long = assembledDocs.filter(

@@ -4895,6 +4895,48 @@ object DocQueries {
        |FROM iv GROUP BY 1 ORDER BY doc_count DESC, key ASC LIMIT 12""".stripMargin
   }
 
+  // ---------------------------------------------------------------- d134
+  /** ES `diversified_sampler` — the sampler with a DIVERSITY cap: at
+    * most `max_docs_per_value` sample members per planType, de-biasing
+    * the sample before its metric sub-aggs. Deterministic hash draw
+    * (the d80 sampler's hash_field engine extension); per-value cap is
+    * one WindowGroupLimit, the sample a bounded TakeOrderedAndProject —
+    * no global sort. */
+  private def d134(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "size": 0,
+        |  "query": { "range": { "planCostShares.copay": { "gte": 10 } } },
+        |  "aggs": {
+        |    "sample": {
+        |      "diversified_sampler": { "shard_size": 50, "field": "planType",
+        |                               "max_docs_per_value": 5,
+        |                               "hash_field": "objectId" },
+        |      "aggs": {
+        |        "avg_copay": { "avg": { "field": "planCostShares.copay" } },
+        |        "max_copay": { "max": { "field": "planCostShares.copay" } }
+        |      }
+        |    }
+        |  }
+        |}""".stripMargin
+    EsAggs.run(assembled(s, d), "doc", body, schema)
+  }
+
+  private val d134Sql =
+    s"""WITH hits AS (
+       |  SELECT c_mktsegment AS ptype, c_custkey % 50 AS copay,
+       |    'plan-' || ${ck("c_custkey")} AS oid,
+       |    CAST(('0x' || substr(md5('plan-' || ${ck("c_custkey")}), 1, 15)) AS BIGINT) AS h
+       |  FROM customer WHERE c_custkey % 50 >= 10),
+       |ranked AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY ptype ORDER BY h, oid) AS dr
+       |  FROM hits),
+       |samp AS (
+       |  SELECT * FROM ranked WHERE dr <= 5 ORDER BY h, oid LIMIT 50)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS doc_count,
+       |  AVG(copay) AS avg_copay, CAST(MAX(copay) AS BIGINT) AS max_copay
+       |FROM samp""".stripMargin
+
   // ---------------------------------------------------------------- d123
   /** Terms `include` (anchored regex) + `show_term_doc_count_error` on
     * the INNER level of a multi-level split — the Kibana split-rows
@@ -5352,6 +5394,7 @@ object DocQueries {
     "d131_es_mutual_info" -> d131 _,
     "d132_es_geo_bbox" -> d132 _,
     "d133_es_geohash_grid" -> d133 _,
+    "d134_es_diversified_sampler" -> d134 _,
     "d130_es_geo_rings" -> d130 _,
     "d127_es_nested_composite" -> d127 _,
     "d128_es_nested_top_hits" -> d128 _,
@@ -5487,6 +5530,7 @@ object DocQueries {
     "d131_es_mutual_info" -> d131Sql,
     "d132_es_geo_bbox" -> d132Sql,
     "d133_es_geohash_grid" -> d133Sql,
+    "d134_es_diversified_sampler" -> d134Sql,
     "d130_es_geo_rings" -> d130Sql,
     "d127_es_nested_composite" -> d127Sql,
     "d128_es_nested_top_hits" -> d128Sql,

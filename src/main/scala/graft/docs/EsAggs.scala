@@ -379,6 +379,16 @@ object EsAggs {
   final case class SignificantText(path: Seq[String], topN: Int,
                                    sampleN: Int, hashField: Seq[String]) extends Agg
 
+  /** ES `diversified_sampler` — the sampler with a DIVERSITY cap: at most
+    * `maxPer` sample members share one value of `path` (de-biasing a
+    * corpus dominated by one source before expensive sub-aggs). Same
+    * deterministic hash_field draw as [[SignificantText]]'s sampler.
+    * Shape: one WindowGroupLimit rank per field value (bounded heap
+    * before the shuffle), then a TakeOrderedAndProject of `shardSize`
+    * rows — the corpus never sorts globally. */
+  final case class DiversifiedSample(hashField: Seq[String], path: Seq[String],
+                                     shardSize: Int, maxPer: Int) extends Agg
+
   final case class Buckets(bucket: Agg, metrics: Seq[(String, Metric)],
                            sub: Option[Buckets],
                            pipelines: Seq[Pipeline] = Nil,
@@ -1735,6 +1745,46 @@ object EsAggs {
       }
 
     namedOf(aggsJ) match {
+      // diversified_sampler: the sampler with a per-value diversity cap —
+      // at most max_docs_per_value sample members share one value of
+      // `field` (ES's de-bias device for dominated corpora). Same
+      // hash_field engine extension as sampler; metric sub-aggs run on
+      // the sample, rendered as ONE bucket row.
+      case List((_, JObject(dsFields))) if dsFields.exists(_._1 == "diversified_sampler") =>
+        val f = dsFields.toMap
+        val extraneous = f.keySet -- Set("diversified_sampler", "aggs", "aggregations")
+        require(extraneous.isEmpty,
+          s"unsupported diversified_sampler entry key(s): ${extraneous.mkString(", ")}")
+        val sm = checkSpecKeys(f("diversified_sampler"), "diversified_sampler",
+          Set("shard_size", "field", "max_docs_per_value", "hash_field"))
+        val n = num(f("diversified_sampler"), "shard_size", "diversified_sampler")
+          .map(_.toInt).getOrElse(100)
+        require(n >= 1, s"diversified_sampler shard_size must be >= 1: $n")
+        val maxPer = num(f("diversified_sampler"), "max_docs_per_value", "diversified_sampler")
+          .map(_.toInt).getOrElse(1) // ES default
+        require(maxPer >= 1, s"diversified_sampler max_docs_per_value must be >= 1: $maxPer")
+        def scalarField(key: String, what: String): Seq[String] = sm.get(key) match {
+          case Some(JString(v)) =>
+            val p = v.stripSuffix(".keyword").split('.').toSeq
+            val (arr, _) = SearchQuery.splitArrayPath(p, schema)
+            require(arr.isEmpty, s"$what $v crosses array ${arr.mkString(".")}")
+            p
+          case _ => throw new IllegalArgumentException(
+            if (key == "field") "diversified_sampler needs a field"
+            else "diversified_sampler needs hash_field (engine extension — same " +
+              "deterministic uniform-draw contract as sampler, see that message)")
+        }
+        val divField = scalarField("field", "diversified_sampler field")
+        val hashF = scalarField("hash_field", "diversified_sampler hash_field")
+        val innerAggs = f.get("aggs").orElse(f.get("aggregations")).map(namedOf).getOrElse(
+          throw new IllegalArgumentException("diversified_sampler needs sub-aggs"))
+        parseTree(innerAggs, None) match {
+          case Left(ms) =>
+            Request(query, None,
+              Right(Buckets(DiversifiedSample(hashF, divField, n, maxPer), ms, None)))
+          case Right(_) => throw new IllegalArgumentException(
+            "bucket sub-aggs under diversified_sampler are not implemented (metrics only)")
+        }
       // sampler wrapper: a deterministic hash sample of the hit set,
       // feeding exactly one significant_text (see [[SignificantText]])
       case List((_, JObject(samplerFields))) if samplerFields.exists(_._1 == "sampler") =>
@@ -2213,6 +2263,22 @@ object EsAggs {
         }
         g.orderBy(c.sources.map(s => if (s.asc) col(s.name).asc else col(s.name).desc): _*)
           .limit(c.size)
+      case Right(Buckets(DiversifiedSample(hashF, dp, shardSize, maxPer),
+                         ms, None, Nil, None, Nil, None, None)) =>
+        // per-value diversity rank (WindowGroupLimit: bounded heap per
+        // value BEFORE the shuffle), then the shard_size smallest-hash
+        // rows (TakeOrderedAndProject) — no global sort, ever. Metrics
+        // run on the ≤ shard_size-row sample.
+        val hf = field(doc, hashF).cast("string")
+        val h = conv(substring(md5(hf), 1, 15), 16, 10).cast("long")
+        val ranked = filtered
+          .select(doc.as(docCol), h.as("_h"), hf.as("_hf"))
+          .withColumn("_dr", row_number().over(
+            W.partitionBy(field(doc, dp)).orderBy(col("_h").asc, col("_hf").asc)))
+          .filter(col("_dr") <= maxPer)
+        val sample = ranked.orderBy(col("_h").asc, col("_hf").asc).limit(shardSize)
+        sample.agg(count(lit(1)).as("doc_count"),
+          ms.flatMap { case (n, m) => metricCols(n, m, resolve = p0 => field(doc, p0)) }: _*)
       case Right(Buckets(SignificantText(p, topN, sampleN, hashF), Nil, None, Nil, None, Nil,
                          None, None)) =>
         // sampler + significant_text — Discover's "interesting words":

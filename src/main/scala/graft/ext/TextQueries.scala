@@ -827,7 +827,52 @@ object TextQueries {
 
   // ---------------------------------------------------------------- registry
 
+  // ---------------------------------------------------------------- t19
+  /** Token-entropy quality scoring — the perplexity PROXY a pipeline can
+    * compute without a model: per-document Shannon entropy of the
+    * unigram token distribution (`H = log2 n − (Σ c·ln c)/n/ln 2`), low
+    * H = repetitive/templated junk. Rendered per language: doc counts,
+    * entropy stats, and the low-entropy (H < 4 bits) count a filter
+    * would drop. One token explode + two hash aggregations — corpus-
+    * sized work ends at the (doc, token) grain. The Σ c·ln c double sum
+    * is order-dependent at the last few ulps (documented: ≤ ~1e-13 on
+    * this corpus, far inside the oracle's 9-dp compare — the same class
+    * of tolerance as the d120 decay kernels). */
+  private def t19(s: SparkSession, d: String): DataFrame = {
+    val tf = Tables(s, d, "documents")
+      .select(col("doc_id"), col("lang"),
+        explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .groupBy(col("doc_id"), col("lang"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val ent = tf.groupBy(col("doc_id"), col("lang")).agg(
+      ((log(sum(col("c"))) - sum(col("c") * log(col("c"))) / sum(col("c")))
+        / log(lit(2.0))).as("ent"))
+    ent.groupBy(col("lang")).agg(
+        count(lit(1)).as("n_docs"),
+        avg(col("ent")).as("avg_entropy"),
+        min(col("ent")).as("min_entropy"),
+        max(col("ent")).as("max_entropy"),
+        sum(when(col("ent") < 4.0, 1L).otherwise(0L)).as("n_low"))
+      .orderBy(col("lang"))
+  }
+
+  private val t19Sql =
+    """WITH tf AS (
+      |  SELECT doc_id, lang, tok, CAST(COUNT(*) AS BIGINT) AS c FROM (
+      |    SELECT doc_id, lang, unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+      |    FROM documents)
+      |  GROUP BY 1, 2, 3),
+      |d AS (
+      |  SELECT doc_id, lang,
+      |    (LN(SUM(c)) - SUM(c * LN(c)) / SUM(c)) / LN(2.0) AS ent
+      |  FROM tf GROUP BY 1, 2)
+      |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  AVG(ent) AS avg_entropy, MIN(ent) AS min_entropy, MAX(ent) AS max_entropy,
+      |  CAST(SUM(CASE WHEN ent < 4.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_low
+      |FROM d GROUP BY 1 ORDER BY lang""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t19_token_entropy" -> t19 _,
     "t14_keywords" -> t14 _,
     "t15_chunking" -> t15 _,
     "t16_stratified_sample" -> t16 _,
@@ -848,6 +893,7 @@ object TextQueries {
     "t4_fingerprint" -> t4 _)
 
   val oracle: Map[String, String] = Map(
+    "t19_token_entropy" -> t19Sql,
     "t14_keywords" -> t14Sql,
     "t15_chunking" -> t15Sql,
     "t16_stratified_sample" -> t16Sql,

@@ -794,7 +794,82 @@ object IndexPipeline {
       |  WHERE event_type = 'purchase' AND user_id % 100 = 0)
       |ORDER BY event_id, alert_id""".stripMargin
 
+  // ---------------------------------------------------------------- st11
+  /** STREAMING GEOFENCE — location-aware alerting: every arriving event
+    * carries a coordinate (planted per-user home positions, the d121
+    * pattern — the corpus ships no geo), and a registry of fences
+    * (center + radius) emits an (event, fence) alert row on entry. Same
+    * stateless append shape as st10's percolation — the haversine
+    * predicates (graft.docs.Geo — the d121 query machinery, reused
+    * verbatim in a stream) are pushable Column expressions, so at
+    * cluster scale this is a zero-state, zero-shuffle map over the
+    * stream; each fence's bounding box prunes before its trigonometry
+    * exactly as in batch. */
+  private def st11(s: SparkSession, d: String): DataFrame = {
+    val base = Files.createTempDirectory("graft-stream11-")
+    val srcDir = base.resolve("log").toString
+    val ckDir = base.resolve("ck").toString
+    val nFiles = 3
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("ts_us"), col("user_id"))
+    val maxId = ev.agg(max(col("event_id"))).head().getLong(0) + 1
+    (0 until nFiles).foreach { i =>
+      ev.filter(floor(col("event_id") * nFiles / maxId) === i)
+        .coalesce(1).write.parquet(s"$srcDir/b$i")
+    }
+    val qname = s"st11_geofence_${System.nanoTime()}"
+    val src = s.readStream
+      .schema(ev.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$srcDir/b*")
+      .withColumn("lat", ((col("user_id") * 37) % 1201 - 600).cast("double") / 10.0)
+      .withColumn("lon", ((col("user_id") * 73) % 3600 - 1800).cast("double") / 10.0)
+    val fences: Seq[(String, Double, Double, Double)] = Seq(
+      ("hq_3500km", 10.0, 20.0, 3500000.0),
+      ("dc_3200km", -30.0, -60.0, 3200000.0))
+    val alerts = src.select(col("event_id"), col("user_id"),
+        explode(array(fences.map { case (n, la, lo, r) =>
+          when(graft.docs.Geo.haversineMeters(col("lat"), col("lon"), la, lo) <= r,
+            lit(n)).otherwise(lit(null).cast("string"))
+        }: _*)).as("fence_id"))
+      .filter(col("fence_id").isNotNull)
+    val stream = alerts.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(qname)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckDir)
+      .start()
+    stream.awaitTermination()
+    val out = s.table(qname)
+      .groupBy(col("fence_id"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy(col("fence_id"), col("user_id"))
+    val pinned = graft.Eager.pin(out)
+    deleteRecursively(base)
+    pinned
+  }
+
+  private val st11Sql = {
+    def dist(la: Double, lo: Double) =
+      graft.docs.Geo.haversineSql("lat", "lon", la, lo)
+    s"""WITH pts AS (
+       |  SELECT event_id, user_id,
+       |    CAST((user_id * 37) % 1201 - 600 AS DOUBLE) / 10.0 AS lat,
+       |    CAST((user_id * 73) % 3600 - 1800 AS DOUBLE) / 10.0 AS lon
+       |  FROM events),
+       |alerts AS (
+       |  SELECT event_id, user_id, 'hq_3500km' AS fence_id FROM pts
+       |  WHERE ${dist(10.0, 20.0)} <= 3500000.0
+       |  UNION ALL
+       |  SELECT event_id, user_id, 'dc_3200km' FROM pts
+       |  WHERE ${dist(-30.0, -60.0)} <= 3200000.0)
+       |SELECT fence_id, user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+       |FROM alerts GROUP BY 1, 2 ORDER BY fence_id, user_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "st11_geofence" -> st11 _,
     "st8_left_outer_join" -> st8 _,
     "st9_sliding_window" -> st9 _,
     "st10_percolate" -> st10 _,
@@ -806,6 +881,7 @@ object IndexPipeline {
     "st3_stream_mgws" -> st3 _,
     "st4_stream_sessions" -> st4 _)
   val oracle: Map[String, String] = Map(
+    "st11_geofence" -> st11Sql,
     "st8_left_outer_join" -> st8Sql,
     "st9_sliding_window" -> st9Sql,
     "st10_percolate" -> st10Sql,

@@ -4937,6 +4937,105 @@ object DocQueries {
        |  AVG(copay) AS avg_copay, CAST(MAX(copay) AS BIGINT) AS max_copay
        |FROM samp""".stripMargin
 
+  // ---------------------------------------------------------------- d139
+  /** ES `rank_feature` query (`saturation` modifier) — static-signal
+    * relevance: rank by a numeric feature without any text clause (the
+    * pagerank/popularity pattern). Hit set = docs WITH the field; score =
+    * boost · v/(v+pivot) — one exact IEEE division, bit-identical in the
+    * oracle (`SearchQuery.FeatureFn`). `pivot` is required (engine
+    * deviation: ES derives its default from index statistics). */
+  private def d139(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "query": { "rank_feature": { "field": "planCostShares.copay",
+        |                               "saturation": { "pivot": 8 },
+        |                               "boost": 2.5 } },
+        |  "sort": [ { "_score": { "order": "desc" } }, { "objectId": { "order": "asc" } } ],
+        |  "size": 12,
+        |  "_source": ["objectId", "planCostShares.copay"]
+        |}""".stripMargin
+    SearchExec.search(assembled(s, d), "doc", body, schema)
+  }
+
+  private val d139Sql =
+    s"""SELECT rn, score, "objectId", "planCostShares_copay" FROM (
+       |  SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, "objectId" ASC) AS rn FROM (
+       |    SELECT 'plan-' || ${ck("c_custkey")} AS "objectId",
+       |      c_custkey % 50 AS "planCostShares_copay",
+       |      1.0 * ((CAST(c_custkey % 50 AS DOUBLE)
+       |              / (CAST(c_custkey % 50 AS DOUBLE) + 8.0)) * 2.5) AS score
+       |    FROM customer))
+       |WHERE rn <= 12 ORDER BY rn""".stripMargin
+
+  // ---------------------------------------------------------------- d140
+  /** ES `distance_feature` query — closeness boosting over a numeric
+    * field (the recency/proximity pattern): score = boost ·
+    * pivot/(pivot+|v−origin|), exact IEEE arithmetic reproduced
+    * bit-for-bit by the oracle. Rank flips around the origin — nearest
+    * copay to 25 wins — which no monotone modifier can express. */
+  private def d140(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "query": { "distance_feature": { "field": "planCostShares.copay",
+        |                                   "origin": 25, "pivot": 5, "boost": 3 } },
+        |  "sort": [ { "_score": { "order": "desc" } }, { "objectId": { "order": "asc" } } ],
+        |  "size": 10,
+        |  "_source": ["objectId", "planCostShares.copay"]
+        |}""".stripMargin
+    SearchExec.search(assembled(s, d), "doc", body, schema)
+  }
+
+  private val d140Sql =
+    s"""SELECT rn, score, "objectId", "planCostShares_copay" FROM (
+       |  SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, "objectId" ASC) AS rn FROM (
+       |    SELECT 'plan-' || ${ck("c_custkey")} AS "objectId",
+       |      c_custkey % 50 AS "planCostShares_copay",
+       |      1.0 * ((5.0 / (5.0 + abs(CAST(c_custkey % 50 AS DOUBLE) - 25.0))) * 3.0) AS score
+       |    FROM customer))
+       |WHERE rn <= 10 ORDER BY rn""".stripMargin
+
+  // ---------------------------------------------------------------- d141
+  /** ES `simple_query_string` — the end-user search-box syntax (`+` AND,
+    * `|` OR, `-` negation, quoted phrase, parens), compiled by
+    * [[QueryString.parseSimple]] into the SAME AST leaves as the JSON
+    * DSL. Terms have no `field:` prefix; the `fields` list fans each term
+    * across planType, _org, objectId and the nested service-name array —
+    * the multi-field fan-out d50's query_string can't express. Exercises
+    * a paren group, both explicit operators, level-global negation and a
+    * phrase through an array path. */
+  private def d141(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "query": {
+        |    "simple_query_string": {
+        |      "query": "(building | machinery) + org-1* -plan-11* + \"Service 1-URGENT\"",
+        |      "fields": ["planType", "_org", "objectId",
+        |                 "linkedPlanServices.linkedService.name"]
+        |    }
+        |  }
+        |}""".stripMargin
+    val ast = SearchQuery.fromJson(body, schema)
+    assembled(s, d)
+      .filter(SearchQuery.compile(ast, col("doc")))
+      .select(col("doc.objectId").as("object_id"),
+        col("doc.planType").as("plan_type"),
+        col("doc._org").as("org"))
+      .orderBy(col("object_id"))
+  }
+
+  private val d141Sql =
+    s"""WITH o AS $O
+       |SELECT 'plan-' || ${ck("c_custkey")} AS object_id,
+       |  c_mktsegment AS plan_type,
+       |  'org-' || ${ck("c_nationkey")} || '.example.com' AS org
+       |FROM customer
+       |WHERE lower(c_mktsegment) IN ('building', 'machinery')
+       |  AND 'org-' || ${ck("c_nationkey")} || '.example.com' LIKE 'org-1%'
+       |  AND NOT ('plan-' || ${ck("c_custkey")} LIKE 'plan-11%')
+       |  AND EXISTS (SELECT 1 FROM o WHERE o_custkey = c_custkey
+       |              AND lower('Service ' || o_orderpriority) = 'service 1-urgent')
+       |ORDER BY object_id""".stripMargin
+
   // ---------------------------------------------------------------- d123
   /** Terms `include` (anchored regex) + `show_term_doc_count_error` on
     * the INNER level of a multi-level split — the Kibana split-rows
@@ -5399,6 +5498,9 @@ object DocQueries {
     "d127_es_nested_composite" -> d127 _,
     "d128_es_nested_top_hits" -> d128 _,
     "d129_es_nested_sig_terms" -> d129 _,
+    "d139_es_rank_feature" -> d139 _,
+    "d140_es_distance_feature" -> d140 _,
+    "d141_es_simple_query_string" -> d141 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
     "d3_roundtrip" -> d3 _,
@@ -5535,6 +5637,9 @@ object DocQueries {
     "d127_es_nested_composite" -> d127Sql,
     "d128_es_nested_top_hits" -> d128Sql,
     "d129_es_nested_sig_terms" -> d129Sql,
+    "d139_es_rank_feature" -> d139Sql,
+    "d140_es_distance_feature" -> d140Sql,
+    "d141_es_simple_query_string" -> d141Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,
     "d3_roundtrip" -> d3Sql,

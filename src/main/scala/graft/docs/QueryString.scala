@@ -159,6 +159,130 @@ object QueryString {
     ast
   }
 
+  /** ES `simple_query_string` — the end-user search-box syntax: `+` AND,
+    * `|` OR, `-term` negation, `"..."` phrase, `term*` prefix, `(...)`
+    * grouping. Terms carry NO `field:` prefix; the body's `fields` list
+    * names the targets, a term expanding to an OR across them (each leaf
+    * built by the same schema-driven [[leaf]] as query_string, so every
+    * clause inherits pushdown).
+    *
+    * Operator semantics follow Lucene's SimpleQueryParser: `+`/`|`
+    * combine LEFT-ASSOCIATIVELY in input order (`a | b + c` = (a OR b)
+    * AND c — the parser has no precedence ladder), adjacency uses the
+    * body's `default_operator` (ES default OR), and `-` clauses are
+    * prohibited LEVEL-GLOBALLY (`a -b` = a AND NOT b even under OR — a
+    * MUST_NOT beside SHOULDs in the Lucene boolean, the same convention
+    * as query_string's NOT). `-` only negates at a clause start; inside
+    * a word it is literal (`1-URGENT`).
+    *
+    * Engine deviation, documented: ES's parser is LENIENT — malformed
+    * syntax degrades to literal terms. This engine rejects loudly (the
+    * no-silent-superset rule); a query that parses is interpreted
+    * identically. */
+  def parseSimple(q: String, fields: Seq[String], schema: StructType,
+                  defaultAnd: Boolean = false): SearchQuery = {
+    require(fields.nonEmpty, "simple_query_string needs a non-empty fields list " +
+      "(engine deviation: no index-level default field exists to fall back to)")
+    // lex: ( ) + | are standalone operator tokens wherever unquoted; a
+    // term runs to whitespace/operator, honoring one quoted segment
+    sealed trait STok
+    case object SLP extends STok; case object SRP extends STok
+    case object SAnd extends STok; case object SOr extends STok
+    case object SNeg extends STok
+    case class STerm(value: String, phrase: Boolean) extends STok
+    val toks = {
+      val out = Vector.newBuilder[STok]
+      var i = 0
+      val n = q.length
+      var atClauseStart = true // after start/operator/'(' a '-' negates
+      while (i < n) {
+        q(i) match {
+          case c if c.isWhitespace => i += 1; atClauseStart = true
+          case '(' => out += SLP; i += 1; atClauseStart = true
+          case ')' => out += SRP; i += 1; atClauseStart = false
+          case '+' => out += SAnd; i += 1; atClauseStart = true
+          case '|' => out += SOr; i += 1; atClauseStart = true
+          case '-' if atClauseStart => out += SNeg; i += 1; atClauseStart = false
+          case '"' =>
+            val close = q.indexOf('"', i + 1)
+            require(close >= 0, s"unterminated quote in simple_query_string at offset $i")
+            out += STerm(q.substring(i + 1, close), phrase = true)
+            i = close + 1; atClauseStart = false
+          case _ =>
+            val sb = new StringBuilder
+            var done = false
+            while (i < n && !done) q(i) match {
+              case c if c.isWhitespace => done = true
+              case '(' | ')' | '+' | '|' | '"' => done = true
+              case c => sb.append(c); i += 1
+            }
+            out += STerm(sb.toString, phrase = false); atClauseStart = false
+        }
+      }
+      out.result()
+    }
+    require(toks.nonEmpty, "simple_query_string is empty")
+    var pos = 0
+    def peek: Option[STok] = if (pos < toks.length) Some(toks(pos)) else None
+    /** One term/phrase across the fields list: OR over per-field leaves. */
+    def expand(v: String, phrase: Boolean): SearchQuery = {
+      val leaves = fields.map(f => leaf(f, v, phrase, schema))
+      if (leaves.size == 1) leaves.head else Or(leaves: _*)
+    }
+    def primary(): SearchQuery = peek match {
+      case Some(SLP) =>
+        pos += 1
+        val inner = level()
+        require(peek.contains(SRP), s"unbalanced parentheses in simple_query_string at token $pos")
+        pos += 1
+        inner
+      case Some(STerm(v, ph)) => pos += 1; expand(v, ph)
+      case other => throw new IllegalArgumentException(
+        s"simple_query_string expected a term or group, got $other")
+    }
+    /** One paren level: left-assoc `+`/`|` over positives, `-` clauses
+      * prohibited level-globally (see the contract above). */
+    def level(): SearchQuery = {
+      var positive: Option[SearchQuery] = None
+      val nots = scala.collection.mutable.ListBuffer.empty[SearchQuery]
+      var nextOpAnd: Option[Boolean] = None // operator waiting for the next clause
+      def clause(): Unit = {
+        val negated = peek.contains(SNeg)
+        if (negated) pos += 1
+        val p = primary()
+        if (negated) {
+          require(nextOpAnd.isEmpty,
+            "simple_query_string: an explicit +/| before a -clause is not implemented " +
+              "(prohibited clauses are level-global, an operator there has no meaning)")
+          nots += p
+        } else positive = positive match {
+          case None => Some(p)
+          case Some(l) =>
+            if (nextOpAnd.getOrElse(defaultAnd)) Some(And(l, p)) else Some(Or(l, p))
+        }
+        nextOpAnd = None
+      }
+      clause()
+      var go = true
+      while (go) peek match {
+        case Some(SAnd) => pos += 1; nextOpAnd = Some(true); clause()
+        case Some(SOr) => pos += 1; nextOpAnd = Some(false); clause()
+        case Some(SLP) | Some(SNeg) | Some(_: STerm) => clause()
+        case _ => go = false
+      }
+      (positive, nots.toList) match {
+        case (Some(p), Nil) => p
+        case (Some(p), ns) => And(p +: ns.map(Not(_)): _*)
+        case (None, n :: Nil) => Not(n)
+        case (None, ns) => And(ns.map(Not(_)): _*)
+      }
+    }
+    val ast = level()
+    require(pos == toks.length,
+      s"simple_query_string has trailing tokens from position $pos: ${toks.drop(pos).mkString(" ")}")
+    ast
+  }
+
   private def leaf(f: String, v: String, phrase: Boolean, schema: StructType): SearchQuery = {
     // path resolution identical to the JSON DSL's (schema-driven array
     // split, `.keyword` suffix transparent)

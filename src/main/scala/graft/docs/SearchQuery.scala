@@ -211,10 +211,35 @@ object SearchQuery {
 
   /** One function_score function: `filter` (MatchAll when absent) gates
     * it, its value is `weight`, optionally scaled by a
-    * [[FieldValueFactor]] or a [[Decay]]. */
+    * [[FieldValueFactor]], a [[Decay]] or a [[FeatureFn]]. */
   final case class ScoreFn(filter: SearchQuery, weight: Double,
                            fvf: Option[FieldValueFactor] = None,
-                           decay: Option[Decay] = None)
+                           decay: Option[Decay] = None,
+                           feature: Option[FeatureFn] = None)
+
+  /** ES `rank_feature` / `distance_feature` — feature-based scoring
+    * queries (reference users rank by static signals: pagerank-like
+    * fields, recency, closeness to a target). Both MATCH every document
+    * that HAS the field (the ES contract) and score it by a kernel:
+    *  - rank_feature `saturation`: `v / (v + pivot)` — one exact IEEE
+    *    division, bit-identical in any engine. `pivot` is REQUIRED
+    *    (engine deviation, documented: ES derives a default pivot from
+    *    index statistics a stateless engine doesn't keep).
+    *  - rank_feature `log`: `ln(scaling_factor · v + 1)` — libm log,
+    *    ≤1 ulp, the same documented ~1e-15 tolerance as the gauss decay.
+    *  - rank_feature `sigmoid`: `v^exp / (v^exp + pivot^exp)` — libm pow,
+    *    same tolerance note.
+    *  - distance_feature: `pivot / (pivot + |v - origin|)` over a numeric
+    *    field — exact IEEE ops, bit-identical.
+    * Field values must be non-negative for rank_feature (ES indexes
+    * rank_feature fields as positive floats); a negative value
+    * raise_errors like field_value_factor's log1p — a silent NaN would
+    * float broken docs to the top of the page. */
+  final case class FeatureFn(kind: String, path: Seq[String],
+                             pivot: Double = 0.0,
+                             scalingFactor: Double = 1.0,
+                             exponent: Double = 1.0,
+                             origin: Double = 0.0)
 
   /** ES decay kernels over `dist = max(0, |v - origin| - offset)`:
     *  - `linear`: `max(0, (s - dist) / s)` with `s = scale / (1 - decay)`
@@ -407,6 +432,90 @@ object SearchQuery {
         organic.copy(
           query = Or(TermsIn(Seq("objectId"), ids), organic.query),
           pinned = ids)
+      case JObject(List(("rank_feature", JObject(fields)))) =>
+        // ES `rank_feature` — static-signal relevance (see [[FeatureFn]]).
+        // Hit set = docs WITH the field; score = boost · modifier(v),
+        // compiled through the function_score machinery (one MatchAll
+        // function, multiply/multiply) so sort/_score/rescore all work.
+        val f = fields.toMap
+        val unknown = f.keySet -- Set("field", "boost", "saturation", "log", "sigmoid")
+        require(unknown.isEmpty,
+          s"unsupported rank_feature key(s): ${unknown.mkString(", ")} " +
+            "(field/boost/saturation/log/sigmoid; linear is not implemented)")
+        val path = f.get("field") match {
+          case Some(JString(p)) => p.split('.').toSeq
+          case _ => throw new IllegalArgumentException("rank_feature needs a field")
+        }
+        val (arr0, _) = splitArrayPath(path, schema)
+        require(arr0.isEmpty,
+          s"rank_feature field ${path.mkString(".")} crosses array ${arr0.mkString(".")}")
+        val boost = f.get("boost").map(asDouble(_, "rank_feature boost")).getOrElse(1.0)
+        val modifiers = Seq("saturation", "log", "sigmoid").filter(f.contains)
+        require(modifiers.size <= 1,
+          s"rank_feature takes ONE modifier, got: ${modifiers.mkString(", ")}")
+        def modNum(m: Map[String, JValue], k: String, what: String): Double =
+          m.get(k).map(asDouble(_, what)).getOrElse(
+            throw new IllegalArgumentException(s"$what is required " +
+              "(engine deviation: ES derives a default pivot from index statistics " +
+              "a stateless engine doesn't keep — state it up front)"))
+        val fn = modifiers.headOption.getOrElse("saturation") match {
+          case "saturation" =>
+            val m = f.get("saturation").map {
+              case JObject(sf) => sf.toMap
+              case other => throw new IllegalArgumentException(s"bad saturation spec: $other")
+            }.getOrElse(Map.empty[String, JValue])
+            require((m.keySet -- Set("pivot")).isEmpty,
+              s"unsupported saturation key(s): ${(m.keySet -- Set("pivot")).mkString(", ")}")
+            FeatureFn("saturation", path, pivot = modNum(m, "pivot", "saturation pivot"))
+          case "log" =>
+            val m = f("log") match {
+              case JObject(sf) => sf.toMap
+              case other => throw new IllegalArgumentException(s"bad log spec: $other")
+            }
+            require((m.keySet -- Set("scaling_factor")).isEmpty,
+              s"unsupported log key(s): ${(m.keySet -- Set("scaling_factor")).mkString(", ")}")
+            FeatureFn("log", path,
+              scalingFactor = modNum(m, "scaling_factor", "log scaling_factor"))
+          case "sigmoid" =>
+            val m = f("sigmoid") match {
+              case JObject(sf) => sf.toMap
+              case other => throw new IllegalArgumentException(s"bad sigmoid spec: $other")
+            }
+            require((m.keySet -- Set("pivot", "exponent")).isEmpty,
+              s"unsupported sigmoid key(s): ${(m.keySet -- Set("pivot", "exponent")).mkString(", ")}")
+            FeatureFn("sigmoid", path, pivot = modNum(m, "pivot", "sigmoid pivot"),
+              exponent = modNum(m, "exponent", "sigmoid exponent"))
+        }
+        Parsed(ExistsField(path, isArray = false), Nil,
+          shape = Some(ScoreShape(Seq(ScoreFn(MatchAll, boost, feature = Some(fn))),
+            "multiply", "multiply")))
+      case JObject(List(("distance_feature", JObject(fields)))) =>
+        // ES `distance_feature` over a NUMERIC field — recency/closeness
+        // boosting: score = boost · pivot / (pivot + |v − origin|), exact
+        // IEEE arithmetic (see [[FeatureFn]]). The date and geo-point
+        // origin forms are not implemented (numeric origin only).
+        val f = fields.toMap
+        val unknown = f.keySet -- Set("field", "origin", "pivot", "boost")
+        require(unknown.isEmpty,
+          s"unsupported distance_feature key(s): ${unknown.mkString(", ")}")
+        val path = f.get("field") match {
+          case Some(JString(p)) => p.split('.').toSeq
+          case _ => throw new IllegalArgumentException("distance_feature needs a field")
+        }
+        val (arr0, _) = splitArrayPath(path, schema)
+        require(arr0.isEmpty,
+          s"distance_feature field ${path.mkString(".")} crosses array ${arr0.mkString(".")}")
+        val origin = asDouble(f.getOrElse("origin",
+          throw new IllegalArgumentException("distance_feature needs origin")), "origin")
+        val pivot = asDouble(f.getOrElse("pivot",
+          throw new IllegalArgumentException("distance_feature needs pivot")), "pivot")
+        require(pivot > 0, s"distance_feature pivot must be > 0: $pivot")
+        val boost = f.get("boost").map(asDouble(_, "distance_feature boost")).getOrElse(1.0)
+        Parsed(ExistsField(path, isArray = false), Nil,
+          shape = Some(ScoreShape(
+            Seq(ScoreFn(MatchAll, boost,
+              feature = Some(FeatureFn("distance", path, pivot = pivot, origin = origin)))),
+            "multiply", "multiply")))
       case JObject(List(("boosting", JObject(fields)))) =>
         val f = fields.toMap
         val unknown = f.keySet -- Set("positive", "negative", "negative_boost")
@@ -732,6 +841,25 @@ object SearchQuery {
           * field_value_factor / linear decay when present (null field →
           * the required `missing` substitute). */
         def fnVal(fn: ScoreFn): Column = (fn.fvf, fn.decay) match {
+          case _ if fn.feature.isDefined =>
+            // rank_feature / distance_feature kernels (see [[FeatureFn]]).
+            // The query already filters to docs WITH the field, so `v` is
+            // non-null here; the negative guard mirrors fvf's log1p rule.
+            val ft = fn.feature.get
+            val raw = ft.path.foldLeft(doc)((c, n) => c.getField(n)).cast("double")
+            def nonNeg(c: Column): Column = when(c < 0, raise_error(concat(
+              lit(s"rank_feature ${ft.kind} of a negative value: "),
+              c.cast("string")))).otherwise(c)
+            val kernel = ft.kind match {
+              case "saturation" => nonNeg(raw) / (raw + lit(ft.pivot))
+              case "log" => log(nonNeg(raw) * lit(ft.scalingFactor) + lit(1.0))
+              case "sigmoid" =>
+                val vp = pow(nonNeg(raw), lit(ft.exponent))
+                vp / (vp + lit(math.pow(ft.pivot, ft.exponent)))
+              case "distance" =>
+                lit(ft.pivot) / (lit(ft.pivot) + abs(raw - lit(ft.origin)))
+            }
+            kernel * lit(fn.weight)
           case (None, None) => lit(fn.weight)
           case (Some(fv), _) =>
             val raw = fv.path.foldLeft(doc)((c, n) => c.getField(n)).cast("double")
@@ -1401,6 +1529,34 @@ object SearchQuery {
         val defOp = f.get("default_operator").map(asString).map(_.toLowerCase).getOrElse("or")
         require(defOp == "or" || defOp == "and", s"bad default_operator: $defOp")
         QueryString.parse(qs, schema, defaultAnd = defOp == "and")
+      case JObject(List(("simple_query_string", JObject(fields)))) =>
+        // The end-user search-box syntax (`+`/`|`/`-`/quotes/parens),
+        // compiled by QueryString.parseSimple into the SAME AST leaves as
+        // the JSON DSL (semantics documented there — Lucene left-assoc
+        // operators, level-global negation, loud rejection of malformed
+        // input where ES would leniently degrade).
+        val f = fields.toMap
+        val unknown = f.keySet -- Set("query", "fields", "default_operator")
+        require(unknown.isEmpty,
+          s"unsupported simple_query_string key(s): ${unknown.mkString(", ")} " +
+            "(query/fields/default_operator; flags and per-field boosts are not implemented)")
+        val qs = f.get("query").map(asString)
+          .getOrElse(throw new IllegalArgumentException("simple_query_string needs a query"))
+        val flds = f.get("fields") match {
+          case Some(JArray(xs)) if xs.nonEmpty => xs.map {
+            case JString(v) =>
+              require(!v.contains('^'),
+                s"per-field boosts are not implemented: $v")
+              v
+            case other => throw new IllegalArgumentException(s"bad fields entry: $other")
+          }
+          case _ => throw new IllegalArgumentException(
+            "simple_query_string needs a non-empty fields array " +
+              "(engine deviation: no index-level default field exists to fall back to)")
+        }
+        val defOp2 = f.get("default_operator").map(asString).map(_.toLowerCase).getOrElse("or")
+        require(defOp2 == "or" || defOp2 == "and", s"bad default_operator: $defOp2")
+        QueryString.parseSimple(qs, flds, schema, defaultAnd = defOp2 == "and")
       case JObject(List(("match_phrase", JObject(List((p, spec)))))) =>
         val (v, slop) = spec match {
           case JObject(f) =>

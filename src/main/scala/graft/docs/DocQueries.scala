@@ -4994,6 +4994,165 @@ object DocQueries {
        |    FROM customer))
        |WHERE rn <= 10 ORDER BY rn""".stripMargin
 
+  // ---------------------------------------------------------------- d135
+  /** ES `string_stats` metric agg — count / min_length / max_length /
+    * avg_length in the main corpus pass plus Shannon `entropy` over the
+    * hit set's character distribution (one explode→count pass, its 1-row
+    * reduction broadcast back; `EsAggs` flat-metric special case like
+    * MAD). The long counts are exact; the libm logs carry the documented
+    * ~1e-15 gauss-decay tolerance. */
+  private def d135(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "size": 0,
+        |  "aggs": { "seg": { "string_stats": { "field": "planType" } } }
+        |}""".stripMargin
+    EsAggs.run(assembled(s, d), "doc", body, schema)
+  }
+
+  private val d135Sql =
+    """WITH v AS (SELECT c_mktsegment AS s FROM customer),
+      |ch AS (SELECT unnest(string_split(s, '')) AS c FROM v),
+      |cc AS (SELECT CAST(COUNT(*) AS DOUBLE) AS cnt FROM ch WHERE c <> '' GROUP BY c),
+      |ent AS (SELECT (ln(SUM(cnt)) - SUM(cnt * ln(cnt)) / SUM(cnt)) / ln(2) AS e FROM cc),
+      |main AS (SELECT CAST(COUNT(*) AS BIGINT) AS doc_count,
+      |  CAST(COUNT(s) AS BIGINT) AS seg_count,
+      |  MIN(length(s)) AS seg_min_length, MAX(length(s)) AS seg_max_length,
+      |  CAST(SUM(length(s)) AS DOUBLE) / COUNT(s) AS seg_avg_length FROM v)
+      |SELECT main.*, ent.e AS seg_entropy FROM main, ent""".stripMargin
+
+  // ---------------------------------------------------------------- d136
+  /** ES `t_test` agg — Welch two-sample t between two FILTERED copay
+    * populations in ONE conditional corpus pass (no join, no extra
+    * shuffle). Engine deviation, documented in `EsAggs`: ES returns the
+    * two-tailed p-value (regularized incomplete beta — no deterministic
+    * builtin in either engine); this renders the t statistic and its
+    * Welch–Satterthwaite degrees of freedom, the invertible core. */
+  private def d136(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "size": 0,
+        |  "aggs": {
+        |    "tt": {
+        |      "t_test": {
+        |        "a": { "field": "planCostShares.copay",
+        |               "filter": { "term": { "planType": "BUILDING" } } },
+        |        "b": { "field": "planCostShares.copay",
+        |               "filter": { "term": { "planType": "FURNITURE" } } },
+        |        "type": "heteroscedastic"
+        |      }
+        |    }
+        |  }
+        |}""".stripMargin
+    EsAggs.run(assembled(s, d), "doc", body, schema)
+  }
+
+  private val d136Sql =
+    """WITH one AS (SELECT CAST(COUNT(*) AS BIGINT) AS doc_count,
+      |  CAST(COUNT(*) FILTER (c_mktsegment = 'BUILDING') AS DOUBLE) AS na,
+      |  CAST(SUM(c_custkey % 50) FILTER (c_mktsegment = 'BUILDING') AS DOUBLE) AS sa,
+      |  CAST(SUM((c_custkey % 50) * (c_custkey % 50)) FILTER (c_mktsegment = 'BUILDING') AS DOUBLE) AS qa,
+      |  CAST(COUNT(*) FILTER (c_mktsegment = 'FURNITURE') AS DOUBLE) AS nb,
+      |  CAST(SUM(c_custkey % 50) FILTER (c_mktsegment = 'FURNITURE') AS DOUBLE) AS sb,
+      |  CAST(SUM((c_custkey % 50) * (c_custkey % 50)) FILTER (c_mktsegment = 'FURNITURE') AS DOUBLE) AS qb
+      |  FROM customer),
+      |v AS (SELECT doc_count, na, nb, sa / na AS ma, sb / nb AS mb,
+      |  (qa - sa * sa / na) / (na - 1.0) / na AS sea,
+      |  (qb - sb * sb / nb) / (nb - 1.0) / nb AS seb FROM one)
+      |SELECT doc_count, (ma - mb) / sqrt(sea + seb) AS tt_t,
+      |  (sea + seb) * (sea + seb)
+      |    / (sea * sea / (na - 1.0) + seb * seb / (nb - 1.0)) AS tt_df
+      |FROM v""".stripMargin
+
+  // ---------------------------------------------------------------- d137
+  /** ES `matrix_stats` agg — per-field moments (count/mean/variance/
+    * skewness/kurtosis) plus the covariance/correlation pair over copay ×
+    * deductible, in ONE corpus pass of exact long power sums; the ES
+    * formulas (sample n−1 variance, √n·M₃/M₂^1.5 skewness, n·M₄/M₂²
+    * kurtosis) are fixed double expression trees the oracle reproduces
+    * bit-for-bit. Two rows, one per field. */
+  private def d137(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "size": 0,
+        |  "aggs": {
+        |    "mx": { "matrix_stats": {
+        |      "fields": ["planCostShares.copay", "planCostShares.deductible"] } }
+        |  }
+        |}""".stripMargin
+    EsAggs.run(assembled(s, d), "doc", body, schema)
+  }
+
+  private val d137Sql =
+    """WITH src AS (SELECT c_custkey % 50 AS a, CAST(c_nationkey AS BIGINT) * 100 AS b
+      |  FROM customer),
+      |one AS (SELECT CAST(COUNT(*) AS BIGINT) AS doc_count, CAST(COUNT(*) AS DOUBLE) AS n,
+      |  CAST(SUM(a) AS DOUBLE) AS s1a, CAST(SUM(a * a) AS DOUBLE) AS s2a,
+      |  CAST(SUM(a * a * a) AS DOUBLE) AS s3a, CAST(SUM(a * a * a * a) AS DOUBLE) AS s4a,
+      |  CAST(SUM(b) AS DOUBLE) AS s1b, CAST(SUM(b * b) AS DOUBLE) AS s2b,
+      |  CAST(SUM(b * b * b) AS DOUBLE) AS s3b, CAST(SUM(b * b * b * b) AS DOUBLE) AS s4b,
+      |  CAST(SUM(a * b) AS DOUBLE) AS sxy FROM src),
+      |m AS (SELECT *, s1a / n AS meana, s1b / n AS meanb FROM one),
+      |f AS (SELECT *, s2a - s1a * s1a / n AS m2a, s2b - s1b * s1b / n AS m2b,
+      |  sxy - s1a * s1b / n AS craw FROM m)
+      |SELECT doc_count, 'planCostShares.copay' AS field, CAST(n AS BIGINT) AS count,
+      |  meana AS mean, m2a / (n - 1.0) AS variance,
+      |  sqrt(n) * (s3a - 3.0 * meana * s2a + 2.0 * n * meana * meana * meana)
+      |    / (m2a * sqrt(m2a)) AS skewness,
+      |  n * (s4a - 4.0 * meana * s3a + 6.0 * meana * meana * s2a
+      |       - 3.0 * n * meana * meana * meana * meana) / (m2a * m2a) AS kurtosis,
+      |  craw / (n - 1.0) AS covariance, craw / (sqrt(m2a) * sqrt(m2b)) AS correlation
+      |FROM f
+      |UNION ALL
+      |SELECT doc_count, 'planCostShares.deductible' AS field, CAST(n AS BIGINT) AS count,
+      |  meanb AS mean, m2b / (n - 1.0) AS variance,
+      |  sqrt(n) * (s3b - 3.0 * meanb * s2b + 2.0 * n * meanb * meanb * meanb)
+      |    / (m2b * sqrt(m2b)) AS skewness,
+      |  n * (s4b - 4.0 * meanb * s3b + 6.0 * meanb * meanb * s2b
+      |       - 3.0 * n * meanb * meanb * meanb * meanb) / (m2b * m2b) AS kurtosis,
+      |  craw / (n - 1.0) AS covariance, craw / (sqrt(m2b) * sqrt(m2a)) AS correlation
+      |FROM f""".stripMargin
+
+  // ---------------------------------------------------------------- d138
+  /** ES `geo_bounds` + `geo_centroid` metric aggs INSIDE a terms split —
+    * the Kibana map sidebar ("extent and center of each segment's
+    * points"). Bounds are four exact min/max aggregates; the centroid
+    * averages integer MICRODEGREES (≈11 cm — ES's own geo_point
+    * quantization grid) so the long sums are exact and the divisions
+    * IEEE-identical — a double-summation centroid would drift with
+    * partition order. Both ride the ordinary metric path, so they
+    * compose under any bucket agg; still ONE hash aggregation. */
+  private def d138(s: SparkSession, d: String): DataFrame = {
+    val geo = geoDocs(s, d)
+    val body =
+      """{
+        |  "size": 0,
+        |  "aggs": {
+        |    "types": {
+        |      "terms": { "field": "planType", "size": 5 },
+        |      "aggs": {
+        |        "bounds": { "geo_bounds": { "field": "location" } },
+        |        "centroid": { "geo_centroid": { "field": "location" } }
+        |      }
+        |    }
+        |  }
+        |}""".stripMargin
+    EsAggs.run(geo, "doc", body, geoSchema(geo))
+  }
+
+  private val d138Sql =
+    s"""WITH pts AS (
+       |  SELECT c_mktsegment AS key, $geoLatSql AS lat, $geoLonSql AS lon FROM customer)
+       |SELECT key, CAST(COUNT(*) AS BIGINT) AS doc_count,
+       |  MAX(lat) AS bounds_top_left_lat, MIN(lon) AS bounds_top_left_lon,
+       |  MIN(lat) AS bounds_bottom_right_lat, MAX(lon) AS bounds_bottom_right_lon,
+       |  CAST(SUM(CAST(round(lat * 1000000.0) AS BIGINT)) AS DOUBLE)
+       |    / COUNT(*) / 1000000.0 AS centroid_lat,
+       |  CAST(SUM(CAST(round(lon * 1000000.0) AS BIGINT)) AS DOUBLE)
+       |    / COUNT(*) / 1000000.0 AS centroid_lon,
+       |  CAST(COUNT(*) AS BIGINT) AS centroid_count
+       |FROM pts GROUP BY 1 ORDER BY doc_count DESC, key ASC LIMIT 5""".stripMargin
+
   // ---------------------------------------------------------------- d141
   /** ES `simple_query_string` — the end-user search-box syntax (`+` AND,
     * `|` OR, `-` negation, quoted phrase, parens), compiled by
@@ -5501,6 +5660,10 @@ object DocQueries {
     "d139_es_rank_feature" -> d139 _,
     "d140_es_distance_feature" -> d140 _,
     "d141_es_simple_query_string" -> d141 _,
+    "d135_es_string_stats" -> d135 _,
+    "d136_es_t_test" -> d136 _,
+    "d137_es_matrix_stats" -> d137 _,
+    "d138_es_geo_bounds_centroid" -> d138 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
     "d3_roundtrip" -> d3 _,
@@ -5640,6 +5803,10 @@ object DocQueries {
     "d139_es_rank_feature" -> d139Sql,
     "d140_es_distance_feature" -> d140Sql,
     "d141_es_simple_query_string" -> d141Sql,
+    "d135_es_string_stats" -> d135Sql,
+    "d136_es_t_test" -> d136Sql,
+    "d137_es_matrix_stats" -> d137Sql,
+    "d138_es_geo_bounds_centroid" -> d138Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,
     "d3_roundtrip" -> d3Sql,

@@ -63,7 +63,9 @@ object EsAggs {
   final case class Metric(kind: String, path: Seq[String],
                           percents: Seq[Double] = Nil,
                           weightPath: Seq[String] = Nil,
-                          sigma: Double = 2.0) extends Agg
+                          sigma: Double = 2.0,
+                          filters: Seq[SearchQuery] = Nil,
+                          variant: String = "") extends Agg
   /** ES `terms` bucket agg: top-`size` buckets. Default ES order =
     * doc_count desc, key asc; `order` overrides it with `_key`, `_count`,
     * or a metric sub-agg NAME (validated at parse — unknown targets are
@@ -407,12 +409,14 @@ object EsAggs {
 
   private val metricKinds = Set("avg", "sum", "min", "max", "value_count",
     "cardinality", "stats", "percentiles", "percentile_ranks", "weighted_avg",
-    "extended_stats", "median_absolute_deviation", "boxplot")
+    "extended_stats", "median_absolute_deviation", "boxplot", "string_stats",
+    "t_test", "matrix_stats", "geo_bounds", "geo_centroid")
 
   /** Metric kinds that render MORE than one output column — not a valid
     * terms-order / buckets_path / sibling target. */
   private val multiColumnKinds =
-    Set("stats", "percentiles", "percentile_ranks", "extended_stats", "boxplot")
+    Set("stats", "percentiles", "percentile_ranks", "extended_stats", "boxplot",
+      "string_stats", "t_test", "matrix_stats", "geo_bounds", "geo_centroid")
 
   /** ES default percentiles (the TDigest defaults; ours are exact). */
   private val defaultPercents = Seq(1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0)
@@ -455,6 +459,14 @@ object EsAggs {
       Seq("min", "q1", "q2", "q3", "max").map(s => s"${name}_$s")
     case "percentiles" => m.percents.map(p => s"${name}_p${fmtPercent(p)}")
     case "percentile_ranks" => m.percents.map(v => s"${name}_r${fmtPercent(v)}")
+    case "string_stats" =>
+      Seq("count", "min_length", "max_length", "avg_length", "entropy")
+        .map(s => s"${name}_$s")
+    case "t_test" => Seq(s"${name}_t", s"${name}_df")
+    case "geo_bounds" =>
+      Seq("top_left_lat", "top_left_lon", "bottom_right_lat", "bottom_right_lon")
+        .map(s => s"${name}_$s")
+    case "geo_centroid" => Seq("lat", "lon", "count").map(s => s"${name}_$s")
     case _ => Seq(name)
   }
 
@@ -531,6 +543,49 @@ object EsAggs {
     def parseMetrics(entries: List[(String, JValue)],
                      ctx: Option[(Seq[String], Seq[String])]): Seq[(String, Metric)] =
       entries.map {
+        case (name, JObject(List(("t_test", spec)))) =>
+          // ES shape: {"t_test": {"a": {"field": f, "filter": {...}},
+          //                       "b": {...}, "type": "heteroscedastic"}}.
+          // `paired` needs row-wise pairing a set-oriented engine can't
+          // infer from two filters — rejected loudly.
+          val m = checkSpecKeys(spec, "t_test", Set("a", "b", "type"))
+          val variant = m.get("type") match {
+            case None => "heteroscedastic" // ES default
+            case Some(JString(t)) if t == "heteroscedastic" || t == "homoscedastic" => t
+            case Some(other) => throw new IllegalArgumentException(
+              s"unsupported t_test type: $other (heteroscedastic/homoscedastic; paired is not implemented)")
+          }
+          def pop(key: String): (Seq[String], SearchQuery) = m.get(key) match {
+            case Some(pSpec) =>
+              val pm = checkSpecKeys(pSpec, s"t_test $key", Set("field", "filter"))
+              val fp = fieldPath(pSpec, s"t_test $key", ctx)
+              val filt = pm.get("filter")
+                .map(SearchQuery.parseQueryNode(_, schema))
+                .getOrElse(SearchQuery.MatchAll)
+              (fp, filt)
+            case None => throw new IllegalArgumentException(s"t_test needs $key")
+          }
+          val (aPath, aFilt) = pop("a")
+          val (bPath, bFilt) = pop("b")
+          name -> Metric("t_test", aPath, weightPath = bPath,
+            filters = Seq(aFilt, bFilt), variant = variant)
+        case (name, JObject(List(("matrix_stats", spec)))) =>
+          // ES shape: {"matrix_stats": {"fields": [a, b]}} — exactly two
+          // fields (the covariance/correlation pair); ES's n-field matrix
+          // response has no flat tabular rendering, so wider lists are
+          // rejected rather than silently truncated.
+          val m = checkSpecKeys(spec, "matrix_stats", Set("fields"))
+          val flds = m.get("fields") match {
+            case Some(JArray(xs)) => xs.map {
+              case JString(p) => resolvePath(
+                p.stripSuffix(".keyword").split('.').toSeq, "matrix_stats", ctx)
+              case other => throw new IllegalArgumentException(s"bad matrix_stats field: $other")
+            }
+            case _ => throw new IllegalArgumentException("matrix_stats needs a fields array")
+          }
+          require(flds.size == 2,
+            s"matrix_stats is implemented for exactly 2 fields, got ${flds.size}")
+          name -> Metric("matrix_stats", flds.head, weightPath = flds(1))
         case (name, JObject(List(("weighted_avg", spec)))) =>
           // ES shape: {"weighted_avg": {"value": {"field": v}, "weight": {"field": w}}}
           val m = checkSpecKeys(spec, "weighted_avg", Set("value", "weight"))
@@ -1996,6 +2051,51 @@ object EsAggs {
           throw new IllegalArgumentException(
             "median_absolute_deviation inside bucket aggs is not implemented " +
               "(flat metric set only — it needs a median pre-pass)")
+        case "string_stats" =>
+          throw new IllegalArgumentException(
+            "string_stats inside bucket aggs is not implemented " +
+              "(flat metric set only — entropy needs a character-frequency pass)")
+        case "t_test" =>
+          throw new IllegalArgumentException(
+            "t_test inside bucket aggs is not implemented (flat metric set only)")
+        case "matrix_stats" =>
+          throw new IllegalArgumentException(
+            "matrix_stats inside bucket aggs is not implemented " +
+              "(flat metric set only — it renders one row per field)")
+        case "geo_bounds" =>
+          // ES geo_bounds: the tightest box around the points — four
+          // exact min/max aggregates over the point's components (the
+          // wrap_longitude dateline form is not implemented: bounds are
+          // plain min/max in [-180, 180]).
+          val la = pred match {
+            case Some(p) => when(p, resolve(m.path :+ "lat"))
+            case None => resolve(m.path :+ "lat")
+          }
+          val lo = pred match {
+            case Some(p) => when(p, resolve(m.path :+ "lon"))
+            case None => resolve(m.path :+ "lon")
+          }
+          Seq(max(la).as(s"${name}_top_left_lat"), min(lo).as(s"${name}_top_left_lon"),
+            min(la).as(s"${name}_bottom_right_lat"), max(lo).as(s"${name}_bottom_right_lon"))
+        case "geo_centroid" =>
+          // ES geo_centroid: component-wise mean of the points. Computed
+          // on integer MICRODEGREES (round(coord·1e6) — ≈11 cm grid, the
+          // same resolution ES's own geo_point encoding quantizes to):
+          // the long sums are exact, so the two divisions are
+          // IEEE-identical in any engine — a double-summation centroid
+          // would drift with partition order and never oracle-match.
+          val la0 = resolve(m.path :+ "lat")
+          val lo0 = resolve(m.path :+ "lon")
+          val both = pred match {
+            case Some(p) => p && la0.isNotNull && lo0.isNotNull
+            case None => la0.isNotNull && lo0.isNotNull
+          }
+          val laE6 = when(both, round(la0 * lit(1000000.0)).cast("long"))
+          val loE6 = when(both, round(lo0 * lit(1000000.0)).cast("long"))
+          val n = count(laE6)
+          Seq((sum(laE6).cast("double") / n / lit(1000000.0)).as(s"${name}_lat"),
+            (sum(loE6).cast("double") / n / lit(1000000.0)).as(s"${name}_lon"),
+            n.as(s"${name}_count"))
         case "percentiles" =>
           // EXACT linear-interpolated percentiles (DuckDB quantile_cont
           // reproduces them bit-for-bit; ES TDigest is approximate)
@@ -2111,6 +2211,126 @@ object EsAggs {
       one.select(explode(array(bucketStructs: _*)).as("_b")).select(col("_b.*"))
     }
     val result = req.tree match {
+      case Left(ms) if ms.exists(_._2.kind == "string_stats") =>
+        // ES `string_stats` — count / min_length / max_length /
+        // avg_length in the main corpus pass; Shannon `entropy` over the
+        // hit set's CHARACTER distribution needs a char-frequency
+        // aggregation, so each string_stats adds one explode→count pass
+        // whose |alphabet|-row result (a 1-row reduction of it) broadcast-
+        // crossJoins back. H = (ln N − Σ c·ln c / N) / ln 2 — the long
+        // counts are exact, the libm logs ≤1 ulp (the documented ~1e-15
+        // gauss-decay tolerance). `show_distribution` is not implemented.
+        val mainCols = ms.flatMap { case (n, m) =>
+          if (m.kind == "string_stats") {
+            val v = field(ctx, m.path)
+            Seq(count(v).as(s"${n}_count"),
+              min(length(v)).as(s"${n}_min_length"),
+              max(length(v)).as(s"${n}_max_length"),
+              (sum(length(v).cast("long")).cast("double") / count(v)).as(s"${n}_avg_length"))
+          } else metricCols(n, m)
+        }
+        val main = rows.agg(count(lit(1)).as("doc_count"), mainCols: _*)
+        val entFrames = ms.filter(_._2.kind == "string_stats").map { case (n, m) =>
+          val v = field(ctx, m.path)
+          // split-by-empty-regex leaves a trailing "" in some engines —
+          // filter it on BOTH sides rather than trust either
+          val cc = rows.select(explode(split(v, "")).as("_ch"))
+            .filter(col("_ch") =!= "")
+            .groupBy(col("_ch")).agg(count(lit(1)).cast("double").as("_cnt"))
+          cc.agg(((log(sum(col("_cnt"))) - sum(col("_cnt") * log(col("_cnt"))) / sum(col("_cnt")))
+            / lit(math.log(2.0))).as(s"${n}_entropy"))
+        }
+        entFrames.foldLeft(main)((acc, f) => acc.crossJoin(broadcast(f)))
+      case Left(ms) if ms.exists(_._2.kind == "t_test") =>
+        // ES `t_test` — two-sample Student's t between two FILTERED
+        // populations of one corpus pass (conditional sums, no join, no
+        // shuffle beyond the global agg). Engine deviation, documented:
+        // ES returns the two-tailed p-value, which needs the regularized
+        // incomplete beta neither engine exposes as a deterministic
+        // builtin — this renders the t STATISTIC and its degrees of
+        // freedom (`<name>_t`, `<name>_df`), the invertible core every
+        // stats package maps to a p-value. Integer-field sums are exact
+        // longs, so the double formulas are IEEE-identical in the oracle.
+        require(ms.size == 1,
+          "t_test must be the only metric in its aggs set (it reshapes the output row)")
+        val (n0, m) = ms.head
+        val pa = coalesce(predCol(m.filters.head), lit(false))
+        val pb = coalesce(predCol(m.filters(1)), lit(false))
+        val va = when(pa, field(ctx, m.path))
+        val vb = when(pb, field(ctx, m.weightPath))
+        val one = rows.agg(count(lit(1)).as("doc_count"),
+          count(va).cast("double").as("_na"), sum(va).cast("double").as("_sa"),
+          sum(va * va).cast("double").as("_qa"),
+          count(vb).cast("double").as("_nb"), sum(vb).cast("double").as("_sb"),
+          sum(vb * vb).cast("double").as("_qb"))
+        val na = col("_na"); val sa = col("_sa"); val qa = col("_qa")
+        val nb = col("_nb"); val sb = col("_sb"); val qb = col("_qb")
+        val ma = sa / na; val mb = sb / nb
+        // sample variance, ES's own formulation: (Σx² − (Σx)²/n)/(n−1)
+        val vva = (qa - sa * sa / na) / (na - lit(1.0))
+        val vvb = (qb - sb * sb / nb) / (nb - lit(1.0))
+        val (t, df) = m.variant match {
+          case "heteroscedastic" =>
+            // Welch: t = (m₁−m₂)/√(v₁/n₁+v₂/n₂), Welch–Satterthwaite df
+            val sea = vva / na; val seb = vvb / nb
+            ((ma - mb) / sqrt(sea + seb),
+              (sea + seb) * (sea + seb) /
+                (sea * sea / (na - lit(1.0)) + seb * seb / (nb - lit(1.0))))
+          case "homoscedastic" =>
+            // pooled variance, df = n₁+n₂−2
+            val sp2 = ((na - lit(1.0)) * vva + (nb - lit(1.0)) * vvb) /
+              (na + nb - lit(2.0))
+            ((ma - mb) / sqrt(sp2 * (lit(1.0) / na + lit(1.0) / nb)),
+              na + nb - lit(2.0))
+        }
+        one.select(col("doc_count"), t.as(s"${n0}_t"), df.as(s"${n0}_df"))
+      case Left(ms) if ms.exists(_._2.kind == "matrix_stats") =>
+        // ES `matrix_stats` — per-field moments + the covariance/
+        // correlation pair, over COMPLETE rows (both fields present; ES's
+        // default missing-handling). ONE corpus pass computing the raw
+        // power sums (exact longs over integer fields), then the ES
+        // formulas — sample variance/covariance (n−1), skewness
+        // √n·M₃/M₂^1.5, kurtosis n·M₄/M₂² — as fixed double expression
+        // trees the oracle reproduces bit-for-bit (ES's own streaming
+        // Welford updates agree to ~1e-12; documented tolerance). Two
+        // output rows, one per field, unfolded from the single result row.
+        require(ms.size == 1,
+          "matrix_stats must be the only metric in its aggs set (it renders one row per field)")
+        val (n0, m) = ms.head
+        val a0 = field(ctx, m.path); val b0 = field(ctx, m.weightPath)
+        val both = a0.isNotNull && b0.isNotNull
+        val a = when(both, a0); val b = when(both, b0)
+        val one = rows.agg(count(lit(1)).as("doc_count"),
+          count(a).cast("double").as("_n"),
+          sum(a).cast("double").as("_s1a"), sum(a * a).cast("double").as("_s2a"),
+          sum(a * a * a).cast("double").as("_s3a"),
+          sum(a * a * a * a).cast("double").as("_s4a"),
+          sum(b).cast("double").as("_s1b"), sum(b * b).cast("double").as("_s2b"),
+          sum(b * b * b).cast("double").as("_s3b"),
+          sum(b * b * b * b).cast("double").as("_s4b"),
+          sum(a * b).cast("double").as("_sxy"))
+        val n = col("_n")
+        def fieldRow(nm: String, s1: Column, s2: Column, s3: Column, s4: Column,
+                     s1o: Column, s2o: Column): Column = {
+          val mean = s1 / n
+          val m2 = s2 - s1 * s1 / n
+          val m3 = s3 - lit(3.0) * mean * s2 + lit(2.0) * n * mean * mean * mean
+          val m4 = s4 - lit(4.0) * mean * s3 + lit(6.0) * mean * mean * s2 -
+            lit(3.0) * n * mean * mean * mean * mean
+          val covRaw = col("_sxy") - s1 * s1o / n
+          struct(lit(nm).as("field"), n.cast("long").as("count"),
+            mean.as("mean"), (m2 / (n - lit(1.0))).as("variance"),
+            (sqrt(n) * m3 / (m2 * sqrt(m2))).as("skewness"),
+            (n * m4 / (m2 * m2)).as("kurtosis"),
+            (covRaw / (n - lit(1.0))).as("covariance"),
+            (covRaw / (sqrt(m2) * sqrt(s2o - s1o * s1o / n))).as("correlation"))
+        }
+        val rowA = fieldRow(m.path.mkString("."), col("_s1a"), col("_s2a"),
+          col("_s3a"), col("_s4a"), col("_s1b"), col("_s2b"))
+        val rowB = fieldRow(m.weightPath.mkString("."), col("_s1b"), col("_s2b"),
+          col("_s3b"), col("_s4b"), col("_s1a"), col("_s2a"))
+        one.select(col("doc_count"), explode(array(rowA, rowB)).as("_f"))
+          .select(col("doc_count"), col("_f.*"))
       case Left(ms) if ms.exists(_._2.kind == "median_absolute_deviation") =>
         // ES `median_absolute_deviation`: median(|v - median(v)|) — EXACT
         // (linear-interpolated medians; ES's is TDigest-approximate, the

@@ -453,7 +453,7 @@ class DocEngineSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](
       EsAggs.parse("""{"size": 0}""", PlanSchema.plan))
     assertThrows[IllegalArgumentException](EsAggs.parse(
-      """{"aggs": {"p": {"geo_centroid": {"field": "planCostShares.copay"}}}}""",
+      """{"aggs": {"p": {"scripted_metric": {"field": "planCostShares.copay"}}}}""",
       PlanSchema.plan))
     // median_absolute_deviation is a flat metric only: inside a bucket agg
     // it needs a median pre-pass and is rejected loudly at plan build

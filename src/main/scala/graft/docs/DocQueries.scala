@@ -5535,6 +5535,287 @@ object DocQueries {
        |    * ((CAST(doc_count AS DOUBLE) / ft) / (CAST(bg_count AS DOUBLE) / bt)) AS score
        |FROM t WHERE doc_count > 0 ORDER BY score DESC, key ASC LIMIT 3""".stripMargin
 
+  // ---------------------------------------------------------------- d142
+  /** ES `random_sampler` agg — probability-p sampling with sub-agg
+    * values scaled back to corpus estimates (doc_count and sums × 1/p;
+    * avg unscaled — the ES contract). The draw is the engine's
+    * deterministic hash_field device (`EsAggs.RandomSample`): sampled
+    * iff the 60-bit md5-prefix hash < p·2^60, SQL-replayable where ES's
+    * seeded per-shard draw is not. The filter prunes the corpus BEFORE
+    * any aggregation — at 100 TB the whole point of the agg. */
+  private def d142(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "size": 0,
+        |  "aggs": {
+        |    "sample": {
+        |      "random_sampler": { "probability": 0.35, "hash_field": "objectId" },
+        |      "aggs": {
+        |        "n": { "value_count": { "field": "objectId" } },
+        |        "sum_copay": { "sum": { "field": "planCostShares.copay" } },
+        |        "avg_copay": { "avg": { "field": "planCostShares.copay" } }
+        |      }
+        |    }
+        |  }
+        |}""".stripMargin
+    EsAggs.run(assembled(s, d), "doc", body, schema)
+  }
+
+  private val rsThreshold: Long = (0.35 * (1L << 60).toDouble).toLong
+
+  private val d142Sql =
+    s"""WITH sm AS (SELECT c_custkey % 50 AS copay FROM customer
+       |  WHERE CAST(('0x' || substr(md5('plan-' || ${ck("c_custkey")}), 1, 15)) AS BIGINT)
+       |    < $rsThreshold)
+       |SELECT CAST(round(CAST(COUNT(*) AS DOUBLE) / 0.35) AS BIGINT) AS doc_count,
+       |  CAST(round(CAST(COUNT(*) AS DOUBLE) / 0.35) AS BIGINT) AS n,
+       |  CAST(SUM(copay) AS DOUBLE) / 0.35 AS sum_copay,
+       |  AVG(copay) AS avg_copay
+       |FROM sm""".stripMargin
+
+  // ---------------------------------------------------------------- d143
+  /** ES `variable_width_histogram` — dynamically-sized bins. Documented
+    * deviation from ES's online clusterer (`EsAggs
+    * .VariableWidthHistogram`): exact equal-frequency rank split at
+    * VALUE grain — bucket of v = floor(rank_before(v)·n/total), equal
+    * values never split. Output = ES's response fields (key = centroid,
+    * min, max, doc_count). One value-grain hash agg + |V|-row windows. */
+  private def d143(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "size": 0,
+        |  "aggs": { "vw": { "variable_width_histogram": {
+        |    "field": "planCostShares.copay", "buckets": 7 } } }
+        |}""".stripMargin
+    EsAggs.run(assembled(s, d), "doc", body, schema)
+  }
+
+  private val d143Sql =
+    """WITH g AS (SELECT CAST(c_custkey % 50 AS DOUBLE) AS v, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM customer GROUP BY 1),
+      |w AS (SELECT v, c,
+      |  COALESCE(SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb,
+      |  SUM(c) OVER () AS tot FROM g),
+      |b AS (SELECT LEAST(6, CAST(FLOOR(CAST(cb * 7 AS DOUBLE) / tot) AS BIGINT)) AS bid, v, c FROM w)
+      |SELECT SUM(v * c) / SUM(c) AS key, MIN(v) AS "min", MAX(v) AS "max",
+      |  CAST(SUM(c) AS BIGINT) AS doc_count
+      |FROM b GROUP BY bid ORDER BY key""".stripMargin
+
+  // ---------------------------------------------------------------- d144
+  /** ES `frequent_item_sets` — market-basket mining over the service
+    * names array: itemsets of size 1 and 2 with doc-frequency support
+    * (`EsAggs.FrequentItemSets`). Pairs come from an equi-join on the
+    * TRANSACTION key (per-doc fanout bounded by the array), never a
+    * corpus cross join. */
+  private def d144(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "size": 0,
+        |  "aggs": { "baskets": { "frequent_item_sets": {
+        |    "fields": [ { "field": "linkedPlanServices.linkedService.name" } ],
+        |    "minimum_support": 0.05, "size": 12 } } }
+        |}""".stripMargin
+    EsAggs.run(assembled(s, d), "doc", body, schema)
+  }
+
+  private val d144Sql =
+    s"""WITH o AS $O,
+       |it AS (SELECT DISTINCT o_custkey AS d, 'Service ' || o_orderpriority AS i FROM o),
+       |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM customer),
+       |singles AS (SELECT i AS key, CAST(1 AS BIGINT) AS set_size,
+       |    CAST(COUNT(*) AS BIGINT) AS doc_count FROM it GROUP BY i),
+       |pairs AS (SELECT a.i || '|' || b.i AS key, CAST(2 AS BIGINT) AS set_size,
+       |    CAST(COUNT(*) AS BIGINT) AS doc_count
+       |  FROM it a JOIN it b ON a.d = b.d AND a.i < b.i GROUP BY 1),
+       |u AS (SELECT * FROM singles UNION ALL SELECT * FROM pairs)
+       |SELECT key, set_size, doc_count, CAST(doc_count AS DOUBLE) / n.n AS support
+       |FROM u, n WHERE CAST(doc_count AS DOUBLE) / n.n >= 0.05
+       |ORDER BY doc_count DESC, key ASC LIMIT 12""".stripMargin
+
+  /** IPv4 corpus — the schema has no native IPs, so plant a
+    * deterministic Knuth-hash address from the customer key (the geo
+    * planting pattern, SQL-replayable exactly): ip = dotted rendering of
+    * (c_custkey · 2654435761) mod 2^32. Materialized to parquet like the
+    * geo corpus. */
+  private def ipDocs(s: SparkSession, d: String): DataFrame =
+    memo.getOrElseUpdate((s, d, "ip"),
+      mat(s, "ip")(graft.Tables(s, d, "customer").select(struct(
+        concat(lit("plan-"), col("c_custkey").cast("string")).as("objectId"), {
+          val v = pmod(col("c_custkey") * 2654435761L, lit(4294967296L))
+          concat_ws(".",
+            shiftrightunsigned(v, 24).bitwiseAND(lit(255L)).cast("string"),
+            shiftrightunsigned(v, 16).bitwiseAND(lit(255L)).cast("string"),
+            shiftrightunsigned(v, 8).bitwiseAND(lit(255L)).cast("string"),
+            v.bitwiseAND(lit(255L)).cast("string"))
+        }.as("ip"),
+        (col("c_custkey") % 50).as("copay")).as("doc")))).asInstanceOf[DataFrame]
+
+  private val ipIntSql = "((c_custkey * 2654435761) % 4294967296)"
+
+  // ---------------------------------------------------------------- d145
+  /** ES `ip_range` agg — tier buckets over the IPv4 address space
+    * (from-inclusive / to-exclusive on the unsigned 32-bit integer, the
+    * ES contract), one conditional aggregation with a metric per tier. */
+  private def d145(s: SparkSession, d: String): DataFrame = {
+    val ip = ipDocs(s, d)
+    val body =
+      """{
+        |  "size": 0,
+        |  "aggs": {
+        |    "tiers": {
+        |      "ip_range": { "field": "ip", "ranges": [
+        |        { "to": "64.0.0.0" },
+        |        { "from": "64.0.0.0", "to": "128.0.0.0" },
+        |        { "from": "128.0.0.0", "to": "192.0.0.0" },
+        |        { "from": "192.0.0.0" } ] },
+        |      "aggs": { "avg_copay": { "avg": { "field": "copay" } } }
+        |    }
+        |  }
+        |}""".stripMargin
+    EsAggs.run(ip, "doc", body, geoSchema(ip))
+  }
+
+  private val d145Sql =
+    s"""WITH v AS (SELECT $ipIntSql AS ip, c_custkey % 50 AS copay FROM customer)
+       |SELECT '*-64.0.0.0' AS key,
+       |  CAST(COUNT(*) FILTER (ip < 1073741824) AS BIGINT) AS doc_count,
+       |  AVG(copay) FILTER (ip < 1073741824) AS avg_copay FROM v
+       |UNION ALL SELECT '64.0.0.0-128.0.0.0',
+       |  CAST(COUNT(*) FILTER (ip >= 1073741824 AND ip < 2147483648) AS BIGINT),
+       |  AVG(copay) FILTER (ip >= 1073741824 AND ip < 2147483648) FROM v
+       |UNION ALL SELECT '128.0.0.0-192.0.0.0',
+       |  CAST(COUNT(*) FILTER (ip >= 2147483648 AND ip < 3221225472) AS BIGINT),
+       |  AVG(copay) FILTER (ip >= 2147483648 AND ip < 3221225472) FROM v
+       |UNION ALL SELECT '192.0.0.0-*',
+       |  CAST(COUNT(*) FILTER (ip >= 3221225472) AS BIGINT),
+       |  AVG(copay) FILTER (ip >= 3221225472) FROM v""".stripMargin
+
+  // ---------------------------------------------------------------- d146
+  /** ES `ip_prefix` agg — /4 CIDR network buckets: one hash aggregation
+    * on the masked integer, keys rendered `a.0.0.0/4` in key order. */
+  private def d146(s: SparkSession, d: String): DataFrame = {
+    val ip = ipDocs(s, d)
+    val body =
+      """{
+        |  "size": 0,
+        |  "aggs": {
+        |    "nets": {
+        |      "ip_prefix": { "field": "ip", "prefix_length": 4 },
+        |      "aggs": { "avg_copay": { "avg": { "field": "copay" } } }
+        |    }
+        |  }
+        |}""".stripMargin
+    EsAggs.run(ip, "doc", body, geoSchema(ip))
+  }
+
+  private val d146Sql =
+    s"""WITH v AS (SELECT $ipIntSql AS ip, c_custkey % 50 AS copay FROM customer),
+       |n AS (SELECT (ip // 268435456) * 268435456 AS net, copay FROM v)
+       |SELECT CAST(net // 16777216 AS VARCHAR) || '.0.0.0/4' AS key,
+       |  CAST(COUNT(*) AS BIGINT) AS doc_count, AVG(copay) AS avg_copay
+       |FROM n GROUP BY 1 ORDER BY key""".stripMargin
+
+  // ---------------------------------------------------------------- d147
+  /** ES `geo_line` agg — the track builder: points ordered by the sort
+    * field, truncated to `size`, plus ES's `complete` flag. Bounded
+    * TakeOrderedAndProject + ONE size-bounded collect_list — the corpus
+    * never sorts globally (`EsAggs.GeoLine`). */
+  private def d147(s: SparkSession, d: String): DataFrame = {
+    val geo = geoDocs(s, d)
+    val body =
+      """{
+        |  "size": 0,
+        |  "aggs": { "track": { "geo_line": {
+        |    "point": { "field": "location" },
+        |    "sort": { "field": "copay" },
+        |    "size": 25 } } }
+        |}""".stripMargin
+    EsAggs.run(geo, "doc", body, geoSchema(geo))
+  }
+
+  private val d147Sql =
+    s"""WITH pts AS (
+       |  SELECT $geoLatSql AS lat, $geoLonSql AS lon, c_custkey % 50 AS s
+       |  FROM customer),
+       |p2 AS (SELECT s, CAST(lat AS VARCHAR) || ',' || CAST(lon AS VARCHAR) AS pt FROM pts),
+       |sel AS (SELECT s, pt FROM p2 ORDER BY s ASC, pt ASC LIMIT 25),
+       |tot AS (SELECT COUNT(*) AS n FROM p2)
+       |SELECT (SELECT list(pt ORDER BY s ASC, pt ASC) FROM sel) AS line,
+       |  (SELECT n <= 25 FROM tot) AS complete""".stripMargin
+
+  // ---------------------------------------------------------------- d148
+  /** ES `change_point` sibling agg — step-change detection over a
+    * histogram bucket list. Documented deviation (`EsAggs.Sibling`): the
+    * deterministic CUSUM-style split statistic replaces ES's ML test
+    * suite; argmax split (key-asc ties) renders as constant `cp_key`/
+    * `cp_score` columns. All |buckets|-row windows. */
+  private def d148(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "size": 0,
+        |  "query": { "range": { "planCostShares.copay": { "lt": 42 } } },
+        |  "aggs": {
+        |    "h": { "histogram": { "field": "planCostShares.copay", "interval": 10 } },
+        |    "cp": { "change_point": { "buckets_path": "h>_count" } }
+        |  }
+        |}""".stripMargin
+    EsAggs.run(assembled(s, d), "doc", body, schema)
+  }
+
+  private val d148Sql =
+    """WITH b AS (SELECT (c_custkey % 50 - (c_custkey % 50) % 10) AS key,
+      |    CAST(COUNT(*) AS BIGINT) AS doc_count FROM customer
+      |  WHERE c_custkey % 50 < 42 GROUP BY 1),
+      |w AS (SELECT key, doc_count, CAST(doc_count AS DOUBLE) AS c,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY key) AS DOUBLE) AS i,
+      |    SUM(CAST(doc_count AS DOUBLE)) OVER (ORDER BY key
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s,
+      |    CAST(COUNT(*) OVER () AS DOUBLE) AS n,
+      |    SUM(CAST(doc_count AS DOUBLE)) OVER () AS t
+      |  FROM b),
+      |sc AS (SELECT key, doc_count,
+      |    CASE WHEN i >= 2 THEN
+      |      abs((t - (s - c)) / (n - i + 1) - (s - c) / (i - 1))
+      |        * sqrt((i - 1) * (n - i + 1) / ((i - 1) + (n - i + 1)))
+      |    END AS score FROM w),
+      |best AS (SELECT key AS cp_key, score AS cp_score FROM sc
+      |  ORDER BY score DESC NULLS LAST, key ASC LIMIT 1)
+      |SELECT sc.key, sc.doc_count, best.cp_key, best.cp_score
+      |FROM sc, best ORDER BY sc.key""".stripMargin
+
+  // ---------------------------------------------------------------- d149
+  /** ES `bucket_correlation` sibling agg (`count_correlation`) —
+    * Pearson r between the histogram's doc_count sequence and the
+    * body's expectations curve, one window aggregate over the
+    * |buckets|-row table. */
+  private def d149(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "size": 0,
+        |  "query": { "range": { "planCostShares.copay": { "lt": 42 } } },
+        |  "aggs": {
+        |    "h": { "histogram": { "field": "planCostShares.copay", "interval": 10 } },
+        |    "r": { "bucket_correlation": { "buckets_path": "h>_count",
+        |      "function": { "count_correlation": {
+        |        "indicator": { "expectations": [1, 2, 3, 4, 5] } } } } }
+        |  }
+        |}""".stripMargin
+    EsAggs.run(assembled(s, d), "doc", body, schema)
+  }
+
+  private val d149Sql =
+    """WITH b AS (SELECT (c_custkey % 50 - (c_custkey % 50) % 10) AS key,
+      |    CAST(COUNT(*) AS BIGINT) AS doc_count FROM customer
+      |  WHERE c_custkey % 50 < 42 GROUP BY 1),
+      |w AS (SELECT key, doc_count, CAST(doc_count AS DOUBLE) AS x,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY key) AS DOUBLE) AS y FROM b),
+      |m AS (SELECT CAST(COUNT(x) AS DOUBLE) AS nn, SUM(x) AS sx, SUM(y) AS sy,
+      |    SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy FROM w),
+      |cr AS (SELECT CASE WHEN sqrt((nn * sxx - sx * sx) * (nn * syy - sy * sy)) <> 0
+      |    THEN (nn * sxy - sx * sy) / sqrt((nn * sxx - sx * sx) * (nn * syy - sy * sy))
+      |  END AS r FROM m)
+      |SELECT w.key, w.doc_count, cr.r AS r FROM w, cr ORDER BY w.key""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -5664,6 +5945,14 @@ object DocQueries {
     "d136_es_t_test" -> d136 _,
     "d137_es_matrix_stats" -> d137 _,
     "d138_es_geo_bounds_centroid" -> d138 _,
+    "d142_es_random_sampler" -> d142 _,
+    "d143_es_variable_width_hist" -> d143 _,
+    "d144_es_frequent_items" -> d144 _,
+    "d145_es_ip_range" -> d145 _,
+    "d146_es_ip_prefix" -> d146 _,
+    "d147_es_geo_line" -> d147 _,
+    "d148_es_change_point" -> d148 _,
+    "d149_es_bucket_correlation" -> d149 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
     "d3_roundtrip" -> d3 _,
@@ -5807,6 +6096,14 @@ object DocQueries {
     "d136_es_t_test" -> d136Sql,
     "d137_es_matrix_stats" -> d137Sql,
     "d138_es_geo_bounds_centroid" -> d138Sql,
+    "d142_es_random_sampler" -> d142Sql,
+    "d143_es_variable_width_hist" -> d143Sql,
+    "d144_es_frequent_items" -> d144Sql,
+    "d145_es_ip_range" -> d145Sql,
+    "d146_es_ip_prefix" -> d146Sql,
+    "d147_es_geo_line" -> d147Sql,
+    "d148_es_change_point" -> d148Sql,
+    "d149_es_bucket_correlation" -> d149Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,
     "d3_roundtrip" -> d3Sql,

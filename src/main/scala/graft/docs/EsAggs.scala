@@ -186,6 +186,57 @@ object EsAggs {
     * placeholders — which is the reproducible 80% of log triage).
     * Top-`size` templates by doc_count, one hash aggregation. */
   final case class CategorizeText(path: Seq[String], size: Int) extends Agg
+  /** ES `ip_range` bucket agg — the [[RangeAgg]] shape over an IPv4
+    * field: bounds are dotted-quad strings, compared as the unsigned
+    * 32-bit integer (from-inclusive / to-exclusive, open ends allowed).
+    * Same one-pass conditional-aggregation shape as `range`. */
+  final case class IpRangeAgg(path: Seq[String],
+                              ranges: Seq[(Option[String], Option[String], Option[String])]) extends Agg
+  /** ES `ip_prefix` bucket agg — CIDR network buckets: key = the
+    * network address of each document's IPv4 under a fixed
+    * `prefix_length`, rendered `a.b.c.d/len`, ordered key-asc (the ES
+    * response order). One hash aggregation on the masked integer. */
+  final case class IpPrefixAgg(path: Seq[String], prefixLen: Int) extends Agg
+  /** ES `variable_width_histogram` — `buckets` dynamically-sized bins.
+    * DOCUMENTED DEVIATION: ES clusters with an online nearest-centroid
+    * sketch (shard-order dependent, not reproducible); this engine bins
+    * by exact equal-frequency rank split over the VALUE distribution —
+    * value grain, so equal values never split across buckets (bucket of
+    * value v = floor(rank_before(v) · buckets / total), capped at
+    * buckets-1). Output matches ES's response fields: `key` (bucket
+    * centroid = mean), `min`, `max`, `doc_count`. Shape: one value-grain
+    * hash aggregation, then |distinct values|-row windows — the corpus
+    * never sorts globally. */
+  final case class VariableWidthHistogram(path: Seq[String], targetBuckets: Int) extends Agg
+  /** ES `frequent_item_sets` — market-basket mining over one
+    * array-crossing field: itemsets of size 1 and 2 (ES's
+    * `minimum_set_size`/multi-field forms are rejected loudly) with
+    * `support = docs containing the whole set / total docs >=
+    * minimum_support`, top-`size` by doc_count desc then key asc. Items
+    * are the DISTINCT element values per document (doc frequency, the ES
+    * transaction model). Shape: one explode at (doc, item) grain; pairs
+    * come from an equi-join of that frame on the document key — fanout
+    * bounded by per-document distinct-item count (array-size bounded),
+    * never O(corpus²). */
+  final case class FrequentItemSets(path: Seq[String], minSupport: Double,
+                                    size: Int) extends Agg
+  /** ES `geo_line` — the track-building agg: points ordered by a sort
+    * field, truncated to `size`, rendered as one row with a `line`
+    * array of `"lat,lon"` strings plus `complete` (ES's truncation
+    * flag). Shape: a bounded `orderBy().limit(size)`
+    * (TakeOrderedAndProject — per-partition heaps, no global sort) and
+    * ONE size-bounded collect_list; the total count for `complete` is a
+    * 1-row aggregate crossJoined back. */
+  final case class GeoLine(path: Seq[String], sortPath: Seq[String], size: Int) extends Agg
+  /** ES `random_sampler` — probability-p uniform document sample whose
+    * sub-agg values are scaled back to corpus estimates (doc_count and
+    * sums × 1/p; avg/min/max unscaled — the ES contract). The draw is
+    * the engine's deterministic hash_field device (same contract as
+    * `sampler`): a document is sampled iff its 60-bit md5-prefix hash <
+    * p·2^60 — rerunnable, uniform, and SQL-replayable, where ES's seeded
+    * per-shard draw is not. `doc_count` and scaled `value_count` round
+    * half-up to longs; scaled `sum` stays double. */
+  final case class RandomSample(hashField: Seq[String], probability: Double) extends Agg
   /** ES `date_range` bucket agg — from-inclusive/to-exclusive over ISO
     * `yyyy-MM-dd` bounds (midnight semantics), open ends allowed. */
   final case class DateRangeAgg(path: Seq[String],
@@ -332,9 +383,25 @@ object EsAggs {
     * `<name>_p<P>` column per percent — EXACT linear-interpolated
     * percentiles over the bucket list (ES's are TDigest-approximate,
     * the same documented exactness upgrade as the `percentiles` metric),
-    * `percents` defaulting to ES's [1, 5, 25, 50, 75, 95, 99]. */
+    * `percents` defaulting to ES's [1, 5, 25, 50, 75, 95, 99].
+    *
+    * Two histogram-parent-only siblings carry extra state:
+    *  - `change_point` — ES's step-change detector, rendered as
+    *    `<name>_key` (first bucket of the right segment) + `<name>_score`.
+    *    DOCUMENTED DEVIATION: ES runs an ML suite of change tests; this
+    *    engine computes the deterministic CUSUM-style split statistic
+    *    |mean_right − mean_left| · sqrt(nl·nr/(nl+nr)) at every split and
+    *    takes the argmax (smallest key on ties) — the reproducible core
+    *    of step-change detection. All |buckets|-row windows.
+    *  - `bucket_correlation` (`count_correlation` function) — Pearson r
+    *    between the bucket value sequence (key order) and the body's
+    *    `indicator.expectations` curve, as one window aggregate; `curve`
+    *    holds the expectations. A curve shorter/longer than the bucket
+    *    list correlates over the index intersection (ES errors instead —
+    *    documented deviation). */
   final case class Sibling(name: String, kind: String, target: String,
-                           percents: Seq[Double] = Nil)
+                           percents: Seq[Double] = Nil,
+                           curve: Seq[Double] = Nil)
 
   /** A bucket level: the bucket agg, its metric sub-aggs, and at most one
     * sub-bucket level (Kibana "split series" — terms × terms/histogram).
@@ -429,7 +496,8 @@ object EsAggs {
       "filter", "filters", "range", "missing", "composite", "significant_terms",
       "significant_text", "global", "adjacency_matrix", "rare_terms",
       "date_range", "multi_terms", "geo_distance", "geotile_grid",
-      "geohash_grid", "categorize_text")
+      "geohash_grid", "categorize_text", "ip_range", "ip_prefix",
+      "variable_width_histogram", "frequent_item_sets", "geo_line")
 
   private val pipelineKinds =
     Set("cumulative_sum", "derivative", "bucket_selector", "bucket_sort",
@@ -438,13 +506,15 @@ object EsAggs {
 
   private val siblingKinds =
     Set("avg_bucket", "sum_bucket", "min_bucket", "max_bucket",
-      "stats_bucket", "percentiles_bucket")
+      "stats_bucket", "percentiles_bucket", "change_point",
+      "bucket_correlation")
 
   /** Column names a sibling agg renders to (stats/percentiles fan out). */
   private def siblingNames(sb: Sibling): Seq[String] = sb.kind match {
     case "stats_bucket" =>
       Seq("count", "min", "max", "avg", "sum").map(s => s"${sb.name}_$s")
     case "percentiles_bucket" => sb.percents.map(p => s"${sb.name}_p${fmtPercent(p)}")
+    case "change_point" => Seq(s"${sb.name}_key", s"${sb.name}_score")
     case _ => Seq(sb.name)
   }
 
@@ -1109,6 +1179,97 @@ object EsAggs {
             val maxDc = num(spec, "max_doc_count", "rare_terms").getOrElse(1L)
             require(maxDc >= 1, s"rare_terms max_doc_count must be >= 1: $maxDc")
             RareTerms(fieldPath(spec, "rare_terms", ctx), maxDc)
+          }).orElse(bf.get("ip_range").map { spec =>
+            val m = checkSpecKeys(spec, "ip_range", Set("field", "ranges"))
+            val Ip = "(\\d{1,3})\\.(\\d{1,3})\\.(\\d{1,3})\\.(\\d{1,3})".r
+            def bound(b: Map[String, JValue], k: String): Option[String] = b.get(k).map {
+              case JString(v @ Ip(a, b2, c, d4))
+                if Seq(a, b2, c, d4).forall(_.toInt <= 255) => v
+              case other => throw new IllegalArgumentException(
+                s"ip_range $k must be a dotted IPv4 string: $other (CIDR/mask forms are not implemented)")
+            }
+            val ranges = m.get("ranges") match {
+              case Some(JArray(rs)) if rs.nonEmpty => rs.map {
+                case JObject(bounds) =>
+                  val b = bounds.toMap
+                  val unknown = b.keySet -- Set("from", "to", "key")
+                  require(unknown.isEmpty,
+                    s"unsupported ip_range bound key(s): ${unknown.mkString(", ")} (from/to/key)")
+                  val lo = bound(b, "from")
+                  val hi = bound(b, "to")
+                  val ck0 = b.get("key").map {
+                    case JString(k0) => k0
+                    case other => throw new IllegalArgumentException(s"bad ip_range key: $other")
+                  }
+                  require(lo.nonEmpty || hi.nonEmpty, "ip_range bucket needs from and/or to")
+                  (ck0, lo, hi)
+                case other => throw new IllegalArgumentException(s"bad ip_range bucket: $other")
+              }
+              case _ => throw new IllegalArgumentException("ip_range needs a non-empty ranges array")
+            }
+            require(ranges.flatMap(_._1).distinct.size == ranges.flatMap(_._1).size,
+              "duplicate ip_range bucket keys")
+            IpRangeAgg(fieldPath(spec, "ip_range", ctx), ranges)
+          }).orElse(bf.get("ip_prefix").map { spec =>
+            checkSpecKeys(spec, "ip_prefix", Set("field", "prefix_length"))
+            val len = num(spec, "prefix_length", "ip_prefix").map(_.toInt).getOrElse(
+              throw new IllegalArgumentException("ip_prefix needs prefix_length"))
+            require(len >= 1 && len <= 32,
+              s"ip_prefix prefix_length out of range: $len (1-32; is_ipv6 is not implemented)")
+            IpPrefixAgg(fieldPath(spec, "ip_prefix", ctx), len)
+          }).orElse(bf.get("variable_width_histogram").map { spec =>
+            checkSpecKeys(spec, "variable_width_histogram", Set("field", "buckets"))
+            val n = num(spec, "buckets", "variable_width_histogram").map(_.toInt).getOrElse(10)
+            require(n >= 2 && n <= 1024,
+              s"variable_width_histogram buckets out of range: $n (2-1024)")
+            VariableWidthHistogram(fieldPath(spec, "variable_width_histogram", ctx), n)
+          }).orElse(bf.get("frequent_item_sets").map { spec =>
+            require(ctx.isEmpty,
+              "frequent_item_sets inside a nested context is not implemented")
+            val m = checkSpecKeys(spec, "frequent_item_sets",
+              Set("fields", "minimum_support", "size"))
+            val fieldStr = m.get("fields") match {
+              case Some(JArray(List(JObject(ff)))) =>
+                val fm = ff.toMap
+                val unknown = fm.keySet -- Set("field")
+                require(unknown.isEmpty,
+                  s"unsupported frequent_item_sets field key(s): ${unknown.mkString(", ")}")
+                asString(fm.getOrElse("field",
+                  throw new IllegalArgumentException("frequent_item_sets field entry needs a field")))
+              case _ => throw new IllegalArgumentException(
+                "frequent_item_sets needs a fields array with exactly ONE {field} entry " +
+                  "(multi-field itemsets are not implemented)")
+            }
+            val p = fieldStr.stripSuffix(".keyword").split('.').toSeq
+            SearchQuery.splitArrayPath(p, schema) match {
+              case (Nil, _) => throw new IllegalArgumentException(
+                s"frequent_item_sets field ${p.mkString(".")} does not cross an array — " +
+                  "items are array element values")
+              case _ => ()
+            }
+            val minSup = m.get("minimum_support")
+              .map(SearchQuery.asDouble(_, "minimum_support")).getOrElse(0.1)
+            require(minSup > 0.0 && minSup <= 1.0,
+              s"frequent_item_sets minimum_support out of range: $minSup ((0, 1])")
+            val size0 = num(spec, "size", "frequent_item_sets").map(_.toInt).getOrElse(10)
+            require(size0 >= 1, s"frequent_item_sets size must be >= 1: $size0")
+            FrequentItemSets(p, minSup, size0)
+          }).orElse(bf.get("geo_line").map { spec =>
+            require(ctx.isEmpty, "geo_line inside a nested context is not implemented")
+            val m = checkSpecKeys(spec, "geo_line", Set("point", "sort", "size"))
+            def fld(k: String): Seq[String] = m.get(k) match {
+              case Some(JObject(pf)) =>
+                val pm = pf.toMap
+                val unknown = pm.keySet -- Set("field")
+                require(unknown.isEmpty,
+                  s"unsupported geo_line $k key(s): ${unknown.mkString(", ")}")
+                pm.get("field").map(asString).map(_.split('.').toSeq).getOrElse(
+                  throw new IllegalArgumentException(s"geo_line $k needs a field"))
+              case _ => throw new IllegalArgumentException(s"geo_line needs a $k {field} object")
+            }
+            val size0 = num(spec, "size", "geo_line").map(_.toInt).getOrElse(10000)
+            require(size0 >= 1, s"geo_line size must be >= 1: $size0")
+            GeoLine(fld("point"), fld("sort"), size0)
           }).orElse(bf.get("date_range").map { spec =>
             val m = checkSpecKeys(spec, "date_range", Set("field", "ranges"))
             val IsoDate = "\\d{4}-\\d{2}-\\d{2}".r
@@ -1540,7 +1701,8 @@ object EsAggs {
                      _: SignificantTerms | GlobalAgg | _: AdjacencyMatrix | _: RareTerms |
                      _: DateRangeAgg | _: MultiTerms | _: AutoDateHistogram |
                      _: GeoDistanceAgg | _: GeotileGrid | _: GeohashGrid |
-                     _: CategorizeText =>
+                     _: CategorizeText | _: IpRangeAgg | _: IpPrefixAgg |
+                     _: VariableWidthHistogram | _: FrequentItemSets | _: GeoLine =>
                   throw new IllegalArgumentException(
                     "only terms/histogram bucket aggs can be an inner level of a multi-level split")
                 case _ => ()
@@ -1588,7 +1750,8 @@ object EsAggs {
                   _: SignificantTerms | GlobalAgg | _: AdjacencyMatrix | _: RareTerms |
                   _: DateRangeAgg | _: MultiTerms | _: AutoDateHistogram |
                   _: GeoDistanceAgg | _: GeotileGrid | _: GeohashGrid |
-                  _: CategorizeText, Some(_)) =>
+                  _: CategorizeText | _: IpRangeAgg | _: IpPrefixAgg |
+                  _: VariableWidthHistogram | _: FrequentItemSets | _: GeoLine, Some(_)) =>
               throw new IllegalArgumentException(
                 "sub-bucket levels under this bucket agg kind are not implemented")
             case _ => ()
@@ -1597,6 +1760,13 @@ object EsAggs {
             case _: SignificantTerms =>
               require(tree.metrics.isEmpty && pipelines.isEmpty && topHits.isEmpty,
                 "sub-aggs under significant_terms are not implemented")
+            case _: VariableWidthHistogram | _: FrequentItemSets | _: GeoLine =>
+              require(tree.metrics.isEmpty && pipelines.isEmpty && topHits.isEmpty
+                  && tree.sub.isEmpty,
+                s"sub-aggs under ${bucket.getClass.getSimpleName} are not implemented")
+            case _: IpRangeAgg | _: IpPrefixAgg =>
+              require(pipelines.isEmpty && topHits.isEmpty && tree.sub.isEmpty,
+                s"pipelines/top_hits/sub-buckets under ${bucket.getClass.getSimpleName} are not implemented (metrics only)")
             case _ => ()
           }
           // pipeline / top_hits attachment rules
@@ -1750,8 +1920,11 @@ object EsAggs {
           val lm = inner.metrics.toMap
           val sibs = sibEntries.map {
             case (name, JObject(List((kind, spec)))) =>
-              val allowed = if (kind == "percentiles_bucket")
-                Set("buckets_path", "percents") else Set("buckets_path")
+              val allowed = kind match {
+                case "percentiles_bucket" => Set("buckets_path", "percents")
+                case "bucket_correlation" => Set("buckets_path", "function")
+                case _ => Set("buckets_path")
+              }
               val m = checkSpecKeys(spec, kind, allowed)
               val path = asString(m.getOrElse("buckets_path",
                 throw new IllegalArgumentException(s"$kind needs buckets_path")))
@@ -1770,7 +1943,31 @@ object EsAggs {
                   s"percentiles_bucket.percents must be a non-empty array: $other")
               }
               percents.foreach(p => require(p >= 0 && p <= 100, s"percent out of range: $p"))
-              Sibling(name, kind, target, percents)
+              val curve = if (kind != "bucket_correlation") Nil else m.get("function") match {
+                case Some(JObject(List(("count_correlation", JObject(cf))))) =>
+                  val cm = cf.toMap
+                  val unknownC = cm.keySet -- Set("indicator")
+                  require(unknownC.isEmpty,
+                    s"unsupported count_correlation key(s): ${unknownC.mkString(", ")}")
+                  cm.get("indicator") match {
+                    case Some(JObject(ind)) =>
+                      val im = ind.toMap
+                      val unknownI = im.keySet -- Set("expectations", "doc_count")
+                      require(unknownI.isEmpty,
+                        s"unsupported indicator key(s): ${unknownI.mkString(", ")}")
+                      im.get("expectations") match {
+                        case Some(JArray(es)) if es.size >= 2 =>
+                          es.map(SearchQuery.asDouble(_, "expectation"))
+                        case _ => throw new IllegalArgumentException(
+                          "count_correlation indicator needs an expectations array of >= 2 values")
+                      }
+                    case _ => throw new IllegalArgumentException(
+                      "count_correlation needs an indicator object")
+                  }
+                case _ => throw new IllegalArgumentException(
+                  "bucket_correlation needs a function.count_correlation object")
+              }
+              Sibling(name, kind, target, percents, curve)
             case (name, other) =>
               throw new IllegalArgumentException(s"bad sibling agg $name: $other")
           }
@@ -1788,6 +1985,17 @@ object EsAggs {
             case other => throw new IllegalArgumentException(
               s"sibling *_bucket over ${other.getClass.getSimpleName} is not implemented")
           }
+          // the split-statistic / correlation siblings need an ORDERED
+          // axis — histogram parents only (the ES restriction)
+          sibs.filter(sb => sb.kind == "change_point" || sb.kind == "bucket_correlation")
+            .foreach { sb =>
+              inner.bucket match {
+                case _: Histogram | _: DateHistogram => ()
+                case other => throw new IllegalArgumentException(
+                  s"${sb.kind} needs a histogram/date_histogram parent, " +
+                    s"got ${other.getClass.getSimpleName}")
+              }
+            }
           Right(inner.copy(siblings = sibs))
         case mixed if mixed.size > 1 && mixed.exists {
           case (_, JObject(f)) => f.exists { case (k, _) => bucketKinds(k) }
@@ -1839,6 +2047,45 @@ object EsAggs {
               Right(Buckets(DiversifiedSample(hashF, divField, n, maxPer), ms, None)))
           case Right(_) => throw new IllegalArgumentException(
             "bucket sub-aggs under diversified_sampler are not implemented (metrics only)")
+        }
+      // random_sampler wrapper: probability-p deterministic hash sample,
+      // metric sub-aggs scaled back to corpus estimates (see
+      // [[RandomSample]]); ES's `seed` is subsumed by the hash_field
+      // engine extension (a different field = a different draw)
+      case List((_, JObject(rsFields))) if rsFields.exists(_._1 == "random_sampler") =>
+        val f = rsFields.toMap
+        val extraneous = f.keySet -- Set("random_sampler", "aggs", "aggregations")
+        require(extraneous.isEmpty,
+          s"unsupported random_sampler entry key(s): ${extraneous.mkString(", ")}")
+        val sm = checkSpecKeys(f("random_sampler"), "random_sampler",
+          Set("probability", "hash_field"))
+        val p0 = sm.get("probability").map(SearchQuery.asDouble(_, "probability")).getOrElse(
+          throw new IllegalArgumentException("random_sampler needs a probability"))
+        require(p0 > 0.0 && p0 < 1.0,
+          s"random_sampler probability out of range: $p0 ((0, 1) — use no sampler for 1)")
+        val hashF = sm.get("hash_field") match {
+          case Some(JString(hf)) =>
+            val p = hf.split('.').toSeq
+            val (arr, _) = SearchQuery.splitArrayPath(p, schema)
+            require(arr.isEmpty, s"random_sampler hash_field $hf crosses array ${arr.mkString(".")}")
+            p
+          case _ => throw new IllegalArgumentException(
+            "random_sampler needs hash_field (engine extension): ES's seeded per-shard " +
+              "draw is not reproducible relationally; this engine samples a document iff " +
+              "the 60-bit md5-prefix hash of the named unique field < p·2^60 — a " +
+              "deterministic, rerunnable uniform draw")
+        }
+        val innerAggs = f.get("aggs").orElse(f.get("aggregations")).map(namedOf).getOrElse(
+          throw new IllegalArgumentException("random_sampler needs sub-aggs"))
+        parseTree(innerAggs, None) match {
+          case Left(ms) =>
+            ms.foreach { case (n0, m0) =>
+              require(Set("avg", "sum", "min", "max", "value_count")(m0.kind),
+                s"metric \"$n0\" (${m0.kind}) under random_sampler is not implemented " +
+                  "(avg/sum/min/max/value_count — the kinds with a defined 1/p scaling)") }
+            Request(query, None, Right(Buckets(RandomSample(hashF, p0), ms, None)))
+          case Right(_) => throw new IllegalArgumentException(
+            "bucket sub-aggs under random_sampler are not implemented (metrics only)")
         }
       // sampler wrapper: a deterministic hash sample of the hit set,
       // feeding exactly one significant_text (see [[SignificantText]])
@@ -2412,6 +2659,132 @@ object EsAggs {
             ms.flatMap { case (n, m) => metricCols(n, m) }: _*)
           .orderBy(col("doc_count").desc, col("key").asc)
           .limit(size0)
+      case Right(Buckets(IpRangeAgg(p, rs), ms, None, Nil, None, Nil, None, None)) =>
+        // the range shape over the unsigned-32-bit integer form of the
+        // IPv4 — one conditional aggregation, bounds folded to longs at
+        // plan time
+        val oct = split(field(ctx, p).cast("string"), "\\.")
+        val ipv = element_at(oct, 1).cast("long") * 16777216L +
+          element_at(oct, 2).cast("long") * 65536L +
+          element_at(oct, 3).cast("long") * 256L + element_at(oct, 4).cast("long")
+        def ipLong(s0: String): Long = s0.split('.').map(_.toLong).reduce(_ * 256L + _)
+        condBuckets(rs.map { case (ck0, lo, hi) =>
+          val key = ck0.getOrElse(s"${lo.getOrElse("*")}-${hi.getOrElse("*")}")
+          val pred = (lo.map(x => ipv >= lit(ipLong(x))).toSeq ++
+            hi.map(x => ipv < lit(ipLong(x))).toSeq).reduce(_ && _)
+          key -> pred
+        }, ms)
+      case Right(Buckets(IpPrefixAgg(p, len), ms, None, Nil, None, Nil, None, None)) =>
+        // one hash aggregation on the masked network integer; the dotted
+        // "a.b.c.d/len" key renders from exact shift arithmetic
+        val oct = split(field(ctx, p).cast("string"), "\\.")
+        val ipv = element_at(oct, 1).cast("long") * 16777216L +
+          element_at(oct, 2).cast("long") * 65536L +
+          element_at(oct, 3).cast("long") * 256L + element_at(oct, 4).cast("long")
+        val mask = ((1L << len) - 1L) << (32 - len)
+        val net = ipv.bitwiseAND(lit(mask))
+        val key = concat_ws(".",
+          shiftrightunsigned(net, 24).bitwiseAND(lit(255L)).cast("string"),
+          shiftrightunsigned(net, 16).bitwiseAND(lit(255L)).cast("string"),
+          shiftrightunsigned(net, 8).bitwiseAND(lit(255L)).cast("string"),
+          net.bitwiseAND(lit(255L)).cast("string"))
+        rows.filter(field(ctx, p).isNotNull)
+          .groupBy(concat(key, lit(s"/$len")).as("key"))
+          .agg(count(lit(1)).as("doc_count"),
+            ms.flatMap { case (n, m) => metricCols(n, m) }: _*)
+          .orderBy(col("key").asc)
+      case Right(Buckets(VariableWidthHistogram(p, n), Nil, None, Nil, None, Nil, None, None)) =>
+        // equal-frequency rank split at VALUE grain (see the case class
+        // doc for the ES deviation): one value-grain hash aggregation,
+        // then |distinct values|-row windows — the same bounded-window
+        // budget as the pipeline aggs, never a corpus sort
+        val v = field(ctx, p)
+        val vals = rows.filter(v.isNotNull).groupBy(v.cast("double").as("_v"))
+          .agg(count(lit(1)).cast("long").as("_c"))
+        val wv = bucketW.orderBy(col("_v").asc)
+        val cum = vals
+          .withColumn("_cb", coalesce(
+            sum(col("_c")).over(wv.rowsBetween(W.unboundedPreceding, -1L)), lit(0L)))
+          .withColumn("_tot", sum(col("_c")).over(wAllBuckets))
+        val bucketId = least(lit(n - 1L), floor(col("_cb") * n / col("_tot")).cast("long"))
+        cum.groupBy(bucketId.as("_b"))
+          .agg((sum(col("_v") * col("_c")) / sum(col("_c"))).as("key"),
+            min(col("_v")).as("min"), max(col("_v")).as("max"),
+            sum(col("_c")).cast("long").as("doc_count"))
+          .drop("_b")
+          .orderBy(col("key").asc)
+      case Right(Buckets(FrequentItemSets(p, minSup, size0), Nil, None, Nil, None, Nil,
+                         None, None)) =>
+        // (doc, item) grain from ONE explode of per-document DISTINCT
+        // element values; singles are a hash agg on item, pairs an
+        // equi-join of the frame with itself ON THE DOCUMENT KEY (fanout
+        // = per-doc distinct-item count, array-size bounded). Support
+        // denominators are a 1-row aggregate crossJoined back.
+        require(schema.fieldNames.contains("objectId"),
+          "frequent_item_sets needs an objectId field as the transaction key")
+        val (arr, rest) = SearchQuery.splitArrayPath(p, schema)
+        val items = filtered.select(
+          field(doc, Seq("objectId")).as("_d"),
+          explode(array_distinct(transform(field(doc, arr),
+            x => rest.foldLeft(x)((c, f0) => c.getField(f0))))).as("_i"))
+          .filter(col("_i").isNotNull)
+        val totals = filtered.agg(count(lit(1)).cast("long").as("_n"))
+        val singles = items.groupBy(col("_i"))
+          .agg(count(lit(1)).cast("long").as("doc_count"))
+          .select(col("_i").cast("string").as("key"), lit(1L).as("set_size"),
+            col("doc_count"))
+        val a = items.select(col("_d"), col("_i").as("_ia"))
+        val b2 = items.select(col("_d").as("_d2"), col("_i").as("_ib"))
+        val pairs = a.join(b2, col("_d") === col("_d2") && col("_ia") < col("_ib"))
+          .groupBy(col("_ia"), col("_ib"))
+          .agg(count(lit(1)).cast("long").as("doc_count"))
+          .select(concat(col("_ia").cast("string"), lit("|"),
+            col("_ib").cast("string")).as("key"), lit(2L).as("set_size"), col("doc_count"))
+        singles.unionByName(pairs).crossJoin(totals)
+          .withColumn("support", col("doc_count").cast("double") / col("_n"))
+          .filter(col("support") >= minSup)
+          .drop("_n")
+          .orderBy(col("doc_count").desc, col("key").asc)
+          .limit(size0)
+      case Right(Buckets(GeoLine(p, sp, size0), Nil, None, Nil, None, Nil, None, None)) =>
+        // bounded TakeOrderedAndProject by the sort field, ONE
+        // size-bounded collect_list, `complete` from a 1-row count
+        val la = field(ctx, p :+ "lat")
+        val lo = field(ctx, p :+ "lon")
+        val sv = field(ctx, sp)
+        val pts = rows.filter(la.isNotNull && lo.isNotNull && sv.isNotNull)
+        val total = pts.agg(count(lit(1)).cast("long").as("_n"))
+        pts.select(sv.as("_s"),
+            concat(la.cast("string"), lit(","), lo.cast("string")).as("_pt"))
+          .orderBy(col("_s").asc, col("_pt").asc)
+          .limit(size0)
+          .agg(transform(array_sort(collect_list(struct(col("_s"), col("_pt")))),
+            x => x.getField("_pt")).as("line"))
+          .crossJoin(total)
+          .select(col("line"), (col("_n") <= size0).as("complete"))
+      case Right(Buckets(RandomSample(hashF, prob), ms, None, Nil, None, Nil, None, None)) =>
+        // deterministic probability-p draw: 60-bit md5-prefix hash <
+        // p·2^60 (a pushdown-eligible filter — the corpus prunes BEFORE
+        // any aggregation); sub-agg values scale back to corpus
+        // estimates per the [[RandomSample]] contract
+        val hf = field(doc, hashF).cast("string")
+        val h = conv(substring(md5(hf), 1, 15), 16, 10).cast("long")
+        val threshold = (prob * (1L << 60).toDouble).toLong
+        val sampled = filtered.filter(h < threshold)
+        val scaled = ms.flatMap { case (n, m) =>
+          val v = field(doc, m.path)
+          m.kind match {
+            case "sum" => Seq((sum(v).cast("double") / prob).as(n))
+            case "value_count" =>
+              Seq(round(count(v).cast("double") / prob).cast("long").as(n))
+            case "avg" => Seq(avg(v).as(n))
+            case "min" => Seq(min(v).as(n))
+            case "max" => Seq(max(v).as(n))
+          }
+        }
+        sampled.agg(
+          round(count(lit(1)).cast("double") / prob).cast("long").as("doc_count"),
+          scaled: _*)
       case Right(Buckets(AdjacencyMatrix(bs), ms, None, Nil, None, Nil, None, None)) =>
         // singles in body order, then pairwise intersections a&b (i<j in
         // body order); ES drops empty INTERSECTION buckets — and empty
@@ -2932,7 +3305,7 @@ object EsAggs {
         // sibling *_bucket values: one constant column per sibling over
         // the FINAL bucket list (|buckets| rows; ES renders them beside
         // the list, a relational frame repeats them per row)
-        sibs.foreach { case sb @ Sibling(n, kind, t, percents) =>
+        sibs.foreach { case sb @ Sibling(n, kind, t, percents, curve) =>
           val wAll = wAllBuckets
           val c0 = tcol(t)
           table = kind match {
@@ -2955,6 +3328,53 @@ object EsAggs {
               percents.foldLeft(table)((t0, p0) =>
                 t0.withColumn(s"${n}_p${fmtPercent(p0)}",
                   percentile(c0, lit(p0 / 100.0)).over(wAll)))
+            case "change_point" =>
+              // deterministic step-change split statistic (see the
+              // [[Sibling]] doc for the ES deviation): every candidate
+              // split scored off cumulative sums, argmax (key-asc ties)
+              // rendered as constant columns — all |buckets|-row windows
+              val kw = bucketW.orderBy(col("key").asc)
+              val t1 = table
+                .withColumn("_cpc", c0.cast("double"))
+                .withColumn("_cpi", row_number().over(kw))
+                .withColumn("_cps",
+                  sum(col("_cpc")).over(kw.rowsBetween(W.unboundedPreceding, W.currentRow)))
+                .withColumn("_cpn", count(lit(1)).over(wAll))
+                .withColumn("_cpt", sum(col("_cpc")).over(wAll))
+              val nl = (col("_cpi") - 1L).cast("double")
+              val nr = (col("_cpn") - col("_cpi") + 1L).cast("double")
+              val ml = (col("_cps") - col("_cpc")) / nl
+              val mr = (col("_cpt") - (col("_cps") - col("_cpc"))) / nr
+              val t2 = t1.withColumn("_cpscore",
+                when(col("_cpi") >= 2, abs(mr - ml) * sqrt(nl * nr / (nl + nr))))
+              val bw = bucketW.orderBy(col("_cpscore").desc_nulls_last, col("key").asc)
+                .rowsBetween(W.unboundedPreceding, W.currentRow)
+              t2.withColumn(s"${n}_key", first(col("key")).over(bw))
+                .withColumn(s"${n}_score", first(col("_cpscore")).over(bw))
+                .drop("_cpc", "_cpi", "_cps", "_cpn", "_cpt", "_cpscore")
+            case "bucket_correlation" =>
+              // Pearson r between the bucket values in key order and the
+              // body's expectations curve, from explicit moment sums over
+              // the |buckets|-row table (NOT the builtin corr: its
+              // ANSI-mode division throws on a zero-variance side, and
+              // its merge formula differs across engines; the moment
+              // form is exact-integer until one division). Zero variance
+              // on either side → null, ES's undefined-correlation case.
+              val idxed = table.withColumn("_bci",
+                row_number().over(bucketW.orderBy(col("key").asc)))
+              val x0 = c0.cast("double")
+              val y0 = try_element_at(lit(curve.toArray), col("_bci"))
+              val xn = when(y0.isNotNull, x0)
+              val nn = count(xn).over(wAll).cast("double")
+              val sx = sum(xn).over(wAll)
+              val sy = sum(y0).over(wAll)
+              val sxx = sum(xn * xn).over(wAll)
+              val syy = sum(y0 * y0).over(wAll)
+              val sxy = sum(xn * y0).over(wAll)
+              val den = sqrt((nn * sxx - sx * sx) * (nn * syy - sy * sy))
+              idxed.withColumn(n,
+                  when(den =!= 0.0, (nn * sxy - sx * sy) / den))
+                .drop("_bci")
           }
         }
         table.orderBy(finalOrder: _*)

@@ -5816,6 +5816,96 @@ object DocQueries {
       |  END AS r FROM m)
       |SELECT w.key, w.doc_count, cr.r AS r FROM w, cr ORDER BY w.key""".stripMargin
 
+  // ---------------------------------------------------------------- d150
+  /** ES `script_score` — score replaced by a Painless-subset arithmetic
+    * script over document fields and `_score`
+    * (`SearchQuery.ScriptExpr`): sqrt/mul/add here, IEEE-exact in both
+    * engines. The top relevance-tuning device after function_score. */
+  private def d150(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "query": { "script_score": {
+        |    "query": { "match": { "planType": "BUILDING" } },
+        |    "script": { "source":
+        |      "Math.sqrt(doc['planCostShares.copay'].value) * 2 + _score / 4" } } },
+        |  "sort": [ { "_score": { "order": "desc" } }, { "objectId": { "order": "asc" } } ],
+        |  "size": 12,
+        |  "_source": ["objectId", "planCostShares.copay"]
+        |}""".stripMargin
+    SearchExec.search(assembled(s, d), "doc", body, schema)
+  }
+
+  private val d150Sql =
+    s"""SELECT rn, score, "objectId", "planCostShares_copay" FROM (
+       |  SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, "objectId" ASC) AS rn FROM (
+       |    SELECT 'plan-' || ${ck("c_custkey")} AS "objectId",
+       |      c_custkey % 50 AS "planCostShares_copay",
+       |      sqrt(CAST(c_custkey % 50 AS DOUBLE)) * 2 + 1.0 / 4 AS score
+       |    FROM customer WHERE lower(c_mktsegment) = 'building'))
+       |WHERE rn <= 12 ORDER BY rn""".stripMargin
+
+  // ---------------------------------------------------------------- d151
+  /** ES `wrapper` query — a base64-encoded query (the Kibana
+    * saved-object / security-DSL transport): decoded at parse and run
+    * through the same machinery, so pushdown/scoring are identical to
+    * the inline form. The body here encodes a bool range + must_not. */
+  private def d151(s: SparkSession, d: String): DataFrame = {
+    val innerQuery =
+      """{"bool": {"must": [{"range": {"planCostShares.copay": {"gte": 10, "lt": 20}}}],
+        |"must_not": [{"term": {"planType": "FURNITURE"}}]}}""".stripMargin
+    val b64 = java.util.Base64.getEncoder.encodeToString(
+      innerQuery.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val body =
+      s"""{
+         |  "query": { "wrapper": { "query": "$b64" } },
+         |  "sort": [ { "objectId": { "order": "asc" } } ],
+         |  "size": 500,
+         |  "_source": ["objectId", "planCostShares.copay"]
+         |}""".stripMargin
+    SearchExec.search(assembled(s, d), "doc", body, schema)
+  }
+
+  private val d151Sql =
+    s"""SELECT rn, "objectId", "planCostShares_copay" FROM (
+       |  SELECT *, ROW_NUMBER() OVER (ORDER BY "objectId" ASC) AS rn FROM (
+       |    SELECT 'plan-' || ${ck("c_custkey")} AS "objectId",
+       |      c_custkey % 50 AS "planCostShares_copay"
+       |    FROM customer
+       |    WHERE c_custkey % 50 >= 10 AND c_custkey % 50 < 20
+       |      AND c_mktsegment <> 'FURNITURE'))
+       |WHERE rn <= 500 ORDER BY rn""".stripMargin
+
+  // ---------------------------------------------------------------- d152
+  /** ES `terms` LOOKUP — the value list fetched from ANOTHER document
+    * ("plans sharing a service name with plan-7"): ES GETs the lookup doc
+    * and rewrites to a plain terms query; `SearchExec.resolveLookups`
+    * performs the same 1-document point-get (bounded driver state, the
+    * SCALE.md class) and the rewritten NestedTermsIn joins nothing —
+    * it is a per-row membership predicate like any terms query. */
+  private def d152(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "query": { "terms": { "linkedPlanServices.linkedService.name": {
+        |    "index": "plan", "id": "plan-7",
+        |    "path": "linkedPlanServices.linkedService.name" } } },
+        |  "sort": [ { "objectId": { "order": "asc" } } ],
+        |  "size": 30,
+        |  "_source": ["objectId"]
+        |}""".stripMargin
+    SearchExec.search(assembled(s, d), "doc", body, schema)
+  }
+
+  private val d152Sql =
+    s"""WITH o AS $O,
+       |lk AS (SELECT DISTINCT 'Service ' || o_orderpriority AS nm FROM o WHERE o_custkey = 7),
+       |hit AS (SELECT DISTINCT o_custkey AS ck2
+       |        FROM o JOIN lk ON 'Service ' || o_orderpriority = lk.nm)
+       |SELECT rn, "objectId" FROM (
+       |  SELECT 'plan-' || ${ck("c_custkey")} AS "objectId",
+       |    ROW_NUMBER() OVER (ORDER BY 'plan-' || ${ck("c_custkey")} ASC) AS rn
+       |  FROM customer JOIN hit ON c_custkey = hit.ck2)
+       |WHERE rn <= 30 ORDER BY rn""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -5953,6 +6043,9 @@ object DocQueries {
     "d147_es_geo_line" -> d147 _,
     "d148_es_change_point" -> d148 _,
     "d149_es_bucket_correlation" -> d149 _,
+    "d150_es_script_score" -> d150 _,
+    "d151_es_wrapper" -> d151 _,
+    "d152_es_terms_lookup" -> d152 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
     "d3_roundtrip" -> d3 _,
@@ -6104,6 +6197,9 @@ object DocQueries {
     "d147_es_geo_line" -> d147Sql,
     "d148_es_change_point" -> d148Sql,
     "d149_es_bucket_correlation" -> d149Sql,
+    "d150_es_script_score" -> d150Sql,
+    "d151_es_wrapper" -> d151Sql,
+    "d152_es_terms_lookup" -> d152Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,
     "d3_roundtrip" -> d3Sql,

@@ -21,6 +21,49 @@ object SearchExec {
   private def field(root: Column, path: Seq[String]): Column =
     path.foldLeft(root)((c, f) => c.getField(f))
 
+  /** Resolve ES terms-LOOKUP nodes against the corpus: fetch the lookup
+    * document's path values (one point-get per lookup — the bounded
+    * driver-state class of SCALE.md's 1-row aggregates; ES performs the
+    * identical GET before rewriting the query) and substitute a plain
+    * terms query. Only combinator nodes are descended; a lookup nested
+    * anywhere else reaches compile and throws loudly. A missing lookup
+    * document or an empty value list matches NOTHING, the ES contract. */
+  private def resolveLookups(q: SearchQuery, docs: DataFrame, doc: Column,
+                             schema: org.apache.spark.sql.types.StructType): SearchQuery = {
+    import graft.docs.{SearchQuery => SQ}
+    def resolve(tl: SQ.TermsLookup): SearchQuery = {
+      require(tl.index == "plan",
+        s"terms lookup index \"${tl.index}\" is not this corpus (\"plan\")")
+      val lp = tl.lookupPath.stripSuffix(".keyword").split('.').toSeq
+      val valueCol = SQ.splitArrayPath(lp, schema) match {
+        case (Nil, full) => array(field(doc, full).cast("string"))
+        case (arr, rest) => transform(field(doc, arr),
+          x => rest.foldLeft(x)((c, f) => c.getField(f)).cast("string"))
+      }
+      val rows = docs
+        .filter(field(doc, Seq("objectId")) === tl.id)
+        .select(valueCol.as("_vals"))
+        .collect()
+      val values = rows.headOption
+        .map(_.getSeq[String](0).filter(_ != null).distinct).getOrElse(Nil)
+      if (values.isEmpty) SQ.Not(SQ.MatchAll)
+      else SQ.splitArrayPath(tl.field.stripSuffix(".keyword").split('.').toSeq, schema) match {
+        case (Nil, full) => SQ.TermsIn(full, values)
+        case (arr, rest) => SQ.NestedTermsIn(arr, rest, values)
+      }
+    }
+    def walk(q0: SearchQuery): SearchQuery = q0 match {
+      case SQ.And(qs @ _*) => SQ.And(qs.map(walk): _*)
+      case SQ.Or(qs @ _*) => SQ.Or(qs.map(walk): _*)
+      case SQ.Not(p) => SQ.Not(walk(p))
+      case SQ.AtLeast(n, qs) => SQ.AtLeast(n, qs.map(walk))
+      case SQ.NestedCompound(ap, inner) => SQ.NestedCompound(ap, walk(inner))
+      case tl: SQ.TermsLookup => resolve(tl)
+      case other => other
+    }
+    walk(q)
+  }
+
   /** Run `body` (a verbatim Kibana/ES JSON search request) against `docs`.
     *
     * Output: one row per hit, in hit order — `rn` (1-based global hit
@@ -49,7 +92,8 @@ object SearchExec {
           SearchQuery.SortKey(Seq("objectId"), asc = true, isScore = false))
       }
     val needScore = sorts.exists(_.isScore)
-    val hits0 = docs.filter(SearchQuery.compile(b.parsed.query, doc))
+    val mainQuery = resolveLookups(b.parsed.query, docs, doc, schema)
+    val hits0 = docs.filter(SearchQuery.compile(mainQuery, doc))
     val hits = if (needScore)
       hits0.withColumn("score", SearchQuery.scoreCol(b.parsed, doc))
     else hits0

@@ -90,6 +90,16 @@ object SearchQuery {
   final case class TermMatch(path: Seq[String], term: String) extends SearchQuery
   /** ES `terms` — exact membership in a value list (keyword semantics). */
   final case class TermsIn(path: Seq[String], values: Seq[String]) extends SearchQuery
+  /** ES `terms` LOOKUP form — the value list lives in ANOTHER document:
+    * `{"terms": {"<field>": {"index": …, "id": …, "path": …}}}`. ES
+    * executes this by fetching the lookup document and rewriting to a
+    * plain terms query; [[SearchExec.search]] does the same rewrite
+    * (`resolveLookups`) — a 1-document point-get whose values become a
+    * [[TermsIn]]/[[NestedTermsIn]], the bounded-driver-state class
+    * documented in SCALE.md. An unresolved lookup reaching [[compile]]
+    * throws: only the search entry point carries the corpus. */
+  final case class TermsLookup(field: String, index: String, id: String,
+                               lookupPath: String) extends SearchQuery
   /** ES `terms_set` — "at least N of these exact terms present in the
     * multi-valued field": matching-term count = |terms ∩ field values|
     * (DISTINCT terms, the ES contract — a term twice in the field counts
@@ -185,7 +195,27 @@ object SearchQuery {
   final case class Parsed(query: SearchQuery, hits: Seq[(Seq[String], SearchQuery)],
                           shoulds: Seq[SearchQuery] = Nil,
                           shape: Option[ScoreShape] = None,
-                          pinned: Seq[String] = Nil)
+                          pinned: Seq[String] = Nil,
+                          script: Option[ScriptExpr] = None)
+
+  /** `script_score` mini-DSL — the arithmetic subset of Painless every
+    * real script_score body lives in: `doc['field'].value`, `_score`,
+    * numeric literals, `+ - * /`, parentheses, unary minus, and
+    * `Math.log/sqrt/abs`. Anything else is rejected at parse (honestly,
+    * not silently) — the scored subset is exactly what a SQL oracle can
+    * replay. `_score` is the wrapped query's base score (clause-count
+    * relevance, or 1 for a should-less query — the function_score base
+    * convention). Division is `try_divide`: a zero divisor scores NULL
+    * (sorts last) — a documented deviation from Painless's IEEE Inf (see
+    * [[compileScript]]); `Math.log`/`Math.sqrt` of a negative
+    * raise_error loudly (a silent NaN would float broken docs to the
+    * top — the field_value_factor rule). */
+  sealed trait ScriptExpr
+  final case class SNum(v: Double) extends ScriptExpr
+  case object SScore extends ScriptExpr
+  final case class SField(path: Seq[String]) extends ScriptExpr
+  final case class SBin(op: Char, l: ScriptExpr, r: ScriptExpr) extends ScriptExpr
+  final case class SCall(fn: String, arg: ScriptExpr) extends ScriptExpr
 
   /** Score shaping parsed from a TOP-LEVEL `function_score` or `boosting`
     * wrapper (the first tools reached for when tuning relevance beyond
@@ -516,6 +546,33 @@ object SearchQuery {
             Seq(ScoreFn(MatchAll, boost,
               feature = Some(FeatureFn("distance", path, pivot = pivot, origin = origin)))),
             "multiply", "multiply")))
+      case JObject(List(("script_score", JObject(fields)))) =>
+        // ES `script_score` — the score is REPLACED by the script value
+        // over the wrapped query's hit set (see [[ScriptExpr]] for the
+        // implemented Painless subset). `min_score` is not implemented
+        // (rejected by the unknown-key check).
+        val f = fields.toMap
+        val unknown = f.keySet -- Set("query", "script")
+        require(unknown.isEmpty,
+          s"unsupported script_score key(s): ${unknown.mkString(", ")} (query/script)")
+        val inner = parseQueryRoot(f.getOrElse("query",
+          throw new IllegalArgumentException("script_score needs a query")), schema)
+        require(inner.shape.isEmpty && inner.script.isEmpty && inner.pinned.isEmpty,
+          "nested score-shaping wrappers under script_score are not implemented")
+        val src = f.get("script") match {
+          case Some(JObject(sf)) =>
+            val sm = sf.toMap
+            val unknownS = sm.keySet -- Set("source")
+            require(unknownS.isEmpty,
+              s"unsupported script key(s): ${unknownS.mkString(", ")} (source; params are not implemented — inline the constants)")
+            sm.get("source") match {
+              case Some(JString(s0)) => s0
+              case _ => throw new IllegalArgumentException("script needs a string source")
+            }
+          case Some(JString(s0)) => s0
+          case _ => throw new IllegalArgumentException("script_score needs a script")
+        }
+        inner.copy(script = Some(parseScript(src, schema)))
       case JObject(List(("boosting", JObject(fields)))) =>
         val f = fields.toMap
         val unknown = f.keySet -- Set("positive", "negative", "negative_boost")
@@ -546,6 +603,115 @@ object SearchQuery {
           case _ => Nil
         }
         Parsed(ast, hits.toList, shoulds.toList)
+    }
+  }
+
+  /** Recursive-descent parser for the script_score Painless subset (see
+    * [[ScriptExpr]]): standard `+ -` / `* /` precedence, parentheses,
+    * unary minus, `doc['field'].value`, `_score`, `Math.log/sqrt/abs`.
+    * Field paths validate against the schema at parse (array-crossing
+    * fields are rejected — a per-element score needs a nested context
+    * this wrapper does not carry). */
+  private[docs] def parseScript(src: String,
+                                schema: org.apache.spark.sql.types.StructType): ScriptExpr = {
+    val s = src
+    var i = 0
+    def ws(): Unit = while (i < s.length && s(i).isWhitespace) i += 1
+    def peek: Char = if (i < s.length) s(i) else ' '
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"script_score: $msg at offset $i in: $src")
+    def expr(): ScriptExpr = {
+      var l = term(); ws()
+      while (peek == '+' || peek == '-') {
+        val op = s(i); i += 1; val r = term(); l = SBin(op, l, r); ws()
+      }
+      l
+    }
+    def term(): ScriptExpr = {
+      var l = factor(); ws()
+      while (peek == '*' || peek == '/') {
+        val op = s(i); i += 1; val r = factor(); l = SBin(op, l, r); ws()
+      }
+      l
+    }
+    def number(): ScriptExpr = {
+      val st = i
+      while (i < s.length && (s(i).isDigit || s(i) == '.')) i += 1
+      SNum(s.substring(st, i).toDouble)
+    }
+    def docRef(): ScriptExpr = {
+      i += 4 // "doc["
+      val q0 = peek
+      if (q0 != '\'' && q0 != '"') fail("doc[ needs a quoted field name")
+      i += 1
+      val st = i
+      while (i < s.length && s(i) != q0) i += 1
+      if (i >= s.length) fail("unterminated doc[ field name")
+      val name = s.substring(st, i); i += 1
+      if (!s.startsWith("].value", i)) fail("doc['…'] must be followed by ].value")
+      i += "].value".length
+      val p = name.stripSuffix(".keyword").split('.').toSeq
+      val (arr, _) = splitArrayPath(p, schema)
+      require(arr.isEmpty,
+        s"script_score doc field $name crosses array ${arr.mkString(".")} — not implemented")
+      SField(p)
+    }
+    def call(): ScriptExpr = {
+      i += 5 // "Math."
+      val st = i
+      while (i < s.length && s(i).isLetter) i += 1
+      val fn = s.substring(st, i)
+      require(Set("log", "sqrt", "abs")(fn),
+        s"script_score: unsupported Math function $fn (log/sqrt/abs)")
+      ws(); if (peek != '(') fail(s"Math.$fn needs ("); i += 1
+      val a = expr(); ws(); if (peek != ')') fail("expected )"); i += 1
+      SCall(fn, a)
+    }
+    def factor(): ScriptExpr = {
+      ws()
+      peek match {
+        case '(' =>
+          i += 1; val e = expr(); ws()
+          if (peek != ')') fail("expected )")
+          i += 1; e
+        case '-' => i += 1; SBin('-', SNum(0), factor())
+        case c if c.isDigit => number()
+        case '_' if s.startsWith("_score", i) => i += "_score".length; SScore
+        case 'd' if s.startsWith("doc[", i) => docRef()
+        case 'M' if s.startsWith("Math.", i) => call()
+        case other => fail(s"unexpected '$other'")
+      }
+    }
+    val e = expr(); ws()
+    if (i != s.length) fail(s"trailing input '${s.substring(i)}'")
+    e
+  }
+
+  /** Compile a script_score expression; `score` is the wrapped query's
+    * base score column. Pure double arithmetic; division rides
+    * `try_divide` — ANSI Spark errors on ANY zero divisor (doubles
+    * included), so `x/0` scores NULL (sorts last) — a DOCUMENTED
+    * deviation from Painless's IEEE Inf, and the safer ranking (an Inf
+    * would float the broken doc to the top). log/sqrt of a negative
+    * raise_error (the field_value_factor rule). */
+  private[docs] def compileScript(e: ScriptExpr, doc: Column, score: Column): Column = {
+    def nonNeg(what: String, c: Column): Column = when(c < 0, raise_error(concat(
+      lit(s"script_score Math.$what of a negative value: "),
+      c.cast("string")))).otherwise(c)
+    e match {
+      case SNum(v) => lit(v)
+      case SScore => score.cast("double")
+      case SField(p) => field(doc, p).cast("double")
+      case SBin('+', l, r) => compileScript(l, doc, score) + compileScript(r, doc, score)
+      case SBin('-', l, r) => compileScript(l, doc, score) - compileScript(r, doc, score)
+      case SBin('*', l, r) => compileScript(l, doc, score) * compileScript(r, doc, score)
+      case SBin('/', l, r) =>
+        try_divide(compileScript(l, doc, score), compileScript(r, doc, score))
+      case SBin(op, _, _) => throw new IllegalStateException(s"unreachable op $op")
+      case SCall("log", a) => log(nonNeg("log", compileScript(a, doc, score)))
+      case SCall("sqrt", a) => sqrt(nonNeg("sqrt", compileScript(a, doc, score)))
+      case SCall("abs", a) => abs(compileScript(a, doc, score))
+      case SCall(fn, _) => throw new IllegalStateException(s"unreachable fn $fn")
     }
   }
 
@@ -825,6 +991,15 @@ object SearchQuery {
   private def scoreCol0(p: Parsed, doc: Column): Column = {
     def clauseCount: Column =
       p.shoulds.map(q => coalesce(compile(q, doc).cast("long"), lit(0L))).reduce(_ + _)
+    p.script match {
+      case Some(se) =>
+        // script_score: the script REPLACES the score; `_score` inside it
+        // is the base (clause count, or 1 for a should-less query — the
+        // function_score base convention)
+        val base = if (p.shoulds.isEmpty) lit(1.0) else clauseCount.cast("double")
+        return compileScript(se, doc, base)
+      case None => ()
+    }
     p.shape match {
       case None => if (p.shoulds.isEmpty) lit(0L) else clauseCount
       case Some(sh) =>
@@ -1011,6 +1186,23 @@ object SearchQuery {
     }
     jv match {
       case JObject(List(("match_all", _))) => MatchAll
+      case JObject(List(("wrapper", JObject(wf)))) =>
+        // ES `wrapper` — a base64-encoded query (the Kibana saved-object
+        // / security-DSL transport form): decode and parse the inner
+        // query with the SAME machinery (inner_hits inside it register
+        // normally — the wrapper is pure transport)
+        val m = wf.toMap
+        val unknown = m.keySet -- Set("query")
+        require(unknown.isEmpty,
+          s"unsupported wrapper key(s): ${unknown.mkString(", ")} (query)")
+        val b64 = m.get("query").map(asString).getOrElse(
+          throw new IllegalArgumentException("wrapper needs a base64 query"))
+        val decoded =
+          try new String(java.util.Base64.getDecoder.decode(b64),
+            java.nio.charset.StandardCharsets.UTF_8)
+          catch { case _: IllegalArgumentException =>
+            throw new IllegalArgumentException("wrapper query is not valid base64") }
+        parseNode(org.json4s.jackson.JsonMethods.parse(decoded), schema, hits)
       case JObject(List(("nested", JObject(fields)))) =>
         // Wrapper is transparent for single-leaf inner queries (inner field
         // paths are absolute in ES; Nested* already compiles to ∃element).
@@ -1419,6 +1611,16 @@ object SearchQuery {
           case (Nil, full) => TermsIn(full, values)
           case (arr, rest) => NestedTermsIn(arr, rest, values)
         }
+      case JObject(List(("terms", JObject(List((p, JObject(lookupSpec))))))) =>
+        // terms LOOKUP form — see [[TermsLookup]]; resolved by SearchExec
+        val m = lookupSpec.toMap
+        val unknown = m.keySet -- Set("index", "id", "path")
+        require(unknown.isEmpty,
+          s"unsupported terms lookup key(s) on $p: ${unknown.mkString(", ")} (index/id/path; " +
+            "routing is not implemented)")
+        def k(key: String): String = asString(m.getOrElse(key,
+          throw new IllegalArgumentException(s"terms lookup on $p needs $key")))
+        TermsLookup(p, k("index"), k("id"), k("path"))
       case JObject(List(("exists", JObject(fields)))) =>
         val p = fields.collectFirst { case ("field", v) => path(asString(v)) }
           .getOrElse(throw new IllegalArgumentException("exists needs a \"field\" key"))
@@ -1618,6 +1820,9 @@ object SearchQuery {
   /** Compile the AST to a boolean Column over document column `doc`. */
   def compile(q: SearchQuery, doc: Column): Column = q match {
     case MatchAll => lit(true)
+    case tl: TermsLookup => throw new IllegalArgumentException(
+      s"terms lookup on ${tl.field} reached compile unresolved — lookups are only " +
+        "supported through SearchExec.search (it carries the corpus to fetch from)")
     case Wildcard(p, g) => SearchOps.wildcard(field(doc, p), g)
     case GeoDistance(p, la0, lo0, m, (latLo, latHi), lonBox) =>
       val la = field(doc, p :+ "lat")

@@ -1810,6 +1810,75 @@ class DocEngineSpec extends SparkSpec {
         |  "bottom_right": {"lat": -10.0, "lon": -170.0}}}}}""".stripMargin, sch))
   }
 
+  test("round-8 additions: script_score DSL, wrapper transport, terms lookup, " +
+    "sampler/ip/frequent_item_sets/change_point rejections") {
+    import SearchQuery.{SBin, SCall, SField, SNum, SScore}
+    // script parser: precedence, parens, unary minus
+    assert(SearchQuery.parseScript("1 + 2 * 3", PlanSchema.plan) ===
+      SBin('+', SNum(1), SBin('*', SNum(2), SNum(3))))
+    assert(SearchQuery.parseScript("(1 + 2) * 3", PlanSchema.plan) ===
+      SBin('*', SBin('+', SNum(1), SNum(2)), SNum(3)))
+    assert(SearchQuery.parseScript("-_score", PlanSchema.plan) ===
+      SBin('-', SNum(0), SScore))
+    assert(SearchQuery.parseScript(
+      "Math.sqrt(doc['planCostShares.copay'].value)", PlanSchema.plan) ===
+      SCall("sqrt", SField(Seq("planCostShares", "copay"))))
+    // rejections: unknown function, trailing garbage, array-crossing field
+    assertThrows[IllegalArgumentException](
+      SearchQuery.parseScript("Math.exp(1)", PlanSchema.plan))
+    assertThrows[IllegalArgumentException](
+      SearchQuery.parseScript("1 + 2 garbage", PlanSchema.plan))
+    assertThrows[IllegalArgumentException](SearchQuery.parseScript(
+      "doc['linkedPlanServices.linkedService.name'].value", PlanSchema.plan))
+    // script evaluation: x/0 scores NULL via try_divide (documented
+    // Painless deviation — ANSI Spark errors on any zero divisor);
+    // negative sqrt raise_errors loudly
+    val one = spark.range(1)
+    assert(one.select(SearchQuery.compileScript(
+      SBin('/', SNum(1), SNum(0)), col("id"), lit(1.0)).as("v"))
+      .head.isNullAt(0))
+    assertThrows[Exception](
+      one.select(SearchQuery.compileScript(
+        SCall("sqrt", SNum(-1)), col("id"), lit(1.0)).as("v")).head)
+    // wrapper: decodes to the same AST as the inline form; bad base64 loud
+    val inline = """{"term": {"planType": "BUILDING"}}"""
+    val b64 = java.util.Base64.getEncoder.encodeToString(inline.getBytes("UTF-8"))
+    assert(SearchQuery.fromJson(s"""{"query": {"wrapper": {"query": "$b64"}}}""",
+      PlanSchema.plan) === SearchQuery.fromJson(s"""{"query": $inline}""", PlanSchema.plan))
+    assertThrows[IllegalArgumentException](SearchQuery.fromJson(
+      """{"query": {"wrapper": {"query": "!!not-base64!!"}}}""", PlanSchema.plan))
+    // terms lookup: parses to an unresolved node that compile rejects
+    // loudly (only SearchExec carries the corpus to fetch from)
+    val lk = SearchQuery.fromJson(
+      """{"query": {"terms": {"planType": {"index": "plan", "id": "plan-1",
+        |  "path": "planType"}}}}""".stripMargin, PlanSchema.plan)
+    assert(lk.isInstanceOf[SearchQuery.TermsLookup])
+    assertThrows[IllegalArgumentException](SearchQuery.compile(lk, col("doc")))
+    // random_sampler: probability bounds + bucket sub-aggs rejected
+    assertThrows[IllegalArgumentException](EsAggs.parse(
+      """{"aggs": {"s": {"random_sampler": {"probability": 1.5, "hash_field": "objectId"},
+        |  "aggs": {"n": {"value_count": {"field": "objectId"}}}}}}""".stripMargin,
+      PlanSchema.plan))
+    assertThrows[IllegalArgumentException](EsAggs.parse(
+      """{"aggs": {"s": {"random_sampler": {"probability": 0.5, "hash_field": "objectId"},
+        |  "aggs": {"t": {"terms": {"field": "planType"}}}}}}""".stripMargin,
+      PlanSchema.plan))
+    // ip_range: malformed address rejected
+    assertThrows[IllegalArgumentException](EsAggs.parse(
+      """{"aggs": {"t": {"ip_range": {"field": "planType",
+        |  "ranges": [{"to": "300.0.0.1"}]}}}}""".stripMargin, PlanSchema.plan))
+    // frequent_item_sets: a non-array field is not a transaction
+    assertThrows[IllegalArgumentException](EsAggs.parse(
+      """{"aggs": {"f": {"frequent_item_sets": {
+        |  "fields": [{"field": "planType"}]}}}}""".stripMargin, PlanSchema.plan))
+    // change_point needs an ordered (histogram) parent
+    assertThrows[IllegalArgumentException](EsAggs.parse(
+      """{"aggs": {
+        |  "t": {"terms": {"field": "planType"}},
+        |  "cp": {"change_point": {"buckets_path": "t>_count"}}}}""".stripMargin,
+      PlanSchema.plan))
+  }
+
   test("match with operator=and through an array path binds every token to the SAME element") {
     val assembledDocs = Assembler.assemble(sh, PlanSchema.plan, "plan")
     def cnt(body: String): Long = assembledDocs.filter(

@@ -1061,7 +1061,95 @@ object DedupQueries {
        |WHERE n_inter * 10 >= (za.n_sh + zb.n_sh - n_inter) * 6
        |ORDER BY a, pa, b, pb""".stripMargin
 
+  // ---------------------------------------------------------------- dd12
+  /** EXACT-substring overlap spans — the "Deduplicating Training Data
+    * Makes Language Models Better" (Lee et al. 2022) operator: find
+    * document pairs sharing a VERBATIM run of ≥ 24 tokens and report the
+    * LONGEST shared span, the alignment answer dd10's fingerprint
+    * containment (recall floor, no positions) does not give. Planted
+    * quotes: every doc_id % 10 == 0 gets a re-post carrying tokens 5..34
+    * of the original plus fresh trailing text (id shifted by max+1 — the
+    * m5 collision-proof rule).
+    *
+    * Shape: token-level 16-gram rolling hashes WITH POSITIONS (pure
+    * array arithmetic + one posexplode); df-capped inverted index (fp in
+    * ≤ 20 docs — the dd10 boilerplate/fanout cap bounding pairs per fp
+    * at C(20,2)); one equi-join per fp; then runs of consecutive
+    * positions on one diagonal (pa − pb constant) via the
+    * row_number-difference sessionize trick — a shared run of L
+    * consecutive 16-grams is a span of L+15 tokens. Every join keys on
+    * fp or the pair; candidate pairs ∝ shared-run mass, never O(n²);
+    * windows partition by (pair, diagonal) — bounded per pair. */
+  private def dd12(s: SparkSession, d: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val base = Tables(s, d, "documents").select(col("doc_id"), col("text"))
+    val shift = broadcast(base.agg((max(col("doc_id")) + 1L).as("_shift")))
+    val planted = base.filter(col("doc_id") % 10 === 0).crossJoin(shift)
+      .select((col("doc_id") + col("_shift")).as("doc_id"),
+        concat(concat_ws(" ", slice(tokens(col("text")), 5, 30)),
+          lit(" reposted with fresh trailing commentary")).as("text"))
+    val corpus = base.unionByName(planted)
+    // token hashes bound as a column BEFORE shingling — inlining them in
+    // the shingle lambda re-evaluates the md5 array per element_at
+    // reference (16× per position): the dd2/dd4 materialization rule
+    val grams = corpus
+      .select(col("doc_id"), tokenHashes(tokens(col("text"))).as("hs"))
+      .select(col("doc_id"), posexplode(shingleHashes(col("hs"), 16)).as(Seq("pos", "fp")))
+    val dfCap = grams.groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("_df"))
+      .filter(col("_df") <= 20)
+      .select(col("fp"))
+    val idx = grams.join(dfCap, "fp")
+    val pairs = idx.as("x").join(idx.as("y"),
+        col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.pos").as("pa"), col("y.pos").as("pb"))
+    val wDiag = W.partitionBy(col("a"), col("b"), col("diag")).orderBy(col("pa"))
+    val runs = pairs.withColumn("diag", col("pa") - col("pb"))
+      .withColumn("rn", row_number().over(wDiag))
+      .withColumn("grp", col("pa") - col("rn"))
+      .groupBy(col("a"), col("b"), col("diag"), col("grp"))
+      .agg((count(lit(1)) + 15L).cast("long").as("span_tokens"))
+    runs.groupBy(col("a"), col("b"))
+      .agg(max(col("span_tokens")).cast("long").as("max_span_tokens"),
+        count(lit(1)).cast("long").as("n_runs"))
+      .filter(col("max_span_tokens") >= 24)
+      .orderBy(col("a"), col("b"))
+  }
+
+  private val dd12Sql =
+    s"""WITH mx AS (SELECT MAX(doc_id) + 1 AS sh FROM documents),
+       |pl AS (SELECT doc_id + mx.sh AS doc_id,
+       |    array_to_string(
+       |      (list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))[5:34], ' ')
+       |      || ' reposted with fresh trailing commentary' AS text
+       |  FROM documents, mx WHERE doc_id % 10 = 0),
+       |corpus AS (SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id, text FROM pl),
+       |th AS (SELECT doc_id,
+       |    list_transform(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''),
+       |      t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % $MinhashPrime) AS hs
+       |  FROM corpus),
+       |grams AS (SELECT doc_id, i - 1 AS pos,
+       |    ${TextFunctions.shingleHashSql("hs", 16)} AS fp
+       |  FROM th, unnest(range(1, len(hs) - 14)) AS t(i)),
+       |capped AS (SELECT fp FROM (SELECT fp, COUNT(DISTINCT doc_id) AS df
+       |  FROM grams GROUP BY fp) WHERE df <= 20),
+       |pairs AS (SELECT x.doc_id AS a, y.doc_id AS b, x.pos AS pa, y.pos AS pb
+       |  FROM grams x JOIN capped c ON x.fp = c.fp
+       |  JOIN grams y ON x.fp = y.fp AND x.doc_id < y.doc_id),
+       |runs AS (SELECT a, b, CAST(COUNT(*) + 15 AS BIGINT) AS span_tokens
+       |  FROM (SELECT a, b, pa - pb AS diag, pa,
+       |          pa - ROW_NUMBER() OVER (PARTITION BY a, b, pa - pb ORDER BY pa) AS grp
+       |        FROM pairs)
+       |  GROUP BY a, b, diag, grp)
+       |SELECT a, b, CAST(MAX(span_tokens) AS BIGINT) AS max_span_tokens,
+       |  CAST(COUNT(*) AS BIGINT) AS n_runs
+       |FROM runs GROUP BY a, b HAVING MAX(span_tokens) >= 24
+       |ORDER BY a, b""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "dd12_exact_substring" -> dd12 _,
     "dd11_paragraph_dedup" -> dd11 _,
     "dd10_containment" -> dd10 _,
     "dd9_source_overlap" -> dd9 _,
@@ -1075,6 +1163,7 @@ object DedupQueries {
     "dd6_dedup_clusters" -> dd6 _)
 
   val oracle: Map[String, String] = Map(
+    "dd12_exact_substring" -> dd12Sql,
     "dd11_paragraph_dedup" -> dd11Sql,
     "dd10_containment" -> dd10Sql,
     "dd9_source_overlap" -> dd9Sql,

@@ -326,7 +326,50 @@ object Multimodal {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  // ---------------------------------------------------------------- m7
+  /** Modality-aware SHARD PACKING — the training-data manifest builder:
+    * pack media items into fixed-byte-budget shards per modality (first-
+    * fit in doc_id order: shard = floor(exclusive-prefix-sum / budget)),
+    * emit one manifest row per shard with item count, byte total and the
+    * id range. At 100 TB this IS how a webdataset/arrayrecord export
+    * lays out its tar shards.
+    *
+    * Shape: ONE window (partition by modality, order by doc_id) for the
+    * prefix sum — metadata-only, the payload column never loads — then a
+    * groupBy on (modality, shard). No join, no driver state. */
+  private def m7(s: SparkSession, d: String): DataFrame = {
+    val budget = 4000L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fmt")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1L)
+    media(s, d)
+      .select(col("doc_id"), col("meta.fmt").as("fmt"), col("meta.n_bytes").as("n_bytes"))
+      .withColumn("shard_id", (coalesce(sum(col("n_bytes")).over(w), lit(0L)) / budget)
+        .cast("long"))
+      .groupBy(col("fmt"), col("shard_id"))
+      .agg(count(lit(1)).cast("long").as("n_items"),
+        sum(col("n_bytes")).cast("long").as("bytes"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("fmt"), col("shard_id"))
+  }
+
+  private val m7Sql =
+    """WITH meta AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN 'png'
+      |         WHEN doc_id % 3 = 1 THEN 'jpeg' ELSE 'wav' END AS fmt,
+      |    strlen(text) AS n_bytes
+      |  FROM documents),
+      |pk AS (SELECT doc_id, fmt, n_bytes,
+      |    COALESCE(SUM(n_bytes) OVER (PARTITION BY fmt ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 4000 AS shard_id
+      |  FROM meta)
+      |SELECT fmt, CAST(shard_id AS BIGINT) AS shard_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_items, CAST(SUM(n_bytes) AS BIGINT) AS bytes,
+      |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM pk GROUP BY fmt, shard_id ORDER BY fmt, shard_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "m7_shard_pack" -> m7 _,
     "m6_media_neardup" -> m6 _,
     "m5_media_dedup" -> m5 _,
     "m1_media_meta" -> m1 _,
@@ -335,6 +378,7 @@ object Multimodal {
     "m4_modality_budget" -> m4 _)
 
   val oracle: Map[String, String] = Map(
+    "m7_shard_pack" -> m7Sql,
     "m6_media_neardup" -> m6Sql,
     "m5_media_dedup" -> m5Sql,
     "m1_media_meta" -> m1Sql,

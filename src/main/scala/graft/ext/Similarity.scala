@@ -465,7 +465,78 @@ object Similarity {
        |FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
        |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
 
+  // ---------------------------------------------------------------- s8
+  /** Hybrid retrieval with LINEAR score fusion — ES 8.18's `linear`
+    * retriever beside s7's `rrf`: each bounded top-window list is
+    * min-max normalized to [0, 1] (the ES `minmax` normalizer; a
+    * constant-score list normalizes to 1.0 — documented choice, ES
+    * errors) and fused as `w_lex·norm(tf) + w_vec·norm(cos)` with
+    * per-retriever weights; docs missing from a list contribute 0.
+    * Same 100 TB shape as s7: one scan per modality into a bounded heap,
+    * min/max are windows over the ≤ window-row lists, the fusion join
+    * touches ≤ 2·window rows. */
+  private def s8(s: SparkSession, d: String): DataFrame = {
+    val wAll = Window.partitionBy().rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    def minmax(c: Column): Column = {
+      val (lo, hi) = (min(c).over(wAll), max(c).over(wAll))
+      when(hi > lo, (c - lo).cast("double") / (hi - lo)).otherwise(lit(1.0))
+    }
+    val terms = Seq("spark", "join", "window")
+    val lex = Tables(s, d, "documents")
+      .select(col("doc_id"),
+        size(filter(split(lower(col("text")), "\\s+"),
+          t => t.isin(terms.map(lit): _*))).cast("long").as("tf"))
+      .filter(col("tf") > 0)
+      .orderBy(col("tf").desc, col("doc_id")).limit(20)
+      .withColumn("lex_norm", minmax(col("tf")))
+    val all = vecs(s, d)
+    val q = all.filter(col("vec_id") === 42)
+      .select(col("v").as("qv"), col("nrm").as("qn"))
+    val vec = all.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= 42)
+      .select(col("vec_id").as("doc_id"),
+        (vecDot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos"))
+      .orderBy(col("cos").desc, col("doc_id")).limit(20)
+      .withColumn("vec_norm", minmax(col("cos")))
+    lex.join(vec, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("lex_norm"), col("vec_norm"),
+        (coalesce(col("lex_norm"), lit(0.0)) * 2.0 +
+          coalesce(col("vec_norm"), lit(0.0)) * 1.0).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  private val s8Sql =
+    s"""WITH lex0 AS (
+       |  SELECT doc_id, CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+       |      t -> t IN ('spark', 'join', 'window'))) AS BIGINT) AS tf
+       |  FROM documents),
+       |lexw AS (SELECT doc_id, tf FROM lex0 WHERE tf > 0
+       |  ORDER BY tf DESC, doc_id LIMIT 20),
+       |lex AS (SELECT doc_id,
+       |    CASE WHEN MAX(tf) OVER () > MIN(tf) OVER ()
+       |      THEN CAST(tf - MIN(tf) OVER () AS DOUBLE) / (MAX(tf) OVER () - MIN(tf) OVER ())
+       |      ELSE 1.0 END AS lex_norm
+       |  FROM lexw),
+       |vecs AS ($VecsSql),
+       |q AS (SELECT v AS qv, nrm AS qn FROM vecs WHERE vec_id = 42),
+       |vec0 AS (
+       |  SELECT vec_id AS doc_id, ${dotSql("qv", "v")} / (qn * nrm) AS cos
+       |  FROM vecs CROSS JOIN q WHERE vec_id <> 42),
+       |vecw AS (SELECT doc_id, cos FROM vec0 ORDER BY cos DESC, doc_id LIMIT 20),
+       |vec AS (SELECT doc_id,
+       |    CASE WHEN MAX(cos) OVER () > MIN(cos) OVER ()
+       |      THEN (cos - MIN(cos) OVER ()) / (MAX(cos) OVER () - MIN(cos) OVER ())
+       |      ELSE 1.0 END AS vec_norm
+       |  FROM vecw)
+       |SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id, lex_norm, vec_norm,
+       |  COALESCE(lex_norm, 0.0) * 2.0 + COALESCE(vec_norm, 0.0) * 1.0 AS score
+       |FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+       |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "s8_linear_hybrid" -> s8 _,
     "s6_es_knn" -> s6 _,
     "s7_rrf_hybrid" -> s7 _,
     "s5_sq_ann" -> s5 _,
@@ -475,6 +546,7 @@ object Similarity {
     "s4_ann_recall" -> s4 _)
 
   val oracle: Map[String, String] = Map(
+    "s8_linear_hybrid" -> s8Sql,
     "s6_es_knn" -> s6Sql,
     "s7_rrf_hybrid" -> s7Sql,
     "s5_sq_ann" -> s5Sql,

@@ -871,7 +871,177 @@ object TextQueries {
       |  CAST(SUM(CASE WHEN ent < 4.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_low
       |FROM d GROUP BY 1 ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- t20
+  /** Quality-classifier INFERENCE, fastText-style: a hashed linear model
+    * (the hashing trick — weight of a token = a deterministic function of
+    * its hash; a trained model would ship the same layout as a weight
+    * table) scored per document as mean token weight. All-integer
+    * numerator over exact hashes, ONE double division — bit-identical in
+    * any engine, and a pure per-row map: at 100 TB this is a single scan
+    * with no shuffle, the shape real fastText-filter passes (CCNet,
+    * RedPajama) run at. */
+  private def t20(s: SparkSession, d: String): DataFrame = {
+    val toks = tokens(col("text"))
+    docs(s, d)
+      .select(col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        aggregate(toks, lit(0L),
+          (acc, t) => acc + (stableHash32(concat(lit("w:"), t)) % 2001L - 1000L))
+          .as("wsum"))
+      .filter(col("n_tokens") > 0)
+      .select(col("doc_id"), col("n_tokens"),
+        (col("wsum").cast("double") / (col("n_tokens") * 1000L)).as("logit"))
+      .withColumn("keep", col("logit") > 0)
+      .orderBy(col("doc_id"))
+  }
+
+  private val t20Sql =
+    """WITH t AS (SELECT doc_id,
+      |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+      |  FROM documents),
+      |w AS (SELECT doc_id, len(toks) AS n_tokens,
+      |    list_sum(list_transform(toks,
+      |      x -> CAST(('0x' || substr(md5('w:' || x), 1, 8)) AS BIGINT) % 2001 - 1000)) AS wsum
+      |  FROM t)
+      |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(wsum AS DOUBLE) / (n_tokens * 1000) AS logit,
+      |  CAST(wsum AS DOUBLE) / (n_tokens * 1000) > 0 AS keep
+      |FROM w WHERE n_tokens > 0 ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- t21
+  /** C4-style URL filtering: plant a deterministic URL per document (the
+    * corpus has none — the geo/ip planting pattern), then the real
+    * pipeline: normalize (lowercase host, strip `www.`, strip the query
+    * string), drop blocklisted hosts, dedupe by normalized URL keeping
+    * the smallest doc_id. One scan + ONE window on the normalized URL —
+    * the C4 paper's own dedup-by-URL shape. */
+  private def t21(s: SparkSession, d: String): DataFrame = {
+    val url = concat(lit("https://"),
+      when(col("doc_id") % 3 === 0, "WWW.").otherwise(""),
+      col("source"), lit(".example.com/"), col("lang"), lit("/"),
+      (col("doc_id") % 40).cast("string"),
+      when(col("doc_id") % 4 === 0, concat(lit("?utm_source=rss&ref="), col("source")))
+        .otherwise(""))
+    val base = substring_index(col("url"), "?", 1)
+    val host = regexp_extract(base, "^https://([^/]+)", 1)
+    val path = regexp_extract(base, "^https://[^/]+(.*)$", 1)
+    val normUrl = concat(lit("https://"),
+      regexp_replace(lower(host), "^www\\.", ""), path)
+    val blocked = Seq("src7.example.com", "src13.example.com")
+    val w = Window.partitionBy(col("norm_url")).orderBy(col("doc_id"))
+    docs(s, d).select(col("doc_id"), url.as("url"))
+      .withColumn("norm_url", normUrl)
+      .withColumn("norm_host", regexp_replace(lower(host), "^www\\.", ""))
+      .withColumn("rn", row_number().over(w))
+      .select(col("doc_id"), col("url"), col("norm_url"),
+        when(col("norm_host").isin(blocked.map(lit): _*), "drop_blocklist")
+          .when(col("rn") > 1, "drop_dup")
+          .otherwise("keep").as("action"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t21Sql =
+    """WITH u AS (SELECT doc_id,
+      |    'https://' || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+      |      || source || '.example.com/' || lang || '/' || CAST(doc_id % 40 AS VARCHAR)
+      |      || (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=rss&ref=' || source ELSE '' END)
+      |      AS url
+      |  FROM documents),
+      |n AS (SELECT doc_id, url,
+      |    split_part(url, '?', 1) AS base,
+      |    regexp_replace(lower(regexp_extract(split_part(url, '?', 1),
+      |      '^https://([^/]+)', 1)), '^www\.', '') AS norm_host,
+      |    regexp_extract(split_part(url, '?', 1), '^https://[^/]+(.*)$', 1) AS path
+      |  FROM u),
+      |r AS (SELECT doc_id, url, 'https://' || norm_host || path AS norm_url, norm_host,
+      |    ROW_NUMBER() OVER (PARTITION BY 'https://' || norm_host || path
+      |                       ORDER BY doc_id) AS rn
+      |  FROM n)
+      |SELECT doc_id, url, norm_url,
+      |  CASE WHEN norm_host IN ('src7.example.com', 'src13.example.com') THEN 'drop_blocklist'
+      |       WHEN rn > 1 THEN 'drop_dup' ELSE 'keep' END AS action
+      |FROM r ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- t22
+  /** Chat-template flattening: render each document as alternating
+    * user/assistant turns of 8 tokens (the SFT-data packing step — a
+    * real pipeline maps conversation JSON through the same shape), with
+    * role sentinels and a terminator. Pure per-row array arithmetic —
+    * no shuffle, no UDF. */
+  private def t22(s: SparkSession, d: String): DataFrame = {
+    val toks = tokens(col("text"))
+    docs(s, d)
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"),
+        ((size(col("toks")) + 7L) / lit(8)).cast("long").as("n_turns"), col("toks"))
+      .filter(col("n_turns") > 0)
+      .select(col("doc_id"), col("n_turns"),
+        concat(
+          concat_ws("\n", transform(sequence(lit(0), col("n_turns").cast("int") - 1),
+            i => concat(
+              when(i % 2 === 0, "<|user|>\n").otherwise("<|assistant|>\n"),
+              concat_ws(" ", slice(col("toks"), i * 8 + 1, lit(8)))))),
+          lit("\n<|end|>")).as("chat"))
+      .withColumn("n_chars_out", length(col("chat")).cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t22Sql =
+    """WITH t AS (SELECT doc_id,
+      |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+      |  FROM documents),
+      |n AS (SELECT doc_id, toks, (len(toks) + 7) // 8 AS n_turns FROM t WHERE len(toks) > 0),
+      |r AS (SELECT doc_id, CAST(n_turns AS BIGINT) AS n_turns,
+      |    array_to_string(list_transform(range(0, CAST(n_turns AS INTEGER)),
+      |      i -> (CASE WHEN i % 2 = 0 THEN '<|user|>' ELSE '<|assistant|>' END)
+      |        || chr(10) || array_to_string(toks[i * 8 + 1 : i * 8 + 8], ' ')),
+      |      chr(10)) || chr(10) || '<|end|>' AS chat
+      |  FROM n)
+      |SELECT doc_id, n_turns, chat, CAST(length(chat) AS BIGINT) AS n_chars_out
+      |FROM r ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- t23
+  /** Readability scoring — Flesch reading ease with the standard regex
+    * syllable heuristic (vowel-group count, min 1/word) and 12-token
+    * pseudo-sentences (the corpus has no punctuation; a real corpus
+    * would split on sentence boundaries — same formula either way). All
+    * counts exact integers; the formula is the same IEEE op sequence in
+    * both engines. Per-row map, no shuffle. */
+  private def t23(s: SparkSession, d: String): DataFrame = {
+    val toks = tokens(col("text"))
+    docs(s, d)
+      .select(col("doc_id"),
+        size(toks).cast("long").as("n_words"),
+        aggregate(toks, lit(0L),
+          (acc, t) => acc + greatest(regexp_count(t, lit("[aeiouy]+")), lit(1)))
+          .as("n_syll"))
+      .filter(col("n_words") > 0)
+      .withColumn("n_sent", ((col("n_words") + 11L) / lit(12)).cast("long"))
+      .select(col("doc_id"), col("n_words"), col("n_sent"), col("n_syll"),
+        (lit(206.835)
+          - lit(1.015) * (col("n_words").cast("double") / col("n_sent"))
+          - lit(84.6) * (col("n_syll").cast("double") / col("n_words"))).as("flesch"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t23Sql =
+    """WITH t AS (SELECT doc_id,
+      |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+      |  FROM documents),
+      |c AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
+      |    CAST(list_sum(list_transform(toks,
+      |      x -> greatest(len(regexp_extract_all(x, '[aeiouy]+')), 1))) AS BIGINT) AS n_syll
+      |  FROM t WHERE len(toks) > 0)
+      |SELECT doc_id, n_words, (n_words + 11) // 12 AS n_sent, n_syll,
+      |  206.835 - 1.015 * (CAST(n_words AS DOUBLE) / ((n_words + 11) // 12))
+      |    - 84.6 * (CAST(n_syll AS DOUBLE) / n_words) AS flesch
+      |FROM c ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t20_quality_classifier" -> t20 _,
+    "t21_url_filter" -> t21 _,
+    "t22_chat_template" -> t22 _,
+    "t23_readability" -> t23 _,
     "t19_token_entropy" -> t19 _,
     "t14_keywords" -> t14 _,
     "t15_chunking" -> t15 _,
@@ -893,6 +1063,10 @@ object TextQueries {
     "t4_fingerprint" -> t4 _)
 
   val oracle: Map[String, String] = Map(
+    "t20_quality_classifier" -> t20Sql,
+    "t21_url_filter" -> t21Sql,
+    "t22_chat_template" -> t22Sql,
+    "t23_readability" -> t23Sql,
     "t19_token_entropy" -> t19Sql,
     "t14_keywords" -> t14Sql,
     "t15_chunking" -> t15Sql,

@@ -528,7 +528,130 @@ object RelationalQueries2 {
       |  AND r_name = 'ASIA'
       |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
 
+  // ---------------------------------------------------------------- q37
+  /** Linear-regression aggregates (regr_slope / regr_intercept / regr_r2
+    * / corr) per group — computed from EXACT integer moment sums (one
+    * hash aggregation; Σx, Σy, Σxy, Σx², Σy² are exact longs at any
+    * scale that fits 2^63, then ONE double division each) rather than
+    * the builtins: Spark's regr_* merge Welford co-moments in partition
+    * order, which is floating-point ORDER-DEPENDENT across runs — the
+    * moment form is bit-stable and engine-portable. Same answer, exact. */
+  private def q37(s: SparkSession, d: String): DataFrame = {
+    val x = col("l_linenumber").cast("long")
+    val y = col("l_quantity").cast("long")
+    val g = t(s, d, "lineitem").groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(x).as("sx"), sum(y).as("sy"), sum(x * y).as("sxy"),
+        sum(x * x).as("sxx"), sum(y * y).as("syy"))
+    val n = col("n").cast("double")
+    val (sx, sy, sxy, sxx, syy) =
+      (col("sx").cast("double"), col("sy").cast("double"),
+        col("sxy").cast("double"), col("sxx").cast("double"), col("syy").cast("double"))
+    val covN = n * sxy - sx * sy
+    val varX = n * sxx - sx * sx
+    val varY = n * syy - sy * sy
+    g.select(col("l_returnflag"), col("n"),
+        (covN / varX).as("slope"),
+        ((sy - (covN / varX) * sx) / n).as("intercept"),
+        (covN * covN / (varX * varY)).as("r2"),
+        (covN / sqrt(varX * varY)).as("corr"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val q37Sql =
+    """WITH g AS (SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(l_linenumber) AS BIGINT) AS sx,
+      |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sy,
+      |    CAST(SUM(l_linenumber * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxy,
+      |    CAST(SUM(l_linenumber * l_linenumber) AS BIGINT) AS sxx,
+      |    CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS syy
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |  (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+      |    / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS slope,
+      |  (CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+      |      / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)) * CAST(sx AS DOUBLE))
+      |    / CAST(n AS DOUBLE) AS intercept,
+      |  (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+      |    * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+      |    / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+      |       * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) AS r2,
+      |  (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+      |    / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+      |           * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) AS corr
+      |FROM g ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- q38
+  /** Batch MERGE (CDC apply onto a snapshot) with the per-action AUDIT a
+    * lakehouse writer emits — distinct from st1's empty-state streaming
+    * upsert: here a populated SNAPSHOT (each user's last event in the
+    * log's first half) receives the second half as a changelog, and the
+    * output is the merge-stats row set: `inserted` (changelog-only key),
+    * `updated` (both, last change not a delete), `deleted` (existing key
+    * whose last change is an `error`), `unchanged` (snapshot-only key).
+    * Shape: one windowed compaction per side + ONE full-outer equi-join
+    * on the key + one tiny aggregation — at 100 TB exactly two shuffles
+    * on user_id, the Delta/Iceberg MERGE audit shape. The split point
+    * (the log's last 2% as the changelog) and the planted NEW users
+    * (id shifted by max+1 — the m5 collision-proof rule — so `inserted`
+    * is exercised; the corpus's 150 users all predate any split) are
+    * 1-row aggregates broadcast into the predicates. */
+  private def q38(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+    val bounds = broadcast(ev.agg(
+      ((max(col("event_id")) + 1L) * 49L / 50L).cast("long").as("_mid"),
+      (max(col("user_id")) + 1L).as("_ushift")))
+    val halved = ev.crossJoin(bounds)
+    def lastPerUser(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      df.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("user_id"), col("event_type"))
+    }
+    val snapshot = lastPerUser(halved.filter(col("event_id") < col("_mid")))
+      .select(col("user_id").as("s_user"), col("event_type").as("s_type"))
+    val changelog = halved.filter(col("event_id") >= col("_mid"))
+    val newUsers = changelog.filter(col("event_id") % 3 === 0)
+      .withColumn("user_id", col("user_id") + col("_ushift"))
+    val changes = lastPerUser(changelog.unionByName(newUsers))
+      .select(col("user_id").as("c_user"), col("event_type").as("c_type"))
+    snapshot.join(changes, col("s_user") === col("c_user"), "full_outer")
+      .select(
+        when(col("s_user").isNull, "inserted")
+          .when(col("c_user").isNull, "unchanged")
+          .when(col("c_type") === "error", "deleted")
+          .otherwise("updated").as("action"))
+      .groupBy(col("action")).agg(count(lit(1)).cast("long").as("n_users"))
+      .orderBy(col("action"))
+  }
+
+  private val q38Sql =
+    """WITH b AS (SELECT (MAX(event_id) + 1) * 49 // 50 AS m,
+      |    MAX(user_id) + 1 AS ush FROM events),
+      |snap AS (SELECT user_id AS s_user, event_type AS s_type FROM (
+      |    SELECT user_id, event_type, ROW_NUMBER() OVER (PARTITION BY user_id
+      |        ORDER BY ts DESC, event_id DESC) AS rk
+      |    FROM events, b WHERE event_id < b.m) WHERE rk = 1),
+      |clog AS (SELECT user_id, event_type, ts, event_id FROM events, b
+      |    WHERE event_id >= b.m
+      |  UNION ALL
+      |  SELECT user_id + b.ush, event_type, ts, event_id FROM events, b
+      |    WHERE event_id >= b.m AND event_id % 3 = 0),
+      |chg AS (SELECT user_id AS c_user, event_type AS c_type FROM (
+      |    SELECT user_id, event_type, ROW_NUMBER() OVER (PARTITION BY user_id
+      |        ORDER BY ts DESC, event_id DESC) AS rk
+      |    FROM clog) WHERE rk = 1)
+      |SELECT CASE WHEN s_user IS NULL THEN 'inserted'
+      |            WHEN c_user IS NULL THEN 'unchanged'
+      |            WHEN c_type = 'error' THEN 'deleted'
+      |            ELSE 'updated' END AS action,
+      |  CAST(COUNT(*) AS BIGINT) AS n_users
+      |FROM snap FULL OUTER JOIN chg ON s_user = c_user
+      |GROUP BY 1 ORDER BY action""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q37_regression" -> q37 _,
+    "q38_cdc_apply" -> q38 _,
     "q36_sql_front_door" -> q36 _,
     "q35_range_frame" -> q35 _,
     "q34_dist_windows" -> q34 _,
@@ -547,6 +670,8 @@ object RelationalQueries2 {
     "q26_json_fns" -> q26 _)
 
   val oracle: Map[String, String] = Map(
+    "q37_regression" -> q37Sql,
+    "q38_cdc_apply" -> q38Sql,
     "q36_sql_front_door" -> q36Sql,
     "q35_range_frame" -> q35Sql,
     "q34_dist_windows" -> q34Sql,

@@ -868,7 +868,70 @@ object IndexPipeline {
        |FROM alerts GROUP BY 1, 2 ORDER BY fence_id, user_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- st12
+  /** STREAMING TOP-K — the live-dashboard "top event types this window"
+    * panel: tumbling 6-hour windowed counts over the micro-batched log
+    * (st2's complete-mode aggregation shape), then a per-window rank-≤-3
+    * view over the emitted window table. The corpus-scale work is the
+    * streaming aggregation (one shuffle on (window, type), map-side
+    * partials per micro-batch); the rank is a |windows×types|-row
+    * window function on the RESULT table — the bounded bucket-table
+    * budget every Kibana panel downstream of an agg has. */
+  private def st12(s: SparkSession, d: String): DataFrame = {
+    val base = Files.createTempDirectory("graft-stream12-")
+    val srcDir = base.resolve("log").toString
+    val ckDir = base.resolve("ck").toString
+    val nFiles = 3
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("ts_us"), col("event_type"))
+    val maxId = ev.agg(max(col("event_id"))).head().getLong(0) + 1
+    (0 until nFiles).foreach { i =>
+      ev.filter(floor(col("event_id") * nFiles / maxId) === i)
+        .coalesce(1).write.parquet(s"$srcDir/b$i")
+    }
+    val qname = s"st12_topk_${System.nanoTime()}"
+    val stream = s.readStream
+      .schema(ev.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$srcDir/b*")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(qname)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckDir)
+      .start()
+    stream.awaitTermination()
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("win_start")).orderBy(col("n").desc, col("event_type"))
+    val out = s.table(qname)
+      .select(col("window.start").cast("long").as("win_start"),
+        col("event_type"), col("n"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= 3)
+      .orderBy(col("win_start"), col("rank"))
+    val pinned = graft.Eager.pin(out)
+    deleteRecursively(base)
+    pinned
+  }
+
+  private val st12Sql =
+    """WITH w AS (SELECT epoch_us(ts) // 21600000000 * 21600 AS win_start,
+      |    event_type, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |r AS (SELECT win_start, event_type, n,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY win_start
+      |      ORDER BY n DESC, event_type) AS BIGINT) AS rank
+      |  FROM w)
+      |SELECT win_start, event_type, n, rank FROM r
+      |WHERE rank <= 3 ORDER BY win_start, rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "st12_stream_topk" -> st12 _,
     "st11_geofence" -> st11 _,
     "st8_left_outer_join" -> st8 _,
     "st9_sliding_window" -> st9 _,
@@ -881,6 +944,7 @@ object IndexPipeline {
     "st3_stream_mgws" -> st3 _,
     "st4_stream_sessions" -> st4 _)
   val oracle: Map[String, String] = Map(
+    "st12_stream_topk" -> st12Sql,
     "st11_geofence" -> st11Sql,
     "st8_left_outer_join" -> st8Sql,
     "st9_sliding_window" -> st9Sql,

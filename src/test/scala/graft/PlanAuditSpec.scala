@@ -562,6 +562,54 @@ class PlanAuditSpec extends SparkSpec {
     } finally { th.unpersist(true); sh.unpersist(true) }
   }
 
+  test("dd12: exact-substring pairs come from the fp equi-join, never a cartesian") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val opt = q("dd12_exact_substring").queryExecution.optimizedPlan
+    val joins = opt.collect { case j: Join => j }
+    assert(joins.nonEmpty)
+    // the planted-shift crossJoin is a broadcast 1-row frame; every join
+    // carrying corpus-grain rows must be conditioned on the fingerprint
+    val big = joins.filter(_.condition.isEmpty)
+    big.foreach(j => assert(
+      j.left.stats.rowCount.exists(_ <= 1) || j.right.stats.rowCount.exists(_ <= 1) ||
+        j.toString.contains("_shift"),
+      s"unconditioned corpus-grain join in the dd12 plan:\n$j"))
+    val fpJoins = opt.collect {
+      case j: Join if j.condition.exists(_.references.exists(_.name == "fp")) => j
+    }
+    assert(fpJoins.nonEmpty, "expected the fingerprint inverted-index equi-join")
+  }
+
+  test("s8: both linear-fusion source lists are bounded heaps") {
+    val p = plan(q("s8_linear_hybrid"))
+    // each modality list is a top-window TakeOrderedAndProject/GlobalLimit,
+    // so the fusion join touches <= 2*window rows
+    assert(p.contains("TakeOrderedAndProject") || p.contains("GlobalLimit"),
+      s"expected bounded top-window lists:\n$p")
+    // full outer can't broadcast, so the fusion joins (sort-merge is fine
+    // on <=20-row inputs) — what matters is BOTH inputs are limit-bounded
+    import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, Join}
+    import org.apache.spark.sql.catalyst.plans.FullOuter
+    val opt = q("s8_linear_hybrid").queryExecution.optimizedPlan
+    val fusion = opt.collect { case j: Join if j.joinType == FullOuter => j }
+    assert(fusion.size === 1, s"expected exactly the full-outer fusion join:\n$opt")
+    fusion.foreach { j =>
+      Seq(j.left, j.right).foreach(side =>
+        assert(side.collectFirst { case g: GlobalLimit => g }.nonEmpty,
+          s"fusion join side is not limit-bounded:\n$side"))
+    }
+  }
+
+  test("t21: URL filtering is one scan + one window on the normalized URL") {
+    val p = plan(q("t21_url_filter"))
+    val hashExchanges = corpusHashExchanges(p)
+    assert(hashExchanges === 1,
+      s"expected one norm_url shuffle for the dedup window, got $hashExchanges:\n$p")
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val joins = q("t21_url_filter").queryExecution.optimizedPlan.collect { case j: Join => j }
+    assert(joins.isEmpty, "URL filtering must not join")
+  }
+
   test("t16: stratified sample runs both windows on ONE stratum shuffle") {
     val p = plan(q("t16_stratified_sample"))
     // count-per-stratum and hash-rank share the lang partitioning: one

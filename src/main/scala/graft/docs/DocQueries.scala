@@ -5906,6 +5906,111 @@ object DocQueries {
        |  FROM customer JOIN hit ON c_custkey = hit.ck2)
        |WHERE rn <= 30 ORDER BY rn""".stripMargin
 
+  // ---------------------------------------------------------------- d153
+  /** `significant_terms` with the `percentage` heuristic — ES's simplest
+    * significance score (subsetFreq / supersetFreq: what share of the
+    * docs carrying this term are in the hit set), one exact division
+    * over the same one-shuffle bucket table as jlh/chi²/MI (d61, d125,
+    * d131). */
+  private def d153(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "size": 0,
+        |  "query": { "range": { "planCostShares.copay": { "gte": 25 } } },
+        |  "aggs": {
+        |    "hot_types": { "significant_terms": {
+        |      "field": "planType", "size": 3, "percentage": {} } }
+        |  }
+        |}""".stripMargin
+    EsAggs.run(assembled(s, d), "doc", body, schema)
+  }
+
+  private val d153Sql =
+    """WITH g AS (
+      |  SELECT c_mktsegment AS key,
+      |    CAST(SUM(CASE WHEN c_custkey % 50 >= 25 THEN 1 ELSE 0 END) AS BIGINT) AS doc_count,
+      |    CAST(COUNT(*) AS BIGINT) AS bg_count
+      |  FROM customer GROUP BY 1)
+      |SELECT key, doc_count, bg_count,
+      |  CAST(doc_count AS DOUBLE) / bg_count AS score
+      |FROM g WHERE doc_count > 0 ORDER BY score DESC, key ASC LIMIT 3""".stripMargin
+
+  // ---------------------------------------------------------------- d154
+  /** Legacy SPAN queries — `span_near` (desugared onto the d124
+    * intervals machinery: slop = max_gaps, in_order = ordered) and
+    * `span_first` (match within the first `end` token positions — a new
+    * position primitive no phrase/interval form expresses). Both pure
+    * position-array expressions on the scan path: no explode, no join. */
+  private def d154(s: SparkSession, d: String): DataFrame = {
+    val docsT = graft.Tables(s, d, "documents")
+      .select(struct(col("doc_id"), col("text"), col("lang")).as("doc"))
+    val dSchema = docsT.schema("doc").dataType.asInstanceOf[StructType]
+    val body =
+      """{
+        |  "query": { "bool": { "should": [
+        |    { "span_near": { "clauses": [
+        |        { "span_term": { "text": "slow" } },
+        |        { "span_term": { "text": "fast" } } ],
+        |      "slop": 1, "in_order": true } },
+        |    { "span_first": { "match": { "span_term": { "text": "key" } }, "end": 2 } }
+        |  ], "minimum_should_match": 1 } }
+        |}""".stripMargin
+    val ast = SearchQuery.fromJson(body, dSchema)
+    docsT.filter(SearchQuery.compile(ast, col("doc")))
+      .select(col("doc.doc_id").as("doc_id"), col("doc.lang").as("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val d154Sql = {
+    def pos(term: String) =
+      s"""list_filter(list_transform(string_split_regex(lower(text), '\\s+'),
+         |      (x, i) -> CASE WHEN x = '$term' THEN i - 1 ELSE -1 END), v -> v >= 0)""".stripMargin
+    s"""WITH t AS (
+       |  SELECT doc_id, lang,
+       |    ${pos("slow")} AS p1,
+       |    ${pos("fast")} AS p2,
+       |    ${pos("key")} AS p3
+       |  FROM documents)
+       |SELECT doc_id, lang FROM t
+       |WHERE len(list_filter(p1, x -> len(list_filter(p2, y -> y > x AND
+       |        y - x + 1 - 2 <= 1)) > 0)) > 0
+       |   OR len(list_filter(p3, p -> p < 2)) > 0
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- d155
+  /** ES `combined_fields` — term-centric cross-field matching: with
+    * `operator: and`, EVERY query token must appear in at least ONE of
+    * the fields (multi_match's field-centric `and` would demand one
+    * field carry them all — a genuinely different hit set). Desugars to
+    * And-over-tokens of Or-over-fields TermMatch leaves
+    * (`SearchQuery.parseNode`); the BM25F scoring deviation is
+    * documented there. */
+  private def d155(s: SparkSession, d: String): DataFrame = {
+    val docsT = graft.Tables(s, d, "documents")
+      .select(struct(col("doc_id"), col("text"), col("lang")).as("doc"))
+    val dSchema = docsT.schema("doc").dataType.asInstanceOf[StructType]
+    val body =
+      """{
+        |  "query": { "combined_fields": {
+        |    "query": "de fast", "fields": ["text", "lang"], "operator": "and" } }
+        |}""".stripMargin
+    val ast = SearchQuery.fromJson(body, dSchema)
+    docsT.filter(SearchQuery.compile(ast, col("doc")))
+      .select(col("doc.doc_id").as("doc_id"), col("doc.lang").as("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val d155Sql =
+    """WITH t AS (SELECT doc_id, lang,
+      |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS toks,
+      |    list_filter(regexp_split_to_array(lower(lang), '\s+'), x -> x <> '') AS ltoks
+      |  FROM documents)
+      |SELECT doc_id, lang FROM t
+      |WHERE (list_contains(toks, 'de') OR list_contains(ltoks, 'de'))
+      |  AND (list_contains(toks, 'fast') OR list_contains(ltoks, 'fast'))
+      |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -6046,6 +6151,9 @@ object DocQueries {
     "d150_es_script_score" -> d150 _,
     "d151_es_wrapper" -> d151 _,
     "d152_es_terms_lookup" -> d152 _,
+    "d153_es_percentage" -> d153 _,
+    "d154_es_span" -> d154 _,
+    "d155_es_combined_fields" -> d155 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
     "d3_roundtrip" -> d3 _,
@@ -6200,6 +6308,9 @@ object DocQueries {
     "d150_es_script_score" -> d150Sql,
     "d151_es_wrapper" -> d151Sql,
     "d152_es_terms_lookup" -> d152Sql,
+    "d153_es_percentage" -> d153Sql,
+    "d154_es_span" -> d154Sql,
+    "d155_es_combined_fields" -> d155Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,
     "d3_roundtrip" -> d3Sql,

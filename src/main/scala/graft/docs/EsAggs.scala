@@ -1310,14 +1310,15 @@ object EsAggs {
           }).orElse(bf.get("significant_terms").map { spec =>
             val sm = checkSpecKeys(spec, "significant_terms",
               Set("field", "size", "background_filter",
-                "jlh", "chi_square", "mutual_information"))
+                "jlh", "chi_square", "mutual_information", "percentage"))
             val bg = sm.get("background_filter").map(SearchQuery.parseQueryNode(_, schema))
             // background_filter is a DOCUMENT-grain predicate; which
             // grain ES applies inside a nested context is ambiguous —
             // reject the combination rather than guess
             require(ctx.isEmpty || bg.isEmpty,
               "significant_terms background_filter inside a nested context is not implemented")
-            val heuristics = Seq("jlh", "chi_square", "mutual_information").filter(sm.contains)
+            val heuristics = Seq("jlh", "chi_square", "mutual_information", "percentage")
+              .filter(sm.contains)
             require(heuristics.size <= 1,
               s"significant_terms takes ONE heuristic, got: ${heuristics.mkString(", ")}")
             heuristics.headOption.foreach { h =>
@@ -1325,7 +1326,7 @@ object EsAggs {
               // include_negatives/background_is_superset both true (a
               // silently-ignored false would return a DIFFERENT ranking);
               // jlh takes an empty object, as in ES
-              val allowed = if (h == "jlh") Set.empty[String]
+              val allowed = if (h == "jlh" || h == "percentage") Set.empty[String]
                 else Set("include_negatives", "background_is_superset")
               val hp = checkSpecKeys(sm(h), h, allowed)
               hp.foreach { case (k, v) => require(v == JBool(true),
@@ -2947,6 +2948,11 @@ object EsAggs {
         val all = col("_bg_total").cast("double")
         val scoreCol = heur match {
           case "jlh" => (fgPct - bgPct) * (fgPct / bgPct)
+          case "percentage" =>
+            // ES `percentage`: subsetFreq / supersetFreq — what share of
+            // the docs carrying this term are in the foreground. One
+            // exact division of the two bucket-table longs.
+            col("doc_count").cast("double") / col("bg_count")
           case "chi_square" =>
             val d0 = n11 * n00 - n01 * n10
             all * d0 * d0 /

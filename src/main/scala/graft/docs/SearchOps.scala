@@ -147,6 +147,11 @@ object SearchOps {
     * move-count CANNOT express: slop pays for transpositions, while
     * `ordered` forbids them outright and `max_gaps` prices only the
     * wasted positions. */
+  /** ES `span_first`: the analyzed term appears within the first `end`
+    * token positions (0-based position < end ⇔ span end ≤ end). */
+  def spanFirst(text: Column, term: String, end: Int): Column =
+    exists(tokenPositions(text, term), p => p < lit(end))
+
   def intervalMatch(text: Column, terms: Seq[String], ordered: Boolean, maxGaps: Int): Column = {
     val ps = terms.map(tokenPositions(text, _))
     def spanOk(lo: Column, hi: Column): Column =

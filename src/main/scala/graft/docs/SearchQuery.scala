@@ -52,6 +52,11 @@ object SearchQuery {
   /** ES `intervals` query — the modern span-query replacement: ordered /
     * gap-bounded proximity over analyzed positions. */
   final case class Intervals(path: Seq[String], rule: IntervalRule) extends SearchQuery
+  /** ES `span_first` — the analyzed term must appear within the first
+    * `end` token positions (span end ≤ end). `span_near` needs no node
+    * of its own: it desugars onto [[Intervals]] (slop = max_gaps,
+    * in_order = ordered) at parse. */
+  final case class SpanFirst(path: Seq[String], term: String, end: Int) extends SearchQuery
   /** Q5 — numeric range on a field path; bounds are inclusive by default
     * (ES `gte`/`lte`) with per-bound exclusivity for `gt`/`lt`. */
   final case class Range(path: Seq[String], lo: Long, hi: Long,
@@ -1423,6 +1428,120 @@ object SearchQuery {
               "fuzzy rules and containing-family filters are not implemented)")
         }
         Intervals(iFull, parseRule(iRule))
+      case JObject(List(("combined_fields", JObject(cfFields)))) =>
+        // ES `combined_fields` — term-CENTRIC cross-field matching (the
+        // first+last-name body): under `operator: and` every analyzed
+        // token must appear in AT LEAST ONE of the fields (unlike
+        // multi_match, which is field-centric: some field must carry
+        // them); `or` matches any token anywhere. Desugars to And-over-
+        // tokens of Or-over-fields — plain TermMatch leaves, so pushdown
+        // and the clause-count scoring convention apply unchanged
+        // (DOCUMENTED DEVIATION: ES scores this with BM25F over the
+        // merged pseudo-field; this engine's documented integer
+        // relevance counts matching (token, field) pairs instead).
+        val f = cfFields.toMap
+        val unknown = f.keySet -- Set("query", "fields", "operator")
+        require(unknown.isEmpty,
+          s"unsupported combined_fields key(s): ${unknown.mkString(", ")} " +
+            "(query/fields/operator; per-field ^boosts and auto_generate_synonyms are not implemented)")
+        val cfTerms = f.get("query") match {
+          case Some(JString(s0)) => s0.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
+          case _ => throw new IllegalArgumentException("combined_fields needs a query string")
+        }
+        require(cfTerms.nonEmpty, "combined_fields query has no tokens")
+        val cfPaths = f.get("fields") match {
+          case Some(JArray(fs)) if fs.nonEmpty => fs.map { fv =>
+            val p0 = asString(fv)
+            require(!p0.contains("^"),
+              s"combined_fields per-field boost is not implemented: $p0")
+            val (arr, full) = splitArrayPath(path(p0), schema)
+            require(arr.isEmpty,
+              s"combined_fields on array path $p0 is not implemented (scalar text fields only)")
+            full
+          }
+          case _ => throw new IllegalArgumentException(
+            "combined_fields needs a non-empty fields array")
+        }
+        val andOp = f.get("operator") match {
+          case None | Some(JString("or")) => false
+          case Some(JString("and")) => true
+          case Some(other) => throw new IllegalArgumentException(
+            s"bad combined_fields operator: $other (or/and)")
+        }
+        def tokenAnywhere(t: String): SearchQuery = cfPaths.map(TermMatch(_, t)) match {
+          case Seq(one) => one
+          case many => Or(many: _*)
+        }
+        val perToken = cfTerms.map(tokenAnywhere)
+        if (perToken.size == 1) perToken.head
+        else if (andOp) And(perToken: _*) else Or(perToken: _*)
+      case JObject(List(("span_near", JObject(snFields)))) =>
+        // legacy span query — desugars onto the intervals machinery:
+        // span_near slop IS max_gaps (span length − #terms), in_order IS
+        // ordered (ES default false). Clauses must be span_terms on ONE
+        // field, the ES rule.
+        val f = snFields.toMap
+        val unknown = f.keySet -- Set("clauses", "slop", "in_order")
+        require(unknown.isEmpty,
+          s"unsupported span_near key(s): ${unknown.mkString(", ")} (clauses/slop/in_order)")
+        def spanTerm(cv: JValue): (String, String) = cv match {
+          case JObject(List(("span_term", JObject(List((p, tv)))))) =>
+            val term = tv match {
+              case JObject(tf) => tf.toMap.get("value").map(asString).getOrElse(
+                throw new IllegalArgumentException("span_term needs a value"))
+              case other => asString(other)
+            }
+            (p, term.toLowerCase)
+          case other => throw new IllegalArgumentException(
+            s"span_near clauses must be span_term objects: $other")
+        }
+        val clauses = f.get("clauses") match {
+          case Some(JArray(cs)) if cs.nonEmpty => cs.map(spanTerm)
+          case _ => throw new IllegalArgumentException("span_near needs a non-empty clauses array")
+        }
+        require(clauses.map(_._1).distinct.size == 1,
+          s"span_near clauses must target ONE field, got: ${clauses.map(_._1).distinct.mkString(", ")}")
+        val snTerms = clauses.map(_._2)
+        require(snTerms.size <= 3,
+          s"span_near supports 1-3 clauses (the intervals machinery), got ${snTerms.size}")
+        require(snTerms.distinct.size == snTerms.size,
+          "repeated span_near terms are not implemented (the intervals distinctness rule)")
+        val slop = f.get("slop").map(asLong(_).toInt).getOrElse(0)
+        require(slop >= 0, s"span_near slop must be >= 0: $slop")
+        val inOrder = f.get("in_order") match {
+          case None | Some(JBool(false)) => false
+          case Some(JBool(true)) => true
+          case other => throw new IllegalArgumentException(s"in_order must be a boolean: $other")
+        }
+        val (snArr, snFull) = splitArrayPath(path(clauses.head._1), schema)
+        require(snArr.isEmpty,
+          s"span_near on array path ${clauses.head._1} is not implemented (scalar text fields only)")
+        Intervals(snFull, IntervalMatch(snTerms, inOrder, slop))
+      case JObject(List(("span_first", JObject(sfFields)))) =>
+        // span_first — the match must sit within the first `end` token
+        // positions (ES: span end <= end); one position scan, no window
+        val f = sfFields.toMap
+        val unknown = f.keySet -- Set("match", "end")
+        require(unknown.isEmpty,
+          s"unsupported span_first key(s): ${unknown.mkString(", ")} (match/end)")
+        val (p, term) = f.get("match") match {
+          case Some(JObject(List(("span_term", JObject(List((p0, tv))))))) =>
+            val t0 = tv match {
+              case JObject(tf) => tf.toMap.get("value").map(asString).getOrElse(
+                throw new IllegalArgumentException("span_term needs a value"))
+              case other => asString(other)
+            }
+            (p0, t0.toLowerCase)
+          case _ => throw new IllegalArgumentException(
+            "span_first match must be a single span_term (nested span queries are not implemented)")
+        }
+        val end = f.get("end").map(asLong(_).toInt).getOrElse(
+          throw new IllegalArgumentException("span_first needs end"))
+        require(end >= 1, s"span_first end must be >= 1: $end")
+        val (sfArr, sfFull) = splitArrayPath(path(p), schema)
+        require(sfArr.isEmpty,
+          s"span_first on array path $p is not implemented (scalar text fields only)")
+        SpanFirst(sfFull, term, end)
       case JObject(List(("geo_distance", JObject(gdFields)))) =>
         val f = gdFields.toMap
         val distStr = f.get("distance") match {
@@ -1842,6 +1961,7 @@ object SearchQuery {
         case IntervalAnyOf(rs) => rs.map(rc).reduce(_ || _)
       }
       rc(rule)
+    case SpanFirst(p, term, end) => SearchOps.spanFirst(field(doc, p), term, end)
     case Range(p, lo, hi, li, hc) => SearchOps.range(field(doc, p), lo, hi, li, hc)
     case TsRange(p, lo, hi, li, hc) =>
       val v = field(doc, p)

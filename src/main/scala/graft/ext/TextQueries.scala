@@ -1037,7 +1037,70 @@ object TextQueries {
       |    - 84.6 * (CAST(n_syll AS DOUBLE) / n_words) AS flesch
       |FROM c ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t24
+  /** Language-model PERPLEXITY scoring — the CCNet/KenLM-style quality
+    * filter: train an add-1-smoothed bigram model on the corpus itself
+    * (one pass), score every document by mean negative log-likelihood
+    * and perplexity. Unusually-worded documents (relative to the
+    * corpus) surface with high ppl — the filter real pipelines run with
+    * a pretrained KenLM; the estimator here is the corpus, which keeps
+    * the whole thing closed-form and oracle-checkable.
+    *
+    * Shape: bigram counts = one hash agg at (w1, w2) grain; context
+    * counts derive from it at w1 grain; scoring joins each doc bigram to
+    * the two count tables (equi-joins on token keys — the count tables
+    * are vocabulary-sized, hash-joined; broadcastable when the vocab
+    * fits) and reduces per doc. The vocab size is a 1-row broadcast.
+    * ln/exp ride libm (the documented ~1e-15 tolerance); the count
+    * arithmetic is exact. */
+  private def t24(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select(col("doc_id"), tokens(col("text")).as("toks"))
+    val pairs = base
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("toks")) - 1),
+        i => struct(element_at(col("toks"), i).as("w1"),
+          element_at(col("toks"), i + 1).as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bigrams = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).cast("long").as("c12"))
+    val contexts = bigrams.groupBy(col("w1"))
+      .agg(sum(col("c12")).cast("long").as("c1"))
+    val vocab = broadcast(base.select(explode(col("toks")).as("t"))
+      .agg(countDistinct(col("t")).cast("long").as("v")))
+    pairs.join(bigrams, Seq("w1", "w2")).join(contexts, Seq("w1")).crossJoin(vocab)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        sum(log((col("c12") + 1L).cast("double") / (col("c1") + col("v"))))
+          .as("ll"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (-col("ll") / col("n_bigrams")).as("avg_nll"),
+        exp(-col("ll") / col("n_bigrams")).as("ppl"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t24Sql =
+    """WITH t AS (SELECT doc_id,
+      |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+      |  FROM documents),
+      |pairs AS (SELECT doc_id, toks[CAST(i AS INTEGER)] AS w1,
+      |    toks[CAST(i AS INTEGER) + 1] AS w2
+      |  FROM t, unnest(range(1, len(toks))) AS u(i)),
+      |bigrams AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+      |  FROM pairs GROUP BY w1, w2),
+      |contexts AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM bigrams GROUP BY w1),
+      |vocab AS (SELECT CAST(COUNT(DISTINCT u.t) AS BIGINT) AS v
+      |  FROM t, unnest(toks) AS u(t)),
+      |scored AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |    SUM(ln(CAST(c12 + 1 AS DOUBLE) / (c1 + v))) AS ll
+      |  FROM pairs JOIN bigrams USING (w1, w2) JOIN contexts USING (w1)
+      |  CROSS JOIN vocab
+      |  GROUP BY doc_id)
+      |SELECT doc_id, n_bigrams, -ll / n_bigrams AS avg_nll,
+      |  exp(-ll / n_bigrams) AS ppl
+      |FROM scored ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t24_lm_perplexity" -> t24 _,
     "t20_quality_classifier" -> t20 _,
     "t21_url_filter" -> t21 _,
     "t22_chat_template" -> t22 _,
@@ -1063,6 +1126,7 @@ object TextQueries {
     "t4_fingerprint" -> t4 _)
 
   val oracle: Map[String, String] = Map(
+    "t24_lm_perplexity" -> t24Sql,
     "t20_quality_classifier" -> t20Sql,
     "t21_url_filter" -> t21Sql,
     "t22_chat_template" -> t22Sql,

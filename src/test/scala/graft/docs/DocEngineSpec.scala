@@ -1879,6 +1879,60 @@ class DocEngineSpec extends SparkSpec {
       PlanSchema.plan))
   }
 
+  test("round-8 span/combined_fields: span_near desugars to intervals, span_first bounds " +
+    "positions, combined_fields is term-centric") {
+    val corner = spark.createDataFrame(Seq(
+      ("d1", "alpha beta gamma", "en"),
+      ("d2", "beta alpha", "en"),
+      ("d3", "x alpha y y beta", "de"))).toDF("id", "text", "lang")
+      .select(struct(col("id"), col("text"), col("lang")).as("doc"))
+    val sch = corner.schema("doc").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    def ids(body: String): Seq[String] =
+      corner.filter(SearchQuery.compile(SearchQuery.fromJson(body, sch), col("doc")))
+        .select(col("doc.id")).collect().map(_.getString(0)).sorted.toSeq
+    // span_near in_order: d1 (adjacent, ordered) and d3 (gaps=2 > slop 1? x alpha y y beta:
+    // alpha@1, beta@4 → span 4, gaps = 4-1+1-2 = 2 > 1 → no); d2 transposed → no
+    assert(ids("""{"query": {"span_near": {"clauses": [
+      {"span_term": {"text": "alpha"}}, {"span_term": {"text": "beta"}}],
+      "slop": 1, "in_order": true}}}""") === Seq("d1"))
+    // in_order false admits the transposition
+    assert(ids("""{"query": {"span_near": {"clauses": [
+      {"span_term": {"text": "alpha"}}, {"span_term": {"text": "beta"}}],
+      "slop": 0, "in_order": false}}}""") === Seq("d1", "d2"))
+    // span_near IS an Intervals node (desugared, same machinery)
+    assert(SearchQuery.fromJson("""{"query": {"span_near": {"clauses": [
+      {"span_term": {"text": "alpha"}}, {"span_term": {"text": "beta"}}],
+      "slop": 2, "in_order": true}}}""", sch) ===
+      SearchQuery.Intervals(Seq("text"), SearchQuery.IntervalMatch(Seq("alpha", "beta"), true, 2)))
+    // clauses on different fields reject loudly
+    assertThrows[IllegalArgumentException](SearchQuery.fromJson(
+      """{"query": {"span_near": {"clauses": [
+        {"span_term": {"text": "a"}}, {"span_term": {"lang": "b"}}], "slop": 0}}}""", sch))
+    // span_first: beta within the first 2 positions — d1 (beta@1) and
+    // d2 (beta@0); d3's beta@4 is past the window
+    assert(ids("""{"query": {"span_first": {"match": {"span_term": {"text": "beta"}},
+      "end": 2}}}""") === Seq("d1", "d2"))
+    assert(ids("""{"query": {"span_first": {"match": {"span_term": {"text": "beta"}},
+      "end": 1}}}""") === Seq("d2"))
+    assertThrows[IllegalArgumentException](SearchQuery.fromJson(
+      """{"query": {"span_first": {"match": {"span_term": {"text": "a"}}, "end": 0}}}""", sch))
+    // combined_fields term-centric and: "de beta" — d3 has beta in text AND de in lang;
+    // d1/d2 lack 'de' everywhere. (A field-centric and would also reject d3: no single
+    // field carries both tokens.)
+    assert(ids("""{"query": {"combined_fields": {"query": "de beta",
+      "fields": ["text", "lang"], "operator": "and"}}}""") === Seq("d3"))
+    assert(ids("""{"query": {"combined_fields": {"query": "de gamma",
+      "fields": ["text", "lang"], "operator": "or"}}}""") === Seq("d1", "d3"))
+    // per-field boost syntax rejects loudly
+    assertThrows[IllegalArgumentException](SearchQuery.fromJson(
+      """{"query": {"combined_fields": {"query": "a", "fields": ["text^2"]}}}""", sch))
+    // significant_terms percentage heuristic takes an empty object
+    assertThrows[IllegalArgumentException](EsAggs.parse(
+      """{"aggs": {"s": {"significant_terms": {"field": "planType",
+        |  "percentage": {"background_is_superset": true}}}}}""".stripMargin,
+      PlanSchema.plan))
+  }
+
   test("match with operator=and through an array path binds every token to the SAME element") {
     val assembledDocs = Assembler.assemble(sh, PlanSchema.plan, "plan")
     def cnt(body: String): Long = assembledDocs.filter(

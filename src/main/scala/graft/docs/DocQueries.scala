@@ -6011,6 +6011,72 @@ object DocQueries {
       |  AND (list_contains(toks, 'fast') OR list_contains(ltoks, 'fast'))
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- d156
+  /** Terms with `min_doc_count: 0` — the Kibana "show empty buckets"
+    * toggle: the whole field dictionary from the UNFILTERED corpus
+    * renders, query-empty terms at doc_count 0 (one extra distinct-key
+    * corpus aggregation + a |terms|-row left join — `EsAggs`). */
+  private def d156(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "size": 0,
+        |  "query": { "match": { "planType": "BUILDING" } },
+        |  "aggs": { "types": { "terms": {
+        |    "field": "planType", "size": 10, "min_doc_count": 0 } } }
+        |}""".stripMargin
+    EsAggs.run(assembled(s, d), "doc", body, schema)
+  }
+
+  private val d156Sql =
+    """WITH dict AS (SELECT DISTINCT c_mktsegment AS key FROM customer),
+      |g AS (SELECT c_mktsegment AS key, CAST(COUNT(*) AS BIGINT) AS doc_count
+      |  FROM customer WHERE lower(c_mktsegment) = 'building' GROUP BY 1)
+      |SELECT dict.key, COALESCE(g.doc_count, 0) AS doc_count
+      |FROM dict LEFT JOIN g ON dict.key = g.key
+      |ORDER BY doc_count DESC, dict.key ASC LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- d157
+  /** `_msearch` — the multi-search transport every Kibana dashboard
+    * actually fires: N independent bodies in one request, answered as
+    * one frame with the body index (`_msearch_idx`) prefixed. Each body
+    * runs through the normal search path (bounded heaps per body); the
+    * union is bodies-many bounded pages, never a corpus-sized frame. */
+  private def d157(s: SparkSession, d: String): DataFrame = {
+    val bodies = Seq(
+      """{"query": {"term": {"planType": "BUILDING"}},
+        |"sort": [{"objectId": {"order": "asc"}}], "size": 5,
+        |"_source": ["objectId"]}""".stripMargin,
+      """{"query": {"range": {"planCostShares.copay": {"gte": 45}}},
+        |"sort": [{"objectId": {"order": "asc"}}], "size": 5,
+        |"_source": ["objectId"]}""".stripMargin,
+      """{"query": {"prefix": {"objectId": {"value": "plan-10"}}},
+        |"sort": [{"objectId": {"order": "asc"}}], "size": 5,
+        |"_source": ["objectId"]}""".stripMargin)
+    val corpus = assembled(s, d)
+    bodies.zipWithIndex.map { case (b, i) =>
+      SearchExec.search(corpus, "doc", b, schema)
+        .select(lit(i.toLong).as("_msearch_idx"), col("rn"), col("objectId"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("_msearch_idx"), col("rn"))
+  }
+
+  private val d157Sql =
+    s"""SELECT 0 AS _msearch_idx, rn, "objectId" FROM (
+       |  SELECT 'plan-' || ${ck("c_custkey")} AS "objectId",
+       |    ROW_NUMBER() OVER (ORDER BY 'plan-' || ${ck("c_custkey")}) AS rn
+       |  FROM customer WHERE c_mktsegment = 'BUILDING') WHERE rn <= 5
+       |UNION ALL
+       |SELECT 1, rn, "objectId" FROM (
+       |  SELECT 'plan-' || ${ck("c_custkey")} AS "objectId",
+       |    ROW_NUMBER() OVER (ORDER BY 'plan-' || ${ck("c_custkey")}) AS rn
+       |  FROM customer WHERE c_custkey % 50 >= 45) WHERE rn <= 5
+       |UNION ALL
+       |SELECT 2, rn, "objectId" FROM (
+       |  SELECT 'plan-' || ${ck("c_custkey")} AS "objectId",
+       |    ROW_NUMBER() OVER (ORDER BY 'plan-' || ${ck("c_custkey")}) AS rn
+       |  FROM customer WHERE 'plan-' || ${ck("c_custkey")} LIKE 'plan-10%') WHERE rn <= 5
+       |ORDER BY _msearch_idx, rn""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -6154,6 +6220,8 @@ object DocQueries {
     "d153_es_percentage" -> d153 _,
     "d154_es_span" -> d154 _,
     "d155_es_combined_fields" -> d155 _,
+    "d156_es_zero_terms" -> d156 _,
+    "d157_es_msearch" -> d157 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
     "d3_roundtrip" -> d3 _,
@@ -6311,6 +6379,8 @@ object DocQueries {
     "d153_es_percentage" -> d153Sql,
     "d154_es_span" -> d154Sql,
     "d155_es_combined_fields" -> d155Sql,
+    "d156_es_zero_terms" -> d156Sql,
+    "d157_es_msearch" -> d157Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,
     "d3_roundtrip" -> d3Sql,

@@ -743,8 +743,16 @@ object EsAggs {
               Set("field", "size", "order", "min_doc_count", "include", "exclude", "missing",
                 "show_term_doc_count_error"))
             val tMinDc = num(spec, "min_doc_count", "terms").getOrElse(1L)
-            require(tMinDc >= 1,
-              "terms min_doc_count: 0 (zero-doc buckets for the whole term dictionary) is not implemented")
+            require(tMinDc >= 0, s"terms min_doc_count must be >= 0: $tMinDc")
+            // min_doc_count: 0 — every term of the field across the WHOLE
+            // corpus shows, zero-doc buckets included (the Kibana "show
+            // empty buckets" toggle). Needs a second (distinct-key)
+            // corpus aggregation for the dictionary — implemented at
+            // document grain without metric sub-aggs (what the toggle
+            // emits); metric columns on zero buckets would need per-kind
+            // empty-bucket conventions and are rejected loudly.
+            require(tMinDc >= 1 || ctx.isEmpty,
+              "terms min_doc_count: 0 inside a nested context is not implemented")
             // include/exclude: a FULLY-ANCHORED regex (ES's regex contract)
             // or an exact-value list; applied to the bucket keys before
             // min_doc_count pruning and top-N selection
@@ -1711,6 +1719,8 @@ object EsAggs {
               // zero-fill / pruning on split-series histogram levels is
               // not wired — reject rather than silently ignore
               chain.map(_.bucket).foreach {
+                case Terms(_, _, _, 0L, _, _, _, _) => throw new IllegalArgumentException(
+                  "terms min_doc_count: 0 on a multi-level split is not implemented")
                 case Histogram(_, _, _, _, _, Some(_)) => throw new IllegalArgumentException(
                   "histogram hard_bounds on a multi-level split is not implemented")
                 case Histogram(_, _, md, _, _, _) if md != 1L => throw new IllegalArgumentException(
@@ -1761,6 +1771,11 @@ object EsAggs {
             case _: SignificantTerms =>
               require(tree.metrics.isEmpty && pipelines.isEmpty && topHits.isEmpty,
                 "sub-aggs under significant_terms are not implemented")
+            case Terms(_, _, _, 0L, _, _, _, _) =>
+              require(tree.metrics.isEmpty && pipelines.isEmpty && topHits.isEmpty
+                  && tree.sub.isEmpty,
+                "terms min_doc_count: 0 with sub-aggs/pipelines/sub-buckets is not " +
+                  "implemented (empty-bucket metric conventions differ per kind)")
             case _: VariableWidthHistogram | _: FrequentItemSets | _: GeoLine =>
               require(tree.metrics.isEmpty && pipelines.isEmpty && topHits.isEmpty
                   && tree.sub.isEmpty,
@@ -3160,6 +3175,16 @@ object EsAggs {
         var finalOrder: Seq[Column] = Seq(col("key").asc)
         b match {
           case Terms(_, size, order, minDoc, inc, exc, _, showOther) =>
+            // min_doc_count: 0 — the dictionary comes from the UNFILTERED
+            // corpus (one distinct-key aggregation; parse guarantees no
+            // metrics/sub-aggs ride along), left-joined so query-empty
+            // terms render with doc_count 0 (the Kibana toggle contract)
+            if (minDoc == 0L) {
+              val dict = docs.select(keyCol(b).as("key"))
+                .filter(col("key").isNotNull).distinct()
+              table = dict.join(table, Seq("key"), "left_outer")
+                .withColumn("doc_count", coalesce(col("doc_count"), lit(0L)))
+            }
             // include/exclude act on the |terms|-row bucket table, before
             // pruning and top-N (ES ordering of operations). ES regexes
             // are fully anchored — rlike is not, so anchor explicitly.

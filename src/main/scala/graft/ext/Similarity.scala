@@ -535,7 +535,144 @@ object Similarity {
        |FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
 
+  // ---------------------------------------------------------------- s9
+  /** PRODUCT-QUANTIZED ANN (Jégou et al., PAMI 2011) — the third
+    * compressed-index family beside s2/s3's LSH/IVF and s5's SQ8: the
+    * 64-dim space splits into 8 subspaces of 8 dims, each learns a
+    * 16-centroid codebook (integer k-means, the dd8 exactness rules:
+    * quantize once at 2^12, integer squared-L2, `(s - s%n) div n`
+    * means), every vector encodes to 8 one-byte codes, and the query
+    * scores candidates by ADC — one lookup-table distance per subspace,
+    * summed. 64 doubles become 8 bytes: the compression that lets a
+    * 100 TB corpus' index live in memory.
+    *
+    * Shape: codebooks and the query's 8×16 LUT stay FRAMES (≤128 rows,
+    * broadcast into every join — exactly how real PQ ships codebooks to
+    * executors); assignment/encoding is a broadcast join + one
+    * map-side-combinable min_by per (vector, subspace) — no windows over
+    * the corpus, no driver state at all. Output: top-10 by ADC distance
+    * with the EXACT integer d² alongside (the s4-style quality check —
+    * ADC is an estimate; the exact column shows how tight). */
+  private def s9(s: SparkSession, d: String): DataFrame = {
+    val scale = 4096L
+    val nSub = 8
+    val subDim = 8
+    val k = 16
+    def qd(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, z) => acc + z)
+    val base = Tables(s, d, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => round(x.cast("double") * scale).cast("long")).as("q"))
+    val slices = (0 until nSub).map { su =>
+      base.select(col("vec_id"), lit(su.toLong).as("s"),
+        slice(col("q"), su * subDim + 1, subDim).as("qs"))
+    }.reduce(_ unionAll _)
+    // per-subspace seeds: the 16 smallest-salted-hash vectors (the d80
+    // deterministic-draw contract), one bounded window per subspace
+    val wSeed = Window.partitionBy(col("s"))
+      .orderBy(col("_h").asc, col("vec_id").asc)
+    val c0 = slices
+      .withColumn("_h", TextFunctions.stableHash32(concat(
+        col("vec_id").cast("string"), lit(":"), col("s").cast("string"), lit(":seed"))))
+      .withColumn("_rn", row_number().over(wSeed))
+      .filter(col("_rn") <= k)
+      .select(col("s"), (col("_rn") - 1L).as("cid"), col("qs").as("cq"))
+    // assignment: broadcast the ≤128-row codebook, min_by per (vec, s) —
+    // map-side combinable, no corpus window
+    def assign(cents: DataFrame): DataFrame =
+      slices.join(broadcast(cents), Seq("s"))
+        .groupBy(col("vec_id"), col("s"))
+        .agg(min_by(struct(col("cid"), col("qs")),
+          struct(qd(col("qs"), col("cq")).as("d2"), col("cid"))).as("r"))
+        .select(col("vec_id"), col("s"), col("r.cid").as("cid"), col("r.qs").as("qs"))
+    // one Lloyd update: exact integer means per (s, cid, dim); emptied
+    // clusters keep their seed centroid (the dd8 LEFT JOIN rule)
+    def update(asg: DataFrame, prev: DataFrame): DataFrame = {
+      val upd = asg.select(col("s"), col("cid"), posexplode(col("qs")).as(Seq("i", "v")))
+        .groupBy(col("s"), col("cid"), col("i"))
+        .agg(sum(col("v")).as("sm"), count(lit(1)).as("n"))
+        .select(col("s"), col("cid"), col("i"), expr("(sm - (sm % n)) div n").as("m"))
+        .groupBy(col("s"), col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
+          x => x.getField("m")).as("cq2"))
+      prev.join(upd, Seq("s", "cid"), "left_outer")
+        .select(col("s"), col("cid"), coalesce(col("cq2"), col("cq")).as("cq"))
+    }
+    val cFinal = update(assign(c0), c0)
+    val codes = assign(cFinal).select(col("vec_id"), col("s"), col("cid"))
+    // the query's per-subspace LUT: 8 query slices × 16 centroids = 128
+    // rows, broadcast; ADC = Σ over subspaces of lut(s, code)
+    val qSlices = slices.filter(col("vec_id") === 42)
+      .select(col("s"), col("qs").as("query_qs"))
+    val lut = cFinal.join(broadcast(qSlices), Seq("s"))
+      .select(col("s"), col("cid"), qd(col("cq"), col("query_qs")).as("dq"))
+    val adc = codes.join(broadcast(lut), Seq("s", "cid"))
+      .groupBy(col("vec_id")).agg(sum(col("dq")).as("adc_d2"))
+      .filter(col("vec_id") =!= 42)
+      .orderBy(col("adc_d2").asc, col("vec_id").asc).limit(10)
+    // exact integer d² alongside (the s4-style recall/quality check)
+    val qv = base.filter(col("vec_id") === 42).select(col("q").as("query_q"))
+    adc.join(base, "vec_id").crossJoin(broadcast(qv))
+      .select(col("vec_id"), col("adc_d2"), qd(col("q"), col("query_q")).as("exact_d2"))
+      .orderBy(col("adc_d2").asc, col("vec_id").asc)
+  }
+
+  private val s9Sql: String = {
+    def d2(a: String, b: String) =
+      s"list_sum(list_transform(list_zip($a, $b), z -> (z[1] - z[2]) * (z[1] - z[2])))"
+    s"""WITH base AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 4096) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |slices AS (
+       |  SELECT vec_id, s, q[CAST(s * 8 + 1 AS INTEGER) : CAST(s * 8 + 8 AS INTEGER)] AS qs
+       |  FROM base, unnest(range(0, 8)) AS t(s)),
+       |c0 AS (
+       |  SELECT s, rn - 1 AS cid, qs AS cq FROM (
+       |    SELECT s, qs, ROW_NUMBER() OVER (PARTITION BY s ORDER BY
+       |      CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':' ||
+       |        CAST(s AS VARCHAR) || ':seed'), 1, 8)) AS BIGINT), vec_id) AS rn
+       |    FROM slices) WHERE rn <= 16),
+       |asg1 AS (
+       |  SELECT vec_id, s, cid, qs FROM (
+       |    SELECT l.vec_id, l.s, c.cid, l.qs,
+       |      ROW_NUMBER() OVER (PARTITION BY l.vec_id, l.s
+       |        ORDER BY ${d2("l.qs", "c.cq")}, c.cid) AS rn
+       |    FROM slices l JOIN c0 c USING (s)) WHERE rn = 1),
+       |upd AS (
+       |  SELECT s, cid, list(m ORDER BY i) AS cq2 FROM (
+       |    SELECT s, cid, i, CAST((sm - (sm % n)) // n AS BIGINT) AS m FROM (
+       |      SELECT s, cid, i, SUM(v) AS sm, COUNT(*) AS n FROM (
+       |        SELECT s, cid, i, qs[CAST(i + 1 AS INTEGER)] AS v
+       |        FROM asg1, unnest(range(0, 8)) AS t(i))
+       |      GROUP BY s, cid, i))
+       |  GROUP BY s, cid),
+       |c1 AS (
+       |  SELECT c0.s, c0.cid, COALESCE(upd.cq2, c0.cq) AS cq
+       |  FROM c0 LEFT JOIN upd ON c0.s = upd.s AND c0.cid = upd.cid),
+       |codes AS (
+       |  SELECT vec_id, s, cid FROM (
+       |    SELECT l.vec_id, l.s, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY l.vec_id, l.s
+       |        ORDER BY ${d2("l.qs", "c.cq")}, c.cid) AS rn
+       |    FROM slices l JOIN c1 c USING (s)) WHERE rn = 1),
+       |qsl AS (SELECT s, qs AS query_qs FROM slices WHERE vec_id = 42),
+       |lut AS (
+       |  SELECT c.s, c.cid, ${d2("c.cq", "q.query_qs")} AS dq
+       |  FROM c1 c JOIN qsl q USING (s)),
+       |adc AS (
+       |  SELECT vec_id, CAST(SUM(dq) AS BIGINT) AS adc_d2
+       |  FROM codes JOIN lut USING (s, cid)
+       |  WHERE vec_id <> 42
+       |  GROUP BY vec_id ORDER BY adc_d2, vec_id LIMIT 10),
+       |qv AS (SELECT q AS query_q FROM base WHERE vec_id = 42)
+       |SELECT adc.vec_id, adc.adc_d2, CAST(${d2("b.q", "qv.query_q")} AS BIGINT) AS exact_d2
+       |FROM adc JOIN base b ON adc.vec_id = b.vec_id CROSS JOIN qv
+       |ORDER BY adc.adc_d2, adc.vec_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "s9_pq_ann" -> s9 _,
     "s8_linear_hybrid" -> s8 _,
     "s6_es_knn" -> s6 _,
     "s7_rrf_hybrid" -> s7 _,
@@ -546,6 +683,7 @@ object Similarity {
     "s4_ann_recall" -> s4 _)
 
   val oracle: Map[String, String] = Map(
+    "s9_pq_ann" -> s9Sql,
     "s8_linear_hybrid" -> s8Sql,
     "s6_es_knn" -> s6Sql,
     "s7_rrf_hybrid" -> s7Sql,

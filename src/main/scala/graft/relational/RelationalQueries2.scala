@@ -649,7 +649,49 @@ object RelationalQueries2 {
       |FROM snap FULL OUTER JOIN chg ON s_user = c_user
       |GROUP BY 1 ORDER BY action""".stripMargin
 
+  // ---------------------------------------------------------------- q39
+  /** SALTED skew join — the hand-rolled mitigation for a hot key that
+    * would otherwise pin one reducer (AQE's skew-join split handles
+    * sort-merge spills, but a broadcast-ineligible hot key against a
+    * small dim is still the classic salting case): the fact side is
+    * ~90% one synthetic key; the dim side REPLICATES each key × 8 salts
+    * (|dim|×8 rows — still tiny), the fact side draws a deterministic
+    * salt, and the join runs on (key, salt) so the hot key spreads over
+    * 8 reducers. The salt is semantically neutral: the oracle is the
+    * PLAIN join — equality IS the correctness proof of the rewrite.
+    * Plan-pinned (PlanAuditSpec): the join condition carries the salt. */
+  private def q39(s: SparkSession, d: String): DataFrame = {
+    val salts = 8
+    val fact = t(s, d, "lineitem").select(
+      when(col("l_orderkey") % 100 < 90, 0L)
+        .otherwise(col("l_orderkey") % 7 + 1L).as("k"),
+      pmod(col("l_orderkey") + col("l_linenumber"), lit(salts.toLong)).as("salt"),
+      m(col("l_extendedprice")).as("price"))
+    val dim = s.createDataFrame(
+      (0L to 7L).map(k => (k, if (k == 0) "hot" else s"cold_$k"))).toDF("k", "label")
+    val saltedDim = dim.crossJoin(
+      s.range(salts.toLong).select(col("id").as("salt")))
+    fact.join(saltedDim, Seq("k", "salt"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).cast("long").as("n_items"), dbl(sum(col("price"))).as("total"))
+      .orderBy(col("label"))
+  }
+
+  private val q39Sql =
+    """WITH fact AS (SELECT
+      |    CASE WHEN l_orderkey % 100 < 90 THEN 0 ELSE l_orderkey % 7 + 1 END AS k,
+      |    CAST(l_extendedprice AS DECIMAL(12,2)) AS price
+      |  FROM lineitem),
+      |dim AS (SELECT * FROM (VALUES (0, 'hot'), (1, 'cold_1'), (2, 'cold_2'),
+      |    (3, 'cold_3'), (4, 'cold_4'), (5, 'cold_5'), (6, 'cold_6'),
+      |    (7, 'cold_7')) AS d(k, label))
+      |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_items,
+      |  CAST(CAST(SUM(price) AS DECIMAL(28,6)) AS DOUBLE) AS total
+      |FROM fact JOIN dim USING (k)
+      |GROUP BY label ORDER BY label""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q39_salted_join" -> q39 _,
     "q37_regression" -> q37 _,
     "q38_cdc_apply" -> q38 _,
     "q36_sql_front_door" -> q36 _,
@@ -670,6 +712,7 @@ object RelationalQueries2 {
     "q26_json_fns" -> q26 _)
 
   val oracle: Map[String, String] = Map(
+    "q39_salted_join" -> q39Sql,
     "q37_regression" -> q37Sql,
     "q38_cdc_apply" -> q38Sql,
     "q36_sql_front_door" -> q36Sql,

@@ -610,6 +610,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(joins.isEmpty, "URL filtering must not join")
   }
 
+  test("q39: the skew-join condition carries the salt column") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val opt = q("q39_salted_join").queryExecution.optimizedPlan
+    val saltJoins = opt.collect {
+      case j: Join if j.condition.exists(_.references.exists(_.name == "salt")) => j
+    }
+    assert(saltJoins.nonEmpty,
+      s"expected the fact-dim join to be keyed on (k, salt):\n$opt")
+  }
+
   test("t16: stratified sample runs both windows on ONE stratum shuffle") {
     val p = plan(q("t16_stratified_sample"))
     // count-per-stratum and hash-rank share the lang partitioning: one

@@ -1129,9 +1129,15 @@ class DocEngineSpec extends SparkSpec {
         |  "aggs": {"h": {"histogram": {"field": "planCostShares.copay", "interval": 10},
         |    "aggs": {"d": {"derivative": {"buckets_path": "_count"}}}}}}}}""".stripMargin,
       PlanSchema.plan))
-    // terms min_doc_count: 0 (whole-dictionary zero buckets) rejected
-    assertThrows[IllegalArgumentException](EsAggs.parse(
+    // terms min_doc_count: 0 (whole-dictionary zero buckets) now parses
+    // bare (d156); WITH sub-aggs it still rejects loudly (empty-bucket
+    // metric conventions differ per kind)
+    assert(EsAggs.parse(
       """{"aggs": {"t": {"terms": {"field": "planType", "min_doc_count": 0}}}}""",
+      PlanSchema.plan).bucket.exists(_.isInstanceOf[EsAggs.Terms]))
+    assertThrows[IllegalArgumentException](EsAggs.parse(
+      """{"aggs": {"t": {"terms": {"field": "planType", "min_doc_count": 0},
+        |  "aggs": {"a": {"avg": {"field": "planCostShares.copay"}}}}}}""".stripMargin,
       PlanSchema.plan))
     // an agg named like a reserved output column rejected (withColumn
     // would silently overwrite doc_count)

@@ -6077,6 +6077,64 @@ object DocQueries {
        |  FROM customer WHERE 'plan-' || ${ck("c_custkey")} LIKE 'plan-10%') WHERE rn <= 5
        |ORDER BY _msearch_idx, rn""".stripMargin
 
+  // ---------------------------------------------------------------- d158
+  /** ES `runtime_mappings` — a script-computed field defined IN the
+    * request body (schema-on-read: the dashboard adds a derived
+    * dimension without reindexing), then used by BOTH the query and a
+    * terms agg with a metric, exactly like a mapped field
+    * (`docs/RuntimeFields.scala`). The projection fuses into the scan —
+    * zero extra passes; the predicate cannot push down (ES's own
+    * runtime-field cost, documented there). */
+  private def d158(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "size": 0,
+        |  "runtime_mappings": {
+        |    "copay_band": { "type": "long",
+        |      "script": { "source": "doc['planCostShares.copay'].value / 5" } }
+        |  },
+        |  "query": { "range": { "copay_band": { "gte": 2 } } },
+        |  "aggs": { "bands": { "terms": { "field": "copay_band", "size": 12 },
+        |    "aggs": { "avg_copay": { "avg": { "field": "planCostShares.copay" } } } } }
+        |}""".stripMargin
+    EsAggs.run(assembled(s, d), "doc", body, schema)
+  }
+
+  private val d158Sql =
+    """WITH v AS (SELECT
+      |    CAST(FLOOR(CAST(c_custkey % 50 AS DOUBLE) / 5) AS BIGINT) AS band,
+      |    c_custkey % 50 AS copay
+      |  FROM customer)
+      |SELECT band AS key, CAST(COUNT(*) AS BIGINT) AS doc_count, AVG(copay) AS avg_copay
+      |FROM v WHERE band >= 2 GROUP BY band
+      |ORDER BY doc_count DESC, key ASC LIMIT 12""".stripMargin
+
+  // ---------------------------------------------------------------- d159
+  /** Terms `include: {partition, num_partitions}` — ES's
+    * dictionary-paging device: a huge term dictionary (here the unique
+    * objectIds) walks in `num_partitions` disjoint, exhaustive pages.
+    * A |terms|-row hash filter on the bucket table, before pruning and
+    * top-N (`EsAggs.Terms.partitionOf` — the md5-bridge deviation from
+    * ES's murmur is documented there). */
+  private def d159(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "size": 0,
+        |  "aggs": { "ids": { "terms": {
+        |    "field": "objectId", "size": 10,
+        |    "include": { "partition": 3, "num_partitions": 7 } } } }
+        |}""".stripMargin
+    EsAggs.run(assembled(s, d), "doc", body, schema)
+  }
+
+  private val d159Sql =
+    s"""WITH g AS (SELECT 'plan-' || ${ck("c_custkey")} AS key,
+       |    CAST(COUNT(*) AS BIGINT) AS doc_count
+       |  FROM customer GROUP BY 1)
+       |SELECT key, doc_count FROM g
+       |WHERE CAST(('0x' || substr(md5(key), 1, 8)) AS BIGINT) % 7 = 3
+       |ORDER BY doc_count DESC, key ASC LIMIT 10""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -6222,6 +6280,8 @@ object DocQueries {
     "d155_es_combined_fields" -> d155 _,
     "d156_es_zero_terms" -> d156 _,
     "d157_es_msearch" -> d157 _,
+    "d158_es_runtime_fields" -> d158 _,
+    "d159_es_terms_partition" -> d159 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
     "d3_roundtrip" -> d3 _,
@@ -6381,6 +6441,8 @@ object DocQueries {
     "d155_es_combined_fields" -> d155Sql,
     "d156_es_zero_terms" -> d156Sql,
     "d157_es_msearch" -> d157Sql,
+    "d158_es_runtime_fields" -> d158Sql,
+    "d159_es_terms_partition" -> d159Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,
     "d3_roundtrip" -> d3Sql,

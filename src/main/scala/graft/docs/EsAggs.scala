@@ -79,13 +79,22 @@ object EsAggs {
     * aggregates exactly rather than merging per-shard top-`shard_size`
     * lists, the same documented upgrade as exact cardinality and exact
     * rare_terms. */
+  /** `partitionOf` (ES `include: {partition, num_partitions}`): the
+    * term-paging device for huge dictionaries — only terms hashing into
+    * the requested partition return, so a client walks the whole
+    * dictionary in num_partitions bounded pages. The hash is the
+    * engine's md5 bridge (DOCUMENTED DEVIATION: ES partitions by its
+    * murmur term hash; any fixed uniform hash satisfies the contract —
+    * disjoint, exhaustive, stable pages). A |terms|-row bucket-table
+    * filter before min_doc_count/top-N, exactly ES's ordering. */
   final case class Terms(path: Seq[String], size: Int,
                          order: Option[(String, Boolean)] = None,
                          minDocCount: Long = 1L,
                          include: Option[Either[String, Seq[String]]] = None,
                          exclude: Option[Either[String, Seq[String]]] = None,
                          missing: Option[Any] = None,
-                         showOther: Boolean = false) extends Agg
+                         showOther: Boolean = false,
+                         partitionOf: Option[(Int, Int)] = None) extends Agg
   /** ES `histogram` bucket agg: `floor(v / interval) * interval` bins.
     * `minDocCount = 0` ZERO-FILLS the empty bins between the observed
     * min and max keys (the Kibana gap-filling contract — a derivative
@@ -756,14 +765,36 @@ object EsAggs {
             // include/exclude: a FULLY-ANCHORED regex (ES's regex contract)
             // or an exact-value list; applied to the bucket keys before
             // min_doc_count pruning and top-N selection
-            def incExc(key: String): Option[Either[String, Seq[String]]] = m.get(key).map {
-              case JString(re) => Left(re)
-              case JArray(vs) if vs.nonEmpty => Right(vs.map {
-                case JString(v) => v
-                case other => throw new IllegalArgumentException(s"bad terms $key value: $other")
-              })
-              case other => throw new IllegalArgumentException(
-                s"terms $key must be a regex string or a value array: $other")
+            // include's THIRD form: {partition, num_partitions} — the
+            // dictionary-paging device (see [[Terms.partitionOf]])
+            val partitionOf: Option[(Int, Int)] = m.get("include") match {
+              case Some(JObject(pf)) =>
+                val pm = pf.toMap
+                val unknownP = pm.keySet -- Set("partition", "num_partitions")
+                require(unknownP.isEmpty,
+                  s"unsupported terms include key(s): ${unknownP.mkString(", ")} (partition/num_partitions)")
+                def pNum(k: String): Int = pm.get(k) match {
+                  case Some(JInt(i)) => i.toInt
+                  case Some(JLong(l)) => l.toInt
+                  case _ => throw new IllegalArgumentException(s"terms include needs integer $k")
+                }
+                val (p0, n0) = (pNum("partition"), pNum("num_partitions"))
+                require(n0 >= 2, s"num_partitions must be >= 2: $n0")
+                require(p0 >= 0 && p0 < n0, s"partition out of range: $p0 (0..${n0 - 1})")
+                Some((p0, n0))
+              case _ => None
+            }
+            def incExc(key: String): Option[Either[String, Seq[String]]] = m.get(key) match {
+              case Some(JObject(_)) if key == "include" => None // partition form, above
+              case other => other.map {
+                case JString(re) => Left(re)
+                case JArray(vs) if vs.nonEmpty => Right(vs.map {
+                  case JString(v) => v
+                  case o2 => throw new IllegalArgumentException(s"bad terms $key value: $o2")
+                })
+                case o2 => throw new IllegalArgumentException(
+                  s"terms $key must be a regex string or a value array: $o2")
+              }
             }
             val tMissing: Option[Any] = m.get("missing").map {
               case JString(v) => v: Any
@@ -781,7 +812,7 @@ object EsAggs {
               num(spec, "size", "terms").map(_.toInt).getOrElse(10), // ES default
               parseOrder(m),
               tMinDc,
-              incExc("include"), incExc("exclude"), tMissing, tShowOther)
+              incExc("include"), incExc("exclude"), tMissing, tShowOther, partitionOf)
           }.orElse(bf.get("histogram").map { spec =>
             val hm = checkSpecKeys(spec, "histogram",
               Set("field", "interval", "min_doc_count", "offset", "extended_bounds",
@@ -1684,7 +1715,7 @@ object EsAggs {
           // by; reject (don't ignore) anything else. Multi-column metrics
           // (stats/percentiles) are not a sortable target.
           def checkOrder(b: Agg, ms: Map[String, Metric], where: String): Unit = b match {
-            case Terms(_, _, Some((target, _)), _, _, _, _, _) =>
+            case Terms(_, _, Some((target, _)), _, _, _, _, _, _) =>
               require(target == "_key" || target == "_count" || ms.contains(target),
                 s"terms order target \"$target\" is not _key/_count or a metric sub-agg of $where " +
                   s"(metrics: ${if (ms.isEmpty) "none" else ms.keys.toSeq.sorted.mkString(", ")})")
@@ -1719,7 +1750,7 @@ object EsAggs {
               // zero-fill / pruning on split-series histogram levels is
               // not wired — reject rather than silently ignore
               chain.map(_.bucket).foreach {
-                case Terms(_, _, _, 0L, _, _, _, _) => throw new IllegalArgumentException(
+                case Terms(_, _, _, 0L, _, _, _, _, _) => throw new IllegalArgumentException(
                   "terms min_doc_count: 0 on a multi-level split is not implemented")
                 case Histogram(_, _, _, _, _, Some(_)) => throw new IllegalArgumentException(
                   "histogram hard_bounds on a multi-level split is not implemented")
@@ -1746,9 +1777,11 @@ object EsAggs {
               require(fa.otherKey.isEmpty,
                 "other_bucket on a filters split parent is not implemented")
               child.bucket match {
-                case Terms(_, _, _, _, inc, exc, _, so) =>
+                case Terms(_, _, _, _, inc, exc, _, so, pOf) =>
                   require(inc.isEmpty && exc.isEmpty,
                     "terms include/exclude under a filters split is not implemented")
+                  require(pOf.isEmpty,
+                    "terms include.partition under a filters split is not implemented")
                   require(!so,
                     "show_term_doc_count_error under a filters split is not implemented")
                 case Histogram(_, _, _, _, _, Some(_)) => throw new IllegalArgumentException(
@@ -1771,7 +1804,7 @@ object EsAggs {
             case _: SignificantTerms =>
               require(tree.metrics.isEmpty && pipelines.isEmpty && topHits.isEmpty,
                 "sub-aggs under significant_terms are not implemented")
-            case Terms(_, _, _, 0L, _, _, _, _) =>
+            case Terms(_, _, _, 0L, _, _, _, _, _) =>
               require(tree.metrics.isEmpty && pipelines.isEmpty && topHits.isEmpty
                   && tree.sub.isEmpty,
                 "terms min_doc_count: 0 with sub-aggs/pipelines/sub-buckets is not " +
@@ -2163,7 +2196,10 @@ object EsAggs {
   }
 
   /** Run an ES aggs body against the document table. */
-  def run(docs: DataFrame, docCol: String, body: String, schema: StructType): DataFrame = {
+  def run(docs0: DataFrame, docCol: String, body0: String, schema0: StructType): DataFrame = {
+    // runtime_mappings splice computed fields into the document struct
+    // BEFORE any parsing — the rest of the machinery sees plain fields
+    val (docs, body, schema) = RuntimeFields(docs0, docCol, body0, schema0)
     val req0 = parse(body, schema)
     val doc = col(docCol)
     def field(root: Column, p: Seq[String]): Column =
@@ -3013,9 +3049,11 @@ object EsAggs {
         val bucketTable = rows.filter(keyCol(bk).isNotNull).groupBy(keyCol(bk).as("key"))
           .agg(count(lit(1)).cast("long").as("doc_count"))
         val (selected, bucketOrder) = bk match {
-          case Terms(_, size, order, minDoc, inc0, exc0, _, so0) =>
+          case Terms(_, size, order, minDoc, inc0, exc0, _, so0, pOf0) =>
             require(inc0.isEmpty && exc0.isEmpty,
               "terms include/exclude under top_hits is not implemented")
+            require(pOf0.isEmpty,
+              "terms include.partition under top_hits is not implemented")
             require(!so0,
               "show_term_doc_count_error under top_hits is not implemented")
             val pruned = if (minDoc > 1L) bucketTable.filter(col("doc_count") >= minDoc)
@@ -3042,10 +3080,12 @@ object EsAggs {
         // even when the body carries a query (ES "percent of total")
         docs.agg(count(lit(1)).as("doc_count"),
           ms.flatMap { case (n, m) => metricCols(n, m) }: _*)
-      case Right(Buckets(t @ Terms(_, size0, order0, minDoc0, inc0, exc0, _, so0), Nil, None, Nil,
+      case Right(Buckets(t @ Terms(_, size0, order0, minDoc0, inc0, exc0, _, so0, _), Nil, None, Nil,
                          None, Nil, Some(rn), None)) =>
         require(inc0.isEmpty && exc0.isEmpty,
           "terms include/exclude beside a reverse_nested is not implemented")
+        require(t.partitionOf.isEmpty,
+          "terms include.partition beside a reverse_nested is not implemented")
         require(!so0,
           "show_term_doc_count_error beside a reverse_nested is not implemented")
         // reverse_nested under terms: phase 1 is ONE corpus-sized hash agg
@@ -3071,10 +3111,12 @@ object EsAggs {
           .select(col("key") +: col("doc_count") +: col(rn.name) +:
             rn.metrics.flatMap { case (n, m) => metricNames(n, m) }.map(col): _*)
           .limit(size0)
-      case Right(Buckets(t @ Terms(_, size0, order0, minDoc0, inc0, exc0, _, so0), Nil, None, Nil,
+      case Right(Buckets(t @ Terms(_, size0, order0, minDoc0, inc0, exc0, _, so0, _), Nil, None, Nil,
                          None, Nil, None, Some(nm))) =>
         require(inc0.isEmpty && exc0.isEmpty,
           "terms include/exclude beside a nested agg is not implemented")
+        require(t.partitionOf.isEmpty,
+          "terms include.partition beside a nested agg is not implemented")
         require(!so0,
           "show_term_doc_count_error beside a nested agg is not implemented")
         // nested metrics under a doc-grain terms split: every doc folds
@@ -3174,7 +3216,7 @@ object EsAggs {
         var table = grouped
         var finalOrder: Seq[Column] = Seq(col("key").asc)
         b match {
-          case Terms(_, size, order, minDoc, inc, exc, _, showOther) =>
+          case Terms(_, size, order, minDoc, inc, exc, _, showOther, partOf) =>
             // min_doc_count: 0 — the dictionary comes from the UNFILTERED
             // corpus (one distinct-key aggregation; parse guarantees no
             // metrics/sub-aggs ride along), left-joined so query-empty
@@ -3194,6 +3236,13 @@ object EsAggs {
             }
             inc.foreach(i => table = table.filter(keyMatch(i)))
             exc.foreach(e => table = table.filter(!keyMatch(e)))
+            // partition paging: keep only the terms hashing into the
+            // requested partition (engine md5 bridge — see the case
+            // class doc) — a |terms|-row filter before pruning/top-N
+            partOf.foreach { case (p0, n0) =>
+              table = table.filter(pmod(graft.ext.TextFunctions.stableHash32(
+                col("key").cast("string")), lit(n0.toLong)) === p0.toLong)
+            }
             if (showOther) {
               require(pipes.isEmpty && sibs.isEmpty,
                 "show_term_doc_count_error beside pipeline/sibling aggs is not implemented")
@@ -3458,7 +3507,7 @@ object EsAggs {
         out = outNames.foldLeft(out)((t, n0) =>
           t.withColumn(n0, when(col("_ph"), lit(null)).otherwise(col(n0))))
         val childOrd = child.bucket match {
-          case Terms(_, size0, order0, minDoc0, _, _, _, _) =>
+          case Terms(_, size0, order0, minDoc0, _, _, _, _, _) =>
             if (minDoc0 > 1L)
               out = out.filter(col("_ph") || col("doc_count2") >= minDoc0)
             val ord = termsOrder(order0, col("doc_count2"), col("key2"))
@@ -3545,7 +3594,9 @@ object EsAggs {
         val levelOrders = lvls.indices.map { i =>
           if (i > 0) out = out.filter(col(kname(i)).isNotNull)
           lvls(i).bucket match {
-            case Terms(_, size0, order0, minDoc0, inc0, exc0, _, so0) =>
+            case Terms(_, size0, order0, minDoc0, inc0, exc0, _, so0, pOf0) =>
+              require(pOf0.isEmpty,
+                "terms include.partition on a multi-level split is not implemented")
               // include/exclude at ANY level: a bucket-table filter on
               // this level's key, applied — as in ES — before this
               // level's min_doc_count and top-N but AFTER the ancestor

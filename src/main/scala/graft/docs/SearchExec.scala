@@ -75,8 +75,11 @@ object SearchExec {
     * internal doc id); a body with NO sort gets ES's default `_score`
     * desc order with an objectId tiebreak.
     */
-  def search(docs: DataFrame, docCol: String,
-             body: String, schema: org.apache.spark.sql.types.StructType): DataFrame = {
+  def search(docs0: DataFrame, docCol: String,
+             body0: String, schema0: org.apache.spark.sql.types.StructType): DataFrame = {
+    // runtime_mappings splice computed fields into the document struct
+    // BEFORE any parsing — query/sort/_source see them as plain fields
+    val (docs, body, schema) = RuntimeFields(docs0, docCol, body0, schema0)
     val b = SearchQuery.parseFullBody(body, schema)
     val doc = col(docCol)
     // ES default when the body has no sort: _score desc. ES breaks score

@@ -1099,7 +1099,103 @@ object TextQueries {
       |  exp(-ll / n_bigrams) AS ppl
       |FROM scored ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t25
+  /** Tokenizer FITTING — the first 3 BPE merge rounds (Sennrich et al.
+    * 2016) over the corpus: symbol sequences start as characters, each
+    * round picks the highest-weighted adjacent symbol pair and merges
+    * every occurrence. Exactly the real algorithm's shape: training
+    * runs on the DISTINCT-WORD frequency table (|vocab| rows — corpus
+    * work is ONE token count), so each round is a |vocab|-row pair
+    * explode + one 1-row top-pair reduction broadcast back into a pure
+    * array-rewrite map. Self-pairs (a,a) are excluded at selection
+    * (DOCUMENTED DEVIATION: greedy run-merging of "aaa" is
+    * tie-ambiguous across implementations; excluding them makes every
+    * merge application an independent, order-free mark — and the
+    * rewrite engine-portable). Output: one row per round with the
+    * chosen pair and its weighted count. */
+  private def t25(s: SparkSession, d: String): DataFrame = {
+    val words = docs(s, d)
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).cast("long").as("freq"))
+      .select(filter(split(col("w"), ""), c => c =!= "").as("syms"), col("freq"))
+    def topPair(syms: DataFrame): DataFrame =
+      // the when() guard matters: Spark's sequence(1, 0) DESCENDS to
+      // [1, 0] rather than yielding [] (the TextFunctions.shingles
+      // rule), and a 1-symbol word would probe index 0 — an ANSI error
+      syms.select(col("freq"), explode(when(size(col("syms")) < 2,
+          array().cast("array<struct<l:string,r:string>>"))
+        .otherwise(transform(
+          sequence(lit(1), size(col("syms")) - 1),
+          i => struct(element_at(col("syms"), i).as("l"),
+            element_at(col("syms"), i + 1).as("r"))))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).cast("long").as("cnt"))
+        .filter(col("l") =!= col("r"))
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(1)
+    def applyMerge(syms: DataFrame, top: DataFrame): DataFrame =
+      syms.crossJoin(broadcast(top))
+        .select(filter(transform(sequence(lit(1), size(col("syms"))), i => {
+          val n = size(col("syms"))
+          val markHere = i < n &&
+            element_at(col("syms"), i) === col("l") &&
+            element_at(col("syms"), i + 1) === col("r")
+          val markPrev = i > 1 &&
+            element_at(col("syms"), i - 1) === col("l") &&
+            element_at(col("syms"), i) === col("r")
+          when(markHere, concat(col("l"), col("r")))
+            .when(markPrev, lit(null).cast("string"))
+            .otherwise(element_at(col("syms"), i))
+        }), x => x.isNotNull).as("syms"), col("freq"))
+    var syms = words
+    var out: DataFrame = null
+    for (round <- 1 to 3) {
+      val top = topPair(syms)
+      val row = top.select(lit(round.toLong).as("round"), col("l"), col("r"),
+        concat(col("l"), col("r")).as("merged"), col("cnt"))
+      out = if (out == null) row else out.unionByName(row)
+      syms = applyMerge(syms, top)
+    }
+    out.orderBy(col("round"))
+  }
+
+  private val t25Sql = {
+    def pairsOf(tbl: String, out: String) =
+      s"""${out}_p AS (
+         |  SELECT l, r, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+         |    SELECT syms[CAST(i AS INTEGER)] AS l, syms[CAST(i AS INTEGER) + 1] AS r, freq
+         |    FROM $tbl, unnest(range(1, len(syms))) AS t(i))
+         |  WHERE l <> r
+         |  GROUP BY l, r ORDER BY cnt DESC, l, r LIMIT 1)"""
+    def mergeOf(tbl: String, top: String, out: String) =
+      s"""$out AS (
+         |  SELECT list_filter(list_transform(range(1, len(syms) + 1), i ->
+         |      CASE WHEN i < len(syms) AND syms[CAST(i AS INTEGER)] = t.l
+         |                AND syms[CAST(i AS INTEGER) + 1] = t.r THEN t.l || t.r
+         |           WHEN i > 1 AND syms[CAST(i AS INTEGER) - 1] = t.l
+         |                AND syms[CAST(i AS INTEGER)] = t.r THEN NULL
+         |           ELSE syms[CAST(i AS INTEGER)] END),
+         |    x -> x IS NOT NULL) AS syms, freq
+         |  FROM $tbl, $top t)"""
+    s"""WITH words AS (
+       |  SELECT list_filter(string_split(w, ''), c -> c <> '') AS syms,
+       |    CAST(COUNT(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+       |      x -> x <> '')) AS w FROM documents)
+       |  GROUP BY w),
+       |${pairsOf("words", "r1")},
+       |${mergeOf("words", "r1_p", "s1")},
+       |${pairsOf("s1", "r2")},
+       |${mergeOf("s1", "r2_p", "s2")},
+       |${pairsOf("s2", "r3")}
+       |SELECT 1 AS round, l, r, l || r AS merged, cnt FROM r1_p
+       |UNION ALL SELECT 2, l, r, l || r, cnt FROM r2_p
+       |UNION ALL SELECT 3, l, r, l || r, cnt FROM r3_p
+       |ORDER BY round""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "t25_bpe_merges" -> t25 _,
     "t24_lm_perplexity" -> t24 _,
     "t20_quality_classifier" -> t20 _,
     "t21_url_filter" -> t21 _,
@@ -1126,6 +1222,7 @@ object TextQueries {
     "t4_fingerprint" -> t4 _)
 
   val oracle: Map[String, String] = Map(
+    "t25_bpe_merges" -> t25Sql,
     "t24_lm_perplexity" -> t24Sql,
     "t20_quality_classifier" -> t20Sql,
     "t21_url_filter" -> t21Sql,

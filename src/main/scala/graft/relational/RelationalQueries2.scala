@@ -690,7 +690,48 @@ object RelationalQueries2 {
       |FROM fact JOIN dim USING (k)
       |GROUP BY label ORDER BY label""".stripMargin
 
+  // ---------------------------------------------------------------- q40
+  /** INCREMENTAL aggregate maintenance — the materialized-view refresh
+    * op: a pre-aggregated partial state (count/sum per key over the
+    * log's first ~80%) absorbs a fresh delta by aggregating ONLY the
+    * delta and merging partials (sum of counts, sum of sums) — never
+    * re-reading the historical corpus. avg derives from merged partials
+    * (decomposable-aggregate algebra; the same rule EsAggs uses for
+    * non-leaf split metrics). The oracle is the FULL aggregation over
+    * everything — equality proves the incremental path exact. At 100 TB
+    * the delta-side cost is O(delta); the state side is a co-partitioned
+    * table (the st1 bucketing shape). */
+  private def q40(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem")
+    val cut = broadcast(li.agg(((max(col("l_orderkey")) + 1L) * 4L / 5L)
+      .cast("long").as("_cut")))
+    val tagged = li.crossJoin(cut)
+    def partials(df: DataFrame): DataFrame =
+      df.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).cast("long").as("pn"),
+          sum(m(col("l_quantity"))).cast(DecimalType(20, 2)).as("pq"))
+    val state = partials(tagged.filter(col("l_orderkey") < col("_cut")))
+    val delta = partials(tagged.filter(col("l_orderkey") >= col("_cut")))
+    state.unionByName(delta)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("pn")).cast("long").as("n_items"),
+        dbl(sum(col("pq"))).as("sum_qty"),
+        (sum(col("pq")).cast(DecimalType(28, 6)) / sum(col("pn")))
+          .cast(DecimalType(28, 6)).cast("double").as("avg_qty"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  private val q40Sql =
+    """SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n_items,
+      |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(28,6)) AS DOUBLE)
+      |    AS sum_qty,
+      |  CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(28,6))
+      |    / COUNT(*) AS DECIMAL(28,6)) AS DOUBLE) AS avg_qty
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q40_incremental_agg" -> q40 _,
     "q39_salted_join" -> q39 _,
     "q37_regression" -> q37 _,
     "q38_cdc_apply" -> q38 _,
@@ -712,6 +753,7 @@ object RelationalQueries2 {
     "q26_json_fns" -> q26 _)
 
   val oracle: Map[String, String] = Map(
+    "q40_incremental_agg" -> q40Sql,
     "q39_salted_join" -> q39Sql,
     "q37_regression" -> q37Sql,
     "q38_cdc_apply" -> q38Sql,

@@ -1939,6 +1939,42 @@ class DocEngineSpec extends SparkSpec {
       PlanSchema.plan))
   }
 
+  test("round-8 runtime_mappings: computed fields work in query/sort/_source; " +
+    "_score and shadowing reject") {
+    val corner = spark.createDataFrame(Seq(
+      ("a", 10L), ("b", 25L), ("c", 40L))).toDF("objectId", "v")
+      .select(struct(col("objectId"), col("v")).as("doc"))
+    val sch = corner.schema("doc").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    val body =
+      """{
+        |  "runtime_mappings": {
+        |    "band": { "type": "long", "script": { "source": "doc['v'].value / 10" } }
+        |  },
+        |  "query": { "range": { "band": { "gte": 2 } } },
+        |  "sort": [ { "band": { "order": "desc" } }, { "objectId": { "order": "asc" } } ],
+        |  "size": 10,
+        |  "_source": ["objectId", "band"]
+        |}""".stripMargin
+    val out = SearchExec.search(corner, "doc", body, sch).collect()
+    assert(out.map(r => (r.getAs[String]("objectId"), r.getAs[Long]("band"))).toSeq ===
+      Seq(("c", 4L), ("b", 2L)))
+    // _score in a runtime script rejects (no score at field-computation time)
+    assertThrows[IllegalArgumentException](SearchExec.search(corner, "doc",
+      """{"runtime_mappings": {"x": {"type": "double", "script": {"source": "_score"}}},
+        |"query": {"match_all": {}}, "sort": [{"objectId": {"order": "asc"}}]}""".stripMargin,
+      sch))
+    // shadowing a mapped field rejects
+    assertThrows[IllegalArgumentException](SearchExec.search(corner, "doc",
+      """{"runtime_mappings": {"v": {"type": "long", "script": {"source": "1"}}},
+        |"query": {"match_all": {}}, "sort": [{"objectId": {"order": "asc"}}]}""".stripMargin,
+      sch))
+    // unsupported declared type rejects
+    assertThrows[IllegalArgumentException](SearchExec.search(corner, "doc",
+      """{"runtime_mappings": {"x": {"type": "keyword", "script": {"source": "1"}}},
+        |"query": {"match_all": {}}, "sort": [{"objectId": {"order": "asc"}}]}""".stripMargin,
+      sch))
+  }
+
   test("match with operator=and through an array path binds every token to the SAME element") {
     val assembledDocs = Assembler.assemble(sh, PlanSchema.plan, "plan")
     def cnt(body: String): Long = assembledDocs.filter(

@@ -6135,6 +6135,77 @@ object DocQueries {
        |WHERE CAST(('0x' || substr(md5(key), 1, 8)) AS BIGINT) % 7 = 3
        |ORDER BY doc_count DESC, key ASC LIMIT 10""".stripMargin
 
+  // ---------------------------------------------------------------- d160
+  /** ES nested sort with a FILTER — "order plans by the cheapest
+    * deductible among their URGENT services": the element pool the
+    * min-mode reduces over is filtered per element before the
+    * reduction (`SearchQuery.SortKey.nestedFilter` →
+    * `SearchExec.keyValue`); plans with no qualifying element sort as
+    * missing (nulls last, the ES default). Pure array expressions — no
+    * explode, no join. */
+  private def d160(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "query": { "match_all": {} },
+        |  "sort": [
+        |    { "linkedPlanServices.planserviceCostShares.deductible": {
+        |        "order": "asc", "mode": "min",
+        |        "nested": { "path": "linkedPlanServices",
+        |          "filter": { "term": {
+        |            "linkedPlanServices.linkedService.name.keyword": "Service 1-URGENT" } } } } },
+        |    { "objectId": { "order": "asc" } } ],
+        |  "size": 15,
+        |  "_source": ["objectId"]
+        |}""".stripMargin
+    SearchExec.search(assembled(s, d), "doc", body, schema)
+  }
+
+  private val d160Sql =
+    s"""WITH o AS $O,
+       |ag AS (SELECT o_custkey, MIN(o_orderkey % 1000) AS k
+       |  FROM o WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey),
+       |base AS (SELECT 'plan-' || ${ck("c_custkey")} AS "objectId", ag.k
+       |  FROM customer LEFT JOIN ag ON o_custkey = c_custkey)
+       |SELECT rn, "objectId" FROM (
+       |  SELECT "objectId",
+       |    ROW_NUMBER() OVER (ORDER BY k ASC NULLS LAST, "objectId" ASC) AS rn
+       |  FROM base) WHERE rn <= 15 ORDER BY rn""".stripMargin
+
+  // ---------------------------------------------------------------- d161
+  /** `collapse` with `inner_hits` — one best hit per group PLUS the
+    * group's top-3 ids by an explicit inner sort as an array column
+    * (the "best listing per domain, with runners-up" page —
+    * `SearchQuery.CollapseInner` / `SearchExec`). Both rankings are
+    * WindowGroupLimit-bounded; the array build is group-grain. */
+  private def d161(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "query": { "match_all": {} },
+        |  "collapse": { "field": "planType",
+        |    "inner_hits": { "name": "top_by_copay", "size": 3,
+        |      "sort": [ { "planCostShares.copay": "desc" } ] } },
+        |  "sort": [ { "planCostShares.copay": { "order": "desc" } },
+        |            { "objectId": { "order": "asc" } } ],
+        |  "size": 10,
+        |  "_source": ["objectId", "planType"]
+        |}""".stripMargin
+    SearchExec.search(assembled(s, d), "doc", body, schema)
+  }
+
+  private val d161Sql =
+    s"""WITH r AS (SELECT c_mktsegment AS seg, 'plan-' || ${ck("c_custkey")} AS oid,
+       |    c_custkey % 50 AS cop,
+       |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+       |      ORDER BY c_custkey % 50 DESC, 'plan-' || ${ck("c_custkey")} ASC) AS ir
+       |  FROM customer),
+       |tops AS (SELECT seg, list(oid ORDER BY ir) AS top_by_copay
+       |  FROM r WHERE ir <= 3 GROUP BY seg),
+       |best AS (SELECT seg, oid, cop FROM r WHERE ir = 1)
+       |SELECT ROW_NUMBER() OVER (ORDER BY cop DESC, oid ASC) AS rn,
+       |  oid AS "objectId", seg AS "planType", top_by_copay
+       |FROM best JOIN tops USING (seg)
+       |ORDER BY rn LIMIT 10""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -6282,6 +6353,8 @@ object DocQueries {
     "d157_es_msearch" -> d157 _,
     "d158_es_runtime_fields" -> d158 _,
     "d159_es_terms_partition" -> d159 _,
+    "d160_es_nested_sort_filter" -> d160 _,
+    "d161_es_collapse_inner" -> d161 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
     "d3_roundtrip" -> d3 _,
@@ -6443,6 +6516,8 @@ object DocQueries {
     "d157_es_msearch" -> d157Sql,
     "d158_es_runtime_fields" -> d158Sql,
     "d159_es_terms_partition" -> d159Sql,
+    "d160_es_nested_sort_filter" -> d160Sql,
+    "d161_es_collapse_inner" -> d161Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,
     "d3_roundtrip" -> d3Sql,

@@ -109,7 +109,15 @@ object SearchExec {
       else SearchQuery.splitArrayPath(k.path, schema) match {
         case (Nil, full) => field(doc, full)
         case (arr, rest) =>
-          val elems = transform(field(doc, arr), x => field(x, rest))
+          // ES nested sort filter: the elements the mode reduces over are
+          // filtered FIRST (per-element predicate — compileInNested);
+          // a doc with no qualifying element sorts as missing (null)
+          val pool = k.nestedFilter match {
+            case Some(nf) => filter(field(doc, arr),
+              x => coalesce(SearchQuery.compileInNested(nf, arr, x), lit(false)))
+            case None => field(doc, arr)
+          }
+          val elems = transform(pool, x => field(x, rest))
           if (k.mode.contains("max")) array_max(elems) else array_min(elems)
       }
     val sortCols = sorts.map { k =>
@@ -125,8 +133,34 @@ object SearchExec {
       case Some(p) =>
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(field(doc, p)).orderBy(sortCols: _*)
-        hits.withColumn("_cr", row_number().over(w))
-          .filter(col("_cr") === 1).drop("_cr")
+        val ranked = hits.withColumn("_cr", row_number().over(w))
+        val top = ranked.filter(col("_cr") === 1).drop("_cr")
+        b.collapseInner match {
+          case None => top
+          case Some(ci) =>
+            // inner_hits: the group's top-`size` ids by the EXPLICIT
+            // inner sort, as one array column per collapsed row. Both
+            // windows are WindowGroupLimit-bounded per group; the array
+            // build is a |groups|-row aggregation joined back on the
+            // collapse key — group-grain work, never a second corpus
+            // pass.
+            require(schema.fieldNames.contains("objectId"),
+              "collapse inner_hits needs an objectId field to identify group members")
+            val iw = org.apache.spark.sql.expressions.Window
+              .partitionBy(field(doc, p))
+              .orderBy({
+                val c = field(doc, ci.sortPath)
+                if (ci.asc) c.asc_nulls_last else c.desc_nulls_last
+              }, field(doc, Seq("objectId")).asc)
+            val groupTops = hits
+              .withColumn("_ir", row_number().over(iw))
+              .filter(col("_ir") <= ci.size)
+              .groupBy(field(doc, p).as("_ck"))
+              .agg(transform(array_sort(collect_list(struct(col("_ir"),
+                field(doc, Seq("objectId")).as("_oid")))),
+                x => x.getField("_oid")).as(ci.name))
+            top.join(groupTops, field(doc, p) === col("_ck")).drop("_ck")
+        }
       case None => hits
     }
     // search_after: keyset pagination — a lexicographic strictly-after
@@ -205,7 +239,10 @@ object SearchExec {
         .otherwise(lit(null).cast("string"))
         .as(h.path.mkString("_") + "_highlight")
     }
-    val paged = numbered.select((col("rn") +: scoreCols) ++ sourceCols ++ highlightCols: _*)
+    // collapse inner_hits ride the page as their named array column
+    val innerCols = b.collapseInner.toSeq.map(ci => col(ci.name))
+    val paged = numbered
+      .select((col("rn") +: scoreCols) ++ sourceCols ++ highlightCols ++ innerCols: _*)
       .orderBy(col("rn"))
     // track_total_hits: the EXACT hit count beside the page — one global
     // count over the PRE-collapse hit set (ES counts matching documents,

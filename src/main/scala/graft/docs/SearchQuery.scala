@@ -723,8 +723,14 @@ object SearchQuery {
   /** One ES `sort` entry: a field path (or `_score`) with a direction.
     * `mode` (min/max) is REQUIRED when the path crosses an array — ES's
     * nested-sort reduction of many element values to one sort key. */
+  /** `nestedFilter` (ES sort `nested: {path, filter}`): the element set
+    * the min/max mode reduces over is FILTERED first — "sort plans by
+    * the cheapest copay among their ACTIVE services". Compiled as a
+    * per-element predicate (`compileInNested`) inside an array filter()
+    * before the reduction — pure expressions, no explode, no join. */
   final case class SortKey(path: Seq[String], asc: Boolean, isScore: Boolean,
-                           mode: Option[String] = None)
+                           mode: Option[String] = None,
+                           nestedFilter: Option[SearchQuery] = None)
 
   /** A COMPLETE ES search body: the parsed `query` plus the request-level
     * keys a real Kibana body carries — `sort` (field or `_score` entries,
@@ -732,11 +738,19 @@ object SearchQuery {
     * (ES defaults 0/10), `search_after` keyset pagination (one value per
     * sort key; mutually exclusive with `from`, as in ES), and `_source`
     * include paths. Executed by [[SearchExec.search]]. */
+  /** `collapse.inner_hits` — per collapsed group, the top `size`
+    * document ids by an explicit inner sort, rendered as ONE array
+    * column named `name` on each collapsed row (ES returns a nested hit
+    * list; the id array is its relational core). */
+  final case class CollapseInner(name: String, size: Int,
+                                 sortPath: Seq[String], asc: Boolean)
+
   final case class FullBody(parsed: Parsed, sorts: Seq[SortKey],
                             from: Int, size: Int,
                             searchAfter: Option[Seq[Any]],
                             source: Option[Seq[Seq[String]]],
                             collapse: Option[Seq[String]] = None,
+                            collapseInner: Option[CollapseInner] = None,
                             rescore: Option[Rescore] = None,
                             highlight: Option[Highlight] = None,
                             trackTotalHits: Boolean = false)
@@ -826,7 +840,7 @@ object SearchQuery {
         case JObject(List((name, JString(dir)))) => sortKey(name, dir == "asc")
         case JObject(List((name, JObject(opts)))) =>
           val m = opts.toMap
-          val unknown = m.keySet -- Set("order", "mode")
+          val unknown = m.keySet -- Set("order", "mode", "nested")
           require(unknown.isEmpty,
             s"unsupported sort option(s) on $name: ${unknown.mkString(", ")}")
           val dir = m.get("order").map {
@@ -839,7 +853,26 @@ object SearchQuery {
             case other => throw new IllegalArgumentException(
               s"unsupported sort mode on $name: $other (min/max)")
           }
-          sortKey(name, dir == "asc").copy(mode = mode)
+          // nested sort filter: the element set the mode reduces over
+          val nf = m.get("nested").map {
+            case JObject(nfo) =>
+              val nm = nfo.toMap
+              val unknownN = nm.keySet -- Set("path", "filter")
+              require(unknownN.isEmpty,
+                s"unsupported sort nested key(s) on $name: ${unknownN.mkString(", ")} (path/filter)")
+              val np = nm.get("path") match {
+                case Some(JString(p0)) => p0.split('.').toSeq
+                case _ => throw new IllegalArgumentException(s"sort nested on $name needs a path")
+              }
+              val (arr0, _) = splitArrayPath(fieldPath(name), schema)
+              require(arr0 == np,
+                s"sort nested path ${np.mkString(".")} must be the sort field's array prefix " +
+                  s"(${arr0.mkString(".")})")
+              nm.get("filter").map(parseQueryNode(_, schema)).getOrElse(
+                throw new IllegalArgumentException(s"sort nested on $name needs a filter"))
+            case other => throw new IllegalArgumentException(s"bad sort nested on $name: $other")
+          }
+          sortKey(name, dir == "asc").copy(mode = mode, nestedFilter = nf)
         case other => throw new IllegalArgumentException(s"unsupported sort entry: $other")
       }
       case single => throw new IllegalArgumentException(s"sort must be an array: $single")
@@ -876,17 +909,49 @@ object SearchQuery {
       require(sa.size == sorts.size,
         s"search_after needs one value per sort key (${sorts.size}), got ${sa.size}")
     }
-    val collapse = root.get("collapse").map {
-      case JObject(cf) => cf.toMap.get("field") match {
-        case Some(JString(p)) =>
-          val cp = fieldPath(p)
-          val (arr, _) = splitArrayPath(cp, schema)
-          require(arr.isEmpty, s"collapse field $p crosses array ${arr.mkString(".")}")
-          cp
-        case _ => throw new IllegalArgumentException("collapse needs a \"field\"")
-      }
+    val (collapse, collapseInner) = root.get("collapse").map {
+      case JObject(cf) =>
+        val cm = cf.toMap
+        val unknownC = cm.keySet -- Set("field", "inner_hits")
+        require(unknownC.isEmpty,
+          s"unsupported collapse key(s): ${unknownC.mkString(", ")} (field/inner_hits)")
+        val cp = cm.get("field") match {
+          case Some(JString(p)) =>
+            val p0 = fieldPath(p)
+            val (arr, _) = splitArrayPath(p0, schema)
+            require(arr.isEmpty, s"collapse field $p crosses array ${arr.mkString(".")}")
+            p0
+          case _ => throw new IllegalArgumentException("collapse needs a \"field\"")
+        }
+        val inner = cm.get("inner_hits").map {
+          case JObject(ih) =>
+            val im = ih.toMap
+            val unknownI = im.keySet -- Set("name", "size", "sort")
+            require(unknownI.isEmpty,
+              s"unsupported collapse inner_hits key(s): ${unknownI.mkString(", ")} (name/size/sort)")
+            val nm = im.get("name") match {
+              case Some(JString(n0)) => n0
+              case _ => throw new IllegalArgumentException("collapse inner_hits needs a name")
+            }
+            val sz = im.get("size").map(asInt).getOrElse(3) // ES default
+            require(sz >= 1, s"collapse inner_hits size must be >= 1: $sz")
+            val (sp, asc0) = im.get("sort") match {
+              case Some(JArray(List(JObject(List((sf, JString(dir))))))) =>
+                require(dir == "asc" || dir == "desc", s"bad inner_hits sort dir: $dir")
+                (fieldPath(sf), dir == "asc")
+              case _ => throw new IllegalArgumentException(
+                "collapse inner_hits needs an explicit one-entry sort " +
+                  "(deterministic group ranking — the d54 default-_score rule does not reach here)")
+            }
+            val (sArr, _) = splitArrayPath(sp, schema)
+            require(sArr.isEmpty,
+              s"collapse inner_hits sort on array path ${sp.mkString(".")} is not implemented")
+            CollapseInner(nm, sz, sp, asc0)
+          case other => throw new IllegalArgumentException(s"bad collapse inner_hits: $other")
+        }
+        (Some(cp), inner)
       case other => throw new IllegalArgumentException(s"bad collapse: $other")
-    }
+    }.getOrElse((None, None))
     require(collapse.isEmpty || searchAfter.isEmpty,
       "collapse with search_after is not implemented (cursor would apply pre-collapse)")
     val rescore = root.get("rescore").map {
@@ -963,6 +1028,7 @@ object SearchQuery {
       case other => throw new IllegalArgumentException(s"bad highlight: $other")
     }
     val fb = FullBody(parseBody(body, schema), sorts, from, size, searchAfter, source, collapse,
+      collapseInner,
       rescore, highlight, trackTotal)
     highlight.foreach { h =>
       require(highlightTerms(fb.parsed.query, h.path).nonEmpty,

@@ -1975,6 +1975,33 @@ class DocEngineSpec extends SparkSpec {
       sch))
   }
 
+  test("round-8 nested-sort-filter and collapse inner_hits reject malformed bodies loudly") {
+    // sort nested path must be the sort field's array prefix
+    assertThrows[IllegalArgumentException](SearchQuery.parseFullBody(
+      """{"query": {"match_all": {}},
+        |"sort": [{"linkedPlanServices.planserviceCostShares.copay": {
+        |  "order": "asc", "mode": "min",
+        |  "nested": {"path": "planCostShares",
+        |    "filter": {"match_all": {}}}}}]}""".stripMargin, PlanSchema.plan))
+    // nested needs a filter
+    assertThrows[IllegalArgumentException](SearchQuery.parseFullBody(
+      """{"query": {"match_all": {}},
+        |"sort": [{"linkedPlanServices.planserviceCostShares.copay": {
+        |  "order": "asc", "mode": "min",
+        |  "nested": {"path": "linkedPlanServices"}}}]}""".stripMargin, PlanSchema.plan))
+    // collapse inner_hits needs an explicit sort and a name
+    assertThrows[IllegalArgumentException](SearchQuery.parseFullBody(
+      """{"query": {"match_all": {}},
+        |"collapse": {"field": "planType",
+        |  "inner_hits": {"name": "x", "size": 2}},
+        |"sort": [{"objectId": {"order": "asc"}}]}""".stripMargin, PlanSchema.plan))
+    assertThrows[IllegalArgumentException](SearchQuery.parseFullBody(
+      """{"query": {"match_all": {}},
+        |"collapse": {"field": "planType",
+        |  "inner_hits": {"size": 2, "sort": [{"objectId": "asc"}]}},
+        |"sort": [{"objectId": {"order": "asc"}}]}""".stripMargin, PlanSchema.plan))
+  }
+
   test("match with operator=and through an array path binds every token to the SAME element") {
     val assembledDocs = Assembler.assemble(sh, PlanSchema.plan, "plan")
     def cnt(body: String): Long = assembledDocs.filter(

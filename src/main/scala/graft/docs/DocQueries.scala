@@ -6206,6 +6206,85 @@ object DocQueries {
        |FROM best JOIN tops USING (seg)
        |ORDER BY rn LIMIT 10""".stripMargin
 
+  // ---------------------------------------------------------------- d162
+  /** ES `bucket_count_ks_test` sibling — Kolmogorov–Smirnov distance
+    * between the histogram's doc-count distribution and an expected
+    * `fractions` curve (the drift-detection agg). Deterministic D/D⁺/D⁻
+    * statistics over the two CDFs (ES's simulated p-values are a
+    * documented deviation — the t_test rule); the expected CDF
+    * prefix-sums at parse and both engines interpolate the identical
+    * doubles. */
+  private def d162(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "size": 0,
+        |  "query": { "range": { "planCostShares.copay": { "lt": 42 } } },
+        |  "aggs": {
+        |    "h": { "histogram": { "field": "planCostShares.copay", "interval": 10 } },
+        |    "ks": { "bucket_count_ks_test": { "buckets_path": "h>_count",
+        |      "fractions": [0.2, 0.2, 0.2, 0.2, 0.2] } }
+        |  }
+        |}""".stripMargin
+    EsAggs.run(assembled(s, d), "doc", body, schema)
+  }
+
+  private val d162Sql = {
+    // the IDENTICAL parse-time prefix-sum the engine embeds (float
+    // artifacts and all); interpolated as shortest-round-trip literals
+    val fracs = Seq(0.2, 0.2, 0.2, 0.2, 0.2)
+    val total = fracs.sum
+    val cum = fracs.scanLeft(0.0)(_ + _).tail.map(_ / total)
+    val expCase = cum.zipWithIndex
+      .map { case (v, i) => s"WHEN ${i + 1} THEN CAST(${v} AS DOUBLE)" }
+      .mkString("CASE i ", " ", " END")
+    s"""WITH b AS (SELECT (c_custkey % 50 - (c_custkey % 50) % 10) AS key,
+       |    CAST(COUNT(*) AS BIGINT) AS doc_count FROM customer
+       |  WHERE c_custkey % 50 < 42 GROUP BY 1),
+       |w AS (SELECT key, doc_count,
+       |    ROW_NUMBER() OVER (ORDER BY key) AS i,
+       |    SUM(CAST(doc_count AS DOUBLE)) OVER (ORDER BY key
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    SUM(CAST(doc_count AS DOUBLE)) OVER () AS tot
+       |  FROM b),
+       |e AS (SELECT *, $expCase AS expc FROM w),
+       |dd AS (SELECT GREATEST(MAX(cum / tot - expc), 0.0) AS dp,
+       |    GREATEST(MAX(expc - cum / tot), 0.0) AS dm FROM e)
+       |SELECT e.key, e.doc_count, GREATEST(dd.dp, dd.dm) AS ks_d,
+       |  dd.dp AS ks_d_plus, dd.dm AS ks_d_minus
+       |FROM e, dd ORDER BY e.key""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- d163
+  /** `moving_fn` with the OTHER MovingFunctions Kibana emits — trailing
+    * max and sum beside d69's unweightedAvg: same shift-0 window frame
+    * (the last n buckets EXCLUDING the current), exact integers cast to
+    * ES's double rendering, |buckets|-row windows. */
+  private def d163(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "size": 0,
+        |  "aggs": {
+        |    "h": { "histogram": { "field": "planCostShares.copay", "interval": 5 },
+        |      "aggs": {
+        |        "peak": { "moving_fn": { "buckets_path": "_count", "window": 3,
+        |          "script": "MovingFunctions.max(values)" } },
+        |        "roll": { "moving_fn": { "buckets_path": "_count", "window": 3,
+        |          "script": "MovingFunctions.sum(values)" } } } }
+        |  }
+        |}""".stripMargin
+    EsAggs.run(assembled(s, d), "doc", body, schema)
+  }
+
+  private val d163Sql =
+    """WITH b AS (SELECT (c_custkey % 50 - (c_custkey % 50) % 5) AS key,
+      |    CAST(COUNT(*) AS BIGINT) AS doc_count FROM customer GROUP BY 1)
+      |SELECT key, doc_count,
+      |  CAST(MAX(doc_count) OVER (ORDER BY key
+      |    ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS DOUBLE) AS peak,
+      |  CAST(SUM(doc_count) OVER (ORDER BY key
+      |    ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS DOUBLE) AS roll
+      |FROM b ORDER BY key""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -6355,6 +6434,8 @@ object DocQueries {
     "d159_es_terms_partition" -> d159 _,
     "d160_es_nested_sort_filter" -> d160 _,
     "d161_es_collapse_inner" -> d161 _,
+    "d162_es_ks_test" -> d162 _,
+    "d163_es_moving_fns" -> d163 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
     "d3_roundtrip" -> d3 _,
@@ -6518,6 +6599,8 @@ object DocQueries {
     "d159_es_terms_partition" -> d159Sql,
     "d160_es_nested_sort_filter" -> d160Sql,
     "d161_es_collapse_inner" -> d161Sql,
+    "d162_es_ks_test" -> d162Sql,
+    "d163_es_moving_fns" -> d163Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,
     "d3_roundtrip" -> d3Sql,

@@ -332,7 +332,8 @@ object EsAggs {
   /** `moving_fn` with the one Kibana smoothing script
     * (`MovingFunctions.unweightedAvg(values)`): trailing-window mean in
     * key order, rendered as exact integer window-sum / window-count. */
-  final case class MovingAvg(name: String, target: String, window: Int) extends Pipeline
+  final case class MovingAvg(name: String, target: String, window: Int,
+                             fn: String = "avg") extends Pipeline
   /** `serial_diff`: value minus the value `lag` buckets earlier. */
   final case class SerialDiff(name: String, target: String, lag: Int) extends Pipeline
   /** `bucket_script` with one binary op between two params
@@ -516,7 +517,7 @@ object EsAggs {
   private val siblingKinds =
     Set("avg_bucket", "sum_bucket", "min_bucket", "max_bucket",
       "stats_bucket", "percentiles_bucket", "change_point",
-      "bucket_correlation")
+      "bucket_correlation", "bucket_count_ks_test")
 
   /** Column names a sibling agg renders to (stats/percentiles fan out). */
   private def siblingNames(sb: Sibling): Seq[String] = sb.kind match {
@@ -524,6 +525,8 @@ object EsAggs {
       Seq("count", "min", "max", "avg", "sum").map(s => s"${sb.name}_$s")
     case "percentiles_bucket" => sb.percents.map(p => s"${sb.name}_p${fmtPercent(p)}")
     case "change_point" => Seq(s"${sb.name}_key", s"${sb.name}_score")
+    case "bucket_count_ks_test" =>
+      Seq(s"${sb.name}_d", s"${sb.name}_d_plus", s"${sb.name}_d_minus")
     case _ => Seq(sb.name)
   }
 
@@ -1436,13 +1439,19 @@ object EsAggs {
               val m = checkSpecKeys(spec, "moving_fn", Set("buckets_path", "window", "script"))
               val script = m.get("script").map(asString).getOrElse(
                 throw new IllegalArgumentException("moving_fn needs a script"))
-              require(script.replaceAll("\\s", "") == "MovingFunctions.unweightedAvg(values)",
-                s"unsupported moving_fn script (only MovingFunctions.unweightedAvg(values)): $script")
+              val FnRe = "MovingFunctions\\.(unweightedAvg|max|min|sum)\\(values\\)".r
+              val fn0 = script.replaceAll("\\s", "") match {
+                case FnRe("unweightedAvg") => "avg"
+                case FnRe(f0) => f0
+                case other => throw new IllegalArgumentException(
+                  s"unsupported moving_fn script (MovingFunctions.unweightedAvg/max/min/sum(values)): $other")
+              }
               val window = num(spec, "window", "moving_fn").map(_.toInt).getOrElse(
                 throw new IllegalArgumentException("moving_fn needs a window"))
               require(window >= 1, s"moving_fn window must be >= 1: $window")
               MovingAvg(name, asString(m.getOrElse("buckets_path",
-                throw new IllegalArgumentException("moving_fn needs buckets_path"))), window)
+                throw new IllegalArgumentException("moving_fn needs buckets_path"))),
+                window, fn0)
             case (name, JObject(List(("serial_diff", spec)))) =>
               val m = checkSpecKeys(spec, "serial_diff", Set("buckets_path", "lag"))
               val lag = num(spec, "lag", "serial_diff").map(_.toInt).getOrElse(1)
@@ -1870,7 +1879,7 @@ object EsAggs {
               pipelines.collect {
                 case CumulativeSum(n0, _) => n0
                 case Derivative(n0, _) => n0
-                case MovingAvg(n0, _, _) => n0
+                case MovingAvg(n0, _, _, _) => n0
                 case SerialDiff(n0, _, _) => n0
                 case BucketScript(n0, _, _, _) => n0
                 case Normalize(n0, _, _) => n0
@@ -1898,7 +1907,7 @@ object EsAggs {
                 requireKeyed("bucket_sort")
                 sorts.foreach { case (t, _) => checkTarget(t, earlier, allowKey = true) }
                 earlier
-              case MovingAvg(n, t, _) =>
+              case MovingAvg(n, t, _, _) =>
                 requireHist("moving_fn"); checkTarget(t, earlier, allowKey = false); earlier + n
               case SerialDiff(n, t, _) =>
                 requireHist("serial_diff"); checkTarget(t, earlier, allowKey = false); earlier + n
@@ -1972,6 +1981,7 @@ object EsAggs {
               val allowed = kind match {
                 case "percentiles_bucket" => Set("buckets_path", "percents")
                 case "bucket_correlation" => Set("buckets_path", "function")
+                case "bucket_count_ks_test" => Set("buckets_path", "fractions")
                 case _ => Set("buckets_path")
               }
               val m = checkSpecKeys(spec, kind, allowed)
@@ -1992,7 +2002,15 @@ object EsAggs {
                   s"percentiles_bucket.percents must be a non-empty array: $other")
               }
               percents.foreach(p => require(p >= 0 && p <= 100, s"percent out of range: $p"))
-              val curve = if (kind != "bucket_correlation") Nil else m.get("function") match {
+              val curve = if (kind == "bucket_count_ks_test") m.get("fractions") match {
+                case Some(JArray(fs)) if fs.size >= 2 =>
+                  val vs = fs.map(SearchQuery.asDouble(_, "fraction"))
+                  vs.foreach(v => require(v >= 0, s"negative ks_test fraction: $v"))
+                  vs
+                case _ => throw new IllegalArgumentException(
+                  "bucket_count_ks_test needs a fractions array of >= 2 values " +
+                    "(the uniform default would hide a wrong bucket count)")
+              } else if (kind != "bucket_correlation") Nil else m.get("function") match {
                 case Some(JObject(List(("count_correlation", JObject(cf))))) =>
                   val cm = cf.toMap
                   val unknownC = cm.keySet -- Set("indicator")
@@ -2036,7 +2054,8 @@ object EsAggs {
           }
           // the split-statistic / correlation siblings need an ORDERED
           // axis — histogram parents only (the ES restriction)
-          sibs.filter(sb => sb.kind == "change_point" || sb.kind == "bucket_correlation")
+          sibs.filter(sb => Set("change_point", "bucket_correlation",
+              "bucket_count_ks_test")(sb.kind))
             .foreach { sb =>
               inner.bucket match {
                 case _: Histogram | _: DateHistogram => ()
@@ -3314,14 +3333,19 @@ object EsAggs {
               case "==" => c0 === rhs
               case "!=" => c0 =!= rhs
             })
-          case MovingAvg(n, t, window) =>
-            // trailing-window mean as exact integer window-sum / count —
-            // no float accumulation, engine-bit-identical. ES shift=0
+          case MovingAvg(n, t, window, fn) =>
+            // trailing-window reduction over exact integers (avg = exact
+            // window-sum / count — no float accumulation; max/min/sum
+            // are the other MovingFunctions Kibana emits). ES shift=0
             // semantics: the window is the last n values EXCLUDING the
             // current bucket (so the first bucket has no value).
             val mw = keyW.rowsBetween(-window.toLong, -1L)
-            table = table.withColumn(n,
-              sum(tcol(t)).over(mw).cast("double") / count(tcol(t)).over(mw))
+            table = table.withColumn(n, fn match {
+              case "avg" => sum(tcol(t)).over(mw).cast("double") / count(tcol(t)).over(mw)
+              case "max" => max(tcol(t)).over(mw).cast("double")
+              case "min" => min(tcol(t)).over(mw).cast("double")
+              case "sum" => sum(tcol(t)).over(mw).cast("double")
+            })
           case SerialDiff(n, t, lagN) =>
             table = table.withColumn(n, tcol(t) - lag(tcol(t), lagN).over(keyW))
           case BucketScript(n, a0, b0, op) =>
@@ -3432,6 +3456,34 @@ object EsAggs {
               t2.withColumn(s"${n}_key", first(col("key")).over(bw))
                 .withColumn(s"${n}_score", first(col("_cpscore")).over(bw))
                 .drop("_cpc", "_cpi", "_cps", "_cpn", "_cpt", "_cpscore")
+            case "bucket_count_ks_test" =>
+              // Kolmogorov–Smirnov distance between the bucket doc-count
+              // distribution (key order) and the body's expected
+              // `fractions`: D⁺/D⁻/D over the two CDFs — all
+              // |buckets|-row windows. DOCUMENTED DEVIATION: ES returns
+              // simulated p-values per `alternative`; this engine
+              // renders the deterministic statistics themselves (the
+              // t_test p-value rule). The expected CDF is prefix-summed
+              // at PARSE time and embedded as literals — the oracle
+              // interpolates the identical doubles.
+              val total = curve.sum
+              val expCdf = curve.scanLeft(0.0)(_ + _).tail.map(_ / total)
+              val kw2 = bucketW.orderBy(col("key").asc)
+              val t1 = table
+                .withColumn("_ksi", row_number().over(kw2))
+                .withColumn("_kscum",
+                  sum(c0.cast("double")).over(kw2.rowsBetween(W.unboundedPreceding, W.currentRow)))
+                .withColumn("_kstot", sum(c0.cast("double")).over(wAll))
+              val empCdf = col("_kscum") / col("_kstot")
+              val expC = try_element_at(lit(expCdf.toArray), col("_ksi"))
+              val t2 = t1
+                .withColumn("_ksdp", when(expC.isNotNull, empCdf - expC))
+                .withColumn("_ksdm", when(expC.isNotNull, expC - empCdf))
+              t2.withColumn(s"${n}_d_plus", greatest(max(col("_ksdp")).over(wAll), lit(0.0)))
+                .withColumn(s"${n}_d_minus", greatest(max(col("_ksdm")).over(wAll), lit(0.0)))
+                .withColumn(s"${n}_d",
+                  greatest(col(s"${n}_d_plus"), col(s"${n}_d_minus")))
+                .drop("_ksi", "_kscum", "_kstot", "_ksdp", "_ksdm")
             case "bucket_correlation" =>
               // Pearson r between the bucket values in key order and the
               // body's expectations curve, from explicit moment sums over

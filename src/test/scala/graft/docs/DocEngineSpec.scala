@@ -1087,11 +1087,16 @@ class DocEngineSpec extends SparkSpec {
         |  "aggs": {"sm": {"moving_fn": {"buckets_path": "_count", "window": 2,
         |    "script": "MovingFunctions.unweightedAvg(values)"}}}}}}""".stripMargin,
       PlanSchema.plan))
-    // only the one moving_fn script is supported
-    assertThrows[IllegalArgumentException](EsAggs.parse(
+    // the four MovingFunctions scripts parse (d163); anything richer rejects
+    assert(EsAggs.parse(
       """{"aggs": {"h": {"histogram": {"field": "planCostShares.copay", "interval": 20},
         |  "aggs": {"sm": {"moving_fn": {"buckets_path": "_count", "window": 2,
         |    "script": "MovingFunctions.max(values)"}}}}}}""".stripMargin,
+      PlanSchema.plan).tree.isRight)
+    assertThrows[IllegalArgumentException](EsAggs.parse(
+      """{"aggs": {"h": {"histogram": {"field": "planCostShares.copay", "interval": 20},
+        |  "aggs": {"sm": {"moving_fn": {"buckets_path": "_count", "window": 2,
+        |    "script": "MovingFunctions.stdDev(values)"}}}}}}""".stripMargin,
       PlanSchema.plan))
     // sibling buckets_path must name its sibling bucket agg
     assertThrows[IllegalArgumentException](EsAggs.parse(

@@ -620,6 +620,24 @@ class PlanAuditSpec extends SparkSpec {
       s"expected the fact-dim join to be keyed on (k, salt):\n$opt")
   }
 
+  test("s9: PQ codebook and LUT joins broadcast; no cartesian") {
+    val p = plan(q("s9_pq_ann"))
+    // every codebook/LUT join carries a <=128-row broadcast side (the
+    // seed selection's WindowGroupLimit is the bounded per-subspace heap
+    // — the plan we WANT); nothing may go cartesian
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast codebook joins:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in the PQ plan:\n$p")
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val uncond = q("s9_pq_ann").queryExecution.optimizedPlan
+      .collect { case j: Join if j.condition.isEmpty => j }
+    // the only condition-free joins are the 1-row/128-row broadcast
+    // frames (query slices, LUT, query vector)
+    uncond.foreach(j => assert(
+      j.left.stats.rowCount.exists(_ <= 128) || j.right.stats.rowCount.exists(_ <= 128) ||
+        j.toString.contains("query_q") || j.toString.contains("query_qs"),
+      s"unconditioned corpus-grain join in the PQ plan:\n$j"))
+  }
+
   test("t16: stratified sample runs both windows on ONE stratum shuffle") {
     val p = plan(q("t16_stratified_sample"))
     // count-per-stratum and hash-rank share the lang partitioning: one

@@ -49,7 +49,23 @@ object Verify {
         scala.concurrent.Future {
           val t0 = System.nanoTime()
           try {
-            fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            val df = fn(spark, sfDir)
+            // Gate constraint: the driver's pandas comparator sorts rows,
+            // which cannot factorize array/map/struct cells — every output
+            // column must be scalar. Fail loudly HERE, not as an opaque
+            // comparator TypeError three stages later.
+            val nonScalar = df.schema.fields.filterNot { f =>
+              f.dataType match {
+                case _: org.apache.spark.sql.types.ArrayType |
+                     _: org.apache.spark.sql.types.MapType |
+                     _: org.apache.spark.sql.types.StructType => false
+                case _ => true
+              }
+            }
+            require(nonScalar.isEmpty,
+              s"non-scalar output column(s) ${nonScalar.map(_.name).mkString(", ")}" +
+                " — render arrays as joined strings (oracle-gate constraint)")
+            df.coalesce(1).write.mode("overwrite")
               .parquet(s"$outDir/$name")
             System.err.println(f"[verify] $name ok ${(System.nanoTime() - t0) / 1e9}%.1fs")
           } catch { case e: Throwable =>

@@ -5719,7 +5719,9 @@ object DocQueries {
   /** ES `geo_line` agg — the track builder: points ordered by the sort
     * field, truncated to `size`, plus ES's `complete` flag. Bounded
     * TakeOrderedAndProject + ONE size-bounded collect_list — the corpus
-    * never sorts globally (`EsAggs.GeoLine`). */
+    * never sorts globally (`EsAggs.GeoLine`). Registry grain: the track
+    * array is rendered `"|"`-joined so every output column is scalar
+    * (the oracle gate's standing constraint — `Verify` asserts it). */
   private def d147(s: SparkSession, d: String): DataFrame = {
     val geo = geoDocs(s, d)
     val body =
@@ -5731,6 +5733,7 @@ object DocQueries {
         |    "size": 25 } } }
         |}""".stripMargin
     EsAggs.run(geo, "doc", body, geoSchema(geo))
+      .withColumn("line", concat_ws("|", col("line")))
   }
 
   private val d147Sql =
@@ -5740,7 +5743,7 @@ object DocQueries {
        |p2 AS (SELECT s, CAST(lat AS VARCHAR) || ',' || CAST(lon AS VARCHAR) AS pt FROM pts),
        |sel AS (SELECT s, pt FROM p2 ORDER BY s ASC, pt ASC LIMIT 25),
        |tot AS (SELECT COUNT(*) AS n FROM p2)
-       |SELECT (SELECT list(pt ORDER BY s ASC, pt ASC) FROM sel) AS line,
+       |SELECT (SELECT string_agg(pt, '|' ORDER BY s ASC, pt ASC) FROM sel) AS line,
        |  (SELECT n <= 25 FROM tot) AS complete""".stripMargin
 
   // ---------------------------------------------------------------- d148
@@ -6176,7 +6179,9 @@ object DocQueries {
     * group's top-3 ids by an explicit inner sort as an array column
     * (the "best listing per domain, with runners-up" page —
     * `SearchQuery.CollapseInner` / `SearchExec`). Both rankings are
-    * WindowGroupLimit-bounded; the array build is group-grain. */
+    * WindowGroupLimit-bounded; the array build is group-grain. Registry
+    * grain: the inner-hits id array is rendered `"|"`-joined so every
+    * output column is scalar (`Verify` asserts the gate constraint). */
   private def d161(s: SparkSession, d: String): DataFrame = {
     val body =
       """{
@@ -6190,6 +6195,7 @@ object DocQueries {
         |  "_source": ["objectId", "planType"]
         |}""".stripMargin
     SearchExec.search(assembled(s, d), "doc", body, schema)
+      .withColumn("top_by_copay", concat_ws("|", col("top_by_copay")))
   }
 
   private val d161Sql =
@@ -6198,7 +6204,7 @@ object DocQueries {
        |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
        |      ORDER BY c_custkey % 50 DESC, 'plan-' || ${ck("c_custkey")} ASC) AS ir
        |  FROM customer),
-       |tops AS (SELECT seg, list(oid ORDER BY ir) AS top_by_copay
+       |tops AS (SELECT seg, string_agg(oid, '|' ORDER BY ir) AS top_by_copay
        |  FROM r WHERE ir <= 3 GROUP BY seg),
        |best AS (SELECT seg, oid, cop FROM r WHERE ir = 1)
        |SELECT ROW_NUMBER() OVER (ORDER BY cop DESC, oid ASC) AS rn,

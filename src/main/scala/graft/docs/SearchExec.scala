@@ -159,7 +159,10 @@ object SearchExec {
               .agg(transform(array_sort(collect_list(struct(col("_ir"),
                 field(doc, Seq("objectId")).as("_oid")))),
                 x => x.getField("_oid")).as(ci.name))
-            top.join(groupTops, field(doc, p) === col("_ck")).drop("_ck")
+            // Null-safe <=>: a null collapse key forms a group in the
+            // row_number window, and `null === null` would silently drop
+            // it here — the hit set must not depend on inner_hits presence.
+            top.join(groupTops, field(doc, p) <=> col("_ck")).drop("_ck")
         }
       case None => hits
     }

@@ -642,7 +642,11 @@ object SearchQuery {
     def number(): ScriptExpr = {
       val st = i
       while (i < s.length && (s(i).isDigit || s(i) == '.')) i += 1
-      SNum(s.substring(st, i).toDouble)
+      val raw = s.substring(st, i)
+      // Malformed literals (`1.2.3`, `1.`) must raise the parser's loud
+      // located error, not a bare NumberFormatException.
+      try SNum(raw.toDouble)
+      catch { case _: NumberFormatException => fail(s"bad number literal '$raw'") }
     }
     def docRef(): ScriptExpr = {
       i += 4 // "doc["

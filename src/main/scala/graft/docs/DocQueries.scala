@@ -6291,6 +6291,237 @@ object DocQueries {
       |    ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS DOUBLE) AS roll
       |FROM b ORDER BY key""".stripMargin
 
+  // ---------------------------------------------------------------- d164
+  /** ES `scripted_metric` — the Kibana custom-metric escape hatch, in the
+    * decomposable-fold subset (ES's own canonical "profit" example):
+    * init `state.t = 0`, map `state.t += <Painless-subset expr>`, combine
+    * `return state.t`, reduce = the sum-of-states loop. Compiles to ONE
+    * distributed sum of the mapped expression inside the terms
+    * aggregation — Spark's partial aggregation IS the combine phase and
+    * the final merge IS the reduce (`EsAggs` parseMetrics/metricCols).
+    * The mapped values here are integer-valued doubles (the division is
+    * always exact), so the sum is order-independent and oracle-exact. */
+  private def d164(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "size": 0,
+        |  "aggs": {
+        |    "by_type": {
+        |      "terms": { "field": "planType", "size": 10 },
+        |      "aggs": {
+        |        "profit": { "scripted_metric": {
+        |          "init_script": "state.t = 0",
+        |          "map_script": "state.t += doc['planCostShares.copay'].value * 2 - doc['planCostShares.deductible'].value / 100 + 1",
+        |          "combine_script": "return state.t",
+        |          "reduce_script": "double t = 0; for (s in states) { t += s } return t"
+        |        } }
+        |      }
+        |    }
+        |  }
+        |}""".stripMargin
+    EsAggs.run(assembled(s, d), "doc", body, schema)
+  }
+
+  private val d164Sql =
+    """SELECT c_mktsegment AS key, CAST(COUNT(*) AS BIGINT) AS doc_count,
+      |  CAST(SUM(c_custkey % 50 * 2 - c_nationkey + 1) AS DOUBLE) AS profit
+      |FROM customer GROUP BY 1 ORDER BY doc_count DESC, key ASC""".stripMargin
+
+  // ---------------------------------------------------------------- d165
+  /** ES `has_child` — parents selected by a predicate on their CHILDREN,
+    * through the parent-join index the shredded `edges` table IS
+    * (`ParentJoin.hasChild`; the reference's per-relation Redis keys,
+    * `PlanService.java:41-44`). Nested relation: an inner has_child on
+    * `planserviceCostShares` (services whose cost share has deductible
+    * < 400) feeds the outer has_child on `linkedPlanServices` with
+    * `min_children: 3` — "plans with at least three cheap services". The
+    * child predicate prunes the entity scan BEFORE any join (plan-pinned);
+    * both hops are key equi-joins + one hash count per parent. */
+  private def d165(s: SparkSession, d: String): DataFrame = {
+    val sh = shredded(s, d)
+    val cheapShares = sh.entities.filter(
+      col("type_tag") === "planserviceCostShares" &&
+        get_json_object(col("json"), "$.deductible").cast("long") < 400)
+      .select(col("key"))
+    val cheapServices = ParentJoin.hasChildKeys(sh, "planserviceCostShares", cheapShares)
+      .select(col("parent_key").as("key"))
+    ParentJoin.hasChildKeys(sh, "linkedPlanServices", cheapServices, minChildren = 3)
+      .select(regexp_replace(col("parent_key"), "^plan_", "").as("objectId"),
+        col("n_matching"))
+      .orderBy(col("objectId"))
+  }
+
+  private val d165Sql =
+    s"""WITH o AS $O,
+       |m AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_matching
+       |  FROM o WHERE o_orderkey % 1000 < 400 GROUP BY o_custkey
+       |  HAVING COUNT(*) >= 3)
+       |SELECT 'plan-' || ${ck("c_custkey")} AS "objectId", n_matching
+       |FROM customer JOIN m ON o_custkey = c_custkey
+       |ORDER BY "objectId"""".stripMargin
+
+  // ---------------------------------------------------------------- d166
+  /** ES `has_parent` — children selected by a predicate on their PARENT
+    * (`ParentJoin.hasParent`): all planservice nodes whose plan is a
+    * BUILDING-segment plan. Parent predicate prunes the entity scan
+    * first; one key equi-join through edges; no child fan-out beyond the
+    * edge table (ES score_mode=none — has_parent never aggregates). */
+  private def d166(s: SparkSession, d: String): DataFrame = {
+    val sh = shredded(s, d)
+    ParentJoin.hasParent(sh, "linkedPlanServices",
+      col("type_tag") === "plan" &&
+        get_json_object(col("json"), "$.planType") === "BUILDING")
+      .select(regexp_replace(col("child_key"), "^planservice_", "").as("objectId"),
+        regexp_replace(col("parent_key"), "^plan_", "").as("parent"))
+      .orderBy(col("objectId"))
+  }
+
+  private val d166Sql =
+    s"""WITH o AS $O
+       |SELECT 'ps-' || ${ck("o_orderkey")} AS "objectId",
+       |  'plan-' || ${ck("o_custkey")} AS parent
+       |FROM o JOIN customer ON c_custkey = o_custkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |ORDER BY "objectId"""".stripMargin
+
+  // ---------------------------------------------------------------- d167
+  /** ES `geo_shape` polygon query over geo_point docs — ray-casting
+    * parity behind the polygon's bbox as a PUSHED numeric pre-filter
+    * (`SearchQuery.GeoShapePolygon` / `Geo.pointInPolygon`; the d121
+    * two-stage shape — most of the planet prunes at the parquet scan
+    * before any edge test). Vertices sit off the planted tenth-degree
+    * grid so no point lies ON an edge; the SQL side replays the identical
+    * multiplication-only crossing tests. */
+  private val d167Verts: Seq[(Double, Double)] = // (lat, lon)
+    Seq((-20.03, -30.05), (-25.11, 40.07), (30.09, 55.03), (45.13, -10.01))
+
+  private def d167(s: SparkSession, d: String): DataFrame = {
+    val geo = geoDocs(s, d)
+    val ring = (d167Verts :+ d167Verts.head)
+      .map { case (la, lo) => s"[$lo, $la]" }.mkString(", ")
+    val body =
+      s"""{
+         |  "query": { "geo_shape": { "location": {
+         |    "shape": { "type": "polygon", "coordinates": [[$ring]] },
+         |    "relation": "intersects" } } }
+         |}""".stripMargin
+    val ast = SearchQuery.fromJson(body, geoSchema(geo))
+    geo.filter(SearchQuery.compile(ast, col("doc")))
+      .select(col("doc.objectId").as("objectId"),
+        col("doc.location.lat").as("lat"), col("doc.location.lon").as("lon"))
+      .orderBy(col("objectId"))
+  }
+
+  private val d167Sql =
+    s"""WITH pts AS (
+       |  SELECT 'plan-' || ${ck("c_custkey")} AS "objectId",
+       |    $geoLatSql AS lat, $geoLonSql AS lon
+       |  FROM customer)
+       |SELECT "objectId", lat, lon FROM pts
+       |WHERE ${Geo.pointInPolygonSql("lat", "lon", d167Verts)}
+       |ORDER BY "objectId"""".stripMargin
+
+  // ---------------------------------------------------------------- d168
+  /** `function_score` `random_score` + body-level `min_score` — the
+    * reproducible-shuffle page ("show a seeded random 'sample' of cheap
+    * plans, floor the draw at 0.6"). The draw is the top 60 bits of
+    * md5(seed:objectId) over 2^60 — division by a power of two, bit-exact
+    * in any engine (`SearchQuery.ScoreFn.random`); min_score prunes the
+    * hit set BEFORE sort/pagination (`SearchExec`). */
+  private def d168(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "query": { "function_score": {
+        |    "query": { "range": { "planCostShares.copay": { "lt": 40 } } },
+        |    "functions": [ { "random_score": { "seed": 7, "field": "objectId" } } ],
+        |    "boost_mode": "multiply" } },
+        |  "min_score": 0.6,
+        |  "sort": [ { "_score": "desc" }, { "objectId": "asc" } ],
+        |  "size": 20,
+        |  "_source": ["objectId"]
+        |}""".stripMargin
+    SearchExec.search(assembled(s, d), "doc", body, schema)
+  }
+
+  private val d168Sql =
+    s"""WITH s AS (SELECT 'plan-' || ${ck("c_custkey")} AS oid,
+       |    CAST(CAST(('0x' || substr(md5('7:plan-' || ${ck("c_custkey")}), 1, 15)) AS BIGINT) AS DOUBLE)
+       |      / 1152921504606846976.0 AS score
+       |  FROM customer WHERE c_custkey % 50 < 40)
+       |SELECT rn, score, "objectId" FROM (
+       |  SELECT oid AS "objectId", score,
+       |    ROW_NUMBER() OVER (ORDER BY score DESC, oid ASC) AS rn
+       |  FROM s WHERE score >= 0.6)
+       |WHERE rn <= 20 ORDER BY rn""".stripMargin
+
+  // ---------------------------------------------------------------- d169
+  /** `moving_fn` MODEL functions — ewma / linearWeightedAvg / holt over
+    * a copay histogram's doc_counts, window 3 (the Kibana smoothing
+    * trio beyond d69/d163's reductions). Each is the ES skip-NaN fold
+    * unrolled over the window's lag columns at plan time
+    * (`EsAggs.MovingAvg` — fixed IEEE op sequences; mapped values are
+    * integer counts so every product is exact). |buckets|-row windows. */
+  private def d169(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "size": 0,
+        |  "aggs": {
+        |    "h": {
+        |      "histogram": { "field": "planCostShares.copay", "interval": 5 },
+        |      "aggs": {
+        |        "ew": { "moving_fn": { "buckets_path": "_count", "window": 3,
+        |                               "script": "MovingFunctions.ewma(values, 0.3)" } },
+        |        "lwa": { "moving_fn": { "buckets_path": "_count", "window": 3,
+        |                                "script": "MovingFunctions.linearWeightedAvg(values)" } },
+        |        "holt": { "moving_fn": { "buckets_path": "_count", "window": 3,
+        |                                 "script": "MovingFunctions.holt(values, 0.3, 0.1)" } }
+        |      }
+        |    }
+        |  }
+        |}""".stripMargin
+    EsAggs.run(assembled(s, d), "doc", body, schema)
+  }
+
+  private val d169Sql = {
+    val a = 0.3; val na = 1 - 0.3; val b = 0.1
+    s"""WITH h AS (SELECT (c_custkey % 50 - (c_custkey % 50) % 5) AS key,
+       |    CAST(COUNT(*) AS BIGINT) AS doc_count FROM customer GROUP BY 1),
+       |l AS (SELECT key, doc_count,
+       |    CAST(LAG(doc_count, 1) OVER (ORDER BY key) AS DOUBLE) AS v1,
+       |    CAST(LAG(doc_count, 2) OVER (ORDER BY key) AS DOUBLE) AS v2,
+       |    CAST(LAG(doc_count, 3) OVER (ORDER BY key) AS DOUBLE) AS v3
+       |  FROM h),
+       |w AS (SELECT *,
+       |    CAST((CASE WHEN v1 IS NOT NULL THEN 1 ELSE 0 END) +
+       |         (CASE WHEN v2 IS NOT NULL THEN 1 ELSE 0 END) +
+       |         (CASE WHEN v3 IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) AS w1,
+       |    CAST((CASE WHEN v2 IS NOT NULL THEN 1 ELSE 0 END) +
+       |         (CASE WHEN v3 IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) AS w2,
+       |    CAST((CASE WHEN v3 IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) AS w3
+       |  FROM l)
+       |SELECT key, doc_count,
+       |  CASE WHEN v1 IS NULL THEN NULL
+       |       WHEN v2 IS NULL THEN v1
+       |       WHEN v3 IS NULL THEN v1 * $a + v2 * $na
+       |       ELSE v1 * $a + (v2 * $a + v3 * $na) * $na END AS ew,
+       |  CASE WHEN ((CASE WHEN v1 IS NOT NULL THEN w1 ELSE 0.0 END) +
+       |             (CASE WHEN v2 IS NOT NULL THEN w2 ELSE 0.0 END) +
+       |             (CASE WHEN v3 IS NOT NULL THEN w3 ELSE 0.0 END)) > 0
+       |    THEN ((CASE WHEN v1 IS NOT NULL THEN v1 * w1 ELSE 0.0 END) +
+       |          (CASE WHEN v2 IS NOT NULL THEN v2 * w2 ELSE 0.0 END) +
+       |          (CASE WHEN v3 IS NOT NULL THEN v3 * w3 ELSE 0.0 END))
+       |         / ((CASE WHEN v1 IS NOT NULL THEN w1 ELSE 0.0 END) +
+       |            (CASE WHEN v2 IS NOT NULL THEN w2 ELSE 0.0 END) +
+       |            (CASE WHEN v3 IS NOT NULL THEN w3 ELSE 0.0 END))
+       |    ELSE NULL END AS lwa,
+       |  CASE WHEN v1 IS NULL THEN NULL
+       |       WHEN v2 IS NULL THEN v1
+       |       WHEN v3 IS NULL THEN $a * v1 + $na * (v2 + 0.0)
+       |       ELSE $a * v1 + $na * (($a * v2 + $na * (v3 + 0.0)) +
+       |         ($b * (($a * v2 + $na * (v3 + 0.0)) - v3) + ${1 - 0.1} * 0.0)) END AS holt
+       |FROM w ORDER BY key""".stripMargin
+  }
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -6442,6 +6673,12 @@ object DocQueries {
     "d161_es_collapse_inner" -> d161 _,
     "d162_es_ks_test" -> d162 _,
     "d163_es_moving_fns" -> d163 _,
+    "d164_es_scripted_metric" -> d164 _,
+    "d165_es_has_child" -> d165 _,
+    "d166_es_has_parent" -> d166 _,
+    "d167_es_geo_shape" -> d167 _,
+    "d168_es_random_score" -> d168 _,
+    "d169_es_moving_models" -> d169 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
     "d3_roundtrip" -> d3 _,
@@ -6607,6 +6844,12 @@ object DocQueries {
     "d161_es_collapse_inner" -> d161Sql,
     "d162_es_ks_test" -> d162Sql,
     "d163_es_moving_fns" -> d163Sql,
+    "d164_es_scripted_metric" -> d164Sql,
+    "d165_es_has_child" -> d165Sql,
+    "d166_es_has_parent" -> d166Sql,
+    "d167_es_geo_shape" -> d167Sql,
+    "d168_es_random_score" -> d168Sql,
+    "d169_es_moving_models" -> d169Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,
     "d3_roundtrip" -> d3Sql,

@@ -65,7 +65,8 @@ object EsAggs {
                           weightPath: Seq[String] = Nil,
                           sigma: Double = 2.0,
                           filters: Seq[SearchQuery] = Nil,
-                          variant: String = "") extends Agg
+                          variant: String = "",
+                          script: Option[SearchQuery.ScriptExpr] = None) extends Agg
   /** ES `terms` bucket agg: top-`size` buckets. Default ES order =
     * doc_count desc, key asc; `order` overrides it with `_key`, `_count`,
     * or a metric sub-agg NAME (validated at parse — unknown targets are
@@ -329,11 +330,29 @@ object EsAggs {
   /** `bucket_sort`: reorder + `from`/`size`-truncate the bucket list. */
   final case class BucketSort(sorts: Seq[(String, Boolean)], from: Int,
                               size: Option[Int]) extends Pipeline
-  /** `moving_fn` with the one Kibana smoothing script
-    * (`MovingFunctions.unweightedAvg(values)`): trailing-window mean in
-    * key order, rendered as exact integer window-sum / window-count. */
+  /** `moving_fn` with the Kibana smoothing scripts. `unweightedAvg` /
+    * `max` / `min` / `sum` are trailing-window reductions over exact
+    * integers; the MODEL functions follow ES's MovingFunctions skip-NaN
+    * fold over the window values, oldest → newest, excluding the current
+    * bucket (shift=0):
+    *  - `ewma(values, alpha)`: `s ← α·v + (1-α)·s`, seeded by the first
+    *    value — unrolled at plan time over the window's lag columns
+    *    (window is a parse-time constant), so the recurrence is a fixed
+    *    IEEE op sequence the oracle reproduces exactly.
+    *  - `linearWeightedAvg(values)`: weight 1 for the oldest non-null
+    *    value rising by 1 per value — `Σ wᵢvᵢ / Σ wᵢ`, where wᵢ is the
+    *    COUNT of non-null values at-or-before lag i (ES increments the
+    *    weight only on non-NaN values).
+    *  - `holt(values, alpha, beta)`: classic Holt linear smoothing with
+    *    the first value seeding the level and b₀ = 0 — `s ← α·v +
+    *    (1-α)(s+b)`, `b ← β(s−s_prev) + (1-β)·b`, returning the final
+    *    LEVEL s (documented reading of ES's smoothed-series contract).
+    * All three are per-bucket window expressions over the |buckets|-row
+    * table — no corpus work. */
   final case class MovingAvg(name: String, target: String, window: Int,
-                             fn: String = "avg") extends Pipeline
+                             fn: String = "avg",
+                             alpha: Double = 0.3,
+                             beta: Double = 0.1) extends Pipeline
   /** `serial_diff`: value minus the value `lag` buckets earlier. */
   final case class SerialDiff(name: String, target: String, lag: Int) extends Pipeline
   /** `bucket_script` with one binary op between two params
@@ -676,6 +695,65 @@ object EsAggs {
           val wPath = fieldPath(m.getOrElse("weight",
             throw new IllegalArgumentException("weighted_avg needs weight")), "weighted_avg weight", ctx)
           name -> Metric("weighted_avg", vPath, Nil, wPath)
+        case (name, JObject(List(("scripted_metric", spec)))) =>
+          // ES `scripted_metric` — the Kibana escape hatch for custom
+          // metrics. Implemented subset: the DECOMPOSABLE FOLD, which is
+          // ES's own canonical example (the "profit" walkthrough in the
+          // scripted_metric docs): init `state.<acc> = 0`, map
+          // `state.<acc> += <expr>` over the script_score Painless subset
+          // (see [[SearchQuery.ScriptExpr]]), combine `return state.<acc>`,
+          // reduce = the sum-of-states loop. Any other shape rejects
+          // loudly at parse — a general init/map/combine/reduce would need
+          // arbitrary per-row state, which is exactly what a distributed
+          // engine cannot verify is mergeable; the fold subset maps 1:1
+          // onto Spark's partial aggregation (map+combine = per-partition
+          // partial sums, reduce = the final merge), so the 100 TB plan is
+          // ONE hash-free global aggregate, no extra pass.
+          require(ctx.isEmpty,
+            "scripted_metric inside a nested context is not implemented")
+          val m = checkSpecKeys(spec, "scripted_metric",
+            Set("init_script", "map_script", "combine_script", "reduce_script"))
+          def src(k: String): String = m.get(k) match {
+            case Some(JString(s0)) => s0
+            case Some(JObject(sf)) => sf.toMap.get("source") match {
+              case Some(JString(s0)) => s0
+              case _ => throw new IllegalArgumentException(
+                s"scripted_metric $k needs a string source")
+            }
+            case _ => throw new IllegalArgumentException(s"scripted_metric needs $k")
+          }
+          def squish(s0: String): String = s0.trim.replaceAll("\\s+", " ")
+          val initRe = """state\.(\w+) = 0(?:\.0)?;?""".r
+          val acc = squish(src("init_script")) match {
+            case initRe(v) => v
+            case other => throw new IllegalArgumentException(
+              s"unsupported scripted_metric init_script '$other' — the implemented " +
+                "subset is the decomposable fold: state.<acc> = 0")
+          }
+          val mapS = squish(src("map_script")).stripSuffix(";")
+          val mapPrefix = s"state.$acc += "
+          require(mapS.startsWith(mapPrefix),
+            s"unsupported scripted_metric map_script '$mapS' — the implemented " +
+              s"subset is: state.$acc += <expr>")
+          val mapExpr = SearchQuery.parseScript(mapS.stripPrefix(mapPrefix), schema)
+          require(!SearchQuery.scriptReadsScore(mapExpr),
+            "scripted_metric map_script cannot read _score (aggregation context has no score)")
+          val combineRe = ("""(?:return )?state\.""" + java.util.regex.Pattern.quote(acc) + ";?").r
+          squish(src("combine_script")) match {
+            case combineRe() => ()
+            case other => throw new IllegalArgumentException(
+              s"unsupported scripted_metric combine_script '$other' — the implemented " +
+                s"subset is: return state.$acc")
+          }
+          val reduceRe =
+            """(?:double )?(\w+) = 0(?:\.0)?; for \((\w+) in states\) \{ \1 \+= \2;? \} return \1;?""".r
+          squish(src("reduce_script")) match {
+            case reduceRe(_, _) => ()
+            case other => throw new IllegalArgumentException(
+              s"unsupported scripted_metric reduce_script '$other' — the implemented " +
+                "subset is: double t = 0; for (s in states) { t += s } return t")
+          }
+          name -> Metric("scripted_metric", Nil, script = Some(mapExpr))
         case (name, JObject(List((kind, spec)))) if metricKinds(kind) =>
           // strict spec keys: a typo'd/unsupported option (e.g. `missing`)
           // silently ignored would compute a DIFFERENT aggregate
@@ -1440,18 +1518,32 @@ object EsAggs {
               val script = m.get("script").map(asString).getOrElse(
                 throw new IllegalArgumentException("moving_fn needs a script"))
               val FnRe = "MovingFunctions\\.(unweightedAvg|max|min|sum)\\(values\\)".r
-              val fn0 = script.replaceAll("\\s", "") match {
-                case FnRe("unweightedAvg") => "avg"
-                case FnRe(f0) => f0
+              val EwmaRe = "MovingFunctions\\.ewma\\(values,([0-9.eE+-]+)\\)".r
+              val LwaRe = "MovingFunctions\\.linearWeightedAvg\\(values\\)".r
+              val HoltRe = "MovingFunctions\\.holt\\(values,([0-9.eE+-]+),([0-9.eE+-]+)\\)".r
+              def param(raw: String, what: String): Double = {
+                val p0 = try raw.toDouble catch { case _: NumberFormatException =>
+                  throw new IllegalArgumentException(s"bad moving_fn $what: $raw") }
+                require(p0 > 0 && p0 <= 1, s"moving_fn $what must be in (0, 1]: $p0")
+                p0
+              }
+              val (fn0, alpha, beta) = script.replaceAll("\\s", "") match {
+                case FnRe("unweightedAvg") => ("avg", 0.0, 0.0)
+                case FnRe(f0) => (f0, 0.0, 0.0)
+                case EwmaRe(a0) => ("ewma", param(a0, "ewma alpha"), 0.0)
+                case LwaRe() => ("linearWeightedAvg", 0.0, 0.0)
+                case HoltRe(a0, b0) =>
+                  ("holt", param(a0, "holt alpha"), param(b0, "holt beta"))
                 case other => throw new IllegalArgumentException(
-                  s"unsupported moving_fn script (MovingFunctions.unweightedAvg/max/min/sum(values)): $other")
+                  "unsupported moving_fn script (MovingFunctions.unweightedAvg/max/min/" +
+                    s"sum(values), ewma(values, a), linearWeightedAvg(values), holt(values, a, b)): $other")
               }
               val window = num(spec, "window", "moving_fn").map(_.toInt).getOrElse(
                 throw new IllegalArgumentException("moving_fn needs a window"))
               require(window >= 1, s"moving_fn window must be >= 1: $window")
               MovingAvg(name, asString(m.getOrElse("buckets_path",
                 throw new IllegalArgumentException("moving_fn needs buckets_path"))),
-                window, fn0)
+                window, fn0, alpha, beta)
             case (name, JObject(List(("serial_diff", spec)))) =>
               val m = checkSpecKeys(spec, "serial_diff", Set("buckets_path", "lag"))
               val lag = num(spec, "lag", "serial_diff").map(_.toInt).getOrElse(1)
@@ -1879,7 +1971,7 @@ object EsAggs {
               pipelines.collect {
                 case CumulativeSum(n0, _) => n0
                 case Derivative(n0, _) => n0
-                case MovingAvg(n0, _, _, _) => n0
+                case ma: MovingAvg => ma.name
                 case SerialDiff(n0, _, _) => n0
                 case BucketScript(n0, _, _, _) => n0
                 case Normalize(n0, _, _) => n0
@@ -1907,7 +1999,7 @@ object EsAggs {
                 requireKeyed("bucket_sort")
                 sorts.foreach { case (t, _) => checkTarget(t, earlier, allowKey = true) }
                 earlier
-              case MovingAvg(n, t, _, _) =>
+              case MovingAvg(n, t, _, _, _, _) =>
                 requireHist("moving_fn"); checkTarget(t, earlier, allowKey = false); earlier + n
               case SerialDiff(n, t, _) =>
                 requireHist("serial_diff"); checkTarget(t, earlier, allowKey = false); earlier + n
@@ -2426,6 +2518,17 @@ object EsAggs {
           m.percents.map(x =>
             (sum(when(v <= lit(x), 1L).otherwise(0L)).cast("double") * lit(100.0) / count(v))
               .as(s"${name}_r${fmtPercent(x)}"))
+        case "scripted_metric" =>
+          // The decomposable-fold subset compiles to ONE distributed sum
+          // of the per-document mapped expression: Spark's partial
+          // aggregation IS the combine phase (per-partition partial sums)
+          // and the final merge IS the reduce — the ES contract, with the
+          // merge order guaranteed associative by construction.
+          val mapped = SearchQuery.compileScriptWith(m.script.getOrElse(
+            throw new IllegalStateException("scripted_metric without a parsed script")),
+            resolve, lit(0.0))
+          val sv = pred match { case Some(p) => when(p, mapped); case None => mapped }
+          Seq(sum(sv).cast("double").as(name))
         case kind => Seq((kind match {
           case "avg" => avg(v).cast("double")
           case "sum" => sum(v).cast("double") // ES sum is a double
@@ -3333,18 +3436,58 @@ object EsAggs {
               case "==" => c0 === rhs
               case "!=" => c0 =!= rhs
             })
-          case MovingAvg(n, t, window, fn) =>
+          case MovingAvg(n, t, window, fn, alpha, beta) =>
             // trailing-window reduction over exact integers (avg = exact
             // window-sum / count — no float accumulation; max/min/sum
             // are the other MovingFunctions Kibana emits). ES shift=0
             // semantics: the window is the last n values EXCLUDING the
-            // current bucket (so the first bucket has no value).
+            // current bucket (so the first bucket has no value). The
+            // ewma/linearWeightedAvg/holt MODELS unroll their skip-NaN
+            // fold over the window's lag columns at plan time (window is
+            // a parse-time constant) — a fixed IEEE op sequence the
+            // oracle reproduces exactly; see [[MovingAvg]].
             val mw = keyW.rowsBetween(-window.toLong, -1L)
+            def lagV(i: Int): Column = lag(tcol(t), i).over(keyW).cast("double")
             table = table.withColumn(n, fn match {
               case "avg" => sum(tcol(t)).over(mw).cast("double") / count(tcol(t)).over(mw)
               case "max" => max(tcol(t)).over(mw).cast("double")
               case "min" => min(tcol(t)).over(mw).cast("double")
               case "sum" => sum(tcol(t)).over(mw).cast("double")
+              case "ewma" =>
+                (window to 1 by -1).foldLeft(lit(null).cast("double")) { (acc, i) =>
+                  val v = lagV(i)
+                  when(v.isNull, acc).otherwise(
+                    when(acc.isNull, v)
+                      .otherwise(v * lit(alpha) + acc * lit(1 - alpha)))
+                }
+              case "linearWeightedAvg" =>
+                // weight of the value at lag i = count of non-null values
+                // in [-window, -i] (ES increments the weight per non-NaN
+                // value, so interior nulls keep the ladder contiguous)
+                def w(i: Int): Column =
+                  count(tcol(t)).over(keyW.rowsBetween(-window.toLong, -i.toLong))
+                    .cast("double")
+                val num = (1 to window).map { i =>
+                  val v = lagV(i)
+                  when(v.isNotNull, v * w(i)).otherwise(lit(0.0))
+                }.reduce(_ + _)
+                val den = (1 to window).map { i =>
+                  when(lagV(i).isNotNull, w(i)).otherwise(lit(0.0))
+                }.reduce(_ + _)
+                when(den > 0, num / den)
+              case "holt" =>
+                val init = struct(lit(null).cast("double").as("s"),
+                  lit(null).cast("double").as("b"))
+                val folded = (window to 1 by -1).foldLeft(init) { (acc, i) =>
+                  val v = lagV(i)
+                  val (s0, b0) = (acc.getField("s"), acc.getField("b"))
+                  val sN = lit(alpha) * v + lit(1 - alpha) * (s0 + b0)
+                  val bN = lit(beta) * (sN - s0) + lit(1 - beta) * b0
+                  when(v.isNull, acc).otherwise(
+                    when(s0.isNull, struct(v.as("s"), lit(0.0).as("b")))
+                      .otherwise(struct(sN.as("s"), bN.as("b"))))
+                }
+                folded.getField("s")
             })
           case SerialDiff(n, t, lagN) =>
             table = table.withColumn(n, tcol(t) - lag(tcol(t), lagN).over(keyW))

@@ -123,6 +123,52 @@ object Geo {
       s"LEAST(CAST(FLOOR(($lat + 90.0) / 180.0 * ${(1L << latBits).toDouble}) AS BIGINT), ${(1L << latBits) - 1})")
   }
 
+  /** Ray-casting point-in-polygon over LITERAL vertices (the `geo_shape`
+    * polygon test). Crossing parity of a rightward ray against each edge;
+    * the classic division form `x < xi + (xj-xi)(y-yi)/(yj-yi)` is
+    * rearranged to MULTIPLICATION only (the edge's Δy sign is a
+    * plan-time constant, so the inequality direction folds per edge) —
+    * no division means no ANSI zero-divisor trap and bit-identical IEEE
+    * arithmetic in any engine. Horizontal edges can never straddle the
+    * ray and drop out at plan time. Boundary points follow the parity
+    * test's half-open edge convention (callers choose vertices off the
+    * data grid when exactness at edges matters). */
+  def pointInPolygon(lat: Column, lon: Column,
+                     verts: Seq[(Double, Double)]): Column = {
+    require(verts.size >= 3, s"polygon needs >= 3 vertices, got ${verts.size}")
+    val crossings = verts.indices.flatMap { i =>
+      val (yi, xi) = verts(i)
+      val (yj, xj) = verts((i + 1) % verts.size)
+      if (yi == yj) None // horizontal edge: never straddles the ray
+      else {
+        val straddle = (lit(yi) > lat) =!= (lit(yj) > lat)
+        val e = lit(xj - xi) * (lat - lit(yi)) - (lon - lit(xi)) * lit(yj - yi)
+        val cross = if (yj > yi) e > lit(0.0) else e < lit(0.0)
+        Some(when(straddle && cross, 1).otherwise(0))
+      }
+    }
+    crossings.reduce(_ + _) % 2 === 1
+  }
+
+  /** The identical parity test as DuckDB SQL text (same plan-time edge
+    * constants, same inequality directions). */
+  def pointInPolygonSql(lat: String, lon: String,
+                        verts: Seq[(Double, Double)]): String = {
+    require(verts.size >= 3, s"polygon needs >= 3 vertices, got ${verts.size}")
+    val terms = verts.indices.flatMap { i =>
+      val (yi, xi) = verts(i)
+      val (yj, xj) = verts((i + 1) % verts.size)
+      if (yi == yj) None
+      else {
+        val cmp = if (yj > yi) ">" else "<"
+        Some(s"(CASE WHEN (($yi > $lat) <> ($yj > $lat)) AND " +
+          s"((${xj - xi} * ($lat - $yi) - ($lon - $xi) * ${yj - yi}) $cmp 0.0) " +
+          "THEN 1 ELSE 0 END)")
+      }
+    }
+    s"((${terms.mkString(" + ")}) % 2 = 1)"
+  }
+
   /** The identical tile key as DuckDB SQL text. */
   def tileKeySql(lat: String, lon: String, z: Int): String = {
     val n = s"${(1L << z).toDouble}"

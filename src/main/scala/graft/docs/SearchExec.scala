@@ -97,9 +97,17 @@ object SearchExec {
     val needScore = sorts.exists(_.isScore)
     val mainQuery = resolveLookups(b.parsed.query, docs, doc, schema)
     val hits0 = docs.filter(SearchQuery.compile(mainQuery, doc))
-    val hits = if (needScore)
-      hits0.withColumn("score", SearchQuery.scoreCol(b.parsed, doc))
-    else hits0
+    // min_score prunes the HIT SET itself (before sort/collapse/paging
+    // and before track_total_hits — ES shrinks total too), so the score
+    // is computed for the filter even when no sort reads it.
+    val hits = {
+      val scored = if (needScore || b.minScore.nonEmpty)
+        hits0.withColumn("score", SearchQuery.scoreCol(b.parsed, doc))
+      else hits0
+      val floored = b.minScore.fold(scored)(ms => scored.filter(col("score") >= lit(ms)))
+      // output contract: `score` rides only when a sort reads it
+      if (needScore) floored else floored.drop("score")
+    }
     /** A sort key as a value Column: plain field access, or — for an
       * array path — ES's nested sort: reduce the element values to one
       * key with the declared mode (`array_min`/`array_max` over a

@@ -45,6 +45,18 @@ object SearchQuery {
     * parse rather than silently matching the complement. */
   final case class GeoBoundingBox(path: Seq[String], top: Double, left: Double,
                                   bottom: Double, right: Double) extends SearchQuery
+  /** ES `geo_shape` query with a polygon shape over geo_point documents:
+    * ray-casting parity test ([[Geo.pointInPolygon]]) behind the
+    * polygon's lat/lon bounding box as a PUSHABLE numeric pre-filter —
+    * the d121 two-stage shape: most of the planet prunes at the parquet
+    * scan before any edge test runs. For point fields, `intersects` and
+    * `within` coincide (point inside polygon); `disjoint` is the
+    * complement (bbox cannot prune — the complement reads everything,
+    * inherently). The envelope shape needs no node: it desugars to
+    * [[GeoBoundingBox]] at parse. Vertices are (lat, lon). */
+  final case class GeoShapePolygon(path: Seq[String],
+                                   verts: Seq[(Double, Double)],
+                                   disjoint: Boolean) extends SearchQuery
   sealed trait IntervalRule
   final case class IntervalMatch(terms: Seq[String], ordered: Boolean,
                                  maxGaps: Int) extends IntervalRule
@@ -250,7 +262,8 @@ object SearchQuery {
   final case class ScoreFn(filter: SearchQuery, weight: Double,
                            fvf: Option[FieldValueFactor] = None,
                            decay: Option[Decay] = None,
-                           feature: Option[FeatureFn] = None)
+                           feature: Option[FeatureFn] = None,
+                           random: Option[(Long, Seq[String])] = None)
 
   /** ES `rank_feature` / `distance_feature` — feature-based scoring
     * queries (reference users rank by static signals: pagerank-like
@@ -346,8 +359,9 @@ object SearchQuery {
         val unknown = f.keySet -- Set("query", "functions", "score_mode", "boost_mode")
         require(unknown.isEmpty,
           s"unsupported function_score key(s): ${unknown.mkString(", ")} " +
-            "(only the query/functions[filter+weight | field_value_factor]/score_mode/" +
-            "boost_mode form; script_score, random_score and decay functions are not implemented)")
+            "(only the query/functions[filter+weight | field_value_factor | decay | " +
+            "random_score]/score_mode/boost_mode form; script_score as a function " +
+            "is not implemented — use the top-level script_score query)")
         // ES default when `query` is absent: match_all
         val inner = parseQueryRoot(
           f.getOrElse("query", JObject(List(("match_all", JObject(Nil))))), schema)
@@ -357,11 +371,42 @@ object SearchQuery {
             case JObject(ff) =>
               val fm = ff.toMap
               val unknownF = fm.keySet --
-                Set("filter", "weight", "field_value_factor", "linear", "gauss", "exp")
+                Set("filter", "weight", "field_value_factor", "linear", "gauss", "exp",
+                  "random_score")
               require(unknownF.isEmpty,
                 s"unsupported function_score function key(s): ${unknownF.mkString(", ")} " +
-                  "(the filter/weight/field_value_factor/linear/gauss/exp forms are implemented; " +
-                  "script_score and random_score are not)")
+                  "(the filter/weight/field_value_factor/linear/gauss/exp/random_score " +
+                  "forms are implemented; script_score as a FUNCTION is not — use the " +
+                  "top-level script_score query)")
+              // ES `random_score` — reproducible random ranking. BOTH seed
+              // and field are REQUIRED (engine deviation, documented: ES
+              // falls back to the internal _seq_no, which a stateless
+              // engine doesn't have; an explicit field keeps the draw
+              // deterministic and oracle-replayable). The draw is
+              // uniform-[0,1): the top 60 bits of md5(seed:field) over
+              // 2^60 — division by a power of two, so the double is
+              // bit-exact in any engine (the d142 random_sampler hash).
+              val rnd = fm.get("random_score").map {
+                case JObject(rFields) =>
+                  val rm = rFields.toMap
+                  val unknownR = rm.keySet -- Set("seed", "field")
+                  require(unknownR.isEmpty,
+                    s"unsupported random_score key(s): ${unknownR.mkString(", ")} (seed/field)")
+                  val seed = rm.get("seed").map(asDouble(_, "random_score seed").toLong)
+                    .getOrElse(throw new IllegalArgumentException(
+                      "random_score needs a seed (deterministic-draw contract)"))
+                  val fld = rm.get("field") match {
+                    case Some(JString(p)) => p.stripSuffix(".keyword").split('.').toSeq
+                    case _ => throw new IllegalArgumentException(
+                      "random_score needs a field (engine deviation: ES defaults to the " +
+                        "internal _seq_no, which this engine does not keep)")
+                  }
+                  val (arrR, _) = splitArrayPath(fld, schema)
+                  require(arrR.isEmpty,
+                    s"random_score field ${fld.mkString(".")} crosses array ${arrR.mkString(".")}")
+                  (seed, fld)
+                case other => throw new IllegalArgumentException(s"bad random_score spec: $other")
+              }
               val fvf = fm.get("field_value_factor").map {
                 case JObject(fvFields) =>
                   val fv = fvFields.toMap
@@ -421,17 +466,20 @@ object SearchQuery {
                     s"$kind decay takes one {field: {origin, scale, ...}} entry: $other")
                 }
               }
-              require(fvf.isEmpty || decay.isEmpty,
-                "a function_score function takes field_value_factor OR a decay kernel, not both")
+              require(Seq(fvf, decay, rnd).count(_.nonEmpty) <= 1,
+                "a function_score function takes ONE of field_value_factor / a decay " +
+                  "kernel / random_score")
               val w = fm.get("weight").map(asDouble(_, "function_score weight")).getOrElse {
-                if (fvf.isEmpty && decay.isEmpty) throw new IllegalArgumentException(
-                  "each function_score function needs a weight, a field_value_factor or a decay kernel")
+                if (fvf.isEmpty && decay.isEmpty && rnd.isEmpty)
+                  throw new IllegalArgumentException(
+                    "each function_score function needs a weight, a field_value_factor, " +
+                      "a decay kernel or a random_score")
                 1.0
               }
               // ES default when `filter` is absent: the function applies
               // to every document (match_all)
               val filt = fm.get("filter").map(parseQueryNode(_, schema)).getOrElse(MatchAll)
-              ScoreFn(filt, w, fvf, decay)
+              ScoreFn(filt, w, fvf, decay, random = rnd)
             case other => throw new IllegalArgumentException(
               s"bad function_score function entry: $other")
           }
@@ -703,25 +751,41 @@ object SearchQuery {
     * deviation from Painless's IEEE Inf, and the safer ranking (an Inf
     * would float the broken doc to the top). log/sqrt of a negative
     * raise_error (the field_value_factor rule). */
-  private[docs] def compileScript(e: ScriptExpr, doc: Column, score: Column): Column = {
+  private[docs] def compileScript(e: ScriptExpr, doc: Column, score: Column): Column =
+    compileScriptWith(e, p => field(doc, p), score)
+
+  /** Resolver-parameterized form: `scripted_metric` (EsAggs) compiles the
+    * same AST but resolves fields at the aggregation context (document
+    * root or nested element), not a fixed doc column. */
+  private[docs] def compileScriptWith(e: ScriptExpr, resolve: Seq[String] => Column,
+                                      score: Column): Column = {
     def nonNeg(what: String, c: Column): Column = when(c < 0, raise_error(concat(
       lit(s"script_score Math.$what of a negative value: "),
       c.cast("string")))).otherwise(c)
-    e match {
+    def go(e0: ScriptExpr): Column = e0 match {
       case SNum(v) => lit(v)
       case SScore => score.cast("double")
-      case SField(p) => field(doc, p).cast("double")
-      case SBin('+', l, r) => compileScript(l, doc, score) + compileScript(r, doc, score)
-      case SBin('-', l, r) => compileScript(l, doc, score) - compileScript(r, doc, score)
-      case SBin('*', l, r) => compileScript(l, doc, score) * compileScript(r, doc, score)
-      case SBin('/', l, r) =>
-        try_divide(compileScript(l, doc, score), compileScript(r, doc, score))
+      case SField(p) => resolve(p).cast("double")
+      case SBin('+', l, r) => go(l) + go(r)
+      case SBin('-', l, r) => go(l) - go(r)
+      case SBin('*', l, r) => go(l) * go(r)
+      case SBin('/', l, r) => try_divide(go(l), go(r))
       case SBin(op, _, _) => throw new IllegalStateException(s"unreachable op $op")
-      case SCall("log", a) => log(nonNeg("log", compileScript(a, doc, score)))
-      case SCall("sqrt", a) => sqrt(nonNeg("sqrt", compileScript(a, doc, score)))
-      case SCall("abs", a) => abs(compileScript(a, doc, score))
+      case SCall("log", a) => log(nonNeg("log", go(a)))
+      case SCall("sqrt", a) => sqrt(nonNeg("sqrt", go(a)))
+      case SCall("abs", a) => abs(go(a))
       case SCall(fn, _) => throw new IllegalStateException(s"unreachable fn $fn")
     }
+    go(e)
+  }
+
+  /** True if the script reads `_score` — aggregation contexts have no
+    * score; scripted_metric rejects such scripts at parse. */
+  private[docs] def scriptReadsScore(e: ScriptExpr): Boolean = e match {
+    case SScore => true
+    case SBin(_, l, r) => scriptReadsScore(l) || scriptReadsScore(r)
+    case SCall(_, a) => scriptReadsScore(a)
+    case _ => false
   }
 
   /** One ES `sort` entry: a field path (or `_score`) with a direction.
@@ -757,7 +821,8 @@ object SearchQuery {
                             collapseInner: Option[CollapseInner] = None,
                             rescore: Option[Rescore] = None,
                             highlight: Option[Highlight] = None,
-                            trackTotalHits: Boolean = false)
+                            trackTotalHits: Boolean = false,
+                            minScore: Option[Double] = None)
 
   /** ES `highlight` — whole-field mode (`number_of_fragments: 0`), one
     * field, default `<em>`/`</em>` tags. The executor wraps every
@@ -815,8 +880,12 @@ object SearchQuery {
     }
     val unknown = root.keySet --
       Set("query", "sort", "from", "size", "_source", "search_after", "collapse", "rescore",
-        "highlight", "track_total_hits")
+        "highlight", "track_total_hits", "min_score")
     require(unknown.isEmpty, s"unsupported ES body key(s): ${unknown.mkString(", ")}")
+    // ES `min_score` — drop hits scoring below the floor. Applied to the
+    // HIT SET (before sort/collapse/pagination AND before the
+    // track_total_hits count — the ES contract: min_score shrinks total).
+    val minScore = root.get("min_score").map(asDouble(_, "min_score"))
     // ES `track_total_hits: true` — the exact hit count alongside the page
     // (ES defaults to a 10k lower bound; this engine only offers the exact
     // variant, the same exactness upgrade as cardinality). An integer
@@ -1033,7 +1102,7 @@ object SearchQuery {
     }
     val fb = FullBody(parseBody(body, schema), sorts, from, size, searchAfter, source, collapse,
       collapseInner,
-      rescore, highlight, trackTotal)
+      rescore, highlight, trackTotal, minScore)
     highlight.foreach { h =>
       require(highlightTerms(fb.parsed.query, h.path).nonEmpty,
         s"highlight field ${h.path.mkString(".")} is targeted by no highlightable query clause " +
@@ -1091,6 +1160,17 @@ object SearchQuery {
           * field_value_factor / linear decay when present (null field →
           * the required `missing` substitute). */
         def fnVal(fn: ScoreFn): Column = (fn.fvf, fn.decay) match {
+          case _ if fn.random.isDefined =>
+            // random_score: uniform-[0,1) deterministic draw — the top 60
+            // bits of md5("<seed>:<field value>") over 2^60. Division by a
+            // power of two is exact, so the double is bit-identical in any
+            // engine (same hash bridge as the d142 random_sampler).
+            val (seed, fld) = fn.random.get
+            val hf = concat(lit(s"$seed:"),
+              fld.foldLeft(doc)((c, n) => c.getField(n)).cast("string"))
+            val draw = conv(substring(md5(hf), 1, 15), 16, 10).cast("long")
+              .cast("double") / lit(1152921504606846976.0) // 2^60
+            draw * lit(fn.weight)
           case _ if fn.feature.isDefined =>
             // rank_feature / distance_feature kernels (see [[FeatureFn]]).
             // The query already filters to docs WITH the field, so `v` is
@@ -1453,6 +1533,74 @@ object SearchQuery {
         require(left <= right,
           "geo_bounding_box crossing the antimeridian (left > right) is not implemented")
         GeoBoundingBox(bFull, top, left, bottom, right)
+      case JObject(List(("geo_shape", JObject(List((gField, JObject(gSpec))))))) =>
+        // ES geo_shape over geo_point docs: {"geo_shape": {"<field>": {
+        //   "shape": {"type": "polygon"|"envelope", "coordinates": ...},
+        //   "relation": "intersects"|"within"|"disjoint"}}}.
+        // GeoJSON coordinates are [lon, lat]; polygon takes ONE outer
+        // ring (holes/multi-ring are not implemented), closed (first ==
+        // last vertex, dropped here). `contains` is rejected: a point
+        // cannot contain a polygon — matching nothing silently would
+        // read as data loss.
+        val gp = path(gField)
+        val (gArr, gFull) = splitArrayPath(gp, schema)
+        require(gArr.isEmpty,
+          s"geo_shape field $gField crosses array ${gArr.mkString(".")} — not implemented")
+        val gm = gSpec.toMap
+        val unknownG = gm.keySet -- Set("shape", "relation")
+        require(unknownG.isEmpty,
+          s"unsupported geo_shape key(s): ${unknownG.mkString(", ")} (shape/relation; " +
+            "indexed_shape is not implemented)")
+        val relation = gm.get("relation") match {
+          case None => "intersects" // ES default
+          case Some(JString(r)) if Set("intersects", "within", "disjoint")(r) => r
+          case Some(other) => throw new IllegalArgumentException(
+            s"unsupported geo_shape relation: $other (intersects/within/disjoint; " +
+              "contains over point documents can never match and is rejected)")
+        }
+        val sm = gm.get("shape") match {
+          case Some(JObject(sf)) => sf.toMap
+          case _ => throw new IllegalArgumentException("geo_shape needs a shape object")
+        }
+        val unknownS = sm.keySet -- Set("type", "coordinates")
+        require(unknownS.isEmpty,
+          s"unsupported geo_shape shape key(s): ${unknownS.mkString(", ")}")
+        def lonLat(v: JValue): (Double, Double) = v match {
+          case JArray(List(lo, la)) =>
+            (asDouble(lo, "geo_shape lon"), asDouble(la, "geo_shape lat"))
+          case other => throw new IllegalArgumentException(
+            s"geo_shape coordinate must be a [lon, lat] pair: $other")
+        }
+        sm.get("type") match {
+          case Some(JString("envelope")) =>
+            // GeoJSON-ish envelope: [[minLon, maxLat], [maxLon, minLat]]
+            val (tl, br) = sm.get("coordinates") match {
+              case Some(JArray(List(a, b))) => (lonLat(a), lonLat(b))
+              case other => throw new IllegalArgumentException(
+                s"geo_shape envelope needs [[minLon, maxLat], [maxLon, minLat]]: $other")
+            }
+            val box = GeoBoundingBox(gFull, top = tl._2, left = tl._1,
+              bottom = br._2, right = br._1)
+            require(box.top >= box.bottom, s"envelope top < bottom: ${box.top} < ${box.bottom}")
+            require(box.left <= box.right,
+              "envelope crossing the antimeridian (left > right) is not implemented")
+            if (relation == "disjoint") Not(box) else box
+          case Some(JString("polygon")) =>
+            val ring = sm.get("coordinates") match {
+              case Some(JArray(List(JArray(pts)))) => pts.map(lonLat)
+              case other => throw new IllegalArgumentException(
+                s"geo_shape polygon needs ONE ring [[[lon,lat],...]]: $other")
+            }
+            require(ring.size >= 4 && ring.head == ring.last,
+              s"geo_shape polygon ring must be closed (first == last vertex), " +
+                s"got ${ring.size} points")
+            val verts = ring.dropRight(1).map { case (lo, la) => (la, lo) }
+            require(verts.distinct.size == verts.size,
+              "geo_shape polygon has duplicate vertices")
+            GeoShapePolygon(gFull, verts, disjoint = relation == "disjoint")
+          case other => throw new IllegalArgumentException(
+            s"unsupported geo_shape type: $other (polygon/envelope)")
+        }
       case JObject(List(("intervals", JObject(List((iField, iRule)))))) =>
         val ip = path(iField)
         val (iArr, iFull) = splitArrayPath(ip, schema)
@@ -2025,6 +2173,18 @@ object SearchQuery {
       val la = field(doc, p :+ "lat")
       val lo = field(doc, p :+ "lon")
       la <= lit(top) && la >= lit(bottom) && lo >= lit(left) && lo <= lit(right)
+    case GeoShapePolygon(p, verts, disjoint) =>
+      val la = field(doc, p :+ "lat")
+      val lo = field(doc, p :+ "lon")
+      // pushable bbox conjunct first (the d121 two-stage shape), then the
+      // edge-parity test decides membership; disjoint is the complement
+      // (null coords stay non-matches either way — ES's missing-field rule)
+      val (latLo, latHi) = (verts.map(_._1).min, verts.map(_._1).max)
+      val (lonLo, lonHi) = (verts.map(_._2).min, verts.map(_._2).max)
+      val box = la >= lit(latLo) && la <= lit(latHi) &&
+        lo >= lit(lonLo) && lo <= lit(lonHi)
+      val inside = box && Geo.pointInPolygon(la, lo, verts)
+      if (disjoint) la.isNotNull && lo.isNotNull && !inside else inside
     case Intervals(p, rule) =>
       def rc(r: IntervalRule): Column = r match {
         case IntervalMatch(ts, o, g) => SearchOps.intervalMatch(field(doc, p), ts, o, g)

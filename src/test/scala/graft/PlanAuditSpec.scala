@@ -638,6 +638,47 @@ class PlanAuditSpec extends SparkSpec {
       s"unconditioned corpus-grain join in the PQ plan:\n$j"))
   }
 
+  test("d164: scripted_metric is ONE hash aggregation — no join, map-side combine") {
+    val p = plan(q("d164_es_scripted_metric"))
+    assert(!p.contains("Join"), s"scripted_metric must not join:\n$p")
+    assert(p.contains("partial_"), "scripted_metric lost map-side partial combine " +
+      "(the combine phase of the ES contract IS Spark's partial aggregation)")
+    val hashExchanges = corpusHashExchanges(p)
+    assert(hashExchanges === 1, s"expected exactly the terms-key shuffle, got $hashExchanges:\n$p")
+  }
+
+  test("d165: has_child prunes the child entities BEFORE the joins; every join is keyed") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join}
+    val opt = q("d165_es_has_child").queryExecution.optimizedPlan
+    val joins = opt.collect { case j: Join => j }
+    assert(joins.nonEmpty)
+    joins.foreach(j => assert(j.condition.nonEmpty,
+      s"unconditioned join (cartesian) in the parent-join plan:\n$j"))
+    // the json deductible predicate must sit UNDER a join (child side
+    // filtered first), not above the joined result
+    val filteredBelowJoin = joins.exists(_.exists {
+      case f: Filter => f.condition.toString.contains("get_json_object")
+      case _ => false
+    })
+    assert(filteredBelowJoin, s"child predicate did not prune before the join:\n$opt")
+  }
+
+  test("d167: geo_shape bbox reaches PushedFilters; the parity test never joins") {
+    val p = plan(q("d167_es_geo_shape"))
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("location.lat") || pushed.contains("lat"),
+      s"geo_shape bbox lost the scan pushdown:\n$p")
+    assert(!p.contains("Join"), s"geo_shape is a pure filter, no join:\n$p")
+  }
+
+  test("d169: moving_fn models act on the bucket table only — one corpus shuffle") {
+    val p = plan(q("d169_es_moving_models"))
+    assert(!p.contains("Join"), s"moving_fn must not join:\n$p")
+    val hashExchanges = corpusHashExchanges(p)
+    assert(hashExchanges === 1,
+      s"expected exactly the histogram-key shuffle, got $hashExchanges:\n$p")
+  }
+
   test("t16: stratified sample runs both windows on ONE stratum shuffle") {
     val p = plan(q("t16_stratified_sample"))
     // count-per-stratum and hash-rank share the lang partitioning: one

@@ -2021,4 +2021,219 @@ class DocEngineSpec extends SparkSpec {
     assert(cnt("""{"query": {"match": {"linkedPlanServices.linkedService.name":
       {"query": "yearly baby", "operator": "or"}}}}""") === 1)
   }
+
+  test("round-9 scripted_metric: decomposable fold computes, non-fold shapes reject") {
+    // corpus copays: typeA {10, 20}, typeB {30, 40, 50}, typeC {99};
+    // map = copay * 2 + 1 → typeA: 21+41=62, typeB: 61+81+101=243, typeC: 199
+    val body =
+      """{"size": 0, "aggs": {"t": {"terms": {"field": "planType", "size": 10, "order": {"_key": "asc"}},
+        |  "aggs": {"m": {"scripted_metric": {
+        |    "init_script": "state.t = 0",
+        |    "map_script": "state.t += doc['planCostShares.copay'].value * 2 + 1",
+        |    "combine_script": "return state.t",
+        |    "reduce_script": "double t = 0; for (s in states) { t += s } return t"}}}}}}""".stripMargin
+    assert(EsAggs.run(corpus, "doc", body, PlanSchema.plan).collect()
+      .map(r => (r.getAs[String]("key"), r.getAs[Double]("m"))).toSeq ===
+      Seq(("typeA", 62.0), ("typeB", 243.0), ("typeC", 199.0)))
+    // flat (no bucket) form: one row over the whole hit set
+    val flat =
+      """{"size": 0, "aggs": {"m": {"scripted_metric": {
+        |    "init_script": "state.x = 0",
+        |    "map_script": "state.x += doc['planCostShares.copay'].value",
+        |    "combine_script": "state.x",
+        |    "reduce_script": "t = 0; for (a in states) { t += a } return t"}}}}""".stripMargin
+    assert(EsAggs.run(corpus, "doc", flat, PlanSchema.plan).collect()
+      .map(r => (r.getAs[Long]("doc_count"), r.getAs[Double]("m"))).toSeq ===
+      Seq((6L, 249.0)))
+    // non-fold shapes reject loudly, naming the implemented subset
+    def bad(init: String = "state.t = 0",
+            map: String = "state.t += 1",
+            combine: String = "return state.t",
+            reduce: String = "double t = 0; for (s in states) { t += s } return t"): String =
+      s"""{"aggs": {"m": {"scripted_metric": {
+         |  "init_script": "$init", "map_script": "$map",
+         |  "combine_script": "$combine", "reduce_script": "$reduce"}}}}""".stripMargin
+    assertThrows[IllegalArgumentException](EsAggs.parse(
+      bad(init = "state.t = 5"), PlanSchema.plan)) // non-zero seed
+    assertThrows[IllegalArgumentException](EsAggs.parse(
+      bad(map = "state.t = state.t + 1"), PlanSchema.plan)) // not +=
+    assertThrows[IllegalArgumentException](EsAggs.parse(
+      bad(map = "state.other += 1"), PlanSchema.plan)) // wrong accumulator
+    assertThrows[IllegalArgumentException](EsAggs.parse(
+      bad(combine = "return state.t * 2"), PlanSchema.plan))
+    assertThrows[IllegalArgumentException](EsAggs.parse(
+      bad(reduce = "double t = 1; for (s in states) { t *= s } return t"), PlanSchema.plan))
+    // _score is meaningless in an aggregation context
+    assertThrows[IllegalArgumentException](EsAggs.parse(
+      bad(map = "state.t += _score"), PlanSchema.plan))
+  }
+
+  test("round-9 geo_shape: polygon parity, disjoint complement, envelope desugar, rejects") {
+    import spark.implicits._
+    val pts = Seq(("in1", 1.0, 1.0), ("in2", 8.5, 8.5), ("out1", 11.0, 5.0),
+      ("out2", -1.0, 5.0), ("edgeCase", 5.0, 20.0))
+      .toDF("id", "plat", "plon")
+      .select(struct(col("id").as("objectId"),
+        struct(col("plat").as("lat"), col("plon").as("lon")).as("location")).as("doc"))
+    val ptSchema = pts.schema("doc").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    // unit-ish square (0..10): GeoJSON ring is [lon, lat], closed
+    def body(relation: String): String =
+      s"""{"query": {"geo_shape": {"location": {
+         |  "shape": {"type": "polygon", "coordinates":
+         |    [[[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0], [0.0, 0.0]]]},
+         |  "relation": "$relation"}}}}""".stripMargin
+    def ids(b: String): Set[String] = pts.filter(
+      SearchQuery.compile(SearchQuery.fromJson(b, ptSchema), col("doc")))
+      .select(col("doc.objectId")).as[String].collect().toSet
+    assert(ids(body("intersects")) === Set("in1", "in2"))
+    assert(ids(body("within")) === Set("in1", "in2")) // same for points
+    assert(ids(body("disjoint")) === Set("out1", "out2", "edgeCase"))
+    // envelope desugars to the bbox query: [[minLon, maxLat], [maxLon, minLat]]
+    val env =
+      """{"query": {"geo_shape": {"location": {
+        |  "shape": {"type": "envelope", "coordinates": [[0.0, 10.0], [10.0, 0.0]]}}}}}""".stripMargin
+    assert(ids(env) === Set("in1", "in2"))
+    // contains over point docs can never match — rejected, not silently empty
+    assertThrows[IllegalArgumentException](
+      SearchQuery.fromJson(body("contains"), ptSchema))
+    // unclosed ring rejected
+    assertThrows[IllegalArgumentException](SearchQuery.fromJson(
+      """{"query": {"geo_shape": {"location": {
+        |  "shape": {"type": "polygon", "coordinates":
+        |    [[[0.0, 0.0], [10.0, 0.0], [10.0, 10.0]]]}}}}}""".stripMargin, ptSchema))
+    // a point exactly ON a horizontal edge follows the half-open parity
+    // convention deterministically (no crash, no double count): (0, 5) is
+    // on the left edge x=0 — the test just pins determinism across both
+    // relations partitioning the plane
+    val all = ids(body("intersects")) ++ ids(body("disjoint"))
+    assert(all === Set("in1", "in2", "out1", "out2", "edgeCase"))
+  }
+
+  test("round-9 random_score + min_score: deterministic draw, floor prunes the hit set") {
+    val assembledDocs = Assembler.assemble(Shredder.shred(corpus), PlanSchema.plan, "plan")
+    def run(minScore: Double): Seq[(String, Double)] =
+      SearchExec.search(assembledDocs, "doc",
+        s"""{"query": {"function_score": {
+           |  "functions": [{"random_score": {"seed": 11, "field": "objectId"}}]}},
+           |"min_score": $minScore,
+           |"sort": [{"_score": "desc"}, {"objectId": "asc"}],
+           |"size": 10, "_source": ["objectId"]}""".stripMargin, PlanSchema.plan)
+        .collect().map(r => (r.getAs[String]("objectId"), r.getAs[Double]("score"))).toSeq
+    val full = run(0.0)
+    assert(full.size === 6)
+    assert(full.map(_._2).forall(s => s >= 0.0 && s < 1.0))
+    assert(full === run(0.0)) // deterministic across runs
+    assert(full.map(_._2).distinct.size === 6) // seeded per-doc draws differ
+    // the floor keeps exactly the prefix of the score-desc page
+    val floor = full(2)._2
+    assert(run(floor) === full.take(3))
+    // seed and field are required (deterministic-draw contract)
+    assertThrows[IllegalArgumentException](SearchQuery.parseBody(
+      """{"query": {"function_score": {"functions": [{"random_score": {"field": "objectId"}}]}}}""",
+      PlanSchema.plan))
+    assertThrows[IllegalArgumentException](SearchQuery.parseBody(
+      """{"query": {"function_score": {"functions": [{"random_score": {"seed": 3}}]}}}""",
+      PlanSchema.plan))
+  }
+
+  test("round-9 moving_fn models: ewma/linearWeightedAvg/holt match the hand-rolled folds") {
+    import spark.implicits._
+    // four daily buckets with counts 2, 4, 8, 6 (interval histogram on v)
+    val df = Seq.fill(2)(("a", 0L)) ++ Seq.fill(4)(("b", 10L)) ++
+      Seq.fill(8)(("c", 20L)) ++ Seq.fill(6)(("d", 30L))
+    val docs0 = df.toDF("id", "v")
+      .select(struct(col("id").as("objectId"), col("v")).as("doc"))
+    val sch = docs0.schema("doc").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    val body =
+      """{"size": 0, "aggs": {"h": {"histogram": {"field": "v", "interval": 10},
+        |  "aggs": {
+        |    "ew": {"moving_fn": {"buckets_path": "_count", "window": 3,
+        |                         "script": "MovingFunctions.ewma(values, 0.5)"}},
+        |    "lwa": {"moving_fn": {"buckets_path": "_count", "window": 3,
+        |                          "script": "MovingFunctions.linearWeightedAvg(values)"}},
+        |    "ho": {"moving_fn": {"buckets_path": "_count", "window": 3,
+        |                         "script": "MovingFunctions.holt(values, 0.5, 0.5)"}}}}}}""".stripMargin
+    val rows = EsAggs.run(docs0, "doc", body, sch).collect()
+      .map(r => (r.getAs[Long]("key"),
+        Option(r.getAs[java.lang.Double]("ew")).map(_.toDouble),
+        Option(r.getAs[java.lang.Double]("lwa")).map(_.toDouble),
+        Option(r.getAs[java.lang.Double]("ho")).map(_.toDouble))).toSeq.sortBy(_._1)
+    // counts per bucket key: 0→2, 10→4, 20→8, 30→6; window 3 EXCLUDES current
+    // ewma α=.5 fold oldest→newest: k=1: 2; k=2: .5·4+.5·2=3; k=3 over [2,4,8]:
+    //   s=2 → .5·4+.5·2=3 → .5·8+.5·3=5.5
+    assert(rows.map(_._2) === Seq(None, Some(2.0), Some(3.0), Some(5.5)))
+    // lwa weights 1..k oldest→newest: k=2: (2·1+4·2)/3 = 10/3; k=3: (2+8+24)/6
+    assert(rows.map(_._3) === Seq(None, Some(2.0), Some(10.0 / 3), Some(34.0 / 6)))
+    // holt α=β=.5: k=2: s=.5·4+.5·(2+0)=3; k=3: s2=3, b2=.5·(3-2)=.5,
+    //   s3=.5·8+.5·(3+.5)=5.75
+    assert(rows.map(_._4) === Seq(None, Some(2.0), Some(3.0), Some(5.75)))
+    // malformed model params reject loudly
+    assertThrows[IllegalArgumentException](EsAggs.parse(
+      """{"aggs": {"h": {"histogram": {"field": "planCostShares.copay", "interval": 10},
+        |  "aggs": {"m": {"moving_fn": {"buckets_path": "_count", "window": 3,
+        |    "script": "MovingFunctions.ewma(values, 1.5)"}}}}}}""".stripMargin,
+      PlanSchema.plan))
+  }
+
+  test("round-9 parent-join: has_child counts matching children, has_parent semi-joins") {
+    // canonical doc: plan 508 with 2 planservices (504, 507); cost shares
+    // deductible 10 on both services
+    val cheap = ParentJoin.hasChild(sh, "planserviceCostShares",
+      col("type_tag") === "planserviceCostShares" &&
+        get_json_object(col("json"), "$.deductible").cast("long") <= 10)
+    assert(cheap.collect().map(r =>
+      (r.getAs[String]("parent_key"), r.getAs[Long]("n_matching"))).toSet ===
+      Set(("planservice_27283xvx9asdff-504", 1L), ("planservice_27283xvx9sdf-507", 1L)))
+    // chain into the outer relation with min_children
+    val plans2 = ParentJoin.hasChildKeys(sh, "linkedPlanServices",
+      cheap.select(col("parent_key").as("key")), minChildren = 2)
+    assert(plans2.collect().map(r =>
+      (r.getAs[String]("parent_key"), r.getAs[Long]("n_matching"))).toSeq ===
+      Seq(("plan_12xvxc345ssdsds-508", 2L)))
+    // min_children above the child count → empty
+    assert(ParentJoin.hasChildKeys(sh, "linkedPlanServices",
+      cheap.select(col("parent_key").as("key")), minChildren = 3).count() === 0)
+    // has_parent: children of inNetwork plans
+    val kids = ParentJoin.hasParent(sh, "linkedPlanServices",
+      col("type_tag") === "plan" &&
+        get_json_object(col("json"), "$.planType") === "inNetwork")
+    assert(kids.collect().map(_.getAs[String]("child_key")).toSet ===
+      Set("planservice_27283xvx9asdff-504", "planservice_27283xvx9sdf-507"))
+    assert(ParentJoin.hasParent(sh, "linkedPlanServices",
+      col("type_tag") === "plan" &&
+        get_json_object(col("json"), "$.planType") === "nope").count() === 0)
+  }
+
+  test("round-9 ADVICE pins: malformed script numbers fail loudly; null collapse key " +
+    "keeps its row with AND without inner_hits") {
+    // 1.2.3 / trailing-dot literals raise the parser's located error, not
+    // a bare NumberFormatException
+    val e1 = intercept[IllegalArgumentException](SearchQuery.parseBody(
+      """{"query": {"script_score": {"query": {"match_all": {}},
+        |"script": "1.2.3 + doc['planCostShares.copay'].value"}}}""".stripMargin,
+      PlanSchema.plan))
+    assert(e1.getMessage.contains("bad number literal"))
+    val e2 = intercept[IllegalArgumentException](SearchQuery.parseBody(
+      """{"query": {"script_score": {"query": {"match_all": {}}, "script": "2 * 1..2"}}}""",
+      PlanSchema.plan))
+    assert(e2.getMessage.contains("bad number literal"))
+    // null collapse key: same hit set with and without inner_hits
+    val withNull = docsDf(variant("n1", "typeA", 10), variant("n2", "typeB", 20))
+      .union(docsDf(variant("n3", "typeA", 30))
+        .select(struct(col("doc.planCostShares"), col("doc.linkedPlanServices"),
+          col("doc._org"), col("doc.objectId"), col("doc.objectType"),
+          lit(null).cast("string").as("planType"), col("doc.creationDate")).as("doc")))
+    val assembledN = withNull // already assembled-shape (doc struct)
+    def page(inner: String): Seq[String] = SearchExec.search(assembledN, "doc",
+      s"""{"query": {"match_all": {}},
+         |"collapse": {"field": "planType"$inner},
+         |"sort": [{"planCostShares.copay": {"order": "asc"}}, {"objectId": {"order": "asc"}}],
+         |"size": 10, "_source": ["objectId"]}""".stripMargin, PlanSchema.plan)
+      .collect().map(_.getAs[String]("objectId")).toSeq
+    val plain = page("")
+    val withInner = page(""", "inner_hits": {"name": "top", "size": 2,
+      "sort": [{"planCostShares.copay": "desc"}]}""")
+    assert(plain.toSet === withInner.toSet, "inner_hits changed the collapsed hit set")
+    assert(plain.contains("n3"), "null collapse key lost its group")
+  }
 }

@@ -1194,7 +1194,170 @@ object TextQueries {
        |ORDER BY round""".stripMargin
   }
 
+  // ---------------------------------------------------------------- t26
+  /** Tokenizer ENCODE — apply t25's fitted BPE merges to the corpus: fit
+    * the 3 merge rounds on the distinct-word frequency table (identical
+    * machinery and tie rules as t25, so the two registries stay
+    * consistent), then encode every word by replaying the merges and
+    * join the |vocab|-row encoded table back to the per-doc tokens. The
+    * fit→encode→count story is the real tokenizer pipeline's shape:
+    * corpus-scale work is ONE token explode + one hash join against the
+    * vocabulary; the merge table itself is 3 broadcast 1-row frames.
+    * Output per doc: word/char/BPE-symbol counts and the compression
+    * ratio the merges bought. */
+  private def t26(s: SparkSession, d: String): DataFrame = {
+    val words = docs(s, d)
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).cast("long").as("freq"))
+      .select(col("w"), filter(split(col("w"), ""), c => c =!= "").as("syms"),
+        col("freq"))
+    def topPair(syms: DataFrame): DataFrame =
+      syms.select(col("freq"), explode(when(size(col("syms")) < 2,
+          array().cast("array<struct<l:string,r:string>>"))
+        .otherwise(transform(
+          sequence(lit(1), size(col("syms")) - 1),
+          i => struct(element_at(col("syms"), i).as("l"),
+            element_at(col("syms"), i + 1).as("r"))))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).cast("long").as("cnt"))
+        .filter(col("l") =!= col("r"))
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(1)
+    def applyMerge(syms: DataFrame, top: DataFrame): DataFrame =
+      syms.crossJoin(broadcast(top.select(col("l"), col("r"))))
+        .select(col("w"), filter(transform(sequence(lit(1), size(col("syms"))), i => {
+          val n = size(col("syms"))
+          val markHere = i < n &&
+            element_at(col("syms"), i) === col("l") &&
+            element_at(col("syms"), i + 1) === col("r")
+          val markPrev = i > 1 &&
+            element_at(col("syms"), i - 1) === col("l") &&
+            element_at(col("syms"), i) === col("r")
+          when(markHere, concat(col("l"), col("r")))
+            .when(markPrev, lit(null).cast("string"))
+            .otherwise(element_at(col("syms"), i))
+        }), x => x.isNotNull).as("syms"), col("freq"))
+    var syms = words
+    for (_ <- 1 to 3) syms = applyMerge(syms, topPair(syms))
+    val encoded = syms.select(col("w"),
+      size(col("syms")).cast("long").as("n_after"))
+    val perWord = docs(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .join(encoded, Seq("w"))
+    perWord.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_words"),
+        sum(size(filter(split(col("w"), ""), c => c =!= ""))).cast("long").as("n_chars"),
+        sum(col("n_after")).cast("long").as("n_bpe"))
+      .select(col("doc_id"), col("n_words"), col("n_chars"), col("n_bpe"),
+        (col("n_bpe").cast("double") / col("n_chars")).as("ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t26Sql = {
+    def pairsOf(tbl: String, out: String) =
+      s"""${out}_p AS (
+         |  SELECT l, r FROM (
+         |    SELECT l, r, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+         |      SELECT syms[CAST(i AS INTEGER)] AS l, syms[CAST(i AS INTEGER) + 1] AS r, freq
+         |      FROM $tbl, unnest(range(1, len(syms))) AS t(i))
+         |    WHERE l <> r
+         |    GROUP BY l, r ORDER BY cnt DESC, l, r LIMIT 1))"""
+    def mergeOf(tbl: String, top: String, out: String) =
+      s"""$out AS (
+         |  SELECT w, list_filter(list_transform(range(1, len(syms) + 1), i ->
+         |      CASE WHEN i < len(syms) AND syms[CAST(i AS INTEGER)] = t.l
+         |                AND syms[CAST(i AS INTEGER) + 1] = t.r THEN t.l || t.r
+         |           WHEN i > 1 AND syms[CAST(i AS INTEGER) - 1] = t.l
+         |                AND syms[CAST(i AS INTEGER)] = t.r THEN NULL
+         |           ELSE syms[CAST(i AS INTEGER)] END),
+         |    x -> x IS NOT NULL) AS syms, freq
+         |  FROM $tbl, $top t)"""
+    s"""WITH words AS (
+       |  SELECT w, list_filter(string_split(w, ''), c -> c <> '') AS syms,
+       |    CAST(COUNT(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+       |      x -> x <> '')) AS w FROM documents)
+       |  GROUP BY w),
+       |${pairsOf("words", "r1")},
+       |${mergeOf("words", "r1_p", "s1")},
+       |${pairsOf("s1", "r2")},
+       |${mergeOf("s1", "r2_p", "s2")},
+       |${pairsOf("s2", "r3")},
+       |${mergeOf("s2", "r3_p", "s3")},
+       |enc AS (SELECT w, CAST(len(syms) AS BIGINT) AS n_after FROM s3),
+       |docw AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+       |    x -> x <> '')) AS w FROM documents)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(len(list_filter(string_split(w, ''), c -> c <> ''))) AS BIGINT) AS n_chars,
+       |  CAST(SUM(n_after) AS BIGINT) AS n_bpe,
+       |  CAST(SUM(n_after) AS DOUBLE) / SUM(len(list_filter(string_split(w, ''), c -> c <> ''))) AS ratio
+       |FROM docw JOIN enc USING (w)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- t27
+  /** Trigram LM perplexity — t24's CCNet-style quality filter at ORDER 3
+    * (the published KenLM recipe trains order ≥ 3): add-1-smoothed
+    * p(w3 | w1 w2) = (c123 + 1) / (c12 + V) with the same closed-form,
+    * oracle-exact count arithmetic. Same scale shape as t24 one order
+    * up: trigram counts = one hash agg at (w1,w2,w3) grain, context
+    * counts derive at (w1,w2) grain, scoring equi-joins each doc
+    * trigram to the two count tables; V is a 1-row broadcast. */
+  private def t27(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select(col("doc_id"), tokens(col("text")).as("toks"))
+    val triples = base
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("toks")) - 2),
+        i => struct(element_at(col("toks"), i).as("w1"),
+          element_at(col("toks"), i + 1).as("w2"),
+          element_at(col("toks"), i + 2).as("w3")))).as("tg"))
+      .select(col("doc_id"), col("tg.w1").as("w1"), col("tg.w2").as("w2"),
+        col("tg.w3").as("w3"))
+    val trigrams = triples.groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).cast("long").as("c123"))
+    val contexts = trigrams.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("c123")).cast("long").as("c12"))
+    val vocab = broadcast(base.select(explode(col("toks")).as("t"))
+      .agg(countDistinct(col("t")).cast("long").as("v")))
+    triples.join(trigrams, Seq("w1", "w2", "w3")).join(contexts, Seq("w1", "w2"))
+      .crossJoin(vocab)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_trigrams"),
+        sum(log((col("c123") + 1L).cast("double") / (col("c12") + col("v"))))
+          .as("ll"))
+      .select(col("doc_id"), col("n_trigrams"),
+        (-col("ll") / col("n_trigrams")).as("avg_nll"),
+        exp(-col("ll") / col("n_trigrams")).as("ppl"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t27Sql =
+    """WITH t AS (SELECT doc_id,
+      |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+      |  FROM documents),
+      |triples AS (SELECT doc_id, toks[CAST(i AS INTEGER)] AS w1,
+      |    toks[CAST(i AS INTEGER) + 1] AS w2, toks[CAST(i AS INTEGER) + 2] AS w3
+      |  FROM t, unnest(range(1, len(toks) - 1)) AS u(i)
+      |  WHERE len(toks) >= 3),
+      |trigrams AS (SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS c123
+      |  FROM triples GROUP BY w1, w2, w3),
+      |contexts AS (SELECT w1, w2, CAST(SUM(c123) AS BIGINT) AS c12
+      |  FROM trigrams GROUP BY w1, w2),
+      |vocab AS (SELECT CAST(COUNT(DISTINCT u.t) AS BIGINT) AS v
+      |  FROM t, unnest(toks) AS u(t)),
+      |scored AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+      |    SUM(ln(CAST(c123 + 1 AS DOUBLE) / (c12 + v))) AS ll
+      |  FROM triples JOIN trigrams USING (w1, w2, w3) JOIN contexts USING (w1, w2)
+      |  CROSS JOIN vocab
+      |  GROUP BY doc_id)
+      |SELECT doc_id, n_trigrams, -ll / n_trigrams AS avg_nll,
+      |  exp(-ll / n_trigrams) AS ppl
+      |FROM scored ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t26_bpe_encode" -> t26 _,
+    "t27_trigram_lm" -> t27 _,
     "t25_bpe_merges" -> t25 _,
     "t24_lm_perplexity" -> t24 _,
     "t20_quality_classifier" -> t20 _,
@@ -1222,6 +1385,8 @@ object TextQueries {
     "t4_fingerprint" -> t4 _)
 
   val oracle: Map[String, String] = Map(
+    "t26_bpe_encode" -> t26Sql,
+    "t27_trigram_lm" -> t27Sql,
     "t25_bpe_merges" -> t25Sql,
     "t24_lm_perplexity" -> t24Sql,
     "t20_quality_classifier" -> t20Sql,

@@ -6522,6 +6522,45 @@ object DocQueries {
        |FROM w ORDER BY key""".stripMargin
   }
 
+  // ---------------------------------------------------------------- d170
+  /** `function_score` with a `script_score` FUNCTION entry beside a
+    * filtered weight, `score_mode: sum` — the last function_score
+    * function form ("boost BUILDING plans by 3, add a custom
+    * sqrt(copay) + deductible/1000 signal"). The function's script rides
+    * the same Painless subset as the top-level script_score query
+    * (`SearchQuery.ScoreFn.script`); sqrt and the power-of-ten division
+    * are correctly-rounded IEEE ops the oracle replays bit-for-bit. */
+  private def d170(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "query": { "function_score": {
+        |    "query": { "range": { "planCostShares.copay": { "lt": 45 } } },
+        |    "functions": [
+        |      { "filter": { "term": { "planType": "BUILDING" } }, "weight": 3 },
+        |      { "script_score": { "script":
+        |          "Math.sqrt(doc['planCostShares.copay'].value) + doc['planCostShares.deductible'].value / 1000" },
+        |        "weight": 2 }
+        |    ],
+        |    "score_mode": "sum", "boost_mode": "multiply" } },
+        |  "sort": [ { "_score": "desc" }, { "objectId": "asc" } ],
+        |  "size": 15,
+        |  "_source": ["objectId"]
+        |}""".stripMargin
+    SearchExec.search(assembled(s, d), "doc", body, schema)
+  }
+
+  private val d170Sql =
+    s"""WITH s AS (SELECT 'plan-' || ${ck("c_custkey")} AS oid,
+       |    (CASE WHEN c_mktsegment = 'BUILDING' THEN 3.0 ELSE 0.0 END)
+       |      + (SQRT(CAST(c_custkey % 50 AS DOUBLE))
+       |         + CAST(c_nationkey * 100 AS DOUBLE) / 1000.0) * 2.0 AS score
+       |  FROM customer WHERE c_custkey % 50 < 45)
+       |SELECT rn, score, "objectId" FROM (
+       |  SELECT oid AS "objectId", score,
+       |    ROW_NUMBER() OVER (ORDER BY score DESC, oid ASC) AS rn
+       |  FROM s)
+       |WHERE rn <= 15 ORDER BY rn""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -6679,6 +6718,7 @@ object DocQueries {
     "d167_es_geo_shape" -> d167 _,
     "d168_es_random_score" -> d168 _,
     "d169_es_moving_models" -> d169 _,
+    "d170_es_script_function" -> d170 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
     "d3_roundtrip" -> d3 _,
@@ -6850,6 +6890,7 @@ object DocQueries {
     "d167_es_geo_shape" -> d167Sql,
     "d168_es_random_score" -> d168Sql,
     "d169_es_moving_models" -> d169Sql,
+    "d170_es_script_function" -> d170Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,
     "d3_roundtrip" -> d3Sql,

@@ -263,7 +263,8 @@ object SearchQuery {
                            fvf: Option[FieldValueFactor] = None,
                            decay: Option[Decay] = None,
                            feature: Option[FeatureFn] = None,
-                           random: Option[(Long, Seq[String])] = None)
+                           random: Option[(Long, Seq[String])] = None,
+                           script: Option[ScriptExpr] = None)
 
   /** ES `rank_feature` / `distance_feature` — feature-based scoring
     * queries (reference users rank by static signals: pagerank-like
@@ -372,12 +373,36 @@ object SearchQuery {
               val fm = ff.toMap
               val unknownF = fm.keySet --
                 Set("filter", "weight", "field_value_factor", "linear", "gauss", "exp",
-                  "random_score")
+                  "random_score", "script_score")
               require(unknownF.isEmpty,
                 s"unsupported function_score function key(s): ${unknownF.mkString(", ")} " +
-                  "(the filter/weight/field_value_factor/linear/gauss/exp/random_score " +
-                  "forms are implemented; script_score as a FUNCTION is not — use the " +
-                  "top-level script_score query)")
+                  "(the filter/weight/field_value_factor/linear/gauss/exp/random_score/" +
+                  "script_score forms are implemented)")
+              // script_score FUNCTION form — the function's value is the
+              // script over the same Painless subset as the top-level
+              // script_score query; `_score` inside it reads the base
+              // relevance (the ES contract for function scripts).
+              val sscript = fm.get("script_score").map {
+                case JObject(ssFields) =>
+                  val ssm = ssFields.toMap
+                  val unknownSS = ssm.keySet -- Set("script")
+                  require(unknownSS.isEmpty,
+                    s"unsupported script_score function key(s): ${unknownSS.mkString(", ")} (script)")
+                  val src0 = ssm.get("script") match {
+                    case Some(JString(s0)) => s0
+                    case Some(JObject(sf2)) => sf2.toMap.get("source") match {
+                      case Some(JString(s0)) => s0
+                      case _ => throw new IllegalArgumentException(
+                        "script_score function script needs a string source " +
+                          "(params are not implemented — inline the constants)")
+                    }
+                    case _ => throw new IllegalArgumentException(
+                      "script_score function needs a script")
+                  }
+                  parseScript(src0, schema)
+                case other => throw new IllegalArgumentException(
+                  s"bad script_score function spec: $other")
+              }
               // ES `random_score` — reproducible random ranking. BOTH seed
               // and field are REQUIRED (engine deviation, documented: ES
               // falls back to the internal _seq_no, which a stateless
@@ -466,20 +491,20 @@ object SearchQuery {
                     s"$kind decay takes one {field: {origin, scale, ...}} entry: $other")
                 }
               }
-              require(Seq(fvf, decay, rnd).count(_.nonEmpty) <= 1,
+              require(Seq(fvf, decay, rnd, sscript).count(_.nonEmpty) <= 1,
                 "a function_score function takes ONE of field_value_factor / a decay " +
-                  "kernel / random_score")
+                  "kernel / random_score / script_score")
               val w = fm.get("weight").map(asDouble(_, "function_score weight")).getOrElse {
-                if (fvf.isEmpty && decay.isEmpty && rnd.isEmpty)
+                if (fvf.isEmpty && decay.isEmpty && rnd.isEmpty && sscript.isEmpty)
                   throw new IllegalArgumentException(
                     "each function_score function needs a weight, a field_value_factor, " +
-                      "a decay kernel or a random_score")
+                      "a decay kernel, a random_score or a script_score")
                 1.0
               }
               // ES default when `filter` is absent: the function applies
               // to every document (match_all)
               val filt = fm.get("filter").map(parseQueryNode(_, schema)).getOrElse(MatchAll)
-              ScoreFn(filt, w, fvf, decay, random = rnd)
+              ScoreFn(filt, w, fvf, decay, random = rnd, script = sscript)
             case other => throw new IllegalArgumentException(
               s"bad function_score function entry: $other")
           }
@@ -1160,6 +1185,11 @@ object SearchQuery {
           * field_value_factor / linear decay when present (null field →
           * the required `missing` substitute). */
         def fnVal(fn: ScoreFn): Column = (fn.fvf, fn.decay) match {
+          case _ if fn.script.isDefined =>
+            // script_score function form: the function's value is the
+            // script (same Painless subset as the top-level wrapper);
+            // `_score` inside it reads the base relevance
+            compileScript(fn.script.get, doc, base) * lit(fn.weight)
           case _ if fn.random.isDefined =>
             // random_score: uniform-[0,1) deterministic draw — the top 60
             // bits of md5("<seed>:<field value>") over 2^60. Division by a

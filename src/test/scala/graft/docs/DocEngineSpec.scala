@@ -2134,6 +2134,25 @@ class DocEngineSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](SearchQuery.parseBody(
       """{"query": {"function_score": {"functions": [{"random_score": {"seed": 3}}]}}}""",
       PlanSchema.plan))
+    // script_score FUNCTION form: value = script, _score reads the base
+    // (corpus directly — assembling would dedup the shared cost-share
+    // child objectId across variants and collapse the copays)
+    val scripted = SearchExec.search(corpus, "doc",
+      """{"query": {"function_score": {
+        |  "functions": [{"script_score": {"script":
+        |      "doc['planCostShares.copay'].value * 2 + _score"}, "weight": 0.5}],
+        |  "boost_mode": "multiply"}},
+        |"sort": [{"_score": "desc"}, {"objectId": "asc"}],
+        |"size": 10, "_source": ["objectId"]}""".stripMargin, PlanSchema.plan)
+      .collect().map(r => (r.getAs[String]("objectId"), r.getAs[Double]("score"))).toMap
+    // base = 1.0 (no shoulds): score = (copay*2 + 1) * 0.5
+    assert(scripted("c1") === (99 * 2 + 1) * 0.5) // copay 99
+    assert(scripted("a1") === (10 * 2 + 1) * 0.5)
+    // one function may carry only ONE of the value forms
+    assertThrows[IllegalArgumentException](SearchQuery.parseBody(
+      """{"query": {"function_score": {"functions": [{
+        |  "random_score": {"seed": 3, "field": "objectId"},
+        |  "script_score": {"script": "2"}}]}}}""".stripMargin, PlanSchema.plan))
   }
 
   test("round-9 moving_fn models: ewma/linearWeightedAvg/holt match the hand-rolled folds") {

@@ -671,7 +671,65 @@ object Similarity {
        |ORDER BY adc.adc_d2, adc.vec_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- s10
+  /** Matryoshka (MRL-style) two-stage retrieval: rank the corpus by the
+    * FIRST 16 of 64 dimensions (the cheap prefix pass — 1/4 the
+    * multiply-adds, and at 100 TB 1/4 the bytes scanned when the prefix
+    * is stored as its own column), keep the prefix top-5 per query, then
+    * REFINE only the survivors with the full-dimension cosine (a bounded
+    * 5-rows-per-query join — full vectors never ride the quadratic
+    * stage). Output carries both scores so the refinement is visible and
+    * oracle-checkable. */
+  private def s10(s: SparkSession, d: String): DataFrame = {
+    val all = vecs(s, d)
+      .withColumn("vp", slice(col("v"), 1, 16))
+      .withColumn("nrmp", sqrt(vecDot(col("vp"), col("vp"))))
+    val q = all
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
+        col("vp").as("qvp"), col("nrmp").as("qnp"))
+      .filter(col("q_id") % 50 === 0)
+    // stage 1: prefix-dim scoring over narrow (id, 16-dim, norm) rows
+    val pref = all.select(col("vec_id"), col("vp"), col("nrmp"))
+      .join(broadcast(q.select(col("q_id"), col("qvp"), col("qnp"))),
+        col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        (vecDot(col("qvp"), col("vp")) / (col("qnp") * col("nrmp"))).as("cos_prefix"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cos_prefix").desc, col("n_id"))))
+      .filter(col("rank") <= 5)
+    // stage 2: full-dim refine on the ≤ 5-per-query survivors only
+    val full = vecs(s, d).select(col("vec_id").as("n_id"),
+      col("v").as("nv"), col("nrm").as("nn"))
+    pref.join(full, Seq("n_id"))
+      .join(broadcast(q.select(col("q_id"), col("qv"), col("qn"))), Seq("q_id"))
+      .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"),
+        col("cos_prefix"),
+        (vecDot(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("cos_full"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  private val s10Sql =
+    s"""WITH vecs AS ($VecsSql),
+       |pv AS (SELECT vec_id, v, nrm, v[1:16] AS vp FROM vecs),
+       |pn AS (SELECT vec_id, v, nrm, vp, sqrt(${dotSql("vp", "vp")}) AS nrmp FROM pv),
+       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, vp AS qvp, nrmp AS qnp
+       |  FROM pn WHERE vec_id % 50 = 0),
+       |pref AS (
+       |  SELECT q_id, vec_id AS n_id, ${dotSql("qvp", "vp")} / (qnp * nrmp) AS cos_prefix
+       |  FROM pn CROSS JOIN q WHERE vec_id <> q_id),
+       |top AS (SELECT * FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_prefix DESC, n_id) AS rank
+       |  FROM pref) WHERE rank <= 5)
+       |SELECT q_id, rank, n_id, cos_prefix,
+       |  ${dotSql("nv", "qv2")} / (nn * qn2) AS cos_full
+       |FROM top
+       |  JOIN (SELECT vec_id, v AS nv, nrm AS nn FROM pn) n ON n_id = n.vec_id
+       |  JOIN (SELECT vec_id AS q_id, v AS qv2, nrm AS qn2 FROM pn WHERE vec_id % 50 = 0) q2
+       |    USING (q_id)
+       |ORDER BY q_id, rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "s10_matryoshka" -> s10 _,
     "s9_pq_ann" -> s9 _,
     "s8_linear_hybrid" -> s8 _,
     "s6_es_knn" -> s6 _,
@@ -683,6 +741,7 @@ object Similarity {
     "s4_ann_recall" -> s4 _)
 
   val oracle: Map[String, String] = Map(
+    "s10_matryoshka" -> s10Sql,
     "s9_pq_ann" -> s9Sql,
     "s8_linear_hybrid" -> s8Sql,
     "s6_es_knn" -> s6Sql,

@@ -679,6 +679,17 @@ class PlanAuditSpec extends SparkSpec {
       s"expected exactly the histogram-key shuffle, got $hashExchanges:\n$p")
   }
 
+  test("s10: matryoshka prefix stage broadcasts the query side; top-5 is group-limited") {
+    val p = plan(q("s10_matryoshka"))
+    // stage 1 (quadratic) must ride a broadcast of the query slice, and
+    // the rank<=5 filter must plan as WindowGroupLimit (bounded per-group
+    // heap BEFORE the shuffle) — the refine join then sees ≤5 rows/query
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"prefix stage lost the query-side broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"prefix top-5 lost the bounded per-group heap:\n$p")
+  }
+
   test("t16: stratified sample runs both windows on ONE stratum shuffle") {
     val p = plan(q("t16_stratified_sample"))
     // count-per-stratum and hash-rank share the lang partitioning: one

@@ -676,6 +676,97 @@ object IndexPipeline {
       | AND x.ts_us >= c.ts_us AND x.ts_us <= c.ts_us + 3600000000
       |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin
 
+  // ---------------------------------------------------------------- st13
+  /** Stream-stream FULL OUTER interval join — st8's attribution with
+    * orphans flushed from BOTH sides: unmatched clicks AND unmatched
+    * errors each null-pad out once the watermark proves the other side
+    * cannot arrive ("errors nobody clicked into" beside "clicks that
+    * never errored"). Completes the stream-stream join family
+    * (inner st7-era machinery, LEFT st8, FULL here) under the same two
+    * pinned contracts: one type-surviving sentinel PER SIDE so the
+    * watermark actually passes the last real event (sentinel user ids
+    * -1/-2 cannot join each other and are dropped in the final agg), and
+    * a time condition bounding e_ts relative to c_ts so BOTH sides'
+    * state evicts at watermark-minus-interval instead of growing
+    * forever. Result equals the batch FULL JOIN exactly — the oracle. */
+  private def st13(s0: SparkSession, d: String): DataFrame = {
+    val s = s0.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", 8)
+    val base = Files.createTempDirectory("graft-stream13-")
+    val srcDir = base.resolve("log").toString
+    val ckDir = base.resolve("ck").toString
+    val nFiles = 3
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("ts_us"), col("user_id"), col("event_type"))
+    val agg0 = ev.agg(max(col("event_id")), max(col("ts_us"))).head()
+    val (maxId, maxTs) = (agg0.getLong(0) + 1, agg0.getLong(1))
+    (0 until nFiles).foreach { i =>
+      ev.filter(floor(col("event_id") * nFiles / maxId) === i)
+        .coalesce(1).write.parquet(s"$srcDir/b$i")
+    }
+    import s.implicits._
+    Seq((-1L, maxTs + 3L * 3600L * 1000000L, -1L, "click"),
+        (-2L, maxTs + 3L * 3600L * 1000000L, -2L, "error"))
+      .toDF("event_id", "ts_us", "user_id", "event_type")
+      .coalesce(1).write.parquet(s"$srcDir/b$nFiles")
+    def stream(tpe: String, alias: String) = s.readStream
+      .schema(ev.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$srcDir/b*")
+      .select(col("event_id").as(s"${alias}_id"), col("user_id").as(s"${alias}_user"),
+        col("event_type").as(s"${alias}_type"),
+        timestamp_micros(col("ts_us")).as(s"${alias}_ts"))
+      .withWatermark(s"${alias}_ts", "1 hour")
+      .filter(col(s"${alias}_type") === tpe)
+      .drop(s"${alias}_type")
+    val joined = stream("click", "c").join(stream("error", "e"),
+      col("c_user") === col("e_user") &&
+        col("e_ts") >= col("c_ts") &&
+        col("e_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"),
+      "full_outer")
+    val qname = s"st13_full_join_${System.nanoTime()}"
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(qname)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckDir)
+      .start()
+    try q.awaitTermination() finally q.stop()
+    val out = s.table(qname)
+      .filter(coalesce(col("c_user"), col("e_user")) >= 0L) // sentinel residue
+      .groupBy(coalesce(col("c_user"), col("e_user")).as("user_id"))
+      .agg(
+        sum(when(col("c_id").isNotNull && col("e_id").isNotNull, 1L).otherwise(0L))
+          .cast("long").as("n_pairs"),
+        sum(when(col("c_id").isNotNull && col("e_id").isNull, 1L).otherwise(0L))
+          .cast("long").as("n_click_orphans"),
+        sum(when(col("c_id").isNull && col("e_id").isNotNull, 1L).otherwise(0L))
+          .cast("long").as("n_error_orphans"),
+        min(col("c_id")).as("first_click"),
+        max(col("e_id")).as("last_error"))
+      .orderBy(col("user_id"))
+    val pinned = graft.Eager.pin(out)
+    s.catalog.dropTempView(qname)
+    deleteRecursively(base)
+    pinned
+  }
+
+  /** Oracle: the same attribution FULL join in plain SQL over the log. */
+  private val st13Sql =
+    """WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type FROM events),
+      |c AS (SELECT * FROM e WHERE event_type = 'click'),
+      |x AS (SELECT * FROM e WHERE event_type = 'error')
+      |SELECT COALESCE(c.user_id, x.user_id) AS user_id,
+      |  CAST(COUNT(CASE WHEN c.event_id IS NOT NULL AND x.event_id IS NOT NULL THEN 1 END) AS BIGINT) AS n_pairs,
+      |  CAST(COUNT(CASE WHEN c.event_id IS NOT NULL AND x.event_id IS NULL THEN 1 END) AS BIGINT) AS n_click_orphans,
+      |  CAST(COUNT(CASE WHEN c.event_id IS NULL AND x.event_id IS NOT NULL THEN 1 END) AS BIGINT) AS n_error_orphans,
+      |  MIN(c.event_id) AS first_click, MAX(x.event_id) AS last_error
+      |FROM c FULL JOIN x
+      |  ON c.user_id = x.user_id
+      | AND x.ts_us >= c.ts_us AND x.ts_us <= c.ts_us + 3600000000
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---------------------------------------------------------------- st9
   /** SLIDING (hopping) windows — 12 h windows advancing every 6 h, so
     * each event lands in exactly TWO overlapping windows (Spark expands
@@ -932,6 +1023,7 @@ object IndexPipeline {
 
   val queries: Map[String, Q] = Map(
     "st12_stream_topk" -> st12 _,
+    "st13_full_outer_join" -> st13 _,
     "st11_geofence" -> st11 _,
     "st8_left_outer_join" -> st8 _,
     "st9_sliding_window" -> st9 _,
@@ -945,6 +1037,7 @@ object IndexPipeline {
     "st4_stream_sessions" -> st4 _)
   val oracle: Map[String, String] = Map(
     "st12_stream_topk" -> st12Sql,
+    "st13_full_outer_join" -> st13Sql,
     "st11_geofence" -> st11Sql,
     "st8_left_outer_join" -> st8Sql,
     "st9_sliding_window" -> st9Sql,

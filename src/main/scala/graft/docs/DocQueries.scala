@@ -6561,6 +6561,56 @@ object DocQueries {
        |  FROM s)
        |WHERE rn <= 15 ORDER BY rn""".stripMargin
 
+  // ---------------------------------------------------------------- d171
+  /** ES `extended_stats_bucket` sibling — the error-band overview of a
+    * histogram's own doc_counts ("how spread out are the buckets"): the
+    * extended_stats fan-out (count/min/max/avg/sum/sos/variance/σ/
+    * σ-bounds) over the bucket VALUE list, as constant columns beside
+    * every bucket row (`EsAggs.Sibling`). |buckets|-row windows; the
+    * integer bucket counts make both sums exact, so every double
+    * expression is IEEE-identical in the oracle. */
+  private def d171(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "size": 0,
+        |  "aggs": {
+        |    "h": { "histogram": { "field": "planCostShares.copay", "interval": 10 } },
+        |    "spread": { "extended_stats_bucket": { "buckets_path": "h>_count" } }
+        |  }
+        |}""".stripMargin
+    EsAggs.run(assembled(s, d), "doc", body, schema)
+  }
+
+  private val d171Sql =
+    """WITH h AS (SELECT (c_custkey % 50 - (c_custkey % 50) % 10) AS key,
+      |    CAST(COUNT(*) AS BIGINT) AS doc_count FROM customer GROUP BY 1)
+      |SELECT key, doc_count,
+      |  CAST(COUNT(doc_count) OVER () AS BIGINT) AS spread_count,
+      |  MIN(doc_count) OVER () AS spread_min,
+      |  MAX(doc_count) OVER () AS spread_max,
+      |  CAST(SUM(doc_count) OVER () AS DOUBLE) / COUNT(doc_count) OVER () AS spread_avg,
+      |  CAST(SUM(doc_count) OVER () AS DOUBLE) AS spread_sum,
+      |  CAST(SUM(doc_count * doc_count) OVER () AS DOUBLE) AS spread_sum_of_squares,
+      |  CAST(SUM(doc_count * doc_count) OVER () AS DOUBLE) / COUNT(doc_count) OVER ()
+      |    - (CAST(SUM(doc_count) OVER () AS DOUBLE) / COUNT(doc_count) OVER ())
+      |      * (CAST(SUM(doc_count) OVER () AS DOUBLE) / COUNT(doc_count) OVER ())
+      |    AS spread_variance,
+      |  sqrt(CAST(SUM(doc_count * doc_count) OVER () AS DOUBLE) / COUNT(doc_count) OVER ()
+      |    - (CAST(SUM(doc_count) OVER () AS DOUBLE) / COUNT(doc_count) OVER ())
+      |      * (CAST(SUM(doc_count) OVER () AS DOUBLE) / COUNT(doc_count) OVER ()))
+      |    AS spread_std_deviation,
+      |  CAST(SUM(doc_count) OVER () AS DOUBLE) / COUNT(doc_count) OVER ()
+      |    + 2.0 * sqrt(CAST(SUM(doc_count * doc_count) OVER () AS DOUBLE) / COUNT(doc_count) OVER ()
+      |      - (CAST(SUM(doc_count) OVER () AS DOUBLE) / COUNT(doc_count) OVER ())
+      |        * (CAST(SUM(doc_count) OVER () AS DOUBLE) / COUNT(doc_count) OVER ()))
+      |    AS spread_std_deviation_bounds_upper,
+      |  CAST(SUM(doc_count) OVER () AS DOUBLE) / COUNT(doc_count) OVER ()
+      |    - 2.0 * sqrt(CAST(SUM(doc_count * doc_count) OVER () AS DOUBLE) / COUNT(doc_count) OVER ()
+      |      - (CAST(SUM(doc_count) OVER () AS DOUBLE) / COUNT(doc_count) OVER ())
+      |        * (CAST(SUM(doc_count) OVER () AS DOUBLE) / COUNT(doc_count) OVER ()))
+      |    AS spread_std_deviation_bounds_lower
+      |FROM h ORDER BY key""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -6719,6 +6769,7 @@ object DocQueries {
     "d168_es_random_score" -> d168 _,
     "d169_es_moving_models" -> d169 _,
     "d170_es_script_function" -> d170 _,
+    "d171_es_extended_stats_bucket" -> d171 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
     "d3_roundtrip" -> d3 _,
@@ -6891,6 +6942,7 @@ object DocQueries {
     "d168_es_random_score" -> d168Sql,
     "d169_es_moving_models" -> d169Sql,
     "d170_es_script_function" -> d170Sql,
+    "d171_es_extended_stats_bucket" -> d171Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,
     "d3_roundtrip" -> d3Sql,

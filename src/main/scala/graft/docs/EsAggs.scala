@@ -430,7 +430,8 @@ object EsAggs {
     *    documented deviation). */
   final case class Sibling(name: String, kind: String, target: String,
                            percents: Seq[Double] = Nil,
-                           curve: Seq[Double] = Nil)
+                           curve: Seq[Double] = Nil,
+                           sigma: Double = 2.0)
 
   /** A bucket level: the bucket agg, its metric sub-aggs, and at most one
     * sub-bucket level (Kibana "split series" — terms × terms/histogram).
@@ -535,13 +536,17 @@ object EsAggs {
 
   private val siblingKinds =
     Set("avg_bucket", "sum_bucket", "min_bucket", "max_bucket",
-      "stats_bucket", "percentiles_bucket", "change_point",
-      "bucket_correlation", "bucket_count_ks_test")
+      "stats_bucket", "extended_stats_bucket", "percentiles_bucket",
+      "change_point", "bucket_correlation", "bucket_count_ks_test")
 
   /** Column names a sibling agg renders to (stats/percentiles fan out). */
   private def siblingNames(sb: Sibling): Seq[String] = sb.kind match {
     case "stats_bucket" =>
       Seq("count", "min", "max", "avg", "sum").map(s => s"${sb.name}_$s")
+    case "extended_stats_bucket" =>
+      Seq("count", "min", "max", "avg", "sum", "sum_of_squares", "variance",
+        "std_deviation", "std_deviation_bounds_upper", "std_deviation_bounds_lower")
+        .map(s => s"${sb.name}_$s")
     case "percentiles_bucket" => sb.percents.map(p => s"${sb.name}_p${fmtPercent(p)}")
     case "change_point" => Seq(s"${sb.name}_key", s"${sb.name}_score")
     case "bucket_count_ks_test" =>
@@ -2074,6 +2079,7 @@ object EsAggs {
                 case "percentiles_bucket" => Set("buckets_path", "percents")
                 case "bucket_correlation" => Set("buckets_path", "function")
                 case "bucket_count_ks_test" => Set("buckets_path", "fractions")
+                case "extended_stats_bucket" => Set("buckets_path", "sigma")
                 case _ => Set("buckets_path")
               }
               val m = checkSpecKeys(spec, kind, allowed)
@@ -2126,7 +2132,14 @@ object EsAggs {
                 case _ => throw new IllegalArgumentException(
                   "bucket_correlation needs a function.count_correlation object")
               }
-              Sibling(name, kind, target, percents, curve)
+              val sigma = if (kind != "extended_stats_bucket") 2.0 else m.get("sigma") match {
+                case None => 2.0 // ES default bounds = avg ± 2σ
+                case Some(v) =>
+                  val s0 = SearchQuery.asDouble(v, "extended_stats_bucket sigma")
+                  require(s0 >= 0, s"extended_stats_bucket sigma must be >= 0: $s0")
+                  s0
+              }
+              Sibling(name, kind, target, percents, curve, sigma)
             case (name, other) =>
               throw new IllegalArgumentException(s"bad sibling agg $name: $other")
           }
@@ -3552,7 +3565,7 @@ object EsAggs {
         // sibling *_bucket values: one constant column per sibling over
         // the FINAL bucket list (|buckets| rows; ES renders them beside
         // the list, a relational frame repeats them per row)
-        sibs.foreach { case sb @ Sibling(n, kind, t, percents, curve) =>
+        sibs.foreach { case sb @ Sibling(n, kind, t, percents, curve, sbSigma) =>
           val wAll = wAllBuckets
           val c0 = tcol(t)
           table = kind match {
@@ -3561,6 +3574,26 @@ object EsAggs {
             case "max_bucket" => table.withColumn(n, max(c0).over(wAll))
             case "avg_bucket" =>
               table.withColumn(n, sum(c0).over(wAll).cast("double") / count(c0).over(wAll))
+            case "extended_stats_bucket" =>
+              // extended_stats over the bucket-value list — the same
+              // population-variance formula as the extended_stats metric
+              // (sos/n − mean², ES's own), as |buckets|-row windows
+              val nW = count(c0).over(wAll)
+              val s1 = sum(c0).over(wAll).cast("double")
+              val sos = sum(c0 * c0).over(wAll).cast("double")
+              val mean = s1 / nW
+              val variance = sos / nW - mean * mean
+              val sd = sqrt(variance)
+              table.withColumn(s"${n}_count", nW)
+                .withColumn(s"${n}_min", min(c0).over(wAll))
+                .withColumn(s"${n}_max", max(c0).over(wAll))
+                .withColumn(s"${n}_avg", mean)
+                .withColumn(s"${n}_sum", s1)
+                .withColumn(s"${n}_sum_of_squares", sos)
+                .withColumn(s"${n}_variance", variance)
+                .withColumn(s"${n}_std_deviation", sd)
+                .withColumn(s"${n}_std_deviation_bounds_upper", mean + lit(sbSigma) * sd)
+                .withColumn(s"${n}_std_deviation_bounds_lower", mean - lit(sbSigma) * sd)
             case "stats_bucket" =>
               // the five basics over the bucket list, same shapes as the
               // stats metric (avg as exact sum/count, ES doubles)

@@ -323,10 +323,15 @@ object EsAggs {
   /** `derivative`: bucket value minus the previous bucket's, null in the
     * first bucket (ES omits it there). Histogram parents only. */
   final case class Derivative(name: String, target: String) extends Pipeline
-  /** `bucket_selector` with the one script shape Kibana emits:
-    * `params.<p> <op> <literal>` — anything richer is rejected loudly. */
-  final case class BucketSelector(param: String, target: String,
-                                  op: String, rhs: Double) extends Pipeline
+  /** `bucket_selector` — keep buckets where `<expr> <cmp> <expr>` holds,
+    * both sides full bucket-script arithmetic over `params.<p>` refs
+    * ([[SearchQuery.parseParamsScript]] — "keep buckets whose error
+    * ratio tops 5%"). `targets` maps param name → resolved metric
+    * column. */
+  final case class BucketSelector(targets: Map[String, String],
+                                  left: SearchQuery.ScriptExpr,
+                                  op: String,
+                                  right: SearchQuery.ScriptExpr) extends Pipeline
   /** `bucket_sort`: reorder + `from`/`size`-truncate the bucket list. */
   final case class BucketSort(sorts: Seq[(String, Boolean)], from: Int,
                               size: Option[Int]) extends Pipeline
@@ -355,11 +360,14 @@ object EsAggs {
                              beta: Double = 0.1) extends Pipeline
   /** `serial_diff`: value minus the value `lag` buckets earlier. */
   final case class SerialDiff(name: String, target: String, lag: Int) extends Pipeline
-  /** `bucket_script` with one binary op between two params
-    * (`params.a <op> params.b`) — the Kibana "ratio of two metrics"
-    * shape; anything richer is rejected loudly. */
-  final case class BucketScript(name: String, left: String, right: String,
-                                op: String) extends Pipeline
+  /** `bucket_script` — a new per-bucket column from FULL arithmetic over
+    * `params.<p>` refs (+ − * / parens, unary minus, numeric literals,
+    * Math.log/sqrt/abs — [[SearchQuery.parseParamsScript]]): the
+    * TSVB/Lens "formula" shape (`(params.a - params.b) / params.c * 100`
+    * and friends), not just one binary op. Division rides `try_divide`
+    * (null on zero — same documented contract as script_score). */
+  final case class BucketScript(name: String, targets: Map[String, String],
+                                expr: SearchQuery.ScriptExpr) extends Pipeline
   /** ES `normalize` pipeline agg — Lens's "percent of total" / "0-1
     * rescale" formula: each bucket's value normalized against the whole
     * bucket list. Methods: `percent_of_sum` (value / Σ — ES returns the
@@ -1502,21 +1510,25 @@ object EsAggs {
                 throw new IllegalArgumentException("derivative needs buckets_path"))))
             case (_, JObject(List(("bucket_selector", spec)))) =>
               val m = checkSpecKeys(spec, "bucket_selector", Set("buckets_path", "script"))
-              val (param, target) = m.get("buckets_path") match {
-                case Some(JObject(List((p, t)))) => (p, asString(t))
+              val params = m.get("buckets_path") match {
+                case Some(JObject(ps)) if ps.nonEmpty => ps.map {
+                  case (k, JString(v)) => k -> v
+                  case other => throw new IllegalArgumentException(s"bad buckets_path entry: $other")
+                }.toMap
                 case other => throw new IllegalArgumentException(
-                  s"bucket_selector needs a single-entry buckets_path object: $other")
+                  s"bucket_selector needs a keyed buckets_path object: $other")
               }
               val script = m.get("script").map(asString).getOrElse(
                 throw new IllegalArgumentException("bucket_selector needs a script"))
-              val Re = """params\.(\w+)\s*(>=|<=|==|!=|>|<)\s*(-?\d+(?:\.\d+)?)""".r
+              // one top-level comparison between two full arithmetic sides
+              val CmpRe = """(?s)^(.*?)(>=|<=|==|!=|>|<)(.*)$""".r
               script.trim match {
-                case Re(p, op, rhs) =>
-                  require(p == param,
-                    s"script references params.$p but buckets_path defines $param")
-                  BucketSelector(param, target, op, rhs.toDouble)
+                case CmpRe(lhs, op, rhs) =>
+                  BucketSelector(params,
+                    SearchQuery.parseParamsScript(lhs, params.keySet), op,
+                    SearchQuery.parseParamsScript(rhs, params.keySet))
                 case other => throw new IllegalArgumentException(
-                  s"unsupported bucket_selector script (only `params.<p> <op> <number>`): $other")
+                  s"bucket_selector script needs one comparison (`<expr> <cmp> <expr>`): $other")
               }
             case (name, JObject(List(("moving_fn", spec)))) =>
               val m = checkSpecKeys(spec, "moving_fn", Set("buckets_path", "window", "script"))
@@ -1607,17 +1619,8 @@ object EsAggs {
               }
               val script = m.get("script").map(asString).getOrElse(
                 throw new IllegalArgumentException("bucket_script needs a script"))
-              val Re = """params\.(\w+)\s*([-+*/])\s*params\.(\w+)""".r
-              script.trim match {
-                case Re(a, op, b) =>
-                  val (ta, tb) = (params.getOrElse(a, throw new IllegalArgumentException(
-                    s"script references params.$a, not in buckets_path")),
-                    params.getOrElse(b, throw new IllegalArgumentException(
-                      s"script references params.$b, not in buckets_path")))
-                  BucketScript(name, ta, tb, op)
-                case other => throw new IllegalArgumentException(
-                  s"unsupported bucket_script script (only `params.<a> <op> params.<b>`): $other")
-              }
+              BucketScript(name, params,
+                SearchQuery.parseParamsScript(script, params.keySet))
             case (_, JObject(List(("bucket_sort", spec)))) =>
               val m = checkSpecKeys(spec, "bucket_sort", Set("sort", "size", "from"))
               val sorts = m.get("sort") match {
@@ -1978,7 +1981,7 @@ object EsAggs {
                 case Derivative(n0, _) => n0
                 case ma: MovingAvg => ma.name
                 case SerialDiff(n0, _, _) => n0
-                case BucketScript(n0, _, _, _) => n0
+                case bs: BucketScript => bs.name
                 case Normalize(n0, _, _) => n0
                 case CumulativeCardinality(n0, _) => n0
                 case RateAgg(n0, _) => n0
@@ -1998,8 +2001,10 @@ object EsAggs {
                 requireHist("cumulative_sum"); checkTarget(t, earlier, allowKey = false); earlier + n
               case Derivative(n, t) =>
                 requireHist("derivative"); checkTarget(t, earlier, allowKey = false); earlier + n
-              case BucketSelector(_, t, _, _) =>
-                requireKeyed("bucket_selector"); checkTarget(t, earlier, allowKey = false); earlier
+              case BucketSelector(targets, _, _, _) =>
+                requireKeyed("bucket_selector")
+                targets.values.foreach(checkTarget(_, earlier, allowKey = false))
+                earlier
               case BucketSort(sorts, _, _) =>
                 requireKeyed("bucket_sort")
                 sorts.foreach { case (t, _) => checkTarget(t, earlier, allowKey = true) }
@@ -2008,10 +2013,9 @@ object EsAggs {
                 requireHist("moving_fn"); checkTarget(t, earlier, allowKey = false); earlier + n
               case SerialDiff(n, t, _) =>
                 requireHist("serial_diff"); checkTarget(t, earlier, allowKey = false); earlier + n
-              case BucketScript(n, a0, b0, _) =>
+              case BucketScript(n, targets, _) =>
                 requireKeyed("bucket_script")
-                checkTarget(a0, earlier, allowKey = false)
-                checkTarget(b0, earlier, allowKey = false)
+                targets.values.foreach(checkTarget(_, earlier, allowKey = false))
                 earlier + n
               case Normalize(n, t, _) =>
                 requireKeyed("normalize"); checkTarget(t, earlier, allowKey = false); earlier + n
@@ -3439,8 +3443,10 @@ object EsAggs {
               sum(tcol(t)).over(keyW.rowsBetween(W.unboundedPreceding, W.currentRow)))
           case Derivative(n, t) =>
             table = table.withColumn(n, tcol(t) - lag(tcol(t), 1).over(keyW))
-          case BucketSelector(_, t, op, rhs) =>
-            val c0 = tcol(t)
+          case BucketSelector(targets, le, op, re) =>
+            def comp(e0: graft.docs.SearchQuery.ScriptExpr): Column =
+              SearchQuery.compileScriptWith(e0, p => tcol(targets(p.head)), lit(0.0))
+            val (c0, rhs) = (comp(le), comp(re))
             table = table.filter(op match {
               case ">" => c0 > rhs
               case ">=" => c0 >= rhs
@@ -3504,14 +3510,9 @@ object EsAggs {
             })
           case SerialDiff(n, t, lagN) =>
             table = table.withColumn(n, tcol(t) - lag(tcol(t), lagN).over(keyW))
-          case BucketScript(n, a0, b0, op) =>
-            val (ca, cb) = (tcol(a0), tcol(b0))
-            table = table.withColumn(n, op match {
-              case "+" => ca + cb
-              case "-" => ca - cb
-              case "*" => ca * cb
-              case "/" => ca / cb // Spark and DuckDB both divide ints as doubles
-            })
+          case BucketScript(n, targets, e0) =>
+            table = table.withColumn(n,
+              SearchQuery.compileScriptWith(e0, p => tcol(targets(p.head)), lit(0.0)))
           case Normalize(n, t, method) =>
             val c0 = tcol(t)
             table = method match {

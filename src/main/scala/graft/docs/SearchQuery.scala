@@ -769,6 +769,81 @@ object SearchQuery {
     e
   }
 
+  /** Recursive-descent parser for bucket_script / bucket_selector
+    * arithmetic — the same grammar as [[parseScript]] with `params.<p>`
+    * identifiers in place of `doc[…].value` (`_score` and doc refs do
+    * not exist at the bucket grain and fail the parse). Referenced
+    * params must appear in `params` (the buckets_path keys) — a typo'd
+    * param is a loud error, not a null column. */
+  private[docs] def parseParamsScript(src: String, params: Set[String]): ScriptExpr = {
+    val s = src
+    var i = 0
+    def ws(): Unit = while (i < s.length && s(i).isWhitespace) i += 1
+    def peek: Char = if (i < s.length) s(i) else ' '
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"bucket script: $msg at offset $i in: $src")
+    def expr(): ScriptExpr = {
+      var l = term(); ws()
+      while (peek == '+' || peek == '-') {
+        val op = s(i); i += 1; val r = term(); l = SBin(op, l, r); ws()
+      }
+      l
+    }
+    def term(): ScriptExpr = {
+      var l = factor(); ws()
+      while (peek == '*' || peek == '/') {
+        val op = s(i); i += 1; val r = factor(); l = SBin(op, l, r); ws()
+      }
+      l
+    }
+    def number(): ScriptExpr = {
+      val st = i
+      while (i < s.length && (s(i).isDigit || s(i) == '.')) i += 1
+      val raw = s.substring(st, i)
+      try SNum(raw.toDouble)
+      catch { case _: NumberFormatException => fail(s"bad number literal '$raw'") }
+    }
+    def paramRef(): ScriptExpr = {
+      i += "params.".length
+      val st = i
+      while (i < s.length && (s(i).isLetterOrDigit || s(i) == '_')) i += 1
+      val name = s.substring(st, i)
+      if (name.isEmpty) fail("params. needs a name")
+      if (!params(name)) fail(s"params.$name is not in buckets_path (${params.mkString(", ")})")
+      SField(Seq(name))
+    }
+    def call(): ScriptExpr = {
+      i += 5 // "Math."
+      val st = i
+      while (i < s.length && s(i).isLetter) i += 1
+      val fn = s.substring(st, i)
+      if (!Set("log", "sqrt", "abs")(fn)) fail(s"unsupported Math.$fn (log/sqrt/abs)")
+      ws()
+      if (peek != '(') fail(s"Math.$fn needs (")
+      i += 1; val a = expr(); ws()
+      if (peek != ')') fail("expected )")
+      i += 1
+      SCall(fn, a)
+    }
+    def factor(): ScriptExpr = {
+      ws()
+      peek match {
+        case '(' =>
+          i += 1; val e = expr(); ws()
+          if (peek != ')') fail("expected )")
+          i += 1; e
+        case '-' => i += 1; SBin('-', SNum(0), factor())
+        case c if c.isDigit => number()
+        case 'p' if s.startsWith("params.", i) => paramRef()
+        case 'M' if s.startsWith("Math.", i) => call()
+        case other => fail(s"unexpected '$other'")
+      }
+    }
+    val e = expr(); ws()
+    if (i != s.length) fail(s"trailing input '${s.substring(i)}'")
+    e
+  }
+
   /** Compile a script_score expression; `score` is the wrapped query's
     * base score column. Pure double arithmetic; division rides
     * `try_divide` — ANSI Spark errors on ANY zero divisor (doubles

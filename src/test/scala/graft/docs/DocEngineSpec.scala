@@ -1070,7 +1070,9 @@ class DocEngineSpec extends SparkSpec {
       Seq(None, Some(1.0), Some(1.5), Some(2.0)))
     assert(h.map(r => Option(r.getAs[java.lang.Long]("sd")).map(_.toLong)).toSeq ===
       Seq(None, None, Some(1L), Some(-1L)))
-    assert(h.map(_.getAs[Long]("sq")).toSeq === Seq(1L, 4L, 4L, 1L))
+    // bucket_script values are doubles (the Painless-script contract —
+    // round-9's full-formula upgrade compiles through the script engine)
+    assert(h.map(_.getAs[Double]("sq")).toSeq === Seq(1.0, 4.0, 4.0, 1.0))
     // siblings beside a terms agg: constant columns over the bucket list
     val sib =
       """{"size": 0, "aggs": {
@@ -2192,6 +2194,43 @@ class DocEngineSpec extends SparkSpec {
         |  "aggs": {"m": {"moving_fn": {"buckets_path": "_count", "window": 3,
         |    "script": "MovingFunctions.ewma(values, 1.5)"}}}}}}""".stripMargin,
       PlanSchema.plan))
+  }
+
+  test("round-9 bucket_script/bucket_selector take full formulas, not just one binary op") {
+    // corpus: typeA sum=30 max=20, typeB sum=120 max=50, typeC sum=99 max=99
+    val body =
+      """{"size": 0, "aggs": {"t": {"terms": {"field": "planType", "size": 10, "order": {"_key": "asc"}},
+        |  "aggs": {
+        |    "s": {"sum": {"field": "planCostShares.copay"}},
+        |    "mx": {"max": {"field": "planCostShares.copay"}},
+        |    "headroom": {"bucket_script": {
+        |      "buckets_path": {"s": "s", "mx": "mx", "n": "_count"},
+        |      "script": "(params.s - params.mx) / params.n * 100"}},
+        |    "keep": {"bucket_selector": {
+        |      "buckets_path": {"s": "s", "n": "_count"},
+        |      "script": "params.s / params.n >= 30"}}}}}}""".stripMargin
+    val rows = EsAggs.run(corpus, "doc", body, PlanSchema.plan).collect()
+      .map(r => (r.getAs[String]("key"), r.getAs[Double]("headroom"))).toSeq
+    // typeA avg 15 < 30 dropped; typeB (120-50)/3*100, typeC (99-99)/1*100
+    assert(rows === Seq(("typeB", 70.0 / 3 * 100), ("typeC", 0.0)))
+    // typo'd param is a loud parse error
+    assertThrows[IllegalArgumentException](EsAggs.parse(
+      """{"aggs": {"t": {"terms": {"field": "planType"},
+        |  "aggs": {"s": {"sum": {"field": "planCostShares.copay"}},
+        |    "x": {"bucket_script": {"buckets_path": {"s": "s"},
+        |      "script": "params.oops + 1"}}}}}}""".stripMargin, PlanSchema.plan))
+    // _score / doc refs do not exist at the bucket grain
+    assertThrows[IllegalArgumentException](EsAggs.parse(
+      """{"aggs": {"t": {"terms": {"field": "planType"},
+        |  "aggs": {"s": {"sum": {"field": "planCostShares.copay"}},
+        |    "x": {"bucket_script": {"buckets_path": {"s": "s"},
+        |      "script": "params.s + _score"}}}}}}""".stripMargin, PlanSchema.plan))
+    // selector needs exactly one comparison
+    assertThrows[IllegalArgumentException](EsAggs.parse(
+      """{"aggs": {"t": {"terms": {"field": "planType"},
+        |  "aggs": {"s": {"sum": {"field": "planCostShares.copay"}},
+        |    "x": {"bucket_selector": {"buckets_path": {"s": "s"},
+        |      "script": "params.s + 1"}}}}}}""".stripMargin, PlanSchema.plan))
   }
 
   test("round-9 parent-join: has_child counts matching children, has_parent semi-joins") {

@@ -6611,6 +6611,71 @@ object DocQueries {
       |    AS spread_std_deviation_bounds_lower
       |FROM h ORDER BY key""".stripMargin
 
+  // ---------------------------------------------------------------- d172
+  /** ES `_rank_eval` — the search-quality CI harness: three rated
+    * requests scored with normalized DCG@5, per-request + `_overall`
+    * mean (`RankEval.run`). Pages ride the normal SearchExec path
+    * (bounded TakeOrderedAndProject); rating tables are body literals
+    * (broadcast); ideal DCG folds to a plan-time constant per request.
+    * Both engines share the identical gain expression
+    * `(2^rel − 1) / (ln(rank+1)/ln 2)`. */
+  private def d172(s: SparkSession, d: String): DataFrame = {
+    def req(id: String, query: String, ratings: Seq[(String, Int)]): String =
+      s"""{ "id": "$id",
+         |  "request": { "query": $query,
+         |    "sort": [ { "objectId": { "order": "asc" } } ],
+         |    "size": 5, "_source": ["objectId"] },
+         |  "ratings": [ ${ratings.map { case (i, r) =>
+              s"""{ "_id": "$i", "rating": $r }""" }.mkString(", ")} ] }""".stripMargin
+    val body =
+      s"""{
+         |  "requests": [
+         |    ${req("r1", """{ "match_all": {} }""",
+              Seq("plan-1" -> 3, "plan-100" -> 2, "plan-1001" -> 1, "plan-999" -> 3))},
+         |    ${req("r2", """{ "range": { "planCostShares.copay": { "gte": 25 } } }""",
+              Seq("plan-1026" -> 2, "plan-1028" -> 1, "plan-777" -> 3))},
+         |    ${req("r3", """{ "range": { "planCostShares.copay": { "gte": 10, "lt": 20 } } }""",
+              Seq("plan-1011" -> 1, "plan-1013" -> 3, "plan-1015" -> 2))}
+         |  ],
+         |  "metric": { "dcg": { "k": 5, "normalize": true } }
+         |}""".stripMargin
+    RankEval.run(assembled(s, d), "doc", body, schema)
+  }
+
+  private val d172Sql = {
+    def idcg(ratings: Seq[Int]): Double =
+      ratings.sorted(Ordering[Int].reverse).take(5).zipWithIndex.map { case (r, i) =>
+        (math.pow(2.0, r.toDouble) - 1.0) / (math.log(i + 2.0) / math.log(2.0))
+      }.sum
+    val i1 = idcg(Seq(3, 2, 1, 3)); val i2 = idcg(Seq(2, 1, 3)); val i3 = idcg(Seq(1, 3, 2))
+    s"""WITH base AS (SELECT 'plan-' || ${ck("c_custkey")} AS oid, c_custkey % 50 AS copay
+       |  FROM customer),
+       |p1 AS (SELECT 'r1' AS request_id, oid, rnk FROM (
+       |  SELECT oid, ROW_NUMBER() OVER (ORDER BY oid) AS rnk FROM base) WHERE rnk <= 5),
+       |p2 AS (SELECT 'r2' AS request_id, oid, rnk FROM (
+       |  SELECT oid, ROW_NUMBER() OVER (ORDER BY oid) AS rnk FROM base WHERE copay >= 25)
+       |  WHERE rnk <= 5),
+       |p3 AS (SELECT 'r3' AS request_id, oid, rnk FROM (
+       |  SELECT oid, ROW_NUMBER() OVER (ORDER BY oid) AS rnk FROM base
+       |  WHERE copay >= 10 AND copay < 20) WHERE rnk <= 5),
+       |pages AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2 UNION ALL SELECT * FROM p3),
+       |ratings(request_id, oid, rating) AS (VALUES
+       |  ('r1', 'plan-1', 3), ('r1', 'plan-100', 2), ('r1', 'plan-1001', 1), ('r1', 'plan-999', 3),
+       |  ('r2', 'plan-1026', 2), ('r2', 'plan-1028', 1), ('r2', 'plan-777', 3),
+       |  ('r3', 'plan-1011', 1), ('r3', 'plan-1013', 3), ('r3', 'plan-1015', 2)),
+       |j AS (SELECT p.request_id, p.rnk, COALESCE(r.rating, 0) AS rel
+       |  FROM pages p LEFT JOIN ratings r
+       |    ON p.request_id = r.request_id AND p.oid = r.oid),
+       |per AS (SELECT request_id,
+       |    SUM((POWER(2.0, rel) - 1.0) / (LN(rnk + 1.0) / LN(2.0)))
+       |      / (CASE request_id WHEN 'r1' THEN $i1 WHEN 'r2' THEN $i2 ELSE $i3 END)
+       |      AS metric_score
+       |  FROM j GROUP BY request_id)
+       |SELECT request_id, metric_score FROM per
+       |UNION ALL SELECT '_overall', SUM(metric_score) / COUNT(*) FROM per
+       |ORDER BY request_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -6770,6 +6835,7 @@ object DocQueries {
     "d169_es_moving_models" -> d169 _,
     "d170_es_script_function" -> d170 _,
     "d171_es_extended_stats_bucket" -> d171 _,
+    "d172_es_rank_eval" -> d172 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
     "d3_roundtrip" -> d3 _,
@@ -6943,6 +7009,7 @@ object DocQueries {
     "d169_es_moving_models" -> d169Sql,
     "d170_es_script_function" -> d170Sql,
     "d171_es_extended_stats_bucket" -> d171Sql,
+    "d172_es_rank_eval" -> d172Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,
     "d3_roundtrip" -> d3Sql,

@@ -2262,6 +2262,44 @@ class DocEngineSpec extends SparkSpec {
         get_json_object(col("json"), "$.planType") === "nope").count() === 0)
   }
 
+  test("round-9 rank_eval: precision@k, MRR, empty pages score 0, malformed bodies reject") {
+    // corpus ids sorted asc: a1, a2, b1, b2, b3, c1
+    def body(metric: String, query: String = """{ "match_all": {} }"""): String =
+      s"""{ "requests": [ { "id": "q1",
+         |    "request": { "query": $query,
+         |      "sort": [{ "objectId": { "order": "asc" } }],
+         |      "size": 4, "_source": ["objectId"] },
+         |    "ratings": [ { "_id": "a1", "rating": 2 }, { "_id": "b2", "rating": 1 },
+         |                 { "_id": "c1", "rating": 3 } ] } ],
+         |  "metric": $metric }""".stripMargin
+    def score(b: String): Map[String, Double] =
+      RankEval.run(corpus, "doc", b, PlanSchema.plan).collect()
+        .map(r => r.getAs[String]("request_id") -> r.getAs[Double]("metric_score")).toMap
+    // precision@4: page a1,a2,b1,b2 — relevant (>=1): a1, b2 → 2/4
+    val p = score(body("""{ "precision": { "k": 4 } }"""))
+    assert(p("q1") === 0.5 && p("_overall") === 0.5)
+    // threshold 2 drops b2 → 1/4
+    assert(score(body("""{ "precision": { "k": 4, "relevant_rating_threshold": 2 } }"""))("q1")
+      === 0.25)
+    // MRR: first relevant at rank 1 → 1.0; threshold 3 → c1 not in page → 0
+    assert(score(body("""{ "mean_reciprocal_rank": { "k": 4 } }"""))("q1") === 1.0)
+    assert(score(body(
+      """{ "mean_reciprocal_rank": { "k": 4, "relevant_rating_threshold": 3 } }"""))("q1") === 0.0)
+    // a request whose page is empty scores 0, not a vanished row
+    val empty = score(body("""{ "precision": { "k": 4 } }""",
+      """{ "term": { "planType": "nope" } }"""))
+    assert(empty("q1") === 0.0 && empty("_overall") === 0.0)
+    // dcg@2 over page b1 (rel 0), b2 (rel 1): (2^1−1)/log2(3)
+    val dcg = score(body("""{ "dcg": { "k": 2 } }""",
+      """{ "term": { "planType": "typeB" } }"""))("q1")
+    assert(math.abs(dcg - math.log(2.0) / math.log(3.0)) < 1e-12)
+    // malformed: two metrics, unknown metric, missing ratings
+    assertThrows[IllegalArgumentException](RankEval.run(corpus, "doc",
+      """{ "requests": [], "metric": { "precision": {} } }""", PlanSchema.plan))
+    assertThrows[IllegalArgumentException](RankEval.run(corpus, "doc",
+      body("""{ "expected_reciprocal_rank": { "k": 4 } }"""), PlanSchema.plan))
+  }
+
   test("round-9 ADVICE pins: malformed script numbers fail loudly; null collapse key " +
     "keeps its row with AND without inner_hits") {
     // 1.2.3 / trailing-dot literals raise the parser's located error, not

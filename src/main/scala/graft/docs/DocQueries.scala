@@ -6676,6 +6676,122 @@ object DocQueries {
        |ORDER BY request_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- d173
+  /** ES `_field_caps` — per-field capability report over the live mapping:
+    * dotted paths with ES types and searchable/aggregatable flags. The
+    * mapping is INFERRED from the documents (d15's sample-bounded
+    * `spark.read.json` pass — the engine-side analog of the reference's
+    * instance-derived mapping, `IndexingListener.java:71-96`), then
+    * flattened by ES's rules: strings surface as `text` (searchable, not
+    * aggregatable) plus a `.keyword` multi-field (both), integers as
+    * `long` (both), object arrays as `nested` and sub-objects as `object`
+    * container rows (neither). Scale shape: a 512-doc bounded sample +
+    * driver-side walk of the StructType — no corpus scan, no shuffle. */
+  private def d173(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val jsonDs = {
+      import s.implicits._
+      docs(s, d).limit(512).select(to_json(col("doc")).as("j")).as[String]
+    }
+    val inferred = s.read.json(jsonDs).schema
+    val rows = scala.collection.mutable.ListBuffer.empty[(String, String, Int, Int)]
+    def walk(prefix: String, st: StructType): Unit = st.fields.foreach { f =>
+      val p = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
+      f.dataType match {
+        case s2: StructType => rows += ((p, "object", 0, 0)); walk(p, s2)
+        case ArrayType(s2: StructType, _) => rows += ((p, "nested", 0, 0)); walk(p, s2)
+        case StringType =>
+          rows += ((p, "text", 1, 0)); rows += ((s"$p.keyword", "keyword", 1, 1))
+        case LongType => rows += ((p, "long", 1, 1))
+        case other => rows += ((p, other.simpleString, 1, 1))
+      }
+    }
+    walk("", inferred)
+    s.createDataFrame(rows.toSeq)
+      .toDF("field", "es_type", "searchable", "aggregatable")
+      .orderBy(col("field"), col("es_type"))
+  }
+
+  /** Hand-written pin of the expected caps (NOT derived from the Scala
+    * walk — the oracle's independence is the point). */
+  private val d173Sql = {
+    def txt(p: String) = s"('$p', 'text', 1, 0), ('$p.keyword', 'keyword', 1, 1)"
+    def lng(p: String) = s"('$p', 'long', 1, 1)"
+    def obj(p: String) = s"('$p', 'object', 0, 0)"
+    val values = Seq(
+      txt("_org"), txt("creationDate"),
+      "('linkedPlanServices', 'nested', 0, 0)",
+      txt("linkedPlanServices._org"),
+      obj("linkedPlanServices.linkedService"),
+      txt("linkedPlanServices.linkedService._org"),
+      txt("linkedPlanServices.linkedService.name"),
+      txt("linkedPlanServices.linkedService.objectId"),
+      txt("linkedPlanServices.linkedService.objectType"),
+      txt("linkedPlanServices.objectId"),
+      txt("linkedPlanServices.objectType"),
+      obj("linkedPlanServices.planserviceCostShares"),
+      txt("linkedPlanServices.planserviceCostShares._org"),
+      lng("linkedPlanServices.planserviceCostShares.copay"),
+      lng("linkedPlanServices.planserviceCostShares.deductible"),
+      txt("linkedPlanServices.planserviceCostShares.objectId"),
+      txt("linkedPlanServices.planserviceCostShares.objectType"),
+      txt("objectId"), txt("objectType"),
+      obj("planCostShares"),
+      txt("planCostShares._org"),
+      lng("planCostShares.copay"), lng("planCostShares.deductible"),
+      txt("planCostShares.objectId"), txt("planCostShares.objectType"),
+      txt("planType")
+    ).mkString(",\n  ")
+    s"""SELECT * FROM (VALUES
+       |  $values
+       |) AS t(field, es_type, searchable, aggregatable)
+       |ORDER BY field, es_type""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- d174
+  /** ES `_mtermvectors` with `term_statistics: true` — per-document term
+    * vectors of the analyzed service-name field for three requested docs:
+    * `term_freq` within the doc, plus index-wide `doc_freq` and `ttf`
+    * (total term frequency). Analysis rides the shared TextAnalysis chain
+    * (same tokens both engines, bit-exact). Scale shape: the corpus-wide
+    * stats are ONE hash aggregation over the exploded terms (ES reads the
+    * same numbers from its postings; a standing deployment would maintain
+    * this term-stats table incrementally, d23's df machinery), and the
+    * requested-doc side is a handful of rows broadcast into the join —
+    * never the corpus side. */
+  private def d174(s: SparkSession, d: String): DataFrame = {
+    import graft.ext.TextAnalysis
+    val ids = Seq("plan-1", "plan-7", "plan-42")
+    val toks = assembled(s, d)
+      .select(col("doc.objectId").as("object_id"),
+        explode(col("doc.linkedPlanServices")).as("ps"))
+      .select(col("object_id"),
+        explode(TextAnalysis.analyze(col("ps.linkedService.name"))).as("term"))
+    val tf = toks.groupBy("object_id", "term")
+      .agg(count(lit(1)).as("term_freq"))
+    val stats = tf.groupBy("term")
+      .agg(count(lit(1)).as("doc_freq"), sum("term_freq").as("ttf"))
+    stats.join(broadcast(tf.filter(col("object_id").isin(ids.map(lit): _*))), "term")
+      .select(col("object_id"), col("term"), col("term_freq"),
+        col("doc_freq"), col("ttf"))
+      .orderBy(col("object_id"), col("term"))
+  }
+
+  private val d174Sql = {
+    import graft.ext.TextAnalysis
+    s"""WITH o AS $O,
+       |tok AS (SELECT o_custkey AS ck,
+       |  unnest(${TextAnalysis.analyzeSql("'Service ' || o_orderpriority")}) AS term FROM o),
+       |tf AS (SELECT ck, term, COUNT(*) AS term_freq FROM tok GROUP BY ck, term),
+       |stats AS (SELECT term, COUNT(*) AS doc_freq,
+       |  CAST(SUM(term_freq) AS BIGINT) AS ttf FROM tf GROUP BY term)
+       |SELECT 'plan-' || ${ck("tf.ck")} AS object_id, tf.term, tf.term_freq,
+       |  s.doc_freq, s.ttf
+       |FROM tf JOIN stats s ON tf.term = s.term
+       |WHERE tf.ck IN (1, 7, 42)
+       |ORDER BY object_id, tf.term""".stripMargin
+  }
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -6836,6 +6952,8 @@ object DocQueries {
     "d170_es_script_function" -> d170 _,
     "d171_es_extended_stats_bucket" -> d171 _,
     "d172_es_rank_eval" -> d172 _,
+    "d173_es_field_caps" -> d173 _,
+    "d174_es_termvectors" -> d174 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
     "d3_roundtrip" -> d3 _,
@@ -7010,6 +7128,8 @@ object DocQueries {
     "d170_es_script_function" -> d170Sql,
     "d171_es_extended_stats_bucket" -> d171Sql,
     "d172_es_rank_eval" -> d172Sql,
+    "d173_es_field_caps" -> d173Sql,
+    "d174_es_termvectors" -> d174Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,
     "d3_roundtrip" -> d3Sql,

@@ -671,6 +671,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), s"geo_shape is a pure filter, no join:\n$p")
   }
 
+  test("d174: termvectors broadcasts the requested-doc rows; corpus stats never cartesian") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val df = q("d174_es_termvectors")
+    val p = plan(df)
+    // the handful of requested-doc tf rows ride a broadcast into the
+    // index-wide stats — the corpus side must never be the broadcast input
+    assert(p.contains("BroadcastHashJoin"), s"requested-doc side not broadcast:\n$p")
+    q("d174_es_termvectors").queryExecution.optimizedPlan.collect { case j: Join => j }
+      .foreach(j => assert(j.condition.nonEmpty, s"cartesian in termvectors plan:\n$j"))
+  }
+
   test("d169: moving_fn models act on the bucket table only — one corpus shuffle") {
     val p = plan(q("d169_es_moving_models"))
     assert(!p.contains("Join"), s"moving_fn must not join:\n$p")

@@ -2332,4 +2332,35 @@ class DocEngineSpec extends SparkSpec {
     assert(plain.toSet === withInner.toSet, "inner_hits changed the collapsed hit set")
     assert(plain.contains("n3"), "null collapse key lost its group")
   }
+
+  test("round-9 field_caps + termvectors: ES capability rules and postings arithmetic") {
+    val sf = "/root/testdata/sf0.001"
+    val caps = graft.SparkEntry.queries("d173_es_field_caps")(spark, sf).collect()
+      .map(r => (r.getAs[String]("field"), r.getAs[String]("es_type"),
+        r.getAs[Int]("searchable"), r.getAs[Int]("aggregatable"))).toSeq
+    // every text field carries a .keyword multi-field, and the flags follow
+    // ES's rules: text searchable-only, keyword both, containers neither
+    val byField = caps.map(c => c._1 -> c).toMap
+    caps.filter(_._2 == "text").foreach { case (f, _, s, a) =>
+      assert(s == 1 && a == 0, s"text flags wrong for $f")
+      assert(byField.get(s"$f.keyword").exists(k => k._2 == "keyword" && k._3 == 1 && k._4 == 1),
+        s"missing .keyword multi-field for $f")
+    }
+    assert(byField("linkedPlanServices")._2 === "nested")
+    assert(byField("planCostShares") === (("planCostShares", "object", 0, 0)))
+    assert(byField("planCostShares.copay")._2 === "long")
+    // termvectors: per-doc tf joined to index-wide stats — for every row
+    // ttf >= doc_freq (each contributing doc adds >= 1 occurrence) and
+    // ttf >= term_freq of the requested doc itself
+    val tv = graft.SparkEntry.queries("d174_es_termvectors")(spark, sf).collect()
+    assert(tv.nonEmpty)
+    tv.foreach { r =>
+      val (tf, df, ttf) = (r.getAs[Long]("term_freq"), r.getAs[Long]("doc_freq"),
+        r.getAs[Long]("ttf"))
+      assert(ttf >= df && ttf >= tf && df >= 1,
+        s"postings arithmetic violated: tf=$tf df=$df ttf=$ttf")
+    }
+    // the analyzed name field always contains the literal token 'service'
+    assert(tv.map(_.getAs[String]("term")).contains("service"))
+  }
 }

@@ -65,6 +65,10 @@ object Bench {
     // Optional comma-separated prefix filter (local iteration; the driver
     // sets neither, so it always measures everything).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    // per-query successful run times, in run order (both runs when both
+    // succeed) — lets a reader separate noise from regression without a
+    // quiet-box rerun
+    val allRuns = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val results = warm +: SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
       .map { case (name, fn) =>
@@ -79,23 +83,28 @@ object Bench {
           // run order distorted two consecutive driver artifacts with 3-9x
           // slowdowns on code-unchanged queries. Two back-to-back runs
           // can't both sit under the same burst; min() is the engine's
-          // cost, wall (reported separately) is the machine's.
-          def once(): Option[Double] = {
+          // cost, wall (reported separately) is the machine's. Both runs
+          // are ALWAYS attempted (a transient first-run failure gets its
+          // retry), and an error is recorded only when NO run succeeded —
+          // a query must never read as both errored and timed.
+          def once(): Either[String, Double] = {
             val t0 = System.nanoTime()
             try { fn(spark, sfDir).count()
               val dt = (System.nanoTime() - t0) / 1e9
-              reapLeaks(name); Some(dt)
+              reapLeaks(name); Right(dt)
             } catch { case e: Throwable =>
-              errs.getOrElseUpdate(name, err(e)); reapLeaks(name); None }
+              reapLeaks(name); Left(err(e)) }
           }
           val first = once()
-          val best = first match {
-            case None => 0.0
-            case Some(a) =>
-              if (spark.sparkContext.isStopped) a
-              else once().map(math.min(a, _)).getOrElse(a)
-          }
-          name -> best
+          val second =
+            if (spark.sparkContext.isStopped) Left("skipped: SparkContext stopped")
+            else once()
+          val oks = Seq(first, second).collect { case Right(t) => t }
+          allRuns(name) = oks
+          if (oks.isEmpty) {
+            errs.getOrElseUpdate(name, first.left.getOrElse("unknown"))
+            name -> 0.0
+          } else name -> oks.min
         }
       }
     def f(v: Double): String = BigDecimal(v)
@@ -108,13 +117,16 @@ object Bench {
     } + "\""
     val qs = results.map { case (k, v) => jstr(k) + ":" + f(v) }
       .mkString("{", ",", "}")
+    val runsJson = allRuns.map { case (k, vs) =>
+      jstr(k) + ":" + vs.map(f).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val wall = (System.nanoTime() - tw) / 1e9
     val lk = leakers.map(jstr).mkString("[", ",", "]")
     val es = errs.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","runs_per_query":2,"wall":${f(wall)},"queries":$qs,"leaks":$lk,"errs":$es,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","runs_per_query":2,"wall":${f(wall)},"queries":$qs,"runs":$runsJson,"leaks":$lk,"errs":$es,"sf":"$sfDir"}"""
     // Persist the line to a file too: sbt's [success] trailer and stdout
     // truncation swallowed per-query numbers in rounds 2-3 (parsed: null).
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),

@@ -6483,7 +6483,16 @@ object DocQueries {
   }
 
   private val d169Sql = {
-    val a = 0.3; val na = 1 - 0.3; val b = 0.1
+    val a = 0.3; val na = 1 - 0.3; val b = 0.1; val nb = 1 - 0.1
+    // holt components, textually staged so the IEEE op sequence is the
+    // engine's exactly (ES holtForecast: value = s + b, the one-step
+    // forecast; see EsAggs MovingAvg "holt")
+    val s2 = s"($a * v2 + $na * (v3 + 0.0))" // 3-value case: level after v2
+    val b2 = s"($b * ($s2 - v3) + $nb * 0.0)"
+    val s3 = s"($a * v1 + $na * ($s2 + $b2))"
+    val b3 = s"($b * ($s3 - $s2) + $nb * $b2)"
+    val s2w = s"($a * v1 + $na * (v2 + 0.0))" // 2-value case: level after v1
+    val b2w = s"($b * ($s2w - v2) + $nb * 0.0)"
     s"""WITH h AS (SELECT (c_custkey % 50 - (c_custkey % 50) % 5) AS key,
        |    CAST(COUNT(*) AS BIGINT) AS doc_count FROM customer GROUP BY 1),
        |l AS (SELECT key, doc_count,
@@ -6515,10 +6524,9 @@ object DocQueries {
        |            (CASE WHEN v3 IS NOT NULL THEN w3 ELSE 0.0 END))
        |    ELSE NULL END AS lwa,
        |  CASE WHEN v1 IS NULL THEN NULL
-       |       WHEN v2 IS NULL THEN v1
-       |       WHEN v3 IS NULL THEN $a * v1 + $na * (v2 + 0.0)
-       |       ELSE $a * v1 + $na * (($a * v2 + $na * (v3 + 0.0)) +
-       |         ($b * (($a * v2 + $na * (v3 + 0.0)) - v3) + ${1 - 0.1} * 0.0)) END AS holt
+       |       WHEN v2 IS NULL THEN v1 + 0.0
+       |       WHEN v3 IS NULL THEN $s2w + $b2w
+       |       ELSE $s3 + $b3 END AS holt
        |FROM w ORDER BY key""".stripMargin
   }
 
@@ -6678,22 +6686,20 @@ object DocQueries {
 
   // ---------------------------------------------------------------- d173
   /** ES `_field_caps` — per-field capability report over the live mapping:
-    * dotted paths with ES types and searchable/aggregatable flags. The
-    * mapping is INFERRED from the documents (d15's sample-bounded
-    * `spark.read.json` pass — the engine-side analog of the reference's
-    * instance-derived mapping, `IndexingListener.java:71-96`), then
-    * flattened by ES's rules: strings surface as `text` (searchable, not
-    * aggregatable) plus a `.keyword` multi-field (both), integers as
-    * `long` (both), object arrays as `nested` and sub-objects as `object`
-    * container rows (neither). Scale shape: a 512-doc bounded sample +
-    * driver-side walk of the StructType — no corpus scan, no shuffle. */
+    * dotted paths with ES types and searchable/aggregatable flags. ES
+    * reads the index's FULL mapping, so the report walks the declared
+    * document schema (PlanSchema — the engine's mapping of record; a
+    * field present in any document is present in the mapping, with no
+    * sample bound), flattened by ES's rules: strings surface as `text`
+    * (searchable, not aggregatable) plus a `.keyword` multi-field (both),
+    * integers as `long` (both), object arrays as `nested` and sub-objects
+    * as `object` container rows (neither). Scale shape: a driver-side
+    * walk of the StructType — no corpus scan at all. (Sampled
+    * re-inference, the pre-r10 implementation, could silently drop a
+    * field first seen after the sample bound.) */
   private def d173(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.types._
-    val jsonDs = {
-      import s.implicits._
-      docs(s, d).limit(512).select(to_json(col("doc")).as("j")).as[String]
-    }
-    val inferred = s.read.json(jsonDs).schema
+    val inferred = schema
     val rows = scala.collection.mutable.ListBuffer.empty[(String, String, Int, Int)]
     def walk(prefix: String, st: StructType): Unit = st.fields.foreach { f =>
       val p = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"

@@ -2545,7 +2545,10 @@ object EsAggs {
             throw new IllegalStateException("scripted_metric without a parsed script")),
             resolve, lit(0.0))
           val sv = pred match { case Some(p) => when(p, mapped); case None => mapped }
-          Seq(sum(sv).cast("double").as(name))
+          // ES fold contract: a zero-doc bucket (possible in conditional
+          // one-pass kinds — filters/range) returns the INIT value 0.0,
+          // not NULL; sum() over an empty/all-null slice must coalesce.
+          Seq(coalesce(sum(sv).cast("double"), lit(0.0)).as(name))
         case kind => Seq((kind match {
           case "avg" => avg(v).cast("double")
           case "sum" => sum(v).cast("double") // ES sum is a double
@@ -3495,6 +3498,13 @@ object EsAggs {
                 }.reduce(_ + _)
                 when(den > 0, num / den)
               case "holt" =>
+                // ES MovingFunctions.holtForecast: seed s = first non-NaN
+                // value with b = 0, then s' = α·v + (1-α)(s+b),
+                // b' = β·(s'-s) + (1-β)·b — and the bucket VALUE is the
+                // one-step forecast s + b (holt() returns
+                // holtForecast(values, α, β, 1)[0] = s + b·1). Returning
+                // the level s alone was a documented deviation until r10;
+                // this is now the exact upstream op sequence.
                 val init = struct(lit(null).cast("double").as("s"),
                   lit(null).cast("double").as("b"))
                 val folded = (window to 1 by -1).foldLeft(init) { (acc, i) =>
@@ -3506,7 +3516,7 @@ object EsAggs {
                     when(s0.isNull, struct(v.as("s"), lit(0.0).as("b")))
                       .otherwise(struct(sN.as("s"), bN.as("b"))))
                 }
-                folded.getField("s")
+                folded.getField("s") + folded.getField("b")
             })
           case SerialDiff(n, t, lagN) =>
             table = table.withColumn(n, tcol(t) - lag(tcol(t), lagN).over(keyW))

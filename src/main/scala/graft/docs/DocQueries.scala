@@ -6798,6 +6798,80 @@ object DocQueries {
        |ORDER BY object_id, tf.term""".stripMargin
   }
 
+  // ---------------------------------------------------------------- d175
+  /** ES `_update_by_query` — set-oriented bulk update: the body's query
+    * selects the documents (one pushdown-eligible predicate on the
+    * assembled scan — BEFORE any reachability work, plan-pinned), the
+    * script (`ctx._source.<path> = <expr>`, the d150 Painless-subset
+    * arithmetic) rewrites the matched docs as one codegen'd
+    * struct-rebuild expression, and M8 replace persists them
+    * (delete-then-save, the reference's own update shape,
+    * `PlanService.java:202-215` — here one plan for ANY match count).
+    * "Double copay plus 7 on every expensive non-FURNITURE plan." */
+  private def d175(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "query": { "bool": {
+        |    "must": [ { "range": { "planCostShares.copay": { "gte": 30 } } } ],
+        |    "must_not": [ { "term": { "planType": "FURNITURE" } } ] } },
+        |  "script": { "source":
+        |    "ctx._source.planCostShares.copay = ctx._source.planCostShares.copay * 2 + 7" }
+        |}""".stripMargin
+    val after = materialized(s, "d175",
+      BulkByQuery.updateByQuery(assembled(s, d), shredded(s, d), body, schema, mdepth))
+    Assembler.assemble(after, schema, "plan").select(
+      col("doc.objectId").as("object_id"),
+      col("doc.planType").as("plan_type"),
+      col("doc.planCostShares.copay").as("copay"),
+      size(col("doc.linkedPlanServices")).as("n_services"))
+      .orderBy(col("object_id"))
+  }
+
+  private val d175Sql =
+    s"""WITH o AS $O
+       |SELECT 'plan-' || ${ck("c_custkey")} AS object_id,
+       |  c_mktsegment AS plan_type,
+       |  CASE WHEN c_custkey % 50 >= 30 AND c_mktsegment <> 'FURNITURE'
+       |       THEN c_custkey % 50 * 2 + 7 ELSE c_custkey % 50 END AS copay,
+       |  CAST((SELECT COUNT(*) FROM o WHERE o_custkey = c_custkey) AS INTEGER) AS n_services
+       |FROM customer ORDER BY object_id""".stripMargin
+
+  // ---------------------------------------------------------------- d176
+  /** ES `_delete_by_query` — set-oriented bulk delete: the body's query
+    * selects root documents (filtered assembled scan), M6 cascade removes
+    * their reachable closures. Output: the ES response's `deleted` count
+    * beside the post-delete per-type entity census (proving the cascade
+    * took children with their parents). "Retention: drop every expensive
+    * BUILDING plan." */
+  private def d176(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "query": { "bool": { "must": [
+        |    { "term": { "planType": "BUILDING" } },
+        |    { "range": { "planCostShares.copay": { "gte": 25 } } } ] } }
+        |}""".stripMargin
+    val (after, deleted) =
+      BulkByQuery.deleteByQuery(assembled(s, d), shredded(s, d), body, schema, mdepth)
+    after.entities.groupBy(col("type_tag")).agg(count(lit(1)).as("n"))
+      .unionByName(deleted.select(lit("_deleted_docs").as("type_tag"),
+        col("deleted").as("n")))
+      .orderBy(col("type_tag"))
+  }
+
+  private val d176Sql =
+    s"""WITH o AS $O,
+       |keep AS (SELECT * FROM customer
+       |  WHERE NOT (c_mktsegment = 'BUILDING' AND c_custkey % 50 >= 25)),
+       |ko AS (SELECT o.* FROM o JOIN keep ON o_custkey = c_custkey)
+       |SELECT '_deleted_docs' AS type_tag, CAST((SELECT COUNT(*) FROM customer
+       |    WHERE c_mktsegment = 'BUILDING' AND c_custkey % 50 >= 25) AS BIGINT) AS n
+       |UNION ALL SELECT 'linkedService', COUNT(*) FROM ko
+       |UNION ALL SELECT 'plan', COUNT(*) FROM keep
+       |UNION ALL SELECT 'planCostShares', COUNT(*) FROM keep
+       |UNION ALL SELECT 'planservice', COUNT(*) FROM ko
+       |UNION ALL SELECT 'planserviceCostShares', COUNT(*) FROM ko
+       |ORDER BY type_tag""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -6960,6 +7034,8 @@ object DocQueries {
     "d172_es_rank_eval" -> d172 _,
     "d173_es_field_caps" -> d173 _,
     "d174_es_termvectors" -> d174 _,
+    "d175_update_by_query" -> d175 _,
+    "d176_delete_by_query" -> d176 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
     "d3_roundtrip" -> d3 _,
@@ -7136,6 +7212,8 @@ object DocQueries {
     "d172_es_rank_eval" -> d172Sql,
     "d173_es_field_caps" -> d173Sql,
     "d174_es_termvectors" -> d174Sql,
+    "d175_update_by_query" -> d175Sql,
+    "d176_delete_by_query" -> d176Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,
     "d3_roundtrip" -> d3Sql,

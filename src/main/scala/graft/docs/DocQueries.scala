@@ -6872,6 +6872,43 @@ object DocQueries {
        |UNION ALL SELECT 'planserviceCostShares', COUNT(*) FROM ko
        |ORDER BY type_tag""".stripMargin
 
+  // ---------------------------------------------------------------- d177
+  /** ES `_search/template` — a Kibana-style saved search rendered from
+    * params and executed by the SAME body machinery (SearchTemplate →
+    * SearchExec; the d151 wrapper pattern with parameters): `{{type}}`
+    * scalar, `{{min_copay}}`/`{{size}}` with `{{^…}}default{{/…}}`
+    * values (both exercised: the params omit them), and the org list via
+    * `{{#toJson}}orgs{{/toJson}}` — the escaping-correct array form. */
+  private def d177(s: SparkSession, d: String): DataFrame = {
+    val source =
+      """{
+        |  "query": { "bool": { "must": [
+        |    { "term": { "planType": "{{type}}" } },
+        |    { "range": { "planCostShares.copay": {
+        |        "gte": {{min_copay}}{{^min_copay}}0{{/min_copay}},
+        |        "lt": {{max_copay}} } } },
+        |    { "terms": { "_org": {{#toJson}}orgs{{/toJson}} } } ] } },
+        |  "sort": [ { "objectId": { "order": "asc" } } ],
+        |  "size": {{size}}{{^size}}25{{/size}},
+        |  "_source": ["objectId", "_org", "planCostShares.copay"]
+        |}""".stripMargin
+    SearchTemplate.search(assembled(s, d), "doc", source,
+      Map("type" -> "BUILDING", "max_copay" -> 40,
+        "orgs" -> Seq("org-1.example.com", "org-5.example.com")), schema)
+  }
+
+  private val d177Sql =
+    s"""SELECT rn, "objectId", "_org", "planCostShares_copay" FROM (
+       |  SELECT *, ROW_NUMBER() OVER (ORDER BY "objectId" ASC) AS rn FROM (
+       |    SELECT 'plan-' || ${ck("c_custkey")} AS "objectId",
+       |      'org-' || ${ck("c_nationkey")} || '.example.com' AS "_org",
+       |      c_custkey % 50 AS "planCostShares_copay"
+       |    FROM customer
+       |    WHERE c_mktsegment = 'BUILDING'
+       |      AND c_custkey % 50 >= 0 AND c_custkey % 50 < 40
+       |      AND c_nationkey IN (1, 5)))
+       |WHERE rn <= 25 ORDER BY rn""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -7036,6 +7073,7 @@ object DocQueries {
     "d174_es_termvectors" -> d174 _,
     "d175_update_by_query" -> d175 _,
     "d176_delete_by_query" -> d176 _,
+    "d177_search_template" -> d177 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
     "d3_roundtrip" -> d3 _,
@@ -7214,6 +7252,7 @@ object DocQueries {
     "d174_es_termvectors" -> d174Sql,
     "d175_update_by_query" -> d175Sql,
     "d176_delete_by_query" -> d176Sql,
+    "d177_search_template" -> d177Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,
     "d3_roundtrip" -> d3Sql,

@@ -6909,6 +6909,53 @@ object DocQueries {
        |      AND c_nationkey IN (1, 5)))
        |WHERE rn <= 25 ORDER BY rn""".stripMargin
 
+  // ---------------------------------------------------------------- d179
+  /** Highlight FRAGMENT extraction (`fragment_size`/`number_of_fragments`
+    * — the ES default highlighting mode; d94's whole-field wrap stays as
+    * the `number_of_fragments: 0` case) — over the long-text `documents`
+    * corpus through the generic SearchExec body path: up to 3
+    * non-overlapping ~30-char windows centered on the match positions,
+    * terms wrapped inside each, `|`-joined. Extraction runs on the
+    * ≤size-row page, never the corpus; both engines run the same regex
+    * (greedy leftmost windows, identical in Java regex and RE2). */
+  private def d179(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType => ST}
+    val docsT = graft.Tables(s, d, "documents")
+      .select(struct(col("doc_id").cast("string").as("objectId"),
+        col("text"), col("lang")).as("doc"))
+    val sch = ST(Seq(StructField("objectId", StringType),
+      StructField("text", StringType), StructField("lang", StringType)))
+    val body =
+      """{
+        |  "query": { "bool": { "must": [
+        |    { "match": { "text": "spark window" } },
+        |    { "term": { "lang": "en" } } ] } },
+        |  "sort": [ { "objectId": { "order": "asc" } } ],
+        |  "size": 30,
+        |  "_source": ["objectId"],
+        |  "highlight": { "fields": { "text": {
+        |    "fragment_size": 30, "number_of_fragments": 3 } } }
+        |}""".stripMargin
+    SearchExec.search(docsT, "doc", body, sch)
+  }
+
+  private val d179Sql =
+    """WITH hits AS (
+      |  SELECT CAST(doc_id AS VARCHAR) AS oid, text FROM documents
+      |  WHERE lang = 'en' AND (
+      |    list_contains(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> ''), 'spark') OR
+      |    list_contains(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> ''), 'window')))
+      |SELECT rn, "objectId", "text_highlight" FROM (
+      |  SELECT oid AS "objectId",
+      |    CASE WHEN len(fr) > 0 THEN array_to_string(list_transform(fr,
+      |        f -> regexp_replace(f, '(?i)\b(?:window|spark)\b', '<em>\0</em>', 'g')), '|')
+      |      ELSE NULL END AS "text_highlight",
+      |    CAST(ROW_NUMBER() OVER (ORDER BY oid ASC) AS BIGINT) AS rn
+      |  FROM (SELECT oid,
+      |      regexp_extract_all(text, '(?i).{0,15}\b(?:window|spark)\b.{0,15}')[1:3] AS fr
+      |    FROM hits))
+      |WHERE rn <= 30 ORDER BY rn""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -7074,6 +7121,7 @@ object DocQueries {
     "d175_update_by_query" -> d175 _,
     "d176_delete_by_query" -> d176 _,
     "d177_search_template" -> d177 _,
+    "d179_highlight_fragments" -> d179 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
     "d3_roundtrip" -> d3 _,
@@ -7253,6 +7301,7 @@ object DocQueries {
     "d175_update_by_query" -> d175Sql,
     "d176_delete_by_query" -> d176Sql,
     "d177_search_template" -> d177Sql,
+    "d179_highlight_fragments" -> d179Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,
     "d3_roundtrip" -> d3Sql,

@@ -246,9 +246,26 @@ object SearchExec {
         .map(_.trim.split("\\s+").map(escTok).mkString("\\s+"))
       val pat = s"(?i)\\b(?:${alts.mkString("|")})\\b"
       val v = field(doc, h.path).cast("string")
-      when(v.rlike(pat), regexp_replace(v, pat, h.pre + "$0" + h.post))
-        .otherwise(lit(null).cast("string"))
-        .as(h.path.mkString("_") + "_highlight")
+      val out =
+        if (h.numberOfFragments == 0)
+          when(v.rlike(pat), regexp_replace(v, pat, h.pre + "$0" + h.post))
+            .otherwise(lit(null).cast("string"))
+        else {
+          // fragment mode: extract up to N non-overlapping ~fragment_size
+          // windows centered on matches (⌊size/2⌋ context chars each
+          // side — greedy left-to-right, so extraction consumes text and
+          // fragments never overlap), wrap the terms inside each, join
+          // with "|". Runs on the ≤size-row PAGE only, never the corpus.
+          val k = h.fragmentSize / 2
+          val fragPat = s"(?i).{0,$k}\\b(?:${alts.mkString("|")})\\b.{0,$k}"
+          val frags = slice(regexp_extract_all(v, lit(fragPat), lit(0)),
+            1, h.numberOfFragments)
+          val wrapped = transform(frags,
+            f => regexp_replace(f, pat, h.pre + "$0" + h.post))
+          when(size(wrapped) > 0, concat_ws("|", wrapped))
+            .otherwise(lit(null).cast("string"))
+        }
+      out.as(h.path.mkString("_") + "_highlight")
     }
     // collapse inner_hits ride the page as their named array column
     val innerCols = b.collapseInner.toSeq.map(ci => col(ci.name))

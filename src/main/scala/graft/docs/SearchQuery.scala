@@ -924,17 +924,28 @@ object SearchQuery {
                             trackTotalHits: Boolean = false,
                             minScore: Option[Double] = None)
 
-  /** ES `highlight` — whole-field mode (`number_of_fragments: 0`), one
-    * field, default `<em>`/`</em>` tags. The executor wraps every
-    * occurrence of the query's terms FOR THAT FIELD (require_field_match,
-    * the ES default); a hit selected only by clauses on other fields gets
-    * NULL (ES omits the field from `highlight` for such hits). Documented
-    * deviation: ES highlights via index token offsets, so a stemming
-    * analyzer also lights up inflected surface forms; this engine wraps
-    * the query's literal analyzed tokens with case-insensitive
-    * word-boundary matching — identical for the keyword-style fields the
-    * reference maps, and reproducible in ANSI SQL. */
-  final case class Highlight(path: Seq[String], pre: String, post: String)
+  /** ES `highlight` — one field, default `<em>`/`</em>` tags. The
+    * executor wraps every occurrence of the query's terms FOR THAT FIELD
+    * (require_field_match, the ES default); a hit selected only by
+    * clauses on other fields gets NULL (ES omits the field from
+    * `highlight` for such hits). Documented deviation: ES highlights via
+    * index token offsets, so a stemming analyzer also lights up inflected
+    * surface forms; this engine wraps the query's literal analyzed tokens
+    * with case-insensitive word-boundary matching — identical for the
+    * keyword-style fields the reference maps, and reproducible in ANSI
+    * SQL.
+    *
+    * `numberOfFragments == 0` (also the default when the knob is absent)
+    * = whole-field mode. `numberOfFragments > 0` = fragment extraction:
+    * up to that many windows of ~`fragmentSize` chars, each CENTERED on a
+    * match (⌊size/2⌋ context chars on either side), in document order,
+    * non-overlapping (extraction consumes left-to-right), flattened to
+    * one `|`-joined string column (the d147/d161 scalar-output rule).
+    * Documented deviation from ES's fragmenter: ES breaks fragments at
+    * sentence/word boundaries scored by match density; this engine's
+    * fixed char windows are deterministic and SQL-reproducible. */
+  final case class Highlight(path: Seq[String], pre: String, post: String,
+                             fragmentSize: Int = 100, numberOfFragments: Int = 0)
 
   /** The query terms that highlight `path` (require_field_match): tokens
     * of `match`, values of `term`/`terms`, whole phrases of
@@ -1177,23 +1188,26 @@ object SearchQuery {
           "highlight tags containing $ or \\ are not implemented")
         hm.get("fields") match {
           case Some(JObject(List((f, fopts)))) =>
-            fopts match {
+            val (nFrags, fragSize) = fopts match {
               case JObject(fo) =>
                 val fm = fo.toMap
-                val unknownF = fm.keySet -- Set("number_of_fragments")
+                val unknownF = fm.keySet -- Set("number_of_fragments", "fragment_size")
                 require(unknownF.isEmpty,
                   s"unsupported highlight field option(s) on $f: ${unknownF.mkString(", ")}")
-                fm.get("number_of_fragments").foreach { n =>
-                  require(asInt(n) == 0,
-                    "only number_of_fragments: 0 (whole-field highlighting) is implemented")
-                }
+                val n = fm.get("number_of_fragments").map(asInt).getOrElse(0)
+                require(n >= 0, s"bad number_of_fragments: $n")
+                val fs = fm.get("fragment_size").map(asInt).getOrElse(100)
+                require(fs >= 1, s"bad fragment_size: $fs")
+                require(n > 0 || !fm.contains("fragment_size"),
+                  "fragment_size without number_of_fragments > 0 has no effect — remove it")
+                (n, fs)
               case other => throw new IllegalArgumentException(s"bad highlight field spec: $other")
             }
             val hp = fieldPath(f)
             val (arr, _) = splitArrayPath(hp, schema)
             require(arr.isEmpty,
               s"highlight on array path $f is not implemented (scalar fields only)")
-            Highlight(hp, pre, post)
+            Highlight(hp, pre, post, fragSize, nFrags)
           case Some(other) => throw new IllegalArgumentException(
             s"highlight.fields must carry exactly one field: $other")
           case None => throw new IllegalArgumentException("highlight needs \"fields\"")

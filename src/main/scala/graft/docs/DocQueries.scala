@@ -6956,6 +6956,63 @@ object DocQueries {
       |    FROM hits))
       |WHERE rn <= 30 ORDER BY rn""".stripMargin
 
+  // ---------------------------------------------------------------- d181
+  /** `explain`-style score breakdown — per-hit decomposition of a
+    * `function_score` body's `_score` into its named components
+    * (`SearchQuery.explainCols`: the base clause-count relevance, each
+    * function's filter-gated value, their score_mode fold) — the ES
+    * `explain: true` description tree's numbers as columns. The oracle
+    * recomputes every component AND the identity
+    * `score = base * fn_combined` bit-exactly (same IEEE op sequences as
+    * d82/d120). Pure per-row expressions — explain costs one projection. */
+  private def d181(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "query": { "function_score": {
+        |    "query": { "bool": {
+        |      "must": [ { "range": { "planCostShares.copay": { "lt": 45 } } } ],
+        |      "should": [ { "term": { "planType": "BUILDING" } },
+        |                  { "prefix": { "_org": "org-1" } } ] } },
+        |    "functions": [
+        |      { "filter": { "term": { "planType": "BUILDING" } }, "weight": 3 },
+        |      { "field_value_factor": { "field": "planCostShares.copay",
+        |          "factor": 1.2, "modifier": "sqrt", "missing": 0 }, "weight": 2 },
+        |      { "gauss": { "planCostShares.deductible": {
+        |          "origin": 0, "scale": 1000, "offset": 0, "decay": 0.5,
+        |          "missing": 0 } } }
+        |    ],
+        |    "score_mode": "sum", "boost_mode": "multiply" } }
+        |}""".stripMargin
+    val p = SearchQuery.parseBody(body, schema)
+    val doc = col("doc")
+    val comps = SearchQuery.explainCols(p, doc).map { case (n, c) =>
+      (if (n == "any_match") c.cast("int") else c).as(n)
+    }
+    assembled(s, d).filter(SearchQuery.compile(p.query, doc))
+      .select(col("doc.objectId").as("object_id") +: comps :+
+        SearchQuery.scoreCol(p, doc).cast("double").as("score"): _*)
+      .orderBy(col("object_id"))
+  }
+
+  private val d181Sql =
+    s"""WITH s AS (
+       |  SELECT 'plan-' || ${ck("c_custkey")} AS object_id,
+       |    CAST((CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) +
+       |         (CASE WHEN 'org-' || ${ck("c_nationkey")} || '.example.com'
+       |               LIKE 'org-1%' THEN 1 ELSE 0 END) AS DOUBLE) AS base_score,
+       |    CASE WHEN c_mktsegment = 'BUILDING' THEN CAST(3.0 AS DOUBLE)
+       |         ELSE CAST(0.0 AS DOUBLE) END AS fn0_value,
+       |    SQRT(1.2 * CAST(c_custkey % 50 AS DOUBLE)) * 2.0 AS fn1_value,
+       |    EXP(greatest(0.0, abs(CAST(c_nationkey * 100 AS DOUBLE) - 0.0) - 0.0)
+       |        * greatest(0.0, abs(CAST(c_nationkey * 100 AS DOUBLE) - 0.0) - 0.0)
+       |        * (LN(0.5) / (1000.0 * 1000.0))) * 1.0 AS fn2_value
+       |  FROM customer WHERE c_custkey % 50 < 45)
+       |SELECT object_id, base_score, fn0_value, fn1_value, fn2_value,
+       |  fn0_value + fn1_value + fn2_value AS fn_combined,
+       |  1 AS any_match,
+       |  base_score * (fn0_value + fn1_value + fn2_value) AS score
+       |FROM s ORDER BY object_id""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -7122,6 +7179,7 @@ object DocQueries {
     "d176_delete_by_query" -> d176 _,
     "d177_search_template" -> d177 _,
     "d179_highlight_fragments" -> d179 _,
+    "d181_explain_score" -> d181 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
     "d3_roundtrip" -> d3 _,
@@ -7302,6 +7360,7 @@ object DocQueries {
     "d176_delete_by_query" -> d176Sql,
     "d177_search_template" -> d177Sql,
     "d179_highlight_fragments" -> d179Sql,
+    "d181_explain_score" -> d181Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,
     "d3_roundtrip" -> d3Sql,

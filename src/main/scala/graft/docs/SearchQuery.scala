@@ -1270,10 +1270,30 @@ object SearchQuery {
         // All arithmetic is IEEE double over integer-ish inputs, so the
         // oracle reproduces it bit-for-bit.
         val base = if (p.shoulds.isEmpty) lit(1.0) else clauseCount.cast("double")
-        /** One function's value: the weight, scaled by the
-          * field_value_factor / linear decay when present (null field →
-          * the required `missing` substitute). */
-        def fnVal(fn: ScoreFn): Column = (fn.fvf, fn.decay) match {
+        val matched = sh.functions.map { fn =>
+          (coalesce(compile(fn.filter, doc), lit(false)), fnValue(fn, doc, base))
+        }
+        val anyMatch = matched.map(_._1).reduce(_ || _)
+        val combined = sh.scoreMode match {
+          case "multiply" =>
+            matched.map { case (m, w) => when(m, w).otherwise(lit(1.0)) }.reduce(_ * _)
+          case "sum" =>
+            matched.map { case (m, w) => when(m, w).otherwise(lit(0.0)) }.reduce(_ + _)
+        }
+        val folded = sh.boostMode match {
+          case "multiply" => base * combined
+          case "sum" => base + combined
+        }
+        when(anyMatch, folded).otherwise(base)
+    }
+  }
+
+  /** One function_score function's value: the weight, scaled by the
+    * field_value_factor / decay / feature / random / script form when
+    * present (null field → the required `missing` substitute). Shared by
+    * [[scoreCol]] and the `explain` surface ([[explainCols]]). */
+  private[docs] def fnValue(fn: ScoreFn, doc: Column, base: Column): Column =
+    (fn.fvf, fn.decay) match {
           case _ if fn.script.isDefined =>
             // script_score function form: the function's value is the
             // script (same Painless subset as the top-level wrapper);
@@ -1345,23 +1365,37 @@ object SearchQuery {
                 exp(dist * dist * lit(math.log(ld.decay) / (ld.scale * ld.scale)))
             }
             kernel * lit(fn.weight)
-        }
-        val matched = sh.functions.map { fn =>
-          (coalesce(compile(fn.filter, doc), lit(false)), fnVal(fn))
-        }
-        val anyMatch = matched.map(_._1).reduce(_ || _)
-        val combined = sh.scoreMode match {
-          case "multiply" =>
-            matched.map { case (m, w) => when(m, w).otherwise(lit(1.0)) }.reduce(_ * _)
-          case "sum" =>
-            matched.map { case (m, w) => when(m, w).otherwise(lit(0.0)) }.reduce(_ + _)
-        }
-        val folded = sh.boostMode match {
-          case "multiply" => base * combined
-          case "sum" => base + combined
-        }
-        when(anyMatch, folded).otherwise(base)
     }
+
+  /** `explain`-style score breakdown: the named component columns of a
+    * TOP-LEVEL `function_score` body, exactly the expressions [[scoreCol]]
+    * folds into `_score` — surfaced per hit for debuggability (ES
+    * `explain: true` returns the same decomposition as a description
+    * tree). Components: `base_score` (clause-count relevance, or 1 for a
+    * should-less query), one `fn<i>_value` per function (the function's
+    * value gated by its filter — the score_mode NEUTRAL when unmatched:
+    * 1 for multiply, 0 for sum), `fn_combined` (their score_mode fold),
+    * and `any_match`; `_score` itself is `boost_mode(base, combined)`
+    * when any function matched, else `base` — recomputable bit-exactly
+    * from the emitted columns. */
+  def explainCols(p: Parsed, doc: Column): Seq[(String, Column)] = {
+    val sh = p.shape.getOrElse(throw new IllegalArgumentException(
+      "explainCols: the parsed query carries no function_score/boosting shape"))
+    val base =
+      if (p.shoulds.isEmpty) lit(1.0)
+      else p.shoulds.map(q => coalesce(compile(q, doc).cast("long"), lit(0L)))
+        .reduce(_ + _).cast("double")
+    val matched = sh.functions.map { fn =>
+      (coalesce(compile(fn.filter, doc), lit(false)), fnValue(fn, doc, base))
+    }
+    val neutral = if (sh.scoreMode == "multiply") lit(1.0) else lit(0.0)
+    val gated = matched.map { case (m, w) => when(m, w).otherwise(neutral) }
+    val combined =
+      if (sh.scoreMode == "multiply") gated.reduce(_ * _) else gated.reduce(_ + _)
+    val anyMatch = matched.map(_._1).reduce(_ || _)
+    Seq("base_score" -> base) ++
+      gated.zipWithIndex.map { case (g, i) => s"fn${i}_value" -> g } ++
+      Seq("fn_combined" -> combined, "any_match" -> anyMatch)
   }
 
   /** Parse ONE ES query node (not a full body) — the form a `filters`

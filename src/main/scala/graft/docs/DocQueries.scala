@@ -6909,6 +6909,65 @@ object DocQueries {
        |      AND c_nationkey IN (1, 5)))
        |WHERE rn <= 25 ORDER BY rn""".stripMargin
 
+  // ---------------------------------------------------------------- d178
+  /** Point-in-time consistent paging (ES `_pit` + `search_after`) — the
+    * page-stability contract: a keyset walk opened against a PIT reads
+    * the SNAPSHOT even while a mutation batch lands on the live index.
+    * The snapshot primitive here is the engine's write-once materialized
+    * corpus parquet (immutable by construction — the M7 etag column is
+    * its per-doc version witness); the live state is a real
+    * `_delete_by_query` (d176 machinery) applied between page fetches.
+    * Three search_after pages walk the snapshot — each cursor is the
+    * previous page's last sort key, a 1-value bounded driver fetch (the
+    * keyset contract: the CLIENT carries the cursor) — and `in_live`
+    * joins each paged doc against the post-delete root set: deleted docs
+    * STILL APPEAR in their page (in_live = 0), which is precisely what
+    * PIT promises and a live walk would violate. Page N costs what page
+    * 1 costs (pushdown filter + bounded heap — the d40 scale shape). */
+  private def d178(s: SparkSession, d: String): DataFrame = {
+    val pit = assembled(s, d) // the snapshot: write-once parquet
+    def pageBody(after: Option[String]): String =
+      s"""{
+         |  "query": { "range": { "planCostShares.copay": { "gte": 10 } } },
+         |  "sort": [ { "objectId": { "order": "asc" } } ],
+         |  "size": 20,
+         |  ${after.map(a => s""""search_after": ["$a"],""").getOrElse("")}
+         |  "_source": ["objectId"]
+         |}""".stripMargin
+    val p1 = SearchExec.search(pit, "doc", pageBody(None), schema)
+    // the concurrent mutation batch: bulk-delete expensive BUILDING plans
+    // from the LIVE state (the snapshot is untouched by construction)
+    val delBody =
+      """{ "query": { "bool": { "must": [
+        |  { "term": { "planType": "BUILDING" } },
+        |  { "range": { "planCostShares.copay": { "gte": 10 } } } ] } } }""".stripMargin
+    val live = materialized(s, "d178",
+      BulkByQuery.deleteByQuery(pit, shredded(s, d), delBody, schema, mdepth)._1)
+    def lastKey(p: DataFrame): String =
+      p.agg(max(col("objectId"))).collect()(0).getString(0) // 1-row cursor fetch
+    val p2 = SearchExec.search(pit, "doc", pageBody(Some(lastKey(p1))), schema)
+    val p3 = SearchExec.search(pit, "doc", pageBody(Some(lastKey(p2))), schema)
+    val pages = Seq(p1, p2, p3).zipWithIndex.map { case (p, i) =>
+      p.select(lit(i + 1).as("page"), col("rn"), col("objectId"))
+    }.reduce(_ unionByName _)
+    val liveRoots = live.entities.filter(col("type_tag") === "plan")
+      .select(col("key").as("_lk"))
+    pages.join(liveRoots, concat(lit("plan_"), col("objectId")) === col("_lk"), "left")
+      .select(col("page"), col("rn"), col("objectId"),
+        col("_lk").isNotNull.cast("int").as("in_live"))
+      .orderBy(col("page"), col("rn"))
+  }
+
+  private val d178Sql =
+    s"""WITH hits AS (SELECT 'plan-' || ${ck("c_custkey")} AS oid, c_mktsegment AS seg
+       |  FROM customer WHERE c_custkey % 50 >= 10),
+       |ord AS (SELECT oid, seg, ROW_NUMBER() OVER (ORDER BY oid ASC) AS rn0 FROM hits)
+       |SELECT CAST((rn0 - 1) // 20 + 1 AS INTEGER) AS page,
+       |  CAST(rn0 - ((rn0 - 1) // 20) * 20 AS BIGINT) AS rn,
+       |  oid AS "objectId",
+       |  CASE WHEN seg = 'BUILDING' THEN 0 ELSE 1 END AS in_live
+       |FROM ord WHERE rn0 <= 60 ORDER BY page, rn""".stripMargin
+
   // ---------------------------------------------------------------- d179
   /** Highlight FRAGMENT extraction (`fragment_size`/`number_of_fragments`
     * — the ES default highlighting mode; d94's whole-field wrap stays as
@@ -7178,6 +7237,7 @@ object DocQueries {
     "d175_update_by_query" -> d175 _,
     "d176_delete_by_query" -> d176 _,
     "d177_search_template" -> d177 _,
+    "d178_pit_paging" -> d178 _,
     "d179_highlight_fragments" -> d179 _,
     "d181_explain_score" -> d181 _,
     "d1_shred_entities" -> d1 _,
@@ -7359,6 +7419,7 @@ object DocQueries {
     "d175_update_by_query" -> d175Sql,
     "d176_delete_by_query" -> d176Sql,
     "d177_search_template" -> d177Sql,
+    "d178_pit_paging" -> d178Sql,
     "d179_highlight_fragments" -> d179Sql,
     "d181_explain_score" -> d181Sql,
     "d1_shred_entities" -> d1Sql,

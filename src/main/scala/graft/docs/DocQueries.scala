@@ -7015,6 +7015,75 @@ object DocQueries {
       |    FROM hits))
       |WHERE rn <= 30 ORDER BY rn""".stripMargin
 
+  // ---------------------------------------------------------------- d180
+  /** Doc-side `geo_shape` FIELDS — documents that carry polygons (planted
+    * triangles: the geo-grid center plus fixed offsets, FIXTURES-style
+    * SQL-replayable) queried by a literal convex-quad shape:
+    * shape-vs-shape `intersects` (complete test: doc-vertex-in-query ∨
+    * query-vertex-in-doc ∨ proper edge crossing — `Geo.polygonsIntersect`,
+    * multiplication-only column math), `within` classification (all doc
+    * vertices inside — sufficient for a convex query shape), and
+    * point-in-doc-shape (`contains_probe` — the runtime-vertex parity
+    * test `Geo.pointInPolygonDyn`). The triangle bbox prefilter is
+    * rewritten onto the STORED anchor vertex (`y1 ∈ [qLatMin−0.8, qLatMax]`
+    * — constants folded at plan time) so it reaches PushedFilters before
+    * any orientation arithmetic. Boundary convention: strict crossings +
+    * parity, query vertices chosen off the 0.1° data grid. */
+  private val d180Query = Seq((5.05, 15.05), (5.05, 45.05), (29.05, 40.05), (25.05, 16.05))
+
+  private def shapeDocs(s: SparkSession, d: String): DataFrame =
+    memo.getOrElseUpdate((s, d, "shape"),
+      mat(s, "shape") {
+        val latE = ((col("c_custkey") * 37) % 1201 - 600).cast("double") / 10.0
+        val lonE = ((col("c_custkey") * 73) % 3600 - 1800).cast("double") / 10.0
+        graft.Tables(s, d, "customer").select(struct(
+          concat(lit("plan-"), col("c_custkey").cast("string")).as("objectId"),
+          struct(
+            latE.as("y1"), lonE.as("x1"),
+            (latE + lit(0.8)).as("y2"), (lonE + lit(0.5)).as("x2"),
+            (latE + lit(0.3)).as("y3"), (lonE + lit(1.1)).as("x3")).as("shape"))
+          .as("doc"))
+      }).asInstanceOf[DataFrame]
+
+  private def d180(s: SparkSession, d: String): DataFrame = {
+    val sh = col("doc").getField("shape")
+    val dv = Seq(("y1", "x1"), ("y2", "x2"), ("y3", "x3"))
+      .map { case (y, x) => (sh.getField(y), sh.getField(x)) }
+    val q = d180Query
+    val (latLo, latHi) = (q.map(_._1).min - 0.8, q.map(_._1).max)
+    val (lonLo, lonHi) = (q.map(_._2).min - 1.1, q.map(_._2).max)
+    val bbox = dv.head._1 >= lit(latLo) && dv.head._1 <= lit(latHi) &&
+      dv.head._2 >= lit(lonLo) && dv.head._2 <= lit(lonHi)
+    val within = dv.map { case (y, x) => Geo.pointInPolygon(y, x, q) }.reduce(_ && _)
+    shapeDocs(s, d)
+      .filter(bbox && Geo.polygonsIntersect(dv, q))
+      .select(col("doc.objectId").as("object_id"),
+        when(within, "within").otherwise("intersects").as("rel"),
+        Geo.pointInPolygonDyn(lit(15.05), lit(25.05), dv).cast("int").as("contains_probe"))
+      .orderBy(col("object_id"))
+  }
+
+  private val d180Sql = {
+    val q = d180Query
+    val dvS = Seq(("y1", "x1"), ("y2", "x2"), ("y3", "x3"))
+    val within = dvS.map { case (y, x) => Geo.pointInPolygonSql(y, x, q) }
+      .mkString("(", " AND ", ")")
+    s"""WITH sd AS (SELECT 'plan-' || ${ck("c_custkey")} AS object_id,
+       |    $geoLatSql AS y1, $geoLonSql AS x1,
+       |    ($geoLatSql + 0.8) AS y2, ($geoLonSql + 0.5) AS x2,
+       |    ($geoLatSql + 0.3) AS y3, ($geoLonSql + 1.1) AS x3
+       |  FROM customer)
+       |SELECT object_id,
+       |  CASE WHEN $within THEN 'within' ELSE 'intersects' END AS rel,
+       |  CASE WHEN ${Geo.pointInPolygonDynSql("15.05", "25.05", dvS)}
+       |       THEN 1 ELSE 0 END AS contains_probe
+       |FROM sd
+       |WHERE y1 >= ${q.map(_._1).min - 0.8} AND y1 <= ${q.map(_._1).max}
+       |  AND x1 >= ${q.map(_._2).min - 1.1} AND x1 <= ${q.map(_._2).max}
+       |  AND ${Geo.polygonsIntersectSql(dvS, q)}
+       |ORDER BY object_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- d181
   /** `explain`-style score breakdown — per-hit decomposition of a
     * `function_score` body's `_score` into its named components
@@ -7239,6 +7308,7 @@ object DocQueries {
     "d177_search_template" -> d177 _,
     "d178_pit_paging" -> d178 _,
     "d179_highlight_fragments" -> d179 _,
+    "d180_geo_shape_docs" -> d180 _,
     "d181_explain_score" -> d181 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
@@ -7421,6 +7491,7 @@ object DocQueries {
     "d177_search_template" -> d177Sql,
     "d178_pit_paging" -> d178Sql,
     "d179_highlight_fragments" -> d179Sql,
+    "d180_geo_shape_docs" -> d180Sql,
     "d181_explain_score" -> d181Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,

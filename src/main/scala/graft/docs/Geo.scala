@@ -169,6 +169,123 @@ object Geo {
     s"((${terms.mkString(" + ")}) % 2 = 1)"
   }
 
+  /** Ray-casting parity test where the polygon vertices are COLUMNS (a
+    * doc-side `geo_shape` field): same crossing rule as
+    * [[pointInPolygon]], but the per-edge inequality direction resolves
+    * at RUNTIME (`when(yj > yi, t > 0, t < 0)`) since Δy's sign is no
+    * longer a plan-time constant. Horizontal edges fall out via the
+    * straddle test. Pure multiplication-only column math; the SQL twin
+    * ([[pointInPolygonDynSql]]) stages the identical op sequence. */
+  def pointInPolygonDyn(lat: Column, lon: Column,
+                        verts: Seq[(Column, Column)]): Column = {
+    require(verts.size >= 3, s"polygon needs >= 3 vertices, got ${verts.size}")
+    val n = verts.size
+    val crossings = (0 until n).map { i =>
+      val (yi, xi) = verts(i)
+      val (yj, xj) = verts((i + 1) % n)
+      val straddle = (yi > lat) =!= (yj > lat)
+      val t = (xj - xi) * (lat - yi) - (lon - xi) * (yj - yi)
+      val cross = when(yj > yi, t > lit(0.0)).otherwise(t < lit(0.0))
+      when(straddle && cross, 1).otherwise(0)
+    }
+    crossings.reduce(_ + _) % 2 === 1
+  }
+
+  /** [[pointInPolygonDyn]] as DuckDB SQL over staged vertex column names
+    * `verts = Seq((yName, xName), …)`; `lat`/`lon` are SQL expressions
+    * (typically literals — the query shape's vertices). */
+  def pointInPolygonDynSql(lat: String, lon: String,
+                           verts: Seq[(String, String)]): String = {
+    require(verts.size >= 3, s"polygon needs >= 3 vertices, got ${verts.size}")
+    val n = verts.size
+    val terms = (0 until n).map { i =>
+      val (yi, xi) = verts(i)
+      val (yj, xj) = verts((i + 1) % n)
+      s"(CASE WHEN (($yi > $lat) <> ($yj > $lat)) AND " +
+        s"(CASE WHEN $yj > $yi THEN (($xj - $xi) * ($lat - $yi) - ($lon - $xi) * ($yj - $yi)) > 0.0 " +
+        s"ELSE (($xj - $xi) * ($lat - $yi) - ($lon - $xi) * ($yj - $yi)) < 0.0 END) " +
+        "THEN 1 ELSE 0 END)"
+    }
+    s"((${terms.mkString(" + ")}) % 2 = 1)"
+  }
+
+  /** Proper (strict) segment crossing between a COLUMN segment A→B and a
+    * LITERAL segment C→D, via the four-orientation test:
+    * `orient(A,B,C)·orient(A,B,D) < 0 ∧ orient(C,D,A)·orient(C,D,B) < 0`
+    * with `orient(P,Q,R) = (Qx−Px)(Ry−Py) − (Qy−Py)(Rx−Px)`. Touching
+    * endpoints / collinear overlap count as NON-crossing (callers pick
+    * query vertices off the data grid, the pointInPolygon convention). */
+  def segmentsCross(ay: Column, ax: Column, by: Column, bx: Column,
+                    c: (Double, Double), d0: (Double, Double)): Column = {
+    val (cy, cx) = c
+    val (dy, dx) = d0
+    val oAbc = (bx - ax) * (lit(cy) - ay) - (by - ay) * (lit(cx) - ax)
+    val oAbd = (bx - ax) * (lit(dy) - ay) - (by - ay) * (lit(dx) - ax)
+    val oCda = lit(dx - cx) * (ay - lit(cy)) - lit(dy - cy) * (ax - lit(cx))
+    val oCdb = lit(dx - cx) * (by - lit(cy)) - lit(dy - cy) * (bx - lit(cx))
+    oAbc * oAbd < lit(0.0) && oCda * oCdb < lit(0.0)
+  }
+
+  /** [[segmentsCross]] as DuckDB SQL (same op sequence; `ay…bx` are SQL
+    * column names, `c`/`d0` literal vertices — Δ constants fold in Scala
+    * exactly as the Column twin's `lit(dx - cx)`). */
+  def segmentsCrossSql(ay: String, ax: String, by: String, bx: String,
+                       c: (Double, Double), d0: (Double, Double)): String = {
+    val (cy, cx) = c
+    val (dy, dx) = d0
+    val oAbc = s"(($bx - $ax) * ($cy - $ay) - ($by - $ay) * ($cx - $ax))"
+    val oAbd = s"(($bx - $ax) * ($dy - $ay) - ($by - $ay) * ($dx - $ax))"
+    val oCda = s"(${dx - cx} * ($ay - $cy) - ${dy - cy} * ($ax - $cx))"
+    val oCdb = s"(${dx - cx} * ($by - $cy) - ${dy - cy} * ($bx - $cx))"
+    s"($oAbc * $oAbd < 0.0 AND $oCda * $oCdb < 0.0)"
+  }
+
+  /** Polygon–polygon INTERSECTS between a doc-side shape (COLUMN
+    * vertices) and a literal query polygon: any doc vertex inside the
+    * query shape, OR any query vertex inside the doc shape, OR any edge
+    * pair properly crossing — complete for simple polygons up to the
+    * documented boundary-touching convention. O(|doc|·|query|) edge
+    * tests, all multiplication-only column math behind the caller's
+    * pushed bbox prefilter. */
+  def polygonsIntersect(docVerts: Seq[(Column, Column)],
+                        queryVerts: Seq[(Double, Double)]): Column = {
+    val docVertexInQuery = docVerts.map { case (y, x) =>
+      pointInPolygon(y, x, queryVerts)
+    }.reduce(_ || _)
+    val queryVertexInDoc = queryVerts.map { case (y, x) =>
+      pointInPolygonDyn(lit(y), lit(x), docVerts)
+    }.reduce(_ || _)
+    val nq = queryVerts.size
+    val edgeCross = docVerts.indices.flatMap { i =>
+      val (ay, ax) = docVerts(i)
+      val (by, bx) = docVerts((i + 1) % docVerts.size)
+      (0 until nq).map { j =>
+        segmentsCross(ay, ax, by, bx, queryVerts(j), queryVerts((j + 1) % nq))
+      }
+    }.reduce(_ || _)
+    docVertexInQuery || queryVertexInDoc || edgeCross
+  }
+
+  /** [[polygonsIntersect]] as DuckDB SQL over staged vertex columns. */
+  def polygonsIntersectSql(docVerts: Seq[(String, String)],
+                           queryVerts: Seq[(Double, Double)]): String = {
+    val docVertexInQuery = docVerts.map { case (y, x) =>
+      pointInPolygonSql(y, x, queryVerts)
+    }.mkString("(", " OR ", ")")
+    val queryVertexInDoc = queryVerts.map { case (y, x) =>
+      pointInPolygonDynSql(y.toString, x.toString, docVerts)
+    }.mkString("(", " OR ", ")")
+    val nq = queryVerts.size
+    val edgeCross = docVerts.indices.flatMap { i =>
+      val (ay, ax) = docVerts(i)
+      val (by, bx) = docVerts((i + 1) % docVerts.size)
+      (0 until nq).map { j =>
+        segmentsCrossSql(ay, ax, by, bx, queryVerts(j), queryVerts((j + 1) % nq))
+      }
+    }.mkString("(", " OR ", ")")
+    s"($docVertexInQuery OR $queryVertexInDoc OR $edgeCross)"
+  }
+
   /** The identical tile key as DuckDB SQL text. */
   def tileKeySql(lat: String, lon: String, z: Int): String = {
     val n = s"${(1L << z).toDouble}"

@@ -1355,7 +1355,70 @@ object TextQueries {
       |  exp(-ll / n_trigrams) AS ppl
       |FROM scored ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t28
+  /** DSIR-style importance resampling (Xie et al. 2023, "Data Selection
+    * via Importance Resampling") — t10's domain-mix upgraded from
+    * per-language quotas to DISTRIBUTION matching: importance weight =
+    * ratio of two hashed-n-gram LM profiles (target = the `en` slice,
+    * raw = the whole corpus), and selection = Gumbel top-k on the log
+    * weights — sampling WITHOUT replacement proportionally to the
+    * weights, the published algorithm's exact selection rule, with the
+    * Gumbel noise derived deterministically from a per-doc hash
+    * (`g = −ln(−ln(u))`, `u = (h+0.5)/2³²` — reproducible in any engine).
+    *
+    * Both profiles are B=64 hashed-unigram buckets with add-1 smoothing
+    * — ONE |B|-row aggregate, broadcast; per-doc log-weights are one
+    * token-grain hash join + sum. Zero corpus shuffles beyond the token
+    * explode; at 100 TB the profile table is still 64 rows. */
+  private def t28(s: SparkSession, d: String): DataFrame = {
+    val B = 64
+    val toks = docs(s, d)
+      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("t"))
+      .withColumn("b", stableHash32(col("t")) % B)
+    val prof = toks.groupBy(col("b")).agg(
+      count(lit(1)).as("cc"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tc"))
+    val totals = prof.agg(sum(col("cc")).as("ctot"), sum(col("tc")).as("ttot"))
+    val llr = prof.crossJoin(broadcast(totals))
+      .select(col("b"),
+        log(((col("tc") + 1L).cast("double") / (col("ttot") + B)) /
+          ((col("cc") + 1L).cast("double") / (col("ctot") + B))).as("llr"))
+    val logw = toks.join(broadcast(llr), "b")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_toks"), sum(col("llr")).as("logw"))
+    val u = (stableHash32(concat(col("doc_id").cast("string"), lit(":dsir")))
+      + lit(0.5)) / lit(4294967296.0)
+    logw.withColumn("gumbel_key", col("logw") - log(-log(u)))
+      .orderBy(col("gumbel_key").desc).limit(50)
+      .select(col("doc_id"), col("n_toks"), col("logw"), col("gumbel_key"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t28Sql =
+    """WITH tb AS (SELECT doc_id, lang,
+      |    CAST(('0x' || substr(md5(u.t), 1, 8)) AS BIGINT) % 64 AS b
+      |  FROM documents,
+      |    unnest(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS u(t)),
+      |prof AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cc,
+      |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tc
+      |  FROM tb GROUP BY b),
+      |tot AS (SELECT CAST(SUM(cc) AS BIGINT) AS ctot, CAST(SUM(tc) AS BIGINT) AS ttot
+      |  FROM prof),
+      |llr AS (SELECT b,
+      |    ln((CAST(tc + 1 AS DOUBLE) / (ttot + 64)) / (CAST(cc + 1 AS DOUBLE) / (ctot + 64))) AS llr
+      |  FROM prof CROSS JOIN tot),
+      |lw AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks, SUM(llr) AS logw
+      |  FROM tb JOIN llr USING (b) GROUP BY doc_id),
+      |keyed AS (SELECT doc_id, n_toks, logw,
+      |    logw - ln(-ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':dsir'), 1, 8)) AS BIGINT) + 0.5)
+      |      / 4294967296.0)) AS gumbel_key
+      |  FROM lw)
+      |SELECT * FROM (SELECT doc_id, n_toks, logw, gumbel_key FROM keyed
+      |  ORDER BY gumbel_key DESC LIMIT 50)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t28_dsir_resample" -> t28 _,
     "t26_bpe_encode" -> t26 _,
     "t27_trigram_lm" -> t27 _,
     "t25_bpe_merges" -> t25 _,
@@ -1385,6 +1448,7 @@ object TextQueries {
     "t4_fingerprint" -> t4 _)
 
   val oracle: Map[String, String] = Map(
+    "t28_dsir_resample" -> t28Sql,
     "t26_bpe_encode" -> t26Sql,
     "t27_trigram_lm" -> t27Sql,
     "t25_bpe_merges" -> t25Sql,

@@ -1417,7 +1417,119 @@ object TextQueries {
       |  ORDER BY gumbel_key DESC LIMIT 50)
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t29
+  /** Unigram-LM tokenizer FITTING (Kudo 2018 / SentencePiece) — the
+    * Viterbi-EM (hard-EM) variant over t25's distinct-word frequency
+    * table, completing the tokenizer story beside BPE fit (t25) and
+    * encode (t26): seed vocabulary = every ≤4-char substring
+    * (freq-weighted counts), then 2 EM rounds of {piece probs → Viterbi
+    * best segmentation per word → re-count pieces along the best paths}.
+    * DOCUMENTED DEVIATION from SentencePiece's soft EM: expected counts
+    * come from the single best segmentation (Viterbi E-step), not the
+    * forward-backward lattice sum — the published hard-EM variant, chosen
+    * because its DP is a fixed unrolled op sequence both engines replay
+    * exactly.
+    *
+    * Engine-portability: piece log-probs are QUANTIZED to integer
+    * micro-nats (`round(1e6·ln(cnt/total))` — one libm `ln` whose ≤1-ulp
+    * engine difference survives rounding except within ~1e-10 of a
+    * half-integer), so the DP is exact LONG arithmetic: identical sums,
+    * identical leftmost-max tie-breaks (smallest piece-length wins),
+    * identical paths in Spark and the oracle. Word length is capped at
+    * 12 chars (loud `raise_error` beyond — the corpus pool is ≤ 8).
+    *
+    * Scale shape: everything after the one corpus token-count runs at
+    * VOCAB grain (|distinct words| rows); the fitted piece table rides a
+    * broadcast map column (bounded like any shipped tokenizer vocab);
+    * the DP unrolls to 12 positions × ≤4 candidate pieces of pure column
+    * arithmetic — no UDFs, no driver loops, no explode beyond the final
+    * piece count. */
+  private val UniL = 12
+  private val UniMiss = -1000000000000000L
+
+  /** Seed counts: every substring of length 1..4, weighted by word freq. */
+  private def uniSeedCounts(words: DataFrame): DataFrame =
+    words.select(col("freq"), explode(flatten(
+      transform(sequence(lit(1), length(col("w")).cast("int")), i =>
+        transform(sequence(lit(1), least(lit(4), length(col("w")).cast("int") - i + 1)),
+          k => col("w").substr(i, k))))).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("freq")).cast("long").as("cnt"))
+
+  /** Piece table → quantized log-prob vocab (integer micro-nats). */
+  private def uniVocab(counts: DataFrame): DataFrame =
+    counts.crossJoin(broadcast(counts.agg(sum(col("cnt")).cast("long").as("total"))))
+      .select(col("piece"),
+        round(log(col("cnt").cast("double") / col("total")) * 1000000.0)
+          .cast("long").as("lpq"))
+
+  /** One Viterbi-EM round: segment every word with the current vocab
+    * (exact-long DP, leftmost-max = shortest-piece tie rule), return the
+    * piece counts along the best paths. */
+  private def uniSegmentCounts(words: DataFrame, vocab: DataFrame): DataFrame = {
+    val vmap = vocab.agg(
+      map_from_entries(collect_list(struct(col("piece"), col("lpq")))).as("vm"))
+    var df = words.crossJoin(broadcast(vmap))
+      .withColumn("len", when(length(col("w")) > UniL,
+        raise_error(concat(lit(s"unigram LM: word longer than $UniL chars: "), col("w"))))
+        .otherwise(length(col("w"))).cast("int"))
+      .withColumn("_b0", lit(0L))
+    def lp(i: Int, k: Int): Column =
+      coalesce(element_at(col("vm"), substring(col("w"), i - k + 1, k)), lit(UniMiss))
+    // forward pass: b_i = best score of a segmentation of chars 1..i,
+    // c_i = the winning last-piece length (leftmost max = smallest k)
+    for (i <- 1 to UniL) {
+      val m = math.min(4, i)
+      val cands = (1 to m).map(k => col(s"_b${i - k}") + lp(i, k))
+      var ch: Column = lit(m)
+      for (j <- (0 until m - 1).reverse) {
+        val ge = ((j + 1) until m).map(o => cands(j) >= cands(o)).reduce(_ && _)
+        ch = when(ge, lit(j + 1)).otherwise(ch)
+      }
+      // one projection per DP position (each Catalyst analysis pass walks
+      // the whole plan — per-column withColumn made this O(cols²))
+      df = df.withColumns(Map(
+        s"_b$i" -> (if (m == 1) cands.head else greatest(cands: _*)),
+        s"_c$i" -> ch))
+    }
+    // backtrace: walk the choice ladder from len down, emitting pieces
+    val choiceArr = array((1 to UniL).map(i => col(s"_c$i")): _*)
+    df = df.withColumn("_p0", col("len"))
+    for (j <- 1 to UniL) {
+      val pPrev = col(s"_p${j - 1}")
+      val k = when(pPrev > 0, element_at(choiceArr, pPrev)).otherwise(lit(1))
+      df = df.withColumns(Map(
+        s"_piece$j" -> when(pPrev > 0, col("w").substr(pPrev - k + 1, k)),
+        s"_p$j" -> when(pPrev > 0, pPrev - k).otherwise(lit(0))))
+    }
+    df.select(col("freq"), explode(filter(
+        array((1 to UniL).map(j => col(s"_piece$j")): _*), p => p.isNotNull)).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("freq")).cast("long").as("cnt"))
+  }
+
+  private def t29(s: SparkSession, d: String): DataFrame = {
+    // words and the round-1 counts are each consumed by MULTIPLE plan
+    // branches (vocab totals + map + next round's DP + the output top-k);
+    // persisting truncates the otherwise twice-unrolled DP plan — these
+    // are |distinct words|- and |pieces|-row frames, released via
+    // Eager.finish before returning (the Bench leak sentinel's contract).
+    val words = docs(s, d).select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).cast("long").as("freq"))
+      .persist()
+    val c1 = uniSegmentCounts(words, uniVocab(uniSeedCounts(words))).persist()
+    val c2 = uniSegmentCounts(words, uniVocab(c1))
+    def top(r: Int, cnts: DataFrame): DataFrame = {
+      val w = Window.orderBy(col("cnt").desc, col("piece").asc)
+      cnts.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 10)
+        .select(lit(r).as("em_round"), col("rnk"), col("piece"), col("cnt"))
+    }
+    val res = top(1, c1).unionByName(top(2, c2))
+      .orderBy(col("em_round"), col("rnk"))
+    graft.Eager.finish(res, words, c1)
+  }
+
   val queries: Map[String, Q] = Map(
+    "t29_unigram_lm" -> t29 _,
     "t28_dsir_resample" -> t28 _,
     "t26_bpe_encode" -> t26 _,
     "t27_trigram_lm" -> t27 _,
@@ -1447,7 +1559,105 @@ object TextQueries {
     "t3_langid" -> t3 _,
     "t4_fingerprint" -> t4 _)
 
+  /** The identical Viterbi-EM as DuckDB SQL — generated (the Geo-style
+    * twin): same quantized log-probs, same exact-long DP, same
+    * leftmost-max CASE chains, staged through chained CTEs (one per DP
+    * position) so no binder inlining can blow up. */
+  private val t29Sql: String = {
+    val L = UniL
+    // pivoted per-word lp columns: lp_i_k = quantized log-prob of the
+    // piece ENDING at position i with length k (NULL when i > len)
+    def matCols: String = (1 to L).flatMap { i =>
+      (1 to math.min(4, i)).map { k =>
+        s"MAX(CASE WHEN i = $i AND k = $k THEN lpq END) AS lp_${i}_$k"
+      }
+    }.mkString(",\n      ")
+    def dpChain(tag: String, matTag: String): String = {
+      val sb = new StringBuilder
+      sb ++= s"""${tag}_0 AS MATERIALIZED (SELECT *, len(w) AS len, CAST(0 AS BIGINT) AS b0
+                |  FROM words JOIN $matTag USING (w)),\n""".stripMargin
+      for (i <- 1 to L) {
+        val m = math.min(4, i)
+        val cands = (1 to m).map(k => s"(b${i - k} + lp_${i}_$k)")
+        val best = if (m == 1) cands.head else s"greatest(${cands.mkString(", ")})"
+        val ch =
+          if (m == 1) "1"
+          else {
+            val whens = (1 to m - 1).map { kk =>
+              val ge = ((kk + 1) to m).map(o => s"${cands(kk - 1)} >= ${cands(o - 1)}")
+                .mkString(" AND ")
+              s"WHEN $ge THEN $kk"
+            }.mkString(" ")
+            s"CASE $whens ELSE $m END"
+          }
+        sb ++= s"${tag}_$i AS MATERIALIZED (SELECT *, $best AS b$i, $ch AS c$i FROM ${tag}_${i - 1}),\n"
+      }
+      sb.toString
+    }
+    def btChain(tag: String, dpTag: String): String = {
+      val sb = new StringBuilder
+      sb ++= s"${tag}_0 AS MATERIALIZED (SELECT *, len AS p0 FROM ${dpTag}_$L),\n"
+      for (j <- 1 to L) {
+        val kcase = s"CASE p${j - 1} ${(1 to L).map(i => s"WHEN $i THEN c$i").mkString(" ")} ELSE 0 END"
+        sb ++= s"""${tag}_$j AS MATERIALIZED (SELECT *, $kcase AS k$j,
+                  |  CASE WHEN p${j - 1} > 0 THEN substr(w, CAST(p${j - 1} - k$j + 1 AS INTEGER), CAST(k$j AS INTEGER)) END AS piece$j,
+                  |  CASE WHEN p${j - 1} > 0 THEN p${j - 1} - k$j ELSE 0 END AS p$j
+                  |  FROM ${tag}_${j - 1}),\n""".stripMargin
+      }
+      sb.toString
+    }
+    def cntOf(tag: String, btTag: String): String = {
+      val pieces = (1 to L).map(j => s"SELECT freq, piece$j AS piece FROM ${btTag}_$L")
+        .mkString("\n    UNION ALL ")
+      s"""$tag AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+         |    $pieces)
+         |  WHERE piece IS NOT NULL GROUP BY piece),\n""".stripMargin
+    }
+    def vocabOf(tag: String, cntTag: String): String =
+      s"""$tag AS (SELECT piece,
+         |    CAST(round(ln(CAST(cnt AS DOUBLE) / total) * 1000000.0) AS BIGINT) AS lpq
+         |  FROM $cntTag CROSS JOIN
+         |    (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM $cntTag)),\n""".stripMargin
+    s"""WITH words AS (
+       |  SELECT u.w AS w, CAST(COUNT(*) AS BIGINT) AS freq
+       |  FROM documents,
+       |    unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS u(w)
+       |  GROUP BY u.w),
+       |seed AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+       |    SELECT substr(w, CAST(i AS INTEGER), CAST(k AS INTEGER)) AS piece, freq
+       |    FROM words,
+       |      unnest(range(1, len(w) + 1)) AS t(i),
+       |      unnest(range(1, least(4, len(w) - i + 1) + 1)) AS t2(k))
+       |  GROUP BY piece),
+       |${vocabOf("v1", "seed")}cand AS (
+       |  SELECT w, i, k, substr(w, CAST(i - k + 1 AS INTEGER), CAST(k AS INTEGER)) AS piece
+       |  FROM words,
+       |    unnest(range(1, len(w) + 1)) AS t(i),
+       |    unnest(range(1, least(4, i) + 1)) AS t2(k)),
+       |mat1 AS (SELECT w,
+       |      $matCols
+       |  FROM (SELECT c.w, c.i, c.k, COALESCE(v1.lpq, ${UniMiss}) AS lpq
+       |        FROM cand c LEFT JOIN v1 USING (piece))
+       |  GROUP BY w),
+       |${dpChain("dp1", "mat1")}${btChain("bt1", "dp1")}${cntOf("cnt1", "bt1")}${vocabOf("v2", "cnt1")}mat2 AS (SELECT w,
+       |      $matCols
+       |  FROM (SELECT c.w, c.i, c.k, COALESCE(v2.lpq, ${UniMiss}) AS lpq
+       |        FROM cand c LEFT JOIN v2 USING (piece))
+       |  GROUP BY w),
+       |${dpChain("dp2", "mat2")}${btChain("bt2", "dp2")}${cntOf("cnt2", "bt2")}ranked AS (
+       |  SELECT 1 AS em_round, piece, cnt,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, piece ASC) AS BIGINT) AS rnk
+       |  FROM cnt1
+       |  UNION ALL
+       |  SELECT 2, piece, cnt,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, piece ASC) AS BIGINT)
+       |  FROM cnt2)
+       |SELECT em_round, rnk, piece, cnt FROM ranked
+       |WHERE rnk <= 10 ORDER BY em_round, rnk""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "t29_unigram_lm" -> t29Sql,
     "t28_dsir_resample" -> t28Sql,
     "t26_bpe_encode" -> t26Sql,
     "t27_trigram_lm" -> t27Sql,

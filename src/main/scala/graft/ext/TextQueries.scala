@@ -1506,6 +1506,14 @@ object TextQueries {
       .groupBy(col("piece")).agg(sum(col("freq")).cast("long").as("cnt"))
   }
 
+  /** Un-pinned round-1 plan for PlanAuditSpec (t29's public result is an
+    * Eager LocalRelation, which hides the DP plan from explain). */
+  private[graft] def t29Plan(s: SparkSession, d: String): DataFrame = {
+    val words = docs(s, d).select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).cast("long").as("freq"))
+    uniSegmentCounts(words, uniVocab(uniSeedCounts(words)))
+  }
+
   private def t29(s: SparkSession, d: String): DataFrame = {
     // words and the round-1 counts are each consumed by MULTIPLE plan
     // branches (vocab totals + map + next round's DP + the output top-k);

@@ -701,6 +701,46 @@ class PlanAuditSpec extends SparkSpec {
       s"prefix top-5 lost the bounded per-group heap:\n$p")
   }
 
+  test("d176: bulk-by-query root selection is pushed to the assembled scan " +
+    "BEFORE any reachability join") {
+    // the body's range predicate (copay bound) must reach PushedFilters on
+    // the assembled-docs parquet — root selection prunes at row-group
+    // grain before the cascade's equi-join rounds ever run. (d175 shares
+    // the identical selection path — BulkByQuery.updateByQuery filters the
+    // same scan — but its registry output re-assembles from an already-
+    // materialized post-update parquet, so the selection job is not in
+    // that final explain; the delete plan is the visible pin.)
+    val p = plan(q("d176_delete_by_query"))
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("planCostShares.copay") || pushed.contains("copay"),
+      s"root-selection predicate lost the scan pushdown:\n$p")
+  }
+
+  test("d180: doc-shape bbox prefilter reaches PushedFilters; intersects never joins") {
+    val p = plan(q("d180_geo_shape_docs"))
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("shape.y1") || pushed.contains("y1"),
+      s"doc-shape anchor-vertex bbox lost the scan pushdown:\n$p")
+    assert(!p.contains("Join"), s"shape-vs-shape intersects is a pure filter, no join:\n$p")
+  }
+
+  test("t28: DSIR profile rides a broadcast — the token table never sort-merge-joins") {
+    val p = plan(q("t28_dsir_resample"))
+    assert(p.contains("BroadcastHashJoin"), s"64-bucket profile not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"token-grain join shuffled instead of broadcasting the profile:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"Gumbel top-k lost the bounded-heap strategy:\n$p")
+  }
+
+  test("t29: the Viterbi DP is pure projection over the word table — vocab map " +
+    "broadcast, no shuffle joins") {
+    val p = plan(graft.ext.TextQueries.t29Plan(spark, sf))
+    assert(!p.contains("SortMergeJoin"), s"DP stage acquired a shuffle join:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"vocab map lost its 1-row broadcast:\n$p")
+  }
+
   test("t16: stratified sample runs both windows on ONE stratum shuffle") {
     val p = plan(q("t16_stratified_sample"))
     // count-per-stratum and hash-rank share the lang partitioning: one

@@ -1531,10 +1531,21 @@ class DocEngineSpec extends SparkSpec {
         | "highlight": {"fields": {"title": {}}}}""".stripMargin)
     assert(r3.toMap.apply("c") === "<em>GOLD standard</em>")
     assert(r3.toMap.apply("a") === "<em>Gold</em> plan with <em>gold</em> trim")
-    // parse guards: fragment counts, no clause on the field, $ in tags
+    // fragment mode (r10): ~fragment_size windows centered on each match,
+    // greedy left-to-right, |-joined; fragment_size 8 → 4 context chars
+    val r4 = run(
+      """{"query": {"match": {"title": "gold"}},
+        | "sort": [{"objectId": "asc"}], "_source": ["objectId", "title"],
+        | "highlight": {"fields": {"title": {
+        |   "fragment_size": 8, "number_of_fragments": 2}}}}""".stripMargin)
+    assert(r4.toSeq === Seq(
+      ("a", "<em>Gold</em> pla|ith <em>gold</em> tri"),
+      ("c", "<em>GOLD</em> sta")))
+    // parse guards: fragment_size without fragments, no clause on the
+    // field, $ in tags
     assertThrows[IllegalArgumentException](SearchQuery.parseFullBody(
       """{"query": {"match": {"title": "gold"}},
-        | "highlight": {"fields": {"title": {"number_of_fragments": 3}}}}""".stripMargin, sch))
+        | "highlight": {"fields": {"title": {"fragment_size": 40}}}}""".stripMargin, sch))
     assertThrows[IllegalArgumentException](SearchQuery.parseFullBody(
       """{"query": {"match": {"title": "gold"}},
         | "highlight": {"fields": {"tag": {}}}}""".stripMargin, sch))
@@ -2185,9 +2196,11 @@ class DocEngineSpec extends SparkSpec {
     assert(rows.map(_._2) === Seq(None, Some(2.0), Some(3.0), Some(5.5)))
     // lwa weights 1..k oldest→newest: k=2: (2·1+4·2)/3 = 10/3; k=3: (2+8+24)/6
     assert(rows.map(_._3) === Seq(None, Some(2.0), Some(10.0 / 3), Some(34.0 / 6)))
-    // holt α=β=.5: k=2: s=.5·4+.5·(2+0)=3; k=3: s2=3, b2=.5·(3-2)=.5,
-    //   s3=.5·8+.5·(3+.5)=5.75
-    assert(rows.map(_._4) === Seq(None, Some(2.0), Some(3.0), Some(5.75)))
+    // holt α=β=.5, ES holtForecast semantics (value = s + b, the one-step
+    // forecast): k=1: s=2,b=0 → 2; k=2: s=.5·4+.5·(2+0)=3, b=.5·(3-2)=.5
+    //   → 3.5; k=3: s2=3, b2=.5, s3=.5·8+.5·(3+.5)=5.75,
+    //   b3=.5·(5.75-3)+.5·.5=1.625 → 7.375
+    assert(rows.map(_._4) === Seq(None, Some(2.0), Some(3.5), Some(7.375)))
     // malformed model params reject loudly
     assertThrows[IllegalArgumentException](EsAggs.parse(
       """{"aggs": {"h": {"histogram": {"field": "planCostShares.copay", "interval": 10},

@@ -7141,6 +7141,100 @@ object DocQueries {
        |  base_score * (fn0_value + fn1_value + fn2_value) AS score
        |FROM s ORDER BY object_id""".stripMargin
 
+  // ---------------------------------------------------------------- d182
+  /** ES `_mget` — multi-document GET: requested ids return in REQUEST
+    * order with per-doc `found` flags (missing ids are `found: false`
+    * rows, not errors — the ES contract). The id list rides a broadcast
+    * literal frame into one left join against the assembled table; the
+    * key equality is pushdown-eligible like d4's single GET. */
+  private def d182(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ids = Seq("plan-3", "plan-77", "plan-9999999", "plan-42")
+    val req = ids.zipWithIndex.map { case (id, i) => ((i + 1).toLong, id) }
+      .toDF("req_ord", "_id")
+    val hits = assembled(s, d).select(col("doc.objectId").as("_id"),
+      col("doc.planType").as("plan_type"),
+      col("doc.planCostShares.copay").as("copay"))
+      .withColumn("_hit", lit(1))
+    broadcast(req).join(hits, Seq("_id"), "left")
+      .select(col("req_ord"), col("_id"),
+        col("_hit").isNotNull.cast("int").as("found"),
+        col("plan_type"), col("copay"))
+      .orderBy(col("req_ord"))
+  }
+
+  private val d182Sql =
+    s"""WITH req(req_ord, rid) AS (VALUES
+       |  (1, 'plan-3'), (2, 'plan-77'), (3, 'plan-9999999'), (4, 'plan-42')),
+       |hits AS (SELECT 'plan-' || ${ck("c_custkey")} AS hid,
+       |  c_mktsegment AS plan_type, c_custkey % 50 AS copay FROM customer)
+       |SELECT CAST(req_ord AS BIGINT) AS req_ord, rid AS "_id",
+       |  CASE WHEN plan_type IS NOT NULL THEN 1 ELSE 0 END AS found,
+       |  plan_type, copay
+       |FROM req LEFT JOIN hits ON rid = hid ORDER BY req_ord""".stripMargin
+
+  // ---------------------------------------------------------------- d183
+  /** ES `_terms_enum` — the index term dictionary bounded by a prefix
+    * (Kibana field-value autocomplete): distinct ANALYZED terms of the
+    * service-name field starting with the typed prefix, sorted, first
+    * `size`. One explode + hash distinct pruned by the prefix predicate
+    * BEFORE the distinct; the dictionary a standing deployment reads off
+    * its postings, recomputed here from the corpus (the d174 class). */
+  private def d183(s: SparkSession, d: String): DataFrame = {
+    import graft.ext.TextAnalysis
+    assembled(s, d)
+      .select(explode(col("doc.linkedPlanServices")).as("ps"))
+      .select(explode(TextAnalysis.analyze(col("ps.linkedService.name"))).as("term"))
+      .filter(col("term").startsWith("s"))
+      .distinct()
+      .orderBy(col("term"))
+      .limit(10)
+  }
+
+  private val d183Sql = {
+    import graft.ext.TextAnalysis
+    s"""WITH o AS $O,
+       |terms AS (SELECT DISTINCT u.term FROM o,
+       |  unnest(${TextAnalysis.analyzeSql("'Service ' || o_orderpriority")}) AS u(term))
+       |SELECT term FROM terms WHERE term LIKE 's%' ORDER BY term LIMIT 10""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- d184
+  /** `script_score` with the two-argument Math forms — `Math.max` (the
+    * floor-at-zero idiom in virtually every Kibana scripted ranking),
+    * `Math.min`, and `Math.pow` (exponential boosts): "copay above 10,
+    * floored at 1, compounded 5% per 1000 deductible, plus a capped base
+    * bonus". max/min compile to greatest/least (exact comparisons); pow
+    * is libm on both engines (≤1-ulp, inside the gate's 9-dp float
+    * tolerance — the d120 kernel disposition; equal-score ties break on
+    * objectId, and equal scores come from EQUAL integer inputs, so the
+    * ranking cannot flip). */
+  private def d184(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "query": { "script_score": {
+        |    "query": { "range": { "planCostShares.copay": { "lt": 40 } } },
+        |    "script": { "source":
+        |      "Math.max(1, doc['planCostShares.copay'].value - 10) * Math.pow(1.05, doc['planCostShares.deductible'].value / 1000) + Math.min(_score, 0.5)" } } },
+        |  "sort": [ { "_score": { "order": "desc" } }, { "objectId": { "order": "asc" } } ],
+        |  "size": 15,
+        |  "_source": ["objectId", "planCostShares.copay"]
+        |}""".stripMargin
+    SearchExec.search(assembled(s, d), "doc", body, schema)
+  }
+
+  private val d184Sql =
+    s"""WITH sc AS (SELECT 'plan-' || ${ck("c_custkey")} AS oid,
+       |    c_custkey % 50 AS copay,
+       |    GREATEST(1.0, CAST(c_custkey % 50 AS DOUBLE) - 10.0)
+       |      * POWER(1.05, CAST(c_nationkey * 100 AS DOUBLE) / 1000.0)
+       |      + LEAST(1.0, 0.5) AS score
+       |  FROM customer WHERE c_custkey % 50 < 40)
+       |SELECT rn, score, "objectId", "planCostShares_copay" FROM (
+       |  SELECT oid AS "objectId", copay AS "planCostShares_copay", score,
+       |    ROW_NUMBER() OVER (ORDER BY score DESC, oid ASC) AS rn FROM sc)
+       |WHERE rn <= 15 ORDER BY rn""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -7310,6 +7404,9 @@ object DocQueries {
     "d179_highlight_fragments" -> d179 _,
     "d180_geo_shape_docs" -> d180 _,
     "d181_explain_score" -> d181 _,
+    "d182_es_mget" -> d182 _,
+    "d183_es_terms_enum" -> d183 _,
+    "d184_es_script_math2" -> d184 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
     "d3_roundtrip" -> d3 _,
@@ -7493,6 +7590,9 @@ object DocQueries {
     "d179_highlight_fragments" -> d179Sql,
     "d180_geo_shape_docs" -> d180Sql,
     "d181_explain_score" -> d181Sql,
+    "d182_es_mget" -> d182Sql,
+    "d183_es_terms_enum" -> d183Sql,
+    "d184_es_script_math2" -> d184Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,
     "d3_roundtrip" -> d3Sql,

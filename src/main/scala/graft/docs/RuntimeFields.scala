@@ -74,6 +74,7 @@ object RuntimeFields {
           s"runtime field $name references _score — scores do not exist at field-computation time")
         case SearchQuery.SBin(_, l, r) => noScore(l); noScore(r)
         case SearchQuery.SCall(_, a) => noScore(a)
+        case SearchQuery.SCall2(_, a, b) => noScore(a); noScore(b)
         case _ => ()
       }
       noScore(expr0)

@@ -226,13 +226,17 @@ object SearchQuery {
     * (sorts last) — a documented deviation from Painless's IEEE Inf (see
     * [[compileScript]]); `Math.log`/`Math.sqrt` of a negative
     * raise_error loudly (a silent NaN would float broken docs to the
-    * top — the field_value_factor rule). */
+    * top — the field_value_factor rule). Two-argument
+    * `Math.max/min/pow` (r10): max/min are exact comparisons;
+    * `Math.pow` is libm pow on both engines (≤1-ulp class — inside the
+    * gate's 9-dp float tolerance, the d120 kernel disposition). */
   sealed trait ScriptExpr
   final case class SNum(v: Double) extends ScriptExpr
   case object SScore extends ScriptExpr
   final case class SField(path: Seq[String]) extends ScriptExpr
   final case class SBin(op: Char, l: ScriptExpr, r: ScriptExpr) extends ScriptExpr
   final case class SCall(fn: String, arg: ScriptExpr) extends ScriptExpr
+  final case class SCall2(fn: String, a: ScriptExpr, b: ScriptExpr) extends ScriptExpr
 
   /** Score shaping parsed from a TOP-LEVEL `function_score` or `boosting`
     * wrapper (the first tools reached for when tuning relevance beyond
@@ -743,11 +747,20 @@ object SearchQuery {
       val st = i
       while (i < s.length && s(i).isLetter) i += 1
       val fn = s.substring(st, i)
-      require(Set("log", "sqrt", "abs")(fn),
-        s"script_score: unsupported Math function $fn (log/sqrt/abs)")
+      val unary = Set("log", "sqrt", "abs")(fn)
+      val binary = Set("max", "min", "pow")(fn)
+      require(unary || binary,
+        s"script_score: unsupported Math function $fn (log/sqrt/abs/max/min/pow)")
       ws(); if (peek != '(') fail(s"Math.$fn needs ("); i += 1
-      val a = expr(); ws(); if (peek != ')') fail("expected )"); i += 1
-      SCall(fn, a)
+      val a = expr(); ws()
+      if (unary) {
+        if (peek != ')') fail("expected )"); i += 1
+        SCall(fn, a)
+      } else {
+        if (peek != ',') fail(s"Math.$fn needs two arguments"); i += 1
+        val b = expr(); ws(); if (peek != ')') fail("expected )"); i += 1
+        SCall2(fn, a, b)
+      }
     }
     def factor(): ScriptExpr = {
       ws()
@@ -875,6 +888,10 @@ object SearchQuery {
       case SCall("sqrt", a) => sqrt(nonNeg("sqrt", go(a)))
       case SCall("abs", a) => abs(go(a))
       case SCall(fn, _) => throw new IllegalStateException(s"unreachable fn $fn")
+      case SCall2("max", a, b) => greatest(go(a), go(b))
+      case SCall2("min", a, b) => least(go(a), go(b))
+      case SCall2("pow", a, b) => pow(go(a), go(b))
+      case SCall2(fn, _, _) => throw new IllegalStateException(s"unreachable fn2 $fn")
     }
     go(e)
   }
@@ -885,6 +902,7 @@ object SearchQuery {
     case SScore => true
     case SBin(_, l, r) => scriptReadsScore(l) || scriptReadsScore(r)
     case SCall(_, a) => scriptReadsScore(a)
+    case SCall2(_, a, b) => scriptReadsScore(a) || scriptReadsScore(b)
     case _ => false
   }
 

@@ -1536,7 +1536,77 @@ object TextQueries {
     graft.Eager.finish(res, words, c1)
   }
 
+  // ---------------------------------------------------------------- t30
+  /** CCNet-style perplexity BUCKETING (Wenzek et al. 2020) — the published
+    * quality split: per LANGUAGE, rank documents by LM perplexity (t24's
+    * add-1 bigram LM) and cut into head/middle/tail terciles; head (lowest
+    * ppl) feeds training, tail is reviewed/dropped. Tercile cuts are exact
+    * integer rank arithmetic (`rn·3 ≤ n`), not ntile, so the bucket rule
+    * is engine-portable by construction. Scale shape: t24's count tables
+    * + ONE per-language window (rank and count share the lang partition —
+    * a single shuffle at doc grain). */
+  private def t30(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
+    val pairs = base
+      .select(col("doc_id"), col("lang"), explode(transform(
+        sequence(lit(1), size(col("toks")) - 1),
+        i => struct(element_at(col("toks"), i).as("w1"),
+          element_at(col("toks"), i + 1).as("w2")))).as("bg"))
+      .select(col("doc_id"), col("lang"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bigrams = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).cast("long").as("c12"))
+    val contexts = bigrams.groupBy(col("w1"))
+      .agg(sum(col("c12")).cast("long").as("c1"))
+    val vocab = broadcast(base.select(explode(col("toks")).as("t"))
+      .agg(countDistinct(col("t")).cast("long").as("v")))
+    val scored = pairs.join(bigrams, Seq("w1", "w2")).join(contexts, Seq("w1"))
+      .crossJoin(vocab)
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).cast("long").as("nb"),
+        sum(log((col("c12") + 1L).cast("double") / (col("c1") + col("v")))).as("ll"))
+      .select(col("doc_id"), col("lang"), exp(-col("ll") / col("nb")).as("ppl"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("ppl").asc, col("doc_id").asc)
+    val nW = Window.partitionBy(col("lang"))
+    scored
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(nW))
+      .select(col("doc_id"), col("lang"), col("ppl"),
+        when(col("rn") * 3 <= col("n"), "head")
+          .when(col("rn") * 3 <= col("n") * 2, "middle")
+          .otherwise("tail").as("ppl_bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t30Sql =
+    """WITH t AS (SELECT doc_id, lang,
+      |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+      |  FROM documents),
+      |pairs AS (SELECT doc_id, lang, toks[CAST(i AS INTEGER)] AS w1,
+      |    toks[CAST(i AS INTEGER) + 1] AS w2
+      |  FROM t, unnest(range(1, len(toks))) AS u(i)),
+      |bigrams AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+      |  FROM pairs GROUP BY w1, w2),
+      |contexts AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM bigrams GROUP BY w1),
+      |vocab AS (SELECT CAST(COUNT(DISTINCT u.t) AS BIGINT) AS v
+      |  FROM t, unnest(toks) AS u(t)),
+      |scored AS (SELECT doc_id, lang,
+      |    exp(-SUM(ln(CAST(c12 + 1 AS DOUBLE) / (c1 + v)))
+      |      / CAST(COUNT(*) AS BIGINT)) AS ppl
+      |  FROM pairs JOIN bigrams USING (w1, w2) JOIN contexts USING (w1)
+      |  CROSS JOIN vocab
+      |  GROUP BY doc_id, lang),
+      |ranked AS (SELECT doc_id, lang, ppl,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY ppl ASC, doc_id ASC) AS BIGINT) AS rn,
+      |    CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+      |  FROM scored)
+      |SELECT doc_id, lang, ppl,
+      |  CASE WHEN rn * 3 <= n THEN 'head'
+      |       WHEN rn * 3 <= n * 2 THEN 'middle'
+      |       ELSE 'tail' END AS ppl_bucket
+      |FROM ranked ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t30_ccnet_ppl_buckets" -> t30 _,
     "t29_unigram_lm" -> t29 _,
     "t28_dsir_resample" -> t28 _,
     "t26_bpe_encode" -> t26 _,
@@ -1665,6 +1735,7 @@ object TextQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "t30_ccnet_ppl_buckets" -> t30Sql,
     "t29_unigram_lm" -> t29Sql,
     "t28_dsir_resample" -> t28Sql,
     "t26_bpe_encode" -> t26Sql,

@@ -1847,6 +1847,16 @@ class DocEngineSpec extends SparkSpec {
     assert(SearchQuery.parseScript(
       "Math.sqrt(doc['planCostShares.copay'].value)", PlanSchema.plan) ===
       SCall("sqrt", SField(Seq("planCostShares", "copay"))))
+    // two-argument Math forms (r10): max/min/pow parse to SCall2 with full
+    // expressions in both slots; arity errors are loud
+    assert(SearchQuery.parseScript("Math.max(1, _score - 2)", PlanSchema.plan) ===
+      SearchQuery.SCall2("max", SNum(1), SBin('-', SScore, SNum(2))))
+    assert(SearchQuery.parseScript("Math.pow(2, Math.min(3, 4))", PlanSchema.plan) ===
+      SearchQuery.SCall2("pow", SNum(2), SearchQuery.SCall2("min", SNum(3), SNum(4))))
+    assertThrows[IllegalArgumentException](
+      SearchQuery.parseScript("Math.max(1)", PlanSchema.plan)) // missing 2nd arg
+    assertThrows[IllegalArgumentException](
+      SearchQuery.parseScript("Math.sqrt(1, 2)", PlanSchema.plan)) // unary arity
     // rejections: unknown function, trailing garbage, array-crossing field
     assertThrows[IllegalArgumentException](
       SearchQuery.parseScript("Math.exp(1)", PlanSchema.plan))

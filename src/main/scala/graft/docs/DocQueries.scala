@@ -7235,6 +7235,100 @@ object DocQueries {
        |    ROW_NUMBER() OVER (ORDER BY score DESC, oid ASC) AS rn FROM sc)
        |WHERE rn <= 15 ORDER BY rn""".stripMargin
 
+  // ---------------------------------------------------------------- d185
+  /** ES `_geo_distance` SORT — "nearest first", the geo request family's
+    * default ordering: the sort key is the haversine distance (km) from a
+    * literal origin, computed by the same pure column trig as the geo
+    * queries; the hit set still prunes through the geo_distance query's
+    * PUSHED bbox. The origin sits OFF the planted grid's mirror symmetry
+    * (…0.37/…0.71) so no two grid points are near-equidistant — the
+    * ranking cannot hinge on libm's last ulp. */
+  private def d185(s: SparkSession, d: String): DataFrame = {
+    val geo = geoDocs(s, d)
+    val body =
+      """{
+        |  "query": { "geo_distance": { "distance": "3000km",
+        |                               "location": { "lat": 10.0, "lon": 20.0 } } },
+        |  "sort": [ { "_geo_distance": { "location": "10.37,20.71",
+        |                                 "order": "asc", "unit": "km" } },
+        |            { "objectId": { "order": "asc" } } ],
+        |  "size": 15,
+        |  "_source": ["objectId"]
+        |}""".stripMargin
+    SearchExec.search(geo, "doc", body, geoSchema(geo))
+  }
+
+  private val d185Sql =
+    s"""WITH pts AS (
+       |  SELECT 'plan-' || ${ck("c_custkey")} AS oid,
+       |    $geoLatSql AS lat, $geoLonSql AS lon
+       |  FROM customer),
+       |hits AS (SELECT oid,
+       |    ${Geo.haversineSql("lat", "lon", 10.37, 20.71)} / 1000.0 AS dist_km
+       |  FROM pts
+       |  WHERE ${Geo.haversineSql("lat", "lon", 10.0, 20.0)} <= 3000000.0)
+       |SELECT rn, "objectId" FROM (
+       |  SELECT oid AS "objectId",
+       |    ROW_NUMBER() OVER (ORDER BY dist_km ASC, oid ASC) AS rn FROM hits)
+       |WHERE rn <= 15 ORDER BY rn""".stripMargin
+
+  // ---------------------------------------------------------------- d186
+  /** ES `_script` SORT (`type: number`) — ranking by an ad-hoc expression
+    * without reindexing ("deductible per copay dollar, steepest first"):
+    * the mini-DSL compiles to one sort-key Column; `_score` inside a sort
+    * script is rejected at parse. Pure division of small integers — the
+    * key is bit-identical in any engine, no libm involved. */
+  private def d186(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "query": { "range": { "planCostShares.copay": { "gte": 5 } } },
+        |  "sort": [ { "_script": { "type": "number", "order": "desc", "script": {
+        |      "source": "doc['planCostShares.deductible'].value / (doc['planCostShares.copay'].value + 1)" } } },
+        |    { "objectId": { "order": "asc" } } ],
+        |  "size": 20,
+        |  "_source": ["objectId", "planCostShares.copay"]
+        |}""".stripMargin
+    SearchExec.search(assembled(s, d), "doc", body, schema)
+  }
+
+  private val d186Sql =
+    s"""WITH sc AS (SELECT 'plan-' || ${ck("c_custkey")} AS oid,
+       |    c_custkey % 50 AS copay,
+       |    CAST(c_nationkey * 100 AS DOUBLE)
+       |      / (CAST(c_custkey % 50 AS DOUBLE) + 1.0) AS k
+       |  FROM customer WHERE c_custkey % 50 >= 5)
+       |SELECT rn, "objectId", "planCostShares_copay" FROM (
+       |  SELECT oid AS "objectId", copay AS "planCostShares_copay",
+       |    ROW_NUMBER() OVER (ORDER BY k DESC, oid ASC) AS rn FROM sc)
+       |WHERE rn <= 20 ORDER BY rn""".stripMargin
+
+  // ---------------------------------------------------------------- d187
+  /** ES sliced scroll (`slice: {id, max}`) — parallel export: worker `id`
+    * of `max` reads a deterministic id-hash partition of the hit set; the
+    * union over ids is exactly the unsliced set. The slice predicate is
+    * one hash expression ANDed into the scan filter — at 100 TB each
+    * export worker runs the identical plan over the shared files, no
+    * coordination, no skew beyond hash balance. */
+  private def d187(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "query": { "range": { "planCostShares.copay": { "gte": 20 } } },
+        |  "slice": { "id": 2, "max": 5 },
+        |  "sort": [ { "objectId": { "order": "asc" } } ],
+        |  "size": 200,
+        |  "_source": ["objectId"]
+        |}""".stripMargin
+    SearchExec.search(assembled(s, d), "doc", body, schema)
+  }
+
+  private val d187Sql =
+    s"""WITH hits AS (SELECT 'plan-' || ${ck("c_custkey")} AS oid FROM customer
+       |  WHERE c_custkey % 50 >= 20
+       |    AND CAST(('0x' || substr(md5('plan-' || ${ck("c_custkey")} || ':slice'), 1, 8)) AS BIGINT) % 5 = 2)
+       |SELECT rn, "objectId" FROM (
+       |  SELECT oid AS "objectId", ROW_NUMBER() OVER (ORDER BY oid ASC) AS rn FROM hits)
+       |WHERE rn <= 200 ORDER BY rn""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -7407,6 +7501,9 @@ object DocQueries {
     "d182_es_mget" -> d182 _,
     "d183_es_terms_enum" -> d183 _,
     "d184_es_script_math2" -> d184 _,
+    "d185_es_geo_sort" -> d185 _,
+    "d186_es_script_sort" -> d186 _,
+    "d187_es_sliced_scroll" -> d187 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
     "d3_roundtrip" -> d3 _,
@@ -7593,6 +7690,9 @@ object DocQueries {
     "d182_es_mget" -> d182Sql,
     "d183_es_terms_enum" -> d183Sql,
     "d184_es_script_math2" -> d184Sql,
+    "d185_es_geo_sort" -> d185Sql,
+    "d186_es_script_sort" -> d186Sql,
+    "d187_es_sliced_scroll" -> d187Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,
     "d3_roundtrip" -> d3Sql,

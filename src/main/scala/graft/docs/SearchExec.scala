@@ -96,7 +96,16 @@ object SearchExec {
       }
     val needScore = sorts.exists(_.isScore)
     val mainQuery = resolveLookups(b.parsed.query, docs, doc, schema)
-    val hits0 = docs.filter(SearchQuery.compile(mainQuery, doc))
+    // slice: the id-th of max deterministic id-hash partitions of the hit
+    // set (parallel export — each worker's query differs only in slice.id;
+    // the union over ids is exactly the unsliced hit set)
+    val sliceFilter = b.slice.map { case (id, max) =>
+      require(schema.fieldNames.contains("objectId"),
+        "slice needs an objectId field to hash")
+      graft.ext.TextFunctions.stableHash32(
+        concat(field(doc, Seq("objectId")), lit(":slice"))) % max === id
+    }.getOrElse(lit(true))
+    val hits0 = docs.filter(SearchQuery.compile(mainQuery, doc) && sliceFilter)
     // min_score prunes the HIT SET itself (before sort/collapse/paging
     // and before track_total_hits — ES shrinks total too), so the score
     // is computed for the filter even when no sort reads it.
@@ -114,6 +123,18 @@ object SearchExec {
       * per-element transform; empty arrays yield NULL = "missing"). */
     def keyValue(k: SearchQuery.SortKey): Column =
       if (k.isScore) col("score")
+      else if (k.script.nonEmpty)
+        // _script sort (type number): the mini-DSL value is the key
+        // (_score rejected at parse — no score exists sort-side)
+        SearchQuery.compileScript(k.script.get, doc, lit(null).cast("double"))
+      else if (k.geo.nonEmpty) {
+        // _geo_distance sort: haversine meters (÷ unit divisor) from the
+        // literal origin — the same pure column trig as the geo queries
+        val (la0, lo0, div) = k.geo.get
+        val dist = Geo.haversineMeters(field(doc, k.path :+ "lat"),
+          field(doc, k.path :+ "lon"), la0, lo0)
+        if (div == 1.0) dist else dist / lit(div)
+      }
       else SearchQuery.splitArrayPath(k.path, schema) match {
         case (Nil, full) => field(doc, full)
         case (arr, rest) =>

@@ -914,9 +914,16 @@ object SearchQuery {
     * the cheapest copay among their ACTIVE services". Compiled as a
     * per-element predicate (`compileInNested`) inside an array filter()
     * before the reduction — pure expressions, no explode, no join. */
+  /** `geo` (ES `_geo_distance` sort): origin (lat, lon) + a unit divisor
+    * (1 = meters, 1000 = km) — the key is the haversine distance from the
+    * origin to the doc's point at `path`. `script` (ES `_script` sort,
+    * `type: number`): the key is the mini-DSL expression's value
+    * (`_score` inside a sort script is rejected at parse). */
   final case class SortKey(path: Seq[String], asc: Boolean, isScore: Boolean,
                            mode: Option[String] = None,
-                           nestedFilter: Option[SearchQuery] = None)
+                           nestedFilter: Option[SearchQuery] = None,
+                           geo: Option[(Double, Double, Double)] = None,
+                           script: Option[ScriptExpr] = None)
 
   /** A COMPLETE ES search body: the parsed `query` plus the request-level
     * keys a real Kibana body carries — `sort` (field or `_score` entries,
@@ -931,6 +938,10 @@ object SearchQuery {
   final case class CollapseInner(name: String, size: Int,
                                  sortPath: Seq[String], asc: Boolean)
 
+  /** `slice` (ES sliced scroll — parallel export): `(id, max)` restricts
+    * the hit set to the id-th of `max` deterministic hash partitions of
+    * the corpus (each worker exports its slice independently; the union
+    * over ids is exactly the unsliced hit set). */
   final case class FullBody(parsed: Parsed, sorts: Seq[SortKey],
                             from: Int, size: Int,
                             searchAfter: Option[Seq[Any]],
@@ -940,7 +951,8 @@ object SearchQuery {
                             rescore: Option[Rescore] = None,
                             highlight: Option[Highlight] = None,
                             trackTotalHits: Boolean = false,
-                            minScore: Option[Double] = None)
+                            minScore: Option[Double] = None,
+                            slice: Option[(Int, Int)] = None)
 
   /** ES `highlight` — one field, default `<em>`/`</em>` tags. The
     * executor wraps every occurrence of the query's terms FOR THAT FIELD
@@ -1009,8 +1021,23 @@ object SearchQuery {
     }
     val unknown = root.keySet --
       Set("query", "sort", "from", "size", "_source", "search_after", "collapse", "rescore",
-        "highlight", "track_total_hits", "min_score")
+        "highlight", "track_total_hits", "min_score", "slice")
     require(unknown.isEmpty, s"unsupported ES body key(s): ${unknown.mkString(", ")}")
+    // ES sliced scroll: {"slice": {"id": i, "max": m}} — deterministic
+    // id-hash partition of the hit set for parallel export
+    val slice = root.get("slice").map {
+      case JObject(sf) =>
+        val sm = sf.toMap
+        val unknownS = sm.keySet -- Set("id", "max")
+        require(unknownS.isEmpty, s"unsupported slice key(s): ${unknownS.mkString(", ")}")
+        val id = sm.get("id").map(v => asDouble(v, "slice.id").toInt).getOrElse(
+          throw new IllegalArgumentException("slice needs id"))
+        val max = sm.get("max").map(v => asDouble(v, "slice.max").toInt).getOrElse(
+          throw new IllegalArgumentException("slice needs max"))
+        require(max >= 2 && id >= 0 && id < max, s"bad slice id/max: $id/$max")
+        (id, max)
+      case other => throw new IllegalArgumentException(s"bad slice: $other")
+    }
     // ES `min_score` — drop hits scoring below the floor. Applied to the
     // HIT SET (before sort/collapse/pagination AND before the
     // track_total_hits count — the ES contract: min_score shrinks total).
@@ -1040,6 +1067,73 @@ object SearchQuery {
       case JArray(entries) => entries.map {
         case JString(name) => sortKey(name, asc = name != "_score") // bare _score = desc (ES)
         case JObject(List((name, JString(dir)))) => sortKey(name, dir == "asc")
+        case JObject(List(("_geo_distance", JObject(opts)))) =>
+          // ES geo-distance sort: { "<field>": "lat,lon", order, unit }
+          val m = opts.toMap
+          val known = Set("order", "unit")
+          val fieldEntries = m.view.filterKeys(k => !known(k)).toMap
+          require(fieldEntries.size == 1,
+            s"_geo_distance sort needs exactly one field entry: ${m.keySet.mkString(", ")}")
+          val (fname, originJ) = fieldEntries.head
+          val (olat, olon) = originJ match {
+            case JString(ll) => ll.split(',') match {
+              case Array(a, b) => (a.trim.toDouble, b.trim.toDouble)
+              case _ => throw new IllegalArgumentException(
+                s"_geo_distance origin must be 'lat,lon': $ll")
+            }
+            case JArray(List(lonJ, latJ)) => // GeoJSON order: [lon, lat]
+              (asDouble(latJ, "_geo_distance lat"), asDouble(lonJ, "_geo_distance lon"))
+            case other => throw new IllegalArgumentException(
+              s"unsupported _geo_distance origin: $other")
+          }
+          val divisor = m.get("unit") match {
+            case None | Some(JString("m")) => 1.0
+            case Some(JString("km")) => 1000.0
+            case Some(other) => throw new IllegalArgumentException(
+              s"unsupported _geo_distance unit: $other (m/km)")
+          }
+          val dir = m.get("order") match {
+            case Some(JString(d0)) => d0
+            case None => "asc"
+            case other => throw new IllegalArgumentException(s"bad _geo_distance order: $other")
+          }
+          require(dir == "asc" || dir == "desc", s"bad _geo_distance order $dir")
+          val gp = fieldPath(fname)
+          val (arrG, _) = splitArrayPath(gp, schema)
+          require(arrG.isEmpty,
+            s"_geo_distance sort on array path $fname is not implemented")
+          SortKey(gp, dir == "asc", isScore = false, geo = Some((olat, olon, divisor)))
+        case JObject(List(("_script", JObject(opts)))) =>
+          // ES script sort: { type: number, script: {source}, order }
+          val m = opts.toMap
+          val unknown = m.keySet -- Set("type", "script", "order")
+          require(unknown.isEmpty,
+            s"unsupported _script sort key(s): ${unknown.mkString(", ")}")
+          m.get("type") match {
+            case None | Some(JString("number")) => ()
+            case Some(other) => throw new IllegalArgumentException(
+              s"only _script sort type number is implemented: $other")
+          }
+          val src = m.get("script") match {
+            case Some(JString(s0)) => s0
+            case Some(JObject(sf)) => sf.toMap.get("source") match {
+              case Some(JString(s0)) => s0
+              case other => throw new IllegalArgumentException(
+                s"_script sort script.source must be a string: $other")
+            }
+            case other => throw new IllegalArgumentException(
+              s"_script sort needs a script: $other")
+          }
+          val se = parseScript(src, schema)
+          require(!scriptReadsScore(se),
+            "_script sort script references _score — use the _score sort key instead")
+          val dir = m.get("order") match {
+            case Some(JString(d0)) => d0
+            case None => "asc"
+            case other => throw new IllegalArgumentException(s"bad _script order: $other")
+          }
+          require(dir == "asc" || dir == "desc", s"bad _script order $dir")
+          SortKey(Nil, dir == "asc", isScore = false, script = Some(se))
         case JObject(List((name, JObject(opts)))) =>
           val m = opts.toMap
           val unknown = m.keySet -- Set("order", "mode", "nested")
@@ -1079,7 +1173,7 @@ object SearchQuery {
       }
       case single => throw new IllegalArgumentException(s"sort must be an array: $single")
     }
-    sorts.filterNot(_.isScore).foreach { k =>
+    sorts.filterNot(k => k.isScore || k.geo.nonEmpty || k.script.nonEmpty).foreach { k =>
       val (arr, _) = splitArrayPath(k.path, schema)
       require(arr.isEmpty || k.mode.nonEmpty,
         s"sort on array path ${k.path.mkString(".")} needs a mode (min/max) — ES nested sort")
@@ -1234,7 +1328,7 @@ object SearchQuery {
     }
     val fb = FullBody(parseBody(body, schema), sorts, from, size, searchAfter, source, collapse,
       collapseInner,
-      rescore, highlight, trackTotal, minScore)
+      rescore, highlight, trackTotal, minScore, slice)
     highlight.foreach { h =>
       require(highlightTerms(fb.parsed.query, h.path).nonEmpty,
         s"highlight field ${h.path.mkString(".")} is targeted by no highlightable query clause " +

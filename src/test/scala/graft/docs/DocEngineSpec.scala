@@ -2386,4 +2386,39 @@ class DocEngineSpec extends SparkSpec {
     // the analyzed name field always contains the literal token 'service'
     assert(tv.map(_.getAs[String]("term")).contains("service"))
   }
+
+  test("round-10 slice/sort surface: slices partition the hit set exactly; " +
+    "geo/script sort parse guards") {
+    import spark.implicits._
+    val df = (1 to 40).map(i => (s"doc-$i", i.toLong)).toDF("objectId", "v")
+      .select(struct(col("objectId"), col("v")).as("doc"))
+    val sch = df.schema("doc").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    def page(slice: String): Seq[String] = SearchExec.search(df, "doc",
+      s"""{"query": {"range": {"v": {"gte": 1}}}, $slice
+         | "sort": [{"objectId": "asc"}], "size": 100, "_source": ["objectId"]}""".stripMargin,
+      sch).collect().map(_.getAs[String]("objectId")).toSeq
+    val all = page("")
+    val slices = (0 until 3).map(i => page(s""""slice": {"id": $i, "max": 3},"""))
+    // disjoint, and the union is exactly the unsliced hit set
+    assert(slices.map(_.size).sum === all.size)
+    assert(slices.flatten.sorted === all.sorted)
+    assert(slices.forall(_.nonEmpty)) // 40 ids across 3 hash slices
+    // _script sort orders by the expression; _geo_distance needs lat/lon
+    val byScript = SearchExec.search(df, "doc",
+      """{"query": {"range": {"v": {"gte": 38}}},
+        | "sort": [{"_script": {"type": "number", "order": "desc",
+        |   "script": {"source": "doc['v'].value * 2"}}}, {"objectId": "asc"}],
+        | "size": 3, "_source": ["objectId"]}""".stripMargin, sch)
+      .collect().map(_.getAs[String]("objectId")).toSeq
+    assert(byScript === Seq("doc-40", "doc-39", "doc-38"))
+    // guards: _score inside a sort script; bad slice ids; bad units
+    assertThrows[IllegalArgumentException](SearchQuery.parseFullBody(
+      """{"query": {"match_all": {}}, "sort": [{"_script": {
+        |  "script": {"source": "_score + 1"}}}]}""".stripMargin, sch))
+    assertThrows[IllegalArgumentException](SearchQuery.parseFullBody(
+      """{"query": {"match_all": {}}, "slice": {"id": 5, "max": 5}}""", sch))
+    assertThrows[IllegalArgumentException](SearchQuery.parseFullBody(
+      """{"query": {"match_all": {}}, "sort": [{"_geo_distance": {
+        |  "p": "1,2", "unit": "mi"}}]}""".stripMargin, sch))
+  }
 }

@@ -7329,6 +7329,54 @@ object DocQueries {
        |  SELECT oid AS "objectId", ROW_NUMBER() OVER (ORDER BY oid ASC) AS rn FROM hits)
        |WHERE rn <= 200 ORDER BY rn""".stripMargin
 
+  // ---------------------------------------------------------------- d188
+  /** ES `_msearch/template` — the batched form of d177: ONE template
+    * (saved search), many param sets, one response per line (the Kibana
+    * dashboard-panel fanout). Each rendered body re-enters the standard
+    * executor; results ride the d157 `_msearch_idx` envelope. Scale
+    * shape: rendering is driver-side string work; N searches = N bounded
+    * pages over the shared corpus scan. */
+  private def d188(s: SparkSession, d: String): DataFrame = {
+    val source =
+      """{
+        |  "query": { "bool": { "must": [
+        |    { "term": { "planType": "{{type}}" } },
+        |    { "range": { "planCostShares.copay": {
+        |        "lt": {{max_copay}}{{^max_copay}}50{{/max_copay}} } } } ] } },
+        |  "sort": [ { "objectId": { "order": "asc" } } ],
+        |  "size": {{size}}{{^size}}4{{/size}},
+        |  "_source": ["objectId", "planType"]
+        |}""".stripMargin
+    val paramSets: Seq[Map[String, Any]] = Seq(
+      Map("type" -> "BUILDING", "max_copay" -> 20),
+      Map("type" -> "FURNITURE"), // defaults: max_copay 50, size 4
+      Map("type" -> "MACHINERY", "size" -> 6))
+    val corpus = assembled(s, d)
+    paramSets.zipWithIndex.map { case (ps, i) =>
+      SearchTemplate.search(corpus, "doc", source, ps, schema)
+        .select(lit(i.toLong).as("_msearch_idx"), col("rn"),
+          col("objectId"), col("planType"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("_msearch_idx"), col("rn"))
+  }
+
+  private val d188Sql = {
+    def leg(i: Int, seg: String, maxCopay: Int, size: Int) =
+      s"""SELECT $i AS _msearch_idx, rn, "objectId", "planType" FROM (
+         |  SELECT 'plan-' || ${ck("c_custkey")} AS "objectId",
+         |    c_mktsegment AS "planType",
+         |    ROW_NUMBER() OVER (ORDER BY 'plan-' || ${ck("c_custkey")}) AS rn
+         |  FROM customer
+         |  WHERE c_mktsegment = '$seg' AND c_custkey % 50 < $maxCopay)
+         |WHERE rn <= $size""".stripMargin
+    s"""${leg(0, "BUILDING", 20, 4)}
+       |UNION ALL
+       |${leg(1, "FURNITURE", 50, 4)}
+       |UNION ALL
+       |${leg(2, "MACHINERY", 50, 6)}
+       |ORDER BY _msearch_idx, rn""".stripMargin
+  }
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -7504,6 +7552,7 @@ object DocQueries {
     "d185_es_geo_sort" -> d185 _,
     "d186_es_script_sort" -> d186 _,
     "d187_es_sliced_scroll" -> d187 _,
+    "d188_msearch_template" -> d188 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
     "d3_roundtrip" -> d3 _,
@@ -7693,6 +7742,7 @@ object DocQueries {
     "d185_es_geo_sort" -> d185Sql,
     "d186_es_script_sort" -> d186Sql,
     "d187_es_sliced_scroll" -> d187Sql,
+    "d188_msearch_template" -> d188Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,
     "d3_roundtrip" -> d3Sql,

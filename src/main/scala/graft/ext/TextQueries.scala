@@ -1464,8 +1464,21 @@ object TextQueries {
 
   /** One Viterbi-EM round: segment every word with the current vocab
     * (exact-long DP, leftmost-max = shortest-piece tie rule), return the
-    * piece counts along the best paths. */
-  private def uniSegmentCounts(words: DataFrame, vocab: DataFrame): DataFrame = {
+    * piece counts along the best paths. Consumers project the `_piece*`
+    * ladder in ONE select directly on the raw DP frame — an intermediate
+    * named-array projection measurably tips Catalyst's project-collapse
+    * into exponential tree rewriting (t29 went 11 s → minutes in r10
+    * before this was fused back). */
+  private def uniSegmentCounts(words: DataFrame, vocab: DataFrame): DataFrame =
+    uniSegmentRaw(words, vocab)
+      .select(col("freq"), explode(filter(
+        array((1 to UniL).map(j => col(s"_piece$j")): _*), p => p.isNotNull)).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("freq")).cast("long").as("cnt"))
+
+  /** The raw Viterbi DP frame: word columns plus `_piece1.._pieceL` (the
+    * best path's pieces, null-padded) — shared by counting (t29 EM) and
+    * encoding (t31), each projecting once. */
+  private def uniSegmentRaw(words: DataFrame, vocab: DataFrame): DataFrame = {
     val vmap = vocab.agg(
       map_from_entries(collect_list(struct(col("piece"), col("lpq")))).as("vm"))
     var df = words.crossJoin(broadcast(vmap))
@@ -1501,9 +1514,7 @@ object TextQueries {
         s"_piece$j" -> when(pPrev > 0, col("w").substr(pPrev - k + 1, k)),
         s"_p$j" -> when(pPrev > 0, pPrev - k).otherwise(lit(0))))
     }
-    df.select(col("freq"), explode(filter(
-        array((1 to UniL).map(j => col(s"_piece$j")): _*), p => p.isNotNull)).as("piece"))
-      .groupBy(col("piece")).agg(sum(col("freq")).cast("long").as("cnt"))
+    df
   }
 
   /** Un-pinned round-1 plan for PlanAuditSpec (t29's public result is an
@@ -1605,7 +1616,53 @@ object TextQueries {
       |       ELSE 'tail' END AS ppl_bucket
       |FROM ranked ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t31
+  /** Unigram-LM tokenizer ENCODE — apply t29's fitted vocabulary to the
+    * corpus (the same fit→encode→count story as BPE's t25→t26): fit one
+    * Viterbi-EM round on the distinct-word table (identical machinery and
+    * tie rules as t29, so the registries stay consistent), Viterbi-encode
+    * every distinct word under the refit vocab, and join the |vocab|-row
+    * encoded table back to the per-doc tokens. Output per doc: word/char/
+    * piece counts and pieces-per-word (the fertility metric tokenizer
+    * evaluations report). Corpus-scale work is ONE token explode + one
+    * broadcast join against the encoded vocabulary. */
+  private def t31(s: SparkSession, d: String): DataFrame = {
+    val words = docs(s, d).select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).cast("long").as("freq"))
+      .persist()
+    val c1 = uniSegmentCounts(words, uniVocab(uniSeedCounts(words))).persist()
+    val enc = uniSegmentRaw(words, uniVocab(c1))
+      .select(col("w"), length(col("w")).cast("long").as("n_chars_w"),
+        (1 to UniL).map(j => when(col(s"_piece$j").isNotNull, 1L).otherwise(0L))
+          .reduce(_ + _).as("n_pieces_w"))
+    val toks = docs(s, d).select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+    val res = toks.join(broadcast(enc), "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_words"),
+        sum(col("n_chars_w")).cast("long").as("n_chars"),
+        sum(col("n_pieces_w")).cast("long").as("n_pieces"))
+      .select(col("doc_id"), col("n_words"), col("n_chars"), col("n_pieces"),
+        (col("n_pieces").cast("double") / col("n_words")).as("pieces_per_word"))
+      .orderBy(col("doc_id"))
+    graft.Eager.finish(res, words, c1)
+  }
+
+  private val t31Sql: String =
+    UniSql.prefix +
+      s"""enc AS (SELECT w, CAST(length(w) AS BIGINT) AS n_chars_w,
+         |    CAST((${(1 to UniL).map(j => s"(CASE WHEN piece$j IS NOT NULL THEN 1 ELSE 0 END)").mkString(" + ")}) AS BIGINT) AS n_pieces_w
+         |  FROM bt2_$UniL),
+         |toks AS (SELECT doc_id, u.w AS w FROM documents,
+         |  unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS u(w))
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |  CAST(SUM(n_chars_w) AS BIGINT) AS n_chars,
+         |  CAST(SUM(n_pieces_w) AS BIGINT) AS n_pieces,
+         |  CAST(SUM(n_pieces_w) AS DOUBLE) / CAST(COUNT(*) AS BIGINT) AS pieces_per_word
+         |FROM toks JOIN enc USING (w)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t31_unigram_encode" -> t31 _,
     "t30_ccnet_ppl_buckets" -> t30 _,
     "t29_unigram_lm" -> t29 _,
     "t28_dsir_resample" -> t28 _,
@@ -1640,8 +1697,9 @@ object TextQueries {
   /** The identical Viterbi-EM as DuckDB SQL — generated (the Geo-style
     * twin): same quantized log-probs, same exact-long DP, same
     * leftmost-max CASE chains, staged through chained CTEs (one per DP
-    * position) so no binder inlining can blow up. */
-  private val t29Sql: String = {
+    * position, MATERIALIZED so no binder inlining can blow up). Shared by
+    * the t29 (fit) and t31 (encode) oracles. */
+  private object UniSql {
     val L = UniL
     // pivoted per-word lp columns: lp_i_k = quantized log-prob of the
     // piece ENDING at position i with length k (NULL when i > len)
@@ -1696,7 +1754,9 @@ object TextQueries {
          |    CAST(round(ln(CAST(cnt AS DOUBLE) / total) * 1000000.0) AS BIGINT) AS lpq
          |  FROM $cntTag CROSS JOIN
          |    (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM $cntTag)),\n""".stripMargin
-    s"""WITH words AS (
+    /** CTE prefix: word table, seed vocab, both EM rounds segmented
+      * (through bt2) — ends with a trailing comma, callers append. */
+    val prefix: String = s"""WITH words AS (
        |  SELECT u.w AS w, CAST(COUNT(*) AS BIGINT) AS freq
        |  FROM documents,
        |    unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS u(w)
@@ -1722,19 +1782,24 @@ object TextQueries {
        |  FROM (SELECT c.w, c.i, c.k, COALESCE(v2.lpq, ${UniMiss}) AS lpq
        |        FROM cand c LEFT JOIN v2 USING (piece))
        |  GROUP BY w),
-       |${dpChain("dp2", "mat2")}${btChain("bt2", "dp2")}${cntOf("cnt2", "bt2")}ranked AS (
-       |  SELECT 1 AS em_round, piece, cnt,
-       |    CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, piece ASC) AS BIGINT) AS rnk
-       |  FROM cnt1
-       |  UNION ALL
-       |  SELECT 2, piece, cnt,
-       |    CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, piece ASC) AS BIGINT)
-       |  FROM cnt2)
-       |SELECT em_round, rnk, piece, cnt FROM ranked
-       |WHERE rnk <= 10 ORDER BY em_round, rnk""".stripMargin
+       |${dpChain("dp2", "mat2")}${btChain("bt2", "dp2")}""".stripMargin
   }
 
+  private val t29Sql: String =
+    UniSql.prefix + UniSql.cntOf("cnt2", "bt2") +
+      """ranked AS (
+        |  SELECT 1 AS em_round, piece, cnt,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, piece ASC) AS BIGINT) AS rnk
+        |  FROM cnt1
+        |  UNION ALL
+        |  SELECT 2, piece, cnt,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, piece ASC) AS BIGINT)
+        |  FROM cnt2)
+        |SELECT em_round, rnk, piece, cnt FROM ranked
+        |WHERE rnk <= 10 ORDER BY em_round, rnk""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "t31_unigram_encode" -> t31Sql,
     "t30_ccnet_ppl_buckets" -> t30Sql,
     "t29_unigram_lm" -> t29Sql,
     "t28_dsir_resample" -> t28Sql,

@@ -106,6 +106,67 @@ object BulkByQuery {
       roots.agg(count(lit(1)).cast("long").as("deleted")))
   }
 
+  /** ES `_reindex` — copy every document matching `source.query` into a
+    * FRESH destination index, optionally rewritten by the same
+    * single-assignment script form as `_update_by_query`. Unlike
+    * update/delete-by-query there is NO reachability work at all: the
+    * destination is built by one filtered scan + one fresh shred — the
+    * plan is a pushdown-eligible predicate on the assembled corpus
+    * followed by the Shredder's per-schema-node projections. Reindexing
+    * ten documents out of 100 TB reads the row groups the predicate
+    * selects, never the corpus. Returns `(destIndexName, destShredded)`.
+    *
+    * Body contract (unknown keys reject loudly): `source.index` must name
+    * this corpus ("plan"), `source.query` is optional (absent = copy
+    * all, the ES default), `dest.index` names the new index, `script`
+    * is the optional `ctx._source.<path> = <expr>` rewrite. ES's
+    * `conflicts`/`max_docs`/`op_type` knobs are not implemented —
+    * rejected at parse, not silently dropped. */
+  def reindex(assembled: DataFrame, body: String, schema: StructType,
+              docCol: String = "doc"): (String, Shredded) = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods.{compact, render}
+    val root = parseRoot(body, Set("source", "dest", "script"))
+    val source = root.get("source") match {
+      case Some(JObject(fs)) => fs.toMap
+      case other => throw new IllegalArgumentException(s"_reindex needs source object: $other")
+    }
+    val unknownSrc = source.keySet -- Set("index", "query")
+    require(unknownSrc.isEmpty, s"unsupported source key(s): ${unknownSrc.mkString(", ")}")
+    source.get("index") match {
+      case Some(JString("plan")) => ()
+      case other => throw new IllegalArgumentException(
+        s"_reindex source.index must name this corpus (\"plan\"): $other")
+    }
+    val destIndex = root.get("dest") match {
+      case Some(JObject(fs)) => fs.toMap.get("index") match {
+        case Some(JString(n)) => n
+        case other => throw new IllegalArgumentException(s"dest.index must be a string: $other")
+      }
+      case other => throw new IllegalArgumentException(s"_reindex needs dest object: $other")
+    }
+    val doc = col(docCol)
+    val matched = source.get("query") match {
+      case None => assembled
+      case Some(qj) =>
+        val q = SearchQuery.fromJson(compact(render(JObject("query" -> qj))), schema)
+        assembled.filter(SearchQuery.compile(q, doc))
+    }
+    val transformed = root.get("script") match {
+      case None => matched
+      case Some(JObject(fs)) => fs.toMap.get("source") match {
+        case Some(JString(src)) =>
+          val us = parseUpdateScript(src, schema)
+          val newVal = SearchQuery.compileScriptWith(us.expr, p => field(doc, p),
+            lit(null).cast("double"))
+          matched.select(setField(doc, us.path, newVal, schema).as(docCol))
+        case other => throw new IllegalArgumentException(s"script.source must be a string: $other")
+      }
+      case other => throw new IllegalArgumentException(s"bad _reindex script: $other")
+    }
+    (destIndex, Shredder.shred(transformed.select(doc), docCol))
+  }
+
   /** `_update_by_query`: apply the body's script to every matching
     * document and persist via M8 replace (delete-then-save — the
     * reference's own update shape, `PlanService.java:202-215`, here one

@@ -7377,6 +7377,55 @@ object DocQueries {
        |ORDER BY _msearch_idx, rn""".stripMargin
   }
 
+  // ---------------------------------------------------------------- d189
+  /** ES `_reindex` — copy the documents matching `source.query` into a
+    * fresh destination index, rewritten by the same single-assignment
+    * script form as d175 (`BulkByQuery.reindex`). No reachability work:
+    * ONE pushdown-eligible filtered scan + one fresh shred (plan-pinned)
+    * — reindexing ten docs out of 100 TB reads the selected row groups,
+    * never the corpus. Output: the assembled DESTINATION index (matched
+    * docs only, deductible backfilled by the script). */
+  private val d189Body =
+    """{
+      |  "source": { "index": "plan",
+      |    "query": { "bool": { "must": [
+      |      { "terms": { "planType": ["MACHINERY", "HOUSEHOLD"] } },
+      |      { "range": { "planCostShares.copay": { "lt": 35 } } } ] } } },
+      |  "dest": { "index": "plan-v2" },
+      |  "script": { "source":
+      |    "ctx._source.planCostShares.deductible = ctx._source.planCostShares.copay * 3 + ctx._source.planCostShares.deductible" }
+      |}""".stripMargin
+
+  /** Plan-pin surface (PlanAuditSpec): the destination entities frame
+    * BEFORE materialization — the registry output re-assembles from the
+    * materialized dest parquet, so the selection scan is only visible
+    * here (the d175/d176 caveat). */
+  def d189Plan(s: SparkSession, d: String): DataFrame =
+    BulkByQuery.reindex(assembled(s, d), d189Body, schema)._2.entities
+
+  private def d189(s: SparkSession, d: String): DataFrame = {
+    val (destIndex, dest) = BulkByQuery.reindex(assembled(s, d), d189Body, schema)
+    require(destIndex == "plan-v2")
+    Assembler.assemble(materialized(s, "d189", dest), schema, "plan").select(
+      col("doc.objectId").as("object_id"),
+      col("doc.planType").as("plan_type"),
+      col("doc.planCostShares.copay").as("copay"),
+      col("doc.planCostShares.deductible").as("deductible"),
+      size(col("doc.linkedPlanServices")).as("n_services"))
+      .orderBy(col("object_id"))
+  }
+
+  private val d189Sql =
+    s"""WITH o AS $O
+       |SELECT 'plan-' || ${ck("c_custkey")} AS object_id,
+       |  c_mktsegment AS plan_type,
+       |  c_custkey % 50 AS copay,
+       |  (c_custkey % 50) * 3 + CAST(c_nationkey AS BIGINT) * 100 AS deductible,
+       |  CAST((SELECT COUNT(*) FROM o WHERE o_custkey = c_custkey) AS INTEGER) AS n_services
+       |FROM customer
+       |WHERE c_mktsegment IN ('MACHINERY', 'HOUSEHOLD') AND c_custkey % 50 < 35
+       |ORDER BY object_id""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -7553,6 +7602,7 @@ object DocQueries {
     "d186_es_script_sort" -> d186 _,
     "d187_es_sliced_scroll" -> d187 _,
     "d188_msearch_template" -> d188 _,
+    "d189_es_reindex" -> d189 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
     "d3_roundtrip" -> d3 _,
@@ -7743,6 +7793,7 @@ object DocQueries {
     "d186_es_script_sort" -> d186Sql,
     "d187_es_sliced_scroll" -> d187Sql,
     "d188_msearch_template" -> d188Sql,
+    "d189_es_reindex" -> d189Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,
     "d3_roundtrip" -> d3Sql,

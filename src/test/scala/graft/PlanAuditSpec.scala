@@ -716,6 +716,19 @@ class PlanAuditSpec extends SparkSpec {
       s"root-selection predicate lost the scan pushdown:\n$p")
   }
 
+  test("d189: reindex source selection is pushed to the assembled scan; " +
+    "the dest shred never joins") {
+    // _reindex = filtered scan + fresh shred: the body's predicates must
+    // reach PushedFilters (row-group pruning — reindexing ten docs reads
+    // ten docs' groups), and the destination build has NO join at all
+    // (unlike delete/replace there is no reachability expansion).
+    val p = plan(graft.docs.DocQueries.d189Plan(spark, sf))
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("planType") || pushed.contains("copay"),
+      s"reindex source predicate lost the scan pushdown:\n$p")
+    assert(!p.contains("Join"), s"reindex must not join:\n$p")
+  }
+
   test("d180: doc-shape bbox prefilter reaches PushedFilters; intersects never joins") {
     val p = plan(q("d180_geo_shape_docs"))
     val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString

@@ -51,6 +51,43 @@ class BulkByQuerySpec extends SparkSpec {
       empty, sh, """{}""", sch, 3)).getMessage.contains("query"))
   }
 
+  test("reindex body guards: unknown keys, wrong source index, bad dest reject loudly") {
+    import org.apache.spark.sql.DataFrame
+    val empty: DataFrame = spark.emptyDataFrame
+    def bad(body: String): String =
+      intercept[IllegalArgumentException](
+        BulkByQuery.reindex(empty, body, sch)).getMessage
+    assert(bad("""{"source": {"index": "plan"}, "dest": {"index": "x"}, "max_docs": 5}""")
+      .contains("unsupported body key"))
+    assert(bad("""{"source": {"index": "plan", "conflicts": "proceed"}, "dest": {"index": "x"}}""")
+      .contains("unsupported source key"))
+    assert(bad("""{"source": {"index": "other"}, "dest": {"index": "x"}}""")
+      .contains("source.index"))
+    assert(bad("""{"source": {"index": "plan"}}""").contains("dest"))
+    assert(bad("""{"source": {"index": "plan"}, "dest": {"name": "x"}}""")
+      .contains("dest.index"))
+  }
+
+  test("reindex: query optional (copy-all), script optional (verbatim copy), dest name returned") {
+    import spark.implicits._
+    val docs = Seq(("plan-1", "A", 3L), ("plan-2", "B", 4L)).toDF("id", "t", "v")
+      .select(struct(col("id").as("objectId"), lit("plan").as("objectType"),
+        col("t").as("planType"), col("v").as("copay")).as("doc"))
+    val schema = docs.schema("doc").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    val (name, dest) = BulkByQuery.reindex(docs,
+      """{"source": {"index": "plan"}, "dest": {"index": "plan-copy"}}""", schema)
+    assert(name === "plan-copy")
+    assert(dest.entities.count() === 2)
+    // filtered + transformed: one match, copay rewritten
+    val (_, dest2) = BulkByQuery.reindex(docs,
+      """{"source": {"index": "plan", "query": {"term": {"planType": "A"}}},
+        | "dest": {"index": "v2"},
+        | "script": {"source": "ctx._source.copay = ctx._source.copay * 10"}}""".stripMargin,
+      schema)
+    val rows = dest2.entities.filter(col("type_tag") === "plan").collect()
+    assert(rows.length === 1)
+  }
+
   test("setField rebuilds exactly the targeted leaf, nested or root") {
     import spark.implicits._
     val df = Seq(("p1", 7L)).toDF("id", "v").select(struct(

@@ -7426,6 +7426,109 @@ object DocQueries {
        |WHERE c_mktsegment IN ('MACHINERY', 'HOUSEHOLD') AND c_custkey % 50 < 35
        |ORDER BY object_id""".stripMargin
 
+  // ---------------------------------------------------------------- d191
+  /** ES `_bulk` — the ordered mixed-action batch with EXACT sequential
+    * per-id semantics (Bulk.scala): index-after-delete re-creates,
+    * create-after-index conflicts, update patches compose in order. The
+    * response rows are the ES per-item results (`created`/`updated`/
+    * `deleted`/`not_found`/`version_conflict` + HTTP status), resolved by
+    * ONE broadcast equi-join of the batch ids against the corpus; the
+    * mutation rides M6 cascade + M8 replace. Output: response rows, the
+    * post-bulk per-type census (seq 100), and the touched docs' final
+    * content (seq 200 — planType:copay:n_services), proving both the
+    * result codes AND the applied state. */
+  private def d191(s: SparkSession, d: String): DataFrame = {
+    val batch = Seq(
+      """{"index": {"_index": "plan", "_id": "plan-3"}}""",
+      """{"objectId": "plan-3", "objectType": "plan", "planType": "MOBILE", "_org": "org-bulk.example.com", "creationDate": "01-01-2025", "planCostShares": {"objectId": "cs-3", "objectType": "membercostshare", "_org": "example.com", "copay": 500, "deductible": 5000}, "linkedPlanServices": []}""",
+      """{"create": {"_index": "plan", "_id": "plan-3"}}""",
+      """{"objectId": "plan-3", "objectType": "plan", "planType": "NEVER", "linkedPlanServices": []}""",
+      """{"create": {"_index": "plan", "_id": "plan-900001"}}""",
+      """{"objectId": "plan-900001", "objectType": "plan", "planType": "MOBILE", "_org": "org-bulk.example.com", "creationDate": "01-01-2025", "planCostShares": {"objectId": "cs-900001", "objectType": "membercostshare", "_org": "example.com", "copay": 600, "deductible": 6000}, "linkedPlanServices": []}""",
+      """{"update": {"_index": "plan", "_id": "plan-7"}}""",
+      """{"doc": {"planCostShares": {"copay": 777}}}""",
+      """{"update": {"_index": "plan", "_id": "plan-900002"}}""",
+      """{"doc": {"planType": "NEVER"}}""",
+      """{"delete": {"_index": "plan", "_id": "plan-11"}}""",
+      """{"delete": {"_index": "plan", "_id": "plan-900003"}}""",
+      """{"delete": {"_index": "plan", "_id": "plan-900001"}}""",
+      """{"index": {"_index": "plan", "_id": "plan-11"}}""",
+      """{"objectId": "plan-11", "objectType": "plan", "planType": "MOBILE", "_org": "org-bulk.example.com", "creationDate": "01-01-2025", "planCostShares": {"objectId": "cs-11", "objectType": "membercostshare", "_org": "example.com", "copay": 550, "deductible": 5500}, "linkedPlanServices": []}""",
+      """{"update": {"_index": "plan", "_id": "plan-3"}}""",
+      """{"doc": {"planType": "PATCHED"}}""").mkString("\n")
+    val (resp, after0) = Bulk.run(assembled(s, d), shredded(s, d), batch, schema, mdepth)
+    val after = materialized(s, "d191", after0)
+    val census = after.entities.groupBy(col("type_tag")).agg(count(lit(1)).as("n"))
+      .select(lit(100L).as("seq"), col("type_tag").as("id"), lit("_census").as("op"),
+        col("n").cast("string").as("result"), lit(null).cast("int").as("status"))
+    val touched = Seq("plan-3", "plan-7", "plan-11",
+      "plan-900001", "plan-900002", "plan-900003")
+    val finalDocs = Assembler.assemble(after, schema, "plan")
+      .filter(col("doc.objectId").isin(touched.map(lit): _*))
+      .select(lit(200L).as("seq"), col("doc.objectId").as("id"), lit("_doc").as("op"),
+        concat_ws(":", col("doc.planType"), col("doc.planCostShares.copay"),
+          size(col("doc.linkedPlanServices"))).as("result"),
+        lit(null).cast("int").as("status"))
+    resp.unionByName(census).unionByName(finalDocs).orderBy(col("seq"), col("id"))
+  }
+
+  private val d191Sql =
+    s"""WITH o AS $O,
+       |batch(seq, id, op) AS (VALUES
+       |  (CAST(0 AS BIGINT), 'plan-3', 'index'), (1, 'plan-3', 'create'),
+       |  (2, 'plan-900001', 'create'), (3, 'plan-7', 'update'),
+       |  (4, 'plan-900002', 'update'), (5, 'plan-11', 'delete'),
+       |  (6, 'plan-900003', 'delete'), (7, 'plan-900001', 'delete'),
+       |  (8, 'plan-11', 'index'), (9, 'plan-3', 'update')),
+       |ex AS (SELECT 'plan-' || ${ck("c_custkey")} AS id FROM customer),
+       |-- existence before action k: the last prior state-forcing op on the
+       |-- same id (index/create => present, delete => absent — create always
+       |-- leaves the doc present whether it succeeded or conflicted), else
+       |-- the corpus
+       |forced AS (
+       |  SELECT b1.seq, arg_max(b2.op, b2.seq) AS fop
+       |  FROM batch b1 JOIN batch b2
+       |    ON b1.id = b2.id AND b2.seq < b1.seq AND b2.op <> 'update'
+       |  GROUP BY b1.seq),
+       |st AS (
+       |  SELECT b.seq, b.id, b.op,
+       |    CASE WHEN f.fop IS NOT NULL THEN f.fop IN ('index', 'create')
+       |         ELSE b.id IN (SELECT id FROM ex) END AS pe
+       |  FROM batch b LEFT JOIN forced f ON b.seq = f.seq),
+       |resp AS (
+       |  SELECT seq, id, op,
+       |    CASE op
+       |      WHEN 'index' THEN CASE WHEN pe THEN 'updated' ELSE 'created' END
+       |      WHEN 'create' THEN CASE WHEN pe THEN 'version_conflict' ELSE 'created' END
+       |      WHEN 'update' THEN CASE WHEN pe THEN 'updated' ELSE 'not_found' END
+       |      WHEN 'delete' THEN CASE WHEN pe THEN 'deleted' ELSE 'not_found' END
+       |    END AS result
+       |  FROM st),
+       |svc AS (SELECT COUNT(*) AS n FROM o WHERE o_custkey NOT IN (3, 11)),
+       |census AS (
+       |  SELECT 'linkedService' AS id, n FROM svc
+       |  UNION ALL SELECT 'plan', COUNT(*) FROM customer
+       |  UNION ALL SELECT 'planCostShares', COUNT(*) FROM customer
+       |  UNION ALL SELECT 'planservice', n FROM svc
+       |  UNION ALL SELECT 'planserviceCostShares', n FROM svc)
+       |SELECT seq, id, op, result,
+       |  CASE result WHEN 'created' THEN 201 WHEN 'version_conflict' THEN 409
+       |              WHEN 'not_found' THEN 404 ELSE 200 END AS status
+       |FROM resp
+       |UNION ALL
+       |SELECT 100, id, '_census', CAST(n AS VARCHAR), CAST(NULL AS INTEGER) FROM census
+       |UNION ALL
+       |SELECT 200, 'plan-' || ${ck("c_custkey")}, '_doc',
+       |  CASE c_custkey
+       |    WHEN 3 THEN 'PATCHED:500:0'
+       |    WHEN 11 THEN 'MOBILE:550:0'
+       |    WHEN 7 THEN c_mktsegment || ':777:' ||
+       |      CAST((SELECT COUNT(*) FROM o WHERE o_custkey = 7) AS VARCHAR)
+       |  END,
+       |  CAST(NULL AS INTEGER)
+       |FROM customer WHERE c_custkey IN (3, 7, 11)
+       |ORDER BY seq, id""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -7603,6 +7706,7 @@ object DocQueries {
     "d187_es_sliced_scroll" -> d187 _,
     "d188_msearch_template" -> d188 _,
     "d189_es_reindex" -> d189 _,
+    "d191_es_bulk" -> d191 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
     "d3_roundtrip" -> d3 _,
@@ -7794,6 +7898,7 @@ object DocQueries {
     "d187_es_sliced_scroll" -> d187Sql,
     "d188_msearch_template" -> d188Sql,
     "d189_es_reindex" -> d189Sql,
+    "d191_es_bulk" -> d191Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,
     "d3_roundtrip" -> d3Sql,

@@ -729,6 +729,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), s"reindex must not join:\n$p")
   }
 
+  test("d191: bulk batch ids ride a broadcast against the corpus — never a " +
+    "corpus shuffle for the existence resolve") {
+    val p = plan(q("d191_es_bulk"))
+    assert(p.contains("BroadcastHashJoin"), s"batch-id side not broadcast:\n$p")
+  }
+
   test("d180: doc-shape bbox prefilter reaches PushedFilters; intersects never joins") {
     val p = plan(q("d180_geo_shape_docs"))
     val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString

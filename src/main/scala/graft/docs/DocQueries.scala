@@ -7426,6 +7426,66 @@ object DocQueries {
        |WHERE c_mktsegment IN ('MACHINERY', 'HOUSEHOLD') AND c_custkey % 50 < 35
        |ORDER BY object_id""".stripMargin
 
+  // ---------------------------------------------------------------- d190
+  /** ES `_aliases` + search-through-a-FILTERED-alias (Aliases.scala): the
+    * actions body adds two filtered aliases and removes one (exercising
+    * upsert + remove semantics), then the surviving alias is searched —
+    * its filter ANDs into the request as one more pushdown-eligible
+    * predicate on the same assembled scan (ES applies alias filters at
+    * the shard query phase identically). */
+  private def d190(s: SparkSession, d: String): DataFrame = {
+    val registry = Aliases(Map.empty,
+      """{"actions": [
+        |  {"add": {"index": "plan", "alias": "building",
+        |           "filter": {"term": {"planType": "BUILDING"}}}},
+        |  {"add": {"index": "plan", "alias": "affordable-building",
+        |           "filter": {"bool": {"must": [
+        |             {"term": {"planType": "BUILDING"}},
+        |             {"range": {"planCostShares.copay": {"lt": 20}}}]}}}},
+        |  {"remove": {"alias": "building"}}
+        |]}""".stripMargin)
+    require(registry.keySet == Set("affordable-building"))
+    val body =
+      """{
+        |  "query": { "range": { "planCostShares.deductible": { "gte": 500 } } },
+        |  "sort": [ { "objectId": { "order": "asc" } } ],
+        |  "size": 30,
+        |  "_source": ["objectId", "planType", "planCostShares.copay"]
+        |}""".stripMargin
+    Aliases.search(assembled(s, d), "doc", registry, "affordable-building", body, schema)
+  }
+
+  private val d190Sql =
+    s"""SELECT rn, "objectId", "planType", "planCostShares_copay" FROM (
+       |  SELECT *, ROW_NUMBER() OVER (ORDER BY "objectId" ASC) AS rn FROM (
+       |    SELECT 'plan-' || ${ck("c_custkey")} AS "objectId",
+       |      c_mktsegment AS "planType",
+       |      c_custkey % 50 AS "planCostShares_copay"
+       |    FROM customer
+       |    WHERE c_mktsegment = 'BUILDING' AND c_custkey % 50 < 20
+       |      AND CAST(c_nationkey AS BIGINT) * 100 >= 500))
+       |WHERE rn <= 30 ORDER BY rn""".stripMargin
+
+  // ---------------------------------------------------------------- d194
+  /** ES `parent_id` query — children of one named parent through the join
+    * field (ParentJoin.parentId): a point equi-filter on the edge table
+    * (plan-pinned pushdown — the reference's `GET planKey_…` point-get,
+    * SURVEY §1.1, as columnar row-group pruning), then an entity join for
+    * the child rows themselves. */
+  private def d194(s: SparkSession, d: String): DataFrame = {
+    val sh = shredded(s, d)
+    ParentJoin.parentId(sh, "linkedPlanServices", "plan_plan-7")
+      .join(sh.entities, col("child_key") === col("key"))
+      .select(col("child_key"), col("type_tag"))
+      .orderBy(col("child_key"))
+  }
+
+  private val d194Sql =
+    s"""WITH o AS $O
+       |SELECT 'planservice_ps-' || ${ck("o_orderkey")} AS child_key,
+       |  'planservice' AS type_tag
+       |FROM o WHERE o_custkey = 7 ORDER BY child_key""".stripMargin
+
   // ---------------------------------------------------------------- d191
   /** ES `_bulk` — the ordered mixed-action batch with EXACT sequential
     * per-id semantics (Bulk.scala): index-after-delete re-creates,
@@ -7706,7 +7766,9 @@ object DocQueries {
     "d187_es_sliced_scroll" -> d187 _,
     "d188_msearch_template" -> d188 _,
     "d189_es_reindex" -> d189 _,
+    "d190_filtered_alias" -> d190 _,
     "d191_es_bulk" -> d191 _,
+    "d194_es_parent_id" -> d194 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
     "d3_roundtrip" -> d3 _,
@@ -7898,7 +7960,9 @@ object DocQueries {
     "d187_es_sliced_scroll" -> d187Sql,
     "d188_msearch_template" -> d188Sql,
     "d189_es_reindex" -> d189Sql,
+    "d190_filtered_alias" -> d190Sql,
     "d191_es_bulk" -> d191Sql,
+    "d194_es_parent_id" -> d194Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,
     "d3_roundtrip" -> d3Sql,

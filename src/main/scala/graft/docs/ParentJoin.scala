@@ -55,6 +55,17 @@ object ParentJoin {
       .filter(col("n_matching") >= minChildren && col("n_matching") <= maxChildren)
   }
 
+  /** ES `parent_id` query — the children of ONE named parent in relation
+    * `field`: a point equi-filter on the edge table (both predicates are
+    * scan-pushed — at 100 TB this reads the parent's edge rows' row
+    * groups, the Redis `GET planKey_…` of the reference's layout but with
+    * columnar pruning instead of a key glob). Output: `child_key`. */
+  def parentId(sh: Shredded, field: String, parentKey: String): DataFrame =
+    sh.edges
+      .filter(col("field") === field && col("parent_key") === parentKey &&
+        col("child_key").isNotNull)
+      .select(col("child_key"))
+
   /** Child entity keys of relation `field` whose PARENT entity satisfies
     * `parentPred`. Output: `child_key`, `parent_key`. */
   def hasParent(sh: Shredded, field: String, parentPred: Column): DataFrame = {

@@ -735,6 +735,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"batch-id side not broadcast:\n$p")
   }
 
+  test("d190: the alias filter is pushed to the assembled scan with the request query") {
+    val p = plan(q("d190_filtered_alias"))
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    // both the alias's predicates and the request's range must reach the scan
+    assert(pushed.contains("planType") && pushed.contains("deductible"),
+      s"alias or request predicate lost the scan pushdown:\n$p")
+  }
+
+  test("d194: parent_id is a point equi-filter on the edge scan — pushed, no fan-out") {
+    val p = plan(q("d194_es_parent_id"))
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("parent_key"),
+      s"parent_id predicate lost the edge-scan pushdown:\n$p")
+  }
+
   test("d180: doc-shape bbox prefilter reaches PushedFilters; intersects never joins") {
     val p = plan(q("d180_geo_shape_docs"))
     val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString

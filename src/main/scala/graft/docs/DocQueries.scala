@@ -7466,6 +7466,41 @@ object DocQueries {
        |      AND CAST(c_nationkey AS BIGINT) * 100 >= 500))
        |WHERE rn <= 30 ORDER BY rn""".stripMargin
 
+  // ---------------------------------------------------------------- d193
+  /** ES `script_fields` + `docvalue_fields` response shaping — per-hit
+    * computed values (the script mini-DSL) and raw docvalues with a
+    * java-time `format` beside `_source`, all evaluated on the ≤size-row
+    * PAGE after pagination (never the corpus). The formatted long field
+    * reads epoch MICROSECONDS (the engine's timestamp convention — the
+    * events corpus's `ts_us`). */
+  private def d193(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.Tables.events(s, d)
+      .select(struct(col("event_id"), col("ts_us"), col("user_id"),
+        col("event_type"), col("value")).as("doc"))
+    val evSchema = ev.schema("doc").dataType.asInstanceOf[StructType]
+    val body =
+      """{
+        |  "query": { "term": { "event_type": "purchase" } },
+        |  "sort": [ { "value": { "order": "desc" } }, { "event_id": "asc" } ],
+        |  "size": 12,
+        |  "_source": ["event_id", "value"],
+        |  "script_fields": {
+        |    "value_bps": { "script": { "source": "doc['value'].value * 100 + 7" } } },
+        |  "docvalue_fields": [ "user_id",
+        |    { "field": "ts_us", "format": "yyyy-MM-dd HH" } ]
+        |}""".stripMargin
+    SearchExec.search(ev, "doc", body, evSchema)
+  }
+
+  private val d193Sql =
+    """SELECT rn, event_id, value, value_bps, user_id_dv, ts_us_dv FROM (
+      |  SELECT *, ROW_NUMBER() OVER (ORDER BY value DESC, event_id ASC) AS rn FROM (
+      |    SELECT event_id, value, value * 100 + 7 AS value_bps,
+      |      CAST(user_id AS VARCHAR) AS user_id_dv,
+      |      strftime(make_timestamp(epoch_us(ts)), '%Y-%m-%d %H') AS ts_us_dv
+      |    FROM events WHERE event_type = 'purchase'))
+      |WHERE rn <= 12 ORDER BY rn""".stripMargin
+
   // ---------------------------------------------------------------- d194
   /** ES `parent_id` query — children of one named parent through the join
     * field (ParentJoin.parentId): a point equi-filter on the edge table
@@ -7768,6 +7803,7 @@ object DocQueries {
     "d189_es_reindex" -> d189 _,
     "d190_filtered_alias" -> d190 _,
     "d191_es_bulk" -> d191 _,
+    "d193_es_field_shaping" -> d193 _,
     "d194_es_parent_id" -> d194 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
@@ -7962,6 +7998,7 @@ object DocQueries {
     "d189_es_reindex" -> d189Sql,
     "d190_filtered_alias" -> d190Sql,
     "d191_es_bulk" -> d191Sql,
+    "d193_es_field_shaping" -> d193Sql,
     "d194_es_parent_id" -> d194Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,

@@ -288,10 +288,35 @@ object SearchExec {
         }
       out.as(h.path.mkString("_") + "_highlight")
     }
+    // script_fields: per-hit computed columns (the script mini-DSL),
+    // evaluated on the ≤size-row page — never the corpus. No score column
+    // reaches here (rejected at parse), so the score arg is a null lit.
+    val scriptFieldCols = b.scriptFields.map { case (name, e) =>
+      SearchQuery.compileScript(e, doc, lit(null).cast("double")).as(name)
+    }
+    // docvalue_fields: raw values as `<path>_dv` strings; a `format` on a
+    // long field reads epoch MICROSECONDS (the engine's convention), on a
+    // timestamp formats directly — both pure column expressions.
+    val docvalueCols = b.docvalueFields.map { case (p, fmt) =>
+      val v = field(doc, p)
+      val leaf = p.foldLeft(schema: org.apache.spark.sql.types.DataType) {
+        case (st: org.apache.spark.sql.types.StructType, f) =>
+          st.fields.find(_.name == f).map(_.dataType).getOrElse(
+            org.apache.spark.sql.types.NullType)
+        case (dt, _) => dt
+      }
+      (fmt match {
+        case None => v.cast("string")
+        case Some(f) => date_format(
+          if (leaf == org.apache.spark.sql.types.TimestampType) v
+          else timestamp_micros(v.cast("long")), f)
+      }).as(p.mkString("_") + "_dv")
+    }
     // collapse inner_hits ride the page as their named array column
     val innerCols = b.collapseInner.toSeq.map(ci => col(ci.name))
     val paged = numbered
-      .select((col("rn") +: scoreCols) ++ sourceCols ++ highlightCols ++ innerCols: _*)
+      .select((col("rn") +: scoreCols) ++ sourceCols ++ scriptFieldCols ++
+        docvalueCols ++ highlightCols ++ innerCols: _*)
       .orderBy(col("rn"))
     // track_total_hits: the EXACT hit count beside the page — one global
     // count over the PRE-collapse hit set (ES counts matching documents,

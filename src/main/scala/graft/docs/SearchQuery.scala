@@ -952,7 +952,9 @@ object SearchQuery {
                             highlight: Option[Highlight] = None,
                             trackTotalHits: Boolean = false,
                             minScore: Option[Double] = None,
-                            slice: Option[(Int, Int)] = None)
+                            slice: Option[(Int, Int)] = None,
+                            scriptFields: Seq[(String, ScriptExpr)] = Nil,
+                            docvalueFields: Seq[(Seq[String], Option[String])] = Nil)
 
   /** ES `highlight` — one field, default `<em>`/`</em>` tags. The
     * executor wraps every occurrence of the query's terms FOR THAT FIELD
@@ -1021,8 +1023,86 @@ object SearchQuery {
     }
     val unknown = root.keySet --
       Set("query", "sort", "from", "size", "_source", "search_after", "collapse", "rescore",
-        "highlight", "track_total_hits", "min_score", "slice")
+        "highlight", "track_total_hits", "min_score", "slice", "script_fields",
+        "docvalue_fields")
     require(unknown.isEmpty, s"unsupported ES body key(s): ${unknown.mkString(", ")}")
+    // ES `script_fields` — per-hit computed values (the mini-DSL of
+    // script_score/_script sort; computed on the PAGE, after pagination).
+    // `_score` access is rejected loudly — the page may carry no score
+    // column (sort-dependent), and a score-reading field would silently
+    // change meaning between sorted-by-score and sorted-by-field bodies.
+    val scriptFields: Seq[(String, ScriptExpr)] = root.get("script_fields").toSeq.flatMap {
+      case JObject(sfs) => sfs.map {
+        case (name, spec) =>
+          val src = spec match {
+            case JObject(sm) => sm.toMap.get("script") match {
+              case Some(JString(s0)) => s0
+              case Some(JObject(ss)) => ss.toMap.get("source") match {
+                case Some(JString(s0)) => s0
+                case other => throw new IllegalArgumentException(
+                  s"script_fields.$name script.source must be a string: $other")
+              }
+              case other => throw new IllegalArgumentException(
+                s"script_fields.$name needs script: $other")
+            }
+            case other => throw new IllegalArgumentException(
+              s"bad script_fields.$name spec: $other")
+          }
+          val e = parseScript(src, schema)
+          require(!scriptReadsScore(e),
+            s"script_fields.$name reads _score — not implemented (page may carry no score)")
+          name -> e
+      }
+      case other => throw new IllegalArgumentException(s"bad script_fields: $other")
+    }
+    // ES `docvalue_fields` — raw column values rendered beside _source
+    // (output column `<path>_dv`). The `format` knob applies java-time
+    // patterns; a formatted LONG field is read as epoch MICROSECONDS (the
+    // engine's timestamp convention — TESTDATA events carry ts_us), a
+    // formatted TIMESTAMP formats directly. Array paths are rejected
+    // (scalar-output gate rule, d147).
+    def dvPath(p: String): Seq[String] = p.stripSuffix(".keyword").split('.').toSeq
+    val docvalueFields: Seq[(Seq[String], Option[String])] =
+      root.get("docvalue_fields").toSeq.flatMap {
+        case JArray(entries) => entries.map {
+          case JString(p) => (dvPath(p), None)
+          case JObject(df) =>
+            val m = df.toMap
+            val unknownD = m.keySet -- Set("field", "format")
+            require(unknownD.isEmpty,
+              s"unsupported docvalue_fields key(s): ${unknownD.mkString(", ")}")
+            val p = m.get("field") match {
+              case Some(JString(f)) => dvPath(f)
+              case other => throw new IllegalArgumentException(
+                s"docvalue_fields entry needs field: $other")
+            }
+            val fmt = m.get("format").map {
+              case JString(f) => f
+              case other => throw new IllegalArgumentException(s"bad docvalue format: $other")
+            }
+            (p, fmt)
+          case other => throw new IllegalArgumentException(s"bad docvalue_fields entry: $other")
+        }
+        case other => throw new IllegalArgumentException(s"docvalue_fields must be an array: $other")
+      }
+    docvalueFields.foreach { case (p, fmt) =>
+      val (arr, _) = splitArrayPath(p, schema)
+      require(arr.isEmpty,
+        s"docvalue_fields on array path ${p.mkString(".")} is not implemented")
+      fmt.foreach { _ =>
+        val leaf = p.foldLeft(schema: org.apache.spark.sql.types.DataType) {
+          case (st: org.apache.spark.sql.types.StructType, f) =>
+            st.fields.find(_.name == f).getOrElse(throw new IllegalArgumentException(
+              s"docvalue_fields: no field ${p.mkString(".")}")).dataType
+          case (other, f) =>
+            throw new IllegalArgumentException(s"docvalue_fields: $f inside non-struct $other")
+        }
+        require(leaf == org.apache.spark.sql.types.LongType ||
+          leaf == org.apache.spark.sql.types.TimestampType,
+          s"docvalue_fields format needs a long (epoch-micros) or timestamp field, " +
+            s"got $leaf at ${p.mkString(".")}")
+      }
+    }
     // ES sliced scroll: {"slice": {"id": i, "max": m}} — deterministic
     // id-hash partition of the hit set for parallel export
     val slice = root.get("slice").map {
@@ -1328,7 +1408,7 @@ object SearchQuery {
     }
     val fb = FullBody(parseBody(body, schema), sorts, from, size, searchAfter, source, collapse,
       collapseInner,
-      rescore, highlight, trackTotal, minScore, slice)
+      rescore, highlight, trackTotal, minScore, slice, scriptFields, docvalueFields)
     highlight.foreach { h =>
       require(highlightTerms(fb.parsed.query, h.path).nonEmpty,
         s"highlight field ${h.path.mkString(".")} is targeted by no highlightable query clause " +

@@ -566,6 +566,32 @@ class DocEngineSpec extends SparkSpec {
       """{"query": {"constant_score": {"query": {"match_all": {}}}}}""", PlanSchema.plan))
   }
 
+  test("script_fields / docvalue_fields: parse guards") {
+    import graft.model.{PlanSchema => PS}
+    // _score-reading script fields are rejected (page may carry no score)
+    assertThrows[IllegalArgumentException](SearchQuery.parseFullBody(
+      """{"query": {"match_all": {}},
+        |"script_fields": {"x": {"script": "_score * 2"}}}""".stripMargin, PS.plan))
+    // docvalue format on a non-long/timestamp leaf
+    assertThrows[IllegalArgumentException](SearchQuery.parseFullBody(
+      """{"query": {"match_all": {}},
+        |"docvalue_fields": [{"field": "planType", "format": "yyyy"}]}""".stripMargin, PS.plan))
+    // array-path docvalues (scalar-output gate rule)
+    assertThrows[IllegalArgumentException](SearchQuery.parseFullBody(
+      """{"query": {"match_all": {}},
+        |"docvalue_fields": ["linkedPlanServices.planserviceCostShares.copay"]}""".stripMargin,
+      PS.plan))
+    // happy path: string form + format form both parse
+    val fb = SearchQuery.parseFullBody(
+      """{"query": {"match_all": {}},
+        |"script_fields": {"x2": {"script": {"source": "doc['planCostShares.copay'].value * 2"}}},
+        |"docvalue_fields": ["planType",
+        |  {"field": "planCostShares.copay", "format": "yyyy"}]}""".stripMargin, PS.plan)
+    assert(fb.scriptFields.map(_._1) === Seq("x2"))
+    assert(fb.docvalueFields ===
+      Seq((Seq("planType"), None), (Seq("planCostShares", "copay"), Some("yyyy"))))
+  }
+
   test("search_after validates arity and excludes from; pages are cursor-consistent") {
     val assembledDocs = Assembler.assemble(sh, PlanSchema.plan, "plan")
     // arity: one value per sort key

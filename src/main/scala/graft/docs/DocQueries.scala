@@ -7466,6 +7466,64 @@ object DocQueries {
        |      AND CAST(c_nationkey AS BIGINT) * 100 >= 500))
        |WHERE rn <= 30 ORDER BY rn""".stripMargin
 
+  // ---------------------------------------------------------------- d192
+  /** ES `_analyze` — the analyzer-debug API: token, position,
+    * start_offset, end_offset for the engine's analyzer chain
+    * (TextAnalysis: lowercase → strip → split → stop → S-stem), run
+    * set-oriented over every DISTINCT service name (ES analyzes one
+    * request text; the engine's form analyzes a column — same tokens per
+    * text). Offsets index the ORIGINAL text: the chain's first two
+    * stages are length-preserving (char→char), so splitting on single
+    * spaces with empties KEPT makes `start = Σ len(prior) + i` exact —
+    * one window over the per-text token list, request-grain work.
+    * Documented deviation: `position` is the post-stop-filter ordinal
+    * (the convention of the engine's own phrase machinery, d111); real
+    * ES leaves position-increment gaps where stopwords were. */
+  private def d192(s: SparkSession, d: String): DataFrame = {
+    import graft.ext.TextAnalysis
+    import org.apache.spark.sql.expressions.Window
+    val texts = assembled(s, d)
+      .select(explode(col("doc.linkedPlanServices")).as("ps"))
+      .select(col("ps.linkedService.name").as("text")).distinct()
+    val toks = texts.select(col("text"),
+      posexplode(split(regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " "))
+        .as(Seq("i", "tok")))
+    val wOff = Window.partitionBy(col("text")).orderBy(col("i"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withOff = toks.withColumn("start_offset",
+      coalesce(sum(length(col("tok"))).over(wOff), lit(0L)) + col("i"))
+    val kept = withOff.filter(col("tok") =!= "" &&
+      !col("tok").isin(TextAnalysis.Stopwords.map(lit): _*))
+    val wPos = Window.partitionBy(col("text")).orderBy(col("i"))
+    kept.withColumn("position", row_number().over(wPos) - 1)
+      .select(col("text"), TextAnalysis.stem(col("tok")).as("token"),
+        col("position"), col("start_offset"),
+        (col("start_offset") + length(col("tok"))).as("end_offset"))
+      .orderBy(col("text"), col("position"))
+  }
+
+  private val d192Sql = {
+    import graft.ext.TextAnalysis
+    val stop = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH o AS $O,
+       |texts AS (SELECT DISTINCT 'Service ' || o_orderpriority AS text FROM o),
+       |n AS (SELECT text,
+       |  string_split(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' ') AS toks
+       |  FROM texts),
+       |tok AS (SELECT text, generate_subscripts(toks, 1) AS i, unnest(toks) AS tok FROM n),
+       |off AS (SELECT text, i, tok,
+       |  COALESCE(SUM(length(tok)) OVER (PARTITION BY text ORDER BY i
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + i - 1 AS start_off
+       |  FROM tok),
+       |kept AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY text ORDER BY i) - 1 AS pos
+       |  FROM off WHERE tok <> '' AND tok NOT IN ($stop))
+       |SELECT text, ${TextAnalysis.stemSql("tok")} AS token,
+       |  CAST(pos AS INTEGER) AS position,
+       |  CAST(start_off AS BIGINT) AS start_offset,
+       |  CAST(start_off + length(tok) AS BIGINT) AS end_offset
+       |FROM kept ORDER BY text, position""".stripMargin
+  }
+
   // ---------------------------------------------------------------- d193
   /** ES `script_fields` + `docvalue_fields` response shaping — per-hit
     * computed values (the script mini-DSL) and raw docvalues with a
@@ -7803,6 +7861,7 @@ object DocQueries {
     "d189_es_reindex" -> d189 _,
     "d190_filtered_alias" -> d190 _,
     "d191_es_bulk" -> d191 _,
+    "d192_es_analyze" -> d192 _,
     "d193_es_field_shaping" -> d193 _,
     "d194_es_parent_id" -> d194 _,
     "d1_shred_entities" -> d1 _,
@@ -7998,6 +8057,7 @@ object DocQueries {
     "d189_es_reindex" -> d189Sql,
     "d190_filtered_alias" -> d190Sql,
     "d191_es_bulk" -> d191Sql,
+    "d192_es_analyze" -> d192Sql,
     "d193_es_field_shaping" -> d193Sql,
     "d194_es_parent_id" -> d194Sql,
     "d1_shred_entities" -> d1Sql,

@@ -7682,6 +7682,49 @@ object DocQueries {
        |FROM customer WHERE c_custkey IN (3, 7, 11)
        |ORDER BY seq, id""".stripMargin
 
+  // ---------------------------------------------------------------- d195
+  /** ES `_mvt` (vector-tile search) — the Kibana-maps tile endpoint: for
+    * one slippy tile (z/x/y) return the aggs layer (sub-grid cells at
+    * zoom z+grid_precision with doc_count + a metric — ES's default
+    * grid_agg=geotile) beside the meta layer's total hit count. The tile
+    * BBOX is computed driver-side from the tile address (request-grain
+    * constants — no trig disagreement risk) and lands in PushedFilters,
+    * so rendering one tile reads one tile's row groups out of 100 TB;
+    * the sub-grid is ONE hash aggregation on the existing d122 tile-key
+    * expression at z+p. Boundary convention matches tileKey's floor:
+    * lon ∈ [W, E), lat ∈ (S, N]. */
+  private def d195(s: SparkSession, d: String): DataFrame = {
+    val geo = geoDocs(s, d)
+    val (z, x, y, gp) = (2, 2L, 1L, 3)
+    val n = (1L << z).toDouble
+    def latOf(yy: Long): Double =
+      math.toDegrees(math.atan(math.sinh(math.Pi * (1.0 - 2.0 * yy / n))))
+    val (lonW, lonE) = (x / n * 360.0 - 180.0, (x + 1) / n * 360.0 - 180.0)
+    val (latN, latS) = (latOf(y), latOf(y + 1))
+    val lat = col("doc.location.lat"); val lon = col("doc.location.lon")
+    val inTile = geo.filter(lon >= lonW && lon < lonE && lat > latS && lat <= latN)
+    inTile.groupBy(Geo.tileKey(lat, lon, z + gp).as("cell"))
+      .agg(count(lit(1)).as("doc_count"), avg(col("doc.copay")).as("avg_copay"))
+      .crossJoin(broadcast(inTile.agg(count(lit(1)).cast("long").as("total"))))
+      .orderBy(col("cell"))
+  }
+
+  private val d195Sql = {
+    val n = 4.0
+    def latOf(yy: Long): Double =
+      math.toDegrees(math.atan(math.sinh(math.Pi * (1.0 - 2.0 * yy / n))))
+    s"""WITH pts AS (
+       |  SELECT $geoLatSql AS lat, $geoLonSql AS lon, c_custkey % 50 AS copay
+       |  FROM customer),
+       |tile AS (SELECT * FROM pts
+       |  WHERE lon >= 0.0 AND lon < 90.0 AND lat > ${latOf(2L)} AND lat <= ${latOf(1L)})
+       |SELECT ${Geo.tileKeySql("lat", "lon", 5)} AS cell,
+       |  CAST(COUNT(*) AS BIGINT) AS doc_count,
+       |  AVG(copay) AS avg_copay,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM tile) AS total
+       |FROM tile GROUP BY 1 ORDER BY cell""".stripMargin
+  }
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -7864,6 +7907,7 @@ object DocQueries {
     "d192_es_analyze" -> d192 _,
     "d193_es_field_shaping" -> d193 _,
     "d194_es_parent_id" -> d194 _,
+    "d195_es_search_mvt" -> d195 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
     "d3_roundtrip" -> d3 _,
@@ -8060,6 +8104,7 @@ object DocQueries {
     "d192_es_analyze" -> d192Sql,
     "d193_es_field_shaping" -> d193Sql,
     "d194_es_parent_id" -> d194Sql,
+    "d195_es_search_mvt" -> d195Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,
     "d3_roundtrip" -> d3Sql,

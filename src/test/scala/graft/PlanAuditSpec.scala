@@ -750,6 +750,14 @@ class PlanAuditSpec extends SparkSpec {
       s"parent_id predicate lost the edge-scan pushdown:\n$p")
   }
 
+  test("d195: the mvt tile bbox reaches PushedFilters — one tile's row groups, " +
+    "not the planet") {
+    val p = plan(q("d195_es_search_mvt"))
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("lat") && pushed.contains("lon"),
+      s"tile bbox lost the scan pushdown:\n$p")
+  }
+
   test("d180: doc-shape bbox prefilter reaches PushedFilters; intersects never joins") {
     val p = plan(q("d180_geo_shape_docs"))
     val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString

@@ -1661,7 +1661,159 @@ object TextQueries {
          |FROM toks JOIN enc USING (w)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t32
+  /** WordPiece ENCODE (greedy longest-match-first — the BERT tokenizer's
+    * published algorithm, Song et al. 2021 "Fast WordPiece Tokenization")
+    * — completes the tokenizer-family story beside BPE (t25/t26) and
+    * unigram-LM (t29/t31). Vocabulary is fitted from the corpus itself,
+    * SQL-replayably: every observed character as both an initial and a
+    * `##`-continuation piece (so encoding never dead-ends), plus the
+    * top-[[WpTopK]] multi-char candidates (word prefixes as initial
+    * pieces, mid-word substrings as `##` pieces, lengths 2–4) by
+    * freq-weighted count with a (count desc, piece asc) tie rule. Words
+    * longer than [[WpMaxChars]] chars become `[UNK]` (one token — real
+    * WordPiece's max_input_chars_per_word rule; the corpus max is 8, so
+    * the cap at 6 exercises the path).
+    *
+    * Scale shape: fitting runs at VOCAB grain (candidate explode over the
+    * distinct-word table + one top-K), the vocab rides a broadcast list,
+    * and the encode is a [[WpMaxChars]]-step statically-unrolled greedy
+    * cursor walk — per step one 4-way longest-match CASE of pure column
+    * ops, each level referencing only the PREVIOUS level's named columns
+    * (the t29 project-collapse rule: consumers project in ONE fused
+    * select; the DuckDB twin's step CTEs are AS MATERIALIZED for the
+    * same reason). Corpus-grain work is one token explode + one hash
+    * join against the |vocab|-row encoded table. */
+  private val WpMaxChars = 6
+  private val WpTopK = 20
+
+  /** The raw encode frame: distinct words × (`_c0.._cN` cursors,
+    * `_n0.._nN` piece counts, `_pc1.._pcN` emitted pieces). Consumers
+    * project ONCE (t29 rule). */
+  private[graft] def wpEncodeRaw(words: DataFrame, vocabList: DataFrame): DataFrame = {
+    var df = words.crossJoin(broadcast(vocabList))
+      .withColumn("len", length(col("w")).cast("int"))
+      .withColumn("_c0", lit(1))
+      .withColumn("_n0", lit(0))
+    for (k <- 1 to WpMaxChars) {
+      val c = col(s"_c${k - 1}")
+      def pieceAt(l: Int): Column =
+        when(c === 1, col("w").substr(c, lit(l)))
+          .otherwise(concat(lit("##"), col("w").substr(c, lit(l))))
+      def matches(l: Int): Column =
+        c + (l - 1) <= col("len") && array_contains(col("vl"), pieceAt(l))
+      val live = c <= col("len")
+      df = df.withColumns(Map(
+        s"_pc$k" -> when(live,
+          when(matches(4), pieceAt(4)).when(matches(3), pieceAt(3))
+            .when(matches(2), pieceAt(2)).otherwise(pieceAt(1))),
+        s"_c$k" -> when(!live, c)
+          .when(matches(4), c + 4).when(matches(3), c + 3)
+          .when(matches(2), c + 2).otherwise(c + 1),
+        s"_n$k" -> when(live, col(s"_n${k - 1}") + 1).otherwise(col(s"_n${k - 1}"))))
+    }
+    df
+  }
+
+  /** Fitted vocab as a 1-row broadcastable list column `vl`. */
+  private[graft] def wpVocab(words: DataFrame): DataFrame = {
+    val candArr = flatten(transform(
+      sequence(lit(1), length(col("w")).cast("int")), i => {
+        val m = least(lit(4), length(col("w")).cast("int") - i + 1)
+        when(m < 2, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(2), m), k =>
+            when(i === 1, col("w").substr(i, k))
+              .otherwise(concat(lit("##"), col("w").substr(i, k)))))
+      }))
+    val top = words.select(col("freq"), explode(candArr).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("freq")).cast("long").as("cnt"))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("cnt").desc, col("piece").asc)))
+      .filter(col("rnk") <= WpTopK).select(col("piece"))
+    val chars = words
+      .select(explode(filter(split(col("w"), ""), ch => ch =!= "")).as("ch")).distinct()
+    val vocab = chars.select(col("ch").as("piece"))
+      .union(chars.select(concat(lit("##"), col("ch")).as("piece")))
+      .union(top).distinct()
+    vocab.agg(sort_array(collect_list(col("piece"))).as("vl"))
+  }
+
+  private def t32(s: SparkSession, d: String): DataFrame = {
+    val words = docs(s, d).select(explode(tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).cast("long").as("freq"))
+      .persist()
+    // ONE fused select on the raw frame (t29 project-collapse rule)
+    val enc = wpEncodeRaw(words, wpVocab(words)).select(
+      col("w"),
+      when(col("len") > WpMaxChars, lit(1L))
+        .otherwise(col(s"_n$WpMaxChars").cast("long")).as("n_pieces_w"),
+      when(col("len") > WpMaxChars, lit(1L)).otherwise(lit(0L)).as("is_unk_w"))
+    val res = docs(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .join(enc, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_words"),
+        sum(col("n_pieces_w")).cast("long").as("n_pieces"),
+        sum(col("is_unk_w")).cast("long").as("n_unk"))
+      .select(col("doc_id"), col("n_words"), col("n_pieces"), col("n_unk"),
+        (col("n_pieces").cast("double") / col("n_words")).as("pieces_per_word"))
+      .orderBy(col("doc_id"))
+    graft.Eager.finish(res, words)
+  }
+
+  private val t32Sql: String = {
+    def pieceSql(l: Int) =
+      s"CASE WHEN c = 1 THEN substr(w, c, $l) ELSE '##' || substr(w, c, $l) END"
+    def stepSql(k: Int): String =
+      s"""wp$k AS MATERIALIZED (
+         |  SELECT w, freq, vl, len,
+         |    CASE WHEN c > len THEN c
+         |         WHEN c + 3 <= len AND list_contains(vl, ${pieceSql(4)}) THEN c + 4
+         |         WHEN c + 2 <= len AND list_contains(vl, ${pieceSql(3)}) THEN c + 3
+         |         WHEN c + 1 <= len AND list_contains(vl, ${pieceSql(2)}) THEN c + 2
+         |         ELSE c + 1 END AS c,
+         |    CASE WHEN c > len THEN nn ELSE nn + 1 END AS nn
+         |  FROM wp${k - 1})"""
+    s"""WITH words AS MATERIALIZED (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+       |      x -> x <> '')) AS w FROM documents)
+       |  GROUP BY w),
+       |cand AS (
+       |  SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+       |    SELECT CASE WHEN i = 1 THEN substr(w, CAST(i AS INTEGER), CAST(k AS INTEGER))
+       |                ELSE '##' || substr(w, CAST(i AS INTEGER), CAST(k AS INTEGER)) END AS piece,
+       |      freq
+       |    FROM words, unnest(range(1, len(w) + 1)) AS t(i), unnest(range(2, 5)) AS u(k)
+       |    WHERE i + k - 1 <= len(w))
+       |  GROUP BY piece),
+       |topp AS (SELECT piece FROM cand ORDER BY cnt DESC, piece LIMIT $WpTopK),
+       |chars AS (SELECT DISTINCT unnest(list_filter(string_split(w, ''), c -> c <> '')) AS ch
+       |  FROM words),
+       |vocab AS MATERIALIZED (SELECT list(piece ORDER BY piece) AS vl FROM (
+       |  SELECT ch AS piece FROM chars
+       |  UNION SELECT '##' || ch FROM chars
+       |  UNION SELECT piece FROM topp)),
+       |wp0 AS MATERIALIZED (
+       |  SELECT w, freq, vl, CAST(len(w) AS INTEGER) AS len, 1 AS c, 0 AS nn
+       |  FROM words, vocab),
+       |${(1 to WpMaxChars).map(stepSql).mkString(",\n")},
+       |enc AS (SELECT w,
+       |    CASE WHEN len > $WpMaxChars THEN 1 ELSE nn END AS n_pieces_w,
+       |    CASE WHEN len > $WpMaxChars THEN 1 ELSE 0 END AS is_unk_w
+       |  FROM wp$WpMaxChars),
+       |docw AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+       |    x -> x <> '')) AS w FROM documents)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(n_pieces_w) AS BIGINT) AS n_pieces,
+       |  CAST(SUM(is_unk_w) AS BIGINT) AS n_unk,
+       |  CAST(SUM(n_pieces_w) AS DOUBLE) / COUNT(*) AS pieces_per_word
+       |FROM docw JOIN enc USING (w)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "t32_wordpiece" -> t32 _,
     "t31_unigram_encode" -> t31 _,
     "t30_ccnet_ppl_buckets" -> t30 _,
     "t29_unigram_lm" -> t29 _,
@@ -1799,6 +1951,7 @@ object TextQueries {
         |WHERE rnk <= 10 ORDER BY em_round, rnk""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "t32_wordpiece" -> t32Sql,
     "t31_unigram_encode" -> t31Sql,
     "t30_ccnet_ppl_buckets" -> t30Sql,
     "t29_unigram_lm" -> t29Sql,

@@ -318,4 +318,25 @@ class ExtSpec extends SparkSpec {
     assert(merged(1L).getAs[Long]("n_events") === 5L) // 3 + 2 in batch
     assert(merged(2L).getAs[Long]("n_events") === 1L)
   }
+
+  test("t32 wordpiece: greedy longest-match-first; cursor parks past short words") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val words = Seq(("abcd", 1L), ("cdab", 1L), ("zzzzzzz", 1L)).toDF("w", "freq")
+    val vocab = Seq(Tuple1(Seq("a", "b", "c", "d", "z",
+      "##a", "##b", "##c", "##d", "##z", "ab", "##cd"))).toDF("vl")
+    val raw = TextQueries.wpEncodeRaw(words, vocab)
+      .select(col("w"), col("len"), col("_n6"), col("_c6"),
+        concat_ws(" ", array_compact(array(col("_pc1"), col("_pc2"), col("_pc3"),
+          col("_pc4"), col("_pc5"), col("_pc6")))).as("pieces"))
+      .collect().map(r => r.getAs[String]("w") -> r).toMap
+    // longest match wins: "ab" beats "a"; continuation "##cd" beats "##c"
+    assert(raw("abcd").getAs[Int]("_n6") === 2)
+    assert(raw("abcd").getAs[String]("pieces") === "ab ##cd")
+    // no multi-char initial "cd" in vocab: falls back to singles, then "##ab" absent too
+    assert(raw("cdab").getAs[String]("pieces") === "c ##d ##a ##b")
+    // a 7-char word walks all 6 steps without finishing (consumer maps to [UNK])
+    assert(raw("zzzzzzz").getAs[Int]("_c6") === 7)
+    assert(raw("zzzzzzz").getAs[Int]("len") === 7)
+  }
 }

@@ -728,7 +728,101 @@ object Similarity {
        |    USING (q_id)
        |ORDER BY q_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- s11
+  /** 1-bit binary-quantized ANN with exact rerank — the "BBQ" shape ES
+    * ships for 8.16+ dense_vector (32× smaller codes scanned brute-force,
+    * then the true vectors re-score a small candidate pool):
+    *
+    *   1. per-dim MIDRANGE thresholds ((min+max)/2 — min/max are
+    *      order-free aggregates, so the threshold is bit-exact in any
+    *      engine; an avg would be partial-aggregation-order dependent),
+    *   2. sign bits packed into two 32-bit halves of BIGINTs via an
+    *      MSB-first fold (no shift intrinsics needed — `acc*2+b`),
+    *   3. hamming = popcount(xor) over the code columns — the candidate
+    *      scan touches 16 BYTES per vector instead of 512,
+    *   4. top-20 hamming candidates per query re-scored with the exact
+    *      codegen'd dot on the RAW vectors — joined back by id, so full
+    *      vectors are read for candidates only.
+    *
+    * Scale shape: the query side broadcasts (s5 pattern); the hamming
+    * rank is WindowGroupLimit-bounded; the rerank join is |q|·20 rows
+    * against the corpus by id. At 100 TB the code table is the only
+    * full-scan operand. */
+  private def s11(s: SparkSession, d: String): DataFrame = {
+    val all = vecs(s, d).select(col("vec_id"), col("v"))
+    val bounds = all.select(posexplode(col("v")).as(Seq("dd", "x")))
+      .groupBy(col("dd")).agg(((min(col("x")) + max(col("x"))) / 2.0).as("mu"))
+    val ma = bounds
+      .agg(array_sort(collect_list(struct(col("dd"), col("mu")))).as("ms"))
+      .select(transform(col("ms"), m => m.getField("mu")).as("mus"))
+    def half(lo: Int): Column =
+      aggregate(transform(sequence(lit(lo + 31), lit(lo), lit(-1)),
+        i => when(element_at(col("v"), i + 1) > element_at(col("mus"), i + 1),
+          lit(1L)).otherwise(lit(0L))),
+        lit(0L), (acc, b) => acc * 2 + b)
+    val codes = all.crossJoin(broadcast(ma))
+      .select(col("vec_id"), half(0).as("lo"), half(32).as("hi"))
+    val q = codes.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("lo").as("qlo"), col("hi").as("qhi"))
+    val ham = codes.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        (bit_count(col("lo").bitwiseXOR(col("qlo"))) +
+          bit_count(col("hi").bitwiseXOR(col("qhi")))).as("hamming"))
+    val cand = ham.withColumn("hrank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("hamming").asc, col("n_id"))))
+      .filter(col("hrank") <= 20)
+      .select(col("q_id"), col("n_id"))
+    val rer = cand
+      .join(all.select(col("vec_id").as("n_id"), col("v").as("nv")), "n_id")
+      .join(broadcast(all.select(col("vec_id").as("q_id"), col("v").as("qv"))
+        .filter(col("q_id") % 50 === 0)), "q_id")
+      .select(col("q_id"), col("n_id"), vecDot(col("qv"), col("nv")).as("dot"))
+    rer.withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("dot").desc, col("n_id"))))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"), col("dot"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  private val s11Sql = {
+    val i1 = "CAST(i AS INTEGER) + 1"
+    def halfSql(hiBit: Int, loBit: Int) =
+      s"""CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |  list_transform(range($hiBit, ${loBit - 1}, -1), i ->
+         |    CAST(CASE WHEN v[$i1] > mus[$i1] THEN 1 ELSE 0 END AS BIGINT))),
+         |  (acc, b) -> acc * 2 + b) AS BIGINT)"""
+    s"""WITH vs0 AS ($VecsSql),
+       |vs AS (SELECT vec_id, v FROM vs0),
+       |b AS (SELECT d, (MIN(v[CAST(d AS INTEGER) + 1]) + MAX(v[CAST(d AS INTEGER) + 1])) / 2.0 AS mu
+       |      FROM vs, range(0, 64) t(d) GROUP BY d),
+       |ba AS (SELECT list(mu ORDER BY d) AS mus FROM b),
+       |codes AS (SELECT vec_id,
+       |    ${halfSql(31, 0)} AS lo,
+       |    ${halfSql(63, 32)} AS hi
+       |  FROM vs, ba),
+       |q AS (SELECT vec_id AS q_id, lo AS qlo, hi AS qhi FROM codes WHERE vec_id % 50 = 0),
+       |ham AS (SELECT q_id, vec_id AS n_id,
+       |    bit_count(xor(lo, qlo)) + bit_count(xor(hi, qhi)) AS hamming
+       |  FROM codes, q WHERE vec_id <> q_id),
+       |cand AS (SELECT q_id, n_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY hamming, n_id) AS hrank
+       |    FROM ham)
+       |  WHERE hrank <= 20),
+       |rr AS (SELECT c.q_id, c.n_id,
+       |    CAST(list_reduce(list_prepend(0.0,
+       |      list_transform(list_zip(qv.v, nv.v), z -> z[1] * z[2])),
+       |      (acc, x) -> acc + x) AS DOUBLE) AS dot
+       |  FROM cand c
+       |  JOIN vs nv ON c.n_id = nv.vec_id
+       |  JOIN vs qv ON c.q_id = qv.vec_id)
+       |SELECT q_id, rank, n_id, dot FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dot DESC, n_id) AS rank
+       |  FROM rr)
+       |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "s11_bbq_ann" -> s11 _,
     "s10_matryoshka" -> s10 _,
     "s9_pq_ann" -> s9 _,
     "s8_linear_hybrid" -> s8 _,
@@ -741,6 +835,7 @@ object Similarity {
     "s4_ann_recall" -> s4 _)
 
   val oracle: Map[String, String] = Map(
+    "s11_bbq_ann" -> s11Sql,
     "s10_matryoshka" -> s10Sql,
     "s9_pq_ann" -> s9Sql,
     "s8_linear_hybrid" -> s8Sql,

@@ -690,6 +690,15 @@ class PlanAuditSpec extends SparkSpec {
       s"expected exactly the histogram-key shuffle, got $hashExchanges:\n$p")
   }
 
+  test("s11: BBQ hamming scan broadcasts the query codes; candidate rank is " +
+    "group-limited before the raw-vector rerank join") {
+    val p = plan(q("s11_bbq_ann"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query-code side lost its broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"hamming top-20 lost the bounded per-group heap:\n$p")
+  }
+
   test("s10: matryoshka prefix stage broadcasts the query side; top-5 is group-limited") {
     val p = plan(q("s10_matryoshka"))
     // stage 1 (quadratic) must ride a broadcast of the query slice, and

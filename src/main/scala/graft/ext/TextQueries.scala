@@ -1812,7 +1812,75 @@ object TextQueries {
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- t33
+  /** Boilerplate-line removal (the C4 "seen ≥ 3 times" rule / CCNet
+    * shared-paragraph filter) — the standard web-pipeline stage between
+    * quality scoring and dedup: a LINE occurring in ≥ [[BoilerDf]]
+    * DISTINCT documents (nav menus, cookie banners, footers) is dropped
+    * from every document carrying it. The corpus has no newlines
+    * (TESTDATA word-soup), so "line" = non-overlapping [[BoilerWords]]-
+    * word chunk — the dd11 paragraph grain. Output per doc: chunk/word
+    * counts, boilerplate counts, and the retained-word ratio the filter
+    * would keep.
+    *
+    * Scale shape: chunk-grain only — one hash aggregation for the
+    * document-frequency table (count DISTINCT doc per chunk) and one
+    * equi-join of chunks against the df-qualified set (AQE-broadcastable
+    * when boilerplate is rare, plain hash join otherwise). No windows,
+    * no all-pairs anything. */
+  private val BoilerWords = 8
+  private val BoilerDf = 3
+
+  private def t33(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select(col("doc_id"), tokens(col("text")).as("toks"))
+    val chunks = base.select(col("doc_id"), size(col("toks")).as("n_words"),
+        explode(when(size(col("toks")) === 0, array().cast("array<int>"))
+          .otherwise(sequence(lit(0),
+            floor((size(col("toks")) - 1) / lit(BoilerWords)).cast("int")))).as("i"))
+      .join(base, "doc_id")
+      .select(col("doc_id"), col("n_words"),
+        concat_ws(" ", slice(col("toks"), col("i") * BoilerWords + 1, lit(BoilerWords)))
+          .as("chunk"),
+        size(slice(col("toks"), col("i") * BoilerWords + 1, lit(BoilerWords))).as("clen"))
+    val boiler = chunks.groupBy(col("chunk"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= BoilerDf)
+      .select(col("chunk"), lit(1).as("_bo"))
+    chunks.join(boiler, Seq("chunk"), "left")
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_words")).cast("long").as("n_words"),
+        count(lit(1)).cast("long").as("n_chunks"),
+        sum(when(col("_bo").isNotNull, 1L).otherwise(0L)).as("n_boiler"),
+        sum(when(col("_bo").isNull, col("clen")).otherwise(0L)).cast("long")
+          .as("n_words_kept"))
+      .select(col("doc_id"), col("n_words"), col("n_chunks"), col("n_boiler"),
+        col("n_words_kept"),
+        (col("n_words_kept").cast("double") / col("n_words")).as("kept_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val t33Sql =
+    s"""WITH d AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |ch AS (
+       |  SELECT doc_id, len(toks) AS n_words,
+       |    array_to_string(toks[(i * $BoilerWords + 1):(i * $BoilerWords + $BoilerWords)], ' ') AS chunk,
+       |    len(toks[(i * $BoilerWords + 1):(i * $BoilerWords + $BoilerWords)]) AS clen
+       |  FROM d, unnest(range(0, CAST(ceil(len(toks) / $BoilerWords.0) AS BIGINT))) t(i)),
+       |bo AS (SELECT chunk, 1 AS _bo FROM ch GROUP BY chunk
+       |       HAVING COUNT(DISTINCT doc_id) >= $BoilerDf)
+       |SELECT doc_id,
+       |  CAST(MAX(n_words) AS BIGINT) AS n_words,
+       |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       |  CAST(SUM(CASE WHEN _bo IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+       |  CAST(SUM(CASE WHEN _bo IS NULL THEN clen ELSE 0 END) AS BIGINT) AS n_words_kept,
+       |  CAST(SUM(CASE WHEN _bo IS NULL THEN clen ELSE 0 END) AS DOUBLE) / MAX(n_words) AS kept_ratio
+       |FROM ch LEFT JOIN bo USING (chunk)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t33_boilerplate" -> t33 _,
     "t32_wordpiece" -> t32 _,
     "t31_unigram_encode" -> t31 _,
     "t30_ccnet_ppl_buckets" -> t30 _,
@@ -1951,6 +2019,7 @@ object TextQueries {
         |WHERE rnk <= 10 ORDER BY em_round, rnk""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "t33_boilerplate" -> t33Sql,
     "t32_wordpiece" -> t32Sql,
     "t31_unigram_encode" -> t31Sql,
     "t30_ccnet_ppl_buckets" -> t30Sql,

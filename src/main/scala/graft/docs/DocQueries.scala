@@ -7725,6 +7725,60 @@ object DocQueries {
        |FROM tile GROUP BY 1 ORDER BY cell""".stripMargin
   }
 
+  // ---------------------------------------------------------------- d196
+  /** ES `retriever` tree (8.14+) — the composable ranking DSL: two
+    * `standard` legs (function_score field_value_factor rankings, the
+    * d82 grammar) fused by an `rrf` node with explicit
+    * `rank_window_size`/`rank_constant` (Retriever.scala). Each leg is
+    * one scan + one bounded heap; the fusion is a window-grain full-outer
+    * join — the s7 hybrid shape behind the real ES request syntax. */
+  private def d196(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "retriever": { "rrf": {
+        |    "retrievers": [
+        |      { "standard": { "query": { "function_score": {
+        |          "query": { "term": { "planType": "BUILDING" } },
+        |          "functions": [ { "field_value_factor": {
+        |              "field": "planCostShares.copay",
+        |              "factor": 2, "modifier": "sqrt", "missing": 0 } } ],
+        |          "score_mode": "sum", "boost_mode": "sum" } } } },
+        |      { "standard": { "query": { "function_score": {
+        |          "query": { "range": { "planCostShares.copay": { "gte": 10 } } },
+        |          "functions": [ { "field_value_factor": {
+        |              "field": "planCostShares.deductible",
+        |              "factor": 2, "modifier": "sqrt", "missing": 0 } } ],
+        |          "score_mode": "sum", "boost_mode": "sum" } } } } ],
+        |    "rank_window_size": 25, "rank_constant": 60 } },
+        |  "size": 12
+        |}""".stripMargin
+    Retriever.search(assembled(s, d), "doc", body, schema)
+  }
+
+  private val d196Sql =
+    s"""WITH la AS (
+       |  SELECT "objectId", rank_0 FROM (
+       |    SELECT 'plan-' || ${ck("c_custkey")} AS "objectId",
+       |      CAST(ROW_NUMBER() OVER (ORDER BY c_custkey % 50 DESC,
+       |        'plan-' || ${ck("c_custkey")}) AS BIGINT) AS rank_0
+       |    FROM customer WHERE c_mktsegment = 'BUILDING')
+       |  WHERE rank_0 <= 25),
+       |lb AS (
+       |  SELECT "objectId", rank_1 FROM (
+       |    SELECT 'plan-' || ${ck("c_custkey")} AS "objectId",
+       |      CAST(ROW_NUMBER() OVER (ORDER BY c_nationkey DESC,
+       |        'plan-' || ${ck("c_custkey")}) AS BIGINT) AS rank_1
+       |    FROM customer WHERE c_custkey % 50 >= 10)
+       |  WHERE rank_1 <= 25),
+       |j AS (
+       |  SELECT COALESCE(la."objectId", lb."objectId") AS "objectId", rank_0, rank_1,
+       |    COALESCE(1.0 / (60 + rank_0), 0.0) + COALESCE(1.0 / (60 + rank_1), 0.0) AS rrf
+       |  FROM la FULL OUTER JOIN lb ON la."objectId" = lb."objectId")
+       |SELECT rn, "objectId", rank_0, rank_1, rrf FROM (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, "objectId") AS BIGINT) AS rn, *
+       |  FROM j)
+       |WHERE rn <= 12 ORDER BY rn""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -7908,6 +7962,7 @@ object DocQueries {
     "d193_es_field_shaping" -> d193 _,
     "d194_es_parent_id" -> d194 _,
     "d195_es_search_mvt" -> d195 _,
+    "d196_es_retriever_rrf" -> d196 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
     "d3_roundtrip" -> d3 _,
@@ -8105,6 +8160,7 @@ object DocQueries {
     "d193_es_field_shaping" -> d193Sql,
     "d194_es_parent_id" -> d194Sql,
     "d195_es_search_mvt" -> d195Sql,
+    "d196_es_retriever_rrf" -> d196Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,
     "d3_roundtrip" -> d3Sql,

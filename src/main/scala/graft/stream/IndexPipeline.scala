@@ -1021,7 +1021,194 @@ object IndexPipeline {
       |SELECT win_start, event_type, n, rank FROM r
       |WHERE rank <= 3 ORDER BY win_start, rank""".stripMargin
 
+  // ---------------------------------------------------------------- st14
+  /** Streaming NEAR-dup admission — dedup a document firehose against the
+    * STATIC corpus: the dd2 MinHash machinery split into its streaming
+    * shape. The corpus side is indexed ONCE (per-doc distinct shingle-hash
+    * sets + 4-band signatures, both plain parquet); each incoming
+    * micro-batch then needs only STATELESS work — the 12-permutation
+    * signature is a pure per-row array fold (array_min over transform, no
+    * groupBy, so no streaming-aggregation state at all), bands explode to
+    * 4 rows/doc, and two stream-static LEFT joins resolve band candidates
+    * and fetch the matched corpus doc's shingle set for an EXACT in-stream
+    * Jaccard (array_intersect on the two distinct-hash arrays). The
+    * admission verdict (best candidate ≥ 0.6 → duplicate) aggregates
+    * batch-side on the sink table.
+    *
+    * Scale shape: at 100 TB the static band index is an equi-join target
+    * (bucketable on (band, sig)); per-batch cost is |batch|·4 probe rows
+    * plus |candidates| verify rows — state-free, so a month-long firehose
+    * holds no streaming state at all. This is the admission-control front
+    * door to dd7's batch incremental dedup. */
+  private def st14(s0: SparkSession, d: String): DataFrame = {
+    import graft.ext.TextFunctions._
+    val s = s0.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", 8)
+    val base = Files.createTempDirectory("graft-stream14-")
+    val srcDir = base.resolve("log").toString
+    val ckDir = base.resolve("ck").toString
+    val docsT = Tables(s, d, "documents").select(col("doc_id"), col("text"))
+    def withShingles(df: DataFrame): DataFrame = df.withColumn("shs",
+      array_distinct(shingleHashes(tokenHashes(tokens(col("text"))), 3)))
+    def sigCols: Seq[Column] = (0 until 4).map { bnd =>
+      concat_ws("-", (0 until 3).map { r =>
+        val (a, b) = MinhashParams(bnd * 3 + r)
+        array_min(transform(col("shs"), h => perm(h, a, b)))
+      }: _*).as(s"sig$bnd")
+    }
+    def bandRows(df: DataFrame, idCol: String): DataFrame =
+      df.select(col(idCol) +: col("shs") +: sigCols: _*)
+        .select(col(idCol), col("shs"),
+          explode(array((0 until 4).map(bnd =>
+            struct(lit(bnd).as("band"), col(s"sig$bnd").as("sig"))): _*)).as("bs"))
+        .select(col(idCol), col("shs"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    // static index: narrow band table + the shingle-set side table
+    val corpusBandsDir = base.resolve("bands").toString
+    val corpusShDir = base.resolve("shs").toString
+    bandRows(withShingles(docsT), "doc_id")
+      .select(col("doc_id").as("c_id"), col("band"), col("sig"))
+      .write.parquet(corpusBandsDir)
+    withShingles(docsT).select(col("doc_id").as("c_id"), col("shs").as("c_shs"))
+      .write.parquet(corpusShDir)
+    // incoming firehose: re-posts (exact dups) + fresh docs built from the
+    // first half of an existing doc's words (containment ~0.5 < 0.6)
+    val reposts = docsT.filter(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + 1000000L).as("new_id"), col("text"))
+    val fresh = docsT.filter(col("doc_id") % 11 === 3)
+      .select((col("doc_id") + 2000000L).as("new_id"),
+        concat_ws(" ", slice(tokens(col("text")), lit(1),
+          floor(size(tokens(col("text"))) / 2).cast("int"))).as("text"))
+    val incoming = reposts.unionByName(fresh)
+    val nFiles = 3
+    (0 until nFiles).foreach { i =>
+      incoming.filter(col("new_id") % nFiles === i)
+        .coalesce(1).write.parquet(s"$srcDir/b$i")
+    }
+    val statBands = s.read.parquet(corpusBandsDir)
+    val statSh = s.read.parquet(corpusShDir)
+    val qname = s"st14_neardup_${System.nanoTime()}"
+    val stream = s.readStream
+      .schema(incoming.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$srcDir/b*")
+      .transform(withShingles)
+      .transform(df => bandRows(df, "new_id"))
+      .join(statBands, Seq("band", "sig"), "left")
+      .join(statSh, Seq("c_id"), "left")
+      .select(col("new_id"), col("c_id"),
+        size(array_intersect(col("shs"), col("c_shs"))).as("n_inter"),
+        (size(col("shs")) + size(col("c_shs"))
+          - size(array_intersect(col("shs"), col("c_shs")))).as("n_union"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(qname)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckDir)
+      .start()
+    stream.awaitTermination()
+    // batch-side verdict: best candidate per incoming doc by exact Jaccard
+    val sink = s.table(qname)
+      .groupBy(col("new_id"), col("c_id"))
+      .agg(max(col("n_inter")).as("n_inter"), max(col("n_union")).as("n_union"))
+    // sink is already one row per (new_id, c_id), so the candidate count
+    // is a plain conditional sum over the new_id window (same shuffle as
+    // the rank — and no self-join against the MemorySink relation, whose
+    // attribute ids conflict under self-join)
+    val ranked = sink
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("new_id")).orderBy(
+          (col("n_inter").cast("double") / col("n_union")).desc_nulls_last,
+          col("c_id").asc_nulls_last)))
+      .withColumn("n_cand", sum(when(col("c_id").isNotNull, 1L).otherwise(0L))
+        .over(Window.partitionBy(col("new_id"))))
+    val out = ranked.filter(col("rnk") === 1)
+      .select(col("new_id"),
+        when(col("c_id").isNotNull && col("n_inter") * 10 >= col("n_union") * 6,
+          lit("duplicate")).otherwise(lit("unique")).as("verdict"),
+        when(col("c_id").isNotNull && col("n_inter") * 10 >= col("n_union") * 6,
+          col("c_id")).as("match_id"),
+        when(col("c_id").isNotNull && col("n_inter") * 10 >= col("n_union") * 6,
+          col("n_inter").cast("long")).as("best_inter"),
+        when(col("c_id").isNotNull && col("n_inter") * 10 >= col("n_union") * 6,
+          col("n_union").cast("long")).as("best_union"),
+        col("n_cand"))
+      .orderBy(col("new_id"))
+    val pinned = graft.Eager.pin(out)
+    deleteRecursively(base)
+    pinned
+  }
+
+  private val st14Sql = {
+    import graft.ext.{TextFunctions => TF}
+    val P = TF.MinhashPrime
+    def mhSig(bnd: Int): String = (0 until 3).map { r =>
+      val (a, b) = TF.MinhashParams(bnd * 3 + r)
+      s"CAST(list_min(list_transform(shs, h -> (h % $P * $a + $b) % $P)) AS VARCHAR)"
+    }.mkString(" || '-' || ")
+    def bandSel(tbl: String, id: String): String = (0 until 4).map { bnd =>
+      s"SELECT $id, shs, $bnd AS band, ${mhSig(bnd)} AS sig FROM $tbl"
+    }.mkString("\n  UNION ALL ")
+    val hs = s"list_transform(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')," +
+      s" t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % $P)"
+    val shsOf = s"list_distinct(list_transform(range(1, len(hs) - 1)," +
+      s" i -> ${TF.shingleHashSql("hs", 3)}))"
+    s"""WITH inc AS (
+       |  SELECT doc_id + 1000000 AS new_id, text FROM documents WHERE doc_id % 11 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 2000000,
+       |    array_to_string(toks[1:CAST(floor(len(toks) / 2) AS BIGINT)], ' ')
+       |  FROM (SELECT doc_id,
+       |          list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+       |        FROM documents WHERE doc_id % 11 = 3)),
+       |csh AS MATERIALIZED (SELECT c_id, $shsOf AS shs FROM (
+       |  SELECT doc_id AS c_id, $hs AS hs FROM documents)),
+       |ish AS MATERIALIZED (SELECT new_id, $shsOf AS shs FROM (
+       |  SELECT new_id, $hs AS hs FROM inc)),
+       |cbands AS (
+       |  ${bandSel("csh", "c_id")}),
+       |ibands AS (
+       |  ${bandSel("ish", "new_id")}),
+       |cand AS (
+       |  SELECT i.new_id, i.shs, c.c_id
+       |  FROM ibands i LEFT JOIN cbands c ON i.band = c.band AND i.sig = c.sig),
+       |cj AS (
+       |  SELECT new_id, cand.c_id,
+       |    CASE WHEN cand.c_id IS NULL THEN NULL
+       |         ELSE len(list_intersect(cand.shs, csh.shs)) END AS n_inter,
+       |    CASE WHEN cand.c_id IS NULL THEN NULL
+       |         ELSE len(cand.shs) + len(csh.shs) - len(list_intersect(cand.shs, csh.shs))
+       |         END AS n_union
+       |  FROM cand LEFT JOIN csh ON cand.c_id = csh.c_id),
+       |agg AS (
+       |  SELECT new_id, c_id, MAX(n_inter) AS n_inter, MAX(n_union) AS n_union
+       |  FROM cj GROUP BY new_id, c_id),
+       |best AS (
+       |  SELECT * FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY new_id
+       |      ORDER BY CAST(n_inter AS DOUBLE) / n_union DESC NULLS LAST,
+       |               c_id ASC NULLS LAST) AS rnk
+       |    FROM agg)
+       |  WHERE rnk = 1),
+       |nc AS (
+       |  SELECT new_id, COUNT(DISTINCT c_id) AS n_cand
+       |  FROM agg WHERE c_id IS NOT NULL GROUP BY new_id)
+       |SELECT b.new_id,
+       |  CASE WHEN b.c_id IS NOT NULL AND b.n_inter * 10 >= b.n_union * 6
+       |       THEN 'duplicate' ELSE 'unique' END AS verdict,
+       |  CASE WHEN b.c_id IS NOT NULL AND b.n_inter * 10 >= b.n_union * 6
+       |       THEN b.c_id END AS match_id,
+       |  CASE WHEN b.c_id IS NOT NULL AND b.n_inter * 10 >= b.n_union * 6
+       |       THEN CAST(b.n_inter AS BIGINT) END AS best_inter,
+       |  CASE WHEN b.c_id IS NOT NULL AND b.n_inter * 10 >= b.n_union * 6
+       |       THEN CAST(b.n_union AS BIGINT) END AS best_union,
+       |  COALESCE(nc.n_cand, 0) AS n_cand
+       |FROM best b LEFT JOIN nc ON b.new_id = nc.new_id
+       |ORDER BY b.new_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "st14_stream_neardup" -> st14 _,
     "st12_stream_topk" -> st12 _,
     "st13_full_outer_join" -> st13 _,
     "st11_geofence" -> st11 _,
@@ -1036,6 +1223,7 @@ object IndexPipeline {
     "st3_stream_mgws" -> st3 _,
     "st4_stream_sessions" -> st4 _)
   val oracle: Map[String, String] = Map(
+    "st14_stream_neardup" -> st14Sql,
     "st12_stream_topk" -> st12Sql,
     "st13_full_outer_join" -> st13Sql,
     "st11_geofence" -> st11Sql,

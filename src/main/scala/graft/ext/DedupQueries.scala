@@ -1148,7 +1148,131 @@ object DedupQueries {
        |FROM runs GROUP BY a, b HAVING MAX(span_tokens) >= 24
        |ORDER BY a, b""".stripMargin
 
+  // ---------------------------------------------------------------- dd13
+  /** LSH band PLANNING — the tuning operator every production MinHash
+    * deployment needs before committing a (bands, rows) layout: for each
+    * feasible split of the 12-hash signature ((2×6), (3×4), (4×3),
+    * (6×2)), measure the candidate volume and the achieved RECALL against
+    * exact-Jaccard ≥ 0.6 truth, beside the theoretical S-curve capture
+    * probability `1-(1-s^r)^b` at s = 0.6. Coarser bands (high r) trade
+    * recall for candidate volume; this table is the evidence for picking
+    * the dd2 default (4×3).
+    *
+    * Truth = exact Jaccard over pairs sharing ≥ 1 shingle with global
+    * df ≤ 50 (the dd10 df-cap pattern — near-complete for ≥ 0.6 pairs,
+    * which share many shingles; a pair ALL of whose shared shingles are
+    * ultra-common is the documented exclusion). Scale shape: signatures
+    * and band tables are |docs|-row; candidate joins are banded
+    * equi-joins (never cartesian); the output is 4 rows of 1-row
+    * aggregates cross-joined (the SCALE.md bounded-driver-state class). */
+  private def dd13(s: SparkSession, d: String): DataFrame = {
+    val (res, persisted) = dd13Plan(s, d)
+    graft.Eager.finish(res, persisted: _*)
+  }
+
+  /** Un-pinned dd13 plan + its persisted frames, exposed for plan audits
+    * (the public query pins the answer via Eager.finish). */
+  private[graft] def dd13Plan(s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
+    val corpus = planted(s, d)
+    val th = corpus.select(col("doc_id"), tokenHashes(tokens(col("text"))).as("hs"))
+      .persist()
+    val sh = th.select(col("doc_id"), explode(shingleHashes(col("hs"), 3)).as("h"))
+      .distinct().persist()
+    val mhCols = MinhashParams.zipWithIndex.map { case ((a, b), i) =>
+      min(perm(col("h"), a, b)).as(s"mh$i") }
+    val sig = sh.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*).persist()
+    val rare = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 50).select(col("h"))
+    val shr = sh.join(rare, "h")
+    val candT = shr.select(col("doc_id").as("a"), col("h"))
+      .join(shr.select(col("doc_id").as("b"), col("h")), "h")
+      .filter(col("a") < col("b")).select(col("a"), col("b")).distinct()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = candT.join(sh.select(col("doc_id").as("a"), col("h")), "a")
+      .join(sh.select(col("doc_id").as("b"), col("h")), Seq("b", "h"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_inter"))
+    val truth = inter
+      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n_sh", "na"), "a")
+      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n_sh", "nb"), "b")
+      .filter(col("n_inter") * 10 >= (col("na") + col("nb") - col("n_inter")) * 6)
+      .select(col("a"), col("b")).persist()
+    val nTruth = truth.agg(count(lit(1)).cast("long").as("n_truth"))
+    val res = Seq((2, 6), (3, 4), (4, 3), (6, 2)).map { case (b, r) =>
+      val bands = (0 until b).map { bnd =>
+        sig.select(col("doc_id"), lit(bnd).as("band"),
+          concat_ws("-", (0 until r).map(j => col(s"mh${bnd * r + j}")): _*).as("bsig"))
+      }.reduce(_ unionAll _)
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+      val theory = 1.0 - math.pow(1.0 - math.pow(0.6, r), b)
+      cand.agg(count(lit(1)).cast("long").as("n_cand"))
+        .crossJoin(broadcast(cand.join(truth, Seq("a", "b"))
+          .agg(count(lit(1)).cast("long").as("n_hit"))))
+        .crossJoin(broadcast(nTruth))
+        .select(lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
+          col("n_cand"), col("n_truth"), col("n_hit"),
+          (col("n_hit").cast("double") / col("n_truth")).as("recall"),
+          lit(theory).as("capture_at_06"))
+    }.reduce(_ unionByName _).orderBy(col("bands"))
+    (res, Seq(th, sh, sig, truth))
+  }
+
+  private val dd13Sql = {
+    def mhTriple(bnd: Int, r: Int): String =
+      (0 until r).map(j => s"mh${bnd * r + j}").mkString(", ")
+    def cfg(b: Int, r: Int): String = {
+      val bandSel = (0 until b).map(bnd =>
+        s"SELECT doc_id, $bnd AS band, concat_ws('-', ${mhTriple(bnd, r)}) AS bsig FROM sig")
+        .mkString("\n    UNION ALL ")
+      s"""b${b}_$r AS (
+         |    $bandSel),
+         |c${b}_$r AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM b${b}_$r x JOIN b${b}_$r y
+         |    ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id)"""
+    }
+    def row(b: Int, r: Int): String = {
+      val theory = 1.0 - math.pow(1.0 - math.pow(0.6, r), b)
+      s"""SELECT CAST($b AS BIGINT) AS bands, CAST($r AS BIGINT) AS rows_per_band,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM c${b}_$r) AS n_cand,
+         |  (SELECT n_truth FROM nt) AS n_truth,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM c${b}_$r JOIN truth USING (a, b)) AS n_hit,
+         |  (SELECT CAST(COUNT(*) AS DOUBLE) FROM c${b}_$r JOIN truth USING (a, b))
+         |    / (SELECT n_truth FROM nt) AS recall,
+         |  CAST($theory AS DOUBLE) AS capture_at_06"""
+    }
+    val configs = Seq((2, 6), (3, 4), (4, 3), (6, 2))
+    s"""WITH corpus AS ($PlantedSql),
+       |th AS (SELECT doc_id,
+       |    list_transform(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''),
+       |      t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % ${MinhashPrime}) AS hs
+       |  FROM corpus),
+       |sh AS (SELECT DISTINCT doc_id, ${TextFunctions.shingleHashSql("hs", 3)} AS h
+       |  FROM th, unnest(range(1, len(hs) - 1)) AS t(i)),
+       |sig AS (SELECT doc_id,
+       |    $mhTermsSql
+       |  FROM sh GROUP BY doc_id),
+       |rare AS (SELECT h FROM (SELECT h, COUNT(*) AS df FROM sh GROUP BY h)
+       |  WHERE df <= 50),
+       |shr AS (SELECT sh.doc_id, sh.h FROM sh JOIN rare USING (h)),
+       |candt AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM shr x JOIN shr y ON x.h = y.h AND x.doc_id < y.doc_id),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a, b, COUNT(*) AS n_inter
+       |  FROM candt JOIN sh sa ON sa.doc_id = a JOIN sh sb ON sb.doc_id = b AND sb.h = sa.h
+       |  GROUP BY a, b),
+       |truth AS (SELECT a, b FROM inter
+       |  JOIN sizes za ON za.doc_id = a JOIN sizes zb ON zb.doc_id = b
+       |  WHERE n_inter * 10 >= (za.n_sh + zb.n_sh - n_inter) * 6),
+       |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
+       |${configs.map { case (b, r) => cfg(b, r) }.mkString(",\n")}
+       |${configs.map { case (b, r) => row(b, r) }.mkString("\nUNION ALL\n")}
+       |ORDER BY bands""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "dd13_lsh_planner" -> dd13 _,
     "dd12_exact_substring" -> dd12 _,
     "dd11_paragraph_dedup" -> dd11 _,
     "dd10_containment" -> dd10 _,
@@ -1163,6 +1287,7 @@ object DedupQueries {
     "dd6_dedup_clusters" -> dd6 _)
 
   val oracle: Map[String, String] = Map(
+    "dd13_lsh_planner" -> dd13Sql,
     "dd12_exact_substring" -> dd12Sql,
     "dd11_paragraph_dedup" -> dd11Sql,
     "dd10_containment" -> dd10Sql,

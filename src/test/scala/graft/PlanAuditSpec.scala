@@ -699,6 +699,20 @@ class PlanAuditSpec extends SparkSpec {
       s"hamming top-20 lost the bounded per-group heap:\n$p")
   }
 
+  test("dd13: every condition-less join in the planner carries a 1-row side " +
+    "(bounded stat cross-joins only — never a corpus cartesian)") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val (res, persisted) = graft.ext.DedupQueries.dd13Plan(spark, sf)
+    try {
+      res.queryExecution.optimizedPlan.collect { case j: Join => j }
+        .filter(_.condition.isEmpty)
+        .foreach { j =>
+          assert(j.left.maxRows.contains(1L) || j.right.maxRows.contains(1L),
+            s"unbounded cartesian in dd13 plan:\n$j")
+        }
+    } finally persisted.foreach(_.unpersist())
+  }
+
   test("s10: matryoshka prefix stage broadcasts the query side; top-5 is group-limited") {
     val p = plan(q("s10_matryoshka"))
     // stage 1 (quadratic) must ride a broadcast of the query slice, and

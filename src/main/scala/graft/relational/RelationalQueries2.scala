@@ -730,7 +730,66 @@ object RelationalQueries2 {
       |FROM lineitem GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  // ---------------------------------------------------------------- q41
+  /** SCD Type-2 history build — the warehouse-standard "slowly changing
+    * dimension" derivation: collapse each user's event stream into
+    * validity intervals of the tracked attribute (`event_type` as the
+    * changing segment): consecutive same-value runs merge, each run gets
+    * `valid_from`/`valid_to` (next run's start; NULL = current), a
+    * 1-based `version`, and an `is_current` flag.
+    *
+    * Scale shape: everything rides ONE user-partitioned sort (lag →
+    * run-id prefix sum → per-run aggregate → lead), so the corpus
+    * shuffles once on the dimension key — the same plan builds a 100 TB
+    * history table. Deterministic run order via the (ts_us, event_id)
+    * tiebreak. */
+  private def q41(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val runs = ev
+      .withColumn("_chg", when(lag(col("event_type"), 1).over(wOrd).isNull ||
+        lag(col("event_type"), 1).over(wOrd) =!= col("event_type"), 1L).otherwise(0L))
+      .withColumn("version", sum(col("_chg")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("version"))
+      .agg(min(col("ts_us")).as("valid_from"),
+        min(col("event_type")).as("segment"), // all equal within a run; min = the value, order-free
+        count(lit(1)).cast("long").as("n_events"))
+    val wNext = Window.partitionBy(col("user_id")).orderBy(col("valid_from"))
+    runs
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wNext))
+      .select(col("user_id"), col("version"), col("segment"),
+        col("valid_from"), col("valid_to"), col("n_events"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  private val q41Sql =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events),
+      |chg AS (
+      |  SELECT *, CASE WHEN LAG(event_type) OVER w IS NULL
+      |                   OR LAG(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS _chg
+      |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      |runs0 AS (
+      |  SELECT *, CAST(SUM(_chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS version
+      |  FROM chg),
+      |runs AS (
+      |  SELECT user_id, version, MIN(ts_us) AS valid_from,
+      |    MIN(event_type) AS segment, CAST(COUNT(*) AS BIGINT) AS n_events
+      |  FROM runs0 GROUP BY user_id, version)
+      |SELECT user_id, version, segment, valid_from,
+      |  LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) AS valid_to,
+      |  n_events,
+      |  LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) IS NULL
+      |    AS is_current
+      |FROM runs ORDER BY user_id, version""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q41_scd2_history" -> q41 _,
     "q40_incremental_agg" -> q40 _,
     "q39_salted_join" -> q39 _,
     "q37_regression" -> q37 _,
@@ -753,6 +812,7 @@ object RelationalQueries2 {
     "q26_json_fns" -> q26 _)
 
   val oracle: Map[String, String] = Map(
+    "q41_scd2_history" -> q41Sql,
     "q40_incremental_agg" -> q40Sql,
     "q39_salted_join" -> q39Sql,
     "q37_regression" -> q37Sql,

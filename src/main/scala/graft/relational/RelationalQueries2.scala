@@ -788,7 +788,57 @@ object RelationalQueries2 {
       |    AS is_current
       |FROM runs ORDER BY user_id, version""".stripMargin
 
+  // ---------------------------------------------------------------- q42
+  /** Ordered funnel analysis (view → click → purchase) — the product-
+    * analytics standard: a user converts to stage k only via an event
+    * AFTER their stage-(k-1) entry time. Sequential dependency rides
+    * CHAINED window expressions over ONE user partitioning (t1 = first
+    * view; t2 = first click after t1; t3 = first purchase after t2) —
+    * the three windows share the same partition spec, so Catalyst plans
+    * a single shuffle + one Window operator chain, no self-joins. Output:
+    * per-stage entered-user counts and step conversion rates. */
+  private def q42(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("ts_us"), col("event_type"))
+    val staged = ev
+      .withColumn("t1", min(when(col("event_type") === "view", col("ts_us"))).over(w))
+      .withColumn("t2", min(when(col("event_type") === "click" &&
+        col("ts_us") > col("t1"), col("ts_us"))).over(w))
+      .withColumn("t3", min(when(col("event_type") === "purchase" &&
+        col("ts_us") > col("t2"), col("ts_us"))).over(w))
+    val perUser = staged.groupBy(col("user_id"))
+      .agg(max(col("t1")).as("t1"), max(col("t2")).as("t2"), max(col("t3")).as("t3"))
+    val funnel = perUser.agg(
+      count(lit(1)).cast("long").as("n_users"),
+      count(col("t1")).cast("long").as("s1_view"),
+      count(col("t2")).cast("long").as("s2_click"),
+      count(col("t3")).cast("long").as("s3_purchase"))
+    funnel.select(col("n_users"), col("s1_view"), col("s2_click"), col("s3_purchase"),
+      (col("s2_click").cast("double") / col("s1_view")).as("conv_1_2"),
+      (col("s3_purchase").cast("double") / col("s2_click")).as("conv_2_3"))
+  }
+
+  private val q42Sql =
+    """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+      |s1 AS (SELECT *, MIN(CASE WHEN event_type = 'view' THEN ts_us END)
+      |         OVER (PARTITION BY user_id) AS t1 FROM ev),
+      |s2 AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND ts_us > t1 THEN ts_us END)
+      |         OVER (PARTITION BY user_id) AS t2 FROM s1),
+      |s3 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts_us > t2 THEN ts_us END)
+      |         OVER (PARTITION BY user_id) AS t3 FROM s2),
+      |pu AS (SELECT user_id, MAX(t1) AS t1, MAX(t2) AS t2, MAX(t3) AS t3
+      |       FROM s3 GROUP BY user_id)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+      |  CAST(COUNT(t1) AS BIGINT) AS s1_view,
+      |  CAST(COUNT(t2) AS BIGINT) AS s2_click,
+      |  CAST(COUNT(t3) AS BIGINT) AS s3_purchase,
+      |  CAST(COUNT(t2) AS DOUBLE) / COUNT(t1) AS conv_1_2,
+      |  CAST(COUNT(t3) AS DOUBLE) / COUNT(t2) AS conv_2_3
+      |FROM pu""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q42_funnel" -> q42 _,
     "q41_scd2_history" -> q41 _,
     "q40_incremental_agg" -> q40 _,
     "q39_salted_join" -> q39 _,
@@ -812,6 +862,7 @@ object RelationalQueries2 {
     "q26_json_fns" -> q26 _)
 
   val oracle: Map[String, String] = Map(
+    "q42_funnel" -> q42Sql,
     "q41_scd2_history" -> q41Sql,
     "q40_incremental_agg" -> q40Sql,
     "q39_salted_join" -> q39Sql,

@@ -7779,6 +7779,70 @@ object DocQueries {
        |  FROM j)
        |WHERE rn <= 12 ORDER BY rn""".stripMargin
 
+  // ---------------------------------------------------------------- d197
+  /** ES `_count` — the count API: the body's query (full DSL) compiles to
+    * one pushdown-eligible predicate and the response is a single
+    * partial+final count — the cheapest request class the engine serves
+    * (no sort, no page, no score; at 100 TB the count shares the scan's
+    * pushed filters). */
+  private def d197(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "query": { "bool": {
+        |    "must": [ { "range": { "planCostShares.copay": { "gte": 20 } } } ],
+        |    "must_not": [ { "term": { "planType": "FURNITURE" } } ] } }
+        |}""".stripMargin
+    val q = SearchQuery.fromJson(body, schema)
+    assembled(s, d).filter(SearchQuery.compile(q, col("doc")))
+      .agg(count(lit(1)).cast("long").as("count"))
+  }
+
+  private val d197Sql =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS count FROM customer
+      |WHERE c_custkey % 50 >= 20 AND c_mktsegment <> 'FURNITURE'""".stripMargin
+
+  // ---------------------------------------------------------------- d198
+  /** ES completion suggester with CONTEXTS (category context + per-context
+    * boost — the "suggest only within this storefront, prefer featured"
+    * shape): suggestions are service names grouped by the parent plan's
+    * planType as the category context; the request asks for contexts
+    * BUILDING (boost 2) and MACHINERY (boost 1); score = doc-count weight
+    * × context boost. One filtered hash aggregation + a bounded top-k. */
+  private def d198(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sugg = assembled(s, d)
+      .select(col("doc.planType").as("ctx"),
+        explode(col("doc.linkedPlanServices")).as("el"))
+      .select(col("ctx"), col("el.linkedService.name").as("suggestion"))
+      .filter(col("suggestion").startsWith("Service ") &&
+        col("ctx").isin("BUILDING", "MACHINERY"))
+    val scored = sugg.groupBy(col("suggestion"), col("ctx"))
+      .agg(count(lit(1)).as("weight"))
+      .withColumn("score",
+        col("weight") * when(col("ctx") === "BUILDING", 2L).otherwise(1L))
+    scored
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("score").desc, col("suggestion"), col("ctx"))).cast("long"))
+      .filter(col("rn") <= 8)
+      .select(col("rn"), col("suggestion"), col("ctx"), col("weight"), col("score"))
+      .orderBy(col("rn"))
+  }
+
+  private val d198Sql =
+    s"""WITH o AS $O,
+       |sugg AS (
+       |  SELECT 'Service ' || o_orderpriority AS suggestion, c_mktsegment AS ctx
+       |  FROM o JOIN customer ON o_custkey = c_custkey
+       |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+       |scored AS (
+       |  SELECT suggestion, ctx, CAST(COUNT(*) AS BIGINT) AS weight,
+       |    CAST(COUNT(*) AS BIGINT) * CASE WHEN ctx = 'BUILDING' THEN 2 ELSE 1 END AS score
+       |  FROM sugg GROUP BY suggestion, ctx)
+       |SELECT rn, suggestion, ctx, weight, score FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, suggestion, ctx) AS BIGINT) AS rn
+       |  FROM scored)
+       |WHERE rn <= 8 ORDER BY rn""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -7963,6 +8027,8 @@ object DocQueries {
     "d194_es_parent_id" -> d194 _,
     "d195_es_search_mvt" -> d195 _,
     "d196_es_retriever_rrf" -> d196 _,
+    "d197_es_count" -> d197 _,
+    "d198_es_suggest_contexts" -> d198 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
     "d3_roundtrip" -> d3 _,
@@ -8161,6 +8227,8 @@ object DocQueries {
     "d194_es_parent_id" -> d194Sql,
     "d195_es_search_mvt" -> d195Sql,
     "d196_es_retriever_rrf" -> d196Sql,
+    "d197_es_count" -> d197Sql,
+    "d198_es_suggest_contexts" -> d198Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,
     "d3_roundtrip" -> d3Sql,

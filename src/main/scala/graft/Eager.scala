@@ -21,6 +21,21 @@ import org.apache.spark.sql.{DataFrame, Dataset}
   * empty after every query on the back of this.
   */
 object Eager {
+  /** Give a to-be-persisted frame a CANONICALLY UNIQUE analyzed plan.
+    *
+    * Spark's CacheManager keys cache entries by plan equivalence
+    * (`sameResult` on the normalized plan), so two queries that persist
+    * the SAME-SHAPED intermediate (t29/t31/t32 all persist the identical
+    * word-frequency table; dd2/dd13 the identical shingle tables) share
+    * ONE cache entry — and the first query to reach `finish` unpersists
+    * it out from under the other, which under the 6-way verify pool
+    * produced a corrupted 10-of-20-row t29 artifact (sf0.01, 2026-08-14).
+    * An always-true filter on a per-owner literal makes the analyzed plan
+    * unique (distinct cache keys, no sharing) while folding to nothing in
+    * the optimizer — zero schema change, zero runtime cost. */
+  def keyed(df: DataFrame, owner: String): DataFrame =
+    df.filter(org.apache.spark.sql.functions.lit(owner).isNotNull)
+
   /** Materialize a small final answer on the driver as a LocalRelation,
     * detaching it from whatever (temp dirs, persisted frames, streaming
     * tables) its plan read from. Row order is preserved. */

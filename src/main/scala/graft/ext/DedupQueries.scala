@@ -95,8 +95,8 @@ object DedupQueries {
     // a lambda's `element_at(hs, i)` closes over the full `hs` expression
     // tree, so without the boundary every window element re-runs the md5
     // transform of the whole token list (measured 36 s vs 2 s at sf0.1).
-    val th = corpus
-      .select(col("doc_id"), tokenHashes(tokens(col("text"))).as("hs"))
+    val th = graft.Eager.keyed(corpus
+      .select(col("doc_id"), tokenHashes(tokens(col("text"))).as("hs")), "dd2")
       .persist()
     val sh = th.select(col("doc_id"),
         explode(shingleHashes(col("hs"), 3)).as("h"))
@@ -181,7 +181,8 @@ object DedupQueries {
     // persist, the shingle lambda's `element_at(toks, i)` closes over the
     // full tokens() expression and re-splits the document per bigram —
     // O(tokens²) per doc (measured 50 s vs ~4 s at sf0.1)
-    val tk = corpus.select(col("doc_id"), tokens(col("text")).as("toks")).persist()
+    val tk = graft.Eager.keyed(
+      corpus.select(col("doc_id"), tokens(col("text")).as("toks")), "dd3").persist()
     val th = tk
       .select(col("doc_id"), explode(shingles(col("toks"), 2)).as("bg"))
       .select(col("doc_id"), stableHash60(col("bg")).as("h")).distinct()
@@ -723,7 +724,8 @@ object DedupQueries {
   private def dd7(s: SparkSession, d: String): DataFrame = {
     val Boundary = 1000000L
     val corpus = planted(s, d)
-    val tk = corpus.select(col("doc_id"), tokens(col("text")).as("toks")).persist()
+    val tk = graft.Eager.keyed(
+      corpus.select(col("doc_id"), tokens(col("text")).as("toks")), "dd7").persist()
     val th = tk
       .select(col("doc_id"), explode(shingles(col("toks"), 2)).as("bg"))
       .select(col("doc_id"), stableHash60(col("bg")).as("h")).distinct()
@@ -1174,7 +1176,8 @@ object DedupQueries {
     * (the public query pins the answer via Eager.finish). */
   private[graft] def dd13Plan(s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
     val corpus = planted(s, d)
-    val th = corpus.select(col("doc_id"), tokenHashes(tokens(col("text"))).as("hs"))
+    val th = graft.Eager.keyed(
+      corpus.select(col("doc_id"), tokenHashes(tokens(col("text"))).as("hs")), "dd13")
       .persist()
     val sh = th.select(col("doc_id"), explode(shingleHashes(col("hs"), 3)).as("h"))
       .distinct().persist()

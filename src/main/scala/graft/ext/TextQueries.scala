@@ -561,7 +561,7 @@ object TextQueries {
     * lambda closes over a materialized column, not the tokenizer
     * expression (the dd2 recompute lesson). */
   private def t13(s: SparkSession, d: String): DataFrame = {
-    val tk = docs(s, d).select(col("doc_id"), tokens(col("text")).as("toks")).persist()
+    val tk = graft.Eager.keyed(docs(s, d).select(col("doc_id"), tokens(col("text")).as("toks")), "t13").persist()
     def gramCols(n: Int): Seq[Column] = {
       val g = shingles(col("toks"), n)
       Seq(size(g).cast("long").as(s"_t$n"),
@@ -653,7 +653,7 @@ object TextQueries {
     * tokenizer expression. */
   private def t15(s: SparkSession, d: String): DataFrame = {
     val W = 64L; val S = 48L
-    val tk = docs(s, d).select(col("doc_id"), tokens(col("text")).as("toks")).persist()
+    val tk = graft.Eager.keyed(docs(s, d).select(col("doc_id"), tokens(col("text")).as("toks")), "t15").persist()
     val res = tk
       .withColumn("n_tok", size(col("toks")).cast("long"))
       .withColumn("n_chunks",
@@ -1531,10 +1531,12 @@ object TextQueries {
     // persisting truncates the otherwise twice-unrolled DP plan — these
     // are |distinct words|- and |pieces|-row frames, released via
     // Eager.finish before returning (the Bench leak sentinel's contract).
-    val words = docs(s, d).select(explode(tokens(col("text"))).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).cast("long").as("freq"))
+    val words = graft.Eager.keyed(
+      docs(s, d).select(explode(tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).cast("long").as("freq")), "t29")
       .persist()
-    val c1 = uniSegmentCounts(words, uniVocab(uniSeedCounts(words))).persist()
+    val c1 = graft.Eager.keyed(
+      uniSegmentCounts(words, uniVocab(uniSeedCounts(words))), "t29.c1").persist()
     val c2 = uniSegmentCounts(words, uniVocab(c1))
     def top(r: Int, cnts: DataFrame): DataFrame = {
       val w = Window.orderBy(col("cnt").desc, col("piece").asc)
@@ -1627,10 +1629,12 @@ object TextQueries {
     * evaluations report). Corpus-scale work is ONE token explode + one
     * broadcast join against the encoded vocabulary. */
   private def t31(s: SparkSession, d: String): DataFrame = {
-    val words = docs(s, d).select(explode(tokens(col("text"))).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).cast("long").as("freq"))
+    val words = graft.Eager.keyed(
+      docs(s, d).select(explode(tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).cast("long").as("freq")), "t31")
       .persist()
-    val c1 = uniSegmentCounts(words, uniVocab(uniSeedCounts(words))).persist()
+    val c1 = graft.Eager.keyed(
+      uniSegmentCounts(words, uniVocab(uniSeedCounts(words))), "t31.c1").persist()
     val enc = uniSegmentRaw(words, uniVocab(c1))
       .select(col("w"), length(col("w")).cast("long").as("n_chars_w"),
         (1 to UniL).map(j => when(col(s"_piece$j").isNotNull, 1L).otherwise(0L))
@@ -1739,8 +1743,9 @@ object TextQueries {
   }
 
   private def t32(s: SparkSession, d: String): DataFrame = {
-    val words = docs(s, d).select(explode(tokens(col("text"))).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).cast("long").as("freq"))
+    val words = graft.Eager.keyed(
+      docs(s, d).select(explode(tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).cast("long").as("freq")), "t32")
       .persist()
     // ONE fused select on the raw frame (t29 project-collapse rule)
     val enc = wpEncodeRaw(words, wpVocab(words)).select(

@@ -139,12 +139,15 @@ object Bulk {
       }
     }
 
-  /** Execute the batch. Returns (per-action response frame — `seq`, `id`,
-    * `op`, `result`, `status`, in request order — and the post-bulk
-    * index). */
+  /** The batch's outcome: the per-action response frame (`seq`, `id`,
+    * `op`, `result`, `status`, in request order), the post-bulk index,
+    * and the fresh shred of the upserted docs (plan-local — its roots and
+    * children key the touched closures without a reachability pass). */
+  final case class Outcome(resp: DataFrame, after: Shredded, fresh: Shredded)
+
   def run(assembled: DataFrame, sh: Shredded, ndjson: String,
           schema: StructType, maxDepth: Int,
-          docCol: String = "doc"): (DataFrame, Shredded) = {
+          docCol: String = "doc"): Outcome = {
     val spark = assembled.sparkSession
     val actions = parse(ndjson)
     require(actions.nonEmpty, "_bulk batch is empty")
@@ -186,9 +189,15 @@ object Bulk {
     val base = when(exists, col("_bp")).otherwise(col("_ba"))
     val patches = when(exists, col("_pp")).otherwise(col("_pa"))
 
-    // ids whose final state is absent but whose closure is in the index
-    val deleteRoots = ids.filter(kind === "absent" && exists)
-      .select(concat(lit("plan_"), col("id")).as("key"))
+    // ids whose final state is absent but whose closure is in the index.
+    // PINNED (batch-bounded driver rows): the cascade's fixed-depth
+    // expansion embeds its root frame in every join round, and the fresh
+    // shred embeds the doc frame once per schema node — left lazy, the
+    // broadcast-join + patch-chain plan is duplicated ~15× and re-executed
+    // per copy (measured 30 s vs ~5 s at sf0.1). The batch is request-
+    // bounded by contract, so the collect is ES's own bulk-body bound.
+    val deleteRoots = graft.Eager.pin(ids.filter(kind === "absent" && exists)
+      .select(concat(lit("plan_"), col("id")).as("key")))
 
     // final docs: base (batch literal or the stored doc) + the ordered
     // patch chain, statically unrolled (batches carry few patches per id)
@@ -201,9 +210,19 @@ object Bulk {
         MergePatch.merge(acc, from_json(element_at(patches, i), schema), schema))
         .otherwise(acc)
     }
-    val newDocs = ids.filter(kind === "doc").select(patched.as(docCol))
+    val newDocs = graft.Eager.pin(ids.filter(kind === "doc").select(patched.as(docCol)))
 
-    val afterDeletes = Mutations.cascadeDelete(sh, deleteRoots, maxDepth)
-    (resp.orderBy(col("seq")), Mutations.replace(afterDeletes, newDocs, maxDepth, docCol))
+    // ONE cascade for both the final deletions and the replaced docs' old
+    // closures (M8 replace = cascade + fresh shred; running its cascade
+    // separately from the delete cascade would double the fixed-depth
+    // join rounds — both root sets are pinned literals, so their union is
+    // free), then the fresh shred unions in.
+    val newRoots = newDocs.select(
+      concat(col(s"$docCol.objectType"), lit("_"), col(s"$docCol.objectId")).as("key"))
+    val cleaned = Mutations.cascadeDelete(sh, deleteRoots.unionByName(newRoots), maxDepth)
+    val fresh = Shredder.shred(newDocs, docCol)
+    Outcome(resp.orderBy(col("seq")), Shredded(
+      cleaned.entities.unionAll(fresh.entities),
+      cleaned.edges.unionAll(fresh.edges)), fresh)
   }
 }

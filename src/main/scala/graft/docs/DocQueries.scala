@@ -7609,14 +7609,27 @@ object DocQueries {
       """{"objectId": "plan-11", "objectType": "plan", "planType": "MOBILE", "_org": "org-bulk.example.com", "creationDate": "01-01-2025", "planCostShares": {"objectId": "cs-11", "objectType": "membercostshare", "_org": "example.com", "copay": 550, "deductible": 5500}, "linkedPlanServices": []}""",
       """{"update": {"_index": "plan", "_id": "plan-3"}}""",
       """{"doc": {"planType": "PATCHED"}}""").mkString("\n")
-    val (resp, after0) = Bulk.run(assembled(s, d), shredded(s, d), batch, schema, mdepth)
-    val after = materialized(s, "d191", after0)
+    val outcome = Bulk.run(assembled(s, d), shredded(s, d), batch, schema, mdepth)
+    val resp = outcome.resp
+    val after = materialized(s, "d191", outcome.after)
     val census = after.entities.groupBy(col("type_tag")).agg(count(lit(1)).as("n"))
       .select(lit(100L).as("seq"), col("type_tag").as("id"), lit("_census").as("op"),
         col("n").cast("string").as("result"), lit(null).cast("int").as("status"))
     val touched = Seq("plan-3", "plan-7", "plan-11",
       "plan-900001", "plan-900002", "plan-900003")
-    val finalDocs = Assembler.assemble(after, schema, "plan")
+    // assemble ONLY the touched docs' closures, not the corpus. The
+    // closure KEYS come from the batch's own fresh shred (plan-local —
+    // Bulk pins the upserted docs, so this is a driver-side key list, no
+    // reachability pass), but the ROWS are read back from the REAL
+    // materialized index — the content proof stays non-circular. PINNED
+    // (≤ closure-of-6-docs rows) because the assembler references its
+    // input once per schema node (~10×).
+    val closureKeys = graft.Eager.pin(outcome.fresh.entities.select(col("key")))
+    val sub = Shredded(
+      graft.Eager.pin(after.entities.join(closureKeys, Seq("key"), "left_semi")),
+      graft.Eager.pin(after.edges.join(closureKeys.select(col("key").as("parent_key")),
+        Seq("parent_key"), "left_semi")))
+    val finalDocs = Assembler.assemble(sub, schema, "plan")
       .filter(col("doc.objectId").isin(touched.map(lit): _*))
       .select(lit(200L).as("seq"), col("doc.objectId").as("id"), lit("_doc").as("op"),
         concat_ws(":", col("doc.planType"), col("doc.planCostShares.copay"),

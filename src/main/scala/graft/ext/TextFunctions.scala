@@ -92,6 +92,29 @@ object TextFunctions {
           (acc * 131L + element_at(hs, i + j)) % MinhashPrime)))
   }
 
+  /** `shingleHashes` in ZIP form — identical values, built from shifted
+    * array copies via `zip_with` instead of per-position `element_at`.
+    * The positional form's lambda closes over the whole `hs` expression,
+    * so WITHOUT a materialization boundary (persist) every window element
+    * re-runs the md5 token-hash chain — O(tokens²) per doc (the dd2
+    * lesson). zip_with consumes its operand arrays ONCE, so this form is
+    * safe where no boundary is possible — inside a STREAMING select
+    * (st14). `hs` is still referenced n times (array-level, not
+    * element-level): O(n·tokens), and whole-stage codegen's subexpression
+    * elimination collapses the repeats. */
+  def shingleHashesFlat(hs: Column, n: Int): Column = {
+    val cnt = size(hs) - (n - 1)
+    val combined = (1 until n).foldLeft(hs) { (acc, j) =>
+      // shifted copy j: elements j+1..len; zip_with null-pads the tail,
+      // which the final slice drops
+      zip_with(acc, slice(hs, lit(j + 1), greatest(size(hs) - j, lit(0))),
+        (a, b) => (a * 131L + b) % MinhashPrime)
+    }
+    when(cnt < 1, array().cast(org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType)))
+      .otherwise(slice(combined, lit(1), cnt))
+  }
+
   /** DuckDB mirror of `shingleHashes` for window position `i` (1-based)
     * over hash-list column `hs`. */
   def shingleHashSql(hs: String, n: Int): String =

@@ -1048,8 +1048,11 @@ object IndexPipeline {
     val srcDir = base.resolve("log").toString
     val ckDir = base.resolve("ck").toString
     val docsT = Tables(s, d, "documents").select(col("doc_id"), col("text"))
+    // FLAT shingle form: the positional shingleHashes lambda would close
+    // over the un-materialized token-hash chain — O(tokens²) per doc (the
+    // dd2 lesson), and a stream select has no persist boundary to cut it
     def withShingles(df: DataFrame): DataFrame = df.withColumn("shs",
-      array_distinct(shingleHashes(tokenHashes(tokens(col("text"))), 3)))
+      array_distinct(shingleHashesFlat(tokenHashes(tokens(col("text"))), 3)))
     def sigCols: Seq[Column] = (0 until 4).map { bnd =>
       concat_ws("-", (0 until 3).map { r =>
         val (a, b) = MinhashParams(bnd * 3 + r)

@@ -339,4 +339,17 @@ class ExtSpec extends SparkSpec {
     assert(raw("zzzzzzz").getAs[Int]("_c6") === 7)
     assert(raw("zzzzzzz").getAs[Int]("len") === 7)
   }
+
+  test("shingleHashesFlat equals positional shingleHashes (incl. short arrays)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.ext.TextFunctions._
+    val df = Seq("a b c d e", "x y", "solo", "p q r").toDF("text")
+      .select(tokenHashes(tokens(col("text"))).as("hs"))
+    val both = df.select(shingleHashes(col("hs"), 3).as("pos"),
+      shingleHashesFlat(col("hs"), 3).as("flat")).collect()
+    both.foreach { r =>
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1))
+    }
+  }
 }

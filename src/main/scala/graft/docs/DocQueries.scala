@@ -7856,6 +7856,34 @@ object DocQueries {
        |  FROM scored)
        |WHERE rn <= 8 ORDER BY rn""".stripMargin
 
+  // ---------------------------------------------------------------- d199
+  /** Raw-SQL geo distance through the native `haversine_m` expression +
+    * the GeoBoxRule optimizer rule: the user writes ONLY the distance
+    * predicate — no manual bounding box — and the rule conjoins the
+    * conservative bbox (the same constants the DSL path builds by hand),
+    * so the parquet scan still prunes at row-group grain (plan-pinned
+    * PushedFilters on lat/lon). Same hit set as d121 (the bbox is a
+    * superset of the circle; the haversine decides membership). */
+  private def d199(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.ensure(s)
+    geoDocs(s, d).select(col("doc.objectId").as("objectId"),
+        col("doc.location.lat").as("lat"), col("doc.location.lon").as("lon"))
+      .createOrReplaceTempView("geo_points_d199")
+    s.sql(
+      """SELECT objectId, lat, lon FROM geo_points_d199
+        |WHERE haversine_m(lat, lon, 10.0D, 20.0D) <= 2000000.0D
+        |ORDER BY objectId""".stripMargin)
+  }
+
+  private val d199Sql =
+    s"""WITH pts AS (
+       |  SELECT 'plan-' || ${ck("c_custkey")} AS "objectId",
+       |    $geoLatSql AS lat, $geoLonSql AS lon
+       |  FROM customer)
+       |SELECT "objectId", lat, lon FROM pts
+       |WHERE ${Geo.haversineSql("lat", "lon", 10.0, 20.0)} <= 2000000.0
+       |ORDER BY "objectId"""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -8042,6 +8070,7 @@ object DocQueries {
     "d196_es_retriever_rrf" -> d196 _,
     "d197_es_count" -> d197 _,
     "d198_es_suggest_contexts" -> d198 _,
+    "d199_geo_sql_pushdown" -> d199 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
     "d3_roundtrip" -> d3 _,
@@ -8242,6 +8271,7 @@ object DocQueries {
     "d196_es_retriever_rrf" -> d196Sql,
     "d197_es_count" -> d197Sql,
     "d198_es_suggest_contexts" -> d198Sql,
+    "d199_geo_sql_pushdown" -> d199Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,
     "d3_roundtrip" -> d3Sql,

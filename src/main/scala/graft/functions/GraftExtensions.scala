@@ -11,8 +11,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * `GraftFunctions.ensure` — both paths share one builder list.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => graft.plans.GeoBoxRule)
+  }
 }
 
 object GraftExtensions {
@@ -20,5 +22,9 @@ object GraftExtensions {
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
-      (children: Seq[Expression]) => VecDot(children.head, children(1))))
+      (children: Seq[Expression]) => VecDot(children.head, children(1))),
+    (FunctionIdentifier("haversine_m"),
+      new ExpressionInfo(classOf[HaversineM].getName, "haversine_m"),
+      (children: Seq[Expression]) =>
+        HaversineM(children.head, children(1), children(2), children(3))))
 }

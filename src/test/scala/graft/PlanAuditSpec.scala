@@ -781,6 +781,14 @@ class PlanAuditSpec extends SparkSpec {
       s"tile bbox lost the scan pushdown:\n$p")
   }
 
+  test("d199: GeoBoxRule derives the bbox — raw-SQL haversine_m gets PushedFilters " +
+    "with no manual bounds in the query") {
+    val p = plan(q("d199_geo_sql_pushdown"))
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("lat") && pushed.contains("lon"),
+      s"derived bbox lost the scan pushdown:\n$p")
+  }
+
   test("d180: doc-shape bbox prefilter reaches PushedFilters; intersects never joins") {
     val p = plan(q("d180_geo_shape_docs"))
     val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString

@@ -368,7 +368,59 @@ object Multimodal {
       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
       |FROM pk GROUP BY fmt, shard_id ORDER BY fmt, shard_id""".stripMargin
 
+  // ---------------------------------------------------------------- m8
+  /** Vision-encoder PATCHIFY planning (the ViT/Qwen-VL preprocessing step
+    * between decode and the encoder): per image, a smart-resize to a
+    * pixel budget (uniform sqrt scale when w*h exceeds it, floor to
+    * ints, 16px floor), then the 16x16 patch grid (ceil division — the
+    * ragged right/bottom patches are padded, exactly how ViT handles
+    * non-multiple dims) and the encoder sequence length (+1 CLS). Image
+    * dims are a deterministic STUB from the id (the m1 pattern: the
+    * corpus is text, a real pipeline reads them from the decoded
+    * header); everything else is the real pipeline arithmetic. Pure
+    * per-row map -- zero shuffle at any scale. */
+  private val MaxPixels = 409600.0 // 640 * 640 budget
+
+  private def m8(s: SparkSession, d: String): DataFrame = {
+    val img = media(s, d).filter(col("meta.fmt") =!= "wav")
+      .select(col("doc_id"), col("meta.fmt").as("fmt"),
+        (lit(200L) + col("doc_id") % 300L).as("w"),
+        (lit(150L) + (col("doc_id") * 7L) % 400L).as("h"))
+    val scale = when(col("w") * col("h") > MaxPixels,
+      sqrt(lit(MaxPixels) / (col("w") * col("h")))).otherwise(lit(1.0))
+    img
+      .withColumn("sw", greatest(lit(16L), floor(col("w") * scale).cast("long")))
+      .withColumn("sh", greatest(lit(16L), floor(col("h") * scale).cast("long")))
+      .withColumn("n_px", ((col("sw") + 15L) / 16L).cast("long"))
+      .withColumn("n_py", ((col("sh") + 15L) / 16L).cast("long"))
+      .select(col("doc_id"), col("fmt"), col("w"), col("h"), col("sw"), col("sh"),
+        (col("n_px") * col("n_py")).as("n_patches"),
+        (col("n_px") * col("n_py") + 1L).as("seq_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val m8Sql =
+    """WITH img AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
+      |    200 + doc_id % 300 AS w, 150 + (doc_id * 7) % 400 AS h
+      |  FROM documents WHERE doc_id % 3 <> 2),
+      |sc AS (
+      |  SELECT *, CASE WHEN w * h > 409600.0
+      |    THEN sqrt(409600.0 / (w * h)) ELSE 1.0 END AS scale
+      |  FROM img),
+      |dims AS (
+      |  SELECT doc_id, fmt, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+      |    CAST(GREATEST(16, FLOOR(w * scale)) AS BIGINT) AS sw,
+      |    CAST(GREATEST(16, FLOOR(h * scale)) AS BIGINT) AS sh
+      |  FROM sc)
+      |SELECT doc_id, fmt, w, h, sw, sh,
+      |  CAST(((sw + 15) // 16) * ((sh + 15) // 16) AS BIGINT) AS n_patches,
+      |  CAST(((sw + 15) // 16) * ((sh + 15) // 16) + 1 AS BIGINT) AS seq_len
+      |FROM dims ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "m8_patchify" -> m8 _,
     "m7_shard_pack" -> m7 _,
     "m6_media_neardup" -> m6 _,
     "m5_media_dedup" -> m5 _,
@@ -378,6 +430,7 @@ object Multimodal {
     "m4_modality_budget" -> m4 _)
 
   val oracle: Map[String, String] = Map(
+    "m8_patchify" -> m8Sql,
     "m7_shard_pack" -> m7Sql,
     "m6_media_neardup" -> m6Sql,
     "m5_media_dedup" -> m5Sql,

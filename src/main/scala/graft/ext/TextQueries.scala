@@ -1884,7 +1884,59 @@ object TextQueries {
        |FROM ch LEFT JOIN bo USING (chunk)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t34
+  /** Dataset DATA CARD (the per-slice summary every released training set
+    * ships — Datasheets for Datasets, Gebru et al. 2021): per (source,
+    * lang): doc/token/char counts, the corpus share, exact-duplicate
+    * incidence (docs whose text hash occurs ≥ 2 GLOBALLY, attributed to
+    * the slice), and mean tokens/doc. One doc-grain aggregation + one
+    * hash-dup aggregation + a 1-row total broadcast — the report is
+    * |slices| rows at any corpus size. */
+  private def t34(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select(col("source"), col("lang"), col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_toks"),
+      col("n_chars"), md5(col("text")).as("hash"))
+    val dups = base.groupBy(col("hash")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select(col("hash"), lit(1).as("_dup"))
+    val total = base.agg(count(lit(1)).cast("long").as("total_docs"))
+    base.join(dups, Seq("hash"), "left")
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n_toks")).cast("long").as("n_tokens"),
+        sum(col("n_chars")).cast("long").as("n_chars"),
+        sum(when(col("_dup").isNotNull, 1L).otherwise(0L)).cast("long").as("n_exact_dup"))
+      .crossJoin(broadcast(total))
+      .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+        col("n_chars"), col("n_exact_dup"),
+        (col("n_docs").cast("double") / col("total_docs")).as("corpus_share"),
+        (col("n_exact_dup").cast("double") / col("n_docs")).as("dup_rate"),
+        (col("n_tokens").cast("double") / col("n_docs")).as("toks_per_doc"))
+      .orderBy(col("source"), col("lang"))
+  }
+
+  private val t34Sql =
+    """WITH base AS (
+      |  SELECT source, lang, doc_id,
+      |    CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT)
+      |      AS n_toks,
+      |    n_chars, md5(text) AS hash
+      |  FROM documents),
+      |dups AS (SELECT hash, 1 AS _dup FROM base GROUP BY hash HAVING COUNT(*) >= 2),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_docs FROM base)
+      |SELECT source, lang,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+      |  CAST(SUM(CASE WHEN _dup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup,
+      |  CAST(COUNT(*) AS DOUBLE) / (SELECT total_docs FROM tot) AS corpus_share,
+      |  CAST(SUM(CASE WHEN _dup IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+      |    AS dup_rate,
+      |  CAST(SUM(n_toks) AS DOUBLE) / COUNT(*) AS toks_per_doc
+      |FROM base LEFT JOIN dups USING (hash)
+      |GROUP BY source, lang ORDER BY source, lang""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "t34_data_card" -> t34 _,
     "t33_boilerplate" -> t33 _,
     "t32_wordpiece" -> t32 _,
     "t31_unigram_encode" -> t31 _,
@@ -2024,6 +2076,7 @@ object TextQueries {
         |WHERE rnk <= 10 ORDER BY em_round, rnk""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "t34_data_card" -> t34Sql,
     "t33_boilerplate" -> t33Sql,
     "t32_wordpiece" -> t32Sql,
     "t31_unigram_encode" -> t31Sql,

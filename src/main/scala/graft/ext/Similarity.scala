@@ -821,7 +821,124 @@ object Similarity {
        |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------- s12
+  /** IVF × 1-bit BBQ — the composed SCALE path real vector stores ship
+    * (ES/Lucene: coarse partition + quantized codes + raw rerank): s3's
+    * inverted-file assignment bounds WHICH vectors are compared (probe
+    * the `nprobe = 2` nearest cells only — an equi-join on cell, never a
+    * corpus-wide scan), s11's packed sign codes make each comparison 16
+    * bytes of popcount, and the exact dot re-scores only the top-10
+    * hamming survivors. At 100 TB: the code table partitions by cell,
+    * a query touches 2 cells' row groups, and full vectors are read for
+    * ≤ 10 candidates per query. */
+  private def s12(s: SparkSession, d: String): DataFrame = {
+    val all = vecs(s, d).select(col("vec_id"), col("v"), col("nrm"))
+    val cents = all.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    // per-vector cell ranking (rn = 1 assigns; queries also probe rn = 2)
+    val scored = all.join(broadcast(cents))
+      .select(col("vec_id"), col("c_id"),
+        (vecDot(col("v"), col("cv")) / (col("nrm") * col("cn"))).as("score"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("c_id"))))
+    val assign = scored.filter(col("rn") === 1)
+      .select(col("vec_id"), col("c_id").as("cell"))
+    // s11's midrange-threshold sign codes
+    val bounds = all.select(posexplode(col("v")).as(Seq("dd", "x")))
+      .groupBy(col("dd")).agg(((min(col("x")) + max(col("x"))) / 2.0).as("mu"))
+    val ma = bounds
+      .agg(array_sort(collect_list(struct(col("dd"), col("mu")))).as("ms"))
+      .select(transform(col("ms"), m => m.getField("mu")).as("mus"))
+    def half(lo: Int): Column =
+      aggregate(transform(sequence(lit(lo + 31), lit(lo), lit(-1)),
+        i => when(element_at(col("v"), i + 1) > element_at(col("mus"), i + 1),
+          lit(1L)).otherwise(lit(0L))),
+        lit(0L), (acc, b) => acc * 2 + b)
+    val codes = all.crossJoin(broadcast(ma))
+      .select(col("vec_id"), half(0).as("lo"), half(32).as("hi"))
+      .join(assign, "vec_id")
+    val qProbe = scored.filter(col("vec_id") % 50 === 0 && col("rn") <= 2)
+      .select(col("vec_id").as("q_id"), col("c_id").as("cell"))
+    val qCodes = codes.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("lo").as("qlo"), col("hi").as("qhi"))
+    val ham = qProbe.join(broadcast(qCodes), "q_id")
+      .join(codes.select(col("vec_id").as("n_id"), col("cell"),
+        col("lo"), col("hi")), "cell")
+      .filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"),
+        (bit_count(col("lo").bitwiseXOR(col("qlo"))) +
+          bit_count(col("hi").bitwiseXOR(col("qhi")))).as("hamming"))
+    val cand = ham
+      // a neighbor can surface via both probed cells — dedupe before rank
+      .groupBy(col("q_id"), col("n_id")).agg(min(col("hamming")).as("hamming"))
+      .withColumn("hrank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("hamming").asc, col("n_id"))))
+      .filter(col("hrank") <= 10)
+      .select(col("q_id"), col("n_id"))
+    cand
+      .join(all.select(col("vec_id").as("n_id"), col("v").as("nv")), "n_id")
+      .join(broadcast(all.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))), "q_id")
+      .select(col("q_id"), col("n_id"), vecDot(col("qv"), col("nv")).as("dot"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("dot").desc, col("n_id"))))
+      .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"), col("dot"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  private val s12Sql = {
+    val i1 = "CAST(i AS INTEGER) + 1"
+    def halfSql(hiBit: Int, loBit: Int) =
+      s"""CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |  list_transform(range($hiBit, ${loBit - 1}, -1), i ->
+         |    CAST(CASE WHEN v[$i1] > mus[$i1] THEN 1 ELSE 0 END AS BIGINT))),
+         |  (acc, b) -> acc * 2 + b) AS BIGINT)"""
+    s"""WITH vs0 AS ($VecsSql),
+       |vs AS (SELECT vec_id, v, nrm FROM vs0),
+       |cents AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM vs WHERE vec_id % 97 = 0),
+       |scored AS (
+       |  SELECT vec_id, c_id,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY ${dotSql("v", "cv")} / (nrm * cn) DESC, c_id) AS rn
+       |  FROM vs CROSS JOIN cents),
+       |assign AS (SELECT vec_id, c_id AS cell FROM scored WHERE rn = 1),
+       |b AS (SELECT d, (MIN(v[CAST(d AS INTEGER) + 1]) + MAX(v[CAST(d AS INTEGER) + 1])) / 2.0 AS mu
+       |      FROM vs, range(0, 64) t(d) GROUP BY d),
+       |ba AS (SELECT list(mu ORDER BY d) AS mus FROM b),
+       |codes AS (SELECT c.vec_id, cell,
+       |    ${halfSql(31, 0)} AS lo,
+       |    ${halfSql(63, 32)} AS hi
+       |  FROM (SELECT vec_id, v FROM vs) c, ba, assign a
+       |  WHERE c.vec_id = a.vec_id),
+       |qprobe AS (SELECT vec_id AS q_id, c_id AS cell FROM scored
+       |  WHERE vec_id % 50 = 0 AND rn <= 2),
+       |qcodes AS (SELECT vec_id AS q_id, lo AS qlo, hi AS qhi FROM codes
+       |  WHERE vec_id % 50 = 0),
+       |ham AS (
+       |  SELECT q_id, n_id, MIN(hamming) AS hamming FROM (
+       |    SELECT p.q_id, c.vec_id AS n_id,
+       |      bit_count(xor(c.lo, qc.qlo)) + bit_count(xor(c.hi, qc.qhi)) AS hamming
+       |    FROM qprobe p JOIN qcodes qc ON p.q_id = qc.q_id
+       |    JOIN codes c ON c.cell = p.cell AND c.vec_id <> p.q_id)
+       |  GROUP BY q_id, n_id),
+       |cand AS (SELECT q_id, n_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY hamming, n_id) AS hrank
+       |    FROM ham)
+       |  WHERE hrank <= 10),
+       |rr AS (SELECT c.q_id, c.n_id,
+       |    CAST(${dotSql("qv.v", "nv.v")} AS DOUBLE) AS dot
+       |  FROM cand c
+       |  JOIN vs nv ON c.n_id = nv.vec_id
+       |  JOIN vs qv ON c.q_id = qv.vec_id)
+       |SELECT q_id, rank, n_id, dot FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dot DESC, n_id) AS rank
+       |  FROM rr)
+       |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "s12_ivf_bbq" -> s12 _,
     "s11_bbq_ann" -> s11 _,
     "s10_matryoshka" -> s10 _,
     "s9_pq_ann" -> s9 _,
@@ -835,6 +952,7 @@ object Similarity {
     "s4_ann_recall" -> s4 _)
 
   val oracle: Map[String, String] = Map(
+    "s12_ivf_bbq" -> s12Sql,
     "s11_bbq_ann" -> s11Sql,
     "s10_matryoshka" -> s10Sql,
     "s9_pq_ann" -> s9Sql,

@@ -713,6 +713,25 @@ class PlanAuditSpec extends SparkSpec {
     } finally persisted.foreach(_.unpersist())
   }
 
+  test("s12: the IVF×BBQ hamming stage joins on cell — the only cartesian is " +
+    "the broadcast centroid assignment; candidate rank is group-limited") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val df = q("s12_ivf_bbq")
+    val p = plan(df)
+    assert(p.contains("WindowGroupLimit"),
+      s"hamming top-10 lost the bounded per-group heap:\n$p")
+    // condition-less joins must declare a BROADCAST side (the centroid
+    // assignment and the 1-row threshold frame — the house crossJoin
+    // contract); the code-vs-code compare is cell-keyed, never cartesian
+    df.queryExecution.optimizedPlan.collect { case j: Join => j }
+      .filter(_.condition.isEmpty)
+      .foreach { j =>
+        val hinted = j.hint.leftHint.exists(_.strategy.nonEmpty) ||
+          j.hint.rightHint.exists(_.strategy.nonEmpty)
+        assert(hinted, s"unhinted cartesian in s12 plan:\n$j")
+      }
+  }
+
   test("s10: matryoshka prefix stage broadcasts the query side; top-5 is group-limited") {
     val p = plan(q("s10_matryoshka"))
     // stage 1 (quadratic) must ride a broadcast of the query slice, and

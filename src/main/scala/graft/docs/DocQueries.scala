@@ -7884,6 +7884,44 @@ object DocQueries {
        |WHERE ${Geo.haversineSql("lat", "lon", 10.0, 20.0)} <= 2000000.0
        |ORDER BY "objectId"""".stripMargin
 
+  // ---------------------------------------------------------------- d200
+  /** ES ingest pipeline — the index-time processor chain
+    * (IngestPipeline.scala): lowercase → gsub rename → set backfill →
+    * script arithmetic, compiled to ONE composed codegen'd doc rewrite
+    * and applied corpus-wide (the `?pipeline=` write path). Output: the
+    * post-pipeline type census with the script-shifted copay sums —
+    * every processor's effect visible. */
+  private def d200(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "description": "normalize types, backfill date, shift copay",
+        |  "processors": [
+        |    { "lowercase": { "field": "planType" } },
+        |    { "gsub": { "field": "planType",
+        |                "pattern": "^building$", "replacement": "bldg" } },
+        |    { "set": { "field": "creationDate", "value": "2026-08-14" } },
+        |    { "script": { "source":
+        |        "ctx._source.planCostShares.copay = ctx._source.planCostShares.copay + 1000" } }
+        |  ]
+        |}""".stripMargin
+    val procs = IngestPipeline.parse(body, schema)
+    assembled(s, d)
+      .select(IngestPipeline(col("doc"), schema, procs).as("doc"))
+      .groupBy(col("doc.planType").as("plan_type"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("doc.planCostShares.copay")).cast("long").as("total_copay"),
+        max(col("doc.creationDate")).as("creation_date"))
+      .orderBy(col("plan_type"))
+  }
+
+  private val d200Sql =
+    """SELECT
+      |  regexp_replace(lower(c_mktsegment), '^building$', 'bldg') AS plan_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(c_custkey % 50 + 1000) AS BIGINT) AS total_copay,
+      |  '2026-08-14' AS creation_date
+      |FROM customer GROUP BY 1 ORDER BY plan_type""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -8071,6 +8109,7 @@ object DocQueries {
     "d197_es_count" -> d197 _,
     "d198_es_suggest_contexts" -> d198 _,
     "d199_geo_sql_pushdown" -> d199 _,
+    "d200_es_ingest_pipeline" -> d200 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
     "d3_roundtrip" -> d3 _,
@@ -8272,6 +8311,7 @@ object DocQueries {
     "d197_es_count" -> d197Sql,
     "d198_es_suggest_contexts" -> d198Sql,
     "d199_geo_sql_pushdown" -> d199Sql,
+    "d200_es_ingest_pipeline" -> d200Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,
     "d3_roundtrip" -> d3Sql,

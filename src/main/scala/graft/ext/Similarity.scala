@@ -937,7 +937,46 @@ object Similarity {
        |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------- s13
+  /** Recall of the QUANTIZED family (s4's "measure, don't guess" applied
+    * to BBQ): per query, how many of brute-force top-3 survive (a) the
+    * full-scan 1-bit path (s11) and (b) the IVF-bucketed path (s12) —
+    * the two-column table is exactly the accuracy/cost trade a deployment
+    * reads before turning nprobe down. Integer counts, no float compare. */
+  private def s13(s: SparkSession, d: String): DataFrame = {
+    val truth = s1(s, d).filter(col("rank") <= 3).select(col("q_id"), col("n_id"))
+    def recallOf(approx: DataFrame, name: String): DataFrame =
+      approx.select(col("q_id"), col("n_id"))
+        .join(truth, Seq("q_id", "n_id"))
+        .groupBy(col("q_id")).agg(count(lit(1)).as(name))
+    truth.select(col("q_id")).distinct()
+      .join(recallOf(s11(s, d), "_bbq"), Seq("q_id"), "left")
+      .join(recallOf(s12(s, d), "_ivf"), Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("_bbq"), lit(0L)).as("bbq_recall3"),
+        coalesce(col("_ivf"), lit(0L)).as("ivf_bbq_recall3"))
+      .orderBy(col("q_id"))
+  }
+
+  private val s13Sql =
+    s"""WITH t0 AS ($s1Sql),
+       |a1 AS ($s11Sql),
+       |a2 AS ($s12Sql),
+       |truth AS (SELECT q_id, n_id FROM t0 WHERE rank <= 3),
+       |h1 AS (SELECT truth.q_id, COUNT(*) AS n FROM a1
+       |  JOIN truth ON a1.q_id = truth.q_id AND a1.n_id = truth.n_id GROUP BY truth.q_id),
+       |h2 AS (SELECT truth.q_id, COUNT(*) AS n FROM a2
+       |  JOIN truth ON a2.q_id = truth.q_id AND a2.n_id = truth.n_id GROUP BY truth.q_id)
+       |SELECT q.q_id,
+       |  CAST(COALESCE(h1.n, 0) AS BIGINT) AS bbq_recall3,
+       |  CAST(COALESCE(h2.n, 0) AS BIGINT) AS ivf_bbq_recall3
+       |FROM (SELECT DISTINCT q_id FROM truth) q
+       |LEFT JOIN h1 ON q.q_id = h1.q_id
+       |LEFT JOIN h2 ON q.q_id = h2.q_id
+       |ORDER BY q.q_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "s13_bbq_recall" -> s13 _,
     "s12_ivf_bbq" -> s12 _,
     "s11_bbq_ann" -> s11 _,
     "s10_matryoshka" -> s10 _,
@@ -952,6 +991,7 @@ object Similarity {
     "s4_ann_recall" -> s4 _)
 
   val oracle: Map[String, String] = Map(
+    "s13_bbq_recall" -> s13Sql,
     "s12_ivf_bbq" -> s12Sql,
     "s11_bbq_ann" -> s11Sql,
     "s10_matryoshka" -> s10Sql,

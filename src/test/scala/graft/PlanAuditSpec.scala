@@ -732,6 +732,44 @@ class PlanAuditSpec extends SparkSpec {
       }
   }
 
+  test("q41: the SCD2 build runs every window stage on ONE user-key shuffle") {
+    val p = plan(q("q41_scd2_history"))
+    // lag → run-id prefix sum → per-run agg → lead all share the user_id
+    // partitioning; only the final orderBy adds a range exchange
+    assert(corpusHashExchanges(p) === 1,
+      s"expected one user-key shuffle for the whole history build:\n$p")
+    assert(!p.contains("Join"), s"SCD2 must not self-join:\n$p")
+  }
+
+  test("q42: three funnel stages share one user-key shuffle, no self-joins") {
+    val p = plan(q("q42_funnel"))
+    assert(!p.contains("Join"), s"funnel stages must chain windows, not join:\n$p")
+    assert(corpusHashExchanges(p) <= 2, // stage windows + final per-user agg
+      s"funnel acquired extra shuffles:\n$p")
+  }
+
+  test("d200: the whole ingest pipeline is one projection — no join, one census shuffle") {
+    val p = plan(q("d200_es_ingest_pipeline"))
+    assert(!p.contains("Join"), s"pipeline rewrite must not join:\n$p")
+    assert(corpusHashExchanges(p) === 1,
+      s"expected only the census groupBy shuffle:\n$p")
+  }
+
+  test("m8: patchify is a pure per-row map — zero hash shuffles") {
+    val p = plan(q("m8_patchify"))
+    assert(corpusHashExchanges(p) === 0, s"patchify must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"patchify must not join:\n$p")
+  }
+
+  test("t34: the data card is two aggregations + a 1-row broadcast — never cartesian " +
+    "beyond it") {
+    val p = plan(q("t34_data_card"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"total-docs frame lost its broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
+      s"hash-dup join should broadcast or hash, got:\n$p")
+  }
+
   test("s10: matryoshka prefix stage broadcasts the query side; top-5 is group-limited") {
     val p = plan(q("s10_matryoshka"))
     // stage 1 (quadratic) must ride a broadcast of the query slice, and

@@ -7922,6 +7922,51 @@ object DocQueries {
       |  '2026-08-14' AS creation_date
       |FROM customer GROUP BY 1 ORDER BY plan_type""".stripMargin
 
+  // ---------------------------------------------------------------- d201
+  /** ES rollup (`_rollup/job` + `_rollup_search`) — the materialized
+    * pre-aggregation story: an HOURLY rollup index (count/sum/min/max per
+    * (hour, event_type) — decomposable partials only, the rollup-job
+    * contract) answers a DAILY-grain query by re-aggregating partials
+    * (sum of sums, sum of counts, min of mins; avg derived as sum/count
+    * at read time — never stored, exactly why ES rollup forbids avg in
+    * the job config). The ORACLE computes the daily numbers DIRECTLY
+    * from the raw events — the gate proves the rollup path reproduces
+    * ground truth bit-exactly, which is the entire point of a rollup.
+    * Scale shape: the rollup build is one hash aggregation the ingest
+    * pipeline maintains incrementally; the daily query touches
+    * |hours × types| rows, never raw events. */
+  private def d201(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val hourUs = 3600000000L
+    val ev = graft.Tables.events(s, d)
+      .select(col("ts_us"), col("event_type"), col("value"))
+    val rollup = ev
+      .groupBy((col("ts_us") - col("ts_us") % hourUs).as("hour_us"), col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("value").cast(DecimalType(12, 2))).as("sum_v"),
+        min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+    rollup
+      .groupBy((col("hour_us") - col("hour_us") % (24L * hourUs)).as("day_us"),
+        col("event_type"))
+      .agg(sum(col("n")).cast("long").as("n_events"),
+        sum(col("sum_v")).cast(DecimalType(28, 6)).cast("double").as("total_value"),
+        min(col("min_v")).as("min_value"), max(col("max_v")).as("max_value"),
+        (sum(col("sum_v")).cast(DecimalType(28, 6)) / sum(col("n")))
+          .cast(DecimalType(28, 6)).cast("double").as("avg_value"))
+      .orderBy(col("day_us"), col("event_type"))
+  }
+
+  private val d201Sql =
+    """WITH e AS (SELECT epoch_us(ts) AS ts_us, event_type, value FROM events)
+      |SELECT CAST(ts_us - ts_us % 86400000000 AS BIGINT) AS day_us, event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(28,6)) AS DOUBLE)
+      |    AS total_value,
+      |  MIN(value) AS min_value, MAX(value) AS max_value,
+      |  CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(28,6)) / COUNT(*)
+      |    AS DECIMAL(28,6)) AS DOUBLE) AS avg_value
+      |FROM e GROUP BY 1, 2 ORDER BY day_us, event_type""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -8110,6 +8155,7 @@ object DocQueries {
     "d198_es_suggest_contexts" -> d198 _,
     "d199_geo_sql_pushdown" -> d199 _,
     "d200_es_ingest_pipeline" -> d200 _,
+    "d201_es_rollup" -> d201 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
     "d3_roundtrip" -> d3 _,
@@ -8312,6 +8358,7 @@ object DocQueries {
     "d198_es_suggest_contexts" -> d198Sql,
     "d199_geo_sql_pushdown" -> d199Sql,
     "d200_es_ingest_pipeline" -> d200Sql,
+    "d201_es_rollup" -> d201Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,
     "d3_roundtrip" -> d3Sql,

@@ -90,6 +90,22 @@ object Bulk {
           require(i < lines.length, s"_bulk $op for $id missing its source line")
           val d = jparse(lines(i))
           require(d.isInstanceOf[JObject], s"_bulk $op source must be an object: $d")
+          // the payload's identity must MATCH the action line — the
+          // response keys on _id while the mutation keys on the payload's
+          // objectType_objectId, so a mismatch would silently desync the
+          // two (reject loudly, the module contract)
+          val dm = d.asInstanceOf[JObject].obj.toMap
+          dm.get("objectId") match {
+            case Some(JString(oid)) => require(oid == id,
+              s"_bulk $op payload objectId $oid does not match _id $id")
+            case _ => throw new IllegalArgumentException(
+              s"_bulk $op payload for $id must carry its objectId")
+          }
+          dm.get("objectType") match {
+            case Some(JString("plan")) | None => ()
+            case other => throw new IllegalArgumentException(
+              s"_bulk $op payload objectType must be plan: $other")
+          }
           i += 1; Some(compact(render(d)))
       }
       out += Action(seq, op, id, payload)

@@ -7869,9 +7869,13 @@ object DocQueries {
     geoDocs(s, d).select(col("doc.objectId").as("objectId"),
         col("doc.location.lat").as("lat"), col("doc.location.lon").as("lon"))
       .createOrReplaceTempView("geo_points_d199")
+    // plain decimal literals on purpose: the analyzer implicit-casts them
+    // (ExpectsInputTypes) and constant folding collapses the casts to the
+    // double literals GeoBoxRule pattern-matches — the natural spelling
+    // a SQL user writes must work
     s.sql(
       """SELECT objectId, lat, lon FROM geo_points_d199
-        |WHERE haversine_m(lat, lon, 10.0D, 20.0D) <= 2000000.0D
+        |WHERE haversine_m(lat, lon, 10.0, 20.0) <= 2000000.0
         |ORDER BY objectId""".stripMargin)
   }
 

@@ -31,13 +31,6 @@ object IngestPipeline {
     def path: Seq[String] = us.path
   }
 
-  private def leafType(path: Seq[String], schema: StructType, what: String): DataType =
-    path.foldLeft(schema: DataType) {
-      case (st: StructType, f) => st.fields.find(_.name == f).getOrElse(
-        throw new IllegalArgumentException(s"$what: no field ${path.mkString(".")}")).dataType
-      case (other, f) =>
-        throw new IllegalArgumentException(s"$what: $f inside non-struct $other")
-    }
 
   def parse(body: String, schema: StructType): Seq[Processor] = {
     import org.json4s._
@@ -66,7 +59,7 @@ object IngestPipeline {
       }
       val (arr, _) = SearchQuery.splitArrayPath(p, schema)
       require(arr.isEmpty, s"$kind on array path ${p.mkString(".")} is not implemented")
-      val lt = leafType(p, schema, kind)
+      val lt = SearchQuery.leafType(p, schema, kind)
       if (strLeaf) require(lt == StringType, s"$kind needs a string field, got $lt")
       p
     }

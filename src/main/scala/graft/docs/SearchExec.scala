@@ -299,12 +299,7 @@ object SearchExec {
     // timestamp formats directly — both pure column expressions.
     val docvalueCols = b.docvalueFields.map { case (p, fmt) =>
       val v = field(doc, p)
-      val leaf = p.foldLeft(schema: org.apache.spark.sql.types.DataType) {
-        case (st: org.apache.spark.sql.types.StructType, f) =>
-          st.fields.find(_.name == f).map(_.dataType).getOrElse(
-            org.apache.spark.sql.types.NullType)
-        case (dt, _) => dt
-      }
+      val leaf = SearchQuery.leafType(p, schema, "docvalue_fields")
       (fmt match {
         case None => v.cast("string")
         case Some(f) => date_format(

@@ -1090,13 +1090,7 @@ object SearchQuery {
       require(arr.isEmpty,
         s"docvalue_fields on array path ${p.mkString(".")} is not implemented")
       fmt.foreach { _ =>
-        val leaf = p.foldLeft(schema: org.apache.spark.sql.types.DataType) {
-          case (st: org.apache.spark.sql.types.StructType, f) =>
-            st.fields.find(_.name == f).getOrElse(throw new IllegalArgumentException(
-              s"docvalue_fields: no field ${p.mkString(".")}")).dataType
-          case (other, f) =>
-            throw new IllegalArgumentException(s"docvalue_fields: $f inside non-struct $other")
-        }
+        val leaf = leafType(p, schema, "docvalue_fields")
         require(leaf == org.apache.spark.sql.types.LongType ||
           leaf == org.apache.spark.sql.types.TimestampType,
           s"docvalue_fields format needs a long (epoch-micros) or timestamp field, " +
@@ -2482,6 +2476,21 @@ object SearchQuery {
 
   /** Split a dotted field path at its first ArrayType component:
     * `(arrayPath, fieldWithinElement)`; `(Nil, path)` when no array. */
+  /** Resolve a non-array field path to its leaf type — THE shared
+    * resolver (parse-time docvalue validation, SearchExec's format
+    * dispatch, IngestPipeline's field checks): one place to change path
+    * semantics, one error behavior (loud throw on unknown fields). */
+  private[docs] def leafType(path: Seq[String],
+                             schema: org.apache.spark.sql.types.StructType,
+                             what: String): org.apache.spark.sql.types.DataType =
+    path.foldLeft(schema: org.apache.spark.sql.types.DataType) {
+      case (st: org.apache.spark.sql.types.StructType, f) =>
+        st.fields.find(_.name == f).getOrElse(throw new IllegalArgumentException(
+          s"$what: no field ${path.mkString(".")}")).dataType
+      case (other, f) =>
+        throw new IllegalArgumentException(s"$what: $f inside non-struct $other")
+    }
+
   private[docs] def splitArrayPath(p: Seq[String],
                                    schema: org.apache.spark.sql.types.StructType): (Seq[String], Seq[String]) = {
     import org.apache.spark.sql.types._

@@ -728,6 +728,42 @@ object Similarity {
        |    USING (q_id)
        |ORDER BY q_id, rank""".stripMargin
 
+  // ------------------------------------------------- shared BBQ helpers
+  /** s11/s12 shared 1-bit code construction: per-dim MIDRANGE thresholds
+    * ((min+max)/2 — order-free aggregates, bit-exact in any engine; an
+    * avg would be partial-aggregation-order dependent) and sign bits
+    * packed into two 32-bit halves of BIGINTs via an MSB-first `acc*2+b`
+    * fold. ONE implementation — a threshold or packing tweak applied to
+    * one path cannot silently break the other or the s13 recall table. */
+  private def bbqCodes(all: DataFrame): DataFrame = {
+    val ma = all.select(posexplode(col("v")).as(Seq("dd", "x")))
+      .groupBy(col("dd")).agg(((min(col("x")) + max(col("x"))) / 2.0).as("mu"))
+      .agg(array_sort(collect_list(struct(col("dd"), col("mu")))).as("ms"))
+      .select(transform(col("ms"), m => m.getField("mu")).as("mus"))
+    def half(lo: Int): Column =
+      aggregate(transform(sequence(lit(lo + 31), lit(lo), lit(-1)),
+        i => when(element_at(col("v"), i + 1) > element_at(col("mus"), i + 1),
+          lit(1L)).otherwise(lit(0L))),
+        lit(0L), (acc, b) => acc * 2 + b)
+    all.crossJoin(broadcast(ma))
+      .select(col("vec_id"), half(0).as("lo"), half(32).as("hi"))
+  }
+
+  /** DuckDB twin of one packed half. */
+  private def bbqHalfSql(hiBit: Int, loBit: Int): String = {
+    val i1 = "CAST(i AS INTEGER) + 1"
+    s"""CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(range($hiBit, ${loBit - 1}, -1), i ->
+       |    CAST(CASE WHEN v[$i1] > mus[$i1] THEN 1 ELSE 0 END AS BIGINT))),
+       |  (acc, b) -> acc * 2 + b) AS BIGINT)"""
+  }
+
+  /** DuckDB twin of the threshold CTEs (emits `b`, `ba` over `vs`). */
+  private val BbqThresholdsSql =
+    """b AS (SELECT d, (MIN(v[CAST(d AS INTEGER) + 1]) + MAX(v[CAST(d AS INTEGER) + 1])) / 2.0 AS mu
+      |      FROM vs, range(0, 64) t(d) GROUP BY d),
+      |ba AS (SELECT list(mu ORDER BY d) AS mus FROM b)""".stripMargin
+
   // ---------------------------------------------------------------- s11
   /** 1-bit binary-quantized ANN with exact rerank — the "BBQ" shape ES
     * ships for 8.16+ dense_vector (32× smaller codes scanned brute-force,
@@ -750,18 +786,7 @@ object Similarity {
     * full-scan operand. */
   private def s11(s: SparkSession, d: String): DataFrame = {
     val all = vecs(s, d).select(col("vec_id"), col("v"))
-    val bounds = all.select(posexplode(col("v")).as(Seq("dd", "x")))
-      .groupBy(col("dd")).agg(((min(col("x")) + max(col("x"))) / 2.0).as("mu"))
-    val ma = bounds
-      .agg(array_sort(collect_list(struct(col("dd"), col("mu")))).as("ms"))
-      .select(transform(col("ms"), m => m.getField("mu")).as("mus"))
-    def half(lo: Int): Column =
-      aggregate(transform(sequence(lit(lo + 31), lit(lo), lit(-1)),
-        i => when(element_at(col("v"), i + 1) > element_at(col("mus"), i + 1),
-          lit(1L)).otherwise(lit(0L))),
-        lit(0L), (acc, b) => acc * 2 + b)
-    val codes = all.crossJoin(broadcast(ma))
-      .select(col("vec_id"), half(0).as("lo"), half(32).as("hi"))
+    val codes = bbqCodes(all)
     val q = codes.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("lo").as("qlo"), col("hi").as("qhi"))
     val ham = codes.join(broadcast(q), col("vec_id") =!= col("q_id"))
@@ -785,20 +810,12 @@ object Similarity {
   }
 
   private val s11Sql = {
-    val i1 = "CAST(i AS INTEGER) + 1"
-    def halfSql(hiBit: Int, loBit: Int) =
-      s"""CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |  list_transform(range($hiBit, ${loBit - 1}, -1), i ->
-         |    CAST(CASE WHEN v[$i1] > mus[$i1] THEN 1 ELSE 0 END AS BIGINT))),
-         |  (acc, b) -> acc * 2 + b) AS BIGINT)"""
     s"""WITH vs0 AS ($VecsSql),
        |vs AS (SELECT vec_id, v FROM vs0),
-       |b AS (SELECT d, (MIN(v[CAST(d AS INTEGER) + 1]) + MAX(v[CAST(d AS INTEGER) + 1])) / 2.0 AS mu
-       |      FROM vs, range(0, 64) t(d) GROUP BY d),
-       |ba AS (SELECT list(mu ORDER BY d) AS mus FROM b),
+       |$BbqThresholdsSql,
        |codes AS (SELECT vec_id,
-       |    ${halfSql(31, 0)} AS lo,
-       |    ${halfSql(63, 32)} AS hi
+       |    ${bbqHalfSql(31, 0)} AS lo,
+       |    ${bbqHalfSql(63, 32)} AS hi
        |  FROM vs, ba),
        |q AS (SELECT vec_id AS q_id, lo AS qlo, hi AS qhi FROM codes WHERE vec_id % 50 = 0),
        |ham AS (SELECT q_id, vec_id AS n_id,
@@ -843,19 +860,8 @@ object Similarity {
         Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("c_id"))))
     val assign = scored.filter(col("rn") === 1)
       .select(col("vec_id"), col("c_id").as("cell"))
-    // s11's midrange-threshold sign codes
-    val bounds = all.select(posexplode(col("v")).as(Seq("dd", "x")))
-      .groupBy(col("dd")).agg(((min(col("x")) + max(col("x"))) / 2.0).as("mu"))
-    val ma = bounds
-      .agg(array_sort(collect_list(struct(col("dd"), col("mu")))).as("ms"))
-      .select(transform(col("ms"), m => m.getField("mu")).as("mus"))
-    def half(lo: Int): Column =
-      aggregate(transform(sequence(lit(lo + 31), lit(lo), lit(-1)),
-        i => when(element_at(col("v"), i + 1) > element_at(col("mus"), i + 1),
-          lit(1L)).otherwise(lit(0L))),
-        lit(0L), (acc, b) => acc * 2 + b)
-    val codes = all.crossJoin(broadcast(ma))
-      .select(col("vec_id"), half(0).as("lo"), half(32).as("hi"))
+    // the s11-shared midrange-threshold sign codes, joined to their cell
+    val codes = bbqCodes(all.select(col("vec_id"), col("v")))
       .join(assign, "vec_id")
     val qProbe = scored.filter(col("vec_id") % 50 === 0 && col("rn") <= 2)
       .select(col("vec_id").as("q_id"), col("c_id").as("cell"))
@@ -888,12 +894,6 @@ object Similarity {
   }
 
   private val s12Sql = {
-    val i1 = "CAST(i AS INTEGER) + 1"
-    def halfSql(hiBit: Int, loBit: Int) =
-      s"""CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |  list_transform(range($hiBit, ${loBit - 1}, -1), i ->
-         |    CAST(CASE WHEN v[$i1] > mus[$i1] THEN 1 ELSE 0 END AS BIGINT))),
-         |  (acc, b) -> acc * 2 + b) AS BIGINT)"""
     s"""WITH vs0 AS ($VecsSql),
        |vs AS (SELECT vec_id, v, nrm FROM vs0),
        |cents AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM vs WHERE vec_id % 97 = 0),
@@ -903,12 +903,10 @@ object Similarity {
        |      ORDER BY ${dotSql("v", "cv")} / (nrm * cn) DESC, c_id) AS rn
        |  FROM vs CROSS JOIN cents),
        |assign AS (SELECT vec_id, c_id AS cell FROM scored WHERE rn = 1),
-       |b AS (SELECT d, (MIN(v[CAST(d AS INTEGER) + 1]) + MAX(v[CAST(d AS INTEGER) + 1])) / 2.0 AS mu
-       |      FROM vs, range(0, 64) t(d) GROUP BY d),
-       |ba AS (SELECT list(mu ORDER BY d) AS mus FROM b),
+       |$BbqThresholdsSql,
        |codes AS (SELECT c.vec_id, cell,
-       |    ${halfSql(31, 0)} AS lo,
-       |    ${halfSql(63, 32)} AS hi
+       |    ${bbqHalfSql(31, 0)} AS lo,
+       |    ${bbqHalfSql(63, 32)} AS hi
        |  FROM (SELECT vec_id, v FROM vs) c, ba, assign a
        |  WHERE c.vec_id = a.vec_id),
        |qprobe AS (SELECT vec_id AS q_id, c_id AS cell FROM scored

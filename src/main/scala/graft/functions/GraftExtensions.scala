@@ -25,6 +25,14 @@ object GraftExtensions {
       (children: Seq[Expression]) => VecDot(children.head, children(1))),
     (FunctionIdentifier("haversine_m"),
       new ExpressionInfo(classOf[HaversineM].getName, "haversine_m"),
-      (children: Seq[Expression]) =>
-        HaversineM(children.head, children(1), children(2), children(3))))
+      (children: Seq[Expression]) => {
+        // cast every child to double at build time: plain SQL decimal
+        // literals and float/int coordinate columns work without the
+        // 10.0D spelling; constant folding collapses literal casts to the
+        // double literals GeoBoxRule pattern-matches
+        val c = children.map(ch =>
+          org.apache.spark.sql.catalyst.expressions.Cast(ch,
+            org.apache.spark.sql.types.DoubleType))
+        HaversineM(c.head, c(1), c(2), c(3))
+      }))
 }

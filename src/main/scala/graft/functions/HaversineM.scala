@@ -26,6 +26,11 @@ case class HaversineM(first: Expression, second: Expression,
                       third: Expression, fourth: Expression)
     extends QuaternaryExpression {
 
+  // the FUNCTION BUILDER (GraftExtensions) casts every child to double, so
+  // plain SQL literals (DECIMAL(3,1) from `10.0`) and float/int coordinate
+  // columns work without the `10.0D` spelling (ExpectsInputTypes would be
+  // the idiomatic fix, but AbstractDataType is private[sql]); this check
+  // is the backstop for direct construction
   override def checkInputDataTypes(): TypeCheckResult =
     if (children.forall(_.dataType == DoubleType)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(

@@ -1053,11 +1053,16 @@ object IndexPipeline {
     // dd2 lesson), and a stream select has no persist boundary to cut it
     def withShingles(df: DataFrame): DataFrame = df.withColumn("shs",
       array_distinct(shingleHashesFlat(tokenHashes(tokens(col("text"))), 3)))
+    // NULL sig for an empty shingle set (docs under 3 tokens): concat_ws
+    // would yield "" (it skips nulls) and empty docs would band-match
+    // each other in Spark while the DuckDB twin's `||` of NULL list_mins
+    // yields NULL — a real engine divergence AND a bogus 0/0-Jaccard
+    // "duplicate" verdict. NULL never equi-joins, in both engines.
     def sigCols: Seq[Column] = (0 until 4).map { bnd =>
-      concat_ws("-", (0 until 3).map { r =>
+      when(size(col("shs")) > 0, concat_ws("-", (0 until 3).map { r =>
         val (a, b) = MinhashParams(bnd * 3 + r)
         array_min(transform(col("shs"), h => perm(h, a, b)))
-      }: _*).as(s"sig$bnd")
+      }: _*)).as(s"sig$bnd")
     }
     def bandRows(df: DataFrame, idCol: String): DataFrame =
       df.select(col(idCol) +: col("shs") +: sigCols: _*)

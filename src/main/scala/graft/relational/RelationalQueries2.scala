@@ -743,9 +743,9 @@ object RelationalQueries2 {
     * shuffles once on the dimension key — the same plan builds a 100 TB
     * history table. Deterministic run order via the (ts_us, event_id)
     * tiebreak. */
-  private def q41(s: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(s, d)
-      .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
+  /** The SCD2 core over any (user_id, event_id, ts_us, event_type) change
+    * log — shared by q41 (full build) and q43 (incremental maintenance). */
+  private def scd2(ev: DataFrame): DataFrame = {
     val wOrd = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_us"), col("event_id"))
     val runs = ev
@@ -763,7 +763,34 @@ object RelationalQueries2 {
       .select(col("user_id"), col("version"), col("segment"),
         col("valid_from"), col("valid_to"), col("n_events"),
         col("valid_to").isNull.as("is_current"))
+  }
+
+  private def q41(s: SparkSession, d: String): DataFrame =
+    scd2(Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type")))
       .orderBy(col("user_id"), col("version"))
+
+  // ---------------------------------------------------------------- q43
+  /** INCREMENTAL SCD2 maintenance — the production delta: a late batch of
+    * changes (the last ~20% of event time, the q40 split) arrives against
+    * an existing history table. Only AFFECTED users (those present in the
+    * batch) are rebuilt from their full change log; everyone else's rows
+    * pass through untouched — the cost is proportional to the delta's
+    * user set, not the dimension. The ORACLE is the FULL recompute (the
+    * q41 SQL verbatim), so the gate itself proves incremental == full —
+    * the q40/d201 equivalence-proof pattern. */
+  private def q43(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
+    val cut = broadcast(ev.agg((min(col("ts_us")) +
+      ((max(col("ts_us")) - min(col("ts_us"))) * 4L) / 5L).as("_cut")))
+    val tagged = ev.crossJoin(cut)
+    val base = tagged.filter(col("ts_us") < col("_cut")).drop("_cut")
+    val delta = tagged.filter(col("ts_us") >= col("_cut")).drop("_cut")
+    val affected = delta.select(col("user_id")).distinct()
+    val untouched = scd2(base).join(affected, Seq("user_id"), "left_anti")
+    val rebuilt = scd2(ev.join(affected, Seq("user_id"), "left_semi"))
+    untouched.unionByName(rebuilt).orderBy(col("user_id"), col("version"))
   }
 
   private val q41Sql =
@@ -839,6 +866,7 @@ object RelationalQueries2 {
 
   val queries: Map[String, Q] = Map(
     "q42_funnel" -> q42 _,
+    "q43_scd2_incremental" -> q43 _,
     "q41_scd2_history" -> q41 _,
     "q40_incremental_agg" -> q40 _,
     "q39_salted_join" -> q39 _,
@@ -863,6 +891,7 @@ object RelationalQueries2 {
 
   val oracle: Map[String, String] = Map(
     "q42_funnel" -> q42Sql,
+    "q43_scd2_incremental" -> q41Sql, // full recompute IS the oracle: incremental == full
     "q41_scd2_history" -> q41Sql,
     "q40_incremental_agg" -> q40Sql,
     "q39_salted_join" -> q39Sql,

@@ -69,7 +69,14 @@ object Bench {
     // succeed) — lets a reader separate noise from regression without a
     // quiet-box rerun
     val allRuns = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
-    val results = warm +: SparkEntry.queries.toSeq.sortBy(_._1)
+    // The dd family runs FIRST, the rest alphabetically: round 10 showed
+    // the alphabetical slot right after the d-queries' memory high-water
+    // mark distorting the dedup measurements (since fixed at the root by
+    // the standing parquet index, but the bench should measure engine
+    // cost, not slot luck). Per-query best-of-2 numbers stay comparable
+    // across rounds — only the run ORDER moves.
+    val results = warm +: SparkEntry.queries.toSeq
+      .sortBy { case (n, _) => (if (n.startsWith("dd")) 0 else 1, n) }
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
       .map { case (name, fn) =>
         // A dead SparkContext (driver SIGTERM, OOM) must not let the

@@ -17,10 +17,11 @@ import org.apache.spark.sql.types.StructType
   * per-id action chain is folded at plan-build time in Scala under BOTH
   * initial-existence assumptions ("the corpus has this id" / "it does
   * not"). Everything data-dependent collapses to that one bit, resolved by
-  * ONE broadcast equi-join of the batch ids against the corpus:
+  * ONE In-filter-pushed scan of the batch ids against the corpus (a
+  * bounded collect — the d4 point-lookup shape at multi-key grain):
   *
-  *   - per-action results: `when(exists, <folded-present-status>)
-  *     .otherwise(<folded-absent-status>)` — a pure column CASE.
+  *   - per-action results: the realized branch's folded status per
+  *     action — a batch-bounded LocalRelation, zero corpus work.
   *   - final per-id content: `absent` / `corpus` (untouched) / a base doc
   *     (batch literal or the stored doc) with the surviving update patches
   *     replayed IN ORDER as a statically-unrolled MergePatch column chain
@@ -161,6 +162,32 @@ object Bulk {
     * children key the touched closures without a reachability pass). */
   final case class Outcome(resp: DataFrame, after: Shredded, fresh: Shredded)
 
+  /** Initial existence: the batch's id list is a driver literal, so it
+    * prunes the corpus scan DIRECTLY (`isin` → an In filter pushed to
+    * the parquet scan — the d4 point-lookup shape at multi-key grain)
+    * and the surviving ≤|batch| keys collect as bounded driver state.
+    * NOT a broadcast-hinted left-outer join from the batch side: Spark
+    * can only build (broadcast) the NON-preserved side of an outer join,
+    * so that hint was silently ignored and the corpus side shuffled
+    * (round-10 ADVICE). Exposed for the plan audit. */
+  private[graft] def existenceScan(assembled: DataFrame, ids: Seq[String],
+                                   docCol: String = "doc"): DataFrame =
+    assembled.select(col(docCol).getField("objectId").as("_cid"))
+      .filter(col("_cid").isin(ids: _*))
+
+  /** The present ids' stored-doc attach: a second pushed In-filter scan
+    * joined INNER with the batch frame as the broadcast BUILD side (the
+    * broadcastable shape — inner joins may build either side). Exposed
+    * for the plan audit. */
+  private[graft] def storedJoin(assembled: DataFrame, presentDf: DataFrame,
+                                presentIds: Seq[String],
+                                docCol: String = "doc"): DataFrame = {
+    val doc = col(docCol)
+    assembled.select(doc.getField("objectId").as("_cid"), doc.as("_stored"))
+      .filter(col("_cid").isin(presentIds: _*))
+      .join(broadcast(presentDf), col("id") === col("_cid"), "inner")
+  }
+
   def run(assembled: DataFrame, sh: Shredded, ndjson: String,
           schema: StructType, maxDepth: Int,
           docCol: String = "doc"): Outcome = {
@@ -172,38 +199,43 @@ object Bulk {
       byId.map { case (id, as) => id -> (fold(as, initiallyExists = true),
         fold(as, initiallyExists = false)) }
 
-    val doc = col(docCol)
-    // ONE broadcast equi-join resolves every id's initial-existence bit
-    // (the batch side is request-bounded; the corpus side prunes to the
-    // joined ids). `_stored` rides along for patch bases.
-    val corpus = assembled.select(doc.getField("objectId").as("_cid"), doc.as("_stored"))
+    import spark.implicits._
+    val allIds = byId.keys.toSeq.sorted
+    val existing: Set[String] = existenceScan(assembled, allIds, docCol)
+      .collect().map(_.getString(0)).toSet
 
     // ---- per-action response ------------------------------------------
+    // existence is known driver-side, so the response frame is a pure
+    // batch-bounded LocalRelation — zero corpus work
     val respRows = actions.map { a =>
       val (bp, ba) = folded(a.id)
       val k = byId(a.id).indexWhere(_.seq == a.seq)
-      val (rp, sp) = bp.statuses(k)
-      val (ra, sa) = ba.statuses(k)
-      (a.seq.toLong, a.id, a.op, rp, sp, ra, sa)
+      val (r, st) = (if (existing(a.id)) bp else ba).statuses(k)
+      (a.seq.toLong, a.id, a.op, r, st)
     }
-    import spark.implicits._
-    val resp = broadcast(respRows.toDF("seq", "id", "op", "_rp", "_sp", "_ra", "_sa"))
-      .join(corpus.select(col("_cid")), col("id") === col("_cid"), "left")
-      .select(col("seq"), col("id"), col("op"),
-        when(col("_cid").isNotNull, col("_rp")).otherwise(col("_ra")).as("result"),
-        when(col("_cid").isNotNull, col("_sp")).otherwise(col("_sa")).as("status"))
+    val resp = respRows.toDF("seq", "id", "op", "result", "status")
 
     // ---- the index mutation -------------------------------------------
+    // each id keeps only its REALIZED branch; ids present in the index
+    // join their stored doc through a second pushed In-filter scan with
+    // the batch frame as the broadcast BUILD side (inner join — the
+    // broadcastable shape), ids absent from the index are pure literals
     val idRows = folded.toSeq.sortBy(_._1).map { case (id, (bp, ba)) =>
-      (id, bp.content.kind, bp.content.base, bp.content.patches,
-        ba.content.kind, ba.content.base, ba.content.patches)
+      val b = if (existing(id)) bp else ba
+      (id, b.content.kind, b.content.base, b.content.patches)
     }
-    val ids = broadcast(idRows.toDF("id", "_kp", "_bp", "_pp", "_ka", "_ba", "_pa"))
-      .join(corpus, col("id") === col("_cid"), "left")
+    val (presentRows, absentRows) = idRows.partition(r => existing(r._1))
+    val present = storedJoin(assembled,
+      presentRows.toDF("id", "_k", "_b", "_p"), presentRows.map(_._1), docCol)
+    val absent = absentRows.toDF("id", "_k", "_b", "_p")
+      .withColumn("_cid", lit(null).cast("string"))
+      .withColumn("_stored", lit(null).cast(schema))
+      .select(present.columns.map(col).toSeq: _*)
+    val ids = present.unionByName(absent)
     val exists = col("_cid").isNotNull
-    val kind = when(exists, col("_kp")).otherwise(col("_ka"))
-    val base = when(exists, col("_bp")).otherwise(col("_ba"))
-    val patches = when(exists, col("_pp")).otherwise(col("_pa"))
+    val kind = col("_k")
+    val base = col("_b")
+    val patches = col("_p")
 
     // ids whose final state is absent but whose closure is in the index.
     // PINNED (batch-bounded driver rows): the cascade's fixed-depth
@@ -217,9 +249,7 @@ object Bulk {
 
     // final docs: base (batch literal or the stored doc) + the ordered
     // patch chain, statically unrolled (batches carry few patches per id)
-    val maxPatches = folded.valuesIterator
-      .flatMap { case (p, a) => Iterator(p.content.patches.size, a.content.patches.size) }
-      .max
+    val maxPatches = idRows.map(_._4.size).max
     val base0 = when(base.isNotNull, from_json(base, schema)).otherwise(col("_stored"))
     val patched = (1 to maxPatches).foldLeft(base0) { (acc, i) =>
       when(size(patches) >= i,

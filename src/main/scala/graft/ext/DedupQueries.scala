@@ -55,6 +55,84 @@ object DedupQueries {
       |UNION ALL
       |SELECT doc_id + 2000000, text, lang, source FROM documents WHERE doc_id % 13 = 0""".stripMargin
 
+  // ----------------------------------------------------- standing index
+  /** The dedup family's SHARED frames — tokens, shingle sets, MinHash and
+    * SimHash signatures, quantized vectors — materialized ONCE per
+    * (session, sf-dir) as write-once parquet (the DocQueries corpus
+    * pattern, `DocQueries.scala:29-47`) and read from storage by every
+    * consumer. NOT executor-cache `.persist()`: a MEMORY_AND_DISK block
+    * demonstrably evaporates under the 300+-query session's memory
+    * pressure, multiplying dd7/dd8 7× as the whole token→shingle→signature
+    * pipeline recomputes per downstream action (round-10 driver bench).
+    * A parquet signature index is also the literal 100 TB architecture:
+    * production incremental dedup keeps a STANDING signature index on
+    * storage (dd7's contract) and every batch reads it with column
+    * pruning + pushdown — the cache is an optimization, never the plan.
+    *
+    * Each frame is a hard materialization boundary, which the shingle
+    * lambdas REQUIRE: `element_at(hs, i)` closes over the full `hs`
+    * expression tree, so deriving shingles straight from `tokens(text)`
+    * re-splits the document per window element — O(tokens²) per doc
+    * (measured 36-50 s vs 2-4 s at sf0.1 in round 2). Reading `hs` back
+    * as a parquet attribute makes the closure a column reference. */
+  private val memo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
+  private def mat(s: SparkSession, d: String, tag: String)(df: => DataFrame): DataFrame =
+    memo.getOrElseUpdate((s, d, tag), {
+      val dir = graft.TempDirs.create(s"graft-dd-$tag-")
+      df.write.mode("overwrite").parquet(dir.toString)
+      s.read.parquet(dir.toString)
+    })
+
+  /** (doc_id, toks) over the planted corpus. */
+  private def matToks(s: SparkSession, d: String): DataFrame =
+    mat(s, d, "toks")(
+      planted(s, d).select(col("doc_id"), tokens(col("text")).as("toks")))
+
+  /** (doc_id, hs) — per-token MinHash-domain hashes. */
+  private def matTokenHs(s: SparkSession, d: String): DataFrame =
+    mat(s, d, "tokenhs")(
+      matToks(s, d).select(col("doc_id"), tokenHashes(col("toks")).as("hs")))
+
+  /** Distinct (doc_id, h) 3-token shingle hashes — dd2's features and
+    * dd13's truth/planner input (dd13's 1-in-3 sample is a FILTER of this
+    * frame: membership is decided by doc_id alone). */
+  private def matShingle3(s: SparkSession, d: String): DataFrame =
+    mat(s, d, "sh3")(
+      matTokenHs(s, d)
+        .select(col("doc_id"), explode(shingleHashes(col("hs"), 3)).as("h"))
+        .distinct())
+
+  /** (doc_id, mh0..mh11) 12-permutation MinHash signatures (dd2 bands,
+    * dd13 planner bands — per-doc aggregation, so the sampled variant is
+    * again a filter). */
+  private def matMinhashSig(s: SparkSession, d: String): DataFrame =
+    mat(s, d, "mhsig") {
+      val mhCols = MinhashParams.zipWithIndex.map { case ((a, b), i) =>
+        min(perm(col("h"), a, b)).as(s"mh$i") }
+      matShingle3(s, d).groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
+    }
+
+  /** (doc_id, simhash) 60-bit SimHash over distinct token-bigram features
+    * — ONE signature pass serving both dd3 (self near-dup) and dd7
+    * (incremental old×batch): the standing index an incremental ingest
+    * reads instead of re-sketching the lake. */
+  private def matSimhashSig(s: SparkSession, d: String): DataFrame =
+    mat(s, d, "simsig") {
+      val th = matToks(s, d)
+        .select(col("doc_id"), explode(shingles(col("toks"), 2)).as("bg"))
+        .select(col("doc_id"), stableHash60(col("bg")).as("h")).distinct()
+      val simhashUdaf = udaf(graft.functions.SimHashAgg)
+      th.groupBy(col("doc_id")).agg(simhashUdaf(col("h")).as("simhash"))
+    }
+
+  /** The standing simhash signature table, exposed for the plan audit
+    * (PlanAuditSpec pins that dd3/dd7's signature side is a parquet
+    * SCAN — zero Aggregate/Generate — not a recomputed sketch). */
+  private[graft] def simhashIndex(s: SparkSession, d: String): DataFrame =
+    matSimhashSig(s, d)
+
   // ---------------------------------------------------------------- dd1
   /** Exact dedup: groupBy(md5(text)), keep the smallest doc_id per content
     * group. One shuffle on the content hash at any scale. */
@@ -87,25 +165,12 @@ object DedupQueries {
     * → 4 bands × 3 rows → bucket-join candidates → exact Jaccard verify
     * (integer n_inter/n_union, threshold 0.6). */
   private def dd2(s: SparkSession, d: String): DataFrame = {
-    val corpus = planted(s, d)
-    // distinct (doc, shingle-hash < p) rows, persisted — the signature
-    // build and BOTH sides of the Jaccard verify consume it. Shingles are
-    // hashed by combining per-TOKEN hashes arithmetically; the token-hash
-    // array MUST be materialized (persist) before the shingle transform —
-    // a lambda's `element_at(hs, i)` closes over the full `hs` expression
-    // tree, so without the boundary every window element re-runs the md5
-    // transform of the whole token list (measured 36 s vs 2 s at sf0.1).
-    val th = graft.Eager.keyed(corpus
-      .select(col("doc_id"), tokenHashes(tokens(col("text"))).as("hs")), "dd2")
-      .persist()
-    val sh = th.select(col("doc_id"),
-        explode(shingleHashes(col("hs"), 3)).as("h"))
-      .distinct()
-      .persist()
-    // 12-column MinHash signature per doc
-    val mhCols = MinhashParams.zipWithIndex.map { case ((a, b), i) =>
-      min(perm(col("h"), a, b)).as(s"mh$i") }
-    val sig = sh.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
+    // distinct (doc, shingle-hash) rows and the 12-column signatures come
+    // from the standing parquet index (matShingle3 / matMinhashSig): the
+    // signature build and BOTH sides of the Jaccard verify re-read real
+    // scans instead of hoping an executor-cache block survived.
+    val sh = matShingle3(s, d)
+    val sig = matMinhashSig(s, d)
     // 4 bands × 3 rows; band signature = joined minhash triple
     val bands = (0 until 4).map { bnd =>
       sig.select(col("doc_id"), lit(bnd).as("band"),
@@ -128,7 +193,7 @@ object DedupQueries {
         (col("na") + col("nb") - col("n_inter")).as("n_union"))
       .filter(col("n_inter") * 10 >= col("n_union") * 6)
       .orderBy(col("a"), col("b"))
-    graft.Eager.finish(res, th, sh)
+    graft.Eager.pin(res)
   }
 
   private def mhTermsSql: String = MinhashParams.zipWithIndex.map { case ((a, b), i) =>
@@ -176,24 +241,12 @@ object DedupQueries {
     * (round 2's 11k false pairs) — positional bigrams restore feature
     * diversity (unrelated hamming ≈ 15-30, planted copies ≈ 0-3). */
   private def dd3(s: SparkSession, d: String): DataFrame = {
-    val corpus = planted(s, d)
-    // same materialization boundary as dd2 (see comment there): without the
-    // persist, the shingle lambda's `element_at(toks, i)` closes over the
-    // full tokens() expression and re-splits the document per bigram —
-    // O(tokens²) per doc (measured 50 s vs ~4 s at sf0.1)
-    val tk = graft.Eager.keyed(
-      corpus.select(col("doc_id"), tokens(col("text")).as("toks")), "dd3").persist()
-    val th = tk
-      .select(col("doc_id"), explode(shingles(col("toks"), 2)).as("bg"))
-      .select(col("doc_id"), stableHash60(col("bg")).as("h")).distinct()
-    // custom typed Aggregator (UDAF surface): per-bit votes accumulate
-    // map-side, one 60-long buffer per group crosses the shuffle
-    val simhashUdaf = udaf(graft.functions.SimHashAgg)
-    // persisted: one narrow row per doc, but BOTH sides of the band
-    // self-join consume it — without the boundary the whole sketch runs twice
-    val sig = th.groupBy(col("doc_id"))
-      .agg(simhashUdaf(col("h")).as("simhash"))
-      .persist()
+    // the 60-bit signatures come from the standing parquet index
+    // (matSimhashSig — custom typed SimHashAgg Aggregator: per-bit votes
+    // accumulate map-side, one 60-long buffer per group crosses the
+    // shuffle); both sides of the band self-join scan the same narrow
+    // parquet table, not a hopefully-still-cached block
+    val sig = matSimhashSig(s, d)
     val bands = (0 until 6).map { bnd =>
       sig.select(col("doc_id"), col("simhash"), lit(bnd).as("band"),
         (shiftright(col("simhash"), bnd * 10) % 1024).as("bv"))
@@ -206,7 +259,7 @@ object DedupQueries {
       .distinct()
       .filter(col("hamming") <= 5)
       .orderBy(col("a"), col("b"))
-    graft.Eager.finish(res, tk, sig)
+    graft.Eager.pin(res)
   }
 
   private def simTermsSql: String = (0 until 60).map { j =>
@@ -491,7 +544,8 @@ object DedupQueries {
         transform(col("v"), x => x * 1.001 + 0.0005).as("v"))
     val vecs = base.unionByName(pert)
       .withColumn("nrm", sqrt(vecDot(col("v"), col("v"))))
-    val withSig = vecs.withColumn("sig", Similarity.lshSig(col("v"))).persist()
+    // standing parquet LSH-signature table (see the standing-index note)
+    val withSig = mat(s, d, "dd5sig")(vecs.withColumn("sig", Similarity.lshSig(col("v"))))
     // Narrow band rows (ids only): the ~|collisions| candidate pairs are
     // deduped BEFORE the 64-double vectors are joined back in — the wide
     // arrays never ride the quadratic part of the shuffle.
@@ -511,7 +565,7 @@ object DedupQueries {
         (vecDot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
       .filter(col("cos") >= 0.999)
       .orderBy(col("a"), col("b"))
-    graft.Eager.finish(res, withSig)
+    graft.Eager.pin(res)
   }
 
   private val dd5Sql =
@@ -564,9 +618,13 @@ object DedupQueries {
     * (map-side combinable on (cluster, i)) and assignment is a pure
     * per-row map against centroid literals — no corpus join at all. The
     * final within-cluster pair join is the SemDeDup contract: O(Σ cᵢ²)
-    * with k CHOSEN so cᵢ stays bounded (k ≈ n / target cluster size; the
-    * fixture uses k = 8 to keep the oracle tractable — at 100 TB k grows
-    * with the corpus and AQE splits any skewed cluster key).
+    * with k DERIVED from the corpus so cᵢ stays bounded: k = ⌈n / 70⌉
+    * (target cluster size SemTgt = 70 — one COUNT of the vector table,
+    * the engine's bounded-driver-state class; the sf0.01 fixture lands on
+    * k = 8, and the oracle replays the identical integer formula, so the
+    * pinning is the formula, not a constant). At 100× the cluster count
+    * grows 100× while the expected cᵢ stays ~70; AQE splits any skewed
+    * cluster key.
     *
     * Each Lloyd round ends at a driver-collected k×dim table, so lineage
     * resets per round (the dd6 iterative-loop lesson) without a storage
@@ -575,7 +633,7 @@ object DedupQueries {
     * keep-one-per-duplicate-group decision, derivable without connected
     * components because τ-balls around the planted dups are disjoint). */
   private val SemScale = 4096L // 2^12: |e| ≤ 0.53 → |q| ≤ ~2200, d² ≤ ~1.2e9
-  private val SemK = 8
+  private val SemTgt = 70L // target cluster size: k = ceil(n / SemTgt)
   private val SemTau = 100L // planted ±1 perturbation gives d² ≤ 64 < 100
 
   /** Integer squared L2 — exact in any engine (products < 2^31, sums < 2^38). */
@@ -583,13 +641,13 @@ object DedupQueries {
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, z) => acc + z)
 
   private def dd8(s: SparkSession, d: String): DataFrame = {
-    val (res, vecs) = dd8Plan(s, d)
-    graft.Eager.finish(res, vecs)
+    val (res, _) = dd8Plan(s, d)
+    graft.Eager.pin(res)
   }
 
-  /** Un-pinned dd8 plan + its persisted vector frame, exposed for plan
-    * audits (the s2Plan pattern — the public query pins the answer into a
-    * LocalRelation, leaving nothing to audit). */
+  /** Un-pinned dd8 plan + its standing vector table (a parquet read),
+    * exposed for plan audits (the s2Plan pattern — the public query pins
+    * the answer into a LocalRelation, leaving nothing to audit). */
   private[graft] def dd8Plan(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val base = Tables(s, d, "embeddings")
       .select(col("vec_id"),
@@ -606,13 +664,19 @@ object DedupQueries {
         transform(col("q"), (x, i) => x + stableHash32(concat(
           col("vec_id").cast("string"), lit(":"), i.cast("string"))) % 3 - 1).as("q"))
       .select((col("vec_id") + 1000000L).as("vec_id"), col("q"))
-    val vecs = base.unionByName(pert).persist()
+    // standing parquet vector table (write-once, like the signature
+    // index): 5 downstream actions (count, seeds, 2 Lloyd rounds, final
+    // assignment + pair join) each re-scan a real columnar table
+    val vecs = mat(s, d, "qvecs")(base.unionByName(pert))
+    // k from the corpus: ⌈n / SemTgt⌉ — one count() of bounded driver
+    // state; the oracle replays the same integer formula
+    val k = ((vecs.count() + SemTgt - 1) / SemTgt).toInt
     // deterministic seeds: the k vectors with the smallest salted hash
     // (rerunnable, engine-portable — the d80 sampling contract)
     val seed0: Array[Seq[Long]] = vecs
       .select(col("vec_id"), col("q"),
         stableHash32(concat(col("vec_id").cast("string"), lit(":seed"))).as("_sh"))
-      .orderBy(col("_sh").asc, col("vec_id").asc).limit(SemK)
+      .orderBy(col("_sh").asc, col("vec_id").asc).limit(k)
       .collect().map(_.getSeq[Long](1))
     /** Assignment is a pure map: least() over (d², cid) structs is the
       * deterministic argmin (struct ordering breaks d² ties on cid). */
@@ -632,7 +696,7 @@ object DedupQueries {
         .select(col("cluster"), col("i"), expr("(s - (s % n)) div n").as("m"))
         .collect()
       val byCid = rows.groupBy(_.getLong(0))
-      (0 until SemK).map(cid => byCid.get(cid.toLong)
+      (0 until k).map(cid => byCid.get(cid.toLong)
         .map(_.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq)
         .getOrElse(cents(cid))).toArray
     }
@@ -686,12 +750,13 @@ object DedupQueries {
        |    list_transform(range(0, $dim), i -> q[CAST(i + 1 AS INTEGER)]
        |      + CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) % 3 - 1)
        |  FROM base WHERE vec_id % 9 = 0),
+       |kk AS (SELECT CAST((COUNT(*) + ${SemTgt - 1}) // $SemTgt AS BIGINT) AS k FROM vecs),
        |c0 AS (
        |  SELECT rn - 1 AS cid, q AS cq FROM (
        |    SELECT vec_id, q, ROW_NUMBER() OVER (ORDER BY
        |      CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':seed'), 1, 8)) AS BIGINT),
        |      vec_id) AS rn
-       |    FROM vecs) WHERE rn <= $SemK),
+       |    FROM vecs) WHERE rn <= (SELECT k FROM kk)),
        |${asgSql("c0", "asg1")},
        |${centSql("asg1", "c0", "c1")},
        |${asgSql("c1", "asg2")},
@@ -719,20 +784,17 @@ object DedupQueries {
     * decision: drop_exact / drop_near / keep.
     *
     * At 100 TB the old side's signatures are a precomputed index read
-    * from storage; here both sides share one signature pass (same sketch
-    * as dd3, persists released via Eager.finish). */
+    * from storage — which is LITERALLY what runs here: both sides read
+    * the standing parquet signature table (matSimhashSig, shared with
+    * dd3), so the query's corpus-grain work is two narrow scans. */
   private def dd7(s: SparkSession, d: String): DataFrame = {
     val Boundary = 1000000L
     val corpus = planted(s, d)
-    val tk = graft.Eager.keyed(
-      corpus.select(col("doc_id"), tokens(col("text")).as("toks")), "dd7").persist()
-    val th = tk
-      .select(col("doc_id"), explode(shingles(col("toks"), 2)).as("bg"))
-      .select(col("doc_id"), stableHash60(col("bg")).as("h")).distinct()
-    val simhashUdaf = udaf(graft.functions.SimHashAgg)
-    val sig = th.groupBy(col("doc_id"))
-      .agg(simhashUdaf(col("h")).as("simhash"))
-      .persist()
+    // the standing signature index (matSimhashSig — the SAME parquet
+    // table dd3 reads; one sketch pass serves the whole family): at
+    // 100 TB the old side IS this table, read with pushdown, and the
+    // batch's signatures are appended to it after admission
+    val sig = matSimhashSig(s, d)
     val bands = (0 until 6).map { bnd =>
       sig.select(col("doc_id"), col("simhash"), lit(bnd).as("band"),
         (shiftright(col("simhash"), bnd * 10) % 1024).as("bv"))
@@ -763,7 +825,7 @@ object DedupQueries {
           .when(coalesce(col("n_near"), lit(0L)) > 0, "drop_near")
           .otherwise("keep").as("verdict"))
       .orderBy(col("batch_id"))
-    graft.Eager.finish(res, tk, sig)
+    graft.Eager.pin(res)
   }
 
   private val dd7Sql =
@@ -1178,16 +1240,13 @@ object DedupQueries {
     // the planner runs on a 1-in-3 doc SAMPLE (what a production tuning
     // pass does — recall estimates need a sample, not the corpus) with a
     // df <= 20 truth cap: the full-corpus df <= 50 variant spent its time
-    // exploding C(df,2) truth pairs (26 s at sf0.1 vs ~7 s sampled)
-    val corpus = planted(s, d).filter(col("doc_id") % 3 === 0)
-    val th = graft.Eager.keyed(
-      corpus.select(col("doc_id"), tokenHashes(tokens(col("text"))).as("hs")), "dd13")
-      .persist()
-    val sh = th.select(col("doc_id"), explode(shingleHashes(col("hs"), 3)).as("h"))
-      .distinct().persist()
-    val mhCols = MinhashParams.zipWithIndex.map { case ((a, b), i) =>
-      min(perm(col("h"), a, b)).as(s"mh$i") }
-    val sig = sh.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*).persist()
+    // exploding C(df,2) truth pairs (26 s at sf0.1 vs ~7 s sampled).
+    // Shingles and signatures are FILTERS of the standing parquet index
+    // (sample membership is a doc_id predicate; both frames are per-doc,
+    // so filter-then-read ≡ read-then-filter) — the sketch pipeline never
+    // reruns here at all.
+    val sh = matShingle3(s, d).filter(col("doc_id") % 3 === 0)
+    val sig = matMinhashSig(s, d).filter(col("doc_id") % 3 === 0)
     val rare = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= 20).select(col("h"))
     val shr = sh.join(rare, "h")
@@ -1223,7 +1282,7 @@ object DedupQueries {
           (col("n_hit").cast("double") / col("n_truth")).as("recall"),
           lit(theory).as("capture_at_06"))
     }.reduce(_ unionByName _).orderBy(col("bands"))
-    (res, Seq(th, sh, sig, truth))
+    (res, Seq(truth))
   }
 
   private val dd13Sql = {

@@ -129,6 +129,26 @@ class PlanAuditSpec extends SparkSpec {
     } finally cached.foreach(_.unpersist(true))
   }
 
+  test("dd3/dd7: the simhash signature side is a standing parquet SCAN, " +
+    "not a recomputed sketch") {
+    // The dedup family's signatures are write-once parquet (the standing
+    // index — the 100 TB incremental-dedup architecture, and the fix for
+    // the round-10 cache-pressure cliff: a persist() that evaporates under
+    // memory pressure recomputes the whole token→shingle→signature
+    // pipeline per downstream action, 7× at sf0.1). The audited frame must
+    // therefore be a bare file scan: any Aggregate or Generate here means
+    // the sketch pipeline is riding the query again.
+    val sig = graft.ext.DedupQueries.simhashIndex(spark, sf)
+    val opt = sig.queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Generate}
+    assert(opt.collect { case a: Aggregate => a }.isEmpty,
+      s"signature side re-aggregates the sketch:\n$opt")
+    assert(opt.collect { case g: Generate => g }.isEmpty,
+      s"signature side re-explodes shingles:\n$opt")
+    assert(opt.toString.contains("parquet"),
+      s"signature side is not a parquet relation:\n$opt")
+  }
+
   test("dd8: semantic-dedup pair generation is cluster-bucketed, never cartesian") {
     // SemDeDup's quadratic part must be an equi-join on the cluster key
     // (O(Σ cᵢ²) with k scaling against cluster size) — a cartesian or
@@ -809,10 +829,43 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), s"reindex must not join:\n$p")
   }
 
-  test("d191: bulk batch ids ride a broadcast against the corpus — never a " +
-    "corpus shuffle for the existence resolve") {
-    val p = plan(q("d191_es_bulk"))
-    assert(p.contains("BroadcastHashJoin"), s"batch-id side not broadcast:\n$p")
+  test("d191: bulk batch ids prune the corpus scan (pushed In filter) and the " +
+    "stored-doc join broadcasts the BATCH side — never a corpus shuffle") {
+    // existence resolves via a pushed In-filter scan + bounded collect (a
+    // broadcast hint on the preserved side of a left-outer join is
+    // silently unusable — round-10 ADVICE); the stored-doc attach is an
+    // inner join whose BUILD side is the batch frame. Audited on the RAW
+    // Bulk.run mutation lineage (the registry query materializes it).
+    import org.apache.spark.sql.functions.col
+    val schema = graft.model.PlanSchema.plan
+    def matLocal(df: DataFrame, tag: String): DataFrame = {
+      val dir = graft.TempDirs.create(s"graft-audit-bulk-$tag-")
+      df.write.mode("overwrite").parquet(dir.toString)
+      spark.read.parquet(dir.toString)
+    }
+    val sh0 = graft.docs.Shredder.shred(graft.docs.PlanDocs.docs(spark, sf))
+    val sh = graft.docs.Shredded(
+      matLocal(sh0.entities, "ent"), matLocal(sh0.edges, "edg"))
+    // the registry's assembled corpus is a materialized parquet table
+    // (DocQueries "write once, read everywhere") — reproduce that here so
+    // the audit sees the real scan, not a live assembly plan
+    val assembled = matLocal(
+      graft.docs.Assembler.assemble(sh, schema, "plan"), "asm")
+    val ids = Seq("plan-3", "plan-7", "plan-900001")
+    val pe = plan(graft.docs.Bulk.existenceScan(assembled, ids))
+    val pushedE = pe.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushedE.contains("In(") || pushedE.contains("EqualTo("),
+      s"batch id set lost the existence-scan pushdown:\n$pe")
+    import spark.implicits._
+    val presentDf = Seq(("plan-3", "doc"), ("plan-7", "doc")).toDF("id", "_k")
+    val pj = plan(graft.docs.Bulk.storedJoin(
+      assembled, presentDf, Seq("plan-3", "plan-7")))
+    val pushedJ = pj.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushedJ.contains("In(") || pushedJ.contains("EqualTo("),
+      s"present id set lost the stored-doc scan pushdown:\n$pj")
+    assert(pj.contains("BroadcastHashJoin"), s"stored-doc join not broadcast:\n$pj")
+    assert(!pj.contains("SortMergeJoin") && !pj.contains("ShuffledHashJoin"),
+      s"corpus shuffled for the stored-doc attach:\n$pj")
   }
 
   test("d190: the alias filter is pushed to the assembled scan with the request query") {

@@ -7144,9 +7144,13 @@ object DocQueries {
   // ---------------------------------------------------------------- d182
   /** ES `_mget` — multi-document GET: requested ids return in REQUEST
     * order with per-doc `found` flags (missing ids are `found: false`
-    * rows, not errors — the ES contract). The id list rides a broadcast
-    * literal frame into one left join against the assembled table; the
-    * key equality is pushdown-eligible like d4's single GET. */
+    * rows, not errors — the ES contract). The request's id list is a
+    * LITERAL, so it prunes the corpus scan directly (`isin` → an In
+    * filter at the parquet scan, d4's point-lookup pushdown at multi-key
+    * grain); the surviving ≤|request| hit rows are the BUILD side of the
+    * left join (a broadcast hint on the preserved side of a left-outer
+    * join is silently unusable — Spark can only build the non-preserved
+    * side — so the small side must be the right one). */
   private def d182(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val ids = Seq("plan-3", "plan-77", "plan-9999999", "plan-42")
@@ -7155,8 +7159,9 @@ object DocQueries {
     val hits = assembled(s, d).select(col("doc.objectId").as("_id"),
       col("doc.planType").as("plan_type"),
       col("doc.planCostShares.copay").as("copay"))
+      .filter(col("_id").isin(ids: _*))
       .withColumn("_hit", lit(1))
-    broadcast(req).join(hits, Seq("_id"), "left")
+    req.join(broadcast(hits), Seq("_id"), "left")
       .select(col("req_ord"), col("_id"),
         col("_hit").isNotNull.cast("int").as("found"),
         col("plan_type"), col("copay"))
@@ -7585,7 +7590,7 @@ object DocQueries {
     * create-after-index conflicts, update patches compose in order. The
     * response rows are the ES per-item results (`created`/`updated`/
     * `deleted`/`not_found`/`version_conflict` + HTTP status), resolved by
-    * ONE broadcast equi-join of the batch ids against the corpus; the
+    * ONE In-filter-pushed scan of the batch ids against the corpus; the
     * mutation rides M6 cascade + M8 replace. Output: response rows, the
     * post-bulk per-type census (seq 100), and the touched docs' final
     * content (seq 200 — planType:copay:n_services), proving both the
@@ -7971,6 +7976,79 @@ object DocQueries {
       |    AS DECIMAL(28,6)) AS DOUBLE) AS avg_value
       |FROM e GROUP BY 1, 2 ORDER BY day_us, event_type""".stripMargin
 
+  // ---------------------------------------------------------------- d202
+  /** ES 8.14+ HYBRID search — a `knn` leg beside a `standard` leg under
+    * the `rrf` retriever (the production hybrid-search default shape):
+    * the lexical leg is d196's function_score ranking, the vector leg is
+    * the s6 executor riding the retriever tree (Retriever.KnnLeg — term
+    * filter pruned BEFORE any vector math, codegen'd `vec_dot` cosine,
+    * bounded top-min(k, window) heap). The index's vector side is the
+    * embeddings table keyed into the plan id space (TESTDATA's shared id
+    * convention, the s7 contract). At 100 TB each leg is one scan + one
+    * bounded heap; the fusion join touches ≤ 2·window rows. */
+  private def d202(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.ensure(s)
+    import graft.functions.GraftFunctions.vecDot
+    val vecsDf = graft.Tables(s, d, "embeddings")
+      .filter(col("vec_id") >= 1) // vectors keyed by INDEXED doc ids only
+      .select(concat(lit("plan-"), col("vec_id").cast("string")).as("objectId"),
+        col("label"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(vecDot(col("v"), col("v"))))
+    val qv = graft.Tables(s, d, "embeddings").filter(col("vec_id") === 100)
+      .select(col("embedding").cast("array<double>").as("v"))
+      .head().getSeq[Double](0)
+    val body =
+      s"""{
+         |  "retriever": { "rrf": {
+         |    "retrievers": [
+         |      { "standard": { "query": { "function_score": {
+         |          "query": { "term": { "planType": "BUILDING" } },
+         |          "functions": [ { "field_value_factor": {
+         |              "field": "planCostShares.copay",
+         |              "factor": 2, "modifier": "sqrt", "missing": 0 } } ],
+         |          "score_mode": "sum", "boost_mode": "sum" } } } },
+         |      { "knn": { "field": "embedding",
+         |          "query_vector": [${qv.mkString(",")}],
+         |          "k": 25, "num_candidates": 200,
+         |          "filter": { "term": { "label": 7 } } } } ],
+         |    "rank_window_size": 25, "rank_constant": 60 } },
+         |  "size": 15
+         |}""".stripMargin
+    Retriever.search(assembled(s, d), "doc", body, schema, Some(vecsDf))
+  }
+
+  private val d202Sql = {
+    import graft.ext.Similarity.dotSql
+    s"""WITH la AS (
+       |  SELECT "objectId", rank_0 FROM (
+       |    SELECT 'plan-' || ${ck("c_custkey")} AS "objectId",
+       |      CAST(ROW_NUMBER() OVER (ORDER BY c_custkey % 50 DESC,
+       |        'plan-' || ${ck("c_custkey")}) AS BIGINT) AS rank_0
+       |    FROM customer WHERE c_mktsegment = 'BUILDING')
+       |  WHERE rank_0 <= 25),
+       |vecs AS (
+       |  SELECT vec_id, label, v, sqrt(${dotSql("v", "v")}) AS nrm
+       |  FROM (SELECT vec_id, label,
+       |          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |        FROM embeddings WHERE vec_id >= 1)),
+       |q AS (SELECT v AS qv, nrm AS qn FROM vecs WHERE vec_id = 100),
+       |lb AS (
+       |  SELECT "objectId", rank_1 FROM (
+       |    SELECT 'plan-' || CAST(vec_id AS VARCHAR) AS "objectId",
+       |      CAST(ROW_NUMBER() OVER (ORDER BY ${dotSql("qv", "v")} / (qn * nrm) DESC,
+       |        'plan-' || CAST(vec_id AS VARCHAR)) AS BIGINT) AS rank_1
+       |    FROM vecs CROSS JOIN q WHERE label = 7)
+       |  WHERE rank_1 <= 25),
+       |j AS (
+       |  SELECT COALESCE(la."objectId", lb."objectId") AS "objectId", rank_0, rank_1,
+       |    COALESCE(1.0 / (60 + rank_0), 0.0) + COALESCE(1.0 / (60 + rank_1), 0.0) AS rrf
+       |  FROM la FULL OUTER JOIN lb ON la."objectId" = lb."objectId")
+       |SELECT rn, "objectId", rank_0, rank_1, rrf FROM (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, "objectId") AS BIGINT) AS rn, *
+       |  FROM j)
+       |WHERE rn <= 15 ORDER BY rn""".stripMargin
+  }
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -8160,6 +8238,7 @@ object DocQueries {
     "d199_geo_sql_pushdown" -> d199 _,
     "d200_es_ingest_pipeline" -> d200 _,
     "d201_es_rollup" -> d201 _,
+    "d202_es_knn_retriever" -> d202 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
     "d3_roundtrip" -> d3 _,
@@ -8363,6 +8442,7 @@ object DocQueries {
     "d199_geo_sql_pushdown" -> d199Sql,
     "d200_es_ingest_pipeline" -> d200Sql,
     "d201_es_rollup" -> d201Sql,
+    "d202_es_knn_retriever" -> d202Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,
     "d3_roundtrip" -> d3Sql,

@@ -19,18 +19,32 @@ import org.apache.spark.sql.types.StructType
   * top-`size`. At 100 TB each leg is one scan + one bounded heap;
   * everything after is window-grain.
   *
-  * Not implemented (rejected loudly): `knn` legs over this corpus (no
-  * vector field — the s6/s11 registries carry the vector side),
-  * `text_similarity_reranker` (needs an inference service), per-leg
-  * `filter` on rrf (ES 8.16; compose it into the leg query instead).
+  * `knn` legs (ES 8.14+ hybrid search — the default knn+lexical rrf
+  * shape) execute the s6 machinery as a leg: the caller supplies the
+  * index's vector side as `vectors` (`objectId`, `v` array<double>,
+  * `nrm`, plus any filterable attribute columns — the engine's vector
+  * "field" lives in a columnar side table keyed by the doc id, TESTDATA's
+  * shared id space). The leg is FILTER (a pushable single-term clause,
+  * pruned before any vector math) → codegen'd `vec_dot` cosine → bounded
+  * top-min(k, window) — exact search, the documented upgrade over ES's
+  * per-shard HNSW beam (the s6 rule).
+  *
+  * Not implemented (rejected loudly): `text_similarity_reranker` (needs
+  * an inference service), per-leg `filter` on rrf (ES 8.16; compose it
+  * into the leg query instead).
   */
 object Retriever {
 
   private def field(root: Column, path: Seq[String]): Column =
     path.foldLeft(root)((c, f) => c.getField(f))
 
+  private sealed trait Leg
+  private final case class StandardLeg(p: SearchQuery.Parsed) extends Leg
+  private final case class KnnLeg(qv: Seq[Double], k: Int,
+                                  filter: Option[Column]) extends Leg
+
   def search(docs: DataFrame, docCol: String, body: String,
-             schema: StructType): DataFrame = {
+             schema: StructType, vectors: Option[DataFrame] = None): DataFrame = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods.{compact, render, parse => jparse}
     val root = jparse(body) match {
@@ -44,7 +58,7 @@ object Retriever {
       case Some(JInt(i)) => i.toInt
       case Some(other) => throw new IllegalArgumentException(s"bad size: $other")
     }
-    def legOf(j: JValue): SearchQuery.Parsed = j match {
+    def legOf(j: JValue): Leg = j match {
       case JObject(List(("standard", JObject(sf)))) =>
         val m = sf.toMap
         val unknownL = m.keySet -- Set("query")
@@ -52,9 +66,51 @@ object Retriever {
           s"unsupported standard retriever key(s): ${unknownL.mkString(", ")}")
         val q = m.getOrElse("query",
           throw new IllegalArgumentException("standard retriever needs query"))
-        SearchQuery.parseBody(compact(render(JObject("query" -> q))), schema)
+        StandardLeg(SearchQuery.parseBody(compact(render(JObject("query" -> q))), schema))
+      case JObject(List(("knn", JObject(kf)))) =>
+        require(vectors.nonEmpty,
+          "knn retriever leg: this index carries no vector side table")
+        val m = kf.toMap
+        val unknownK = m.keySet --
+          Set("field", "query_vector", "k", "num_candidates", "filter")
+        require(unknownK.isEmpty,
+          s"unsupported knn retriever key(s): ${unknownK.mkString(", ")}")
+        require(m.get("field").contains(JString("embedding")),
+          "knn field must be the embedding column")
+        val k = m.get("k") match {
+          case Some(JInt(i)) => i.toInt
+          case other => throw new IllegalArgumentException(s"knn needs integer k: $other")
+        }
+        val nc = m.get("num_candidates") match {
+          case None => k
+          case Some(JInt(i)) => i.toInt
+          case Some(other) => throw new IllegalArgumentException(s"bad num_candidates: $other")
+        }
+        require(nc >= k, s"num_candidates ($nc) must be >= k ($k) (ES rule)")
+        val qv = m.get("query_vector") match {
+          case Some(JArray(xs)) if xs.nonEmpty => xs.map {
+            case JDouble(x) => x
+            case JInt(x) => x.toDouble
+            case JDecimal(x) => x.toDouble
+            case other => throw new IllegalArgumentException(s"bad query_vector entry: $other")
+          }
+          case other => throw new IllegalArgumentException(s"bad query_vector: $other")
+        }
+        val filt = m.get("filter").map {
+          case JObject(List(("term", JObject(List((fld, v)))))) =>
+            val value = v match {
+              case JInt(i) => lit(i.toLong)
+              case JString(str) => lit(str)
+              case JObject(List(("value", JInt(i)))) => lit(i.toLong)
+              case other => throw new IllegalArgumentException(s"bad knn filter term: $other")
+            }
+            col(fld) === value
+          case other => throw new IllegalArgumentException(
+            s"only a single term clause is implemented as a knn leg filter: $other")
+        }
+        KnnLeg(qv, k, filt)
       case JObject(List((other, _))) => throw new IllegalArgumentException(
-        s"unsupported retriever type: $other (standard legs under rrf only)")
+        s"unsupported retriever type: $other (standard/knn legs only)")
       case other => throw new IllegalArgumentException(s"bad retriever leg: $other")
     }
     val (legs, window, k) = root.getOrElse("retriever",
@@ -80,7 +136,7 @@ object Retriever {
           case Some(other) => throw new IllegalArgumentException(s"bad rank_constant: $other")
         }
         (ls, w, kc)
-      case leaf @ JObject(List(("standard", _))) => (Seq(legOf(leaf)), size, 60)
+      case leaf @ JObject(List(("standard" | "knn", _))) => (Seq(legOf(leaf)), size, 60)
       case other => throw new IllegalArgumentException(s"unsupported retriever tree: $other")
     }
     require(size <= window,
@@ -88,14 +144,31 @@ object Retriever {
     require(schema.fieldNames.contains("objectId"),
       "retriever ranking needs an objectId field for the deterministic tiebreak")
     val doc = col(docCol)
-    val ranked = legs.zipWithIndex.map { case (p, i) =>
+    val ranked = legs.zipWithIndex.map { case (leg, i) =>
       val w = org.apache.spark.sql.expressions.Window
         .orderBy(col("_s").desc, col("objectId").asc)
-      docs.filter(SearchQuery.compile(p.query, doc))
-        .select(field(doc, Seq("objectId")).as("objectId"),
-          SearchQuery.scoreCol(p, doc).cast("double").as("_s"))
-        .orderBy(col("_s").desc, col("objectId").asc).limit(window)
-        .withColumn(s"rank_$i", row_number().over(w).cast("long"))
+      val page = leg match {
+        case StandardLeg(p) =>
+          docs.filter(SearchQuery.compile(p.query, doc))
+            .select(field(doc, Seq("objectId")).as("objectId"),
+              SearchQuery.scoreCol(p, doc).cast("double").as("_s"))
+            .orderBy(col("_s").desc, col("objectId").asc).limit(window)
+        case KnnLeg(qv, k, filt) =>
+          // filter prunes BEFORE any vector math (pushable predicate on
+          // the vector side table), then one codegen'd vec_dot cosine and
+          // a bounded top-min(k, window) heap — the s6 executor as a leg
+          graft.functions.GraftFunctions.ensure(docs.sparkSession)
+          import graft.functions.GraftFunctions.vecDot
+          val qn = math.sqrt(qv.map(x => x * x).sum)
+          val qvCol = array(qv.map(lit): _*)
+          val base = filt.fold(vectors.get)(vectors.get.filter)
+          base.select(col("objectId"),
+              (vecDot(qvCol, col("v")) / (lit(qn) * col("nrm")))
+                .cast("double").as("_s"))
+            .orderBy(col("_s").desc, col("objectId").asc)
+            .limit(math.min(k, window))
+      }
+      page.withColumn(s"rank_$i", row_number().over(w).cast("long"))
         .select(col("objectId"), col(s"rank_$i"))
     }
     if (legs.size == 1) {

@@ -868,6 +868,16 @@ class PlanAuditSpec extends SparkSpec {
       s"corpus shuffled for the stored-doc attach:\n$pj")
   }
 
+  test("d202: the knn retriever leg's term filter reaches the vector-table " +
+    "scan (pushed BEFORE any vector math) and both legs stay bounded heaps") {
+    val p = plan(q("d202_es_knn_retriever"))
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("EqualTo(label,7)") || pushed.contains("EqualTo(label, 7)"),
+      s"knn leg filter lost the vector-scan pushdown:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"retriever legs lost the bounded top-k heaps:\n$p")
+  }
+
   test("d190: the alias filter is pushed to the assembled scan with the request query") {
     val p = plan(q("d190_filtered_alias"))
     val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString

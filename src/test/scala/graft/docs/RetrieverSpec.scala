@@ -10,13 +10,20 @@ class RetrieverSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Retriever.search(spark.emptyDataFrame, "doc", body, PlanSchema.plan)).getMessage
 
-  test("rejections: unknown keys, knn legs, <2 legs, size beyond window") {
+  test("rejections: unknown keys, vector-less knn, <2 legs, size beyond window") {
     assert(bad("""{"retriever": {"rrf": {"retrievers": []}}, "from": 5}""")
       .contains("unsupported retriever body key"))
+    // a knn leg without a supplied vector side table rejects loudly
     assert(bad(
       """{"retriever": {"rrf": {"retrievers": [
         |  {"standard": {"query": {"match_all": {}}}},
-        |  {"knn": {"field": "v", "k": 5}}]}}}""".stripMargin)
+        |  {"knn": {"field": "embedding", "query_vector": [1.0], "k": 5}}]}}}""".stripMargin)
+      .contains("no vector side table"))
+    // reranker legs are out of contract (inference service)
+    assert(bad(
+      """{"retriever": {"rrf": {"retrievers": [
+        |  {"standard": {"query": {"match_all": {}}}},
+        |  {"text_similarity_reranker": {"field": "t"}}]}}}""".stripMargin)
       .contains("unsupported retriever type"))
     assert(bad("""{"retriever": {"rrf": {"retrievers": [
         |  {"standard": {"query": {"match_all": {}}}}]}}}""".stripMargin)

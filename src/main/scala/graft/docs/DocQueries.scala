@@ -8049,6 +8049,102 @@ object DocQueries {
        |WHERE rn <= 15 ORDER BY rn""".stripMargin
   }
 
+  // ---------------------------------------------------------------- d203
+  /** ES `children` aggregation — the agg counterpart of has_child
+    * (JoinAggs.scala): a terms split on the PARENT field (`planType`)
+    * descends two join-field hops (`linkedPlanServices` →
+    * `planserviceCostShares`) and aggregates CHILD metrics per parent
+    * bucket — the Kibana parent/child dashboard shape. Each hop is one
+    * key equi-join through the shredded edges index + one hash agg at
+    * bucket grain; bucket assembly is size-bounded. */
+  private def d203(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "size": 0,
+        |  "aggs": { "by_type": {
+        |    "terms": { "field": "planType", "size": 10 },
+        |    "aggs": { "services": {
+        |      "children": { "type": "linkedPlanServices" },
+        |      "aggs": { "shares": {
+        |        "children": { "type": "planserviceCostShares" },
+        |        "aggs": {
+        |          "avg_ded": { "avg": { "field": "deductible" } },
+        |          "max_copay": { "max": { "field": "copay" } } } } } } } } }
+        |}""".stripMargin
+    JoinAggs.run(shredded(s, d), "plan", body)
+  }
+
+  private val d203Sql =
+    s"""WITH o AS $O,
+       |seg AS (SELECT c_mktsegment AS key, c_custkey FROM customer),
+       |b AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS doc_count FROM seg GROUP BY key),
+       |sv AS (SELECT s.key, o.o_orderkey, o.o_custkey
+       |       FROM o JOIN seg s ON s.c_custkey = o.o_custkey),
+       |sva AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS services_doc_count
+       |        FROM sv GROUP BY key),
+       |sha AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS shares_doc_count,
+       |          CAST(CAST(SUM(o_orderkey % 1000) AS BIGINT) AS DOUBLE)
+       |            / COUNT(o_orderkey % 1000) AS shares_avg_ded,
+       |          CAST(MAX(o_custkey % 200) AS BIGINT) AS shares_max_copay
+       |        FROM sv GROUP BY key)
+       |SELECT b.key, doc_count,
+       |  COALESCE(services_doc_count, 0) AS services_doc_count,
+       |  COALESCE(shares_doc_count, 0) AS shares_doc_count,
+       |  shares_avg_ded, shares_max_copay
+       |FROM b LEFT JOIN sva USING (key) LEFT JOIN sha USING (key)
+       |ORDER BY doc_count DESC, key LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- d206
+  /** ES `parent` aggregation — the other direction: a terms split at
+    * CHILD grain (service `name`, the `linkedService` entity) steps UP
+    * two parent hops (`linkedService` → planservice →
+    * `linkedPlanServices` → plan, each a key equi-join + a DISTINCT at
+    * (bucket, parent) grain — a parent with many matching children
+    * counts ONCE, the ES contract) and then back DOWN a children hop to
+    * the plan's cost shares for the metrics — "for each service tier,
+    * how many distinct plans carry it and what do they cost". */
+  private def d206(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "size": 0,
+        |  "aggs": { "by_service": {
+        |    "terms": { "field": "name", "size": 10 },
+        |    "aggs": { "to_service": {
+        |      "parent": { "type": "linkedService" },
+        |      "aggs": { "to_plan": {
+        |        "parent": { "type": "linkedPlanServices" },
+        |        "aggs": { "cost": {
+        |          "children": { "type": "planCostShares" },
+        |          "aggs": {
+        |            "avg_copay": { "avg": { "field": "copay" } },
+        |            "max_ded": { "max": { "field": "deductible" } } } } } } } } } } }
+        |}""".stripMargin
+    JoinAggs.run(shredded(s, d), "linkedService", body)
+  }
+
+  private val d206Sql =
+    s"""WITH o AS $O,
+       |svc AS (SELECT 'Service ' || o_orderpriority AS key, o_orderkey, o_custkey FROM o),
+       |b AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS doc_count FROM svc GROUP BY key),
+       |ts AS (SELECT key, CAST(COUNT(DISTINCT o_orderkey) AS BIGINT)
+       |         AS to_service_doc_count FROM svc GROUP BY key),
+       |tp AS (SELECT DISTINCT key, o_custkey FROM svc),
+       |tpa AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS to_plan_doc_count
+       |        FROM tp GROUP BY key),
+       |ca AS (SELECT tp.key, CAST(COUNT(*) AS BIGINT) AS cost_doc_count,
+       |         CAST(CAST(SUM(c_custkey % 50) AS BIGINT) AS DOUBLE)
+       |           / COUNT(c_custkey % 50) AS cost_avg_copay,
+       |         CAST(MAX(c_nationkey * 100) AS BIGINT) AS cost_max_ded
+       |       FROM tp JOIN customer ON c_custkey = tp.o_custkey GROUP BY tp.key)
+       |SELECT b.key, doc_count,
+       |  COALESCE(to_service_doc_count, 0) AS to_service_doc_count,
+       |  COALESCE(to_plan_doc_count, 0) AS to_plan_doc_count,
+       |  COALESCE(cost_doc_count, 0) AS cost_doc_count,
+       |  cost_avg_copay, cost_max_ded
+       |FROM b LEFT JOIN ts USING (key) LEFT JOIN tpa USING (key)
+       |  LEFT JOIN ca USING (key)
+       |ORDER BY doc_count DESC, key LIMIT 10""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
@@ -8239,6 +8335,8 @@ object DocQueries {
     "d200_es_ingest_pipeline" -> d200 _,
     "d201_es_rollup" -> d201 _,
     "d202_es_knn_retriever" -> d202 _,
+    "d203_es_children_agg" -> d203 _,
+    "d206_es_parent_agg" -> d206 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
     "d3_roundtrip" -> d3 _,
@@ -8443,6 +8541,8 @@ object DocQueries {
     "d200_es_ingest_pipeline" -> d200Sql,
     "d201_es_rollup" -> d201Sql,
     "d202_es_knn_retriever" -> d202Sql,
+    "d203_es_children_agg" -> d203Sql,
+    "d206_es_parent_agg" -> d206Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,
     "d3_roundtrip" -> d3Sql,

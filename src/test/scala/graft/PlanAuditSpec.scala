@@ -878,6 +878,31 @@ class PlanAuditSpec extends SparkSpec {
       s"retriever legs lost the bounded top-k heaps:\n$p")
   }
 
+  test("d203/d206: children/parent agg hops are key equi-joins with keyed " +
+    "aggregates — no corpus distinct, no cartesian") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate, Join}
+    for (name <- Seq("d203_es_children_agg", "d206_es_parent_agg")) {
+      val df = q(name)
+      val opt = df.queryExecution.optimizedPlan
+      assert(opt.collect { case dd: Deduplicate => dd }.isEmpty,
+        s"$name: raw Deduplicate survived optimization")
+      // every aggregate (incl. the parent-hop distinct, rewritten to an
+      // Aggregate) must be KEYED — a global/corpus-wide dedup has empty
+      // grouping and dies at scale
+      opt.collect { case a: Aggregate => a }.foreach { a =>
+        assert(a.groupingExpressions.nonEmpty,
+          s"$name: un-keyed aggregate in join-agg plan:\n$a")
+      }
+      val joins = opt.collect { case j: Join => j }
+      assert(joins.forall(_.condition.nonEmpty),
+        s"$name: condition-less join in join-agg plan")
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$name: non-equi join shape:\n$p")
+      assert(p.contains("partial_count"), s"$name: no map-side partial aggregation:\n$p")
+    }
+  }
+
   test("d190: the alias filter is pushed to the assembled scan with the request query") {
     val p = plan(q("d190_filtered_alias"))
     val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString

@@ -8094,6 +8094,47 @@ object DocQueries {
        |FROM b LEFT JOIN sva USING (key) LEFT JOIN sha USING (key)
        |ORDER BY doc_count DESC, key LIMIT 10""".stripMargin
 
+  // ---------------------------------------------------------------- d204
+  /** ES ingest pipeline with SCHEMA-EVOLVING processors — `convert` +
+    * `date` (IngestPipeline.parseEvolving/applyEvolving): copay retypes
+    * long→string so the gsub (a STRING processor — it would reject at
+    * parse time before the convert) can rewrite its leading digit, then
+    * retypes back; `date` tries its formats in order (the first one
+    * mismatches — the ES contract, via try_to_timestamp) and ADDS a new
+    * TIMESTAMP field to the root struct. Still ONE composed codegen'd
+    * rewrite for the whole chain; the output reads the evolved field
+    * (unix_micros — the house timestamp normalization). */
+  private def d204(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "description": "typed conversions + date parse",
+        |  "processors": [
+        |    { "convert": { "field": "planCostShares.copay", "type": "string" } },
+        |    { "gsub": { "field": "planCostShares.copay",
+        |                "pattern": "^4", "replacement": "9" } },
+        |    { "convert": { "field": "planCostShares.copay", "type": "long" } },
+        |    { "date": { "field": "creationDate",
+        |                "formats": ["dd/MM/yyyy", "MM-dd-yyyy"],
+        |                "target_field": "ingested_at" } }
+        |  ]
+        |}""".stripMargin
+    val (procs, _) = IngestPipeline.parseEvolving(body, schema)
+    val (rewritten, _) = IngestPipeline.applyEvolving(col("doc"), schema, procs)
+    assembled(s, d).select(rewritten.as("doc"))
+      .groupBy(col("doc.planType").as("plan_type"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("doc.planCostShares.copay")).cast("long").as("total_copay"),
+        max(unix_micros(col("doc.ingested_at"))).as("ingested_at_us"))
+      .orderBy(col("plan_type"))
+  }
+
+  private val d204Sql =
+    """SELECT c_mktsegment AS plan_type, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CAST(regexp_replace(CAST(c_custkey % 50 AS VARCHAR), '^4', '9')
+      |    AS BIGINT)) AS BIGINT) AS total_copay,
+      |  epoch_us(strptime('12-12-2017', '%m-%d-%Y')) AS ingested_at_us
+      |FROM customer GROUP BY 1 ORDER BY plan_type""".stripMargin
+
   // ---------------------------------------------------------------- d206
   /** ES `parent` aggregation — the other direction: a terms split at
     * CHILD grain (service `name`, the `linkedService` entity) steps UP
@@ -8336,6 +8377,7 @@ object DocQueries {
     "d201_es_rollup" -> d201 _,
     "d202_es_knn_retriever" -> d202 _,
     "d203_es_children_agg" -> d203 _,
+    "d204_es_ingest_evolving" -> d204 _,
     "d206_es_parent_agg" -> d206 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
@@ -8542,6 +8584,7 @@ object DocQueries {
     "d201_es_rollup" -> d201Sql,
     "d202_es_knn_retriever" -> d202Sql,
     "d203_es_children_agg" -> d203Sql,
+    "d204_es_ingest_evolving" -> d204Sql,
     "d206_es_parent_agg" -> d206Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,

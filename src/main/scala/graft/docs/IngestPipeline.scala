@@ -2,7 +2,7 @@ package graft.docs
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StringType, StructType}
+import org.apache.spark.sql.types._
 
 /** ES ingest pipelines — the index-time processor chain (`PUT
   * _ingest/pipeline/...` + `?pipeline=` on writes). Each processor is one
@@ -11,12 +11,16 @@ import org.apache.spark.sql.types.{DataType, StringType, StructType}
   * BulkByQuery.setField machinery), so a million-doc ingest batch pays a
   * single codegen'd projection, not a per-processor pass.
   *
-  * Supported processors (schema-preserving subset — this engine's
-  * documents are typed structs, so shape-changing processors are out of
-  * contract): `set` (literal), `lowercase`/`uppercase`/`trim`, `gsub`
-  * (regex replace), `remove` (nulls the leaf — the typed-struct reading
-  * of ES's key drop), and `script` (the d175 single-assignment Painless
-  * subset). Unknown processors and option keys reject loudly; `if`
+  * Supported processors: `set` (literal), `lowercase`/`uppercase`/`trim`,
+  * `gsub` (regex replace), `remove` (nulls the leaf — the typed-struct
+  * reading of ES's key drop), `script` (the d175 single-assignment
+  * Painless subset), and the SCHEMA-EVOLVING pair `convert` (retypes the
+  * leaf — the pipeline threads the evolved StructType so every LATER
+  * processor validates against the post-convert shape) and `date` (parses
+  * a string field with the declared formats tried in order — ES
+  * semantics, via try_to_timestamp+coalesce — into a TIMESTAMP
+  * `target_field`, ADDED to the parent struct when absent; default
+  * `@timestamp`). Unknown processors and option keys reject loudly; `if`
   * conditions are not implemented (reject, never silently run
   * unconditionally). */
 object IngestPipeline {
@@ -30,9 +34,53 @@ object IngestPipeline {
   final case class Script(us: BulkByQuery.UpdateScript) extends Processor {
     def path: Seq[String] = us.path
   }
+  final case class Convert(path: Seq[String], to: DataType) extends Processor
+  final case class DateProc(src: Seq[String], path: Seq[String],
+                            formats: Seq[String]) extends Processor
+
+  private val ConvertTypes: Map[String, DataType] = Map(
+    "integer" -> IntegerType, "long" -> LongType, "float" -> FloatType,
+    "double" -> DoubleType, "string" -> StringType, "boolean" -> BooleanType)
+
+  /** The pipeline's schema evolution for one processor: `convert` retypes
+    * its leaf, `date` adds-or-retypes its target leaf, everything else is
+    * shape-preserving. */
+  private def evolve(schema: StructType, p: Processor): StructType = p match {
+    case Convert(path, to) => withLeaf(schema, path, to)
+    case DateProc(_, path, _) => withLeaf(schema, path, TimestampType)
+    case _ => schema
+  }
+
+  /** `schema` with the leaf at `path` replaced by (or, at the last level,
+    * appended as) type `dt`. */
+  private def withLeaf(schema: StructType, path: Seq[String], dt: DataType): StructType =
+    path match {
+      case Seq(leaf) =>
+        if (schema.fieldNames.contains(leaf))
+          StructType(schema.fields.map(f =>
+            if (f.name == leaf) StructField(leaf, dt, nullable = true) else f))
+        else StructType(schema.fields :+ StructField(leaf, dt, nullable = true))
+      case head +: rest =>
+        val sub = schema(head).dataType match {
+          case st: StructType => st
+          case other => throw new IllegalArgumentException(
+            s"$head is inside non-struct $other")
+        }
+        StructType(schema.fields.map(f =>
+          if (f.name == head) StructField(head, withLeaf(sub, rest, dt), f.nullable)
+          else f))
+      case _ => throw new IllegalArgumentException("empty processor path")
+    }
 
 
-  def parse(body: String, schema: StructType): Seq[Processor] = {
+  def parse(body: String, schema: StructType): Seq[Processor] =
+    parseEvolving(body, schema)._1
+
+  /** Parse + VALIDATE the chain against the evolving schema (a `gsub`
+    * after a long→string `convert` is legal; the same gsub before it
+    * rejects). Returns the processors and the post-pipeline schema. */
+  def parseEvolving(body: String, schema0: StructType): (Seq[Processor], StructType) = {
+    val schema = schema0 // parse-time validation threads `sch` below
     import org.json4s._
     val root = org.json4s.jackson.JsonMethods.parse(body) match {
       case JObject(fs) => fs.toMap
@@ -52,64 +100,156 @@ object IngestPipeline {
         m
       case other => throw new IllegalArgumentException(s"bad $kind processor: $other")
     }
-    def fieldOf(kind: String, m: Map[String, JValue], strLeaf: Boolean): Seq[String] = {
+    def fieldOf(sch: StructType, kind: String, m: Map[String, JValue],
+                strLeaf: Boolean): Seq[String] = {
       val p = m.get("field") match {
         case Some(JString(f)) => f.split('.').toSeq
         case other => throw new IllegalArgumentException(s"$kind needs field: $other")
       }
-      val (arr, _) = SearchQuery.splitArrayPath(p, schema)
+      val (arr, _) = SearchQuery.splitArrayPath(p, sch)
       require(arr.isEmpty, s"$kind on array path ${p.mkString(".")} is not implemented")
-      val lt = SearchQuery.leafType(p, schema, kind)
+      val lt = SearchQuery.leafType(p, sch, kind)
       if (strLeaf) require(lt == StringType, s"$kind needs a string field, got $lt")
       p
     }
-    procs.map {
-      case JObject(List(("set", spec))) =>
-        val m = opts("set", spec, Set("field", "value"))
-        val v = m.get("value") match {
-          case Some(JString(v0)) => v0
-          case other => throw new IllegalArgumentException(
-            s"set needs a string value (typed leaves go through script): $other")
+    val (out, schOut) = procs.foldLeft((Vector.empty[Processor], schema)) {
+      case ((acc, sch), jproc) =>
+        val p = jproc match {
+          case JObject(List(("set", spec))) =>
+            val m = opts("set", spec, Set("field", "value"))
+            val v = m.get("value") match {
+              case Some(JString(v0)) => v0
+              case other => throw new IllegalArgumentException(
+                s"set needs a string value (typed leaves go through script): $other")
+            }
+            SetLit(fieldOf(sch, "set", m, strLeaf = true), v)
+          case JObject(List((kind @ ("lowercase" | "uppercase" | "trim"), spec))) =>
+            MapStr(fieldOf(sch, kind, opts(kind, spec, Set("field")), strLeaf = true), kind)
+          case JObject(List(("gsub", spec))) =>
+            val m = opts("gsub", spec, Set("field", "pattern", "replacement"))
+            (m.get("pattern"), m.get("replacement")) match {
+              case (Some(JString(p0)), Some(JString(r0))) =>
+                Gsub(fieldOf(sch, "gsub", m, strLeaf = true), p0, r0)
+              case other => throw new IllegalArgumentException(
+                s"gsub needs pattern + replacement: $other")
+            }
+          case JObject(List(("remove", spec))) =>
+            Remove(fieldOf(sch, "remove", opts("remove", spec, Set("field")),
+              strLeaf = false))
+          case JObject(List(("script", spec))) =>
+            val m = opts("script", spec, Set("source"))
+            m.get("source") match {
+              case Some(JString(src)) => Script(BulkByQuery.parseUpdateScript(src, sch))
+              case other => throw new IllegalArgumentException(s"script needs source: $other")
+            }
+          case JObject(List(("convert", spec))) =>
+            val m = opts("convert", spec, Set("field", "type"))
+            val to = m.get("type") match {
+              case Some(JString(t)) => ConvertTypes.getOrElse(t,
+                throw new IllegalArgumentException(
+                  s"unsupported convert type: $t (${ConvertTypes.keys.toSeq.sorted.mkString("/")})"))
+              case other => throw new IllegalArgumentException(s"convert needs type: $other")
+            }
+            Convert(fieldOf(sch, "convert", m, strLeaf = false), to)
+          case JObject(List(("date", spec))) =>
+            val m = opts("date", spec, Set("field", "formats", "target_field"))
+            val src = fieldOf(sch, "date", m, strLeaf = true)
+            val fmts = m.get("formats") match {
+              case Some(JArray(fs)) if fs.nonEmpty => fs.map {
+                case JString(f) => f
+                case other => throw new IllegalArgumentException(s"bad date format: $other")
+              }
+              case other => throw new IllegalArgumentException(s"date needs formats: $other")
+            }
+            val tgt = m.get("target_field") match {
+              case None => Seq("@timestamp") // the ES default
+              case Some(JString(t)) => t.split('.').toSeq
+              case Some(other) => throw new IllegalArgumentException(s"bad target_field: $other")
+            }
+            // the target's PARENT must exist as a struct; the leaf may be new
+            tgt.dropRight(1).foldLeft(sch: DataType) {
+              case (st: StructType, f) => st.fields.find(_.name == f).map(_.dataType)
+                .getOrElse(throw new IllegalArgumentException(
+                  s"date target_field parent $f not found"))
+              case (other, f) => throw new IllegalArgumentException(
+                s"date target_field: $f inside non-struct $other")
+            }
+            DateProc(src, tgt, fmts)
+          case JObject(List((kind, _))) =>
+            throw new IllegalArgumentException(s"unsupported processor: $kind")
+          case other => throw new IllegalArgumentException(s"bad processor entry: $other")
         }
-        SetLit(fieldOf("set", m, strLeaf = true), v)
-      case JObject(List((kind @ ("lowercase" | "uppercase" | "trim"), spec))) =>
-        MapStr(fieldOf(kind, opts(kind, spec, Set("field")), strLeaf = true), kind)
-      case JObject(List(("gsub", spec))) =>
-        val m = opts("gsub", spec, Set("field", "pattern", "replacement"))
-        (m.get("pattern"), m.get("replacement")) match {
-          case (Some(JString(p0)), Some(JString(r0))) =>
-            Gsub(fieldOf("gsub", m, strLeaf = true), p0, r0)
-          case other => throw new IllegalArgumentException(
-            s"gsub needs pattern + replacement: $other")
-        }
-      case JObject(List(("remove", spec))) =>
-        Remove(fieldOf("remove", opts("remove", spec, Set("field")), strLeaf = false))
-      case JObject(List(("script", spec))) =>
-        val m = opts("script", spec, Set("source"))
-        m.get("source") match {
-          case Some(JString(src)) => Script(BulkByQuery.parseUpdateScript(src, schema))
-          case other => throw new IllegalArgumentException(s"script needs source: $other")
-        }
-      case JObject(List((kind, _))) =>
-        throw new IllegalArgumentException(s"unsupported processor: $kind")
-      case other => throw new IllegalArgumentException(s"bad processor entry: $other")
+        (acc :+ p, evolve(sch, p))
     }
+    (out, schOut)
   }
 
-  /** The whole pipeline as one composed doc rewrite. */
+  /** The whole pipeline as one composed doc rewrite (shape-preserving
+    * callers — the result column's type is `applyEvolving`'s schema). */
   def apply(doc: Column, schema: StructType, procs: Seq[Processor]): Column =
-    procs.foldLeft(doc) { (c, p) =>
+    applyEvolving(doc, schema, procs)._1
+
+  /** The pipeline as one composed rewrite WITH schema evolution: each
+    * processor's value type wins in the struct rebuild (convert retypes,
+    * date appends), and later processors read the evolved shape. */
+  def applyEvolving(doc: Column, schema0: StructType,
+                    procs: Seq[Processor]): (Column, StructType) =
+    procs.foldLeft((doc, schema0)) { case ((c, sch), p) =>
       def cur(path: Seq[String]): Column = path.foldLeft(c)((x, f) => x.getField(f))
-      val v: Column = p match {
-        case SetLit(path, value) => lit(value)
-        case MapStr(path, "lowercase") => lower(cur(path))
-        case MapStr(path, "uppercase") => upper(cur(path))
-        case MapStr(path, _) => trim(cur(path))
-        case Gsub(path, pat, rep) => regexp_replace(cur(path), pat, rep)
-        case Remove(path) => lit(null)
-        case Script(us) => SearchQuery.compileScriptWith(us.expr,
-          path => path.foldLeft(c)((x, f) => x.getField(f)), lit(null).cast("double"))
+      def leafType(path: Seq[String]): DataType = path.foldLeft(sch: DataType) {
+        case (st: StructType, f) => st(f).dataType
+        case (other, f) => throw new IllegalArgumentException(s"$f inside non-struct $other")
       }
-      BulkByQuery.setField(c, p.path, v, schema)
+      val (path, v, vt): (Seq[String], Column, DataType) = p match {
+        case SetLit(pt, value) => (pt, lit(value), StringType)
+        case MapStr(pt, "lowercase") => (pt, lower(cur(pt)), StringType)
+        case MapStr(pt, "uppercase") => (pt, upper(cur(pt)), StringType)
+        case MapStr(pt, _) => (pt, trim(cur(pt)), StringType)
+        case Gsub(pt, pat, rep) => (pt, regexp_replace(cur(pt), pat, rep), StringType)
+        case Remove(pt) =>
+          val lt = leafType(pt); (pt, lit(null).cast(lt), lt)
+        case Script(us) =>
+          val lt = leafType(us.path)
+          (us.path, SearchQuery.compileScriptWith(us.expr,
+            pth => pth.foldLeft(c)((x, f) => x.getField(f)),
+            lit(null).cast("double")).cast(lt), lt)
+        case Convert(pt, to) => (pt, cur(pt).cast(to), to)
+        case DateProc(src, tgt, fmts) =>
+          // formats tried IN ORDER, first parse wins (the ES contract):
+          // try_to_timestamp nulls a non-matching format instead of
+          // failing the batch under ANSI mode
+          (tgt, coalesce(fmts.map(f => try_to_timestamp(cur(src), lit(f))): _*),
+            TimestampType)
+      }
+      rebuild(c, path, v, vt, sch)
+    }
+
+  /** Struct rebuild WITHOUT `setField`'s cast-to-declared-type: the
+    * value's own type wins (schema evolution), and a new last-segment
+    * leaf APPENDS to its parent struct. One codegen'd expression per
+    * schema node, like the MergePatch shape. */
+  private def rebuild(root: Column, path: Seq[String], value: Column,
+                      vt: DataType, schema: StructType): (Column, StructType) =
+    path match {
+      case Seq(leaf) =>
+        val newSchema = withLeaf(schema, Seq(leaf), vt)
+        val c = struct(newSchema.fields.toSeq.map { f =>
+          (if (f.name == leaf) value else root.getField(f.name)).as(f.name)
+        }: _*)
+        (c, newSchema)
+      case head +: rest =>
+        val sub = schema(head).dataType match {
+          case st: StructType => st
+          case other => throw new IllegalArgumentException(
+            s"$head is inside non-struct $other")
+        }
+        val (c2, t2) = rebuild(root.getField(head), rest, value, vt, sub)
+        val newSchema = StructType(schema.fields.map(f =>
+          if (f.name == head) StructField(head, t2, f.nullable) else f))
+        val c = struct(newSchema.fields.toSeq.map { f =>
+          (if (f.name == head) c2 else root.getField(f.name)).as(f.name)
+        }: _*)
+        (c, newSchema)
+      case _ => throw new IllegalArgumentException("empty update path")
     }
 }

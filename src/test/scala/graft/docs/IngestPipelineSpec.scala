@@ -47,4 +47,43 @@ class IngestPipelineSpec extends SparkSpec {
       .contains("string field"))
     assert(bad("""{"pipeline": "x"}""").contains("unsupported pipeline key"))
   }
+
+  test("convert/date evolve the schema: later processors see the new type, " +
+    "formats try in order, target field appends") {
+    val (procs, schOut) = IngestPipeline.parseEvolving(
+      """{"processors": [
+        |  {"convert": {"field": "num", "type": "string"}},
+        |  {"gsub": {"field": "num", "pattern": "7", "replacement": "8"}},
+        |  {"convert": {"field": "num", "type": "long"}},
+        |  {"set": {"field": "tag", "value": "03-01-2026"}},
+        |  {"date": {"field": "tag", "formats": ["yyyy/MM/dd", "MM-dd-yyyy"],
+        |            "target_field": "ts"}}
+        |]}""".stripMargin, toySchema)
+    assert(schOut("ts").dataType ===
+      org.apache.spark.sql.types.TimestampType)
+    assert(schOut("num").dataType === org.apache.spark.sql.types.LongType)
+    val (c, _) = IngestPipeline.applyEvolving(col("doc"), toySchema, procs)
+    val out = toyDocs.select(c.as("doc"))
+      .select(col("doc.num"), date_format(col("doc.ts"), "yyyy-MM-dd")).head()
+    assert(out.getLong(0) === 8L) // gsub ran on the string form
+    assert(out.getString(1) === "2026-03-01") // second format matched
+  }
+
+  test("evolving rejections: string processor before the convert, unknown " +
+    "convert type, missing date target parent") {
+    def bad(body: String): String =
+      intercept[IllegalArgumentException](
+        IngestPipeline.parse(body, toySchema)).getMessage
+    // gsub on the still-long leaf rejects even though a later convert
+    // WOULD make it a string — order is the contract
+    assert(bad("""{"processors": [
+        |  {"gsub": {"field": "num", "pattern": "7", "replacement": "8"}},
+        |  {"convert": {"field": "num", "type": "string"}}]}""".stripMargin)
+      .contains("string field"))
+    assert(bad("""{"processors": [{"convert": {"field": "num", "type": "ip"}}]}""")
+      .contains("unsupported convert type"))
+    assert(bad("""{"processors": [{"date": {"field": "tag",
+        | "formats": ["MM-dd-yyyy"], "target_field": "nope.ts"}}]}""".stripMargin)
+      .contains("target_field parent"))
+  }
 }

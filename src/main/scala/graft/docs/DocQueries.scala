@@ -8135,6 +8135,37 @@ object DocQueries {
       |  epoch_us(strptime('12-12-2017', '%m-%d-%Y')) AS ingested_at_us
       |FROM customer GROUP BY 1 ORDER BY plan_type""".stripMargin
 
+  // ---------------------------------------------------------------- d205
+  /** ES `geohex_grid` agg — hexagonal map cells as buckets (Elastic Maps'
+    * hex layer). DOCUMENTED DEVIATION: cells are an axial hex grid on the
+    * lon/lat plane, not H3 icosahedral cells (Geo.hexKey — hexagonal,
+    * aperture-4-nested, stable ids; the fixed-IEEE-op-sequence rule makes
+    * the oracle replay bit-for-bit, which H3's geodesy would not). Same
+    * execution shape as geotile/geohash grids: one hash aggregation on
+    * the cell id, top-N by doc_count. */
+  private def d205(s: SparkSession, d: String): DataFrame = {
+    val geo = geoDocs(s, d)
+    val body =
+      """{
+        |  "size": 0,
+        |  "aggs": {
+        |    "cells": {
+        |      "geohex_grid": { "field": "location", "precision": 2, "size": 12 },
+        |      "aggs": { "avg_copay": { "avg": { "field": "copay" } } }
+        |    }
+        |  }
+        |}""".stripMargin
+    EsAggs.run(geo, "doc", body, geoSchema(geo))
+  }
+
+  private val d205Sql =
+    s"""WITH pts AS (
+       |  SELECT $geoLatSql AS lat, $geoLonSql AS lon, c_custkey % 50 AS copay
+       |  FROM customer)
+       |SELECT ${Geo.hexKeySql("lat", "lon", 2)} AS key,
+       |  CAST(COUNT(*) AS BIGINT) AS doc_count, AVG(copay) AS avg_copay
+       |FROM pts GROUP BY 1 ORDER BY doc_count DESC, key ASC LIMIT 12""".stripMargin
+
   // ---------------------------------------------------------------- d206
   /** ES `parent` aggregation — the other direction: a terms split at
     * CHILD grain (service `name`, the `linkedService` entity) steps UP
@@ -8378,6 +8409,7 @@ object DocQueries {
     "d202_es_knn_retriever" -> d202 _,
     "d203_es_children_agg" -> d203 _,
     "d204_es_ingest_evolving" -> d204 _,
+    "d205_es_geohex_grid" -> d205 _,
     "d206_es_parent_agg" -> d206 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
@@ -8585,6 +8617,7 @@ object DocQueries {
     "d202_es_knn_retriever" -> d202Sql,
     "d203_es_children_agg" -> d203Sql,
     "d204_es_ingest_evolving" -> d204Sql,
+    "d205_es_geohex_grid" -> d205Sql,
     "d206_es_parent_agg" -> d206Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,

@@ -189,6 +189,11 @@ object EsAggs {
     * integer bit arithmetic, no trig), top-`size` by doc_count desc then
     * key asc. One hash aggregation on the cell id. */
   final case class GeohashGrid(path: Seq[String], precision: Int, size: Int) extends Agg
+  /** ES `geohex_grid` — hexagonal map cells as buckets. DOCUMENTED
+    * DEVIATION: axial hex binning on the lon/lat plane, not H3 (see
+    * [[Geo.hexKey]]); key = `"res/q/r"`, top-`size` by doc_count desc
+    * then key asc. One hash aggregation on the cell id. */
+  final case class GeohexGrid(path: Seq[String], precision: Int, size: Int) extends Agg
   /** `categorize_text`-style log-pattern bucketing — a deterministic,
     * oracle-portable approximation of ES's ML categorizer (DOCUMENTED
     * DEVIATION: ES clusters by token-weight drift; this engine buckets
@@ -534,7 +539,7 @@ object EsAggs {
       "filter", "filters", "range", "missing", "composite", "significant_terms",
       "significant_text", "global", "adjacency_matrix", "rare_terms",
       "date_range", "multi_terms", "geo_distance", "geotile_grid",
-      "geohash_grid", "categorize_text", "ip_range", "ip_prefix",
+      "geohash_grid", "geohex_grid", "categorize_text", "ip_range", "ip_prefix",
       "variable_width_histogram", "frequent_item_sets", "geo_line")
 
   private val pipelineKinds =
@@ -1165,6 +1170,14 @@ object EsAggs {
             val size0 = num(spec, "size", "geohash_grid").map(_.toInt).getOrElse(10000)
             require(size0 >= 1, s"geohash_grid size must be >= 1: $size0")
             GeohashGrid(fieldPath(spec, "geohash_grid", ctx), precision, size0)
+          }).orElse(bf.get("geohex_grid").map { spec =>
+            val m = checkSpecKeys(spec, "geohex_grid", Set("field", "precision", "size"))
+            val precision = num(spec, "precision", "geohex_grid").map(_.toInt).getOrElse(4)
+            require(precision >= 0 && precision <= 8,
+              s"geohex_grid precision out of implemented range: $precision (0-8)")
+            val size0 = num(spec, "size", "geohex_grid").map(_.toInt).getOrElse(10000)
+            require(size0 >= 1, s"geohex_grid size must be >= 1: $size0")
+            GeohexGrid(fieldPath(spec, "geohex_grid", ctx), precision, size0)
           }).orElse(bf.get("categorize_text").map { spec =>
             checkSpecKeys(spec, "categorize_text", Set("field", "size"))
             val size0 = num(spec, "size", "categorize_text").map(_.toInt).getOrElse(10)
@@ -1850,7 +1863,7 @@ object EsAggs {
                      _: SignificantTerms | GlobalAgg | _: AdjacencyMatrix | _: RareTerms |
                      _: DateRangeAgg | _: MultiTerms | _: AutoDateHistogram |
                      _: GeoDistanceAgg | _: GeotileGrid | _: GeohashGrid |
-                     _: CategorizeText | _: IpRangeAgg | _: IpPrefixAgg |
+                     _: GeohexGrid | _: CategorizeText | _: IpRangeAgg | _: IpPrefixAgg |
                      _: VariableWidthHistogram | _: FrequentItemSets | _: GeoLine =>
                   throw new IllegalArgumentException(
                     "only terms/histogram bucket aggs can be an inner level of a multi-level split")
@@ -1903,7 +1916,7 @@ object EsAggs {
                   _: SignificantTerms | GlobalAgg | _: AdjacencyMatrix | _: RareTerms |
                   _: DateRangeAgg | _: MultiTerms | _: AutoDateHistogram |
                   _: GeoDistanceAgg | _: GeotileGrid | _: GeohashGrid |
-                  _: CategorizeText | _: IpRangeAgg | _: IpPrefixAgg |
+                  _: GeohexGrid | _: CategorizeText | _: IpRangeAgg | _: IpPrefixAgg |
                   _: VariableWidthHistogram | _: FrequentItemSets | _: GeoLine, Some(_)) =>
               throw new IllegalArgumentException(
                 "sub-bucket levels under this bucket agg kind are not implemented")
@@ -2837,6 +2850,17 @@ object EsAggs {
         val glo = field(ctx, p :+ "lon")
         rows.filter(gla.isNotNull && glo.isNotNull)
           .groupBy(Geo.geohash(gla, glo, prec).as("key"))
+          .agg(count(lit(1)).as("doc_count"),
+            ms.flatMap { case (n, m) => metricCols(n, m) }: _*)
+          .orderBy(col("doc_count").desc, col("key").asc)
+          .limit(size0)
+      case Right(Buckets(GeohexGrid(p, prec, size0), ms, None, Nil, None, Nil, None, None)) =>
+        // same shape again on the hex cell id (Geo.hexKey — the
+        // documented axial-not-H3 deviation)
+        val hla = field(ctx, p :+ "lat")
+        val hlo = field(ctx, p :+ "lon")
+        rows.filter(hla.isNotNull && hlo.isNotNull)
+          .groupBy(Geo.hexKey(hla, hlo, prec).as("key"))
           .agg(count(lit(1)).as("doc_count"),
             ms.flatMap { case (n, m) => metricCols(n, m) }: _*)
           .orderBy(col("doc_count").desc, col("key").asc)

@@ -55,6 +55,54 @@ object Geo {
     concat_ws("/", lit(z.toString), x.cast("string"), y.cast("string"))
   }
 
+  /** Hex cell key `"res/q/r"` for the `geohex_grid` agg — DOCUMENTED
+    * DEVIATION from ES: ES buckets by H3 (icosahedral projection math, a
+    * full geodesy library); this engine buckets by an AXIAL HEX GRID on
+    * the equirectangular lon/lat plane (pointy-top, cell size
+    * 72°/2^res), which preserves the property Kibana maps actually use —
+    * hexagonal, aperture-4-nested, stable cell ids — while staying a
+    * pure fixed IEEE op sequence both engines replay bit-for-bit (the
+    * haversine rule). Hex rounding is the standard cube round with
+    * `floor(x + 0.5)` as the tie-up rounding (floor is a single IEEE op,
+    * identical in every engine — no decimal-string round-tripping). */
+  def hexKey(lat: Column, lon: Column, res: Int): Column = {
+    require(res >= 0 && res <= 8, s"geohex precision out of range: $res (0-8)")
+    val s = 72.0 / (1L << res).toDouble
+    val q = (lon * lit(0.5773502691896258) - lat * lit(0.3333333333333333)) / lit(s)
+    val r = (lat * lit(0.6666666666666666)) / lit(s)
+    val y = (-q) - r
+    val rx = floor(q + lit(0.5))
+    val ry = floor(y + lit(0.5))
+    val rz = floor(r + lit(0.5))
+    val dx = abs(rx - q)
+    val dy = abs(ry - y)
+    val dz = abs(rz - r)
+    val c1 = dx > dy && dx > dz
+    val fq = when(c1, (-ry) - rz).otherwise(rx)
+    val fr = when(!c1 && dy <= dz, (-rx) - ry).otherwise(rz)
+    concat_ws("/", lit(res.toString),
+      fq.cast("long").cast("string"), fr.cast("long").cast("string"))
+  }
+
+  /** The identical hex op sequence as DuckDB SQL text. */
+  def hexKeySql(lat: String, lon: String, res: Int): String = {
+    val s = 72.0 / (1L << res).toDouble
+    val q = s"(($lon * 0.5773502691896258 - $lat * 0.3333333333333333) / $s)"
+    val r = s"(($lat * 0.6666666666666666) / $s)"
+    val y = s"((-$q) - $r)"
+    val rx = s"floor($q + 0.5)"
+    val ry = s"floor($y + 0.5)"
+    val rz = s"floor($r + 0.5)"
+    val dx = s"abs($rx - $q)"
+    val dy = s"abs($ry - $y)"
+    val dz = s"abs($rz - $r)"
+    val c1 = s"($dx > $dy AND $dx > $dz)"
+    val fq = s"(CASE WHEN $c1 THEN (-$ry) - $rz ELSE $rx END)"
+    val fr = s"(CASE WHEN (NOT $c1) AND $dy <= $dz THEN (-$rx) - $ry ELSE $rz END)"
+    s"('$res/' || CAST(CAST($fq AS BIGINT) AS VARCHAR) || '/' || " +
+      s"CAST(CAST($fr AS BIGINT) AS VARCHAR))"
+  }
+
   private val GeohashAlphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
 
   /** Geohash cell id at `precision` characters (the ES geohash_grid

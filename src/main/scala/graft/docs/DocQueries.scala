@@ -8135,6 +8135,40 @@ object DocQueries {
       |  epoch_us(strptime('12-12-2017', '%m-%d-%Y')) AS ingested_at_us
       |FROM customer GROUP BY 1 ORDER BY plan_type""".stripMargin
 
+  // ---------------------------------------------------------------- d207
+  /** Ingest pipeline `rename` + `split` — the remaining shape-changing
+    * processor pair: planType MOVES to plan_kind (target-must-not-exist,
+    * the ES rule; the old leaf disappears from the struct), and `_org`
+    * splits on the literal dot into array<string>. The output reads ONLY
+    * post-pipeline shapes — grouping on the renamed field, aggregating
+    * the split array's size and first element — so the evolved schema is
+    * what the oracle checks. */
+  private def d207(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "processors": [
+        |    { "rename": { "field": "planType", "target_field": "plan_kind" } },
+        |    { "split": { "field": "_org", "separator": "\\." } }
+        |  ]
+        |}""".stripMargin
+    val (procs, _) = IngestPipeline.parseEvolving(body, schema)
+    val (rewritten, _) = IngestPipeline.applyEvolving(col("doc"), schema, procs)
+    assembled(s, d).select(rewritten.as("doc"))
+      .groupBy(col("doc.plan_kind").as("plan_kind"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(size(col("doc._org"))).cast("long").as("n_org_parts"),
+        min(element_at(col("doc._org"), 1)).as("min_org0"))
+      .orderBy(col("plan_kind"))
+  }
+
+  private val d207Sql =
+    """SELECT c_mktsegment AS plan_kind, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(len(string_split(
+      |    'org-' || CAST(c_nationkey AS VARCHAR) || '.example.com', '.')))
+      |    AS BIGINT) AS n_org_parts,
+      |  MIN('org-' || CAST(c_nationkey AS VARCHAR)) AS min_org0
+      |FROM customer GROUP BY 1 ORDER BY plan_kind""".stripMargin
+
   // ---------------------------------------------------------------- d205
   /** ES `geohex_grid` agg — hexagonal map cells as buckets (Elastic Maps'
     * hex layer). DOCUMENTED DEVIATION: cells are an axial hex grid on the
@@ -8410,6 +8444,7 @@ object DocQueries {
     "d203_es_children_agg" -> d203 _,
     "d204_es_ingest_evolving" -> d204 _,
     "d205_es_geohex_grid" -> d205 _,
+    "d207_es_ingest_reshape" -> d207 _,
     "d206_es_parent_agg" -> d206 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
@@ -8618,6 +8653,7 @@ object DocQueries {
     "d203_es_children_agg" -> d203Sql,
     "d204_es_ingest_evolving" -> d204Sql,
     "d205_es_geohex_grid" -> d205Sql,
+    "d207_es_ingest_reshape" -> d207Sql,
     "d206_es_parent_agg" -> d206Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,

@@ -14,15 +14,17 @@ import org.apache.spark.sql.types._
   * Supported processors: `set` (literal), `lowercase`/`uppercase`/`trim`,
   * `gsub` (regex replace), `remove` (nulls the leaf — the typed-struct
   * reading of ES's key drop), `script` (the d175 single-assignment
-  * Painless subset), and the SCHEMA-EVOLVING pair `convert` (retypes the
-  * leaf — the pipeline threads the evolved StructType so every LATER
-  * processor validates against the post-convert shape) and `date` (parses
-  * a string field with the declared formats tried in order — ES
-  * semantics, via try_to_timestamp+coalesce — into a TIMESTAMP
-  * `target_field`, ADDED to the parent struct when absent; default
-  * `@timestamp`). Unknown processors and option keys reject loudly; `if`
-  * conditions are not implemented (reject, never silently run
-  * unconditionally). */
+  * Painless subset), and the SCHEMA-EVOLVING family: `convert` (retypes
+  * the leaf — the pipeline threads the evolved StructType so every LATER
+  * processor validates against the post-convert shape), `date` (parses a
+  * string field with the declared formats tried in order — ES semantics,
+  * via try_to_timestamp+coalesce — into a TIMESTAMP `target_field`, ADDED
+  * to the parent struct when absent; default `@timestamp`), `rename`
+  * (moves the leaf — target must not exist, the ES rule), and `split`
+  * (string → array<string> on a regex separator). Unknown processors
+  * (incl. `json`/`grok`, which would need a declared target schema /
+  * pattern library) and option keys reject loudly; `if` conditions are
+  * not implemented (reject, never silently run unconditionally). */
 object IngestPipeline {
 
   sealed trait Processor { def path: Seq[String] }
@@ -37,6 +39,8 @@ object IngestPipeline {
   final case class Convert(path: Seq[String], to: DataType) extends Processor
   final case class DateProc(src: Seq[String], path: Seq[String],
                             formats: Seq[String]) extends Processor
+  final case class Rename(src: Seq[String], path: Seq[String]) extends Processor
+  final case class SplitProc(path: Seq[String], separator: String) extends Processor
 
   private val ConvertTypes: Map[String, DataType] = Map(
     "integer" -> IntegerType, "long" -> LongType, "float" -> FloatType,
@@ -48,8 +52,30 @@ object IngestPipeline {
   private def evolve(schema: StructType, p: Processor): StructType = p match {
     case Convert(path, to) => withLeaf(schema, path, to)
     case DateProc(_, path, _) => withLeaf(schema, path, TimestampType)
+    case Rename(src, path) =>
+      dropLeafType(withLeaf(schema, path, leafTypeOf(schema, src)), src)
+    case SplitProc(path, _) => withLeaf(schema, path, ArrayType(StringType))
     case _ => schema
   }
+
+  private def leafTypeOf(schema: StructType, path: Seq[String]): DataType =
+    path.foldLeft(schema: DataType) {
+      case (st: StructType, f) => st(f).dataType
+      case (other, f) => throw new IllegalArgumentException(
+        s"$f is inside non-struct $other")
+    }
+
+  /** `schema` without the leaf at `path`. */
+  private def dropLeafType(schema: StructType, path: Seq[String]): StructType =
+    path match {
+      case Seq(leaf) => StructType(schema.fields.filterNot(_.name == leaf))
+      case head +: rest =>
+        val sub = schema(head).dataType.asInstanceOf[StructType]
+        StructType(schema.fields.map(f =>
+          if (f.name == head) StructField(head, dropLeafType(sub, rest), f.nullable)
+          else f))
+      case _ => throw new IllegalArgumentException("empty processor path")
+    }
 
   /** `schema` with the leaf at `path` replaced by (or, at the last level,
     * appended as) type `dt`. */
@@ -175,6 +201,38 @@ object IngestPipeline {
                 s"date target_field: $f inside non-struct $other")
             }
             DateProc(src, tgt, fmts)
+          case JObject(List(("rename", spec))) =>
+            val m = opts("rename", spec, Set("field", "target_field"))
+            val src = fieldOf(sch, "rename", m, strLeaf = false)
+            val tgt = m.get("target_field") match {
+              case Some(JString(t)) => t.split('.').toSeq
+              case other => throw new IllegalArgumentException(
+                s"rename needs target_field: $other")
+            }
+            // ES rename fails when the target already exists; the parent
+            // must exist as a struct (same rule as date)
+            val parent = tgt.dropRight(1).foldLeft(sch: DataType) {
+              case (st: StructType, f) => st.fields.find(_.name == f).map(_.dataType)
+                .getOrElse(throw new IllegalArgumentException(
+                  s"rename target_field parent $f not found"))
+              case (other, f) => throw new IllegalArgumentException(
+                s"rename target_field: $f inside non-struct $other")
+            }
+            parent match {
+              case st: StructType => require(!st.fieldNames.contains(tgt.last),
+                s"rename target_field ${tgt.mkString(".")} already exists (the ES rule)")
+              case other => throw new IllegalArgumentException(
+                s"rename target_field parent is non-struct $other")
+            }
+            Rename(src, tgt)
+          case JObject(List(("split", spec))) =>
+            val m = opts("split", spec, Set("field", "separator"))
+            val sep = m.get("separator") match {
+              case Some(JString(x)) => x
+              case other => throw new IllegalArgumentException(
+                s"split needs separator: $other")
+            }
+            SplitProc(fieldOf(sch, "split", m, strLeaf = true), sep)
           case JObject(List((kind, _))) =>
             throw new IllegalArgumentException(s"unsupported processor: $kind")
           case other => throw new IllegalArgumentException(s"bad processor entry: $other")
@@ -220,8 +278,35 @@ object IngestPipeline {
           // failing the batch under ANSI mode
           (tgt, coalesce(fmts.map(f => try_to_timestamp(cur(src), lit(f))): _*),
             TimestampType)
+        case Rename(src, tgt) =>
+          // handled below: add target (source's value + type), drop source
+          (tgt, cur(src), leafTypeOf(sch, src))
+        case SplitProc(pt, sep) => (pt, split(cur(pt), sep), ArrayType(StringType))
       }
-      rebuild(c, path, v, vt, sch)
+      val (c2, sch2) = rebuild(c, path, v, vt, sch)
+      p match {
+        case Rename(src, _) => dropLeaf(c2, src, sch2)
+        case _ => (c2, sch2)
+      }
+    }
+
+  /** Struct rebuild dropping the leaf at `path` — rename's second half. */
+  private def dropLeaf(root: Column, path: Seq[String],
+                       schema: StructType): (Column, StructType) =
+    path match {
+      case Seq(leaf) =>
+        val newSchema = StructType(schema.fields.filterNot(_.name == leaf))
+        (struct(newSchema.fields.toSeq.map(f =>
+          root.getField(f.name).as(f.name)): _*), newSchema)
+      case head +: rest =>
+        val sub = schema(head).dataType.asInstanceOf[StructType]
+        val (c2, t2) = dropLeaf(root.getField(head), rest, sub)
+        val newSchema = StructType(schema.fields.map(f =>
+          if (f.name == head) StructField(head, t2, f.nullable) else f))
+        (struct(newSchema.fields.toSeq.map { f =>
+          (if (f.name == head) c2 else root.getField(f.name)).as(f.name)
+        }: _*), newSchema)
+      case _ => throw new IllegalArgumentException("empty processor path")
     }
 
   /** Struct rebuild WITHOUT `setField`'s cast-to-declared-type: the

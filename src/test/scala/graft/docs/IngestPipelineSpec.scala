@@ -69,6 +69,27 @@ class IngestPipelineSpec extends SparkSpec {
     assert(out.getString(1) === "2026-03-01") // second format matched
   }
 
+  test("rename moves the leaf (old field gone, value+type preserved); split " +
+    "produces array<string>; rename onto an existing field rejects") {
+    val (procs, schOut) = IngestPipeline.parseEvolving(
+      """{"processors": [
+        |  {"rename": {"field": "num", "target_field": "amount"}},
+        |  {"split": {"field": "tag", "separator": "x"}}
+        |]}""".stripMargin, toySchema)
+    assert(!schOut.fieldNames.contains("num"))
+    assert(schOut("amount").dataType === org.apache.spark.sql.types.LongType)
+    assert(schOut("tag").dataType ===
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType))
+    val (c, _) = IngestPipeline.applyEvolving(col("doc"), toySchema, procs)
+    val out = toyDocs.select(c.as("doc"))
+      .select(col("doc.amount"), size(col("doc.tag"))).head()
+    assert(out.getLong(0) === 7L)
+    assert(out.getInt(1) === 2) // " MixedCase " splits once on 'x'
+    assert(intercept[IllegalArgumentException](IngestPipeline.parse(
+      """{"processors": [{"rename": {"field": "num", "target_field": "tag"}}]}""",
+      toySchema)).getMessage.contains("already exists"))
+  }
+
   test("evolving rejections: string processor before the convert, unknown " +
     "convert type, missing date target parent") {
     def bad(body: String): String =

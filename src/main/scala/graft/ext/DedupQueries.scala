@@ -47,7 +47,7 @@ object DedupQueries {
     base.unionByName(near).unionByName(exact)
   }
 
-  private val PlantedSql =
+  private[graft] val PlantedSql =
     """SELECT doc_id, text, lang, source FROM documents
       |UNION ALL
       |SELECT doc_id + 1000000, substr(text, strpos(text, ' ') + 1), lang, source

@@ -825,6 +825,91 @@ object TextQueries {
       |    / SUM(tokens) OVER () AS cum_share
       |FROM c ORDER BY tokens DESC, lang, source""".stripMargin
 
+  // ---------------------------------------------------------------- t35
+  /** The COMPOSED cleaning pipeline — quality gate → exact dedup →
+    * per-group token budget → sequence packing, as ONE Spark plan (the
+    * FineWeb/Dolma shape: a user of this library chains the primitives
+    * and the optimizer sees the whole dataflow, pushing the quality
+    * filter to the scan and fusing the per-doc maps):
+    *
+    *   1. quality gate: ≥ 8 whitespace tokens and mean token length
+    *      ≤ 12 chars (INTEGER form `chars ≤ 12·tk` — no division);
+    *   2. exact dedup over the planted corpus (dd1's contract): keep the
+    *      min-doc_id copy per md5(text), one hash aggregation;
+    *   3. token budget PER (lang, source): survivors ranked (tk desc,
+    *      doc_id), kept while the running token sum stays within 6/10
+    *      of the group's total (integer `(tot·6) div 10`) — the windows
+    *      are PARTITIONED by group, so state is per-group, never a
+    *      single global sort (the t18 grain distinction: budget rank at
+    *      doc grain must shard by group at 100 TB);
+    *   4. packing: budgeted docs concatenate greedily into 2048-token
+    *      sequences (`seq = prefix-offset div 2048` — the t12 shape).
+    *
+    * Output: one row per (lang, source, seq_id) — the packed-shard
+    * manifest a trainer would consume. All arithmetic integer; both
+    * windows share one (lang, source) shuffle partitioning. */
+  private def t35(s: SparkSession, d: String): DataFrame = {
+    val grp = Window.partitionBy(col("lang"), col("source"))
+    val ord = grp.orderBy(col("tk").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = grp.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val q = DedupQueries.planted(s, d)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"),
+        tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("lang"), col("source"), col("text"),
+        size(col("toks")).cast("long").as("tk"),
+        aggregate(transform(col("toks"), t => length(t).cast("long")),
+          lit(0L), (a, x) => a + x).as("chars"))
+      .filter(col("tk") >= 8 && col("chars") <= col("tk") * 12)
+    val deduped = q
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(struct(col("doc_id"), col("lang"), col("source"), col("tk"))).as("w"))
+      .select(col("w.doc_id").as("doc_id"), col("w.lang").as("lang"),
+        col("w.source").as("source"), col("w.tk").as("tk"))
+    val budgeted = deduped
+      .withColumn("cum", sum(col("tk")).over(ord))
+      .withColumn("bud", expr("(sum(tk) over (partition by lang, source) * 6) div 10"))
+      .filter(col("cum") <= col("bud"))
+      .select(col("doc_id"), col("lang"), col("source"), col("tk"))
+    budgeted
+      .withColumn("off", sum(col("tk")).over(ord) - col("tk"))
+      .withColumn("seq_id", expr("off div 2048"))
+      .groupBy(col("lang"), col("source"), col("seq_id"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("tk")).cast("long").as("n_tokens"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy(col("lang"), col("source"), col("seq_id"))
+  }
+
+  private val t35Sql =
+    s"""WITH corpus AS (${DedupQueries.PlantedSql}),
+       |tq AS (SELECT doc_id, lang, source, text,
+       |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+       |  FROM corpus),
+       |q AS (SELECT doc_id, lang, source, text,
+       |    CAST(len(toks) AS BIGINT) AS tk,
+       |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(toks, t -> CAST(length(t) AS BIGINT))),
+       |      (a, x) -> a + x) AS BIGINT) AS chars
+       |  FROM tq),
+       |f AS (SELECT * FROM q WHERE tk >= 8 AND chars <= tk * 12),
+       |dd AS (SELECT doc_id, lang, source, tk FROM f
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
+       |bg AS (SELECT doc_id, lang, source, tk,
+       |    SUM(tk) OVER (PARTITION BY lang, source ORDER BY tk DESC, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    (SUM(tk) OVER (PARTITION BY lang, source) * 6) // 10 AS bud
+       |  FROM dd),
+       |kept AS (SELECT doc_id, lang, source, tk FROM bg WHERE cum <= bud),
+       |packed AS (SELECT doc_id, lang, source, tk,
+       |    (SUM(tk) OVER (PARTITION BY lang, source ORDER BY tk DESC, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tk) // 2048 AS seq_id
+       |  FROM kept)
+       |SELECT lang, source, CAST(seq_id AS BIGINT) AS seq_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(tk) AS BIGINT) AS n_tokens,
+       |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+       |FROM packed GROUP BY 1, 2, 3 ORDER BY lang, source, seq_id""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   // ---------------------------------------------------------------- t19
@@ -1936,6 +2021,7 @@ object TextQueries {
       |GROUP BY source, lang ORDER BY source, lang""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "t35_pipeline_compose" -> t35 _,
     "t34_data_card" -> t34 _,
     "t33_boilerplate" -> t33 _,
     "t32_wordpiece" -> t32 _,
@@ -2076,6 +2162,7 @@ object TextQueries {
         |WHERE rnk <= 10 ORDER BY em_round, rnk""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "t35_pipeline_compose" -> t35Sql,
     "t34_data_card" -> t34Sql,
     "t33_boilerplate" -> t33Sql,
     "t32_wordpiece" -> t32Sql,

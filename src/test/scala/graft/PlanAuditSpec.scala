@@ -129,6 +129,21 @@ class PlanAuditSpec extends SparkSpec {
     } finally cached.foreach(_.unpersist(true))
   }
 
+  test("t35: the composed pipeline's budget/packing windows are PARTITIONED " +
+    "by (lang, source) — per-group state, never a global ordered window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = q("t35_pipeline_compose")
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty, "expected window operators in the composed pipeline")
+    wins.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        s"global (un-partitioned) window in t35 — a single-node sort at 100 TB:\n$w")
+    }
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"t35: unexpected non-equi join:\n$p")
+  }
+
   test("dd3/dd7: the simhash signature side is a standing parquet SCAN, " +
     "not a recomputed sketch") {
     // The dedup family's signatures are write-once parquet (the standing

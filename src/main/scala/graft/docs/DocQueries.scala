@@ -8135,6 +8135,46 @@ object DocQueries {
       |  epoch_us(strptime('12-12-2017', '%m-%d-%Y')) AS ingested_at_us
       |FROM customer GROUP BY 1 ORDER BY plan_type""".stripMargin
 
+  // ---------------------------------------------------------------- d208
+  /** ES EQL (`_eql/search`) — the event-sequence language (Eql.scala):
+    * `sequence by user_id with maxspan=72h [view] [click] [purchase]`
+    * compiled to per-key window carries (one shuffle on the by-key, one
+    * window pass per step; matching is the documented last-prefix
+    * semantics). The funnel q42 is the relational cousin; this is the
+    * API face, over the events table. */
+  private def d208(s: SparkSession, d: String): DataFrame = {
+    val q =
+      """sequence by user_id with maxspan=72h
+        |  [ event where event_type == "view" ]
+        |  [ event where event_type == "click" ]
+        |  [ event where event_type == "purchase" ]""".stripMargin
+    Eql.run(graft.Tables.events(s, d), q)
+  }
+
+  private val d208Sql = {
+    def lastBefore(x: String) =
+      s"""last_value($x IGNORE NULLS) OVER (PARTITION BY user_id
+         |      ORDER BY tsu, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)""".stripMargin
+    ("""WITH e AS (
+      |  SELECT event_id, user_id, event_type, epoch_us(ts) AS tsu FROM events
+      |  WHERE event_type IN ('view', 'click', 'purchase')),
+      |a0 AS (SELECT *, CASE WHEN event_type = 'view'
+      |    THEN struct_pack(ts1 := tsu) END AS _a0 FROM e),
+      |p1 AS (SELECT *, """ + lastBefore("_a0") + """ AS _p1 FROM a0),
+      |a1 AS (SELECT *, CASE WHEN event_type = 'click' AND _p1 IS NOT NULL
+      |    THEN struct_pack(ts1 := (_p1).ts1, ts2 := tsu) END AS _a1 FROM p1),
+      |p2 AS (SELECT *, """ + lastBefore("_a1") + """ AS _p2 FROM a1),
+      |a2 AS (SELECT *, CASE WHEN event_type = 'purchase' AND _p2 IS NOT NULL
+      |    THEN struct_pack(ts1 := (_p2).ts1, ts2 := (_p2).ts2, ts3 := tsu)
+      |    END AS _a2 FROM p2)
+      |SELECT user_id, (_a2).ts1 AS t1_us, (_a2).ts2 AS t2_us, (_a2).ts3 AS t3_us,
+      |  (_a2).ts3 - (_a2).ts1 AS span_us
+      |FROM a2
+      |WHERE _a2 IS NOT NULL AND (_a2).ts3 - (_a2).ts1 <= 259200000000
+      |ORDER BY user_id, t1_us, t2_us, t3_us""").stripMargin
+  }
+
   // ---------------------------------------------------------------- d207
   /** Ingest pipeline `rename` + `split` — the remaining shape-changing
     * processor pair: planType MOVES to plan_kind (target-must-not-exist,
@@ -8445,6 +8485,7 @@ object DocQueries {
     "d204_es_ingest_evolving" -> d204 _,
     "d205_es_geohex_grid" -> d205 _,
     "d207_es_ingest_reshape" -> d207 _,
+    "d208_es_eql_sequence" -> d208 _,
     "d206_es_parent_agg" -> d206 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
@@ -8654,6 +8695,7 @@ object DocQueries {
     "d204_es_ingest_evolving" -> d204Sql,
     "d205_es_geohex_grid" -> d205Sql,
     "d207_es_ingest_reshape" -> d207Sql,
+    "d208_es_eql_sequence" -> d208Sql,
     "d206_es_parent_agg" -> d206Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,

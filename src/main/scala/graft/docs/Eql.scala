@@ -1,0 +1,84 @@
+package graft.docs
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** ES EQL (`_eql/search`) — the event-sequence query language: `sequence
+  * by <key> with maxspan=<n><unit> [ event where <field> == "<v>" ] ...`
+  * compiled to PER-KEY WINDOW CARRIES, never a self-join chain:
+  *
+  * one shuffle on the `by` key, then one window pass per step carrying
+  * the most recent valid i-step prefix (a struct of its timestamps)
+  * strictly before each row — step i+1 anchors to the prefix its row
+  * sees. Matching is LAST-PREFIX (each completion pairs with the most
+  * recent preceding partial match; a fresher stage-1 supersedes a stale
+  * one — DOCUMENTED DEVIATION from ES's every-partial-match state
+  * machine, whose output multiplicity is engine-version-dependent);
+  * `maxspan` bounds first-to-last on the anchored tuple. Output: one row
+  * per completed sequence (the final step's event), with the stage
+  * timestamps and the span.
+  *
+  * Scale shape: events filtered to the steps' predicates at the scan
+  * (one isin pushdown), windows all share the single `by` partitioning —
+  * state is per-key and the pass count is the (static) step count.
+  * Unknown syntax rejects loudly.
+  */
+object Eql {
+
+  final case class Step(field: String, value: String)
+  final case class SequenceQuery(by: String, maxspanUs: Long, steps: Seq[Step])
+
+  private val Head =
+    """^\s*sequence\s+by\s+(\w+)\s+with\s+maxspan\s*=\s*(\d+)([smh])\s*(.*)$""".r
+  private val StepRe =
+    """\[\s*event\s+where\s+(\w+)\s*==\s*"([^"]*)"\s*\]""".r
+
+  def parse(q: String): SequenceQuery = q.replaceAll("\\s+", " ").trim match {
+    case Head(by, n, unit, rest) =>
+      val mult = unit match { case "s" => 1000000L case "m" => 60000000L case _ => 3600000000L }
+      val steps = StepRe.findAllMatchIn(rest)
+        .map(m => Step(m.group(1), m.group(2))).toSeq
+      require(steps.size >= 2 && steps.size <= 5,
+        s"eql sequence needs 2-5 steps, got ${steps.size}")
+      require(StepRe.replaceAllIn(rest, "").trim.isEmpty,
+        s"unsupported eql step syntax in: $rest")
+      SequenceQuery(by, n.toLong * mult, steps)
+    case other => throw new IllegalArgumentException(
+      s"unsupported eql query (sequence-by with maxspan only): $other")
+  }
+
+  /** Run over an event frame carrying (`ts_us` long micros, `event_id`
+    * long — the deterministic tiebreak — plus the by/step columns). */
+  def run(events: DataFrame, query: String): DataFrame = {
+    val sq = parse(query)
+    val n = sq.steps.size
+    // scan-pushable pre-filter: only rows matching SOME step participate
+    val relevant = sq.steps.map(st => col(st.field) === lit(st.value)).reduce(_ || _)
+    val w = Window.partitionBy(col(sq.by))
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    var df = events.filter(relevant)
+    // _a0: this row AS a 1-step prefix; _p{i}: the most recent (i+1)-step
+    // prefix strictly BEFORE this row; _a{i}: this row as an (i+1)-step
+    // prefix completion
+    df = df.withColumn("_a0",
+      when(col(sq.steps.head.field) === lit(sq.steps.head.value),
+        struct(col("ts_us").as("ts1"))))
+    for (i <- 1 until n) {
+      df = df.withColumn(s"_p$i", last(col(s"_a${i - 1}"), ignoreNulls = true).over(w))
+      val prefixFields = (1 to i).map(j => col(s"_p$i.ts$j").as(s"ts$j"))
+      df = df.withColumn(s"_a$i",
+        when(col(sq.steps(i).field) === lit(sq.steps(i).value) &&
+          col(s"_p$i").isNotNull,
+          struct(prefixFields :+ col("ts_us").as(s"ts${i + 1}"): _*)))
+    }
+    val done = col(s"_a${n - 1}")
+    df.filter(done.isNotNull &&
+        done.getField(s"ts$n") - done.getField("ts1") <= sq.maxspanUs)
+      .select(col(sq.by) +:
+        (1 to n).map(j => done.getField(s"ts$j").as(s"t${j}_us")) :+
+        (done.getField(s"ts$n") - done.getField("ts1")).as("span_us"): _*)
+      .orderBy(col(sq.by) +: (1 to n).map(j => col(s"t${j}_us")): _*)
+  }
+}

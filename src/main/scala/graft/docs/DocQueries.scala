@@ -8135,6 +8135,50 @@ object DocQueries {
       |  epoch_us(strptime('12-12-2017', '%m-%d-%Y')) AS ingested_at_us
       |FROM customer GROUP BY 1 ORDER BY plan_type""".stripMargin
 
+  // ---------------------------------------------------------------- d209
+  /** ES `_transform` pivot — the entity-centric materialization
+    * (Transform.scala): events pivot to one row per (user, event_type)
+    * with decomposable aggs only (the continuous-transform contract),
+    * then the "dest index" answers the entity query — top spenders with
+    * their event counts. One hash aggregation builds the dest; the query
+    * is a bounded top-k over entity-grain rows, never raw events. */
+  private def d209(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "source": { "index": "events" },
+        |  "pivot": {
+        |    "group_by": {
+        |      "user": { "terms": { "field": "user_id" } },
+        |      "etype": { "terms": { "field": "event_type" } } },
+        |    "aggregations": {
+        |      "n_events": { "value_count": { "field": "event_id" } },
+        |      "total_value": { "sum": { "field": "value" } },
+        |      "avg_value": { "avg": { "field": "value" } },
+        |      "max_value": { "max": { "field": "value" } } } },
+        |  "dest": { "index": "user_stats" }
+        |}""".stripMargin
+    val p = Transform.parse(body)
+    require(p.sourceIndex == "events" && p.destIndex == "user_stats")
+    val dest = Transform.run(graft.Tables.events(s, d).drop("ts", "ts_us"), p)
+    dest.filter(col("etype") === "purchase")
+      .orderBy(col("total_value").desc, col("user").asc)
+      .limit(15)
+      .select(col("user"), col("etype"), col("n_events"),
+        col("total_value"), col("avg_value"), col("max_value"))
+  }
+
+  private val d209Sql =
+    """SELECT user_id AS "user", event_type AS etype,
+      |  CAST(COUNT(event_id) AS BIGINT) AS n_events,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(28,6)) AS DOUBLE)
+      |    AS total_value,
+      |  CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(28,6))
+      |    / COUNT(value) AS DECIMAL(28,6)) AS DOUBLE) AS avg_value,
+      |  MAX(value) AS max_value
+      |FROM events WHERE event_type = 'purchase'
+      |GROUP BY 1, 2
+      |ORDER BY total_value DESC, "user" ASC LIMIT 15""".stripMargin
+
   // ---------------------------------------------------------------- d208
   /** ES EQL (`_eql/search`) — the event-sequence language (Eql.scala):
     * `sequence by user_id with maxspan=72h [view] [click] [purchase]`
@@ -8486,6 +8530,7 @@ object DocQueries {
     "d205_es_geohex_grid" -> d205 _,
     "d207_es_ingest_reshape" -> d207 _,
     "d208_es_eql_sequence" -> d208 _,
+    "d209_es_transform_pivot" -> d209 _,
     "d206_es_parent_agg" -> d206 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
@@ -8696,6 +8741,7 @@ object DocQueries {
     "d205_es_geohex_grid" -> d205Sql,
     "d207_es_ingest_reshape" -> d207Sql,
     "d208_es_eql_sequence" -> d208Sql,
+    "d209_es_transform_pivot" -> d209Sql,
     "d206_es_parent_agg" -> d206Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,

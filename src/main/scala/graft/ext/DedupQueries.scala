@@ -882,11 +882,13 @@ object DedupQueries {
     * pairs stay present (LEFT join, zero-filled), est_ppm quantizes to
     * twelfths (k = 12 permutations). */
   private def dd9(s: SparkSession, d: String): DataFrame = {
-    val th = Tables(s, d, "documents")
-      .select(col("source"), tokenHashes(tokens(col("text"))).as("hs"))
-      .persist()
-    val sh = th.select(col("source"), explode(shingleHashes(col("hs"), 3)).as("h"))
-      .distinct().persist()
+    // standing-index frames (see the section note): source-grain shingle
+    // sets, written once — the per-source signature table a lake keeps
+    val th = mat(s, d, "dd9th")(Tables(s, d, "documents")
+      .select(col("source"), tokenHashes(tokens(col("text"))).as("hs")))
+    val sh = mat(s, d, "dd9sh")(
+      th.select(col("source"), explode(shingleHashes(col("hs"), 3)).as("h"))
+        .distinct())
     val mhCols = MinhashParams.zipWithIndex.map { case ((a, b), i) =>
       min(perm(col("h"), a, b)).as(s"mh$i") }
     val sig = sh.groupBy(col("source"))
@@ -910,7 +912,7 @@ object DedupQueries {
       .withColumn("est_ppm", expr(s"n_agree * 1000000L DIV ${MinhashParams.size}"))
       .select("a", "b", "n_a", "n_b", "n_inter", "n_union", "jac_ppm", "n_agree", "est_ppm")
       .orderBy(col("a"), col("b"))
-    graft.Eager.finish(res, th, sh)
+    graft.Eager.pin(res)
   }
 
   private val dd9Sql =
@@ -964,11 +966,11 @@ object DedupQueries {
       .select(col("doc_id"), col("n_chars"), (col("p") + 1).as("pos"), col("h"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.currentRow, 3)
-    val fps = grams
+    // standing-index frame: the winnowing fingerprint table, written once
+    val fps = mat(s, d, "dd10fps")(grams
       .select(col("doc_id"), col("n_chars"), col("pos"), min(col("h")).over(w).as("fp"))
       .filter(col("pos") <= col("n_chars") - 7 - 3)
-      .select(col("doc_id"), col("fp")).distinct()
-      .persist()
+      .select(col("doc_id"), col("fp")).distinct())
     val keep = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= 20).select(col("fp"))
     val pf = fps.join(keep, "fp")
@@ -984,7 +986,7 @@ object DedupQueries {
       .select(col("a"), col("b"), col("shared"),
         (col("shared").cast("double") / least(col("n_a"), col("n_b"))).as("containment"))
       .orderBy(col("shared").desc, col("a"), col("b"))
-    graft.Eager.finish(res, fps)
+    graft.Eager.pin(res)
   }
 
   private val dd10Sql =
@@ -1029,8 +1031,8 @@ object DedupQueries {
     * pairs ∝ colliding paragraphs, exact Jaccard verify on candidates
     * only — the plan never goes O(paragraphs²). */
   private def dd11(s: SparkSession, d: String): DataFrame = {
-    val (res, th, sh) = dd11Plan(s, d)
-    graft.Eager.finish(res, th, sh)
+    val (res, _, _) = dd11Plan(s, d)
+    graft.Eager.pin(res)
   }
 
   /** dd11's plan pre-`Eager.pin`, exposed so PlanAuditSpec can inspect the
@@ -1047,12 +1049,13 @@ object DedupQueries {
           i => slice(toks, i * lit(25) + 1, lit(25)))))
       .withColumnRenamed("pos", "para").withColumnRenamed("col", "ptoks")
       .filter(size(col("ptoks")) >= 2)
-    // same materialization boundary as dd2 (see comment there)
-    val th = paras.select(col("doc_id"), col("para"), tokenHashes(col("ptoks")).as("hs"))
-      .persist()
-    val sh = th.select(col("doc_id"), col("para"),
+    // standing-index frames: paragraph-grain token hashes + shingle sets
+    val th = mat(s, d, "dd11th")(
+      paras.select(col("doc_id"), col("para"), tokenHashes(col("ptoks")).as("hs")))
+    val sh = mat(s, d, "dd11sh")(
+      th.select(col("doc_id"), col("para"),
         explode(shingleHashes(col("hs"), 2)).as("h"))
-      .distinct().persist()
+        .distinct())
     val mhCols = MinhashParams.zipWithIndex.map { case ((a, b), i) =>
       min(perm(col("h"), a, b)).as(s"mh$i") }
     val sig = sh.groupBy(col("doc_id"), col("para")).agg(mhCols.head, mhCols.tail: _*)

@@ -8142,6 +8142,59 @@ object DocQueries {
     * then the "dest index" answers the entity query — top spenders with
     * their event counts. One hash aggregation builds the dest; the query
     * is a bounded top-k over entity-grain rows, never raw events. */
+  // ---------------------------------------------------------------- d210
+  /** ES|QL (`_query`, ES 8.11+) — the piped analytics language
+    * (Esql.scala). The whole pipe compiles to ONE Catalyst plan: WHERE
+    * reaches the parquet scan as a pushed filter, EVAL is a projection,
+    * STATS..BY one hash aggregation (map-side partials free), SORT+LIMIT
+    * a bounded TakeOrderedAndProject — scan → partial agg → final agg →
+    * top-k at any scale, no interpreter loop. SUM/AVG over doubles ride
+    * the engine's exact-decimal contract so totals are bit-exact vs the
+    * oracle. */
+  private def d210(s: SparkSession, d: String): DataFrame = {
+    val q =
+      """FROM events
+        || WHERE event_type == "purchase" AND value > 50
+        || EVAL v2 = value * 2
+        || STATS total = SUM(v2), n = COUNT(*), hi = MAX(value) BY user_id
+        || SORT total DESC, user_id ASC
+        || LIMIT 10""".stripMargin
+    Esql.run(Map("events" -> graft.Tables.events(s, d).drop("ts", "ts_us")), q)
+  }
+
+  private val d210Sql =
+    """SELECT user_id,
+      |  CAST(CAST(SUM(CAST(value * 2 AS DECIMAL(12,2))) AS DECIMAL(28,6))
+      |    AS DOUBLE) AS total,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  MAX(value) AS hi
+      |FROM events WHERE event_type = 'purchase' AND value > 50
+      |GROUP BY 1 ORDER BY total DESC, user_id LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- d211
+  /** ES|QL row-pipe commands (no STATS): EVAL + DROP + KEEP + the ES|QL
+    * wildcard LIKE (* ? — compiled to Spark's like with escaped % _), a
+    * multi-key SORT and LIMIT. The pipe collapses to a single projected,
+    * filtered, bounded-top-k scan — the filter (incl. the LIKE prefix)
+    * sits below the projection after Catalyst pushdown. */
+  private def d211(s: SparkSession, d: String): DataFrame = {
+    val q =
+      """FROM orders
+        || WHERE o_orderstatus == "F" AND o_orderpriority LIKE "1*"
+        || EVAL price_k = o_totalprice / 1000, pri = o_orderkey % 100
+        || DROP o_orderdate
+        || KEEP o_orderkey, o_custkey, price_k, pri
+        || SORT price_k DESC, o_orderkey ASC
+        || LIMIT 25""".stripMargin
+    Esql.run(Map("orders" -> graft.Tables(s, d, "orders")), q)
+  }
+
+  private val d211Sql =
+    """SELECT o_orderkey, o_custkey, o_totalprice / 1000 AS price_k,
+      |  o_orderkey % 100 AS pri
+      |FROM orders WHERE o_orderstatus = 'F' AND o_orderpriority LIKE '1%'
+      |ORDER BY price_k DESC, o_orderkey LIMIT 25""".stripMargin
+
   private def d209(s: SparkSession, d: String): DataFrame = {
     val body =
       """{
@@ -8531,6 +8584,8 @@ object DocQueries {
     "d207_es_ingest_reshape" -> d207 _,
     "d208_es_eql_sequence" -> d208 _,
     "d209_es_transform_pivot" -> d209 _,
+    "d210_esql_stats" -> d210 _,
+    "d211_esql_row_pipe" -> d211 _,
     "d206_es_parent_agg" -> d206 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
@@ -8742,6 +8797,8 @@ object DocQueries {
     "d207_es_ingest_reshape" -> d207Sql,
     "d208_es_eql_sequence" -> d208Sql,
     "d209_es_transform_pivot" -> d209Sql,
+    "d210_esql_stats" -> d210Sql,
+    "d211_esql_row_pipe" -> d211Sql,
     "d206_es_parent_agg" -> d206Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,

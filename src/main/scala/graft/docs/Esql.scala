@@ -1,0 +1,325 @@
+package graft.docs
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** ES|QL (`_query`, ES 8.11+) — the piped query language that is becoming
+  * the primary ES analytics surface:
+  *
+  *   FROM events
+  *   | WHERE event_type == "purchase" AND value > 50
+  *   | EVAL v2 = value * 2
+  *   | STATS total = SUM(v2), n = COUNT(*) BY user_id
+  *   | SORT total DESC
+  *   | LIMIT 10
+  *
+  * Each pipe command compiles DIRECTLY onto the running DataFrame —
+  * WHERE is a pushdown-eligible filter, EVAL a projection, STATS one hash
+  * aggregation, SORT+LIMIT a bounded TakeOrderedAndProject — so the whole
+  * pipe is one declarative Catalyst plan, not an interpreter loop.
+  *
+  * Implemented commands: FROM, WHERE, EVAL, STATS..BY, SORT, LIMIT, KEEP,
+  * DROP. Expressions: identifiers, integer/decimal/string literals, the
+  * comparison set (== != < <= > >=), arithmetic (+ - * / %), NOT/AND/OR,
+  * LIKE (ES|QL wildcard * ? — compiled to Spark's like with % _). Aggs:
+  * COUNT(*) / COUNT / SUM / AVG / MIN / MAX. SUM/AVG over double columns
+  * accumulate through the engine's exact-decimal contract (DECIMAL(12,2)
+  * partials, DECIMAL(28,6) result) so the oracle reproduces totals
+  * bit-for-bit. Everything else — ENRICH, DISSECT/GROK, MV_* functions,
+  * subqueries — rejects loudly at parse time.
+  */
+object Esql {
+
+  // ------------------------------------------------------------ tokens
+  private sealed trait Tok
+  private final case class TId(s: String) extends Tok
+  private final case class TNum(s: String) extends Tok
+  private final case class TStr(s: String) extends Tok
+  private final case class TOp(s: String) extends Tok
+  private case object TPipe extends Tok
+
+  private val TokenRe =
+    ("""\s*(?:("(?:[^"\\]|\\.)*")|([A-Za-z_][A-Za-z0-9_.]*)|""" +
+      """([0-9]+(?:\.[0-9]+)?)|(==|!=|<=|>=|[<>+\-*/%(),=|]))""").r
+
+  private def tokenize(q: String): List[Tok] = {
+    var pos = 0
+    val out = scala.collection.mutable.ListBuffer[Tok]()
+    while (pos < q.length) {
+      TokenRe.findPrefixMatchOf(q.substring(pos)) match {
+        case Some(m) =>
+          pos += m.end
+          if (m.group(1) != null)
+            out += TStr(m.group(1).substring(1, m.group(1).length - 1)
+              .replace("\\\"", "\"").replace("\\\\", "\\"))
+          else if (m.group(2) != null) out += TId(m.group(2))
+          else if (m.group(3) != null) out += TNum(m.group(3))
+          else if (m.group(4) == "|") out += TPipe
+          else out += TOp(m.group(4))
+        case None =>
+          if (q.substring(pos).trim.isEmpty) pos = q.length
+          else throw new IllegalArgumentException(
+            s"esql: cannot tokenize at: ${q.substring(pos).take(30)}")
+      }
+    }
+    out.toList
+  }
+
+  // -------------------------------------------------------- expressions
+  private sealed trait Ex
+  private final case class EId(name: String) extends Ex
+  private final case class ELong(v: Long) extends Ex
+  private final case class EDouble(v: Double) extends Ex
+  private final case class EStr(v: String) extends Ex
+  private final case class EBin(op: String, l: Ex, r: Ex) extends Ex
+  private final case class ENot(e: Ex) extends Ex
+
+  /** Pratt-ish recursive-descent over the token list. */
+  private final class P(var ts: List[Tok]) {
+    def peek: Option[Tok] = ts.headOption
+    def pop(): Tok = { val h = ts.head; ts = ts.tail; h }
+    def expectOp(op: String): Unit = pop() match {
+      case TOp(`op`) => ()
+      case other => throw new IllegalArgumentException(s"esql: expected '$op', got $other")
+    }
+    private def isKw(t: Tok, kw: String) = t match {
+      case TId(s) => s.equalsIgnoreCase(kw)
+      case _ => false
+    }
+    def expr(): Ex = orExpr()
+    private def orExpr(): Ex = {
+      var l = andExpr()
+      while (peek.exists(isKw(_, "OR"))) { pop(); l = EBin("or", l, andExpr()) }
+      l
+    }
+    private def andExpr(): Ex = {
+      var l = notExpr()
+      while (peek.exists(isKw(_, "AND"))) { pop(); l = EBin("and", l, notExpr()) }
+      l
+    }
+    private def notExpr(): Ex =
+      if (peek.exists(isKw(_, "NOT"))) { pop(); ENot(notExpr()) } else cmpExpr()
+    private def cmpExpr(): Ex = {
+      val l = addExpr()
+      peek match {
+        case Some(TOp(op @ ("==" | "!=" | "<" | "<=" | ">" | ">="))) =>
+          pop(); EBin(op, l, addExpr())
+        case Some(t) if isKw(t, "LIKE") =>
+          pop(); EBin("like", l, addExpr())
+        case _ => l
+      }
+    }
+    private def addExpr(): Ex = {
+      var l = mulExpr()
+      var go = true
+      while (go) peek match {
+        case Some(TOp(op @ ("+" | "-"))) => pop(); l = EBin(op, l, mulExpr())
+        case _ => go = false
+      }
+      l
+    }
+    private def mulExpr(): Ex = {
+      var l = unary()
+      var go = true
+      while (go) peek match {
+        case Some(TOp(op @ ("*" | "/" | "%"))) => pop(); l = EBin(op, l, unary())
+        case _ => go = false
+      }
+      l
+    }
+    private def unary(): Ex = peek match {
+      case Some(TOp("-")) => pop(); EBin("-", ELong(0L), unary())
+      case Some(TOp("(")) => pop(); val e = expr(); expectOp(")"); e
+      case Some(TNum(s)) => pop()
+        if (s.contains('.')) EDouble(s.toDouble) else ELong(s.toLong)
+      case Some(TStr(s)) => pop(); EStr(s)
+      case Some(TId(s)) => pop(); EId(s)
+      case other => throw new IllegalArgumentException(s"esql: bad expression at $other")
+    }
+  }
+
+  private def compile(e: Ex): Column = e match {
+    case EId(n) => col(n)
+    case ELong(v) => lit(v)
+    case EDouble(v) => lit(v)
+    case EStr(v) => lit(v)
+    case ENot(x) => !compile(x)
+    case EBin(op, l, r) =>
+      val (a, b) = (compile(l), compile(r))
+      op match {
+        case "==" => a === b
+        case "!=" => a =!= b
+        case "<" => a < b
+        case "<=" => a <= b
+        case ">" => a > b
+        case ">=" => a >= b
+        case "and" => a && b
+        case "or" => a || b
+        case "like" => r match {
+          // ES|QL wildcards: * = any run, ? = one char
+          case EStr(p) => a.like(p.replace("%", "\\%").replace("_", "\\_")
+            .replace("*", "%").replace("?", "_"))
+          case _ => throw new IllegalArgumentException(
+            "esql: LIKE needs a string literal pattern")
+        }
+        case "+" => a + b
+        case "-" => a - b
+        case "*" => a * b
+        case "/" => a / b
+        case "%" => a % b
+      }
+  }
+
+  // ------------------------------------------------------------ commands
+  /** Run an ES|QL pipe against the named sources. */
+  def run(sources: Map[String, DataFrame], query: String): DataFrame = {
+    // split the token stream on top-level pipes
+    val segments = {
+      val out = scala.collection.mutable.ListBuffer[List[Tok]]()
+      var cur = scala.collection.mutable.ListBuffer[Tok]()
+      tokenize(query).foreach {
+        case TPipe => out += cur.toList; cur = scala.collection.mutable.ListBuffer()
+        case t => cur += t
+      }
+      out += cur.toList
+      out.toList
+    }
+    require(segments.nonEmpty && segments.head.nonEmpty, "esql: empty query")
+    def kw(t: Tok): String = t match {
+      case TId(s) => s.toUpperCase
+      case other => throw new IllegalArgumentException(s"esql: expected a command, got $other")
+    }
+    val head = segments.head
+    require(kw(head.head) == "FROM", s"esql: pipe must start with FROM")
+    val srcName = head.tail match {
+      case List(TId(n)) => n
+      case other => throw new IllegalArgumentException(s"esql: bad FROM target: $other")
+    }
+    var df = sources.getOrElse(srcName, throw new IllegalArgumentException(
+      s"esql: unknown index $srcName (have: ${sources.keys.toSeq.sorted.mkString(", ")})"))
+
+    def isDouble(c: String): Boolean =
+      df.schema.fields.exists(f => f.name == c && f.dataType == DoubleType)
+
+    /** Exact-sum column for an agg argument: double inputs go through the
+      * decimal contract; integer inputs stay integer. */
+    def aggCol(fn: String, arg: Ex, alias: String): Column = {
+      val dbl = arg match {
+        case EId(n) => isDouble(n)
+        case EDouble(_) => true
+        case EBin(_, _, _) | ENot(_) => true // computed: treat as double-class
+        case _ => false
+      }
+      val c = compile(arg)
+      (fn match {
+        case "SUM" if dbl =>
+          sum(c.cast("decimal(12,2)")).cast("decimal(28,6)").cast("double")
+        case "SUM" => sum(c).cast("long")
+        case "AVG" if dbl =>
+          (sum(c.cast("decimal(12,2)")).cast("decimal(28,6)") / count(c))
+            .cast("decimal(28,6)").cast("double")
+        case "AVG" => sum(c).cast("double") / count(c)
+        case "MIN" => min(c)
+        case "MAX" => max(c)
+        case "COUNT" => count(c).cast("long")
+        case other => throw new IllegalArgumentException(s"esql: unsupported agg $other")
+      }).as(alias)
+    }
+
+    segments.tail.foreach { seg =>
+      require(seg.nonEmpty, "esql: empty pipe segment")
+      val p = new P(seg.tail)
+      kw(seg.head) match {
+        case "WHERE" => df = df.filter(compile(p.expr()))
+        case "LIMIT" => p.pop() match {
+          case TNum(n) if !n.contains('.') => df = df.limit(n.toInt)
+          case other => throw new IllegalArgumentException(s"esql: bad LIMIT: $other")
+        }
+        case "KEEP" =>
+          val cols = scala.collection.mutable.ListBuffer[String]()
+          var go = true
+          while (go) { p.pop() match {
+            case TId(n) => cols += n
+            case other => throw new IllegalArgumentException(s"esql: bad KEEP column: $other")
+          }; if (p.peek.contains(TOp(","))) p.pop() else go = false }
+          df = df.select(cols.toSeq.map(col): _*)
+        case "DROP" =>
+          val cols = scala.collection.mutable.ListBuffer[String]()
+          var go = true
+          while (go) { p.pop() match {
+            case TId(n) => cols += n
+            case other => throw new IllegalArgumentException(s"esql: bad DROP column: $other")
+          }; if (p.peek.contains(TOp(","))) p.pop() else go = false }
+          df = df.drop(cols.toSeq: _*)
+        case "EVAL" =>
+          var go = true
+          while (go) {
+            val name = p.pop() match {
+              case TId(n) => n
+              case other => throw new IllegalArgumentException(s"esql: bad EVAL target: $other")
+            }
+            p.expectOp("=")
+            df = df.withColumn(name, compile(p.expr()))
+            if (p.peek.contains(TOp(","))) p.pop() else go = false
+          }
+        case "SORT" =>
+          val keys = scala.collection.mutable.ListBuffer[Column]()
+          var go = true
+          while (go) {
+            val c = compile(p.expr())
+            val dir = p.peek match {
+              case Some(TId(s)) if s.equalsIgnoreCase("DESC") => p.pop(); c.desc
+              case Some(TId(s)) if s.equalsIgnoreCase("ASC") => p.pop(); c.asc
+              case _ => c.asc
+            }
+            keys += dir
+            if (p.peek.contains(TOp(","))) p.pop() else go = false
+          }
+          df = df.orderBy(keys.toSeq: _*)
+        case "STATS" =>
+          val aggs = scala.collection.mutable.ListBuffer[Column]()
+          var go = true
+          while (go) {
+            val alias = p.pop() match {
+              case TId(n) => n
+              case other => throw new IllegalArgumentException(s"esql: bad STATS alias: $other")
+            }
+            p.expectOp("=")
+            val fn = p.pop() match {
+              case TId(n) => n.toUpperCase
+              case other => throw new IllegalArgumentException(s"esql: bad STATS agg: $other")
+            }
+            p.expectOp("(")
+            val c = p.peek match {
+              case Some(TOp("*")) =>
+                require(fn == "COUNT", s"esql: only COUNT(*) takes *")
+                p.pop(); count(lit(1)).cast("long").as(alias)
+              case _ => aggCol(fn, p.expr(), alias)
+            }
+            p.expectOp(")")
+            aggs += c
+            if (p.peek.contains(TOp(","))) p.pop() else go = false
+          }
+          val by = scala.collection.mutable.ListBuffer[String]()
+          p.peek match {
+            case Some(TId(s)) if s.equalsIgnoreCase("BY") =>
+              p.pop()
+              var g2 = true
+              while (g2) { p.pop() match {
+                case TId(n) => by += n
+                case other => throw new IllegalArgumentException(s"esql: bad BY key: $other")
+              }; if (p.peek.contains(TOp(","))) p.pop() else g2 = false }
+            case _ => ()
+          }
+          df =
+            if (by.isEmpty) df.agg(aggs.head, aggs.tail.toSeq: _*)
+            else df.groupBy(by.toSeq.map(col): _*).agg(aggs.head, aggs.tail.toSeq: _*)
+        case other => throw new IllegalArgumentException(
+          s"esql: unsupported command $other (FROM/WHERE/EVAL/STATS/SORT/LIMIT/KEEP/DROP)")
+      }
+      require(p.ts.isEmpty, s"esql: trailing tokens in ${kw(seg.head)}: ${p.ts.take(4)}")
+    }
+    df
+  }
+}

@@ -8195,6 +8195,85 @@ object DocQueries {
       |FROM orders WHERE o_orderstatus = 'F' AND o_orderpriority LIKE '1%'
       |ORDER BY price_k DESC, o_orderkey LIMIT 25""".stripMargin
 
+  // ---------------------------------------------------------------- d212
+  /** ES|QL ENRICH — the lookup join. The policy table (nation, dimension-
+    * sized by the enrich contract: ES replicates the enrich index to every
+    * node) compiles to a BROADCAST left join, so the corpus side never
+    * shuffles; the STATS after it is still one hash aggregation. */
+  private def d212(s: SparkSession, d: String): DataFrame = {
+    val q =
+      """FROM customer
+        || ENRICH nations ON c_nationkey WITH n_name
+        || STATS n = COUNT(*), bal = SUM(c_acctbal) BY n_name
+        || SORT n_name ASC""".stripMargin
+    Esql.run(
+      Map("customer" -> graft.Tables(s, d, "customer")), q,
+      enrich = Map("nations" ->
+        (graft.Tables(s, d, "nation").select("n_nationkey", "n_name"), "n_nationkey")))
+  }
+
+  private val d212Sql =
+    """SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DECIMAL(28,6))
+      |    AS DOUBLE) AS bal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY 1 ORDER BY n_name""".stripMargin
+
+  // ---------------------------------------------------------------- d213
+  /** ES|QL GROK + RENAME + IN + IS NOT NULL: extract the numeric id out of
+    * the source tag with the grok core subset (%{INT}), type it, and
+    * aggregate. The grok is ONE codegen'd regexp_extract projection —
+    * filters on the typed column sit under the aggregation. */
+  private def d213(s: SparkSession, d: String): DataFrame = {
+    val q =
+      """FROM documents
+        || GROK source "src%{INT:srcnum}"
+        || EVAL srci = TO_LONG(srcnum)
+        || RENAME srci AS src_id
+        || WHERE src_id IS NOT NULL AND src_id IN (1, 3, 5, 7)
+        || STATS docs = COUNT(*), chars = SUM(n_chars) BY src_id
+        || SORT src_id ASC""".stripMargin
+    Esql.run(Map("documents" -> graft.Tables(s, d, "documents")), q)
+  }
+
+  private val d213Sql =
+    """WITH g AS (
+      |  SELECT TRY_CAST(regexp_extract(source, 'src([+-]?[0-9]+)', 1)
+      |    AS BIGINT) AS src_id, n_chars
+      |  FROM documents)
+      |SELECT src_id, CAST(COUNT(*) AS BIGINT) AS docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS chars
+      |FROM g WHERE src_id IS NOT NULL AND src_id IN (1, 3, 5, 7)
+      |GROUP BY 1 ORDER BY src_id""".stripMargin
+
+  // ---------------------------------------------------------------- d214
+  /** ES|QL DISSECT + SPLIT + MV_EXPAND + STARTS_WITH: dissect an evaluated
+    * tag back into fields (anchored literal-separator split), explode the
+    * SPLIT array one-row-per-value (explode_outer — the mv_expand null
+    * contract), and count per (lang, part). Everything row-local until the
+    * single STATS hash agg. */
+  private def d214(s: SparkSession, d: String): DataFrame = {
+    val q =
+      """FROM documents
+        || EVAL tag = CONCAT(lang, "/", source)
+        || DISSECT tag "%{l2}/%{src2}"
+        || WHERE l2 IN ("en", "de") AND STARTS_WITH(src2, "src1")
+        || EVAL parts = SPLIT(tag, "/")
+        || MV_EXPAND parts
+        || STATS n = COUNT(*) BY l2, parts
+        || SORT l2 ASC, parts ASC""".stripMargin
+    Esql.run(Map("documents" -> graft.Tables(s, d, "documents")), q)
+  }
+
+  private val d214Sql =
+    """WITH base AS (
+      |  SELECT lang AS l2, lang || '/' || source AS tag
+      |  FROM documents
+      |  WHERE lang IN ('en', 'de') AND source LIKE 'src1%'),
+      |ex AS (SELECT l2, unnest(string_split(tag, '/')) AS parts FROM base)
+      |SELECT l2, parts, CAST(COUNT(*) AS BIGINT) AS n
+      |FROM ex GROUP BY 1, 2 ORDER BY l2, parts""".stripMargin
+
   private def d209(s: SparkSession, d: String): DataFrame = {
     val body =
       """{
@@ -8586,6 +8665,9 @@ object DocQueries {
     "d209_es_transform_pivot" -> d209 _,
     "d210_esql_stats" -> d210 _,
     "d211_esql_row_pipe" -> d211 _,
+    "d212_esql_enrich" -> d212 _,
+    "d213_esql_grok" -> d213 _,
+    "d214_esql_mv_expand" -> d214 _,
     "d206_es_parent_agg" -> d206 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
@@ -8799,6 +8881,9 @@ object DocQueries {
     "d209_es_transform_pivot" -> d209Sql,
     "d210_esql_stats" -> d210Sql,
     "d211_esql_row_pipe" -> d211Sql,
+    "d212_esql_enrich" -> d212Sql,
+    "d213_esql_grok" -> d213Sql,
+    "d214_esql_mv_expand" -> d214Sql,
     "d206_es_parent_agg" -> d206Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,

@@ -20,14 +20,25 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * pipe is one declarative Catalyst plan, not an interpreter loop.
   *
   * Implemented commands: FROM, WHERE, EVAL, STATS..BY, SORT, LIMIT, KEEP,
-  * DROP. Expressions: identifiers, integer/decimal/string literals, the
+  * DROP, RENAME..AS, MV_EXPAND (explode_outer — null stays a null row,
+  * the ES|QL contract), DISSECT (anchored whole-string split on literal
+  * separators), GROK (the core pattern subset WORD/INT/NUMBER/DATA/
+  * GREEDYDATA/NOTSPACE, unanchored), and ENRICH..ON..WITH — the lookup
+  * join, compiled to a BROADCAST left join against the policy table (the
+  * exact Spark analogue of ES's replicated enrich index: the policy frame
+  * ships to every node, the corpus never shuffles).
+  *
+  * Expressions: identifiers, integer/decimal/string literals, the
   * comparison set (== != < <= > >=), arithmetic (+ - * / %), NOT/AND/OR,
-  * LIKE (ES|QL wildcard * ? — compiled to Spark's like with % _). Aggs:
-  * COUNT(*) / COUNT / SUM / AVG / MIN / MAX. SUM/AVG over double columns
-  * accumulate through the engine's exact-decimal contract (DECIMAL(12,2)
-  * partials, DECIMAL(28,6) result) so the oracle reproduces totals
-  * bit-for-bit. Everything else — ENRICH, DISSECT/GROK, MV_* functions,
-  * subqueries — rejects loudly at parse time.
+  * LIKE (ES|QL wildcard * ? — compiled to Spark's like with % _),
+  * IN (literals), IS [NOT] NULL, and scalar functions ABS/ROUND/LENGTH/
+  * SUBSTRING/CONCAT/TO_UPPER/TO_LOWER/TO_LONG/TO_DOUBLE/COALESCE/
+  * STARTS_WITH/SPLIT (literal separator). Aggs: COUNT(*) / COUNT / SUM /
+  * AVG / MIN / MAX. SUM/AVG over double columns accumulate through the
+  * engine's exact-decimal contract (DECIMAL(12,2) partials, DECIMAL(28,6)
+  * result) so the oracle reproduces totals bit-for-bit. Everything else —
+  * subqueries, LOOKUP JOIN, the remaining MV_* functions — rejects loudly
+  * at parse time.
   */
 object Esql {
 
@@ -74,11 +85,17 @@ object Esql {
   private final case class EStr(v: String) extends Ex
   private final case class EBin(op: String, l: Ex, r: Ex) extends Ex
   private final case class ENot(e: Ex) extends Ex
+  private final case class EFn(name: String, args: List[Ex]) extends Ex
+  private final case class EIn(e: Ex, items: List[Ex]) extends Ex
+  private final case class EIsNull(e: Ex, negated: Boolean) extends Ex
 
   /** Pratt-ish recursive-descent over the token list. */
   private final class P(var ts: List[Tok]) {
     def peek: Option[Tok] = ts.headOption
-    def pop(): Tok = { val h = ts.head; ts = ts.tail; h }
+    def pop(): Tok = {
+      require(ts.nonEmpty, "esql: unexpected end of input")
+      val h = ts.head; ts = ts.tail; h
+    }
     def expectOp(op: String): Unit = pop() match {
       case TOp(`op`) => ()
       case other => throw new IllegalArgumentException(s"esql: expected '$op', got $other")
@@ -107,6 +124,21 @@ object Esql {
           pop(); EBin(op, l, addExpr())
         case Some(t) if isKw(t, "LIKE") =>
           pop(); EBin("like", l, addExpr())
+        case Some(t) if isKw(t, "IN") =>
+          pop(); expectOp("(")
+          val items = scala.collection.mutable.ListBuffer(expr())
+          while (peek.contains(TOp(","))) { pop(); items += expr() }
+          expectOp(")")
+          EIn(l, items.toList)
+        case Some(t) if isKw(t, "IS") =>
+          pop()
+          val neg = peek.exists(isKw(_, "NOT"))
+          if (neg) pop()
+          pop() match {
+            case TId(s) if s.equalsIgnoreCase("NULL") => EIsNull(l, neg)
+            case other => throw new IllegalArgumentException(
+              s"esql: expected NULL after IS${if (neg) " NOT" else ""}, got $other")
+          }
         case _ => l
       }
     }
@@ -134,8 +166,31 @@ object Esql {
       case Some(TNum(s)) => pop()
         if (s.contains('.')) EDouble(s.toDouble) else ELong(s.toLong)
       case Some(TStr(s)) => pop(); EStr(s)
-      case Some(TId(s)) => pop(); EId(s)
+      case Some(TId(s)) =>
+        pop()
+        if (peek.contains(TOp("("))) { // scalar function call
+          pop()
+          val args = scala.collection.mutable.ListBuffer[Ex]()
+          if (!peek.contains(TOp(")"))) {
+            args += expr()
+            while (peek.contains(TOp(","))) { pop(); args += expr() }
+          }
+          expectOp(")")
+          EFn(s.toUpperCase, args.toList)
+        } else EId(s)
       case other => throw new IllegalArgumentException(s"esql: bad expression at $other")
+    }
+    def ident(): String = pop() match {
+      case TId(n) => n
+      case other => throw new IllegalArgumentException(s"esql: expected an identifier, got $other")
+    }
+    def string(): String = pop() match {
+      case TStr(v) => v
+      case other => throw new IllegalArgumentException(s"esql: expected a string literal, got $other")
+    }
+    def expectKw(k: String): Unit = pop() match {
+      case TId(s) if s.equalsIgnoreCase(k) => ()
+      case other => throw new IllegalArgumentException(s"esql: expected $k, got $other")
     }
   }
 
@@ -145,6 +200,55 @@ object Esql {
     case EDouble(v) => lit(v)
     case EStr(v) => lit(v)
     case ENot(x) => !compile(x)
+    case EIsNull(x, neg) =>
+      if (neg) compile(x).isNotNull else compile(x).isNull
+    case EIn(x, items) =>
+      val vals = items.map {
+        case ELong(v) => v: Any
+        case EDouble(v) => v: Any
+        case EStr(v) => v: Any
+        case other => throw new IllegalArgumentException(
+          s"esql: IN list must be literals, got $other")
+      }
+      compile(x).isin(vals: _*)
+    case EFn(name, args) =>
+      def c(i: Int) = compile(args(i))
+      def arity(n: Int): Unit = require(args.size == n,
+        s"esql: $name takes $n arguments, got ${args.size}")
+      name match {
+        case "ABS" => arity(1); abs(c(0))
+        case "ROUND" =>
+          if (args.size == 1) round(c(0))
+          else args(1) match {
+            case ELong(d) => round(c(0), d.toInt)
+            case other => throw new IllegalArgumentException(
+              s"esql: ROUND scale must be an integer literal, got $other")
+          }
+        case "LENGTH" => arity(1); length(c(0))
+        case "SUBSTRING" =>
+          arity(3)
+          (args(1), args(2)) match {
+            case (ELong(p), ELong(l)) => substring(c(0), p.toInt, l.toInt)
+            case _ => throw new IllegalArgumentException(
+              "esql: SUBSTRING start/length must be integer literals")
+          }
+        case "CONCAT" => concat(args.map(compile): _*)
+        case "TO_UPPER" => arity(1); upper(c(0))
+        case "TO_LOWER" => arity(1); lower(c(0))
+        case "TO_LONG" => arity(1); c(0).cast(LongType)
+        case "TO_DOUBLE" => arity(1); c(0).cast(DoubleType)
+        case "COALESCE" => coalesce(args.map(compile): _*)
+        case "STARTS_WITH" => arity(2); c(0).startsWith(c(1))
+        case "SPLIT" =>
+          arity(2)
+          args(1) match {
+            case EStr(sep) => split(c(0), java.util.regex.Pattern.quote(sep))
+            case other => throw new IllegalArgumentException(
+              s"esql: SPLIT separator must be a string literal, got $other")
+          }
+        case other => throw new IllegalArgumentException(
+          s"esql: unsupported function $other")
+      }
     case EBin(op, l, r) =>
       val (a, b) = (compile(l), compile(r))
       op match {
@@ -171,9 +275,60 @@ object Esql {
       }
   }
 
+  // ---------------------------------------------------- dissect / grok
+  private val DissectKeyRe = """%\{([A-Za-z_][A-Za-z0-9_]*)\}""".r
+
+  /** DISSECT: keys separated by literal text; anchored whole-string match
+    * (the ES dissect contract). Keys become lazy groups — the trailing
+    * `$` anchor forces the last one to take the remainder. */
+  private def dissectToRegex(pattern: String): (String, Seq[String]) = {
+    val keys = DissectKeyRe.findAllMatchIn(pattern).map(_.group(1)).toSeq
+    require(keys.nonEmpty, s"esql: DISSECT pattern has no %{key}s: $pattern")
+    // Literal parts interleaved with one group per key; the -1 limit keeps
+    // the trailing empty part when the pattern ends with a key.
+    val parts = DissectKeyRe.pattern.split(pattern, -1)
+      .map(p => if (p.isEmpty) "" else java.util.regex.Pattern.quote(p))
+    val sb = new StringBuilder("^")
+    parts.zipWithIndex.foreach { case (p, i) =>
+      sb.append(p); if (i < keys.size) sb.append("(.*?)")
+    }
+    sb.append("$")
+    (sb.toString, keys)
+  }
+
+  /** GROK core subset: %{TYPE:name} over a literal skeleton; unanchored
+    * first-match (the grok contract). */
+  private val GrokTypes = Map(
+    "WORD" -> """\w+""", "INT" -> """[+-]?\d+""",
+    "NUMBER" -> """[+-]?\d+(?:\.\d+)?""", "DATA" -> """.*?""",
+    "GREEDYDATA" -> """.*""", "NOTSPACE" -> """\S+""")
+  private val GrokKeyRe = """%\{([A-Z]+):([A-Za-z_][A-Za-z0-9_]*)\}""".r
+
+  private def grokToRegex(pattern: String): (String, Seq[String]) = {
+    val ms = GrokKeyRe.findAllMatchIn(pattern).toSeq
+    require(ms.nonEmpty, s"esql: GROK pattern has no %{TYPE:name}s: $pattern")
+    val keys = ms.map(_.group(2))
+    val types = ms.map(_.group(1))
+    types.find(!GrokTypes.contains(_)).foreach { t =>
+      throw new IllegalArgumentException(
+        s"esql: unsupported grok type %{$t:...} (have: ${GrokTypes.keys.toSeq.sorted.mkString(", ")})")
+    }
+    val parts = GrokKeyRe.pattern.split(pattern, -1)
+      .map(p => if (p.isEmpty) "" else java.util.regex.Pattern.quote(p))
+    val sb = new StringBuilder
+    parts.zipWithIndex.foreach { case (p, i) =>
+      sb.append(p); if (i < keys.size) sb.append("(").append(GrokTypes(types(i))).append(")")
+    }
+    (sb.toString, keys)
+  }
+
   // ------------------------------------------------------------ commands
-  /** Run an ES|QL pipe against the named sources. */
-  def run(sources: Map[String, DataFrame], query: String): DataFrame = {
+  /** Run an ES|QL pipe against the named sources. `enrich` maps a policy
+    * name to (policy table, match field) — the replicated lookup index an
+    * ENRICH command joins against (always broadcast: policy tables are
+    * dimension-sized by contract, the corpus side never shuffles). */
+  def run(sources: Map[String, DataFrame], query: String,
+          enrich: Map[String, (DataFrame, String)] = Map.empty): DataFrame = {
     // split the token stream on top-level pipes
     val segments = {
       val out = scala.collection.mutable.ListBuffer[List[Tok]]()
@@ -263,6 +418,50 @@ object Esql {
             df = df.withColumn(name, compile(p.expr()))
             if (p.peek.contains(TOp(","))) p.pop() else go = false
           }
+        case "RENAME" =>
+          var go = true
+          while (go) {
+            val old = p.ident(); p.expectKw("AS"); val nw = p.ident()
+            require(df.columns.contains(old), s"esql: RENAME of unknown column $old")
+            df = df.withColumnRenamed(old, nw)
+            if (p.peek.contains(TOp(","))) p.pop() else go = false
+          }
+        case "MV_EXPAND" =>
+          // explode_outer: a null/empty multivalue stays one null row —
+          // the ES|QL mv_expand contract (explode would drop the doc).
+          val name = p.ident()
+          df = df.withColumn(name, explode_outer(col(name)))
+        case "DISSECT" =>
+          val field = p.ident()
+          val (rx, keys) = dissectToRegex(p.string())
+          keys.zipWithIndex.foreach { case (k, i) =>
+            df = df.withColumn(k, regexp_extract(col(field), rx, i + 1))
+          }
+        case "GROK" =>
+          val field = p.ident()
+          val (rx, keys) = grokToRegex(p.string())
+          keys.zipWithIndex.foreach { case (k, i) =>
+            df = df.withColumn(k, regexp_extract(col(field), rx, i + 1))
+          }
+        case "ENRICH" =>
+          val policy = p.ident()
+          p.expectKw("ON"); val key = p.ident()
+          p.expectKw("WITH")
+          val fields = scala.collection.mutable.ListBuffer[String]()
+          var go = true
+          while (go) { fields += p.ident()
+            if (p.peek.contains(TOp(","))) p.pop() else go = false }
+          val (tbl, matchField) = enrich.getOrElse(policy,
+            throw new IllegalArgumentException(
+              s"esql: unknown enrich policy $policy (have: ${enrich.keys.toSeq.sorted.mkString(", ")})"))
+          fields.find(df.columns.contains).foreach { f =>
+            throw new IllegalArgumentException(
+              s"esql: enrich field $f already exists on the pipe")
+          }
+          val right = tbl.select((matchField +: fields.toSeq).distinct.map(col): _*)
+            .withColumnRenamed(matchField, "__esql_match")
+          df = df.join(broadcast(right), col(key) === col("__esql_match"), "left")
+            .drop("__esql_match")
         case "SORT" =>
           val keys = scala.collection.mutable.ListBuffer[Column]()
           var go = true
@@ -316,7 +515,8 @@ object Esql {
             if (by.isEmpty) df.agg(aggs.head, aggs.tail.toSeq: _*)
             else df.groupBy(by.toSeq.map(col): _*).agg(aggs.head, aggs.tail.toSeq: _*)
         case other => throw new IllegalArgumentException(
-          s"esql: unsupported command $other (FROM/WHERE/EVAL/STATS/SORT/LIMIT/KEEP/DROP)")
+          s"esql: unsupported command $other (FROM/WHERE/EVAL/STATS/SORT/LIMIT/" +
+            "KEEP/DROP/RENAME/MV_EXPAND/DISSECT/GROK/ENRICH)")
       }
       require(p.ts.isEmpty, s"esql: trailing tokens in ${kw(seg.head)}: ${p.ts.take(4)}")
     }

@@ -974,6 +974,22 @@ class PlanAuditSpec extends SparkSpec {
       s"vocab map lost its 1-row broadcast:\n$p")
   }
 
+  test("d210: ES|QL pipe is ONE plan — WHERE pushed to the scan, STATS one " +
+    "hash agg pair, SORT+LIMIT a bounded TakeOrderedAndProject") {
+    val p = plan(q("d210_esql_stats"))
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(event_type,purchase)"),
+      s"ES|QL WHERE must reach the parquet scan:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"SORT+LIMIT must be top-k:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("d212: ES|QL ENRICH compiles to a broadcast join — the corpus side " +
+    "never shuffles for the lookup") {
+    val p = plan(q("d212_esql_enrich"))
+    assert(p.contains("BroadcastHashJoin"), s"enrich lookup must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus side must not shuffle:\n$p")
+  }
+
   test("t16: stratified sample runs both windows on ONE stratum shuffle") {
     val p = plan(q("t16_stratified_sample"))
     // count-per-stratum and hash-rank share the lang partitioning: one

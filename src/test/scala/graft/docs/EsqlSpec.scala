@@ -20,7 +20,8 @@ class EsqlSpec extends SparkSpec {
   test("rejections are loud and name the reason") {
     assert(bad("""ROW a = 1""").contains("pipe must start with FROM"))
     assert(bad("""FROM missing | LIMIT 1""").contains("unknown index"))
-    assert(bad("""FROM t | ENRICH policy""").contains("unsupported command"))
+    assert(bad("""FROM t | LOOKUP JOIN x ON id""").contains("unsupported command"))
+    assert(bad("""FROM t | ENRICH policy""").contains("unexpected end of input"))
     assert(bad("""FROM t | WHERE name LIKE id""")
       .contains("LIKE needs a string literal pattern"))
     assert(bad("""FROM t | STATS n = MEDIAN(v)""").contains("unsupported agg"))
@@ -47,6 +48,63 @@ class EsqlSpec extends SparkSpec {
         || LIMIT 2""".stripMargin).collect()
     assert(rows.map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq ===
       Seq(("alkali", 60.0, 1L), ("beta", 40.0, 1L)))
+  }
+
+  test("wave-2 rejections: grok types, enrich policies, IN literals, functions") {
+    assert(bad("""FROM t | GROK name "%{IP:addr}"""").contains("unsupported grok type"))
+    assert(bad("""FROM t | ENRICH pol ON id WITH x""").contains("unknown enrich policy"))
+    assert(bad("""FROM t | WHERE id IN (1, v)""").contains("IN list must be literals"))
+    assert(bad("""FROM t | EVAL x = MD5(name)""").contains("unsupported function"))
+    assert(bad("""FROM t | RENAME nope AS x""").contains("RENAME of unknown column"))
+    assert(bad("""FROM t | WHERE id IS TRUE""").contains("expected NULL after IS"))
+  }
+
+  test("DISSECT anchors the whole string; GROK matches anywhere") {
+    import spark.implicits._
+    val logs = Map("lg" -> Seq(
+      (1L, "GET /api/users 200"), (2L, "POST /api/orders 503"))
+      .toDF("id", "line"))
+    val dis = Esql.run(logs,
+      """FROM lg | DISSECT line "%{verb} %{path} %{code}"
+        || KEEP id, verb, path, code | SORT id ASC""".stripMargin).collect()
+    assert(dis.map(r => (r.getString(1), r.getString(2), r.getString(3))).toSeq ===
+      Seq(("GET", "/api/users", "200"), ("POST", "/api/orders", "503")))
+    val grk = Esql.run(logs,
+      """FROM lg | GROK line "%{WORD:verb} %{NOTSPACE:path} %{INT:code}"
+        || EVAL status = TO_LONG(code) | WHERE status >= 500 | KEEP id""".stripMargin)
+      .collect().map(_.getLong(0)).toSeq
+    assert(grk === Seq(2L))
+  }
+
+  test("ENRICH is a left join: unmatched keys keep the row with a null field") {
+    import spark.implicits._
+    val dim = Seq((1L, "one"), (2L, "two")).toDF("k", "kname")
+    val out = Esql.run(tiny,
+      """FROM t | ENRICH names ON id WITH kname | KEEP id, kname | SORT id ASC""",
+      enrich = Map("names" -> (dim, "k"))).collect()
+    assert(out.map(r => (r.getLong(0), Option(r.getString(1)))).toSeq ===
+      Seq((1L, Some("one")), (2L, Some("two")), (3L, None), (4L, None)))
+  }
+
+  test("MV_EXPAND keeps null arrays as null rows (explode_outer semantics)") {
+    import spark.implicits._
+    val arr = Map("a" -> Seq(
+      (1L, Seq("x", "y")), (2L, Seq.empty[String]), (3L, null))
+      .toDF("id", "vs"))
+    val out = Esql.run(arr, """FROM a | MV_EXPAND vs | SORT id ASC, vs ASC""")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSeq
+    assert(out === Seq((1L, Some("x")), (1L, Some("y")), (2L, None), (3L, None)))
+  }
+
+  test("scalar functions, IN, IS NULL compile to the expected values") {
+    val r = Esql.run(tiny,
+      """FROM t
+        || WHERE name IN ("alpha", "beta") AND name IS NOT NULL
+        || EVAL u = TO_UPPER(SUBSTRING(name, 1, 2)), ln = LENGTH(name),
+        |       r2 = ROUND(v / 3, 1)
+        || KEEP id, u, ln, r2 | SORT id ASC""".stripMargin).collect()
+    assert(r.map(x => (x.getLong(0), x.getString(1), x.getInt(2), x.getDouble(3))).toSeq ===
+      Seq((1L, "AL", 5, 3.3), (2L, "BE", 4, 6.7), (4L, "BE", 4, 1.8)))
   }
 
   test("grand-total STATS without BY; arithmetic precedence and unary minus") {

@@ -8195,6 +8195,42 @@ object DocQueries {
       |FROM orders WHERE o_orderstatus = 'F' AND o_orderpriority LIKE '1%'
       |ORDER BY price_k DESC, o_orderkey LIMIT 25""".stripMargin
 
+  // ---------------------------------------------------------------- d215
+  /** Ingest `grok` + `dissect` — the log-parsing processors (the biggest
+    * remaining shape-changing pair): grok's regex skeleton pulls the org
+    * number and domain out of `_org`, dissect's literal split breaks
+    * `objectId` into kind + number, and a `convert` AFTER the grok types
+    * the extracted key — proving later processors see grok's evolved
+    * schema. All extractions are groups of one compiled regex each; the
+    * whole chain is still one codegen'd projection. */
+  private def d215(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "processors": [
+        |    { "grok": { "field": "_org",
+        |        "patterns": ["org-%{INT:org_num}\\.%{GREEDYDATA:org_domain}"] } },
+        |    { "dissect": { "field": "objectId", "pattern": "%{obj_kind}-%{obj_num}" } },
+        |    { "convert": { "field": "org_num", "type": "long" } }
+        |  ]
+        |}""".stripMargin
+    val (procs, _) = IngestPipeline.parseEvolving(body, schema)
+    val (rewritten, _) = IngestPipeline.applyEvolving(col("doc"), schema, procs)
+    assembled(s, d).select(rewritten.as("doc"))
+      .groupBy(col("doc.org_num").as("org_num"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        min(col("doc.org_domain")).as("domain"),
+        min(col("doc.obj_kind")).as("kind"),
+        max(col("doc.obj_num")).as("max_obj"))
+      .orderBy(col("org_num"))
+  }
+
+  private val d215Sql =
+    """SELECT CAST(c_nationkey AS BIGINT) AS org_num,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  'example.com' AS domain, 'plan' AS kind,
+      |  MAX(CAST(c_custkey AS VARCHAR)) AS max_obj
+      |FROM customer GROUP BY 1 ORDER BY org_num""".stripMargin
+
   // ---------------------------------------------------------------- d212
   /** ES|QL ENRICH — the lookup join. The policy table (nation, dimension-
     * sized by the enrich contract: ES replicates the enrich index to every
@@ -8668,6 +8704,7 @@ object DocQueries {
     "d212_esql_enrich" -> d212 _,
     "d213_esql_grok" -> d213 _,
     "d214_esql_mv_expand" -> d214 _,
+    "d215_es_ingest_grok" -> d215 _,
     "d206_es_parent_agg" -> d206 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
@@ -8884,6 +8921,7 @@ object DocQueries {
     "d212_esql_enrich" -> d212Sql,
     "d213_esql_grok" -> d213Sql,
     "d214_esql_mv_expand" -> d214Sql,
+    "d215_es_ingest_grok" -> d215Sql,
     "d206_es_parent_agg" -> d206Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,

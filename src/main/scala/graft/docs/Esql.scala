@@ -280,8 +280,9 @@ object Esql {
 
   /** DISSECT: keys separated by literal text; anchored whole-string match
     * (the ES dissect contract). Keys become lazy groups — the trailing
-    * `$` anchor forces the last one to take the remainder. */
-  private def dissectToRegex(pattern: String): (String, Seq[String]) = {
+    * `$` anchor forces the last one to take the remainder. Shared with
+    * the ingest pipeline's `dissect` processor. */
+  private[docs] def dissectToRegex(pattern: String): (String, Seq[String]) = {
     val keys = DissectKeyRe.findAllMatchIn(pattern).map(_.group(1)).toSeq
     require(keys.nonEmpty, s"esql: DISSECT pattern has no %{key}s: $pattern")
     // Literal parts interleaved with one group per key; the -1 limit keeps
@@ -296,15 +297,18 @@ object Esql {
     (sb.toString, keys)
   }
 
-  /** GROK core subset: %{TYPE:name} over a literal skeleton; unanchored
-    * first-match (the grok contract). */
+  /** GROK core subset: %{TYPE:name} over a regex skeleton (grok's literal
+    * parts ARE regex — `\.` matches a dot, `.` any char); unanchored
+    * first-match (the grok contract). Capture groups in the skeleton are
+    * rejected — they would shift the extraction indices. Shared with the
+    * ingest pipeline's `grok` processor. */
   private val GrokTypes = Map(
     "WORD" -> """\w+""", "INT" -> """[+-]?\d+""",
     "NUMBER" -> """[+-]?\d+(?:\.\d+)?""", "DATA" -> """.*?""",
     "GREEDYDATA" -> """.*""", "NOTSPACE" -> """\S+""")
   private val GrokKeyRe = """%\{([A-Z]+):([A-Za-z_][A-Za-z0-9_]*)\}""".r
 
-  private def grokToRegex(pattern: String): (String, Seq[String]) = {
+  private[docs] def grokToRegex(pattern: String): (String, Seq[String]) = {
     val ms = GrokKeyRe.findAllMatchIn(pattern).toSeq
     require(ms.nonEmpty, s"esql: GROK pattern has no %{TYPE:name}s: $pattern")
     val keys = ms.map(_.group(2))
@@ -314,7 +318,8 @@ object Esql {
         s"esql: unsupported grok type %{$t:...} (have: ${GrokTypes.keys.toSeq.sorted.mkString(", ")})")
     }
     val parts = GrokKeyRe.pattern.split(pattern, -1)
-      .map(p => if (p.isEmpty) "" else java.util.regex.Pattern.quote(p))
+    require(!parts.exists(_.contains("(")),
+      s"esql: grok skeleton must not contain capture groups: $pattern")
     val sb = new StringBuilder
     parts.zipWithIndex.foreach { case (p, i) =>
       sb.append(p); if (i < keys.size) sb.append("(").append(GrokTypes(types(i))).append(")")

@@ -20,11 +20,14 @@ import org.apache.spark.sql.types._
   * string field with the declared formats tried in order — ES semantics,
   * via try_to_timestamp+coalesce — into a TIMESTAMP `target_field`, ADDED
   * to the parent struct when absent; default `@timestamp`), `rename`
-  * (moves the leaf — target must not exist, the ES rule), and `split`
-  * (string → array<string> on a regex separator). Unknown processors
-  * (incl. `json`/`grok`, which would need a declared target schema /
-  * pattern library) and option keys reject loudly; `if` conditions are
-  * not implemented (reject, never silently run unconditionally). */
+  * (moves the leaf — target must not exist, the ES rule), `split`
+  * (string → array<string> on a regex separator), and `grok`/`dissect`
+  * (the log-parsing pair — Esql's shared pattern translators; each
+  * extracted key lands as a NEW ROOT string leaf, ES's default placement,
+  * and later processors validate against the grown schema). Unknown
+  * processors (incl. `json`, which would need a declared target schema)
+  * and option keys reject loudly; `if` conditions are not implemented
+  * (reject, never silently run unconditionally). */
 object IngestPipeline {
 
   sealed trait Processor { def path: Seq[String] }
@@ -41,6 +44,17 @@ object IngestPipeline {
                             formats: Seq[String]) extends Processor
   final case class Rename(src: Seq[String], path: Seq[String]) extends Processor
   final case class SplitProc(path: Seq[String], separator: String) extends Processor
+  /** grok/dissect: one source string leaf → one NEW ROOT string leaf per
+    * extracted key (the ES default placement), all from one compiled
+    * regex — `keys(i)` is regex group `i+1`. */
+  final case class GrokProc(src: Seq[String], regex: String,
+                            keys: Seq[String]) extends Processor {
+    def path: Seq[String] = src
+  }
+  final case class DissectProc(src: Seq[String], regex: String,
+                               keys: Seq[String]) extends Processor {
+    def path: Seq[String] = src
+  }
 
   private val ConvertTypes: Map[String, DataType] = Map(
     "integer" -> IntegerType, "long" -> LongType, "float" -> FloatType,
@@ -55,6 +69,10 @@ object IngestPipeline {
     case Rename(src, path) =>
       dropLeafType(withLeaf(schema, path, leafTypeOf(schema, src)), src)
     case SplitProc(path, _) => withLeaf(schema, path, ArrayType(StringType))
+    case GrokProc(_, _, keys) =>
+      keys.foldLeft(schema)((s, k) => withLeaf(s, Seq(k), StringType))
+    case DissectProc(_, _, keys) =>
+      keys.foldLeft(schema)((s, k) => withLeaf(s, Seq(k), StringType))
     case _ => schema
   }
 
@@ -233,6 +251,24 @@ object IngestPipeline {
                 s"split needs separator: $other")
             }
             SplitProc(fieldOf(sch, "split", m, strLeaf = true), sep)
+          case JObject(List(("grok", spec))) =>
+            val m = opts("grok", spec, Set("field", "patterns"))
+            val pat = m.get("patterns") match {
+              case Some(JArray(List(JString(p0)))) => p0
+              case other => throw new IllegalArgumentException(
+                s"grok needs patterns: exactly one pattern (the implemented subset): $other")
+            }
+            val (rx, keys) = Esql.grokToRegex(pat)
+            GrokProc(fieldOf(sch, "grok", m, strLeaf = true), rx, keys)
+          case JObject(List(("dissect", spec))) =>
+            val m = opts("dissect", spec, Set("field", "pattern"))
+            val pat = m.get("pattern") match {
+              case Some(JString(p0)) => p0
+              case other => throw new IllegalArgumentException(
+                s"dissect needs pattern: $other")
+            }
+            val (rx, keys) = Esql.dissectToRegex(pat)
+            DissectProc(fieldOf(sch, "dissect", m, strLeaf = true), rx, keys)
           case JObject(List((kind, _))) =>
             throw new IllegalArgumentException(s"unsupported processor: $kind")
           case other => throw new IllegalArgumentException(s"bad processor entry: $other")
@@ -258,6 +294,30 @@ object IngestPipeline {
         case (st: StructType, f) => st(f).dataType
         case (other, f) => throw new IllegalArgumentException(s"$f inside non-struct $other")
       }
+      // grok/dissect fan out to one root-leaf rebuild per key (all groups
+      // of ONE regex — still a single projection after codegen); the
+      // extraction reads the PRE-processor doc so a key may safely shadow
+      // the source field.
+      p match {
+        case GrokProc(src, rx, keys) =>
+          val srcCol = cur(src)
+          keys.zipWithIndex.foldLeft((c, sch)) { case ((c1, s1), (k, i)) =>
+            rebuild(c1, Seq(k), regexp_extract(srcCol, rx, i + 1), StringType, s1)
+          }
+        case DissectProc(src, rx, keys) =>
+          val srcCol = cur(src)
+          keys.zipWithIndex.foldLeft((c, sch)) { case ((c1, s1), (k, i)) =>
+            rebuild(c1, Seq(k), regexp_extract(srcCol, rx, i + 1), StringType, s1)
+          }
+        case _ => applyOne(c, sch, p, cur, leafType)
+      }
+    }
+
+  /** One shape-local processor → one struct rebuild (the pre-grok body of
+    * the applyEvolving fold). */
+  private def applyOne(c: Column, sch: StructType, p: Processor,
+                       cur: Seq[String] => Column,
+                       leafType: Seq[String] => DataType): (Column, StructType) = {
       val (path, v, vt): (Seq[String], Column, DataType) = p match {
         case SetLit(pt, value) => (pt, lit(value), StringType)
         case MapStr(pt, "lowercase") => (pt, lower(cur(pt)), StringType)
@@ -282,6 +342,8 @@ object IngestPipeline {
           // handled below: add target (source's value + type), drop source
           (tgt, cur(src), leafTypeOf(sch, src))
         case SplitProc(pt, sep) => (pt, split(cur(pt), sep), ArrayType(StringType))
+        case other => throw new IllegalStateException(
+          s"multi-leaf processor $other must not reach applyOne")
       }
       val (c2, sch2) = rebuild(c, path, v, vt, sch)
       p match {

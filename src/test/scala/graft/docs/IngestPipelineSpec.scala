@@ -32,12 +32,37 @@ class IngestPipelineSpec extends SparkSpec {
     assert(out.isNullAt(2))
   }
 
+  test("grok + dissect add root keys; convert sees grok's evolved schema") {
+    val (procs, schOut) = IngestPipeline.parseEvolving(
+      """{"processors": [
+        |  {"grok": {"field": "objectId", "patterns": ["%{WORD:pid_kind}%{INT:pid_num}"]}},
+        |  {"dissect": {"field": "tag", "pattern": " %{t_head}Case %{t_tail}"}},
+        |  {"convert": {"field": "pid_num", "type": "long"}}
+        |]}""".stripMargin, toySchema)
+    val (c, _) = IngestPipeline.applyEvolving(col("doc"), toySchema, procs)
+    assert(schOut("pid_num").dataType ===
+      org.apache.spark.sql.types.LongType) // convert ran on the grok'd key
+    val out = toyDocs.select(c.as("doc"))
+      .select(col("doc.pid_kind"), col("doc.pid_num"),
+        col("doc.t_head"), col("doc.t_tail")).head()
+    assert(out.getString(0) === "P" && out.getLong(1) === 1L)
+    assert(out.getString(2) === "Mixed" && out.getString(3) === "")
+  }
+
   test("rejections: unknown processor, if-condition, typed set, non-string gsub") {
     def bad(body: String): String =
       intercept[IllegalArgumentException](
         IngestPipeline.parse(body, toySchema)).getMessage
-    assert(bad("""{"processors": [{"grok": {"field": "tag"}}]}""")
+    assert(bad("""{"processors": [{"json": {"field": "tag"}}]}""")
       .contains("unsupported processor"))
+    assert(bad("""{"processors": [{"grok": {"field": "tag"}}]}""")
+      .contains("grok needs patterns"))
+    assert(bad("""{"processors": [{"grok": {"field": "tag",
+      | "patterns": ["(%{WORD:w})"]}}]}""".stripMargin)
+      .contains("must not contain capture groups"))
+    assert(bad("""{"processors": [{"dissect": {"field": "num",
+      | "pattern": "%{a}-%{b}"}}]}""".stripMargin)
+      .contains("string field"))
     assert(bad("""{"processors": [{"lowercase": {"field": "tag", "if": "x"}}]}""")
       .contains("unsupported lowercase option"))
     assert(bad("""{"processors": [{"set": {"field": "num", "value": 3}}]}""")

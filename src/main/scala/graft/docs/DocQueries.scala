@@ -8231,6 +8231,39 @@ object DocQueries {
       |  MAX(CAST(c_custkey AS VARCHAR)) AS max_obj
       |FROM customer GROUP BY 1 ORDER BY org_num""".stripMargin
 
+  // ---------------------------------------------------------------- d216
+  /** ES|QL per-agg WHERE filters (8.13) + CASE: four differently-filtered
+    * aggregates still compile to ONE hash aggregation over one scan (each
+    * filter is a when() wrap on the agg input — the FILTER-clause shape,
+    * no per-filter passes), and the CASE classifier is a when-chain over
+    * the bucket table. */
+  private def d216(s: SparkSession, d: String): DataFrame = {
+    val q =
+      """FROM events
+        || STATS purchases = COUNT(*) WHERE event_type == "purchase",
+        |        views = COUNT(*) WHERE event_type == "view",
+        |        big = SUM(value) WHERE value > 100,
+        |        n = COUNT(*) BY user_id
+        || EVAL mix = CASE(purchases > views, "buyer", purchases == views, "even", "browser")
+        || SORT user_id ASC
+        || LIMIT 40""".stripMargin
+    Esql.run(Map("events" -> graft.Tables.events(s, d).drop("ts", "ts_us")), q)
+  }
+
+  private val d216Sql =
+    """SELECT user_id,
+      |  CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchases,
+      |  CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS views,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) FILTER (WHERE value > 100)
+      |    AS DECIMAL(28,6)) AS DOUBLE) AS big,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CASE WHEN COUNT(*) FILTER (WHERE event_type = 'purchase')
+      |         > COUNT(*) FILTER (WHERE event_type = 'view') THEN 'buyer'
+      |       WHEN COUNT(*) FILTER (WHERE event_type = 'purchase')
+      |         = COUNT(*) FILTER (WHERE event_type = 'view') THEN 'even'
+      |       ELSE 'browser' END AS mix
+      |FROM events GROUP BY user_id ORDER BY user_id LIMIT 40""".stripMargin
+
   // ---------------------------------------------------------------- d212
   /** ES|QL ENRICH — the lookup join. The policy table (nation, dimension-
     * sized by the enrich contract: ES replicates the enrich index to every
@@ -8705,6 +8738,7 @@ object DocQueries {
     "d213_esql_grok" -> d213 _,
     "d214_esql_mv_expand" -> d214 _,
     "d215_es_ingest_grok" -> d215 _,
+    "d216_esql_stats_where" -> d216 _,
     "d206_es_parent_agg" -> d206 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
@@ -8922,6 +8956,7 @@ object DocQueries {
     "d213_esql_grok" -> d213Sql,
     "d214_esql_mv_expand" -> d214Sql,
     "d215_es_ingest_grok" -> d215Sql,
+    "d216_esql_stats_where" -> d216Sql,
     "d206_es_parent_agg" -> d206Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,

@@ -246,6 +246,18 @@ object Esql {
             case other => throw new IllegalArgumentException(
               s"esql: SPLIT separator must be a string literal, got $other")
           }
+        case "CASE" =>
+          // CASE(cond1, v1 [, cond2, v2 ...] [, default]) — a when chain;
+          // no default → null (the ES|QL contract)
+          require(args.size >= 2, s"esql: CASE needs condition/value pairs")
+          val (pairArgs, default) =
+            if (args.size % 2 == 1) (args.dropRight(1), Some(args.last))
+            else (args, None)
+          val pairs = pairArgs.grouped(2).map { g => (compile(g(0)), compile(g(1))) }.toSeq
+          val chain = pairs.tail.foldLeft(when(pairs.head._1, pairs.head._2)) {
+            case (acc, (cond, v)) => acc.when(cond, v)
+          }
+          default.map(d => chain.otherwise(compile(d))).getOrElse(chain)
         case other => throw new IllegalArgumentException(
           s"esql: unsupported function $other")
       }
@@ -363,15 +375,18 @@ object Esql {
       df.schema.fields.exists(f => f.name == c && f.dataType == DoubleType)
 
     /** Exact-sum column for an agg argument: double inputs go through the
-      * decimal contract; integer inputs stay integer. */
-    def aggCol(fn: String, arg: Ex, alias: String): Column = {
+      * decimal contract; integer inputs stay integer. A per-agg `WHERE`
+      * filter (ES|QL 8.13) wraps the input in when(cond, x) — nulls drop
+      * out of every agg, the FILTER clause semantics. */
+    def aggCol(fn: String, arg: Ex, alias: String, filter: Option[Ex]): Column = {
       val dbl = arg match {
         case EId(n) => isDouble(n)
         case EDouble(_) => true
         case EBin(_, _, _) | ENot(_) => true // computed: treat as double-class
         case _ => false
       }
-      val c = compile(arg)
+      val c0 = compile(arg)
+      val c = filter.map(f => when(compile(f), c0)).getOrElse(c0)
       (fn match {
         case "SUM" if dbl =>
           sum(c.cast("decimal(12,2)")).cast("decimal(28,6)").cast("double")
@@ -495,14 +510,23 @@ object Esql {
               case other => throw new IllegalArgumentException(s"esql: bad STATS agg: $other")
             }
             p.expectOp("(")
-            val c = p.peek match {
+            val arg: Option[Ex] = p.peek match {
               case Some(TOp("*")) =>
                 require(fn == "COUNT", s"esql: only COUNT(*) takes *")
-                p.pop(); count(lit(1)).cast("long").as(alias)
-              case _ => aggCol(fn, p.expr(), alias)
+                p.pop(); None
+              case _ => Some(p.expr())
             }
             p.expectOp(")")
-            aggs += c
+            val filter: Option[Ex] = p.peek match {
+              case Some(TId(s)) if s.equalsIgnoreCase("WHERE") => p.pop(); Some(p.expr())
+              case _ => None
+            }
+            aggs += (arg match {
+              case None => // COUNT(*) [WHERE cond]
+                filter.map(f => count(when(compile(f), lit(1))))
+                  .getOrElse(count(lit(1))).cast("long").as(alias)
+              case Some(a) => aggCol(fn, a, alias, filter)
+            })
             if (p.peek.contains(TOp(","))) p.pop() else go = false
           }
           val by = scala.collection.mutable.ListBuffer[String]()

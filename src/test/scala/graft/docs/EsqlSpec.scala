@@ -107,6 +107,22 @@ class EsqlSpec extends SparkSpec {
       Seq((1L, "AL", 5, 3.3), (2L, "BE", 4, 6.7), (4L, "BE", 4, 1.8)))
   }
 
+  test("STATS per-agg WHERE and CASE: filtered aggs in one pass, when-chain values") {
+    val rows = Esql.run(tiny,
+      """FROM t
+        || STATS small = COUNT(*) WHERE v < 15, total = SUM(v), n = COUNT(*)
+        || EVAL label = CASE(small == n, "all_small", small == 0, "none_small", "mixed")""".stripMargin)
+      .collect().head
+    assert(rows.getLong(0) === 2L) // 10.0 and 5.5
+    assert(rows.getDouble(1) === 65.5 && rows.getLong(2) === 4L)
+    assert(rows.getString(3) === "mixed")
+    // CASE without default -> null
+    val nul = Esql.run(tiny,
+      """FROM t | EVAL z = CASE(v > 1000, "big") | KEEP z | LIMIT 1""")
+      .collect().head
+    assert(nul.isNullAt(0))
+  }
+
   test("grand-total STATS without BY; arithmetic precedence and unary minus") {
     val r = Esql.run(tiny,
       """FROM t | EVAL x = -v + 2 * 10 | STATS lo = MIN(x), hi = MAX(x)""")

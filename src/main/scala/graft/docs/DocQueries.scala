@@ -8264,6 +8264,64 @@ object DocQueries {
       |       ELSE 'browser' END AS mix
       |FROM events GROUP BY user_id ORDER BY user_id LIMIT 40""".stripMargin
 
+  // ---------------------------------------------------------------- d217
+  /** Ingest `json` — the last named-unsupported shape-changer: parse the
+    * `props` JSON-string column into a TYPED struct (declared
+    * `graft_schema`, the documented deviation from ES's dynamic
+    * inference), then `convert` the parsed leaf — proving later
+    * processors address INTO the json-built struct. One from_json + one
+    * cast, single codegen'd projection. */
+  private def d217(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.Tables.events(s, d)
+      .select(struct(col("event_id"), col("event_type"), col("props")).as("doc"))
+    val evSchema = ev.schema("doc").dataType.asInstanceOf[StructType]
+    val body =
+      """{
+        |  "processors": [
+        |    { "json": { "field": "props", "target_field": "p",
+        |        "graft_schema": { "k": "long" } } },
+        |    { "convert": { "field": "p.k", "type": "double" } }
+        |  ]
+        |}""".stripMargin
+    val (procs, _) = IngestPipeline.parseEvolving(body, evSchema)
+    val (rewritten, _) = IngestPipeline.applyEvolving(col("doc"), evSchema, procs)
+    ev.select(rewritten.as("doc"))
+      .groupBy(col("doc.event_type").as("event_type"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("doc.p.k").cast("decimal(12,2)")).cast("decimal(28,6)")
+          .cast("double").as("sum_k"),
+        max(col("doc.p.k")).as("max_k"))
+      .orderBy(col("event_type"))
+  }
+
+  private val d217Sql =
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(CAST(SUM(CAST(CAST(json_extract_string(props, '$.k') AS DOUBLE)
+      |    AS DECIMAL(12,2))) AS DECIMAL(28,6)) AS DOUBLE) AS sum_k,
+      |  MAX(CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS max_k
+      |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- d218
+  /** ES|QL BUCKET (8.13) — numeric histogram keys inside STATS BY with a
+    * computed group key (`BY b = BUCKET(value, 50.0)`): the bucket id is a
+    * floor projection, the whole pipe still one scan → one hash agg →
+    * ordered bucket table. */
+  private def d218(s: SparkSession, d: String): DataFrame = {
+    val q =
+      """FROM events
+        || WHERE event_type == "purchase"
+        || STATS n = COUNT(*), avg_v = AVG(value) BY b = BUCKET(value, 50.0)
+        || SORT b ASC""".stripMargin
+    Esql.run(Map("events" -> graft.Tables.events(s, d).drop("ts", "ts_us")), q)
+  }
+
+  private val d218Sql =
+    """SELECT floor(value / 50.0) * 50.0 AS b, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(28,6))
+      |    / COUNT(value) AS DECIMAL(28,6)) AS DOUBLE) AS avg_v
+      |FROM events WHERE event_type = 'purchase'
+      |GROUP BY 1 ORDER BY b""".stripMargin
+
   // ---------------------------------------------------------------- d212
   /** ES|QL ENRICH — the lookup join. The policy table (nation, dimension-
     * sized by the enrich contract: ES replicates the enrich index to every
@@ -8739,6 +8797,8 @@ object DocQueries {
     "d214_esql_mv_expand" -> d214 _,
     "d215_es_ingest_grok" -> d215 _,
     "d216_esql_stats_where" -> d216 _,
+    "d217_es_ingest_json" -> d217 _,
+    "d218_esql_bucket" -> d218 _,
     "d206_es_parent_agg" -> d206 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
@@ -8957,6 +9017,8 @@ object DocQueries {
     "d214_esql_mv_expand" -> d214Sql,
     "d215_es_ingest_grok" -> d215Sql,
     "d216_esql_stats_where" -> d216Sql,
+    "d217_es_ingest_json" -> d217Sql,
+    "d218_esql_bucket" -> d218Sql,
     "d206_es_parent_agg" -> d206Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,

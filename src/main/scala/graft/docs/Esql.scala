@@ -246,6 +246,11 @@ object Esql {
             case other => throw new IllegalArgumentException(
               s"esql: SPLIT separator must be a string literal, got $other")
           }
+        case "BUCKET" =>
+          // numeric bucketing: floor(x / span) * span — floor cast back to
+          // double so the bucket key type matches SQL floor() semantics
+          arity(2)
+          floor(c(0) / c(1)).cast(DoubleType) * c(1)
         case "CASE" =>
           // CASE(cond1, v1 [, cond2, v2 ...] [, default]) — a when chain;
           // no default → null (the ES|QL contract)
@@ -534,10 +539,16 @@ object Esql {
             case Some(TId(s)) if s.equalsIgnoreCase("BY") =>
               p.pop()
               var g2 = true
-              while (g2) { p.pop() match {
-                case TId(n) => by += n
-                case other => throw new IllegalArgumentException(s"esql: bad BY key: $other")
-              }; if (p.peek.contains(TOp(","))) p.pop() else g2 = false }
+              while (g2) {
+                val n = p.ident()
+                // BY k = expr (ES|QL 8.13, e.g. BUCKET spans): evaluate the
+                // key expression as a projection before the one hash agg
+                if (p.peek.contains(TOp("="))) {
+                  p.pop(); df = df.withColumn(n, compile(p.expr()))
+                }
+                by += n
+                if (p.peek.contains(TOp(","))) p.pop() else g2 = false
+              }
             case _ => ()
           }
           df =

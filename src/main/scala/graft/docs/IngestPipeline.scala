@@ -24,8 +24,9 @@ import org.apache.spark.sql.types._
   * (string → array<string> on a regex separator), and `grok`/`dissect`
   * (the log-parsing pair — Esql's shared pattern translators; each
   * extracted key lands as a NEW ROOT string leaf, ES's default placement,
-  * and later processors validate against the grown schema). Unknown
-  * processors (incl. `json`, which would need a declared target schema)
+  * and later processors validate against the grown schema), and `json`
+  * (JSON-string leaf → typed struct via a declared `graft_schema` — the
+  * documented deviation from ES's dynamic inference). Unknown processors
   * and option keys reject loudly; `if` conditions are not implemented
   * (reject, never silently run unconditionally). */
 object IngestPipeline {
@@ -55,6 +56,14 @@ object IngestPipeline {
                                keys: Seq[String]) extends Processor {
     def path: Seq[String] = src
   }
+  /** `json`: parse a JSON-string leaf into a TYPED struct at `path`
+    * (default: in place, the ES default). DOCUMENTED DEVIATION: ES infers
+    * the parsed shape dynamically; a statically-typed engine needs it
+    * declared, so the processor takes a `graft_schema` map of leaf name →
+    * convert type. Malformed JSON parses to null (from_json semantics)
+    * rather than failing the batch. */
+  final case class JsonProc(src: Seq[String], path: Seq[String],
+                            target: StructType) extends Processor
 
   private val ConvertTypes: Map[String, DataType] = Map(
     "integer" -> IntegerType, "long" -> LongType, "float" -> FloatType,
@@ -73,6 +82,7 @@ object IngestPipeline {
       keys.foldLeft(schema)((s, k) => withLeaf(s, Seq(k), StringType))
     case DissectProc(_, _, keys) =>
       keys.foldLeft(schema)((s, k) => withLeaf(s, Seq(k), StringType))
+    case JsonProc(_, path, target) => withLeaf(schema, path, target)
     case _ => schema
   }
 
@@ -269,6 +279,36 @@ object IngestPipeline {
             }
             val (rx, keys) = Esql.dissectToRegex(pat)
             DissectProc(fieldOf(sch, "dissect", m, strLeaf = true), rx, keys)
+          case JObject(List(("json", spec))) =>
+            val m = opts("json", spec, Set("field", "target_field", "graft_schema"))
+            val src = fieldOf(sch, "json", m, strLeaf = true)
+            val tgt = m.get("target_field") match {
+              case None => src // the ES default: replace the field in place
+              case Some(JString(t)) => t.split('.').toSeq
+              case Some(other) => throw new IllegalArgumentException(
+                s"bad target_field: $other")
+            }
+            val target = m.get("graft_schema") match {
+              case Some(JObject(fs)) if fs.nonEmpty => StructType(fs.map {
+                case (k, JString(t)) => StructField(k, ConvertTypes.getOrElse(t,
+                  throw new IllegalArgumentException(
+                    s"unsupported graft_schema type $t for $k")), nullable = true)
+                case (k, other) => throw new IllegalArgumentException(
+                  s"graft_schema values must be type names: $k -> $other")
+              })
+              case other => throw new IllegalArgumentException(
+                "json needs graft_schema (DOCUMENTED DEVIATION: ES infers the " +
+                  s"parsed shape dynamically; a typed engine needs it declared): $other")
+            }
+            // the target's parent must exist as a struct (same rule as date)
+            tgt.dropRight(1).foldLeft(sch: DataType) {
+              case (st: StructType, f) => st.fields.find(_.name == f).map(_.dataType)
+                .getOrElse(throw new IllegalArgumentException(
+                  s"json target_field parent $f not found"))
+              case (other, f) => throw new IllegalArgumentException(
+                s"json target_field: $f inside non-struct $other")
+            }
+            JsonProc(src, tgt, target)
           case JObject(List((kind, _))) =>
             throw new IllegalArgumentException(s"unsupported processor: $kind")
           case other => throw new IllegalArgumentException(s"bad processor entry: $other")
@@ -342,6 +382,7 @@ object IngestPipeline {
           // handled below: add target (source's value + type), drop source
           (tgt, cur(src), leafTypeOf(sch, src))
         case SplitProc(pt, sep) => (pt, split(cur(pt), sep), ArrayType(StringType))
+        case JsonProc(src, tgt, target) => (tgt, from_json(cur(src), target), target)
         case other => throw new IllegalStateException(
           s"multi-leaf processor $other must not reach applyOne")
       }

@@ -53,8 +53,10 @@ class IngestPipelineSpec extends SparkSpec {
     def bad(body: String): String =
       intercept[IllegalArgumentException](
         IngestPipeline.parse(body, toySchema)).getMessage
-    assert(bad("""{"processors": [{"json": {"field": "tag"}}]}""")
+    assert(bad("""{"processors": [{"geoip": {"field": "tag"}}]}""")
       .contains("unsupported processor"))
+    assert(bad("""{"processors": [{"json": {"field": "tag"}}]}""")
+      .contains("json needs graft_schema"))
     assert(bad("""{"processors": [{"grok": {"field": "tag"}}]}""")
       .contains("grok needs patterns"))
     assert(bad("""{"processors": [{"grok": {"field": "tag",

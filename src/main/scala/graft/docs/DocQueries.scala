@@ -8322,6 +8322,32 @@ object DocQueries {
       |FROM events WHERE event_type = 'purchase'
       |GROUP BY 1 ORDER BY b""".stripMargin
 
+  // ---------------------------------------------------------------- d219
+  /** ES|QL LOOKUP JOIN (8.18) — the index-to-index lookup: a broadcast
+    * left join on the shared key name (the lookup index is `mode:lookup`
+    * = replicated in ES; broadcast is the Spark analogue), non-key
+    * columns appended, then one hash agg. The fact side never shuffles
+    * for the join. */
+  private def d219(s: SparkSession, d: String): DataFrame = {
+    val cust = graft.Tables(s, d, "customer")
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+    val q =
+      """FROM orders
+        || WHERE o_orderstatus == "O"
+        || LOOKUP JOIN cust ON o_custkey
+        || STATS n = COUNT(*), total = SUM(o_totalprice) BY c_mktsegment
+        || SORT c_mktsegment ASC""".stripMargin
+    Esql.run(Map("orders" -> graft.Tables(s, d, "orders"), "cust" -> cust), q)
+  }
+
+  private val d219Sql =
+    """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(28,6))
+      |    AS DOUBLE) AS total
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE o_orderstatus = 'O'
+      |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin
+
   // ---------------------------------------------------------------- d212
   /** ES|QL ENRICH — the lookup join. The policy table (nation, dimension-
     * sized by the enrich contract: ES replicates the enrich index to every
@@ -8799,6 +8825,7 @@ object DocQueries {
     "d216_esql_stats_where" -> d216 _,
     "d217_es_ingest_json" -> d217 _,
     "d218_esql_bucket" -> d218 _,
+    "d219_esql_lookup_join" -> d219 _,
     "d206_es_parent_agg" -> d206 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
@@ -9019,6 +9046,7 @@ object DocQueries {
     "d216_esql_stats_where" -> d216Sql,
     "d217_es_ingest_json" -> d217Sql,
     "d218_esql_bucket" -> d218Sql,
+    "d219_esql_lookup_join" -> d219Sql,
     "d206_es_parent_agg" -> d206Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,

@@ -23,10 +23,12 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * DROP, RENAME..AS, MV_EXPAND (explode_outer — null stays a null row,
   * the ES|QL contract), DISSECT (anchored whole-string split on literal
   * separators), GROK (the core pattern subset WORD/INT/NUMBER/DATA/
-  * GREEDYDATA/NOTSPACE, unanchored), and ENRICH..ON..WITH — the lookup
-  * join, compiled to a BROADCAST left join against the policy table (the
-  * exact Spark analogue of ES's replicated enrich index: the policy frame
-  * ships to every node, the corpus never shuffles).
+  * GREEDYDATA/NOTSPACE, unanchored), ENRICH..ON..WITH — the policy
+  * lookup, compiled to a BROADCAST left join against the policy table
+  * (the exact Spark analogue of ES's replicated enrich index: the policy
+  * frame ships to every node, the corpus never shuffles) — and LOOKUP
+  * JOIN..ON (8.18's index-to-index form: same broadcast left join, keyed
+  * on the shared column name, appending every non-key lookup column).
   *
   * Expressions: identifiers, integer/decimal/string literals, the
   * comparison set (== != < <= > >=), arithmetic (+ - * / %), NOT/AND/OR,
@@ -34,11 +36,12 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * IN (literals), IS [NOT] NULL, and scalar functions ABS/ROUND/LENGTH/
   * SUBSTRING/CONCAT/TO_UPPER/TO_LOWER/TO_LONG/TO_DOUBLE/COALESCE/
   * STARTS_WITH/SPLIT (literal separator). Aggs: COUNT(*) / COUNT / SUM /
-  * AVG / MIN / MAX. SUM/AVG over double columns accumulate through the
-  * engine's exact-decimal contract (DECIMAL(12,2) partials, DECIMAL(28,6)
-  * result) so the oracle reproduces totals bit-for-bit. Everything else —
-  * subqueries, LOOKUP JOIN, the remaining MV_* functions — rejects loudly
-  * at parse time.
+  * AVG / MIN / MAX, each with an optional per-agg WHERE filter. SUM/AVG
+  * over double columns accumulate through the engine's exact-decimal
+  * contract (DECIMAL(12,2) partials, DECIMAL(28,6) result) so the oracle
+  * reproduces totals bit-for-bit. Everything else — subqueries,
+  * INLINESTATS, the remaining MV_* functions — rejects loudly at parse
+  * time.
   */
 object Esql {
 
@@ -124,6 +127,8 @@ object Esql {
           pop(); EBin(op, l, addExpr())
         case Some(t) if isKw(t, "LIKE") =>
           pop(); EBin("like", l, addExpr())
+        case Some(t) if isKw(t, "RLIKE") =>
+          pop(); EBin("rlike", l, addExpr())
         case Some(t) if isKw(t, "IN") =>
           pop(); expectOp("(")
           val items = scala.collection.mutable.ListBuffer(expr())
@@ -283,6 +288,11 @@ object Esql {
             .replace("*", "%").replace("?", "_"))
           case _ => throw new IllegalArgumentException(
             "esql: LIKE needs a string literal pattern")
+        }
+        case "rlike" => r match {
+          case EStr(p) => a.rlike(p)
+          case _ => throw new IllegalArgumentException(
+            "esql: RLIKE needs a string literal pattern")
         }
         case "+" => a + b
         case "-" => a - b
@@ -468,6 +478,21 @@ object Esql {
           keys.zipWithIndex.foreach { case (k, i) =>
             df = df.withColumn(k, regexp_extract(col(field), rx, i + 1))
           }
+        case "LOOKUP" =>
+          // LOOKUP JOIN <index> ON <field> (8.18): broadcast left join on
+          // the shared column name; every non-key lookup column appends.
+          p.expectKw("JOIN")
+          val name = p.ident(); p.expectKw("ON"); val key = p.ident()
+          val tbl = sources.getOrElse(name, throw new IllegalArgumentException(
+            s"esql: unknown lookup index $name (have: ${sources.keys.toSeq.sorted.mkString(", ")})"))
+          require(tbl.columns.contains(key),
+            s"esql: lookup index $name has no join field $key")
+          require(df.columns.contains(key),
+            s"esql: pipe has no join field $key")
+          val overlap = tbl.columns.filter(c => c != key && df.columns.contains(c))
+          require(overlap.isEmpty,
+            s"esql: lookup join would overwrite pipe column(s): ${overlap.mkString(", ")}")
+          df = df.join(broadcast(tbl), Seq(key), "left")
         case "ENRICH" =>
           val policy = p.ident()
           p.expectKw("ON"); val key = p.ident()
@@ -556,7 +581,7 @@ object Esql {
             else df.groupBy(by.toSeq.map(col): _*).agg(aggs.head, aggs.tail.toSeq: _*)
         case other => throw new IllegalArgumentException(
           s"esql: unsupported command $other (FROM/WHERE/EVAL/STATS/SORT/LIMIT/" +
-            "KEEP/DROP/RENAME/MV_EXPAND/DISSECT/GROK/ENRICH)")
+            "KEEP/DROP/RENAME/MV_EXPAND/DISSECT/GROK/ENRICH/LOOKUP JOIN)")
       }
       require(p.ts.isEmpty, s"esql: trailing tokens in ${kw(seg.head)}: ${p.ts.take(4)}")
     }

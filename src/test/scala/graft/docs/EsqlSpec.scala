@@ -20,7 +20,8 @@ class EsqlSpec extends SparkSpec {
   test("rejections are loud and name the reason") {
     assert(bad("""ROW a = 1""").contains("pipe must start with FROM"))
     assert(bad("""FROM missing | LIMIT 1""").contains("unknown index"))
-    assert(bad("""FROM t | LOOKUP JOIN x ON id""").contains("unsupported command"))
+    assert(bad("""FROM t | INLINESTATS n = COUNT(*)""").contains("unsupported command"))
+    assert(bad("""FROM t | LOOKUP JOIN x ON id""").contains("unknown lookup index"))
     assert(bad("""FROM t | ENRICH policy""").contains("unexpected end of input"))
     assert(bad("""FROM t | WHERE name LIKE id""")
       .contains("LIKE needs a string literal pattern"))
@@ -74,6 +75,23 @@ class EsqlSpec extends SparkSpec {
         || EVAL status = TO_LONG(code) | WHERE status >= 500 | KEEP id""".stripMargin)
       .collect().map(_.getLong(0)).toSeq
     assert(grk === Seq(2L))
+  }
+
+  test("LOOKUP JOIN appends non-key lookup columns via a left join; RLIKE is raw regex") {
+    import spark.implicits._
+    val lk = Seq((1L, "odd"), (2L, "even")).toDF("id", "parity")
+    val out = Esql.run(tiny ++ Map("lk" -> lk),
+      """FROM t | LOOKUP JOIN lk ON id | KEEP id, parity | SORT id ASC""")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSeq
+    assert(out === Seq((1L, Some("odd")), (2L, Some("even")), (3L, None), (4L, None)))
+    val rl = Esql.run(tiny,
+      """FROM t | WHERE name RLIKE "^al.*i$" | KEEP id""")
+      .collect().map(_.getLong(0)).toSeq
+    assert(rl === Seq(3L)) // alkali
+    val clash = intercept[IllegalArgumentException](Esql.run(
+      tiny ++ Map("lk2" -> Seq((1L, "x")).toDF("id", "name")),
+      """FROM t | LOOKUP JOIN lk2 ON id""")).getMessage
+    assert(clash.contains("would overwrite pipe column"))
   }
 
   test("ENRICH is a left join: unmatched keys keep the row with a null field") {

@@ -8348,6 +8348,38 @@ object DocQueries {
       |WHERE o_orderstatus = 'O'
       |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin
 
+  // ---------------------------------------------------------------- d220
+  /** ES|QL INLINESTATS (8.16) — aggregates joined back onto the rows:
+    * compiles to window aggregates over the BY partitions (one shuffle on
+    * user_id, no self-join, no row reduction), sharing the STATS
+    * exact-decimal contract so the appended totals match the oracle
+    * bit-for-bit. The follow-up WHERE on the appended share is the
+    * "rows above their group's threshold" shape. */
+  private def d220(s: SparkSession, d: String): DataFrame = {
+    val q =
+      """FROM events
+        || WHERE event_type == "purchase"
+        || INLINESTATS user_total = SUM(value), user_n = COUNT(*) BY user_id
+        || EVAL share = value / user_total
+        || WHERE share > 0.3 AND user_n > 1
+        || KEEP event_id, user_id, value, user_total, user_n, share
+        || SORT event_id ASC""".stripMargin
+    Esql.run(Map("events" -> graft.Tables.events(s, d).drop("ts", "ts_us")), q)
+  }
+
+  private val d220Sql =
+    """WITH w AS (
+      |  SELECT event_id, user_id, value,
+      |    CAST(CAST(SUM(CAST(value AS DECIMAL(12,2)))
+      |      OVER (PARTITION BY user_id) AS DECIMAL(28,6)) AS DOUBLE)
+      |      AS user_total,
+      |    CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS user_n
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT event_id, user_id, value, user_total, user_n,
+      |  value / user_total AS share
+      |FROM w WHERE value / user_total > 0.3 AND user_n > 1
+      |ORDER BY event_id""".stripMargin
+
   // ---------------------------------------------------------------- d212
   /** ES|QL ENRICH — the lookup join. The policy table (nation, dimension-
     * sized by the enrich contract: ES replicates the enrich index to every
@@ -8826,6 +8858,7 @@ object DocQueries {
     "d217_es_ingest_json" -> d217 _,
     "d218_esql_bucket" -> d218 _,
     "d219_esql_lookup_join" -> d219 _,
+    "d220_esql_inlinestats" -> d220 _,
     "d206_es_parent_agg" -> d206 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
@@ -9047,6 +9080,7 @@ object DocQueries {
     "d217_es_ingest_json" -> d217Sql,
     "d218_esql_bucket" -> d218Sql,
     "d219_esql_lookup_join" -> d219Sql,
+    "d220_esql_inlinestats" -> d220Sql,
     "d206_es_parent_agg" -> d206Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,

@@ -39,9 +39,10 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * AVG / MIN / MAX, each with an optional per-agg WHERE filter. SUM/AVG
   * over double columns accumulate through the engine's exact-decimal
   * contract (DECIMAL(12,2) partials, DECIMAL(28,6) result) so the oracle
-  * reproduces totals bit-for-bit. Everything else — subqueries,
-  * INLINESTATS, the remaining MV_* functions — rejects loudly at parse
-  * time.
+  * reproduces totals bit-for-bit. INLINESTATS (8.16) runs the same
+  * aggregates as window functions over the BY partitions — appended to
+  * every row, zero row reduction. Everything else — subqueries, FORK,
+  * the remaining MV_* functions — rejects loudly at parse time.
   */
 object Esql {
 
@@ -392,8 +393,12 @@ object Esql {
     /** Exact-sum column for an agg argument: double inputs go through the
       * decimal contract; integer inputs stay integer. A per-agg `WHERE`
       * filter (ES|QL 8.13) wraps the input in when(cond, x) — nulls drop
-      * out of every agg, the FILTER clause semantics. */
-    def aggCol(fn: String, arg: Ex, alias: String, filter: Option[Ex]): Column = {
+      * out of every agg, the FILTER clause semantics. `wrap` is applied to
+      * each raw aggregate BEFORE the decimal casts — identity for grouped
+      * STATS, `.over(window)` for INLINESTATS — so both forms share one
+      * exactness contract. */
+    def aggCol(fn: String, arg: Ex, alias: String, filter: Option[Ex],
+               wrap: Column => Column = identity): Column = {
       val dbl = arg match {
         case EId(n) => isDouble(n)
         case EDouble(_) => true
@@ -404,15 +409,15 @@ object Esql {
       val c = filter.map(f => when(compile(f), c0)).getOrElse(c0)
       (fn match {
         case "SUM" if dbl =>
-          sum(c.cast("decimal(12,2)")).cast("decimal(28,6)").cast("double")
-        case "SUM" => sum(c).cast("long")
+          wrap(sum(c.cast("decimal(12,2)"))).cast("decimal(28,6)").cast("double")
+        case "SUM" => wrap(sum(c)).cast("long")
         case "AVG" if dbl =>
-          (sum(c.cast("decimal(12,2)")).cast("decimal(28,6)") / count(c))
+          (wrap(sum(c.cast("decimal(12,2)"))).cast("decimal(28,6)") / wrap(count(c)))
             .cast("decimal(28,6)").cast("double")
-        case "AVG" => sum(c).cast("double") / count(c)
-        case "MIN" => min(c)
-        case "MAX" => max(c)
-        case "COUNT" => count(c).cast("long")
+        case "AVG" => wrap(sum(c)).cast("double") / wrap(count(c))
+        case "MIN" => wrap(min(c))
+        case "MAX" => wrap(max(c))
+        case "COUNT" => wrap(count(c)).cast("long")
         case other => throw new IllegalArgumentException(s"esql: unsupported agg $other")
       }).as(alias)
     }
@@ -526,19 +531,15 @@ object Esql {
             if (p.peek.contains(TOp(","))) p.pop() else go = false
           }
           df = df.orderBy(keys.toSeq: _*)
-        case "STATS" =>
-          val aggs = scala.collection.mutable.ListBuffer[Column]()
+        case cmd @ ("STATS" | "INLINESTATS") =>
+          // (alias, fn, arg — None = COUNT(*), per-agg WHERE filter)
+          val specs =
+            scala.collection.mutable.ListBuffer[(String, String, Option[Ex], Option[Ex])]()
           var go = true
           while (go) {
-            val alias = p.pop() match {
-              case TId(n) => n
-              case other => throw new IllegalArgumentException(s"esql: bad STATS alias: $other")
-            }
+            val alias = p.ident()
             p.expectOp("=")
-            val fn = p.pop() match {
-              case TId(n) => n.toUpperCase
-              case other => throw new IllegalArgumentException(s"esql: bad STATS agg: $other")
-            }
+            val fn = p.ident().toUpperCase
             p.expectOp("(")
             val arg: Option[Ex] = p.peek match {
               case Some(TOp("*")) =>
@@ -551,12 +552,7 @@ object Esql {
               case Some(TId(s)) if s.equalsIgnoreCase("WHERE") => p.pop(); Some(p.expr())
               case _ => None
             }
-            aggs += (arg match {
-              case None => // COUNT(*) [WHERE cond]
-                filter.map(f => count(when(compile(f), lit(1))))
-                  .getOrElse(count(lit(1))).cast("long").as(alias)
-              case Some(a) => aggCol(fn, a, alias, filter)
-            })
+            specs += ((alias, fn, arg, filter))
             if (p.peek.contains(TOp(","))) p.pop() else go = false
           }
           val by = scala.collection.mutable.ListBuffer[String]()
@@ -576,9 +572,31 @@ object Esql {
               }
             case _ => ()
           }
-          df =
-            if (by.isEmpty) df.agg(aggs.head, aggs.tail.toSeq: _*)
-            else df.groupBy(by.toSeq.map(col): _*).agg(aggs.head, aggs.tail.toSeq: _*)
+          def countStar(filter: Option[Ex], wrap: Column => Column): Column =
+            wrap(filter.map(f => count(when(compile(f), lit(1))))
+              .getOrElse(count(lit(1)))).cast("long")
+          if (cmd == "STATS") {
+            val aggs = specs.map {
+              case (alias, _, None, filter) => countStar(filter, identity).as(alias)
+              case (alias, fn, Some(a), filter) => aggCol(fn, a, alias, filter)
+            }
+            df =
+              if (by.isEmpty) df.agg(aggs.head, aggs.tail.toSeq: _*)
+              else df.groupBy(by.toSeq.map(col): _*).agg(aggs.head, aggs.tail.toSeq: _*)
+          } else {
+            // INLINESTATS (8.16): the same aggregates APPENDED to every row
+            // — window aggregates over the BY partitions (empty BY = one
+            // global window), zero row reduction, still one shuffle on the
+            // partition keys
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(by.toSeq.map(col): _*)
+            specs.foreach {
+              case (alias, _, None, filter) =>
+                df = df.withColumn(alias, countStar(filter, _.over(w)))
+              case (alias, fn, Some(a), filter) =>
+                df = df.withColumn(alias, aggCol(fn, a, alias, filter, _.over(w)))
+            }
+          }
         case other => throw new IllegalArgumentException(
           s"esql: unsupported command $other (FROM/WHERE/EVAL/STATS/SORT/LIMIT/" +
             "KEEP/DROP/RENAME/MV_EXPAND/DISSECT/GROK/ENRICH/LOOKUP JOIN)")

@@ -20,7 +20,7 @@ class EsqlSpec extends SparkSpec {
   test("rejections are loud and name the reason") {
     assert(bad("""ROW a = 1""").contains("pipe must start with FROM"))
     assert(bad("""FROM missing | LIMIT 1""").contains("unknown index"))
-    assert(bad("""FROM t | INLINESTATS n = COUNT(*)""").contains("unsupported command"))
+    assert(bad("""FROM t | FORK (WHERE v > 1)""").contains("unsupported command"))
     assert(bad("""FROM t | LOOKUP JOIN x ON id""").contains("unknown lookup index"))
     assert(bad("""FROM t | ENRICH policy""").contains("unexpected end of input"))
     assert(bad("""FROM t | WHERE name LIKE id""")
@@ -139,6 +139,25 @@ class EsqlSpec extends SparkSpec {
       """FROM t | EVAL z = CASE(v > 1000, "big") | KEEP z | LIMIT 1""")
       .collect().head
     assert(nul.isNullAt(0))
+  }
+
+  test("INLINESTATS appends window aggregates: no row reduction, BY partitions") {
+    val rows = Esql.run(tiny,
+      """FROM t
+        || INLINESTATS total = SUM(v), grp_n = COUNT(*) BY name
+        || EVAL share = v / total
+        || SORT id ASC""".stripMargin).collect()
+    assert(rows.length === 4) // every row kept
+    val byId = rows.map(r => r.getLong(0) ->
+      (r.getDouble(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(byId(2L) === ((25.5, 2L, 20.0 / 25.5))) // beta: 20 + 5.5
+    assert(byId(4L) === ((25.5, 2L, 5.5 / 25.5)))
+    assert(byId(1L) === ((10.0, 1L, 1.0)))
+    // global window when BY is absent
+    val g = Esql.run(tiny,
+      """FROM t | INLINESTATS all_n = COUNT(*) | KEEP id, all_n | SORT id ASC""")
+      .collect()
+    assert(g.forall(_.getLong(1) === 4L))
   }
 
   test("grand-total STATS without BY; arithmetic precedence and unary minus") {

@@ -8380,6 +8380,32 @@ object DocQueries {
       |FROM w WHERE value / user_total > 0.3 AND user_n > 1
       |ORDER BY event_id""".stripMargin
 
+  // ---------------------------------------------------------------- d221
+  /** ES|QL multivalue functions (MV_COUNT/MV_MIN/MV_MAX/MV_FIRST/MV_LAST)
+    * over the embeddings table's float vectors — pure per-row array ops
+    * (size/array_min/array_max/element_at), zero shuffle before the
+    * bounded top-k. */
+  private def d221(s: SparkSession, d: String): DataFrame = {
+    val q =
+      """FROM embeddings
+        || EVAL dim = MV_COUNT(embedding), lo = MV_MIN(embedding),
+        |       hi = MV_MAX(embedding), head = MV_FIRST(embedding),
+        |       tail = MV_LAST(embedding)
+        || WHERE label IN (0, 1) AND hi > 0
+        || KEEP vec_id, label, dim, lo, hi, head, tail
+        || SORT vec_id ASC
+        || LIMIT 200""".stripMargin
+    Esql.run(Map("embeddings" -> graft.Tables(s, d, "embeddings")), q)
+  }
+
+  private val d221Sql =
+    """SELECT vec_id, label, CAST(len(embedding) AS BIGINT) AS dim,
+      |  list_min(embedding) AS lo, list_max(embedding) AS hi,
+      |  embedding[1] AS head, embedding[-1] AS tail
+      |FROM embeddings
+      |WHERE label IN (0, 1) AND list_max(embedding) > 0
+      |ORDER BY vec_id LIMIT 200""".stripMargin
+
   // ---------------------------------------------------------------- d212
   /** ES|QL ENRICH — the lookup join. The policy table (nation, dimension-
     * sized by the enrich contract: ES replicates the enrich index to every
@@ -8859,6 +8885,7 @@ object DocQueries {
     "d218_esql_bucket" -> d218 _,
     "d219_esql_lookup_join" -> d219 _,
     "d220_esql_inlinestats" -> d220 _,
+    "d221_esql_mv_fns" -> d221 _,
     "d206_es_parent_agg" -> d206 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
@@ -9081,6 +9108,7 @@ object DocQueries {
     "d218_esql_bucket" -> d218Sql,
     "d219_esql_lookup_join" -> d219Sql,
     "d220_esql_inlinestats" -> d220Sql,
+    "d221_esql_mv_fns" -> d221Sql,
     "d206_es_parent_agg" -> d206Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,

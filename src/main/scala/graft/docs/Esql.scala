@@ -252,6 +252,11 @@ object Esql {
             case other => throw new IllegalArgumentException(
               s"esql: SPLIT separator must be a string literal, got $other")
           }
+        case "MV_COUNT" => arity(1); size(c(0)).cast(LongType)
+        case "MV_MIN" => arity(1); array_min(c(0))
+        case "MV_MAX" => arity(1); array_max(c(0))
+        case "MV_FIRST" => arity(1); element_at(c(0), 1)
+        case "MV_LAST" => arity(1); element_at(c(0), -1)
         case "BUCKET" =>
           // numeric bucketing: floor(x / span) * span — floor cast back to
           // double so the bucket key type matches SQL floor() semantics

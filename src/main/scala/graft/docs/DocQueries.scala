@@ -8406,6 +8406,29 @@ object DocQueries {
       |WHERE label IN (0, 1) AND list_max(embedding) > 0
       |ORDER BY vec_id LIMIT 200""".stripMargin
 
+  // ---------------------------------------------------------------- d222
+  /** ES|QL statistical aggs: COUNT_DISTINCT (exact), MEDIAN, PERCENTILE —
+    * all still ONE hash aggregation (the distinct count is Spark's
+    * two-phase exact distinct, the percentiles the exact interpolated
+    * form over long-cast quantities, mirroring the q25 idiom the oracle
+    * already matches bit-for-bit). */
+  private def d222(s: SparkSession, d: String): DataFrame = {
+    val q =
+      """FROM lineitem
+        || STATS n = COUNT(*), uniq_parts = COUNT_DISTINCT(l_partkey),
+        |        med_qty = MEDIAN(TO_LONG(l_quantity)),
+        |        p95 = PERCENTILE(TO_LONG(l_quantity), 95) BY l_returnflag
+        || SORT l_returnflag ASC""".stripMargin
+    Esql.run(Map("lineitem" -> graft.Tables(s, d, "lineitem")), q)
+  }
+
+  private val d222Sql =
+    """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS uniq_parts,
+      |  quantile_cont(CAST(l_quantity AS BIGINT), 0.5) AS med_qty,
+      |  quantile_cont(CAST(l_quantity AS BIGINT), 0.95) AS p95
+      |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin
+
   // ---------------------------------------------------------------- d212
   /** ES|QL ENRICH — the lookup join. The policy table (nation, dimension-
     * sized by the enrich contract: ES replicates the enrich index to every
@@ -8886,6 +8909,7 @@ object DocQueries {
     "d219_esql_lookup_join" -> d219 _,
     "d220_esql_inlinestats" -> d220 _,
     "d221_esql_mv_fns" -> d221 _,
+    "d222_esql_stat_aggs" -> d222 _,
     "d206_es_parent_agg" -> d206 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
@@ -9109,6 +9133,7 @@ object DocQueries {
     "d219_esql_lookup_join" -> d219Sql,
     "d220_esql_inlinestats" -> d220Sql,
     "d221_esql_mv_fns" -> d221Sql,
+    "d222_esql_stat_aggs" -> d222Sql,
     "d206_es_parent_agg" -> d206Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,

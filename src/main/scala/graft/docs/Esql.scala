@@ -402,12 +402,17 @@ object Esql {
       * each raw aggregate BEFORE the decimal casts — identity for grouped
       * STATS, `.over(window)` for INLINESTATS — so both forms share one
       * exactness contract. */
-    def aggCol(fn: String, arg: Ex, alias: String, filter: Option[Ex],
+    def aggCol(fn: String, args: List[Ex], alias: String, filter: Option[Ex],
                wrap: Column => Column = identity): Column = {
+      if (fn != "PERCENTILE")
+        require(args.size == 1, s"esql: $fn takes 1 argument, got ${args.size}")
+      val arg = args.head
       val dbl = arg match {
         case EId(n) => isDouble(n)
         case EDouble(_) => true
         case EBin(_, _, _) | ENot(_) => true // computed: treat as double-class
+        case EFn("TO_LONG", _) | EFn("LENGTH", _) | EFn("MV_COUNT", _) => false
+        case EFn(_, _) => true
         case _ => false
       }
       val c0 = compile(arg)
@@ -423,6 +428,17 @@ object Esql {
         case "MIN" => wrap(min(c))
         case "MAX" => wrap(max(c))
         case "COUNT" => wrap(count(c)).cast("long")
+        case "COUNT_DISTINCT" => wrap(count_distinct(c)).cast("long")
+        case "MEDIAN" => wrap(percentile(c, lit(0.5)))
+        case "PERCENTILE" =>
+          require(args.size == 2, "esql: PERCENTILE takes (field, percent)")
+          val pct = args(1) match {
+            case ELong(v) => v / 100.0
+            case EDouble(v) => v / 100.0
+            case other => throw new IllegalArgumentException(
+              s"esql: PERCENTILE percent must be a numeric literal, got $other")
+          }
+          wrap(percentile(c, lit(pct)))
         case other => throw new IllegalArgumentException(s"esql: unsupported agg $other")
       }).as(alias)
     }
@@ -537,27 +553,30 @@ object Esql {
           }
           df = df.orderBy(keys.toSeq: _*)
         case cmd @ ("STATS" | "INLINESTATS") =>
-          // (alias, fn, arg — None = COUNT(*), per-agg WHERE filter)
+          // (alias, fn, args — Nil = COUNT(*), per-agg WHERE filter)
           val specs =
-            scala.collection.mutable.ListBuffer[(String, String, Option[Ex], Option[Ex])]()
+            scala.collection.mutable.ListBuffer[(String, String, List[Ex], Option[Ex])]()
           var go = true
           while (go) {
             val alias = p.ident()
             p.expectOp("=")
             val fn = p.ident().toUpperCase
             p.expectOp("(")
-            val arg: Option[Ex] = p.peek match {
+            val args = scala.collection.mutable.ListBuffer[Ex]()
+            p.peek match {
               case Some(TOp("*")) =>
                 require(fn == "COUNT", s"esql: only COUNT(*) takes *")
-                p.pop(); None
-              case _ => Some(p.expr())
+                p.pop()
+              case _ =>
+                args += p.expr()
+                while (p.peek.contains(TOp(","))) { p.pop(); args += p.expr() }
             }
             p.expectOp(")")
             val filter: Option[Ex] = p.peek match {
               case Some(TId(s)) if s.equalsIgnoreCase("WHERE") => p.pop(); Some(p.expr())
               case _ => None
             }
-            specs += ((alias, fn, arg, filter))
+            specs += ((alias, fn, args.toList, filter))
             if (p.peek.contains(TOp(","))) p.pop() else go = false
           }
           val by = scala.collection.mutable.ListBuffer[String]()
@@ -582,8 +601,8 @@ object Esql {
               .getOrElse(count(lit(1)))).cast("long")
           if (cmd == "STATS") {
             val aggs = specs.map {
-              case (alias, _, None, filter) => countStar(filter, identity).as(alias)
-              case (alias, fn, Some(a), filter) => aggCol(fn, a, alias, filter)
+              case (alias, _, Nil, filter) => countStar(filter, identity).as(alias)
+              case (alias, fn, as, filter) => aggCol(fn, as, alias, filter)
             }
             df =
               if (by.isEmpty) df.agg(aggs.head, aggs.tail.toSeq: _*)
@@ -596,10 +615,10 @@ object Esql {
             val w = org.apache.spark.sql.expressions.Window
               .partitionBy(by.toSeq.map(col): _*)
             specs.foreach {
-              case (alias, _, None, filter) =>
+              case (alias, _, Nil, filter) =>
                 df = df.withColumn(alias, countStar(filter, _.over(w)))
-              case (alias, fn, Some(a), filter) =>
-                df = df.withColumn(alias, aggCol(fn, a, alias, filter, _.over(w)))
+              case (alias, fn, as, filter) =>
+                df = df.withColumn(alias, aggCol(fn, as, alias, filter, _.over(w)))
             }
           }
         case other => throw new IllegalArgumentException(

@@ -25,7 +25,9 @@ class EsqlSpec extends SparkSpec {
     assert(bad("""FROM t | ENRICH policy""").contains("unexpected end of input"))
     assert(bad("""FROM t | WHERE name LIKE id""")
       .contains("LIKE needs a string literal pattern"))
-    assert(bad("""FROM t | STATS n = MEDIAN(v)""").contains("unsupported agg"))
+    assert(bad("""FROM t | STATS n = MODE(v)""").contains("unsupported agg"))
+    assert(bad("""FROM t | STATS n = PERCENTILE(v, name)""")
+      .contains("percent must be a numeric literal"))
     assert(bad("""FROM t | STATS n = SUM(*)""").contains("only COUNT(*)"))
     assert(bad("""FROM t | LIMIT 3 extra""").contains("trailing tokens"))
   }

@@ -19,11 +19,11 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * aggregation, SORT+LIMIT a bounded TakeOrderedAndProject — so the whole
   * pipe is one declarative Catalyst plan, not an interpreter loop.
   *
-  * Implemented commands: FROM, WHERE, EVAL, STATS..BY, SORT, LIMIT, KEEP,
-  * DROP, RENAME..AS, MV_EXPAND (explode_outer — null stays a null row,
-  * the ES|QL contract), DISSECT (anchored whole-string split on literal
-  * separators), GROK (the core pattern subset WORD/INT/NUMBER/DATA/
-  * GREEDYDATA/NOTSPACE, unanchored), ENRICH..ON..WITH — the policy
+  * Implemented commands: FROM, WHERE, EVAL, STATS..BY (+ INLINESTATS),
+  * SORT, LIMIT, KEEP, DROP, RENAME..AS, MV_EXPAND (explode_outer — null
+  * stays a null row, the ES|QL contract), DISSECT (anchored whole-string
+  * split on literal separators), GROK (the core pattern subset WORD/INT/
+  * NUMBER/DATA/GREEDYDATA/NOTSPACE, unanchored), ENRICH..ON..WITH — the policy
   * lookup, compiled to a BROADCAST left join against the policy table
   * (the exact Spark analogue of ES's replicated enrich index: the policy
   * frame ships to every node, the corpus never shuffles) — and LOOKUP
@@ -33,10 +33,12 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * Expressions: identifiers, integer/decimal/string literals, the
   * comparison set (== != < <= > >=), arithmetic (+ - * / %), NOT/AND/OR,
   * LIKE (ES|QL wildcard * ? — compiled to Spark's like with % _),
-  * IN (literals), IS [NOT] NULL, and scalar functions ABS/ROUND/LENGTH/
-  * SUBSTRING/CONCAT/TO_UPPER/TO_LOWER/TO_LONG/TO_DOUBLE/COALESCE/
-  * STARTS_WITH/SPLIT (literal separator). Aggs: COUNT(*) / COUNT / SUM /
-  * AVG / MIN / MAX, each with an optional per-agg WHERE filter. SUM/AVG
+  * RLIKE (raw regex), IN (literals), IS [NOT] NULL, and scalar functions
+  * ABS/ROUND/LENGTH/SUBSTRING/CONCAT/TO_UPPER/TO_LOWER/TO_LONG/TO_DOUBLE/
+  * COALESCE/STARTS_WITH/SPLIT (literal separator)/CASE/BUCKET/
+  * MV_COUNT/MV_MIN/MV_MAX/MV_FIRST/MV_LAST. Aggs: COUNT(*) / COUNT /
+  * SUM / AVG / MIN / MAX / COUNT_DISTINCT / MEDIAN / PERCENTILE, each
+  * with an optional per-agg WHERE filter. SUM/AVG
   * over double columns accumulate through the engine's exact-decimal
   * contract (DECIMAL(12,2) partials, DECIMAL(28,6) result) so the oracle
   * reproduces totals bit-for-bit. INLINESTATS (8.16) runs the same

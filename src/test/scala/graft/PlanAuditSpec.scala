@@ -990,6 +990,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"corpus side must not shuffle:\n$p")
   }
 
+  test("d220: ES|QL INLINESTATS runs all window aggregates on ONE partition " +
+    "shuffle — no self-join") {
+    val p = plan(q("d220_esql_inlinestats"))
+    assert(p.contains("Window"), s"expected window operators:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"INLINESTATS must not plan a join:\n$p")
+    val hashExchanges = corpusHashExchanges(p)
+    assert(hashExchanges === 1,
+      s"expected one user_id shuffle for all appended aggs, got $hashExchanges:\n$p")
+  }
+
   test("t16: stratified sample runs both windows on ONE stratum shuffle") {
     val p = plan(q("t16_stratified_sample"))
     // count-per-stratum and hash-rank share the lang partitioning: one

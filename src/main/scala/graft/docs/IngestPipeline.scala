@@ -334,21 +334,23 @@ object IngestPipeline {
         case (st: StructType, f) => st(f).dataType
         case (other, f) => throw new IllegalArgumentException(s"$f inside non-struct $other")
       }
-      // grok/dissect fan out to one root-leaf rebuild per key (all groups
-      // of ONE regex — still a single projection after codegen); the
-      // extraction reads the PRE-processor doc so a key may safely shadow
-      // the source field.
+      // grok/dissect add ALL their keys in ONE root struct rebuild (all
+      // groups of one regex). One rebuild per key would nest a full-doc
+      // struct expression per key — each level multiplies the Catalyst
+      // tree by the doc schema size (7.3 s vs 0.2 s for d215's 4 keys at
+      // sf0.1). The extraction reads the PRE-processor doc so a key may
+      // safely shadow the source field.
       p match {
         case GrokProc(src, rx, keys) =>
           val srcCol = cur(src)
-          keys.zipWithIndex.foldLeft((c, sch)) { case ((c1, s1), (k, i)) =>
-            rebuild(c1, Seq(k), regexp_extract(srcCol, rx, i + 1), StringType, s1)
-          }
+          addRootLeaves(c, sch, keys.zipWithIndex.map { case (k, i) =>
+            (k, regexp_extract(srcCol, rx, i + 1))
+          })
         case DissectProc(src, rx, keys) =>
           val srcCol = cur(src)
-          keys.zipWithIndex.foldLeft((c, sch)) { case ((c1, s1), (k, i)) =>
-            rebuild(c1, Seq(k), regexp_extract(srcCol, rx, i + 1), StringType, s1)
-          }
+          addRootLeaves(c, sch, keys.zipWithIndex.map { case (k, i) =>
+            (k, regexp_extract(srcCol, rx, i + 1))
+          })
         case _ => applyOne(c, sch, p, cur, leafType)
       }
     }
@@ -416,6 +418,24 @@ object IngestPipeline {
     * value's own type wins (schema evolution), and a new last-segment
     * leaf APPENDS to its parent struct. One codegen'd expression per
     * schema node, like the MergePatch shape. */
+  /** Replace-or-append STRING leaves at the ROOT in one struct build —
+    * grok/dissect's multi-key placement (ES overwrite semantics on
+    * collision). */
+  private def addRootLeaves(root: Column, schema: StructType,
+                            adds: Seq[(String, Column)]): (Column, StructType) = {
+    val byName = adds.toMap
+    val kept = schema.fields.toSeq.map { f =>
+      byName.get(f.name) match {
+        case Some(v) => (StructField(f.name, StringType, nullable = true), v.as(f.name))
+        case None => (f, root.getField(f.name).as(f.name))
+      }
+    }
+    val appended = adds.filterNot { case (k, _) => schema.fieldNames.contains(k) }
+      .map { case (k, v) => (StructField(k, StringType, nullable = true), v.as(k)) }
+    val all = kept ++ appended
+    (struct(all.map(_._2): _*), StructType(all.map(_._1)))
+  }
+
   private def rebuild(root: Column, path: Seq[String], value: Column,
                       vt: DataType, schema: StructType): (Column, StructType) =
     path match {

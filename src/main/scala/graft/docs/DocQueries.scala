@@ -8429,6 +8429,34 @@ object DocQueries {
       |  quantile_cont(CAST(l_quantity AS BIGINT), 0.95) AS p95
       |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------- d223
+  /** ES|QL multi-index FROM with METADATA _index — the `logs-*` pattern:
+    * sources union BY NAME (missing fields null, the cross-index ES
+    * contract) and `_index` stamps each row's origin as a literal column,
+    * so it groups like any field and costs nothing (no lineage lookup).
+    * The union is scan-level — pushed filters still reach each branch. */
+  private def d223(s: SparkSession, d: String): DataFrame = {
+    val docs = graft.Tables(s, d, "documents")
+    val q =
+      """FROM docs_en,docs_de METADATA _index
+        || STATS n = COUNT(*), chars = SUM(n_chars) BY _index, source
+        || SORT _index ASC, source ASC
+        || LIMIT 30""".stripMargin
+    Esql.run(Map(
+      "docs_en" -> docs.filter(col("lang") === "en"),
+      "docs_de" -> docs.filter(col("lang") === "de")), q)
+  }
+
+  private val d223Sql =
+    """WITH u AS (
+      |  SELECT 'docs_en' AS _index, source, n_chars FROM documents
+      |  WHERE lang = 'en'
+      |  UNION ALL
+      |  SELECT 'docs_de', source, n_chars FROM documents WHERE lang = 'de')
+      |SELECT _index, source, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(n_chars) AS BIGINT) AS chars
+      |FROM u GROUP BY 1, 2 ORDER BY _index, source LIMIT 30""".stripMargin
+
   // ---------------------------------------------------------------- d212
   /** ES|QL ENRICH — the lookup join. The policy table (nation, dimension-
     * sized by the enrich contract: ES replicates the enrich index to every
@@ -8910,6 +8938,7 @@ object DocQueries {
     "d220_esql_inlinestats" -> d220 _,
     "d221_esql_mv_fns" -> d221 _,
     "d222_esql_stat_aggs" -> d222 _,
+    "d223_esql_multi_index" -> d223 _,
     "d206_es_parent_agg" -> d206 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
@@ -9134,6 +9163,7 @@ object DocQueries {
     "d220_esql_inlinestats" -> d220Sql,
     "d221_esql_mv_fns" -> d221Sql,
     "d222_esql_stat_aggs" -> d222Sql,
+    "d223_esql_multi_index" -> d223Sql,
     "d206_es_parent_agg" -> d206Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,

@@ -387,12 +387,29 @@ object Esql {
     }
     val head = segments.head
     require(kw(head.head) == "FROM", s"esql: pipe must start with FROM")
-    val srcName = head.tail match {
-      case List(TId(n)) => n
-      case other => throw new IllegalArgumentException(s"esql: bad FROM target: $other")
+    // FROM idx[, idx...] [METADATA _index] — multi-index search unions by
+    // name (missing fields null, the cross-index ES contract); METADATA
+    // _index stamps each row's source index as a literal, so it costs
+    // nothing and groups/filters like any column.
+    val hp = new P(head.tail)
+    val srcNames = scala.collection.mutable.ListBuffer(hp.ident())
+    while (hp.peek.contains(TOp(","))) { hp.pop(); srcNames += hp.ident() }
+    val withIndexMeta = hp.peek match {
+      case Some(TId(s)) if s.equalsIgnoreCase("METADATA") =>
+        hp.pop()
+        val m = hp.ident()
+        require(m == "_index", s"esql: only METADATA _index is supported, got $m")
+        true
+      case _ => false
     }
-    var df = sources.getOrElse(srcName, throw new IllegalArgumentException(
-      s"esql: unknown index $srcName (have: ${sources.keys.toSeq.sorted.mkString(", ")})"))
+    require(hp.ts.isEmpty, s"esql: trailing tokens in FROM: ${hp.ts.take(4)}")
+    def load(n: String): DataFrame = {
+      val t = sources.getOrElse(n, throw new IllegalArgumentException(
+        s"esql: unknown index $n (have: ${sources.keys.toSeq.sorted.mkString(", ")})"))
+      if (withIndexMeta) t.withColumn("_index", lit(n)) else t
+    }
+    var df = srcNames.map(load)
+      .reduce(_.unionByName(_, allowMissingColumns = true))
 
     def isDouble(c: String): Boolean =
       df.schema.fields.exists(f => f.name == c && f.dataType == DoubleType)
@@ -545,12 +562,30 @@ object Esql {
           var go = true
           while (go) {
             val c = compile(p.expr())
-            val dir = p.peek match {
-              case Some(TId(s)) if s.equalsIgnoreCase("DESC") => p.pop(); c.desc
-              case Some(TId(s)) if s.equalsIgnoreCase("ASC") => p.pop(); c.asc
-              case _ => c.asc
+            val desc = p.peek match {
+              case Some(TId(s)) if s.equalsIgnoreCase("DESC") => p.pop(); true
+              case Some(TId(s)) if s.equalsIgnoreCase("ASC") => p.pop(); false
+              case _ => false
             }
-            keys += dir
+            // NULLS FIRST/LAST (ES|QL default: nulls last on ASC, first on
+            // DESC — the opposite of Spark's; apply ES's default explicitly)
+            val nullsFirst = p.peek match {
+              case Some(TId(s)) if s.equalsIgnoreCase("NULLS") =>
+                p.pop()
+                p.pop() match {
+                  case TId(x) if x.equalsIgnoreCase("FIRST") => true
+                  case TId(x) if x.equalsIgnoreCase("LAST") => false
+                  case other => throw new IllegalArgumentException(
+                    s"esql: expected FIRST or LAST after NULLS, got $other")
+                }
+              case _ => desc // the ES|QL default
+            }
+            keys += ((desc, nullsFirst) match {
+              case (false, false) => c.asc_nulls_last
+              case (false, true) => c.asc_nulls_first
+              case (true, false) => c.desc_nulls_last
+              case (true, true) => c.desc_nulls_first
+            })
             if (p.peek.contains(TOp(","))) p.pop() else go = false
           }
           df = df.orderBy(keys.toSeq: _*)

@@ -162,6 +162,31 @@ class EsqlSpec extends SparkSpec {
     assert(g.forall(_.getLong(1) === 4L))
   }
 
+  test("multi-index FROM unions by name with null fill; METADATA _index stamps origin") {
+    import spark.implicits._
+    val a = Seq((1L, "x", 9.0)).toDF("id", "name", "v")
+    val b = Seq((2L, "y")).toDF("id", "name") // no v column
+    val out = Esql.run(Map("ia" -> a, "ib" -> b),
+      """FROM ia,ib METADATA _index | KEEP id, v, _index | SORT id ASC""")
+      .collect().map(r => (r.getLong(0), Option(if (r.isNullAt(1)) null else r.getDouble(1)),
+        r.getString(2))).toSeq
+    assert(out === Seq((1L, Some(9.0), "ia"), (2L, None, "ib")))
+    // without METADATA there is no _index column
+    val cols = Esql.run(Map("ia" -> a, "ib" -> b), """FROM ia,ib | LIMIT 1""").columns
+    assert(!cols.contains("_index"))
+  }
+
+  test("SORT nulls: ES|QL default is nulls-last ASC / nulls-first DESC; NULLS overrides") {
+    import spark.implicits._
+    val n = Map("nn" -> Seq((1L, Some(5.0)), (2L, None), (3L, Some(1.0)))
+      .toDF("id", "x"))
+    def ids(q: String) = Esql.run(n, q).collect().map(_.getLong(0)).toSeq
+    assert(ids("""FROM nn | SORT x ASC | KEEP id""") === Seq(3L, 1L, 2L))
+    assert(ids("""FROM nn | SORT x DESC | KEEP id""") === Seq(2L, 1L, 3L))
+    assert(ids("""FROM nn | SORT x ASC NULLS FIRST | KEEP id""") === Seq(2L, 3L, 1L))
+    assert(ids("""FROM nn | SORT x DESC NULLS LAST | KEEP id""") === Seq(1L, 3L, 2L))
+  }
+
   test("grand-total STATS without BY; arithmetic precedence and unary minus") {
     val r = Esql.run(tiny,
       """FROM t | EVAL x = -v + 2 * 10 | STATS lo = MIN(x), hi = MAX(x)""")

@@ -471,22 +471,36 @@ object Esql {
           case TNum(n) if !n.contains('.') => df = df.limit(n.toInt)
           case other => throw new IllegalArgumentException(s"esql: bad LIMIT: $other")
         }
-        case "KEEP" =>
-          val cols = scala.collection.mutable.ListBuffer[String]()
+        case cmd @ ("KEEP" | "DROP") =>
+          // entries may be wildcard patterns (KEEP id, v*, *_meta) — the
+          // ES|QL projection syntax; pattern order defines column order,
+          // each column appears once (first pattern wins)
+          val pats = scala.collection.mutable.ListBuffer[String]()
           var go = true
-          while (go) { p.pop() match {
-            case TId(n) => cols += n
-            case other => throw new IllegalArgumentException(s"esql: bad KEEP column: $other")
-          }; if (p.peek.contains(TOp(","))) p.pop() else go = false }
-          df = df.select(cols.toSeq.map(col): _*)
-        case "DROP" =>
-          val cols = scala.collection.mutable.ListBuffer[String]()
-          var go = true
-          while (go) { p.pop() match {
-            case TId(n) => cols += n
-            case other => throw new IllegalArgumentException(s"esql: bad DROP column: $other")
-          }; if (p.peek.contains(TOp(","))) p.pop() else go = false }
-          df = df.drop(cols.toSeq: _*)
+          while (go) {
+            val sb = new StringBuilder
+            var more = true
+            while (more) p.peek match {
+              case Some(TId(n)) => p.pop(); sb.append(n)
+              case Some(TOp("*")) => p.pop(); sb.append('*')
+              case _ => more = false
+            }
+            require(sb.nonEmpty, s"esql: bad $cmd column at ${p.peek}")
+            pats += sb.toString
+            if (p.peek.contains(TOp(","))) p.pop() else go = false
+          }
+          def expand(pat: String): Seq[String] =
+            if (!pat.contains("*")) {
+              require(df.columns.contains(pat), s"esql: $cmd of unknown column $pat")
+              Seq(pat)
+            } else {
+              val rx = ("^" + pat.split("\\*", -1)
+                .map(s0 => if (s0.isEmpty) "" else java.util.regex.Pattern.quote(s0))
+                .mkString(".*") + "$").r
+              df.columns.toSeq.filter(c => rx.findFirstIn(c).isDefined)
+            }
+          val cols = pats.toSeq.flatMap(expand).distinct
+          df = if (cmd == "KEEP") df.select(cols.map(col): _*) else df.drop(cols: _*)
         case "EVAL" =>
           var go = true
           while (go) {

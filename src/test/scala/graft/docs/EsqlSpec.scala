@@ -187,6 +187,17 @@ class EsqlSpec extends SparkSpec {
     assert(ids("""FROM nn | SORT x DESC NULLS LAST | KEEP id""") === Seq(1L, 3L, 2L))
   }
 
+  test("KEEP/DROP accept wildcard patterns; pattern order defines column order") {
+    import spark.implicits._
+    val wide = Map("w" -> Seq((1L, 2L, "a", "b", 3.0))
+      .toDF("id", "id_aux", "name_first", "name_last", "score"))
+    val kept = Esql.run(wide, """FROM w | KEEP score, id* | LIMIT 1""").columns.toSeq
+    assert(kept === Seq("score", "id", "id_aux"))
+    val dropped = Esql.run(wide, """FROM w | DROP name* | LIMIT 1""").columns.toSeq
+    assert(dropped === Seq("id", "id_aux", "score"))
+    assert(bad("""FROM t | KEEP nope""").contains("unknown column"))
+  }
+
   test("grand-total STATS without BY; arithmetic precedence and unary minus") {
     val r = Esql.run(tiny,
       """FROM t | EVAL x = -v + 2 * 10 | STATS lo = MIN(x), hi = MAX(x)""")

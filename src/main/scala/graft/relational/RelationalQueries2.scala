@@ -864,7 +864,64 @@ object RelationalQueries2 {
       |  CAST(COUNT(t3) AS DOUBLE) / COUNT(t2) AS conv_2_3
       |FROM pu""".stripMargin
 
+  // ---------------------------------------------------------------- q44
+  /** Z-order clustering (the lakehouse OPTIMIZE ZORDER BY shape): both
+    * dimensions min-max-quantized to 8 bits (fixed IEEE op sequence — the
+    * oracle mirror is bit-exact), bit-interleaved into a 16-bit z-value,
+    * bucketed by z-range. Rows close in z are close in BOTH dimensions,
+    * so sorting the table by z before writing gives parquet row-group
+    * min/max stats that prune on EITHER filter column — the write side is
+    * `repartitionByRange($"z").sortWithinPartitions($"z")` and costs one
+    * range shuffle at any scale. The gate checks the z math + the
+    * per-bucket dimension envelopes (the quantity pruning depends on).
+    * The only join is the hinted 1-row min/max broadcast. */
+  private def zInterleaveSql(a: String, b: String, bits: Int): String =
+    (0 until bits).map { i =>
+      s"((($a >> $i) & 1) << ${2 * i + 1}) + ((($b >> $i) & 1) << ${2 * i})"
+    }.mkString(" + ")
+
+  /** (c, day, z) for every order — the frame the z-ordered WRITE sorts by
+    * (exposed for ZOrderSpec's layout assertion). */
+  private[graft] def zFrame(s: SparkSession, d: String): DataFrame = {
+    val o = t(s, d, "orders").select(
+      col("o_custkey").as("c"),
+      expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000").as("day"))
+    val mm = o.agg(min("c").as("minc"), max("c").as("maxc"),
+      min("day").as("mind"), max("day").as("maxd"))
+    o.crossJoin(broadcast(mm))
+      .select(col("c"), col("day"),
+        expr("CAST(floor((c - minc) * 255.0 / greatest(maxc - minc, 1)) AS BIGINT)").as("n1"),
+        expr("CAST(floor((day - mind) * 255.0 / greatest(maxd - mind, 1)) AS BIGINT)").as("n2"))
+      .withColumn("z", expr(zInterleaveSql("n1", "n2", 8)))
+  }
+
+  private def q44(s: SparkSession, d: String): DataFrame =
+    zFrame(s, d)
+      .withColumn("bucket", expr("z DIV 4096"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        min("c").as("min_cust"), max("c").as("max_cust"),
+        min("day").as("min_day"), max("day").as("max_day"))
+      .orderBy(col("bucket"))
+
+  private val q44Sql =
+    s"""WITH o AS (
+       |  SELECT o_custkey AS c, epoch_us(o_orderdate) // 86400000000 AS day
+       |  FROM orders),
+       |mm AS (SELECT MIN(c) AS minc, MAX(c) AS maxc,
+       |  MIN(day) AS mind, MAX(day) AS maxd FROM o),
+       |q AS (SELECT c, day,
+       |    CAST(floor((c - minc) * 255.0 / greatest(maxc - minc, 1)) AS BIGINT) AS n1,
+       |    CAST(floor((day - mind) * 255.0 / greatest(maxd - mind, 1)) AS BIGINT) AS n2
+       |  FROM o, mm),
+       |z AS (SELECT c, day, ${zInterleaveSql("n1", "n2", 8)} AS z FROM q)
+       |SELECT z // 4096 AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+       |  MIN(c) AS min_cust, MAX(c) AS max_cust,
+       |  MIN(day) AS min_day, MAX(day) AS max_day
+       |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q44_zorder" -> q44 _,
     "q42_funnel" -> q42 _,
     "q43_scd2_incremental" -> q43 _,
     "q41_scd2_history" -> q41 _,
@@ -890,6 +947,7 @@ object RelationalQueries2 {
     "q26_json_fns" -> q26 _)
 
   val oracle: Map[String, String] = Map(
+    "q44_zorder" -> q44Sql,
     "q42_funnel" -> q42Sql,
     "q43_scd2_incremental" -> q41Sql, // full recompute IS the oracle: incremental == full
     "q41_scd2_history" -> q41Sql,

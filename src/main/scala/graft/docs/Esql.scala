@@ -35,7 +35,8 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * LIKE (ES|QL wildcard * ? — compiled to Spark's like with % _),
   * RLIKE (raw regex), IN (literals), IS [NOT] NULL, and scalar functions
   * ABS/ROUND/LENGTH/SUBSTRING/CONCAT/TO_UPPER/TO_LOWER/TO_LONG/TO_DOUBLE/
-  * COALESCE/STARTS_WITH/SPLIT (literal separator)/CASE/BUCKET/
+  * COALESCE/STARTS_WITH/ENDS_WITH/TRIM/LTRIM/RTRIM/REPLACE (regex)/
+  * SPLIT (literal separator)/CASE/BUCKET/
   * MV_COUNT/MV_MIN/MV_MAX/MV_FIRST/MV_LAST. Aggs: COUNT(*) / COUNT /
   * SUM / AVG / MIN / MAX / COUNT_DISTINCT / MEDIAN / PERCENTILE, each
   * with an optional per-agg WHERE filter. SUM/AVG
@@ -247,6 +248,19 @@ object Esql {
         case "TO_DOUBLE" => arity(1); c(0).cast(DoubleType)
         case "COALESCE" => coalesce(args.map(compile): _*)
         case "STARTS_WITH" => arity(2); c(0).startsWith(c(1))
+        case "ENDS_WITH" => arity(2); c(0).endsWith(c(1))
+        case "TRIM" => arity(1); trim(c(0))
+        case "LTRIM" => arity(1); ltrim(c(0))
+        case "RTRIM" => arity(1); rtrim(c(0))
+        case "REPLACE" =>
+          arity(3)
+          (args(1), args(2)) match {
+            case (EStr(pat), EStr(rep)) =>
+              // ES|QL REPLACE is regex-based; pass the pattern through raw
+              regexp_replace(c(0), pat, rep)
+            case _ => throw new IllegalArgumentException(
+              "esql: REPLACE pattern/replacement must be string literals")
+          }
         case "SPLIT" =>
           arity(2)
           args(1) match {

@@ -116,6 +116,19 @@ class EsqlSpec extends SparkSpec {
     assert(out === Seq((1L, Some("x")), (1L, Some("y")), (2L, None), (3L, None)))
   }
 
+  test("string functions: TRIM family, ENDS_WITH, regex REPLACE") {
+    import spark.implicits._
+    val sdf = Map("s" -> Seq((1L, "  pad  ", "file.txt")).toDF("id", "pad", "fn"))
+    val r = Esql.run(sdf,
+      """FROM s
+        || EVAL t = TRIM(pad), l = LTRIM(pad), rr = RTRIM(pad),
+        |       ext = REPLACE(fn, "^.*\\.", ""), istxt = ENDS_WITH(fn, ".txt")
+        || KEEP t, l, rr, ext, istxt""".stripMargin).collect().head
+    assert(r.getString(0) === "pad" && r.getString(1) === "pad  " &&
+      r.getString(2) === "  pad")
+    assert(r.getString(3) === "txt" && r.getBoolean(4))
+  }
+
   test("scalar functions, IN, IS NULL compile to the expected values") {
     val r = Esql.run(tiny,
       """FROM t

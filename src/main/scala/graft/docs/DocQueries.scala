@@ -8457,6 +8457,31 @@ object DocQueries {
       |  CAST(SUM(n_chars) AS BIGINT) AS chars
       |FROM u GROUP BY 1, 2 ORDER BY _index, source LIMIT 30""".stripMargin
 
+  // ---------------------------------------------------------------- d224
+  /** ES|QL DATE_TRUNC — calendar bucketing on the epoch-micros timeline
+    * (micros → UTC calendar truncate → micros, one codegen'd projection)
+    * combined with a per-agg WHERE filter: the daily-revenue pipe is
+    * still one scan → one hash agg. */
+  private def d224(s: SparkSession, d: String): DataFrame = {
+    val q =
+      """FROM events
+        || EVAL day = DATE_TRUNC("day", ts_us)
+        || STATS n = COUNT(*),
+        |        purchase_total = SUM(value) WHERE event_type == "purchase" BY day
+        || SORT day ASC""".stripMargin
+    Esql.run(Map("events" -> graft.Tables.events(s, d).drop("ts")), q)
+  }
+
+  private val d224Sql =
+    """WITH e AS (
+      |  SELECT epoch_us(date_trunc('day', ts)) AS day, value, event_type
+      |  FROM events)
+      |SELECT day, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(12,2)))
+      |    FILTER (WHERE event_type = 'purchase') AS DECIMAL(28,6)) AS DOUBLE)
+      |    AS purchase_total
+      |FROM e GROUP BY 1 ORDER BY day""".stripMargin
+
   // ---------------------------------------------------------------- d212
   /** ES|QL ENRICH — the lookup join. The policy table (nation, dimension-
     * sized by the enrich contract: ES replicates the enrich index to every
@@ -8939,6 +8964,7 @@ object DocQueries {
     "d221_esql_mv_fns" -> d221 _,
     "d222_esql_stat_aggs" -> d222 _,
     "d223_esql_multi_index" -> d223 _,
+    "d224_esql_date_trunc" -> d224 _,
     "d206_es_parent_agg" -> d206 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
@@ -9164,6 +9190,7 @@ object DocQueries {
     "d221_esql_mv_fns" -> d221Sql,
     "d222_esql_stat_aggs" -> d222Sql,
     "d223_esql_multi_index" -> d223Sql,
+    "d224_esql_date_trunc" -> d224Sql,
     "d206_es_parent_agg" -> d206Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,

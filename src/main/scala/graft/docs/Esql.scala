@@ -268,6 +268,16 @@ object Esql {
             case other => throw new IllegalArgumentException(
               s"esql: SPLIT separator must be a string literal, got $other")
           }
+        case "DATE_TRUNC" =>
+          // DATE_TRUNC(unit, ts) over the engine's epoch-micros timeline:
+          // micros → timestamp → calendar truncate → micros (UTC session,
+          // so the calendar math matches the oracle's)
+          arity(2)
+          args(0) match {
+            case EStr(u) => unix_micros(date_trunc(u, timestamp_micros(c(1))))
+            case other => throw new IllegalArgumentException(
+              s"esql: DATE_TRUNC unit must be a string literal, got $other")
+          }
         case "MV_COUNT" => arity(1); size(c(0)).cast(LongType)
         case "MV_MIN" => arity(1); array_min(c(0))
         case "MV_MAX" => arity(1); array_max(c(0))

@@ -36,7 +36,7 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * RLIKE (raw regex), IN (literals), IS [NOT] NULL, and scalar functions
   * ABS/ROUND/LENGTH/SUBSTRING/CONCAT/TO_UPPER/TO_LOWER/TO_LONG/TO_DOUBLE/
   * COALESCE/STARTS_WITH/ENDS_WITH/TRIM/LTRIM/RTRIM/REPLACE (regex)/
-  * SPLIT (literal separator)/CASE/BUCKET/
+  * SPLIT (literal separator)/CASE/BUCKET/DATE_TRUNC (epoch-micros)/
   * MV_COUNT/MV_MIN/MV_MAX/MV_FIRST/MV_LAST. Aggs: COUNT(*) / COUNT /
   * SUM / AVG / MIN / MAX / COUNT_DISTINCT / MEDIAN / PERCENTILE, each
   * with an optional per-agg WHERE filter. SUM/AVG

@@ -48,6 +48,31 @@ class EsqlPropertySpec extends SparkSpec {
     }
   }
 
+  test("random INLINESTATS pipes equal their window-aggregate twins") {
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(99L)
+    (1 to 15).foreach { _ =>
+      val th = rnd.nextInt(70) + 10
+      val lim = rnd.nextInt(25) + 5
+      val (aggE, aggD) = rnd.nextInt(3) match {
+        case 0 => ("MAX(v)", max(col("v")).over(Window.partitionBy(col("tag"))))
+        case 1 => ("MIN(n)", min(col("n")).over(Window.partitionBy(col("tag"))))
+        case _ => ("COUNT(*)",
+          count(lit(1)).over(Window.partitionBy(col("tag"))).cast("long"))
+      }
+      val q = s"FROM t | WHERE v < $th | INLINESTATS g = $aggE BY tag | " +
+        s"KEEP id, g | SORT id ASC | LIMIT $lim"
+      val got = Esql.run(Map("t" -> base), q).collect().map(_.toSeq).toSeq
+      val twin = base.filter(col("v") < th)
+        .withColumn("g", aggD)
+        .select("id", "g")
+        .orderBy(col("id").asc)
+        .limit(lim)
+        .collect().map(_.toSeq).toSeq
+      assert(got === twin, s"pipe diverged from its twin: $q")
+    }
+  }
+
   test("row pipes: WHERE + EVAL + KEEP + SORT + LIMIT equal the direct plan") {
     val rnd = new scala.util.Random(7L)
     (1 to 20).foreach { _ =>

@@ -8482,6 +8482,173 @@ object DocQueries {
       |    AS purchase_total
       |FROM e GROUP BY 1 ORDER BY day""".stripMargin
 
+  // ---------------------------------------------------------------- d225
+  /** ES|QL math scalar functions (wave 3) — SQRT/FLOOR/CEIL/SIGNUM/
+    * GREATEST/LEAST/PI, all IEEE-exact or correctly-rounded operations
+    * (the libm-backed EXP/LOG/POW family stays off the hash-compared
+    * path; EsqlSpec pins those JVM-side). One pushdown-eligible filter,
+    * one codegen'd projection — zero shuffles before the sort. */
+  private def d225(s: SparkSession, d: String): DataFrame = {
+    val q =
+      """FROM lineitem
+        || WHERE l_orderkey % 997 == 0
+        || EVAL root = SQRT(l_quantity), fl = FLOOR(l_extendedprice / 100),
+        |       ce = CEIL(l_extendedprice / 100), sgn = SIGNUM(l_quantity - 40),
+        |       lo = LEAST(l_discount, l_tax), hi = GREATEST(l_discount, l_tax),
+        |       scaled = l_quantity * PI()
+        || KEEP l_orderkey, l_linenumber, root, fl, ce, sgn, lo, hi, scaled
+        || SORT l_orderkey ASC, l_linenumber ASC""".stripMargin
+    Esql.run(Map("lineitem" -> graft.Tables(s, d, "lineitem")), q)
+  }
+
+  private val d225Sql =
+    """SELECT l_orderkey, l_linenumber, sqrt(l_quantity) AS root,
+      |  floor(l_extendedprice / 100) AS fl, ceil(l_extendedprice / 100) AS ce,
+      |  CAST(sign(l_quantity - 40) AS DOUBLE) AS sgn,
+      |  least(l_discount, l_tax) AS lo, greatest(l_discount, l_tax) AS hi,
+      |  l_quantity * pi() AS scaled
+      |FROM lineitem WHERE l_orderkey % 997 = 0
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ---------------------------------------------------------------- d226
+  /** ES|QL string scalar functions (wave 3) — LEFT/RIGHT/REVERSE/REPEAT/
+    * LOCATE/SPACE/BIT_LENGTH/BYTE_LENGTH/MD5/SHA256/TO_STRING over the
+    * multilingual documents table: char-counting functions agree with the
+    * oracle on multi-byte text because both engines operate on Unicode
+    * codepoints, and the byte-counting pair (BIT/BYTE_LENGTH) on UTF-8
+    * bytes. Pure per-row projection, no shuffle before the sort. */
+  private def d226(s: SparkSession, d: String): DataFrame = {
+    val q =
+      """FROM documents
+        || WHERE doc_id % 11 == 0
+        || EVAL head = LEFT(text, 12), tail = RIGHT(text, 8),
+        |       rev = REVERSE(lang), ruler = REPEAT("-", 3),
+        |       pos = LOCATE(text, "the"),
+        |       pad = CONCAT(lang, SPACE(2), source),
+        |       bits = BIT_LENGTH(lang), bytes = BYTE_LENGTH(head),
+        |       sig = MD5(lang), sig2 = SHA256(source),
+        |       idstr = TO_STRING(doc_id)
+        || KEEP doc_id, head, tail, rev, ruler, pos, pad, bits, bytes, sig,
+        |       sig2, idstr
+        || SORT doc_id ASC""".stripMargin
+    Esql.run(Map("documents" -> graft.Tables(s, d, "documents")), q)
+  }
+
+  private val d226Sql =
+    """SELECT doc_id, left(text, 12) AS head, right(text, 8) AS tail,
+      |  reverse(lang) AS rev, repeat('-', 3) AS ruler,
+      |  CAST(instr(text, 'the') AS BIGINT) AS pos,
+      |  lang || repeat(' ', 2) || source AS pad,
+      |  CAST(bit_length(lang) AS BIGINT) AS bits,
+      |  CAST(strlen(left(text, 12)) AS BIGINT) AS bytes,
+      |  md5(lang) AS sig, sha256(source) AS sig2,
+      |  CAST(doc_id AS VARCHAR) AS idstr
+      |FROM documents WHERE doc_id % 11 = 0
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- d227
+  /** ES|QL numeric multivalue functions (wave 3) — MV_SUM/MV_AVG/
+    * MV_MEDIAN over the embeddings float vectors. MV_SUM is a SEQUENTIAL
+    * left fold in double (aggregate(0.0, +)) — exactly the lambda fold
+    * the oracle runs, so float inputs hash-match with no decimal detour;
+    * MV_MEDIAN is sorted element picks + one add/div. Per-row array ops,
+    * zero shuffle before the sort. */
+  private def d227(s: SparkSession, d: String): DataFrame = {
+    val q =
+      """FROM embeddings
+        || WHERE vec_id % 5 == 0
+        || EVAL s = MV_SUM(embedding), a = MV_AVG(embedding),
+        |       m = MV_MEDIAN(embedding), dim = MV_COUNT(embedding)
+        || KEEP vec_id, label, s, a, m, dim
+        || SORT vec_id ASC""".stripMargin
+    Esql.run(Map("embeddings" -> graft.Tables(s, d, "embeddings")), q)
+  }
+
+  private val d227Sql =
+    """SELECT vec_id, label,
+      |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE))),
+      |    (acc, x) -> acc + x) AS s,
+      |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE))),
+      |    (acc, x) -> acc + x) / CAST(len(embedding) AS DOUBLE) AS a,
+      |  CASE WHEN len(embedding) % 2 = 1
+      |    THEN CAST(list_sort(embedding)[(len(embedding)+1)//2] AS DOUBLE)
+      |    ELSE (CAST(list_sort(embedding)[len(embedding)//2] AS DOUBLE) +
+      |          CAST(list_sort(embedding)[len(embedding)//2+1] AS DOUBLE)) / 2.0
+      |  END AS m,
+      |  CAST(len(embedding) AS BIGINT) AS dim
+      |FROM embeddings WHERE vec_id % 5 = 0 ORDER BY vec_id""".stripMargin
+
+  // ---------------------------------------------------------------- d228
+  /** ES|QL string multivalue functions (wave 3) — SPLIT feeding MV_SLICE/
+    * MV_DEDUPE/MV_SORT/MV_CONCAT/MV_APPEND. Arrays live only INSIDE the
+    * pipe; every output column is scalarized through MV_CONCAT (the
+    * verify-gate contract). Both engines sort strings in binary UTF-8
+    * order, so the multilingual corpus stays deterministic. */
+  private def d228(s: SparkSession, d: String): DataFrame = {
+    val q =
+      """FROM documents
+        || WHERE doc_id % 13 == 0
+        || EVAL words = SPLIT(text, " ")
+        || EVAL toks = MV_SLICE(words, 0, 9)
+        || EVAL uniq = MV_CONCAT(MV_DEDUPE(toks), "|"),
+        |       back = MV_CONCAT(MV_SORT(toks, "DESC"), "|"),
+        |       ends = MV_CONCAT(MV_APPEND(MV_SLICE(words, 0, 1),
+        |                                  MV_SLICE(words, 2, 3)), "|"),
+        |       n = MV_COUNT(words)
+        || KEEP doc_id, uniq, back, ends, n
+        || SORT doc_id ASC""".stripMargin
+    Esql.run(Map("documents" -> graft.Tables(s, d, "documents")), q)
+  }
+
+  private val d228Sql =
+    """WITH w AS (
+      |  SELECT doc_id, str_split(text, ' ') AS words FROM documents
+      |  WHERE doc_id % 13 = 0),
+      |t AS (SELECT doc_id, words, words[1:10] AS toks FROM w)
+      |SELECT doc_id,
+      |  array_to_string(list_sort(list_distinct(toks)), '|') AS uniq,
+      |  array_to_string(list_sort(toks, 'DESC'), '|') AS back,
+      |  array_to_string(list_concat(words[1:2], words[3:4]), '|') AS ends,
+      |  CAST(len(words) AS BIGINT) AS n
+      |FROM t ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- d229
+  /** ES|QL aggregates wave 3 — STD_DEV (population σ via the exact-sums
+    * formula: Σx, Σx² are exact longs, both engines then run identical
+    * double arithmetic), TOP(field, k, order) (bounded per-group sorted
+    * slice), VALUES (deterministic sorted set), WEIGHTED_AVG (the AVG
+    * decimal contract with SUM(weight) as the denominator). Still ONE
+    * hash aggregation over the corpus; TOP/VALUES arrays are group-grain
+    * and scalarized via MV_CONCAT before output. */
+  private def d229(s: SparkSession, d: String): DataFrame = {
+    val q =
+      """FROM lineitem
+        || EVAL qty = TO_LONG(l_quantity)
+        || STATS n = COUNT(*), sd = STD_DEV(qty),
+        |        top_q = TOP(qty, 5, "DESC"),
+        |        vals = VALUES(l_linestatus),
+        |        wavg = WEIGHTED_AVG(l_extendedprice, qty) BY l_returnflag
+        || EVAL top_q = MV_CONCAT(top_q, ","), vals = MV_CONCAT(vals, ",")
+        || SORT l_returnflag ASC""".stripMargin
+    Esql.run(Map("lineitem" -> graft.Tables(s, d, "lineitem")), q)
+  }
+
+  private val d229Sql =
+    """WITH l AS (
+      |  SELECT *, CAST(l_quantity AS BIGINT) AS qty FROM lineitem)
+      |SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+      |  sqrt(SUM(CAST(qty AS DOUBLE) * CAST(qty AS DOUBLE))
+      |         / CAST(COUNT(qty) AS DOUBLE)
+      |       - (SUM(CAST(qty AS DOUBLE)) / CAST(COUNT(qty) AS DOUBLE))
+      |       * (SUM(CAST(qty AS DOUBLE)) / CAST(COUNT(qty) AS DOUBLE))) AS sd,
+      |  array_to_string(list_sort(list(qty), 'DESC')[1:5], ',') AS top_q,
+      |  array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS vals,
+      |  CAST(CAST(CAST(SUM(CAST(l_extendedprice * qty AS DECIMAL(18,2)))
+      |    AS DECIMAL(28,6)) / SUM(qty) AS DECIMAL(28,6)) AS DOUBLE) AS wavg
+      |FROM l GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // ---------------------------------------------------------------- d212
   /** ES|QL ENRICH — the lookup join. The policy table (nation, dimension-
     * sized by the enrich contract: ES replicates the enrich index to every
@@ -8965,6 +9132,11 @@ object DocQueries {
     "d222_esql_stat_aggs" -> d222 _,
     "d223_esql_multi_index" -> d223 _,
     "d224_esql_date_trunc" -> d224 _,
+    "d225_esql_math" -> d225 _,
+    "d226_esql_strings" -> d226 _,
+    "d227_esql_mv_numeric" -> d227 _,
+    "d228_esql_mv_strings" -> d228 _,
+    "d229_esql_agg_wave3" -> d229 _,
     "d206_es_parent_agg" -> d206 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
@@ -9191,6 +9363,11 @@ object DocQueries {
     "d222_esql_stat_aggs" -> d222Sql,
     "d223_esql_multi_index" -> d223Sql,
     "d224_esql_date_trunc" -> d224Sql,
+    "d225_esql_math" -> d225Sql,
+    "d226_esql_strings" -> d226Sql,
+    "d227_esql_mv_numeric" -> d227Sql,
+    "d228_esql_mv_strings" -> d228Sql,
+    "d229_esql_agg_wave3" -> d229Sql,
     "d206_es_parent_agg" -> d206Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,

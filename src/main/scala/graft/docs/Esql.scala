@@ -35,10 +35,20 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * LIKE (ES|QL wildcard * ? — compiled to Spark's like with % _),
   * RLIKE (raw regex), IN (literals), IS [NOT] NULL, and scalar functions
   * ABS/ROUND/LENGTH/SUBSTRING/CONCAT/TO_UPPER/TO_LOWER/TO_LONG/TO_DOUBLE/
-  * COALESCE/STARTS_WITH/ENDS_WITH/TRIM/LTRIM/RTRIM/REPLACE (regex)/
-  * SPLIT (literal separator)/CASE/BUCKET/DATE_TRUNC (epoch-micros)/
-  * MV_COUNT/MV_MIN/MV_MAX/MV_FIRST/MV_LAST. Aggs: COUNT(*) / COUNT /
-  * SUM / AVG / MIN / MAX / COUNT_DISTINCT / MEDIAN / PERCENTILE, each
+  * TO_STRING/COALESCE/STARTS_WITH/ENDS_WITH/TRIM/LTRIM/RTRIM/REPLACE
+  * (regex)/SPLIT (literal separator)/CASE/BUCKET;
+  * math POW/SQRT/CBRT/LOG/LOG10/EXP/FLOOR/CEIL/SIGNUM/PI/E/TAU/GREATEST/
+  * LEAST (libm-backed EXP/LOG/POW/CBRT stay off the bit-exact oracle
+  * path — unit specs pin them); strings LEFT/RIGHT/REVERSE/REPEAT/LOCATE/
+  * SPACE/BIT_LENGTH/BYTE_LENGTH/MD5/SHA256; dates DATE_TRUNC/DATE_EXTRACT
+  * (ChronoField names, ISO day_of_week)/DATE_FORMAT (java patterns)/
+  * DATE_DIFF (floor division on the epoch-micros timeline); multivalue
+  * MV_COUNT/MV_MIN/MV_MAX/MV_FIRST/MV_LAST/MV_SUM/MV_AVG (sequential
+  * double folds)/MV_MEDIAN/MV_DEDUPE (sorted — deterministic deviation)/
+  * MV_SORT/MV_SLICE/MV_CONCAT/MV_APPEND/MV_ZIP. Aggs: COUNT(*) / COUNT /
+  * SUM / AVG / MIN / MAX / COUNT_DISTINCT / MEDIAN / PERCENTILE / STD_DEV
+  * (population, exact-sums formula) / TOP(field, k, order) / VALUES
+  * (sorted) / WEIGHTED_AVG, each
   * with an optional per-agg WHERE filter. SUM/AVG
   * over double columns accumulate through the engine's exact-decimal
   * contract (DECIMAL(12,2) partials, DECIMAL(28,6) result) so the oracle
@@ -278,11 +288,169 @@ object Esql {
             case other => throw new IllegalArgumentException(
               s"esql: DATE_TRUNC unit must be a string literal, got $other")
           }
+        // math — SQRT is IEEE-correctly-rounded (safe for the bit-exact
+        // oracle); POW/LOG/LOG10/EXP/CBRT ride libm and can differ from
+        // DuckDB in the last ulp, so registry queries keep them off the
+        // hash-compared path (unit specs pin their JVM-side values)
+        case "POW" => arity(2); pow(c(0), c(1))
+        case "SQRT" => arity(1); sqrt(c(0))
+        case "CBRT" => arity(1); cbrt(c(0))
+        case "LOG" =>
+          if (args.size == 1) log(c(0))
+          else args(0) match {
+            case ELong(b) => log(b.toDouble, c(1))
+            case EDouble(b) => log(b, c(1))
+            case other => throw new IllegalArgumentException(
+              s"esql: LOG base must be a numeric literal, got $other")
+          }
+        case "LOG10" => arity(1); log10(c(0))
+        case "EXP" => arity(1); exp(c(0))
+        // ES|QL FLOOR/CEIL are noops on integers; the engine implements the
+        // double timeline (result double, matching DuckDB's floor/ceil)
+        case "FLOOR" => arity(1); floor(c(0)).cast(DoubleType)
+        case "CEIL" => arity(1); ceil(c(0)).cast(DoubleType)
+        case "SIGNUM" => arity(1); signum(c(0))
+        case "PI" => arity(0); lit(math.Pi)
+        case "E" => arity(0); lit(math.E)
+        case "TAU" => arity(0); lit(2.0 * math.Pi)
+        case "GREATEST" => greatest(args.map(compile): _*)
+        case "LEAST" => least(args.map(compile): _*)
+        // strings
+        case "LEFT" =>
+          arity(2)
+          args(1) match {
+            case ELong(n) => substring(c(0), 1, n.toInt)
+            case other => throw new IllegalArgumentException(
+              s"esql: LEFT length must be an integer literal, got $other")
+          }
+        case "RIGHT" => arity(2); call_function("right", c(0), c(1))
+        case "REVERSE" => arity(1); reverse(c(0))
+        case "REPEAT" => arity(2); repeat(c(0), c(1).cast("int"))
+        case "LOCATE" =>
+          // LOCATE(string, substring) — 1-based, 0 when absent (both the
+          // ES|QL and SQL instr contract)
+          arity(2); call_function("instr", c(0), c(1)).cast(LongType)
+        case "SPACE" => arity(1); repeat(lit(" "), c(0).cast("int"))
+        case "BIT_LENGTH" => arity(1); bit_length(c(0)).cast(LongType)
+        case "BYTE_LENGTH" => arity(1); octet_length(c(0)).cast(LongType)
+        case "MD5" => arity(1); md5(c(0))
+        case "SHA256" => arity(1); sha2(c(0), 256)
+        case "TO_STRING" => arity(1); c(0).cast("string")
+        case "DATE_EXTRACT" =>
+          // DATE_EXTRACT(part, ts) over epoch-micros; parts are the ES|QL
+          // ChronoField names (ISO day_of_week: Monday = 1)
+          arity(2)
+          val ts = timestamp_micros(c(1))
+          (args(0) match {
+            case EStr(p) => p.toLowerCase match {
+              case "year" => year(ts)
+              case "month_of_year" => month(ts)
+              case "day_of_month" => dayofmonth(ts)
+              case "day_of_year" => dayofyear(ts)
+              case "hour_of_day" => hour(ts)
+              case "minute_of_hour" => minute(ts)
+              case "second_of_minute" => second(ts)
+              case "day_of_week" => (dayofweek(ts) + 5) % 7 + 1 // ISO: Mon=1
+              case other => throw new IllegalArgumentException(
+                s"esql: unsupported DATE_EXTRACT part $other")
+            }
+            case other => throw new IllegalArgumentException(
+              s"esql: DATE_EXTRACT part must be a string literal, got $other")
+          }).cast(LongType)
+        case "DATE_FORMAT" =>
+          // DATE_FORMAT(pattern, ts) — java DateTimeFormatter pattern over
+          // the UTC session timeline
+          arity(2)
+          args(0) match {
+            case EStr(fmt) => date_format(timestamp_micros(c(1)), fmt)
+            case other => throw new IllegalArgumentException(
+              s"esql: DATE_FORMAT pattern must be a string literal, got $other")
+          }
+        case "DATE_DIFF" =>
+          // DATE_DIFF(unit, start, end) — whole units from start to end,
+          // truncated toward zero (the ES|QL contract); exact long math on
+          // the micros timeline
+          arity(3)
+          val perUnit: Long = args(0) match {
+            case EStr(u) => u.toLowerCase match {
+              case "seconds" | "second" | "ss" | "s" => 1000000L
+              case "minutes" | "minute" | "mi" | "n" => 60L * 1000000L
+              case "hours" | "hour" | "hh" => 3600L * 1000000L
+              case "days" | "day" | "dd" | "d" => 86400L * 1000000L
+              case other => throw new IllegalArgumentException(
+                s"esql: unsupported DATE_DIFF unit $other")
+            }
+            case other => throw new IllegalArgumentException(
+              s"esql: DATE_DIFF unit must be a string literal, got $other")
+          }
+          // floor division (diff < 2^53 so the double quotient is exact
+          // enough for the floor; the oracle mirrors with floor())
+          floor((c(2) - c(1)).cast(LongType) / lit(perUnit)).cast(LongType)
         case "MV_COUNT" => arity(1); size(c(0)).cast(LongType)
         case "MV_MIN" => arity(1); array_min(c(0))
         case "MV_MAX" => arity(1); array_max(c(0))
         case "MV_FIRST" => arity(1); element_at(c(0), 1)
         case "MV_LAST" => arity(1); element_at(c(0), -1)
+        // MV_SUM/MV_AVG: sequential left fold in double — the same exact
+        // operation order the oracle's lambda fold reproduces, so float
+        // inputs hash-match without a decimal detour
+        case "MV_SUM" => arity(1)
+          aggregate(c(0), lit(0.0), (acc, x) => acc + x.cast(DoubleType))
+        case "MV_AVG" => arity(1)
+          aggregate(c(0), lit(0.0), (acc, x) => acc + x.cast(DoubleType)) /
+            size(c(0)).cast(DoubleType)
+        case "MV_MEDIAN" =>
+          // sorted middle element; even count → mean of the two middles
+          // (the ES|QL contract) — element picks + one add/div, exact
+          arity(1)
+          val sorted = array_sort(c(0))
+          val n = size(c(0))
+          val lo = element_at(sorted, ((n + 1) / 2).cast("int")).cast(DoubleType)
+          val hi = element_at(sorted, (n / 2).cast("int") + 1).cast(DoubleType)
+          when(n % 2 === 1, lo).otherwise((lo + hi) / 2.0)
+        // ES|QL mv_dedupe leaves order unspecified; the engine pins the
+        // deterministic sorted form (documented deviation, oracle-stable)
+        case "MV_DEDUPE" => arity(1); array_sort(array_distinct(c(0)))
+        case "MV_SORT" =>
+          require(args.size == 1 || args.size == 2,
+            s"esql: MV_SORT takes (field [, order]), got ${args.size} args")
+          val asc = if (args.size == 1) true else args(1) match {
+            case EStr(o) if o.equalsIgnoreCase("ASC") => true
+            case EStr(o) if o.equalsIgnoreCase("DESC") => false
+            case other => throw new IllegalArgumentException(
+              s"""esql: MV_SORT order must be "ASC" or "DESC", got $other""")
+          }
+          sort_array(c(0), asc = asc)
+        case "MV_SLICE" =>
+          // 0-based inclusive ends (the ES|QL contract); literal bounds
+          arity(3)
+          (args(1), args(2)) match {
+            case (ELong(s0), ELong(e0)) if s0 >= 0 && e0 >= s0 =>
+              slice(c(0), s0.toInt + 1, (e0 - s0).toInt + 1)
+            case _ => throw new IllegalArgumentException(
+              "esql: MV_SLICE needs literal 0 <= start <= end")
+          }
+        case "MV_CONCAT" =>
+          arity(2)
+          args(1) match {
+            // element-wise cast to string first, so numeric multivalues
+            // concat too (long → "41", matching array_to_string's cast)
+            case EStr(sep) => array_join(transform(c(0), _.cast("string")), sep)
+            case other => throw new IllegalArgumentException(
+              s"esql: MV_CONCAT separator must be a string literal, got $other")
+          }
+        case "MV_APPEND" => arity(2); concat(c(0), c(1))
+        case "MV_ZIP" =>
+          // pairwise join with a separator; the shorter side pads with
+          // nulls upstream of concat → null entries (the ES|QL contract
+          // truncates instead; the engine requires equal lengths)
+          arity(3)
+          args(2) match {
+            case EStr(sep) =>
+              zip_with(c(0), c(1), (x, y) => concat_ws(sep, x, y))
+            case other => throw new IllegalArgumentException(
+              s"esql: MV_ZIP separator must be a string literal, got $other")
+          }
         case "BUCKET" =>
           // numeric bucketing: floor(x / span) * span — floor cast back to
           // double so the bucket key type matches SQL floor() semantics
@@ -447,7 +615,7 @@ object Esql {
       * exactness contract. */
     def aggCol(fn: String, args: List[Ex], alias: String, filter: Option[Ex],
                wrap: Column => Column = identity): Column = {
-      if (fn != "PERCENTILE")
+      if (!Set("PERCENTILE", "TOP", "WEIGHTED_AVG").contains(fn))
         require(args.size == 1, s"esql: $fn takes 1 argument, got ${args.size}")
       val arg = args.head
       val dbl = arg match {
@@ -473,6 +641,44 @@ object Esql {
         case "COUNT" => wrap(count(c)).cast("long")
         case "COUNT_DISTINCT" => wrap(count_distinct(c)).cast("long")
         case "MEDIAN" => wrap(percentile(c, lit(0.5)))
+        case "STD_DEV" =>
+          // population σ via the exact-sums formula (the extended_stats
+          // shape, EsAggs): Σx and Σx² are exact over integer inputs, then
+          // both engines run the identical double arithmetic — so the
+          // result hash-matches without a stddev-implementation contract
+          val cd = c.cast("double")
+          val n = wrap(count(c)).cast("double")
+          val mean = wrap(sum(cd)) / n
+          sqrt(wrap(sum(cd * cd)) / n - mean * mean)
+        case "TOP" =>
+          require(args.size == 3, "esql: TOP takes (field, limit, order)")
+          val k = args(1) match {
+            case ELong(v) if v > 0 => v.toInt
+            case other => throw new IllegalArgumentException(
+              s"esql: TOP limit must be a positive integer literal, got $other")
+          }
+          val asc = args(2) match {
+            case EStr(o) if o.equalsIgnoreCase("ASC") => true
+            case EStr(o) if o.equalsIgnoreCase("DESC") => false
+            case other => throw new IllegalArgumentException(
+              s"""esql: TOP order must be "ASC" or "DESC", got $other""")
+          }
+          // bounded: sort the group's collected values once, keep k
+          slice(sort_array(wrap(collect_list(c)), asc = asc), 1, k)
+        case "VALUES" =>
+          // ES|QL VALUES leaves order unspecified; the engine pins the
+          // deterministic sorted-set form (same deviation as MV_DEDUPE)
+          sort_array(wrap(collect_set(c)))
+        case "WEIGHTED_AVG" =>
+          require(args.size == 2, "esql: WEIGHTED_AVG takes (value, weight)")
+          val w0 = compile(args(1))
+          val w = filter.map(f => when(compile(f), w0)).getOrElse(w0)
+          if (dbl)
+            // exact: 2-dp value × integral weight fits DECIMAL(18,2);
+            // the ÷ then rides the same decimal(28,6) contract as AVG
+            (wrap(sum((c * w).cast("decimal(18,2)"))).cast("decimal(28,6)") /
+              wrap(sum(w))).cast("decimal(28,6)").cast("double")
+          else wrap(sum(c * w)).cast("double") / wrap(sum(w)).cast("double")
         case "PERCENTILE" =>
           require(args.size == 2, "esql: PERCENTILE takes (field, percent)")
           val pct = args(1) match {

@@ -57,7 +57,7 @@ class EsqlSpec extends SparkSpec {
     assert(bad("""FROM t | GROK name "%{IP:addr}"""").contains("unsupported grok type"))
     assert(bad("""FROM t | ENRICH pol ON id WITH x""").contains("unknown enrich policy"))
     assert(bad("""FROM t | WHERE id IN (1, v)""").contains("IN list must be literals"))
-    assert(bad("""FROM t | EVAL x = MD5(name)""").contains("unsupported function"))
+    assert(bad("""FROM t | EVAL x = TO_IP(name)""").contains("unsupported function"))
     assert(bad("""FROM t | RENAME nope AS x""").contains("RENAME of unknown column"))
     assert(bad("""FROM t | WHERE id IS TRUE""").contains("expected NULL after IS"))
   }
@@ -217,5 +217,111 @@ class EsqlSpec extends SparkSpec {
       .collect().head
     // x = 20 - v: v=30 -> -10 ... v=5.5 -> 14.5
     assert(r.getDouble(0) === -10.0 && r.getDouble(1) === 14.5)
+  }
+
+  test("wave-3 math: libm family pinned JVM-side; FLOOR/CEIL return double") {
+    val r = Esql.run(tiny,
+      """FROM t | WHERE id == 3
+        || EVAL p = POW(v, 2), s = SQRT(v * 3 - 54), cb = CBRT(27.0),
+        |       ln = LOG(v), lb = LOG(2, 8.0), lt = LOG10(1000.0),
+        |       ex = EXP(0.0), f = FLOOR(v / 7), ce = CEIL(v / 7),
+        |       sg = SIGNUM(10 - v), tau = TAU() / PI(), eu = E()
+        || KEEP p, s, cb, ln, lb, lt, ex, f, ce, sg, tau, eu""".stripMargin)
+      .collect().head
+    assert(r.getDouble(0) === 900.0 && r.getDouble(1) === 6.0)
+    assert(r.getDouble(2) === 3.0 && r.getDouble(3) === math.log(30.0))
+    assert(r.getDouble(4) === 3.0 && r.getDouble(5) === 3.0)
+    assert(r.getDouble(6) === 1.0)
+    assert(r.getDouble(7) === 4.0 && r.getDouble(8) === 5.0)
+    assert(r.getDouble(9) === -1.0)
+    assert(r.getDouble(10) === 2.0 && r.getDouble(11) === math.E)
+  }
+
+  test("wave-3 strings: LEFT/RIGHT/REVERSE/REPEAT/LOCATE/lengths/hashes") {
+    val r = Esql.run(tiny,
+      """FROM t | WHERE id == 1
+        || EVAL l3 = LEFT(name, 3), r3 = RIGHT(name, 3), rv = REVERSE(name),
+        |       rp = REPEAT(name, 2), loc = LOCATE(name, "pha"), miss = LOCATE(name, "zz"),
+        |       sp = CONCAT("a", SPACE(2), "b"), bits = BIT_LENGTH(name),
+        |       bytes = BYTE_LENGTH(name), h = MD5(name), idc = TO_STRING(id)
+        || KEEP l3, r3, rv, rp, loc, miss, sp, bits, bytes, h, idc""".stripMargin)
+      .collect().head
+    assert(r.getString(0) === "alp" && r.getString(1) === "pha")
+    assert(r.getString(2) === "ahpla" && r.getString(3) === "alphaalpha")
+    assert(r.getLong(4) === 3L && r.getLong(5) === 0L)
+    assert(r.getString(6) === "a  b")
+    assert(r.getLong(7) === 40L && r.getLong(8) === 5L)
+    assert(r.getString(9) === "2c1743a391305fbf367df8e4f069f9f9") // md5("alpha")
+    assert(r.getString(10) === "1")
+  }
+
+  test("wave-3 dates: DATE_EXTRACT ISO day_of_week, DATE_FORMAT, DATE_DIFF floor") {
+    import spark.implicits._
+    // 2024-03-04 is a Monday; micros timeline
+    val base = java.time.Instant.parse("2024-03-04T10:30:00Z").toEpochMilli * 1000L
+    val later = base + (50L * 3600L + 30L * 60L) * 1000000L // +50h30m
+    val dd = Map("ts" -> Seq((1L, base, later)).toDF("id", "t0", "t1"))
+    val r = Esql.run(dd,
+      """FROM ts
+        || EVAL yy = DATE_EXTRACT("year", t0), mm = DATE_EXTRACT("month_of_year", t0),
+        |       dow = DATE_EXTRACT("day_of_week", t0), hh = DATE_EXTRACT("hour_of_day", t0),
+        |       fmt = DATE_FORMAT("yyyy-MM-dd HH:mm", t0),
+        |       dh = DATE_DIFF("hours", t0, t1), ddays = DATE_DIFF("days", t0, t1)
+        || KEEP yy, mm, dow, hh, fmt, dh, ddays""".stripMargin).collect().head
+    assert(r.getLong(0) === 2024L && r.getLong(1) === 3L)
+    assert(r.getLong(2) === 1L) // ISO Monday = 1
+    assert(r.getLong(3) === 10L)
+    assert(r.getString(4) === "2024-03-04 10:30")
+    assert(r.getLong(5) === 50L && r.getLong(6) === 2L) // floor division
+  }
+
+  test("wave-3 MV functions: folds, median, dedupe/sort/slice/concat/append/zip") {
+    import spark.implicits._
+    val mv = Map("m" -> Seq(
+      (1L, Seq(3.0, 1.0, 2.0, 10.0), Seq("b", "a", "b")),
+      (2L, Seq(5.0, 1.0, 4.0), Seq("z", "z")))
+      .toDF("id", "nums", "tags"))
+    val r = Esql.run(mv,
+      """FROM m
+        || EVAL s = MV_SUM(nums), a = MV_AVG(nums), med = MV_MEDIAN(nums),
+        |       uniq = MV_CONCAT(MV_DEDUPE(tags), "|"),
+        |       back = MV_CONCAT(MV_SORT(nums, "DESC"), "|"),
+        |       mid = MV_CONCAT(MV_SLICE(nums, 1, 2), "|"),
+        |       app = MV_CONCAT(MV_APPEND(tags, tags), "|"),
+        |       zip = MV_CONCAT(MV_ZIP(tags, tags, "-"), "|")
+        || KEEP id, s, a, med, uniq, back, mid, app, zip | SORT id ASC""".stripMargin)
+      .collect()
+    val r1 = r(0)
+    assert(r1.getDouble(1) === 16.0 && r1.getDouble(2) === 4.0)
+    assert(r1.getDouble(3) === 2.5) // even count: (2+3)/2
+    assert(r1.getString(4) === "a|b")
+    assert(r1.getString(5) === "10.0|3.0|2.0|1.0")
+    assert(r1.getString(6) === "1.0|2.0")
+    assert(r1.getString(7) === "b|a|b|b|a|b")
+    assert(r1.getString(8) === "b-b|a-a|b-b")
+    val r2 = r(1)
+    assert(r2.getDouble(3) === 4.0) // odd count: middle element
+    assert(r2.getString(4) === "z")
+  }
+
+  test("wave-3 aggs: STD_DEV exact-sums, TOP bounded slice, VALUES sorted, WEIGHTED_AVG") {
+    import spark.implicits._
+    val g = Map("g" -> Seq(
+      ("a", 1L, 2L), ("a", 3L, 1L), ("a", 5L, 1L), ("b", 4L, 3L))
+      .toDF("k", "x", "w"))
+    val rows = Esql.run(g,
+      """FROM g
+        || STATS sd = STD_DEV(x), top2 = TOP(x, 2, "DESC"), vs = VALUES(x),
+        |        wa = WEIGHTED_AVG(x, w) BY k
+        || EVAL top2 = MV_CONCAT(top2, ","), vs = MV_CONCAT(vs, ",")
+        || SORT k ASC""".stripMargin).collect()
+    val a = rows(0)
+    // population sigma of {1,3,5} = sqrt(8/3 eh: mean 3, var (4+0+4)/3)
+    assert(math.abs(a.getDouble(1) - math.sqrt(8.0 / 3.0)) < 1e-12)
+    assert(a.getString(2) === "5,3")
+    assert(a.getString(3) === "1,3,5")
+    assert(a.getDouble(4) === (1.0 * 2 + 3 + 5) / 4.0) // 10/4
+    val b = rows(1)
+    assert(b.getDouble(1) === 0.0 && b.getString(2) === "4" && b.getDouble(4) === 4.0)
   }
 }

@@ -8649,6 +8649,91 @@ object DocQueries {
       |    AS DECIMAL(28,6)) / SUM(qty) AS DECIMAL(28,6)) AS DOUBLE) AS wavg
       |FROM l GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------- d230
+  /** ES|QL FORK (8.19) — parenthesized branch pipes recursing from the
+    * fork point's frame, unioned BY NAME with the `_fork` discriminator.
+    * Each branch here is a filtered STATS with a post-agg WHERE; the
+    * compiled shape is ONE Catalyst Union over two hash aggregations
+    * sharing the pre-fork scan+filter prefix — no interpreter loop, no
+    * repeated corpus pass when the optimizer reuses the exchange. */
+  private def d230(s: SparkSession, d: String): DataFrame = {
+    val q =
+      """FROM events
+        || WHERE event_type IN ("purchase", "error")
+        || FORK (WHERE event_type == "purchase"
+        |        | STATS n = COUNT(*), total = SUM(value) BY user_id
+        |        | WHERE n > 2)
+        |       (WHERE event_type == "error"
+        |        | STATS n = COUNT(*) BY user_id
+        |        | WHERE n > 2)
+        || SORT _fork ASC, user_id ASC""".stripMargin
+    Esql.run(Map("events" -> graft.Tables.events(s, d).drop("ts", "ts_us")), q)
+  }
+
+  private val d230Sql =
+    """WITH p AS (
+      |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(28,6))
+      |      AS DOUBLE) AS total
+      |  FROM events WHERE event_type = 'purchase'
+      |  GROUP BY 1 HAVING COUNT(*) > 2),
+      |e AS (
+      |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events WHERE event_type = 'error'
+      |  GROUP BY 1 HAVING COUNT(*) > 2)
+      |SELECT user_id, n, total, 'fork1' AS _fork FROM p
+      |UNION ALL
+      |SELECT user_id, n, NULL AS total, 'fork2' AS _fork FROM e
+      |ORDER BY _fork, user_id""".stripMargin
+
+  // ---------------------------------------------------------------- d231
+  /** ES|QL CHANGE_POINT (8.16) — step-change detection over the daily
+    * error-count series. DOCUMENTED DEVIATION (shared with the
+    * change_point sibling agg): the deterministic CUSUM split statistic
+    * |mean_r − mean_l|·sqrt(nl·nr/(nl+nr)) argmax replaces ES's ML
+    * p-value suite; the oracle replays the identical double arithmetic
+    * over exact integer sums. Single-partition windows are by design:
+    * the command input is the bucket-grain STATS output (ES caps the
+    * command at 1000 rows), never the corpus. */
+  private def d231(s: SparkSession, d: String): DataFrame = {
+    val q =
+      """FROM events
+        || WHERE event_type == "error"
+        || EVAL day = DATE_TRUNC("day", ts_us)
+        || STATS n = COUNT(*) BY day
+        || CHANGE_POINT n ON day
+        || SORT day ASC""".stripMargin
+    Esql.run(Map("events" -> graft.Tables.events(s, d).drop("ts")), q)
+  }
+
+  private val d231Sql =
+    """WITH e AS (
+      |  SELECT epoch_us(date_trunc('day', ts)) AS day FROM events
+      |  WHERE event_type = 'error'),
+      |b AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1),
+      |t1 AS (
+      |  SELECT day, n, CAST(n AS DOUBLE) AS c,
+      |    ROW_NUMBER() OVER (ORDER BY day) AS i,
+      |    SUM(CAST(n AS DOUBLE)) OVER (ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s,
+      |    COUNT(*) OVER () AS cnt,
+      |    SUM(CAST(n AS DOUBLE)) OVER () AS tot
+      |  FROM b),
+      |t2 AS (
+      |  SELECT *, CASE WHEN i >= 2 THEN
+      |    abs((tot - (s - c)) / CAST(cnt - i + 1 AS DOUBLE)
+      |        - (s - c) / CAST(i - 1 AS DOUBLE))
+      |    * sqrt(CAST(i - 1 AS DOUBLE) * CAST(cnt - i + 1 AS DOUBLE)
+      |           / (CAST(i - 1 AS DOUBLE) + CAST(cnt - i + 1 AS DOUBLE)))
+      |    END AS sc
+      |  FROM t1),
+      |best AS (
+      |  SELECT day AS bday FROM t2
+      |  ORDER BY sc DESC NULLS LAST, day LIMIT 1)
+      |SELECT day, n, CASE WHEN day = bday THEN sc END AS score,
+      |  CASE WHEN day = bday THEN 'step_change' END AS type
+      |FROM t2, best ORDER BY day""".stripMargin
+
   // ---------------------------------------------------------------- d212
   /** ES|QL ENRICH — the lookup join. The policy table (nation, dimension-
     * sized by the enrich contract: ES replicates the enrich index to every
@@ -9137,6 +9222,8 @@ object DocQueries {
     "d227_esql_mv_numeric" -> d227 _,
     "d228_esql_mv_strings" -> d228 _,
     "d229_esql_agg_wave3" -> d229 _,
+    "d230_esql_fork" -> d230 _,
+    "d231_esql_change_point" -> d231 _,
     "d206_es_parent_agg" -> d206 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
@@ -9368,6 +9455,8 @@ object DocQueries {
     "d227_esql_mv_numeric" -> d227Sql,
     "d228_esql_mv_strings" -> d228Sql,
     "d229_esql_agg_wave3" -> d229Sql,
+    "d230_esql_fork" -> d230Sql,
+    "d231_esql_change_point" -> d231Sql,
     "d206_es_parent_agg" -> d206Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,

@@ -26,9 +26,14 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * NUMBER/DATA/GREEDYDATA/NOTSPACE, unanchored), ENRICH..ON..WITH — the policy
   * lookup, compiled to a BROADCAST left join against the policy table
   * (the exact Spark analogue of ES's replicated enrich index: the policy
-  * frame ships to every node, the corpus never shuffles) — and LOOKUP
+  * frame ships to every node, the corpus never shuffles) — LOOKUP
   * JOIN..ON (8.18's index-to-index form: same broadcast left join, keyed
-  * on the shared column name, appending every non-key lookup column).
+  * on the shared column name, appending every non-key lookup column),
+  * FORK (8.19 — parenthesized branch pipes recursing from the fork
+  * point's frame, unioned BY NAME with a `_fork` discriminator: one
+  * Catalyst Union, shared prefix plan), and CHANGE_POINT..ON (8.16 —
+  * the CUSUM split-statistic argmax over the key-ordered series,
+  * deterministic deviation from ES's ML p-values, documented inline).
   *
   * Expressions: identifiers, integer/decimal/string literals, the
   * comparison set (== != < <= > >=), arithmetic (+ - * / %), NOT/AND/OR,
@@ -555,23 +560,35 @@ object Esql {
   }
 
   // ------------------------------------------------------------ commands
+  /** Split a token stream on pipes at parenthesis depth 0. */
+  private def splitPipes(ts: List[Tok]): List[List[Tok]] = {
+    val out = scala.collection.mutable.ListBuffer[List[Tok]]()
+    var cur = scala.collection.mutable.ListBuffer[Tok]()
+    var depth = 0
+    ts.foreach {
+      case TPipe if depth == 0 =>
+        out += cur.toList; cur = scala.collection.mutable.ListBuffer()
+      case t =>
+        t match {
+          case TOp("(") => depth += 1
+          case TOp(")") => depth -= 1
+          case _ => ()
+        }
+        cur += t
+    }
+    out += cur.toList
+    out.toList
+  }
+
   /** Run an ES|QL pipe against the named sources. `enrich` maps a policy
     * name to (policy table, match field) — the replicated lookup index an
     * ENRICH command joins against (always broadcast: policy tables are
     * dimension-sized by contract, the corpus side never shuffles). */
   def run(sources: Map[String, DataFrame], query: String,
           enrich: Map[String, (DataFrame, String)] = Map.empty): DataFrame = {
-    // split the token stream on top-level pipes
-    val segments = {
-      val out = scala.collection.mutable.ListBuffer[List[Tok]]()
-      var cur = scala.collection.mutable.ListBuffer[Tok]()
-      tokenize(query).foreach {
-        case TPipe => out += cur.toList; cur = scala.collection.mutable.ListBuffer()
-        case t => cur += t
-      }
-      out += cur.toList
-      out.toList
-    }
+    // split the token stream on top-level pipes (paren-aware: pipes
+    // inside FORK branch parentheses belong to the branch, not the pipe)
+    val segments = splitPipes(tokenize(query))
     require(segments.nonEmpty && segments.head.nonEmpty, "esql: empty query")
     def kw(t: Tok): String = t match {
       case TId(s) => s.toUpperCase
@@ -600,8 +617,20 @@ object Esql {
         s"esql: unknown index $n (have: ${sources.keys.toSeq.sorted.mkString(", ")})"))
       if (withIndexMeta) t.withColumn("_index", lit(n)) else t
     }
-    var df = srcNames.map(load)
-      .reduce(_.unionByName(_, allowMissingColumns = true))
+    pipe(srcNames.map(load).reduce(_.unionByName(_, allowMissingColumns = true)),
+      segments.tail, sources, enrich)
+  }
+
+  /** Apply pipe segments to a running frame — the command interpreter,
+    * factored out so FORK branches recurse from the fork point. */
+  private def pipe(df0: DataFrame, segs: List[List[Tok]],
+                   sources: Map[String, DataFrame],
+                   enrich: Map[String, (DataFrame, String)]): DataFrame = {
+    var df = df0
+    def kw(t: Tok): String = t match {
+      case TId(s) => s.toUpperCase
+      case other => throw new IllegalArgumentException(s"esql: expected a command, got $other")
+    }
 
     def isDouble(c: String): Boolean =
       df.schema.fields.exists(f => f.name == c && f.dataType == DoubleType)
@@ -692,7 +721,7 @@ object Esql {
       }).as(alias)
     }
 
-    segments.tail.foreach { seg =>
+    segs.foreach { seg =>
       require(seg.nonEmpty, "esql: empty pipe segment")
       val p = new P(seg.tail)
       kw(seg.head) match {
@@ -902,9 +931,82 @@ object Esql {
                 df = df.withColumn(alias, aggCol(fn, as, alias, filter, _.over(w)))
             }
           }
+        case "FORK" =>
+          // FORK (branch pipe) (branch pipe) ... (8.19): each branch runs
+          // the command machinery from the fork point's frame; results
+          // union BY NAME (missing columns null) with a `_fork`
+          // discriminator — the ES|QL contract. Compiles to ONE Catalyst
+          // Union over the branch plans; the pre-fork prefix plan is
+          // shared, so the corpus scan is not repeated per branch when the
+          // optimizer reuses the exchange.
+          val branches = scala.collection.mutable.ListBuffer[List[Tok]]()
+          while (p.ts.nonEmpty) {
+            p.expectOp("(")
+            val buf = scala.collection.mutable.ListBuffer[Tok]()
+            var depth = 1
+            while (depth > 0) {
+              p.pop() match {
+                case TOp("(") => depth += 1; buf += TOp("(")
+                case TOp(")") => depth -= 1; if (depth > 0) buf += TOp(")")
+                case t => buf += t
+              }
+            }
+            branches += buf.toList
+          }
+          require(branches.size >= 2 && branches.size <= 8,
+            s"esql: FORK takes 2-8 branches, got ${branches.size}")
+          val pre = df
+          df = branches.toList.zipWithIndex.map { case (toks, i) =>
+            pipe(pre, splitPipes(toks), sources, enrich)
+              .withColumn("_fork", lit(s"fork${i + 1}"))
+          }.reduce(_.unionByName(_, allowMissingColumns = true))
+        case "CHANGE_POINT" =>
+          // CHANGE_POINT value ON key [AS typeCol, scoreCol] (8.16):
+          // step-change detection over the key-ordered series, appending
+          // type/score columns non-null ONLY on the detected row.
+          // DOCUMENTED DEVIATION (same as the change_point sibling agg,
+          // EsAggs): ES runs an ML test suite emitting a p-value; the
+          // engine computes the deterministic CUSUM split statistic
+          // |mean_r − mean_l|·sqrt(nl·nr/(nl+nr)) at every split and
+          // flags the argmax (earliest key on ties), naming the score
+          // column `score`, not `pvalue`. Single-partition windows by
+          // design — the ES|QL command itself caps input at 1000 rows
+          // (a bucket-grain series, never the corpus).
+          val value = p.ident(); p.expectKw("ON"); val key = p.ident()
+          val (tname, sname) = p.peek match {
+            case Some(TId(s)) if s.equalsIgnoreCase("AS") =>
+              p.pop(); val t = p.ident(); p.expectOp(","); (t, p.ident())
+            case _ => ("type", "score")
+          }
+          val W = org.apache.spark.sql.expressions.Window
+          val kw0 = W.orderBy(col(key).asc)
+          val wAll = W.partitionBy()
+          val t1 = df
+            .withColumn("_cpc", col(value).cast("double"))
+            .withColumn("_cpi", row_number().over(kw0))
+            .withColumn("_cps", sum(col("_cpc"))
+              .over(kw0.rowsBetween(W.unboundedPreceding, W.currentRow)))
+            .withColumn("_cpn", count(lit(1)).over(wAll))
+            .withColumn("_cpt", sum(col("_cpc")).over(wAll))
+          val nl = (col("_cpi") - 1L).cast("double")
+          val nr = (col("_cpn") - col("_cpi") + 1L).cast("double")
+          val ml = (col("_cps") - col("_cpc")) / nl
+          val mr = (col("_cpt") - (col("_cps") - col("_cpc"))) / nr
+          val t2 = t1.withColumn("_cpscore",
+            when(col("_cpi") >= 2, abs(mr - ml) * sqrt(nl * nr / (nl + nr))))
+          val bw = W.orderBy(col("_cpscore").desc_nulls_last, col(key).asc)
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+          df = t2
+            .withColumn("_cpbest", first(col(key)).over(bw))
+            .withColumn(sname,
+              when(col(key) === col("_cpbest"), col("_cpscore")))
+            .withColumn(tname,
+              when(col(sname).isNotNull, lit("step_change")))
+            .drop("_cpc", "_cpi", "_cps", "_cpn", "_cpt", "_cpscore", "_cpbest")
         case other => throw new IllegalArgumentException(
           s"esql: unsupported command $other (FROM/WHERE/EVAL/STATS/SORT/LIMIT/" +
-            "KEEP/DROP/RENAME/MV_EXPAND/DISSECT/GROK/ENRICH/LOOKUP JOIN)")
+            "KEEP/DROP/RENAME/MV_EXPAND/DISSECT/GROK/ENRICH/LOOKUP JOIN/" +
+            "FORK/CHANGE_POINT)")
       }
       require(p.ts.isEmpty, s"esql: trailing tokens in ${kw(seg.head)}: ${p.ts.take(4)}")
     }

@@ -1001,6 +1001,27 @@ class PlanAuditSpec extends SparkSpec {
       s"expected one user_id shuffle for all appended aggs, got $hashExchanges:\n$p")
   }
 
+  test("d230: ES|QL FORK is one Union over per-branch hash aggs — branch " +
+    "predicates pushed to the scans, no join, no cartesian") {
+    val p = plan(q("d230_esql_fork"))
+    assert(p.contains("Union"), s"FORK must compile to a Catalyst Union:\n$p")
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(event_type,purchase)"),
+      s"branch WHERE must reach the parquet scan:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"FORK must not plan joins:\n$p")
+  }
+
+  test("d231: ES|QL CHANGE_POINT windows run AFTER the bucket-grain STATS — " +
+    "one corpus shuffle for the agg, windows on the 30-row bucket table") {
+    val p = plan(q("d231_esql_change_point"))
+    assert(p.contains("Window"), s"expected window operators:\n$p")
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(event_type,error)"),
+      s"WHERE must reach the parquet scan:\n$p")
+    val hashExchanges = corpusHashExchanges(p)
+    assert(hashExchanges === 1,
+      s"expected only the STATS day-shuffle at corpus grain, got $hashExchanges:\n$p")
+  }
+
   test("t16: stratified sample runs both windows on ONE stratum shuffle") {
     val p = plan(q("t16_stratified_sample"))
     // count-per-stratum and hash-rank share the lang partitioning: one

@@ -20,7 +20,8 @@ class EsqlSpec extends SparkSpec {
   test("rejections are loud and name the reason") {
     assert(bad("""ROW a = 1""").contains("pipe must start with FROM"))
     assert(bad("""FROM missing | LIMIT 1""").contains("unknown index"))
-    assert(bad("""FROM t | FORK (WHERE v > 1)""").contains("unsupported command"))
+    assert(bad("""FROM t | SAMPLE 0.5""").contains("unsupported command"))
+    assert(bad("""FROM t | FORK (WHERE v > 1)""").contains("FORK takes 2-8 branches"))
     assert(bad("""FROM t | LOOKUP JOIN x ON id""").contains("unknown lookup index"))
     assert(bad("""FROM t | ENRICH policy""").contains("unexpected end of input"))
     assert(bad("""FROM t | WHERE name LIKE id""")
@@ -302,6 +303,46 @@ class EsqlSpec extends SparkSpec {
     val r2 = r(1)
     assert(r2.getDouble(3) === 4.0) // odd count: middle element
     assert(r2.getString(4) === "z")
+  }
+
+  test("FORK branches recurse from the fork point; union by name with _fork stamp") {
+    val rows = Esql.run(tiny,
+      """FROM t
+        || WHERE v >= 10
+        || FORK (WHERE name LIKE "al*" | EVAL flag = 1)
+        |       (STATS total = SUM(v) | EVAL big = total > 50)
+        || SORT _fork ASC, id ASC NULLS LAST""".stripMargin).collect()
+    // branch 1: alpha(10), alkali(30) keep their rows; branch 2: one agg row
+    assert(rows.length === 3)
+    val fk = rows.map(r => r.getAs[String]("_fork")).toSeq
+    assert(fk === Seq("fork1", "fork1", "fork2"))
+    assert(rows(0).getAs[Long]("id") === 1L && rows(1).getAs[Long]("id") === 3L)
+    assert(rows(0).getAs[Long]("flag") === 1L)
+    assert(rows(2).isNullAt(rows(2).fieldIndex("id"))) // agg branch: no id column value
+    assert(rows(2).getAs[Double]("total") === 60.0 && rows(2).getAs[Boolean]("big"))
+    // pipe continues after FORK over the union
+    val n = Esql.run(tiny,
+      """FROM t | FORK (WHERE v > 25) (WHERE v < 6) | STATS n = COUNT(*)""")
+      .collect().head.getLong(0)
+    assert(n === 2L)
+  }
+
+  test("CHANGE_POINT flags the CUSUM argmax row; AS renames the output columns") {
+    import spark.implicits._
+    // flat at 10 for keys 1-5, steps to 50 for keys 6-10 → CP at key 6
+    val series = Map("s" -> (1 to 10).map(k =>
+      (k.toLong, if (k <= 5) 10.0 else 50.0)).toDF("k", "v"))
+    val rows = Esql.run(series,
+      """FROM s | CHANGE_POINT v ON k | SORT k ASC""").collect()
+    assert(rows.length === 10)
+    val hit = rows.filter(!_.isNullAt(2))
+    assert(hit.length === 1)
+    assert(hit.head.getLong(0) === 6L)
+    assert(hit.head.getString(3) === "step_change")
+    val renamed = Esql.run(series,
+      """FROM s | CHANGE_POINT v ON k AS cp_kind, cp_stat | WHERE cp_kind IS NOT NULL""")
+    assert(renamed.columns.contains("cp_kind") && renamed.columns.contains("cp_stat"))
+    assert(renamed.collect().map(_.getAs[Long]("k")).toSeq === Seq(6L))
   }
 
   test("wave-3 aggs: STD_DEV exact-sums, TOP bounded slice, VALUES sorted, WEIGHTED_AVG") {

@@ -8857,6 +8857,53 @@ object DocQueries {
     * window pass per step; matching is the documented last-prefix
     * semantics). The funnel q42 is the relational cousin; this is the
     * API face, over the events table. */
+  // ---------------------------------------------------------------- d232
+  /** EQL `until` — the sequence expiry clause: an `error` occurrence
+    * kills in-progress view→click partials for the key, so a purchase
+    * completing after the error matches only if a FRESH view→click pair
+    * formed after it. One more carried window column (`_uts` last-before
+    * expiry timestamp) on the same `by`-key shuffle as the step carries —
+    * the plan stays one partitioning, window passes = steps + 1. */
+  private def d232(s: SparkSession, d: String): DataFrame = {
+    val q =
+      """sequence by user_id with maxspan=72h
+        |  [ event where event_type == "view" ]
+        |  [ event where event_type == "click" ]
+        |  [ event where event_type == "purchase" ]
+        |  until [ event where event_type == "error" ]""".stripMargin
+    Eql.run(graft.Tables.events(s, d), q)
+  }
+
+  private val d232Sql = {
+    def lastBefore(x: String) =
+      s"""last_value($x IGNORE NULLS) OVER (PARTITION BY user_id
+         |      ORDER BY tsu, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)""".stripMargin
+    ("""WITH e AS (
+      |  SELECT event_id, user_id, event_type, epoch_us(ts) AS tsu FROM events
+      |  WHERE event_type IN ('view', 'click', 'purchase', 'error')),
+      |a0 AS (SELECT *,
+      |    CASE WHEN event_type = 'error' THEN tsu END AS _uts,
+      |    CASE WHEN event_type = 'view'
+      |    THEN struct_pack(ts1 := tsu) END AS _a0 FROM e),
+      |p1 AS (SELECT *, """ + lastBefore("_a0") + """ AS _p1,
+      |    """ + lastBefore("_uts") + """ AS _u1 FROM a0),
+      |a1 AS (SELECT *, CASE WHEN event_type = 'click' AND _p1 IS NOT NULL
+      |    AND (_u1 IS NULL OR _u1 < (_p1).ts1)
+      |    THEN struct_pack(ts1 := (_p1).ts1, ts2 := tsu) END AS _a1 FROM p1),
+      |p2 AS (SELECT *, """ + lastBefore("_a1") + """ AS _p2,
+      |    """ + lastBefore("_uts") + """ AS _u2 FROM a1),
+      |a2 AS (SELECT *, CASE WHEN event_type = 'purchase' AND _p2 IS NOT NULL
+      |    AND (_u2 IS NULL OR _u2 < (_p2).ts2)
+      |    THEN struct_pack(ts1 := (_p2).ts1, ts2 := (_p2).ts2, ts3 := tsu)
+      |    END AS _a2 FROM p2)
+      |SELECT user_id, (_a2).ts1 AS t1_us, (_a2).ts2 AS t2_us, (_a2).ts3 AS t3_us,
+      |  (_a2).ts3 - (_a2).ts1 AS span_us
+      |FROM a2
+      |WHERE _a2 IS NOT NULL AND (_a2).ts3 - (_a2).ts1 <= 259200000000
+      |ORDER BY user_id, t1_us, t2_us, t3_us""").stripMargin
+  }
+
   private def d208(s: SparkSession, d: String): DataFrame = {
     val q =
       """sequence by user_id with maxspan=72h
@@ -9224,6 +9271,7 @@ object DocQueries {
     "d229_esql_agg_wave3" -> d229 _,
     "d230_esql_fork" -> d230 _,
     "d231_esql_change_point" -> d231 _,
+    "d232_eql_until" -> d232 _,
     "d206_es_parent_agg" -> d206 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
@@ -9457,6 +9505,7 @@ object DocQueries {
     "d229_esql_agg_wave3" -> d229Sql,
     "d230_esql_fork" -> d230Sql,
     "d231_esql_change_point" -> d231Sql,
+    "d232_eql_until" -> d232Sql,
     "d206_es_parent_agg" -> d206Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,

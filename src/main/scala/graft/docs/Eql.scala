@@ -5,7 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** ES EQL (`_eql/search`) — the event-sequence query language: `sequence
-  * by <key> with maxspan=<n><unit> [ event where <field> == "<v>" ] ...`
+  * by <key> with maxspan=<n><unit> [ event where <field> == "<v>" ] ...
+  * [until [ event where <field> == "<v>" ]]`
   * compiled to PER-KEY WINDOW CARRIES, never a self-join chain:
   *
   * one shuffle on the `by` key, then one window pass per step carrying
@@ -17,7 +18,11 @@ import org.apache.spark.sql.functions._
   * machine, whose output multiplicity is engine-version-dependent);
   * `maxspan` bounds first-to-last on the anchored tuple. Output: one row
   * per completed sequence (the final step's event), with the stage
-  * timestamps and the span.
+  * timestamps and the span. `until` carries one more window column — the
+  * most recent expiry timestamp strictly before each row — and a prefix
+  * whose last step is not strictly after it is dead (the EQL contract:
+  * an until occurrence kills in-progress partials; a fresh stage-1 after
+  * the expiry restarts cleanly).
   *
   * Scale shape: events filtered to the steps' predicates at the scan
   * (one isin pushdown), windows all share the single `by` partitioning —
@@ -27,23 +32,32 @@ import org.apache.spark.sql.functions._
 object Eql {
 
   final case class Step(field: String, value: String)
-  final case class SequenceQuery(by: String, maxspanUs: Long, steps: Seq[Step])
+  final case class SequenceQuery(by: String, maxspanUs: Long, steps: Seq[Step],
+                                 until: Option[Step] = None)
 
   private val Head =
     """^\s*sequence\s+by\s+(\w+)\s+with\s+maxspan\s*=\s*(\d+)([smh])\s*(.*)$""".r
   private val StepRe =
     """\[\s*event\s+where\s+(\w+)\s*==\s*"([^"]*)"\s*\]""".r
+  private val UntilRe =
+    """(?i)\buntil\s*\[\s*event\s+where\s+(\w+)\s*==\s*"([^"]*)"\s*\]\s*$""".r
 
   def parse(q: String): SequenceQuery = q.replaceAll("\\s+", " ").trim match {
-    case Head(by, n, unit, rest) =>
+    case Head(by, n, unit, rest0) =>
       val mult = unit match { case "s" => 1000000L case "m" => 60000000L case _ => 3600000000L }
+      // optional trailing `until [ event where f == "v" ]` — the expiry
+      // event (EQL: an until occurrence kills in-progress partial
+      // sequences for the key)
+      val untilM = UntilRe.findFirstMatchIn(rest0)
+      val until = untilM.map(m => Step(m.group(1), m.group(2)))
+      val rest = untilM.map(m => rest0.substring(0, m.start)).getOrElse(rest0)
       val steps = StepRe.findAllMatchIn(rest)
         .map(m => Step(m.group(1), m.group(2))).toSeq
       require(steps.size >= 2 && steps.size <= 5,
         s"eql sequence needs 2-5 steps, got ${steps.size}")
       require(StepRe.replaceAllIn(rest, "").trim.isEmpty,
         s"unsupported eql step syntax in: $rest")
-      SequenceQuery(by, n.toLong * mult, steps)
+      SequenceQuery(by, n.toLong * mult, steps, until)
     case other => throw new IllegalArgumentException(
       s"unsupported eql query (sequence-by with maxspan only): $other")
   }
@@ -53,24 +67,41 @@ object Eql {
   def run(events: DataFrame, query: String): DataFrame = {
     val sq = parse(query)
     val n = sq.steps.size
-    // scan-pushable pre-filter: only rows matching SOME step participate
-    val relevant = sq.steps.map(st => col(st.field) === lit(st.value)).reduce(_ || _)
+    // scan-pushable pre-filter: only rows matching SOME step (or the
+    // until expiry event) participate
+    val relevant = (sq.steps ++ sq.until)
+      .map(st => col(st.field) === lit(st.value)).reduce(_ || _)
     val w = Window.partitionBy(col(sq.by))
       .orderBy(col("ts_us").asc, col("event_id").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     var df = events.filter(relevant)
     // _a0: this row AS a 1-step prefix; _p{i}: the most recent (i+1)-step
     // prefix strictly BEFORE this row; _a{i}: this row as an (i+1)-step
-    // prefix completion
+    // prefix completion. With `until`, _u carries the most recent expiry
+    // timestamp strictly before this row: a prefix whose LAST step is not
+    // strictly after _u was alive when the expiry fired — killed (tie on
+    // the same microsecond kills too; checked inductively at each
+    // extension, so an expiry between ts1 and ts2 already blocked the
+    // 2-step prefix from forming).
+    sq.until.foreach { u =>
+      df = df.withColumn("_uts",
+        when(col(u.field) === lit(u.value), col("ts_us")))
+    }
     df = df.withColumn("_a0",
       when(col(sq.steps.head.field) === lit(sq.steps.head.value),
         struct(col("ts_us").as("ts1"))))
     for (i <- 1 until n) {
       df = df.withColumn(s"_p$i", last(col(s"_a${i - 1}"), ignoreNulls = true).over(w))
+      val alive: Column =
+        if (sq.until.isEmpty) lit(true)
+        else {
+          val u = last(col("_uts"), ignoreNulls = true).over(w)
+          u.isNull || u < col(s"_p$i.ts$i")
+        }
       val prefixFields = (1 to i).map(j => col(s"_p$i.ts$j").as(s"ts$j"))
       df = df.withColumn(s"_a$i",
         when(col(sq.steps(i).field) === lit(sq.steps(i).value) &&
-          col(s"_p$i").isNotNull,
+          col(s"_p$i").isNotNull && alive,
           struct(prefixFields :+ col("ts_us").as(s"ts${i + 1}"): _*)))
     }
     val done = col(s"_a${n - 1}")

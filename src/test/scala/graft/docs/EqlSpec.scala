@@ -15,8 +15,44 @@ class EqlSpec extends SparkSpec {
       .contains("2-5 steps"))
     assert(bad("""sequence by user_id with maxspan=1h
       | [ event where event_type == "view" ]
-      | [ event where event_type == "click" ] until [ event where event_type == "error" ]""".stripMargin)
+      | [ event where event_type == "click" ]
+      | [ event where value > 5 ]""".stripMargin)
       .contains("unsupported eql step syntax"))
+  }
+
+  test("until clause parses into the expiry step") {
+    val sq = Eql.parse("""sequence by user_id with maxspan=1h
+      | [ event where event_type == "view" ]
+      | [ event where event_type == "click" ] until [ event where event_type == "error" ]""".stripMargin)
+    assert(sq.steps.map(_.value) === Seq("view", "click"))
+    assert(sq.until.map(_.value) === Some("error"))
+  }
+
+  test("until kills in-progress partials; a fresh stage-1 after the expiry restarts") {
+    import spark.implicits._
+    // key 1: view(10) click(20) — no error: matches
+    // key 2: view(10) ERROR(15) click(20) — partial killed: no match
+    // key 3: view(10) ERROR(15) view(16) click(20) — fresh view survives
+    val ev = Seq(
+      (1L, 1L, "view", 10L), (2L, 1L, "click", 20L),
+      (3L, 2L, "view", 10L), (4L, 2L, "error", 15L), (5L, 2L, "click", 20L),
+      (6L, 3L, "view", 10L), (7L, 3L, "error", 15L), (8L, 3L, "view", 16L),
+      (9L, 3L, "click", 20L))
+      .toDF("event_id", "user_id", "event_type", "ts_us")
+    val out = Eql.run(ev,
+      """sequence by user_id with maxspan=1h
+        | [ event where event_type == "view" ]
+        | [ event where event_type == "click" ]
+        | until [ event where event_type == "error" ]""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out === Seq((1L, 10L, 20L), (3L, 16L, 20L)))
+    // same events without until: keys 2 and 3 (stale view) match too
+    val all = Eql.run(ev,
+      """sequence by user_id with maxspan=1h
+        | [ event where event_type == "view" ]
+        | [ event where event_type == "click" ]""".stripMargin)
+      .collect().map(_.getLong(0)).toSeq
+    assert(all === Seq(1L, 2L, 3L))
   }
 
   test("maxspan units and step extraction") {

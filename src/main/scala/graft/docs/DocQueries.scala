@@ -8904,6 +8904,81 @@ object DocQueries {
       |ORDER BY user_id, t1_us, t2_us, t3_us""").stripMargin
   }
 
+  // ---------------------------------------------------------------- d233
+  /** EQL single-event query + result pipes (`Eql.runEvent`): a category
+    * filter, a full boolean condition (and/or/parens), and the `tail n`
+    * pipe — the most recent n matches re-emitted in EQL's canonical
+    * ascending order. The plan is the pushed filter + ONE bounded
+    * TakeOrderedAndProject heap on the reversed sort (never a full
+    * sort): 15 rows of driver state out of any corpus size. */
+  private def d233(s: SparkSession, d: String): DataFrame = {
+    val q =
+      """purchase where value >= 400 and (user_id < 40 or user_id >= 120)
+        || tail 15""".stripMargin
+    Eql.runEvent(graft.Tables.events(s, d), q)
+  }
+
+  private val d233Sql =
+    """SELECT * FROM (
+      |  SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+      |  FROM events
+      |  WHERE event_type = 'purchase' AND value >= 400
+      |    AND (user_id < 40 OR user_id >= 120)
+      |  ORDER BY ts_us DESC, event_id DESC LIMIT 15)
+      |ORDER BY ts_us, event_id""".stripMargin
+
+  // ---------------------------------------------------------------- d234
+  /** EQL `sample by` (`Eql.runSample`): keys with ≥1 occurrence of every
+    * step query, one representative event per step. DOCUMENTED DEVIATION
+    * (Eql.scala): ES returns up to 10 arbitrary tuples per key; the
+    * engine returns the deterministic earliest-per-step tuple. ONE hash
+    * aggregation (conditional mins + a HAVING), no joins/windows — the
+    * flat 100 TB shape. */
+  private def d234(s: SparkSession, d: String): DataFrame = {
+    val q =
+      """sample by user_id
+        |  [ event where event_type == "signup" ]
+        |  [ event where event_type == "purchase" ]
+        |  [ event where event_type == "error" ]""".stripMargin
+    Eql.runSample(graft.Tables.events(s, d), q)
+  }
+
+  private val d234Sql =
+    """SELECT user_id,
+      |  MIN(epoch_us(ts)) FILTER (event_type = 'signup') AS t1_us,
+      |  MIN(epoch_us(ts)) FILTER (event_type = 'purchase') AS t2_us,
+      |  MIN(epoch_us(ts)) FILTER (event_type = 'error') AS t3_us
+      |FROM events WHERE event_type IN ('signup', 'purchase', 'error')
+      |GROUP BY user_id
+      |HAVING t1_us IS NOT NULL AND t2_us IS NOT NULL AND t3_us IS NOT NULL
+      |ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- d235
+  /** ES|QL full-text `MATCH(field, "query")` in WHERE (8.16) — the match
+    * query as a piped-language predicate. The query string analyzes at
+    * plan-build time, the field row-side through the same codegen'd
+    * analyzer chain, and the OR-of-terms predicate (ES match's default
+    * operator) is a plain pushed filter feeding ONE hash aggregation —
+    * full-text filtering without leaving the single Catalyst plan. */
+  private def d235(s: SparkSession, d: String): DataFrame = {
+    val q =
+      """FROM documents
+        || WHERE MATCH(text, "vector windows") AND n_chars > 200
+        || STATS n = COUNT(*), chars = SUM(n_chars) BY lang
+        || SORT lang""".stripMargin
+    Esql.run(Map("documents" ->
+      s.read.parquet(s"$d/documents.parquet")), q)
+  }
+
+  private val d235Sql = {
+    val an = graft.ext.TextAnalysis.analyzeSql("text")
+    s"""SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(SUM(n_chars) AS BIGINT) AS chars
+       |FROM documents
+       |WHERE list_has_any($an, ['vector', 'window']) AND n_chars > 200
+       |GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   private def d208(s: SparkSession, d: String): DataFrame = {
     val q =
       """sequence by user_id with maxspan=72h
@@ -9272,6 +9347,9 @@ object DocQueries {
     "d230_esql_fork" -> d230 _,
     "d231_esql_change_point" -> d231 _,
     "d232_eql_until" -> d232 _,
+    "d233_eql_event_pipes" -> d233 _,
+    "d234_eql_sample" -> d234 _,
+    "d235_esql_match" -> d235 _,
     "d206_es_parent_agg" -> d206 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
@@ -9506,6 +9584,9 @@ object DocQueries {
     "d230_esql_fork" -> d230Sql,
     "d231_esql_change_point" -> d231Sql,
     "d232_eql_until" -> d232Sql,
+    "d233_eql_event_pipes" -> d233Sql,
+    "d234_eql_sample" -> d234Sql,
+    "d235_esql_match" -> d235Sql,
     "d206_es_parent_agg" -> d206Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,

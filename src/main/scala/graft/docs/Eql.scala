@@ -62,6 +62,154 @@ object Eql {
       s"unsupported eql query (sequence-by with maxspan only): $other")
   }
 
+  // ------------------------------------------------------- event queries
+  /** EQL single-event queries with result pipes:
+    *
+    *   `<category> where <cond> [| head N | tail N | count]`
+    *
+    * `<category>` filters `event_type` (`any` matches all); `<cond>` is a
+    * boolean expression over comparisons (== != < <= > >=, string or
+    * numeric literals), and/or/not, parentheses. Results are the matching
+    * events in EQL's canonical ascending (timestamp, tiebreak) order.
+    * Pipes: `head n` keeps the first n (a bounded TakeOrderedAndProject
+    * heap — never a full sort), `tail n` the last n (same heap on the
+    * reversed order, re-emitted ascending — the EQL contract), `count`
+    * collapses to one `{count}` row. Scale shape: the category + condition
+    * filter sits at the scan (pushdown-eligible), head/tail are O(n·log k)
+    * per partition with k-row driver state, count one partial-aggregated
+    * count. Unknown syntax rejects loudly. */
+  def runEvent(events: DataFrame, query: String): DataFrame = {
+    val PipeSplit = query.split("\\|").map(_.trim).toList
+    require(PipeSplit.nonEmpty && PipeSplit.head.nonEmpty, "eql: empty query")
+    val HeadRe = """^\s*(\w+)\s+where\s+(.+)$""".r
+    val (cat, condSrc) = PipeSplit.head match {
+      case HeadRe(c, rest) => (c, rest)
+      case other => throw new IllegalArgumentException(
+        s"unsupported eql event query (need `<category> where <cond>`): $other")
+    }
+    val catFilter: Column =
+      if (cat == "any") lit(true) else col("event_type") === lit(cat)
+    var df = events.filter(catFilter && EventCond.parse(condSrc))
+      .select(col("event_id"), col("ts_us"), col("user_id"),
+        col("event_type"), col("value"))
+    val asc = Seq(col("ts_us").asc, col("event_id").asc)
+    val desc = Seq(col("ts_us").desc, col("event_id").desc)
+    var counted = false
+    PipeSplit.tail.foreach { p =>
+      require(!counted, s"eql: no pipe may follow count, got: $p")
+      p.split("\\s+").toList match {
+        case List("head", n) if n.forall(_.isDigit) =>
+          df = df.orderBy(asc: _*).limit(n.toInt)
+        case List("tail", n) if n.forall(_.isDigit) =>
+          // bounded heap on the reversed order; output still ascending
+          df = df.orderBy(desc: _*).limit(n.toInt)
+        case List("count") =>
+          df = df.agg(count(lit(1)).cast("long").as("count")); counted = true
+        case _ => throw new IllegalArgumentException(
+          s"unsupported eql pipe (head/tail/count): $p")
+      }
+    }
+    if (counted) df else df.orderBy(asc: _*)
+  }
+
+  /** Condition parser for event queries — comparisons over identifiers
+    * and string/numeric literals, and/or/not, parentheses. Shared shape
+    * with the sequence steps' == form but full-boolean. */
+  private object EventCond {
+    private val Tok =
+      ("""\s*(?:("(?:[^"\\]|\\.)*")|([A-Za-z_][A-Za-z0-9_.]*)|""" +
+        """(-?[0-9]+(?:\.[0-9]+)?)|(==|!=|<=|>=|[<>()]))""").r
+    def parse(src: String): Column = {
+      var ts = {
+        val out = scala.collection.mutable.ListBuffer[String]()
+        var pos = 0
+        while (pos < src.length) {
+          Tok.findPrefixMatchOf(src.substring(pos)) match {
+            case Some(m) => pos += m.end; out += m.matched.trim
+            case None =>
+              if (src.substring(pos).trim.isEmpty) pos = src.length
+              else throw new IllegalArgumentException(
+                s"eql: cannot tokenize condition at: ${src.substring(pos).take(20)}")
+          }
+        }
+        out.toList
+      }
+      def peek = ts.headOption
+      def pop(): String = { val h = ts.head; ts = ts.tail; h }
+      def atom(): Column = peek match {
+        case Some("(") => pop(); val e = or(); require(pop() == ")", "eql: expected )"); e
+        case Some("not") => pop(); !atom()
+        case _ =>
+          val f = pop()
+          require(f.headOption.exists(c => c.isLetter || c == '_'),
+            s"eql: expected a field name, got $f")
+          val op = pop()
+          val rhs = pop()
+          val r: Column =
+            if (rhs.startsWith("\"")) lit(rhs.substring(1, rhs.length - 1))
+            else if (rhs.contains('.')) lit(rhs.toDouble) else lit(rhs.toLong)
+          op match {
+            case "==" => col(f) === r
+            case "!=" => col(f) =!= r
+            case "<" => col(f) < r
+            case "<=" => col(f) <= r
+            case ">" => col(f) > r
+            case ">=" => col(f) >= r
+            case o => throw new IllegalArgumentException(s"eql: unsupported operator $o")
+          }
+      }
+      def and(): Column = {
+        var e = atom()
+        while (peek.contains("and")) { pop(); e = e && atom() }
+        e
+      }
+      def or(): Column = {
+        var e = and()
+        while (peek.contains("or")) { pop(); e = e || and() }
+        e
+      }
+      val e = or()
+      require(ts.isEmpty, s"eql: trailing condition tokens: ${ts.take(4)}")
+      e
+    }
+  }
+
+  // --------------------------------------------------------------- sample
+  private val SampleHead = """^\s*sample\s+by\s+(\w+)\s*(.*)$""".r
+
+  /** EQL `sample by <key> [q1] [q2] ...` — keys where every step query
+    * has at least one occurrence, with one representative event per step.
+    * DOCUMENTED DEVIATION: ES returns up to `max_samples_per_key`
+    * arbitrary tuples per key; the engine returns exactly ONE
+    * deterministic tuple — the EARLIEST matching event's timestamp per
+    * step (samples are unordered in ES, so any tuple is a valid sample;
+    * earliest is the reproducible choice). Compiled to ONE hash
+    * aggregation over the step-filtered scan — conditional `min`s per
+    * step, a HAVING that all steps fired. No joins, no windows: the
+    * 100 TB shape is a single partial-aggregated pass. */
+  def runSample(events: DataFrame, query: String): DataFrame =
+    query.replaceAll("\\s+", " ").trim match {
+      case SampleHead(by, rest) =>
+        val steps = StepRe.findAllMatchIn(rest)
+          .map(m => Step(m.group(1), m.group(2))).toSeq
+        require(steps.size >= 2 && steps.size <= 5,
+          s"eql sample needs 2-5 steps, got ${steps.size}")
+        require(StepRe.replaceAllIn(rest, "").trim.isEmpty,
+          s"unsupported eql step syntax in: $rest")
+        val relevant = steps.map(st => col(st.field) === lit(st.value)).reduce(_ || _)
+        val aggs = steps.zipWithIndex.map { case (st, i) =>
+          min(when(col(st.field) === lit(st.value), col("ts_us")))
+            .as(s"t${i + 1}_us")
+        }
+        events.filter(relevant)
+          .groupBy(col(by))
+          .agg(aggs.head, aggs.tail: _*)
+          .filter(steps.indices.map(i => col(s"t${i + 1}_us").isNotNull).reduce(_ && _))
+          .orderBy(col(by))
+      case other => throw new IllegalArgumentException(
+        s"unsupported eql sample query: $other")
+    }
+
   /** Run over an event frame carrying (`ts_us` long micros, `event_id`
     * long — the deterministic tiebreak — plus the by/step columns). */
   def run(events: DataFrame, query: String): DataFrame = {

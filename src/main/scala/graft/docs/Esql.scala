@@ -461,6 +461,28 @@ object Esql {
           // double so the bucket key type matches SQL floor() semantics
           arity(2)
           floor(c(0) / c(1)).cast(DoubleType) * c(1)
+        case "MATCH" =>
+          // MATCH(field, "query") — ES|QL's full-text WHERE function
+          // (8.16): the match query's semantics over the field's ANALYZED
+          // terms. The query string runs the same analyzer chain at
+          // plan-build time (lowercase → strip → stopwords → stem,
+          // TextAnalysis.analyzeQuery); the field analyzes row-side with
+          // the codegen'd column chain (TextAnalysis.analyze); the
+          // predicate is OR-of-terms — ES match's default OR operator.
+          // Zero analyzed terms (all stopwords) matches nothing, the ES
+          // contract. Stays a plain boolean filter: pushdown-eligible,
+          // no index structure, scales as the scan does.
+          arity(2)
+          args(1) match {
+            case EStr(q) =>
+              val terms = graft.ext.TextAnalysis.analyzeQuery(q)
+              if (terms.isEmpty) lit(false)
+              else terms.map(t =>
+                array_contains(graft.ext.TextAnalysis.analyze(c(0)), t))
+                .reduce(_ || _)
+            case other => throw new IllegalArgumentException(
+              s"esql: MATCH query must be a string literal, got $other")
+          }
         case "CASE" =>
           // CASE(cond1, v1 [, cond2, v2 ...] [, default]) — a when chain;
           // no default → null (the ES|QL contract)

@@ -8913,7 +8913,7 @@ object DocQueries {
     * sort): 15 rows of driver state out of any corpus size. */
   private def d233(s: SparkSession, d: String): DataFrame = {
     val q =
-      """purchase where value >= 400 and (user_id < 40 or user_id >= 120)
+      """purchase where value >= 150 and (user_id < 40 or user_id >= 120)
         || tail 15""".stripMargin
     Eql.runEvent(graft.Tables.events(s, d), q)
   }
@@ -8922,7 +8922,7 @@ object DocQueries {
     """SELECT * FROM (
       |  SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
       |  FROM events
-      |  WHERE event_type = 'purchase' AND value >= 400
+      |  WHERE event_type = 'purchase' AND value >= 150
       |    AND (user_id < 40 OR user_id >= 120)
       |  ORDER BY ts_us DESC, event_id DESC LIMIT 15)
       |ORDER BY ts_us, event_id""".stripMargin
@@ -8977,6 +8977,85 @@ object DocQueries {
        |FROM documents
        |WHERE list_has_any($an, ['vector', 'window']) AND n_chars > 200
        |GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- d236
+  /** ES|QL `TS` + `RATE` (8.16 METRICS mode) — the time-series counter
+    * rate: per (series, bucket) the Σ-positive-deltas-per-second
+    * (counter resets restart from the new value), then an outer MAX/MIN/
+    * COUNT across series per bucket. Compiled to one lag-window pass +
+    * TWO hash aggs, the window and stage A sharing one (series ∪ BY)
+    * partitioning (Esql.scala TS STATS); deltas ride the exact-decimal
+    * contract so the oracle replays bit-for-bit. DOCUMENTED DEVIATION:
+    * the series key is named with `ON` (parquet has no ES
+    * time_series_dimension mapping metadata). */
+  private def d236(s: SparkSession, d: String): DataFrame = {
+    val q =
+      """TS events ON user_id
+        || WHERE event_type == "purchase"
+        || STATS peak = MAX(RATE(value)), low = MIN(RATE(value)),
+        |    n_series = COUNT(RATE(value)) BY day = DATE_TRUNC("day", ts_us)
+        || SORT day""".stripMargin
+    Esql.run(Map("events" ->
+      graft.Tables.events(s, d).select("event_id", "ts_us", "user_id",
+        "event_type", "value")), q)
+  }
+
+  private val d236Sql =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS tsu, value,
+      |    epoch_us(date_trunc('day', ts)) AS day
+      |  FROM events WHERE event_type = 'purchase'),
+      |l AS (
+      |  SELECT *, lag(value) OVER (
+      |    PARTITION BY user_id, day ORDER BY tsu, value) AS prev FROM e),
+      |r AS (
+      |  SELECT user_id, day,
+      |    CAST(CAST(SUM(CAST(CASE WHEN prev IS NULL THEN 0.0
+      |        WHEN value >= prev THEN value - prev ELSE value END
+      |      AS DECIMAL(12,2))) AS DECIMAL(28,6)) AS DOUBLE) * 1000000.0
+      |      / CAST(MAX(tsu) - MIN(tsu) AS DOUBLE) AS rate
+      |  FROM l GROUP BY 1, 2 HAVING MAX(tsu) > MIN(tsu))
+      |SELECT day, MAX(rate) AS peak, MIN(rate) AS low,
+      |  CAST(COUNT(rate) AS BIGINT) AS n_series
+      |FROM r GROUP BY day ORDER BY day""".stripMargin
+
+  // ---------------------------------------------------------------- d237
+  /** EQL `with runs=N` step repetition (8.0): `[view] with runs=2
+    * [purchase]` means view→view→purchase. The parser expands runs to N
+    * step copies BEFORE compilation (Eql.scala StepRe), so the engine
+    * runs the identical per-key window-carry plan as an explicit 3-step
+    * sequence — the oracle is literally the 3-step SQL. */
+  private def d237(s: SparkSession, d: String): DataFrame = {
+    val q =
+      """sequence by user_id with maxspan=72h
+        |  [ event where event_type == "view" ] with runs=2
+        |  [ event where event_type == "purchase" ]""".stripMargin
+    Eql.run(graft.Tables.events(s, d), q)
+  }
+
+  private val d237Sql = {
+    def lastBefore(x: String) =
+      s"""last_value($x IGNORE NULLS) OVER (PARTITION BY user_id
+         |      ORDER BY tsu, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)""".stripMargin
+    ("""WITH e AS (
+      |  SELECT event_id, user_id, event_type, epoch_us(ts) AS tsu FROM events
+      |  WHERE event_type IN ('view', 'purchase')),
+      |a0 AS (SELECT *, CASE WHEN event_type = 'view'
+      |    THEN struct_pack(ts1 := tsu) END AS _a0 FROM e),
+      |p1 AS (SELECT *, """ + lastBefore("_a0") + """ AS _p1 FROM a0),
+      |a1 AS (SELECT *, CASE WHEN event_type = 'view' AND _p1 IS NOT NULL
+      |    THEN struct_pack(ts1 := (_p1).ts1, ts2 := tsu) END AS _a1 FROM p1),
+      |p2 AS (SELECT *, """ + lastBefore("_a1") + """ AS _p2 FROM a1),
+      |a2 AS (SELECT *, CASE WHEN event_type = 'purchase' AND _p2 IS NOT NULL
+      |    THEN struct_pack(ts1 := (_p2).ts1, ts2 := (_p2).ts2, ts3 := tsu)
+      |    END AS _a2 FROM p2)
+      |SELECT user_id, (_a2).ts1 AS t1_us, (_a2).ts2 AS t2_us, (_a2).ts3 AS t3_us,
+      |  (_a2).ts3 - (_a2).ts1 AS span_us
+      |FROM a2
+      |WHERE _a2 IS NOT NULL AND (_a2).ts3 - (_a2).ts1 <= 259200000000
+      |ORDER BY user_id, t1_us, t2_us, t3_us""").stripMargin
   }
 
   private def d208(s: SparkSession, d: String): DataFrame = {
@@ -9350,6 +9429,8 @@ object DocQueries {
     "d233_eql_event_pipes" -> d233 _,
     "d234_eql_sample" -> d234 _,
     "d235_esql_match" -> d235 _,
+    "d236_esql_ts_rate" -> d236 _,
+    "d237_eql_runs" -> d237 _,
     "d206_es_parent_agg" -> d206 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
@@ -9587,6 +9668,8 @@ object DocQueries {
     "d233_eql_event_pipes" -> d233Sql,
     "d234_eql_sample" -> d234Sql,
     "d235_esql_match" -> d235Sql,
+    "d236_esql_ts_rate" -> d236Sql,
+    "d237_eql_runs" -> d237Sql,
     "d206_es_parent_agg" -> d206Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,

@@ -37,8 +37,11 @@ object Eql {
 
   private val Head =
     """^\s*sequence\s+by\s+(\w+)\s+with\s+maxspan\s*=\s*(\d+)([smh])\s*(.*)$""".r
+  // optional `with runs=N` (EQL 8.0): the step repeats N times in the
+  // sequence — parsed here, expanded to N copies before compilation, so
+  // the window-carry machinery never knows runs existed
   private val StepRe =
-    """\[\s*event\s+where\s+(\w+)\s*==\s*"([^"]*)"\s*\]""".r
+    """\[\s*event\s+where\s+(\w+)\s*==\s*"([^"]*)"\s*\](?:\s+with\s+runs\s*=\s*(\d+))?""".r
   private val UntilRe =
     """(?i)\buntil\s*\[\s*event\s+where\s+(\w+)\s*==\s*"([^"]*)"\s*\]\s*$""".r
 
@@ -51,8 +54,11 @@ object Eql {
       val untilM = UntilRe.findFirstMatchIn(rest0)
       val until = untilM.map(m => Step(m.group(1), m.group(2)))
       val rest = untilM.map(m => rest0.substring(0, m.start)).getOrElse(rest0)
-      val steps = StepRe.findAllMatchIn(rest)
-        .map(m => Step(m.group(1), m.group(2))).toSeq
+      val steps = StepRe.findAllMatchIn(rest).flatMap { m =>
+        val runs = Option(m.group(3)).map(_.toInt).getOrElse(1)
+        require(runs >= 1 && runs <= 4, s"eql runs must be 1-4, got $runs")
+        Seq.fill(runs)(Step(m.group(1), m.group(2)))
+      }.toSeq
       require(steps.size >= 2 && steps.size <= 5,
         s"eql sequence needs 2-5 steps, got ${steps.size}")
       require(StepRe.replaceAllIn(rest, "").trim.isEmpty,
@@ -190,8 +196,10 @@ object Eql {
   def runSample(events: DataFrame, query: String): DataFrame =
     query.replaceAll("\\s+", " ").trim match {
       case SampleHead(by, rest) =>
-        val steps = StepRe.findAllMatchIn(rest)
-          .map(m => Step(m.group(1), m.group(2))).toSeq
+        val steps = StepRe.findAllMatchIn(rest).map { m =>
+          require(m.group(3) == null, "eql: runs is not valid on sample steps")
+          Step(m.group(1), m.group(2))
+        }.toSeq
         require(steps.size >= 2 && steps.size <= 5,
           s"eql sample needs 2-5 steps, got ${steps.size}")
         require(StepRe.replaceAllIn(rest, "").trim.isEmpty,

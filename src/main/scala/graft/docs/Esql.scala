@@ -617,6 +617,24 @@ object Esql {
       case other => throw new IllegalArgumentException(s"esql: expected a command, got $other")
     }
     val head = segments.head
+    // TS <index> ON <seriesCol> (8.16 METRICS/TS mode): like FROM, but
+    // marks the pipe time-series — STATS may then use the RATE() agg,
+    // computed per series. DOCUMENTED DEVIATION: ES discovers the series
+    // dimensions from index-mapping metadata (time_series_dimension);
+    // parquet has no such metadata, so the series key column is named
+    // explicitly with ON.
+    if (kw(head.head) == "TS") {
+      val hp = new P(head.tail)
+      val src = hp.ident()
+      hp.expectKw("ON")
+      val series = hp.ident()
+      require(hp.ts.isEmpty, s"esql: trailing tokens in TS: ${hp.ts.take(4)}")
+      val t = sources.getOrElse(src, throw new IllegalArgumentException(
+        s"esql: unknown index $src (have: ${sources.keys.toSeq.sorted.mkString(", ")})"))
+      require(t.columns.contains("ts_us"),
+        "esql: TS requires a ts_us epoch-micros column on the index")
+      return pipe(t, segments.tail, sources, enrich, Some(series))
+    }
     require(kw(head.head) == "FROM", s"esql: pipe must start with FROM")
     // FROM idx[, idx...] [METADATA _index] — multi-index search unions by
     // name (missing fields null, the cross-index ES contract); METADATA
@@ -647,7 +665,8 @@ object Esql {
     * factored out so FORK branches recurse from the fork point. */
   private def pipe(df0: DataFrame, segs: List[List[Tok]],
                    sources: Map[String, DataFrame],
-                   enrich: Map[String, (DataFrame, String)]): DataFrame = {
+                   enrich: Map[String, (DataFrame, String)],
+                   tsSeries: Option[String] = None): DataFrame = {
     var df = df0
     def kw(t: Tok): String = t match {
       case TId(s) => s.toUpperCase
@@ -931,7 +950,81 @@ object Esql {
           def countStar(filter: Option[Ex], wrap: Column => Column): Column =
             wrap(filter.map(f => count(when(compile(f), lit(1))))
               .getOrElse(count(lit(1)))).cast("long")
-          if (cmd == "STATS") {
+          val isRate = specs.exists {
+            case (_, _, List(EFn("RATE", _)), _) => true
+            case _ => false
+          }
+          if (isRate) {
+            // STATS <outer>(RATE(field)) BY ... in a TS pipe (8.16): the
+            // counter-rate aggregation. Per (series, BY-keys) group the
+            // rate is Σ positive deltas (counter resets restart from the
+            // new value — the Prometheus/ES contract) per second of the
+            // group's observed span. Compiled as: one window pass per
+            // distinct counter field for the lag-delta (ordered by ts_us
+            // with the field value as the deterministic tie-break), ONE
+            // hash agg to (series ∪ BY) grain — the SAME partitioning the
+            // window just established, so stage A adds no shuffle — then
+            // ONE hash agg to BY grain for the outer function. Deltas
+            // accumulate through the exact-decimal contract; outer
+            // functions are restricted to the order-insensitive MAX/MIN/
+            // COUNT (SUM/AVG of unordered double rates would drift off
+            // the bit-exact oracle — loud reject, named reason). Series
+            // with a single observation in the group (zero span) yield a
+            // null rate and drop out of the outer agg, the ES contract
+            // for an undefined rate.
+            val series = tsSeries.getOrElse(throw new IllegalArgumentException(
+              "esql: RATE() is only valid in a TS pipe (start with TS <index> ON <series>)"))
+            require(cmd == "STATS", "esql: RATE() is not supported in INLINESTATS")
+            val W = org.apache.spark.sql.expressions.Window
+            val partCols = (series +: by.toSeq).map(col)
+            val rateSpecs = specs.map {
+              case (alias, outer, List(EFn("RATE", List(EId(f)))), None) =>
+                require(Set("MAX", "MIN", "COUNT").contains(outer),
+                  s"esql: RATE outer aggregate must be MAX/MIN/COUNT " +
+                    s"(order-insensitive over double rates), got $outer")
+                (alias, outer, f)
+              case (alias, _, List(EFn("RATE", _)), Some(_)) =>
+                throw new IllegalArgumentException(
+                  s"esql: per-agg WHERE is not supported on RATE ($alias) — filter the pipe")
+              case (alias, _, _, _) => throw new IllegalArgumentException(
+                s"esql: TS STATS mixes RATE and row aggregates ($alias) — " +
+                  "unsupported; run separate pipes")
+            }
+            val fields = rateSpecs.map(_._3).distinct
+            var t = df
+            fields.foreach { f =>
+              val w = W.partitionBy(partCols: _*)
+                .orderBy(col("ts_us").asc, col(f).asc)
+              val prev = lag(col(f), 1).over(w)
+              t = t.withColumn(s"_inc_$f",
+                when(prev.isNull, lit(0.0))
+                  .when(col(f) >= prev, col(f) - prev)
+                  .otherwise(col(f)))
+            }
+            val stageA = fields.map { f =>
+              sum(col(s"_inc_$f").cast("decimal(12,2)"))
+                .cast("decimal(28,6)").as(s"_sum_$f")
+            } ++ Seq(min(col("ts_us")).as("_ts_lo"), max(col("ts_us")).as("_ts_hi"))
+            val perSeries = t.groupBy(partCols: _*)
+              .agg(stageA.head, stageA.tail.toSeq: _*)
+            val withRates = fields.foldLeft(perSeries) { (acc, f) =>
+              acc.withColumn(s"_rate_$f",
+                when(col("_ts_hi") > col("_ts_lo"),
+                  col(s"_sum_$f").cast("double") * lit(1000000.0) /
+                    (col("_ts_hi") - col("_ts_lo")).cast("double")))
+            }
+            val outerAggs = rateSpecs.map { case (alias, outer, f) =>
+              (outer match {
+                case "MAX" => max(col(s"_rate_$f"))
+                case "MIN" => min(col(s"_rate_$f"))
+                case "COUNT" => count(col(s"_rate_$f")).cast("long")
+              }).as(alias)
+            }
+            df =
+              if (by.isEmpty) withRates.agg(outerAggs.head, outerAggs.tail.toSeq: _*)
+              else withRates.groupBy(by.toSeq.map(col): _*)
+                .agg(outerAggs.head, outerAggs.tail.toSeq: _*)
+          } else if (cmd == "STATS") {
             val aggs = specs.map {
               case (alias, _, Nil, filter) => countStar(filter, identity).as(alias)
               case (alias, fn, as, filter) => aggCol(fn, as, alias, filter)
@@ -979,7 +1072,7 @@ object Esql {
             s"esql: FORK takes 2-8 branches, got ${branches.size}")
           val pre = df
           df = branches.toList.zipWithIndex.map { case (toks, i) =>
-            pipe(pre, splitPipes(toks), sources, enrich)
+            pipe(pre, splitPipes(toks), sources, enrich, tsSeries)
               .withColumn("_fork", lit(s"fork${i + 1}"))
           }.reduce(_.unionByName(_, allowMissingColumns = true))
         case "CHANGE_POINT" =>

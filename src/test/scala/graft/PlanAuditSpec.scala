@@ -1022,6 +1022,49 @@ class PlanAuditSpec extends SparkSpec {
       s"expected only the STATS day-shuffle at corpus grain, got $hashExchanges:\n$p")
   }
 
+  test("d233: EQL event-pipe tail is a bounded TakeOrderedAndProject over a pushed scan") {
+    val p = plan(q("d233_eql_event_pipes"))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"tail must be a bounded heap, not a full sort:\n$p")
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(event_type,purchase)"),
+      s"category + condition must reach the parquet scan:\n$p")
+  }
+
+  test("d234: EQL sample is ONE hash aggregation — no joins, no windows") {
+    val p = plan(q("d234_eql_sample"))
+    assert(!p.contains("Join"), s"sample must not join:\n$p")
+    assert(!p.contains(" Window"), s"sample must not window:\n$p")
+    assert(p.contains("HashAggregate") && p.contains("partial_"),
+      s"expected one partial-combined hash agg:\n$p")
+    val hashExchanges = corpusHashExchanges(p)
+    assert(hashExchanges === 1,
+      s"expected exactly the by-key shuffle, got $hashExchanges:\n$p")
+  }
+
+  test("d236: TS RATE — one lag-window pass whose partitioning stage A reuses; no join") {
+    val p = plan(q("d236_esql_ts_rate"))
+    assert(!p.contains("Join"), s"RATE must not join:\n$p")
+    val windows = p.linesIterator.count(_.matches("\\(\\d+\\) Window.*"))
+    assert(windows === 1, s"expected one window pass, got $windows:\n$p")
+    // (series ∪ BY) window shuffle shared with stage A + the BY-grain
+    // stage B shuffle = exactly 2 corpus hash exchanges
+    val hashExchanges = corpusHashExchanges(p)
+    assert(hashExchanges === 2,
+      s"stage A must reuse the window partitioning (2 hash shuffles), got $hashExchanges:\n$p")
+    assert(p.contains("EqualTo(event_type,purchase)"),
+      s"WHERE must reach the parquet scan:\n$p")
+  }
+
+  test("d235: ES|QL MATCH — scalar predicate pushed, one hash agg, no join") {
+    val p = plan(q("d235_esql_match"))
+    assert(p.contains("GreaterThan(n_chars,200)"),
+      s"the scalar conjunct must reach the parquet scan:\n$p")
+    assert(!p.contains("Join"), s"MATCH is a filter, not a join:\n$p")
+    val hashExchanges = corpusHashExchanges(p)
+    assert(hashExchanges === 1,
+      s"expected one STATS shuffle, got $hashExchanges:\n$p")
+  }
+
   test("t16: stratified sample runs both windows on ONE stratum shuffle") {
     val p = plan(q("t16_stratified_sample"))
     // count-per-stratum and hash-rank share the lang partitioning: one

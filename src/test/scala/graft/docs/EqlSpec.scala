@@ -55,6 +55,73 @@ class EqlSpec extends SparkSpec {
     assert(all === Seq(1L, 2L, 3L))
   }
 
+  test("event query pipes: head/tail keep canonical ascending order; count collapses") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 1L, "view", 10L, 1.0), (2L, 1L, "click", 20L, 2.0),
+      (3L, 2L, "view", 30L, 3.0), (4L, 2L, "view", 40L, 9.0),
+      (5L, 3L, "view", 50L, 5.0))
+      .toDF("event_id", "user_id", "event_type", "ts_us", "value")
+    def ids(q: String): Seq[Long] =
+      Eql.runEvent(ev, q).collect().map(_.getLong(0)).toSeq
+    assert(ids("""view where value >= 1 | head 2""") === Seq(1L, 3L))
+    // tail keeps the LAST n but still emits ascending
+    assert(ids("""view where value >= 1 | tail 2""") === Seq(4L, 5L))
+    assert(ids("""any where user_id == 2""") === Seq(3L, 4L))
+    val n = Eql.runEvent(ev, """view where value >= 3 and value <= 9 | count""")
+      .collect()
+    assert(n.head.getLong(0) === 3L)
+    // boolean structure: or + parens + not
+    assert(ids("""any where (user_id == 1 or user_id == 3) and not value == 2""")
+      === Seq(1L, 5L))
+  }
+
+  test("event query rejections: bad pipes, pipes after count, bad operators") {
+    import spark.implicits._
+    val ev = Seq((1L, 1L, "view", 10L, 1.0))
+      .toDF("event_id", "user_id", "event_type", "ts_us", "value")
+    def badE(q: String): String =
+      intercept[IllegalArgumentException](Eql.runEvent(ev, q)).getMessage
+    assert(badE("""view where value == 1 | sort value""").contains("unsupported eql pipe"))
+    assert(badE("""view where value == 1 | count | head 2""").contains("follow count"))
+    assert(badE("""where value == 1""").contains("unsupported eql event query"))
+    assert(badE("""view where value ~ 1""").contains("cannot tokenize"))
+  }
+
+  test("sample by: one earliest tuple per key; keys missing a step drop; runs rejected") {
+    import spark.implicits._
+    val ev = Seq(
+      // key 1 has both steps (earliest view 10, earliest error 25)
+      (1L, 1L, "view", 10L), (2L, 1L, "view", 12L), (3L, 1L, "error", 25L),
+      // key 2 has only views
+      (4L, 2L, "view", 30L))
+      .toDF("event_id", "user_id", "event_type", "ts_us")
+    val out = Eql.runSample(ev,
+      """sample by user_id
+        | [ event where event_type == "view" ]
+        | [ event where event_type == "error" ]""".stripMargin).collect()
+    assert(out.length === 1)
+    assert((out.head.getLong(0), out.head.getLong(1), out.head.getLong(2)) === (1L, 10L, 25L))
+    assert(intercept[IllegalArgumentException](Eql.runSample(ev,
+      """sample by user_id
+        | [ event where event_type == "view" ] with runs=2
+        | [ event where event_type == "error" ]""".stripMargin)).getMessage
+      .contains("runs is not valid"))
+  }
+
+  test("with runs=N expands to N step copies; bounds enforced") {
+    val sq = Eql.parse(
+      """sequence by user_id with maxspan=1h
+        | [ event where event_type == "view" ] with runs=2
+        | [ event where event_type == "purchase" ]""".stripMargin)
+    assert(sq.steps.map(_.value) === Seq("view", "view", "purchase"))
+    assert(bad(
+      """sequence by user_id with maxspan=1h
+        | [ event where event_type == "view" ] with runs=9
+        | [ event where event_type == "purchase" ]""".stripMargin)
+      .contains("runs must be 1-4"))
+  }
+
   test("maxspan units and step extraction") {
     val sq = Eql.parse(
       """sequence by user_id with maxspan=90m

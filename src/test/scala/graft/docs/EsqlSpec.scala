@@ -365,4 +365,68 @@ class EsqlSpec extends SparkSpec {
     val b = rows(1)
     assert(b.getDouble(1) === 0.0 && b.getString(2) === "4" && b.getDouble(4) === 4.0)
   }
+
+  test("TS + RATE: positive deltas per second, counter resets, single-point null") {
+    import spark.implicits._
+    // series A: 0→10→4 (reset: +10, then +4) over 2s → (10+4)/2 = 7/s
+    // series B: 5→8 over 1s → 3/s; series C: one point → null rate
+    val ts = Map("m" -> Seq(
+      ("A", 0L, 0.0), ("A", 1000000L, 10.0), ("A", 2000000L, 4.0),
+      ("B", 0L, 5.0), ("B", 1000000L, 8.0),
+      ("C", 0L, 99.0)).toDF("host", "ts_us", "ctr"))
+    val rows = Esql.run(ts,
+      """TS m ON host
+        || STATS peak = MAX(RATE(ctr)), low = MIN(RATE(ctr)),
+        |    n = COUNT(RATE(ctr))""".stripMargin).collect()
+    assert(rows.length === 1)
+    assert(rows(0).getDouble(0) === 7.0)
+    assert(rows(0).getDouble(1) === 3.0)
+    assert(rows(0).getLong(2) === 2L) // C's single point drops out
+  }
+
+  test("TS/RATE rejections: RATE outside TS, bad outer agg, INLINESTATS, mixing") {
+    import spark.implicits._
+    val ts = Map("m" -> Seq(("A", 0L, 1.0)).toDF("host", "ts_us", "ctr"))
+    assert(intercept[IllegalArgumentException](Esql.run(ts,
+      "FROM m | STATS x = MAX(RATE(ctr))")).getMessage
+      .contains("only valid in a TS pipe"))
+    assert(intercept[IllegalArgumentException](Esql.run(ts,
+      "TS m ON host | STATS x = SUM(RATE(ctr))")).getMessage
+      .contains("MAX/MIN/COUNT"))
+    assert(intercept[IllegalArgumentException](Esql.run(ts,
+      "TS m ON host | INLINESTATS x = MAX(RATE(ctr))")).getMessage
+      .contains("INLINESTATS"))
+    assert(intercept[IllegalArgumentException](Esql.run(ts,
+      "TS m ON host | STATS x = MAX(RATE(ctr)), y = COUNT(*)")).getMessage
+      .contains("mixes RATE"))
+    assert(intercept[IllegalArgumentException](Esql.run(ts,
+      "TS nope ON host | LIMIT 1")).getMessage.contains("unknown index"))
+    // TS requires the epoch-micros timeline column
+    val noTs = Map("m" -> Seq(("A", 1.0)).toDF("host", "ctr"))
+    assert(intercept[IllegalArgumentException](Esql.run(noTs,
+      "TS m ON host | LIMIT 1")).getMessage.contains("ts_us"))
+  }
+
+  test("MATCH analyzes both sides; OR semantics; all-stopword query matches nothing") {
+    import spark.implicits._
+    val docs = Map("d" -> Seq(
+      (1L, "the running shoes are fast"), (2L, "slow boats"),
+      (3L, "shoe polish")).toDF("id", "body"))
+    // "runs" stems to "run" = analyzed "running"? no — s-stemmer: running
+    // stays "running", runs → "run". Use terms that stem-align: "shoes"
+    // → "shoe" matches doc 1 ("shoes"→"shoe") and doc 3 ("shoe").
+    val hit = Esql.run(docs, """FROM d | WHERE MATCH(body, "shoes") | SORT id""")
+      .collect().map(_.getLong(0)).toSeq
+    assert(hit === Seq(1L, 3L))
+    // OR of terms: "boats polish" matches docs 2 and 3
+    val or = Esql.run(docs, """FROM d | WHERE MATCH(body, "boats polish") | SORT id""")
+      .collect().map(_.getLong(0)).toSeq
+    assert(or === Seq(2L, 3L))
+    // all-stopword query matches nothing (the ES contract)
+    assert(Esql.run(docs, """FROM d | WHERE MATCH(body, "the and of")""")
+      .collect().isEmpty)
+    assert(intercept[IllegalArgumentException](Esql.run(docs,
+      "FROM d | WHERE MATCH(body, id)")).getMessage
+      .contains("string literal"))
+  }
 }

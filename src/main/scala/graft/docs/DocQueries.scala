@@ -8813,6 +8813,62 @@ object DocQueries {
       |SELECT l2, parts, CAST(COUNT(*) AS BIGINT) AS n
       |FROM ex GROUP BY 1, 2 ORDER BY l2, parts""".stripMargin
 
+  // ---------------------------------------------------------------- d238
+  /** ES|QL `SAMPLE` (8.19): Bernoulli row sampling. DOCUMENTED DEVIATION
+    * (Esql.scala): ES samples randomly; the engine derives inclusion from
+    * md5 of a named key column against a hex threshold — uniform,
+    * coordination-free, stable under re-partitioning, and replayable by
+    * the oracle (both engines produce identical md5 hex). The sample is a
+    * plain filter feeding ONE hash aggregation. */
+  private def d238(s: SparkSession, d: String): DataFrame = {
+    val q =
+      """FROM events
+        || SAMPLE 0.2 ON event_id
+        || STATS n = COUNT(*), total = SUM(value) BY event_type
+        || SORT event_type""".stripMargin
+    Esql.run(Map("events" ->
+      graft.Tables.events(s, d).drop("ts", "ts_us")), q)
+  }
+
+  private val d238Sql =
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(28,6))
+      |    AS DOUBLE) AS total
+      |FROM events
+      |WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 8) < '33333333'
+      |GROUP BY 1 ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- d239
+  /** ES `_transform` latest-form — the OTHER transform function: per
+    * unique key, the most recent document by the sort field
+    * (`Transform.runLatest`). ONE map-combined hash aggregation (`max_by`
+    * of the row struct over (sort, tiebreak)) — each partition keeps one
+    * candidate per key before the shuffle, so the 100 TB cost is a single
+    * entity-grain shuffle, never a corpus window sort. `graft_tiebreak`
+    * is the documented determinism extension (ES leaves sort ties
+    * undefined). */
+  private def d239(s: SparkSession, d: String): DataFrame = {
+    val body =
+      """{
+        |  "source": { "index": "events" },
+        |  "latest": { "unique_key": ["user_id"], "sort": "ts_us",
+        |              "graft_tiebreak": "event_id" },
+        |  "dest": { "index": "user_last_event" }
+        |}""".stripMargin
+    val l = Transform.parseLatest(body)
+    require(l.sourceIndex == "events" && l.destIndex == "user_last_event")
+    Transform.runLatest(graft.Tables.events(s, d).drop("ts", "props"), l)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts_us"))
+      .orderBy(col("user_id"))
+  }
+
+  private val d239Sql =
+    """SELECT user_id, event_id, event_type, value, tsu AS ts_us FROM (
+      |  SELECT *, epoch_us(ts) AS tsu, row_number() OVER (
+      |    PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+      |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin
+
   private def d209(s: SparkSession, d: String): DataFrame = {
     val body =
       """{
@@ -9431,6 +9487,8 @@ object DocQueries {
     "d235_esql_match" -> d235 _,
     "d236_esql_ts_rate" -> d236 _,
     "d237_eql_runs" -> d237 _,
+    "d238_esql_sample" -> d238 _,
+    "d239_es_transform_latest" -> d239 _,
     "d206_es_parent_agg" -> d206 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
@@ -9670,6 +9728,8 @@ object DocQueries {
     "d235_esql_match" -> d235Sql,
     "d236_esql_ts_rate" -> d236Sql,
     "d237_eql_runs" -> d237Sql,
+    "d238_esql_sample" -> d238Sql,
+    "d239_es_transform_latest" -> d239Sql,
     "d206_es_parent_agg" -> d206Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,

@@ -771,6 +771,30 @@ object Esql {
           case TNum(n) if !n.contains('.') => df = df.limit(n.toInt)
           case other => throw new IllegalArgumentException(s"esql: bad LIMIT: $other")
         }
+        case "SAMPLE" =>
+          // SAMPLE <probability> ON <keyCol> (8.19 tech preview).
+          // DOCUMENTED DEVIATION: ES|QL samples rows randomly (optionally
+          // seeded); a random sample cannot be replayed by the oracle, so
+          // the engine derives per-row inclusion from a NAMED key column:
+          // keep the row iff the first 8 hex chars of md5(key) fall below
+          // ⌊p·2³²⌋ rendered in hex. md5 hex is identical across engines
+          // and the comparison is plain ASCII string order, so the sample
+          // is uniform (md5 uniformity), stable under re-partitioning,
+          // and bit-reproducible — the properties a 100 TB pipeline
+          // actually wants from SAMPLE (Bernoulli per row, no coordination,
+          // no state). Stays a plain pushable-adjacent filter.
+          val pv = p.pop() match {
+            case TNum(s) => s.toDouble
+            case other => throw new IllegalArgumentException(
+              s"esql: SAMPLE needs a numeric probability, got $other")
+          }
+          require(pv > 0.0 && pv < 1.0,
+            s"esql: SAMPLE probability must be in (0,1), got $pv")
+          p.expectKw("ON")
+          val key = p.ident()
+          val thresh = f"${(pv * 4294967296.0).toLong}%08x"
+          df = df.filter(
+            substring(md5(col(key).cast("string")), 1, 8) < lit(thresh))
         case cmd @ ("KEEP" | "DROP") =>
           // entries may be wildcard patterns (KEEP id, v*, *_meta) — the
           // ES|QL projection syntax; pattern order defines column order,
@@ -1119,8 +1143,8 @@ object Esql {
               when(col(sname).isNotNull, lit("step_change")))
             .drop("_cpc", "_cpi", "_cps", "_cpn", "_cpt", "_cpscore", "_cpbest")
         case other => throw new IllegalArgumentException(
-          s"esql: unsupported command $other (FROM/WHERE/EVAL/STATS/SORT/LIMIT/" +
-            "KEEP/DROP/RENAME/MV_EXPAND/DISSECT/GROK/ENRICH/LOOKUP JOIN/" +
+          s"esql: unsupported command $other (FROM/TS/WHERE/EVAL/STATS/SORT/LIMIT/" +
+            "SAMPLE/KEEP/DROP/RENAME/MV_EXPAND/DISSECT/GROK/ENRICH/LOOKUP JOIN/" +
             "FORK/CHANGE_POINT)")
       }
       require(p.ts.isEmpty, s"esql: trailing tokens in ${kw(seg.head)}: ${p.ts.take(4)}")

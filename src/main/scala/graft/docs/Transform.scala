@@ -32,6 +32,68 @@ object Transform {
                          groupBy: Seq[(String, String)], // (out name, field)
                          aggs: Seq[(String, String, String)]) // (out, kind, field)
 
+  /** The `latest`-form transform (the other ES transform function): per
+    * unique key, the most recent document by the sort field. `tiebreak`
+    * is a graft extension (`graft_tiebreak`): ES leaves equal-sort-value
+    * winners undefined, which a bit-exact oracle cannot — the named
+    * unique column breaks ties deterministically. */
+  final case class Latest(sourceIndex: String, destIndex: String,
+                          uniqueKey: Seq[String], sort: String,
+                          tiebreak: Option[String])
+
+  def parseLatest(body: String): Latest = {
+    val root = obj(org.json4s.jackson.JsonMethods.parse(body), "transform body")
+    val unknown = root.keySet -- Set("source", "latest", "dest")
+    require(unknown.isEmpty, s"unsupported transform key(s): ${unknown.mkString(", ")}")
+    val source = obj(root.getOrElse("source",
+      throw new IllegalArgumentException("transform needs source")), "source")
+    val srcIdx = source.get("index") match {
+      case Some(JString(i)) => i
+      case other => throw new IllegalArgumentException(s"source needs index: $other")
+    }
+    val dest = obj(root.getOrElse("dest",
+      throw new IllegalArgumentException("transform needs dest")), "dest")
+    val dstIdx = dest.get("index") match {
+      case Some(JString(i)) => i
+      case other => throw new IllegalArgumentException(s"dest needs index: $other")
+    }
+    val latest = obj(root.getOrElse("latest",
+      throw new IllegalArgumentException("latest transform needs latest")), "latest")
+    val unknownL = latest.keySet -- Set("unique_key", "sort", "graft_tiebreak")
+    require(unknownL.isEmpty, s"unsupported latest key(s): ${unknownL.mkString(", ")}")
+    val uk = latest.get("unique_key") match {
+      case Some(JArray(ks)) if ks.nonEmpty => ks.map {
+        case JString(k) => k
+        case other => throw new IllegalArgumentException(s"unique_key entries must be strings: $other")
+      }
+      case other => throw new IllegalArgumentException(s"latest needs unique_key array: $other")
+    }
+    val sort = latest.get("sort") match {
+      case Some(JString(f)) => f
+      case other => throw new IllegalArgumentException(s"latest needs sort field: $other")
+    }
+    val tb = latest.get("graft_tiebreak").map {
+      case JString(f) => f
+      case other => throw new IllegalArgumentException(s"graft_tiebreak must be a string: $other")
+    }
+    Latest(srcIdx, dstIdx, uk, sort, tb)
+  }
+
+  /** Materialize the latest-form dest: ONE hash aggregation — `max_by`
+    * of the full row over the (sort, tiebreak) struct. Partial-combinable
+    * (each partition keeps one candidate row per key before the shuffle),
+    * so the 100 TB cost is a single map-combined shuffle at entity grain —
+    * never a window sort over the corpus. */
+  def runLatest(source: DataFrame, l: Latest): DataFrame = {
+    val ord = struct((l.sort +: l.tiebreak.toSeq).map(col): _*)
+    val rest = source.columns.filterNot(l.uniqueKey.contains)
+    val payload = struct(rest.map(col): _*)
+    source.groupBy(l.uniqueKey.map(col): _*)
+      .agg(max_by(payload, ord).as("_latest"))
+      .select(l.uniqueKey.map(col) ++
+        rest.map(c => col(s"_latest.$c").as(c)): _*)
+  }
+
   def parse(body: String): Pivot = {
     val root = obj(org.json4s.jackson.JsonMethods.parse(body), "transform body")
     val unknown = root.keySet -- Set("source", "pivot", "dest")

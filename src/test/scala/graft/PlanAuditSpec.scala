@@ -1065,6 +1065,26 @@ class PlanAuditSpec extends SparkSpec {
       s"expected one STATS shuffle, got $hashExchanges:\n$p")
   }
 
+  test("d238: ES|QL SAMPLE is a plain filter above the scan — one STATS shuffle, no join") {
+    val p = plan(q("d238_esql_sample"))
+    assert(!p.contains("Join"), s"SAMPLE must not join or coordinate:\n$p")
+    assert(!p.contains(" Window"), s"SAMPLE must not window:\n$p")
+    val hashExchanges = corpusHashExchanges(p)
+    assert(hashExchanges === 1,
+      s"expected only the STATS shuffle, got $hashExchanges:\n$p")
+  }
+
+  test("d239: transform latest is ONE map-combined hash agg — no corpus window sort") {
+    val p = plan(q("d239_es_transform_latest"))
+    assert(!p.contains(" Window"), s"latest must not window-sort the corpus:\n$p")
+    assert(!p.contains("Join"), s"latest must not join:\n$p")
+    assert(p.contains("partial_max_by") || p.contains("partial_"),
+      s"max_by must partial-combine before the shuffle:\n$p")
+    val hashExchanges = corpusHashExchanges(p)
+    assert(hashExchanges === 1,
+      s"expected exactly the entity-grain shuffle, got $hashExchanges:\n$p")
+  }
+
   test("t16: stratified sample runs both windows on ONE stratum shuffle") {
     val p = plan(q("t16_stratified_sample"))
     // count-per-stratum and hash-rank share the lang partitioning: one

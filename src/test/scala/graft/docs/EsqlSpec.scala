@@ -20,7 +20,7 @@ class EsqlSpec extends SparkSpec {
   test("rejections are loud and name the reason") {
     assert(bad("""ROW a = 1""").contains("pipe must start with FROM"))
     assert(bad("""FROM missing | LIMIT 1""").contains("unknown index"))
-    assert(bad("""FROM t | SAMPLE 0.5""").contains("unsupported command"))
+    assert(bad("""FROM t | RERANK query""").contains("unsupported command"))
     assert(bad("""FROM t | FORK (WHERE v > 1)""").contains("FORK takes 2-8 branches"))
     assert(bad("""FROM t | LOOKUP JOIN x ON id""").contains("unknown lookup index"))
     assert(bad("""FROM t | ENRICH policy""").contains("unexpected end of input"))
@@ -405,6 +405,28 @@ class EsqlSpec extends SparkSpec {
     val noTs = Map("m" -> Seq(("A", 1.0)).toDF("host", "ctr"))
     assert(intercept[IllegalArgumentException](Esql.run(noTs,
       "TS m ON host | LIMIT 1")).getMessage.contains("ts_us"))
+  }
+
+  test("SAMPLE: md5-threshold inclusion is exact and stable; bounds enforced") {
+    import spark.implicits._
+    val ids = (1L to 200L)
+    val frame = Map("t" -> ids.map(i => (i, i % 7)).toDF("id", "g"))
+    val got = Esql.run(frame, "FROM t | SAMPLE 0.25 ON id | KEEP id")
+      .collect().map(_.getLong(0)).toSet
+    // independent recomputation of the contract: first 8 md5 hex chars
+    // below 0x40000000
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expect = ids.filter { i =>
+      val hex = md.digest(i.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      hex < f"${(0.25 * 4294967296.0).toLong}%08x"
+    }.toSet
+    assert(got === expect)
+    assert(got.nonEmpty && got.size < ids.size)
+    assert(intercept[IllegalArgumentException](Esql.run(frame,
+      "FROM t | SAMPLE 1.5 ON id")).getMessage.contains("in (0,1)"))
+    assert(intercept[IllegalArgumentException](Esql.run(frame,
+      "FROM t | SAMPLE 0.5")).getMessage.contains("unexpected end of input"))
   }
 
   test("MATCH analyzes both sides; OR semantics; all-stopword query matches nothing") {

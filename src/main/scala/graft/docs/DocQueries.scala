@@ -9114,6 +9114,75 @@ object DocQueries {
       |ORDER BY user_id, t1_us, t2_us, t3_us""").stripMargin
   }
 
+  // ---------------------------------------------------------------- d240
+  /** EQL missing events (8.7): `[view] ![error] [purchase]` — view
+    * followed by purchase with NO error between them. One extra window
+    * carry per gap (the last error timestamp strictly before each row)
+    * on the SAME by-key shuffle; the extension check compares it against
+    * the prefix's last step (Eql.scala: boundary contract documented).
+    * Same plan family as `until` — passes = steps + gaps, partitionings
+    * = 1. */
+  private def d240(s: SparkSession, d: String): DataFrame = {
+    val q =
+      """sequence by user_id with maxspan=72h
+        |  [ event where event_type == "view" ]
+        |  ![ event where event_type == "error" ]
+        |  [ event where event_type == "purchase" ]""".stripMargin
+    Eql.run(graft.Tables.events(s, d), q)
+  }
+
+  private val d240Sql = {
+    def lastBefore(x: String) =
+      s"""last_value($x IGNORE NULLS) OVER (PARTITION BY user_id
+         |      ORDER BY tsu, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)""".stripMargin
+    ("""WITH e AS (
+      |  SELECT event_id, user_id, event_type, epoch_us(ts) AS tsu FROM events
+      |  WHERE event_type IN ('view', 'purchase', 'error')),
+      |a0 AS (SELECT *,
+      |    CASE WHEN event_type = 'error' THEN tsu END AS _m1,
+      |    CASE WHEN event_type = 'view'
+      |    THEN struct_pack(ts1 := tsu) END AS _a0 FROM e),
+      |p1 AS (SELECT *, """ + lastBefore("_a0") + """ AS _p1,
+      |    """ + lastBefore("_m1") + """ AS _l1 FROM a0),
+      |a1 AS (SELECT *, CASE WHEN event_type = 'purchase' AND _p1 IS NOT NULL
+      |    AND (_l1 IS NULL OR _l1 <= (_p1).ts1)
+      |    THEN struct_pack(ts1 := (_p1).ts1, ts2 := tsu) END AS _a1 FROM p1)
+      |SELECT user_id, (_a1).ts1 AS t1_us, (_a1).ts2 AS t2_us,
+      |  (_a1).ts2 - (_a1).ts1 AS span_us
+      |FROM a1
+      |WHERE _a1 IS NOT NULL AND (_a1).ts2 - (_a1).ts1 <= 259200000000
+      |ORDER BY user_id, t1_us, t2_us""").stripMargin
+  }
+
+  // ---------------------------------------------------------------- d241
+  /** TSDS `_downsample` (ES 8.5): the time-series index re-materialized
+    * at a daily interval — per (dimensions, bucket) each metric's
+    * min/max/sum/value_count (the `aggregate_metric_double` shape).
+    * ONE map-combined hash aggregation (`Transform.downsample`); at
+    * 100 TB each ILM-triggered pass reads one rolled-over index (a
+    * bounded time slice), never the full history. */
+  private def d241(s: SparkSession, d: String): DataFrame =
+    Transform.downsample(
+      graft.Tables.events(s, d).select(col("ts_us"), col("user_id"),
+        col("event_type"), col("value")),
+      dims = Seq("user_id", "event_type"), tsCol = "ts_us",
+      intervalUs = 86400000000L, metrics = Seq("value"))
+      .select(col("user_id"), col("event_type"),
+        col("_ts_bucket").as("ts_bucket"), col("value_min"),
+        col("value_max"), col("value_sum"), col("value_value_count"))
+      .orderBy(col("user_id"), col("event_type"), col("ts_bucket"))
+
+  private val d241Sql =
+    """SELECT user_id, event_type,
+      |  (epoch_us(ts) // 86400000000) * 86400000000 AS ts_bucket,
+      |  MIN(value) AS value_min, MAX(value) AS value_max,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(28,6))
+      |    AS DOUBLE) AS value_sum,
+      |  CAST(COUNT(value) AS BIGINT) AS value_value_count
+      |FROM events GROUP BY 1, 2, 3
+      |ORDER BY user_id, event_type, ts_bucket""".stripMargin
+
   private def d208(s: SparkSession, d: String): DataFrame = {
     val q =
       """sequence by user_id with maxspan=72h
@@ -9489,6 +9558,8 @@ object DocQueries {
     "d237_eql_runs" -> d237 _,
     "d238_esql_sample" -> d238 _,
     "d239_es_transform_latest" -> d239 _,
+    "d240_eql_missing" -> d240 _,
+    "d241_es_downsample" -> d241 _,
     "d206_es_parent_agg" -> d206 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
@@ -9730,6 +9801,8 @@ object DocQueries {
     "d237_eql_runs" -> d237Sql,
     "d238_esql_sample" -> d238Sql,
     "d239_es_transform_latest" -> d239Sql,
+    "d240_eql_missing" -> d240Sql,
+    "d241_es_downsample" -> d241Sql,
     "d206_es_parent_agg" -> d206Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,

@@ -4,10 +4,18 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** ES EQL (`_eql/search`) — the event-sequence query language: `sequence
-  * by <key> with maxspan=<n><unit> [ event where <field> == "<v>" ] ...
-  * [until [ event where <field> == "<v>" ]]`
-  * compiled to PER-KEY WINDOW CARRIES, never a self-join chain:
+/** ES EQL (`_eql/search`) — the event query language. Implemented
+  * surface:
+  *
+  *  - single-event queries with result pipes:
+  *    `<category> where <cond> [| head n | tail n | count]` (`runEvent`)
+  *  - `sample by <key> [q1] [q2] ...` — one deterministic tuple per key
+  *    (`runSample`)
+  *  - `sequence by <key> with maxspan=<n><unit> [step] ...` (`run`) with
+  *    `with runs=N` step repetition (8.0), `![step]` missing events
+  *    (8.7), and a trailing `until [step]` expiry
+  *
+  * Sequences compile to PER-KEY WINDOW CARRIES, never a self-join chain:
   *
   * one shuffle on the `by` key, then one window pass per step carrying
   * the most recent valid i-step prefix (a struct of its timestamps)
@@ -32,16 +40,21 @@ import org.apache.spark.sql.functions._
 object Eql {
 
   final case class Step(field: String, value: String)
+  /** `missing` (EQL 8.7 missing events): gap index g → the event that
+    * must NOT occur between positive steps g and g+1 (1-based). */
   final case class SequenceQuery(by: String, maxspanUs: Long, steps: Seq[Step],
-                                 until: Option[Step] = None)
+                                 until: Option[Step] = None,
+                                 missing: Map[Int, Step] = Map.empty)
 
   private val Head =
     """^\s*sequence\s+by\s+(\w+)\s+with\s+maxspan\s*=\s*(\d+)([smh])\s*(.*)$""".r
   // optional `with runs=N` (EQL 8.0): the step repeats N times in the
   // sequence — parsed here, expanded to N copies before compilation, so
-  // the window-carry machinery never knows runs existed
+  // the window-carry machinery never knows runs existed. A leading `!`
+  // (EQL 8.7 missing events) marks a NEGATIVE step: the event must NOT
+  // occur between its two positive neighbours.
   private val StepRe =
-    """\[\s*event\s+where\s+(\w+)\s*==\s*"([^"]*)"\s*\](?:\s+with\s+runs\s*=\s*(\d+))?""".r
+    """(!?)\s*\[\s*event\s+where\s+(\w+)\s*==\s*"([^"]*)"\s*\](?:\s+with\s+runs\s*=\s*(\d+))?""".r
   private val UntilRe =
     """(?i)\buntil\s*\[\s*event\s+where\s+(\w+)\s*==\s*"([^"]*)"\s*\]\s*$""".r
 
@@ -54,16 +67,30 @@ object Eql {
       val untilM = UntilRe.findFirstMatchIn(rest0)
       val until = untilM.map(m => Step(m.group(1), m.group(2)))
       val rest = untilM.map(m => rest0.substring(0, m.start)).getOrElse(rest0)
-      val steps = StepRe.findAllMatchIn(rest).flatMap { m =>
-        val runs = Option(m.group(3)).map(_.toInt).getOrElse(1)
-        require(runs >= 1 && runs <= 4, s"eql runs must be 1-4, got $runs")
-        Seq.fill(runs)(Step(m.group(1), m.group(2)))
-      }.toSeq
+      val steps = scala.collection.mutable.ListBuffer[Step]()
+      val missing = scala.collection.mutable.Map[Int, Step]()
+      StepRe.findAllMatchIn(rest).foreach { m =>
+        val neg = m.group(1) == "!"
+        val runs = Option(m.group(4)).map(_.toInt).getOrElse(1)
+        val st = Step(m.group(2), m.group(3))
+        if (neg) {
+          require(runs == 1, "eql: runs is not valid on a missing (!) step")
+          require(steps.nonEmpty, "eql: a missing (!) step cannot be first")
+          require(!missing.contains(steps.size),
+            "eql: at most one missing (!) step per gap")
+          missing(steps.size) = st // gap after positive step `steps.size`
+        } else {
+          require(runs >= 1 && runs <= 4, s"eql runs must be 1-4, got $runs")
+          steps ++= Seq.fill(runs)(st)
+        }
+      }
+      require(!missing.contains(steps.size),
+        "eql: a missing (!) step cannot be last")
       require(steps.size >= 2 && steps.size <= 5,
         s"eql sequence needs 2-5 steps, got ${steps.size}")
       require(StepRe.replaceAllIn(rest, "").trim.isEmpty,
         s"unsupported eql step syntax in: $rest")
-      SequenceQuery(by, n.toLong * mult, steps, until)
+      SequenceQuery(by, n.toLong * mult, steps.toSeq, until, missing.toMap)
     case other => throw new IllegalArgumentException(
       s"unsupported eql query (sequence-by with maxspan only): $other")
   }
@@ -197,8 +224,9 @@ object Eql {
     query.replaceAll("\\s+", " ").trim match {
       case SampleHead(by, rest) =>
         val steps = StepRe.findAllMatchIn(rest).map { m =>
-          require(m.group(3) == null, "eql: runs is not valid on sample steps")
-          Step(m.group(1), m.group(2))
+          require(m.group(4) == null, "eql: runs is not valid on sample steps")
+          require(m.group(1) != "!", "eql: missing (!) steps are not valid in sample")
+          Step(m.group(2), m.group(3))
         }.toSeq
         require(steps.size >= 2 && steps.size <= 5,
           s"eql sample needs 2-5 steps, got ${steps.size}")
@@ -224,8 +252,8 @@ object Eql {
     val sq = parse(query)
     val n = sq.steps.size
     // scan-pushable pre-filter: only rows matching SOME step (or the
-    // until expiry event) participate
-    val relevant = (sq.steps ++ sq.until)
+    // until expiry / missing-gap events) participate
+    val relevant = (sq.steps ++ sq.until ++ sq.missing.values)
       .map(st => col(st.field) === lit(st.value)).reduce(_ || _)
     val w = Window.partitionBy(col(sq.by))
       .orderBy(col("ts_us").asc, col("event_id").asc)
@@ -243,17 +271,37 @@ object Eql {
       df = df.withColumn("_uts",
         when(col(u.field) === lit(u.value), col("ts_us")))
     }
+    // missing (EQL 8.7): one marker column per gap — the event that must
+    // NOT occur between positive steps g and g+1; the extension check
+    // reads the LAST such timestamp strictly before the completing row.
+    // Boundary contract (documented): an occurrence exactly AT the
+    // prefix's last timestamp does not violate; one at (or row-before on)
+    // the completing row's timestamp does — conservative, deterministic,
+    // mirrored by the oracle.
+    sq.missing.foreach { case (g, m) =>
+      df = df.withColumn(s"_mts$g",
+        when(col(m.field) === lit(m.value), col("ts_us")))
+    }
     df = df.withColumn("_a0",
       when(col(sq.steps.head.field) === lit(sq.steps.head.value),
         struct(col("ts_us").as("ts1"))))
     for (i <- 1 until n) {
       df = df.withColumn(s"_p$i", last(col(s"_a${i - 1}"), ignoreNulls = true).over(w))
-      val alive: Column =
-        if (sq.until.isEmpty) lit(true)
-        else {
-          val u = last(col("_uts"), ignoreNulls = true).over(w)
-          u.isNull || u < col(s"_p$i.ts$i")
+      val alive: Column = {
+        val untilOk: Column =
+          if (sq.until.isEmpty) lit(true)
+          else {
+            val u = last(col("_uts"), ignoreNulls = true).over(w)
+            u.isNull || u < col(s"_p$i.ts$i")
+          }
+        val gapOk: Column = sq.missing.get(i) match {
+          case None => lit(true)
+          case Some(_) =>
+            val ml = last(col(s"_mts$i"), ignoreNulls = true).over(w)
+            ml.isNull || ml <= col(s"_p$i.ts$i")
         }
+        untilOk && gapOk
+      }
       val prefixFields = (1 to i).map(j => col(s"_p$i.ts$j").as(s"ts$j"))
       df = df.withColumn(s"_a$i",
         when(col(sq.steps(i).field) === lit(sq.steps(i).value) &&

@@ -94,6 +94,33 @@ object Transform {
         rest.map(c => col(s"_latest.$c").as(c)): _*)
   }
 
+  /** TSDS `_downsample` (ES 8.5): re-materialize a time-series index at a
+    * coarser fixed interval — per (dimension fields, time bucket) the
+    * min/max/sum/value_count summary of each metric (what ES stores as
+    * `aggregate_metric_double`). ONE map-combined hash aggregation at
+    * (dims × bucket) grain; sums ride the exact-decimal contract. The
+    * 100 TB story is the ILM rollover: each downsample pass reads one
+    * source index (a bounded time slice), never the full history. */
+  def downsample(source: DataFrame, dims: Seq[String], tsCol: String,
+                 intervalUs: Long, metrics: Seq[String]): DataFrame = {
+    require(dims.nonEmpty && metrics.nonEmpty,
+      "downsample needs dimension and metric fields")
+    require(intervalUs > 0, s"downsample interval must be positive: $intervalUs")
+    val bucket = expr(s"($tsCol DIV $intervalUs) * $intervalUs").as("_ts_bucket")
+    val aggs = metrics.flatMap { m =>
+      val isDouble = source.schema(m).dataType ==
+        org.apache.spark.sql.types.DoubleType
+      val s0 =
+        if (isDouble) sum(col(m).cast("decimal(12,2)"))
+          .cast("decimal(28,6)").cast("double")
+        else sum(col(m)).cast("long")
+      Seq(min(col(m)).as(s"${m}_min"), max(col(m)).as(s"${m}_max"),
+        s0.as(s"${m}_sum"), count(col(m)).cast("long").as(s"${m}_value_count"))
+    }
+    source.groupBy(dims.map(col) :+ bucket: _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   def parse(body: String): Pivot = {
     val root = obj(org.json4s.jackson.JsonMethods.parse(body), "transform body")
     val unknown = root.keySet -- Set("source", "pivot", "dest")

@@ -1085,6 +1085,25 @@ class PlanAuditSpec extends SparkSpec {
       s"expected exactly the entity-grain shuffle, got $hashExchanges:\n$p")
   }
 
+  test("d240: EQL missing-event gap carry shares the single by-key shuffle") {
+    val p = plan(q("d240_eql_missing"))
+    assert(!p.contains("Join"), s"sequences must never self-join:\n$p")
+    val hashExchanges = corpusHashExchanges(p)
+    assert(hashExchanges === 1,
+      s"all window carries (steps + gaps) must share one by-key shuffle, got $hashExchanges:\n$p")
+  }
+
+  test("d241: downsample is ONE map-combined hash agg at (dims, bucket) grain") {
+    val p = plan(q("d241_es_downsample"))
+    assert(!p.contains("Join") && !p.contains(" Window"),
+      s"downsample must be a flat aggregation:\n$p")
+    assert(p.contains("partial_"),
+      s"metrics must partial-combine before the shuffle:\n$p")
+    val hashExchanges = corpusHashExchanges(p)
+    assert(hashExchanges === 1,
+      s"expected exactly the (dims, bucket) shuffle, got $hashExchanges:\n$p")
+  }
+
   test("t16: stratified sample runs both windows on ONE stratum shuffle") {
     val p = plan(q("t16_stratified_sample"))
     // count-per-stratum and hash-rank share the lang partitioning: one

@@ -109,6 +109,43 @@ class EqlSpec extends SparkSpec {
       .contains("runs is not valid"))
   }
 
+  test("missing (!) steps: in-between occurrence kills; boundary at the prefix allowed") {
+    import spark.implicits._
+    val ev = Seq(
+      // key 1: clean view→purchase — matches
+      (1L, 1L, "view", 10L), (2L, 1L, "purchase", 20L),
+      // key 2: error strictly between — killed
+      (3L, 2L, "view", 10L), (4L, 2L, "error", 15L), (5L, 2L, "purchase", 20L),
+      // key 3: error AT the view's timestamp — boundary, allowed
+      (6L, 3L, "error", 10L), (7L, 3L, "view", 10L), (8L, 3L, "purchase", 20L),
+      // key 4: stale view killed, fresh view after the error matches
+      (9L, 4L, "view", 10L), (10L, 4L, "error", 15L), (11L, 4L, "view", 16L),
+      (12L, 4L, "purchase", 20L))
+      .toDF("event_id", "user_id", "event_type", "ts_us")
+    val out = Eql.run(ev,
+      """sequence by user_id with maxspan=1h
+        |  [ event where event_type == "view" ]
+        |  ![ event where event_type == "error" ]
+        |  [ event where event_type == "purchase" ]""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out === Seq((1L, 10L), (3L, 10L), (4L, 16L)))
+  }
+
+  test("missing (!) parse guards: not first, not last, one per gap, no runs") {
+    assert(bad("""sequence by u with maxspan=1h
+      | ![ event where t == "e" ] [ event where t == "a" ] [ event where t == "b" ]""".stripMargin)
+      .contains("cannot be first"))
+    assert(bad("""sequence by u with maxspan=1h
+      | [ event where t == "a" ] [ event where t == "b" ] ![ event where t == "e" ]""".stripMargin)
+      .contains("cannot be last"))
+    assert(bad("""sequence by u with maxspan=1h
+      | [ event where t == "a" ] ![ event where t == "e" ] ![ event where t == "f" ] [ event where t == "b" ]""".stripMargin)
+      .contains("one missing"))
+    assert(bad("""sequence by u with maxspan=1h
+      | [ event where t == "a" ] ![ event where t == "e" ] with runs=2 [ event where t == "b" ]""".stripMargin)
+      .contains("not valid on a missing"))
+  }
+
   test("with runs=N expands to N step copies; bounds enforced") {
     val sq = Eql.parse(
       """sequence by user_id with maxspan=1h

@@ -26,6 +26,28 @@ class TransformSpec extends SparkSpec {
     assert(out === Seq((1L, "b", 101L), (2L, "e", 104L)))
   }
 
+  test("downsample: per-(dims, bucket) min/max/sum/count; guards") {
+    import spark.implicits._
+    val src = Seq(
+      ("h1", 0L, 1.0), ("h1", 5L, 3.0), ("h1", 10L, 2.0), // buckets 0,0,10
+      ("h2", 12L, 7.0))
+      .toDF("host", "ts_us", "v")
+    val out = Transform.downsample(src, Seq("host"), "ts_us", 10L, Seq("v"))
+      .orderBy("host", "_ts_bucket").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getLong(5))).toSeq
+    assert(out === Seq(
+      ("h1", 0L, 1.0, 3.0, 4.0, 2L),
+      ("h1", 10L, 2.0, 2.0, 2.0, 1L),
+      ("h2", 10L, 7.0, 7.0, 7.0, 1L)))
+    assert(intercept[IllegalArgumentException](
+      Transform.downsample(src, Nil, "ts_us", 10L, Seq("v"))).getMessage
+      .contains("dimension"))
+    assert(intercept[IllegalArgumentException](
+      Transform.downsample(src, Seq("host"), "ts_us", 0L, Seq("v"))).getMessage
+      .contains("positive"))
+  }
+
   test("latest rejections: unknown keys, missing parts, bad types") {
     def bad(body: String): String =
       intercept[IllegalArgumentException](Transform.parseLatest(body)).getMessage

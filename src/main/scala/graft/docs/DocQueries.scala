@@ -9114,6 +9114,50 @@ object DocQueries {
       |ORDER BY user_id, t1_us, t2_us, t3_us""").stripMargin
   }
 
+  // ---------------------------------------------------------------- d242
+  /** ES|QL `CATEGORIZE` in STATS BY (8.18) — log-pattern grouping as a
+    * grouping KEY (same documented token-skeleton deviation as the
+    * categorize_text agg). Because CATEGORIZE compiles to a scalar
+    * skeleton expression, the whole command is still ONE hash
+    * aggregation + a bounded top-k — no ML state, no second pass. */
+  private def d242(s: SparkSession, d: String): DataFrame = {
+    val q =
+      """FROM events
+        || EVAL msg = CONCAT(event_type, " ", props)
+        || STATS n = COUNT(*) BY cat = CATEGORIZE(msg)
+        || SORT n DESC, cat ASC
+        || LIMIT 10""".stripMargin
+    Esql.run(Map("events" ->
+      graft.Tables.events(s, d).drop("ts", "ts_us")), q)
+  }
+
+  private val d242Sql =
+    """SELECT regexp_replace(regexp_replace(event_type || ' ' || props,
+      |    '\b0x[0-9a-fA-F]+\b', '<hex>', 'g'), '[0-9]+', '<n>', 'g') AS cat,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM events GROUP BY 1 ORDER BY n DESC, cat LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- d243
+  /** ES|QL `DATE_PARSE` — the DATE_FORMAT inverse: the query formats the
+    * timeline to a day string and parses it back, proving the round-trip
+    * lands exactly on the midnight-UTC micros the oracle computes with
+    * date_trunc. Still one projection + one hash aggregation. */
+  private def d243(s: SparkSession, d: String): DataFrame = {
+    val q =
+      """FROM events
+        || EVAL ds = DATE_FORMAT("yyyy-MM-dd", ts_us)
+        || EVAL day_us = DATE_PARSE("yyyy-MM-dd", ds)
+        || STATS n = COUNT(*) BY day_us
+        || SORT day_us""".stripMargin
+    Esql.run(Map("events" ->
+      graft.Tables.events(s, d).drop("ts")), q)
+  }
+
+  private val d243Sql =
+    """SELECT epoch_us(date_trunc('day', ts)) AS day_us,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM events GROUP BY 1 ORDER BY day_us""".stripMargin
+
   // ---------------------------------------------------------------- d240
   /** EQL missing events (8.7): `[view] ![error] [purchase]` — view
     * followed by purchase with NO error between them. One extra window
@@ -9560,6 +9604,8 @@ object DocQueries {
     "d239_es_transform_latest" -> d239 _,
     "d240_eql_missing" -> d240 _,
     "d241_es_downsample" -> d241 _,
+    "d242_esql_categorize" -> d242 _,
+    "d243_esql_date_parse" -> d243 _,
     "d206_es_parent_agg" -> d206 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
@@ -9803,6 +9849,8 @@ object DocQueries {
     "d239_es_transform_latest" -> d239Sql,
     "d240_eql_missing" -> d240Sql,
     "d241_es_downsample" -> d241Sql,
+    "d242_esql_categorize" -> d242Sql,
+    "d243_esql_date_parse" -> d243Sql,
     "d206_es_parent_agg" -> d206Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,

@@ -371,6 +371,28 @@ object Esql {
             case other => throw new IllegalArgumentException(
               s"esql: DATE_FORMAT pattern must be a string literal, got $other")
           }
+        case "DATE_PARSE" =>
+          // DATE_PARSE(pattern, string) — the inverse of DATE_FORMAT:
+          // java pattern → epoch micros on the UTC session timeline
+          // (unparseable strings → null, the ES|QL contract)
+          arity(2)
+          args(0) match {
+            case EStr(fmt) => unix_micros(try_to_timestamp(c(1), lit(fmt)))
+            case other => throw new IllegalArgumentException(
+              s"esql: DATE_PARSE pattern must be a string literal, got $other")
+          }
+        case "CATEGORIZE" =>
+          // CATEGORIZE(field) (8.18, STATS BY) — log-pattern grouping.
+          // Same DOCUMENTED DEVIATION as the categorize_text agg
+          // (EsAggs.scala): ES runs an ML token-weight categorizer; the
+          // engine keys by the deterministic token SKELETON (hex runs
+          // masked before digit runs), reproducible and codegen'd. A
+          // plain scalar expression, so BY cat = CATEGORIZE(msg) is just
+          // a grouping key — one hash aggregation, no extra machinery.
+          arity(1)
+          regexp_replace(regexp_replace(c(0).cast("string"),
+            lit("\\b0x[0-9a-fA-F]+\\b"), lit("<hex>")),
+            lit("[0-9]+"), lit("<n>"))
         case "DATE_DIFF" =>
           // DATE_DIFF(unit, start, end) — whole units from start to end,
           // truncated toward zero (the ES|QL contract); exact long math on

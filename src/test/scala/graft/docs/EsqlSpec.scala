@@ -407,6 +407,24 @@ class EsqlSpec extends SparkSpec {
       "TS m ON host | LIMIT 1")).getMessage.contains("ts_us"))
   }
 
+  test("CATEGORIZE masks hex before digits; DATE_PARSE round-trips and nulls bad input") {
+    import spark.implicits._
+    val logs = Map("lg" -> Seq(
+      (1L, "err 0xdead12 at port 8080"), (2L, "err 0xbeef at port 9090"),
+      (3L, "ok started"), (4L, "2024-02-29"), (5L, "not a date"))
+      .toDF("id", "msg"))
+    val cats = Esql.run(logs,
+      """FROM lg | STATS n = COUNT(*) BY cat = CATEGORIZE(msg) | SORT n DESC, cat ASC""")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(cats.head === ("err <hex> at port <n>", 2L))
+    // DATE_PARSE: leap-day round-trip; unparseable → null
+    val parsed = Esql.run(logs,
+      """FROM lg | WHERE id >= 4 | EVAL us = DATE_PARSE("yyyy-MM-dd", msg) | KEEP id, us | SORT id""")
+      .collect()
+    assert(parsed(0).getLong(1) === 1709164800000000L) // 2024-02-29T00:00Z
+    assert(parsed(1).isNullAt(1))
+  }
+
   test("SAMPLE: md5-threshold inclusion is exact and stable; bounds enforced") {
     import spark.implicits._
     val ids = (1L to 200L)

@@ -9114,6 +9114,44 @@ object DocQueries {
       |ORDER BY user_id, t1_us, t2_us, t3_us""").stripMargin
   }
 
+  // ---------------------------------------------------------------- d244
+  /** EQL multi-key `sequence by user_id, day` — composite join keys
+    * (every key must match across the steps). The day column derives
+    * from the timeline before the sequence runs, so the sequence is
+    * additionally segmented by calendar day — the sessionized shape.
+    * Same single-shuffle window-carry plan, just a composite
+    * partitioning key. */
+  private def d244(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.Tables.events(s, d)
+      .withColumn("day", expr("ts_us DIV 86400000000"))
+    val q =
+      """sequence by user_id, day with maxspan=72h
+        |  [ event where event_type == "view" ]
+        |  [ event where event_type == "click" ]""".stripMargin
+    Eql.run(ev, q)
+  }
+
+  private val d244Sql = {
+    def lastBefore(x: String) =
+      s"""last_value($x IGNORE NULLS) OVER (PARTITION BY user_id, day
+         |      ORDER BY tsu, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)""".stripMargin
+    ("""WITH e AS (
+      |  SELECT event_id, user_id, event_type, epoch_us(ts) AS tsu,
+      |    epoch_us(ts) // 86400000000 AS day FROM events
+      |  WHERE event_type IN ('view', 'click')),
+      |a0 AS (SELECT *, CASE WHEN event_type = 'view'
+      |    THEN struct_pack(ts1 := tsu) END AS _a0 FROM e),
+      |p1 AS (SELECT *, """ + lastBefore("_a0") + """ AS _p1 FROM a0),
+      |a1 AS (SELECT *, CASE WHEN event_type = 'click' AND _p1 IS NOT NULL
+      |    THEN struct_pack(ts1 := (_p1).ts1, ts2 := tsu) END AS _a1 FROM p1)
+      |SELECT user_id, day, (_a1).ts1 AS t1_us, (_a1).ts2 AS t2_us,
+      |  (_a1).ts2 - (_a1).ts1 AS span_us
+      |FROM a1
+      |WHERE _a1 IS NOT NULL AND (_a1).ts2 - (_a1).ts1 <= 259200000000
+      |ORDER BY user_id, day, t1_us, t2_us""").stripMargin
+  }
+
   // ---------------------------------------------------------------- d242
   /** ES|QL `CATEGORIZE` in STATS BY (8.18) — log-pattern grouping as a
     * grouping KEY (same documented token-skeleton deviation as the
@@ -9606,6 +9644,7 @@ object DocQueries {
     "d241_es_downsample" -> d241 _,
     "d242_esql_categorize" -> d242 _,
     "d243_esql_date_parse" -> d243 _,
+    "d244_eql_multi_key" -> d244 _,
     "d206_es_parent_agg" -> d206 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
@@ -9851,6 +9890,7 @@ object DocQueries {
     "d241_es_downsample" -> d241Sql,
     "d242_esql_categorize" -> d242Sql,
     "d243_esql_date_parse" -> d243Sql,
+    "d244_eql_multi_key" -> d244Sql,
     "d206_es_parent_agg" -> d206Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,

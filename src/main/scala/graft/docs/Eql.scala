@@ -42,12 +42,16 @@ object Eql {
   final case class Step(field: String, value: String)
   /** `missing` (EQL 8.7 missing events): gap index g → the event that
     * must NOT occur between positive steps g and g+1 (1-based). */
-  final case class SequenceQuery(by: String, maxspanUs: Long, steps: Seq[Step],
+  final case class SequenceQuery(byKeys: Seq[String], maxspanUs: Long,
+                                 steps: Seq[Step],
                                  until: Option[Step] = None,
-                                 missing: Map[Int, Step] = Map.empty)
+                                 missing: Map[Int, Step] = Map.empty) {
+    /** Single-key accessor kept for the common case. */
+    def by: String = byKeys.head
+  }
 
   private val Head =
-    """^\s*sequence\s+by\s+(\w+)\s+with\s+maxspan\s*=\s*(\d+)([smh])\s*(.*)$""".r
+    """^\s*sequence\s+by\s+(\w+(?:\s*,\s*\w+)*)\s+with\s+maxspan\s*=\s*(\d+)([smh])\s*(.*)$""".r
   // optional `with runs=N` (EQL 8.0): the step repeats N times in the
   // sequence — parsed here, expanded to N copies before compilation, so
   // the window-carry machinery never knows runs existed. A leading `!`
@@ -90,7 +94,8 @@ object Eql {
         s"eql sequence needs 2-5 steps, got ${steps.size}")
       require(StepRe.replaceAllIn(rest, "").trim.isEmpty,
         s"unsupported eql step syntax in: $rest")
-      SequenceQuery(by, n.toLong * mult, steps.toSeq, until, missing.toMap)
+      SequenceQuery(by.split(",").map(_.trim).toSeq, n.toLong * mult,
+        steps.toSeq, until, missing.toMap)
     case other => throw new IllegalArgumentException(
       s"unsupported eql query (sequence-by with maxspan only): $other")
   }
@@ -255,7 +260,7 @@ object Eql {
     // until expiry / missing-gap events) participate
     val relevant = (sq.steps ++ sq.until ++ sq.missing.values)
       .map(st => col(st.field) === lit(st.value)).reduce(_ || _)
-    val w = Window.partitionBy(col(sq.by))
+    val w = Window.partitionBy(sq.byKeys.map(col): _*)
       .orderBy(col("ts_us").asc, col("event_id").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     var df = events.filter(relevant)
@@ -311,9 +316,9 @@ object Eql {
     val done = col(s"_a${n - 1}")
     df.filter(done.isNotNull &&
         done.getField(s"ts$n") - done.getField("ts1") <= sq.maxspanUs)
-      .select(col(sq.by) +:
+      .select(sq.byKeys.map(col) ++
         (1 to n).map(j => done.getField(s"ts$j").as(s"t${j}_us")) :+
         (done.getField(s"ts$n") - done.getField("ts1")).as("span_us"): _*)
-      .orderBy(col(sq.by) +: (1 to n).map(j => col(s"t${j}_us")): _*)
+      .orderBy(sq.byKeys.map(col) ++ (1 to n).map(j => col(s"t${j}_us")): _*)
   }
 }

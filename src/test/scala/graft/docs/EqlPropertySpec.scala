@@ -1,0 +1,84 @@
+package graft.docs
+
+import graft.SparkSpec
+
+/** Property-style equivalence for the EQL sequence engine: a seeded
+  * generator produces random event streams (timestamp ties included) and
+  * random sequence queries (2-4 steps, optional runs, optional until,
+  * optional missing-event gap), and each is checked against an
+  * INDEPENDENT sequential reference that simulates the documented
+  * last-prefix window-carry contract row by row. Seeded → deterministic,
+  * no extra test deps (the EsqlPropertySpec pattern). */
+class EqlPropertySpec extends SparkSpec {
+
+  private val Types = Vector("a", "b", "c", "e", "m")
+
+  /** Sequential reference: the documented contract, simulated per key in
+    * (ts, id) order with "last value strictly before this row" carries. */
+  private def reference(events: Seq[(Long, Long, String, Long)], // id, user, type, ts
+                        steps: Seq[String], maxspanUs: Long,
+                        until: Option[String],
+                        missing: Map[Int, String]): Seq[Seq[Long]] = {
+    val n = steps.size
+    val out = scala.collection.mutable.ListBuffer[Seq[Long]]()
+    events.groupBy(_._2).foreach { case (user, evs) =>
+      val lastA = Array.fill[Option[Vector[Long]]](n)(None)
+      var lastU: Option[Long] = None
+      val lastM = scala.collection.mutable.Map[Int, Long]()
+      evs.sortBy(e => (e._4, e._1)).foreach { case (_, _, tpe, ts) =>
+        // compute this row's prefixes from the PRE-row carries
+        val a = Array.fill[Option[Vector[Long]]](n)(None)
+        if (tpe == steps.head) a(0) = Some(Vector(ts))
+        for (i <- 1 until n) {
+          val prefix = lastA(i - 1)
+          val untilOk = prefix.forall(p => lastU.forall(_ < p.last))
+          val gapOk = prefix.forall(p =>
+            missing.get(i).forall(_ => lastM.get(i).forall(_ <= p.last)))
+          if (tpe == steps(i) && prefix.isDefined && untilOk && gapOk)
+            a(i) = Some(prefix.get :+ ts)
+        }
+        a(n - 1).filter(p => p.last - p.head <= maxspanUs)
+          .foreach(p => out += (user +: p) :+ (p.last - p.head))
+        // post-row carry updates
+        for (i <- 0 until n) if (a(i).isDefined) lastA(i) = a(i)
+        if (until.contains(tpe)) lastU = Some(ts)
+        missing.foreach { case (g, m) => if (m == tpe) lastM(g) = ts }
+      }
+    }
+    out.toSeq.sortBy(r => (r.head, r(1), r(2)))
+  }
+
+  test("48 random sequences equal the sequential last-prefix reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260815L)
+    (1 to 48).foreach { caseNo =>
+      val nEvents = 60 + rnd.nextInt(60)
+      val events = (1 to nEvents).map { i =>
+        (i.toLong, (rnd.nextInt(4) + 1).toLong,
+          Types(rnd.nextInt(Types.size)),
+          rnd.nextInt(30).toLong * 100000L) // coarse ts → frequent ties
+      }
+      val nSteps = 2 + rnd.nextInt(3)
+      val steps = Seq.fill(nSteps)(Types(rnd.nextInt(3))) // from a,b,c
+      val until = if (rnd.nextBoolean()) Some("e") else None
+      // one missing gap half the time (gap index 1..nSteps-1, event "m")
+      val missing: Map[Int, String] =
+        if (rnd.nextBoolean()) Map((1 + rnd.nextInt(nSteps - 1)) -> "m")
+        else Map.empty
+      val stepTxt = steps.zipWithIndex.map { case (s, i) =>
+        val neg = missing.get(i + 1).map(m =>
+          s""" ![ event where event_type == "$m" ]""").getOrElse("")
+        s"""[ event where event_type == "$s" ]$neg"""
+      }.mkString(" ")
+      val untilTxt = until.map(u =>
+        s""" until [ event where event_type == "$u" ]""").getOrElse("")
+      val q = s"sequence by user_id with maxspan=1s $stepTxt$untilTxt"
+      val df = events.toDF("event_id", "user_id", "event_type", "ts_us")
+      val got = Eql.run(df, q).collect()
+        .map(r => (0 until r.length).map(r.getLong).toSeq).toSeq
+        .sortBy(r => (r.head, r(1), r(2)))
+      val want = reference(events, steps, 1000000L, until, missing)
+      assert(got === want, s"case $caseNo query: $q")
+    }
+  }
+}

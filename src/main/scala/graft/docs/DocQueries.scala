@@ -9114,6 +9114,41 @@ object DocQueries {
       |ORDER BY user_id, t1_us, t2_us, t3_us""").stripMargin
   }
 
+  // ---------------------------------------------------------------- d245
+  /** EQL sequence result pipe `| head n` — the bounded slice of the
+    * canonical (by, t1..tn) order (documented deviation from ES's
+    * last-event-timestamp order, Eql.scala). Plans as ONE bounded
+    * TakeOrderedAndProject over the window-carry output — n rows of
+    * driver state from any corpus. */
+  private def d245(s: SparkSession, d: String): DataFrame = {
+    val q =
+      """sequence by user_id with maxspan=72h
+        |  [ event where event_type == "view" ]
+        |  [ event where event_type == "click" ]
+        || head 20""".stripMargin
+    Eql.run(graft.Tables.events(s, d), q)
+  }
+
+  private val d245Sql = {
+    def lastBefore(x: String) =
+      s"""last_value($x IGNORE NULLS) OVER (PARTITION BY user_id
+         |      ORDER BY tsu, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)""".stripMargin
+    ("""WITH e AS (
+      |  SELECT event_id, user_id, event_type, epoch_us(ts) AS tsu FROM events
+      |  WHERE event_type IN ('view', 'click')),
+      |a0 AS (SELECT *, CASE WHEN event_type = 'view'
+      |    THEN struct_pack(ts1 := tsu) END AS _a0 FROM e),
+      |p1 AS (SELECT *, """ + lastBefore("_a0") + """ AS _p1 FROM a0),
+      |a1 AS (SELECT *, CASE WHEN event_type = 'click' AND _p1 IS NOT NULL
+      |    THEN struct_pack(ts1 := (_p1).ts1, ts2 := tsu) END AS _a1 FROM p1)
+      |SELECT user_id, (_a1).ts1 AS t1_us, (_a1).ts2 AS t2_us,
+      |  (_a1).ts2 - (_a1).ts1 AS span_us
+      |FROM a1
+      |WHERE _a1 IS NOT NULL AND (_a1).ts2 - (_a1).ts1 <= 259200000000
+      |ORDER BY user_id, t1_us, t2_us LIMIT 20""").stripMargin
+  }
+
   // ---------------------------------------------------------------- d244
   /** EQL multi-key `sequence by user_id, day` — composite join keys
     * (every key must match across the steps). The day column derives
@@ -9645,6 +9680,7 @@ object DocQueries {
     "d242_esql_categorize" -> d242 _,
     "d243_esql_date_parse" -> d243 _,
     "d244_eql_multi_key" -> d244 _,
+    "d245_eql_seq_head" -> d245 _,
     "d206_es_parent_agg" -> d206 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
@@ -9891,6 +9927,7 @@ object DocQueries {
     "d242_esql_categorize" -> d242Sql,
     "d243_esql_date_parse" -> d243Sql,
     "d244_eql_multi_key" -> d244Sql,
+    "d245_eql_seq_head" -> d245Sql,
     "d206_es_parent_agg" -> d206Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,

@@ -252,8 +252,32 @@ object Eql {
     }
 
   /** Run over an event frame carrying (`ts_us` long micros, `event_id`
-    * long — the deterministic tiebreak — plus the by/step columns). */
+    * long — the deterministic tiebreak — plus the by/step columns).
+    * A trailing `| head n` / `| tail n` result pipe bounds the output
+    * (DOCUMENTED DEVIATION: ES orders sequence results by ascending
+    * last-event timestamp; the engine's canonical order is (by-keys,
+    * t1..tn) — the pipe slices THAT order, both ends compiling to a
+    * bounded TakeOrderedAndProject heap, never a full sort). */
   def run(events: DataFrame, query: String): DataFrame = {
+    val pipeSplit = query.split("\\|").map(_.trim).toList
+    val base = runSeq(events, pipeSplit.head)
+    val sortCols = base.columns.dropRight(1) // by-keys ++ t1..tn
+    var df = base
+    pipeSplit.tail.foreach { p =>
+      p.split("\\s+").toList match {
+        case List("head", n) if n.forall(_.isDigit) =>
+          df = df.orderBy(sortCols.map(col(_).asc): _*).limit(n.toInt)
+        case List("tail", n) if n.forall(_.isDigit) =>
+          df = df.orderBy(sortCols.map(col(_).desc): _*).limit(n.toInt)
+        case _ => throw new IllegalArgumentException(
+          s"unsupported eql sequence pipe (head/tail): $p")
+      }
+    }
+    if (pipeSplit.tail.isEmpty) df
+    else df.orderBy(sortCols.map(col(_).asc): _*)
+  }
+
+  private def runSeq(events: DataFrame, query: String): DataFrame = {
     val sq = parse(query)
     val n = sq.steps.size
     // scan-pushable pre-filter: only rows matching SOME step (or the

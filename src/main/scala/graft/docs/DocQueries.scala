@@ -9114,6 +9114,20 @@ object DocQueries {
       |ORDER BY user_id, t1_us, t2_us, t3_us""").stripMargin
   }
 
+  // ---------------------------------------------------------------- d246
+  /** ES|QL `ROW` — the literal source command (a 1-row local relation;
+    * what Kibana uses to probe functions). The pipe machinery applies
+    * unchanged; cost is nothing at any scale. */
+  private def d246(s: SparkSession, d: String): DataFrame = {
+    val q = """ROW a = 5, b = "x" | EVAL c = a * 2 + 1, d = CONCAT(b, "!")"""
+    Esql.run(Map("events" ->
+      s.read.parquet(s"$d/events.parquet").limit(1)), q)
+  }
+
+  private val d246Sql =
+    """SELECT CAST(5 AS BIGINT) AS a, 'x' AS b, CAST(11 AS BIGINT) AS c,
+      |  'x!' AS d""".stripMargin
+
   // ---------------------------------------------------------------- d245
   /** EQL sequence result pipe `| head n` — the bounded slice of the
     * canonical (by, t1..tn) order (documented deviation from ES's
@@ -9681,6 +9695,7 @@ object DocQueries {
     "d243_esql_date_parse" -> d243 _,
     "d244_eql_multi_key" -> d244 _,
     "d245_eql_seq_head" -> d245 _,
+    "d246_esql_row" -> d246 _,
     "d206_es_parent_agg" -> d206 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
@@ -9928,6 +9943,7 @@ object DocQueries {
     "d243_esql_date_parse" -> d243Sql,
     "d244_eql_multi_key" -> d244Sql,
     "d245_eql_seq_head" -> d245Sql,
+    "d246_esql_row" -> d246Sql,
     "d206_es_parent_agg" -> d206Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,

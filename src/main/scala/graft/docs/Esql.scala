@@ -657,7 +657,27 @@ object Esql {
         "esql: TS requires a ts_us epoch-micros column on the index")
       return pipe(t, segments.tail, sources, enrich, Some(series))
     }
-    require(kw(head.head) == "FROM", s"esql: pipe must start with FROM")
+    // ROW name = <literal expr>, ... — the literal source command (one
+    // row, no index). Expressions may be any supported scalar expression
+    // over literals; the frame is a 1-row local relation, so the rest of
+    // the pipe costs nothing.
+    if (kw(head.head) == "ROW") {
+      require(sources.nonEmpty,
+        "esql: ROW needs at least one registered source for the session")
+      val hp = new P(head.tail)
+      val cols = scala.collection.mutable.ListBuffer[Column]()
+      var go = true
+      while (go) {
+        val name = hp.ident()
+        hp.expectOp("=")
+        cols += compile(hp.expr()).as(name)
+        if (hp.peek.contains(TOp(","))) hp.pop() else go = false
+      }
+      require(hp.ts.isEmpty, s"esql: trailing tokens in ROW: ${hp.ts.take(4)}")
+      val one = sources.head._2.sparkSession.range(1).select(cols.toSeq: _*)
+      return pipe(one, segments.tail, sources, enrich)
+    }
+    require(kw(head.head) == "FROM", s"esql: pipe must start with FROM or ROW or TS")
     // FROM idx[, idx...] [METADATA _index] — multi-index search unions by
     // name (missing fields null, the cross-index ES contract); METADATA
     // _index stamps each row's source index as a literal, so it costs

@@ -18,7 +18,12 @@ class EsqlSpec extends SparkSpec {
     intercept[IllegalArgumentException](Esql.run(tiny, q)).getMessage
 
   test("rejections are loud and name the reason") {
-    assert(bad("""ROW a = 1""").contains("pipe must start with FROM"))
+    assert(bad("""SHOW INFO""").contains("pipe must start with FROM"))
+    // ROW is a literal source: one local row, the pipe applies normally
+    val rowOut = Esql.run(tiny, """ROW a = 5, b = "x" | EVAL c = a * 2""").collect()
+    assert(rowOut.length === 1)
+    assert(rowOut.head.getLong(0) === 5L && rowOut.head.getString(1) === "x" &&
+      rowOut.head.getLong(2) === 10L)
     assert(bad("""FROM missing | LIMIT 1""").contains("unknown index"))
     assert(bad("""FROM t | RERANK query""").contains("unsupported command"))
     assert(bad("""FROM t | FORK (WHERE v > 1)""").contains("FORK takes 2-8 branches"))

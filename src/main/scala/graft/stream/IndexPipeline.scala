@@ -1215,7 +1215,111 @@ object IndexPipeline {
        |ORDER BY b.new_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- st16
+  /** STREAMING EQL: the d208 sequence (view → click → purchase within
+    * 72h, by user) detected LIVE over the event stream with
+    * `flatMapGroupsWithState` — per-key state is exactly the batch
+    * engine's window carries (the last 1-step and 2-step prefix
+    * timestamps: THREE longs per user, regardless of corpus size), and
+    * completions append as they happen. Events arrive in time-ordered
+    * micro-batches (files split on ts; each batch sorts per key before
+    * the fold), so the fold replays the batch engine's strictly-before
+    * contract across batch boundaries. THE GATE IS EQUALITY WITH BATCH:
+    * the oracle is d208's SQL — streaming output must match the batch
+    * EQL result row for row. 100 TB/day shape: state O(keys)·3 longs,
+    * append-only sink, no reprocessing — the funnel fires the moment the
+    * purchase lands. */
+  private def st16(s0: SparkSession, d: String): DataFrame = {
+    import s0.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val s = s0.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", 8)
+    val base = Files.createTempDirectory("graft-stream16-")
+    val srcDir = base.resolve("log").toString
+    val ckDir = base.resolve("ck").toString
+    val ev = Tables.events(s, d)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts_us"))
+    // time-ordered micro-batches: 3 files split on the ts range (equal
+    // timestamps never straddle a boundary)
+    val maxTs = ev.agg(max(col("ts_us"))).head().getLong(0) + 1
+    (0 until 3).foreach { i =>
+      ev.filter(floor(col("ts_us") * 3 / maxTs) === i)
+        .coalesce(1).write.parquet(s"$srcDir/b$i")
+    }
+    val MaxSpanUs = 259200000000L // 72h
+    def upd(key: Long, it: Iterator[SeqEvent],
+            st: GroupState[SeqCarry]): Iterator[SeqHit] = {
+      var c = st.getOption.getOrElse(SeqCarry(-1L, -1L, -1L))
+      val out = scala.collection.mutable.ListBuffer[SeqHit]()
+      it.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+        // compute this row's stage completions from PRE-row carries
+        val a0 = if (e.event_type == "view") e.ts_us else -1L
+        val a1 = if (e.event_type == "click" && c.s1 >= 0) (c.s1, e.ts_us) else null
+        if (e.event_type == "purchase" && c.s2a >= 0 &&
+            e.ts_us - c.s2a <= MaxSpanUs)
+          out += SeqHit(key, c.s2a, c.s2b, e.ts_us, e.ts_us - c.s2a)
+        // post-row carry updates (stage slots are independent)
+        c = SeqCarry(
+          if (a0 >= 0) a0 else c.s1,
+          if (a1 != null) a1._1 else c.s2a,
+          if (a1 != null) a1._2 else c.s2b)
+      }
+      st.update(c)
+      out.iterator
+    }
+    val qname = s"st16_eql_${System.nanoTime()}"
+    val stream = s.readStream
+      .schema(ev.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$srcDir/b*")
+      .as[SeqEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(upd _)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(qname)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckDir)
+      .start()
+    stream.awaitTermination()
+    val out = s.table(qname)
+      .select(col("user_id"), col("t1_us"), col("t2_us"), col("t3_us"),
+        col("span_us"))
+      .orderBy(col("user_id"), col("t1_us"), col("t2_us"), col("t3_us"))
+    val pinned = graft.Eager.pin(out)
+    deleteRecursively(base)
+    pinned
+  }
+
+  /** The batch d208 oracle verbatim — streaming must equal batch. */
+  private val st16Sql = {
+    def lastBefore(x: String) =
+      s"""last_value($x IGNORE NULLS) OVER (PARTITION BY user_id
+         |      ORDER BY tsu, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)""".stripMargin
+    ("""WITH e AS (
+      |  SELECT event_id, user_id, event_type, epoch_us(ts) AS tsu FROM events
+      |  WHERE event_type IN ('view', 'click', 'purchase')),
+      |a0 AS (SELECT *, CASE WHEN event_type = 'view'
+      |    THEN struct_pack(ts1 := tsu) END AS _a0 FROM e),
+      |p1 AS (SELECT *, """ + lastBefore("_a0") + """ AS _p1 FROM a0),
+      |a1 AS (SELECT *, CASE WHEN event_type = 'click' AND _p1 IS NOT NULL
+      |    THEN struct_pack(ts1 := (_p1).ts1, ts2 := tsu) END AS _a1 FROM p1),
+      |p2 AS (SELECT *, """ + lastBefore("_a1") + """ AS _p2 FROM a1),
+      |a2 AS (SELECT *, CASE WHEN event_type = 'purchase' AND _p2 IS NOT NULL
+      |    THEN struct_pack(ts1 := (_p2).ts1, ts2 := (_p2).ts2, ts3 := tsu)
+      |    END AS _a2 FROM p2)
+      |SELECT user_id, (_a2).ts1 AS t1_us, (_a2).ts2 AS t2_us, (_a2).ts3 AS t3_us,
+      |  (_a2).ts3 - (_a2).ts1 AS span_us
+      |FROM a2
+      |WHERE _a2 IS NOT NULL AND (_a2).ts3 - (_a2).ts1 <= 259200000000
+      |ORDER BY user_id, t1_us, t2_us, t3_us""").stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "st16_stream_eql" -> st16 _,
     "st14_stream_neardup" -> st14 _,
     "st12_stream_topk" -> st12 _,
     "st13_full_outer_join" -> st13 _,
@@ -1231,6 +1335,7 @@ object IndexPipeline {
     "st3_stream_mgws" -> st3 _,
     "st4_stream_sessions" -> st4 _)
   val oracle: Map[String, String] = Map(
+    "st16_stream_eql" -> st16Sql,
     "st14_stream_neardup" -> st14Sql,
     "st12_stream_topk" -> st12Sql,
     "st13_full_outer_join" -> st13Sql,
@@ -1253,3 +1358,13 @@ case class EntityEvent(seq: Long, key: Long, op: String, event_type: String, val
 /** Per-key streaming state: the latest record + cumulative event count. */
 case class EntityState(key: Long, seq: Long, op: String, event_type: String,
                        value: Double, n_events: Long)
+
+/** Typed event row for st16's streaming EQL fold. */
+case class SeqEvent(event_id: Long, user_id: Long, event_type: String, ts_us: Long)
+
+/** st16 per-key state — the batch engine's window carries: last 1-step
+  * prefix ts and last 2-step prefix (ts1, ts2); -1 = none yet. */
+case class SeqCarry(s1: Long, s2a: Long, s2b: Long)
+
+/** st16 output: one completed sequence (the d208 row shape). */
+case class SeqHit(user_id: Long, t1_us: Long, t2_us: Long, t3_us: Long, span_us: Long)

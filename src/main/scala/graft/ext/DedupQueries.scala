@@ -1340,7 +1340,55 @@ object DedupQueries {
        |ORDER BY bands""".stripMargin
   }
 
+  // ---------------------------------------------------------------- dd14
+  /** Bloom-gated incremental exact dedup — the 100 TB admission-control
+    * shape: the standing corpus keeps a MEMBERSHIP SKETCH of content
+    * fingerprints (Spark's own BloomFilterAggregate, surfaced as
+    * `graft_bloom_agg`; bit-or merge is commutative so the sketch is
+    * partial-order independent), and each incoming batch probes it with
+    * the codegen'd `graft_might_contain` BEFORE any join. Only probe
+    * survivors reach the exact md5 verification join, so a mostly-clean
+    * batch never shuffles against the standing index at all — false
+    * positives are eliminated by the exact join and false negatives are
+    * impossible, so the final result is EXACT and the oracle is the
+    * plain equality join. The sketch is bounded driver/broadcast state
+    * (~10 bits per standing doc: a billion docs ≈ 1.2 GB, planted here
+    * as a literal the way centroids are). */
+  private def dd14(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.ensure(s)
+    val Boundary = 1000000L
+    val corpus = planted(s, d)
+    val old = corpus.filter(col("doc_id") < Boundary)
+    val batch = corpus.filter(col("doc_id") >= Boundary)
+    val bloomBytes = old
+      .selectExpr("graft_bloom_agg(xxhash64(text), 20000L, 200000L) AS bf")
+      .head().getAs[Array[Byte]](0)
+    val cand = batch.filter(
+      call_function("graft_might_contain", lit(bloomBytes), xxhash64(col("text"))))
+    val dup = cand.select(col("doc_id").as("batch_id"), md5(col("text")).as("h"))
+      .join(old.select(md5(col("text")).as("h"), col("doc_id").as("old_id")), "h")
+      .groupBy(col("batch_id")).agg(min(col("old_id")).as("src_id"))
+    batch.select(col("doc_id").as("batch_id"))
+      .join(dup, Seq("batch_id"), "left")
+      .select(col("batch_id"),
+        when(col("src_id").isNotNull, "drop_exact").otherwise("keep").as("verdict"),
+        col("src_id"))
+      .orderBy(col("batch_id"))
+  }
+
+  private val dd14Sql =
+    s"""WITH corpus AS ($PlantedSql),
+       |b AS (SELECT doc_id, md5(text) AS h FROM corpus WHERE doc_id >= 1000000),
+       |o AS (SELECT md5(text) AS h, doc_id FROM corpus WHERE doc_id < 1000000),
+       |j AS (SELECT b.doc_id AS batch_id, MIN(o.doc_id) AS src_id
+       |      FROM b LEFT JOIN o ON b.h = o.h GROUP BY b.doc_id)
+       |SELECT batch_id,
+       |  CASE WHEN src_id IS NOT NULL THEN 'drop_exact' ELSE 'keep' END AS verdict,
+       |  src_id
+       |FROM j ORDER BY batch_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "dd14_bloom_gate" -> dd14 _,
     "dd13_lsh_planner" -> dd13 _,
     "dd12_exact_substring" -> dd12 _,
     "dd11_paragraph_dedup" -> dd11 _,
@@ -1356,6 +1404,7 @@ object DedupQueries {
     "dd6_dedup_clusters" -> dd6 _)
 
   val oracle: Map[String, String] = Map(
+    "dd14_bloom_gate" -> dd14Sql,
     "dd13_lsh_planner" -> dd13Sql,
     "dd12_exact_substring" -> dd12Sql,
     "dd11_paragraph_dedup" -> dd11Sql,

@@ -23,6 +23,32 @@ object GraftExtensions {
     (FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (children: Seq[Expression]) => VecDot(children.head, children(1))),
+    // Spark's own runtime-filter bloom machinery (BloomFilterAggregate /
+    // BloomFilterMightContain — the exact expressions InjectRuntimeFilter
+    // plants) is NOT in the public FunctionRegistry; surface it so the
+    // dedup family can build STANDING membership sketches over content
+    // fingerprints. Deterministic: bloom bit-or is commutative, so the
+    // sketch is partial-order independent — and every probe survivor is
+    // re-verified by an exact join, so results stay oracle-exact.
+    (FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          "graft_bloom_agg(hashCol, estimatedNumItems, numBits)")
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          children.head, children(1), children(2))
+      }),
+    (FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_might_contain"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_might_contain(bloom, hashCol)")
+        new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children.head, children(1))
+      }),
     (FunctionIdentifier("haversine_m"),
       new ExpressionInfo(classOf[HaversineM].getName, "haversine_m"),
       (children: Seq[Expression]) => {

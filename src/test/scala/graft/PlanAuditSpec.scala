@@ -1104,6 +1104,17 @@ class PlanAuditSpec extends SparkSpec {
       s"expected exactly the (dims, bucket) shuffle, got $hashExchanges:\n$p")
   }
 
+  test("dd14: the bloom probe gates the batch BEFORE the verification join") {
+    val p = plan(q("dd14_bloom_gate"))
+    assert(p.contains("might_contain"),
+      s"the codegen'd bloom probe must appear in the plan:\n$p")
+    // the probe is a literal-sketch filter, never a join against the
+    // standing index — joins in the plan are the verification equi-join
+    // and the final left join only
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"bloom gate must not cartesian:\n$p")
+  }
+
   test("t16: stratified sample runs both windows on ONE stratum shuffle") {
     val p = plan(q("t16_stratified_sample"))
     // count-per-stratum and hash-rank share the lang partitioning: one

@@ -340,6 +340,30 @@ class ExtSpec extends SparkSpec {
     assert(raw("zzzzzzz").getAs[Int]("len") === 7)
   }
 
+  test("dd14 bloom gate: no false negatives, real pruning, exact final result") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.ensure(spark)
+    val old = (1 to 200).map(i => (i.toLong, s"standing doc $i")).toDF("doc_id", "text")
+    // batch: 5 exact copies of standing docs + 95 fresh docs
+    val batch = ((1 to 5).map(i => (1000L + i, s"standing doc $i")) ++
+      (1 to 95).map(i => (2000L + i, s"fresh doc $i"))).toDF("doc_id", "text")
+    val bf = old.selectExpr("graft_bloom_agg(xxhash64(text), 500L, 8000L) AS bf")
+      .head().getAs[Array[Byte]](0)
+    val cand = batch.filter(
+      call_function("graft_might_contain", lit(bf), xxhash64(col("text"))))
+    val n = cand.count()
+    // every true duplicate survives the probe (bloom = no false negatives)
+    assert(n >= 5, s"bloom dropped true duplicates: $n")
+    // and the gate genuinely prunes the clean majority
+    assert(n < 50, s"bloom pruned nothing: $n of 100")
+    // final verdicts are exact after the verification join
+    val verdicts = cand.select(col("doc_id"), md5(col("text")).as("h"))
+      .join(old.select(md5(col("text")).as("h"), col("doc_id").as("src")), "h")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(verdicts === (1001L to 1005L).toSet)
+  }
+
   test("shingleHashesFlat equals positional shingleHashes (incl. short arrays)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

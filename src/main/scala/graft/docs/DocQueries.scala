@@ -9114,6 +9114,86 @@ object DocQueries {
       |ORDER BY user_id, t1_us, t2_us, t3_us""").stripMargin
   }
 
+  // ---------------------------------------------------------------- d247
+  /** ES SQL (`_sql`) — aggregate path. The SQL translates source-to-source
+    * into an ES|QL pipe (EsSql.scala) and runs through the ONE compiled
+    * backend: analyzed MATCH() reaches the scan as a pushed boolean
+    * filter, GROUP BY is one hash agg, HAVING a post-agg filter on the
+    * aliased outputs, ORDER BY + LIMIT a bounded TakeOrderedAndProject.
+    * COUNT(DISTINCT source) maps to ES|QL COUNT_DISTINCT (exact). */
+  private def d247(s: SparkSession, d: String): DataFrame = {
+    val q =
+      """SELECT lang AS language, COUNT(*) AS n, SUM(n_chars) AS chars,
+        |       COUNT(DISTINCT source) AS srcs
+        |FROM documents
+        |WHERE MATCH(text, 'vector windows') AND n_chars > 200
+        |GROUP BY lang
+        |HAVING n > 1
+        |ORDER BY n DESC, language ASC
+        |LIMIT 10""".stripMargin
+    EsSql.run(Map("documents" ->
+      s.read.parquet(s"$d/documents.parquet")), q)
+  }
+
+  private val d247Sql = {
+    val an = graft.ext.TextAnalysis.analyzeSql("text")
+    s"""SELECT lang AS language, CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(SUM(n_chars) AS BIGINT) AS chars,
+       |  CAST(COUNT(DISTINCT source) AS BIGINT) AS srcs
+       |FROM documents
+       |WHERE list_has_any($an, ['vector', 'window']) AND n_chars > 200
+       |GROUP BY lang HAVING COUNT(*) > 1
+       |ORDER BY n DESC, language LIMIT 10""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- d248
+  /** ES SQL `HISTOGRAM(col, interval)` group key — ES SQL's fixed-interval
+    * bucketing, identical math to ES|QL `BUCKET` (floor(x/span)*span), so
+    * the translation emits a computed BY key and the bucketing stays
+    * INSIDE the single hash aggregation. SUM over doubles rides the
+    * engine's exact-decimal contract (decimal(12,2) partials) so totals
+    * are bit-exact against the oracle. */
+  private def d248(s: SparkSession, d: String): DataFrame = {
+    val q =
+      """SELECT HISTOGRAM(o_totalprice, 50000) AS bucket, COUNT(*) AS n,
+        |       SUM(o_totalprice) AS total
+        |FROM orders
+        |WHERE o_orderstatus = 'F'
+        |GROUP BY HISTOGRAM(o_totalprice, 50000)
+        |ORDER BY bucket ASC""".stripMargin
+    EsSql.run(Map("orders" -> graft.Tables(s, d, "orders")), q)
+  }
+
+  private val d248Sql =
+    """SELECT FLOOR(o_totalprice / 50000) * 50000 AS bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(28,6))
+      |    AS DOUBLE) AS total
+      |FROM orders WHERE o_orderstatus = 'F'
+      |GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------- d249
+  /** ES SQL row path (no GROUP BY): aliased/computed select items become
+    * one EVAL projection, KEEP restores select order, SQL LIKE wildcards
+    * (% _) convert to ES|QL's (* ?) inside the translator — the whole
+    * statement is a single projected, filtered, bounded-top-k scan with
+    * the LIKE and range predicates pushed below the projection. */
+  private def d249(s: SparkSession, d: String): DataFrame = {
+    val q =
+      """SELECT o_orderkey, o_custkey AS cust, o_totalprice / 1000 AS price_k
+        |FROM orders
+        |WHERE o_orderpriority LIKE '%URGENT' AND o_totalprice > 100000
+        |ORDER BY price_k DESC, o_orderkey ASC
+        |LIMIT 25""".stripMargin
+    EsSql.run(Map("orders" -> graft.Tables(s, d, "orders")), q)
+  }
+
+  private val d249Sql =
+    """SELECT o_orderkey, o_custkey AS cust, o_totalprice / 1000 AS price_k
+      |FROM orders
+      |WHERE o_orderpriority LIKE '%URGENT' AND o_totalprice > 100000
+      |ORDER BY price_k DESC, o_orderkey LIMIT 25""".stripMargin
+
   // ---------------------------------------------------------------- d246
   /** ES|QL `ROW` — the literal source command (a 1-row local relation;
     * what Kibana uses to probe functions). The pipe machinery applies
@@ -9696,6 +9776,9 @@ object DocQueries {
     "d244_eql_multi_key" -> d244 _,
     "d245_eql_seq_head" -> d245 _,
     "d246_esql_row" -> d246 _,
+    "d247_es_sql_agg" -> d247 _,
+    "d248_es_sql_histogram" -> d248 _,
+    "d249_es_sql_rows" -> d249 _,
     "d206_es_parent_agg" -> d206 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
@@ -9944,6 +10027,9 @@ object DocQueries {
     "d244_eql_multi_key" -> d244Sql,
     "d245_eql_seq_head" -> d245Sql,
     "d246_esql_row" -> d246Sql,
+    "d247_es_sql_agg" -> d247Sql,
+    "d248_es_sql_histogram" -> d248Sql,
+    "d249_es_sql_rows" -> d249Sql,
     "d206_es_parent_agg" -> d206Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,

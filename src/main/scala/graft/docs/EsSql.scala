@@ -1,0 +1,344 @@
+package graft.docs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Elasticsearch SQL (`_sql`, the x-pack SQL endpoint) — the fourth and
+  * last of ES's query languages (Query DSL, EQL, ES|QL, SQL), closing the
+  * language surface.
+  *
+  * ES itself executes `_sql` by translating to the same search/agg
+  * backend its other languages use; this engine does exactly that:
+  * `translate` rewrites the SQL string SOURCE-TO-SOURCE into an ES|QL
+  * pipe and hands it to `Esql.run`, so SQL inherits the whole compiled
+  * surface — analyzed `MATCH()`, exact-decimal SUM/AVG, `BUCKET`
+  * bucketing, bounded SORT+LIMIT — and every query stays ONE Catalyst
+  * plan (pushed filters, one hash agg, TakeOrderedAndProject). No second
+  * execution path exists to drift.
+  *
+  * Supported (the ES SQL SELECT core): `SELECT items FROM idx [WHERE e]
+  * [GROUP BY keys] [HAVING e] [ORDER BY k [ASC|DESC], ...] [LIMIT n]`
+  * with `MATCH(field, 'query')` full-text predicates, `SCORE()` absent
+  * (rejected loudly — ES|QL metadata `_score` is not implemented),
+  * `HISTOGRAM(col, interval)` group keys (ES SQL's fixed-interval
+  * bucketing = ES|QL `BUCKET`, both floor(x/span)*span),
+  * `COUNT(DISTINCT x)` → `COUNT_DISTINCT(x)`, and SQL `LIKE` patterns
+  * (`%`/`_` wildcards → ES|QL `*`/`?`). Dialect mapping is purely
+  * lexical: `=`→`==`, `<>`→`!=`, `'str'`→`"str"`.
+  *
+  * Deliberate v1 bounds, all rejected with a named reason at parse time
+  * (never silently wrong): `SELECT *`, `SELECT DISTINCT`, subqueries,
+  * JOIN/UNION/OFFSET, unaliased computed select items (ES SQL's
+  * auto-generated column headers would make oracle column naming
+  * ambiguous), compound aggregate expressions (`SUM(a)/SUM(b)` — ES SQL
+  * itself computes these client-side from two aggs), GROUP BY ordinals,
+  * and HAVING terms that do not reference SELECT aliases.
+  *
+  * Reference: the `_sql` endpoint is public ES x-pack surface (ES docs
+  * "SQL"); the reference repo queries ES only through the Query DSL
+  * (README.md:67-147), so SQL here is reference-adjacent closure, same
+  * class as EQL/ES|QL. */
+object EsSql {
+
+  // ---------------------------------------------------------- tokens
+  private sealed trait Tok
+  private final case class SId(s: String) extends Tok   // ident or keyword
+  private final case class SNum(s: String) extends Tok
+  private final case class SStr(s: String) extends Tok  // decoded '' escape
+  private final case class SOp(s: String) extends Tok
+
+  private val TokenRe =
+    ("""\s*(?:('(?:[^']|'')*')|([A-Za-z_][A-Za-z0-9_.]*)|""" +
+      """([0-9]+(?:\.[0-9]+)?)|(<>|<=|>=|!=|[<>+\-*/%(),=]))""").r
+
+  private def tokenize(q: String): List[Tok] = {
+    var pos = 0
+    val out = scala.collection.mutable.ListBuffer[Tok]()
+    while (pos < q.length) {
+      TokenRe.findPrefixMatchOf(q.substring(pos)) match {
+        case Some(m) =>
+          pos += m.end
+          if (m.group(1) != null)
+            out += SStr(m.group(1).substring(1, m.group(1).length - 1)
+              .replace("''", "'"))
+          else if (m.group(2) != null) out += SId(m.group(2))
+          else if (m.group(3) != null) out += SNum(m.group(3))
+          else out += SOp(m.group(4))
+        case None =>
+          if (q.substring(pos).trim.isEmpty) pos = q.length
+          else throw new IllegalArgumentException(
+            s"es-sql: cannot tokenize at: ${q.substring(pos).take(30)}")
+      }
+    }
+    out.toList
+  }
+
+  private def isKw(t: Tok, k: String): Boolean = t match {
+    case SId(s) => s.equalsIgnoreCase(k)
+    case _ => false
+  }
+
+  private def reject(why: String): Nothing =
+    throw new IllegalArgumentException(s"es-sql: unsupported: $why")
+
+  // ------------------------------------------------- clause splitting
+  /** Split the top-level token stream into SELECT/FROM/WHERE/GROUP BY/
+    * HAVING/ORDER BY/LIMIT clause bodies (paren depth 0 only, so function
+    * arguments never shadow clause keywords). */
+  private def clauses(ts: List[Tok]): Map[String, List[Tok]] = {
+    val heads = Set("SELECT", "FROM", "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT")
+    val out = scala.collection.mutable.LinkedHashMap[String, List[Tok]]()
+    var cur: Option[String] = None
+    var buf = scala.collection.mutable.ListBuffer[Tok]()
+    var depth = 0
+    def flush(): Unit = cur.foreach { c =>
+      if (out.contains(c)) reject(s"duplicate $c clause")
+      out(c) = buf.toList; buf = scala.collection.mutable.ListBuffer[Tok]()
+    }
+    var rest = ts
+    while (rest.nonEmpty) {
+      val t = rest.head
+      t match {
+        case SOp("(") => depth += 1; buf += t
+        case SOp(")") => depth -= 1; buf += t
+        case SId(s) if depth == 0 && heads.contains(s.toUpperCase) =>
+          val kw = s.toUpperCase
+          flush()
+          cur = Some(kw)
+          if (kw == "GROUP" || kw == "ORDER") {
+            rest = rest.tail
+            if (rest.isEmpty || !isKw(rest.head, "BY"))
+              reject(s"$kw must be followed by BY")
+          }
+        case SId(s) if depth == 0 &&
+          Set("JOIN", "UNION", "OFFSET", "DISTINCT", "PIVOT").contains(s.toUpperCase) =>
+          reject(s"${s.toUpperCase} (ES SQL v1 covers the single-index SELECT core)")
+        case _ => buf += t
+      }
+      rest = rest.tail
+    }
+    flush()
+    if (!out.contains("SELECT")) reject("query must start with SELECT")
+    if (!out.contains("FROM")) reject("missing FROM")
+    out.toMap
+  }
+
+  /** Split a clause body on top-level commas. */
+  private def commaSplit(ts: List[Tok]): List[List[Tok]] = {
+    val out = scala.collection.mutable.ListBuffer[List[Tok]]()
+    var buf = scala.collection.mutable.ListBuffer[Tok]()
+    var depth = 0
+    ts.foreach {
+      case t @ SOp("(") => depth += 1; buf += t
+      case t @ SOp(")") => depth -= 1; buf += t
+      case SOp(",") if depth == 0 =>
+        out += buf.toList; buf = scala.collection.mutable.ListBuffer[Tok]()
+      case t => buf += t
+    }
+    if (buf.nonEmpty) out += buf.toList
+    out.toList
+  }
+
+  // --------------------------------------------- expression re-emission
+  /** Re-emit a SQL expression token stream as ES|QL text. Lexical dialect
+    * map only — no reassociation, so operator precedence (identical in
+    * both grammars) is preserved verbatim. A string literal directly
+    * after LIKE converts SQL wildcards (% _) to ES|QL's (* ?). */
+  private def emit(ts: List[Tok]): String = {
+    val sb = new StringBuilder
+    var prevLike = false
+    ts.foreach { t =>
+      if (sb.nonEmpty) sb.append(' ')
+      t match {
+        case SId(s) =>
+          if (s.equalsIgnoreCase("SCORE"))
+            reject("SCORE() (no ES|QL _score metadata backend)")
+          if (s.contains("\"")) reject("quoted identifiers")
+          sb.append(s)
+          prevLike = s.equalsIgnoreCase("LIKE")
+        case SNum(s) => sb.append(s); prevLike = false
+        case SStr(s) =>
+          val body =
+            if (prevLike) {
+              if (s.contains("*") || s.contains("?"))
+                reject(s"literal * or ? inside a LIKE pattern ('$s')")
+              s.replace('%', '*').replace('_', '?')
+            } else s
+          sb.append('"')
+            .append(body.replace("\\", "\\\\").replace("\"", "\\\""))
+            .append('"')
+          prevLike = false
+        case SOp("=") => sb.append("=="); prevLike = false
+        case SOp("<>") => sb.append("!="); prevLike = false
+        case SOp(s) => sb.append(s); prevLike = false
+      }
+    }
+    sb.toString
+  }
+
+  // -------------------------------------------------- select items
+  private final case class Item(expr: List[Tok], alias: Option[String]) {
+    def bareCol: Option[String] = expr match {
+      case List(SId(c)) => Some(c)
+      case _ => None
+    }
+    /** Output column name: explicit alias, or the bare column itself. */
+    def name: String = alias.orElse(bareCol).getOrElse(
+      reject("computed select items need an explicit alias " +
+        s"(got: ${emit(expr)})"))
+  }
+
+  private def parseItem(ts: List[Tok]): Item = {
+    // top-level AS splits expr from alias
+    var depth = 0
+    var idx: Option[Int] = None
+    ts.zipWithIndex.foreach { case (t, i) =>
+      t match {
+        case SOp("(") => depth += 1
+        case SOp(")") => depth -= 1
+        case _ if depth == 0 && isKw(t, "AS") && idx.isEmpty => idx = Some(i)
+        case _ => ()
+      }
+    }
+    idx match {
+      case Some(i) =>
+        ts.drop(i + 1) match {
+          case List(SId(a)) => Item(ts.take(i), Some(a))
+          case _ => reject("AS must be followed by a single identifier")
+        }
+      case None => Item(ts, None)
+    }
+  }
+
+  private val Aggs = Set("SUM", "AVG", "MIN", "MAX", "COUNT", "MEDIAN",
+    "PERCENTILE", "STD_DEV")
+
+  /** Is the item exactly one aggregate call AGG(...)? Compound aggregate
+    * arithmetic is rejected (ES SQL computes those client-side from the
+    * component aggs; this engine keeps STATS entries 1:1 with aggs). */
+  private def aggCall(it: Item): Option[String] = it.expr match {
+    case SId(fn) :: SOp("(") :: _ if Aggs.contains(fn.toUpperCase) =>
+      if (it.expr.last != SOp(")")) reject(
+        s"aggregate must be a single call, got: ${emit(it.expr)}")
+      Some(fn.toUpperCase)
+    case _ =>
+      if (it.expr.exists { case SId(s) => Aggs.contains(s.toUpperCase); case _ => false })
+        reject(s"compound aggregate expression: ${emit(it.expr)} " +
+          "(ES SQL derives these client-side from component aggregates)")
+      None
+  }
+
+  /** Rewrite one aggregate call body: COUNT(DISTINCT x) → COUNT_DISTINCT(x). */
+  private def emitAgg(it: Item): String = it.expr match {
+    case SId(fn) :: SOp("(") :: rest if fn.equalsIgnoreCase("COUNT") &&
+      rest.headOption.exists(isKw(_, "DISTINCT")) =>
+      "COUNT_DISTINCT ( " + emit(rest.tail) // rest ends with ")"
+    case _ => emit(it.expr)
+  }
+
+  // --------------------------------------------------------- translate
+  /** SQL → ES|QL pipe. Pure string-to-string; `Esql.run` does the rest. */
+  def translate(sql: String): String = {
+    val ts = tokenize(sql)
+    if (ts.sliding(2).exists {
+      case List(SOp("("), t) => isKw(t, "SELECT")
+      case _ => false
+    }) reject("subqueries")
+    val cs = clauses(ts)
+
+    val items = commaSplit(cs("SELECT")).map(parseItem)
+    if (items.isEmpty || cs("SELECT").isEmpty) reject("empty SELECT list")
+    if (items.exists(_.expr == List(SOp("*")))) reject("SELECT *")
+
+    val idx = cs("FROM") match {
+      case List(SId(n)) => n
+      case other => reject(s"FROM must name one index, got: ${emit(other)}")
+    }
+
+    val pipes = scala.collection.mutable.ListBuffer[String](s"FROM $idx")
+    cs.get("WHERE").foreach(w => pipes += s"WHERE ${emit(w)}")
+
+    val groupKeys = cs.get("GROUP").map(commaSplit).getOrElse(Nil)
+    if (groupKeys.nonEmpty || items.exists(aggCall(_).isDefined)) {
+      // ---- aggregate path: one STATS, BY keys from GROUP BY
+      val (aggItems, keyItems) = items.partition(aggCall(_).isDefined)
+      if (aggItems.isEmpty) reject("GROUP BY without an aggregate in SELECT")
+      // every non-agg select item must be (textually) a group key
+      val keyTexts = groupKeys.map(emit)
+      keyItems.foreach { it =>
+        if (!keyTexts.contains(emit(it.expr)))
+          reject(s"non-aggregate select item '${emit(it.expr)}' " +
+            "is not in GROUP BY")
+      }
+      val by = groupKeys.map { g =>
+        g match {
+          case List(SId(c)) => c
+          case SId(h) :: SOp("(") :: _ if h.equalsIgnoreCase("HISTOGRAM") =>
+            // HISTOGRAM(col, interval) — ES SQL's fixed-interval bucket;
+            // identical math to ES|QL BUCKET (floor(x/span)*span), emitted
+            // as a computed BY key so it stays inside the ONE hash agg.
+            val alias = items.find(it => emit(it.expr) == emit(g)).getOrElse(
+              reject("HISTOGRAM group key must appear in SELECT with an alias")
+            ).name
+            val inner = emit(g.drop(2).dropRight(1))
+            s"$alias = BUCKET ( $inner )"
+          case SNum(_) :: Nil => reject("GROUP BY ordinals")
+          case other => reject(s"GROUP BY expression: ${emit(other)}")
+        }
+      }
+      val stats = items.flatMap { it =>
+        aggCall(it) match {
+          case Some(_) => Some(s"${it.name} = ${emitAgg(it)}")
+          case None => None
+        }
+      }
+      val byStr = if (by.isEmpty) "" else " BY " + by.map { k =>
+        // plain-column keys that were SELECTed under an alias keep the alias
+        items.find(_.bareCol.contains(k)).flatMap(_.alias) match {
+          case Some(a) => s"$a = $k"
+          case None => k
+        }
+      }.mkString(", ")
+      pipes += s"STATS ${stats.mkString(", ")}$byStr"
+      cs.get("HAVING").foreach { h =>
+        // HAVING references SELECT aliases; after STATS those are columns,
+        // so it is a plain post-agg WHERE (Catalyst keeps it above the agg)
+        val names = items.map(_.name).toSet
+        val refs = h.collect { case SId(s)
+          if !Set("AND", "OR", "NOT", "IN", "IS", "NULL", "LIKE", "TRUE", "FALSE")
+            .contains(s.toUpperCase) => s }
+        refs.find(r => !names.contains(r)).foreach(r =>
+          reject(s"HAVING may only reference SELECT aliases (got '$r')"))
+        pipes += s"WHERE ${emit(h)}"
+      }
+      // KEEP restores SELECT order (STATS emits aggs before keys)
+      pipes += s"KEEP ${items.map(_.name).mkString(", ")}"
+    } else {
+      // ---- row path: EVAL computed/aliased items, KEEP in select order
+      if (cs.contains("HAVING")) reject("HAVING without GROUP BY")
+      val evals = items.filter(it => it.alias.isDefined || it.bareCol.isEmpty)
+        .map(it => s"${it.name} = ${emit(it.expr)}")
+      if (evals.nonEmpty) pipes += s"EVAL ${evals.mkString(", ")}"
+      pipes += s"KEEP ${items.map(_.name).mkString(", ")}"
+    }
+
+    cs.get("ORDER").foreach { o =>
+      val keys = commaSplit(o).map {
+        case List(SId(c)) => c
+        case List(SId(c), d) if isKw(d, "ASC") || isKw(d, "DESC") =>
+          s"$c ${if (isKw(d, "ASC")) "ASC" else "DESC"}"
+        case other => reject(s"ORDER BY key: ${emit(other)} " +
+          "(sort on a column or SELECT alias)")
+      }
+      pipes += s"SORT ${keys.mkString(", ")}"
+    }
+    cs.get("LIMIT").foreach {
+      case List(SNum(n)) => pipes += s"LIMIT $n"
+      case other => reject(s"LIMIT must be a literal, got: ${emit(other)}")
+    }
+    pipes.mkString("\n| ")
+  }
+
+  def run(sources: Map[String, DataFrame], sql: String,
+          spark: SparkSession = null): DataFrame =
+    Esql.run(sources, translate(sql))
+}

@@ -1,0 +1,93 @@
+package graft.docs
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** ES SQL translator: pins the emitted ES|QL pipe for each supported
+  * clause shape (the translation IS the implementation — one string pin
+  * per dialect rule), checks end-to-end equivalence against hand-built
+  * DataFrame twins, and asserts every documented v1 bound rejects with a
+  * named reason instead of going silently wrong. */
+class EsSqlSpec extends SparkSpec {
+
+  private def t(sql: String): String = EsSql.translate(sql)
+
+  test("aggregate path: GROUP BY + HAVING + aliased key + COUNT DISTINCT") {
+    val got = t("""SELECT lang AS language, COUNT(*) AS n,
+                  |  COUNT(DISTINCT source) AS srcs
+                  |FROM documents WHERE n_chars > 200
+                  |GROUP BY lang HAVING n > 1
+                  |ORDER BY n DESC, language ASC LIMIT 10""".stripMargin)
+    assert(got ===
+      """FROM documents
+        || WHERE n_chars > 200
+        || STATS n = COUNT ( * ), srcs = COUNT_DISTINCT ( source ) BY language = lang
+        || WHERE n > 1
+        || KEEP language, n, srcs
+        || SORT n DESC, language ASC
+        || LIMIT 10""".stripMargin)
+  }
+
+  test("HISTOGRAM group key becomes a computed BUCKET BY key") {
+    val got = t("""SELECT HISTOGRAM(price, 50) AS b, SUM(price) AS s
+                  |FROM t GROUP BY HISTOGRAM(price, 50) ORDER BY b""".stripMargin)
+    assert(got ===
+      """FROM t
+        || STATS s = SUM ( price ) BY b = BUCKET ( price , 50 )
+        || KEEP b, s
+        || SORT b""".stripMargin)
+  }
+
+  test("row path: dialect map = / <> / 'str' / LIKE wildcards, EVAL+KEEP order") {
+    val got = t("""SELECT a, b AS bb, c / 10 AS ck FROM t
+                  |WHERE s = 'x''y' AND p LIKE '1%_' AND q <> 'z'
+                  |ORDER BY ck DESC LIMIT 5""".stripMargin)
+    assert(got ===
+      """FROM t
+        || WHERE s == "x'y" AND p LIKE "1*?" AND q != "z"
+        || EVAL bb = b, ck = c / 10
+        || KEEP a, bb, ck
+        || SORT ck DESC
+        || LIMIT 5""".stripMargin)
+  }
+
+  test("translated SQL equals the hand-built DataFrame twin") {
+    import spark.implicits._
+    val base = (1 to 300).map { i =>
+      (i.toLong, s"g${i % 5}", (i % 97).toLong)
+    }.toDF("id", "g", "v")
+    val got = EsSql.run(Map("t" -> base),
+      """SELECT g, COUNT(*) AS n, SUM(v) AS s FROM t
+        |WHERE v > 10 GROUP BY g HAVING n > 2
+        |ORDER BY s DESC, g ASC LIMIT 4""".stripMargin)
+      .collect().map(_.toSeq).toSeq
+    val twin = base.filter(col("v") > 10)
+      .groupBy("g")
+      .agg(count(lit(1)).cast("long").as("n"), sum("v").cast("long").as("s"))
+      .filter(col("n") > 2)
+      .select("g", "n", "s")
+      .orderBy(col("s").desc, col("g").asc).limit(4)
+      .collect().map(_.toSeq).toSeq
+    assert(got === twin)
+  }
+
+  test("documented bounds reject loudly with named reasons") {
+    def err(sql: String): String =
+      intercept[IllegalArgumentException](t(sql)).getMessage
+    assert(err("SELECT * FROM t").contains("SELECT *"))
+    assert(err("SELECT DISTINCT a FROM t").contains("DISTINCT"))
+    assert(err("SELECT a FROM t JOIN u").contains("JOIN"))
+    assert(err("SELECT a FROM (SELECT a FROM t)").contains("subqueries"))
+    assert(err("SELECT a + 1 FROM t").contains("explicit alias"))
+    assert(err("SELECT SUM(a) / SUM(b) AS r FROM t GROUP BY g")
+      .contains("compound aggregate"))
+    assert(err("SELECT SCORE() AS sc FROM t WHERE MATCH(x, 'q')")
+      .contains("SCORE"))
+    assert(err("SELECT g, SUM(v) AS s FROM t GROUP BY 1").contains("ordinal"))
+    assert(err("SELECT a FROM t HAVING a > 1").contains("HAVING without GROUP BY"))
+    assert(err("SELECT g, SUM(v) AS s FROM t GROUP BY g HAVING v > 1")
+      .contains("SELECT aliases"))
+    assert(err("SELECT a FROM t WHERE p LIKE 'a*'").contains("LIKE"))
+  }
+}

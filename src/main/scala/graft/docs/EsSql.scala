@@ -212,19 +212,35 @@ object EsSql {
   private val Aggs = Set("SUM", "AVG", "MIN", "MAX", "COUNT", "MEDIAN",
     "PERCENTILE", "STD_DEV")
 
-  /** Is the item exactly one aggregate call AGG(...)? Compound aggregate
-    * arithmetic is rejected (ES SQL computes those client-side from the
-    * component aggs; this engine keeps STATS entries 1:1 with aggs). */
-  private def aggCall(it: Item): Option[String] = it.expr match {
-    case SId(fn) :: SOp("(") :: _ if Aggs.contains(fn.toUpperCase) =>
-      if (it.expr.last != SOp(")")) reject(
-        s"aggregate must be a single call, got: ${emit(it.expr)}")
-      Some(fn.toUpperCase)
-    case _ =>
-      if (it.expr.exists { case SId(s) => Aggs.contains(s.toUpperCase); case _ => false })
-        reject(s"compound aggregate expression: ${emit(it.expr)} " +
-          "(ES SQL derives these client-side from component aggregates)")
-      None
+  /** Is the item exactly one aggregate call AGG(...)? "Exactly one"
+    * means the '(' at position 1 closes at the LAST token (paren depth
+    * returns to 0 only there) — so `SUM(a) / SUM(b)` is NOT a single
+    * call. Compound aggregate arithmetic is rejected (ES SQL computes
+    * those client-side from the component aggs; this engine keeps STATS
+    * entries 1:1 with aggs). */
+  private def aggCall(it: Item): Option[String] = {
+    val single = it.expr match {
+      case SId(fn) :: SOp("(") :: rest if Aggs.contains(fn.toUpperCase) &&
+        rest.nonEmpty && it.expr.last == SOp(")") =>
+        // the opening paren must close exactly at the final token
+        var depth = 1
+        var closesEarly = false
+        rest.dropRight(1).foreach {
+          case SOp("(") => depth += 1
+          case SOp(")") => depth -= 1; if (depth == 0) closesEarly = true
+          case _ => ()
+        }
+        if (closesEarly) None else Some(fn.toUpperCase)
+      case _ => None
+    }
+    single match {
+      case some @ Some(_) => some
+      case None =>
+        if (it.expr.exists { case SId(s) => Aggs.contains(s.toUpperCase); case _ => false })
+          reject(s"compound aggregate expression: ${emit(it.expr)} " +
+            "(ES SQL derives these client-side from component aggregates)")
+        None
+    }
   }
 
   /** Rewrite one aggregate call body: COUNT(DISTINCT x) → COUNT_DISTINCT(x). */
@@ -262,6 +278,12 @@ object EsSql {
       // ---- aggregate path: one STATS, BY keys from GROUP BY
       val (aggItems, keyItems) = items.partition(aggCall(_).isDefined)
       if (aggItems.isEmpty) reject("GROUP BY without an aggregate in SELECT")
+      // ordinals first, so `GROUP BY 1` names its own rejection rather
+      // than tripping the alias-membership check below
+      groupKeys.foreach {
+        case SNum(_) :: Nil => reject("GROUP BY ordinals")
+        case _ => ()
+      }
       // every non-agg select item must be (textually) a group key
       val keyTexts = groupKeys.map(emit)
       keyItems.foreach { it =>

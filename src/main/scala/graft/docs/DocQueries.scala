@@ -9066,12 +9066,16 @@ object DocQueries {
       |  SELECT *, lag(value) OVER (
       |    PARTITION BY user_id, day ORDER BY tsu, value) AS prev FROM e),
       |r AS (
+      |  -- single-sample series: rate is NULL (undefined), but the series
+      |  -- row SURVIVES so its day still emits a group (STATS BY emits a
+      |  -- row per group with input rows; n_series then counts 0)
       |  SELECT user_id, day,
-      |    CAST(CAST(SUM(CAST(CASE WHEN prev IS NULL THEN 0.0
-      |        WHEN value >= prev THEN value - prev ELSE value END
-      |      AS DECIMAL(12,2))) AS DECIMAL(28,6)) AS DOUBLE) * 1000000.0
-      |      / CAST(MAX(tsu) - MIN(tsu) AS DOUBLE) AS rate
-      |  FROM l GROUP BY 1, 2 HAVING MAX(tsu) > MIN(tsu))
+      |    CASE WHEN MAX(tsu) > MIN(tsu) THEN
+      |      CAST(CAST(SUM(CAST(CASE WHEN prev IS NULL THEN 0.0
+      |          WHEN value >= prev THEN value - prev ELSE value END
+      |        AS DECIMAL(12,2))) AS DECIMAL(28,6)) AS DOUBLE) * 1000000.0
+      |        / CAST(MAX(tsu) - MIN(tsu) AS DOUBLE) END AS rate
+      |  FROM l GROUP BY 1, 2)
       |SELECT day, MAX(rate) AS peak, MIN(rate) AS low,
       |  CAST(COUNT(rate) AS BIGINT) AS n_series
       |FROM r GROUP BY day ORDER BY day""".stripMargin
@@ -9193,6 +9197,137 @@ object DocQueries {
       |FROM orders
       |WHERE o_orderpriority LIKE '%URGENT' AND o_totalprice > 100000
       |ORDER BY price_k DESC, o_orderkey LIMIT 25""".stripMargin
+
+  // ---------------------------------------------------------------- d250
+  /** ES SQL `SELECT *` — the first query every SQL user types. Schema
+    * expansion, not a new execution path: the translator expands `*` into
+    * an explicit KEEP list from the registered source schema, so column
+    * pruning, pushdown and the oracle's column naming all see named
+    * columns. ORDER BY + LIMIT keeps it one bounded top-k scan. */
+  private def d250(s: SparkSession, d: String): DataFrame = {
+    val q =
+      """SELECT * FROM documents
+        |WHERE n_chars > 400 ORDER BY doc_id ASC LIMIT 20""".stripMargin
+    EsSql.run(Map("documents" ->
+      s.read.parquet(s"$d/documents.parquet")), q)
+  }
+
+  private val d250Sql =
+    """SELECT doc_id, text, lang, source, n_chars FROM documents
+      |WHERE n_chars > 400 ORDER BY doc_id LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- d251
+  /** ES|QL `METADATA _score` (8.18's scoring surface, what Kibana's ES|QL
+    * mode sorts hits by): `_score` seeds 0 at the source, every WHERE
+    * containing full-text MATCH() ADDS its matched-term count, and the
+    * result is a plain column SORT/KEEP compile over. DOCUMENTED
+    * DEVIATION: integer matched-term-count relevance, not BM25 floats —
+    * the engine's one score design (Query DSL d23, ES SQL SCORE()), exact
+    * in any engine so the oracle replays it bit-for-bit. Plan: pushed
+    * scan filter + one projection + bounded TakeOrderedAndProject. */
+  private def d251(s: SparkSession, d: String): DataFrame = {
+    val q =
+      """FROM documents METADATA _score
+        || WHERE MATCH(text, "vector windows") AND n_chars > 150
+        || SORT _score DESC, doc_id ASC
+        || LIMIT 25
+        || KEEP doc_id, lang, _score""".stripMargin
+    Esql.run(Map("documents" ->
+      s.read.parquet(s"$d/documents.parquet")), q)
+  }
+
+  private val d251Sql = {
+    val an = graft.ext.TextAnalysis.analyzeSql("text")
+    val score = graft.ext.TextAnalysis.analyzeQuery("vector windows")
+      .map(t => s"CASE WHEN list_contains($an, '$t') THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""SELECT doc_id, lang, CAST($score AS BIGINT) AS _score
+       |FROM documents
+       |WHERE list_has_any($an, ['vector', 'window']) AND n_chars > 150
+       |ORDER BY _score DESC, doc_id LIMIT 25""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- d252
+  /** ES SQL `SCORE()` — rewritten by the translator to the `_score`
+    * metadata column (`FROM idx METADATA _score`), so SQL relevance rides
+    * the exact ES|QL machinery of d251: one WHERE accumulates the
+    * matched-term count, SCORE() selects it, ORDER BY SCORE() sorts it.
+    * No second scoring path exists to drift. */
+  private def d252(s: SparkSession, d: String): DataFrame = {
+    val q =
+      """SELECT doc_id, SCORE() AS sc FROM documents
+        |WHERE MATCH(text, 'vector windows') AND n_chars > 300
+        |ORDER BY sc DESC, doc_id ASC LIMIT 30""".stripMargin
+    EsSql.run(Map("documents" ->
+      s.read.parquet(s"$d/documents.parquet")), q)
+  }
+
+  private val d252Sql = {
+    val an = graft.ext.TextAnalysis.analyzeSql("text")
+    val score = graft.ext.TextAnalysis.analyzeQuery("vector windows")
+      .map(t => s"CASE WHEN list_contains($an, '$t') THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""SELECT doc_id, CAST($score AS BIGINT) AS sc
+       |FROM documents
+       |WHERE list_has_any($an, ['vector', 'window']) AND n_chars > 300
+       |ORDER BY sc DESC, doc_id LIMIT 30""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- d253
+  /** ES SQL `OFFSET` — the `from` half of ES's from/size paging. OFFSET
+    * requires ORDER BY (a page of an unordered result is meaningless) and
+    * never reaches the pipe: `LIMIT n OFFSET m` bounds the sort at n+m
+    * rows — still ONE TakeOrderedAndProject — and the driver-side result
+    * drops the first m. ORDER BY here sorts on a NON-selected column
+    * (n_chars), exercising the row path's deferred KEEP. */
+  private def d253(s: SparkSession, d: String): DataFrame = {
+    val q =
+      """SELECT doc_id, lang FROM documents
+        |WHERE n_chars > 250
+        |ORDER BY n_chars DESC, doc_id ASC LIMIT 15 OFFSET 30""".stripMargin
+    EsSql.run(Map("documents" ->
+      s.read.parquet(s"$d/documents.parquet")), q)
+  }
+
+  private val d253Sql =
+    """SELECT doc_id, lang FROM documents
+      |WHERE n_chars > 250
+      |ORDER BY n_chars DESC, doc_id LIMIT 15 OFFSET 30""".stripMargin
+
+  // ---------------------------------------------------------------- d254
+  /** EQL sequence WITHOUT `maxspan` — unbounded sequences are legal EQL
+    * (the `with maxspan=` clause is optional). The window-carry plan is
+    * IDENTICAL to the bounded form (one by-key shuffle, per-key running
+    * prefixes, never a self-join chain); the span predicate simply never
+    * prunes. At 100 TB the bound still comes from the by-key partitioning,
+    * not the span — maxspan only shrinks output, not state. */
+  private def d254(s: SparkSession, d: String): DataFrame = {
+    val q =
+      """sequence by user_id
+        |  [ event where event_type == "view" ]
+        |  [ event where event_type == "purchase" ]""".stripMargin
+    Eql.run(graft.Tables.events(s, d), q)
+  }
+
+  private val d254Sql = {
+    def lastBefore(x: String) =
+      s"""last_value($x IGNORE NULLS) OVER (PARTITION BY user_id
+         |      ORDER BY tsu, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)""".stripMargin
+    ("""WITH e AS (
+      |  SELECT event_id, user_id, event_type, epoch_us(ts) AS tsu FROM events
+      |  WHERE event_type IN ('view', 'purchase')),
+      |a0 AS (SELECT *, CASE WHEN event_type = 'view'
+      |    THEN struct_pack(ts1 := tsu) END AS _a0 FROM e),
+      |p1 AS (SELECT *, """ + lastBefore("_a0") + """ AS _p1 FROM a0),
+      |a1 AS (SELECT *, CASE WHEN event_type = 'purchase' AND _p1 IS NOT NULL
+      |    THEN struct_pack(ts1 := (_p1).ts1, ts2 := tsu) END AS _a1 FROM p1)
+      |SELECT user_id, (_a1).ts1 AS t1_us, (_a1).ts2 AS t2_us,
+      |  (_a1).ts2 - (_a1).ts1 AS span_us
+      |FROM a1
+      |WHERE _a1 IS NOT NULL
+      |ORDER BY user_id, t1_us, t2_us""").stripMargin
+  }
 
   // ---------------------------------------------------------------- d246
   /** ES|QL `ROW` — the literal source command (a 1-row local relation;
@@ -9779,6 +9914,11 @@ object DocQueries {
     "d247_es_sql_agg" -> d247 _,
     "d248_es_sql_histogram" -> d248 _,
     "d249_es_sql_rows" -> d249 _,
+    "d250_es_sql_star" -> d250 _,
+    "d251_esql_score" -> d251 _,
+    "d252_es_sql_score" -> d252 _,
+    "d253_es_sql_offset" -> d253 _,
+    "d254_eql_unbounded" -> d254 _,
     "d206_es_parent_agg" -> d206 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
@@ -10030,6 +10170,11 @@ object DocQueries {
     "d247_es_sql_agg" -> d247Sql,
     "d248_es_sql_histogram" -> d248Sql,
     "d249_es_sql_rows" -> d249Sql,
+    "d250_es_sql_star" -> d250Sql,
+    "d251_esql_score" -> d251Sql,
+    "d252_es_sql_score" -> d252Sql,
+    "d253_es_sql_offset" -> d253Sql,
+    "d254_eql_unbounded" -> d254Sql,
     "d206_es_parent_agg" -> d206Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,

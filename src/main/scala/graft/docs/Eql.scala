@@ -50,8 +50,12 @@ object Eql {
     def by: String = byKeys.head
   }
 
+  // `with maxspan=` is OPTIONAL (legal EQL): an unbounded sequence keeps
+  // the identical window-carry plan — the span predicate just never
+  // prunes (maxspanUs = Long.MaxValue; spans are nonnegative, so the
+  // comparison cannot overflow).
   private val Head =
-    """^\s*sequence\s+by\s+(\w+(?:\s*,\s*\w+)*)\s+with\s+maxspan\s*=\s*(\d+)([smh])\s*(.*)$""".r
+    """^\s*sequence\s+by\s+(\w+(?:\s*,\s*\w+)*)(?:\s+with\s+maxspan\s*=\s*(\d+)([smh]))?\s*(.*)$""".r
   // optional `with runs=N` (EQL 8.0): the step repeats N times in the
   // sequence — parsed here, expanded to N copies before compilation, so
   // the window-carry machinery never knows runs existed. A leading `!`
@@ -64,7 +68,11 @@ object Eql {
 
   def parse(q: String): SequenceQuery = q.replaceAll("\\s+", " ").trim match {
     case Head(by, n, unit, rest0) =>
-      val mult = unit match { case "s" => 1000000L case "m" => 60000000L case _ => 3600000000L }
+      val mult = unit match {
+        case "s" => 1000000L
+        case "m" => 60000000L
+        case _ => 3600000000L // null (no maxspan) never reaches here
+      }
       // optional trailing `until [ event where f == "v" ]` — the expiry
       // event (EQL: an until occurrence kills in-progress partial
       // sequences for the key)
@@ -94,10 +102,11 @@ object Eql {
         s"eql sequence needs 2-5 steps, got ${steps.size}")
       require(StepRe.replaceAllIn(rest, "").trim.isEmpty,
         s"unsupported eql step syntax in: $rest")
-      SequenceQuery(by.split(",").map(_.trim).toSeq, n.toLong * mult,
+      val spanUs = if (n == null) Long.MaxValue else n.toLong * mult
+      SequenceQuery(by.split(",").map(_.trim).toSeq, spanUs,
         steps.toSeq, until, missing.toMap)
     case other => throw new IllegalArgumentException(
-      s"unsupported eql query (sequence-by with maxspan only): $other")
+      s"unsupported eql query (sequence-by [with maxspan] only): $other")
   }
 
   // ------------------------------------------------------- event queries

@@ -16,22 +16,31 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * execution path exists to drift.
   *
   * Supported (the ES SQL SELECT core): `SELECT items FROM idx [WHERE e]
-  * [GROUP BY keys] [HAVING e] [ORDER BY k [ASC|DESC], ...] [LIMIT n]`
-  * with `MATCH(field, 'query')` full-text predicates, `SCORE()` absent
-  * (rejected loudly — ES|QL metadata `_score` is not implemented),
-  * `HISTOGRAM(col, interval)` group keys (ES SQL's fixed-interval
-  * bucketing = ES|QL `BUCKET`, both floor(x/span)*span),
+  * [GROUP BY keys] [HAVING e] [ORDER BY k [ASC|DESC], ...] [LIMIT n]
+  * [OFFSET m]` with `MATCH(field, 'query')` full-text predicates,
+  * `SCORE()` (rewritten to ES|QL's `METADATA _score` — the engine's
+  * integer matched-term-count relevance, usable in SELECT and ORDER BY),
+  * `SELECT *` (expanded at translate time into an explicit column list
+  * from the registered source schema — schema expansion, not a new
+  * execution path), `HISTOGRAM(col, interval)` group keys (ES SQL's
+  * fixed-interval bucketing = ES|QL `BUCKET`, both floor(x/span)*span),
   * `COUNT(DISTINCT x)` → `COUNT_DISTINCT(x)`, and SQL `LIKE` patterns
   * (`%`/`_` wildcards → ES|QL `*`/`?`). Dialect mapping is purely
-  * lexical: `=`→`==`, `<>`→`!=`, `'str'`→`"str"`.
+  * lexical: `=`→`==`, `<>`→`!=`, `'str'`→`"str"`. `OFFSET m` (ES SQL's
+  * `from` paging) requires ORDER BY (a page of an unordered result is
+  * meaningless) and applies AFTER the bounded sort — `LIMIT n OFFSET m`
+  * plans as one TakeOrderedAndProject of n+m rows, then drops m.
+  * In the row path ORDER BY may reference any source column, not just
+  * SELECT items (the SQL contract): SORT runs before the final KEEP.
   *
   * Deliberate v1 bounds, all rejected with a named reason at parse time
-  * (never silently wrong): `SELECT *`, `SELECT DISTINCT`, subqueries,
-  * JOIN/UNION/OFFSET, unaliased computed select items (ES SQL's
-  * auto-generated column headers would make oracle column naming
-  * ambiguous), compound aggregate expressions (`SUM(a)/SUM(b)` — ES SQL
-  * itself computes these client-side from two aggs), GROUP BY ordinals,
-  * and HAVING terms that do not reference SELECT aliases.
+  * (never silently wrong): `SELECT DISTINCT`, subqueries, JOIN/UNION,
+  * unaliased computed select items (ES SQL's auto-generated column
+  * headers would make oracle column naming ambiguous), compound
+  * aggregate expressions (`SUM(a)/SUM(b)` — ES SQL itself computes these
+  * client-side from two aggs), GROUP BY ordinals, and HAVING terms that
+  * do not reference SELECT aliases. `SELECT *` without a registered
+  * schema (pure string-to-string translate) also rejects.
   *
   * Reference: the `_sql` endpoint is public ES x-pack surface (ES docs
   * "SQL"); the reference repo queries ES only through the Query DSL
@@ -85,7 +94,8 @@ object EsSql {
     * HAVING/ORDER BY/LIMIT clause bodies (paren depth 0 only, so function
     * arguments never shadow clause keywords). */
   private def clauses(ts: List[Tok]): Map[String, List[Tok]] = {
-    val heads = Set("SELECT", "FROM", "WHERE", "GROUP", "HAVING", "ORDER", "LIMIT")
+    val heads = Set("SELECT", "FROM", "WHERE", "GROUP", "HAVING", "ORDER",
+      "LIMIT", "OFFSET")
     val out = scala.collection.mutable.LinkedHashMap[String, List[Tok]]()
     var cur: Option[String] = None
     var buf = scala.collection.mutable.ListBuffer[Tok]()
@@ -110,7 +120,7 @@ object EsSql {
               reject(s"$kw must be followed by BY")
           }
         case SId(s) if depth == 0 &&
-          Set("JOIN", "UNION", "OFFSET", "DISTINCT", "PIVOT").contains(s.toUpperCase) =>
+          Set("JOIN", "UNION", "DISTINCT", "PIVOT").contains(s.toUpperCase) =>
           reject(s"${s.toUpperCase} (ES SQL v1 covers the single-index SELECT core)")
         case _ => buf += t
       }
@@ -150,8 +160,10 @@ object EsSql {
       if (sb.nonEmpty) sb.append(' ')
       t match {
         case SId(s) =>
+          // well-formed SCORE() was rewritten to _score before clause
+          // parsing; a SCORE that survives here carried arguments
           if (s.equalsIgnoreCase("SCORE"))
-            reject("SCORE() (no ES|QL _score metadata backend)")
+            reject("SCORE with arguments (use SCORE())")
           if (s.contains("\"")) reject("quoted identifiers")
           sb.append(s)
           prevLike = s.equalsIgnoreCase("LIKE")
@@ -252,25 +264,61 @@ object EsSql {
   }
 
   // --------------------------------------------------------- translate
-  /** SQL → ES|QL pipe. Pure string-to-string; `Esql.run` does the rest. */
-  def translate(sql: String): String = {
-    val ts = tokenize(sql)
+  /** Rewrite every well-formed `SCORE ( )` call to the `_score` metadata
+    * column, anywhere in the statement (SELECT, ORDER BY, WHERE, HAVING).
+    * Returns the rewritten stream and whether a rewrite happened. */
+  private def rewriteScore(ts: List[Tok]): (List[Tok], Boolean) = {
+    val out = scala.collection.mutable.ListBuffer[Tok]()
+    var used = false
+    var rest = ts
+    while (rest.nonEmpty) rest match {
+      case SId(s) :: SOp("(") :: SOp(")") :: tail if s.equalsIgnoreCase("SCORE") =>
+        out += SId("_score"); used = true; rest = tail
+      case t :: tail => out += t; rest = tail
+    }
+    (out.toList, used)
+  }
+
+  /** SQL → ES|QL pipe. Pure string-to-string (no schema: `SELECT *`
+    * rejects); `run` supplies source schemas and the OFFSET. */
+  def translate(sql: String): String = translateFull(sql, Map.empty)._1
+
+  def translate(sql: String, schemas: Map[String, Seq[String]]): String =
+    translateFull(sql, schemas)._1
+
+  /** Full translation: the ES|QL pipe plus the OFFSET row count (0 when
+    * absent). OFFSET cannot ride inside the pipe — ES|QL has no paging
+    * command — so `run` applies it to the bounded sorted result. */
+  private def translateFull(sql: String,
+                            schemas: Map[String, Seq[String]]): (String, Int) = {
+    val (ts, usesScore) = rewriteScore(tokenize(sql))
     if (ts.sliding(2).exists {
       case List(SOp("("), t) => isKw(t, "SELECT")
       case _ => false
     }) reject("subqueries")
     val cs = clauses(ts)
 
-    val items = commaSplit(cs("SELECT")).map(parseItem)
-    if (items.isEmpty || cs("SELECT").isEmpty) reject("empty SELECT list")
-    if (items.exists(_.expr == List(SOp("*")))) reject("SELECT *")
-
     val idx = cs("FROM") match {
       case List(SId(n)) => n
       case other => reject(s"FROM must name one index, got: ${emit(other)}")
     }
 
-    val pipes = scala.collection.mutable.ListBuffer[String](s"FROM $idx")
+    val rawItems = commaSplit(cs("SELECT"))
+    if (rawItems.isEmpty || cs("SELECT").isEmpty) reject("empty SELECT list")
+    val items: List[Item] =
+      if (rawItems.exists(_ == List(SOp("*")))) {
+        // SELECT * — schema expansion, not a new execution path: the
+        // registered source schema becomes an explicit column list, so
+        // downstream (KEEP, the oracle's column naming) sees named columns
+        if (rawItems.size > 1) reject("SELECT * must be the only select item")
+        val cols = schemas.getOrElse(idx, reject(
+          "SELECT * needs a registered source schema to expand " +
+            "(string-only translate cannot)"))
+        cols.toList.map(c => Item(List(SId(c)), None))
+      } else rawItems.map(parseItem)
+
+    val pipes = scala.collection.mutable.ListBuffer[String](
+      if (usesScore) s"FROM $idx METADATA _score" else s"FROM $idx")
     cs.get("WHERE").foreach(w => pipes += s"WHERE ${emit(w)}")
 
     val groupKeys = cs.get("GROUP").map(commaSplit).getOrElse(Nil)
@@ -335,12 +383,13 @@ object EsSql {
       // KEEP restores SELECT order (STATS emits aggs before keys)
       pipes += s"KEEP ${items.map(_.name).mkString(", ")}"
     } else {
-      // ---- row path: EVAL computed/aliased items, KEEP in select order
+      // ---- row path: EVAL computed/aliased items; the KEEP is DEFERRED
+      // to after SORT/LIMIT so ORDER BY may reference any source column,
+      // not just SELECT items (the SQL contract)
       if (cs.contains("HAVING")) reject("HAVING without GROUP BY")
       val evals = items.filter(it => it.alias.isDefined || it.bareCol.isEmpty)
         .map(it => s"${it.name} = ${emit(it.expr)}")
       if (evals.nonEmpty) pipes += s"EVAL ${evals.mkString(", ")}"
-      pipes += s"KEEP ${items.map(_.name).mkString(", ")}"
     }
 
     cs.get("ORDER").foreach { o =>
@@ -353,14 +402,32 @@ object EsSql {
       }
       pipes += s"SORT ${keys.mkString(", ")}"
     }
-    cs.get("LIMIT").foreach {
-      case List(SNum(n)) => pipes += s"LIMIT $n"
-      case other => reject(s"LIMIT must be a literal, got: ${emit(other)}")
+    val offset = cs.get("OFFSET") match {
+      case Some(List(SNum(n))) if !n.contains(".") =>
+        if (!cs.contains("ORDER"))
+          reject("OFFSET without ORDER BY (a page of an unordered result " +
+            "is meaningless)")
+        n.toInt
+      case Some(other) => reject(s"OFFSET must be an integer literal, " +
+        s"got: ${emit(other)}")
+      case None => 0
     }
-    pipes.mkString("\n| ")
+    cs.get("LIMIT").foreach {
+      // LIMIT n OFFSET m bounds the sort at n+m rows (ES's from+size) —
+      // still ONE TakeOrderedAndProject; run() drops the first m
+      case List(SNum(n)) if !n.contains(".") => pipes += s"LIMIT ${n.toInt + offset}"
+      case other => reject(s"LIMIT must be an integer literal, got: ${emit(other)}")
+    }
+    if (groupKeys.isEmpty && !items.exists(aggCall(_).isDefined))
+      pipes += s"KEEP ${items.map(_.name).mkString(", ")}"
+    (pipes.mkString("\n| "), offset)
   }
 
   def run(sources: Map[String, DataFrame], sql: String,
-          spark: SparkSession = null): DataFrame =
-    Esql.run(sources, translate(sql))
+          spark: SparkSession = null): DataFrame = {
+    val (pipe, offset) =
+      translateFull(sql, sources.map { case (k, v) => k -> v.columns.toSeq })
+    val out = Esql.run(sources, pipe)
+    if (offset > 0) out.offset(offset) else out
+  }
 }

@@ -218,6 +218,26 @@ object Esql {
     }
   }
 
+  /** Σ matched-term counts over every MATCH() node in a WHERE expression
+    * — that WHERE's `_score` contribution under METADATA _score. A MATCH
+    * that is false for a row contributes 0 naturally (none of its terms
+    * contain-match), so OR'd and negated predicates need no special
+    * casing: the sum only counts terms that actually hit. */
+  private def matchScore(e: Ex): Option[Column] = e match {
+    case EFn("MATCH", List(f, EStr(q))) =>
+      val terms = graft.ext.TextAnalysis.analyzeQuery(q)
+      if (terms.isEmpty) Some(lit(0L))
+      else Some(terms.map(t =>
+        when(array_contains(graft.ext.TextAnalysis.analyze(compile(f)), t), 1L)
+          .otherwise(0L)).reduce(_ + _))
+    case EBin(_, l, r) => (matchScore(l), matchScore(r)) match {
+      case (Some(a), Some(b)) => Some(a + b)
+      case (a, b) => a.orElse(b)
+    }
+    case ENot(x) => matchScore(x)
+    case _ => None
+  }
+
   private def compile(e: Ex): Column = e match {
     case EId(n) => col(n)
     case ELong(v) => lit(v)
@@ -410,9 +430,10 @@ object Esql {
             case other => throw new IllegalArgumentException(
               s"esql: DATE_DIFF unit must be a string literal, got $other")
           }
-          // floor division (diff < 2^53 so the double quotient is exact
-          // enough for the floor; the oracle mirrors with floor())
-          floor((c(2) - c(1)).cast(LongType) / lit(perUnit)).cast(LongType)
+          // whole units truncated toward zero (the ES|QL contract):
+          // double quotient (diff < 2^53 so it is exact enough), then the
+          // long cast truncates toward zero — -1.5 days → -1, not -2
+          ((c(2) - c(1)).cast(LongType) / lit(perUnit)).cast(LongType)
         case "MV_COUNT" => arity(1); size(c(0)).cast(LongType)
         case "MV_MIN" => arity(1); array_min(c(0))
         case "MV_MAX" => arity(1); array_max(c(0))
@@ -468,13 +489,16 @@ object Esql {
           }
         case "MV_APPEND" => arity(2); concat(c(0), c(1))
         case "MV_ZIP" =>
-          // pairwise join with a separator; the shorter side pads with
-          // nulls upstream of concat → null entries (the ES|QL contract
-          // truncates instead; the engine requires equal lengths)
+          // pairwise join with a separator. The engine requires equal
+          // lengths and ENFORCES it: unequal-length inputs yield null
+          // (DOCUMENTED DEVIATION — ES pads the shorter side with the
+          // bare value; silently emitting half-pairs would drift from
+          // both contracts, so the mismatch is made visible instead)
           arity(3)
           args(2) match {
             case EStr(sep) =>
-              zip_with(c(0), c(1), (x, y) => concat_ws(sep, x, y))
+              when(size(c(0)) === size(c(1)),
+                zip_with(c(0), c(1), (x, y) => concat_ws(sep, x, y)))
             case other => throw new IllegalArgumentException(
               s"esql: MV_ZIP separator must be a string literal, got $other")
           }
@@ -678,26 +702,35 @@ object Esql {
       return pipe(one, segments.tail, sources, enrich)
     }
     require(kw(head.head) == "FROM", s"esql: pipe must start with FROM or ROW or TS")
-    // FROM idx[, idx...] [METADATA _index] — multi-index search unions by
-    // name (missing fields null, the cross-index ES contract); METADATA
-    // _index stamps each row's source index as a literal, so it costs
-    // nothing and groups/filters like any column.
+    // FROM idx[, idx...] [METADATA _index[, _score]] — multi-index search
+    // unions by name (missing fields null, the cross-index ES contract).
+    // METADATA _index stamps each row's source index as a literal, so it
+    // costs nothing and groups/filters like any column. METADATA _score
+    // seeds a `_score` column at 0; each WHERE containing full-text
+    // MATCH() functions then ADDS its matched-term count (the engine's
+    // integer term-count relevance — same design as the Query DSL
+    // `_score`, d23; DOCUMENTED DEVIATION from ES's BM25 float: exact in
+    // any engine, oracle-reproducible). `_score` stays a plain column —
+    // SORT/WHERE/KEEP/STATS over it compile like any other.
     val hp = new P(head.tail)
     val srcNames = scala.collection.mutable.ListBuffer(hp.ident())
     while (hp.peek.contains(TOp(","))) { hp.pop(); srcNames += hp.ident() }
-    val withIndexMeta = hp.peek match {
+    val metaNames = scala.collection.mutable.ListBuffer[String]()
+    hp.peek match {
       case Some(TId(s)) if s.equalsIgnoreCase("METADATA") =>
         hp.pop()
-        val m = hp.ident()
-        require(m == "_index", s"esql: only METADATA _index is supported, got $m")
-        true
-      case _ => false
+        metaNames += hp.ident()
+        while (hp.peek.contains(TOp(","))) { hp.pop(); metaNames += hp.ident() }
+        metaNames.foreach(m => require(m == "_index" || m == "_score",
+          s"esql: only METADATA _index and _score are supported, got $m"))
+      case _ => ()
     }
     require(hp.ts.isEmpty, s"esql: trailing tokens in FROM: ${hp.ts.take(4)}")
     def load(n: String): DataFrame = {
       val t = sources.getOrElse(n, throw new IllegalArgumentException(
         s"esql: unknown index $n (have: ${sources.keys.toSeq.sorted.mkString(", ")})"))
-      if (withIndexMeta) t.withColumn("_index", lit(n)) else t
+      val t1 = if (metaNames.contains("_index")) t.withColumn("_index", lit(n)) else t
+      if (metaNames.contains("_score")) t1.withColumn("_score", lit(0L)) else t1
     }
     pipe(srcNames.map(load).reduce(_.unionByName(_, allowMissingColumns = true)),
       segments.tail, sources, enrich)
@@ -808,7 +841,15 @@ object Esql {
       require(seg.nonEmpty, "esql: empty pipe segment")
       val p = new P(seg.tail)
       kw(seg.head) match {
-        case "WHERE" => df = df.filter(compile(p.expr()))
+        case "WHERE" =>
+          val ex = p.expr()
+          df = df.filter(compile(ex))
+          // METADATA _score: a WHERE containing MATCH() full-text
+          // functions ADDS its matched-term count to the running score —
+          // a plain projection over the filtered frame, no extra pass
+          if (df.columns.contains("_score"))
+            matchScore(ex).foreach(sc =>
+              df = df.withColumn("_score", col("_score") + sc))
         case "LIMIT" => p.pop() match {
           case TNum(n) if !n.contains('.') => df = df.limit(n.toInt)
           case other => throw new IllegalArgumentException(s"esql: bad LIMIT: $other")
@@ -1102,7 +1143,16 @@ object Esql {
             // INLINESTATS (8.16): the same aggregates APPENDED to every row
             // — window aggregates over the BY partitions (empty BY = one
             // global window), zero row reduction, still one shuffle on the
-            // partition keys
+            // partition keys. Distinct aggregates cannot run as window
+            // functions (Spark rejects them at analysis), so they reject
+            // loudly HERE with a named reason instead of an
+            // AnalysisException mid-plan.
+            specs.find(_._2 == "COUNT_DISTINCT").foreach { case (alias, _, _, _) =>
+              throw new IllegalArgumentException(
+                s"esql: INLINESTATS does not support COUNT_DISTINCT ($alias)" +
+                  " — distinct aggregates cannot run as window functions;" +
+                  " use STATS")
+            }
             val w = org.apache.spark.sql.expressions.Window
               .partitionBy(by.toSeq.map(col): _*)
             specs.foreach {

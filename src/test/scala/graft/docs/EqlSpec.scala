@@ -20,6 +20,26 @@ class EqlSpec extends SparkSpec {
       .contains("unsupported eql step syntax"))
   }
 
+  test("maxspan is optional: unbounded sequence matches beyond any span") {
+    import spark.implicits._
+    // view→click separated by ~11 days: a 1h maxspan prunes it, no
+    // maxspan keeps it — same plan, the span predicate just never fires
+    val ev = Seq(
+      (1L, 1L, "view", 10L), (2L, 1L, "click", 1000000000000L))
+      .toDF("event_id", "user_id", "event_type", "ts_us")
+    val q =
+      """sequence by user_id
+        | [ event where event_type == "view" ]
+        | [ event where event_type == "click" ]""".stripMargin
+    val sq = Eql.parse(q)
+    assert(sq.maxspanUs === Long.MaxValue)
+    assert(Eql.run(ev, q).count() === 1L)
+    assert(Eql.run(ev,
+      """sequence by user_id with maxspan=1h
+        | [ event where event_type == "view" ]
+        | [ event where event_type == "click" ]""".stripMargin).count() === 0L)
+  }
+
   test("until clause parses into the expiry step") {
     val sq = Eql.parse("""sequence by user_id with maxspan=1h
       | [ event where event_type == "view" ]

@@ -39,17 +39,58 @@ class EsSqlSpec extends SparkSpec {
         || SORT b""".stripMargin)
   }
 
-  test("row path: dialect map = / <> / 'str' / LIKE wildcards, EVAL+KEEP order") {
+  test("row path: dialect map = / <> / 'str' / LIKE wildcards, KEEP deferred") {
     val got = t("""SELECT a, b AS bb, c / 10 AS ck FROM t
                   |WHERE s = 'x''y' AND p LIKE '1%_' AND q <> 'z'
                   |ORDER BY ck DESC LIMIT 5""".stripMargin)
+    // KEEP comes AFTER SORT/LIMIT in the row path so ORDER BY may
+    // reference non-selected source columns (the SQL contract)
     assert(got ===
       """FROM t
         || WHERE s == "x'y" AND p LIKE "1*?" AND q != "z"
         || EVAL bb = b, ck = c / 10
-        || KEEP a, bb, ck
         || SORT ck DESC
-        || LIMIT 5""".stripMargin)
+        || LIMIT 5
+        || KEEP a, bb, ck""".stripMargin)
+  }
+
+  test("SELECT * expands from the registered schema; SCORE() and OFFSET pin") {
+    val star = EsSql.translate("SELECT * FROM t ORDER BY a LIMIT 3",
+      Map("t" -> Seq("a", "b")))
+    assert(star ===
+      """FROM t
+        || SORT a
+        || LIMIT 3
+        || KEEP a, b""".stripMargin)
+    val scored = t(
+      "SELECT id, SCORE() AS sc FROM t WHERE MATCH(txt, 'x') ORDER BY sc DESC")
+    assert(scored ===
+      """FROM t METADATA _score
+        || WHERE MATCH ( txt , "x" )
+        || EVAL sc = _score
+        || SORT sc DESC
+        || KEEP id, sc""".stripMargin)
+    // LIMIT n OFFSET m → pipe LIMIT n+m (one bounded sort); run drops m
+    val paged = t("SELECT a FROM t ORDER BY a LIMIT 5 OFFSET 10")
+    assert(paged ===
+      """FROM t
+        || SORT a
+        || LIMIT 15
+        || KEEP a""".stripMargin)
+  }
+
+  test("OFFSET pages the sorted rows end-to-end; ORDER BY non-selected column") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => (i.toLong, 40L - i)).toDF("id", "rev")
+    val page = EsSql.run(Map("t" -> base),
+      "SELECT id FROM t ORDER BY id ASC LIMIT 5 OFFSET 10")
+      .collect().map(_.getLong(0)).toSeq
+    assert(page === (11L to 15L))
+    // sort key not in the SELECT list
+    val byRev = EsSql.run(Map("t" -> base),
+      "SELECT id FROM t ORDER BY rev ASC LIMIT 3")
+      .collect().map(_.getLong(0)).toSeq
+    assert(byRev === Seq(40L, 39L, 38L))
   }
 
   test("translated SQL equals the hand-built DataFrame twin") {
@@ -82,8 +123,8 @@ class EsSqlSpec extends SparkSpec {
     assert(err("SELECT a + 1 FROM t").contains("explicit alias"))
     assert(err("SELECT SUM(a) / SUM(b) AS r FROM t GROUP BY g")
       .contains("compound aggregate"))
-    assert(err("SELECT SCORE() AS sc FROM t WHERE MATCH(x, 'q')")
-      .contains("SCORE"))
+    assert(err("SELECT SCORE(x) AS sc FROM t").contains("SCORE"))
+    assert(err("SELECT a FROM t OFFSET 5").contains("OFFSET without ORDER BY"))
     assert(err("SELECT g, SUM(v) AS s FROM t GROUP BY 1").contains("ordinal"))
     assert(err("SELECT a FROM t HAVING a > 1").contains("HAVING without GROUP BY"))
     assert(err("SELECT g, SUM(v) AS s FROM t GROUP BY g HAVING v > 1")

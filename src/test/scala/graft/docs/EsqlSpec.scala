@@ -195,6 +195,50 @@ class EsqlSpec extends SparkSpec {
     assert(!cols.contains("_index"))
   }
 
+  test("METADATA _score: matched-term counts accumulate over scoring WHEREs") {
+    import spark.implicits._
+    val docs = Map("d" -> Seq(
+      (1L, "vector windows are wide"),   // both terms → 2
+      (2L, "a vector of things"),        // one term → 1
+      (3L, "nothing relevant here"))     // filtered out
+      .toDF("id", "txt"))
+    val out = Esql.run(docs,
+      """FROM d METADATA _score
+        || WHERE MATCH(txt, "vector windows")
+        || SORT _score DESC, id ASC
+        || KEEP id, _score""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out === Seq((1L, 2L), (2L, 1L)))
+    // no full-text function → score stays 0; _score filters like a column
+    val zero = Esql.run(docs,
+      """FROM d METADATA _score | WHERE id < 3 | WHERE _score == 0
+        || KEEP id, _score | SORT id ASC""".stripMargin).collect()
+    assert(zero.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    // unknown metadata still rejects
+    assert(intercept[IllegalArgumentException](Esql.run(docs,
+      "FROM d METADATA _version | LIMIT 1")).getMessage.contains("_version"))
+  }
+
+  test("INLINESTATS rejects COUNT_DISTINCT loudly; MV_ZIP nulls unequal lengths;" +
+    " DATE_DIFF truncates toward zero") {
+    import spark.implicits._
+    assert(intercept[IllegalArgumentException](Esql.run(tiny,
+      "FROM t | INLINESTATS u = COUNT_DISTINCT(name) BY name")).getMessage
+      .contains("INLINESTATS does not support COUNT_DISTINCT"))
+    val mv = Map("m" -> Seq((1L, Seq("a", "b"), Seq("x"))).toDF("id", "l", "r"))
+    val z = Esql.run(mv,
+      """FROM m | EVAL zz = MV_ZIP(l, r, "-") | KEEP zz""").collect().head
+    assert(z.isNullAt(0)) // unequal lengths → null, never half-pairs
+    // -1.5 days truncates to -1 (floor would give -2)
+    val base = 1700000000000000L
+    val neg = Map("ts" -> Seq((1L, base, base - 129600L * 1000000L))
+      .toDF("id", "t0", "t1"))
+    val dd = Esql.run(neg,
+      """FROM ts | EVAL d = DATE_DIFF("days", t0, t1) | KEEP d""")
+      .collect().head.getLong(0)
+    assert(dd === -1L)
+  }
+
   test("SORT nulls: ES|QL default is nulls-last ASC / nulls-first DESC; NULLS overrides") {
     import spark.implicits._
     val n = Map("nn" -> Seq((1L, Some(5.0)), (2L, None), (3L, Some(1.0)))

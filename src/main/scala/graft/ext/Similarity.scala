@@ -973,7 +973,180 @@ object Similarity {
        |LEFT JOIN h2 ON q.q_id = h2.q_id
        |ORDER BY q.q_id""".stripMargin
 
+  // ---------------------------------------------------------------- s14
+  /** Graph ANN — the HNSW disposition. ES's default dense-vector index is
+    * HNSW (Lucene); a literal HNSW (mutable multi-layer skip-graph, greedy
+    * descent with a visited set) is a pointer-chasing structure that does
+    * not distribute. This is the DataFrame-shaped equivalent: a 2-LAYER
+    * beam search over a PRECOMPUTED neighbor graph.
+    *
+    *   layer 1 (coarse):  the IVF centroid set (s3's deterministic
+    *     `vec_id % 97` stand-ins) — a query's entry points are its 3
+    *     nearest centroids, found by one broadcast scored pass (HNSW's
+    *     upper layers do exactly this: route to good starting nodes;
+    *     multi-entry is the nprobe analogue and is what lets the beam
+    *     cover adjacent cells).
+    *   layer 0 (graph):   each vector's M=8 nearest neighbors AMONG ITS
+    *     IVF CELL (cell-bounded self-join, never corpus²) UNIONED with
+    *     hub edges to its 3 nearest centroids — the HNSW long links,
+    *     letting the walk cross cell boundaries mid-search (node →
+    *     nearby centroid → that centroid's cell). The standing index a
+    *     deployment builds once and writes as parquet keyed by src (the
+    *     dd7 signature-index pattern; built inline here because the
+    *     gate measures one run).
+    *   search:            H=4 beam-search hops. Each hop expands the
+    *     beam's out-edges (equi-join on src), unions the beam, dedupes,
+    *     scores exact cosine against the query, keeps the best B=24 —
+    *     HNSW's ef-search candidate list as a bounded window. Final
+    *     answer: top-3 of the last beam, self excluded. The ExtSpec
+    *     recall test pins that this tuning stays USEFUL, not just
+    *     consistent (≥ 60% of brute-force top-3 at sf0.001; measured
+    *     77% there, 60% at sf0.01's different draw — the toy corpora
+    *     are near-random 64-d vectors, the hard case for any ANN).
+    *
+    * Everything is deterministic (ties on id), so the oracle replays the
+    * whole construction. Scale shape: graph build is cell-bounded; each
+    * hop touches ≤ B·M rows/query via equi-joins (queries broadcast);
+    * nothing is ever corpus × corpus. Recall the trade: hops reach
+    * neighbors-of-neighbors, so the beam escapes the entry cell through
+    * cross-cell centroid edges — exactly the role of HNSW's long links. */
+  private def s14(s: SparkSession, d: String): DataFrame = {
+    val all = vecs(s, d)
+    val cents = all.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    // IVF assignment (same deterministic build as s3)
+    val assign = all.join(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("nrm"), col("c_id"),
+        (vecDot(col("v"), col("cv")) / (col("nrm") * col("cn"))).as("score"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("c_id"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("c_id").as("cell"))
+    // layer-0 graph: within-cell top-M out-edges PLUS hub edges to each
+    // node's 3 nearest centroids — the HNSW long links. Hub edges are
+    // what lets the beam cross cell boundaries mid-walk (node → nearby
+    // centroid → that centroid's cell), so recall is not capped by the
+    // entry cells. Union-distinct, persisted (read once per hop).
+    val gl = assign.select(col("cell"), col("vec_id").as("src"),
+      col("v").as("sv"), col("nrm").as("sn"))
+    val gr = assign.select(col("cell"), col("vec_id").as("dst"),
+      col("v").as("dv"), col("nrm").as("dn"))
+    val cellEdges = gl.join(gr, Seq("cell")).filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        (vecDot(col("sv"), col("dv")) / (col("sn") * col("dn"))).as("ecos"))
+      .withColumn("er", row_number().over(
+        Window.partitionBy(col("src")).orderBy(col("ecos").desc, col("dst"))))
+      .filter(col("er") <= 8)
+      .select(col("src"), col("dst"))
+    val hubEdges = all.join(broadcast(cents))
+      .filter(col("vec_id") =!= col("c_id"))
+      .select(col("vec_id").as("src"), col("c_id").as("dst"),
+        (vecDot(col("v"), col("cv")) / (col("nrm") * col("cn"))).as("score"))
+      .withColumn("hr", row_number().over(
+        Window.partitionBy(col("src")).orderBy(col("score").desc, col("dst"))))
+      .filter(col("hr") <= 3)
+      .select(col("src"), col("dst"))
+    val graph = graft.Eager.keyed(
+      cellEdges.unionByName(hubEdges).distinct(), "s14_graph").persist()
+
+    val q = all.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    // layer-1 descent: nearest centroid = entry node (centroids ARE nodes)
+    val entry = q.join(broadcast(cents))
+      .select(col("q_id"), col("c_id"),
+        (vecDot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("score"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("c_id"))))
+      .filter(col("rn") <= 3)
+      .select(col("q_id"), col("c_id").as("n_id"))
+
+    val nv = all.select(col("vec_id").as("n_id"), col("v").as("nv"), col("nrm").as("nn"))
+    def topBeam(nodes: DataFrame, b: Int): DataFrame =
+      nodes.join(q, "q_id").join(nv, "n_id")
+        .select(col("q_id"), col("n_id"),
+          (vecDot(col("qv"), col("nv")) / (col("qn") * col("nn"))).as("cos"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))))
+        .filter(col("rn") <= b)
+
+    // Each hop PINS the beam to a LocalRelation: the beam is driver-tiny
+    // by construction (≤ |queries|·B id pairs — the query side is
+    // broadcast-small by the family's contract), and without the pin the
+    // hop lineage nests 4 deep, exploding Catalyst planning + codegen
+    // (measured 35 s → ~4 s at sf0.01). Same driver-bounded-state rule as
+    // the centroid collects elsewhere in this file.
+    var beam = graft.Eager.pin(entry)
+    for (_ <- 1 to 4) {
+      val expanded = beam.select("q_id", "n_id")
+        .join(graph, col("n_id") === col("src"))
+        .select(col("q_id"), col("dst").as("n_id"))
+        .unionByName(beam.select("q_id", "n_id"))
+        .distinct()
+      beam = graft.Eager.pin(topBeam(expanded, 24).select("q_id", "n_id"))
+    }
+    val res = topBeam(beam.filter(col("n_id") =!= col("q_id")), 3)
+      .select(col("q_id"), col("rn").cast("long").as("rank"), col("n_id"), col("cos"))
+      .orderBy(col("q_id"), col("rank"))
+    graft.Eager.finish(res, graph)
+  }
+
+  private val s14Sql = {
+    def beamHop(prev: String, exp: String, beam: String) =
+      s"""$exp AS (SELECT DISTINCT q_id, n_id FROM (
+         |  SELECT b.q_id, g.dst AS n_id FROM $prev b JOIN graph g ON b.n_id = g.src
+         |  UNION ALL SELECT q_id, n_id FROM $prev)),
+         |$beam AS MATERIALIZED (SELECT q_id, n_id FROM (
+         |  SELECT e.q_id, e.n_id,
+         |    ROW_NUMBER() OVER (PARTITION BY e.q_id
+         |      ORDER BY ${dotSql("q.qv", "x.v")} / (q.qn * x.nrm) DESC, e.n_id) AS rn
+         |  FROM $exp e JOIN q ON e.q_id = q.q_id JOIN vecs x ON e.n_id = x.vec_id)
+         |  WHERE rn <= 24)""".stripMargin
+    s"""WITH vecs AS MATERIALIZED ($VecsSql),
+       |cents AS MATERIALIZED (
+       |  SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM vecs WHERE vec_id % 97 = 0),
+       |assign AS MATERIALIZED (
+       |  SELECT vec_id, v, nrm, c_id AS cell FROM (
+       |    SELECT vec_id, v, nrm, c_id,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id
+       |        ORDER BY ${dotSql("v", "cv")} / (nrm * cn) DESC, c_id) AS rn
+       |    FROM vecs CROSS JOIN cents) WHERE rn = 1),
+       |cell_edges AS (
+       |  SELECT src, dst FROM (
+       |    SELECT s.vec_id AS src, x.vec_id AS dst,
+       |      ROW_NUMBER() OVER (PARTITION BY s.vec_id
+       |        ORDER BY ${dotSql("s.v", "x.v")} / (s.nrm * x.nrm) DESC, x.vec_id) AS er
+       |    FROM assign s JOIN assign x ON s.cell = x.cell AND s.vec_id <> x.vec_id)
+       |  WHERE er <= 8),
+       |hub_edges AS (
+       |  SELECT src, dst FROM (
+       |    SELECT vec_id AS src, c_id AS dst,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id
+       |        ORDER BY ${dotSql("v", "cv")} / (nrm * cn) DESC, c_id) AS hr
+       |    FROM vecs CROSS JOIN cents WHERE vec_id <> c_id)
+       |  WHERE hr <= 3),
+       |graph AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+       |  SELECT * FROM cell_edges UNION ALL SELECT * FROM hub_edges)),
+       |q AS MATERIALIZED (
+       |  SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM vecs WHERE vec_id % 50 = 0),
+       |beam0 AS (SELECT q_id, c_id AS n_id FROM (
+       |  SELECT q_id, c_id, ROW_NUMBER() OVER (PARTITION BY q_id
+       |    ORDER BY ${dotSql("qv", "cv")} / (qn * cn) DESC, c_id) AS rn
+       |  FROM q CROSS JOIN cents) WHERE rn <= 3),
+       |${beamHop("beam0", "exp1", "beam1")},
+       |${beamHop("beam1", "exp2", "beam2")},
+       |${beamHop("beam2", "exp3", "beam3")},
+       |${beamHop("beam3", "exp4", "beam4")}
+       |SELECT q_id, rank, n_id, cos FROM (
+       |  SELECT e.q_id, e.n_id, ${dotSql("q.qv", "x.v")} / (q.qn * x.nrm) AS cos,
+       |    ROW_NUMBER() OVER (PARTITION BY e.q_id
+       |      ORDER BY ${dotSql("q.qv", "x.v")} / (q.qn * x.nrm) DESC, e.n_id) AS rank
+       |  FROM beam4 e JOIN q ON e.q_id = q.q_id JOIN vecs x ON e.n_id = x.vec_id
+       |  WHERE e.n_id <> e.q_id) WHERE rank <= 3
+       |ORDER BY q_id, rank""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "s14_hnsw_beam" -> s14 _,
     "s13_bbq_recall" -> s13 _,
     "s12_ivf_bbq" -> s12 _,
     "s11_bbq_ann" -> s11 _,
@@ -989,6 +1162,7 @@ object Similarity {
     "s4_ann_recall" -> s4 _)
 
   val oracle: Map[String, String] = Map(
+    "s14_hnsw_beam" -> s14Sql,
     "s13_bbq_recall" -> s13Sql,
     "s12_ivf_bbq" -> s12Sql,
     "s11_bbq_ann" -> s11Sql,

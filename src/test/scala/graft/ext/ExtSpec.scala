@@ -364,6 +364,27 @@ class ExtSpec extends SparkSpec {
     assert(verdicts === (1001L to 1005L).toSet)
   }
 
+  test("s14 graph ANN: 3 ranked neighbors per query, no self, useful recall") {
+    import org.apache.spark.sql.functions._
+    val truth = Similarity.queries("s1_cosine_topk")(spark, sf)
+      .filter(col("rank") <= 3).select("q_id", "n_id")
+    val beam = Similarity.queries("s14_hnsw_beam")(spark, sf)
+    val rows = beam.collect()
+    // exactly 3 ranked rows per query, self excluded
+    val perQ = rows.groupBy(_.getLong(0))
+    assert(perQ.values.forall(_.length == 3))
+    assert(perQ.forall { case (q, rs) =>
+      rs.map(_.getLong(1)).sorted.sameElements(Array(1L, 2L, 3L)) &&
+        rs.forall(_.getLong(2) != q)
+    })
+    // beam search is approximate, but a 3-hop beam from the 3 nearest
+    // centroids must recover most of brute-force top-3 — guards against
+    // a consistent-but-useless graph walk
+    val hits = beam.select("q_id", "n_id").join(truth, Seq("q_id", "n_id")).count()
+    val total = truth.count()
+    assert(hits * 10 >= total * 6, s"graph-ANN recall too low: $hits/$total")
+  }
+
   test("shingleHashesFlat equals positional shingleHashes (incl. short arrays)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

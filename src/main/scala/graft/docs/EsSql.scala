@@ -24,9 +24,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * from the registered source schema — schema expansion, not a new
   * execution path), `HISTOGRAM(col, interval)` group keys (ES SQL's
   * fixed-interval bucketing = ES|QL `BUCKET`, both floor(x/span)*span),
-  * `COUNT(DISTINCT x)` → `COUNT_DISTINCT(x)`, and SQL `LIKE` patterns
-  * (`%`/`_` wildcards → ES|QL `*`/`?`). Dialect mapping is purely
-  * lexical: `=`→`==`, `<>`→`!=`, `'str'`→`"str"`. `OFFSET m` (ES SQL's
+  * `COUNT(DISTINCT x)` → `COUNT_DISTINCT(x)`, SQL `LIKE` patterns
+  * (`%`/`_` wildcards → ES|QL `*`/`?`), and `[NOT] BETWEEN` (rewritten
+  * to the comparison pair — ES|QL has no BETWEEN). Dialect mapping is
+  * purely lexical: `=`→`==`, `<>`→`!=`, `'str'`→`"str"`. The catalog
+  * commands Kibana's SQL editor issues — `SHOW TABLES`, `DESCRIBE idx` —
+  * answer from the registered schemas driver-side (zero scan cost). `OFFSET m` (ES SQL's
   * `from` paging) requires ORDER BY (a page of an unordered result is
   * meaningless) and applies AFTER the bounded sort — `LIMIT n OFFSET m`
   * plans as one TakeOrderedAndProject of n+m rows, then drops m.
@@ -279,6 +282,38 @@ object EsSql {
     (out.toList, used)
   }
 
+  /** Rewrite `<column> [NOT] BETWEEN <literal> AND <literal>` into the
+    * comparison pair ES|QL understands (it has no BETWEEN). Bound to the
+    * simple-operand shape — a computed operand rejects loudly rather than
+    * guessing where its expression starts. */
+  private def rewriteBetween(ts: List[Tok]): List[Tok] = {
+    def lit(t: Tok): Boolean = t match {
+      case SNum(_) | SStr(_) => true
+      case _ => false
+    }
+    val out = scala.collection.mutable.ListBuffer[Tok]()
+    var rest = ts
+    while (rest.nonEmpty) rest match {
+      case SId(x) :: b :: lo :: a :: hi :: tail
+        if isKw(b, "BETWEEN") && isKw(a, "AND") && lit(lo) && lit(hi) =>
+        out ++= List(SOp("("), SId(x), SOp(">="), lo, SId("AND"),
+          SId(x), SOp("<="), hi, SOp(")"))
+        rest = tail
+      case SId(x) :: n :: b :: lo :: a :: hi :: tail
+        if isKw(n, "NOT") && isKw(b, "BETWEEN") && isKw(a, "AND") &&
+          lit(lo) && lit(hi) =>
+        out ++= List(SId("NOT"), SOp("("), SId(x), SOp(">="), lo, SId("AND"),
+          SId(x), SOp("<="), hi, SOp(")"))
+        rest = tail
+      case t :: tail =>
+        if (isKw(t, "BETWEEN"))
+          reject("BETWEEN on this shape (supported: " +
+            "<column> [NOT] BETWEEN <literal> AND <literal>)")
+        out += t; rest = tail
+    }
+    out.toList
+  }
+
   /** SQL → ES|QL pipe. Pure string-to-string (no schema: `SELECT *`
     * rejects); `run` supplies source schemas and the OFFSET. */
   def translate(sql: String): String = translateFull(sql, Map.empty)._1
@@ -291,7 +326,8 @@ object EsSql {
     * command — so `run` applies it to the bounded sorted result. */
   private def translateFull(sql: String,
                             schemas: Map[String, Seq[String]]): (String, Int) = {
-    val (ts, usesScore) = rewriteScore(tokenize(sql))
+    val (ts0, usesScore) = rewriteScore(tokenize(sql))
+    val ts = rewriteBetween(ts0)
     if (ts.sliding(2).exists {
       case List(SOp("("), t) => isKw(t, "SELECT")
       case _ => false
@@ -423,8 +459,53 @@ object EsSql {
     (pipes.mkString("\n| "), offset)
   }
 
+  /** ES SQL type name for a Spark type — the `_sql` dialect's vocabulary
+    * (ES docs "SQL data types"), covering the types parquet sources
+    * produce here. Unknown types print Spark's own name uppercased. */
+  private def esTypeName(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType => "BIGINT"
+      case IntegerType => "INTEGER"
+      case ShortType => "SMALLINT"
+      case ByteType => "TINYINT"
+      case DoubleType => "DOUBLE"
+      case FloatType => "REAL"
+      case StringType => "VARCHAR"
+      case BooleanType => "BOOLEAN"
+      case DateType => "DATE"
+      case _: TimestampType => "TIMESTAMP"
+      case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+      case b if b == BinaryType => "VARBINARY"
+      case other => other.sql
+    }
+  }
+
   def run(sources: Map[String, DataFrame], sql: String,
           spark: SparkSession = null): DataFrame = {
+    // metadata commands (what Kibana's SQL editor issues before querying):
+    // SHOW TABLES lists the registered indices; DESCRIBE/DESC <idx> lists
+    // (column, type) in declared order. Neither touches data — both are
+    // driver-side catalog reads, zero scan cost at any scale.
+    val ts = tokenize(sql)
+    val session = Option(spark).getOrElse(sources.head._2.sparkSession)
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types.{StructType, StructField, StringType}
+    import org.apache.spark.sql.Row
+    ts match {
+      case List(s0, t0) if isKw(s0, "SHOW") && isKw(t0, "TABLES") =>
+        return session.createDataFrame(
+          sources.keys.toSeq.sorted.map(Row(_)).asJava,
+          StructType(Seq(StructField("name", StringType, nullable = false))))
+      case List(d0, SId(idx)) if isKw(d0, "DESCRIBE") || isKw(d0, "DESC") =>
+        val t = sources.getOrElse(idx, reject(s"unknown index $idx " +
+          s"(have: ${sources.keys.toSeq.sorted.mkString(", ")})"))
+        return session.createDataFrame(
+          t.schema.fields.toSeq.map(f => Row(f.name, esTypeName(f.dataType))).asJava,
+          StructType(Seq(StructField("column", StringType, nullable = false),
+            StructField("type", StringType, nullable = false))))
+      case _ => ()
+    }
     val (pipe, offset) =
       translateFull(sql, sources.map { case (k, v) => k -> v.columns.toSeq })
     val out = Esql.run(sources, pipe)

@@ -1115,6 +1115,33 @@ class PlanAuditSpec extends SparkSpec {
       s"bloom gate must not cartesian:\n$p")
   }
 
+  test("d251: _score relevance is a flat projected scan + bounded top-k, no join") {
+    val p = plan(q("d251_esql_score"))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"SORT _score + LIMIT must bound as top-k:\n$p")
+    assert(!p.contains("Join"),
+      s"metadata scoring must stay a projection over the scan:\n$p")
+    // the non-scoring half of the WHERE still reaches the parquet scan
+    assert(p.contains("PushedFilters") && p.contains("GreaterThan(n_chars"),
+      s"n_chars predicate must push down beside the MATCH filter:\n$p")
+  }
+
+  test("d253: LIMIT+OFFSET plans ONE bounded sort of n+m rows") {
+    val p = plan(q("d253_es_sql_offset"))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"paging must ride a single bounded sort:\n$p")
+    assert(p.contains("GreaterThan(n_chars"),
+      s"the WHERE must reach the scan:\n$p")
+  }
+
+  test("d250: SELECT * expansion reads the full declared schema explicitly") {
+    val p = plan(q("d250_es_sql_star"))
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    Seq("doc_id", "text", "lang", "source", "n_chars").foreach(c =>
+      assert(readSchema.contains(c), s"star expansion must keep $c:\n$readSchema"))
+    assert(p.contains("TakeOrderedAndProject"), s"ORDER BY+LIMIT must bound:\n$p")
+  }
+
   test("t16: stratified sample runs both windows on ONE stratum shuffle") {
     val p = plan(q("t16_stratified_sample"))
     // count-per-stratum and hash-rank share the lang partitioning: one

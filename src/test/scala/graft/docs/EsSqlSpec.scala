@@ -79,6 +79,21 @@ class EsSqlSpec extends SparkSpec {
         || KEEP a""".stripMargin)
   }
 
+  test("BETWEEN rewrites to the comparison pair; NOT BETWEEN negates it") {
+    assert(t("SELECT a FROM t WHERE v BETWEEN 10 AND 20") ===
+      """FROM t
+        || WHERE ( v >= 10 AND v <= 20 )
+        || KEEP a""".stripMargin)
+    assert(t("SELECT a FROM t WHERE v NOT BETWEEN 10 AND 20 ORDER BY a") ===
+      """FROM t
+        || WHERE NOT ( v >= 10 AND v <= 20 )
+        || SORT a
+        || KEEP a""".stripMargin)
+    val e = intercept[IllegalArgumentException](
+      t("SELECT a FROM t WHERE v + 1 BETWEEN x AND 20")).getMessage
+    assert(e.contains("BETWEEN"))
+  }
+
   test("OFFSET pages the sorted rows end-to-end; ORDER BY non-selected column") {
     import spark.implicits._
     val base = (1 to 40).map(i => (i.toLong, 40L - i)).toDF("id", "rev")
@@ -111,6 +126,24 @@ class EsSqlSpec extends SparkSpec {
       .orderBy(col("s").desc, col("g").asc).limit(4)
       .collect().map(_.toSeq).toSeq
     assert(got === twin)
+  }
+
+  test("metadata commands: SHOW TABLES lists indices, DESCRIBE lists columns") {
+    import spark.implicits._
+    val a = Seq((1L, "x", 2.5)).toDF("id", "name", "v")
+    val b = Seq((1, true)).toDF("k", "flag")
+    val tables = EsSql.run(Map("beta" -> b, "alpha" -> a), "SHOW TABLES")
+      .collect().map(_.getString(0)).toSeq
+    assert(tables === Seq("alpha", "beta"))
+    val desc = EsSql.run(Map("alpha" -> a), "DESCRIBE alpha")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(desc === Seq("id" -> "BIGINT", "name" -> "VARCHAR", "v" -> "DOUBLE"))
+    val desc2 = EsSql.run(Map("beta" -> b), "DESC beta")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(desc2 === Seq("k" -> "INTEGER", "flag" -> "BOOLEAN"))
+    assert(intercept[IllegalArgumentException](
+      EsSql.run(Map("alpha" -> a), "DESCRIBE nope")).getMessage
+      .contains("unknown index nope"))
   }
 
   test("documented bounds reject loudly with named reasons") {

@@ -9294,6 +9294,56 @@ object DocQueries {
       |WHERE n_chars > 250
       |ORDER BY n_chars DESC, doc_id LIMIT 15 OFFSET 30""".stripMargin
 
+  // ---------------------------------------------------------------- d255
+  /** ES|QL `QSTR()` (8.17) — the Kibana search-bar query_string syntax as
+    * a WHERE function, compiled through the SAME QueryString→SearchQuery→
+    * Column path the Query DSL uses (one grammar, no second path to
+    * drift), resolved against the pipe frame's schema. The whole request
+    * stays ONE plan: the qstr filter beside the range predicate, one hash
+    * agg, sorted output. */
+  private def d255(s: SparkSession, d: String): DataFrame = {
+    val q =
+      """FROM documents
+        || WHERE QSTR("lang:en AND (text:vector OR text:windows)") AND n_chars > 250
+        || STATS n = COUNT(*), chars = SUM(n_chars) BY source
+        || SORT source""".stripMargin
+    Esql.run(Map("documents" ->
+      s.read.parquet(s"$d/documents.parquet")), q)
+  }
+
+  private val d255Sql = {
+    def tok(c: String, t: String) =
+      s"list_contains(regexp_split_to_array(lower($c), '\\s+'), '$t')"
+    s"""SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(SUM(n_chars) AS BIGINT) AS chars
+       |FROM documents
+       |WHERE ${tok("lang", "en")}
+       |  AND (${tok("text", "vector")} OR ${tok("text", "windows")})
+       |  AND n_chars > 250
+       |GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- d256
+  /** ES|QL `MATCH_PHRASE()` (9.x) — consecutive analyzed tokens in order,
+    * riding the Query DSL's phrase machinery (SearchOps.phraseMatch —
+    * padded single-space containment over whitespace tokens, a pure
+    * codegen'd string expression: no positional index, no explode). */
+  private def d256(s: SparkSession, d: String): DataFrame = {
+    val q =
+      """FROM documents
+        || WHERE MATCH_PHRASE(text, "hash join")
+        || KEEP doc_id, source, n_chars
+        || SORT doc_id""".stripMargin
+    Esql.run(Map("documents" ->
+      s.read.parquet(s"$d/documents.parquet")), q)
+  }
+
+  private val d256Sql =
+    """SELECT doc_id, source, n_chars FROM documents
+      |WHERE contains(' ' || regexp_replace(trim(lower(text)), ' +', ' ', 'g')
+      |  || ' ', ' hash join ')
+      |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- d254
   /** EQL sequence WITHOUT `maxspan` — unbounded sequences are legal EQL
     * (the `with maxspan=` clause is optional). The window-carry plan is
@@ -9919,6 +9969,8 @@ object DocQueries {
     "d252_es_sql_score" -> d252 _,
     "d253_es_sql_offset" -> d253 _,
     "d254_eql_unbounded" -> d254 _,
+    "d255_esql_qstr" -> d255 _,
+    "d256_esql_match_phrase" -> d256 _,
     "d206_es_parent_agg" -> d206 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
@@ -10175,6 +10227,8 @@ object DocQueries {
     "d252_es_sql_score" -> d252Sql,
     "d253_es_sql_offset" -> d253Sql,
     "d254_eql_unbounded" -> d254Sql,
+    "d255_esql_qstr" -> d255Sql,
+    "d256_esql_match_phrase" -> d256Sql,
     "d206_es_parent_agg" -> d206Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,

@@ -218,6 +218,11 @@ object Esql {
     }
   }
 
+  /** The frame schema QSTR() resolves against — set by `pipe` before each
+    * command compiles (ThreadLocal: concurrent queries don't share it). */
+  private val curSchema =
+    new ThreadLocal[org.apache.spark.sql.types.StructType]
+
   /** Σ matched-term counts over every MATCH() node in a WHERE expression
     * — that WHERE's `_score` contribution under METADATA _score. A MATCH
     * that is false for a row contributes 0 naturally (none of its terms
@@ -529,6 +534,42 @@ object Esql {
             case other => throw new IllegalArgumentException(
               s"esql: MATCH query must be a string literal, got $other")
           }
+        case "MATCH_PHRASE" =>
+          // MATCH_PHRASE(field, "phrase") (ES|QL 9.x): consecutive
+          // analyzed tokens, in order — the match_phrase query as a
+          // boolean function. Rides the Query DSL's phrase machinery
+          // (SearchOps.phraseMatch), so both languages share one
+          // definition of "phrase".
+          arity(2)
+          args(1) match {
+            case EStr(q) => SearchOps.phraseMatch(c(0), q)
+            case other => throw new IllegalArgumentException(
+              s"esql: MATCH_PHRASE phrase must be a string literal, got $other")
+          }
+        case "QSTR" =>
+          // QSTR("query string") (ES|QL 8.17): the Kibana search-bar
+          // syntax as a WHERE function. The string compiles through the
+          // SAME QueryString→SearchQuery→Column path the Query DSL uses
+          // (field:value analyzed terms, phrases, prefixes/wildcards,
+          // field:* exists, AND/OR/NOT + parens), resolved against the
+          // current frame's schema — one grammar, no second path to
+          // drift. Stays a plain boolean filter: pushdown-eligible
+          // where its leaves are (prefix → StartsWith etc.).
+          arity(1)
+          args.head match {
+            case EStr(qs) =>
+              val schema = curSchema.get
+              require(schema != null,
+                "esql: QSTR needs a source frame in scope (not usable in ROW)")
+              val ast = QueryString.parse(qs, schema)
+              SearchQuery.compile(ast,
+                struct(schema.fieldNames.map(col).toSeq: _*))
+            case other => throw new IllegalArgumentException(
+              s"esql: QSTR query must be a string literal, got $other")
+          }
+        case "KQL" => throw new IllegalArgumentException(
+          "esql: KQL is not supported — use QSTR (the query_string syntax); " +
+            "a half-faithful KQL would silently differ on and/or precedence")
         case "CASE" =>
           // CASE(cond1, v1 [, cond2, v2 ...] [, default]) — a when chain;
           // no default → null (the ES|QL contract)
@@ -654,6 +695,7 @@ object Esql {
     * dimension-sized by contract, the corpus side never shuffles). */
   def run(sources: Map[String, DataFrame], query: String,
           enrich: Map[String, (DataFrame, String)] = Map.empty): DataFrame = {
+    curSchema.remove() // no stale frame schema from a previous query (QSTR)
     // split the token stream on top-level pipes (paren-aware: pipes
     // inside FORK branch parentheses belong to the branch, not the pipe)
     val segments = splitPipes(tokenize(query))
@@ -839,6 +881,11 @@ object Esql {
 
     segs.foreach { seg =>
       require(seg.nonEmpty, "esql: empty pipe segment")
+      // QSTR() compiles against the CURRENT frame's schema (the
+      // query-string grammar resolves field paths); `compile` is static,
+      // so the schema travels per-thread — plan build is single-threaded
+      // within a query, and concurrent queries get their own slot.
+      curSchema.set(df.schema)
       val p = new P(seg.tail)
       kw(seg.head) match {
         case "WHERE" =>

@@ -239,6 +239,34 @@ class EsqlSpec extends SparkSpec {
     assert(dd === -1L)
   }
 
+  test("QSTR compiles the query-string grammar; MATCH_PHRASE needs adjacency") {
+    import spark.implicits._
+    val docs = Map("d" -> Seq(
+      (1L, "en", "wide vector windows"),
+      (2L, "en", "windows vector"),      // phrase terms out of order
+      (3L, "de", "wide vector windows"), // lang excluded by qstr
+      (4L, "en", "nothing here"))
+      .toDF("id", "lang", "txt"))
+    val qs = Esql.run(docs,
+      """FROM d | WHERE QSTR("lang:en AND (txt:vector OR txt:nothing)")
+        || KEEP id | SORT id ASC""".stripMargin)
+      .collect().map(_.getLong(0)).toSeq
+    assert(qs === Seq(1L, 2L, 4L))
+    val ph = Esql.run(docs,
+      """FROM d | WHERE MATCH_PHRASE(txt, "vector windows")
+        || KEEP id | SORT id ASC""".stripMargin)
+      .collect().map(_.getLong(0)).toSeq
+    assert(ph === Seq(1L, 3L)) // in-order adjacency only — never doc 2
+    // KQL rejects loudly with a pointer to QSTR
+    assert(intercept[IllegalArgumentException](Esql.run(docs,
+      """FROM d | WHERE KQL("lang:en")""")).getMessage.contains("QSTR"))
+    // QSTR prefix leaf: txt:wide* matches raw-prefix docs
+    val pre = Esql.run(docs,
+      """FROM d | WHERE QSTR("txt:wide*") | KEEP id | SORT id ASC""")
+      .collect().map(_.getLong(0)).toSeq
+    assert(pre === Seq(1L, 3L))
+  }
+
   test("SORT nulls: ES|QL default is nulls-last ASC / nulls-first DESC; NULLS overrides") {
     import spark.implicits._
     val n = Map("nn" -> Seq((1L, Some(5.0)), (2L, None), (3L, Some(1.0)))

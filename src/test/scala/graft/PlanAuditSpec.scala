@@ -1142,6 +1142,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"ORDER BY+LIMIT must bound:\n$p")
   }
 
+  test("d255: QSTR is a flat filter — range pushed, one hash agg, no join") {
+    val p = plan(q("d255_esql_qstr"))
+    assert(!p.contains("Join"), s"QSTR must compile to expressions, not joins:\n$p")
+    assert(p.contains("PushedFilters") && p.contains("GreaterThan(n_chars"),
+      s"the companion range predicate must reach the scan:\n$p")
+    val hashAggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(hashAggs <= 4, s"expected one partial+final agg pair:\n$p")
+  }
+
+  test("d256: MATCH_PHRASE is a pure string-expression filter over the scan") {
+    val p = plan(q("d256_esql_match_phrase"))
+    assert(!p.contains("Join") && !p.contains(" Window"),
+      s"phrase match must stay a per-row expression:\n$p")
+    assert(!p.contains("Exchange") || p.contains("rangepartitioning"),
+      s"only the final SORT may shuffle:\n$p")
+  }
+
   test("t16: stratified sample runs both windows on ONE stratum shuffle") {
     val p = plan(q("t16_stratified_sample"))
     // count-per-stratum and hash-rank share the lang partitioning: one

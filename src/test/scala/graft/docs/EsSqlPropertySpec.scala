@@ -1,0 +1,76 @@
+package graft.docs
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Property-style equivalence for the ES SQL translator: seeded random
+  * SELECT statements (row path with BETWEEN/LIKE/OFFSET, aggregate path
+  * with GROUP BY + HAVING) each check against the hand-built DataFrame
+  * twin — the SQL→ES|QL→Catalyst chain must add nothing and lose nothing
+  * relative to writing the plan directly. Seeded → deterministic, no
+  * extra test deps (the EsqlPropertySpec pattern). */
+class EsSqlPropertySpec extends SparkSpec {
+
+  private lazy val base = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23L)
+    (1 to 400).map { i =>
+      (i.toLong, s"g${rnd.nextInt(6)}", rnd.nextInt(1000).toLong,
+        s"p${rnd.nextInt(4)}x${rnd.nextInt(3)}")
+    }.toDF("id", "g", "v", "tag")
+  }
+
+  test("25 random aggregate SELECTs equal their hand-built twins") {
+    val rnd = new scala.util.Random(5L)
+    (1 to 25).foreach { _ =>
+      val lo = rnd.nextInt(400)
+      val hi = lo + 100 + rnd.nextInt(400)
+      val hav = rnd.nextInt(8) + 1
+      val lim = rnd.nextInt(5) + 1
+      val desc = rnd.nextBoolean()
+      val (aggE, aggD) = rnd.nextInt(3) match {
+        case 0 => ("SUM(v)", sum(col("v")).cast("long"))
+        case 1 => ("MAX(v)", max(col("v")))
+        case _ => ("COUNT(DISTINCT tag)", count_distinct(col("tag")).cast("long"))
+      }
+      val dir = if (desc) "DESC" else "ASC"
+      val q = s"""SELECT g, COUNT(*) AS n, $aggE AS a FROM t
+                 |WHERE v BETWEEN $lo AND $hi
+                 |GROUP BY g HAVING n > $hav
+                 |ORDER BY a $dir, g ASC LIMIT $lim""".stripMargin
+      val got = EsSql.run(Map("t" -> base), q).collect().map(_.toSeq).toSeq
+      val twin = base.filter(col("v") >= lo && col("v") <= hi)
+        .groupBy("g")
+        .agg(count(lit(1)).cast("long").as("n"), aggD.as("a"))
+        .filter(col("n") > hav)
+        .select("g", "n", "a")
+        .orderBy(if (desc) col("a").desc else col("a").asc, col("g").asc)
+        .limit(lim)
+        .collect().map(_.toSeq).toSeq
+      assert(got === twin, s"statement diverged from its twin: $q")
+    }
+  }
+
+  test("25 random row SELECTs (LIKE, computed alias, OFFSET paging) equal twins") {
+    val rnd = new scala.util.Random(17L)
+    (1 to 25).foreach { _ =>
+      val th = rnd.nextInt(800)
+      val p = rnd.nextInt(4)
+      val div = rnd.nextInt(9) + 2
+      val lim = rnd.nextInt(12) + 3
+      val off = rnd.nextInt(10)
+      val q = s"""SELECT id, v / $div AS vd FROM t
+                 |WHERE tag LIKE 'p$p%' AND v > $th
+                 |ORDER BY vd DESC, id ASC LIMIT $lim OFFSET $off""".stripMargin
+      val got = EsSql.run(Map("t" -> base), q).collect().map(_.toSeq).toSeq
+      val twin = base.filter(col("tag").like(s"p$p%") && col("v") > th)
+        .select(col("id"), (col("v") / div).as("vd"))
+        .orderBy(col("vd").desc, col("id").asc)
+        .limit(lim + off)
+        .offset(off)
+        .collect().map(_.toSeq).toSeq
+      assert(got === twin, s"statement diverged from its twin: $q")
+    }
+  }
+}

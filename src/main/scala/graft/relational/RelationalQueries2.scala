@@ -190,6 +190,51 @@ object RelationalQueries2 {
       |  COUNT(*) AS n
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------- q45
+  /** APPROXIMATE percentiles via Spark's mergeable Greenwald-Khanna
+    * sketch (`approx_percentile`) beside the exact values, with an
+    * IN-QUERY rank-error audit — the q27 HLL pattern applied to
+    * quantiles. At 100 TB an exact percentile needs every group value
+    * sorted (the q25 path); the GK sketch is one pass, partial-combines
+    * map-side like any agg, and holds O(accuracy) memory per group — the
+    * scale path for quantile dashboards. The audit counts each sketch
+    * result's actual rank in a second bounded pass (broadcast of the
+    * |groups|-row sketch frame) and asserts it landed within 0.5% of the
+    * target rank (5× the sketch's ε=1/1000 guarantee, slack for
+    * duplicate values at the cut). Oracle pins the exact values; the
+    * audit column must be uniformly true. */
+  private def q45(s: SparkSession, d: String): DataFrame = {
+    val price = expr("CAST(FLOOR(l_extendedprice) AS BIGINT)")
+    val agg = t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(CAST(FLOOR(l_extendedprice) AS BIGINT), 0.5)").as("exact_p50"),
+        expr("percentile(CAST(FLOOR(l_extendedprice) AS BIGINT), 0.95)").as("exact_p95"),
+        expr("approx_percentile(CAST(FLOOR(l_extendedprice) AS BIGINT), 0.5, 1000)").as("_a50"),
+        expr("approx_percentile(CAST(FLOOR(l_extendedprice) AS BIGINT), 0.95, 1000)").as("_a95"),
+        count(lit(1)).cast("long").as("n"))
+    val ranks = t(s, d, "lineitem")
+      .join(broadcast(agg.select(col("l_returnflag"), col("_a50"), col("_a95"))),
+        "l_returnflag")
+      .groupBy(col("l_returnflag"))
+      .agg(sum(when(price <= col("_a50"), 1L).otherwise(0L)).as("_r50"),
+        sum(when(price <= col("_a95"), 1L).otherwise(0L)).as("_r95"))
+    agg.join(ranks, "l_returnflag")
+      .select(col("l_returnflag"), col("exact_p50"), col("exact_p95"), col("n"),
+        (abs(col("_r50") - col("n") * 0.5) <= col("n") * 0.005 + 1 &&
+          abs(col("_r95") - col("n") * 0.95) <= col("n") * 0.005 + 1)
+          .as("gk_within_bound"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val q45Sql =
+    """SELECT l_returnflag,
+      |  quantile_cont(CAST(FLOOR(l_extendedprice) AS BIGINT), 0.5) AS exact_p50,
+      |  quantile_cont(CAST(FLOOR(l_extendedprice) AS BIGINT), 0.95) AS exact_p95,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  TRUE AS gk_within_bound
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---------------------------------------------------------------- q26
   /** JSON functions over a JSON-string column (`events.props`): extraction,
     * typed cast, aggregation by extracted value — per-row codegen'd path
@@ -944,7 +989,8 @@ object RelationalQueries2 {
     "q23_sessionize" -> q23 _,
     "q24_asof_join" -> q24 _,
     "q25_percentiles" -> q25 _,
-    "q26_json_fns" -> q26 _)
+    "q26_json_fns" -> q26 _,
+    "q45_approx_percentiles" -> q45 _)
 
   val oracle: Map[String, String] = Map(
     "q44_zorder" -> q44Sql,
@@ -970,5 +1016,6 @@ object RelationalQueries2 {
     "q23_sessionize" -> q23Sql,
     "q24_asof_join" -> q24Sql,
     "q25_percentiles" -> q25Sql,
-    "q26_json_fns" -> q26Sql)
+    "q26_json_fns" -> q26Sql,
+    "q45_approx_percentiles" -> q45Sql)
 }

@@ -9339,8 +9339,10 @@ object DocQueries {
   }
 
   private val d256Sql =
+    // \s+ (not ' +'): the engine tokenizes on ANY whitespace, so the
+    // oracle must collapse tabs/newlines identically
     """SELECT doc_id, source, n_chars FROM documents
-      |WHERE contains(' ' || regexp_replace(trim(lower(text)), ' +', ' ', 'g')
+      |WHERE contains(' ' || regexp_replace(trim(lower(text)), '\s+', ' ', 'g')
       |  || ' ', ' hash join ')
       |ORDER BY doc_id""".stripMargin
 

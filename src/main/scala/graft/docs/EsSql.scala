@@ -287,24 +287,37 @@ object EsSql {
     * simple-operand shape — a computed operand rejects loudly rather than
     * guessing where its expression starts. */
   private def rewriteBetween(ts: List[Tok]): List[Tok] = {
-    def lit(t: Tok): Boolean = t match {
-      case SNum(_) | SStr(_) => true
-      case _ => false
+    // a literal bound is a string, a number, or a minus-prefixed number
+    // (the tokenizer emits `-5` as SOp("-") :: SNum("5"))
+    def bound(rest: List[Tok]): Option[(List[Tok], List[Tok])] = rest match {
+      case (t @ (SNum(_) | SStr(_))) :: tail => Some((List(t), tail))
+      case SOp("-") :: (t @ SNum(_)) :: tail => Some((List(SOp("-"), t), tail))
+      case _ => None
     }
     val out = scala.collection.mutable.ListBuffer[Tok]()
     var rest = ts
     while (rest.nonEmpty) rest match {
-      case SId(x) :: b :: lo :: a :: hi :: tail
-        if isKw(b, "BETWEEN") && isKw(a, "AND") && lit(lo) && lit(hi) =>
-        out ++= List(SOp("("), SId(x), SOp(">="), lo, SId("AND"),
-          SId(x), SOp("<="), hi, SOp(")"))
-        rest = tail
-      case SId(x) :: n :: b :: lo :: a :: hi :: tail
-        if isKw(n, "NOT") && isKw(b, "BETWEEN") && isKw(a, "AND") &&
-          lit(lo) && lit(hi) =>
-        out ++= List(SId("NOT"), SOp("("), SId(x), SOp(">="), lo, SId("AND"),
-          SId(x), SOp("<="), hi, SOp(")"))
-        rest = tail
+      case SId(x) :: b :: afterB if isKw(b, "BETWEEN") =>
+        (for {
+          (lo, afterLo) <- bound(afterB)
+          tail1 <- afterLo match {
+            case a :: t if isKw(a, "AND") => Some(t)
+            case _ => None
+          }
+          (hi, tail) <- bound(tail1)
+        } yield (lo, hi, tail)) match {
+          case Some((lo, hi, tail)) =>
+            out ++= List(SOp("("), SId(x), SOp(">=")) ++ lo ++
+              List(SId("AND"), SId(x), SOp("<=")) ++ hi :+ SOp(")")
+            rest = tail
+          case None => reject("BETWEEN on this shape (supported: " +
+            "<column> [NOT] BETWEEN <literal> AND <literal>)")
+        }
+      case SId(x) :: n :: b :: tail0 if isKw(n, "NOT") && isKw(b, "BETWEEN") =>
+        // rewrite to NOT + the plain form and let the case above handle it
+        rest = SId("NOT") :: SId(x) :: b :: tail0
+        out += rest.head
+        rest = rest.tail
       case t :: tail =>
         if (isKw(t, "BETWEEN"))
           reject("BETWEEN on this shape (supported: " +
@@ -438,12 +451,23 @@ object EsSql {
       }
       pipes += s"SORT ${keys.mkString(", ")}"
     }
+    // from+size are bounded like ES's (both ≤ 1e9, sum inside Int) — an
+    // out-of-range page rejects with a named reason instead of a
+    // NumberFormatException or a silent Int overflow in the pipe
+    def pageCount(what: String, n: String): Int = {
+      if (n.contains(".")) reject(s"$what must be an integer literal, got: $n")
+      val v = try n.toLong catch {
+        case _: NumberFormatException => reject(s"$what out of range: $n")
+      }
+      if (v > 1000000000L) reject(s"$what exceeds 1e9 (got $n)")
+      v.toInt
+    }
     val offset = cs.get("OFFSET") match {
-      case Some(List(SNum(n))) if !n.contains(".") =>
+      case Some(List(SNum(n))) =>
         if (!cs.contains("ORDER"))
           reject("OFFSET without ORDER BY (a page of an unordered result " +
             "is meaningless)")
-        n.toInt
+        pageCount("OFFSET", n)
       case Some(other) => reject(s"OFFSET must be an integer literal, " +
         s"got: ${emit(other)}")
       case None => 0
@@ -451,7 +475,7 @@ object EsSql {
     cs.get("LIMIT").foreach {
       // LIMIT n OFFSET m bounds the sort at n+m rows (ES's from+size) —
       // still ONE TakeOrderedAndProject; run() drops the first m
-      case List(SNum(n)) if !n.contains(".") => pipes += s"LIMIT ${n.toInt + offset}"
+      case List(SNum(n)) => pipes += s"LIMIT ${pageCount("LIMIT", n) + offset}"
       case other => reject(s"LIMIT must be an integer literal, got: ${emit(other)}")
     }
     if (groupKeys.isEmpty && !items.exists(aggCall(_).isDefined))
@@ -488,7 +512,10 @@ object EsSql {
     // (column, type) in declared order. Neither touches data — both are
     // driver-side catalog reads, zero scan cost at any scale.
     val ts = tokenize(sql)
-    val session = Option(spark).getOrElse(sources.head._2.sparkSession)
+    def session: SparkSession = Option(spark)
+      .orElse(sources.headOption.map(_._2.sparkSession))
+      .getOrElse(reject(
+        "no SparkSession available (register a source or pass one)"))
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.types.{StructType, StructField, StringType}
     import org.apache.spark.sql.Row

@@ -47,7 +47,8 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * path — unit specs pin them); strings LEFT/RIGHT/REVERSE/REPEAT/LOCATE/
   * SPACE/BIT_LENGTH/BYTE_LENGTH/MD5/SHA256; dates DATE_TRUNC/DATE_EXTRACT
   * (ChronoField names, ISO day_of_week)/DATE_FORMAT (java patterns)/
-  * DATE_DIFF (floor division on the epoch-micros timeline); multivalue
+  * DATE_DIFF (whole units truncated toward zero on the epoch-micros
+  * timeline); multivalue
   * MV_COUNT/MV_MIN/MV_MAX/MV_FIRST/MV_LAST/MV_SUM/MV_AVG (sequential
   * double folds)/MV_MEDIAN/MV_DEDUPE (sorted — deterministic deviation)/
   * MV_SORT/MV_SLICE/MV_CONCAT/MV_APPEND/MV_ZIP. Aggs: COUNT(*) / COUNT /
@@ -223,11 +224,15 @@ object Esql {
   private val curSchema =
     new ThreadLocal[org.apache.spark.sql.types.StructType]
 
-  /** Σ matched-term counts over every MATCH() node in a WHERE expression
-    * — that WHERE's `_score` contribution under METADATA _score. A MATCH
-    * that is false for a row contributes 0 naturally (none of its terms
-    * contain-match), so OR'd and negated predicates need no special
-    * casing: the sum only counts terms that actually hit. */
+  /** The `_score` contribution of a WHERE expression under METADATA
+    * _score: Σ matched-term counts over its MATCH() nodes, plus 1 point
+    * per satisfied QSTR()/MATCH_PHRASE() clause (the engine's integer
+    * clause-count relevance — the same design as the Query DSL's
+    * should-clause scoring, d23/scoreCol). A full-text clause that is
+    * false for a row contributes 0 naturally, so OR'd predicates need no
+    * special casing. NEGATED subtrees contribute NOTHING: a doc must not
+    * rank higher for containing the term the user negated (ES's must_not
+    * scores 0). */
   private def matchScore(e: Ex): Option[Column] = e match {
     case EFn("MATCH", List(f, EStr(q))) =>
       val terms = graft.ext.TextAnalysis.analyzeQuery(q)
@@ -235,11 +240,14 @@ object Esql {
       else Some(terms.map(t =>
         when(array_contains(graft.ext.TextAnalysis.analyze(compile(f)), t), 1L)
           .otherwise(0L)).reduce(_ + _))
+    case fn @ EFn("MATCH_PHRASE" | "QSTR", _) =>
+      // one point per satisfied clause; compile() already validates args
+      Some(when(coalesce(compile(fn), lit(false)), 1L).otherwise(0L))
     case EBin(_, l, r) => (matchScore(l), matchScore(r)) match {
       case (Some(a), Some(b)) => Some(a + b)
       case (a, b) => a.orElse(b)
     }
-    case ENot(x) => matchScore(x)
+    case ENot(_) => None
     case _ => None
   }
 

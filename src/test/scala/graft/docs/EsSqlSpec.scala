@@ -92,6 +92,25 @@ class EsSqlSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       t("SELECT a FROM t WHERE v + 1 BETWEEN x AND 20")).getMessage
     assert(e.contains("BETWEEN"))
+    // negative literal bounds are literals too
+    assert(t("SELECT a FROM t WHERE v BETWEEN -5 AND 5") ===
+      """FROM t
+        || WHERE ( v >= - 5 AND v <= 5 )
+        || KEEP a""".stripMargin)
+  }
+
+  test("page bounds reject loudly: non-integer, out-of-range, overflow-safe") {
+    def err(sql: String): String =
+      intercept[IllegalArgumentException](t(sql)).getMessage
+    assert(err("SELECT a FROM t ORDER BY a LIMIT 3000000000")
+      .contains("LIMIT exceeds 1e9"))
+    assert(err("SELECT a FROM t ORDER BY a LIMIT 5 OFFSET 99999999999999999999")
+      .contains("OFFSET out of range"))
+    assert(err("SELECT a FROM t ORDER BY a LIMIT 2.5")
+      .contains("LIMIT must be an integer literal"))
+    // max in-range page still fits in the Int pipe bound (1e9 + 1e9)
+    assert(t("SELECT a FROM t ORDER BY a LIMIT 1000000000 OFFSET 1000000000")
+      .contains("LIMIT 2000000000"))
   }
 
   test("OFFSET pages the sorted rows end-to-end; ORDER BY non-selected column") {
@@ -144,6 +163,12 @@ class EsSqlSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException](
       EsSql.run(Map("alpha" -> a), "DESCRIBE nope")).getMessage
       .contains("unknown index nope"))
+    // no sources and no session: a named reject, not a bare head-of-empty
+    assert(intercept[IllegalArgumentException](
+      EsSql.run(Map.empty, "SHOW TABLES")).getMessage
+      .contains("no SparkSession"))
+    // SHOW TABLES with an explicit session and zero sources is legal
+    assert(EsSql.run(Map.empty, "SHOW TABLES", spark).count() === 0L)
   }
 
   test("documented bounds reject loudly with named reasons") {

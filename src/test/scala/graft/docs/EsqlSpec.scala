@@ -217,6 +217,22 @@ class EsqlSpec extends SparkSpec {
     // unknown metadata still rejects
     assert(intercept[IllegalArgumentException](Esql.run(docs,
       "FROM d METADATA _version | LIMIT 1")).getMessage.contains("_version"))
+    // NEGATED full-text contributes NOTHING: a doc must not rank higher
+    // for containing the negated term (ES must_not scores 0)
+    val neg = Esql.run(docs,
+      """FROM d METADATA _score
+        || WHERE MATCH(txt, "vector") OR NOT MATCH(txt, "windows")
+        || KEEP id, _score | SORT id ASC""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // doc 1 has both terms: only the positive MATCH scores (1, not 2)
+    assert(neg === Seq((1L, 1L), (2L, 1L), (3L, 0L)))
+    // QSTR and MATCH_PHRASE score 1 point per satisfied clause
+    val fts = Esql.run(docs,
+      """FROM d METADATA _score
+        || WHERE QSTR("txt:vector") AND MATCH_PHRASE(txt, "vector windows")
+        || KEEP id, _score | SORT id ASC""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(fts === Seq((1L, 2L))) // both clauses hit on doc 1 only
   }
 
   test("INLINESTATS rejects COUNT_DISTINCT loudly; MV_ZIP nulls unequal lengths;" +
@@ -333,7 +349,7 @@ class EsqlSpec extends SparkSpec {
     assert(r.getString(10) === "1")
   }
 
-  test("wave-3 dates: DATE_EXTRACT ISO day_of_week, DATE_FORMAT, DATE_DIFF floor") {
+  test("wave-3 dates: DATE_EXTRACT ISO day_of_week, DATE_FORMAT, DATE_DIFF trunc") {
     import spark.implicits._
     // 2024-03-04 is a Monday; micros timeline
     val base = java.time.Instant.parse("2024-03-04T10:30:00Z").toEpochMilli * 1000L
@@ -350,7 +366,7 @@ class EsqlSpec extends SparkSpec {
     assert(r.getLong(2) === 1L) // ISO Monday = 1
     assert(r.getLong(3) === 10L)
     assert(r.getString(4) === "2024-03-04 10:30")
-    assert(r.getLong(5) === 50L && r.getLong(6) === 2L) // floor division
+    assert(r.getLong(5) === 50L && r.getLong(6) === 2L) // whole units, toward zero
   }
 
   test("wave-3 MV functions: folds, median, dedupe/sort/slice/concat/append/zip") {

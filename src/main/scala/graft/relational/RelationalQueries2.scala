@@ -213,16 +213,24 @@ object RelationalQueries2 {
         expr("approx_percentile(CAST(FLOOR(l_extendedprice) AS BIGINT), 0.5, 1000)").as("_a50"),
         expr("approx_percentile(CAST(FLOOR(l_extendedprice) AS BIGINT), 0.95, 1000)").as("_a95"),
         count(lit(1)).cast("long").as("n"))
+    // the returned value occupies the RANK INTERVAL [count(<)+1, count(≤)]
+    // (duplicates make it a run); the audit passes iff that interval
+    // intersects the target band — counting only ≤ would fail a correct
+    // answer whose duplicate run extends past the band
     val ranks = t(s, d, "lineitem")
       .join(broadcast(agg.select(col("l_returnflag"), col("_a50"), col("_a95"))),
         "l_returnflag")
       .groupBy(col("l_returnflag"))
-      .agg(sum(when(price <= col("_a50"), 1L).otherwise(0L)).as("_r50"),
-        sum(when(price <= col("_a95"), 1L).otherwise(0L)).as("_r95"))
+      .agg(sum(when(price < col("_a50"), 1L).otherwise(0L)).as("_lt50"),
+        sum(when(price <= col("_a50"), 1L).otherwise(0L)).as("_le50"),
+        sum(when(price < col("_a95"), 1L).otherwise(0L)).as("_lt95"),
+        sum(when(price <= col("_a95"), 1L).otherwise(0L)).as("_le95"))
+    def ok(lt: String, le: String, p: Double) =
+      col(lt) + 1 <= col("n") * p + (col("n") * 0.005 + 1) &&
+        col(le) >= col("n") * p - (col("n") * 0.005 + 1)
     agg.join(ranks, "l_returnflag")
       .select(col("l_returnflag"), col("exact_p50"), col("exact_p95"), col("n"),
-        (abs(col("_r50") - col("n") * 0.5) <= col("n") * 0.005 + 1 &&
-          abs(col("_r95") - col("n") * 0.95) <= col("n") * 0.005 + 1)
+        (ok("_lt50", "_le50", 0.5) && ok("_lt95", "_le95", 0.95))
           .as("gk_within_bound"))
       .orderBy(col("l_returnflag"))
   }

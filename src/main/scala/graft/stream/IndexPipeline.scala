@@ -1318,7 +1318,90 @@ object IndexPipeline {
       |ORDER BY user_id, t1_us, t2_us, t3_us""").stripMargin
   }
 
+  // ---------------------------------------------------------------- st17
+  /** STREAMING approximate quantiles — live latency/value-distribution
+    * monitoring (the q45 sketch story in Structured Streaming). The
+    * mergeable Greenwald-Khanna sketch (`approx_percentile`) runs INSIDE
+    * the streaming aggregation state: micro-batches partial-combine
+    * sketches exactly like counts, per (6-hour window, event_type) group,
+    * O(accuracy) state per group — no raw values are retained, which is
+    * the only viable quantile shape on an unbounded stream. After the
+    * staged log drains, a batch-side audit joins the STREAMED sketch
+    * results back to the corpus, counts each result's actual rank, and
+    * asserts it landed within 0.5% of the target rank (5× the ε=1/1000
+    * guarantee — slack for duplicate values at the cut). The oracle pins
+    * the exact per-window medians and counts; `gk_within_bound` must be
+    * uniformly true, so a sketch that drifted across micro-batch merges
+    * fails the gate loudly. */
+  private def st17(s: SparkSession, d: String): DataFrame = {
+    val base = Files.createTempDirectory("graft-stream17-")
+    val srcDir = base.resolve("log").toString
+    val ckDir = base.resolve("ck").toString
+    val nFiles = 3
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("ts_us"), col("event_type"),
+        expr("CAST(FLOOR(value) AS BIGINT)").as("v"))
+    val maxId = ev.agg(max(col("event_id"))).head().getLong(0) + 1
+    (0 until nFiles).foreach { i =>
+      ev.filter(floor(col("event_id") * nFiles / maxId) === i)
+        .coalesce(1).write.parquet(s"$srcDir/b$i")
+    }
+    val qname = s"st17_quantiles_${System.nanoTime()}"
+    val stream = s.readStream
+      .schema(ev.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$srcDir/b*")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        expr("approx_percentile(v, 0.5, 1000)").as("_a50"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(qname)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckDir)
+      .start()
+    stream.awaitTermination()
+    val streamed = s.table(qname)
+      .select(col("window.start").cast("long").as("win_start"),
+        col("event_type"), col("n"), col("_a50"))
+    // batch-side audit + the oracle-checkable exact values
+    val corpus = ev
+      .withColumn("win_start", expr("ts_us DIV 21600000000") * 21600L)
+    // the returned value occupies the RANK INTERVAL [count(<)+1, count(≤)]
+    // (duplicates make it a run, not a point); the audit passes iff that
+    // interval intersects the target band — counting only ≤ would fail a
+    // correct answer whose duplicates extend past the band
+    val audited = corpus
+      .join(broadcast(streamed), Seq("win_start", "event_type"))
+      .groupBy(col("win_start"), col("event_type"))
+      .agg(
+        expr("percentile(v, 0.5)").as("exact_p50"),
+        first(col("n")).as("n"),
+        sum(when(col("v") < col("_a50"), 1L).otherwise(0L)).as("_lt"),
+        sum(when(col("v") <= col("_a50"), 1L).otherwise(0L)).as("_le"))
+      .select(col("win_start"), col("event_type"),
+        col("exact_p50"), col("n"),
+        (col("_lt") + 1 <= col("n") * 0.5 + (col("n") * 0.005 + 1) &&
+          col("_le") >= col("n") * 0.5 - (col("n") * 0.005 + 1))
+          .as("gk_within_bound"))
+      .orderBy(col("win_start"), col("event_type"))
+    val pinned = graft.Eager.pin(audited)
+    deleteRecursively(base)
+    pinned
+  }
+
+  private val st17Sql =
+    """SELECT epoch_us(ts) // 21600000000 * 21600 AS win_start, event_type,
+      |  quantile_cont(CAST(FLOOR(value) AS BIGINT), 0.5) AS exact_p50,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  TRUE AS gk_within_bound
+      |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "st17_stream_quantiles" -> st17 _,
     "st16_stream_eql" -> st16 _,
     "st14_stream_neardup" -> st14 _,
     "st12_stream_topk" -> st12 _,
@@ -1335,6 +1418,7 @@ object IndexPipeline {
     "st3_stream_mgws" -> st3 _,
     "st4_stream_sessions" -> st4 _)
   val oracle: Map[String, String] = Map(
+    "st17_stream_quantiles" -> st17Sql,
     "st16_stream_eql" -> st16Sql,
     "st14_stream_neardup" -> st14Sql,
     "st12_stream_topk" -> st12Sql,

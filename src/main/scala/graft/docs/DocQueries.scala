@@ -9294,6 +9294,35 @@ object DocQueries {
       |WHERE n_chars > 250
       |ORDER BY n_chars DESC, doc_id LIMIT 15 OFFSET 30""".stripMargin
 
+  // ---------------------------------------------------------------- d257
+  /** EQL EVERY-PARTIAL-MATCH mode — the complement of the engine's
+    * default last-prefix matching (closing the documented deviation):
+    * every monotone view < click < purchase chain per user within
+    * maxspan, the version-stable "all chains" semantics. Each extension
+    * is a bin-bucketed interval join (the q28 shape) on (user, anchor
+    * bin) equi-keys — never a per-key cross product alone, never
+    * NestedLoop. The oracle is the literal 3-way self-join. */
+  private def d257(s: SparkSession, d: String): DataFrame = {
+    val q =
+      """sequence by user_id with maxspan=24h
+        |  [ event where event_type == "view" ]
+        |  [ event where event_type == "click" ]
+        |  [ event where event_type == "purchase" ]""".stripMargin
+    Eql.runAllMatches(graft.Tables.events(s, d), q)
+  }
+
+  private val d257Sql =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events)
+      |SELECT e1.user_id AS user_id, e1.tsu AS t1_us, e2.tsu AS t2_us,
+      |  e3.tsu AS t3_us, e3.tsu - e1.tsu AS span_us
+      |FROM e e1
+      |JOIN e e2 ON e1.user_id = e2.user_id
+      |  AND e1.event_type = 'view' AND e2.event_type = 'click'
+      |  AND e2.tsu > e1.tsu AND e2.tsu - e1.tsu <= 86400000000
+      |JOIN e e3 ON e2.user_id = e3.user_id AND e3.event_type = 'purchase'
+      |  AND e3.tsu > e2.tsu AND e3.tsu - e1.tsu <= 86400000000
+      |ORDER BY e1.user_id, t1_us, t2_us, t3_us""".stripMargin
+
   // ---------------------------------------------------------------- d255
   /** ES|QL `QSTR()` (8.17) — the Kibana search-bar query_string syntax as
     * a WHERE function, compiled through the SAME QueryString→SearchQuery→
@@ -9973,6 +10002,7 @@ object DocQueries {
     "d254_eql_unbounded" -> d254 _,
     "d255_esql_qstr" -> d255 _,
     "d256_esql_match_phrase" -> d256 _,
+    "d257_eql_all_matches" -> d257 _,
     "d206_es_parent_agg" -> d206 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
@@ -10231,6 +10261,7 @@ object DocQueries {
     "d254_eql_unbounded" -> d254Sql,
     "d255_esql_qstr" -> d255Sql,
     "d256_esql_match_phrase" -> d256Sql,
+    "d257_eql_all_matches" -> d257Sql,
     "d206_es_parent_agg" -> d206Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,

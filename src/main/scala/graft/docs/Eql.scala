@@ -286,6 +286,60 @@ object Eql {
     else df.orderBy(sortCols.map(col(_).asc): _*)
   }
 
+  /** EVERY-PARTIAL-MATCH sequence mode — the complement of the engine's
+    * default LAST-PREFIX matching (the documented deviation): emit EVERY
+    * monotone chain e1 < e2 < … < en over the by-key within maxspan, the
+    * relational "all chains" semantics (a superset of any EQL engine
+    * version's state-machine multiplicity, and the only version-stable
+    * definition). Requires `maxspan` — unbounded all-chains output is
+    * unbounded — and plain positive steps (no until/missing/runs: their
+    * interaction with full multiplicity is where ES versions disagree, so
+    * v1 rejects rather than guessing).
+    *
+    * Plan shape: each extension is a BIN-BUCKETED interval join (the q28
+    * trick): the chain's anchor bin b = ts1 DIV maxspan, the step side
+    * exploded to bins {b(t), b(t)-1} — so candidates meet on (by, bin)
+    * equi-keys and the exact (t > prev, t - t1 ≤ maxspan) predicate
+    * filters after the hash join. Never a per-key cross product alone,
+    * never NestedLoop. Output multiplicity is inherent to the semantics
+    * (O(Π per-key step counts per window)) — WHY last-prefix is the
+    * engine default; this mode is for when the analyst wants the full
+    * attribution set. */
+  def runAllMatches(events: DataFrame, query: String): DataFrame = {
+    val sq = parse(query)
+    require(sq.maxspanUs != Long.MaxValue,
+      "eql: all-matches mode requires maxspan (all-chains output over an " +
+        "unbounded span is unbounded)")
+    require(sq.until.isEmpty && sq.missing.isEmpty,
+      "eql: all-matches mode supports plain positive steps (until/missing " +
+        "multiplicity is ES-version-dependent; use the default last-prefix mode)")
+    val n = sq.steps.size
+    val W = sq.maxspanUs
+    def stepFrame(i: Int): DataFrame = {
+      val st = sq.steps(i)
+      events.filter(col(st.field) === lit(st.value))
+        .select(sq.byKeys.map(col) :+ col("ts_us").as(s"t${i + 1}_us"): _*)
+    }
+    // anchor chains carry bin(t1); each step side explodes to the ≤2 bins
+    // a within-span event can occupy relative to its anchor
+    var chain = stepFrame(0).withColumn("_bin", expr(s"t1_us DIV $W"))
+    (1 until n).foreach { i =>
+      val step = stepFrame(i)
+        .withColumn("_bins", array(expr(s"t${i + 1}_us DIV $W"),
+          expr(s"t${i + 1}_us DIV $W - 1")))
+        .withColumn("_bin", explode(col("_bins")))
+        .drop("_bins")
+      chain = chain.join(step, sq.byKeys :+ "_bin")
+        .filter(col(s"t${i + 1}_us") > col(s"t${i}_us") &&
+          col(s"t${i + 1}_us") - col("t1_us") <= W)
+    }
+    chain
+      .select(sq.byKeys.map(col) ++
+        (1 to n).map(j => col(s"t${j}_us")) :+
+        (col(s"t${n}_us") - col("t1_us")).as("span_us"): _*)
+      .orderBy(sq.byKeys.map(col) ++ (1 to n).map(j => col(s"t${j}_us")): _*)
+  }
+
   private def runSeq(events: DataFrame, query: String): DataFrame = {
     val sq = parse(query)
     val n = sq.steps.size

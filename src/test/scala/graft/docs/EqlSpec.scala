@@ -40,6 +40,45 @@ class EqlSpec extends SparkSpec {
         | [ event where event_type == "click" ]""".stripMargin).count() === 0L)
   }
 
+  test("all-matches mode: every chain; last-prefix output is a subset; bounds reject") {
+    import spark.implicits._
+    // user 1: views at 10, 20; clicks at 30, 40 → 4 chains (every pair);
+    // last-prefix emits only (20,30) and (20,40) — the freshest prefix
+    val ev = Seq(
+      (1L, 1L, "view", 10L), (2L, 1L, "view", 20L),
+      (3L, 1L, "click", 30L), (4L, 1L, "click", 40L))
+      .toDF("event_id", "user_id", "event_type", "ts_us")
+    val q =
+      """sequence by user_id with maxspan=1h
+        | [ event where event_type == "view" ]
+        | [ event where event_type == "click" ]""".stripMargin
+    val all = Eql.runAllMatches(ev, q)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(all === Seq((10L, 30L), (10L, 40L), (20L, 30L), (20L, 40L)))
+    val lastPrefix = Eql.run(ev, q)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(lastPrefix === Set((20L, 30L), (20L, 40L)))
+    assert(lastPrefix.subsetOf(all.toSet))
+    // maxspan prunes chains, and spans crossing the bin boundary survive
+    // (the exploded-bin join): view at 3599s before a click still pairs
+    val edge = Seq(
+      (1L, 7L, "view", 1000000L), (2L, 7L, "click", 3600000000L))
+      .toDF("event_id", "user_id", "event_type", "ts_us")
+    assert(Eql.runAllMatches(edge, q).count() === 1L)
+    // bounds: maxspan mandatory; until/missing reject with named reasons
+    assert(intercept[IllegalArgumentException](Eql.runAllMatches(ev,
+      """sequence by user_id
+        | [ event where event_type == "view" ]
+        | [ event where event_type == "click" ]""".stripMargin)).getMessage
+      .contains("requires maxspan"))
+    assert(intercept[IllegalArgumentException](Eql.runAllMatches(ev,
+      """sequence by user_id with maxspan=1h
+        | [ event where event_type == "view" ]
+        | [ event where event_type == "click" ]
+        | until [ event where event_type == "error" ]""".stripMargin)).getMessage
+      .contains("plain positive steps"))
+  }
+
   test("until clause parses into the expiry step") {
     val sq = Eql.parse("""sequence by user_id with maxspan=1h
       | [ event where event_type == "view" ]

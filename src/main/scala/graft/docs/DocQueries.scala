@@ -9312,15 +9312,20 @@ object DocQueries {
   }
 
   private val d257Sql =
-    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events)
+    // succession mirrors the engine's row-strict (ts, event_id) order —
+    // equal-timestamp events chain by id
+    """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tsu
+      |           FROM events)
       |SELECT e1.user_id AS user_id, e1.tsu AS t1_us, e2.tsu AS t2_us,
       |  e3.tsu AS t3_us, e3.tsu - e1.tsu AS span_us
       |FROM e e1
       |JOIN e e2 ON e1.user_id = e2.user_id
       |  AND e1.event_type = 'view' AND e2.event_type = 'click'
-      |  AND e2.tsu > e1.tsu AND e2.tsu - e1.tsu <= 86400000000
+      |  AND (e2.tsu > e1.tsu OR (e2.tsu = e1.tsu AND e2.event_id > e1.event_id))
+      |  AND e2.tsu - e1.tsu <= 86400000000
       |JOIN e e3 ON e2.user_id = e3.user_id AND e3.event_type = 'purchase'
-      |  AND e3.tsu > e2.tsu AND e3.tsu - e1.tsu <= 86400000000
+      |  AND (e3.tsu > e2.tsu OR (e3.tsu = e2.tsu AND e3.event_id > e2.event_id))
+      |  AND e3.tsu - e1.tsu <= 86400000000
       |ORDER BY e1.user_id, t1_us, t2_us, t3_us""".stripMargin
 
   // ---------------------------------------------------------------- d255

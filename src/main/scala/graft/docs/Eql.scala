@@ -292,9 +292,13 @@ object Eql {
     * relational "all chains" semantics (a superset of any EQL engine
     * version's state-machine multiplicity, and the only version-stable
     * definition). Requires `maxspan` — unbounded all-chains output is
-    * unbounded — and plain positive steps (no until/missing/runs: their
+    * unbounded — and plain positive steps (no until/missing: their
     * interaction with full multiplicity is where ES versions disagree, so
-    * v1 rejects rather than guessing).
+    * v1 rejects rather than guessing; `with runs=N` is fine — the parser
+    * expands it to repeated steps, and all-chains over repeated steps is
+    * exactly the intended semantics). Event ORDER is row-strict like the
+    * default mode: (ts, event_id) lexicographic — equal-timestamp events
+    * chain by id order, so the last-prefix output is always a subset.
     *
     * Plan shape: each extension is a BIN-BUCKETED interval join (the q28
     * trick): the chain's anchor bin b = ts1 DIV maxspan, the step side
@@ -318,8 +322,15 @@ object Eql {
     def stepFrame(i: Int): DataFrame = {
       val st = sq.steps(i)
       events.filter(col(st.field) === lit(st.value))
-        .select(sq.byKeys.map(col) :+ col("ts_us").as(s"t${i + 1}_us"): _*)
+        .select(sq.byKeys.map(col) :+ col("ts_us").as(s"t${i + 1}_us") :+
+          col("event_id").as(s"_e${i + 1}"): _*)
     }
+    // row-strict succession, same order the window-carry mode walks:
+    // (ts, event_id) lexicographic — equal-timestamp events chain by id
+    def after(i: Int): Column =
+      col(s"t${i + 1}_us") > col(s"t${i}_us") ||
+        (col(s"t${i + 1}_us") === col(s"t${i}_us") &&
+          col(s"_e${i + 1}") > col(s"_e$i"))
     // anchor chains carry bin(t1); each step side explodes to the ≤2 bins
     // a within-span event can occupy relative to its anchor
     var chain = stepFrame(0).withColumn("_bin", expr(s"t1_us DIV $W"))
@@ -330,8 +341,7 @@ object Eql {
         .withColumn("_bin", explode(col("_bins")))
         .drop("_bins")
       chain = chain.join(step, sq.byKeys :+ "_bin")
-        .filter(col(s"t${i + 1}_us") > col(s"t${i}_us") &&
-          col(s"t${i + 1}_us") - col("t1_us") <= W)
+        .filter(after(i) && col(s"t${i + 1}_us") - col("t1_us") <= W)
     }
     chain
       .select(sq.byKeys.map(col) ++

@@ -1368,8 +1368,12 @@ object IndexPipeline {
       .select(col("window.start").cast("long").as("win_start"),
         col("event_type"), col("n"), col("_a50"))
     // batch-side audit + the oracle-checkable exact values
+    // FLOOR division (pmod keeps it exact long arithmetic): window() and
+    // the DuckDB // operator both floor, while DIV truncates toward zero
+    // — the three bucket computations must agree even for pre-1970 ts
     val corpus = ev
-      .withColumn("win_start", expr("ts_us DIV 21600000000") * 21600L)
+      .withColumn("win_start",
+        expr("(ts_us - pmod(ts_us, 21600000000)) DIV 21600000000") * 21600L)
     // the returned value occupies the RANK INTERVAL [count(<)+1, count(≤)]
     // (duplicates make it a run, not a point); the audit passes iff that
     // interval intersects the target band — counting only ≤ would fail a

@@ -65,6 +65,18 @@ class EqlSpec extends SparkSpec {
       (1L, 7L, "view", 1000000L), (2L, 7L, "click", 3600000000L))
       .toDF("event_id", "user_id", "event_type", "ts_us")
     assert(Eql.runAllMatches(edge, q).count() === 1L)
+    // same-microsecond events chain by event_id (row-strict, like the
+    // window-carry mode) — so last-prefix stays a subset even on ties
+    val tied = Seq(
+      (1L, 9L, "view", 100L), (2L, 9L, "click", 100L),
+      (3L, 9L, "click", 99L)) // id 3 is BEFORE the view in (ts, id) order
+      .toDF("event_id", "user_id", "event_type", "ts_us")
+    val tiedAll = Eql.runAllMatches(tied, q)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(tiedAll === Seq((100L, 100L)))
+    val tiedLast = Eql.run(tied, q)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(tiedLast.subsetOf(tiedAll.toSet))
     // bounds: maxspan mandatory; until/missing reject with named reasons
     assert(intercept[IllegalArgumentException](Eql.runAllMatches(ev,
       """sequence by user_id

@@ -48,6 +48,58 @@ class EqlPropertySpec extends SparkSpec {
     out.toSeq.sortBy(r => (r.head, r(1), r(2)))
   }
 
+  /** Brute-force all-chains reference: enumerate EVERY (ts, id)-monotone
+    * chain through the step predicates within maxspan. O(n^k) — fine at
+    * test scale, and definitionally the all-matches contract. */
+  private def allChainsRef(events: Seq[(Long, Long, String, Long)],
+                           steps: Seq[String], maxspanUs: Long): Seq[Seq[Long]] = {
+    val out = scala.collection.mutable.ListBuffer[Seq[Long]]()
+    events.groupBy(_._2).foreach { case (user, evs) =>
+      def extend(chain: Vector[(Long, Long)], depth: Int): Unit = // (ts, id)
+        if (depth == steps.size) {
+          val ts = chain.map(_._1)
+          if (ts.last - ts.head <= maxspanUs)
+            out += (user +: ts) :+ (ts.last - ts.head)
+        } else evs.foreach { case (id, _, tpe, ts) =>
+          val succ = chain.isEmpty || ts > chain.last._1 ||
+            (ts == chain.last._1 && id > chain.last._2)
+          if (tpe == steps(depth) && succ &&
+            (chain.isEmpty || ts - chain.head._1 <= maxspanUs))
+            extend(chain :+ ((ts, id)), depth + 1)
+        }
+      extend(Vector.empty, 0)
+    }
+    import scala.math.Ordering.Implicits._
+    out.toSeq.sorted
+  }
+
+  test("20 random sequences: all-matches equals the brute-force chain enumeration") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(777L)
+    (1 to 20).foreach { caseNo =>
+      val nEvents = 40 + rnd.nextInt(40)
+      val events = (1 to nEvents).map { i =>
+        (i.toLong, (rnd.nextInt(4) + 1).toLong,
+          Types(rnd.nextInt(3)), // a,b,c only — denser chains
+          rnd.nextInt(25).toLong * 100000L) // coarse ts → frequent ties
+      }
+      val nSteps = 2 + rnd.nextInt(2)
+      val steps = Seq.fill(nSteps)(Types(rnd.nextInt(3)))
+      val q = "sequence by user_id with maxspan=1s " + steps.map(s =>
+        s"""[ event where event_type == "$s" ]""").mkString(" ")
+      val df = events.toDF("event_id", "user_id", "event_type", "ts_us")
+      import scala.math.Ordering.Implicits._
+      val got = Eql.runAllMatches(df, q).collect()
+        .map(r => (0 until r.length).map(r.getLong).toSeq).toSeq.sorted
+      val want = allChainsRef(events, steps, 1000000L)
+      assert(got === want, s"case $caseNo query: $q")
+      // and the default last-prefix output is always a subset
+      val lastPrefix = Eql.run(df, q).collect()
+        .map(r => (0 until r.length).map(r.getLong).toSeq).toSet
+      assert(lastPrefix.subsetOf(got.toSet), s"case $caseNo subset: $q")
+    }
+  }
+
   test("48 random sequences equal the sequential last-prefix reference") {
     import spark.implicits._
     val rnd = new scala.util.Random(20260815L)

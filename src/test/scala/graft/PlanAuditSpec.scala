@@ -1159,6 +1159,22 @@ class PlanAuditSpec extends SparkSpec {
       s"only the final SORT may shuffle:\n$p")
   }
 
+  test("q45: the sketch-audit join broadcasts the groups-row frame, no cartesian") {
+    val p = plan(q("q45_approx_percentiles"))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"the |groups|-row sketch frame must broadcast for the rank audit:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"audit must never cartesian:\n$p")
+  }
+
+  test("d257: all-matches extensions are equi-joins on (by, bin), never NestedLoop") {
+    val p = plan(q("d257_eql_all_matches"))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"bin-bucketed interval joins must stay hash/merge equi-joins:\n$p")
+    assert(p.contains("Join Inner"),
+      s"extensions must plan as proper equi-joins:\n$p")
+  }
+
   test("t16: stratified sample runs both windows on ONE stratum shuffle") {
     val p = plan(q("t16_stratified_sample"))
     // count-per-stratum and hash-rank share the lang partitioning: one

@@ -25,8 +25,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * execution path), `HISTOGRAM(col, interval)` group keys (ES SQL's
   * fixed-interval bucketing = ES|QL `BUCKET`, both floor(x/span)*span),
   * `COUNT(DISTINCT x)` → `COUNT_DISTINCT(x)`, SQL `LIKE` patterns
-  * (`%`/`_` wildcards → ES|QL `*`/`?`), and `[NOT] BETWEEN` (rewritten
-  * to the comparison pair — ES|QL has no BETWEEN). Dialect mapping is
+  * (`%`/`_` wildcards → ES|QL `*`/`?`), `[NOT] BETWEEN` (rewritten
+  * to the comparison pair — ES|QL has no BETWEEN), and `CAST(x AS type)`
+  * (rewritten to TO_LONG/TO_DOUBLE/TO_STRING). Dialect mapping is
   * purely lexical: `=`→`==`, `<>`→`!=`, `'str'`→`"str"`. The catalog
   * commands Kibana's SQL editor issues — `SHOW TABLES`, `DESCRIBE idx` —
   * answer from the registered schemas driver-side (zero scan cost). `OFFSET m` (ES SQL's
@@ -327,6 +328,60 @@ object EsSql {
     out.toList
   }
 
+  /** Rewrite `CAST(expr AS type)` into the ES|QL conversion function the
+    * type maps to (TO_LONG/TO_DOUBLE/TO_STRING) — ES|QL has no CAST
+    * keyword. The expr tokens pass through verbatim (nested CASTs
+    * included: inner rewrites happen on the same pass because the scan
+    * continues inside the emitted tokens). Unknown target types reject
+    * loudly with the type named. */
+  private def rewriteCast(ts: List[Tok]): List[Tok] = {
+    val fnOf = Map(
+      "BIGINT" -> "TO_LONG", "INTEGER" -> "TO_LONG", "INT" -> "TO_LONG",
+      "SMALLINT" -> "TO_LONG", "LONG" -> "TO_LONG",
+      "DOUBLE" -> "TO_DOUBLE", "REAL" -> "TO_DOUBLE", "FLOAT" -> "TO_DOUBLE",
+      "VARCHAR" -> "TO_STRING", "TEXT" -> "TO_STRING", "KEYWORD" -> "TO_STRING")
+    val out = scala.collection.mutable.ListBuffer[Tok]()
+    var rest = ts
+    while (rest.nonEmpty) rest match {
+      case SId(c) :: SOp("(") :: tail if c.equalsIgnoreCase("CAST") =>
+        // capture the balanced argument up to the matching ')'; the
+        // top-level `AS type` inside it splits expr from the target
+        var depth = 1
+        val body = scala.collection.mutable.ListBuffer[Tok]()
+        var rem = tail
+        while (depth > 0) {
+          rem match {
+            case SOp("(") :: t => depth += 1; body += SOp("("); rem = t
+            case SOp(")") :: t => depth -= 1; if (depth > 0) body += SOp(")"); rem = t
+            case tok :: t => body += tok; rem = t
+            case Nil => reject("unbalanced CAST parentheses")
+          }
+        }
+        // split on the LAST top-level AS (the target type)
+        var d = 0
+        var asIdx = -1
+        body.zipWithIndex.foreach { case (tok, i) =>
+          tok match {
+            case SOp("(") => d += 1
+            case SOp(")") => d -= 1
+            case t if d == 0 && isKw(t, "AS") => asIdx = i
+            case _ => ()
+          }
+        }
+        if (asIdx < 0) reject("CAST without AS <type>")
+        val target = body.drop(asIdx + 1).toList match {
+          case List(SId(tn)) => fnOf.getOrElse(tn.toUpperCase,
+            reject(s"CAST target type $tn (supported: " +
+              "BIGINT/INTEGER/SMALLINT/LONG/DOUBLE/REAL/FLOAT/VARCHAR/TEXT/KEYWORD)"))
+          case other => reject(s"CAST target must be a type name, got: ${emit(other)}")
+        }
+        out ++= List(SId(target), SOp("(")) // inner expr re-enters the scan
+        rest = body.take(asIdx).toList ++ (SOp(")") :: rem)
+      case t :: tail => out += t; rest = tail
+    }
+    out.toList
+  }
+
   /** SQL → ES|QL pipe. Pure string-to-string (no schema: `SELECT *`
     * rejects); `run` supplies source schemas and the OFFSET. */
   def translate(sql: String): String = translateFull(sql, Map.empty)._1
@@ -340,7 +395,7 @@ object EsSql {
   private def translateFull(sql: String,
                             schemas: Map[String, Seq[String]]): (String, Int) = {
     val (ts0, usesScore) = rewriteScore(tokenize(sql))
-    val ts = rewriteBetween(ts0)
+    val ts = rewriteBetween(rewriteCast(ts0))
     if (ts.sliding(2).exists {
       case List(SOp("("), t) => isKw(t, "SELECT")
       case _ => false

@@ -1000,20 +1000,25 @@ object Esql {
             df = df.withColumn(k, regexp_extract(col(field), rx, i + 1))
           }
         case "LOOKUP" =>
-          // LOOKUP JOIN <index> ON <field> (8.18): broadcast left join on
-          // the shared column name; every non-key lookup column appends.
+          // LOOKUP JOIN <index> ON <field>[, <field>...] (8.18; multi-key
+          // 9.x): broadcast left join on the shared column name(s); every
+          // non-key lookup column appends.
           p.expectKw("JOIN")
-          val name = p.ident(); p.expectKw("ON"); val key = p.ident()
+          val name = p.ident(); p.expectKw("ON")
+          val keys = scala.collection.mutable.ListBuffer(p.ident())
+          while (p.peek.contains(TOp(","))) { p.pop(); keys += p.ident() }
           val tbl = sources.getOrElse(name, throw new IllegalArgumentException(
             s"esql: unknown lookup index $name (have: ${sources.keys.toSeq.sorted.mkString(", ")})"))
-          require(tbl.columns.contains(key),
-            s"esql: lookup index $name has no join field $key")
-          require(df.columns.contains(key),
-            s"esql: pipe has no join field $key")
-          val overlap = tbl.columns.filter(c => c != key && df.columns.contains(c))
+          keys.foreach { key =>
+            require(tbl.columns.contains(key),
+              s"esql: lookup index $name has no join field $key")
+            require(df.columns.contains(key),
+              s"esql: pipe has no join field $key")
+          }
+          val overlap = tbl.columns.filter(c => !keys.contains(c) && df.columns.contains(c))
           require(overlap.isEmpty,
             s"esql: lookup join would overwrite pipe column(s): ${overlap.mkString(", ")}")
-          df = df.join(broadcast(tbl), Seq(key), "left")
+          df = df.join(broadcast(tbl), keys.toSeq, "left")
         case "ENRICH" =>
           val policy = p.ident()
           p.expectKw("ON"); val key = p.ident()

@@ -99,6 +99,28 @@ class EsSqlSpec extends SparkSpec {
         || KEEP a""".stripMargin)
   }
 
+  test("CAST rewrites to ES|QL conversion functions, nested casts included") {
+    assert(t("SELECT CAST(v AS BIGINT) AS b FROM t WHERE CAST(n AS DOUBLE) > 1.5") ===
+      """FROM t
+        || WHERE TO_DOUBLE ( n ) > 1.5
+        || EVAL b = TO_LONG ( v )
+        || KEEP b""".stripMargin)
+    assert(t("SELECT CAST(CAST(v AS DOUBLE) AS VARCHAR) AS s FROM t") ===
+      """FROM t
+        || EVAL s = TO_STRING ( TO_DOUBLE ( v ) )
+        || KEEP s""".stripMargin)
+    import spark.implicits._
+    val base = Seq((1L, "7"), (2L, "9")).toDF("id", "txt")
+    val got = EsSql.run(Map("t" -> base),
+      "SELECT id, CAST(txt AS BIGINT) AS n FROM t ORDER BY n DESC LIMIT 1")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((2L, 9L)))
+    def err(sql: String): String =
+      intercept[IllegalArgumentException](t(sql)).getMessage
+    assert(err("SELECT CAST(v AS BLOB) AS b FROM t").contains("CAST target type BLOB"))
+    assert(err("SELECT CAST(v) AS b FROM t").contains("CAST without AS"))
+  }
+
   test("page bounds reject loudly: non-integer, out-of-range, overflow-safe") {
     def err(sql: String): String =
       intercept[IllegalArgumentException](t(sql)).getMessage

@@ -100,6 +100,14 @@ class EsqlSpec extends SparkSpec {
       tiny ++ Map("lk2" -> Seq((1L, "x")).toDF("id", "name")),
       """FROM t | LOOKUP JOIN lk2 ON id""")).getMessage
     assert(clash.contains("would overwrite pipe column"))
+    // multi-key form (9.x): composite equi-join, still broadcast-left
+    val lk3 = Seq((1L, "alpha", "one-alpha"), (2L, "beta", "two-beta"))
+      .toDF("id", "name", "label")
+    val multi = Esql.run(tiny ++ Map("lk3" -> lk3),
+      """FROM t | LOOKUP JOIN lk3 ON id, name | KEEP id, label | SORT id ASC""")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSeq
+    assert(multi === Seq((1L, Some("one-alpha")), (2L, Some("two-beta")),
+      (3L, None), (4L, None)))
   }
 
   test("ENRICH is a left join: unmatched keys keep the row with a null field") {

@@ -27,7 +27,8 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * lookup, compiled to a BROADCAST left join against the policy table
   * (the exact Spark analogue of ES's replicated enrich index: the policy
   * frame ships to every node, the corpus never shuffles) — LOOKUP
-  * JOIN..ON (8.18's index-to-index form: same broadcast left join, keyed
+  * JOIN..ON (8.18's index-to-index form, incl. the 9.x multi-key
+  * `ON a, b`: same broadcast left join, keyed
   * on the shared column name, appending every non-key lookup column),
   * FORK (8.19 — parenthesized branch pipes recursing from the fork
   * point's frame, unioned BY NAME with a `_fork` discriminator: one

@@ -560,6 +560,19 @@ object EsSql {
     }
   }
 
+  private def describe(sources: Map[String, DataFrame],
+                        session: SparkSession, idx: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types.{StructType, StructField, StringType}
+    import org.apache.spark.sql.Row
+    val t = sources.getOrElse(idx, reject(s"unknown index $idx " +
+      s"(have: ${sources.keys.toSeq.sorted.mkString(", ")})"))
+    session.createDataFrame(
+      t.schema.fields.toSeq.map(f => Row(f.name, esTypeName(f.dataType))).asJava,
+      StructType(Seq(StructField("column", StringType, nullable = false),
+        StructField("type", StringType, nullable = false))))
+  }
+
   def run(sources: Map[String, DataFrame], sql: String,
           spark: SparkSession = null): DataFrame = {
     // metadata commands (what Kibana's SQL editor issues before querying):
@@ -580,12 +593,11 @@ object EsSql {
           sources.keys.toSeq.sorted.map(Row(_)).asJava,
           StructType(Seq(StructField("name", StringType, nullable = false))))
       case List(d0, SId(idx)) if isKw(d0, "DESCRIBE") || isKw(d0, "DESC") =>
-        val t = sources.getOrElse(idx, reject(s"unknown index $idx " +
-          s"(have: ${sources.keys.toSeq.sorted.mkString(", ")})"))
-        return session.createDataFrame(
-          t.schema.fields.toSeq.map(f => Row(f.name, esTypeName(f.dataType))).asJava,
-          StructType(Seq(StructField("column", StringType, nullable = false),
-            StructField("type", StringType, nullable = false))))
+        return describe(sources, session, idx)
+      case List(s0, c0, f0, SId(idx)) if isKw(s0, "SHOW") &&
+        isKw(c0, "COLUMNS") && (isKw(f0, "FROM") || isKw(f0, "IN")) =>
+        // SHOW COLUMNS FROM/IN idx — ES SQL's alias of DESCRIBE
+        return describe(sources, session, idx)
       case _ => ()
     }
     val (pipe, offset) =

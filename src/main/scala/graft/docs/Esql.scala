@@ -107,6 +107,7 @@ object Esql {
   private final case class ELong(v: Long) extends Ex
   private final case class EDouble(v: Double) extends Ex
   private final case class EStr(v: String) extends Ex
+  private final case class EBool(v: Boolean) extends Ex
   private final case class EBin(op: String, l: Ex, r: Ex) extends Ex
   private final case class ENot(e: Ex) extends Ex
   private final case class EFn(name: String, args: List[Ex]) extends Ex
@@ -203,7 +204,9 @@ object Esql {
           }
           expectOp(")")
           EFn(s.toUpperCase, args.toList)
-        } else EId(s)
+        } else if (s.equalsIgnoreCase("TRUE")) EBool(true)
+        else if (s.equalsIgnoreCase("FALSE")) EBool(false)
+        else EId(s)
       case other => throw new IllegalArgumentException(s"esql: bad expression at $other")
     }
     def ident(): String = pop() match {
@@ -257,6 +260,7 @@ object Esql {
     case ELong(v) => lit(v)
     case EDouble(v) => lit(v)
     case EStr(v) => lit(v)
+    case EBool(v) => lit(v)
     case ENot(x) => !compile(x)
     case EIsNull(x, neg) =>
       if (neg) compile(x).isNotNull else compile(x).isNull

@@ -182,6 +182,15 @@ class EsSqlSpec extends SparkSpec {
     val desc2 = EsSql.run(Map("beta" -> b), "DESC beta")
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
     assert(desc2 === Seq("k" -> "INTEGER", "flag" -> "BOOLEAN"))
+    // SHOW COLUMNS FROM/IN is the DESCRIBE alias
+    val sc = EsSql.run(Map("beta" -> b), "SHOW COLUMNS FROM beta")
+      .collect().map(_.getString(0)).toSeq
+    assert(sc === Seq("k", "flag"))
+    // boolean literals ride through to ES|QL
+    val boolq = EsSql.run(Map("beta" -> b),
+      "SELECT k FROM beta WHERE flag = TRUE ORDER BY k")
+      .collect().map(_.getInt(0)).toSeq
+    assert(boolq === Seq(1))
     assert(intercept[IllegalArgumentException](
       EsSql.run(Map("alpha" -> a), "DESCRIBE nope")).getMessage
       .contains("unknown index nope"))

@@ -28,9 +28,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (`%`/`_` wildcards → ES|QL `*`/`?`), `[NOT] BETWEEN` (rewritten
   * to the comparison pair — ES|QL has no BETWEEN), and `CAST(x AS type)`
   * (rewritten to TO_LONG/TO_DOUBLE/TO_STRING). Dialect mapping is
-  * purely lexical: `=`→`==`, `<>`→`!=`, `'str'`→`"str"`. The catalog
-  * commands Kibana's SQL editor issues — `SHOW TABLES`, `DESCRIBE idx` —
-  * answer from the registered schemas driver-side (zero scan cost). `OFFSET m` (ES SQL's
+  * purely lexical: `=`→`==`, `<>`→`!=`, `'str'`→`"str"`, and
+  * `TRUE`/`FALSE` pass through as ES|QL boolean literals. The catalog
+  * commands Kibana's SQL editor issues — `SHOW TABLES`, `DESCRIBE idx`
+  * (and its alias `SHOW COLUMNS FROM/IN idx`) — answer from the
+  * registered schemas driver-side (zero scan cost). `OFFSET m` (ES SQL's
   * `from` paging) requires ORDER BY (a page of an unordered result is
   * meaningless) and applies AFTER the bounded sort — `LIMIT n OFFSET m`
   * plans as one TakeOrderedAndProject of n+m rows, then drops m.
@@ -333,7 +335,11 @@ object EsSql {
     * keyword. The expr tokens pass through verbatim (nested CASTs
     * included: inner rewrites happen on the same pass because the scan
     * continues inside the emitted tokens). Unknown target types reject
-    * loudly with the type named. */
+    * loudly with the type named. DOCUMENTED DEVIATION: narrow integer /
+    * float widths WIDEN — INTEGER/SMALLINT ride TO_LONG (64-bit, no
+    * 32-bit wrap) and REAL/FLOAT ride TO_DOUBLE (no float32 rounding);
+    * real ES SQL narrows and can overflow, which a widening engine
+    * cannot silently reproduce, so it keeps the wider exact value. */
   private def rewriteCast(ts: List[Tok]): List[Tok] = {
     val fnOf = Map(
       "BIGINT" -> "TO_LONG", "INTEGER" -> "TO_LONG", "INT" -> "TO_LONG",

@@ -269,6 +269,7 @@ object Esql {
         case ELong(v) => v: Any
         case EDouble(v) => v: Any
         case EStr(v) => v: Any
+        case EBool(v) => v: Any
         case other => throw new IllegalArgumentException(
           s"esql: IN list must be literals, got $other")
       }
@@ -1012,6 +1013,9 @@ object Esql {
           val name = p.ident(); p.expectKw("ON")
           val keys = scala.collection.mutable.ListBuffer(p.ident())
           while (p.peek.contains(TOp(","))) { p.pop(); keys += p.ident() }
+          require(keys.distinct.size == keys.size,
+            s"esql: duplicate LOOKUP JOIN key(s): " +
+              keys.diff(keys.distinct).distinct.mkString(", "))
           val tbl = sources.getOrElse(name, throw new IllegalArgumentException(
             s"esql: unknown lookup index $name (have: ${sources.keys.toSeq.sorted.mkString(", ")})"))
           keys.foreach { key =>

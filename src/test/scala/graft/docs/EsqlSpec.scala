@@ -108,6 +108,18 @@ class EsqlSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSeq
     assert(multi === Seq((1L, Some("one-alpha")), (2L, Some("two-beta")),
       (3L, None), (4L, None)))
+    // duplicate keys reject loudly (a duplicated using-column would emit
+    // a duplicate output column and die later with AMBIGUOUS_REFERENCE)
+    assert(intercept[IllegalArgumentException](Esql.run(
+      tiny ++ Map("lk3" -> lk3),
+      """FROM t | LOOKUP JOIN lk3 ON id, id""")).getMessage
+      .contains("duplicate LOOKUP JOIN key"))
+    // boolean literals work in IN lists too
+    import spark.implicits._
+    val fl = Map("f" -> Seq((1L, true), (2L, false)).toDF("id", "flag"))
+    val inb = Esql.run(fl, """FROM f | WHERE flag IN (TRUE) | KEEP id""")
+      .collect().map(_.getLong(0)).toSeq
+    assert(inb === Seq(1L))
   }
 
   test("ENRICH is a left join: unmatched keys keep the row with a null field") {

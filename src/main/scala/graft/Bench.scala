@@ -65,7 +65,7 @@ object Bench {
     // Optional comma-separated prefix filter (local iteration; the driver
     // sets neither, so it always measures everything).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
-    // per-query successful run times, in run order (both runs when both
+    // per-query successful run times, in run order (all three when all
     // succeed) — lets a reader separate noise from regression without a
     // quiet-box rerun
     val allRuns = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
@@ -86,32 +86,35 @@ object Bench {
           errs.getOrElseUpdate(name, "skipped: SparkContext stopped")
           name -> 0.0
         } else {
-          // Best-of-2: a transient CPU burst crossing the (alphabetical)
-          // run order distorted two consecutive driver artifacts with 3-9x
-          // slowdowns on code-unchanged queries. Two back-to-back runs
-          // can't both sit under the same burst; min() is the engine's
-          // cost, wall (reported separately) is the machine's. Both runs
-          // are ALWAYS attempted (a transient first-run failure gets its
-          // retry), and an error is recorded only when NO run succeeded —
-          // a query must never read as both errored and timed.
-          def once(): Either[String, Double] = {
-            val t0 = System.nanoTime()
-            try { fn(spark, sfDir).count()
-              val dt = (System.nanoTime() - t0) / 1e9
-              reapLeaks(name); Right(dt)
-            } catch { case e: Throwable =>
-              reapLeaks(name); Left(err(e)) }
-          }
-          val first = once()
-          val second =
-            if (spark.sparkContext.isStopped) Left("skipped: SparkContext stopped")
-            else once()
-          val oks = Seq(first, second).collect { case Right(t) => t }
+          // Median-of-3: transient CPU bursts crossing the (alphabetical)
+          // run order distorted two consecutive driver artifacts with
+          // 3-20x slowdowns on code-unchanged queries, costing a noise
+          // adjudication each round. A burst long enough to contaminate
+          // the MEDIAN of three back-to-back runs would show in wall
+          // (reported separately); the median is the engine's cost. All
+          // three runs are ALWAYS attempted (a transient failure gets its
+          // retries), the raw times ship in "runs" so a reader can see
+          // the spread, and an error is recorded only when NO run
+          // succeeded — a query must never read as both errored and timed.
+          def once(): Either[String, Double] =
+            if (spark.sparkContext.isStopped)
+              Left("skipped: SparkContext stopped")
+            else {
+              val t0 = System.nanoTime()
+              try { fn(spark, sfDir).count()
+                val dt = (System.nanoTime() - t0) / 1e9
+                reapLeaks(name); Right(dt)
+              } catch { case e: Throwable =>
+                reapLeaks(name); Left(err(e)) }
+            }
+          val attempts = Seq(once(), once(), once())
+          val oks = attempts.collect { case Right(t) => t }
           allRuns(name) = oks
           if (oks.isEmpty) {
-            errs.getOrElseUpdate(name, first.left.getOrElse("unknown"))
+            errs.getOrElseUpdate(name,
+              attempts.head.left.getOrElse("unknown"))
             name -> 0.0
-          } else name -> oks.min
+          } else name -> oks.sorted.apply((oks.size - 1) / 2)
         }
       }
     def f(v: Double): String = BigDecimal(v)
@@ -133,7 +136,7 @@ object Bench {
     val es = errs.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","runs_per_query":2,"wall":${f(wall)},"queries":$qs,"runs":$runsJson,"leaks":$lk,"errs":$es,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","runs_per_query":3,"per_query_stat":"median","wall":${f(wall)},"queries":$qs,"runs":$runsJson,"leaks":$lk,"errs":$es,"sf":"$sfDir"}"""
     // Persist the line to a file too: sbt's [success] trailer and stdout
     // truncation swallowed per-query numbers in rounds 2-3 (parsed: null).
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),

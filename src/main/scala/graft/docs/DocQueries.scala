@@ -9328,6 +9328,53 @@ object DocQueries {
       |  AND e3.tsu - e1.tsu <= 86400000000
       |ORDER BY e1.user_id, t1_us, t2_us, t3_us""".stripMargin
 
+  // ---------------------------------------------------------------- d258
+  /** ES|QL `FUSE` (9.1) — hybrid-retrieval score fusion: two FORK search
+    * legs over the same corpus merge by doc_id with a reciprocal-rank-
+    * fusion `_score` (Σ 1/(60 + rank-in-branch)). Branch rank is pinned
+    * to (_score DESC, key ASC) — deterministic, oracle-replayable
+    * (documented deviation from ES's transport result order). The plan is
+    * one shared scan, a Union, and two hash-partitioned windows (by
+    * _fork, by key) — no join, no cross product, scale-safe. */
+  private def d258(s: SparkSession, d: String): DataFrame = {
+    val q =
+      """FROM documents METADATA _score
+        || FORK (WHERE MATCH(text, "vector windows") AND n_chars > 250)
+        |       (WHERE MATCH(text, "hash join"))
+        || FUSE KEY BY doc_id
+        || KEEP doc_id, _score
+        || SORT _score DESC, doc_id ASC
+        || LIMIT 40""".stripMargin
+    Esql.run(Map("documents" ->
+      s.read.parquet(s"$d/documents.parquet")), q)
+  }
+
+  private val d258Sql = {
+    val an = graft.ext.TextAnalysis.analyzeSql("text")
+    def sc(query: String) = graft.ext.TextAnalysis.analyzeQuery(query)
+      .map(t => s"CASE WHEN list_contains($an, '$t') THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    def anyTok(query: String) = graft.ext.TextAnalysis.analyzeQuery(query)
+      .map(t => s"'$t'").mkString("list_has_any(" + an + ", [", ", ", "])")
+    // RRF of two ranked legs: identical 1/(60+rank) doubles on both
+    // engines (two-term IEEE sums are order-independent → hash-exact)
+    s"""WITH b1 AS (
+       |  SELECT doc_id, ${sc("vector windows")} AS sc FROM documents
+       |  WHERE ${anyTok("vector windows")} AND n_chars > 250),
+       |r1 AS (SELECT doc_id,
+       |  ROW_NUMBER() OVER (ORDER BY sc DESC, doc_id ASC) AS rk FROM b1),
+       |b2 AS (
+       |  SELECT doc_id, ${sc("hash join")} AS sc FROM documents
+       |  WHERE ${anyTok("hash join")}),
+       |r2 AS (SELECT doc_id,
+       |  ROW_NUMBER() OVER (ORDER BY sc DESC, doc_id ASC) AS rk FROM b2),
+       |u AS (SELECT doc_id, 1.0::DOUBLE / (60 + rk) AS c FROM r1
+       |      UNION ALL
+       |      SELECT doc_id, 1.0::DOUBLE / (60 + rk) AS c FROM r2)
+       |SELECT doc_id, SUM(c) AS _score FROM u GROUP BY doc_id
+       |ORDER BY _score DESC, doc_id LIMIT 40""".stripMargin
+  }
+
   // ---------------------------------------------------------------- d255
   /** ES|QL `QSTR()` (8.17) — the Kibana search-bar query_string syntax as
     * a WHERE function, compiled through the SAME QueryString→SearchQuery→
@@ -10008,6 +10055,7 @@ object DocQueries {
     "d255_esql_qstr" -> d255 _,
     "d256_esql_match_phrase" -> d256 _,
     "d257_eql_all_matches" -> d257 _,
+    "d258_esql_fuse" -> d258 _,
     "d206_es_parent_agg" -> d206 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
@@ -10267,6 +10315,7 @@ object DocQueries {
     "d255_esql_qstr" -> d255Sql,
     "d256_esql_match_phrase" -> d256Sql,
     "d257_eql_all_matches" -> d257Sql,
+    "d258_esql_fuse" -> d258Sql,
     "d206_es_parent_agg" -> d206Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,

@@ -298,9 +298,20 @@ object EsSql {
       case _ => None
     }
     val out = scala.collection.mutable.ListBuffer[Tok]()
+    // the operand is the single SId before BETWEEN — if the token already
+    // emitted just before IT is an arithmetic operator or ')', the real
+    // operand is a compound expression (`a + b BETWEEN ...`) and grabbing
+    // only `b` would mis-group; reject with the documented shape instead
+    def compoundPrefix: Boolean = out.lastOption.exists {
+      case SOp(o) => Set("+", "-", "*", "/", "%", ")").contains(o)
+      case _ => false
+    }
     var rest = ts
     while (rest.nonEmpty) rest match {
       case SId(x) :: b :: afterB if isKw(b, "BETWEEN") =>
+        if (compoundPrefix)
+          reject("BETWEEN on this shape (supported: " +
+            "<column> [NOT] BETWEEN <literal> AND <literal>)")
         (for {
           (lo, afterLo) <- bound(afterB)
           tail1 <- afterLo match {
@@ -317,6 +328,12 @@ object EsSql {
             "<column> [NOT] BETWEEN <literal> AND <literal>)")
         }
       case SId(x) :: n :: b :: tail0 if isKw(n, "NOT") && isKw(b, "BETWEEN") =>
+        // compound check must run HERE — after the rewrite below, the
+        // emitted NOT would sit between the operator and the column and
+        // hide the compound prefix from the plain-form case
+        if (compoundPrefix)
+          reject("BETWEEN on this shape (supported: " +
+            "<column> [NOT] BETWEEN <literal> AND <literal>)")
         // rewrite to NOT + the plain form and let the case above handle it
         rest = SId("NOT") :: SId(x) :: b :: tail0
         out += rest.head
@@ -389,11 +406,31 @@ object EsSql {
   }
 
   /** SQL → ES|QL pipe. Pure string-to-string (no schema: `SELECT *`
-    * rejects); `run` supplies source schemas and the OFFSET. */
-  def translate(sql: String): String = translateFull(sql, Map.empty)._1
+    * rejects). OFFSET also rejects here: the returned pipe would carry
+    * `LIMIT n+m` with no representation of the m-row drop, so a caller
+    * executing it directly would get the rows paging should SKIP —
+    * silently wrong. Paged statements go through `run` (which applies
+    * the drop) or `translateWithOffset` (which returns it). */
+  def translate(sql: String): String = translateNoOffset(sql, Map.empty)
 
   def translate(sql: String, schemas: Map[String, Seq[String]]): String =
-    translateFull(sql, schemas)._1
+    translateNoOffset(sql, schemas)
+
+  private def translateNoOffset(sql: String,
+                                schemas: Map[String, Seq[String]]): String = {
+    val (pipe, offset) = translateFull(sql, schemas)
+    if (offset > 0)
+      reject("OFFSET in string-only translate (the ES|QL pipe cannot carry " +
+        "the row drop, so executing it directly would mis-page; use run() " +
+        "or translateWithOffset)")
+    pipe
+  }
+
+  /** Like `translate`, but returns the OFFSET row count alongside the
+    * pipe so the caller can apply the drop the pipe cannot express. */
+  def translateWithOffset(sql: String,
+                          schemas: Map[String, Seq[String]] = Map.empty)
+      : (String, Int) = translateFull(sql, schemas)
 
   /** Full translation: the ES|QL pipe plus the OFFSET row count (0 when
     * absent). OFFSET cannot ride inside the pipe — ES|QL has no paging
@@ -407,6 +444,19 @@ object EsSql {
       case _ => false
     }) reject("subqueries")
     val cs = clauses(ts)
+
+    // SCORE() (now `_score`) is legal only in SELECT and ORDER BY — the
+    // real ES SQL contract. In WHERE it would filter on the 0 seed
+    // (relevance accumulates AFTER the filter in the compiled pipe) and
+    // silently return wrong rows; in HAVING the score is not an aggregate.
+    Seq("WHERE", "HAVING").foreach { c =>
+      if (cs.get(c).exists(_.exists {
+        case SId(s) => s.equalsIgnoreCase("_score")
+        case _ => false
+      })) reject(s"SCORE()/_score in $c (ES SQL accepts SCORE() only in " +
+        "SELECT and ORDER BY; relevance is computed after filtering, so a " +
+        s"$c on it would silently test the unscored seed)")
+    }
 
     val idx = cs("FROM") match {
       case List(SId(n)) => n

@@ -32,7 +32,11 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * on the shared column name, appending every non-key lookup column),
   * FORK (8.19 — parenthesized branch pipes recursing from the fork
   * point's frame, unioned BY NAME with a `_fork` discriminator: one
-  * Catalyst Union, shared prefix plan), and CHANGE_POINT..ON (8.16 —
+  * Catalyst Union, shared prefix plan), FUSE [RRF|LINEAR] [KEY BY col]
+  * (9.1 — merges FORK branches naming the same document into one row
+  * with an RRF or linear fused `_score`; branch rank pinned to
+  * (_score DESC, key ASC), a documented deviation from ES's transport
+  * result order), and CHANGE_POINT..ON (8.16 —
   * the CUSUM split-statistic argmax over the key-ordered series,
   * deterministic deviation from ES's ML p-values, documented inline).
   *
@@ -61,8 +65,10 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * contract (DECIMAL(12,2) partials, DECIMAL(28,6) result) so the oracle
   * reproduces totals bit-for-bit. INLINESTATS (8.16) runs the same
   * aggregates as window functions over the BY partitions — appended to
-  * every row, zero row reduction. Everything else — subqueries, FORK,
-  * the remaining MV_* functions — rejects loudly at parse time.
+  * every row, zero row reduction. Everything else — subqueries, the
+  * remaining MV_* functions, the inference-backed 9.x commands
+  * COMPLETION/RERANK (they call a deployed model; no serving layer
+  * here) — rejects loudly at parse time.
   */
 object Esql {
 
@@ -1303,10 +1309,65 @@ object Esql {
             .withColumn(tname,
               when(col(sname).isNotNull, lit("step_change")))
             .drop("_cpc", "_cpi", "_cps", "_cpn", "_cpt", "_cpscore", "_cpbest")
+        case "FUSE" =>
+          // FUSE [RRF|LINEAR] (9.1+): merge FORK branch results that name
+          // the same document into one row with a fused relevance score.
+          // RRF (the default): _score = Σ_branches 1/(60 + rank_in_branch);
+          // LINEAR: _score = Σ_branches branch _score. DOCUMENTED
+          // DEVIATION: ES ranks each branch by its transport result order;
+          // a DataFrame union carries no such order, so rank here is
+          // pinned to (_score DESC, key ASC) within each branch —
+          // deterministic and oracle-replayable. Non-score columns and
+          // _fork keep the FIRST branch's row (ES's first-seen rule).
+          // Two hash-partitioned windows (by _fork, by _id) — shuffles on
+          // bounded post-FORK rows, never a join, scale-safe.
+          val method = p.peek match {
+            case Some(TId(m)) if m.equalsIgnoreCase("RRF") ||
+              m.equalsIgnoreCase("LINEAR") => p.pop(); m.toUpperCase
+            case _ => "RRF"
+          }
+          // KEY BY <col> (9.2): the merge key; default _id, the ES doc id
+          val key = p.peek match {
+            case Some(TId(k)) if k.equalsIgnoreCase("KEY") =>
+              p.pop(); p.expectKw("BY"); p.ident()
+            case Some(other) => throw new IllegalArgumentException(
+              s"esql: FUSE option $other is not supported (FUSE [RRF|LINEAR] " +
+                "[KEY BY col]; SCORE/GROUP BY and WITH options are not " +
+                "implemented)")
+            case None => "_id"
+          }
+          Seq("_fork", key, "_score").foreach(c =>
+            require(df.columns.contains(c),
+              s"esql: FUSE needs the $c column in scope (run it after FORK " +
+                "over a FROM ... METADATA _score source; KEY BY names the " +
+                "merge key when there is no _id)"))
+          val Window = org.apache.spark.sql.expressions.Window
+          val perFork = Window.partitionBy("_fork")
+            .orderBy(col("_score").desc, col(key).asc)
+          val contrib =
+            if (method == "RRF")
+              lit(1.0) / (lit(60.0) + row_number().over(perFork))
+            else col("_score").cast("double")
+          val ranked = df.withColumn("_fuse_c", contrib)
+          val byId = Window.partitionBy(key)
+          val firstSeen = Window.partitionBy(key)
+            .orderBy(col("_fork").asc, col("_score").desc)
+          df = ranked
+            .withColumn("_fuse_s", sum(col("_fuse_c")).over(byId))
+            .withColumn("_fuse_rn", row_number().over(firstSeen))
+            .filter(col("_fuse_rn") === 1)
+            .withColumn("_score", col("_fuse_s"))
+            .drop("_fuse_c", "_fuse_s", "_fuse_rn")
+        case "COMPLETION" | "RERANK" =>
+          throw new IllegalArgumentException(
+            s"esql: ${kw(seg.head)} is not supported — it calls a deployed " +
+              "inference endpoint (an LLM for COMPLETION, a reranker model " +
+              "for RERANK); this engine has no model-serving layer, and a " +
+              "stubbed response would silently differ from ES on every row")
         case other => throw new IllegalArgumentException(
           s"esql: unsupported command $other (FROM/TS/WHERE/EVAL/STATS/SORT/LIMIT/" +
             "SAMPLE/KEEP/DROP/RENAME/MV_EXPAND/DISSECT/GROK/ENRICH/LOOKUP JOIN/" +
-            "FORK/CHANGE_POINT)")
+            "FORK/FUSE/CHANGE_POINT)")
       }
       require(p.ts.isEmpty, s"esql: trailing tokens in ${kw(seg.head)}: ${p.ts.take(4)}")
     }

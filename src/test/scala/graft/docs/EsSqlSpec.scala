@@ -70,13 +70,21 @@ class EsSqlSpec extends SparkSpec {
         || EVAL sc = _score
         || SORT sc DESC
         || KEEP id, sc""".stripMargin)
-    // LIMIT n OFFSET m → pipe LIMIT n+m (one bounded sort); run drops m
-    val paged = t("SELECT a FROM t ORDER BY a LIMIT 5 OFFSET 10")
+    // LIMIT n OFFSET m → pipe LIMIT n+m (one bounded sort) + the drop
+    // count, which the pipe cannot carry — translateWithOffset returns it
+    val (paged, off) =
+      EsSql.translateWithOffset("SELECT a FROM t ORDER BY a LIMIT 5 OFFSET 10")
+    assert(off === 10)
     assert(paged ===
       """FROM t
         || SORT a
         || LIMIT 15
         || KEEP a""".stripMargin)
+    // the string-only translate rejects OFFSET: its pipe alone would
+    // return the rows paging should skip (silently mis-paged)
+    assert(intercept[IllegalArgumentException](
+      t("SELECT a FROM t ORDER BY a LIMIT 5 OFFSET 10")).getMessage
+      .contains("OFFSET in string-only translate"))
   }
 
   test("BETWEEN rewrites to the comparison pair; NOT BETWEEN negates it") {
@@ -131,8 +139,9 @@ class EsSqlSpec extends SparkSpec {
     assert(err("SELECT a FROM t ORDER BY a LIMIT 2.5")
       .contains("LIMIT must be an integer literal"))
     // max in-range page still fits in the Int pipe bound (1e9 + 1e9)
-    assert(t("SELECT a FROM t ORDER BY a LIMIT 1000000000 OFFSET 1000000000")
-      .contains("LIMIT 2000000000"))
+    assert(EsSql.translateWithOffset(
+      "SELECT a FROM t ORDER BY a LIMIT 1000000000 OFFSET 1000000000")
+      ._1.contains("LIMIT 2000000000"))
   }
 
   test("OFFSET pages the sorted rows end-to-end; ORDER BY non-selected column") {
@@ -219,5 +228,19 @@ class EsSqlSpec extends SparkSpec {
     assert(err("SELECT g, SUM(v) AS s FROM t GROUP BY g HAVING v > 1")
       .contains("SELECT aliases"))
     assert(err("SELECT a FROM t WHERE p LIKE 'a*'").contains("LIKE"))
+    // SCORE() is legal only in SELECT/ORDER BY — in WHERE it would test
+    // the unscored 0 seed (score accumulates after the filter), in HAVING
+    // it is not an aggregate; both reject instead of silently returning
+    // wrong rows
+    assert(err("SELECT id, SCORE() AS sc FROM t " +
+      "WHERE MATCH(txt, 'x') AND SCORE() > 1").contains("SCORE()/_score in WHERE"))
+    assert(err("SELECT g, COUNT(*) AS n FROM t GROUP BY g HAVING SCORE() > 1")
+      .contains("SCORE()/_score in HAVING"))
+    // compound BETWEEN operands reject (only `b` would be rewritten,
+    // mis-grouping `a + b BETWEEN 1 AND 2` as `a + (b >= 1 AND b <= 2)`)
+    assert(err("SELECT a FROM t WHERE v + w BETWEEN 1 AND 2")
+      .contains("BETWEEN on this shape"))
+    assert(err("SELECT a FROM t WHERE v + w NOT BETWEEN 1 AND 2")
+      .contains("BETWEEN on this shape"))
   }
 }

@@ -25,7 +25,11 @@ class EsqlSpec extends SparkSpec {
     assert(rowOut.head.getLong(0) === 5L && rowOut.head.getString(1) === "x" &&
       rowOut.head.getLong(2) === 10L)
     assert(bad("""FROM missing | LIMIT 1""").contains("unknown index"))
-    assert(bad("""FROM t | RERANK query""").contains("unsupported command"))
+    // the 9.x inference commands reject by NAME with the why (they call a
+    // deployed model; this engine has no serving layer)
+    assert(bad("""FROM t | RERANK query""").contains("RERANK is not supported"))
+    assert(bad("""FROM t | COMPLETION prompt""")
+      .contains("COMPLETION is not supported"))
     assert(bad("""FROM t | FORK (WHERE v > 1)""").contains("FORK takes 2-8 branches"))
     assert(bad("""FROM t | LOOKUP JOIN x ON id""").contains("unknown lookup index"))
     assert(bad("""FROM t | ENRICH policy""").contains("unexpected end of input"))
@@ -558,6 +562,54 @@ class EsqlSpec extends SparkSpec {
       "FROM t | SAMPLE 1.5 ON id")).getMessage.contains("in (0,1)"))
     assert(intercept[IllegalArgumentException](Esql.run(frame,
       "FROM t | SAMPLE 0.5")).getMessage.contains("unexpected end of input"))
+  }
+
+  test("FUSE merges FORK branches by key: RRF ranks, LINEAR sums, first-seen rows") {
+    import spark.implicits._
+    val docs = Map("d" -> Seq(
+      (1L, "the running shoes are fast"), (2L, "slow boats"),
+      (3L, "shoe polish")).toDF("id", "body"))
+    // branch 1 "shoes fast": doc1 score 2, doc3 score 1 → ranks 1, 2
+    // branch 2 "polish":     doc3 score 1            → rank 1
+    val rrf = Esql.run(docs,
+      """FROM d METADATA _score
+        || FORK (WHERE MATCH(body, "shoes fast")) (WHERE MATCH(body, "polish"))
+        || FUSE KEY BY id
+        || SORT _score DESC, id ASC""".stripMargin).collect()
+    assert(rrf.map(_.getAs[Long]("id")).toSeq === Seq(3L, 1L))
+    val s3 = rrf(0).getAs[Double]("_score")
+    val s1 = rrf(1).getAs[Double]("_score")
+    assert(math.abs(s3 - (1.0 / 62 + 1.0 / 61)) < 1e-12)
+    assert(math.abs(s1 - 1.0 / 61) < 1e-12)
+    // doc3 appears in both branches; the merged row keeps the FIRST
+    // branch's _fork stamp and column values
+    assert(rrf(0).getAs[String]("_fork") === "fork1")
+    assert(rrf(0).getAs[String]("body") === "shoe polish")
+    // LINEAR sums the branch scores: doc1 = 2, doc3 = 1 + 1 = 2 (tie →
+    // id ASC); explicit RRF keyword parses too
+    val lin = Esql.run(docs,
+      """FROM d METADATA _score
+        || FORK (WHERE MATCH(body, "shoes fast")) (WHERE MATCH(body, "polish"))
+        || FUSE LINEAR KEY BY id
+        || SORT _score DESC, id ASC""".stripMargin).collect()
+    assert(lin.map(_.getAs[Long]("id")).toSeq === Seq(1L, 3L))
+    assert(lin.map(_.getAs[Double]("_score")).toSeq === Seq(2.0, 2.0))
+    assert(Esql.run(docs,
+      """FROM d METADATA _score
+        || FORK (WHERE MATCH(body, "shoes")) (WHERE MATCH(body, "boats"))
+        || FUSE RRF KEY BY id""".stripMargin).count() === 3L)
+    // guards: FUSE before FORK (no _fork), default key absent, bad option
+    def bad2(q: String): String =
+      intercept[IllegalArgumentException](Esql.run(docs, q)).getMessage
+    assert(bad2("""FROM d METADATA _score | FUSE KEY BY id""")
+      .contains("FUSE needs the _fork"))
+    assert(bad2("""FROM d METADATA _score
+                  || FORK (WHERE id > 0) (WHERE id > 1)
+                  || FUSE""".stripMargin).contains("FUSE needs the _id"))
+    assert(bad2("""FROM d METADATA _score
+                  || FORK (WHERE id > 0) (WHERE id > 1)
+                  || FUSE WITH retriever""".stripMargin)
+      .contains("FUSE option"))
   }
 
   test("MATCH analyzes both sides; OR semantics; all-stopword query matches nothing") {

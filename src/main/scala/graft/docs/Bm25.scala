@@ -1,0 +1,95 @@
+package graft.docs
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** BM25 relevance for the engine's full-text surfaces — the Query DSL's
+  * `similarity=bm25` mode and ES|QL's `scoreMode=bm25` — closing the
+  * largest documented ES-semantics deviation (real ES ranks every `match`
+  * by BM25; the engine's default `_score` is integer matched-term counts,
+  * d23/d251).
+  *
+  * FIXED-POINT INTEGER form (t11's formula, `ext/TextQueries.scala:446`,
+  * re-scaled from corpus token count T to average document length so the
+  * products survive index-level stats): with k1 = 1.2 and b = 0.75 scaled
+  * ×100 and `avgdl100 = (100·T) DIV N`, the per-term score is
+  *
+  *   (N − df) · tf · 22000 · avgdl100
+  *     DIV (10000 · avgdl100 · tf + 3000 · avgdl100 + 900000 · dl)
+  *
+  * which is the BM25 core tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl))
+  * multiplied through by 10⁶·avgdl100 with t6's integer (N−df) idf. Both
+  * Spark's `DIV` and DuckDB's `//` floor identically, so the score — and
+  * therefore the RANKING — is bit-exact in any engine, which a doubles
+  * formulation cannot guarantee under partial-aggregation reorder.
+  * Products stay < 2⁶³ to ~10⁸ docs × avgdl 10⁴ per stats scope; past
+  * that, shard the stats scope (stats are per-index anyway).
+  *
+  * SCALE SHAPE: `stats` is ONE aggregate over the index frame collected
+  * to 2 + |terms| driver values (the bounded-driver-state class of
+  * SCALE.md — ES holds the identical numbers as index metadata). On a
+  * standing 100 TB index these become a write-once stats table maintained
+  * incrementally, exactly like dd7's standing signature index; computing
+  * them inline here is the cold-start cost, one scan. `withScore` is pure
+  * per-row expressions (helper columns + integer DIV) — no shuffle, no
+  * join; ranking stays ORDER BY + LIMIT (TakeOrderedAndProject). */
+object Bm25 {
+
+  /** Index-level stats for a query's terms: corpus size, average document
+    * length ×100 (integer), and per-term document frequency. */
+  final case class Stats(nDocs: Long, avgdl100: Long, df: Map[String, Long])
+
+  /** Compute stats over `index` (the UNFILTERED index frame — ES
+    * relevance uses index-level frequencies, not the hit set's). One
+    * aggregate, 2 + |terms| values fetched to the driver. */
+  def stats(index: DataFrame, toks: Column, terms: Seq[String]): Stats = {
+    val ts = terms.distinct
+    val aggs = count(lit(1)).cast("long").as("_n") +:
+      coalesce(sum(size(toks).cast("long")), lit(0L)).as("_t") +:
+      ts.zipWithIndex.map { case (t, i) =>
+        coalesce(sum(when(array_contains(toks, t), 1L).otherwise(0L)),
+          lit(0L)).as(s"_df$i")
+      }
+    val r = index.agg(aggs.head, aggs.tail: _*).collect().head
+    val n = r.getLong(0)
+    val avg100 = if (n == 0L) 0L else 100L * r.getLong(1) / n
+    Stats(n, avg100, ts.zipWithIndex.map { case (t, i) => t -> r.getLong(2 + i) }.toMap)
+  }
+
+  /** Append `out` = Σ over `terms` of the fixed-point BM25 of `toks`
+    * against `st`. Helper columns are added for the integer `DIV` (its
+    * operands must be named) and dropped before returning; `tag` keeps
+    * concurrent attachments (several scored clauses on one frame) from
+    * colliding. */
+  def withScore(df: DataFrame, toks: Column, terms: Seq[String], st: Stats,
+                out: String, tag: String = "b"): DataFrame = {
+    val ts = terms.distinct
+    if (ts.isEmpty || st.nDocs == 0L || st.avgdl100 == 0L)
+      return df.withColumn(out, lit(0L))
+    var d = df
+      .withColumn(s"_bm_${tag}_ts", toks)
+      .withColumn(s"_bm_${tag}_dl", size(col(s"_bm_${tag}_ts")).cast("long"))
+    val parts = ts.zipWithIndex.map { case (t, i) =>
+      d = d.withColumn(s"_bm_${tag}_tf$i",
+        size(filter(col(s"_bm_${tag}_ts"), x => x === lit(t))).cast("long"))
+      val idf = st.nDocs - st.df.getOrElse(t, 0L)
+      s"""(CASE WHEN _bm_${tag}_tf$i > 0 THEN
+         |  (${idf}L * _bm_${tag}_tf$i * 22000L * ${st.avgdl100}L)
+         |  DIV (10000L * ${st.avgdl100}L * _bm_${tag}_tf$i
+         |       + 3000L * ${st.avgdl100}L + 900000L * _bm_${tag}_dl)
+         |ELSE 0L END)""".stripMargin.replace('\n', ' ')
+    }
+    d.withColumn(out, expr(parts.mkString(" + ")))
+      .drop((s"_bm_${tag}_ts" +: s"_bm_${tag}_dl" +:
+        ts.indices.map(i => s"_bm_${tag}_tf$i")): _*)
+  }
+
+  /** The DuckDB twin of the per-term score, for oracle SQL: `tf`, `dl`,
+    * `n`, `df`, `avgdl100` are SQL expressions in the caller's scope. */
+  def oracleTermSql(tf: String, dl: String, n: String, df: String,
+                    avgdl100: String): String =
+    s"""(CASE WHEN $tf > 0 THEN
+       |  (($n - $df) * $tf * 22000 * $avgdl100)
+       |  // (10000 * $avgdl100 * $tf + 3000 * $avgdl100 + 900000 * $dl)
+       |ELSE 0 END)""".stripMargin.replace('\n', ' ')
+}

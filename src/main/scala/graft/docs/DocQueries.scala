@@ -9375,6 +9375,94 @@ object DocQueries {
        |ORDER BY _score DESC, doc_id LIMIT 40""".stripMargin
   }
 
+  // ---------------------------------------------------------------- d259
+  /** Query DSL `similarity=bm25` — the engine-level analogue of ES's
+    * per-index similarity setting, closing the biggest documented ES
+    * deviation (real ES ranks every `match` by BM25; the engine default
+    * is satisfied-clause counts, d23). The `should` match clause scores
+    * each hit with the fixed-point BM25 of its terms ([[Bm25]]: integer,
+    * oracle-exact INCLUDING the ranking); index-level stats (N, avgdl,
+    * df) come from the unfiltered corpus in one bounded-driver aggregate.
+    * BM25's length normalization makes this ordering provably different
+    * from term-count ordering: a term hit in a SHORT document outranks
+    * the same hit in a long one (Bm25Spec pins a literal case). */
+  private def d259(s: SparkSession, d: String): DataFrame = {
+    val flat = s.read.parquet(s"$d/documents.parquet")
+    val docs = flat.select(struct(
+      col("doc_id").cast("string").as("objectId"),
+      col("text"), col("lang"), col("n_chars")).as("doc"))
+    val body =
+      """{"query": {"bool": {
+        |   "should": [{"match": {"text": "vector merge window"}}],
+        |   "filter": [{"range": {"n_chars": {"gte": 150}}}]}},
+        | "_source": ["objectId"], "size": 25}""".stripMargin
+    SearchExec.search(docs, "doc", body,
+      docs.schema("doc").dataType.asInstanceOf[org.apache.spark.sql.types.StructType],
+      similarity = "bm25")
+  }
+
+  private val d259Sql = {
+    // whitespace analyzer (SearchOps.tokenMatch): lower + split on \s+
+    val terms = Seq("vector", "merge", "window")
+    def tf(t: String) = s"len(list_filter(ts, x -> x = '$t'))"
+    val score = terms.zipWithIndex.map { case (t, i) =>
+      graft.docs.Bm25.oracleTermSql(tf(t), "dl", "n", s"df$i", "a100")
+    }.mkString(" + ")
+    val dfs = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(SUM(CASE WHEN list_contains(ts, '$t') THEN 1 ELSE 0 END) AS BIGINT) AS df$i"
+    }.mkString(", ")
+    s"""WITH an AS (SELECT CAST(doc_id AS VARCHAR) AS oid, n_chars,
+       |    regexp_split_to_array(lower(text), '\\s+') AS ts FROM documents),
+       |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST((100 * SUM(len(ts))) // COUNT(*) AS BIGINT) AS a100, $dfs FROM an),
+       |sc AS (SELECT oid, CAST($score AS BIGINT) AS score
+       |       FROM (SELECT oid, ts, len(ts) AS dl FROM an WHERE n_chars >= 150)
+       |       CROSS JOIN st)
+       |SELECT rn, score, oid AS "objectId" FROM (
+       |  SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, oid ASC) AS rn FROM sc)
+       |WHERE rn <= 25 ORDER BY rn""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- d260
+  /** ES|QL `scoreMode=bm25` — METADATA _score under BM25: each MATCH in
+    * WHERE adds the fixed-point BM25 of its analyzed terms (full analyzer
+    * chain, [[graft.ext.TextAnalysis]]) instead of the matched-term
+    * count. Stats are index-level (captured at FROM, before the WHERE
+    * filters — the ES semantic); the score stays a LONG so the DuckDB
+    * twin reproduces rank order bit-exactly. */
+  private def d260(s: SparkSession, d: String): DataFrame = {
+    val q =
+      """FROM documents METADATA _score
+        || WHERE MATCH(text, "vector windows merge") AND n_chars > 200
+        || KEEP doc_id, _score
+        || SORT _score DESC, doc_id ASC
+        || LIMIT 30""".stripMargin
+    Esql.run(Map("documents" ->
+      s.read.parquet(s"$d/documents.parquet")), q, scoreMode = "bm25")
+  }
+
+  private val d260Sql = {
+    val an = graft.ext.TextAnalysis.analyzeSql("text")
+    val terms = graft.ext.TextAnalysis.analyzeQuery("vector windows merge")
+    def tf(t: String) = s"len(list_filter(ts, x -> x = '$t'))"
+    val score = terms.zipWithIndex.map { case (t, i) =>
+      graft.docs.Bm25.oracleTermSql(tf(t), "dl", "n", s"df$i", "a100")
+    }.mkString(" + ")
+    val dfs = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(SUM(CASE WHEN list_contains(ts, '$t') THEN 1 ELSE 0 END) AS BIGINT) AS df$i"
+    }.mkString(", ")
+    val anyTok = terms.map(t => s"'$t'")
+      .mkString("list_has_any(ts, [", ", ", "])")
+    s"""WITH an AS (SELECT doc_id, n_chars, $an AS ts FROM documents),
+       |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST((100 * SUM(len(ts))) // COUNT(*) AS BIGINT) AS a100, $dfs FROM an),
+       |hits AS (SELECT doc_id, ts, len(ts) AS dl FROM an
+       |         WHERE $anyTok AND n_chars > 200)
+       |SELECT doc_id, CAST($score AS BIGINT) AS _score
+       |FROM hits CROSS JOIN st
+       |ORDER BY _score DESC, doc_id LIMIT 30""".stripMargin
+  }
+
   // ---------------------------------------------------------------- d255
   /** ES|QL `QSTR()` (8.17) — the Kibana search-bar query_string syntax as
     * a WHERE function, compiled through the SAME QueryString→SearchQuery→
@@ -9402,6 +9490,63 @@ object DocQueries {
        |  AND (${tok("text", "vector")} OR ${tok("text", "windows")})
        |  AND n_chars > 250
        |GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- d261
+  /** EQL all-matches WITH `until` and `missing` (closing r12's v1 bound):
+    * every view < click < purchase chain per user within maxspan where no
+    * `signup` falls between the click and the purchase and no `error`
+    * expiry fires while the chain is pending. Validity uses the SAME
+    * boundary contract as the default last-prefix mode (runSeq — the
+    * engine-pinned rule, since ES's own until/missing multiplicity is
+    * version-dependent), checked per extension from ONE window pass of
+    * carried last-expiry/last-gap columns — plain predicates on the
+    * bin-bucketed joins, never an anti-join per extension. The oracle is
+    * the literal self-join with per-extension NOT EXISTS guards (the
+    * quantifier form of the same contract). */
+  private def d261(s: SparkSession, d: String): DataFrame = {
+    val q =
+      """sequence by user_id with maxspan=24h
+        |  [ event where event_type == "view" ]
+        |  [ event where event_type == "click" ]
+        |  ![ event where event_type == "signup" ]
+        |  [ event where event_type == "purchase" ]
+        |  until [ event where event_type == "error" ]""".stripMargin
+    Eql.runAllMatches(graft.Tables.events(s, d), q)
+  }
+
+  private val d261Sql = {
+    // row-strict "before the completing row", inclusive/exclusive lower
+    // bounds per the runSeq boundary contract (expiry AT the prefix's
+    // last microsecond kills; a gap marker AT it does not violate)
+    def noUntil(completing: String, prefixLast: String) =
+      s"""NOT EXISTS (SELECT 1 FROM e u
+         |  WHERE u.user_id = $completing.user_id AND u.event_type = 'error'
+         |    AND (u.tsu < $completing.tsu OR (u.tsu = $completing.tsu
+         |         AND u.event_id < $completing.event_id))
+         |    AND u.tsu >= $prefixLast.tsu)""".stripMargin
+    val noGap =
+      s"""NOT EXISTS (SELECT 1 FROM e m
+         |  WHERE m.user_id = e3.user_id AND m.event_type = 'signup'
+         |    AND (m.tsu < e3.tsu OR (m.tsu = e3.tsu
+         |         AND m.event_id < e3.event_id))
+         |    AND m.tsu > e2.tsu)""".stripMargin
+    s"""WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tsu
+       |           FROM events)
+       |SELECT e1.user_id AS user_id, e1.tsu AS t1_us, e2.tsu AS t2_us,
+       |  e3.tsu AS t3_us, e3.tsu - e1.tsu AS span_us
+       |FROM e e1
+       |JOIN e e2 ON e1.user_id = e2.user_id
+       |  AND e1.event_type = 'view' AND e2.event_type = 'click'
+       |  AND (e2.tsu > e1.tsu OR (e2.tsu = e1.tsu AND e2.event_id > e1.event_id))
+       |  AND e2.tsu - e1.tsu <= 86400000000
+       |  AND ${noUntil("e2", "e1")}
+       |JOIN e e3 ON e2.user_id = e3.user_id AND e3.event_type = 'purchase'
+       |  AND (e3.tsu > e2.tsu OR (e3.tsu = e2.tsu AND e3.event_id > e2.event_id))
+       |  AND e3.tsu - e1.tsu <= 86400000000
+       |  AND ${noUntil("e3", "e2")}
+       |  AND $noGap
+       |ORDER BY e1.user_id, t1_us, t2_us, t3_us""".stripMargin
   }
 
   // ---------------------------------------------------------------- d256
@@ -10056,6 +10201,9 @@ object DocQueries {
     "d256_esql_match_phrase" -> d256 _,
     "d257_eql_all_matches" -> d257 _,
     "d258_esql_fuse" -> d258 _,
+    "d259_dsl_bm25" -> d259 _,
+    "d260_esql_bm25" -> d260 _,
+    "d261_eql_all_matches_guards" -> d261 _,
     "d206_es_parent_agg" -> d206 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
@@ -10316,6 +10464,9 @@ object DocQueries {
     "d256_esql_match_phrase" -> d256Sql,
     "d257_eql_all_matches" -> d257Sql,
     "d258_esql_fuse" -> d258Sql,
+    "d259_dsl_bm25" -> d259Sql,
+    "d260_esql_bm25" -> d260Sql,
+    "d261_eql_all_matches_guards" -> d261Sql,
     "d206_es_parent_agg" -> d206Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,

@@ -292,13 +292,24 @@ object Eql {
     * relational "all chains" semantics (a superset of any EQL engine
     * version's state-machine multiplicity, and the only version-stable
     * definition). Requires `maxspan` — unbounded all-chains output is
-    * unbounded — and plain positive steps (no until/missing: their
-    * interaction with full multiplicity is where ES versions disagree, so
-    * v1 rejects rather than guessing; `with runs=N` is fine — the parser
-    * expands it to repeated steps, and all-chains over repeated steps is
-    * exactly the intended semantics). Event ORDER is row-strict like the
-    * default mode: (ts, event_id) lexicographic — equal-timestamp events
-    * chain by id order, so the last-prefix output is always a subset.
+    * unbounded. `with runs=N` is fine (the parser expands it to repeated
+    * steps, and all-chains over repeated steps is exactly the intended
+    * semantics). Event ORDER is row-strict like the default mode:
+    * (ts, event_id) lexicographic — equal-timestamp events chain by id
+    * order, so the last-prefix output is always a subset.
+    *
+    * `until` and `missing` use the SAME validity contract as the default
+    * mode (runSeq), checked per extension — the two modes agree on which
+    * chains are alive and differ only in multiplicity (ES's own until/
+    * missing multiplicity is version-dependent; this engine PINS the
+    * runSeq boundary rules: an expiry at-or-after the prefix's last step
+    * and row-strictly before the completing row kills; a gap event
+    * strictly after the prefix's last step and row-strictly before the
+    * completing row violates). Both compile to ONE window pass over the
+    * relevant events — "last expiry / last gap-marker STRICTLY before
+    * this row" carried as plain columns on the step frames — so the
+    * checks are per-row predicates on the joins, never an anti-join per
+    * extension and never a second pass.
     *
     * Plan shape: each extension is a BIN-BUCKETED interval join (the q28
     * trick): the chain's anchor bin b = ts1 DIV maxspan, the step side
@@ -314,16 +325,36 @@ object Eql {
     require(sq.maxspanUs != Long.MaxValue,
       "eql: all-matches mode requires maxspan (all-chains output over an " +
         "unbounded span is unbounded)")
-    require(sq.until.isEmpty && sq.missing.isEmpty,
-      "eql: all-matches mode supports plain positive steps (until/missing " +
-        "multiplicity is ES-version-dependent; use the default last-prefix mode)")
     val n = sq.steps.size
     val W = sq.maxspanUs
+    // one window pass over the relevant events carries the until/missing
+    // state every extension needs (exactly runSeq's columns): relevant =
+    // step ∪ until ∪ missing events, so the markers see non-step rows
+    val relevant = (sq.steps ++ sq.until ++ sq.missing.values)
+      .map(st => col(st.field) === lit(st.value)).reduce(_ || _)
+    val w = Window.partitionBy(sq.byKeys.map(col): _*)
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    var aug = events.filter(relevant)
+    sq.until.foreach { u =>
+      aug = aug
+        .withColumn("_uts", when(col(u.field) === lit(u.value), col("ts_us")))
+        .withColumn("_lu", last(col("_uts"), ignoreNulls = true).over(w))
+    }
+    sq.missing.foreach { case (g, m) =>
+      aug = aug
+        .withColumn(s"_mts$g", when(col(m.field) === lit(m.value), col("ts_us")))
+        .withColumn(s"_lm$g", last(col(s"_mts$g"), ignoreNulls = true).over(w))
+    }
     def stepFrame(i: Int): DataFrame = {
       val st = sq.steps(i)
-      events.filter(col(st.field) === lit(st.value))
-        .select(sq.byKeys.map(col) :+ col("ts_us").as(s"t${i + 1}_us") :+
-          col("event_id").as(s"_e${i + 1}"): _*)
+      // completing sides (i ≥ 1) carry their row's carried state columns
+      val extras =
+        (if (i >= 1 && sq.until.nonEmpty) Seq(col("_lu").as(s"_lu$i")) else Nil) ++
+          (if (i >= 1 && sq.missing.contains(i)) Seq(col(s"_lm$i").as(s"_lmc$i")) else Nil)
+      aug.filter(col(st.field) === lit(st.value))
+        .select(sq.byKeys.map(col) ++ Seq(col("ts_us").as(s"t${i + 1}_us"),
+          col("event_id").as(s"_e${i + 1}")) ++ extras: _*)
     }
     // row-strict succession, same order the window-carry mode walks:
     // (ts, event_id) lexicographic — equal-timestamp events chain by id
@@ -340,8 +371,19 @@ object Eql {
           expr(s"t${i + 1}_us DIV $W - 1")))
         .withColumn("_bin", explode(col("_bins")))
         .drop("_bins")
+      // runSeq's validity contract on the carried state: the last expiry
+      // row-strictly before the completing row must predate the prefix's
+      // last step (tie on the microsecond kills); the last gap marker may
+      // sit AT the prefix's last timestamp but not after
+      val untilOk: Column =
+        if (sq.until.isEmpty) lit(true)
+        else col(s"_lu$i").isNull || col(s"_lu$i") < col(s"t${i}_us")
+      val gapOk: Column =
+        if (!sq.missing.contains(i)) lit(true)
+        else col(s"_lmc$i").isNull || col(s"_lmc$i") <= col(s"t${i}_us")
       chain = chain.join(step, sq.byKeys :+ "_bin")
-        .filter(after(i) && col(s"t${i + 1}_us") - col("t1_us") <= W)
+        .filter(after(i) && col(s"t${i + 1}_us") - col("t1_us") <= W &&
+          untilOk && gapOk)
     }
     chain
       .select(sq.byKeys.map(col) ++

@@ -234,6 +234,12 @@ object Esql {
   private val curSchema =
     new ThreadLocal[org.apache.spark.sql.types.StructType]
 
+  /** The UNFILTERED index frame BM25 stats compute over, set by `run`
+    * when scoreMode=bm25 (ThreadLocal for the same reason as curSchema —
+    * plan build is single-threaded per query, and FORK branch recursion
+    * must see it without threading a parameter). Absent = terms mode. */
+  private val bm25Index = new ThreadLocal[DataFrame]
+
   /** The `_score` contribution of a WHERE expression under METADATA
     * _score: Σ matched-term counts over its MATCH() nodes, plus 1 point
     * per satisfied QSTR()/MATCH_PHRASE() clause (the engine's integer
@@ -259,6 +265,21 @@ object Esql {
     }
     case ENot(_) => None
     case _ => None
+  }
+
+  /** The full-text leaves of a WHERE expression, for BM25 scoring: the
+    * MATCH(field, "query") nodes (scored per-term) and the 1-point
+    * QSTR/MATCH_PHRASE clause columns. Same traversal contract as
+    * [[matchScore]]: negated subtrees contribute NOTHING. */
+  private def collectFullText(e: Ex): (Seq[(Ex, String)], Seq[Column]) = e match {
+    case EFn("MATCH", List(f, EStr(q))) => (Seq((f, q)), Nil)
+    case fn @ EFn("MATCH_PHRASE" | "QSTR", _) =>
+      (Nil, Seq(when(coalesce(compile(fn), lit(false)), 1L).otherwise(0L)))
+    case EBin(_, l, r) =>
+      val (m1, p1) = collectFullText(l)
+      val (m2, p2) = collectFullText(r)
+      (m1 ++ m2, p1 ++ p2)
+    case _ => (Nil, Nil)
   }
 
   private def compile(e: Ex): Column = e match {
@@ -712,10 +733,19 @@ object Esql {
   /** Run an ES|QL pipe against the named sources. `enrich` maps a policy
     * name to (policy table, match field) — the replicated lookup index an
     * ENRICH command joins against (always broadcast: policy tables are
-    * dimension-sized by contract, the corpus side never shuffles). */
+    * dimension-sized by contract, the corpus side never shuffles).
+    * `scoreMode` selects the METADATA _score relevance: "terms" (the
+    * default — integer matched-term counts, oracle-exact, d251) or
+    * "bm25" (fixed-point BM25 with index-level stats, [[Bm25]]) — the
+    * engine-level analogue of ES's per-index similarity setting (ES|QL
+    * itself has no syntax for it; ES is always BM25). */
   def run(sources: Map[String, DataFrame], query: String,
-          enrich: Map[String, (DataFrame, String)] = Map.empty): DataFrame = {
+          enrich: Map[String, (DataFrame, String)] = Map.empty,
+          scoreMode: String = "terms"): DataFrame = {
+    require(scoreMode == "terms" || scoreMode == "bm25",
+      s"esql: scoreMode must be terms or bm25, got $scoreMode")
     curSchema.remove() // no stale frame schema from a previous query (QSTR)
+    bm25Index.remove() // no stale stats frame either
     // split the token stream on top-level pipes (paren-aware: pipes
     // inside FORK branch parentheses belong to the branch, not the pipe)
     val segments = splitPipes(tokenize(query))
@@ -794,8 +824,11 @@ object Esql {
       val t1 = if (metaNames.contains("_index")) t.withColumn("_index", lit(n)) else t
       if (metaNames.contains("_score")) t1.withColumn("_score", lit(0L)) else t1
     }
-    pipe(srcNames.map(load).reduce(_.unionByName(_, allowMissingColumns = true)),
-      segments.tail, sources, enrich)
+    val base = srcNames.map(load).reduce(_.unionByName(_, allowMissingColumns = true))
+    // bm25 stats scope = the index as loaded, BEFORE any WHERE — the ES
+    // semantic (df/avgdl are index metadata, not hit-set statistics)
+    if (scoreMode == "bm25") bm25Index.set(base)
+    pipe(base, segments.tail, sources, enrich)
   }
 
   /** Apply pipe segments to a running frame — the command interpreter,
@@ -913,10 +946,35 @@ object Esql {
           df = df.filter(compile(ex))
           // METADATA _score: a WHERE containing MATCH() full-text
           // functions ADDS its matched-term count to the running score —
-          // a plain projection over the filtered frame, no extra pass
-          if (df.columns.contains("_score"))
-            matchScore(ex).foreach(sc =>
-              df = df.withColumn("_score", col("_score") + sc))
+          // a plain projection over the filtered frame, no extra pass.
+          // Under scoreMode=bm25 each MATCH contributes the fixed-point
+          // BM25 of its terms instead (index-level stats from the frame
+          // `run` captured at FROM — the ES semantic: df/avgdl are index
+          // metadata, not hit-set statistics); QSTR/MATCH_PHRASE keep
+          // their 1-point clause scores in both modes (positional BM25
+          // is not modeled — documented deviation).
+          if (df.columns.contains("_score")) Option(bm25Index.get()) match {
+            case None =>
+              matchScore(ex).foreach(sc =>
+                df = df.withColumn("_score", col("_score") + sc))
+            case Some(index) =>
+              val (matches, points) = collectFullText(ex)
+              if (matches.nonEmpty || points.nonEmpty) {
+                var cur = df
+                var add = points.reduceOption(_ + _).getOrElse(lit(0L))
+                matches.zipWithIndex.foreach { case ((f, q), i) =>
+                  val terms = graft.ext.TextAnalysis.analyzeQuery(q)
+                  val st = Bm25.stats(index,
+                    graft.ext.TextAnalysis.analyze(compile(f)), terms)
+                  cur = Bm25.withScore(cur,
+                    graft.ext.TextAnalysis.analyze(compile(f)), terms, st,
+                    s"_bm25_$i", s"w$i")
+                  add = add + col(s"_bm25_$i")
+                }
+                df = cur.withColumn("_score", col("_score") + add)
+                  .drop(matches.indices.map(i => s"_bm25_$i"): _*)
+              }
+          }
         case "LIMIT" => p.pop() match {
           case TNum(n) if !n.contains('.') => df = df.limit(n.toInt)
           case other => throw new IllegalArgumentException(s"esql: bad LIMIT: $other")

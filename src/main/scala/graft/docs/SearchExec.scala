@@ -76,7 +76,10 @@ object SearchExec {
     * desc order with an objectId tiebreak.
     */
   def search(docs0: DataFrame, docCol: String,
-             body0: String, schema0: org.apache.spark.sql.types.StructType): DataFrame = {
+             body0: String, schema0: org.apache.spark.sql.types.StructType,
+             similarity: String = "boolean"): DataFrame = {
+    require(similarity == "boolean" || similarity == "bm25",
+      s"similarity must be boolean or bm25, got $similarity")
     // runtime_mappings splice computed fields into the document struct
     // BEFORE any parsing — query/sort/_source see them as plain fields
     val (docs, body, schema) = RuntimeFields(docs0, docCol, body0, schema0)
@@ -110,9 +113,10 @@ object SearchExec {
     // and before track_total_hits — ES shrinks total too), so the score
     // is computed for the filter even when no sort reads it.
     val hits = {
-      val scored = if (needScore || b.minScore.nonEmpty)
-        hits0.withColumn("score", SearchQuery.scoreCol(b.parsed, doc))
-      else hits0
+      val scored = if (needScore || b.minScore.nonEmpty) {
+        if (similarity == "bm25") bm25Scored(hits0, docs, doc, b)
+        else hits0.withColumn("score", SearchQuery.scoreCol(b.parsed, doc))
+      } else hits0
       val floored = b.minScore.fold(scored)(ms => scored.filter(col("score") >= lit(ms)))
       // output contract: `score` rides only when a sort reads it
       if (needScore) floored else floored.drop("score")
@@ -322,5 +326,63 @@ object SearchExec {
     if (!b.trackTotalHits) paged
     else paged.crossJoin(broadcast(
       hits0.agg(count(lit(1)).cast("long").as("total"))))
+  }
+
+  /** `similarity=bm25` scoring: each top-level `should` clause that is a
+    * whitespace-analyzed `match` desugar — a [[SearchQuery.TermMatch]],
+    * or an Or/And of TermMatch on one path — contributes the fixed-point
+    * BM25 ([[Bm25]]) of its terms against that field, with index-level
+    * stats from the UNFILTERED corpus (the ES semantic: df/avgdl are
+    * index metadata). Any other should clause keeps its 1-point
+    * satisfied-clause score — mixing constant-score clauses into a BM25
+    * sum is exactly what ES's bool query does. The score stays a LONG
+    * (fixed-point), so min_score floors and sort orders are oracle-exact.
+    * v1 bound, rejected loudly: script_score / function_score / pinned /
+    * rescore keep the boolean similarity (their score algebra is defined
+    * over clause counts). */
+  private def bm25Scored(hits: DataFrame, index: DataFrame, doc: Column,
+                         b: SearchQuery.FullBody): DataFrame = {
+    import graft.docs.{SearchQuery => SQ}
+    val p = b.parsed
+    require(p.script.isEmpty && p.shape.isEmpty && p.pinned.isEmpty &&
+      b.rescore.isEmpty,
+      "bm25 similarity v1 covers plain bool bodies (script_score / " +
+        "function_score / pinned / rescore keep the boolean similarity)")
+    // the match-desugar shapes scoreable per-term (lowercased — the
+    // whitespace analyzer lowercases at compile, SearchOps.tokenMatch)
+    def asMatch(q: SearchQuery): Option[(Seq[String], Seq[String])] = q match {
+      case SQ.TermMatch(path, t) => Some((path, Seq(t.toLowerCase)))
+      case SQ.Or(qs @ _*) => flatTerms(qs)
+      case SQ.And(qs @ _*) => flatTerms(qs)
+      case _ => None
+    }
+    def flatTerms(qs: Seq[SearchQuery]): Option[(Seq[String], Seq[String])] = {
+      val tms = qs.map { case SQ.TermMatch(pa, t) => Some((pa, t.toLowerCase))
+                         case _ => None }
+      if (tms.exists(_.isEmpty)) None
+      else {
+        val flat = tms.flatten
+        if (flat.map(_._1).distinct.size == 1)
+          Some((flat.head._1, flat.map(_._2)))
+        else None
+      }
+    }
+    def toks(path: Seq[String]): Column =
+      split(lower(field(doc, path)), "\\s+")
+    var cur = hits
+    var score: Column = lit(0L)
+    val bmCols = scala.collection.mutable.ListBuffer[String]()
+    p.shoulds.zipWithIndex.foreach { case (q, i) =>
+      asMatch(q) match {
+        case Some((path, terms)) =>
+          val st = Bm25.stats(index, toks(path), terms)
+          cur = Bm25.withScore(cur, toks(path), terms, st, s"_bm25_$i", s"s$i")
+          bmCols += s"_bm25_$i"
+          score = score + col(s"_bm25_$i")
+        case None =>
+          score = score + coalesce(SQ.compile(q, doc).cast("long"), lit(0L))
+      }
+    }
+    cur.withColumn("score", score).drop(bmCols.toSeq: _*)
   }
 }

@@ -100,6 +100,82 @@ class EqlPropertySpec extends SparkSpec {
     }
   }
 
+  /** Guarded all-chains reference: the brute-force enumeration with the
+    * engine-pinned until/missing validity contract applied per extension
+    * (expiry at-or-after the prefix's last step and row-strictly before
+    * the completing row kills; a gap event strictly after the prefix's
+    * last step and row-strictly before the completing row violates). */
+  private def allChainsGuardedRef(events: Seq[(Long, Long, String, Long)],
+                                  steps: Seq[String], maxspanUs: Long,
+                                  until: Option[String],
+                                  missing: Map[Int, String]): Seq[Seq[Long]] = {
+    def rowLt(a: (Long, Long), b: (Long, Long)): Boolean = // (ts, id)
+      a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)
+    val out = scala.collection.mutable.ListBuffer[Seq[Long]]()
+    events.groupBy(_._2).foreach { case (user, evs) =>
+      def extend(chain: Vector[(Long, Long)], depth: Int): Unit =
+        if (depth == steps.size) {
+          val ts = chain.map(_._1)
+          if (ts.last - ts.head <= maxspanUs)
+            out += (user +: ts) :+ (ts.last - ts.head)
+        } else evs.foreach { case (id, _, tpe, ts) =>
+          val succ = chain.isEmpty || rowLt((chain.last._1, chain.last._2), (ts, id))
+          val span = chain.isEmpty || ts - chain.head._1 <= maxspanUs
+          val guards = chain.isEmpty || {
+            val pts = chain.last._1
+            val uOk = until.forall(u => !evs.exists { case (uid, _, ut, uts) =>
+              ut == u && rowLt((uts, uid), (ts, id)) && uts >= pts })
+            val mOk = missing.get(depth).forall(m => !evs.exists { case (mid, _, mt, mts) =>
+              mt == m && rowLt((mts, mid), (ts, id)) && mts > pts })
+            uOk && mOk
+          }
+          if (tpe == steps(depth) && succ && span && guards)
+            extend(chain :+ ((ts, id)), depth + 1)
+        }
+      extend(Vector.empty, 0)
+    }
+    import scala.math.Ordering.Implicits._
+    out.toSeq.sorted
+  }
+
+  test("20 random until/missing sequences: all-matches equals the guarded enumeration") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13131L)
+    (1 to 20).foreach { caseNo =>
+      val nEvents = 50 + rnd.nextInt(50)
+      val events = (1 to nEvents).map { i =>
+        (i.toLong, (rnd.nextInt(4) + 1).toLong,
+          Types(rnd.nextInt(Types.size)), // a,b,c + e (until) + m (gap)
+          rnd.nextInt(25).toLong * 100000L) // coarse ts → frequent ties
+      }
+      val nSteps = 2 + rnd.nextInt(2)
+      val steps = Seq.fill(nSteps)(Types(rnd.nextInt(3)))
+      val until = if (rnd.nextBoolean()) Some("e") else None
+      val missing: Map[Int, String] =
+        if (rnd.nextBoolean()) Map((1 + rnd.nextInt(nSteps - 1)) -> "m")
+        else Map.empty
+      val stepTxt = steps.zipWithIndex.map { case (s, i) =>
+        val neg = missing.get(i + 1).map(m =>
+          s""" ![ event where event_type == "$m" ]""").getOrElse("")
+        s"""[ event where event_type == "$s" ]$neg"""
+      }.mkString(" ")
+      val untilTxt = until.map(u =>
+        s""" until [ event where event_type == "$u" ]""").getOrElse("")
+      val q = s"sequence by user_id with maxspan=1s $stepTxt$untilTxt"
+      val df = events.toDF("event_id", "user_id", "event_type", "ts_us")
+      import scala.math.Ordering.Implicits._
+      val got = Eql.runAllMatches(df, q).collect()
+        .map(r => (0 until r.length).map(r.getLong).toSeq).toSeq.sorted
+      val want = allChainsGuardedRef(events, steps, 1000000L, until, missing)
+      assert(got === want, s"case $caseNo query: $q")
+      // the default last-prefix output obeys the same validity contract,
+      // so it stays a subset of the guarded all-chains set
+      val lastPrefix = Eql.run(df, q).collect()
+        .map(r => (0 until r.length).map(r.getLong).toSeq).toSet
+      assert(lastPrefix.subsetOf(got.toSet), s"case $caseNo subset: $q")
+    }
+  }
+
   test("48 random sequences equal the sequential last-prefix reference") {
     import spark.implicits._
     val rnd = new scala.util.Random(20260815L)

@@ -77,18 +77,46 @@ class EqlSpec extends SparkSpec {
     val tiedLast = Eql.run(tied, q)
       .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
     assert(tiedLast.subsetOf(tiedAll.toSet))
-    // bounds: maxspan mandatory; until/missing reject with named reasons
+    // bounds: maxspan stays mandatory (all-chains output over an
+    // unbounded span is unbounded)
     assert(intercept[IllegalArgumentException](Eql.runAllMatches(ev,
       """sequence by user_id
         | [ event where event_type == "view" ]
         | [ event where event_type == "click" ]""".stripMargin)).getMessage
       .contains("requires maxspan"))
-    assert(intercept[IllegalArgumentException](Eql.runAllMatches(ev,
+    // until in all-matches (the r12 v1 bound, now closed): an error at 25
+    // kills chains whose view prefix formed at-or-before it — the
+    // (10, 30)/(10, 40) chains die (expiry 25 ≥ view 10, before both
+    // clicks); the (20, ...) chains survive only if the expiry predates
+    // the view... 25 >= 20, so they die too; a fresh view at 28 pairs.
+    val withErr = Seq(
+      (1L, 1L, "view", 10L), (2L, 1L, "view", 20L),
+      (5L, 1L, "error", 25L), (6L, 1L, "view", 28L),
+      (3L, 1L, "click", 30L), (4L, 1L, "click", 40L))
+      .toDF("event_id", "user_id", "event_type", "ts_us")
+    val qU =
       """sequence by user_id with maxspan=1h
         | [ event where event_type == "view" ]
         | [ event where event_type == "click" ]
-        | until [ event where event_type == "error" ]""".stripMargin)).getMessage
-      .contains("plain positive steps"))
+        | until [ event where event_type == "error" ]""".stripMargin
+    val guarded = Eql.runAllMatches(withErr, qU)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(guarded === Seq((28L, 30L), (28L, 40L)))
+    // missing gap: a "signup" between view and click violates that pair
+    val withGap = Seq(
+      (1L, 2L, "view", 10L), (2L, 2L, "signup", 15L),
+      (3L, 2L, "click", 20L), (4L, 2L, "view", 18L))
+      .toDF("event_id", "user_id", "event_type", "ts_us")
+    val qM =
+      """sequence by user_id with maxspan=1h
+        | [ event where event_type == "view" ]
+        | ![ event where event_type == "signup" ]
+        | [ event where event_type == "click" ]""".stripMargin
+    val gapped = Eql.runAllMatches(withGap, qM)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    // the view at 10 is blocked (signup 15 > 10 before the click); the
+    // view at 18 is clean (signup 15 ≤ 18 — at-or-before does not violate)
+    assert(gapped === Seq((18L, 20L)))
   }
 
   test("until clause parses into the expiry step") {

@@ -93,8 +93,13 @@ object DocQueries {
        |       CAST(NULL AS INTEGER) AS ord, 'planCostShares_cs-' || ${ck("c_custkey")} AS child_key FROM customer
        |UNION ALL SELECT 'plan_plan-' || ${ck("o_custkey")}, 'linkedPlanServices', ord,
        |       'planservice_ps-' || ${ck("o_orderkey")} FROM o
+       |-- empty-array marker: the %113 carve-out AND customers with no
+       |-- orders at all (first occurs at sf0.1 — custkey 5000 draws zero
+       |-- orders; the engine marks ANY empty array, whatever emptied it)
        |UNION ALL SELECT 'plan_plan-' || ${ck("c_custkey")}, 'linkedPlanServices',
-       |       CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR) FROM customer WHERE c_custkey % 113 = 0
+       |       CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR) FROM customer
+       |       WHERE c_custkey % 113 = 0
+       |          OR NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
        |UNION ALL SELECT 'planservice_ps-' || ${ck("o_orderkey")}, 'linkedService',
        |       CAST(NULL AS INTEGER), 'linkedService_svc-' || ${ck("o_orderkey")} FROM o
        |UNION ALL SELECT 'planservice_ps-' || ${ck("o_orderkey")}, 'planserviceCostShares',
@@ -596,7 +601,9 @@ object DocQueries {
        |  UNION ALL SELECT 'plan_plan-' || ${ck("o_custkey")}, 'linkedPlanServices', ord,
        |         'planservice_ps-' || ${ck("o_orderkey")} FROM o
        |  UNION ALL SELECT 'plan_plan-' || ${ck("c_custkey")}, 'linkedPlanServices',
-       |         CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR) FROM customer WHERE c_custkey % 113 = 0
+       |         CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR) FROM customer
+       |         WHERE c_custkey % 113 = 0
+       |            OR NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
        |  UNION ALL SELECT 'planservice_ps-' || ${ck("o_orderkey")}, 'linkedService',
        |         CAST(NULL AS INTEGER), 'linkedService_svc-' || ${ck("o_orderkey")} FROM o
        |  UNION ALL SELECT 'planservice_ps-' || ${ck("o_orderkey")}, 'planserviceCostShares',
@@ -1870,7 +1877,10 @@ object DocQueries {
        |UNION ALL
        |SELECT 'no_services', CAST(COUNT(*) AS BIGINT), AVG(c_custkey % 50),
        |  CAST(MAX(c_nationkey * 100) AS BIGINT)
-       |FROM customer WHERE c_custkey % 113 = 0""".stripMargin
+       |-- empty linkedPlanServices = the %113 carve-out OR a customer that
+       |-- drew no orders at all (first occurs at sf0.1 — custkey 5000)
+       |FROM customer WHERE c_custkey % 113 = 0
+       |   OR NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin
 
   // ---------------------------------------------------------------- d53
   /** ES `range` bucket agg — `from` INCLUSIVE / `to` EXCLUSIVE (the ES

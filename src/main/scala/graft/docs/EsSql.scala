@@ -159,10 +159,17 @@ object EsSql {
     * map only — no reassociation, so operator precedence (identical in
     * both grammars) is preserved verbatim. A string literal directly
     * after LIKE converts SQL wildcards (% _) to ES|QL's (* ?). */
+  /** ES SQL function names whose ES|QL spelling differs — renamed only
+    * when actually CALLED (an identifier followed by `(`), so a column
+    * that happens to be named `ucase` passes through untouched. */
+  private val FnRename = Map(
+    "UCASE" -> "TO_UPPER", "LCASE" -> "TO_LOWER", "CHAR_LENGTH" -> "LENGTH",
+    "OCTET_LENGTH" -> "BYTE_LENGTH")
+
   private def emit(ts: List[Tok]): String = {
     val sb = new StringBuilder
     var prevLike = false
-    ts.foreach { t =>
+    ts.zipWithIndex.foreach { case (t, idx) =>
       if (sb.nonEmpty) sb.append(' ')
       t match {
         case SId(s) =>
@@ -171,7 +178,9 @@ object EsSql {
           if (s.equalsIgnoreCase("SCORE"))
             reject("SCORE with arguments (use SCORE())")
           if (s.contains("\"")) reject("quoted identifiers")
-          sb.append(s)
+          val isCall = ts.lift(idx + 1).contains(SOp("("))
+          sb.append(
+            if (isCall) FnRename.getOrElse(s.toUpperCase, s) else s)
           prevLike = s.equalsIgnoreCase("LIKE")
         case SNum(s) => sb.append(s); prevLike = false
         case SStr(s) =>
@@ -512,7 +521,17 @@ object EsSql {
             val inner = emit(g.drop(2).dropRight(1))
             s"$alias = BUCKET ( $inner )"
           case SNum(_) :: Nil => reject("GROUP BY ordinals")
-          case other => reject(s"GROUP BY expression: ${emit(other)}")
+          case other =>
+            // computed group key (ES SQL allows `GROUP BY UCASE(x)` etc.):
+            // legal when the same expression appears in SELECT with an
+            // alias — emitted as a computed BY key, the HISTOGRAM pattern
+            val txt = emit(other)
+            items.find(it => emit(it.expr) == txt)
+              .filter(aggCall(_).isEmpty).flatMap(_.alias) match {
+              case Some(a) => s"$a = $txt"
+              case None => reject(s"GROUP BY expression: $txt (a computed " +
+                "group key must appear in SELECT with an alias)")
+            }
         }
       }
       val stats = items.flatMap { it =>
@@ -553,12 +572,27 @@ object EsSql {
     }
 
     cs.get("ORDER").foreach { o =>
-      val keys = commaSplit(o).map {
-        case List(SId(c)) => c
-        case List(SId(c), d) if isKw(d, "ASC") || isKw(d, "DESC") =>
-          s"$c ${if (isKw(d, "ASC")) "ASC" else "DESC"}"
-        case other => reject(s"ORDER BY key: ${emit(other)} " +
-          "(sort on a column or SELECT alias)")
+      val keys = commaSplit(o).map { k =>
+        val (body, dir) = k.lastOption match {
+          case Some(t) if isKw(t, "ASC") => (k.dropRight(1), " ASC")
+          case Some(t) if isKw(t, "DESC") => (k.dropRight(1), " DESC")
+          case _ => (k, "")
+        }
+        body match {
+          case List(SId(c)) => s"$c$dir"
+          case other =>
+            // real ES SQL (and Kibana's generated statements) sort on the
+            // aggregate expression itself (`ORDER BY COUNT(*) DESC`);
+            // after STATS/EVAL that expression IS its SELECT alias — so an
+            // ORDER BY expression that textually matches a SELECT item
+            // sorts on the item's output column. Anything else rejects.
+            val txt = emit(other)
+            items.find(it => emit(it.expr) == txt) match {
+              case Some(it) => s"${it.name}$dir"
+              case None => reject(s"ORDER BY key: $txt (sort on a column, " +
+                "a SELECT alias, or an expression that appears in SELECT)")
+            }
+        }
       }
       pipes += s"SORT ${keys.mkString(", ")}"
     }

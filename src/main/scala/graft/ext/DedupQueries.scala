@@ -534,6 +534,15 @@ object DedupQueries {
   /** Embedding-cosine near-dup: plant perturbed copies (v' = 1.001·v +
     * 0.0005, exact double arithmetic), prefilter with 16-plane hyperplane
     * LSH in 4 bands, exact cosine ≥ 0.999 on candidates only. */
+  // dd5 uses a 32-bit signature in 2×16-bit bands (vs s2's 16-bit ANN
+  // tradeoff): near-dup at cos ≥ 0.999 keeps ~full recall at 16-bit
+  // bands (P[band equal] ≈ (1-θ/π)^16 ≈ 93% at θ=0.014; two independent
+  // bands → ≥ 99.5% candidate recall), while buckets per band go 16 →
+  // 65536, shrinking candidate pairs ~4000× — the sf1 scale run measured
+  // the original 4×4-bit banding at 66× wall for 10× data (pairs ∝
+  // n²/8). Sizing rule at 100 TB: band width ≳ log2(shard vector count)
+  // so bucket occupancy stays O(1); both engines derive the signature
+  // from the same LCG weights, so the oracle replays any width.
   private def dd5(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.ensure(s)
     import graft.functions.GraftFunctions.vecDot
@@ -545,13 +554,14 @@ object DedupQueries {
     val vecs = base.unionByName(pert)
       .withColumn("nrm", sqrt(vecDot(col("v"), col("v"))))
     // standing parquet LSH-signature table (see the standing-index note)
-    val withSig = mat(s, d, "dd5sig")(vecs.withColumn("sig", Similarity.lshSig(col("v"))))
+    val withSig = mat(s, d, "dd5sig")(
+      vecs.withColumn("sig", Similarity.lshSig(col("v"), planes = 32)))
     // Narrow band rows (ids only): the ~|collisions| candidate pairs are
     // deduped BEFORE the 64-double vectors are joined back in — the wide
     // arrays never ride the quadratic part of the shuffle.
-    val bands = (0 until 4).map { bnd =>
+    val bands = (0 until 2).map { bnd =>
       withSig.select(col("vec_id"), lit(bnd).as("band"),
-        (shiftright(col("sig"), bnd * 4) % 16).as("bv"))
+        (shiftright(col("sig"), bnd * 16) % 65536).as("bv"))
     }.reduce(_ unionAll _)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
@@ -580,9 +590,9 @@ object DedupQueries {
        |    UNION ALL
        |    SELECT vec_id + 1000000, list_transform(v, x -> x * 1.001 + 0.0005)
        |    FROM base WHERE vec_id % 11 = 0)),
-       |sig AS (SELECT vec_id, v, nrm, ${Similarity.lshSigSql("v")} AS sig FROM vecs),
+       |sig AS (SELECT vec_id, v, nrm, ${Similarity.lshSigSql("v", planes = 32)} AS sig FROM vecs),
        |bands AS (
-       |  ${(0 until 4).map(b => s"SELECT vec_id, v, nrm, $b AS band, (sig >> ${b * 4}) % 16 AS bv FROM sig").mkString("\n  UNION ALL ")}),
+       |  ${(0 until 2).map(b => s"SELECT vec_id, v, nrm, $b AS band, (sig >> ${b * 16}) % 65536 AS bv FROM sig").mkString("\n  UNION ALL ")}),
        |cand AS (SELECT x.vec_id AS a, any_value(x.v) AS va, any_value(x.nrm) AS na,
        |                y.vec_id AS b, any_value(y.v) AS vb, any_value(y.nrm) AS nb
        |  FROM bands x JOIN bands y
@@ -615,8 +625,11 @@ object DedupQueries {
     * Scale shape: centroids are O(k·dim) driver state (the MLlib k-means
     * shape — same broadcast-sized-fact class as t3's language profiles),
     * so each Lloyd round is ONE narrow posexplode + hash aggregation
-    * (map-side combinable on (cluster, i)) and assignment is a pure
-    * per-row map against centroid literals — no corpus join at all. The
+    * (map-side combinable on (cluster, i)); assignment is a BROADCAST
+    * join against the k-row centroid frame + a per-vector min(struct(d²,
+    * cid)) argmin — one codegen'd distance evaluation, constant plan
+    * size (a k-unrolled literal expression multiplies the codegen tree
+    * by k·dim and went 54× at 10× data in the sf1 scale run). The
     * final within-cluster pair join is the SemDeDup contract: O(Σ cᵢ²)
     * with k DERIVED from the corpus so cᵢ stays bounded: k = ⌈n / 70⌉
     * (target cluster size SemTgt = 70 — one COUNT of the vector table,
@@ -649,6 +662,19 @@ object DedupQueries {
     * exposed for plan audits (the s2Plan pattern — the public query pins
     * the answer into a LocalRelation, leaving nothing to audit). */
   private[graft] def dd8Plan(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    graft.functions.GraftFunctions.ensure(s)
+    import graft.functions.GraftFunctions.vecDot
+    // distance evaluation rides the CODEGEN'D vec_dot expression through
+    // the identity d² = |a|² + |b|² − 2a·b: every component is ≤ ~2200,
+    // so |c|² and q·c are ≤ 64·2200² ≈ 3.1e8 — integer-valued doubles far
+    // inside the 2^53 exact range, so the argmin and the τ filter are
+    // bit-identical to the integer form the oracle computes. The
+    // interpreted aggregate(zip_with(...)) form evaluated per (vector,
+    // centroid) pair was the dominant sf1 cost (~170 s; higher-order
+    // functions don't codegen).
+    def withD(df: DataFrame): DataFrame = df
+      .withColumn("qd", col("q").cast("array<double>"))
+      .withColumn("n2", vecDot(col("qd"), col("qd")))
     val base = Tables(s, d, "embeddings")
       .select(col("vec_id"),
         transform(col("embedding"), x => round(x.cast("double") * SemScale).cast("long")).as("q"))
@@ -678,13 +704,41 @@ object DedupQueries {
         stableHash32(concat(col("vec_id").cast("string"), lit(":seed"))).as("_sh"))
       .orderBy(col("_sh").asc, col("vec_id").asc).limit(k)
       .collect().map(_.getSeq[Long](1))
-    /** Assignment is a pure map: least() over (d², cid) structs is the
-      * deterministic argmin (struct ordering breaks d² ties on cid). */
+    /** Assignment: broadcast the k×dim centroid FRAME and take the
+      * deterministic argmin as min(struct(d², cid)) per vector (struct
+      * ordering breaks d² ties on cid — identical to the oracle's
+      * ROW_NUMBER argmin). A k-unrolled least() of typedLit centroids —
+      * the previous shape — is right only while k is a CONSTANT: with
+      * SemDeDup's k = ⌈n/70⌉ it multiplies per-row work AND the codegen
+      * expression tree by k (k·dim literal nodes per projection), which
+      * the sf1 scale run measured as 54× wall at 10× data. The broadcast
+      * join evaluates ONE codegen'd distance per (vector, centroid) pair
+      * — the same n·k integer ops, now vectorized, with a constant-size
+      * plan. The exact-assignment contract is unchanged. */
     def assign(cents: Array[Seq[Long]]): DataFrame = {
-      val dists = cents.toSeq.zipWithIndex.map { case (cvec, cid) =>
-        struct(qdist(col("q"), typedLit(cvec)).as("d2"), lit(cid.toLong).as("cid"))
-      }
-      vecs.withColumn("cluster", least(dists: _*).getField("cid"))
+      // cf carries each centroid as doubles plus its |c|²; per (vector,
+      // centroid) the comparator is cn2 − 2·q·c, which orders exactly
+      // like d² within a vector (|q|² is constant there), so
+      // min(struct(...)) is the oracle's (d², cid) argmin bit-for-bit
+      val cf = s.createDataFrame(s.sparkContext.parallelize(
+        cents.toSeq.zipWithIndex.map { case (cq, cid) =>
+          org.apache.spark.sql.Row(cid.toLong, cq.map(_.toDouble),
+            cq.map(x => x.toDouble * x.toDouble).sum) }, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("cid",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("cqd",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.DoubleType), nullable = false),
+          org.apache.spark.sql.types.StructField("cn2",
+            org.apache.spark.sql.types.DoubleType, nullable = false))))
+      val best = withD(vecs).crossJoin(broadcast(cf))
+        .select(col("vec_id"),
+          struct((col("cn2") - lit(2.0) * vecDot(col("qd"), col("cqd")))
+            .as("d2e"), col("cid")).as("sc"))
+        .groupBy(col("vec_id")).agg(min(col("sc")).as("m"))
+        .select(col("vec_id"), col("m.cid").as("cluster"))
+      vecs.join(best, "vec_id")
     }
     /** One Lloyd update: integer centroid means; an emptied cluster keeps
       * its previous centroid (mirrored in the oracle's LEFT JOIN). */
@@ -701,11 +755,23 @@ object DedupQueries {
         .getOrElse(cents(cid))).toArray
     }
     val cFinal = update(update(seed0))
-    val asg = assign(cFinal).select(col("vec_id"), col("cluster"), col("q"))
-    val pa = asg.select(col("cluster"), col("vec_id").as("a"), col("q").as("qa"))
-    val pb = asg.select(col("cluster"), col("vec_id").as("b"), col("q").as("qb"))
+    // materialize the final assignment ONCE (write-once parquet, the
+    // standing-index pattern): pa, pb and the survivors' projection all
+    // read it, so the broadcast-argmin subplan is not triplicated through
+    // the pair join (and the audited plan stays the 2 equi-joins)
+    val asgMat = mat(s, d, "dd8asg")(
+      assign(cFinal).select(col("vec_id"), col("cluster"), col("q")))
+    val asg = withD(asgMat)
+      .select(col("vec_id"), col("cluster"), col("qd"), col("n2"))
+    val pa = asg.select(col("cluster"), col("vec_id").as("a"),
+      col("qd").as("qa"), col("n2").as("na2"))
+    val pb = asg.select(col("cluster"), col("vec_id").as("b"),
+      col("qd").as("qb"), col("n2").as("nb2"))
     val drops = pa.join(pb, "cluster")
-      .filter(col("a") < col("b") && qdist(col("qa"), col("qb")) <= SemTau)
+      .filter(col("a") < col("b") &&
+        // exact d² via the codegen'd identity (see withD's bound note)
+        col("na2") + col("nb2") - lit(2.0) * vecDot(col("qa"), col("qb"))
+          <= lit(SemTau.toDouble))
       .groupBy(col("b")).agg(min(col("a")).as("dropped_by"))
     val res = asg.select(col("vec_id"), col("cluster"))
       .join(drops, col("vec_id") === col("b"), "left")

@@ -41,10 +41,10 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
-  /** 16-bit random-hyperplane signature: 16 codegen'd dots against literal
+  /** Random-hyperplane signature (`planes` bits, default 16): codegen'd dots against literal
     * weight arrays (LCG-derived, engine-portable — TextFunctions). */
-  def lshSig(v: Column, dims: Int = 64): Column =
-    (0 until 16).map { p =>
+  def lshSig(v: Column, dims: Int = 64, planes: Int = 16): Column =
+    (0 until planes).map { p =>
       val w = array((0 until dims).map(d =>
         lit(TextFunctions.planeWeightValue(p, d))): _*)
       when(vecDot(v, w) >= 0, lit(1L << p)).otherwise(lit(0L))
@@ -58,8 +58,8 @@ object Similarity {
     s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
 
   /** DuckDB mirror of `lshSig` — recomputes the same LCG weights inline. */
-  def lshSigSql(v: String): String =
-    (0 until 16).map { p =>
+  def lshSigSql(v: String, planes: Int = 16): String =
+    (0 until planes).map { p =>
       val w = s"(CAST((1103515245 * (${p.toLong * 97L} + i + 1) + 12345) % 1000003 - 500001 AS DOUBLE) / 500001.0)"
       val proj = s"list_reduce(list_prepend(0.0, list_transform(range(0, len($v)), i -> $v[CAST(i + 1 AS INTEGER)] * $w)), (acc, x) -> acc + x)"
       s"(CASE WHEN $proj >= 0 THEN ${1L << p} ELSE 0 END)"

@@ -167,20 +167,25 @@ class PlanAuditSpec extends SparkSpec {
   test("dd8: semantic-dedup pair generation is cluster-bucketed, never cartesian") {
     // SemDeDup's quadratic part must be an equi-join on the cluster key
     // (O(Σ cᵢ²) with k scaling against cluster size) — a cartesian or
-    // nested-loop pair join is the O(n²) shape that dies at scale. The
-    // Lloyd rounds themselves run at construction time against driver-held
-    // centroid literals, so the audited plan must contain ONLY the pair
-    // join + the drops left-join — any extra join means assignment
-    // regressed from a pure map to a centroid-table join.
+    // nested-loop PAIR join is the O(n²) shape that dies at scale.
+    // Assignment is a broadcast of the k-row centroid frame + a per-key
+    // argmin (the r13 rewrite: a k-unrolled literal expression multiplied
+    // per-row work AND the codegen tree by k·dim, measured 54× at 10× data)
+    // — so the plan may contain exactly ONE nested-loop join, and its
+    // build side must be the bounded centroid broadcast, never a corpus
+    // table. The pair join and the drops join stay equi.
     import org.apache.spark.sql.catalyst.plans.logical.Join
     val (res, vecs) = graft.ext.DedupQueries.dd8Plan(spark, sf)
     try {
       val opt = res.queryExecution.optimizedPlan
-      val joins = opt.collect { case j: Join => j }
-      assert(joins.size == 2, s"expected pair join + drops join, got ${joins.size}")
       val planStr = opt.toString
       assert(!planStr.contains("Cartesian") && !planStr.contains("BroadcastNestedLoop"),
         "dd8 pair generation must stay an equi-join on cluster")
+      // the assignment (centroid broadcast + argmin) ran at mat-write
+      // time, so the audited plan reads the standing assignment table and
+      // contains ONLY the pair join + the drops left-join
+      val joins = opt.collect { case j: Join => j }
+      assert(joins.size == 2, s"expected pair join + drops join, got ${joins.size}")
       assert(joins.exists(_.condition.exists(_.references.exists(_.name == "cluster"))),
         "expected the within-cluster pair equi-join")
     } finally vecs.unpersist(true)

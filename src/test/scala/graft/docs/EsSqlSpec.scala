@@ -211,6 +211,50 @@ class EsSqlSpec extends SparkSpec {
     assert(EsSql.run(Map.empty, "SHOW TABLES", spark).count() === 0L)
   }
 
+  test("breadth probes: ORDER BY agg expression, fn renames, IS NOT NULL") {
+    // Kibana-generated shape: sort on the aggregate expression itself —
+    // resolved to its SELECT alias (the post-STATS output column)
+    assert(t("""SELECT g, COUNT(*) AS n FROM t GROUP BY g
+               |ORDER BY COUNT(*) DESC LIMIT 5""".stripMargin) ===
+      """FROM t
+        || STATS n = COUNT ( * ) BY g
+        || KEEP g, n
+        || SORT n DESC
+        || LIMIT 5""".stripMargin)
+    // row path: a computed item's expression sorts via its EVAL alias
+    assert(t("SELECT a / 10 AS bucket FROM t ORDER BY a / 10") ===
+      """FROM t
+        || EVAL bucket = a / 10
+        || SORT bucket
+        || KEEP bucket""".stripMargin)
+    // an expression in neither SELECT nor source columns still rejects
+    assert(intercept[IllegalArgumentException](
+      t("SELECT a FROM t ORDER BY b + 1")).getMessage
+      .contains("ORDER BY key"))
+    // ES SQL fn spellings that differ in ES|QL rename — only when CALLED
+    assert(t("SELECT UCASE(name) AS u, CHAR_LENGTH(name) AS l FROM t") ===
+      """FROM t
+        || EVAL u = TO_UPPER ( name ), l = LENGTH ( name )
+        || KEEP u, l""".stripMargin)
+    // a COLUMN named ucase is not a call — passes through untouched
+    assert(t("SELECT ucase FROM t WHERE LCASE(x) = 'y'") ===
+      """FROM t
+        || WHERE TO_LOWER ( x ) == "y"
+        || KEEP ucase""".stripMargin)
+    // IS [NOT] NULL rides through to ES|QL unchanged
+    assert(t("SELECT a FROM t WHERE b IS NOT NULL AND c IS NULL") ===
+      """FROM t
+        || WHERE b IS NOT NULL AND c IS NULL
+        || KEEP a""".stripMargin)
+    import spark.implicits._
+    val base = Seq(("Ab", 1L), ("c", 2L), ("Ab", 3L)).toDF("name", "v")
+    val got = EsSql.run(Map("t" -> base),
+      """SELECT UCASE(name) AS u, COUNT(*) AS n FROM t
+        |GROUP BY UCASE(name) ORDER BY COUNT(*) DESC, u ASC""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === Seq(("AB", 2L), ("C", 1L)))
+  }
+
   test("documented bounds reject loudly with named reasons") {
     def err(sql: String): String =
       intercept[IllegalArgumentException](t(sql)).getMessage

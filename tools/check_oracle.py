@@ -35,9 +35,16 @@ def main(sf_dir, out_dir):
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    # optional memory cap (GB) so a heavy oracle can't OOM a shared box
+    if os.environ.get("ORACLE_MEM_GB"):
+        con.execute(f"SET memory_limit = '{os.environ['ORACLE_MEM_GB']}GB'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # optional comma-separated prefix filter (3rd arg) for partial reruns
+    only = sys.argv[3].split(",") if len(sys.argv) > 3 else None
     n_ok = n_bad = n_rowsonly = 0
     for name in sorted(oracle):
+        if only is not None and not any(name.startswith(p) for p in only):
+            continue
         spark_files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not spark_files:
             print(f"MISSING spark output: {name}"); n_bad += 1; continue

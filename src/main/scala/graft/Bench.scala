@@ -127,6 +127,11 @@ object Bench {
     } + "\""
     val qs = results.map { case (k, v) => jstr(k) + ":" + f(v) }
       .mkString("{", ",", "}")
+    // a query where fewer than 3 runs succeeded reports a DEGRADED
+    // statistic (lower median of 2, or the single run) — name it so a
+    // reader never mistakes it for a true 3-run median
+    val degraded = allRuns.collect { case (k, vs) if vs.nonEmpty && vs.size < 3 => jstr(k) }
+      .mkString("[", ",", "]")
     val runsJson = allRuns.map { case (k, vs) =>
       jstr(k) + ":" + vs.map(f).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
@@ -136,7 +141,7 @@ object Bench {
     val es = errs.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","runs_per_query":3,"per_query_stat":"median","wall":${f(wall)},"queries":$qs,"runs":$runsJson,"leaks":$lk,"errs":$es,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","runs_per_query":3,"per_query_stat":"median","degraded":$degraded,"wall":${f(wall)},"queries":$qs,"runs":$runsJson,"leaks":$lk,"errs":$es,"sf":"$sfDir"}"""
     // Persist the line to a file too: sbt's [success] trailer and stdout
     // truncation swallowed per-query numbers in rounds 2-3 (parsed: null).
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),

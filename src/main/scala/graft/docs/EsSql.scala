@@ -202,6 +202,18 @@ object EsSql {
     sb.toString
   }
 
+  /** Canonical key for expression-equality checks (matching an ORDER BY /
+    * GROUP BY expression to a SELECT item): function-CALL names fold to
+    * upper case — ES SQL function names are case-insensitive, so
+    * `ORDER BY count(*)` must match `SELECT COUNT(*) AS n` — while column
+    * identifiers and literals stay exact (ES field names are
+    * case-sensitive; folding them could bind f(a) to a different f(A)). */
+  private def canonKey(ts: List[Tok]): String =
+    emit(ts.zipWithIndex.map {
+      case (SId(s), i) if ts.lift(i + 1).contains(SOp("(")) => SId(s.toUpperCase)
+      case (t, _) => t
+    })
+
   // -------------------------------------------------- select items
   private final case class Item(expr: List[Tok], alias: Option[String]) {
     def bareCol: Option[String] = expr match {
@@ -501,10 +513,10 @@ object EsSql {
         case SNum(_) :: Nil => reject("GROUP BY ordinals")
         case _ => ()
       }
-      // every non-agg select item must be (textually) a group key
-      val keyTexts = groupKeys.map(emit)
+      // every non-agg select item must be (canonically) a group key
+      val keyTexts = groupKeys.map(canonKey)
       keyItems.foreach { it =>
-        if (!keyTexts.contains(emit(it.expr)))
+        if (!keyTexts.contains(canonKey(it.expr)))
           reject(s"non-aggregate select item '${emit(it.expr)}' " +
             "is not in GROUP BY")
       }
@@ -515,7 +527,7 @@ object EsSql {
             // HISTOGRAM(col, interval) — ES SQL's fixed-interval bucket;
             // identical math to ES|QL BUCKET (floor(x/span)*span), emitted
             // as a computed BY key so it stays inside the ONE hash agg.
-            val alias = items.find(it => emit(it.expr) == emit(g)).getOrElse(
+            val alias = items.find(it => canonKey(it.expr) == canonKey(g)).getOrElse(
               reject("HISTOGRAM group key must appear in SELECT with an alias")
             ).name
             val inner = emit(g.drop(2).dropRight(1))
@@ -526,7 +538,7 @@ object EsSql {
             // legal when the same expression appears in SELECT with an
             // alias — emitted as a computed BY key, the HISTOGRAM pattern
             val txt = emit(other)
-            items.find(it => emit(it.expr) == txt)
+            items.find(it => canonKey(it.expr) == canonKey(other))
               .filter(aggCall(_).isEmpty).flatMap(_.alias) match {
               case Some(a) => s"$a = $txt"
               case None => reject(s"GROUP BY expression: $txt (a computed " +
@@ -587,7 +599,7 @@ object EsSql {
             // ORDER BY expression that textually matches a SELECT item
             // sorts on the item's output column. Anything else rejects.
             val txt = emit(other)
-            items.find(it => emit(it.expr) == txt) match {
+            items.find(it => canonKey(it.expr) == canonKey(other)) match {
               case Some(it) => s"${it.name}$dir"
               case None => reject(s"ORDER BY key: $txt (sort on a column, " +
                 "a SELECT alias, or an expression that appears in SELECT)")

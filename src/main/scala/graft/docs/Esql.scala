@@ -237,8 +237,15 @@ object Esql {
   /** The UNFILTERED index frame BM25 stats compute over, set by `run`
     * when scoreMode=bm25 (ThreadLocal for the same reason as curSchema —
     * plan build is single-threaded per query, and FORK branch recursion
-    * must see it without threading a parameter). Absent = terms mode. */
+    * must see it without threading a parameter). Absent = terms mode.
+    * Cleared in `run`'s finally — it pins a corpus-sized plan otherwise. */
   private val bm25Index = new ThreadLocal[DataFrame]
+
+  /** Per-run memo of computed index stats keyed on (field expr, terms):
+    * k MATCH clauses on the same field (FORK branches especially) must
+    * cost ONE eager stats aggregate, not k corpus scans. */
+  private val bm25Stats =
+    new ThreadLocal[scala.collection.mutable.Map[(String, Seq[String]), Bm25.Stats]]
 
   /** The `_score` contribution of a WHERE expression under METADATA
     * _score: Σ matched-term counts over its MATCH() nodes, plus 1 point
@@ -745,7 +752,8 @@ object Esql {
     require(scoreMode == "terms" || scoreMode == "bm25",
       s"esql: scoreMode must be terms or bm25, got $scoreMode")
     curSchema.remove() // no stale frame schema from a previous query (QSTR)
-    bm25Index.remove() // no stale stats frame either
+    bm25Index.remove() // no stale stats frame either (also cleared in
+    bm25Stats.remove() // the FROM path's finally; TS/ROW never set them)
     // split the token stream on top-level pipes (paren-aware: pipes
     // inside FORK branch parentheses belong to the branch, not the pipe)
     val segments = splitPipes(tokenize(query))
@@ -826,9 +834,12 @@ object Esql {
     }
     val base = srcNames.map(load).reduce(_.unionByName(_, allowMissingColumns = true))
     // bm25 stats scope = the index as loaded, BEFORE any WHERE — the ES
-    // semantic (df/avgdl are index metadata, not hit-set statistics)
+    // semantic (df/avgdl are index metadata, not hit-set statistics).
+    // Cleared after the plan is built: the ThreadLocal would otherwise pin
+    // the corpus frame on a pooled thread indefinitely.
     if (scoreMode == "bm25") bm25Index.set(base)
-    pipe(base, segments.tail, sources, enrich)
+    try pipe(base, segments.tail, sources, enrich)
+    finally { bm25Index.remove(); bm25Stats.remove() }
   }
 
   /** Apply pipe segments to a running frame — the command interpreter,
@@ -964,8 +975,14 @@ object Esql {
                 var add = points.reduceOption(_ + _).getOrElse(lit(0L))
                 matches.zipWithIndex.foreach { case ((f, q), i) =>
                   val terms = graft.ext.TextAnalysis.analyzeQuery(q)
-                  val st = Bm25.stats(index,
-                    graft.ext.TextAnalysis.analyze(compile(f)), terms)
+                  val memo = Option(bm25Stats.get()).getOrElse {
+                    val m = scala.collection.mutable
+                      .Map[(String, Seq[String]), Bm25.Stats]()
+                    bm25Stats.set(m); m
+                  }
+                  val st = memo.getOrElseUpdate((f.toString, terms),
+                    Bm25.stats(index,
+                      graft.ext.TextAnalysis.analyze(compile(f)), terms))
                   cur = Bm25.withScore(cur,
                     graft.ext.TextAnalysis.analyze(compile(f)), terms, st,
                     s"_bm25_$i", s"w$i")
@@ -1406,16 +1423,30 @@ object Esql {
             if (method == "RRF")
               lit(1.0) / (lit(60.0) + row_number().over(perFork))
             else col("_score").cast("double")
-          val ranked = df.withColumn("_fuse_c", contrib)
-          val byId = Window.partitionBy(key)
-          val firstSeen = Window.partitionBy(key)
-            .orderBy(col("_fork").asc, col("_score").desc)
+          // a NULL merge key (a branch whose projection dropped the key —
+          // unionByName back-fills null) must NOT collapse every such row
+          // into one fused group: null-keyed rows pass through UNFUSED,
+          // each its own group keyed by (branch, rank-in-branch), which is
+          // unique within a branch and deterministic. Duplicate non-null
+          // keys WITHIN a branch fuse with a deterministic _score (the tied
+          // ranks' contributions sum the same either way); which duplicate's
+          // non-score columns survive is unspecified on exact ties — the
+          // same looseness as ES's own tie handling.
+          val ranked = df
+            .withColumn("_fuse_r", row_number().over(perFork))
+            .withColumn("_fuse_c", contrib)
+          val nullGrp = Seq(
+            when(col(key).isNull, col("_fork")),
+            when(col(key).isNull, col("_fuse_r")))
+          val byId = Window.partitionBy(col(key) +: nullGrp: _*)
+          val firstSeen = Window.partitionBy(col(key) +: nullGrp: _*)
+            .orderBy(col("_fork").asc, col("_score").desc, col("_fuse_r").asc)
           df = ranked
             .withColumn("_fuse_s", sum(col("_fuse_c")).over(byId))
             .withColumn("_fuse_rn", row_number().over(firstSeen))
             .filter(col("_fuse_rn") === 1)
             .withColumn("_score", col("_fuse_s"))
-            .drop("_fuse_c", "_fuse_s", "_fuse_rn")
+            .drop("_fuse_c", "_fuse_s", "_fuse_rn", "_fuse_r")
         case "COMPLETION" | "RERANK" =>
           throw new IllegalArgumentException(
             s"esql: ${kw(seg.head)} is not supported — it calls a deployed " +

@@ -369,13 +369,21 @@ object SearchExec {
     }
     def toks(path: Seq[String]): Column =
       split(lower(field(doc, path)), "\\s+")
+    // ONE bounded stats aggregate per distinct field path — all clauses'
+    // terms for a path ride a single corpus scan (k same-field clauses
+    // must not cost k scans)
+    val matchClauses = p.shoulds.zipWithIndex
+      .flatMap { case (q, i) => asMatch(q).map { case (pa, ts) => (i, pa, ts) } }
+    val statsByPath = matchClauses.groupBy(_._2).map { case (pa, xs) =>
+      pa -> Bm25.stats(index, toks(pa), xs.flatMap(_._3).distinct)
+    }
     var cur = hits
     var score: Column = lit(0L)
     val bmCols = scala.collection.mutable.ListBuffer[String]()
     p.shoulds.zipWithIndex.foreach { case (q, i) =>
       asMatch(q) match {
         case Some((path, terms)) =>
-          val st = Bm25.stats(index, toks(path), terms)
+          val st = statsByPath(path)
           cur = Bm25.withScore(cur, toks(path), terms, st, s"_bm25_$i", s"s$i")
           bmCols += s"_bm25_$i"
           score = score + col(s"_bm25_$i")

@@ -532,8 +532,8 @@ object DedupQueries {
 
   // ---------------------------------------------------------------- dd5
   /** Embedding-cosine near-dup: plant perturbed copies (v' = 1.001·v +
-    * 0.0005, exact double arithmetic), prefilter with 16-plane hyperplane
-    * LSH in 4 bands, exact cosine ≥ 0.999 on candidates only. */
+    * 0.0005, exact double arithmetic), prefilter with 32-plane hyperplane
+    * LSH in 2×16-bit bands, exact cosine ≥ 0.999 on candidates only. */
   // dd5 uses a 32-bit signature in 2×16-bit bands (vs s2's 16-bit ANN
   // tradeoff): near-dup at cos ≥ 0.999 keeps ~full recall at 16-bit
   // bands (P[band equal] ≈ (1-θ/π)^16 ≈ 93% at θ=0.014; two independent

@@ -221,6 +221,10 @@ class EsSqlSpec extends SparkSpec {
         || KEEP g, n
         || SORT n DESC
         || LIMIT 5""".stripMargin)
+    // fn-name case is insensitive in the match (ES SQL contract) while
+    // column identifiers stay exact
+    assert(t("""SELECT g, COUNT(*) AS n FROM t GROUP BY g
+               |ORDER BY count(*) DESC""".stripMargin).contains("SORT n DESC"))
     // row path: a computed item's expression sorts via its EVAL alias
     assert(t("SELECT a / 10 AS bucket FROM t ORDER BY a / 10") ===
       """FROM t

@@ -598,6 +598,15 @@ class EsqlSpec extends SparkSpec {
       """FROM d METADATA _score
         || FORK (WHERE MATCH(body, "shoes")) (WHERE MATCH(body, "boats"))
         || FUSE RRF KEY BY id""".stripMargin).count() === 3L)
+    // a branch whose projection dropped the key (unionByName back-fills
+    // null) must NOT collapse into one fused group: null-keyed rows pass
+    // through unfused, one row each
+    val nullKey = Esql.run(docs,
+      """FROM d METADATA _score
+        || FORK (WHERE MATCH(body, "shoes")) (WHERE MATCH(body, "boats") | KEEP body, _score)
+        || FUSE KEY BY id""".stripMargin).collect()
+    assert(nullKey.length === 3) // ids 1, 3 fused normally + 1 null-key row
+    assert(nullKey.count(_.isNullAt(nullKey.head.fieldIndex("id"))) === 1)
     // guards: FUSE before FORK (no _fork), default key absent, bad option
     def bad2(q: String): String =
       intercept[IllegalArgumentException](Esql.run(docs, q)).getMessage

@@ -9559,6 +9559,37 @@ object DocQueries {
        |ORDER BY e1.user_id, t1_us, t2_us, t3_us""".stripMargin
   }
 
+  // ---------------------------------------------------------------- d262
+  /** ES|QL `INLINESTATS COUNT_DISTINCT` — closing the r12 named reject:
+    * distinct aggregates cannot run as Spark window functions, so the
+    * engine computes size(collect_set(..)) over the BY partition — exact,
+    * null-skipping like count_distinct, per-partition state bounded by
+    * the group's distinct-value count (the VALUES-agg class). Exercises
+    * the plain form AND a per-agg WHERE filter; still ONE shuffle on the
+    * partition keys, zero row reduction. */
+  private def d262(s: SparkSession, d: String): DataFrame = {
+    val q =
+      """FROM events
+        || WHERE user_id < 30
+        || INLINESTATS n_types = COUNT_DISTINCT(event_type),
+        |              nd_big = COUNT_DISTINCT(event_type) WHERE value > 50,
+        |              n = COUNT(*) BY user_id
+        || KEEP event_id, user_id, n_types, nd_big, n
+        || SORT event_id
+        || LIMIT 300""".stripMargin
+    Esql.run(Map("events" -> graft.Tables.events(s, d)), q)
+  }
+
+  private val d262Sql =
+    """SELECT event_id, user_id, n_types, nd_big, n FROM (
+      |  SELECT event_id, user_id,
+      |    CAST(COUNT(DISTINCT event_type) OVER (PARTITION BY user_id) AS BIGINT) AS n_types,
+      |    CAST(COUNT(DISTINCT CASE WHEN value > 50 THEN event_type END)
+      |         OVER (PARTITION BY user_id) AS BIGINT) AS nd_big,
+      |    CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+      |  FROM events WHERE user_id < 30)
+      |ORDER BY event_id LIMIT 300""".stripMargin
+
   // ---------------------------------------------------------------- d256
   /** ES|QL `MATCH_PHRASE()` (9.x) — consecutive analyzed tokens in order,
     * riding the Query DSL's phrase machinery (SearchOps.phraseMatch —
@@ -10214,6 +10245,7 @@ object DocQueries {
     "d259_dsl_bm25" -> d259 _,
     "d260_esql_bm25" -> d260 _,
     "d261_eql_all_matches_guards" -> d261 _,
+    "d262_esql_inlinestats_distinct" -> d262 _,
     "d206_es_parent_agg" -> d206 _,
     "d1_shred_entities" -> d1 _,
     "d2_shred_edges" -> d2 _,
@@ -10477,6 +10509,7 @@ object DocQueries {
     "d259_dsl_bm25" -> d259Sql,
     "d260_esql_bm25" -> d260Sql,
     "d261_eql_all_matches_guards" -> d261Sql,
+    "d262_esql_inlinestats_distinct" -> d262Sql,
     "d206_es_parent_agg" -> d206Sql,
     "d1_shred_entities" -> d1Sql,
     "d2_shred_edges" -> d2Sql,

@@ -1293,21 +1293,23 @@ object Esql {
             // INLINESTATS (8.16): the same aggregates APPENDED to every row
             // — window aggregates over the BY partitions (empty BY = one
             // global window), zero row reduction, still one shuffle on the
-            // partition keys. Distinct aggregates cannot run as window
-            // functions (Spark rejects them at analysis), so they reject
-            // loudly HERE with a named reason instead of an
-            // AnalysisException mid-plan.
-            specs.find(_._2 == "COUNT_DISTINCT").foreach { case (alias, _, _, _) =>
-              throw new IllegalArgumentException(
-                s"esql: INLINESTATS does not support COUNT_DISTINCT ($alias)" +
-                  " — distinct aggregates cannot run as window functions;" +
-                  " use STATS")
-            }
+            // partition keys. COUNT_DISTINCT cannot run as a distinct
+            // window aggregate (Spark rejects those at analysis), so it
+            // rides size(collect_set(..)) over the partition — exact, null-
+            // skipping like count_distinct, per-partition state bounded by
+            // the group's distinct-value count (the VALUES-agg class).
             val w = org.apache.spark.sql.expressions.Window
               .partitionBy(by.toSeq.map(col): _*)
             specs.foreach {
               case (alias, _, Nil, filter) =>
                 df = df.withColumn(alias, countStar(filter, _.over(w)))
+              case (alias, "COUNT_DISTINCT", as, filter) =>
+                require(as.size == 1,
+                  s"esql: COUNT_DISTINCT takes 1 argument, got ${as.size}")
+                val c0 = compile(as.head)
+                val c = filter.map(f => when(compile(f), c0)).getOrElse(c0)
+                df = df.withColumn(alias,
+                  size(collect_set(c).over(w)).cast("long"))
               case (alias, fn, as, filter) =>
                 df = df.withColumn(alias, aggCol(fn, as, alias, filter, _.over(w)))
             }

@@ -259,12 +259,21 @@ class EsqlSpec extends SparkSpec {
     assert(fts === Seq((1L, 2L))) // both clauses hit on doc 1 only
   }
 
-  test("INLINESTATS rejects COUNT_DISTINCT loudly; MV_ZIP nulls unequal lengths;" +
+  test("INLINESTATS COUNT_DISTINCT via collect_set; MV_ZIP nulls unequal lengths;" +
     " DATE_DIFF truncates toward zero") {
     import spark.implicits._
-    assert(intercept[IllegalArgumentException](Esql.run(tiny,
-      "FROM t | INLINESTATS u = COUNT_DISTINCT(name) BY name")).getMessage
-      .contains("INLINESTATS does not support COUNT_DISTINCT"))
+    // the r12 named reject, now implemented: exact per-partition distinct
+    // count (size(collect_set)) appended to every row — tiny has names
+    // alpha/beta/alkali with 1/2/1 rows, 1 distinct name per name group
+    val cd = Esql.run(tiny,
+      "FROM t | INLINESTATS u = COUNT_DISTINCT(name) BY name | SORT id ASC")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("u"))).toSeq
+    assert(cd === Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L)))
+    // global window (no BY): 3 distinct names over all rows
+    val cdAll = Esql.run(tiny,
+      "FROM t | INLINESTATS u = COUNT_DISTINCT(name) | KEEP id, u | SORT id ASC")
+      .collect().map(_.getLong(1)).toSeq
+    assert(cdAll === Seq(3L, 3L, 3L, 3L))
     val mv = Map("m" -> Seq((1L, Seq("a", "b"), Seq("x"))).toDF("id", "l", "r"))
     val z = Esql.run(mv,
       """FROM m | EVAL zz = MV_ZIP(l, r, "-") | KEEP zz""").collect().head

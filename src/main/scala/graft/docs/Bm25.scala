@@ -44,8 +44,12 @@ object Bm25 {
     * aggregate, 2 + |terms| values fetched to the driver. */
   def stats(index: DataFrame, toks: Column, terms: Seq[String]): Stats = {
     val ts = terms.distinct
+    // null token arrays (null source text) contribute 0 tokens — Spark's
+    // size(null) is -1 under the default conf, while the oracle's
+    // SUM(len(ts)) skips NULLs; the when() keeps both engines at 0
     val aggs = count(lit(1)).cast("long").as("_n") +:
-      coalesce(sum(size(toks).cast("long")), lit(0L)).as("_t") +:
+      coalesce(sum(when(toks.isNotNull, size(toks).cast("long"))
+        .otherwise(0L)), lit(0L)).as("_t") +:
       ts.zipWithIndex.map { case (t, i) =>
         coalesce(sum(when(array_contains(toks, t), 1L).otherwise(0L)),
           lit(0L)).as(s"_df$i")

@@ -241,9 +241,12 @@ object Esql {
     * Cleared in `run`'s finally — it pins a corpus-sized plan otherwise. */
   private val bm25Index = new ThreadLocal[DataFrame]
 
-  /** Per-run memo of computed index stats keyed on (field expr, terms):
-    * k MATCH clauses on the same field (FORK branches especially) must
-    * cost ONE eager stats aggregate, not k corpus scans. */
+  /** Per-run memo of computed index stats keyed on (field expr, pooled
+    * terms). Invariant: k MATCH clauses inside ONE WHERE cost one stats
+    * aggregate per distinct field (their terms pool into a single scan),
+    * and IDENTICAL WHEREs across FORK branches hit the memo; branches
+    * with genuinely different term sets on a field cost one scan each —
+    * their df rows are different data, not recomputation. */
   private val bm25Stats =
     new ThreadLocal[scala.collection.mutable.Map[(String, Seq[String]), Bm25.Stats]]
 
@@ -973,19 +976,32 @@ object Esql {
               if (matches.nonEmpty || points.nonEmpty) {
                 var cur = df
                 var add = points.reduceOption(_ + _).getOrElse(lit(0L))
+                // ONE stats aggregate per distinct FIELD in this WHERE:
+                // all of the field's clauses pool their terms into a
+                // single scan (superset df maps score any subset), and
+                // the per-run memo keyed on (field, pooled terms) dedups
+                // identical repeats across FORK branches
+                val memo = Option(bm25Stats.get()).getOrElse {
+                  val m = scala.collection.mutable
+                    .Map[(String, Seq[String]), Bm25.Stats]()
+                  bm25Stats.set(m); m
+                }
+                val pooled: Map[String, Seq[String]] = matches
+                  .groupBy(_._1.toString)
+                  .map { case (k, xs) => k -> xs.flatMap { case (_, q) =>
+                    graft.ext.TextAnalysis.analyzeQuery(q) }.distinct.sorted }
+                val fieldStats = matches.map(_._1).distinctBy(_.toString)
+                  .map { f =>
+                    val allTerms = pooled(f.toString)
+                    f.toString -> memo.getOrElseUpdate((f.toString, allTerms),
+                      Bm25.stats(index,
+                        graft.ext.TextAnalysis.analyze(compile(f)), allTerms))
+                  }.toMap
                 matches.zipWithIndex.foreach { case ((f, q), i) =>
                   val terms = graft.ext.TextAnalysis.analyzeQuery(q)
-                  val memo = Option(bm25Stats.get()).getOrElse {
-                    val m = scala.collection.mutable
-                      .Map[(String, Seq[String]), Bm25.Stats]()
-                    bm25Stats.set(m); m
-                  }
-                  val st = memo.getOrElseUpdate((f.toString, terms),
-                    Bm25.stats(index,
-                      graft.ext.TextAnalysis.analyze(compile(f)), terms))
                   cur = Bm25.withScore(cur,
-                    graft.ext.TextAnalysis.analyze(compile(f)), terms, st,
-                    s"_bm25_$i", s"w$i")
+                    graft.ext.TextAnalysis.analyze(compile(f)), terms,
+                    fieldStats(f.toString), s"_bm25_$i", s"w$i")
                   add = add + col(s"_bm25_$i")
                 }
                 df = cur.withColumn("_score", col("_score") + add)
@@ -1421,10 +1437,6 @@ object Esql {
           val Window = org.apache.spark.sql.expressions.Window
           val perFork = Window.partitionBy("_fork")
             .orderBy(col("_score").desc, col(key).asc)
-          val contrib =
-            if (method == "RRF")
-              lit(1.0) / (lit(60.0) + row_number().over(perFork))
-            else col("_score").cast("double")
           // a NULL merge key (a branch whose projection dropped the key —
           // unionByName back-fills null) must NOT collapse every such row
           // into one fused group: null-keyed rows pass through UNFUSED,
@@ -1434,9 +1446,14 @@ object Esql {
           // ranks' contributions sum the same either way); which duplicate's
           // non-score columns survive is unspecified on exact ties — the
           // same looseness as ES's own tie handling.
-          val ranked = df
-            .withColumn("_fuse_r", row_number().over(perFork))
-            .withColumn("_fuse_c", contrib)
+          // contribution reads the MATERIALIZED rank column — never a
+          // second row_number() over the same window, whose tie
+          // assignment could in principle diverge from _fuse_r's
+          val ranked0 = df.withColumn("_fuse_r", row_number().over(perFork))
+          val contrib =
+            if (method == "RRF") lit(1.0) / (lit(60.0) + col("_fuse_r"))
+            else col("_score").cast("double")
+          val ranked = ranked0.withColumn("_fuse_c", contrib)
           val nullGrp = Seq(
             when(col(key).isNull, col("_fork")),
             when(col(key).isNull, col("_fuse_r")))

@@ -13,8 +13,9 @@ rewritten per replica:
   distributions are preserved) but different shingles/bigrams/hashes, so
   dedup operators see the natural near-dup rate instead of 10 planted
   copies of every document.
-- embeddings: per-replica deterministic perturbation (+-2% per element),
-  preserving the cluster structure ANN operators key on.
+- embeddings: per-replica deterministic absolute perturbation (+-0.02 per
+  element, small vs the unit-ish component scale), preserving the cluster
+  structure ANN operators key on.
 
 Usage: python3 tools/gen_sf1.py [outDir]   (default scaledata/sf1)
 """
@@ -88,8 +89,9 @@ def doc_sql(i):
   FROM {src('documents')} d"""
 gen("documents", doc_sql)
 
-# embeddings: replica 0 verbatim; replicas 1..9 perturb each element by a
-# deterministic +-2% hash noise (cluster structure preserved)
+# embeddings: replica 0 verbatim; replicas 1..9 perturb each element by
+# deterministic ABSOLUTE hash noise in [-0.02, 0.02] (small vs the unit-ish
+# component scale, so cluster structure is preserved)
 def emb_sql(i):
     if i == 0:
         return f"SELECT vec_id, embedding, label FROM {src('embeddings')}"

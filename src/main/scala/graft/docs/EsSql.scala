@@ -203,14 +203,18 @@ object EsSql {
   }
 
   /** Canonical key for expression-equality checks (matching an ORDER BY /
-    * GROUP BY expression to a SELECT item): function-CALL names fold to
-    * upper case — ES SQL function names are case-insensitive, so
-    * `ORDER BY count(*)` must match `SELECT COUNT(*) AS n` — while column
-    * identifiers and literals stay exact (ES field names are
-    * case-sensitive; folding them could bind f(a) to a different f(A)). */
+    * GROUP BY expression to a SELECT item): function-CALL names and SQL
+    * keywords fold to upper case — ES SQL is case-insensitive on both, so
+    * `ORDER BY count(distinct tag)` must match
+    * `SELECT COUNT(DISTINCT tag) AS a` — while column identifiers and
+    * literals stay exact (ES field names are case-sensitive; folding them
+    * could bind f(a) to a different f(A)). */
+  private val CanonKws = Set("DISTINCT", "AND", "OR", "NOT", "LIKE", "IS",
+    "NULL", "TRUE", "FALSE")
   private def canonKey(ts: List[Tok]): String =
     emit(ts.zipWithIndex.map {
-      case (SId(s), i) if ts.lift(i + 1).contains(SOp("(")) => SId(s.toUpperCase)
+      case (SId(s), i) if ts.lift(i + 1).contains(SOp("(")) ||
+        CanonKws.contains(s.toUpperCase) => SId(s.toUpperCase)
       case (t, _) => t
     })
 

@@ -35,10 +35,18 @@ class EsSqlPropertySpec extends SparkSpec {
         case _ => ("COUNT(DISTINCT tag)", count_distinct(col("tag")).cast("long"))
       }
       val dir = if (desc) "DESC" else "ASC"
+      // half the time sort on the aggregate EXPRESSION itself (the
+      // Kibana-generated shape), in random case — must resolve to the
+      // SELECT alias via the canonical (case-insensitive fn/keyword) match
+      val orderKey = rnd.nextInt(3) match {
+        case 0 => "a"
+        case 1 => aggE
+        case _ => aggE.toLowerCase // fixture columns are lowercase already
+      }
       val q = s"""SELECT g, COUNT(*) AS n, $aggE AS a FROM t
                  |WHERE v BETWEEN $lo AND $hi
                  |GROUP BY g HAVING n > $hav
-                 |ORDER BY a $dir, g ASC LIMIT $lim""".stripMargin
+                 |ORDER BY $orderKey $dir, g ASC LIMIT $lim""".stripMargin
       val got = EsSql.run(Map("t" -> base), q).collect().map(_.toSeq).toSeq
       val twin = base.filter(col("v") >= lo && col("v") <= hi)
         .groupBy("g")

@@ -25,14 +25,21 @@ import org.apache.spark.sql.functions._
   * Products stay < 2⁶³ to ~10⁸ docs × avgdl 10⁴ per stats scope; past
   * that, shard the stats scope (stats are per-index anyway).
   *
-  * SCALE SHAPE: `stats` is ONE aggregate over the index frame collected
-  * to 2 + |terms| driver values (the bounded-driver-state class of
-  * SCALE.md — ES holds the identical numbers as index metadata). On a
-  * standing 100 TB index these become a write-once stats table maintained
-  * incrementally, exactly like dd7's standing signature index; computing
-  * them inline here is the cold-start cost, one scan. `withScore` is pure
-  * per-row expressions (helper columns + integer DIV) — no shuffle, no
-  * join; ranking stays ORDER BY + LIMIT (TakeOrderedAndProject). */
+  * SCALE SHAPE: `stats` with no standing key is ONE aggregate over the
+  * index frame collected to 2 + |terms| driver values (the
+  * bounded-driver-state class of SCALE.md — ES holds the identical
+  * numbers as index metadata); that inline aggregate is the COLD-START
+  * cost only. A caller that names a `standingKey` gets the 100 TB shape:
+  * a write-once parquet stats index per (session, key) — built once (two
+  * corpus scans: the 1-row corpus aggregate and the distinct-term df
+  * table), after which EVERY query's stats are two bounded reads (1
+  * corpus row + a term-pushdown-filtered |terms|-row scan of the terms
+  * table) and the query's only corpus scan is its own hit scan. This is
+  * dd7's standing-signature-index pattern applied to relevance metadata;
+  * on a live index the table is maintained incrementally like any ES
+  * segment-stats merge. `withScore` is pure per-row expressions (helper
+  * columns + integer DIV) — no shuffle, no join; ranking stays
+  * ORDER BY + LIMIT (TakeOrderedAndProject). */
 object Bm25 {
 
   /** Index-level stats for a query's terms: corpus size, average document
@@ -86,6 +93,61 @@ object Bm25 {
     d.withColumn(out, expr(parts.mkString(" + ")))
       .drop((s"_bm_${tag}_ts" +: s"_bm_${tag}_dl" +:
         ts.indices.map(i => s"_bm_${tag}_tf$i")): _*)
+  }
+
+  // ------------------------------------------------ standing stats index
+  /** dir of the standing stats table per (session, key) — write-once. */
+  private val standingMemo = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), String]
+
+  /** Test hook: how many standing builds ran (Bm25Spec pins write-once). */
+  private[docs] val standingBuilds = new java.util.concurrent.atomic.AtomicLong
+
+  /** Build (once per session+key) the standing stats index for one
+    * (corpus, analyzed field): `corpus` holds the 1-row (n, tdl);
+    * `terms` holds one (term, df) row per DISTINCT corpus token. The key
+    * must identify corpus + analyzer (two analyzers over one column are
+    * two different df tables). Returns the table's directory. */
+  def standing(index: DataFrame, toks: Column, key: String): String =
+    standingMemo.getOrElseUpdate((index.sparkSession, key), {
+      standingBuilds.incrementAndGet()
+      val dir = graft.TempDirs.create("graft-bm25-stats-").toString
+      val an = index.select(toks.as("_ts"))
+      // null token arrays (null source text): 0 tokens for tdl (the
+      // inline-stats guard), no term rows (explode of null emits none —
+      // the same docs array_contains scores 0 for every term)
+      an.agg(count(lit(1)).cast("long").as("n"),
+          coalesce(sum(when(col("_ts").isNotNull, size(col("_ts")).cast("long"))
+            .otherwise(0L)), lit(0L)).as("tdl"))
+        .write.mode("overwrite").parquet(s"$dir/corpus")
+      an.select(explode(array_distinct(col("_ts"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).cast("long").as("df"))
+        .write.mode("overwrite").parquet(s"$dir/terms")
+      dir
+    })
+
+  /** Stats for `terms` from a standing table: a 1-row read + a
+    * term-pushdown-filtered read of ≤ |terms| rows. Terms absent from the
+    * corpus get df = 0, identical to the inline aggregate. */
+  def statsFromStanding(spark: org.apache.spark.sql.SparkSession,
+                        dir: String, terms: Seq[String]): Stats = {
+    val ts = terms.distinct
+    val c = spark.read.parquet(s"$dir/corpus").collect().head
+    val n = c.getLong(0)
+    val avg100 = if (n == 0L) 0L else 100L * c.getLong(1) / n
+    val dfs = spark.read.parquet(s"$dir/terms")
+      .filter(col("term").isin(ts: _*))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    Stats(n, avg100, ts.map(t => t -> dfs.getOrElse(t, 0L)).toMap)
+  }
+
+  /** `stats` through the standing index when `standingKey` names one
+    * (building it on first use), else the inline one-scan aggregate. */
+  def stats(index: DataFrame, toks: Column, terms: Seq[String],
+            standingKey: Option[String]): Stats = standingKey match {
+    case Some(k) =>
+      statsFromStanding(index.sparkSession, standing(index, toks, k), terms)
+    case None => stats(index, toks, terms)
   }
 
   /** The DuckDB twin of the per-term score, for oracle SQL: `tf`, `dl`,

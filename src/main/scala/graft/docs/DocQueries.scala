@@ -9406,9 +9406,12 @@ object DocQueries {
         |   "should": [{"match": {"text": "vector merge window"}}],
         |   "filter": [{"range": {"n_chars": {"gte": 150}}}]}},
         | "_source": ["objectId"], "size": 25}""".stripMargin
+    // statsKey: stats ride the standing per-(corpus, field) parquet
+    // stats table (Bm25.standing) — built once per session, after which
+    // this query's ONLY corpus scan is its own hit scan
     SearchExec.search(docs, "doc", body,
       docs.schema("doc").dataType.asInstanceOf[org.apache.spark.sql.types.StructType],
-      similarity = "bm25")
+      similarity = "bm25", statsKey = Some(s"dsl:$d"))
   }
 
   private val d259Sql = {
@@ -9421,10 +9424,13 @@ object DocQueries {
     val dfs = terms.zipWithIndex.map { case (t, i) =>
       s"CAST(SUM(CASE WHEN list_contains(ts, '$t') THEN 1 ELSE 0 END) AS BIGINT) AS df$i"
     }.mkString(", ")
+    // COALESCE mirrors the engine's all-null-corpus guard (Bm25.stats
+    // keeps avgdl100 at 0 when every token array is null; a bare SUM
+    // would go NULL here and null every score — ADVICE r13)
     s"""WITH an AS (SELECT CAST(doc_id AS VARCHAR) AS oid, n_chars,
        |    regexp_split_to_array(lower(text), '\\s+') AS ts FROM documents),
        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
-       |    CAST((100 * SUM(len(ts))) // COUNT(*) AS BIGINT) AS a100, $dfs FROM an),
+       |    CAST((100 * COALESCE(SUM(len(ts)), 0)) // COUNT(*) AS BIGINT) AS a100, $dfs FROM an),
        |sc AS (SELECT oid, CAST($score AS BIGINT) AS score
        |       FROM (SELECT oid, ts, len(ts) AS dl FROM an WHERE n_chars >= 150)
        |       CROSS JOIN st)
@@ -9448,7 +9454,8 @@ object DocQueries {
         || SORT _score DESC, doc_id ASC
         || LIMIT 30""".stripMargin
     Esql.run(Map("documents" ->
-      s.read.parquet(s"$d/documents.parquet")), q, scoreMode = "bm25")
+      s.read.parquet(s"$d/documents.parquet")), q, scoreMode = "bm25",
+      statsKey = Some(s"esql:$d"))
   }
 
   private val d260Sql = {
@@ -9465,12 +9472,77 @@ object DocQueries {
       .mkString("list_has_any(ts, [", ", ", "])")
     s"""WITH an AS (SELECT doc_id, n_chars, $an AS ts FROM documents),
        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
-       |    CAST((100 * SUM(len(ts))) // COUNT(*) AS BIGINT) AS a100, $dfs FROM an),
+       |    CAST((100 * COALESCE(SUM(len(ts)), 0)) // COUNT(*) AS BIGINT) AS a100, $dfs FROM an),
        |hits AS (SELECT doc_id, ts, len(ts) AS dl FROM an
        |         WHERE $anyTok AND n_chars > 200)
        |SELECT doc_id, CAST($score AS BIGINT) AS _score
        |FROM hits CROSS JOIN st
        |ORDER BY _score DESC, doc_id LIMIT 30""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- d263
+  /** `rescore` under `similarity=bm25` — the r13 verdict's sharpest
+    * remaining ES-fidelity edge: rescore exists to re-rank a top window
+    * with a better scorer, so a bm25 index must score the rescore query
+    * with BM25 too (SearchExec's rescore path now runs the SAME
+    * fixed-point scorer over the bounded window; stats from the
+    * unfiltered index via the standing stats table). Combined score =
+    * qw·first_pass_bm25 + rqw·rescore_bm25 (double arithmetic over exact
+    * integers — bit-reproducible), re-sorted within the 40-row window.
+    * Bm25Spec pins a case where this order differs from both the boolean
+    * rescore order and the un-rescored bm25 order. */
+  private def d263(s: SparkSession, d: String): DataFrame = {
+    val flat = s.read.parquet(s"$d/documents.parquet")
+    val docs = flat.select(struct(
+      col("doc_id").cast("string").as("objectId"),
+      col("text"), col("lang"), col("n_chars")).as("doc"))
+    val body =
+      """{"query": {"bool": {
+        |   "should": [{"match": {"text": "vector merge window"}}],
+        |   "filter": [{"range": {"n_chars": {"gte": 150}}}]}},
+        | "rescore": {
+        |   "window_size": 40,
+        |   "query": {
+        |     "rescore_query": {"bool": {"should": [
+        |       {"match": {"text": "spark sort"}}]}},
+        |     "query_weight": 1,
+        |     "rescore_query_weight": 3}},
+        | "_source": ["objectId"], "size": 15}""".stripMargin
+    SearchExec.search(docs, "doc", body,
+      docs.schema("doc").dataType.asInstanceOf[org.apache.spark.sql.types.StructType],
+      similarity = "bm25", statsKey = Some(s"dsl:$d"))
+  }
+
+  private val d263Sql = {
+    val first = Seq("vector", "merge", "window")
+    val resc = Seq("spark", "sort")
+    val all = first ++ resc
+    def tf(t: String) = s"len(list_filter(ts, x -> x = '$t'))"
+    def scoreOf(terms: Seq[String]) = terms.map { t =>
+      graft.docs.Bm25.oracleTermSql(tf(t), "dl", "n", s"df_$t", "a100")
+    }.mkString(" + ")
+    val dfs = all.map { t =>
+      s"CAST(SUM(CASE WHEN list_contains(ts, '$t') THEN 1 ELSE 0 END) AS BIGINT) AS df_$t"
+    }.mkString(", ")
+    val rmatch = resc.map(t => s"list_contains(ts, '$t')").mkString(" OR ")
+    s"""WITH an AS (SELECT CAST(doc_id AS VARCHAR) AS oid, n_chars,
+       |    regexp_split_to_array(lower(text), '\\s+') AS ts FROM documents),
+       |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST((100 * COALESCE(SUM(len(ts)), 0)) // COUNT(*) AS BIGINT) AS a100,
+       |    $dfs FROM an),
+       |sc AS (SELECT oid, ts, dl, CAST(${scoreOf(first)} AS BIGINT) AS fscore,
+       |         CAST(${scoreOf(resc)} AS BIGINT) AS rscore, ($rmatch) AS rm
+       |       FROM (SELECT oid, ts, len(ts) AS dl FROM an WHERE n_chars >= 150)
+       |       CROSS JOIN st),
+       |w AS (SELECT *, ROW_NUMBER() OVER (ORDER BY fscore DESC, oid ASC) AS wr
+       |      FROM sc),
+       |re AS (SELECT oid,
+       |         1.0 * CAST(fscore AS DOUBLE) + CASE WHEN rm
+       |           THEN 3.0 * CAST(rscore AS DOUBLE) ELSE 0.0 END AS score
+       |       FROM w WHERE wr <= 40)
+       |SELECT rn, score, oid AS "objectId" FROM (
+       |  SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, oid ASC) AS rn FROM re)
+       |WHERE rn <= 15 ORDER BY rn""".stripMargin
   }
 
   // ---------------------------------------------------------------- d255
@@ -10244,6 +10316,7 @@ object DocQueries {
     "d258_esql_fuse" -> d258 _,
     "d259_dsl_bm25" -> d259 _,
     "d260_esql_bm25" -> d260 _,
+    "d263_es_rescore_bm25" -> d263 _,
     "d261_eql_all_matches_guards" -> d261 _,
     "d262_esql_inlinestats_distinct" -> d262 _,
     "d206_es_parent_agg" -> d206 _,
@@ -10508,6 +10581,7 @@ object DocQueries {
     "d258_esql_fuse" -> d258Sql,
     "d259_dsl_bm25" -> d259Sql,
     "d260_esql_bm25" -> d260Sql,
+    "d263_es_rescore_bm25" -> d263Sql,
     "d261_eql_all_matches_guards" -> d261Sql,
     "d262_esql_inlinestats_distinct" -> d262Sql,
     "d206_es_parent_agg" -> d206Sql,

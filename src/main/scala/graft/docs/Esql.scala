@@ -250,6 +250,10 @@ object Esql {
   private val bm25Stats =
     new ThreadLocal[scala.collection.mutable.Map[(String, Seq[String]), Bm25.Stats]]
 
+  /** Standing-stats-table key prefix for this run (run's `statsKey`
+    * argument); absent = inline per-query stats aggregates (cold start). */
+  private val bm25StatsKey = new ThreadLocal[String]
+
   /** The `_score` contribution of a WHERE expression under METADATA
     * _score: Σ matched-term counts over its MATCH() nodes, plus 1 point
     * per satisfied QSTR()/MATCH_PHRASE() clause (the engine's integer
@@ -748,15 +752,20 @@ object Esql {
     * default — integer matched-term counts, oracle-exact, d251) or
     * "bm25" (fixed-point BM25 with index-level stats, [[Bm25]]) — the
     * engine-level analogue of ES's per-index similarity setting (ES|QL
-    * itself has no syntax for it; ES is always BM25). */
+    * itself has no syntax for it; ES is always BM25). `statsKey` (bm25
+    * mode only) names a standing stats table per (corpus, field)
+    * ([[Bm25.standing]]): first use builds it, every later bm25 query
+    * reads its bounded rows instead of aggregating the corpus. */
   def run(sources: Map[String, DataFrame], query: String,
           enrich: Map[String, (DataFrame, String)] = Map.empty,
-          scoreMode: String = "terms"): DataFrame = {
+          scoreMode: String = "terms",
+          statsKey: Option[String] = None): DataFrame = {
     require(scoreMode == "terms" || scoreMode == "bm25",
       s"esql: scoreMode must be terms or bm25, got $scoreMode")
     curSchema.remove() // no stale frame schema from a previous query (QSTR)
     bm25Index.remove() // no stale stats frame either (also cleared in
     bm25Stats.remove() // the FROM path's finally; TS/ROW never set them)
+    bm25StatsKey.remove()
     // split the token stream on top-level pipes (paren-aware: pipes
     // inside FORK branch parentheses belong to the branch, not the pipe)
     val segments = splitPipes(tokenize(query))
@@ -840,9 +849,12 @@ object Esql {
     // semantic (df/avgdl are index metadata, not hit-set statistics).
     // Cleared after the plan is built: the ThreadLocal would otherwise pin
     // the corpus frame on a pooled thread indefinitely.
-    if (scoreMode == "bm25") bm25Index.set(base)
+    if (scoreMode == "bm25") {
+      bm25Index.set(base)
+      statsKey.foreach(k => bm25StatsKey.set(k))
+    }
     try pipe(base, segments.tail, sources, enrich)
-    finally { bm25Index.remove(); bm25Stats.remove() }
+    finally { bm25Index.remove(); bm25Stats.remove(); bm25StatsKey.remove() }
   }
 
   /** Apply pipe segments to a running frame — the command interpreter,
@@ -995,7 +1007,8 @@ object Esql {
                     val allTerms = pooled(f.toString)
                     f.toString -> memo.getOrElseUpdate((f.toString, allTerms),
                       Bm25.stats(index,
-                        graft.ext.TextAnalysis.analyze(compile(f)), allTerms))
+                        graft.ext.TextAnalysis.analyze(compile(f)), allTerms,
+                        Option(bm25StatsKey.get()).map(k => s"$k#${f.toString}")))
                   }.toMap
                 matches.zipWithIndex.foreach { case ((f, q), i) =>
                   val terms = graft.ext.TextAnalysis.analyzeQuery(q)
@@ -1314,6 +1327,13 @@ object Esql {
             // rides size(collect_set(..)) over the partition — exact, null-
             // skipping like count_distinct, per-partition state bounded by
             // the group's distinct-value count (the VALUES-agg class).
+            // CARDINALITY BOUND a deployment must know: window state is
+            // ∝ distinct values within ONE BY-group (exact by contract —
+            // the approx form is STATS-only in ES|QL too); a group with
+            // 10⁸ distinct strings holds them all in that task's window
+            // buffer. Right for the INLINESTATS grain (groups are the
+            // user's chosen annotation grain); EsqlPropertySpec pins a
+            // several-thousand-distinct group against countDistinct.
             val w = org.apache.spark.sql.expressions.Window
               .partitionBy(by.toSeq.map(col): _*)
             specs.foreach {
@@ -1435,8 +1455,12 @@ object Esql {
                 "over a FROM ... METADATA _score source; KEY BY names the " +
                 "merge key when there is no _id)"))
           val Window = org.apache.spark.sql.expressions.Window
+          // key tiebreak is asc_NULLS_LAST: a genuinely-null merge-key
+          // VALUE in the data must not occupy the top ranks of its branch
+          // (Spark's plain asc sorts nulls first), which would deflate
+          // every real document's 1/(60+rank) RRF contribution
           val perFork = Window.partitionBy("_fork")
-            .orderBy(col("_score").desc, col(key).asc)
+            .orderBy(col("_score").desc, col(key).asc_nulls_last)
           // a NULL merge key (a branch whose projection dropped the key —
           // unionByName back-fills null) must NOT collapse every such row
           // into one fused group: null-keyed rows pass through UNFUSED,

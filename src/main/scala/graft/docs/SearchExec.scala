@@ -77,7 +77,8 @@ object SearchExec {
     */
   def search(docs0: DataFrame, docCol: String,
              body0: String, schema0: org.apache.spark.sql.types.StructType,
-             similarity: String = "boolean"): DataFrame = {
+             similarity: String = "boolean",
+             statsKey: Option[String] = None): DataFrame = {
     require(similarity == "boolean" || similarity == "bm25",
       s"similarity must be boolean or bm25, got $similarity")
     // runtime_mappings splice computed fields into the document struct
@@ -114,7 +115,7 @@ object SearchExec {
     // is computed for the filter even when no sort reads it.
     val hits = {
       val scored = if (needScore || b.minScore.nonEmpty) {
-        if (similarity == "bm25") bm25Scored(hits0, docs, doc, b)
+        if (similarity == "bm25") bm25Scored(hits0, docs, doc, b, statsKey)
         else hits0.withColumn("score", SearchQuery.scoreCol(b.parsed, doc))
       } else hits0
       val floored = b.minScore.fold(scored)(ms => scored.filter(col("score") >= lit(ms)))
@@ -232,14 +233,25 @@ object SearchExec {
       case Some(rs) =>
         val window = afterFiltered.orderBy(sortCols: _*).limit(rs.windowSize)
         val rMatch = coalesce(SearchQuery.compile(rs.parsed.query, doc), lit(false))
-        // rescore_score = the rescore query's clause-count relevance, or 1
-        // for a should-less query (the ScoreShape base convention)
-        val rScore =
-          if (rs.parsed.shoulds.isEmpty) lit(1.0)
-          else SearchQuery.scoreCol(rs.parsed, doc).cast("double")
-        window.withColumn("score",
-          col("score").cast("double") * lit(rs.queryWeight) +
-            when(rMatch, rScore * lit(rs.rescoreQueryWeight)).otherwise(lit(0.0)))
+        // rescore_score = the rescore query's relevance: under bm25
+        // similarity its match-desugar shoulds score with the SAME
+        // fixed-point BM25 as the first pass (stats from the unfiltered
+        // index; cost is O(window) — the window is already bounded, which
+        // is the whole point of rescore); under boolean it stays the
+        // clause-count. A should-less rescore query scores 1 either way
+        // (the ScoreShape base convention).
+        val win2 =
+          if (rs.parsed.shoulds.isEmpty) window.withColumn("_rsc", lit(1.0))
+          else if (similarity == "bm25")
+            bm25ShouldScore(window, docs, doc, rs.parsed.shoulds, "_rsc", "r",
+              statsKey)
+          else window.withColumn("_rsc",
+            SearchQuery.scoreCol(rs.parsed, doc).cast("double"))
+        win2.withColumn("score",
+            col("score").cast("double") * lit(rs.queryWeight) +
+              when(rMatch, col("_rsc").cast("double") *
+                lit(rs.rescoreQueryWeight)).otherwise(lit(0.0)))
+          .drop("_rsc")
       case None => afterFiltered
     }
     // TakeOrderedAndProject: bounded heap per partition, from+size rows total.
@@ -337,17 +349,36 @@ object SearchExec {
     * satisfied-clause score — mixing constant-score clauses into a BM25
     * sum is exactly what ES's bool query does. The score stays a LONG
     * (fixed-point), so min_score floors and sort orders are oracle-exact.
-    * v1 bound, rejected loudly: script_score / function_score / pinned /
-    * rescore keep the boolean similarity (their score algebra is defined
-    * over clause counts). */
+    * `rescore` re-ranks its bounded window with the SAME scorer (the
+    * rescore path above calls [[bm25ShouldScore]] on the window). v1
+    * bound, rejected loudly: script_score / function_score / pinned keep
+    * the boolean similarity (their score algebra is defined over clause
+    * counts). */
   private def bm25Scored(hits: DataFrame, index: DataFrame, doc: Column,
-                         b: SearchQuery.FullBody): DataFrame = {
-    import graft.docs.{SearchQuery => SQ}
+                         b: SearchQuery.FullBody,
+                         statsKey: Option[String]): DataFrame = {
     val p = b.parsed
-    require(p.script.isEmpty && p.shape.isEmpty && p.pinned.isEmpty &&
-      b.rescore.isEmpty,
+    require(p.script.isEmpty && p.shape.isEmpty && p.pinned.isEmpty,
       "bm25 similarity v1 covers plain bool bodies (script_score / " +
-        "function_score / pinned / rescore keep the boolean similarity)")
+        "function_score / pinned keep the boolean similarity)")
+    bm25ShouldScore(hits, index, doc, p.shoulds, "score", "s", statsKey)
+  }
+
+  /** Attach `out` = the bm25-mode relevance of `shoulds` to `df`: each
+    * clause that is a whitespace-analyzed `match` desugar — a
+    * [[SearchQuery.TermMatch]], or an Or/And of TermMatch on one path —
+    * contributes the fixed-point BM25 of its terms against that field;
+    * any other clause keeps its 1-point satisfied score (mixing
+    * constant-score clauses into a BM25 sum is exactly what ES's bool
+    * query does). Stats come from the UNFILTERED `index` — through the
+    * standing stats table when `statsKey` names one ([[Bm25.standing]]),
+    * else one inline bounded aggregate per distinct field path (all
+    * clauses' terms for a path pool into a single scan). */
+  private def bm25ShouldScore(df: DataFrame, index: DataFrame, doc: Column,
+                              shoulds: Seq[SearchQuery], out: String,
+                              tag: String,
+                              statsKey: Option[String]): DataFrame = {
+    import graft.docs.{SearchQuery => SQ}
     // the match-desugar shapes scoreable per-term (lowercased — the
     // whitespace analyzer lowercases at compile, SearchOps.tokenMatch)
     def asMatch(q: SearchQuery): Option[(Seq[String], Seq[String])] = q match {
@@ -369,28 +400,31 @@ object SearchExec {
     }
     def toks(path: Seq[String]): Column =
       split(lower(field(doc, path)), "\\s+")
-    // ONE bounded stats aggregate per distinct field path — all clauses'
-    // terms for a path ride a single corpus scan (k same-field clauses
-    // must not cost k scans)
-    val matchClauses = p.shoulds.zipWithIndex
+    // ONE bounded stats fetch per distinct field path — all clauses'
+    // terms for a path pool (k same-field clauses must not cost k scans);
+    // the standing key is per (corpus, field) since df tables are
+    // analyzer- and field-specific
+    val matchClauses = shoulds.zipWithIndex
       .flatMap { case (q, i) => asMatch(q).map { case (pa, ts) => (i, pa, ts) } }
     val statsByPath = matchClauses.groupBy(_._2).map { case (pa, xs) =>
-      pa -> Bm25.stats(index, toks(pa), xs.flatMap(_._3).distinct)
+      pa -> Bm25.stats(index, toks(pa), xs.flatMap(_._3).distinct,
+        statsKey.map(k => s"$k#${pa.mkString(".")}"))
     }
-    var cur = hits
+    var cur = df
     var score: Column = lit(0L)
     val bmCols = scala.collection.mutable.ListBuffer[String]()
-    p.shoulds.zipWithIndex.foreach { case (q, i) =>
+    shoulds.zipWithIndex.foreach { case (q, i) =>
       asMatch(q) match {
         case Some((path, terms)) =>
           val st = statsByPath(path)
-          cur = Bm25.withScore(cur, toks(path), terms, st, s"_bm25_$i", s"s$i")
-          bmCols += s"_bm25_$i"
-          score = score + col(s"_bm25_$i")
+          cur = Bm25.withScore(cur, toks(path), terms, st,
+            s"_bm25_${tag}_$i", s"$tag$i")
+          bmCols += s"_bm25_${tag}_$i"
+          score = score + col(s"_bm25_${tag}_$i")
         case None =>
           score = score + coalesce(SQ.compile(q, doc).cast("long"), lit(0L))
       }
     }
-    cur.withColumn("score", score).drop(bmCols.toSeq: _*)
+    cur.withColumn(out, score).drop(bmCols.toSeq: _*)
   }
 }

@@ -83,6 +83,73 @@ class Bm25Spec extends SparkSpec {
     assert(bm !== terms)
   }
 
+  test("rescore under bm25 re-ranks the window with BM25 — order differs " +
+    "from both boolean-rescore and un-rescored bm25") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.StructType
+    // hand-computed fixed-point values (N=5, T=17, avgdl100=340):
+    //   alpha idf=2 → score 2 at dl=2, 1 at dl=8
+    //   zeta  idf=3 → score 3 at (tf=1,dl=2), 4 at (tf=7,dl=8)
+    val c = Seq(
+      (1L, "alpha zeta"),
+      (2L, "alpha zeta zeta zeta zeta zeta zeta zeta"),
+      (3L, "alpha word"),
+      (4L, "filler filler filler"),
+      (5L, "word filler")).toDF("id", "body")
+    val docs = c.select(struct(
+      col("id").cast("string").as("objectId"), col("body")).as("doc"))
+    val schema = docs.schema("doc").dataType.asInstanceOf[StructType]
+    def body(rescore: Boolean) =
+      s"""{"query": {"bool": {"should": [{"match": {"body": "alpha"}}]}},
+         |${if (rescore) """ "rescore": {"window_size": 5, "query": {
+         |   "rescore_query": {"bool": {"should": [{"match": {"body": "zeta"}}]}},
+         |   "query_weight": 1, "rescore_query_weight": 2}},""".stripMargin else ""}
+         | "size": 5, "_source": ["objectId"]}""".stripMargin
+    def order(sim: String, rescore: Boolean): Seq[String] =
+      SearchExec.search(docs, "doc", body(rescore), schema, similarity = sim)
+        .collect().map(_.getAs[String]("objectId")).toSeq
+    val bmPlain = order("bm25", rescore = false)
+    val boolResc = order("boolean", rescore = true)
+    val bmResc = order("bm25", rescore = true)
+    // first pass: alpha only → d1=2, d3=2, d2=1 (objectId tiebreak)
+    assert(bmPlain === Seq("1", "3", "2"))
+    // boolean rescore: every hit ties at 1 point, zeta adds 2 to d1/d2 →
+    // d1=3, d2=3, d3=1 (objectId tiebreak on the tie)
+    assert(boolResc === Seq("1", "2", "3"))
+    // bm25 rescore: combined = first + 2·bm25(zeta): d1=2+6=8, d2=1+8=9,
+    // d3=2 — the many-zeta doc wins ONLY under the bm25-scored rescore
+    assert(bmResc === Seq("2", "1", "3"))
+    assert(bmResc !== bmPlain)
+    assert(bmResc !== boolResc)
+    assert(bmPlain !== boolResc)
+  }
+
+  test("standing stats table: write-once per (session, key), equal to the " +
+    "inline aggregate, term-pushdown on reads, null corpora handled") {
+    import spark.implicits._
+    val c = Seq((1L, "alpha zeta"), (2L, "word beta beta"),
+      (3L, null.asInstanceOf[String])).toDF("id", "body")
+    val toks = split(lower(col("body")), "\\s+")
+    val terms = Seq("zeta", "beta", "missingterm")
+    val before = Bm25.standingBuilds.get()
+    val st1 = Bm25.stats(c, toks, terms, Some("bm25spec-standing"))
+    assert(Bm25.standingBuilds.get() === before + 1)
+    val st2 = Bm25.stats(c, toks, terms, Some("bm25spec-standing"))
+    assert(Bm25.standingBuilds.get() === before + 1) // memo hit, no rebuild
+    val inline = Bm25.stats(c, toks, terms)
+    assert(st1 === inline && st2 === inline)
+    assert(st1.df("missingterm") === 0L)
+    // null token arrays: counted in N, contribute 0 tokens — same guard
+    // both paths (a null body must not null avgdl)
+    assert(st1.nDocs === 3L && st1.avgdl100 === 100L * 5 / 3)
+    // the terms read is pushdown-eligible: term IN (...) reaches the scan
+    val dir = Bm25.standing(c, toks, "bm25spec-standing")
+    val plan = spark.read.parquet(s"$dir/terms")
+      .filter(col("term").isin(terms: _*))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(term"), plan)
+  }
+
   test("v1 bounds reject loudly; stats handle the empty corpus") {
     import org.apache.spark.sql.types.StructType
     val docs = corpus.select(struct(

@@ -73,6 +73,24 @@ class EsqlPropertySpec extends SparkSpec {
     }
   }
 
+  test("INLINESTATS COUNT_DISTINCT at several thousand distincts per group " +
+    "equals countDistinct (the documented state bound is per-group distincts)") {
+    import spark.implicits._
+    // 3 groups × ~4000 distinct values each — the collect_set window state
+    // the Esql.scala cardinality note documents, well past toy sizes
+    val wide = (1 to 12000).map { i =>
+      (i.toLong, s"g${i % 3}", s"val_${(i * 2654435761L) % 4001}")
+    }.toDF("id", "tag", "s")
+    val got = Esql.run(Map("t" -> wide),
+      "FROM t | INLINESTATS u = COUNT_DISTINCT(s) BY tag | " +
+        "STATS mx = MAX(u), mn = MIN(u) BY tag | SORT tag ASC")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val twin = wide.groupBy("tag").agg(countDistinct(col("s")).as("u"))
+      .orderBy("tag")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(1))).toSeq
+    assert(got === twin)
+  }
+
   test("row pipes: WHERE + EVAL + KEEP + SORT + LIMIT equal the direct plan") {
     val rnd = new scala.util.Random(7L)
     (1 to 20).foreach { _ =>

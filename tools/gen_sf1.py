@@ -33,6 +33,23 @@ con.execute(f"SET threads TO 16")
 def src(t):
     return f"read_parquet('{SRC}/{t}.parquet')"
 
+# Key strides are DERIVED from the source data (max key + 1), not
+# hardcoded: if sf0.1 cardinalities ever change, constants would silently
+# collide replica keys and corrupt FK fan-out / dedup rates (ADVICE r13).
+# Each FK column shifts by ITS referenced table's stride so joins keep
+# the same per-replica fan-out.
+def stride(table, key):
+    return con.execute(f"SELECT max({key}) + 1 FROM {src(table)}").fetchone()[0]
+
+CUST = stride("customer", "c_custkey")
+SUPP = stride("supplier", "s_suppkey")
+PART = stride("part", "p_partkey")
+ORDR = stride("orders", "o_orderkey")
+EVNT = stride("events", "event_id")
+USER = stride("events", "user_id")
+DOC = stride("documents", "doc_id")
+VEC = stride("embeddings", "vec_id")
+
 def gen(table, sql_per_replica):
     parts = " UNION ALL ".join(sql_per_replica(i) for i in range(R))
     con.execute(f"COPY ({parts}) TO '{OUT}/{table}.parquet' (FORMAT PARQUET)")
@@ -45,33 +62,33 @@ for t in ("region", "nation"):
     print(f"{t}: copied")
 
 gen("customer", lambda i: f"""
-  SELECT c_custkey + {i * 15000} AS c_custkey, c_name, c_nationkey,
+  SELECT c_custkey + {i * CUST} AS c_custkey, c_name, c_nationkey,
          c_acctbal, c_mktsegment FROM {src('customer')}""")
 
 gen("supplier", lambda i: f"""
-  SELECT s_suppkey + {i * 1000} AS s_suppkey, s_name, s_nationkey,
+  SELECT s_suppkey + {i * SUPP} AS s_suppkey, s_name, s_nationkey,
          s_acctbal FROM {src('supplier')}""")
 
 gen("part", lambda i: f"""
-  SELECT p_partkey + {i * 20000} AS p_partkey, p_name, p_brand, p_type,
+  SELECT p_partkey + {i * PART} AS p_partkey, p_name, p_brand, p_type,
          p_size, p_retailprice FROM {src('part')}""")
 
 gen("orders", lambda i: f"""
-  SELECT o_orderkey + {i * 150000} AS o_orderkey,
-         o_custkey + {i * 15000} AS o_custkey,
+  SELECT o_orderkey + {i * ORDR} AS o_orderkey,
+         o_custkey + {i * CUST} AS o_custkey,
          o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
   FROM {src('orders')}""")
 
 gen("lineitem", lambda i: f"""
-  SELECT l_orderkey + {i * 150000} AS l_orderkey,
-         l_partkey + {i * 20000} AS l_partkey,
-         l_suppkey + {i * 1000} AS l_suppkey,
+  SELECT l_orderkey + {i * ORDR} AS l_orderkey,
+         l_partkey + {i * PART} AS l_partkey,
+         l_suppkey + {i * SUPP} AS l_suppkey,
          l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,
          l_returnflag, l_linestatus, l_shipdate FROM {src('lineitem')}""")
 
 gen("events", lambda i: f"""
-  SELECT event_id + {i * 100000} AS event_id, ts,
-         user_id + {i * 1500} AS user_id,
+  SELECT event_id + {i * EVNT} AS event_id, ts,
+         user_id + {i * USER} AS user_id,
          event_type, value, props FROM {src('events')}""")
 
 # documents: replica 0 verbatim; replicas 1..9 permute each doc's words
@@ -80,7 +97,7 @@ def doc_sql(i):
     if i == 0:
         return f"SELECT doc_id, text, lang, source, n_chars FROM {src('documents')}"
     return f"""
-  SELECT d.doc_id + {i * 5000} AS doc_id,
+  SELECT d.doc_id + {i * DOC} AS doc_id,
     array_to_string(list_transform(list_sort(list_transform(
         regexp_split_to_array(d.text, ' '),
         (w, pos) -> {{'k': hash(d.doc_id * 1000003 + pos * 31 + {i}), 'w': w}})),
@@ -96,7 +113,7 @@ def emb_sql(i):
     if i == 0:
         return f"SELECT vec_id, embedding, label FROM {src('embeddings')}"
     return f"""
-  SELECT e.vec_id + {i * 2000} AS vec_id,
+  SELECT e.vec_id + {i * VEC} AS vec_id,
     list_transform(e.embedding,
       (x, pos) -> CAST(x + 0.02 * ((hash(e.vec_id * 131071 + pos * 17 + {i}) % 1001) / 500.0 - 1.0) AS FLOAT)) AS embedding,
     e.label

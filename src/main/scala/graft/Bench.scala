@@ -142,14 +142,28 @@ object Bench {
       .mkString("{", ",", "}")
     val line =
       s"""{"metric":"total","value":${f(total)},"unit":"sec","runs_per_query":3,"per_query_stat":"median","degraded":$degraded,"wall":${f(wall)},"queries":$qs,"runs":$runsJson,"leaks":$lk,"errs":$es,"sf":"$sfDir"}"""
-    // Persist the line to a file too: sbt's [success] trailer and stdout
-    // truncation swallowed per-query numbers in rounds 2-3 (parsed: null).
-    java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+    // Persist the FULL line (complete per-query medians + raw runs) to a
+    // file: the driver's round artifact keeps only the last ~2000 stdout
+    // chars, which a ~26 KB 390-query line can never fit (r13's
+    // parsed: null). A partial SPARK_GRAFT_ONLY run writes a separate
+    // file so it can't clobber the full-registry artifact (a round-13
+    // gotcha that cost a git restore).
+    val outFile =
+      if (only.isEmpty) "bench_out.json" else "bench_out_partial.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (line + "\n").getBytes("UTF-8"))
     spark.stop()
-    // The JSON line must be the LAST stdout line so the driver's tail-parse
-    // always sees it whole.
-    println(line)
+    // stdout gets a COMPACT line sized to survive the driver's 2000-char
+    // tail WHOLE (so parsed is never null): headline numbers + the
+    // slowest medians; the complete map lives in bench_out.json (and the
+    // per-round copies committed under benchhist/).
+    val slowest = results.sortBy(-_._2).take(12)
+      .map { case (k, v) => jstr(k) + ":" + f(v) }.mkString("{", ",", "}")
+    val esCompact = errs.take(5).map { case (k, v) =>
+      jstr(k) + ":" + jstr(v.take(80)) }.mkString("{", ",", "}") +
+      (if (errs.size > 5) s""","errs_more":${errs.size - 5}""" else "")
+    println(
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","runs_per_query":3,"per_query_stat":"median","n_queries":${results.size},"degraded":$degraded,"wall":${f(wall)},"queries":$slowest,"queries_note":"12 slowest of ${results.size}; full map in $outFile","leaks":$lk,"errs":$esCompact,"sf":"$sfDir"}""")
   }
 
   private def err(e: Throwable): String =

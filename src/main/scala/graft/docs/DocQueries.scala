@@ -9304,6 +9304,68 @@ object DocQueries {
       |WHERE n_chars > 250
       |ORDER BY n_chars DESC, doc_id LIMIT 15 OFFSET 30""".stripMargin
 
+  // ---------------------------------------------------------------- d264
+  /** ES SQL date extract scalars + GROUP BY / ORDER BY ordinals — what
+    * real Kibana-generated statements carry (r13 verdict's breadth probe):
+    * YEAR/DAY_OF_WEEK/HOUR/DAY_OF_MONTH/QUARTER rewrite source-to-source
+    * onto ES|QL `DATE_EXTRACT` parts (ISO day-of-week, Monday = 1;
+    * QUARTER = (month+2) DIV 3 via TO_LONG∘FLOOR), and `GROUP BY 1, 2, 3`
+    * / `ORDER BY 2, 3` resolve as 1-based SELECT item references. Still
+    * ONE hash aggregation with the extracts as computed BY keys; SUM over
+    * doubles rides the exact-decimal contract. */
+  private def d264(s: SparkSession, d: String): DataFrame = {
+    val q =
+      """SELECT YEAR(ts_us) AS y, DAY_OF_WEEK(ts_us) AS dow,
+        |       HOUR(ts_us) AS h, COUNT(*) AS n, SUM(value) AS total
+        |FROM events
+        |WHERE DAY_OF_MONTH(ts_us) >= 5 AND DAY_OF_MONTH(ts_us) <= 25
+        |  AND QUARTER(ts_us) = 1
+        |GROUP BY 1, 2, 3
+        |ORDER BY 2 ASC, 3 ASC
+        |LIMIT 50""".stripMargin
+    EsSql.run(Map("events" -> graft.Tables.events(s, d).drop("ts")), q)
+  }
+
+  private val d264Sql =
+    """SELECT CAST(EXTRACT(year FROM ts) AS BIGINT) AS y,
+      |  CAST(isodow(ts) AS BIGINT) AS dow,
+      |  CAST(EXTRACT(hour FROM ts) AS BIGINT) AS h,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(28,6))
+      |    AS DOUBLE) AS total
+      |FROM events
+      |WHERE EXTRACT(day FROM ts) >= 5 AND EXTRACT(day FROM ts) <= 25
+      |  AND quarter(ts) = 1
+      |GROUP BY 1, 2, 3 ORDER BY dow, h LIMIT 50""".stripMargin
+
+  // ---------------------------------------------------------------- d265
+  /** ES SQL HAVING on aggregate CALLS — selected or not (the other half
+    * of the breadth probe; Kibana emits `HAVING COUNT(*) > n` freely).
+    * Each aggregate call in HAVING lifts into the single STATS: COUNT(*)
+    * lands on its SELECTed alias `n`; COUNT(DISTINCT user_id) and
+    * SUM(value) become synthetic `_hN` entries the final KEEP drops; the
+    * compound `SUM(value) / COUNT(*) > 49` is plain post-agg arithmetic
+    * over those columns. One hash aggregation, one post-agg filter. */
+  private def d265(s: SparkSession, d: String): DataFrame = {
+    val q =
+      """SELECT event_type, COUNT(*) AS n
+        |FROM events
+        |GROUP BY event_type
+        |HAVING COUNT(*) > 1000 AND COUNT(DISTINCT user_id) >= 150
+        |   AND SUM(value) / COUNT(*) > 49
+        |ORDER BY n DESC, event_type ASC""".stripMargin
+    EsSql.run(Map("events" -> graft.Tables.events(s, d).drop("ts")), q)
+  }
+
+  private val d265Sql =
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+      |FROM events
+      |GROUP BY event_type
+      |HAVING COUNT(*) > 1000 AND COUNT(DISTINCT user_id) >= 150
+      |  AND CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(28,6))
+      |    AS DOUBLE) / COUNT(*) > 49
+      |ORDER BY n DESC, event_type ASC""".stripMargin
+
   // ---------------------------------------------------------------- d257
   /** EQL EVERY-PARTIAL-MATCH mode — the complement of the engine's
     * default last-prefix matching (closing the documented deviation):
@@ -10309,6 +10371,8 @@ object DocQueries {
     "d251_esql_score" -> d251 _,
     "d252_es_sql_score" -> d252 _,
     "d253_es_sql_offset" -> d253 _,
+    "d264_es_sql_datefns" -> d264 _,
+    "d265_es_sql_having" -> d265 _,
     "d254_eql_unbounded" -> d254 _,
     "d255_esql_qstr" -> d255 _,
     "d256_esql_match_phrase" -> d256 _,
@@ -10574,6 +10638,8 @@ object DocQueries {
     "d251_esql_score" -> d251Sql,
     "d252_es_sql_score" -> d252Sql,
     "d253_es_sql_offset" -> d253Sql,
+    "d264_es_sql_datefns" -> d264Sql,
+    "d265_es_sql_having" -> d265Sql,
     "d254_eql_unbounded" -> d254Sql,
     "d255_esql_qstr" -> d255Sql,
     "d256_esql_match_phrase" -> d256Sql,

@@ -26,8 +26,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * fixed-interval bucketing = ES|QL `BUCKET`, both floor(x/span)*span),
   * `COUNT(DISTINCT x)` → `COUNT_DISTINCT(x)`, SQL `LIKE` patterns
   * (`%`/`_` wildcards → ES|QL `*`/`?`), `[NOT] BETWEEN` (rewritten
-  * to the comparison pair — ES|QL has no BETWEEN), and `CAST(x AS type)`
-  * (rewritten to TO_LONG/TO_DOUBLE/TO_STRING). Dialect mapping is
+  * to the comparison pair — ES|QL has no BETWEEN), `CAST(x AS type)`
+  * (rewritten to TO_LONG/TO_DOUBLE/TO_STRING), GROUP BY / ORDER BY
+  * ordinals (1-based SELECT item references — Kibana emits `GROUP BY 1`),
+  * HAVING on aggregate CALLS whether or not they are SELECTed (each
+  * lifts to a STATS entry, synthetic `_hN` when unselected — so
+  * `HAVING SUM(a) / SUM(b) > 2` is post-agg arithmetic, not a reject),
+  * and the ES SQL date extract scalars YEAR/MONTH[_OF_YEAR]/
+  * DAY[_OF_MONTH|_OF_WEEK|_OF_YEAR]/HOUR/MINUTE/SECOND/QUARTER (→
+  * `DATE_EXTRACT` parts; ISO day-of-week, Monday = 1; WEEK_OF_YEAR
+  * rejects loudly — locale-rule-dependent numbering). Dialect mapping is
   * purely lexical: `=`→`==`, `<>`→`!=`, `'str'`→`"str"`, and
   * `TRUE`/`FALSE` pass through as ES|QL boolean literals. The catalog
   * commands Kibana's SQL editor issues — `SHOW TABLES`, `DESCRIBE idx`
@@ -42,11 +50,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Deliberate v1 bounds, all rejected with a named reason at parse time
   * (never silently wrong): `SELECT DISTINCT`, subqueries, JOIN/UNION,
   * unaliased computed select items (ES SQL's auto-generated column
-  * headers would make oracle column naming ambiguous), compound
-  * aggregate expressions (`SUM(a)/SUM(b)` — ES SQL itself computes these
-  * client-side from two aggs), GROUP BY ordinals, and HAVING terms that
-  * do not reference SELECT aliases. `SELECT *` without a registered
-  * schema (pure string-to-string translate) also rejects.
+  * headers would make oracle column naming ambiguous), and compound
+  * aggregate expressions in SELECT (`SUM(a)/SUM(b)` — ES SQL itself
+  * computes these client-side from two aggs; in HAVING they work via the
+  * lift). `SELECT *` without a registered schema (pure string-to-string
+  * translate) also rejects.
   *
   * Reference: the `_sql` endpoint is public ES x-pack surface (ES docs
   * "SQL"); the reference repo queries ES only through the Query DSL
@@ -294,6 +302,48 @@ object EsSql {
     case _ => emit(it.expr)
   }
 
+  /** Lift aggregate calls out of a HAVING body: each balanced `AGG(...)`
+    * span becomes a column reference — the SELECTed item's name when one
+    * canonically matches, else a synthetic `_hN` STATS entry the final
+    * KEEP drops. This is the real ES SQL contract (Kibana emits
+    * `HAVING COUNT(*) > n` whether or not COUNT(*) is selected), and it
+    * makes compound HAVING arithmetic (`SUM(a) / SUM(b) > 2`) work
+    * naturally: each component lifts and the quotient is plain post-STATS
+    * arithmetic in the WHERE. Returns the rewritten body + the synthetic
+    * (name, aggregate) entries to append to STATS. */
+  private def liftHavingAggs(h: List[Tok], items: List[Item])
+      : (List[Tok], List[(String, Item)]) = {
+    val out = scala.collection.mutable.ListBuffer[Tok]()
+    val extras = scala.collection.mutable.ListBuffer[(String, Item)]()
+    var rest = h
+    while (rest.nonEmpty) rest match {
+      case SId(fn) :: SOp("(") :: tail if Aggs.contains(fn.toUpperCase) =>
+        var depth = 1
+        val body = scala.collection.mutable.ListBuffer[Tok](SId(fn), SOp("("))
+        var rem = tail
+        while (depth > 0) rem match {
+          case (t @ SOp("(")) :: tl => depth += 1; body += t; rem = tl
+          case (t @ SOp(")")) :: tl => depth -= 1; body += t; rem = tl
+          case t :: tl => body += t; rem = tl
+          case Nil => reject("unbalanced parentheses in HAVING")
+        }
+        val it = Item(body.toList, None)
+        val key = canonKey(it.expr)
+        val name = items
+          .find(x => aggCall(x).isDefined && canonKey(x.expr) == key)
+          .map(_.name)
+          .orElse(extras.find(e => canonKey(e._2.expr) == key).map(_._1))
+          .getOrElse {
+            val n = s"_h${extras.size}"
+            extras += ((n, it)); n
+          }
+        out += SId(name)
+        rest = rem
+      case t :: tail => out += t; rest = tail
+    }
+    (out.toList, extras.toList)
+  }
+
   // --------------------------------------------------------- translate
   /** Rewrite every well-formed `SCORE ( )` call to the `_score` metadata
     * column, anywhere in the statement (SELECT, ORDER BY, WHERE, HAVING).
@@ -368,6 +418,65 @@ object EsSql {
           reject("BETWEEN on this shape (supported: " +
             "<column> [NOT] BETWEEN <literal> AND <literal>)")
         out += t; rest = tail
+    }
+    out.toList
+  }
+
+  /** ES SQL date/time extract scalars (what real Kibana SQL statements
+    * carry) → ES|QL `DATE_EXTRACT` parts, rewritten only when CALLED so
+    * a column named `year` passes through. ES SQL's DAY_OF_WEEK is
+    * ISO-8601 (Monday = 1), matching the engine's DATE_EXTRACT. */
+  private val DateExtractPart = Map(
+    "YEAR" -> "year",
+    "MONTH" -> "month_of_year", "MONTH_OF_YEAR" -> "month_of_year",
+    "DAY" -> "day_of_month", "DAY_OF_MONTH" -> "day_of_month",
+    "DOM" -> "day_of_month",
+    "DAY_OF_YEAR" -> "day_of_year", "DOY" -> "day_of_year",
+    "DAY_OF_WEEK" -> "day_of_week", "DOW" -> "day_of_week",
+    "HOUR" -> "hour_of_day", "HOUR_OF_DAY" -> "hour_of_day",
+    "MINUTE" -> "minute_of_hour", "MINUTE_OF_HOUR" -> "minute_of_hour",
+    "SECOND" -> "second_of_minute", "SECOND_OF_MINUTE" -> "second_of_minute")
+
+  /** Rewrite the ES SQL date extract scalars: `YEAR(e)` →
+    * `DATE_EXTRACT("year", e)` (the argument tokens flow through and the
+    * original `)` closes the call, so nested calls re-enter the scan);
+    * `QUARTER(e)` → `TO_LONG(FLOOR((DATE_EXTRACT("month_of_year", e) + 2)
+    * / 3))` with a balanced-argument capture. WEEK/WEEK_OF_YEAR reject
+    * loudly — week-of-year numbering is locale-rule-dependent (ES uses
+    * ISO-week rules the engine's ChronoField surface does not expose) and
+    * a silently different week number is worse than no week number. */
+  private def rewriteDateFns(ts: List[Tok]): List[Tok] = {
+    val out = scala.collection.mutable.ListBuffer[Tok]()
+    var rest = ts
+    while (rest.nonEmpty) rest match {
+      case SId(f) :: SOp("(") :: tail if DateExtractPart.contains(f.toUpperCase) =>
+        out ++= List(SId("DATE_EXTRACT"), SOp("("),
+          SStr(DateExtractPart(f.toUpperCase)), SOp(","))
+        rest = tail // arg + its ')' pass through and close DATE_EXTRACT
+      case SId(f) :: SOp("(") :: tail if f.equalsIgnoreCase("QUARTER") =>
+        // capture the balanced argument so the arithmetic suffix lands
+        // AFTER it; the captured tokens re-enter the scan (nested calls)
+        var depth = 1
+        val body = scala.collection.mutable.ListBuffer[Tok]()
+        var rem = tail
+        while (depth > 0) rem match {
+          case (t @ SOp("(")) :: tl => depth += 1; body += t; rem = tl
+          case SOp(")") :: tl => depth -= 1; if (depth > 0) body += SOp(")"); rem = tl
+          case t :: tl => body += t; rem = tl
+          case Nil => reject("unbalanced QUARTER parentheses")
+        }
+        out ++= List(SId("TO_LONG"), SOp("("), SId("FLOOR"), SOp("("),
+          SOp("("), SId("DATE_EXTRACT"), SOp("("), SStr("month_of_year"),
+          SOp(","))
+        rest = body.toList ++ List(SOp(")"), SOp("+"), SNum("2"), SOp(")"),
+          SOp("/"), SNum("3"), SOp(")"), SOp(")")) ++ rem
+      case SId(f) :: SOp("(") :: _
+        if Set("WEEK", "WEEK_OF_YEAR", "ISO_WEEK_OF_YEAR", "IW", "IWOY",
+          "MINUTE_OF_DAY").contains(f.toUpperCase) =>
+        reject(s"${f.toUpperCase} (week-of-year numbering is locale-rule-" +
+          "dependent and minute-of-day has no ChronoField surface here; " +
+          "use DATE_TRUNC or the supported extract parts)")
+      case t :: tail => out += t; rest = tail
     }
     out.toList
   }
@@ -463,7 +572,9 @@ object EsSql {
   private def translateFull(sql: String,
                             schemas: Map[String, Seq[String]]): (String, Int) = {
     val (ts0, usesScore) = rewriteScore(tokenize(sql))
-    val ts = rewriteBetween(rewriteCast(ts0))
+    // date fns FIRST so CAST bodies and clause matching see the rewritten
+    // (canonical) form on both the SELECT and GROUP BY/ORDER BY sides
+    val ts = rewriteBetween(rewriteCast(rewriteDateFns(ts0)))
     if (ts.sliding(2).exists {
       case List(SOp("("), t) => isKw(t, "SELECT")
       case _ => false
@@ -506,17 +617,28 @@ object EsSql {
       if (usesScore) s"FROM $idx METADATA _score" else s"FROM $idx")
     cs.get("WHERE").foreach(w => pipes += s"WHERE ${emit(w)}")
 
-    val groupKeys = cs.get("GROUP").map(commaSplit).getOrElse(Nil)
+    // ordinals (real ES SQL accepts them; Kibana emits `GROUP BY 1`):
+    // a 1-based reference to a SELECT item, resolved to that item's
+    // expression BEFORE any membership checks
+    def ordinalItem(n: String, what: String): Item = {
+      if (n.contains('.')) reject(s"$what ordinal must be an integer, got $n")
+      val i = n.toInt
+      if (i < 1 || i > items.size)
+        reject(s"$what ordinal $i out of range (SELECT has ${items.size} items)")
+      items(i - 1)
+    }
+    val groupKeys = cs.get("GROUP").map(commaSplit).getOrElse(Nil).map {
+      case List(SNum(n)) =>
+        val it = ordinalItem(n, "GROUP BY")
+        if (aggCall(it).isDefined)
+          reject(s"GROUP BY ordinal $n references an aggregate select item")
+        it.expr
+      case g => g
+    }
     if (groupKeys.nonEmpty || items.exists(aggCall(_).isDefined)) {
       // ---- aggregate path: one STATS, BY keys from GROUP BY
       val (aggItems, keyItems) = items.partition(aggCall(_).isDefined)
       if (aggItems.isEmpty) reject("GROUP BY without an aggregate in SELECT")
-      // ordinals first, so `GROUP BY 1` names its own rejection rather
-      // than tripping the alias-membership check below
-      groupKeys.foreach {
-        case SNum(_) :: Nil => reject("GROUP BY ordinals")
-        case _ => ()
-      }
       // every non-agg select item must be (canonically) a group key
       val keyTexts = groupKeys.map(canonKey)
       keyItems.foreach { it =>
@@ -536,7 +658,6 @@ object EsSql {
             ).name
             val inner = emit(g.drop(2).dropRight(1))
             s"$alias = BUCKET ( $inner )"
-          case SNum(_) :: Nil => reject("GROUP BY ordinals")
           case other =>
             // computed group key (ES SQL allows `GROUP BY UCASE(x)` etc.):
             // legal when the same expression appears in SELECT with an
@@ -550,12 +671,16 @@ object EsSql {
             }
         }
       }
+      // HAVING aggregates lift BEFORE the STATS line is emitted so the
+      // synthetic entries ride the same single hash aggregation
+      val havingLift = cs.get("HAVING").map(liftHavingAggs(_, items))
       val stats = items.flatMap { it =>
         aggCall(it) match {
           case Some(_) => Some(s"${it.name} = ${emitAgg(it)}")
           case None => None
         }
-      }
+      } ++ havingLift.toList.flatMap(_._2)
+        .map { case (n, it) => s"$n = ${emitAgg(it)}" }
       val byStr = if (by.isEmpty) "" else " BY " + by.map { k =>
         // plain-column keys that were SELECTed under an alias keep the alias
         items.find(_.bareCol.contains(k)).flatMap(_.alias) match {
@@ -564,16 +689,18 @@ object EsSql {
         }
       }.mkString(", ")
       pipes += s"STATS ${stats.mkString(", ")}$byStr"
-      cs.get("HAVING").foreach { h =>
-        // HAVING references SELECT aliases; after STATS those are columns,
-        // so it is a plain post-agg WHERE (Catalyst keeps it above the agg)
-        val names = items.map(_.name).toSet
-        val refs = h.collect { case SId(s)
+      havingLift.foreach { case (h2, extras) =>
+        // after the lift, HAVING is a plain post-agg WHERE over STATS
+        // output columns (SELECT aliases + the lifted synthetics);
+        // anything else is a reference STATS cannot produce
+        val names = items.map(_.name).toSet ++ extras.map(_._1)
+        val refs = h2.collect { case SId(s)
           if !Set("AND", "OR", "NOT", "IN", "IS", "NULL", "LIKE", "TRUE", "FALSE")
             .contains(s.toUpperCase) => s }
         refs.find(r => !names.contains(r)).foreach(r =>
-          reject(s"HAVING may only reference SELECT aliases (got '$r')"))
-        pipes += s"WHERE ${emit(h)}"
+          reject(s"HAVING may only reference SELECT aliases or aggregate " +
+            s"calls (got '$r')"))
+        pipes += s"WHERE ${emit(h2)}"
       }
       // KEEP restores SELECT order (STATS emits aggs before keys)
       pipes += s"KEEP ${items.map(_.name).mkString(", ")}"
@@ -596,6 +723,9 @@ object EsSql {
         }
         body match {
           case List(SId(c)) => s"$c$dir"
+          // ORDER BY ordinal: 1-based SELECT item reference — sorts on
+          // that item's output column (ES SQL accepts ordinals here too)
+          case List(SNum(n)) => s"${ordinalItem(n, "ORDER BY").name}$dir"
           case other =>
             // real ES SQL (and Kibana's generated statements) sort on the
             // aggregate expression itself (`ORDER BY COUNT(*) DESC`);

@@ -60,6 +60,60 @@ class EsSqlPropertySpec extends SparkSpec {
     }
   }
 
+  test("ordinals + unSELECTed HAVING aggregates: 15 random statements equal twins") {
+    val rnd = new scala.util.Random(31L)
+    (1 to 15).foreach { _ =>
+      val lo = rnd.nextInt(300)
+      val havSum = 500 + rnd.nextInt(20000)
+      val lim = rnd.nextInt(5) + 1
+      // GROUP BY 1 (ordinal), ORDER BY 2 (ordinal → COUNT alias), HAVING
+      // on aggregates that are NOT select items (SUM lift + compound avg)
+      val q = s"""SELECT g, COUNT(*) AS n FROM t
+                 |WHERE v >= $lo
+                 |GROUP BY 1
+                 |HAVING SUM(v) > $havSum AND SUM(v) / COUNT(*) > 100
+                 |ORDER BY 2 DESC, g ASC LIMIT $lim""".stripMargin
+      val got = EsSql.run(Map("t" -> base), q).collect().map(_.toSeq).toSeq
+      val twin = base.filter(col("v") >= lo)
+        .groupBy("g")
+        .agg(count(lit(1)).cast("long").as("n"), sum(col("v")).cast("long").as("_s"))
+        .filter(col("_s") > havSum &&
+          col("_s").cast("double") / col("n") > 100)
+        .select("g", "n")
+        .orderBy(col("n").desc, col("g").asc)
+        .limit(lim)
+        .collect().map(_.toSeq).toSeq
+      assert(got === twin, s"statement diverged from its twin: $q")
+    }
+  }
+
+  test("date extract scalars rewrite onto DATE_EXTRACT; WEEK rejects loudly") {
+    import spark.implicits._
+    // one row per hour over 3 ISO weeks of Jan 2024 (epoch micros)
+    val t0 = java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli * 1000L
+    val ev = (0 until 21 * 24).map { h =>
+      (h.toLong, t0 + h * 3600L * 1000000L, (h % 7).toLong)
+    }.toDF("id", "ts_us", "v")
+    val q =
+      """SELECT DAY_OF_WEEK(ts_us) AS dow, COUNT(*) AS n
+        |FROM t WHERE HOUR(ts_us) < 6 AND QUARTER(ts_us) = 1
+        |  AND YEAR(ts_us) = 2024 AND MONTH(ts_us) = 1
+        |GROUP BY 1 ORDER BY 1 ASC""".stripMargin
+    val got = EsSql.run(Map("t" -> ev), q)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // 2024-01-01 is a MONDAY: ISO dow 1..7, 3 weeks × 6 qualifying hours
+    assert(got === (1L to 7L).map(d => (d, 18L)))
+    val e = intercept[IllegalArgumentException](EsSql.run(Map("t" -> ev),
+      "SELECT WEEK_OF_YEAR(ts_us) AS w, COUNT(*) AS n FROM t GROUP BY 1"))
+    assert(e.getMessage.contains("WEEK_OF_YEAR"))
+    // a COLUMN named like a date fn passes through untouched (no call)
+    val ev2 = ev.withColumnRenamed("v", "year")
+    val r2 = EsSql.run(Map("t" -> ev2),
+      "SELECT id, year FROM t WHERE year = 3 ORDER BY id ASC LIMIT 2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(r2 === Seq((3L, 3L), (10L, 3L)))
+  }
+
   test("25 random row SELECTs (LIKE, computed alias, OFFSET paging) equal twins") {
     val rnd = new scala.util.Random(17L)
     (1 to 25).foreach { _ =>

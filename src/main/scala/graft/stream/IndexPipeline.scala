@@ -145,7 +145,7 @@ object IndexPipeline {
     }
   }
 
-  private def deleteRecursively(p: Path): Unit =
+  private[stream] def deleteRecursively(p: Path): Unit =
     if (Files.exists(p))
       Files.walk(p).sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
 
@@ -1229,6 +1229,31 @@ object IndexPipeline {
     * EQL result row for row. 100 TB/day shape: state O(keys)·3 longs,
     * append-only sink, no reprocessing — the funnel fires the moment the
     * purchase lands. */
+  /** st16's per-key EQL fold, shared with the StreamSoak state-soak
+    * harness: carry = the last 1-step and 2-step prefix timestamps —
+    * THREE longs per user, the whole per-key state. */
+  private[stream] def seqFold(key: Long, it: Iterator[SeqEvent],
+      st: org.apache.spark.sql.streaming.GroupState[SeqCarry]): Iterator[SeqHit] = {
+    val MaxSpanUs = 259200000000L // 72h
+    var c = st.getOption.getOrElse(SeqCarry(-1L, -1L, -1L))
+    val out = scala.collection.mutable.ListBuffer[SeqHit]()
+    it.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+      // compute this row's stage completions from PRE-row carries
+      val a0 = if (e.event_type == "view") e.ts_us else -1L
+      val a1 = if (e.event_type == "click" && c.s1 >= 0) (c.s1, e.ts_us) else null
+      if (e.event_type == "purchase" && c.s2a >= 0 &&
+          e.ts_us - c.s2a <= MaxSpanUs)
+        out += SeqHit(key, c.s2a, c.s2b, e.ts_us, e.ts_us - c.s2a)
+      // post-row carry updates (stage slots are independent)
+      c = SeqCarry(
+        if (a0 >= 0) a0 else c.s1,
+        if (a1 != null) a1._1 else c.s2a,
+        if (a1 != null) a1._2 else c.s2b)
+    }
+    st.update(c)
+    out.iterator
+  }
+
   private def st16(s0: SparkSession, d: String): DataFrame = {
     import s0.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -1247,27 +1272,6 @@ object IndexPipeline {
       ev.filter(floor(col("ts_us") * 3 / maxTs) === i)
         .coalesce(1).write.parquet(s"$srcDir/b$i")
     }
-    val MaxSpanUs = 259200000000L // 72h
-    def upd(key: Long, it: Iterator[SeqEvent],
-            st: GroupState[SeqCarry]): Iterator[SeqHit] = {
-      var c = st.getOption.getOrElse(SeqCarry(-1L, -1L, -1L))
-      val out = scala.collection.mutable.ListBuffer[SeqHit]()
-      it.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
-        // compute this row's stage completions from PRE-row carries
-        val a0 = if (e.event_type == "view") e.ts_us else -1L
-        val a1 = if (e.event_type == "click" && c.s1 >= 0) (c.s1, e.ts_us) else null
-        if (e.event_type == "purchase" && c.s2a >= 0 &&
-            e.ts_us - c.s2a <= MaxSpanUs)
-          out += SeqHit(key, c.s2a, c.s2b, e.ts_us, e.ts_us - c.s2a)
-        // post-row carry updates (stage slots are independent)
-        c = SeqCarry(
-          if (a0 >= 0) a0 else c.s1,
-          if (a1 != null) a1._1 else c.s2a,
-          if (a1 != null) a1._2 else c.s2b)
-      }
-      st.update(c)
-      out.iterator
-    }
     val qname = s"st16_eql_${System.nanoTime()}"
     val stream = s.readStream
       .schema(ev.schema)
@@ -1275,7 +1279,7 @@ object IndexPipeline {
       .parquet(s"$srcDir/b*")
       .as[SeqEvent]
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(upd _)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(seqFold _)
       .writeStream
       .outputMode("append")
       .format("memory")

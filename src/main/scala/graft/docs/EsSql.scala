@@ -29,9 +29,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * to the comparison pair — ES|QL has no BETWEEN), `CAST(x AS type)`
   * (rewritten to TO_LONG/TO_DOUBLE/TO_STRING), GROUP BY / ORDER BY
   * ordinals (1-based SELECT item references — Kibana emits `GROUP BY 1`),
-  * HAVING on aggregate CALLS whether or not they are SELECTed (each
-  * lifts to a STATS entry, synthetic `_hN` when unselected — so
-  * `HAVING SUM(a) / SUM(b) > 2` is post-agg arithmetic, not a reject),
+  * HAVING and ORDER BY on aggregate CALLS whether or not they are
+  * SELECTed (each lifts to a STATS entry, synthetic `_hN` when
+  * unselected, shared between the two clauses — so
+  * `HAVING SUM(a) / SUM(b) > 2` is post-agg arithmetic and
+  * `ORDER BY SUM(v) DESC` sorts on the lifted column, not a reject),
   * and the ES SQL date extract scalars YEAR/MONTH[_OF_YEAR]/
   * DAY[_OF_MONTH|_OF_WEEK|_OF_YEAR]/HOUR/MINUTE/SECOND/QUARTER (→
   * `DATE_EXTRACT` parts; ISO day-of-week, Monday = 1; WEEK_OF_YEAR
@@ -302,16 +304,19 @@ object EsSql {
     case _ => emit(it.expr)
   }
 
-  /** Lift aggregate calls out of a HAVING body: each balanced `AGG(...)`
-    * span becomes a column reference — the SELECTed item's name when one
-    * canonically matches, else a synthetic `_hN` STATS entry the final
-    * KEEP drops. This is the real ES SQL contract (Kibana emits
-    * `HAVING COUNT(*) > n` whether or not COUNT(*) is selected), and it
-    * makes compound HAVING arithmetic (`SUM(a) / SUM(b) > 2`) work
-    * naturally: each component lifts and the quotient is plain post-STATS
-    * arithmetic in the WHERE. Returns the rewritten body + the synthetic
-    * (name, aggregate) entries to append to STATS. */
-  private def liftHavingAggs(h: List[Tok], items: List[Item])
+  /** Lift aggregate calls out of a HAVING or ORDER BY body: each balanced
+    * `AGG(...)` span becomes a column reference — the SELECTed item's name
+    * when one canonically matches, else a synthetic `_hN` STATS entry the
+    * final KEEP drops. This is the real ES SQL contract (Kibana emits
+    * `HAVING COUNT(*) > n` and sorts on metrics whether or not they are
+    * selected), and it makes compound HAVING arithmetic
+    * (`SUM(a) / SUM(b) > 2`) work naturally: each component lifts and the
+    * quotient is plain post-STATS arithmetic in the WHERE. `seen` carries
+    * synthetics from an earlier lift so HAVING and ORDER BY share one
+    * STATS entry for the same aggregate (and `_hN` numbering never
+    * collides). Returns the rewritten body + the NEW synthetic entries. */
+  private def liftAggCalls(h: List[Tok], items: List[Item],
+                           seen: List[(String, Item)])
       : (List[Tok], List[(String, Item)]) = {
     val out = scala.collection.mutable.ListBuffer[Tok]()
     val extras = scala.collection.mutable.ListBuffer[(String, Item)]()
@@ -332,9 +337,10 @@ object EsSql {
         val name = items
           .find(x => aggCall(x).isDefined && canonKey(x.expr) == key)
           .map(_.name)
-          .orElse(extras.find(e => canonKey(e._2.expr) == key).map(_._1))
+          .orElse((seen ++ extras).find(e => canonKey(e._2.expr) == key)
+            .map(_._1))
           .getOrElse {
-            val n = s"_h${extras.size}"
+            val n = s"_h${seen.size + extras.size}"
             extras += ((n, it)); n
           }
         out += SId(name)
@@ -627,6 +633,8 @@ object EsSql {
         reject(s"$what ordinal $i out of range (SELECT has ${items.size} items)")
       items(i - 1)
     }
+    // agg path replaces this with the aggregate-lifted ORDER BY body
+    var liftedOrder: Option[List[Tok]] = None
     val groupKeys = cs.get("GROUP").map(commaSplit).getOrElse(Nil).map {
       case List(SNum(n)) =>
         val it = ordinalItem(n, "GROUP BY")
@@ -671,16 +679,21 @@ object EsSql {
             }
         }
       }
-      // HAVING aggregates lift BEFORE the STATS line is emitted so the
-      // synthetic entries ride the same single hash aggregation
-      val havingLift = cs.get("HAVING").map(liftHavingAggs(_, items))
+      // HAVING and ORDER BY aggregates lift BEFORE the STATS line is
+      // emitted so the synthetic entries ride the same single hash
+      // aggregation (a shared aggregate lifts once — `seen` threading)
+      val havingLift = cs.get("HAVING").map(liftAggCalls(_, items, Nil))
+      val orderLift = cs.get("ORDER").map(liftAggCalls(_, items,
+        havingLift.map(_._2).getOrElse(Nil)))
+      val liftedExtras = havingLift.map(_._2).getOrElse(Nil) ++
+        orderLift.map(_._2).getOrElse(Nil)
+      orderLift.foreach { case (o2, _) => liftedOrder = Some(o2) }
       val stats = items.flatMap { it =>
         aggCall(it) match {
           case Some(_) => Some(s"${it.name} = ${emitAgg(it)}")
           case None => None
         }
-      } ++ havingLift.toList.flatMap(_._2)
-        .map { case (n, it) => s"$n = ${emitAgg(it)}" }
+      } ++ liftedExtras.map { case (n, it) => s"$n = ${emitAgg(it)}" }
       val byStr = if (by.isEmpty) "" else " BY " + by.map { k =>
         // plain-column keys that were SELECTed under an alias keep the alias
         items.find(_.bareCol.contains(k)).flatMap(_.alias) match {
@@ -689,11 +702,11 @@ object EsSql {
         }
       }.mkString(", ")
       pipes += s"STATS ${stats.mkString(", ")}$byStr"
-      havingLift.foreach { case (h2, extras) =>
+      havingLift.foreach { case (h2, _) =>
         // after the lift, HAVING is a plain post-agg WHERE over STATS
         // output columns (SELECT aliases + the lifted synthetics);
         // anything else is a reference STATS cannot produce
-        val names = items.map(_.name).toSet ++ extras.map(_._1)
+        val names = items.map(_.name).toSet ++ liftedExtras.map(_._1)
         val refs = h2.collect { case SId(s)
           if !Set("AND", "OR", "NOT", "IN", "IS", "NULL", "LIKE", "TRUE", "FALSE")
             .contains(s.toUpperCase) => s }
@@ -702,8 +715,9 @@ object EsSql {
             s"calls (got '$r')"))
         pipes += s"WHERE ${emit(h2)}"
       }
-      // KEEP restores SELECT order (STATS emits aggs before keys)
-      pipes += s"KEEP ${items.map(_.name).mkString(", ")}"
+      // the SELECT-order KEEP is emitted AFTER SORT/LIMIT (end of this
+      // method) so a sort on a lifted, unselected aggregate still sees
+      // its synthetic column; the bounded SORT+LIMIT shape is unchanged
     } else {
       // ---- row path: EVAL computed/aliased items; the KEEP is DEFERRED
       // to after SORT/LIMIT so ORDER BY may reference any source column,
@@ -714,7 +728,7 @@ object EsSql {
       if (evals.nonEmpty) pipes += s"EVAL ${evals.mkString(", ")}"
     }
 
-    cs.get("ORDER").foreach { o =>
+    liftedOrder.orElse(cs.get("ORDER")).foreach { o =>
       val keys = commaSplit(o).map { k =>
         val (body, dir) = k.lastOption match {
           case Some(t) if isKw(t, "ASC") => (k.dropRight(1), " ASC")
@@ -769,8 +783,11 @@ object EsSql {
       case List(SNum(n)) => pipes += s"LIMIT ${pageCount("LIMIT", n) + offset}"
       case other => reject(s"LIMIT must be an integer literal, got: ${emit(other)}")
     }
-    if (groupKeys.isEmpty && !items.exists(aggCall(_).isDefined))
-      pipes += s"KEEP ${items.map(_.name).mkString(", ")}"
+    // both paths: KEEP runs LAST, restoring SELECT order after SORT/LIMIT
+    // (row path: ORDER BY may reference any source column; agg path: a
+    // sort on a lifted aggregate reads its synthetic column before the
+    // projection drops it)
+    pipes += s"KEEP ${items.map(_.name).mkString(", ")}"
     (pipes.mkString("\n| "), offset)
   }
 

@@ -1180,6 +1180,36 @@ class PlanAuditSpec extends SparkSpec {
       s"extensions must plan as proper equi-joins:\n$p")
   }
 
+  test("d263: bm25 rescore plans ONE corpus scan (stats ride the standing " +
+    "table, never a second scan) + bounded heaps, no join") {
+    val p = plan(q("d263_es_rescore_bm25"))
+    val scans = """\(\d+\) Scan parquet""".r.findAllIn(p).length
+    assert(scans === 1, s"expected only the hit scan, got $scans:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the rescore window and page must be bounded heaps:\n$p")
+    assert(!p.contains("Join"), s"scoring is pure expressions, no join:\n$p")
+  }
+
+  test("d264: ES SQL date extracts + ordinals stay ONE map-combined hash agg") {
+    val p = plan(q("d264_es_sql_datefns"))
+    assert(!p.contains("Join") && !p.contains(" Window"),
+      s"date-bucketed agg must be flat:\n$p")
+    assert(p.contains("partial_"),
+      s"aggregates must partial-combine before the shuffle:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"ORDER BY + LIMIT must be a bounded heap:\n$p")
+    val scans = """\(\d+\) Scan parquet""".r.findAllIn(p).length
+    assert(scans === 1, s"expected one events scan, got $scans:\n$p")
+  }
+
+  test("d265: HAVING aggregate lift shares the single STATS aggregation") {
+    val p = plan(q("d265_es_sql_having"))
+    assert(!p.contains("Join"), s"lifted HAVING must not join:\n$p")
+    val scans = """\(\d+\) Scan parquet""".r.findAllIn(p).length
+    assert(scans === 1,
+      s"all HAVING aggregates must ride the one events scan, got $scans:\n$p")
+  }
+
   test("t16: stratified sample runs both windows on ONE stratum shuffle") {
     val p = plan(q("t16_stratified_sample"))
     // count-per-stratum and hash-rank share the lang partitioning: one

@@ -87,6 +87,36 @@ class EsSqlPropertySpec extends SparkSpec {
     }
   }
 
+  test("ORDER BY on an unselected aggregate lifts into STATS (shared with " +
+    "HAVING's lift when the aggregate is the same)") {
+    val rnd = new scala.util.Random(47L)
+    (1 to 10).foreach { _ =>
+      val lo = rnd.nextInt(300)
+      val lim = rnd.nextInt(4) + 1
+      // SUM(v) appears in HAVING and ORDER BY but never in SELECT: one
+      // synthetic _h0 entry serves both; MAX(v) lifts as _h1 for the sort
+      val q = s"""SELECT g, COUNT(*) AS n FROM t
+                 |WHERE v >= $lo
+                 |GROUP BY g
+                 |HAVING SUM(v) > 1000
+                 |ORDER BY SUM(v) DESC, MAX(v) ASC, g ASC LIMIT $lim""".stripMargin
+      val got = EsSql.run(Map("t" -> base), q).collect().map(_.toSeq).toSeq
+      val twin = base.filter(col("v") >= lo)
+        .groupBy("g")
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("v")).cast("long").as("_s"), max(col("v")).as("_m"))
+        .filter(col("_s") > 1000)
+        .orderBy(col("_s").desc, col("_m").asc, col("g").asc)
+        .select("g", "n")
+        .limit(lim)
+        .collect().map(_.toSeq).toSeq
+      assert(got === twin, s"statement diverged from its twin: $q")
+      // the shared lift really is shared: the pipe names _h0 once in STATS
+      val pipe = EsSql.translate(q.replace("LIMIT " + lim, "LIMIT 5"))
+      assert(pipe.linesIterator.count(_.contains("_h0 =")) === 1, pipe)
+    }
+  }
+
   test("date extract scalars rewrite onto DATE_EXTRACT; WEEK rejects loudly") {
     import spark.implicits._
     // one row per hour over 3 ISO weeks of Jan 2024 (epoch micros)

@@ -24,9 +24,9 @@ class EsSqlSpec extends SparkSpec {
         || WHERE n_chars > 200
         || STATS n = COUNT ( * ), srcs = COUNT_DISTINCT ( source ) BY language = lang
         || WHERE n > 1
-        || KEEP language, n, srcs
         || SORT n DESC, language ASC
-        || LIMIT 10""".stripMargin)
+        || LIMIT 10
+        || KEEP language, n, srcs""".stripMargin)
   }
 
   test("HISTOGRAM group key becomes a computed BUCKET BY key") {
@@ -35,8 +35,8 @@ class EsSqlSpec extends SparkSpec {
     assert(got ===
       """FROM t
         || STATS s = SUM ( price ) BY b = BUCKET ( price , 50 )
-        || KEEP b, s
-        || SORT b""".stripMargin)
+        || SORT b
+        || KEEP b, s""".stripMargin)
   }
 
   test("row path: dialect map = / <> / 'str' / LIKE wildcards, KEEP deferred") {
@@ -218,9 +218,9 @@ class EsSqlSpec extends SparkSpec {
                |ORDER BY COUNT(*) DESC LIMIT 5""".stripMargin) ===
       """FROM t
         || STATS n = COUNT ( * ) BY g
-        || KEEP g, n
         || SORT n DESC
-        || LIMIT 5""".stripMargin)
+        || LIMIT 5
+        || KEEP g, n""".stripMargin)
     // fn-name case is insensitive in the match (ES SQL contract) while
     // column identifiers stay exact
     assert(t("""SELECT g, COUNT(*) AS n FROM t GROUP BY g
@@ -271,7 +271,13 @@ class EsSqlSpec extends SparkSpec {
       .contains("compound aggregate"))
     assert(err("SELECT SCORE(x) AS sc FROM t").contains("SCORE"))
     assert(err("SELECT a FROM t OFFSET 5").contains("OFFSET without ORDER BY"))
-    assert(err("SELECT g, SUM(v) AS s FROM t GROUP BY 1").contains("ordinal"))
+    // GROUP BY ordinals are now SUPPORTED (1-based SELECT references);
+    // what still rejects: out-of-range, and an ordinal naming an aggregate
+    assert(t("SELECT g, SUM(v) AS s FROM t GROUP BY 1")
+      .contains("STATS s = SUM ( v ) BY g"))
+    assert(err("SELECT g, SUM(v) AS s FROM t GROUP BY 3").contains("out of range"))
+    assert(err("SELECT g, SUM(v) AS s FROM t GROUP BY 2")
+      .contains("references an aggregate"))
     assert(err("SELECT a FROM t HAVING a > 1").contains("HAVING without GROUP BY"))
     assert(err("SELECT g, SUM(v) AS s FROM t GROUP BY g HAVING v > 1")
       .contains("SELECT aliases"))

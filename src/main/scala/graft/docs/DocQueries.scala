@@ -9366,6 +9366,93 @@ object DocQueries {
       |    AS DOUBLE) / COUNT(*) > 49
       |ORDER BY n DESC, event_type ASC""".stripMargin
 
+  // ---------------------------------------------------------------- d266
+  /** ES SQL `CASE WHEN` — both dialect forms, rewritten source-to-source
+    * onto ES|QL's variadic `CASE(c1, v1, ..., default)` function: the
+    * searched form maps conditions 1:1, the simple form
+    * (`CASE lang WHEN 'en' ...`) rewrites each branch to
+    * `(operand) = (value)`. Used as GROUP BY keys (via ordinals) the
+    * CASEs become computed BY keys inside the ONE hash aggregation —
+    * banding never adds a pass over the data. */
+  private def d266(s: SparkSession, d: String): DataFrame = {
+    val q =
+      """SELECT CASE WHEN n_chars >= 400 THEN 'long'
+        |            WHEN n_chars >= 150 THEN 'mid'
+        |            ELSE 'short' END AS band,
+        |       CASE lang WHEN 'en' THEN 'english' ELSE 'other' END AS family,
+        |       COUNT(*) AS n, SUM(n_chars) AS chars
+        |FROM documents
+        |GROUP BY 1, 2
+        |ORDER BY n DESC, band ASC, family ASC""".stripMargin
+    EsSql.run(Map("documents" ->
+      s.read.parquet(s"$d/documents.parquet")), q)
+  }
+
+  private val d266Sql =
+    """SELECT CASE WHEN n_chars >= 400 THEN 'long'
+      |            WHEN n_chars >= 150 THEN 'mid'
+      |            ELSE 'short' END AS band,
+      |  CASE lang WHEN 'en' THEN 'english' ELSE 'other' END AS family,
+      |  CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
+      |FROM documents
+      |GROUP BY 1, 2
+      |ORDER BY n DESC, band ASC, family ASC""".stripMargin
+
+  // ---------------------------------------------------------------- d267
+  /** ES SQL `NOT IN` / `NOT LIKE` — postfix negations rewritten to the
+    * prefix-NOT forms ES|QL parses (`NOT x IN (...)`); the LIKE pattern
+    * rides the same %→* / _→? wildcard map as plain LIKE. Both land in
+    * the pipe's WHERE, i.e. ONE pushed scan filter — negation never
+    * becomes an anti-join. */
+  private def d267(s: SparkSession, d: String): DataFrame = {
+    val q =
+      """SELECT doc_id, lang, source
+        |FROM documents
+        |WHERE lang NOT IN ('zh', 'de') AND source NOT LIKE 'src1%'
+        |  AND n_chars BETWEEN 100 AND 500
+        |ORDER BY doc_id ASC
+        |LIMIT 40""".stripMargin
+    EsSql.run(Map("documents" ->
+      s.read.parquet(s"$d/documents.parquet")), q)
+  }
+
+  private val d267Sql =
+    """SELECT doc_id, lang, source
+      |FROM documents
+      |WHERE lang NOT IN ('zh', 'de') AND source NOT LIKE 'src1%'
+      |  AND n_chars BETWEEN 100 AND 500
+      |ORDER BY doc_id ASC
+      |LIMIT 40""".stripMargin
+
+  // ---------------------------------------------------------------- d268
+  /** ES SQL conditional scalars — `NULLIF` (→ null-when-equal CASE),
+    * `IIF` (→ variadic CASE), `IFNULL` (→ COALESCE), plus `DATE_TRUNC`
+    * riding through on its shared (unit, ts) signature. The canonical
+    * NULLIF use — a divide-by-zero guard — stays a pure per-row
+    * projection: no branch ever becomes a filter+union. */
+  private def d268(s: SparkSession, d: String): DataFrame = {
+    val q =
+      """SELECT event_id,
+        |       value / NULLIF(user_id % 7, 0) AS unit_value,
+        |       IIF(value >= 50, 'high', 'low') AS tier,
+        |       IFNULL(NULLIF(event_type, 'view'), 'was-view') AS etype
+        |FROM events
+        |WHERE DATE_TRUNC('month', ts_us) = DATE_TRUNC('quarter', ts_us)
+        |ORDER BY event_id ASC
+        |LIMIT 60""".stripMargin
+    EsSql.run(Map("events" -> graft.Tables.events(s, d).drop("ts")), q)
+  }
+
+  private val d268Sql =
+    """SELECT event_id,
+      |  value / NULLIF(user_id % 7, 0) AS unit_value,
+      |  CASE WHEN value >= 50 THEN 'high' ELSE 'low' END AS tier,
+      |  COALESCE(NULLIF(event_type, 'view'), 'was-view') AS etype
+      |FROM events
+      |WHERE DATE_TRUNC('month', ts) = DATE_TRUNC('quarter', ts)
+      |ORDER BY event_id ASC
+      |LIMIT 60""".stripMargin
+
   // ---------------------------------------------------------------- d257
   /** EQL EVERY-PARTIAL-MATCH mode — the complement of the engine's
     * default last-prefix matching (closing the documented deviation):
@@ -10373,6 +10460,9 @@ object DocQueries {
     "d253_es_sql_offset" -> d253 _,
     "d264_es_sql_datefns" -> d264 _,
     "d265_es_sql_having" -> d265 _,
+    "d266_es_sql_case" -> d266 _,
+    "d267_es_sql_not" -> d267 _,
+    "d268_es_sql_conditionals" -> d268 _,
     "d254_eql_unbounded" -> d254 _,
     "d255_esql_qstr" -> d255 _,
     "d256_esql_match_phrase" -> d256 _,
@@ -10640,6 +10730,9 @@ object DocQueries {
     "d253_es_sql_offset" -> d253Sql,
     "d264_es_sql_datefns" -> d264Sql,
     "d265_es_sql_having" -> d265Sql,
+    "d266_es_sql_case" -> d266Sql,
+    "d267_es_sql_not" -> d267Sql,
+    "d268_es_sql_conditionals" -> d268Sql,
     "d254_eql_unbounded" -> d254Sql,
     "d255_esql_qstr" -> d255Sql,
     "d256_esql_match_phrase" -> d256Sql,

@@ -174,7 +174,11 @@ object EsSql {
     * that happens to be named `ucase` passes through untouched. */
   private val FnRename = Map(
     "UCASE" -> "TO_UPPER", "LCASE" -> "TO_LOWER", "CHAR_LENGTH" -> "LENGTH",
-    "OCTET_LENGTH" -> "BYTE_LENGTH")
+    "OCTET_LENGTH" -> "BYTE_LENGTH",
+    // conditionals: IIF(c,t,f) is ES|QL's variadic CASE with a default;
+    // IFNULL/ISNULL/NVL are ES SQL's two-arg COALESCE spellings
+    "IIF" -> "CASE", "IFNULL" -> "COALESCE", "ISNULL" -> "COALESCE",
+    "NVL" -> "COALESCE")
 
   private def emit(ts: List[Tok]): String = {
     val sb = new StringBuilder
@@ -487,6 +491,155 @@ object EsSql {
     out.toList
   }
 
+  /** `NULLIF(a, b)` → `CASE((a) = (b), NULL, (a))` — ES|QL has no NULLIF.
+    * The CASE form carries the exact SQL contract including the null-b
+    * edge: `a = b` is never TRUE against a null `b`, so the default `a`
+    * comes back. Both captured args re-enter the scan (nested NULLIFs
+    * recurse); the emitted function-form `CASE (` is inert in every
+    * later pass. */
+  private def rewriteNullIf(ts: List[Tok]): List[Tok] = {
+    val out = scala.collection.mutable.ListBuffer[Tok]()
+    var rest = ts
+    while (rest.nonEmpty) rest match {
+      case SId(f) :: SOp("(") :: tail if f.equalsIgnoreCase("NULLIF") =>
+        val a = scala.collection.mutable.ListBuffer[Tok]()
+        val b = scala.collection.mutable.ListBuffer[Tok]()
+        var curArg = a
+        var depth = 1
+        var rem = tail
+        while (depth > 0) rem match {
+          case (t @ SOp("(")) :: tl => depth += 1; curArg += t; rem = tl
+          case SOp(")") :: tl =>
+            depth -= 1; if (depth > 0) curArg += SOp(")"); rem = tl
+          case SOp(",") :: tl if depth == 1 =>
+            if (curArg eq b) reject("NULLIF takes exactly two arguments")
+            curArg = b; rem = tl
+          case t :: tl => curArg += t; rem = tl
+          case Nil => reject("unbalanced NULLIF parentheses")
+        }
+        if (a.isEmpty || b.isEmpty) reject("NULLIF takes exactly two arguments")
+        rest = List(SId("CASE"), SOp("("), SOp("(")) ++ a ++
+          List(SOp(")"), SOp("="), SOp("(")) ++ b ++
+          List(SOp(")"), SOp(","), SId("NULL"), SOp(","), SOp("(")) ++ a ++
+          List(SOp(")"), SOp(")")) ++ rem
+      case t :: tail => out += t; rest = tail
+    }
+    out.toList
+  }
+
+  /** SQL `CASE` → ES|QL's `CASE(...)` function. The searched form
+    * `CASE WHEN c THEN v [WHEN c2 THEN v2]* [ELSE e] END` maps 1:1 onto
+    * `CASE(c, v [, c2, v2]*, e)` (no ELSE → no default → null, both
+    * dialects' contract); the simple form `CASE x WHEN v THEN r ... END`
+    * rewrites each branch condition to `(x) = (v)`. The emitted argument
+    * tokens re-enter the scan, so nested CASEs recurse; the emitted
+    * `CASE (` head is skipped by the not-followed-by-paren guard. */
+  private def rewriteCaseWhen(ts: List[Tok]): List[Tok] = {
+    val out = scala.collection.mutable.ListBuffer[Tok]()
+    var rest = ts
+    while (rest.nonEmpty) rest match {
+      case SId(cw) :: tail if cw.equalsIgnoreCase("CASE") &&
+          !tail.headOption.contains(SOp("(")) =>
+        // capture to the matching END, tracking nested CASE depth
+        val body = scala.collection.mutable.ListBuffer[Tok]()
+        var depthCase = 0
+        var rem = tail
+        var open = true
+        while (open) rem match {
+          case Nil => reject("CASE without END")
+          // function-form CASE( — ES|QL native, no END — must not count
+          case (t @ SId(x)) :: tl if x.equalsIgnoreCase("CASE") &&
+              !tl.headOption.contains(SOp("(")) =>
+            depthCase += 1; body += t; rem = tl
+          case (t @ SId(x)) :: tl if x.equalsIgnoreCase("END") =>
+            if (depthCase == 0) { open = false; rem = tl }
+            else { depthCase -= 1; body += t; rem = tl }
+          case t :: tl => body += t; rem = tl
+        }
+        // split the body at ITS OWN top-level WHEN/THEN/ELSE markers
+        val parts = scala.collection.mutable.ListBuffer[(String, List[Tok])]()
+        var cur = scala.collection.mutable.ListBuffer[Tok]()
+        var mark = "OPERAND" // tokens before the first WHEN (simple CASE)
+        var dp = 0
+        var dc = 0
+        var look = body.toList
+        while (look.nonEmpty) { look match {
+          case (t @ SOp("(")) :: _ => dp += 1; cur += t
+          case (t @ SOp(")")) :: _ => dp -= 1; cur += t
+          // same function-form guard: CASE( pairs with ')' (dp), not END
+          case (t @ SId(x)) :: tl if x.equalsIgnoreCase("CASE") &&
+              !tl.headOption.contains(SOp("(")) => dc += 1; cur += t
+          case (t @ SId(x)) :: _ if x.equalsIgnoreCase("END") => dc -= 1; cur += t
+          case SId(x) :: _ if dp == 0 && dc == 0 &&
+              Set("WHEN", "THEN", "ELSE").contains(x.toUpperCase) =>
+            parts += ((mark, cur.toList))
+            cur = scala.collection.mutable.ListBuffer[Tok]()
+            mark = x.toUpperCase
+          case t :: _ => cur += t
+          case Nil => ()
+        }; look = look.tail }
+        parts += ((mark, cur.toList))
+        val operand = parts.head._2 // empty for the searched form
+        val sections = parts.toList.tail
+        val args = scala.collection.mutable.ListBuffer[List[Tok]]()
+        var i = 0
+        while (i < sections.size) sections(i) match {
+          case ("WHEN", c) =>
+            if (c.isEmpty) reject("empty WHEN condition in CASE")
+            if (i + 1 >= sections.size || sections(i + 1)._1 != "THEN")
+              reject("CASE WHEN without THEN")
+            val v = sections(i + 1)._2
+            if (v.isEmpty) reject("empty THEN value in CASE")
+            args += (if (operand.isEmpty) c
+              else (SOp("(") +: operand :+ SOp(")")) ++ (SOp("=") +:
+                SOp("(") +: c :+ SOp(")")))
+            args += v
+            i += 2
+          case ("ELSE", e) =>
+            if (e.isEmpty) reject("empty ELSE value in CASE")
+            if (i != sections.size - 1) reject("ELSE must be the last CASE branch")
+            args += e
+            i += 1
+          case (m, _) => reject(s"malformed CASE (unexpected $m section)")
+        }
+        if (!sections.exists(_._1 == "WHEN"))
+          reject("CASE without WHEN branches")
+        out ++= List(SId("CASE"), SOp("("))
+        // args re-enter the scan (nested CASE WHEN inside them recurses)
+        val joined = args.toList match {
+          case head :: tl => head ++ tl.flatMap(a => SOp(",") +: a)
+          case Nil => Nil
+        }
+        rest = joined ++ (SOp(")") :: rem)
+      case t :: tail => out += t; rest = tail
+    }
+    out.toList
+  }
+
+  /** Rewrite `<column> NOT IN (...)` / `<column> NOT LIKE 'p'` into the
+    * prefix-NOT form ES|QL parses (`NOT x IN (...)`). The same
+    * compound-operand guard as BETWEEN: a computed left side rejects
+    * loudly rather than mis-grouping the negation. */
+  private def rewriteNotOps(ts: List[Tok]): List[Tok] = {
+    val out = scala.collection.mutable.ListBuffer[Tok]()
+    def compoundPrefix: Boolean = out.lastOption.exists {
+      case SOp(o) => Set("+", "-", "*", "/", "%", ")").contains(o)
+      case _ => false
+    }
+    var rest = ts
+    while (rest.nonEmpty) rest match {
+      case SId(x) :: n :: k :: tail if isKw(n, "NOT") &&
+          (isKw(k, "IN") || isKw(k, "LIKE")) =>
+        if (compoundPrefix)
+          reject("NOT IN/LIKE on this shape (supported: " +
+            "<column> NOT IN (...) / <column> NOT LIKE 'pattern')")
+        out ++= List(SId("NOT"), SId(x), k)
+        rest = tail
+      case t :: tail => out += t; rest = tail
+    }
+    out.toList
+  }
+
   /** Rewrite `CAST(expr AS type)` into the ES|QL conversion function the
     * type maps to (TO_LONG/TO_DOUBLE/TO_STRING) — ES|QL has no CAST
     * keyword. The expr tokens pass through verbatim (nested CASTs
@@ -580,7 +733,10 @@ object EsSql {
     val (ts0, usesScore) = rewriteScore(tokenize(sql))
     // date fns FIRST so CAST bodies and clause matching see the rewritten
     // (canonical) form on both the SELECT and GROUP BY/ORDER BY sides
-    val ts = rewriteBetween(rewriteCast(rewriteDateFns(ts0)))
+    // CASE WHEN last so its bodies carry the already-rewritten forms
+    // (BETWEEN pairs, CAST→TO_*, date extracts, NULLIF, prefix-NOT)
+    val ts = rewriteCaseWhen(rewriteNotOps(rewriteBetween(
+      rewriteNullIf(rewriteCast(rewriteDateFns(ts0))))))
     if (ts.sliding(2).exists {
       case List(SOp("("), t) => isKw(t, "SELECT")
       case _ => false

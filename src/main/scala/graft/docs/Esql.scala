@@ -114,6 +114,7 @@ object Esql {
   private final case class EDouble(v: Double) extends Ex
   private final case class EStr(v: String) extends Ex
   private final case class EBool(v: Boolean) extends Ex
+  private case object ENull extends Ex // `null` literal (ES|QL has one)
   private final case class EBin(op: String, l: Ex, r: Ex) extends Ex
   private final case class ENot(e: Ex) extends Ex
   private final case class EFn(name: String, args: List[Ex]) extends Ex
@@ -212,6 +213,7 @@ object Esql {
           EFn(s.toUpperCase, args.toList)
         } else if (s.equalsIgnoreCase("TRUE")) EBool(true)
         else if (s.equalsIgnoreCase("FALSE")) EBool(false)
+        else if (s.equalsIgnoreCase("NULL")) ENull
         else EId(s)
       case other => throw new IllegalArgumentException(s"esql: bad expression at $other")
     }
@@ -302,6 +304,8 @@ object Esql {
     case EDouble(v) => lit(v)
     case EStr(v) => lit(v)
     case EBool(v) => lit(v)
+    // untyped null — Catalyst coerces it to the CASE/COALESCE branch type
+    case ENull => lit(null)
     case ENot(x) => !compile(x)
     case EIsNull(x, neg) =>
       if (neg) compile(x).isNotNull else compile(x).isNull

@@ -259,6 +259,112 @@ class EsSqlSpec extends SparkSpec {
     assert(got === Seq(("AB", 2L), ("C", 1L)))
   }
 
+  test("CASE WHEN rewrites to ES|QL CASE(); both dialect forms, nested") {
+    // searched form: conditions map 1:1; no ELSE → no default (null)
+    assert(t("SELECT CASE WHEN v > 10 THEN 'hi' ELSE 'lo' END AS band FROM t") ===
+      """FROM t
+        || EVAL band = CASE ( v > 10 , "hi" , "lo" )
+        || KEEP band""".stripMargin)
+    assert(t("SELECT CASE WHEN v > 10 THEN 'hi' END AS band FROM t") ===
+      """FROM t
+        || EVAL band = CASE ( v > 10 , "hi" )
+        || KEEP band""".stripMargin)
+    // simple form: operand = value per branch
+    assert(t("SELECT CASE g WHEN 'a' THEN 1 WHEN 'b' THEN 2 ELSE 0 END AS k FROM t")
+      === """FROM t
+        || EVAL k = CASE ( ( g ) == ( "a" ) , 1 , ( g ) == ( "b" ) , 2 , 0 )
+        || KEEP k""".stripMargin)
+    // nested CASE WHEN in a branch value recurses; BETWEEN inside a
+    // condition was already rewritten when the CASE pass runs
+    assert(t("""SELECT CASE WHEN v BETWEEN 1 AND 5 THEN
+               |  CASE WHEN w > 0 THEN 'p' ELSE 'n' END
+               |  ELSE 'out' END AS k FROM t""".stripMargin) ===
+      """FROM t
+        || EVAL k = CASE ( ( v >= 1 AND v <= 5 ) , CASE ( w > 0 , "p" , "n" ) , "out" )
+        || KEEP k""".stripMargin)
+    // a native function-form CASE( passes through untouched
+    assert(t("SELECT CASE(v > 1, 'a', 'b') AS k FROM t")
+      .contains("""EVAL k = CASE ( v > 1 , "a" , "b" )"""))
+    def err(sql: String): String =
+      intercept[IllegalArgumentException](t(sql)).getMessage
+    assert(err("SELECT CASE WHEN v > 1 THEN 'a' AS k FROM t")
+      .contains("CASE without END"))
+    assert(err("SELECT CASE WHEN v > 1 ELSE 'a' END AS k FROM t")
+      .contains("CASE WHEN without THEN"))
+    assert(err("SELECT CASE ELSE 'a' END AS k FROM t")
+      .contains("CASE without WHEN branches"))
+    assert(err("SELECT CASE WHEN v > 1 THEN 'a' ELSE 'b' WHEN v > 2 THEN 'c' END AS k FROM t")
+      .contains("ELSE must be the last CASE branch"))
+    // end-to-end: both forms as computed GROUP BY keys (via ordinals)
+    import spark.implicits._
+    val base = Seq((1L, "en"), (5L, "en"), (9L, "fr"), (20L, "fr"))
+      .toDF("v", "g")
+    val got = EsSql.run(Map("t" -> base),
+      """SELECT CASE WHEN v >= 10 THEN 'big' WHEN v >= 5 THEN 'mid'
+        |  ELSE 'small' END AS band,
+        |  CASE g WHEN 'en' THEN 'E' ELSE 'O' END AS fam,
+        |  COUNT(*) AS n
+        |FROM t GROUP BY 1, 2 ORDER BY band ASC, fam ASC""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got === Seq(("big", "O", 1L), ("mid", "E", 1L), ("mid", "O", 1L),
+      ("small", "E", 1L)))
+  }
+
+  test("conditional scalars: NULLIF/IIF/IFNULL/NVL + DATE_TRUNC passthrough") {
+    // NULLIF → null-when-equal CASE; the default branch carries `a`
+    assert(t("SELECT NULLIF(a, 0) AS k FROM t") ===
+      """FROM t
+        || EVAL k = CASE ( ( a ) == ( 0 ) , NULL , ( a ) )
+        || KEEP k""".stripMargin)
+    // nested NULLIF recurses (both arg copies)
+    assert(t("SELECT NULLIF(NULLIF(a, 1), 2) AS k FROM t").contains(
+      "CASE ( ( CASE ( ( a ) == ( 1 ) , NULL , ( a ) ) ) == ( 2 ) , NULL"))
+    def err(sql: String): String =
+      intercept[IllegalArgumentException](t(sql)).getMessage
+    assert(err("SELECT NULLIF(a) AS k FROM t")
+      .contains("NULLIF takes exactly two arguments"))
+    assert(err("SELECT NULLIF(a, b, c) AS k FROM t")
+      .contains("NULLIF takes exactly two arguments"))
+    // IIF → variadic CASE; IFNULL/ISNULL/NVL → COALESCE (call-only renames)
+    assert(t("SELECT IIF(v > 1, 'hi', 'lo') AS k, IFNULL(g, 'na') AS g2, " +
+      "NVL(h, 0) AS h2 FROM t").contains(
+      """EVAL k = CASE ( v > 1 , "hi" , "lo" ), g2 = COALESCE ( g , "na" ), h2 = COALESCE ( h , 0 )"""))
+    // DATE_TRUNC has the same (unit, ts) signature in both dialects
+    assert(t("SELECT DATE_TRUNC('month', ts) AS m FROM t") ===
+      """FROM t
+        || EVAL m = DATE_TRUNC ( "month" , ts )
+        || KEEP m""".stripMargin)
+    // end-to-end: divide-by-zero guard, the canonical NULLIF use
+    import spark.implicits._
+    val base = Seq((1L, 10L, 2L), (2L, 7L, 0L)).toDF("id", "num", "den")
+    val got = EsSql.run(Map("t" -> base),
+      "SELECT id, num / NULLIF(den, 0) AS ratio FROM t ORDER BY id")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1.0 else r.getDouble(1))).toSeq
+    assert(got === Seq((1L, 5.0), (2L, -1.0)))
+  }
+
+  test("NOT IN / NOT LIKE rewrite to the prefix-NOT forms") {
+    assert(t("SELECT a FROM t WHERE g NOT IN ('x', 'y') AND p NOT LIKE 'a%'") ===
+      """FROM t
+        || WHERE NOT g IN ( "x" , "y" ) AND NOT p LIKE "a*"
+        || KEEP a""".stripMargin)
+    // compound left side rejects loudly (mis-grouping the negation)
+    assert(intercept[IllegalArgumentException](
+      t("SELECT a FROM t WHERE v + w NOT IN (1, 2)")).getMessage
+      .contains("NOT IN/LIKE on this shape"))
+    // IS NOT NULL is untouched by the NOT-op rewrite
+    assert(t("SELECT a FROM t WHERE b IS NOT NULL AND g NOT IN ('x')")
+      .contains("WHERE b IS NOT NULL AND NOT g IN ( \"x\" )"))
+    import spark.implicits._
+    val base = Seq((1L, "x", "ab"), (2L, "y", "cd"), (3L, "z", "ae"))
+      .toDF("id", "g", "p")
+    val got = EsSql.run(Map("t" -> base),
+      "SELECT id FROM t WHERE g NOT IN ('x') AND p NOT LIKE 'a%' ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(2L))
+  }
+
   test("documented bounds reject loudly with named reasons") {
     def err(sql: String): String =
       intercept[IllegalArgumentException](t(sql)).getMessage

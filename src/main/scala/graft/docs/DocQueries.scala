@@ -9694,6 +9694,161 @@ object DocQueries {
        |WHERE rn <= 15 ORDER BY rn""".stripMargin
   }
 
+  // ---------------------------------------------------------------- d269
+  /** `function_score` under `similarity=bm25` — closing the r13 v1 bound:
+    * the should-match base is the fixed-point BM25 sum, and the function
+    * algebra (score_mode sum of matching weights, boost_mode multiply)
+    * folds over it through the SAME [[SearchQuery.scoreCol]] path as
+    * boolean mode. IEEE double × exact integers — the oracle reproduces
+    * the combined score bit-for-bit. Stats via the standing per-(corpus,
+    * field) table: no extra corpus scan beyond the hit scan. */
+  private def d269(s: SparkSession, d: String): DataFrame = {
+    val flat = s.read.parquet(s"$d/documents.parquet")
+    val docs = flat.select(struct(
+      col("doc_id").cast("string").as("objectId"),
+      col("text"), col("lang"), col("n_chars")).as("doc"))
+    val body =
+      """{"query": {"function_score": {
+        |   "query": {"bool": {
+        |     "should": [{"match": {"text": "vector merge window"}}],
+        |     "filter": [{"range": {"n_chars": {"gte": 150}}}]}},
+        |   "functions": [
+        |     {"filter": {"term": {"lang": "en"}}, "weight": 3},
+        |     {"filter": {"range": {"n_chars": {"gte": 400}}}, "weight": 0.5}
+        |   ],
+        |   "score_mode": "sum", "boost_mode": "multiply"}},
+        | "sort": [{"_score": "desc"}, {"objectId": "asc"}],
+        | "size": 25, "_source": ["objectId"]}""".stripMargin
+    SearchExec.search(docs, "doc", body,
+      docs.schema("doc").dataType.asInstanceOf[org.apache.spark.sql.types.StructType],
+      similarity = "bm25", statsKey = Some(s"dsl:$d"))
+  }
+
+  private val d269Sql = {
+    val terms = Seq("vector", "merge", "window")
+    def tf(t: String) = s"len(list_filter(ts, x -> x = '$t'))"
+    val score = terms.zipWithIndex.map { case (t, i) =>
+      graft.docs.Bm25.oracleTermSql(tf(t), "dl", "n", s"df$i", "a100")
+    }.mkString(" + ")
+    val dfs = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(SUM(CASE WHEN list_contains(ts, '$t') THEN 1 ELSE 0 END) AS BIGINT) AS df$i"
+    }.mkString(", ")
+    s"""WITH an AS (SELECT CAST(doc_id AS VARCHAR) AS oid, lang, n_chars,
+       |    regexp_split_to_array(lower(text), '\\s+') AS ts FROM documents),
+       |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST((100 * COALESCE(SUM(len(ts)), 0)) // COUNT(*) AS BIGINT) AS a100, $dfs FROM an),
+       |sc AS (SELECT oid, lang, n_chars, CAST($score AS BIGINT) AS b
+       |       FROM (SELECT oid, lang, n_chars, ts, len(ts) AS dl FROM an
+       |             WHERE n_chars >= 150)
+       |       CROSS JOIN st),
+       |fs AS (SELECT oid, CASE WHEN lang = 'en' OR n_chars >= 400
+       |         THEN CAST(b AS DOUBLE) * ((CASE WHEN lang = 'en' THEN 3.0 ELSE 0.0 END)
+       |              + (CASE WHEN n_chars >= 400 THEN 0.5 ELSE 0.0 END))
+       |         ELSE CAST(b AS DOUBLE) END AS score FROM sc)
+       |SELECT rn, score, oid AS "objectId" FROM (
+       |  SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, oid ASC) AS rn FROM fs)
+       |WHERE rn <= 25 ORDER BY rn""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- d270
+  /** `pinned` under `similarity=bm25` — curated ids rank first in list
+    * order on a 10¹⁵ ladder rung (the boolean 10⁹ rung stops dominating
+    * fixed-point BM25 sums near 10⁸ docs; see [[SearchQuery.scoreCol]]),
+    * organic hits keep their bm25 relevance. Pinned docs match regardless
+    * of the organic filter — the hit predicate is ids ∪ organic, one
+    * pushed scan filter. */
+  private def d270(s: SparkSession, d: String): DataFrame = {
+    val flat = s.read.parquet(s"$d/documents.parquet")
+    val docs = flat.select(struct(
+      col("doc_id").cast("string").as("objectId"),
+      col("text"), col("lang"), col("n_chars")).as("doc"))
+    val body =
+      """{"query": {"pinned": {
+        |   "ids": ["17", "3", "41"],
+        |   "organic": {"bool": {
+        |     "should": [{"match": {"text": "vector merge window"}}],
+        |     "filter": [{"range": {"n_chars": {"gte": 150}}}]}}}},
+        | "sort": [{"_score": "desc"}, {"objectId": "asc"}],
+        | "size": 20, "_source": ["objectId"]}""".stripMargin
+    SearchExec.search(docs, "doc", body,
+      docs.schema("doc").dataType.asInstanceOf[org.apache.spark.sql.types.StructType],
+      similarity = "bm25", statsKey = Some(s"dsl:$d"))
+  }
+
+  private val d270Sql = {
+    val terms = Seq("vector", "merge", "window")
+    def tf(t: String) = s"len(list_filter(ts, x -> x = '$t'))"
+    val score = terms.zipWithIndex.map { case (t, i) =>
+      graft.docs.Bm25.oracleTermSql(tf(t), "dl", "n", s"df$i", "a100")
+    }.mkString(" + ")
+    val dfs = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(SUM(CASE WHEN list_contains(ts, '$t') THEN 1 ELSE 0 END) AS BIGINT) AS df$i"
+    }.mkString(", ")
+    s"""WITH an AS (SELECT CAST(doc_id AS VARCHAR) AS oid, n_chars,
+       |    regexp_split_to_array(lower(text), '\\s+') AS ts FROM documents),
+       |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST((100 * COALESCE(SUM(len(ts)), 0)) // COUNT(*) AS BIGINT) AS a100, $dfs FROM an),
+       |sc AS (SELECT oid, CAST(CASE oid
+       |         WHEN '17' THEN 1000000000000002
+       |         WHEN '3'  THEN 1000000000000001
+       |         WHEN '41' THEN 1000000000000000
+       |         ELSE $score END AS BIGINT) AS score
+       |       FROM (SELECT oid, ts, len(ts) AS dl FROM an
+       |             WHERE n_chars >= 150 OR oid IN ('17', '3', '41'))
+       |       CROSS JOIN st)
+       |SELECT rn, score, oid AS "objectId" FROM (
+       |  SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, oid ASC) AS rn FROM sc)
+       |WHERE rn <= 20 ORDER BY rn""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- d271
+  /** `script_score` under `similarity=bm25` — `_score` inside the script
+    * reads the fixed-point BM25 base (cast to double), so a bm25 index
+    * re-shapes relevance exactly as ES does: the script REPLACES the
+    * score, relevance feeds it. sqrt is IEEE-correctly-rounded, so the
+    * double expression is bit-identical in the oracle. */
+  private def d271(s: SparkSession, d: String): DataFrame = {
+    val flat = s.read.parquet(s"$d/documents.parquet")
+    val docs = flat.select(struct(
+      col("doc_id").cast("string").as("objectId"),
+      col("text"), col("lang"), col("n_chars")).as("doc"))
+    val body =
+      """{"query": {"script_score": {
+        |   "query": {"bool": {
+        |     "should": [{"match": {"text": "vector merge window"}}],
+        |     "filter": [{"range": {"n_chars": {"gte": 150}}}]}},
+        |   "script": {"source":
+        |     "_score / 10 + Math.sqrt(doc['n_chars'].value)"}}},
+        | "sort": [{"_score": "desc"}, {"objectId": "asc"}],
+        | "size": 25, "_source": ["objectId"]}""".stripMargin
+    SearchExec.search(docs, "doc", body,
+      docs.schema("doc").dataType.asInstanceOf[org.apache.spark.sql.types.StructType],
+      similarity = "bm25", statsKey = Some(s"dsl:$d"))
+  }
+
+  private val d271Sql = {
+    val terms = Seq("vector", "merge", "window")
+    def tf(t: String) = s"len(list_filter(ts, x -> x = '$t'))"
+    val score = terms.zipWithIndex.map { case (t, i) =>
+      graft.docs.Bm25.oracleTermSql(tf(t), "dl", "n", s"df$i", "a100")
+    }.mkString(" + ")
+    val dfs = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(SUM(CASE WHEN list_contains(ts, '$t') THEN 1 ELSE 0 END) AS BIGINT) AS df$i"
+    }.mkString(", ")
+    s"""WITH an AS (SELECT CAST(doc_id AS VARCHAR) AS oid, n_chars,
+       |    regexp_split_to_array(lower(text), '\\s+') AS ts FROM documents),
+       |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST((100 * COALESCE(SUM(len(ts)), 0)) // COUNT(*) AS BIGINT) AS a100, $dfs FROM an),
+       |sc AS (SELECT oid,
+       |         CAST($score AS DOUBLE) / 10 + sqrt(CAST(n_chars AS DOUBLE)) AS score
+       |       FROM (SELECT oid, n_chars, ts, len(ts) AS dl FROM an
+       |             WHERE n_chars >= 150)
+       |       CROSS JOIN st)
+       |SELECT rn, score, oid AS "objectId" FROM (
+       |  SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, oid ASC) AS rn FROM sc)
+       |WHERE rn <= 25 ORDER BY rn""".stripMargin
+  }
+
   // ---------------------------------------------------------------- d255
   /** ES|QL `QSTR()` (8.17) — the Kibana search-bar query_string syntax as
     * a WHERE function, compiled through the SAME QueryString→SearchQuery→
@@ -10471,6 +10626,9 @@ object DocQueries {
     "d259_dsl_bm25" -> d259 _,
     "d260_esql_bm25" -> d260 _,
     "d263_es_rescore_bm25" -> d263 _,
+    "d269_es_function_score_bm25" -> d269 _,
+    "d270_es_pinned_bm25" -> d270 _,
+    "d271_es_script_score_bm25" -> d271 _,
     "d261_eql_all_matches_guards" -> d261 _,
     "d262_esql_inlinestats_distinct" -> d262 _,
     "d206_es_parent_agg" -> d206 _,
@@ -10741,6 +10899,9 @@ object DocQueries {
     "d259_dsl_bm25" -> d259Sql,
     "d260_esql_bm25" -> d260Sql,
     "d263_es_rescore_bm25" -> d263Sql,
+    "d269_es_function_score_bm25" -> d269Sql,
+    "d270_es_pinned_bm25" -> d270Sql,
+    "d271_es_script_score_bm25" -> d271Sql,
     "d261_eql_all_matches_guards" -> d261Sql,
     "d262_esql_inlinestats_distinct" -> d262Sql,
     "d206_es_parent_agg" -> d206Sql,

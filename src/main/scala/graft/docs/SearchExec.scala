@@ -350,18 +350,60 @@ object SearchExec {
     * sum is exactly what ES's bool query does. The score stays a LONG
     * (fixed-point), so min_score floors and sort orders are oracle-exact.
     * `rescore` re-ranks its bounded window with the SAME scorer (the
-    * rescore path above calls [[bm25ShouldScore]] on the window). v1
-    * bound, rejected loudly: script_score / function_score / pinned keep
-    * the boolean similarity (their score algebra is defined over clause
-    * counts). */
+    * rescore path above calls [[bm25ShouldScore]] on the window).
+    * Score-shaping wrappers — script_score / function_score / pinned —
+    * fold over the bm25 base through the SAME algebra as boolean mode
+    * ([[SearchQuery.scoreCol]] with the base override): `_score` inside
+    * a script reads the bm25 sum, function boost_mode multiplies/adds
+    * onto it, and the pinned ladder rides above it (10¹⁵ rung — the
+    * fixed-point scores outgrow the boolean 10⁹ ladder near 10⁸ docs). */
   private def bm25Scored(hits: DataFrame, index: DataFrame, doc: Column,
                          b: SearchQuery.FullBody,
                          statsKey: Option[String]): DataFrame = {
     val p = b.parsed
-    require(p.script.isEmpty && p.shape.isEmpty && p.pinned.isEmpty,
-      "bm25 similarity v1 covers plain bool bodies (script_score / " +
-        "function_score / pinned keep the boolean similarity)")
-    bm25ShouldScore(hits, index, doc, p.shoulds, "score", "s", statsKey)
+    // a body whose top level is a bare match (or the inner query of
+    // script_score / function_score / pinned organic is one) carries no
+    // bool shoulds — but in ES that match IS the relevance, so score the
+    // whole query as one bm25 clause when it is a match desugar
+    val clauses =
+      if (p.shoulds.nonEmpty) p.shoulds
+      else if (asMatch(p.query).nonEmpty) Seq(p.query)
+      else Nil
+    if (clauses.isEmpty)
+      // nothing bm25-scoreable (filter-only / range / match_all query) —
+      // the boolean algebra is the bm25 algebra (base 0/1 conventions
+      // are similarity-independent)
+      hits.withColumn("score", SearchQuery.scoreCol(p, doc))
+    else
+      bm25ShouldScore(hits, index, doc, clauses, "_bm25_base", "s", statsKey)
+        .withColumn("score",
+          SearchQuery.scoreCol(p, doc, Some(col("_bm25_base"))))
+        .drop("_bm25_base")
+  }
+
+  /** The match-desugar shapes scoreable per-term (lowercased — the
+    * whitespace analyzer lowercases at compile, SearchOps.tokenMatch):
+    * a [[SearchQuery.TermMatch]], or an Or/And of TermMatch on one
+    * field path. Returns (path, terms) when scoreable. */
+  private def asMatch(q: SearchQuery): Option[(Seq[String], Seq[String])] = {
+    import graft.docs.{SearchQuery => SQ}
+    def flatTerms(qs: Seq[SearchQuery]): Option[(Seq[String], Seq[String])] = {
+      val tms = qs.map { case SQ.TermMatch(pa, t) => Some((pa, t.toLowerCase))
+                         case _ => None }
+      if (tms.exists(_.isEmpty)) None
+      else {
+        val flat = tms.flatten
+        if (flat.map(_._1).distinct.size == 1)
+          Some((flat.head._1, flat.map(_._2)))
+        else None
+      }
+    }
+    q match {
+      case SQ.TermMatch(path, t) => Some((path, Seq(t.toLowerCase)))
+      case SQ.Or(qs @ _*) => flatTerms(qs)
+      case SQ.And(qs @ _*) => flatTerms(qs)
+      case _ => None
+    }
   }
 
   /** Attach `out` = the bm25-mode relevance of `shoulds` to `df`: each
@@ -379,25 +421,6 @@ object SearchExec {
                               tag: String,
                               statsKey: Option[String]): DataFrame = {
     import graft.docs.{SearchQuery => SQ}
-    // the match-desugar shapes scoreable per-term (lowercased — the
-    // whitespace analyzer lowercases at compile, SearchOps.tokenMatch)
-    def asMatch(q: SearchQuery): Option[(Seq[String], Seq[String])] = q match {
-      case SQ.TermMatch(path, t) => Some((path, Seq(t.toLowerCase)))
-      case SQ.Or(qs @ _*) => flatTerms(qs)
-      case SQ.And(qs @ _*) => flatTerms(qs)
-      case _ => None
-    }
-    def flatTerms(qs: Seq[SearchQuery]): Option[(Seq[String], Seq[String])] = {
-      val tms = qs.map { case SQ.TermMatch(pa, t) => Some((pa, t.toLowerCase))
-                         case _ => None }
-      if (tms.exists(_.isEmpty)) None
-      else {
-        val flat = tms.flatten
-        if (flat.map(_._1).distinct.size == 1)
-          Some((flat.head._1, flat.map(_._2)))
-        else None
-      }
-    }
     def toks(path: Seq[String]): Column =
       split(lower(field(doc, path)), "\\s+")
     // ONE bounded stats fetch per distinct field path — all clauses'

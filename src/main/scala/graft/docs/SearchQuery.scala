@@ -1420,42 +1420,63 @@ object SearchQuery {
     * 0 so a NULL predicate (missing/null field) contributes nothing, as in
     * ES — otherwise one NULL clause would nullify `_score` and sort the
     * document as missing instead of counting its satisfied clauses. */
-  def scoreCol(p: Parsed, doc: Column): Column = {
-    val base = scoreCol0(p, doc)
+  def scoreCol(p: Parsed, doc: Column): Column = scoreCol(p, doc, None)
+
+  /** As [[scoreCol]], with the should-relevance base REPLACED by
+    * `bmBase` when present (the bm25-mode path: SearchExec computes the
+    * fixed-point BM25 sum of the match-desugar shoulds, then this SAME
+    * algebra — script_score / function_score / pinned — folds over it,
+    * so bm25 similarity covers every score-shaping wrapper, not just
+    * plain bool bodies). The pinned ladder widens to 10¹⁵ under bm25:
+    * the fixed-point score is ≈ 2.2·N per term, so 10⁹ (the boolean
+    * ladder, > any clause count) stops dominating near ~10⁸·|terms|
+    * docs, while 10¹⁵ holds to ~4·10¹³ — far past a 100 TB corpus. */
+  def scoreCol(p: Parsed, doc: Column, bmBase: Option[Column]): Column = {
+    val base = scoreCol0(p, doc, bmBase)
     if (p.pinned.isEmpty) base
     else {
       // pinned ladder: listed ids rank first IN LIST ORDER, all above any
-      // clause count (1e9 > any should-clause sum); organic hits keep
-      // their base score. Integer arithmetic — oracle-exact.
+      // organic score; organic hits keep their base score. Integer
+      // arithmetic — oracle-exact.
+      val rung = if (bmBase.isDefined) 1000000000000000L else 1000000000L
       val pos = array_position(array(p.pinned.map(lit): _*), field(doc, Seq("objectId")))
-      when(pos > 0, lit(1000000000L) + lit(p.pinned.size.toLong) - pos).otherwise(base)
+      when(pos > 0, lit(rung) + lit(p.pinned.size.toLong) - pos).otherwise(base)
     }
   }
 
-  private def scoreCol0(p: Parsed, doc: Column): Column = {
-    def clauseCount: Column =
-      p.shoulds.map(q => coalesce(compile(q, doc).cast("long"), lit(0L))).reduce(_ + _)
+  private def scoreCol0(p: Parsed, doc: Column,
+                        bmBase: Option[Column] = None): Column = {
+    def clauseCount: Column = bmBase.getOrElse(
+      p.shoulds.map(q => coalesce(compile(q, doc).cast("long"), lit(0L))).reduce(_ + _))
+    // relevance base for the score-shaping wrappers: the bm25 base when
+    // supplied (it may come from a bare match INNER query, where shoulds
+    // is empty — the override must win over the 1.0 convention), else
+    // the clause count, else the should-less constant
+    def relBase: Column = bmBase.map(_.cast("double")).getOrElse(
+      if (p.shoulds.isEmpty) lit(1.0) else clauseCount.cast("double"))
     p.script match {
       case Some(se) =>
         // script_score: the script REPLACES the score; `_score` inside it
-        // is the base (clause count, or 1 for a should-less query — the
-        // function_score base convention)
-        val base = if (p.shoulds.isEmpty) lit(1.0) else clauseCount.cast("double")
-        return compileScript(se, doc, base)
+        // is the base (bm25 sum / clause count, or 1 for a should-less
+        // query — the function_score base convention)
+        return compileScript(se, doc, relBase)
       case None => ()
     }
     p.shape match {
-      case None => if (p.shoulds.isEmpty) lit(0L) else clauseCount
+      case None =>
+        if (bmBase.isDefined) clauseCount
+        else if (p.shoulds.isEmpty) lit(0L) else clauseCount
       case Some(sh) =>
-        // function_score / boosting: base is the clause-count relevance,
-        // or 1 for a should-less query (every match scores 1 — the
-        // match_all convention) so weights can shape a filter-only query.
-        // Matching functions combine via score_mode; the combined value
-        // folds into the base via boost_mode; a document matching NO
-        // function keeps its base score (ES FunctionScoreQuery contract).
-        // All arithmetic is IEEE double over integer-ish inputs, so the
-        // oracle reproduces it bit-for-bit.
-        val base = if (p.shoulds.isEmpty) lit(1.0) else clauseCount.cast("double")
+        // function_score / boosting: base is the relevance (bm25 sum or
+        // clause count), or 1 for a should-less query (every match
+        // scores 1 — the match_all convention) so weights can shape a
+        // filter-only query. Matching functions combine via score_mode;
+        // the combined value folds into the base via boost_mode; a
+        // document matching NO function keeps its base score (ES
+        // FunctionScoreQuery contract). All arithmetic is IEEE double
+        // over integer-ish inputs, so the oracle reproduces it
+        // bit-for-bit.
+        val base = relBase
         val matched = sh.functions.map { fn =>
           (coalesce(compile(fn.filter, doc), lit(false)), fnValue(fn, doc, base))
         }

@@ -150,20 +150,50 @@ class Bm25Spec extends SparkSpec {
     assert(plan.contains("PushedFilters: [In(term"), plan)
   }
 
-  test("v1 bounds reject loudly; stats handle the empty corpus") {
+  test("function_score + pinned fold over the bm25 base (the closed v1 " +
+      "bound): boolean and bm25 orders provably flip") {
+    import org.apache.spark.sql.types.StructType
+    val docs = corpus.select(struct(
+      col("id").cast("string").as("objectId"), col("body")).as("doc"))
+    val schema = docs.schema("doc").dataType.asInstanceOf[StructType]
+    // weight-10 boost on docs containing "filler" (only doc 1 — the LONG
+    // doc). boolean: every match-clause hit scores 1, so doc 1 = 10 tops.
+    // bm25: doc 1's common terms in a 20-token doc floor to base 0, so
+    // 10 × 0 keeps it LAST while short rare-term doc 2 (base 6) tops —
+    // the boost algebra demonstrably folds over the bm25 base.
+    val fsBody =
+      """{"query": {"function_score": {
+        |  "query": {"match": {"body": "zeta alpha beta"}},
+        |  "functions": [{"filter": {"match": {"body": "filler"}}, "weight": 10}],
+        |  "score_mode": "sum", "boost_mode": "multiply"}},
+        | "size": 6, "_source": ["objectId"]}""".stripMargin
+    def order(sim: String): Seq[String] =
+      SearchExec.search(docs, "doc", fsBody, schema, similarity = sim)
+        .collect().map(_.getAs[String]("objectId")).toSeq
+    val bool = order("boolean")
+    val bm = order("bm25")
+    assert(bool.head === "1")           // 1 clause × weight 10
+    assert(bm.head === "2" && bm.last === "1") // base 6 beats 10 × base 0
+    // pinned: listed ids ride the wide 10^15 ladder above any bm25 score,
+    // organic hits keep their bm25 relevance
+    val pinBody =
+      """{"query": {"pinned": {"ids": ["4"],
+        |  "organic": {"bool": {"should": [{"match": {"body": "zeta"}}]}}}},
+        | "size": 6, "_source": ["objectId"]}""".stripMargin
+    val pinned = SearchExec.search(docs, "doc", pinBody, schema,
+      similarity = "bm25").collect()
+      .map(r => (r.getAs[String]("objectId"), r.getAs[Long]("score"))).toSeq
+    assert(pinned === Seq(("4", 1000000000000000L), ("2", 6L)))
+  }
+
+  test("bad similarity/scoreMode reject loudly; stats handle the empty corpus") {
     import org.apache.spark.sql.types.StructType
     val docs = corpus.select(struct(
       col("id").cast("string").as("objectId"), col("body")).as("doc"))
     val schema = docs.schema("doc").dataType.asInstanceOf[StructType]
     val fsBody =
-      """{"query": {"function_score": {
-        |  "query": {"match": {"body": "zeta"}},
-        |  "functions": [{"filter": {"match": {"body": "word"}}, "weight": 2}]}},
-        | "size": 3, "_source": ["objectId"]}""".stripMargin
-    val e = intercept[IllegalArgumentException](
-      SearchExec.search(docs, "doc", fsBody, schema, similarity = "bm25")
-        .collect()).getMessage
-    assert(e.contains("bm25 similarity v1"))
+      """{"query": {"match": {"body": "zeta"}}, "size": 3,
+        | "_source": ["objectId"]}""".stripMargin
     assert(intercept[IllegalArgumentException](
       SearchExec.search(docs, "doc", fsBody, schema, similarity = "BM25"))
       .getMessage.contains("similarity must be"))

@@ -9453,6 +9453,31 @@ object DocQueries {
       |ORDER BY event_id ASC
       |LIMIT 60""".stripMargin
 
+  // ---------------------------------------------------------------- d272
+  /** ES SQL `||` string concat — rewritten to ES|QL `CONCAT` (chains
+    * left-fold; arithmetic neighbors reject rather than silently picking
+    * a dialect's precedence). Pure per-row projection; the filter still
+    * reaches the scan. */
+  private def d272(s: SparkSession, d: String): DataFrame = {
+    val q =
+      """SELECT doc_id, lang || ':' || source AS tag,
+        |       UCASE(lang) || '-' || CAST(n_chars AS VARCHAR) AS label
+        |FROM documents
+        |WHERE n_chars > 300
+        |ORDER BY doc_id ASC
+        |LIMIT 50""".stripMargin
+    EsSql.run(Map("documents" ->
+      s.read.parquet(s"$d/documents.parquet")), q)
+  }
+
+  private val d272Sql =
+    """SELECT doc_id, lang || ':' || source AS tag,
+      |  UPPER(lang) || '-' || CAST(n_chars AS VARCHAR) AS label
+      |FROM documents
+      |WHERE n_chars > 300
+      |ORDER BY doc_id ASC
+      |LIMIT 50""".stripMargin
+
   // ---------------------------------------------------------------- d257
   /** EQL EVERY-PARTIAL-MATCH mode — the complement of the engine's
     * default last-prefix matching (closing the documented deviation):
@@ -10618,6 +10643,7 @@ object DocQueries {
     "d266_es_sql_case" -> d266 _,
     "d267_es_sql_not" -> d267 _,
     "d268_es_sql_conditionals" -> d268 _,
+    "d272_es_sql_concat" -> d272 _,
     "d254_eql_unbounded" -> d254 _,
     "d255_esql_qstr" -> d255 _,
     "d256_esql_match_phrase" -> d256 _,
@@ -10891,6 +10917,7 @@ object DocQueries {
     "d266_es_sql_case" -> d266Sql,
     "d267_es_sql_not" -> d267Sql,
     "d268_es_sql_conditionals" -> d268Sql,
+    "d272_es_sql_concat" -> d272Sql,
     "d254_eql_unbounded" -> d254Sql,
     "d255_esql_qstr" -> d255Sql,
     "d256_esql_match_phrase" -> d256Sql,

@@ -73,7 +73,7 @@ object EsSql {
 
   private val TokenRe =
     ("""\s*(?:('(?:[^']|'')*')|([A-Za-z_][A-Za-z0-9_.]*)|""" +
-      """([0-9]+(?:\.[0-9]+)?)|(<>|<=|>=|!=|[<>+\-*/%(),=]))""").r
+      """([0-9]+(?:\.[0-9]+)?)|(<>|<=|>=|!=|\|\||[<>+\-*/%(),=]))""").r
 
   private def tokenize(q: String): List[Tok] = {
     var pos = 0
@@ -491,6 +491,109 @@ object EsSql {
     out.toList
   }
 
+  /** Keywords that must never be swallowed as a function name when the
+    * concat rewrite grabs the atom before `(...)||`. */
+  private val NotFnKws = Set("SELECT", "FROM", "WHERE", "AND", "OR", "NOT",
+    "WHEN", "THEN", "ELSE", "CASE", "END", "BY", "HAVING", "LIKE", "IN",
+    "AS", "ON", "DISTINCT", "BETWEEN", "IS", "NULL", "ORDER", "GROUP",
+    "LIMIT", "OFFSET", "ASC", "DESC")
+
+  /** `a || b` (the SQL string-concat operator) → `CONCAT(a, b)` — ES|QL
+    * has no `||`. Operands are single ATOMS — an identifier, a literal, a
+    * function call, or a parenthesized expression; anything else (e.g. an
+    * un-parenthesized arithmetic left side) rejects loudly rather than
+    * mis-grouping. Chains left-fold: `a || b || c` emits
+    * `CONCAT(CONCAT(a,b),c)` (same value as the variadic form) because
+    * the emitted call is itself the next `||`'s left atom. Both engines
+    * (and DuckDB's `||`) agree on NULL-in → NULL-out. */
+  private def rewriteConcat(ts: List[Tok]): List[Tok] = {
+    val out = scala.collection.mutable.ListBuffer[Tok]()
+    // take the trailing balanced atom OFF `out` (mutates out)
+    def takeLeft(): List[Tok] = out.lastOption match {
+      case Some(SOp(")")) =>
+        var depth = 0
+        var i = out.length - 1
+        var stop = false
+        while (!stop) {
+          out(i) match {
+            case SOp(")") => depth += 1
+            case SOp("(") => depth -= 1; if (depth == 0) stop = true
+            case _ => ()
+          }
+          if (!stop) {
+            i -= 1
+            if (i < 0) reject("unbalanced ')' before ||")
+          }
+        }
+        val start = i - (out.lift(i - 1) match {
+          case Some(SId(s)) if !NotFnKws.contains(s.toUpperCase) => 1
+          case _ => 0
+        })
+        val atom = out.slice(start, out.length).toList
+        out.remove(start, out.length - start)
+        atom
+      case Some(t @ (SId(_) | SStr(_) | SNum(_))) =>
+        t match {
+          case SId(s) if NotFnKws.contains(s.toUpperCase) =>
+            reject(s"|| after keyword $s (each || operand must be a " +
+              "column, literal, function call, or parenthesized expression)")
+          case _ => ()
+        }
+        out.remove(out.length - 1)
+        List(t)
+      case _ => reject("|| needs a simple left operand (column, literal, " +
+        "function call, or parenthesized expression)")
+    }
+    // capture the next balanced atom from the remainder
+    def takeRight(rest0: List[Tok]): (List[Tok], List[Tok]) = {
+      def balanced(pre: List[Tok], rem0: List[Tok]): (List[Tok], List[Tok]) = {
+        var depth = 1
+        val buf = scala.collection.mutable.ListBuffer[Tok](pre: _*)
+        var rem = rem0
+        while (depth > 0) rem match {
+          case (t @ SOp("(")) :: tl => depth += 1; buf += t; rem = tl
+          case (t @ SOp(")")) :: tl => depth -= 1; buf += t; rem = tl
+          case t :: tl => buf += t; rem = tl
+          case Nil => reject("unbalanced '(' after ||")
+        }
+        (buf.toList, rem)
+      }
+      rest0 match {
+        case (t @ SId(s)) :: (o @ SOp("(")) :: tl
+            if !NotFnKws.contains(s.toUpperCase) => balanced(List(t, o), tl)
+        case (o @ SOp("(")) :: tl => balanced(List(o), tl)
+        case (t @ (SStr(_) | SNum(_))) :: tl => (List(t), tl)
+        case (t @ SId(s)) :: tl if !NotFnKws.contains(s.toUpperCase) =>
+          (List(t), tl)
+        case _ => reject("|| needs a simple right operand (column, literal, " +
+          "function call, or parenthesized expression)")
+      }
+    }
+    var rest = ts
+    while (rest.nonEmpty) rest match {
+      case SOp("||") :: tail =>
+        val left = takeLeft()
+        val (right, rem) = takeRight(tail)
+        // arithmetic NEIGHBORS reject: `a + b || c` / `a || b + c` differ
+        // by dialect precedence, so a silent grouping choice could be
+        // silently wrong — require explicit parens instead
+        val arith = Set("+", "-", "*", "/", "%")
+        def isArith(t: Option[Tok]) = t.exists {
+          case SOp(o) => arith.contains(o)
+          case _ => false
+        }
+        if (isArith(out.lastOption) || isArith(rem.headOption))
+          reject("|| next to an un-parenthesized arithmetic operand " +
+            "(precedence differs by dialect — parenthesize explicitly)")
+        // re-enter the scan: the emitted call is the next ||'s left atom,
+        // and a || nested inside the captured right group still rewrites
+        rest = (SId("CONCAT") :: SOp("(") :: left) ++
+          (SOp(",") :: right) ++ (SOp(")") :: rem)
+      case t :: tail => out += t; rest = tail
+    }
+    out.toList
+  }
+
   /** `NULLIF(a, b)` → `CASE((a) = (b), NULL, (a))` — ES|QL has no NULLIF.
     * The CASE form carries the exact SQL contract including the null-b
     * edge: `a = b` is never TRUE against a null `b`, so the default `a`
@@ -735,8 +838,8 @@ object EsSql {
     // (canonical) form on both the SELECT and GROUP BY/ORDER BY sides
     // CASE WHEN last so its bodies carry the already-rewritten forms
     // (BETWEEN pairs, CAST→TO_*, date extracts, NULLIF, prefix-NOT)
-    val ts = rewriteCaseWhen(rewriteNotOps(rewriteBetween(
-      rewriteNullIf(rewriteCast(rewriteDateFns(ts0))))))
+    val ts = rewriteCaseWhen(rewriteNotOps(rewriteBetween(rewriteConcat(
+      rewriteNullIf(rewriteCast(rewriteDateFns(ts0)))))))
     if (ts.sliding(2).exists {
       case List(SOp("("), t) => isKw(t, "SELECT")
       case _ => false

@@ -344,6 +344,32 @@ class EsSqlSpec extends SparkSpec {
     assert(got === Seq((1L, 5.0), (2L, -1.0)))
   }
 
+  test("|| concat rewrites to CONCAT; chains left-fold; precedence guards") {
+    assert(t("SELECT lang || '-' || source AS tag FROM t") ===
+      """FROM t
+        || EVAL tag = CONCAT ( CONCAT ( lang , "-" ) , source )
+        || KEEP tag""".stripMargin)
+    // function-call operands ride whole; rename applies inside
+    assert(t("SELECT UCASE(lang) || '!' AS u FROM t").contains(
+      """EVAL u = CONCAT ( TO_UPPER ( lang ) , "!" )"""))
+    // parenthesized expressions are atoms
+    assert(t("SELECT (lang) || (source) AS u FROM t").contains(
+      "EVAL u = CONCAT ( ( lang ) , ( source ) )"))
+    // || in WHERE too
+    assert(t("SELECT a FROM t WHERE lang || source = 'enx'").contains(
+      """WHERE CONCAT ( lang , source ) == "enx""""))
+    def err(sql: String): String =
+      intercept[IllegalArgumentException](t(sql)).getMessage
+    assert(err("SELECT a + b || c AS k FROM t").contains("parenthesize"))
+    assert(err("SELECT a || b + c AS k FROM t").contains("parenthesize"))
+    import spark.implicits._
+    val base = Seq(("en", "s1"), ("fr", "s2")).toDF("lang", "source")
+    val got = EsSql.run(Map("t" -> base),
+      "SELECT lang || '-' || source AS tag FROM t ORDER BY tag")
+      .collect().map(_.getString(0)).toSeq
+    assert(got === Seq("en-s1", "fr-s2"))
+  }
+
   test("NOT IN / NOT LIKE rewrite to the prefix-NOT forms") {
     assert(t("SELECT a FROM t WHERE g NOT IN ('x', 'y') AND p NOT LIKE 'a%'") ===
       """FROM t

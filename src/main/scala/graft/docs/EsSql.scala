@@ -459,6 +459,22 @@ object EsSql {
     val out = scala.collection.mutable.ListBuffer[Tok]()
     var rest = ts
     while (rest.nonEmpty) rest match {
+      // standard-SQL EXTRACT(part FROM e) — real ES SQL accepts it as a
+      // synonym of the named scalars; rewrite to the same call form and
+      // let the scalar rules below handle the part (incl. QUARTER and
+      // the locale-dependent WEEK rejects). The inner FROM sits at paren
+      // depth ≥ 1, so the clause splitter never sees it.
+      case SId(ex) :: SOp("(") :: SId(part) :: f :: tail
+          if ex.equalsIgnoreCase("EXTRACT") && isKw(f, "FROM") =>
+        if (!DateExtractPart.contains(part.toUpperCase) &&
+            !part.equalsIgnoreCase("QUARTER") &&
+            !Set("WEEK", "WEEK_OF_YEAR", "ISO_WEEK_OF_YEAR", "IW", "IWOY",
+              "MINUTE_OF_DAY").contains(part.toUpperCase))
+          reject(s"EXTRACT part ${part.toUpperCase}")
+        rest = SId(part) :: SOp("(") :: tail // re-enters as the named call
+      case SId(ex) :: SOp("(") :: _ if ex.equalsIgnoreCase("EXTRACT") =>
+        reject("EXTRACT without a part FROM expression " +
+          "(supported: EXTRACT(<part> FROM <expr>))")
       case SId(f) :: SOp("(") :: tail if DateExtractPart.contains(f.toUpperCase) =>
         out ++= List(SId("DATE_EXTRACT"), SOp("("),
           SStr(DateExtractPart(f.toUpperCase)), SOp(","))

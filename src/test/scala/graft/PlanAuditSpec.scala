@@ -1210,6 +1210,51 @@ class PlanAuditSpec extends SparkSpec {
       s"all HAVING aggregates must ride the one events scan, got $scans:\n$p")
   }
 
+  test("d266: CASE WHEN group keys stay INSIDE the one hash aggregation") {
+    val p = plan(q("d266_es_sql_case"))
+    assert(!p.contains("Join") && !p.contains(" Window"),
+      s"CASE banding must not add a pass:\n$p")
+    assert(p.contains("partial_"),
+      s"aggregates must partial-combine before the shuffle:\n$p")
+    val scans = """\(\d+\) Scan parquet""".r.findAllIn(p).length
+    assert(scans === 1, s"expected one documents scan, got $scans:\n$p")
+  }
+
+  test("d267: NOT IN / NOT LIKE land as scan filters, never an anti-join") {
+    val p = plan(q("d267_es_sql_not"))
+    assert(!p.contains("Join"), s"negation must stay a filter:\n$p")
+    assert(p.contains("PushedFilters: ["),
+      s"the negated predicates must reach the parquet scan:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"ORDER BY + LIMIT must be a bounded heap:\n$p")
+    val scans = """\(\d+\) Scan parquet""".r.findAllIn(p).length
+    assert(scans === 1, s"expected one documents scan, got $scans:\n$p")
+  }
+
+  test("d269/d270/d271: bm25 under function_score/pinned/script_score " +
+    "plans ONE corpus scan (standing stats) + pure expressions, no join") {
+    Seq("d269_es_function_score_bm25", "d270_es_pinned_bm25",
+        "d271_es_script_score_bm25").foreach { name =>
+      val p = plan(q(name))
+      val scans = """\(\d+\) Scan parquet""".r.findAllIn(p).length
+      assert(scans === 1, s"$name: expected only the hit scan, got $scans:\n$p")
+      assert(!p.contains("Join"),
+        s"$name: score shaping is pure expressions, no join:\n$p")
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$name: the page must be a bounded heap:\n$p")
+    }
+  }
+
+  test("d272: || concat is a pure projection over one pushed scan") {
+    val p = plan(q("d272_es_sql_concat"))
+    assert(!p.contains("Join") && !p.contains(" Window"),
+      s"concat must stay a projection:\n$p")
+    assert(p.contains("PushedFilters: ["),
+      s"the range filter must reach the parquet scan:\n$p")
+    val scans = """\(\d+\) Scan parquet""".r.findAllIn(p).length
+    assert(scans === 1, s"expected one documents scan, got $scans:\n$p")
+  }
+
   test("t16: stratified sample runs both windows on ONE stratum shuffle") {
     val p = plan(q("t16_stratified_sample"))
     // count-per-stratum and hash-rank share the lang partitioning: one

@@ -334,6 +334,20 @@ class EsSqlSpec extends SparkSpec {
       """FROM t
         || EVAL m = DATE_TRUNC ( "month" , ts )
         || KEEP m""".stripMargin)
+    // standard-SQL EXTRACT(part FROM e) = the named scalar (the inner
+    // FROM never confuses the clause splitter — paren depth >= 1)
+    assert(t("SELECT EXTRACT(YEAR FROM ts) AS y FROM t WHERE " +
+      "EXTRACT(QUARTER FROM ts) = 1") ===
+      """FROM t
+        || WHERE TO_LONG ( FLOOR ( ( DATE_EXTRACT ( "month_of_year" , ts ) + 2 ) / 3 ) ) == 1
+        || EVAL y = DATE_EXTRACT ( "year" , ts )
+        || KEEP y""".stripMargin)
+    assert(intercept[IllegalArgumentException](
+      t("SELECT EXTRACT(EPOCH FROM ts) AS e FROM t")).getMessage
+      .contains("EXTRACT part EPOCH"))
+    assert(intercept[IllegalArgumentException](
+      t("SELECT EXTRACT(WEEK FROM ts) AS w FROM t")).getMessage
+      .contains("WEEK"))
     // end-to-end: divide-by-zero guard, the canonical NULLIF use
     import spark.implicits._
     val base = Seq((1L, 10L, 2L), (2L, 7L, 0L)).toDF("id", "num", "den")

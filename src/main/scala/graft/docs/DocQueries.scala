@@ -9478,6 +9478,32 @@ object DocQueries {
       |ORDER BY doc_id ASC
       |LIMIT 50""".stripMargin
 
+  // ---------------------------------------------------------------- d273
+  /** ES SQL `ORDER BY ... NULLS FIRST` — the explicit null-placement
+    * form rides through to ES|QL's SORT (without it the engine applies
+    * ES|QL's direction-dependent default, nulls LAST on ASC — so the
+    * explicit FIRST here is load-bearing: DuckDB's ASC default is also
+    * nulls last, making the oracle disagree if the modifier were
+    * dropped). Nulls are synthesized per-row with NULLIF; sorting stays
+    * one bounded TakeOrderedAndProject. */
+  private def d273(s: SparkSession, d: String): DataFrame = {
+    val q =
+      """SELECT doc_id, NULLIF(lang, 'en') AS lx
+        |FROM documents
+        |WHERE n_chars > 350
+        |ORDER BY lx ASC NULLS FIRST, doc_id ASC
+        |LIMIT 60""".stripMargin
+    EsSql.run(Map("documents" ->
+      s.read.parquet(s"$d/documents.parquet")), q)
+  }
+
+  private val d273Sql =
+    """SELECT doc_id, NULLIF(lang, 'en') AS lx
+      |FROM documents
+      |WHERE n_chars > 350
+      |ORDER BY lx ASC NULLS FIRST, doc_id ASC
+      |LIMIT 60""".stripMargin
+
   // ---------------------------------------------------------------- d257
   /** EQL EVERY-PARTIAL-MATCH mode — the complement of the engine's
     * default last-prefix matching (closing the documented deviation):
@@ -10644,6 +10670,7 @@ object DocQueries {
     "d267_es_sql_not" -> d267 _,
     "d268_es_sql_conditionals" -> d268 _,
     "d272_es_sql_concat" -> d272 _,
+    "d273_es_sql_nulls_order" -> d273 _,
     "d254_eql_unbounded" -> d254 _,
     "d255_esql_qstr" -> d255 _,
     "d256_esql_match_phrase" -> d256 _,
@@ -10918,6 +10945,7 @@ object DocQueries {
     "d267_es_sql_not" -> d267Sql,
     "d268_es_sql_conditionals" -> d268Sql,
     "d272_es_sql_concat" -> d272Sql,
+    "d273_es_sql_nulls_order" -> d273Sql,
     "d254_eql_unbounded" -> d254Sql,
     "d255_esql_qstr" -> d255Sql,
     "d256_esql_match_phrase" -> d256Sql,

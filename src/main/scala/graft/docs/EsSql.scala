@@ -1004,12 +1004,24 @@ object EsSql {
     }
 
     liftedOrder.orElse(cs.get("ORDER")).foreach { o =>
-      val keys = commaSplit(o).map { k =>
-        val (body, dir) = k.lastOption match {
+      val keys = commaSplit(o).map { k0 =>
+        // ORDER BY k [ASC|DESC] [NULLS FIRST|LAST] — the explicit NULLS
+        // form passes through to ES|QL's SORT (same syntax); when absent
+        // the pipe stays silent and ES|QL's default applies (nulls last
+        // on ASC, first on DESC)
+        val (k, nullsSuf) = k0.takeRight(2) match {
+          case List(n, f) if isKw(n, "NULLS") &&
+              (isKw(f, "FIRST") || isKw(f, "LAST")) =>
+            (k0.dropRight(2),
+              if (isKw(f, "FIRST")) " NULLS FIRST" else " NULLS LAST")
+          case _ => (k0, "")
+        }
+        val (body, dir0) = k.lastOption match {
           case Some(t) if isKw(t, "ASC") => (k.dropRight(1), " ASC")
           case Some(t) if isKw(t, "DESC") => (k.dropRight(1), " DESC")
           case _ => (k, "")
         }
+        val dir = dir0 + nullsSuf
         body match {
           case List(SId(c)) => s"$c$dir"
           // ORDER BY ordinal: 1-based SELECT item reference — sorts on

@@ -405,6 +405,23 @@ class EsSqlSpec extends SparkSpec {
     assert(got === Seq(2L))
   }
 
+  test("ORDER BY NULLS FIRST/LAST passes through to the pipe's SORT") {
+    assert(t("SELECT a FROM t ORDER BY a ASC NULLS FIRST, b DESC NULLS LAST") ===
+      """FROM t
+        || SORT a ASC NULLS FIRST, b DESC NULLS LAST
+        || KEEP a""".stripMargin)
+    // bare NULLS form (no ASC/DESC) works too
+    assert(t("SELECT a FROM t ORDER BY a NULLS LAST").contains(
+      "SORT a NULLS LAST"))
+    import spark.implicits._
+    val base = Seq((1L, Some(5L)), (2L, None), (3L, Some(1L)))
+      .toDF("id", "v")
+    val got = EsSql.run(Map("t" -> base),
+      "SELECT id FROM t ORDER BY v ASC NULLS FIRST")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(2L, 3L, 1L)) // null first, then 1, 5
+  }
+
   test("documented bounds reject loudly with named reasons") {
     def err(sql: String): String =
       intercept[IllegalArgumentException](t(sql)).getMessage

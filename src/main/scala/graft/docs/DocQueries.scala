@@ -9900,6 +9900,34 @@ object DocQueries {
        |WHERE rn <= 25 ORDER BY rn""".stripMargin
   }
 
+  // ---------------------------------------------------------------- d274
+  /** ES|QL `HASH(alg, v)` / `TO_BASE64` / `FROM_BASE64` — byte-exact
+    * scalar functions (hex digests, base64 over UTF-8 bytes), all
+    * codegen'd Spark built-ins; the HASH algorithm is a plan-time
+    * literal dispatch, never a per-row switch. Pure projection over one
+    * pushed scan. */
+  private def d274(s: SparkSession, d: String): DataFrame = {
+    val q =
+      """FROM documents
+        || WHERE n_chars > 350
+        || EVAL h = HASH("sha256", lang), m = MD5(source),
+        |        b = TO_BASE64(source), rt = FROM_BASE64(TO_BASE64(lang))
+        || KEEP doc_id, h, m, b, rt
+        || SORT doc_id ASC
+        || LIMIT 40""".stripMargin
+    Esql.run(Map("documents" ->
+      s.read.parquet(s"$d/documents.parquet")), q)
+  }
+
+  private val d274Sql =
+    """SELECT doc_id, sha256(lang) AS h, md5(source) AS m,
+      |  to_base64(encode(source)) AS b,
+      |  decode(from_base64(to_base64(encode(lang)))) AS rt
+      |FROM documents
+      |WHERE n_chars > 350
+      |ORDER BY doc_id ASC
+      |LIMIT 40""".stripMargin
+
   // ---------------------------------------------------------------- d255
   /** ES|QL `QSTR()` (8.17) — the Kibana search-bar query_string syntax as
     * a WHERE function, compiled through the SAME QueryString→SearchQuery→
@@ -10671,6 +10699,7 @@ object DocQueries {
     "d268_es_sql_conditionals" -> d268 _,
     "d272_es_sql_concat" -> d272 _,
     "d273_es_sql_nulls_order" -> d273 _,
+    "d274_esql_hash_base64" -> d274 _,
     "d254_eql_unbounded" -> d254 _,
     "d255_esql_qstr" -> d255 _,
     "d256_esql_match_phrase" -> d256 _,
@@ -10946,6 +10975,7 @@ object DocQueries {
     "d268_es_sql_conditionals" -> d268Sql,
     "d272_es_sql_concat" -> d272Sql,
     "d273_es_sql_nulls_order" -> d273Sql,
+    "d274_esql_hash_base64" -> d274Sql,
     "d254_eql_unbounded" -> d254Sql,
     "d255_esql_qstr" -> d255Sql,
     "d256_esql_match_phrase" -> d256Sql,

@@ -424,6 +424,30 @@ object Esql {
         case "BYTE_LENGTH" => arity(1); octet_length(c(0)).cast(LongType)
         case "MD5" => arity(1); md5(c(0))
         case "SHA256" => arity(1); sha2(c(0), 256)
+        case "SHA1" => arity(1); sha1(c(0))
+        // HASH(alg, v) — the generic ES|QL form; alg must be a literal so
+        // the dispatch is plan-time (a per-row algorithm switch would not
+        // be a single codegen'd expression)
+        case "HASH" =>
+          arity(2)
+          args(0) match {
+            case EStr(alg) => alg.toLowerCase match {
+              case "md5" => md5(c(1))
+              case "sha1" => sha1(c(1))
+              case "sha256" => sha2(c(1), 256)
+              case "sha384" => sha2(c(1), 384)
+              case "sha512" => sha2(c(1), 512)
+              case other => throw new IllegalArgumentException(
+                s"esql: HASH algorithm $other (have: md5, sha1, sha256, " +
+                  "sha384, sha512)")
+            }
+            case other => throw new IllegalArgumentException(
+              s"esql: HASH algorithm must be a string literal, got $other")
+          }
+        // base64 over UTF-8 bytes of the string form — both directions
+        // byte-exact in any engine (no floats, no locale)
+        case "TO_BASE64" => arity(1); base64(c(0).cast("binary"))
+        case "FROM_BASE64" => arity(1); unbase64(c(0)).cast("string")
         case "TO_STRING" => arity(1); c(0).cast("string")
         case "DATE_EXTRACT" =>
           // DATE_EXTRACT(part, ts) over epoch-micros; parts are the ES|QL

@@ -652,4 +652,24 @@ class EsqlSpec extends SparkSpec {
       "FROM d | WHERE MATCH(body, id)")).getMessage
       .contains("string literal"))
   }
+
+  test("HASH dispatches on a literal algorithm; base64 round-trips") {
+    import spark.implicits._
+    val docs = Map("d" -> Seq((1L, "abc")).toDF("id", "s"))
+    val r = Esql.run(docs,
+      """FROM d
+        || EVAL h1 = HASH("sha256", s), h2 = SHA256(s), h3 = HASH("md5", s),
+        |       b = TO_BASE64(s), rt = FROM_BASE64(TO_BASE64(s))
+        || KEEP h1, h2, h3, b, rt""".stripMargin).collect().head
+    assert(r.getString(0) === r.getString(1)) // HASH("sha256") == SHA256
+    assert(r.getString(2) === "900150983cd24fb0d6963f7d28e17f72") // md5("abc")
+    assert(r.getString(3) === "YWJj") // base64("abc")
+    assert(r.getString(4) === "abc") // round-trip
+    assert(intercept[IllegalArgumentException](Esql.run(docs,
+      """FROM d | EVAL h = HASH("crc32", s)""")).getMessage
+      .contains("HASH algorithm crc32"))
+    assert(intercept[IllegalArgumentException](Esql.run(docs,
+      """FROM d | EVAL h = HASH(s, s)""")).getMessage
+      .contains("string literal"))
+  }
 }

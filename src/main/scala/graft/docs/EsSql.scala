@@ -436,6 +436,13 @@ object EsSql {
     * carry) → ES|QL `DATE_EXTRACT` parts, rewritten only when CALLED so
     * a column named `year` passes through. ES SQL's DAY_OF_WEEK is
     * ISO-8601 (Monday = 1), matching the engine's DATE_EXTRACT. */
+  /** Parts whose numbering is locale-rule-dependent (ISO week rules the
+    * engine's ChronoField surface does not expose) or unsupported —
+    * shared by the named-scalar and EXTRACT(part FROM e) paths so the
+    * two can never diverge. */
+  private val WeekRejectParts = Set("WEEK", "WEEK_OF_YEAR",
+    "ISO_WEEK_OF_YEAR", "IW", "IWOY", "MINUTE_OF_DAY")
+
   private val DateExtractPart = Map(
     "YEAR" -> "year",
     "MONTH" -> "month_of_year", "MONTH_OF_YEAR" -> "month_of_year",
@@ -468,8 +475,7 @@ object EsSql {
           if ex.equalsIgnoreCase("EXTRACT") && isKw(f, "FROM") =>
         if (!DateExtractPart.contains(part.toUpperCase) &&
             !part.equalsIgnoreCase("QUARTER") &&
-            !Set("WEEK", "WEEK_OF_YEAR", "ISO_WEEK_OF_YEAR", "IW", "IWOY",
-              "MINUTE_OF_DAY").contains(part.toUpperCase))
+            !WeekRejectParts.contains(part.toUpperCase))
           reject(s"EXTRACT part ${part.toUpperCase}")
         rest = SId(part) :: SOp("(") :: tail // re-enters as the named call
       case SId(ex) :: SOp("(") :: _ if ex.equalsIgnoreCase("EXTRACT") =>
@@ -497,8 +503,7 @@ object EsSql {
         rest = body.toList ++ List(SOp(")"), SOp("+"), SNum("2"), SOp(")"),
           SOp("/"), SNum("3"), SOp(")"), SOp(")")) ++ rem
       case SId(f) :: SOp("(") :: _
-        if Set("WEEK", "WEEK_OF_YEAR", "ISO_WEEK_OF_YEAR", "IW", "IWOY",
-          "MINUTE_OF_DAY").contains(f.toUpperCase) =>
+        if WeekRejectParts.contains(f.toUpperCase) =>
         reject(s"${f.toUpperCase} (week-of-year numbering is locale-rule-" +
           "dependent and minute-of-day has no ChronoField surface here; " +
           "use DATE_TRUNC or the supported extract parts)")
@@ -507,12 +512,55 @@ object EsSql {
     out.toList
   }
 
-  /** Keywords that must never be swallowed as a function name when the
-    * concat rewrite grabs the atom before `(...)||`. */
+  /** Keywords that must never be swallowed as a function name when an
+    * atom-grabbing rewrite (|| concat, paren-operand NOT IN) takes the
+    * identifier before a `(...)` group. CASE is deliberately ABSENT:
+    * these rewrites run after rewriteCaseWhen, so any surviving
+    * `CASE (` is the ES|QL function form — a legitimate atom (this is
+    * what lets a NULLIF/CASE result be a || or NOT IN operand). */
   private val NotFnKws = Set("SELECT", "FROM", "WHERE", "AND", "OR", "NOT",
-    "WHEN", "THEN", "ELSE", "CASE", "END", "BY", "HAVING", "LIKE", "IN",
+    "WHEN", "THEN", "ELSE", "END", "BY", "HAVING", "LIKE", "IN",
     "AS", "ON", "DISTINCT", "BETWEEN", "IS", "NULL", "ORDER", "GROUP",
     "LIMIT", "OFFSET", "ASC", "DESC")
+
+  /** Pop the trailing balanced `( ... )` group — plus a directly
+    * preceding function name — off `buf`. The caller has checked that
+    * `buf` ends with `)`. */
+  private def popBalancedAtom(
+      buf: scala.collection.mutable.ListBuffer[Tok]): List[Tok] = {
+    var depth = 0
+    var i = buf.length - 1
+    var stop = false
+    while (!stop) {
+      buf(i) match {
+        case SOp(")") => depth += 1
+        case SOp("(") => depth -= 1; if (depth == 0) stop = true
+        case _ => ()
+      }
+      if (!stop) {
+        i -= 1
+        if (i < 0) reject("unbalanced ')' before the operator")
+      }
+    }
+    val start = i - (buf.lift(i - 1) match {
+      case Some(SId(s)) if !NotFnKws.contains(s.toUpperCase) => 1
+      case _ => 0
+    })
+    val atom = buf.slice(start, buf.length).toList
+    buf.remove(start, buf.length - start)
+    atom
+  }
+
+  /** True when the last emitted token is an arithmetic operator — the
+    * real operand of whatever follows is a compound expression, and an
+    * atom-grabbing rewrite would mis-group it. Shared by BETWEEN,
+    * NOT IN/LIKE and || (each rejects loudly instead). */
+  private def arithPrefix(
+      buf: scala.collection.mutable.ListBuffer[Tok]): Boolean =
+    buf.lastOption.exists {
+      case SOp(o) => Set("+", "-", "*", "/", "%").contains(o)
+      case _ => false
+    }
 
   /** `a || b` (the SQL string-concat operator) → `CONCAT(a, b)` — ES|QL
     * has no `||`. Operands are single ATOMS — an identifier, a literal, a
@@ -526,28 +574,7 @@ object EsSql {
     val out = scala.collection.mutable.ListBuffer[Tok]()
     // take the trailing balanced atom OFF `out` (mutates out)
     def takeLeft(): List[Tok] = out.lastOption match {
-      case Some(SOp(")")) =>
-        var depth = 0
-        var i = out.length - 1
-        var stop = false
-        while (!stop) {
-          out(i) match {
-            case SOp(")") => depth += 1
-            case SOp("(") => depth -= 1; if (depth == 0) stop = true
-            case _ => ()
-          }
-          if (!stop) {
-            i -= 1
-            if (i < 0) reject("unbalanced ')' before ||")
-          }
-        }
-        val start = i - (out.lift(i - 1) match {
-          case Some(SId(s)) if !NotFnKws.contains(s.toUpperCase) => 1
-          case _ => 0
-        })
-        val atom = out.slice(start, out.length).toList
-        out.remove(start, out.length - start)
-        atom
+      case Some(SOp(")")) => popBalancedAtom(out)
       case Some(t @ (SId(_) | SStr(_) | SNum(_))) =>
         t match {
           case SId(s) if NotFnKws.contains(s.toUpperCase) =>
@@ -593,12 +620,11 @@ object EsSql {
         // arithmetic NEIGHBORS reject: `a + b || c` / `a || b + c` differ
         // by dialect precedence, so a silent grouping choice could be
         // silently wrong — require explicit parens instead
-        val arith = Set("+", "-", "*", "/", "%")
-        def isArith(t: Option[Tok]) = t.exists {
-          case SOp(o) => arith.contains(o)
+        val arithAfter = rem.headOption.exists {
+          case SOp(o) => Set("+", "-", "*", "/", "%").contains(o)
           case _ => false
         }
-        if (isArith(out.lastOption) || isArith(rem.headOption))
+        if (arithPrefix(out) || arithAfter)
           reject("|| next to an un-parenthesized arithmetic operand " +
             "(precedence differs by dialect — parenthesize explicitly)")
         // re-enter the scan: the emitted call is the next ||'s left atom,
@@ -653,12 +679,34 @@ object EsSql {
     * rewrites each branch condition to `(x) = (v)`. The emitted argument
     * tokens re-enter the scan, so nested CASEs recurse; the emitted
     * `CASE (` head is skipped by the not-followed-by-paren guard. */
+  /** True when `tail` (the tokens after a CASE head) starts with a
+    * balanced paren group followed by WHEN — the simple form with a
+    * parenthesized operand (`CASE (x) WHEN ...`), which must NOT be
+    * mistaken for the native function form `CASE(cond, v, ...)`. */
+  private def parenCaseIsSimpleForm(tail: List[Tok]): Boolean = {
+    if (!tail.headOption.contains(SOp("("))) return false
+    var depth = 0
+    var rem = tail
+    var first = true
+    while (first || depth > 0) {
+      first = false
+      rem match {
+        case SOp("(") :: tl => depth += 1; rem = tl
+        case SOp(")") :: tl => depth -= 1; rem = tl
+        case _ :: tl => rem = tl
+        case Nil => return false
+      }
+    }
+    rem.headOption.exists(isKw(_, "WHEN"))
+  }
+
   private def rewriteCaseWhen(ts: List[Tok]): List[Tok] = {
     val out = scala.collection.mutable.ListBuffer[Tok]()
     var rest = ts
     while (rest.nonEmpty) rest match {
       case SId(cw) :: tail if cw.equalsIgnoreCase("CASE") &&
-          !tail.headOption.contains(SOp("(")) =>
+          (!tail.headOption.contains(SOp("(")) ||
+            parenCaseIsSimpleForm(tail)) =>
         // capture to the matching END, tracking nested CASE depth
         val body = scala.collection.mutable.ListBuffer[Tok]()
         var depthCase = 0
@@ -666,9 +714,11 @@ object EsSql {
         var open = true
         while (open) rem match {
           case Nil => reject("CASE without END")
-          // function-form CASE( — ES|QL native, no END — must not count
+          // function-form CASE( — ES|QL native, no END — must not count;
+          // the parenthesized simple form (CASE (x) WHEN) DOES have an END
           case (t @ SId(x)) :: tl if x.equalsIgnoreCase("CASE") &&
-              !tl.headOption.contains(SOp("(")) =>
+              (!tl.headOption.contains(SOp("(")) ||
+                parenCaseIsSimpleForm(tl)) =>
             depthCase += 1; body += t; rem = tl
           case (t @ SId(x)) :: tl if x.equalsIgnoreCase("END") =>
             if (depthCase == 0) { open = false; rem = tl }
@@ -687,7 +737,8 @@ object EsSql {
           case (t @ SOp(")")) :: _ => dp -= 1; cur += t
           // same function-form guard: CASE( pairs with ')' (dp), not END
           case (t @ SId(x)) :: tl if x.equalsIgnoreCase("CASE") &&
-              !tl.headOption.contains(SOp("(")) => dc += 1; cur += t
+              (!tl.headOption.contains(SOp("(")) ||
+                parenCaseIsSimpleForm(tl)) => dc += 1; cur += t
           case (t @ SId(x)) :: _ if x.equalsIgnoreCase("END") => dc -= 1; cur += t
           case SId(x) :: _ if dp == 0 && dc == 0 &&
               Set("WHEN", "THEN", "ELSE").contains(x.toUpperCase) =>
@@ -741,19 +792,31 @@ object EsSql {
     * loudly rather than mis-grouping the negation. */
   private def rewriteNotOps(ts: List[Tok]): List[Tok] = {
     val out = scala.collection.mutable.ListBuffer[Tok]()
-    def compoundPrefix: Boolean = out.lastOption.exists {
-      case SOp(o) => Set("+", "-", "*", "/", "%", ")").contains(o)
-      case _ => false
-    }
+    def shapeReject: Nothing =
+      reject("NOT IN/LIKE on this shape (supported: <column|fn(...)> " +
+        "NOT IN (...) / <column|fn(...)> NOT LIKE 'pattern')")
     var rest = ts
     while (rest.nonEmpty) rest match {
+      // simple-column left operand
       case SId(x) :: n :: k :: tail if isKw(n, "NOT") &&
           (isKw(k, "IN") || isKw(k, "LIKE")) =>
-        if (compoundPrefix)
-          reject("NOT IN/LIKE on this shape (supported: " +
-            "<column> NOT IN (...) / <column> NOT LIKE 'pattern')")
+        if (arithPrefix(out)) shapeReject
         out ++= List(SId("NOT"), SId(x), k)
         rest = tail
+      // balanced-group left operand: `f(x) NOT IN (...)`, including a
+      // function-form CASE( from the NULLIF/CASE WHEN rewrites — without
+      // this the tokens flowed through as `) NOT IN` and failed in ES|QL
+      // with an unrelated "bad expression"
+      case n :: k :: tail if isKw(n, "NOT") &&
+          (isKw(k, "IN") || isKw(k, "LIKE")) &&
+          out.lastOption.contains(SOp(")")) =>
+        val atom = popBalancedAtom(out)
+        if (arithPrefix(out)) shapeReject
+        out ++= (SId("NOT") +: atom :+ k)
+        rest = tail
+      case n :: k :: _ if isKw(n, "NOT") &&
+          (isKw(k, "IN") || isKw(k, "LIKE")) =>
+        shapeReject
       case t :: tail => out += t; rest = tail
     }
     out.toList
@@ -852,10 +915,22 @@ object EsSql {
     val (ts0, usesScore) = rewriteScore(tokenize(sql))
     // date fns FIRST so CAST bodies and clause matching see the rewritten
     // (canonical) form on both the SELECT and GROUP BY/ORDER BY sides
-    // CASE WHEN last so its bodies carry the already-rewritten forms
-    // (BETWEEN pairs, CAST→TO_*, date extracts, NULLIF, prefix-NOT)
-    val ts = rewriteCaseWhen(rewriteNotOps(rewriteBetween(rewriteConcat(
+    // CASE WHEN runs BEFORE between/not/concat so that by the time those
+    // passes scan, every CASE is the function form `CASE (` — which lets
+    // a CASE/NULLIF result be a || or NOT IN operand (balanced-group
+    // atoms), with no bare WHEN/THEN/ELSE/END left in the stream. The
+    // later passes are context-free, so CASE argument bodies still get
+    // their BETWEEN/NOT/|| rewrites.
+    val ts = rewriteConcat(rewriteNotOps(rewriteBetween(rewriteCaseWhen(
       rewriteNullIf(rewriteCast(rewriteDateFns(ts0)))))))
+    // anything CASE-shaped that survived the rewrite is a malformed use
+    // (e.g. a stray END, or WHEN outside CASE) — name it here instead of
+    // letting ES|QL fail on an unrelated "bad expression"
+    ts.foreach {
+      case SId(s) if Set("WHEN", "THEN", "ELSE", "END").contains(s.toUpperCase) =>
+        reject(s"stray ${s.toUpperCase} outside a CASE expression")
+      case _ => ()
+    }
     if (ts.sliding(2).exists {
       case List(SOp("("), t) => isKw(t, "SELECT")
       case _ => false

@@ -240,10 +240,18 @@ object SearchExec {
         // is the whole point of rescore); under boolean it stays the
         // clause-count. A should-less rescore query scores 1 either way
         // (the ScoreShape base convention).
+        // under bm25 a BARE-match rescore query is its own relevance
+        // (same promotion as the main query in bm25Scored); under
+        // boolean the 1.0 convention stands
+        val rsClauses =
+          if (rs.parsed.shoulds.nonEmpty) rs.parsed.shoulds
+          else if (similarity == "bm25" && asMatch(rs.parsed.query).nonEmpty)
+            Seq(rs.parsed.query)
+          else Nil
         val win2 =
-          if (rs.parsed.shoulds.isEmpty) window.withColumn("_rsc", lit(1.0))
+          if (rsClauses.isEmpty) window.withColumn("_rsc", lit(1.0))
           else if (similarity == "bm25")
-            bm25ShouldScore(window, docs, doc, rs.parsed.shoulds, "_rsc", "r",
+            bm25ShouldScore(window, docs, doc, rsClauses, "_rsc", "r",
               statsKey)
           else window.withColumn("_rsc",
             SearchQuery.scoreCol(rs.parsed, doc).cast("double"))
@@ -364,10 +372,19 @@ object SearchExec {
     // a body whose top level is a bare match (or the inner query of
     // script_score / function_score / pinned organic is one) carries no
     // bool shoulds — but in ES that match IS the relevance, so score the
-    // whole query as one bm25 clause when it is a match desugar
+    // whole query as one bm25 clause when it is a match desugar. The
+    // pinned parse wraps the organic as Or(TermsIn(objectId, ids), q);
+    // the scoreable candidate is the ORGANIC side (pinned ids override
+    // through the ladder anyway, and treating the whole Or as
+    // unscoreable would silently zero every organic hit's relevance).
+    val candidate = (p.pinned, p.query) match {
+      case (pin, SearchQuery.Or(SearchQuery.TermsIn(_, _), organic))
+        if pin.nonEmpty => organic
+      case _ => p.query
+    }
     val clauses =
       if (p.shoulds.nonEmpty) p.shoulds
-      else if (asMatch(p.query).nonEmpty) Seq(p.query)
+      else if (asMatch(candidate).nonEmpty) Seq(candidate)
       else Nil
     if (clauses.isEmpty)
       // nothing bm25-scoreable (filter-only / range / match_all query) —

@@ -186,6 +186,37 @@ class Bm25Spec extends SparkSpec {
     assert(pinned === Seq(("4", 1000000000000000L), ("2", 6L)))
   }
 
+  test("bare-match organic under pinned and bare-match rescore queries " +
+      "score BM25 (review fixes: no silent 0 / constant-1.0 bases)") {
+    import org.apache.spark.sql.types.StructType
+    val docs = corpus.select(struct(
+      col("id").cast("string").as("objectId"), col("body")).as("doc"))
+    val schema = docs.schema("doc").dataType.asInstanceOf[StructType]
+    // pinned with a BARE match organic (no bool wrapper): the organic
+    // hit must carry its bm25 relevance (6), not a silent 0
+    val pinBody =
+      """{"query": {"pinned": {"ids": ["4"],
+        |  "organic": {"match": {"body": "zeta"}}}},
+        | "size": 6, "_source": ["objectId"]}""".stripMargin
+    val pinned = SearchExec.search(docs, "doc", pinBody, schema,
+      similarity = "bm25").collect()
+      .map(r => (r.getAs[String]("objectId"), r.getAs[Long]("score"))).toSeq
+    assert(pinned === Seq(("4", 1000000000000000L), ("2", 6L)))
+    // bare-match rescore query: the window re-ranks on ITS bm25 (6),
+    // not the constant 1.0 — doc 2 combined = 1*6 + 2*6 = 18
+    val rsBody =
+      """{"query": {"bool": {"should": [{"match": {"body": "zeta alpha beta"}}],
+        |  "minimum_should_match": 1}},
+        | "rescore": {"window_size": 6, "query": {
+        |   "rescore_query": {"match": {"body": "zeta"}},
+        |   "query_weight": 1, "rescore_query_weight": 2}},
+        | "size": 6, "_source": ["objectId"]}""".stripMargin
+    val rs = SearchExec.search(docs, "doc", rsBody, schema,
+      similarity = "bm25").collect()
+      .map(r => (r.getAs[String]("objectId"), r.getAs[Double]("score"))).toSeq
+    assert(rs.head === ("2", 18.0))
+  }
+
   test("bad similarity/scoreMode reject loudly; stats handle the empty corpus") {
     import org.apache.spark.sql.types.StructType
     val docs = corpus.select(struct(

@@ -384,6 +384,37 @@ class EsSqlSpec extends SparkSpec {
     assert(got === Seq("en-s1", "fr-s2"))
   }
 
+  test("review fixes: CASE/NULLIF results compose with || and NOT IN; " +
+      "parenthesized simple-form CASE; stray END rejects by name") {
+    // a NULLIF result (function-form CASE after rewrite) as a || operand
+    assert(t("SELECT NULLIF(lang, 'en') || '!' AS k FROM t").contains(
+      """EVAL k = CONCAT ( CASE ( ( lang ) == ( "en" ) , NULL , ( lang ) ) , "!" )"""))
+    // ...and on the right side
+    assert(t("SELECT 'x' || NULLIF(lang, 'en') AS k FROM t").contains(
+      """CONCAT ( "x" , CASE ("""))
+    // a CASE WHEN result as a || operand (caseWhen now runs first)
+    assert(t("SELECT CASE WHEN v > 1 THEN 'a' ELSE 'b' END || '!' AS k FROM t")
+      .contains("""EVAL k = CONCAT ( CASE ( v > 1 , "a" , "b" ) , "!" )"""))
+    // function-call / CASE results as NOT IN left operands
+    assert(t("SELECT a FROM t WHERE UCASE(lang) NOT IN ('EN', 'FR')").contains(
+      """WHERE NOT TO_UPPER ( lang ) IN ( "EN" , "FR" )"""))
+    assert(t("SELECT a FROM t WHERE " +
+      "CASE WHEN v > 1 THEN lang ELSE 'x' END NOT IN ('en')").contains(
+      """WHERE NOT CASE ( v > 1 , lang , "x" ) IN ( "en" )"""))
+    // simple-form CASE with a parenthesized operand is NOT the native
+    // function form
+    assert(t("SELECT CASE (lang) WHEN 'en' THEN 1 ELSE 0 END AS k FROM t")
+      .contains("""EVAL k = CASE ( ( ( lang ) ) == ( "en" ) , 1 , 0 )"""))
+    def err(sql: String): String =
+      intercept[IllegalArgumentException](t(sql)).getMessage
+    // stray CASE keywords reject by name at translate time, not as an
+    // ES|QL "bad expression" three layers later
+    assert(err("SELECT a FROM t WHERE b END > 1")
+      .contains("stray END outside a CASE expression"))
+    assert(err("SELECT a FROM t WHERE 'x' NOT IN ('x')")
+      .contains("NOT IN/LIKE on this shape"))
+  }
+
   test("NOT IN / NOT LIKE rewrite to the prefix-NOT forms") {
     assert(t("SELECT a FROM t WHERE g NOT IN ('x', 'y') AND p NOT LIKE 'a%'") ===
       """FROM t

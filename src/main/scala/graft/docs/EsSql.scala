@@ -929,6 +929,9 @@ object EsSql {
     ts.foreach {
       case SId(s) if Set("WHEN", "THEN", "ELSE", "END").contains(s.toUpperCase) =>
         reject(s"stray ${s.toUpperCase} outside a CASE expression")
+      case SId(s) if s.equalsIgnoreCase("ESCAPE") =>
+        reject("LIKE ... ESCAPE (custom escape characters are not " +
+          "supported; the translated ES|QL pattern uses * and ? wildcards)")
       case _ => ()
     }
     if (ts.sliding(2).exists {

@@ -413,6 +413,8 @@ class EsSqlSpec extends SparkSpec {
       .contains("stray END outside a CASE expression"))
     assert(err("SELECT a FROM t WHERE 'x' NOT IN ('x')")
       .contains("NOT IN/LIKE on this shape"))
+    assert(err("SELECT a FROM t WHERE p LIKE 'a!%' ESCAPE '!'")
+      .contains("LIKE ... ESCAPE"))
   }
 
   test("NOT IN / NOT LIKE rewrite to the prefix-NOT forms") {

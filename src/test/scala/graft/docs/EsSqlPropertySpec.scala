@@ -144,6 +144,45 @@ class EsSqlPropertySpec extends SparkSpec {
     assert(r2 === Seq((3L, 3L), (10L, 3L)))
   }
 
+  test("20 random CASE/NULLIF/concat/NOT-IN statements equal their twins") {
+    val rnd = new scala.util.Random(31L)
+    (1 to 20).foreach { _ =>
+      val th1 = rnd.nextInt(700)
+      val th2 = th1 + 1 + rnd.nextInt(250)
+      val exG = s"g${rnd.nextInt(6)}"
+      val nifG = s"g${rnd.nextInt(6)}"
+      val notP = s"p${rnd.nextInt(4)}"
+      val lim = 20 + rnd.nextInt(60)
+      // searched CASE with a nested simple-form CASE in a branch, a ||
+      // chain, a NULLIF projection, and NOT IN / NOT LIKE filters — the
+      // round-14 rewrites composed in one statement
+      val q =
+        s"""SELECT id,
+           |  CASE WHEN v >= $th2 THEN 'hi'
+           |       WHEN v >= $th1 THEN
+           |         CASE g WHEN 'g0' THEN 'mid0' ELSE 'mid' END
+           |       ELSE 'lo' END AS band,
+           |  g || ':' || tag AS gt,
+           |  NULLIF(g, '$nifG') AS gx
+           |FROM t
+           |WHERE g NOT IN ('$exG') AND tag NOT LIKE '$notP%'
+           |ORDER BY id ASC LIMIT $lim""".stripMargin
+      val got = EsSql.run(Map("t" -> base), q).collect().map(_.toSeq).toSeq
+      val twin = base
+        .filter(!col("g").isin(exG) && !col("tag").startsWith(notP))
+        .select(col("id"),
+          when(col("v") >= th2, "hi")
+            .when(col("v") >= th1,
+              when(col("g") === "g0", "mid0").otherwise("mid"))
+            .otherwise("lo").as("band"),
+          concat(concat(col("g"), lit(":")), col("tag")).as("gt"),
+          when(col("g") === nifG, lit(null)).otherwise(col("g")).as("gx"))
+        .orderBy(col("id").asc).limit(lim)
+        .collect().map(_.toSeq).toSeq
+      assert(got === twin, s"statement diverged from its twin: $q")
+    }
+  }
+
   test("25 random row SELECTs (LIKE, computed alias, OFFSET paging) equal twins") {
     val rnd = new scala.util.Random(17L)
     (1 to 25).foreach { _ =>

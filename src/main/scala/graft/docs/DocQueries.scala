@@ -9928,6 +9928,36 @@ object DocQueries {
       |ORDER BY doc_id ASC
       |LIMIT 40""".stripMargin
 
+  // ---------------------------------------------------------------- d275
+  /** ES|QL `TO_DATETIME` — the date-literal idiom every real pipe uses
+    * (`WHERE ts > TO_DATETIME("2026-03-01")`): ISO-8601 strings parse on
+    * the UTC session timeline, numeric literals are epoch MILLIS scaled
+    * to the engine's micros. The literal folds to a CONSTANT at plan
+    * time, so the WHERE is one long comparison per row before the
+    * aggregate — never a per-row parse of the data side. (ts_us is
+    * derived from the parquet ts in the loader, so the predicate sits
+    * above the scan; on a production date-partitioned layout the same
+    * constant prunes partitions.) */
+  private def d275(s: SparkSession, d: String): DataFrame = {
+    val q =
+      """FROM events
+        || WHERE ts_us >= TO_DATETIME("2026-02-01")
+        |        AND ts_us < TO_DATETIME("2026-03-01T12:00:00")
+        || STATS n = COUNT(*), total = SUM(value) BY event_type
+        || SORT event_type ASC""".stripMargin
+    Esql.run(Map("events" -> graft.Tables.events(s, d).drop("ts")), q)
+  }
+
+  private val d275Sql =
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DECIMAL(28,6))
+      |    AS DOUBLE) AS total
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2026-02-01 00:00:00'
+      |  AND ts < TIMESTAMP '2026-03-01 12:00:00'
+      |GROUP BY event_type
+      |ORDER BY event_type ASC""".stripMargin
+
   // ---------------------------------------------------------------- d255
   /** ES|QL `QSTR()` (8.17) — the Kibana search-bar query_string syntax as
     * a WHERE function, compiled through the SAME QueryString→SearchQuery→
@@ -10700,6 +10730,7 @@ object DocQueries {
     "d272_es_sql_concat" -> d272 _,
     "d273_es_sql_nulls_order" -> d273 _,
     "d274_esql_hash_base64" -> d274 _,
+    "d275_esql_to_datetime" -> d275 _,
     "d254_eql_unbounded" -> d254 _,
     "d255_esql_qstr" -> d255 _,
     "d256_esql_match_phrase" -> d256 _,
@@ -10976,6 +11007,7 @@ object DocQueries {
     "d272_es_sql_concat" -> d272Sql,
     "d273_es_sql_nulls_order" -> d273Sql,
     "d274_esql_hash_base64" -> d274Sql,
+    "d275_esql_to_datetime" -> d275Sql,
     "d254_eql_unbounded" -> d254Sql,
     "d255_esql_qstr" -> d255Sql,
     "d256_esql_match_phrase" -> d256Sql,

@@ -479,6 +479,22 @@ object Esql {
             case other => throw new IllegalArgumentException(
               s"esql: DATE_FORMAT pattern must be a string literal, got $other")
           }
+        case "TO_DATETIME" =>
+          // TO_DATETIME(string|number) — ES|QL's standard datetime
+          // conversion: ISO-8601 strings (date-only or date-time) parse
+          // on the UTC session timeline, numbers are epoch MILLIS (the
+          // ES datetime unit) scaled to the engine's micros; unparseable
+          // → null (the TO_* contract). This is how real pipes write
+          // date literals: WHERE ts > TO_DATETIME("2024-01-01").
+          arity(1)
+          args(0) match {
+            case ELong(_) | EDouble(_) => (c(0) * lit(1000L)).cast(LongType)
+            // the string cast pins non-literal args to STRING parsing: a
+            // numeric column would otherwise ride Spark's seconds-based
+            // long→timestamp cast and silently diverge from ES's millis
+            // (as a string it fails ISO parse → null, the TO_* contract)
+            case _ => unix_micros(try_to_timestamp(c(0).cast("string")))
+          }
         case "DATE_PARSE" =>
           // DATE_PARSE(pattern, string) — the inverse of DATE_FORMAT:
           // java pattern → epoch micros on the UTC session timeline

@@ -672,4 +672,22 @@ class EsqlSpec extends SparkSpec {
       """FROM d | EVAL h = HASH(s, s)""")).getMessage
       .contains("string literal"))
   }
+
+  test("TO_DATETIME: ISO strings, epoch-millis literals, null on junk") {
+    import spark.implicits._
+    val docs = Map("d" -> Seq((1L, "2026-03-01T06:30:00"), (2L, "junk"))
+      .toDF("id", "s"))
+    val r = Esql.run(docs,
+      """FROM d
+        || EVAL a = TO_DATETIME("2026-03-01"), b = TO_DATETIME(s),
+        |       m = TO_DATETIME(1767225600000)
+        || KEEP id, a, b, m
+        || SORT id""".stripMargin).collect()
+    val mar1 = java.time.Instant.parse("2026-03-01T00:00:00Z")
+      .toEpochMilli * 1000L
+    assert(r(0).getLong(1) === mar1)
+    assert(r(0).getLong(2) === mar1 + (6 * 3600 + 30 * 60) * 1000000L)
+    assert(r(0).getLong(3) === 1767225600000L * 1000L) // millis -> micros
+    assert(r(1).isNullAt(2)) // junk -> null, the TO_* contract
+  }
 }

@@ -103,13 +103,25 @@ object Bm25 {
   /** Test hook: how many standing builds ran (Bm25Spec pins write-once). */
   private[docs] val standingBuilds = new java.util.concurrent.atomic.AtomicLong
 
-  /** Build (once per session+key) the standing stats index for one
+  /** Build (once per session+key+corpus) the standing stats index for one
     * (corpus, analyzed field): `corpus` holds the 1-row (n, tdl);
-    * `terms` holds one (term, df) row per DISTINCT corpus token. The key
-    * must identify corpus + analyzer (two analyzers over one column are
-    * two different df tables). Returns the table's directory. */
-  def standing(index: DataFrame, toks: Column, key: String): String =
-    standingMemo.getOrElseUpdate((index.sparkSession, key), {
+    * `terms` holds one (term, df) row per DISTINCT corpus token. KEY
+    * CONTRACT: the key names a logical (corpus, analyzer) pair — two
+    * analyzers over one column are two different df tables. Correctness
+    * does NOT rest on key discipline alone: the memo key also folds in a
+    * fingerprint of the corpus (the analyzed plan's canonical hash) and
+    * the analyzer expression, so a reused key against a different or
+    * mutated corpus triggers a fresh build instead of silently serving
+    * stale stats. The same frame re-derived query-to-query (e.g. a fresh
+    * parquet read of the same path) canonicalizes identically, so
+    * write-once still holds (pinned by `standingBuilds` in Bm25Spec).
+    * Entries live for the owning session's JVM lifetime by design — the
+    * value is a write-once temp dir, and stats tables are meant to
+    * outlive every query. Returns the table's directory. */
+  def standing(index: DataFrame, toks: Column, key: String): String = {
+    val fp = (index.queryExecution.analyzed.canonicalized.hashCode(),
+      toks.toString).hashCode()
+    standingMemo.getOrElseUpdate((index.sparkSession, s"$key#$fp"), {
       standingBuilds.incrementAndGet()
       val dir = graft.TempDirs.create("graft-bm25-stats-").toString
       val an = index.select(toks.as("_ts"))
@@ -125,6 +137,7 @@ object Bm25 {
         .write.mode("overwrite").parquet(s"$dir/terms")
       dir
     })
+  }
 
   /** Stats for `terms` from a standing table: a 1-row read + a
     * term-pushdown-filtered read of ≤ |terms| rows. Terms absent from the

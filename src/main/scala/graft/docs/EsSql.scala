@@ -688,16 +688,24 @@ object EsSql {
     var depth = 0
     var rem = tail
     var first = true
+    // a top-level comma inside the group means a CASE(...) argument list
+    // (CASE takes >= 2 args), never a simple-form operand — a single SQL
+    // expression can't contain a bare top-level comma. Without this, a
+    // function-form CASE(...) sitting in a non-final THEN branch (so the
+    // NEXT branch's WHEN follows its close-paren) was mistaken for the
+    // simple form and the END scan miscounted.
+    var topComma = false
     while (first || depth > 0) {
       first = false
       rem match {
         case SOp("(") :: tl => depth += 1; rem = tl
         case SOp(")") :: tl => depth -= 1; rem = tl
+        case SOp(",") :: tl => if (depth == 1) topComma = true; rem = tl
         case _ :: tl => rem = tl
         case Nil => return false
       }
     }
-    rem.headOption.exists(isKw(_, "WHEN"))
+    !topComma && rem.headOption.exists(isKw(_, "WHEN"))
   }
 
   private def rewriteCaseWhen(ts: List[Tok]): List[Tok] = {
@@ -981,7 +989,8 @@ object EsSql {
     // expression BEFORE any membership checks
     def ordinalItem(n: String, what: String): Item = {
       if (n.contains('.')) reject(s"$what ordinal must be an integer, got $n")
-      val i = n.toInt
+      val i = n.toIntOption.getOrElse(
+        reject(s"$what ordinal must be an integer, got $n"))
       if (i < 1 || i > items.size)
         reject(s"$what ordinal $i out of range (SELECT has ${items.size} items)")
       items(i - 1)

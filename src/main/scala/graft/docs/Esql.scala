@@ -489,10 +489,18 @@ object Esql {
           arity(1)
           args(0) match {
             case ELong(_) | EDouble(_) => (c(0) * lit(1000L)).cast(LongType)
-            // the string cast pins non-literal args to STRING parsing: a
-            // numeric column would otherwise ride Spark's seconds-based
-            // long→timestamp cast and silently diverge from ES's millis
-            // (as a string it fails ISO parse → null, the TO_* contract)
+            // a bare numeric COLUMN is epoch millis too (the ES|QL
+            // contract) — resolved via the frame schema so it gets the
+            // same millis→micros scaling as a numeric literal instead of
+            // riding a string cast into an all-null ISO parse
+            case EId(f) if Option(curSchema.get).exists(s =>
+                s.fields.exists(x => x.name == f &&
+                  x.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])) =>
+              (c(0).cast(LongType) * lit(1000L)).cast(LongType)
+            // the string cast pins remaining non-literal args to STRING
+            // parsing: unparseable → null, the TO_* contract. (A COMPUTED
+            // numeric expression still parses as a string — pass it
+            // through a numeric column or literal for millis semantics.)
             case _ => unix_micros(try_to_timestamp(c(0).cast("string")))
           }
         case "DATE_PARSE" =>

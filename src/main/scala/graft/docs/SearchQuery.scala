@@ -699,7 +699,7 @@ object SearchQuery {
     val s = src
     var i = 0
     def ws(): Unit = while (i < s.length && s(i).isWhitespace) i += 1
-    def peek: Char = if (i < s.length) s(i) else ' '
+    def peek: Char = if (i < s.length) s(i) else '\u0000'
     def fail(msg: String): Nothing =
       throw new IllegalArgumentException(s"script_score: $msg at offset $i in: $src")
     def expr(): ScriptExpr = {

@@ -148,6 +148,17 @@ class Bm25Spec extends SparkSpec {
       .filter(col("term").isin(terms: _*))
       .queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters: [In(term"), plan)
+    // ADVICE r14: a reused key against a DIFFERENT corpus or analyzer
+    // must NOT serve stale stats — the memo folds in a corpus
+    // fingerprint, so each gets a fresh build
+    val c2 = Seq((1L, "alpha alpha zeta")).toDF("id", "body")
+    val afterSame = Bm25.standingBuilds.get()
+    val stOther = Bm25.stats(c2, toks, terms, Some("bm25spec-standing"))
+    assert(Bm25.standingBuilds.get() === afterSame + 1) // rebuild, not stale
+    assert(stOther === Bm25.stats(c2, toks, terms))
+    val toks2 = split(upper(col("body")), "\\s+") // different analyzer
+    Bm25.stats(c, toks2, Seq("ZETA"), Some("bm25spec-standing"))
+    assert(Bm25.standingBuilds.get() === afterSame + 2)
   }
 
   test("function_score + pinned fold over the bm25 base (the closed v1 " +

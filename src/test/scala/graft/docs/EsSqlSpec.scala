@@ -310,6 +310,44 @@ class EsSqlSpec extends SparkSpec {
       ("small", "E", 1L)))
   }
 
+  test("function-form CASE(...) in a NON-final THEN branch (ADVICE r14: " +
+      "the next WHEN made the END scan miscount)") {
+    // NULLIF rewrites to a function-form CASE( before the CASE WHEN pass;
+    // with another WHEN following, parenCaseIsSimpleForm used to mistake
+    // it for the paren-operand simple form and eat the real END
+    assert(t("""SELECT CASE WHEN v > 1 THEN NULLIF(g, 'en')
+               |  WHEN v > 0 THEN g ELSE 'x' END AS k FROM t""".stripMargin)
+      === """FROM t
+        || EVAL k = CASE ( v > 1 , CASE ( ( g ) == ( "en" ) , NULL , ( g ) ) , v > 0 , g , "x" )
+        || KEEP k""".stripMargin)
+    // a user-written native CASE(...) in a non-final branch, same shape
+    assert(t("""SELECT CASE WHEN v > 1 THEN CASE(v > 2, 'a', 'b')
+               |  WHEN v > 0 THEN 'c' END AS k FROM t""".stripMargin)
+      === """FROM t
+        || EVAL k = CASE ( v > 1 , CASE ( v > 2 , "a" , "b" ) , v > 0 , "c" )
+        || KEEP k""".stripMargin)
+    // end-to-end through the engine
+    import spark.implicits._
+    val base = Seq((2L, "en"), (2L, "fr"), (1L, "de"), (0L, "de"))
+      .toDF("v", "g")
+    val got = EsSql.run(Map("t" -> base),
+      """SELECT CASE WHEN v > 1 THEN NULLIF(g, 'en')
+        |  WHEN v > 0 THEN g ELSE 'x' END AS k
+        |FROM t ORDER BY k NULLS FIRST""".stripMargin)
+      .collect().map(r => Option(r.getString(0))).toSeq
+    assert(got === Seq(None, Some("de"), Some("fr"), Some("x")))
+  }
+
+  test("out-of-Int-range ordinal is a named reject (ADVICE r14: was an " +
+      "uncaught NumberFormatException)") {
+    def err(sql: String): String =
+      intercept[IllegalArgumentException](t(sql)).getMessage
+    assert(err("SELECT g, COUNT(*) AS n FROM t GROUP BY 99999999999")
+      .contains("ordinal must be an integer"))
+    assert(err("SELECT g FROM t ORDER BY 99999999999")
+      .contains("ordinal must be an integer"))
+  }
+
   test("conditional scalars: NULLIF/IIF/IFNULL/NVL + DATE_TRUNC passthrough") {
     // NULLIF → null-when-equal CASE; the default branch carries `a`
     assert(t("SELECT NULLIF(a, 0) AS k FROM t") ===

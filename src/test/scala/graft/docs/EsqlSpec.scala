@@ -690,4 +690,15 @@ class EsqlSpec extends SparkSpec {
     assert(r(0).getLong(3) === 1767225600000L * 1000L) // millis -> micros
     assert(r(1).isNullAt(2)) // junk -> null, the TO_* contract
   }
+
+  test("TO_DATETIME on a numeric COLUMN is epoch millis (ADVICE r14: was " +
+      "an all-null string parse)") {
+    import spark.implicits._
+    val docs = Map("d" -> Seq((1L, 1767225600000L), (2L, 0L))
+      .toDF("id", "ms"))
+    val r = Esql.run(docs,
+      "FROM d | EVAL t = TO_DATETIME(ms) | KEEP id, t | SORT id").collect()
+    assert(r(0).getLong(1) === 1767225600000L * 1000L)
+    assert(r(1).getLong(1) === 0L)
+  }
 }

@@ -9900,6 +9900,165 @@ object DocQueries {
        |WHERE rn <= 25 ORDER BY rn""".stripMargin
   }
 
+  // ---------------------------------------------------------------- d276
+  /** `must`-clause BM25 — the r14 verdict's top fidelity gap: ES sums the
+    * score of EVERY scoring-context clause, and `must: {match: …}` is the
+    * most common Kibana composition, but bm25 mode used to score only
+    * shoulds (must kept the 1-point satisfied score). Now the must match
+    * contributes its per-document BM25 alongside the should's; both
+    * clauses are on one field, so their terms pool into ONE stats fetch
+    * (the standing table at 100 TB). Bm25Spec pins a corpus where the
+    * must-scored order provably differs from should-only order. */
+  private def d276(s: SparkSession, d: String): DataFrame = {
+    val flat = s.read.parquet(s"$d/documents.parquet")
+    val docs = flat.select(struct(
+      col("doc_id").cast("string").as("objectId"),
+      col("text"), col("lang"), col("n_chars")).as("doc"))
+    val body =
+      """{"query": {"bool": {
+        |   "must": [{"match": {"text": "vector merge window"}}],
+        |   "should": [{"match": {"text": "spark sort"}}],
+        |   "filter": [{"range": {"n_chars": {"gte": 150}}}]}},
+        | "_source": ["objectId"], "size": 25}""".stripMargin
+    SearchExec.search(docs, "doc", body,
+      docs.schema("doc").dataType.asInstanceOf[org.apache.spark.sql.types.StructType],
+      similarity = "bm25", statsKey = Some(s"dsl:$d"))
+  }
+
+  private val d276Sql = {
+    // score = bm25(must terms) + bm25(should terms), one field → the
+    // five terms share one stats scope; hit set = must ∧ filter (the
+    // should never filters when a must is present, msm = 0)
+    val terms = Seq("vector", "merge", "window", "spark", "sort")
+    def tf(t: String) = s"len(list_filter(ts, x -> x = '$t'))"
+    val score = terms.zipWithIndex.map { case (t, i) =>
+      graft.docs.Bm25.oracleTermSql(tf(t), "dl", "n", s"df$i", "a100")
+    }.mkString(" + ")
+    val dfs = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(SUM(CASE WHEN list_contains(ts, '$t') THEN 1 ELSE 0 END) AS BIGINT) AS df$i"
+    }.mkString(", ")
+    s"""WITH an AS (SELECT CAST(doc_id AS VARCHAR) AS oid, n_chars,
+       |    regexp_split_to_array(lower(text), '\\s+') AS ts FROM documents),
+       |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST((100 * COALESCE(SUM(len(ts)), 0)) // COUNT(*) AS BIGINT) AS a100, $dfs FROM an),
+       |sc AS (SELECT oid, CAST($score AS BIGINT) AS score
+       |       FROM (SELECT oid, ts, len(ts) AS dl FROM an
+       |             WHERE list_has_any(ts, ['vector', 'merge', 'window'])
+       |               AND n_chars >= 150)
+       |       CROSS JOIN st)
+       |SELECT rn, score, oid AS "objectId" FROM (
+       |  SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, oid ASC) AS rn FROM sc)
+       |WHERE rn <= 25 ORDER BY rn""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- d277
+  /** `multi_match` (best_fields) under `similarity=bm25` — in ES this IS
+    * a DisjunctionMaxQuery: the clause scores max over per-field BM25,
+    * not a sum (the [[SearchQuery.DisMax]] node carries the intent the
+    * Or desugar erased). Two fields → two bounded stats fetches (one
+    * standing table per (corpus, field)); a bare multi_match body is
+    * promoted to its own relevance like a bare match. */
+  private def d277(s: SparkSession, d: String): DataFrame = {
+    val flat = s.read.parquet(s"$d/documents.parquet")
+    val docs = flat.select(struct(
+      col("doc_id").cast("string").as("objectId"),
+      col("text"), col("lang"), col("n_chars")).as("doc"))
+    val body =
+      """{"query": {"multi_match": {
+        |   "query": "en merge", "fields": ["text", "lang"]}},
+        | "_source": ["objectId"], "size": 25}""".stripMargin
+    SearchExec.search(docs, "doc", body,
+      docs.schema("doc").dataType.asInstanceOf[org.apache.spark.sql.types.StructType],
+      similarity = "bm25", statsKey = Some(s"dsl:$d"))
+  }
+
+  private val d277Sql = {
+    val terms = Seq("en", "merge")
+    def tf(f: String, t: String) = s"len(list_filter($f, x -> x = '$t'))"
+    def leg(f: String, dl: String, a: String, dfp: String) =
+      terms.zipWithIndex.map { case (t, i) =>
+        graft.docs.Bm25.oracleTermSql(tf(f, t), dl, "n", s"$dfp$i", a)
+      }.mkString(" + ")
+    def dfs(f: String, dfp: String) = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(SUM(CASE WHEN list_contains($f, '$t') THEN 1 ELSE 0 END) AS BIGINT) AS $dfp$i"
+    }.mkString(", ")
+    s"""WITH an AS (SELECT CAST(doc_id AS VARCHAR) AS oid,
+       |    regexp_split_to_array(lower(text), '\\s+') AS ts,
+       |    regexp_split_to_array(lower(lang), '\\s+') AS ls FROM documents),
+       |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST((100 * COALESCE(SUM(len(ts)), 0)) // COUNT(*) AS BIGINT) AS a100,
+       |    CAST((100 * COALESCE(SUM(len(ls)), 0)) // COUNT(*) AS BIGINT) AS al100,
+       |    ${dfs("ts", "dft")}, ${dfs("ls", "dfl")} FROM an),
+       |sc AS (SELECT oid, GREATEST(
+       |         CAST(${leg("ts", "dl", "a100", "dft")} AS BIGINT),
+       |         CAST(${leg("ls", "ll", "al100", "dfl")} AS BIGINT)) AS score
+       |       FROM (SELECT oid, ts, ls, len(ts) AS dl, len(ls) AS ll FROM an
+       |             WHERE list_has_any(ts, ['en', 'merge'])
+       |                OR list_has_any(ls, ['en', 'merge']))
+       |       CROSS JOIN st)
+       |SELECT rn, score, oid AS "objectId" FROM (
+       |  SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, oid ASC) AS rn FROM sc)
+       |WHERE rn <= 25 ORDER BY rn""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- d278
+  /** `dis_max` with `tie_breaker` under `similarity=bm25` — score =
+    * max(leg scores) + tie_breaker·(sum − max), floored in fixed point
+    * (ES's DisjunctionMaxQuery fold; integer arithmetic keeps the
+    * ranking oracle-exact). Match-desugar legs score BM25 (their terms
+    * pool into one stats scope per field); the `term` leg keeps its
+    * 1-point constant — mixing constant-score legs under dis_max is
+    * exactly ES's behavior for non-text legs. */
+  private def d278(s: SparkSession, d: String): DataFrame = {
+    val flat = s.read.parquet(s"$d/documents.parquet")
+    val docs = flat.select(struct(
+      col("doc_id").cast("string").as("objectId"),
+      col("text"), col("lang"), col("n_chars")).as("doc"))
+    val body =
+      """{"query": {"dis_max": {
+        |   "queries": [{"match": {"text": "vector merge"}},
+        |               {"match": {"text": "window sort"}},
+        |               {"term": {"lang": "en"}}],
+        |   "tie_breaker": 0.3}},
+        | "_source": ["objectId"], "size": 30}""".stripMargin
+    SearchExec.search(docs, "doc", body,
+      docs.schema("doc").dataType.asInstanceOf[org.apache.spark.sql.types.StructType],
+      similarity = "bm25", statsKey = Some(s"dsl:$d"))
+  }
+
+  private val d278Sql = {
+    val all = Seq("vector", "merge", "window", "sort")
+    def tf(t: String) = s"len(list_filter(ts, x -> x = '$t'))"
+    def leg(ts: Seq[String]) = ts.map { t =>
+      val i = all.indexOf(t)
+      graft.docs.Bm25.oracleTermSql(tf(t), "dl", "n", s"df$i", "a100")
+    }.mkString(" + ")
+    val dfs = all.zipWithIndex.map { case (t, i) =>
+      s"CAST(SUM(CASE WHEN list_contains(ts, '$t') THEN 1 ELSE 0 END) AS BIGINT) AS df$i"
+    }.mkString(", ")
+    // legs are non-negative, so FLOOR matches the engine's double→long
+    // truncation of the tie_breaker product
+    s"""WITH an AS (SELECT CAST(doc_id AS VARCHAR) AS oid, lang,
+       |    regexp_split_to_array(lower(text), '\\s+') AS ts FROM documents),
+       |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST((100 * COALESCE(SUM(len(ts)), 0)) // COUNT(*) AS BIGINT) AS a100, $dfs FROM an),
+       |legs AS (SELECT oid,
+       |         CAST(${leg(Seq("vector", "merge"))} AS BIGINT) AS s1,
+       |         CAST(${leg(Seq("window", "sort"))} AS BIGINT) AS s2,
+       |         CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS s3
+       |       FROM (SELECT oid, lang, ts, len(ts) AS dl FROM an
+       |             WHERE list_has_any(ts, ['vector', 'merge'])
+       |                OR list_has_any(ts, ['window', 'sort'])
+       |                OR lang = 'en')
+       |       CROSS JOIN st),
+       |sc AS (SELECT oid, GREATEST(s1, s2, s3) +
+       |         CAST(FLOOR(0.3 * CAST(s1 + s2 + s3 - GREATEST(s1, s2, s3) AS DOUBLE)) AS BIGINT) AS score
+       |       FROM legs)
+       |SELECT rn, score, oid AS "objectId" FROM (
+       |  SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, oid ASC) AS rn FROM sc)
+       |WHERE rn <= 30 ORDER BY rn""".stripMargin
+  }
+
   // ---------------------------------------------------------------- d274
   /** ES|QL `HASH(alg, v)` / `TO_BASE64` / `FROM_BASE64` — byte-exact
     * scalar functions (hex digests, base64 over UTF-8 bytes), all
@@ -10742,6 +10901,9 @@ object DocQueries {
     "d269_es_function_score_bm25" -> d269 _,
     "d270_es_pinned_bm25" -> d270 _,
     "d271_es_script_score_bm25" -> d271 _,
+    "d276_es_must_bm25" -> d276 _,
+    "d277_es_multimatch_bm25" -> d277 _,
+    "d278_es_dismax_bm25" -> d278 _,
     "d261_eql_all_matches_guards" -> d261 _,
     "d262_esql_inlinestats_distinct" -> d262 _,
     "d206_es_parent_agg" -> d206 _,
@@ -11019,6 +11181,9 @@ object DocQueries {
     "d269_es_function_score_bm25" -> d269Sql,
     "d270_es_pinned_bm25" -> d270Sql,
     "d271_es_script_score_bm25" -> d271Sql,
+    "d276_es_must_bm25" -> d276Sql,
+    "d277_es_multimatch_bm25" -> d277Sql,
+    "d278_es_dismax_bm25" -> d278Sql,
     "d261_eql_all_matches_guards" -> d261Sql,
     "d262_esql_inlinestats_distinct" -> d262Sql,
     "d206_es_parent_agg" -> d206Sql,

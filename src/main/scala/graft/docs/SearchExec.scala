@@ -55,6 +55,7 @@ object SearchExec {
     def walk(q0: SearchQuery): SearchQuery = q0 match {
       case SQ.And(qs @ _*) => SQ.And(qs.map(walk): _*)
       case SQ.Or(qs @ _*) => SQ.Or(qs.map(walk): _*)
+      case SQ.DisMax(legs, tb) => SQ.DisMax(legs.map(walk), tb)
       case SQ.Not(p) => SQ.Not(walk(p))
       case SQ.AtLeast(n, qs) => SQ.AtLeast(n, qs.map(walk))
       case SQ.NestedCompound(ap, inner) => SQ.NestedCompound(ap, walk(inner))
@@ -244,14 +245,21 @@ object SearchExec {
         // (same promotion as the main query in bm25Scored); under
         // boolean the 1.0 convention stands
         val rsClauses =
-          if (rs.parsed.shoulds.nonEmpty) rs.parsed.shoulds
-          else if (similarity == "bm25" && asMatch(rs.parsed.query).nonEmpty)
-            Seq(rs.parsed.query)
+          if (similarity == "bm25") {
+            // same clause selection as the first pass: musts score too,
+            // and a bare match / dis_max / multi_match body is its own
+            // relevance
+            val cs = rs.parsed.scoringMusts ++ rs.parsed.shoulds
+            if (cs.nonEmpty) cs
+            else if (bm25Scoreable(rs.parsed.query)) Seq(rs.parsed.query)
+            else Nil
+          }
+          else if (rs.parsed.shoulds.nonEmpty) rs.parsed.shoulds
           else Nil
         val win2 =
           if (rsClauses.isEmpty) window.withColumn("_rsc", lit(1.0))
           else if (similarity == "bm25")
-            bm25ShouldScore(window, docs, doc, rsClauses, "_rsc", "r",
+            bm25ClauseScore(window, docs, doc, rsClauses, "_rsc", "r",
               statsKey)
           else window.withColumn("_rsc",
             SearchQuery.scoreCol(rs.parsed, doc).cast("double"))
@@ -348,14 +356,19 @@ object SearchExec {
       hits0.agg(count(lit(1)).cast("long").as("total"))))
   }
 
-  /** `similarity=bm25` scoring: each top-level `should` clause that is a
-    * whitespace-analyzed `match` desugar — a [[SearchQuery.TermMatch]],
-    * or an Or/And of TermMatch on one path — contributes the fixed-point
-    * BM25 ([[Bm25]]) of its terms against that field, with index-level
-    * stats from the UNFILTERED corpus (the ES semantic: df/avgdl are
-    * index metadata). Any other should clause keeps its 1-point
-    * satisfied-clause score — mixing constant-score clauses into a BM25
-    * sum is exactly what ES's bool query does. The score stays a LONG
+  /** `similarity=bm25` scoring: each top-level SCORING clause — `must`
+    * AND `should`, the ES scoring contexts (`filter` never scores) —
+    * that is a whitespace-analyzed `match` desugar — a
+    * [[SearchQuery.TermMatch]], or an Or/And of TermMatch on one path —
+    * contributes the fixed-point BM25 ([[Bm25]]) of its terms against
+    * that field, with index-level stats from the UNFILTERED corpus (the
+    * ES semantic: df/avgdl are index metadata). A
+    * [[SearchQuery.DisMax]] clause (dis_max / multi_match best_fields)
+    * scores max over its legs' scores (+ tie_breaker·(sum − max), fixed-
+    * point floor) — ES's DisjunctionMaxQuery fold. Any other scoring
+    * clause keeps its 1-point satisfied-clause score — mixing
+    * constant-score clauses into a BM25 sum is exactly what ES's bool
+    * query does. The score stays a LONG
     * (fixed-point), so min_score floors and sort orders are oracle-exact.
     * `rescore` re-ranks its bounded window with the SAME scorer (the
     * rescore path above calls [[bm25ShouldScore]] on the window).
@@ -382,9 +395,15 @@ object SearchExec {
         if pin.nonEmpty => organic
       case _ => p.query
     }
+    // ES sums the score of EVERY scoring-context clause: top-level musts
+    // AND shoulds (filter never scores). A must clause is satisfied by
+    // every hit by construction, so a non-match must adds a constant 1 —
+    // order-neutral — while a must-clause match desugar contributes its
+    // per-document BM25, the most common Kibana composition.
     val clauses =
-      if (p.shoulds.nonEmpty) p.shoulds
-      else if (asMatch(candidate).nonEmpty) Seq(candidate)
+      if (p.scoringMusts.nonEmpty || p.shoulds.nonEmpty)
+        p.scoringMusts ++ p.shoulds
+      else if (bm25Scoreable(candidate)) Seq(candidate)
       else Nil
     if (clauses.isEmpty)
       // nothing bm25-scoreable (filter-only / range / match_all query) —
@@ -392,10 +411,19 @@ object SearchExec {
       // are similarity-independent)
       hits.withColumn("score", SearchQuery.scoreCol(p, doc))
     else
-      bm25ShouldScore(hits, index, doc, clauses, "_bm25_base", "s", statsKey)
+      bm25ClauseScore(hits, index, doc, clauses, "_bm25_base", "s", statsKey)
         .withColumn("score",
           SearchQuery.scoreCol(p, doc, Some(col("_bm25_base"))))
         .drop("_bm25_base")
+  }
+
+  /** True when `q` carries any bm25-scoreable leg: a match desugar
+    * ([[asMatch]]), or a [[SearchQuery.DisMax]] (dis_max / multi_match
+    * best_fields) with one — the shapes a bare query body is promoted
+    * to its own relevance for. */
+  private def bm25Scoreable(q: SearchQuery): Boolean = q match {
+    case SearchQuery.DisMax(legs, _) => legs.exists(bm25Scoreable)
+    case _ => asMatch(q).nonEmpty
   }
 
   /** The match-desugar shapes scoreable per-term (lowercased — the
@@ -433,38 +461,56 @@ object SearchExec {
     * standing stats table when `statsKey` names one ([[Bm25.standing]]),
     * else one inline bounded aggregate per distinct field path (all
     * clauses' terms for a path pool into a single scan). */
-  private def bm25ShouldScore(df: DataFrame, index: DataFrame, doc: Column,
-                              shoulds: Seq[SearchQuery], out: String,
+  private def bm25ClauseScore(df: DataFrame, index: DataFrame, doc: Column,
+                              clauses: Seq[SearchQuery], out: String,
                               tag: String,
                               statsKey: Option[String]): DataFrame = {
     import graft.docs.{SearchQuery => SQ}
     def toks(path: Seq[String]): Column =
       split(lower(field(doc, path)), "\\s+")
     // ONE bounded stats fetch per distinct field path — all clauses'
-    // terms for a path pool (k same-field clauses must not cost k scans);
-    // the standing key is per (corpus, field) since df tables are
-    // analyzer- and field-specific
-    val matchClauses = shoulds.zipWithIndex
-      .flatMap { case (q, i) => asMatch(q).map { case (pa, ts) => (i, pa, ts) } }
-    val statsByPath = matchClauses.groupBy(_._2).map { case (pa, xs) =>
-      pa -> Bm25.stats(index, toks(pa), xs.flatMap(_._3).distinct,
-        statsKey.map(k => s"$k#${pa.mkString(".")}"))
+    // terms for a path pool, INCLUDING legs nested inside DisMax (k
+    // same-field clauses must not cost k scans); the standing key is per
+    // (corpus, field) since df tables are analyzer- and field-specific
+    def matchLegs(q: SearchQuery): Seq[(Seq[String], Seq[String])] = q match {
+      case SQ.DisMax(legs, _) => legs.flatMap(matchLegs)
+      case _ => asMatch(q).toSeq
     }
+    val statsByPath = clauses.flatMap(matchLegs).groupBy(_._1)
+      .map { case (pa, xs) =>
+        pa -> Bm25.stats(index, toks(pa), xs.flatMap(_._2).distinct,
+          statsKey.map(k => s"$k#${pa.mkString(".")}"))
+      }
     var cur = df
-    var score: Column = lit(0L)
+    var nextId = 0
     val bmCols = scala.collection.mutable.ListBuffer[String]()
-    shoulds.zipWithIndex.foreach { case (q, i) =>
-      asMatch(q) match {
-        case Some((path, terms)) =>
-          val st = statsByPath(path)
-          cur = Bm25.withScore(cur, toks(path), terms, st,
-            s"_bm25_${tag}_$i", s"$tag$i")
-          bmCols += s"_bm25_${tag}_$i"
-          score = score + col(s"_bm25_${tag}_$i")
-        case None =>
-          score = score + coalesce(SQ.compile(q, doc).cast("long"), lit(0L))
+    // One clause's score as a Column (helper columns attach to `cur`):
+    // match desugar → fixed-point BM25 sum of its terms; DisMax →
+    // max over leg scores + tieBreaker·(sum − max) floored in fixed
+    // point (ES's DisjunctionMaxQuery fold — legs recurse, so a
+    // dis_max of multi_match scores correctly); anything else → its
+    // satisfied-clause 1 point (mixing constant-score clauses into a
+    // BM25 sum is exactly what ES's bool query does).
+    def clauseScore(q: SearchQuery): Column = asMatch(q) match {
+      case Some((path, terms)) =>
+        val name = s"_bm25_${tag}_c$nextId"
+        nextId += 1
+        cur = Bm25.withScore(cur, toks(path), terms, statsByPath(path),
+          name, s"$tag$nextId")
+        bmCols += name
+        col(name)
+      case None => q match {
+        case SQ.DisMax(legs, tb) =>
+          val scores = legs.map(clauseScore)
+          val mx = if (scores.size == 1) scores.head else greatest(scores: _*)
+          if (tb == 0.0) mx
+          else // legs are non-negative, so double→long cast IS floor
+            mx + (lit(tb) * (scores.reduce(_ + _) - mx).cast("double"))
+              .cast("long")
+        case _ => coalesce(SQ.compile(q, doc).cast("long"), lit(0L))
       }
     }
+    val score = clauses.map(clauseScore).reduce(_ + _)
     cur.withColumn(out, score).drop(bmCols.toSeq: _*)
   }
 }

@@ -160,6 +160,17 @@ object SearchQuery {
   final case class And(qs: SearchQuery*) extends SearchQuery
   final case class Or(qs: SearchQuery*) extends SearchQuery
   final case class Not(q: SearchQuery) extends SearchQuery
+  /** ES `dis_max` — and `multi_match` best_fields, which IS a
+    * DisjunctionMaxQuery in ES. Hit set = the UNION of the legs
+    * (identical to [[Or]]); the node exists because bm25 scoring needs
+    * the max-vs-sum intent the Or desugar erases: under
+    * `similarity=bm25` the clause scores max(leg scores)
+    * (+ tieBreaker·(sum − max), fixed-point floor) instead of a sum
+    * (SearchExec.bm25ClauseScore). Boolean mode keeps the satisfied-
+    * clause 1-point convention (the score never looked inside Or
+    * either). */
+  final case class DisMax(legs: Seq[SearchQuery],
+                          tieBreaker: Double = 0.0) extends SearchQuery
   /** ES bool `should` with `minimum_should_match` = n ≥ 2: at least n of
     * `qs` hold. Compiles as a sum of boolean casts — one pass over the
     * clauses, no combinatorial expansion. n > qs.size matches nothing
@@ -213,7 +224,17 @@ object SearchQuery {
                           shoulds: Seq[SearchQuery] = Nil,
                           shape: Option[ScoreShape] = None,
                           pinned: Seq[String] = Nil,
-                          script: Option[ScriptExpr] = None)
+                          script: Option[ScriptExpr] = None,
+                          /** Top-level bool `must` clauses, re-parsed for
+                            * scoring: ES sums the score of EVERY scoring-
+                            * context clause — must AND should — and `must:
+                            * {match: …}` is the most common Kibana
+                            * composition. Read only by the bm25 path
+                            * (SearchExec.bm25Scored); boolean mode keeps
+                            * the documented satisfied-`should`-count
+                            * convention. `filter` clauses never score in
+                            * ES and are never captured here. */
+                          scoringMusts: Seq[SearchQuery] = Nil)
 
   /** `script_score` mini-DSL — the arithmetic subset of Painless every
     * real script_score body lives in: `doc['field'].value`, `_score`,
@@ -674,17 +695,20 @@ object SearchQuery {
         val ast = parseNode(q, schema, hits)
         // Top-level should clauses, re-parsed for scoring (a scratch buffer
         // so an inner_hits inside a should is not recorded twice).
-        val shoulds = q match {
+        val (shoulds, scoringMusts) = q match {
           case JObject(List(("bool", JObject(fields)))) =>
             val scratch = scala.collection.mutable.ListBuffer.empty[(Seq[String], SearchQuery)]
-            (fields.toMap.getOrElse("should", JNothing) match {
-              case JArray(xs) => xs
-              case JNothing => Nil
-              case single => Seq(single)
-            }).map(parseNode(_, schema, scratch))
-          case _ => Nil
+            def clauses(key: String): Seq[SearchQuery] =
+              (fields.toMap.getOrElse(key, JNothing) match {
+                case JArray(xs) => xs
+                case JNothing => Nil
+                case single => Seq(single)
+              }).map(parseNode(_, schema, scratch))
+            // must scores in ES too (filter is the non-scoring must)
+            (clauses("should"), clauses("must"))
+          case _ => (Nil, Nil)
         }
-        Parsed(ast, hits.toList, shoulds.toList)
+        Parsed(ast, hits.toList, shoulds.toList, scoringMusts = scoringMusts.toList)
     }
   }
 
@@ -991,6 +1015,7 @@ object SearchQuery {
       case MatchPhrase(p, ph) if p == path => Seq(ph.trim).filter(_.nonEmpty)
       case And(qs @ _*) => qs.flatMap(walk)
       case Or(qs @ _*) => qs.flatMap(walk)
+      case DisMax(legs, _) => legs.flatMap(walk)
       case AtLeast(_, qs) => qs.flatMap(walk)
       case Not(_) => Nil
       case _ => Nil
@@ -2262,10 +2287,12 @@ object SearchQuery {
         val unknown = f.keySet -- Set("queries", "tie_breaker", "boost")
         require(unknown.isEmpty,
           s"unsupported dis_max key(s): ${unknown.mkString(", ")}")
+        val tb = f.get("tie_breaker").map(asDouble(_, "tie_breaker")).getOrElse(0.0)
+        require(tb >= 0.0 && tb <= 1.0, s"tie_breaker must be in [0, 1]: $tb")
         f.get("queries") match {
           case Some(JArray(qs)) if qs.nonEmpty =>
             val parts = qs.map(parseNode(_, schema, hits))
-            if (parts.size == 1) parts.head else Or(parts: _*)
+            if (parts.size == 1) parts.head else DisMax(parts, tb)
           case _ => throw new IllegalArgumentException("dis_max needs a non-empty queries array")
         }
       case JObject(List(("multi_match", JObject(fields)))) =>
@@ -2300,7 +2327,10 @@ object SearchQuery {
             case (arr, rest) => NestedTerm(arr, rest, q) // .keyword = exact
           }
         }
-        if (parts.size == 1) parts.head else Or(parts: _*)
+        // best_fields IS a DisjunctionMaxQuery in ES (tie_breaker 0):
+        // hit set = the same union the Or gave; under bm25 the clause
+        // scores max over per-field BM25 instead of a sum
+        if (parts.size == 1) parts.head else DisMax(parts)
       case JObject(List(("terms", JObject(List((p, JArray(vs))))))) =>
         val values = vs.map(asString)
         require(values.nonEmpty, s"terms on $p needs a non-empty value list")
@@ -2621,6 +2651,7 @@ object SearchQuery {
       SearchOps.nestedMatch(field(doc, ap), x => SearchOps.fuzzyMatch(field(x, f), v, fz))
     case And(qs @ _*) => qs.map(compile(_, doc)).reduce(_ && _)
     case Or(qs @ _*) => qs.map(compile(_, doc)).reduce(_ || _)
+    case DisMax(legs, _) => legs.map(compile(_, doc)).reduce(_ || _)
     case Not(sub) => !compile(sub, doc)
     case AtLeast(n, qs) => SearchOps.atLeast(n, qs.map(compile(_, doc)))
     case NestedCompound(ap, inner) =>
@@ -2649,6 +2680,7 @@ object SearchQuery {
       case NestedCompound(ap, _) => Set(ap)
       case And(qs @ _*) => qs.flatMap(aps).toSet
       case Or(qs @ _*) => qs.flatMap(aps).toSet
+      case DisMax(legs, _) => legs.flatMap(aps).toSet
       case Not(sub) => aps(sub)
       case AtLeast(_, qs) => qs.flatMap(aps).toSet
       case _ => Set.empty
@@ -2681,6 +2713,7 @@ object SearchQuery {
       case NestedFuzzy(p, f, v, fz) if p == ap => SearchOps.fuzzyMatch(field(x, f), v, fz)
       case And(qs @ _*) => qs.map(perElement(_, ap, x, doc)).reduce(_ && _)
       case Or(qs @ _*) => qs.map(perElement(_, ap, x, doc)).reduce(_ || _)
+      case DisMax(legs, _) => legs.map(perElement(_, ap, x, doc)).reduce(_ || _)
       case Not(sub) => !perElement(sub, ap, x, doc)
       case AtLeast(n, qs) => SearchOps.atLeast(n, qs.map(perElement(_, ap, x, doc)))
       case other => compile(other, doc) // constant w.r.t. the element
@@ -2719,6 +2752,7 @@ object SearchQuery {
       case NestedCompound(p, inner) if p == ap => compileInNested(inner, ap, x)
       case And(qs @ _*) => qs.map(compileInNested(_, ap, x)).reduce(_ && _)
       case Or(qs @ _*) => qs.map(compileInNested(_, ap, x)).reduce(_ || _)
+      case DisMax(legs, _) => legs.map(compileInNested(_, ap, x)).reduce(_ || _)
       case Not(sub) => !compileInNested(sub, ap, x)
       case AtLeast(n, qs) => SearchOps.atLeast(n, qs.map(compileInNested(_, ap, x)))
       case other => bad(other)

@@ -249,4 +249,83 @@ class Bm25Spec extends SparkSpec {
       Seq("x"), st, "s").select("s").collect().map(_.getLong(0))
     assert(z.forall(_ === 0L))
   }
+
+  test("must-clause match scores BM25 (r14 verdict): order flips vs the " +
+    "filter-equivalent, which never scores") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.StructType
+    // same hit set both ways (must ≡ filter for the SET); only the score
+    // differs: must adds bm25(alpha), filter adds nothing.
+    // Hand-computed (N=10, T=28, avgdl100=280; alpha df=2 idf=8, beta
+    // df=1 idf=9): doc 1 alpha(tf4,dl4)=12, no beta; doc 2 alpha(tf1,
+    // dl8)=4, beta(tf1,dl8)=5.
+    val c = (Seq(
+      (1L, "alpha alpha alpha alpha"),
+      (2L, "alpha beta word word word word word word")) ++
+      (3L to 10L).map(i => (i, "word word"))).toDF("id", "body")
+    val docs = c.select(struct(
+      col("id").cast("string").as("objectId"), col("body")).as("doc"))
+    val schema = docs.schema("doc").dataType.asInstanceOf[StructType]
+    def body(clause: String) =
+      s"""{"query": {"bool": {
+         |   "$clause": [{"match": {"body": "alpha"}}],
+         |   "should": [{"match": {"body": "beta"}}]}},
+         | "size": 3, "_source": ["objectId"]}""".stripMargin
+    def page(clause: String): Seq[(String, Long)] =
+      SearchExec.search(docs, "doc", body(clause), schema, similarity = "bm25")
+        .collect().map(r => (r.getAs[String]("objectId"),
+          r.getAs[Long]("score"))).toSeq
+    // filter never scores: doc 1 has no beta → 0, doc 2 first
+    assert(page("filter") === Seq(("2", 5L), ("1", 0L)))
+    // must scores its BM25: doc 1's heavy alpha (12) beats doc 2 (4+5)
+    assert(page("must") === Seq(("1", 12L), ("2", 9L)))
+  }
+
+  test("multi_match best_fields scores max over per-field BM25 (DisMax), " +
+    "not a sum; dis_max tie_breaker folds the fixed-point remainder") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.StructType
+    val c = Seq(
+      (1L, "zeta filler filler", "zeta"), // term in BOTH fields
+      (2L, "zeta zeta zeta word", "other"),
+      (3L, "word filler filler", "other")).toDF("id", "body", "tag")
+    val docs = c.select(struct(
+      col("id").cast("string").as("objectId"), col("body"), col("tag")).as("doc"))
+    val schema = docs.schema("doc").dataType.asInstanceOf[StructType]
+    val mmBody =
+      """{"query": {"multi_match": {"query": "zeta", "fields": ["body", "tag"]}},
+        | "size": 3, "_source": ["objectId"]}""".stripMargin
+    val got = SearchExec.search(docs, "doc", mmBody, schema, similarity = "bm25")
+      .collect().map(r => r.getAs[String]("objectId") -> r.getAs[Long]("score")).toMap
+    // the engine's score must equal greatest(bm25_body, bm25_tag) per doc
+    def legScores(f: String): Map[Long, Long] = {
+      val toks = split(lower(col(f)), "\\s+")
+      val st = Bm25.stats(c, toks, Seq("zeta"))
+      Bm25.withScore(c, toks, Seq("zeta"), st, "s").select("id", "s")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val sb = legScores("body"); val stg = legScores("tag")
+    for (id <- Seq(1L, 2L)) // doc 3 matches neither
+      assert(got(id.toString) === math.max(sb(id), stg(id)),
+        s"doc $id: got ${got(id.toString)}, legs ${sb(id)}/${stg(id)}")
+    // doc 1 has BOTH legs > 0 — a sum would differ from the max there
+    assert(sb(1L) > 0L && stg(1L) > 0L)
+    assert(got("1") !== sb(1L) + stg(1L))
+    // dis_max with tie_breaker: max + floor(tb·(sum − max)), constant leg
+    val dmBody =
+      """{"query": {"dis_max": {
+        |   "queries": [{"match": {"body": "zeta"}},
+        |               {"match": {"tag": "zeta"}},
+        |               {"term": {"tag": "other"}}],
+        |   "tie_breaker": 0.5}},
+        | "size": 3, "_source": ["objectId"]}""".stripMargin
+    val dm = SearchExec.search(docs, "doc", dmBody, schema, similarity = "bm25")
+      .collect().map(r => r.getAs[String]("objectId") -> r.getAs[Long]("score")).toMap
+    for (id <- Seq(1L, 2L, 3L)) {
+      val legs = Seq(sb(id), stg(id), if (id >= 2L) 1L else 0L)
+      val mx = legs.max
+      val want = mx + math.floor(0.5 * (legs.sum - mx)).toLong
+      assert(dm(id.toString) === want, s"doc $id: got ${dm(id.toString)}, want $want")
+    }
+  }
 }

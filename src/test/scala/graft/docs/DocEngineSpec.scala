@@ -635,9 +635,12 @@ class DocEngineSpec extends SparkSpec {
     val body =
       """{"query": {"multi_match": {"query": "inNetwork",
         |  "fields": ["planType", "linkedPlanServices.linkedService.name"]}}}""".stripMargin
+    // best_fields IS a DisjunctionMaxQuery in ES — the node keeps the
+    // max-vs-sum scoring intent for bm25 mode; the hit set is the union
+    // (compiles exactly like the old Or desugar)
     assert(SearchQuery.fromJson(body, PlanSchema.plan) ===
-      Or(TermMatch(Seq("planType"), "inNetwork"),
-        NestedTokenMatch(Seq("linkedPlanServices"), Seq("linkedService", "name"), "inNetwork")))
+      DisMax(Seq(TermMatch(Seq("planType"), "inNetwork"),
+        NestedTokenMatch(Seq("linkedPlanServices"), Seq("linkedService", "name"), "inNetwork"))))
     assert(assembledDocs.filter(
       SearchQuery.compile(SearchQuery.fromJson(body, PlanSchema.plan), col("doc"))).count() === 1)
     // second field alone also hits — a multi-token query is ANALYZED

@@ -57,11 +57,23 @@ object Bench {
         leaked.values.foreach(_.unpersist(false))
       }
     }
+    // Session-ambient cleanup drain (r15): the sf1 artifact showed the
+    // heavy shred queries' ASYNC shuffle/broadcast cleanup (ContextCleaner
+    // work enqueued only when driver GC collects the references) bleeding
+    // 9-14 s into the next ~5 queries' timed windows (SCALE.md
+    // "run-order coupling", d220-d225). After any run heavy enough to
+    // leave cleanup behind, trigger reference processing NOW — outside
+    // every timed window — and give the cleaner thread a moment to drain,
+    // so neighbors measure the engine, not the previous query's GC. Cost
+    // lands in wall (reported separately), never in a query's median.
+    def drainCleanup(dt: Double): Unit =
+      if (dt > 1.0) { System.gc(); Thread.sleep(250) }
     val tw = System.nanoTime()
     try graft.docs.DocQueries.warm(spark, sfDir)
     catch { case e: Throwable => errs("warm_corpus") = err(e) }
     val warm = ("warm_corpus", (System.nanoTime() - tw) / 1e9)
     reapLeaks("warm_corpus")
+    drainCleanup(warm._2)
     // Optional comma-separated prefix filter (local iteration; the driver
     // sets neither, so it always measures everything).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
@@ -103,7 +115,7 @@ object Bench {
               val t0 = System.nanoTime()
               try { fn(spark, sfDir).count()
                 val dt = (System.nanoTime() - t0) / 1e9
-                reapLeaks(name); Right(dt)
+                reapLeaks(name); drainCleanup(dt); Right(dt)
               } catch { case e: Throwable =>
                 reapLeaks(name); Left(err(e)) }
             }

@@ -10059,6 +10059,247 @@ object DocQueries {
        |WHERE rn <= 30 ORDER BY rn""".stripMargin
   }
 
+  // ---------------------------------------------------------------- d279
+  /** ES SQL `FIRST`/`LAST` aggregates (+ the `FIRST_VALUE` synonym) —
+    * the field value at the min/max of the ordering field (the field
+    * itself when no ordering is given), nulls ignored, ordering ties
+    * pinned by the value (DOCUMENTED DEVIATION: real ES leaves ties
+    * unspecified). Lowered onto ONE min/max over a 2-field struct inside
+    * the same single hash aggregation as the other metrics — a
+    * map-side-combining aggregate, never a per-group sort, so the shape
+    * scales with group count, not group size. */
+  private def d279(s: SparkSession, d: String): DataFrame = {
+    val q =
+      """SELECT lang,
+        |       FIRST(source, doc_id) AS first_src,
+        |       LAST(source, doc_id) AS last_src,
+        |       FIRST_VALUE(doc_id) AS min_id,
+        |       COUNT(*) AS n
+        |FROM documents
+        |GROUP BY lang
+        |ORDER BY lang ASC""".stripMargin
+    EsSql.run(Map("documents" ->
+      s.read.parquet(s"$d/documents.parquet")), q)
+  }
+
+  private val d279Sql =
+    """SELECT lang,
+      |  (list(source ORDER BY doc_id ASC, source ASC))[1] AS first_src,
+      |  (list(source ORDER BY doc_id DESC, source DESC))[1] AS last_src,
+      |  CAST(MIN(doc_id) AS BIGINT) AS min_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang ASC""".stripMargin
+
+  // ---------------------------------------------------------------- d280
+  /** ES SQL `SKEWNESS`/`KURTOSIS` (population moments — the matrix_stats
+    * contract: g1 = √n·M3/M2^1.5, kurtosis = n·M4/M2², NOT excess) and
+    * `PERCENTILE_RANK` (exact empirical CDF — DOCUMENTED DEVIATION from
+    * ES's t-digest interpolation). Power sums Σx..Σx⁴ accumulate exactly
+    * in double (integral quantities, well under 2^53 even at sf1), then
+    * both engines run the IDENTICAL IEEE arithmetic — every *, /, √ is
+    * correctly rounded and M2^1.5 is spelled M2·√M2, so no libm-pow
+    * divergence. Still ONE hash aggregation: 4 sums + 2 counts per
+    * group, map-side combined. */
+  private def d280(s: SparkSession, d: String): DataFrame = {
+    val q =
+      """SELECT l_returnflag,
+        |       SKEWNESS(l_quantity) AS skew,
+        |       KURTOSIS(l_quantity) AS kurt,
+        |       PERCENTILE_RANK(l_quantity, 25) AS pr25,
+        |       COUNT(*) AS cnt
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag ASC""".stripMargin
+    EsSql.run(Map("lineitem" -> graft.Tables(s, d, "lineitem")), q)
+  }
+
+  private val d280Sql =
+    """WITH g AS (
+      |  SELECT l_returnflag,
+      |    CAST(COUNT(l_quantity) AS DOUBLE) AS nd,
+      |    SUM(CAST(l_quantity AS DOUBLE)) AS s1,
+      |    SUM(CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE)) AS s2,
+      |    SUM(CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE)
+      |        * CAST(l_quantity AS DOUBLE)) AS s3,
+      |    SUM(CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE)
+      |        * CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE)) AS s4,
+      |    CAST(SUM(CASE WHEN CAST(l_quantity AS DOUBLE) <= 25.0
+      |                  THEN 1 ELSE 0 END) AS DOUBLE) AS le,
+      |    CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM lineitem GROUP BY l_returnflag),
+      |m AS (SELECT l_returnflag, nd, s1 / nd AS mu, s2, s3, s4, le, cnt
+      |      FROM g),
+      |mm AS (SELECT *,
+      |    s2 - nd * mu * mu AS m2,
+      |    s3 - mu * s2 * 3.0 + nd * mu * mu * mu * 2.0 AS m3,
+      |    s4 - mu * s3 * 4.0 + mu * mu * s2 * 6.0
+      |       - nd * mu * mu * mu * mu * 3.0 AS m4
+      |  FROM m)
+      |SELECT l_returnflag,
+      |  sqrt(nd) * m3 / (m2 * sqrt(m2)) AS skew,
+      |  nd * m4 / (m2 * m2) AS kurt,
+      |  le * 100.0 / nd AS pr25,
+      |  cnt
+      |FROM mm
+      |ORDER BY l_returnflag ASC""".stripMargin
+
+  // ---------------------------------------------------------------- d281
+  /** ES SQL `SELECT TOP n` — the LIMIT alias Kibana's SQL editor emits.
+    * Pure clause sugar: the pipe carries the same bounded LIMIT, so the
+    * plan stays ONE TakeOrderedAndProject (top-n per partition, merge on
+    * the driver — no global sort at any scale). TOP combined with LIMIT
+    * rejects with the real ES error (spec-pinned). */
+  private def d281(s: SparkSession, d: String): DataFrame = {
+    val q =
+      """SELECT TOP 12 doc_id, n_chars, lang
+        |FROM documents
+        |WHERE lang = 'en'
+        |ORDER BY n_chars DESC, doc_id ASC""".stripMargin
+    EsSql.run(Map("documents" ->
+      s.read.parquet(s"$d/documents.parquet")), q)
+  }
+
+  private val d281Sql =
+    """SELECT doc_id, n_chars, lang
+      |FROM documents
+      |WHERE lang = 'en'
+      |ORDER BY n_chars DESC, doc_id ASC
+      |LIMIT 12""".stripMargin
+
+  // ---------------------------------------------------------------- d282
+  /** ES SQL INTERVAL date arithmetic — `ts + INTERVAL 1 DAY`, chained
+    * `- INTERVAL '2' HOUR` (quoted standard-SQL quantity), and the
+    * DATE_ADD/DATEADD scalars it lowers onto. Fixed units are EXACT LONG
+    * MATH on the epoch-micros timeline (ts + n·unit_micros — no
+    * timestamp round-trip per row); month/year go calendar-aware through
+    * one interval add with day-of-month clamping, identical in both
+    * engines on the UTC session timeline. Pure per-row projection over
+    * one pushed scan — the filter still reaches parquet. */
+  private def d282(s: SparkSession, d: String): DataFrame = {
+    val q =
+      """SELECT event_id,
+        |       ts_us + INTERVAL 1 DAY AS next_day,
+        |       ts_us + INTERVAL 1 DAY - INTERVAL '2' HOUR AS shifted,
+        |       DATE_ADD('month', 2, ts_us) AS plus2m,
+        |       DATEADD('year', 1, ts_us) AS plus1y
+        |FROM events
+        |WHERE event_type = 'purchase'
+        |ORDER BY event_id ASC
+        |LIMIT 50""".stripMargin
+    EsSql.run(Map("events" -> graft.Tables.events(s, d).drop("ts")), q)
+  }
+
+  private val d282Sql =
+    """SELECT event_id,
+      |  epoch_us(ts + INTERVAL 1 DAY) AS next_day,
+      |  epoch_us(ts + INTERVAL 1 DAY - INTERVAL 2 HOUR) AS shifted,
+      |  epoch_us(ts + INTERVAL 2 MONTH) AS plus2m,
+      |  epoch_us(ts + INTERVAL 1 YEAR) AS plus1y
+      |FROM events
+      |WHERE event_type = 'purchase'
+      |ORDER BY event_id ASC
+      |LIMIT 50""".stripMargin
+
+  // ---------------------------------------------------------------- d283
+  /** ES|QL `MV_PERCENTILE` (8.14) — linear-interpolated percentile over
+    * each row's multivalue: rank = p/100·(n−1), v = s[lo] + frac·(s[hi]
+    * − s[lo]) — the PERCENTILE agg's math at row grain, exact element
+    * picks + one mul/add the oracle reproduces term for term. Pure
+    * per-row array op over one pushed scan; arrays never cross the
+    * output boundary (scalar doubles out). */
+  private def d283(s: SparkSession, d: String): DataFrame = {
+    val q =
+      """FROM embeddings
+        || WHERE vec_id % 7 == 0
+        || EVAL p25 = MV_PERCENTILE(embedding, 25),
+        |       med = MV_PERCENTILE(embedding, 50),
+        |       p90 = MV_PERCENTILE(embedding, 90)
+        || KEEP vec_id, label, p25, med, p90
+        || SORT vec_id ASC""".stripMargin
+    Esql.run(Map("embeddings" -> graft.Tables(s, d, "embeddings")), q)
+  }
+
+  private val d283Sql = {
+    // one percentile leg, mirroring the engine's arithmetic exactly:
+    // rank = (n-1)·p, lo = floor(rank), v = s[lo+1] + frac·(s[min(lo+2,n)]
+    // − s[lo+1]) — every *, −, + in the same order, so doubles hash-match
+    def leg(p: String) =
+      s"""CAST(s[CAST(floor(n1 * $p) AS BIGINT) + 1] AS DOUBLE)
+         |    + (n1 * $p - floor(n1 * $p))
+         |      * (CAST(s[least(CAST(floor(n1 * $p) AS BIGINT) + 2, n)] AS DOUBLE)
+         |         - CAST(s[CAST(floor(n1 * $p) AS BIGINT) + 1] AS DOUBLE))""".stripMargin
+    s"""WITH e AS (
+       |  SELECT vec_id, label, list_sort(embedding) AS s,
+       |    CAST(len(embedding) - 1 AS DOUBLE) AS n1,
+       |    len(embedding) AS n
+       |  FROM embeddings WHERE vec_id % 7 = 0)
+       |SELECT vec_id, label,
+       |  ${leg("0.25")} AS p25,
+       |  ${leg("0.5")} AS med,
+       |  ${leg("0.9")} AS p90
+       |FROM e ORDER BY vec_id ASC""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- d284
+  /** ES|QL `TO_IP` / `IP_PREFIX` (8.14) — canonical-IPv4 validation and
+    * constant-mask network-prefix extraction (the prefix length is a
+    * plan-time literal, so the mask folds and the per-row work is 4 int
+    * parses + 1 AND + re-join — all codegen'd, no UDF). Invalid
+    * addresses (an octet ≥ 256 here) null out, the TO_* contract.
+    * DATE_DIFF's widened fixed-unit set (weeks/milliseconds) rides the
+    * same scan. */
+  private def d284(s: SparkSession, d: String): DataFrame = {
+    val q =
+      """FROM events
+        || EVAL ip = CONCAT(TO_STRING(10 + user_id % 240), ".",
+        |                  TO_STRING(event_id % 300), ".",
+        |                  TO_STRING(user_id % 256), ".",
+        |                  TO_STRING(event_id % 256))
+        || EVAL v = TO_IP(ip), net24 = IP_PREFIX(ip, 24, 64),
+        |       net12 = IP_PREFIX(ip, 12, 64),
+        |       wk = DATE_DIFF("weeks", 1704067200000000, ts_us),
+        |       ms = DATE_DIFF("ms", 1704067200000000, ts_us) % 100000
+        || KEEP event_id, ip, v, net24, net12, wk, ms
+        || SORT event_id ASC
+        || LIMIT 300""".stripMargin
+    Esql.run(Map("events" -> graft.Tables.events(s, d).drop("ts")), q)
+  }
+
+  private val d284Sql = {
+    val oct = "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+    def masked(mask: Long) =
+      s"""CAST((ipn & $mask) // 16777216 % 256 AS VARCHAR) || '.' ||
+         |      CAST((ipn & $mask) // 65536 % 256 AS VARCHAR) || '.' ||
+         |      CAST((ipn & $mask) // 256 % 256 AS VARCHAR) || '.' ||
+         |      CAST((ipn & $mask) % 256 AS VARCHAR)""".stripMargin
+    s"""WITH b AS (
+       |  SELECT event_id, ts,
+       |    CAST(10 + user_id % 240 AS VARCHAR) || '.' ||
+       |      CAST(event_id % 300 AS VARCHAR) || '.' ||
+       |      CAST(user_id % 256 AS VARCHAR) || '.' ||
+       |      CAST(event_id % 256 AS VARCHAR) AS ip
+       |  FROM events),
+       |n AS (
+       |  SELECT event_id, ts, ip,
+       |    regexp_matches(ip, '^$oct(\\.$oct){3}$$') AS ok,
+       |    CAST(string_split(ip, '.')[1] AS BIGINT) * 16777216 +
+       |      CAST(string_split(ip, '.')[2] AS BIGINT) * 65536 +
+       |      CAST(string_split(ip, '.')[3] AS BIGINT) * 256 +
+       |      CAST(string_split(ip, '.')[4] AS BIGINT) AS ipn
+       |  FROM b)
+       |SELECT event_id, ip,
+       |  CASE WHEN ok THEN ip END AS v,
+       |  CASE WHEN ok THEN ${masked(0xFFFFFF00L)} END AS net24,
+       |  CASE WHEN ok THEN ${masked(0xFFF00000L)} END AS net12,
+       |  CAST((epoch_us(ts) - 1704067200000000) // 604800000000 AS BIGINT) AS wk,
+       |  CAST((epoch_us(ts) - 1704067200000000) // 1000 % 100000 AS BIGINT) AS ms
+       |FROM n
+       |ORDER BY event_id ASC
+       |LIMIT 300""".stripMargin
+  }
+
   // ---------------------------------------------------------------- d274
   /** ES|QL `HASH(alg, v)` / `TO_BASE64` / `FROM_BASE64` — byte-exact
     * scalar functions (hex digests, base64 over UTF-8 bytes), all
@@ -10904,6 +11145,12 @@ object DocQueries {
     "d276_es_must_bm25" -> d276 _,
     "d277_es_multimatch_bm25" -> d277 _,
     "d278_es_dismax_bm25" -> d278 _,
+    "d279_es_sql_first_last" -> d279 _,
+    "d280_es_sql_skew_kurt" -> d280 _,
+    "d281_es_sql_top" -> d281 _,
+    "d282_es_sql_interval" -> d282 _,
+    "d283_esql_mv_percentile" -> d283 _,
+    "d284_esql_ip_fns" -> d284 _,
     "d261_eql_all_matches_guards" -> d261 _,
     "d262_esql_inlinestats_distinct" -> d262 _,
     "d206_es_parent_agg" -> d206 _,
@@ -11184,6 +11431,12 @@ object DocQueries {
     "d276_es_must_bm25" -> d276Sql,
     "d277_es_multimatch_bm25" -> d277Sql,
     "d278_es_dismax_bm25" -> d278Sql,
+    "d279_es_sql_first_last" -> d279Sql,
+    "d280_es_sql_skew_kurt" -> d280Sql,
+    "d281_es_sql_top" -> d281Sql,
+    "d282_es_sql_interval" -> d282Sql,
+    "d283_esql_mv_percentile" -> d283Sql,
+    "d284_esql_ip_fns" -> d284Sql,
     "d261_eql_all_matches_guards" -> d261Sql,
     "d262_esql_inlinestats_distinct" -> d262Sql,
     "d206_es_parent_agg" -> d206Sql,

@@ -37,7 +37,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * and the ES SQL date extract scalars YEAR/MONTH[_OF_YEAR]/
   * DAY[_OF_MONTH|_OF_WEEK|_OF_YEAR]/HOUR/MINUTE/SECOND/QUARTER (→
   * `DATE_EXTRACT` parts; ISO day-of-week, Monday = 1; WEEK_OF_YEAR
-  * rejects loudly — locale-rule-dependent numbering). Dialect mapping is
+  * rejects loudly — locale-rule-dependent numbering). The aggregate set
+  * covers the full ES SQL tail: SUM/AVG/MIN/MAX/COUNT[(DISTINCT)]/
+  * MEDIAN/PERCENTILE/STD_DEV plus FIRST/LAST (a.k.a. FIRST_VALUE/
+  * LAST_VALUE — value at min/max of the ordering field, deterministic
+  * tie-break by value), KURTOSIS/SKEWNESS (population moments, the
+  * matrix_stats shape) and PERCENTILE_RANK (exact empirical CDF).
+  * `SELECT TOP n` is the LIMIT alias (Kibana emits it; combining both
+  * rejects, the real ES error), and INTERVAL date arithmetic
+  * (`ts + INTERVAL 1 DAY`, `- INTERVAL n unit` chains, quoted or bare
+  * quantities) lowers onto the DATE_ADD scalar — exact micros math for
+  * fixed units, calendar-aware months/years. DATE_ADD itself (and its
+  * DATEADD/TIMESTAMP_ADD spellings) is also callable directly.
+  * Dialect mapping is
   * purely lexical: `=`→`==`, `<>`→`!=`, `'str'`→`"str"`, and
   * `TRUE`/`FALSE` pass through as ES|QL boolean literals. The catalog
   * commands Kibana's SQL editor issues — `SHOW TABLES`, `DESCRIBE idx`
@@ -178,7 +190,13 @@ object EsSql {
     // conditionals: IIF(c,t,f) is ES|QL's variadic CASE with a default;
     // IFNULL/ISNULL/NVL are ES SQL's two-arg COALESCE spellings
     "IIF" -> "CASE", "IFNULL" -> "COALESCE", "ISNULL" -> "COALESCE",
-    "NVL" -> "COALESCE")
+    "NVL" -> "COALESCE",
+    // ES SQL spells FIRST/LAST with _VALUE synonyms; the engine's STATS
+    // agg is named FIRST/LAST (DATEADD/TIMESTAMP_ADD ride DATE_ADD's
+    // shared (unit, n, ts) signature)
+    "FIRST_VALUE" -> "FIRST", "LAST_VALUE" -> "LAST",
+    "DATEADD" -> "DATE_ADD", "TIMESTAMP_ADD" -> "DATE_ADD",
+    "TIMESTAMPADD" -> "DATE_ADD")
 
   private def emit(ts: List[Tok]): String = {
     val sb = new StringBuilder
@@ -267,7 +285,8 @@ object EsSql {
   }
 
   private val Aggs = Set("SUM", "AVG", "MIN", "MAX", "COUNT", "MEDIAN",
-    "PERCENTILE", "STD_DEV")
+    "PERCENTILE", "STD_DEV", "FIRST", "LAST", "FIRST_VALUE", "LAST_VALUE",
+    "KURTOSIS", "SKEWNESS", "PERCENTILE_RANK")
 
   /** Is the item exactly one aggregate call AGG(...)? "Exactly one"
     * means the '(' at position 1 closes at the LAST token (paren depth
@@ -636,6 +655,82 @@ object EsSql {
     out.toList
   }
 
+  /** ES SQL INTERVAL arithmetic — `<atom> + INTERVAL <n> <unit>` /
+    * `<atom> - INTERVAL <n> <unit>` → `DATE_ADD("unit", ±n, atom)`, the
+    * ES|QL-side date-math scalar (exact long micros arithmetic for fixed
+    * units, calendar-aware month/quarter/year with day-of-month
+    * clamping). The quantity may be bare (`INTERVAL 1 DAY`) or quoted
+    * (`INTERVAL '1' DAY` — the standard-SQL spelling ES also accepts).
+    * Chains left-fold (`ts + INTERVAL 1 DAY - INTERVAL 2 HOUR` — the
+    * emitted DATE_ADD(...) is the next term's left atom). Deliberate
+    * bounds, all named rejects: compound intervals (`'1-2' YEAR TO
+    * MONTH`), the commuted `INTERVAL ... + expr` form (write the
+    * datetime first), and an un-parenthesized arithmetic left operand
+    * (same mis-grouping guard as BETWEEN/||). */
+  private val IntervalUnits = Map(
+    "YEAR" -> "year", "YEARS" -> "year",
+    "QUARTER" -> "quarter", "QUARTERS" -> "quarter",
+    "MONTH" -> "month", "MONTHS" -> "month",
+    "WEEK" -> "week", "WEEKS" -> "week",
+    "DAY" -> "day", "DAYS" -> "day",
+    "HOUR" -> "hour", "HOURS" -> "hour",
+    "MINUTE" -> "minute", "MINUTES" -> "minute",
+    "SECOND" -> "second", "SECONDS" -> "second")
+
+  private def rewriteInterval(ts: List[Tok]): List[Tok] = {
+    val out = scala.collection.mutable.ListBuffer[Tok]()
+    def qty(t: Tok): Option[String] = t match {
+      case SNum(n) if !n.contains('.') => Some(n)
+      case SStr(s) if s.nonEmpty && s.forall(_.isDigit) => Some(s)
+      case _ => None
+    }
+    var rest = ts
+    while (rest.nonEmpty) rest match {
+      case i :: q0 :: u0 :: tail if isKw(i, "INTERVAL") =>
+        val n = qty(q0).getOrElse(reject(
+          "INTERVAL quantity must be an integer literal (compound " +
+            "intervals like '1-2' YEAR TO MONTH are not supported)"))
+        val unit = u0 match {
+          case SId(u) if IntervalUnits.contains(u.toUpperCase) =>
+            IntervalUnits(u.toUpperCase)
+          case other => reject(s"INTERVAL unit ${emit(List(other))} " +
+            "(supported: YEAR/QUARTER/MONTH/WEEK/DAY/HOUR/MINUTE/SECOND)")
+        }
+        if (tail.headOption.exists(isKw(_, "TO")))
+          reject("compound INTERVAL (YEAR TO MONTH etc.) — use " +
+            "single-unit INTERVAL <n> <unit> terms")
+        val op = out.lastOption match {
+          case Some(SOp(o)) if o == "+" || o == "-" => o
+          case _ => reject("INTERVAL must follow + or - with the datetime " +
+            "on the left (write <datetime> + INTERVAL <n> <unit>)")
+        }
+        out.remove(out.length - 1)
+        val atom = out.lastOption match {
+          case Some(SOp(")")) => popBalancedAtom(out)
+          case Some(t @ SId(s)) if !NotFnKws.contains(s.toUpperCase) =>
+            out.remove(out.length - 1); List(t)
+          case _ => reject("INTERVAL arithmetic needs a simple datetime " +
+            "operand (column, function call, or parenthesized expression)")
+        }
+        // the guard runs AFTER the atom pop (same as ||): `a * b +
+        // INTERVAL 1 DAY` would otherwise silently re-group as
+        // `a * DATE_ADD(..., b)`
+        if (arithPrefix(out))
+          reject("INTERVAL next to an un-parenthesized arithmetic operand " +
+            "(precedence could mis-group — parenthesize explicitly)")
+        val sign = if (op == "-") List(SOp("-")) else Nil
+        // re-enters the scan: the emitted call is the next INTERVAL
+        // term's left atom, so chains left-fold
+        rest = (SId("DATE_ADD") :: SOp("(") :: SStr(unit) :: SOp(",") ::
+          sign) ++ (SNum(n) :: SOp(",") :: atom) ++ (SOp(")") :: tail)
+      case i :: _ if isKw(i, "INTERVAL") =>
+        reject("INTERVAL without a quantity and unit " +
+          "(expected INTERVAL <n> <unit>)")
+      case t :: tail => out += t; rest = tail
+    }
+    out.toList
+  }
+
   /** `NULLIF(a, b)` → `CASE((a) = (b), NULL, (a))` — ES|QL has no NULLIF.
     * The CASE form carries the exact SQL contract including the null-b
     * edge: `a = b` is never TRUE against a null `b`, so the default `a`
@@ -929,8 +1024,8 @@ object EsSql {
     // atoms), with no bare WHEN/THEN/ELSE/END left in the stream. The
     // later passes are context-free, so CASE argument bodies still get
     // their BETWEEN/NOT/|| rewrites.
-    val ts = rewriteConcat(rewriteNotOps(rewriteBetween(rewriteCaseWhen(
-      rewriteNullIf(rewriteCast(rewriteDateFns(ts0)))))))
+    val ts = rewriteConcat(rewriteNotOps(rewriteBetween(rewriteInterval(
+      rewriteCaseWhen(rewriteNullIf(rewriteCast(rewriteDateFns(ts0))))))))
     // anything CASE-shaped that survived the rewrite is a malformed use
     // (e.g. a stray END, or WHEN outside CASE) — name it here instead of
     // letting ES|QL fail on an unrelated "bad expression"
@@ -966,8 +1061,16 @@ object EsSql {
       case other => reject(s"FROM must name one index, got: ${emit(other)}")
     }
 
-    val rawItems = commaSplit(cs("SELECT"))
-    if (rawItems.isEmpty || cs("SELECT").isEmpty) reject("empty SELECT list")
+    // SELECT TOP n — ES SQL's LIMIT alias (Kibana's SQL editor emits it).
+    // Only the unambiguous TOP-then-integer head is the clause; a column
+    // that happens to be named `top` still parses as a select item. Real
+    // ES rejects TOP combined with LIMIT — so does the engine (below).
+    val (selBody, topN) = cs("SELECT") match {
+      case t :: SNum(n) :: rest if isKw(t, "TOP") => (rest, Some(n))
+      case b => (b, None)
+    }
+    val rawItems = commaSplit(selBody)
+    if (rawItems.isEmpty || selBody.isEmpty) reject("empty SELECT list")
     val items: List[Item] =
       if (rawItems.exists(_ == List(SOp("*")))) {
         // SELECT * — schema expansion, not a new execution path: the
@@ -1151,6 +1254,10 @@ object EsSql {
         s"got: ${emit(other)}")
       case None => 0
     }
+    if (topN.isDefined && cs.contains("LIMIT"))
+      reject("TOP and LIMIT in the same statement (real ES SQL rejects " +
+        "the combination — use one)")
+    topN.foreach(n => pipes += s"LIMIT ${pageCount("TOP", n) + offset}")
     cs.get("LIMIT").foreach {
       // LIMIT n OFFSET m bounds the sort at n+m rows (ES's from+size) —
       // still ONE TakeOrderedAndProject; run() drops the first m

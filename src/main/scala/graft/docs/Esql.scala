@@ -50,16 +50,25 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * math POW/SQRT/CBRT/LOG/LOG10/EXP/FLOOR/CEIL/SIGNUM/PI/E/TAU/GREATEST/
   * LEAST (libm-backed EXP/LOG/POW/CBRT stay off the bit-exact oracle
   * path — unit specs pin them); strings LEFT/RIGHT/REVERSE/REPEAT/LOCATE/
-  * SPACE/BIT_LENGTH/BYTE_LENGTH/MD5/SHA256; dates DATE_TRUNC/DATE_EXTRACT
+  * SPACE/BIT_LENGTH/BYTE_LENGTH/MD5/SHA256; ip TO_IP/IP_PREFIX
+  * (canonical IPv4 — v6 inputs null out, documented deviation); dates
+  * DATE_TRUNC/DATE_EXTRACT
   * (ChronoField names, ISO day_of_week)/DATE_FORMAT (java patterns)/
-  * DATE_DIFF (whole units truncated toward zero on the epoch-micros
-  * timeline); multivalue
+  * DATE_DIFF (whole fixed units micro→week truncated toward zero on the
+  * epoch-micros timeline; calendar units are named rejects)/DATE_ADD
+  * (ES SQL date math — fixed units as exact long
+  * micros arithmetic, month/quarter/year calendar-aware with
+  * day-of-month clamping); multivalue
   * MV_COUNT/MV_MIN/MV_MAX/MV_FIRST/MV_LAST/MV_SUM/MV_AVG (sequential
-  * double folds)/MV_MEDIAN/MV_DEDUPE (sorted — deterministic deviation)/
+  * double folds)/MV_MEDIAN/MV_PERCENTILE (linear interpolation)/
+  * MV_DEDUPE (sorted — deterministic deviation)/
   * MV_SORT/MV_SLICE/MV_CONCAT/MV_APPEND/MV_ZIP. Aggs: COUNT(*) / COUNT /
   * SUM / AVG / MIN / MAX / COUNT_DISTINCT / MEDIAN / PERCENTILE / STD_DEV
   * (population, exact-sums formula) / TOP(field, k, order) / VALUES
-  * (sorted) / WEIGHTED_AVG, each
+  * (sorted) / WEIGHTED_AVG / FIRST / LAST (value at min/max of the
+  * ordering field, ties pinned by value) / SKEWNESS / KURTOSIS
+  * (population moments, the matrix_stats shape) / PERCENTILE_RANK
+  * (exact empirical CDF), each
   * with an optional per-agg WHERE filter. SUM/AVG
   * over double columns accumulate through the engine's exact-decimal
   * contract (DECIMAL(12,2) partials, DECIMAL(28,6) result) so the oracle
@@ -71,6 +80,10 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * here) — rejects loudly at parse time.
   */
 object Esql {
+
+  /** One canonical IPv4 octet: 0-255, no leading zeros — shared by
+    * TO_IP (validation) and IP_PREFIX (validation before masking). */
+  private val Ipv4Octet = "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
 
   // ------------------------------------------------------------ tokens
   private sealed trait Tok
@@ -424,6 +437,47 @@ object Esql {
         case "BYTE_LENGTH" => arity(1); octet_length(c(0)).cast(LongType)
         case "MD5" => arity(1); md5(c(0))
         case "SHA256" => arity(1); sha2(c(0), 256)
+        case "TO_IP" =>
+          // TO_IP(string) — validated IPv4 in canonical dotted-quad form
+          // (each octet 0-255, no leading zeros); anything else → null,
+          // the TO_* contract. DOCUMENTED DEVIATION: ES also parses
+          // IPv6; the engine's IP type is the canonical IPv4 string (the
+          // log-data case) and v6 literals null out rather than risking
+          // a divergent canonicalization. One codegen'd rlike per row.
+          arity(1)
+          val s = c(0).cast("string")
+          when(s.rlike(s"^$Ipv4Octet(\\.$Ipv4Octet){3}$$"), s)
+        case "IP_PREFIX" =>
+          // IP_PREFIX(ip, v4len, v6len) (8.14) — the network address
+          // with the low 32−len bits zeroed. The prefix lengths must be
+          // plan-time literals, so the MASK FOLDS TO A CONSTANT and the
+          // per-row work is 4 int parses + 1 AND + re-join — codegen'd
+          // splits/casts, no UDF, no shuffle. v6len is accepted (the ES
+          // signature) but v6 inputs are null by TO_IP's v4-only bound.
+          arity(3)
+          val len = args(1) match {
+            case ELong(v) if v >= 0 && v <= 32 => v.toInt
+            case other => throw new IllegalArgumentException(
+              s"esql: IP_PREFIX v4 prefix length must be a literal 0-32, got $other")
+          }
+          args(2) match {
+            case ELong(v) if v >= 0 && v <= 128 => ()
+            case other => throw new IllegalArgumentException(
+              s"esql: IP_PREFIX v6 prefix length must be a literal 0-128, got $other")
+          }
+          val s = c(0).cast("string")
+          val p = split(s, "\\.")
+          def oct(i: Int) = element_at(p, i + 1).cast(LongType)
+          val ipNum = oct(0) * 16777216L + oct(1) * 65536L +
+            oct(2) * 256L + oct(3)
+          val mask = if (len == 0) 0L else (-1L << (32 - len)) & 0xFFFFFFFFL
+          val net = ipNum.bitwiseAND(lit(mask))
+          val out = concat_ws(".",
+            (shiftright(net, 24) % 256).cast("string"),
+            (shiftright(net, 16) % 256).cast("string"),
+            (shiftright(net, 8) % 256).cast("string"),
+            (net % 256).cast("string"))
+          when(s.rlike(s"^$Ipv4Octet(\\.$Ipv4Octet){3}$$"), out)
         case "SHA1" => arity(1); sha1(c(0))
         // HASH(alg, v) — the generic ES|QL form; alg must be a literal so
         // the dispatch is plan-time (a per-row algorithm switch would not
@@ -532,10 +586,19 @@ object Esql {
           arity(3)
           val perUnit: Long = args(0) match {
             case EStr(u) => u.toLowerCase match {
+              case "microseconds" | "mcs" => 1L
+              case "milliseconds" | "ms" => 1000L
               case "seconds" | "second" | "ss" | "s" => 1000000L
               case "minutes" | "minute" | "mi" | "n" => 60L * 1000000L
               case "hours" | "hour" | "hh" => 3600L * 1000000L
               case "days" | "day" | "dd" | "d" => 86400L * 1000000L
+              case "weeks" | "week" | "wk" | "ww" => 7L * 86400L * 1000000L
+              case m @ ("months" | "month" | "quarters" | "quarter" |
+                        "years" | "year" | "nanoseconds" | "ns") =>
+                throw new IllegalArgumentException(
+                  s"esql: DATE_DIFF unit $m is not supported (calendar " +
+                    "whole-unit counting is day-of-month-rule dependent; " +
+                    "use DATE_EXTRACT arithmetic or DATE_ADD instead)")
               case other => throw new IllegalArgumentException(
                 s"esql: unsupported DATE_DIFF unit $other")
             }
@@ -546,6 +609,43 @@ object Esql {
           // double quotient (diff < 2^53 so it is exact enough), then the
           // long cast truncates toward zero — -1.5 days → -1, not -2
           ((c(2) - c(1)).cast(LongType) / lit(perUnit)).cast(LongType)
+        case "DATE_ADD" =>
+          // DATE_ADD(unit, n, ts) — ES SQL's date-math scalar (the ES SQL
+          // INTERVAL arithmetic `ts + INTERVAL n unit` translates to it;
+          // unit abbreviations per the ES SQL DATE_ADD docs). Fixed-width
+          // units stay EXACT LONG MATH on the epoch-micros timeline
+          // (ts + n·unit_micros — no timestamp round-trip in the hot
+          // path); calendar units (month/quarter/year) ride Spark's
+          // timestamp + month-interval, which clamps day-of-month
+          // (Jan 31 + 1 month = Feb 28) exactly like ES and the oracle.
+          arity(3)
+          val unit = args(0) match {
+            case EStr(u) => u.toLowerCase
+            case other => throw new IllegalArgumentException(
+              s"esql: DATE_ADD unit must be a string literal, got $other")
+          }
+          val n = c(1).cast("int")
+          val fixedMicros: Option[Long] = unit match {
+            case "second" | "seconds" | "ss" | "s" => Some(1000000L)
+            case "minute" | "minutes" | "mi" | "n" => Some(60L * 1000000L)
+            case "hour" | "hours" | "hh" => Some(3600L * 1000000L)
+            case "day" | "days" | "dd" | "d" => Some(86400L * 1000000L)
+            case "week" | "weeks" | "wk" | "ww" => Some(7L * 86400L * 1000000L)
+            case _ => None
+          }
+          fixedMicros match {
+            case Some(per) => c(2) + n.cast(LongType) * lit(per)
+            case None =>
+              val months = unit match {
+                case "month" | "months" | "mm" | "m" => n
+                case "quarter" | "quarters" | "qq" | "q" => n * lit(3)
+                case "year" | "years" | "yy" | "yyyy" => n * lit(12)
+                case other => throw new IllegalArgumentException(
+                  s"esql: unsupported DATE_ADD unit $other")
+              }
+              unix_micros(timestamp_micros(c(2)) +
+                make_interval(lit(0), months))
+          }
         case "MV_COUNT" => arity(1); size(c(0)).cast(LongType)
         case "MV_MIN" => arity(1); array_min(c(0))
         case "MV_MAX" => arity(1); array_max(c(0))
@@ -568,6 +668,27 @@ object Esql {
           val lo = element_at(sorted, ((n + 1) / 2).cast("int")).cast(DoubleType)
           val hi = element_at(sorted, (n / 2).cast("int") + 1).cast(DoubleType)
           when(n % 2 === 1, lo).otherwise((lo + hi) / 2.0)
+        case "MV_PERCENTILE" =>
+          // MV_PERCENTILE(field, p) (8.14) — linear-interpolated
+          // percentile over the row's multivalue, the PERCENTILE agg's
+          // math at row grain: rank = p/100·(n−1), v = s[lo] + frac·
+          // (s[hi] − s[lo]). Exact element picks + one mul/add per row —
+          // deterministic, the oracle reproduces it term for term.
+          arity(2)
+          val pct = args(1) match {
+            case ELong(v) => v / 100.0
+            case EDouble(v) => v / 100.0
+            case other => throw new IllegalArgumentException(
+              s"esql: MV_PERCENTILE percent must be a numeric literal, got $other")
+          }
+          val sorted = array_sort(c(0))
+          val n = size(c(0))
+          val rank = (n - 1).cast(DoubleType) * lit(pct)
+          val lo = floor(rank).cast("int")
+          val frac = rank - floor(rank)
+          val vlo = element_at(sorted, lo + 1).cast(DoubleType)
+          val vhi = element_at(sorted, least(lo + lit(2), n)).cast(DoubleType)
+          when(n > 0, vlo + frac * (vhi - vlo))
         // ES|QL mv_dedupe leaves order unspecified; the engine pins the
         // deterministic sorted form (documented deviation, oracle-stable)
         case "MV_DEDUPE" => arity(1); array_sort(array_distinct(c(0)))
@@ -933,7 +1054,8 @@ object Esql {
       * exactness contract. */
     def aggCol(fn: String, args: List[Ex], alias: String, filter: Option[Ex],
                wrap: Column => Column = identity): Column = {
-      if (!Set("PERCENTILE", "TOP", "WEIGHTED_AVG").contains(fn))
+      if (!Set("PERCENTILE", "TOP", "WEIGHTED_AVG", "FIRST", "LAST",
+          "PERCENTILE_RANK").contains(fn))
         require(args.size == 1, s"esql: $fn takes 1 argument, got ${args.size}")
       val arg = args.head
       val dbl = arg match {
@@ -1006,6 +1128,65 @@ object Esql {
               s"esql: PERCENTILE percent must be a numeric literal, got $other")
           }
           wrap(percentile(c, lit(pct)))
+        case "FIRST" | "LAST" =>
+          // ES SQL FIRST/LAST (the SQL layer lowers onto these): the
+          // field value at the MIN/MAX of the ordering field (the field
+          // itself when no ordering given). Rows where either side is
+          // null are ignored (the ES contract); ordering TIES break by
+          // the value itself — real ES leaves ties unspecified, the
+          // engine pins the deterministic form (DOCUMENTED DEVIATION,
+          // oracle-stable). One min/max over a 2-field struct — a plain
+          // map-side-combining aggregate, never a sort.
+          require(args.size == 1 || args.size == 2,
+            s"esql: $fn takes (field [, ordering_field]), got ${args.size}")
+          val ord = if (args.size == 2) compile(args(1)) else c0
+          val pair = when(c.isNotNull && ord.isNotNull,
+            struct(ord.as("o"), c.as("v")))
+          (if (fn == "FIRST") wrap(min(pair)) else wrap(max(pair)))
+            .getField("v")
+        case "SKEWNESS" | "KURTOSIS" =>
+          // population moments via exact power sums — the ES matrix_stats
+          // contract: g1 = √n·M3/M2^1.5, kurtosis = n·M4/M2² (plain, NOT
+          // excess — a normal sample → 3). Σx..Σx⁴ accumulate in double
+          // (exact for integer-class inputs below 2^53), then both
+          // engines run the identical IEEE arithmetic: *, /, and sqrt are
+          // correctly rounded, so no libm-pow divergence can creep in
+          // (M2^1.5 is spelled M2·√M2). One hash aggregation, 4 sums.
+          val cd = c.cast("double")
+          val n = wrap(count(c)).cast("double")
+          val s1 = wrap(sum(cd))
+          val s2 = wrap(sum(cd * cd))
+          val mu = s1 / n
+          val m2 = s2 - n * mu * mu
+          if (fn == "SKEWNESS") {
+            val s3 = wrap(sum(cd * cd * cd))
+            val m3 = s3 - mu * s2 * lit(3.0) + n * mu * mu * mu * lit(2.0)
+            sqrt(n) * m3 / (m2 * sqrt(m2))
+          } else {
+            val s3 = wrap(sum(cd * cd * cd))
+            val s4 = wrap(sum(cd * cd * cd * cd))
+            val m4 = s4 - mu * s3 * lit(4.0) + mu * mu * s2 * lit(6.0) -
+              n * mu * mu * mu * mu * lit(3.0)
+            n * m4 / (m2 * m2)
+          }
+        case "PERCENTILE_RANK" =>
+          // PERCENTILE_RANK(field, value) — DOCUMENTED DEVIATION: real ES
+          // interpolates between t-digest centroids; the engine returns
+          // the EXACT empirical CDF — 100 · |{x ≤ v}| / |{x non-null}| —
+          // deterministic and oracle-reproducible (the same exactness
+          // stance as MEDIAN/PERCENTILE, which use exact percentile).
+          require(args.size == 2,
+            "esql: PERCENTILE_RANK takes (field, value)")
+          val v = args(1) match {
+            case ELong(x) => lit(x.toDouble)
+            case EDouble(x) => lit(x)
+            case other => throw new IllegalArgumentException(
+              s"esql: PERCENTILE_RANK value must be a numeric literal, got $other")
+          }
+          val cd = c.cast("double")
+          wrap(sum(when(cd <= v, lit(1L)).otherwise(
+            when(cd.isNotNull, lit(0L))))).cast("double") * lit(100.0) /
+            wrap(count(c)).cast("double")
         case other => throw new IllegalArgumentException(s"esql: unsupported agg $other")
       }).as(alias)
     }

@@ -531,4 +531,72 @@ class EsSqlSpec extends SparkSpec {
     assert(err("SELECT a FROM t WHERE v + w NOT BETWEEN 1 AND 2")
       .contains("BETWEEN on this shape"))
   }
+
+  test("r15 aggregate tail: FIRST/LAST (+_VALUE synonyms), SKEWNESS/" +
+    "KURTOSIS, PERCENTILE_RANK lower onto STATS entries") {
+    val got = t("""SELECT g, FIRST(v, ts) AS f, LAST_VALUE(v) AS l,
+                  |  SKEWNESS(v) AS sk, PERCENTILE_RANK(v, 25) AS pr
+                  |FROM t GROUP BY g ORDER BY g""".stripMargin)
+    assert(got ===
+      """FROM t
+        || STATS f = FIRST ( v , ts ), l = LAST ( v ), sk = SKEWNESS ( v ), pr = PERCENTILE_RANK ( v , 25 ) BY g
+        || SORT g
+        || KEEP g, f, l, sk, pr""".stripMargin)
+  }
+
+  test("r15 FIRST/LAST semantics: nulls ignored, ordering ties break by " +
+    "value (the documented deterministic deviation)") {
+    import spark.implicits._
+    val base = Seq(
+      (1L, Option("b"), 10L), (1L, Option("a"), 10L), // tie on ord → min val
+      (1L, None, 1L),                                  // null value ignored
+      (1L, Option("z"), 99L),
+      (2L, Option("only"), 5L)).toDF("g", "v", "ord")
+    val got = EsSql.run(Map("t" -> base),
+      "SELECT g, FIRST(v, ord) AS f, LAST(v, ord) AS l FROM t GROUP BY g ORDER BY g")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(got === Seq((1L, "a", "z"), (2L, "only", "only")))
+  }
+
+  test("r15 SELECT TOP n is the LIMIT alias; TOP+LIMIT rejects; a column " +
+    "named top still parses") {
+    assert(t("SELECT TOP 7 a, b FROM t ORDER BY a") ===
+      """FROM t
+        || SORT a
+        || LIMIT 7
+        || KEEP a, b""".stripMargin)
+    assert(intercept[IllegalArgumentException](
+      t("SELECT TOP 7 a FROM t ORDER BY a LIMIT 3")).getMessage
+      .contains("TOP and LIMIT"))
+    // TOP not followed by an integer = an ordinary select item
+    assert(t("SELECT top FROM t") ===
+      """FROM t
+        || KEEP top""".stripMargin)
+  }
+
+  test("r15 INTERVAL arithmetic lowers onto DATE_ADD; chains left-fold; " +
+    "compound/commuted forms reject by name") {
+    def err(sql: String): String =
+      intercept[IllegalArgumentException](t(sql)).getMessage
+    assert(t("SELECT id, ts + INTERVAL 1 DAY AS nd FROM t ORDER BY id") ===
+      """FROM t
+        || EVAL nd = DATE_ADD ( "day" , 1 , ts )
+        || SORT id
+        || KEEP id, nd""".stripMargin)
+    // quoted quantity + chained subtraction: the emitted DATE_ADD(...) is
+    // the next term's left atom
+    assert(t("SELECT ts + INTERVAL 1 DAY - INTERVAL '2' HOUR AS x FROM t")
+      .contains("""EVAL x = DATE_ADD ( "hour" , - 2 , DATE_ADD ( "day" , 1 , ts ) )"""))
+    assert(err("SELECT ts + INTERVAL '1-2' YEAR TO MONTH AS x FROM t")
+      .contains("INTERVAL quantity must be an integer"))
+    assert(err("SELECT INTERVAL 1 DAY + ts AS x FROM t")
+      .contains("INTERVAL must follow + or -"))
+    assert(err("SELECT ts + INTERVAL 1 FORTNIGHT AS x FROM t")
+      .contains("INTERVAL unit"))
+    assert(err("SELECT a * b + INTERVAL 1 DAY AS x FROM t")
+      .contains("un-parenthesized arithmetic"))
+    // DATEADD/TIMESTAMP_ADD spellings ride the same scalar
+    assert(t("SELECT DATEADD('month', 2, ts) AS m FROM t")
+      .contains("""EVAL m = DATE_ADD ( "month" , 2 , ts )"""))
+  }
 }

@@ -67,7 +67,9 @@ class EsqlSpec extends SparkSpec {
     assert(bad("""FROM t | GROK name "%{IP:addr}"""").contains("unsupported grok type"))
     assert(bad("""FROM t | ENRICH pol ON id WITH x""").contains("unknown enrich policy"))
     assert(bad("""FROM t | WHERE id IN (1, v)""").contains("IN list must be literals"))
-    assert(bad("""FROM t | EVAL x = TO_IP(name)""").contains("unsupported function"))
+    // TO_IP graduated to a supported function in r15; TO_VERSION (semver
+    // ordering type) remains the named unsupported-function witness
+    assert(bad("""FROM t | EVAL x = TO_VERSION(name)""").contains("unsupported function"))
     assert(bad("""FROM t | RENAME nope AS x""").contains("RENAME of unknown column"))
     assert(bad("""FROM t | WHERE id IS TRUE""").contains("expected NULL after IS"))
   }
@@ -700,5 +702,93 @@ class EsqlSpec extends SparkSpec {
       "FROM d | EVAL t = TO_DATETIME(ms) | KEEP id, t | SORT id").collect()
     assert(r(0).getLong(1) === 1767225600000L * 1000L)
     assert(r(1).getLong(1) === 0L)
+  }
+
+  test("MV_PERCENTILE: linear interpolation, endpoints, empty → null") {
+    import spark.implicits._
+    val docs = Map("d" -> Seq(
+      (1L, Seq(1.0, 2.0, 3.0, 4.0)),
+      (2L, Seq(10.0)),
+      (3L, Seq.empty[Double])).toDF("id", "v"))
+    val r = Esql.run(docs,
+      """FROM d
+        || EVAL p50 = MV_PERCENTILE(v, 50), p100 = MV_PERCENTILE(v, 100),
+        |       p25 = MV_PERCENTILE(v, 25)
+        || KEEP id, p50, p100, p25
+        || SORT id""".stripMargin).collect()
+    assert(r(0).getDouble(1) === 2.5)  // (n-1)*.5 = 1.5 → 2 + .5*(3-2)
+    assert(r(0).getDouble(2) === 4.0)  // p100 = last element, frac 0
+    assert(r(0).getDouble(3) === 1.75) // rank .75 → 1 + .75*(2-1)
+    assert(r(1).getDouble(1) === 10.0) // single element, any p
+    assert(r(2).isNullAt(1))           // empty multivalue → null
+    assert(intercept[IllegalArgumentException](Esql.run(docs,
+      "FROM d | EVAL x = MV_PERCENTILE(v, id)")).getMessage
+      .contains("numeric literal"))
+  }
+
+  test("TO_IP validates canonical IPv4 (v6/leading-zero/junk → null); " +
+      "IP_PREFIX masks with a constant; bad prefix length rejects") {
+    import spark.implicits._
+    val docs = Map("d" -> Seq(
+      (1L, "10.20.30.40"), (2L, "256.1.1.1"), (3L, "01.2.3.4"),
+      (4L, "fe80::1"), (5L, "1.2.3"), (6L, "192.168.255.7"))
+      .toDF("id", "ip"))
+    val r = Esql.run(docs,
+      """FROM d
+        || EVAL v = TO_IP(ip), n24 = IP_PREFIX(ip, 24, 64),
+        |       n12 = IP_PREFIX(ip, 12, 64), n0 = IP_PREFIX(ip, 0, 0)
+        || KEEP id, v, n24, n12, n0
+        || SORT id""".stripMargin).collect()
+    assert(r(0).getString(1) === "10.20.30.40")
+    assert(r(0).getString(2) === "10.20.30.0")
+    assert(r(0).getString(3) === "10.16.0.0")   // /12 mask
+    assert(r(0).getString(4) === "0.0.0.0")
+    assert((1 to 4).forall(i => r(i).isNullAt(1) && r(i).isNullAt(2)))
+    assert(r(5).getString(2) === "192.168.255.0")
+    assert(intercept[IllegalArgumentException](Esql.run(docs,
+      "FROM d | EVAL x = IP_PREFIX(ip, 40, 64)")).getMessage
+      .contains("prefix length"))
+  }
+
+  test("DATE_DIFF widened fixed units (weeks/ms/mcs); calendar units are " +
+      "named rejects") {
+    import spark.implicits._
+    val docs = Map("d" -> Seq((1L, 0L, 15L * 86400L * 1000000L))
+      .toDF("id", "a", "b"))
+    val r = Esql.run(docs,
+      """FROM d
+        || EVAL w = DATE_DIFF("weeks", a, b), ms = DATE_DIFF("ms", a, b),
+        |       us = DATE_DIFF("mcs", a, b)
+        || KEEP id, w, ms, us""".stripMargin).collect()(0)
+    assert(r.getLong(1) === 2L) // 15 days = 2 whole weeks
+    assert(r.getLong(2) === 15L * 86400L * 1000L)
+    assert(r.getLong(3) === 15L * 86400L * 1000000L)
+    assert(intercept[IllegalArgumentException](Esql.run(docs,
+      """FROM d | EVAL x = DATE_DIFF("months", a, b)""")).getMessage
+      .contains("day-of-month-rule"))
+  }
+
+  test("DATE_ADD: exact micros for fixed units; calendar month/year clamp " +
+      "day-of-month (Jan 31 + 1 month = Feb 28); bad unit rejects") {
+    import spark.implicits._
+    def us(s: String): Long =
+      java.time.Instant.parse(s).toEpochMilli * 1000L
+    val docs = Map("d" -> Seq((1L, us("2026-01-31T10:00:00Z")))
+      .toDF("id", "ts"))
+    val r = Esql.run(docs,
+      """FROM d
+        || EVAL d1 = DATE_ADD("day", 1, ts), h2 = DATE_ADD("hh", -2, ts),
+        |       m1 = DATE_ADD("month", 1, ts), y1 = DATE_ADD("years", 1, ts),
+        |       q1 = DATE_ADD("quarter", 1, ts), w1 = DATE_ADD("week", 2, ts)
+        || KEEP id, d1, h2, m1, y1, q1, w1""".stripMargin).collect()(0)
+    assert(r.getLong(1) === us("2026-02-01T10:00:00Z"))
+    assert(r.getLong(2) === us("2026-01-31T08:00:00Z"))
+    assert(r.getLong(3) === us("2026-02-28T10:00:00Z")) // clamped
+    assert(r.getLong(4) === us("2027-01-31T10:00:00Z"))
+    assert(r.getLong(5) === us("2026-04-30T10:00:00Z")) // Apr 31 clamps
+    assert(r.getLong(6) === us("2026-02-14T10:00:00Z"))
+    assert(intercept[IllegalArgumentException](Esql.run(docs,
+      """FROM d | EVAL x = DATE_ADD("fortnight", 1, ts)""")).getMessage
+      .contains("DATE_ADD unit"))
   }
 }

@@ -10202,6 +10202,35 @@ object DocQueries {
       |ORDER BY event_id ASC
       |LIMIT 50""".stripMargin
 
+  // ---------------------------------------------------------------- d285
+  /** ES SQL `TIMESTAMP '...'` / `DATE '...'` literals — the standard-SQL
+    * date predicates Kibana emits, folded AT TRANSLATE TIME to
+    * epoch-micros constants on the UTC timeline. The range predicate is
+    * two pushed long comparisons per row (`.explain` shows them in
+    * PushedFilters had ts_us been a physical column; here it sits
+    * directly above the scan) — never a per-row parse, and on a
+    * date-partitioned production layout the same constants prune
+    * partitions. Composes with BETWEEN (bounds fold first). */
+  private def d285(s: SparkSession, d: String): DataFrame = {
+    val q =
+      """SELECT event_type, COUNT(*) AS n, MAX(ts_us) AS last_us
+        |FROM events
+        |WHERE ts_us >= DATE '2024-01-10'
+        |  AND ts_us < TIMESTAMP '2024-01-20 06:30:00'
+        |GROUP BY event_type
+        |ORDER BY event_type ASC""".stripMargin
+    EsSql.run(Map("events" -> graft.Tables.events(s, d).drop("ts")), q)
+  }
+
+  private val d285Sql =
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(epoch_us(MAX(ts)) AS BIGINT) AS last_us
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      |  AND ts < TIMESTAMP '2024-01-20 06:30:00'
+      |GROUP BY event_type
+      |ORDER BY event_type ASC""".stripMargin
+
   // ---------------------------------------------------------------- d283
   /** ES|QL `MV_PERCENTILE` (8.14) — linear-interpolated percentile over
     * each row's multivalue: rank = p/100·(n−1), v = s[lo] + frac·(s[hi]
@@ -11151,6 +11180,7 @@ object DocQueries {
     "d282_es_sql_interval" -> d282 _,
     "d283_esql_mv_percentile" -> d283 _,
     "d284_esql_ip_fns" -> d284 _,
+    "d285_es_sql_ts_literals" -> d285 _,
     "d261_eql_all_matches_guards" -> d261 _,
     "d262_esql_inlinestats_distinct" -> d262 _,
     "d206_es_parent_agg" -> d206 _,
@@ -11437,6 +11467,7 @@ object DocQueries {
     "d282_es_sql_interval" -> d282Sql,
     "d283_esql_mv_percentile" -> d283Sql,
     "d284_esql_ip_fns" -> d284Sql,
+    "d285_es_sql_ts_literals" -> d285Sql,
     "d261_eql_all_matches_guards" -> d261Sql,
     "d262_esql_inlinestats_distinct" -> d262Sql,
     "d206_es_parent_agg" -> d206Sql,

@@ -49,6 +49,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * quantities) lowers onto the DATE_ADD scalar — exact micros math for
   * fixed units, calendar-aware months/years. DATE_ADD itself (and its
   * DATEADD/TIMESTAMP_ADD spellings) is also callable directly.
+  * `TIMESTAMP '...'`/`DATE '...'` literals fold at translate time to
+  * epoch-micros constants on the UTC timeline (a Kibana date-range
+  * predicate is one pushed long comparison, never a per-row parse).
   * Dialect mapping is
   * purely lexical: `=`→`==`, `<>`→`!=`, `'str'`→`"str"`, and
   * `TRUE`/`FALSE` pass through as ES|QL boolean literals. The catalog
@@ -667,6 +670,42 @@ object EsSql {
     * MONTH`), the commuted `INTERVAL ... + expr` form (write the
     * datetime first), and an un-parenthesized arithmetic left operand
     * (same mis-grouping guard as BETWEEN/||). */
+  /** `TIMESTAMP '2024-01-10 12:00:00'` / `DATE '2024-01-15'` literals
+    * (standard SQL; Kibana's date-range predicates emit them) — folded
+    * AT TRANSLATE TIME to the epoch-micros long the engine's datetime
+    * columns carry, on the UTC session timeline. A constant per query,
+    * never a per-row parse — and on a date-partitioned layout the same
+    * constant prunes partitions. Unparseable literals reject with the
+    * text named (never a silent null comparison). A column merely NAMED
+    * `timestamp`/`date` is untouched: the rewrite needs the keyword
+    * DIRECTLY followed by a string literal, which is never a column
+    * reference shape. */
+  private def rewriteDateLiterals(ts: List[Tok]): List[Tok] = {
+    def micros(kind: String, raw: String): Long = {
+      val norm = raw.trim.replace(' ', 'T')
+      try {
+        val ldt =
+          if (norm.length <= 10) java.time.LocalDate.parse(norm).atStartOfDay()
+          else java.time.LocalDateTime.parse(norm)
+        ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+          ldt.getNano / 1000L
+      } catch {
+        case _: java.time.format.DateTimeParseException =>
+          reject(s"cannot parse $kind literal '$raw' (ISO-8601 expected)")
+      }
+    }
+    val out = scala.collection.mutable.ListBuffer[Tok]()
+    var rest = ts
+    while (rest.nonEmpty) rest match {
+      case SId(k) :: SStr(v) :: tail
+          if k.equalsIgnoreCase("TIMESTAMP") || k.equalsIgnoreCase("DATE") =>
+        out += SNum(micros(k.toUpperCase, v).toString)
+        rest = tail
+      case t :: tail => out += t; rest = tail
+    }
+    out.toList
+  }
+
   private val IntervalUnits = Map(
     "YEAR" -> "year", "YEARS" -> "year",
     "QUARTER" -> "quarter", "QUARTERS" -> "quarter",
@@ -1025,7 +1064,8 @@ object EsSql {
     // later passes are context-free, so CASE argument bodies still get
     // their BETWEEN/NOT/|| rewrites.
     val ts = rewriteConcat(rewriteNotOps(rewriteBetween(rewriteInterval(
-      rewriteCaseWhen(rewriteNullIf(rewriteCast(rewriteDateFns(ts0))))))))
+      rewriteCaseWhen(rewriteNullIf(rewriteCast(rewriteDateFns(
+        rewriteDateLiterals(ts0)))))))))
     // anything CASE-shaped that survived the rewrite is a malformed use
     // (e.g. a stray END, or WHEN outside CASE) — name it here instead of
     // letting ES|QL fail on an unrelated "bad expression"

@@ -599,4 +599,28 @@ class EsSqlSpec extends SparkSpec {
     assert(t("SELECT DATEADD('month', 2, ts) AS m FROM t")
       .contains("""EVAL m = DATE_ADD ( "month" , 2 , ts )"""))
   }
+
+  test("r15 TIMESTAMP/DATE literals fold to epoch-micros constants at " +
+    "translate time; junk rejects; a column named date is untouched") {
+    def us(s: String): Long =
+      java.time.Instant.parse(s).toEpochMilli * 1000L
+    assert(t("SELECT a FROM t WHERE ts >= TIMESTAMP '2024-01-10 12:30:00'")
+      .contains(s"WHERE ts >= ${us("2024-01-10T12:30:00Z")}"))
+    assert(t("SELECT a FROM t WHERE ts >= DATE '2024-01-10'")
+      .contains(s"WHERE ts >= ${us("2024-01-10T00:00:00Z")}"))
+    // fractional seconds carry through at micros grain
+    assert(t("SELECT a FROM t WHERE ts < TIMESTAMP '2024-01-10 00:00:00.123456'")
+      .contains(s"WHERE ts < ${us("2024-01-10T00:00:00Z") + 123456L}"))
+    // folded literals are plain numbers, so they compose as BETWEEN and
+    // INTERVAL operands
+    assert(t("SELECT a FROM t WHERE ts BETWEEN DATE '2024-01-01' AND " +
+      "DATE '2024-01-02'").contains(
+      s"( ts >= ${us("2024-01-01T00:00:00Z")} AND ts <= ${us("2024-01-02T00:00:00Z")} )"))
+    assert(intercept[IllegalArgumentException](
+      t("SELECT a FROM t WHERE ts > TIMESTAMP 'last tuesday'")).getMessage
+      .contains("cannot parse TIMESTAMP literal"))
+    assert(t("SELECT date FROM t") ===
+      """FROM t
+        || KEEP date""".stripMargin)
+  }
 }

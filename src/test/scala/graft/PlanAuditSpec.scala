@@ -1255,6 +1255,38 @@ class PlanAuditSpec extends SparkSpec {
     assert(scans === 1, s"expected one documents scan, got $scans:\n$p")
   }
 
+  test("d279/d280: the r15 aggregate tail stays ONE map-combined hash agg " +
+    "(FIRST/LAST are struct min/max, moments are plain sums — no sort, " +
+    "no second shuffle)") {
+    Seq("d279_es_sql_first_last", "d280_es_sql_skew_kurt").foreach { name =>
+      val p = plan(q(name))
+      assert(!p.contains("Join") && !p.contains(" Window"),
+        s"$name: must be aggregation only:\n$p")
+      assert(p.contains("partial_"),
+        s"$name: aggregates must partial-combine before the shuffle:\n$p")
+      val scans = """\(\d+\) Scan parquet""".r.findAllIn(p).length
+      assert(scans === 1, s"$name: expected one scan, got $scans:\n$p")
+    }
+  }
+
+  test("d282/d284/d285: date math, ip functions, and folded date literals " +
+    "are projections/filters over one pushed scan — the TIMESTAMP literal " +
+    "is a plan-time constant, never a per-row parse") {
+    val p282 = plan(q("d282_es_sql_interval"))
+    assert(!p282.contains("Join"), s"d282 must be a projection:\n$p282")
+    assert(p282.contains("TakeOrderedAndProject"),
+      s"d282 page must be a bounded heap:\n$p282")
+    val p284 = plan(q("d284_esql_ip_fns"))
+    assert(!p284.contains("Join"), s"d284 must be a projection:\n$p284")
+    val p285 = plan(q("d285_es_sql_ts_literals"))
+    // the folded micros constants appear as literals in the filter; no
+    // cast-parse of a string literal survives into the plan
+    assert(p285.contains("1704844800000000"), // 2024-01-10T00:00:00Z micros
+      s"d285: expected the folded epoch-micros constant in the plan:\n$p285")
+    val hashAggs = """\(\d+\) HashAggregate""".r.findAllIn(p285).length
+    assert(hashAggs === 2, s"d285: one map-combined aggregation:\n$p285")
+  }
+
   test("t16: stratified sample runs both windows on ONE stratum shuffle") {
     val p = plan(q("t16_stratified_sample"))
     // count-per-stratum and hash-rank share the lang partitioning: one

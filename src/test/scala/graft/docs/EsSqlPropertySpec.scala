@@ -183,6 +183,50 @@ class EsSqlPropertySpec extends SparkSpec {
     }
   }
 
+  test("15 random r15-tail statements (TOP, FIRST/LAST, PERCENTILE_RANK, " +
+    "date literal + INTERVAL bound) equal their twins") {
+    import spark.implicits._
+    val t0 = java.time.Instant.parse("2024-01-01T00:00:00Z").toEpochMilli * 1000L
+    val rnd0 = new scala.util.Random(11L)
+    val ev = (0 until 600).map { i =>
+      (i.toLong, t0 + rnd0.nextInt(21 * 24) * 3600L * 1000000L,
+        rnd0.nextInt(1000).toLong, s"g${rnd0.nextInt(5)}")
+    }.toDF("id", "ts_us", "v", "g")
+    val rnd = new scala.util.Random(59L)
+    (1 to 15).foreach { _ =>
+      val lim = rnd.nextInt(4) + 2
+      val pv = rnd.nextInt(900) + 50
+      val days = rnd.nextInt(10) + 1
+      // upper bound = a folded date literal + an INTERVAL term — the two
+      // r15 date rewrites composed; TOP replaces LIMIT
+      val q =
+        s"""SELECT TOP $lim g, FIRST(v, id) AS f, LAST(v, id) AS l,
+           |  PERCENTILE_RANK(v, $pv) AS pr, COUNT(*) AS n
+           |FROM t
+           |WHERE ts_us >= DATE '2024-01-03'
+           |  AND ts_us < TIMESTAMP '2024-01-05 00:00:00' + INTERVAL $days DAY
+           |GROUP BY g
+           |ORDER BY g ASC""".stripMargin
+      val got = EsSql.run(Map("t" -> ev), q).collect().map(_.toSeq).toSeq
+      val d3 = t0 + 2L * 86400L * 1000000L
+      val hi = t0 + (4L + days) * 86400L * 1000000L
+      val cd = col("v").cast("double")
+      val twin = ev.filter(col("ts_us") >= d3 && col("ts_us") < hi)
+        .groupBy("g")
+        .agg(
+          min(struct(col("id").as("o"), col("v").as("v"))).getField("v").as("f"),
+          max(struct(col("id").as("o"), col("v").as("v"))).getField("v").as("l"),
+          (sum(when(cd <= pv.toDouble, lit(1L))
+            .otherwise(when(cd.isNotNull, lit(0L)))).cast("double") * lit(100.0) /
+            count(col("v")).cast("double")).as("pr"),
+          count(lit(1)).cast("long").as("n"))
+        .orderBy(col("g").asc).limit(lim)
+        .select("g", "f", "l", "pr", "n")
+        .collect().map(_.toSeq).toSeq
+      assert(got === twin, s"statement diverged from its twin: $q")
+    }
+  }
+
   test("25 random row SELECTs (LIKE, computed alias, OFFSET paging) equal twins") {
     val rnd = new scala.util.Random(17L)
     (1 to 25).foreach { _ =>

@@ -748,6 +748,11 @@ object EsSql {
           case Some(SOp(")")) => popBalancedAtom(out)
           case Some(t @ SId(s)) if !NotFnKws.contains(s.toUpperCase) =>
             out.remove(out.length - 1); List(t)
+          // a numeric literal operand: raw epoch micros, or the constant
+          // a TIMESTAMP/DATE literal folded to (rewriteDateLiterals runs
+          // first) — `TIMESTAMP '...' + INTERVAL n unit` must compose
+          case Some(t @ SNum(_)) =>
+            out.remove(out.length - 1); List(t)
           case _ => reject("INTERVAL arithmetic needs a simple datetime " +
             "operand (column, function call, or parenthesized expression)")
         }

@@ -1080,6 +1080,19 @@ object EsSql {
       case SId(s) if s.equalsIgnoreCase("ESCAPE") =>
         reject("LIKE ... ESCAPE (custom escape characters are not " +
           "supported; the translated ES|QL pattern uses * and ? wildcards)")
+      case SId(s) if Set("CURRENT_TIMESTAMP", "CURRENT_DATE", "CURRENT_TIME")
+          .contains(s.toUpperCase) =>
+        reject(s"${s.toUpperCase} (wall-clock now() is nondeterministic — " +
+          "an oracle-gated engine cannot reproduce it; pass the time as a " +
+          "TIMESTAMP/DATE literal)")
+      case _ => ()
+    }
+    // NOW()/TODAY() reject only when CALLED — a column named `now` is legal
+    ts.zipWithIndex.foreach {
+      case (SId(s), i) if Set("NOW", "TODAY").contains(s.toUpperCase) &&
+          ts.lift(i + 1).contains(SOp("(")) =>
+        reject(s"${s.toUpperCase}() (wall-clock now() is nondeterministic — " +
+          "pass the time as a TIMESTAMP/DATE literal)")
       case _ => ()
     }
     if (ts.sliding(2).exists {

@@ -622,5 +622,16 @@ class EsSqlSpec extends SparkSpec {
     assert(t("SELECT date FROM t") ===
       """FROM t
         || KEEP date""".stripMargin)
+    // wall-clock functions are named rejects (an oracle-gated engine
+    // cannot reproduce now()); a column merely NAMED now is untouched
+    assert(intercept[IllegalArgumentException](
+      t("SELECT a FROM t WHERE ts < CURRENT_TIMESTAMP")).getMessage
+      .contains("CURRENT_TIMESTAMP"))
+    assert(intercept[IllegalArgumentException](
+      t("SELECT a FROM t WHERE ts < NOW()")).getMessage
+      .contains("NOW()"))
+    assert(t("SELECT now FROM t") ===
+      """FROM t
+        || KEEP now""".stripMargin)
   }
 }

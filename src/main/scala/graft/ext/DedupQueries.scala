@@ -511,17 +511,23 @@ object DedupQueries {
   /** The oracle runs the IDENTICAL 3 rounds (layered CTEs, no recursion),
     * so both engines compute the same deterministic dataflow. */
   private val dd6Sql = {
+    // every CTE here is AS MATERIALIZED: each propagation round
+    // references its predecessor TWICE (the node side and the label
+    // lookup side), so an inlining planner re-expands the chain
+    // exponentially — l3 re-computed the heavy pairs core ~30x, which is
+    // what spilled the sf1 oracle past the disk. Materialized, each
+    // stage computes once; the frames are pair/label-grain (tiny).
     def round(prev: String, out: String): String =
-      s"""$out AS (
+      s"""$out AS MATERIALIZED (
          |  SELECT n.id, LEAST(n.lbl, COALESCE(MIN(lb.lbl), n.lbl)) AS lbl
          |  FROM $prev n
          |  LEFT JOIN e ON e.a = n.id
          |  LEFT JOIN $prev lb ON lb.id = e.b
          |  GROUP BY n.id, n.lbl)""".stripMargin
-    s"""WITH pairs AS ($pairsCoreSql),
-       |e AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+    s"""WITH pairs AS MATERIALIZED ($pairsCoreSql),
+       |e AS MATERIALIZED (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
        |nodes AS (SELECT DISTINCT a AS id FROM e),
-       |l0 AS (SELECT id, id AS lbl FROM nodes),
+       |l0 AS MATERIALIZED (SELECT id, id AS lbl FROM nodes),
        |${round("l0", "l1")},
        |${round("l1", "l2")},
        |${round("l2", "l3")}
@@ -590,17 +596,22 @@ object DedupQueries {
        |    UNION ALL
        |    SELECT vec_id + 1000000, list_transform(v, x -> x * 1.001 + 0.0005)
        |    FROM base WHERE vec_id % 11 = 0)),
-       |sig AS (SELECT vec_id, v, nrm, ${Similarity.lshSigSql("v", planes = 32)} AS sig FROM vecs),
+       |sig AS (SELECT vec_id, nrm, ${Similarity.lshSigSql("v", planes = 32)} AS sig FROM vecs),
        |bands AS (
-       |  ${(0 until 2).map(b => s"SELECT vec_id, v, nrm, $b AS band, (sig >> ${b * 16}) % 65536 AS bv FROM sig").mkString("\n  UNION ALL ")}),
-       |cand AS (SELECT x.vec_id AS a, any_value(x.v) AS va, any_value(x.nrm) AS na,
-       |                y.vec_id AS b, any_value(y.v) AS vb, any_value(y.nrm) AS nb
+       |  ${(0 until 2).map(b => s"SELECT vec_id, $b AS band, (sig >> ${b * 16}) % 65536 AS bv FROM sig").mkString("\n  UNION ALL ")}),
+       |-- pairs carry IDS ONLY through the band join/dedup (carrying the
+       |-- vector lists through the pre-aggregation join OOM-killed the
+       |-- sf1 oracle run: bucket collisions fan the lists out ~100x
+       |-- before the GROUP BY); the vectors join back once per DISTINCT
+       |-- candidate pair — the engine-side plan has the same shape
+       |cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
        |  FROM bands x JOIN bands y
-       |    ON x.band = y.band AND x.bv = y.bv AND x.vec_id < y.vec_id
-       |  GROUP BY x.vec_id, y.vec_id)
-       |SELECT a, b, ${Similarity.dotSql("va", "vb")} / (na * nb) AS cos
+       |    ON x.band = y.band AND x.bv = y.bv AND x.vec_id < y.vec_id)
+       |SELECT a, b, ${Similarity.dotSql("xa.v", "xb.v")} / (xa.nrm * xb.nrm) AS cos
        |FROM cand
-       |WHERE ${Similarity.dotSql("va", "vb")} / (na * nb) >= 0.999
+       |JOIN vecs xa ON xa.vec_id = cand.a
+       |JOIN vecs xb ON xb.vec_id = cand.b
+       |WHERE ${Similarity.dotSql("xa.v", "xb.v")} / (xa.nrm * xb.nrm) >= 0.999
        |ORDER BY a, b""".stripMargin
 
   // ---------------------------------------------------------------- dd8
@@ -784,9 +795,14 @@ object DedupQueries {
     val dim = 64
     def d2(a: String, b: String) =
       s"list_sum(list_transform(list_zip($a, $b), z -> (z[1] - z[2]) * (z[1] - z[2])))"
+    // every stage is AS MATERIALIZED: the Lloyd chain references each
+    // assignment/centroid frame 2-3 times (asg3 three times at the end),
+    // and an inlining planner re-computes the vecs×centroids argmin pass
+    // per reference — the sf1 oracle hit the DuckDB memory cap that way.
+    // Materialized, each pass runs once; the frames are vec/cluster-grain.
     /** One assignment pass: vecs × centroids (k rows), argmin by (d², cid). */
     def asgSql(cents: String, out: String) =
-      s"""$out AS (
+      s"""$out AS MATERIALIZED (
          |  SELECT vec_id, q, cid AS cluster FROM (
          |    SELECT v.vec_id, v.q, c.cid,
          |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
@@ -802,14 +818,14 @@ object DedupQueries {
          |    GROUP BY cluster, i)),
          |${out}_l AS (
          |  SELECT cluster AS cid, list(m ORDER BY i) AS cq FROM ${out}_m GROUP BY cluster),
-         |$out AS (
+         |$out AS MATERIALIZED (
          |  SELECT p.cid, COALESCE(l.cq, p.cq) AS cq
          |  FROM $prev p LEFT JOIN ${out}_l l USING (cid))"""
     s"""WITH base AS (
        |  SELECT vec_id,
        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * $SemScale) AS BIGINT)) AS q
        |  FROM embeddings),
-       |vecs AS (
+       |vecs AS MATERIALIZED (
        |  SELECT vec_id, q FROM base
        |  UNION ALL
        |  SELECT vec_id + 1000000,
@@ -817,7 +833,7 @@ object DedupQueries {
        |      + CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) % 3 - 1)
        |  FROM base WHERE vec_id % 9 = 0),
        |kk AS (SELECT CAST((COUNT(*) + ${SemTgt - 1}) // $SemTgt AS BIGINT) AS k FROM vecs),
-       |c0 AS (
+       |c0 AS MATERIALIZED (
        |  SELECT rn - 1 AS cid, q AS cq FROM (
        |    SELECT vec_id, q, ROW_NUMBER() OVER (ORDER BY
        |      CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':seed'), 1, 8)) AS BIGINT),

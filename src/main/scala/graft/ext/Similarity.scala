@@ -153,19 +153,27 @@ object Similarity {
 
   private val s2Sql =
     s"""WITH vecs AS ($VecsSql),
-       |sigs AS (SELECT vec_id, v, nrm, ${lshSigSql("v")} AS sig FROM vecs),
+       |sigs AS (SELECT vec_id, ${lshSigSql("v")} AS sig FROM vecs),
        |bands AS (
-       |  ${(0 until 4).map(b => s"SELECT vec_id, v, nrm, $b AS band, (sig >> ${b * 4}) % 16 AS bv FROM sigs").mkString("\n  UNION ALL ")}),
+       |  ${(0 until 4).map(b => s"SELECT vec_id, $b AS band, (sig >> ${b * 4}) % 16 AS bv FROM sigs").mkString("\n  UNION ALL ")}),
+       |-- candidate pairs carry IDS ONLY through the band join/dedup (the
+       |-- 4-bit buckets fan every bucket's vector lists out before the
+       |-- grouping — at sf1 that materialization OOM-killed the oracle
+       |-- process); the vectors join back once per DISTINCT pair, the
+       |-- same shape the engine side plans
        |cand AS (
-       |  SELECT q.vec_id AS q_id, any_value(q.v) AS qv, any_value(q.nrm) AS qn,
-       |         x.vec_id AS n_id, any_value(x.v) AS nv, any_value(x.nrm) AS nn
+       |  SELECT DISTINCT q.vec_id AS q_id, x.vec_id AS n_id
        |  FROM bands x JOIN bands q ON x.band = q.band AND x.bv = q.bv
-       |  WHERE q.vec_id % 50 = 0 AND x.vec_id <> q.vec_id
-       |  GROUP BY q.vec_id, x.vec_id)
+       |  WHERE q.vec_id % 50 = 0 AND x.vec_id <> q.vec_id),
+       |scored AS (
+       |  SELECT q_id, n_id, ${dotSql("qv.v", "xv.v")} / (qv.nrm * xv.nrm) AS cos
+       |  FROM cand
+       |  JOIN vecs qv ON qv.vec_id = cand.q_id
+       |  JOIN vecs xv ON xv.vec_id = cand.n_id)
        |SELECT q_id, rank, n_id, cos FROM (
-       |  SELECT q_id, n_id, ${dotSql("qv", "nv")} / (qn * nn) AS cos,
-       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ${dotSql("qv", "nv")} / (qn * nn) DESC, n_id) AS rank
-       |  FROM cand) WHERE rank <= 3
+       |  SELECT q_id, n_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+       |  FROM scored) WHERE rank <= 3
        |ORDER BY q_id, rank""".stripMargin
 
   // ---------------------------------------------------------------- s3

@@ -1155,8 +1155,14 @@ object TextQueries {
     pairs.join(bigrams, Seq("w1", "w2")).join(contexts, Seq("w1")).crossJoin(vocab)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("long").as("n_bigrams"),
-        sum(log((col("c12") + 1L).cast("double") / (col("c1") + col("v"))))
-          .as("ll"))
+        // deterministic log-prob total: SORTED sequential fold, not a
+        // plain double SUM — summation order would otherwise depend on
+        // the partial-aggregation split, and under memory pressure the
+        // last-ulp drift occasionally crossed the oracle's 9dp boundary
+        // (caught by the sf1 oracle gate on the sibling t27/t30)
+        aggregate(array_sort(collect_list(
+          log((col("c12") + 1L).cast("double") / (col("c1") + col("v"))))),
+          lit(0.0), (acc, x) => acc + x).as("ll"))
       .select(col("doc_id"), col("n_bigrams"),
         (-col("ll") / col("n_bigrams")).as("avg_nll"),
         exp(-col("ll") / col("n_bigrams")).as("ppl"))
@@ -1176,7 +1182,9 @@ object TextQueries {
       |vocab AS (SELECT CAST(COUNT(DISTINCT u.t) AS BIGINT) AS v
       |  FROM t, unnest(toks) AS u(t)),
       |scored AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-      |    SUM(ln(CAST(c12 + 1 AS DOUBLE) / (c1 + v))) AS ll
+      |    list_reduce(list_prepend(0.0, list_sort(
+      |      list(ln(CAST(c12 + 1 AS DOUBLE) / (c1 + v))))),
+      |      (acc, x) -> acc + x) AS ll
       |  FROM pairs JOIN bigrams USING (w1, w2) JOIN contexts USING (w1)
       |  CROSS JOIN vocab
       |  GROUP BY doc_id)
@@ -1409,8 +1417,10 @@ object TextQueries {
       .crossJoin(vocab)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("long").as("n_trigrams"),
-        sum(log((col("c123") + 1L).cast("double") / (col("c12") + col("v"))))
-          .as("ll"))
+        // sorted sequential fold — see t24 (order-deterministic log sum)
+        aggregate(array_sort(collect_list(
+          log((col("c123") + 1L).cast("double") / (col("c12") + col("v"))))),
+          lit(0.0), (acc, x) => acc + x).as("ll"))
       .select(col("doc_id"), col("n_trigrams"),
         (-col("ll") / col("n_trigrams")).as("avg_nll"),
         exp(-col("ll") / col("n_trigrams")).as("ppl"))
@@ -1432,7 +1442,9 @@ object TextQueries {
       |vocab AS (SELECT CAST(COUNT(DISTINCT u.t) AS BIGINT) AS v
       |  FROM t, unnest(toks) AS u(t)),
       |scored AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
-      |    SUM(ln(CAST(c123 + 1 AS DOUBLE) / (c12 + v))) AS ll
+      |    list_reduce(list_prepend(0.0, list_sort(
+      |      list(ln(CAST(c123 + 1 AS DOUBLE) / (c12 + v))))),
+      |      (acc, x) -> acc + x) AS ll
       |  FROM triples JOIN trigrams USING (w1, w2, w3) JOIN contexts USING (w1, w2)
       |  CROSS JOIN vocab
       |  GROUP BY doc_id)
@@ -1661,7 +1673,10 @@ object TextQueries {
       .crossJoin(vocab)
       .groupBy(col("doc_id"), col("lang"))
       .agg(count(lit(1)).cast("long").as("nb"),
-        sum(log((col("c12") + 1L).cast("double") / (col("c1") + col("v")))).as("ll"))
+        // sorted sequential fold — see t24 (order-deterministic log sum)
+        aggregate(array_sort(collect_list(
+          log((col("c12") + 1L).cast("double") / (col("c1") + col("v"))))),
+          lit(0.0), (acc, x) => acc + x).as("ll"))
       .select(col("doc_id"), col("lang"), exp(-col("ll") / col("nb")).as("ppl"))
     val w = Window.partitionBy(col("lang")).orderBy(col("ppl").asc, col("doc_id").asc)
     val nW = Window.partitionBy(col("lang"))
@@ -1688,7 +1703,9 @@ object TextQueries {
       |vocab AS (SELECT CAST(COUNT(DISTINCT u.t) AS BIGINT) AS v
       |  FROM t, unnest(toks) AS u(t)),
       |scored AS (SELECT doc_id, lang,
-      |    exp(-SUM(ln(CAST(c12 + 1 AS DOUBLE) / (c1 + v)))
+      |    exp(-list_reduce(list_prepend(0.0, list_sort(
+      |        list(ln(CAST(c12 + 1 AS DOUBLE) / (c1 + v))))),
+      |        (acc, x) -> acc + x)
       |      / CAST(COUNT(*) AS BIGINT)) AS ppl
       |  FROM pairs JOIN bigrams USING (w1, w2) JOIN contexts USING (w1)
       |  CROSS JOIN vocab

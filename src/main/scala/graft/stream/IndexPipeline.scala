@@ -33,6 +33,28 @@ object IndexPipeline {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Stage the log as nFiles TIME-ordered parquet files — file k covers
+    * the k-th fraction of the event-time range — so the micro-batch
+    * fixture emulates a production log whose files ROLL BY TIME and a
+    * later batch is never behind the watermark. The pre-r15 split keyed
+    * on event_id, which is time-correlated in the base testdata but
+    * DECORRELATES on sf1's replica-shifted ids: each later batch arrived
+    * almost entirely late, and append-mode join/session state dropped it
+    * (the sf1 oracle gate caught st4/st6/st8/st13 exactly this way;
+    * complete-mode aggregations were immune). A fixture-shape artifact,
+    * not engine behavior — but time-rolled files are also the honest
+    * 100 TB arrival shape, so every time-bearing fixture stages this
+    * way now. */
+  private def stageTimeOrdered(ev: DataFrame, srcDir: String,
+                               nFiles: Int): Unit = {
+    val b = ev.agg(min(col("ts_us")), max(col("ts_us"))).head()
+    val (lo, hi) = (b.getLong(0), b.getLong(1) + 1L)
+    (0 until nFiles).foreach { i =>
+      ev.filter(floor((col("ts_us") - lo) * nFiles / (hi - lo)) === i)
+        .coalesce(1).write.parquet(s"$srcDir/b$i")
+    }
+  }
+
   /** The `events` table as a mutation log: `event_id` = sequence number,
     * `user_id` = entity key, 'error' events = DELETE, all else SAVE. */
   def mutationLog(s: SparkSession, d: String): DataFrame =
@@ -179,11 +201,7 @@ object IndexPipeline {
     val nFiles = 3
     val ev = Tables.events(s, d)
       .select(col("event_id"), col("ts_us"), col("event_type"), col("value"))
-    val maxId = ev.agg(max(col("event_id"))).head().getLong(0) + 1
-    (0 until nFiles).foreach { i =>
-      ev.filter(floor(col("event_id") * nFiles / maxId) === i)
-        .coalesce(1).write.parquet(s"$srcDir/b$i")
-    }
+    stageTimeOrdered(ev, srcDir, nFiles)
     val qname = s"st2_windowed_${System.nanoTime()}"
     val stream = s.readStream
       .schema(ev.schema)
@@ -309,11 +327,7 @@ object IndexPipeline {
     val nFiles = 3
     val ev = Tables.events(s, d)
       .select(col("event_id"), col("ts_us"), col("user_id"))
-    val maxId = ev.agg(max(col("event_id"))).head().getLong(0) + 1
-    (0 until nFiles).foreach { i =>
-      ev.filter(floor(col("event_id") * nFiles / maxId) === i)
-        .coalesce(1).write.parquet(s"$srcDir/b$i")
-    }
+    stageTimeOrdered(ev, srcDir, nFiles)
     val qname = s"st4_sessions_${System.nanoTime()}"
     val stream = s.readStream
       .schema(ev.schema)
@@ -468,11 +482,7 @@ object IndexPipeline {
     val nFiles = 3
     val ev = Tables.events(s, d)
       .select(col("event_id"), col("ts_us"), col("user_id"), col("event_type"))
-    val maxId = ev.agg(max(col("event_id"))).head().getLong(0) + 1
-    (0 until nFiles).foreach { i =>
-      ev.filter(floor(col("event_id") * nFiles / maxId) === i)
-        .coalesce(1).write.parquet(s"$srcDir/b$i")
-    }
+    stageTimeOrdered(ev, srcDir, nFiles)
     def stream(tpe: String, alias: String) = s.readStream
       .schema(ev.schema)
       .option("maxFilesPerTrigger", 1)
@@ -527,13 +537,12 @@ object IndexPipeline {
     val srcDir = base.resolve("log").toString
     val ckDir = base.resolve("ck").toString
     val nFiles = 3
+    // ts_us rides along only so the shared time-ordered stager applies;
+    // the stream-static join itself is time-free (no watermark, no state)
     val ev = Tables.events(s, d)
-      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
-    val maxId = ev.agg(max(col("event_id"))).head().getLong(0) + 1
-    (0 until nFiles).foreach { i =>
-      ev.filter(floor(col("event_id") * nFiles / maxId) === i)
-        .coalesce(1).write.parquet(s"$srcDir/b$i")
-    }
+      .select(col("event_id"), col("ts_us"), col("user_id"),
+        col("event_type"), col("value"))
+    stageTimeOrdered(ev, srcDir, nFiles)
     val dim = Tables(s, d, "nation").select(col("n_nationkey"), col("n_name"))
     val qname = s"st7_static_join_${System.nanoTime()}"
     try {
@@ -607,12 +616,8 @@ object IndexPipeline {
     val nFiles = 3
     val ev = Tables.events(s, d)
       .select(col("event_id"), col("ts_us"), col("user_id"), col("event_type"))
-    val agg0 = ev.agg(max(col("event_id")), max(col("ts_us"))).head()
-    val (maxId, maxTs) = (agg0.getLong(0) + 1, agg0.getLong(1))
-    (0 until nFiles).foreach { i =>
-      ev.filter(floor(col("event_id") * nFiles / maxId) === i)
-        .coalesce(1).write.parquet(s"$srcDir/b$i")
-    }
+    val maxTs = ev.agg(max(col("ts_us"))).head().getLong(0)
+    stageTimeOrdered(ev, srcDir, nFiles)
     // flush sentinels: 3 h past the last real event, one per join side so
     // each survives its side's (scan-pushed) type filter; the sentinel
     // click itself stays in state at query end (the watermark never
@@ -698,12 +703,8 @@ object IndexPipeline {
     val nFiles = 3
     val ev = Tables.events(s, d)
       .select(col("event_id"), col("ts_us"), col("user_id"), col("event_type"))
-    val agg0 = ev.agg(max(col("event_id")), max(col("ts_us"))).head()
-    val (maxId, maxTs) = (agg0.getLong(0) + 1, agg0.getLong(1))
-    (0 until nFiles).foreach { i =>
-      ev.filter(floor(col("event_id") * nFiles / maxId) === i)
-        .coalesce(1).write.parquet(s"$srcDir/b$i")
-    }
+    val maxTs = ev.agg(max(col("ts_us"))).head().getLong(0)
+    stageTimeOrdered(ev, srcDir, nFiles)
     import s.implicits._
     Seq((-1L, maxTs + 3L * 3600L * 1000000L, -1L, "click"),
         (-2L, maxTs + 3L * 3600L * 1000000L, -2L, "error"))
@@ -783,11 +784,7 @@ object IndexPipeline {
     val nFiles = 3
     val ev = Tables.events(s, d)
       .select(col("event_id"), col("ts_us"), col("event_type"))
-    val maxId = ev.agg(max(col("event_id"))).head().getLong(0) + 1
-    (0 until nFiles).foreach { i =>
-      ev.filter(floor(col("event_id") * nFiles / maxId) === i)
-        .coalesce(1).write.parquet(s"$srcDir/b$i")
-    }
+    stageTimeOrdered(ev, srcDir, nFiles)
     val qname = s"st9_sliding_${System.nanoTime()}"
     val stream = s.readStream
       .schema(ev.schema)
@@ -838,11 +835,7 @@ object IndexPipeline {
     val ev = Tables.events(s, d)
       .select(col("event_id"), col("ts_us"), col("event_type"), col("user_id"),
         col("value"))
-    val maxId = ev.agg(max(col("event_id"))).head().getLong(0) + 1
-    (0 until nFiles).foreach { i =>
-      ev.filter(floor(col("event_id") * nFiles / maxId) === i)
-        .coalesce(1).write.parquet(s"$srcDir/b$i")
-    }
+    stageTimeOrdered(ev, srcDir, nFiles)
     val registry: Seq[(String, (String => Column) => Column)] = Seq(
       "a_error" -> (r => r("event_type") === "error"),
       "a_big_value" -> (r => r("value") >= 99.0),
@@ -903,11 +896,7 @@ object IndexPipeline {
     val nFiles = 3
     val ev = Tables.events(s, d)
       .select(col("event_id"), col("ts_us"), col("user_id"))
-    val maxId = ev.agg(max(col("event_id"))).head().getLong(0) + 1
-    (0 until nFiles).foreach { i =>
-      ev.filter(floor(col("event_id") * nFiles / maxId) === i)
-        .coalesce(1).write.parquet(s"$srcDir/b$i")
-    }
+    stageTimeOrdered(ev, srcDir, nFiles)
     val qname = s"st11_geofence_${System.nanoTime()}"
     val src = s.readStream
       .schema(ev.schema)
@@ -975,11 +964,7 @@ object IndexPipeline {
     val nFiles = 3
     val ev = Tables.events(s, d)
       .select(col("event_id"), col("ts_us"), col("event_type"))
-    val maxId = ev.agg(max(col("event_id"))).head().getLong(0) + 1
-    (0 until nFiles).foreach { i =>
-      ev.filter(floor(col("event_id") * nFiles / maxId) === i)
-        .coalesce(1).write.parquet(s"$srcDir/b$i")
-    }
+    stageTimeOrdered(ev, srcDir, nFiles)
     val qname = s"st12_topk_${System.nanoTime()}"
     val stream = s.readStream
       .schema(ev.schema)
@@ -1345,11 +1330,7 @@ object IndexPipeline {
     val ev = Tables.events(s, d)
       .select(col("event_id"), col("ts_us"), col("event_type"),
         expr("CAST(FLOOR(value) AS BIGINT)").as("v"))
-    val maxId = ev.agg(max(col("event_id"))).head().getLong(0) + 1
-    (0 until nFiles).foreach { i =>
-      ev.filter(floor(col("event_id") * nFiles / maxId) === i)
-        .coalesce(1).write.parquet(s"$srcDir/b$i")
-    }
+    stageTimeOrdered(ev, srcDir, nFiles)
     val qname = s"st17_quantiles_${System.nanoTime()}"
     val stream = s.readStream
       .schema(ev.schema)

@@ -38,6 +38,14 @@ def main(sf_dir, out_dir):
     # optional memory cap (GB) so a heavy oracle can't OOM a shared box
     if os.environ.get("ORACLE_MEM_GB"):
         con.execute(f"SET memory_limit = '{os.environ['ORACLE_MEM_GB']}GB'")
+    # optional spill dir: an in-memory duckdb has NO temp directory, so a
+    # pair-join oracle that exceeds the cap aborts (or the OS OOM-kills
+    # the process — seen on dd5 at sf1) instead of spilling; pointing
+    # temp_directory at disk lets the heavy oracles offload
+    if os.environ.get("ORACLE_TMP_DIR"):
+        os.makedirs(os.environ["ORACLE_TMP_DIR"], exist_ok=True)
+        con.execute(f"SET temp_directory = '{os.environ['ORACLE_TMP_DIR']}'")
+        con.execute("SET max_temp_directory_size = '200GB'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     # optional comma-separated prefix filter (3rd arg) for partial reruns
     only = sys.argv[3].split(",") if len(sys.argv) > 3 else None

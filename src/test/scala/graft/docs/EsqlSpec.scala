@@ -188,6 +188,27 @@ class EsqlSpec extends SparkSpec {
     assert(nul.isNullAt(0))
   }
 
+  test("r15 aggs honor the per-agg WHERE filter: FIRST/LAST ignore " +
+      "filtered-out rows; PERCENTILE_RANK ranks within the filtered set") {
+    import spark.implicits._
+    val docs = Map("d" -> Seq(
+      (1L, "a", 10L, 1L), (1L, "b", 20L, 2L), (1L, "c", 30L, 3L),
+      (2L, "x", 5L, 1L), (2L, "y", 50L, 2L)).toDF("g", "s", "v", "ord"))
+    val r = Esql.run(docs,
+      """FROM d
+        || STATS f = FIRST(s, ord) WHERE v >= 20, l = LAST(s, ord),
+        |        pr = PERCENTILE_RANK(v, 10) WHERE v <= 30,
+        |        sk = SKEWNESS(v) BY g
+        || KEEP g, f, l, pr, sk
+        || SORT g""".stripMargin).collect()
+    // g=1: FIRST over v>=20 rows = b (ord 2); LAST unfiltered = c
+    assert(r(0).getString(1) === "b" && r(0).getString(2) === "c")
+    // pr: within v<=30 for g=1 -> {10,20,30}, share <=10 is 1/3
+    assert(math.abs(r(0).getDouble(3) - 100.0 / 3.0) < 1e-12)
+    // g=2: FIRST over v>=20 = y; LAST = y (ord 2)
+    assert(r(1).getString(1) === "y" && r(1).getString(2) === "y")
+  }
+
   test("INLINESTATS appends window aggregates: no row reduction, BY partitions") {
     val rows = Esql.run(tiny,
       """FROM t

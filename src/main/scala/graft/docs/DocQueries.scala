@@ -10059,6 +10059,129 @@ object DocQueries {
        |WHERE rn <= 30 ORDER BY rn""".stripMargin
   }
 
+  // ---------------------------------------------------------------- d286
+  /** `multi_match` `type` variants (r15 verdict gap #1): `most_fields`
+    * sums the per-field scores — lowered as DisMax with tie_breaker 1,
+    * since max + 1·(sum − max) IS the sum — and `phrase` runs
+    * `match_phrase` per field, DisMax-composed (both are how ES compiles
+    * them). `cross_fields`/`bool_prefix`/`phrase_prefix` are loud named
+    * rejects (term-centric blended stats / positional prefix expansion —
+    * different scoring algebras, pinned by SearchDslSpec). Both new
+    * types in ONE bool body under bm25: per field, ALL clauses' terms
+    * still pool into a single stats fetch (standing table at 100 TB). */
+  private def d286(s: SparkSession, d: String): DataFrame = {
+    val flat = s.read.parquet(s"$d/documents.parquet")
+    val docs = flat.select(struct(
+      col("doc_id").cast("string").as("objectId"),
+      col("text"), col("lang"), col("n_chars")).as("doc"))
+    val body =
+      """{"query": {"bool": {"should": [
+        |   {"multi_match": {"query": "en merge", "fields": ["text", "lang"],
+        |                    "type": "most_fields"}},
+        |   {"multi_match": {"query": "fast merge", "fields": ["text", "lang"],
+        |                    "type": "phrase"}}]}},
+        | "_source": ["objectId"], "size": 30}""".stripMargin
+    SearchExec.search(docs, "doc", body,
+      docs.schema("doc").dataType.asInstanceOf[org.apache.spark.sql.types.StructType],
+      similarity = "bm25", statsKey = Some(s"dsl:$d"))
+  }
+
+  private val d286Sql = {
+    // most_fields = SUM of per-field BM25 legs; phrase = MAX over
+    // per-field phrase legs, each gated on the consecutive-tokens
+    // predicate (a doc with both terms but not the phrase scores 0)
+    val terms = Seq("en", "merge", "fast")
+    def tf(f: String, t: String) = s"len(list_filter($f, x -> x = '$t'))"
+    def term(f: String, t: String, dl: String, a: String, dfp: String) =
+      graft.docs.Bm25.oracleTermSql(tf(f, t), dl, "n", s"$dfp${terms.indexOf(t)}", a)
+    def dfs(f: String, dfp: String) = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(SUM(CASE WHEN list_contains($f, '$t') THEN 1 ELSE 0 END) AS BIGINT) AS $dfp$i"
+    }.mkString(", ")
+    def ph(raw: String) =
+      s"contains(' ' || regexp_replace(trim(lower($raw)), '\\s+', ' ', 'g') || ' ', ' fast merge ')"
+    s"""WITH an AS (SELECT CAST(doc_id AS VARCHAR) AS oid, text, lang,
+       |    regexp_split_to_array(lower(text), '\\s+') AS ts,
+       |    regexp_split_to_array(lower(lang), '\\s+') AS ls FROM documents),
+       |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST((100 * COALESCE(SUM(len(ts)), 0)) // COUNT(*) AS BIGINT) AS a100,
+       |    CAST((100 * COALESCE(SUM(len(ls)), 0)) // COUNT(*) AS BIGINT) AS al100,
+       |    ${dfs("ts", "dft")}, ${dfs("ls", "dfl")} FROM an),
+       |legs AS (SELECT oid,
+       |    CAST(${term("ts", "en", "dl", "a100", "dft")}
+       |       + ${term("ts", "merge", "dl", "a100", "dft")} AS BIGINT) AS t_em,
+       |    CAST(${term("ls", "en", "ll", "al100", "dfl")}
+       |       + ${term("ls", "merge", "ll", "al100", "dfl")} AS BIGINT) AS l_em,
+       |    CAST(${term("ts", "fast", "dl", "a100", "dft")}
+       |       + ${term("ts", "merge", "dl", "a100", "dft")} AS BIGINT) AS t_fm,
+       |    CAST(${term("ls", "fast", "ll", "al100", "dfl")}
+       |       + ${term("ls", "merge", "ll", "al100", "dfl")} AS BIGINT) AS l_fm,
+       |    ${ph("text")} AS ph_t, ${ph("lang")} AS ph_l
+       |  FROM (SELECT oid, text, lang, ts, ls, len(ts) AS dl, len(ls) AS ll
+       |        FROM an
+       |        WHERE list_has_any(ts, ['en', 'merge'])
+       |           OR list_has_any(ls, ['en', 'merge'])
+       |           OR ${ph("text")} OR ${ph("lang")})
+       |  CROSS JOIN st),
+       |sc AS (SELECT oid, (t_em + l_em) + GREATEST(
+       |         CASE WHEN ph_t THEN t_fm ELSE 0 END,
+       |         CASE WHEN ph_l THEN l_fm ELSE 0 END) AS score FROM legs)
+       |SELECT rn, score, oid AS "objectId" FROM (
+       |  SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, oid ASC) AS rn FROM sc)
+       |WHERE rn <= 30 ORDER BY rn""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- d287
+  /** `match_phrase` under `similarity=bm25` (r15 verdict gap #3): a
+    * phrase clause scores the BM25 of its terms — through the SAME
+    * fixed-point scorer and stats pool as a match — GATED on the phrase
+    * predicate (ES's PhraseQuery scores 0 for non-matches; positional
+    * phraseFreq-as-tf stays a documented deviation, Bm25Spec pins where
+    * phrase-scored order differs from the old 1-point constant). Here
+    * the phrase is a MUST (every hit scores its terms) beside an
+    * ungated should match; all three terms pool into one text-stats
+    * fetch. */
+  private def d287(s: SparkSession, d: String): DataFrame = {
+    val flat = s.read.parquet(s"$d/documents.parquet")
+    val docs = flat.select(struct(
+      col("doc_id").cast("string").as("objectId"),
+      col("text"), col("lang"), col("n_chars")).as("doc"))
+    val body =
+      """{"query": {"bool": {
+        |   "must": [{"match_phrase": {"text": "fast merge"}}],
+        |   "should": [{"match": {"text": "spark"}}],
+        |   "filter": [{"range": {"n_chars": {"gte": 120}}}]}},
+        | "_source": ["objectId"], "size": 25}""".stripMargin
+    SearchExec.search(docs, "doc", body,
+      docs.schema("doc").dataType.asInstanceOf[org.apache.spark.sql.types.StructType],
+      similarity = "bm25", statsKey = Some(s"dsl:$d"))
+  }
+
+  private val d287Sql = {
+    val terms = Seq("fast", "merge", "spark")
+    def tf(t: String) = s"len(list_filter(ts, x -> x = '$t'))"
+    def term(t: String) =
+      graft.docs.Bm25.oracleTermSql(tf(t), "dl", "n", s"df${terms.indexOf(t)}", "a100")
+    val dfs = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(SUM(CASE WHEN list_contains(ts, '$t') THEN 1 ELSE 0 END) AS BIGINT) AS df$i"
+    }.mkString(", ")
+    // hits all satisfy the must-phrase, so its gate is identically true
+    // here; the should's term scores ungated (0 when absent, as always)
+    s"""WITH an AS (SELECT CAST(doc_id AS VARCHAR) AS oid, text, n_chars,
+       |    regexp_split_to_array(lower(text), '\\s+') AS ts FROM documents),
+       |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST((100 * COALESCE(SUM(len(ts)), 0)) // COUNT(*) AS BIGINT) AS a100, $dfs FROM an),
+       |sc AS (SELECT oid,
+       |    CAST(${term("fast")} + ${term("merge")} + ${term("spark")} AS BIGINT) AS score
+       |  FROM (SELECT oid, ts, len(ts) AS dl FROM an
+       |        WHERE contains(' ' || regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')
+       |                || ' ', ' fast merge ')
+       |          AND n_chars >= 120)
+       |  CROSS JOIN st)
+       |SELECT rn, score, oid AS "objectId" FROM (
+       |  SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, oid ASC) AS rn FROM sc)
+       |WHERE rn <= 25 ORDER BY rn""".stripMargin
+  }
+
   // ---------------------------------------------------------------- d279
   /** ES SQL `FIRST`/`LAST` aggregates (+ the `FIRST_VALUE` synonym) —
     * the field value at the min/max of the ordering field (the field
@@ -10082,10 +10205,15 @@ object DocQueries {
       s.read.parquet(s"$d/documents.parquet")), q)
   }
 
+  // the FILTER clauses encode the engine's null contract (FIRST/LAST
+  // ignore rows where the value OR the ordering field is null) so the
+  // twin stays faithful on a corpus that ever grows nulls here
   private val d279Sql =
     """SELECT lang,
-      |  (list(source ORDER BY doc_id ASC, source ASC))[1] AS first_src,
-      |  (list(source ORDER BY doc_id DESC, source DESC))[1] AS last_src,
+      |  (list(source ORDER BY doc_id ASC, source ASC)
+      |     FILTER (WHERE source IS NOT NULL AND doc_id IS NOT NULL))[1] AS first_src,
+      |  (list(source ORDER BY doc_id DESC, source DESC)
+      |     FILTER (WHERE source IS NOT NULL AND doc_id IS NOT NULL))[1] AS last_src,
       |  CAST(MIN(doc_id) AS BIGINT) AS min_id,
       |  CAST(COUNT(*) AS BIGINT) AS n
       |FROM documents
@@ -10202,6 +10330,54 @@ object DocQueries {
       |ORDER BY event_id ASC
       |LIMIT 50""".stripMargin
 
+  // ---------------------------------------------------------------- d288
+  /** ES|QL 9.x probe wave 3: trigonometry (SIN/COS/ATAN2/TANH/
+    * TO_DEGREES), SCALB (exact: a power of two only moves the FP
+    * exponent), ROUND_TO (9.1 — fixed-point bucket rounding as ONE
+    * codegen'd when-chain, no bucket-table join), and TO_TIMEDURATION/
+    * TO_DATEPERIOD datetime arithmetic lowered onto DATE_ADD (exact long
+    * micros for durations; calendar month add with day-of-month clamping
+    * for periods). Trig outputs are ROUND()ed to 6 decimals in BOTH
+    * engines: transcendentals are not correctly-rounded in either libm,
+    * so raw doubles could differ in the last ulp — the gate pins the
+    * wiring and the 6-decimal values, not libm's final bit. Pure per-row
+    * projection over one pushed scan. */
+  private def d288(s: SparkSession, d: String): DataFrame = {
+    val q =
+      """FROM events
+        || WHERE event_id % 9 == 0
+        || EVAL si = ROUND(SIN(value), 6), co = ROUND(COS(value), 6),
+        |       at = ROUND(ATAN2(value, 2.5), 6), th = ROUND(TANH(value / 10.0), 6),
+        |       deg = ROUND(TO_DEGREES(value), 6), sc = SCALB(value, 3),
+        |       rt = ROUND_TO(value, 0, 10, 50, 100, 500),
+        |       nxt = ts_us + TO_TIMEDURATION("90 minutes"),
+        |       pm = ts_us + TO_DATEPERIOD("1 month"),
+        |       back = ts_us - TO_TIMEDURATION("45 s")
+        || KEEP event_id, si, co, at, th, deg, sc, rt, nxt, pm, back
+        || SORT event_id ASC
+        || LIMIT 400""".stripMargin
+    Esql.run(Map("events" -> graft.Tables.events(s, d).drop("ts")), q)
+  }
+
+  private val d288Sql =
+    """SELECT event_id,
+      |  round(sin(value), 6) AS si, round(cos(value), 6) AS co,
+      |  round(atan2(value, 2.5), 6) AS at,
+      |  -- DuckDB 1.0 has no tanh; the exp identity agrees with the
+      |  -- engine's Math.tanh far past the 6-decimal pin
+      |  round((exp(2 * value / 10.0) - 1) / (exp(2 * value / 10.0) + 1), 6) AS th,
+      |  round(degrees(value), 6) AS deg, value * 8 AS sc,
+      |  CAST(CASE WHEN value >= 500 THEN 500 WHEN value >= 100 THEN 100
+      |            WHEN value >= 50 THEN 50 WHEN value >= 10 THEN 10
+      |            ELSE 0 END AS BIGINT) AS rt,
+      |  epoch_us(ts) + CAST(90 * 60 AS BIGINT) * 1000000 AS nxt,
+      |  epoch_us(ts + INTERVAL 1 MONTH) AS pm,
+      |  epoch_us(ts) - CAST(45 AS BIGINT) * 1000000 AS back
+      |FROM events
+      |WHERE event_id % 9 = 0
+      |ORDER BY event_id ASC
+      |LIMIT 400""".stripMargin
+
   // ---------------------------------------------------------------- d285
   /** ES SQL `TIMESTAMP '...'` / `DATE '...'` literals — the standard-SQL
     * date predicates Kibana emits, folded AT TRANSLATE TIME to
@@ -10259,11 +10435,16 @@ object DocQueries {
          |    + (n1 * $p - floor(n1 * $p))
          |      * (CAST(s[least(CAST(floor(n1 * $p) AS BIGINT) + 2, n)] AS DOUBLE)
          |         - CAST(s[CAST(floor(n1 * $p) AS BIGINT) + 1] AS DOUBLE))""".stripMargin
+    // null elements are dropped BEFORE sorting, as the engine does
+    // (array_compact): DuckDB's list_sort is nulls-FIRST vs Spark's
+    // nulls-last, so unfiltered nulls would pick different endpoints
     s"""WITH e AS (
-       |  SELECT vec_id, label, list_sort(embedding) AS s,
-       |    CAST(len(embedding) - 1 AS DOUBLE) AS n1,
-       |    len(embedding) AS n
-       |  FROM embeddings WHERE vec_id % 7 = 0)
+       |  SELECT vec_id, label, list_sort(nn) AS s,
+       |    CAST(len(nn) - 1 AS DOUBLE) AS n1,
+       |    len(nn) AS n
+       |  FROM (SELECT vec_id, label,
+       |          list_filter(embedding, x -> x IS NOT NULL) AS nn
+       |        FROM embeddings WHERE vec_id % 7 = 0))
        |SELECT vec_id, label,
        |  ${leg("0.25")} AS p25,
        |  ${leg("0.5")} AS med,
@@ -10322,8 +10503,17 @@ object DocQueries {
        |  CASE WHEN ok THEN ip END AS v,
        |  CASE WHEN ok THEN ${masked(0xFFFFFF00L)} END AS net24,
        |  CASE WHEN ok THEN ${masked(0xFFF00000L)} END AS net12,
-       |  CAST((epoch_us(ts) - 1704067200000000) // 604800000000 AS BIGINT) AS wk,
-       |  CAST((epoch_us(ts) - 1704067200000000) // 1000 % 100000 AS BIGINT) AS ms
+       |  -- trunc-toward-zero division, matching the engine's DATE_DIFF
+       |  -- contract on timestamps BEFORE the anchor (DuckDB's // floors,
+       |  -- so -1.5 wk would round the other way); sign-aware pure-integer
+       |  CAST(CASE WHEN epoch_us(ts) >= 1704067200000000
+       |    THEN (epoch_us(ts) - 1704067200000000) // 604800000000
+       |    ELSE -((1704067200000000 - epoch_us(ts)) // 604800000000)
+       |  END AS BIGINT) AS wk,
+       |  CAST(CASE WHEN epoch_us(ts) >= 1704067200000000
+       |    THEN (epoch_us(ts) - 1704067200000000) // 1000
+       |    ELSE -((1704067200000000 - epoch_us(ts)) // 1000)
+       |  END % 100000 AS BIGINT) AS ms
        |FROM n
        |ORDER BY event_id ASC
        |LIMIT 300""".stripMargin
@@ -11181,6 +11371,9 @@ object DocQueries {
     "d283_esql_mv_percentile" -> d283 _,
     "d284_esql_ip_fns" -> d284 _,
     "d285_es_sql_ts_literals" -> d285 _,
+    "d286_es_multimatch_types" -> d286 _,
+    "d287_es_phrase_bm25" -> d287 _,
+    "d288_esql_wave3" -> d288 _,
     "d261_eql_all_matches_guards" -> d261 _,
     "d262_esql_inlinestats_distinct" -> d262 _,
     "d206_es_parent_agg" -> d206 _,
@@ -11468,6 +11661,9 @@ object DocQueries {
     "d283_esql_mv_percentile" -> d283Sql,
     "d284_esql_ip_fns" -> d284Sql,
     "d285_es_sql_ts_literals" -> d285Sql,
+    "d286_es_multimatch_types" -> d286Sql,
+    "d287_es_phrase_bm25" -> d287Sql,
+    "d288_esql_wave3" -> d288Sql,
     "d261_eql_all_matches_guards" -> d261Sql,
     "d262_esql_inlinestats_distinct" -> d262Sql,
     "d206_es_parent_agg" -> d206Sql,

@@ -684,14 +684,25 @@ object EsSql {
     def micros(kind: String, raw: String): Long = {
       val norm = raw.trim.replace(' ', 'T')
       try {
-        val ldt =
-          if (norm.length <= 10) java.time.LocalDate.parse(norm).atStartOfDay()
-          else java.time.LocalDateTime.parse(norm)
-        ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
-          ldt.getNano / 1000L
+        // zone-less first (the common Kibana shape), then zoned/offset
+        // ISO-8601 ('…Z', '…+02:00') normalized onto the UTC timeline —
+        // real ES SQL accepts both spellings
+        val inst =
+          if (norm.length <= 10)
+            java.time.LocalDate.parse(norm).atStartOfDay()
+              .toInstant(java.time.ZoneOffset.UTC)
+          else
+            try java.time.LocalDateTime.parse(norm)
+              .toInstant(java.time.ZoneOffset.UTC)
+            catch {
+              case _: java.time.format.DateTimeParseException =>
+                java.time.OffsetDateTime.parse(norm).toInstant
+            }
+        inst.getEpochSecond * 1000000L + inst.getNano / 1000L
       } catch {
         case _: java.time.format.DateTimeParseException =>
-          reject(s"cannot parse $kind literal '$raw' (ISO-8601 expected)")
+          reject(s"cannot parse $kind literal '$raw' (ISO-8601 expected, " +
+            "zone-less or with a Z/±hh:mm offset)")
       }
     }
     val out = scala.collection.mutable.ListBuffer[Tok]()

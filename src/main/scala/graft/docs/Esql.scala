@@ -296,19 +296,65 @@ object Esql {
     case _ => None
   }
 
-  /** The full-text leaves of a WHERE expression, for BM25 scoring: the
-    * MATCH(field, "query") nodes (scored per-term) and the 1-point
-    * QSTR/MATCH_PHRASE clause columns. Same traversal contract as
+  /** The full-text leaves of a WHERE expression, for BM25 scoring:
+    * MATCH(field, "query") nodes (scored per-term), MATCH_PHRASE(field,
+    * "phrase") nodes (d287: the phrase's terms through the SAME scorer,
+    * gated on the phrase predicate — a row with the terms but not the
+    * consecutive phrase scores 0, as ES's PhraseQuery does; positional
+    * tf is not modeled, documented deviation), and the 1-point QSTR
+    * clause columns (a query-string is an arbitrary boolean tree — its
+    * clause keeps the constant). Same traversal contract as
     * [[matchScore]]: negated subtrees contribute NOTHING. */
-  private def collectFullText(e: Ex): (Seq[(Ex, String)], Seq[Column]) = e match {
-    case EFn("MATCH", List(f, EStr(q))) => (Seq((f, q)), Nil)
-    case fn @ EFn("MATCH_PHRASE" | "QSTR", _) =>
-      (Nil, Seq(when(coalesce(compile(fn), lit(false)), 1L).otherwise(0L)))
+  private def collectFullText(e: Ex)
+      : (Seq[(Ex, String)], Seq[(Ex, String, Ex)], Seq[Column]) = e match {
+    case EFn("MATCH", List(f, EStr(q))) => (Seq((f, q)), Nil, Nil)
+    case fn @ EFn("MATCH_PHRASE", List(f, EStr(q))) =>
+      (Nil, Seq((f, q, fn)), Nil)
+    case fn @ EFn("QSTR", _) =>
+      (Nil, Nil, Seq(when(coalesce(compile(fn), lit(false)), 1L).otherwise(0L)))
     case EBin(_, l, r) =>
-      val (m1, p1) = collectFullText(l)
-      val (m2, p2) = collectFullText(r)
-      (m1 ++ m2, p1 ++ p2)
-    case _ => (Nil, Nil)
+      val (m1, h1, p1) = collectFullText(l)
+      val (m2, h2, p2) = collectFullText(r)
+      (m1 ++ m2, h1 ++ h2, p1 ++ p2)
+    case _ => (Nil, Nil, Nil)
+  }
+
+  /** TO_TIMEDURATION / TO_DATEPERIOD literal: Some((DATE_ADD unit,
+    * count)) when `e` is one of the two conversion calls over a
+    * parseable `"<n> <unit>"` string (the ES|QL constant-expression
+    * contract — the argument is always a literal). Unit vocabularies are
+    * disjoint by design: time durations are fixed-width (ms→hour),
+    * date periods are calendar units (day→year) — exactly the split
+    * DATE_ADD's lowering already honors. */
+  private def durLit(e: Ex): Option[(String, Long)] = e match {
+    case EFn(f @ ("TO_TIMEDURATION" | "TO_DATEPERIOD"), List(EStr(s))) =>
+      val pat = "^\\s*(-?\\d+)\\s*([a-zA-Z]+)\\s*$".r
+      s match {
+        case pat(n, u0) =>
+          val u = u0.toLowerCase
+          val time = Map(
+            "millisecond" -> "ms", "milliseconds" -> "ms", "ms" -> "ms",
+            "second" -> "second", "seconds" -> "second",
+            "sec" -> "second", "s" -> "second",
+            "minute" -> "minute", "minutes" -> "minute", "min" -> "minute",
+            "hour" -> "hour", "hours" -> "hour", "h" -> "hour")
+          val period = Map(
+            "day" -> "day", "days" -> "day", "d" -> "day",
+            "week" -> "week", "weeks" -> "week", "w" -> "week",
+            "month" -> "month", "months" -> "month", "mo" -> "month",
+            "quarter" -> "quarter", "quarters" -> "quarter", "q" -> "quarter",
+            "year" -> "year", "years" -> "year", "yr" -> "year", "y" -> "year")
+          val tbl = if (f == "TO_TIMEDURATION") time else period
+          tbl.get(u) match {
+            case Some(unit) => Some((unit, n.toLong))
+            case None => throw new IllegalArgumentException(
+              s"esql: $f unit '$u0' is not a " +
+                s"${if (f == "TO_TIMEDURATION") "fixed-width time" else "calendar"} unit")
+          }
+        case _ => throw new IllegalArgumentException(
+          s"""esql: cannot parse $f literal '$s' (expected "<n> <unit>")""")
+      }
+    case _ => None
   }
 
   private def compile(e: Ex): Column = e match {
@@ -412,6 +458,63 @@ object Esql {
         case "FLOOR" => arity(1); floor(c(0)).cast(DoubleType)
         case "CEIL" => arity(1); ceil(c(0)).cast(DoubleType)
         case "SIGNUM" => arity(1); signum(c(0))
+        // trigonometry (ES|QL 8.x tail, wave 3): straight codegen'd Spark
+        // built-ins — both engines call the platform libm, and the oracle
+        // rounds doubles to 9 decimals, far above the ≤1-ulp divergence
+        // non-correctly-rounded transcendentals can show
+        case "SIN" => arity(1); sin(c(0))
+        case "COS" => arity(1); cos(c(0))
+        case "TAN" => arity(1); tan(c(0))
+        case "ASIN" => arity(1); asin(c(0))
+        case "ACOS" => arity(1); acos(c(0))
+        case "ATAN" => arity(1); atan(c(0))
+        case "ATAN2" => arity(2); atan2(c(0), c(1))
+        case "SINH" => arity(1); sinh(c(0))
+        case "COSH" => arity(1); cosh(c(0))
+        case "TANH" => arity(1); tanh(c(0))
+        case "TO_DEGREES" => arity(1); degrees(c(0))
+        case "TO_RADIANS" => arity(1); radians(c(0))
+        // SCALB(d, n) = d·2ⁿ — exact in binary floating point (a power
+        // of two only moves the exponent), so the product form is
+        // bit-identical to Math.scalb and to the oracle's d * 2^n
+        case "SCALB" => arity(2)
+          c(0).cast(DoubleType) * pow(lit(2.0), c(1))
+        case "ROUND_TO" =>
+          // ROUND_TO(field, p1, p2, …) (9.1): rounds DOWN to the nearest
+          // of the fixed points — values below every point take the
+          // SMALLEST point (the ES|QL contract: the first bucket catches
+          // everything below it). Points are plan-time literals, so the
+          // whole thing folds to one codegen'd when-chain — the fixed-
+          // bucket histogram shape without a join against a bucket table.
+          require(args.size >= 2, "esql: ROUND_TO needs a field and at least one point")
+          val pts = args.tail.map {
+            case ELong(v) => v.toDouble
+            case EDouble(v) => v
+            case other => throw new IllegalArgumentException(
+              s"esql: ROUND_TO points must be numeric literals, got $other")
+          }
+          val sortedPts = pts.sorted
+          // descending when-chain: first point ≤ value wins; below all →
+          // smallest point. Long points stay long (ES returns the point
+          // with the field's numeric type family; the engine pins the
+          // literals' widest type — all-long points → long column)
+          val allLong = args.tail.forall { case ELong(_) => true; case _ => false }
+          def litP(p: Double) = if (allLong) lit(p.toLong) else lit(p)
+          val v = c(0).cast(DoubleType)
+          sortedPts.reverse.tail.foldLeft(
+            when(v >= lit(sortedPts.last), litP(sortedPts.last))) {
+            (acc, p) => acc.when(v >= lit(p), litP(p))
+          }.otherwise(litP(sortedPts.head))
+        case "KNN" => throw new IllegalArgumentException(
+          "esql: KNN is not supported — a k-nearest-neighbors predicate is " +
+            "query-global top-k, not a per-row filter; use the similarity " +
+            "surface (brute/IVF/LSH legs, s1-family) or FUSE for hybrid ranking")
+        case "TO_TIMEDURATION" | "TO_DATEPERIOD" =>
+          // outside `datetime ± …` arithmetic the constant has no column
+          // representation — the EBin lowering above is the whole surface
+          throw new IllegalArgumentException(
+            s"esql: $name is only meaningful in datetime arithmetic — " +
+              """write ts + TO_DATEPERIOD("1 month") / ts - TO_TIMEDURATION("1 hour")""")
         case "PI" => arity(0); lit(math.Pi)
         case "E" => arity(0); lit(math.E)
         case "TAU" => arity(0); lit(2.0 * math.Pi)
@@ -626,6 +729,7 @@ object Esql {
           }
           val n = c(1).cast("int")
           val fixedMicros: Option[Long] = unit match {
+            case "millisecond" | "milliseconds" | "ms" => Some(1000L)
             case "second" | "seconds" | "ss" | "s" => Some(1000000L)
             case "minute" | "minutes" | "mi" | "n" => Some(60L * 1000000L)
             case "hour" | "hours" | "hh" => Some(3600L * 1000000L)
@@ -661,10 +765,15 @@ object Esql {
             size(c(0)).cast(DoubleType)
         case "MV_MEDIAN" =>
           // sorted middle element; even count → mean of the two middles
-          // (the ES|QL contract) — element picks + one add/div, exact
+          // (the ES|QL contract) — element picks + one add/div, exact.
+          // Null elements are dropped first (array_compact): ES never
+          // stores nulls inside a multivalue, and it keeps the engine's
+          // nulls-last array_sort and DuckDB's nulls-first list_sort
+          // from picking different endpoints on degenerate input
           arity(1)
-          val sorted = array_sort(c(0))
-          val n = size(c(0))
+          val vals = array_compact(c(0))
+          val sorted = array_sort(vals)
+          val n = size(vals)
           val lo = element_at(sorted, ((n + 1) / 2).cast("int")).cast(DoubleType)
           val hi = element_at(sorted, (n / 2).cast("int") + 1).cast(DoubleType)
           when(n % 2 === 1, lo).otherwise((lo + hi) / 2.0)
@@ -674,6 +783,10 @@ object Esql {
           // math at row grain: rank = p/100·(n−1), v = s[lo] + frac·
           // (s[hi] − s[lo]). Exact element picks + one mul/add per row —
           // deterministic, the oracle reproduces it term for term.
+          // Null elements are dropped first (array_compact, as in
+          // MV_MEDIAN): ES multivalues never hold nulls, and the
+          // engine's nulls-last sort vs DuckDB's nulls-first list_sort
+          // would otherwise pick different interpolation endpoints.
           arity(2)
           val pct = args(1) match {
             case ELong(v) => v / 100.0
@@ -681,8 +794,9 @@ object Esql {
             case other => throw new IllegalArgumentException(
               s"esql: MV_PERCENTILE percent must be a numeric literal, got $other")
           }
-          val sorted = array_sort(c(0))
-          val n = size(c(0))
+          val vals = array_compact(c(0))
+          val sorted = array_sort(vals)
+          val n = size(vals)
           val rank = (n - 1).cast(DoubleType) * lit(pct)
           val lo = floor(rank).cast("int")
           val frac = rank - floor(rank)
@@ -813,6 +927,19 @@ object Esql {
         case other => throw new IllegalArgumentException(
           s"esql: unsupported function $other")
       }
+    // datetime ± TO_TIMEDURATION/TO_DATEPERIOD (9.x wave 3): the
+    // duration/period literal folds at plan time and the arithmetic
+    // lowers onto DATE_ADD — exact long micros for time durations,
+    // calendar-aware (day-of-month clamping) for date periods. The
+    // commuted `period + ts` form works for +; `period - ts` is not a
+    // datetime and rejects through the standalone-call reject below.
+    case EBin(op @ ("+" | "-"), l, r) if durLit(r).nonEmpty =>
+      val (unit, n) = durLit(r).get
+      compile(EFn("DATE_ADD",
+        List(EStr(unit), ELong(if (op == "-") -n else n), l)))
+    case EBin("+", l, r) if durLit(l).nonEmpty =>
+      val (unit, n) = durLit(l).get
+      compile(EFn("DATE_ADD", List(EStr(unit), ELong(n), r)))
     case EBin(op, l, r) =>
       val (a, b) = (compile(l), compile(r))
       op match {
@@ -1209,16 +1336,19 @@ object Esql {
           // Under scoreMode=bm25 each MATCH contributes the fixed-point
           // BM25 of its terms instead (index-level stats from the frame
           // `run` captured at FROM — the ES semantic: df/avgdl are index
-          // metadata, not hit-set statistics); QSTR/MATCH_PHRASE keep
-          // their 1-point clause scores in both modes (positional BM25
-          // is not modeled — documented deviation).
+          // metadata, not hit-set statistics), and MATCH_PHRASE scores
+          // the phrase's terms through the same scorer gated on the
+          // phrase predicate (d287; positional tf is not modeled —
+          // documented deviation); QSTR keeps its 1-point clause score
+          // in both modes (an arbitrary boolean tree has no single
+          // term-list to score).
           if (df.columns.contains("_score")) Option(bm25Index.get()) match {
             case None =>
               matchScore(ex).foreach(sc =>
                 df = df.withColumn("_score", col("_score") + sc))
             case Some(index) =>
-              val (matches, points) = collectFullText(ex)
-              if (matches.nonEmpty || points.nonEmpty) {
+              val (matches, phrases, points) = collectFullText(ex)
+              if (matches.nonEmpty || phrases.nonEmpty || points.nonEmpty) {
                 var cur = df
                 var add = points.reduceOption(_ + _).getOrElse(lit(0L))
                 // ONE stats aggregate per distinct FIELD in this WHERE:
@@ -1231,11 +1361,16 @@ object Esql {
                     .Map[(String, Seq[String]), Bm25.Stats]()
                   bm25Stats.set(m); m
                 }
-                val pooled: Map[String, Seq[String]] = matches
+                // MATCH and MATCH_PHRASE legs pool their terms per
+                // field: k clauses on one field still cost ONE stats
+                // scan (superset df maps score any subset)
+                val legs: Seq[(Ex, String)] =
+                  matches ++ phrases.map(p => (p._1, p._2))
+                val pooled: Map[String, Seq[String]] = legs
                   .groupBy(_._1.toString)
                   .map { case (k, xs) => k -> xs.flatMap { case (_, q) =>
                     graft.ext.TextAnalysis.analyzeQuery(q) }.distinct.sorted }
-                val fieldStats = matches.map(_._1).distinctBy(_.toString)
+                val fieldStats = legs.map(_._1).distinctBy(_.toString)
                   .map { f =>
                     val allTerms = pooled(f.toString)
                     f.toString -> memo.getOrElseUpdate((f.toString, allTerms),
@@ -1250,8 +1385,19 @@ object Esql {
                     fieldStats(f.toString), s"_bm25_$i", s"w$i")
                   add = add + col(s"_bm25_$i")
                 }
+                phrases.zipWithIndex.foreach { case ((f, q, fn), i) =>
+                  val terms = graft.ext.TextAnalysis.analyzeQuery(q)
+                  cur = Bm25.withScore(cur,
+                    graft.ext.TextAnalysis.analyze(compile(f)), terms,
+                    fieldStats(f.toString), s"_bm25_p$i", s"wp$i")
+                  // gate: a row with the terms but not the consecutive
+                  // phrase scores 0 (ES PhraseQuery only scores matches)
+                  add = add + when(coalesce(compile(fn), lit(false)),
+                    col(s"_bm25_p$i")).otherwise(lit(0L))
+                }
                 df = cur.withColumn("_score", col("_score") + add)
-                  .drop(matches.indices.map(i => s"_bm25_$i"): _*)
+                  .drop(matches.indices.map(i => s"_bm25_$i") ++
+                    phrases.indices.map(i => s"_bm25_p$i"): _*)
               }
           }
         case "LIMIT" => p.pop() match {

@@ -423,7 +423,7 @@ object SearchExec {
     * to its own relevance for. */
   private def bm25Scoreable(q: SearchQuery): Boolean = q match {
     case SearchQuery.DisMax(legs, _) => legs.exists(bm25Scoreable)
-    case _ => asMatch(q).nonEmpty
+    case _ => asMatch(q).nonEmpty || asPhrase(q).nonEmpty
   }
 
   /** The match-desugar shapes scoreable per-term (lowercased — the
@@ -451,6 +451,29 @@ object SearchExec {
     }
   }
 
+  /** The doc-level PHRASE shapes scoreable under bm25 (d287): a
+    * [[SearchQuery.MatchPhrase]] or a two-term [[SearchQuery.PhraseSlop]].
+    * Returns (path, analyzed terms, the node itself — the score GATE):
+    * the phrase's terms score through the same fixed-point scorer as a
+    * match, gated on the phrase predicate — a doc containing every term
+    * WITHOUT the consecutive phrase scores 0, as in ES (a PhraseQuery
+    * only scores its matches). Positional weighting (Lucene's
+    * phraseFreq-as-tf) is NOT modeled — term tf stands in; documented
+    * deviation, still term-frequency-faithful per document. Nested
+    * phrase legs keep the 1-point constant (nested match legs are not
+    * bm25-scored either). */
+  private def asPhrase(q: SearchQuery)
+      : Option[(Seq[String], Seq[String], SearchQuery)] = {
+    import graft.docs.{SearchQuery => SQ}
+    q match {
+      case SQ.MatchPhrase(path, phrase) =>
+        val toks = phrase.trim.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
+        if (toks.isEmpty) None else Some((path, toks, q))
+      case SQ.PhraseSlop(path, a, b, _) => Some((path, Seq(a, b), q))
+      case _ => None
+    }
+  }
+
   /** Attach `out` = the bm25-mode relevance of `shoulds` to `df`: each
     * clause that is a whitespace-analyzed `match` desugar — a
     * [[SearchQuery.TermMatch]], or an Or/And of TermMatch on one path —
@@ -474,7 +497,7 @@ object SearchExec {
     // (corpus, field) since df tables are analyzer- and field-specific
     def matchLegs(q: SearchQuery): Seq[(Seq[String], Seq[String])] = q match {
       case SQ.DisMax(legs, _) => legs.flatMap(matchLegs)
-      case _ => asMatch(q).toSeq
+      case _ => asMatch(q).toSeq ++ asPhrase(q).map(p => (p._1, p._2))
     }
     val statsByPath = clauses.flatMap(matchLegs).groupBy(_._1)
       .map { case (pa, xs) =>
@@ -499,6 +522,18 @@ object SearchExec {
           name, s"$tag$nextId")
         bmCols += name
         col(name)
+      case None if asPhrase(q).nonEmpty =>
+        // phrase clause (d287): BM25 of the phrase's terms, GATED on
+        // the phrase predicate — a doc with the terms but not the
+        // consecutive phrase scores 0, as ES's PhraseQuery does
+        val (path, terms, gate) = asPhrase(q).get
+        val name = s"_bm25_${tag}_c$nextId"
+        nextId += 1
+        cur = Bm25.withScore(cur, toks(path), terms, statsByPath(path),
+          name, s"$tag$nextId")
+        bmCols += name
+        when(coalesce(SQ.compile(gate, doc), lit(false)), col(name))
+          .otherwise(lit(0L))
       case None => q match {
         case SQ.DisMax(legs, tb) =>
           val scores = legs.map(clauseScore)

@@ -2296,14 +2296,38 @@ object SearchQuery {
           case _ => throw new IllegalArgumentException("dis_max needs a non-empty queries array")
         }
       case JObject(List(("multi_match", JObject(fields)))) =>
-        // ES multi_match, best_fields flavor: the query matched against
-        // each listed field, OR-composed. Per-field semantics follow the
-        // single-field `match` above: tokenized everywhere, including
-        // through array paths (`.keyword` opts back into exact equality).
+        // ES multi_match: the query matched against each listed field,
+        // per-field legs composed by `type` — `best_fields` (default)
+        // and `phrase` are DisjunctionMaxQueries over the legs in ES;
+        // `most_fields` scores the SUM of per-field scores, which is
+        // exactly DisMax with tie_breaker 1 (max + 1·(sum − max) = sum),
+        // so one node carries all three. Per-field semantics follow the
+        // single-field `match` / `match_phrase` above: tokenized
+        // everywhere, including through array paths (`.keyword` opts
+        // back into exact equality).
         val f = fields.toMap
-        val unknown = f.keySet -- Set("query", "fields")
+        val unknown = f.keySet -- Set("query", "fields", "type", "tie_breaker")
         require(unknown.isEmpty,
-          s"unsupported multi_match key(s): ${unknown.mkString(", ")} (query/fields)")
+          s"unsupported multi_match key(s): ${unknown.mkString(", ")} (query/fields/type/tie_breaker)")
+        val mmType = f.get("type").map(asString).getOrElse("best_fields")
+        // term-centric / prefix-positional flavors change the scoring
+        // algebra itself, not the leg fold — loud named rejects
+        Map(
+          "cross_fields" -> ("blends per-TERM df across fields (term-centric " +
+            "blended statistics), a different scoring algebra than a per-field leg fold"),
+          "phrase_prefix" -> ("needs match_phrase_prefix's positional " +
+            "last-term prefix expansion, which the whitespace analyzer does not model"),
+          "bool_prefix" -> ("needs match_bool_prefix's last-term-as-prefix " +
+            "split per field; compose match_bool_prefix clauses explicitly instead")
+        ).get(mmType).foreach { why => throw new IllegalArgumentException(
+          s"multi_match type $mmType is not implemented: $why") }
+        require(Set("best_fields", "most_fields", "phrase")(mmType),
+          s"unknown multi_match type: $mmType (best_fields/most_fields/phrase)")
+        val tb0 = f.get("tie_breaker").map(asDouble(_, "tie_breaker"))
+        tb0.foreach(t => require(t >= 0.0 && t <= 1.0, s"tie_breaker must be in [0, 1]: $t"))
+        require(tb0.isEmpty || mmType != "most_fields",
+          "multi_match most_fields sums per-field scores; tie_breaker does not apply")
+        val tb = if (mmType == "most_fields") 1.0 else tb0.getOrElse(0.0)
         val q = f.get("query").map(asString)
           .getOrElse(throw new IllegalArgumentException("multi_match needs query"))
         val flds = f.get("fields") match {
@@ -2311,26 +2335,33 @@ object SearchQuery {
           case _ => throw new IllegalArgumentException("multi_match needs a non-empty fields array")
         }
         val parts = flds.map { p0 =>
-          val terms = q.trim.split("\\s+").toSeq.filter(_.nonEmpty)
-          require(terms.nonEmpty, "multi_match has an empty query")
-          splitArrayPath(path(p0), schema) match {
-            case (Nil, full) =>
-              // same analysis as single-field match: multi-token query =
-              // OR of per-token matches
-              val tms = terms.map(TermMatch(full, _))
-              if (tms.size == 1) tms.head else Or(tms: _*)
-            case (arr, rest) if !p0.endsWith(".keyword") =>
-              // analyzed through array paths too (same as single-field
-              // match above; best_fields has no operator key → OR)
-              val tms = terms.map(NestedTokenMatch(arr, rest, _))
-              if (tms.size == 1) tms.head else Or(tms: _*)
-            case (arr, rest) => NestedTerm(arr, rest, q) // .keyword = exact
+          if (mmType == "phrase")
+            // per-field match_phrase (consecutive analyzed tokens)
+            splitArrayPath(path(p0), schema) match {
+              case (Nil, full) => MatchPhrase(full, q)
+              case (arr, rest) => NestedMatchPhrase(arr, rest, q)
+            }
+          else {
+            val terms = q.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+            require(terms.nonEmpty, "multi_match has an empty query")
+            splitArrayPath(path(p0), schema) match {
+              case (Nil, full) =>
+                // same analysis as single-field match: multi-token query =
+                // OR of per-token matches
+                val tms = terms.map(TermMatch(full, _))
+                if (tms.size == 1) tms.head else Or(tms: _*)
+              case (arr, rest) if !p0.endsWith(".keyword") =>
+                // analyzed through array paths too (same as single-field
+                // match above; best_fields has no operator key → OR)
+                val tms = terms.map(NestedTokenMatch(arr, rest, _))
+                if (tms.size == 1) tms.head else Or(tms: _*)
+              case (arr, rest) => NestedTerm(arr, rest, q) // .keyword = exact
+            }
           }
         }
-        // best_fields IS a DisjunctionMaxQuery in ES (tie_breaker 0):
-        // hit set = the same union the Or gave; under bm25 the clause
-        // scores max over per-field BM25 instead of a sum
-        if (parts.size == 1) parts.head else DisMax(parts)
+        // hit set = the union of the legs for every type; the DisMax
+        // node carries the max-vs-sum intent bm25 scoring needs
+        if (parts.size == 1) parts.head else DisMax(parts, tb)
       case JObject(List(("terms", JObject(List((p, JArray(vs))))))) =>
         val values = vs.map(asString)
         require(values.nonEmpty, s"terms on $p needs a non-empty value list")

@@ -328,4 +328,108 @@ class Bm25Spec extends SparkSpec {
       assert(dm(id.toString) === want, s"doc $id: got ${dm(id.toString)}, want $want")
     }
   }
+
+  test("multi_match most_fields SUMS per-field BM25 (where best_fields " +
+    "takes the max); non-leg-fold types are loud named rejects") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.StructType
+    val c = Seq(
+      (1L, "zeta filler filler", "zeta"), // term in BOTH fields
+      (2L, "zeta zeta zeta word", "other"),
+      (3L, "word filler filler", "other")).toDF("id", "body", "tag")
+    val docs = c.select(struct(
+      col("id").cast("string").as("objectId"), col("body"), col("tag")).as("doc"))
+    val schema = docs.schema("doc").dataType.asInstanceOf[StructType]
+    def legScores(f: String): Map[Long, Long] = {
+      val toks = split(lower(col(f)), "\\s+")
+      val st = Bm25.stats(c, toks, Seq("zeta"))
+      Bm25.withScore(c, toks, Seq("zeta"), st, "s").select("id", "s")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val sb = legScores("body"); val stg = legScores("tag")
+    val mfBody =
+      """{"query": {"multi_match": {"query": "zeta", "fields": ["body", "tag"],
+        |   "type": "most_fields"}},
+        | "size": 3, "_source": ["objectId"]}""".stripMargin
+    val got = SearchExec.search(docs, "doc", mfBody, schema, similarity = "bm25")
+      .collect().map(r => r.getAs[String]("objectId") -> r.getAs[Long]("score")).toMap
+    for (id <- Seq(1L, 2L))
+      assert(got(id.toString) === sb(id) + stg(id),
+        s"doc $id: got ${got(id.toString)}, legs ${sb(id)}/${stg(id)}")
+    // doc 1 has BOTH legs > 0 — the sum provably differs from the max
+    assert(sb(1L) > 0L && stg(1L) > 0L)
+    assert(got("1") !== math.max(sb(1L), stg(1L)))
+    // term-centric / positional-prefix types: loud named rejects
+    for (t <- Seq("cross_fields", "phrase_prefix", "bool_prefix")) {
+      val e = intercept[IllegalArgumentException] {
+        SearchExec.search(docs, "doc",
+          s"""{"query": {"multi_match": {"query": "zeta",
+             |  "fields": ["body"], "type": "$t"}}, "size": 1}""".stripMargin,
+          schema)
+      }
+      assert(e.getMessage.contains(t) && e.getMessage.contains("not implemented"))
+    }
+    // unknown type and tie_breaker-on-most_fields reject too
+    assert(intercept[IllegalArgumentException] {
+      SearchExec.search(docs, "doc",
+        """{"query": {"multi_match": {"query": "zeta", "fields": ["body"],
+          |  "type": "nope"}}, "size": 1}""".stripMargin, schema)
+    }.getMessage.contains("unknown multi_match type"))
+    assert(intercept[IllegalArgumentException] {
+      SearchExec.search(docs, "doc",
+        """{"query": {"multi_match": {"query": "zeta", "fields": ["body"],
+          |  "type": "most_fields", "tie_breaker": 0.3}}, "size": 1}""".stripMargin,
+        schema)
+    }.getMessage.contains("tie_breaker does not apply"))
+  }
+
+  test("match_phrase under bm25 scores the phrase's terms (gated on the " +
+    "phrase), and the order provably differs from boolean mode") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.StructType
+    val c = Seq(
+      (1L, "alpha beta " + Seq.fill(18)("filler").mkString(" ")), // phrase, LONG
+      (2L, "zeta word"),                                          // rare term, short
+      (3L, "alpha beta word"), (4L, "alpha beta word"),           // phrase, short
+      (5L, "beta alpha zeta")                                     // terms, NOT the phrase
+    ).toDF("id", "body")
+    val docs = c.select(struct(
+      col("id").cast("string").as("objectId"), col("body")).as("doc"))
+    val schema = docs.schema("doc").dataType.asInstanceOf[StructType]
+    val body =
+      """{"query": {"bool": {"should": [
+        |   {"match_phrase": {"body": "alpha beta"}},
+        |   {"match": {"body": "zeta"}}]}},
+        | "size": 5, "_source": ["objectId"]}""".stripMargin
+    def page(sim: String): Seq[(String, Long)] =
+      SearchExec.search(docs, "doc", body, schema, similarity = sim)
+        .collect().map(r => r.getAs[String]("objectId") -> r.getAs[Long]("score")).toSeq
+    // boolean mode: every hit satisfies exactly one should → all tie at 1,
+    // objectId ascending puts the long doc 1 first
+    val bool = page("boolean")
+    assert(bool.map(_._1) === Seq("1", "2", "3", "4", "5"))
+    assert(bool.map(_._2).distinct === Seq(1L))
+    // bm25 mode: the phrase scores its TERMS — short phrase docs (3, 4)
+    // outrank the long doc 1, and doc 2's rare zeta outranks them all;
+    // the old 1-point constant could never produce this order
+    val toks = split(lower(col("body")), "\\s+")
+    val st = Bm25.stats(c, toks, Seq("alpha", "beta", "zeta"))
+    val legMap = Bm25.withScore(Bm25.withScore(c, toks, Seq("alpha", "beta"), st, "ab"),
+      toks, Seq("zeta"), st, "z").select("id", "ab", "z")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val bm = page("bm25").toMap
+    // gating: doc 5 contains alpha AND beta but NOT the phrase — its
+    // phrase clause contributes 0; only its zeta leg scores
+    assert(legMap(5L)._1 > 0L)
+    assert(bm("5") === legMap(5L)._2)
+    // phrase hits score exactly their terms' BM25 (+ zeta leg where present)
+    for (id <- Seq(1L, 3L, 4L))
+      assert(bm(id.toString) === legMap(id)._1 + legMap(id)._2,
+        s"doc $id: got ${bm(id.toString)}, legs ${legMap(id)}")
+    assert(bm("2") === legMap(2L)._2)
+    // and the resulting ORDER differs from boolean mode
+    val bmOrder = page("bm25").map(_._1)
+    assert(bmOrder !== bool.map(_._1))
+    assert(bmOrder.head === "2")
+  }
 }

@@ -666,6 +666,31 @@ class DocEngineSpec extends SparkSpec {
       PlanSchema.plan))
   }
 
+  test("multi_match types: most_fields parses to DisMax(tb=1) — the sum " +
+    "fold — and phrase to per-field match_phrase legs") {
+    import SearchQuery._
+    val mf =
+      """{"query": {"multi_match": {"query": "inNetwork",
+        |  "fields": ["planType", "_org"], "type": "most_fields"}}}""".stripMargin
+    assert(SearchQuery.fromJson(mf, PlanSchema.plan) ===
+      DisMax(Seq(TermMatch(Seq("planType"), "inNetwork"),
+        TermMatch(Seq("_org"), "inNetwork")), 1.0))
+    val ph =
+      """{"query": {"multi_match": {"query": "well baby",
+        |  "fields": ["planType", "linkedPlanServices.linkedService.name"],
+        |  "type": "phrase"}}}""".stripMargin
+    assert(SearchQuery.fromJson(ph, PlanSchema.plan) ===
+      DisMax(Seq(MatchPhrase(Seq("planType"), "well baby"),
+        NestedMatchPhrase(Seq("linkedPlanServices"),
+          Seq("linkedService", "name"), "well baby"))))
+    // phrase hit set: CONSECUTIVE analyzed tokens per field, OR across
+    // fields — same doc the analyzed multi_match above matched
+    val assembledDocs = Assembler.assemble(sh, PlanSchema.plan, "plan")
+    assert(assembledDocs.filter(
+      SearchQuery.compile(SearchQuery.fromJson(ph, PlanSchema.plan),
+        col("doc"))).count() === 1)
+  }
+
   test("bool inside nested binds all leaves to the SAME element (ES nested semantics)") {
     import SearchQuery._
     val assembledDocs = Assembler.assemble(sh, PlanSchema.plan, "plan")

@@ -812,4 +812,43 @@ class EsqlSpec extends SparkSpec {
       """FROM d | EVAL x = DATE_ADD("fortnight", 1, ts)""")).getMessage
       .contains("DATE_ADD unit"))
   }
+
+  test("wave 3: TO_TIMEDURATION/TO_DATEPERIOD arithmetic lowers onto " +
+      "DATE_ADD; ROUND_TO buckets; loud rejects (KNN, standalone " +
+      "duration, bad unit, non-literal points)") {
+    import spark.implicits._
+    def us(s: String): Long =
+      java.time.Instant.parse(s).toEpochMilli * 1000L
+    val docs = Map("d" -> Seq((1L, us("2026-01-31T10:00:00Z"), 73.0))
+      .toDF("id", "ts", "v"))
+    val r = Esql.run(docs,
+      """FROM d
+        || EVAL p = ts + TO_TIMEDURATION("90 minutes"),
+        |       m = ts - TO_TIMEDURATION("500 ms"),
+        |       mo = ts + TO_DATEPERIOD("1 month"),
+        |       com = TO_DATEPERIOD("2 weeks") + ts,
+        |       rt = ROUND_TO(v, 0, 50, 100),
+        |       rtd = ROUND_TO(v, 0.5, 80.25)
+        || KEEP id, p, m, mo, com, rt, rtd""".stripMargin).collect()(0)
+    assert(r.getLong(1) === us("2026-01-31T11:30:00Z"))
+    assert(r.getLong(2) === us("2026-01-31T10:00:00Z") - 500000L)
+    assert(r.getLong(3) === us("2026-02-28T10:00:00Z")) // calendar clamp
+    assert(r.getLong(4) === us("2026-02-14T10:00:00Z")) // commuted +
+    assert(r.getLong(5) === 50L)     // all-long points → long
+    assert(r.getDouble(6) === 0.5)   // mixed/double points → double
+    // rejects, each with the why
+    def msg(q: String): String =
+      intercept[IllegalArgumentException](Esql.run(docs, q)).getMessage
+    assert(msg("""FROM d | EVAL x = TO_TIMEDURATION("1 hour")""")
+      .contains("only meaningful in datetime arithmetic"))
+    assert(msg("""FROM d | EVAL x = ts + TO_TIMEDURATION("1 month")""")
+      .contains("not a fixed-width time unit"))
+    assert(msg("""FROM d | EVAL x = ts + TO_DATEPERIOD("5 minutes")""")
+      .contains("not a calendar unit"))
+    assert(msg("""FROM d | EVAL x = ts + TO_DATEPERIOD("soon")""")
+      .contains("cannot parse"))
+    assert(msg("""FROM d | WHERE KNN(v, 3)""").contains("KNN is not supported"))
+    assert(msg("""FROM d | EVAL x = ROUND_TO(v, id)""")
+      .contains("ROUND_TO points must be numeric literals"))
+  }
 }

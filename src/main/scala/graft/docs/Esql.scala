@@ -403,7 +403,28 @@ object Esql {
         case "TO_UPPER" => arity(1); upper(c(0))
         case "TO_LOWER" => arity(1); lower(c(0))
         case "TO_LONG" => arity(1); c(0).cast(LongType)
+        // TO_INTEGER WIDENS to long — the engine's one documented cast
+        // deviation (no silent 32-bit wrap; same disposition as ES SQL's
+        // CAST rewrite)
+        case "TO_INTEGER" | "TO_INT" => arity(1); c(0).cast(LongType)
         case "TO_DOUBLE" => arity(1); c(0).cast(DoubleType)
+        case "TO_BOOLEAN" | "TO_BOOL" =>
+          // strings: case-insensitive "true" → true, "false" → false,
+          // anything else → null (the TO_* contract); numerics: 0 is
+          // false, non-zero true (the ES|QL contract)
+          arity(1)
+          val isStr = args(0) match {
+            case EStr(_) => true
+            case EId(f) => Option(curSchema.get).exists(s =>
+              s.fields.exists(x => x.name == f &&
+                x.dataType == org.apache.spark.sql.types.StringType))
+            case _ => false
+          }
+          if (isStr)
+            when(lower(c(0)) === "true", lit(true))
+              .when(lower(c(0)) === "false", lit(false))
+              .otherwise(lit(null))
+          else (c(0) =!= lit(0)).cast(org.apache.spark.sql.types.BooleanType)
         case "COALESCE" => coalesce(args.map(compile): _*)
         case "STARTS_WITH" => arity(2); c(0).startsWith(c(1))
         case "ENDS_WITH" => arity(2); c(0).endsWith(c(1))
@@ -501,8 +522,11 @@ object Esql {
           val allLong = args.tail.forall { case ELong(_) => true; case _ => false }
           def litP(p: Double) = if (allLong) lit(p.toLong) else lit(p)
           val v = c(0).cast(DoubleType)
+          // null input → null (the scalar contract), NOT the smallest
+          // point — a bare when-chain's otherwise() would swallow nulls
           sortedPts.reverse.tail.foldLeft(
-            when(v >= lit(sortedPts.last), litP(sortedPts.last))) {
+            when(v.isNull, lit(null))
+              .when(v >= lit(sortedPts.last), litP(sortedPts.last))) {
             (acc, p) => acc.when(v >= lit(p), litP(p))
           }.otherwise(litP(sortedPts.head))
         case "KNN" => throw new IllegalArgumentException(
@@ -1189,7 +1213,8 @@ object Esql {
         case EId(n) => isDouble(n)
         case EDouble(_) => true
         case EBin(_, _, _) | ENot(_) => true // computed: treat as double-class
-        case EFn("TO_LONG", _) | EFn("LENGTH", _) | EFn("MV_COUNT", _) => false
+        case EFn("TO_LONG" | "TO_INTEGER" | "TO_INT", _) |
+             EFn("LENGTH", _) | EFn("MV_COUNT", _) => false
         case EFn(_, _) => true
         case _ => false
       }

@@ -59,10 +59,20 @@ object RelationalQueries {
       .filter(col("l_shipdate").cast("date") <= lit("2000-01-01").cast("date"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        dbl(sum(m(col("l_quantity")))).as("sum_qty"),
-        dbl(sum(m(col("l_extendedprice")))).as("sum_base_price"),
-        dbl(sum(m(col("l_extendedprice")) * (oneM - pct(col("l_discount"))))).as("sum_disc_price"),
-        dbl(sum(m(col("l_extendedprice")) * (oneM - pct(col("l_discount"))) * (oneM + pct(col("l_tax"))))).as("sum_charge"),
+        // the four raw sums stay DECIMAL(28,6) — no double cast: a
+        // full-table money sum crosses 2^53 UNSCALED (~9·10⁹ in value
+        // units at scale 6) by sf1, where DuckDB's int128/10^scale
+        // double conversion double-rounds (1 ulp ≈ 7.6e-6 at 4e10) while
+        // Spark's BigDecimal.doubleValue rounds correctly — the sf1 gate
+        // caught exactly that on sum_charge. Exact decimals compare
+        // exactly at EVERY scale factor; the per-row avg_* stay double
+        // (magnitudes far below the boundary).
+        sum(m(col("l_quantity"))).cast(org.apache.spark.sql.types.DecimalType(28, 6)).as("sum_qty"),
+        sum(m(col("l_extendedprice"))).cast(org.apache.spark.sql.types.DecimalType(28, 6)).as("sum_base_price"),
+        sum(m(col("l_extendedprice")) * (oneM - pct(col("l_discount"))))
+          .cast(org.apache.spark.sql.types.DecimalType(28, 6)).as("sum_disc_price"),
+        sum(m(col("l_extendedprice")) * (oneM - pct(col("l_discount"))) * (oneM + pct(col("l_tax"))))
+          .cast(org.apache.spark.sql.types.DecimalType(28, 6)).as("sum_charge"),
         (dbl(sum(m(col("l_quantity")))) / count(lit(1))).as("avg_qty"),
         (dbl(sum(m(col("l_extendedprice")))) / count(lit(1))).as("avg_price"),
         (dbl(sum(pct(col("l_discount")))) / count(lit(1))).as("avg_disc"),
@@ -71,10 +81,10 @@ object RelationalQueries {
 
   private val q1Sql =
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(28,6)) AS DOUBLE) AS sum_qty,
-      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(28,6)) AS DOUBLE) AS sum_base_price,
-      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(7,4)) - CAST(l_discount AS DECIMAL(7,4)))) AS DECIMAL(28,6)) AS DOUBLE) AS sum_disc_price,
-      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(7,4)) - CAST(l_discount AS DECIMAL(7,4))) * (CAST(1 AS DECIMAL(7,4)) + CAST(l_tax AS DECIMAL(7,4)))) AS DECIMAL(28,6)) AS DOUBLE) AS sum_charge,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(28,6)) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(28,6)) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(7,4)) - CAST(l_discount AS DECIMAL(7,4)))) AS DECIMAL(28,6)) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(7,4)) - CAST(l_discount AS DECIMAL(7,4))) * (CAST(1 AS DECIMAL(7,4)) + CAST(l_tax AS DECIMAL(7,4)))) AS DECIMAL(28,6)) AS sum_charge,
       |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(28,6)) AS DOUBLE) / COUNT(*) AS avg_qty,
       |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(28,6)) AS DOUBLE) / COUNT(*) AS avg_price,
       |  CAST(CAST(SUM(CAST(l_discount AS DECIMAL(7,4))) AS DECIMAL(28,6)) AS DOUBLE) / COUNT(*) AS avg_disc,

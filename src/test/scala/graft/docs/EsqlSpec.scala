@@ -836,6 +836,14 @@ class EsqlSpec extends SparkSpec {
     assert(r.getLong(4) === us("2026-02-14T10:00:00Z")) // commuted +
     assert(r.getLong(5) === 50L)     // all-long points → long
     assert(r.getDouble(6) === 0.5)   // mixed/double points → double
+    // null input → null (not the smallest point), and below-all → smallest
+    val docs2 = Map("d" -> Seq((1L, Option.empty[Double]),
+      (2L, Option(-3.0))).toDF("id", "v"))
+    val r2 = Esql.run(docs2,
+      """FROM d | EVAL rt = ROUND_TO(v, 0, 50) | KEEP id, rt | SORT id ASC""")
+      .collect()
+    assert(r2(0).isNullAt(1))
+    assert(r2(1).getLong(1) === 0L)
     // rejects, each with the why
     def msg(q: String): String =
       intercept[IllegalArgumentException](Esql.run(docs, q)).getMessage
@@ -850,5 +858,22 @@ class EsqlSpec extends SparkSpec {
     assert(msg("""FROM d | WHERE KNN(v, 3)""").contains("KNN is not supported"))
     assert(msg("""FROM d | EVAL x = ROUND_TO(v, id)""")
       .contains("ROUND_TO points must be numeric literals"))
+  }
+
+  test("TO_INTEGER widens to long (documented deviation); TO_BOOLEAN: " +
+      "string true/false/junk→null, numeric 0/non-0") {
+    import spark.implicits._
+    val docs = Map("d" -> Seq((1L, "TRUE", 0.0), (2L, "false", -2.5),
+      (3L, "yes", 7.0)).toDF("id", "s", "v"))
+    val r = Esql.run(docs,
+      """FROM d
+        || EVAL i = TO_INTEGER(v), bs = TO_BOOLEAN(s), bv = TO_BOOLEAN(v)
+        || KEEP id, i, bs, bv
+        || SORT id ASC""".stripMargin).collect()
+    assert(r(0).getLong(1) === 0L && r(1).getLong(1) === -2L) // trunc cast
+    assert(r(0).getBoolean(2) === true && r(1).getBoolean(2) === false)
+    assert(r(2).isNullAt(2)) // junk string → null
+    assert(r(0).getBoolean(3) === false && r(1).getBoolean(3) === true
+      && r(2).getBoolean(3) === true)
   }
 }

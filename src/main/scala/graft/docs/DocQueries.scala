@@ -10182,6 +10182,40 @@ object DocQueries {
        |WHERE rn <= 25 ORDER BY rn""".stripMargin
   }
 
+  // ---------------------------------------------------------------- d289
+  /** `match_phrase_prefix` (r16) — the autocomplete query: analyzed
+    * tokens consecutive, the LAST a PREFIX of its doc token. One regex
+    * find over the normalized joined-token string (shared with
+    * phraseMatch), pushdown-neutral but single-scan. `max_expansions`
+    * is accepted as exact-unbounded: ES's bound truncates the inverted
+    * index's prefix expansion list, an index artifact a scan engine has
+    * no analogue of — matches are a superset, never fewer (documented
+    * deviation, spec-pinned). */
+  private def d289(s: SparkSession, d: String): DataFrame = {
+    val flat = s.read.parquet(s"$d/documents.parquet")
+    val docs = flat.select(struct(
+      col("doc_id").cast("string").as("objectId"),
+      col("text"), col("n_chars")).as("doc"))
+    val body =
+      """{"query": {"bool": {
+        |   "must": [{"match_phrase_prefix": {"text": "fast mer"}}],
+        |   "filter": [{"range": {"n_chars": {"gte": 100}}}]}}}""".stripMargin
+    val ast = SearchQuery.fromJson(body,
+      docs.schema("doc").dataType.asInstanceOf[org.apache.spark.sql.types.StructType])
+    docs.filter(SearchQuery.compile(ast, col("doc")))
+      .select(col("doc.objectId").as("object_id"),
+        col("doc.n_chars").as("n_chars"))
+      .orderBy(col("object_id"))
+  }
+
+  private val d289Sql =
+    """SELECT CAST(doc_id AS VARCHAR) AS object_id, n_chars
+      |FROM documents
+      |WHERE regexp_matches(' ' || regexp_replace(trim(lower(text)), '\s+', ' ', 'g')
+      |        || ' ', ' fast mer[^ ]* ')
+      |  AND n_chars >= 100
+      |ORDER BY object_id""".stripMargin
+
   // ---------------------------------------------------------------- d279
   /** ES SQL `FIRST`/`LAST` aggregates (+ the `FIRST_VALUE` synonym) —
     * the field value at the min/max of the ordering field (the field
@@ -11374,6 +11408,7 @@ object DocQueries {
     "d286_es_multimatch_types" -> d286 _,
     "d287_es_phrase_bm25" -> d287 _,
     "d288_esql_wave3" -> d288 _,
+    "d289_es_phrase_prefix" -> d289 _,
     "d261_eql_all_matches_guards" -> d261 _,
     "d262_esql_inlinestats_distinct" -> d262 _,
     "d206_es_parent_agg" -> d206 _,
@@ -11664,6 +11699,7 @@ object DocQueries {
     "d286_es_multimatch_types" -> d286Sql,
     "d287_es_phrase_bm25" -> d287Sql,
     "d288_esql_wave3" -> d288Sql,
+    "d289_es_phrase_prefix" -> d289Sql,
     "d261_eql_all_matches_guards" -> d261Sql,
     "d262_esql_inlinestats_distinct" -> d262Sql,
     "d206_es_parent_agg" -> d206Sql,

@@ -86,6 +86,23 @@ object SearchOps {
       lit(s" $norm "))
   }
 
+  /** ES `match_phrase_prefix`: the analyzed tokens appear CONSECUTIVELY
+    * with the LAST as a PREFIX of its doc token (autocomplete). One
+    * regex find over the same normalized ' t1 t2 … '-joined token string
+    * phraseMatch uses — query tokens regex-quoted, the last extended by
+    * `[^ ]*` to its token boundary. ES's `max_expansions` truncates the
+    * inverted index's prefix expansion list (an index artifact a scan
+    * has no analogue of): this match is exact-unbounded, a SUPERSET of
+    * any truncated expansion — documented deviation, never fewer hits. */
+  def phrasePrefixMatch(text: Column, phrase: String): Column = {
+    val toks = phrase.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq
+    val joined = concat(lit(" "),
+      array_join(filter(split(lower(text), "\\s+"), t => length(t) > 0), " "),
+      lit(" "))
+    val pat = " " + toks.map(java.util.regex.Pattern.quote).mkString(" ") + "[^ ]* "
+    joined.rlike(pat)
+  }
+
   /** ES `regexp` — ANCHORED full-value regex (ES/Lucene semantics: the
     * pattern must match the whole keyword value, unlike SQL rlike's
     * substring search — hence the `^(?:…)$` wrap). */

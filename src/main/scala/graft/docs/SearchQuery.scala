@@ -139,6 +139,15 @@ object SearchQuery {
   /** ES `match_phrase` — the analyzed tokens appear CONSECUTIVELY. */
   final case class MatchPhrase(path: Seq[String], phrase: String) extends SearchQuery
   final case class NestedMatchPhrase(arrayPath: Seq[String], field: Seq[String], phrase: String) extends SearchQuery
+  /** ES `match_phrase_prefix` — the analyzed tokens appear CONSECUTIVELY
+    * with the LAST matching as a PREFIX of its doc token (the
+    * autocomplete query). `max_expansions` is accepted and documented as
+    * exact-unbounded: the ES bound truncates the inverted index's prefix
+    * expansion list, an index artifact a scan engine does not have —
+    * matches are a SUPERSET of any truncated expansion, never fewer. */
+  final case class PhrasePrefix(path: Seq[String], phrase: String) extends SearchQuery
+  final case class NestedPhrasePrefix(arrayPath: Seq[String], field: Seq[String],
+                                      phrase: String) extends SearchQuery
   /** `match_phrase` with `slop` (two terms): Lucene's move-count metric
     * over token positions — ordered gap g costs g, transposition costs
     * distance+1 ("b a" for query "a b" = 2, ES's documented example). */
@@ -2306,28 +2315,32 @@ object SearchQuery {
         // everywhere, including through array paths (`.keyword` opts
         // back into exact equality).
         val f = fields.toMap
-        val unknown = f.keySet -- Set("query", "fields", "type", "tie_breaker")
+        val unknown = f.keySet -- Set("query", "fields", "type", "tie_breaker", "operator")
         require(unknown.isEmpty,
-          s"unsupported multi_match key(s): ${unknown.mkString(", ")} (query/fields/type/tie_breaker)")
+          s"unsupported multi_match key(s): ${unknown.mkString(", ")} (query/fields/type/tie_breaker/operator)")
         val mmType = f.get("type").map(asString).getOrElse("best_fields")
         // term-centric / prefix-positional flavors change the scoring
         // algebra itself, not the leg fold — loud named rejects
         Map(
           "cross_fields" -> ("blends per-TERM df across fields (term-centric " +
             "blended statistics), a different scoring algebra than a per-field leg fold"),
-          "phrase_prefix" -> ("needs match_phrase_prefix's positional " +
-            "last-term prefix expansion, which the whitespace analyzer does not model"),
           "bool_prefix" -> ("needs match_bool_prefix's last-term-as-prefix " +
             "split per field; compose match_bool_prefix clauses explicitly instead")
         ).get(mmType).foreach { why => throw new IllegalArgumentException(
           s"multi_match type $mmType is not implemented: $why") }
-        require(Set("best_fields", "most_fields", "phrase")(mmType),
-          s"unknown multi_match type: $mmType (best_fields/most_fields/phrase)")
+        require(Set("best_fields", "most_fields", "phrase", "phrase_prefix")(mmType),
+          s"unknown multi_match type: $mmType (best_fields/most_fields/phrase/phrase_prefix)")
         val tb0 = f.get("tie_breaker").map(asDouble(_, "tie_breaker"))
         tb0.foreach(t => require(t >= 0.0 && t <= 1.0, s"tie_breaker must be in [0, 1]: $t"))
         require(tb0.isEmpty || mmType != "most_fields",
           "multi_match most_fields sums per-field scores; tie_breaker does not apply")
         val tb = if (mmType == "most_fields") 1.0 else tb0.getOrElse(0.0)
+        // operator: per-field AND/OR of the analyzed tokens, exactly the
+        // single-field match contract; a phrase leg has no operator
+        val mmOp = f.get("operator").map(asString).getOrElse("or")
+        require(mmOp == "or" || mmOp == "and", s"bad operator: $mmOp")
+        require(mmOp == "or" || (mmType != "phrase" && mmType != "phrase_prefix"),
+          "multi_match phrase/phrase_prefix match consecutive tokens; operator does not apply")
         val q = f.get("query").map(asString)
           .getOrElse(throw new IllegalArgumentException("multi_match needs query"))
         val flds = f.get("fields") match {
@@ -2341,20 +2354,29 @@ object SearchQuery {
               case (Nil, full) => MatchPhrase(full, q)
               case (arr, rest) => NestedMatchPhrase(arr, rest, q)
             }
+          else if (mmType == "phrase_prefix")
+            // per-field match_phrase_prefix (last token as prefix)
+            splitArrayPath(path(p0), schema) match {
+              case (Nil, full) => PhrasePrefix(full, q)
+              case (arr, rest) => NestedPhrasePrefix(arr, rest, q)
+            }
           else {
             val terms = q.trim.split("\\s+").toSeq.filter(_.nonEmpty)
             require(terms.nonEmpty, "multi_match has an empty query")
+            def join(tms: Seq[SearchQuery]): SearchQuery =
+              if (tms.size == 1) tms.head
+              else if (mmOp == "and") And(tms: _*) else Or(tms: _*)
             splitArrayPath(path(p0), schema) match {
               case (Nil, full) =>
                 // same analysis as single-field match: multi-token query =
-                // OR of per-token matches
-                val tms = terms.map(TermMatch(full, _))
-                if (tms.size == 1) tms.head else Or(tms: _*)
+                // per-token matches joined by the operator (default OR)
+                join(terms.map(TermMatch(full, _)))
               case (arr, rest) if !p0.endsWith(".keyword") =>
                 // analyzed through array paths too (same as single-field
-                // match above; best_fields has no operator key → OR)
-                val tms = terms.map(NestedTokenMatch(arr, rest, _))
-                if (tms.size == 1) tms.head else Or(tms: _*)
+                // match above); AND through an array = one element per
+                // term, the document-level match contract (not one
+                // element satisfying all — that is the `nested` wrapper)
+                join(terms.map(NestedTokenMatch(arr, rest, _)))
               case (arr, rest) => NestedTerm(arr, rest, q) // .keyword = exact
             }
           }
@@ -2517,6 +2539,27 @@ object SearchQuery {
         val defOp2 = f.get("default_operator").map(asString).map(_.toLowerCase).getOrElse("or")
         require(defOp2 == "or" || defOp2 == "and", s"bad default_operator: $defOp2")
         QueryString.parseSimple(qs, flds, schema, defaultAnd = defOp2 == "and")
+      case JObject(List(("match_phrase_prefix", JObject(List((p, spec)))))) =>
+        val v = spec match {
+          case JObject(f) =>
+            val m = f.toMap
+            val unknown = m.keySet -- Set("query", "max_expansions")
+            require(unknown.isEmpty,
+              s"unsupported match_phrase_prefix key(s) on $p: ${unknown.mkString(", ")} " +
+                "(query/max_expansions; slop on a phrase prefix is not implemented)")
+            // max_expansions bounds ES's inverted-index prefix expansion
+            // list — an index artifact; the scan match is exact-unbounded
+            // (a SUPERSET of any truncated expansion), so the key is
+            // accepted and documented rather than rejected
+            m.get("query").map(asString)
+              .getOrElse(throw new IllegalArgumentException("match_phrase_prefix needs query"))
+          case other => asString(other)
+        }
+        require(v.trim.nonEmpty, s"match_phrase_prefix on $p has an empty query")
+        splitArrayPath(path(p), schema) match {
+          case (Nil, full) => PhrasePrefix(full, v)
+          case (arr, rest) => NestedPhrasePrefix(arr, rest, v)
+        }
       case JObject(List(("match_phrase", JObject(List((p, spec)))))) =>
         val (v, slop) = spec match {
           case JObject(f) =>
@@ -2671,6 +2714,9 @@ object SearchQuery {
     case MatchPhrase(p, v) => SearchOps.phraseMatch(field(doc, p), v)
     case NestedMatchPhrase(ap, f, v) =>
       SearchOps.nestedMatch(field(doc, ap), x => SearchOps.phraseMatch(field(x, f), v))
+    case PhrasePrefix(p, v) => SearchOps.phrasePrefixMatch(field(doc, p), v)
+    case NestedPhrasePrefix(ap, f, v) =>
+      SearchOps.nestedMatch(field(doc, ap), x => SearchOps.phrasePrefixMatch(field(x, f), v))
     case PhraseSlop(p, a, b, sl) => SearchOps.phraseSlop(field(doc, p), a, b, sl)
     case NestedPhraseSlop(ap, f, a, b, sl) =>
       SearchOps.nestedMatch(field(doc, ap), x => SearchOps.phraseSlop(field(x, f), a, b, sl))
@@ -2705,6 +2751,7 @@ object SearchQuery {
       case NestedExistsField(ap, _) => Set(ap)
       case NestedPrefix(ap, _, _) => Set(ap)
       case NestedMatchPhrase(ap, _, _) => Set(ap)
+      case NestedPhrasePrefix(ap, _, _) => Set(ap)
       case NestedPhraseSlop(ap, _, _, _, _) => Set(ap)
       case NestedRegexp(ap, _, _) => Set(ap)
       case NestedFuzzy(ap, _, _, _) => Set(ap)
@@ -2738,6 +2785,8 @@ object SearchQuery {
       case NestedExistsField(p, f) if p == ap => field(x, f).isNotNull
       case NestedPrefix(p, f, v) if p == ap => SearchOps.prefix(field(x, f), v)
       case NestedMatchPhrase(p, f, v) if p == ap => SearchOps.phraseMatch(field(x, f), v)
+      case NestedPhrasePrefix(p, f, v) if p == ap =>
+        SearchOps.phrasePrefixMatch(field(x, f), v)
       case NestedPhraseSlop(p, f, a, b0, sl) if p == ap =>
         SearchOps.phraseSlop(field(x, f), a, b0, sl)
       case NestedRegexp(p, f, pat) if p == ap => SearchOps.regexMatch(field(x, f), pat)
@@ -2776,6 +2825,8 @@ object SearchQuery {
       case NestedExistsField(p, f) if p == ap => field(x, f).isNotNull
       case NestedPrefix(p, f, v) if p == ap => SearchOps.prefix(field(x, f), v)
       case NestedMatchPhrase(p, f, v) if p == ap => SearchOps.phraseMatch(field(x, f), v)
+      case NestedPhrasePrefix(p, f, v) if p == ap =>
+        SearchOps.phrasePrefixMatch(field(x, f), v)
       case NestedPhraseSlop(p, f, a, b0, sl) if p == ap =>
         SearchOps.phraseSlop(field(x, f), a, b0, sl)
       case NestedRegexp(p, f, pat) if p == ap => SearchOps.regexMatch(field(x, f), pat)

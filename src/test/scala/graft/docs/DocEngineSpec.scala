@@ -689,6 +689,46 @@ class DocEngineSpec extends SparkSpec {
     assert(assembledDocs.filter(
       SearchQuery.compile(SearchQuery.fromJson(ph, PlanSchema.plan),
         col("doc"))).count() === 1)
+    // operator=and: per-field AND of tokens (the single-field match
+    // contract); phrase rejects the key
+    val andQ =
+      """{"query": {"multi_match": {"query": "nosuch innetwork",
+        |  "fields": ["planType", "_org"], "operator": "and"}}}""".stripMargin
+    assert(SearchQuery.fromJson(andQ, PlanSchema.plan) ===
+      DisMax(Seq(And(TermMatch(Seq("planType"), "nosuch"),
+        TermMatch(Seq("planType"), "innetwork")),
+        And(TermMatch(Seq("_org"), "nosuch"),
+          TermMatch(Seq("_org"), "innetwork")))))
+    assert(assembledDocs.filter(
+      SearchQuery.compile(SearchQuery.fromJson(andQ, PlanSchema.plan),
+        col("doc"))).count() === 0) // "nosuch" kills both AND legs
+    assertThrows[IllegalArgumentException](SearchQuery.fromJson(
+      """{"query": {"multi_match": {"query": "a b", "fields": ["planType"],
+        |  "type": "phrase", "operator": "and"}}}""".stripMargin,
+      PlanSchema.plan))
+  }
+
+  test("match_phrase_prefix: consecutive tokens with the LAST as a prefix " +
+    "(autocomplete); multi_match phrase_prefix composes per field") {
+    val assembledDocs = Assembler.assemble(sh, PlanSchema.plan, "plan")
+    def n(body: String) = assembledDocs.filter(
+      SearchQuery.compile(SearchQuery.fromJson(body, PlanSchema.plan),
+        col("doc"))).count()
+    // last token as prefix, through the nested array path
+    assert(n("""{"query": {"match_phrase_prefix": {
+      "linkedPlanServices.linkedService.name": "well ba"}}}""") === 1)
+    // wrong order never matches (consecutive, in order)
+    assert(n("""{"query": {"match_phrase_prefix": {
+      "linkedPlanServices.linkedService.name": "baby wel"}}}""") === 0)
+    // single-token form = token-prefix on a top-level field
+    assert(n("""{"query": {"match_phrase_prefix": {"planType": "innet"}}}""") === 1)
+    // max_expansions accepted (documented exact-unbounded superset)
+    assert(n("""{"query": {"match_phrase_prefix": {"planType": {
+      "query": "innet", "max_expansions": 10}}}}""") === 1)
+    // multi_match type=phrase_prefix: per-field legs, union across fields
+    assert(n("""{"query": {"multi_match": {"query": "well ba",
+      "fields": ["planType", "linkedPlanServices.linkedService.name"],
+      "type": "phrase_prefix"}}}""") === 1)
   }
 
   test("bool inside nested binds all leaves to the SAME element (ES nested semantics)") {

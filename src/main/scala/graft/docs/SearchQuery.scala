@@ -2319,17 +2319,17 @@ object SearchQuery {
         require(unknown.isEmpty,
           s"unsupported multi_match key(s): ${unknown.mkString(", ")} (query/fields/type/tie_breaker/operator)")
         val mmType = f.get("type").map(asString).getOrElse("best_fields")
-        // term-centric / prefix-positional flavors change the scoring
-        // algebra itself, not the leg fold — loud named rejects
+        // bool_prefix needs a per-field last-term split this parse does
+        // not model — loud named reject; every other type is served
         Map(
-          "cross_fields" -> ("blends per-TERM df across fields (term-centric " +
-            "blended statistics), a different scoring algebra than a per-field leg fold"),
           "bool_prefix" -> ("needs match_bool_prefix's last-term-as-prefix " +
             "split per field; compose match_bool_prefix clauses explicitly instead")
         ).get(mmType).foreach { why => throw new IllegalArgumentException(
           s"multi_match type $mmType is not implemented: $why") }
-        require(Set("best_fields", "most_fields", "phrase", "phrase_prefix")(mmType),
-          s"unknown multi_match type: $mmType (best_fields/most_fields/phrase/phrase_prefix)")
+        require(Set("best_fields", "most_fields", "phrase", "phrase_prefix",
+          "cross_fields")(mmType),
+          s"unknown multi_match type: $mmType " +
+            "(best_fields/most_fields/phrase/phrase_prefix/cross_fields)")
         val tb0 = f.get("tie_breaker").map(asDouble(_, "tie_breaker"))
         tb0.foreach(t => require(t >= 0.0 && t <= 1.0, s"tie_breaker must be in [0, 1]: $t"))
         require(tb0.isEmpty || mmType != "most_fields",
@@ -2347,6 +2347,21 @@ object SearchQuery {
           case Some(JArray(xs)) if xs.nonEmpty => xs.map(asString)
           case _ => throw new IllegalArgumentException("multi_match needs a non-empty fields array")
         }
+        if (mmType == "cross_fields") {
+          // term-CENTRIC: every analyzed token in AT LEAST ONE field
+          // (under operator=and; any token anywhere under or) — exactly
+          // the combined_fields desugar, so the one parse serves both
+          // (ES docs equate their hit semantics; scoring differs there —
+          // blended per-term df vs BM25F — but this engine's documented
+          // integer relevance applies to both, the combined_fields
+          // deviation). tie_breaker has no per-field leg fold to act on.
+          require(tb0.isEmpty,
+            "multi_match cross_fields is term-centric; tie_breaker does not apply")
+          parseNode(JObject(List(("combined_fields", JObject(List(
+            ("query", JString(q)),
+            ("fields", JArray(flds.map(JString(_)).toList)),
+            ("operator", JString(mmOp))))))), schema, hits)
+        } else {
         val parts = flds.map { p0 =>
           if (mmType == "phrase")
             // per-field match_phrase (consecutive analyzed tokens)
@@ -2384,6 +2399,7 @@ object SearchQuery {
         // hit set = the union of the legs for every type; the DisMax
         // node carries the max-vs-sum intent bm25 scoring needs
         if (parts.size == 1) parts.head else DisMax(parts, tb)
+        }
       case JObject(List(("terms", JObject(List((p, JArray(vs))))))) =>
         val values = vs.map(asString)
         require(values.nonEmpty, s"terms on $p needs a non-empty value list")

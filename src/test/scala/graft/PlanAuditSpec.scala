@@ -1287,6 +1287,38 @@ class PlanAuditSpec extends SparkSpec {
     assert(hashAggs === 2, s"d285: one map-combined aggregation:\n$p285")
   }
 
+  test("d288: wave-3 scalars are one pushed-scan projection (no join, " +
+    "no aggregate beyond none)") {
+    val p = plan(q("d288_esql_wave3"))
+    assert(!p.contains("Join"), s"d288 must be a pure projection:\n$p")
+    assert(!p.contains("HashAggregate"), s"d288 has no aggregation:\n$p")
+    // ROUND_TO folded to a when-chain constant comparison, pushable
+    // filter reaches the scan
+    assert(p.contains("PushedFilters"), s"d288 filter must push:\n$p")
+  }
+
+  test("d289: match_phrase_prefix is a single scan — one regex find per " +
+    "row, no join, range filter pushed") {
+    val p = plan(q("d289_es_phrase_prefix"))
+    assert(!p.contains("Join"), s"d289 must be a single-scan filter:\n$p")
+    assert(p.contains("GreaterThanOrEqual(n_chars,100)"),
+      s"d289 n_chars filter must reach the scan:\n$p")
+  }
+
+  test("d286/d287: bm25 multi_match/phrase gates stay join-free per row " +
+    "(stats ride broadcast/literals, ranking is TakeOrderedAndProject)") {
+    val p286 = plan(q("d286_es_multimatch_types"))
+    assert(p286.contains("TakeOrderedAndProject"),
+      s"d286 page must be a bounded top-k:\n$p286")
+    assert(!p286.contains("SortMergeJoin"),
+      s"d286 must not shuffle-join the corpus:\n$p286")
+    val p287 = plan(q("d287_es_phrase_bm25"))
+    assert(p287.contains("TakeOrderedAndProject"),
+      s"d287 page must be a bounded top-k:\n$p287")
+    assert(!p287.contains("SortMergeJoin"),
+      s"d287 must not shuffle-join the corpus:\n$p287")
+  }
+
   test("t16: stratified sample runs both windows on ONE stratum shuffle") {
     val p = plan(q("t16_stratified_sample"))
     // count-per-stratum and hash-rank share the lang partitioning: one

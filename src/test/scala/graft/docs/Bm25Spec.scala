@@ -359,8 +359,8 @@ class Bm25Spec extends SparkSpec {
     // doc 1 has BOTH legs > 0 — the sum provably differs from the max
     assert(sb(1L) > 0L && stg(1L) > 0L)
     assert(got("1") !== math.max(sb(1L), stg(1L)))
-    // term-centric / per-field-split types: loud named rejects
-    for (t <- Seq("cross_fields", "bool_prefix")) {
+    // per-field-split types the parse does not model: loud named rejects
+    for (t <- Seq("bool_prefix")) {
       val e = intercept[IllegalArgumentException] {
         SearchExec.search(docs, "doc",
           s"""{"query": {"multi_match": {"query": "zeta",

@@ -689,6 +689,16 @@ class DocEngineSpec extends SparkSpec {
     assert(assembledDocs.filter(
       SearchQuery.compile(SearchQuery.fromJson(ph, PlanSchema.plan),
         col("doc"))).count() === 1)
+    // cross_fields: term-CENTRIC — each token in AT LEAST ONE field
+    // (the combined_fields desugar: And-over-tokens of Or-over-fields
+    // under operator=and)
+    val cf =
+      """{"query": {"multi_match": {"query": "nosuch innetwork",
+        |  "fields": ["planType", "_org"], "type": "cross_fields",
+        |  "operator": "and"}}}""".stripMargin
+    assert(SearchQuery.fromJson(cf, PlanSchema.plan) ===
+      And(Or(TermMatch(Seq("planType"), "nosuch"), TermMatch(Seq("_org"), "nosuch")),
+        Or(TermMatch(Seq("planType"), "innetwork"), TermMatch(Seq("_org"), "innetwork"))))
     // operator=and: per-field AND of tokens (the single-field match
     // contract); phrase rejects the key
     val andQ =

@@ -10182,6 +10182,38 @@ object DocQueries {
        |WHERE rn <= 25 ORDER BY rn""".stripMargin
   }
 
+  // ---------------------------------------------------------------- d290
+  /** ES|QL `MV_PSERIES_WEIGHTED_SUM` (8.16) — Σ v[k]/k^p over each
+    * row's multivalue in LIST ORDER (k 1-based): the rank-decay fold
+    * behind RRF-style relevance. One sequential indexed fold per row
+    * (zip_with + aggregate — never an explode); p = 1 and p = 2 pin the
+    * gate with EXACT weights (pow(k,1)=k and pow(k,2)=k² are exact in
+    * binary FP, so both engines divide by identical doubles; the
+    * arbitrary-p path differs only in the weight literal). */
+  private def d290(s: SparkSession, d: String): DataFrame = {
+    val q =
+      """FROM embeddings
+        || WHERE vec_id % 11 == 0
+        || EVAL w1 = MV_PSERIES_WEIGHTED_SUM(embedding, 1),
+        |       w2 = MV_PSERIES_WEIGHTED_SUM(embedding, 2)
+        || KEEP vec_id, label, w1, w2
+        || SORT vec_id ASC""".stripMargin
+    Esql.run(Map("embeddings" -> graft.Tables(s, d, "embeddings")), q)
+  }
+
+  private val d290Sql =
+    """WITH e AS (SELECT vec_id, label, embedding
+      |           FROM embeddings WHERE vec_id % 11 = 0),
+      |u AS (SELECT vec_id, unnest(embedding) AS v,
+      |             generate_subscripts(embedding, 1) AS k FROM e),
+      |s AS (SELECT vec_id,
+      |        SUM(CAST(v AS DOUBLE) / k) AS w1,
+      |        SUM(CAST(v AS DOUBLE) / (CAST(k AS DOUBLE) * k)) AS w2
+      |      FROM u GROUP BY vec_id)
+      |SELECT e.vec_id, e.label, s.w1, s.w2
+      |FROM e JOIN s USING (vec_id)
+      |ORDER BY vec_id ASC""".stripMargin
+
   // ---------------------------------------------------------------- d289
   /** `match_phrase_prefix` (r16) — the autocomplete query: analyzed
     * tokens consecutive, the LAST a PREFIX of its doc token. One regex
@@ -11409,6 +11441,7 @@ object DocQueries {
     "d287_es_phrase_bm25" -> d287 _,
     "d288_esql_wave3" -> d288 _,
     "d289_es_phrase_prefix" -> d289 _,
+    "d290_esql_pseries" -> d290 _,
     "d261_eql_all_matches_guards" -> d261 _,
     "d262_esql_inlinestats_distinct" -> d262 _,
     "d206_es_parent_agg" -> d206 _,
@@ -11700,6 +11733,7 @@ object DocQueries {
     "d287_es_phrase_bm25" -> d287Sql,
     "d288_esql_wave3" -> d288Sql,
     "d289_es_phrase_prefix" -> d289Sql,
+    "d290_esql_pseries" -> d290Sql,
     "d261_eql_all_matches_guards" -> d261Sql,
     "d262_esql_inlinestats_distinct" -> d262Sql,
     "d206_es_parent_agg" -> d206Sql,

@@ -827,6 +827,25 @@ object Esql {
           val vlo = element_at(sorted, lo + 1).cast(DoubleType)
           val vhi = element_at(sorted, least(lo + lit(2), n)).cast(DoubleType)
           when(n > 0, vlo + frac * (vhi - vlo))
+        case "MV_PSERIES_WEIGHTED_SUM" =>
+          // MV_PSERIES_WEIGHTED_SUM(field, p) (8.16): Σ v[k]/k^p over
+          // the multivalue IN LIST ORDER, k 1-based — the rank-decay
+          // fold (RRF-style relevance over ordered candidates). One
+          // sequential indexed fold per row (zip_with against 1..n +
+          // aggregate), no explode; empty/null lists → null.
+          arity(2)
+          val pexp = args(1) match {
+            case ELong(v) => v.toDouble
+            case EDouble(v) => v
+            case other => throw new IllegalArgumentException(
+              s"esql: MV_PSERIES_WEIGHTED_SUM p must be a numeric literal, got $other")
+          }
+          val n = size(c(0))
+          val weighted = zip_with(c(0), sequence(lit(1), greatest(n, lit(1))),
+            (v, k) => v.cast(DoubleType) / pow(k.cast(DoubleType), lit(pexp)))
+          when(n > 0,
+            aggregate(weighted, lit(0.0), (acc, x) => acc + x))
+            .otherwise(lit(null))
         // ES|QL mv_dedupe leaves order unspecified; the engine pins the
         // deterministic sorted form (documented deviation, oracle-stable)
         case "MV_DEDUPE" => arity(1); array_sort(array_distinct(c(0)))

@@ -2319,28 +2319,46 @@ object SearchQuery {
         require(unknown.isEmpty,
           s"unsupported multi_match key(s): ${unknown.mkString(", ")} (query/fields/type/tie_breaker/operator)")
         val mmType = f.get("type").map(asString).getOrElse("best_fields")
-        // bool_prefix needs a per-field last-term split this parse does
-        // not model — loud named reject; every other type is served
-        Map(
-          "bool_prefix" -> ("needs match_bool_prefix's last-term-as-prefix " +
-            "split per field; compose match_bool_prefix clauses explicitly instead")
-        ).get(mmType).foreach { why => throw new IllegalArgumentException(
-          s"multi_match type $mmType is not implemented: $why") }
         require(Set("best_fields", "most_fields", "phrase", "phrase_prefix",
-          "cross_fields")(mmType),
+          "cross_fields", "bool_prefix")(mmType),
           s"unknown multi_match type: $mmType " +
-            "(best_fields/most_fields/phrase/phrase_prefix/cross_fields)")
+            "(best_fields/most_fields/phrase/phrase_prefix/cross_fields/bool_prefix)")
         val tb0 = f.get("tie_breaker").map(asDouble(_, "tie_breaker"))
         tb0.foreach(t => require(t >= 0.0 && t <= 1.0, s"tie_breaker must be in [0, 1]: $t"))
-        require(tb0.isEmpty || mmType != "most_fields",
-          "multi_match most_fields sums per-field scores; tie_breaker does not apply")
-        val tb = if (mmType == "most_fields") 1.0 else tb0.getOrElse(0.0)
+        require(tb0.isEmpty || (mmType != "most_fields" && mmType != "bool_prefix"),
+          s"multi_match $mmType sums per-field scores; tie_breaker does not apply")
+        // most_fields and bool_prefix SUM the per-field scores (the ES
+        // docs use the same "combines the _score from each field"
+        // contract for both) = DisMax with tie_breaker 1
+        val tb = if (mmType == "most_fields" || mmType == "bool_prefix") 1.0
+          else tb0.getOrElse(0.0)
         // operator: per-field AND/OR of the analyzed tokens, exactly the
         // single-field match contract; a phrase leg has no operator
         val mmOp = f.get("operator").map(asString).getOrElse("or")
         require(mmOp == "or" || mmOp == "and", s"bad operator: $mmOp")
         require(mmOp == "or" || (mmType != "phrase" && mmType != "phrase_prefix"),
           "multi_match phrase/phrase_prefix match consecutive tokens; operator does not apply")
+        // bool_prefix: per-field match_bool_prefix — every token but the
+        // last as a term, the last as a token PREFIX (search-as-you-type),
+        // joined per field by the operator, fields DisMax-composed like
+        // every other leg-fold type (exactly how ES compiles it)
+        def boolPrefixLeg(p0: String, toks: Seq[String]): SearchQuery =
+          splitArrayPath(path(p0), schema) match {
+            case (Nil, full) =>
+              val leaves = toks.init.map(TermMatch(full, _)) :+ TokenPrefix(full, toks.last)
+              leaves match {
+                case Seq(one) => one
+                case many => if (mmOp == "and") And(many: _*) else Or(many: _*)
+              }
+            case (arr, rest) =>
+              val leaves = toks.init.map(NestedTokenMatch(arr, rest, _)) :+
+                NestedTokenPrefix(arr, rest, toks.last)
+              leaves match {
+                case Seq(one) => one
+                case many =>
+                  if (mmOp == "and") NestedCompound(arr, And(many: _*)) else Or(many: _*)
+              }
+          }
         val q = f.get("query").map(asString)
           .getOrElse(throw new IllegalArgumentException("multi_match needs query"))
         val flds = f.get("fields") match {
@@ -2375,6 +2393,11 @@ object SearchQuery {
               case (Nil, full) => PhrasePrefix(full, q)
               case (arr, rest) => NestedPhrasePrefix(arr, rest, q)
             }
+          else if (mmType == "bool_prefix") {
+            val toks = q.trim.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
+            require(toks.nonEmpty, "multi_match has an empty query")
+            boolPrefixLeg(p0, toks)
+          }
           else {
             val terms = q.trim.split("\\s+").toSeq.filter(_.nonEmpty)
             require(terms.nonEmpty, "multi_match has an empty query")

@@ -359,17 +359,7 @@ class Bm25Spec extends SparkSpec {
     // doc 1 has BOTH legs > 0 — the sum provably differs from the max
     assert(sb(1L) > 0L && stg(1L) > 0L)
     assert(got("1") !== math.max(sb(1L), stg(1L)))
-    // per-field-split types the parse does not model: loud named rejects
-    for (t <- Seq("bool_prefix")) {
-      val e = intercept[IllegalArgumentException] {
-        SearchExec.search(docs, "doc",
-          s"""{"query": {"multi_match": {"query": "zeta",
-             |  "fields": ["body"], "type": "$t"}}, "size": 1}""".stripMargin,
-          schema)
-      }
-      assert(e.getMessage.contains(t) && e.getMessage.contains("not implemented"))
-    }
-    // unknown type and tie_breaker-on-most_fields reject too
+    // unknown type and tie_breaker-on-most_fields reject
     assert(intercept[IllegalArgumentException] {
       SearchExec.search(docs, "doc",
         """{"query": {"multi_match": {"query": "zeta", "fields": ["body"],

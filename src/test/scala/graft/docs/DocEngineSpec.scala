@@ -689,6 +689,20 @@ class DocEngineSpec extends SparkSpec {
     assert(assembledDocs.filter(
       SearchQuery.compile(SearchQuery.fromJson(ph, PlanSchema.plan),
         col("doc"))).count() === 1)
+    // bool_prefix: per-field match_bool_prefix — leading tokens as
+    // terms, LAST as a token prefix, DisMax(tb=1)-composed (ES scores
+    // it like most_fields: per-field sum)
+    val bp =
+      """{"query": {"multi_match": {"query": "nosuch innet",
+        |  "fields": ["planType", "_org"], "type": "bool_prefix"}}}""".stripMargin
+    assert(SearchQuery.fromJson(bp, PlanSchema.plan) ===
+      DisMax(Seq(Or(TermMatch(Seq("planType"), "nosuch"),
+        TokenPrefix(Seq("planType"), "innet")),
+        Or(TermMatch(Seq("_org"), "nosuch"),
+          TokenPrefix(Seq("_org"), "innet"))), 1.0))
+    assert(assembledDocs.filter(
+      SearchQuery.compile(SearchQuery.fromJson(bp, PlanSchema.plan),
+        col("doc"))).count() === 1) // "innet" prefixes innetwork
     // cross_fields: term-CENTRIC — each token in AT LEAST ONE field
     // (the combined_fields desugar: And-over-tokens of Or-over-fields
     // under operator=and)

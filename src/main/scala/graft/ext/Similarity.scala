@@ -272,7 +272,13 @@ object Similarity {
     * quantization is a pure map; the scan reads 1/4 the bytes of s1 at
     * the same candidate count. At 100 TB this is why quantization exists:
     * the scan is bandwidth-bound, and codes keep the working set in
-    * memory. */
+    * memory. The query side is a FIXED PANEL (vec_id % 50 = 0 below a
+    * fixed id bound — r16): a production ANN service is a fixed query
+    * rate against a GROWING corpus, so the benchmark must scale as
+    * queries × corpus = O(n), not the O(n²) a corpus-proportional query
+    * set gave (the r16 sf1 bench measured that shape at 60× for 10×
+    * data — a fixture artifact, not engine cost; per-query scan time was
+    * linear all along). */
   private def s5(s: SparkSession, d: String): DataFrame = {
     val all = vecs(s, d).select(col("vec_id"), col("v"))
     val bounds = all.select(posexplode(col("v")).as(Seq("d", "x")))
@@ -292,7 +298,7 @@ object Similarity {
             least(lit(255L), greatest(lit(0L),
               floor(((x - mn) * lit(255.0)) / (mx - mn)).cast("long"))))
         }).as("c"))
-    val q = codes.filter(col("vec_id") % 50 === 0)
+    val q = codes.filter(col("vec_id") % 50 === 0 && col("vec_id") < 6000)
       .select(col("vec_id").as("q_id"), col("c").as("qc"))
     val scored = codes.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
@@ -318,7 +324,8 @@ object Similarity {
        |        floor(((v[$el] - mns[$el]) * 255.0) / (mxs[$el] - mns[$el])))) AS BIGINT)
        |      END) AS c
        |  FROM vs, ba),
-       |q AS (SELECT vec_id AS q_id, c AS qc FROM codes WHERE vec_id % 50 = 0),
+       |q AS (SELECT vec_id AS q_id, c AS qc FROM codes
+       |      WHERE vec_id % 50 = 0 AND vec_id < 6000),
        |scored AS (SELECT q_id, vec_id AS n_id,
        |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
        |      list_transform(list_zip(qc, c), z -> z[1] * z[2])), (acc, x) -> acc + x) AS BIGINT) AS qdot

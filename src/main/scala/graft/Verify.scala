@@ -65,6 +65,19 @@ object Verify {
             require(nonScalar.isEmpty,
               s"non-scalar output column(s) ${nonScalar.map(_.name).mkString(", ")}" +
                 " — render arrays as joined strings (oracle-gate constraint)")
+            // Gate constraint 2 (r16 postmortem): the driver's hash
+            // comparator normalizes floats but is REPRESENTATION-sensitive
+            // on decimals — r16's q1_agg emitted DECIMAL(28,6) columns that
+            // matched DuckDB value-for-value yet hashed red. Decimals are
+            // for exact INTERNAL arithmetic; outputs must land on double
+            // (cast from the exact decimal — correctly rounded) or an
+            // integral type.
+            val decimalOut = df.schema.fields.filter(
+              _.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType])
+            require(decimalOut.isEmpty,
+              s"DECIMAL output column(s) ${decimalOut.map(_.name).mkString(", ")}" +
+                " — cast exact decimal aggregates to DOUBLE before output" +
+                " (driver hash comparator is representation-sensitive on decimals)")
             df.coalesce(1).write.mode("overwrite")
               .parquet(s"$outDir/$name")
             System.err.println(f"[verify] $name ok ${(System.nanoTime() - t0) / 1e9}%.1fs")

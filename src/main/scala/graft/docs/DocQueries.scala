@@ -10064,11 +10064,15 @@ object DocQueries {
     * sums the per-field scores — lowered as DisMax with tie_breaker 1,
     * since max + 1·(sum − max) IS the sum — and `phrase` runs
     * `match_phrase` per field, DisMax-composed (both are how ES compiles
-    * them). `cross_fields`/`bool_prefix`/`phrase_prefix` are loud named
-    * rejects (term-centric blended stats / positional prefix expansion —
-    * different scoring algebras, pinned by SearchDslSpec). Both new
-    * types in ONE bool body under bm25: per field, ALL clauses' terms
-    * still pool into a single stats fetch (standing table at 100 TB). */
+    * them). All SIX types are served as of r16: `cross_fields` via the
+    * combined_fields desugar (hit-equivalent per the ES docs; blended
+    * per-term idf is the documented scoring deviation, pinned by
+    * Bm25Spec), `bool_prefix` as per-field match_bool_prefix legs and
+    * `phrase_prefix` as per-field match_phrase_prefix legs — each pinned
+    * by DocEngineSpec's multi_match-types tests. This gate exercises
+    * most_fields + phrase in ONE bool body under bm25: per field, ALL
+    * clauses' terms still pool into a single stats fetch (standing table
+    * at 100 TB). */
   private def d286(s: SparkSession, d: String): DataFrame = {
     val flat = s.read.parquet(s"$d/documents.parquet")
     val docs = flat.select(struct(
@@ -10211,7 +10215,12 @@ object DocQueries {
       |        SUM(CAST(v AS DOUBLE) / (CAST(k AS DOUBLE) * k)) AS w2
       |      FROM u GROUP BY vec_id)
       |SELECT e.vec_id, e.label, s.w1, s.w2
-      |FROM e JOIN s USING (vec_id)
+      |-- LEFT join: a NULL/empty multivalue unnests to zero rows, so an
+      |-- inner join would DROP the row while the engine keeps it with
+      |-- NULL w1/w2 (MV_PSERIES_WEIGHTED_SUM's when(n>0,...).otherwise
+      |-- (null) contract) — the twin must reproduce kept-row-with-null
+      |-- if the embeddings fixture ever grows empty/null multivalues
+      |FROM e LEFT JOIN s USING (vec_id)
       |ORDER BY vec_id ASC""".stripMargin
 
   // ---------------------------------------------------------------- d289

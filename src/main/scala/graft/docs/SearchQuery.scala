@@ -2380,6 +2380,13 @@ object SearchQuery {
             ("fields", JArray(flds.map(JString(_)).toList)),
             ("operator", JString(mmOp))))))), schema, hits)
         } else {
+        // phrase/phrase_prefix legs take the raw query string — validate
+        // non-emptiness HERE like every tokenizing branch does via its
+        // token split: an empty/whitespace query would otherwise build
+        // MatchPhrase(f, "")/PhrasePrefix(f, "") whose normalized patterns
+        // silently match empty-text docs instead of rejecting loudly.
+        require(mmType != "phrase" && mmType != "phrase_prefix" || q.trim.nonEmpty,
+          "multi_match has an empty query")
         val parts = flds.map { p0 =>
           if (mmType == "phrase")
             // per-field match_phrase (consecutive analyzed tokens)
@@ -2410,11 +2417,20 @@ object SearchQuery {
                 // per-token matches joined by the operator (default OR)
                 join(terms.map(TermMatch(full, _)))
               case (arr, rest) if !p0.endsWith(".keyword") =>
-                // analyzed through array paths too (same as single-field
-                // match above); AND through an array = one element per
-                // term, the document-level match contract (not one
-                // element satisfying all — that is the `nested` wrapper)
-                join(terms.map(NestedTokenMatch(arr, rest, _)))
+                // analyzed through array paths too, with the SAME nested
+                // scoping as single-field match and the bool_prefix leg
+                // above: operator=or needs SOME element per token;
+                // operator=and binds every token to the SAME element
+                // (NestedCompound). r16 built a document-level And here —
+                // the same logical query returned different hit sets
+                // depending on entry point (ADVICE r16); the engine's
+                // pinned contract is same-element binding.
+                terms.map(NestedTokenMatch(arr, rest, _)) match {
+                  case Seq(one) => one
+                  case many =>
+                    if (mmOp == "and") NestedCompound(arr, And(many: _*))
+                    else Or(many: _*)
+                }
               case (arr, rest) => NestedTerm(arr, rest, q) // .keyword = exact
             }
           }

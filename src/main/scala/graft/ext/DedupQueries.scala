@@ -657,6 +657,19 @@ object DedupQueries {
     * keep-one-per-duplicate-group decision, derivable without connected
     * components because τ-balls around the planted dups are disjoint). */
   private val SemScale = 4096L // 2^12: |e| ≤ 0.53 → |q| ≤ ~2200, d² ≤ ~1.2e9
+  /** dd8 scale-shape disposition (r17 audit): k = ⌈n/SemTgt⌉ scales WITH
+    * the corpus, so average cluster size stays ~SemTgt and the
+    * within-cluster pair join is LINEAR in n (k clusters × ~SemTgt²/2
+    * pairs ∝ n). The one superlinear term is the exact Lloyd argmin
+    * (n·k = n²/SemTgt distance evals per pass, 3 passes) — intrinsic to
+    * the EXACT-assignment contract the oracle replays. Measured r17:
+    * 1.8 s at sf0.1 → 13.4 s at sf1 (7.4× for 10× data — the quadratic
+    * term is still sub-dominant at these scales). At 100 TB a SemDeDup
+    * deployment swaps exact argmin for IVF-approximate assignment
+    * (coarse-quantize the centroid set, probe nprobe cells — exactly the
+    * s12 operator shape, n·√k per pass); that changes the clustering
+    * CONTRACT, so it stays a documented scale path, not a silent swap
+    * under the oracle gate. */
   private val SemTgt = 70L // target cluster size: k = ceil(n / SemTgt)
   private val SemTau = 100L // planted ±1 perturbation gives d² ≤ 64 < 100
 

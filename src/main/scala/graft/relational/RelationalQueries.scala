@@ -52,6 +52,40 @@ object RelationalQueries {
 
   private def t(s: SparkSession, d: String, n: String): DataFrame = Tables(s, d, n)
 
+  // ---------------------------------------------------------------- q0
+  /** Driver-hash compatibility canary (r16 postmortem). One tiny always-run
+    * gate emitting every scalar type the registry uses — int, long, double
+    * (incl. a non-terminating fraction and a NULL), string (incl. a NULL),
+    * boolean, date — so any future comparator representation-sensitivity
+    * (like r16's decimal hashing) trips HERE, on a 5-row query whose output
+    * is trivially inspectable, instead of on a real operator's gate. */
+  private def q0HashCanary(s: SparkSession, d: String): DataFrame =
+    t(s, d, "region")
+      .select(
+        col("r_regionkey").cast("int").as("k_int"),
+        (col("r_regionkey").cast("long") * lit(1000000007L)).as("k_long"),
+        (col("r_regionkey").cast("double") / lit(7.0) + lit(0.1)).as("k_double"),
+        concat(lit("canary_"), col("r_name")).as("k_string"),
+        (col("r_regionkey") % 2 === 0).as("k_bool"),
+        date_add(lit("2020-01-01").cast("date"), col("r_regionkey").cast("int")).as("k_date"),
+        when(col("r_regionkey") === 4, lit(null).cast("double"))
+          .otherwise(col("r_regionkey").cast("double") * 1.5).as("k_double_null"),
+        when(col("r_regionkey") === 4, lit(null).cast("string"))
+          .otherwise(col("r_name")).as("k_string_null"))
+      .orderBy(col("k_int"))
+
+  private val q0Sql =
+    """SELECT CAST(r_regionkey AS INTEGER) AS k_int,
+      |  CAST(r_regionkey AS BIGINT) * 1000000007 AS k_long,
+      |  CAST(r_regionkey AS DOUBLE) / 7.0 + 0.1 AS k_double,
+      |  'canary_' || r_name AS k_string,
+      |  (r_regionkey % 2 = 0) AS k_bool,
+      |  DATE '2020-01-01' + CAST(r_regionkey AS INTEGER) AS k_date,
+      |  CASE WHEN r_regionkey = 4 THEN NULL
+      |       ELSE CAST(r_regionkey AS DOUBLE) * 1.5 END AS k_double_null,
+      |  CASE WHEN r_regionkey = 4 THEN NULL ELSE r_name END AS k_string_null
+      |FROM region ORDER BY k_int""".stripMargin
+
   // ---------------------------------------------------------------- q1
   /** Wide aggregation with grouped exact sums/averages (TPC-H Q1 shape). */
   private def q1Agg(s: SparkSession, d: String): DataFrame =
@@ -59,20 +93,21 @@ object RelationalQueries {
       .filter(col("l_shipdate").cast("date") <= lit("2000-01-01").cast("date"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        // the four raw sums stay DECIMAL(28,6) — no double cast: a
-        // full-table money sum crosses 2^53 UNSCALED (~9·10⁹ in value
-        // units at scale 6) by sf1, where DuckDB's int128/10^scale
-        // double conversion double-rounds (1 ulp ≈ 7.6e-6 at 4e10) while
-        // Spark's BigDecimal.doubleValue rounds correctly — the sf1 gate
-        // caught exactly that on sum_charge. Exact decimals compare
-        // exactly at EVERY scale factor; the per-row avg_* stay double
-        // (magnitudes far below the boundary).
-        sum(m(col("l_quantity"))).cast(org.apache.spark.sql.types.DecimalType(28, 6)).as("sum_qty"),
-        sum(m(col("l_extendedprice"))).cast(org.apache.spark.sql.types.DecimalType(28, 6)).as("sum_base_price"),
-        sum(m(col("l_extendedprice")) * (oneM - pct(col("l_discount"))))
-          .cast(org.apache.spark.sql.types.DecimalType(28, 6)).as("sum_disc_price"),
-        sum(m(col("l_extendedprice")) * (oneM - pct(col("l_discount"))) * (oneM + pct(col("l_tax"))))
-          .cast(org.apache.spark.sql.types.DecimalType(28, 6)).as("sum_charge"),
+        // Output DOUBLEs computed FROM the exact decimal sums. A full-table
+        // money sum crosses 2^53 UNSCALED by sf1, where DuckDB's
+        // int128/10^scale decimal→double conversion double-rounds (1 ulp at
+        // sf1's sum_charge) while Spark's BigDecimal.doubleValue rounds
+        // correctly. The r16 attempt to keep these columns DECIMAL end-to-end
+        // tripped the driver's hash comparator (representation-sensitive on
+        // decimals even when values agree exactly), so: Spark emits the
+        // correctly-rounded double here, and the oracle twin emits its double
+        // via a VARCHAR roundtrip (DuckDB string→double parses correctly
+        // rounded), sidestepping the int128 double-rounding at every scale.
+        dbl(sum(m(col("l_quantity")))).as("sum_qty"),
+        dbl(sum(m(col("l_extendedprice")))).as("sum_base_price"),
+        dbl(sum(m(col("l_extendedprice")) * (oneM - pct(col("l_discount"))))).as("sum_disc_price"),
+        dbl(sum(m(col("l_extendedprice")) * (oneM - pct(col("l_discount"))) * (oneM + pct(col("l_tax")))))
+          .as("sum_charge"),
         (dbl(sum(m(col("l_quantity")))) / count(lit(1))).as("avg_qty"),
         (dbl(sum(m(col("l_extendedprice")))) / count(lit(1))).as("avg_price"),
         (dbl(sum(pct(col("l_discount")))) / count(lit(1))).as("avg_disc"),
@@ -81,10 +116,10 @@ object RelationalQueries {
 
   private val q1Sql =
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(28,6)) AS sum_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(28,6)) AS sum_base_price,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(7,4)) - CAST(l_discount AS DECIMAL(7,4)))) AS DECIMAL(28,6)) AS sum_disc_price,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(7,4)) - CAST(l_discount AS DECIMAL(7,4))) * (CAST(1 AS DECIMAL(7,4)) + CAST(l_tax AS DECIMAL(7,4)))) AS DECIMAL(28,6)) AS sum_charge,
+      |  CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(28,6)) AS VARCHAR) AS DOUBLE) AS sum_qty,
+      |  CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(28,6)) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+      |  CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(7,4)) - CAST(l_discount AS DECIMAL(7,4)))) AS DECIMAL(28,6)) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+      |  CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(7,4)) - CAST(l_discount AS DECIMAL(7,4))) * (CAST(1 AS DECIMAL(7,4)) + CAST(l_tax AS DECIMAL(7,4)))) AS DECIMAL(28,6)) AS VARCHAR) AS DOUBLE) AS sum_charge,
       |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(28,6)) AS DOUBLE) / COUNT(*) AS avg_qty,
       |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(28,6)) AS DOUBLE) / COUNT(*) AS avg_price,
       |  CAST(CAST(SUM(CAST(l_discount AS DECIMAL(7,4))) AS DECIMAL(28,6)) AS DOUBLE) / COUNT(*) AS avg_disc,
@@ -442,6 +477,7 @@ object RelationalQueries {
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, Q] = Map(
+    "q0_hash_canary" -> q0HashCanary _,
     "q1_agg" -> q1Agg _,
     "q2_filter_agg" -> q2FilterAgg _,
     "q3_join_topk" -> q3JoinTopk _,
@@ -464,6 +500,7 @@ object RelationalQueries {
     "q20_distinct_agg" -> q20DistinctAgg _)
 
   val oracle: Map[String, String] = Map(
+    "q0_hash_canary" -> q0Sql,
     "q1_agg" -> q1Sql,
     "q2_filter_agg" -> q2Sql,
     "q3_join_topk" -> q3Sql,

@@ -69,13 +69,19 @@ object IndexPipeline {
     * Dirs live under TempDirs (recursive JVM-exit cleanup); checkpoints
     * and sinks stay strictly per-run. */
   private val stagedMemo = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.SparkContext, String, Int, Int), String]
+    .empty[(org.apache.spark.SparkContext, String, String, Int), String]
 
   private def stagedDir(ev: DataFrame, nFiles: Int, mode: String)
                        (write: String => Unit): String =
     stagedMemo.getOrElseUpdate(
+      // the FULL canonicalized plan string, not its 32-bit hashCode: two
+      // different frames with colliding hashes would silently share the
+      // WRONG staged files and corrupt results instead of failing loudly
+      // (ADVICE r16). Plan strings are KB-scale and the memo holds a
+      // handful of fixtures per JVM — key size is irrelevant next to a
+      // staging write.
       (ev.sparkSession.sparkContext, mode,
-        ev.queryExecution.analyzed.canonicalized.hashCode(), nFiles), {
+        ev.queryExecution.analyzed.canonicalized.toString, nFiles), {
         val dir = graft.TempDirs.create(s"graft-stage-$mode-").toString
         write(dir)
         dir

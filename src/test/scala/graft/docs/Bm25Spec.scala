@@ -373,6 +373,47 @@ class Bm25Spec extends SparkSpec {
     }.getMessage.contains("tie_breaker does not apply"))
   }
 
+  test("multi_match cross_fields under bm25 scores via combined_fields " +
+    "semantics — the documented deviation from term-centric blended idf") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.StructType
+    val c = Seq(
+      (1L, "zeta filler filler", "alpha"), // tokens split ACROSS fields
+      (2L, "zeta alpha word", "other"),    // both tokens in one field
+      (3L, "zeta word filler", "other"),   // only one token anywhere
+      (4L, "word filler filler", "other")).toDF("id", "body", "tag")
+    val docs = c.select(struct(
+      col("id").cast("string").as("objectId"), col("body"), col("tag")).as("doc"))
+    val schema = docs.schema("doc").dataType.asInstanceOf[StructType]
+    def body(qType: String) =
+      s"""{"query": {"multi_match": {"query": "zeta alpha",
+         |   "fields": ["body", "tag"], "type": "$qType", "operator": "and"}},
+         | "size": 4, "_source": ["objectId"]}""".stripMargin
+    val cfQuery = SearchQuery.fromJson(body("cross_fields"), schema)
+    // parse-level: cross_fields IS the combined_fields desugar
+    // (And-over-tokens of Or-over-fields under operator=and)
+    val combined =
+      """{"query": {"combined_fields": {"query": "zeta alpha",
+        |   "fields": ["body", "tag"], "operator": "and"}},
+        | "size": 4, "_source": ["objectId"]}""".stripMargin
+    assert(cfQuery === SearchQuery.fromJson(combined, schema))
+    // score-level: identical to the combined_fields body under bm25 —
+    // per-field df from the standing stats, folded through the shared
+    // fixed-point scorer. ES cross_fields would instead POOL df across
+    // fields (term-centric blended idf); that algebra is NOT modeled —
+    // the documented deviation this test pins.
+    def scores(b: String): Map[String, Long] =
+      SearchExec.search(docs, "doc", b, schema, similarity = "bm25")
+        .collect().map(r => r.getAs[String]("objectId") -> r.getAs[Long]("score")).toMap
+    val cf = scores(body("cross_fields"))
+    assert(cf === scores(combined))
+    // hit semantics: every token in AT LEAST ONE field — doc 1 (split
+    // across fields) and doc 2 (both in body) hit; docs 3/4 don't
+    // (scores may floor to 0 for common terms — the fixed-point contract;
+    // hit membership comes from the predicate, not the score)
+    assert(cf.keySet === Set("1", "2"))
+  }
+
   test("match_phrase under bm25 scores the phrase's terms (gated on the " +
     "phrase), and the order provably differs from boolean mode") {
     import spark.implicits._

@@ -732,6 +732,49 @@ class DocEngineSpec extends SparkSpec {
       PlanSchema.plan))
   }
 
+  test("multi_match operator=and through an array path binds all tokens to " +
+    "the SAME element (NestedCompound — the pinned nested-scoping contract)") {
+    import SearchQuery._
+    val assembledDocs = Assembler.assemble(sh, PlanSchema.plan, "plan")
+    // canonical doc: element 1 name "Yearly physical", element 2 name
+    // "well baby". "well physical" has one token in EACH element — a
+    // document-level And of per-token exists() would wrongly match; the
+    // same-element contract (how single-field match and the bool_prefix
+    // leg already compile) must not. r16 compiled this leg document-level
+    // (ADVICE r16); all three entry points now share one scoping.
+    val andArr =
+      """{"query": {"multi_match": {"query": "well physical",
+        |  "fields": ["linkedPlanServices.linkedService.name"],
+        |  "operator": "and"}}}""".stripMargin
+    val parsed = SearchQuery.fromJson(andArr, PlanSchema.plan)
+    assert(parsed === NestedCompound(Seq("linkedPlanServices"),
+      And(NestedTokenMatch(Seq("linkedPlanServices"), Seq("linkedService", "name"), "well"),
+        NestedTokenMatch(Seq("linkedPlanServices"), Seq("linkedService", "name"), "physical"))))
+    assert(assembledDocs.filter(SearchQuery.compile(parsed, col("doc"))).count() === 0)
+    // both tokens in ONE element still match (element 2: "well baby")
+    val sameEl =
+      """{"query": {"multi_match": {"query": "well baby",
+        |  "fields": ["linkedPlanServices.linkedService.name"],
+        |  "operator": "and"}}}""".stripMargin
+    assert(assembledDocs.filter(SearchQuery.compile(
+      SearchQuery.fromJson(sameEl, PlanSchema.plan), col("doc"))).count() === 1)
+    // operator=or keeps the union (SOME element per token)
+    val orArr =
+      """{"query": {"multi_match": {"query": "well physical",
+        |  "fields": ["linkedPlanServices.linkedService.name"]}}}""".stripMargin
+    assert(assembledDocs.filter(SearchQuery.compile(
+      SearchQuery.fromJson(orArr, PlanSchema.plan), col("doc"))).count() === 1)
+    // empty/whitespace phrase and phrase_prefix queries reject loudly
+    // (matching every tokenizing branch) instead of building a
+    // match-empty-text pattern
+    assertThrows[IllegalArgumentException](SearchQuery.fromJson(
+      """{"query": {"multi_match": {"query": "  ", "fields": ["planType"],
+        |  "type": "phrase"}}}""".stripMargin, PlanSchema.plan))
+    assertThrows[IllegalArgumentException](SearchQuery.fromJson(
+      """{"query": {"multi_match": {"query": "", "fields": ["planType"],
+        |  "type": "phrase_prefix"}}}""".stripMargin, PlanSchema.plan))
+  }
+
   test("match_phrase_prefix: consecutive tokens with the LAST as a prefix " +
     "(autocomplete); multi_match phrase_prefix composes per field") {
     val assembledDocs = Assembler.assemble(sh, PlanSchema.plan, "plan")

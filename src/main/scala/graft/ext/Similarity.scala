@@ -192,20 +192,24 @@ object Similarity {
        |ORDER BY q_id, rank""".stripMargin
 
   // ---------------------------------------------------------------- s3
-  /** IVF-style ANN: coarse quantization with a fixed centroid set
-    * (`vec_id % 97 == 0` vectors stand in for trained centroids —
-    * deterministic, so the oracle can replay the assignment). Every vector
-    * is assigned to its nearest centroid (one |corpus|×|centroids| scored
-    * pass — the IVF build); queries probe ONLY their own cell.
+  /** IVF-style ANN: coarse quantization with a FIXED centroid set
+    * (`vec_id % 97 == 0` below the panel id bound — deterministic, so the
+    * oracle can replay the assignment; the bound makes the centroid count
+    * independent of corpus growth, exactly the "train centroids on a
+    * SAMPLE" discipline FAISS ships). Every vector is assigned to its
+    * nearest centroid (one |corpus|×|centroids| scored pass — the IVF
+    * build); queries probe ONLY their own cell.
     *
     * Scale shape vs s2: the inverted-file cell is a join key exactly like
     * the LSH bucket, but cell count/balance is controlled by the centroid
     * set rather than hash geometry — the standard trade at 100 TB (train
     * centroids on a sample, partition the corpus by cell id, co-locate
-    * probes). */
+    * probes). With the bound, the build is n·k for CONSTANT k — linear in
+    * the corpus (the unbounded `% 97` set grew k ∝ n, benching the build
+    * quadratic: 12.1× for 10× data at sf1, r17 audit). */
   private def s3(s: SparkSession, d: String): DataFrame = {
     val all = vecs(s, d)
-    val cents = all.filter(col("vec_id") % 97 === 0)
+    val cents = all.filter(col("vec_id") % 97 === 0 && col("vec_id") < PanelBound)
       .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
     val assign = all.join(broadcast(cents))
       .select(col("vec_id"), col("v"), col("nrm"), col("c_id"),
@@ -228,7 +232,8 @@ object Similarity {
 
   private val s3Sql =
     s"""WITH vecs AS ($VecsSql),
-       |cents AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM vecs WHERE vec_id % 97 = 0),
+       |cents AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM vecs
+       |          WHERE vec_id % 97 = 0 AND vec_id < $PanelBound),
        |assign AS (
        |  SELECT vec_id, v, nrm, c_id AS cell FROM (
        |    SELECT vec_id, v, nrm, c_id,

@@ -340,6 +340,32 @@ class ExtSpec extends SparkSpec {
     assert(raw("zzzzzzz").getAs[Int]("len") === 7)
   }
 
+  test("s15 standing IVF index reproduces s3's rebuild answer exactly; " +
+    "the index parquet is cell-partitioned and written once per corpus") {
+    val s3r = Similarity.queries("s3_ivf_ann")(spark, sf).collect().toSeq
+    val s15a = Similarity.queries("s15_ivf_standing")(spark, sf)
+    assert(s15a.collect().toSeq === s3r)
+    // second invocation serves from the SAME standing files (memo hit):
+    // both reads resolve to one parquet location, and that location is
+    // partitioned by cell (directory-per-cell layout = partition pruning
+    // at 100 TB)
+    def loc(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.analyzed.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          r.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.rootPaths.map(_.toString)
+            case _ => Nil
+          }
+      }.flatten.filter(_.contains("s15-ivf"))
+    val l1 = loc(s15a)
+    val l2 = loc(Similarity.queries("s15_ivf_standing")(spark, sf))
+    assert(l1.nonEmpty && l1.distinct === l2.distinct)
+    val cellDirs = new java.io.File(new java.net.URI(l1.head))
+      .listFiles().filter(_.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty, "index parquet must be partitioned by cell")
+  }
+
   test("dd14 bloom gate: no false negatives, real pruning, exact final result") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

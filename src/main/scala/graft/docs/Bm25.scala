@@ -95,6 +95,43 @@ object Bm25 {
         ts.indices.map(i => s"_bm_${tag}_tf$i")): _*)
   }
 
+  /** Append `out` = the fixed-point BM25 of the PHRASE `terms` as one
+    * Lucene PhraseQuery pseudo-term (r18, closing the d287 positional
+    * deviation): tf is the PHRASE frequency — the number of positions i
+    * in the token array where terms(0..m-1) appear consecutively
+    * (overlapping occurrences count, Lucene's position semantics) — and
+    * idf is the SUM of the per-term integer idfs (N − df_t), exactly
+    * Lucene's PhraseQuery/ExactPhraseMatcher scoring shape. A document
+    * without the consecutive phrase has tf = 0 and scores 0, so the
+    * phrase PREDICATE is subsumed — callers keep their gate only as a
+    * belt (hit membership still comes from the predicate). One pass over
+    * the row's token array per start position — no explode, no join;
+    * the m-way element_at conjunction short-circuits in codegen. */
+  def withPhraseScore(df: DataFrame, toks: Column, terms: Seq[String],
+                      st: Stats, out: String, tag: String = "p"): DataFrame = {
+    if (terms.isEmpty || st.nDocs == 0L || st.avgdl100 == 0L)
+      return df.withColumn(out, lit(0L))
+    val m = terms.length
+    val ts = col(s"_bmp_${tag}_ts")
+    // positions are 1-based (element_at); start i runs to size − m + 1
+    val tfp = when(size(ts) >= m,
+      size(filter(sequence(lit(1), size(ts) - (m - 1)),
+        i => terms.zipWithIndex.map { case (t, j) =>
+          element_at(ts, i + lit(j)) === lit(t) }.reduce(_ && _))))
+      .otherwise(lit(0)).cast("long")
+    val idfSum = terms.map(t => st.nDocs - st.df.getOrElse(t, 0L)).sum
+    df.withColumn(s"_bmp_${tag}_ts", toks)
+      .withColumn(s"_bmp_${tag}_dl", size(col(s"_bmp_${tag}_ts")).cast("long"))
+      .withColumn(s"_bmp_${tag}_tf", tfp)
+      .withColumn(out, expr(
+        s"""(CASE WHEN _bmp_${tag}_tf > 0 THEN
+           |  (${idfSum}L * _bmp_${tag}_tf * 22000L * ${st.avgdl100}L)
+           |  DIV (10000L * ${st.avgdl100}L * _bmp_${tag}_tf
+           |       + 3000L * ${st.avgdl100}L + 900000L * _bmp_${tag}_dl)
+           |ELSE 0L END)""".stripMargin.replace('\n', ' ')))
+      .drop(s"_bmp_${tag}_ts", s"_bmp_${tag}_dl", s"_bmp_${tag}_tf")
+  }
+
   // ------------------------------------------------ standing stats index
   /** dir of the standing stats table per (session, key) — write-once. */
   private val standingMemo = scala.collection.concurrent.TrieMap
@@ -171,4 +208,23 @@ object Bm25 {
        |  (($n - $df) * $tf * 22000 * $avgdl100)
        |  // (10000 * $avgdl100 * $tf + 3000 * $avgdl100 + 900000 * $dl)
        |ELSE 0 END)""".stripMargin.replace('\n', ' ')
+
+  /** DuckDB twin of [[withPhraseScore]]'s pseudo-term: `tfp` (the phrase
+    * frequency) and `idfSum` (Σ (n − df_t)) are SQL expressions. */
+  def oraclePhraseSql(tfp: String, dl: String, idfSum: String,
+                      avgdl100: String): String =
+    s"""(CASE WHEN $tfp > 0 THEN
+       |  (($idfSum) * $tfp * 22000 * $avgdl100)
+       |  // (10000 * $avgdl100 * $tfp + 3000 * $avgdl100 + 900000 * $dl)
+       |ELSE 0 END)""".stripMargin.replace('\n', ' ')
+
+  /** DuckDB twin of the phrase-frequency count over a token-array column
+    * `ts`: positions are 1-based; `range(start, stop)` is stop-exclusive
+    * and empty when stop ≤ start, so short arrays need no guard. */
+  def oraclePhraseFreqSql(ts: String, terms: Seq[String]): String = {
+    val m = terms.length
+    val conj = terms.zipWithIndex.map { case (t, j) =>
+      if (j == 0) s"$ts[i] = '$t'" else s"$ts[i + $j] = '$t'" }.mkString(" AND ")
+    s"len(list_filter(range(1, len($ts) - ${m - 1} + 1), i -> $conj))"
+  }
 }

@@ -10092,8 +10092,9 @@ object DocQueries {
 
   private val d286Sql = {
     // most_fields = SUM of per-field BM25 legs; phrase = MAX over
-    // per-field phrase legs, each gated on the consecutive-tokens
-    // predicate (a doc with both terms but not the phrase scores 0)
+    // per-field POSITIONAL phrase legs (r18): each leg is one
+    // PhraseQuery pseudo-term — tfp from that field's token array,
+    // idf = Σ term idfs — gated on the consecutive-tokens predicate
     val terms = Seq("en", "merge", "fast")
     def tf(f: String, t: String) = s"len(list_filter($f, x -> x = '$t'))"
     def term(f: String, t: String, dl: String, a: String, dfp: String) =
@@ -10103,6 +10104,11 @@ object DocQueries {
     }.mkString(", ")
     def ph(raw: String) =
       s"contains(' ' || regexp_replace(trim(lower($raw)), '\\s+', ' ', 'g') || ' ', ' fast merge ')"
+    // phrase legs: "fast merge" = terms(2), terms(1) → idf (n−df2)+(n−df1)
+    def phrScore(f: String, dl: String, a: String, dfp: String) =
+      graft.docs.Bm25.oraclePhraseSql(
+        graft.docs.Bm25.oraclePhraseFreqSql(f, Seq("fast", "merge")),
+        dl, s"(n - ${dfp}2) + (n - ${dfp}1)", a)
     s"""WITH an AS (SELECT CAST(doc_id AS VARCHAR) AS oid, text, lang,
        |    regexp_split_to_array(lower(text), '\\s+') AS ts,
        |    regexp_split_to_array(lower(lang), '\\s+') AS ls FROM documents),
@@ -10115,10 +10121,8 @@ object DocQueries {
        |       + ${term("ts", "merge", "dl", "a100", "dft")} AS BIGINT) AS t_em,
        |    CAST(${term("ls", "en", "ll", "al100", "dfl")}
        |       + ${term("ls", "merge", "ll", "al100", "dfl")} AS BIGINT) AS l_em,
-       |    CAST(${term("ts", "fast", "dl", "a100", "dft")}
-       |       + ${term("ts", "merge", "dl", "a100", "dft")} AS BIGINT) AS t_fm,
-       |    CAST(${term("ls", "fast", "ll", "al100", "dfl")}
-       |       + ${term("ls", "merge", "ll", "al100", "dfl")} AS BIGINT) AS l_fm,
+       |    CAST(${phrScore("ts", "dl", "a100", "dft")} AS BIGINT) AS t_fm,
+       |    CAST(${phrScore("ls", "ll", "al100", "dfl")} AS BIGINT) AS l_fm,
        |    ${ph("text")} AS ph_t, ${ph("lang")} AS ph_l
        |  FROM (SELECT oid, text, lang, ts, ls, len(ts) AS dl, len(ls) AS ll
        |        FROM an
@@ -10135,15 +10139,18 @@ object DocQueries {
   }
 
   // ---------------------------------------------------------------- d287
-  /** `match_phrase` under `similarity=bm25` (r15 verdict gap #3): a
-    * phrase clause scores the BM25 of its terms — through the SAME
-    * fixed-point scorer and stats pool as a match — GATED on the phrase
-    * predicate (ES's PhraseQuery scores 0 for non-matches; positional
-    * phraseFreq-as-tf stays a documented deviation, Bm25Spec pins where
-    * phrase-scored order differs from the old 1-point constant). Here
-    * the phrase is a MUST (every hit scores its terms) beside an
-    * ungated should match; all three terms pool into one text-stats
-    * fetch. */
+  /** `match_phrase` under `similarity=bm25` — POSITIONAL as of r18
+    * (closing the r17 ledger's phraseFreq deviation): an exact phrase
+    * scores as ONE Lucene PhraseQuery pseudo-term — tf is the PHRASE
+    * frequency (consecutive-position count over the analyzed token
+    * array; the sf0.01 corpus has a document with 2 occurrences of
+    * "fast merge", so the gate exercises tf = 2 ≠ tf = 1 ordering) and
+    * idf is the SUM of the terms' integer idfs, through the same
+    * fixed-point scorer ([[graft.docs.Bm25.withPhraseScore]]). Slop
+    * phrases keep the terms-sum form (sloppyFreq is non-integer —
+    * documented deviation). Here the phrase is a MUST (every hit
+    * scores it) beside an ungated should match; the phrase's terms
+    * still pool with the match's into one text-stats fetch. */
   private def d287(s: SparkSession, d: String): DataFrame = {
     val flat = s.read.parquet(s"$d/documents.parquet")
     val docs = flat.select(struct(
@@ -10163,20 +10170,23 @@ object DocQueries {
   private val d287Sql = {
     val terms = Seq("fast", "merge", "spark")
     def tf(t: String) = s"len(list_filter(ts, x -> x = '$t'))"
-    def term(t: String) =
-      graft.docs.Bm25.oracleTermSql(tf(t), "dl", "n", s"df${terms.indexOf(t)}", "a100")
     val dfs = terms.zipWithIndex.map { case (t, i) =>
       s"CAST(SUM(CASE WHEN list_contains(ts, '$t') THEN 1 ELSE 0 END) AS BIGINT) AS df$i"
     }.mkString(", ")
-    // hits all satisfy the must-phrase, so its gate is identically true
-    // here; the should's term scores ungated (0 when absent, as always)
+    // the must-phrase scores positionally: tfp = consecutive-position
+    // count, idf = (n − df_fast) + (n − df_merge); its predicate gate is
+    // identically true on the hit set. The should's term scores ungated.
+    val tfp = graft.docs.Bm25.oraclePhraseFreqSql("ts", Seq("fast", "merge"))
+    val phrase = graft.docs.Bm25.oraclePhraseSql(
+      "tfp", "dl", "(n - df0) + (n - df1)", "a100")
+    val spark2 = graft.docs.Bm25.oracleTermSql(tf("spark"), "dl", "n", "df2", "a100")
     s"""WITH an AS (SELECT CAST(doc_id AS VARCHAR) AS oid, text, n_chars,
        |    regexp_split_to_array(lower(text), '\\s+') AS ts FROM documents),
        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
        |    CAST((100 * COALESCE(SUM(len(ts)), 0)) // COUNT(*) AS BIGINT) AS a100, $dfs FROM an),
        |sc AS (SELECT oid,
-       |    CAST(${term("fast")} + ${term("merge")} + ${term("spark")} AS BIGINT) AS score
-       |  FROM (SELECT oid, ts, len(ts) AS dl FROM an
+       |    CAST($phrase + $spark2 AS BIGINT) AS score
+       |  FROM (SELECT oid, ts, len(ts) AS dl, $tfp AS tfp FROM an
        |        WHERE contains(' ' || regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')
        |                || ' ', ' fast merge ')
        |          AND n_chars >= 120)
@@ -10256,6 +10266,127 @@ object DocQueries {
       |        || ' ', ' fast mer[^ ]* ')
       |  AND n_chars >= 100
       |ORDER BY object_id""".stripMargin
+
+  // ---------------------------------------------------------------- d291
+  /** `multi_match` `type: cross_fields` under `similarity=bm25` with
+    * TERM-CENTRIC BLENDED statistics (r18, closing the r17 ledger's
+    * cross_fields scoring deviation — Lucene BlendedTermQuery semantics,
+    * [[graft.docs.SearchQuery.CrossFields]]): per term, df blends as the
+    * MAX across the fields — "en" is ubiquitous in `lang`, so its
+    * blended idf collapses even for `text` hits (the term-centric
+    * signature move: a term can't borrow a low-df field's private idf);
+    * each field leg scores the blended-df fixed point against its own
+    * tf/dl/avgdl; per term the legs fold max + tie_breaker·(sum − max)
+    * (0.25 here — exactly representable, so the floored fold is
+    * bit-identical in both engines); the score is the sum over terms.
+    * Hits stay the combined_fields desugar (every token in ≥ 1 field). */
+  private def d291(s: SparkSession, d: String): DataFrame = {
+    val flat = s.read.parquet(s"$d/documents.parquet")
+    val docs = flat.select(struct(
+      col("doc_id").cast("string").as("objectId"),
+      col("text"), col("lang"), col("n_chars")).as("doc"))
+    val body =
+      """{"query": {"multi_match": {"query": "en fast",
+        |   "fields": ["text", "lang"], "type": "cross_fields",
+        |   "operator": "and", "tie_breaker": 0.25}},
+        | "_source": ["objectId"], "size": 30}""".stripMargin
+    SearchExec.search(docs, "doc", body,
+      docs.schema("doc").dataType.asInstanceOf[org.apache.spark.sql.types.StructType],
+      similarity = "bm25", statsKey = Some(s"dsl:$d"))
+  }
+
+  private val d291Sql = {
+    val terms = Seq("en", "fast")
+    def tf(f: String, t: String) = s"len(list_filter($f, x -> x = '$t'))"
+    def dfs(f: String, dfp: String) = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(SUM(CASE WHEN list_contains($f, '$t') THEN 1 ELSE 0 END) AS BIGINT) AS $dfp$i"
+    }.mkString(", ")
+    // per term i: blended df = GREATEST(dft_i, dfl_i); each leg scores
+    // with the blended df against its own field's tf/dl/avgdl; fold
+    // max + floor(0.25·(sum − max)) — 0.25·k is exact, floor = the
+    // engine's non-negative double→long cast
+    def leg(i: Int, f: String, dl: String, a: String) =
+      graft.docs.Bm25.oracleTermSql(
+        tf(f, terms(i)), dl, "n", s"GREATEST(dft$i, dfl$i)", a)
+    def term(i: Int) =
+      s"""(GREATEST(tl$i, ll$i)
+         | + CAST(FLOOR(0.25 * (tl$i + ll$i - GREATEST(tl$i, ll$i))) AS BIGINT))"""
+        .stripMargin.replace('\n', ' ')
+    s"""WITH an AS (SELECT CAST(doc_id AS VARCHAR) AS oid,
+       |    regexp_split_to_array(lower(text), '\\s+') AS ts,
+       |    regexp_split_to_array(lower(lang), '\\s+') AS ls FROM documents),
+       |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST((100 * COALESCE(SUM(len(ts)), 0)) // COUNT(*) AS BIGINT) AS a100,
+       |    CAST((100 * COALESCE(SUM(len(ls)), 0)) // COUNT(*) AS BIGINT) AS al100,
+       |    ${dfs("ts", "dft")}, ${dfs("ls", "dfl")} FROM an),
+       |legs AS (SELECT oid,
+       |    CAST(${leg(0, "ts", "dl", "a100")} AS BIGINT) AS tl0,
+       |    CAST(${leg(0, "ls", "ll", "al100")} AS BIGINT) AS ll0,
+       |    CAST(${leg(1, "ts", "dl", "a100")} AS BIGINT) AS tl1,
+       |    CAST(${leg(1, "ls", "ll", "al100")} AS BIGINT) AS ll1
+       |  FROM (SELECT oid, ts, ls, len(ts) AS dl, len(ls) AS ll FROM an
+       |        WHERE (list_contains(ts, 'en') OR list_contains(ls, 'en'))
+       |          AND (list_contains(ts, 'fast') OR list_contains(ls, 'fast')))
+       |  CROSS JOIN st),
+       |sc AS (SELECT oid, ${term(0)} + ${term(1)} AS score FROM legs)
+       |SELECT rn, score, oid AS "objectId" FROM (
+       |  SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, oid ASC) AS rn FROM sc)
+       |WHERE rn <= 30 ORDER BY rn""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- d292
+  /** ES|QL `WHERE KNN(field, [query vector…], k)` served from the s15
+    * STANDING IVF index (r18, closing the r17 named reject — its "there
+    * is no index" rationale fell when s15 landed). The lowering
+    * ([[Esql]] knnWhere → [[graft.ext.Similarity.knnProbe]]): route the
+    * query vector to its nearest coarse centroid (bounded driver work),
+    * scan ONLY that cell's parquet partition (partition-pruned read —
+    * EsqlSpec pins the PartitionFilters reach the scan), top-k by
+    * (cosine DESC, id ASC), broadcast-semi-join the ids back into the
+    * pipe; `_score` (METADATA) adds the cosine. The oracle replays the
+    * IVF serving CONTRACT verbatim (the s2/s3 precedent for approximate
+    * paths): full assignment, the query's one cell, top-k within it —
+    * so the gate pins the index path bit-for-bit, and EsqlSpec pins
+    * recall against brute force separately. The query vector is exact
+    * eighths (multiples of 0.125), so its text round-trips bit-exactly
+    * into both engines. */
+  private val d292Qv: Seq[Double] =
+    (0 until 64).map(i => ((i * 37) % 19 - 9) / 8.0)
+  private def d292(s: SparkSession, d: String): DataFrame = {
+    val q =
+      s"""FROM embeddings METADATA _score
+         || WHERE KNN(embedding, [${d292Qv.mkString(", ")}], 7)
+         || KEEP vec_id, label, _score
+         || SORT _score DESC, vec_id ASC""".stripMargin
+    Esql.run(Map("embeddings" -> graft.Tables(s, d, "embeddings")), q,
+      annDir = Some(d))
+  }
+
+  private val d292Sql = {
+    import graft.ext.Similarity.{dotSql, VecsSql, PanelBound}
+    val qvLit = d292Qv.mkString("[", ", ", "]")
+    s"""WITH vecs AS ($VecsSql),
+       |q AS (SELECT qv, sqrt(${dotSql("qv", "qv")}) AS qn
+       |      FROM (SELECT CAST($qvLit AS DOUBLE[]) AS qv)),
+       |cents AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM vecs
+       |          WHERE vec_id % 97 = 0 AND vec_id < $PanelBound),
+       |assign AS (
+       |  SELECT vec_id, v, nrm, c_id AS cell FROM (
+       |    SELECT vec_id, v, nrm, c_id,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id
+       |        ORDER BY ${dotSql("v", "cv")} / (nrm * cn) DESC, c_id) AS rn
+       |    FROM vecs CROSS JOIN cents) WHERE rn = 1),
+       |best AS (SELECT c_id FROM cents, q
+       |         ORDER BY ${dotSql("qv", "cv")} / (qn * cn) DESC, c_id LIMIT 1),
+       |topk AS (
+       |  SELECT x.vec_id, ${dotSql("qv", "x.v")} / (qn * x.nrm) AS _score
+       |  FROM assign x, q
+       |  WHERE x.cell = (SELECT c_id FROM best)
+       |  ORDER BY _score DESC, x.vec_id LIMIT 7)
+       |SELECT t.vec_id, e.label, t._score
+       |FROM topk t JOIN embeddings e USING (vec_id)
+       |ORDER BY t._score DESC, t.vec_id ASC""".stripMargin
+  }
 
   // ---------------------------------------------------------------- d279
   /** ES SQL `FIRST`/`LAST` aggregates (+ the `FIRST_VALUE` synonym) —
@@ -11451,6 +11582,8 @@ object DocQueries {
     "d288_esql_wave3" -> d288 _,
     "d289_es_phrase_prefix" -> d289 _,
     "d290_esql_pseries" -> d290 _,
+    "d291_es_cross_fields_blended" -> d291 _,
+    "d292_esql_knn" -> d292 _,
     "d261_eql_all_matches_guards" -> d261 _,
     "d262_esql_inlinestats_distinct" -> d262 _,
     "d206_es_parent_agg" -> d206 _,
@@ -11743,6 +11876,8 @@ object DocQueries {
     "d288_esql_wave3" -> d288Sql,
     "d289_es_phrase_prefix" -> d289Sql,
     "d290_esql_pseries" -> d290Sql,
+    "d291_es_cross_fields_blended" -> d291Sql,
+    "d292_esql_knn" -> d292Sql,
     "d261_eql_all_matches_guards" -> d261Sql,
     "d262_esql_inlinestats_distinct" -> d262Sql,
     "d206_es_parent_agg" -> d206Sql,

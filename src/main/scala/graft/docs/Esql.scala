@@ -95,7 +95,7 @@ object Esql {
 
   private val TokenRe =
     ("""\s*(?:("(?:[^"\\]|\\.)*")|([A-Za-z_][A-Za-z0-9_.]*)|""" +
-      """([0-9]+(?:\.[0-9]+)?)|(==|!=|<=|>=|[<>+\-*/%(),=|]))""").r
+      """([0-9]+(?:\.[0-9]+)?)|(==|!=|<=|>=|[<>+\-*/%(),=|\[\]]))""").r
 
   private def tokenize(q: String): List[Tok] = {
     var pos = 0
@@ -131,6 +131,9 @@ object Esql {
   private final case class EBin(op: String, l: Ex, r: Ex) extends Ex
   private final case class ENot(e: Ex) extends Ex
   private final case class EFn(name: String, args: List[Ex]) extends Ex
+  // list literal `[e1, e2, …]` (ES|QL multivalue literal): compiles to a
+  // Spark array — consumed by MV functions and KNN query vectors
+  private final case class EArr(items: List[Ex]) extends Ex
   private final case class EIn(e: Ex, items: List[Ex]) extends Ex
   private final case class EIsNull(e: Ex, negated: Boolean) extends Ex
 
@@ -210,6 +213,16 @@ object Esql {
     private def unary(): Ex = peek match {
       case Some(TOp("-")) => pop(); EBin("-", ELong(0L), unary())
       case Some(TOp("(")) => pop(); val e = expr(); expectOp(")"); e
+      case Some(TOp("[")) => // multivalue literal [e1, e2, …]
+        pop()
+        val items = scala.collection.mutable.ListBuffer[Ex]()
+        if (!peek.contains(TOp("]"))) {
+          items += expr()
+          while (peek.contains(TOp(","))) { pop(); items += expr() }
+        }
+        expectOp("]")
+        require(items.nonEmpty, "esql: empty multivalue literal []")
+        EArr(items.toList)
       case Some(TNum(s)) => pop()
         if (s.contains('.')) EDouble(s.toDouble) else ELong(s.toLong)
       case Some(TStr(s)) => pop(); EStr(s)
@@ -269,6 +282,12 @@ object Esql {
     * argument); absent = inline per-query stats aggregates (cold start). */
   private val bm25StatsKey = new ThreadLocal[String]
 
+  /** Corpus dir whose STANDING IVF index (s15, [[graft.ext.Similarity]])
+    * serves `WHERE KNN(...)` probes this run (run's `annDir` argument);
+    * absent = KNN stays a loud named reject (a k-nearest predicate
+    * without an index would be a full-corpus scan per query). */
+  private val annDirTL = new ThreadLocal[String]
+
   /** The `_score` contribution of a WHERE expression under METADATA
     * _score: Σ matched-term counts over its MATCH() nodes, plus 1 point
     * per satisfied QSTR()/MATCH_PHRASE() clause (the engine's integer
@@ -298,10 +317,9 @@ object Esql {
 
   /** The full-text leaves of a WHERE expression, for BM25 scoring:
     * MATCH(field, "query") nodes (scored per-term), MATCH_PHRASE(field,
-    * "phrase") nodes (d287: the phrase's terms through the SAME scorer,
-    * gated on the phrase predicate — a row with the terms but not the
-    * consecutive phrase scores 0, as ES's PhraseQuery does; positional
-    * tf is not modeled, documented deviation), and the 1-point QSTR
+    * "phrase") nodes (scored POSITIONALLY as one PhraseQuery pseudo-term
+    * — phraseFreq-as-tf, summed term idfs — gated on the phrase
+    * predicate, r18), and the 1-point QSTR
     * clause columns (a query-string is an arbitrary boolean tree — its
     * clause keeps the constant). Same traversal contract as
     * [[matchScore]]: negated subtrees contribute NOTHING. */
@@ -317,6 +335,69 @@ object Esql {
       val (m2, h2, p2) = collectFullText(r)
       (m1 ++ m2, h1 ++ h2, p1 ++ p2)
     case _ => (Nil, Nil, Nil)
+  }
+
+  /** `WHERE KNN(field, [qv…], k)` — served from the STANDING IVF index
+    * (s15, [[graft.ext.Similarity.knnProbe]]) when `run` was given an
+    * `annDir` (r18, closing the r17 named reject: "no index" was half
+    * the reject rationale and s15 removed it). The probe is the s3/s15
+    * serving contract: route the query vector to its nearest coarse
+    * centroid (bounded driver work — the centroid set is a fixed
+    * sample), read ONLY that cell's parquet partition (partition-pruned
+    * scan), take top-k by (cosine DESC, id ASC). The top-k ids
+    * broadcast-semi-join back into the pipe — so earlier WHERE stages
+    * act as POST-filters of the probe (the ES|QL contract: conditions
+    * beside knn are post-filters; index-level pre-filtering via knn's
+    * `filter` option is not modeled). With METADATA _score, each kept
+    * row's cosine ADDS to `_score` (becoming DOUBLE — ES's knn
+    * similarity is a float score). */
+  private def knnWhere(df: DataFrame, args: List[Ex]): DataFrame = {
+    val dir = Option(annDirTL.get()).getOrElse(throw new IllegalArgumentException(
+      "esql: KNN needs a standing ANN index — pass annDir to Esql.run " +
+        "(the s15 standing IVF index over that corpus); without an index " +
+        "a k-nearest predicate is a full-corpus scan per query"))
+    args match {
+      case List(EId(field), EArr(items), ELong(k)) =>
+        require(k > 0, s"esql: KNN k must be positive, got $k")
+        require(df.columns.contains(field),
+          s"esql: KNN field $field is not in the frame")
+        require(df.columns.contains("vec_id"),
+          "esql: KNN joins the standing index back on vec_id — keep that " +
+            "column in the pipe up to the KNN stage")
+        val qv = items.map {
+          case ELong(v) => v.toDouble
+          case EDouble(v) => v
+          case EBin("-", ELong(0L), ELong(v)) => -v.toDouble
+          case EBin("-", ELong(0L), EDouble(v)) => -v
+          case other => throw new IllegalArgumentException(
+            s"esql: KNN query vector must be numeric literals, got $other")
+        }
+        val topk = graft.ext.Similarity.knnProbe(df.sparkSession, dir, qv, k.toInt)
+        val joined = df.join(broadcast(topk), Seq("vec_id"))
+        if (joined.columns.contains("_score"))
+          joined.withColumn("_score", col("_score") + col("_knn_cos"))
+            .drop("_knn_cos")
+        else joined.drop("_knn_cos")
+      case _ => throw new IllegalArgumentException(
+        "esql: KNN takes (field, [query vector literals…], k)")
+    }
+  }
+
+  /** Reject KNN anywhere except as the ENTIRE WHERE predicate: top-k is
+    * query-global, so composing it into a boolean tree has no per-row
+    * meaning. Write other conditions as their own WHERE stages. */
+  private def requireNoKnn(e: Ex): Unit = e match {
+    case EFn("KNN", _) => throw new IllegalArgumentException(
+      "esql: KNN must be the entire WHERE predicate (query-global top-k, " +
+        "not a per-row condition) — put other conditions in their own " +
+        "WHERE stages (they compose as post-filters)")
+    case EFn(_, as) => as.foreach(requireNoKnn)
+    case EBin(_, l, r) => requireNoKnn(l); requireNoKnn(r)
+    case ENot(x) => requireNoKnn(x)
+    case EIn(x, items) => requireNoKnn(x); items.foreach(requireNoKnn)
+    case EIsNull(x, _) => requireNoKnn(x)
+    case EArr(items) => items.foreach(requireNoKnn)
+    case _ => ()
   }
 
   /** TO_TIMEDURATION / TO_DATEPERIOD literal: Some((DATE_ADD unit,
@@ -363,6 +444,7 @@ object Esql {
     case EDouble(v) => lit(v)
     case EStr(v) => lit(v)
     case EBool(v) => lit(v)
+    case EArr(items) => array(items.map(compile): _*)
     // untyped null — Catalyst coerces it to the CASE/COALESCE branch type
     case ENull => lit(null)
     case ENot(x) => !compile(x)
@@ -530,9 +612,10 @@ object Esql {
             (acc, p) => acc.when(v >= lit(p), litP(p))
           }.otherwise(litP(sortedPts.head))
         case "KNN" => throw new IllegalArgumentException(
-          "esql: KNN is not supported — a k-nearest-neighbors predicate is " +
-            "query-global top-k, not a per-row filter; use the similarity " +
-            "surface (brute/IVF/LSH legs, s1-family) or FUSE for hybrid ranking")
+          "esql: KNN is query-global top-k, not a per-row expression — " +
+            "write it as the ENTIRE WHERE predicate (served from the s15 " +
+            "standing IVF index when Esql.run is given annDir); other " +
+            "conditions go in their own WHERE stages as post-filters")
         case "TO_TIMEDURATION" | "TO_DATEPERIOD" =>
           // outside `datetime ± …` arithmetic the constant has no column
           // representation — the EBin lowering above is the whole surface
@@ -1102,13 +1185,16 @@ object Esql {
   def run(sources: Map[String, DataFrame], query: String,
           enrich: Map[String, (DataFrame, String)] = Map.empty,
           scoreMode: String = "terms",
-          statsKey: Option[String] = None): DataFrame = {
+          statsKey: Option[String] = None,
+          annDir: Option[String] = None): DataFrame = {
     require(scoreMode == "terms" || scoreMode == "bm25",
       s"esql: scoreMode must be terms or bm25, got $scoreMode")
     curSchema.remove() // no stale frame schema from a previous query (QSTR)
     bm25Index.remove() // no stale stats frame either (also cleared in
     bm25Stats.remove() // the FROM path's finally; TS/ROW never set them)
     bm25StatsKey.remove()
+    annDirTL.remove()
+    annDir.foreach(annDirTL.set)
     // split the token stream on top-level pipes (paren-aware: pipes
     // inside FORK branch parentheses belong to the branch, not the pipe)
     val segments = splitPipes(tokenize(query))
@@ -1197,7 +1283,8 @@ object Esql {
       statsKey.foreach(k => bm25StatsKey.set(k))
     }
     try pipe(base, segments.tail, sources, enrich)
-    finally { bm25Index.remove(); bm25Stats.remove(); bm25StatsKey.remove() }
+    finally { bm25Index.remove(); bm25Stats.remove(); bm25StatsKey.remove()
+              annDirTL.remove() }
   }
 
   /** Apply pipe segments to a running frame — the command interpreter,
@@ -1373,7 +1460,18 @@ object Esql {
       kw(seg.head) match {
         case "WHERE" =>
           val ex = p.expr()
-          df = df.filter(compile(ex))
+          ex match {
+            case EFn("KNN", knnArgs) =>
+              // KNN is query-GLOBAL top-k, not a per-row predicate — it
+              // must be the entire WHERE. Earlier WHERE stages have
+              // already filtered `df`, and later ones post-filter, the
+              // ES|QL contract (other conditions are post-filters unless
+              // passed as knn's own filter option — not modeled).
+              df = knnWhere(df, knnArgs)
+            case _ =>
+              requireNoKnn(ex)
+              df = df.filter(compile(ex))
+          }
           // METADATA _score: a WHERE containing MATCH() full-text
           // functions ADDS its matched-term count to the running score —
           // a plain projection over the filtered frame, no extra pass.
@@ -1381,9 +1479,9 @@ object Esql {
           // BM25 of its terms instead (index-level stats from the frame
           // `run` captured at FROM — the ES semantic: df/avgdl are index
           // metadata, not hit-set statistics), and MATCH_PHRASE scores
-          // the phrase's terms through the same scorer gated on the
-          // phrase predicate (d287; positional tf is not modeled —
-          // documented deviation); QSTR keeps its 1-point clause score
+          // POSITIONALLY (r18): one PhraseQuery pseudo-term with
+          // phraseFreq-as-tf and summed term idfs, gated on the phrase
+          // predicate (d287's upgrade); QSTR keeps its 1-point clause score
           // in both modes (an arbitrary boolean tree has no single
           // term-list to score).
           if (df.columns.contains("_score")) Option(bm25Index.get()) match {
@@ -1431,11 +1529,15 @@ object Esql {
                 }
                 phrases.zipWithIndex.foreach { case ((f, q, fn), i) =>
                   val terms = graft.ext.TextAnalysis.analyzeQuery(q)
-                  cur = Bm25.withScore(cur,
+                  // positional phrase scoring (r18, d287's upgrade
+                  // applied engine-wide): ONE PhraseQuery pseudo-term —
+                  // tf = phrase frequency over the analyzed token
+                  // array, idf = Σ term idfs (Bm25.withPhraseScore).
+                  // The predicate gate stays as a belt (tf = 0 already
+                  // scores 0; ES PhraseQuery only scores matches).
+                  cur = Bm25.withPhraseScore(cur,
                     graft.ext.TextAnalysis.analyze(compile(f)), terms,
                     fieldStats(f.toString), s"_bm25_p$i", s"wp$i")
-                  // gate: a row with the terms but not the consecutive
-                  // phrase scores 0 (ES PhraseQuery only scores matches)
                   add = add + when(coalesce(compile(fn), lit(false)),
                     col(s"_bm25_p$i")).otherwise(lit(0L))
                 }

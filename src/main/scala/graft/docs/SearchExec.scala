@@ -423,6 +423,7 @@ object SearchExec {
     * to its own relevance for. */
   private def bm25Scoreable(q: SearchQuery): Boolean = q match {
     case SearchQuery.DisMax(legs, _) => legs.exists(bm25Scoreable)
+    case SearchQuery.CrossFields(_, _, _, _) => true
     case _ => asMatch(q).nonEmpty || asPhrase(q).nonEmpty
   }
 
@@ -453,15 +454,14 @@ object SearchExec {
 
   /** The doc-level PHRASE shapes scoreable under bm25 (d287): a
     * [[SearchQuery.MatchPhrase]] or a two-term [[SearchQuery.PhraseSlop]].
-    * Returns (path, analyzed terms, the node itself — the score GATE):
-    * the phrase's terms score through the same fixed-point scorer as a
-    * match, gated on the phrase predicate — a doc containing every term
-    * WITHOUT the consecutive phrase scores 0, as in ES (a PhraseQuery
-    * only scores its matches). Positional weighting (Lucene's
-    * phraseFreq-as-tf) is NOT modeled — term tf stands in; documented
-    * deviation, still term-frequency-faithful per document. Nested
-    * phrase legs keep the 1-point constant (nested match legs are not
-    * bm25-scored either). */
+    * Returns (path, analyzed terms, the node itself — the score GATE).
+    * An EXACT phrase scores positionally (r18): phraseFreq-as-tf with
+    * summed term idfs, Lucene's PhraseQuery shape
+    * ([[Bm25.withPhraseScore]]). A SLOP phrase keeps the terms-sum form
+    * gated on its predicate (Lucene's sloppyFreq Σ 1/(gap+1) is
+    * non-integer — outside the fixed-point contract; documented
+    * deviation). Nested phrase legs keep the 1-point constant (nested
+    * match legs are not bm25-scored either). */
   private def asPhrase(q: SearchQuery)
       : Option[(Seq[String], Seq[String], SearchQuery)] = {
     import graft.docs.{SearchQuery => SQ}
@@ -497,6 +497,10 @@ object SearchExec {
     // (corpus, field) since df tables are analyzer- and field-specific
     def matchLegs(q: SearchQuery): Seq[(Seq[String], Seq[String])] = q match {
       case SQ.DisMax(legs, _) => legs.flatMap(matchLegs)
+      // cross_fields needs every (field, full term list) pair — blended
+      // df is the max across the fields, so each field's df for EVERY
+      // term must be in that field's pooled stats fetch
+      case SQ.CrossFields(paths, terms, _, _) => paths.map(p => (p, terms))
       case _ => asMatch(q).toSeq ++ asPhrase(q).map(p => (p._1, p._2))
     }
     val statsByPath = clauses.flatMap(matchLegs).groupBy(_._1)
@@ -523,14 +527,28 @@ object SearchExec {
         bmCols += name
         col(name)
       case None if asPhrase(q).nonEmpty =>
-        // phrase clause (d287): BM25 of the phrase's terms, GATED on
+        // phrase clause (d287, upgraded r18): an EXACT phrase scores as
+        // ONE Lucene PhraseQuery pseudo-term — tf = phrase frequency
+        // (consecutive-position count in the token array), idf = Σ of
+        // the terms' integer idfs ([[Bm25.withPhraseScore]]); a doc with
+        //2 phrase occurrences now outranks a doc with 1 (Bm25Spec). A
+        // SLOP phrase keeps the terms-sum form (Lucene's sloppyFreq is a
+        // non-integer Σ 1/(gap+1) — outside the fixed-point contract;
+        // documented deviation, SURVEY §2 ledger). Both stay GATED on
         // the phrase predicate — a doc with the terms but not the
-        // consecutive phrase scores 0, as ES's PhraseQuery does
+        // phrase scores 0, as ES's PhraseQuery does (for the exact form
+        // the gate is subsumed by tf = 0, kept as a belt).
         val (path, terms, gate) = asPhrase(q).get
         val name = s"_bm25_${tag}_c$nextId"
         nextId += 1
-        cur = Bm25.withScore(cur, toks(path), terms, statsByPath(path),
-          name, s"$tag$nextId")
+        cur = gate match {
+          case SQ.MatchPhrase(_, _) =>
+            Bm25.withPhraseScore(cur, toks(path), terms, statsByPath(path),
+              name, s"$tag$nextId")
+          case _ =>
+            Bm25.withScore(cur, toks(path), terms, statsByPath(path),
+              name, s"$tag$nextId")
+        }
         bmCols += name
         when(coalesce(SQ.compile(gate, doc), lit(false)), col(name))
           .otherwise(lit(0L))
@@ -542,6 +560,33 @@ object SearchExec {
           else // legs are non-negative, so double→long cast IS floor
             mx + (lit(tb) * (scores.reduce(_ + _) - mx).cast("double"))
               .cast("long")
+        case SQ.CrossFields(paths, terms, tb, _) =>
+          // term-centric blended statistics (Lucene BlendedTermQuery —
+          // the ES cross_fields scorer, r18): per TERM, df is blended as
+          // the MAX df across the fields; each field leg scores the
+          // fixed-point BM25 of that ONE term with the blended df
+          // against the field's own tf/dl/avgdl; the term folds
+          // max + tb·(sum − max) over its legs (tb 0 = best field, the
+          // ES default); the clause is the SUM over terms. Stats come
+          // from the same pooled per-path fetch as every other clause.
+          val dfb: Map[String, Long] = terms.map(t =>
+            t -> paths.map(p => statsByPath(p).df.getOrElse(t, 0L)).max).toMap
+          terms.map { t =>
+            val legs = paths.map { p =>
+              val st = statsByPath(p)
+              val blended = Bm25.Stats(st.nDocs, st.avgdl100, Map(t -> dfb(t)))
+              val name = s"_bm25_${tag}_c$nextId"
+              nextId += 1
+              cur = Bm25.withScore(cur, toks(p), Seq(t), blended,
+                name, s"$tag$nextId")
+              bmCols += name
+              col(name)
+            }
+            val mx = if (legs.size == 1) legs.head else greatest(legs: _*)
+            if (tb == 0.0) mx
+            else mx + (lit(tb) * (legs.reduce(_ + _) - mx).cast("double"))
+              .cast("long")
+          }.reduce(_ + _)
         case _ => coalesce(SQ.compile(q, doc).cast("long"), lit(0L))
       }
     }

@@ -193,6 +193,24 @@ object SearchQuery {
     * element is its own Lucene document in ES). Single-leaf inner queries
     * don't need the wrapper: ∃x.P(x) is already what Nested* compiles to. */
   final case class NestedCompound(arrayPath: Seq[String], inner: SearchQuery) extends SearchQuery
+  /** `multi_match` `type: cross_fields` marker (r18, closing the blended-
+    * statistics deviation): HIT semantics are exactly `inner` — the
+    * combined_fields desugar (term-centric: every analyzed token in at
+    * least one of `paths` under operator=and; any token anywhere under
+    * or) — and `compile` delegates to it, so pushdown and boolean
+    * scoring are unchanged. Under `similarity=bm25` the scorer
+    * recognizes the node and applies Lucene BlendedTermQuery semantics
+    * (ES's MultiMatchQueryBuilder cross_fields path): per TERM, document
+    * frequency is BLENDED as the max df across the fields, each field
+    * leg scores with that blended df against its own tf/dl/avgdl, and
+    * the term's score folds max + tieBreaker·(sum − max) over the legs
+    * (tie_breaker 0 — take the best field — is the ES default); the
+    * query's score is the SUM over terms. This is term-centric where
+    * best_fields is field-centric: a term appearing only in a low-df
+    * field no longer gets that field's private idf. */
+  final case class CrossFields(paths: Seq[Seq[String]], terms: Seq[String],
+                               tieBreaker: Double,
+                               inner: SearchQuery) extends SearchQuery
 
   private def field(root: Column, path: Seq[String]): Column =
     path.foldLeft(root)((c, f) => c.getField(f))
@@ -2368,17 +2386,24 @@ object SearchQuery {
         if (mmType == "cross_fields") {
           // term-CENTRIC: every analyzed token in AT LEAST ONE field
           // (under operator=and; any token anywhere under or) — exactly
-          // the combined_fields desugar, so the one parse serves both
-          // (ES docs equate their hit semantics; scoring differs there —
-          // blended per-term df vs BM25F — but this engine's documented
-          // integer relevance applies to both, the combined_fields
-          // deviation). tie_breaker has no per-field leg fold to act on.
-          require(tb0.isEmpty,
-            "multi_match cross_fields is term-centric; tie_breaker does not apply")
-          parseNode(JObject(List(("combined_fields", JObject(List(
+          // the combined_fields desugar for HITS (the ES docs equate
+          // them). SCORING under bm25 is term-centric blended statistics
+          // (Lucene BlendedTermQuery — [[CrossFields]], r18): the node
+          // wraps the desugar so the scorer can see the (fields, terms)
+          // structure; combined_fields itself keeps its documented
+          // constant-score deviation (ES scores it BM25F, a different
+          // algebra). tie_breaker here is the PER-TERM blend fold over
+          // the field legs (max + tb·(sum − max); ES cross_fields
+          // default 0.0 = best field only).
+          val inner = parseNode(JObject(List(("combined_fields", JObject(List(
             ("query", JString(q)),
             ("fields", JArray(flds.map(JString(_)).toList)),
             ("operator", JString(mmOp))))))), schema, hits)
+          val cfTerms = q.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
+          // paths re-resolve exactly as the combined_fields parse did
+          // (which already rejected boosts and array paths loudly)
+          val cfPaths = flds.map(p0 => splitArrayPath(path(p0), schema)._2)
+          CrossFields(cfPaths, cfTerms, tb0.getOrElse(0.0), inner)
         } else {
         // phrase/phrase_prefix legs take the raw query string — validate
         // non-emptiness HERE like every tokenizing branch does via its
@@ -2421,10 +2446,16 @@ object SearchQuery {
                 // scoping as single-field match and the bool_prefix leg
                 // above: operator=or needs SOME element per token;
                 // operator=and binds every token to the SAME element
-                // (NestedCompound). r16 built a document-level And here —
-                // the same logical query returned different hit sets
-                // depending on entry point (ADVICE r16); the engine's
-                // pinned contract is same-element binding.
+                // (NestedCompound), so one logical query hits the same
+                // set from every entry point (r16 built a document-level
+                // And here only for multi_match, ADVICE r16).
+                // DOCUMENTED DEVIATION (SURVEY §2 ledger): real ES
+                // flattens array text fields into ONE token stream with
+                // position gaps, so operator=and matches tokens across
+                // elements at document level; this engine's pinned
+                // contract for analyzed array paths is same-element
+                // binding — the nested-scoping semantic its whole match
+                // family shares (DocEngineSpec pins it).
                 terms.map(NestedTokenMatch(arr, rest, _)) match {
                   case Seq(one) => one
                   case many =>
@@ -2691,6 +2722,7 @@ object SearchQuery {
   /** Compile the AST to a boolean Column over document column `doc`. */
   def compile(q: SearchQuery, doc: Column): Column = q match {
     case MatchAll => lit(true)
+    case CrossFields(_, _, _, inner) => compile(inner, doc)
     case tl: TermsLookup => throw new IllegalArgumentException(
       s"terms lookup on ${tl.field} reached compile unresolved — lookups are only " +
         "supported through SearchExec.search (it carries the corpus to fetch from)")

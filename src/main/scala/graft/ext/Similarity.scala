@@ -76,7 +76,7 @@ object Similarity {
     * exactly 40 queries while the corpus grows 10×. The recall pairs
     * (s4 = s1∧s2, s13 = s1∧s11∧s12) inherit the SAME panel through their
     * legs — recall on a fixed panel is still a valid recall estimate. */
-  private val PanelBound = 2000
+  private[graft] val PanelBound = 2000
   private def inPanel(c: Column): Column = c % 50 === 0 && c < PanelBound
   private def panelSql(c: String): String = s"$c % 50 = 0 AND $c < $PanelBound"
 
@@ -89,7 +89,7 @@ object Similarity {
       .withColumn("nrm", sqrt(vecDot(col("v"), col("v"))))
   }
 
-  private val VecsSql =
+  private[graft] val VecsSql =
     """SELECT vec_id, label, v, sqrt(list_reduce(list_prepend(0.0,
       |    list_transform(list_zip(v, v), z -> z[1] * z[2])), (acc, x) -> acc + x)) AS nrm
       |FROM (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -268,24 +268,51 @@ object Similarity {
     * PARTITIONED BY cell (at 100 TB a probe's cell filter prunes to its
     * cell's files before any scan; incremental ingest appends new cell
     * partitions), and the probe phase runs s3's exact probe against the
-    * parquet read. The memo is per (session, corpus) — bench repeats and
+    * parquet read. The memo is per (session, corpus, file-fingerprint)
+    * ([[StandingIndex]] — a regenerated fixture rebuilds instead of
+    * serving a stale assignment, ADVICE r17) — bench repeats and
     * every later query in the JVM reuse the standing files, so the
     * measured repeat cost is PROBE-ONLY, the honest serving shape. The
     * oracle is s3's oracle VERBATIM: the index path must reproduce the
     * rebuild-every-time answer bit-for-bit or the gate goes red. */
-  private val ivfMemo = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), DataFrame]
-  private def standingIvf(s: SparkSession, d: String): DataFrame =
-    ivfMemo.getOrElseUpdate((s, d), {
-      val dir = graft.TempDirs.create("graft-s15-ivf-")
-      ivfAssign(s, d).write.mode("overwrite")
-        .partitionBy("cell").parquet(dir.toString)
-      s.read.parquet(dir.toString)
-        .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
-    })
+  private[ext] def standingIvf(s: SparkSession, d: String): DataFrame =
+    StandingIndex(s, d, "embeddings", "s15-ivf", Seq("cell"))(ivfAssign(s, d))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
 
   private def s15(s: SparkSession, d: String): DataFrame =
     ivfProbe(standingIvf(s, d))
+
+  /** Ad-hoc query-vector probe against the STANDING IVF index — the
+    * serving entry ES|QL's `WHERE KNN(field, [qv…], k)` lowers to (r18).
+    * Contract = s3/s15's per-vector assignment applied to the QUERY:
+    * route to the single nearest centroid by (cosine DESC, id ASC) —
+    * bounded driver work, the centroid set is the fixed sample and its
+    * rows are read FROM the index (a centroid's own cell is itself, so
+    * its row carries its vector) — then scan ONLY that cell's parquet
+    * partition (partition-pruned read, EsqlSpec pins the PartitionFilters)
+    * and take top-k by (cosine DESC, vec_id ASC). Driver-side dot/norm
+    * folds run in the same sequential order as the codegen'd vec_dot and
+    * the oracle's list_reduce, so cell choice and scores are bit-identical
+    * across engines. Returns (vec_id, _knn_cos). */
+  def knnProbe(s: SparkSession, d: String, qv: Seq[Double], k: Int): DataFrame = {
+    GraftFunctions.ensure(s)
+    val idx = standingIvf(s, d)
+    val cents = idx.filter(col("vec_id") % 97 === 0 && col("vec_id") < PanelBound)
+      .select(col("vec_id"), col("v"), col("nrm")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+    require(cents.nonEmpty, s"knnProbe: no centroids in the standing index at $d")
+    def dotSeq(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).foldLeft(0.0)((acc, p) => acc + p._1 * p._2) // vec_dot order
+    val qn = math.sqrt(dotSeq(qv, qv))
+    val bestCell = cents.map { case (cid, cv, cn) =>
+      (-(dotSeq(qv, cv) / (qn * cn)), cid) }.min._2
+    val qc = array(qv.map(lit): _*)
+    idx.filter(col("cell") === bestCell)
+      .select(col("vec_id"),
+        (vecDot(qc, col("v")) / (lit(qn) * col("nrm"))).as("_knn_cos"))
+      .orderBy(col("_knn_cos").desc, col("vec_id"))
+      .limit(k)
+  }
 
   // ---------------------------------------------------------------- registry
 

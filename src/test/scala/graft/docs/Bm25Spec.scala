@@ -373,56 +373,102 @@ class Bm25Spec extends SparkSpec {
     }.getMessage.contains("tie_breaker does not apply"))
   }
 
-  test("multi_match cross_fields under bm25 scores via combined_fields " +
-    "semantics — the documented deviation from term-centric blended idf") {
+  test("multi_match cross_fields under bm25 scores TERM-CENTRIC BLENDED " +
+    "statistics (max df across fields) — order differs from combined_fields") {
     import spark.implicits._
     import org.apache.spark.sql.types.StructType
-    val c = Seq(
+    // alpha is RARE in body (doc 2 only) but COMMON in tag (7 docs):
+    // blending collapses alpha's idf to the max-df (tag) value even for
+    // doc 2's body hit — the term-centric signature a per-field scorer
+    // cannot produce
+    val c = (Seq(
       (1L, "zeta filler filler", "alpha"), // tokens split ACROSS fields
       (2L, "zeta alpha word", "other"),    // both tokens in one field
       (3L, "zeta word filler", "other"),   // only one token anywhere
-      (4L, "word filler filler", "other")).toDF("id", "body", "tag")
+      (4L, "word filler filler", "other")) ++
+      (5L to 10L).map(i => (i, "filler filler", "alpha"))
+    ).toDF("id", "body", "tag")
     val docs = c.select(struct(
       col("id").cast("string").as("objectId"), col("body"), col("tag")).as("doc"))
     val schema = docs.schema("doc").dataType.asInstanceOf[StructType]
-    def body(qType: String) =
+    def body(qType: String, tb: Option[Double] = None) =
       s"""{"query": {"multi_match": {"query": "zeta alpha",
-         |   "fields": ["body", "tag"], "type": "$qType", "operator": "and"}},
-         | "size": 4, "_source": ["objectId"]}""".stripMargin
-    val cfQuery = SearchQuery.fromJson(body("cross_fields"), schema)
-    // parse-level: cross_fields IS the combined_fields desugar
-    // (And-over-tokens of Or-over-fields under operator=and)
+         |   "fields": ["body", "tag"], "type": "$qType", "operator": "and"
+         |   ${tb.map(t => s""", "tie_breaker": $t""").getOrElse("")}}},
+         | "size": 10, "_source": ["objectId"]}""".stripMargin
     val combined =
       """{"query": {"combined_fields": {"query": "zeta alpha",
         |   "fields": ["body", "tag"], "operator": "and"}},
-        | "size": 4, "_source": ["objectId"]}""".stripMargin
-    assert(cfQuery === SearchQuery.fromJson(combined, schema))
-    // score-level: identical to the combined_fields body under bm25 —
-    // per-field df from the standing stats, folded through the shared
-    // fixed-point scorer. ES cross_fields would instead POOL df across
-    // fields (term-centric blended idf); that algebra is NOT modeled —
-    // the documented deviation this test pins.
+        | "size": 10, "_source": ["objectId"]}""".stripMargin
+    // parse-level: cross_fields is the CrossFields marker WRAPPING the
+    // combined_fields desugar — hit compilation delegates to it
+    SearchQuery.fromJson(body("cross_fields"), schema) match {
+      case SearchQuery.CrossFields(paths, terms, tb, inner) =>
+        assert(paths === Seq(Seq("body"), Seq("tag")))
+        assert(terms === Seq("zeta", "alpha"))
+        assert(tb === 0.0)
+        assert(inner === SearchQuery.fromJson(combined, schema))
+      case other => fail(s"expected CrossFields, got $other")
+    }
     def scores(b: String): Map[String, Long] =
       SearchExec.search(docs, "doc", b, schema, similarity = "bm25")
         .collect().map(r => r.getAs[String]("objectId") -> r.getAs[Long]("score")).toMap
     val cf = scores(body("cross_fields"))
-    assert(cf === scores(combined))
-    // hit semantics: every token in AT LEAST ONE field — doc 1 (split
-    // across fields) and doc 2 (both in body) hit; docs 3/4 don't
-    // (scores may floor to 0 for common terms — the fixed-point contract;
-    // hit membership comes from the predicate, not the score)
+    val cmb = scores(combined)
+    // hit semantics UNCHANGED: every token in AT LEAST ONE field — doc 1
+    // (split across fields) and doc 2 (both in body) hit; docs 3/4 and
+    // the ballast don't
     assert(cf.keySet === Set("1", "2"))
+    assert(cmb.keySet === Set("1", "2"))
+    // combined_fields keeps its documented constant-score deviation
+    // (non-scoreable bare query = the boolean-algebra base, one constant
+    // for every hit); cross_fields now scores blended
+    assert(cmb.values.toSet.size === 1)
+    assert(cf !== cmb)
+    // the BLEND pin, from first principles: per term df = max across
+    // fields, each leg scored with the blended df against its own
+    // tf/dl/avgdl, term = best leg (tb 0), clause = Σ terms
+    val bToks = split(lower(col("body")), "\\s+")
+    val tToks = split(lower(col("tag")), "\\s+")
+    val sb = Bm25.stats(c, bToks, Seq("zeta", "alpha"))
+    val stg = Bm25.stats(c, tToks, Seq("zeta", "alpha"))
+    assert(sb.df("alpha") === 1L && stg.df("alpha") === 7L) // the contrast
+    def blend(t: String) = Bm25.Stats(sb.nDocs, 0L,
+      Map(t -> math.max(sb.df(t), stg.df(t))))
+    def legs(t: String): org.apache.spark.sql.DataFrame = {
+      val stB = Bm25.Stats(sb.nDocs, sb.avgdl100, blend(t).df)
+      val stT = Bm25.Stats(stg.nDocs, stg.avgdl100, blend(t).df)
+      Bm25.withScore(Bm25.withScore(c, bToks, Seq(t), stB, s"b_$t"),
+        tToks, Seq(t), stT, s"t_$t")
+    }
+    val exp = legs("zeta").select(col("id"), greatest(col("b_zeta"), col("t_zeta")).as("z"))
+      .join(legs("alpha").select(col("id"),
+        greatest(col("b_alpha"), col("t_alpha")).as("a")), "id")
+      .select(col("id"), (col("z") + col("a")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (id <- Seq(1L, 2L))
+      assert(cf(id.toString) === exp(id), s"doc $id: got ${cf(id.toString)}, want ${exp(id)}")
+    // tie_breaker is now the per-term leg fold (ES cross_fields allows
+    // it): tb = 1 sums the legs
+    val cf1 = scores(body("cross_fields", Some(1.0)))
+    val expSum = legs("zeta").select(col("id"), (col("b_zeta") + col("t_zeta")).as("z"))
+      .join(legs("alpha").select(col("id"), (col("b_alpha") + col("t_alpha")).as("a")), "id")
+      .select(col("id"), (col("z") + col("a")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (id <- Seq(1L, 2L)) assert(cf1(id.toString) === expSum(id))
   }
 
-  test("match_phrase under bm25 scores the phrase's terms (gated on the " +
-    "phrase), and the order provably differs from boolean mode") {
+  test("match_phrase under bm25 scores POSITIONALLY (phraseFreq-as-tf, " +
+    "summed term idfs): 2 phrase hits outrank 1, non-matches score 0") {
     import spark.implicits._
     import org.apache.spark.sql.types.StructType
-    val c = Seq(
-      (1L, "alpha beta " + Seq.fill(18)("filler").mkString(" ")), // phrase, LONG
+    val c = (Seq(
+      (1L, "alpha beta " + Seq.fill(18)("filler").mkString(" ")), // phrase ×1, LONG
       (2L, "zeta word"),                                          // rare term, short
-      (3L, "alpha beta word"), (4L, "alpha beta word"),           // phrase, short
+      (3L, "alpha beta word alpha beta"),                         // phrase ×2
+      (4L, "alpha beta word"),                                    // phrase ×1, short
       (5L, "beta alpha zeta")                                     // terms, NOT the phrase
+    ) ++ (6L to 10L).map(i => (i, "filler filler"))               // idf ballast
     ).toDF("id", "body")
     val docs = c.select(struct(
       col("id").cast("string").as("objectId"), col("body")).as("doc"))
@@ -436,31 +482,43 @@ class Bm25Spec extends SparkSpec {
       SearchExec.search(docs, "doc", body, schema, similarity = sim)
         .collect().map(r => r.getAs[String]("objectId") -> r.getAs[Long]("score")).toSeq
     // boolean mode: every hit satisfies exactly one should → all tie at 1,
-    // objectId ascending puts the long doc 1 first
+    // objectId ascending puts the long doc 1 first (filler docs hit nothing)
     val bool = page("boolean")
     assert(bool.map(_._1) === Seq("1", "2", "3", "4", "5"))
     assert(bool.map(_._2).distinct === Seq(1L))
-    // bm25 mode: the phrase scores its TERMS — short phrase docs (3, 4)
-    // outrank the long doc 1, and doc 2's rare zeta outranks them all;
-    // the old 1-point constant could never produce this order
+    // bm25 mode: the phrase is ONE pseudo-term — tf = phrase frequency,
+    // idf = (N − df_alpha) + (N − df_beta) — so doc 3 (phrase ×2)
+    // outranks docs 4 and 1 (phrase ×1); neither the old terms-sum form
+    // nor the 1-point constant could produce that order when docs 3 and
+    // 4 share term tfs for alpha/beta at tf = 1... (doc 3 has tf 2 for
+    // both terms too, so the pin below checks the exact pseudo-term
+    // value, not just the order)
     val toks = split(lower(col("body")), "\\s+")
     val st = Bm25.stats(c, toks, Seq("alpha", "beta", "zeta"))
-    val legMap = Bm25.withScore(Bm25.withScore(c, toks, Seq("alpha", "beta"), st, "ab"),
-      toks, Seq("zeta"), st, "z").select("id", "ab", "z")
+    val legMap = Bm25.withPhraseScore(
+        Bm25.withScore(c, toks, Seq("zeta"), st, "z"),
+        toks, Seq("alpha", "beta"), st, "ab")
+      .select("id", "ab", "z")
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     val bm = page("bm25").toMap
-    // gating: doc 5 contains alpha AND beta but NOT the phrase — its
-    // phrase clause contributes 0; only its zeta leg scores
-    assert(legMap(5L)._1 > 0L)
+    // gating/zero-tf: doc 5 contains alpha AND beta but NOT the phrase —
+    // its phraseFreq is 0 so the phrase clause contributes 0
+    assert(legMap(5L)._1 === 0L)
     assert(bm("5") === legMap(5L)._2)
-    // phrase hits score exactly their terms' BM25 (+ zeta leg where present)
+    // phrase hits score exactly the pseudo-term (+ zeta leg where present)
     for (id <- Seq(1L, 3L, 4L))
       assert(bm(id.toString) === legMap(id)._1 + legMap(id)._2,
         s"doc $id: got ${bm(id.toString)}, legs ${legMap(id)}")
     assert(bm("2") === legMap(2L)._2)
-    // and the resulting ORDER differs from boolean mode
+    // the POSITIONAL pin: doc 3 (2 occurrences) outranks doc 4 (1), and
+    // both outrank the long doc 1 (same tf, longer dl)
+    assert(bm("3") > bm("4"), s"tf=2 must outrank tf=1: ${bm("3")} vs ${bm("4")}")
+    assert(bm("4") > bm("1"))
+    // and the resulting ORDER differs from boolean mode — the ×2 phrase
+    // doc leads, which neither the 1-point constant nor the old
+    // terms-sum form (where dl ties broke the other way) produces
     val bmOrder = page("bm25").map(_._1)
     assert(bmOrder !== bool.map(_._1))
-    assert(bmOrder.head === "2")
+    assert(bmOrder.head === "3")
   }
 }

@@ -703,16 +703,21 @@ class DocEngineSpec extends SparkSpec {
     assert(assembledDocs.filter(
       SearchQuery.compile(SearchQuery.fromJson(bp, PlanSchema.plan),
         col("doc"))).count() === 1) // "innet" prefixes innetwork
-    // cross_fields: term-CENTRIC — each token in AT LEAST ONE field
-    // (the combined_fields desugar: And-over-tokens of Or-over-fields
-    // under operator=and)
+    // cross_fields: term-CENTRIC — each token in AT LEAST ONE field.
+    // r18: the parse is the CrossFields marker (carrying fields/terms
+    // for the bm25 blended scorer) WRAPPING the combined_fields desugar
+    // (And-over-tokens of Or-over-fields under operator=and); hit
+    // compilation delegates to the inner desugar unchanged
     val cf =
       """{"query": {"multi_match": {"query": "nosuch innetwork",
         |  "fields": ["planType", "_org"], "type": "cross_fields",
         |  "operator": "and"}}}""".stripMargin
-    assert(SearchQuery.fromJson(cf, PlanSchema.plan) ===
+    val cfInner =
       And(Or(TermMatch(Seq("planType"), "nosuch"), TermMatch(Seq("_org"), "nosuch")),
-        Or(TermMatch(Seq("planType"), "innetwork"), TermMatch(Seq("_org"), "innetwork"))))
+        Or(TermMatch(Seq("planType"), "innetwork"), TermMatch(Seq("_org"), "innetwork")))
+    assert(SearchQuery.fromJson(cf, PlanSchema.plan) ===
+      CrossFields(Seq(Seq("planType"), Seq("_org")),
+        Seq("nosuch", "innetwork"), 0.0, cfInner))
     // operator=and: per-field AND of tokens (the single-field match
     // contract); phrase rejects the key
     val andQ =

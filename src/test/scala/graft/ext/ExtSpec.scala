@@ -366,6 +366,60 @@ class ExtSpec extends SparkSpec {
     assert(cellDirs.nonEmpty, "index parquet must be partitioned by cell")
   }
 
+  test("knnProbe serves from the standing IVF index: cell partition " +
+    "filter reaches the parquet scan; ES|QL KNN lowers to it; rejects loud") {
+    import graft.docs.Esql
+    // query vector = corpus vector 42's embedding: it routes to its own
+    // assigned cell, so brute-force rank-1 (itself, cos = 1) is always
+    // in the probed cell — overlap with global brute force ≥ 1 by
+    // construction, and empirically much higher
+    val emb = graft.Tables(spark, sf, "embeddings")
+    val qv = emb.filter(col("vec_id") === 42L)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val probe = Similarity.knnProbe(spark, sf, qv, 7)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(cell"),
+      s"cell filter must prune partitions, plan:\n${plan.take(2000)}")
+    val got = probe.collect().map(_.getLong(0)).toSeq
+    assert(got.size === 7 && got.head === 42L) // self is rank 1 (cos = 1)
+    // recall vs brute force over the whole corpus (one probed cell)
+    val qc = array(qv.map(lit): _*)
+    import graft.functions.GraftFunctions.vecDot
+    val brute = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"), (vecDot(qc, col("v")) /
+        (sqrt(vecDot(qc, qc)) * sqrt(vecDot(col("v"), col("v"))))).as("c"))
+      .orderBy(col("c").desc, col("vec_id")).limit(7)
+      .collect().map(_.getLong(0)).toSet
+    // nprobe = 1 (the s3 serving contract) over near-random synthetic
+    // vectors: only the self-hit is GUARANTEED to land in the probed
+    // cell; family-level recall shape is measured by the s4/s13 gates
+    assert(got.toSet.intersect(brute).size >= 1,
+      s"probe ${got.toSet} vs brute $brute")
+    // ES|QL lowering returns the same ids, cosine added to _score
+    val esql = Esql.run(Map("embeddings" -> emb),
+      s"""FROM embeddings METADATA _score
+         || WHERE KNN(embedding, [${qv.mkString(", ")}], 7)
+         || KEEP vec_id, _score | SORT _score DESC, vec_id ASC""".stripMargin,
+      annDir = Some(sf))
+    assert(esql.collect().map(_.getLong(0)).toSeq === got)
+    // rejects: composed KNN, KNN without an index, bad args
+    assert(intercept[IllegalArgumentException](Esql.run(Map("embeddings" -> emb),
+      "FROM embeddings | WHERE KNN(embedding, [1.0], 3) AND vec_id > 0",
+      annDir = Some(sf))).getMessage.contains("entire WHERE predicate"))
+    assert(intercept[IllegalArgumentException](Esql.run(Map("embeddings" -> emb),
+      "FROM embeddings | WHERE KNN(embedding, [1.0], 3)"))
+      .getMessage.contains("standing ANN index"))
+    assert(intercept[IllegalArgumentException](Esql.run(Map("embeddings" -> emb),
+      """FROM embeddings | WHERE KNN(embedding, ["x"], 3)""",
+      annDir = Some(sf))).getMessage.contains("numeric literals"))
+    // the multivalue literal is a first-class expression too
+    val mv = Esql.run(Map("embeddings" -> emb),
+      "ROW v = [1, 2, 3] | EVAL s = MV_SUM(v) | KEEP s")
+      .head().getDouble(0)
+    assert(mv === 6.0)
+  }
+
   test("dd14 bloom gate: no false negatives, real pruning, exact final result") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -657,25 +657,55 @@ object DedupQueries {
     * keep-one-per-duplicate-group decision, derivable without connected
     * components because τ-balls around the planted dups are disjoint). */
   private val SemScale = 4096L // 2^12: |e| ≤ 0.53 → |q| ≤ ~2200, d² ≤ ~1.2e9
-  /** dd8 scale-shape disposition (r17 audit): k = ⌈n/SemTgt⌉ scales WITH
-    * the corpus, so average cluster size stays ~SemTgt and the
-    * within-cluster pair join is LINEAR in n (k clusters × ~SemTgt²/2
+  /** dd8 scale-shape disposition (r17 audit; r18 update): k = ⌈n/SemTgt⌉
+    * scales WITH the corpus, so average cluster size stays ~SemTgt and
+    * the within-cluster pair join is LINEAR in n (k clusters × ~SemTgt²/2
     * pairs ∝ n). The one superlinear term is the exact Lloyd argmin
     * (n·k = n²/SemTgt distance evals per pass, 3 passes) — intrinsic to
-    * the EXACT-assignment contract the oracle replays. Measured r17:
-    * 1.8 s at sf0.1 → 13.4 s at sf1 (7.4× for 10× data — the quadratic
-    * term is still sub-dominant at these scales). At 100 TB a SemDeDup
-    * deployment swaps exact argmin for IVF-approximate assignment
-    * (coarse-quantize the centroid set, probe nprobe cells — exactly the
-    * s12 operator shape, n·√k per pass); that changes the clustering
-    * CONTRACT, so it stays a documented scale path, not a silent swap
-    * under the oracle gate. */
+    * the EXACT-assignment contract the oracle replays. The 100 TB path
+    * is NO LONGER prose: [[dd15]] ships the IVF-approximate assignment
+    * (two-level coarse-quantizer probe, n·(√k + k/√k) per pass) as its
+    * own gated operator with its own oracle — dd8 stays the
+    * exact-contract gate, dd15 the scale-contract gate. */
   private val SemTgt = 70L // target cluster size: k = ceil(n / SemTgt)
   private val SemTau = 100L // planted ±1 perturbation gives d² ≤ 64 < 100
 
   /** Integer squared L2 — exact in any engine (products < 2^31, sums < 2^38). */
   private def qdist(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, z) => acc + z)
+
+  /** Shared dd8/dd15 quantized + planted vector table (standing
+    * write-once parquet): embeddings quantized ONCE (`round(e·2^12)`,
+    * identical ties-away-from-zero in both engines), near-dups planted
+    * in the QUANTIZED domain (component ±1 from the portable hash of
+    * (ORIGINAL id, index) — hash ≥ 0 so % 3 agrees between engines;
+    * total planted d² ≤ dim < τ). The id shift happens in a SECOND
+    * select: aliasing it beside the transform would make the lambda's
+    * vec_id resolve to the SHIFTED lateral alias (Spark 4 lateral column
+    * aliases win over the child's column) while the oracle's unaliased
+    * projection keeps the source column. Downstream actions (count,
+    * seeds, Lloyd rounds, final assignment + pair join) each re-scan a
+    * real columnar table. */
+  private def semVecs(s: SparkSession, d: String): DataFrame = {
+    val base = Tables(s, d, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => round(x.cast("double") * SemScale).cast("long")).as("q"))
+    val pert = base.filter(col("vec_id") % 9 === 0)
+      .select(col("vec_id"),
+        transform(col("q"), (x, i) => x + stableHash32(concat(
+          col("vec_id").cast("string"), lit(":"), i.cast("string"))) % 3 - 1).as("q"))
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("q"))
+    mat(s, d, "qvecs")(base.unionByName(pert))
+  }
+
+  /** Deterministic seeds shared by dd8/dd15: the k vectors with the
+    * smallest salted hash (rerunnable, engine-portable — the d80
+    * sampling contract). */
+  private def semSeeds(vecs: DataFrame, k: Int): Array[Seq[Long]] = vecs
+    .select(col("vec_id"), col("q"),
+      stableHash32(concat(col("vec_id").cast("string"), lit(":seed"))).as("_sh"))
+    .orderBy(col("_sh").asc, col("vec_id").asc).limit(k)
+    .collect().map(_.getSeq[Long](1))
 
   private def dd8(s: SparkSession, d: String): DataFrame = {
     val (res, _) = dd8Plan(s, d)
@@ -699,35 +729,11 @@ object DedupQueries {
     def withD(df: DataFrame): DataFrame = df
       .withColumn("qd", col("q").cast("array<double>"))
       .withColumn("n2", vecDot(col("qd"), col("qd")))
-    val base = Tables(s, d, "embeddings")
-      .select(col("vec_id"),
-        transform(col("embedding"), x => round(x.cast("double") * SemScale).cast("long")).as("q"))
-    // plant near-dups in the QUANTIZED domain: component ±1 from the
-    // portable hash of (ORIGINAL id, index) — hash ≥ 0 so % 3 agrees
-    // between engines; total planted d² ≤ dim < τ. The id shift happens
-    // in a SECOND select: aliasing it beside the transform would make the
-    // lambda's vec_id resolve to the SHIFTED lateral alias (Spark 4
-    // lateral column aliases win over the child's column) while the
-    // oracle's unaliased projection keeps the source column.
-    val pert = base.filter(col("vec_id") % 9 === 0)
-      .select(col("vec_id"),
-        transform(col("q"), (x, i) => x + stableHash32(concat(
-          col("vec_id").cast("string"), lit(":"), i.cast("string"))) % 3 - 1).as("q"))
-      .select((col("vec_id") + 1000000L).as("vec_id"), col("q"))
-    // standing parquet vector table (write-once, like the signature
-    // index): 5 downstream actions (count, seeds, 2 Lloyd rounds, final
-    // assignment + pair join) each re-scan a real columnar table
-    val vecs = mat(s, d, "qvecs")(base.unionByName(pert))
+    val vecs = semVecs(s, d)
     // k from the corpus: ⌈n / SemTgt⌉ — one count() of bounded driver
     // state; the oracle replays the same integer formula
     val k = ((vecs.count() + SemTgt - 1) / SemTgt).toInt
-    // deterministic seeds: the k vectors with the smallest salted hash
-    // (rerunnable, engine-portable — the d80 sampling contract)
-    val seed0: Array[Seq[Long]] = vecs
-      .select(col("vec_id"), col("q"),
-        stableHash32(concat(col("vec_id").cast("string"), lit(":seed"))).as("_sh"))
-      .orderBy(col("_sh").asc, col("vec_id").asc).limit(k)
-      .collect().map(_.getSeq[Long](1))
+    val seed0: Array[Seq[Long]] = semSeeds(vecs, k)
     /** Assignment: broadcast the k×dim centroid FRAME and take the
       * deterministic argmin as min(struct(d², cid)) per vector (struct
       * ordering breaks d² ties on cid — identical to the oracle's
@@ -857,6 +863,224 @@ object DedupQueries {
        |${asgSql("c1", "asg2")},
        |${centSql("asg2", "c1", "c2")},
        |${asgSql("c2", "asg3")},
+       |drops AS (
+       |  SELECT y.vec_id AS b, MIN(x.vec_id) AS dropped_by
+       |  FROM asg3 x JOIN asg3 y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+       |  WHERE ${d2("x.q", "y.q")} <= $SemTau
+       |  GROUP BY y.vec_id)
+       |SELECT a.vec_id, a.cluster, d.dropped_by
+       |FROM asg3 a LEFT JOIN drops d ON a.vec_id = d.b
+       |ORDER BY a.vec_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- dd15
+  /** APPROXIMATE-assignment semantic dedup — dd8's 100 TB scale path AS
+    * CODE (r18, clearing the registry's one >10× scale shape): identical
+    * corpus, seeds, Lloyd-round count, τ and within-cluster drop rule,
+    * but every assignment pass routes vectors through a TWO-LEVEL
+    * coarse-quantizer probe (the IVF/s12 shape) instead of the exact
+    * n·k argmin:
+    *
+    *   1. coarse set G = the first g = ⌈√k⌉ FINE centroids (current
+    *      values each pass — so G is trained by the same Lloyd updates);
+    *   2. every fine centroid maps to its nearest coarse cell
+    *      (k·g integer argmin, DRIVER-side — centroids are already
+    *      bounded driver state);
+    *   3. every VECTOR routes to its nearest coarse cell (n·g evals,
+    *      one broadcast scored pass) and then argmins over ONLY that
+    *      cell's fine centroids (n·(k/g) expected — a broadcast
+    *      equi-join on the cell id, never n·k).
+    *
+    * Per pass: n·(g + k/g) ≈ 2n√k distance evals vs dd8's n·k — at
+    * k = ⌈n/70⌉ that turns the one quadratic term (n²/70) into
+    * n^1.5/√70, which benches linear-ish at any realizable scale. The
+    * probed cell is never empty: coarse cell j contains fine centroid j
+    * by construction (d² = 0 argmin), and when two coarse centroids tie
+    * as duplicates BOTH the router and the map break ties to the
+    * smaller id, so only the canonical duplicate is ever probed.
+    *
+    * This is a DIFFERENT clustering contract from dd8 (a vector near a
+    * cell boundary can route to a coarse cell whose fine argmin is not
+    * the global argmin) — exactly why it is its own gate with its own
+    * oracle replaying the approximate contract bit-for-bit (the s2/s3
+    * precedent), while dd8 keeps the exact-assignment contract. All
+    * arithmetic stays integer (same SemScale quantization, d² via the
+    * codegen'd identity — see dd8Plan's bound note), so every discrete
+    * choice replays exactly in DuckDB. */
+  private def dd15(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.ensure(s)
+    import graft.functions.GraftFunctions.vecDot
+    def withD(df: DataFrame): DataFrame = df
+      .withColumn("qd", col("q").cast("array<double>"))
+      .withColumn("n2", vecDot(col("qd"), col("qd")))
+    val vecs = semVecs(s, d)
+    val k = ((vecs.count() + SemTgt - 1) / SemTgt).toInt
+    val g = math.ceil(math.sqrt(k.toDouble)).toInt
+    val seed0 = semSeeds(vecs, k)
+    // driver-side integer d² (exact: components ≤ ~2200, sums < 2^38)
+    def qd2(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).foldLeft(0L)((acc, p) => { val d = p._1 - p._2; acc + d * d })
+    def centFrame(rows: Seq[(Long, Seq[Long])], idName: String): DataFrame =
+      s.createDataFrame(s.sparkContext.parallelize(
+        rows.map { case (id, cq) => org.apache.spark.sql.Row(id,
+          cq.map(_.toDouble), cq.map(x => x.toDouble * x.toDouble).sum) }, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(idName,
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField(s"${idName}_qd",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.DoubleType), nullable = false),
+          org.apache.spark.sql.types.StructField(s"${idName}_n2",
+            org.apache.spark.sql.types.DoubleType, nullable = false))))
+    /** One two-level assignment pass (the contract above). The comparator
+      * rides cn2 − 2·q·c like dd8's: within a vector it orders exactly
+      * like d², and every quantity is an integer-valued double far inside
+      * 2^53, so min(struct(...)) replays the oracle's (d², id) argmin. */
+    def assign2(cents: Array[Seq[Long]]): DataFrame = {
+      // fine → coarse map, driver-side integer argmin (k·g evals)
+      val cmap: Array[Long] = cents.indices.map { cid =>
+        (0 until g).map(j => (qd2(cents(cid), cents(j)), j.toLong)).min._2
+      }.toArray
+      val gf = centFrame((0 until g).map(j => (j.toLong, cents(j))), "gid")
+      val cf = s.createDataFrame(s.sparkContext.parallelize(
+        cents.indices.map(cid => org.apache.spark.sql.Row(cid.toLong,
+          cents(cid).map(_.toDouble),
+          cents(cid).map(x => x.toDouble * x.toDouble).sum, cmap(cid))), 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("cid",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("cid_qd",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.DoubleType), nullable = false),
+          org.apache.spark.sql.types.StructField("cid_n2",
+            org.apache.spark.sql.types.DoubleType, nullable = false),
+          org.apache.spark.sql.types.StructField("gid",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+      val vd = withD(vecs)
+      val route = vd.crossJoin(broadcast(gf))
+        .select(col("vec_id"),
+          struct((col("gid_n2") - lit(2.0) * vecDot(col("qd"), col("gid_qd")))
+            .as("d2e"), col("gid")).as("sc"))
+        .groupBy(col("vec_id")).agg(min(col("sc")).as("m"))
+        .select(col("vec_id"), col("m.gid").as("gid"))
+      val best = vd.join(route, "vec_id")
+        .join(broadcast(cf), "gid")
+        .select(col("vec_id"),
+          struct((col("cid_n2") - lit(2.0) * vecDot(col("qd"), col("cid_qd")))
+            .as("d2e"), col("cid")).as("sc"))
+        .groupBy(col("vec_id")).agg(min(col("sc")).as("m"))
+        .select(col("vec_id"), col("m.cid").as("cluster"))
+      vecs.join(best, "vec_id")
+    }
+    /** One Lloyd update from the APPROXIMATE assignment: integer centroid
+      * means, an emptied cluster keeps its previous centroid (mirrored in
+      * the oracle's LEFT JOIN) — dd8's update shape verbatim. */
+    def update(cents: Array[Seq[Long]]): Array[Seq[Long]] = {
+      val rows = assign2(cents)
+        .select(col("cluster"), posexplode(col("q")).as(Seq("i", "v")))
+        .groupBy(col("cluster"), col("i"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .select(col("cluster"), col("i"), expr("(s - (s % n)) div n").as("m"))
+        .collect()
+      val byCid = rows.groupBy(_.getLong(0))
+      (0 until k).map(cid => byCid.get(cid.toLong)
+        .map(_.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq)
+        .getOrElse(cents(cid))).toArray
+    }
+    val cFinal = update(update(seed0))
+    // materialize the final assignment once (the dd8 pattern): the pair
+    // join reads it twice and the survivors' projection a third time
+    val asgMat = mat(s, d, "dd15asg")(
+      assign2(cFinal).select(col("vec_id"), col("cluster"), col("q")))
+    val asg = withD(asgMat)
+      .select(col("vec_id"), col("cluster"), col("qd"), col("n2"))
+    val pa = asg.select(col("cluster"), col("vec_id").as("a"),
+      col("qd").as("qa"), col("n2").as("na2"))
+    val pb = asg.select(col("cluster"), col("vec_id").as("b"),
+      col("qd").as("qb"), col("n2").as("nb2"))
+    val drops = pa.join(pb, "cluster")
+      .filter(col("a") < col("b") &&
+        col("na2") + col("nb2") - lit(2.0) * vecDot(col("qa"), col("qb"))
+          <= lit(SemTau.toDouble))
+      .groupBy(col("b")).agg(min(col("a")).as("dropped_by"))
+    val res = asg.select(col("vec_id"), col("cluster"))
+      .join(drops, col("vec_id") === col("b"), "left")
+      .select(col("vec_id"), col("cluster"), col("dropped_by"))
+      .orderBy(col("vec_id"))
+    graft.Eager.pin(res)
+  }
+
+  private val dd15Sql: String = {
+    val dim = 64
+    def d2(a: String, b: String) =
+      s"list_sum(list_transform(list_zip($a, $b), z -> (z[1] - z[2]) * (z[1] - z[2])))"
+    /** One TWO-LEVEL assignment pass: coarse set = first g fine
+      * centroids; fine→coarse map (k·g); vector routing (n·g); fine
+      * argmin within the routed cell (n·k/g). Every frame MATERIALIZED —
+      * the dd8 lesson: an inlining planner re-computes scored passes per
+      * reference. */
+    def asg2Sql(cents: String, out: String) =
+      s"""${out}_gs AS MATERIALIZED (
+         |  SELECT cid AS gid, cq AS gq FROM $cents
+         |  WHERE cid < (SELECT g FROM gg)),
+         |${out}_cm AS MATERIALIZED (
+         |  SELECT cid, gid FROM (
+         |    SELECT c.cid, gsel.gid,
+         |      ROW_NUMBER() OVER (PARTITION BY c.cid
+         |        ORDER BY ${d2("c.cq", "gsel.gq")}, gsel.gid) AS rn
+         |    FROM $cents c CROSS JOIN ${out}_gs gsel) WHERE rn = 1),
+         |${out}_rt AS MATERIALIZED (
+         |  SELECT vec_id, gid FROM (
+         |    SELECT v.vec_id, gsel.gid,
+         |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+         |        ORDER BY ${d2("v.q", "gsel.gq")}, gsel.gid) AS rn
+         |    FROM vecs v CROSS JOIN ${out}_gs gsel) WHERE rn = 1),
+         |$out AS MATERIALIZED (
+         |  SELECT vec_id, q, cid AS cluster FROM (
+         |    SELECT v.vec_id, v.q, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+         |        ORDER BY ${d2("v.q", "c.cq")}, c.cid) AS rn
+         |    FROM vecs v
+         |    JOIN ${out}_rt r USING (vec_id)
+         |    JOIN ${out}_cm m ON m.gid = r.gid
+         |    JOIN $cents c ON c.cid = m.cid) WHERE rn = 1)"""
+    /** Lloyd update — dd8Sql's centSql verbatim. */
+    def centSql(asg: String, prev: String, out: String) =
+      s"""${out}_m AS (
+         |  SELECT cluster, i, CAST((s - (s % n)) // n AS BIGINT) AS m FROM (
+         |    SELECT cluster, i, SUM(v) AS s, COUNT(*) AS n FROM (
+         |      SELECT cluster, i, q[CAST(i + 1 AS INTEGER)] AS v
+         |      FROM $asg, unnest(range(0, $dim)) AS t(i))
+         |    GROUP BY cluster, i)),
+         |${out}_l AS (
+         |  SELECT cluster AS cid, list(m ORDER BY i) AS cq FROM ${out}_m GROUP BY cluster),
+         |$out AS MATERIALIZED (
+         |  SELECT p.cid, COALESCE(l.cq, p.cq) AS cq
+         |  FROM $prev p LEFT JOIN ${out}_l l USING (cid))"""
+    s"""WITH base AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * $SemScale) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |vecs AS MATERIALIZED (
+       |  SELECT vec_id, q FROM base
+       |  UNION ALL
+       |  SELECT vec_id + 1000000,
+       |    list_transform(range(0, $dim), i -> q[CAST(i + 1 AS INTEGER)]
+       |      + CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) % 3 - 1)
+       |  FROM base WHERE vec_id % 9 = 0),
+       |kk AS (SELECT CAST((COUNT(*) + ${SemTgt - 1}) // $SemTgt AS BIGINT) AS k FROM vecs),
+       |gg AS (SELECT CAST(ceil(sqrt(CAST(k AS DOUBLE))) AS BIGINT) AS g FROM kk),
+       |c0 AS MATERIALIZED (
+       |  SELECT rn - 1 AS cid, q AS cq FROM (
+       |    SELECT vec_id, q, ROW_NUMBER() OVER (ORDER BY
+       |      CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':seed'), 1, 8)) AS BIGINT),
+       |      vec_id) AS rn
+       |    FROM vecs) WHERE rn <= (SELECT k FROM kk)),
+       |${asg2Sql("c0", "asg1")},
+       |${centSql("asg1", "c0", "c1")},
+       |${asg2Sql("c1", "asg2")},
+       |${centSql("asg2", "c1", "c2")},
+       |${asg2Sql("c2", "asg3")},
        |drops AS (
        |  SELECT y.vec_id AS b, MIN(x.vec_id) AS dropped_by
        |  FROM asg3 x JOIN asg3 y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
@@ -1491,6 +1715,7 @@ object DedupQueries {
     "dd9_source_overlap" -> dd9 _,
     "dd7_incremental" -> dd7 _,
     "dd8_semdedup" -> dd8 _,
+    "dd15_semdedup_approx" -> dd15 _,
     "dd1_exact_dedup" -> dd1 _,
     "dd2_minhash_lsh" -> dd2 _,
     "dd3_simhash" -> dd3 _,
@@ -1507,6 +1732,7 @@ object DedupQueries {
     "dd9_source_overlap" -> dd9Sql,
     "dd7_incremental" -> dd7Sql,
     "dd8_semdedup" -> dd8Sql,
+    "dd15_semdedup_approx" -> dd15Sql,
     "dd1_exact_dedup" -> dd1Sql,
     "dd2_minhash_lsh" -> dd2Sql,
     "dd3_simhash" -> dd3Sql,

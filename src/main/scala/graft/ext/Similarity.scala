@@ -136,8 +136,11 @@ object Similarity {
     * dedup — the wide arrays never ride the quadratic part of the shuffle,
     * and the signature is never recomputed per band branch (round 3 did
     * both, ~8 signature recomputations of the whole corpus). */
-  private[graft] def s2Plan(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val all = vecs(s, d).withColumn("sig", lshSig(col("v"))).persist()
+  /** s2's probe over a signature table (vec_id, v, nrm, sig): band
+    * derivation (4 narrow projections of `sig`), bucket equi-join,
+    * candidate dedup, exact rescoring — shared by s2 (persisted rebuild)
+    * and s16 (standing parquet signature index). */
+  private def lshProbe(all: DataFrame): DataFrame = {
     val bands = (0 until 4).map { bnd =>
       all.select(col("vec_id"), lit(bnd).as("band"),
         (shiftright(col("sig"), bnd * 4) % 16).as("bv"))
@@ -150,7 +153,7 @@ object Similarity {
       .distinct()
     val qv = all.select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
     val nv = all.select(col("vec_id").as("n_id"), col("v"), col("nrm"))
-    val res = cand.join(qv, "q_id").join(nv, "n_id")
+    cand.join(qv, "q_id").join(nv, "n_id")
       .select(col("q_id"), col("n_id"),
         (vecDot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("cos"))
       .withColumn("rank", row_number().over(
@@ -158,7 +161,11 @@ object Similarity {
       .filter(col("rank") <= 3)
       .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"), col("cos"))
       .orderBy(col("q_id"), col("rank"))
-    (res, all)
+  }
+
+  private[graft] def s2Plan(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val all = vecs(s, d).withColumn("sig", lshSig(col("v"))).persist()
+    (lshProbe(all), all)
   }
 
   private def s2(s: SparkSession, d: String): DataFrame = {
@@ -281,6 +288,35 @@ object Similarity {
 
   private def s15(s: SparkSession, d: String): DataFrame =
     ivfProbe(standingIvf(s, d))
+
+  // ---------------------------------------------------------- s16/s17/s18
+  /** STANDING variants of the other quantized families (r18, extending
+    * the s15 precedent): s2's LSH signatures, s9's PQ codebook + codes,
+    * and s11's packed sign codes are each written ONCE as parquet and
+    * every probe reads the standing table — the serving shape a real
+    * deployment runs (signatures/codes are maintained at ingest, never
+    * recomputed per query). Oracles are s2/s9/s11's VERBATIM: the index
+    * path must reproduce the rebuild-every-run answer bit-for-bit. Bench
+    * repeats measure probe-only cost — the honest trend line for what a
+    * query costs once the index exists. Memos fold in the corpus file
+    * fingerprint ([[StandingIndex]]). */
+  private def s16(s: SparkSession, d: String): DataFrame =
+    lshProbe(StandingIndex(s, d, "embeddings", "s16-lsh")(
+      vecs(s, d).withColumn("sig", lshSig(col("v")))))
+
+  private def s17(s: SparkSession, d: String): DataFrame = {
+    val book = StandingIndex(s, d, "embeddings", "s17-pq-book")(
+      pqBook(pqSlices(pqBase(s, d))))
+    val codes = StandingIndex(s, d, "embeddings", "s17-pq-codes")(
+      pqAssign(pqSlices(pqBase(s, d)), book)
+        .select(col("vec_id"), col("s"), col("cid")))
+    pqProbe(s, d, codes, book)
+  }
+
+  private def s18(s: SparkSession, d: String): DataFrame = {
+    val all = vecs(s, d).select(col("vec_id"), col("v"))
+    bbqProbe(StandingIndex(s, d, "embeddings", "s18-bbq")(bbqCodes(all)), all)
+  }
 
   /** Ad-hoc query-vector probe against the STANDING IVF index — the
     * serving entry ES|QL's `WHERE KNN(field, [qv…], k)` lowers to (r18).
@@ -654,59 +690,65 @@ object Similarity {
     * the corpus, no driver state at all. Output: top-10 by ADC distance
     * with the EXACT integer d² alongside (the s4-style quality check —
     * ADC is an estimate; the exact column shows how tight). */
-  private def s9(s: SparkSession, d: String): DataFrame = {
-    val scale = 4096L
-    val nSub = 8
-    val subDim = 8
-    val k = 16
-    def qd(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, z) => acc + z)
-    val base = Tables(s, d, "embeddings")
+  private def pqD2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, z) => acc + z)
+
+  /** (vec_id, q) quantized corpus for the PQ family (s9/s17). */
+  private def pqBase(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "embeddings")
       .select(col("vec_id"),
-        transform(col("embedding"), x => round(x.cast("double") * scale).cast("long")).as("q"))
-    val slices = (0 until nSub).map { su =>
+        transform(col("embedding"), x => round(x.cast("double") * 4096L).cast("long")).as("q"))
+
+  /** (vec_id, s, qs) per-subspace slices: 8 subspaces × 8 dims. */
+  private def pqSlices(base: DataFrame): DataFrame =
+    (0 until 8).map { su =>
       base.select(col("vec_id"), lit(su.toLong).as("s"),
-        slice(col("q"), su * subDim + 1, subDim).as("qs"))
+        slice(col("q"), su * 8 + 1, 8).as("qs"))
     }.reduce(_ unionAll _)
-    // per-subspace seeds: the 16 smallest-salted-hash vectors (the d80
-    // deterministic-draw contract), one bounded window per subspace
+
+  /** PQ codebook (s, cid, cq): per-subspace seeds (16 smallest-salted-
+    * hash vectors — the d80 deterministic-draw contract) + one exact
+    * integer Lloyd round; emptied clusters keep their seed (dd8 rule). */
+  private def pqBook(slices: DataFrame): DataFrame = {
     val wSeed = Window.partitionBy(col("s"))
       .orderBy(col("_h").asc, col("vec_id").asc)
     val c0 = slices
       .withColumn("_h", TextFunctions.stableHash32(concat(
         col("vec_id").cast("string"), lit(":"), col("s").cast("string"), lit(":seed"))))
       .withColumn("_rn", row_number().over(wSeed))
-      .filter(col("_rn") <= k)
+      .filter(col("_rn") <= 16)
       .select(col("s"), (col("_rn") - 1L).as("cid"), col("qs").as("cq"))
-    // assignment: broadcast the ≤128-row codebook, min_by per (vec, s) —
-    // map-side combinable, no corpus window
-    def assign(cents: DataFrame): DataFrame =
-      slices.join(broadcast(cents), Seq("s"))
-        .groupBy(col("vec_id"), col("s"))
-        .agg(min_by(struct(col("cid"), col("qs")),
-          struct(qd(col("qs"), col("cq")).as("d2"), col("cid"))).as("r"))
-        .select(col("vec_id"), col("s"), col("r.cid").as("cid"), col("r.qs").as("qs"))
-    // one Lloyd update: exact integer means per (s, cid, dim); emptied
-    // clusters keep their seed centroid (the dd8 LEFT JOIN rule)
-    def update(asg: DataFrame, prev: DataFrame): DataFrame = {
-      val upd = asg.select(col("s"), col("cid"), posexplode(col("qs")).as(Seq("i", "v")))
-        .groupBy(col("s"), col("cid"), col("i"))
-        .agg(sum(col("v")).as("sm"), count(lit(1)).as("n"))
-        .select(col("s"), col("cid"), col("i"), expr("(sm - (sm % n)) div n").as("m"))
-        .groupBy(col("s"), col("cid"))
-        .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
-          x => x.getField("m")).as("cq2"))
-      prev.join(upd, Seq("s", "cid"), "left_outer")
-        .select(col("s"), col("cid"), coalesce(col("cq2"), col("cq")).as("cq"))
-    }
-    val cFinal = update(assign(c0), c0)
-    val codes = assign(cFinal).select(col("vec_id"), col("s"), col("cid"))
-    // the query's per-subspace LUT: 8 query slices × 16 centroids = 128
-    // rows, broadcast; ADC = Σ over subspaces of lut(s, code)
-    val qSlices = slices.filter(col("vec_id") === 42)
+    val upd = pqAssign(slices, c0)
+      .select(col("s"), col("cid"), posexplode(col("qs")).as(Seq("i", "v")))
+      .groupBy(col("s"), col("cid"), col("i"))
+      .agg(sum(col("v")).as("sm"), count(lit(1)).as("n"))
+      .select(col("s"), col("cid"), col("i"), expr("(sm - (sm % n)) div n").as("m"))
+      .groupBy(col("s"), col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
+        x => x.getField("m")).as("cq2"))
+    c0.join(upd, Seq("s", "cid"), "left_outer")
+      .select(col("s"), col("cid"), coalesce(col("cq2"), col("cq")).as("cq"))
+  }
+
+  /** Assignment: broadcast the ≤128-row codebook, min_by per (vec, s) —
+    * map-side combinable, no corpus window. */
+  private def pqAssign(slices: DataFrame, cents: DataFrame): DataFrame =
+    slices.join(broadcast(cents), Seq("s"))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min_by(struct(col("cid"), col("qs")),
+        struct(pqD2(col("qs"), col("cq")).as("d2"), col("cid"))).as("r"))
+      .select(col("vec_id"), col("s"), col("r.cid").as("cid"), col("r.qs").as("qs"))
+
+  /** ADC probe for query vector 42 over (codes, book): 8×16 LUT
+    * broadcast, Σ lookup per vector, exact d² on the top-10 — shared by
+    * s9 (rebuild) and s17 (standing parquet codes + book). */
+  private def pqProbe(s: SparkSession, d: String,
+                      codes: DataFrame, book: DataFrame): DataFrame = {
+    val base = pqBase(s, d)
+    val qSlices = pqSlices(base).filter(col("vec_id") === 42)
       .select(col("s"), col("qs").as("query_qs"))
-    val lut = cFinal.join(broadcast(qSlices), Seq("s"))
-      .select(col("s"), col("cid"), qd(col("cq"), col("query_qs")).as("dq"))
+    val lut = book.join(broadcast(qSlices), Seq("s"))
+      .select(col("s"), col("cid"), pqD2(col("cq"), col("query_qs")).as("dq"))
     val adc = codes.join(broadcast(lut), Seq("s", "cid"))
       .groupBy(col("vec_id")).agg(sum(col("dq")).as("adc_d2"))
       .filter(col("vec_id") =!= 42)
@@ -714,8 +756,15 @@ object Similarity {
     // exact integer d² alongside (the s4-style recall/quality check)
     val qv = base.filter(col("vec_id") === 42).select(col("q").as("query_q"))
     adc.join(base, "vec_id").crossJoin(broadcast(qv))
-      .select(col("vec_id"), col("adc_d2"), qd(col("q"), col("query_q")).as("exact_d2"))
+      .select(col("vec_id"), col("adc_d2"), pqD2(col("q"), col("query_q")).as("exact_d2"))
       .orderBy(col("adc_d2").asc, col("vec_id").asc)
+  }
+
+  private def s9(s: SparkSession, d: String): DataFrame = {
+    val slices = pqSlices(pqBase(s, d))
+    val book = pqBook(slices)
+    val codes = pqAssign(slices, book).select(col("vec_id"), col("s"), col("cid"))
+    pqProbe(s, d, codes, book)
   }
 
   private val s9Sql: String = {
@@ -885,9 +934,10 @@ object Similarity {
     * rank is WindowGroupLimit-bounded; the rerank join is |q|·20 rows
     * against the corpus by id. At 100 TB the code table is the only
     * full-scan operand. */
-  private def s11(s: SparkSession, d: String): DataFrame = {
-    val all = vecs(s, d).select(col("vec_id"), col("v"))
-    val codes = bbqCodes(all)
+  /** s11's probe over a packed-sign code table (vec_id, lo, hi) and the
+    * raw vector table (rerank joins by id) — shared by s11 (rebuild) and
+    * s18 (standing parquet code index). */
+  private def bbqProbe(codes: DataFrame, all: DataFrame): DataFrame = {
     val q = codes.filter(inPanel(col("vec_id")))
       .select(col("vec_id").as("q_id"), col("lo").as("qlo"), col("hi").as("qhi"))
     val ham = codes.join(broadcast(q), col("vec_id") =!= col("q_id"))
@@ -908,6 +958,11 @@ object Similarity {
       .filter(col("rank") <= 3)
       .select(col("q_id"), col("rank").cast("long").as("rank"), col("n_id"), col("dot"))
       .orderBy(col("q_id"), col("rank"))
+  }
+
+  private def s11(s: SparkSession, d: String): DataFrame = {
+    val all = vecs(s, d).select(col("vec_id"), col("v"))
+    bbqProbe(bbqCodes(all), all)
   }
 
   private val s11Sql = {
@@ -1247,6 +1302,9 @@ object Similarity {
   }
 
   val queries: Map[String, Q] = Map(
+    "s16_lsh_standing" -> s16 _,
+    "s17_pq_standing" -> s17 _,
+    "s18_bbq_standing" -> s18 _,
     "s15_ivf_standing" -> s15 _,
     "s14_hnsw_beam" -> s14 _,
     "s13_bbq_recall" -> s13 _,
@@ -1265,6 +1323,9 @@ object Similarity {
 
   val oracle: Map[String, String] = Map(
     "s15_ivf_standing" -> s3Sql, // the standing index must reproduce s3 exactly
+    "s16_lsh_standing" -> s2Sql, // … and s16/s17/s18 their rebuild paths
+    "s17_pq_standing" -> s9Sql,
+    "s18_bbq_standing" -> s11Sql,
     "s14_hnsw_beam" -> s14Sql,
     "s13_bbq_recall" -> s13Sql,
     "s12_ivf_bbq" -> s12Sql,

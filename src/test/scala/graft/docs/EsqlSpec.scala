@@ -855,7 +855,9 @@ class EsqlSpec extends SparkSpec {
       .contains("not a calendar unit"))
     assert(msg("""FROM d | EVAL x = ts + TO_DATEPERIOD("soon")""")
       .contains("cannot parse"))
-    assert(msg("""FROM d | WHERE KNN(v, 3)""").contains("KNN is not supported"))
+    // r18: KNN is served from the standing IVF index when annDir names
+    // one (d292); a run WITHOUT an index rejects with the pointer
+    assert(msg("""FROM d | WHERE KNN(v, 3)""").contains("standing ANN index"))
     assert(msg("""FROM d | EVAL x = ROUND_TO(v, id)""")
       .contains("ROUND_TO points must be numeric literals"))
   }

@@ -420,6 +420,42 @@ class ExtSpec extends SparkSpec {
     assert(mv === 6.0)
   }
 
+  test("s16/s17/s18 standing LSH/PQ/BBQ indexes reproduce their rebuild " +
+    "answers exactly and are write-once per corpus") {
+    val pairs = Seq(
+      "s16_lsh_standing" -> "s2_lsh_ann",
+      "s17_pq_standing" -> "s9_pq_ann",
+      "s18_bbq_standing" -> "s11_bbq_ann")
+    for ((st, rb) <- pairs)
+      assert(Similarity.queries(st)(spark, sf).collect().toSeq ===
+        Similarity.queries(rb)(spark, sf).collect().toSeq, s"$st vs $rb")
+    // second pass: every standing table serves from its memoized parquet
+    // (no new builds — the probe-only serving cost the bench repeats see)
+    val before = StandingIndex.builds.get()
+    pairs.foreach(p => Similarity.queries(p._1)(spark, sf).collect())
+    assert(StandingIndex.builds.get() === before,
+      "standing indexes must not rebuild on repeat probes")
+  }
+
+  test("dd15 approximate semdedup (two-level probe) catches the planted " +
+    "near-dups like exact dd8 — the 100 TB assignment contract as code") {
+    val r15 = DedupQueries.queries("dd15_semdedup_approx")(spark, sf).collect()
+    val r8 = DedupQueries.queries("dd8_semdedup")(spark, sf).collect()
+    assert(r15.length === r8.length) // same corpus incl. planted rows
+    def caught(rows: Array[org.apache.spark.sql.Row]): Int =
+      rows.count(r => r.getLong(0) >= 1000000L && !r.isNullAt(2) &&
+        r.getLong(2) === r.getLong(0) - 1000000L)
+    val planted = r15.count(_.getLong(0) >= 1000000L)
+    assert(planted > 0)
+    // the exact path catches every planted pair (d² ≤ dim < τ)
+    assert(caught(r8) === planted)
+    // the approximate path: near-identical vectors co-route except at
+    // coarse-cell boundaries — require ≥ 90% (empirically 100% on the
+    // fixtures; the oracle gate pins the exact output either way)
+    assert(caught(r15) >= (planted * 9) / 10,
+      s"dd15 caught ${caught(r15)} of $planted planted dups")
+  }
+
   test("dd14 bloom gate: no false negatives, real pruning, exact final result") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -132,6 +132,44 @@ object Bm25 {
       .drop(s"_bmp_${tag}_ts", s"_bmp_${tag}_dl", s"_bmp_${tag}_tf")
   }
 
+  /** Append `out` = the fixed-point BM25 of `terms` against the MERGED
+    * pseudo-field of `toksFields` (r18, closing the combined_fields
+    * scoring deviation — Lucene CombinedFieldQuery's BM25F
+    * simplification with unit weights, the SIGIR'20 shape ES ships):
+    * per term, tf = Σ over fields of the field tf; dl = Σ of the field
+    * lengths; df comes from `st` (caller-blended as the max across
+    * fields — Lucene's merged-statistics rule) and avgdl100 from `st`
+    * (caller-combined as the Σ of per-field avgdl100 — the integer
+    * contract both engines replay identically). Pure per-row
+    * expressions, no shuffle. */
+  def withCombinedScore(df: DataFrame, toksFields: Seq[Column],
+                        terms: Seq[String], st: Stats, out: String,
+                        tag: String = "c"): DataFrame = {
+    val ts = terms.distinct
+    if (ts.isEmpty || st.nDocs == 0L || st.avgdl100 == 0L || toksFields.isEmpty)
+      return df.withColumn(out, lit(0L))
+    var d = df
+    toksFields.zipWithIndex.foreach { case (t, f) =>
+      d = d.withColumn(s"_bmc_${tag}_ts$f", t) }
+    val fCols = toksFields.indices.map(f => col(s"_bmc_${tag}_ts$f"))
+    d = d.withColumn(s"_bmc_${tag}_dl",
+      fCols.map(c => size(c).cast("long")).reduce(_ + _))
+    val parts = ts.zipWithIndex.map { case (t, i) =>
+      d = d.withColumn(s"_bmc_${tag}_tf$i",
+        fCols.map(c => size(filter(c, x => x === lit(t))).cast("long"))
+          .reduce(_ + _))
+      val idf = st.nDocs - st.df.getOrElse(t, 0L)
+      s"""(CASE WHEN _bmc_${tag}_tf$i > 0 THEN
+         |  (${idf}L * _bmc_${tag}_tf$i * 22000L * ${st.avgdl100}L)
+         |  DIV (10000L * ${st.avgdl100}L * _bmc_${tag}_tf$i
+         |       + 3000L * ${st.avgdl100}L + 900000L * _bmc_${tag}_dl)
+         |ELSE 0L END)""".stripMargin.replace('\n', ' ')
+    }
+    d.withColumn(out, expr(parts.mkString(" + ")))
+      .drop((toksFields.indices.map(f => s"_bmc_${tag}_ts$f") :+
+        s"_bmc_${tag}_dl") ++ ts.indices.map(i => s"_bmc_${tag}_tf$i"): _*)
+  }
+
   // ------------------------------------------------ standing stats index
   /** dir of the standing stats table per (session, key) — write-once. */
   private val standingMemo = scala.collection.concurrent.TrieMap

@@ -10065,9 +10065,8 @@ object DocQueries {
     * since max + 1·(sum − max) IS the sum — and `phrase` runs
     * `match_phrase` per field, DisMax-composed (both are how ES compiles
     * them). All SIX types are served as of r16: `cross_fields` via the
-    * combined_fields desugar (hit-equivalent per the ES docs; blended
-    * per-term idf is the documented scoring deviation, pinned by
-    * Bm25Spec), `bool_prefix` as per-field match_bool_prefix legs and
+    * combined_fields desugar for hits (r18: scored term-centric BLENDED
+    * under bm25 — d291), `bool_prefix` as per-field match_bool_prefix legs and
     * `phrase_prefix` as per-field match_phrase_prefix legs — each pinned
     * by DocEngineSpec's multi_match-types tests. This gate exercises
     * most_fields + phrase in ONE bool body under bm25: per field, ALL
@@ -10386,6 +10385,59 @@ object DocQueries {
        |SELECT t.vec_id, e.label, t._score
        |FROM topk t JOIN embeddings e USING (vec_id)
        |ORDER BY t._score DESC, t.vec_id ASC""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- d293
+  /** `combined_fields` under `similarity=bm25` with TRUE merged
+    * pseudo-field scoring (r18 — Lucene CombinedFieldQuery's BM25F
+    * simplification with unit weights, closing the last relevance
+    * deviation): per term, tf = Σ of the field tfs, dl = Σ of the field
+    * lengths, df = max across fields (merged statistics), avgdl100 =
+    * Σ of the per-field avgdl100 (the pinned integer contract — both
+    * engines derive it from the same per-field stats). One fixed-point
+    * score over the merged field, vs cross_fields' best-of-legs with
+    * blended df (d291) — the two ES queries' documented difference,
+    * now BOTH modeled. */
+  private def d293(s: SparkSession, d: String): DataFrame = {
+    val flat = s.read.parquet(s"$d/documents.parquet")
+    val docs = flat.select(struct(
+      col("doc_id").cast("string").as("objectId"),
+      col("text"), col("lang"), col("n_chars")).as("doc"))
+    val body =
+      """{"query": {"combined_fields": {"query": "en merge",
+        |   "fields": ["text", "lang"], "operator": "and"}},
+        | "_source": ["objectId"], "size": 30}""".stripMargin
+    SearchExec.search(docs, "doc", body,
+      docs.schema("doc").dataType.asInstanceOf[org.apache.spark.sql.types.StructType],
+      similarity = "bm25", statsKey = Some(s"dsl:$d"))
+  }
+
+  private val d293Sql = {
+    val terms = Seq("en", "merge")
+    def dfs(f: String, dfp: String) = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(SUM(CASE WHEN list_contains($f, '$t') THEN 1 ELSE 0 END) AS BIGINT) AS $dfp$i"
+    }.mkString(", ")
+    // merged pseudo-field: tf summed across fields, dl summed, df = max
+    // across fields, avgdl100 = a100 + al100
+    def tfc(t: String) =
+      s"(len(list_filter(ts, x -> x = '$t')) + len(list_filter(ls, x -> x = '$t')))"
+    def term(i: Int) = graft.docs.Bm25.oracleTermSql(
+      tfc(terms(i)), "dl", "n", s"GREATEST(dft$i, dfl$i)", "(a100 + al100)")
+    s"""WITH an AS (SELECT CAST(doc_id AS VARCHAR) AS oid,
+       |    regexp_split_to_array(lower(text), '\\s+') AS ts,
+       |    regexp_split_to_array(lower(lang), '\\s+') AS ls FROM documents),
+       |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST((100 * COALESCE(SUM(len(ts)), 0)) // COUNT(*) AS BIGINT) AS a100,
+       |    CAST((100 * COALESCE(SUM(len(ls)), 0)) // COUNT(*) AS BIGINT) AS al100,
+       |    ${dfs("ts", "dft")}, ${dfs("ls", "dfl")} FROM an),
+       |sc AS (SELECT oid, CAST(${term(0)} + ${term(1)} AS BIGINT) AS score
+       |  FROM (SELECT oid, ts, ls, len(ts) + len(ls) AS dl FROM an
+       |        WHERE (list_contains(ts, 'en') OR list_contains(ls, 'en'))
+       |          AND (list_contains(ts, 'merge') OR list_contains(ls, 'merge')))
+       |  CROSS JOIN st)
+       |SELECT rn, score, oid AS "objectId" FROM (
+       |  SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, oid ASC) AS rn FROM sc)
+       |WHERE rn <= 30 ORDER BY rn""".stripMargin
   }
 
   // ---------------------------------------------------------------- d279
@@ -11584,6 +11636,7 @@ object DocQueries {
     "d290_esql_pseries" -> d290 _,
     "d291_es_cross_fields_blended" -> d291 _,
     "d292_esql_knn" -> d292 _,
+    "d293_es_combined_fields_bm25" -> d293 _,
     "d261_eql_all_matches_guards" -> d261 _,
     "d262_esql_inlinestats_distinct" -> d262 _,
     "d206_es_parent_agg" -> d206 _,
@@ -11878,6 +11931,7 @@ object DocQueries {
     "d290_esql_pseries" -> d290Sql,
     "d291_es_cross_fields_blended" -> d291Sql,
     "d292_esql_knn" -> d292Sql,
+    "d293_es_combined_fields_bm25" -> d293Sql,
     "d261_eql_all_matches_guards" -> d261Sql,
     "d262_esql_inlinestats_distinct" -> d262Sql,
     "d206_es_parent_agg" -> d206Sql,

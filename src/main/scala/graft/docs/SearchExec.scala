@@ -424,6 +424,7 @@ object SearchExec {
   private def bm25Scoreable(q: SearchQuery): Boolean = q match {
     case SearchQuery.DisMax(legs, _) => legs.exists(bm25Scoreable)
     case SearchQuery.CrossFields(_, _, _, _) => true
+    case SearchQuery.CombinedFields(_, _, _) => true
     case _ => asMatch(q).nonEmpty || asPhrase(q).nonEmpty
   }
 
@@ -497,10 +498,11 @@ object SearchExec {
     // (corpus, field) since df tables are analyzer- and field-specific
     def matchLegs(q: SearchQuery): Seq[(Seq[String], Seq[String])] = q match {
       case SQ.DisMax(legs, _) => legs.flatMap(matchLegs)
-      // cross_fields needs every (field, full term list) pair — blended
-      // df is the max across the fields, so each field's df for EVERY
-      // term must be in that field's pooled stats fetch
+      // cross_fields/combined_fields need every (field, full term list)
+      // pair — merged/blended df is the max across the fields, so each
+      // field's df for EVERY term must be in that field's pooled fetch
       case SQ.CrossFields(paths, terms, _, _) => paths.map(p => (p, terms))
+      case SQ.CombinedFields(paths, terms, _) => paths.map(p => (p, terms))
       case _ => asMatch(q).toSeq ++ asPhrase(q).map(p => (p._1, p._2))
     }
     val statsByPath = clauses.flatMap(matchLegs).groupBy(_._1)
@@ -560,6 +562,24 @@ object SearchExec {
           else // legs are non-negative, so double→long cast IS floor
             mx + (lit(tb) * (scores.reduce(_ + _) - mx).cast("double"))
               .cast("long")
+        case SQ.CombinedFields(paths, terms, _) =>
+          // merged pseudo-field BM25F-lite (Lucene CombinedFieldQuery,
+          // unit weights — r18): per term tf = Σ field tfs, dl = Σ field
+          // lengths, df = max across fields, avgdl100 = Σ per-field
+          // avgdl100 — ONE fixed-point score over the merged field
+          // ([[Bm25.withCombinedScore]]); contrast the cross_fields
+          // branch below, which scores per-field LEGS with blended df
+          // and takes the best.
+          val dfb: Map[String, Long] = terms.map(t =>
+            t -> paths.map(p => statsByPath(p).df.getOrElse(t, 0L)).max).toMap
+          val n = statsByPath(paths.head).nDocs
+          val a100c = paths.map(p => statsByPath(p).avgdl100).sum
+          val name = s"_bm25_${tag}_c$nextId"
+          nextId += 1
+          cur = Bm25.withCombinedScore(cur, paths.map(toks), terms,
+            Bm25.Stats(n, a100c, dfb), name, s"$tag$nextId")
+          bmCols += name
+          col(name)
         case SQ.CrossFields(paths, terms, tb, _) =>
           // term-centric blended statistics (Lucene BlendedTermQuery —
           // the ES cross_fields scorer, r18): per TERM, df is blended as

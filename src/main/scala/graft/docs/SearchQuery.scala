@@ -211,6 +211,19 @@ object SearchQuery {
   final case class CrossFields(paths: Seq[Seq[String]], terms: Seq[String],
                                tieBreaker: Double,
                                inner: SearchQuery) extends SearchQuery
+  /** `combined_fields` marker (r18, closing its bm25 scoring deviation):
+    * HIT semantics are exactly `inner` (the term-centric desugar —
+    * identical to cross_fields' hits) and `compile` delegates. Under
+    * bm25 the scorer applies Lucene CombinedFieldQuery's merged
+    * pseudo-field BM25F (unit weights — per-field ^boosts stay
+    * rejected): per term tf = Σ field tfs, dl = Σ field lengths,
+    * df = max across fields, avgdl = Σ per-field avgdls. Contrast with
+    * [[CrossFields]]: cross_fields scores each field leg separately
+    * with blended df and takes the best; combined_fields scores ONE
+    * merged field — the two ES queries' documented difference. */
+  final case class CombinedFields(paths: Seq[Seq[String]],
+                                  terms: Seq[String],
+                                  inner: SearchQuery) extends SearchQuery
 
   private def field(root: Column, path: Seq[String]): Column =
     path.foldLeft(root)((c, f) => c.getField(f))
@@ -1044,6 +1057,11 @@ object SearchQuery {
       case Or(qs @ _*) => qs.flatMap(walk)
       case DisMax(legs, _) => legs.flatMap(walk)
       case AtLeast(_, qs) => qs.flatMap(walk)
+      // scoring markers delegate (r18): their TermMatch leaves live in
+      // the wrapped desugar — without these cases a highlight over a
+      // cross_fields/combined_fields query would silently light nothing
+      case CrossFields(_, _, _, inner) => walk(inner)
+      case CombinedFields(_, _, inner) => walk(inner)
       case Not(_) => Nil
       case _ => Nil
     }
@@ -2065,10 +2083,10 @@ object SearchQuery {
         // multi_match, which is field-centric: some field must carry
         // them); `or` matches any token anywhere. Desugars to And-over-
         // tokens of Or-over-fields — plain TermMatch leaves, so pushdown
-        // and the clause-count scoring convention apply unchanged
-        // (DOCUMENTED DEVIATION: ES scores this with BM25F over the
-        // merged pseudo-field; this engine's documented integer
-        // relevance counts matching (token, field) pairs instead).
+        // applies unchanged — wrapped in the [[CombinedFields]] marker:
+        // under bm25 it scores Lucene CombinedFieldQuery's merged
+        // pseudo-field BM25F (unit weights, r18 — d293); boolean mode
+        // keeps the integer clause-count relevance.
         val f = cfFields.toMap
         val unknown = f.keySet -- Set("query", "fields", "operator")
         require(unknown.isEmpty,
@@ -2103,8 +2121,13 @@ object SearchQuery {
           case many => Or(many: _*)
         }
         val perToken = cfTerms.map(tokenAnywhere)
-        if (perToken.size == 1) perToken.head
-        else if (andOp) And(perToken: _*) else Or(perToken: _*)
+        val cfDesugar =
+          if (perToken.size == 1) perToken.head
+          else if (andOp) And(perToken: _*) else Or(perToken: _*)
+        // r18: wrap in the CombinedFields marker so bm25 mode can score
+        // the merged pseudo-field (BM25F-lite); hits delegate to the
+        // desugar unchanged
+        CombinedFields(cfPaths, cfTerms, cfDesugar)
       case JObject(List(("span_near", JObject(snFields)))) =>
         // legacy span query — desugars onto the intervals machinery:
         // span_near slop IS max_gaps (span length − #terms), in_order IS
@@ -2398,7 +2421,13 @@ object SearchQuery {
           val inner = parseNode(JObject(List(("combined_fields", JObject(List(
             ("query", JString(q)),
             ("fields", JArray(flds.map(JString(_)).toList)),
-            ("operator", JString(mmOp))))))), schema, hits)
+            ("operator", JString(mmOp))))))), schema, hits) match {
+            // unwrap the CombinedFields scoring marker: cross_fields
+            // carries its OWN marker (blended-legs scoring, not the
+            // merged pseudo-field) over the bare desugar
+            case CombinedFields(_, _, i) => i
+            case other => other
+          }
           val cfTerms = q.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
           // paths re-resolve exactly as the combined_fields parse did
           // (which already rejected boosts and array paths loudly)
@@ -2723,6 +2752,7 @@ object SearchQuery {
   def compile(q: SearchQuery, doc: Column): Column = q match {
     case MatchAll => lit(true)
     case CrossFields(_, _, _, inner) => compile(inner, doc)
+    case CombinedFields(_, _, inner) => compile(inner, doc)
     case tl: TermsLookup => throw new IllegalArgumentException(
       s"terms lookup on ${tl.field} reached compile unresolved — lookups are only " +
         "supported through SearchExec.search (it carries the corpus to fetch from)")

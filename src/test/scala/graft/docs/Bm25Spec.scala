@@ -401,13 +401,22 @@ class Bm25Spec extends SparkSpec {
         |   "fields": ["body", "tag"], "operator": "and"}},
         | "size": 10, "_source": ["objectId"]}""".stripMargin
     // parse-level: cross_fields is the CrossFields marker WRAPPING the
-    // combined_fields desugar — hit compilation delegates to it
+    // combined_fields desugar (combined_fields itself parses to its own
+    // CombinedFields marker over the same desugar — r18) — hit
+    // compilation delegates through both
+    val cmbParsed = SearchQuery.fromJson(combined, schema) match {
+      case SearchQuery.CombinedFields(paths, terms, i) =>
+        assert(paths === Seq(Seq("body"), Seq("tag")))
+        assert(terms === Seq("zeta", "alpha"))
+        i
+      case other => fail(s"expected CombinedFields, got $other")
+    }
     SearchQuery.fromJson(body("cross_fields"), schema) match {
       case SearchQuery.CrossFields(paths, terms, tb, inner) =>
         assert(paths === Seq(Seq("body"), Seq("tag")))
         assert(terms === Seq("zeta", "alpha"))
         assert(tb === 0.0)
-        assert(inner === SearchQuery.fromJson(combined, schema))
+        assert(inner === cmbParsed)
       case other => fail(s"expected CrossFields, got $other")
     }
     def scores(b: String): Map[String, Long] =
@@ -420,10 +429,10 @@ class Bm25Spec extends SparkSpec {
     // the ballast don't
     assert(cf.keySet === Set("1", "2"))
     assert(cmb.keySet === Set("1", "2"))
-    // combined_fields keeps its documented constant-score deviation
-    // (non-scoreable bare query = the boolean-algebra base, one constant
-    // for every hit); cross_fields now scores blended
-    assert(cmb.values.toSet.size === 1)
+    // combined_fields scores the MERGED pseudo-field (BM25F-lite, r18):
+    // per term tf = Σ field tfs, dl = Σ field lengths, df = max across
+    // fields, avgdl100 = Σ per-field avgdl100 — and that provably
+    // differs from cross_fields' best-of-legs blend on this fixture
     assert(cf !== cmb)
     // the BLEND pin, from first principles: per term df = max across
     // fields, each leg scored with the blended df against its own
@@ -456,6 +465,18 @@ class Bm25Spec extends SparkSpec {
       .select(col("id"), (col("z") + col("a")).as("s"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     for (id <- Seq(1L, 2L)) assert(cf1(id.toString) === expSum(id))
+    // combined_fields merged-pseudo-field pin, from first principles
+    val expCmb = {
+      val dfb = Seq("zeta", "alpha").map(t =>
+        t -> math.max(sb.df(t), stg.df(t))).toMap
+      Bm25.withCombinedScore(c, Seq(bToks, tToks), Seq("zeta", "alpha"),
+        Bm25.Stats(sb.nDocs, sb.avgdl100 + stg.avgdl100, dfb), "cs")
+        .select(col("id"), col("cs"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    for (id <- Seq(1L, 2L))
+      assert(cmb(id.toString) === expCmb(id),
+        s"doc $id: got ${cmb(id.toString)}, want ${expCmb(id)}")
   }
 
   test("match_phrase under bm25 scores POSITIONALLY (phraseFreq-as-tf, " +

@@ -361,6 +361,14 @@ object Esql {
         require(k > 0, s"esql: KNN k must be positive, got $k")
         require(df.columns.contains(field),
           s"esql: KNN field $field is not in the frame")
+        // the standing index is built over embeddings.embedding — any
+        // other column would silently return embedding-space neighbors
+        // for a predicate that NAMES a different vector (ADVICE r18 #4:
+        // loud reject, the engine's convention)
+        require(field == "embedding",
+          s"esql: KNN field $field is not the indexed vector column — the " +
+            "standing IVF index at annDir covers `embedding` only; KNN " +
+            "over another column needs its own standing index")
         require(df.columns.contains("vec_id"),
           "esql: KNN joins the standing index back on vec_id — keep that " +
             "column in the pipe up to the KNN stage")

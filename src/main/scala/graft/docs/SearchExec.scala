@@ -591,7 +591,10 @@ object SearchExec {
           // from the same pooled per-path fetch as every other clause.
           val dfb: Map[String, Long] = terms.map(t =>
             t -> paths.map(p => statsByPath(p).df.getOrElse(t, 0L)).max).toMap
-          terms.map { t =>
+          // duplicate query tokens score ONCE — the engine-wide contract
+          // (every Bm25 entry point dedups with terms.distinct; r19,
+          // ADVICE r18 #2, pinned by Bm25Spec's duplicate-token case)
+          terms.distinct.map { t =>
             val legs = paths.map { p =>
               val st = statsByPath(p)
               val blended = Bm25.Stats(st.nDocs, st.avgdl100, Map(t -> dfb(t)))

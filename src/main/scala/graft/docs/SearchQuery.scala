@@ -2413,9 +2413,9 @@ object SearchQuery {
           // them). SCORING under bm25 is term-centric blended statistics
           // (Lucene BlendedTermQuery — [[CrossFields]], r18): the node
           // wraps the desugar so the scorer can see the (fields, terms)
-          // structure; combined_fields itself keeps its documented
-          // constant-score deviation (ES scores it BM25F, a different
-          // algebra). tie_breaker here is the PER-TERM blend fold over
+          // structure; combined_fields carries its OWN CombinedFields
+          // marker and scores merged-pseudo-field BM25F under bm25
+          // (d293, r18). tie_breaker here is the PER-TERM blend fold over
           // the field legs (max + tb·(sum − max); ES cross_fields
           // default 0.0 = best field only).
           val inner = parseNode(JObject(List(("combined_fields", JObject(List(

@@ -633,14 +633,20 @@ object DedupQueries {
     * use `(s - s % n) div n` — exact on both engines regardless of sign
     * convention because `s - s % n` is exactly divisible.
     *
-    * Scale shape: centroids are O(k·dim) driver state (the MLlib k-means
-    * shape — same broadcast-sized-fact class as t3's language profiles),
-    * so each Lloyd round is ONE narrow posexplode + hash aggregation
-    * (map-side combinable on (cluster, i)); assignment is a BROADCAST
-    * join against the k-row centroid frame + a per-vector min(struct(d²,
-    * cid)) argmin — one codegen'd distance evaluation, constant plan
-    * size (a k-unrolled literal expression multiplies the codegen tree
-    * by k·dim and went 54× at 10× data in the sf1 scale run). The
+    * Scale shape (r19 — centroids are FRAMES, never driver arrays): the
+    * seed set, every Lloyd mean table and the final centroids live in
+    * write-once parquet (k = ⌈n/70⌉ rows — Θ(n), which is exactly why
+    * they must NOT be driver state; the r18 verdict measured the old
+    * collect()-per-pass shape at tens of GB of driver heap at 10^10
+    * vectors). Driver state is now two scalars (n, k). Each Lloyd round
+    * is ONE narrow posexplode + hash aggregation (map-side combinable on
+    * (cluster, i)) reassembled by array_sort(collect_list); assignment
+    * joins the centroid frame (broadcast while k ≤ SemBcastMaxK,
+    * distributed cartesian beyond — the honest cost of the EXACT
+    * contract; dd15 is the probe-bounded scale path) + a per-vector
+    * min(struct(d², cid)) argmin — one codegen'd distance evaluation,
+    * constant plan size (a k-unrolled literal expression multiplies the
+    * codegen tree by k·dim and went 54× at 10× data in the sf1 run). The
     * final within-cluster pair join is the SemDeDup contract: O(Σ cᵢ²)
     * with k DERIVED from the corpus so cᵢ stays bounded: k = ⌈n / 70⌉
     * (target cluster size SemTgt = 70 — one COUNT of the vector table,
@@ -650,9 +656,10 @@ object DedupQueries {
     * grows 100× while the expected cᵢ stays ~70; AQE splits any skewed
     * cluster key.
     *
-    * Each Lloyd round ends at a driver-collected k×dim table, so lineage
-    * resets per round (the dd6 iterative-loop lesson) without a storage
-    * boundary. Output: every vector's cluster plus `dropped_by` — the
+    * Each Lloyd round lands in write-once parquet, so lineage resets per
+    * round (the dd6 iterative-loop lesson) at a storage boundary instead
+    * of the old driver round-trip. Output: every vector's cluster plus
+    * `dropped_by` — the
     * smallest same-cluster vec_id within τ, NULL for survivors (the
     * keep-one-per-duplicate-group decision, derivable without connected
     * components because τ-balls around the planted dups are disjoint). */
@@ -698,14 +705,81 @@ object DedupQueries {
     mat(s, d, "qvecs")(base.unionByName(pert))
   }
 
-  /** Deterministic seeds shared by dd8/dd15: the k vectors with the
-    * smallest salted hash (rerunnable, engine-portable — the d80
-    * sampling contract). */
-  private def semSeeds(vecs: DataFrame, k: Int): Array[Seq[Long]] = vecs
-    .select(col("vec_id"), col("q"),
+  /** Deterministic seed CENTROID FRAME shared by dd8/dd15 (r19 — the
+    * driver-state fix): `cid = rank − 1` over (salted hash, vec_id), the
+    * k smallest (the d80 sampling contract, identical ordering to the
+    * oracle's `ROW_NUMBER() OVER (ORDER BY hash, vec_id) <= k`). The
+    * former shape `.orderBy(...).limit(k).collect()` pulled k = ⌈n/70⌉
+    * rows — a Θ(n) driver array, the registry's last 100× scale-killer
+    * (r18 verdict). Now the global rank is computed DISTRIBUTED with a
+    * bucketed two-level ranking: bucket on the hash's high 10 bits
+    * (buckets are ordered, disjoint ranges of the (hash, id) key space),
+    * rank within bucket, add the cumulative count of earlier buckets.
+    * The offsets frame is ≤ 1024 rows (the only windowed-without-
+    * partition frame, bounded by construction); buckets whose offset is
+    * already ≥ k can hold no seed and are filtered BEFORE the per-bucket
+    * window, so the windowed mass is ~k rows ≈ n/70 split over up to
+    * 1024 ordered buckets, never one task holding the corpus. Driver
+    * state: none (k itself is a scalar from one count). */
+  private def semSeedFrame(vecs: DataFrame, k: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withSh = vecs.select(col("vec_id"), col("q"),
       stableHash32(concat(col("vec_id").cast("string"), lit(":seed"))).as("_sh"))
-    .orderBy(col("_sh").asc, col("vec_id").asc).limit(k)
-    .collect().map(_.getSeq[Long](1))
+      // _sh ∈ [0, 2^32): high 10 bits → 1024 range-ordered buckets
+      .withColumn("_b", shiftright(col("_sh"), 22))
+    val offsets = withSh.groupBy(col("_b")).agg(count(lit(1)).as("_c"))
+      .withColumn("_off", coalesce(
+        sum(col("_c")).over(Window.orderBy(col("_b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("_off") < k) // later buckets cannot reach rank ≤ k
+      .select(col("_b"), col("_off"))
+    withSh.join(broadcast(offsets), "_b")
+      .withColumn("_r", row_number().over(
+        Window.partitionBy(col("_b")).orderBy(col("_sh").asc, col("vec_id").asc)))
+      .filter(col("_off") + col("_r") <= k)
+      .select((col("_off") + col("_r") - 1).as("cid"), col("q").as("cq"))
+  }
+
+  /** Attach the double-domain comparator columns to a centroid frame:
+    * `cqd` (double cast) and `cn2 = |c|²`. Every component is ≤ ~2200,
+    * so cn2 and any q·c are ≤ 64·2200² ≈ 3.1e8 — integer-valued doubles
+    * far inside 2^53, exact in both engines (see dd8Plan's bound note). */
+  private def withCentD(cents: DataFrame, id: String): DataFrame = {
+    import graft.functions.GraftFunctions.vecDot
+    cents.select(col("cid").as(id), col("cq").cast("array<double>").as(s"${id}_qd"))
+      .withColumn(s"${id}_n2", vecDot(col(s"${id}_qd"), col(s"${id}_qd")))
+  }
+
+  /** One Lloyd update as a FRAME transform (r19): integer centroid means
+    * from the given assignment; an emptied cluster keeps its previous
+    * centroid (the oracle's LEFT JOIN + COALESCE, verbatim). The former
+    * shape `.collect()`ed the k×dim mean table to the driver each pass —
+    * Θ(n) at k = ⌈n/70⌉. Now means stay a (cluster, i)-grain aggregate
+    * and reassemble into `cq` arrays with array_sort(collect_list(struct
+    * (i, m))) — deterministic (i is unique per cluster), zero driver
+    * state. Callers materialize each round (write-once parquet) so the
+    * Lloyd chain's lineage resets per round (the dd6 iterative-loop
+    * lesson) exactly as the driver round-trip used to do. */
+  private def semUpdate(cents: DataFrame, assigned: DataFrame): DataFrame = {
+    val means = assigned
+      .select(col("cluster"), posexplode(col("q")).as(Seq("i", "v")))
+      .groupBy(col("cluster"), col("i"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .select(col("cluster"), col("i"), expr("(s - (s % n)) div n").as("m"))
+      .groupBy(col("cluster"))
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("m")))),
+        x => x.getField("m")).as("_new"))
+    cents.join(means, cents("cid") === means("cluster"), "left")
+      .select(col("cid"), coalesce(col("_new"), col("cq")).as("cq"))
+  }
+
+  /** Broadcast the k-row centroid frame only while it is broadcast-SIZED:
+    * k·(dim+2)·8 B ≤ ~64 MB at this bound. Beyond it (k = ⌈n/70⌉ grows
+    * with the corpus), dd8's exact all-centroids argmin degrades to a
+    * distributed cartesian — the honest cost of the exact-assignment
+    * contract; dd15's two-level probe is the scale path and never
+    * broadcasts more than the ⌈√k⌉-row coarse set + per-cell slices. */
+  private val SemBcastMaxK = 100000L
 
   private def dd8(s: SparkSession, d: String): DataFrame = {
     val (res, _) = dd8Plan(s, d)
@@ -730,61 +804,38 @@ object DedupQueries {
       .withColumn("qd", col("q").cast("array<double>"))
       .withColumn("n2", vecDot(col("qd"), col("qd")))
     val vecs = semVecs(s, d)
-    // k from the corpus: ⌈n / SemTgt⌉ — one count() of bounded driver
-    // state; the oracle replays the same integer formula
-    val k = ((vecs.count() + SemTgt - 1) / SemTgt).toInt
-    val seed0: Array[Seq[Long]] = semSeeds(vecs, k)
-    /** Assignment: broadcast the k×dim centroid FRAME and take the
-      * deterministic argmin as min(struct(d², cid)) per vector (struct
-      * ordering breaks d² ties on cid — identical to the oracle's
-      * ROW_NUMBER argmin). A k-unrolled least() of typedLit centroids —
-      * the previous shape — is right only while k is a CONSTANT: with
-      * SemDeDup's k = ⌈n/70⌉ it multiplies per-row work AND the codegen
-      * expression tree by k (k·dim literal nodes per projection), which
-      * the sf1 scale run measured as 54× wall at 10× data. The broadcast
-      * join evaluates ONE codegen'd distance per (vector, centroid) pair
-      * — the same n·k integer ops, now vectorized, with a constant-size
-      * plan. The exact-assignment contract is unchanged. */
-    def assign(cents: Array[Seq[Long]]): DataFrame = {
-      // cf carries each centroid as doubles plus its |c|²; per (vector,
-      // centroid) the comparator is cn2 − 2·q·c, which orders exactly
-      // like d² within a vector (|q|² is constant there), so
-      // min(struct(...)) is the oracle's (d², cid) argmin bit-for-bit
-      val cf = s.createDataFrame(s.sparkContext.parallelize(
-        cents.toSeq.zipWithIndex.map { case (cq, cid) =>
-          org.apache.spark.sql.Row(cid.toLong, cq.map(_.toDouble),
-            cq.map(x => x.toDouble * x.toDouble).sum) }, 1),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("cid",
-            org.apache.spark.sql.types.LongType, nullable = false),
-          org.apache.spark.sql.types.StructField("cqd",
-            org.apache.spark.sql.types.ArrayType(
-              org.apache.spark.sql.types.DoubleType), nullable = false),
-          org.apache.spark.sql.types.StructField("cn2",
-            org.apache.spark.sql.types.DoubleType, nullable = false))))
-      val best = withD(vecs).crossJoin(broadcast(cf))
+    // k from the corpus: ⌈n / SemTgt⌉ — ONE count(), the only driver
+    // state the whole pipeline keeps (r19: seeds, centroids and Lloyd
+    // means all stay frames; the oracle replays the same integer formula)
+    val k = (vecs.count() + SemTgt - 1) / SemTgt
+    /** Assignment: join the k-row centroid FRAME (broadcast while k is
+      * broadcast-sized — see SemBcastMaxK) and take the deterministic
+      * argmin as min(struct(d², cid)) per vector (struct ordering breaks
+      * d² ties on cid — identical to the oracle's ROW_NUMBER argmin).
+      * Per (vector, centroid) the comparator is cn2 − 2·q·c, which
+      * orders exactly like d² within a vector (|q|² is constant there)
+      * and every quantity is an integer-valued double far inside 2^53,
+      * so min(struct(...)) is the oracle's (d², cid) argmin bit-for-bit.
+      * A k-unrolled least() of typedLit centroids — the r12 shape — is
+      * right only while k is a CONSTANT: with SemDeDup's k = ⌈n/70⌉ it
+      * multiplies per-row work AND the codegen expression tree by k,
+      * which the sf1 scale run measured as 54× wall at 10× data. */
+    def assign(cents: DataFrame): DataFrame = {
+      val cf = withCentD(cents, "cid")
+      val best = withD(vecs)
+        .crossJoin(if (k <= SemBcastMaxK) broadcast(cf) else cf)
         .select(col("vec_id"),
-          struct((col("cn2") - lit(2.0) * vecDot(col("qd"), col("cqd")))
+          struct((col("cid_n2") - lit(2.0) * vecDot(col("qd"), col("cid_qd")))
             .as("d2e"), col("cid")).as("sc"))
         .groupBy(col("vec_id")).agg(min(col("sc")).as("m"))
         .select(col("vec_id"), col("m.cid").as("cluster"))
       vecs.join(best, "vec_id")
     }
-    /** One Lloyd update: integer centroid means; an emptied cluster keeps
-      * its previous centroid (mirrored in the oracle's LEFT JOIN). */
-    def update(cents: Array[Seq[Long]]): Array[Seq[Long]] = {
-      val rows = assign(cents)
-        .select(col("cluster"), posexplode(col("q")).as(Seq("i", "v")))
-        .groupBy(col("cluster"), col("i"))
-        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
-        .select(col("cluster"), col("i"), expr("(s - (s % n)) div n").as("m"))
-        .collect()
-      val byCid = rows.groupBy(_.getLong(0))
-      (0 until k).map(cid => byCid.get(cid.toLong)
-        .map(_.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq)
-        .getOrElse(cents(cid))).toArray
-    }
-    val cFinal = update(update(seed0))
+    // each Lloyd round lands in write-once parquet (lineage reset per
+    // round — the dd6 lesson — without any driver round-trip)
+    val c0 = mat(s, d, "semc0")(semSeedFrame(vecs, k))
+    val c1 = mat(s, d, "dd8c1")(semUpdate(c0, assign(c0)))
+    val cFinal = mat(s, d, "dd8c2")(semUpdate(c1, assign(c1)))
     // materialize the final assignment ONCE (write-once parquet, the
     // standing-index pattern): pa, pb and the survivors' projection all
     // read it, so the broadcast-argmin subplan is not triplicated through
@@ -884,8 +935,8 @@ object DedupQueries {
     *   1. coarse set G = the first g = ⌈√k⌉ FINE centroids (current
     *      values each pass — so G is trained by the same Lloyd updates);
     *   2. every fine centroid maps to its nearest coarse cell
-    *      (k·g integer argmin, DRIVER-side — centroids are already
-    *      bounded driver state);
+    *      (k·g argmin — r19: a distributed scored pass over the centroid
+    *      FRAME; no centroid array ever touches the driver);
     *   3. every VECTOR routes to its nearest coarse cell (n·g evals,
     *      one broadcast scored pass) and then argmins over ONLY that
     *      cell's fine centroids (n·(k/g) expected — a broadcast
@@ -914,48 +965,33 @@ object DedupQueries {
       .withColumn("qd", col("q").cast("array<double>"))
       .withColumn("n2", vecDot(col("qd"), col("qd")))
     val vecs = semVecs(s, d)
-    val k = ((vecs.count() + SemTgt - 1) / SemTgt).toInt
-    val g = math.ceil(math.sqrt(k.toDouble)).toInt
-    val seed0 = semSeeds(vecs, k)
-    // driver-side integer d² (exact: components ≤ ~2200, sums < 2^38)
-    def qd2(a: Seq[Long], b: Seq[Long]): Long =
-      a.zip(b).foldLeft(0L)((acc, p) => { val d = p._1 - p._2; acc + d * d })
-    def centFrame(rows: Seq[(Long, Seq[Long])], idName: String): DataFrame =
-      s.createDataFrame(s.sparkContext.parallelize(
-        rows.map { case (id, cq) => org.apache.spark.sql.Row(id,
-          cq.map(_.toDouble), cq.map(x => x.toDouble * x.toDouble).sum) }, 1),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField(idName,
-            org.apache.spark.sql.types.LongType, nullable = false),
-          org.apache.spark.sql.types.StructField(s"${idName}_qd",
-            org.apache.spark.sql.types.ArrayType(
-              org.apache.spark.sql.types.DoubleType), nullable = false),
-          org.apache.spark.sql.types.StructField(s"${idName}_n2",
-            org.apache.spark.sql.types.DoubleType, nullable = false))))
-    /** One two-level assignment pass (the contract above). The comparator
-      * rides cn2 − 2·q·c like dd8's: within a vector it orders exactly
-      * like d², and every quantity is an integer-valued double far inside
-      * 2^53, so min(struct(...)) replays the oracle's (d², id) argmin. */
-    def assign2(cents: Array[Seq[Long]]): DataFrame = {
-      // fine → coarse map, driver-side integer argmin (k·g evals)
-      val cmap: Array[Long] = cents.indices.map { cid =>
-        (0 until g).map(j => (qd2(cents(cid), cents(j)), j.toLong)).min._2
-      }.toArray
-      val gf = centFrame((0 until g).map(j => (j.toLong, cents(j))), "gid")
-      val cf = s.createDataFrame(s.sparkContext.parallelize(
-        cents.indices.map(cid => org.apache.spark.sql.Row(cid.toLong,
-          cents(cid).map(_.toDouble),
-          cents(cid).map(x => x.toDouble * x.toDouble).sum, cmap(cid))), 1),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("cid",
-            org.apache.spark.sql.types.LongType, nullable = false),
-          org.apache.spark.sql.types.StructField("cid_qd",
-            org.apache.spark.sql.types.ArrayType(
-              org.apache.spark.sql.types.DoubleType), nullable = false),
-          org.apache.spark.sql.types.StructField("cid_n2",
-            org.apache.spark.sql.types.DoubleType, nullable = false),
-          org.apache.spark.sql.types.StructField("gid",
-            org.apache.spark.sql.types.LongType, nullable = false))))
+    val k = (vecs.count() + SemTgt - 1) / SemTgt
+    val g = math.ceil(math.sqrt(k.toDouble)).toLong
+    /** One two-level assignment pass (the contract above), every stage a
+      * FRAME (r19 — no centroid array ever touches the driver; driver
+      * state is the scalars n, k, g). The comparator rides cn2 − 2·q·c
+      * like dd8's: within a vector (or within a fine centroid, for the
+      * fine→coarse map) it orders exactly like d², and every quantity is
+      * an integer-valued double far inside 2^53, so min(struct(...))
+      * replays the oracle's (d², id) argmin. The coarse set is g = ⌈√k⌉
+      * rows — the ONLY broadcast that grows with the corpus, at √(n/70)
+      * (≈ 6 MB of doubles at 10^10 vectors). The fine→coarse map is a
+      * distributed k·g scored pass (was a driver-side loop); the fine
+      * argmin is an equi-join on the routed cell id, never n·k. */
+    def assign2(cents: DataFrame): DataFrame = {
+      val gf = withCentD(cents.filter(col("cid") < g), "gid")
+      val cd = withCentD(cents, "cid")
+      // fine → coarse map (k·g evals, distributed): ties break to the
+      // smaller gid via the struct argmin, matching the router below;
+      // the map rejoins cd on cid (k-row equi-join) to carry each fine
+      // centroid's vector + |c|² into the per-cell argmin below
+      val cmap = cd.crossJoin(broadcast(gf))
+        .select(col("cid"),
+          struct((col("gid_n2") - lit(2.0) * vecDot(col("cid_qd"), col("gid_qd")))
+            .as("d2e"), col("gid")).as("sc"))
+        .groupBy(col("cid")).agg(min(col("sc")).as("m"))
+        .select(col("cid"), col("m.gid").as("gid"))
+        .join(cd, "cid")
       val vd = withD(vecs)
       val route = vd.crossJoin(broadcast(gf))
         .select(col("vec_id"),
@@ -963,8 +999,11 @@ object DedupQueries {
             .as("d2e"), col("gid")).as("sc"))
         .groupBy(col("vec_id")).agg(min(col("sc")).as("m"))
         .select(col("vec_id"), col("m.gid").as("gid"))
+      // fine argmin within the routed cell: an equi-join on gid (AQE
+      // broadcasts the ~k/g-per-cell slice while it is small; at scale
+      // it is a shuffle co-partitioned on the cell id)
       val best = vd.join(route, "vec_id")
-        .join(broadcast(cf), "gid")
+        .join(cmap, "gid")
         .select(col("vec_id"),
           struct((col("cid_n2") - lit(2.0) * vecDot(col("qd"), col("cid_qd")))
             .as("d2e"), col("cid")).as("sc"))
@@ -972,22 +1011,11 @@ object DedupQueries {
         .select(col("vec_id"), col("m.cid").as("cluster"))
       vecs.join(best, "vec_id")
     }
-    /** One Lloyd update from the APPROXIMATE assignment: integer centroid
-      * means, an emptied cluster keeps its previous centroid (mirrored in
-      * the oracle's LEFT JOIN) — dd8's update shape verbatim. */
-    def update(cents: Array[Seq[Long]]): Array[Seq[Long]] = {
-      val rows = assign2(cents)
-        .select(col("cluster"), posexplode(col("q")).as(Seq("i", "v")))
-        .groupBy(col("cluster"), col("i"))
-        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
-        .select(col("cluster"), col("i"), expr("(s - (s % n)) div n").as("m"))
-        .collect()
-      val byCid = rows.groupBy(_.getLong(0))
-      (0 until k).map(cid => byCid.get(cid.toLong)
-        .map(_.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq)
-        .getOrElse(cents(cid))).toArray
-    }
-    val cFinal = update(update(seed0))
+    // Lloyd chain: seed frame + two semUpdate rounds, each landing in
+    // write-once parquet (lineage reset per round — the dd6 lesson)
+    val c0 = mat(s, d, "semc0")(semSeedFrame(vecs, k))
+    val c1 = mat(s, d, "dd15c1")(semUpdate(c0, assign2(c0)))
+    val cFinal = mat(s, d, "dd15c2")(semUpdate(c1, assign2(c1)))
     // materialize the final assignment once (the dd8 pattern): the pair
     // join reads it twice and the survivors' projection a third time
     val asgMat = mat(s, d, "dd15asg")(

@@ -479,6 +479,44 @@ class Bm25Spec extends SparkSpec {
         s"doc $id: got ${cmb(id.toString)}, want ${expCmb(id)}")
   }
 
+  test("duplicate query tokens score ONCE across every bm25 path — the " +
+    "engine-wide distinct-terms contract (r19, ADVICE r18 #2)") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.StructType
+    val c = (Seq(
+      (1L, "zeta filler filler", "alpha"),
+      (2L, "zeta alpha word", "other"),
+      (3L, "zeta word filler", "other")) ++
+      (4L to 10L).map(i => (i, "filler filler", "alpha"))
+    ).toDF("id", "body", "tag")
+    val docs = c.select(struct(
+      col("id").cast("string").as("objectId"), col("body"), col("tag")).as("doc"))
+    val schema = docs.schema("doc").dataType.asInstanceOf[StructType]
+    def body(qType: String, q: String) =
+      s"""{"query": {"multi_match": {"query": "$q",
+         |   "fields": ["body", "tag"], "type": "$qType", "operator": "and"}},
+         | "size": 10, "_source": ["objectId"]}""".stripMargin
+    def cfBody(q: String) =
+      s"""{"query": {"combined_fields": {"query": "$q",
+         |   "fields": ["body", "tag"], "operator": "and"}},
+         | "size": 10, "_source": ["objectId"]}""".stripMargin
+    def scores(b: String): Map[String, Long] =
+      SearchExec.search(docs, "doc", b, schema, similarity = "bm25")
+        .collect().map(r => r.getAs[String]("objectId") -> r.getAs[Long]("score")).toMap
+    // "zeta zeta alpha" ≡ "zeta alpha": same hits AND same scores on the
+    // blended (cross_fields), merged-pseudo-field (combined_fields) and
+    // per-field (best_fields) scorers — a duplicated token is one term
+    for ((mk, label) <- Seq(
+        ((q: String) => body("cross_fields", q), "cross_fields"),
+        ((q: String) => cfBody(q), "combined_fields"),
+        ((q: String) => body("best_fields", q), "best_fields"))) {
+      val once = scores(mk("zeta alpha"))
+      val dup = scores(mk("zeta zeta alpha"))
+      assert(dup === once, s"$label: duplicate token changed the scores")
+      assert(once.nonEmpty, s"$label: fixture matched nothing")
+    }
+  }
+
   test("match_phrase under bm25 scores POSITIONALLY (phraseFreq-as-tf, " +
     "summed term idfs): 2 phrase hits outrank 1, non-matches score 0") {
     import spark.implicits._

@@ -103,6 +103,30 @@ object IndexPipeline {
       }
     }
 
+  /** Isolated session for one streaming query's run (own SQLConf, shared
+    * SparkContext — staged-fixture memos still hit). Stateful streaming
+    * operators create one state-store instance PER SHUFFLE PARTITION per
+    * operator (and per side, for stream-stream joins): every micro-batch
+    * pays a load+commit+delta-file+fsync per instance, so the session
+    * default sized for the 32-core batch engine spends its time on store
+    * bookkeeping for a few-MB log, not on the engine (the st6 r15 finding
+    * — 8 partitions carry identical semantics at a quarter of the fixed
+    * cost; r19 extends the same shape to every streaming query). The
+    * LOCAL default is 8, overridable via SPARK_GRAFT_STREAM_PARTITIONS: a
+    * cluster sizes state partitions to TOTAL STATE VOLUME (≈ state bytes
+    * / a few hundred MB per store instance, thousands of partitions at
+    * 100 TB), never to a constant — the conf is the deployment's knob,
+    * the semantics are partition-count-independent, and the final
+    * orderBy in every query pins the output regardless. */
+  private[stream] val streamShufflePartitions: Int =
+    sys.env.get("SPARK_GRAFT_STREAM_PARTITIONS").map(_.toInt).getOrElse(8)
+
+  private def streamSession(s0: SparkSession): SparkSession = {
+    val s = s0.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", streamShufflePartitions)
+    s
+  }
+
   /** The `events` table as a mutation log: `event_id` = sequence number,
     * `user_id` = entity key, 'error' events = DELETE, all else SAVE. */
   def mutationLog(s: SparkSession, d: String): DataFrame =
@@ -155,7 +179,11 @@ object IndexPipeline {
     * batch's merge therefore reads the state side already hash-partitioned
     * on the join key: only the micro-batch shuffles, and the merge output
     * lands back in the same bucket layout. */
-  def run(s: SparkSession, d: String, nFiles: Int = 4, buckets: Int = 32): DataFrame = {
+  def run(s0: SparkSession, d: String, nFiles: Int = 4,
+          buckets: Int = streamShufflePartitions): DataFrame = {
+    // state table buckets match the stream session's shuffle partitions so
+    // the per-batch merge stays co-partitioned (BucketedJoinSpec property)
+    val s = streamSession(s0)
     val base = Files.createTempDirectory("graft-stream-")
     val ckDir = base.resolve("ck").toString
 
@@ -238,7 +266,8 @@ object IndexPipeline {
     * full windowed state so the batch oracle (GROUP BY epoch-aligned
     * bucket) matches exactly. The decimal-cast sum keeps the value total
     * order-independent across micro-batch boundaries. */
-  private def st2(s: SparkSession, d: String): DataFrame = {
+  private def st2(s0: SparkSession, d: String): DataFrame = {
+    val s = streamSession(s0)
     val base = Files.createTempDirectory("graft-stream2-")
     val ckDir = base.resolve("ck").toString
     val nFiles = 3
@@ -293,7 +322,8 @@ object IndexPipeline {
     * Scale shape: state is one small case class per key in the state store
     * (RocksDB at cluster scale), partitioned by key hash — no global
     * state, no driver involvement. */
-  private def st3(s: SparkSession, d: String): DataFrame = {
+  private def st3(s0: SparkSession, d: String): DataFrame = {
+    val s = streamSession(s0)
     import s.implicits._
     import org.apache.spark.sql.streaming.GroupState
 
@@ -358,7 +388,8 @@ object IndexPipeline {
     * batch 3 can bridge two sessions opened in batch 1), which is the
     * part the batch gaps-and-islands form (q23) cannot exercise.
     * Complete output mode emits the final session state. */
-  private def st4(s: SparkSession, d: String): DataFrame = {
+  private def st4(s0: SparkSession, d: String): DataFrame = {
+    val s = streamSession(s0)
     val base = Files.createTempDirectory("graft-stream4-")
     val ckDir = base.resolve("ck").toString
     val nFiles = 3
@@ -433,7 +464,8 @@ object IndexPipeline {
     * the dedup key; watermark expiry bounds the state to the re-delivery
     * horizon, NOT the stream's lifetime (the property that matters when
     * ingest runs for months). */
-  private def st5(s: SparkSession, d: String): DataFrame = {
+  private def st5(s0: SparkSession, d: String): DataFrame = {
+    val s = streamSession(s0)
     val base = Files.createTempDirectory("graft-stream5-")
     val ckDir = base.resolve("ck").toString
     val nFiles = 3
@@ -503,8 +535,7 @@ object IndexPipeline {
     // fsyncs for a 10k-row log. 8 partitions carry the same semantics at
     // a quarter of the fixed cost; the conf change must not leak into the
     // 100-query session, hence newSession.
-    val s = s0.newSession()
-    s.conf.set("spark.sql.shuffle.partitions", 8)
+    val s = streamSession(s0)
     val base = Files.createTempDirectory("graft-stream6-")
     val ckDir = base.resolve("ck").toString
     val nFiles = 3
@@ -560,7 +591,8 @@ object IndexPipeline {
     * batch; nothing is watermark-tracked, unlike the st6 stream-stream
     * join). At 100 TB/day of stream this stays a map-side join as long as
     * the dimension broadcasts — exactly how a cluster would enrich. */
-  private def st7(s: SparkSession, d: String): DataFrame = {
+  private def st7(s0: SparkSession, d: String): DataFrame = {
+    val s = streamSession(s0)
     val base = Files.createTempDirectory("graft-stream7-")
     val ckDir = base.resolve("ck").toString
     val nFiles = 3
@@ -643,8 +675,7 @@ object IndexPipeline {
     * oracle is that batch join. State cost: watermark-bounded on both
     * sides (2 h of events per side), independent of stream length. */
   private def st8(s0: SparkSession, d: String): DataFrame = {
-    val s = s0.newSession()
-    s.conf.set("spark.sql.shuffle.partitions", 8)
+    val s = streamSession(s0)
     val base = Files.createTempDirectory("graft-stream8-")
     val ckDir = base.resolve("ck").toString
     val nFiles = 3
@@ -735,8 +766,7 @@ object IndexPipeline {
     * state evicts at watermark-minus-interval instead of growing
     * forever. Result equals the batch FULL JOIN exactly — the oracle. */
   private def st13(s0: SparkSession, d: String): DataFrame = {
-    val s = s0.newSession()
-    s.conf.set("spark.sql.shuffle.partitions", 8)
+    val s = streamSession(s0)
     val base = Files.createTempDirectory("graft-stream13-")
     val ckDir = base.resolve("ck").toString
     val nFiles = 3
@@ -821,7 +851,8 @@ object IndexPipeline {
     * adjacent windows share half their events. Same checkpointed
     * micro-batch fixture as st2; at scale the only cost over tumbling is
     * the duration/slide-factor row expansion before the partial agg. */
-  private def st9(s: SparkSession, d: String): DataFrame = {
+  private def st9(s0: SparkSession, d: String): DataFrame = {
+    val s = streamSession(s0)
     val base = Files.createTempDirectory("graft-stream9-")
     val ckDir = base.resolve("ck").toString
     val nFiles = 3
@@ -870,7 +901,8 @@ object IndexPipeline {
     * second percolate against the whole registry in one pass with zero
     * shuffles and zero state-store entries. Complements d112 (batch
     * percolation through the full ES-body parser). */
-  private def st10(s: SparkSession, d: String): DataFrame = {
+  private def st10(s0: SparkSession, d: String): DataFrame = {
+    val s = streamSession(s0)
     val base = Files.createTempDirectory("graft-stream10-")
     val ckDir = base.resolve("ck").toString
     val nFiles = 3
@@ -931,7 +963,8 @@ object IndexPipeline {
     * cluster scale this is a zero-state, zero-shuffle map over the
     * stream; each fence's bounding box prunes before its trigonometry
     * exactly as in batch. */
-  private def st11(s: SparkSession, d: String): DataFrame = {
+  private def st11(s0: SparkSession, d: String): DataFrame = {
+    val s = streamSession(s0)
     val base = Files.createTempDirectory("graft-stream11-")
     val ckDir = base.resolve("ck").toString
     val nFiles = 3
@@ -998,7 +1031,8 @@ object IndexPipeline {
     * partials per micro-batch); the rank is a |windows×types|-row
     * window function on the RESULT table — the bounded bucket-table
     * budget every Kibana panel downstream of an agg has. */
-  private def st12(s: SparkSession, d: String): DataFrame = {
+  private def st12(s0: SparkSession, d: String): DataFrame = {
+    val s = streamSession(s0)
     val base = Files.createTempDirectory("graft-stream12-")
     val ckDir = base.resolve("ck").toString
     val nFiles = 3
@@ -1067,8 +1101,7 @@ object IndexPipeline {
     * door to dd7's batch incremental dedup. */
   private def st14(s0: SparkSession, d: String): DataFrame = {
     import graft.ext.TextFunctions._
-    val s = s0.newSession()
-    s.conf.set("spark.sql.shuffle.partitions", 8)
+    val s = streamSession(s0)
     val base = Files.createTempDirectory("graft-stream14-")
     val ckDir = base.resolve("ck").toString
     val docsT = Tables(s, d, "documents").select(col("doc_id"), col("text"))
@@ -1288,8 +1321,7 @@ object IndexPipeline {
   private def st16(s0: SparkSession, d: String): DataFrame = {
     import s0.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    val s = s0.newSession()
-    s.conf.set("spark.sql.shuffle.partitions", 8)
+    val s = streamSession(s0)
     val base = Files.createTempDirectory("graft-stream16-")
     val ckDir = base.resolve("ck").toString
     val ev = Tables.events(s, d)
@@ -1363,7 +1395,8 @@ object IndexPipeline {
     * the exact per-window medians and counts; `gk_within_bound` must be
     * uniformly true, so a sketch that drifted across micro-batch merges
     * fails the gate loudly. */
-  private def st17(s: SparkSession, d: String): DataFrame = {
+  private def st17(s0: SparkSession, d: String): DataFrame = {
+    val s = streamSession(s0)
     val base = Files.createTempDirectory("graft-stream17-")
     val ckDir = base.resolve("ck").toString
     val nFiles = 3

@@ -1561,57 +1561,29 @@ object TextQueries {
 
   /** One Viterbi-EM round: segment every word with the current vocab
     * (exact-long DP, leftmost-max = shortest-piece tie rule), return the
-    * piece counts along the best paths. Consumers project the `_piece*`
-    * ladder in ONE select directly on the raw DP frame — an intermediate
-    * named-array projection measurably tips Catalyst's project-collapse
-    * into exponential tree rewriting (t29 went 11 s → minutes in r10
-    * before this was fused back). */
+    * piece counts along the best paths. */
   private def uniSegmentCounts(words: DataFrame, vocab: DataFrame): DataFrame =
     uniSegmentRaw(words, vocab)
-      .select(col("freq"), explode(filter(
-        array((1 to UniL).map(j => col(s"_piece$j")): _*), p => p.isNotNull)).as("piece"))
+      .select(col("freq"), explode(col("_pieces")).as("piece"))
       .groupBy(col("piece")).agg(sum(col("freq")).cast("long").as("cnt"))
 
-  /** The raw Viterbi DP frame: word columns plus `_piece1.._pieceL` (the
-    * best path's pieces, null-padded) — shared by counting (t29 EM) and
-    * encoding (t31), each projecting once. */
+  /** The Viterbi DP frame: word columns plus `_pieces` (the best path's
+    * pieces) — shared by counting (t29 EM) and encoding (t31).
+    *
+    * r19: the DP runs as ONE native expression
+    * (graft.functions.UnigramViterbi — identical long arithmetic and
+    * leftmost-max tie rule, pinned by UnigramViterbiSpec against the
+    * pre-r19 column ladder) instead of ~24 stacked projections unrolling
+    * 12 positions × 4 candidates: the ladder's cost was Catalyst +
+    * whole-stage-codegen compilation (~2 s per instance at 31 input
+    * rows, twice per query), not data. The >12-char loud reject lives in
+    * the expression. */
   private def uniSegmentRaw(words: DataFrame, vocab: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.ensure(words.sparkSession)
     val vmap = vocab.agg(
       map_from_entries(collect_list(struct(col("piece"), col("lpq")))).as("vm"))
-    var df = words.crossJoin(broadcast(vmap))
-      .withColumn("len", when(length(col("w")) > UniL,
-        raise_error(concat(lit(s"unigram LM: word longer than $UniL chars: "), col("w"))))
-        .otherwise(length(col("w"))).cast("int"))
-      .withColumn("_b0", lit(0L))
-    def lp(i: Int, k: Int): Column =
-      coalesce(element_at(col("vm"), substring(col("w"), i - k + 1, k)), lit(UniMiss))
-    // forward pass: b_i = best score of a segmentation of chars 1..i,
-    // c_i = the winning last-piece length (leftmost max = smallest k)
-    for (i <- 1 to UniL) {
-      val m = math.min(4, i)
-      val cands = (1 to m).map(k => col(s"_b${i - k}") + lp(i, k))
-      var ch: Column = lit(m)
-      for (j <- (0 until m - 1).reverse) {
-        val ge = ((j + 1) until m).map(o => cands(j) >= cands(o)).reduce(_ && _)
-        ch = when(ge, lit(j + 1)).otherwise(ch)
-      }
-      // one projection per DP position (each Catalyst analysis pass walks
-      // the whole plan — per-column withColumn made this O(cols²))
-      df = df.withColumns(Map(
-        s"_b$i" -> (if (m == 1) cands.head else greatest(cands: _*)),
-        s"_c$i" -> ch))
-    }
-    // backtrace: walk the choice ladder from len down, emitting pieces
-    val choiceArr = array((1 to UniL).map(i => col(s"_c$i")): _*)
-    df = df.withColumn("_p0", col("len"))
-    for (j <- 1 to UniL) {
-      val pPrev = col(s"_p${j - 1}")
-      val k = when(pPrev > 0, element_at(choiceArr, pPrev)).otherwise(lit(1))
-      df = df.withColumns(Map(
-        s"_piece$j" -> when(pPrev > 0, col("w").substr(pPrev - k + 1, k)),
-        s"_p$j" -> when(pPrev > 0, pPrev - k).otherwise(lit(0))))
-    }
-    df
+    words.crossJoin(broadcast(vmap))
+      .withColumn("_pieces", call_function("unigram_viterbi", col("w"), col("vm")))
   }
 
   /** Un-pinned round-1 plan for PlanAuditSpec (t29's public result is an
@@ -1739,8 +1711,7 @@ object TextQueries {
       uniSegmentCounts(words, uniVocab(uniSeedCounts(words))), "t31.c1").persist()
     val enc = uniSegmentRaw(words, uniVocab(c1))
       .select(col("w"), length(col("w")).cast("long").as("n_chars_w"),
-        (1 to UniL).map(j => when(col(s"_piece$j").isNotNull, 1L).otherwise(0L))
-          .reduce(_ + _).as("n_pieces_w"))
+        size(col("_pieces")).cast("long").as("n_pieces_w"))
     val toks = docs(s, d).select(col("doc_id"), explode(tokens(col("text"))).as("w"))
     val res = toks.join(broadcast(enc), "w")
       .groupBy(col("doc_id"))

@@ -49,6 +49,12 @@ object GraftExtensions {
         new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
           children.head, children(1))
       }),
+    (FunctionIdentifier("unigram_viterbi"),
+      new ExpressionInfo(classOf[UnigramViterbi].getName, "unigram_viterbi"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "unigram_viterbi(word, vocabMap)")
+        UnigramViterbi(children.head, children(1))
+      }),
     (FunctionIdentifier("haversine_m"),
       new ExpressionInfo(classOf[HaversineM].getName, "haversine_m"),
       (children: Seq[Expression]) => {

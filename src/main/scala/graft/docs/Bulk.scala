@@ -265,7 +265,9 @@ object Bulk {
     // free), then the fresh shred unions in.
     val newRoots = newDocs.select(
       concat(col(s"$docCol.objectType"), lit("_"), col(s"$docCol.objectId")).as("key"))
-    val cleaned = Mutations.cascadeDelete(sh, deleteRoots.unionByName(newRoots), maxDepth)
+    val cleaned = Mutations.cascadeDelete(sh,
+      deleteRoots.unionByName(newRoots), maxDepth,
+      currentDocs = Some(assembled), docCol = docCol)
     val fresh = Shredder.shred(newDocs, docCol)
     Outcome(resp.orderBy(col("seq")), Shredded(
       cleaned.entities.unionAll(fresh.entities),

@@ -102,7 +102,8 @@ object BulkByQuery {
     val q = SearchQuery.fromJson(body, schema)
     val roots = assembled.filter(SearchQuery.compile(q, col(docCol)))
       .select(col("key"))
-    (Mutations.cascadeDelete(sh, roots, maxDepth),
+    (Mutations.cascadeDelete(sh, roots, maxDepth,
+        currentDocs = Some(assembled), docCol = docCol),
       roots.agg(count(lit(1)).cast("long").as("deleted")))
   }
 
@@ -193,6 +194,7 @@ object BulkByQuery {
     val newVal = SearchQuery.compileScriptWith(us.expr, p => field(doc, p),
       lit(null).cast("double"))
     val updated = matched.select(setField(doc, us.path, newVal, schema).as(docCol))
-    Mutations.replace(sh, updated, maxDepth, docCol)
+    Mutations.replace(sh, updated, maxDepth, docCol,
+      currentDocs = Some(assembled))
   }
 }

@@ -395,7 +395,8 @@ object DocQueries {
     val roots = assembled(s, d)
       .filter(col("doc._org") === "org-3.example.com")
       .select(col("key"))
-    Mutations.cascadeDelete(sh, roots, mdepth).entities
+    Mutations.cascadeDelete(sh, roots, mdepth,
+      currentDocs = Some(assembled(s, d))).entities
       .groupBy(col("type_tag")).agg(count(lit(1)).as("n"))
       .orderBy(col("type_tag"))
   }
@@ -473,7 +474,8 @@ object DocQueries {
         lit("plan").as("objectType"),
         lit("REPLACED").as("planType"),
         lit("01-01-2021").as("creationDate")).as("doc"))
-    val after = materialized(s, "d14", Mutations.replace(sh, replacements, mdepth))
+    val after = materialized(s, "d14", Mutations.replace(sh, replacements, mdepth,
+      currentDocs = Some(assembled(s, d))))
     Assembler.assemble(after, schema, "plan").select(
       col("doc.objectId").as("object_id"),
       col("doc.planType").as("plan_type"),

@@ -1,6 +1,6 @@
 package graft.docs
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -44,9 +44,69 @@ object Mutations {
     all.distinct()
   }
 
-  /** M6 — remove the reachable closure of `rootKeys` from both tables. */
-  def cascadeDelete(sh: Shredded, rootKeys: DataFrame, maxDepth: Int): Shredded = {
-    val gone = reachable(sh, rootKeys, maxDepth)
+  /** Reachable-closure keys computed from the DOCUMENTS instead of by
+    * edge-table join rounds (r19, guide §2.4 — remove shuffles outright):
+    * when the caller holds the assembled `(key, doc)` table of the SAME
+    * corpus `sh` was shredded from, the closure of a set of ROOT keys is
+    * just every node key in those documents' trees — one semi-join plus
+    * the Shredder's per-schema-node projections (keys only; column
+    * pruning drops the json residue), versus [[reachable]]'s `maxDepth`
+    * edge-table joins + per-round distincts, each executed once PER
+    * MUTATION OUTPUT TABLE. The root keys union in unconditionally so
+    * keys absent from `docs` (fresh inserts — no tree to remove) behave
+    * exactly as reachable() treats them.
+    *
+    * CONTRACT (loud, because the generic path has no such requirement):
+    * `rootKeys` must be ROOT document keys — a mid-tree key has a tree in
+    * `sh` but no row in `docs`, and its closure would silently be missed;
+    * every registry caller passes root keys by construction. */
+  def docClosure(docs: DataFrame, rootKeys: DataFrame,
+                 docCol: String = "doc"): DataFrame = {
+    val schema = docs.schema(docCol).dataType.asInstanceOf[StructType]
+    val roots = rootKeys.select(col("key")).distinct()
+    val matched = docs
+      .join(roots.select(col("key").as("__rk")), col("key") === col("__rk"), "left_semi")
+    matched
+      .select(explode(nodeKeys(
+        col(docCol), col(docCol).getField("objectType"), schema)).as("key"))
+      .unionAll(roots).distinct()
+  }
+
+  /** `array<string>` of the keys of `node` and every descendant — the
+    * Shredder's tagging rules (root/array elements by objectType,
+    * object-valued fields by FIELD NAME) as one statically-walked
+    * expression, so the closure is a single scan + explode instead of one
+    * semi-joined corpus scan per schema node. */
+  private def nodeKeys(node: Column, tag: Column,
+                       schema: StructType): Column = {
+    val empty = array().cast(org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType))
+    val self = array(concat(tag, lit("_"), node.getField("objectId")))
+    schema.fields.foldLeft(self) { (acc, f) =>
+      f.dataType match {
+        case sub: StructType =>
+          concat(acc, when(node.getField(f.name).isNotNull,
+            nodeKeys(node.getField(f.name), lit(f.name), sub)).otherwise(empty))
+        case org.apache.spark.sql.types.ArrayType(sub: StructType, _) =>
+          concat(acc, coalesce(flatten(transform(node.getField(f.name),
+            e => nodeKeys(e, e.getField("objectType"), sub))), empty))
+        case _ => acc
+      }
+    }
+  }
+
+  /** M6 — remove the reachable closure of `rootKeys` from both tables.
+    * `currentDocs` (the assembled corpus, when the caller has it) selects
+    * the one-pass [[docClosure]] instead of the generic join-round
+    * expansion — identical key set (oracle-gated d12/d14/d175/d176/d191),
+    * `maxDepth` fewer shuffles per consumer of the result. */
+  def cascadeDelete(sh: Shredded, rootKeys: DataFrame, maxDepth: Int,
+                    currentDocs: Option[DataFrame] = None,
+                    docCol: String = "doc"): Shredded = {
+    val gone = currentDocs match {
+      case Some(docs) => docClosure(docs, rootKeys, docCol)
+      case None => reachable(sh, rootKeys, maxDepth)
+    }
     Shredded(
       sh.entities.join(gone, Seq("key"), "left_anti"),
       sh.edges.join(gone.select(col("key").as("parent_key")), Seq("parent_key"), "left_anti"))
@@ -56,10 +116,11 @@ object Mutations {
     * then union the fresh shred (`PlanService.updatePlan`,
     * `PlanService.java:202-215` = delete-then-save). */
   def replace(sh: Shredded, newDocs: DataFrame, maxDepth: Int,
-              docCol: String = "doc"): Shredded = {
+              docCol: String = "doc",
+              currentDocs: Option[DataFrame] = None): Shredded = {
     val rootKeys = newDocs.select(
       concat(col(s"$docCol.objectType"), lit("_"), col(s"$docCol.objectId")).as("key"))
-    val cleaned = cascadeDelete(sh, rootKeys, maxDepth)
+    val cleaned = cascadeDelete(sh, rootKeys, maxDepth, currentDocs, docCol)
     val fresh = Shredder.shred(newDocs, docCol)
     Shredded(
       cleaned.entities.unionAll(fresh.entities),

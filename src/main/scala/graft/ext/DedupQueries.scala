@@ -1613,25 +1613,46 @@ object DedupQueries {
       .filter(col("n_inter") * 10 >= (col("na") + col("nb") - col("n_inter")) * 6)
       .select(col("a"), col("b")).persist()
     val nTruth = truth.agg(count(lit(1)).cast("long").as("n_truth"))
-    val res = Seq((2, 6), (3, 4), (4, 3), (6, 2)).map { case (b, r) =>
-      val bands = (0 until b).map { bnd =>
-        sig.select(col("doc_id"), lit(bnd).as("band"),
+    // r19: all four (bands, rows) configs measure in ONE candidate pass —
+    // the per-config loop ran 4 separate band-union self-joins + distincts
+    // + two 1-row aggregates each (4 exchange pairs, ~10 driver-visible
+    // jobs); tagging every band row with its config keys the same
+    // self-join once for the whole panel (same shuffle bytes, a quarter of
+    // the fixed per-job cost). A config with zero candidates must still
+    // emit its row, so the panel left-joins from the 4-row config seed.
+    val configs = Seq((2, 6), (3, 4), (4, 3), (6, 2))
+    val bandsAll = configs.flatMap { case (b, r) =>
+      (0 until b).map { bnd =>
+        sig.select(lit(b.toLong).as("cfg_b"), lit(r.toLong).as("cfg_r"),
+          col("doc_id"), lit(bnd).as("band"),
           concat_ws("-", (0 until r).map(j => col(s"mh${bnd * r + j}")): _*).as("bsig"))
-      }.reduce(_ unionAll _)
-      val cand = bands.as("x").join(bands.as("y"),
+      }
+    }.reduce(_ unionAll _)
+    val cand = bandsAll.as("x").join(bandsAll.as("y"),
+        col("x.cfg_b") === col("y.cfg_b") && col("x.cfg_r") === col("y.cfg_r") &&
           col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
-      val theory = 1.0 - math.pow(1.0 - math.pow(0.6, r), b)
-      cand.agg(count(lit(1)).cast("long").as("n_cand"))
-        .crossJoin(broadcast(cand.join(truth, Seq("a", "b"))
-          .agg(count(lit(1)).cast("long").as("n_hit"))))
-        .crossJoin(broadcast(nTruth))
-        .select(lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
-          col("n_cand"), col("n_truth"), col("n_hit"),
-          (col("n_hit").cast("double") / col("n_truth")).as("recall"),
-          lit(theory).as("capture_at_06"))
-    }.reduce(_ unionByName _).orderBy(col("bands"))
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.cfg_b").as("cfg_b"), col("x.cfg_r").as("cfg_r"),
+        col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+    val nCand = cand.groupBy(col("cfg_b"), col("cfg_r"))
+      .agg(count(lit(1)).cast("long").as("n_cand"))
+    val nHit = cand.join(truth, Seq("a", "b"))
+      .groupBy(col("cfg_b"), col("cfg_r"))
+      .agg(count(lit(1)).cast("long").as("n_hit"))
+    import s.implicits._
+    val seed = configs.map { case (b, r) =>
+      (b.toLong, r.toLong, 1.0 - math.pow(1.0 - math.pow(0.6, r), b))
+    }.toDF("cfg_b", "cfg_r", "capture_at_06")
+    val res = seed
+      .join(nCand, Seq("cfg_b", "cfg_r"), "left")
+      .join(nHit, Seq("cfg_b", "cfg_r"), "left")
+      .crossJoin(broadcast(nTruth))
+      .select(col("cfg_b").as("bands"), col("cfg_r").as("rows_per_band"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"), col("n_truth"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_truth")).as("recall"),
+        col("capture_at_06"))
+      .orderBy(col("bands"))
     (res, Seq(truth))
   }
 

@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
 import graft.functions.GraftFunctions
-import graft.functions.GraftFunctions.vecDot
+import graft.functions.GraftFunctions.{vecDot, vecDotLong}
 
 /** Similarity search over the `embeddings` table (`Array[Float]` column) —
   * brute-force cosine top-k as the correctness baseline, random-hyperplane
@@ -448,8 +448,9 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("c").as("qc"))
     val scored = codes.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
-        aggregate(zip_with(col("qc"), col("c"), (a, b) => a * b),
-          lit(0L), (acc, z) => acc + z).as("qdot"))
+        // codegen'd exact long dot (r19 — the interpreted lambda fold ran
+        // |panel|x|corpus| times; same fold order, same integers)
+        vecDotLong(col("qc"), col("c")).as("qdot"))
     scored.withColumn("rank", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(col("qdot").desc, col("n_id"))))
       .filter(col("rank") <= 3)
@@ -714,8 +715,12 @@ object Similarity {
     * the corpus, no driver state at all. Output: top-10 by ADC distance
     * with the EXACT integer d² alongside (the s4-style quality check —
     * ADC is an estimate; the exact column shows how tight). */
+  /** Exact integer squared L2 via the dot identity on the codegen'd
+    * long dot (r19): d² = a·a + b·b − 2·a·b — every term is exact LONG
+    * arithmetic (components ≤ ~2^13, 64-dim sums ≤ ~2^40), so results
+    * are bit-identical to the interpreted (x−y)² fold it replaces. */
   private def pqD2(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, z) => acc + z)
+    vecDotLong(a, a) + vecDotLong(b, b) - lit(2L) * vecDotLong(a, b)
 
   /** (vec_id, q) quantized corpus for the PQ family (s9/s17). */
   private def pqBase(s: SparkSession, d: String): DataFrame =
@@ -725,10 +730,11 @@ object Similarity {
 
   /** (vec_id, s, qs) per-subspace slices: 8 subspaces × 8 dims. */
   private def pqSlices(base: DataFrame): DataFrame =
-    (0 until 8).map { su =>
-      base.select(col("vec_id"), lit(su.toLong).as("s"),
-        slice(col("q"), su * 8 + 1, 8).as("qs"))
-    }.reduce(_ unionAll _)
+    // one scan + explode (r19) — the 8-way unionAll re-scanned and
+    // re-quantized the corpus once per subspace
+    base.select(col("vec_id"), explode(array((0 until 8).map(su =>
+        struct(lit(su.toLong).as("s"), slice(col("q"), su * 8 + 1, 8).as("qs"))): _*)).as("z"))
+      .select(col("vec_id"), col("z.s").as("s"), col("z.qs").as("qs"))
 
   /** PQ codebook (s, cid, cq): per-subspace seeds (16 smallest-salted-
     * hash vectors — the d80 deterministic-draw contract) + one exact
@@ -1202,13 +1208,17 @@ object Similarity {
     val cents = all.filter(col("vec_id") % 97 === 0)
       .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
     // IVF assignment (same deterministic build as s3)
+    // max_by with a (score desc, c_id asc) ordering struct replaces the
+    // row_number window (r19): the argmax is map-side combinable, so the
+    // n x k fan-out partial-aggregates before the exchange instead of
+    // sort-shuffling whole
     val assign = all.join(broadcast(cents))
-      .select(col("vec_id"), col("v"), col("nrm"), col("c_id"),
-        (vecDot(col("v"), col("cv")) / (col("nrm") * col("cn"))).as("score"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("c_id"))))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("c_id").as("cell"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("v"), col("nrm"), col("c_id")),
+        struct((vecDot(col("v"), col("cv")) / (col("nrm") * col("cn"))).as("score"),
+          (-col("c_id")).as("tb"))).as("r"))
+      .select(col("vec_id"), col("r.v").as("v"), col("r.nrm").as("nrm"),
+        col("r.c_id").as("cell"))
     // layer-0 graph: within-cell top-M out-edges PLUS hub edges to each
     // node's 3 nearest centroids — the HNSW long links. Hub edges are
     // what lets the beam cross cell boundaries mid-walk (node → nearby

@@ -49,6 +49,9 @@ object GraftExtensions {
         new org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
           children.head, children(1))
       }),
+    (FunctionIdentifier("vec_dot_long"),
+      new ExpressionInfo(classOf[VecDotLong].getName, "vec_dot_long"),
+      (children: Seq[Expression]) => VecDotLong(children.head, children(1))),
     (FunctionIdentifier("unigram_viterbi"),
       new ExpressionInfo(classOf[UnigramViterbi].getName, "unigram_viterbi"),
       (children: Seq[Expression]) => {

@@ -92,4 +92,8 @@ object GraftFunctions {
 
   /** Codegen'd dot product; call after `ensure(spark)`. */
   def vecDot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+
+  /** Codegen'd exact LONG dot product; call after `ensure(spark)`. */
+  def vecDotLong(a: Column, b: Column): Column =
+    call_function("vec_dot_long", a, b)
 }

@@ -1495,6 +1495,13 @@ object DedupQueries {
     * fp or the pair; candidate pairs ∝ shared-run mass, never O(n²);
     * windows partition by (pair, diagonal) — bounded per pair. */
   private def dd12(s: SparkSession, d: String): DataFrame = {
+    val (res, grams) = dd12Plan(s, d)
+    graft.Eager.finish(res, grams)
+  }
+
+  /** dd12 internals pre-pin (PlanAuditSpec inspects the optimized plan;
+    * caller must unpersist the returned grams frame). */
+  private[graft] def dd12Plan(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val W = org.apache.spark.sql.expressions.Window
     val base = Tables(s, d, "documents").select(col("doc_id"), col("text"))
     val shift = broadcast(base.agg((max(col("doc_id")) + 1L).as("_shift")))
@@ -1506,9 +1513,13 @@ object DedupQueries {
     // token hashes bound as a column BEFORE shingling — inlining them in
     // the shingle lambda re-evaluates the md5 array per element_at
     // reference (16× per position): the dd2/dd4 materialization rule
-    val grams = corpus
+    // persisted (r19): grams feeds THREE plan branches (df cap + both
+    // sides of the fp self-join) — un-persisted, the md5 token hashing and
+    // 16-gram rolling hash re-ran per branch; released via Eager.finish
+    val grams = graft.Eager.keyed(corpus
       .select(col("doc_id"), tokenHashes(tokens(col("text"))).as("hs"))
-      .select(col("doc_id"), posexplode(shingleHashes(col("hs"), 16)).as(Seq("pos", "fp")))
+      .select(col("doc_id"), posexplode(shingleHashes(col("hs"), 16)).as(Seq("pos", "fp"))),
+      "dd12.grams").persist()
     val dfCap = grams.groupBy(col("fp"))
       .agg(countDistinct(col("doc_id")).as("_df"))
       .filter(col("_df") <= 20)
@@ -1524,11 +1535,12 @@ object DedupQueries {
       .withColumn("grp", col("pa") - col("rn"))
       .groupBy(col("a"), col("b"), col("diag"), col("grp"))
       .agg((count(lit(1)) + 15L).cast("long").as("span_tokens"))
-    runs.groupBy(col("a"), col("b"))
+    val res = runs.groupBy(col("a"), col("b"))
       .agg(max(col("span_tokens")).cast("long").as("max_span_tokens"),
         count(lit(1)).cast("long").as("n_runs"))
       .filter(col("max_span_tokens") >= 24)
       .orderBy(col("a"), col("b"))
+    (res, grams)
   }
 
   private val dd12Sql =

@@ -272,10 +272,16 @@ object Multimodal {
         posexplode(codes))
       .filter(col("q") > 0 && col("pos") < col("q") * 32)
       .withColumn("chunk", (col("pos") / col("q")).cast("int"))
-    val g = ex.groupBy(col("doc_id")).agg(
-      sum(when(col("chunk") === 0, col("col")).otherwise(0L)).as("s0"),
+    // two-level aggregation (r19): summing per (doc, chunk) first runs ONE
+    // sum over the |chars| rows instead of 32 conditional sums per char;
+    // the 32-way unpivot then runs over 32 rows/doc. Same per-chunk sums,
+    // same hash, ~1/30th the aggregate expression work on the wide level.
+    val perChunk = ex.groupBy(col("doc_id"), col("chunk"))
+      .agg(sum(col("col")).as("cs"))
+    val g = perChunk.groupBy(col("doc_id")).agg(
+      sum(when(col("chunk") === 0, col("cs")).otherwise(0L)).as("s0"),
       (1 until 32).map(i =>
-        sum(when(col("chunk") === i, col("col")).otherwise(0L)).as(s"s$i")): _*)
+        sum(when(col("chunk") === i, col("cs")).otherwise(0L)).as(s"s$i")): _*)
     val sums = (0 until 32).map(i => coalesce(col(s"s$i"), lit(0L)))
     val total = sums.reduce(_ + _)
     val hash = sums.zipWithIndex.map { case (s0, i) =>

@@ -604,20 +604,25 @@ class PlanAuditSpec extends SparkSpec {
 
   test("dd12: exact-substring pairs come from the fp equi-join, never a cartesian") {
     import org.apache.spark.sql.catalyst.plans.logical.Join
-    val opt = q("dd12_exact_substring").queryExecution.optimizedPlan
-    val joins = opt.collect { case j: Join => j }
-    assert(joins.nonEmpty)
-    // the planted-shift crossJoin is a broadcast 1-row frame; every join
-    // carrying corpus-grain rows must be conditioned on the fingerprint
-    val big = joins.filter(_.condition.isEmpty)
-    big.foreach(j => assert(
-      j.left.stats.rowCount.exists(_ <= 1) || j.right.stats.rowCount.exists(_ <= 1) ||
-        j.toString.contains("_shift"),
-      s"unconditioned corpus-grain join in the dd12 plan:\n$j"))
-    val fpJoins = opt.collect {
-      case j: Join if j.condition.exists(_.references.exists(_.name == "fp")) => j
-    }
-    assert(fpJoins.nonEmpty, "expected the fingerprint inverted-index equi-join")
+    // the registry entry is Eager-pinned (grams is persisted for its three
+    // consumers and released post-collect), so audit the pre-pin plan
+    val (df, grams) = graft.ext.DedupQueries.dd12Plan(spark, sf)
+    try {
+      val opt = df.queryExecution.optimizedPlan
+      val joins = opt.collect { case j: Join => j }
+      assert(joins.nonEmpty)
+      // the planted-shift crossJoin is a broadcast 1-row frame; every join
+      // carrying corpus-grain rows must be conditioned on the fingerprint
+      val big = joins.filter(_.condition.isEmpty)
+      big.foreach(j => assert(
+        j.left.stats.rowCount.exists(_ <= 1) || j.right.stats.rowCount.exists(_ <= 1) ||
+          j.toString.contains("_shift"),
+        s"unconditioned corpus-grain join in the dd12 plan:\n$j"))
+      val fpJoins = opt.collect {
+        case j: Join if j.condition.exists(_.references.exists(_.name == "fp")) => j
+      }
+      assert(fpJoins.nonEmpty, "expected the fingerprint inverted-index equi-join")
+    } finally grams.unpersist(true)
   }
 
   test("s8: both linear-fusion source lists are bounded heaps") {

@@ -268,7 +268,7 @@ object Bulk {
     val cleaned = Mutations.cascadeDelete(sh,
       deleteRoots.unionByName(newRoots), maxDepth,
       currentDocs = Some(assembled), docCol = docCol)
-    val fresh = Shredder.shred(newDocs, docCol)
+    val fresh = Shredder.shredComputed(newDocs, docCol)
     Outcome(resp.orderBy(col("seq")), Shredded(
       cleaned.entities.unionAll(fresh.entities),
       cleaned.edges.unionAll(fresh.edges)), fresh)

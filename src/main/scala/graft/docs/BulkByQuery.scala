@@ -165,7 +165,7 @@ object BulkByQuery {
       }
       case other => throw new IllegalArgumentException(s"bad _reindex script: $other")
     }
-    (destIndex, Shredder.shred(transformed.select(doc), docCol))
+    (destIndex, Shredder.shredComputed(transformed.select(doc), docCol))
   }
 
   /** `_update_by_query`: apply the body's script to every matching

@@ -121,7 +121,7 @@ object Mutations {
     val rootKeys = newDocs.select(
       concat(col(s"$docCol.objectType"), lit("_"), col(s"$docCol.objectId")).as("key"))
     val cleaned = cascadeDelete(sh, rootKeys, maxDepth, currentDocs, docCol)
-    val fresh = Shredder.shred(newDocs, docCol)
+    val fresh = Shredder.shredComputed(newDocs, docCol)
     Shredded(
       cleaned.entities.unionAll(fresh.entities),
       cleaned.edges.unionAll(fresh.edges))

@@ -132,7 +132,7 @@ object PartitionedStore {
     * rewritten in place; every other shard's files are untouched. */
   def replace(s: SparkSession, st: Store, newDocs: DataFrame,
               docCol: String = "doc"): Unit = {
-    val freshSh = Shredder.shred(newDocs, docCol)
+    val freshSh = Shredder.shredComputed(newDocs, docCol)
     val roots: Seq[String] = newDocs
       .select(concat(col(s"$docCol.objectType"), lit("_"),
         col(s"$docCol.objectId")).as("root"))

@@ -6953,8 +6953,13 @@ object DocQueries {
       """{ "query": { "bool": { "must": [
         |  { "term": { "planType": "BUILDING" } },
         |  { "range": { "planCostShares.copay": { "gte": 10 } } } ] } } }""".stripMargin
-    val live = materialized(s, "d178",
-      BulkByQuery.deleteByQuery(pit, shredded(s, d), delBody, schema, mdepth)._1)
+    // r19: the live state's edges table is never consumed here and the
+    // entities side has exactly ONE consumer (the in_live join below), so
+    // there is nothing for the materialize boundary to amortize — reading
+    // the delete-by-query plan lazily skips a full parquet write of both
+    // tables AND the edges half of the mutation machinery outright.
+    val liveEnts = BulkByQuery
+      .deleteByQuery(pit, shredded(s, d), delBody, schema, mdepth)._1.entities
     def lastKey(p: DataFrame): String =
       p.agg(max(col("objectId"))).collect()(0).getString(0) // 1-row cursor fetch
     val p2 = SearchExec.search(pit, "doc", pageBody(Some(lastKey(p1))), schema)
@@ -6962,7 +6967,7 @@ object DocQueries {
     val pages = Seq(p1, p2, p3).zipWithIndex.map { case (p, i) =>
       p.select(lit(i + 1).as("page"), col("rn"), col("objectId"))
     }.reduce(_ unionByName _)
-    val liveRoots = live.entities.filter(col("type_tag") === "plan")
+    val liveRoots = liveEnts.filter(col("type_tag") === "plan")
       .select(col("key").as("_lk"))
     pages.join(liveRoots, concat(lit("plan_"), col("objectId")) === col("_lk"), "left")
       .select(col("page"), col("rn"), col("objectId"),

@@ -256,8 +256,11 @@ object DedupQueries {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
-      .distinct()
+      // filter BEFORE the dedup (r19): hamming is deterministic per pair
+      // so the two commute, and the distinct now shuffles only real
+      // near-dups instead of every band-bucket collision
       .filter(col("hamming") <= 5)
+      .distinct()
       .orderBy(col("a"), col("b"))
     graft.Eager.pin(res)
   }
@@ -1151,8 +1154,10 @@ object DedupQueries {
           col("x.doc_id") < Boundary && col("y.doc_id") >= Boundary)
       .select(col("x.doc_id").as("old_id"), col("y.doc_id").as("batch_id"),
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
-      .distinct()
+      // filter BEFORE the dedup (r19, the dd3 rule): only near-dups
+      // reach the distinct's shuffle, not every band-bucket collision
       .filter(col("hamming") <= 5)
+      .distinct()
       .groupBy(col("batch_id"))
       .agg(count(lit(1)).as("n_near"), min(col("old_id")).as("near_src"))
     val hashed = corpus.select(col("doc_id"), md5(col("text")).as("h"))
@@ -1304,20 +1309,28 @@ object DedupQueries {
     * co-located after one shuffle each); candidate pairs ∝ shared-chunk
     * mass, never O(n²); no broadcast of anything corpus-sized. */
   private def dd10(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val grams = Tables(s, d, "documents").select(
-      col("doc_id"), col("n_chars"),
-      posexplode(transform(
-        sequence(lit(1), greatest(col("n_chars").cast("int") - 7, lit(0))),
-        i => stableHash32(col("text").substr(i, lit(8))))).as(Seq("p", "h")))
-      .select(col("doc_id"), col("n_chars"), (col("p") + 1).as("pos"), col("h"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      .rowsBetween(Window.currentRow, 3)
+    // r19 (same rewrite as t4): the winnow never leaves the per-doc gram
+    // array — fp[p] = min(h[p..p+3]) by transform, per-doc distinct by
+    // array_distinct — so the standing fps table is ONE scan + explode
+    // with no char-grain window sort and no distinct shuffle. Docs
+    // shorter than 11 chars have no full window (zero rows before too).
+    val n = col("n_chars").cast("int")
+    val hs = transform(
+      sequence(lit(1), greatest(n - 7, lit(0))),
+      i => stableHash32(col("text").substr(i, lit(8))))
+    // gram-hash array LET-BOUND as a lambda variable (t4's rule): a
+    // projected column would be CollapseProject-inlined into all four
+    // element_at references — O(n²) hashing per doc
+    def winnow(h: Column): Column = array_distinct(transform(
+      sequence(lit(1), n - 10), // full windows only: pos ∈ [1, n-10]
+      p => least(element_at(h, p), element_at(h, p + 1),
+        element_at(h, p + 2), element_at(h, p + 3))))
+    val fpArr = flatten(transform(array(hs), h => winnow(h)))
     // standing-index frame: the winnowing fingerprint table, written once
-    val fps = mat(s, d, "dd10fps")(grams
-      .select(col("doc_id"), col("n_chars"), col("pos"), min(col("h")).over(w).as("fp"))
-      .filter(col("pos") <= col("n_chars") - 7 - 3)
-      .select(col("doc_id"), col("fp")).distinct())
+    val fps = mat(s, d, "dd10fps")(Tables(s, d, "documents")
+      .filter(col("n_chars") >= 11)
+      .select(col("doc_id"), fpArr.as("fps"))
+      .select(col("doc_id"), explode(col("fps")).as("fp")))
     val keep = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= 20).select(col("fp"))
     val pf = fps.join(keep, "fp")

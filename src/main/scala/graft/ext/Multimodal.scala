@@ -261,36 +261,25 @@ object Multimodal {
       base.filter(col("doc_id") % 53 === 0).crossJoin(shift)
         .withColumn("doc_id", col("doc_id") + col("_shift")).drop("_shift")
         .withColumn("text", concat(lit("z"), expr("substring(text, 2)"))))
-    // Chunk sums via ONE posexplode + ONE hash aggregation with 32
-    // conditional sums — fully vectorized/codegen'd. (Two rejected
-    // shapes, kept for the record: per-chunk substr walks are O(len²) on
-    // UTF-8 — 4× slower; higher-order aggregate() lambdas evaluate
-    // interpreted per element — 30× slower.)
-    val codes = transform(split(col("text"), ""), c => ascii(c))
-    val ex = planted
-      .select(col("doc_id"), (length(col("text")) / 32).cast("long").as("q"),
-        posexplode(codes))
-      .filter(col("q") > 0 && col("pos") < col("q") * 32)
-      .withColumn("chunk", (col("pos") / col("q")).cast("int"))
-    // two-level aggregation (r19): summing per (doc, chunk) first runs ONE
-    // sum over the |chars| rows instead of 32 conditional sums per char;
-    // the 32-way unpivot then runs over 32 rows/doc. Same per-chunk sums,
-    // same hash, ~1/30th the aggregate expression work on the wide level.
-    val perChunk = ex.groupBy(col("doc_id"), col("chunk"))
-      .agg(sum(col("col")).as("cs"))
-    val g = perChunk.groupBy(col("doc_id")).agg(
-      sum(when(col("chunk") === 0, col("cs")).otherwise(0L)).as("s0"),
-      (1 until 32).map(i =>
-        sum(when(col("chunk") === i, col("cs")).otherwise(0L)).as(s"s$i")): _*)
-    val sums = (0 until 32).map(i => coalesce(col(s"s$i"), lit(0L)))
+    // Chunk sums via ONE native per-row kernel (r19, guide §4 — see
+    // ChunkCodepointSums): identical integers to the previous
+    // split("")+ascii+posexplode+aggregate pipeline, which allocated a
+    // single-char string per character and fanned every payload to
+    // char-grain rows before summing (3.7 s of the 4.9 s hash build at
+    // sf0.1 was the explode alone). No fan-out, no shuffle: hash table
+    // build is now scan → expression → write.
+    graft.functions.GraftFunctions.ensure(s)
+    val cs = graft.functions.GraftFunctions.chunkCodepointSums(col("text"))
+    val sums = (0 until 32).map(i => coalesce(element_at(col("cs"), i + 1), lit(0L)))
     val total = sums.reduce(_ + _)
     val hash = sums.zipWithIndex.map { case (s0, i) =>
       when(s0 * 32L > total, lit(1L << i)).otherwise(lit(0L)) }.reduce(_ + _)
     // materialize the |docs|-row hash table to parquet so the band
     // self-join scans it twice instead of recomputing the hash plan
-    // twice; short docs (q = 0) rejoin with hash 0 on both sides
+    // twice; short docs (q = 0) get a NULL sum array → hash 0, exactly
+    // the previous left-join-miss behavior
     val hdir = graft.TempDirs.create("graft-m6hash-")
-    planted.select(col("doc_id")).join(g, Seq("doc_id"), "left")
+    planted.select(col("doc_id"), cs.as("cs"))
       .select(col("doc_id"), hash.as("h"))
       .write.mode("overwrite").parquet(hdir.toString)
     val hashes = s.read.parquet(hdir.toString)
@@ -303,8 +292,12 @@ object Multimodal {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         bit_count(col("a.h").bitwiseXOR(col("b.h"))).as("hamming"))
-      .distinct()
+      // filter BEFORE the dedup (r19): hamming is deterministic per pair,
+      // so the two commute — but the band join emits every bucket
+      // collision (pairs ∝ per-bucket density) and the distinct was
+      // shuffling all of them; post-filter only real near-dups reach it
       .filter(col("hamming") <= 3)
+      .distinct()
       .orderBy(col("id_a"), col("id_b"))
   }
 

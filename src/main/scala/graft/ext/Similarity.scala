@@ -222,13 +222,18 @@ object Similarity {
     val all = vecs(s, d)
     val cents = all.filter(col("vec_id") % 97 === 0 && col("vec_id") < PanelBound)
       .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    // max_by with a (score desc, c_id asc) ordering struct replaces the
+    // row_number window (r19, same change as s14's assignment): the argmax
+    // is map-side combinable, so the n × k fan-out partial-aggregates
+    // before the exchange instead of sort-shuffling whole. Identical
+    // floats compared, identical smallest-c_id tie rule.
     all.join(broadcast(cents))
-      .select(col("vec_id"), col("v"), col("nrm"), col("c_id"),
-        (vecDot(col("v"), col("cv")) / (col("nrm") * col("cn"))).as("score"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("score").desc, col("c_id"))))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("c_id").as("cell"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("v"), col("nrm"), col("c_id")),
+        struct((vecDot(col("v"), col("cv")) / (col("nrm") * col("cn"))).as("score"),
+          (-col("c_id")).as("tb"))).as("r"))
+      .select(col("vec_id"), col("r.v").as("v"), col("r.nrm").as("nrm"),
+        col("r.c_id").as("cell"))
   }
 
   /** IVF probe phase: the fixed panel against a (vec_id, v, nrm, cell)
@@ -1211,7 +1216,10 @@ object Similarity {
     // max_by with a (score desc, c_id asc) ordering struct replaces the
     // row_number window (r19): the argmax is map-side combinable, so the
     // n x k fan-out partial-aggregates before the exchange instead of
-    // sort-shuffling whole
+    // sort-shuffling whole. (A merged one-pass (argmax, top-3 hubs)
+    // aggregate was tried and MEASURED SLOWER — collect_list ships the
+    // whole n×k fan-out through the shuffle with no map-side combine,
+    // plus an interpreted per-group array sort; 3.9 → 4.9 s at sf0.1.)
     val assign = all.join(broadcast(cents))
       .groupBy(col("vec_id"))
       .agg(max_by(struct(col("v"), col("nrm"), col("c_id")),

@@ -154,23 +154,36 @@ object TextQueries {
     * window-min is partition-local per doc (no cross-doc shuffle), and the
     * final per-doc aggregate collapses it back — one shuffle on doc_id. */
   private def t4(s: SparkSession, d: String): DataFrame = {
-    val grams = docs(s, d).select(
-      col("doc_id"), col("n_chars"),
-      posexplode(transform(
-        sequence(lit(1), greatest(col("n_chars").cast("int") - 7, lit(0))),
-        i => stableHash32(col("text").substr(i, lit(8))))).as(Seq("p", "h")))
-      .select(col("doc_id"), col("n_chars"), (col("p") + 1).as("pos"), col("h"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      .rowsBetween(Window.currentRow, 3)
-    val winnowed = grams
-      .select(col("doc_id"), col("n_chars"), col("pos"), min(col("h")).over(w).as("fp"))
-      .filter(col("pos") <= col("n_chars") - 7 - 3) // full windows only
-      .select(col("doc_id"), col("fp")).distinct()
-    winnowed.groupBy(col("doc_id")).agg(
-      count(lit(1)).as("n_fp"),
-      min(col("fp")).as("min_fp"),
-      max(col("fp")).as("max_fp"),
-      sum(col("fp")).as("sum_fp"))
+    // r19 (guide §2.1): the gram-hash array already exists per doc row, so
+    // the winnow never needs to leave it — fp[p] = min(h[p..p+3]) is an
+    // array transform, the per-doc distinct is array_distinct, and the
+    // fingerprint stats are array aggregates. The previous shape exploded
+    // to char grain, sorted every doc's grams for the running window-min,
+    // then shuffled twice more (distinct + groupBy); this one is a single
+    // scan with no shuffle before the final orderBy. Docs shorter than 11
+    // chars have no full window — they produced zero grouped rows before
+    // and are filtered up front now.
+    val n = col("n_chars").cast("int")
+    val hs = transform(
+      sequence(lit(1), greatest(n - 7, lit(0))),
+      i => stableHash32(col("text").substr(i, lit(8))))
+    // the gram-hash array is LET-BOUND as a lambda variable (transform
+    // over a 1-element array): binding it as a projected column instead
+    // lets CollapseProject inline the md5 transform into all four
+    // element_at references — re-evaluating the whole array per position,
+    // O(n²) hashing (the dd12 materialization rule, expression form)
+    def winnow(h: Column): Column = array_distinct(transform(
+      sequence(lit(1), n - 10), // full windows only: pos ∈ [1, n-10]
+      p => least(element_at(h, p), element_at(h, p + 1),
+        element_at(h, p + 2), element_at(h, p + 3))))
+    val fps = flatten(transform(array(hs), h => winnow(h)))
+    docs(s, d).filter(col("n_chars") >= 11)
+      .select(col("doc_id"), fps.as("fps"))
+      .select(col("doc_id"),
+        size(col("fps")).cast("long").as("n_fp"),
+        array_min(col("fps")).as("min_fp"),
+        array_max(col("fps")).as("max_fp"),
+        aggregate(col("fps"), lit(0L), (a, x) => a + x).as("sum_fp"))
       .orderBy(col("doc_id"))
   }
 

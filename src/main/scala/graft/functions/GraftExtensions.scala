@@ -52,6 +52,12 @@ object GraftExtensions {
     (FunctionIdentifier("vec_dot_long"),
       new ExpressionInfo(classOf[VecDotLong].getName, "vec_dot_long"),
       (children: Seq[Expression]) => VecDotLong(children.head, children(1))),
+    (FunctionIdentifier("chunk_codepoint_sums"),
+      new ExpressionInfo(classOf[ChunkCodepointSums].getName, "chunk_codepoint_sums"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "chunk_codepoint_sums(text)")
+        ChunkCodepointSums(children.head)
+      }),
     (FunctionIdentifier("unigram_viterbi"),
       new ExpressionInfo(classOf[UnigramViterbi].getName, "unigram_viterbi"),
       (children: Seq[Expression]) => {

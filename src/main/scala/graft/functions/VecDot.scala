@@ -96,4 +96,8 @@ object GraftFunctions {
   /** Codegen'd exact LONG dot product; call after `ensure(spark)`. */
   def vecDotLong(a: Column, b: Column): Column =
     call_function("vec_dot_long", a, b)
+
+  /** 32 chunked codepoint sums (the aHash kernel); call after `ensure`. */
+  def chunkCodepointSums(text: Column): Column =
+    call_function("chunk_codepoint_sums", text)
 }
